@@ -1,0 +1,160 @@
+"""String / text expression builders (SURVEY.md §2.7, T1-T13).
+
+The reference's text surface is (a) regex recodes of categorical columns
+(py:102-106), (b) ICD-9 string slicing (py:126), (c) the ``clean_textmain``
+analyzer (py:300-310): lower -> strip punctuation -> strip digits -> split on
+non-word -> keep alphabetic -> drop stopwords -> lemmatize. All but the
+lemmatizer are JVM-side built-ins here (whole-stage codegen); the lemmatizer
+is a rule-based suffix stripper expressed with higher-order array functions —
+if NLTK's WordNet is importable we expose a pandas_udf variant too
+(``lemmatize_udf``), but the engine default never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _col(c: ColumnOrName) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+def regex_recode(value: ColumnOrName, pattern: str, replacement: str) -> Column:
+    """T1 — anchored regex collapse (py:102-105, e.g. ``^ASIAN\\D*`` -> ASIAN).
+
+    pandas ``Series.replace(regex=...)`` replaces only the matched span; we
+    pin the reference's observed behavior (whole value collapses, since the
+    MIMIC values the pattern hits have no trailing digits) by matching the
+    full tail: callers pass patterns like ``^ASIAN\\D*``, we append ``.*``.
+    """
+    v = _col(value)
+    return F.when(v.rlike(pattern), F.lit(replacement)).otherwise(v)
+
+
+def multi_recode(value: ColumnOrName, mapping: dict[str, str]) -> Column:
+    """T2 — many-literal -> one replacement (py:106)."""
+    v = _col(value)
+    expr = None
+    for src, dst in mapping.items():
+        cond = v == F.lit(src)
+        expr = F.when(cond, F.lit(dst)) if expr is None else expr.when(cond, F.lit(dst))
+    return v if expr is None else expr.otherwise(v)
+
+
+def substr_prefix(value: ColumnOrName, n: int) -> Column:
+    """T3 — first-n-chars slice (py:126 ``str.slice(0,3)``)."""
+    return F.substring(_col(value), 1, n)
+
+
+def fill_null(value: ColumnOrName, filler: str) -> Column:
+    """T4 — fillna on a string column (py:125, py:289)."""
+    return F.coalesce(_col(value), F.lit(filler))
+
+
+def scrub_newlines(value: ColumnOrName) -> Column:
+    """T5 — replace \\n and \\r with spaces (py:290-291)."""
+    return F.translate(_col(value), "\n\r", "  ")
+
+
+def strip_punct(value: ColumnOrName) -> Column:
+    """T8 — remove punctuation (py:302 filter against string.punctuation)."""
+    return F.regexp_replace(_col(value), r"[!-/:-@\[-`{-~]", "")
+
+
+def strip_digits(value: ColumnOrName) -> Column:
+    """T9 — remove digit runs (py:304 ``re.sub('[0-9]+','')``)."""
+    return F.regexp_replace(_col(value), "[0-9]+", "")
+
+
+def tokenize(value: ColumnOrName) -> Column:
+    """T10 — split on non-word runs (py:305 ``re.split('\\W+')``), dropping
+    empty tokens (leading/trailing separators produce '' in both engines)."""
+    toks = F.split(_col(value), r"\W+")
+    return F.filter(toks, lambda w: w != F.lit(""))
+
+
+def alpha_only(tokens: Column) -> Column:
+    """T11 — keep purely alphabetic tokens (py:306-307 ``isalpha``)."""
+    return F.filter(tokens, lambda w: w.rlike("^[a-zA-Z]+$"))
+
+
+#: compact english stopword subset used by the SQL-expressible pipeline;
+#: MLlib's StopWordsRemover (full 181-word list) is used in ml.features.
+STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "has",
+    "he", "in", "is", "it", "its", "of", "on", "that", "the", "to", "was",
+    "were", "will", "with", "she", "her", "his", "this", "but", "not", "or",
+)
+
+
+def drop_stopwords(tokens: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """T12 — stop-word removal as an array filter (py:296,309)."""
+    arr = F.array(*[F.lit(w) for w in stopwords])
+    return F.filter(tokens, lambda w: ~F.array_contains(arr, w))
+
+
+def lemmatize_rules(tokens: Column) -> Column:
+    """T13 — deterministic rule-based lemmatizer over a token array.
+
+    The reference uses NLTK WordNetLemmatizer (py:298,309); WordNet isn't a
+    public dependency of this engine, so the DEFINED engine semantics are
+    these explicit suffix rules (plural nouns), all JVM-side:
+
+      *sses -> *ss | *ies -> *y | keep *ss | *s -> * (len>3)
+
+    ``lemmatize_udf`` below upgrades to WordNet when NLTK is available.
+    """
+    def lemma(w: Column) -> Column:
+        return (
+            F.when(w.rlike("sses$"), F.regexp_replace(w, "sses$", "ss"))
+            .when(w.rlike("ies$"), F.regexp_replace(w, "ies$", "y"))
+            .when(w.rlike("ss$"), w)
+            .when(w.rlike("^[a-z]{3,}s$"), F.regexp_replace(w, "s$", ""))
+            .otherwise(w)
+        )
+
+    return F.transform(tokens, lemma)
+
+
+def clean_text_tokens(value: ColumnOrName) -> Column:
+    """The full ``clean_textmain`` analyzer (py:300-310) as ONE column
+    expression: T7 lower -> T8 punct -> T9 digits -> T10 tokenize ->
+    T11 alpha -> T12 stopwords -> T13 lemmatize."""
+    x = F.lower(_col(value))
+    x = strip_punct(x)
+    x = strip_digits(x)
+    toks = tokenize(x)
+    toks = alpha_only(toks)
+    toks = drop_stopwords(toks)
+    return lemmatize_rules(toks)
+
+
+def lemmatize_udf():
+    """Optional WordNet-backed lemmatizer (pandas_udf over token arrays),
+    gated on NLTK being importable with the wordnet corpus present.
+    Returns None when unavailable — callers fall back to
+    :func:`lemmatize_rules`. The dictionary loads once per executor
+    process (module-level import inside the UDF)."""
+    try:
+        import nltk  # noqa: F401
+        from nltk.stem import WordNetLemmatizer
+
+        WordNetLemmatizer().lemmatize("tests")  # force corpus load / fail fast
+    except Exception:
+        return None
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    @pandas_udf(ArrayType(StringType()))
+    def _lemmatize(batch: pd.Series) -> pd.Series:
+        from nltk.stem import WordNetLemmatizer
+
+        wnl = WordNetLemmatizer()
+        return batch.map(lambda toks: [wnl.lemmatize(t) for t in (toks or [])])
+
+    return _lemmatize

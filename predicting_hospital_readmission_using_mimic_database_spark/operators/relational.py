@@ -1,0 +1,303 @@
+"""Relational operators (SURVEY.md §2.2 P*, §2.3 J*, §2.4 W*, §2.5 A*).
+
+Design rules (the 100 TB posture):
+
+- every operator is ``DataFrame -> DataFrame`` and LAZY — callers compose
+  them and Catalyst optimizes the whole chain (filters reach the parquet
+  scan, projections prune columns, join strategy picked by size/AQE);
+- window operators take explicit (partition, order, tiebreaker) so results
+  are deterministic under any partitioning — the reference leans on pandas
+  row order (py:39, py:245), which does not exist on a cluster;
+- joins accept a ``broadcast_right`` hint for dimension tables; the default
+  leaves strategy selection to Catalyst + AQE (sort-merge w/ skew split);
+- nothing here ever calls ``.collect()`` — aggregates stay DataFrames.
+
+Reference call-sites cited per function (py:N = Hap880_Final_Project.py:N).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# P* — projection / filter (§2.2)
+# ---------------------------------------------------------------------------
+
+
+def project(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """P1 — column projection (py:83). Catalyst pushes the pruning into
+    the scan's ReadSchema."""
+    return df.select(*cols)
+
+
+def filter_null(df: DataFrame, col: str) -> DataFrame:
+    """P2 — IS NULL filter (py:85, drop in-hospital deaths)."""
+    return df.filter(F.col(col).isNull())
+
+
+def filter_not_null(df: DataFrame, col: str) -> DataFrame:
+    """P10 — IS NOT NULL (py:66)."""
+    return df.filter(F.col(col).isNotNull())
+
+
+def filter_neq(df: DataFrame, col: str, value) -> DataFrame:
+    """P3 — inequality filter (py:94 ``!= 'NEWBORN'``)."""
+    return df.filter(F.col(col) != F.lit(value))
+
+
+def filter_eq(df: DataFrame, col: str, value) -> DataFrame:
+    """P4 — equality filter (py:242 ``== 'Discharge summary'``)."""
+    return df.filter(F.col(col) == F.lit(value))
+
+
+def filter_not_rlike(df: DataFrame, col: str, pattern: str) -> DataFrame:
+    """P6 — negated regex predicate (py:124 E/V-code detection)."""
+    return df.filter(~F.col(col).rlike(pattern))
+
+
+def filter_not_isin(df: DataFrame, col: str, values: Sequence) -> DataFrame:
+    """P7 — negated IN-list (py:107)."""
+    return df.filter(~F.col(col).isin(list(values)))
+
+
+def split_by(df: DataFrame, cond: Column) -> tuple[DataFrame, DataFrame]:
+    """P8 — boolean-mask split into (matching, non-matching) (py:442-444).
+    Two lazy filters over one scan — Spark reuses the shuffle/cached input."""
+    return df.filter(cond), df.filter(~cond)
+
+
+def drop_na(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """P9 — drop rows with any NULL (py:345)."""
+    return df.na.drop(subset=list(subset) if subset else None)
+
+
+# ---------------------------------------------------------------------------
+# J* — joins (§2.3)
+# ---------------------------------------------------------------------------
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """J1-J4 — equi-joins on one or more keys (py:180,192,207,248).
+
+    ``broadcast_right=True`` forces a broadcast-hash join for dimension
+    tables (patients, age-min dim); otherwise Catalyst/AQE picks
+    broadcast vs sort-merge from size stats, splitting skewed partitions.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=list(on) if not isinstance(on, str) else on, how=how)
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """J7 — complement by key (py:431 ``df.drop(df_test.index)``)."""
+    return join(left, right, on, how="left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """Semi-join (free with Spark's join API; SURVEY §2.3 note)."""
+    return join(left, right, on, how="left_semi")
+
+
+def positional_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_order: Sequence[str],
+    right_order: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """J5/J6 — pandas index-alignment joins (py:172, py:332) generalized.
+
+    Spark has no row index, so positional semantics REQUIRE a deterministic
+    order on each side: we number rows with ``row_number()`` over the given
+    sort keys and equi-join on the position. (The engine avoids needing this
+    — e.g. the pivot keeps its key (J5) and CountVectorizer emits a column
+    (J6) — but the operator exists for parity.)
+
+    Scale note: row_number over a global order is a single-partition window;
+    for large inputs prefer ``zipWithIndex``-style keys upstream. Positional
+    joins are inherently anti-distributed — that is WHY the engine's own
+    plans never use them.
+    """
+    wl = Window.orderBy(*[F.col(c) for c in left_order])
+    wr = Window.orderBy(*[F.col(c) for c in right_order])
+    ln = left.withColumn("__pos", F.row_number().over(wl))
+    rn = right.withColumn("__pos", F.row_number().over(wr))
+    return ln.join(rn, "__pos", how).drop("__pos")
+
+
+# ---------------------------------------------------------------------------
+# W* — window functions (§2.4)
+# ---------------------------------------------------------------------------
+
+
+def _window(partition: Sequence[str], order: Sequence[str]):
+    return Window.partitionBy(*partition).orderBy(*order)
+
+
+def lead_col(
+    df: DataFrame,
+    col: str,
+    partition: Sequence[str],
+    order: Sequence[str],
+    out: str | None = None,
+    offset: int = 1,
+) -> DataFrame:
+    """W1/W2 — partitioned LEAD (py:43,45 ``groupby().shift(-1)``)."""
+    return df.withColumn(out or f"next_{col}", F.lead(col, offset).over(_window(partition, order)))
+
+
+def null_out_when(df: DataFrame, cond: Column, cols: Sequence[str]) -> DataFrame:
+    """W3 — conditional NULL-out of several columns (py:48-50)."""
+    for c in cols:
+        df = df.withColumn(c, F.when(cond, F.lit(None)).otherwise(F.col(c)))
+    return df
+
+
+def backfill(
+    df: DataFrame,
+    col: str,
+    partition: Sequence[str],
+    order: Sequence[str],
+    out: str | None = None,
+) -> DataFrame:
+    """W4 — partitioned backward-fill (py:59 ``fillna(method='bfill')``):
+    first non-null value at-or-after the current row."""
+    w = _window(partition, order).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return df.withColumn(out or col, F.first(col, ignorenulls=True).over(w))
+
+
+def forward_fill(
+    df: DataFrame,
+    col: str,
+    partition: Sequence[str],
+    order: Sequence[str],
+    out: str | None = None,
+) -> DataFrame:
+    """ffill twin of W4 — last non-null value at-or-before the current row."""
+    w = _window(partition, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out or col, F.last(col, ignorenulls=True).over(w))
+
+
+def last_per_group(
+    df: DataFrame,
+    partition: Sequence[str],
+    order: Sequence[str],
+) -> DataFrame:
+    """W5 — last row per group under an EXPLICIT order (py:245
+    ``groupby().nth(-1)`` which leans on scan order; we require real sort
+    keys + tiebreaker, SURVEY §2.4)."""
+    w = _window(partition, [F.col(c).desc() for c in order])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def sort(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """W6 — multi-column sort (py:39). A global range-partitioned sort;
+    inside the engine's plans ordering lives in window specs instead."""
+    return df.orderBy(*cols)
+
+
+# ---------------------------------------------------------------------------
+# A* — aggregations (§2.5)
+# ---------------------------------------------------------------------------
+
+
+def value_counts(df: DataFrame, col: str) -> DataFrame:
+    """A1 — frequency table (py:95 ``value_counts()``)."""
+    return df.groupBy(col).agg(F.count("*").alias("count"))
+
+
+def count_distinct(df: DataFrame, col: str, approx: bool = False) -> DataFrame:
+    """A2 — count-distinct (py:116); ``approx=True`` -> HLL sketch, the
+    scale-out variant (no global shuffle of the full key set)."""
+    agg = F.approx_count_distinct(col) if approx else F.countDistinct(col)
+    return df.agg(agg.alias("n_distinct"))
+
+
+def topk_by_freq(df: DataFrame, col: str, k: int) -> DataFrame:
+    """A3 — k most frequent values (py:107 ``nlargest(5)``). Compiles to
+    TakeOrderedAndProject: only k rows cross to the driver side of the plan.
+    Deterministic tiebreak on the value itself."""
+    return (
+        df.groupBy(col)
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.col(col))
+        .limit(k)
+    )
+
+
+def null_counts(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """A4 — per-column null counts in ONE pass (py:31-32)."""
+    return df.agg(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}") for c in cols]
+    )
+
+
+def conditional_counts(df: DataFrame, conds: dict[str, Column]) -> DataFrame:
+    """A5 — named conditional counts in one pass (py:484-502's metric
+    closures; all four confusion cells in a single aggregation)."""
+    return df.agg(
+        *[F.sum(F.when(cond, 1).otherwise(0)).alias(name) for name, cond in conds.items()]
+    )
+
+
+def group_min(df: DataFrame, keys: Sequence[str], col: str, out: str) -> DataFrame:
+    """A6 — per-group min (py:199-200, first admission per patient)."""
+    return df.groupBy(*keys).agg(F.min(col).alias(out))
+
+
+def collect_sorted_csv(df: DataFrame, keys: Sequence[str], col: str, out: str) -> DataFrame:
+    """A7 — collect-to-list per group (py:156). ``collect_list`` order is
+    partition-dependent, so the engine DEFINES the semantics as the sorted
+    list; exposed as a CSV string for stable cross-engine comparison."""
+    return df.groupBy(*keys).agg(
+        F.array_join(F.array_sort(F.collect_list(col)), ",").alias(out)
+    )
+
+
+def pivot_count(
+    df: DataFrame, key: str, pivot_col: str, values: Sequence[str]
+) -> DataFrame:
+    """A8 — pivot to per-value count columns (py:164 stack+dummies+sum).
+
+    Explicit ``values`` keeps it ONE pass (no extra distinct-scan job) and a
+    stable output schema — required at scale and for oracle comparison.
+    """
+    out = df.groupBy(key).pivot(pivot_col, list(values)).count().na.fill(0)
+    # count() leaves NULL for absent combos -> fill(0) matches the
+    # reference's dense dummy matrix (py:164)
+    return out
+
+
+def prevalence(df: DataFrame, label: str) -> DataFrame:
+    """A9/A10 — row count + label mean in one pass (py:433-435,455)."""
+    return df.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.col(label).cast("double")), 4).alias("prevalence"),
+    )
+
+
+def histogram(df: DataFrame, col: str, bin_width: float, out: str = "bin") -> DataFrame:
+    """A11 — fixed-width histogram (py:66 ``plt.hist(bins=range(0,365,30))``):
+    engine computes the bins, rendering stays driver-side."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.floor(F.col(col) / F.lit(bin_width)).alias(out))
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def class_distribution(df: DataFrame, label: str) -> DataFrame:
+    """A12 — label counts (py:686-687 ``Counter``)."""
+    return value_counts(df, label)

@@ -1,0 +1,661 @@
+"""Core query definitions: SURVEY.md §2.1 S*, §2.2 P*, §2.3 J*, §2.4 W*,
+§2.5 A*, §2.6 C*, §2.8 U1-U2 — each a named PySpark query with a DuckDB
+oracle over the harness tables (FIXTURES.md §B role mapping).
+
+Cross-engine parity rules used throughout:
+- integer aggregates: Spark LongType <-> oracle COUNT(*) FILTER / CAST(BIGINT)
+  (DuckDB SUM(int) is HUGEINT, so oracles avoid bare SUM on ints);
+- fractional-day gaps: integer-µs difference / 86400e6 — one IEEE division,
+  bit-identical in both engines;
+- every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import scalar as SC
+from .functions import text as TX
+from .operators import relational as R
+from .plans.readmission import readmit_events, readmit_labels
+from .registry import query
+from .sources.io import read_table
+
+
+def _events(spark, sf):
+    return read_table(spark, sf, "events")
+
+
+def _lead_events(spark, sf) -> DataFrame:
+    """Shared W1/W2 intermediate: next event per user (py:43,45)."""
+    e = _events(spark, sf)
+    e = R.lead_col(e, "ts", ["user_id"], ["ts", "event_id"], out="next_ts")
+    return R.lead_col(e, "event_type", ["user_id"], ["ts", "event_id"], out="next_type")
+
+
+_LEAD_SQL = """
+    SELECT e.*,
+           lead(ts) OVER w AS next_ts,
+           lead(event_type) OVER w AS next_type
+    FROM events e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+_LABELS_SQL = f"""
+    WITH led AS ({_LEAD_SQL}),
+    nulled AS (
+      SELECT *,
+             CASE WHEN next_type = 'signup' THEN NULL ELSE next_ts END AS next_ts_unpl
+      FROM led
+    ),
+    filled AS (
+      SELECT *,
+             first_value(next_ts_unpl IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS next_unplanned_ts
+      FROM nulled
+    )
+    SELECT event_id, user_id, ts, event_type, next_unplanned_ts,
+           (epoch_us(next_unplanned_ts) - epoch_us(ts)) / 86400000000.0 AS gap_days,
+           CASE WHEN (epoch_us(next_unplanned_ts) - epoch_us(ts)) / 86400000000.0 < 30
+                THEN 1 ELSE 0 END AS readmit_30d
+    FROM filled
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship (phase 0) — W1-W4 + C1 + C5 + A1/A10 in one plan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_readmit_30d",
+    oracle=f"""
+    WITH lab AS ({_LABELS_SQL})
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(count(*) FILTER (WHERE readmit_30d = 1) AS BIGINT) AS n_readmit,
+           round(avg(readmit_30d), 4) AS readmit_rate
+    FROM lab GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_flagship(spark: SparkSession, sf: str) -> DataFrame:
+    return readmit_events(spark, sf)
+
+
+# ---------------------------------------------------------------------------
+# S* — scans (§2.1)
+# ---------------------------------------------------------------------------
+
+
+@query("s1_scan_events", oracle="SELECT * FROM events")
+def q_s1(spark, sf):
+    return _events(spark, sf)
+
+
+@query(
+    "s3_scan_project",
+    oracle="SELECT c_custkey, c_name, c_nationkey FROM customer",
+)
+def q_s3(spark, sf):
+    # projection reaches the parquet scan (ReadSchema has 3 cols)
+    return R.project(read_table(spark, sf, "customer"), ["c_custkey", "c_name", "c_nationkey"])
+
+
+# ---------------------------------------------------------------------------
+# P* — filters (§2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p1_project",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+)
+def q_p1(spark, sf):
+    return R.project(read_table(spark, sf, "orders"), ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+
+@query(
+    "p2_filter_isnull",
+    oracle=f"""
+    SELECT event_id, user_id, ts FROM ({_LEAD_SQL}) WHERE next_ts IS NULL
+    """,
+)
+def q_p2(spark, sf):
+    # the reference filters DEATHTIME IS NULL (py:85); here: last event per user
+    return R.project(R.filter_null(_lead_events(spark, sf), "next_ts"), ["event_id", "user_id", "ts"])
+
+
+@query("p3_filter_neq", oracle="SELECT * FROM events WHERE event_type <> 'signup'")
+def q_p3(spark, sf):
+    return R.filter_neq(_events(spark, sf), "event_type", "signup")
+
+
+@query("p4_filter_eq", oracle="SELECT * FROM events WHERE event_type = 'purchase'")
+def q_p4(spark, sf):
+    return R.filter_eq(_events(spark, sf), "event_type", "purchase")
+
+
+@query("p5_filter_numeric", oracle="SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 0")
+def q_p5(spark, sf):
+    c = read_table(spark, sf, "customer")
+    return R.project(c.filter(F.col("c_acctbal") > 0), ["c_custkey", "c_acctbal"])
+
+
+@query(
+    "p6_filter_not_rlike",
+    oracle="SELECT p_partkey, p_name FROM part WHERE NOT regexp_matches(p_name, '[24680]')",
+)
+def q_p6(spark, sf):
+    # reference: ~str.contains('[a-zA-Z]') on ICD-9 codes (py:124)
+    p = read_table(spark, sf, "part")
+    return R.project(R.filter_not_rlike(p, "p_name", "[24680]"), ["p_partkey", "p_name"])
+
+
+@query(
+    "p7_filter_not_isin",
+    oracle="SELECT c_custkey, c_mktsegment FROM customer "
+    "WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY')",
+)
+def q_p7(spark, sf):
+    c = read_table(spark, sf, "customer")
+    return R.project(
+        R.filter_not_isin(c, "c_mktsegment", ["BUILDING", "MACHINERY"]),
+        ["c_custkey", "c_mktsegment"],
+    )
+
+
+@query(
+    "p8_split_counts",
+    oracle="SELECT value >= 10 AS is_pos, count(*) AS n FROM events GROUP BY is_pos",
+)
+def q_p8(spark, sf):
+    # boolean-mask split (py:442-444); both partitions summarized in one result
+    pos, neg = R.split_by(_events(spark, sf), F.col("value") >= 10)
+    tag = lambda df, v: df.select(F.lit(v).alias("is_pos"))  # noqa: E731
+    return tag(pos, True).unionByName(tag(neg, False)).groupBy("is_pos").agg(F.count("*").alias("n"))
+
+
+@query(
+    "p9_dropna",
+    oracle=f"""
+    SELECT event_id, next_type FROM ({_LEAD_SQL})
+    WHERE next_ts IS NOT NULL AND next_type IS NOT NULL
+    """,
+)
+def q_p9(spark, sf):
+    led = _lead_events(spark, sf)
+    return R.project(R.drop_na(led, ["next_ts", "next_type"]), ["event_id", "next_type"])
+
+
+@query(
+    "p10_filter_notnull",
+    oracle=f"SELECT event_id, gap_days FROM ({_LABELS_SQL}) WHERE gap_days IS NOT NULL",
+)
+def q_p10(spark, sf):
+    lab = readmit_labels(_events(spark, sf))
+    return R.project(R.filter_not_null(lab, "gap_days"), ["event_id", "gap_days"])
+
+
+# ---------------------------------------------------------------------------
+# J* — joins (§2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_join_inner",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_j1(spark, sf):
+    o = read_table(spark, sf, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    c = read_table(spark, sf, "customer")
+    j = R.join(o, c.select("c_custkey", "c_mktsegment"), "c_custkey")
+    return j.select(
+        "o_orderkey", F.col("c_custkey").alias("o_custkey"), "c_mktsegment", "o_totalprice"
+    )
+
+
+@query(
+    "j2_join_dims_broadcast",
+    oracle="""
+    SELECT r_name, count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_j2(spark, sf):
+    # dimension joins broadcast both small sides (py:192's patient dim join)
+    c = read_table(spark, sf, "customer").withColumnRenamed("c_nationkey", "n_nationkey")
+    n = read_table(spark, sf, "nation").withColumnRenamed("n_regionkey", "r_regionkey")
+    r = read_table(spark, sf, "region")
+    j = R.join(c, n, "n_nationkey", broadcast_right=True)
+    j = R.join(j, r, "r_regionkey", broadcast_right=True)
+    return j.groupBy("r_name").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "j3_join_outer",
+    oracle="""
+    SELECT c_custkey, o_custkey, n_orders
+    FROM customer
+    FULL OUTER JOIN (
+      SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+    ) agg ON c_custkey = o_custkey
+    """,
+)
+def q_j3(spark, sf):
+    # full-outer dim join (py:207); nulls where a customer has no orders
+    c = read_table(spark, sf, "customer").select("c_custkey")
+    agg = (
+        read_table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return c.join(agg, c.c_custkey == agg.o_custkey, "outer").select(
+        "c_custkey", "o_custkey", "n_orders"
+    )
+
+
+@query(
+    "j4_join_left_composite",
+    oracle="""
+    SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, g.grp_qty, g.grp_cnt
+    FROM lineitem l
+    LEFT JOIN (
+      SELECT l_orderkey, l_partkey,
+             round(sum(l_quantity), 2) AS grp_qty, count(*) AS grp_cnt
+      FROM lineitem GROUP BY l_orderkey, l_partkey
+    ) g ON l.l_orderkey = g.l_orderkey AND l.l_partkey = g.l_partkey
+    """,
+)
+def q_j4(spark, sf):
+    # composite-key left join (py:248 on [SUBJECT_ID, HADM_ID])
+    li = read_table(spark, sf, "lineitem")
+    g = li.groupBy("l_orderkey", "l_partkey").agg(
+        F.round(F.sum("l_quantity"), 2).alias("grp_qty"), F.count("*").alias("grp_cnt")
+    )
+    j = R.join(li.select("l_orderkey", "l_partkey", "l_linenumber"), g,
+               ["l_orderkey", "l_partkey"], how="left")
+    return j.select("l_orderkey", "l_partkey", "l_linenumber", "grp_qty", "grp_cnt")
+
+
+@query(
+    "j5_positional_join",
+    oracle="""
+    SELECT n_name, r_name
+    FROM (SELECT n_name, row_number() OVER (ORDER BY n_nationkey) AS __pos FROM nation) a
+    JOIN (SELECT r_name, row_number() OVER (ORDER BY r_regionkey) AS __pos FROM region) b
+    USING (__pos)
+    """,
+)
+def q_j5(spark, sf):
+    # pandas index-alignment join (py:172/py:332) via explicit row numbering
+    n = read_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    r = read_table(spark, sf, "region").select("r_regionkey", "r_name")
+    j = R.positional_join(n, r, ["n_nationkey"], ["r_regionkey"])
+    return j.select("n_name", "r_name")
+
+
+@query(
+    "j7_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_j7(spark, sf):
+    # complement-by-key (py:431 train = all minus test)
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return R.anti_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+@query(
+    "j8_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_j8(spark, sf):
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return R.semi_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# W* — windows (§2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_lead",
+    oracle=f"SELECT event_id, user_id, ts, next_ts, next_type FROM ({_LEAD_SQL})",
+)
+def q_w1(spark, sf):
+    return R.project(
+        _lead_events(spark, sf), ["event_id", "user_id", "ts", "next_ts", "next_type"]
+    )
+
+
+@query(
+    "w4_backfill",
+    oracle=f"SELECT event_id, next_unplanned_ts FROM ({_LABELS_SQL})",
+)
+def q_w4(spark, sf):
+    lab = readmit_labels(_events(spark, sf))
+    return lab.select("event_id", "next_unplanned_ts")
+
+
+@query(
+    "w5_last_per_group",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_w5(spark, sf):
+    # last row per group w/ explicit tiebreak (py:245 nth(-1))
+    last = R.last_per_group(_events(spark, sf), ["user_id"], ["ts", "event_id"])
+    return last.select("user_id", "event_id", "ts", "event_type")
+
+
+@query("w6_sort", oracle="SELECT * FROM events ORDER BY user_id, ts")
+def q_w6(spark, sf):
+    return R.sort(_events(spark, sf), ["user_id", "ts"])
+
+
+# ---------------------------------------------------------------------------
+# A* — aggregations (§2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_value_counts",
+    oracle="SELECT event_type, count(*) AS count FROM events GROUP BY event_type",
+)
+def q_a1(spark, sf):
+    return R.value_counts(_events(spark, sf), "event_type")
+
+
+@query(
+    "a2_count_distinct",
+    oracle="SELECT count(DISTINCT l_partkey) AS n_distinct FROM lineitem",
+)
+def q_a2(spark, sf):
+    return R.count_distinct(read_table(spark, sf, "lineitem"), "l_partkey")
+
+
+@query(
+    "a3_topk_by_freq",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS count FROM customer
+    GROUP BY c_mktsegment ORDER BY count DESC, c_mktsegment LIMIT 3
+    """,
+)
+def q_a3(spark, sf):
+    return R.topk_by_freq(read_table(spark, sf, "customer"), "c_mktsegment", 3)
+
+
+@query(
+    "a4_null_counts",
+    oracle=f"""
+    SELECT count(*) FILTER (WHERE next_ts IS NULL) AS nulls_next_ts,
+           count(*) FILTER (WHERE next_type IS NULL) AS nulls_next_type
+    FROM ({_LEAD_SQL})
+    """,
+)
+def q_a4(spark, sf):
+    return R.null_counts(_lead_events(spark, sf), ["next_ts", "next_type"])
+
+
+@query(
+    "a5_conditional_counts",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE value >= 10 AND event_type = 'purchase') AS BIGINT) AS tp,
+           CAST(count(*) FILTER (WHERE value >= 10 AND event_type <> 'purchase') AS BIGINT) AS fp,
+           CAST(count(*) FILTER (WHERE value < 10 AND event_type = 'purchase') AS BIGINT) AS fn,
+           CAST(count(*) FILTER (WHERE value < 10 AND event_type <> 'purchase') AS BIGINT) AS tn
+    FROM events
+    """,
+)
+def q_a5(spark, sf):
+    # all four confusion cells in ONE pass (py:484-502's closures)
+    e = _events(spark, sf)
+    hit, actual = F.col("value") >= 10, F.col("event_type") == "purchase"
+    return R.conditional_counts(
+        e, {"tp": hit & actual, "fp": hit & ~actual, "fn": ~hit & actual, "tn": ~hit & ~actual}
+    )
+
+
+@query(
+    "a6_group_min",
+    oracle="SELECT o_custkey, min(o_orderdate) AS first_order_ts FROM orders GROUP BY o_custkey",
+)
+def q_a6(spark, sf):
+    return R.group_min(read_table(spark, sf, "orders"), ["o_custkey"], "o_orderdate", "first_order_ts")
+
+
+@query(
+    "a7_collect_list_sorted",
+    oracle="""
+    SELECT l_orderkey,
+           string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS linenumbers
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_a7(spark, sf):
+    # collect-to-list (py:156); engine defines list order = sorted
+    li = read_table(spark, sf, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("l_linenumber")), lambda x: x.cast("string")),
+            ",",
+        ).alias("linenumbers")
+    )
+
+
+@query(
+    "a8_pivot_count",
+    oracle="""
+    SELECT l_orderkey,
+           count(*) FILTER (WHERE l_returnflag = 'A') AS "A",
+           count(*) FILTER (WHERE l_returnflag = 'N') AS "N",
+           count(*) FILTER (WHERE l_returnflag = 'R') AS "R"
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_a8(spark, sf):
+    # the diagnosis-category pivot matrix (py:164), explicit values = one pass
+    li = read_table(spark, sf, "lineitem")
+    out = R.pivot_count(li, "l_orderkey", "l_returnflag", ["A", "N", "R"])
+    return out.select("l_orderkey", *[F.col(c).cast("long").alias(c) for c in ("A", "N", "R")])
+
+
+@query(
+    "a9_a10_prevalence",
+    oracle=f"""
+    SELECT count(*) AS n, round(avg(CAST(readmit_30d AS DOUBLE)), 4) AS prevalence
+    FROM ({_LABELS_SQL})
+    """,
+)
+def q_a9(spark, sf):
+    return R.prevalence(readmit_labels(_events(spark, sf)), "readmit_30d")
+
+
+@query(
+    "a11_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS count
+    FROM events WHERE value IS NOT NULL GROUP BY bin
+    """,
+)
+def q_a11(spark, sf):
+    return R.histogram(_events(spark, sf), "value", 10.0)
+
+
+@query(
+    "a12_class_distribution",
+    oracle="SELECT label, count(*) AS count FROM embeddings GROUP BY label",
+)
+def q_a12(spark, sf):
+    return R.class_distribution(read_table(spark, sf, "embeddings"), "label")
+
+
+# ---------------------------------------------------------------------------
+# C* — scalar expressions (§2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c1_case_label",
+    oracle=f"""
+    SELECT event_id,
+           CASE WHEN gap_days < 30 THEN '1' ELSE '0' END AS readmit_flag
+    FROM ({_LABELS_SQL})
+    """,
+)
+def q_c1(spark, sf):
+    # NULL gap -> '0', numpy NaN-compare parity (py:86)
+    lab = readmit_labels(_events(spark, sf))
+    return lab.select("event_id", SC.label_lt("gap_days", 30).alias("readmit_flag"))
+
+
+@query(
+    "c2_clamp",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS acctbal_clamped
+    FROM customer
+    """,
+)
+def q_c2(spark, sf):
+    c = read_table(spark, sf, "customer")
+    return c.select("c_custkey", SC.clamp_below("c_acctbal", 0.0, 0.0).alias("acctbal_clamped"))
+
+
+_SIZE_RANGES = [(1, 9, "xs"), (10, 19, "s"), (20, 29, "m"), (30, 39, "l"), (40, 50, "xl")]
+
+
+@query(
+    "c3_range_recode",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_size BETWEEN 1 AND 9 THEN 'xs'
+                WHEN p_size BETWEEN 10 AND 19 THEN 's'
+                WHEN p_size BETWEEN 20 AND 29 THEN 'm'
+                WHEN p_size BETWEEN 30 AND 39 THEN 'l'
+                WHEN p_size BETWEEN 40 AND 50 THEN 'xl'
+                ELSE 'other' END AS size_class
+    FROM part
+    """,
+)
+def q_c3(spark, sf):
+    # the 18-way ICD-9 recode shape (py:131-149) as ONE chained CASE
+    p = read_table(spark, sf, "part")
+    return p.select("p_partkey", SC.range_recode("p_size", _SIZE_RANGES, "other").alias("size_class"))
+
+
+@query(
+    "c4_parse_ts_coerce",
+    oracle="""
+    SELECT event_id,
+           try_strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_sec,
+           try_strptime('not a timestamp', '%Y-%m-%d %H:%M:%S') AS bad_ts
+    FROM events
+    """,
+)
+def q_c4(spark, sf):
+    # errors='coerce' semantics under ANSI mode (py:26-28)
+    e = _events(spark, sf)
+    return e.select(
+        "event_id",
+        SC.parse_ts(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")).alias("ts_sec"),
+        SC.parse_ts(F.lit("not a timestamp")).alias("bad_ts"),
+    )
+
+
+@query(
+    "c5_gap_days_frac",
+    oracle=f"SELECT event_id, gap_days FROM ({_LABELS_SQL})",
+)
+def q_c5(spark, sf):
+    return readmit_labels(_events(spark, sf)).select("event_id", "gap_days")
+
+
+@query(
+    "c6_years_floor",
+    oracle="""
+    WITH firsts AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+    SELECT event_id,
+           CAST(floor((CAST(e.ts AS DATE) - CAST(f.first_ts AS DATE)) / 365.0) AS BIGINT)
+             AS years_since_first
+    FROM events e JOIN firsts f USING (user_id)
+    """,
+)
+def q_c6(spark, sf):
+    # age-in-years computation (py:214): datediff // 365
+    e = _events(spark, sf)
+    firsts = R.group_min(e, ["user_id"], "ts", "first_ts")
+    j = R.join(e, firsts, "user_id", broadcast_right=True)
+    return j.select(
+        "event_id", SC.years_between_floor("ts", "first_ts").alias("years_since_first")
+    )
+
+
+@query(
+    "c7_cast_int",
+    oracle="SELECT p_partkey, try_cast(substring(p_brand, 7, 2) AS INTEGER) AS brand_num FROM part",
+)
+def q_c7(spark, sf):
+    p = read_table(spark, sf, "part")
+    return p.select("p_partkey", SC.to_int(TX.substr_prefix(F.substring("p_brand", 7, 2), 2)).alias("brand_num"))
+
+
+@query(
+    "c9_pct_round",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS count,
+           round(count(*) / (sum(count(*)) OVER ()) * 100.0, 3) AS pct
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_c9(spark, sf):
+    vc = R.value_counts(read_table(spark, sf, "customer"), "c_mktsegment")
+    total = Window.partitionBy()
+    return vc.withColumn("pct", SC.pct_round(F.col("count"), F.sum("count").over(total)))
+
+
+# ---------------------------------------------------------------------------
+# U1/U2 — set ops / shuffle (§2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u1_union_all",
+    oracle="""
+    SELECT * FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT * FROM events WHERE event_type = 'error'
+    """,
+)
+def q_u1(spark, sf):
+    e = _events(spark, sf)
+    return R.filter_eq(e, "event_type", "purchase").unionByName(
+        R.filter_eq(e, "event_type", "error")
+    )
+
+
+@query("u2_full_shuffle", oracle="SELECT * FROM events")
+def q_u2(spark, sf):
+    # seeded full shuffle (py:424); same multiset, order-insensitive compare
+    return _events(spark, sf).orderBy(F.rand(42))

@@ -1,0 +1,58 @@
+"""Query registry backing ``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+Each SURVEY.md §2 operator registers here as a named query: a PySpark
+callable ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) the
+ANSI-SQL oracle DuckDB runs over the same parquet tables. Column names and
+types are aligned on both sides — the driver sorts columns by name and
+hash-compares values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> driver does the weaker rows-only check
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query; ``oracle`` is the DuckDB-equivalent SQL."""
+
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn, oracle)
+        return fn
+
+    return deco
+
+
+_LOADED = False
+
+
+def load_all() -> dict[str, QueryDef]:
+    """Import every qdefs module (side-effect: registration)."""
+    global _LOADED
+    if not _LOADED:
+        from . import qdefs_core  # noqa: F401
+        try:
+            from . import qdefs_text  # noqa: F401
+        except ImportError:
+            pass
+        try:
+            from . import qdefs_ml  # noqa: F401
+        except ImportError:
+            pass
+        try:
+            from . import qdefs_llm  # noqa: F401
+        except ImportError:
+            pass
+        _LOADED = True
+    return REGISTRY

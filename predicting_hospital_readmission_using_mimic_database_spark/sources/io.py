@@ -1,0 +1,84 @@
+"""Sources & sinks (SURVEY.md §2.1, S1-S5).
+
+The reference scans four SQLite tables with ``pd.read_sql("select * from T")``
+(Hap880_Final_Project.py:18-19,115,183,237) — full scans, no pushdown, all
+columns materialized. Here every table is a Parquet source read lazily:
+Catalyst prunes columns and pushes predicates into the scan
+(FileSourceScanExec ReadSchema/PushedFilters), which is the scale-out
+replacement for S1-S4. S5 (``df.to_csv``, py:265) maps to the csv/parquet
+sink helpers.
+
+Scale note: readers never infer schemas from data (no extra file-listing
+jobs beyond the footer read) and never collect. The one quirk handled here
+is the driver's ``events.parquet`` storing TIMESTAMP(NANOS), which Spark's
+parquet reader only accepts as int64 (``nanosAsLong``); we convert to a
+proper TimestampType column at microsecond precision (same truncation
+DuckDB applies), so downstream operators see a normal timestamp.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune_session
+
+#: harness tables (FIXTURES.md §B) — name -> columns that must come back
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: columns stored as TIMESTAMP(NANOS) per table (read as long, converted)
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one harness table (S1-S4).
+
+    Column pruning / predicate pushdown happen automatically once callers
+    ``.select``/``.filter`` — nothing is materialized here.
+    """
+    tune_session(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+            # ns -> µs truncation matches DuckDB's TIMESTAMP_NS -> TIMESTAMP cast
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register each table as a temp view so ``spark.sql`` queries run
+    against the same sources (SURVEY §3.1 Spark design)."""
+    for n in names:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    """Default engine sink: columnar, splittable, stats-bearing."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """S5 parity sink (reference py:265 ``to_csv``). Distributed writers;
+    use parquet for anything that will be re-read."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)

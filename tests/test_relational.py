@@ -1,0 +1,68 @@
+"""Property tests on the pandas<->Spark semantic edges (SURVEY.md §5.2):
+C1 NULL handling, W4 frame boundaries, W5 tie-breaking, A8 pivot fill."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from predicting_hospital_readmission_using_mimic_database_spark.functions import scalar as SC
+from predicting_hospital_readmission_using_mimic_database_spark.operators import relational as R
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_c1_null_lt_goes_to_otherwise(spark):
+    # numpy: NaN < 30 is False -> label '0'; Spark: NULL < 30 -> NULL -> otherwise
+    df = spark.createDataFrame([(1, 5.0), (2, 45.0), (3, None)], "id int, gap double")
+    out = {r["id"]: r["lab"] for r in df.select("id", SC.label_lt("gap", 30).alias("lab")).collect()}
+    assert out == {1: "1", 2: "0", 3: "0"}
+
+
+def test_w4_backfill_frame_includes_current_row(spark):
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, "b"), (1, 3, None), (2, 1, None)],
+        "g int, o int, v string",
+    )
+    out = R.backfill(df, "v", ["g"], ["o"], out="f")
+    got = {(r["g"], r["o"]): r["f"] for r in out.collect()}
+    # bfill: next non-null at-or-after each row; trailing/empty groups stay NULL
+    assert got == {(1, 1): "b", (1, 2): "b", (1, 3): None, (2, 1): None}
+
+
+def test_w5_last_per_group_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, _ts("2024-01-01"), 10), (1, _ts("2024-01-01"), 11), (1, _ts("2023-12-01"), 99)],
+        "g int, ts timestamp, rid int",
+    )
+    out = R.last_per_group(df, ["g"], ["ts", "rid"]).collect()
+    assert len(out) == 1 and out[0]["rid"] == 11  # same ts -> highest tiebreaker wins
+
+
+def test_a8_pivot_fills_absent_combos_with_zero(spark):
+    df = spark.createDataFrame([(1, "A"), (1, "A"), (2, "R")], "k int, f string")
+    out = {r["k"]: (r["A"], r["N"], r["R"]) for r in R.pivot_count(df, "k", "f", ["A", "N", "R"]).collect()}
+    assert out == {1: (2, 0, 0), 2: (0, 0, 1)}
+
+
+def test_range_recode_boundaries(spark):
+    df = spark.createDataFrame([(0,), (1,), (9,), (10,), (50,), (51,)], "v int")
+    ranges = [(1, 9, "lo"), (10, 50, "hi")]
+    out = [r["c"] for r in df.select(SC.range_recode("v", ranges, "other").alias("c")).orderBy("v").collect()]
+    assert out == ["other", "lo", "lo", "hi", "hi", "other"]
+
+
+def test_positional_join_alignment(spark):
+    a = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "k int, v string")
+    b = spark.createDataFrame([(30, "z"), (10, "x"), (20, "y")], "k2 int, w string")
+    out = R.positional_join(a.select("k", "v"), b.select("k2", "w"), ["k"], ["k2"])
+    got = sorted((r["v"], r["w"]) for r in out.collect())
+    assert got == [("a", "x"), ("b", "y"), ("c", "z")]
+
+
+def test_anti_join_complement(spark):
+    full = spark.createDataFrame([(i,) for i in range(10)], "id int")
+    sub = spark.createDataFrame([(2,), (5,)], "id int")
+    out = sorted(r["id"] for r in R.anti_join(full, sub, "id").collect())
+    assert out == [0, 1, 3, 4, 6, 7, 8, 9]
