@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark harness — times the engine's headline queries at sf0.1.
+
+Prints exactly ONE JSON line on stdout:
+
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Everything else (Spark logs, progress) goes to stderr. Each query is
+forced end-to-end with the ``noop`` sink (full materialization on the
+executors, no driver collect, no disk write) so the measured time is the
+real plan execution, not an action that lets Catalyst skip work.
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+    BENCH_QUERIES       comma-separated override of the query set
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: every family of SURVEY §2 exercised at least once, plus the
+# beyond-reference LLM-pipeline operators. Names missing from the registry
+# are skipped (so this file never blocks a round on a half-landed module).
+HEADLINE = [
+    "flagship_readmit_30d",   # windows + label + agg, one plan
+    "p9_dropna",              # window + filter
+    "j1_join_inner",          # fact-fact equi join
+    "j2_join_dims_broadcast", # broadcast dims
+    "j4_join_left_composite", # composite-key self join
+    "w5_last_per_group",      # dedup window
+    "a7_collect_list_sorted", # collect-to-list agg
+    "a8_pivot_count",         # pivot
+    "a11_histogram",          # binning agg
+    "c3_range_recode",        # chained CASE
+    "u1_union_all",           # union + filters
+    # text pipeline (lands round 2)
+    "t13_clean_text_tokens",
+    "t14_count_vectorize",
+    # ML + metrics (lands round 2)
+    "m3_rf_train_predict",
+    "e5_threshold_metrics",
+    "e2_auc",
+    # LLM-data-pipeline (lands round 2)
+    "d1_dedup_exact",
+    "d2_dedup_minhash_lsh",
+    "n1_knn_bruteforce",
+    "n2_knn_lsh",
+    "x1_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from predicting_hospital_readmission_using_mimic_database_spark.session import get_spark
+    from predicting_hospital_readmission_using_mimic_database_spark.registry import load_all
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    names_env = os.environ.get("BENCH_QUERIES")
+    names = names_env.split(",") if names_env else HEADLINE
+    names = [n for n in names if n in registry]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name].fn
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            # noop sink: full distributed execution, nothing leaves executors
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+        except Exception as e:  # a broken query must not kill the bench
+            print(f"[bench] {name} FAILED: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(sum(ok.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,27 +56,32 @@ def range_recode(
     return expr.otherwise(F.lit(default))
 
 
-#: the reference's ICD-9 chapter ranges (py:131-140); two ranges map to
-#: 'misc' exactly as the reference's dict does
+#: the reference's ICD-9 chapter ranges (py:131-145), EXACT parity: the
+#: reference loops ``np.where(recode.between(lo, hi), num, recode)`` over
+#: overlapping inclusive ranges, so a boundary value (140, 240, ...) maps to
+#: the EARLIER chapter — first-match-wins, which is precisely the semantics
+#: of :func:`range_recode`'s chained ``F.when``. 780-800 -> 'misc',
+#: 800-1000 -> 'injury', 1000-2000 -> 'misc'; values outside [1, 2000] fall
+#: through to the caller's ``default``.
 ICD9_RANGES: tuple[tuple[int, int, str], ...] = (
-    (1, 139, "infectious"),
-    (140, 239, "neoplasms"),
-    (240, 279, "endocrine"),
-    (280, 289, "blood"),
-    (290, 319, "mental"),
-    (320, 389, "nervous"),
-    (390, 459, "circulatory"),
-    (460, 519, "respiratory"),
-    (520, 579, "digestive"),
-    (580, 629, "genitourinary"),
-    (630, 679, "pregnancy"),
-    (680, 709, "skin"),
-    (710, 739, "muscular"),
-    (740, 759, "congenital"),
-    (760, 779, "prenatal"),
-    (780, 789, "misc"),
-    (790, 796, "misc"),
-    (797, 999, "injury"),
+    (1, 140, "infectious"),
+    (140, 240, "neoplasms"),
+    (240, 280, "endocrine"),
+    (280, 290, "blood"),
+    (290, 320, "mental"),
+    (320, 390, "nervous"),
+    (390, 460, "circulatory"),
+    (460, 520, "respiratory"),
+    (520, 580, "digestive"),
+    (580, 630, "genitourinary"),
+    (630, 680, "pregnancy"),
+    (680, 710, "skin"),
+    (710, 740, "muscular"),
+    (740, 760, "congenital"),
+    (760, 780, "prenatal"),
+    (780, 800, "misc"),
+    (800, 1000, "injury"),
+    (1000, 2000, "misc"),
 )
 
 

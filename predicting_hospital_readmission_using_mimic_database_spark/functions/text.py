@@ -25,10 +25,12 @@ def _col(c: ColumnOrName) -> Column:
 def regex_recode(value: ColumnOrName, pattern: str, replacement: str) -> Column:
     """T1 — anchored regex collapse (py:102-105, e.g. ``^ASIAN\\D*`` -> ASIAN).
 
-    pandas ``Series.replace(regex=...)`` replaces only the matched span; we
-    pin the reference's observed behavior (whole value collapses, since the
-    MIMIC values the pattern hits have no trailing digits) by matching the
-    full tail: callers pass patterns like ``^ASIAN\\D*``, we append ``.*``.
+    pandas ``Series.replace(regex=...)`` replaces only the matched span; the
+    ENGINE semantics pinned here are whole-value-replace-on-match: if the
+    (unanchored) ``rlike(pattern)`` hits anywhere, the entire value becomes
+    ``replacement``. Callers should anchor patterns (``^ASIAN\\D*``) when
+    they mean prefix-match; for the reference's MIMIC values the two agree
+    because the matched span is the whole string.
     """
     v = _col(value)
     return F.when(v.rlike(pattern), F.lit(replacement)).otherwise(v)

@@ -65,8 +65,13 @@ def filter_not_isin(df: DataFrame, col: str, values: Sequence) -> DataFrame:
 
 def split_by(df: DataFrame, cond: Column) -> tuple[DataFrame, DataFrame]:
     """P8 — boolean-mask split into (matching, non-matching) (py:442-444).
-    Two lazy filters over one scan — Spark reuses the shuffle/cached input."""
-    return df.filter(cond), df.filter(~cond)
+    Two lazy filters over one scan — Spark reuses the shuffle/cached input.
+
+    NULL-condition rows go to the NON-matching half (pandas parity: a
+    NaN-producing comparison is False, so ``df[mask]`` drops the row and
+    ``df[~mask]`` keeps it). The two halves always partition the input.
+    """
+    return df.filter(cond), df.filter(~cond | cond.isNull())
 
 
 def drop_na(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
@@ -121,16 +126,52 @@ def positional_join(
     — e.g. the pivot keeps its key (J5) and CountVectorizer emits a column
     (J6) — but the operator exists for parity.)
 
-    Scale note: row_number over a global order is a single-partition window;
-    for large inputs prefer ``zipWithIndex``-style keys upstream. Positional
-    joins are inherently anti-distributed — that is WHY the engine's own
-    plans never use them.
+    Scale note: positions are assigned DISTRIBUTED — never a global
+    single-partition window. See :func:`global_index` (two-pass
+    zipWithIndex-style numbering: range-partition by the sort keys, number
+    locally, then add broadcast per-partition offsets).
     """
-    wl = Window.orderBy(*[F.col(c) for c in left_order])
-    wr = Window.orderBy(*[F.col(c) for c in right_order])
-    ln = left.withColumn("__pos", F.row_number().over(wl))
-    rn = right.withColumn("__pos", F.row_number().over(wr))
+    ln = global_index(left, left_order, out="__pos")
+    rn = global_index(right, right_order, out="__pos")
     return ln.join(rn, "__pos", how).drop("__pos")
+
+
+def global_index(df: DataFrame, order: Sequence[str], out: str = "__pos") -> DataFrame:
+    """1-based global position under ``order``, computed scale-out.
+
+    Classic two-pass numbering (the DataFrame form of ``zipWithIndex``):
+
+    1. range-repartition on the sort keys so partition i holds keys strictly
+       below partition i+1 (RangePartitioner boundaries are deterministic
+       for a given input, so both DAG branches below agree);
+    2. sort within partitions + ``row_number`` over a PER-PARTITION window
+       (no single-task bottleneck);
+    3. per-partition row counts (tiny: one row per partition) -> cumulative
+       offsets -> broadcast-join back and add.
+
+    Ties in ``order`` get an arbitrary but valid permutation of positions,
+    same contract as ``row_number`` over a non-unique order.
+    """
+    cols = [F.col(c) for c in order]
+    sdf = (
+        df.repartitionByRange(*cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    local = Window.partitionBy("__pid").orderBy(*cols)
+    sdf = sdf.withColumn("__local", F.row_number().over(local))
+    # offsets: #partitions rows — the orderBy window below is single-partition
+    # but over that tiny frame only, then broadcast
+    counts = sdf.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off")
+    )
+    return (
+        sdf.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, (F.col("__local") + F.col("__off")).cast("long"))
+        .drop("__pid", "__local")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -169,7 +169,9 @@ def q_p7(spark, sf):
 
 @query(
     "p8_split_counts",
-    oracle="SELECT value >= 10 AS is_pos, count(*) AS n FROM events GROUP BY is_pos",
+    # COALESCE pins split_by's NULL routing: NULL-condition rows -> neg half
+    oracle="SELECT COALESCE(value >= 10, FALSE) AS is_pos, count(*) AS n "
+    "FROM events GROUP BY is_pos",
 )
 def q_p8(spark, sf):
     # boolean-mask split (py:442-444); both partitions summarized in one result

@@ -41,18 +41,16 @@ def load_all() -> dict[str, QueryDef]:
     """Import every qdefs module (side-effect: registration)."""
     global _LOADED
     if not _LOADED:
+        import importlib
+        import importlib.util
+
         from . import qdefs_core  # noqa: F401
-        try:
-            from . import qdefs_text  # noqa: F401
-        except ImportError:
-            pass
-        try:
-            from . import qdefs_ml  # noqa: F401
-        except ImportError:
-            pass
-        try:
-            from . import qdefs_llm  # noqa: F401
-        except ImportError:
-            pass
+
+        # Optional modules: skip only when genuinely absent. An ImportError
+        # raised INSIDE an existing module propagates loudly rather than
+        # silently dropping a whole query family from CORRECTNESS.
+        for mod in ("qdefs_text", "qdefs_ml", "qdefs_llm"):
+            if importlib.util.find_spec(f"{__package__}.{mod}") is not None:
+                importlib.import_module(f"{__package__}.{mod}")
         _LOADED = True
     return REGISTRY

@@ -66,3 +66,40 @@ def test_anti_join_complement(spark):
     sub = spark.createDataFrame([(2,), (5,)], "id int")
     out = sorted(r["id"] for r in R.anti_join(full, sub, "id").collect())
     assert out == [0, 1, 3, 4, 6, 7, 8, 9]
+
+
+def test_icd9_ranges_first_match_wins_boundaries(spark):
+    # reference py:131-145: sequential inclusive between() -> boundary values
+    # map to the EARLIER chapter; 780-800 misc, 800-1000 injury, 1000-2000 misc
+    cases = {
+        1: "infectious", 139: "infectious", 140: "infectious",
+        141: "neoplasms", 240: "neoplasms", 780: "prenatal",
+        781: "misc", 800: "misc", 801: "injury", 1000: "injury",
+        1001: "misc", 2000: "misc", 2001: "default", 0: "default",
+    }
+    df = spark.createDataFrame([(v,) for v in cases], "v int")
+    out = {
+        r["v"]: r["c"]
+        for r in df.select("v", SC.range_recode("v", SC.ICD9_RANGES, "default").alias("c")).collect()
+    }
+    assert out == cases
+
+
+def test_split_by_routes_null_condition_to_neg(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, None)], "id int, v double")
+    pos, neg = R.split_by(df, F.col("v") >= 10)
+    assert sorted(r["id"] for r in pos.collect()) == [2]
+    assert sorted(r["id"] for r in neg.collect()) == [1, 3]
+
+
+def test_global_index_is_dense_and_ordered(spark):
+    import random
+
+    vals = list(range(1, 201))
+    random.Random(7).shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "k int").repartition(8)
+    out = R.global_index(df, ["k"], out="pos").collect()
+    assert sorted(r["pos"] for r in out) == list(range(1, 201))
+    assert all(r["pos"] == r["k"] for r in out)  # order matches sort key

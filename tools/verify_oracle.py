@@ -59,10 +59,10 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.io import TABLES
+
     con = duckdb.connect()
-    for t in entrymod.load_all and (
-        "region nation customer supplier part orders lineitem events documents embeddings".split()
-    ):
+    for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
