@@ -56,6 +56,12 @@ def fill_null(value: ColumnOrName, filler: str) -> Column:
     return F.coalesce(_col(value), F.lit(filler))
 
 
+def contains_str(value: ColumnOrName, needle: str) -> Column:
+    """T6 — substring-contains predicate (py:255-256 ``str.contains('\\n')``
+    fraction). Plain ``contains`` — no regex interpretation."""
+    return _col(value).contains(needle)
+
+
 def scrub_newlines(value: ColumnOrName) -> Column:
     """T5 — replace \\n and \\r with spaces (py:290-291)."""
     return F.translate(_col(value), "\n\r", "  ")

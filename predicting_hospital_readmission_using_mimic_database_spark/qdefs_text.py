@@ -1,0 +1,243 @@
+"""Text query definitions: SURVEY.md §2.7 T1-T13 over the ``documents``
+table, each with a DuckDB oracle.
+
+The harness documents are clean word-soup (no punctuation / digits /
+newlines / NULLs), so entries that exercise scrubbing inject the SAME
+deterministic noise on both engines (a literal suffix + a modular NULL)
+— the operator under test then has real work to do and the oracle still
+hash-matches.
+
+Cross-engine regex parity notes:
+- Spark ``regexp_replace`` is global; DuckDB needs the explicit ``'g'``
+  flag — every oracle passes it;
+- token arrays are compared as space-joined strings (``array_join`` /
+  ``array_to_string``) so value normalization is engine-independent.
+
+Reference call-sites: py:102-106 (T1/T2), py:126 (T3), py:125,289 (T4),
+py:290-291 (T5), py:255-256 (T6), py:300-310 (T7-T13 ``clean_textmain``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions import text as TX
+from .registry import query
+from .sources.io import read_table
+
+
+def _docs(spark, sf):
+    return read_table(spark, sf, "documents")
+
+
+#: deterministic noise appended to ``text`` so scrub/tokenize ops have
+#: punctuation, digits, newlines and mixed case to chew on (both engines
+#: build the identical string)
+_NOISE = " 123 \nEnd-Of-Doc!! (v2.0) [ok] {fine} ~tail\rCR"
+_NOISE_SQL = (
+    "' 123 ' || chr(10) || 'End-Of-Doc!! (v2.0) [ok] {fine} ~tail' || chr(13) || 'CR'"
+)
+_NOISY_SQL = f"text || {_NOISE_SQL}"
+
+
+def _noisy(col="text"):
+    return F.concat(F.col(col), F.lit(_NOISE))
+
+
+# T13 lemmatizer rules as DuckDB lambda SQL (must mirror TX.lemmatize_rules)
+_LEMMA_SQL = (
+    "list_transform({toks}, w -> CASE "
+    "WHEN regexp_matches(w, 'sses$') THEN regexp_replace(w, 'sses$', 'ss') "
+    "WHEN regexp_matches(w, 'ies$') THEN regexp_replace(w, 'ies$', 'y') "
+    "WHEN regexp_matches(w, 'ss$') THEN w "
+    "WHEN regexp_matches(w, '^[a-z]{{3,}}s$') THEN regexp_replace(w, 's$', '') "
+    "ELSE w END)"
+)
+
+_TOKENIZE_SQL = "list_filter(string_split_regex({x}, '\\W+'), t -> t <> '')"
+_ALPHA_SQL = "list_filter({toks}, t -> regexp_matches(t, '^[a-zA-Z]+$'))"
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
+_STOP_SQL = f"list_filter({{toks}}, t -> NOT list_contains({_STOP_LIST_SQL}, t))"
+
+
+@query(
+    "t1_regex_recode",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN regexp_matches(source, '^src1[0-9]')
+                THEN 'SRC_TEEN' ELSE source END AS src_recode
+    FROM documents
+    """,
+)
+def q_t1(spark, sf):
+    # whole-value collapse on (unanchored) match — engine semantics per
+    # functions.text.regex_recode; pattern anchored by the caller
+    d = _docs(spark, sf)
+    return d.select("doc_id", TX.regex_recode("source", r"^src1[0-9]", "SRC_TEEN").alias("src_recode"))
+
+
+@query(
+    "t2_multi_recode",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN lang IN ('zh', 'fr') THEN 'OTHER/UNKNOWN' ELSE lang END AS lang_grp
+    FROM documents
+    """,
+)
+def q_t2(spark, sf):
+    d = _docs(spark, sf)
+    mapping = {"zh": "OTHER/UNKNOWN", "fr": "OTHER/UNKNOWN"}
+    return d.select("doc_id", TX.multi_recode("lang", mapping).alias("lang_grp"))
+
+
+@query(
+    "t3_substr_prefix",
+    oracle="SELECT doc_id, substr(text, 1, 3) AS prefix3 FROM documents",
+)
+def q_t3(spark, sf):
+    return _docs(spark, sf).select("doc_id", TX.substr_prefix("text", 3).alias("prefix3"))
+
+
+@query(
+    "t4_fill_null",
+    oracle="""
+    SELECT doc_id,
+           coalesce(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END, '999') AS lang_filled
+    FROM documents
+    """,
+)
+def q_t4(spark, sf):
+    # modular NULL injection (documents.lang has no NULLs at any sf)
+    d = _docs(spark, sf)
+    lang_gap = F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("lang"))
+    return d.select("doc_id", TX.fill_null(lang_gap, "999").alias("lang_filled"))
+
+
+@query(
+    "t5_scrub_newlines",
+    oracle=f"""
+    SELECT doc_id,
+           replace(replace({_NOISY_SQL}, chr(10), ' '), chr(13), ' ') AS scrubbed
+    FROM documents
+    """,
+)
+def q_t5(spark, sf):
+    return _docs(spark, sf).select("doc_id", TX.scrub_newlines(_noisy()).alias("scrubbed"))
+
+
+@query(
+    "t6_contains_frac",
+    oracle=f"""
+    SELECT CAST(count(*) FILTER (WHERE contains({_NOISY_SQL}, chr(10))) AS BIGINT) AS n_with_nl,
+           round(avg(CASE WHEN contains({_NOISY_SQL}, chr(10)) THEN 1.0 ELSE 0.0 END), 4)
+             AS frac_with_nl
+    FROM documents
+    """,
+)
+def q_t6(spark, sf):
+    # py:255-256: fraction of notes containing '\n'
+    d = _docs(spark, sf)
+    has = TX.contains_str(_noisy(), "\n").cast("int")
+    return d.agg(
+        F.sum(has).cast("long").alias("n_with_nl"),
+        F.round(F.avg(has.cast("double")), 4).alias("frac_with_nl"),
+    )
+
+
+@query(
+    "t7_lower",
+    oracle=f"SELECT doc_id, lower(upper({_NOISY_SQL})) AS lowered FROM documents",
+)
+def q_t7(spark, sf):
+    # upper() first so the op has case to normalize
+    return _docs(spark, sf).select(
+        "doc_id", F.lower(F.upper(_noisy())).alias("lowered")
+    )
+
+
+@query(
+    "t8_strip_punct",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace({_NOISY_SQL}, '[!-/:-@\\[-`{{-~]', '', 'g') AS no_punct
+    FROM documents
+    """,
+)
+def q_t8(spark, sf):
+    return _docs(spark, sf).select("doc_id", TX.strip_punct(_noisy()).alias("no_punct"))
+
+
+@query(
+    "t9_strip_digits",
+    oracle=f"""
+    SELECT doc_id, regexp_replace({_NOISY_SQL}, '[0-9]+', '', 'g') AS no_digits
+    FROM documents
+    """,
+)
+def q_t9(spark, sf):
+    return _docs(spark, sf).select("doc_id", TX.strip_digits(_noisy()).alias("no_digits"))
+
+
+@query(
+    "t10_tokenize",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string({_TOKENIZE_SQL.format(x=_NOISY_SQL)}, ' ') AS tokens
+    FROM documents
+    """,
+)
+def q_t10(spark, sf):
+    toks = TX.tokenize(_noisy())
+    return _docs(spark, sf).select("doc_id", F.array_join(toks, " ").alias("tokens"))
+
+
+@query(
+    "t11_alpha_only",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(
+             {_ALPHA_SQL.format(toks=_TOKENIZE_SQL.format(x=_NOISY_SQL))}, ' ') AS alpha_tokens
+    FROM documents
+    """,
+)
+def q_t11(spark, sf):
+    toks = TX.alpha_only(TX.tokenize(_noisy()))
+    return _docs(spark, sf).select("doc_id", F.array_join(toks, " ").alias("alpha_tokens"))
+
+
+@query(
+    "t12_drop_stopwords",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(
+             {_STOP_SQL.format(toks=_TOKENIZE_SQL.format(x="text"))}, ' ') AS content_tokens
+    FROM documents
+    """,
+)
+def q_t12(spark, sf):
+    toks = TX.drop_stopwords(TX.tokenize(F.col("text")))
+    return _docs(spark, sf).select("doc_id", F.array_join(toks, " ").alias("content_tokens"))
+
+
+_CLEANED_SQL = (
+    "regexp_replace(regexp_replace(lower(" + _NOISY_SQL + "), "
+    "'[!-/:-@\\[-`{-~]', '', 'g'), '[0-9]+', '', 'g')"
+)
+_T13_PIPE_SQL = _LEMMA_SQL.format(
+    toks=_STOP_SQL.format(
+        toks=_ALPHA_SQL.format(toks=_TOKENIZE_SQL.format(x=_CLEANED_SQL))
+    )
+)
+
+
+@query(
+    "t13_clean_text_tokens",
+    oracle=f"""
+    SELECT doc_id, array_to_string({_T13_PIPE_SQL}, ' ') AS clean_tokens
+    FROM documents
+    """,
+)
+def q_t13(spark, sf):
+    # the full clean_textmain analyzer (py:300-310) as one JVM-side plan
+    toks = TX.clean_text_tokens(_noisy())
+    return _docs(spark, sf).select("doc_id", F.array_join(toks, " ").alias("clean_tokens"))
