@@ -1,0 +1,121 @@
+"""Feature construction: T14/T15 bag-of-words + M1 assembly + M2 one-hot
+(SURVEY.md §2.7, §2.9).
+
+The reference fits sklearn ``CountVectorizer(max_features=3000,
+analyzer=clean_textmain)`` (py:312-315) and glues the resulting sparse
+matrix onto the feature table by row order (py:332). Spark-first shape:
+MLlib ``CountVectorizer`` emits the sparse vector as a COLUMN on the same
+row — no positional join exists anywhere in this engine. Assembly is
+``VectorAssembler`` (py:461-462's ``df[cols].values``), one-hot is either
+the MLlib encoder (vector output, for model input) or explicit 0/1 dummy
+columns (``pd.get_dummies`` parity, py:344 — SQL-checkable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import clean_text_tokens
+
+
+def tokens_df(docs: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
+    """documents -> + clean token array (the T7-T13 pipeline, one plan)."""
+    return docs.withColumn(out, clean_text_tokens(text_col))
+
+
+def fit_count_vectorizer(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    vocab_size: int = 3000,
+    out: str = "tf",
+):
+    """T14 — corpus-frequency-ordered bag-of-words (py:312-315).
+
+    Returns ``(model, transformed)``: ``model.vocabulary`` is the T15
+    export (terms ordered by corpus TF, MLlib semantics matching sklearn's
+    max_features selection); ``transformed`` carries a SparseVector column
+    — columnar, never a 3,000-wide dense matrix.
+    """
+    from pyspark.ml.feature import CountVectorizer
+
+    cv = CountVectorizer(inputCol=tokens_col, outputCol=out, vocabSize=vocab_size)
+    model = cv.fit(df)
+    return model, model.transform(df)
+
+
+def vocabulary_df(spark, model) -> DataFrame:
+    """T15 — ``get_feature_names`` parity (py:323): vocabulary as rows
+    (term, index); index is the vector position."""
+    return spark.createDataFrame(
+        [(t, i) for i, t in enumerate(model.vocabulary)], "term string, idx int"
+    )
+
+
+def vector_stats(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Per-row sparse-vector summary: nonzero count + total count.
+
+    Oracle-checkable view of the T14 output (n_nonzero = per-doc distinct
+    in-vocab terms; total = per-doc token count when vocab covers the
+    corpus).
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    arr = vector_to_array(F.col(vec_col))
+    return df.select(
+        F.col(id_col),
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_nonzero"),
+        F.aggregate(arr, F.lit(0.0), lambda a, x: a + x).cast("long").alias("total_terms"),
+    )
+
+
+def assemble_features(
+    df: DataFrame, cols: Sequence[str], out: str = "features"
+) -> DataFrame:
+    """M1 — numeric columns -> one vector column (py:461-462)."""
+    from pyspark.ml.feature import VectorAssembler
+
+    return VectorAssembler(inputCols=list(cols), outputCol=out).transform(df)
+
+
+def numeric_columns(df: DataFrame, exclude: Sequence[str] = ()) -> list[str]:
+    """The reference's numeric-dtype selection (py:411-414)."""
+    from pyspark.sql.types import NumericType
+
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, NumericType) and f.name not in exclude
+    ]
+
+
+def get_dummies(df: DataFrame, col: str, values: Sequence[str], prefix: str | None = None) -> DataFrame:
+    """M2 — ``pd.get_dummies`` parity (py:344): one 0/1 column per known
+    value. Explicit ``values`` keeps the schema stable and the plan one
+    pass (no distinct scan); for model input prefer the vector
+    ``OneHotEncoder`` instead of wide dummies.
+    """
+    p = prefix or col
+    return df.select(
+        "*",
+        *[
+            (F.col(col) == F.lit(v)).cast("int").alias(f"{p}_{v}")
+            for v in values
+        ],
+    )
+
+
+def one_hot_encode(df: DataFrame, cols: Sequence[str], out_suffix: str = "_oh"):
+    """M2 (vector form) — StringIndexer + OneHotEncoder pipeline; returns
+    (pipeline_model, transformed)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import OneHotEncoder, StringIndexer
+
+    stages = []
+    for c in cols:
+        stages.append(StringIndexer(inputCol=c, outputCol=f"{c}_idx", handleInvalid="keep"))
+        stages.append(OneHotEncoder(inputCol=f"{c}_idx", outputCol=f"{c}{out_suffix}"))
+    model = Pipeline(stages=stages).fit(df)
+    return model, model.transform(df)

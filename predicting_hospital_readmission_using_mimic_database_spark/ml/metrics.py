@@ -1,0 +1,216 @@
+"""Evaluation metrics E1-E7 (SURVEY.md §2.10), DataFrame-native.
+
+The reference computes ROC/PR curves and a threshold battery with sklearn
+over numpy arrays on the driver (py:484-534, py:508-515, py:846-861). Here
+every metric is a Spark plan:
+
+- the confusion cells are ONE aggregation of conditional sums (the A5
+  substrate — no per-metric pass over the data);
+- ROC / PR curves pre-aggregate by distinct score (groupBy — map-side
+  partial agg), then take a DISTRIBUTED running sum via
+  ``relational.partitioned_cumsum`` (range partition + per-partition window
+  + broadcast offsets) — no single-partition window at any input size;
+- AUC needs NO lag/lead: with per-score groups (p_i positives, f_i
+  negatives, running positives cum_p_i), the trapezoid over the ROC curve
+  telescopes to  sum_i f_i * (cum_p_i - p_i/2) / (P*N),  and step-wise
+  AUC-PR (sklearn average_precision) is  sum_i (p_i/P) * precision_i.
+  Both are single aggregations over the per-score frame — and therefore
+  exactly SQL-expressible, so the driver hash-checks them against DuckDB.
+
+Scale posture: at extreme score cardinality pass ``n_bins`` to quantize
+scores first (bounded curve resolution, bounded shuffle) — the estimator
+everyone actually plots at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.relational import partitioned_cumsum
+
+ColumnOrName = Column | str
+
+
+def _col(c: ColumnOrName) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+def _safe_div(num: Column, den: Column) -> Column:
+    """NULL (not error / inf) on zero denominators — identical to the SQL
+    ``num / NULLIF(den, 0)`` the oracles use."""
+    return F.when(den != 0, num / den)
+
+
+def confusion_counts(
+    df: DataFrame, score: ColumnOrName, label: ColumnOrName, thresh: float
+) -> DataFrame:
+    """E4 substrate — all four confusion cells in ONE pass (py:484-502).
+
+    Prediction rule: ``score > thresh`` is positive (the reference's
+    ``y_pred > t``).
+    """
+    s, y = _col(score), _col(label)
+    pred = (s > F.lit(thresh)).cast("long")
+    pos = (y == 1).cast("long")
+    return df.agg(
+        F.sum(pred * pos).alias("tp"),
+        F.sum(pred * (1 - pos)).alias("fp"),
+        F.sum((1 - pred) * pos).alias("fn"),
+        F.sum((1 - pred) * (1 - pos)).alias("tn"),
+    )
+
+
+def _derived_metrics(cells: DataFrame, digits: int = 6) -> DataFrame:
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    n = tp + fp + fn + tn
+    r = lambda c: F.round(c, digits)  # noqa: E731
+    return cells.select(
+        *cells.columns,
+        r(_safe_div(tp + tn, n)).alias("accuracy"),
+        r(_safe_div(tp, tp + fn)).alias("recall"),
+        r(_safe_div(tp, tp + fp)).alias("precision"),
+        r(_safe_div(tn, tn + fp)).alias("specificity"),
+        r(_safe_div(tp + fn, n)).alias("prevalence"),
+        r(_safe_div(F.lit(2) * tp, F.lit(2) * tp + fp + fn)).alias("f1"),
+    )
+
+
+def binary_metrics(
+    df: DataFrame, score: ColumnOrName, label: ColumnOrName, thresh: float
+) -> DataFrame:
+    """E5/E6 — thresholded accuracy/recall/precision/specificity/prevalence
+    + F1 (py:520-534, py:848-851), derived from the one-pass cells."""
+    return _derived_metrics(confusion_counts(df, score, label, thresh))
+
+
+def confusion_matrix(
+    df: DataFrame, score: ColumnOrName, label: ColumnOrName, thresh: float
+) -> DataFrame:
+    """E4 — long-form confusion matrix (py:572 ``confusion_matrix``)."""
+    s, y = _col(score), _col(label)
+    return (
+        df.select(
+            (s > F.lit(thresh)).cast("int").alias("prediction"),
+            (y == 1).cast("int").alias("label"),
+        )
+        .groupBy("label", "prediction")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def threshold_metrics_table(
+    df: DataFrame, score: ColumnOrName, label: ColumnOrName, thresholds: Sequence[float]
+) -> DataFrame:
+    """E7 — the battery at several thresholds as ONE plan: explode the
+    threshold list, aggregate per threshold (py:860-861's summary table)."""
+    s, y = _col(score), _col(label)
+    e = df.select(
+        s.alias("__s"), (y == 1).cast("long").alias("__pos"),
+        F.explode(F.array(*[F.lit(float(t)) for t in thresholds])).alias("thresh"),
+    )
+    pred = (F.col("__s") > F.col("thresh")).cast("long")
+    pos = F.col("__pos")
+    cells = e.groupBy("thresh").agg(
+        F.sum(pred * pos).alias("tp"),
+        F.sum(pred * (1 - pos)).alias("fp"),
+        F.sum((1 - pred) * pos).alias("fn"),
+        F.sum((1 - pred) * (1 - pos)).alias("tn"),
+    )
+    return _derived_metrics(cells)
+
+
+def _score_groups(
+    df: DataFrame, score: ColumnOrName, label: ColumnOrName, n_bins: int | None = None
+) -> DataFrame:
+    """Per-distinct-score (p, f, cum_p, cum_f) — the curve substrate.
+
+    ``n_bins`` quantizes scores to that many equal-width bins of [min,max]
+    BEFORE grouping: bounded cardinality for 100 TB inputs.
+    """
+    s = _col(score).cast("double")
+    y = (_col(label) == 1).cast("long")
+    base = df.select(s.alias("score"), y.alias("pos"))
+    if n_bins:
+        lo, hi = F.min("score"), F.max("score")
+        stats = base.agg(lo.alias("lo"), hi.alias("hi"))
+        base = base.crossJoin(F.broadcast(stats)).select(
+            (
+                F.col("lo")
+                + (F.col("hi") - F.col("lo"))
+                * (
+                    F.least(
+                        F.floor(
+                            (F.col("score") - F.col("lo"))
+                            / ((F.col("hi") - F.col("lo")) / n_bins)
+                        ),
+                        F.lit(n_bins - 1),
+                    )
+                    / n_bins
+                )
+            ).alias("score"),
+            "pos",
+        )
+    g = base.groupBy("score").agg(
+        F.sum("pos").alias("p"), F.sum(1 - F.col("pos")).alias("f")
+    )
+    return partitioned_cumsum(g, ["score"], ["p", "f"], descending=True)
+
+
+def _totals(groups: DataFrame) -> DataFrame:
+    # names avoid Spark's case-insensitive collision with per-group p/f
+    return groups.agg(F.sum("p").alias("tot_p"), F.sum("f").alias("tot_n"))
+
+
+def roc_points(
+    df: DataFrame, score: ColumnOrName, label: ColumnOrName, n_bins: int | None = None
+) -> DataFrame:
+    """E1 — ROC curve as a DataFrame: one (threshold, fpr, tpr) row per
+    distinct score, descending semantics (``score >= threshold`` predicts
+    positive), no driver collect (py:508-509)."""
+    g = _score_groups(df, score, label, n_bins)
+    t = _totals(g)
+    return g.crossJoin(F.broadcast(t)).select(
+        F.round("score", 6).alias("threshold"),
+        F.round(F.col("cum_f") / F.col("tot_n"), 6).alias("fpr"),
+        F.round(F.col("cum_p") / F.col("tot_p"), 6).alias("tpr"),
+    )
+
+
+def pr_points(
+    df: DataFrame, score: ColumnOrName, label: ColumnOrName, n_bins: int | None = None
+) -> DataFrame:
+    """E3 — precision/recall curve points (py:846)."""
+    g = _score_groups(df, score, label, n_bins)
+    t = _totals(g)
+    return g.crossJoin(F.broadcast(t)).select(
+        F.round("score", 6).alias("threshold"),
+        F.round(F.col("cum_p") / F.col("tot_p"), 6).alias("recall"),
+        F.round(F.col("cum_p") / (F.col("cum_p") + F.col("cum_f")), 6).alias("precision"),
+    )
+
+
+def auc_metrics(
+    df: DataFrame, score: ColumnOrName, label: ColumnOrName, n_bins: int | None = None
+) -> DataFrame:
+    """E2/E3 — exact ROC-AUC (trapezoid, ties averaged — sklearn
+    ``roc_auc_score`` semantics) and AUC-PR (step interpolation — sklearn
+    ``average_precision_score``), as ONE aggregation over the per-score
+    frame. No lag/lead: the trapezoid telescopes (module docstring)."""
+    g = _score_groups(df, score, label, n_bins)
+    t = _totals(g)
+    gx = g.crossJoin(F.broadcast(t))
+    agg = gx.agg(
+        F.sum(F.col("f") * (F.col("cum_p") - F.col("p") / 2.0)).alias("s_roc"),
+        F.sum(
+            F.col("p") * (F.col("cum_p") / (F.col("cum_p") + F.col("cum_f")))
+        ).alias("s_pr"),
+        F.first("tot_p").alias("n_pos"),
+        F.first("tot_n").alias("n_neg"),
+    )
+    return agg.select(
+        F.round(F.col("s_roc") / (F.col("n_pos") * F.col("n_neg")), 6).alias("roc_auc"),
+        F.round(F.col("s_pr") / F.col("n_pos"), 6).alias("pr_auc"),
+    )

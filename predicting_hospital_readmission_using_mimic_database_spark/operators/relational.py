@@ -174,6 +174,46 @@ def global_index(df: DataFrame, order: Sequence[str], out: str = "__pos") -> Dat
     )
 
 
+def partitioned_cumsum(
+    df: DataFrame,
+    order: Sequence[str],
+    value_cols: Sequence[str],
+    descending: bool = False,
+    prefix: str = "cum_",
+) -> DataFrame:
+    """Global running sum of ``value_cols`` under ``order`` — distributed.
+
+    Same two-pass shape as :func:`global_index`: range-partition on the sort
+    keys, cumsum inside each partition with a PER-PARTITION window, then add
+    broadcast per-partition offsets (one row per partition). No
+    single-partition window regardless of input size — this is the substrate
+    for ROC/PR curves (SURVEY §4.3 item 5).
+    """
+    sort_cols = [F.col(c).desc() if descending else F.col(c).asc() for c in order]
+    sdf = (
+        df.repartitionByRange(*sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        sdf = sdf.withColumn(f"{prefix}{c}", F.sum(c).over(w))
+    totals = sdf.groupBy("__pid").agg(*[F.sum(c).alias(c) for c in value_cols])
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        *[F.coalesce(F.sum(c).over(off_w), F.lit(0)).alias(f"__off_{c}") for c in value_cols],
+    )
+    out = sdf.join(F.broadcast(offsets), "__pid")
+    for c in value_cols:
+        out = out.withColumn(f"{prefix}{c}", F.col(f"{prefix}{c}") + F.col(f"__off_{c}"))
+    return out.drop("__pid", *[f"__off_{c}" for c in value_cols])
+
+
 # ---------------------------------------------------------------------------
 # W* — window functions (§2.4)
 # ---------------------------------------------------------------------------

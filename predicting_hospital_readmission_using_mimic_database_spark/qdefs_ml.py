@@ -1,0 +1,454 @@
+"""ML + metrics query definitions: SURVEY.md §2.7 T14/T15, §2.9 M1-M11,
+§2.10 E1-E7.
+
+Oracle strategy (SURVEY §5.2):
+- DETERMINISTIC DataFrame math gets exact DuckDB oracles — bag-of-words
+  stats (T14/T15), assembly/one-hot shape (M1/M2), mutual information and
+  chi² from contingency tables (M8/M9), and the ENTIRE metrics suite
+  (E1-E5/E7: ROC and PR curves, both AUCs, confusion cells, threshold
+  battery) — the curve/AUC formulations telescope into plain aggregations
+  (ml/metrics.py docstring), so even ROC-AUC is hash-checked cross-engine;
+- model FITS (M3-M7, M10, M11) are rows-only: seeded MLlib training isn't
+  bit-reproducible in a second engine, so entries emit invariant summaries
+  (row counts, AUC, coefficient sparsity) the judge can bound-check.
+
+Binary task used throughout: embeddings with score = embedding[0] and
+label = (class >= 5) — deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .ml import features as FE
+from .ml import metrics as ME
+from .ml import models as MO
+from .qdefs_text import clean_tokens_sql
+from .registry import query
+from .sources.io import read_table
+
+
+def _docs(spark, sf):
+    return read_table(spark, sf, "documents")
+
+
+def _emb(spark, sf):
+    return read_table(spark, sf, "embeddings")
+
+
+def _emb_scored(spark, sf):
+    """score = first embedding component (cast double), pos = class >= 5."""
+    e = _emb(spark, sf)
+    return e.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("score"),
+        (F.col("label") >= 5).cast("int").alias("pos"),
+        "embedding",
+        F.col("label").alias("cls"),
+    )
+
+
+_SCORED_SQL = """
+    SELECT vec_id,
+           CAST(embedding[1] AS DOUBLE) AS score,
+           CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+    FROM embeddings
+"""
+
+_CURVE_SQL = f"""
+    WITH b AS ({_SCORED_SQL}),
+    g AS (
+      SELECT score, CAST(sum(pos) AS BIGINT) AS p,
+             CAST(sum(1 - pos) AS BIGINT) AS f
+      FROM b GROUP BY score
+    ),
+    c AS (
+      SELECT score, p, f,
+             CAST(sum(p) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_p,
+             CAST(sum(f) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_f
+      FROM g
+    ),
+    t AS (SELECT CAST(sum(p) AS BIGINT) AS tot_p, CAST(sum(f) AS BIGINT) AS tot_n FROM g)
+    SELECT * FROM c CROSS JOIN t
+"""
+
+
+# ---------------------------------------------------------------------------
+# T14/T15 — bag-of-words (MLlib CountVectorizer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t14_count_vectorize",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {clean_tokens_sql("text")} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(t)) AS INT) AS n_nonzero,
+           CAST(len(t) AS BIGINT) AS total_terms
+    FROM toks
+    """,
+)
+def q_t14(spark, sf):
+    """T14 — CountVectorizer(vocabSize=3000) over the clean-token pipeline;
+    checked via per-doc vector stats (nonzero terms = distinct in-vocab
+    tokens; vector sum = token count, since the vocab covers the corpus)."""
+    d = FE.tokens_df(_docs(spark, sf))
+    _, tf = FE.fit_count_vectorizer(d, "tokens", vocab_size=3000)
+    return FE.vector_stats(tf, "tf", "doc_id")
+
+
+@query(
+    "t15_vocabulary",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {clean_tokens_sql("text")} AS t FROM documents
+    )
+    SELECT DISTINCT unnest(t) AS term FROM toks
+    """,
+)
+def q_t15(spark, sf):
+    """T15 — vocabulary export (py:323). vocabSize exceeds the corpus'
+    distinct-term count, so the term SET equals the distinct tokens
+    (order-insensitive compare; TF-rank ties make index order unstable)."""
+    d = FE.tokens_df(_docs(spark, sf))
+    model, _ = FE.fit_count_vectorizer(d, "tokens", vocab_size=3000)
+    return FE.vocabulary_df(spark, model).select("term")
+
+
+# ---------------------------------------------------------------------------
+# M1/M2 — assembly + one-hot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m1_assemble",
+    oracle="""
+    SELECT doc_id, 2 AS n_features, CAST(n_chars AS DOUBLE) AS f0
+    FROM documents
+    """,
+)
+def q_m1(spark, sf):
+    """M1 — VectorAssembler; the oracle pins the vector's shape and first
+    component (assembly is deterministic column concatenation)."""
+    from pyspark.ml.functions import vector_to_array
+
+    d = _docs(spark, sf).select(
+        "doc_id", F.col("n_chars").cast("double").alias("nc"),
+        (F.col("doc_id") % 5).cast("double").alias("extra"),
+    )
+    a = FE.assemble_features(d, ["nc", "extra"])
+    arr = vector_to_array(F.col("features"))
+    return a.select("doc_id", F.size(arr).alias("n_features"), arr.getItem(0).alias("f0"))
+
+
+@query(
+    "m2_get_dummies",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lang_en,
+           CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS lang_de,
+           CASE WHEN lang = 'es' THEN 1 ELSE 0 END AS lang_es,
+           CASE WHEN lang = 'fr' THEN 1 ELSE 0 END AS lang_fr,
+           CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS lang_zh
+    FROM documents
+    """,
+)
+def q_m2(spark, sf):
+    """M2 — pd.get_dummies parity (py:344): explicit 0/1 dummy columns."""
+    d = _docs(spark, sf)
+    out = FE.get_dummies(d, "lang", ["en", "de", "es", "fr", "zh"])
+    return out.select("doc_id", *[f"lang_{v}" for v in ["en", "de", "es", "fr", "zh"]])
+
+
+# ---------------------------------------------------------------------------
+# M3-M7, M10, M11 — model fits (rows-only invariants)
+# ---------------------------------------------------------------------------
+
+
+def _emb_features(spark, sf):
+    from pyspark.ml.functions import array_to_vector
+
+    e = _emb_scored(spark, sf)
+    return e.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        F.col("pos").cast("double").alias("y"),
+    )
+
+
+@query("m3_rf_train_predict")
+def q_m3(spark, sf):
+    """M3/M4 — RF train + probability predictions; emits one invariant row
+    (n_train/n_test, held-out ROC-AUC from the engine's own E2 operator)."""
+    d = _emb_features(spark, sf)
+    train, test = d.randomSplit([0.8, 0.2], seed=42)
+    train = train.cache()  # reused across tree inductions (SURVEY §4.2)
+    model = MO.train_rf(train, "features", "y", num_trees=100, seed=42)
+    scored = MO.predict_proba(model, test)
+    auc = ME.auc_metrics(scored, "p1", "y")
+    return auc.select(
+        F.lit(train.count()).alias("n_train"),
+        F.lit(test.count()).alias("n_test"),
+        "roc_auc",
+    )
+
+
+@query("m4_predict_proba")
+def q_m4(spark, sf):
+    """M4 — predict_proba bounds: p1 ∈ [0,1], row count preserved."""
+    d = _emb_features(spark, sf)
+    model = MO.train_rf(d, "features", "y", num_trees=20, seed=42)
+    scored = MO.predict_proba(model, d)
+    return scored.agg(
+        F.count("*").alias("n"),
+        F.round(F.min("p1"), 6).alias("p1_min"),
+        F.round(F.max("p1"), 6).alias("p1_max"),
+    )
+
+
+@query("m5_rf_sweep")
+def q_m5(spark, sf):
+    """M5 — numTrees sweep with held-out AUC per setting (py:608-618)."""
+    d = _emb_features(spark, sf)
+    train, test = d.randomSplit([0.8, 0.2], seed=42)
+    return MO.rf_numtrees_sweep(train.cache(), test, [20, 50], "features", "y")
+
+
+@query("m6_lr_l1")
+def q_m6(spark, sf):
+    """M6 — L1 logistic regression; invariants: coefficient sparsity (L1
+    zeroes coefficients) + training AUC."""
+    d = _emb_features(spark, sf).cache()
+    model = MO.train_lr_l1(d, C=1.0, features="features", label="y")
+    nnz = int((abs(model.coefficients.toArray()) > 1e-9).sum())
+    scored = MO.predict_proba(model, d)
+    auc = ME.auc_metrics(scored, "p1", "y")
+    return auc.select(
+        F.lit(model.coefficients.size).alias("n_coefs"),
+        F.lit(nnz).alias("n_nonzero_coefs"),
+        "roc_auc",
+    )
+
+
+@query("m7_grid_cv")
+def q_m7(spark, sf):
+    """M7 — GridSearchCV parity: CrossValidator(numFolds=5) over C grid,
+    accuracy per C (py:796-801)."""
+    d = _emb_features(spark, sf).cache()
+    _, res = MO.grid_search_lr_cv(d, [0.1, 1.0], "features", "y", folds=5)
+    return res.select("C", F.round("accuracy", 6).alias("accuracy"))
+
+
+@query("m10_top_n_retrain")
+def q_m10(spark, sf):
+    """M10 — MI-ranked top-n retrain loop (py:645-658) over binned
+    embedding components."""
+    e = _emb_scored(spark, sf)
+    cols = [f"b{i}" for i in range(8)]
+    d = e.select(
+        F.col("pos").cast("double").alias("y"),
+        *[
+            F.floor(F.col("embedding").getItem(i) * 10).cast("int").alias(f"b{i}")
+            for i in range(8)
+        ],
+    ).cache()
+    return MO.top_n_retrain(d, cols, "y", ns=[2, 4], num_trees=20, seed=42)
+
+
+@query("m11_decision_margin")
+def q_m11(spark, sf):
+    """M11 — decision_function parity: raw margin column; invariants:
+    sign(margin) == prediction, count preserved."""
+    d = _emb_features(spark, sf)
+    model = MO.train_lr_l1(d, C=10.0, features="features", label="y")
+    m = MO.decision_scores(model, d)
+    agree = F.sum(
+        ((F.col("margin") > 0).cast("int") == F.col("prediction").cast("int")).cast("long")
+    )
+    return m.agg(F.count("*").alias("n"), agree.alias("n_sign_agree"))
+
+
+# ---------------------------------------------------------------------------
+# M8/M9 — feature scoring (exact oracles)
+# ---------------------------------------------------------------------------
+
+_CONTINGENCY_SQL = """
+    WITH base AS (
+      SELECT lang, source, CAST(n_chars % 2 AS VARCHAR) AS y FROM documents
+    ),
+    pairs AS (
+      SELECT 'lang' AS feature, lang AS bin, y FROM base
+      UNION ALL
+      SELECT 'source' AS feature, source AS bin, y FROM base
+    ),
+    c AS (SELECT feature, bin, y, count(*) AS n FROM pairs GROUP BY 1, 2, 3),
+    bx AS (SELECT feature, bin, sum(n) AS n_bin FROM c GROUP BY 1, 2),
+    ly AS (SELECT feature, y, sum(n) AS n_y FROM c GROUP BY 1, 2),
+    tot AS (SELECT feature, sum(n) AS n_tot FROM c GROUP BY 1)
+"""
+
+
+@query(
+    "m8_mutual_info",
+    oracle=_CONTINGENCY_SQL
+    + """
+    SELECT c.feature,
+           round(sum((n / n_tot) * ln(n * n_tot / (n_bin * n_y))), 6) AS mi
+    FROM c
+    JOIN bx USING (feature, bin) JOIN ly USING (feature, y) JOIN tot USING (feature)
+    GROUP BY c.feature
+    """,
+)
+def q_m8(spark, sf):
+    """M8 — discrete MI of lang/source vs a deterministic parity label;
+    exact cross-engine (contingency aggregation, natural log)."""
+    d = _docs(spark, sf).withColumn("y", (F.col("n_chars") % 2))
+    return MO.mutual_information(d, ["lang", "source"], "y")
+
+
+@query(
+    "m9_chi2",
+    oracle=_CONTINGENCY_SQL
+    + """
+    SELECT c.feature,
+           round(any_value(n_tot)
+                 + sum(n * n / (n_bin * n_y / n_tot) - 2 * n), 6) AS chi2
+    FROM c
+    JOIN bx USING (feature, bin) JOIN ly USING (feature, y) JOIN tot USING (feature)
+    GROUP BY c.feature
+    """,
+)
+def q_m9(spark, sf):
+    """M9 — Pearson chi² per feature from the same contingency substrate
+    (observed-cells-only telescoped form; models.chi2_scores docstring)."""
+    d = _docs(spark, sf).withColumn("y", (F.col("n_chars") % 2))
+    return MO.chi2_scores(d, ["lang", "source"], "y")
+
+
+# ---------------------------------------------------------------------------
+# E1-E7 — metrics (exact oracles, including both AUCs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e1_roc_curve",
+    oracle=f"""
+    WITH cc AS ({_CURVE_SQL})
+    SELECT round(score, 6) AS threshold,
+           round(cum_f / tot_n, 6) AS fpr,
+           round(cum_p / tot_p, 6) AS tpr
+    FROM cc
+    """,
+)
+def q_e1(spark, sf):
+    return ME.roc_points(_emb_scored(spark, sf), "score", "pos")
+
+
+@query(
+    "e2_auc",
+    oracle=f"""
+    WITH cc AS ({_CURVE_SQL}),
+    s AS (
+      SELECT sum(f * (cum_p - p / 2.0)) AS s_roc,
+             sum(p * (cum_p / (cum_p + cum_f))) AS s_pr,
+             any_value(tot_p) AS n_pos, any_value(tot_n) AS n_neg
+      FROM cc
+    )
+    SELECT round(s_roc / (n_pos * n_neg), 6) AS roc_auc,
+           round(s_pr / n_pos, 6) AS pr_auc
+    FROM s
+    """,
+)
+def q_e2(spark, sf):
+    """E2/E3 — exact ROC-AUC + AUC-PR, hash-checked against DuckDB."""
+    return ME.auc_metrics(_emb_scored(spark, sf), "score", "pos")
+
+
+@query(
+    "e3_pr_curve",
+    oracle=f"""
+    WITH cc AS ({_CURVE_SQL})
+    SELECT round(score, 6) AS threshold,
+           round(cum_p / tot_p, 6) AS recall,
+           round(cum_p / (cum_p + cum_f), 6) AS precision
+    FROM cc
+    """,
+)
+def q_e3(spark, sf):
+    return ME.pr_points(_emb_scored(spark, sf), "score", "pos")
+
+
+@query(
+    "e4_confusion",
+    oracle=f"""
+    SELECT pos AS label,
+           CASE WHEN score > 0.0 THEN 1 ELSE 0 END AS prediction,
+           count(*) AS n
+    FROM ({_SCORED_SQL})
+    GROUP BY 1, 2
+    """,
+)
+def q_e4(spark, sf):
+    return ME.confusion_matrix(_emb_scored(spark, sf), "score", "pos", 0.0)
+
+
+_CELLS_SQL = f"""
+    SELECT CAST(count(*) FILTER (WHERE score > 0.0 AND pos = 1) AS BIGINT) AS tp,
+           CAST(count(*) FILTER (WHERE score > 0.0 AND pos = 0) AS BIGINT) AS fp,
+           CAST(count(*) FILTER (WHERE score <= 0.0 AND pos = 1) AS BIGINT) AS fn,
+           CAST(count(*) FILTER (WHERE score <= 0.0 AND pos = 0) AS BIGINT) AS tn
+    FROM ({_SCORED_SQL})
+"""
+
+
+@query(
+    "e5_threshold_metrics",
+    oracle=f"""
+    SELECT tp, fp, fn, tn,
+           round((tp + tn) / CAST(NULLIF(tp + fp + fn + tn, 0) AS DOUBLE), 6) AS accuracy,
+           round(tp / CAST(NULLIF(tp + fn, 0) AS DOUBLE), 6) AS recall,
+           round(tp / CAST(NULLIF(tp + fp, 0) AS DOUBLE), 6) AS precision,
+           round(tn / CAST(NULLIF(tn + fp, 0) AS DOUBLE), 6) AS specificity,
+           round((tp + fn) / CAST(NULLIF(tp + fp + fn + tn, 0) AS DOUBLE), 6) AS prevalence,
+           round(2 * tp / CAST(NULLIF(2 * tp + fp + fn, 0) AS DOUBLE), 6) AS f1
+    FROM ({_CELLS_SQL})
+    """,
+)
+def q_e5(spark, sf):
+    """E5/E6 — the full threshold battery incl. F1, one pass (py:520-534)."""
+    return ME.binary_metrics(_emb_scored(spark, sf), "score", "pos", 0.0)
+
+
+@query(
+    "e7_threshold_table",
+    oracle=f"""
+    WITH b AS ({_SCORED_SQL}),
+    cells AS (
+      SELECT thresh,
+             CAST(count(*) FILTER (WHERE score > thresh AND pos = 1) AS BIGINT) AS tp,
+             CAST(count(*) FILTER (WHERE score > thresh AND pos = 0) AS BIGINT) AS fp,
+             CAST(count(*) FILTER (WHERE score <= thresh AND pos = 1) AS BIGINT) AS fn,
+             CAST(count(*) FILTER (WHERE score <= thresh AND pos = 0) AS BIGINT) AS tn
+      FROM b CROSS JOIN (SELECT unnest([-0.1, 0.0, 0.1]) AS thresh) th
+      GROUP BY thresh
+    )
+    SELECT thresh, tp, fp, fn, tn,
+           round((tp + tn) / CAST(NULLIF(tp + fp + fn + tn, 0) AS DOUBLE), 6) AS accuracy,
+           round(tp / CAST(NULLIF(tp + fn, 0) AS DOUBLE), 6) AS recall,
+           round(tp / CAST(NULLIF(tp + fp, 0) AS DOUBLE), 6) AS precision,
+           round(tn / CAST(NULLIF(tn + fp, 0) AS DOUBLE), 6) AS specificity,
+           round((tp + fn) / CAST(NULLIF(tp + fp + fn + tn, 0) AS DOUBLE), 6) AS prevalence,
+           round(2 * tp / CAST(NULLIF(2 * tp + fp + fn, 0) AS DOUBLE), 6) AS f1
+    FROM cells
+    """,
+)
+def q_e7(spark, sf):
+    """E7 — the five-strategy summary table shape (py:860-861): the metric
+    battery at several thresholds in ONE plan."""
+    return ME.threshold_metrics_table(
+        _emb_scored(spark, sf), "score", "pos", [-0.1, 0.0, 0.1]
+    )

@@ -219,15 +219,22 @@ def q_t12(spark, sf):
     return _docs(spark, sf).select("doc_id", F.array_join(toks, " ").alias("content_tokens"))
 
 
-_CLEANED_SQL = (
-    "regexp_replace(regexp_replace(lower(" + _NOISY_SQL + "), "
-    "'[!-/:-@\\[-`{-~]', '', 'g'), '[0-9]+', '', 'g')"
-)
-_T13_PIPE_SQL = _LEMMA_SQL.format(
-    toks=_STOP_SQL.format(
-        toks=_ALPHA_SQL.format(toks=_TOKENIZE_SQL.format(x=_CLEANED_SQL))
+def clean_tokens_sql(x_sql: str) -> str:
+    """DuckDB SQL for the full clean-text token pipeline over the string
+    expression ``x_sql`` — mirrors :func:`TX.clean_text_tokens` exactly.
+    Shared by the T13 oracle here and the T14/T15 oracles in qdefs_ml."""
+    cleaned = (
+        "regexp_replace(regexp_replace(lower(" + x_sql + "), "
+        "'[!-/:-@\\[-`{-~]', '', 'g'), '[0-9]+', '', 'g')"
     )
-)
+    return _LEMMA_SQL.format(
+        toks=_STOP_SQL.format(
+            toks=_ALPHA_SQL.format(toks=_TOKENIZE_SQL.format(x=cleaned))
+        )
+    )
+
+
+_T13_PIPE_SQL = clean_tokens_sql(_NOISY_SQL)
 
 
 @query(

@@ -1,0 +1,94 @@
+"""ML + metrics unit tests: exact-value fixtures for AUC/MI, MLlib parity
+for chi², invariants for estimators."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from predicting_hospital_readmission_using_mimic_database_spark.ml import metrics as ME
+from predicting_hospital_readmission_using_mimic_database_spark.ml import models as MO
+
+
+def test_auc_matches_hand_computed(spark):
+    # scores: pos at 0.9/0.7/0.3, neg at 0.8/0.2/0.1
+    # pairs (pos > neg): 0.9>all(3), 0.7>{0.2,0.1}=2, 0.3>{0.2,0.1}=2 -> 7/9
+    rows = [(0.9, 1), (0.7, 1), (0.3, 1), (0.8, 0), (0.2, 0), (0.1, 0)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = ME.auc_metrics(df, "score", "y").collect()[0]
+    assert abs(out["roc_auc"] - 7 / 9) < 1e-6
+
+
+def test_auc_ties_averaged(spark):
+    # one pos and one neg share score 0.5 -> tie counts half (Mann-Whitney)
+    rows = [(0.5, 1), (0.5, 0)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = ME.auc_metrics(df, "score", "y").collect()[0]
+    assert abs(out["roc_auc"] - 0.5) < 1e-6
+
+
+def test_binary_metrics_cells(spark):
+    rows = [(0.9, 1), (0.8, 0), (0.4, 1), (0.1, 0)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = ME.binary_metrics(df, "score", "y", 0.5).collect()[0]
+    assert (out["tp"], out["fp"], out["fn"], out["tn"]) == (1, 1, 1, 1)
+    assert out["accuracy"] == 0.5 and out["recall"] == 0.5
+
+
+def test_roc_points_monotone(spark):
+    rows = [(float(i) / 10, i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    pts = ME.roc_points(df, "score", "y").orderBy("fpr", "tpr").collect()
+    fprs = [r["fpr"] for r in pts]
+    tprs = [r["tpr"] for r in pts]
+    assert fprs == sorted(fprs) and tprs == sorted(tprs)
+    assert pts[-1]["fpr"] == 1.0 and pts[-1]["tpr"] == 1.0
+
+
+def test_chi2_matches_mllib(spark):
+    # categorical feature (3 levels) vs binary label
+    rows = [(0.0, 0.0)] * 20 + [(0.0, 1.0)] * 5 + [(1.0, 0.0)] * 10 + \
+        [(1.0, 1.0)] * 15 + [(2.0, 0.0)] * 7 + [(2.0, 1.0)] * 3
+    df = spark.createDataFrame(rows, "x double, y double")
+    ours = MO.chi2_scores(df, ["x"], "y").collect()[0]["chi2"]
+
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import ChiSquareTest
+
+    v = VectorAssembler(inputCols=["x"], outputCol="fx").transform(df)
+    theirs = ChiSquareTest.test(v, "fx", "y").collect()[0]["statistics"][0]
+    assert abs(ours - theirs) < 1e-4
+
+
+def test_mutual_information_exact(spark):
+    # perfectly dependent -> MI = H(Y) = ln 2; independent -> MI = 0
+    dep = spark.createDataFrame(
+        [("a", 0)] * 10 + [("b", 1)] * 10, "x string, y int"
+    )
+    mi_dep = MO.mutual_information(dep, ["x"], "y").collect()[0]["mi"]
+    assert abs(mi_dep - math.log(2)) < 1e-6
+
+    ind = spark.createDataFrame(
+        [("a", 0)] * 5 + [("a", 1)] * 5 + [("b", 0)] * 5 + [("b", 1)] * 5,
+        "x string, y int",
+    )
+    mi_ind = MO.mutual_information(ind, ["x"], "y").collect()[0]["mi"]
+    assert abs(mi_ind) < 1e-9
+
+
+def test_lr_l1_sparsifies(spark):
+    import random
+
+    rng = random.Random(0)
+    # y depends only on f0; f1/f2 are noise -> strong L1 zeroes them
+    rows = []
+    for _ in range(200):
+        x0 = rng.random()
+        rows.append((x0, rng.random(), rng.random(), 1.0 if x0 > 0.5 else 0.0))
+    df = spark.createDataFrame(rows, "f0 double, f1 double, f2 double, y double")
+    from predicting_hospital_readmission_using_mimic_database_spark.ml.features import assemble_features
+
+    a = assemble_features(df, ["f0", "f1", "f2"])
+    model = MO.train_lr_l1(a, C=20.0, label="y")
+    coefs = model.coefficients.toArray()
+    assert abs(coefs[0]) > 0  # signal survives
+    assert abs(coefs[1]) < 0.3 and abs(coefs[2]) < 0.3  # noise shrunk
