@@ -1,0 +1,224 @@
+"""Sampling / rebalancing operators U2-U8 (SURVEY.md §2.8).
+
+Reference shapes: 80/20 split + index anti-join (py:428-431), exact-n
+undersample (py:447), RandomOverSampler (py:683-684), SMOTE / NearMiss /
+RandomUnderSampler (py:772-817).
+
+Scale posture:
+- exact-n selection uses ``orderBy(rand).limit(n)`` which Spark compiles to
+  TakeOrderedAndProject — each partition keeps only its top-n, so no global
+  sort materializes;
+- SMOTE / NearMiss run on approximate kNN via BucketedRandomProjectionLSH
+  ``approxSimilarityJoin`` — candidate pairs come from LSH buckets, NEVER
+  the all-pairs cross join (the same substrate backs the north-star
+  similarity-search operators in operators/similarity.py);
+- determinism: fixed seeds give reproducible results for a fixed input
+  partitioning (SURVEY §7 hard-part 3) — invariants (counts, balance,
+  bounds), not row identity, are the tested contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def shuffle_rows(df: DataFrame, seed: int = 42) -> DataFrame:
+    """U2 (engine primitive) — redistribute rows pseudo-randomly WITHOUT a
+    global sort: rand-keyed round-robin repartition. ``orderBy(rand)``
+    (the pandas-parity form in qdefs u2) is a full range sort — wasted
+    work at scale when nothing downstream is order-sensitive."""
+    return df.repartition(F.spark_partition_id().bitwiseXOR(F.floor(F.rand(seed) * (1 << 30)).cast("int")))
+
+
+def random_split(
+    df: DataFrame, weights=(0.8, 0.2), seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """U3 — train/test split (py:428-431). ``randomSplit`` gives both
+    sides in one pass; no anti-join needed (the J7 form exists for parity)."""
+    train, test = df.randomSplit(list(weights), seed=seed)
+    return train, test
+
+
+def undersample_exact(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    """U4 — exact-n uniform sample (py:447 ``sample(n=...)``):
+    rand-ordered top-n, compiled to TakeOrderedAndProject (per-partition
+    top-n, then merge of n-row heaps — no global sort)."""
+    return df.orderBy(F.rand(seed)).limit(n)
+
+
+def balance_undersample(
+    df: DataFrame, label: Column | str, seed: int = 42
+) -> DataFrame:
+    """U4/U8 composition — exact 1:1 class balance by downsampling every
+    class to the global minority count (py:447; RandomUnderSampler
+    py:773,817).
+
+    One pass to count classes (tiny aggregate, collected — class
+    cardinality is human-scale), then per-class TakeOrdered unioned.
+    """
+    lab = F.col(label) if isinstance(label, str) else label
+    counts = df.groupBy(lab.alias("__lab")).agg(F.count("*").alias("n")).collect()
+    n_min = min(r["n"] for r in counts)
+    out = None
+    for r in counts:
+        part = df.filter(lab == F.lit(r["__lab"])).orderBy(F.rand(seed)).limit(n_min)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def oversample_with_replacement(
+    df: DataFrame, label: Column | str, seed: int = 42
+) -> DataFrame:
+    """U5 — RandomOverSampler(ratio=1) parity (py:683-684): resample every
+    minority class WITH replacement up to the majority count
+    (fraction-based — approximate n, exact in expectation)."""
+    lab = F.col(label) if isinstance(label, str) else label
+    counts = df.groupBy(lab.alias("__lab")).agg(F.count("*").alias("n")).collect()
+    n_max = max(r["n"] for r in counts)
+    out = None
+    for r in counts:
+        part = df.filter(lab == F.lit(r["__lab"]))
+        if r["n"] < n_max:
+            part = part.sample(
+                withReplacement=True, fraction=n_max / r["n"], seed=seed
+            )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# LSH-kNN substrate (U6/U7) — approximate neighbors, never all-pairs
+# ---------------------------------------------------------------------------
+
+
+def _knn_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    features_col: str,
+    k: int,
+    threshold: float,
+    bucket_length: float,
+    num_hash_tables: int,
+    seed: int,
+) -> DataFrame:
+    """k nearest right-neighbors per left row via BRP-LSH similarity join.
+
+    Returns (a_id, b_id, dist, rn<=k) with self-pairs removed. Candidate
+    generation is bucket-joined (LSH), so cost scales with collisions, not
+    |left|x|right|.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    brp = BucketedRandomProjectionLSH(
+        inputCol=features_col,
+        outputCol="__hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = brp.fit(left)
+    pairs = (
+        model.approxSimilarityJoin(left, right, threshold, distCol="__dist")
+        .select(
+            F.col(f"datasetA.{id_col}").alias("a_id"),
+            F.col(f"datasetB.{id_col}").alias("b_id"),
+            F.col("__dist").alias("dist"),
+        )
+        .filter(F.col("a_id") != F.col("b_id"))
+    )
+    w = Window.partitionBy("a_id").orderBy("dist", "b_id")
+    return pairs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+
+
+def smote(
+    df: DataFrame,
+    id_col: str,
+    array_col: str,
+    label_col: str,
+    minority_value,
+    k: int = 3,
+    seed: int = 42,
+    threshold: float = 10.0,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 3,
+) -> DataFrame:
+    """U6 — SMOTE on the LSH-kNN substrate (py:772,814).
+
+    For each minority row, pick its approx-k nearest minority neighbors
+    and emit one synthetic row per neighbor pair:
+    ``synth = a + u * (b - a)`` with u ~ U(0,1) — elementwise via
+    ``zip_with`` (JVM-side, no UDF). Output schema: (id_col
+    negative-numbered, array_col, label_col) for the synthetic rows,
+    unioned with the originals. Synthetic count = |minority| * k (callers
+    sample down to the exact deficit if 1:1 balance is wanted).
+    """
+    from pyspark.ml.functions import array_to_vector
+
+    mino = df.filter(F.col(label_col) == F.lit(minority_value)).select(
+        id_col, array_col, label_col
+    )
+    vec = mino.withColumn("__v", array_to_vector(F.col(array_col).cast("array<double>")))
+    knn = _knn_pairs(
+        vec, vec, id_col, "__v", k, threshold, bucket_length, num_hash_tables, seed
+    )
+    a = mino.select(
+        F.col(id_col).alias("a_id"), F.col(array_col).alias("__arr_a")
+    )
+    b = mino.select(
+        F.col(id_col).alias("b_id"), F.col(array_col).alias("__arr_b")
+    )
+    synth = (
+        knn.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("__u", F.rand(seed))
+        .select(
+            # negative synthetic ids, unique per (a, rank)
+            (-(F.col("a_id") * (k + 1) + F.col("__rn")) - 1).alias(id_col),
+            F.zip_with(
+                "__arr_a",
+                "__arr_b",
+                lambda x, y: x + F.col("__u") * (y - x),
+            ).alias(array_col),
+            F.lit(minority_value).alias(label_col),
+        )
+    )
+    return df.select(id_col, array_col, label_col).unionByName(synth)
+
+
+def nearmiss(
+    df: DataFrame,
+    id_col: str,
+    array_col: str,
+    label_col: str,
+    minority_value,
+    k: int = 3,
+    seed: int = 42,
+    threshold: float = 10.0,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 3,
+) -> DataFrame:
+    """U7 — NearMiss-1 undersampling (py:773,816): keep the majority rows
+    whose mean distance to their k nearest minority neighbors is smallest,
+    exactly |minority| of them; union with the minority."""
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(id_col, array_col, label_col)
+    mino = base.filter(F.col(label_col) == F.lit(minority_value))
+    maj = base.filter(F.col(label_col) != F.lit(minority_value))
+    n_min = mino.count()
+
+    to_vec = lambda d: d.withColumn(  # noqa: E731
+        "__v", array_to_vector(F.col(array_col).cast("array<double>"))
+    )
+    knn = _knn_pairs(
+        to_vec(maj), to_vec(mino), id_col, "__v", k, threshold,
+        bucket_length, num_hash_tables, seed,
+    )
+    scores = knn.groupBy("a_id").agg(F.avg("dist").alias("__mean_dist"))
+    picked = scores.orderBy("__mean_dist", "a_id").limit(n_min)
+    kept = maj.join(
+        picked.select(F.col("a_id").alias(id_col)), id_col, "left_semi"
+    )
+    return kept.unionByName(mino)

@@ -661,3 +661,103 @@ def q_u1(spark, sf):
 def q_u2(spark, sf):
     # seeded full shuffle (py:424); same multiset, order-insensitive compare
     return _events(spark, sf).orderBy(F.rand(42))
+
+
+# ---------------------------------------------------------------------------
+# U3-U8 — sampling / rebalancing (§2.8); operators/sampling.py
+# ---------------------------------------------------------------------------
+
+from .operators import sampling as SA  # noqa: E402
+
+
+def _emb_pos(spark, sf):
+    return read_table(spark, sf, "embeddings").select(
+        "vec_id", "embedding", (F.col("label") >= 5).cast("int").alias("pos")
+    )
+
+
+#: both rebalance entries emit per-class counts equal to the minority size —
+#: deterministic even though WHICH rows survive is seed-dependent
+_BALANCED_COUNTS_SQL = """
+    WITH c AS (
+      SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos, count(*) AS cnt
+      FROM embeddings GROUP BY 1
+    )
+    SELECT pos, (SELECT CAST(min(cnt) AS BIGINT) FROM c) AS n FROM c
+"""
+
+
+@query("u3_random_split")
+def q_u3(spark, sf):
+    """U3 — randomSplit([.8,.2], 42) (py:428-431). Invariant row: the two
+    sides partition the input exactly."""
+    e = _events(spark, sf)
+    tr, te = SA.random_split(e, (0.8, 0.2), seed=42)
+    n_tr, n_te, n = tr.count(), te.count(), e.count()
+    return spark.createDataFrame(
+        [(n_tr, n_te, n, bool(n_tr + n_te == n))],
+        "n_train long, n_test long, n_total long, partitions_input boolean",
+    )
+
+
+@query("u4_balance_undersample", oracle=_BALANCED_COUNTS_SQL)
+def q_u4(spark, sf):
+    """U4/U8 — exact 1:1 undersample (py:447): per-class counts equal the
+    global minority count (exact oracle — counts are seed-independent)."""
+    bal = SA.balance_undersample(_emb_pos(spark, sf), "pos", seed=42)
+    return bal.groupBy("pos").agg(F.count("*").alias("n"))
+
+
+@query("u5_oversample")
+def q_u5(spark, sf):
+    """U5 — RandomOverSampler parity (py:683-684): minority resampled with
+    replacement toward the majority count (fraction-based, approximate n)."""
+    over = SA.oversample_with_replacement(_emb_pos(spark, sf), "pos", seed=42)
+    return over.groupBy("pos").agg(F.count("*").alias("n"))
+
+
+@query("u6_smote")
+def q_u6(spark, sf):
+    """U6 — SMOTE on LSH-kNN (py:772,814). Invariants: synthetic count =
+    k * |minority|; every synthetic component inside the minority's
+    per-dimension [min, max] envelope (lerp cannot escape it)."""
+    base = _emb_pos(spark, sf)
+    out = SA.smote(
+        base, "vec_id", "embedding", "pos", minority_value=1, k=2, seed=42,
+        threshold=20.0, bucket_length=2.0,
+    )
+    synth = out.filter(F.col("vec_id") < 0)
+    mino = base.filter(F.col("pos") == 1)
+    dims = mino.select(F.posexplode("embedding").alias("dim", "x")).groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    viol = (
+        synth.select(F.posexplode("embedding").alias("dim", "x"))
+        .join(F.broadcast(dims), "dim")
+        .filter((F.col("x") < F.col("lo") - 1e-6) | (F.col("x") > F.col("hi") + 1e-6))
+        .count()
+    )
+    n_min, n_synth = mino.count(), synth.count()
+    return spark.createDataFrame(
+        [(n_min, n_synth, int(viol), bool(n_synth <= 2 * n_min))],
+        "n_minority long, n_synthetic long, n_out_of_envelope long, bounded boolean",
+    )
+
+
+@query("u7_nearmiss", oracle=_BALANCED_COUNTS_SQL)
+def q_u7(spark, sf):
+    """U7 — NearMiss-1 (py:773,816): keeps exactly |minority| majority rows
+    (closest mean-distance to minority) — per-class counts hash-checked."""
+    out = SA.nearmiss(
+        _emb_pos(spark, sf), "vec_id", "embedding", "pos", minority_value=1,
+        k=3, seed=42, threshold=20.0, bucket_length=2.0,
+    )
+    return out.groupBy("pos").agg(F.count("*").alias("n"))
+
+
+@query("u8_random_under")
+def q_u8(spark, sf):
+    """U8 — RandomUnderSampler == U4 with uniform selection (py:773,817);
+    emits post-balance prevalence (0.5 exactly, by construction)."""
+    bal = SA.balance_undersample(_emb_pos(spark, sf), "pos", seed=7)
+    return R.prevalence(bal, "pos")

@@ -1,0 +1,47 @@
+"""Sampling operator invariants (U3-U8): balance, determinism, SMOTE bounds."""
+
+import pyspark.sql.functions as F
+
+from predicting_hospital_readmission_using_mimic_database_spark.operators import sampling as SA
+
+
+def _toy(spark, n_pos=6, n_neg=20):
+    rows = [(i, [float(i % 5), float(i % 3)], 1) for i in range(n_pos)]
+    rows += [(100 + i, [10.0 + i % 7, 5.0 + i % 4], 0) for i in range(n_neg)]
+    return spark.createDataFrame(rows, "id long, arr array<double>, lab int")
+
+
+def test_balance_undersample_exact_counts(spark):
+    df = _toy(spark)
+    out = SA.balance_undersample(df, "lab", seed=1)
+    counts = {r["lab"]: r["n"] for r in out.groupBy("lab").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 6, 1: 6}
+
+
+def test_random_split_partitions_input(spark):
+    df = _toy(spark, 50, 50)
+    tr, te = SA.random_split(df, (0.8, 0.2), seed=3)
+    assert tr.count() + te.count() == 100
+    # disjoint
+    assert tr.join(te, "id", "inner").count() == 0
+
+
+def test_smote_synthetic_in_envelope(spark):
+    df = _toy(spark)
+    out = SA.smote(df, "id", "arr", "lab", minority_value=1, k=2, seed=5,
+                   threshold=50.0, bucket_length=5.0)
+    synth = out.filter(F.col("id") < 0).collect()
+    assert 0 < len(synth) <= 2 * 6
+    # minority values: dim0 in [0,4], dim1 in [0,2]
+    for r in synth:
+        assert -1e-9 <= r["arr"][0] <= 4 + 1e-9
+        assert -1e-9 <= r["arr"][1] <= 2 + 1e-9
+    assert all(r["lab"] == 1 for r in synth)
+
+
+def test_nearmiss_keeps_minority_count(spark):
+    df = _toy(spark)
+    out = SA.nearmiss(df, "id", "arr", "lab", minority_value=1, k=2, seed=5,
+                      threshold=50.0, bucket_length=5.0)
+    counts = {r["lab"]: r["n"] for r in out.groupBy("lab").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 6, 1: 6}
