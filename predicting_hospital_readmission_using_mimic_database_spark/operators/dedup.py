@@ -1,0 +1,323 @@
+"""Deduplication operators for large-scale training-data pipelines
+(north-star surface beyond the reference; BASELINE.json north_star).
+
+Five dedup families, all candidate-pair based — NEVER an all-pairs cross
+join:
+
+- exact: hash-groupBy on a content digest, keep the min-id representative;
+- MinHash LSH: shingle -> MLlib MinHashLSH -> banded approxSimilarityJoin
+  (bucket-collision candidates only) -> drop the higher id of each
+  near-dup pair;
+- SimHash: 64-bit sign-of-weighted-bit-sums signature, near-dups found by
+  BANDING (4x16-bit chunks; Hamming<=3 pairs must collide on >=1 chunk) —
+  an equi-join per band, shuffle on tiny keys;
+- n-gram Jaccard: inverted shingle index (explode + equi-join on shingle)
+  -> exact Jaccard on candidates that share >=1 shingle;
+- embedding cosine: BRP-LSH on L2-normalized vectors (cosine = 1 - d²/2).
+
+Scale posture: every join key here is a digest/bucket, every shuffle is
+key-bounded; the representative-selection groupBys are map-side
+combinable. Skewed buckets (stop-shingles) are capped via document
+frequency filtering before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, id_col: str, content_cols) -> DataFrame:
+    """Exact dedup: keep the min-id row per identical content.
+
+    One shuffle on the md5 digest of the content columns (fixed-width key,
+    no wide-row shuffle), then a semi-join back — original rows pass
+    through untouched.
+    """
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    keep = (
+        df.select(F.col(id_col), digest.alias("__dg"))
+        .groupBy("__dg")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by MinHash + Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a token array, JVM-side: slide an index
+    sequence over the array and join each window with spaces."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " ")
+    )
+
+
+def distinct_shingles(df: DataFrame, id_col: str, tokens_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) exploded DISTINCT pairs — the inverted-index input."""
+    return (
+        df.select(F.col(id_col), F.explode(word_ngrams(F.col(tokens_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n: int = 3,
+    jaccard_threshold: float = 0.7,
+    num_hash_tables: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs (a_id < b_id, jaccard_dist) via MLlib
+    MinHashLSH over hashed-shingle binary vectors.
+
+    ``approxSimilarityJoin`` distance is JACCARD DISTANCE (1 - similarity);
+    pairs above ``jaccard_threshold`` similarity survive. HashingTF keeps
+    the vector width fixed (2^18) regardless of corpus vocabulary.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = df.select(
+        F.col(id_col), word_ngrams(F.col(tokens_col), n).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    tf = HashingTF(inputCol="__sh", outputCol="__vec", binary=True, numFeatures=1 << 18)
+    vec = tf.transform(sh)
+    mh = MinHashLSH(inputCol="__vec", outputCol="__hashes",
+                    numHashTables=num_hash_tables, seed=seed)
+    model = mh.fit(vec)
+    pairs = model.approxSimilarityJoin(
+        vec, vec, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
+    a, b = F.col(f"datasetA.{id_col}"), F.col(f"datasetB.{id_col}")
+    return (
+        pairs.select(a.alias("a_id"), b.alias("b_id"), "jaccard_dist")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .distinct()
+    )
+
+
+def dedup_minhash(
+    df: DataFrame, id_col: str, tokens_col: str, **kwargs
+) -> DataFrame:
+    """Near-dup dedup: drop every row that appears as the HIGHER id of a
+    near-dup pair (min-id representative survives; standard candidate-pair
+    removal — transitive chains collapse to their least id per edge)."""
+    pairs = minhash_dup_pairs(df, id_col, tokens_col, **kwargs)
+    dropped = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+
+#: single-bit masks for the 64 positions; bit 63 is the sign bit of a
+#: two's-complement long (bitwiseAND is position-wise, so masks work where
+#: shift-by-column does not — Spark's shift functions take int literals)
+_BIT_MASKS = [1 << i for i in range(_SIMHASH_BITS - 1)] + [-(1 << (_SIMHASH_BITS - 1))]
+
+
+def simhash_col(tokens: Column, bits: int = _SIMHASH_BITS) -> Column:
+    """64-bit SimHash of a token array as ONE JVM expression:
+
+    each token hashes to 64 bits (xxhash64); signature bit i is the sign of
+    sum over tokens of (2*bit_i(h) - 1). ``aggregate`` accumulates the 64
+    weighted sums into an int array, then the signs fold back into a long
+    by OR-ing the positive positions' masks.
+    """
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS[:bits]])
+    zero = F.array(*[F.lit(0)] * bits)
+    sums = F.aggregate(
+        tokens,
+        zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                mask_arr,
+                lambda m: F.when(F.xxhash64(t).bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            lambda a, bit: a + (bit * 2 - 1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            mask_arr,
+            lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: split the 64-bit signature into
+    ``n_bands`` chunks; any pair within ``max_hamming <= n_bands - 1`` must
+    agree on at least one chunk (pigeonhole), so candidates come from
+    ``n_bands`` equi-joins on 16-bit keys — no pairwise scan. Exact Hamming
+    distance then filters candidates.
+    """
+    width = _SIMHASH_BITS // n_bands
+    sig = df.select(F.col(id_col), simhash_col(F.col(tokens_col)).alias("__sig"))
+    bands = sig.select(
+        id_col,
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("__sig"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "__sig", "bk.band", "bk.key")
+    a = bands.select(
+        F.col(id_col).alias("a_id"), F.col("__sig").alias("__sig_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col(id_col).alias("b_id"), F.col("__sig").alias("__sig_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "__sig_a", "__sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b")))
+    return cand.select(
+        "a_id", "b_id", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted-index candidates)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard over inverted-index candidates.
+
+    1. explode distinct shingles (one shuffle on shingle);
+    2. drop stop-shingles above ``max_doc_freq`` (skew cap: a shingle in
+       half the corpus would otherwise square the candidate set);
+    3. equi-join on shingle -> common-shingle counts per pair;
+    4. jaccard = common / (|A| + |B| - common), filter >= threshold.
+
+    Pairs sharing zero shingles are never materialized.
+    """
+    sh = distinct_shingles(df, id_col, tokens_col, n)
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    a = sh.select(F.col(id_col).alias("a_id"), "shingle")
+    b = sh.select(F.col(id_col).alias("b_id"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("__common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("__sz").alias("__sz_a"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("__sz").alias("__sz_b"))
+    j = (
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("__common")
+            / (F.col("__sz_a") + F.col("__sz_b") - F.col("__common")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "a_id", "b_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    array_col: str,
+    threshold: float = 0.95,
+    bucket_length: float = 0.3,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-identical embeddings via BRP-LSH on L2-NORMALIZED vectors:
+    for unit vectors, euclidean d² = 2(1 - cos), so cosine >= t maps to
+    d <= sqrt(2(1-t)) — an approxSimilarityJoin threshold."""
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    from .similarity import l2_normalize
+
+    norm = df.select(
+        F.col(id_col), l2_normalize(F.col(array_col)).alias("__arr")
+    ).filter(F.col("__arr").isNotNull())
+    from pyspark.ml.functions import array_to_vector
+
+    vec = norm.withColumn("__v", array_to_vector(F.col("__arr").cast("array<double>")))
+    brp = BucketedRandomProjectionLSH(
+        inputCol="__v", outputCol="__h", bucketLength=bucket_length,
+        numHashTables=num_hash_tables, seed=seed,
+    )
+    model = brp.fit(vec)
+    dist = math.sqrt(max(2.0 * (1.0 - threshold), 0.0))
+    pairs = model.approxSimilarityJoin(vec, vec, dist, distCol="__d")
+    a, b = F.col(f"datasetA.{id_col}"), F.col(f"datasetB.{id_col}")
+    return (
+        pairs.select(
+            a.alias("a_id"),
+            b.alias("b_id"),
+            F.round(1.0 - F.col("__d") * F.col("__d") / 2.0, 6).alias("cosine"),
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .distinct()
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines (north-star
+surface): language-ID, quality scoring, token counting, document
+fingerprinting.
+
+Everything here is a single JVM-side column expression (whole-stage
+codegen; no UDFs) and therefore SQL-expressible — every operator gets an
+exact DuckDB oracle in qdefs_llm. Cross-engine digest: md5 (the one hash
+both engines implement identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+# marker stopwords per language — tiny n-gram-ish heuristic lists; the
+# language whose markers appear most wins (deterministic tiebreak by the
+# fixed order below, via strictly-greater comparison on a reversed scan)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "les", "de", "et", "un", "est", "que"),
+}
+
+
+def _marker_count(tokens: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    toks = tokenize(F.lower(text))
+    return {lang: _marker_count(toks, m) for lang, m in LANG_MARKERS.items()}
+
+
+def language_id(text: Column, default: str = "und") -> Column:
+    """Best-guess language: argmax of marker-word hits; ``default`` when no
+    marker hits at all. Ties resolve to the FIRST language in LANG_MARKERS
+    order (first-match-wins CASE against the max score)."""
+    scores = language_scores(text)
+    max_s = F.greatest(*scores.values())
+    out = None
+    for lang in LANG_MARKERS:
+        cond = scores[lang] == max_s
+        out = F.when(cond, F.lit(lang)) if out is None else out.when(cond, F.lit(lang))
+    return F.when(max_s == 0, F.lit(default)).otherwise(out.otherwise(F.lit(default)))
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Token count by whitespace runs (the cheap estimator)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored token estimate: count word pieces AND punctuation
+    marks separately (a GPT-style tokenizer splits both), via regexp_count
+    of word-runs + non-space-non-word runs."""
+    return F.regexp_count(text, F.lit(r"\w+")) + F.regexp_count(
+        text, F.lit(r"[^\w\s]")
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    return F.when(n > 0, F.regexp_count(text, F.lit(r"[^\w\s]")) / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, markers: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    toks = tokenize(F.lower(text))
+    return F.when(
+        F.size(toks) > 0, _marker_count(toks, markers) / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokenize(text)
+    return F.when(
+        F.size(toks) > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    sane mean word length + some stopwords. Weights are engine-defined
+    (documented constants), mirrored exactly in the oracle SQL."""
+    n = F.length(text)
+    len_ok = F.when((n >= 50) & (n <= 20000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) < 0.2, 1.0).otherwise(0.0)
+    mwl = mean_word_length(text)
+    mwl_ok = F.when((mwl >= 3.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(text) > 0.0, 1.0).otherwise(0.0)
+    return F.round(
+        (len_ok * 0.4 + punct_ok * 0.2 + mwl_ok * 0.2 + stop_ok * 0.2), 6
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Whole-document fingerprint: md5 of whitespace-normalized lowercase
+    text — byte-identical across engines."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def fingerprint_kgram_min(text: Column, k: int = 8) -> Column:
+    """Winnowing-style rolling fingerprint: minimum md5 over all k-char
+    grams of the normalized text (shift-invariant under local edits away
+    from the minimizing window). Whole expression JVM-side."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+    return F.array_min(F.transform(idx, lambda i: F.md5(F.substring(norm, i, k))))

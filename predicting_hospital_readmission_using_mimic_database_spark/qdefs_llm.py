@@ -1,0 +1,386 @@
+"""LLM-data-pipeline query definitions (north-star surface,
+BASELINE.json): dedup (exact / MinHash LSH / SimHash / n-gram Jaccard /
+embedding cosine), similarity search (brute-force + LSH ANN), text
+analysis (language-ID / quality / token counts / fingerprints), and
+multimodal plumbing.
+
+Planted-duplicate fixtures: the harness corpus has no duplicates, so
+entries UNION deterministic copies (re-numbered ids, optionally perturbed)
+before deduplicating — both engines build the identical planted corpus, so
+exact oracles still hold. Approximate operators (MinHash, SimHash bands,
+LSH ANN) are rows-only with planted-recall invariants; everything
+deterministic (exact dedup, Jaccard pairs, cosine pairs, brute-force kNN,
+text stats, fingerprints) is hash-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.text import tokenize
+from .operators import dedup as DD
+from .operators import multimodal as MM
+from .operators import similarity as SI
+from .operators import textstats as TS
+from .qdefs_text import _NOISE, _NOISE_SQL
+from .registry import query
+from .sources.io import read_table
+
+
+def _docs(spark, sf):
+    return read_table(spark, sf, "documents")
+
+
+def _emb(spark, sf):
+    return read_table(spark, sf, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+#: ids of planted copies sit far above any real doc_id
+_COPY_OFFSET = 1_000_000
+
+
+def _docs_with_exact_copies(spark, sf, n_copies: int = 25):
+    d = _docs(spark, sf).select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") < n_copies).select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text"
+    )
+    return d.unionByName(copies)
+
+
+_DOCS_COPIES_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_COPY_OFFSET} AS doc_id, text
+    FROM documents WHERE doc_id < 25
+"""
+
+
+@query(
+    "d1_dedup_exact",
+    oracle=f"""
+    WITH u AS ({_DOCS_COPIES_SQL}),
+    keep AS (SELECT min(doc_id) AS doc_id FROM u GROUP BY md5(text))
+    SELECT u.doc_id FROM u JOIN keep USING (doc_id)
+    """,
+)
+def q_d1(spark, sf):
+    """Exact dedup on planted copies: min-id representative per digest —
+    every planted copy drops, every original survives."""
+    u = _docs_with_exact_copies(spark, sf)
+    return DD.dedup_exact(u, "doc_id", ["text"]).select("doc_id")
+
+
+def _tokens(df):
+    return df.withColumn("tokens", tokenize(F.lower(F.col("text"))))
+
+
+@query("d2_dedup_minhash_lsh")
+def q_d2(spark, sf):
+    """MinHash-LSH near-dup dedup (approx -> rows-only): planted exact
+    copies MUST be caught (identical shingle sets collide in every band).
+    Emits planted-recall + corpus survival invariants."""
+    u = _tokens(_docs_with_exact_copies(spark, sf))
+    kept = DD.dedup_minhash(
+        u, "doc_id", "tokens", jaccard_threshold=0.8, num_hash_tables=5, seed=42
+    )
+    n_in = u.count()
+    n_kept = kept.count()
+    planted_left = kept.filter(F.col("doc_id") >= _COPY_OFFSET).count()
+    return spark.createDataFrame(
+        [(n_in, n_kept, planted_left, bool(planted_left == 0))],
+        "n_input long, n_kept long, planted_survivors long, planted_all_caught boolean",
+    )
+
+
+@query("d3_dedup_simhash")
+def q_d3(spark, sf):
+    """SimHash banding near-dup (approx -> rows-only): identical texts have
+    identical signatures (hamming 0), so every planted pair is found."""
+    u = _tokens(_docs_with_exact_copies(spark, sf))
+    pairs = DD.simhash_dup_pairs(u, "doc_id", "tokens", max_hamming=3)
+    planted_found = pairs.filter(
+        (F.col("b_id") - F.col("a_id") == _COPY_OFFSET) & (F.col("hamming") == 0)
+    ).count()
+    return spark.createDataFrame(
+        [(pairs.count(), planted_found, bool(planted_found == 25))],
+        "n_pairs long, planted_found long, planted_all_found boolean",
+    )
+
+
+_TOKENS_SQL = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')"
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len({t}) - 2, 0)), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]))"
+).format(t=_TOKENS_SQL)
+
+
+@query(
+    "d4_ngram_jaccard",
+    oracle=f"""
+    WITH u AS ({_DOCS_COPIES_SQL}),
+    s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM u),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             len(list_intersect(a.sh, b.sh)) AS common,
+             len(a.sh) AS sa, len(b.sh) AS sb
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+    )
+    SELECT a_id, b_id,
+           round(common / CAST(sa + sb - common AS DOUBLE), 6) AS jaccard
+    FROM pairs
+    WHERE common / CAST(sa + sb - common AS DOUBLE) >= 0.6
+    """,
+)
+def q_d4(spark, sf):
+    """EXACT n-gram Jaccard near-dup pairs — inverted-index candidates on
+    Spark, brute-force ground truth on DuckDB; identical pair sets."""
+    u = _tokens(_docs_with_exact_copies(spark, sf))
+    return DD.jaccard_dup_pairs(
+        u, "doc_id", "tokens", n=3, threshold=0.6, max_doc_freq=None
+    )
+
+
+def _emb_with_copies(spark, sf, n_copies: int = 10):
+    e = _emb(spark, sf).select("vec_id", "embedding")
+    copies = e.filter(F.col("vec_id") < n_copies).select(
+        (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"), "embedding"
+    )
+    return e.unionByName(copies)
+
+
+_EMB_COPIES_SQL = f"""
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_COPY_OFFSET} AS vec_id, embedding
+    FROM embeddings WHERE vec_id < 10
+"""
+
+
+@query(
+    "d5_dedup_cosine",
+    oracle=f"""
+    WITH u AS ({_EMB_COPIES_SQL})
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(CAST(list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 6) AS cosine
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95
+    """,
+)
+def q_d5(spark, sf):
+    """Embedding-cosine near-dup pairs via BRP-LSH on normalized vectors —
+    planted identical vectors are the only pairs above 0.95 (random 64-dim
+    embeddings are near-orthogonal), so the approximate candidate set
+    equals the exact one and the oracle is exact."""
+    u = _emb_with_copies(spark, sf)
+    return DD.cosine_dup_pairs(
+        u, "vec_id", "embedding", threshold=0.95, bucket_length=1.0,
+        num_hash_tables=4, seed=42,
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+_PROBE = [1.0] + [0.0] * (_DIM - 1)
+_PROBE_SQL = "[" + ", ".join(str(float(v)) for v in _PROBE) + "]"
+
+
+@query(
+    "n1_knn_bruteforce",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id,
+             round(CAST(list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]), {_PROBE_SQL}) AS DOUBLE), 6) AS cosine
+      FROM embeddings
+    )
+    SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def q_n1(spark, sf):
+    """Brute-force cosine top-10 for a fixed probe — TakeOrderedAndProject
+    (per-partition heaps), exact oracle."""
+    return SI.topk_bruteforce(_emb(spark, sf), "vec_id", "embedding", _PROBE, k=10)
+
+
+@query("n2_knn_lsh")
+def q_n2(spark, sf):
+    """LSH ANN top-10 (approx -> rows-only): recall@10 measured in-engine
+    against the exact brute force."""
+    e = _emb(spark, sf)
+    exact = SI.topk_bruteforce(e, "vec_id", "embedding", _PROBE, k=10)
+    ann = SI.topk_lsh(
+        e, "vec_id", "embedding", _PROBE, k=10, bucket_length=1.0,
+        num_hash_tables=4, seed=42,
+    )
+    hit = ann.join(exact.select("vec_id"), "vec_id", "left_semi").count()
+    return spark.createDataFrame(
+        [(ann.count(), hit, float(hit) / 10.0)],
+        "n_ann long, n_overlap_exact long, recall_at_10 double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_NOISY_SQL = f"text || {_NOISE_SQL}"
+
+
+def _noisy():
+    return F.concat(F.col("text"), F.lit(_NOISE))
+
+
+@query(
+    "x1_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length({_NOISY_SQL}) AS n_chars,
+           CASE WHEN trim({_NOISY_SQL}) = '' THEN 0
+                ELSE len(string_split_regex(trim({_NOISY_SQL}), '\\s+')) END AS ws_tokens,
+           len(regexp_extract_all({_NOISY_SQL}, '\\w+'))
+             + len(regexp_extract_all({_NOISY_SQL}, '[^\\w\\s]')) AS bpe_tokens,
+           round(len(regexp_extract_all({_NOISY_SQL}, '[^\\w\\s]'))
+                 / CAST(length({_NOISY_SQL}) AS DOUBLE), 6) AS punct_ratio
+    FROM documents
+    """,
+)
+def q_x1(spark, sf):
+    """Token counting + punctuation stats, one JVM pass (noise-injected so
+    punctuation paths execute)."""
+    t = _noisy()
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        TS.whitespace_token_count(t).cast("long").alias("ws_tokens"),
+        TS.bpe_ish_token_count(t).cast("long").alias("bpe_tokens"),
+        F.round(TS.punct_ratio(t), 6).alias("punct_ratio"),
+    )
+
+
+_MARKER_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in TS.LANG_MARKERS.items()
+}
+_SCORE_SQL = {
+    lang: f"len(list_filter({_TOKENS_SQL}, t -> list_contains({ml}, t)))"
+    for lang, ml in _MARKER_SQL.items()
+}
+_MAX_SQL = "greatest(" + ", ".join(_SCORE_SQL.values()) + ")"
+_LANG_CASE_SQL = (
+    "CASE WHEN " + _MAX_SQL + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN {_SCORE_SQL[lang]} = {_MAX_SQL} THEN '{lang}'"
+        for lang in TS.LANG_MARKERS
+    )
+    + " ELSE 'und' END"
+)
+
+
+@query(
+    "x2_language_id",
+    oracle=f"""
+    SELECT doc_id, {_LANG_CASE_SQL} AS lang_guess,
+           CAST({_MAX_SQL} AS INT) AS marker_hits
+    FROM documents
+    """,
+)
+def q_x2(spark, sf):
+    """Marker-word language-ID heuristic — argmax with first-match-wins
+    tiebreak, identical CASE chain on both engines."""
+    d = _docs(spark, sf)
+    scores = TS.language_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        TS.language_id(F.col("text")).alias("lang_guess"),
+        F.greatest(*scores.values()).cast("int").alias("marker_hits"),
+    )
+
+
+@query(
+    "x3_fingerprint",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(norm) AS fp_md5,
+           list_min(list_transform(
+             generate_series(1, greatest(length(norm) - 7, 1)),
+             i -> md5(substr(norm, i, 8)))) AS fp_kgram_min
+    FROM n
+    """,
+)
+def q_x3(spark, sf):
+    """Document fingerprints: whole-doc md5 + winnowing-style min-md5 over
+    8-grams — byte-identical across engines (md5 is the shared digest)."""
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        TS.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        TS.fingerprint_kgram_min(F.col("text"), k=8).alias("fp_kgram_min"),
+    )
+
+
+@query("x4_quality_score")
+def q_x4(spark, sf):
+    """Composite quality heuristic (rows-only: weights are engine-defined;
+    the components are oracle-checked via x1)."""
+    d = _docs(spark, sf)
+    out = d.select(
+        "doc_id", TS.quality_score(F.col("text")).alias("quality")
+    )
+    return out.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+        F.min("quality").alias("min_q"),
+        F.max("quality").alias("max_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query("mm1_multimodal_decode")
+def q_mm1(spark, sf):
+    """Binary-column decode plumbing (rows-only): synthetic blob manifest ->
+    mapInPandas feature extraction (Arrow-batched); invariants: row count
+    preserved, feature dim fixed, byte counts positive."""
+    blobs = MM.synthetic_blobs(spark, n=64)
+    feats = MM.decode_stub_features(blobs)
+    return feats.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("media_type").alias("n_media_types"),
+        F.min(F.size("features")).alias("min_dim"),
+        F.max(F.size("features")).alias("max_dim"),
+        F.min("n_bytes").alias("min_bytes"),
+    )
+
+
+@query(
+    "mm2_frame_sample",
+    oracle="""
+    SELECT i AS asset_id,
+           unnest(generate_series(0, 1000 * (1 + i % 30) - 1, 500)) AS frame_ts_ms
+    FROM range(64) t(i) WHERE i % 3 = 2
+    """,
+)
+def q_mm2(spark, sf):
+    """Video frame-sampling plan (exact oracle: the synthetic manifest's
+    durations are a closed-form function of asset_id)."""
+    blobs = MM.synthetic_blobs(spark, n=64)
+    return MM.frame_sample_plan(blobs, every_ms=500)

@@ -1,0 +1,101 @@
+"""LLM-pipeline operator tests: dedup semantics, similarity exactness,
+text stats, multimodal plumbing."""
+
+import pytest
+import pyspark.sql.functions as F
+
+from predicting_hospital_readmission_using_mimic_database_spark.operators import dedup as DD
+from predicting_hospital_readmission_using_mimic_database_spark.operators import multimodal as MM
+from predicting_hospital_readmission_using_mimic_database_spark.operators import similarity as SI
+from predicting_hospital_readmission_using_mimic_database_spark.operators import textstats as TS
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "same"), (1, "same"), (2, "other")], "id long, text string"
+    )
+    out = sorted(r["id"] for r in DD.dedup_exact(df, "id", ["text"]).collect())
+    assert out == [1, 2]
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([(["a", "b", "c", "d"],)], "toks array<string>")
+    out = df.select(DD.word_ngrams(F.col("toks"), 3).alias("sh")).collect()[0]["sh"]
+    assert out == ["a b c", "b c d"]
+
+
+def test_simhash_identical_texts_equal_sigs(spark):
+    df = spark.createDataFrame(
+        [(1, ["x", "y", "z"]), (2, ["x", "y", "z"]), (3, ["q", "r", "s"])],
+        "id long, toks array<string>",
+    )
+    sigs = {r["id"]: r["s"] for r in df.select("id", DD.simhash_col(F.col("toks")).alias("s")).collect()}
+    assert sigs[1] == sigs[2] and sigs[1] != sigs[3]
+
+
+def test_jaccard_pairs_exact_value(spark):
+    # doc1/doc2 share 2 of 3 shingles each -> jaccard = 2/4 = 0.5
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d", "e"]), (2, ["a", "b", "c", "d", "x"])],
+        "id long, toks array<string>",
+    )
+    pairs = DD.jaccard_dup_pairs(df, "id", "toks", n=3, threshold=0.1, max_doc_freq=None).collect()
+    assert len(pairs) == 1
+    assert abs(pairs[0]["jaccard"] - 2 / 4) < 1e-9
+
+
+def test_topk_bruteforce_exact_order(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.8, 0.6]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "id long, e array<double>")
+    out = SI.topk_bruteforce(df, "id", "e", [1.0, 0.0], k=3).collect()
+    assert [r["id"] for r in out] == [1, 2, 3]
+    assert out[0]["cosine"] == 1.0 and abs(out[1]["cosine"] - 0.8) < 1e-6
+
+
+def test_language_id_markers(spark):
+    rows = [
+        (1, "the cat and the dog is in that house"),
+        (2, "der hund und die katze ist nicht da"),
+        (3, "zz qq ww"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r["lg"] for r in df.select("id", TS.language_id(F.col("text")).alias("lg")).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "hello world, it's me!")], "id long, text string")
+    out = df.select(
+        TS.whitespace_token_count(F.col("text")).alias("ws"),
+        TS.bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).collect()[0]
+    assert out["ws"] == 4
+    # words: hello, world, it, s, me = 5; punct: , ' ! = 3
+    assert out["bpe"] == 8
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different text")],
+        "id long, text string",
+    )
+    fps = {r["id"]: r["fp"] for r in df.select("id", TS.fingerprint_md5(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_multimodal_decode_plumbing(spark):
+    blobs = MM.synthetic_blobs(spark, n=12)
+    feats = MM.decode_stub_features(blobs).collect()
+    assert len(feats) == 12
+    assert all(len(r["features"]) == MM.FEATURE_DIM for r in feats)
+    # deterministic: same content -> same features
+    one = MM.decode_stub_features(blobs.filter(F.col("asset_id") == 0)).collect()[0]
+    assert one["features"] == MM.fake_decoder(
+        blobs.filter(F.col("asset_id") == 0).collect()[0]["content"]
+    )
+
+
+def test_multimodal_real_codec_is_marked_stub(spark):
+    blobs = MM.synthetic_blobs(spark, n=3)
+    with pytest.raises(NotImplementedError):
+        MM.decode_stub_features(blobs, real_codec=True)
