@@ -49,7 +49,7 @@ def load_all() -> dict[str, QueryDef]:
         # Optional modules: skip only when genuinely absent. An ImportError
         # raised INSIDE an existing module propagates loudly rather than
         # silently dropping a whole query family from CORRECTNESS.
-        for mod in ("qdefs_text", "qdefs_ml", "qdefs_llm"):
+        for mod in ("qdefs_text", "qdefs_ml", "qdefs_llm", "qdefs_streaming"):
             if importlib.util.find_spec(f"{__package__}.{mod}") is not None:
                 importlib.import_module(f"{__package__}.{mod}")
         _LOADED = True

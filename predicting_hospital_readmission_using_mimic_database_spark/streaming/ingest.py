@@ -1,0 +1,176 @@
+"""Structured Streaming ingest of the ``events`` table (SURVEY.md §7
+phase 5; north-star streaming surface).
+
+Two streaming operators:
+
+- :func:`windowed_event_counts` — tumbling/sliding event-time windows with
+  a watermark (late data beyond the watermark is dropped, state is
+  finalized and evicted — bounded state at any input rate);
+- :func:`readmit_labels_stream` — the flagship readmission label computed
+  INCREMENTALLY as a custom stateful operator (``applyInPandasWithState``
+  keyed by user): batch semantics are "next event with an unplanned type
+  at-or-after each event" (lead -> elective-null-out -> backfill,
+  plans/readmission.py); the streaming form holds each user's
+  not-yet-resolved events in state and resolves them the moment a later
+  unplanned event arrives. Emitted rows match the batch operator exactly
+  for every event whose successor has arrived (the tail stays pending —
+  exactly the rows whose label the batch can't know either).
+
+Scale posture: state is per-user and shrinks on every unplanned arrival;
+the shuffle key is ``user_id`` (same key as the batch window — co-located
+with the batch plan's partitioning). Arrow-batched pandas state handler,
+no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.io import read_table
+
+#: planned-readmission event type excluded from labels (plans/readmission.py
+#: maps the reference's ELECTIVE admissions to 'signup' on harness data)
+PLANNED_TYPE = "signup"
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),  # TIMESTAMP(NANOS) as int64
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, dir_path: str) -> DataFrame:
+    """File-source stream over a directory of event parquet files (each new
+    file = a micro-batch). Converts the nanosecond int64 ``ts`` exactly as
+    the batch reader does."""
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir_path)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` differs) event-time window
+    counts per event type, watermarked so late rows beyond ``watermark``
+    are dropped and window state is evicted."""
+    w = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+LABEL_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("ts_us", LongType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("next_unplanned_us", LongType(), False),
+        StructField("gap_days", DoubleType(), False),
+        StructField("readmit_30d", IntegerType(), False),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("ev_ids", ArrayType(LongType()), True),
+        StructField("ts_us", ArrayType(LongType()), True),
+        StructField("types", ArrayType(StringType()), True),
+    ]
+)
+
+
+def _label_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Per-user state handler: pending = events awaiting their next
+    unplanned successor. Each arriving event (in ts order) resolves ALL
+    pending events older than it iff its type is unplanned — emitting the
+    exact batch label (gap in fractional days from integer µs)."""
+    (user_id,) = key
+    if state.exists:
+        ev_ids, ts_us, types = state.get
+        pending = list(zip(ev_ids, ts_us, types))
+    else:
+        pending = []
+
+    out_rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for r in pdf.itertuples(index=False):
+            ts_us_new = int(r.ts.value // 1000)  # pandas ns -> µs
+            if r.event_type != PLANNED_TYPE and pending:
+                for pid, pus, ptype in pending:
+                    gap = (ts_us_new - pus) / 86400.0e6
+                    out_rows.append(
+                        (pid, user_id, pus, ptype, ts_us_new, gap, int(gap < 30))
+                    )
+                pending = []
+            pending.append((int(r.event_id), ts_us_new, str(r.event_type)))
+
+    state.update(
+        (
+            [p[0] for p in pending],
+            [p[1] for p in pending],
+            [p[2] for p in pending],
+        )
+    )
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows,
+            columns=[
+                "event_id", "user_id", "ts_us", "event_type",
+                "next_unplanned_us", "gap_days", "readmit_30d",
+            ],
+        )
+
+
+def readmit_labels_stream(events: DataFrame) -> DataFrame:
+    """Incremental readmission labels (custom stateful operator).
+
+    Emits one row per event as soon as its next unplanned successor
+    arrives; events still waiting stay in per-user state (the batch plan
+    labels those NULL/0 only because it sees the end of input)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _label_state_fn,
+        outputStructType=LABEL_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
