@@ -117,6 +117,7 @@ def positional_join(
     left_order: Sequence[str],
     right_order: Sequence[str],
     how: str = "inner",
+    suffixes: tuple[str, str] = ("_caller", "_other"),
 ) -> DataFrame:
     """J5/J6 — pandas index-alignment joins (py:172, py:332) generalized.
 
@@ -126,13 +127,23 @@ def positional_join(
     — e.g. the pivot keeps its key (J5) and CountVectorizer emits a column
     (J6) — but the operator exists for parity.)
 
+    J6: columns present on BOTH sides are disambiguated with ``suffixes``
+    (pandas ``lsuffix``/``rsuffix`` parity, py:332).
+
     Scale note: positions are assigned DISTRIBUTED — never a global
     single-partition window. See :func:`global_index` (two-pass
     zipWithIndex-style numbering: range-partition by the sort keys, number
     locally, then add broadcast per-partition offsets).
     """
-    ln = global_index(left, left_order, out="__pos")
-    rn = global_index(right, right_order, out="__pos")
+    overlap = set(left.columns) & set(right.columns)
+    ls, rs = suffixes
+    for c in overlap:
+        left = left.withColumnRenamed(c, f"{c}{ls}")
+        right = right.withColumnRenamed(c, f"{c}{rs}")
+    lo = [f"{c}{ls}" if c in overlap else c for c in left_order]
+    ro = [f"{c}{rs}" if c in overlap else c for c in right_order]
+    ln = global_index(left, lo, out="__pos")
+    rn = global_index(right, ro, out="__pos")
     return ln.join(rn, "__pos", how).drop("__pos")
 
 
@@ -170,7 +181,7 @@ def global_index(df: DataFrame, order: Sequence[str], out: str = "__pos") -> Dat
     return (
         sdf.join(F.broadcast(offsets), "__pid")
         .withColumn(out, (F.col("__local") + F.col("__off")).cast("long"))
-        .drop("__pid", "__local")
+        .drop("__pid", "__local", "__off")
     )
 
 

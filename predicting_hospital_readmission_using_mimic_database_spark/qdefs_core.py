@@ -761,3 +761,25 @@ def q_u8(spark, sf):
     emits post-balance prevalence (0.5 exactly, by construction)."""
     bal = SA.balance_undersample(_emb_pos(spark, sf), "pos", seed=7)
     return R.prevalence(bal, "pos")
+
+
+@query(
+    "j6_positional_join_suffixes",
+    oracle="""
+    SELECT c_custkey AS c_custkey_caller, c_acctbal,
+           c_custkey AS c_custkey_other, c_mktsegment
+    FROM customer
+    """,
+)
+def q_j6(spark, sf):
+    """J6 — positional join with pandas-style suffix disambiguation
+    (py:332): both sides ordered by the same unique key, so aligned rows
+    are the same entity and the oracle is a self-projection."""
+    c = read_table(spark, sf, "customer")
+    return R.positional_join(
+        c.select("c_custkey", "c_acctbal"),
+        c.select("c_custkey", "c_mktsegment"),
+        ["c_custkey"],
+        ["c_custkey"],
+        suffixes=("_caller", "_other"),
+    )

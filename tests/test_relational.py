@@ -103,3 +103,25 @@ def test_global_index_is_dense_and_ordered(spark):
     out = R.global_index(df, ["k"], out="pos").collect()
     assert sorted(r["pos"] for r in out) == list(range(1, 201))
     assert all(r["pos"] == r["k"] for r in out)  # order matches sort key
+
+
+def test_positional_join_suffixes(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    b = spark.createDataFrame([(10, "p"), (20, "q")], "k int, w string")
+    out = R.positional_join(a, b, ["k"], ["k"])
+    assert set(out.columns) == {"k_caller", "v", "k_other", "w"}
+    got = sorted((r["k_caller"], r["k_other"]) for r in out.collect())
+    assert got == [(1, 10), (2, 20)]
+
+
+def test_sinks_roundtrip(tmp_path, spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.io import write_csv, write_parquet
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    pq = str(tmp_path / "pq")
+    cv = str(tmp_path / "cv")
+    write_parquet(df, pq)
+    write_csv(df, cv)
+    assert sorted(r["id"] for r in spark.read.parquet(pq).collect()) == [1, 2]
+    back = spark.read.option("header", True).csv(cv)
+    assert sorted(r["id"] for r in back.collect()) == ["1", "2"]
