@@ -156,6 +156,13 @@ def _score_groups(
     g = base.groupBy("score").agg(
         F.sum("pos").alias("p"), F.sum(1 - F.col("pos")).alias("f")
     )
+    # the curve plan fans out into three consumers (cumsum main branch,
+    # per-partition offsets, totals); without this cache each branch
+    # re-scans the INPUT — at 100 TB that is three full reads of the fact
+    # table to rebuild a per-score frame that is tiny by construction.
+    # Caching the aggregate is the same physical decision SURVEY §4.2
+    # makes for ML sweeps (cache small, reused intermediates).
+    g = g.cache()
     return partitioned_cumsum(g, ["score"], ["p", "f"], descending=True)
 
 

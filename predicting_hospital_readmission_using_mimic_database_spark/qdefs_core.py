@@ -633,6 +633,10 @@ def q_c7(spark, sf):
 )
 def q_c9(spark, sf):
     vc = R.value_counts(read_table(spark, sf, "customer"), "c_mktsegment")
+    # INVARIANT: the empty-frame window runs AFTER value_counts, whose
+    # cardinality is the segment count (single digits at any sf) — never
+    # use this idiom pre-aggregation; on a big frame the global window is
+    # a single-partition sink (prefer a scalar agg + broadcast cross-join)
     total = Window.partitionBy()
     return vc.withColumn("pct", SC.pct_round(F.col("count"), F.sum("count").over(total)))
 
@@ -659,7 +663,10 @@ def q_u1(spark, sf):
 
 @query("u2_full_shuffle", oracle="SELECT * FROM events")
 def q_u2(spark, sf):
-    # seeded full shuffle (py:424); same multiset, order-insensitive compare
+    # seeded full shuffle (py:424); same multiset, order-insensitive compare.
+    # This is pandas PARITY (a global range sort on rand) — engine code that
+    # just needs rows redistributed should use sampling.shuffle_rows (a
+    # rand-keyed repartition: one shuffle, no sort, no range exchange).
     return _events(spark, sf).orderBy(F.rand(42))
 
 
