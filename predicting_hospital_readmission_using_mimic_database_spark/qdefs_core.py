@@ -790,3 +790,46 @@ def q_j6(spark, sf):
         ["c_custkey"],
         suffixes=("_caller", "_other"),
     )
+
+
+@query(
+    "w4b_forward_fill",
+    oracle=f"""
+    WITH led AS ({_LEAD_SQL}),
+    nulled AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN next_type = 'signup' THEN NULL ELSE next_ts END AS v
+      FROM led
+    )
+    SELECT event_id,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_ffill
+    FROM nulled
+    """,
+)
+def q_w4b(spark, sf):
+    """forward_fill (ffill twin of W4): last non-null at-or-before each row."""
+    led = _lead_events(spark, sf)
+    nulled = led.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("next_type") == "signup", F.lit(None)).otherwise(F.col("next_ts")).alias("v"),
+    )
+    out = R.forward_fill(nulled, "v", ["user_id"], ["ts", "event_id"], out="v_ffill")
+    return out.select("event_id", "v_ffill")
+
+
+@query("a2b_approx_count_distinct")
+def q_a2b(spark, sf):
+    """A2 scale variant — HLL sketch count-distinct (rows-only: the sketch
+    estimate is engine-specific; invariant: within 5% of exact)."""
+    li = read_table(spark, sf, "lineitem")
+    approx = R.count_distinct(li, "l_partkey", approx=True)
+    exact = R.count_distinct(li, "l_partkey", approx=False)
+    a = approx.collect()[0]["n_distinct"]
+    x = exact.collect()[0]["n_distinct"]
+    return spark.createDataFrame(
+        [(int(a), int(x), bool(abs(a - x) <= 0.05 * x))],
+        "approx long, exact long, within_5pct boolean",
+    )

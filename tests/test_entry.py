@@ -25,3 +25,18 @@ def test_queries_runnable_at_smoke_scale(spark):
     for name, fn in entrymod.queries().items():
         df = fn(spark, SF_SMOKE)
         assert df.schema is not None, name
+
+
+def test_sql_entry_point_over_views(spark):
+    """SURVEY §3.1: the same tables answer spark.sql queries via views."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.io import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", names=("events", "customer"))
+    out = spark.sql("""
+        SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """).collect()
+    assert sum(r["n"] for r in out) == spark.table("events").count()
+    j = spark.sql("""
+        SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment
+    """)
+    assert j.count() > 0
