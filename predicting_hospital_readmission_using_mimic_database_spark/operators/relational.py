@@ -101,6 +101,31 @@ def join(
     return left.join(r, on=list(on) if not isinstance(on, str) else on, how=how)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    salt: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (skewed) LEFT side's keys into
+    ``salt`` sub-keys and replicate the right side once per salt value, so
+    a hot key's rows spread over ``salt`` tasks instead of one straggler.
+
+    AQE's skew-join split handles most cases at runtime
+    (session.py enables it); this explicit form is for the pathological
+    key that still overwhelms a single split, and as the documented
+    pattern for engines without AQE. Result == plain ``join``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    ls = left.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
+    rs = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return ls.join(rs, [*keys, "__salt"], how).drop("__salt")
+
+
 def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
     """J7 — complement by key (py:431 ``df.drop(df_test.index)``)."""
     return join(left, right, on, how="left_anti")

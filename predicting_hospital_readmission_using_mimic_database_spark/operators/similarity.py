@@ -104,6 +104,51 @@ def topk_bruteforce_many(
     )
 
 
+def topk_ivf(
+    df: DataFrame,
+    id_col: str,
+    array_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+):
+    """IVF-Flat ANN: KMeans-partition the corpus into ``n_cells`` inverted
+    lists, probe the ``n_probe`` cells nearest the query, exact-rank only
+    their members.
+
+    The scale path for repeated queries: cell assignment is computed once
+    (and in production persisted, partitioned BY cell so a probe prunes
+    file partitions); each query then scans n_probe/n_cells of the data.
+    Centroids are tiny (n_cells x dim) — ranked driver-side.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    norm = df.select(
+        F.col(id_col),
+        F.col(array_col).alias("__orig"),
+        l2_normalize(F.col(array_col)).alias("__arr"),
+    ).filter(F.col("__arr").isNotNull())
+    vec = norm.withColumn("__v", array_to_vector(F.col("__arr").cast("array<double>")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
+    model = km.fit(vec)
+    assigned = model.transform(vec)
+
+    qv = np.asarray(query, dtype=float)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    centers = model.clusterCenters()
+    order = np.argsort([float(np.linalg.norm(np.asarray(c) - qn)) for c in centers])
+    probe_cells = [int(c) for c in order[:n_probe]]
+
+    cand = assigned.filter(F.col("__cell").isin(probe_cells))
+    return topk_bruteforce(
+        cand.select(id_col, F.col("__orig").alias(array_col)), id_col, array_col, query, k
+    )
+
+
 def topk_lsh(
     df: DataFrame,
     id_col: str,

@@ -384,3 +384,21 @@ def q_mm2(spark, sf):
     durations are a closed-form function of asset_id)."""
     blobs = MM.synthetic_blobs(spark, n=64)
     return MM.frame_sample_plan(blobs, every_ms=500)
+
+
+@query("n3_knn_ivf")
+def q_n3(spark, sf):
+    """IVF-Flat ANN top-10 (approx -> rows-only): recall@10 against the
+    exact brute force. n_probe trades recall for scan fraction: on this
+    corpus 4/16 cells -> 0.7, 6/16 -> 0.9, 8/16 -> 1.0 (half the scan of
+    brute force at full recall)."""
+    e = _emb(spark, sf)
+    exact = SI.topk_bruteforce(e, "vec_id", "embedding", _PROBE, k=10)
+    ivf = SI.topk_ivf(
+        e, "vec_id", "embedding", _PROBE, k=10, n_cells=16, n_probe=8, seed=42
+    )
+    hit = ivf.join(exact.select("vec_id"), "vec_id", "left_semi").count()
+    return spark.createDataFrame(
+        [(ivf.count(), hit, float(hit) / 10.0)],
+        "n_ivf long, n_overlap_exact long, recall_at_10 double",
+    )

@@ -78,6 +78,25 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols,
+    n_buckets: int = 32,
+    sort_cols=None,
+    path: str | None = None,
+) -> None:
+    """Bucketed managed-table sink: joins/aggs on ``bucket_cols`` between
+    tables bucketed the same way need NO shuffle (co-located by bucket id).
+    The scale-out prep step for repeatedly-joined fact tables."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """S5 parity sink (reference py:265 ``to_csv``). Distributed writers;
     use parquet for anything that will be re-read."""

@@ -125,3 +125,15 @@ def test_sinks_roundtrip(tmp_path, spark):
     assert sorted(r["id"] for r in spark.read.parquet(pq).collect()) == [1, 2]
     back = spark.read.option("header", True).csv(cv)
     assert sorted(r["id"] for r in back.collect()) == ["1", "2"]
+
+
+def test_salted_join_equals_plain_join(spark):
+    left = spark.createDataFrame([(1, i) for i in range(50)] + [(2, 99)], "k int, v int")
+    right = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], "k int, w string")
+    plain = R.join(left, right, "k").select("k", "v", "w")
+    salted = R.salted_join(left, right, "k").select("k", "v", "w")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # outer semantics preserved too
+    lo = R.join(left, right, "k", how="left").count()
+    ls = R.salted_join(left, right, "k", how="left").count()
+    assert lo == ls
