@@ -1,0 +1,56 @@
+"""Hypothesis property tests (SURVEY §5.2): the distributed formulations
+must equal their naive single-node definitions on arbitrary inputs."""
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+import pyspark.sql.functions as F
+
+from predicting_hospital_readmission_using_mimic_database_spark.ml import metrics as ME
+from predicting_hospital_readmission_using_mimic_database_spark.operators import relational as R
+
+_slow = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1)), min_size=2, max_size=40
+    ).filter(lambda xs: any(y == 1 for _, y in xs) and any(y == 0 for _, y in xs))
+)
+def test_auc_equals_pairwise_definition(spark, data):
+    """ROC-AUC (telescoped trapezoid) == Mann-Whitney pair counting with
+    half-credit ties, for any score/label multiset."""
+    pos = [s for s, y in data if y == 1]
+    neg = [s for s, y in data if y == 0]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    want = wins / (len(pos) * len(neg))
+    df = spark.createDataFrame([(float(s), y) for s, y in data], "score double, y int")
+    got = ME.auc_metrics(df, "score", "y").collect()[0]["roc_auc"]
+    assert abs(got - want) < 1e-6
+
+
+@_slow
+@given(st.lists(st.integers(-100, 100), min_size=1, max_size=60))
+def test_partitioned_cumsum_equals_serial(spark, vals):
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k int, v int").repartition(5)
+    out = {
+        r["k"]: r["cum_v"]
+        for r in R.partitioned_cumsum(df, ["k"], ["v"]).collect()
+    }
+    acc = 0
+    for i, v in enumerate(vals):
+        acc += v
+        assert out[i] == acc
+
+
+@_slow
+@given(st.sets(st.integers(0, 10_000), min_size=1, max_size=80))
+def test_global_index_is_a_rank(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k int").repartition(7)
+    out = {r["k"]: r["pos"] for r in R.global_index(df, ["k"], out="pos").collect()}
+    for rank, k in enumerate(sorted(keys), start=1):
+        assert out[k] == rank
