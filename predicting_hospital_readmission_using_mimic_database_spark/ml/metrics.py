@@ -181,8 +181,8 @@ def roc_points(
     t = _totals(g)
     return g.crossJoin(F.broadcast(t)).select(
         F.round("score", 6).alias("threshold"),
-        F.round(F.col("cum_f") / F.col("tot_n"), 6).alias("fpr"),
-        F.round(F.col("cum_p") / F.col("tot_p"), 6).alias("tpr"),
+        F.round(F.try_divide(F.col("cum_f"), F.col("tot_n")), 6).alias("fpr"),
+        F.round(F.try_divide(F.col("cum_p"), F.col("tot_p")), 6).alias("tpr"),
     )
 
 
@@ -194,7 +194,7 @@ def pr_points(
     t = _totals(g)
     return g.crossJoin(F.broadcast(t)).select(
         F.round("score", 6).alias("threshold"),
-        F.round(F.col("cum_p") / F.col("tot_p"), 6).alias("recall"),
+        F.round(F.try_divide(F.col("cum_p"), F.col("tot_p")), 6).alias("recall"),
         F.round(F.col("cum_p") / (F.col("cum_p") + F.col("cum_f")), 6).alias("precision"),
     )
 
@@ -218,6 +218,6 @@ def auc_metrics(
         F.first("tot_n").alias("n_neg"),
     )
     return agg.select(
-        F.round(F.col("s_roc") / (F.col("n_pos") * F.col("n_neg")), 6).alias("roc_auc"),
-        F.round(F.col("s_pr") / F.col("n_pos"), 6).alias("pr_auc"),
+        F.round(F.try_divide(F.col("s_roc"), F.col("n_pos") * F.col("n_neg")), 6).alias("roc_auc"),
+        F.round(F.try_divide(F.col("s_pr"), F.col("n_pos")), 6).alias("pr_auc"),
     )

@@ -92,3 +92,17 @@ def test_lr_l1_sparsifies(spark):
     coefs = model.coefficients.toArray()
     assert abs(coefs[0]) > 0  # signal survives
     assert abs(coefs[1]) < 0.3 and abs(coefs[2]) < 0.3  # noise shrunk
+
+
+def test_metrics_degenerate_inputs(spark):
+    # one-class input: AUC undefined -> NULL, battery divisions NULL not error
+    df = spark.createDataFrame([(0.5, 1), (0.7, 1)], "score double, y int")
+    row = ME.auc_metrics(df, "score", "y").collect()[0]
+    assert row["roc_auc"] is None and row["pr_auc"] == 1.0
+    b = ME.binary_metrics(df, "score", "y", 0.6).collect()[0]
+    assert b["specificity"] is None and b["recall"] == 0.5
+    # empty input: no curve points, single NULL-ish AUC row
+    empty = spark.createDataFrame([], "score double, y int")
+    assert ME.roc_points(empty, "score", "y").collect() == []
+    erow = ME.auc_metrics(empty, "score", "y").collect()[0]
+    assert erow["roc_auc"] is None
