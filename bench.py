@@ -53,9 +53,15 @@ HEADLINE = [
     # LLM-data-pipeline (lands round 2)
     "d1_dedup_exact",
     "d2_dedup_minhash_lsh",
+    "d4_ngram_jaccard",
     "n1_knn_bruteforce",
     "n2_knn_lsh",
     "x1_text_stats",
+    "x3_fingerprint",
+    # feature scoring + rebalancing
+    "m8_mutual_info",
+    "u4_balance_undersample",
+    "e7_threshold_table",
 ]
 
 

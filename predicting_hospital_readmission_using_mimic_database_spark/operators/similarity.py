@@ -172,6 +172,8 @@ def topk_lsh(
         F.col(id_col), l2_normalize(F.col(array_col)).alias("__arr")
     ).filter(F.col("__arr").isNotNull())
     vec = norm.withColumn("__v", array_to_vector(F.col("__arr").cast("array<double>")))
+    # fit + the kNN probe each traverse the vectors; cache once
+    vec = vec.cache()
     brp = BucketedRandomProjectionLSH(
         inputCol="__v", outputCol="__h", bucketLength=bucket_length,
         numHashTables=num_hash_tables, seed=seed,

@@ -318,7 +318,7 @@ def q_x2(spark, sf):
     SELECT doc_id,
            md5(norm) AS fp_md5,
            list_min(list_transform(
-             generate_series(1, greatest(length(norm) - 7, 1)),
+             generate_series(1, greatest(length(norm) - 7, 1), 4),
              i -> md5(substr(norm, i, 8)))) AS fp_kgram_min
     FROM n
     """,
