@@ -180,9 +180,10 @@ def minhash_banded_pairs(
     estimated Jaccard exactly 1.
     """
     r = k // n_bands
+    # cached: both band-join sides reuse the signatures (k longs per row)
     sig = df.select(
         F.col(id_col), minhash_signature(F.col(tokens_col), n, k).alias("__sig")
-    )
+    ).cache()
     bands = sig.select(
         id_col,
         "__sig",
@@ -238,14 +239,17 @@ def simhash_col(tokens: Column, bits: int = _SIMHASH_BITS) -> Column:
     """
     mask_arr = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS[:bits]])
     zero = F.array(*[F.lit(0)] * bits)
+    # hash each token ONCE (the bit tests below are cheap ANDs; putting
+    # xxhash64 inside the per-bit lambda would recompute it 64x per token)
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
     sums = F.aggregate(
-        tokens,
+        hashes,
         zero,
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 mask_arr,
-                lambda m: F.when(F.xxhash64(t).bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(0)),
+                lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(0)),
             ),
             lambda a, bit: a + (bit * 2 - 1),
         ),
@@ -275,7 +279,10 @@ def simhash_dup_pairs(
     distance then filters candidates.
     """
     width = _SIMHASH_BITS // n_bands
-    sig = df.select(F.col(id_col), simhash_col(F.col(tokens_col)).alias("__sig"))
+    # both sides of the band self-join (and any repeated action) would
+    # recompute the signatures from raw text; the (id, sig) frame is one
+    # long per row -- cache it
+    sig = df.select(F.col(id_col), simhash_col(F.col(tokens_col)).alias("__sig")).cache()
     bands = sig.select(
         id_col,
         "__sig",
@@ -335,6 +342,8 @@ def jaccard_dup_pairs(
     Pairs sharing zero shingles are never materialized.
     """
     sh = distinct_shingles(df, id_col, tokens_col, n)
+    # consumed three times (sizes, left, right of the inverted-index join)
+    sh = sh.cache()
     if max_doc_freq is not None:
         rare = (
             sh.groupBy("shingle").agg(F.count("*").alias("__df"))

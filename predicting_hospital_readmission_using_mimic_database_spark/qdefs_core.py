@@ -729,9 +729,12 @@ def q_u6(spark, sf):
     k * |minority|; every synthetic component inside the minority's
     per-dimension [min, max] envelope (lerp cannot escape it)."""
     base = _emb_pos(spark, sf)
+    # threshold 1.35 > the corpus' max 3rd-NN distance (1.26 measured) --
+    # every minority point keeps its kNN while ~90% of pairs are pruned
+    # before the join (threshold 20 was effectively all-pairs: 10x slower)
     out = SA.smote(
         base, "vec_id", "embedding", "pos", minority_value=1, k=2, seed=42,
-        threshold=20.0, bucket_length=2.0,
+        threshold=1.35, bucket_length=1.0, num_hash_tables=5,
     )
     synth = out.filter(F.col("vec_id") < 0)
     mino = base.filter(F.col("pos") == 1)
@@ -757,7 +760,7 @@ def q_u7(spark, sf):
     (closest mean-distance to minority) — per-class counts hash-checked."""
     out = SA.nearmiss(
         _emb_pos(spark, sf), "vec_id", "embedding", "pos", minority_value=1,
-        k=3, seed=42, threshold=20.0, bucket_length=2.0,
+        k=3, seed=42, threshold=1.35, bucket_length=1.0, num_hash_tables=5,
     )
     return out.groupBy("pos").agg(F.count("*").alias("n"))
 

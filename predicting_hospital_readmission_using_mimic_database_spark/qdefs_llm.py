@@ -101,7 +101,12 @@ def q_d3(spark, sf):
     """SimHash banding near-dup (approx -> rows-only): identical texts have
     identical signatures (hamming 0), so every planted pair is found."""
     u = _tokens(_docs_with_exact_copies(spark, sf))
-    pairs = DD.simhash_dup_pairs(u, "doc_id", "tokens", max_hamming=3)
+    # SimHash over 3-gram SHINGLES, not unigram tokens: the harness corpus
+    # shares one small vocabulary, so token-level signatures cluster and
+    # band buckets explode (~n^2 candidates); shingles carry word order and
+    # spread the signatures (22s -> ~3s at sf0.1)
+    u = u.withColumn("shingles", DD.word_ngrams(F.col("tokens"), 3))
+    pairs = DD.simhash_dup_pairs(u, "doc_id", "shingles", max_hamming=3)
     planted_found = pairs.filter(
         (F.col("b_id") - F.col("a_id") == _COPY_OFFSET) & (F.col("hamming") == 0)
     ).count()
