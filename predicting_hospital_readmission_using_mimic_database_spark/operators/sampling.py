@@ -92,7 +92,7 @@ def oversample_with_replacement(
 # ---------------------------------------------------------------------------
 
 
-def _knn_pairs(
+def _knn_pairs_mllib(
     left: DataFrame,
     right: DataFrame,
     id_col: str,
@@ -154,14 +154,18 @@ def smote(
     unioned with the originals. Synthetic count = |minority| * k (callers
     sample down to the exact deficit if 1:1 balance is wanted).
     """
-    from pyspark.ml.functions import array_to_vector
+    from .similarity import brp_knn_pairs
 
     mino = df.filter(F.col(label_col) == F.lit(minority_value)).select(
         id_col, array_col, label_col
     )
-    vec = mino.withColumn("__v", array_to_vector(F.col(array_col).cast("array<double>")))
-    knn = _knn_pairs(
-        vec, vec, id_col, "__v", k, threshold, bucket_length, num_hash_tables, seed
+    dim = len(mino.select(array_col).first()[0])
+    # multiprobe off: the table count provides the recall; probing would
+    # triple the candidate set that exact re-ranking has to score
+    knn = brp_knn_pairs(
+        mino, mino, id_col, array_col, dim, k=k, threshold=threshold,
+        bucket_length=bucket_length, n_tables=num_hash_tables, seed=seed,
+        probe_adjacent=False,
     )
     a = mino.select(
         F.col(id_col).alias("a_id"), F.col(array_col).alias("__arr_a")
@@ -175,7 +179,7 @@ def smote(
         .withColumn("__u", F.rand(seed))
         .select(
             # negative synthetic ids, unique per (a, rank)
-            (-(F.col("a_id") * (k + 1) + F.col("__rn")) - 1).alias(id_col),
+            (-(F.col("a_id") * (k + 1) + F.col("rank")) - 1).alias(id_col),
             F.zip_with(
                 "__arr_a",
                 "__arr_b",
@@ -202,19 +206,18 @@ def nearmiss(
     """U7 — NearMiss-1 undersampling (py:773,816): keep the majority rows
     whose mean distance to their k nearest minority neighbors is smallest,
     exactly |minority| of them; union with the minority."""
-    from pyspark.ml.functions import array_to_vector
+    from .similarity import brp_knn_pairs
 
     base = df.select(id_col, array_col, label_col)
     mino = base.filter(F.col(label_col) == F.lit(minority_value))
     maj = base.filter(F.col(label_col) != F.lit(minority_value))
     n_min = mino.count()
 
-    to_vec = lambda d: d.withColumn(  # noqa: E731
-        "__v", array_to_vector(F.col(array_col).cast("array<double>"))
-    )
-    knn = _knn_pairs(
-        to_vec(maj), to_vec(mino), id_col, "__v", k, threshold,
-        bucket_length, num_hash_tables, seed,
+    dim = len(mino.select(array_col).first()[0])
+    knn = brp_knn_pairs(
+        maj, mino, id_col, array_col, dim, k=k, threshold=threshold,
+        bucket_length=bucket_length, n_tables=num_hash_tables, seed=seed,
+        probe_adjacent=False,
     )
     scores = knn.groupBy("a_id").agg(F.avg("dist").alias("__mean_dist"))
     picked = scores.orderBy("__mean_dist", "a_id").limit(n_min)

@@ -734,7 +734,7 @@ def q_u6(spark, sf):
     # before the join (threshold 20 was effectively all-pairs: 10x slower)
     out = SA.smote(
         base, "vec_id", "embedding", "pos", minority_value=1, k=2, seed=42,
-        threshold=1.35, bucket_length=1.0, num_hash_tables=5,
+        threshold=1.35, bucket_length=0.4, num_hash_tables=5,
     )
     synth = out.filter(F.col("vec_id") < 0)
     mino = base.filter(F.col("pos") == 1)
@@ -760,7 +760,7 @@ def q_u7(spark, sf):
     (closest mean-distance to minority) — per-class counts hash-checked."""
     out = SA.nearmiss(
         _emb_pos(spark, sf), "vec_id", "embedding", "pos", minority_value=1,
-        k=3, seed=42, threshold=1.35, bucket_length=1.0, num_hash_tables=5,
+        k=3, seed=42, threshold=1.35, bucket_length=0.4, num_hash_tables=5,
     )
     return out.groupBy("pos").agg(F.count("*").alias("n"))
 
