@@ -48,6 +48,7 @@ HEADLINE = [
     # ML + metrics (lands round 2)
     "m3_rf_train_predict",
     "m7_grid_cv",            # BASELINE.md's only wall-clock metric is the CV grid
+    "e2e_full_pipeline",     # the reference's whole workflow, one composition
     "e5_threshold_metrics",
     "e2_auc",
     # LLM-data-pipeline (lands round 2)

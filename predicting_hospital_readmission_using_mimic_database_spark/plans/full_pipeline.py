@@ -1,0 +1,114 @@
+"""End-to-end pipeline (SURVEY §3.2 + §3.3 composed; §5.2's e2e test).
+
+The reference's complete flow on harness data, one engine composition:
+
+1. feature engineering (the §3.2 chain): per-user event-type pivot counts
+   (A8, the diagnosis-matrix analogue), value aggregates, tenure in days
+   (C5/C6 analogue), readmission label from the flagship window chain;
+2. modeling prep (§3.3): numeric-column selection (M1), 80/20 split (U3),
+   1:1 undersample of the training side (U4/U8 — the reference's
+   base strategy, py:447);
+3. fit + evaluate: RandomForest (M3), probability scores (M4), ROC-AUC
+   (E2) and the threshold battery (E5) — every number produced by the
+   engine's own operators, no sklearn, no driver-side math.
+
+Plan shape: ONE shuffle on user_id covers the label window and the
+per-user aggregation (same key); the pivot uses explicit values (single
+pass); the assembled training set is cached before tree induction
+(SURVEY §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml import metrics as ME
+from ..ml import models as MO
+from ..ml.features import assemble_features, numeric_columns
+from ..operators import sampling as SA
+from ..sources.io import read_table
+from .readmission import readmit_labels
+
+EVENT_TYPES = ("signup", "login", "purchase", "view", "error")
+
+
+FREQUENT_READMIT_DAYS = 0.56  # ~median per-user mean gap-to-next-unplanned
+
+
+def user_feature_table(events: DataFrame) -> DataFrame:
+    """Per-user modeling table: pivot counts + value stats + tenure +
+    label = "frequent readmitter" (mean gap to next unplanned event under
+    FREQUENT_READMIT_DAYS — the 30-day flag is degenerate on the dense
+    harness streams where every user readmits within 30d; the reference's
+    58k-patient corpus has 19% prevalence, ours needs a tighter window to
+    be a real classification task)."""
+    labeled = readmit_labels(events)
+    per_user = labeled.groupBy("user_id").agg(
+        # coalesce: a user with NO resolvable next-unplanned gap (all NULL)
+        # is a non-readmitter, not a third NULL class
+        F.coalesce(
+            (F.avg("gap_days") < F.lit(FREQUENT_READMIT_DAYS)).cast("int"), F.lit(0)
+        ).alias("label"),
+        F.count("*").alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(86400.0e6)
+        ).alias("tenure_days"),
+    )
+    # value stats come from the raw scan (readmit_labels projects value
+    # away); same grouping key -> the user_id exchange is shared
+    vals = events.groupBy("user_id").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+    per_user = per_user.join(vals, "user_id")
+    pivot = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0)
+    )
+    for t in EVENT_TYPES:
+        pivot = pivot.withColumnRenamed(t, f"n_{t}")
+    return per_user.join(pivot, "user_id")
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
+    """Full train/evaluate run; returns a one-row summary DataFrame
+    (counts, prevalence, held-out AUC, battery at 0.5)."""
+    events = read_table(spark, sf_dir, "events")
+    table = user_feature_table(events)
+
+    feat_cols = [c for c in numeric_columns(table, exclude=("user_id", "label"))]
+    assembled = assemble_features(
+        table.select(*feat_cols, F.col("label").cast("double").alias("y")), feat_cols
+    )
+
+    train, test = SA.random_split(assembled, (0.8, 0.2), seed=seed)
+    train_bal = SA.balance_undersample(train, "y", seed=seed).cache()
+
+    model = MO.train_rf(train_bal, "features", "y", num_trees=50, seed=seed)
+    scored = MO.predict_proba(model, test)
+
+    auc = ME.auc_metrics(scored, "p1", "y").collect()[0]
+    battery = ME.binary_metrics(scored, "p1", "y", 0.5).collect()[0]
+    n_users = table.count()
+    prevalence = table.agg(F.round(F.avg("label"), 4)).collect()[0][0]
+
+    return spark.createDataFrame(
+        [
+            (
+                n_users,
+                float(prevalence),
+                train_bal.count(),
+                scored.count(),
+                auc["roc_auc"],
+                battery["accuracy"],
+                battery["recall"],
+                battery["precision"],
+            )
+        ],
+        "n_users long, prevalence double, n_train_balanced long, n_test long, "
+        "auc double, accuracy double, recall double, precision double",
+    )

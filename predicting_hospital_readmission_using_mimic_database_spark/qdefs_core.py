@@ -735,7 +735,7 @@ def q_u6(spark, sf):
     out = SA.smote(
         base, "vec_id", "embedding", "pos", minority_value=1, k=2, seed=42,
         threshold=1.35, bucket_length=0.4, num_hash_tables=5,
-    )
+    ).cache()  # three invariant checks below — don't re-run the kNN per count
     synth = out.filter(F.col("vec_id") < 0)
     mino = base.filter(F.col("pos") == 1)
     dims = mino.select(F.posexplode("embedding").alias("dim", "x")).groupBy("dim").agg(

@@ -452,3 +452,13 @@ def q_e7(spark, sf):
     return ME.threshold_metrics_table(
         _emb_scored(spark, sf), "score", "pos", [-0.1, 0.0, 0.1]
     )
+
+
+@query("e2e_full_pipeline")
+def q_e2e(spark, sf):
+    """SURVEY §5.2 end-to-end: features -> label -> split -> undersample ->
+    RF -> engine-computed AUC + battery, one composition (rows-only;
+    invariants: AUC in [0,1], balanced train halves, prevalence sane)."""
+    from .plans.full_pipeline import run_pipeline
+
+    return run_pipeline(spark, sf, seed=42)

@@ -40,3 +40,13 @@ def test_sql_entry_point_over_views(spark):
         SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment
     """)
     assert j.count() > 0
+
+
+def test_e2e_pipeline_invariants(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.plans.full_pipeline import run_pipeline
+
+    row = run_pipeline(spark, "/root/testdata/sf0.001", seed=42).collect()[0]
+    assert row["n_users"] > 0 and row["n_test"] > 0
+    assert 0.2 <= row["prevalence"] <= 0.8  # real two-class task
+    assert row["auc"] is not None and row["auc"] > 0.5  # model learned signal
+    assert row["n_train_balanced"] % 2 == 0  # exact 1:1 balance
