@@ -754,10 +754,27 @@ def q_u6(spark, sf):
     )
 
 
-@query("u7_nearmiss", oracle=_BALANCED_COUNTS_SQL)
+#: NearMiss keeps ALL rows of the designated minority class and at most
+#: |minority| of the OTHER class — if the designated class is actually the
+#: larger one (true at sf0.001), the other class passes through whole.
+_NEARMISS_COUNTS_SQL = """
+    WITH c AS (
+      SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos, count(*) AS cnt
+      FROM embeddings GROUP BY 1
+    )
+    SELECT 1 AS pos, CAST((SELECT cnt FROM c WHERE pos = 1) AS BIGINT) AS n
+    UNION ALL
+    SELECT 0 AS pos,
+           CAST(least((SELECT cnt FROM c WHERE pos = 0),
+                      (SELECT cnt FROM c WHERE pos = 1)) AS BIGINT) AS n
+"""
+
+
+@query("u7_nearmiss", oracle=_NEARMISS_COUNTS_SQL)
 def q_u7(spark, sf):
-    """U7 — NearMiss-1 (py:773,816): keeps exactly |minority| majority rows
-    (closest mean-distance to minority) — per-class counts hash-checked."""
+    """U7 — NearMiss-1 (py:773,816): keeps min(|majority|, |minority|)
+    majority rows (closest mean-distance to minority) plus the whole
+    minority — per-class counts hash-checked."""
     out = SA.nearmiss(
         _emb_pos(spark, sf), "vec_id", "embedding", "pos", minority_value=1,
         k=3, seed=42, threshold=1.35, bucket_length=0.4, num_hash_tables=5,
