@@ -256,8 +256,11 @@ def top_n_retrain(
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from .features import assemble_features
 
-    mi = mutual_information(df, candidate_cols, label)
     train, test = df.randomSplit([0.8, 0.2], seed=seed)
+    # rank on the TRAINING split only (reference py:633 scores
+    # mutual_info_classif on X_train; ranking on all rows would leak test
+    # labels into feature selection)
+    mi = mutual_information(train, candidate_cols, label)
     ev = BinaryClassificationEvaluator(labelCol=label, metricName="areaUnderROC")
     rows = []
     for n in ns:

@@ -38,8 +38,16 @@ def dedup_exact(df: DataFrame, id_col: str, content_cols) -> DataFrame:
     One shuffle on the md5 digest of the content columns (fixed-width key,
     no wide-row shuffle), then a semi-join back — original rows pass
     through untouched.
+
+    NULLs are digested as an explicit sentinel (``concat_ws`` alone SKIPS
+    nulls, which would collide ('a', NULL, 'b') with ('a', 'b', NULL)).
     """
-    digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    digest = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>")) for c in content_cols],
+        )
+    )
     keep = (
         df.select(F.col(id_col), digest.alias("__dg"))
         .groupBy("__dg")
@@ -56,11 +64,18 @@ def dedup_exact(df: DataFrame, id_col: str, content_cols) -> DataFrame:
 
 def word_ngrams(tokens: Column, n: int = 3) -> Column:
     """Word n-gram shingles of a token array, JVM-side: slide an index
-    sequence over the array and join each window with spaces."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1)))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " ")
+    sequence over the array and join each window with spaces.
+
+    Arrays shorter than ``n`` yield an EMPTY shingle set — guarded
+    explicitly because ``sequence(0, size-n)`` would descend for short
+    arrays and ``slice(tokens, 0, n)`` throws on a zero start index.
+    """
+    body = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - n),
+        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
     )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(tokens) >= n, body).otherwise(empty)
 
 
 def distinct_shingles(df: DataFrame, id_col: str, tokens_col: str, n: int = 3) -> DataFrame:

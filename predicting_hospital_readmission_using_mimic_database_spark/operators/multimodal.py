@@ -115,7 +115,9 @@ def decode_stub_features(df: DataFrame, real_codec: bool = False) -> DataFrame:
 def frame_sample_plan(df: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame-sampling arithmetic (pure plan, no decode): one output
     row per sampled timestamp — the explode a real frame extractor feeds."""
-    vids = df.filter(F.col("media_type") == "video")
+    # duration <= 0 (corrupt/zero-length asset) yields zero frames rather
+    # than an illegal descending sequence
+    vids = df.filter((F.col("media_type") == "video") & (F.col("duration_ms") > 0))
     return vids.select(
         "asset_id",
         F.explode(

@@ -116,8 +116,16 @@ def salted_join(
     AQE's skew-join split handles most cases at runtime
     (session.py enables it); this explicit form is for the pathological
     key that still overwhelms a single split, and as the documented
-    pattern for engines without AQE. Result == plain ``join``.
+    pattern for engines without AQE. Result == plain ``join`` for the
+    SUPPORTED join types: inner / left / left_semi / left_anti. Right and
+    full-outer are rejected — the replicated right side would emit one
+    null-padded row per unmatched salt value.
     """
+    if how in ("right", "rightouter", "right_outer", "full", "outer", "fullouter", "full_outer"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: salt the other side "
+            "(swap the inputs) or use a plain join with AQE skew handling"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     ls = left.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
     rs = right.withColumn(

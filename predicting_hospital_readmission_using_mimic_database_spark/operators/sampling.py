@@ -62,7 +62,8 @@ def balance_undersample(
     n_min = min(r["n"] for r in counts)
     out = None
     for r in counts:
-        part = df.filter(lab == F.lit(r["__lab"])).orderBy(F.rand(seed)).limit(n_min)
+        # eqNullSafe: a NULL-label class is a real class, not a dropped one
+        part = df.filter(lab.eqNullSafe(F.lit(r["__lab"]))).orderBy(F.rand(seed)).limit(n_min)
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -78,11 +79,15 @@ def oversample_with_replacement(
     n_max = max(r["n"] for r in counts)
     out = None
     for r in counts:
-        part = df.filter(lab == F.lit(r["__lab"]))
+        part = df.filter(lab.eqNullSafe(F.lit(r["__lab"])))
         if r["n"] < n_max:
-            part = part.sample(
-                withReplacement=True, fraction=n_max / r["n"], seed=seed
+            # imblearn semantics: KEEP every original row and append the
+            # with-replacement resamples (a bare Poisson sample can drop
+            # originals entirely)
+            extra = part.sample(
+                withReplacement=True, fraction=n_max / r["n"] - 1.0, seed=seed
             )
+            part = part.unionByName(extra)
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -159,7 +164,13 @@ def smote(
     mino = df.filter(F.col(label_col) == F.lit(minority_value)).select(
         id_col, array_col, label_col
     )
-    dim = len(mino.select(array_col).first()[0])
+    first = mino.select(array_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            f"smote: no rows with {label_col} == {minority_value!r} (or a NULL "
+            "feature array on the first row) — nothing to interpolate"
+        )
+    dim = len(first[0])
     # multiprobe off: the table count provides the recall; probing would
     # triple the candidate set that exact re-ranking has to score
     knn = brp_knn_pairs(
@@ -212,7 +223,11 @@ def nearmiss(
     mino = base.filter(F.col(label_col) == F.lit(minority_value))
     maj = base.filter(F.col(label_col) != F.lit(minority_value))
     n_min = mino.count()
-
+    if n_min == 0:
+        raise ValueError(
+            f"nearmiss: no rows with {label_col} == {minority_value!r} — "
+            "no minority to rank the majority against"
+        )
     dim = len(mino.select(array_col).first()[0])
     knn = brp_knn_pairs(
         maj, mino, id_col, array_col, dim, k=k, threshold=threshold,

@@ -99,3 +99,18 @@ def test_multimodal_real_codec_is_marked_stub(spark):
     blobs = MM.synthetic_blobs(spark, n=3)
     with pytest.raises(NotImplementedError):
         MM.decode_stub_features(blobs, real_codec=True)
+
+
+def test_word_ngrams_short_arrays(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, ["a", "b", "c"])], "id long, toks array<string>"
+    )
+    out = {r["id"]: r["sh"] for r in df.select("id", DD.word_ngrams(F.col("toks"), 3).alias("sh")).collect()}
+    assert out == {1: [], 2: [], 3: ["a b c"]}
+
+
+def test_dedup_exact_null_columns_distinct(spark):
+    rows = [(1, "a", None, "b"), (2, "a", "b", None), (3, None, "x", None), (4, "x", None, None)]
+    df = spark.createDataFrame(rows, "id long, c1 string, c2 string, c3 string")
+    kept = sorted(r["id"] for r in DD.dedup_exact(df, "id", ["c1", "c2", "c3"]).collect())
+    assert kept == [1, 2, 3, 4]  # all distinct once NULL position matters

@@ -45,3 +45,37 @@ def test_nearmiss_keeps_minority_count(spark):
                       threshold=50.0, bucket_length=5.0)
     counts = {r["lab"]: r["n"] for r in out.groupBy("lab").agg(F.count("*").alias("n")).collect()}
     assert counts == {0: 6, 1: 6}
+
+
+def test_oversample_keeps_all_originals(spark):
+    df = _toy(spark, n_pos=5, n_neg=40)
+    out = SA.oversample_with_replacement(df, "lab", seed=3)
+    orig_pos_ids = {r["id"] for r in df.filter(F.col("lab") == 1).collect()}
+    out_pos_ids = {r["id"] for r in out.filter(F.col("lab") == 1).collect()}
+    assert orig_pos_ids <= out_pos_ids  # imblearn semantics: originals retained
+
+
+def test_smote_empty_minority_raises(spark):
+    import pytest
+
+    df = _toy(spark, n_pos=3, n_neg=5)
+    with pytest.raises(ValueError, match="smote"):
+        SA.smote(df, "id", "arr", "lab", minority_value=99)
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest
+
+    a = spark.createDataFrame([(1, "x")], "k int, v string")
+    with pytest.raises(ValueError, match="salted_join"):
+        from predicting_hospital_readmission_using_mimic_database_spark.operators.relational import salted_join
+
+        salted_join(a, a, "k", how="full")
+
+
+def test_balance_undersample_null_label_class(spark):
+    rows = [(i, 0) for i in range(10)] + [(100 + i, 1) for i in range(4)] + [(200, None), (201, None)]
+    df = spark.createDataFrame(rows, "id long, lab int")
+    out = SA.balance_undersample(df, "lab", seed=1)
+    counts = {r["lab"]: r["n"] for r in out.groupBy("lab").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 2, 1: 2, None: 2}  # NULL class participates fully
