@@ -20,6 +20,14 @@ every metric is a Spark plan:
 Scale posture: at extreme score cardinality pass ``n_bins`` to quantize
 scores first (bounded curve resolution, bounded shuffle) — the estimator
 everyone actually plots at 100 TB.
+
+Caching contract: the curve substrate (`_score_groups`) caches its tiny
+per-score aggregate so the plan's three consumers share one input scan.
+Each operator call creates one such cached frame; callers evaluating many
+metric sets in a long-lived session (sweeps, benches) should not loop
+these operators unboundedly without `spark.catalog.clearCache()` between
+rounds — the frames are small (distinct scores) but never auto-evicted
+until storage pressure.
 """
 
 from __future__ import annotations

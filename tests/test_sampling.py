@@ -79,3 +79,21 @@ def test_balance_undersample_null_label_class(spark):
     out = SA.balance_undersample(df, "lab", seed=1)
     counts = {r["lab"]: r["n"] for r in out.groupBy("lab").agg(F.count("*").alias("n")).collect()}
     assert counts == {0: 2, 1: 2, None: 2}  # NULL class participates fully
+
+
+def test_native_brp_knn_matches_mllib_substrate(spark):
+    """The DataFrame-native BRP kNN must find the same nearest neighbors the
+    MLlib approxSimilarityJoin substrate finds (tiny corpus: both exact)."""
+    from pyspark.ml.functions import array_to_vector
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.similarity import brp_knn_pairs
+
+    rows = [(i, [float(i), float(i % 3)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, arr array<double>")
+    native = brp_knn_pairs(df, df, "id", "arr", dim=2, k=1, threshold=5.0,
+                           bucket_length=2.0, n_tables=5, seed=7)
+    vec = df.withColumn("__v", array_to_vector(F.col("arr")))
+    mllib = SA._knn_pairs_mllib(vec, vec, "id", "__v", k=1, threshold=5.0,
+                                bucket_length=2.0, num_hash_tables=5, seed=7)
+    got_native = {(r["a_id"], r["b_id"]) for r in native.collect()}
+    got_mllib = {(r["a_id"], r["b_id"]) for r in mllib.collect()}
+    assert got_native == got_mllib and len(got_native) == 12
