@@ -215,7 +215,9 @@ def q_m5(spark, sf):
     """M5 — numTrees sweep with held-out AUC per setting (py:608-618)."""
     d = _emb_features(spark, sf)
     train, test = d.randomSplit([0.8, 0.2], seed=42)
-    return MO.rf_numtrees_sweep(train.cache(), test, [20, 50], "features", "y")
+    # reference sweeps numTrees 100..900 (py:608-618); 100/300 covers the
+    # headline setting (300) at bench-compatible runtime
+    return MO.rf_numtrees_sweep(train.cache(), test, [100, 300], "features", "y")
 
 
 @query("m6_lr_l1")
@@ -239,7 +241,9 @@ def q_m7(spark, sf):
     """M7 — GridSearchCV parity: CrossValidator(numFolds=5) over C grid,
     accuracy per C (py:796-801)."""
     d = _emb_features(spark, sf).cache()
-    _, res = MO.grid_search_lr_cv(d, [0.1, 1.0], "features", "y", folds=5)
+    # the reference's exact grid shape: 4 C values x 5 folds = 20 fits
+    # (py:796-801; BASELINE.md clocks this at 6.0 min single-threaded)
+    _, res = MO.grid_search_lr_cv(d, [0.01, 0.1, 1.0, 10.0], "features", "y", folds=5)
     return res.select("C", F.round("accuracy", 6).alias("accuracy"))
 
 
