@@ -95,6 +95,27 @@ def windowed_event_counts(
     )
 
 
+def sessionized_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Session windows per user: events within ``gap`` of each other merge
+    into one session (dynamic windows — the streaming analogue of a
+    per-user visit). Watermarked so closed sessions finalize and evict."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
 LABEL_SCHEMA = StructType(
     [
         StructField("event_id", LongType(), False),

@@ -120,3 +120,42 @@ def test_windowed_counts_match_batch(spark):
         assert got == want and len(got) > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_session_windows_match_batch(spark):
+    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    try:
+        chunks = _chunked_event_files(spark, tmp, n_chunks=2)
+        for i, c in enumerate(chunks):
+            shutil.copy(c, os.path.join(src, f"chunk_{i}.parquet"))
+        stream = ING.stream_events(spark, src)
+        sess = ING.sessionized_counts(stream, gap="30 minutes", watermark="2 days")
+        q = (
+            sess.writeStream.format("memory")
+            .queryName("sess_out")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["user_id"], r["session_start"], r["n_events"])
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+        batch = read_table(spark, SF, "events")
+        want = {
+            (r["user_id"], r["ss"], r["n_events"])
+            for r in batch.groupBy(
+                F.session_window("ts", "30 minutes").alias("sess"), "user_id"
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", F.col("sess.start").alias("ss"), "n_events")
+            .collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
