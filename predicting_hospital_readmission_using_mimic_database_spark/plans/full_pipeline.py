@@ -74,6 +74,91 @@ def user_feature_table(events: DataFrame) -> DataFrame:
     return per_user.join(pivot, "user_id")
 
 
+def strategy_comparison(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
+    """The reference's FINAL deliverable (py:838-861, BASELINE.md's
+    five-strategy table): L1 logistic regression trained under each
+    class-imbalance strategy — base / random undersample / random
+    oversample / SMOTE / NearMiss — evaluated on ONE held-out test split
+    with the engine's own AUC + battery. One row per strategy.
+    """
+    from pyspark.ml.functions import array_to_vector
+
+    events = read_table(spark, sf_dir, "events")
+    table = user_feature_table(events)
+    feat_cols = [c for c in numeric_columns(table, exclude=("user_id", "label"))]
+    # standardize: mixed feature scales (tenure in days vs event counts)
+    # would dominate both the L1 penalty and the kNN euclidean metric;
+    # one tiny agg, broadcast back — no per-row collect
+    stats = table.agg(
+        *[F.avg(c).alias(f"__mu_{c}") for c in feat_cols],
+        *[F.coalesce(F.stddev(c), F.lit(1.0)).alias(f"__sd_{c}") for c in feat_cols],
+    )
+    std = table.crossJoin(F.broadcast(stats))
+    zcols = [
+        (
+            (F.col(c) - F.col(f"__mu_{c}"))
+            / F.when(F.col(f"__sd_{c}") > 0, F.col(f"__sd_{c}")).otherwise(F.lit(1.0))
+        ).alias(c)
+        for c in feat_cols
+    ]
+    base = std.select(
+        "user_id",
+        F.array(*zcols).alias("arr"),
+        F.col("label").cast("int").alias("y"),
+    )
+    train, test = SA.random_split(base, (0.8, 0.2), seed=seed)
+    train = train.cache()
+    # every strategy scores this same frame (three actions each) — without
+    # the cache the whole feature chain (windows + pivot + joins) re-runs
+    # per metric collect
+    test_v = (
+        test.withColumn("features", array_to_vector("arr"))
+        .withColumn("y", F.col("y").cast("double"))
+        .coalesce(4)
+        .cache()
+    )
+
+    # standardized space: typical pair distance ~ sqrt(2*dim); threshold
+    # keeps the kNN neighborhood, bucket_length ~1 sd per projection
+    knn_kwargs = dict(threshold=6.0, bucket_length=1.0, num_hash_tables=5)
+
+    def strategies():
+        yield "base", train
+        yield "undersample", SA.balance_undersample(train, "y", seed=seed)
+        yield "oversample", SA.oversample_with_replacement(train, "y", seed=seed)
+        yield "smote", SA.smote(
+            train, "user_id", "arr", "y", minority_value=1, k=2, seed=seed, **knn_kwargs
+        )
+        yield "nearmiss", SA.nearmiss(
+            train, "user_id", "arr", "y", minority_value=1, k=3, seed=seed, **knn_kwargs
+        )
+
+    rows = []
+    for name, tr in strategies():
+        trv = (
+            tr.withColumn("features", array_to_vector("arr"))
+            .withColumn("y", F.col("y").cast("double"))
+            # few partitions: each LBFGS iteration is a job over the (tiny)
+            # training frame — task-launch overhead dominates otherwise
+            .coalesce(4)
+            .cache()  # consumed by the fit AND the count — SMOTE/NearMiss
+            # kNN must not re-run per action
+        )
+        model = MO.train_lr_l1(trv, C=10.0, features="features", label="y", max_iter=25)
+        scored = MO.predict_proba(model, test_v)
+        auc = ME.auc_metrics(scored, "p1", "y").collect()[0]
+        b = ME.binary_metrics(scored, "p1", "y", 0.5).collect()[0]
+        rows.append(
+            (name, trv.count(), auc["roc_auc"], b["accuracy"], b["recall"],
+             b["precision"], b["f1"])
+        )
+    return spark.createDataFrame(
+        rows,
+        "strategy string, n_train long, auc double, accuracy double, "
+        "recall double, precision double, f1 double",
+    )
+
+
 def run_pipeline(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
     """Full train/evaluate run; returns a one-row summary DataFrame
     (counts, prevalence, held-out AUC, battery at 0.5)."""

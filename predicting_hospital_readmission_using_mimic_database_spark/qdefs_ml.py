@@ -466,3 +466,14 @@ def q_e2e(spark, sf):
     from .plans.full_pipeline import run_pipeline
 
     return run_pipeline(spark, sf, seed=42)
+
+
+@query("e8_strategy_comparison")
+def q_e8(spark, sf):
+    """The reference's five-strategy summary table (py:860-861): LR-L1
+    under base/undersample/oversample/SMOTE/NearMiss on one held-out split
+    (rows-only; invariants: 5 rows, AUCs in [0,1], balanced strategies'
+    train sizes ordered sensibly)."""
+    from .plans.full_pipeline import strategy_comparison
+
+    return strategy_comparison(spark, sf, seed=42)

@@ -50,3 +50,15 @@ def test_e2e_pipeline_invariants(spark):
     assert 0.2 <= row["prevalence"] <= 0.8  # real two-class task
     assert row["auc"] is not None and row["auc"] > 0.5  # model learned signal
     assert row["n_train_balanced"] % 2 == 0  # exact 1:1 balance
+
+
+def test_strategy_comparison_shape(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.plans.full_pipeline import strategy_comparison
+
+    rows = strategy_comparison(spark, "/root/testdata/sf0.001", seed=42).collect()
+    assert [r["strategy"] for r in rows] == [
+        "base", "undersample", "oversample", "smote", "nearmiss"
+    ]
+    for r in rows:
+        assert r["n_train"] > 0
+        assert r["auc"] is None or 0.0 <= r["auc"] <= 1.0
