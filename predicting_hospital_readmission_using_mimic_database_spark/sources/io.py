@@ -70,6 +70,31 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
         read_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV ingest (SURVEY §1.2's schema-on-read path). Pass an explicit
+    DDL ``schema`` whenever the layout is known — inference costs an extra
+    full pass over the files and guesses types from a sample."""
+    r = spark.read.option("header", str(header).lower())
+    if schema:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    return r.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines ingest; same explicit-schema guidance as :func:`read_csv`."""
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    return r.json(path)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
     """Default engine sink: columnar, splittable, stats-bearing."""
     w = df.write.mode(mode)

@@ -137,3 +137,18 @@ def test_salted_join_equals_plain_join(spark):
     lo = R.join(left, right, "k", how="left").count()
     ls = R.salted_join(left, right, "k", how="left").count()
     assert lo == ls
+
+
+def test_csv_json_ingest_roundtrip(tmp_path, spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.io import (
+        read_csv, read_json, write_csv,
+    )
+
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], "id int, s string, v double")
+    cpath, jpath = str(tmp_path / "c"), str(tmp_path / "j")
+    write_csv(df, cpath)
+    df.write.mode("overwrite").json(jpath)
+    back_c = read_csv(spark, cpath, schema="id int, s string, v double")
+    back_j = read_json(spark, jpath, schema="id int, s string, v double")
+    assert sorted(map(tuple, back_c.collect())) == sorted(map(tuple, df.collect()))
+    assert sorted(map(tuple, back_j.collect())) == sorted(map(tuple, df.collect()))
