@@ -853,3 +853,62 @@ def q_a2b(spark, sf):
         [(int(a), int(x), bool(abs(a - x) <= 0.05 * x))],
         "approx long, exact long, within_5pct boolean",
     )
+
+
+@query(
+    "a13_percentiles",
+    oracle="""
+    SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem
+    """,
+)
+def q_a13(spark, sf):
+    """Exact percentiles (SQL-standard continuous interpolation — identical
+    in both engines). Scale note: exact percentile sorts per group; at
+    100 TB prefer approx_percentile (a13b)."""
+    li = read_table(spark, sf, "lineitem")
+    return li.agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {q})"), 6).alias(f"p{int(q*100)}")
+            for q in (0.25, 0.5, 0.75, 0.99)
+        ]
+    )
+
+
+@query("a13b_approx_percentiles")
+def q_a13b(spark, sf):
+    """approx_percentile (the 100 TB estimator; rows-only — sketch output
+    is engine-specific; invariant: within 2% of exact)."""
+    li = read_table(spark, sf, "lineitem")
+    row = li.agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("ap50"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+    ).collect()[0]
+    rel = abs(row["ap50"] - row["p50"]) / max(abs(row["p50"]), 1e-9)
+    return spark.createDataFrame(
+        [(float(row["ap50"]), float(row["p50"]), bool(rel < 0.02))],
+        "approx_p50 double, exact_p50 double, within_2pct boolean",
+    )
+
+
+@query(
+    "a14_corr_cov",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qty_price,
+           round(stddev_samp(l_discount), 6) AS sd_discount
+    FROM lineitem
+    """,
+)
+def q_a14(spark, sf):
+    """Correlation / covariance / stddev in one pass (sample variants on
+    both engines)."""
+    li = read_table(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("cov_qty_price"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+    )
