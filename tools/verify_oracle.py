@@ -84,8 +84,23 @@ def main() -> int:
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (rows-only, {time.time()-t0:.1f}s)")
-            n_rowsonly += 1
+            # rows-only entries carry their invariants as boolean columns —
+            # a False is a real failure, not a pass-by-default
+            bad = [
+                (c, r[i])
+                for i, c in enumerate(scols)
+                if isinstance(sdf.schema[c].dataType.simpleString(), str)
+                and sdf.schema[c].dataType.simpleString() == "boolean"
+                for r in srows
+                if r[i] is not True
+            ]
+            if bad:
+                print(f"FAIL  {name}: invariant columns not all True: {bad[:3]}")
+                n_fail += 1
+                failures.append(name)
+            else:
+                print(f"rows  {name}: {len(srows)} rows (rows-only, {time.time()-t0:.1f}s)")
+                n_rowsonly += 1
             continue
         try:
             ddf = con.execute(oracles[name]).fetchdf()
