@@ -20,6 +20,25 @@ def test_every_oracle_has_a_query():
     assert len(qs) >= 45
 
 
+def test_first_50_entries_cover_every_family():
+    """A verification budget of 50 entries (driver cap) must still see every
+    query family — scans through streaming — not just the core relational ops.
+    """
+    import re
+
+    names = list(entrymod.queries())[:50]
+    fams = {re.match(r"[a-z]+", n).group() for n in names}
+    assert {
+        "flagship", "s", "p", "j", "w", "a", "c", "u",  # core relational
+        "t", "m", "e",                                   # text / ML / metrics
+        "d", "n", "x", "mm", "st",                       # LLM-pipeline + streaming
+    } <= fams, fams
+    # the VERDICT-named must-have entries sit inside the window
+    for must in ("t14_count_vectorize", "e2_auc", "m8_mutual_info",
+                 "d4_ngram_jaccard", "n1_knn_bruteforce", "x3_fingerprint"):
+        assert must in names
+
+
 def test_queries_runnable_at_smoke_scale(spark):
     # every registered query must at least build a plan and return a schema
     for name, fn in entrymod.queries().items():
