@@ -153,12 +153,14 @@ _MERSENNE_61 = (1 << 61) - 1
 _LONG_MAX = (1 << 63) - 1
 
 
-def minhash_signature(tokens: Column, n: int = 3, k: int = 32) -> Column:
-    """k-slot MinHash signature of the word-``n``-gram shingle set, as ONE
+def minhash_signature_from_shingles(sh: Column, k: int = 32) -> Column:
+    """k-slot MinHash signature of an already-built shingle array, as ONE
     JVM expression: per shingle, k independent hashes (xxhash64 re-seeded
     by slot index); per slot, the min over shingles. No explode, no UDT —
-    an array<long> column."""
-    sh = word_ngrams(tokens, n)
+    an array<long> column. An EMPTY shingle array yields the all-_LONG_MAX
+    init signature — callers must filter those rows out (Jaccard over empty
+    sets is undefined and the sentinel collides with every other sentinel).
+    """
     init = F.array(*[F.lit(_LONG_MAX).cast("long")] * k)
     slots = F.array(*[F.lit(i) for i in range(k)])
     return F.aggregate(
@@ -170,6 +172,12 @@ def minhash_signature(tokens: Column, n: int = 3, k: int = 32) -> Column:
             lambda x, y: F.least(x, y),
         ),
     )
+
+
+def minhash_signature(tokens: Column, n: int = 3, k: int = 32) -> Column:
+    """k-slot MinHash signature of the word-``n``-gram shingle set (see
+    :func:`minhash_signature_from_shingles` for the empty-set caveat)."""
+    return minhash_signature_from_shingles(word_ngrams(tokens, n), k)
 
 
 def minhash_banded_pairs(
@@ -195,10 +203,19 @@ def minhash_banded_pairs(
     estimated Jaccard exactly 1.
     """
     r = k // n_bands
+    # Docs with no n-grams (< n tokens) would all keep the _LONG_MAX init
+    # signature and collide in every band with est_jaccard 1.0 — their
+    # shingle sets are empty, so Jaccard is undefined; exclude them up
+    # front, mirroring the size() guard in minhash_dup_pairs.
     # cached: both band-join sides reuse the signatures (k longs per row)
-    sig = df.select(
-        F.col(id_col), minhash_signature(F.col(tokens_col), n, k).alias("__sig")
-    ).cache()
+    sig = (
+        df.select(
+            F.col(id_col), word_ngrams(F.col(tokens_col), n).alias("__sh")
+        )
+        .filter(F.size("__sh") > 0)
+        .select(id_col, minhash_signature_from_shingles(F.col("__sh"), k).alias("__sig"))
+        .cache()
+    )
     bands = sig.select(
         id_col,
         "__sig",

@@ -33,6 +33,28 @@ def test_simhash_identical_texts_equal_sigs(spark):
     assert sigs[1] == sigs[2] and sigs[1] != sigs[3]
 
 
+def test_minhash_banded_short_docs_not_collapsed(spark):
+    # Docs with fewer than n tokens have empty shingle sets; they must NOT
+    # collide with each other (the all-sentinel init signature) nor be
+    # dropped by dedup_minhash. Regression: unrelated short docs used to
+    # band-collide with est_jaccard exactly 1.0.
+    long_a = ["w%d" % i for i in range(20)]
+    df = spark.createDataFrame(
+        [
+            (1, long_a),
+            (2, long_a),              # true dup of 1
+            (3, ["just", "two"]),     # short: no 3-gram shingles
+            (4, ["other", "short"]),  # short, unrelated to 3
+            (5, ["one"]),
+        ],
+        "id long, toks array<string>",
+    )
+    pairs = DD.minhash_banded_pairs(df, "id", "toks", n=3).collect()
+    assert {(r["a_id"], r["b_id"]) for r in pairs} == {(1, 2)}
+    kept = sorted(r["id"] for r in DD.dedup_minhash(df, "id", "toks").collect())
+    assert kept == [1, 3, 4, 5]
+
+
 def test_jaccard_pairs_exact_value(spark):
     # doc1/doc2 share 2 of 3 shingles each -> jaccard = 2/4 = 0.5
     df = spark.createDataFrame(
