@@ -144,21 +144,23 @@ def _score_groups(
     if n_bins:
         lo, hi = F.min("score"), F.max("score")
         stats = base.agg(lo.alias("lo"), hi.alias("hi"))
+        binned = F.col("lo") + (F.col("hi") - F.col("lo")) * (
+            F.least(
+                F.floor(
+                    (F.col("score") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / n_bins)
+                ),
+                F.lit(n_bins - 1),
+            )
+            / n_bins
+        )
+        # degenerate range (all scores equal): the bin width is 0 and the
+        # quantization above is 0/0 = NaN — keep the raw score instead so
+        # the substrate stays one valid group
         base = base.crossJoin(F.broadcast(stats)).select(
-            (
-                F.col("lo")
-                + (F.col("hi") - F.col("lo"))
-                * (
-                    F.least(
-                        F.floor(
-                            (F.col("score") - F.col("lo"))
-                            / ((F.col("hi") - F.col("lo")) / n_bins)
-                        ),
-                        F.lit(n_bins - 1),
-                    )
-                    / n_bins
-                )
-            ).alias("score"),
+            F.when(F.col("hi") != F.col("lo"), binned)
+            .otherwise(F.col("score"))
+            .alias("score"),
             "pos",
         )
     g = base.groupBy("score").agg(

@@ -137,61 +137,133 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _label_state_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
-) -> Iterator[pd.DataFrame]:
-    """Per-user state handler: pending = events awaiting their next
-    unplanned successor. Each arriving event (in ts order) resolves ALL
-    pending events older than it iff its type is unplanned — emitting the
-    exact batch label (gap in fractional days from integer µs)."""
-    (user_id,) = key
-    if state.exists:
-        ev_ids, ts_us, types = state.get
-        pending = list(zip(ev_ids, ts_us, types))
-    else:
-        pending = []
+def _make_label_state_fn(evict_gap_us: int | None):
+    """Build the per-user state handler. ``evict_gap_us`` non-None enables
+    event-time eviction: a user with no arrivals for that long (by
+    watermark) has their pending state dropped — those events have no
+    successor yet, exactly the rows the batch plan labels unresolved, so
+    evicting without emitting keeps emitted rows a subset of
+    batch-resolved rows while bounding state on unbounded streams."""
 
-    out_rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for r in pdf.itertuples(index=False):
-            ts_us_new = int(r.ts.value // 1000)  # pandas ns -> µs
-            if r.event_type != PLANNED_TYPE and pending:
-                for pid, pus, ptype in pending:
-                    gap = (ts_us_new - pus) / 86400.0e6
+    def _label_state_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        """Per-user state handler: pending = events awaiting their next
+        unplanned successor, in event-time order.
+
+        Out-of-order arrival contract: every emitted label equals the batch
+        label ("earliest unplanned event at-or-after mine") PROVIDED the
+        unplanned events of a user arrive in event-time order relative to
+        each other. Planned events may arrive arbitrarily late (a late
+        event looks for its successor among pending state before waiting),
+        and an unplanned arrival resolves only pending events at-or-before
+        its event time — never the out-of-order newer ones. What append
+        mode cannot do is retract: an unplanned event arriving BEFORE an
+        already-emitted successor cannot shrink those emitted gaps.
+        """
+        (user_id,) = key
+        if evict_gap_us is not None and state.hasTimedOut:
+            state.remove()
+            return
+
+        if state.exists:
+            ev_ids, ts_us, types = state.get
+            pending = list(zip(ev_ids, ts_us, types))
+        else:
+            pending = []
+
+        out_rows = []
+        max_ts_us = max((p[1] for p in pending), default=0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                ts_us_new = int(r.ts.value // 1000)  # pandas ns -> µs
+                typ = str(r.event_type)
+                max_ts_us = max(max_ts_us, ts_us_new)
+                if typ != PLANNED_TYPE and pending:
+                    for pid, pus, ptype in pending:
+                        if pus > ts_us_new:
+                            continue  # out-of-order newer event: not ours
+                        gap = (ts_us_new - pus) / 86400.0e6
+                        out_rows.append(
+                            (pid, user_id, pus, ptype, ts_us_new, gap, int(gap < 30))
+                        )
+                    pending = [p for p in pending if p[1] > ts_us_new]
+                # a late arrival may find its successor already pending:
+                # the earliest unplanned pending event at-or-after it
+                succ = [
+                    p for p in pending
+                    if p[2] != PLANNED_TYPE and p[1] >= ts_us_new
+                ]
+                if succ:
+                    nus = min(s[1] for s in succ)
+                    gap = (nus - ts_us_new) / 86400.0e6
                     out_rows.append(
-                        (pid, user_id, pus, ptype, ts_us_new, gap, int(gap < 30))
+                        (int(r.event_id), user_id, ts_us_new, typ, nus, gap, int(gap < 30))
                     )
-                pending = []
-            pending.append((int(r.event_id), ts_us_new, str(r.event_type)))
+                else:
+                    pending.append((int(r.event_id), ts_us_new, typ))
 
-    state.update(
-        (
-            [p[0] for p in pending],
-            [p[1] for p in pending],
-            [p[2] for p in pending],
+        pending.sort(key=lambda p: (p[1], p[0]))
+        state.update(
+            (
+                [p[0] for p in pending],
+                [p[1] for p in pending],
+                [p[2] for p in pending],
+            )
         )
-    )
-    if out_rows:
-        yield pd.DataFrame(
-            out_rows,
-            columns=[
-                "event_id", "user_id", "ts_us", "event_type",
-                "next_unplanned_us", "gap_days", "readmit_30d",
-            ],
-        )
+        if evict_gap_us is not None and max_ts_us:
+            state.setTimeoutTimestamp((max_ts_us + evict_gap_us) // 1000)  # ms
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "event_id", "user_id", "ts_us", "event_type",
+                    "next_unplanned_us", "gap_days", "readmit_30d",
+                ],
+            )
+
+    return _label_state_fn
 
 
-def readmit_labels_stream(events: DataFrame) -> DataFrame:
+def readmit_labels_stream(
+    events: DataFrame, evict_after: str | None = None
+) -> DataFrame:
     """Incremental readmission labels (custom stateful operator).
 
     Emits one row per event as soon as its next unplanned successor
     arrives; events still waiting stay in per-user state (the batch plan
-    labels those NULL/0 only because it sees the end of input)."""
-    return events.groupBy("user_id").applyInPandasWithState(
-        _label_state_fn,
-        outputStructType=LABEL_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf="NoTimeout",
+    labels those NULL/0 only because it sees the end of input). See
+    ``_make_label_state_fn`` for the out-of-order arrival contract.
+
+    ``evict_after`` (e.g. ``"90 days"``): watermark + event-time timeout —
+    users idle that long have their pending state evicted un-emitted,
+    bounding state on unbounded streams. Default keeps everything
+    (NoTimeout), matching batch exactly on finite replays.
+    """
+    if evict_after is None:
+        return events.groupBy("user_id").applyInPandasWithState(
+            _make_label_state_fn(None),
+            outputStructType=LABEL_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    qty, unit = evict_after.split()
+    unit_us = {
+        "second": 1_000_000, "seconds": 1_000_000,
+        "minute": 60_000_000, "minutes": 60_000_000,
+        "hour": 3_600_000_000, "hours": 3_600_000_000,
+        "day": 86_400_000_000, "days": 86_400_000_000,
+    }[unit]
+    return (
+        events.withWatermark("ts", evict_after)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_label_state_fn(int(qty) * unit_us),
+            outputStructType=LABEL_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
     )

@@ -44,6 +44,17 @@ def test_roc_points_monotone(spark):
     assert pts[-1]["fpr"] == 1.0 and pts[-1]["tpr"] == 1.0
 
 
+def test_roc_points_constant_scores_binned(spark):
+    # all scores identical + n_bins: bin width is 0 — the quantization
+    # must not produce a NaN group (regression: 0/0 collapsed the curve)
+    rows = [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    pts = ME.roc_points(df, "score", "y", n_bins=16).collect()
+    assert len(pts) == 1
+    assert not math.isnan(pts[0]["threshold"]) and pts[0]["threshold"] == 0.5
+    assert pts[0]["fpr"] == 1.0 and pts[0]["tpr"] == 1.0
+
+
 def test_chi2_matches_mllib(spark):
     # categorical feature (3 levels) vs binary label
     rows = [(0.0, 0.0)] * 20 + [(0.0, 1.0)] * 5 + [(1.0, 0.0)] * 10 + \

@@ -82,6 +82,98 @@ def test_stateful_labels_match_batch(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._v = None
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+    def remove(self):
+        self.removed = True
+        self.exists = False
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _mk_pdf(rows):
+    import pandas as pd
+
+    return pd.DataFrame(
+        [
+            {
+                "event_id": eid,
+                "ts": pd.Timestamp(us * 1000),
+                "user_id": 1,
+                "event_type": t,
+                "value": 0.0,
+                "props": "",
+            }
+            for eid, us, t in rows
+        ]
+    )
+
+
+def test_state_fn_out_of_order_late_event_finds_pending_successor():
+    """A late planned event whose unplanned successor is ALREADY pending
+    resolves immediately instead of waiting forever (out-of-order path)."""
+    fn = ING._make_label_state_fn(None)
+    st = _FakeState()
+    day_us = 86_400_000_000
+    # batch 1: planned@d0 then (out of order) unplanned@d10 arrives first —
+    # micro-batch sort fixes intra-batch order, so run them in two batches
+    out1 = list(fn((1,), iter([_mk_pdf([(10, 10 * day_us, "purchase")])]), st))
+    assert out1 == []  # unplanned event has no pending predecessor yet
+    out2 = list(fn((1,), iter([_mk_pdf([(1, 0, ING.PLANNED_TYPE)])]), st))
+    rows = out2[0].to_dict("records")
+    assert len(rows) == 1
+    assert rows[0]["event_id"] == 1
+    assert rows[0]["next_unplanned_us"] == 10 * day_us
+    assert rows[0]["gap_days"] == 10.0 and rows[0]["readmit_30d"] == 1
+
+
+def test_state_fn_unplanned_resolves_only_older_pending():
+    """An unplanned arrival must not resolve pending events NEWER than it
+    (they arrived early, out of order)."""
+    fn = ING._make_label_state_fn(None)
+    st = _FakeState()
+    day_us = 86_400_000_000
+    # batch 1: event@d20 arrives early (pending)
+    assert list(fn((1,), iter([_mk_pdf([(2, 20 * day_us, "view")])]), st)) == []
+    # batch 2: late unplanned@d5 — resolves nothing (no pending <= d5),
+    # and itself stays pending (its successor hasn't arrived)
+    # note event 2 ("view", unplanned) IS at-or-after d5, so event 3
+    # resolves against it immediately
+    out = list(fn((1,), iter([_mk_pdf([(3, 5 * day_us, "view")])]), st))
+    rows = out[0].to_dict("records")
+    assert [r["event_id"] for r in rows] == [3]
+    assert rows[0]["next_unplanned_us"] == 20 * day_us
+    assert rows[0]["gap_days"] == 15.0 and rows[0]["readmit_30d"] == 1
+    # event 2 still pending, untouched
+    assert 2 in st.get[0]
+
+
+def test_state_fn_event_time_eviction():
+    day_us = 86_400_000_000
+    fn = ING._make_label_state_fn(day_us)  # 1 day
+    st = _FakeState()
+    list(fn((1,), iter([_mk_pdf([(1, day_us, ING.PLANNED_TYPE)])]), st))
+    assert st.timeout_ms == 2 * day_us // 1000  # max ts + gap, in ms
+    st.hasTimedOut = True
+    assert list(fn((1,), iter([]), st)) == []
+    assert st.removed
+
+
 def test_windowed_counts_match_batch(spark):
     tmp = tempfile.mkdtemp(prefix="stream_win_")
     src = os.path.join(tmp, "src")
