@@ -40,3 +40,33 @@ def test_broadcast_join_for_dim(spark):
     dim = read_table(spark, SF, "nation")
     j = fact.join(F.broadcast(dim), fact.o_custkey % 25 == dim.n_nationkey)
     assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_unpartitioned_window_detector(spark):
+    """The PLANS.md detector must flag a genuinely global window and stay
+    silent on a partitioned one (regression: the old string-match was
+    vacuously 0 on every plan)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from explain_audit import count_unpartitioned_windows
+    from pyspark.sql import Window
+
+    df = spark.range(100).withColumn("g", F.col("id") % 5)
+    global_w = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy().orderBy("id"))
+    )
+    part_w = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert count_unpartitioned_windows(_plan(global_w)) == (1, 0)
+    assert count_unpartitioned_windows(_plan(part_w)) == (0, 0)
+
+    # the two-pass offsets window (__pid order, one row per partition) is
+    # classified bounded, not a single-task sink
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.relational import global_index
+
+    gi = global_index(df, ["id"])
+    unbounded, bounded = count_unpartitioned_windows(_plan(gi))
+    assert unbounded == 0 and bounded >= 1
