@@ -43,23 +43,67 @@ def random_split(
 def undersample_exact(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     """U4 — exact-n uniform sample (py:447 ``sample(n=...)``):
     rand-ordered top-n, compiled to TakeOrderedAndProject (per-partition
-    top-n, then merge of n-row heaps — no global sort)."""
+    top-n, then merge of n-row heaps — no global sort of the input, but
+    the final merge materializes all n rows on ONE task). Use for
+    human-scale n; for n that is itself big data (billions of minority
+    rows at 100 TB) use :func:`undersample_fraction` — approximate n,
+    fully map-side."""
     return df.orderBy(F.rand(seed)).limit(n)
 
 
-def balance_undersample(
-    df: DataFrame, label: Column | str, seed: int = 42
+def undersample_fraction(
+    df: DataFrame, n: int, seed: int = 42, total: int | None = None
 ) -> DataFrame:
-    """U4/U8 composition — exact 1:1 class balance by downsampling every
-    class to the global minority count (py:447; RandomUnderSampler
-    py:773,817).
+    """U4 scale path — ~n uniform rows via map-side Bernoulli sampling.
+
+    No shuffle, no single-task merge: every partition keeps ~fraction of
+    its rows independently. Row count is binomial around ``n`` (documented
+    approximate). ``total`` skips the count job when the caller already
+    knows it.
+    """
+    total = total if total is not None else df.count()
+    if total <= n:
+        return df
+    return df.sample(withReplacement=False, fraction=n / total, seed=seed)
+
+
+def balance_undersample(
+    df: DataFrame, label: Column | str, seed: int = 42, exact: bool = True
+) -> DataFrame:
+    """U4/U8 composition — 1:1 class balance by downsampling every class
+    to the global minority count (py:447; RandomUnderSampler py:773,817).
 
     One pass to count classes (tiny aggregate, collected — class
-    cardinality is human-scale), then per-class TakeOrdered unioned.
+    cardinality is human-scale), then:
+
+    - ``exact=True`` (default): per-class TakeOrdered unioned — exactly
+      n_min rows per class, but each class's final merge lands on one
+      task; right whenever n_min fits a task (the reference's regime).
+    - ``exact=False`` (scale path): one ``sampleBy`` pass with fraction
+      n_min/n_c per class — approximate counts, zero extra shuffles, no
+      single-task stage at any scale.
     """
     lab = F.col(label) if isinstance(label, str) else label
     counts = df.groupBy(lab.alias("__lab")).agg(F.count("*").alias("n")).collect()
     n_min = min(r["n"] for r in counts)
+    if not exact:
+        # sampleBy keys on the column's values; NULL is a valid key only
+        # via eqNullSafe filtering — handle the (rare) NULL class apart
+        fractions = {
+            r["__lab"]: min(1.0, n_min / r["n"])
+            for r in counts
+            if r["__lab"] is not None
+        }
+        sampled = df.sampleBy(lab, fractions=fractions, seed=seed)
+        null_rows = [r for r in counts if r["__lab"] is None]
+        if null_rows:
+            null_part = df.filter(lab.isNull()).sample(
+                withReplacement=False,
+                fraction=min(1.0, n_min / null_rows[0]["n"]),
+                seed=seed,
+            )
+            sampled = sampled.unionByName(null_part)
+        return sampled
     out = None
     for r in counts:
         # eqNullSafe: a NULL-label class is a real class, not a dropped one
@@ -235,7 +279,17 @@ def nearmiss(
         probe_adjacent=False,
     )
     scores = knn.groupBy("a_id").agg(F.avg("dist").alias("__mean_dist"))
-    picked = scores.orderBy("__mean_dist", "a_id").limit(n_min)
+    # distributed top-n_min: rank with the two-pass global_index substrate
+    # (range partition + per-partition row_number + broadcast offsets)
+    # instead of orderBy().limit(n_min), whose final merge materializes all
+    # n_min rows on one task — a straggler when the minority count is big
+    # data itself. Tie-break on a_id keeps the selection deterministic and
+    # identical to the TakeOrdered form.
+    from .relational import global_index
+
+    picked = global_index(scores, ["__mean_dist", "a_id"], out="__pos").filter(
+        F.col("__pos") <= n_min
+    )
     kept = maj.join(
         picked.select(F.col("a_id").alias(id_col)), id_col, "left_semi"
     )

@@ -18,6 +18,48 @@ def test_balance_undersample_exact_counts(spark):
     assert counts == {0: 6, 1: 6}
 
 
+def test_balance_undersample_fraction_mode_no_funnel(spark):
+    """Scale path: approximate counts via one sampleBy pass, and the plan
+    has NO single-partition exchange or global limit (the exact-n trap)."""
+    df = _toy(spark, 60, 200)
+    out = SA.balance_undersample(df, "lab", seed=1, exact=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "TakeOrderedAndProject" not in plan and "GlobalLimit" not in plan
+    counts = {r["lab"]: r["n"] for r in out.groupBy("lab").agg(F.count("*").alias("n")).collect()}
+    # binomial around n_min: minority kept fully-ish, majority near n_min
+    assert counts[1] <= 60 and 30 <= counts[0] <= 100
+
+
+def test_balance_undersample_fraction_null_class(spark):
+    rows = [(i, 0) for i in range(40)] + [(100 + i, 1) for i in range(10)] + [
+        (200 + i, None) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id long, lab int")
+    out = SA.balance_undersample(df, "lab", seed=1, exact=False)
+    labs = {r["lab"] for r in out.select("lab").distinct().collect()}
+    assert None in labs  # the NULL class is sampled, not dropped
+
+
+def test_undersample_fraction_no_shuffle(spark):
+    df = _toy(spark, 50, 150)
+    out = SA.undersample_fraction(df, 40, seed=2, total=200)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map-side sample
+    n = out.count()
+    assert 10 <= n <= 80  # binomial around 40
+
+
+def test_nearmiss_pick_is_distributed(spark):
+    """The top-n_min majority pick must not compile to a single-task
+    TakeOrdered merge (regression of the exact-n funnel)."""
+    df = _toy(spark)
+    out = SA.nearmiss(df, "id", "arr", "lab", minority_value=1, k=2, seed=5,
+                      threshold=50.0, bucket_length=5.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan and "GlobalLimit" not in plan
+
+
 def test_random_split_partitions_input(spark):
     df = _toy(spark, 50, 50)
     tr, te = SA.random_split(df, (0.8, 0.2), seed=3)
