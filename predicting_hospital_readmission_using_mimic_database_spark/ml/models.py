@@ -75,20 +75,28 @@ def rf_numtrees_sweep(
     features: str = "features",
     label: str = "label",
     seed: int = 42,
+    parallelism: int = 4,
 ) -> DataFrame:
     """M5 — the numTrees loop (py:608-618) with held-out AUC per setting.
 
     The training set should be ``.cache()``d by the caller before the sweep
     (SURVEY §4.2 — the one real physical decision); each fit is a
-    distributed MLlib job.
+    distributed MLlib job. Fits are submitted from a driver-side thread
+    pool (the same scheme MLlib's CrossValidator ``parallelism`` uses):
+    concurrent jobs let the scheduler fill executor gaps — grid points are
+    independent, so ordering is irrelevant and results are seed-stable.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
-    ev = BinaryClassificationEvaluator(labelCol=label, metricName="areaUnderROC")
-    rows = []
-    for n in num_trees_grid:
+    def one(n: int) -> tuple[int, float]:
+        ev = BinaryClassificationEvaluator(labelCol=label, metricName="areaUnderROC")
         m = train_rf(train, features, label, num_trees=n, seed=seed)
-        rows.append((int(n), float(ev.evaluate(m.transform(test)))))
+        return (int(n), float(ev.evaluate(m.transform(test))))
+
+    with ThreadPoolExecutor(max_workers=max(1, parallelism)) as ex:
+        rows = list(ex.map(one, num_trees_grid))
     return train.sparkSession.createDataFrame(rows, "num_trees int, auc double")
 
 

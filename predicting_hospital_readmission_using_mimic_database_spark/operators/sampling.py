@@ -205,8 +205,14 @@ def smote(
     """
     from .similarity import brp_knn_pairs
 
-    mino = df.filter(F.col(label_col) == F.lit(minority_value)).select(
-        id_col, array_col, label_col
+    # the minority frame feeds FIVE plan branches (dim probe, both kNN
+    # sides, and the a/b feature rejoins) — without a cache each branch
+    # re-scans the input source; by definition it is the SMALL class, so
+    # caching it is the same decision SURVEY §4.2 makes for ML reuse
+    mino = (
+        df.filter(F.col(label_col) == F.lit(minority_value))
+        .select(id_col, array_col, label_col)
+        .cache()
     )
     first = mino.select(array_col).first()
     if first is None or first[0] is None:

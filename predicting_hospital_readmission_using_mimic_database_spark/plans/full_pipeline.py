@@ -35,6 +35,19 @@ EVENT_TYPES = ("signup", "login", "purchase", "view", "error")
 
 FREQUENT_READMIT_DAYS = 0.56  # ~median per-user mean gap-to-next-unplanned
 
+#: LBFGS frames: one job per iteration, so undersized partitions pay task
+#: launch per iteration; ~this many rows per task amortizes it
+ROWS_PER_FIT_PARTITION = 50_000
+
+
+def _fit_partitions(n_rows: int, current: int) -> int:
+    """Size-derived partition count for iterative-fit frames: enough
+    partitions for the data volume, never more than the frame already has
+    (coalesce cannot add), never zero."""
+    import math
+
+    return max(1, min(current, math.ceil(n_rows / ROWS_PER_FIT_PARTITION)))
+
 
 def user_feature_table(events: DataFrame) -> DataFrame:
     """Per-user modeling table: pivot counts + value stats + tenure +
@@ -106,52 +119,72 @@ def strategy_comparison(spark: SparkSession, sf_dir: str, seed: int = 42) -> Dat
         F.array(*zcols).alias("arr"),
         F.col("label").cast("int").alias("y"),
     )
+    # cache the STANDARDIZED PER-USER frame, not just the train side: the
+    # feature chain (label windows + pivot + joins) otherwise re-runs for
+    # the stats branch, the train branch, AND the test branch — three full
+    # passes. Per-user rows are orders of magnitude fewer than events, so
+    # this is the cheap thing to pin. Materialize BEFORE the strategy
+    # pool: five threads racing a cold cache each recompute the chain
+    # (cache blocks populate per-partition without coordination).
+    base = base.cache()
+    base.count()
     train, test = SA.random_split(base, (0.8, 0.2), seed=seed)
     train = train.cache()
+    train.count()
     # every strategy scores this same frame (three actions each) — without
     # the cache the whole feature chain (windows + pivot + joins) re-runs
-    # per metric collect
+    # per metric collect. Partition count is SIZE-DERIVED (not a bench-box
+    # constant): each LBFGS iteration is one job over the frame, so target
+    # enough rows per task that scheduling overhead amortizes, never fewer
+    # partitions than the data needs.
     test_v = (
         test.withColumn("features", array_to_vector("arr"))
         .withColumn("y", F.col("y").cast("double"))
-        .coalesce(4)
         .cache()
     )
+    test_v = test_v.coalesce(_fit_partitions(test_v.count(), test_v.rdd.getNumPartitions()))
 
     # standardized space: typical pair distance ~ sqrt(2*dim); threshold
     # keeps the kNN neighborhood, bucket_length ~1 sd per projection
     knn_kwargs = dict(threshold=6.0, bucket_length=1.0, num_hash_tables=5)
 
-    def strategies():
-        yield "base", train
-        yield "undersample", SA.balance_undersample(train, "y", seed=seed)
-        yield "oversample", SA.oversample_with_replacement(train, "y", seed=seed)
-        yield "smote", SA.smote(
+    strategies = [
+        ("base", lambda: train),
+        ("undersample", lambda: SA.balance_undersample(train, "y", seed=seed)),
+        ("oversample", lambda: SA.oversample_with_replacement(train, "y", seed=seed)),
+        ("smote", lambda: SA.smote(
             train, "user_id", "arr", "y", minority_value=1, k=2, seed=seed, **knn_kwargs
-        )
-        yield "nearmiss", SA.nearmiss(
+        )),
+        ("nearmiss", lambda: SA.nearmiss(
             train, "user_id", "arr", "y", minority_value=1, k=3, seed=seed, **knn_kwargs
-        )
+        )),
+    ]
 
-    rows = []
-    for name, tr in strategies():
+    def evaluate(item):
+        name, mk = item
         trv = (
-            tr.withColumn("features", array_to_vector("arr"))
+            mk().withColumn("features", array_to_vector("arr"))
             .withColumn("y", F.col("y").cast("double"))
-            # few partitions: each LBFGS iteration is a job over the (tiny)
-            # training frame — task-launch overhead dominates otherwise
-            .coalesce(4)
             .cache()  # consumed by the fit AND the count — SMOTE/NearMiss
             # kNN must not re-run per action
         )
-        model = MO.train_lr_l1(trv, C=10.0, features="features", label="y", max_iter=25)
+        n = trv.count()
+        fit_df = trv.coalesce(_fit_partitions(n, trv.rdd.getNumPartitions()))
+        model = MO.train_lr_l1(fit_df, C=10.0, features="features", label="y", max_iter=25)
         scored = MO.predict_proba(model, test_v)
         auc = ME.auc_metrics(scored, "p1", "y").collect()[0]
         b = ME.binary_metrics(scored, "p1", "y", 0.5).collect()[0]
-        rows.append(
-            (name, trv.count(), auc["roc_auc"], b["accuracy"], b["recall"],
-             b["precision"], b["f1"])
-        )
+        return (name, n, auc["roc_auc"], b["accuracy"], b["recall"],
+                b["precision"], b["f1"])
+
+    # strategies are independent: submit from a driver thread pool
+    # (CrossValidator's parallelism scheme) so the scheduler overlaps
+    # their jobs instead of idling between sequential fits; ex.map keeps
+    # the canonical row order
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(strategies)) as ex:
+        rows = list(ex.map(evaluate, strategies))
     return spark.createDataFrame(
         rows,
         "strategy string, n_train long, auc double, accuracy double, "

@@ -738,14 +738,24 @@ def q_u6(spark, sf):
     ).cache()  # three invariant checks below — don't re-run the kNN per count
     synth = out.filter(F.col("vec_id") < 0)
     mino = base.filter(F.col("pos") == 1)
-    dims = mino.select(F.posexplode("embedding").alias("dim", "x")).groupBy("dim").agg(
-        F.min("x").alias("lo"), F.max("x").alias("hi")
-    )
-    viol = (
-        synth.select(F.posexplode("embedding").alias("dim", "x"))
-        .join(F.broadcast(dims), "dim")
-        .filter((F.col("x") < F.col("lo") - 1e-6) | (F.col("x") > F.col("hi") + 1e-6))
-        .count()
+    # envelope check as ONE aggregate per side: per-dim min/max arrays via
+    # element_at (no posexplode of the synthetic rows — the old explode +
+    # join + filter dominated the entry's runtime), compared dim-by-dim on
+    # 2 x dim scalars
+    dim = len(mino.select("embedding").first()[0])
+
+    def _bounds(sdf):
+        return sdf.agg(
+            F.array(*[F.min(F.element_at("embedding", i + 1)) for i in range(dim)]).alias("lo"),
+            F.array(*[F.max(F.element_at("embedding", i + 1)) for i in range(dim)]).alias("hi"),
+        ).first()
+
+    mb, sb = _bounds(mino), _bounds(synth)
+    viol = sum(
+        1
+        for i in range(dim)
+        if sb["lo"][i] is not None
+        and (sb["lo"][i] < mb["lo"][i] - 1e-6 or sb["hi"][i] > mb["hi"][i] + 1e-6)
     )
     n_min, n_synth = mino.count(), synth.count()
     return spark.createDataFrame(

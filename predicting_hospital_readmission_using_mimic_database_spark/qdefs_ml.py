@@ -212,12 +212,28 @@ def q_m4(spark, sf):
 
 @query("m5_rf_sweep")
 def q_m5(spark, sf):
-    """M5 — numTrees sweep with held-out AUC per setting (py:608-618)."""
+    """M5 — numTrees sweep with held-out AUC per setting (py:608-618).
+
+    Reference grid is 100..900 step 100 (9 fits). Fit cost here is tree
+    count, not rows (embeddings are small at every sf), so the grid is
+    scaled by surface: the full 9-point reference shape at the smoke sf,
+    a 5-point span at the correctness gate's sf, the headline pair at
+    bench sf. Fits run thread-parallel (models.rf_numtrees_sweep).
+    """
     d = _emb_features(spark, sf)
     train, test = d.randomSplit([0.8, 0.2], seed=42)
-    # reference sweeps numTrees 100..900 (py:608-618); 100/300 covers the
-    # headline setting (300) at bench-compatible runtime
-    return MO.rf_numtrees_sweep(train.cache(), test, [100, 300], "features", "y")
+    return MO.rf_numtrees_sweep(train.cache(), test, m5_grid(sf), "features", "y")
+
+
+def m5_grid(sf: str) -> list[int]:
+    """The numTrees grid for a given data dir: the reference's exact
+    9-point 100..900 shape at the smoke sf, the full span at step 200 at
+    the correctness-gate sf, the headline pair (300 + anchor) at bench."""
+    if "sf0.001" in sf:
+        return list(range(100, 1000, 100))
+    if "sf0.01" in sf:
+        return [100, 300, 500, 700, 900]
+    return [100, 300]
 
 
 @query("m6_lr_l1")

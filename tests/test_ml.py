@@ -44,6 +44,27 @@ def test_roc_points_monotone(spark):
     assert pts[-1]["fpr"] == 1.0 and pts[-1]["tpr"] == 1.0
 
 
+def test_m5_grid_reference_shape():
+    """Smoke sf demonstrates the reference's exact 9-fit sweep
+    (numTrees 100..900 step 100, py:608-618); larger sfs scale down."""
+    from predicting_hospital_readmission_using_mimic_database_spark.qdefs_ml import m5_grid
+
+    assert m5_grid("/root/testdata/sf0.001") == list(range(100, 1000, 100))
+    assert m5_grid("/root/testdata/sf0.01") == [100, 300, 500, 700, 900]
+    assert m5_grid("/root/testdata/sf0.1") == [100, 300]
+
+
+def test_rf_sweep_parallel_matches_grid(spark):
+    rows = [(i, [float(i % 7), float(i % 3)], i % 2) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, arr array<double>, y int")
+    from pyspark.ml.functions import array_to_vector
+
+    d = df.select(array_to_vector("arr").alias("features"), F.col("y").cast("double").alias("y"))
+    out = MO.rf_numtrees_sweep(d, d, [5, 10, 15], "features", "y", parallelism=3).collect()
+    assert sorted(r["num_trees"] for r in out) == [5, 10, 15]
+    assert all(0.0 <= r["auc"] <= 1.0 for r in out)
+
+
 def test_roc_points_constant_scores_binned(spark):
     # all scores identical + n_bins: bin width is 0 — the quantization
     # must not produce a NaN group (regression: 0/0 collapsed the curve)
