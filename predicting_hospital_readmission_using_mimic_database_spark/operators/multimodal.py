@@ -1,18 +1,19 @@
-"""Multimodal column plumbing (north-star surface).
+"""Multimodal column operators (north-star surface).
 
 Images / audio / video ride through the engine as opaque ``binary``
-columns plus typed metadata — the Spark-side machinery (schemas, Arrow
-batch transport, ``mapInPandas`` partition iteration, batch sizing) is
-REAL and tested; the codec itself is stubbed because no image/audio
-library ships in this container:
+columns plus typed metadata — schemas, Arrow batch transport,
+``mapInPandas`` partition iteration, and batch sizing are the production
+path. Codecs (this container ships no media libraries):
 
-- ``decode_stub_features`` raises ``NotImplementedError`` when asked for a
-  real codec, and provides ``fake_decoder`` — a deterministic
-  bytes->features transform (content-hash-seeded) with the exact signature
-  a real decoder (PIL / torchaudio / pyav) would slot into;
-- everything around the decoder — blob manifest schema, partition-wise
-  Arrow batching, feature schema, frame sampling arithmetic — is live
-  code a user swaps a real codec into.
+- **image — REAL**: a pure-stdlib parser for uncompressed 24-bit BMP and
+  binary PPM (P6) decodes actual pixels into channel means, luminance
+  moments, and a luminance histogram;
+- **audio — REAL**: stdlib ``wave`` + ``struct`` parse PCM WAV into
+  duration/rate/RMS/zero-crossings and an amplitude histogram;
+- **video — STUB**: no container parser in the stdlib; video assets fall
+  back to ``fake_decoder`` (deterministic content-hash features) and are
+  the one declared stub. A real codec (pyav) slots into
+  ``real_decoder``'s dispatch.
 
 Scale posture: blobs stay columnar (parquet binary); decode fans out via
 ``mapInPandas`` (one Python worker per partition, Arrow-batched);
@@ -23,6 +24,10 @@ so a partition of large blobs never materializes at once.
 from __future__ import annotations
 
 import hashlib
+import io
+import math
+import struct
+import wave
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -62,50 +67,253 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# Stdlib codecs: BMP / PPM image, PCM WAV audio
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, pixels) -> bytes:
+    """Uncompressed 24-bit BMP from row-major (r, g, b) tuples (len =
+    width*height, top-down). Used by the synthetic ingest and fixtures —
+    the decoder accepts any conformant BMP, not just these."""
+    row_pad = (-(width * 3)) % 4
+    img = bytearray()
+    # BMP stores rows bottom-up
+    for y in range(height - 1, -1, -1):
+        for x in range(width):
+            r, g, b = pixels[y * width + x]
+            img += bytes((b, g, r))
+        img += b"\x00" * row_pad
+    header_size = 14 + 40
+    file_size = header_size + len(img)
+    return (
+        struct.pack("<2sIHHI", b"BM", file_size, 0, 0, header_size)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+        + bytes(img)
+    )
+
+
+def _parse_bmp(content: bytes):
+    """-> (width, height, row-major top-down (r,g,b) list). 24-bit BI_RGB
+    only — the only profile the synthetic ingest writes."""
+    if len(content) < 54 or content[:2] != b"BM":
+        return None
+    off = struct.unpack_from("<I", content, 10)[0]
+    w, h = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    comp = struct.unpack_from("<I", content, 30)[0]
+    if planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(content) < off + stride * h:
+        return None
+    px = [None] * (w * h)
+    for row in range(h):
+        y = (h - 1 - row) if bottom_up else row
+        base = off + row * stride
+        for x in range(w):
+            b, g, r = content[base + 3 * x : base + 3 * x + 3]
+            px[y * w + x] = (r, g, b)
+    return w, h, px
+
+
+def _parse_ppm(content: bytes):
+    """Binary PPM (P6, maxval 255) -> (width, height, (r,g,b) list)."""
+    if not content.startswith(b"P6"):
+        return None
+    # header: P6 <w> <h> <maxval> single-whitespace, then raw RGB
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3 and i < len(content):
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":  # comment to EOL
+            while i < len(content) and content[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(content) and not content[j : j + 1].isspace():
+            j += 1
+        try:
+            fields.append(int(content[i:j]))
+        except ValueError:
+            return None
+        i = j
+    i += 1  # the single whitespace after maxval
+    if len(fields) < 3 or fields[2] != 255:
+        return None
+    w, h = fields[0], fields[1]
+    if w <= 0 or h <= 0 or len(content) < i + 3 * w * h:
+        return None
+    px = [
+        tuple(content[i + 3 * k : i + 3 * k + 3]) for k in range(w * h)
+    ]
+    return w, h, px
+
+
+def decode_image_features(content: bytes) -> list[float] | None:
+    """REAL image decode (BMP / PPM) -> FEATURE_DIM doubles:
+
+    [w, h, aspect, mean_r, mean_g, mean_b, mean_luma, std_luma,
+     8-bin luminance histogram (normalized)].
+
+    Returns None when the bytes are not a supported image.
+    """
+    parsed = _parse_bmp(content) or _parse_ppm(content)
+    if parsed is None:
+        return None
+    w, h, px = parsed
+    n = len(px)
+    mr = sum(p[0] for p in px) / n / 255.0
+    mg = sum(p[1] for p in px) / n / 255.0
+    mb = sum(p[2] for p in px) / n / 255.0
+    lumas = [(0.299 * p[0] + 0.587 * p[1] + 0.114 * p[2]) / 255.0 for p in px]
+    ml = sum(lumas) / n
+    sl = math.sqrt(sum((v - ml) ** 2 for v in lumas) / n)
+    hist = [0] * 8
+    for v in lumas:
+        hist[min(7, int(v * 8))] += 1
+    return [float(w), float(h), w / h, mr, mg, mb, ml, sl] + [c / n for c in hist]
+
+
+def encode_wav(samples, rate: int = 8000) -> bytes:
+    """16-bit mono PCM WAV from int samples in [-32768, 32767]."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_audio_features(content: bytes) -> list[float] | None:
+    """REAL audio decode (PCM WAV, 16-bit) -> FEATURE_DIM doubles:
+
+    [n_channels, sample_rate, duration_s, rms, zero_crossing_rate, peak,
+     mean_abs, std, 8-bin |amplitude| histogram (normalized)].
+
+    Amplitudes normalized to [-1, 1]. None when not a PCM WAV.
+    """
+    try:
+        with wave.open(io.BytesIO(content), "rb") as wf:
+            nch, sw, rate, nframes = (
+                wf.getnchannels(), wf.getsampwidth(), wf.getframerate(), wf.getnframes(),
+            )
+            if sw != 2 or nframes == 0:
+                return None
+            raw = wf.readframes(nframes)
+    except (wave.Error, EOFError):
+        return None
+    vals = [v / 32768.0 for v in struct.unpack(f"<{len(raw) // 2}h", raw)]
+    n = len(vals)
+    rms = math.sqrt(sum(v * v for v in vals) / n)
+    zc = sum(
+        1 for a, b in zip(vals, vals[1:]) if (a >= 0) != (b >= 0)
+    ) / max(1, n - 1)
+    peak = max(abs(v) for v in vals)
+    mean_abs = sum(abs(v) for v in vals) / n
+    mean = sum(vals) / n
+    std = math.sqrt(sum((v - mean) ** 2 for v in vals) / n)
+    hist = [0] * 8
+    for v in vals:
+        hist[min(7, int(abs(v) * 8))] += 1
+    return [float(nch), float(rate), n / (nch * rate), rms, zc, peak, mean_abs, std] + [
+        c / n for c in hist
+    ]
+
+
+def fake_decoder(content: bytes) -> list[float]:
+    """Deterministic stand-in for a codec: FEATURE_DIM doubles derived from
+    the content digest. Same bytes -> same features, any engine. Remains
+    the declared VIDEO stub (no stdlib container parser)."""
+    dg = hashlib.sha256(content or b"").digest()
+    return [dg[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def real_decoder(media_type: str, content: bytes) -> list[float]:
+    """Dispatch: real image/audio parsing; video -> declared fake stub.
+    Unparseable image/audio content is a data error, not a silent fake."""
+    if media_type == "image":
+        feats = decode_image_features(content or b"")
+        if feats is None:
+            raise ValueError("corrupt image asset: not a supported BMP/PPM")
+        return feats
+    if media_type == "audio":
+        feats = decode_audio_features(content or b"")
+        if feats is None:
+            raise ValueError("corrupt audio asset: not a 16-bit PCM WAV")
+        return feats
+    return fake_decoder(content)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic ingest + the mapInPandas decode operator
+# ---------------------------------------------------------------------------
+
+
 def synthetic_blobs(spark, n: int = 64, partitions: int = 4) -> DataFrame:
-    """Deterministic fake asset manifest (content = seeded bytes) used by
-    tests and the mm1 query entry — stands in for a real ingest."""
+    """Deterministic fake asset manifest used by tests and the mm1/mm2
+    query entries — stands in for a real ingest. Image assets are REAL
+    BMPs and audio assets REAL WAVs (decodable by the real codec path);
+    video content is seeded bytes (the declared stub). The metadata
+    columns keep their closed-form formulas (mm2's oracle depends on
+    them)."""
     rows = []
     for i in range(n):
         media = ("image", "audio", "video")[i % 3]
-        content = hashlib.sha256(f"asset-{i}".encode()).digest() * (1 + i % 5)
+        if media == "image":
+            w, h = 4 + i % 4, 3 + i % 3
+            px = [
+                ((x * 37 + i) % 256, (y * 59 + i) % 256, (x * y * 17 + i) % 256)
+                for y in range(h)
+                for x in range(w)
+            ]
+            content = encode_bmp(w, h, px)
+        elif media == "audio":
+            content = encode_wav(
+                [
+                    int(20000 * math.sin(2 * math.pi * (i + 1) * t / 64.0))
+                    for t in range(64 + i)
+                ]
+            )
+        else:
+            content = hashlib.sha256(f"asset-{i}".encode()).digest() * (1 + i % 5)
         rows.append(
             (i, media, content, 64 + i % 512, 64 + (i * 3) % 512, 1000 * (1 + i % 30))
         )
     return spark.createDataFrame(rows, BLOB_SCHEMA).repartition(partitions)
 
 
-def fake_decoder(content: bytes) -> list[float]:
-    """Deterministic stand-in for a codec: FEATURE_DIM doubles derived from
-    the content digest. Same bytes -> same features, any engine."""
-    dg = hashlib.sha256(content or b"").digest()
-    return [dg[i] / 255.0 for i in range(FEATURE_DIM)]
-
-
 def decode_stub_features(df: DataFrame, real_codec: bool = False) -> DataFrame:
     """Blob manifest -> per-asset feature rows via ``mapInPandas``.
 
-    ``real_codec=True`` is the seam for PIL/torchaudio/pyav — not
-    available in this environment, so it raises (clearly marked stub).
-    The surrounding plumbing (Arrow batches, schema, partition fan-out)
-    is the production path.
+    ``real_codec=True`` parses image (BMP/PPM) and audio (WAV) content
+    with the stdlib codecs above; video falls back to ``fake_decoder``
+    (the declared stub seam a pyav-style codec slots into). The default
+    keeps the fully deterministic digest features for all media — the
+    plumbing-shape contract used by mm1's invariants.
     """
-    if real_codec:
-        raise NotImplementedError(
-            "media codecs (PIL/torchaudio/pyav) are not installed in this "
-            "environment; plug the real decoder into fake_decoder's seam"
-        )
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:  # one Arrow batch at a time — bounded memory
+            if real_codec:
+                feats = [
+                    real_decoder(m, b)
+                    for m, b in zip(pdf["media_type"], pdf["content"])
+                ]
+            else:
+                feats = [fake_decoder(b) for b in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["content"].map(lambda b: len(b or b"")),
-                    "features": pdf["content"].map(fake_decoder),
+                    "features": feats,
                 }
             )
 

@@ -362,17 +362,30 @@ def q_x4(spark, sf):
 
 @query("mm1_multimodal_decode")
 def q_mm1(spark, sf):
-    """Binary-column decode plumbing (rows-only): synthetic blob manifest ->
-    mapInPandas feature extraction (Arrow-batched); invariants: row count
-    preserved, feature dim fixed, byte counts positive."""
+    """Binary-column decode (rows-only): synthetic blob manifest ->
+    mapInPandas feature extraction (Arrow-batched) with the REAL stdlib
+    codecs (BMP/PPM pixels, PCM WAV samples; video = declared stub).
+    Invariants: row count preserved, feature dim fixed, byte counts
+    positive, and the distributed decode of asset 0 (a closed-form BMP)
+    matches the local golden pixel stats EXACTLY."""
     blobs = MM.synthetic_blobs(spark, n=64)
-    feats = MM.decode_stub_features(blobs)
+    feats = MM.decode_stub_features(blobs, real_codec=True).cache()
+    # golden fixture recomputed locally from the same closed form the
+    # synthetic ingest uses for asset 0 (image, w=4, h=3)
+    w, h = 4, 3
+    px = [((x * 37) % 256, (y * 59) % 256, (x * y * 17) % 256) for y in range(h) for x in range(w)]
+    expected = MM.decode_image_features(MM.encode_bmp(w, h, px))
+    got = feats.filter(F.col("asset_id") == 0).select("features").first()[0]
+    pixel_exact = bool(len(got) == len(expected) and all(
+        abs(a - b) < 1e-12 for a, b in zip(got, expected)
+    ))
     return feats.agg(
         F.count("*").alias("n"),
         F.countDistinct("media_type").alias("n_media_types"),
         F.min(F.size("features")).alias("min_dim"),
         F.max(F.size("features")).alias("max_dim"),
         F.min("n_bytes").alias("min_bytes"),
+        F.lit(pixel_exact).alias("pixel_stats_exact"),
     )
 
 

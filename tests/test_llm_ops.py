@@ -117,10 +117,62 @@ def test_multimodal_decode_plumbing(spark):
     )
 
 
-def test_multimodal_real_codec_is_marked_stub(spark):
-    blobs = MM.synthetic_blobs(spark, n=3)
-    with pytest.raises(NotImplementedError):
-        MM.decode_stub_features(blobs, real_codec=True)
+def test_bmp_roundtrip_golden_pixels():
+    """Golden fixture: a 2x2 BMP with known pixels decodes to exact
+    channel means / luminance stats."""
+    px = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    content = MM.encode_bmp(2, 2, px)
+    f = MM.decode_image_features(content)
+    assert f is not None and len(f) == MM.FEATURE_DIM
+    assert (f[0], f[1], f[2]) == (2.0, 2.0, 1.0)
+    assert abs(f[3] - 2 / 4) < 1e-12  # mean R: two full-red-channel pixels
+    assert abs(f[4] - 2 / 4) < 1e-12
+    assert abs(f[5] - 2 / 4) < 1e-12
+    lumas = [0.299, 0.587, 0.114, 1.0]
+    assert abs(f[6] - sum(lumas) / 4) < 1e-12
+    # histogram: bins floor(l*8) clamped -> 0.299->2, 0.587->4, 0.114->0, 1.0->7
+    assert f[8] == 0.25 and f[10] == 0.25 and f[12] == 0.25 and f[15] == 0.25
+
+
+def test_ppm_decode_matches_bmp():
+    px = [(10, 20, 30), (40, 50, 60)]
+    bmp = MM.decode_image_features(MM.encode_bmp(2, 1, px))
+    ppm = MM.decode_image_features(b"P6\n2 1\n255\n" + bytes((10, 20, 30, 40, 50, 60)))
+    assert bmp == ppm
+
+
+def test_wav_decode_golden():
+    samples = [0, 16384, 0, -16384] * 16  # square-ish wave, peak 0.5
+    f = MM.decode_audio_features(MM.encode_wav(samples, rate=8000))
+    assert f is not None and len(f) == MM.FEATURE_DIM
+    assert f[0] == 1.0 and f[1] == 8000.0  # mono, rate
+    assert abs(f[2] - 64 / 8000) < 1e-12  # duration
+    assert abs(f[3] - 0.35355339) < 1e-6  # rms = 0.5/sqrt(2)
+    assert abs(f[5] - 0.5) < 1e-9  # peak
+
+def test_multimodal_real_codec_end_to_end(spark):
+    """The real codec path decodes every image/audio asset distributed;
+    video assets take the declared fake-stub fallback."""
+    blobs = MM.synthetic_blobs(spark, n=12)
+    feats = {r["asset_id"]: r for r in MM.decode_stub_features(blobs, real_codec=True).collect()}
+    assert len(feats) == 12
+    raw = {r["asset_id"]: r for r in blobs.collect()}
+    for i, r in feats.items():
+        assert len(r["features"]) == MM.FEATURE_DIM
+        if r["media_type"] == "image":
+            assert r["features"] == MM.decode_image_features(raw[i]["content"])
+        elif r["media_type"] == "audio":
+            assert r["features"] == MM.decode_audio_features(raw[i]["content"])
+        else:
+            assert r["features"] == MM.fake_decoder(raw[i]["content"])
+
+
+def test_multimodal_corrupt_image_raises(spark):
+    blobs = spark.createDataFrame(
+        [(1, "image", b"not an image", 2, 2, None)], MM.BLOB_SCHEMA
+    )
+    with pytest.raises(Exception, match="corrupt image"):
+        MM.decode_stub_features(blobs, real_codec=True).collect()
 
 
 def test_word_ngrams_short_arrays(spark):
