@@ -63,6 +63,9 @@ HEADLINE = [
     "m8_mutual_info",
     "u4_balance_undersample",
     "e7_threshold_table",
+    # the two slowest compositions, tracked honestly (VERDICT r2 #9)
+    "u6_smote",
+    "e8_strategy_comparison",
 ]
 
 

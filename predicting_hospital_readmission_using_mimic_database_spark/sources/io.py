@@ -95,6 +95,61 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None) -> Data
     return r.json(path)
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+    fetch_size: int = 10_000,
+    predicates=None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC ingest (S1's live-DB parity path — the reference reads its
+    tables with ``pd.read_sql`` over one connection, py:18-19).
+
+    A bare ``spark.read.jdbc(url, table)`` reads THE WHOLE TABLE THROUGH
+    ONE CONNECTION on one task — the single-reader trap. Always pass
+    either:
+
+    - ``partition_column`` (+ ``lower_bound``/``upper_bound``/
+      ``num_partitions``): Spark issues ``num_partitions`` range-bounded
+      queries in parallel, one per task — the JDBC analogue of a
+      partitioned scan; or
+    - ``predicates``: one arbitrary WHERE clause per partition (for
+      non-numeric or skewed keys).
+
+    ``table`` may be a subquery alias (``"(select ...) t"``) — pushdown
+    for engines the Spark dialect can't push into. ``fetch_size`` tunes
+    the per-roundtrip row batch (drivers default absurdly low; e.g.
+    MySQL's streams row-by-row).
+    """
+    props = dict(properties or {})
+    props.setdefault("fetchsize", str(fetch_size))
+    reader = spark.read
+    if predicates is not None:
+        return reader.jdbc(url, table, predicates=list(predicates), properties=props)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError(
+                "read_jdbc: partition_column requires lower_bound, "
+                "upper_bound and num_partitions (they bound the per-task "
+                "range queries; without them the read is single-task)"
+            )
+        return reader.jdbc(
+            url,
+            table,
+            column=partition_column,
+            lowerBound=lower_bound,
+            upperBound=upper_bound,
+            numPartitions=int(num_partitions),
+            properties=props,
+        )
+    return reader.jdbc(url, table, properties=props)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
     """Default engine sink: columnar, splittable, stats-bearing."""
     w = df.write.mode(mode)

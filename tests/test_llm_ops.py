@@ -117,6 +117,52 @@ def test_multimodal_decode_plumbing(spark):
     )
 
 
+#: T13 divergence fixture — the reference lemmatizes with NLTK's
+#: WordNetLemmatizer (py:298,309); the engine default is the rule-based
+#: JVM lemmatizer. Where the two AGREE the engine must produce the
+#: WordNet output; where they DIVERGE (irregular forms, latinate plurals
+#: — dictionary knowledge the rules don't encode) the engine's defined
+#: output is pinned here so the delta is explicit, not accidental.
+T13_WORDNET_AGREES = {
+    "cats": "cat",
+    "glasses": "glass",
+    "studies": "study",
+    "classes": "class",
+    "dress": "dress",
+    "bus": "bus",
+    "windows": "window",
+}
+T13_KNOWN_DIVERGENT = {
+    # word: (engine rule output, WordNet output)
+    "geese": ("geese", "goose"),
+    "mice": ("mice", "mouse"),
+    "children": ("children", "child"),
+    "feet": ("feet", "foot"),
+    "analyses": ("analyse", "analysis"),
+    "diagnosis": ("diagnosi", "diagnosis"),
+}
+
+
+def test_t13_lemmatizer_pinned_semantics(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.functions.text import (
+        lemmatize_rules, lemmatize_udf,
+    )
+
+    words = sorted(set(T13_WORDNET_AGREES) | set(T13_KNOWN_DIVERGENT))
+    df = spark.createDataFrame([(words,)], "toks array<string>")
+    out = dict(zip(words, df.select(lemmatize_rules(F.col("toks")).alias("l")).first()["l"]))
+    for w, expect in T13_WORDNET_AGREES.items():
+        if w in T13_KNOWN_DIVERGENT:
+            continue
+        assert out[w] == expect, (w, out[w])
+    for w, (rule_out, _wordnet) in T13_KNOWN_DIVERGENT.items():
+        assert out[w] == rule_out, (w, out[w])
+    # the WordNet upgrade path stays gated: absent NLTK it reports None
+    # (callers fall back to the rules), never a broken UDF
+    udf = lemmatize_udf()
+    assert udf is None or callable(udf)
+
+
 def test_bmp_roundtrip_golden_pixels():
     """Golden fixture: a 2x2 BMP with known pixels decodes to exact
     channel means / luminance stats."""

@@ -127,6 +127,49 @@ def test_sinks_roundtrip(tmp_path, spark):
     assert sorted(r["id"] for r in back.collect()) == ["1", "2"]
 
 
+def test_read_jdbc_option_plumbing():
+    """No live DB in the harness — assert the reader receives the exact
+    partitioning/fetch options (the single-reader trap guards)."""
+    import pytest
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.io import read_jdbc
+
+    class FakeReader:
+        def __init__(self, calls):
+            self.calls = calls
+
+        def jdbc(self, url, table, **kw):
+            self.calls.append((url, table, kw))
+            return "DF"
+
+    class FakeSpark:
+        def __init__(self):
+            self.calls = []
+
+        @property
+        def read(self):
+            return FakeReader(self.calls)
+
+    fs = FakeSpark()
+    read_jdbc(
+        fs, "jdbc:postgresql://h/db", "events",
+        partition_column="event_id", lower_bound=0, upper_bound=10_000,
+        num_partitions=16, fetch_size=5000,
+    )
+    url, table, kw = fs.calls[0]
+    assert (kw["column"], kw["lowerBound"], kw["upperBound"], kw["numPartitions"]) == (
+        "event_id", 0, 10_000, 16
+    )
+    assert kw["properties"]["fetchsize"] == "5000"
+
+    read_jdbc(fs, "jdbc:mysql://h/db", "t", predicates=["k < 10", "k >= 10"])
+    _, _, kw2 = fs.calls[1]
+    assert kw2["predicates"] == ["k < 10", "k >= 10"]
+
+    with pytest.raises(ValueError, match="partition_column requires"):
+        read_jdbc(fs, "jdbc:x://h/d", "t", partition_column="k")
+
+
 def test_salted_join_equals_plain_join(spark):
     left = spark.createDataFrame([(1, i) for i in range(50)] + [(2, 99)], "k int, v int")
     right = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], "k int, w string")
