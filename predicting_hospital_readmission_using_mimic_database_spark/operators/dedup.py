@@ -454,3 +454,81 @@ def cosine_dup_pairs(
         .filter(F.col("a_id") < F.col("b_id"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive closure of near-dup PAIRS into clusters: (id, comp) with
+    ``comp`` = the minimum id reachable from ``id`` — the cluster
+    representative every pairwise dedup family (d1-d5) feeds into when
+    chains matter (A~B, B~C => {A,B,C} one cluster, which pairwise
+    drop-the-higher-id already handles for ids but NOT for arbitrary
+    chain shapes).
+
+    Distributed hash-to-min label propagation: every node repeatedly
+    adopts the minimum component id among itself and its neighbors;
+    fixpoint in O(graph diameter) rounds. Per round: one equi-join on the
+    edge key + one map-side-combinable min aggregate. ``localCheckpoint``
+    truncates lineage each round (an iterative plan would otherwise grow
+    a join tree ``max_iter`` deep and overwhelm the optimizer at scale).
+    Near-dup graphs have tiny diameters (dup clusters are quasi-cliques),
+    so convergence is a handful of rounds; ``max_iter`` bounds adversarial
+    chains, and termination is detected with a per-round changed-count
+    (the one scalar action an iterative algorithm needs).
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("comp").alias("__nc")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("__nc").alias("__nmin"))
+        )
+        stepped = labels.join(
+            neigh.select(F.col("src").alias("id"), "__nmin"), "id", "left"
+        ).select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("__nmin"), F.col("comp"))).alias("comp"),
+            (F.col("comp") > F.coalesce(F.col("__nmin"), F.col("comp"))).alias("__chg"),
+        )
+        stepped = stepped.localCheckpoint()
+        n_changed = stepped.filter(F.col("__chg")).count()
+        labels = stepped.select("id", "comp")
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str, a_col: str = "a_id", b_col: str = "b_id"
+) -> DataFrame:
+    """Cluster-aware dedup: keep ONE row (the min-id representative) per
+    connected near-dup cluster; rows in no pair pass through untouched."""
+    comp = connected_components(pairs, a_col, b_col)
+    drop = comp.filter(F.col("id") != F.col("comp")).select(F.col("id").alias(id_col))
+    return df.join(drop, id_col, "left_anti")

@@ -190,6 +190,40 @@ def q_d5(spark, sf):
     )
 
 
+@query(
+    "d6_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE u AS ({_DOCS_COPIES_SQL}),
+    s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM u),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))
+            / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            >= 0.6
+    ),
+    e AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION SELECT b_id, a_id FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+    )
+    SELECT id, min(r) AS comp FROM reach GROUP BY id
+    """,
+)
+def q_d6(spark, sf):
+    """EXACT duplicate clustering: connected components over the d4
+    Jaccard pair graph — distributed hash-to-min label propagation on
+    Spark vs a recursive-CTE transitive closure on DuckDB. The corpus has
+    genuine 3-node chains at threshold 0.6, so transitivity (A~B, B~C =>
+    one cluster) is exercised, not just planted 2-cliques."""
+    u = _tokens(_docs_with_exact_copies(spark, sf))
+    pairs = DD.jaccard_dup_pairs(
+        u, "doc_id", "tokens", n=3, threshold=0.6, max_doc_freq=None
+    ).select("a_id", "b_id")
+    return DD.connected_components(pairs)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

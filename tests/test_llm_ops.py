@@ -55,6 +55,26 @@ def test_minhash_banded_short_docs_not_collapsed(spark):
     assert kept == [1, 3, 4, 5]
 
 
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node path (multi-round propagation) plus a separate 2-clique
+    plus untouched nodes: every node labels with its component minimum."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "a_id long, b_id long"
+    )
+    comp = {r["id"]: r["comp"] for r in DD.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_transitive(spark):
+    # A~B, B~C: pairwise higher-id drop already removes B and C here, but
+    # the cluster form must also work when the pair list is NOT closed
+    # under transitivity (no (1,3) pair present)
+    df = spark.createDataFrame([(i, f"t{i}") for i in (1, 2, 3, 9)], "id long, t string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a_id long, b_id long")
+    kept = sorted(r["id"] for r in DD.dedup_clusters(df, pairs, "id").collect())
+    assert kept == [1, 9]
+
+
 def test_jaccard_pairs_exact_value(spark):
     # doc1/doc2 share 2 of 3 shingles each -> jaccard = 2/4 = 0.5
     df = spark.createDataFrame(
