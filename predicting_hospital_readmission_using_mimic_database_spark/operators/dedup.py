@@ -206,14 +206,17 @@ def minhash_banded_pairs(
     # Docs with no n-grams (< n tokens) would all keep the _LONG_MAX init
     # signature and collide in every band with est_jaccard 1.0 — their
     # shingle sets are empty, so Jaccard is undefined; exclude them up
-    # front, mirroring the size() guard in minhash_dup_pairs.
+    # front, mirroring the size() guard in minhash_dup_pairs. The guard is
+    # on the TOKEN count (size(shingles) > 0 <=> size(tokens) >= n), which
+    # keeps the filter off the shingle array — filtering on the array
+    # would rebuild it per row once for the predicate and once inside the
+    # signature aggregate after projection collapse (~2x scan cost).
     # cached: both band-join sides reuse the signatures (k longs per row)
     sig = (
-        df.select(
-            F.col(id_col), word_ngrams(F.col(tokens_col), n).alias("__sh")
+        df.filter(F.size(F.col(tokens_col)) >= n)
+        .select(
+            F.col(id_col), minhash_signature(F.col(tokens_col), n, k).alias("__sig")
         )
-        .filter(F.size("__sh") > 0)
-        .select(id_col, minhash_signature_from_shingles(F.col("__sh"), k).alias("__sig"))
         .cache()
     )
     bands = sig.select(

@@ -88,8 +88,13 @@ def q_d2(spark, sf):
         u, "doc_id", "tokens", jaccard_threshold=0.8, num_hash_tables=5, seed=42
     )
     n_in = u.count()
-    n_kept = kept.count()
-    planted_left = kept.filter(F.col("doc_id") >= _COPY_OFFSET).count()
+    # ONE action over the dedup output — separate count()s would run the
+    # whole band-join pipeline once per metric
+    agg = kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum((F.col("doc_id") >= _COPY_OFFSET).cast("long")).alias("planted_left"),
+    ).first()
+    n_kept, planted_left = agg["n_kept"], int(agg["planted_left"] or 0)
     return spark.createDataFrame(
         [(n_in, n_kept, planted_left, bool(planted_left == 0))],
         "n_input long, n_kept long, planted_survivors long, planted_all_caught boolean",

@@ -16,6 +16,33 @@ from .registry import query
 from .sources.io import read_table
 from .streaming import ingest as ING
 
+#: the micro-batch staging below round-trips events through the driver
+#: (toPandas -> chunked parquet) — test scaffolding, NOT an ingest path.
+#: Cap it so the entry refuses to collect a big-sf table instead of
+#: OOMing the driver; real streams read files/Kafka directly.
+_MAX_STAGED_ROWS = 2_000_000
+
+
+def _stage_event_chunks(spark, sf: str, src: str, n_chunks: int = 3) -> None:
+    """Split the events table into ts-ordered parquet micro-batch files."""
+    from .session import tune_session
+
+    tune_session(spark)  # nanosAsLong for the raw int64-ts read
+    raw = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    n = raw.count()
+    if n > _MAX_STAGED_ROWS:
+        raise ValueError(
+            f"streaming entry staging collects the events table to the "
+            f"driver ({n} rows > cap {_MAX_STAGED_ROWS}); run at a smaller "
+            "sf — production streams read sources directly"
+        )
+    pdf = raw.orderBy("ts", "event_id").toPandas()
+    per = (len(pdf) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        pdf.iloc[i * per : (i + 1) * per].to_parquet(
+            os.path.join(src, f"chunk_{i}.parquet")
+        )
+
 
 @query("st1_stream_labels_equivalence")
 def q_st1(spark, sf):
@@ -27,13 +54,6 @@ def q_st1(spark, sf):
     os.makedirs(src)
     qname = "st1_out"
     try:
-        from .session import tune_session
-
-        tune_session(spark)  # nanosAsLong for the raw int64-ts read
-        raw = spark.read.parquet(os.path.join(sf, "events.parquet"))
-        pdf = raw.orderBy("ts", "event_id").toPandas()
-        n_chunks = 3
-        per = (len(pdf) + n_chunks - 1) // n_chunks
         stream = ING.stream_events(spark, src)
         q = (
             ING.readmit_labels_stream(stream)
@@ -43,11 +63,8 @@ def q_st1(spark, sf):
             .start()
         )
         try:
-            for i in range(n_chunks):
-                pdf.iloc[i * per : (i + 1) * per].to_parquet(
-                    os.path.join(src, f"chunk_{i}.parquet")
-                )
-                q.processAllAvailable()
+            _stage_event_chunks(spark, sf, src, n_chunks=3)
+            q.processAllAvailable()
         finally:
             q.stop()
         got = {
@@ -68,6 +85,91 @@ def q_st1(spark, sf):
         return spark.createDataFrame(
             [(len(got), len(want), bool(got == want))],
             "n_stream long, n_batch_resolvable long, exact_match boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("st2_stream_enrich_equivalence")
+def q_st2(spark, sf):
+    """Stream-static broadcast enrichment == the batch join: per-severity
+    counts after joining the event stream to a static dimension."""
+    tmp = tempfile.mkdtemp(prefix="st2_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    qname = "st2_out"
+    dim = spark.createDataFrame(
+        [("purchase", 3), ("error", 5), ("login", 1)],
+        "event_type string, severity int",
+    )
+    try:
+        stream = ING.stream_events(spark, src)
+        q = (
+            ING.enrich_stream(stream, dim, "event_type")
+            .groupBy("severity")
+            .count()
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            _stage_event_chunks(spark, sf, src, n_chunks=2)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["severity"]: r["count"]
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+        want = {
+            r["severity"]: r["count"]
+            for r in read_table(spark, sf, "events")
+            .join(dim, "event_type", "left")
+            .groupBy("severity")
+            .count()
+            .collect()
+        }
+        return spark.createDataFrame(
+            [(len(got), bool(got == want))],
+            "n_groups long, matches_batch boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("st3_stream_dedup")
+def q_st3(spark, sf):
+    """Watermark-bounded streaming dedup: a redelivered micro-batch is
+    fully dropped; output ids are unique and count the batch table."""
+    tmp = tempfile.mkdtemp(prefix="st3_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    qname = "st3_out"
+    try:
+        stream = ING.stream_events(spark, src)
+        q = (
+            ING.dedup_stream(stream, ["event_id"], watermark="7 days")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            _stage_event_chunks(spark, sf, src, n_chunks=2)
+            # redeliver the first chunk as a new file (at-least-once source)
+            shutil.copy(
+                os.path.join(src, "chunk_0.parquet"),
+                os.path.join(src, "chunk_0_redelivery.parquet"),
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        ids = [r["event_id"] for r in spark.sql(f"SELECT event_id FROM {qname}").collect()]
+        n_batch = read_table(spark, sf, "events").count()
+        return spark.createDataFrame(
+            [(len(ids), n_batch, bool(len(ids) == len(set(ids)) == n_batch))],
+            "n_stream long, n_batch long, dedup_exact boolean",
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

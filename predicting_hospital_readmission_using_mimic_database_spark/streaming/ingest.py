@@ -116,6 +116,39 @@ def sessionized_counts(
     )
 
 
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on, how: str = "left", broadcast: bool = True
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    current snapshot of a batch dimension table — no streaming state at
+    all (the planner re-reads the static side per trigger, so a dim
+    REFRESHED in place is picked up without restarting the query).
+
+    ``broadcast=True`` hints the static side below the broadcast
+    threshold semantics — dims are small by definition; a stream-static
+    join that shuffles the stream side per micro-batch is the trap this
+    wrapper exists to avoid.
+    """
+    d = F.broadcast(dim) if broadcast else dim
+    return events.join(d, on, how)
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys,
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key arriving
+    within the watermark horizon (``dropDuplicatesWithinWatermark`` —
+    state for a key is EVICTED once the watermark passes it, so state is
+    bounded by arrival rate x horizon, never the full history; plain
+    ``dropDuplicates`` on a stream keeps every key forever)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 LABEL_SCHEMA = StructType(
     [
         StructField("event_id", LongType(), False),

@@ -214,6 +214,75 @@ def test_windowed_counts_match_batch(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_static_enrichment_matches_batch(spark):
+    tmp = tempfile.mkdtemp(prefix="stream_enrich_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    try:
+        chunks = _chunked_event_files(spark, tmp, n_chunks=2)
+        for i, c in enumerate(chunks):
+            shutil.copy(c, os.path.join(src, f"chunk_{i}.parquet"))
+        # static dim: event_type -> severity score
+        dim = spark.createDataFrame(
+            [("purchase", 3), ("error", 5), ("login", 1)],
+            "event_type string, severity int",
+        )
+        stream = ING.stream_events(spark, src)
+        enriched = ING.enrich_stream(stream, dim, "event_type").groupBy("severity").count()
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName("enrich_out")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["severity"]: r["count"]
+            for r in spark.sql("SELECT * FROM enrich_out").collect()
+        }
+        batch = read_table(spark, SF, "events")
+        want = {
+            r["severity"]: r["count"]
+            for r in batch.join(dim, "event_type", "left").groupBy("severity").count().collect()
+        }
+        assert got == want and len(got) > 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_dedup_drops_redeliveries(spark):
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    try:
+        chunks = _chunked_event_files(spark, tmp, n_chunks=2)
+        # deliver chunk 0 TWICE (as separate files/micro-batches), then 1
+        shutil.copy(chunks[0], os.path.join(src, "a.parquet"))
+        shutil.copy(chunks[0], os.path.join(src, "a_redelivery.parquet"))
+        shutil.copy(chunks[1], os.path.join(src, "b.parquet"))
+        stream = ING.stream_events(spark, src)
+        deduped = ING.dedup_stream(stream, ["event_id"], watermark="7 days")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql("SELECT event_id FROM dedup_out").collect()
+        ids = [r["event_id"] for r in got]
+        assert len(ids) == len(set(ids))  # no duplicate made it through
+        assert len(ids) == read_table(spark, SF, "events").count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_session_windows_match_batch(spark):
     tmp = tempfile.mkdtemp(prefix="stream_sess_")
     src = os.path.join(tmp, "src")
