@@ -95,6 +95,21 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None) -> Data
     return r.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC ingest (built-in columnar alternative; same pushdown/pruning
+    machinery as parquet — FileSourceScanExec with PushedFilters)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    """ORC sink — for downstream stacks standardized on ORC (Hive/Trino
+    warehouses); parquet stays the engine default."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

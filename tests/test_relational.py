@@ -127,6 +127,18 @@ def test_sinks_roundtrip(tmp_path, spark):
     assert sorted(r["id"] for r in back.collect()) == ["1", "2"]
 
 
+def test_orc_roundtrip_with_pushdown(tmp_path, spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.io import read_orc, write_orc
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "id int, s string")
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    back = read_orc(spark, path).filter(F.col("id") > 90).select("id")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(id,90)" in plan
+    assert back.count() == 9
+
+
 def test_read_jdbc_option_plumbing():
     """No live DB in the harness — assert the reader receives the exact
     partitioning/fetch options (the single-reader trap guards)."""
