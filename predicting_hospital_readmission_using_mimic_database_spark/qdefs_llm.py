@@ -378,19 +378,47 @@ def q_x3(spark, sf):
     )
 
 
-@query("x4_quality_score")
-def q_x4(spark, sf):
-    """Composite quality heuristic (rows-only: weights are engine-defined;
-    the components are oracle-checked via x1)."""
-    d = _docs(spark, sf)
-    out = d.select(
-        "doc_id", TS.quality_score(F.col("text")).alias("quality")
+_EN_MARKERS_SQL = "[" + ", ".join(f"'{w}'" for w in TS.LANG_MARKERS["en"]) + "]"
+
+#: per-doc quality components, DuckDB form — split-on-\W+ tokens are the
+#: maximal \w+ runs, so regexp_extract_all('\w+') is the same token set
+_X4_SQL = f"""
+    WITH c AS (
+      SELECT doc_id,
+             length(text) AS n,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             regexp_extract_all(text, '\\w+') AS toks,
+             {_TOKENS_SQL} AS ltoks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 ELSE 0.0 END AS len_ok,
+             CASE WHEN (CASE WHEN n > 0 THEN n_punct / CAST(n AS DOUBLE) ELSE 0.0 END) < 0.2
+                  THEN 1.0 ELSE 0.0 END AS punct_ok,
+             CASE WHEN len(toks) > 0
+                       AND list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE)
+                           BETWEEN 3.0 AND 12.0
+                  THEN 1.0 ELSE 0.0 END AS mwl_ok,
+             CASE WHEN len(list_filter(ltoks, t -> list_contains({_EN_MARKERS_SQL}, t))) > 0
+                  THEN 1.0 ELSE 0.0 END AS stop_ok
+      FROM c
     )
-    return out.agg(
-        F.count("*").alias("n"),
-        F.round(F.avg("quality"), 6).alias("mean_quality"),
-        F.min("quality").alias("min_q"),
-        F.max("quality").alias("max_q"),
+    SELECT doc_id,
+           round(len_ok * 0.4 + punct_ok * 0.2 + mwl_ok * 0.2 + stop_ok * 0.2, 6) AS quality
+    FROM m
+"""
+
+
+@query("x4_quality_score", oracle=_X4_SQL)
+def q_x4(spark, sf):
+    """Composite quality heuristic — per-doc EXACT: the engine-defined
+    weights/thresholds (textstats.quality_score docstring) are mirrored
+    term-by-term in the oracle SQL; every component is deterministic
+    arithmetic over the same token/punct definitions x1 already proves."""
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id", TS.quality_score(F.col("text")).alias("quality")
     )
 
 
