@@ -196,7 +196,10 @@ def run_pipeline(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
     """Full train/evaluate run; returns a one-row summary DataFrame
     (counts, prevalence, held-out AUC, battery at 0.5)."""
     events = read_table(spark, sf_dir, "events")
-    table = user_feature_table(events)
+    # the per-user table feeds FOUR consumers (assembled train/test chain,
+    # n_users, prevalence) — cache it or the window+pivot+join chain
+    # re-runs per action; per-user rows are small relative to events
+    table = user_feature_table(events).cache()
 
     feat_cols = [c for c in numeric_columns(table, exclude=("user_id", "label"))]
     assembled = assemble_features(
