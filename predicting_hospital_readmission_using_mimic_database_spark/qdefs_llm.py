@@ -198,7 +198,8 @@ def q_d5(spark, sf):
 @query(
     "d6_dup_clusters",
     oracle=f"""
-    WITH RECURSIVE u AS ({_DOCS_COPIES_SQL}),
+    WITH RECURSIVE u0 AS ({_DOCS_COPIES_SQL}),
+    u AS (SELECT * FROM u0 WHERE doc_id < 1000 OR doc_id >= {_COPY_OFFSET}),
     s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM u),
     pairs AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id
@@ -221,8 +222,15 @@ def q_d6(spark, sf):
     Jaccard pair graph — distributed hash-to-min label propagation on
     Spark vs a recursive-CTE transitive closure on DuckDB. The corpus has
     genuine 3-node chains at threshold 0.6, so transitivity (A~B, B~C =>
-    one cluster) is exercised, not just planted 2-cliques."""
-    u = _tokens(_docs_with_exact_copies(spark, sf))
+    one cluster) is exercised, not just planted 2-cliques.
+
+    The ORACLE's pair generation is an all-pairs brute force (quadratic),
+    so the entry caps the corpus at 1000 docs + planted copies — the full
+    sf0.01 gate table, a bounded subset at larger local sweeps. The Spark
+    side stays the inverted-index candidate path at any scale."""
+    u = _tokens(_docs_with_exact_copies(spark, sf)).filter(
+        (F.col("doc_id") < 1000) | (F.col("doc_id") >= _COPY_OFFSET)
+    )
     pairs = DD.jaccard_dup_pairs(
         u, "doc_id", "tokens", n=3, threshold=0.6, max_doc_freq=None
     ).select("a_id", "b_id")
