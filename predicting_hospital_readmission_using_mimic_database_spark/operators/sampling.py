@@ -40,6 +40,31 @@ def random_split(
     return train, test
 
 
+def stratified_split(
+    df: DataFrame, label: Column | str, weights=(0.8, 0.2), seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Per-class train/test split: each class is randomSplit separately so
+    both sides keep every class's presence (an unstratified split of a
+    small or skewed frame can hand the test side a single class, making
+    AUC undefined). Same one-pass-per-side plan shape as random_split —
+    the class filters are pushed into the scans."""
+    lab = F.col(label) if isinstance(label, str) else label
+    classes = [r[0] for r in df.select(lab.alias("__lab")).distinct().collect()]
+    trains, tests = [], []
+    for c in classes:
+        part = df.filter(lab.eqNullSafe(F.lit(c)))
+        tr, te = part.randomSplit(list(weights), seed=seed)
+        trains.append(tr)
+        tests.append(te)
+    train = trains[0]
+    test = tests[0]
+    for t in trains[1:]:
+        train = train.unionByName(t)
+    for t in tests[1:]:
+        test = test.unionByName(t)
+    return train, test
+
+
 def undersample_exact(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     """U4 — exact-n uniform sample (py:447 ``sample(n=...)``):
     rand-ordered top-n, compiled to TakeOrderedAndProject (per-partition

@@ -206,7 +206,9 @@ def run_pipeline(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
         table.select(*feat_cols, F.col("label").cast("double").alias("y")), feat_cols
     )
 
-    train, test = SA.random_split(assembled, (0.8, 0.2), seed=seed)
+    # stratified: an unstratified 80/20 of a small/skewed user table can
+    # hand the held-out side a single class (AUC undefined)
+    train, test = SA.stratified_split(assembled, "y", (0.8, 0.2), seed=seed)
     train_bal = SA.balance_undersample(train, "y", seed=seed).cache()
 
     model = MO.train_rf(train_bal, "features", "y", num_trees=50, seed=seed)

@@ -61,14 +61,25 @@ def test_sql_entry_point_over_views(spark):
     assert j.count() > 0
 
 
-def test_e2e_pipeline_invariants(spark):
+def test_e2e_pipeline_smoke_structure(spark):
+    """sf0.001 has only 15 users: assert pipeline integrity (stratified
+    split keeps both classes held out, so AUC is DEFINED), not model
+    quality — a 3-row test set's AUC is coin-flip noise."""
     from predicting_hospital_readmission_using_mimic_database_spark.plans.full_pipeline import run_pipeline
 
     row = run_pipeline(spark, "/root/testdata/sf0.001", seed=42).collect()[0]
     assert row["n_users"] > 0 and row["n_test"] > 0
     assert 0.2 <= row["prevalence"] <= 0.8  # real two-class task
-    assert row["auc"] is not None and row["auc"] > 0.5  # model learned signal
+    assert row["auc"] is not None and 0.0 <= row["auc"] <= 1.0
     assert row["n_train_balanced"] % 2 == 0  # exact 1:1 balance
+
+
+def test_e2e_pipeline_learns_signal(spark):
+    """At sf0.01 (150 users, 28 held out) the model must beat chance."""
+    from predicting_hospital_readmission_using_mimic_database_spark.plans.full_pipeline import run_pipeline
+
+    row = run_pipeline(spark, "/root/testdata/sf0.01", seed=42).collect()[0]
+    assert row["auc"] is not None and row["auc"] > 0.6
 
 
 def test_strategy_comparison_shape(spark):

@@ -68,6 +68,16 @@ def test_random_split_partitions_input(spark):
     assert tr.join(te, "id", "inner").count() == 0
 
 
+def test_stratified_split_keeps_both_classes(spark):
+    df = _toy(spark, 40, 160)
+    tr, te = SA.stratified_split(df, "lab", (0.8, 0.2), seed=3)
+    assert tr.count() + te.count() == 200
+    assert tr.join(te, "id", "inner").count() == 0  # partition the input
+    te_labs = {r["lab"] for r in te.select("lab").distinct().collect()}
+    tr_labs = {r["lab"] for r in tr.select("lab").distinct().collect()}
+    assert te_labs == tr_labs == {0, 1}
+
+
 def test_smote_synthetic_in_envelope(spark):
     df = _toy(spark)
     out = SA.smote(df, "id", "arr", "lab", minority_value=1, k=2, seed=5,
