@@ -52,7 +52,6 @@ PRIORITY: tuple[str, ...] = (
     "j1_join_inner",
     "j2_join_dims_broadcast",
     "j5_positional_join",
-    "j6_positional_join_suffixes",
     "j7_anti_join",
     "w1_lead",
     "w4_backfill",
@@ -87,6 +86,7 @@ PRIORITY: tuple[str, ...] = (
     "d2_dedup_minhash_lsh",
     "d4_ngram_jaccard",
     "d5_dedup_cosine",
+    "d6_dup_clusters",
     "n1_knn_bruteforce",
     "n2_knn_lsh",
     "x1_text_stats",

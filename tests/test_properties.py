@@ -54,3 +54,49 @@ def test_global_index_is_a_rank(spark, keys):
     out = {r["k"]: r["pos"] for r in R.global_index(df, ["k"], out="pos").collect()}
     for rank, k in enumerate(sorted(keys), start=1):
         assert out[k] == rank
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_connected_components_equals_union_find(spark, edges):
+    """Distributed hash-to-min propagation == a serial union-find on any
+    edge list (self-loops and duplicate edges included)."""
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    # representative choice: hash-to-min labels with the component MINIMUM;
+    # union-find may root elsewhere, so compare by canonical min per group
+    import collections
+
+    def groups(lbl):
+        g = collections.defaultdict(set)
+        for k, v in lbl.items():
+            g[v].add(k)
+        return {min(s): frozenset(s) for s in g.values()}
+
+    assert groups(got) == groups(want)
