@@ -133,7 +133,7 @@ _SHINGLES_SQL = (
     "d4_ngram_jaccard",
     oracle=f"""
     WITH u AS ({_DOCS_COPIES_SQL}),
-    s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM u),
+    s AS MATERIALIZED (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM u),
     pairs AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              len(list_intersect(a.sh, b.sh)) AS common,
@@ -200,15 +200,19 @@ def q_d5(spark, sf):
     oracle=f"""
     WITH RECURSIVE u0 AS ({_DOCS_COPIES_SQL}),
     u AS (SELECT * FROM u0 WHERE doc_id < 1000 OR doc_id >= {_COPY_OFFSET}),
-    s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM u),
-    pairs AS (
+    s AS MATERIALIZED (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM u),
+    -- MATERIALIZED: referenced twice below; inlining would run the
+    -- quadratic pair join once per reference (~3x oracle runtime)
+    pairs AS MATERIALIZED (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id
       FROM s a JOIN s b ON a.doc_id < b.doc_id
       WHERE len(list_intersect(a.sh, b.sh))
             / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             >= 0.6
     ),
-    e AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION SELECT b_id, a_id FROM pairs),
+    e AS MATERIALIZED (
+      SELECT a_id AS src, b_id AS dst FROM pairs UNION SELECT b_id, a_id FROM pairs
+    ),
     reach(id, r) AS (
       SELECT src, src FROM e
       UNION
