@@ -267,3 +267,61 @@ def topk_lsh(
         F.col(id_col),
         F.round(1.0 - F.col("__d") * F.col("__d") / 2.0, 6).alias("cosine"),
     )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    array_col: str,
+    path: str,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Materialize the IVF-Flat index :func:`topk_ivf` describes: assign
+    KMeans cells ONCE and persist the corpus as parquet PARTITIONED BY
+    cell, so every later probe prunes to n_probe/n_cells of the files at
+    the scan (PartitionFilters — no full-corpus read per query, the
+    actual 100 TB serving path). Returns the centroids (n_cells x dim —
+    tiny; callers keep them driver-side or in any KV store).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    norm = df.select(
+        F.col(id_col),
+        F.col(array_col).alias("__orig"),
+        l2_normalize(F.col(array_col)).alias("__arr"),
+    ).filter(F.col("__arr").isNotNull())
+    vec = norm.withColumn("__v", array_to_vector(F.col("__arr").cast("array<double>")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell").fit(vec)
+    assigned = model.transform(vec).select(
+        id_col, F.col("__orig").alias(array_col), "__cell"
+    )
+    assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def topk_ivf_indexed(
+    spark,
+    path: str,
+    centroids: Sequence[Sequence[float]],
+    id_col: str,
+    array_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Serve an ANN query from a :func:`build_ivf_index` layout: rank the
+    (tiny, driver-side) centroids, scan ONLY the n_probe nearest cell
+    partitions — directory-level partition pruning, visible as
+    PartitionFilters in the plan — and exact-rank the candidates."""
+    import numpy as np
+
+    qv = np.asarray(query, dtype=float)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    order = np.argsort([
+        float(np.linalg.norm(np.asarray(c) - qn)) for c in centroids
+    ])
+    probe_cells = [int(c) for c in order[:n_probe]]
+    cand = spark.read.parquet(path).filter(F.col("__cell").isin(probe_cells))
+    return topk_bruteforce(cand.select(id_col, array_col), id_col, array_col, query, k)

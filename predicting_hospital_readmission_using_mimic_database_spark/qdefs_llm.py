@@ -499,3 +499,32 @@ def q_n3(spark, sf):
         [(ivf.count(), hit, float(hit) / 10.0)],
         "n_ivf long, n_overlap_exact long, recall_at_10 double",
     )
+
+
+@query("n4_knn_ivf_indexed")
+def q_n4(spark, sf):
+    """PERSISTED IVF serving path (rows-only): build the cell-partitioned
+    parquet index once, probe it — the scan must show directory-level
+    PartitionFilters on the cell column (the 100 TB property), and the
+    probed answer must recover the exact top-10 at n_probe=8/16."""
+    import shutil
+    import tempfile
+
+    e = _emb(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="n4_ivf_")
+    path = f"{tmp}/ivf"
+    try:
+        cents = SI.build_ivf_index(e, "vec_id", "embedding", path, n_cells=16, seed=42)
+        ann = SI.topk_ivf_indexed(
+            spark, path, cents, "vec_id", "embedding", _PROBE, k=10, n_probe=8
+        )
+        plan = ann._jdf.queryExecution().executedPlan().toString()
+        pruned = "PartitionFilters" in plan and "__cell" in plan.split("PartitionFilters")[1][:200]
+        exact = SI.topk_bruteforce(e, "vec_id", "embedding", _PROBE, k=10)
+        hit = ann.join(exact.select("vec_id"), "vec_id", "left_semi").count()
+        return spark.createDataFrame(
+            [(hit, float(hit) / 10.0, bool(pruned))],
+            "n_overlap_exact long, recall_at_10 double, partition_pruned boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -94,6 +94,28 @@ def test_topk_bruteforce_exact_order(spark):
     assert out[0]["cosine"] == 1.0 and abs(out[1]["cosine"] - 0.8) < 1e-6
 
 
+def test_ivf_index_persists_and_prunes(tmp_path, spark):
+    """The persisted IVF layout must (a) answer with high recall vs brute
+    force and (b) prune cell partitions AT THE SCAN (PartitionFilters) —
+    the property that makes it the 100 TB serving path."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf")
+    cents = SI.build_ivf_index(emb, "vec_id", "embedding", path, n_cells=8, seed=42)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    probe = [1.0] + [0.0] * 63
+    ann = SI.topk_ivf_indexed(
+        spark, path, cents, "vec_id", "embedding", probe, k=10, n_probe=4
+    )
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cell" in plan.split("PartitionFilters")[1][:200]
+    exact = {r["vec_id"] for r in SI.topk_bruteforce(emb, "vec_id", "embedding", probe, k=10).collect()}
+    got = {r["vec_id"] for r in ann.collect()}
+    assert len(got) == 10
+    assert len(got & exact) >= 5  # n_probe=4 of 8 cells: recall well above chance
+
+
 def test_language_id_markers(spark):
     rows = [
         (1, "the cat and the dog is in that house"),
