@@ -214,9 +214,10 @@ def smote(
     minority_value,
     k: int = 3,
     seed: int = 42,
-    threshold: float = 10.0,
-    bucket_length: float = 0.5,
+    threshold: float | None = None,
+    bucket_length: float | None = None,
     num_hash_tables: int = 3,
+    target_ratio: float | None = None,
 ) -> DataFrame:
     """U6 — SMOTE on the LSH-kNN substrate (py:772,814).
 
@@ -225,10 +226,21 @@ def smote(
     ``synth = a + u * (b - a)`` with u ~ U(0,1) — elementwise via
     ``zip_with`` (JVM-side, no UDF). Output schema: (id_col
     negative-numbered, array_col, label_col) for the synthetic rows,
-    unioned with the originals. Synthetic count = |minority| * k (callers
-    sample down to the exact deficit if 1:1 balance is wanted).
+    unioned with the originals.
+
+    ``threshold``/``bucket_length`` default to a data-derived estimate
+    (:func:`~.similarity.tune_brp_params` — sampled k-th-NN distance
+    quantile), so a new corpus never inherits constants measured on an
+    old one.
+
+    ``target_ratio=None`` (default) emits every kNN interpolation —
+    synthetic count <= k * |minority|. ``target_ratio=r`` matches
+    imblearn's ``ratio=r`` (py:683-684,772): a seeded exact-n sample of
+    the synthetic pool so that minority + synthetics = r * |majority| —
+    exactly the deficit at r=1. If the pool is smaller than the deficit
+    (k too small), the whole pool is kept.
     """
-    from .similarity import brp_knn_pairs
+    from .similarity import brp_knn_pairs, tune_brp_params
 
     # the minority frame feeds FIVE plan branches (dim probe, both kNN
     # sides, and the a/b feature rejoins) — without a cache each branch
@@ -246,6 +258,10 @@ def smote(
             "feature array on the first row) — nothing to interpolate"
         )
     dim = len(first[0])
+    if threshold is None or bucket_length is None:
+        thr, bl = tune_brp_params(mino, array_col, k=k, seed=seed)
+        threshold = thr if threshold is None else threshold
+        bucket_length = bl if bucket_length is None else bucket_length
     # multiprobe off: the table count provides the recall; probing would
     # triple the candidate set that exact re-ranking has to score
     knn = brp_knn_pairs(
@@ -274,7 +290,42 @@ def smote(
             F.lit(minority_value).alias(label_col),
         )
     )
-    return df.select(id_col, array_col, label_col).unionByName(synth)
+    if target_ratio is not None:
+        from .relational import global_index
+
+        counts = (
+            df.groupBy(F.col(label_col).alias("__lab"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        n_min = sum(r["n"] for r in counts if r["__lab"] == minority_value)
+        n_maj = max(
+            (r["n"] for r in counts if r["__lab"] != minority_value), default=0
+        )
+        deficit = max(0, int(round(target_ratio * n_maj)) - n_min)
+        # cache the pool FIRST: global_index makes two passes (partition
+        # counts + rejoin) and the final union a third — without this
+        # cache each pass re-runs the whole LSH-kNN pipeline
+        pool = synth.cache()
+        aux_caches = [mino, pool]
+        # exact-n pick from the pool, distributed: rand-keyed global rank
+        # (range partition + broadcast offsets — no single-task TakeOrdered
+        # merge when the deficit is itself big data)
+        synth = (
+            global_index(
+                pool.withColumn("__r", F.rand(seed + 1)), ["__r", id_col]
+            )
+            .filter(F.col("__pos") <= deficit)
+            .select(id_col, array_col, label_col)
+        )
+    else:
+        aux_caches = [mino]
+    out = df.select(id_col, array_col, label_col).unionByName(synth)
+    # these caches stay pinned for the lifetime of the returned (lazy)
+    # frame; callers that fully materialize the result can release them
+    # afterwards via this attribute (plans/full_pipeline does)
+    out._aux_caches = aux_caches
+    return out
 
 
 def nearmiss(
@@ -285,14 +336,18 @@ def nearmiss(
     minority_value,
     k: int = 3,
     seed: int = 42,
-    threshold: float = 10.0,
-    bucket_length: float = 0.5,
+    threshold: float | None = None,
+    bucket_length: float | None = None,
     num_hash_tables: int = 3,
 ) -> DataFrame:
     """U7 — NearMiss-1 undersampling (py:773,816): keep the majority rows
     whose mean distance to their k nearest minority neighbors is smallest,
-    exactly |minority| of them; union with the minority."""
-    from .similarity import brp_knn_pairs
+    exactly |minority| of them; union with the minority.
+
+    ``threshold``/``bucket_length`` default to a data-derived estimate of
+    the CROSS-class k-th-NN distance quantile (majority -> minority), via
+    :func:`~.similarity.tune_brp_params`."""
+    from .similarity import brp_knn_pairs, tune_brp_params
 
     base = df.select(id_col, array_col, label_col)
     mino = base.filter(F.col(label_col) == F.lit(minority_value))
@@ -304,6 +359,10 @@ def nearmiss(
             "no minority to rank the majority against"
         )
     dim = len(mino.select(array_col).first()[0])
+    if threshold is None or bucket_length is None:
+        thr, bl = tune_brp_params(maj, array_col, k=k, right=mino, seed=seed)
+        threshold = thr if threshold is None else threshold
+        bucket_length = bl if bucket_length is None else bucket_length
     knn = brp_knn_pairs(
         maj, mino, id_col, array_col, dim, k=k, threshold=threshold,
         bucket_length=bucket_length, n_tables=num_hash_tables, seed=seed,

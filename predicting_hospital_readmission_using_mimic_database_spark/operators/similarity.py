@@ -58,6 +58,71 @@ def euclidean(a: Column, b: Column) -> Column:
     )
 
 
+def tune_brp_params(
+    left: DataFrame,
+    array_col: str,
+    k: int = 3,
+    right: DataFrame | None = None,
+    sample_n: int = 1000,
+    quantile: float = 1.0,
+    margin: float = 1.1,
+    seed: int = 42,
+) -> tuple[float, float]:
+    """Estimate ``(threshold, bucket_length)`` for :func:`brp_knn_pairs`
+    from the data instead of hand-measured constants.
+
+    Samples up to ``sample_n`` rows per side (TakeOrdered on a rand key —
+    per-partition heaps, one scan, no global sort), computes each sampled
+    left row's k-th-nearest-neighbor distance to the right sample
+    driver-side (numpy over <=1e6 pairs), and returns
+
+    - ``threshold``  = the ``quantile`` of those k-th-NN distances times
+      ``margin`` — large enough that (at the sampled quantile) every row
+      keeps its true kNN inside the LSH similarity join, small enough
+      that far pairs are pruned before the exact re-rank;
+    - ``bucket_length`` = threshold / 3.5 — buckets just under the
+      kNN-distance scale (the ratio the hand-measured constants this
+      replaces were using; wider buckets inflate candidate counts faster
+      than they add recall).
+
+    Self-kNN (``right is None``) excludes the zero self-distance. Cost:
+    one scan per side + O(sample_n^2 * dim) driver flops — a tuning pass,
+    run once per corpus, not per query.
+    """
+    import numpy as np
+
+    def _sample(df: DataFrame) -> np.ndarray:
+        rows = (
+            df.select(F.col(array_col).cast("array<double>").alias("__a"))
+            .filter(F.col("__a").isNotNull())
+            .orderBy(F.rand(seed))
+            .limit(sample_n)
+            .collect()
+        )
+        return np.asarray([r["__a"] for r in rows], dtype=float)
+
+    xl = _sample(left)
+    xr = xl if right is None else _sample(right)
+    if len(xl) == 0 or len(xr) == 0:
+        raise ValueError("tune_brp_params: empty sample — no non-null arrays")
+    d2 = (
+        (xl * xl).sum(axis=1)[:, None]
+        + (xr * xr).sum(axis=1)[None, :]
+        - 2.0 * (xl @ xr.T)
+    )
+    np.maximum(d2, 0.0, out=d2)
+    if right is None:
+        np.fill_diagonal(d2, np.inf)
+    kk = min(k, d2.shape[1] - (1 if right is None else 0))
+    if kk <= 0:
+        kk = 1
+    kth = np.sqrt(np.sort(d2, axis=1)[:, kk - 1])
+    kth = kth[np.isfinite(kth)]
+    thr = float(np.quantile(kth, quantile)) * margin if len(kth) else 1.0
+    thr = max(thr, 1e-6)
+    return thr, thr / 3.5
+
+
 def brp_knn_pairs(
     left: DataFrame,
     right: DataFrame,

@@ -144,9 +144,9 @@ def strategy_comparison(spark: SparkSession, sf_dir: str, seed: int = 42) -> Dat
     )
     test_v = test_v.coalesce(_fit_partitions(test_v.count(), test_v.rdd.getNumPartitions()))
 
-    # standardized space: typical pair distance ~ sqrt(2*dim); threshold
-    # keeps the kNN neighborhood, bucket_length ~1 sd per projection
-    knn_kwargs = dict(threshold=6.0, bucket_length=1.0, num_hash_tables=5)
+    # threshold/bucket_length omitted -> smote/nearmiss auto-tune them from
+    # the sampled kNN-distance quantile of THIS frame (no hand constants)
+    knn_kwargs = dict(num_hash_tables=5)
 
     strategies = [
         ("base", lambda: train),
@@ -162,18 +162,27 @@ def strategy_comparison(spark: SparkSession, sf_dir: str, seed: int = 42) -> Dat
 
     def evaluate(item):
         name, mk = item
+        made = mk()
         trv = (
-            mk().withColumn("features", array_to_vector("arr"))
+            made.withColumn("features", array_to_vector("arr"))
             .withColumn("y", F.col("y").cast("double"))
             .cache()  # consumed by the fit AND the count — SMOTE/NearMiss
             # kNN must not re-run per action
         )
-        n = trv.count()
-        fit_df = trv.coalesce(_fit_partitions(n, trv.rdd.getNumPartitions()))
-        model = MO.train_lr_l1(fit_df, C=10.0, features="features", label="y", max_iter=25)
-        scored = MO.predict_proba(model, test_v)
-        auc = ME.auc_metrics(scored, "p1", "y").collect()[0]
-        b = ME.binary_metrics(scored, "p1", "y", 0.5).collect()[0]
+        try:
+            n = trv.count()
+            fit_df = trv.coalesce(_fit_partitions(n, trv.rdd.getNumPartitions()))
+            model = MO.train_lr_l1(fit_df, C=10.0, features="features", label="y", max_iter=25)
+            scored = MO.predict_proba(model, test_v)
+            auc = ME.auc_metrics(scored, "p1", "y").collect()[0]
+            b = ME.binary_metrics(scored, "p1", "y", 0.5).collect()[0]
+        finally:
+            # five strategies run concurrently: leaving each trv (and
+            # smote's internal minority cache) pinned can evict the shared
+            # base/train/test_v blocks mid-run at larger sfs
+            trv.unpersist()
+            for aux in getattr(made, "_aux_caches", ()):
+                aux.unpersist()
         return (name, n, auc["roc_auc"], b["accuracy"], b["recall"],
                 b["precision"], b["f1"])
 

@@ -694,16 +694,25 @@ _BALANCED_COUNTS_SQL = """
 """
 
 
-@query("u3_random_split")
+@query(
+    "u3_random_split",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           TRUE AS partitions_input, TRUE AS train_frac_close
+    FROM events
+    """,
+)
 def q_u3(spark, sf):
-    """U3 — randomSplit([.8,.2], 42) (py:428-431). Invariant row: the two
-    sides partition the input exactly."""
+    """U3 — randomSplit([.8,.2], 42) (py:428-431). WHICH rows land on each
+    side is seed-dependent (not oracle-able), but the sides must partition
+    the input exactly and the train fraction must sit near 0.8 — emitted
+    as counts/booleans DuckDB recomputes from the same parquet."""
     e = _events(spark, sf)
     tr, te = SA.random_split(e, (0.8, 0.2), seed=42)
     n_tr, n_te, n = tr.count(), te.count(), e.count()
     return spark.createDataFrame(
-        [(n_tr, n_te, n, bool(n_tr + n_te == n))],
-        "n_train long, n_test long, n_total long, partitions_input boolean",
+        [(n, bool(n_tr + n_te == n), bool(abs(n_tr / max(n, 1) - 0.8) < 0.05))],
+        "n_total long, partitions_input boolean, train_frac_close boolean",
     )
 
 
@@ -715,27 +724,71 @@ def q_u4(spark, sf):
     return bal.groupBy("pos").agg(F.count("*").alias("n"))
 
 
-@query("u5_oversample")
+@query(
+    "u5_oversample",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos, count(*) AS cnt
+      FROM embeddings GROUP BY 1
+    )
+    SELECT CAST(max(cnt) AS BIGINT) AS n_majority,
+           TRUE AS minority_keeps_originals, TRUE AS minority_near_majority
+    FROM c
+    """,
+)
 def q_u5(spark, sf):
     """U5 — RandomOverSampler parity (py:683-684): minority resampled with
-    replacement toward the majority count (fraction-based, approximate n)."""
-    over = SA.oversample_with_replacement(_emb_pos(spark, sf), "pos", seed=42)
-    return over.groupBy("pos").agg(F.count("*").alias("n"))
-
-
-@query("u6_smote")
-def q_u6(spark, sf):
-    """U6 — SMOTE on LSH-kNN (py:772,814). Invariants: synthetic count =
-    k * |minority|; every synthetic component inside the minority's
-    per-dimension [min, max] envelope (lerp cannot escape it)."""
+    replacement toward the majority count (fraction-based, approximate n).
+    The majority class passes through untouched (exact count, oracled);
+    the minority keeps every original and lands within 10% of the
+    majority count (booleans — the resample n is binomial by design)."""
     base = _emb_pos(spark, sf)
-    # threshold 1.35 > the corpus' max 3rd-NN distance (1.26 measured) --
-    # every minority point keeps its kNN while ~90% of pairs are pruned
-    # before the join (threshold 20 was effectively all-pairs: 10x slower)
-    out = SA.smote(
+    orig = {r["pos"]: r["n"] for r in base.groupBy("pos").agg(F.count("*").alias("n")).collect()}
+    over = SA.oversample_with_replacement(base, "pos", seed=42)
+    after = {r["pos"]: r["n"] for r in over.groupBy("pos").agg(F.count("*").alias("n")).collect()}
+    maj = max(orig, key=orig.get)
+    mino = min(orig, key=orig.get)
+    return spark.createDataFrame(
+        [
+            (
+                after[maj],
+                bool(after[mino] >= orig[mino]),
+                bool(abs(after[mino] - orig[maj]) <= 0.1 * orig[maj]),
+            )
+        ],
+        "n_majority long, minority_keeps_originals boolean, minority_near_majority boolean",
+    )
+
+
+@query(
+    "u6_smote",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos, count(*) AS cnt
+      FROM embeddings GROUP BY 1
+    )
+    SELECT CAST((SELECT cnt FROM c WHERE pos = 1) AS BIGINT) AS n_minority,
+           CAST(greatest((SELECT cnt FROM c WHERE pos = 0)
+                         - (SELECT cnt FROM c WHERE pos = 1), 0) AS BIGINT)
+             AS n_synthetic,
+           CAST(0 AS BIGINT) AS n_out_of_envelope
+    FROM (SELECT 1)
+    """,
+)
+def q_u6(spark, sf):
+    """U6 — SMOTE on LSH-kNN (py:772,814), imblearn ratio=1 semantics via
+    ``target_ratio=1.0``: synthetic count EXACTLY equals the class deficit
+    (DuckDB recomputes it from the parquet — exact oracle), and every
+    synthetic component stays inside the minority's per-dimension
+    [min, max] envelope (lerp cannot escape it). LSH threshold /
+    bucket_length are auto-tuned from the sampled kNN-distance quantile —
+    no corpus-specific constants."""
+    base = _emb_pos(spark, sf)
+    made = SA.smote(
         base, "vec_id", "embedding", "pos", minority_value=1, k=2, seed=42,
-        threshold=1.35, bucket_length=0.4, num_hash_tables=5,
-    ).cache()  # three invariant checks below — don't re-run the kNN per count
+        num_hash_tables=5, target_ratio=1.0,
+    )
+    out = made.cache()  # three invariant checks below — don't re-run the kNN per count
     synth = out.filter(F.col("vec_id") < 0)
     mino = base.filter(F.col("pos") == 1)
     # envelope check as ONE aggregate per side: per-dim min/max arrays via
@@ -758,9 +811,12 @@ def q_u6(spark, sf):
         and (sb["lo"][i] < mb["lo"][i] - 1e-6 or sb["hi"][i] > mb["hi"][i] + 1e-6)
     )
     n_min, n_synth = mino.count(), synth.count()
+    out.unpersist()
+    for aux in getattr(made, "_aux_caches", ()):
+        aux.unpersist()
     return spark.createDataFrame(
-        [(n_min, n_synth, int(viol), bool(n_synth <= 2 * n_min))],
-        "n_minority long, n_synthetic long, n_out_of_envelope long, bounded boolean",
+        [(n_min, n_synth, int(viol))],
+        "n_minority long, n_synthetic long, n_out_of_envelope long",
     )
 
 
@@ -787,15 +843,27 @@ def q_u7(spark, sf):
     minority — per-class counts hash-checked."""
     out = SA.nearmiss(
         _emb_pos(spark, sf), "vec_id", "embedding", "pos", minority_value=1,
-        k=3, seed=42, threshold=1.35, bucket_length=0.4, num_hash_tables=5,
+        k=3, seed=42, num_hash_tables=5,
     )
     return out.groupBy("pos").agg(F.count("*").alias("n"))
 
 
-@query("u8_random_under")
+@query(
+    "u8_random_under",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos, count(*) AS cnt
+      FROM embeddings GROUP BY 1
+    )
+    SELECT CAST(2 * min(cnt) AS BIGINT) AS n,
+           CAST(0.5 AS DOUBLE) AS prevalence
+    FROM c
+    """,
+)
 def q_u8(spark, sf):
     """U8 — RandomUnderSampler == U4 with uniform selection (py:773,817);
-    emits post-balance prevalence (0.5 exactly, by construction)."""
+    emits post-balance count (2 x global minority — exact) and prevalence
+    (0.5 exactly, by construction) — both DuckDB-recomputable."""
     bal = SA.balance_undersample(_emb_pos(spark, sf), "pos", seed=7)
     return R.prevalence(bal, "pos")
 
@@ -850,18 +918,27 @@ def q_w4b(spark, sf):
     return out.select("event_id", "v_ffill")
 
 
-@query("a2b_approx_count_distinct")
+@query(
+    "a2b_approx_count_distinct",
+    oracle="""
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_exact,
+           TRUE AS hll_within_5pct
+    FROM lineitem
+    """,
+)
 def q_a2b(spark, sf):
-    """A2 scale variant — HLL sketch count-distinct (rows-only: the sketch
-    estimate is engine-specific; invariant: within 5% of exact)."""
+    """A2 scale variant — HLL sketch count-distinct. The sketch estimate
+    itself is engine-specific, so the entry emits the EXACT distinct count
+    (DuckDB recomputes it) plus the sketch-accuracy invariant as a
+    boolean (within 5% of exact)."""
     li = read_table(spark, sf, "lineitem")
     approx = R.count_distinct(li, "l_partkey", approx=True)
     exact = R.count_distinct(li, "l_partkey", approx=False)
     a = approx.collect()[0]["n_distinct"]
     x = exact.collect()[0]["n_distinct"]
     return spark.createDataFrame(
-        [(int(a), int(x), bool(abs(a - x) <= 0.05 * x))],
-        "approx long, exact long, within_5pct boolean",
+        [(int(x), bool(abs(a - x) <= 0.05 * x))],
+        "n_distinct_exact long, hll_within_5pct boolean",
     )
 
 
@@ -888,19 +965,32 @@ def q_a13(spark, sf):
     )
 
 
-@query("a13b_approx_percentiles")
+@query(
+    "a13b_approx_percentiles",
+    oracle="""
+    SELECT round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 6)
+             AS exact_p50,
+           TRUE AS approx_within_2pct
+    FROM lineitem
+    """,
+)
 def q_a13b(spark, sf):
-    """approx_percentile (the 100 TB estimator; rows-only — sketch output
-    is engine-specific; invariant: within 2% of exact)."""
+    """approx_percentile (the 100 TB estimator). The sketch output is
+    engine-specific, so the entry emits the EXACT median (DuckDB
+    recomputes it) plus the sketch-accuracy invariant as a boolean
+    (within 2% of exact)."""
     li = read_table(spark, sf, "lineitem")
     row = li.agg(
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("ap50"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        # HALF_UP rounding must happen ENGINE-side (Python round is
+        # banker's — a2b/a13 parity rule)
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_r"),
     ).collect()[0]
     rel = abs(row["ap50"] - row["p50"]) / max(abs(row["p50"]), 1e-9)
     return spark.createDataFrame(
-        [(float(row["ap50"]), float(row["p50"]), bool(rel < 0.02))],
-        "approx_p50 double, exact_p50 double, within_2pct boolean",
+        [(float(row["p50_r"]), bool(rel < 0.02))],
+        "exact_p50 double, approx_within_2pct boolean",
     )
 
 

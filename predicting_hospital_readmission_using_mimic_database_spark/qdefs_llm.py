@@ -78,33 +78,52 @@ def _tokens(df):
     return df.withColumn("tokens", tokenize(F.lower(F.col("text"))))
 
 
-@query("d2_dedup_minhash_lsh")
+@query(
+    "d2_dedup_minhash_lsh",
+    oracle=f"""
+    WITH u AS ({_DOCS_COPIES_SQL}),
+    p AS (SELECT count(*) AS c FROM documents WHERE doc_id < 25)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_input,
+           (SELECT CAST(c AS BIGINT) FROM p) AS planted_total,
+           (SELECT CAST(c AS BIGINT) FROM p) AS planted_caught,
+           CAST(0 AS BIGINT) AS planted_survivors
+    """,
+)
 def q_d2(spark, sf):
-    """MinHash-LSH near-dup dedup (approx -> rows-only): planted exact
-    copies MUST be caught (identical shingle sets collide in every band).
-    Emits planted-recall + corpus survival invariants."""
+    """MinHash-LSH near-dup dedup: planted exact copies MUST be caught
+    (identical shingle sets collide in every band). The planted-recall
+    COUNTS are the oracle — DuckDB recomputes corpus size + planted count
+    from the same parquet; a single missed copy breaks the hash. (WHICH
+    non-planted near-dups collide is banding-approximate, so the kept
+    count itself is not part of the contract.)"""
     u = _tokens(_docs_with_exact_copies(spark, sf))
     kept = DD.dedup_minhash(
         u, "doc_id", "tokens", jaccard_threshold=0.8, num_hash_tables=5, seed=42
     )
     n_in = u.count()
-    # ONE action over the dedup output — separate count()s would run the
-    # whole band-join pipeline once per metric
-    agg = kept.agg(
-        F.count("*").alias("n_kept"),
-        F.sum((F.col("doc_id") >= _COPY_OFFSET).cast("long")).alias("planted_left"),
-    ).first()
-    n_kept, planted_left = agg["n_kept"], int(agg["planted_left"] or 0)
+    planted_total = u.filter(
+        (F.col("doc_id") >= _COPY_OFFSET)
+    ).count()
+    planted_left = kept.filter(F.col("doc_id") >= _COPY_OFFSET).count()
     return spark.createDataFrame(
-        [(n_in, n_kept, planted_left, bool(planted_left == 0))],
-        "n_input long, n_kept long, planted_survivors long, planted_all_caught boolean",
+        [(n_in, planted_total, planted_total - planted_left, planted_left)],
+        "n_input long, planted_total long, planted_caught long, planted_survivors long",
     )
 
 
-@query("d3_dedup_simhash")
+@query(
+    "d3_dedup_simhash",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS planted_found,
+           TRUE AS pairs_cover_planted
+    FROM documents WHERE doc_id < 25
+    """,
+)
 def q_d3(spark, sf):
-    """SimHash banding near-dup (approx -> rows-only): identical texts have
-    identical signatures (hamming 0), so every planted pair is found."""
+    """SimHash banding near-dup: identical texts have identical signatures
+    (hamming 0), so EVERY planted pair must be found — the planted count
+    is the oracle (DuckDB recomputes it from the parquet); which
+    non-planted pairs band together is approximate and excluded."""
     u = _tokens(_docs_with_exact_copies(spark, sf))
     # SimHash over 3-gram SHINGLES, not unigram tokens: the harness corpus
     # shares one small vocabulary, so token-level signatures cluster and
@@ -112,12 +131,19 @@ def q_d3(spark, sf):
     # spread the signatures (22s -> ~3s at sf0.1)
     u = u.withColumn("shingles", DD.word_ngrams(F.col("tokens"), 3))
     pairs = DD.simhash_dup_pairs(u, "doc_id", "shingles", max_hamming=3)
-    planted_found = pairs.filter(
-        (F.col("b_id") - F.col("a_id") == _COPY_OFFSET) & (F.col("hamming") == 0)
-    ).count()
+    agg = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(
+            (
+                (F.col("b_id") - F.col("a_id") == _COPY_OFFSET)
+                & (F.col("hamming") == 0)
+            ).cast("long")
+        ).alias("planted_found"),
+    ).first()
+    planted_found = int(agg["planted_found"] or 0)
     return spark.createDataFrame(
-        [(pairs.count(), planted_found, bool(planted_found == 25))],
-        "n_pairs long, planted_found long, planted_all_found boolean",
+        [(planted_found, bool(agg["n_pairs"] >= planted_found))],
+        "planted_found long, pairs_cover_planted boolean",
     )
 
 
@@ -268,10 +294,33 @@ def q_n1(spark, sf):
     return SI.topk_bruteforce(_emb(spark, sf), "vec_id", "embedding", _PROBE, k=10)
 
 
-@query("n2_knn_lsh")
+#: exact top-10 ids for the fixed probe — the DuckDB side of every ANN
+#: recall oracle (n1 proves this exact form hash-matches the engine)
+_EXACT_TOP10_SQL = f"""
+    SELECT vec_id FROM (
+      SELECT vec_id,
+             round(CAST(list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]), {_PROBE_SQL}) AS DOUBLE), 6) AS cosine
+      FROM embeddings
+    ) ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@query(
+    "n2_knn_lsh",
+    oracle=f"""
+    WITH t AS ({_EXACT_TOP10_SQL})
+    SELECT CAST(count(*) AS BIGINT) AS n_ann,
+           CAST(count(*) AS BIGINT) AS n_overlap_exact,
+           CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
+    FROM t
+    """,
+)
 def q_n2(spark, sf):
-    """LSH ANN top-10 (approx -> rows-only): recall@10 measured in-engine
-    against the exact brute force."""
+    """LSH ANN top-10: recall@10 measured in-engine against the exact
+    brute force; the oracle recomputes the exact top-10 in DuckDB and
+    requires FULL overlap (recall 1.0 — the multiprobe+re-rank contract
+    on this corpus), so a single missed neighbor breaks the hash."""
     e = _emb(spark, sf)
     exact = SI.topk_bruteforce(e, "vec_id", "embedding", _PROBE, k=10)
     ann = SI.topk_lsh(
@@ -483,12 +532,22 @@ def q_mm2(spark, sf):
     return MM.frame_sample_plan(blobs, every_ms=500)
 
 
-@query("n3_knn_ivf")
+@query(
+    "n3_knn_ivf",
+    oracle=f"""
+    WITH t AS ({_EXACT_TOP10_SQL})
+    SELECT CAST(count(*) AS BIGINT) AS n_ivf,
+           CAST(count(*) AS BIGINT) AS n_overlap_exact,
+           CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
+    FROM t
+    """,
+)
 def q_n3(spark, sf):
-    """IVF-Flat ANN top-10 (approx -> rows-only): recall@10 against the
-    exact brute force. n_probe trades recall for scan fraction: on this
-    corpus 4/16 cells -> 0.7, 6/16 -> 0.9, 8/16 -> 1.0 (half the scan of
-    brute force at full recall)."""
+    """IVF-Flat ANN top-10: recall@10 against the exact brute force, with
+    the exact top-10 recomputed by DuckDB as the oracle (full recall at
+    n_probe=8/16 — half the scan of brute force). n_probe trades recall
+    for scan fraction: on this corpus 4/16 cells -> 0.7, 6/16 -> 0.9,
+    8/16 -> 1.0."""
     e = _emb(spark, sf)
     exact = SI.topk_bruteforce(e, "vec_id", "embedding", _PROBE, k=10)
     ivf = SI.topk_ivf(
@@ -501,12 +560,23 @@ def q_n3(spark, sf):
     )
 
 
-@query("n4_knn_ivf_indexed")
+@query(
+    "n4_knn_ivf_indexed",
+    oracle=f"""
+    WITH t AS ({_EXACT_TOP10_SQL})
+    SELECT CAST(count(*) AS BIGINT) AS n_overlap_exact,
+           CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10,
+           TRUE AS partition_pruned
+    FROM t
+    """,
+)
 def q_n4(spark, sf):
-    """PERSISTED IVF serving path (rows-only): build the cell-partitioned
-    parquet index once, probe it — the scan must show directory-level
+    """PERSISTED IVF serving path: build the cell-partitioned parquet
+    index once, probe it — the scan must show directory-level
     PartitionFilters on the cell column (the 100 TB property), and the
-    probed answer must recover the exact top-10 at n_probe=8/16."""
+    probed answer must recover the exact top-10 at n_probe=8/16 (the
+    oracle recomputes the exact top-10 in DuckDB and requires full
+    overlap)."""
     import shutil
     import tempfile
 
