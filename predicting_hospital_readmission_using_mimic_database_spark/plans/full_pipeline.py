@@ -202,8 +202,10 @@ def strategy_comparison(spark: SparkSession, sf_dir: str, seed: int = 42) -> Dat
 
 
 def run_pipeline(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
-    """Full train/evaluate run; returns a one-row summary DataFrame
-    (counts, prevalence, held-out AUC, battery at 0.5)."""
+    """Full train/evaluate run; returns a one-row summary DataFrame:
+    counts, prevalence, the balanced-train check, held-out AUC, and the
+    reference's FULL threshold battery at 0.5 (accuracy / recall /
+    precision / specificity / prevalence / f1 — py:508-534)."""
     events = read_table(spark, sf_dir, "events")
     # the per-user table feeds FOUR consumers (assembled train/test chain,
     # n_users, prevalence) — cache it or the window+pivot+join chain
@@ -227,6 +229,7 @@ def run_pipeline(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
     battery = ME.binary_metrics(scored, "p1", "y", 0.5).collect()[0]
     n_users = table.count()
     prevalence = table.agg(F.round(F.avg("label"), 4)).collect()[0][0]
+    cls = [r["n"] for r in train_bal.groupBy("y").agg(F.count("*").alias("n")).collect()]
 
     return spark.createDataFrame(
         [
@@ -234,13 +237,19 @@ def run_pipeline(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
                 n_users,
                 float(prevalence),
                 train_bal.count(),
+                bool(len(cls) > 1 and max(cls) == min(cls)),
                 scored.count(),
                 auc["roc_auc"],
                 battery["accuracy"],
                 battery["recall"],
                 battery["precision"],
+                battery["specificity"],
+                battery["prevalence"],
+                battery["f1"],
             )
         ],
-        "n_users long, prevalence double, n_train_balanced long, n_test long, "
-        "auc double, accuracy double, recall double, precision double",
+        "n_users long, prevalence double, n_train_balanced long, "
+        "train_class_balanced boolean, n_test long, auc double, "
+        "accuracy double, recall double, precision double, "
+        "specificity double, prevalence_at_05 double, f1 double",
     )

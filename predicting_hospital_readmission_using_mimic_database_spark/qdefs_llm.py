@@ -488,14 +488,24 @@ def q_x4(spark, sf):
 # ---------------------------------------------------------------------------
 
 
-@query("mm1_multimodal_decode")
+@query(
+    "mm1_multimodal_decode",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT i % 3) AS BIGINT) AS n_media_types,
+           CAST(16 AS INT) AS min_dim, CAST(16 AS INT) AS max_dim,
+           TRUE AS bytes_positive, TRUE AS pixel_stats_exact
+    FROM range(64) t(i)
+    """,
+)
 def q_mm1(spark, sf):
-    """Binary-column decode (rows-only): synthetic blob manifest ->
-    mapInPandas feature extraction (Arrow-batched) with the REAL stdlib
-    codecs (BMP/PPM pixels, PCM WAV samples; video = declared stub).
-    Invariants: row count preserved, feature dim fixed, byte counts
-    positive, and the distributed decode of asset 0 (a closed-form BMP)
-    matches the local golden pixel stats EXACTLY."""
+    """Binary-column decode: synthetic blob manifest -> mapInPandas
+    feature extraction (Arrow-batched) with the REAL stdlib codecs
+    (BMP/PPM pixels, PCM WAV samples; video = declared stub). The oracle
+    recomputes manifest size + media-type count from the same closed form
+    (range(64), i%3) and pins FEATURE_DIM=16; byte positivity and the
+    EXACT pixel-stat match of asset 0 (a closed-form BMP decoded
+    distributed vs locally) are boolean invariants."""
     blobs = MM.synthetic_blobs(spark, n=64)
     feats = MM.decode_stub_features(blobs, real_codec=True).cache()
     # golden fixture recomputed locally from the same closed form the
@@ -512,7 +522,7 @@ def q_mm1(spark, sf):
         F.countDistinct("media_type").alias("n_media_types"),
         F.min(F.size("features")).alias("min_dim"),
         F.max(F.size("features")).alias("max_dim"),
-        F.min("n_bytes").alias("min_bytes"),
+        (F.min("n_bytes") > 0).alias("bytes_positive"),
         F.lit(pixel_exact).alias("pixel_stats_exact"),
     )
 

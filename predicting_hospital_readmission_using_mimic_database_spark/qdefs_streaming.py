@@ -1,7 +1,11 @@
-"""Streaming query definitions (rows-only: streams aren't SQL-expressible
-for the DuckDB oracle; the equivalence contract is asserted in-engine and
-emitted as an invariant row — tests/test_streaming.py drives the same
-check as a pytest)."""
+"""Streaming query definitions.
+
+The streams themselves aren't SQL-expressible, but their CONTRACT is:
+each entry's emitted row carries counts the batch semantics determine
+exactly (resolvable-event count, group count, deduped count), and the
+DuckDB oracle recomputes those counts from the same events.parquet — so
+a stream that drops, duplicates, or mislabels anything breaks the hash.
+tests/test_streaming.py drives the same equivalence as a pytest."""
 
 from __future__ import annotations
 
@@ -44,11 +48,38 @@ def _stage_event_chunks(spark, sf: str, src: str, n_chunks: int = 3) -> None:
         )
 
 
-@query("st1_stream_labels_equivalence")
+@query(
+    "st1_stream_labels_equivalence",
+    oracle="""
+    WITH led AS (
+      SELECT e.*, lead(ts) OVER w AS next_ts, lead(event_type) OVER w AS next_type
+      FROM events e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    filled AS (
+      SELECT *,
+             first_value(CASE WHEN next_type = 'signup' THEN NULL ELSE next_ts END
+                         IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS next_unplanned_ts
+      FROM led
+    )
+    SELECT CAST(count(*) FILTER (WHERE next_unplanned_ts IS NOT NULL) AS BIGINT)
+             AS n_stream,
+           CAST(count(*) FILTER (WHERE next_unplanned_ts IS NOT NULL) AS BIGINT)
+             AS n_batch_resolvable,
+           CAST(0 AS BIGINT) AS n_mismatched
+    FROM filled
+    """,
+)
 def q_st1(spark, sf):
     """Incremental readmission labels over micro-batches == batch labels
     for every batch-resolvable event (custom stateful operator,
-    applyInPandasWithState keyed by user)."""
+    applyInPandasWithState keyed by user). The oracle recomputes the
+    batch-resolvable count with the flagship window chain in DuckDB; the
+    streamed label SET must match the batch SET element-for-element
+    (n_mismatched = symmetric difference = 0)."""
     tmp = tempfile.mkdtemp(prefix="st1_")
     src = os.path.join(tmp, "src")
     os.makedirs(src)
@@ -83,17 +114,34 @@ def q_st1(spark, sf):
             .collect()
         }
         return spark.createDataFrame(
-            [(len(got), len(want), bool(got == want))],
-            "n_stream long, n_batch_resolvable long, exact_match boolean",
+            [(len(got), len(want), len(got ^ want))],
+            "n_stream long, n_batch_resolvable long, n_mismatched long",
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@query("st2_stream_enrich_equivalence")
+@query(
+    "st2_stream_enrich_equivalence",
+    oracle="""
+    WITH d AS (
+      SELECT * FROM (VALUES ('purchase', 3), ('error', 5), ('login', 1))
+        AS t(event_type, severity)
+    ),
+    j AS (SELECT severity FROM events LEFT JOIN d USING (event_type))
+    SELECT CAST(count(DISTINCT severity)
+                + max(CASE WHEN severity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups,
+           TRUE AS matches_batch
+    FROM j
+    """,
+)
 def q_st2(spark, sf):
     """Stream-static broadcast enrichment == the batch join: per-severity
-    counts after joining the event stream to a static dimension."""
+    counts after joining the event stream to a static dimension. The
+    oracle recomputes the group count (incl. the unmatched-NULL group)
+    with the same join in DuckDB; per-group count equality with the batch
+    join is the boolean."""
     tmp = tempfile.mkdtemp(prefix="st2_")
     src = os.path.join(tmp, "src")
     os.makedirs(src)
@@ -138,10 +186,20 @@ def q_st2(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@query("st3_stream_dedup")
+@query(
+    "st3_stream_dedup",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_stream,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           TRUE AS dedup_exact
+    FROM events
+    """,
+)
 def q_st3(spark, sf):
     """Watermark-bounded streaming dedup: a redelivered micro-batch is
-    fully dropped; output ids are unique and count the batch table."""
+    fully dropped; output ids are unique and count the batch table — the
+    oracle recomputes that count from events.parquet, so any surviving
+    redelivery breaks the hash."""
     tmp = tempfile.mkdtemp(prefix="st3_")
     src = os.path.join(tmp, "src")
     os.makedirs(src)
