@@ -166,8 +166,50 @@ STATE_SCHEMA = StructType(
         StructField("ev_ids", ArrayType(LongType()), True),
         StructField("ts_us", ArrayType(LongType()), True),
         StructField("types", ArrayType(StringType()), True),
+        # every unplanned event time seen (incl. ALREADY-RESOLVED ones):
+        # a planned event arriving after its true successor was resolved
+        # out of pending must still find that successor here, not a later
+        # pending one. Pruned to the eviction horizon when one is set.
+        StructField("unpl_us", ArrayType(LongType()), True),
     ]
 )
+
+
+_INTERVAL_UNIT_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
+def parse_interval_us(interval: str) -> int:
+    """Microseconds for the interval forms Spark's ``withWatermark``
+    accepts — ``"90 days"``, ``"1 week"``, ``"90days"``, ``"2 hours 30
+    minutes"`` — so the same string can never be valid for the watermark
+    but crash the timeout computation."""
+    import re
+
+    total = 0
+    matched = re.findall(r"(\d+)\s*([a-zA-Z]+)", interval)
+    rest = re.sub(r"(\d+)\s*([a-zA-Z]+)", "", interval).strip()
+    if not matched or rest:
+        raise ValueError(
+            f"unsupported interval {interval!r}: expected one or more "
+            f"'<n> <unit>' groups with unit in "
+            f"{sorted(_INTERVAL_UNIT_US)} (plural accepted)"
+        )
+    for qty, unit in matched:
+        u = unit.lower().rstrip("s") if unit.lower() != "s" else unit.lower()
+        if u not in _INTERVAL_UNIT_US:
+            raise ValueError(
+                f"unsupported interval unit {unit!r} in {interval!r}: "
+                f"supported units are {sorted(_INTERVAL_UNIT_US)} "
+                "(plural accepted)"
+            )
+        total += int(qty) * _INTERVAL_UNIT_US[u]
+    return total
 
 
 def _make_label_state_fn(evict_gap_us: int | None):
@@ -187,12 +229,16 @@ def _make_label_state_fn(evict_gap_us: int | None):
         Out-of-order arrival contract: every emitted label equals the batch
         label ("earliest unplanned event at-or-after mine") PROVIDED the
         unplanned events of a user arrive in event-time order relative to
-        each other. Planned events may arrive arbitrarily late (a late
-        event looks for its successor among pending state before waiting),
-        and an unplanned arrival resolves only pending events at-or-before
-        its event time — never the out-of-order newer ones. What append
-        mode cannot do is retract: an unplanned event arriving BEFORE an
-        already-emitted successor cannot shrink those emitted gaps.
+        each other. Planned events may arrive arbitrarily late: a late
+        arrival searches the FULL unplanned history (``unpl_us`` — kept in
+        state even after those events resolve out of pending, pruned only
+        to the eviction horizon), so a planned event whose true successor
+        was already resolved still gets the earliest at-or-after
+        successor, not a later pending one. An unplanned arrival resolves
+        only pending events at-or-before its event time — never the
+        out-of-order newer ones. What append mode cannot do is retract:
+        an unplanned event arriving BEFORE an already-emitted successor
+        cannot shrink those emitted gaps.
         """
         (user_id,) = key
         if evict_gap_us is not None and state.hasTimedOut:
@@ -200,10 +246,12 @@ def _make_label_state_fn(evict_gap_us: int | None):
             return
 
         if state.exists:
-            ev_ids, ts_us, types = state.get
+            ev_ids, ts_us, types, unpl_us = state.get
             pending = list(zip(ev_ids, ts_us, types))
+            unpl_hist = list(unpl_us or [])
         else:
             pending = []
+            unpl_hist = []
 
         out_rows = []
         max_ts_us = max((p[1] for p in pending), default=0)
@@ -213,36 +261,52 @@ def _make_label_state_fn(evict_gap_us: int | None):
                 ts_us_new = int(r.ts.value // 1000)  # pandas ns -> µs
                 typ = str(r.event_type)
                 max_ts_us = max(max_ts_us, ts_us_new)
-                if typ != PLANNED_TYPE and pending:
-                    for pid, pus, ptype in pending:
-                        if pus > ts_us_new:
-                            continue  # out-of-order newer event: not ours
-                        gap = (ts_us_new - pus) / 86400.0e6
-                        out_rows.append(
-                            (pid, user_id, pus, ptype, ts_us_new, gap, int(gap < 30))
-                        )
-                    pending = [p for p in pending if p[1] > ts_us_new]
-                # a late arrival may find its successor already pending:
-                # the earliest unplanned pending event at-or-after it
+                if typ != PLANNED_TYPE:
+                    if pending:
+                        for pid, pus, ptype in pending:
+                            if pus > ts_us_new:
+                                continue  # out-of-order newer event: not ours
+                            gap = (ts_us_new - pus) / 86400.0e6
+                            out_rows.append(
+                                (pid, user_id, pus, ptype, ts_us_new, gap, int(gap < 30))
+                            )
+                        pending = [p for p in pending if p[1] > ts_us_new]
+                # a late arrival may find its successor already seen — the
+                # earliest unplanned event at-or-after it, RESOLVED OR
+                # PENDING (unpl_hist holds both; under the in-order
+                # contract any future unplanned arrival is later than
+                # everything here, so a history hit is the true earliest).
+                # An unplanned event's own successor is strictly AFTER it
+                # (batch lead semantics — never an equal-ts sibling).
                 succ = [
-                    p for p in pending
-                    if p[2] != PLANNED_TYPE and p[1] >= ts_us_new
+                    u for u in unpl_hist
+                    if (u >= ts_us_new if typ == PLANNED_TYPE else u > ts_us_new)
                 ]
                 if succ:
-                    nus = min(s[1] for s in succ)
+                    nus = min(succ)
                     gap = (nus - ts_us_new) / 86400.0e6
                     out_rows.append(
                         (int(r.event_id), user_id, ts_us_new, typ, nus, gap, int(gap < 30))
                     )
                 else:
                     pending.append((int(r.event_id), ts_us_new, typ))
+                if typ != PLANNED_TYPE:
+                    unpl_hist.append(ts_us_new)
 
         pending.sort(key=lambda p: (p[1], p[0]))
+        unpl_hist.sort()
+        if evict_gap_us is not None and max_ts_us:
+            # keep only the eviction horizon of unplanned history: a
+            # planned event older than that is itself evictable, so the
+            # successors it could still need are all inside the horizon
+            horizon = max_ts_us - evict_gap_us
+            unpl_hist = [u for u in unpl_hist if u >= horizon]
         state.update(
             (
                 [p[0] for p in pending],
                 [p[1] for p in pending],
                 [p[2] for p in pending],
+                unpl_hist,
             )
         )
         if evict_gap_us is not None and max_ts_us:
@@ -282,18 +346,12 @@ def readmit_labels_stream(
             outputMode="append",
             timeoutConf="NoTimeout",
         )
-    qty, unit = evict_after.split()
-    unit_us = {
-        "second": 1_000_000, "seconds": 1_000_000,
-        "minute": 60_000_000, "minutes": 60_000_000,
-        "hour": 3_600_000_000, "hours": 3_600_000_000,
-        "day": 86_400_000_000, "days": 86_400_000_000,
-    }[unit]
+    evict_us = parse_interval_us(evict_after)  # validate BEFORE the stream starts
     return (
         events.withWatermark("ts", evict_after)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _make_label_state_fn(int(qty) * unit_us),
+            _make_label_state_fn(evict_us),
             outputStructType=LABEL_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

@@ -163,6 +163,42 @@ def test_state_fn_unplanned_resolves_only_older_pending():
     assert 2 in st.get[0]
 
 
+def test_state_fn_late_planned_after_successor_resolved():
+    """ADVICE r3: a planned event arriving AFTER its true successor was
+    already resolved out of pending must still match that successor (from
+    the retained unplanned history), not a later pending unplanned."""
+    fn = ING._make_label_state_fn(None)
+    st = _FakeState()
+    day_us = 86_400_000_000
+    # batch 1: view@d25 pends; batch 2: view@d40 resolves it (and pends)
+    assert list(fn((1,), iter([_mk_pdf([(2, 25 * day_us, "view")])]), st)) == []
+    out2 = list(fn((1,), iter([_mk_pdf([(3, 40 * day_us, "view")])]), st))
+    assert [r["event_id"] for r in out2[0].to_dict("records")] == [2]
+    # batch 3: planned@d5 arrives very late — its true successor is the
+    # RESOLVED view@d25 (gap 20, readmit 1), not the pending view@d40
+    out3 = list(fn((1,), iter([_mk_pdf([(1, 5 * day_us, ING.PLANNED_TYPE)])]), st))
+    rows = out3[0].to_dict("records")
+    assert len(rows) == 1 and rows[0]["event_id"] == 1
+    assert rows[0]["next_unplanned_us"] == 25 * day_us
+    assert rows[0]["gap_days"] == 20.0 and rows[0]["readmit_30d"] == 1
+
+
+def test_parse_interval_us():
+    import pytest
+
+    assert ING.parse_interval_us("90 days") == 90 * 86_400_000_000
+    assert ING.parse_interval_us("90days") == 90 * 86_400_000_000
+    assert ING.parse_interval_us("1 week") == 7 * 86_400_000_000
+    assert (
+        ING.parse_interval_us("2 hours 30 minutes")
+        == 2 * 3_600_000_000 + 30 * 60_000_000
+    )
+    with pytest.raises(ValueError, match="supported"):
+        ING.parse_interval_us("3 fortnights")
+    with pytest.raises(ValueError, match="supported"):
+        ING.parse_interval_us("soon")
+
+
 def test_state_fn_event_time_eviction():
     day_us = 86_400_000_000
     fn = ING._make_label_state_fn(day_us)  # 1 day
