@@ -107,22 +107,37 @@ def drop_stopwords(tokens: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Co
 def lemmatize_rules(tokens: Column) -> Column:
     """T13 — deterministic rule-based lemmatizer over a token array.
 
-    The reference uses NLTK WordNetLemmatizer (py:298,309); WordNet isn't a
-    public dependency of this engine, so the DEFINED engine semantics are
-    these explicit suffix rules (plural nouns), all JVM-side:
+    The reference uses NLTK WordNetLemmatizer (py:298,309); WordNet isn't
+    a public dependency of this engine, so the DEFINED engine semantics
+    are WordNet's own two-stage scheme with vendored data, all JVM-side:
 
-      *sses -> *ss | *ies -> *y | keep *ss | *s -> * (len>3)
+    1. the irregular-noun exception table
+       (:mod:`.irregular_nouns` — geese/analyses/heroes/diagnosis...)
+       looked up first, exactly like WordNet's noun.exc;
+    2. else the suffix rules: *sses -> *ss | *ies -> *y | keep *ss |
+       *s -> * (len>3).
 
-    ``lemmatize_udf`` below upgrades to WordNet when NLTK is available.
+    ``lemmatize_udf`` below upgrades to full WordNet when NLTK is
+    available.
     """
+    from .irregular_nouns import NOUN_EXCEPTIONS
+
+    exc = F.create_map(
+        *[F.lit(x) for kv in NOUN_EXCEPTIONS.items() for x in kv]
+    )
+    exc_keys = list(NOUN_EXCEPTIONS)
+
     def lemma(w: Column) -> Column:
-        return (
+        ruled = (
             F.when(w.rlike("sses$"), F.regexp_replace(w, "sses$", "ss"))
             .when(w.rlike("ies$"), F.regexp_replace(w, "ies$", "y"))
             .when(w.rlike("ss$"), w)
             .when(w.rlike("^[a-z]{3,}s$"), F.regexp_replace(w, "s$", ""))
             .otherwise(w)
         )
+        # isin compiles to an InSet hash probe — cheap on every token; the
+        # map literal is only evaluated on the (rare) exception hits
+        return F.when(w.isin(exc_keys), F.element_at(exc, w)).otherwise(ruled)
 
     return F.transform(tokens, lemma)
 

@@ -502,6 +502,7 @@ def connected_components(
         .select("id", F.col("id").alias("comp"))
         .localCheckpoint()
     )
+    n_changed = 0
     for _ in range(max_iter):
         neigh = (
             edges.join(
@@ -524,6 +525,15 @@ def connected_components(
         if n_changed == 0:
             break
     edges.unpersist()
+    if n_changed > 0:
+        # a >max_iter-hop chain: partially-propagated labels are WRONG
+        # answers (silently splitting one component in two) — refuse
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({n_changed} labels still changing): the pair graph has a "
+            f"chain longer than max_iter — raise max_iter (rounds needed "
+            "= graph diameter, still log-bounded for any near-dup corpus)"
+        )
     return labels
 
 

@@ -44,14 +44,25 @@ def _noisy(col="text"):
     return F.concat(F.col(col), F.lit(_NOISE))
 
 
-# T13 lemmatizer rules as DuckDB lambda SQL (must mirror TX.lemmatize_rules)
+# T13 lemmatizer as DuckDB lambda SQL (must mirror TX.lemmatize_rules):
+# the vendored irregular-noun exception map first (same dict the Spark
+# side compiles in — one source of truth), then the suffix rules
+from .functions.irregular_nouns import NOUN_EXCEPTIONS as _NOUN_EXC
+
+# braces doubled: _LEMMA_SQL goes through str.format(toks=...)
+_EXC_MAP_SQL = (
+    "MAP {{"
+    + ", ".join(f"'{k}': '{v}'" for k, v in _NOUN_EXC.items())
+    + "}}"
+)
 _LEMMA_SQL = (
-    "list_transform({toks}, w -> CASE "
+    "list_transform({toks}, w -> coalesce("
+    "map_extract(" + _EXC_MAP_SQL + ", w)[1], CASE "
     "WHEN regexp_matches(w, 'sses$') THEN regexp_replace(w, 'sses$', 'ss') "
     "WHEN regexp_matches(w, 'ies$') THEN regexp_replace(w, 'ies$', 'y') "
     "WHEN regexp_matches(w, 'ss$') THEN w "
     "WHEN regexp_matches(w, '^[a-z]{{3,}}s$') THEN regexp_replace(w, 's$', '') "
-    "ELSE w END)"
+    "ELSE w END))"
 )
 
 _TOKENIZE_SQL = "list_filter(string_split_regex({x}, '\\W+'), t -> t <> '')"

@@ -88,17 +88,18 @@ PRIORITY: tuple[str, ...] = (
     "u6_smote",
     "u7_nearmiss",
     # stable cross-family representatives fill the rest of the window
+    # (keeps every family + the VERDICT-named must-haves inside 50)
     "flagship_readmit_30d",
     "s1_scan_events",
-    "j1_join_inner",
-    "w1_lead",
-    "a1_value_counts",
+    "p1_project",
     "c1_case_label",
-    "u1_union_all",
     "d1_dedup_exact",
     "d4_ngram_jaccard",
     "n1_knn_bruteforce",
     "e2_auc",
+    "t14_count_vectorize",
+    "m8_mutual_info",
+    "x3_fingerprint",
 )
 
 

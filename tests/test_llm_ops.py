@@ -65,6 +65,18 @@ def test_connected_components_chain_and_islands(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """ADVICE r3: exhausting max_iter before the fixpoint must raise, not
+    silently return partially-propagated (wrong) labels."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(pairs, max_iter=1)
+
+
 def test_dedup_clusters_transitive(spark):
     # A~B, B~C: pairwise higher-id drop already removes B and C here, but
     # the cluster form must also work when the pair list is NOT closed
@@ -159,12 +171,14 @@ def test_multimodal_decode_plumbing(spark):
     )
 
 
-#: T13 divergence fixture — the reference lemmatizes with NLTK's
-#: WordNetLemmatizer (py:298,309); the engine default is the rule-based
-#: JVM lemmatizer. Where the two AGREE the engine must produce the
-#: WordNet output; where they DIVERGE (irregular forms, latinate plurals
-#: — dictionary knowledge the rules don't encode) the engine's defined
-#: output is pinned here so the delta is explicit, not accidental.
+#: T13 parity fixture — the reference lemmatizes with NLTK's
+#: WordNetLemmatizer (py:298,309); the engine lemmatizer is the vendored
+#: irregular-noun exception table (WordNet's noun.exc scheme,
+#: functions/irregular_nouns.py) + suffix rules. Every word here must
+#: produce the WordNet output, INCLUDING the irregular/latinate forms the
+#: bare rules used to mangle (the former T13_KNOWN_DIVERGENT set — now
+#: empty). The residual delta vs full WordNet is only dictionary-lookup
+#: cases outside the vendored table (documented in COVERAGE.md).
 T13_WORDNET_AGREES = {
     "cats": "cat",
     "glasses": "glass",
@@ -173,16 +187,22 @@ T13_WORDNET_AGREES = {
     "dress": "dress",
     "bus": "bus",
     "windows": "window",
+    # irregular / latinate forms — exception-table hits
+    "geese": "goose",
+    "mice": "mouse",
+    "children": "child",
+    "feet": "foot",
+    "analyses": "analysis",
+    "diagnosis": "diagnosis",
+    "diagnoses": "diagnosis",
+    "heroes": "hero",
+    "wolves": "wolf",
+    "criteria": "criterion",
+    "indices": "index",
+    "virus": "virus",
+    "series": "series",
 }
-T13_KNOWN_DIVERGENT = {
-    # word: (engine rule output, WordNet output)
-    "geese": ("geese", "goose"),
-    "mice": ("mice", "mouse"),
-    "children": ("children", "child"),
-    "feet": ("feet", "foot"),
-    "analyses": ("analyse", "analysis"),
-    "diagnosis": ("diagnosi", "diagnosis"),
-}
+T13_KNOWN_DIVERGENT: dict[str, tuple[str, str]] = {}
 
 
 def test_t13_lemmatizer_pinned_semantics(spark):
@@ -194,11 +214,7 @@ def test_t13_lemmatizer_pinned_semantics(spark):
     df = spark.createDataFrame([(words,)], "toks array<string>")
     out = dict(zip(words, df.select(lemmatize_rules(F.col("toks")).alias("l")).first()["l"]))
     for w, expect in T13_WORDNET_AGREES.items():
-        if w in T13_KNOWN_DIVERGENT:
-            continue
         assert out[w] == expect, (w, out[w])
-    for w, (rule_out, _wordnet) in T13_KNOWN_DIVERGENT.items():
-        assert out[w] == rule_out, (w, out[w])
     # the WordNet upgrade path stays gated: absent NLTK it reports None
     # (callers fall back to the rules), never a broken UDF
     udf = lemmatize_udf()
