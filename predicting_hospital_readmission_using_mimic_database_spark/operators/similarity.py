@@ -250,6 +250,62 @@ def topk_bruteforce_many(
     )
 
 
+def cell_radii(assigned: DataFrame, centers, array_col: str = "__arr") -> list[float]:
+    """Per-cell angular radius of an IVF assignment: the max angle between
+    a cell's (unit) members and its unit-normalized centroid — ONE
+    broadcast join + one aggregate over the corpus, n_cells scalars out.
+
+    With radii in hand a query can PROVE exactness: no member of cell c
+    can exceed cosine ``cos(max(0, angle(q, centroid_c) - radius_c))``,
+    so probing stops as soon as the running k-th cosine beats every
+    unprobed cell's bound (triangle inequality on the sphere)."""
+    import math
+
+    import numpy as np
+
+    spark = assigned.sparkSession
+    cn = [np.asarray(c, dtype=float) for c in centers]
+    cn = [c / (np.linalg.norm(c) or 1.0) for c in cn]
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cn)],
+        "__cell int, __cent array<double>",
+    )
+    mins = (
+        assigned.join(F.broadcast(cent_df), "__cell")
+        .groupBy("__cell")
+        .agg(F.min(dot(F.col(array_col), F.col("__cent"))).alias("__min_cos"))
+        .collect()
+    )
+    radii = [0.0] * len(cn)
+    for r in mins:
+        radii[r["__cell"]] = math.acos(max(-1.0, min(1.0, r["__min_cos"])))
+    return radii
+
+
+def _cells_by_bound(centers, radii, query) -> list[tuple[int, float]]:
+    """(cell, cosine upper bound) sorted best-first for a query vector."""
+    import math
+
+    import numpy as np
+
+    qv = np.asarray(query, dtype=float)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    out = []
+    for i, c in enumerate(centers):
+        cv = np.asarray(c, dtype=float)
+        cvn = cv / (np.linalg.norm(cv) or 1.0)
+        theta = math.acos(max(-1.0, min(1.0, float(qn @ cvn))))
+        out.append((i, math.cos(max(0.0, theta - radii[i]))))
+    out.sort(key=lambda t: -t[1])
+    return out
+
+
+#: rounding quantum guard: output cosines are rounded to 6 decimals, so a
+#: bound within half an ulp of the k-th value could still tie after
+#: rounding and win on id — probe those cells too
+_BOUND_EPS = 1e-6
+
+
 def topk_ivf(
     df: DataFrame,
     id_col: str,
@@ -260,16 +316,20 @@ def topk_ivf(
     n_probe: int = 4,
     seed: int = 42,
 ):
-    """IVF-Flat ANN: KMeans-partition the corpus into ``n_cells`` inverted
-    lists, probe the ``n_probe`` cells nearest the query, exact-rank only
-    their members.
+    """IVF-Flat top-k: KMeans-partition the corpus into ``n_cells``
+    inverted lists, probe the cells with the best cosine UPPER BOUND
+    (centroid angle minus cell radius), exact-rank only their members —
+    then probe any remaining cell whose bound still beats the running
+    k-th cosine. The result is therefore PROVABLY the exact top-k at any
+    corpus; ``n_probe`` is only the initial batch size. Typical scan
+    fraction stays n_probe/n_cells — the second phase is empty unless the
+    query sits near a cell boundary.
 
     The scale path for repeated queries: cell assignment is computed once
     (and in production persisted, partitioned BY cell so a probe prunes
-    file partitions); each query then scans n_probe/n_cells of the data.
-    Centroids are tiny (n_cells x dim) — ranked driver-side.
+    file partitions — see build_ivf_index/topk_ivf_indexed).
+    Centroids + radii are tiny (n_cells x dim + n_cells) — driver-side.
     """
-    import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -281,18 +341,32 @@ def topk_ivf(
     vec = norm.withColumn("__v", array_to_vector(F.col("__arr").cast("array<double>")))
     km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
     model = km.fit(vec)
-    assigned = model.transform(vec)
+    assigned = model.transform(vec).cache()
+    try:
+        centers = model.clusterCenters()
+        radii = cell_radii(assigned, centers)
+        bounds = _cells_by_bound(centers, radii, query)
+        probe = [c for c, _ in bounds[:n_probe]]
 
-    qv = np.asarray(query, dtype=float)
-    qn = qv / (np.linalg.norm(qv) or 1.0)
-    centers = model.clusterCenters()
-    order = np.argsort([float(np.linalg.norm(np.asarray(c) - qn)) for c in centers])
-    probe_cells = [int(c) for c in order[:n_probe]]
+        def probe_cells(cells):
+            cand = assigned.filter(F.col("__cell").isin(cells))
+            return topk_bruteforce(
+                cand.select(id_col, F.col("__orig").alias(array_col)),
+                id_col, array_col, query, k,
+            )
 
-    cand = assigned.filter(F.col("__cell").isin(probe_cells))
-    return topk_bruteforce(
-        cand.select(id_col, F.col("__orig").alias(array_col)), id_col, array_col, query, k
-    )
+        first = probe_cells(probe)
+        rows = first.collect()
+        kth = rows[-1]["cosine"] if len(rows) >= k else -1.0
+        rest = [c for c, ub in bounds[n_probe:] if ub >= kth - _BOUND_EPS]
+        if rest:
+            rows = probe_cells(probe + rest).collect()
+        # tiny k-row result: rebuild from the collected rows rather than
+        # leaving the caller a plan over the (about to be unpersisted)
+        # assignment
+        return df.sparkSession.createDataFrame(rows, first.schema)
+    finally:
+        assigned.unpersist()
 
 
 def topk_lsh(
@@ -341,13 +415,15 @@ def build_ivf_index(
     path: str,
     n_cells: int = 16,
     seed: int = 42,
-) -> list[list[float]]:
+) -> tuple[list[list[float]], list[float]]:
     """Materialize the IVF-Flat index :func:`topk_ivf` describes: assign
     KMeans cells ONCE and persist the corpus as parquet PARTITIONED BY
-    cell, so every later probe prunes to n_probe/n_cells of the files at
-    the scan (PartitionFilters — no full-corpus read per query, the
-    actual 100 TB serving path). Returns the centroids (n_cells x dim —
-    tiny; callers keep them driver-side or in any KV store).
+    cell, so every later probe prunes to a few cell partitions at the
+    scan (PartitionFilters — no full-corpus read per query, the actual
+    100 TB serving path). Returns ``(centroids, radii)`` (n_cells x dim
+    + n_cells scalars — tiny; callers keep them driver-side or in any KV
+    store); the radii let the serving path prove result exactness
+    (:func:`cell_radii`).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -359,11 +435,16 @@ def build_ivf_index(
     ).filter(F.col("__arr").isNotNull())
     vec = norm.withColumn("__v", array_to_vector(F.col("__arr").cast("array<double>")))
     model = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell").fit(vec)
-    assigned = model.transform(vec).select(
-        id_col, F.col("__orig").alias(array_col), "__cell"
-    )
-    assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
-    return [[float(x) for x in c] for c in model.clusterCenters()]
+    assigned = model.transform(vec).cache()
+    try:
+        centers = model.clusterCenters()
+        radii = cell_radii(assigned, centers)
+        assigned.select(id_col, F.col("__orig").alias(array_col), "__cell").write.mode(
+            "overwrite"
+        ).partitionBy("__cell").parquet(path)
+    finally:
+        assigned.unpersist()
+    return [[float(x) for x in c] for c in centers], radii
 
 
 def topk_ivf_indexed(
@@ -375,18 +456,35 @@ def topk_ivf_indexed(
     query: Sequence[float],
     k: int = 10,
     n_probe: int = 4,
+    radii: Sequence[float] | None = None,
 ) -> DataFrame:
-    """Serve an ANN query from a :func:`build_ivf_index` layout: rank the
-    (tiny, driver-side) centroids, scan ONLY the n_probe nearest cell
+    """Serve a top-k query from a :func:`build_ivf_index` layout: rank the
+    (tiny, driver-side) centroid bounds, scan ONLY the best cell
     partitions — directory-level partition pruning, visible as
-    PartitionFilters in the plan — and exact-rank the candidates."""
+    PartitionFilters in the plan — and exact-rank the candidates. With
+    ``radii`` (returned by the builder), a second pruned scan covers any
+    remaining cell whose cosine upper bound still beats the running k-th
+    result, making the answer PROVABLY exact at any corpus; without
+    radii it degrades to fixed-``n_probe`` approximate serving."""
     import numpy as np
 
-    qv = np.asarray(query, dtype=float)
-    qn = qv / (np.linalg.norm(qv) or 1.0)
-    order = np.argsort([
-        float(np.linalg.norm(np.asarray(c) - qn)) for c in centroids
-    ])
-    probe_cells = [int(c) for c in order[:n_probe]]
-    cand = spark.read.parquet(path).filter(F.col("__cell").isin(probe_cells))
-    return topk_bruteforce(cand.select(id_col, array_col), id_col, array_col, query, k)
+    def probe(cells) -> DataFrame:
+        cand = spark.read.parquet(path).filter(F.col("__cell").isin(cells))
+        return topk_bruteforce(cand.select(id_col, array_col), id_col, array_col, query, k)
+
+    if radii is None:
+        qv = np.asarray(query, dtype=float)
+        qn = qv / (np.linalg.norm(qv) or 1.0)
+        order = np.argsort([
+            float(np.linalg.norm(np.asarray(c) - qn)) for c in centroids
+        ])
+        return probe([int(c) for c in order[:n_probe]])
+
+    bounds = _cells_by_bound(centroids, radii, query)
+    first = [c for c, _ in bounds[:n_probe]]
+    rows = probe(first).collect()
+    kth = rows[-1]["cosine"] if len(rows) >= k else -1.0
+    rest = [c for c, ub in bounds[n_probe:] if ub >= kth - _BOUND_EPS]
+    if rest:
+        return probe(first + rest)
+    return probe(first)

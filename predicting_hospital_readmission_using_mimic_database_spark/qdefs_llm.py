@@ -553,11 +553,12 @@ def q_mm2(spark, sf):
     """,
 )
 def q_n3(spark, sf):
-    """IVF-Flat ANN top-10: recall@10 against the exact brute force, with
-    the exact top-10 recomputed by DuckDB as the oracle (full recall at
-    n_probe=8/16 — half the scan of brute force). n_probe trades recall
-    for scan fraction: on this corpus 4/16 cells -> 0.7, 6/16 -> 0.9,
-    8/16 -> 1.0."""
+    """IVF-Flat top-10: recall@10 against the exact brute force, with the
+    exact top-10 recomputed by DuckDB as the oracle. Full recall is
+    GUARANTEED at any corpus by the centroid-radius cosine bound
+    (similarity.topk_ivf): after the initial 8/16-cell probe, any
+    remaining cell whose bound beats the running 10th cosine is probed
+    too — typically nothing, so the scan fraction stays ~n_probe/n_cells."""
     e = _emb(spark, sf)
     exact = SI.topk_bruteforce(e, "vec_id", "embedding", _PROBE, k=10)
     ivf = SI.topk_ivf(
@@ -582,11 +583,11 @@ def q_n3(spark, sf):
 )
 def q_n4(spark, sf):
     """PERSISTED IVF serving path: build the cell-partitioned parquet
-    index once, probe it — the scan must show directory-level
-    PartitionFilters on the cell column (the 100 TB property), and the
-    probed answer must recover the exact top-10 at n_probe=8/16 (the
-    oracle recomputes the exact top-10 in DuckDB and requires full
-    overlap)."""
+    index once (centroids + radii driver-side), probe it — the scan must
+    show directory-level PartitionFilters on the cell column (the 100 TB
+    property), and the served answer is provably the exact top-10 via
+    the centroid-radius bound (the oracle recomputes the exact top-10 in
+    DuckDB and requires full overlap)."""
     import shutil
     import tempfile
 
@@ -594,9 +595,10 @@ def q_n4(spark, sf):
     tmp = tempfile.mkdtemp(prefix="n4_ivf_")
     path = f"{tmp}/ivf"
     try:
-        cents = SI.build_ivf_index(e, "vec_id", "embedding", path, n_cells=16, seed=42)
+        cents, radii = SI.build_ivf_index(e, "vec_id", "embedding", path, n_cells=16, seed=42)
         ann = SI.topk_ivf_indexed(
-            spark, path, cents, "vec_id", "embedding", _PROBE, k=10, n_probe=8
+            spark, path, cents, "vec_id", "embedding", _PROBE, k=10, n_probe=8,
+            radii=radii,
         )
         plan = ann._jdf.queryExecution().executedPlan().toString()
         pruned = "PartitionFilters" in plan and "__cell" in plan.split("PartitionFilters")[1][:200]

@@ -114,18 +114,21 @@ def test_ivf_index_persists_and_prunes(tmp_path, spark):
 
     emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
     path = str(tmp_path / "ivf")
-    cents = SI.build_ivf_index(emb, "vec_id", "embedding", path, n_cells=8, seed=42)
+    cents, radii = SI.build_ivf_index(emb, "vec_id", "embedding", path, n_cells=8, seed=42)
     assert len(cents) == 8 and len(cents[0]) == 64
+    assert len(radii) == 8 and all(0.0 <= r <= 3.1416 for r in radii)
     probe = [1.0] + [0.0] * 63
     ann = SI.topk_ivf_indexed(
-        spark, path, cents, "vec_id", "embedding", probe, k=10, n_probe=4
+        spark, path, cents, "vec_id", "embedding", probe, k=10, n_probe=4,
+        radii=radii,
     )
     plan = ann._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "__cell" in plan.split("PartitionFilters")[1][:200]
     exact = {r["vec_id"] for r in SI.topk_bruteforce(emb, "vec_id", "embedding", probe, k=10).collect()}
     got = {r["vec_id"] for r in ann.collect()}
     assert len(got) == 10
-    assert len(got & exact) >= 5  # n_probe=4 of 8 cells: recall well above chance
+    # the centroid-radius bound makes the served answer provably exact
+    assert got == exact
 
 
 def test_language_id_markers(spark):
