@@ -305,6 +305,36 @@ def _cells_by_bound(centers, radii, query) -> list[tuple[int, float]]:
 #: rounding and win on id — probe those cells too
 _BOUND_EPS = 1e-6
 
+#: centroid-fit sample cap: KMeans centroids are FIT on at most this many
+#: rows (then the full corpus is assigned) — the standard IVF build at
+#: scale, and on small corpora it kills MLlib's per-iteration job
+#: overhead by coalescing. Cluster quality only affects the SCAN
+#: FRACTION, never correctness: the radius bound guarantees exact top-k.
+_KMEANS_FIT_SAMPLE = 100_000
+
+
+def _fit_kmeans(vec: DataFrame, n_cells: int, seed: int):
+    """Fit IVF centroids on a bounded, tightly-partitioned sample."""
+    import math
+
+    from pyspark.ml.clustering import KMeans
+
+    n = vec.count()
+    fit_df = vec
+    if n > _KMEANS_FIT_SAMPLE:
+        fit_df = vec.sample(fraction=_KMEANS_FIT_SAMPLE / n, seed=seed)
+        n = _KMEANS_FIT_SAMPLE
+    parts = max(1, min(fit_df.rdd.getNumPartitions(), math.ceil(n / 25_000)))
+    fit_df = fit_df.coalesce(parts).cache()
+    try:
+        km = KMeans(
+            k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell",
+            maxIter=10, initMode="random",
+        )
+        return km.fit(fit_df)
+    finally:
+        fit_df.unpersist()
+
 
 def topk_ivf(
     df: DataFrame,
@@ -330,7 +360,6 @@ def topk_ivf(
     file partitions — see build_ivf_index/topk_ivf_indexed).
     Centroids + radii are tiny (n_cells x dim + n_cells) — driver-side.
     """
-    from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     norm = df.select(
@@ -339,8 +368,7 @@ def topk_ivf(
         l2_normalize(F.col(array_col)).alias("__arr"),
     ).filter(F.col("__arr").isNotNull())
     vec = norm.withColumn("__v", array_to_vector(F.col("__arr").cast("array<double>")))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
-    model = km.fit(vec)
+    model = _fit_kmeans(vec, n_cells, seed)
     assigned = model.transform(vec).cache()
     try:
         centers = model.clusterCenters()
@@ -425,7 +453,6 @@ def build_ivf_index(
     store); the radii let the serving path prove result exactness
     (:func:`cell_radii`).
     """
-    from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     norm = df.select(
@@ -434,7 +461,7 @@ def build_ivf_index(
         l2_normalize(F.col(array_col)).alias("__arr"),
     ).filter(F.col("__arr").isNotNull())
     vec = norm.withColumn("__v", array_to_vector(F.col("__arr").cast("array<double>")))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell").fit(vec)
+    model = _fit_kmeans(vec, n_cells, seed)
     assigned = model.transform(vec).cache()
     try:
         centers = model.clusterCenters()

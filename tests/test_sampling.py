@@ -91,6 +91,37 @@ def test_smote_synthetic_in_envelope(spark):
     assert all(r["lab"] == 1 for r in synth)
 
 
+def test_smote_target_ratio_exact_deficit(spark):
+    """target_ratio=1.0 (imblearn ratio=1 parity): exactly n_maj - n_min
+    synthetics, so the output is 1:1 balanced."""
+    df = _toy(spark, n_pos=6, n_neg=14)  # deficit 8 <= k*n_min = 12
+    out = SA.smote(df, "id", "arr", "lab", minority_value=1, k=2, seed=5,
+                   threshold=50.0, bucket_length=5.0, target_ratio=1.0)
+    counts = {r["lab"]: r["n"] for r in out.groupBy("lab").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 14, 1: 14}
+    assert out.filter(F.col("id") < 0).count() == 8
+
+
+def test_smote_target_ratio_zero_deficit(spark):
+    """Already-balanced input: target_ratio=1.0 emits NO synthetics."""
+    df = _toy(spark, n_pos=6, n_neg=6)
+    out = SA.smote(df, "id", "arr", "lab", minority_value=1, k=2, seed=5,
+                   threshold=50.0, bucket_length=5.0, target_ratio=1.0)
+    assert out.filter(F.col("id") < 0).count() == 0
+    assert out.count() == 12
+
+
+def test_smote_autotune_no_constants(spark):
+    """threshold/bucket_length omitted -> tuned from the data; synthetics
+    still produced and in-envelope."""
+    df = _toy(spark)
+    out = SA.smote(df, "id", "arr", "lab", minority_value=1, k=2, seed=5)
+    synth = out.filter(F.col("id") < 0).collect()
+    assert 0 < len(synth) <= 2 * 6
+    for r in synth:
+        assert -1e-9 <= r["arr"][0] <= 4 + 1e-9
+
+
 def test_nearmiss_keeps_minority_count(spark):
     df = _toy(spark)
     out = SA.nearmiss(df, "id", "arr", "lab", minority_value=1, k=2, seed=5,
