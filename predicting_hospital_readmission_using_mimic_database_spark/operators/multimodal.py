@@ -10,10 +10,12 @@ path. Codecs (this container ships no media libraries):
   moments, and a luminance histogram;
 - **audio — REAL**: stdlib ``wave`` + ``struct`` parse PCM WAV into
   duration/rate/RMS/zero-crossings and an amplitude histogram;
-- **video — STUB**: no container parser in the stdlib; video assets fall
-  back to ``fake_decoder`` (deterministic content-hash features) and are
-  the one declared stub. A real codec (pyav) slots into
-  ``real_decoder``'s dispatch.
+- **video — REAL (uncompressed AVI)**: a pure-stdlib RIFF walker parses
+  AVI containers carrying uncompressed 24-bit DIB frames ('00db'
+  chunks) into frame count / fps / per-frame luminance stats / a motion
+  proxy. Compressed codecs (H.264 etc.) are beyond stdlib — a pyav-style
+  decoder slots into the same ``real_decoder`` dispatch; unparseable
+  video raises rather than silently faking.
 
 Scale posture: blobs stay columnar (parquet binary); decode fans out via
 ``mapInPandas`` (one Python worker per partition, Arrow-batched);
@@ -225,17 +227,137 @@ def decode_audio_features(content: bytes) -> list[float] | None:
     ]
 
 
+def _frame_bytes(width: int, height: int, pixels) -> bytes:
+    """Row-major top-down (r,g,b) pixels -> DIB frame payload (BGR,
+    bottom-up rows, 4-byte-aligned stride) — the '00db' chunk body."""
+    row_pad = (-(width * 3)) % 4
+    out = bytearray()
+    for y in range(height - 1, -1, -1):
+        for x in range(width):
+            r, g, b = pixels[y * width + x]
+            out += bytes((b, g, r))
+        out += b"\x00" * row_pad
+    return bytes(out)
+
+
+def encode_avi(width: int, height: int, frames, fps: int = 4) -> bytes:
+    """Minimal uncompressed AVI (RIFF / 'DIB ' vids stream / '00db'
+    frames) from a list of row-major top-down (r,g,b) frames. Used by the
+    synthetic ingest and fixtures; the decoder accepts any conformant
+    uncompressed AVI, not just these."""
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) % 2))
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    us_per_frame = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I", us_per_frame, 0, 0, 0, len(frames), 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"DIB "
+        # dwFlags, wPriority, wLanguage, dwInitialFrames, dwScale, dwRate,
+        # dwStart, dwLength, dwSuggestedBufferSize, dwQuality, dwSampleSize
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                      len(frames), 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+        ((width * 3 + 3) // 4 * 4) * height, 2835, 2835, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", _frame_bytes(width, height, f)) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _riff_chunks(buf: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_len) walking a RIFF chunk run."""
+    i = start
+    while i + 8 <= end:
+        fourcc = buf[i : i + 4]
+        (size,) = struct.unpack_from("<I", buf, i + 4)
+        yield fourcc, i + 8, size
+        i += 8 + size + (size % 2)
+
+
+def decode_video_features(content: bytes) -> list[float] | None:
+    """REAL video decode (uncompressed 24-bit AVI) -> FEATURE_DIM doubles:
+
+    [n_frames, w, h, fps, duration_s, mean_luma, std of per-frame mean
+     luma (temporal variation), motion (mean |Δluma| between consecutive
+     frames), 8-bin luminance histogram (normalized)].
+
+    Returns None when the bytes are not an uncompressed AVI.
+    """
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        return None
+    w = h = n_frames = 0
+    fps = 0.0
+    frames: list[bytes] = []
+    for fourcc, body, size in _riff_chunks(content, 12, len(content)):
+        if fourcc != b"LIST":
+            continue
+        kind = content[body : body + 4]
+        if kind == b"hdrl":
+            for cc, b2, s2 in _riff_chunks(content, body + 4, body + size):
+                if cc == b"avih" and s2 >= 40:
+                    us, _, _, _, total, _, _, _, aw, ah = struct.unpack_from(
+                        "<10I", content, b2
+                    )
+                    w, h, n_frames = aw, ah, total
+                    fps = 1_000_000 / us if us else 0.0
+        elif kind == b"movi":
+            for cc, b2, s2 in _riff_chunks(content, body + 4, body + size):
+                if cc in (b"00db", b"00dc"):
+                    frames.append(content[b2 : b2 + s2])
+    if w <= 0 or h <= 0 or not frames:
+        return None
+    stride = (w * 3 + 3) // 4 * 4
+    per_frame_luma: list[float] = []
+    hist = [0] * 8
+    prev: list[float] | None = None
+    motion_acc, motion_n = 0.0, 0
+    for fb in frames:
+        if len(fb) < stride * h:
+            return None  # truncated frame = corrupt container
+        lumas = []
+        for row in range(h):
+            base = row * stride
+            for x in range(w):
+                b, g, r = fb[base + 3 * x : base + 3 * x + 3]
+                lumas.append((0.299 * r + 0.587 * g + 0.114 * b) / 255.0)
+        for v in lumas:
+            hist[min(7, int(v * 8))] += 1
+        per_frame_luma.append(sum(lumas) / len(lumas))
+        if prev is not None:
+            motion_acc += sum(abs(a - b) for a, b in zip(lumas, prev)) / len(lumas)
+            motion_n += 1
+        prev = lumas
+    npx = len(frames) * w * h
+    ml = sum(per_frame_luma) / len(per_frame_luma)
+    sl = math.sqrt(sum((v - ml) ** 2 for v in per_frame_luma) / len(per_frame_luma))
+    motion = motion_acc / motion_n if motion_n else 0.0
+    return [
+        float(n_frames or len(frames)), float(w), float(h), fps,
+        (n_frames or len(frames)) / fps if fps else 0.0, ml, sl, motion,
+    ] + [c / npx for c in hist]
+
+
 def fake_decoder(content: bytes) -> list[float]:
     """Deterministic stand-in for a codec: FEATURE_DIM doubles derived from
-    the content digest. Same bytes -> same features, any engine. Remains
-    the declared VIDEO stub (no stdlib container parser)."""
+    the content digest. Same bytes -> same features, any engine. Kept as
+    the explicit plumbing-only mode (``decode_stub_features`` default)."""
     dg = hashlib.sha256(content or b"").digest()
     return [dg[i] / 255.0 for i in range(FEATURE_DIM)]
 
 
 def real_decoder(media_type: str, content: bytes) -> list[float]:
-    """Dispatch: real image/audio parsing; video -> declared fake stub.
-    Unparseable image/audio content is a data error, not a silent fake."""
+    """Dispatch: real image/audio/video parsing. Unparseable content is a
+    data error, not a silent fake — compressed video codecs (H.264...)
+    would slot in here (pyav), same contract."""
     if media_type == "image":
         feats = decode_image_features(content or b"")
         if feats is None:
@@ -246,7 +368,10 @@ def real_decoder(media_type: str, content: bytes) -> list[float]:
         if feats is None:
             raise ValueError("corrupt audio asset: not a 16-bit PCM WAV")
         return feats
-    return fake_decoder(content)
+    feats = decode_video_features(content or b"")
+    if feats is None:
+        raise ValueError("corrupt video asset: not an uncompressed 24-bit AVI")
+    return feats
 
 
 # ---------------------------------------------------------------------------
@@ -257,10 +382,11 @@ def real_decoder(media_type: str, content: bytes) -> list[float]:
 def synthetic_blobs(spark, n: int = 64, partitions: int = 4) -> DataFrame:
     """Deterministic fake asset manifest used by tests and the mm1/mm2
     query entries — stands in for a real ingest. Image assets are REAL
-    BMPs and audio assets REAL WAVs (decodable by the real codec path);
-    video content is seeded bytes (the declared stub). The metadata
-    columns keep their closed-form formulas (mm2's oracle depends on
-    them)."""
+    BMPs, audio assets REAL WAVs, and video assets REAL uncompressed
+    AVIs (frame count derived from the same closed-form duration the
+    metadata column carries) — every modality decodable by the real
+    codec path. The metadata columns keep their closed-form formulas
+    (mm2's oracle depends on them)."""
     rows = []
     for i in range(n):
         media = ("image", "audio", "video")[i % 3]
@@ -280,21 +406,36 @@ def synthetic_blobs(spark, n: int = 64, partitions: int = 4) -> DataFrame:
                 ]
             )
         else:
-            content = hashlib.sha256(f"asset-{i}".encode()).digest() * (1 + i % 5)
+            content = encode_avi(*_video_asset_shape(i), fps=4)
         rows.append(
             (i, media, content, 64 + i % 512, 64 + (i * 3) % 512, 1000 * (1 + i % 30))
         )
     return spark.createDataFrame(rows, BLOB_SCHEMA).repartition(partitions)
 
 
+def _video_asset_shape(i: int) -> tuple[int, int, list]:
+    """Closed-form (width, height, frames) for synthetic video asset i:
+    8x6 pixels, 4 fps for the asset's metadata duration 1000*(1+i%30) ms."""
+    w, h = 8, 6
+    n_frames = max(1, (1 + i % 30) * 4)  # duration_ms * fps / 1000
+    frames = [
+        [
+            ((x * 31 + t * 7 + i) % 256, (y * 53 + t * 11) % 256, (x * y + t + i) % 256)
+            for y in range(h)
+            for x in range(w)
+        ]
+        for t in range(n_frames)
+    ]
+    return w, h, frames
+
+
 def decode_stub_features(df: DataFrame, real_codec: bool = False) -> DataFrame:
     """Blob manifest -> per-asset feature rows via ``mapInPandas``.
 
-    ``real_codec=True`` parses image (BMP/PPM) and audio (WAV) content
-    with the stdlib codecs above; video falls back to ``fake_decoder``
-    (the declared stub seam a pyav-style codec slots into). The default
+    ``real_codec=True`` parses image (BMP/PPM), audio (WAV), and video
+    (uncompressed AVI) content with the stdlib codecs above. The default
     keeps the fully deterministic digest features for all media — the
-    plumbing-shape contract used by mm1's invariants.
+    plumbing-shape contract used by the plumbing tests.
     """
 
     def decode(batches: Iterator) -> Iterator:

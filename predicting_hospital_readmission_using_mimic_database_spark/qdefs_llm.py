@@ -494,36 +494,50 @@ def q_x4(spark, sf):
     SELECT CAST(count(*) AS BIGINT) AS n,
            CAST(count(DISTINCT i % 3) AS BIGINT) AS n_media_types,
            CAST(16 AS INT) AS min_dim, CAST(16 AS INT) AS max_dim,
-           TRUE AS bytes_positive, TRUE AS pixel_stats_exact
+           TRUE AS bytes_positive, TRUE AS pixel_stats_exact,
+           TRUE AS video_decode_exact
     FROM range(64) t(i)
     """,
 )
 def q_mm1(spark, sf):
     """Binary-column decode: synthetic blob manifest -> mapInPandas
-    feature extraction (Arrow-batched) with the REAL stdlib codecs
-    (BMP/PPM pixels, PCM WAV samples; video = declared stub). The oracle
-    recomputes manifest size + media-type count from the same closed form
-    (range(64), i%3) and pins FEATURE_DIM=16; byte positivity and the
-    EXACT pixel-stat match of asset 0 (a closed-form BMP decoded
-    distributed vs locally) are boolean invariants."""
+    feature extraction (Arrow-batched) with the REAL stdlib codecs —
+    BMP/PPM pixels, PCM WAV samples, and uncompressed-AVI video frames
+    (all three modalities decode real bytes). The oracle recomputes
+    manifest size + media-type count from the same closed form
+    (range(64), i%3) and pins FEATURE_DIM=16; byte positivity plus the
+    EXACT distributed-vs-local decode matches of asset 0 (closed-form
+    BMP) and asset 2 (closed-form AVI: 12 frames @ 4fps, 8x6) are
+    boolean invariants."""
     blobs = MM.synthetic_blobs(spark, n=64)
     feats = MM.decode_stub_features(blobs, real_codec=True).cache()
-    # golden fixture recomputed locally from the same closed form the
-    # synthetic ingest uses for asset 0 (image, w=4, h=3)
+    # golden fixtures recomputed locally from the same closed forms the
+    # synthetic ingest uses for asset 0 (image) and asset 2 (video)
     w, h = 4, 3
     px = [((x * 37) % 256, (y * 59) % 256, (x * y * 17) % 256) for y in range(h) for x in range(w)]
-    expected = MM.decode_image_features(MM.encode_bmp(w, h, px))
-    got = feats.filter(F.col("asset_id") == 0).select("features").first()[0]
-    pixel_exact = bool(len(got) == len(expected) and all(
-        abs(a - b) < 1e-12 for a, b in zip(got, expected)
-    ))
+    expected_img = MM.decode_image_features(MM.encode_bmp(w, h, px))
+    expected_vid = MM.decode_video_features(
+        MM.encode_avi(*MM._video_asset_shape(2), fps=4)
+    )
+    got = {
+        r["asset_id"]: r["features"]
+        for r in feats.filter(F.col("asset_id").isin(0, 2)).collect()
+    }
+
+    def _match(a, b):
+        return bool(
+            a is not None and b is not None and len(a) == len(b)
+            and all(abs(x - y) < 1e-12 for x, y in zip(a, b))
+        )
+
     return feats.agg(
         F.count("*").alias("n"),
         F.countDistinct("media_type").alias("n_media_types"),
         F.min(F.size("features")).alias("min_dim"),
         F.max(F.size("features")).alias("max_dim"),
         (F.min("n_bytes") > 0).alias("bytes_positive"),
-        F.lit(pixel_exact).alias("pixel_stats_exact"),
+        F.lit(_match(got.get(0), expected_img)).alias("pixel_stats_exact"),
+        F.lit(_match(got.get(2), expected_vid)).alias("video_decode_exact"),
     )
 
 

@@ -257,9 +257,26 @@ def test_wav_decode_golden():
     assert abs(f[3] - 0.35355339) < 1e-6  # rms = 0.5/sqrt(2)
     assert abs(f[5] - 0.5) < 1e-9  # peak
 
+def test_avi_roundtrip_golden_frames():
+    """encode_avi -> decode_video_features recovers frame count, dims,
+    fps and per-frame luminance facts exactly."""
+    # 2 frames of 2x2: first all-black, second all-white -> motion = 1.0
+    black = [(0, 0, 0)] * 4
+    white = [(255, 255, 255)] * 4
+    f = MM.decode_video_features(MM.encode_avi(2, 2, [black, white], fps=4))
+    assert f is not None and len(f) == MM.FEATURE_DIM
+    assert f[0] == 2.0 and f[1] == 2.0 and f[2] == 2.0  # frames, w, h
+    assert abs(f[3] - 4.0) < 1e-9 and abs(f[4] - 0.5) < 1e-9  # fps, duration
+    assert abs(f[5] - 0.5) < 1e-9  # mean luma across black+white
+    assert abs(f[7] - 1.0) < 1e-9  # motion |Δluma| black->white
+    assert f[8] == 0.5 and f[15] == 0.5  # luma histogram: half 0-bin, half 7-bin
+    # not-an-AVI bytes refuse to decode
+    assert MM.decode_video_features(b"garbage") is None
+
+
 def test_multimodal_real_codec_end_to_end(spark):
-    """The real codec path decodes every image/audio asset distributed;
-    video assets take the declared fake-stub fallback."""
+    """The real codec path decodes EVERY modality distributed — image,
+    audio, and video all parse real bytes."""
     blobs = MM.synthetic_blobs(spark, n=12)
     feats = {r["asset_id"]: r for r in MM.decode_stub_features(blobs, real_codec=True).collect()}
     assert len(feats) == 12
@@ -271,7 +288,9 @@ def test_multimodal_real_codec_end_to_end(spark):
         elif r["media_type"] == "audio":
             assert r["features"] == MM.decode_audio_features(raw[i]["content"])
         else:
-            assert r["features"] == MM.fake_decoder(raw[i]["content"])
+            assert r["features"] == MM.decode_video_features(raw[i]["content"])
+            # frame count matches the metadata duration at 4 fps
+            assert r["features"][0] == raw[i]["duration_ms"] * 4 / 1000.0
 
 
 def test_multimodal_corrupt_image_raises(spark):
