@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import clean_text_tokens
@@ -119,3 +119,44 @@ def one_hot_encode(df: DataFrame, cols: Sequence[str], out_suffix: str = "_oh"):
         stages.append(OneHotEncoder(inputCol=f"{c}_idx", outputCol=f"{c}{out_suffix}"))
     model = Pipeline(stages=stages).fit(df)
     return model, model.transform(df)
+
+
+def tfidf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    top_n: int | None = None,
+) -> DataFrame:
+    """T16 — long-form TF-IDF with sklearn's smoothed IDF:
+    ``idf = ln((1 + N) / (1 + df)) + 1``, ``tfidf = tf * idf``.
+
+    Beyond-reference (the notebook stops at raw counts, py:312-315) but the
+    standard next step for the quality-scoring / dedup-weighting stages of
+    a training-data pipeline. Long (doc, term, weight) form, not a dense
+    matrix: at 100 TB the vocabulary is millions of terms and the dense
+    representation is the scale-killer, while the long form is just two
+    hash aggregations (tf, df) and one join on ``token`` — AQE picks
+    broadcast when the vocab is small, sort-merge when it is not.
+
+    ``top_n`` keeps only the n highest-weight terms per doc
+    (tie-break: token asc) via a per-doc window — the common "document
+    keywords" rollup.
+    """
+    tok = docs.select(id_col, F.explode(tokens_col).alias("token"))
+    n_docs = docs.count()  # scalar only; folded into the idf literal
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    out = tf.join(df_, "token").select(
+        id_col,
+        "token",
+        "tf",
+        "df",
+        (F.col("tf") * (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0))).alias("tfidf"),
+    )
+    if top_n is not None:
+        w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token").asc())
+        out = (
+            out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_n)
+        )
+    return out

@@ -426,3 +426,121 @@ def histogram(df: DataFrame, col: str, bin_width: float, out: str = "bin") -> Da
 def class_distribution(df: DataFrame, label: str) -> DataFrame:
     """A12 — label counts (py:686-687 ``Counter``)."""
     return value_counts(df, label)
+
+
+# ---------------------------------------------------------------------------
+# J9 / W7 — event-time composition operators (beyond-reference scale ops)
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+    *,
+    allow_exact: bool = True,
+    direction: str = "backward",
+    ts_suffix: str = "_asof",
+) -> DataFrame:
+    """As-of (most-recent-prior) join: for each left row, attach the right
+    row with the greatest ``right_ts`` <= ``left_ts`` within the same key
+    (``direction="forward"``: smallest ``right_ts`` >= ``left_ts``).
+
+    The reference has no cluster-scale analogue (pandas ``merge_asof`` is
+    single-node); this is the training-pipeline "attach latest snapshot /
+    prior interaction" primitive.
+
+    Spark-first plan: NO range join and NO per-key explosion — both sides
+    are union-tagged, shuffled ONCE on ``on``, and a single running
+    ``last(..., ignorenulls=True)`` window carries the right-side values
+    forward onto left rows. Cost is one shuffle + one sort regardless of
+    match distance, so the plan survives 100 TB (contrast a range-join,
+    whose candidate set grows with the time span).
+
+    Determinism: ties on (key, ts) between right rows make the winner
+    order-dependent (same as DuckDB ASOF); callers should ensure right
+    (key, ts) uniqueness. Left vs right ties honor ``allow_exact``.
+    """
+    on = list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # ordering trick: right rows must sort BEFORE left rows at equal ts to
+    # be visible to them (allow_exact), AFTER to be hidden (strict)
+    right_side = 0 if allow_exact else 2
+    l = left.withColumn("__ats", F.col(left_ts)).withColumn("__side", F.lit(1))
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ats"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_vals],
+    ).withColumn("__side", F.lit(right_side))
+    u = l.unionByName(r, allowMissingColumns=True)
+    ats = F.col("__ats").asc() if direction == "backward" else F.col("__ats").desc()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(ats, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_right = F.col("__side") != 1
+    out = u.withColumn(
+        f"{right_ts}{ts_suffix}",
+        F.last(F.when(is_right, F.col("__ats")), ignorenulls=True).over(w),
+    )
+    for c in right_vals:
+        out = out.withColumn(
+            f"{c}{ts_suffix}",
+            F.last(F.when(is_right, F.col(f"__r_{c}")), ignorenulls=True).over(w),
+        )
+    return out.filter(F.col("__side") == 1).drop(
+        "__ats", "__side", *[f"__r_{c}" for c in right_vals]
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap: str = "6 hours",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """W7 — batch sessionization: a new session starts when the gap to the
+    previous event (same ``key``, event-time order) exceeds ``gap``.
+
+    The streaming twin is ``streaming.ingest.sessionized_counts`` (Spark's
+    ``session_window``); this is the batch/backfill path over historical
+    parquet. One shuffle on ``key``; two windows share the same
+    (partition, order) so Catalyst plans a single sort.
+
+    Ties on (key, ts) land in the same session regardless of intra-tie
+    order (gap 0), so results are partition-stable.
+    """
+    from ..streaming.ingest import parse_interval_us  # one canonical parser
+
+    gap_us = F.lit(parse_interval_us(gap))
+    w = Window.partitionBy(key).orderBy(ts)
+    prev = F.lag(F.col(ts)).over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col(ts)) - F.unix_micros(prev) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(session_col, F.sum(new_sess).over(wsum))
+
+
+def session_stats(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap: str = "6 hours",
+) -> DataFrame:
+    """W7 rollup — per-session event count, bounds, and duration."""
+    s = sessionize(df, key, ts, gap=gap)
+    return s.groupBy(key, "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        (F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts))).alias("duration_us"),
+    )

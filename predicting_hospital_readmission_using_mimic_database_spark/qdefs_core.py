@@ -1012,3 +1012,68 @@ def q_a14(spark, sf):
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("cov_qty_price"),
         F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
     )
+
+
+@query(
+    "j9_asof_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, p.ts,
+           v.ts AS view_ts, round(v.value, 6) AS view_value,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS DOUBLE) AS gap_us
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_j9(spark, sf):
+    """J9 — as-of join: each purchase gets the user's most recent prior (or
+    simultaneous) view. Engine side is the union-tag + running-``last``
+    composition (operators.relational.asof_join) — one shuffle on user_id,
+    no range join; oracle is DuckDB's native ASOF LEFT JOIN. (user_id, ts)
+    is unique in the harness events table, so the match is deterministic."""
+    e = _events(spark, sf)
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    v = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    j = R.asof_join(p, v, ["user_id"], "ts", "ts", ["value"])
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("view_ts"),
+        F.round("value_asof", 6).alias("view_value"),
+        # DOUBLE not BIGINT: a nullable int64 column round-trips through the
+        # driver's pandas fetch as float64, so both engines emit double
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_asof")))
+        .cast("double")
+        .alias("gap_us"),
+    )
+
+
+@query(
+    "w7_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_w7(spark, sf):
+    """W7 — batch sessionization (6 h inactivity gap) + per-session rollup.
+    Batch/backfill twin of streaming.ingest.sessionized_counts; one shuffle
+    on user_id, both windows share a single sort."""
+    e = _events(spark, sf).select("user_id", "ts")
+    return R.session_stats(e, "user_id", "ts", gap="6 hours")

@@ -699,3 +699,37 @@ def q_e8(spark, sf):
         "strategy string, n_train_pos boolean, auc_in_01 boolean, "
         "battery_in_01 boolean",
     )
+
+
+@query(
+    "t16_tfidf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {clean_tokens_sql("text")} AS t FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+             tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfq.df)) + 1.0) AS tfidf_raw
+      FROM tf JOIN dfq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, round(tfidf_raw, 6) AS tfidf, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf_raw DESC, token ASC) AS INT) AS rank
+      FROM w
+    ) WHERE rank <= 5
+    """,
+)
+def q_t16(spark, sf):
+    """T16 — long-form smoothed TF-IDF (sklearn idf formula) over the
+    clean-token pipeline; top-5 keywords per doc. Rank on the UNROUNDED
+    weight on both engines (round only for output hashing) so near-ties
+    cannot reorder across engines."""
+    d = FE.tokens_df(_docs(spark, sf))
+    out = FE.tfidf(d, "doc_id", "tokens", top_n=5)
+    return out.select(
+        "doc_id", "token", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "rank"
+    )

@@ -207,3 +207,108 @@ def test_csv_json_ingest_roundtrip(tmp_path, spark):
     back_j = read_json(spark, jpath, schema="id int, s string, v double")
     assert sorted(map(tuple, back_c.collect())) == sorted(map(tuple, df.collect()))
     assert sorted(map(tuple, back_j.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_asof_join_backward_exact_and_strict(spark):
+    from datetime import datetime as DT
+
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import relational as R2
+
+    left = spark.createDataFrame(
+        [(1, 1, DT(2024, 1, 1, 10, 0)), (2, 1, DT(2024, 1, 1, 12, 0)), (3, 2, DT(2024, 1, 1, 9, 0))],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 9, 30), 10.0), (1, DT(2024, 1, 1, 12, 0), 20.0), (2, DT(2024, 1, 1, 9, 30), 30.0)],
+        "k long, ts timestamp, v double",
+    )
+    got = {
+        r["id"]: (r["ts_asof"], r["v_asof"])
+        for r in R2.asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    }
+    assert got[1] == (DT(2024, 1, 1, 9, 30), 10.0)
+    # exact-ts right row IS visible with allow_exact=True
+    assert got[2] == (DT(2024, 1, 1, 12, 0), 20.0)
+    # key 2: right row is in the future -> no match
+    assert got[3] == (None, None)
+    strict = {
+        r["id"]: r["v_asof"]
+        for r in R2.asof_join(left, right, ["k"], "ts", "ts", ["v"], allow_exact=False).collect()
+    }
+    # strict: the 12:00 right row is hidden from the 12:00 left row
+    assert strict[2] == 10.0
+
+
+def test_asof_join_forward(spark):
+    from datetime import datetime as DT
+
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import relational as R2
+
+    left = spark.createDataFrame([(1, 1, DT(2024, 1, 1, 10, 0))], "id long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 9, 0), 1.0), (1, DT(2024, 1, 1, 11, 0), 2.0), (1, DT(2024, 1, 1, 12, 0), 3.0)],
+        "k long, ts timestamp, v double",
+    )
+    row = R2.asof_join(left, right, ["k"], "ts", "ts", ["v"], direction="forward").collect()[0]
+    # forward: the NEXT right row at/after left ts, i.e. 11:00 not 9:00/12:00
+    assert row["v_asof"] == 2.0
+
+
+def test_asof_join_plan_has_no_cartesian_or_range_join(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import relational as R2
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.io import read_table
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, "/root/testdata/sf0.001", "events")
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    v = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    plan = R2.asof_join(p, v, ["user_id"], "ts", "ts", ["value"])._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the whole operator is one exchange on the key (union feeds a single window sort)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime as DT
+
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import relational as R2
+
+    df = spark.createDataFrame(
+        [
+            (1, DT(2024, 1, 1, 0, 0)),
+            (1, DT(2024, 1, 1, 1, 0)),   # 1h gap -> same session
+            (1, DT(2024, 1, 1, 9, 0)),   # 8h gap -> new session
+            (2, DT(2024, 1, 2, 0, 0)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    stats = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in R2.session_stats(df, "user_id", "ts", gap="6 hours").collect()
+    }
+    assert stats == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+    # boundary: a gap of EXACTLY the threshold stays in-session (> not >=)
+    df2 = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 0, 0)), (1, DT(2024, 1, 1, 6, 0))], "user_id long, ts timestamp"
+    )
+    s2 = R2.session_stats(df2, "user_id", "ts", gap="6 hours").collect()
+    assert len(s2) == 1 and s2[0]["n_events"] == 2
+
+
+def test_tfidf_exact_tiny_corpus(spark):
+    import math
+
+    from predicting_hospital_readmission_using_mimic_database_spark.ml import features as FE2
+
+    docs = spark.createDataFrame(
+        [(1, ["a", "a", "b"]), (2, ["a", "c"]), (3, ["c"])],
+        "doc_id long, tokens array<string>",
+    )
+    rows = {(r["doc_id"], r["token"]): r for r in FE2.tfidf(docs, "doc_id", "tokens").collect()}
+    idf = lambda df: math.log((1 + 3) / (1 + df)) + 1.0
+    assert rows[(1, "a")]["tf"] == 2 and rows[(1, "a")]["df"] == 2
+    assert abs(rows[(1, "a")]["tfidf"] - 2 * idf(2)) < 1e-12
+    assert abs(rows[(3, "c")]["tfidf"] - 1 * idf(2)) < 1e-12
+    top1 = FE2.tfidf(docs, "doc_id", "tokens", top_n=1).collect()
+    best = {r["doc_id"]: r["token"] for r in top1}
+    assert best[1] == "a" and best[2] in ("a", "c") and best[3] == "c"
