@@ -544,3 +544,61 @@ def session_stats(
         F.max(ts).alias("session_end"),
         (F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts))).alias("duration_us"),
     )
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    window: str = "1 day",
+    aggs: Sequence[str] = ("avg",),
+    prefix: str = "roll_",
+) -> DataFrame:
+    """W8 — per-key rolling aggregate over a trailing EVENT-TIME window
+    (``[ts - window, ts]``, boundary-inclusive on both ends).
+
+    Spark's ``rangeBetween`` needs a numeric ordering column, so the frame
+    orders on ``unix_micros(ts)`` — exact µs parity with SQL ``RANGE BETWEEN
+    INTERVAL ... PRECEDING AND CURRENT ROW``. One shuffle on ``key``; all
+    requested aggregates share the single sorted frame.
+    """
+    from ..streaming.ingest import parse_interval_us
+
+    span = parse_interval_us(window)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.unix_micros(F.col(ts)))
+        .rangeBetween(-span, 0)
+    )
+    out = df
+    for a in aggs:
+        out = out.withColumn(f"{prefix}{a}", getattr(F, a)(F.col(value)).over(w))
+    return out
+
+
+def ntile_global(
+    df: DataFrame, order: Sequence[str], n: int, out: str = "bucket"
+) -> DataFrame:
+    """W9 — SQL ``NTILE(n) OVER (ORDER BY ...)`` without the single-task
+    global window.
+
+    A naive ``Window.orderBy`` with no partition key is THE classic Spark
+    scale-killer (every row through one task); this rides
+    :func:`global_index` (range-partition + per-partition row_number +
+    broadcast offsets) and then applies NTILE's exact bucket arithmetic:
+    the first ``N mod n`` buckets get ``ceil(N/n)`` rows, the rest
+    ``floor(N/n)`` — bit-identical to the SQL function for any N, n.
+    """
+    idx = global_index(df, order, out="__pos")
+    total = df.count()  # scalar only — folded into the bucket expression
+    r, small = total % n, total // n
+    big = small + 1
+    idx0 = F.col("__pos") - 1
+    if small == 0:  # fewer rows than buckets: one row per leading bucket
+        bucket = idx0 + 1
+    else:
+        bucket = F.when(idx0 < r * big, F.floor(idx0 / big) + 1).otherwise(
+            r + F.floor((idx0 - r * big) / small) + 1
+        )
+    return idx.withColumn(out, bucket.cast("int")).drop("__pos")

@@ -1077,3 +1077,60 @@ def q_w7(spark, sf):
     on user_id, both windows share a single sort."""
     e = _events(spark, sf).select("user_id", "ts")
     return R.session_stats(e, "user_id", "ts", gap="6 hours")
+
+
+@query(
+    "c10_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def q_c10(spark, sf):
+    """C10 — typed JSON extraction from the ``props`` string column.
+    ``from_json`` with an explicit schema (JVM-side, codegen) — the scale
+    path for semi-structured event payloads; never a Python json.loads."""
+    e = _events(spark, sf)
+    parsed = e.withColumn("__p", F.from_json(F.col("props"), "k BIGINT"))
+    return parsed.select("event_id", F.col("__p.k").alias("prop_k"))
+
+
+@query(
+    "w8_rolling_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW), 6) AS roll_avg
+    FROM events
+    """,
+)
+def q_w8(spark, sf):
+    """W8 — trailing 1-day per-user rolling average over event time
+    (boundary-inclusive RANGE frame on integer microseconds)."""
+    e = _events(spark, sf).select("event_id", "user_id", "ts", "value")
+    r = R.rolling_time_agg(e, "user_id", "ts", "value", window="1 day", aggs=("avg",))
+    return r.select("event_id", "user_id", F.round("roll_avg", 6).alias("roll_avg"))
+
+
+@query(
+    "w9_ntile_global",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ntile(4) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                AS INT) AS quartile
+    FROM lineitem
+    """,
+)
+def q_w9(spark, sf):
+    """W9 — global NTILE(4) by price WITHOUT a single-task window: rides
+    global_index (range-partition + broadcast offsets) + NTILE's exact
+    bucket arithmetic. Ordering made unique by (orderkey, linenumber) so
+    the bucket assignment is deterministic cross-engine."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    q = R.ntile_global(
+        li, ["l_extendedprice", "l_orderkey", "l_linenumber"], 4, out="quartile"
+    )
+    return q.select("l_orderkey", "l_linenumber", "quartile")

@@ -312,3 +312,57 @@ def test_tfidf_exact_tiny_corpus(spark):
     top1 = FE2.tfidf(docs, "doc_id", "tokens", top_n=1).collect()
     best = {r["doc_id"]: r["token"] for r in top1}
     assert best[1] == "a" and best[2] in ("a", "c") and best[3] == "c"
+
+
+def test_ntile_global_matches_sql_ntile_and_handles_small_n(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import relational as R2
+
+    # N=10, n=4 -> NTILE sizes 3,3,2,2 (first N%n buckets get the extra row)
+    df = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    got = {r["v"]: r["bucket"] for r in R2.ntile_global(df, ["v"], 4).collect()}
+    expect = {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 2, 6: 3, 7: 3, 8: 4, 9: 4}
+    assert got == expect
+    # fewer rows than buckets: one row per leading bucket, like SQL NTILE
+    df2 = spark.createDataFrame([(1,), (2,)], "v long")
+    got2 = {r["v"]: r["bucket"] for r in R2.ntile_global(df2, ["v"], 5).collect()}
+    assert got2 == {1: 1, 2: 2}
+
+
+def test_ntile_global_plan_has_no_unpartitioned_row_window(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import relational as R2
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.io import read_table
+
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    plan = (
+        R2.ntile_global(li, ["l_extendedprice", "l_orderkey", "l_linenumber"], 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only Exchange SinglePartition allowed is the per-partition-count
+    # offsets frame (rows == #partitions); the data path must range-partition
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_rolling_time_agg_boundary_inclusive(spark):
+    from datetime import datetime as DT
+
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import relational as R2
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, DT(2024, 1, 1, 0, 0), 10.0),
+            (2, 1, DT(2024, 1, 2, 0, 0), 20.0),   # exactly 1 day later -> includes row 1
+            (3, 1, DT(2024, 1, 3, 0, 0, 0, 1), 30.0),  # 1 day + 1µs after row 2 -> row 2 falls out
+        ],
+        "id long, k long, ts timestamp, v double",
+    )
+    got = {
+        r["id"]: r["roll_avg"]
+        for r in R2.rolling_time_agg(df, "k", "ts", "v", window="1 day").collect()
+    }
+    assert got[1] == 10.0
+    assert got[2] == 15.0  # (10+20)/2 — boundary ts-1d inclusive
+    assert got[3] == 30.0  # row 2 is 1µs OUTSIDE the trailing window
