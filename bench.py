@@ -72,6 +72,10 @@ HEADLINE = [
     # newest scale-path operators (VERDICT r3 #7)
     "n4_knn_ivf_indexed",     # persisted partition-pruned IVF serving
     "d6_dup_clusters",        # iterative label propagation
+    # round-4 additions
+    "j9_asof_join",           # union-window as-of merge (no range join)
+    "t16_tfidf",              # two-shuffle TF-IDF with broadcast doc count
+    "d7_decontaminate",       # train-vs-eval shingle contamination
 ]
 
 

@@ -545,3 +545,43 @@ def dedup_clusters(
     comp = connected_components(pairs, a_col, b_col)
     drop = comp.filter(F.col("id") != F.col("comp")).select(F.col("id").alias(id_col))
     return df.join(drop, id_col, "left_anti")
+
+
+def cross_corpus_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n: int = 3,
+    max_doc_freq: int | None = None,
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag train docs sharing >= 1 word
+    ``n``-gram with ANY test doc, with the shared-shingle count per doc.
+
+    The standard pre-training hygiene step (strip eval-set text from the
+    training corpus). Shape: inverted index on the TRAIN side (one explode
+    + one equi-join on shingle — same skeleton as
+    :func:`jaccard_dup_pairs`), against the DISTINCT shingle set of the
+    test corpus. Eval corpora are orders of magnitude smaller than a
+    100 TB train set, so ``broadcast_test=True`` ships them to every
+    executor and the train side never shuffles; set False to let AQE pick
+    when the test side is itself large.
+
+    ``max_doc_freq`` drops train-side stop-shingles (df cap) before the
+    join — the same skew guard as exact Jaccard; leave None for exact
+    counts.
+    """
+    tr = distinct_shingles(train, id_col, tokens_col, n)
+    te = distinct_shingles(test, id_col, tokens_col, n).select("shingle").distinct()
+    if max_doc_freq is not None:
+        rare = (
+            tr.groupBy("shingle").agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        tr = tr.join(rare, "shingle", "left_semi")
+    te_side = F.broadcast(te) if broadcast_test else te
+    return tr.join(te_side, "shingle").groupBy(id_col).agg(
+        F.count("*").alias("n_shared")
+    )

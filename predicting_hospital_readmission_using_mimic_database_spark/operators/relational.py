@@ -602,3 +602,28 @@ def ntile_global(
             r + F.floor((idx0 - r * big) / small) + 1
         )
     return idx.withColumn(out, bucket.cast("int")).drop("__pos")
+
+
+def grouping_sets_agg(
+    df: DataFrame,
+    cols: Sequence[str],
+    aggs: Sequence[Column],
+    kind: str = "rollup",
+    gid_col: str = "gid",
+) -> DataFrame:
+    """A15 — hierarchical (ROLLUP) / all-subsets (CUBE) aggregation in one
+    pass with per-level `grouping_id` disambiguation.
+
+    Spark expands grouping sets inside a single shuffle stage (partial
+    aggregation per set, map-side combined) — the OLAP alternative to N
+    separate groupBy jobs over the same scan. ``gid_col`` carries SQL
+    ``GROUPING_ID()`` (bit i set = col i aggregated away) so an all-level
+    consumer can distinguish a real NULL key from a rollup subtotal row.
+    """
+    if kind == "rollup":
+        g = df.rollup(*cols)
+    elif kind == "cube":
+        g = df.cube(*cols)
+    else:
+        raise ValueError(f"kind must be rollup|cube, got {kind!r}")
+    return g.agg(F.grouping_id().cast("long").alias(gid_col), *aggs)

@@ -384,3 +384,29 @@ def nearmiss(
         picked.select(F.col("a_id").alias(id_col)), id_col, "left_semi"
     )
     return kept.unionByName(mino)
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str,
+    salt: str = "",
+    out_rank: str | None = None,
+) -> DataFrame:
+    """Deterministic per-group quota sample: keep up to ``n`` rows per
+    group, chosen by md5-hash rank of ``key_col`` (optionally salted).
+
+    The corpus-curation "cap every language/source at N docs" step.
+    Hash-rank selection is (a) uniform over the group, (b) seedable via
+    ``salt``, (c) reproducible on ANY engine/partitioning — no rand(),
+    no global sort. One shuffle on ``group_col``; the per-group window
+    never concentrates more than a group on one task (cap skewed groups
+    upstream if a single group dwarfs executor memory).
+    """
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(h)
+    ranked = df.withColumn("__qr", F.row_number().over(w)).filter(F.col("__qr") <= n)
+    if out_rank:
+        return ranked.withColumnRenamed("__qr", out_rank)
+    return ranked.drop("__qr")

@@ -129,3 +129,34 @@ def fingerprint_kgram_min(text: Column, k: int = 8, stride: int = 4) -> Column:
         return F.transform(idx, lambda i: F.md5(F.substring(n, i, k)))
 
     return F.array_min(F.flatten(F.transform(F.array(norm), grams)))
+
+
+def pack_chunks(
+    df,
+    group_col: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    out: str = "chunk_id",
+):
+    """x5 — fixed-budget sequence packing: assign each doc to a training
+    chunk so consecutive docs (per ``group_col``, in ``order_col`` order)
+    accumulate ~``budget`` units (tokens/chars) per chunk.
+
+    ``chunk_id = floor(cum_before / budget)`` where ``cum_before`` is the
+    running total EXCLUDING the current doc — the deterministic streaming
+    form of greedy packing (a doc may straddle a boundary; the bin-packing
+    variant that reorders docs is not order-stable and so not
+    oracle-checkable). One partitioned window per group — scale-safe as
+    long as no single group outgrows a task (pre-split giant groups on a
+    secondary key upstream).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum(F.col(size_col)).over(w) - F.col(size_col)
+    return df.withColumn(out, F.floor(cum_before / F.lit(budget)).cast("long"))

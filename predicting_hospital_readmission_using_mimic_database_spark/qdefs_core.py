@@ -1134,3 +1134,24 @@ def q_w9(spark, sf):
         li, ["l_extendedprice", "l_orderkey", "l_linenumber"], 4, out="quartile"
     )
     return q.select("l_orderkey", "l_linenumber", "quartile")
+
+
+@query(
+    "a15_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_a15(spark, sf):
+    """A15 — single-pass ROLLUP with grouping_id level markers (one
+    shuffle for all three levels; map-side partials per grouping set)."""
+    o = read_table(spark, sf, "orders")
+    return R.grouping_sets_agg(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        [F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")],
+    ).select("o_orderstatus", "o_orderpriority", "gid", "n", "total")

@@ -624,3 +624,75 @@ def q_n4(spark, sf):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "d7_decontaminate",
+    oracle=f"""
+    WITH tr AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+      FROM documents WHERE doc_id % 10 <> 0
+    ),
+    te AS (
+      SELECT DISTINCT unnest({_SHINGLES_SQL}) AS shingle
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT tr.doc_id, count(*) AS n_shared
+    FROM tr JOIN te USING (shingle)
+    GROUP BY tr.doc_id
+    """,
+)
+def q_d7(spark, sf):
+    """D7 — benchmark decontamination: train docs (doc_id % 10 != 0)
+    sharing any 3-gram shingle with the held-out corpus (doc_id % 10 == 0);
+    exact shared-shingle counts vs DuckDB brute force. Test shingle set is
+    broadcast — the train side never shuffles."""
+    d = _tokens(_docs(spark, sf))
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    return DD.cross_corpus_contamination(train, test, "doc_id", "tokens", n=3)
+
+
+@query(
+    "u9_quota_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR) || 's42')) AS qr
+      FROM documents
+    ) WHERE qr <= 50
+    """,
+)
+def q_u9(spark, sf):
+    """U9 — deterministic per-language quota sample (<= 50 docs/lang) by
+    salted md5-hash rank: uniform, seedable, reproducible on any engine —
+    both engines hash the same bytes, so the kept set is identical."""
+    from .operators.sampling import quota_sample
+
+    d = _docs(spark, sf).select("doc_id", "lang")
+    return quota_sample(d, "lang", 50, "doc_id", salt="s42")
+
+
+@query(
+    "x5_pack_chunks",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(floor((cum - n_chars) / 4000.0) AS BIGINT) AS chunk_id
+    FROM (
+      SELECT doc_id, source, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    )
+    """,
+)
+def q_x5(spark, sf):
+    """x5 — fixed-budget sequence packing: per-source running char total
+    assigns each doc a training-chunk id (budget 4000 chars)."""
+    from .operators.textstats import pack_chunks
+
+    d = _docs(spark, sf).select("doc_id", "source", "n_chars")
+    return pack_chunks(d, "source", "doc_id", "n_chars", budget=4000).select(
+        "doc_id", "source", "chunk_id"
+    )

@@ -45,17 +45,23 @@ _LOADED = False
 # sampling entries whose semantics changed (auto-tuned LSH params, exact
 # -deficit SMOTE) — then a band of stable cross-family representatives.
 PRIORITY: tuple[str, ...] = (
+    # (0) operators BUILT this round — brand-new code, highest
+    # verification value (displaces t3-t11/d1/a13b: trivial recodes whose
+    # semantics are nested inside r3-green t13, an r3-green rep, and an
+    # approx twin of exact a13)
+    "j9_asof_join",
+    "w7_sessionize",
+    "w8_rolling_avg",
+    "w9_ntile_global",
+    "c10_json_extract",
+    "a15_rollup",
+    "t16_tfidf",
+    "d7_decontaminate",
+    "u9_quota_sample",
+    "x5_pack_chunks",
     # (a) never driver-checked before round 4
     "t1_regex_recode",
     "t2_multi_recode",
-    "t3_substr_prefix",
-    "t4_fill_null",
-    "t5_scrub_newlines",
-    "t6_contains_frac",
-    "t7_lower",
-    "t8_strip_punct",
-    "t9_strip_digits",
-    "t11_alpha_only",
     "m4_predict_proba",
     "m5_rf_sweep",
     "m6_lr_l1",
@@ -73,7 +79,6 @@ PRIORITY: tuple[str, ...] = (
     "j6_positional_join_suffixes",
     "w4b_forward_fill",
     "a2b_approx_count_distinct",
-    "a13b_approx_percentiles",
     "a14_corr_cov",
     # (b) oracles new this round (were no_oracle rows in r3's window)
     "u8_random_under",
@@ -93,7 +98,6 @@ PRIORITY: tuple[str, ...] = (
     "s1_scan_events",
     "p1_project",
     "c1_case_label",
-    "d1_dedup_exact",
     "d4_ngram_jaccard",
     "n1_knn_bruteforce",
     "e2_auc",

@@ -314,3 +314,51 @@ def test_dedup_exact_null_columns_distinct(spark):
     df = spark.createDataFrame(rows, "id long, c1 string, c2 string, c3 string")
     kept = sorted(r["id"] for r in DD.dedup_exact(df, "id", ["c1", "c2", "c3"]).collect())
     assert kept == [1, 2, 3, 4]  # all distinct once NULL position matters
+
+
+def test_cross_corpus_contamination_counts(spark):
+    # train doc 1 shares 2 shingles with test; doc 2 shares 1; doc 3 none
+    train = spark.createDataFrame(
+        [
+            (1, ["q", "a", "b", "c", "d"]),       # "a b c", "b c d" shared
+            (2, ["x", "a", "b", "c"]),            # "a b c" shared
+            (3, ["p", "q", "r", "s"]),            # clean
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    test = spark.createDataFrame(
+        [(10, ["a", "b", "c", "d"]), (11, ["a", "b", "c"])],
+        "doc_id long, tokens array<string>",
+    )
+    got = {r["doc_id"]: r["n_shared"]
+           for r in DD.cross_corpus_contamination(train, test, "doc_id", "tokens", n=3).collect()}
+    assert got == {1: 2, 2: 1}  # doc 3 absent: zero overlap rows are not emitted
+
+
+def test_cross_corpus_contamination_df_cap_drops_stop_shingles(spark):
+    # "a b c" appears in every train doc -> df cap 2 removes it
+    train = spark.createDataFrame(
+        [(i, ["a", "b", "c", str(i)]) for i in range(1, 5)],
+        "doc_id long, tokens array<string>",
+    )
+    test = spark.createDataFrame([(9, ["a", "b", "c"])], "doc_id long, tokens array<string>")
+    exact = DD.cross_corpus_contamination(train, test, "doc_id", "tokens", n=3)
+    capped = DD.cross_corpus_contamination(
+        train, test, "doc_id", "tokens", n=3, max_doc_freq=2
+    )
+    assert exact.count() == 4 and capped.count() == 0
+
+
+def test_pack_chunks_budget_boundaries(spark):
+    df = spark.createDataFrame(
+        [
+            ("s", 1, 900), ("s", 2, 900),   # cum_before 0, 900      -> chunk 0, 0
+            ("s", 3, 300),                  # cum_before 1800        -> chunk 1
+            ("s", 4, 2500),                 # cum_before 2100        -> chunk 2
+            ("t", 1, 50),                   # fresh group            -> chunk 0
+        ],
+        "source string, doc_id long, n long",
+    )
+    got = {(r["source"], r["doc_id"]): r["chunk_id"]
+           for r in TS.pack_chunks(df, "source", "doc_id", "n", budget=1000).collect()}
+    assert got == {("s", 1): 0, ("s", 2): 0, ("s", 3): 1, ("s", 4): 2, ("t", 1): 0}

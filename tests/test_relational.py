@@ -366,3 +366,49 @@ def test_rolling_time_agg_boundary_inclusive(spark):
     assert got[1] == 10.0
     assert got[2] == 15.0  # (10+20)/2 — boundary ts-1d inclusive
     assert got[3] == 30.0  # row 2 is 1µs OUTSIDE the trailing window
+
+
+def test_grouping_sets_rollup_levels_and_gid(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import relational as R2
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)],
+        "g1 string, g2 string, v double",
+    )
+    out = R2.grouping_sets_agg(df, ["g1", "g2"], [F.sum("v").alias("s")])
+    rows = {(r["g1"], r["g2"], r["gid"]): r["s"] for r in out.collect()}
+    # leaf level (gid=0), per-g1 subtotals (gid=1), grand total (gid=3)
+    assert rows[("a", "x", 0)] == 1.0 and rows[("b", "x", 0)] == 4.0
+    assert rows[("a", None, 1)] == 3.0 and rows[("b", None, 1)] == 4.0
+    assert rows[(None, None, 3)] == 7.0
+    assert len(rows) == 3 + 2 + 1
+
+
+def test_grouping_sets_cube_adds_g2_marginals(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import relational as R2
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)],
+        "g1 string, g2 string, v double",
+    )
+    out = R2.grouping_sets_agg(df, ["g1", "g2"], [F.sum("v").alias("s")], kind="cube")
+    rows = {(r["g1"], r["g2"], r["gid"]): r["s"] for r in out.collect()}
+    # cube = rollup + per-g2 marginals (gid=2: g1 aggregated away)
+    assert rows[(None, "x", 2)] == 5.0 and rows[(None, "y", 2)] == 2.0
+    assert len(rows) == 6 + 2
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="rollup|cube"):
+        R2.grouping_sets_agg(df, ["g1"], [F.count("*").alias("n")], kind="nope")
+
+
+def test_grouping_sets_null_key_vs_subtotal_disambiguated(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import relational as R2
+
+    # a REAL null group key must not be conflated with the rollup subtotal row
+    df = spark.createDataFrame([(None, 1.0), (None, 2.0), ("a", 4.0)], "g string, v double")
+    out = R2.grouping_sets_agg(df, ["g"], [F.sum("v").alias("s")])
+    rows = {(r["g"], r["gid"]): r["s"] for r in out.collect()}
+    assert rows[(None, 0)] == 3.0   # genuine null key, leaf level
+    assert rows[(None, 1)] == 7.0   # grand total
+    assert rows[("a", 0)] == 4.0

@@ -180,3 +180,26 @@ def test_native_brp_knn_matches_mllib_substrate(spark):
     got_native = {(r["a_id"], r["b_id"]) for r in native.collect()}
     got_mllib = {(r["a_id"], r["b_id"]) for r in mllib.collect()}
     assert got_native == got_mllib and len(got_native) == 12
+
+
+def test_quota_sample_caps_and_is_deterministic(spark):
+    rows = [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out1 = SA.quota_sample(df, "lang", 5, "doc_id", salt="s1")
+    got1 = sorted((r["lang"], r["doc_id"]) for r in out1.collect())
+    # cap respected; under-quota groups kept whole
+    assert sum(1 for l, _ in got1 if l == "big") == 5
+    assert sum(1 for l, _ in got1 if l == "small") == 3
+    # deterministic: identical on re-run and independent of partitioning
+    out2 = SA.quota_sample(df.repartition(7), "lang", 5, "doc_id", salt="s1")
+    assert got1 == sorted((r["lang"], r["doc_id"]) for r in out2.collect())
+    # salt changes the kept set (40 choose 5 — collision ~impossible)
+    out3 = SA.quota_sample(df, "lang", 5, "doc_id", salt="other")
+    assert got1 != sorted((r["lang"], r["doc_id"]) for r in out3.collect())
+
+
+def test_quota_sample_rank_column_exposed(spark):
+    df = spark.createDataFrame([(i, "g") for i in range(10)], "doc_id long, lang string")
+    out = SA.quota_sample(df, "lang", 4, "doc_id", out_rank="r")
+    ranks = sorted(r["r"] for r in out.collect())
+    assert ranks == [1, 2, 3, 4]
