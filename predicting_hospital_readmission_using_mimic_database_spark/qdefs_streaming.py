@@ -41,6 +41,12 @@ def _stage_event_chunks(spark, sf: str, src: str, n_chunks: int = 3) -> None:
             "sf — production streams read sources directly"
         )
     pdf = raw.orderBy("ts", "event_id").toPandas()
+    if str(pdf["ts"].dtype) != "int64":
+        # testdata may store ts as TIMESTAMP(MICROS) instead of int64 nanos;
+        # stage chunks as int64 nanos so EVENT_SCHEMA stays one format
+        import pandas as pd
+
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64")
     per = (len(pdf) + n_chunks - 1) // n_chunks
     for i in range(n_chunks):
         pdf.iloc[i * per : (i + 1) * per].to_parquet(

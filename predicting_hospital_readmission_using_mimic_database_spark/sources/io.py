@@ -52,10 +52,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
     for c in _NANOS_TS_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+        if c in df.columns and dtypes.get(c) == "bigint":
             # ns -> µs truncation matches DuckDB's TIMESTAMP_NS -> TIMESTAMP cast
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    # Parquet TIMESTAMP without tz annotation (isAdjustedToUTC=false) reads as
+    # TIMESTAMP_NTZ on newer Sparks; functions like unix_micros and streaming
+    # watermarks require TIMESTAMP. tune_session pins the session tz to UTC,
+    # so the cast is identity on the stored microsecond value.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

@@ -25,6 +25,10 @@ def _chunked_event_files(spark, tmp, n_chunks=3):
     n = raw.count()
     per = (n + n_chunks - 1) // n_chunks
     pdf = raw.orderBy("ts", "event_id").toPandas()
+    if str(pdf["ts"].dtype) != "int64":
+        import pandas as pd
+
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64")
     paths = []
     for i in range(n_chunks):
         chunk = pdf.iloc[i * per : (i + 1) * per]
