@@ -218,17 +218,24 @@ def smote(
     bucket_length: float | None = None,
     num_hash_tables: int = 3,
     target_ratio: float | None = None,
+    method: str = "exact",
 ) -> DataFrame:
-    """U6 — SMOTE on the LSH-kNN substrate (py:772,814).
+    """U6 — SMOTE (py:772,814).
 
-    For each minority row, pick its approx-k nearest minority neighbors
+    For each minority row, pick its k nearest minority neighbors
     and emit one synthetic row per neighbor pair:
     ``synth = a + u * (b - a)`` with u ~ U(0,1) — elementwise via
     ``zip_with`` (JVM-side, no UDF). Output schema: (id_col
     negative-numbered, array_col, label_col) for the synthetic rows,
     unioned with the originals.
 
-    ``threshold``/``bucket_length`` default to a data-derived estimate
+    ``method="exact"`` (default) uses
+    :func:`~.similarity.knn_join_broadcast` — the minority class is by
+    definition the bounded side, so broadcast + Arrow-batched BLAS gives
+    the TRUE kNN (imblearn parity) with zero shuffle.
+    ``method="lsh"`` keeps the banded approximate path for minorities too
+    large to broadcast; there ``threshold``/``bucket_length`` default to
+    a data-derived estimate
     (:func:`~.similarity.tune_brp_params` — sampled k-th-NN distance
     quantile), so a new corpus never inherits constants measured on an
     old one.
@@ -240,10 +247,10 @@ def smote(
     exactly the deficit at r=1. If the pool is smaller than the deficit
     (k too small), the whole pool is kept.
     """
-    from .similarity import brp_knn_pairs, tune_brp_params
+    from .similarity import brp_knn_pairs, knn_join_broadcast, tune_brp_params
 
-    # the minority frame feeds FIVE plan branches (dim probe, both kNN
-    # sides, and the a/b feature rejoins) — without a cache each branch
+    # the minority frame feeds several plan branches (dim probe, the kNN,
+    # and the a/b feature rejoins) — without a cache each branch
     # re-scans the input source; by definition it is the SMALL class, so
     # caching it is the same decision SURVEY §4.2 makes for ML reuse
     mino = (
@@ -258,17 +265,22 @@ def smote(
             "feature array on the first row) — nothing to interpolate"
         )
     dim = len(first[0])
-    if threshold is None or bucket_length is None:
-        thr, bl = tune_brp_params(mino, array_col, k=k, seed=seed)
-        threshold = thr if threshold is None else threshold
-        bucket_length = bl if bucket_length is None else bucket_length
-    # multiprobe off: the table count provides the recall; probing would
-    # triple the candidate set that exact re-ranking has to score
-    knn = brp_knn_pairs(
-        mino, mino, id_col, array_col, dim, k=k, threshold=threshold,
-        bucket_length=bucket_length, n_tables=num_hash_tables, seed=seed,
-        probe_adjacent=False,
-    )
+    if method == "exact":
+        knn = knn_join_broadcast(
+            mino, mino, id_col, array_col, k=k, exclude_self=True
+        )
+    else:
+        if threshold is None or bucket_length is None:
+            thr, bl = tune_brp_params(mino, array_col, k=k, seed=seed)
+            threshold = thr if threshold is None else threshold
+            bucket_length = bl if bucket_length is None else bucket_length
+        # multiprobe off: the table count provides the recall; probing would
+        # triple the candidate set that exact re-ranking has to score
+        knn = brp_knn_pairs(
+            mino, mino, id_col, array_col, dim, k=k, threshold=threshold,
+            bucket_length=bucket_length, n_tables=num_hash_tables, seed=seed,
+            probe_adjacent=False,
+        )
     a = mino.select(
         F.col(id_col).alias("a_id"), F.col(array_col).alias("__arr_a")
     )
@@ -303,6 +315,12 @@ def smote(
             (r["n"] for r in counts if r["__lab"] != minority_value), default=0
         )
         deficit = max(0, int(round(target_ratio * n_maj)) - n_min)
+        if deficit == 0:
+            # already at (or past) the target ratio: imblearn emits no
+            # synthetics — skip the whole kNN/interpolation pipeline
+            out = df.select(id_col, array_col, label_col)
+            out._aux_caches = [mino]
+            return out
         # cache the pool FIRST: global_index makes two passes (partition
         # counts + rejoin) and the final union a third — without this
         # cache each pass re-runs the whole LSH-kNN pipeline
@@ -339,15 +357,21 @@ def nearmiss(
     threshold: float | None = None,
     bucket_length: float | None = None,
     num_hash_tables: int = 3,
+    method: str = "exact",
 ) -> DataFrame:
     """U7 — NearMiss-1 undersampling (py:773,816): keep the majority rows
     whose mean distance to their k nearest minority neighbors is smallest,
     exactly |minority| of them; union with the minority.
 
-    ``threshold``/``bucket_length`` default to a data-derived estimate of
-    the CROSS-class k-th-NN distance quantile (majority -> minority), via
+    ``method="exact"`` (default): the minority is the bounded reference
+    set, so :func:`~.similarity.knn_join_broadcast` streams the (big)
+    majority once against a broadcast minority matrix — true kNN, no
+    shuffle, imblearn-exact ranking. ``method="lsh"`` keeps the
+    approximate banded path; there ``threshold``/``bucket_length``
+    default to a data-derived estimate of the CROSS-class k-th-NN
+    distance quantile (majority -> minority), via
     :func:`~.similarity.tune_brp_params`."""
-    from .similarity import brp_knn_pairs, tune_brp_params
+    from .similarity import brp_knn_pairs, knn_join_broadcast, tune_brp_params
 
     base = df.select(id_col, array_col, label_col)
     mino = base.filter(F.col(label_col) == F.lit(minority_value))
@@ -358,16 +382,19 @@ def nearmiss(
             f"nearmiss: no rows with {label_col} == {minority_value!r} — "
             "no minority to rank the majority against"
         )
-    dim = len(mino.select(array_col).first()[0])
-    if threshold is None or bucket_length is None:
-        thr, bl = tune_brp_params(maj, array_col, k=k, right=mino, seed=seed)
-        threshold = thr if threshold is None else threshold
-        bucket_length = bl if bucket_length is None else bucket_length
-    knn = brp_knn_pairs(
-        maj, mino, id_col, array_col, dim, k=k, threshold=threshold,
-        bucket_length=bucket_length, n_tables=num_hash_tables, seed=seed,
-        probe_adjacent=False,
-    )
+    if method == "exact":
+        knn = knn_join_broadcast(maj, mino, id_col, array_col, k=k)
+    else:
+        dim = len(mino.select(array_col).first()[0])
+        if threshold is None or bucket_length is None:
+            thr, bl = tune_brp_params(maj, array_col, k=k, right=mino, seed=seed)
+            threshold = thr if threshold is None else threshold
+            bucket_length = bl if bucket_length is None else bucket_length
+        knn = brp_knn_pairs(
+            maj, mino, id_col, array_col, dim, k=k, threshold=threshold,
+            bucket_length=bucket_length, n_tables=num_hash_tables, seed=seed,
+            probe_adjacent=False,
+        )
     scores = knn.groupBy("a_id").agg(F.avg("dist").alias("__mean_dist"))
     # distributed top-n_min: rank with the two-pass global_index substrate
     # (range partition + per-partition row_number + broadcast offsets)

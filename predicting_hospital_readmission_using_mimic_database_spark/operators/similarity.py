@@ -168,11 +168,13 @@ def brp_knn_pairs(
                 entries.append(
                     F.struct(F.lit(t).alias("t"), (h + F.lit(d)).alias("key"))
                 )
+        # ids only through the candidate shuffle: carrying the vectors here
+        # multiplies shuffle bytes by dim; they are re-fetched AFTER the
+        # (a_id, b_id) dedup from the (small, typically cached) inputs
         return df.select(
             F.col(id_col).alias(f"{side}_id"),
-            arr.alias(f"__arr_{side}"),
             F.explode(F.array(*entries)).alias("tk"),
-        ).select(f"{side}_id", f"__arr_{side}", "tk.t", "tk.key")
+        ).select(f"{side}_id", "tk.t", "tk.key")
 
     a = hashed(left, "a", probe_adjacent)
     b = hashed(right, "b", False)
@@ -181,9 +183,17 @@ def brp_knn_pairs(
         .filter(F.col("a_id") != F.col("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    scored = cand.select(
-        "a_id", "b_id", euclidean(F.col("__arr_a"), F.col("__arr_b")).alias("dist")
-    ).filter(F.col("dist") <= threshold)
+    arr = F.col(array_col).cast("array<double>")
+    la = left.select(F.col(id_col).alias("a_id"), arr.alias("__arr_a"))
+    rb = right.select(F.col(id_col).alias("b_id"), arr.alias("__arr_b"))
+    scored = (
+        cand.join(la, "a_id")
+        .join(rb, "b_id")
+        .select(
+            "a_id", "b_id", euclidean(F.col("__arr_a"), F.col("__arr_b")).alias("dist")
+        )
+        .filter(F.col("dist") <= threshold)
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("a_id").orderBy("dist", "b_id")
@@ -192,6 +202,114 @@ def brp_knn_pairs(
         .filter(F.col("__rn") <= k)
         .select("a_id", "b_id", "dist", F.col("__rn").alias("rank"))
     )
+
+
+def knn_join_broadcast(
+    big: DataFrame,
+    small: DataFrame,
+    id_col: str,
+    array_col: str,
+    k: int = 3,
+    small_id_col: str | None = None,
+    small_array_col: str | None = None,
+    exclude_self: bool = False,
+    max_small_rows: int = 2_000_000,
+) -> DataFrame:
+    """EXACT k-nearest-neighbors of every ``big`` row against the whole
+    ``small`` table, via broadcast + Arrow-batched BLAS (``mapInPandas``).
+
+    This is the right physical strategy whenever one side is bounded (a
+    minority class under SMOTE/NearMiss, an eval probe set, a centroid
+    table): the small side is collected ONCE, broadcast to every executor,
+    and each Arrow batch of the big side computes all pairwise distances
+    as one numpy matmul — no shuffle, no candidate join, linear scan of
+    the big side only. At 1000 executors the big side streams in parallel
+    and the broadcast is the only data movement.
+
+    Contrast with :func:`brp_knn_pairs` (LSH): on corpora whose kNN
+    distance approaches the background pair distance (e.g. near-uniform
+    unit vectors) LSH candidate sets degrade toward all-pairs; the
+    broadcast path's cost is flat and the result is exact.
+
+    ``max_small_rows`` guards the collect: SMOTE/NearMiss semantics
+    require the minority class to be enumerable; refuse loudly past the
+    bound instead of OOMing the driver.
+
+    Returns (a_id, b_id, dist, rank) — rank 1..k by (dist, b_id), the
+    same deterministic tiebreak as the LSH path.
+    """
+    import numpy as np
+
+    s_id = small_id_col or id_col
+    s_arr = small_array_col or array_col
+    # ONE bounded job: limit(max+1) caps what can ever reach the driver,
+    # so the guard needs no separate count() pass
+    rows = (
+        small.select(F.col(s_id).alias("i"), F.col(s_arr).cast("array<double>").alias("a"))
+        .filter(F.col("a").isNotNull())
+        .limit(max_small_rows + 1)
+        .collect()
+    )
+    if len(rows) == 0:
+        raise ValueError("knn_join_broadcast: small side is empty")
+    if len(rows) > max_small_rows:
+        raise ValueError(
+            f"knn_join_broadcast: small side exceeds "
+            f"max_small_rows={max_small_rows}; broadcast-exact kNN needs a "
+            "bounded reference set — use brp_knn_pairs for big-big kNN"
+        )
+    ids = np.asarray([r["i"] for r in rows], dtype=np.int64)
+    S = np.asarray([r["a"] for r in rows], dtype=np.float64)
+    s_sq = (S * S).sum(axis=1)
+    bc = big.sparkSession.sparkContext.broadcast((ids, S, s_sq))
+
+    kk = int(k)
+    excl = bool(exclude_self)
+
+    def gen(batches):
+        import pandas as pd
+
+        b_ids, b_S, b_sq = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(list(pdf["__arr"]), dtype=np.float64)
+            x_sq = (X * X).sum(axis=1)
+            d2 = x_sq[:, None] + b_sq[None, :] - 2.0 * (X @ b_S.T)
+            np.maximum(d2, 0.0, out=d2)
+            a_ids = pdf["__id"].to_numpy()
+            if excl:
+                d2[a_ids[:, None] == b_ids[None, :]] = np.inf
+            take = min(kk, d2.shape[1])
+            # partial-select then exact (dist, b_id) ordering of the k kept
+            part = np.argpartition(d2, take - 1, axis=1)[:, :take]
+            out_a, out_b, out_d, out_r = [], [], [], []
+            for i in range(d2.shape[0]):
+                cand = part[i]
+                order = np.lexsort((b_ids[cand], d2[i, cand]))
+                sel = cand[order]
+                keep = d2[i, sel] < np.inf
+                sel = sel[keep]
+                m = len(sel)
+                out_a.append(np.full(m, a_ids[i]))
+                out_b.append(b_ids[sel])
+                out_d.append(np.sqrt(d2[i, sel]))
+                out_r.append(np.arange(1, m + 1))
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "a_id": np.concatenate(out_a),
+                        "b_id": np.concatenate(out_b),
+                        "dist": np.concatenate(out_d),
+                        "rank": np.concatenate(out_r).astype(np.int32),
+                    }
+                )
+
+    src = big.select(
+        F.col(id_col).alias("__id"),
+        F.col(array_col).cast("array<double>").alias("__arr"),
+    ).filter(F.col("__arr").isNotNull())
+    return src.mapInPandas(gen, "a_id long, b_id long, dist double, rank int")
 
 
 def topk_bruteforce(

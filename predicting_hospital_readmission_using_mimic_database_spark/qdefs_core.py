@@ -798,19 +798,22 @@ def q_u6(spark, sf):
     dim = len(mino.select("embedding").first()[0])
 
     def _bounds(sdf):
+        # bounds AND row count in ONE aggregate job per side
         return sdf.agg(
             F.array(*[F.min(F.element_at("embedding", i + 1)) for i in range(dim)]).alias("lo"),
             F.array(*[F.max(F.element_at("embedding", i + 1)) for i in range(dim)]).alias("hi"),
+            F.count("*").alias("n"),
         ).first()
 
     mb, sb = _bounds(mino), _bounds(synth)
     viol = sum(
         1
         for i in range(dim)
-        if sb["lo"][i] is not None
+        if sb["lo"] is not None
+        and sb["lo"][i] is not None
         and (sb["lo"][i] < mb["lo"][i] - 1e-6 or sb["hi"][i] > mb["hi"][i] + 1e-6)
     )
-    n_min, n_synth = mino.count(), synth.count()
+    n_min, n_synth = mb["n"], sb["n"]
     out.unpersist()
     for aux in getattr(made, "_aux_caches", ()):
         aux.unpersist()
