@@ -76,6 +76,10 @@ HEADLINE = [
     "j9_asof_join",           # union-window as-of merge (no range join)
     "t16_tfidf",              # two-shuffle TF-IDF with broadcast doc count
     "d7_decontaminate",       # train-vs-eval shingle contamination
+    "j10_band_join",          # keyless range join via grid buckets (no BNLJ)
+    "w10_percent_rank_global",  # global rank stats without a 1-task window
+    "u10_time_split",         # leakage-free 80/10/10 time split
+    "x6_lm_quality",          # corpus-unigram LM doc scoring
 ]
 
 

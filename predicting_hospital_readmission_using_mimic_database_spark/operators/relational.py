@@ -627,3 +627,63 @@ def grouping_sets_agg(
     else:
         raise ValueError(f"kind must be rollup|cube, got {kind!r}")
     return g.agg(F.grouping_id().cast("long").alias(gid_col), *aggs)
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    band: float,
+    keys: Sequence[str] = (),
+    bucket_width: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Keyless (or low-key) BAND JOIN — ``|left_val - right_val| <= band``
+    — as an equi-join, the pattern that keeps a range predicate off the
+    BroadcastNestedLoopJoin path.
+
+    Naive Spark turns a pure range condition into a nested-loop join
+    (O(|L|*|R|) comparisons — unrunnable at scale). Instead both sides
+    are hashed to ``floor(val / bucket_width)`` grid cells; the left side
+    probes its own cell and the two neighbors (an ``explode`` of 3 cell
+    ids), so with ``bucket_width >= band`` every qualifying pair shares a
+    probed cell. The join is then a plain shuffled HASH join on
+    (keys..., cell) and the exact band predicate filters the candidates.
+    Each qualifying pair meets exactly once (the right row has ONE cell),
+    so no post-join dedup is needed.
+
+    Cost scales with true selectivity: candidates ~= pairs within
+    ~2*bucket_width, not |L|*|R|. Extra equi-``keys`` ride along in the
+    join key.
+
+    Floating-point contract: the exact predicate is SQL's BETWEEN form —
+    ``right_val >= left_val - band AND right_val <= left_val + band`` —
+    NOT ``abs(l - r) <= band``: the two differ in the last ulp when
+    values sit exactly on band multiples, and BETWEEN is what every SQL
+    engine (and this operator's oracle) evaluates. ``bucket_width``
+    defaults to ``band * 17/16``: strictly wider than the band so the
+    3-cell probe provably covers every BETWEEN-qualifying pair even when
+    division rounding nudges a value across a cell boundary.
+    """
+    if band < 0:
+        raise ValueError(f"band_join: band must be >= 0, got {band}")
+    w = float(bucket_width if bucket_width is not None else band * (17.0 / 16.0))
+    if w < band:
+        raise ValueError(
+            f"band_join: bucket_width {w} < band {band} breaks the "
+            "3-cell cover — qualifying pairs could be missed"
+        )
+    lcell = F.floor(F.col(left_val) / F.lit(w))
+    ls = left.withColumn(
+        "__cell", F.explode(F.array(lcell - 1, lcell, lcell + 1))
+    )
+    rs = right.withColumn("__cell", F.floor(F.col(right_val) / F.lit(w)))
+    cond = [ls["__cell"] == rs["__cell"]] + [
+        ls[k] == rs[k] for k in keys
+    ]
+    joined = ls.join(rs, cond, how)
+    b = F.lit(float(band))
+    return joined.filter(
+        (rs[right_val] >= ls[left_val] - b) & (rs[right_val] <= ls[left_val] + b)
+    ).drop("__cell")

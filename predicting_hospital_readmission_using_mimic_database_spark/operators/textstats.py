@@ -160,3 +160,42 @@ def pack_chunks(
     )
     cum_before = F.sum(F.col(size_col)).over(w) - F.col(size_col)
     return df.withColumn(out, F.floor(cum_before / F.lit(budget)).cast("long"))
+
+
+def unigram_logprob(
+    df,
+    id_col: str,
+    tokens_col: str,
+    out: str = "avg_logprob",
+):
+    """x6 — corpus-unigram language-model quality score (the CCNet-style
+    filter: docs whose tokens are improbable under the corpus LM are
+    boilerplate/garbage candidates).
+
+    avg_logprob(doc) = sum_t c_doc(t) * ln(c_corpus(t) / N) / len(doc)
+
+    Physical plan, in corpus-scale order:
+    1. per-doc token counts — one shuffle on (doc, token), map-side
+       combined (explode never leaves the partial-agg stage);
+    2. corpus vocabulary counts — aggregated FROM the per-doc counts
+       (sum of partials, far fewer rows than raw tokens);
+    3. join doc-counts to vocab on token — the only wide join, sized by
+       distinct (doc, token) pairs, not token instances;
+    4. weighted average per doc.
+
+    Returns (id_col, n_tokens, ``out``). Scores are comparable within a
+    corpus; rank/threshold downstream.
+    """
+    toks = df.select(F.col(id_col), F.explode(F.col(tokens_col)).alias("__tok"))
+    doc_counts = toks.groupBy(id_col, "__tok").agg(F.count("*").alias("__dc"))
+    vocab = doc_counts.groupBy("__tok").agg(F.sum("__dc").alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("n")).collect()[0]["n"]
+    scored = doc_counts.join(vocab, "__tok")
+    return scored.groupBy(id_col).agg(
+        F.sum("__dc").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("__dc") * F.log(F.col("__c") / F.lit(float(total))))
+            / F.sum("__dc"),
+            6,
+        ).alias(out),
+    )

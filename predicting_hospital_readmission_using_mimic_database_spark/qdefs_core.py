@@ -1158,3 +1158,132 @@ def q_a15(spark, sf):
         ["o_orderstatus", "o_orderpriority"],
         [F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")],
     ).select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+
+
+@query(
+    "j10_band_join",
+    oracle="""
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           round(abs(a.p_retailprice - b.p_retailprice), 6) AS price_gap
+    FROM part a JOIN part b
+      ON b.p_retailprice BETWEEN a.p_retailprice - 0.1
+                             AND a.p_retailprice + 0.1
+     AND a.p_partkey < b.p_partkey
+    """,
+)
+def q_j10(spark, sf):
+    """J10 — keyless BAND JOIN (|price diff| <= 0.1) via the grid-bucket
+    equi-join (operators.relational.band_join): a plain range-theta join
+    would plan as BroadcastNestedLoopJoin (O(n^2) comparisons); bucketing
+    both sides to floor(price/width) cells turns it into a shuffled hash
+    join whose candidate count tracks true selectivity. The oracle is
+    DuckDB's native range join over the same predicate."""
+    p = read_table(spark, sf, "part").select("p_partkey", "p_retailprice")
+    a = p.select(F.col("p_partkey").alias("a_key"), F.col("p_retailprice").alias("a_price"))
+    b = p.select(F.col("p_partkey").alias("b_key"), F.col("p_retailprice").alias("b_price"))
+    j = R.band_join(a, b, "a_price", "b_price", band=0.1)
+    return j.filter(F.col("a_key") < F.col("b_key")).select(
+        "a_key",
+        "b_key",
+        F.round(F.abs(F.col("a_price") - F.col("b_price")), 6).alias("price_gap"),
+    )
+
+
+@query(
+    "j11_salted_join",
+    oracle="""
+    SELECT event_id, upper(event_type) AS type_uc
+    FROM events WHERE event_type IS NOT NULL
+    """,
+)
+def q_j11(spark, sf):
+    """J11 — skew-resistant SALTED equi-join == plain join, proven by
+    oracle: the events fact (5 hot event_type keys — worst-case skew: every
+    row is a hot key) joins a derived type dim with the left side salted
+    into 8 sub-keys and the dim replicated per salt
+    (operators.relational.salted_join), spreading each hot key over 8
+    tasks. DuckDB recomputes the equivalent join result directly; identical
+    output == salting changed the physical distribution only."""
+    e = read_table(spark, sf, "events").select("event_id", "event_type")
+    dim = (
+        e.filter(F.col("event_type").isNotNull())
+        .select("event_type")
+        .distinct()
+        .withColumn("type_uc", F.upper("event_type"))
+    )
+    j = R.salted_join(e, dim, "event_type", salt=8)
+    return j.select("event_id", "type_uc")
+
+
+@query(
+    "w10_percent_rank_global",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume_dist
+    FROM lineitem
+    WINDOW w AS (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    """,
+)
+def q_w10(spark, sf):
+    """W10 — GLOBAL percent_rank + cume_dist WITHOUT the single-task
+    global window: global_index (range partition + per-partition
+    row_number + broadcast offsets) gives each row its exact global
+    position; (pos-1)/(n-1) and pos/n are then pure arithmetic — IEEE
+    double division on identical integers, so the values hash-match
+    DuckDB's native window functions bit-for-bit. Ordering is made unique
+    by (orderkey, linenumber), so ranks are deterministic."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    idx = R.global_index(
+        li, ["l_extendedprice", "l_orderkey", "l_linenumber"], out="__pos"
+    )
+    n = li.count()
+    return idx.select(
+        "l_orderkey",
+        "l_linenumber",
+        ((F.col("__pos") - 1) / F.lit(float(n - 1))).alias("pct_rank"),
+        (F.col("__pos") / F.lit(float(n))).alias("cume_dist"),
+    )
+
+
+@query(
+    "u10_time_split",
+    oracle="""
+    WITH r AS (
+      SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rn,
+             count(*) OVER () AS n
+      FROM events
+    )
+    SELECT CASE WHEN rn * 10 <= n * 8 THEN 'train'
+                WHEN rn * 10 <= n * 9 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_rows, min(ts) AS ts_lo, max(ts) AS ts_hi
+    FROM r GROUP BY 1
+    """,
+)
+def q_u10(spark, sf):
+    """U10 — leakage-free TIME-BASED train/val/test split (80/10/10 by
+    event time, the split a forecasting/causal pipeline needs instead of
+    a random one): exact global position over (ts, event_id) via
+    global_index, integer-scaled thresholds (rn*10 <= n*8 — no float
+    boundary ambiguity cross-engine), per-split counts and time ranges.
+    No global sort bottleneck: range partition + broadcast offsets."""
+    e = read_table(spark, sf, "events").select("ts", "event_id")
+    idx = R.global_index(e, ["ts", "event_id"], out="__pos")
+    n = e.count()
+    split = (
+        F.when(F.col("__pos") * 10 <= n * 8, "train")
+        .when(F.col("__pos") * 10 <= n * 9, "val")
+        .otherwise("test")
+    )
+    return (
+        idx.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("ts").alias("ts_lo"),
+            F.max("ts").alias("ts_hi"),
+        )
+    )

@@ -696,3 +696,31 @@ def q_x5(spark, sf):
     return pack_chunks(d, "source", "doc_id", "n_chars", budget=4000).select(
         "doc_id", "source", "chunk_id"
     )
+
+
+@query(
+    "x6_lm_quality",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ),
+    dt AS (SELECT doc_id, tok, count(*) AS dc FROM tk GROUP BY 1, 2),
+    v AS (SELECT tok, sum(dc) AS c FROM dt GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM v)
+    SELECT doc_id, CAST(sum(dc) AS BIGINT) AS n_tokens,
+           round(sum(dc * ln(c / (SELECT n FROM tot))) / sum(dc), 6)
+             AS avg_logprob
+    FROM dt JOIN v USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def q_x6(spark, sf):
+    """X6 — corpus-unigram LM quality score (CCNet-style filter), exact
+    per-doc average log-probability vs DuckDB recomputing the same LM.
+    Token-instance explode collapses to (doc, token) partial counts before
+    anything shuffles; the vocabulary is an aggregate OF those partials,
+    so raw token volume never crosses the wire twice."""
+    from .operators.textstats import unigram_logprob
+
+    d = _tokens(_docs(spark, sf).select("doc_id", "text"))
+    return unigram_logprob(d, "doc_id", "tokens")

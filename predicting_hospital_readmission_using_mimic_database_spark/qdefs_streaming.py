@@ -237,3 +237,46 @@ def q_st3(spark, sf):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st4_stream_window_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_st4(spark, sf):
+    """Streaming tumbling-window counts == batch GROUP BY, value-exact:
+    the events table streams in as 3 micro-batch files, a watermarked
+    1-hour event-time window counts per type (state evicted as the
+    watermark passes), and the COMPLETE result set must hash-match
+    DuckDB's date_trunc aggregation of the same parquet — every window,
+    every type, every count."""
+    tmp = tempfile.mkdtemp(prefix="st4_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    qname = "st4_out"
+    try:
+        stream = ING.stream_events(spark, src)
+        q = (
+            ING.windowed_event_counts(stream, window="1 hour", watermark="1 day")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            _stage_event_chunks(spark, sf, src, n_chunks=3)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.sql(
+            f"SELECT window_start, event_type, n FROM {qname}"
+        )
+        # materialize before the temp view disappears with the query
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -46,9 +46,15 @@ _LOADED = False
 # -deficit SMOTE) — then a band of stable cross-family representatives.
 PRIORITY: tuple[str, ...] = (
     # (0) operators BUILT this round — brand-new code, highest
-    # verification value (displaces t3-t11/d1/a13b: trivial recodes whose
-    # semantics are nested inside r3-green t13, an r3-green rep, and an
-    # approx twin of exact a13)
+    # verification value (displaces the round-3-green stable reps at the
+    # tail: trivial recodes whose semantics are nested inside other green
+    # entries)
+    "j10_band_join",
+    "j11_salted_join",
+    "w10_percent_rank_global",
+    "u10_time_split",
+    "x6_lm_quality",
+    "st4_stream_window_counts",
     "j9_asof_join",
     "w7_sessionize",
     "w8_rolling_avg",

@@ -33,9 +33,11 @@ def test_first_50_entries_cover_every_family():
         "t", "m", "e",                                   # text / ML / metrics
         "d", "n", "x", "mm", "st",                       # LLM-pipeline + streaming
     } <= fams, fams
-    # the VERDICT-named must-have entries sit inside the window
-    for must in ("t14_count_vectorize", "e2_auc", "m8_mutual_info",
-                 "d4_ngram_jaccard", "n1_knn_bruteforce", "x3_fingerprint"):
+    # never-driver-checked + newest entries sit inside the window (the
+    # r3-green stable reps are the ones allowed to rotate out)
+    for must in ("j10_band_join", "x6_lm_quality", "st4_stream_window_counts",
+                 "u10_time_split", "m4_predict_proba", "e8_strategy_comparison",
+                 "u6_smote", "st1_stream_labels_equivalence"):
         assert must in names
 
 

@@ -362,3 +362,19 @@ def test_pack_chunks_budget_boundaries(spark):
     got = {(r["source"], r["doc_id"]): r["chunk_id"]
            for r in TS.pack_chunks(df, "source", "doc_id", "n", budget=1000).collect()}
     assert got == {("s", 1): 0, ("s", 2): 0, ("s", 3): 1, ("s", 4): 2, ("t", 1): 0}
+
+
+def test_unigram_logprob_tiny_corpus(spark):
+    """Hand-computable LM: corpus = {a:3, b:1}; ln-probs 3/4 and 1/4."""
+    import math
+
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.textstats import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, ["a", "a"]), (2, ["a", "b"])], "doc_id long, tokens array<string>"
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(df, "doc_id", "tokens").collect()}
+    assert rows[1]["n_tokens"] == 2 and rows[2]["n_tokens"] == 2
+    assert abs(rows[1]["avg_logprob"] - math.log(0.75)) < 1e-6
+    want2 = (math.log(0.75) + math.log(0.25)) / 2
+    assert abs(rows[2]["avg_logprob"] - want2) < 1e-6

@@ -412,3 +412,49 @@ def test_grouping_sets_null_key_vs_subtotal_disambiguated(spark):
     assert rows[(None, 0)] == 3.0   # genuine null key, leaf level
     assert rows[(None, 1)] == 7.0   # grand total
     assert rows[("a", 0)] == 4.0
+
+
+def test_band_join_matches_nested_loop(spark):
+    """Grid-bucket band join == the naive theta-join, including values
+    exactly ON the band boundary (the BETWEEN floating-point contract)."""
+    import random
+
+    rng = random.Random(7)
+    vals = [round(rng.uniform(0, 10), 2) for _ in range(120)]
+    a = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "a_id long, a_v double")
+    b = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "b_id long, b_v double")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in R.band_join(a, b, "a_v", "b_v", band=0.25).collect()
+    }
+    lo, hi = F.col("a_v") - F.lit(0.25), F.col("a_v") + F.lit(0.25)
+    want = {
+        (r["a_id"], r["b_id"])
+        for r in a.crossJoin(b)
+        .filter((F.col("b_v") >= lo) & (F.col("b_v") <= hi))
+        .collect()
+    }
+    assert got == want and len(want) > 120  # self pairs + real matches
+
+
+def test_band_join_extra_keys_and_guard(spark):
+    import pytest
+
+    a = spark.createDataFrame([(1, "g", 1.0), (2, "h", 1.0)], "a_id long, k string, a_v double")
+    b = spark.createDataFrame([(3, "g", 1.2), (4, "h", 5.0)], "b_id long, k string, b_v double")
+    out = R.band_join(a, b, "a_v", "b_v", band=0.5, keys=["k"]).collect()
+    assert [(r["a_id"], r["b_id"]) for r in out] == [(1, 3)]  # same-key, in band
+    with pytest.raises(ValueError, match="bucket_width"):
+        R.band_join(a, b, "a_v", "b_v", band=1.0, bucket_width=0.5)
+
+
+def test_salted_join_equals_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(200)], "id long, k string"
+    )
+    dim = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, v int")
+    got = sorted(
+        (r["id"], r["v"]) for r in R.salted_join(fact, dim, "k", salt=4).collect()
+    )
+    want = sorted((r["id"], r["v"]) for r in fact.join(dim, "k").collect())
+    assert got == want and len(want) == 200
