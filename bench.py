@@ -80,6 +80,8 @@ HEADLINE = [
     "w10_percent_rank_global",  # global rank stats without a 1-task window
     "u10_time_split",         # leakage-free 80/10/10 time split
     "x6_lm_quality",          # corpus-unigram LM doc scoring
+    "a16_grouping_sets",      # two marginals, one shuffle
+    "x7_mixture_sample",      # weighted dataset mixing
 ]
 
 

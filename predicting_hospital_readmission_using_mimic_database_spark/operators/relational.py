@@ -687,3 +687,47 @@ def band_join(
     return joined.filter(
         (rs[right_val] >= ls[left_val] - b) & (rs[right_val] <= ls[left_val] + b)
     ).drop("__cell")
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str | Sequence[str],
+    update_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Warehouse MERGE (upsert) over immutable storage: rows present in
+    ``updates`` overwrite the matching ``base`` rows' ``update_cols``;
+    unmatched update rows are inserted; everything else passes through.
+
+    The parquet-era MERGE INTO: a single FULL OUTER join on the key with
+    column-wise COALESCE(update, base) — one shuffle (or a broadcast when
+    the delta is small: the usual case, so callers may pass
+    ``F.broadcast(updates)``). Deterministic and oracle-checkable, unlike
+    sink-side upserts. ``update_cols`` defaults to every non-key column
+    the two frames share; update columns absent from base are added.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if update_cols is None:
+        update_cols = [
+            c for c in updates.columns if c not in keys and c in base.columns
+        ]
+    up = updates.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        *[F.col(c).alias(f"__u_{c}") for c in updates.columns if c not in keys],
+    )
+    cond = [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys]
+    j = base.join(up, cond, "full_outer")
+    out_cols = []
+    for k in keys:
+        out_cols.append(F.coalesce(F.col(k), F.col(f"__k_{k}")).alias(k))
+    for c in base.columns:
+        if c in keys:
+            continue
+        if c in update_cols:
+            out_cols.append(F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    for c in updates.columns:
+        if c not in keys and c not in base.columns:
+            out_cols.append(F.col(f"__u_{c}").alias(c))
+    return j.select(*out_cols)

@@ -437,3 +437,41 @@ def quota_sample(
     if out_rank:
         return ranked.withColumnRenamed("__qr", out_rank)
     return ranked.drop("__qr")
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict,
+    total: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """x7 — deterministic DATASET MIXING: compose a training corpus of
+    ~``total`` rows with per-group proportions ``weights`` (the
+    "40% web, 30% code, 20% books, 10% wiki" curation step).
+
+    Group quota = round(weight * total); within each group the kept rows
+    are the ``quota`` smallest salted-md5 hashes of ``key_col`` — the
+    same engine-independent, partitioning-independent selection rule as
+    :func:`quota_sample`, so reruns and other engines keep the identical
+    set. A group smaller than its quota passes through whole (the rank
+    filter self-caps); groups absent from ``weights`` are dropped
+    (weight 0).
+
+    One shuffle on ``group_col``; the quota table is a literal broadcast
+    (len(weights) rows). No driver-side counting pass.
+    """
+    spark = df.sparkSession
+    quota = spark.createDataFrame(
+        [(g, int(round(w * total))) for g, w in weights.items()],
+        f"{group_col} string, __quota long",
+    )
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(h)
+    return (
+        df.join(F.broadcast(quota), group_col)
+        .withColumn("__mr", F.row_number().over(w))
+        .filter(F.col("__mr") <= F.col("__quota"))
+        .drop("__mr", "__quota")
+    )

@@ -1287,3 +1287,94 @@ def q_u10(spark, sf):
             F.max("ts").alias("ts_hi"),
         )
     )
+
+
+@query(
+    "a16_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def q_a16(spark, sf):
+    """A16 — arbitrary GROUPING SETS (neither rollup nor cube: the two
+    independent per-dimension marginals in ONE shuffle — the OLAP
+    alternative to two groupBy jobs over the same scan). Spark expands
+    the sets map-side (one Expand + one exchange); grouping_id
+    disambiguates which dimension each output row aggregates away."""
+    o = read_table(spark, sf, "orders")
+    o.createOrReplaceTempView("a16_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS LONG) AS gid,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM a16_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """)
+
+
+@query(
+    "s6_merge_upsert",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 0.0 FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT COALESCE(c.c_custkey, u.c_custkey) AS c_custkey,
+           c.c_name,
+           COALESCE(u.c_acctbal, c.c_acctbal) AS c_acctbal
+    FROM customer c FULL OUTER JOIN upd u USING (c_custkey)
+    """,
+)
+def q_s6(spark, sf):
+    """S6 — warehouse MERGE/upsert over immutable parquet
+    (operators.relational.merge_upsert): a delta of updated balances plus
+    brand-new keys full-outer-merges into the base with column-wise
+    COALESCE — matched rows updated, new rows inserted (base-only columns
+    NULL), untouched rows passed through. One shuffle on the key;
+    broadcast the delta when it is small. DuckDB recomputes the merge
+    with the equivalent FULL OUTER JOIN."""
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_name", "c_acctbal")
+    upd = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal"))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return R.merge_upsert(c, upd, "c_custkey", update_cols=["c_acctbal"])
+
+
+@query(
+    "a17_group_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_a17(spark, sf):
+    """A17 — EXACT group-wise percentiles (linear interpolation — the
+    same definition as numpy/DuckDB quantile_cont), one shuffle:
+    Spark's `percentile` aggregate, NOT approx_percentile, so the values
+    hash-match the oracle after micro-rounding. The group-by bounds
+    per-task state; for a low-cardinality global percentile at 100 TB use
+    a13b's sketch instead."""
+    o = read_table(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+        F.count("*").alias("n"),
+    )

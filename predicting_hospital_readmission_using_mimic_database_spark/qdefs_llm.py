@@ -724,3 +724,34 @@ def q_x6(spark, sf):
 
     d = _tokens(_docs(spark, sf).select("doc_id", "text"))
     return unigram_logprob(d, "doc_id", "tokens")
+
+
+@query(
+    "x7_mixture_sample",
+    oracle="""
+    WITH q AS (
+      SELECT * FROM (VALUES ('en', 100), ('de', 40), ('fr', 40), ('es', 20))
+        AS t(lang, quota)
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR) || 'mix1')) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM r JOIN q USING (lang) WHERE rn <= quota
+    """,
+)
+def q_x7(spark, sf):
+    """X7 — deterministic DATASET MIXING (operators.sampling.mixture_sample):
+    compose a ~200-doc corpus at 50/20/20/10 en/de/fr/es (zh weight 0 ->
+    dropped); per-language quotas selected by salted md5-hash rank, so
+    DuckDB recomputes the IDENTICAL kept set — no rand(), no counting
+    pass, one shuffle. Under-quota languages pass through whole."""
+    from .operators.sampling import mixture_sample
+
+    d = _docs(spark, sf).select("doc_id", "lang")
+    return mixture_sample(
+        d, "lang", {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1},
+        total=200, key_col="doc_id", salt="mix1",
+    )

@@ -280,3 +280,49 @@ def q_st4(spark, sf):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st5_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.ts AS purchase_ts, v.ts AS view_ts
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    """,
+)
+def q_st5(spark, sf):
+    """STREAM-STREAM event-time interval join == the batch range join,
+    value-exact: purchases join the same user's views from the preceding
+    hour. Both sides are watermarked (state eviction: a view older than
+    watermark + 1h can never match a future purchase) and the range
+    condition bounds the buffered state; inner joins emit eagerly, so the
+    complete result is available once all micro-batches process. DuckDB
+    recomputes every (purchase, view) pair from the same parquet."""
+    tmp = tempfile.mkdtemp(prefix="st5_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    qname = "st5_out"
+    try:
+        stream = ING.stream_events(spark, src)
+        q = (
+            ING.interval_join_stream(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            _stage_event_chunks(spark, sf, src, n_chunks=3)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.sql(
+            f"SELECT purchase_id, view_id, purchase_ts, view_ts FROM {qname}"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -55,6 +55,11 @@ PRIORITY: tuple[str, ...] = (
     "u10_time_split",
     "x6_lm_quality",
     "st4_stream_window_counts",
+    "a16_grouping_sets",
+    "x7_mixture_sample",
+    "st5_stream_stream_join",
+    "s6_merge_upsert",
+    "a17_group_percentiles",
     "j9_asof_join",
     "w7_sessionize",
     "w8_rolling_avg",
@@ -65,9 +70,11 @@ PRIORITY: tuple[str, ...] = (
     "d7_decontaminate",
     "u9_quota_sample",
     "x5_pack_chunks",
-    # (a) never driver-checked before round 4
-    "t1_regex_recode",
-    "t2_multi_recode",
+    # (a) never driver-checked before round 4 (t1/t2 yielded their slots
+    # to keep the s/p families in-window — s via the new s6 above; both
+    # remain judge-local exact and their regex semantics are nested
+    # inside in-window t13/t16)
+    "p9_dropna",
     "m4_predict_proba",
     "m5_rf_sweep",
     "m6_lr_l1",
@@ -82,8 +89,8 @@ PRIORITY: tuple[str, ...] = (
     "n4_knn_ivf_indexed",
     "st2_stream_enrich_equivalence",
     "st3_stream_dedup",
-    "j6_positional_join_suffixes",
-    "w4b_forward_fill",
+    # (j6/w4b also yielded their slots — each a suffix/direction twin of
+    # an r3-green sibling (j5, w4), judge-local exact)
     "a2b_approx_count_distinct",
     "a14_corr_cov",
     # (b) oracles new this round (were no_oracle rows in r3's window)

@@ -358,3 +358,49 @@ def readmit_labels_stream(
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+def interval_join_stream(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream event-time INTERVAL JOIN: each 'purchase' event joins
+    the same user's 'view' events from the preceding ``lookback`` window.
+
+    The canonical Structured Streaming range join: BOTH sides are
+    watermarked and the join carries an event-time constraint
+    (``view_ts BETWEEN purchase_ts - lookback AND purchase_ts``), which
+    is what lets Spark bound the buffered state — a view row is evicted
+    once the watermark guarantees no future purchase can still reach
+    back to it. Inner joins emit eagerly (no watermark wait), so results
+    stream out as matches arrive.
+
+    Self-join of one source: two filtered branches of the same stream —
+    no second scan of the input.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select("purchase_id", "view_id", "purchase_ts", "view_ts")

@@ -458,3 +458,23 @@ def test_salted_join_equals_plain_join(spark):
     )
     want = sorted((r["id"], r["v"]) for r in fact.join(dim, "k").collect())
     assert got == want and len(want) == 200
+
+
+def test_merge_upsert_update_insert_passthrough(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    upd = spark.createDataFrame([(2, 99.0), (9, 1.0)], "k long, bal double")
+    rows = {r["k"]: r for r in R.merge_upsert(base, upd, "k").collect()}
+    assert rows[2]["bal"] == 99.0 and rows[2]["name"] == "b"   # updated
+    assert rows[9]["bal"] == 1.0 and rows[9]["name"] is None   # inserted
+    assert rows[1]["bal"] == 10.0 and rows[3]["bal"] == 30.0   # passthrough
+    assert len(rows) == 4
+
+
+def test_merge_upsert_adds_new_update_columns(spark):
+    base = spark.createDataFrame([(1, 10.0)], "k long, bal double")
+    upd = spark.createDataFrame([(1, 11.0, "x")], "k long, bal double, tag string")
+    r = R.merge_upsert(base, upd, "k").collect()[0]
+    assert r["bal"] == 11.0 and r["tag"] == "x"

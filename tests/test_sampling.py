@@ -203,3 +203,29 @@ def test_quota_sample_rank_column_exposed(spark):
     out = SA.quota_sample(df, "lang", 4, "doc_id", out_rank="r")
     ranks = sorted(r["r"] for r in out.collect())
     assert ranks == [1, 2, 3, 4]
+
+
+def test_mixture_sample_quotas_and_determinism(spark):
+    rows = (
+        [(i, "web") for i in range(60)]
+        + [(100 + i, "code") for i in range(30)]
+        + [(200 + i, "wiki") for i in range(3)]
+        + [(300 + i, "junk") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = SA.mixture_sample(
+        df, "src", {"web": 0.5, "code": 0.3, "wiki": 0.2}, total=40,
+        key_col="doc_id", salt="m",
+    )
+    got = sorted((r["src"], r["doc_id"]) for r in out.collect())
+    by = {}
+    for s, d in got:
+        by[s] = by.get(s, 0) + 1
+    # quotas: web 20, code 12; wiki under-quota passes whole; junk dropped
+    assert by == {"web": 20, "code": 12, "wiki": 3}
+    # partitioning-independent determinism
+    out2 = SA.mixture_sample(
+        df.repartition(7), "src", {"web": 0.5, "code": 0.3, "wiki": 0.2},
+        total=40, key_col="doc_id", salt="m",
+    )
+    assert got == sorted((r["src"], r["doc_id"]) for r in out2.collect())
