@@ -199,3 +199,30 @@ def unigram_logprob(
             6,
         ).alias(out),
     )
+
+
+#: PII patterns written to the COMMON subset of Java regex (Spark) and
+#: RE2 (DuckDB/Go engines): literal classes, no lookaround, no \S
+#: shorthand — so a scrub is reproducible across engines byte-for-byte.
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "url": r"https?://[^ \t\n]+",
+}
+
+
+def pii_count(text, kind: str):
+    """Occurrences of one PII pattern (JVM regexp_count, no UDF)."""
+    return F.regexp_count(text if not isinstance(text, str) else F.col(text),
+                          F.lit(PII_PATTERNS[kind]))
+
+
+def pii_scrub(text, kinds: tuple = ("email", "url")):
+    """x8 — PII redaction for corpus curation: replace each matched
+    pattern with a typed placeholder (``<EMAIL>``, ``<URL>``), entirely
+    JVM-side ``regexp_replace`` — the map-only, shuffle-free scrub pass
+    every released dataset runs. Chain order is deterministic (email
+    before url by default), so output bytes are engine-reproducible."""
+    c = F.col(text) if isinstance(text, str) else text
+    for k in kinds:
+        c = F.regexp_replace(c, PII_PATTERNS[k], f"<{k.upper()}>")
+    return c

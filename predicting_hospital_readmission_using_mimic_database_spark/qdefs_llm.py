@@ -755,3 +755,61 @@ def q_x7(spark, sf):
         d, "lang", {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1},
         total=200, key_col="doc_id", salt="mix1",
     )
+
+
+@query(
+    "x8_pii_scrub",
+    oracle=r"""
+    WITH noisy AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com via http://site'
+                       || CAST(doc_id AS VARCHAR) || '.test/page now'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS INT)
+             AS n_urls,
+           md5(regexp_replace(
+                 regexp_replace(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                   '<EMAIL>', 'g'),
+                 'https?://[^ \t\n]+', '<URL>', 'g')) AS scrubbed_md5
+    FROM noisy
+    """,
+)
+def q_x8(spark, sf):
+    """X8 — PII redaction (the pre-release scrub pass): emails/URLs are
+    INJECTED deterministically into every 5th doc (both engines build the
+    identical noisy corpus — the repo's standard noise-injection oracle
+    pattern), then counted and replaced with typed placeholders via
+    JVM regexp only. The md5 of every scrubbed doc must match DuckDB's —
+    a one-character divergence anywhere in the corpus breaks the hash.
+    Patterns use the common Java-regex/RE2 subset (textstats.PII_PATTERNS),
+    so the same scrub is portable across engines. Map-only: no shuffle."""
+    from .operators.textstats import pii_count, pii_scrub
+
+    d = _docs(spark, sf).select("doc_id", "text")
+    noisy = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com via http://site"),
+                F.col("doc_id").cast("string"), F.lit(".test/page now"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return noisy.select(
+        "doc_id",
+        pii_count(F.col("text"), "email").cast("int").alias("n_emails"),
+        pii_count(F.col("text"), "url").cast("int").alias("n_urls"),
+        F.md5(pii_scrub("text")).alias("scrubbed_md5"),
+    )

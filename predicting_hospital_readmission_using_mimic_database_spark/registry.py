@@ -60,6 +60,7 @@ PRIORITY: tuple[str, ...] = (
     "st5_stream_stream_join",
     "s6_merge_upsert",
     "a17_group_percentiles",
+    "x8_pii_scrub",
     "j9_asof_join",
     "w7_sessionize",
     "w8_rolling_avg",

@@ -378,3 +378,23 @@ def test_unigram_logprob_tiny_corpus(spark):
     assert abs(rows[1]["avg_logprob"] - math.log(0.75)) < 1e-6
     want2 = (math.log(0.75) + math.log(0.25)) / 2
     assert abs(rows[2]["avg_logprob"] - want2) < 1e-6
+
+
+def test_pii_scrub_replaces_and_counts(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.textstats import pii_count, pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b+c@x-mail.co.uk or visit https://a.test/p?q=1 ok"),
+         (2, "no pii here")],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        pii_count(F.col("text"), "email").alias("ne"),
+        pii_count(F.col("text"), "url").alias("nu"),
+        pii_scrub("text").alias("s"),
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["ne"] == 1 and rows[1]["nu"] == 1
+    assert rows[1]["s"] == "mail me at <EMAIL> or visit <URL> ok"
+    assert rows[2]["s"] == "no pii here" and rows[2]["ne"] == rows[2]["nu"] == 0
