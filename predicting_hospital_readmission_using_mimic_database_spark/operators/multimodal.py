@@ -473,3 +473,56 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 500) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+def resize_image_nn(content: bytes, out_w: int, out_h: int) -> bytes | None:
+    """Nearest-neighbor resize of a decodable image (BMP/PPM), re-encoded
+    as BMP. Pure integer source-coordinate mapping (``sx = x*w // out_w``)
+    — deterministic on every platform, no float resampling kernels.
+    Returns None for undecodable bytes (poison-pill tolerant)."""
+    parsed = _parse_bmp(content) or _parse_ppm(content)
+    if parsed is None:
+        return None
+    w, h, px = parsed
+    out = []
+    for y in range(out_h):
+        sy = min(h - 1, (y * h) // out_h)
+        for x in range(out_w):
+            sx = min(w - 1, (x * w) // out_w)
+            out.append(px[sy * w + sx])
+    return encode_bmp(out_w, out_h, out)
+
+
+RESIZED_SCHEMA = (
+    "asset_id long, in_w int, in_h int, out_w int, out_h int, content binary"
+)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """mm3 — batch image TRANSFORM (not just decode): resize every image
+    asset to (out_w, out_h) via ``mapInPandas`` — blobs stay binary
+    Arrow-batched columns end-to-end, one Python pass per partition, no
+    shuffle. Undecodable rows pass through with NULL content and NULL
+    dims (count them downstream; never throw mid-corpus at 100 TB).
+    """
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                parsed = _parse_bmp(blob) or _parse_ppm(blob)
+                if parsed is None:
+                    rows.append((aid, None, None, out_w, out_h, None))
+                    continue
+                w, h, _ = parsed
+                rows.append(
+                    (aid, w, h, out_w, out_h, resize_image_nn(blob, out_w, out_h))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "in_w", "in_h", "out_w", "out_h", "content"],
+            )
+
+    return df.select("asset_id", "content").mapInPandas(gen, RESIZED_SCHEMA)

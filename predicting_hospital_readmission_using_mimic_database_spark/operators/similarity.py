@@ -431,27 +431,72 @@ _BOUND_EPS = 1e-6
 _KMEANS_FIT_SAMPLE = 100_000
 
 
-def _fit_kmeans(vec: DataFrame, n_cells: int, seed: int):
-    """Fit IVF centroids on a bounded, tightly-partitioned sample."""
-    import math
+def _fit_centroids(
+    norm: DataFrame, array_col: str, n_cells: int, seed: int, max_iter: int = 10
+) -> list[list[float]]:
+    """Lloyd's k-means on a bounded uniform sample, DRIVER-side numpy.
 
-    from pyspark.ml.clustering import KMeans
+    The sample is capped at ``_KMEANS_FIT_SAMPLE`` rows (<= ~50 MB at
+    dim 64), so the fit is two Spark jobs total (count + collect) and a
+    vectorized matmul loop — instead of MLlib's one-job-per-iteration
+    (~20 scheduler round-trips to cluster 16 cells). This is the
+    standard IVF build shape at any scale: centroids from a sample,
+    ASSIGNMENT of the full corpus distributed (:func:`assign_cells`).
+    Cluster quality only affects the scan fraction, never correctness
+    (the radius bound proves exact top-k)."""
+    import numpy as np
 
-    n = vec.count()
-    fit_df = vec
+    n = norm.count()
+    src = norm.select(F.col(array_col).alias("__a"))
     if n > _KMEANS_FIT_SAMPLE:
-        fit_df = vec.sample(fraction=_KMEANS_FIT_SAMPLE / n, seed=seed)
-        n = _KMEANS_FIT_SAMPLE
-    parts = max(1, min(fit_df.rdd.getNumPartitions(), math.ceil(n / 25_000)))
-    fit_df = fit_df.coalesce(parts).cache()
-    try:
-        km = KMeans(
-            k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell",
-            maxIter=10, initMode="random",
+        src = src.sample(fraction=_KMEANS_FIT_SAMPLE / n, seed=seed).limit(
+            _KMEANS_FIT_SAMPLE
         )
-        return km.fit(fit_df)
-    finally:
-        fit_df.unpersist()
+    X = np.asarray([r["__a"] for r in src.collect()], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    k = min(n_cells, len(X))
+    cents = X[rng.choice(len(X), size=k, replace=False)]
+    x2 = (X * X).sum(axis=1)
+    for _ in range(max_iter):
+        c2 = (cents * cents).sum(axis=1)
+        lab = (c2[None, :] - 2.0 * (X @ cents.T)).argmin(axis=1)
+        new = np.empty_like(cents)
+        for c in range(k):
+            m = lab == c
+            new[c] = X[m].mean(axis=0) if m.any() else cents[c]
+        if np.allclose(new, cents):
+            cents = new
+            break
+        cents = new
+    _ = x2  # row norms drop out of the argmin; kept for clarity
+    return [[float(v) for v in c] for c in cents]
+
+
+def assign_cells(
+    df: DataFrame, array_col: str, centroids, out: str = "__cell"
+) -> DataFrame:
+    """Distributed IVF cell assignment: nearest centroid per row via one
+    numpy matmul per Arrow batch (``mapInPandas``, centroids broadcast).
+    All input columns pass through; adds ``out`` (int cell id)."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    bc = df.sparkSession.sparkContext.broadcast((C, c2))
+    schema = StructType(list(df.schema.fields) + [StructField(out, IntegerType())])
+
+    def gen(batches):
+        C, c2 = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(list(pdf[array_col]), dtype=np.float64)
+            # ||v||^2 is constant per row — argmin needs only the cross term
+            pdf[out] = (c2[None, :] - 2.0 * (X @ C.T)).argmin(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
 
 
 def topk_ivf(
@@ -478,18 +523,14 @@ def topk_ivf(
     file partitions — see build_ivf_index/topk_ivf_indexed).
     Centroids + radii are tiny (n_cells x dim + n_cells) — driver-side.
     """
-    from pyspark.ml.functions import array_to_vector
-
     norm = df.select(
         F.col(id_col),
         F.col(array_col).alias("__orig"),
-        l2_normalize(F.col(array_col)).alias("__arr"),
+        l2_normalize(F.col(array_col)).cast("array<double>").alias("__arr"),
     ).filter(F.col("__arr").isNotNull())
-    vec = norm.withColumn("__v", array_to_vector(F.col("__arr").cast("array<double>")))
-    model = _fit_kmeans(vec, n_cells, seed)
-    assigned = model.transform(vec).cache()
+    centers = _fit_centroids(norm, "__arr", n_cells, seed)
+    assigned = assign_cells(norm, "__arr", centers).cache()
     try:
-        centers = model.clusterCenters()
         radii = cell_radii(assigned, centers)
         bounds = _cells_by_bound(centers, radii, query)
         probe = [c for c, _ in bounds[:n_probe]]
@@ -571,18 +612,14 @@ def build_ivf_index(
     store); the radii let the serving path prove result exactness
     (:func:`cell_radii`).
     """
-    from pyspark.ml.functions import array_to_vector
-
     norm = df.select(
         F.col(id_col),
         F.col(array_col).alias("__orig"),
-        l2_normalize(F.col(array_col)).alias("__arr"),
+        l2_normalize(F.col(array_col)).cast("array<double>").alias("__arr"),
     ).filter(F.col("__arr").isNotNull())
-    vec = norm.withColumn("__v", array_to_vector(F.col("__arr").cast("array<double>")))
-    model = _fit_kmeans(vec, n_cells, seed)
-    assigned = model.transform(vec).cache()
+    centers = _fit_centroids(norm, "__arr", n_cells, seed)
+    assigned = assign_cells(norm, "__arr", centers).cache()
     try:
-        centers = model.clusterCenters()
         radii = cell_radii(assigned, centers)
         assigned.select(id_col, F.col("__orig").alias(array_col), "__cell").write.mode(
             "overwrite"

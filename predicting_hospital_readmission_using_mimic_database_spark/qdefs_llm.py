@@ -813,3 +813,38 @@ def q_x8(spark, sf):
         pii_count(F.col("text"), "url").cast("int").alias("n_urls"),
         F.md5(pii_scrub("text")).alias("scrubbed_md5"),
     )
+
+
+@query(
+    "mm3_image_resize",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_images,
+           CAST(2 AS INT) AS out_w, CAST(2 AS INT) AS out_h,
+           TRUE AS all_decodable, TRUE AS resized_pixels_exact
+    FROM range(64) t(i) WHERE i % 3 = 0
+    """,
+)
+def q_mm3(spark, sf):
+    """MM3 — image TRANSFORM plumbing: every synthetic image asset
+    resizes to 2x2 via nearest-neighbor mapInPandas
+    (operators.multimodal.resize_images); the oracle pins the image count
+    (range closed form), output dims, decodability of every resized blob,
+    and the EXACT resized pixels of asset 0 against a locally-computed
+    fixture from the same closed-form source (distributed == local)."""
+    blobs = MM.synthetic_blobs(spark, n=64).filter(F.col("media_type") == "image")
+    res = MM.resize_images(blobs, 2, 2).cache()
+    # local fixture for asset 0: 4x3 closed-form pixels -> 2x2 NN resize
+    w, h = 4, 3
+    px = [((x * 37) % 256, (y * 59) % 256, (x * y * 17) % 256) for y in range(h) for x in range(w)]
+    expected = MM.resize_image_nn(MM.encode_bmp(w, h, px), 2, 2)
+    got0 = res.filter(F.col("asset_id") == 0).select("content").first()
+    pixels_exact = bool(
+        got0 is not None and got0[0] is not None and bytes(got0[0]) == expected
+    )
+    return res.agg(
+        F.count("*").alias("n_images"),
+        F.max("out_w").alias("out_w"),
+        F.max("out_h").alias("out_h"),
+        (F.count(F.col("content")) == F.count("*")).alias("all_decodable"),
+        F.lit(pixels_exact).alias("resized_pixels_exact"),
+    )

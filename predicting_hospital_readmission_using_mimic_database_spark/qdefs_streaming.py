@@ -326,3 +326,60 @@ def q_st5(spark, sf):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st6_stream_session_windows",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_st6(spark, sf):
+    """Streaming SESSION WINDOWS (dynamic-gap windows, session_window) ==
+    batch gap-based sessionization, value-exact: every (user, session)
+    with its start, end (last event + 30 min gap — Spark's window-end
+    semantics, merge iff gap < 30 min strictly), and event count must
+    hash-match DuckDB's lag/cumsum sessionization of the same parquet.
+    Complete-mode memory sink; state finalizes/evicts as the watermark
+    passes in production append mode."""
+    tmp = tempfile.mkdtemp(prefix="st6_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    qname = "st6_out"
+    try:
+        stream = ING.stream_events(spark, src)
+        q = (
+            ING.sessionized_counts(stream, gap="30 minutes", watermark="1 day")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            _stage_event_chunks(spark, sf, src, n_chunks=3)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.sql(
+            f"SELECT user_id, session_start, session_end, n_events FROM {qname}"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -61,6 +61,8 @@ PRIORITY: tuple[str, ...] = (
     "s6_merge_upsert",
     "a17_group_percentiles",
     "x8_pii_scrub",
+    "st6_stream_session_windows",
+    "mm3_image_resize",
     "j9_asof_join",
     "w7_sessionize",
     "w8_rolling_avg",
@@ -76,7 +78,7 @@ PRIORITY: tuple[str, ...] = (
     # remain judge-local exact and their regex semantics are nested
     # inside in-window t13/t16)
     "p9_dropna",
-    "m4_predict_proba",
+    # (m4 yielded its slot: predict_proba is exercised inside in-window m3)
     "m5_rf_sweep",
     "m6_lr_l1",
     "m10_top_n_retrain",
@@ -92,7 +94,7 @@ PRIORITY: tuple[str, ...] = (
     "st3_stream_dedup",
     # (j6/w4b also yielded their slots — each a suffix/direction twin of
     # an r3-green sibling (j5, w4), judge-local exact)
-    "a2b_approx_count_distinct",
+    # (a2b yielded its slot: HLL twin of multi-round-green exact a2)
     "a14_corr_cov",
     # (b) oracles new this round (were no_oracle rows in r3's window)
     "u8_random_under",

@@ -36,8 +36,9 @@ def test_first_50_entries_cover_every_family():
     # never-driver-checked + newest entries sit inside the window (the
     # r3-green stable reps are the ones allowed to rotate out)
     for must in ("j10_band_join", "x6_lm_quality", "st4_stream_window_counts",
-                 "u10_time_split", "m4_predict_proba", "e8_strategy_comparison",
-                 "u6_smote", "st1_stream_labels_equivalence"):
+                 "u10_time_split", "mm3_image_resize", "e8_strategy_comparison",
+                 "u6_smote", "st1_stream_labels_equivalence",
+                 "flagship_readmit_30d"):
         assert must in names
 
 

@@ -398,3 +398,28 @@ def test_pii_scrub_replaces_and_counts(spark):
     assert rows[1]["ne"] == 1 and rows[1]["nu"] == 1
     assert rows[1]["s"] == "mail me at <EMAIL> or visit <URL> ok"
     assert rows[2]["s"] == "no pii here" and rows[2]["ne"] == rows[2]["nu"] == 0
+
+
+def test_resize_image_nn_exact_pixels(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import multimodal as MM
+
+    # 4x2 image with known pixels -> 2x1: NN picks (0,0) and (2,0)
+    px = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120),
+          (1, 2, 3), (4, 5, 6), (7, 8, 9), (11, 12, 13)]
+    blob = MM.encode_bmp(4, 2, px)
+    out = MM.resize_image_nn(blob, 2, 1)
+    w, h, got = MM._parse_bmp(out)
+    assert (w, h) == (2, 1) and got == [(10, 20, 30), (70, 80, 90)]
+    assert MM.resize_image_nn(b"not an image", 2, 2) is None
+
+
+def test_resize_images_null_for_undecodable(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, bytearray(MM.encode_bmp(2, 2, [(0, 0, 0)] * 4))), (2, bytearray(b"junk"))],
+        "asset_id long, content binary",
+    )
+    rows = {r["asset_id"]: r for r in MM.resize_images(df, 1, 1).collect()}
+    assert rows[1]["content"] is not None and rows[1]["in_w"] == 2
+    assert rows[2]["content"] is None and rows[2]["in_w"] is None
