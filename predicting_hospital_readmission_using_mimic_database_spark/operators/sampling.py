@@ -475,3 +475,49 @@ def mixture_sample(
         .filter(F.col("__mr") <= F.col("__quota"))
         .drop("__mr", "__quota")
     )
+
+
+def stratified_hash_split(
+    df: DataFrame,
+    label: Column | str,
+    key_col: str,
+    test_frac: float = 0.2,
+    salt: str = "split",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic per-class train/test split that GUARANTEES class
+    presence on both sides (for every class with >= 2 rows) at any scale.
+
+    ``randomSplit``/Bernoulli sampling assigns rows independently, so a
+    small class can land entirely on one side (observed: a 7-row class
+    with an empty test split -> undefined AUC). Here each class ranks
+    its rows by salted md5 of ``key_col`` (uniform, seedable via salt,
+    partitioning-independent) and sends exactly
+    ``clamp(round(test_frac * n_c), 1, n_c - 1)`` rows to test.
+
+    One tiny class-count collect + one rank window (shuffle on the
+    class key). Classes with a single row stay in train.
+    """
+    lab = F.col(label) if isinstance(label, str) else label
+    counts = df.groupBy(lab.alias("__lab")).agg(F.count("*").alias("n")).collect()
+    quota = {
+        r["__lab"]: (
+            0 if r["n"] < 2 else min(r["n"] - 1, max(1, int(round(test_frac * r["n"]))))
+        )
+        for r in counts
+    }
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    lab_type = df.select(lab.alias("__lab")).schema[0].dataType
+    qdf = spark.createDataFrame(
+        [(k, v) for k, v in quota.items()],
+        StructType([StructField("__lab", lab_type), StructField("__tq", LongType())]),
+    )
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(lab).orderBy(h)
+    ranked = df.withColumn("__sr", F.row_number().over(w)).join(
+        F.broadcast(qdf), lab.eqNullSafe(F.col("__lab"))
+    )
+    test = ranked.filter(F.col("__sr") <= F.col("__tq")).drop("__sr", "__lab", "__tq")
+    train = ranked.filter(F.col("__sr") > F.col("__tq")).drop("__sr", "__lab", "__tq")
+    return train, test

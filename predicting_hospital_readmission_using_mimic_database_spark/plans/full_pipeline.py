@@ -128,7 +128,10 @@ def strategy_comparison(spark: SparkSession, sf_dir: str, seed: int = 42) -> Dat
     # (cache blocks populate per-partition without coordination).
     base = base.cache()
     base.count()
-    train, test = SA.random_split(base, (0.8, 0.2), seed=seed)
+    # hash-stratified: GUARANTEES the held-out side keeps both classes at
+    # any scale — a Bernoulli split of a small user table can hand test a
+    # single class and leave every strategy's AUC undefined (sf0.001)
+    train, test = SA.stratified_hash_split(base, "y", "user_id", 0.2)
     train = train.cache()
     train.count()
     # every strategy scores this same frame (three actions each) — without
@@ -214,12 +217,13 @@ def run_pipeline(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
 
     feat_cols = [c for c in numeric_columns(table, exclude=("user_id", "label"))]
     assembled = assemble_features(
-        table.select(*feat_cols, F.col("label").cast("double").alias("y")), feat_cols
+        table.select("user_id", *feat_cols, F.col("label").cast("double").alias("y")),
+        feat_cols,
     )
 
-    # stratified: an unstratified 80/20 of a small/skewed user table can
-    # hand the held-out side a single class (AUC undefined)
-    train, test = SA.stratified_split(assembled, "y", (0.8, 0.2), seed=seed)
+    # hash-stratified on user_id: both classes guaranteed on both sides
+    # at any scale (a Bernoulli split can empty a small class's test side)
+    train, test = SA.stratified_hash_split(assembled, "y", "user_id", 0.2)
     train_bal = SA.balance_undersample(train, "y", seed=seed).cache()
 
     model = MO.train_rf(train_bal, "features", "y", num_trees=50, seed=seed)

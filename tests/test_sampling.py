@@ -229,3 +229,24 @@ def test_mixture_sample_quotas_and_determinism(spark):
         total=40, key_col="doc_id", salt="m",
     )
     assert got == sorted((r["src"], r["doc_id"]) for r in out2.collect())
+
+
+def test_stratified_hash_split_guarantees_classes(spark):
+    # 7-row minority: Bernoulli splits frequently empty its test side;
+    # the hash split must never
+    rows = [(i, 0) for i in range(40)] + [(100 + i, 1) for i in range(7)]
+    df = spark.createDataFrame(rows, "user_id long, y int")
+    train, test = SA.stratified_hash_split(df, "y", "user_id", 0.2)
+    tr = {r["y"]: r["n"] for r in train.groupBy("y").agg(F.count("*").alias("n")).collect()}
+    te = {r["y"]: r["n"] for r in test.groupBy("y").agg(F.count("*").alias("n")).collect()}
+    assert te == {0: 8, 1: 1} and tr == {0: 32, 1: 6}
+    # deterministic + partition-independent
+    tr2, te2 = SA.stratified_hash_split(df.repartition(5), "y", "user_id", 0.2)
+    assert sorted(r["user_id"] for r in te2.collect()) == sorted(
+        r["user_id"] for r in test.collect()
+    )
+    # single-row class stays in train
+    df1 = spark.createDataFrame([(1, 0), (2, 0), (3, 0), (9, 1)], "user_id long, y int")
+    tr1, te1 = SA.stratified_hash_split(df1, "y", "user_id", 0.5)
+    assert te1.filter(F.col("y") == 1).count() == 0
+    assert tr1.filter(F.col("y") == 1).count() == 1
