@@ -848,3 +848,43 @@ def q_mm3(spark, sf):
         (F.count(F.col("content")) == F.count("*")).alias("all_decodable"),
         F.lit(pixels_exact).alias("resized_pixels_exact"),
     )
+
+
+@query(
+    "u11_stratified_hash_split",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    q AS (
+      SELECT lang,
+             CASE WHEN n < 2 THEN 0
+                  ELSE least(n - 1, greatest(1, CAST(round(0.2 * n) AS BIGINT)))
+             END AS tq
+      FROM c
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR) || 'split'))
+               AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rn <= tq THEN 'test' ELSE 'train' END AS split
+    FROM r JOIN q USING (lang)
+    """,
+)
+def q_u11(spark, sf):
+    """U11 — deterministic hash-stratified split
+    (operators.sampling.stratified_hash_split): every language sends
+    exactly clamp(round(0.2*n), 1, n-1) docs to test, chosen by salted
+    md5 rank — DuckDB reproduces the IDENTICAL doc-level assignment, so
+    the whole split (not just its counts) is the oracle. The guarantee a
+    Bernoulli split can't give: both sides keep every class at any
+    scale."""
+    from .operators.sampling import stratified_hash_split
+
+    d = _docs(spark, sf).select("doc_id", "lang")
+    train, test = stratified_hash_split(d, "lang", "doc_id", 0.2)
+    return train.withColumn("split", F.lit("train")).unionByName(
+        test.withColumn("split", F.lit("test"))
+    )
