@@ -453,6 +453,11 @@ def _fit_centroids(
             _KMEANS_FIT_SAMPLE
         )
     X = np.asarray([r["__a"] for r in src.collect()], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError(
+            "_fit_centroids: no non-null vectors to cluster — check the "
+            "array column and upstream filters"
+        )
     rng = np.random.default_rng(seed)
     k = min(n_cells, len(X))
     cents = X[rng.choice(len(X), size=k, replace=False)]
