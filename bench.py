@@ -82,6 +82,8 @@ HEADLINE = [
     "x6_lm_quality",          # corpus-unigram LM doc scoring
     "a16_grouping_sets",      # two marginals, one shuffle
     "x7_mixture_sample",      # weighted dataset mixing
+    "n5_knn_join_exact",      # broadcast-matrix exact kNN join kernel
+    "t17_bigram_counts",      # plan-side n-gram explode + count
 ]
 
 

@@ -888,3 +888,81 @@ def q_u11(spark, sf):
     return train.withColumn("split", F.lit("train")).unionByName(
         test.withColumn("split", F.lit("test"))
     )
+
+
+@query(
+    "n5_knn_join_exact",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS va
+      FROM embeddings WHERE vec_id < 50
+    ),
+    c AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings),
+    d AS (
+      SELECT a_id, b_id, list_distance(va, vb) AS dist
+      FROM q CROSS JOIN c WHERE a_id <> b_id
+    ),
+    r AS (
+      SELECT a_id, b_id, dist,
+             row_number() OVER (PARTITION BY a_id ORDER BY dist, b_id) AS rank
+      FROM d
+    )
+    SELECT a_id, b_id, round(dist, 6) AS dist, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def q_n5(spark, sf):
+    """N5 — the exact broadcast kNN JOIN kernel registered directly
+    (similarity.knn_join_broadcast, the engine under SMOTE/NearMiss):
+    50 probe rows stream against the broadcast corpus matrix, one numpy
+    matmul per Arrow batch, no shuffle; every (probe, neighbor, dist,
+    rank) hash-matches DuckDB's brute-force window ranking. At scale the
+    big side is the streamed one — cost is one linear pass however many
+    probes per batch."""
+    e = _emb(spark, sf).select("vec_id", "embedding")
+    probes = e.filter(F.col("vec_id") < 50)
+    knn = SI.knn_join_broadcast(probes, e, "vec_id", "embedding", k=3, exclude_self=True)
+    return knn.select(
+        "a_id", "b_id", F.round("dist", 6).alias("dist"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+@query(
+    "t17_bigram_counts",
+    oracle=f"""
+    WITH tk AS (SELECT {_TOKENS_SQL} AS l FROM documents),
+    b AS (
+      SELECT unnest(list_filter(
+        list_transform(list_zip(l, l[2:]), p -> p[1] || ' ' || p[2]),
+        x -> x IS NOT NULL)) AS bigram
+      FROM tk
+    )
+    SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def q_t17(spark, sf):
+    """T17 — corpus bigram frequency table (n-gram LM / tokenizer-training
+    prep): consecutive token pairs built PLAN-SIDE (transform over an
+    index sequence — no UDF, no self-join), exploded into one
+    map-side-combined count shuffle; top-50 via TakeOrdered (50-row
+    heaps, no global sort). Deterministic tiebreak on the bigram text;
+    DuckDB recomputes the same table from the same tokenizer."""
+    d = _tokens(_docs(spark, sf).select("doc_id", "text"))
+    bigrams = d.select(
+        F.explode(
+            F.when(
+                F.size("tokens") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(tokens) - 1), "
+                    "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )

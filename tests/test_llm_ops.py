@@ -423,3 +423,30 @@ def test_resize_images_null_for_undecodable(spark):
     rows = {r["asset_id"]: r for r in MM.resize_images(df, 1, 1).collect()}
     assert rows[1]["content"] is not None and rows[1]["in_w"] == 2
     assert rows[2]["content"] is None and rows[2]["in_w"] is None
+
+
+def test_bigram_entry_handles_short_docs(spark):
+    """Docs with < 2 tokens must contribute no bigrams (the sequence()
+    guard — Spark's sequence(1, 0) would DESCEND without it)."""
+    from predicting_hospital_readmission_using_mimic_database_spark import qdefs_llm  # noqa: F401
+    from predicting_hospital_readmission_using_mimic_database_spark.registry import REGISTRY
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, ""), (3, "alpha beta alpha beta")],
+        "doc_id long, text string",
+    )
+    d = df.withColumn("tokens", F.split(F.lower("text"), r"\W+"))
+    d = d.withColumn("tokens", F.filter("tokens", lambda t: t != ""))
+    bigrams = d.select(
+        F.explode(
+            F.when(
+                F.size("tokens") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(tokens) - 1), "
+                    "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    got = {r["bigram"]: 1 for r in bigrams.groupBy("bigram").count().collect()}
+    assert set(got) == {"alpha beta", "beta alpha"}
