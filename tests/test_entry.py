@@ -95,3 +95,14 @@ def test_strategy_comparison_shape(spark):
     for r in rows:
         assert r["n_train"] > 0
         assert r["auc"] is None or 0.0 <= r["auc"] <= 1.0
+
+
+def test_priority_names_all_registered():
+    """A typo in PRIORITY silently drops the entry from the driver's
+    verification window (load_all filters with `if n in REGISTRY`)."""
+    from predicting_hospital_readmission_using_mimic_database_spark.registry import PRIORITY, load_all
+
+    reg = load_all()
+    missing = [n for n in PRIORITY if n not in reg]
+    assert missing == [], missing
+    assert len(set(PRIORITY)) == len(PRIORITY)  # no duplicate slots
