@@ -100,3 +100,52 @@ def test_connected_components_equals_union_find(spark, edges):
         return {min(s): frozenset(s) for s in g.values()}
 
     assert groups(got) == groups(want)
+
+
+@_slow
+@given(
+    st.lists(st.integers(0, 400), min_size=2, max_size=30),
+    st.integers(1, 50),
+)
+def test_band_join_equals_nested_loop(spark, raw, band_cents):
+    """Grid-bucket band join == naive theta join for arbitrary values and
+    band widths, INCLUDING values sitting exactly on band multiples
+    (ints scaled by 0.01 exercise the BETWEEN fp boundary)."""
+    vals = [v * 0.01 for v in raw]
+    band = band_cents * 0.01
+    a = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "a_id long, a_v double")
+    b = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "b_id long, b_v double")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in R.band_join(a, b, "a_v", "b_v", band=band).collect()
+    }
+    want = {
+        (r["a_id"], r["b_id"])
+        for r in a.crossJoin(b)
+        .filter(
+            (F.col("b_v") >= F.col("a_v") - band) & (F.col("b_v") <= F.col("a_v") + band)
+        )
+        .collect()
+    }
+    assert got == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 100)),
+        min_size=1, max_size=30, unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 100)),
+        min_size=0, max_size=15, unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_upsert_equals_dict_semantics(spark, base_rows, upd_rows):
+    """merge_upsert == plain dict update for arbitrary key sets."""
+    base = spark.createDataFrame(base_rows or [(0, 0)], "k long, v long")
+    upd = spark.createDataFrame(upd_rows, "k long, v long") if upd_rows else base.limit(0)
+    want = dict(base_rows or [(0, 0)])
+    want.update(dict(upd_rows))
+    got = {r["k"]: r["v"] for r in R.merge_upsert(base, upd, "k").collect()}
+    assert got == want
