@@ -483,19 +483,30 @@ def stratified_hash_split(
     key_col: str,
     test_frac: float = 0.2,
     salt: str = "split",
+    exact_below: int = 1_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic per-class train/test split that GUARANTEES class
     presence on both sides (for every class with >= 2 rows) at any scale.
 
     ``randomSplit``/Bernoulli sampling assigns rows independently, so a
     small class can land entirely on one side (observed: a 7-row class
-    with an empty test split -> undefined AUC). Here each class ranks
-    its rows by salted md5 of ``key_col`` (uniform, seedable via salt,
-    partitioning-independent) and sends exactly
-    ``clamp(round(test_frac * n_c), 1, n_c - 1)`` rows to test.
+    with an empty test split -> undefined AUC). Here assignment is a
+    pure function of ``md5(key || salt)`` — seedable via salt and
+    independent of partitioning — with two regimes:
 
-    One tiny class-count collect + one rank window (shuffle on the
-    class key). Classes with a single row stay in train.
+    - classes with < ``exact_below`` rows rank by the hash and send
+      EXACTLY ``clamp(round(test_frac * n_c), 1, n_c - 1)`` rows to
+      test (one per-class window; bounded by ``exact_below`` rows per
+      task, so no task ever sees more than that);
+    - classes at or above ``exact_below`` use a MAP-ONLY hash
+      threshold (first 8 hash hex digits < frac * 2^32): no window, no
+      funnel — at 100 TB a 2-class label would otherwise route the
+      whole table through two tasks. Test size is then binomial around
+      ``test_frac * n_c`` (tight at that scale), and class presence on
+      both sides is a near-certainty rather than a construction.
+
+    One tiny class-count collect; classes with a single row stay in
+    train.
     """
     lab = F.col(label) if isinstance(label, str) else label
     counts = df.groupBy(lab.alias("__lab")).agg(F.count("*").alias("n")).collect()
@@ -505,19 +516,39 @@ def stratified_hash_split(
         )
         for r in counts
     }
-    from pyspark.sql.types import LongType, StructField, StructType
+    big = {r["__lab"] for r in counts if r["n"] >= exact_below}
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
     spark = df.sparkSession
     lab_type = df.select(lab.alias("__lab")).schema[0].dataType
     qdf = spark.createDataFrame(
-        [(k, v) for k, v in quota.items()],
-        StructType([StructField("__lab", lab_type), StructField("__tq", LongType())]),
+        [(k, v, k in big) for k, v in quota.items()],
+        StructType(
+            [
+                StructField("__lab", lab_type),
+                StructField("__tq", LongType()),
+                StructField("__big", BooleanType()),
+            ]
+        ),
     )
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    joined = df.join(F.broadcast(qdf), lab.eqNullSafe(F.col("__lab")))
+    thresh = int(test_frac * float(1 << 32))
+    big_test = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") < F.lit(thresh)
+    if big:
+        # rank ONLY the bounded classes; big classes never enter the window
+        w = Window.partitionBy(lab).orderBy(h)
+        small_part = joined.filter(~F.col("__big"))
+        ranked = small_part.withColumn("__sr", F.row_number().over(w))
+        small_test = ranked.filter(F.col("__sr") <= F.col("__tq"))
+        small_train = ranked.filter(F.col("__sr") > F.col("__tq"))
+        big_part = joined.filter(F.col("__big"))
+        test = small_test.drop("__sr").unionByName(big_part.filter(big_test))
+        train = small_train.drop("__sr").unionByName(big_part.filter(~big_test))
+        drop = ("__lab", "__tq", "__big")
+        return train.drop(*drop), test.drop(*drop)
     w = Window.partitionBy(lab).orderBy(h)
-    ranked = df.withColumn("__sr", F.row_number().over(w)).join(
-        F.broadcast(qdf), lab.eqNullSafe(F.col("__lab"))
-    )
-    test = ranked.filter(F.col("__sr") <= F.col("__tq")).drop("__sr", "__lab", "__tq")
-    train = ranked.filter(F.col("__sr") > F.col("__tq")).drop("__sr", "__lab", "__tq")
+    ranked = joined.withColumn("__sr", F.row_number().over(w))
+    test = ranked.filter(F.col("__sr") <= F.col("__tq")).drop("__sr", "__lab", "__tq", "__big")
+    train = ranked.filter(F.col("__sr") > F.col("__tq")).drop("__sr", "__lab", "__tq", "__big")
     return train, test

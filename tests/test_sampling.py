@@ -250,3 +250,23 @@ def test_stratified_hash_split_guarantees_classes(spark):
     tr1, te1 = SA.stratified_hash_split(df1, "y", "user_id", 0.5)
     assert te1.filter(F.col("y") == 1).count() == 0
     assert tr1.filter(F.col("y") == 1).count() == 1
+
+
+def test_stratified_hash_split_big_class_map_only(spark):
+    """Above the exact_below cutoff a class must split by map-only hash
+    threshold (~frac of rows in test) with deterministic membership."""
+    rows = [(i, 0) for i in range(400)] + [(1000 + i, 1) for i in range(5)]
+    df = spark.createDataFrame(rows, "user_id long, y int")
+    train, test = SA.stratified_hash_split(df, "y", "user_id", 0.2, exact_below=100)
+    n_test0 = test.filter(F.col("y") == 0).count()
+    # binomial around 80 — wide bounds, deterministic given the salt
+    assert 40 <= n_test0 <= 120
+    # the small class still gets the exact clamped quota
+    assert test.filter(F.col("y") == 1).count() == 1
+    # total partition: nothing lost or duplicated
+    assert train.count() + test.count() == 405
+    # determinism across partitionings
+    tr2, te2 = SA.stratified_hash_split(df.repartition(7), "y", "user_id", 0.2, exact_below=100)
+    assert sorted(r["user_id"] for r in te2.collect()) == sorted(
+        r["user_id"] for r in test.collect()
+    )
