@@ -413,6 +413,56 @@ def nearmiss(
     return kept.unionByName(mino)
 
 
+def _hash_prefilter(
+    df: DataFrame,
+    group_col: str,
+    h: Column,
+    quotas: dict,
+    prefilter_above: int | None,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Bound a per-group rank window's input: for groups whose row count
+    exceeds ``prefilter_above``, keep only rows whose 32-bit hash prefix
+    falls under a threshold sized to admit ~``oversample * quota`` rows
+    BEFORE the window. The n smallest hashes all survive any threshold
+    that admits >= n rows, so the ranked result is IDENTICAL to the
+    unfiltered version (up to the astronomically unlikely event that
+    fewer than n of the ~4n expected survivors materialize — Chernoff
+    bound ~exp(-n)). One cheap count aggregate; map-only filter."""
+    import math
+
+    if prefilter_above is None:
+        return df
+    counts = {
+        r["__g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("__g"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    big = {
+        g: min(1 << 32, int(math.ceil(oversample * quotas.get(g, 0) / n_g * (1 << 32))))
+        for g, n_g in counts.items()
+        if n_g > prefilter_above and quotas.get(g, 0) < n_g
+    }
+    if not big:
+        return df
+    spark = df.sparkSession
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    g_type = df.select(F.col(group_col).alias("__g")).schema[0].dataType
+    tdf = spark.createDataFrame(
+        [(g, t) for g, t in big.items()],
+        StructType([StructField("__g", g_type), StructField("__t", LongType())]),
+    )
+    h32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    joined = df.join(
+        F.broadcast(tdf), F.col(group_col).eqNullSafe(F.col("__g")), "left"
+    )
+    return joined.filter(F.col("__t").isNull() | (h32 < F.col("__t"))).drop(
+        "__g", "__t"
+    )
+
+
 def quota_sample(
     df: DataFrame,
     group_col: str,
@@ -420,6 +470,7 @@ def quota_sample(
     key_col: str,
     salt: str = "",
     out_rank: str | None = None,
+    prefilter_above: int | None = 5_000_000,
 ) -> DataFrame:
     """Deterministic per-group quota sample: keep up to ``n`` rows per
     group, chosen by md5-hash rank of ``key_col`` (optionally salted).
@@ -427,16 +478,34 @@ def quota_sample(
     The corpus-curation "cap every language/source at N docs" step.
     Hash-rank selection is (a) uniform over the group, (b) seedable via
     ``salt``, (c) reproducible on ANY engine/partitioning — no rand(),
-    no global sort. One shuffle on ``group_col``; the per-group window
-    never concentrates more than a group on one task (cap skewed groups
-    upstream if a single group dwarfs executor memory).
+    no global sort. One shuffle on ``group_col``.
+
+    Scale guard: a group BIGGER than ``prefilter_above`` would route all
+    its rows through the one task its window lands on; those groups are
+    first cut by a deterministic hash threshold sized to ~4n expected
+    survivors (:func:`_hash_prefilter` — same final kept set), so the
+    window input is bounded regardless of group skew. Costs one count
+    aggregate; pass ``prefilter_above=None`` to skip it on corpora known
+    to be small.
     """
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    src = _hash_prefilter(df, group_col, h, _ConstQuota(n), prefilter_above)
     w = Window.partitionBy(group_col).orderBy(h)
-    ranked = df.withColumn("__qr", F.row_number().over(w)).filter(F.col("__qr") <= n)
+    ranked = src.withColumn("__qr", F.row_number().over(w)).filter(F.col("__qr") <= n)
     if out_rank:
         return ranked.withColumnRenamed("__qr", out_rank)
     return ranked.drop("__qr")
+
+
+class _ConstQuota(dict):
+    """dict that answers every .get with one constant quota."""
+
+    def __init__(self, n: int):
+        super().__init__()
+        self._n = n
+
+    def get(self, key, default=None):  # noqa: D102
+        return self._n
 
 
 def mixture_sample(
@@ -446,6 +515,7 @@ def mixture_sample(
     total: int,
     key_col: str,
     salt: str = "",
+    prefilter_above: int | None = 5_000_000,
 ) -> DataFrame:
     """x7 — deterministic DATASET MIXING: compose a training corpus of
     ~``total`` rows with per-group proportions ``weights`` (the
@@ -460,17 +530,22 @@ def mixture_sample(
     (weight 0).
 
     One shuffle on ``group_col``; the quota table is a literal broadcast
-    (len(weights) rows). No driver-side counting pass.
+    (len(weights) rows). Groups larger than ``prefilter_above`` are
+    hash-threshold prefiltered to ~4x their quota before the rank window
+    (:func:`_hash_prefilter` — identical kept set, bounded task input);
+    pass ``prefilter_above=None`` to skip its count pass.
     """
     spark = df.sparkSession
+    quotas = {g: int(round(w * total)) for g, w in weights.items()}
     quota = spark.createDataFrame(
-        [(g, int(round(w * total))) for g, w in weights.items()],
+        [(g, q) for g, q in quotas.items()],
         f"{group_col} string, __quota long",
     )
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    src = _hash_prefilter(df, group_col, h, quotas, prefilter_above)
     w = Window.partitionBy(group_col).orderBy(h)
     return (
-        df.join(F.broadcast(quota), group_col)
+        src.join(F.broadcast(quota), group_col)
         .withColumn("__mr", F.row_number().over(w))
         .filter(F.col("__mr") <= F.col("__quota"))
         .drop("__mr", "__quota")

@@ -270,3 +270,29 @@ def test_stratified_hash_split_big_class_map_only(spark):
     assert sorted(r["user_id"] for r in te2.collect()) == sorted(
         r["user_id"] for r in test.collect()
     )
+
+
+def test_quota_prefilter_keeps_identical_set(spark):
+    """The hash-threshold prefilter must not change the kept set —
+    the n smallest hashes all survive any threshold admitting >= n."""
+    rows = [(i, "big") for i in range(500)] + [(10_000 + i, "tiny") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    plain = sorted(
+        r["doc_id"] for r in SA.quota_sample(df, "lang", 10, "doc_id", salt="s",
+                                             prefilter_above=None).collect()
+    )
+    guarded = sorted(
+        r["doc_id"] for r in SA.quota_sample(df, "lang", 10, "doc_id", salt="s",
+                                             prefilter_above=100).collect()
+    )
+    assert plain == guarded and len(plain) == 14
+
+
+def test_mixture_prefilter_keeps_identical_set(spark):
+    rows = [(i, "en") for i in range(400)] + [(5_000 + i, "de") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kw = dict(group_col="lang", weights={"en": 0.7, "de": 0.3}, total=50,
+              key_col="doc_id", salt="m")
+    plain = sorted((r["lang"], r["doc_id"]) for r in SA.mixture_sample(df, prefilter_above=None, **kw).collect())
+    guarded = sorted((r["lang"], r["doc_id"]) for r in SA.mixture_sample(df, prefilter_above=50, **kw).collect())
+    assert plain == guarded
