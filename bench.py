@@ -106,6 +106,16 @@ def main() -> None:
     t_warm = time.perf_counter()
     for t in ("events", "lineitem", "documents", "embeddings"):
         read_table(spark, sf_dir, t).limit(1).count()
+    # prime the rest of the machinery the first heavy query would
+    # otherwise absorb: the Python worker pool (Arrow/pandas import per
+    # worker), a shuffle, and a window
+    from pyspark.sql import Window as _W
+    import pyspark.sql.functions as _F
+
+    wdf = spark.range(1000).withColumn("g", _F.col("id") % 7)
+    wdf.mapInPandas(lambda it: it, "id long, g long").groupBy("g").count().withColumn(
+        "r", _F.row_number().over(_W.partitionBy("g").orderBy("count"))
+    ).write.format("noop").mode("overwrite").save()
     print(f"[bench] warmup: {time.perf_counter()-t_warm:.1f}s", file=sys.stderr)
 
     names_env = os.environ.get("BENCH_QUERIES")

@@ -1378,3 +1378,38 @@ def q_a17(spark, sf):
         F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "j12_supplier_region_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*) AS n_suppliers,
+           round(avg(s_acctbal), 6) AS avg_acctbal,
+           round(sum(s_acctbal), 4) AS total_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_j12(spark, sf):
+    """J12 — snowflake dim chain (supplier -> nation -> region, the
+    TPC-H Q5 join shape) with a per-(region, nation) rollup: both dims
+    broadcast (25 + 5 rows — no shuffle for the joins), ONE exchange for
+    the aggregate; partial sums map-side. sum(double) needs a stable
+    grouping, not a stable order: addition reorders across partitions,
+    so totals are rounded to the oracle's comparison quantum."""
+    s = read_table(spark, sf, "supplier")
+    n = read_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name", "n_regionkey"
+    )
+    r = read_table(spark, sf, "region")
+    j = s.join(F.broadcast(n), "s_nationkey").join(
+        F.broadcast(r.withColumnRenamed("r_regionkey", "n_regionkey")), "n_regionkey"
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.count("*").alias("n_suppliers"),
+        F.round(F.avg("s_acctbal"), 6).alias("avg_acctbal"),
+        F.round(F.sum("s_acctbal"), 4).alias("total_acctbal"),
+    )
