@@ -383,3 +383,68 @@ def q_st6(spark, sf):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st7_checkpoint_recovery",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def q_st7(spark, sf):
+    """Streaming CHECKPOINT RECOVERY with an exactly-once file sink: the
+    stream writes parquet under a checkpointLocation, is STOPPED after
+    the first micro-batch, then a NEW query object resumes from the same
+    checkpoint and drains the remaining chunks. The final sink contents
+    must equal the batch table row-for-row — a lost offset re-reads
+    (duplicates) or a skipped offset drops rows, and either breaks the
+    hash. This is the fault-tolerance contract a production ingest
+    relies on; the memory-sink entries can't exercise it."""
+    tmp = tempfile.mkdtemp(prefix="st7_")
+    src = os.path.join(tmp, "src")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(src)
+    try:
+        def start():
+            return (
+                ING.stream_events(spark, src)
+                .select("event_id", "user_id", "event_type")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+
+        _stage_event_chunks(spark, sf, src, n_chunks=3)
+        # phase 1: hold chunks 1-2 OUTSIDE the source dir (the file
+        # source tracks paths — an in-place rename would register as a
+        # brand-new file later and double-ingest), drain chunk 0, stop.
+        held_dir = os.path.join(tmp, "held")
+        os.makedirs(held_dir)
+        for i in (1, 2):
+            os.rename(
+                os.path.join(src, f"chunk_{i}.parquet"),
+                os.path.join(held_dir, f"chunk_{i}.parquet"),
+            )
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # phase 2: a fresh query resumes from the checkpoint, must skip
+        # the already-committed chunk 0 and drain exactly chunks 1-2
+        for i in (1, 2):
+            os.rename(
+                os.path.join(held_dir, f"chunk_{i}.parquet"),
+                os.path.join(src, f"chunk_{i}.parquet"),
+            )
+        q2 = start()
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        got = spark.read.parquet(out).select("event_id", "user_id", "event_type")
+        rows = got.collect()
+        return spark.createDataFrame(rows, got.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
