@@ -81,6 +81,8 @@ AUDIT = [
     "x7_mixture_sample",  # broadcast quota dim, one shuffle
     "t17_bigram_counts",  # plan-side pair transform, TakeOrdered top-50
     "u11_stratified_hash_split",
+    "j12_supplier_region_rollup",  # two broadcast dims, one exchange
+    "n5_knn_join_exact",  # mapInPandas matmul, no shuffle
 ]
 
 
