@@ -448,3 +448,38 @@ def q_st7(spark, sf):
         return spark.createDataFrame(rows, got.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st8_upsert_materialized_view",
+    oracle="""
+    SELECT event_type, count(*) AS count FROM events GROUP BY event_type
+    """,
+)
+def q_st8(spark, sf):
+    """Streaming UPSERT-maintained materialized view: update-mode
+    cumulative counts flow through foreachBatch into a parquet state
+    table via merge_upsert (matched keys overwritten, new keys
+    inserted; cumulative values make replays idempotent). After the
+    last micro-batch the state table must equal the batch GROUP BY —
+    the composition of the streaming and MERGE operators, oracled
+    exactly."""
+    tmp = tempfile.mkdtemp(prefix="st8_")
+    src = os.path.join(tmp, "src")
+    state = os.path.join(tmp, "state")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(src)
+    try:
+        q = ING.upsert_counts_sink(
+            ING.stream_events(spark, src), state, ckpt, key="event_type"
+        )
+        try:
+            _stage_event_chunks(spark, sf, src, n_chunks=3)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.read.parquet(state)
+        rows = got.collect()
+        return spark.createDataFrame(rows, got.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

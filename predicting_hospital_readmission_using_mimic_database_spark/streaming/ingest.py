@@ -404,3 +404,61 @@ def interval_join_stream(
         & (F.col("view_ts") <= F.col("purchase_ts")),
         "inner",
     ).select("purchase_id", "view_id", "purchase_ts", "view_ts")
+
+
+def upsert_counts_sink(
+    events: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    key: str = "event_type",
+):
+    """Streaming MATERIALIZED VIEW maintenance: per-key cumulative counts
+    upserted into a parquet state table via ``foreachBatch`` +
+    :func:`~..operators.relational.merge_upsert`.
+
+    Update-mode aggregation emits each key's NEW cumulative count
+    whenever it changes; the batch function merges those rows into the
+    state table by key (matched -> overwrite, new -> insert). Because
+    the emitted value is the cumulative total (not a delta), the merge
+    is IDEMPOTENT — a replayed micro-batch (foreachBatch is
+    at-least-once) rewrites the same value instead of double-counting.
+    State versions are written to a fresh directory and atomically
+    renamed over the old one, so a concurrent reader never sees a
+    half-written table.
+
+    Returns the started StreamingQuery.
+    """
+    import os
+    import shutil as _sh
+
+    from ..operators.relational import merge_upsert
+
+    counts = events.groupBy(key).count()
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = batch_df.persist()
+        try:
+            if delta.isEmpty():
+                return
+            if os.path.exists(state_dir):
+                cur = spark.read.parquet(state_dir)
+                merged = merge_upsert(cur, delta, key)
+            else:
+                merged = delta
+            staging = f"{state_dir}.v{batch_id}"
+            merged.write.mode("overwrite").parquet(staging)
+            old = f"{state_dir}.old{batch_id}"
+            if os.path.exists(state_dir):
+                os.rename(state_dir, old)
+            os.rename(staging, state_dir)
+            _sh.rmtree(old, ignore_errors=True)
+        finally:
+            delta.unpersist()
+
+    return (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
