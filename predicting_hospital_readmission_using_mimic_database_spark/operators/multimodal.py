@@ -526,3 +526,57 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
             )
 
     return df.select("asset_id", "content").mapInPandas(gen, RESIZED_SCHEMA)
+
+
+def resample_audio_decimate(content: bytes, factor: int) -> bytes | None:
+    """Naive integer decimation of a 16-bit mono PCM WAV: keep every
+    ``factor``-th sample and divide the declared rate accordingly.
+    Deterministic (no filter kernels — a proper anti-aliasing resampler
+    is a numpy/scipy seam); None for non-PCM bytes."""
+    try:
+        with wave.open(io.BytesIO(content), "rb") as wf:
+            if wf.getnchannels() != 1 or wf.getsampwidth() != 2:
+                return None
+            rate = wf.getframerate()
+            raw = wf.readframes(wf.getnframes())
+    except Exception:
+        return None
+    samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+    return encode_wav(samples[::factor], rate=max(1, rate // factor))
+
+
+RESAMPLED_SCHEMA = (
+    "asset_id long, in_rate int, in_samples int, out_rate int, "
+    "out_samples int, content binary"
+)
+
+
+def resample_audios(df: DataFrame, factor: int) -> DataFrame:
+    """mm4 — batch audio TRANSFORM: decimate every audio asset by
+    ``factor`` via ``mapInPandas`` — binary columns end-to-end, NULL
+    passthrough for undecodable blobs, no shuffle."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                out = resample_audio_decimate(blob, factor)
+                if out is None:
+                    rows.append((aid, None, None, None, None, None))
+                    continue
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as wi:
+                    in_rate, in_n = wi.getframerate(), wi.getnframes()
+                with wave.open(io.BytesIO(out), "rb") as wo:
+                    out_rate, out_n = wo.getframerate(), wo.getnframes()
+                rows.append((aid, in_rate, in_n, out_rate, out_n, out))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "in_rate", "in_samples", "out_rate",
+                    "out_samples", "content",
+                ],
+            )
+
+    return df.select("asset_id", "content").mapInPandas(gen, RESAMPLED_SCHEMA)

@@ -966,3 +966,81 @@ def q_t17(spark, sf):
         .orderBy(F.desc("n"), "bigram")
         .limit(50)
     )
+
+
+@query(
+    "x9_dataset_card",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, source, n_chars, len({_TOKENS_SQL}) AS n_tokens
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens), 6) AS mean_tokens,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(avg(CASE WHEN n_chars >= 100 THEN 1.0 ELSE 0.0 END), 6)
+             AS frac_long
+    FROM t GROUP BY lang
+    """,
+)
+def q_x9(spark, sf):
+    """X9 — per-language DATASET CARD: the release-notes summary table
+    (docs, sources, token volume, length stats, long-doc fraction) in
+    ONE aggregation pass — token counts computed plan-side from the
+    shared tokenizer, no second scan, map-side partials. The whole card
+    hash-matches DuckDB recomputing it from the same parquet."""
+    d = _tokens(_docs(spark, sf))
+    t = d.select("lang", "source", "n_chars", F.size("tokens").alias("n_tokens"))
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(
+            F.avg(F.when(F.col("n_chars") >= 100, 1.0).otherwise(0.0)), 6
+        ).alias("frac_long"),
+    )
+
+
+@query(
+    "mm4_audio_resample",
+    oracle="""
+    SELECT i AS asset_id,
+           CAST(8000 AS INT) AS in_rate,
+           CAST(64 + i AS INT) AS in_samples,
+           CAST(2000 AS INT) AS out_rate,
+           CAST(floor((64 + i + 3) / 4) AS INT) AS out_samples,
+           TRUE AS resampled_bytes_exact
+    FROM range(64) t(i) WHERE i % 3 = 1
+    """,
+)
+def q_mm4(spark, sf):
+    """MM4 — audio TRANSFORM plumbing: every synthetic audio asset is
+    decimated 4x (keep every 4th PCM sample, rate 8000 -> 2000) via
+    mapInPandas; per-asset in/out rates and sample counts follow the
+    ingest's closed form (the oracle recomputes them from range(64)),
+    and asset 1's resampled bytes are pinned against a locally-computed
+    fixture from the same closed-form source (distributed == local)."""
+    import math
+
+    blobs = MM.synthetic_blobs(spark, n=64).filter(F.col("media_type") == "audio")
+    res = MM.resample_audios(blobs, 4).cache()
+    i = 1
+    samples = [
+        int(20000 * math.sin(2 * math.pi * (i + 1) * t / 64.0)) for t in range(64 + i)
+    ]
+    expected = MM.resample_audio_decimate(MM.encode_wav(samples), 4)
+    got1 = res.filter(F.col("asset_id") == 1).select("content").first()
+    bytes_exact = bool(
+        got1 is not None and got1[0] is not None and bytes(got1[0]) == expected
+    )
+    return res.select(
+        "asset_id", "in_rate", "in_samples", "out_rate", "out_samples",
+        F.lit(bytes_exact).alias("resampled_bytes_exact"),
+    )

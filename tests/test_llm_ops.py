@@ -450,3 +450,17 @@ def test_bigram_entry_handles_short_docs(spark):
     )
     got = {r["bigram"]: 1 for r in bigrams.groupBy("bigram").count().collect()}
     assert set(got) == {"alpha beta", "beta alpha"}
+
+
+def test_resample_audio_decimate_exact(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import multimodal as MM
+    import io, wave, struct
+
+    samples = list(range(-10, 10))  # 20 samples
+    blob = MM.encode_wav(samples, rate=8000)
+    out = MM.resample_audio_decimate(blob, 4)
+    with wave.open(io.BytesIO(out), "rb") as wf:
+        assert wf.getframerate() == 2000 and wf.getnframes() == 5
+        got = struct.unpack("<5h", wf.readframes(5))
+    assert list(got) == samples[::4]
+    assert MM.resample_audio_decimate(b"junk", 4) is None
