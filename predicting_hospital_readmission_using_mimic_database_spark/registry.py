@@ -99,7 +99,9 @@ PRIORITY: tuple[str, ...] = (
     # (j6/w4b also yielded their slots — each a suffix/direction twin of
     # an r3-green sibling (j5, w4), judge-local exact)
     # (a2b yielded its slot: HLL twin of multi-round-green exact a2)
-    "a14_corr_cov",
+    # (a14 yielded its slot to st7: corr/cov overlaps in-window a13/a17
+    # stats; checkpoint recovery is an unduplicated capability proof)
+    "st7_checkpoint_recovery",
     # (b) oracles new this round (were no_oracle rows in r3's window)
     "u8_random_under",
     "d2_dedup_minhash_lsh",
