@@ -149,3 +149,31 @@ def test_merge_upsert_equals_dict_semantics(spark, base_rows, upd_rows):
     want.update(dict(upd_rows))
     got = {r["k"]: r["v"] for r in R.merge_upsert(base, upd, "k").collect()}
     assert got == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 3)),
+        min_size=2, max_size=40, unique_by=lambda t: t[0],
+    )
+)
+def test_stratified_hash_split_partitions_input(spark, rows):
+    """train + test partition the input exactly (no loss, no dups) and
+    every class with >= 2 rows appears on both sides."""
+    from collections import Counter
+
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import sampling as SA2
+
+    df = spark.createDataFrame(rows, "user_id long, y int")
+    train, test = SA2.stratified_hash_split(df, "y", "user_id", 0.3)
+    tr = [(r["user_id"], r["y"]) for r in train.collect()]
+    te = [(r["user_id"], r["y"]) for r in test.collect()]
+    assert sorted(tr + te) == sorted(rows)
+    assert not (set(tr) & set(te))
+    counts = Counter(y for _, y in rows)
+    tr_classes = {y for _, y in tr}
+    te_classes = {y for _, y in te}
+    for y, n in counts.items():
+        if n >= 2:
+            assert y in tr_classes and y in te_classes

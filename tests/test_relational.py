@@ -478,3 +478,12 @@ def test_merge_upsert_adds_new_update_columns(spark):
     upd = spark.createDataFrame([(1, 11.0, "x")], "k long, bal double, tag string")
     r = R.merge_upsert(base, upd, "k").collect()[0]
     assert r["bal"] == 11.0 and r["tag"] == "x"
+
+
+def test_salted_join_left_outer_keeps_unmatched(spark):
+    fact = spark.createDataFrame(
+        [(1, "hot"), (2, "hot"), (3, "missing")], "id long, k string"
+    )
+    dim = spark.createDataFrame([("hot", 9)], "k string, v int")
+    rows = {r["id"]: r["v"] for r in R.salted_join(fact, dim, "k", salt=4, how="left").collect()}
+    assert rows == {1: 9, 2: 9, 3: None}  # one row per left row, no salt dups
