@@ -1413,3 +1413,65 @@ def q_j12(spark, sf):
         F.round(F.avg("s_acctbal"), 6).alias("avg_acctbal"),
         F.round(F.sum("s_acctbal"), 4).alias("total_acctbal"),
     )
+
+
+@query(
+    "w12_session_funnel",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_type,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM g
+    ), f AS (
+      SELECT user_id, sid,
+             min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           CAST(count(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT)
+             AS n_view_sessions,
+           CAST(count(*) FILTER (WHERE t_purchase > t_view) AS BIGINT)
+             AS n_converted
+    FROM f GROUP BY user_id
+    """,
+)
+def q_w12(spark, sf):
+    """W12 — session CONVERSION FUNNEL (view -> later purchase within the
+    same 6h-gap session), the product-analytics composition: gap
+    sessionization (one user_id shuffle shared by both windows) ->
+    per-session conditional min-ts aggregates -> per-user funnel counts.
+    A second shuffle for the session rollup; everything else rides the
+    first. Exact per-user funnel vs DuckDB's identical chain."""
+    e = _events(spark, sf).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 21_600_000_000
+    new_sess = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+            1,
+        ).otherwise(0)
+    )
+    s = e.withColumn("__new", new_sess).withColumn(
+        "sid",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    f = s.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return f.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.count("t_view").alias("n_view_sessions"),
+        F.count(F.when(F.col("t_purchase") > F.col("t_view"), 1)).alias("n_converted"),
+    )
