@@ -83,6 +83,7 @@ HEADLINE = [
     "a16_grouping_sets",      # two marginals, one shuffle
     "x7_mixture_sample",      # weighted dataset mixing
     "n5_knn_join_exact",      # broadcast-matrix exact kNN join kernel
+    "w12_session_funnel",     # sessionize + conditional aggs, shared shuffle
     "t17_bigram_counts",      # plan-side n-gram explode + count
 ]
 

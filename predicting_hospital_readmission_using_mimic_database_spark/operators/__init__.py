@@ -1,3 +1,10 @@
-from . import relational
+from . import dedup, multimodal, relational, sampling, similarity, textstats
 
-__all__ = ["relational"]
+__all__ = [
+    "dedup",
+    "multimodal",
+    "relational",
+    "sampling",
+    "similarity",
+    "textstats",
+]

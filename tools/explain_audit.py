@@ -83,6 +83,7 @@ AUDIT = [
     "u11_stratified_hash_split",
     "j12_supplier_region_rollup",  # two broadcast dims, one exchange
     "n5_knn_join_exact",  # mapInPandas matmul, no shuffle
+    "w12_session_funnel",  # both session windows share one user_id sort
 ]
 
 
