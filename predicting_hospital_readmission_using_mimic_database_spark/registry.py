@@ -36,96 +36,70 @@ def query(name: str, oracle: str | None = None):
 
 _LOADED = False
 
-# A driver that verifies the registry front-to-back with a capped budget
-# (the rounds so far checked exactly the first 50 entries) should spend
-# its window where it adds NEW contract coverage. Round 1-3 windows
-# covered every family's representatives (all green); this round's
-# prefix front-loads (0) the 14 operators BUILT this round, then (a)
-# entries no driver window has ever checked, (b) entries whose oracles
-# are new this round, (c) sampling entries whose semantics changed
-# (exact broadcast kNN under SMOTE/NearMiss, hash-stratified splits) —
-# then stable cross-family representatives. Slots were yielded by
-# twins whose semantics are nested inside an in-window green entry
-# (t1/t2, j6/w4b, m4, a2b — all still exact under
-# tools/verify_oracle.py, which checks the FULL registry).
+# The driver verifies the registry front-to-back with a capped budget
+# (every round so far checked exactly the first 50 entries). Round-5
+# window: (a) the 24 entries that have NEVER had a driver CORRECTNESS
+# row (all judge-local exact in the round-4 re-run; this rotation makes
+# the cross-round union 143/143 so every entry has appeared in a
+# shipped driver artifact), then (b) the entries whose code or oracle
+# changed THIS round (band-join validation, mixture-sample typed quota,
+# exact-n oversample twin, verb-aware lemmatizer, e8 shared-feature
+# refactor, mm1 codec dispatch), then (c) stable cross-family
+# representatives so every family keeps an in-window sentinel.
 PRIORITY: tuple[str, ...] = (
-    # (0) operators BUILT this round — brand-new code, highest
-    # verification value (displaces the round-3-green stable reps at the
-    # tail: trivial recodes whose semantics are nested inside other green
-    # entries)
+    # (a) never driver-checked in r1-r4 — closes the union to 143/143
+    "t1_regex_recode",
+    "t2_multi_recode",
+    "t3_substr_prefix",
+    "t4_fill_null",
+    "t5_scrub_newlines",
+    "t6_contains_frac",
+    "t7_lower",
+    "t8_strip_punct",
+    "t9_strip_digits",
+    "t11_alpha_only",
+    "j6_positional_join_suffixes",
+    "w4b_forward_fill",
+    "m4_predict_proba",
+    "a2b_approx_count_distinct",
+    "a13b_approx_percentiles",
+    "a14_corr_cov",
+    "n5_knn_join_exact",
+    "t17_bigram_counts",
+    "u11_stratified_hash_split",
+    "w12_session_funnel",
+    "j12_supplier_region_rollup",
+    "st8_upsert_materialized_view",
+    "mm4_audio_resample",
+    "x9_dataset_card",
+    # (b) code/oracle changed this round
     "j10_band_join",
-    "j11_salted_join",
-    "w10_percent_rank_global",
-    "u10_time_split",
-    "x6_lm_quality",
-    "st4_stream_window_counts",
-    "a16_grouping_sets",
     "x7_mixture_sample",
-    "st5_stream_stream_join",
-    "s6_merge_upsert",
-    "a17_group_percentiles",
-    "x8_pii_scrub",
-    "st6_stream_session_windows",
-    "mm3_image_resize",
-    "j9_asof_join",
-    "w7_sessionize",
-    "w8_rolling_avg",
-    "w9_ntile_global",
-    "c10_json_extract",
-    "a15_rollup",
-    "t16_tfidf",
-    "d7_decontaminate",
-    "u9_quota_sample",
-    "x5_pack_chunks",
-    # (a) never driver-checked before round 4 (t1/t2 yielded their slots
-    # to keep the s/p families in-window — s via the new s6 above; both
-    # remain judge-local exact and their regex semantics are nested
-    # inside in-window t13/t16)
-    "p9_dropna",
-    # (m4 yielded its slot: predict_proba is exercised inside in-window m3)
-    "m5_rf_sweep",
-    "m6_lr_l1",
-    "m10_top_n_retrain",
-    "m11_decision_margin",
-    "e2e_full_pipeline",
-    "e8_strategy_comparison",
-    "d3_dedup_simhash",
-    "x4_quality_score",
-    "mm1_multimodal_decode",
-    "n3_knn_ivf",
-    "n4_knn_ivf_indexed",
-    "st2_stream_enrich_equivalence",
-    "st3_stream_dedup",
-    # (j6/w4b also yielded their slots — each a suffix/direction twin of
-    # an r3-green sibling (j5, w4), judge-local exact)
-    # (a2b yielded its slot: HLL twin of multi-round-green exact a2)
-    # (a14 yielded its slot to st7: corr/cov overlaps in-window a13/a17
-    # stats; checkpoint recovery is an unduplicated capability proof)
-    "st7_checkpoint_recovery",
-    # (b) oracles new this round (were no_oracle rows in r3's window)
-    "u8_random_under",
-    "d2_dedup_minhash_lsh",
-    "n2_knn_lsh",
-    "st1_stream_labels_equivalence",
-    "m3_rf_train_predict",
-    "m7_grid_cv",
-    # (c) sampling semantics changed this round
-    "u3_random_split",
     "u5_oversample",
-    "u6_smote",
-    "u7_nearmiss",
-    # stable cross-family representatives fill the rest of the window
-    # (keeps every family + the VERDICT-named must-haves inside 50)
+    "t13_clean_text_tokens",
+    "e8_strategy_comparison",
+    "mm1_multimodal_decode",
+    # (c) stable cross-family representatives
     "flagship_readmit_30d",
     "s1_scan_events",
     "p1_project",
+    "j1_join_inner",
+    "w1_lead",
+    "a1_value_counts",
     "c1_case_label",
-    "d4_ngram_jaccard",
-    "n1_knn_bruteforce",
+    "u3_random_split",
+    "u6_smote",
+    "u7_nearmiss",
+    "m3_rf_train_predict",
+    "m7_grid_cv",
     "e2_auc",
-    "t14_count_vectorize",
-    "m8_mutual_info",
-    "x3_fingerprint",
+    "e2e_full_pipeline",
+    "d1_dedup_exact",
+    "d2_dedup_minhash_lsh",
+    "n2_knn_lsh",
+    "st1_stream_labels_equivalence",
+    "st4_stream_window_counts",
+    "x1_text_stats",
 )
 
 
