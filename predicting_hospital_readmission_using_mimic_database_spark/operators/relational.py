@@ -664,11 +664,32 @@ def band_join(
     engine (and this operator's oracle) evaluates. ``bucket_width``
     defaults to ``band * 17/16``: strictly wider than the band so the
     3-cell probe provably covers every BETWEEN-qualifying pair even when
-    division rounding nudges a value across a cell boundary.
+    division rounding nudges a value across a cell boundary (for
+    ``band == 0`` — exact equality — any positive width works; 1.0 is
+    used).
+
+    ``how``: ``inner`` | ``left`` | ``full``. Outer variants CANNOT ride
+    the exploded equi-join directly (the explode triples unmatched left
+    rows and the band filter then drops every null-extended row), so
+    they are built compositionally: a row's matched-ness depends only on
+    its (keys..., value) tuple, so the inner result is augmented with
+    anti-joined unmatched rows — distinct matched probe tuples are
+    computed once and unmatched originals (multiplicity preserved) are
+    null-extended with the other side's schema.
     """
     if band < 0:
         raise ValueError(f"band_join: band must be >= 0, got {band}")
-    w = float(bucket_width if bucket_width is not None else band * (17.0 / 16.0))
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"band_join: how must be inner|left|full, got {how!r}")
+    if bucket_width is None:
+        # band * 17/16 is 0 when band is 0, and floor(v / 0) is NULL in
+        # non-ANSI Spark (every cell id NULL -> empty join). band == 0
+        # means exact equality; any positive width is a valid grid.
+        w = float(band * (17.0 / 16.0)) if band > 0 else 1.0
+    else:
+        w = float(bucket_width)
+    if w <= 0:
+        raise ValueError(f"band_join: bucket_width must be > 0, got {w}")
     if w < band:
         raise ValueError(
             f"band_join: bucket_width {w} < band {band} breaks the "
@@ -682,11 +703,51 @@ def band_join(
     cond = [ls["__cell"] == rs["__cell"]] + [
         ls[k] == rs[k] for k in keys
     ]
-    joined = ls.join(rs, cond, how)
+    joined = ls.join(rs, cond, "inner")
     b = F.lit(float(band))
-    return joined.filter(
+    inner = joined.filter(
         (rs[right_val] >= ls[left_val] - b) & (rs[right_val] <= ls[left_val] + b)
     ).drop("__cell")
+    if how == "inner":
+        return inner
+
+    def _nulls(df: DataFrame) -> list[Column]:
+        return [
+            F.lit(None).cast(f.dataType).alias(f.name) for f in df.schema.fields
+        ]
+
+    def _unmatched(side: DataFrame, val: str, other: DataFrame, oval: str):
+        """Rows of ``side`` with no band partner in ``other`` (multiplicity
+        preserved): distinct (keys, val) probe tuples that DID match, then
+        anti-join the originals against them. One banded probe over
+        distinct tuples, never over full rows."""
+        probe = side.select(*keys, val).distinct()
+        pcell = F.floor(F.col(val) / F.lit(w))
+        pe = probe.withColumn(
+            "__cell", F.explode(F.array(pcell - 1, pcell, pcell + 1))
+        )
+        oe = other.withColumn("__cell", F.floor(F.col(oval) / F.lit(w)))
+        mcond = [pe["__cell"] == oe["__cell"]] + [pe[k] == oe[k] for k in keys]
+        matched = (
+            pe.join(oe, mcond, "inner")
+            .filter(
+                (oe[oval] >= pe[val] - b) & (oe[oval] <= pe[val] + b)
+            )
+            .select(*(pe[k] for k in keys), pe[val])
+            .distinct()
+        )
+        acond = [side[k].eqNullSafe(matched[k]) for k in keys] + [
+            side[val].eqNullSafe(matched[val])
+        ]
+        return side.join(matched, acond, "left_anti")
+
+    out = inner
+    left_miss = _unmatched(left, left_val, right, right_val)
+    out = out.union(left_miss.select("*", *_nulls(right)))
+    if how == "full":
+        right_miss = _unmatched(right, right_val, left, left_val)
+        out = out.union(right_miss.select(*_nulls(left), "*"))
+    return out
 
 
 def merge_upsert(

@@ -537,9 +537,16 @@ def mixture_sample(
     """
     spark = df.sparkSession
     quotas = {g: int(round(w * total)) for g, w in weights.items()}
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # quota frame typed from df's actual group column (int source ids,
+    # dates, ... join correctly instead of assuming string)
+    g_type = df.select(F.col(group_col)).schema[0].dataType
     quota = spark.createDataFrame(
         [(g, q) for g, q in quotas.items()],
-        f"{group_col} string, __quota long",
+        StructType(
+            [StructField(group_col, g_type), StructField("__quota", LongType())]
+        ),
     )
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
     src = _hash_prefilter(df, group_col, h, quotas, prefilter_above)

@@ -236,12 +236,35 @@ def knn_join_broadcast(
     bound instead of OOMing the driver.
 
     Returns (a_id, b_id, dist, rank) — rank 1..k by (dist, b_id), the
-    same deterministic tiebreak as the LSH path.
+    same deterministic tiebreak as the LSH path. Id columns may be any
+    integral or string type (the output schema mirrors them: integral ->
+    long, string -> string); other id types raise rather than silently
+    corrupting through a hardcoded int64 cast.
     """
     import numpy as np
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    def _id_kind(df: DataFrame, col: str) -> tuple[str, object]:
+        dt = df.select(F.col(col)).schema[0].dataType
+        if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+            return "long", np.int64
+        if isinstance(dt, StringType):
+            return "string", np.str_
+        raise ValueError(
+            f"knn_join_broadcast: id column {col!r} has unsupported type "
+            f"{dt.simpleString()}; integral or string ids only"
+        )
 
     s_id = small_id_col or id_col
     s_arr = small_array_col or array_col
+    a_ddl, _a_np = _id_kind(big, id_col)
+    b_ddl, b_np = _id_kind(small, s_id)
     # ONE bounded job: limit(max+1) caps what can ever reach the driver,
     # so the guard needs no separate count() pass
     rows = (
@@ -258,7 +281,7 @@ def knn_join_broadcast(
             f"max_small_rows={max_small_rows}; broadcast-exact kNN needs a "
             "bounded reference set — use brp_knn_pairs for big-big kNN"
         )
-    ids = np.asarray([r["i"] for r in rows], dtype=np.int64)
+    ids = np.asarray([r["i"] for r in rows], dtype=b_np)
     S = np.asarray([r["a"] for r in rows], dtype=np.float64)
     s_sq = (S * S).sum(axis=1)
     bc = big.sparkSession.sparkContext.broadcast((ids, S, s_sq))
@@ -309,7 +332,9 @@ def knn_join_broadcast(
         F.col(id_col).alias("__id"),
         F.col(array_col).cast("array<double>").alias("__arr"),
     ).filter(F.col("__arr").isNotNull())
-    return src.mapInPandas(gen, "a_id long, b_id long, dist double, rank int")
+    return src.mapInPandas(
+        gen, f"a_id {a_ddl}, b_id {b_ddl}, dist double, rank int"
+    )
 
 
 def topk_bruteforce(

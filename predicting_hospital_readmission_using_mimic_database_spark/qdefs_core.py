@@ -1419,15 +1419,18 @@ def q_j12(spark, sf):
     "w12_session_funnel",
     oracle="""
     WITH g AS (
-      SELECT user_id, ts, event_type,
+      SELECT user_id, ts, event_id, event_type,
              CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
+      -- ORDER BY (ts, event_id): same total order as CTE g and the Spark
+      -- side, so tied timestamps at a session boundary accumulate
+      -- new_sess identically in both engines
       SELECT user_id, ts, event_type,
-             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
       FROM g
     ), f AS (

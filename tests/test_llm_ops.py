@@ -464,3 +464,29 @@ def test_resample_audio_decimate_exact(spark):
         got = struct.unpack("<5h", wf.readframes(5))
     assert list(got) == samples[::4]
     assert MM.resample_audio_decimate(b"junk", 4) is None
+
+
+def test_knn_join_broadcast_string_and_mixed_ids(spark):
+    """Id dtype/schema derive from the inputs: string ids survive intact
+    (the old hardcoded int64 cast crashed or corrupted them), and the
+    neighbor set matches the integer-id run on the same vectors."""
+    vecs = [(i, [float(i), 0.0]) for i in range(8)]
+    big_i = spark.createDataFrame(vecs, "id long, v array<double>")
+    small_i = spark.createDataFrame(vecs[:4], "id long, v array<double>")
+    want = {
+        (r["a_id"], r["rank"]): r["b_id"]
+        for r in SI.knn_join_broadcast(big_i, small_i, "id", "v", k=2).collect()
+    }
+    svecs = [(f"doc{i:02d}", [float(i), 0.0]) for i in range(8)]
+    big_s = spark.createDataFrame(svecs, "id string, v array<double>")
+    small_s = spark.createDataFrame(svecs[:4], "id string, v array<double>")
+    out = SI.knn_join_broadcast(big_s, small_s, "id", "v", k=2)
+    assert dict(out.dtypes)["a_id"] == "string" and dict(out.dtypes)["b_id"] == "string"
+    got = {(r["a_id"], r["rank"]): r["b_id"] for r in out.collect()}
+    assert got == {
+        (f"doc{a:02d}", rk): f"doc{b:02d}" for (a, rk), b in want.items()
+    }
+    with pytest.raises(ValueError, match="unsupported type"):
+        SI.knn_join_broadcast(
+            big_i.select(F.col("v").alias("vid"), "v"), small_i, "vid", "v"
+        ).collect()

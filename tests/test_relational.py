@@ -446,6 +446,51 @@ def test_band_join_extra_keys_and_guard(spark):
     assert [(r["a_id"], r["b_id"]) for r in out] == [(1, 3)]  # same-key, in band
     with pytest.raises(ValueError, match="bucket_width"):
         R.band_join(a, b, "a_v", "b_v", band=1.0, bucket_width=0.5)
+    with pytest.raises(ValueError, match="bucket_width"):
+        R.band_join(a, b, "a_v", "b_v", band=1.0, bucket_width=0.0)
+    with pytest.raises(ValueError, match="how"):
+        R.band_join(a, b, "a_v", "b_v", band=0.5, how="right")
+
+
+def test_band_join_zero_band_is_exact_equality(spark):
+    """band=0 with the default bucket_width must behave as BETWEEN with a
+    zero-width band (exact equality), not return an empty frame (the old
+    default width was band*17/16 == 0 and floor(v/0) is NULL)."""
+    a = spark.createDataFrame([(1, 2.0), (2, 3.5), (3, 7.0)], "a_id long, a_v double")
+    b = spark.createDataFrame([(10, 2.0), (11, 3.5), (12, 9.0)], "b_id long, b_v double")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in R.band_join(a, b, "a_v", "b_v", band=0.0).collect()
+    }
+    assert got == {(1, 10), (2, 11)}
+
+
+def test_band_join_outer_keeps_unmatched(spark):
+    """how='left'/'full' must null-extend unmatched rows exactly once
+    (multiplicity preserved), not drop them through the band filter."""
+    a = spark.createDataFrame(
+        [(1, 1.0), (2, 50.0), (3, 50.0)], "a_id long, a_v double"
+    )  # 2 and 3: identical unmatched rows -> both must survive
+    b = spark.createDataFrame([(10, 1.1), (11, 99.0)], "b_id long, b_v double")
+    left = R.band_join(a, b, "a_v", "b_v", band=0.5, how="left").collect()
+    pairs = sorted((r["a_id"], r["b_id"]) for r in left)
+    assert pairs == [(1, 10), (2, None), (3, None)]
+    full = R.band_join(a, b, "a_v", "b_v", band=0.5, how="full").collect()
+    fpairs = sorted(
+        ((r["a_id"], r["b_id"]) for r in full),
+        key=lambda p: (p[0] is None, p[0] or 0, p[1] is None, p[1] or 0),
+    )
+    assert fpairs == [(1, 10), (2, None), (3, None), (None, 11)]
+    # oracle parity: matches DuckDB/ANSI FULL JOIN ON BETWEEN shape
+    want = {
+        (r["a_id"], r["b_id"])
+        for r in a.join(
+            b,
+            (F.col("b_v") >= F.col("a_v") - 0.5) & (F.col("b_v") <= F.col("a_v") + 0.5),
+            "full",
+        ).collect()
+    }
+    assert {(r["a_id"], r["b_id"]) for r in full} == want
 
 
 def test_salted_join_equals_plain_join(spark):

@@ -231,6 +231,20 @@ def test_mixture_sample_quotas_and_determinism(spark):
     assert got == sorted((r["src"], r["doc_id"]) for r in out2.collect())
 
 
+def test_mixture_sample_integer_group_col(spark):
+    """Quota frame is typed from df's group column — an int source id
+    must join (the old hardcoded 'string' schema broke or coerced)."""
+    rows = [(i, 1) for i in range(40)] + [(100 + i, 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, src_id int")
+    out = SA.mixture_sample(
+        df, "src_id", {1: 0.75, 2: 0.25}, total=20, key_col="doc_id", salt="t"
+    )
+    by = {}
+    for r in out.collect():
+        by[r["src_id"]] = by.get(r["src_id"], 0) + 1
+    assert by == {1: 15, 2: 5}
+
+
 def test_stratified_hash_split_guarantees_classes(spark):
     # 7-row minority: Bernoulli splits frequently empty its test side;
     # the hash split must never
