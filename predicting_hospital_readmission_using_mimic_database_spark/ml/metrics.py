@@ -231,3 +231,46 @@ def auc_metrics(
         F.round(F.try_divide(F.col("s_roc"), F.col("n_pos") * F.col("n_neg")), 6).alias("roc_auc"),
         F.round(F.try_divide(F.col("s_pr"), F.col("n_pos")), 6).alias("pr_auc"),
     )
+
+
+def auc_with_battery(
+    df: DataFrame,
+    score: ColumnOrName,
+    label: ColumnOrName,
+    thresh: float,
+    n_bins: int | None = None,
+) -> DataFrame:
+    """E2 + E5 fused: ROC-AUC/AUC-PR AND the thresholded battery from ONE
+    scan of the scored frame.
+
+    The confusion cells at ``thresh`` are plain sums over the same
+    per-distinct-score aggregate the AUC telescoped trapezoid reads
+    (tp = Σ p_i over scores > thresh, ...), so both metric families share
+    ``_score_groups``'s single input pass and collapse into one
+    aggregation job — a five-strategy sweep otherwise scans each scored
+    frame twice (auc_metrics + binary_metrics), and each scan re-runs the
+    model transform. Values are bit-identical to the separate operators:
+    same grouping, same sums, same rounding.
+    """
+    g = _score_groups(df, score, label, n_bins)
+    t = _totals(g)
+    gx = g.crossJoin(F.broadcast(t))
+    pred = (F.col("score") > F.lit(thresh)).cast("long")
+    agg = gx.agg(
+        F.sum(F.col("f") * (F.col("cum_p") - F.col("p") / 2.0)).alias("s_roc"),
+        F.sum(
+            F.col("p") * (F.col("cum_p") / (F.col("cum_p") + F.col("cum_f")))
+        ).alias("s_pr"),
+        F.first("tot_p").alias("n_pos"),
+        F.first("tot_n").alias("n_neg"),
+        F.sum(pred * F.col("p")).alias("tp"),
+        F.sum(pred * F.col("f")).alias("fp"),
+        F.sum((1 - pred) * F.col("p")).alias("fn"),
+        F.sum((1 - pred) * F.col("f")).alias("tn"),
+    )
+    cells = agg.select(
+        F.round(F.try_divide(F.col("s_roc"), F.col("n_pos") * F.col("n_neg")), 6).alias("roc_auc"),
+        F.round(F.try_divide(F.col("s_pr"), F.col("n_pos")), 6).alias("pr_auc"),
+        "tp", "fp", "fn", "tn",
+    )
+    return _derived_metrics(cells)

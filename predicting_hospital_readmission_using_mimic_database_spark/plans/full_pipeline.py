@@ -56,8 +56,17 @@ def user_feature_table(events: DataFrame) -> DataFrame:
     harness streams where every user readmits within 30d; the reference's
     58k-patient corpus has 19% prevalence, ours needs a tighter window to
     be a real classification task)."""
-    labeled = readmit_labels(events)
-    per_user = labeled.groupBy("user_id").agg(
+    # ONE wide dependency end-to-end: `value` rides through the label
+    # window (keep=), so every feature — label, counts, tenure, value
+    # stats, per-type counts — is a single groupBy on user_id that REUSES
+    # the window's hash partitioning (no second exchange, no joins). The
+    # conditional counts are the explicit-values pivot expressed as
+    # aggregates; count() never returns NULL, matching the old
+    # pivot+na.fill(0) exactly. The previous shape (3 aggregations over
+    # the raw scan + 2 user_id joins) read the fact table three times —
+    # at 100 TB that is the difference between one shuffle and three.
+    labeled = readmit_labels(events, keep=("value",))
+    return labeled.groupBy("user_id").agg(
         # coalesce: a user with NO resolvable next-unplanned gap (all NULL)
         # is a non-readmitter, not a third NULL class
         F.coalesce(
@@ -68,23 +77,13 @@ def user_feature_table(events: DataFrame) -> DataFrame:
             (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
             / F.lit(86400.0e6)
         ).alias("tenure_days"),
-    )
-    # value stats come from the raw scan (readmit_labels projects value
-    # away); same grouping key -> the user_id exchange is shared
-    vals = events.groupBy("user_id").agg(
         F.round(F.avg("value"), 6).alias("avg_value"),
         F.round(F.max("value"), 6).alias("max_value"),
+        *[
+            F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
     )
-    per_user = per_user.join(vals, "user_id")
-    pivot = (
-        events.groupBy("user_id")
-        .pivot("event_type", list(EVENT_TYPES))
-        .count()
-        .na.fill(0)
-    )
-    for t in EVENT_TYPES:
-        pivot = pivot.withColumnRenamed(t, f"n_{t}")
-    return per_user.join(pivot, "user_id")
 
 
 def strategy_comparison(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
@@ -97,7 +96,10 @@ def strategy_comparison(spark: SparkSession, sf_dir: str, seed: int = 42) -> Dat
     from pyspark.ml.functions import array_to_vector
 
     events = read_table(spark, sf_dir, "events")
-    table = user_feature_table(events)
+    # cache the per-user table (tiny): the standardization stats agg and
+    # the base projection below are two consumers — uncached, each re-runs
+    # the whole window+agg chain over the fact table
+    table = user_feature_table(events).cache()
     feat_cols = [c for c in numeric_columns(table, exclude=("user_id", "label"))]
     # standardize: mixed feature scales (tenure in days vs event counts)
     # would dominate both the L1 penalty and the kNN euclidean metric;
@@ -128,6 +130,7 @@ def strategy_comparison(spark: SparkSession, sf_dir: str, seed: int = 42) -> Dat
     # (cache blocks populate per-partition without coordination).
     base = base.cache()
     base.count()
+    table.unpersist()  # everything downstream reads base's cache
     # hash-stratified: GUARANTEES the held-out side keeps both classes at
     # any scale — a Bernoulli split of a small user table can hand test a
     # single class and leave every strategy's AUC undefined (sf0.001)
@@ -177,8 +180,9 @@ def strategy_comparison(spark: SparkSession, sf_dir: str, seed: int = 42) -> Dat
             fit_df = trv.coalesce(_fit_partitions(n, trv.rdd.getNumPartitions()))
             model = MO.train_lr_l1(fit_df, C=10.0, features="features", label="y", max_iter=25)
             scored = MO.predict_proba(model, test_v)
-            auc = ME.auc_metrics(scored, "p1", "y").collect()[0]
-            b = ME.binary_metrics(scored, "p1", "y", 0.5).collect()[0]
+            # one fused pass: AUC + battery from the same per-score frame
+            # (scored is scanned once, not once per metric family)
+            m = ME.auc_with_battery(scored, "p1", "y", 0.5).collect()[0]
         finally:
             # five strategies run concurrently: leaving each trv (and
             # smote's internal minority cache) pinned can evict the shared
@@ -186,8 +190,8 @@ def strategy_comparison(spark: SparkSession, sf_dir: str, seed: int = 42) -> Dat
             trv.unpersist()
             for aux in getattr(made, "_aux_caches", ()):
                 aux.unpersist()
-        return (name, n, auc["roc_auc"], b["accuracy"], b["recall"],
-                b["precision"], b["f1"])
+        return (name, n, m["roc_auc"], m["accuracy"], m["recall"],
+                m["precision"], m["f1"])
 
     # strategies are independent: submit from a driver thread pool
     # (CrossValidator's parallelism scheme) so the scheduler overlaps
@@ -229,8 +233,7 @@ def run_pipeline(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
     model = MO.train_rf(train_bal, "features", "y", num_trees=50, seed=seed)
     scored = MO.predict_proba(model, test)
 
-    auc = ME.auc_metrics(scored, "p1", "y").collect()[0]
-    battery = ME.binary_metrics(scored, "p1", "y", 0.5).collect()[0]
+    m = ME.auc_with_battery(scored, "p1", "y", 0.5).collect()[0]
     n_users = table.count()
     prevalence = table.agg(F.round(F.avg("label"), 4)).collect()[0][0]
     cls = [r["n"] for r in train_bal.groupBy("y").agg(F.count("*").alias("n")).collect()]
@@ -243,13 +246,13 @@ def run_pipeline(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
                 train_bal.count(),
                 bool(len(cls) > 1 and max(cls) == min(cls)),
                 scored.count(),
-                auc["roc_auc"],
-                battery["accuracy"],
-                battery["recall"],
-                battery["precision"],
-                battery["specificity"],
-                battery["prevalence"],
-                battery["f1"],
+                m["roc_auc"],
+                m["accuracy"],
+                m["recall"],
+                m["precision"],
+                m["specificity"],
+                m["prevalence"],
+                m["f1"],
             )
         ],
         "n_users long, prevalence double, n_train_balanced long, "

@@ -32,11 +32,20 @@ PLANNED_TYPE = "signup"
 READMIT_DAYS = 30.0
 
 
-def readmit_labels(events: DataFrame, planned_type: str = PLANNED_TYPE) -> DataFrame:
+def readmit_labels(
+    events: DataFrame,
+    planned_type: str = PLANNED_TYPE,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-event readmission label (reference py:39-86, W1-W4 + C1 + C5).
 
     Deterministic ordering: (ts, event_id) — the reference relies on file
     order; we pin an explicit tiebreaker (SURVEY §2.4 W5 note).
+
+    ``keep``: extra input columns carried through the window projection so
+    a downstream same-key aggregate (e.g. the per-user feature table) can
+    ride the label shuffle instead of re-scanning + re-shuffling the
+    input for its value stats.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = (
@@ -64,7 +73,7 @@ def readmit_labels(events: DataFrame, planned_type: str = PLANNED_TYPE) -> DataF
     )
     return labeled.select(
         "event_id", "user_id", "ts", "event_type",
-        "next_unplanned_ts", "gap_days", "readmit_30d",
+        "next_unplanned_ts", "gap_days", "readmit_30d", *keep,
     )
 
 

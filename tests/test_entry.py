@@ -33,12 +33,17 @@ def test_first_50_entries_cover_every_family():
         "t", "m", "e",                                   # text / ML / metrics
         "d", "n", "x", "mm", "st",                       # LLM-pipeline + streaming
     } <= fams, fams
-    # never-driver-checked + newest entries sit inside the window (the
-    # r3-green stable reps are the ones allowed to rotate out)
-    for must in ("j10_band_join", "x6_lm_quality", "st4_stream_window_counts",
-                 "u10_time_split", "mm3_image_resize", "e8_strategy_comparison",
-                 "u6_smote", "st1_stream_labels_equivalence",
-                 "flagship_readmit_30d"):
+    # round-5 rotation: every entry that had NEVER appeared in a driver
+    # CORRECTNESS window leads the prefix (closes the cross-round union to
+    # 143/143), plus the entries whose code changed this round
+    for must in ("t1_regex_recode", "j6_positional_join_suffixes",
+                 "w4b_forward_fill", "m4_predict_proba",
+                 "a2b_approx_count_distinct", "a14_corr_cov",
+                 "n5_knn_join_exact", "u11_stratified_hash_split",
+                 "w12_session_funnel", "st8_upsert_materialized_view",
+                 "mm4_audio_resample", "x9_dataset_card",
+                 "j10_band_join", "x7_mixture_sample", "u5_oversample",
+                 "e8_strategy_comparison", "flagship_readmit_30d"):
         assert must in names
 
 
