@@ -142,6 +142,64 @@ def lemmatize_rules(tokens: Column) -> Column:
     return F.transform(tokens, lemma)
 
 
+def lemmatize_verb_rules(tokens: Column) -> Column:
+    """VERB-mode lemmatizer over a token array (beyond-reference: the
+    reference's ``wn.lemmatize(word)`` runs at NLTK's default pos='n', so
+    T13/:func:`lemmatize_rules` keeps noun-only parity — this operator
+    adds the verb morphology clinical text is dense with).
+
+    WordNet-shaped two-stage scheme, all JVM-side, no dictionary:
+
+    1. the vendored verb.exc subset (:mod:`.irregular_verbs` —
+       was/went/given/admitted/occurred...) looked up first;
+    2. a PROTECTED list (morning/proceed/nothing...) standing in for the
+       dictionary-membership test morphy applies;
+    3. deterministic suffix detachment: ied→y (long) / strip-d (short),
+       ies→y (long), (ss|ch|sh|x|zz|o)es→-es, es→-s, s→-s,
+       -ed with letter-class e-restore (``ED_RESTORE_RE``: strip only the
+       d so "danced"→dance), plain -ed, -ing with e-append
+       (``ING_RESTORE_RE``), plain -ing — each length-guarded.
+
+    The DuckDB oracle (qdefs_text ``t18``) compiles the identical chain
+    from the same module constants.
+    """
+    from .irregular_verbs import (
+        ED_RESTORE_RE,
+        ING_RESTORE_RE,
+        PROTECTED,
+        VERB_EXCEPTIONS,
+    )
+
+    exc = F.create_map(
+        *[F.lit(x) for kv in VERB_EXCEPTIONS.items() for x in kv]
+    )
+    exc_keys = list(VERB_EXCEPTIONS)
+
+    def lemma(w: Column) -> Column:
+        n = F.length(w)
+        strip = lambda k: w.substr(F.lit(1), n - k)  # noqa: E731
+        ruled = (
+            F.when(w.isin(*PROTECTED), w)
+            .when((n >= 6) & w.rlike("ied$"), F.regexp_replace(w, "ied$", "y"))
+            .when(w.rlike("ied$"), strip(1))                    # died -> die
+            .when((n >= 5) & w.rlike("ies$"), F.regexp_replace(w, "ies$", "y"))
+            .when(w.rlike("(ss|ch|sh|x|zz|o)es$"), strip(2))    # watches -> watch
+            .when(w.rlike("es$"), strip(1))                     # gives -> give
+            .when((n >= 4) & w.rlike("[a-z]s$") & ~w.rlike("ss$"), strip(1))
+            .when((n >= 5) & w.rlike(ED_RESTORE_RE), strip(1))  # danced -> dance
+            .when((n >= 5) & w.rlike("ed$"), strip(2))          # walked -> walk
+            .when(
+                (n >= 6) & w.rlike(ING_RESTORE_RE),
+                F.concat(strip(3), F.lit("e")),                 # dancing -> dance
+            )
+            .when((n >= 5) & w.rlike("ing$"), strip(3))         # walking -> walk
+            .otherwise(w)
+        )
+        return F.when(w.isin(exc_keys), F.element_at(exc, w)).otherwise(ruled)
+
+    return F.transform(tokens, lemma)
+
+
 def clean_text_tokens(value: ColumnOrName) -> Column:
     """The full ``clean_textmain`` analyzer (py:300-310) as ONE column
     expression: T7 lower -> T8 punct -> T9 digits -> T10 tokenize ->

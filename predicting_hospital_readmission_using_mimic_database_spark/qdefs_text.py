@@ -259,3 +259,57 @@ def q_t13(spark, sf):
     # the full clean_textmain analyzer (py:300-310) as one JVM-side plan
     toks = TX.clean_text_tokens(_noisy())
     return _docs(spark, sf).select("doc_id", F.array_join(toks, " ").alias("clean_tokens"))
+
+
+# Verb-mode lemmatizer (T18, beyond-reference — the reference's
+# wn.lemmatize(word) runs at NLTK's default pos='n', so T13 keeps noun
+# parity and the verb morphology ships as its own operator). SQL compiled
+# from the SAME module constants as the Spark side (irregular_verbs.py).
+from .functions.irregular_verbs import ED_RESTORE_RE as _ED_RE
+from .functions.irregular_verbs import ING_RESTORE_RE as _ING_RE
+from .functions.irregular_verbs import PROTECTED as _VPROT
+from .functions.irregular_verbs import VERB_EXCEPTIONS as _VERB_EXC
+
+_VEXC_MAP_SQL = (
+    "MAP {{"
+    + ", ".join(f"'{k}': '{v}'" for k, v in _VERB_EXC.items())
+    + "}}"
+)
+_VPROT_SQL = "[" + ", ".join(f"'{w}'" for w in _VPROT) + "]"
+_VLEMMA_SQL = (
+    "list_transform({toks}, w -> coalesce("
+    "map_extract(" + _VEXC_MAP_SQL + ", w)[1], CASE "
+    f"WHEN list_contains({_VPROT_SQL}, w) THEN w "
+    "WHEN len(w) >= 6 AND regexp_matches(w, 'ied$') THEN regexp_replace(w, 'ied$', 'y') "
+    "WHEN regexp_matches(w, 'ied$') THEN substr(w, 1, len(w)-1) "
+    "WHEN len(w) >= 5 AND regexp_matches(w, 'ies$') THEN regexp_replace(w, 'ies$', 'y') "
+    "WHEN regexp_matches(w, '(ss|ch|sh|x|zz|o)es$') THEN substr(w, 1, len(w)-2) "
+    "WHEN regexp_matches(w, 'es$') THEN substr(w, 1, len(w)-1) "
+    "WHEN len(w) >= 4 AND regexp_matches(w, '[a-z]s$') AND NOT regexp_matches(w, 'ss$') "
+    "THEN substr(w, 1, len(w)-1) "
+    f"WHEN len(w) >= 5 AND regexp_matches(w, '{_ED_RE}') THEN substr(w, 1, len(w)-1) "
+    "WHEN len(w) >= 5 AND regexp_matches(w, 'ed$') THEN substr(w, 1, len(w)-2) "
+    f"WHEN len(w) >= 6 AND regexp_matches(w, '{_ING_RE}') THEN substr(w, 1, len(w)-3) || 'e' "
+    "WHEN len(w) >= 5 AND regexp_matches(w, 'ing$') THEN substr(w, 1, len(w)-3) "
+    "ELSE w END))"
+)
+
+_T18_TOKS_SQL = _ALPHA_SQL.format(
+    toks=_TOKENIZE_SQL.format(x=f"lower({_NOISY_SQL})")
+)
+
+
+@query(
+    "t18_lemmatize_verbs",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string({_VLEMMA_SQL.format(toks=_T18_TOKS_SQL)}, ' ')
+             AS verb_lemmas
+    FROM documents
+    """,
+)
+def q_t18(spark, sf):
+    # lower -> tokenize -> alpha -> verb-mode lemmatize, one JVM-side plan
+    toks = TX.alpha_only(TX.tokenize(F.lower(_noisy())))
+    out = TX.lemmatize_verb_rules(toks)
+    return _docs(spark, sf).select("doc_id", F.array_join(out, " ").alias("verb_lemmas"))

@@ -72,7 +72,9 @@ PRIORITY: tuple[str, ...] = (
     "st8_upsert_materialized_view",
     "mm4_audio_resample",
     "x9_dataset_card",
-    # (b) code/oracle changed this round
+    # (b) code/oracle changed or NEW this round (t18 takes multi-round-
+    # green x1_text_stats's slot; x family stays represented via x9/x7)
+    "t18_lemmatize_verbs",
     "j10_band_join",
     "x7_mixture_sample",
     "u5_oversample",
@@ -99,7 +101,6 @@ PRIORITY: tuple[str, ...] = (
     "n2_knn_lsh",
     "st1_stream_labels_equivalence",
     "st4_stream_window_counts",
-    "x1_text_stats",
 )
 
 

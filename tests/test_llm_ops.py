@@ -224,6 +224,48 @@ def test_t13_lemmatizer_pinned_semantics(spark):
     assert udf is None or callable(udf)
 
 
+#: T18 verb-mode fixture — every pair is the output NLTK's
+#: WordNetLemmatizer(pos='v') produces (exception-table hits exercise the
+#: vendored verb.exc subset; rule hits exercise the letter-class
+#: detachment; protected words pin the dictionary-membership stand-in)
+T18_WORDNET_V_AGREES = {
+    # verb.exc hits
+    "was": "be", "were": "be", "been": "be", "is": "be",
+    "went": "go", "gone": "go", "said": "say", "seen": "see",
+    "given": "give", "taken": "take", "felt": "feel", "found": "find",
+    "thought": "think", "admitted": "admit", "admitting": "admit",
+    "occurred": "occur", "referred": "refer", "transferred": "transfer",
+    "planned": "plan", "stopped": "stop", "clotted": "clot",
+    "running": "run", "agreed": "agree", "used": "use", "tired": "tire",
+    # suffix-rule hits
+    "walked": "walk", "filled": "fill", "passed": "pass",
+    "danced": "dance", "discharged": "discharge", "monitored": "monitor",
+    "prescribed": "prescribe", "absorbed": "absorb",
+    "continued": "continue", "saved": "save",
+    "walking": "walk", "feeling": "feel", "dancing": "dance",
+    "giving": "give", "describing": "describe",
+    "carried": "carry", "died": "die", "studies": "study",
+    "dies": "die", "gives": "give", "takes": "take", "watches": "watch",
+    "goes": "go", "does": "do", "runs": "run", "says": "say",
+    # protected (morphy's dictionary test would also leave these alone)
+    "nothing": "nothing", "morning": "morning", "during": "during",
+    "proceed": "proceed", "speed": "speed", "string": "string",
+    "hundred": "hundred", "focus": "focus",
+}
+
+
+def test_t18_verb_lemmatizer_pinned_semantics(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.functions.text import lemmatize_verb_rules
+
+    words = sorted(T18_WORDNET_V_AGREES)
+    df = spark.createDataFrame([(words,)], "toks array<string>")
+    out = dict(
+        zip(words, df.select(lemmatize_verb_rules(F.col("toks")).alias("l")).first()["l"])
+    )
+    bad = {w: (out[w], e) for w, e in T18_WORDNET_V_AGREES.items() if out[w] != e}
+    assert not bad, bad
+
+
 def test_bmp_roundtrip_golden_pixels():
     """Golden fixture: a 2x2 BMP with known pixels decodes to exact
     channel means / luminance stats."""
