@@ -167,6 +167,13 @@ def decode_image_features(content: bytes) -> list[float] | None:
     if parsed is None:
         return None
     w, h, px = parsed
+    return _image_stats(w, h, px)
+
+
+def _image_stats(w: int, h: int, px) -> list[float]:
+    """The image feature vector from (width, height, RGB pixels) — shared
+    by the stdlib decoders and the Pillow-gated compressed path, so both
+    produce bit-identical features for identical pixels."""
     n = len(px)
     mr = sum(p[0] for p in px) / n / 255.0
     mg = sum(p[1] for p in px) / n / 255.0
@@ -178,6 +185,29 @@ def decode_image_features(content: bytes) -> list[float] | None:
     for v in lumas:
         hist[min(7, int(v * 8))] += 1
     return [float(w), float(h), w / h, mr, mg, mb, ml, sl] + [c / n for c in hist]
+
+
+def decode_image_features_pil(content: bytes) -> list[float] | None:
+    """Compressed-image decode (JPEG/PNG/WebP/...) via Pillow — the gated
+    codec seam behind :func:`real_decoder`.
+
+    Returns None when Pillow is NOT importable (the caller reports the
+    seam); raises ValueError on bytes Pillow cannot decode (corrupt
+    asset, same contract as the stdlib path). Feature math is the shared
+    :func:`_image_stats`, so a losslessly-encoded PNG of a BMP fixture
+    produces the identical vector.
+    """
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    try:
+        img = Image.open(io.BytesIO(content))
+        img = img.convert("RGB")
+    except Exception as e:
+        raise ValueError(f"corrupt compressed image asset: {e}") from e
+    w, h = img.size
+    return _image_stats(w, h, list(img.getdata()))
 
 
 def encode_wav(samples, rate: int = 8000) -> bytes:
@@ -210,6 +240,12 @@ def decode_audio_features(content: bytes) -> list[float] | None:
     except (wave.Error, EOFError):
         return None
     vals = [v / 32768.0 for v in struct.unpack(f"<{len(raw) // 2}h", raw)]
+    return _audio_stats(nch, rate, vals)
+
+
+def _audio_stats(nch: int, rate: int, vals: list[float]) -> list[float]:
+    """The audio feature vector from normalized samples — shared by the
+    WAV decoder and the pyav-gated compressed path."""
     n = len(vals)
     rms = math.sqrt(sum(v * v for v in vals) / n)
     zc = sum(
@@ -225,6 +261,72 @@ def decode_audio_features(content: bytes) -> list[float] | None:
     return [float(nch), float(rate), n / (nch * rate), rms, zc, peak, mean_abs, std] + [
         c / n for c in hist
     ]
+
+
+def decode_media_features_av(media_type: str, content: bytes) -> list[float] | None:
+    """Compressed audio/video decode (MP3/AAC/H.264/...) via pyav — the
+    gated codec seam behind :func:`real_decoder`.
+
+    Returns None when pyav is NOT importable; raises ValueError on bytes
+    pyav cannot decode. Audio reuses :func:`_audio_stats` over the
+    decoded PCM; video mirrors :func:`decode_video_features`'s vector
+    ([n_frames, w, h, fps, duration, mean_luma, std_luma, motion] +
+    8-bin luma histogram) over frames converted to grayscale.
+    """
+    try:
+        import av
+    except ImportError:
+        return None
+    try:
+        container = av.open(io.BytesIO(content))
+        if media_type == "audio":
+            stream = container.streams.audio[0]
+            rate = int(stream.rate or 0)
+            nch = int(stream.channels or 1)
+            vals: list[float] = []
+            for frame in container.decode(stream):
+                arr = frame.to_ndarray()  # planes x samples, dtype varies
+                flat = arr.astype("float64").reshape(-1)
+                if arr.dtype.kind == "i":
+                    flat = flat / float(2 ** (8 * arr.dtype.itemsize - 1))
+                vals.extend(flat.tolist())
+            if not vals or not rate:
+                raise ValueError("no decodable audio samples")
+            return _audio_stats(nch, rate, vals)
+        stream = container.streams.video[0]
+        fps = float(stream.average_rate) if stream.average_rate else 0.0
+        per_frame_luma: list[float] = []
+        hist = [0] * 8
+        w = h = 0
+        motion_acc, motion_n = 0.0, 0
+        prev = None
+        npx_total = 0
+        for frame in container.decode(stream):
+            g = frame.to_ndarray(format="gray").astype("float64") / 255.0
+            h, w = g.shape
+            flat = g.reshape(-1)
+            npx_total += flat.size
+            for v in flat.tolist():
+                hist[min(7, int(v * 8))] += 1
+            per_frame_luma.append(float(flat.mean()))
+            if prev is not None:
+                motion_acc += float(abs(flat - prev).mean())
+                motion_n += 1
+            prev = flat
+        if not per_frame_luma:
+            raise ValueError("no decodable video frames")
+        nf = len(per_frame_luma)
+        ml = sum(per_frame_luma) / nf
+        sl = math.sqrt(sum((v - ml) ** 2 for v in per_frame_luma) / nf)
+        motion = motion_acc / motion_n if motion_n else 0.0
+        return [
+            float(nf), float(w), float(h), fps,
+            nf / fps if fps else 0.0, ml, sl, motion,
+        ] + [c / npx_total for c in hist]
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(f"corrupt compressed {media_type} asset: {e}") from e
 
 
 def _frame_bytes(width: int, height: int, pixels) -> bytes:
@@ -355,22 +457,43 @@ def fake_decoder(content: bytes) -> list[float]:
 
 
 def real_decoder(media_type: str, content: bytes) -> list[float]:
-    """Dispatch: real image/audio/video parsing. Unparseable content is a
-    data error, not a silent fake — compressed video codecs (H.264...)
-    would slot in here (pyav), same contract."""
+    """Dispatch: real image/audio/video parsing.
+
+    Stdlib codecs first (BMP/PPM, PCM WAV, uncompressed AVI — always
+    available); when those don't recognize the bytes, the GATED
+    compressed-codec seam is TRIED, not stubbed: Pillow for images
+    (JPEG/PNG/...), pyav for audio/video (MP3/H.264/...). Library absent
+    -> a loud error naming the seam; library present but bytes
+    undecodable -> a corrupt-asset error. Never a silent fake."""
     if media_type == "image":
         feats = decode_image_features(content or b"")
         if feats is None:
-            raise ValueError("corrupt image asset: not a supported BMP/PPM")
+            feats = decode_image_features_pil(content or b"")
+        if feats is None:
+            raise ValueError(
+                "image asset is not BMP/PPM and the compressed-codec seam "
+                "is closed: install pillow to decode JPEG/PNG/WebP"
+            )
         return feats
     if media_type == "audio":
         feats = decode_audio_features(content or b"")
         if feats is None:
-            raise ValueError("corrupt audio asset: not a 16-bit PCM WAV")
+            feats = decode_media_features_av("audio", content or b"")
+        if feats is None:
+            raise ValueError(
+                "audio asset is not 16-bit PCM WAV and the compressed-codec "
+                "seam is closed: install pyav to decode MP3/AAC/FLAC"
+            )
         return feats
     feats = decode_video_features(content or b"")
     if feats is None:
-        raise ValueError("corrupt video asset: not an uncompressed 24-bit AVI")
+        feats = decode_media_features_av("video", content or b"")
+    if feats is None:
+        raise ValueError(
+            "video asset is not uncompressed 24-bit AVI and the "
+            "compressed-codec seam is closed: install pyav to decode "
+            "H.264/VP9/HEVC"
+        )
     return feats
 
 

@@ -138,25 +138,74 @@ def balance_undersample(
 
 
 def oversample_with_replacement(
-    df: DataFrame, label: Column | str, seed: int = 42
+    df: DataFrame, label: Column | str, seed: int = 42, exact: bool = False
 ) -> DataFrame:
     """U5 — RandomOverSampler(ratio=1) parity (py:683-684): resample every
-    minority class WITH replacement up to the majority count
-    (fraction-based — approximate n, exact in expectation)."""
+    minority class WITH replacement up to the majority count.
+
+    ``exact=False`` (fraction-based): approximate n, exact in
+    expectation — one map-only Poisson sample per deficient class.
+
+    ``exact=True`` (imblearn's byte-exact contract): every class lands on
+    EXACTLY the majority count — originals all kept, plus exactly
+    ``n_max - n_c`` with-replacement draws. Distributed construction, no
+    driver-side materialization of picks:
+
+    1. number the class rows 1..n_c with the two-pass
+       :func:`~.relational.global_index` substrate (rand-keyed — no
+       single-task window);
+    2. derive the deficit draws as ``xxhash64(i, seed) mod n_c`` over a
+       ``spark.range(deficit)`` (pure generator, scans no data), reduced
+       to (row_position, multiplicity) — at most ``min(deficit, n_c)``
+       rows;
+    3. join + ``explode(sequence(1, multiplicity))`` to emit each drawn
+       row its drawn number of times.
+
+    The multiplicity frame is keyed by position, so a hot draw costs one
+    extra output row per duplicate, never a hot shuffle key.
+    """
     lab = F.col(label) if isinstance(label, str) else label
     counts = df.groupBy(lab.alias("__lab")).agg(F.count("*").alias("n")).collect()
     n_max = max(r["n"] for r in counts)
+    spark = df.sparkSession
     out = None
     for r in counts:
         part = df.filter(lab.eqNullSafe(F.lit(r["__lab"])))
         if r["n"] < n_max:
-            # imblearn semantics: KEEP every original row and append the
-            # with-replacement resamples (a bare Poisson sample can drop
-            # originals entirely)
-            extra = part.sample(
-                withReplacement=True, fraction=n_max / r["n"] - 1.0, seed=seed
-            )
-            part = part.unionByName(extra)
+            if exact:
+                from .relational import global_index
+
+                deficit = n_max - r["n"]
+                idx = global_index(
+                    part.withColumn("__r", F.rand(seed)), ["__r"], out="__pos"
+                ).drop("__r")
+                picks = (
+                    spark.range(deficit)
+                    .select(
+                        (
+                            F.pmod(
+                                F.xxhash64(F.col("id"), F.lit(seed)), F.lit(r["n"])
+                            )
+                            + 1
+                        ).alias("__pos")
+                    )
+                    .groupBy("__pos")
+                    .agg(F.count("*").alias("__mult"))
+                )
+                extra = (
+                    idx.join(picks, "__pos")
+                    .withColumn("__c", F.explode(F.sequence(F.lit(1), F.col("__mult"))))
+                    .drop("__pos", "__mult", "__c")
+                )
+                part = part.unionByName(extra)
+            else:
+                # imblearn semantics: KEEP every original row and append
+                # the with-replacement resamples (a bare Poisson sample
+                # can drop originals entirely)
+                extra = part.sample(
+                    withReplacement=True, fraction=n_max / r["n"] - 1.0, seed=seed
+                )
+                part = part.unionByName(extra)
         out = part if out is None else out.unionByName(part)
     return out
 

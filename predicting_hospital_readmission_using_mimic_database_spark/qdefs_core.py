@@ -732,19 +732,21 @@ def q_u4(spark, sf):
       FROM embeddings GROUP BY 1
     )
     SELECT CAST(max(cnt) AS BIGINT) AS n_majority,
-           TRUE AS minority_keeps_originals, TRUE AS minority_near_majority
+           CAST(max(cnt) AS BIGINT) AS n_minority_after,
+           TRUE AS minority_keeps_originals
     FROM c
     """,
 )
 def q_u5(spark, sf):
-    """U5 — RandomOverSampler parity (py:683-684): minority resampled with
-    replacement toward the majority count (fraction-based, approximate n).
-    The majority class passes through untouched (exact count, oracled);
-    the minority keeps every original and lands within 10% of the
-    majority count (booleans — the resample n is binomial by design)."""
+    """U5 — RandomOverSampler parity (py:683-684), EXACT-deficit mode
+    (imblearn's byte-exact contract): every class lands on exactly the
+    majority count — the oracle pins ``n_minority_after == n_majority``
+    as a hard equality, not a 10%% band. Originals are all kept
+    (construction: originals + exactly-deficit draws; boolean pinned via
+    the count inequality)."""
     base = _emb_pos(spark, sf)
     orig = {r["pos"]: r["n"] for r in base.groupBy("pos").agg(F.count("*").alias("n")).collect()}
-    over = SA.oversample_with_replacement(base, "pos", seed=42)
+    over = SA.oversample_with_replacement(base, "pos", seed=42, exact=True)
     after = {r["pos"]: r["n"] for r in over.groupBy("pos").agg(F.count("*").alias("n")).collect()}
     maj = max(orig, key=orig.get)
     mino = min(orig, key=orig.get)
@@ -752,11 +754,11 @@ def q_u5(spark, sf):
         [
             (
                 after[maj],
+                after[mino],
                 bool(after[mino] >= orig[mino]),
-                bool(abs(after[mino] - orig[maj]) <= 0.1 * orig[maj]),
             )
         ],
-        "n_majority long, minority_keeps_originals boolean, minority_near_majority boolean",
+        "n_majority long, n_minority_after long, minority_keeps_originals boolean",
     )
 
 

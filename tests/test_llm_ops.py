@@ -339,7 +339,9 @@ def test_multimodal_corrupt_image_raises(spark):
     blobs = spark.createDataFrame(
         [(1, "image", b"not an image", 2, 2, None)], MM.BLOB_SCHEMA
     )
-    with pytest.raises(Exception, match="corrupt image"):
+    # loud failure either way: Pillow absent -> the gated-seam error;
+    # Pillow present -> its decoder rejects the bytes as corrupt
+    with pytest.raises(Exception, match="corrupt .*image|compressed-codec seam"):
         MM.decode_stub_features(blobs, real_codec=True).collect()
 
 
@@ -532,3 +534,65 @@ def test_knn_join_broadcast_string_and_mixed_ids(spark):
         SI.knn_join_broadcast(
             big_i.select(F.col("v").alias("vid"), "v"), small_i, "vid", "v"
         ).collect()
+
+
+def _has_pil():
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _has_av():
+    try:
+        import av  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def test_compressed_codec_seam_is_tried_not_stubbed():
+    """Library absent -> a loud error NAMING the seam (never a silent
+    fake); library present -> the compressed bytes actually decode."""
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+    if not _has_pil():
+        assert MM.decode_image_features_pil(jpeg_magic) is None  # gated, not faked
+        with pytest.raises(ValueError, match="pillow"):
+            MM.real_decoder("image", jpeg_magic)
+    if not _has_av():
+        assert MM.decode_media_features_av("audio", b"\x00" * 64) is None
+        with pytest.raises(ValueError, match="pyav"):
+            MM.real_decoder("audio", b"ID3" + b"\x00" * 64)
+        with pytest.raises(ValueError, match="pyav"):
+            MM.real_decoder("video", b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64)
+
+
+@pytest.mark.skipif(not _has_pil(), reason="pillow not installed")
+def test_compressed_image_decode_matches_stdlib_pixels():
+    """A losslessly re-encoded PNG of a BMP fixture must produce the
+    identical feature vector (shared _image_stats math)."""
+    import io as _io
+
+    from PIL import Image
+
+    px = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (128, 128, 128)]
+    bmp = MM.encode_bmp(2, 2, px)
+    want = MM.decode_image_features(bmp)
+    img = Image.new("RGB", (2, 2))
+    img.putdata(px)
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    got = MM.decode_image_features_pil(buf.getvalue())
+    assert got == want
+    # and real_decoder routes compressed bytes through the seam
+    assert MM.real_decoder("image", buf.getvalue()) == want
+
+
+@pytest.mark.skipif(not _has_av(), reason="pyav not installed")
+def test_compressed_audio_decode_via_av():
+    samples = [int(10000 * ((i % 16) / 8.0 - 1.0)) for i in range(800)]
+    blob = MM.encode_wav(samples, rate=8000)
+    got = MM.decode_media_features_av("audio", blob)
+    assert got is not None and len(got) == MM.FEATURE_DIM
+    assert got[1] == 8000.0

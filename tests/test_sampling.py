@@ -138,6 +138,27 @@ def test_oversample_keeps_all_originals(spark):
     assert orig_pos_ids <= out_pos_ids  # imblearn semantics: originals retained
 
 
+def test_oversample_exact_hits_majority_count(spark):
+    """exact=True: every class lands on EXACTLY the majority count, all
+    originals retained, and the result is partitioning-robust."""
+    rows = (
+        [(i, 0) for i in range(37)]
+        + [(100 + i, 1) for i in range(5)]
+        + [(200 + i, 2) for i in range(11)]
+    )
+    df = spark.createDataFrame(rows, "id long, lab int")
+    out = SA.oversample_with_replacement(df, "lab", seed=3, exact=True)
+    counts = {r["lab"]: r["n"] for r in out.groupBy("lab").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 37, 1: 37, 2: 37}
+    for lab in (1, 2):
+        orig = {r["id"] for r in df.filter(F.col("lab") == lab).collect()}
+        got = {r["id"] for r in out.filter(F.col("lab") == lab).collect()}
+        assert orig == got  # draws duplicate originals, never invent ids
+    out7 = SA.oversample_with_replacement(df.repartition(7), "lab", seed=3, exact=True)
+    c7 = {r["lab"]: r["n"] for r in out7.groupBy("lab").agg(F.count("*").alias("n")).collect()}
+    assert c7 == {0: 37, 1: 37, 2: 37}
+
+
 def test_smote_empty_minority_raises(spark):
     import pytest
 
