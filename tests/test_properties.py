@@ -132,6 +132,37 @@ def test_band_join_equals_nested_loop(spark, raw, band_cents):
 
 @_slow
 @given(
+    st.lists(st.integers(0, 200), min_size=1, max_size=15),
+    st.lists(st.integers(0, 200), min_size=0, max_size=15),
+    st.integers(0, 30),
+)
+def test_band_join_outer_equals_nested_loop(spark, raw_a, raw_b, band_cents):
+    """how='left'/'full' band join == the naive ANSI outer theta join —
+    unmatched rows null-extend exactly once, multiplicity preserved,
+    including band=0 (exact equality) and an empty right side."""
+    band = band_cents * 0.01
+    a = spark.createDataFrame(
+        [(i, v * 0.01) for i, v in enumerate(raw_a)], "a_id long, a_v double"
+    )
+    b = spark.createDataFrame(
+        [(i, v * 0.01) for i, v in enumerate(raw_b)], "b_id long, b_v double"
+    )
+    cond = (F.col("b_v") >= F.col("a_v") - band) & (F.col("b_v") <= F.col("a_v") + band)
+    for how in ("left", "full"):
+        got = sorted(
+            ((r["a_id"], r["b_id"]) for r in R.band_join(
+                a, b, "a_v", "b_v", band=band, how=how).collect()),
+            key=lambda p: (p[0] is None, p[0] or 0, p[1] is None, p[1] or 0),
+        )
+        want = sorted(
+            ((r["a_id"], r["b_id"]) for r in a.join(b, cond, how).collect()),
+            key=lambda p: (p[0] is None, p[0] or 0, p[1] is None, p[1] or 0),
+        )
+        assert got == want, (how, band)
+
+
+@_slow
+@given(
     st.lists(
         st.tuples(st.integers(0, 20), st.integers(0, 100)),
         min_size=1, max_size=30, unique_by=lambda t: t[0],
