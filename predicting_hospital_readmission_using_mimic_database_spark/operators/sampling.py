@@ -155,14 +155,16 @@ def oversample_with_replacement(
        :func:`~.relational.global_index` substrate (rand-keyed — no
        single-task window);
     2. derive the deficit draws as ``xxhash64(i, seed) mod n_c`` over a
-       ``spark.range(deficit)`` (pure generator, scans no data), reduced
-       to (row_position, multiplicity) — at most ``min(deficit, n_c)``
-       rows;
-    3. join + ``explode(sequence(1, multiplicity))`` to emit each drawn
-       row its drawn number of times.
+       ``spark.range(deficit)`` (pure generator, scans no data);
+    3. equi-join draws to positions — the join itself emits each drawn
+       row once per draw, streaming (no per-row multiplicity array to
+       materialize, unlike an ``explode(sequence(...))`` form).
 
-    The multiplicity frame is keyed by position, so a hot draw costs one
-    extra output row per duplicate, never a hot shuffle key.
+    Skew note: draw positions are uniform, so join-key load is balanced
+    whenever ``deficit`` is within a few orders of ``n_c``; the
+    pathological case (a near-empty class under a huge majority, every
+    draw landing on a handful of positions) concentrates OUTPUT rows,
+    which no construction avoids — prefer :func:`smote` there.
     """
     lab = F.col(label) if isinstance(label, str) else label
     counts = df.groupBy(lab.alias("__lab")).agg(F.count("*").alias("n")).collect()
@@ -179,24 +181,13 @@ def oversample_with_replacement(
                 idx = global_index(
                     part.withColumn("__r", F.rand(seed)), ["__r"], out="__pos"
                 ).drop("__r")
-                picks = (
-                    spark.range(deficit)
-                    .select(
-                        (
-                            F.pmod(
-                                F.xxhash64(F.col("id"), F.lit(seed)), F.lit(r["n"])
-                            )
-                            + 1
-                        ).alias("__pos")
-                    )
-                    .groupBy("__pos")
-                    .agg(F.count("*").alias("__mult"))
+                picks = spark.range(deficit).select(
+                    (
+                        F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(r["n"]))
+                        + 1
+                    ).alias("__pos")
                 )
-                extra = (
-                    idx.join(picks, "__pos")
-                    .withColumn("__c", F.explode(F.sequence(F.lit(1), F.col("__mult"))))
-                    .drop("__pos", "__mult", "__c")
-                )
+                extra = idx.join(picks, "__pos").drop("__pos")
                 part = part.unionByName(extra)
             else:
                 # imblearn semantics: KEEP every original row and append
