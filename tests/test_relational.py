@@ -182,6 +182,52 @@ def test_read_jdbc_option_plumbing():
         read_jdbc(fs, "jdbc:x://h/d", "t", partition_column="k")
 
 
+def test_read_jdbc_live_derby_roundtrip(tmp_path, spark):
+    """LIVE JDBC validation against the Derby engine Spark bundles for
+    its metastore (embedded, in-process — no external service): write a
+    table through Spark's JDBC sink, read it back through `read_jdbc`'s
+    partitioned path AND its predicates path, and confirm (a) exact row
+    parity and (b) the range-partitioned read really fans out into
+    num_partitions tasks (the single-reader-trap guard, observed live
+    rather than asserted on option plumbing)."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.io import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/livedb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    # Derby uppercases unquoted identifiers; uppercase names keep the
+    # writer's quoted DDL and the reader's generated WHERE clauses agreeing
+    src = spark.range(0, 1000).selectExpr(
+        "id AS K", "CAST(id % 7 AS INT) AS GRP", "CAST(id * 1.5 AS DOUBLE) AS V"
+    )
+    src.write.jdbc(url, "events_live", mode="overwrite", properties=props)
+
+    part = read_jdbc(
+        spark, url, "events_live",
+        partition_column="K", lower_bound=0, upper_bound=1000,
+        num_partitions=4, properties=props,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 1000
+    got = part.agg(
+        F.sum("K").alias("sk"), F.round(F.sum("V"), 3).alias("sv")
+    ).collect()[0]
+    assert (got["sk"], got["sv"]) == (499500, 749250.0)
+
+    pred = read_jdbc(
+        spark, url, "events_live",
+        predicates=["K < 500", "K >= 500"], properties=props,
+    )
+    assert pred.rdd.getNumPartitions() == 2
+    assert pred.count() == 1000
+
+    # subquery-alias pushdown form
+    sub = read_jdbc(
+        spark, url, "(SELECT K, GRP FROM events_live WHERE GRP = 3) t",
+        properties=props,
+    )
+    assert sub.count() == len([i for i in range(1000) if i % 7 == 3])
+
+
 def test_salted_join_equals_plain_join(spark):
     left = spark.createDataFrame([(1, i) for i in range(50)] + [(2, 99)], "k int, v int")
     right = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], "k int, w string")
