@@ -39,6 +39,12 @@ ED_RESTORE_RE = r"(ced|ged|ued|ved|zed|[aeiou]bed)$"
 #: "describing" -> describe): strip "ing", append "e"
 ING_RESTORE_RE = r"(cing|ging|uing|ving|zing|[aeiou]bing)$"
 
+#: endings excluded from the bare ``s ->`` strip rule: -ss (glass), -us
+#: (status/focus/thus), -is (this/diagnosis/basis), -as (pancreas/was) —
+#: whole morphological classes WordNet's dictionary test would reject,
+#: handled as a class instead of enumerating every member
+S_STRIP_EXCLUDE_RE = r"(ss|us|is|as)$"
+
 #: tokens the suffix rules must never touch: non-verbs ending in
 #: -ing/-ed/-s and base-form verbs whose endings look inflected
 PROTECTED: tuple[str, ...] = (
@@ -50,7 +56,12 @@ PROTECTED: tuple[str, ...] = (
     # -ed / -eed non-verbs and base forms
     "proceed", "succeed", "exceed", "speed", "breed", "bleed", "embed",
     "greed", "indeed", "hundred", "sacred", "wicked", "hatred", "kindred",
-    # base forms ending in bare -s
+    # -s non-verbs the class exclusions (S_STRIP_EXCLUDE_RE) don't cover:
+    # high-frequency function words, -es lookalikes, clinical nouns
+    "news", "always", "perhaps", "lens", "species", "series", "herpes",
+    "diabetes", "measles", "rabies", "scabies",
+    # base forms ending in bare -s (also caught by the -us/-as class
+    # exclusions; kept for documentation)
     "focus", "bias", "alias", "atlas", "canvas",
 )
 

@@ -167,6 +167,7 @@ def lemmatize_verb_rules(tokens: Column) -> Column:
         ED_RESTORE_RE,
         ING_RESTORE_RE,
         PROTECTED,
+        S_STRIP_EXCLUDE_RE,
         VERB_EXCEPTIONS,
     )
 
@@ -184,8 +185,11 @@ def lemmatize_verb_rules(tokens: Column) -> Column:
             .when(w.rlike("ied$"), strip(1))                    # died -> die
             .when((n >= 5) & w.rlike("ies$"), F.regexp_replace(w, "ies$", "y"))
             .when(w.rlike("(ss|ch|sh|x|zz|o)es$"), strip(2))    # watches -> watch
-            .when(w.rlike("es$"), strip(1))                     # gives -> give
-            .when((n >= 4) & w.rlike("[a-z]s$") & ~w.rlike("ss$"), strip(1))
+            .when((n >= 4) & w.rlike("es$"), strip(1))          # gives -> give
+            .when(
+                (n >= 4) & w.rlike("[a-z]s$") & ~w.rlike(S_STRIP_EXCLUDE_RE),
+                strip(1),                                       # runs -> run
+            )
             .when((n >= 5) & w.rlike(ED_RESTORE_RE), strip(1))  # danced -> dance
             .when((n >= 5) & w.rlike("ed$"), strip(2))          # walked -> walk
             .when(

@@ -285,10 +285,19 @@ def decode_media_features_av(media_type: str, content: bytes) -> list[float] | N
             nch = int(stream.channels or 1)
             vals: list[float] = []
             for frame in container.decode(stream):
-                arr = frame.to_ndarray()  # planes x samples, dtype varies
+                arr = frame.to_ndarray()  # (planes|1) x samples, dtype varies
+                # planar layouts (fltp — the common MP3/AAC decode shape)
+                # are plane-major; transpose to interleave channels so the
+                # order-sensitive zero-crossing feature matches the WAV
+                # path's interleaved semantics
+                if getattr(frame.format, "is_planar", False) and arr.ndim == 2:
+                    arr = arr.T
                 flat = arr.astype("float64").reshape(-1)
-                if arr.dtype.kind == "i":
+                if arr.dtype.kind == "i":  # signed ints: scale to [-1, 1]
                     flat = flat / float(2 ** (8 * arr.dtype.itemsize - 1))
+                elif arr.dtype.kind == "u":  # unsigned (pcm_u8): recenter
+                    half = float(2 ** (8 * arr.dtype.itemsize - 1))
+                    flat = (flat - half) / half
                 vals.extend(flat.tolist())
             if not vals or not rate:
                 raise ValueError("no decodable audio samples")
@@ -301,13 +310,19 @@ def decode_media_features_av(media_type: str, content: bytes) -> list[float] | N
         motion_acc, motion_n = 0.0, 0
         prev = None
         npx_total = 0
+        import numpy as np
+
         for frame in container.decode(stream):
             g = frame.to_ndarray(format="gray").astype("float64") / 255.0
             h, w = g.shape
             flat = g.reshape(-1)
             npx_total += flat.size
-            for v in flat.tolist():
-                hist[min(7, int(v * 8))] += 1
+            # vectorized binning: a per-pixel Python loop is minutes per
+            # 1080p asset inside a mapInPandas task
+            binned = np.minimum((flat * 8).astype("int64"), 7)
+            counts = np.bincount(binned, minlength=8)
+            for i in range(8):
+                hist[i] += int(counts[i])
             per_frame_luma.append(float(flat.mean()))
             if prev is not None:
                 motion_acc += float(abs(flat - prev).mean())

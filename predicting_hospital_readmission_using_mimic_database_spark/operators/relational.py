@@ -716,11 +716,19 @@ def band_join(
             F.lit(None).cast(f.dataType).alias(f.name) for f in df.schema.fields
         ]
 
-    def _unmatched(side: DataFrame, val: str, other: DataFrame, oval: str):
+    def _unmatched(side: DataFrame, val: str, other: DataFrame, oval: str,
+                   side_is_left: bool):
         """Rows of ``side`` with no band partner in ``other`` (multiplicity
         preserved): distinct (keys, val) probe tuples that DID match, then
         anti-join the originals against them. One banded probe over
-        distinct tuples, never over full rows."""
+        distinct tuples, never over full rows.
+
+        The band predicate is evaluated in the SAME orientation as the
+        inner filter — BETWEEN anchored on the LEFT value — whichever
+        side is probing: the two orientations differ in the last ulp
+        (docstring contract), and a flipped right-side probe would emit
+        spurious (or drop genuine) null-extended rows under ``full``.
+        """
         probe = side.select(*keys, val).distinct()
         pcell = F.floor(F.col(val) / F.lit(w))
         pe = probe.withColumn(
@@ -728,11 +736,13 @@ def band_join(
         )
         oe = other.withColumn("__cell", F.floor(F.col(oval) / F.lit(w)))
         mcond = [pe["__cell"] == oe["__cell"]] + [pe[k] == oe[k] for k in keys]
+        if side_is_left:  # pe holds left values, oe right values
+            band_pred = (oe[oval] >= pe[val] - b) & (oe[oval] <= pe[val] + b)
+        else:  # pe holds RIGHT values: anchor BETWEEN on oe's left values
+            band_pred = (pe[val] >= oe[oval] - b) & (pe[val] <= oe[oval] + b)
         matched = (
             pe.join(oe, mcond, "inner")
-            .filter(
-                (oe[oval] >= pe[val] - b) & (oe[oval] <= pe[val] + b)
-            )
+            .filter(band_pred)
             .select(*(pe[k] for k in keys), pe[val])
             .distinct()
         )
@@ -742,10 +752,10 @@ def band_join(
         return side.join(matched, acond, "left_anti")
 
     out = inner
-    left_miss = _unmatched(left, left_val, right, right_val)
+    left_miss = _unmatched(left, left_val, right, right_val, True)
     out = out.union(left_miss.select("*", *_nulls(right)))
     if how == "full":
-        right_miss = _unmatched(right, right_val, left, left_val)
+        right_miss = _unmatched(right, right_val, left, left_val, False)
         out = out.union(right_miss.select(*_nulls(left), "*"))
     return out
 

@@ -268,6 +268,7 @@ def q_t13(spark, sf):
 from .functions.irregular_verbs import ED_RESTORE_RE as _ED_RE
 from .functions.irregular_verbs import ING_RESTORE_RE as _ING_RE
 from .functions.irregular_verbs import PROTECTED as _VPROT
+from .functions.irregular_verbs import S_STRIP_EXCLUDE_RE as _SX_RE
 from .functions.irregular_verbs import VERB_EXCEPTIONS as _VERB_EXC
 
 _VEXC_MAP_SQL = (
@@ -284,8 +285,8 @@ _VLEMMA_SQL = (
     "WHEN regexp_matches(w, 'ied$') THEN substr(w, 1, len(w)-1) "
     "WHEN len(w) >= 5 AND regexp_matches(w, 'ies$') THEN regexp_replace(w, 'ies$', 'y') "
     "WHEN regexp_matches(w, '(ss|ch|sh|x|zz|o)es$') THEN substr(w, 1, len(w)-2) "
-    "WHEN regexp_matches(w, 'es$') THEN substr(w, 1, len(w)-1) "
-    "WHEN len(w) >= 4 AND regexp_matches(w, '[a-z]s$') AND NOT regexp_matches(w, 'ss$') "
+    "WHEN len(w) >= 4 AND regexp_matches(w, 'es$') THEN substr(w, 1, len(w)-1) "
+    f"WHEN len(w) >= 4 AND regexp_matches(w, '[a-z]s$') AND NOT regexp_matches(w, '{_SX_RE}') "
     "THEN substr(w, 1, len(w)-1) "
     f"WHEN len(w) >= 5 AND regexp_matches(w, '{_ED_RE}') THEN substr(w, 1, len(w)-1) "
     "WHEN len(w) >= 5 AND regexp_matches(w, 'ed$') THEN substr(w, 1, len(w)-2) "

@@ -247,10 +247,17 @@ T18_WORDNET_V_AGREES = {
     "carried": "carry", "died": "die", "studies": "study",
     "dies": "die", "gives": "give", "takes": "take", "watches": "watch",
     "goes": "go", "does": "do", "runs": "run", "says": "say",
-    # protected (morphy's dictionary test would also leave these alone)
+    # protected / class-excluded (morphy's dictionary test would also
+    # leave all of these alone)
     "nothing": "nothing", "morning": "morning", "during": "during",
     "proceed": "proceed", "speed": "speed", "string": "string",
     "hundred": "hundred", "focus": "focus",
+    "this": "this", "thus": "thus", "yes": "yes", "his": "his",
+    "status": "status", "diagnosis": "diagnosis", "basis": "basis",
+    "pancreas": "pancreas", "news": "news", "always": "always",
+    "perhaps": "perhaps", "lens": "lens", "species": "species",
+    "series": "series", "diabetes": "diabetes",
+    "previous": "previous", "various": "various", "nauseous": "nauseous",
 }
 
 

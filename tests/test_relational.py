@@ -539,6 +539,18 @@ def test_band_join_outer_keeps_unmatched(spark):
     assert {(r["a_id"], r["b_id"]) for r in full} == want
 
 
+def test_band_join_full_ulp_orientation(spark):
+    """The right-side unmatched probe must evaluate BETWEEN anchored on
+    the LEFT value (the inner filter's orientation). 0.13 <= 0.12+0.01
+    holds in doubles but 0.12 >= 0.13-0.01 does NOT — a flipped probe
+    classified this matched right row as unmatched and emitted a
+    spurious (NULL, b) row alongside the genuine pair."""
+    a = spark.createDataFrame([(1, 0.12)], "a_id long, a_v double")
+    b = spark.createDataFrame([(10, 0.13)], "b_id long, b_v double")
+    full = R.band_join(a, b, "a_v", "b_v", band=0.01, how="full").collect()
+    assert [(r["a_id"], r["b_id"]) for r in full] == [(1, 10)]
+
+
 def test_salted_join_equals_plain_join(spark):
     fact = spark.createDataFrame(
         [(i, "hot" if i % 10 else "cold") for i in range(200)], "id long, k string"
