@@ -89,6 +89,8 @@ HEADLINE = [
     "t17_bigram_counts",      # plan-side n-gram explode + count
     # round-5: a streaming entry gets a tracked wall-clock like the rest
     "st4_stream_window_counts",  # watermarked tumbling windows, availableNow
+    "x10_domain_stats",       # URL-domain explode + shared-exchange aggs
+    "x11_gopher_flags",       # map-only quality verdict at scan speed
 ]
 
 

@@ -226,3 +226,75 @@ def pii_scrub(text, kinds: tuple = ("email", "url")):
     for k in kinds:
         c = F.regexp_replace(c, PII_PATTERNS[k], f"<{k.upper()}>")
     return c
+
+
+#: domain extractor shared with the DuckDB oracles: Java-regex/RE2-common
+#: (literal classes only), capture group 1 = the registrable host
+URL_DOMAIN_RE = r"https?://([a-zA-Z0-9.-]+)"
+
+
+def extract_url_domains(text) -> Column:
+    """All URL host names in a document as an array — the per-domain
+    curation signal (domain allow/deny lists, per-domain caps) every web
+    corpus pipeline keys on. JVM ``regexp_extract_all``, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(URL_DOMAIN_RE), 1)
+
+
+def domain_stats(df, id_col: str, text) -> "DataFrame":
+    """x10 — per-domain corpus stats: URL mentions and distinct documents
+    per host. One explode + ONE shuffle on the domain key (count and
+    count-distinct share the aggregation exchange); at 100 TB the
+    explode is map-side and the shuffle carries (domain, doc_id) pairs
+    only — never document text."""
+    return (
+        df.select(F.col(id_col), F.explode(extract_url_domains(text)).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+    )
+
+
+#: Gopher-rule constants (Rae et al. 2021, table A1 subset — the public
+#: quality-filter battery): shared with the oracle SQL
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_quality_flags(text) -> dict[str, Column]:
+    """x11 — Gopher-style document quality flags as pure JVM expressions:
+    word-count bounds, mean-word-length bounds, distinct-stopword
+    presence, and the combined keep/drop verdict. Map-only (no shuffle,
+    no UDF) — the filter pass runs at scan speed and pushes the verdict
+    down next to the parquet reader."""
+    c = F.col(text) if isinstance(text, str) else text
+    # drop empty tokens: Spark's split of "" yields [""] while the oracle's
+    # list_filter removes it — n_words must be 0 for blank docs in BOTH
+    words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    total_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mean_wl = F.when(n_words > 0, total_len / n_words)
+    stop_hits = F.size(
+        F.array_intersect(words, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_mwl = (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        mean_wl <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    ok_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(mean_wl, 6),
+        "stop_hits": stop_hits.cast("long"),
+        "keep": ok_words & ok_mwl & ok_stop,
+    }

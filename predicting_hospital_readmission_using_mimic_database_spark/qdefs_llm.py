@@ -1044,3 +1044,95 @@ def q_mm4(spark, sf):
         "asset_id", "in_rate", "in_samples", "out_rate", "out_samples",
         F.lit(bytes_exact).alias("resampled_bytes_exact"),
     )
+
+
+# --- x10/x11: per-domain URL stats + Gopher quality flags (round 5) ----
+
+#: deterministic URL noise both engines append (the synthetic corpus has
+#: no URLs; doc_id-derived hosts exercise extraction on identical text)
+_URLIFY = (
+    " see http://site{m7}.example.com/p/{did}"
+    " and https://mirror{m3}.example.org/x"
+)
+_URLIFY_SQL = (
+    "text || ' see http://site' || (doc_id % 7) || '.example.com/p/' || doc_id"
+    " || ' and https://mirror' || (doc_id % 3) || '.example.org/x'"
+)
+
+
+def _urlify(df):
+    return df.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" see http://site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+            F.lit(" and https://mirror"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.org/x"),
+        ),
+    )
+
+
+@query(
+    "x10_domain_stats",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all({_URLIFY_SQL},
+                    'https?://([a-zA-Z0-9.-]+)', 1)) AS domain
+      FROM documents
+    )
+    SELECT domain,
+           count(*) AS n_urls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM u GROUP BY domain
+    """,
+)
+def q_x10(spark, sf):
+    """X10 — per-domain corpus stats (the allow/deny-list + per-domain-cap
+    signal of every web curation pipeline): JVM regexp_extract_all ->
+    explode -> ONE shuffle on the domain key carrying (domain, doc_id)
+    pairs only, never text. n_urls and n_docs share the exchange."""
+    return TS.domain_stats(_urlify(_docs(spark, sf)), "doc_id", "text")
+
+
+@query(
+    "x11_gopher_flags",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t <> '') AS words
+      FROM documents
+    ), s AS (
+      SELECT doc_id, len(words) AS n_words,
+             list_sum(list_transform(words, t -> len(t))) AS total_len,
+             len(list_intersect(words,
+                 ['the','be','to','of','and','that','have','with']))
+               AS stop_hits
+      FROM w
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           round(total_len * 1.0 / n_words, 6) AS mean_word_len,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           (n_words BETWEEN 50 AND 100000
+            AND (total_len * 1.0 / n_words) BETWEEN 3.0 AND 10.0
+            AND stop_hits >= 2) AS keep
+    FROM s
+    """,
+)
+def q_x11(spark, sf):
+    """X11 — Gopher-rule quality flags (Rae et al. 2021 battery subset:
+    word-count bounds, mean-word-length bounds, stopword presence) as
+    map-only JVM expressions — the filter verdict computes at scan speed
+    with no shuffle and no UDF; constants shared with the oracle SQL
+    from operators/textstats.py."""
+    d = _docs(spark, sf)
+    flags = TS.gopher_quality_flags("text")
+    return d.select(
+        "doc_id",
+        flags["n_words"].alias("n_words"),
+        flags["mean_word_len"].alias("mean_word_len"),
+        flags["stop_hits"].alias("stop_hits"),
+        flags["keep"].alias("keep"),
+    )

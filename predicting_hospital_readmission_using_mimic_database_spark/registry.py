@@ -72,9 +72,13 @@ PRIORITY: tuple[str, ...] = (
     "st8_upsert_materialized_view",
     "mm4_audio_resample",
     "x9_dataset_card",
-    # (b) code/oracle changed or NEW this round (t18 takes multi-round-
-    # green x1_text_stats's slot; x family stays represented via x9/x7)
+    # (b) code/oracle changed or NEW this round (t18/x10/x11 take the
+    # slots of multi-round-green x1_text_stats/d1_dedup_exact/e2_auc;
+    # every displaced family keeps an in-window sentinel: x9/x7, d2,
+    # e8/e2e)
     "t18_lemmatize_verbs",
+    "x10_domain_stats",
+    "x11_gopher_flags",
     "j10_band_join",
     "x7_mixture_sample",
     "u5_oversample",
@@ -94,9 +98,7 @@ PRIORITY: tuple[str, ...] = (
     "u7_nearmiss",
     "m3_rf_train_predict",
     "m7_grid_cv",
-    "e2_auc",
     "e2e_full_pipeline",
-    "d1_dedup_exact",
     "d2_dedup_minhash_lsh",
     "n2_knn_lsh",
     "st1_stream_labels_equivalence",

@@ -603,3 +603,39 @@ def test_compressed_audio_decode_via_av():
     got = MM.decode_media_features_av("audio", blob)
     assert got is not None and len(got) == MM.FEATURE_DIM
     assert got[1] == 8000.0
+
+
+def test_domain_stats_counts_urls_and_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see http://a.example.com/x and https://b.example.org/y"),
+            (2, "again http://a.example.com/z twice http://a.example.com/w"),
+            (3, "no urls here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["domain"]: (r["n_urls"], r["n_docs"]) for r in TS.domain_stats(df, "doc_id", "text").collect()}
+    assert out == {"a.example.com": (3, 2), "b.example.org": (1, 1)}
+
+
+def test_gopher_flags_rules(spark):
+    good = "the " + "sensible words flow onward with that cadence have to of be and " * 8
+    short = "the cat"
+    longwords = ("extraordinarily " * 60) + "the be to of and that have with"
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, longwords), (4, "")],
+        "doc_id long, text string",
+    )
+    fl = TS.gopher_quality_flags("text")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", fl["n_words"].alias("n"), fl["mean_word_len"].alias("m"),
+            fl["stop_hits"].alias("s"), fl["keep"].alias("k"),
+        ).collect()
+    }
+    assert rows[1]["k"] is True and rows[1]["s"] >= 2
+    assert rows[2]["k"] is False          # too few words
+    assert rows[3]["k"] is False          # mean word length out of range
+    assert rows[3]["m"] > 10.0
+    assert rows[4]["n"] == 0 and rows[4]["k"] is False  # blank doc
