@@ -91,6 +91,11 @@ HEADLINE = [
     "st4_stream_window_counts",  # watermarked tumbling windows, availableNow
     "x10_domain_stats",       # URL-domain explode + shared-exchange aggs
     "x11_gopher_flags",       # map-only quality verdict at scan speed
+    "x12_repetition_stats",   # Gopher repetition signals, gram-keyed shuffles
+    "x13_chunk_text",         # sliding-window RAG chunking, map-only
+    "d8_line_dedup",          # corpus-level CCNet line dedup
+    "j13_interval_join",      # variable-width interval containment, no BNLJ
+    "m12_standard_scale",     # fit-small/transform-wide feature scaling
 ]
 
 

@@ -160,3 +160,49 @@ def tfidf(
             .filter(F.col("rank") <= top_n)
         )
     return out
+
+
+def standard_scale_exploded(
+    df: DataFrame, id_col: str, vec_col: str, ndigits: int = 6
+) -> DataFrame:
+    """M12 — per-dimension z-score standardization of an embedding /
+    feature-array column (sklearn ``StandardScaler`` / MLlib
+    ``StandardScaler(withMean=True)`` semantics, population stddev),
+    emitted in EXPLODED form ``(id, dim, z)`` so the result is exactly
+    SQL-oracle-checkable.
+
+    Plan shape: one ``posexplode``, ONE aggregation shuffle over the
+    tiny dimension key-space (d keys — e.g. 64 — with map-side partial
+    aggregation, so the exchange carries d rows per task, not d rows
+    per input row), then a BROADCAST join of the d-row stats frame back
+    onto the exploded values — the scaled output never reshuffles. At
+    100 TB the only wide data movement is the map-local explode; the
+    fitted (mu, sigma) frame is d rows regardless of corpus size — the
+    classic fit-small/transform-wide split.
+
+    Zero-variance dimensions scale to NULL (explicit ``sigma > 0``
+    guard on both engines — SQL division by zero is engine-dependent).
+    ``ndigits`` rounds the z-scores to absorb partial-aggregation
+    float-sum-order differences across engines.
+    """
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "__x")
+    )
+    stats = ex.groupBy("dim").agg(
+        F.avg("__x").alias("__mu"),
+        F.stddev_pop("__x").alias("__sigma"),
+    )
+    return (
+        ex.join(F.broadcast(stats), "dim")
+        .select(
+            F.col(id_col),
+            F.col("dim").cast("long").alias("dim"),
+            F.round(
+                F.when(
+                    F.col("__sigma") > 0,
+                    (F.col("__x") - F.col("__mu")) / F.col("__sigma"),
+                ),
+                ndigits,
+            ).alias("z"),
+        )
+    )

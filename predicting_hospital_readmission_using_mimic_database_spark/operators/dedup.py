@@ -585,3 +585,74 @@ def cross_corpus_contamination(
     return tr.join(te_side, "shingle").groupBy(id_col).agg(
         F.count("*").alias("n_shared")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level line dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    max_docs: int = 1,
+    digest_only: bool = False,
+) -> DataFrame:
+    """d8 — corpus-level line deduplication (the CCNet / RefinedWeb
+    boilerplate-removal pass): split every document on ``sep``, drop each
+    line that occurs in more than ``max_docs`` DISTINCT documents (nav
+    bars, cookie banners, license boilerplate), and reassemble the
+    surviving lines in original order.
+
+    Returns one row per input document:
+    ``(id, n_lines, n_removed, kept_text | kept_md5)`` —
+    ``digest_only=True`` emits the md5 of the reassembled text instead of
+    the text itself (what the correctness oracle hash-compares; keeps
+    result rows narrow).
+
+    Plan shape: posexplode lines -> ONE count-distinct shuffle keyed on
+    the line string -> left join the (small) duplicated-line set back ->
+    ONE per-doc shuffle to reassemble via sort_array(struct(line_no,
+    line)). At 100 TB both shuffles carry (line, doc_id) pairs — bounded
+    by line length, never whole documents — and the duplicated-line
+    frame is the filtered MINORITY of lines (boilerplate), which AQE
+    will broadcast when it fits. Aggregations are partial (map-side
+    combine on the line key).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            "line_no", "line"
+        ),
+    )
+    dup = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") > max_docs)
+        .select("line", F.lit(True).alias("__dup"))
+    )
+    flagged = lines.join(dup, "line", "left")
+    kept_lines = F.transform(
+        F.filter(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("line_no"), F.col("line"), F.col("__dup").alias("d")
+                    )
+                )
+            ),
+            lambda s: s["d"].isNull(),
+        ),
+        lambda s: s["line"],
+    )
+    kept_text = F.array_join(kept_lines, sep)
+    out = flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("__dup"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        (F.md5(kept_text) if digest_only else kept_text).alias(
+            "kept_md5" if digest_only else "kept_text"
+        ),
+    )
+    return out

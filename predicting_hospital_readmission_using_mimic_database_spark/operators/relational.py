@@ -802,3 +802,105 @@ def merge_upsert(
         if c not in keys and c not in base.columns:
             out_cols.append(F.col(f"__u_{c}").alias(c))
     return j.select(*out_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    cell_width: float,
+    keys: Sequence[str] = (),
+    how: str = "inner",
+    max_cells: int = 10_000,
+) -> DataFrame:
+    """J13 — POINT-IN-INTERVAL join — ``start <= point < end`` with
+    per-row VARIABLE interval widths — as a bucketed equi-join.
+
+    :func:`band_join` covers the symmetric fixed-band case; real
+    range-join workloads (event-in-session, reading-in-validity-window,
+    IP-in-CIDR-range) carry intervals whose widths differ per row, which
+    a fixed 3-cell probe cannot cover. Here the INTERVAL side explodes
+    into every grid cell it overlaps (``sequence(floor(start/w),
+    floor(end/w))`` — variable length, proportional to interval width),
+    the point side maps to its single cell, and the join is a plain
+    shuffled hash join on (keys..., cell) + the exact half-open
+    predicate. Each qualifying pair meets exactly once (the point has
+    ONE cell).
+
+    This is how Spark-era engines execute what DuckDB runs as an IEJoin:
+    candidate count scales with true overlap density (points within
+    ``cell_width`` of each interval), never |P|x|I|, and the plan stays
+    off BroadcastNestedLoopJoin — the guard tested in tests/test_plans.
+
+    ``cell_width`` trades explode factor (wide intervals -> many cells)
+    against candidate precision (cells much wider than intervals ->
+    more false candidates); set it near the TYPICAL interval width.
+    ``max_cells`` bounds the per-row explode (a degenerate
+    million-cell interval is a data bug, not a plan input): exceeding
+    rows raise at execution via an ANSI-mode-independent guard column.
+
+    ``how='left'`` preserves interval rows with zero contained points
+    (null-extended point side) via the same distinct-probe anti-join
+    pattern as ``band_join`` outer — matched-ness of an interval depends
+    only on its (keys..., start, end) tuple.
+
+    Timestamps: cast to epoch seconds / days first (the qdefs entry
+    shows the ``datediff``-days form).
+    """
+    if cell_width <= 0:
+        raise ValueError(f"interval_join: cell_width must be > 0, got {cell_width}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"interval_join: how must be inner|left, got {how!r}")
+    w = F.lit(float(cell_width))
+
+    def _cells(df: DataFrame) -> DataFrame:
+        lo = F.floor(F.col(start_col) / w)
+        hi = F.floor(F.col(end_col) / w)
+        n = hi - lo + 1
+        guarded_hi = F.when(n <= max_cells, hi)  # NULL -> sequence raises
+        return df.withColumn(
+            "__cell",
+            F.explode(
+                F.when(
+                    F.col(end_col) > F.col(start_col),
+                    F.sequence(lo, F.coalesce(guarded_hi, F.assert_true(
+                        n <= max_cells,
+                        f"interval_join: interval spans > {max_cells} cells; "
+                        "raise cell_width or max_cells",
+                    ).cast("long"))),
+                ).otherwise(F.array().cast("array<long>")),
+            ),
+        )
+
+    ie = _cells(intervals)
+    ps = points.withColumn("__cell", F.floor(F.col(point_col) / w))
+    cond = [ie["__cell"] == ps["__cell"]] + [ie[k] == ps[k] for k in keys]
+    inner = (
+        ie.join(ps, cond, "inner")
+        .filter(
+            (ps[point_col] >= ie[start_col]) & (ps[point_col] < ie[end_col])
+        )
+        .drop("__cell")
+    )
+    if how == "inner":
+        return inner
+
+    probe = intervals.select(*keys, start_col, end_col).distinct()
+    pm = _cells(probe)
+    mcond = [pm["__cell"] == ps["__cell"]] + [pm[k] == ps[k] for k in keys]
+    matched = (
+        pm.join(ps, mcond, "inner")
+        .filter((ps[point_col] >= pm[start_col]) & (ps[point_col] < pm[end_col]))
+        .select(*(pm[k] for k in keys), pm[start_col], pm[end_col])
+        .distinct()
+    )
+    acond = [intervals[k].eqNullSafe(matched[k]) for k in keys] + [
+        intervals[c].eqNullSafe(matched[c]) for c in (start_col, end_col)
+    ]
+    miss = intervals.join(matched, acond, "left_anti")
+    nulls = [
+        F.lit(None).cast(f.dataType).alias(f.name) for f in points.schema.fields
+    ]
+    return inner.union(miss.select("*", *nulls))

@@ -298,3 +298,119 @@ def gopher_quality_flags(text) -> dict[str, Column]:
         "stop_hits": stop_hits.cast("long"),
         "keep": ok_words & ok_mwl & ok_stop,
     }
+
+
+def _words(text) -> Column:
+    """Non-empty whitespace-run tokens — shared word model for the
+    repetition / chunking operators (blank doc -> empty array, matching
+    DuckDB's ``list_filter(string_split_regex(...), t -> t <> '')``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != F.lit(""))
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Space-joined word ``n``-grams as an array (empty when the doc has
+    fewer than ``n`` words). Pure JVM: sequence + transform + slice."""
+    starts = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(starts, lambda i: F.array_join(F.slice(words, i, n), " "))
+
+
+def repetition_stats(df, id_col: str, text_col: str, top_n: int = 2, dup_n: int = 5):
+    """x12 — Gopher-style repetition signals (Rae et al. 2021 §A1.1, the
+    repetition half of the filter battery that ``gopher_quality_flags``
+    leaves out): per document,
+
+    - ``top_{top_n}gram_frac``: the largest character mass any single
+      word ``top_n``-gram accounts for, as a fraction of total word
+      characters (``count * gram_chars / total_chars`` maximized over
+      grams — the deterministic, tie-free variant of "fraction of
+      characters in the most frequent n-gram");
+    - ``dup_{dup_n}gram_frac``: character mass of all ``dup_n``-grams
+      occurring more than once, overlap-unaware (the standard
+      reimplementation simplification), over total word characters.
+
+    Plan shape: ONE explode emits both gram sizes tagged by ``sz``, ONE
+    shuffle on (doc, sz, gram) counts occurrences, ONE shuffle on doc
+    folds the signals. At 100 TB the shuffles carry grams + counts, never
+    full documents, and both aggregations are partial (map-side combine).
+    Gram character mass derives from the gram string itself
+    (``length(gram) - (n-1)`` separators), so no extra payload rides the
+    shuffle. Docs too short for a gram keep a 0.0 signal (left join back
+    to the per-doc base).
+    """
+    words = _words(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("n_word_chars"),
+        words.alias("__w"),
+    )
+    grams = None
+    for sz in (top_n, dup_n):
+        g = base.select(
+            id_col,
+            F.lit(sz).alias("sz"),
+            F.explode(_word_ngrams(F.col("__w"), sz)).alias("gram"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    counted = grams.groupBy(id_col, "sz", "gram").agg(F.count("*").alias("cnt"))
+    mass = (F.col("cnt") * (F.length("gram") - F.col("sz") + 1)).cast("double")
+    sig = counted.groupBy(id_col).agg(
+        F.max(F.when(F.col("sz") == top_n, mass)).alias("__top"),
+        F.sum(F.when((F.col("sz") == dup_n) & (F.col("cnt") >= 2), mass)).alias(
+            "__dup"
+        ),
+    )
+    tot = F.col("n_word_chars").cast("double")
+    frac = lambda c: F.round(  # noqa: E731
+        F.when(tot > 0, F.coalesce(c, F.lit(0.0)) / tot).otherwise(0.0), 6
+    )
+    return (
+        base.drop("__w")
+        .join(sig, id_col, "left")
+        .select(
+            id_col,
+            "n_word_chars",
+            frac(F.col("__top")).alias(f"top_{top_n}gram_frac"),
+            frac(F.col("__dup")).alias(f"dup_{dup_n}gram_frac"),
+        )
+    )
+
+
+def chunk_sliding(df, id_col: str, text_col: str, size: int = 32, stride: int = 24):
+    """x13 — sliding-window chunking (the RAG / context-window prep op):
+    split each document into word chunks of ``size`` tokens starting
+    every ``stride`` tokens (overlap = size - stride). Map-only, pure
+    JVM (sequence + posexplode + slice + array_join): at 100 TB this
+    runs at scan speed with zero shuffle, and the chunk explosion is
+    bounded by ~n_tokens/stride per doc. A blank document yields one
+    empty chunk so every input doc appears downstream.
+
+    Contrast ``pack_chunks`` (x5), which packs multiple docs into fixed
+    budgets for pretraining; this op slides a window WITHIN a doc for
+    retrieval indexing.
+    """
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    w = F.col("__w")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(stride))
+    chunk_words = F.slice(w, F.col("__start"), size)
+    return (
+        df.select(F.col(id_col), _words(text_col).alias("__w"))
+        .select(
+            id_col,
+            "__w",
+            F.posexplode(starts.cast("array<int>")).alias("chunk_id", "__start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size(chunk_words).cast("long").alias("n_tokens"),
+            F.array_join(chunk_words, " ").alias("chunk_text"),
+        )
+    )

@@ -1480,3 +1480,51 @@ def q_w12(spark, sf):
         F.count("t_view").alias("n_view_sessions"),
         F.count(F.when(F.col("t_purchase") > F.col("t_view"), 1)).alias("n_converted"),
     )
+
+
+@query(
+    "j13_interval_join",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             date_diff('day', DATE '1970-01-01', o_orderdate) AS s,
+             date_diff('day', DATE '1970-01-01', o_orderdate)
+               + 1 + o_orderkey % 7 AS e
+      FROM orders
+    ), p AS (
+      SELECT date_diff('day', DATE '1970-01-01', l_shipdate) AS d
+      FROM lineitem
+    )
+    SELECT o.o_orderkey, CAST(count(p.d) AS BIGINT) AS n_ship
+    FROM o LEFT JOIN p ON p.d >= o.s AND p.d < o.e
+    GROUP BY o.o_orderkey
+    """,
+)
+def q_j13(spark, sf):
+    """J13 — VARIABLE-WIDTH interval-containment join (each order owns a
+    1–7-day shipping window ``[orderdate, orderdate + 1 + key%7)``; count
+    lineitem ship events inside it, keyless across the whole corpus) via
+    operators.relational.interval_join: the interval side explodes into
+    the grid cells it overlaps, the point side hashes to one cell, and
+    the match is a shuffled hash equi-join + exact half-open filter —
+    the Spark-side equivalent of DuckDB's IEJoin, immune to
+    BroadcastNestedLoopJoin. ``how='left'`` keeps zero-ship orders (the
+    outer re-attach pattern shared with band_join). Dates ride as epoch
+    days so the grid is integer arithmetic."""
+    epoch = F.lit("1970-01-01")
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), epoch).cast("long").alias("s"),
+        (
+            F.datediff(F.col("o_orderdate"), epoch)
+            + 1
+            + F.col("o_orderkey") % 7
+        ).cast("long").alias("e"),
+    )
+    p = read_table(spark, sf, "lineitem").select(
+        F.datediff(F.col("l_shipdate"), epoch).cast("long").alias("d")
+    )
+    j = R.interval_join(p, o, "d", "s", "e", cell_width=4.0, how="left")
+    return j.groupBy("o_orderkey").agg(
+        F.count("d").cast("long").alias("n_ship")
+    )

@@ -1136,3 +1136,153 @@ def q_x11(spark, sf):
         flags["stop_hits"].alias("stop_hits"),
         flags["keep"].alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals / chunking / corpus line dedup
+# ---------------------------------------------------------------------------
+
+#: planted repetition: a phrase repeated 3x so duplicate-5-gram mass is
+#: nonzero on the word-salad corpus (same injection idiom as _urlify)
+_REP_PHRASE = " click here to read more click here to read more click here to read more"
+_REP_SQL = f"text || '{_REP_PHRASE}'"
+
+_X12_SQL = f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim({_REP_SQL}), '\\s+'),
+                         t -> t <> '') AS words
+      FROM documents
+    ), b AS (
+      SELECT doc_id, len(words) AS n,
+             CAST(coalesce(list_sum(list_transform(words, t -> len(t))), 0)
+                  AS BIGINT) AS total,
+             words
+      FROM w
+    ), g AS (
+      SELECT doc_id, 2 AS sz, array_to_string(words[i:i+1], ' ') AS gram
+      FROM b, unnest(generate_series(1, n - 1)) u(i) WHERE n >= 2
+      UNION ALL
+      SELECT doc_id, 5, array_to_string(words[i:i+4], ' ')
+      FROM b, unnest(generate_series(1, n - 4)) u(i) WHERE n >= 5
+    ), c AS (
+      SELECT doc_id, sz, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3
+    ), s AS (
+      SELECT doc_id,
+             max(CASE WHEN sz = 2 THEN cnt * (len(gram) - 1) END) AS topmass,
+             sum(CASE WHEN sz = 5 AND cnt >= 2
+                      THEN cnt * (len(gram) - 4) END) AS dupmass
+      FROM c GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.total AS n_word_chars,
+           round(CASE WHEN b.total > 0
+                      THEN coalesce(s.topmass, 0) * 1.0 / b.total
+                      ELSE 0.0 END, 6) AS top_2gram_frac,
+           round(CASE WHEN b.total > 0
+                      THEN coalesce(s.dupmass, 0) * 1.0 / b.total
+                      ELSE 0.0 END, 6) AS dup_5gram_frac
+    FROM b LEFT JOIN s USING (doc_id)
+"""
+
+
+@query("x12_repetition_stats", oracle=_X12_SQL)
+def q_x12(spark, sf):
+    """X12 — Gopher repetition signals (the §A1.1 half that x11's
+    length/stopword flags leave out): per-doc max-bigram character mass
+    and duplicated-5-gram character mass, via
+    operators.textstats.repetition_stats — one explode emitting both
+    gram sizes, one (doc, sz, gram) counting shuffle, one per-doc fold;
+    gram char mass derives from the gram string so the shuffle carries
+    no extra payload. Repetition is planted (a 3x phrase) because the
+    corpus is a no-dup word salad; fractions are exact integer-ratio
+    arithmetic so the round(6) is bit-identical across engines."""
+    d = _docs(spark, sf).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_REP_PHRASE)).alias("text")
+    )
+    return TS.repetition_stats(d, "doc_id", "text", top_n=2, dup_n=5)
+
+
+@query(
+    "x13_chunk_text",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t <> '') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((i - 1) // 24 AS BIGINT) AS chunk_id,
+           CAST(len(words[i:i+31]) AS BIGINT) AS n_tokens,
+           array_to_string(words[i:i+31], ' ') AS chunk_text
+    FROM w, unnest(generate_series(1, greatest(len(words), 1), 24)) u(i)
+    """,
+)
+def q_x13(spark, sf):
+    """X13 — sliding-window chunking for retrieval indexing (size=32
+    tokens, stride=24 -> 8-token overlap) via
+    operators.textstats.chunk_sliding: map-only sequence + posexplode +
+    slice + array_join, zero shuffle — chunk prep runs at scan speed at
+    100 TB. Chunk text is compared as exact strings; a blank doc yields
+    one empty chunk on both engines."""
+    return TS.chunk_sliding(_docs(spark, sf), "doc_id", "text", size=32, stride=24)
+
+
+#: synthetic multi-line docs for line dedup: the (unique) original text
+#: plus one corpus-wide boilerplate line, one mod-5 shared line, and one
+#: per-doc unique line — removal hits exactly the middle two
+_D8_LINES_SQL = """
+    SELECT doc_id,
+           [text,
+            'boilerplate cookie banner',
+            'section ' || CAST(doc_id % 5 AS VARCHAR),
+            'id marker ' || CAST(doc_id AS VARCHAR)] AS ls
+    FROM documents
+"""
+
+
+@query(
+    "d8_line_dedup",
+    oracle=f"""
+    WITH d AS ({_D8_LINES_SQL}),
+    lines AS (
+      SELECT doc_id, i - 1 AS line_no, ls[i] AS line
+      FROM d, unnest(generate_series(1, len(ls))) u(i)
+    ),
+    dup AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING count(DISTINCT doc_id) > 1
+    ),
+    k AS (
+      SELECT l.doc_id, l.line_no, l.line, dup.line IS NOT NULL AS isdup
+      FROM lines l LEFT JOIN dup ON l.line = dup.line
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(coalesce(string_agg(CASE WHEN NOT isdup THEN line END,
+                                   chr(10) ORDER BY line_no), '')) AS kept_md5
+    FROM k GROUP BY doc_id
+    """,
+)
+def q_d8(spark, sf):
+    """D8 — corpus-level LINE deduplication (CCNet / RefinedWeb
+    boilerplate removal) via operators.dedup.dedup_lines: drop every
+    line occurring in >1 distinct documents, reassemble survivors in
+    order, emit the md5 of the cleaned text. The harness corpus is
+    single-line, so multi-line docs are synthesized deterministically on
+    both engines: original text + a corpus-wide boilerplate line + a
+    mod-5 shared line + a unique marker line — dedup must remove
+    exactly the middle two from every doc and keep the rest in order.
+    Shuffles carry (line, doc_id) pairs; the dup-line set is the
+    filtered minority that AQE broadcasts back."""
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("boilerplate cookie banner"),
+            F.concat(F.lit("section "), (F.col("doc_id") % 5).cast("string")),
+            F.concat(F.lit("id marker "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return DD.dedup_lines(d, "doc_id", "text", sep="\n", digest_only=True)

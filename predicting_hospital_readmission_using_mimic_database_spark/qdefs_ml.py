@@ -733,3 +733,30 @@ def q_t16(spark, sf):
     return out.select(
         "doc_id", "token", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "rank"
     )
+
+
+@query(
+    "m12_standard_scale",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, embedding[i] AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
+    ), s AS (
+      SELECT dim, avg(x) AS mu, stddev_pop(x) AS sigma
+      FROM e GROUP BY dim
+    )
+    SELECT e.vec_id, e.dim,
+           round(CASE WHEN sigma > 0 THEN (x - mu) / sigma END, 6) AS z
+    FROM e JOIN s USING (dim)
+    """,
+)
+def q_m12(spark, sf):
+    """M12 — per-dimension z-score standardization of the embedding
+    column (StandardScaler fit+transform) via
+    ml.features.standard_scale_exploded, emitted exploded ``(vec_id,
+    dim, z)`` for exact SQL checking: one posexplode, one 64-key
+    partial-aggregated stats shuffle, then a BROADCAST of the d-row
+    (mu, sigma) frame back over the values — the transform side never
+    reshuffles, the fit artifact is O(d) regardless of corpus size.
+    Population stddev on both engines; zero-variance dims -> NULL."""
+    return FE.standard_scale_exploded(_emb(spark, sf), "vec_id", "embedding")

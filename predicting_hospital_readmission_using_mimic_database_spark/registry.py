@@ -72,13 +72,23 @@ PRIORITY: tuple[str, ...] = (
     "st8_upsert_materialized_view",
     "mm4_audio_resample",
     "x9_dataset_card",
-    # (b) code/oracle changed or NEW this round (t18/x10/x11 take the
-    # slots of multi-round-green x1_text_stats/d1_dedup_exact/e2_auc;
-    # every displaced family keeps an in-window sentinel: x9/x7, d2,
-    # e8/e2e)
+    # (b) code/oracle changed or NEW this round: t18 (verb lemmatizer),
+    # x10/x11 (domain stats, Gopher flags), x12/x13 (repetition signals,
+    # sliding chunking), d8 (corpus line dedup), j13 (variable-width
+    # interval join), m12 (standard scaler), plus the entries the round's
+    # fixes touched (band-join validation, typed quota, exact-n
+    # oversample, e8 shared-feature refactor, mm1 codec dispatch).
+    # Displaced multi-round-green entries (x1/d1/e2/j1/w1/a1/m3/u7) each
+    # leave a same-family sentinel in-window: x7/x9, d2, e8/e2e,
+    # j10/j12/j13, w4b/w12, a2b/a13b/a14, m4/m7/m12, u3/u5/u11.
     "t18_lemmatize_verbs",
     "x10_domain_stats",
     "x11_gopher_flags",
+    "x12_repetition_stats",
+    "x13_chunk_text",
+    "d8_line_dedup",
+    "j13_interval_join",
+    "m12_standard_scale",
     "j10_band_join",
     "x7_mixture_sample",
     "u5_oversample",
@@ -89,14 +99,9 @@ PRIORITY: tuple[str, ...] = (
     "flagship_readmit_30d",
     "s1_scan_events",
     "p1_project",
-    "j1_join_inner",
-    "w1_lead",
-    "a1_value_counts",
     "c1_case_label",
     "u3_random_split",
     "u6_smote",
-    "u7_nearmiss",
-    "m3_rf_train_predict",
     "m7_grid_cv",
     "e2e_full_pipeline",
     "d2_dedup_minhash_lsh",

@@ -639,3 +639,106 @@ def test_gopher_flags_rules(spark):
     assert rows[3]["k"] is False          # mean word length out of range
     assert rows[3]["m"] > 10.0
     assert rows[4]["n"] == 0 and rows[4]["k"] is False  # blank doc
+
+
+def test_repetition_stats_exact_fractions(spark):
+    # "a b a b" : words chars=4; bigrams: "a b" x2, "b a" x1 -> top mass
+    # 2*2=4 -> frac 1.0; no 5-grams -> dup frac 0.0
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "xyz"), (3, "")], "id long, text string"
+    )
+    out = {r["id"]: r for r in TS.repetition_stats(df, "id", "text").collect()}
+    assert out[1]["n_word_chars"] == 4
+    assert out[1]["top_2gram_frac"] == 1.0
+    assert out[1]["dup_5gram_frac"] == 0.0
+    # single word: no bigrams at all -> 0.0, but chars counted
+    assert out[2]["n_word_chars"] == 3 and out[2]["top_2gram_frac"] == 0.0
+    # blank doc: all zeros, row still present
+    assert out[3]["n_word_chars"] == 0 and out[3]["dup_5gram_frac"] == 0.0
+
+
+def test_repetition_stats_duplicate_5grams(spark):
+    # "v w x y z" repeated twice with itself: the 5-gram "v w x y z"
+    # occurs twice (positions 1 and 6); overlap-unaware dup mass counts
+    # every >=2-count 5-gram occurrence
+    df = spark.createDataFrame([(1, "v w x y z v w x y z")], "id long, text string")
+    r = TS.repetition_stats(df, "id", "text").collect()[0]
+    assert r["dup_5gram_frac"] > 0.0
+    assert r["n_word_chars"] == 10
+
+
+def test_chunk_sliding_boundaries(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, ""), (3, "solo")],
+        "id long, text string",
+    )
+    out = TS.chunk_sliding(df, "id", "text", size=4, stride=3)
+    rows = sorted(
+        ((r["id"], r["chunk_id"], r["n_tokens"], r["chunk_text"]) for r in out.collect())
+    )
+    by_doc = {}
+    for rid, cid, n, txt in rows:
+        by_doc.setdefault(rid, []).append((cid, n, txt))
+    # doc 1: starts 1,4,7,10 -> chunks of 4,4,4,1 tokens; overlap = 1
+    assert [c[:2] for c in by_doc[1]] == [(0, 4), (1, 4), (2, 4), (3, 1)]
+    assert by_doc[1][0][2] == "w0 w1 w2 w3"
+    assert by_doc[1][1][2] == "w3 w4 w5 w6"
+    assert by_doc[1][3][2] == "w9"
+    # blank doc -> exactly one empty chunk (doc still represented)
+    assert by_doc[2] == [(0, 0, "")]
+    assert by_doc[3] == [(0, 1, "solo")]
+
+
+def test_chunk_sliding_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, text string")
+    with pytest.raises(ValueError):
+        TS.chunk_sliding(df, "id", "text", size=0, stride=3)
+    with pytest.raises(ValueError):
+        TS.chunk_sliding(df, "id", "text", size=4, stride=0)
+
+
+def test_dedup_lines_removes_shared_keeps_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "unique one\nSHARED\nmiddle one\nSHARED TWO"),
+            (2, "SHARED\nunique two\nSHARED TWO"),
+            (3, "all mine\nreally"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in DD.dedup_lines(df, "id", "text").collect()}
+    assert out[1]["n_lines"] == 4 and out[1]["n_removed"] == 2
+    assert out[1]["kept_text"] == "unique one\nmiddle one"
+    assert out[2]["kept_text"] == "unique two"
+    assert out[3]["n_removed"] == 0 and out[3]["kept_text"] == "all mine\nreally"
+
+
+def test_dedup_lines_all_removed_and_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, "X\nX"), (2, "X"), (3, "X")], "id long, text string"
+    )
+    # "X" appears in 3 distinct docs (> max_docs=1) -> removed everywhere;
+    # doc 1 keeps duplicate-within-doc counting (2 lines, both removed)
+    out = {r["id"]: r for r in DD.dedup_lines(df, "id", "text").collect()}
+    assert out[1]["n_lines"] == 2 and out[1]["n_removed"] == 2
+    assert out[1]["kept_text"] == ""
+    # raise the threshold: a line must span >2 docs to be boilerplate
+    out3 = {r["id"]: r for r in DD.dedup_lines(df, "id", "text", max_docs=3).collect()}
+    assert out3[1]["n_removed"] == 0 and out3[1]["kept_text"] == "X\nX"
+
+
+def test_standard_scale_exploded_zero_variance_and_values(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.ml import features as FE2
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 5.0]), (2, [2.0, 5.0]), (3, [4.0, 5.0])],
+        "id long, v array<float>",
+    )
+    out = {(r["id"], r["dim"]): r["z"] for r in
+           FE2.standard_scale_exploded(df, "id", "v").collect()}
+    # dim 0: mean 2, pop std = sqrt(8/3); z for id1 = -2/1.63299 = -1.224745
+    assert out[(1, 0)] == pytest.approx(-1.224745, abs=1e-6)
+    assert out[(2, 0)] == 0.0
+    assert out[(3, 0)] == pytest.approx(1.224745, abs=1e-6)
+    # dim 1 is constant -> sigma 0 -> NULL on both engines
+    assert out[(1, 1)] is None and out[(3, 1)] is None

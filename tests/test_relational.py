@@ -590,3 +590,68 @@ def test_salted_join_left_outer_keeps_unmatched(spark):
     dim = spark.createDataFrame([("hot", 9)], "k string, v int")
     rows = {r["id"]: r["v"] for r in R.salted_join(fact, dim, "k", salt=4, how="left").collect()}
     assert rows == {1: 9, 2: 9, 3: None}  # one row per left row, no salt dups
+
+
+def test_interval_join_matches_nested_loop(spark):
+    import random
+
+    rnd = random.Random(7)
+    pts = spark.createDataFrame(
+        [(i, float(rnd.randint(0, 100))) for i in range(120)], "pid long, d double"
+    )
+    iv = spark.createDataFrame(
+        [
+            (j, float(rnd.randint(0, 95)), 0.0)
+            for j in range(40)
+        ],
+        "iid long, s double, e double",
+    ).withColumn("e", F.col("s") + 1 + F.col("iid") % 9)
+    got = sorted(
+        (r["iid"], r["pid"])
+        for r in R.interval_join(pts, iv, "d", "s", "e", cell_width=3.0).collect()
+    )
+    want = sorted(
+        (r["iid"], r["pid"])
+        for r in iv.crossJoin(pts.withColumnRenamed("d", "pd"))
+        .filter((F.col("pd") >= F.col("s")) & (F.col("pd") < F.col("e")))
+        .withColumnRenamed("pd", "d")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_interval_join_left_keeps_empty_intervals(spark):
+    pts = spark.createDataFrame([(1, 5.0)], "pid long, d double")
+    iv = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 20.0, 30.0), (3, 7.0, 7.0)],  # 3 is empty
+        "iid long, s double, e double",
+    )
+    out = R.interval_join(pts, iv, "d", "s", "e", cell_width=4.0, how="left")
+    rows = {r["iid"]: r["pid"] for r in out.collect()}
+    assert rows == {1: 1, 2: None, 3: None}
+
+
+def test_interval_join_half_open_and_guards(spark):
+    import pytest
+
+    pts = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "pid long, d double"
+    )
+    iv = spark.createDataFrame([(1, 10.0, 20.0)], "iid long, s double, e double")
+    got = [r["pid"] for r in R.interval_join(pts, iv, "d", "s", "e", 5.0).collect()]
+    assert got == [1]  # start inclusive, end exclusive
+    with pytest.raises(ValueError):
+        R.interval_join(pts, iv, "d", "s", "e", cell_width=0.0)
+    with pytest.raises(ValueError):
+        R.interval_join(pts, iv, "d", "s", "e", 5.0, how="full")
+    # runaway interval trips the max_cells execution guard
+    wide = spark.createDataFrame([(1, 0.0, 1e9)], "iid long, s double, e double")
+    with pytest.raises(Exception, match="cells"):
+        R.interval_join(pts, wide, "d", "s", "e", 1.0, max_cells=100).collect()
+
+
+def test_interval_join_no_nested_loop_in_plan(spark):
+    pts = spark.createDataFrame([(1, 5.0)], "pid long, d double")
+    iv = spark.createDataFrame([(1, 0.0, 10.0)], "iid long, s double, e double")
+    plan = R.interval_join(pts, iv, "d", "s", "e", 4.0)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
