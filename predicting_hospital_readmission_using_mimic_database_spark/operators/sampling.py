@@ -674,3 +674,52 @@ def stratified_hash_split(
     test = ranked.filter(F.col("__sr") <= F.col("__tq")).drop("__sr", "__lab", "__tq", "__big")
     train = ranked.filter(F.col("__sr") > F.col("__tq")).drop("__sr", "__lab", "__tq", "__big")
     return train, test
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "",
+    out_rank: str = "rank",
+) -> DataFrame:
+    """x14 — weighted sampling WITHOUT replacement via Efraimidis–
+    Spirakis priority sampling (A-ES, Inf. Proc. Letters 2006 — public
+    algorithm): each row gets priority ``u^(1/w)`` (equivalently ranked
+    by ``ln(u)/w``) with ``u`` a uniform in (0, 1); the top ``n``
+    priorities are EXACTLY a weight-proportional without-replacement
+    draw. The corpus-curation "sample documents proportional to length /
+    quality mass" step.
+
+    ``u`` is a DETERMINISTIC md5-hash uniform of ``key_col`` + ``salt``
+    (first 8 hex chars -> 32-bit int -> (v + 0.5) / 2^32, strictly
+    inside (0,1)) — the same engine-independent idiom as
+    :func:`quota_sample`: reproducible on any partitioning and
+    recomputable by the SQL oracle, no ``rand()``. Selection is
+    ``orderBy(priority).limit(n)`` — Spark plans TakeOrderedAndProject
+    (per-partition top-n, merge at the driver: no global sort, no
+    single-task window at any corpus size); the rank column is assigned
+    on the n-row result only. Rows with weight <= 0 are never sampled
+    (the w -> 0+ limit of the priority) and are filtered up front.
+    """
+    if n <= 0:
+        raise ValueError(f"weighted_priority_sample: n must be > 0, got {n}")
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    v = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    u = (v + F.lit(0.5)) / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    pri = F.log(u) / w  # monotone in u^(1/w); better-conditioned doubles
+    top = (
+        df.filter(w > 0)
+        .withColumn("__pri", pri)
+        .orderBy(F.desc("__pri"))
+        .limit(n)
+    )
+    return (
+        top.withColumn(
+            out_rank,
+            F.row_number().over(Window.orderBy(F.desc("__pri"))).cast("long"),
+        )
+        .drop("__pri")
+    )

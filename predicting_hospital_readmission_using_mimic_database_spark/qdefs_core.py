@@ -1528,3 +1528,31 @@ def q_j13(spark, sf):
     return j.groupBy("o_orderkey").agg(
         F.count("d").cast("long").alias("n_ship")
     )
+
+
+@query(
+    "j14_fuzzy_join",
+    oracle="""
+    SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_j14(spark, sf):
+    """J14 — fuzzy (edit-distance <= 1) self-join of customer names via
+    operators.relational.fuzzy_join: PassJoin segment blocking turns the
+    O(n^2)-levenshtein theta join into a hash equi-join on (length,
+    segment id, segment text) candidates + exact filter. TPC-H names
+    ('Customer#000000042') differ by single digit substitutions, so the
+    true match set is dense enough to exercise recall. The oracle is
+    DuckDB's literal nested predicate over all pairs — any candidate the
+    blocking misses breaks the hash."""
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_name")
+    a = c.select(F.col("c_custkey").alias("a_key"), F.col("c_name").alias("a_name"))
+    b = c.select(F.col("c_custkey").alias("b_key"), F.col("c_name").alias("b_name"))
+    j = R.fuzzy_join(a, b, "a_name", "b_name", max_dist=1)
+    return j.filter(F.col("a_key") < F.col("b_key")).select(
+        "a_key", "b_key", F.col("dist").cast("int").alias("dist")
+    )

@@ -1286,3 +1286,35 @@ def q_d8(spark, sf):
         ).alias("text"),
     )
     return DD.dedup_lines(d, "doc_id", "text", sep="\n", digest_only=True)
+
+
+@query(
+    "x14_weighted_sample",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) + 0.5) / 4294967296.0 AS u
+      FROM documents WHERE n_chars > 0
+    ), r AS (
+      SELECT doc_id, w,
+             row_number() OVER (ORDER BY ln(u) / w DESC) AS rank
+      FROM s
+    )
+    SELECT doc_id, w, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 50
+    """,
+)
+def q_x14(spark, sf):
+    """X14 — Efraimidis–Spirakis weighted priority sampling (50 docs,
+    weight = n_chars) via operators.sampling.weighted_priority_sample:
+    deterministic md5-hash uniforms make the exact drawn set (and its
+    rank order) recomputable by the SQL oracle; Spark plans the
+    selection as TakeOrderedAndProject — per-partition top-n, no global
+    sort, no full-corpus single-task window."""
+    d = _docs(spark, sf).select("doc_id", F.col("n_chars").cast("long").alias("w"))
+    from .operators import sampling as SA
+
+    return SA.weighted_priority_sample(d, "doc_id", "w", n=50).select(
+        "doc_id", "w", "rank"
+    )

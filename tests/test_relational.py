@@ -655,3 +655,48 @@ def test_interval_join_no_nested_loop_in_plan(spark):
     iv = spark.createDataFrame([(1, 0.0, 10.0)], "iid long, s double, e double")
     plan = R.interval_join(pts, iv, "d", "s", "e", 4.0)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_matches_naive_theta_join(spark):
+    names = [
+        "Customer#000000001", "Customer#000000002", "Customer#000000011",
+        "Customr#000000001",   # deletion of 'e'
+        "XCustomer#000000001", # insertion
+        "totally different",
+        "ab", "ba", "a", "",
+    ]
+    a = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(names)], "a_id long, a_s string"
+    )
+    b = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(names)], "b_id long, b_s string"
+    )
+    for k in (1, 2):
+        got = sorted(
+            (r["a_id"], r["b_id"], r["dist"])
+            for r in R.fuzzy_join(a, b, "a_s", "b_s", max_dist=k).collect()
+        )
+        want = sorted(
+            (r["a_id"], r["b_id"], r["d"])
+            for r in a.crossJoin(b)
+            .withColumn("d", F.levenshtein("a_s", "b_s"))
+            .filter(F.col("d") <= k)
+            .collect()
+        )
+        assert got == want, f"k={k}"
+
+
+def test_fuzzy_join_guards_and_no_hot_block_cross_product(spark):
+    import pytest
+
+    a = spark.createDataFrame([(1, "x")], "a_id long, a_s string")
+    b = spark.createDataFrame([(1, "y")], "b_id long, b_s string")
+    with pytest.raises(ValueError):
+        R.fuzzy_join(a, b, "a_s", "b_s", max_dist=0)
+    with pytest.raises(ValueError):
+        R.fuzzy_join(a, b, "a_s", "b_s", max_dist=4)
+    plan = (
+        R.fuzzy_join(a, b, "a_s", "b_s")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

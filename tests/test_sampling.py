@@ -331,3 +331,42 @@ def test_mixture_prefilter_keeps_identical_set(spark):
     plain = sorted((r["lang"], r["doc_id"]) for r in SA.mixture_sample(df, prefilter_above=None, **kw).collect())
     guarded = sorted((r["lang"], r["doc_id"]) for r in SA.mixture_sample(df, prefilter_above=50, **kw).collect())
     assert plain == guarded
+
+
+def test_weighted_priority_sample_matches_local_reference(spark):
+    import hashlib
+    import math
+
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    got = {
+        r["id"]: r["rank"]
+        for r in weighted_priority_sample(df, "id", "w", n=20).collect()
+    }
+    # local A-ES reference with the same md5-hash uniforms
+    pri = []
+    for i, w in rows:
+        v = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (v + 0.5) / 2**32
+        pri.append((math.log(u) / w, i))
+    want = {
+        i: rank + 1
+        for rank, (_, i) in enumerate(sorted(pri, reverse=True)[:20])
+    }
+    assert got == want
+
+
+def test_weighted_priority_sample_zero_weight_never_drawn(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0)], "id long, w double"
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    out = [r["id"] for r in weighted_priority_sample(df, "id", "w", n=10).collect()]
+    assert out == [3]
