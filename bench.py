@@ -183,7 +183,7 @@ def main() -> None:
     # (median of `repeat`, the real serving latency). The fused
     # n4_knn_ivf_indexed entry remains in the registry for correctness;
     # the bench tracks the two phases separately (VERDICT r4 #4).
-    if not names_env or "n4" in (names_env or ""):
+    if not names_env or "n4_knn_ivf_indexed" in names:
         import shutil
         import tempfile
 

@@ -251,7 +251,19 @@ def auc_with_battery(
     frame twice (auc_metrics + binary_metrics), and each scan re-runs the
     model transform. Values are bit-identical to the separate operators:
     same grouping, same sums, same rounding.
+
+    ``n_bins`` is rejected: the battery classifies via ``score >
+    thresh`` and binning would quantize scores BEFORE that comparison,
+    silently diverging from ``binary_metrics`` on the raw frame (a score
+    of 0.504 bins to 0.50 and flips its prediction at thresh=0.5). Use
+    ``auc_metrics`` for the binned-AUC approximation.
     """
+    if n_bins is not None:
+        raise ValueError(
+            "auc_with_battery requires exact scores (n_bins=None): the "
+            "thresholded battery must classify raw scores; use auc_metrics "
+            "for a binned AUC approximation"
+        )
     g = _score_groups(df, score, label, n_bins)
     t = _totals(g)
     gx = g.crossJoin(F.broadcast(t))

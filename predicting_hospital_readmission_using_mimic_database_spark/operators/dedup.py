@@ -621,9 +621,14 @@ def dedup_lines(
     will broadcast when it fits. Aggregations are partial (map-side
     combine on the line key).
     """
+    import re
+
+    # ``sep`` is LITERAL on both ends (F.split takes a regex but the
+    # reassembly joins literally): escape it so '.', '|', '||' etc.
+    # split on the actual separator instead of regex-matching
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+        F.posexplode(F.split(F.col(text_col), F.lit(re.escape(sep)), -1)).alias(
             "line_no", "line"
         ),
     )

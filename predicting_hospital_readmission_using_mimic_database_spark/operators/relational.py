@@ -877,13 +877,13 @@ def interval_join(
     ie = _cells(intervals)
     ps = points.withColumn("__cell", F.floor(F.col(point_col) / w))
     cond = [ie["__cell"] == ps["__cell"]] + [ie[k] == ps[k] for k in keys]
-    inner = (
-        ie.join(ps, cond, "inner")
-        .filter(
-            (ps[point_col] >= ie[start_col]) & (ps[point_col] < ie[end_col])
-        )
-        .drop("__cell")
+    joined = ie.join(ps, cond, "inner").filter(
+        (ps[point_col] >= ie[start_col]) & (ps[point_col] < ie[end_col])
     )
+    # equi-``keys`` appear ONCE in the output (interval side): the
+    # point-side copies are equal on matched rows and would be NULL on
+    # outer-reattached rows — keeping both just creates ambiguous names
+    inner = joined.drop("__cell", *(ps[k] for k in keys))
     if how == "inner":
         return inner
 
@@ -901,7 +901,9 @@ def interval_join(
     ]
     miss = intervals.join(matched, acond, "left_anti")
     nulls = [
-        F.lit(None).cast(f.dataType).alias(f.name) for f in points.schema.fields
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in points.schema.fields
+        if f.name not in keys  # point-side key copies are dropped above
     ]
     return inner.union(miss.select("*", *nulls))
 
@@ -985,10 +987,14 @@ def fuzzy_join(
     rv = right.select(
         "*", F.explode(_deletion_neighborhood(F.col(right_col), k)).alias("__var")
     )
-    cand = (
+    dist = F.levenshtein(F.col(left_col), F.col(right_col))
+    # exact filter BEFORE the pair dedup: levenshtein is cheap per
+    # candidate row, while dropDuplicates shuffles full pair payloads —
+    # filtering first means only true near-matches ride that shuffle
+    return (
         lv.join(rv, "__var")
         .drop("__var")
+        .filter(dist <= k)
         .dropDuplicates(list(left.columns) + list(right.columns))
+        .withColumn(dist_col, dist.cast("int"))
     )
-    dist = F.levenshtein(F.col(left_col), F.col(right_col))
-    return cand.filter(dist <= k).withColumn(dist_col, dist.cast("int"))

@@ -702,6 +702,14 @@ def weighted_priority_sample(
     single-task window at any corpus size); the rank column is assigned
     on the n-row result only. Rows with weight <= 0 are never sampled
     (the w -> 0+ limit of the priority) and are filtered up front.
+
+    Determinism under ties: ``u`` carries 32 bits of the md5, so
+    priority collisions are EXPECTED at corpus scale (birthday bound
+    ~80k rows, sooner with equal integer weights); both the top-n cut
+    and the rank ordering therefore tie-break on ``key_col`` ascending —
+    without it, ``limit(n)`` across a tie straddling the boundary would
+    pick a partitioning-dependent winner. The oracle must order by the
+    same ``(priority DESC, key ASC)``.
     """
     if n <= 0:
         raise ValueError(f"weighted_priority_sample: n must be > 0, got {n}")
@@ -710,16 +718,17 @@ def weighted_priority_sample(
     u = (v + F.lit(0.5)) / F.lit(4294967296.0)
     w = F.col(weight_col).cast("double")
     pri = F.log(u) / w  # monotone in u^(1/w); better-conditioned doubles
+    order = [F.desc("__pri"), F.asc(key_col)]
     top = (
         df.filter(w > 0)
         .withColumn("__pri", pri)
-        .orderBy(F.desc("__pri"))
+        .orderBy(*order)
         .limit(n)
     )
     return (
         top.withColumn(
             out_rank,
-            F.row_number().over(Window.orderBy(F.desc("__pri"))).cast("long"),
+            F.row_number().over(Window.orderBy(*order)).cast("long"),
         )
         .drop("__pri")
     )

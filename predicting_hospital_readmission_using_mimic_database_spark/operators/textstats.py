@@ -273,16 +273,9 @@ def gopher_quality_flags(text) -> dict[str, Column]:
     presence, and the combined keep/drop verdict. Map-only (no shuffle,
     no UDF) — the filter pass runs at scan speed and pushes the verdict
     down next to the parquet reader."""
-    c = F.col(text) if isinstance(text, str) else text
-    # drop empty tokens: Spark's split of "" yields [""] while the oracle's
-    # list_filter removes it — n_words must be 0 for blank docs in BOTH
-    words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != F.lit(""))
+    words = _words(text)
     n_words = F.size(words)
-    total_len = F.aggregate(
-        F.transform(words, lambda w: F.length(w).cast("long")),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
+    total_len = _total_word_chars(words)
     mean_wl = F.when(n_words > 0, total_len / n_words)
     stop_hits = F.size(
         F.array_intersect(words, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
@@ -301,11 +294,24 @@ def gopher_quality_flags(text) -> dict[str, Column]:
 
 
 def _words(text) -> Column:
-    """Non-empty whitespace-run tokens — shared word model for the
-    repetition / chunking operators (blank doc -> empty array, matching
-    DuckDB's ``list_filter(string_split_regex(...), t -> t <> '')``)."""
+    """Non-empty whitespace-run tokens — the ONE word model shared by
+    ``gopher_quality_flags`` / ``repetition_stats`` / ``chunk_sliding``
+    and their oracles (blank doc -> empty array, matching DuckDB's
+    ``list_filter(string_split_regex(...), t -> t <> '')``). Spark's
+    split of "" yields [""]; the filter drops it so n_words is 0 for
+    blank docs on BOTH engines."""
     c = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != F.lit(""))
+
+
+def _total_word_chars(words: Column) -> Column:
+    """Summed character length of the word array (long) — the shared
+    denominator of the Gopher mean-word-length and repetition signals."""
+    return F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def _word_ngrams(words: Column, n: int) -> Column:
@@ -331,36 +337,60 @@ def repetition_stats(df, id_col: str, text_col: str, top_n: int = 2, dup_n: int 
       occurring more than once, overlap-unaware (the standard
       reimplementation simplification), over total word characters.
 
-    Plan shape: ONE explode emits both gram sizes tagged by ``sz``, ONE
-    shuffle on (doc, sz, gram) counts occurrences, ONE shuffle on doc
-    folds the signals. At 100 TB the shuffles carry grams + counts, never
-    full documents, and both aggregations are partial (map-side combine).
-    Gram character mass derives from the gram string itself
-    (``length(gram) - (n-1)`` separators), so no extra payload rides the
-    shuffle. Docs too short for a gram keep a 0.0 signal (left join back
-    to the per-doc base).
+    Plan shape: ONE scan, ONE explode — both gram sizes ride a single
+    tagged ``array<struct<sz, gram>>`` (plus one per-doc sentinel
+    element so short/blank docs survive to the output without a join
+    back) — then ONE shuffle on (doc, sz, gram) counts occurrences and
+    ONE shuffle on doc folds the signals; both aggregations are partial
+    (map-side combine), and the shuffles carry grams + counts, never
+    full documents. Gram character mass derives from the gram string
+    itself (``length(gram) - (n-1)`` separators), so no extra payload
+    rides the shuffle.
     """
-    words = _words(text_col)
-    base = df.select(
-        F.col(id_col),
-        F.aggregate(
-            F.transform(words, lambda w: F.length(w).cast("long")),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ).alias("n_word_chars"),
-        words.alias("__w"),
-    )
-    grams = None
-    for sz in (top_n, dup_n):
-        g = base.select(
-            id_col,
-            F.lit(sz).alias("sz"),
-            F.explode(_word_ngrams(F.col("__w"), sz)).alias("gram"),
+    if top_n == dup_n:
+        raise ValueError(
+            f"repetition_stats: top_n and dup_n must differ (both {top_n}): "
+            "equal sizes would emit every gram twice and double-count"
         )
-        grams = g if grams is None else grams.unionByName(g)
-    counted = grams.groupBy(id_col, "sz", "gram").agg(F.count("*").alias("cnt"))
+    if top_n < 1 or dup_n < 1:
+        raise ValueError("repetition_stats: gram sizes must be >= 1")
+
+    def _tagged(sz: int) -> Column:
+        # real closure, not a default-arg lambda: pyspark dispatches on
+        # lambda arity, and a second (defaulted) parameter would receive
+        # the element index instead of the intended constant
+        def _mk(g: Column) -> Column:
+            return F.struct(F.lit(sz).alias("sz"), g.alias("gram"))
+
+        return F.transform(_word_ngrams(F.col("__w"), sz), _mk)
+
+    sentinel = F.array(F.struct(F.lit(0).alias("sz"), F.lit("").alias("gram")))
+    exploded = (
+        df.select(
+            F.col(id_col),
+            _total_word_chars(_words(text_col)).alias("n_word_chars"),
+            _words(text_col).alias("__w"),
+        )
+        .select(
+            id_col,
+            "n_word_chars",
+            F.explode(F.concat(_tagged(top_n), _tagged(dup_n), sentinel)).alias(
+                "__g"
+            ),
+        )
+        .select(
+            id_col,
+            "n_word_chars",
+            F.col("__g.sz").alias("sz"),
+            F.col("__g.gram").alias("gram"),
+        )
+    )
+    counted = exploded.groupBy(id_col, "sz", "gram").agg(
+        F.count("*").alias("cnt"), F.first("n_word_chars").alias("n_word_chars")
+    )
     mass = (F.col("cnt") * (F.length("gram") - F.col("sz") + 1)).cast("double")
     sig = counted.groupBy(id_col).agg(
+        F.first("n_word_chars").alias("n_word_chars"),
         F.max(F.when(F.col("sz") == top_n, mass)).alias("__top"),
         F.sum(F.when((F.col("sz") == dup_n) & (F.col("cnt") >= 2), mass)).alias(
             "__dup"
@@ -370,15 +400,11 @@ def repetition_stats(df, id_col: str, text_col: str, top_n: int = 2, dup_n: int 
     frac = lambda c: F.round(  # noqa: E731
         F.when(tot > 0, F.coalesce(c, F.lit(0.0)) / tot).otherwise(0.0), 6
     )
-    return (
-        base.drop("__w")
-        .join(sig, id_col, "left")
-        .select(
-            id_col,
-            "n_word_chars",
-            frac(F.col("__top")).alias(f"top_{top_n}gram_frac"),
-            frac(F.col("__dup")).alias(f"dup_{dup_n}gram_frac"),
-        )
+    return sig.select(
+        id_col,
+        "n_word_chars",
+        frac(F.col("__top")).alias(f"top_{top_n}gram_frac"),
+        frac(F.col("__dup")).alias(f"dup_{dup_n}gram_frac"),
     )
 
 

@@ -1489,44 +1489,55 @@ def q_w12(spark, sf):
       SELECT o_orderkey,
              date_diff('day', DATE '1970-01-01', o_orderdate) AS s,
              date_diff('day', DATE '1970-01-01', o_orderdate)
-               + 1 + o_orderkey % 7 AS e
+               + 7 + o_orderkey % 90 AS e
       FROM orders
     ), p AS (
-      SELECT date_diff('day', DATE '1970-01-01', l_shipdate) AS d
+      SELECT l_orderkey AS okey,
+             date_diff('day', DATE '1970-01-01', l_shipdate) AS d
       FROM lineitem
     )
-    SELECT o.o_orderkey, CAST(count(p.d) AS BIGINT) AS n_ship
-    FROM o LEFT JOIN p ON p.d >= o.s AND p.d < o.e
+    SELECT o.o_orderkey, CAST(count(p.d) AS BIGINT) AS n_in_window
+    FROM o LEFT JOIN p
+      ON p.okey = o.o_orderkey AND p.d >= o.s AND p.d < o.e
     GROUP BY o.o_orderkey
     """,
 )
 def q_j13(spark, sf):
-    """J13 — VARIABLE-WIDTH interval-containment join (each order owns a
-    1–7-day shipping window ``[orderdate, orderdate + 1 + key%7)``; count
-    lineitem ship events inside it, keyless across the whole corpus) via
-    operators.relational.interval_join: the interval side explodes into
-    the grid cells it overlaps, the point side hashes to one cell, and
-    the match is a shuffled hash equi-join + exact half-open filter —
-    the Spark-side equivalent of DuckDB's IEJoin, immune to
-    BroadcastNestedLoopJoin. ``how='left'`` keeps zero-ship orders (the
-    outer re-attach pattern shared with band_join). Dates ride as epoch
-    days so the grid is integer arithmetic."""
+    """J13 — VARIABLE-WIDTH interval-containment join, the production
+    "event inside its entity's validity window" shape: each order owns a
+    7–96-day shipping window ``[orderdate, orderdate + 7 + key%90)`` and
+    counts ITS lineitems shipped inside it (equi-key ``o_orderkey`` +
+    the half-open range), via operators.relational.interval_join: the
+    interval side explodes into the grid cells it overlaps, the point
+    side hashes to one cell, and the match is a shuffled hash equi-join
+    on (key, cell) + exact half-open filter — the Spark-side equivalent
+    of DuckDB's IEJoin, immune to BroadcastNestedLoopJoin. ``how='left'``
+    keeps zero-ship orders (the outer re-attach pattern shared with
+    band_join). Dates ride as epoch days so the grid is integer
+    arithmetic. The KEYLESS grid path (no equi-key, candidates bounded
+    by cell density alone) is nested-loop-equivalence- and plan-tested
+    in tests/test_relational.py — a keyless dense-window variant at
+    bench scale would measure the workload's quadratic TRUE-pair count
+    (~1e8 qualifying pairs), not the operator."""
     epoch = F.lit("1970-01-01")
     o = read_table(spark, sf, "orders").select(
-        "o_orderkey",
+        F.col("o_orderkey").alias("okey"),
         F.datediff(F.col("o_orderdate"), epoch).cast("long").alias("s"),
         (
             F.datediff(F.col("o_orderdate"), epoch)
-            + 1
-            + F.col("o_orderkey") % 7
+            + 7
+            + F.col("o_orderkey") % 90
         ).cast("long").alias("e"),
     )
     p = read_table(spark, sf, "lineitem").select(
-        F.datediff(F.col("l_shipdate"), epoch).cast("long").alias("d")
+        F.col("l_orderkey").alias("okey"),
+        F.datediff(F.col("l_shipdate"), epoch).cast("long").alias("d"),
     )
-    j = R.interval_join(p, o, "d", "s", "e", cell_width=4.0, how="left")
-    return j.groupBy("o_orderkey").agg(
-        F.count("d").cast("long").alias("n_ship")
+    j = R.interval_join(p, o, "d", "s", "e", cell_width=32.0, keys=("okey",), how="left")
+    return (
+        j.groupBy("okey")
+        .agg(F.count("d").cast("long").alias("n_in_window"))
+        .withColumnRenamed("okey", "o_orderkey")
     )
 
 
@@ -1542,13 +1553,16 @@ def q_j13(spark, sf):
 )
 def q_j14(spark, sf):
     """J14 — fuzzy (edit-distance <= 1) self-join of customer names via
-    operators.relational.fuzzy_join: PassJoin segment blocking turns the
-    O(n^2)-levenshtein theta join into a hash equi-join on (length,
-    segment id, segment text) candidates + exact filter. TPC-H names
-    ('Customer#000000042') differ by single digit substitutions, so the
-    true match set is dense enough to exercise recall. The oracle is
-    DuckDB's literal nested predicate over all pairs — any candidate the
-    blocking misses breaks the hash."""
+    operators.relational.fuzzy_join: deletion-neighborhood (FastSS /
+    SymSpell) blocking turns the O(n^2)-levenshtein theta join into a
+    hash equi-join on <=k-deletion variant strings + exact filter —
+    chosen over positional segment schemes precisely because these
+    'Customer#000000042' names share a constant prefix that would
+    collapse any position-keyed block into one hot cross-join bucket.
+    The true match set (single digit substitutions) is dense enough to
+    exercise recall; the oracle is DuckDB's literal nested predicate
+    over all pairs — any candidate the blocking misses breaks the
+    hash."""
     c = read_table(spark, sf, "customer").select("c_custkey", "c_name")
     a = c.select(F.col("c_custkey").alias("a_key"), F.col("c_name").alias("a_name"))
     b = c.select(F.col("c_custkey").alias("b_key"), F.col("c_name").alias("b_name"))

@@ -1298,7 +1298,7 @@ def q_d8(spark, sf):
       FROM documents WHERE n_chars > 0
     ), r AS (
       SELECT doc_id, w,
-             row_number() OVER (ORDER BY ln(u) / w DESC) AS rank
+             row_number() OVER (ORDER BY ln(u) / w DESC, doc_id ASC) AS rank
       FROM s
     )
     SELECT doc_id, w, CAST(rank AS BIGINT) AS rank

@@ -742,3 +742,18 @@ def test_standard_scale_exploded_zero_variance_and_values(spark):
     assert out[(3, 0)] == pytest.approx(1.224745, abs=1e-6)
     # dim 1 is constant -> sigma 0 -> NULL on both engines
     assert out[(1, 1)] is None and out[(3, 1)] is None
+
+
+def test_repetition_stats_rejects_equal_gram_sizes(spark):
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    with pytest.raises(ValueError, match="must differ"):
+        TS.repetition_stats(df, "id", "text", top_n=5, dup_n=5)
+
+
+def test_dedup_lines_literal_separator_with_regex_metachars(spark):
+    df = spark.createDataFrame(
+        [(1, "keep me|SHARED|mine"), (2, "SHARED|other")], "id long, text string"
+    )
+    out = {r["id"]: r for r in DD.dedup_lines(df, "id", "text", sep="|").collect()}
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 1
+    assert out[1]["kept_text"] == "keep me|mine"

@@ -700,3 +700,20 @@ def test_fuzzy_join_guards_and_no_hot_block_cross_product(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_join_with_equi_keys_single_key_column(spark):
+    pts = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 25.0), (3, "b", 5.0)], "pid long, k string, d double"
+    )
+    iv = spark.createDataFrame(
+        [(10, "a", 0.0, 10.0), (20, "b", 20.0, 30.0)],
+        "iid long, k string, s double, e double",
+    )
+    out = R.interval_join(pts, iv, "d", "s", "e", 4.0, keys=("k",), how="left")
+    # the equi-key appears exactly once in the output schema
+    assert out.columns.count("k") == 1
+    rows = sorted((r["iid"], r["k"], r["pid"]) for r in out.collect())
+    # iid 10 matches only point 1 (same key 'a', in range); point 3 has key
+    # 'b' and is out of iid 20's range -> iid 20 null-extended
+    assert rows == [(10, "a", 1), (20, "b", None)]

@@ -84,6 +84,16 @@ AUDIT = [
     "j12_supplier_region_rollup",  # two broadcast dims, one exchange
     "n5_knn_join_exact",  # mapInPandas matmul, no shuffle
     "w12_session_funnel",  # both session windows share one user_id sort
+    # round-5 operators
+    "x10_domain_stats",   # explode + ONE shared exchange for both aggs
+    "x11_gopher_flags",   # map-only scan-speed verdict
+    "x12_repetition_stats",  # gram-keyed partial-agg shuffles only
+    "x13_chunk_text",     # map-only sequence+posexplode+slice
+    "d8_line_dedup",      # line-keyed count-distinct + per-doc rebuild
+    "j13_interval_join",  # cell-grid hash join, NOT BroadcastNestedLoop
+    "j14_fuzzy_join",     # deletion-variant hash join, NOT BNLJ
+    "m12_standard_scale", # d-key stats agg + broadcast back, no re-shuffle
+    "x14_weighted_sample",  # TakeOrderedAndProject, no global sort
 ]
 
 
