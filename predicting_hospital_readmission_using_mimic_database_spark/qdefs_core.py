@@ -1544,29 +1544,47 @@ def q_j13(spark, sf):
 @query(
     "j14_fuzzy_join",
     oracle="""
-    SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
-           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
-    FROM customer a JOIN customer b
-      ON a.c_custkey < b.c_custkey
-     AND levenshtein(a.c_name, b.c_name) <= 1
+    WITH dirty AS (
+      SELECT c_custkey AS d_key,
+             concat(substr(c_name, 1, 9 + c_custkey % 9), 'X',
+                    substr(c_name, 11 + c_custkey % 9)) AS d_name
+      FROM customer WHERE c_custkey % 101 = 0
+    )
+    SELECT d.d_key, m.c_custkey AS m_key,
+           CAST(levenshtein(d.d_name, m.c_name) AS INT) AS dist
+    FROM dirty d JOIN customer m
+      ON levenshtein(d.d_name, m.c_name) <= 1
     """,
 )
 def q_j14(spark, sf):
-    """J14 — fuzzy (edit-distance <= 1) self-join of customer names via
-    operators.relational.fuzzy_join: deletion-neighborhood (FastSS /
-    SymSpell) blocking turns the O(n^2)-levenshtein theta join into a
-    hash equi-join on <=k-deletion variant strings + exact filter —
-    chosen over positional segment schemes precisely because these
-    'Customer#000000042' names share a constant prefix that would
-    collapse any position-keyed block into one hot cross-join bucket.
-    The true match set (single digit substitutions) is dense enough to
-    exercise recall; the oracle is DuckDB's literal nested predicate
-    over all pairs — any candidate the blocking misses breaks the
-    hash."""
+    """J14 — fuzzy (edit-distance <= 1) RECORD LINKAGE: a 'dirty' feed
+    (every 101st customer with one digit corrupted to 'X' at a
+    key-dependent position — identical deterministic corruption on both
+    engines) matched back to the clean master by
+    operators.relational.fuzzy_join. Deletion-neighborhood (FastSS /
+    SymSpell) blocking turns the O(|dirty| x |master|)-levenshtein
+    nested loop into a hash equi-join on <=k-deletion variant strings +
+    exact filter — chosen over positional segment schemes precisely
+    because these 'Customer#000000042' names share a constant prefix
+    that would collapse any position-keyed block into one hot
+    cross-join bucket. Each dirty row must recover its own master
+    (substitution distance 1) plus any honest extra near-matches; the
+    oracle is DuckDB's literal nested predicate — any candidate the
+    blocking misses breaks the hash."""
     c = read_table(spark, sf, "customer").select("c_custkey", "c_name")
-    a = c.select(F.col("c_custkey").alias("a_key"), F.col("c_name").alias("a_name"))
-    b = c.select(F.col("c_custkey").alias("b_key"), F.col("c_name").alias("b_name"))
-    j = R.fuzzy_join(a, b, "a_name", "b_name", max_dist=1)
-    return j.filter(F.col("a_key") < F.col("b_key")).select(
-        "a_key", "b_key", F.col("dist").cast("int").alias("dist")
+    p = F.lit(10) + F.col("d_key") % 9
+    dirty = (
+        c.filter(F.col("c_custkey") % 101 == 0)
+        .select(F.col("c_custkey").alias("d_key"), F.col("c_name").alias("d_name"))
+        .select(
+            "d_key",
+            F.concat(
+                F.substring(F.col("d_name"), F.lit(1), p - 1),
+                F.lit("X"),
+                F.substring(F.col("d_name"), p + 1, F.length("d_name")),
+            ).alias("d_name"),
+        )
     )
+    m = c.select(F.col("c_custkey").alias("m_key"), F.col("c_name").alias("m_name"))
+    j = R.fuzzy_join(dirty, m, "d_name", "m_name", max_dist=1)
+    return j.select("d_key", "m_key", F.col("dist").cast("int").alias("dist"))
