@@ -96,6 +96,10 @@ HEADLINE = [
     "d8_line_dedup",          # corpus-level CCNet line dedup
     "j13_interval_join",      # variable-width interval containment, no BNLJ
     "m12_standard_scale",     # fit-small/transform-wide feature scaling
+    "j14_fuzzy_join",         # deletion-neighborhood edit-distance linkage
+    "x14_weighted_sample",    # Efraimidis-Spirakis weighted draw
+    "w13_rolling_median",     # bounded-frame exact median, one window
+    "s8_json_roundtrip",      # JSON sink + schema-first source round-trip
 ]
 
 

@@ -1588,3 +1588,74 @@ def q_j14(spark, sf):
     m = c.select(F.col("c_custkey").alias("m_key"), F.col("c_name").alias("m_name"))
     j = R.fuzzy_join(dirty, m, "d_name", "m_name", max_dist=1)
     return j.select("d_key", "m_key", F.col("dist").cast("int").alias("dist"))
+
+
+@query(
+    "w13_rolling_median",
+    oracle="""
+    SELECT event_id,
+           round(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+    FROM events
+    """,
+)
+def q_w13(spark, sf):
+    """W13 — exact 7-row rolling median of event values per user via
+    operators.relational.rolling_median: Spark lacks a median window
+    aggregate, so the bounded frame is collected (<= 7 values),
+    sort_array'd, and middle-picked — all JVM inside the ONE partitioned
+    window shuffle, no UDF. Rounded(6) on both engines because DuckDB's
+    median interpolates even frames as a + 0.5*(b-a) vs the operator's
+    (a+b)/2 — equal to the last ulp only."""
+    e = read_table(spark, sf, "events").select("event_id", "ts", "user_id", "value")
+    out = R.rolling_median(
+        e, "value", ["user_id"], ["ts", "event_id"], preceding=6, out="med7"
+    )
+    return out.select("event_id", F.round("med7", 6).alias("med7"))
+
+
+@query(
+    "s8_json_roundtrip",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_s8(spark, sf):
+    """S8 — JSON-lines source round-trip (sources.io.read_json/
+    write_json): the events fact is exported to JSON and read back with
+    an EXPLICIT schema (no inference scan — at 100 TB inference reads
+    the corpus twice), then aggregated; matching the parquet-side oracle
+    proves the byte round-trip preserved values. PERMISSIVE
+    corrupt-record capture is exercised in tests/test_relational.py
+    (a deterministic entry cannot carry malformed lines)."""
+    import shutil
+    import tempfile
+
+    from .sources.io import read_json, write_json
+
+    tmp = tempfile.mkdtemp(prefix="s8_json_")
+    try:
+        e = read_table(spark, sf, "events").select(
+            "event_id", "event_type", "value"
+        )
+        write_json(e, tmp)
+        back = read_json(
+            spark, tmp, schema="event_id long, event_type string, value double"
+        )
+        return (
+            back.filter(F.col("event_type").isNotNull())
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(F.sum("value"), 4).alias("total"),
+            )
+        )
+    finally:
+        # the returned DataFrame must stay readable: defer cleanup to exit
+        import atexit
+
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)

@@ -204,3 +204,40 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     """S5 parity sink (reference py:265 ``to_csv``). Distributed writers;
     use parquet for anything that will be re-read."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    multiline: bool = False,
+    corrupt_col: str | None = None,
+):
+    """JSON-lines source (the raw-event / API-export format every ingest
+    layer meets before parquet). An explicit ``schema`` skips Spark's
+    full-scan schema inference (which reads the whole dataset TWICE at
+    100 TB) and is required for a stable contract.
+
+    ``corrupt_col``: enable PERMISSIVE bad-record capture — malformed
+    lines land whole in that extra string column instead of poisoning
+    the job (the production alternative to FAILFAST dying on one bad
+    byte in a terabyte feed). The column must be present in ``schema``.
+    """
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if multiline:
+        r = r.option("multiLine", "true")
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col requires an explicit schema")
+        r = r.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    return r.json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (interchange with non-columnar consumers);
+    distributed writers, one file per partition."""
+    df.write.mode(mode).json(path)

@@ -717,3 +717,56 @@ def test_interval_join_with_equi_keys_single_key_column(spark):
     # iid 10 matches only point 1 (same key 'a', in range); point 3 has key
     # 'b' and is out of iid 20's range -> iid 20 null-extended
     assert rows == [(10, "a", 1), (20, "b", None)]
+
+
+def test_rolling_median_exact_frames(spark):
+    rows = [(1, i, float(v)) for i, v in enumerate([5, 1, 9, 3, 7])]
+    df = spark.createDataFrame(rows, "g int, o int, v double")
+    out = {
+        r["o"]: r["m"]
+        for r in R.rolling_median(df, "v", ["g"], ["o"], preceding=2, out="m").collect()
+    }
+    # frames: [5] [5,1] [5,1,9] [1,9,3] [9,3,7] -> medians 5, 3, 5, 3, 7
+    assert out == {0: 5.0, 1: 3.0, 2: 5.0, 3: 3.0, 4: 7.0}
+
+
+def test_rolling_median_skips_nulls_and_guards(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 0, 2.0), (1, 1, None), (1, 2, 4.0)], "g int, o int, v double"
+    )
+    out = {
+        r["o"]: r["m"]
+        for r in R.rolling_median(df, "v", ["g"], ["o"], preceding=2, out="m").collect()
+    }
+    # null is skipped: frame at o=1 is [2] -> 2.0; at o=2 it's [2,4] -> 3.0
+    assert out == {0: 2.0, 1: 2.0, 2: 3.0}
+    with pytest.raises(ValueError):
+        R.rolling_median(df, "v", ["g"], ["o"], preceding=-1)
+
+
+def test_read_json_corrupt_record_capture(tmp_path, spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.io import read_json
+
+    import pytest
+
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"id": 1, "v": 10.0}\n'
+        'THIS IS NOT JSON\n'
+        '{"id": 2, "v": 20.0}\n'
+    )
+    df = read_json(
+        spark, str(p),
+        schema="id long, v double, _bad string",
+        corrupt_col="_bad",
+    )
+    rows = df.collect()
+    good = sorted((r["id"], r["v"]) for r in rows if r["_bad"] is None)
+    bad = [r["_bad"] for r in rows if r["_bad"] is not None]
+    assert good == [(1, 10.0), (2, 20.0)]
+    assert bad == ["THIS IS NOT JSON"]
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_json(spark, str(p), corrupt_col="_bad")
