@@ -80,7 +80,7 @@ PRIORITY: tuple[str, ...] = (
     # oversample, e8 shared-feature refactor, mm1 codec dispatch).
     # Displaced multi-round-green entries (x1/d1/e2/j1/w1/a1/m3/u7) each
     # leave a same-family sentinel in-window: x7/x9, d2, e8/e2e,
-    # j10/j12/j13/j14, w4b/w12, a2b/a13b/a14, m4/m7/m12, u3/u5/u11; s1/u6/c1/u3 drop for j14/x14/w13/s8 (C1 rides the in-window flagship; s6 via st8; u5/u11 stay).
+    # j10/j12/j13/j14, w4b/w12, a2b/a13b/a14, m4/m7/m12, u3/u5/u11; s1/u6/c1/u3 drop for j14/x14/w13/s8 (m7 yields its slot to c1 (m4/m12 keep the m sentinel; m7 stays bench-tracked); s6 via st8; u5/u11 stay).
     "t18_lemmatize_verbs",
     "x10_domain_stats",
     "x11_gopher_flags",
@@ -102,7 +102,7 @@ PRIORITY: tuple[str, ...] = (
     # (c) stable cross-family representatives
     "flagship_readmit_30d",
     "p1_project",
-    "m7_grid_cv",
+    "c1_case_label",
     "e2e_full_pipeline",
     "d2_dedup_minhash_lsh",
     "n2_knn_lsh",

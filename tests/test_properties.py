@@ -208,3 +208,89 @@ def test_stratified_hash_split_partitions_input(spark, rows):
     for y, n in counts.items():
         if n >= 2:
             assert y in tr_classes and y in te_classes
+
+
+@_slow
+@given(
+    st.lists(st.text(alphabet="ab", min_size=0, max_size=6), min_size=1, max_size=12),
+    st.integers(1, 2),
+)
+def test_fuzzy_join_equals_nested_loop(spark, strings, k):
+    """Deletion-neighborhood blocking (FastSS) finds EXACTLY the pairs the
+    naive all-pairs levenshtein predicate admits — on a tiny 'ab' alphabet
+    where near-collisions, empties, and duplicates-as-variants are dense."""
+    left = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "a_id long, a_s string"
+    )
+    right = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "b_id long, b_s string"
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in R.fuzzy_join(left, right, "a_s", "b_s", max_dist=k).collect()
+    )
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = sorted(
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.product(enumerate(strings), repeat=2)
+        if lev(a, b) <= k
+    )
+    assert got == want
+
+
+@_slow
+@given(
+    st.lists(st.floats(0, 100, allow_nan=False), min_size=1, max_size=30),
+    st.integers(0, 5),
+)
+def test_rolling_median_equals_serial(spark, vals, prec):
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "o int, v double").withColumn("g", F.lit(1))
+    out = {
+        r["o"]: r["m"]
+        for r in R.rolling_median(df, "v", ["g"], ["o"], preceding=prec, out="m").collect()
+    }
+    import statistics
+
+    for i in range(len(vals)):
+        frame = sorted(vals[max(0, i - prec): i + 1])
+        assert abs(out[i] - statistics.median(frame)) < 1e-9
+
+
+@_slow
+@given(
+    st.lists(st.tuples(st.floats(0, 50, allow_nan=False),
+                       st.floats(0, 12, allow_nan=False)),
+             min_size=0, max_size=25),
+    st.lists(st.floats(0, 60, allow_nan=False), min_size=0, max_size=25),
+)
+def test_interval_join_equals_nested_loop_property(spark, iv_raw, pts_raw):
+    iv = spark.createDataFrame(
+        [(i, s, s + w) for i, (s, w) in enumerate(iv_raw)] or [(0, 1.0, 0.0)],
+        "iid long, s double, e double",
+    )
+    pts = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pts_raw)] or [(0, -1.0)],
+        "pid long, d double",
+    )
+    got = sorted(
+        (r["iid"], r["pid"])
+        for r in R.interval_join(pts, iv, "d", "s", "e", cell_width=5.0).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (s, w) in enumerate(iv_raw or [(1.0, -1.0)])
+        for j, p in enumerate(pts_raw or [-1.0])
+        if s <= p < s + w
+    )
+    assert got == want
