@@ -100,6 +100,7 @@ HEADLINE = [
     "x14_weighted_sample",    # Efraimidis-Spirakis weighted draw
     "w13_rolling_median",     # bounded-frame exact median, one window
     "s8_json_roundtrip",      # JSON sink + schema-first source round-trip
+    "t19_feature_hashing",    # fit-free hashing-trick features
 ]
 
 

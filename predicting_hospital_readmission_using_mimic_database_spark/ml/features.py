@@ -206,3 +206,36 @@ def standard_scale_exploded(
             ).alias("z"),
         )
     )
+
+
+def hash_features(
+    df: DataFrame, id_col: str, tokens_col: str, n_features: int = 1024
+) -> DataFrame:
+    """T19 — hashing-trick featurization (MLlib ``HashingTF`` semantics:
+    token -> fixed bucket, per-doc bucket counts) in EXPLODED form
+    ``(id, bucket, count)``.
+
+    The vocabulary-free alternative to CountVectorizer: no fit pass, no
+    vocab broadcast, no OOV handling — the property that matters at
+    100 TB, where a vocab fit is itself a full-corpus aggregation. One
+    explode + ONE partial-aggregated shuffle on (id, bucket); dimension
+    is fixed up front so downstream assemblers never depend on corpus
+    contents.
+
+    Bucket = first 32 bits of md5(token) mod ``n_features`` — md5
+    instead of MLlib's murmur3 so the mapping is ENGINE-INDEPENDENT and
+    the SQL oracle recomputes it exactly (the same determinism idiom as
+    quota/weighted sampling). Hash collisions merging rare tokens into
+    one bucket are inherent to the trick (Weinberger et al. 2009), not
+    a defect.
+    """
+    if n_features <= 0:
+        raise ValueError(f"hash_features: n_features must be > 0, got {n_features}")
+    ex = df.select(F.col(id_col), F.explode(F.col(tokens_col)).alias("__tok"))
+    bucket = (
+        F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("long")
+        % n_features
+    )
+    return ex.groupBy(F.col(id_col), bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n")
+    )

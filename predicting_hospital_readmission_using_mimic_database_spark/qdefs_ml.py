@@ -257,15 +257,26 @@ def q_m4(spark, sf):
     )
 
 
-@query(
-    "m5_rf_sweep",
-    oracle="""
+import os as _os
+
+#: env-aware like m5_grid_for_n: under M5_FULL_GRID=1 BOTH engines
+#: expect the reference's full 9-point 100..900 sweep
+_M5_ORACLE = (
+    """
+    SELECT unnest([100, 200, 300, 400, 500, 600, 700, 800, 900]) AS num_trees,
+           TRUE AS auc_in_01
+    """
+    if _os.environ.get("M5_FULL_GRID") == "1"
+    else """
     SELECT unnest(CASE WHEN (SELECT count(*) FROM embeddings) < 1000
                   THEN [100, 300, 500, 700, 900]
                   ELSE [100, 300] END) AS num_trees,
            TRUE AS auc_in_01
-    """,
+    """
 )
+
+
+@query("m5_rf_sweep", oracle=_M5_ORACLE)
 def q_m5(spark, sf):
     """M5 — numTrees sweep with held-out AUC per setting (py:608-618).
 
@@ -290,7 +301,14 @@ def q_m5(spark, sf):
 
 def m5_grid_for_n(n_rows: int) -> list[int]:
     """numTrees grid keyed on corpus size: the reference's 100..900 span
-    (step 200) below 1k rows, the headline pair above."""
+    (step 200) below 1k rows, the headline pair above — a documented
+    wall-clock concession, NOT a capability gap: set ``M5_FULL_GRID=1``
+    to run the reference's full 9-point 100..900 sweep (py:608-618) at
+    ANY scale (used for parity audits; the bench default stays sane)."""
+    import os
+
+    if os.environ.get("M5_FULL_GRID") == "1":
+        return list(range(100, 1000, 100))
     if n_rows < 1000:
         return [100, 300, 500, 700, 900]
     return [100, 300]

@@ -314,3 +314,34 @@ def q_t18(spark, sf):
     toks = TX.alpha_only(TX.tokenize(F.lower(_noisy())))
     out = TX.lemmatize_verb_rules(toks)
     return _docs(spark, sf).select("doc_id", F.array_join(out, " ").alias("verb_lemmas"))
+
+
+@query(
+    "t19_feature_hashing",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                    t -> t <> '')) AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 256 AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM tok GROUP BY 1, 2
+    """,
+)
+def q_t19(spark, sf):
+    """T19 — hashing-trick features (ml.features.hash_features, 256
+    buckets over whitespace tokens): the fit-free CountVectorizer
+    alternative — no vocab aggregation pass, no broadcast dictionary,
+    fixed output dimension at any corpus size. md5-derived buckets make
+    the mapping engine-independent, so DuckDB reproduces every (doc,
+    bucket, count) triple exactly."""
+    from .ml import features as FEH
+    from .operators.textstats import _words
+
+    d = read_table(spark, sf, "documents").select(
+        "doc_id", _words("text").alias("toks")
+    )
+    return FEH.hash_features(d, "doc_id", "toks", n_features=256)

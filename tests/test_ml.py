@@ -138,3 +138,25 @@ def test_metrics_degenerate_inputs(spark):
     assert ME.roc_points(empty, "score", "y").collect() == []
     erow = ME.auc_metrics(empty, "score", "y").collect()[0]
     assert erow["roc_auc"] is None
+
+
+def test_hash_features_fixed_dim_and_counts(spark):
+    import pytest
+
+    from predicting_hospital_readmission_using_mimic_database_spark.ml.features import hash_features
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "a"]), (2, ["a"]), (3, [])],
+        "id long, toks array<string>",
+    )
+    out = hash_features(df, "id", "toks", n_features=8).collect()
+    by_doc = {}
+    for r in out:
+        assert 0 <= r["bucket"] < 8
+        by_doc.setdefault(r["id"], {})[r["bucket"]] = r["n"]
+    # same token -> same bucket on every doc; counts are per-doc
+    a_bucket = [b for b, n in by_doc[1].items() if n == 2]
+    assert len(a_bucket) == 1 and by_doc[2] == {a_bucket[0]: 1}
+    assert 3 not in by_doc  # token-less docs have empty feature sets
+    with pytest.raises(ValueError):
+        hash_features(df, "id", "toks", n_features=0)
