@@ -101,6 +101,7 @@ HEADLINE = [
     "w13_rolling_median",     # bounded-frame exact median, one window
     "s8_json_roundtrip",      # JSON sink + schema-first source round-trip
     "t19_feature_hashing",    # fit-free hashing-trick features
+    "t20_bpe_pair_counts",    # BPE training kernel over the vocab frame
 ]
 
 

@@ -1,0 +1,149 @@
+"""Distributed BPE tokenizer training (Sennrich, Haddow & Birch, ACL
+2016 — the public byte-pair-encoding algorithm every modern LLM
+tokenizer descends from).
+
+Why it belongs in a 100 TB data engine: tokenizer training is a
+corpus-statistics job, and the classic implementation detail that makes
+it tractable is the TWO-LEVEL shape — aggregate the corpus once into
+the distinct-word frequency table (the ONLY corpus-wide shuffle; BPE
+merge statistics are a pure function of ``(word, count)``), then run
+every merge iteration over that vocab frame, which is bounded by
+distinct-word count, not corpus size. A 100 TB corpus with a 10M-word
+vocabulary iterates over 10M rows, not 100 TB.
+
+Per merge iteration (all DataFrame ops, no UDF):
+
+1. explode each vocab word's ADJACENT symbol pairs, weighted by the
+   word's corpus count — one partial-aggregated shuffle over pair keys;
+2. pick the argmax pair with a deterministic tiebreak
+   (count DESC, pair lexicographic ASC) — a one-row collect;
+3. apply the merge to every word's symbol array with a left-to-right
+   ``aggregate()`` fold — non-overlapping greedy replacement, the same
+   semantics as the reference's regex substitution ("aaa" + merge (a,a)
+   -> ["aa", "a"]).
+
+Lineage discipline: the vocab frame is re-derived each iteration, so it
+is cached per step and ``localCheckpoint``'d every ``checkpoint_every``
+merges — the same truncation d6's label propagation uses; 1000 merges
+must not build a 1000-deep plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: classic end-of-word marker: merges never cross word boundaries and
+#: word-final units stay distinct from word-internal ones
+END_MARKER = "</w>"
+
+
+def word_symbols(word: Column, end_marker: str = END_MARKER) -> Column:
+    """Initial BPE symbolization: characters plus the end-of-word
+    marker (``regexp_extract_all('.')`` — identical char model on the
+    SQL-oracle side)."""
+    return F.concat(
+        F.regexp_extract_all(word, F.lit("."), 0), F.array(F.lit(end_marker))
+    )
+
+
+def adjacent_pairs(syms: Column) -> Column:
+    """Adjacent symbol pairs of an array as ``struct<a, b>`` (empty for
+    single-symbol words)."""
+    starts = F.when(
+        F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        starts,
+        lambda i: F.struct(
+            F.element_at(syms, i).alias("a"), F.element_at(syms, i + 1).alias("b")
+        ),
+    )
+
+
+def apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right non-overlapping replacement of the adjacent
+    pair ``(a, b)`` with the merged symbol ``a+b`` — an ``aggregate()``
+    fold (ANSI-safe: ``try_element_at`` on the empty accumulator)."""
+    ab = F.lit(a + b)
+
+    def step(acc: Column, s: Column) -> Column:
+        merged = F.concat(
+            F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(ab)
+        )
+        return F.when(
+            (F.try_element_at(acc, F.lit(-1)) == a) & (s == F.lit(b)), merged
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def vocab_table(df: DataFrame, text_col: str, end_marker: str = END_MARKER) -> DataFrame:
+    """The one corpus-wide pass: whitespace words -> distinct-word counts
+    -> initial symbol arrays. Everything after iterates over THIS frame."""
+    from ..operators.textstats import _words
+
+    return (
+        df.select(F.explode(_words(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select("w", "n", word_symbols(F.col("w"), end_marker).alias("syms"))
+    )
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """Corpus-weighted adjacent-pair frequencies of the CURRENT
+    symbolization — the per-iteration kernel (and the oracle-checked
+    surface, entry t20): one explode + one partial-agg shuffle on the
+    pair key."""
+    return (
+        vocab.select("n", F.explode(adjacent_pairs(F.col("syms"))).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("n").cast("long").alias("cnt"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 20,
+    min_count: int = 2,
+    end_marker: str = END_MARKER,
+    checkpoint_every: int = 5,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Returns ``(merges, vocab)``: the learned merge list
+    ``(step, a, b, count)`` in order, and the final symbolized vocab
+    frame ``(w, n, syms)``. Stops early when no pair reaches
+    ``min_count``. The merge list IS the tokenizer artifact — applying
+    it in order to new text reproduces the segmentation.
+
+    The only driver-side data movement is one (a, b, cnt) row per
+    iteration; vocab stays distributed throughout.
+    """
+    if n_merges <= 0:
+        raise ValueError(f"bpe_train: n_merges must be > 0, got {n_merges}")
+    vocab = vocab_table(df, text_col, end_marker).cache()
+    vocab.count()
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        top = (
+            pair_counts(vocab)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_count:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((step, a, b, cnt))
+        nxt = vocab.withColumn("syms", apply_merge(F.col("syms"), a, b))
+        if (step + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.cache()
+            nxt.count()
+        vocab.unpersist()
+        vocab = nxt
+    return merges, vocab

@@ -345,3 +345,46 @@ def q_t19(spark, sf):
         "doc_id", _words("text").alias("toks")
     )
     return FEH.hash_features(d, "doc_id", "toks", n_features=256)
+
+
+@query(
+    "t20_bpe_pair_counts",
+    oracle="""
+    WITH v AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                    t -> t <> '')) AS word
+      FROM documents
+    ), vc AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY word
+    ), s AS (
+      SELECT n, list_append(regexp_extract_all(word, '.'), '</w>') AS syms
+      FROM vc
+    ), p AS (
+      SELECT n, syms[i] AS a, syms[i+1] AS b
+      FROM s, unnest(generate_series(1, len(syms) - 1)) u(i)
+    )
+    SELECT a, b, CAST(sum(n) AS BIGINT) AS cnt
+    FROM p GROUP BY a, b
+    ORDER BY cnt DESC, a, b LIMIT 20
+    """,
+)
+def q_t20(spark, sf):
+    """T20 — the BPE training kernel (ml.bpe.pair_counts): corpus-
+    weighted adjacent-symbol-pair frequencies over the distinct-word
+    vocab — the per-iteration statistic `bpe_train` argmaxes. The
+    two-level shape is the scale story: the corpus aggregates ONCE into
+    (word, count); every one of the tokenizer's thousand merge
+    iterations then runs over the vocab frame, bounded by distinct-word
+    count, not corpus bytes. Top-20 with a full deterministic tiebreak
+    (cnt DESC, a, b) so the LIMIT cut is engine-independent; the
+    iterative trainer itself is pinned to a local reference
+    implementation in tests/test_ml.py."""
+    from .ml.bpe import pair_counts, vocab_table
+
+    d = read_table(spark, sf, "documents").select("text")
+    pc = pair_counts(vocab_table(d, "text"))
+    return (
+        pc.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(20)
+        .select("a", "b", F.col("cnt").cast("long").alias("cnt"))
+    )

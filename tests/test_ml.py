@@ -160,3 +160,67 @@ def test_hash_features_fixed_dim_and_counts(spark):
     assert 3 not in by_doc  # token-less docs have empty feature sets
     with pytest.raises(ValueError):
         hash_features(df, "id", "toks", n_features=0)
+
+
+def _local_bpe(corpus_words, n_merges, min_count=2):
+    """Reference BPE (Sennrich 2016 pseudocode, word-count table form)."""
+    from collections import Counter
+
+    vocab = Counter(corpus_words)
+    symbolized = {w: [*w, "</w>"] for w in vocab}
+    merges = []
+    for step in range(n_merges):
+        pairs = Counter()
+        for w, n in vocab.items():
+            s = symbolized[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < min_count:
+            break
+        merges.append((step, a, b, cnt))
+        for w in symbolized:
+            s, out, i = symbolized[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            symbolized[w] = out
+    return merges, symbolized
+
+
+def test_bpe_train_matches_local_reference(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.ml.bpe import bpe_train
+
+    docs = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest low new",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "id long, text string")
+    got_merges, got_vocab = bpe_train(df, "text", n_merges=8)
+    words = " ".join(docs).split()
+    want_merges, want_syms = _local_bpe(words, 8)
+    assert got_merges == want_merges
+    got_syms = {r["w"]: list(r["syms"]) for r in got_vocab.collect()}
+    assert got_syms == want_syms
+    got_vocab.unpersist()
+
+
+def test_bpe_apply_merge_greedy_nonoverlapping(spark):
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.ml.bpe import apply_merge
+
+    df = spark.createDataFrame([(["a", "a", "a"],), (["a", "b", "a", "b"],)],
+                               "s array<string>")
+    out = [list(r["m"]) for r in df.select(apply_merge(F.col("s"), "a", "a").alias("m")).collect()]
+    assert out[0] == ["aa", "a"]  # left-to-right, no re-merge in the pass
+    out2 = [list(r["m"]) for r in df.select(apply_merge(F.col("s"), "a", "b").alias("m")).collect()]
+    assert out2[1] == ["ab", "ab"]
