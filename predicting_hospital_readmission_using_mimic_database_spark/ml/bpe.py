@@ -147,3 +147,58 @@ def bpe_train(
         vocab.unpersist()
         vocab = nxt
     return merges, vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[int, str, str, int]] | list[tuple[str, str]],
+    end_marker: str = END_MARKER,
+    out: str = "tokens",
+) -> DataFrame:
+    """Serving half of the tokenizer: segment text with a LEARNED merge
+    list (rank-ordered greedy merging — the standard BPE encode loop).
+
+    For the handful-of-merges case the pure-plan route (chained
+    ``apply_merge`` folds) works, but a production tokenizer carries
+    10k-100k merges and a 100k-deep expression tree breaks codegen; the
+    realistic path is this Arrow-batched ``mapInPandas`` encoder with
+    the merge-rank dict shipped in the closure (it is O(vocab) small —
+    the classic fit-small/transform-wide split). Always-lowest-rank-
+    first merging, byte-identical to the reference encode loop pinned in
+    tests/test_ml.py.
+    """
+    ranks = {}
+    for m in merges:
+        a, b = (m[1], m[2]) if len(m) >= 3 else (m[0], m[1])
+        ranks.setdefault((a, b), len(ranks))
+
+    def encode_word(word: str) -> list[str]:
+        syms = [*word, end_marker]
+        while len(syms) >= 2:
+            best_i, best_r = -1, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    import re as _re
+
+    def batches(it):
+        for pdf in it:
+            toks = [
+                [t for w in _re.split(r"\s+", (txt or "").strip()) if w
+                 for t in encode_word(w)]
+                for txt in pdf[text_col]
+            ]
+            yield pdf[[id_col]].assign(**{out: toks})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        batches, f"{id_col} {id_type}, {out} array<string>"
+    )

@@ -224,3 +224,22 @@ def test_bpe_apply_merge_greedy_nonoverlapping(spark):
     assert out[0] == ["aa", "a"]  # left-to-right, no re-merge in the pass
     out2 = [list(r["m"]) for r in df.select(apply_merge(F.col("s"), "a", "b").alias("m")).collect()]
     assert out2[1] == ["ab", "ab"]
+
+
+def test_bpe_encode_round_trips_training_corpus(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.ml.bpe import bpe_encode, bpe_train
+
+    docs = ["low lower lowest low low", "new newer newest new newer"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "id long, text string")
+    merges, vocab = bpe_train(df, "text", n_merges=10)
+    enc = {r["id"]: list(r["tokens"]) for r in bpe_encode(df, "id", "text", merges).collect()}
+    # encoding a training word must reproduce its trained symbolization
+    trained = {r["w"]: list(r["syms"]) for r in vocab.collect()}
+    for i, doc in enumerate(docs):
+        want = [t for w in doc.split() for t in trained[w]]
+        assert enc[i] == want, (i, enc[i], want)
+    # unseen text degrades gracefully to finer segments, never fails
+    unseen = spark.createDataFrame([(9, "lonew")], "id long, text string")
+    out = bpe_encode(unseen, "id", "text", merges).collect()[0]["tokens"]
+    assert "".join(out).replace("</w>", "") == "lonew"
+    vocab.unpersist()
