@@ -94,6 +94,10 @@ AUDIT = [
     "j14_fuzzy_join",     # deletion-variant hash join, NOT BNLJ
     "m12_standard_scale", # d-key stats agg + broadcast back, no re-shuffle
     "x14_weighted_sample",  # TakeOrderedAndProject, no global sort
+    "w13_rolling_median", # bounded frame, one partitioned window
+    "s8_json_roundtrip",  # schema-first JSON read (no inference scan)
+    "t19_feature_hashing",  # fit-free: one explode + one partial agg
+    "t20_bpe_pair_counts",  # vocab-frame kernel, corpus aggregates once
 ]
 
 
