@@ -124,6 +124,11 @@ def bpe_train(
     """
     if n_merges <= 0:
         raise ValueError(f"bpe_train: n_merges must be > 0, got {n_merges}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"bpe_train: checkpoint_every must be >= 1, got {checkpoint_every} "
+            "(0 divides by zero; negatives would never truncate lineage)"
+        )
     vocab = vocab_table(df, text_col, end_marker).cache()
     vocab.count()
     merges: list[tuple[int, str, str, int]] = []
@@ -189,10 +194,16 @@ def bpe_encode(
 
     import re as _re
 
+    # the JVM-side word model (_words) splits on Java's ASCII \s class;
+    # Python's \s is Unicode-aware and would split NBSP/ideographic
+    # spaces the trainer treated as word-internal — use the exact Java
+    # class so serving segmentation matches training byte-for-byte
+    _java_ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+
     def batches(it):
         for pdf in it:
             toks = [
-                [t for w in _re.split(r"\s+", (txt or "").strip()) if w
+                [t for w in _java_ws.split(txt or "") if w
                  for t in encode_word(w)]
                 for txt in pdf[text_col]
             ]

@@ -968,36 +968,40 @@ def fuzzy_join(
     strings only collide when they genuinely almost match; the hot-key
     failure mode is gone by construction.
 
-    Scale contract: row fan-out is C(m, k) variants of ~m chars each —
-    built for SHORT strings (names, titles, SKUs, addresses; m up to a
-    few hundred). The shuffle carries (variant, id, string); candidate
-    count tracks true near-match density. For long-document
-    near-duplicate detection use the MinHash / SimHash operators
-    (dedup.py) instead — that is the published division of labor.
-    Output has distinct-pair semantics (one row per qualifying (left
-    row, right row) pair). Column names of ``left`` and ``right`` must
-    be disjoint.
+    Scale contract: the variant explode and equi-join run over the
+    DISTINCT string values only — the exchanges carry (variant, string)
+    pairs of ~m chars, never row payloads; qualifying string PAIRS
+    (exact-filtered, distinct) are then equi-joined back onto both full
+    frames, so wide rows cross exactly two ordinary hash joins (pair
+    side is match-density-small — AQE broadcasts it). Row fan-out on
+    the distinct strings is C(m, k) variants — built for SHORT strings
+    (names, titles, SKUs, addresses; m up to a few hundred). For
+    long-document near-duplicate detection use the MinHash / SimHash
+    operators (dedup.py) instead — that is the published division of
+    labor. Output has theta-join multiplicity (duplicate rows pair like
+    the naive predicate would). Column names of ``left`` and ``right``
+    must be disjoint.
     """
     if not 1 <= max_dist <= 3:
         raise ValueError(f"fuzzy_join: max_dist must be in 1..3, got {max_dist}")
     k = max_dist
-    lv = left.select(
-        "*", F.explode(_deletion_neighborhood(F.col(left_col), k)).alias("__var")
+    lv = left.select(left_col).distinct().select(
+        left_col,
+        F.explode(_deletion_neighborhood(F.col(left_col), k)).alias("__var"),
     )
-    rv = right.select(
-        "*", F.explode(_deletion_neighborhood(F.col(right_col), k)).alias("__var")
+    rv = right.select(right_col).distinct().select(
+        right_col,
+        F.explode(_deletion_neighborhood(F.col(right_col), k)).alias("__var"),
     )
     dist = F.levenshtein(F.col(left_col), F.col(right_col))
-    # exact filter BEFORE the pair dedup: levenshtein is cheap per
-    # candidate row, while dropDuplicates shuffles full pair payloads —
-    # filtering first means only true near-matches ride that shuffle
-    return (
+    pairs = (
         lv.join(rv, "__var")
         .drop("__var")
+        .distinct()
         .filter(dist <= k)
-        .dropDuplicates(list(left.columns) + list(right.columns))
         .withColumn(dist_col, dist.cast("int"))
     )
+    return left.join(pairs, left_col).join(right, right_col)
 
 
 def rolling_median(

@@ -709,7 +709,11 @@ def weighted_priority_sample(
     and the rank ordering therefore tie-break on ``key_col`` ascending —
     without it, ``limit(n)`` across a tie straddling the boundary would
     pick a partitioning-dependent winner. The oracle must order by the
-    same ``(priority DESC, key ASC)``.
+    same ``(priority DESC, key ASC)``. CONTRACT: ``key_col`` must be
+    unique per row (it is the sampling identity, same as
+    ``quota_sample``'s) — duplicate keys share u, priority, AND the
+    tie-break, so which duplicate survives a boundary cut would again be
+    partitioning-dependent; de-duplicate or add a uniquifier first.
     """
     if n <= 0:
         raise ValueError(f"weighted_priority_sample: n must be > 0, got {n}")

@@ -1615,6 +1615,10 @@ def q_w13(spark, sf):
     return out.select("event_id", F.round("med7", 6).alias("med7"))
 
 
+#: s8 export dirs already registered for exit cleanup (one per sf)
+_S8_DIRS: set[str] = set()
+
+
 @query(
     "s8_json_roundtrip",
     oracle="""
@@ -1632,30 +1636,34 @@ def q_s8(spark, sf):
     proves the byte round-trip preserved values. PERMISSIVE
     corrupt-record capture is exercised in tests/test_relational.py
     (a deterministic entry cannot carry malformed lines)."""
+    import atexit
+    import hashlib
+    import os
     import shutil
     import tempfile
 
     from .sources.io import read_json, write_json
 
-    tmp = tempfile.mkdtemp(prefix="s8_json_")
-    try:
-        e = read_table(spark, sf, "events").select(
-            "event_id", "event_type", "value"
-        )
-        write_json(e, tmp)
-        back = read_json(
-            spark, tmp, schema="event_id long, event_type string, value double"
-        )
-        return (
-            back.filter(F.col("event_type").isNotNull())
-            .groupBy("event_type")
-            .agg(
-                F.count("*").cast("long").alias("n"),
-                F.round(F.sum("value"), 4).alias("total"),
-            )
-        )
-    finally:
-        # the returned DataFrame must stay readable: defer cleanup to exit
-        import atexit
-
+    # ONE reusable export dir per (process, sf): bench repeats and
+    # verify re-runs overwrite it in place instead of leaking a fresh
+    # full-table JSON copy per invocation; a single atexit per dir
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        f"s8_json_{hashlib.md5(sf.encode()).hexdigest()[:12]}",
+    )
+    if tmp not in _S8_DIRS:
+        _S8_DIRS.add(tmp)
         atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    e = read_table(spark, sf, "events").select("event_id", "event_type", "value")
+    write_json(e, tmp)  # mode=overwrite: idempotent re-export
+    back = read_json(
+        spark, tmp, schema="event_id long, event_type string, value double"
+    )
+    return (
+        back.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+    )

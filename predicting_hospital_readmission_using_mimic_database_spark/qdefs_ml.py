@@ -259,6 +259,11 @@ def q_m4(spark, sf):
 
 import os as _os
 
+#: ONE import-time snapshot consumed by BOTH the oracle literal below
+#: and m5_grid_for_n — a single source of truth, so engine and oracle
+#: can never see different values of the flag within a process
+_M5_FULL = _os.environ.get("M5_FULL_GRID") == "1"
+
 #: env-aware like m5_grid_for_n: under M5_FULL_GRID=1 BOTH engines
 #: expect the reference's full 9-point 100..900 sweep
 _M5_ORACLE = (
@@ -266,7 +271,7 @@ _M5_ORACLE = (
     SELECT unnest([100, 200, 300, 400, 500, 600, 700, 800, 900]) AS num_trees,
            TRUE AS auc_in_01
     """
-    if _os.environ.get("M5_FULL_GRID") == "1"
+    if _M5_FULL
     else """
     SELECT unnest(CASE WHEN (SELECT count(*) FROM embeddings) < 1000
                   THEN [100, 300, 500, 700, 900]
@@ -305,9 +310,11 @@ def m5_grid_for_n(n_rows: int) -> list[int]:
     wall-clock concession, NOT a capability gap: set ``M5_FULL_GRID=1``
     to run the reference's full 9-point 100..900 sweep (py:608-618) at
     ANY scale (used for parity audits; the bench default stays sane)."""
-    import os
-
-    if os.environ.get("M5_FULL_GRID") == "1":
+    # NOTE: reads the module-level IMPORT-TIME snapshot (_M5_FULL), the
+    # same one the oracle SQL literal was built from — reading the env
+    # live here would let the engine and the frozen oracle disagree if
+    # the flag is toggled mid-process (e.g. a monkeypatched test)
+    if _M5_FULL:
         return list(range(100, 1000, 100))
     if n_rows < 1000:
         return [100, 300, 500, 700, 900]
