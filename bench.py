@@ -102,6 +102,7 @@ HEADLINE = [
     "s8_json_roundtrip",      # JSON sink + schema-first source round-trip
     "t19_feature_hashing",    # fit-free hashing-trick features
     "t20_bpe_pair_counts",    # BPE training kernel over the vocab frame
+    "g1_pagerank",            # 5 power iterations, per-iteration checkpoint
 ]
 
 

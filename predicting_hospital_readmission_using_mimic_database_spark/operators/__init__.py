@@ -1,7 +1,8 @@
-from . import dedup, multimodal, relational, sampling, similarity, textstats
+from . import dedup, graph, multimodal, relational, sampling, similarity, textstats
 
 __all__ = [
     "dedup",
+    "graph",
     "multimodal",
     "relational",
     "sampling",

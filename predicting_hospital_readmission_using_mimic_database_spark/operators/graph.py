@@ -1,0 +1,114 @@
+"""Iterative graph analytics on DataFrames (beyond-reference surface,
+companion to dedup.py's connected-components label propagation).
+
+PageRank (Page, Brin, Motwani & Winograd 1999 — the public power-
+iteration formulation) as pure DataFrame ops: no GraphX/GraphFrames
+dependency, no RDDs. Each iteration is one join + one aggregation on the
+edge list — the shape that scales to web-graph sizes because the shuffle
+carries (node, contribution) pairs keyed by destination, with map-side
+partial aggregation, and the rank vector is one row per NODE (orders of
+magnitude smaller than the edge list it never re-shuffles with).
+
+Lineage discipline: the rank frame is re-derived every iteration, so it
+is ``localCheckpoint``'d on a cadence (same truncation as d6 / BPE) — a
+50-iteration run must not analyze a 50-deep plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    checkpoint_every: int = 1,
+    ndigits: int = 8,
+) -> DataFrame:
+    """Power-iteration PageRank over an edge list; returns
+    ``(node, rank)`` with ranks rounded to ``ndigits``.
+
+    Semantics (the standard normalized formulation, sum(rank) == 1):
+
+    - nodes = distinct(src) UNION distinct(dst); uniform init 1/N;
+    - per iteration:
+      ``r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/outdeg(u)) + d * D/N``
+      where ``D`` is the total rank mass of DANGLING nodes (no
+      out-edges), redistributed uniformly — without it a bipartite or
+      sink-heavy graph leaks mass every step.
+
+    Plan shape per iteration: edges JOIN ranks on src (edge list never
+    re-partitions — the rank side is the small one, broadcast by AQE
+    when it fits), groupBy dst with partial aggregation, and the
+    dangling mass as a BROADCAST one-row aggregate frame (the
+    ml/metrics stat-frame idiom) — no scalar collect. Each iteration
+    ends in a ``localCheckpoint`` materialization (the ONE driver
+    action per iteration; default ``checkpoint_every=1``): deferring
+    several iterations into one lazy wave stacks that many broadcast
+    exchanges into a single plan, which measured WORSE (GC pressure
+    from the nested broadcast tower) than paying one bounded job per
+    iteration. Raise ``checkpoint_every`` only for tiny graphs.
+    Deterministic up to float-sum order; compare rounded.
+
+    Self-loops and parallel edges are honored as given (dedupe edges
+    upstream if multiplicity is not meaningful). NULL endpoints are
+    rejected — an unkeyed edge is a data bug, not a graph feature.
+    """
+    if not 0 < damping < 1:
+        raise ValueError(f"pagerank: damping must be in (0,1), got {damping}")
+    if n_iter < 1:
+        raise ValueError(f"pagerank: n_iter must be >= 1, got {n_iter}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"pagerank: checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if e.filter(F.col("src").isNull() | F.col("dst").isNull()).limit(1).count():
+        raise ValueError("pagerank: NULL edge endpoints")
+    e = e.cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg")).cache()
+    d = float(damping)
+    base = (1.0 - d) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
+    for it in range(n_iter):
+        dang = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("__dm"))
+        )
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), (F.col("r") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        nxt = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(d) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit(d) * F.col("__dm") / F.lit(float(n))
+                ).alias("r"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
+            nxt = nxt.localCheckpoint(eager=True)
+        ranks = nxt
+    out = ranks.select("node", F.round("r", ndigits).alias("rank"))
+    e.unpersist()
+    outdeg.unpersist()
+    return out

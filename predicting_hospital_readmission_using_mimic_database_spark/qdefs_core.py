@@ -1667,3 +1667,78 @@ def q_s8(spark, sf):
             F.round(F.sum("value"), 4).alias("total"),
         )
     )
+
+
+def _pagerank_oracle(n_iter: int = 10, d: float = 0.85, ndigits: int = 8) -> str:
+    """Unrolled power-iteration PageRank as chained CTEs — DuckDB
+    recomputes every iteration the Spark loop runs, including the
+    dangling-mass redistribution (generated, not hand-written, so the
+    iteration count stays a single source of truth with q_g1)."""
+    parts = [
+        """
+    edges AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+               FROM edges GROUP BY src),
+    r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT coalesce(sum(r), 0) AS dm FROM r{i - 1} p
+      WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = p.node)
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(p.r / o.deg) AS contrib
+      FROM edges e
+      JOIN r{i - 1} p ON p.node = e.src
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT n.node,
+             {1.0 - d} / (SELECT n FROM nn)
+             + {d} * coalesce(c.contrib, 0)
+             + {d} * (SELECT dm FROM d{i}) / (SELECT n FROM nn) AS r
+      FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+    )""")
+    return (
+        "WITH" + ",".join(parts)
+        + f"\n    SELECT node, round(r, {ndigits}) AS rank FROM r{n_iter}"
+    )
+
+
+#: one constant drives BOTH the Spark loop and the unrolled oracle
+_G1_ITERS = 5
+
+
+@query("g1_pagerank", oracle=_pagerank_oracle(n_iter=_G1_ITERS))
+def q_g1(spark, sf):
+    """G1 — PageRank over the customer->supplier trade graph (distinct
+    (o_custkey, l_suppkey) pairs; suppliers have no out-edges, so the
+    dangling-mass redistribution is exercised on half the nodes every
+    iteration) via operators.graph.pagerank: _G1_ITERS power iterations, each
+    ONE edges-join-ranks + ONE partial-aggregated shuffle on the
+    destination key; the rank vector is per-NODE (never re-shuffled
+    with the edge list), lineage localCheckpoint-truncated. The oracle
+    is the same iteration count UNROLLED as generated DuckDB CTEs —
+    iteration count, damping, dangling handling, and rounding share one
+    source of truth."""
+    from .operators.graph import pagerank
+
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = read_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, n_iter=_G1_ITERS)

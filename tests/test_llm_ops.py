@@ -757,3 +757,43 @@ def test_dedup_lines_literal_separator_with_regex_metachars(spark):
     out = {r["id"]: r for r in DD.dedup_lines(df, "id", "text", sep="|").collect()}
     assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 1
     assert out[1]["kept_text"] == "keep me|mine"
+
+
+def test_pagerank_matches_local_power_iteration(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "c")]
+    # 'e' is reachable-from-nowhere AND dangling once included via dst
+    edges.append(("c", "e"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=12).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    d = 0.85
+    for _ in range(12):
+        dangling = sum(r[v] for v in nodes if v not in out)
+        nr = {v: (1 - d) / n + d * dangling / n for v in nodes}
+        for s, t in edges:
+            nr[t] += d * r[s] / out[s]
+        r = nr
+    for v in nodes:
+        assert abs(got[v] - r[v]) < 1e-7, (v, got[v], r[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
+
+
+def test_pagerank_guards(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([("a", None)], "src string, dst string")
+    with pytest.raises(ValueError, match="NULL"):
+        pagerank(df)
+    ok = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        pagerank(ok, damping=1.0)
+    with pytest.raises(ValueError):
+        pagerank(ok, n_iter=0)
