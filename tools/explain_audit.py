@@ -98,6 +98,7 @@ AUDIT = [
     "s8_json_roundtrip",  # schema-first JSON read (no inference scan)
     "t19_feature_hashing",  # fit-free: one explode + one partial agg
     "t20_bpe_pair_counts",  # vocab-frame kernel, corpus aggregates once
+    "g1_pagerank",        # per-iteration bounded jobs, no BNLJ
 ]
 
 
