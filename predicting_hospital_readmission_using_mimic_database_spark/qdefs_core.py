@@ -1647,9 +1647,12 @@ def q_s8(spark, sf):
     # ONE reusable export dir per (process, sf): bench repeats and
     # verify re-runs overwrite it in place instead of leaking a fresh
     # full-table JSON copy per invocation; a single atexit per dir
+    # pid-scoped: reused across calls WITHIN a process (no per-call
+    # leak) but never shared across concurrent processes (a writer's
+    # overwrite must not race another process's read)
     tmp = os.path.join(
         tempfile.gettempdir(),
-        f"s8_json_{hashlib.md5(sf.encode()).hexdigest()[:12]}",
+        f"s8_json_{os.getpid()}_{hashlib.md5(sf.encode()).hexdigest()[:12]}",
     )
     if tmp not in _S8_DIRS:
         _S8_DIRS.add(tmp)
