@@ -103,6 +103,7 @@ HEADLINE = [
     "t19_feature_hashing",    # fit-free hashing-trick features
     "t20_bpe_pair_counts",    # BPE training kernel over the vocab frame
     "g1_pagerank",            # 5 power iterations, per-iteration checkpoint
+    "w14_ohlc_bars",          # single-shuffle OHLC time bars
 ]
 
 

@@ -1043,3 +1043,45 @@ def rolling_median(
     hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
     med = F.when(n > 0, (lo + hi) / 2.0)
     return df.withColumn(out, med)
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: Sequence[str] = (),
+    bar: str = "5 minutes",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """W14 — time-bar downsampling (OHLC + volume): bucket events into
+    fixed windows and emit open/high/low/close/count per (keys, bar) —
+    the metrics/market-data resample every time-series store ships.
+
+    Pure single-shuffle aggregation: ``window(ts, bar)`` assigns the
+    bucket map-side, then ONE partial-aggregated groupBy computes all
+    five measures; open/close are ``min_by``/``max_by`` on the event
+    time (with ``tiebreak_col`` breaking equal timestamps
+    deterministically — REQUIRED for engine-independent results when
+    timestamps can tie). No window function, no sort: at 100 TB this is
+    a plain keyed aggregation.
+    """
+    b = F.window(F.col(ts_col), bar)
+    order = F.struct(
+        F.col(ts_col),
+        *( [F.col(tiebreak_col)] if tiebreak_col else [] ),
+    )
+    return (
+        df.groupBy(*keys, b.alias("__w"))
+        .agg(
+            F.min_by(F.col(value_col), order).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(F.col(value_col), order).alias("close"),
+            F.count(value_col).cast("long").alias("n"),
+        )
+        .select(
+            *keys,
+            F.col("__w.start").alias("bar_start"),
+            "open", "high", "low", "close", "n",
+        )
+    )

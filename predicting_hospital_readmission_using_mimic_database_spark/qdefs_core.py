@@ -1745,3 +1745,49 @@ def q_g1(spark, sf):
         .distinct()
     )
     return pagerank(edges, n_iter=_G1_ITERS)
+
+
+@query(
+    "w14_ohlc_bars",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bar_sec,
+           arg_min(value, (epoch_us(ts) - 1704067200000000) * 1000000
+                          + event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, (epoch_us(ts) - 1704067200000000) * 1000000
+                          + event_id) AS close,
+           CAST(count(value) AS BIGINT) AS n
+    FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_w14(spark, sf):
+    """W14 — 5-minute OHLC time bars per event type via
+    operators.relational.ohlc_bars: window(ts) bucket assignment is
+    map-side, then ONE partial-aggregated shuffle computes
+    open/high/low/close/count — no window function, no sort. The
+    operator orders open/close by struct(ts, event_id); DuckDB's
+    arg_min/arg_max take only scalar keys, so the oracle uses the
+    ORDER-EQUIVALENT scalar ``(relative_us * 1e6 + event_id)``
+    (event_id < 1e6 at every harness sf, asserted in the entry).
+    bar_sec is the epoch-second bucket start — identical integer
+    arithmetic on both engines."""
+    e = read_table(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    # the oracle's scalar tiebreak key requires event_id < 1e6
+    bad = e.filter(F.col("event_id") >= 1_000_000).limit(1).count()
+    if bad:
+        raise AssertionError("w14 oracle key assumption violated: event_id >= 1e6")
+    bars = R.ohlc_bars(
+        e, "ts", "value", keys=("event_type",), bar="5 minutes",
+        tiebreak_col="event_id",
+    )
+    return bars.select(
+        "event_type",
+        F.unix_timestamp("bar_start").cast("long").alias("bar_sec"),
+        "open", "high", "low", "close", "n",
+    )

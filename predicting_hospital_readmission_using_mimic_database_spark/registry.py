@@ -80,7 +80,7 @@ PRIORITY: tuple[str, ...] = (
     # oversample, e8 shared-feature refactor, mm1 codec dispatch).
     # Displaced multi-round-green entries (x1/d1/e2/j1/w1/a1/m3/u7) each
     # leave a same-family sentinel in-window: x7/x9, d2, e8/e2e,
-    # j10/j12/j13/j14, w4b/w12, a2b/a13b/a14, m4/m7/m12, u3/u5/u11; s1/u6/c1/u3 drop for j14/x14/w13/s8 (st1 yields its slot to g1 (st4/st8 keep the st sentinel); d2 yields its slot to t20 (d8 is the in-window d sentinel); n2 yields its slot to t19 (n5 is the in-window n sentinel); m7 yields its slot to c1 (m4/m12 keep the m sentinel; m7 stays bench-tracked); s6 via st8; u5/u11 stay).
+    # j10/j12/j13/j14, w4b/w12, a2b/a13b/a14, m4/m7/m12, u3/u5/u11; s1/u6/c1/u3 drop for j14/x14/w13/s8 (e2e yields its slot to w14 (e8 keeps the e-family sentinel and runs the same composition surface); st1 yields its slot to g1 (st4/st8 keep the st sentinel); d2 yields its slot to t20 (d8 is the in-window d sentinel); n2 yields its slot to t19 (n5 is the in-window n sentinel); m7 yields its slot to c1 (m4/m12 keep the m sentinel; m7 stays bench-tracked); s6 via st8; u5/u11 stay).
     "t18_lemmatize_verbs",
     "x10_domain_stats",
     "x11_gopher_flags",
@@ -96,6 +96,7 @@ PRIORITY: tuple[str, ...] = (
     "t19_feature_hashing",
     "t20_bpe_pair_counts",
     "g1_pagerank",
+    "w14_ohlc_bars",
     "j10_band_join",
     "x7_mixture_sample",
     "u5_oversample",
@@ -106,7 +107,6 @@ PRIORITY: tuple[str, ...] = (
     "flagship_readmit_30d",
     "p1_project",
     "c1_case_label",
-    "e2e_full_pipeline",
     "st4_stream_window_counts",
 )
 

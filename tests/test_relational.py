@@ -770,3 +770,26 @@ def test_read_json_corrupt_record_capture(tmp_path, spark):
     assert bad == ["THIS IS NOT JSON"]
     with pytest.raises(ValueError, match="explicit schema"):
         read_json(spark, str(p), corrupt_col="_bad")
+
+
+def test_ohlc_bars_semantics(spark):
+    rows = [
+        # one bar (0-300s): open=v@t10, close=v@t200; tie at t200 broken by id
+        (1, dt.datetime(2024, 1, 1, 0, 0, 10), "a", 5.0),
+        (2, dt.datetime(2024, 1, 1, 0, 3, 20), "a", 1.0),
+        (3, dt.datetime(2024, 1, 1, 0, 3, 20), "a", 9.0),
+        # next bar
+        (4, dt.datetime(2024, 1, 1, 0, 6, 0), "a", 7.0),
+        # other key
+        (5, dt.datetime(2024, 1, 1, 0, 1, 0), "b", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, k string, v double")
+    out = {
+        (r["k"], r["bar_start"].minute): (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in R.ohlc_bars(df, "ts", "v", keys=("k",), bar="5 minutes",
+                             tiebreak_col="event_id").collect()
+    }
+    # close at tied ts picks the HIGHER event_id (max_by on struct)
+    assert out[("a", 0)] == (5.0, 9.0, 1.0, 9.0, 3)
+    assert out[("a", 5)] == (7.0, 7.0, 7.0, 7.0, 1)
+    assert out[("b", 0)] == (2.0, 2.0, 2.0, 2.0, 1)
