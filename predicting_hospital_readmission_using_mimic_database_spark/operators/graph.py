@@ -77,18 +77,23 @@ def pagerank(
         .cache()
     )
     n = nodes.count()
-    outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg")).cache()
+    outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    # degree rides the cached edge list — one broadcast join paid ONCE,
+    # not once per iteration
+    ew = e.join(outdeg, "src").select("src", "dst", "deg").cache()
+    dangling_nodes = nodes.join(
+        ew, nodes["node"] == ew["src"], "left_anti"
+    ).cache()
     d = float(damping)
     base = (1.0 - d) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
     for it in range(n_iter):
         dang = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            ranks.join(F.broadcast(dangling_nodes), "node", "left_semi")
             .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("__dm"))
         )
         contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outdeg, "src")
+            ew.join(ranks, ew["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), (F.col("r") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
@@ -110,5 +115,6 @@ def pagerank(
         ranks = nxt
     out = ranks.select("node", F.round("r", ndigits).alias("rank"))
     e.unpersist()
-    outdeg.unpersist()
+    ew.unpersist()
+    dangling_nodes.unpersist()
     return out
