@@ -104,10 +104,12 @@ def test_strategy_comparison_shape(spark):
 
 def test_priority_names_all_registered():
     """A typo in PRIORITY silently drops the entry from the driver's
-    verification window (load_all filters with `if n in REGISTRY`)."""
+    verification window (load_all filters with `if n in REGISTRY`):
+    every name must resolve, none may repeat, and the curated prefix
+    must fill the 50-slot window exactly."""
     from predicting_hospital_readmission_using_mimic_database_spark.registry import PRIORITY, load_all
 
     reg = load_all()
     missing = [n for n in PRIORITY if n not in reg]
     assert missing == [], missing
-    assert len(set(PRIORITY)) == len(PRIORITY)  # no duplicate slots
+    assert len(set(PRIORITY)) == len(PRIORITY) == 50
