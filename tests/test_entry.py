@@ -113,3 +113,22 @@ def test_priority_names_all_registered():
     missing = [n for n in PRIORITY if n not in reg]
     assert missing == [], missing
     assert len(set(PRIORITY)) == len(PRIORITY) == 50
+
+
+def test_bench_headline_names_all_registered():
+    """bench.py skips unknown HEADLINE names by design (half-landed
+    modules must not block a round) — which means a typo or a silently
+    no-opped edit drops a query from the shipped BENCH artifact with no
+    error. Pin every name to the registry here instead."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    qs = entrymod.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert missing == [], missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
