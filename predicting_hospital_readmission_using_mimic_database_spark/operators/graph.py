@@ -44,8 +44,14 @@ def pagerank(
     Plan shape per iteration: edges JOIN ranks on src (edge list never
     re-partitions — the rank side is the small one, broadcast by AQE
     when it fits), groupBy dst with partial aggregation, and the
-    dangling mass as a BROADCAST one-row aggregate frame (the
-    ml/metrics stat-frame idiom) — no scalar collect. Each iteration
+    dangling mass as a map-only ``filter(dangling)`` + scalar
+    aggregate over the rank vector itself — the dangling flag is
+    computed ONCE at setup and rides the node frame, so no
+    per-iteration join (and in particular no broadcast of the
+    dangling-node set, which is O(N) on web graphs where 20-40% of
+    nodes are sinks). The only broadcast frame is the 1-row dangling
+    mass (the ml/metrics stat-frame idiom) — no scalar collect. Each
+    iteration
     ends in a ``localCheckpoint`` materialization (the ONE driver
     action per iteration; default ``checkpoint_every=1``): deferring
     several iterations into one lazy wave stacks that many broadcast
@@ -70,26 +76,41 @@ def pagerank(
     if e.filter(F.col("src").isNull() | F.col("dst").isNull()).limit(1).count():
         raise ValueError("pagerank: NULL edge endpoints")
     e = e.cache()
+    # dangling flag computed ONCE and fused into the node frame: a
+    # node is dangling iff it never appears as a src. One setup join
+    # against the distinct-src set (plain shuffled join, unhinted —
+    # both sides are O(N), so no forced broadcast); thereafter every
+    # iteration reads the flag off the rank vector for free.
+    srcs = e.select("src").distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(
+            srcs.select(F.col("src").alias("node"), F.lit(False).alias("dangling")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("dangling", F.lit(True)).alias("dangling"))
         .cache()
     )
     n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        raise ValueError("pagerank: empty graph (edge frame has no rows)")
     outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
     # degree rides the cached edge list — one broadcast join paid ONCE,
     # not once per iteration
     ew = e.join(outdeg, "src").select("src", "dst", "deg").cache()
-    dangling_nodes = nodes.join(
-        ew, nodes["node"] == ew["src"], "left_anti"
-    ).cache()
     d = float(damping)
     base = (1.0 - d) / n
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
+    ranks = nodes.select("node", "dangling", F.lit(1.0 / n).alias("r"))
     for it in range(n_iter):
+        # dangling mass: map-only filter over the rank vector + scalar
+        # agg — no join, nothing O(N) is broadcast (the 1-row result is)
         dang = (
-            ranks.join(F.broadcast(dangling_nodes), "node", "left_semi")
+            ranks.filter(F.col("dangling"))
             .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("__dm"))
         )
         contribs = (
@@ -103,6 +124,7 @@ def pagerank(
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "dangling",
                 (
                     F.lit(base)
                     + F.lit(d) * F.coalesce(F.col("contrib"), F.lit(0.0))
@@ -116,5 +138,5 @@ def pagerank(
     out = ranks.select("node", F.round("r", ndigits).alias("rank"))
     e.unpersist()
     ew.unpersist()
-    dangling_nodes.unpersist()
+    nodes.unpersist()
     return out

@@ -797,3 +797,6 @@ def test_pagerank_guards(spark):
         pagerank(ok, damping=1.0)
     with pytest.raises(ValueError):
         pagerank(ok, n_iter=0)
+    empty = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError, match="empty graph"):
+        pagerank(empty)
