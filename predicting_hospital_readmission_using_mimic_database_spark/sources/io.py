@@ -95,14 +95,6 @@ def read_csv(
     return r.csv(path)
 
 
-def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
-    """JSON-lines ingest; same explicit-schema guidance as :func:`read_csv`."""
-    r = spark.read
-    if schema:
-        r = r.schema(schema)
-    return r.json(path)
-
-
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC ingest (built-in columnar alternative; same pushdown/pruning
     machinery as parquet — FileSourceScanExec with PushedFilters)."""

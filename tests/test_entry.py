@@ -132,3 +132,35 @@ def test_bench_headline_names_all_registered():
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert missing == [], missing
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+
+
+def test_no_duplicate_top_level_defs():
+    """A function defined twice in one module silently shadows the
+    first definition (read_json in sources/io.py bit us in round 5:
+    the older signature sat dead above the real one). Walk every
+    module in the package and fail on any repeated top-level def /
+    class name."""
+    import ast
+    import os
+
+    import predicting_hospital_readmission_using_mimic_database_spark as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    offenders = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as f:
+                tree = ast.parse(f.read(), filename=path)
+            seen = {}
+            for node in tree.body:
+                if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                    if node.name in seen:
+                        offenders.append(
+                            f"{os.path.relpath(path, root)}: {node.name} "
+                            f"(lines {seen[node.name]} and {node.lineno})"
+                        )
+                    seen[node.name] = node.lineno
+    assert offenders == [], offenders
