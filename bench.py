@@ -139,8 +139,18 @@ def main() -> None:
     print(f"[bench] warmup: {time.perf_counter()-t_warm:.1f}s", file=sys.stderr)
 
     names_env = os.environ.get("BENCH_QUERIES")
-    names = names_env.split(",") if names_env else HEADLINE
-    names = [n for n in names if n in registry]
+    raw = [n.strip() for n in (names_env.split(",") if names_env else HEADLINE)]
+    raw = [n for n in raw if n]
+    # n4_build / n4_probe are bench-level PSEUDO-names (the phase split
+    # below), not registry entries — any requested name starting with
+    # "n4" arms the split. Every other unknown name is a hard error: a
+    # typo must not silently bench nothing (BENCH_r05 shipped n4_build
+    # rows that a rename would have dropped without a sound).
+    want_n4 = (not names_env) or any(n.startswith("n4") for n in raw)
+    unknown = [n for n in raw if n not in registry and not n.startswith("n4")]
+    if unknown:
+        raise SystemExit(f"[bench] unknown BENCH_QUERIES names: {unknown}")
+    names = [n for n in raw if n in registry]
 
     repeat = max(1, int(os.environ.get("BENCH_REPEAT", "3")))
 
@@ -191,7 +201,7 @@ def main() -> None:
     # (median of `repeat`, the real serving latency). The fused
     # n4_knn_ivf_indexed entry remains in the registry for correctness;
     # the bench tracks the two phases separately (VERDICT r4 #4).
-    if not names_env or "n4_knn_ivf_indexed" in names:
+    if want_n4:
         import shutil
         import tempfile
 

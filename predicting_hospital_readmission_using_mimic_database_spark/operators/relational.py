@@ -1064,7 +1064,15 @@ def ohlc_bars(
     deterministically — REQUIRED for engine-independent results when
     timestamps can tie). No window function, no sort: at 100 TB this is
     a plain keyed aggregation.
+
+    NULL ``value_col`` rows are dropped up front: min_by/max_by would
+    otherwise let a NULL-valued row win the (ts, tiebreak) ordering and
+    emit a NULL open/close while high/low/n skip NULLs — an
+    inconsistent row set. A bar whose events are ALL NULL-valued
+    therefore does not appear (matching SQL aggregate semantics where
+    n would be 0).
     """
+    df = df.filter(F.col(value_col).isNotNull())
     b = F.window(F.col(ts_col), bar)
     order = F.struct(
         F.col(ts_col),

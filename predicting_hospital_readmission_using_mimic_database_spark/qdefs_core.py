@@ -1778,10 +1778,24 @@ def q_w14(spark, sf):
     e = read_table(spark, sf, "events").filter(
         F.col("value").isNotNull() & F.col("event_type").isNotNull()
     )
-    # the oracle's scalar tiebreak key requires event_id < 1e6
-    bad = e.filter(F.col("event_id") >= 1_000_000).limit(1).count()
+    # the oracle's scalar tiebreak key (relative_us * 1e6 + event_id)
+    # needs: 0 <= event_id < 1e6 AND ts within ~106 days of the
+    # 2024-01-01 anchor — beyond that the BIGINT product overflows (or
+    # goes negative) and the arg_min/arg_max ordering silently inverts.
+    # Assert every assumption so a fixture change fails loudly here,
+    # not as a confusing hash mismatch.
+    anchor = "2024-01-01 00:00:00"
+    bad = e.filter(
+        (F.col("event_id") >= 1_000_000)
+        | (F.col("event_id") < 0)
+        | (F.col("ts") < F.to_timestamp(F.lit(anchor)))
+        | (F.col("ts") >= F.to_timestamp(F.lit(anchor)) + F.expr("INTERVAL 106 DAYS"))
+    ).limit(1).count()
     if bad:
-        raise AssertionError("w14 oracle key assumption violated: event_id >= 1e6")
+        raise AssertionError(
+            "w14 oracle key assumption violated: need 0 <= event_id < 1e6 "
+            "and ts in [2024-01-01, 2024-01-01 + 106 days)"
+        )
     bars = R.ohlc_bars(
         e, "ts", "value", keys=("event_type",), bar="5 minutes",
         tiebreak_col="event_id",

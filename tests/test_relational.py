@@ -793,3 +793,24 @@ def test_ohlc_bars_semantics(spark):
     assert out[("a", 0)] == (5.0, 9.0, 1.0, 9.0, 3)
     assert out[("a", 5)] == (7.0, 7.0, 7.0, 7.0, 1)
     assert out[("b", 0)] == (2.0, 2.0, 2.0, 2.0, 1)
+
+
+def test_ohlc_bars_null_values_dropped(spark):
+    """NULL-valued rows must not win open/close (min_by/max_by would
+    happily return the NULL) — they're filtered before aggregation, and
+    an all-NULL bar vanishes entirely."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 1), "a", None),  # earliest — must NOT be open
+        (2, dt.datetime(2024, 1, 1, 0, 1, 0), "a", 4.0),
+        (3, dt.datetime(2024, 1, 1, 0, 4, 59), "a", None),  # latest — must NOT be close
+        (4, dt.datetime(2024, 1, 1, 0, 3, 0), "a", 6.0),
+        # a bar where every value is NULL → no output row
+        (5, dt.datetime(2024, 1, 1, 0, 6, 0), "a", None),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, k string, v double")
+    out = {
+        (r["k"], r["bar_start"].minute): (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in R.ohlc_bars(df, "ts", "v", keys=("k",), bar="5 minutes",
+                             tiebreak_col="event_id").collect()
+    }
+    assert out == {("a", 0): (4.0, 6.0, 4.0, 6.0, 2)}
