@@ -162,4 +162,87 @@ NOUN_EXCEPTIONS: dict[str, str] = {
     "statistics": "statistics",
     "ethics": "ethics",
     "politics": "politics",
+    # s-final forms WordNet keeps whole that no safe pattern covers
+    # (plural-only nouns, lexicalized adverbs, possessive pronouns,
+    # disease names ending -es) — round 6, driven by the measured
+    # probe-lexicon divergence in tools/lemma_residue.py
+    "asbestos": "asbestos",
+    "pancreas": "pancreas",
+    "diabetes": "diabetes",
+    "herpes": "herpes",
+    "rabies": "rabies",
+    "scabies": "scabies",
+    "measles": "measles",
+    "mumps": "mumps",
+    "always": "always",
+    "perhaps": "perhaps",
+    "whereas": "whereas",
+    "besides": "besides",
+    "sometimes": "sometimes",
+    "towards": "towards",
+    "upstairs": "upstairs",
+    "downstairs": "downstairs",
+    "overseas": "overseas",
+    "indoors": "indoors",
+    "outdoors": "outdoors",
+    "hers": "hers",
+    "ours": "ours",
+    "yours": "yours",
+    "theirs": "theirs",
+    # -ie plurals the ies->y detachment would mangle (WordNet's
+    # dictionary check rescues movie/calorie; vendored here)
+    "movies": "movie",
+    "calories": "calorie",
+    # -us nouns' -uses plurals: no regex separates these from
+    # consonant+use stems (abuses/excuses/fuses), only a dictionary —
+    # so the frequent ones are vendored and the plain s-strip keeps
+    # the -use class correct
+    "buses": "bus",
+    "gases": "gas",
+    "lenses": "lens",
+    "viruses": "virus",
+    "statuses": "status",
+    "bonuses": "bonus",
+    "campuses": "campus",
+    "sinuses": "sinus",
+    "censuses": "census",
+    "fetuses": "fetus",
+    "walruses": "walrus",
+    "circuses": "circus",
+    "choruses": "chorus",
+    "octopuses": "octopus",
+    # -i stems' -is plurals: the "keep -is" identity rule (WordNet's
+    # axis/sepsis/-itis/-osis class) would swallow these
+    "skis": "ski",
+    "taxis": "taxi",
+    "alibis": "alibi",
+    "safaris": "safari",
+    "bikinis": "bikini",
+    "martinis": "martini",
+    # -u stems' -us plurals: same story vs the "keep -us" identity rule
+    "menus": "menu",
+    "gurus": "guru",
+    "emus": "emu",
+    "tutus": "tutu",
 }
+
+#: Ordered suffix-detachment chain shared by the Spark lemmatizer
+#: (functions/text.py compiles it to a WHEN chain) and the generated
+#: DuckDB oracle (qdefs_text.py compiles the same spec to CASE SQL) —
+#: one source of truth, exact cross-engine parity. Each entry is
+#: ``(match_regex, min_len, sub_regex, replacement)``; ``sub_regex``
+#: None means the word is kept unchanged (an identity class standing in
+#: for WordNet's dictionary-membership test: -is and -us finals are
+#: singular in English except for the vendored -i/-u plural stems
+#: above). First matching rule wins; exceptions are consulted before
+#: any rule.
+NOUN_SUFFIX_RULES: list[tuple[str, int, str | None, str]] = [
+    ("sses$", 0, "sses$", "ss"),          # glasses -> glass
+    ("(ch|sh|x)es$", 0, "es$", ""),       # churches/dishes/boxes
+    ("ies$", 5, "ies$", "y"),             # studies -> study
+    ("ies$", 0, "s$", ""),                # pies/ties/lies/dies -> -ie
+    ("is$", 0, None, ""),                 # axis/sepsis/-itis/-osis kept
+    ("us$", 0, None, ""),                 # virus/campus/mucus kept
+    ("ss$", 0, None, ""),                 # dress kept
+    ("^[a-z]{3,}s$", 0, "s$", ""),        # cats -> cat (length-guarded)
+]

@@ -114,13 +114,18 @@ def lemmatize_rules(tokens: Column) -> Column:
     1. the irregular-noun exception table
        (:mod:`.irregular_nouns` — geese/analyses/heroes/diagnosis...)
        looked up first, exactly like WordNet's noun.exc;
-    2. else the suffix rules: *sses -> *ss | *ies -> *y | keep *ss |
-       *s -> * (len>3).
+    2. else the ordered suffix chain ``NOUN_SUFFIX_RULES`` (same
+       module) — detachment rules plus the -is/-us/-ss identity
+       classes standing in for WordNet's dictionary-membership test.
+       Both this compiler and the DuckDB oracle (qdefs_text) read the
+       one spec, so cross-engine parity is structural.
 
+    Residue vs full WordNet is MEASURED, not guessed:
+    ``tools/lemma_residue.py`` (numbers in COVERAGE.md).
     ``lemmatize_udf`` below upgrades to full WordNet when NLTK is
     available.
     """
-    from .irregular_nouns import NOUN_EXCEPTIONS
+    from .irregular_nouns import NOUN_EXCEPTIONS, NOUN_SUFFIX_RULES
 
     exc = F.create_map(
         *[F.lit(x) for kv in NOUN_EXCEPTIONS.items() for x in kv]
@@ -128,13 +133,14 @@ def lemmatize_rules(tokens: Column) -> Column:
     exc_keys = list(NOUN_EXCEPTIONS)
 
     def lemma(w: Column) -> Column:
-        ruled = (
-            F.when(w.rlike("sses$"), F.regexp_replace(w, "sses$", "ss"))
-            .when(w.rlike("ies$"), F.regexp_replace(w, "ies$", "y"))
-            .when(w.rlike("ss$"), w)
-            .when(w.rlike("^[a-z]{3,}s$"), F.regexp_replace(w, "s$", ""))
-            .otherwise(w)
-        )
+        ruled = None
+        for match, min_len, sub, rep in NOUN_SUFFIX_RULES:
+            cond = w.rlike(match)
+            if min_len:
+                cond = (F.length(w) >= min_len) & cond
+            val = w if sub is None else F.regexp_replace(w, sub, rep)
+            ruled = F.when(cond, val) if ruled is None else ruled.when(cond, val)
+        ruled = ruled.otherwise(w)
         # isin compiles to an InSet hash probe — cheap on every token; the
         # map literal is only evaluated on the (rare) exception hits
         return F.when(w.isin(exc_keys), F.element_at(exc, w)).otherwise(ruled)

@@ -44,10 +44,26 @@ def _noisy(col="text"):
     return F.concat(F.col(col), F.lit(_NOISE))
 
 
-# T13 lemmatizer as DuckDB lambda SQL (must mirror TX.lemmatize_rules):
-# the vendored irregular-noun exception map first (same dict the Spark
-# side compiles in — one source of truth), then the suffix rules
-from .functions.irregular_nouns import NOUN_EXCEPTIONS as _NOUN_EXC
+# T13 lemmatizer as DuckDB lambda SQL: BOTH the exception map and the
+# suffix CASE chain are GENERATED from functions.irregular_nouns
+# (NOUN_EXCEPTIONS + NOUN_SUFFIX_RULES) — the same data the Spark
+# lemmatizer compiles, so the two engines cannot drift.
+from .functions.irregular_nouns import (
+    NOUN_EXCEPTIONS as _NOUN_EXC,
+    NOUN_SUFFIX_RULES as _NOUN_RULES,
+)
+
+
+def _noun_rule_case_sql() -> str:
+    parts = []
+    for match, min_len, sub, rep in _NOUN_RULES:
+        cond = f"regexp_matches(w, '{match}')"
+        if min_len:
+            cond = f"length(w) >= {min_len} AND {cond}"
+        val = "w" if sub is None else f"regexp_replace(w, '{sub}', '{rep}')"
+        parts.append(f"WHEN {cond} THEN {val}")
+    return "CASE " + " ".join(parts) + " ELSE w END"
+
 
 # braces doubled: _LEMMA_SQL goes through str.format(toks=...)
 _EXC_MAP_SQL = (
@@ -57,12 +73,9 @@ _EXC_MAP_SQL = (
 )
 _LEMMA_SQL = (
     "list_transform({toks}, w -> coalesce("
-    "map_extract(" + _EXC_MAP_SQL + ", w)[1], CASE "
-    "WHEN regexp_matches(w, 'sses$') THEN regexp_replace(w, 'sses$', 'ss') "
-    "WHEN regexp_matches(w, 'ies$') THEN regexp_replace(w, 'ies$', 'y') "
-    "WHEN regexp_matches(w, 'ss$') THEN w "
-    "WHEN regexp_matches(w, '^[a-z]{{3,}}s$') THEN regexp_replace(w, 's$', '') "
-    "ELSE w END))"
+    "map_extract(" + _EXC_MAP_SQL + ", w)[1], "
+    + _noun_rule_case_sql().replace("{", "{{").replace("}", "}}")
+    + "))"
 )
 
 _TOKENIZE_SQL = "list_filter(string_split_regex({x}, '\\W+'), t -> t <> '')"
