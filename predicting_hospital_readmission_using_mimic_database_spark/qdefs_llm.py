@@ -267,6 +267,48 @@ def q_d6(spark, sf):
     return DD.connected_components(pairs)
 
 
+@query(
+    "d9_dup_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE u0 AS ({_DOCS_COPIES_SQL}),
+    u AS (SELECT * FROM u0 WHERE doc_id < 1000 OR doc_id >= {_COPY_OFFSET}),
+    s AS MATERIALIZED (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM u),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))
+            / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            >= 0.6
+    ),
+    e AS MATERIALIZED (
+      SELECT a_id AS src, b_id AS dst FROM pairs UNION SELECT b_id, a_id FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+    )
+    SELECT id, min(r) AS comp FROM reach GROUP BY id
+    """,
+)
+def q_d9(spark, sf):
+    """D9 — the SAME duplicate-cluster closure as d6, computed by the
+    two-phase large-star/small-star contraction (Kiveris et al. 2014)
+    instead of hash-to-min: O(log^2 n) rounds regardless of graph
+    diameter, two O(|E|) shuffles per round. The oracle (recursive-CTE
+    transitive closure) is algorithm-independent, so both entries must
+    hash-match it — an end-to-end equivalence proof of the two
+    algorithms on the harness corpus on top of the random-graph
+    property test."""
+    u = _tokens(_docs_with_exact_copies(spark, sf)).filter(
+        (F.col("doc_id") < 1000) | (F.col("doc_id") >= _COPY_OFFSET)
+    )
+    pairs = DD.jaccard_dup_pairs(
+        u, "doc_id", "tokens", n=3, threshold=0.6, max_doc_freq=None
+    ).select("a_id", "b_id")
+    return DD.connected_components_star(pairs)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
