@@ -147,7 +147,11 @@ def main() -> None:
     # typo must not silently bench nothing (BENCH_r05 shipped n4_build
     # rows that a rename would have dropped without a sound).
     want_n4 = (not names_env) or any(n.startswith("n4") for n in raw)
-    unknown = [n for n in raw if n not in registry and not n.startswith("n4")]
+    want_t20b = (not names_env) or any(n.startswith("t20b") for n in raw)
+    unknown = [
+        n for n in raw
+        if n not in registry and not n.startswith("n4") and not n.startswith("t20b")
+    ]
     if unknown:
         raise SystemExit(f"[bench] unknown BENCH_QUERIES names: {unknown}")
     names = [n for n in raw if n in registry]
@@ -236,6 +240,35 @@ def main() -> None:
             timings.setdefault("n4_probe", -1.0)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+    # --- t20b: BPE tokenizer training END-TO-END (VERDICT r5 #5) — the
+    # iterative-job regime where per-merge driver/job overhead dominates,
+    # i.e. the number a tokenizer-training user actually feels (t20
+    # benches only the single pair-count kernel). One run (the loop is
+    # internally ~100 jobs; repeat-median would triple a long row for
+    # little extra signal); merges-per-second is the tracked shape.
+    if want_t20b:
+        from predicting_hospital_readmission_using_mimic_database_spark.ml import bpe as _bpe
+        from predicting_hospital_readmission_using_mimic_database_spark.sources.io import (
+            read_table as _rt,
+        )
+
+        try:
+            spark.catalog.clearCache()
+            docs = _rt(spark, sf_dir, "documents")
+            t0 = time.perf_counter()
+            merges, _vocab = _bpe.bpe_train(docs, "text", n_merges=200, min_count=2)
+            dt = round(time.perf_counter() - t0, 3)
+            timings["t20b_bpe_train"] = dt
+            per = round(dt / max(len(merges), 1), 3)
+            print(
+                f"[bench] t20b_bpe_train: {dt}s "
+                f"({len(merges)} merges, {per}s/merge)",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"[bench] t20b_bpe_train FAILED: {e}", file=sys.stderr)
+            timings.setdefault("t20b_bpe_train", -1.0)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     out = {
