@@ -33,17 +33,13 @@ def test_first_50_entries_cover_every_family():
         "t", "m", "e",                                   # text / ML / metrics
         "d", "n", "x", "mm", "st",                       # LLM-pipeline + streaming
     } <= fams, fams
-    # round-5 rotation: every entry that had NEVER appeared in a driver
-    # CORRECTNESS window leads the prefix (closes the cross-round union to
-    # 143/143), plus the entries whose code changed this round
-    for must in ("t1_regex_recode", "j6_positional_join_suffixes",
-                 "w4b_forward_fill", "m4_predict_proba",
-                 "a2b_approx_count_distinct", "a14_corr_cov",
-                 "n5_knn_join_exact", "u11_stratified_hash_split",
-                 "w12_session_funnel", "st8_upsert_materialized_view",
-                 "mm4_audio_resample", "x9_dataset_card",
-                 "j10_band_join", "x7_mixture_sample", "u5_oversample",
-                 "e8_strategy_comparison", "flagship_readmit_30d"):
+    # round-6 rotation: every entry whose code/oracle changed this round
+    # leads the prefix (the union already covers all 159 prior entries)
+    for must in ("d9_dup_clusters_star", "g1_pagerank",
+                 "t13_clean_text_tokens", "t14_count_vectorize",
+                 "t15_vocabulary", "s8_json_roundtrip", "w14_ohlc_bars",
+                 "d6_dup_clusters", "t20_bpe_pair_counts",
+                 "flagship_readmit_30d"):
         assert must in names
 
 
