@@ -99,6 +99,7 @@ AUDIT = [
     "t19_feature_hashing",  # fit-free: one explode + one partial agg
     "t20_bpe_pair_counts",  # vocab-frame kernel, corpus aggregates once
     "g1_pagerank",        # per-iteration bounded jobs, no BNLJ
+    "d9_dup_clusters_star",  # star contraction: O(|E|) shuffles per round
 ]
 
 
