@@ -104,6 +104,11 @@ HEADLINE = [
     "t20_bpe_pair_counts",    # BPE training kernel over the vocab frame
     "g1_pagerank",            # 5 power iterations, per-iteration checkpoint
     "w14_ohlc_bars",          # single-shuffle OHLC time bars
+    # round-6 additions
+    "d9_dup_clusters_star",   # two-phase star-contraction clustering
+    "s9_table_merge",         # ACID bucketed copy-on-write MERGE commit
+    "s10_table_time_travel",  # versioned snapshot reads off the commit log
+    "s11_table_skipping",     # footer-stats file pruning read
 ]
 
 

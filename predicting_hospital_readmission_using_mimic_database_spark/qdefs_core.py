@@ -1805,3 +1805,169 @@ def q_w14(spark, sf):
         F.unix_timestamp("bar_start").cast("long").alias("bar_sec"),
         "open", "high", "low", "close", "n",
     )
+
+
+#: SnapshotTable roots already registered for exit cleanup
+_SNAP_DIRS: set[str] = set()
+
+
+def _table_root(entry: str, sf: str) -> str:
+    """Reusable pid-scoped scratch root for a SnapshotTable entry: bench
+    repeats and verify re-runs recreate the table in place (rmtree +
+    create) rather than leaking a copy per invocation; one atexit per
+    (process, entry, sf). Pid-scoped so concurrent processes never race
+    each other's logs."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"snap_{entry}_{os.getpid()}_{hashlib.md5(sf.encode()).hexdigest()[:12]}",
+    )
+    if root not in _SNAP_DIRS:
+        _SNAP_DIRS.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+@query(
+    "s9_table_merge",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 0.0 FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT COALESCE(c.c_custkey, u.c_custkey) AS c_custkey,
+           c.c_name,
+           COALESCE(u.c_acctbal, c.c_acctbal) AS c_acctbal
+    FROM customer c FULL OUTER JOIN upd u USING (c_custkey)
+    """,
+)
+def q_s9(spark, sf):
+    """S9 — ACID MERGE INTO a SnapshotTable (sources/table.py): the same
+    upsert delta as s6, but through the versioned commit log with
+    bucketed COPY-ON-WRITE — only the buckets containing update keys are
+    read, full-outer-merged, and rewritten; untouched buckets' parquet
+    files stay live across the commit. The hash-match against the
+    same FULL OUTER JOIN oracle proves the bucket-pruned rewrite loses
+    and duplicates nothing. This is the parquet-era answer to the
+    reference's mutable-store writes (nb:2101 ``to_sql(if_exists=
+    'replace')``) that stays atomic for concurrent readers."""
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_name", "c_acctbal")
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s9", sf),
+        "c_custkey bigint, c_name string, c_acctbal double",
+        bucket_key=["c_custkey"],
+        num_buckets=8,
+    )
+    t.append(c)
+    upd = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal"))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    t.merge(upd, update_cols=["c_acctbal"])
+    return t.read()
+
+
+@query(
+    "s10_table_time_travel",
+    oracle="""
+    WITH b1 AS (SELECT event_id, value FROM events WHERE event_id % 3 = 0),
+         b2 AS (SELECT event_id, value FROM events WHERE event_id % 3 = 1),
+         v2 AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+         v3 AS (SELECT * FROM v2 WHERE NOT COALESCE(event_id % 5 = 0, FALSE))
+    SELECT CAST(0 AS BIGINT) AS version, CAST(0 AS BIGINT) AS n, 0.0 AS total
+    UNION ALL SELECT 1, count(*), COALESCE(round(sum(value), 4), 0.0) FROM b1
+    UNION ALL SELECT 2, count(*), COALESCE(round(sum(value), 4), 0.0) FROM v2
+    UNION ALL SELECT 3, count(*), COALESCE(round(sum(value), 4), 0.0) FROM v3
+    """,
+)
+def q_s10(spark, sf):
+    """S10 — snapshot-isolation TIME TRAVEL: two appends then a
+    predicate DELETE commit, and every historical version read back by
+    number (create=v0 ... delete=v3). DuckDB recomputes each version's
+    row set from the source table; matching all four (count, sum)
+    surfaces proves commits are immutable snapshots — the delete
+    rewrote candidate files into v3 without disturbing what v1/v2 read.
+    NULL predicate rows are KEPT by delete (coalesce(cond, false)), and
+    the oracle encodes the same rule."""
+    from .sources.table import SnapshotTable
+
+    e = read_table(spark, sf, "events").select("event_id", "value")
+    t = SnapshotTable.create(
+        spark, _table_root("s10", sf), "event_id bigint, value double"
+    )
+    t.append(e.filter(F.col("event_id") % 3 == 0))
+    t.append(e.filter(F.col("event_id") % 3 == 1))
+    t.delete(F.col("event_id") % 5 == 0)
+    per_version = [
+        t.read(version=v)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.round(F.sum("value"), 4), F.lit(0.0)).alias("total"),
+        )
+        .select(F.lit(v).cast("long").alias("version"), "n", "total")
+        for v in range(0, 4)
+    ]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+@query(
+    "s11_table_skipping",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 4) AS total,
+           CAST(min(o_orderkey) AS BIGINT) AS k_min,
+           CAST(max(o_orderkey) AS BIGINT) AS k_max,
+           TRUE AS skipped_files
+    FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+    """,
+)
+def q_s11(spark, sf):
+    """S11 — file-level DATA SKIPPING: orders lands in the table
+    range-clustered on o_orderkey (repartitionByRange -> tight per-file
+    min/max footer stats harvested at commit time), then a narrow key
+    range is read through ``prune`` — the planner consults the stored
+    stats and hands Spark ONLY the files whose [min,max] intersect.
+    ``skipped_files`` asserts strictly fewer files were scanned than are
+    live (the scan-less majority is the whole point at 100 TB); the
+    aggregate surface hash-matches DuckDB's full-scan answer, proving
+    skipping dropped no qualifying rows."""
+    from .sources.table import SnapshotTable
+
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s11", sf),
+        "o_orderkey bigint, o_totalprice double",
+        stats_cols=["o_orderkey"],
+    )
+    t.append(o.repartitionByRange(8, "o_orderkey"))
+    prune = [("o_orderkey", 1000, 2999)]
+    n_scanned = len(t.pruned_paths(prune))
+    n_live = len(t.files())
+    return t.read(prune=prune).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.min("o_orderkey").cast("long").alias("k_min"),
+        F.max("o_orderkey").cast("long").alias("k_max"),
+        F.lit(bool(0 < n_scanned < n_live)).alias("skipped_files"),
+    )

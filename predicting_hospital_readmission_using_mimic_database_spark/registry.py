@@ -40,17 +40,21 @@ _LOADED = False
 # (every round so far checked exactly the first 50 entries). The
 # cross-round union closed at 159/159 in round 5 — every entry has
 # appeared hash-green in a shipped driver artifact. Round-6 window:
-# (a) every entry whose code or oracle changed THIS round (PageRank
-# dangling-mass rewrite, the shared lemmatizer suffix-rule spec which
-# regenerates the t13/t14/t15 oracles, the read_json dedup behind s8,
-# the ohlc NULL filter + key assertions behind w14, the lazy BPE train
-# loop behind t20, and the NEW d9 star-contraction clustering with d6
-# as its same-oracle twin), then (b) stable representatives whose most
+# (a) every entry whose code or oracle changed THIS round (the NEW
+# SnapshotTable ACID entries s9/s10/s11, the PageRank dangling-mass
+# rewrite, the shared lemmatizer suffix-rule spec which regenerates the
+# t13/t14/t15 oracles, the read_json dedup behind s8, the ohlc NULL
+# filter + key assertions behind w14, the lazy BPE train loop behind
+# t20, and the NEW d9 star-contraction clustering with d6 as its
+# same-oracle twin), then (b) stable representatives whose most
 # recent driver row is the OLDEST (r1-r3 vintage) — freshness rotation
 # — keeping one sentinel per family prefix
 # (tests/test_entry.py::test_first_50_entries_cover_every_family).
 PRIORITY: tuple[str, ...] = (
     # (a) changed or new in round 6
+    "s9_table_merge",
+    "s10_table_time_travel",
+    "s11_table_skipping",
     "d9_dup_clusters_star",
     "g1_pagerank",
     "t13_clean_text_tokens",
@@ -63,11 +67,9 @@ PRIORITY: tuple[str, ...] = (
     # (b) oldest-vintage stable representatives, family-complete
     "flagship_readmit_30d",
     "s1_scan_events",
-    "s3_scan_project",
     "s6_merge_upsert",
     "p2_filter_isnull",
     "p8_split_counts",
-    "p9_dropna",
     "j1_join_inner",
     "j5_positional_join",
     "j9_asof_join",
@@ -76,7 +78,6 @@ PRIORITY: tuple[str, ...] = (
     "w7_sessionize",
     "a1_value_counts",
     "a8_pivot_count",
-    "a13_percentiles",
     "a15_rollup",
     "c3_range_recode",
     "c4_parse_ts_coerce",

@@ -1,0 +1,618 @@
+"""ACID snapshot table format over parquet — the engine's answer to the
+reference's mutable-store writes (reference nb:2101 ``to_sql(..., if_exists=
+'replace')`` and the incremental re-loads around nb:2140) re-expressed for
+immutable distributed storage.
+
+Design (the public Delta/Iceberg commit-protocol shape, reimplemented
+minimally and Spark-first):
+
+* A table is a directory. Data lives in immutable parquet files written by
+  normal Spark jobs; the TABLE STATE is the set of live files, defined
+  solely by an append-only JSON commit log under ``_log/``.
+* A commit is ONE atomically-created file ``_log/<version 20d>.json`` holding
+  ``add`` / ``remove`` file actions. Creation uses ``os.link`` (POSIX: fails
+  with EEXIST if the version was taken) — the same "put-if-absent" primitive
+  Delta uses on HDFS/ABFS; on S3 the identical protocol runs through a
+  conditional-put or a commit service. Readers never see partial state:
+  either the commit file exists (all its files are live) or it doesn't.
+* Optimistic concurrency: writers prepare data files, then race to create
+  version N. A loser re-reads the log and either REBASES (pure appends
+  commute with anything) or raises :class:`ConcurrentWriteError` (any op
+  that removed files it had read — merge/overwrite/delete/compact — is
+  serialized per table, Delta's WriteSerializable level).
+* Copy-on-write MERGE with bucket pruning: a table created with
+  ``bucket_key`` hash-partitions rows into ``num_buckets`` buckets
+  (``pmod(xxhash64(key), n)``). MERGE rewrites ONLY the buckets the update
+  delta touches — write amplification is (touched buckets / total), not the
+  whole table. At 100 TB with 4096 buckets, a 0.1% delta touching 40 buckets
+  rewrites ~1% of the table instead of 100%.
+* File-level min/max stats (``stats_cols``) are harvested from parquet
+  FOOTERS at commit time (metadata-only reads, O(KB) per file — the same
+  work Delta's writer does) and stored in the add action, enabling
+  data-skipping reads: :meth:`read` with a ``prune`` range consults stats
+  and hands Spark only the files that can match. Files without stats are
+  conservatively kept.
+* Every commit records the number of log entries since the last checkpoint;
+  every ``checkpoint_interval`` commits the full live-file set is rolled up
+  into ``_log/_checkpoint.<version>.json`` so state reconstruction replays
+  O(interval) JSON files, not O(history). ``_last_checkpoint`` is updated
+  via ``os.replace`` (atomic overwrite; stale values only cost extra replay).
+
+Scale notes: the log is driver-side metadata (KBs per commit — identical
+posture to Delta); every data movement is a Spark job over DataFrames. The
+only ``collect`` is the touched-bucket id list in MERGE, bounded by
+``num_buckets``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Sequence
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+LOG_DIR = "_log"
+LAST_CHECKPOINT = "_last_checkpoint"
+_BUCKET_COL = "__bucket"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed a conflicting change; re-run the operation
+    on the refreshed table state."""
+
+
+class VacuumedVersionError(RuntimeError):
+    """Time travel to a version whose files were removed by vacuum()."""
+
+
+@dataclass
+class _AddAction:
+    path: str  # relative to table root
+    rows: int
+    bucket: int | None = None
+    stats: dict[str, list] = field(default_factory=dict)  # col -> [min, max]
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "rows": self.rows,
+            "bucket": self.bucket,
+            "stats": self.stats,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "_AddAction":
+        return _AddAction(d["path"], d["rows"], d.get("bucket"), d.get("stats", {}))
+
+
+def _harvest_stats(abs_path: str, stats_cols: Sequence[str]) -> tuple[int, dict]:
+    """(num_rows, {col: [min, max]}) from the parquet footer only.
+
+    Footer stats are per row group; the file-level range is the union.
+    Columns whose stats are absent are omitted — readers treat missing
+    stats as "file may match" (conservative, never wrong). Kept types:
+    numerics as-is; date/timestamp as ISO-8601 strings (JSON-storable AND
+    ordered identically, so ``prune`` ranges are passed as ISO strings).
+    Raw string/binary stats are DISCARDED: parquet writers may truncate
+    them, and a truncated max can sort below the true max — pruning on it
+    would silently drop matching files.
+    """
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    def _norm(v):
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, (int, float)):
+            return v
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        return None  # strings/bytes/decimal: truncation-unsafe, skip
+
+    md = pq.ParquetFile(abs_path).metadata
+    out: dict[str, list] = {}
+    if stats_cols:
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for col in stats_cols:
+            ci = idx.get(col)
+            if ci is None:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = _norm(st.min), _norm(st.max)
+                if mn is None or mx is None:
+                    ok = False
+                    break
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if ok and lo is not None:
+                out[col] = [lo, hi]
+    return md.num_rows, out
+
+
+class SnapshotTable:
+    """Versioned ACID parquet table (see module docstring).
+
+    Create with :meth:`create`; open an existing one with the constructor.
+    All mutating methods go through the single optimistic-commit path
+    :meth:`_commit`; all reads go through :meth:`read`.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._log = os.path.join(root, LOG_DIR)
+        if not os.path.isdir(self._log):
+            raise FileNotFoundError(f"not a SnapshotTable (no {LOG_DIR}): {root}")
+        self.version = -1
+        self._live: dict[str, _AddAction] = {}
+        self._meta: dict = {}
+        self._refresh()
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: StructType | str,
+        bucket_key: Sequence[str] | None = None,
+        num_buckets: int | None = None,
+        stats_cols: Sequence[str] = (),
+        checkpoint_interval: int = 10,
+    ) -> "SnapshotTable":
+        """Initialise an empty table: commit 0 carries the table metadata
+        (schema, bucket spec, stats columns) and no files."""
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        if (bucket_key is None) != (num_buckets is None):
+            raise ValueError("bucket_key and num_buckets must be set together")
+        if num_buckets is not None and num_buckets < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+        os.makedirs(os.path.join(root, LOG_DIR), exist_ok=True)
+        meta = {
+            "schema": schema.json(),
+            "bucket_key": list(bucket_key) if bucket_key else None,
+            "num_buckets": num_buckets,
+            "stats_cols": list(stats_cols),
+            "checkpoint_interval": checkpoint_interval,
+        }
+        record = {"version": 0, "op": "create", "meta": meta, "add": [], "remove": []}
+        path = os.path.join(root, LOG_DIR, f"{0:020d}.json")
+        tmp = os.path.join(root, LOG_DIR, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        try:
+            os.link(tmp, path)  # put-if-absent: double create raises
+        except FileExistsError:
+            raise FileExistsError(f"SnapshotTable already exists at {root}") from None
+        finally:
+            os.unlink(tmp)
+        return SnapshotTable(spark, root)
+
+    # ------------------------------------------------------------------
+    # log replay
+    # ------------------------------------------------------------------
+    def _commit_path(self, v: int) -> str:
+        return os.path.join(self._log, f"{v:020d}.json")
+
+    def _apply(self, record: dict) -> None:
+        for p in record.get("remove", []):
+            self._live.pop(p, None)
+        for a in record.get("add", []):
+            act = _AddAction.from_json(a)
+            self._live[act.path] = act
+        if "meta" in record:
+            self._meta = record["meta"]
+        self.version = record["version"]
+
+    def _refresh(self) -> int:
+        """Replay commits past the current in-memory version; returns the
+        number of NEW commits seen (0 = already current)."""
+        if self.version < 0:
+            cp = self._read_last_checkpoint()
+            if cp is not None:
+                self._live = {
+                    a.path: a for a in (_AddAction.from_json(d) for d in cp["files"])
+                }
+                self._meta = cp["meta"]
+                self.version = cp["version"]
+        seen = 0
+        while True:
+            path = self._commit_path(self.version + 1)
+            if not os.path.exists(path):
+                return seen
+            with open(path) as f:
+                self._apply(json.load(f))
+            seen += 1
+
+    def _read_last_checkpoint(self) -> dict | None:
+        try:
+            with open(os.path.join(self._log, LAST_CHECKPOINT)) as f:
+                v = int(f.read().strip())
+            with open(os.path.join(self._log, f"_checkpoint.{v:020d}.json")) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _state_at(self, version: int) -> dict[str, _AddAction]:
+        """Live-file set as of ``version`` (time travel): replay from the
+        newest checkpoint <= version, else from 0. Commit JSONs are never
+        deleted (KBs), only data files are vacuumed."""
+        if version < 0 or version > self.version:
+            raise ValueError(
+                f"version {version} out of range [0, {self.version}]"
+            )
+        live: dict[str, _AddAction] = {}
+        start = 0
+        cp = self._read_last_checkpoint()
+        if cp is not None and cp["version"] <= version:
+            live = {
+                a.path: a for a in (_AddAction.from_json(d) for d in cp["files"])
+            }
+            start = cp["version"] + 1
+        for v in range(start, version + 1):
+            with open(self._commit_path(v)) as f:
+                record = json.load(f)
+            for p in record.get("remove", []):
+                live.pop(p, None)
+            for a in record.get("add", []):
+                act = _AddAction.from_json(a)
+                live[act.path] = act
+        return live
+
+    # ------------------------------------------------------------------
+    # schema / bucketing helpers
+    # ------------------------------------------------------------------
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self._meta["schema"]))
+
+    @property
+    def bucket_key(self) -> list[str] | None:
+        return self._meta.get("bucket_key")
+
+    @property
+    def num_buckets(self) -> int | None:
+        return self._meta.get("num_buckets")
+
+    def _bucket_expr(self) -> Column:
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.bucket_key]),
+            F.lit(self.num_buckets),
+        ).cast("int")
+
+    def _check_schema(self, df: DataFrame) -> DataFrame:
+        want = [f.name for f in self.schema.fields]
+        missing = [c for c in want if c not in df.columns]
+        extra = [c for c in df.columns if c not in want]
+        if missing or extra:
+            raise ValueError(
+                f"schema mismatch: missing {missing}, unexpected {extra} "
+                f"(table columns: {want})"
+            )
+        # column order + declared types; cast is a no-op when already aligned
+        return df.select(
+            *[F.col(f.name).cast(f.dataType) for f in self.schema.fields]
+        )
+
+    # ------------------------------------------------------------------
+    # data-file staging
+    # ------------------------------------------------------------------
+    def _stage(self, df: DataFrame) -> list[_AddAction]:
+        """Write df's rows as new parquet files under a fresh commit dir and
+        return their add actions (rows + stats harvested from footers).
+
+        Bucketed tables write ``partitionBy(__bucket)`` so each file belongs
+        to exactly one bucket (recorded in the action — MERGE's pruning
+        unit). Stats harvesting is footer-only, parallelized on driver
+        threads; per-commit file counts are bounded (one Spark write job).
+        """
+        rel_dir = f"data-{uuid.uuid4().hex[:12]}"
+        abs_dir = os.path.join(self.root, rel_dir)
+        if self.bucket_key:
+            (
+                df.withColumn(_BUCKET_COL, self._bucket_expr())
+                .write.partitionBy(_BUCKET_COL)
+                .parquet(abs_dir, mode="errorifexists")
+            )
+        else:
+            df.write.parquet(abs_dir, mode="errorifexists")
+        actions = []
+        paths = []
+        for dirpath, _dirs, files in os.walk(abs_dir):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                absp = os.path.join(dirpath, name)
+                rel = os.path.relpath(absp, self.root)
+                bucket = None
+                if f"{_BUCKET_COL}=" in dirpath:
+                    bucket = int(dirpath.rsplit(f"{_BUCKET_COL}=", 1)[1].split(os.sep)[0])
+                paths.append((rel, absp, bucket))
+        stats_cols = self._meta.get("stats_cols", [])
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            harvested = list(
+                ex.map(lambda t: _harvest_stats(t[1], stats_cols), paths)
+            )
+        for (rel, _absp, bucket), (rows, stats) in zip(paths, harvested):
+            actions.append(_AddAction(rel, rows, bucket, stats))
+        return actions
+
+    # ------------------------------------------------------------------
+    # the single optimistic-commit path
+    # ------------------------------------------------------------------
+    def _commit(
+        self, op: str, adds: list[_AddAction], removes: list[str]
+    ) -> int:
+        """Atomically claim the next version. Appends rebase past any
+        concurrent commit; removing ops conflict with ANY concurrent commit
+        (WriteSerializable: the files they read may no longer be live)."""
+        record_base = {
+            "op": op,
+            "add": [a.to_json() for a in adds],
+            "remove": list(removes),
+        }
+        while True:
+            v = self.version + 1
+            path = self._commit_path(v)
+            tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump({"version": v, **record_base}, f)
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                os.unlink(tmp)
+                self._refresh()
+                if removes:
+                    # roll back this attempt's staged files: they reference
+                    # a base state that no longer exists
+                    raise ConcurrentWriteError(
+                        f"{op} at version {v} lost the race to a concurrent "
+                        f"writer (now at {self.version}); re-run on the "
+                        "refreshed table"
+                    ) from None
+                continue  # pure append: commutes, rebase and retry
+            os.unlink(tmp)
+            self._apply({"version": v, **record_base})
+            self._maybe_checkpoint()
+            return v
+
+    def _maybe_checkpoint(self) -> None:
+        interval = self._meta.get("checkpoint_interval", 10)
+        if interval and self.version > 0 and self.version % interval == 0:
+            cp = {
+                "version": self.version,
+                "meta": self._meta,
+                "files": [a.to_json() for a in self._live.values()],
+            }
+            cpp = os.path.join(self._log, f"_checkpoint.{self.version:020d}.json")
+            tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump(cp, f)
+            os.replace(tmp, cpp)  # atomic; losing a concurrent race is harmless
+            tmp2 = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp2, "w") as f:
+                f.write(str(self.version))
+            os.replace(tmp2, os.path.join(self._log, LAST_CHECKPOINT))
+
+    # ------------------------------------------------------------------
+    # public operations
+    # ------------------------------------------------------------------
+    def append(self, df: DataFrame) -> int:
+        """Blind append: stages files then commits, auto-rebasing past any
+        concurrent writer (appends always commute). Returns the version."""
+        self._refresh()
+        return self._commit("append", self._stage(self._check_schema(df)), [])
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the whole table contents in one atomic commit."""
+        self._refresh()
+        removes = list(self._live)
+        return self._commit("overwrite", self._stage(self._check_schema(df)), removes)
+
+    def merge(
+        self,
+        updates: DataFrame,
+        update_cols: Sequence[str] | None = None,
+        key: Sequence[str] | None = None,
+    ) -> int:
+        """MERGE (upsert) keyed on the table's ``bucket_key`` (or an
+        explicit ``key`` for unbucketed tables): matched rows' ``update_cols``
+        are overwritten, unmatched update rows inserted.
+
+        Copy-on-write at BUCKET granularity: only buckets containing update
+        keys are read, merged (operators.relational.merge_upsert — one
+        full-outer join per touched subset), and rewritten; every other
+        bucket's files remain live untouched. The only driver materialization
+        is the touched-bucket id list (<= num_buckets rows).
+
+        Unbucketed tables fall back to a full-table rewrite (documented
+        write amplification — create with bucket_key for mutable workloads).
+        """
+        from ..operators.relational import merge_upsert
+
+        self._refresh()
+        if not self.bucket_key:
+            if not key:
+                raise ValueError(
+                    "merge on an unbucketed table requires an explicit key"
+                )
+            base = self.read()
+            merged = merge_upsert(base, updates, key=list(key), update_cols=update_cols)
+            return self._commit(
+                "merge", self._stage(self._check_schema(merged)), list(self._live)
+            )
+        if key is not None and list(key) != list(self.bucket_key):
+            raise ValueError(
+                f"merge key {list(key)} must equal bucket_key {self.bucket_key} "
+                "(bucket pruning is keyed on it)"
+            )
+        key = list(self.bucket_key)
+        upd = updates
+        touched = sorted(
+            r["__b"]
+            for r in upd.select(self._bucket_expr().alias("__b")).distinct().collect()
+        )
+        touched_set = set(touched)
+        old_files = [
+            p for p, a in self._live.items() if a.bucket in touched_set
+        ]
+        base = self._read_files(old_files)
+        merged = merge_upsert(base, upd, key=key, update_cols=update_cols)
+        return self._commit(
+            "merge", self._stage(self._check_schema(merged)), old_files
+        )
+
+    def delete(self, cond: Column, prune: Sequence[tuple] | None = None) -> int:
+        """Delete rows matching ``cond``: candidate files (optionally
+        stats-pruned via ``prune`` = [(col, lo, hi), ...]) are rewritten
+        without the matching rows; non-candidate files stay live as-is."""
+        self._refresh()
+        candidates = self._prune_files(self._live, prune)
+        if not candidates:
+            return self._commit("delete", [], [])
+        kept = self._read_files(candidates).filter(~F.coalesce(cond, F.lit(False)))
+        return self._commit("delete", self._stage(self._check_schema(kept)), candidates)
+
+    def compact(self, files_per_bucket: int = 1) -> int:
+        """OPTIMIZE: coalesce each bucket's (or the whole unbucketed
+        table's) live files into ``files_per_bucket`` files. Pure
+        re-layout — row set unchanged; conflicts with concurrent writers
+        like every removing op."""
+        self._refresh()
+        removes = list(self._live)
+        if not removes:
+            return self._commit("compact", [], [])
+        df = self._read_files(removes).coalesce(
+            max(1, files_per_bucket * (self.num_buckets or 1))
+        )
+        return self._commit("compact", self._stage(self._check_schema(df)), removes)
+
+    def vacuum(self, retain_versions: int = 2) -> int:
+        """Physically delete data files referenced by NO snapshot in the
+        last ``retain_versions`` versions (nor the current one). Time travel
+        older than the retained window raises VacuumedVersionError on read.
+        Returns the number of files deleted. Commit JSONs are retained
+        (metadata is KBs; history() stays complete)."""
+        self._refresh()
+        keep: set[str] = set()
+        lo = max(0, self.version - max(0, retain_versions - 1))
+        for v in range(lo, self.version + 1):
+            keep.update(self._state_at(v))
+        deleted = 0
+        for dirpath, _dirs, files in os.walk(self.root):
+            if os.path.basename(dirpath) == LOG_DIR or LOG_DIR + os.sep in dirpath:
+                continue
+            for name in files:
+                absp = os.path.join(dirpath, name)
+                rel = os.path.relpath(absp, self.root)
+                if rel.endswith(".parquet") and rel not in keep:
+                    os.unlink(absp)
+                    deleted += 1
+        return deleted
+
+    def history(self) -> list[dict]:
+        """All commit records (version asc): op, files added/removed, rows
+        added — the audit trail a warehouse DESCRIBE HISTORY shows."""
+        out = []
+        for v in range(0, self.version + 1):
+            with open(self._commit_path(v)) as f:
+                r = json.load(f)
+            out.append(
+                {
+                    "version": r["version"],
+                    "op": r["op"],
+                    "n_added": len(r.get("add", [])),
+                    "n_removed": len(r.get("remove", [])),
+                    "rows_added": sum(a["rows"] for a in r.get("add", [])),
+                }
+            )
+        return out
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+    def _prune_files(
+        self, live: dict[str, _AddAction], prune: Sequence[tuple] | None
+    ) -> list[str]:
+        """Data skipping: keep files whose [min,max] can intersect every
+        (col, lo, hi) range; files without stats for a col are kept."""
+        paths = []
+        for p, a in live.items():
+            ok = True
+            for col, lo, hi in prune or ():
+                st = a.stats.get(col)
+                if st is None:
+                    continue
+                if (hi is not None and st[0] > hi) or (
+                    lo is not None and st[1] < lo
+                ):
+                    ok = False
+                    break
+            if ok:
+                paths.append(p)
+        return sorted(paths)
+
+    def _read_files(self, rel_paths: Sequence[str]) -> DataFrame:
+        if not rel_paths:
+            return self.spark.createDataFrame([], self.schema)
+        abs_paths = [os.path.join(self.root, p) for p in rel_paths]
+        for p in abs_paths:
+            if not os.path.exists(p):
+                raise VacuumedVersionError(
+                    f"data file {p} was removed by vacuum(); this snapshot "
+                    "is no longer reconstructible"
+                )
+        # schema given explicitly: no inference pass, stable column order,
+        # and the internal __bucket partition column never surfaces
+        return self.spark.read.schema(self.schema).parquet(*abs_paths)
+
+    def pruned_paths(
+        self, prune: Sequence[tuple] | None = None, version: int | None = None
+    ) -> list[str]:
+        """File paths a ``read(prune=...)`` would scan — the data-skipping
+        planning surface (compare against ``len(files())`` to measure skip
+        effectiveness)."""
+        self._refresh()
+        live = self._live if version is None else self._state_at(version)
+        return self._prune_files(live, prune)
+
+    def read(
+        self, version: int | None = None, prune: Sequence[tuple] | None = None
+    ) -> DataFrame:
+        """Snapshot read. ``version=None`` -> latest (after refresh).
+        ``prune`` = [(col, lo, hi)] does file-level skipping on the stored
+        footer stats AND applies the same range as a real filter (so results
+        are correct even where stats are missing); pass lo/hi=None for
+        half-open ranges. Date/timestamp ranges are passed as ISO strings
+        (how stats are stored)."""
+        self._refresh()
+        live = self._live if version is None else self._state_at(version)
+        df = self._read_files(self._prune_files(live, prune))
+        for col, lo, hi in prune or ():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
+    def files(self, version: int | None = None) -> list[_AddAction]:
+        """Live add-actions (path, rows, bucket, stats) — the planning
+        surface data-skipping and tests introspect."""
+        self._refresh()
+        live = self._live if version is None else self._state_at(version)
+        return [live[p] for p in sorted(live)]

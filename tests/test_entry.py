@@ -35,7 +35,9 @@ def test_first_50_entries_cover_every_family():
     } <= fams, fams
     # round-6 rotation: every entry whose code/oracle changed this round
     # leads the prefix (the union already covers all 159 prior entries)
-    for must in ("d9_dup_clusters_star", "g1_pagerank",
+    for must in ("s9_table_merge", "s10_table_time_travel",
+                 "s11_table_skipping",
+                 "d9_dup_clusters_star", "g1_pagerank",
                  "t13_clean_text_tokens", "t14_count_vectorize",
                  "t15_vocabulary", "s8_json_roundtrip", "w14_ohlc_bars",
                  "d6_dup_clusters", "t20_bpe_pair_counts",

@@ -1,0 +1,254 @@
+"""SnapshotTable (sources/table.py): ACID commit log, time travel, bucketed
+copy-on-write MERGE, data skipping, compaction, vacuum, and the optimistic
+concurrency protocol."""
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+    ConcurrentWriteError,
+    SnapshotTable,
+    VacuumedVersionError,
+)
+
+SCHEMA = "k bigint, v double, tag string"
+
+
+def _rows(spark, lo, hi, tag="a"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+        F.lit(tag).alias("tag"),
+    )
+
+
+@pytest.fixture
+def troot(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_create_append_read(spark, troot):
+    t = SnapshotTable.create(spark, troot, SCHEMA)
+    assert t.version == 0
+    assert t.read().count() == 0  # empty snapshot has the declared schema
+    assert t.read().schema == t.schema
+    t.append(_rows(spark, 0, 100))
+    t.append(_rows(spark, 100, 150, tag="b"))
+    assert t.version == 2
+    df = t.read()
+    assert df.count() == 150
+    assert df.schema == t.schema
+    assert df.filter("tag = 'b'").count() == 50
+
+
+def test_time_travel_and_history(spark, troot):
+    t = SnapshotTable.create(spark, troot, SCHEMA)
+    t.append(_rows(spark, 0, 10))
+    t.append(_rows(spark, 10, 30))
+    t.overwrite(_rows(spark, 0, 5))
+    assert [t.read(version=v).count() for v in (0, 1, 2, 3)] == [0, 10, 30, 5]
+    hist = t.history()
+    assert [h["op"] for h in hist] == ["create", "append", "append", "overwrite"]
+    assert hist[3]["n_removed"] > 0
+    # a reopened handle sees the same state (pure log replay)
+    t2 = SnapshotTable(spark, troot)
+    assert t2.version == 3 and t2.read().count() == 5
+
+
+def test_schema_enforcement(spark, troot):
+    t = SnapshotTable.create(spark, troot, SCHEMA)
+    bad = spark.range(3).select(F.col("id").alias("k"))  # missing v, tag
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(bad)
+    extra = _rows(spark, 0, 3).withColumn("zzz", F.lit(1))
+    with pytest.raises(ValueError, match="unexpected"):
+        t.append(extra)
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, troot):
+    t = SnapshotTable.create(
+        spark, troot, SCHEMA, bucket_key=["k"], num_buckets=8
+    )
+    t.append(_rows(spark, 0, 1000))
+    files_before = {a.path: a for a in t.files()}
+    buckets_before = {a.bucket for a in files_before.values()}
+    assert buckets_before == set(range(8))
+    # delta: update 3 keys, insert 2 new ones
+    upd = spark.createDataFrame(
+        [Row(k=1, v=-1.0, tag="upd"), Row(k=2, v=-2.0, tag="upd"),
+         Row(k=500, v=-500.0, tag="upd"), Row(k=5000, v=1.0, tag="new"),
+         Row(k=5001, v=2.0, tag="new")],
+        schema=SCHEMA,
+    )
+    touched = {
+        r["b"]
+        for r in upd.select(
+            F.pmod(F.xxhash64("k"), F.lit(8)).cast("int").alias("b")
+        ).distinct().collect()
+    }
+    t.merge(upd)
+    files_after = {a.path: a for a in t.files()}
+    survivors = set(files_before) & set(files_after)
+    # every untouched bucket's files survived the merge untouched
+    untouched = {p for p, a in files_before.items() if a.bucket not in touched}
+    assert untouched <= survivors
+    # and no file of a touched bucket survived
+    assert all(files_after[p].bucket not in touched for p in survivors)
+    df = t.read()
+    assert df.count() == 1002
+    got = {r["k"]: (r["v"], r["tag"]) for r in df.filter("tag = 'upd' OR tag = 'new'").collect()}
+    assert got == {1: (-1.0, "upd"), 2: (-2.0, "upd"), 500: (-500.0, "upd"),
+                   5000: (1.0, "new"), 5001: (2.0, "new")}
+
+
+def test_merge_update_cols_subset(spark, troot):
+    t = SnapshotTable.create(spark, troot, SCHEMA, bucket_key=["k"], num_buckets=4)
+    t.append(_rows(spark, 0, 10, tag="keep"))
+    upd = spark.createDataFrame([Row(k=3, v=99.0, tag="IGNORED")], schema=SCHEMA)
+    t.merge(upd, update_cols=["v"])
+    row = t.read().filter("k = 3").collect()[0]
+    assert row["v"] == 99.0 and row["tag"] == "keep"
+
+
+def test_unbucketed_merge_requires_key(spark, troot):
+    t = SnapshotTable.create(spark, troot, SCHEMA)
+    t.append(_rows(spark, 0, 10))
+    upd = spark.createDataFrame([Row(k=1, v=5.0, tag="u")], schema=SCHEMA)
+    with pytest.raises(ValueError, match="explicit key"):
+        t.merge(upd)
+    t.merge(upd, key=["k"])
+    assert t.read().filter("k = 1").collect()[0]["v"] == 5.0
+
+
+def test_delete_with_pruning(spark, troot):
+    t = SnapshotTable.create(spark, troot, SCHEMA, stats_cols=["k"])
+    for lo in range(0, 100, 20):  # 5 disjoint-range commits
+        t.append(_rows(spark, lo, lo + 20).coalesce(1))
+    before = {a.path for a in t.files()}
+    t.delete(F.col("k") >= 90, prune=[("k", 90, None)])
+    after = {a.path for a in t.files()}
+    # only files that can contain k>=90 were rewritten
+    rewritten_src = before - after
+    assert all(
+        a.stats["k"][1] >= 90
+        for a in SnapshotTable(spark, troot).files(version=5)
+        if a.path in rewritten_src
+    )
+    assert t.read().count() == 90
+    assert t.read().agg(F.max("k")).collect()[0][0] == 89
+
+
+def test_data_skipping_read(spark, troot):
+    t = SnapshotTable.create(spark, troot, SCHEMA, stats_cols=["k"])
+    for lo in range(0, 100, 20):
+        t.append(_rows(spark, lo, lo + 20).coalesce(1))
+    live = t.files()
+    pruned = t._prune_files({a.path: a for a in live}, [("k", 45, 55)])
+    assert 0 < len(pruned) < len(live)  # skipped most files
+    df = t.read(prune=[("k", 45, 55)])
+    assert df.count() == 11
+    assert df.agg(F.min("k"), F.max("k")).collect()[0] == Row(**{"min(k)": 45, "max(k)": 55})
+
+
+def test_compact_and_vacuum(spark, troot):
+    t = SnapshotTable.create(spark, troot, SCHEMA)
+    for lo in range(0, 40, 10):
+        t.append(_rows(spark, lo, lo + 10))
+    n_files = len(t.files())
+    assert n_files >= 4
+    t.compact()
+    assert len(t.files()) < n_files
+    assert t.read().count() == 40  # row set unchanged
+    v_compact = t.version
+    deleted = t.vacuum(retain_versions=1)
+    assert deleted > 0
+    assert t.read().count() == 40  # current snapshot intact
+    with pytest.raises(VacuumedVersionError):
+        t.read(version=1).count()
+    # history survives vacuum
+    assert len(t.history()) == v_compact + 1
+
+
+def test_checkpoint_replay(spark, troot):
+    t = SnapshotTable.create(
+        spark, troot, SCHEMA, checkpoint_interval=3
+    )
+    for lo in range(0, 70, 10):
+        t.append(_rows(spark, lo, lo + 10).coalesce(1))
+    assert os.path.exists(os.path.join(troot, "_log", "_last_checkpoint"))
+    t2 = SnapshotTable(spark, troot)
+    assert t2.version == 7
+    assert t2.read().count() == 70
+    # time travel across the checkpoint boundary still exact
+    assert t2.read(version=2).count() == 20
+
+
+def test_concurrent_appends_both_land(spark, troot):
+    t1 = SnapshotTable.create(spark, troot, SCHEMA)
+    t2 = SnapshotTable(spark, troot)
+    # stage both, then race the commits: the loser must rebase, not fail
+    errs = []
+
+    def go(t, lo):
+        try:
+            t.append(_rows(spark, lo, lo + 50).coalesce(1))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th1 = threading.Thread(target=go, args=(t1, 0))
+    th2 = threading.Thread(target=go, args=(t2, 1000))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert errs == []
+    t3 = SnapshotTable(spark, troot)
+    assert t3.version == 2
+    assert t3.read().count() == 100
+
+
+def test_concurrent_remove_conflict_raises(spark, troot):
+    t1 = SnapshotTable.create(spark, troot, SCHEMA, bucket_key=["k"], num_buckets=2)
+    t1.append(_rows(spark, 0, 100))
+    t2 = SnapshotTable(spark, troot)
+    upd = spark.createDataFrame([Row(k=1, v=0.0, tag="u")], schema=SCHEMA)
+    # t2 merges first; t1's staged merge then sees a taken version AND a
+    # removed read-set -> must raise, not silently clobber
+    t2.merge(upd)
+    with pytest.raises(ConcurrentWriteError):
+        # stage against stale state by skipping refresh: simulate the race
+        # window between stage and commit
+        from predicting_hospital_readmission_using_mimic_database_spark.operators.relational import merge_upsert
+        old_files = list(t1._live)
+        base = t1._read_files(old_files)
+        merged = merge_upsert(base, upd, key=["k"])
+        t1._commit("merge", t1._stage(t1._check_schema(merged)), old_files)
+
+
+def test_double_create_raises(spark, troot):
+    SnapshotTable.create(spark, troot, SCHEMA)
+    with pytest.raises(FileExistsError):
+        SnapshotTable.create(spark, troot, SCHEMA)
+
+
+def test_date_stats_harvest_and_prune(spark, tmp_path):
+    """Date-typed stats store as ISO strings (JSON-safe, order-preserving);
+    prune ranges are passed as ISO strings. String columns must have NO
+    stored stats (parquet writers may truncate string min/max)."""
+    root = str(tmp_path / "dt")
+    t = SnapshotTable.create(
+        spark, root, "d date, s string", stats_cols=["d", "s"]
+    )
+    df = spark.sql(
+        "SELECT date_add(DATE'2024-01-01', CAST(id AS INT)) AS d, "
+        "concat('row', id) AS s FROM range(100)"
+    ).repartitionByRange(4, "d")
+    t.append(df)
+    for a in t.files():
+        assert "s" not in a.stats
+        assert isinstance(a.stats["d"][0], str)
+    pruned = t.pruned_paths([("d", "2024-02-01", "2024-02-10")])
+    assert 0 < len(pruned) < len(t.files())
+    got = t.read(prune=[("d", "2024-02-01", "2024-02-10")])
+    assert got.count() == 10
