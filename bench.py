@@ -106,6 +106,7 @@ HEADLINE = [
     "w14_ohlc_bars",          # single-shuffle OHLC time bars
     # round-6 additions
     "d9_dup_clusters_star",   # two-phase star-contraction clustering
+    "d10_semdedup",           # cluster-then-prune semantic dedup
     "s9_table_merge",         # ACID bucketed copy-on-write MERGE commit
     "s10_table_time_travel",  # versioned snapshot reads off the commit log
     "s11_table_skipping",     # footer-stats file pruning read

@@ -766,3 +766,89 @@ def dedup_lines(
         ),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    threshold: float = 0.95,
+    seed: int = 42,
+    max_cluster_rows: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then prune NEAR-SEMANTIC duplicates within each
+    cluster — pairs whose cosine exceeds ``threshold``.
+
+    Spark shape: centroids are fit on a bounded sample
+    (similarity._fit_centroids — driver numpy, two jobs), the full corpus
+    is assigned distributedly (one ``mapInPandas`` matmul pass), and the
+    within-cluster pruning runs per-cluster via ``applyInPandas`` — one
+    numpy gram matrix per cluster, never a corpus-wide pair join. Total
+    pair work is sum(|cluster|^2), controlled by ``n_clusters`` (the
+    paper's lever); a cluster larger than ``max_cluster_rows`` raises
+    with that advice rather than silently going quadratic.
+
+    Keep policy (deterministic): within a cluster, rows are ranked by
+    (cosine-to-centroid ASC, id ASC) — the paper's "keep the example
+    FARTHEST from the centroid" choice, id-tie-broken — and greedily
+    kept unless within ``threshold`` of an already-kept row. Identical
+    vectors always share a cluster (same argmin), so exact duplicates
+    can never escape pruning across a cluster boundary.
+
+    Returns (id_col, ``cell`` int, ``kept`` boolean) — one row per input
+    row with a non-null vector; join back on ``id_col`` to materialize
+    the pruned corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _fit_centroids, assign_cells, l2_normalize
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"semdedup: threshold must be in (0,1], got {threshold}")
+    norm = emb.select(
+        F.col(id_col), l2_normalize(F.col(vec_col)).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    cents = _fit_centroids(norm, "__v", n_clusters, seed)
+    C = [list(map(float, c)) for c in cents]
+    assigned = assign_cells(norm, "__v", C, out="cell")
+    sc = assigned.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(C, dtype=np.float64))
+    out_schema = f"{id_col} long, cell int, kept boolean"
+
+    def prune(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cluster_rows:
+            raise ValueError(
+                f"semdedup: cluster {key[0]} has {len(pdf)} rows > "
+                f"max_cluster_rows={max_cluster_rows}; raise n_clusters "
+                "(pair work is quadratic per cluster)"
+            )
+        X = np.asarray(list(pdf["__v"]), dtype=np.float64)
+        cent = bc.value[key[0]]
+        nc = np.linalg.norm(cent)
+        cent = cent / nc if nc > 0 else cent
+        # BLAS gemm accumulation order depends on ROW POSITION, so two
+        # bitwise-identical vectors can get dot products one ulp apart —
+        # quantize the priority key or the id tie-break never engages
+        cos_c = np.round(X @ cent, 9)
+        ids = pdf[id_col].to_numpy()
+        order = np.lexsort((ids, cos_c))  # cos asc (quantized), id asc
+        S = X @ X.T
+        kept_idx: list[int] = []
+        kept = np.zeros(len(pdf), dtype=bool)
+        for i in order:
+            if not kept_idx or (S[i, kept_idx] < threshold).all():
+                kept[i] = True
+                kept_idx.append(i)
+        return pd.DataFrame(
+            {id_col: ids, "cell": np.int32(key[0]), "kept": kept}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(prune, out_schema)

@@ -1360,3 +1360,30 @@ def q_x14(spark, sf):
     return SA.weighted_priority_sample(d, "doc_id", "w", n=50).select(
         "doc_id", "w", "rank"
     )
+
+
+@query(
+    "d10_semdedup",
+    oracle=f"""
+    SELECT vec_id, TRUE AS kept FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_COPY_OFFSET} AS vec_id, FALSE AS kept
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def q_d10(spark, sf):
+    """SemDeDup (operators.dedup.semdedup — Abbas et al. 2023): KMeans
+    the embedding space, prune within-cluster pairs with cosine >= 0.95,
+    keeping the centroid-farthest (id-tie-broken) representative. The
+    decision surface (vec_id, kept) is oracle-EXACT despite the KMeans
+    inside: identical vectors always share a cell (same argmin) so each
+    planted copy meets its original and loses the id tie-break, while
+    random 64-dim embeddings are near-orthogonal (d5's oracle proves no
+    natural pair reaches 0.95) — so kept = originals, dropped = copies,
+    for ANY centroid placement. Pair work is sum(|cluster|^2), bounded
+    by n_clusters and the max_cluster_rows guard — never |corpus|^2."""
+    u = _emb_with_copies(spark, sf)
+    out = DD.semdedup(
+        u, "vec_id", "embedding", n_clusters=16, threshold=0.95, seed=42
+    )
+    return out.select("vec_id", "kept")

@@ -56,6 +56,7 @@ PRIORITY: tuple[str, ...] = (
     "s10_table_time_travel",
     "s11_table_skipping",
     "d9_dup_clusters_star",
+    "d10_semdedup",
     "g1_pagerank",
     "t13_clean_text_tokens",
     "t14_count_vectorize",
@@ -82,7 +83,6 @@ PRIORITY: tuple[str, ...] = (
     "c3_range_recode",
     "c4_parse_ts_coerce",
     "c10_json_extract",
-    "u2_full_shuffle",
     "u6_smote",
     "u7_nearmiss",
     "t10_tokenize",

@@ -1012,3 +1012,40 @@ def test_pagerank_guards(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     with pytest.raises(ValueError, match="empty graph"):
         pagerank(empty)
+
+
+def test_semdedup_drops_planted_copies_keeps_originals(spark):
+    """Identical vectors share a cluster for any centroid placement; the
+    (cos-to-centroid, id) priority keeps the lower id. Near-orthogonal
+    rows never reach the threshold, so they all survive."""
+    import numpy as np
+
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.dedup import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(50, 16)).astype(float)
+    rows = [(i, [float(v) for v in base[i]]) for i in range(50)]
+    rows += [(1000 + i, [float(v) for v in base[i]]) for i in range(5)]  # copies
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(emb, "vec_id", "embedding", n_clusters=4, threshold=0.95)
+    got = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert len(got) == 55
+    assert all(got[i] for i in range(50))
+    assert not any(got[1000 + i] for i in range(5))
+
+
+def test_semdedup_guards(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.dedup import semdedup
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        semdedup(emb, "vec_id", "embedding", n_clusters=2, threshold=1.5)
+    # a cluster above the quadratic-work cap must raise with the
+    # raise-n_clusters advice, not silently go O(m^2)
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semdedup(
+            emb, "vec_id", "embedding", n_clusters=1, threshold=0.9,
+            max_cluster_rows=1,
+        ).collect()
