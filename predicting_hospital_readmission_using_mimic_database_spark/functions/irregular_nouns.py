@@ -236,13 +236,20 @@ NOUN_EXCEPTIONS: dict[str, str] = {
 #: singular in English except for the vendored -i/-u plural stems
 #: above). First matching rule wins; exceptions are consulted before
 #: any rule.
-NOUN_SUFFIX_RULES: list[tuple[str, int, str | None, str]] = [
-    ("sses$", 0, "sses$", "ss"),          # glasses -> glass
-    ("(ch|sh|x)es$", 0, "es$", ""),       # churches/dishes/boxes
-    ("ies$", 5, "ies$", "y"),             # studies -> study
-    ("ies$", 0, "s$", ""),                # pies/ties/lies/dies -> -ie
-    ("is$", 0, None, ""),                 # axis/sepsis/-itis/-osis kept
-    ("us$", 0, None, ""),                 # virus/campus/mucus kept
-    ("ss$", 0, None, ""),                 # dress kept
-    ("^[a-z]{3,}s$", 0, "s$", ""),        # cats -> cat (length-guarded)
+#: Ordered suffix-detachment chain, STRUCTURED so both compilers emit
+#: cheap string ops instead of per-token regexes (an 8-regex chain per
+#: token measurably dominated the t13/t14/t16 rows):
+#:   (suffixes, min_len, strip_n, append, require_lower_alpha)
+#: semantics: if len(w) >= min_len and w ends with any of ``suffixes``
+#: (and, when flagged, w is entirely [a-z]), emit w[:-strip_n] + append.
+#: strip_n == 0 means the identity class (word kept whole).
+NOUN_SUFFIX_RULES: list[tuple[tuple[str, ...], int, int, str, bool]] = [
+    (("sses",), 0, 2, "", False),            # glasses -> glass
+    (("ches", "shes", "xes"), 0, 2, "", False),  # churches/dishes/boxes
+    (("ies",), 5, 3, "y", False),            # studies -> study
+    (("ies",), 0, 1, "", False),             # pies/ties/lies/dies -> -ie
+    (("is",), 0, 0, "", False),              # axis/sepsis/-itis/-osis kept
+    (("us",), 0, 0, "", False),              # virus/campus/mucus kept
+    (("ss",), 0, 0, "", False),              # dress kept
+    (("s",), 4, 1, "", True),                # cats -> cat (length-guarded)
 ]

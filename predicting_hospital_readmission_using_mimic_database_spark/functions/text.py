@@ -67,14 +67,21 @@ def scrub_newlines(value: ColumnOrName) -> Column:
     return F.translate(_col(value), "\n\r", "  ")
 
 
+#: string.punctuation — the exact char set py:302 filters
+_PUNCT = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
+
 def strip_punct(value: ColumnOrName) -> Column:
-    """T8 — remove punctuation (py:302 filter against string.punctuation)."""
-    return F.regexp_replace(_col(value), r"[!-/:-@\[-`{-~]", "")
+    """T8 — remove punctuation (py:302 filter against string.punctuation).
+    ``translate`` is a single char-map pass — no regex engine in the
+    per-document hot path."""
+    return F.translate(_col(value), _PUNCT, "")
 
 
 def strip_digits(value: ColumnOrName) -> Column:
-    """T9 — remove digit runs (py:304 ``re.sub('[0-9]+','')``)."""
-    return F.regexp_replace(_col(value), "[0-9]+", "")
+    """T9 — remove digit runs (py:304 ``re.sub('[0-9]+','')``); dropping
+    each digit char via ``translate`` yields the identical string."""
+    return F.translate(_col(value), "0123456789", "")
 
 
 def tokenize(value: ColumnOrName) -> Column:
@@ -84,9 +91,16 @@ def tokenize(value: ColumnOrName) -> Column:
     return F.filter(toks, lambda w: w != F.lit(""))
 
 
+_ALPHABET = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
 def alpha_only(tokens: Column) -> Column:
-    """T11 — keep purely alphabetic tokens (py:306-307 ``isalpha``)."""
-    return F.filter(tokens, lambda w: w.rlike("^[a-zA-Z]+$"))
+    """T11 — keep purely alphabetic tokens (py:306-307 ``isalpha``):
+    a token is [a-zA-Z]+ iff it is non-empty and stripping the alphabet
+    leaves nothing — one ``translate`` char-map per token, no regex."""
+    return F.filter(
+        tokens, lambda w: (w != F.lit("")) & (F.translate(w, _ALPHABET, "") == F.lit(""))
+    )
 
 
 #: compact english stopword subset used by the SQL-expressible pipeline;
@@ -133,12 +147,28 @@ def lemmatize_rules(tokens: Column) -> Column:
     exc_keys = list(NOUN_EXCEPTIONS)
 
     def lemma(w: Column) -> Column:
+        # the structured spec compiles to endswith/substr/translate —
+        # plain string ops, ~an order of magnitude cheaper per token than
+        # the regex chain they replace (measured on the t13 bench row)
         ruled = None
-        for match, min_len, sub, rep in NOUN_SUFFIX_RULES:
-            cond = w.rlike(match)
+        for suffixes, min_len, strip_n, append, lower_alpha in NOUN_SUFFIX_RULES:
+            cond = w.endswith(F.lit(suffixes[0]))
+            for s in suffixes[1:]:
+                cond = cond | w.endswith(F.lit(s))
             if min_len:
                 cond = (F.length(w) >= min_len) & cond
-            val = w if sub is None else F.regexp_replace(w, sub, rep)
+            if lower_alpha:
+                # [a-z]+ membership without a regex: stripping the
+                # alphabet must leave nothing
+                cond = cond & (
+                    F.translate(w, "abcdefghijklmnopqrstuvwxyz", "") == ""
+                )
+            if strip_n == 0:
+                val = w
+            else:
+                val = w.substr(F.lit(1), F.length(w) - strip_n)
+                if append:
+                    val = F.concat(val, F.lit(append))
             ruled = F.when(cond, val) if ruled is None else ruled.when(cond, val)
         ruled = ruled.otherwise(w)
         # isin compiles to an InSet hash probe — cheap on every token; the

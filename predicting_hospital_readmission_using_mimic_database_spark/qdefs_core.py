@@ -1971,3 +1971,48 @@ def q_s11(spark, sf):
         F.max("o_orderkey").cast("long").alias("k_max"),
         F.lit(bool(0 < n_scanned < n_live)).alias("skipped_files"),
     )
+
+
+@query(
+    "s12_table_zorder",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 4) AS total,
+           TRUE AS skipped_custkey,
+           TRUE AS skipped_price
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 200
+      AND o_totalprice BETWEEN 50000 AND 150000
+    """,
+)
+def q_s12(spark, sf):
+    """S12 — OPTIMIZE ZORDER BY (o_custkey, o_totalprice) then a 2-D
+    pruned read: the Morton-curve rewrite makes footer min/max stats
+    selective on BOTH columns at once (a linear sort serves only its
+    leading column), so a narrow range on EITHER dimension alone must
+    already skip files — asserted by the two booleans — while the
+    aggregate hash-matches DuckDB's full-scan answer over the same 2-D
+    box. The rewrite is one bounds agg + one range shuffle, all JVM."""
+    from .sources.table import SnapshotTable
+
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s12", sf),
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+        stats_cols=["o_custkey", "o_totalprice"],
+    )
+    t.append(o.repartition(8))  # layout uncorrelated with either column
+    t.optimize_zorder(["o_custkey", "o_totalprice"], n_files=16)
+    n_live = len(t.files())
+    pc = len(t.pruned_paths([("o_custkey", 100, 200)]))
+    pp = len(t.pruned_paths([("o_totalprice", 50000.0, 150000.0)]))
+    prune = [("o_custkey", 100, 200), ("o_totalprice", 50000.0, 150000.0)]
+    return t.read(prune=prune).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.lit(bool(0 < pc < n_live)).alias("skipped_custkey"),
+        F.lit(bool(0 < pp < n_live)).alias("skipped_price"),
+    )

@@ -55,12 +55,22 @@ from .functions.irregular_nouns import (
 
 
 def _noun_rule_case_sql() -> str:
+    # compiled from the same STRUCTURED spec as the Spark side:
+    # ends_with/left/translate — no per-token regex on either engine
     parts = []
-    for match, min_len, sub, rep in _NOUN_RULES:
-        cond = f"regexp_matches(w, '{match}')"
+    for suffixes, min_len, strip_n, append, lower_alpha in _NOUN_RULES:
+        cond = " OR ".join(f"ends_with(w, '{s}')" for s in suffixes)
+        cond = f"({cond})" if len(suffixes) > 1 else cond
         if min_len:
             cond = f"length(w) >= {min_len} AND {cond}"
-        val = "w" if sub is None else f"regexp_replace(w, '{sub}', '{rep}')"
+        if lower_alpha:
+            cond = f"{cond} AND translate(w, 'abcdefghijklmnopqrstuvwxyz', '') = ''"
+        if strip_n == 0:
+            val = "w"
+        else:
+            val = f"left(w, length(w) - {strip_n})"
+            if append:
+                val = f"{val} || '{append}'"
         parts.append(f"WHEN {cond} THEN {val}")
     return "CASE " + " ".join(parts) + " ELSE w END"
 

@@ -502,6 +502,75 @@ class SnapshotTable:
         )
         return self._commit("compact", self._stage(self._check_schema(df)), removes)
 
+    def optimize_zorder(
+        self, cols: Sequence[str], n_files: int = 16, bits: int = 12
+    ) -> int:
+        """OPTIMIZE ZORDER BY: rewrite the table clustered along a Morton
+        (Z-order) curve over ``cols`` so that file-level min/max stats become
+        selective on EVERY listed column at once — linear sort helps only
+        its leading column; the interleaved curve keeps each file a small
+        hyper-rectangle in all dimensions.
+
+        Mechanics (all JVM-side, one pass + one range shuffle): each column
+        is quantized to ``bits`` uniform buckets over its [min, max] (one
+        agg job for the bounds); the z-value interleaves the bucket bits
+        (shiftleft/or expression tree, whole-stage codegen); rows are
+        ``repartitionByRange`` on z (sampled range boundaries — no global
+        sort, no 1-task stage) and written ``sortWithinPartitions(z)``.
+        Uniform buckets trade skew-optimality for a fixed two-job plan;
+        skew only dilutes skipping, never correctness (stats pruning stays
+        conservative). Commits like compact: row set unchanged, conflicts
+        with concurrent writers.
+        """
+        self._refresh()
+        if not cols or not (1 <= bits <= 20):
+            raise ValueError("optimize_zorder: need >=1 column and 1<=bits<=20")
+        for c in cols:
+            if c not in [f.name for f in self.schema.fields]:
+                raise ValueError(f"optimize_zorder: unknown column {c!r}")
+        removes = list(self._live)
+        if not removes:
+            return self._commit("zorder", [], [])
+        df = self._read_files(removes)
+        bounds = df.agg(
+            *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+        ).collect()[0]
+        nb = 1 << bits
+        zparts = []
+        for ci, c in enumerate(cols):
+            mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+            if mn is None or mx is None or mx <= mn:
+                bucket = F.lit(0)
+            else:
+                # uniform bucket in [0, nb-1]; NULLs to bucket 0
+                bucket = F.least(
+                    F.lit(nb - 1),
+                    F.floor(
+                        (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
+                        / F.lit((mx - mn) / nb)
+                    ).cast("long"),
+                )
+            # interleave: bit b of this column lands at position
+            # b * n_cols + ci of the z-value
+            for b in range(bits):
+                zparts.append(
+                    F.shiftleft(
+                        F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                        b * len(cols) + ci,
+                    )
+                )
+        z = zparts[0]
+        for p in zparts[1:]:
+            z = z.bitwiseOR(p)
+        clustered = (
+            df.withColumn("__z", z)
+            .repartitionByRange(max(1, n_files), "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        return self._commit("zorder", self._stage(clustered), removes)
+
     def vacuum(self, retain_versions: int = 2) -> int:
         """Physically delete data files referenced by NO snapshot in the
         last ``retain_versions`` versions (nor the current one). Time travel

@@ -252,3 +252,45 @@ def test_date_stats_harvest_and_prune(spark, tmp_path):
     assert 0 < len(pruned) < len(t.files())
     got = t.read(prune=[("d", "2024-02-01", "2024-02-10")])
     assert got.count() == 10
+
+
+def test_zorder_multi_dim_skipping(spark, tmp_path):
+    """After OPTIMIZE ZORDER BY (a, b), file-level stats must be selective
+    on BOTH dimensions — the property a linear sort only gives its leading
+    column — and the row set must be unchanged."""
+    root = str(tmp_path / "z")
+    t = SnapshotTable.create(
+        spark, root, "a bigint, b bigint, v double", stats_cols=["a", "b"]
+    )
+    # 64x64 grid: every (a, b) combination — worst case for 1-d layouts
+    grid = spark.sql(
+        "SELECT CAST(id % 64 AS BIGINT) AS a, CAST(id DIV 64 AS BIGINT) AS b, "
+        "CAST(id AS DOUBLE) AS v FROM range(4096)"
+    )
+    t.append(grid.repartition(8))  # layout uncorrelated with (a, b)
+    n_live = len(t.files())
+    # before zorder: random layout -> narrow range on either dim skips nothing
+    assert len(t.pruned_paths([("a", 10, 13)])) == n_live
+    t.optimize_zorder(["a", "b"], n_files=16)
+    n_after = len(t.files())
+    assert t.read().count() == 4096
+    assert t.read().agg(F.sum("v")).collect()[0][0] == sum(range(4096))
+    # after: a narrow slice in EITHER dimension skips most files
+    pa = t.pruned_paths([("a", 10, 13)])
+    pb = t.pruned_paths([("b", 50, 53)])
+    assert len(pa) < n_after / 2, (len(pa), n_after)
+    assert len(pb) < n_after / 2, (len(pb), n_after)
+    # and the combined 2-d box prunes harder than either alone
+    pab = t.pruned_paths([("a", 10, 13), ("b", 50, 53)])
+    assert len(pab) <= min(len(pa), len(pb))
+    got = t.read(prune=[("a", 10, 13), ("b", 50, 53)])
+    assert got.count() == 16  # 4 x 4 box
+
+
+def test_zorder_guards(spark, tmp_path):
+    root = str(tmp_path / "zg")
+    t = SnapshotTable.create(spark, root, "a bigint, v double")
+    with pytest.raises(ValueError, match="unknown column"):
+        t.optimize_zorder(["nope"])
+    with pytest.raises(ValueError, match="bits"):
+        t.optimize_zorder(["a"], bits=0)
