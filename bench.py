@@ -110,6 +110,7 @@ HEADLINE = [
     "s9_table_merge",         # ACID bucketed copy-on-write MERGE commit
     "s10_table_time_travel",  # versioned snapshot reads off the commit log
     "s11_table_skipping",     # footer-stats file pruning read
+    "s12_table_zorder",       # Morton-curve OPTIMIZE + 2-D pruned read
 ]
 
 

@@ -55,6 +55,7 @@ PRIORITY: tuple[str, ...] = (
     "s9_table_merge",
     "s10_table_time_travel",
     "s11_table_skipping",
+    "s12_table_zorder",
     "d9_dup_clusters_star",
     "d10_semdedup",
     "g1_pagerank",
@@ -81,7 +82,6 @@ PRIORITY: tuple[str, ...] = (
     "a8_pivot_count",
     "a15_rollup",
     "c3_range_recode",
-    "c4_parse_ts_coerce",
     "c10_json_extract",
     "u6_smote",
     "u7_nearmiss",
