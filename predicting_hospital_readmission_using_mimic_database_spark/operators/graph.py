@@ -72,15 +72,25 @@ def pagerank(
         raise ValueError(
             f"pagerank: checkpoint_every must be >= 1, got {checkpoint_every}"
         )
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # hash-partition the edge list by src ONCE and cache: the cached
+    # partitioning is what lets every iteration's edges-join-ranks run
+    # with NO exchange on either side (ranks is node-partitioned below,
+    # and cached/checkpointed frames keep their outputPartitioning)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).repartition(
+        "src"
+    ).cache()
+    # the NULL check is the FIRST action, so it also fills the cache —
+    # the (possibly expensive) upstream edge build is paid exactly once
     if e.filter(F.col("src").isNull() | F.col("dst").isNull()).limit(1).count():
+        e.unpersist()
         raise ValueError("pagerank: NULL edge endpoints")
-    e = e.cache()
     # dangling flag computed ONCE and fused into the node frame: a
     # node is dangling iff it never appears as a src. One setup join
     # against the distinct-src set (plain shuffled join, unhinted —
     # both sides are O(N), so no forced broadcast); thereafter every
-    # iteration reads the flag off the rank vector for free.
+    # iteration reads the flag off the rank vector for free. The final
+    # repartition("node") pins the partitioning every per-iteration
+    # node-keyed join reuses exchange-free.
     srcs = e.select("src").distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -92,6 +102,7 @@ def pagerank(
             "left",
         )
         .select("node", F.coalesce("dangling", F.lit(True)).alias("dangling"))
+        .repartition("node")
         .cache()
     )
     n = nodes.count()
@@ -100,8 +111,8 @@ def pagerank(
         nodes.unpersist()
         raise ValueError("pagerank: empty graph (edge frame has no rows)")
     outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
-    # degree rides the cached edge list — one broadcast join paid ONCE,
-    # not once per iteration
+    # degree rides the cached edge list — src-partitioned groupBy and
+    # join, so building ew adds no exchange; paid ONCE, not per iteration
     ew = e.join(outdeg, "src").select("src", "dst", "deg").cache()
     d = float(damping)
     base = (1.0 - d) / n
