@@ -483,3 +483,63 @@ def q_st8(spark, sf):
         return spark.createDataFrame(rows, got.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st9_stream_snapshot_sink",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def q_st9(spark, sf):
+    """EXACTLY-ONCE streaming ingestion into the ACID SnapshotTable
+    (streaming.ingest.snapshot_append_sink): each micro-batch lands as
+    one atomic commit carrying txn=(app, batch_id). The entry then
+    RE-RUNS the whole stream against the same table with a FRESH
+    checkpoint — the worst-case replay, every batch re-delivered — and
+    the txn high-water mark inside the commit log dedupes all of it.
+    The final per-type (count, sum) must equal the batch aggregate over
+    events.parquet: one duplicated or dropped row anywhere breaks the
+    hash. foreachBatch alone is at-least-once; the table txn is what
+    upgrades it."""
+    from .sources.table import SnapshotTable
+
+    tmp = tempfile.mkdtemp(prefix="st9_")
+    src = os.path.join(tmp, "src")
+    tbl = os.path.join(tmp, "tbl")
+    os.makedirs(src)
+    try:
+        SnapshotTable.create(
+            spark, tbl, "event_id long, event_type string, value double"
+        )
+
+        def run(ckpt: str):
+            s = ING.stream_events(spark, src).select(
+                "event_id", "event_type", "value"
+            )
+            q = ING.snapshot_append_sink(
+                s, tbl, os.path.join(tmp, ckpt), app_id="st9"
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        _stage_event_chunks(spark, sf, src, n_chunks=3)
+        run("ck1")
+        run("ck2")  # full replay from a fresh checkpoint: must all dedupe
+        t = SnapshotTable(spark, tbl)
+        got = (
+            t.read()
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(F.sum("value"), 4).alias("total"),
+            )
+        )
+        rows = got.collect()
+        return spark.createDataFrame(rows, got.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -56,6 +56,7 @@ PRIORITY: tuple[str, ...] = (
     "s10_table_time_travel",
     "s11_table_skipping",
     "s12_table_zorder",
+    "st9_stream_snapshot_sink",
     "d9_dup_clusters_star",
     "d10_semdedup",
     "g1_pagerank",
@@ -101,7 +102,6 @@ PRIORITY: tuple[str, ...] = (
     "x2_language_id",
     "x6_lm_quality",
     "mm2_frame_sample",
-    "st3_stream_dedup",
     "st6_stream_session_windows",
 )
 

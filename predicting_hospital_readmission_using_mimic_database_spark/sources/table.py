@@ -159,6 +159,7 @@ class SnapshotTable:
         self.version = -1
         self._live: dict[str, _AddAction] = {}
         self._meta: dict = {}
+        self._txns: dict[str, int] = {}  # app_id -> highest committed txn
         self._refresh()
 
     # ------------------------------------------------------------------
@@ -217,6 +218,11 @@ class SnapshotTable:
             self._live[act.path] = act
         if "meta" in record:
             self._meta = record["meta"]
+        txn = record.get("txn")
+        if txn:
+            self._txns[txn["app"]] = max(
+                self._txns.get(txn["app"], -1), txn["version"]
+            )
         self.version = record["version"]
 
     def _refresh(self) -> int:
@@ -229,6 +235,7 @@ class SnapshotTable:
                     a.path: a for a in (_AddAction.from_json(d) for d in cp["files"])
                 }
                 self._meta = cp["meta"]
+                self._txns = dict(cp.get("txns", {}))
                 self.version = cp["version"]
         seen = 0
         while True:
@@ -356,17 +363,34 @@ class SnapshotTable:
     # the single optimistic-commit path
     # ------------------------------------------------------------------
     def _commit(
-        self, op: str, adds: list[_AddAction], removes: list[str]
+        self,
+        op: str,
+        adds: list[_AddAction],
+        removes: list[str],
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Atomically claim the next version. Appends rebase past any
         concurrent commit; removing ops conflict with ANY concurrent commit
-        (WriteSerializable: the files they read may no longer be live)."""
+        (WriteSerializable: the files they read may no longer be live).
+
+        ``txn=(app_id, txn_version)`` makes the commit IDEMPOTENT per app:
+        if an equal-or-higher txn_version for app_id is already in the log
+        (checked again after every lost race), the commit is skipped and
+        the current table version returned — the exactly-once primitive
+        a streaming foreachBatch sink needs to survive batch replays.
+        Skipped attempts may leave already-staged files unreferenced;
+        vacuum() collects them.
+        """
         record_base = {
             "op": op,
             "add": [a.to_json() for a in adds],
             "remove": list(removes),
         }
+        if txn is not None:
+            record_base["txn"] = {"app": txn[0], "version": txn[1]}
         while True:
+            if txn is not None and self._txns.get(txn[0], -1) >= txn[1]:
+                return self.version  # already committed (possibly by a peer)
             v = self.version + 1
             path = self._commit_path(v)
             tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}")
@@ -397,6 +421,7 @@ class SnapshotTable:
             cp = {
                 "version": self.version,
                 "meta": self._meta,
+                "txns": self._txns,
                 "files": [a.to_json() for a in self._live.values()],
             }
             cpp = os.path.join(self._log, f"_checkpoint.{self.version:020d}.json")
@@ -412,11 +437,20 @@ class SnapshotTable:
     # ------------------------------------------------------------------
     # public operations
     # ------------------------------------------------------------------
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """Blind append: stages files then commits, auto-rebasing past any
-        concurrent writer (appends always commute). Returns the version."""
+        concurrent writer (appends always commute). Returns the version.
+
+        ``txn=(app_id, txn_version)`` deduplicates replays: if that txn
+        (or a later one for the same app) is already committed, nothing is
+        staged or written — see :meth:`_commit`. Pass the streaming batch
+        id here for an exactly-once foreachBatch sink."""
         self._refresh()
-        return self._commit("append", self._stage(self._check_schema(df)), [])
+        if txn is not None and self._txns.get(txn[0], -1) >= txn[1]:
+            return self.version  # replayed batch: skip staging entirely
+        return self._commit(
+            "append", self._stage(self._check_schema(df)), [], txn=txn
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the whole table contents in one atomic commit."""
@@ -593,6 +627,13 @@ class SnapshotTable:
                     os.unlink(absp)
                     deleted += 1
         return deleted
+
+    def last_txn_version(self, app_id: str) -> int:
+        """Highest committed txn_version for ``app_id`` (-1 if none) —
+        what a resuming streaming writer consults to know where replays
+        end and new batches begin."""
+        self._refresh()
+        return self._txns.get(app_id, -1)
 
     def history(self) -> list[dict]:
         """All commit records (version asc): op, files added/removed, rows

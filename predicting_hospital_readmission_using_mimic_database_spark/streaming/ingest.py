@@ -462,3 +462,41 @@ def upsert_counts_sink(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def snapshot_append_sink(
+    stream_df: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    app_id: str = "stream",
+):
+    """EXACTLY-ONCE streaming ingestion into a
+    :class:`~..sources.table.SnapshotTable`: append-mode rows land as
+    atomic table commits via ``foreachBatch``, with the micro-batch id as
+    the table-level transaction version.
+
+    foreachBatch is at-least-once — after a crash, Spark replays the last
+    unacknowledged batch. The table's ``txn=(app_id, batch_id)`` append
+    dedupes that replay inside the COMMIT protocol itself (the txn
+    high-water mark is part of the log, re-checked after every lost
+    commit race), so the sink is exactly-once end-to-end without
+    cumulative-value tricks: readers see each input row exactly once, and
+    every commit is atomic — a concurrent reader sees batch N fully or
+    not at all, never partially. This is the streaming half of the ACID
+    story; the batch half (MERGE/time travel) is sources/table.py.
+
+    Returns the started StreamingQuery. The table must already exist
+    (create it with the stream's schema first).
+    """
+    from ..sources.table import SnapshotTable
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t = SnapshotTable(batch_df.sparkSession, table_root)
+        t.append(batch_df, txn=(app_id, int(batch_id)))
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

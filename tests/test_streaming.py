@@ -360,3 +360,48 @@ def test_session_windows_match_batch(spark):
         assert got == want and len(got) > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_snapshot_append_sink_exactly_once(spark, tmp_path):
+    """A full stream replay (fresh checkpoint, same app) must commit ZERO
+    new rows: every batch's txn is already in the table log."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import SnapshotTable
+    from predicting_hospital_readmission_using_mimic_database_spark.streaming import ingest as ING
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = str(tmp_path / "tbl")
+    SnapshotTable.create(spark, tbl, "event_id long, event_type string, value double")
+    import pandas as pd
+
+    for i in range(3):
+        pd.DataFrame(
+            {
+                "event_id": range(i * 10, i * 10 + 10),
+                "ts": [1_700_000_000_000_000_000 + j for j in range(10)],
+                "user_id": [1] * 10,
+                "event_type": ["a"] * 10,
+                "value": [float(i)] * 10,
+                "props": ["{}"] * 10,
+            }
+        ).to_parquet(src / f"c{i}.parquet")
+
+    def run(ck):
+        s = ING.stream_events(spark, str(src)).select("event_id", "event_type", "value")
+        q = ING.snapshot_append_sink(s, tbl, str(tmp_path / ck), app_id="t")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run("ck1")
+    t = SnapshotTable(spark, tbl)
+    assert t.read().count() == 30
+    n_commits = t.version
+    run("ck2")  # worst-case replay: all batches re-delivered
+    t2 = SnapshotTable(spark, tbl)
+    assert t2.read().count() == 30  # no duplicates
+    assert t2.version == n_commits  # zero new commits
+    assert t2.read().agg(F.countDistinct("event_id")).collect()[0][0] == 30

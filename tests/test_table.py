@@ -294,3 +294,32 @@ def test_zorder_guards(spark, tmp_path):
         t.optimize_zorder(["nope"])
     with pytest.raises(ValueError, match="bits"):
         t.optimize_zorder(["a"], bits=0)
+
+
+def test_txn_append_idempotent(spark, troot):
+    t = SnapshotTable.create(spark, troot, SCHEMA)
+    v1 = t.append(_rows(spark, 0, 10), txn=("app", 0))
+    v2 = t.append(_rows(spark, 10, 20), txn=("app", 1))
+    assert (v1, v2) == (1, 2)
+    # replay of batch 1: skipped entirely, no rows added, version unchanged
+    v3 = t.append(_rows(spark, 10, 20), txn=("app", 1))
+    assert v3 == 2
+    assert t.read().count() == 20
+    # a replay seen only through a FRESH handle (post-restart) also skips
+    t2 = SnapshotTable(spark, troot)
+    assert t2.last_txn_version("app") == 1
+    t2.append(_rows(spark, 0, 10), txn=("app", 0))
+    assert t2.read().count() == 20
+    # a different app's txn 1 is independent
+    t2.append(_rows(spark, 100, 105), txn=("other", 1))
+    assert t2.read().count() == 25
+
+
+def test_txn_survives_checkpoint(spark, troot):
+    t = SnapshotTable.create(spark, troot, SCHEMA, checkpoint_interval=2)
+    for i in range(5):
+        t.append(_rows(spark, i * 10, i * 10 + 10), txn=("app", i))
+    t2 = SnapshotTable(spark, troot)  # replays from the checkpoint
+    assert t2.last_txn_version("app") == 4
+    t2.append(_rows(spark, 0, 10), txn=("app", 3))  # stale replay
+    assert t2.read().count() == 50
