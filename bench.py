@@ -111,6 +111,7 @@ HEADLINE = [
     "s10_table_time_travel",  # versioned snapshot reads off the commit log
     "s11_table_skipping",     # footer-stats file pruning read
     "s12_table_zorder",       # Morton-curve OPTIMIZE + 2-D pruned read
+    "s13_table_changes",      # delta-scoped change-data-feed read
 ]
 
 

@@ -2016,3 +2016,55 @@ def q_s12(spark, sf):
         F.lit(bool(0 < pc < n_live)).alias("skipped_custkey"),
         F.lit(bool(0 < pp < n_live)).alias("skipped_price"),
     )
+
+
+@query(
+    "s13_table_changes",
+    oracle="""
+    SELECT 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version,
+           c_custkey, c_name, c_acctbal
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT 'insert', 2, c_custkey, c_name, c_acctbal + 100.0
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT 'insert', 2, c_custkey + 10000000, NULL, 0.0
+    FROM customer WHERE c_custkey % 97 = 0
+    """,
+)
+def q_s13(spark, sf):
+    """S13 — CHANGE DATA FEED off the SnapshotTable commit log
+    (read_changes): after the s9-shaped MERGE, the feed for that commit
+    must contain EXACTLY the true row changes — each updated key's
+    delete pre-image and insert post-image plus the brand-new keys —
+    and none of the rows the bucket rewrite copied unchanged (the
+    exceptAll diff over just the commit's removed/added files cancels
+    them). DuckDB recomputes the exact expected feed from the base
+    table; any leaked unchanged row, lost change, or mis-versioned row
+    breaks the hash. This is the incremental-consumer surface: syncing
+    a downstream index reads delta-sized changes, never the table."""
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_name", "c_acctbal")
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s13", sf),
+        "c_custkey bigint, c_name string, c_acctbal double",
+        bucket_key=["c_custkey"],
+        num_buckets=8,
+    )
+    t.append(c)
+    upd = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal"))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    t.merge(upd, update_cols=["c_acctbal"])
+    return t.read_changes(1).select(
+        "_change_type", "_commit_version", "c_custkey", "c_name", "c_acctbal"
+    )

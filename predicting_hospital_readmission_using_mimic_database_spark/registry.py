@@ -56,6 +56,7 @@ PRIORITY: tuple[str, ...] = (
     "s10_table_time_travel",
     "s11_table_skipping",
     "s12_table_zorder",
+    "s13_table_changes",
     "st9_stream_snapshot_sink",
     "d9_dup_clusters_star",
     "d10_semdedup",
@@ -78,7 +79,6 @@ PRIORITY: tuple[str, ...] = (
     "j9_asof_join",
     "w1_lead",
     "w5_last_per_group",
-    "w7_sessionize",
     "a1_value_counts",
     "a8_pivot_count",
     "a15_rollup",

@@ -720,6 +720,64 @@ class SnapshotTable:
                 df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """CHANGE DATA FEED: row-level changes between two snapshots
+        (``from_version`` EXCLUSIVE, ``to_version`` inclusive; default =
+        current). Output = table columns + ``_change_type``
+        ('insert'/'delete'; an update appears as its delete pre-image and
+        insert post-image) + ``_commit_version``.
+
+        Cost is delta-scoped, never table-scoped: append commits read only
+        their added files; compact/zorder are row-set-preserving re-layouts
+        and contribute nothing; merge/delete/overwrite diff ONLY the files
+        the commit removed vs added (for a bucketed MERGE that is the
+        touched buckets) via ``exceptAll`` — rewritten-but-unchanged rows
+        cancel, so the feed carries true changes only. Columns must be
+        exceptAll-comparable (no map type). Vacuumed history raises
+        :class:`VacuumedVersionError` like any time travel."""
+        self._refresh()
+        to_v = self.version if to_version is None else to_version
+        if not (0 <= from_version <= to_v <= self.version):
+            raise ValueError(
+                f"read_changes: need 0 <= from {from_version} <= to {to_v} "
+                f"<= {self.version}"
+            )
+        out_schema = StructType(
+            list(self.schema.fields)
+        ).add("_change_type", "string").add("_commit_version", "long")
+        parts: list[DataFrame] = []
+
+        def tag(df: DataFrame, kind: str, v: int) -> DataFrame:
+            return df.select(
+                "*",
+                F.lit(kind).alias("_change_type"),
+                F.lit(v).cast("long").alias("_commit_version"),
+            )
+
+        for v in range(from_version + 1, to_v + 1):
+            with open(self._commit_path(v)) as f:
+                record = json.load(f)
+            op = record["op"]
+            if op in ("compact", "zorder", "create"):
+                continue  # row set unchanged (or empty)
+            added = [a["path"] for a in record.get("add", [])]
+            removed = record.get("remove", [])
+            if op == "append":
+                parts.append(tag(self._read_files(added), "insert", v))
+                continue
+            before = self._read_files(removed)
+            after = self._read_files(added)
+            parts.append(tag(after.exceptAll(before), "insert", v))
+            parts.append(tag(before.exceptAll(after), "delete", v))
+        if not parts:
+            return self.spark.createDataFrame([], out_schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def files(self, version: int | None = None) -> list[_AddAction]:
         """Live add-actions (path, rows, bucket, stats) — the planning
         surface data-skipping and tests introspect."""

@@ -323,3 +323,36 @@ def test_txn_survives_checkpoint(spark, troot):
     assert t2.last_txn_version("app") == 4
     t2.append(_rows(spark, 0, 10), txn=("app", 3))  # stale replay
     assert t2.read().count() == 50
+
+
+def test_read_changes_feed(spark, troot):
+    """CDC between versions: appends emit inserts; a bucketed merge emits
+    only true row changes (delete pre-image + insert post-image; rewritten
+    unchanged rows cancel); compact emits nothing."""
+    t = SnapshotTable.create(spark, troot, SCHEMA, bucket_key=["k"], num_buckets=4)
+    t.append(_rows(spark, 0, 100))                       # v1
+    upd = spark.createDataFrame(
+        [Row(k=5, v=-5.0, tag="upd"), Row(k=999, v=1.0, tag="new")], schema=SCHEMA
+    )
+    t.merge(upd)                                         # v2
+    t.compact()                                          # v3
+    t.append(_rows(spark, 200, 210, tag="late"))         # v4
+
+    ch = t.read_changes(0).collect()
+    by = {}
+    for r in ch:
+        by.setdefault((r["_commit_version"], r["_change_type"]), []).append(r)
+    assert len(by[(1, "insert")]) == 100
+    # merge: exactly one delete (pre-image of k=5) and two inserts
+    assert [(r["k"], r["v"]) for r in by[(2, "delete")]] == [(5, 5.0)]
+    assert sorted((r["k"], r["v"], r["tag"]) for r in by[(2, "insert")]) == [
+        (5, -5.0, "upd"), (999, 1.0, "new")
+    ]
+    assert (3, "insert") not in by and (3, "delete") not in by  # compact: silent
+    assert len(by[(4, "insert")]) == 10
+    # incremental consumer: changes since the merge = only v4's rows
+    since = t.read_changes(3)
+    assert since.count() == 10
+    assert since.agg(F.min("_commit_version")).collect()[0][0] == 4
+    with pytest.raises(ValueError, match="read_changes"):
+        t.read_changes(99)
