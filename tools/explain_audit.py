@@ -100,6 +100,12 @@ AUDIT = [
     "t20_bpe_pair_counts",  # vocab-frame kernel, corpus aggregates once
     "g1_pagerank",        # per-iteration bounded jobs, no BNLJ
     "d9_dup_clusters_star",  # star contraction: O(|E|) shuffles per round
+    # round-6: snapshot-table family + semantic dedup
+    "s9_table_merge",     # bucket-pruned copy-on-write MERGE
+    "s11_table_skipping", # footer-stats file pruning (few-file scan)
+    "s12_table_zorder",   # Morton-clustered 2-D pruned read
+    "s13_table_changes",  # delta-scoped exceptAll diff, no table scan
+    "d10_semdedup",       # per-cluster gram kernel, no corpus pair join
 ]
 
 
