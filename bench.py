@@ -112,6 +112,7 @@ HEADLINE = [
     "s11_table_skipping",     # footer-stats file pruning read
     "s12_table_zorder",       # Morton-curve OPTIMIZE + 2-D pruned read
     "s13_table_changes",      # delta-scoped change-data-feed read
+    "s14_incremental_view",   # CDC-fed materialized-view fold
 ]
 
 

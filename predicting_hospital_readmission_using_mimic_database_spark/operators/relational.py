@@ -1093,3 +1093,72 @@ def ohlc_bars(
             "open", "high", "low", "close", "n",
         )
     )
+
+
+def apply_agg_changes(
+    view: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    count_col: str = "n",
+    sum_col: str = "total",
+) -> DataFrame:
+    """INCREMENTAL materialized-view maintenance: fold a change-data-feed
+    (``_change_type`` in {'insert','delete'} — SnapshotTable.read_changes'
+    shape) into an existing per-key (count, sum) aggregate WITHOUT
+    rescanning the base table.
+
+    count and sum are the self-maintainable aggregates (deletes subtract);
+    the delta aggregates to per-key (dn, dv) first — one key-bounded
+    shuffle over the CHANGES, never the base — then full-outer-merges with
+    the view, dropping keys whose count reaches zero. Min/max are NOT
+    self-maintainable under deletes (a deleted max needs a rescan) and are
+    deliberately absent.
+
+    EXACTNESS: pass an EXACT value type (integer cents, DECIMAL) —
+    integer/decimal addition is associative, so incremental maintenance
+    is bit-identical to a full recompute at any depth of deltas. Float
+    sums are not associative: ``view + delta - delta`` drifts in the last
+    ulp (allowed, but then compare rounded). An unknown ``_change_type``
+    fails the job loudly (assert column).
+    """
+    ks = list(keys)
+    # the guard lives INSIDE the sign expression (a standalone assert
+    # column would be pruned by Catalyst as unused and never evaluate)
+    sign = (
+        F.when(F.col("_change_type") == "insert", F.lit(1))
+        .when(F.col("_change_type") == "delete", F.lit(-1))
+        .otherwise(
+            F.assert_true(
+                F.lit(False),
+                F.concat(
+                    F.lit("apply_agg_changes: bad _change_type "),
+                    F.col("_change_type"),
+                ),
+            ).cast("int")
+        )
+    )
+    delta = (
+        changes.withColumn("__s", sign)
+        .groupBy(*ks)
+        .agg(
+            F.sum("__s").cast("long").alias("__dn"),
+            F.sum(F.col("__s") * F.col(value_col)).alias("__dv"),
+        )
+    )
+    v = view.select(
+        *[F.col(k).alias(f"__k_{k}") for k in ks], count_col, sum_col
+    )
+    cond = [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in ks]
+    merged = delta.join(v, cond, "full_outer").select(
+        *[F.coalesce(F.col(f"__k_{k}"), F.col(k)).alias(k) for k in ks],
+        (
+            F.coalesce(F.col(count_col), F.lit(0))
+            + F.coalesce(F.col("__dn"), F.lit(0))
+        ).cast("long").alias(count_col),
+        (
+            F.coalesce(F.col(sum_col), F.lit(0))
+            + F.coalesce(F.col("__dv"), F.lit(0))
+        ).alias(sum_col),
+    )
+    return merged.filter(F.col(count_col) > 0)

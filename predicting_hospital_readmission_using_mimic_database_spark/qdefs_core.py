@@ -2068,3 +2068,56 @@ def q_s13(spark, sf):
     return t.read_changes(1).select(
         "_change_type", "_commit_version", "c_custkey", "c_name", "c_acctbal"
     )
+
+
+@query(
+    "s14_incremental_view",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total
+    FROM events
+    WHERE NOT COALESCE(event_id % 5 = 0, FALSE)
+    GROUP BY event_type
+    """,
+)
+def q_s14(spark, sf):
+    """S14 — INCREMENTAL materialized-view maintenance over the CDC
+    feed: the per-type (count, sum-of-cents) view is materialized once
+    from snapshot v1, then a predicate DELETE commits v2 and
+    operators.relational.apply_agg_changes folds ONLY read_changes(1,2)
+    into the view — the base table is never rescanned. Integer-cents
+    arithmetic makes the fold bit-exact, so the maintained view must
+    hash-match DuckDB's direct aggregate of the post-delete table
+    EXACTLY — one miscounted or double-counted change breaks it. The
+    change-side shuffle is delta-sized; at 100 TB this is the difference
+    between refreshing a dashboard in delta time vs table time."""
+    from .operators.relational import apply_agg_changes
+    from .sources.table import SnapshotTable
+
+    e = read_table(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s14", sf),
+        "event_id bigint, event_type string, value_c bigint",
+    )
+    t.append(e)                                   # v1
+    t.delete(F.col("event_id") % 5 == 0)          # v2
+    view0 = (
+        t.read(version=1)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("value_c").alias("total"),
+        )
+    )
+    maintained = apply_agg_changes(
+        view0, t.read_changes(1, 2), keys=["event_type"], value_col="value_c"
+    )
+    return maintained.select(
+        "event_type", "n", F.col("total").cast("long").alias("total")
+    )

@@ -41,12 +41,13 @@ _LOADED = False
 # cross-round union closed at 159/159 in round 5 — every entry has
 # appeared hash-green in a shipped driver artifact. Round-6 window:
 # (a) every entry whose code or oracle changed THIS round (the NEW
-# SnapshotTable ACID entries s9/s10/s11, the PageRank dangling-mass
-# rewrite, the shared lemmatizer suffix-rule spec which regenerates the
-# t13/t14/t15 oracles, the read_json dedup behind s8, the ohlc NULL
-# filter + key assertions behind w14, the lazy BPE train loop behind
-# t20, and the NEW d9 star-contraction clustering with d6 as its
-# same-oracle twin), then (b) stable representatives whose most
+# SnapshotTable ACID family s9-s14 + the exactly-once streaming sink
+# st9, the NEW d9 star-contraction clustering and d10 SemDeDup, the
+# PageRank dangling-mass + co-partitioning rewrite, the shared
+# lemmatizer suffix-rule spec which regenerates the t13/t14/t15
+# oracles, the read_json dedup behind s8, the ohlc NULL filter + key
+# assertions behind w14, the lazy BPE train loop behind t20, and d6 as
+# d9's same-oracle twin), then (b) stable representatives whose most
 # recent driver row is the OLDEST (r1-r3 vintage) — freshness rotation
 # — keeping one sentinel per family prefix
 # (tests/test_entry.py::test_first_50_entries_cover_every_family).
@@ -57,6 +58,7 @@ PRIORITY: tuple[str, ...] = (
     "s11_table_skipping",
     "s12_table_zorder",
     "s13_table_changes",
+    "s14_incremental_view",
     "st9_stream_snapshot_sink",
     "d9_dup_clusters_star",
     "d10_semdedup",
@@ -85,7 +87,6 @@ PRIORITY: tuple[str, ...] = (
     "c3_range_recode",
     "c10_json_extract",
     "u6_smote",
-    "u7_nearmiss",
     "t10_tokenize",
     "t12_drop_stopwords",
     "t16_tfidf",

@@ -302,18 +302,22 @@ class SnapshotTable:
             F.lit(self.num_buckets),
         ).cast("int")
 
-    def _check_schema(self, df: DataFrame) -> DataFrame:
-        want = [f.name for f in self.schema.fields]
+    def _check_schema(
+        self, df: DataFrame, schema: StructType | None = None
+    ) -> DataFrame:
+        schema = schema or self.schema
+        want = [f.name for f in schema.fields]
         missing = [c for c in want if c not in df.columns]
         extra = [c for c in df.columns if c not in want]
         if missing or extra:
             raise ValueError(
                 f"schema mismatch: missing {missing}, unexpected {extra} "
-                f"(table columns: {want})"
+                f"(table columns: {want}; append with merge_schema=True "
+                "to add columns)"
             )
         # column order + declared types; cast is a no-op when already aligned
         return df.select(
-            *[F.col(f.name).cast(f.dataType) for f in self.schema.fields]
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
         )
 
     # ------------------------------------------------------------------
@@ -368,6 +372,7 @@ class SnapshotTable:
         adds: list[_AddAction],
         removes: list[str],
         txn: tuple[str, int] | None = None,
+        meta: dict | None = None,
     ) -> int:
         """Atomically claim the next version. Appends rebase past any
         concurrent commit; removing ops conflict with ANY concurrent commit
@@ -388,6 +393,8 @@ class SnapshotTable:
         }
         if txn is not None:
             record_base["txn"] = {"app": txn[0], "version": txn[1]}
+        if meta is not None:
+            record_base["meta"] = meta
         while True:
             if txn is not None and self._txns.get(txn[0], -1) >= txn[1]:
                 return self.version  # already committed (possibly by a peer)
@@ -401,9 +408,10 @@ class SnapshotTable:
             except FileExistsError:
                 os.unlink(tmp)
                 self._refresh()
-                if removes:
-                    # roll back this attempt's staged files: they reference
-                    # a base state that no longer exists
+                if removes or meta is not None:
+                    # roll back this attempt: it read state (live files /
+                    # current schema) that a concurrent commit replaced —
+                    # a schema-evolving append does NOT commute
                     raise ConcurrentWriteError(
                         f"{op} at version {v} lost the race to a concurrent "
                         f"writer (now at {self.version}); re-run on the "
@@ -437,19 +445,46 @@ class SnapshotTable:
     # ------------------------------------------------------------------
     # public operations
     # ------------------------------------------------------------------
-    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
+    ) -> int:
         """Blind append: stages files then commits, auto-rebasing past any
         concurrent writer (appends always commute). Returns the version.
 
         ``txn=(app_id, txn_version)`` deduplicates replays: if that txn
         (or a later one for the same app) is already committed, nothing is
         staged or written — see :meth:`_commit`. Pass the streaming batch
-        id here for an exactly-once foreachBatch sink."""
+        id here for an exactly-once foreachBatch sink.
+
+        ``merge_schema=True`` permits SCHEMA EVOLUTION: columns of ``df``
+        not yet in the table are APPENDED to the table schema by this
+        commit (additive only — existing columns keep their declared
+        types; dropping/retyping is not evolution, rewrite instead).
+        Earlier files simply lack the new columns and read as NULL (the
+        explicit read schema projects them). A schema-changing append does
+        NOT commute, so losing a commit race raises instead of rebasing.
+        """
         self._refresh()
         if txn is not None and self._txns.get(txn[0], -1) >= txn[1]:
             return self.version  # replayed batch: skip staging entirely
+        target = self.schema
+        new_meta = None
+        extra = [c for c in df.columns if c not in {f.name for f in target.fields}]
+        if merge_schema and extra:
+            evolved = StructType(list(target.fields))
+            for fname in extra:
+                evolved = evolved.add(df.schema[fname])
+            target = evolved
+            new_meta = dict(self._meta, schema=target.json())
         return self._commit(
-            "append", self._stage(self._check_schema(df)), [], txn=txn
+            "append",
+            self._stage(self._check_schema(df, target)),
+            [],
+            txn=txn,
+            meta=new_meta,
         )
 
     def overwrite(self, df: DataFrame) -> int:

@@ -356,3 +356,69 @@ def test_read_changes_feed(spark, troot):
     assert since.agg(F.min("_commit_version")).collect()[0][0] == 4
     with pytest.raises(ValueError, match="read_changes"):
         t.read_changes(99)
+
+
+def test_apply_agg_changes_incremental_equals_recompute(spark, troot):
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.relational import apply_agg_changes
+
+    t = SnapshotTable.create(spark, troot, SCHEMA, bucket_key=["k"], num_buckets=4)
+    t.append(_rows(spark, 0, 50, tag="a"))
+    t.append(_rows(spark, 50, 60, tag="b"))              # v2
+    view = (
+        t.read(version=2).groupBy("tag")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("k").alias("total"))
+    )
+    # v3: merge updates one 'a' row to tag 'b' and inserts a new 'c' row
+    upd = spark.createDataFrame(
+        [Row(k=3, v=3.0, tag="b"), Row(k=900, v=0.0, tag="c")], schema=SCHEMA
+    )
+    t.merge(upd)
+    maintained = apply_agg_changes(
+        view, t.read_changes(2, 3), keys=["tag"], value_col="k"
+    )
+    recomputed = (
+        t.read().groupBy("tag")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("k").alias("total"))
+    )
+    assert sorted(maintained.collect()) == sorted(recomputed.collect())
+    # a group whose count reaches zero disappears
+    t.delete(F.col("tag") == "c")
+    m2 = apply_agg_changes(
+        maintained, t.read_changes(3, 4), keys=["tag"], value_col="k"
+    )
+    assert sorted(r["tag"] for r in m2.collect()) == ["a", "b"]
+
+
+def test_apply_agg_changes_rejects_bad_change_type(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.relational import apply_agg_changes
+
+    view = spark.createDataFrame([("a", 1, 10)], "g string, n long, total long")
+    ch = spark.createDataFrame(
+        [("a", 5, "update_preimage")], "g string, x long, _change_type string"
+    )
+    with pytest.raises(Exception, match="bad _change_type"):
+        apply_agg_changes(view, ch, keys=["g"], value_col="x").collect()
+
+
+def test_schema_evolution_append(spark, troot):
+    t = SnapshotTable.create(spark, troot, SCHEMA)
+    t.append(_rows(spark, 0, 10))
+    # extra column without the flag: still a hard error (typo guard)
+    widened = _rows(spark, 10, 20).withColumn("score", F.col("k") * 2.0)
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(widened)
+    t.append(widened, merge_schema=True)
+    assert [f.name for f in t.schema.fields] == ["k", "v", "tag", "score"]
+    df = t.read()
+    assert df.count() == 20
+    # pre-evolution files project the new column as NULL
+    assert df.filter("k < 10 AND score IS NULL").count() == 10
+    assert df.filter("k >= 10").agg(F.sum("score")).collect()[0][0] == sum(
+        i * 2.0 for i in range(10, 20)
+    )
+    # a reopened handle sees the evolved schema (meta rides the log)
+    t2 = SnapshotTable(spark, troot)
+    assert "score" in [f.name for f in t2.schema.fields]
+    # strict appends now require the full evolved column set
+    with pytest.raises(ValueError, match="missing"):
+        t2.append(_rows(spark, 30, 40))
