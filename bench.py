@@ -113,6 +113,7 @@ HEADLINE = [
     "s12_table_zorder",       # Morton-curve OPTIMIZE + 2-D pruned read
     "s13_table_changes",      # delta-scoped change-data-feed read
     "s14_incremental_view",   # CDC-fed materialized-view fold
+    "w15_resample_ffill",     # regular-grid resample + gap fill
 ]
 
 

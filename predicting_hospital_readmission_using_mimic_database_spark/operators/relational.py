@@ -1162,3 +1162,73 @@ def apply_agg_changes(
         ).alias(sum_col),
     )
     return merged.filter(F.col(count_col) > 0)
+
+
+def resample_ffill(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: Sequence[str],
+    step_sec: int,
+    ndigits: int = 6,
+    max_buckets_per_key: int = 1_000_000,
+) -> DataFrame:
+    """Time-series RESAMPLE + gap-fill: per key, a REGULAR epoch-second
+    grid (``step_sec`` buckets spanning that key's observed range) with
+    the bucket-mean value, empty buckets forward-filled from the last
+    observed bucket — pandas ``resample(...).mean().ffill()`` for
+    distributed data.
+
+    Plan: one groupBy to per-(key, bucket) means (map-side combinable —
+    the only pass over the raw data), a per-key span agg over those
+    BUCKET rows (not raw rows), grid generation via
+    ``sequence``+``explode`` (bounded by ``max_buckets_per_key`` — a
+    years-long span at 1s steps is a parameter bug, caught at execution
+    via the sequence guard), then the existing :func:`forward_fill`
+    window. Every shuffle is keyed by ``keys`` (+bucket); nothing scales
+    with the raw row count after the first aggregate.
+
+    The bucket mean is rounded to ``ndigits`` BEFORE filling so the
+    propagated value is bit-stable across engines (float sum order).
+    Leading buckets with no prior observation stay NULL (nothing to fill
+    from) — by construction only possible when a key's first bucket is
+    empty, which the min-span start precludes.
+    """
+    ks = list(keys)
+    if step_sec <= 0:
+        raise ValueError(f"resample_ffill: step_sec must be > 0, got {step_sec}")
+    bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / step_sec) * step_sec).cast(
+        "long"
+    )
+    obs = (
+        df.withColumn("__b", bucket)
+        .groupBy(*ks, "__b")
+        .agg(F.round(F.avg(value_col), ndigits).alias("__v"))
+    )
+    spans = obs.groupBy(*ks).agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    n_buckets = (F.col("__hi") - F.col("__lo")) / F.lit(step_sec) + 1
+    guarded_hi = F.when(n_buckets <= max_buckets_per_key, F.col("__hi"))
+    grid = spans.select(
+        *ks,
+        F.explode(
+            F.sequence(
+                F.col("__lo"),
+                F.coalesce(
+                    guarded_hi,
+                    F.assert_true(
+                        n_buckets <= max_buckets_per_key,
+                        f"resample_ffill: a key spans > {max_buckets_per_key} "
+                        "buckets; raise step_sec or max_buckets_per_key",
+                    ).cast("long"),
+                ),
+                F.lit(int(step_sec)),
+            )
+        ).alias("__b"),
+    )
+    j = grid.join(obs, [*ks, "__b"], "left")
+    filled = forward_fill(j, "__v", ks, ["__b"])
+    return filled.select(
+        *ks, F.col("__b").alias("bucket"), F.col("__v").alias(value_col)
+    )

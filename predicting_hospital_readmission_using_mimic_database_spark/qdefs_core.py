@@ -2121,3 +2121,52 @@ def q_s14(spark, sf):
     return maintained.select(
         "event_type", "n", F.col("total").cast("long").alias("total")
     )
+
+
+@query(
+    "w15_resample_ffill",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+             round(avg(value), 6) AS v
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+      FROM obs GROUP BY 1
+    ),
+    grid AS (
+      SELECT s.event_type, g.g AS bucket
+      FROM spans s, LATERAL unnest(generate_series(s.lo, s.hi, 3600)) AS g(g)
+    ),
+    j AS (
+      SELECT g.event_type, g.bucket, o.v
+      FROM grid g LEFT JOIN obs o USING (event_type, bucket)
+    )
+    SELECT event_type, bucket,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value
+    FROM j
+    """,
+)
+def q_w15(spark, sf):
+    """W15 — time-series RESAMPLE + forward gap-fill
+    (operators.relational.resample_ffill): per event_type, hourly
+    bucket means on a REGULAR grid spanning that key's range, empty
+    hours carrying the last observed mean — pandas
+    ``resample('1h').mean().ffill()`` distributed. One pass over raw
+    rows (map-combinable bucket means), then all work is grid-sized;
+    the bucket mean is rounded BEFORE filling so the propagated double
+    is bit-stable across engines. DuckDB rebuilds the identical grid
+    with generate_series + IGNORE NULLS last_value."""
+    from .operators.relational import resample_ffill
+
+    e = read_table(spark, sf, "events").select("ts", "event_type", "value")
+    e = e.filter(F.col("event_type").isNotNull())
+    return resample_ffill(
+        e, "ts", "value", keys=["event_type"], step_sec=3600
+    )

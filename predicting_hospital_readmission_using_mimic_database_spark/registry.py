@@ -60,6 +60,7 @@ PRIORITY: tuple[str, ...] = (
     "s13_table_changes",
     "s14_incremental_view",
     "st9_stream_snapshot_sink",
+    "w15_resample_ffill",
     "d9_dup_clusters_star",
     "d10_semdedup",
     "g1_pagerank",
@@ -77,7 +78,6 @@ PRIORITY: tuple[str, ...] = (
     "p2_filter_isnull",
     "p8_split_counts",
     "j1_join_inner",
-    "j5_positional_join",
     "j9_asof_join",
     "w1_lead",
     "w5_last_per_group",

@@ -640,25 +640,41 @@ class SnapshotTable:
         )
         return self._commit("zorder", self._stage(clustered), removes)
 
-    def vacuum(self, retain_versions: int = 2) -> int:
+    def vacuum(
+        self, retain_versions: int = 2, min_age_seconds: float = 3600.0
+    ) -> int:
         """Physically delete data files referenced by NO snapshot in the
         last ``retain_versions`` versions (nor the current one). Time travel
         older than the retained window raises VacuumedVersionError on read.
         Returns the number of files deleted. Commit JSONs are retained
-        (metadata is KBs; history() stays complete)."""
+        (metadata is KBs; history() stays complete).
+
+        ``min_age_seconds`` (default 1h) protects files a CONCURRENT
+        writer has staged but not yet committed — they are unreferenced by
+        any snapshot, yet deleting them would corrupt that writer's commit
+        the moment it wins the log race. Only files older than the grace
+        window are eligible (the same reasoning as Delta's vacuum
+        retention). Lower it only when no other writer can be active."""
+        import time as _time
+
         self._refresh()
         keep: set[str] = set()
         lo = max(0, self.version - max(0, retain_versions - 1))
         for v in range(lo, self.version + 1):
             keep.update(self._state_at(v))
         deleted = 0
+        cutoff = _time.time() - max(0.0, min_age_seconds)
         for dirpath, _dirs, files in os.walk(self.root):
             if os.path.basename(dirpath) == LOG_DIR or LOG_DIR + os.sep in dirpath:
                 continue
             for name in files:
                 absp = os.path.join(dirpath, name)
                 rel = os.path.relpath(absp, self.root)
-                if rel.endswith(".parquet") and rel not in keep:
+                if (
+                    rel.endswith(".parquet")
+                    and rel not in keep
+                    and os.path.getmtime(absp) <= cutoff
+                ):
                     os.unlink(absp)
                     deleted += 1
         return deleted

@@ -814,3 +814,41 @@ def test_ohlc_bars_null_values_dropped(spark):
                              tiebreak_col="event_id").collect()
     }
     assert out == {("a", 0): (4.0, 6.0, 4.0, 6.0, 2)}
+
+
+def test_resample_ffill_gaps_and_means(spark):
+    """Hand-checkable grid: key 'a' observes buckets 0 and 7200 (gap at
+    3600 forward-filled), bucket 0 averages two rows; key 'b' has a
+    single bucket — a 1-point grid, nothing filled."""
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.relational import resample_ffill
+
+    rows = [
+        ("a", 10, 1.0), ("a", 50, 3.0),      # bucket 0 -> mean 2.0
+        ("a", 7300, 9.0),                     # bucket 7200
+        ("b", 4000, 5.0),                     # bucket 3600 only
+    ]
+    df = spark.createDataFrame(rows, "k string, sec long, value double").select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "value"
+    )
+    out = resample_ffill(df, "ts", "value", keys=["k"], step_sec=3600)
+    got = {(r["k"], r["bucket"]): r["value"] for r in out.collect()}
+    assert got == {
+        ("a", 0): 2.0, ("a", 3600): 2.0, ("a", 7200): 9.0,
+        ("b", 3600): 5.0,
+    }
+
+
+def test_resample_ffill_guards(spark):
+    import pytest
+
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.relational import resample_ffill
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 10_000_000, 2.0)], "k string, sec long, value double"
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "value")
+    with pytest.raises(ValueError, match="step_sec"):
+        resample_ffill(df, "ts", "value", keys=["k"], step_sec=0)
+    with pytest.raises(Exception, match="buckets"):
+        resample_ffill(
+            df, "ts", "value", keys=["k"], step_sec=1, max_buckets_per_key=100
+        ).collect()
