@@ -1387,3 +1387,40 @@ def q_d10(spark, sf):
         u, "vec_id", "embedding", n_clusters=16, threshold=0.95, seed=42
     )
     return out.select("vec_id", "kept")
+
+
+@query(
+    "mm5_audio_spectrogram",
+    oracle="""
+    SELECT i AS asset_id,
+           CAST(CASE WHEN i >= 32 THEN 2 ELSE 1 END AS INT) AS n_frames,
+           CAST(33 AS INT) AS n_bins,
+           CAST(CASE WHEN (i + 1) % 32 = 0 THEN 0  -- Nyquist/fs sine: the
+                          -- integer-sampled signal is identically zero
+                     WHEN i + 1 < 32 THEN i + 1
+                     ELSE 64 - (i + 1) END
+                AS BIGINT) AS peak_bin,
+           TRUE AS spec_nonneg
+    FROM range(64) t(i) WHERE i % 3 = 1
+    """,
+)
+def q_mm5(spark, sf):
+    """MM5 — STFT power SPECTROGRAM extraction (MM.spectrograms): each
+    synthetic audio asset is a pure sine of (i+1) cycles per 64 samples,
+    so physics IS the oracle — with a 64-point FFT the dominant bin of
+    frame 0 must be exactly i+1 (or the alias 64-(i+1) above Nyquist),
+    and the frame count follows the closed-form hop arithmetic. Map-only
+    mapInPandas (one numpy rFFT per Arrow batch), zero shuffle —
+    feature extraction at scan speed, the step between raw bytes and a
+    model input at 100 TB."""
+    blobs = MM.synthetic_blobs(spark, n=64).filter(F.col("media_type") == "audio")
+    spec = MM.spectrograms(blobs, n_fft=64, hop=32)
+    return spec.select(
+        "asset_id",
+        "n_frames",
+        "n_bins",
+        (F.expr("array_position(spec[0], array_max(spec[0]))") - 1)
+        .cast("long")
+        .alias("peak_bin"),
+        F.expr("forall(spec, r -> forall(r, v -> v >= 0))").alias("spec_nonneg"),
+    )

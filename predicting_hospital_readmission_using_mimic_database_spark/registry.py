@@ -61,6 +61,7 @@ PRIORITY: tuple[str, ...] = (
     "s14_incremental_view",
     "st9_stream_snapshot_sink",
     "w15_resample_ffill",
+    "mm5_audio_spectrogram",
     "d9_dup_clusters_star",
     "d10_semdedup",
     "g1_pagerank",
@@ -76,7 +77,6 @@ PRIORITY: tuple[str, ...] = (
     "s1_scan_events",
     "s6_merge_upsert",
     "p2_filter_isnull",
-    "p8_split_counts",
     "j1_join_inner",
     "j9_asof_join",
     "w1_lead",

@@ -487,17 +487,23 @@ class SnapshotTable:
             meta=new_meta,
         )
 
-    def overwrite(self, df: DataFrame) -> int:
-        """Replace the whole table contents in one atomic commit."""
+    def overwrite(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
+        """Replace the whole table contents in one atomic commit.
+        ``txn`` dedupes replays exactly as in :meth:`append`."""
         self._refresh()
+        if txn is not None and self._txns.get(txn[0], -1) >= txn[1]:
+            return self.version
         removes = list(self._live)
-        return self._commit("overwrite", self._stage(self._check_schema(df)), removes)
+        return self._commit(
+            "overwrite", self._stage(self._check_schema(df)), removes, txn=txn
+        )
 
     def merge(
         self,
         updates: DataFrame,
         update_cols: Sequence[str] | None = None,
         key: Sequence[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """MERGE (upsert) keyed on the table's ``bucket_key`` (or an
         explicit ``key`` for unbucketed tables): matched rows' ``update_cols``
@@ -511,10 +517,17 @@ class SnapshotTable:
 
         Unbucketed tables fall back to a full-table rewrite (documented
         write amplification — create with bucket_key for mutable workloads).
+
+        ``txn`` dedupes replays exactly as in :meth:`append` — a
+        foreachBatch MERGE sink passes the batch id so re-delivered
+        batches don't re-apply (a re-applied non-idempotent merge, e.g.
+        one adding deltas, would double-count).
         """
         from ..operators.relational import merge_upsert
 
         self._refresh()
+        if txn is not None and self._txns.get(txn[0], -1) >= txn[1]:
+            return self.version
         if not self.bucket_key:
             if not key:
                 raise ValueError(
@@ -523,7 +536,8 @@ class SnapshotTable:
             base = self.read()
             merged = merge_upsert(base, updates, key=list(key), update_cols=update_cols)
             return self._commit(
-                "merge", self._stage(self._check_schema(merged)), list(self._live)
+                "merge", self._stage(self._check_schema(merged)), list(self._live),
+                txn=txn,
             )
         if key is not None and list(key) != list(self.bucket_key):
             raise ValueError(
@@ -543,7 +557,7 @@ class SnapshotTable:
         base = self._read_files(old_files)
         merged = merge_upsert(base, upd, key=key, update_cols=update_cols)
         return self._commit(
-            "merge", self._stage(self._check_schema(merged)), old_files
+            "merge", self._stage(self._check_schema(merged)), old_files, txn=txn
         )
 
     def delete(self, cond: Column, prune: Sequence[tuple] | None = None) -> int:

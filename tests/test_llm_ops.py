@@ -1049,3 +1049,29 @@ def test_semdedup_guards(spark):
             emb, "vec_id", "embedding", n_clusters=1, threshold=0.9,
             max_cluster_rows=1,
         ).collect()
+
+
+def test_spectrogram_wav_peak_and_poison(spark):
+    """A planted 1 kHz sine at 8 kHz / 256-FFT must peak at bin 32 in
+    every frame; undecodable and too-short blobs yield NULL spec rows."""
+    import numpy as np
+
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import multimodal as MM
+
+    rate, n_fft, hop = 8000, 256, 128
+    t = np.arange(2048) / rate
+    samples = (np.sin(2 * np.pi * 1000.0 * t) * 20000).astype(int).tolist()
+    wav = MM.encode_wav(samples, rate)
+    spec = MM.spectrogram_wav(wav, n_fft, hop)
+    arr = np.asarray(spec)
+    assert arr.shape == ((2048 - n_fft) // hop + 1, n_fft // 2 + 1)
+    assert set(arr.argmax(axis=1).tolist()) == {32}
+    assert MM.spectrogram_wav(b"not a wav") is None
+    assert MM.spectrogram_wav(MM.encode_wav([1] * 10), n_fft=256) is None
+    df = spark.createDataFrame(
+        [(0, bytearray(wav)), (1, bytearray(b"junk")), (2, None)],
+        "asset_id long, content binary",
+    )
+    rows = {r["asset_id"]: r for r in MM.spectrograms(df, n_fft, hop).collect()}
+    assert rows[0]["n_frames"] == 15 and rows[0]["n_bins"] == 129
+    assert rows[1]["spec"] is None and rows[2]["spec"] is None

@@ -423,3 +423,15 @@ def test_schema_evolution_append(spark, troot):
     # strict appends now require the full evolved column set
     with pytest.raises(ValueError, match="missing"):
         t2.append(_rows(spark, 30, 40))
+
+
+def test_txn_merge_idempotent(spark, troot):
+    t = SnapshotTable.create(spark, troot, SCHEMA, bucket_key=["k"], num_buckets=4)
+    t.append(_rows(spark, 0, 10))
+    upd = spark.createDataFrame([Row(k=1, v=100.0, tag="u")], schema=SCHEMA)
+    v = t.merge(upd, txn=("mv", 0))
+    assert t.read().filter("k = 1").collect()[0]["v"] == 100.0
+    # replayed merge batch: version unchanged, no double-apply
+    assert t.merge(upd, txn=("mv", 0)) == v
+    assert t.version == v
+    assert t.read().count() == 10
