@@ -800,3 +800,81 @@ def spectrograms(df: DataFrame, n_fft: int = 256, hop: int = 128) -> DataFrame:
             yield pd.DataFrame(out, columns=["asset_id", "n_frames", "n_bins", "spec"])
 
     return df.select("asset_id", "content").mapInPandas(gen, schema)
+
+
+def channel_norm_fit(df: DataFrame, ndigits: int = 6) -> DataFrame:
+    """CORPUS-level per-channel normalization constants (the dataset
+    mean/std an image pipeline bakes into its preprocessing, à la the
+    well-known ImageNet numbers): decode every image and reduce to ONE
+    row of per-channel mean/std over all pixels.
+
+    Distribution shape: the decode emits per-image INTEGER partial sums
+    (sum_c, sum_sq_c, n_px — exact, associative) from one mapInPandas
+    pass, and a single global aggregate folds them — O(1) result, no
+    per-pixel shuffle, no float drift (the only float ops are the final
+    mean/std formulas over exact integer totals, identical on any
+    partitioning and any engine). Undecodable blobs are skipped and
+    counted."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("n_px", LongType()),
+            StructField("sr", LongType()), StructField("sg", LongType()),
+            StructField("sb", LongType()),
+            StructField("qr", LongType()), StructField("qg", LongType()),
+            StructField("qb", LongType()),
+            StructField("decoded", LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                parsed = (
+                    (_parse_bmp(bytes(content)) or _parse_ppm(bytes(content)))
+                    if content is not None
+                    else None
+                )
+                if parsed is None:
+                    out.append((0, 0, 0, 0, 0, 0, 0, 0))
+                    continue
+                _w, _h, px = parsed
+                out.append(
+                    (
+                        len(px),
+                        sum(p[0] for p in px), sum(p[1] for p in px),
+                        sum(p[2] for p in px),
+                        sum(p[0] * p[0] for p in px), sum(p[1] * p[1] for p in px),
+                        sum(p[2] * p[2] for p in px),
+                        1,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["n_px", "sr", "sg", "sb", "qr", "qg", "qb", "decoded"]
+            )
+
+    partials = df.select("content").mapInPandas(gen, schema)
+    tot = partials.agg(
+        *[F.sum(c).alias(c) for c in ("n_px", "sr", "sg", "sb", "qr", "qg", "qb", "decoded")]
+    )
+
+    def _mean(s):  # channel mean in [0, 1]
+        return F.col(s) / F.col("n_px") / 255.0
+
+    def _std(s, q):
+        return F.sqrt(
+            F.col(q) / F.col("n_px") / (255.0 * 255.0) - _mean(s) * _mean(s)
+        )
+
+    return tot.select(
+        F.col("decoded").alias("n_images"),
+        F.col("n_px").alias("n_pixels"),
+        *[F.round(_mean(s), ndigits).alias(f"mean_{c}") for s, c in
+          (("sr", "r"), ("sg", "g"), ("sb", "b"))],
+        *[F.round(_std(s, q), ndigits).alias(f"std_{c}") for s, q, c in
+          (("sr", "qr", "r"), ("sg", "qg", "g"), ("sb", "qb", "b"))],
+    )

@@ -1424,3 +1424,48 @@ def q_mm5(spark, sf):
         .alias("peak_bin"),
         F.expr("forall(spec, r -> forall(r, v -> v >= 0))").alias("spec_nonneg"),
     )
+
+
+@query(
+    "mm6_channel_norm_fit",
+    oracle="""
+    WITH imgs AS (
+      SELECT i, 4 + i % 4 AS w, 3 + i % 3 AS h
+      FROM range(64) t(i) WHERE i % 3 = 0
+    ),
+    px AS (
+      SELECT (x * 37 + i) % 256 AS r, (y * 59 + i) % 256 AS g,
+             (x * y * 17 + i) % 256 AS b
+      FROM imgs, LATERAL unnest(generate_series(0, w - 1)) xs(x),
+                 LATERAL unnest(generate_series(0, h - 1)) ys(y)
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
+             CAST(sum(b) AS BIGINT) AS sb,
+             CAST(sum(r * r) AS BIGINT) AS qr, CAST(sum(g * g) AS BIGINT) AS qg,
+             CAST(sum(b * b) AS BIGINT) AS qb
+      FROM px
+    )
+    SELECT CAST((SELECT count(*) FROM imgs) AS BIGINT) AS n_images,
+           n AS n_pixels,
+           round(sr / n / 255.0, 6) AS mean_r,
+           round(sg / n / 255.0, 6) AS mean_g,
+           round(sb / n / 255.0, 6) AS mean_b,
+           round(sqrt(qr / n / 65025.0 - (sr / n / 255.0) ^ 2), 6) AS std_r,
+           round(sqrt(qg / n / 65025.0 - (sg / n / 255.0) ^ 2), 6) AS std_g,
+           round(sqrt(qb / n / 65025.0 - (sb / n / 255.0) ^ 2), 6) AS std_b
+    FROM s
+    """,
+)
+def q_mm6(spark, sf):
+    """MM6 — corpus NORMALIZATION-CONSTANT fit (MM.channel_norm_fit):
+    every synthetic BMP decodes to its closed-form pixel grid, the
+    mapInPandas pass emits per-image exact integer partial sums, and one
+    global aggregate folds them into the per-channel mean/std a
+    preprocessing pipeline bakes in. DuckDB regenerates the identical
+    pixel arithmetic from the asset formulas — integer totals are exact
+    on both engines, so the final doubles match to the rounding
+    quantum."""
+    blobs = MM.synthetic_blobs(spark, n=64).filter(F.col("media_type") == "image")
+    return MM.channel_norm_fit(blobs)

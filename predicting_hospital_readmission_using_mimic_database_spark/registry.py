@@ -62,6 +62,7 @@ PRIORITY: tuple[str, ...] = (
     "st9_stream_snapshot_sink",
     "w15_resample_ffill",
     "mm5_audio_spectrogram",
+    "mm6_channel_norm_fit",
     "d9_dup_clusters_star",
     "d10_semdedup",
     "g1_pagerank",
@@ -81,7 +82,6 @@ PRIORITY: tuple[str, ...] = (
     "j9_asof_join",
     "w1_lead",
     "w5_last_per_group",
-    "a1_value_counts",
     "a8_pivot_count",
     "a15_rollup",
     "c3_range_recode",

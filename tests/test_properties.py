@@ -294,3 +294,58 @@ def test_interval_join_equals_nested_loop_property(spark, iv_raw, pts_raw):
         if s <= p < s + w
     )
     assert got == want
+
+
+# --- SnapshotTable: random op sequences vs an in-memory model ---------
+
+_op = st.one_of(
+    st.tuples(st.just("append"), st.integers(0, 3), st.integers(1, 12)),
+    st.tuples(st.just("merge"), st.integers(0, 40), st.integers(1, 5)),
+    st.tuples(st.just("delete"), st.integers(0, 50), st.just(0)),
+    st.tuples(st.just("compact"), st.just(0), st.just(0)),
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_op, min_size=1, max_size=5), st.integers(0, 10_000))
+def test_snapshot_table_matches_model(spark, tmp_path_factory, ops, salt):
+    """ANY sequence of append/merge/delete/compact must leave the table —
+    and EVERY historical version — equal to a plain dict model applying
+    the same semantics. Catches commit/replay/bucket-pruning bugs the
+    hand-written cases don't reach."""
+    from pyspark.sql import Row
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import SnapshotTable
+
+    root = str(tmp_path_factory.mktemp("prop") / f"t{salt}")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, v double", bucket_key=["k"], num_buckets=4,
+        checkpoint_interval=3,
+    )
+    model: dict[int, float] = {}
+    history = [dict(model)]  # model state at each committed version
+    next_k = salt
+    for kind, a, b in ops:
+        if kind == "append":
+            rows = [(next_k + j, float(a + j)) for j in range(b)]
+            next_k += b
+            t.append(spark.createDataFrame(rows, "k bigint, v double"))
+            model.update(rows)
+        elif kind == "merge":
+            keys = sorted(model)[:: max(1, a)][:b] or [next_k]
+            next_k += 1
+            rows = [(k, -float(k)) for k in keys]
+            t.merge(spark.createDataFrame(rows, "k bigint, v double"))
+            model.update(rows)
+        elif kind == "delete":
+            t.delete(F.col("k") % 50 == a)
+            model = {k: v for k, v in model.items() if k % 50 != a}
+        else:
+            t.compact()
+        history.append(dict(model))
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == set(model.items())
+    # every historical version replays to its model state
+    for v, state in enumerate(history):
+        got = {(r["k"], r["v"]) for r in t.read(version=v).collect()}
+        assert got == set(state.items()), f"version {v}"
