@@ -114,6 +114,7 @@ HEADLINE = [
     "s13_table_changes",      # delta-scoped change-data-feed read
     "s14_incremental_view",   # CDC-fed materialized-view fold
     "w15_resample_ffill",     # regular-grid resample + gap fill
+    "x16_curation_funnel",    # one-scan lang/quality/dedup/quota funnel
 ]
 
 

@@ -1469,3 +1469,97 @@ def q_mm6(spark, sf):
     quantum."""
     blobs = MM.synthetic_blobs(spark, n=64).filter(F.col("media_type") == "image")
     return MM.channel_norm_fit(blobs)
+
+
+#: gopher keep as ONE scalar SQL expression (inlined x11 arithmetic) —
+#: shared by the x16 funnel oracle
+_GOPHER_KEEP_SQL = """(
+  len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))
+    BETWEEN 50 AND 100000
+  AND (list_sum(list_transform(
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''),
+         t -> len(t))) * 1.0
+       / len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')))
+    BETWEEN 3.0 AND 10.0
+  AND len(list_intersect(
+        list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''),
+        ['the','be','to','of','and','that','have','with'])) >= 2
+)"""
+
+
+@query(
+    "x16_curation_funnel",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, source, {_LANG_CASE_SQL} AS lg,
+             {_GOPHER_KEEP_SQL} AS gk
+      FROM documents
+    ),
+    s1 AS (SELECT * FROM base WHERE lg = 'en'),
+    s2 AS (SELECT * FROM s1 WHERE gk),
+    s3 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM s2
+      ) WHERE rn = 1
+    ),
+    s4 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR) || 'x16')) AS qr
+        FROM s3
+      ) WHERE qr <= 25
+    )
+    SELECT CAST(0 AS BIGINT) AS stage, 'input' AS name,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+    UNION ALL SELECT 1, 'lang_en', count(*) FROM s1
+    UNION ALL SELECT 2, 'gopher_keep', count(*) FROM s2
+    UNION ALL SELECT 3, 'exact_dedup', count(*) FROM s3
+    UNION ALL SELECT 4, 'source_quota', count(*) FROM s4
+    """,
+)
+def q_x16(spark, sf):
+    """X16 — the END-TO-END curation FUNNEL (the composition a real
+    LLM-data pipeline runs): language-ID gate -> Gopher quality gate ->
+    exact dedup (min-id representative) -> per-source quota sample, with
+    the per-stage survivor counts as the output. ONE scan computes every
+    stage: the gates are map-side booleans, dedup rank and quota rank are
+    windows whose PARTITION KEYS INCLUDE the upstream survival flag (so
+    non-survivors can't claim a dedup slot or consume quota), and a
+    single aggregate folds the five counts. DuckDB recomputes the funnel
+    as chained CTEs — any stage diverging by one document breaks the
+    hash."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf)
+    flags = TS.gopher_quality_flags(F.col("text"))
+    base = d.select(
+        "doc_id", "text", "source",
+        (TS.language_id(F.col("text")) == "en").alias("p1"),
+        flags["keep"].alias("gk"),
+    ).withColumn("p2", F.col("p1") & F.col("gk"))
+    dup_rn = F.row_number().over(
+        W.partitionBy("text", "p2").orderBy("doc_id")
+    )
+    base = base.withColumn("p3", F.col("p2") & (dup_rn == 1))
+    quota_rn = F.row_number().over(
+        W.partitionBy("source", "p3").orderBy(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("x16")))
+        )
+    )
+    base = base.withColumn("p4", F.col("p3") & (quota_rn <= 25))
+    agg = base.agg(
+        F.count("*").cast("long").alias("n0"),
+        F.sum(F.col("p1").cast("long")).alias("n1"),
+        F.sum(F.col("p2").cast("long")).alias("n2"),
+        F.sum(F.col("p3").cast("long")).alias("n3"),
+        F.sum(F.col("p4").cast("long")).alias("n4"),
+    )
+    return agg.selectExpr(
+        "stack(5, CAST(0 AS BIGINT), 'input', n0,"
+        " CAST(1 AS BIGINT), 'lang_en', n1,"
+        " CAST(2 AS BIGINT), 'gopher_keep', n2,"
+        " CAST(3 AS BIGINT), 'exact_dedup', n3,"
+        " CAST(4 AS BIGINT), 'source_quota', n4) AS (stage, name, n_docs)"
+    )

@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "mm6_channel_norm_fit",
     "d9_dup_clusters_star",
     "d10_semdedup",
+    "x16_curation_funnel",
     "g1_pagerank",
     "t13_clean_text_tokens",
     "t14_count_vectorize",
@@ -84,7 +85,6 @@ PRIORITY: tuple[str, ...] = (
     "w5_last_per_group",
     "a8_pivot_count",
     "a15_rollup",
-    "c3_range_recode",
     "c10_json_extract",
     "u6_smote",
     "t10_tokenize",
