@@ -700,3 +700,49 @@ def topk_ivf_indexed(
     if rest:
         return probe(first + rest)
     return probe(first)
+
+
+def contrastive_pairs(
+    emb: DataFrame,
+    id_col: str,
+    n_ids: int,
+    positives: DataFrame,
+    k_negatives: int = 3,
+) -> DataFrame:
+    """CONTRASTIVE training-pair construction (the dataset step before a
+    dual-encoder / embedding-model fit): emit (anchor, other, label) rows
+    — the given ``positives`` (anchor, other) pairs as label 1, plus
+    ``k_negatives`` deterministic negatives per anchor as label 0.
+
+    Negatives are SYSTEMATIC: candidate j for anchor a is
+    ``(a + j*40503 + 12289) % n_ids`` (odd-multiplier stride — a full
+    residue cycle, so negatives spread uniformly over the corpus),
+    bumped by one when it lands on the anchor itself. Deterministic
+    integer arithmetic -> identical on any engine/partitioning, and
+    ZERO shuffles to generate (an explode over j plus modular math;
+    the only join is the caller's positives union). Random negatives
+    at scale are a salt away; the systematic form is the oracle-exact
+    default. Collisions with a true positive are the caller's filter
+    (standard in-batch-negative noise, kept to stay join-free).
+    """
+    if k_negatives < 1 or n_ids < 2:
+        raise ValueError("contrastive_pairs: need k_negatives >= 1, n_ids >= 2")
+    j = F.explode(F.sequence(F.lit(1), F.lit(int(k_negatives)))).alias("__j")
+    cand = (F.col("anchor_id") + F.col("__j") * 40503 + 12289) % n_ids
+    neg = (
+        emb.select(F.col(id_col).alias("anchor_id"), j)
+        .select(
+            "anchor_id",
+            F.when(cand == F.col("anchor_id"), (cand + 1) % n_ids)
+            .otherwise(cand)
+            .cast("long")
+            .alias("other_id"),
+        )
+        .select("anchor_id", "other_id", F.lit(0).cast("int").alias("label"))
+    )
+    pos = positives.select(
+        F.col(positives.columns[0]).cast("long").alias("anchor_id"),
+        F.col(positives.columns[1]).cast("long").alias("other_id"),
+        F.lit(1).cast("int").alias("label"),
+    )
+    return pos.unionByName(neg)

@@ -1563,3 +1563,38 @@ def q_x16(spark, sf):
         " CAST(3 AS BIGINT), 'exact_dedup', n3,"
         " CAST(4 AS BIGINT), 'source_quota', n4) AS (stage, name, n_docs)"
     )
+
+
+@query(
+    "n6_contrastive_pairs",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS c FROM embeddings),
+    pos AS (
+      SELECT vec_id AS anchor_id, vec_id + {_COPY_OFFSET} AS other_id,
+             CAST(1 AS INT) AS label
+      FROM embeddings WHERE vec_id < 10
+    ),
+    neg AS (
+      SELECT e.vec_id AS anchor_id,
+             CASE WHEN (e.vec_id + j.j * 40503 + 12289) % n.c = e.vec_id
+                  THEN ((e.vec_id + j.j * 40503 + 12289) % n.c + 1) % n.c
+                  ELSE (e.vec_id + j.j * 40503 + 12289) % n.c END AS other_id,
+             CAST(0 AS INT) AS label
+      FROM embeddings e, n, LATERAL unnest(generate_series(1, 3)) AS j(j)
+    )
+    SELECT * FROM pos UNION ALL SELECT * FROM neg
+    """,
+)
+def q_n6(spark, sf):
+    """N6 — contrastive-pair dataset construction
+    (similarity.contrastive_pairs): planted duplicate pairs as label-1
+    positives, three systematic stride negatives per corpus vector as
+    label-0 — the (anchor, other, label) table a dual-encoder trains
+    on. Generation is shuffle-free (explode + modular arithmetic, one
+    union); DuckDB reproduces every pair exactly."""
+    e = _emb(spark, sf).select("vec_id")
+    n_ids = e.count()
+    pos = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id"), (F.col("vec_id") + _COPY_OFFSET).alias("other")
+    )
+    return SI.contrastive_pairs(e, "vec_id", n_ids, pos, k_negatives=3)

@@ -66,6 +66,7 @@ PRIORITY: tuple[str, ...] = (
     "d9_dup_clusters_star",
     "d10_semdedup",
     "x16_curation_funnel",
+    "n6_contrastive_pairs",
     "g1_pagerank",
     "t13_clean_text_tokens",
     "t14_count_vectorize",
@@ -93,7 +94,6 @@ PRIORITY: tuple[str, ...] = (
     "m3_rf_train_predict",
     "m7_grid_cv",
     "m8_mutual_info",
-    "e1_roc_curve",
     "e2_auc",
     "e2e_full_pipeline",
     "d2_dedup_minhash_lsh",

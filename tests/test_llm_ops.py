@@ -1075,3 +1075,23 @@ def test_spectrogram_wav_peak_and_poison(spark):
     rows = {r["asset_id"]: r for r in MM.spectrograms(df, n_fft, hop).collect()}
     assert rows[0]["n_frames"] == 15 and rows[0]["n_bins"] == 129
     assert rows[1]["spec"] is None and rows[2]["spec"] is None
+
+
+def test_contrastive_pairs_shape_and_determinism(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import similarity as SI
+
+    emb = spark.range(10).select(F.col("id").alias("vec_id"))
+    pos = spark.createDataFrame([(0, 100), (1, 101)], "a long, b long")
+    out = SI.contrastive_pairs(emb, "vec_id", 10, pos, k_negatives=2)
+    rows = out.collect()
+    assert len(rows) == 2 + 10 * 2
+    negs = [(r["anchor_id"], r["other_id"]) for r in rows if r["label"] == 0]
+    # deterministic, anchor-free, in-range
+    assert all(0 <= o < 10 and o != a for a, o in negs)
+    assert negs == [
+        (r["anchor_id"], r["other_id"])
+        for r in SI.contrastive_pairs(emb, "vec_id", 10, pos, k_negatives=2).collect()
+        if r["label"] == 0
+    ]
+    with pytest.raises(ValueError, match="contrastive_pairs"):
+        SI.contrastive_pairs(emb, "vec_id", 1, pos)

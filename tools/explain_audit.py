@@ -105,7 +105,11 @@ AUDIT = [
     "s11_table_skipping", # footer-stats file pruning (few-file scan)
     "s12_table_zorder",   # Morton-clustered 2-D pruned read
     "s13_table_changes",  # delta-scoped exceptAll diff, no table scan
+    "s14_incremental_view",  # CDC fold: delta-keyed shuffle only
     "d10_semdedup",       # per-cluster gram kernel, no corpus pair join
+    "w15_resample_ffill", # grid-sized work after the one raw-row agg
+    "x16_curation_funnel",  # 4 gates + 2 flag-partitioned windows, 1 scan
+    "mm6_channel_norm_fit",  # integer partials -> single global fold
 ]
 
 
