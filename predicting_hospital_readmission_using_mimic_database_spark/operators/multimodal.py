@@ -878,3 +878,108 @@ def channel_norm_fit(df: DataFrame, ndigits: int = 6) -> DataFrame:
         *[F.round(_std(s, q), ndigits).alias(f"std_{c}") for s, q, c in
           (("sr", "qr", "r"), ("sg", "qg", "g"), ("sb", "qb", "b"))],
     )
+
+
+def _parse_avi_frames(content: bytes):
+    """(w, h, fps, stride, frames[list of raw BGR rows-padded bytes]) from
+    an uncompressed 24-bit AVI, or None — the container walk shared with
+    :func:`decode_video_features` (kept separately tested there; this
+    helper exists so frame-level operators don't re-derive the RIFF
+    layout)."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        return None
+    w = h = 0
+    fps = 0.0
+    frames: list[bytes] = []
+    for fourcc, body, size in _riff_chunks(content, 12, len(content)):
+        if fourcc != b"LIST":
+            continue
+        kind = content[body : body + 4]
+        if kind == b"hdrl":
+            for cc, b2, s2 in _riff_chunks(content, body + 4, body + size):
+                if cc == b"avih" and s2 >= 40:
+                    us, _, _, _, _total, _, _, _, aw, ah = struct.unpack_from(
+                        "<10I", content, b2
+                    )
+                    w, h = aw, ah
+                    fps = 1_000_000 / us if us else 0.0
+        elif kind == b"movi":
+            for cc, b2, s2 in _riff_chunks(content, body + 4, body + size):
+                if cc in (b"00db", b"00dc"):
+                    frames.append(content[b2 : b2 + s2])
+    if w <= 0 or h <= 0 or not frames:
+        return None
+    stride = (w * 3 + 3) // 4 * 4
+    if any(len(fb) < stride * h for fb in frames):
+        return None  # truncated frame = corrupt container
+    return w, h, fps, stride, frames
+
+
+def scene_cut_indices(
+    content: bytes, threshold: float = 0.3
+) -> list[int] | None:
+    """SHOT-BOUNDARY detection on an uncompressed AVI: frame index t is a
+    cut when the mean |Δluma| between frames t-1 and t exceeds
+    ``threshold`` (luma in [0,1] — the classic pixel-difference detector;
+    smooth motion stays far below a hard cut's jump). Returns the cut
+    indices, or None for undecodable bytes."""
+    import numpy as np
+
+    parsed = _parse_avi_frames(content)
+    if parsed is None:
+        return None
+    w, h, _fps, stride, frames = parsed
+    lumas = []
+    for fb in frames:
+        a = np.frombuffer(fb[: stride * h], dtype=np.uint8).reshape(h, stride)
+        bgr = a[:, : w * 3].reshape(h, w, 3).astype(np.float64)
+        lumas.append(
+            (0.114 * bgr[..., 0] + 0.587 * bgr[..., 1] + 0.299 * bgr[..., 2])
+            / 255.0
+        )
+    cuts = []
+    for t in range(1, len(lumas)):
+        if float(np.abs(lumas[t] - lumas[t - 1]).mean()) > threshold:
+            cuts.append(t)
+    return cuts
+
+
+def scene_cuts(df: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """Corpus-scale shot detection: (asset_id, content) -> (asset_id,
+    n_frames, n_cuts, first_cut) via mapInPandas — map-only, zero
+    shuffle; undecodable blobs pass through NULL (the shared mm poison-
+    pill contract). The cut list itself is available via
+    :func:`scene_cut_indices`; the entry surfaces scalars (stable
+    cross-engine hashing)."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("n_frames", IntegerType()),
+            StructField("n_cuts", IntegerType()),
+            StructField("first_cut", IntegerType()),
+        ]
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                parsed = (
+                    _parse_avi_frames(bytes(content)) if content is not None else None
+                )
+                if parsed is None:
+                    out.append((aid, None, None, None))
+                    continue
+                cuts = scene_cut_indices(bytes(content), threshold)
+                out.append(
+                    (aid, len(parsed[4]), len(cuts), cuts[0] if cuts else None)
+                )
+            yield pd.DataFrame(
+                out, columns=["asset_id", "n_frames", "n_cuts", "first_cut"]
+            )
+
+    return df.select("asset_id", "content").mapInPandas(gen, schema)

@@ -1598,3 +1598,28 @@ def q_n6(spark, sf):
         F.col("vec_id"), (F.col("vec_id") + _COPY_OFFSET).alias("other")
     )
     return SI.contrastive_pairs(e, "vec_id", n_ids, pos, k_negatives=3)
+
+
+@query(
+    "mm7_scene_cuts",
+    oracle="""
+    SELECT i AS asset_id, CAST(10 AS INT) AS n_frames,
+           CAST(1 AS INT) AS n_cuts, CAST(3 + i % 5 AS INT) AS first_cut
+    FROM range(8) t(i)
+    """,
+)
+def q_mm7(spark, sf):
+    """MM7 — SHOT-BOUNDARY detection (MM.scene_cuts): each planted AVI
+    holds 10 solid frames, black until its closed-form cut index then
+    white, so the mean-|Δluma| detector must report EXACTLY one cut at
+    exactly that frame — the frame-sampling primitive a video curation
+    pipeline keys on (sample per shot, not per second). Map-only
+    mapInPandas; the smooth-motion null case and poison pills are pinned
+    in pytest."""
+    cut_rows = []
+    for i in range(8):
+        cut = 3 + i % 5
+        frames = [[(0, 0, 0)] * 16] * cut + [[(255, 255, 255)] * 16] * (10 - cut)
+        cut_rows.append((i, bytearray(MM.encode_avi(4, 4, frames, fps=4))))
+    blobs = spark.createDataFrame(cut_rows, "asset_id long, content binary")
+    return MM.scene_cuts(blobs, threshold=0.3)

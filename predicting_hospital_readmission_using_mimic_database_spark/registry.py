@@ -67,6 +67,7 @@ PRIORITY: tuple[str, ...] = (
     "d10_semdedup",
     "x16_curation_funnel",
     "n6_contrastive_pairs",
+    "mm7_scene_cuts",
     "g1_pagerank",
     "t13_clean_text_tokens",
     "t14_count_vectorize",
@@ -88,7 +89,6 @@ PRIORITY: tuple[str, ...] = (
     "a15_rollup",
     "c10_json_extract",
     "u6_smote",
-    "t10_tokenize",
     "t12_drop_stopwords",
     "t16_tfidf",
     "m3_rf_train_predict",

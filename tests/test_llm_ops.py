@@ -1095,3 +1095,23 @@ def test_contrastive_pairs_shape_and_determinism(spark):
     ]
     with pytest.raises(ValueError, match="contrastive_pairs"):
         SI.contrastive_pairs(emb, "vec_id", 1, pos)
+
+
+def test_scene_cuts_planted_smooth_and_poison(spark):
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import multimodal as MM
+
+    solid = lambda rgb: [rgb] * 16  # noqa: E731
+    hard = MM.encode_avi(4, 4, [solid((0, 0, 0))] * 3 + [solid((255, 255, 255))] * 3, fps=4)
+    # smooth ramp: consecutive mean |dluma| ~= 8/255 << 0.3 -> no cuts
+    ramp = MM.encode_avi(4, 4, [solid((v, v, v)) for v in range(0, 80, 8)], fps=4)
+    assert MM.scene_cut_indices(hard, 0.3) == [3]
+    assert MM.scene_cut_indices(ramp, 0.3) == []
+    assert MM.scene_cut_indices(b"nope") is None
+    df = spark.createDataFrame(
+        [(0, bytearray(hard)), (1, bytearray(ramp)), (2, None)],
+        "asset_id long, content binary",
+    )
+    rows = {r["asset_id"]: r for r in MM.scene_cuts(df, 0.3).collect()}
+    assert (rows[0]["n_cuts"], rows[0]["first_cut"]) == (1, 3)
+    assert (rows[1]["n_cuts"], rows[1]["first_cut"]) == (0, None)
+    assert rows[2]["n_frames"] is None
