@@ -286,3 +286,107 @@ def auc_with_battery(
         "tp", "fp", "fn", "tn",
     )
     return _derived_metrics(cells)
+
+
+def psi_bins(
+    df: DataFrame,
+    value_col: str,
+    is_actual: Column,
+    n_bins: int = 10,
+    smooth: float = 0.5,
+    ndigits: int = 8,
+) -> DataFrame:
+    """POPULATION STABILITY INDEX — the standard train-vs-serving drift
+    monitor: bin ``value_col`` into ``n_bins`` equal-width bins over the
+    EXPECTED side's [min, max], compare the two distributions, and emit
+    the per-bin PSI terms ``(p_act - p_exp) * ln(p_act / p_exp)`` (sum =
+    the PSI; > 0.2 is the usual "investigate" rule of thumb).
+
+    Plan: one agg for the expected-side range (broadcast back as a 1-row
+    frame — no scalar collect), one map-side bucket assignment, ONE
+    (bin, side) counting shuffle, then pure arithmetic. Laplace
+    smoothing (``smooth`` pseudo-counts) keeps empty bins finite, so a
+    bin present on only one side contributes a large-but-finite term
+    instead of ±inf. Values outside the expected range clamp into the
+    edge bins (where serving drift shows up). NULL values are dropped
+    on both sides.
+    """
+    if n_bins < 2:
+        raise ValueError(f"psi_bins: n_bins must be >= 2, got {n_bins}")
+    v = F.col(value_col)
+    tagged = df.filter(v.isNotNull()).select(
+        v.alias("__v"), is_actual.cast("int").alias("__act")
+    )
+    rng = tagged.filter(F.col("__act") == 0).agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    b = tagged.crossJoin(F.broadcast(rng))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    bin_ = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("__v") - F.col("__lo")) / width).cast("int"),
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    counts = (
+        b.select(bin_.alias("bin"), "__act")
+        .groupBy("bin")
+        .agg(
+            F.sum(1 - F.col("__act")).cast("long").alias("n_exp"),
+            F.sum("__act").cast("long").alias("n_act"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_exp").alias("__te"), F.sum("n_act").alias("__ta")
+    )
+    s = F.lit(float(smooth))
+    out = counts.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("int"),
+        "n_exp",
+        "n_act",
+        F.round(
+            (
+                (F.col("n_act") + s) / (F.col("__ta") + s * n_bins)
+                - (F.col("n_exp") + s) / (F.col("__te") + s * n_bins)
+            )
+            * F.log(
+                ((F.col("n_act") + s) / (F.col("__ta") + s * n_bins))
+                / ((F.col("n_exp") + s) / (F.col("__te") + s * n_bins))
+            ),
+            ndigits,
+        ).alias("psi_term"),
+    )
+    return out
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """RELIABILITY DIAGRAM data: scores in [0, 1] bucketed into
+    ``n_bins`` equal-width bins; per bin the mean predicted score vs the
+    observed positive rate (+ count). A calibrated model hugs the
+    diagonal; the gap is what temperature scaling fixes. One counting
+    shuffle; empty bins simply absent."""
+    if n_bins < 2:
+        raise ValueError(f"calibration_curve: n_bins must be >= 2, got {n_bins}")
+    sc = F.col(score_col)
+    bin_ = F.least(F.lit(n_bins - 1), F.floor(sc * n_bins).cast("int"))
+    return (
+        df.filter(sc.isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg(sc), ndigits).alias("mean_score"),
+            F.round(F.avg(F.col(label_col).cast("double")), ndigits).alias(
+                "pos_rate"
+            ),
+        )
+    )

@@ -785,3 +785,75 @@ def q_m12(spark, sf):
     reshuffles, the fit artifact is O(d) regardless of corpus size.
     Population stddev on both engines; zero-variance dims -> NULL."""
     return FE.standard_scale_exploded(_emb(spark, sf), "vec_id", "embedding")
+
+
+@query(
+    "m13_psi_drift",
+    oracle="""
+    WITH t AS (
+      SELECT value AS v, CAST(event_id % 2 AS INT) AS act
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (SELECT min(v) AS lo, max(v) AS hi FROM t WHERE act = 0),
+    b AS (
+      SELECT least(9, greatest(0,
+               CAST(floor((v - lo) / ((hi - lo) / 10.0)) AS INT))) AS bin, act
+      FROM t, r
+    ),
+    c AS (
+      SELECT bin,
+             sum(CASE WHEN act = 0 THEN 1 ELSE 0 END) AS n_exp,
+             sum(act) AS n_act
+      FROM b GROUP BY bin
+    ),
+    tot AS (SELECT sum(n_exp) AS te, sum(n_act) AS ta FROM c)
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(n_exp AS BIGINT) AS n_exp,
+           CAST(n_act AS BIGINT) AS n_act,
+           round(((n_act + 0.5) / (ta + 5.0) - (n_exp + 0.5) / (te + 5.0))
+                 * ln(((n_act + 0.5) / (ta + 5.0))
+                      / ((n_exp + 0.5) / (te + 5.0))), 8) AS psi_term
+    FROM c, tot
+    """,
+)
+def q_m13(spark, sf):
+    """M13 — POPULATION STABILITY INDEX drift monitor
+    (ml.metrics.psi_bins): the event-id-parity halves of the value
+    distribution compared over 10 equal-width bins fixed by the
+    EXPECTED half's range — per-bin smoothed PSI terms whose sum is the
+    drift score a serving monitor alerts on. One range agg (broadcast
+    1-row frame, no scalar collect) + one (bin, side) counting shuffle;
+    DuckDB recomputes the identical binning and smoothing arithmetic."""
+    e = read_table(spark, sf, "events").select("event_id", "value")
+    return ME.psi_bins(e, "value", F.col("event_id") % 2 == 1, n_bins=10)
+
+
+@query(
+    "e9_calibration",
+    oracle="""
+    WITH s AS (
+      SELECT ((event_id * 2654435761) % 1000) / 1000.0 AS score,
+             CASE WHEN event_id % 7 < 3 THEN 1 ELSE 0 END AS label
+      FROM events
+    )
+    SELECT least(9, CAST(floor(score * 10) AS INT)) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(score), 6) AS mean_score,
+           round(avg(CAST(label AS DOUBLE)), 6) AS pos_rate
+    FROM s GROUP BY 1
+    """,
+)
+def q_e9(spark, sf):
+    """E9 — calibration curve / reliability diagram
+    (ml.metrics.calibration_curve): deterministic hash-arithmetic
+    scores and labels stand in for model outputs so the binning, mean
+    score, and observed positive rate are hash-exact vs DuckDB; with a
+    real model the same one-shuffle operator consumes m4's
+    predict_proba column. The per-bin (mean_score, pos_rate) gap is
+    what temperature scaling corrects."""
+    e = read_table(spark, sf, "events").select("event_id")
+    scored = e.select(
+        (((F.col("event_id") * 2654435761) % 1000) / 1000.0).alias("score"),
+        (F.col("event_id") % 7 < 3).cast("int").alias("label"),
+    )
+    return ME.calibration_curve(scored, "score", "label", n_bins=10)

@@ -68,6 +68,8 @@ PRIORITY: tuple[str, ...] = (
     "x16_curation_funnel",
     "n6_contrastive_pairs",
     "mm7_scene_cuts",
+    "m13_psi_drift",
+    "e9_calibration",
     "g1_pagerank",
     "t13_clean_text_tokens",
     "t14_count_vectorize",
@@ -83,7 +85,6 @@ PRIORITY: tuple[str, ...] = (
     "p2_filter_isnull",
     "j1_join_inner",
     "j9_asof_join",
-    "w1_lead",
     "w5_last_per_group",
     "a8_pivot_count",
     "a15_rollup",
@@ -93,7 +94,6 @@ PRIORITY: tuple[str, ...] = (
     "t16_tfidf",
     "m3_rf_train_predict",
     "m7_grid_cv",
-    "m8_mutual_info",
     "e2_auc",
     "e2e_full_pipeline",
     "d2_dedup_minhash_lsh",

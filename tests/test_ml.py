@@ -243,3 +243,51 @@ def test_bpe_encode_round_trips_training_corpus(spark):
     out = bpe_encode(unseen, "id", "text", merges).collect()[0]["tokens"]
     assert "".join(out).replace("</w>", "") == "lonew"
     vocab.unpersist()
+
+
+def test_psi_bins_identical_halves_near_zero_and_shifted_large(spark):
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.ml.metrics import psi_bins
+
+    same = spark.range(2000).select(
+        (F.col("id") % 100).cast("double").alias("v"), (F.col("id") % 2).alias("g")
+    )
+    psi_same = (
+        psi_bins(same, "v", F.col("g") == 1).agg(F.sum("psi_term")).collect()[0][0]
+    )
+    assert abs(psi_same) < 0.01  # identical distributions -> ~0
+    shifted = spark.range(2000).select(
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 100).cast("double"))
+        .otherwise((F.col("id") % 100).cast("double") + 80.0)
+        .alias("v"),
+        (F.col("id") % 2).alias("g"),
+    )
+    psi_shift = (
+        psi_bins(shifted, "v", F.col("g") == 1).agg(F.sum("psi_term")).collect()[0][0]
+    )
+    assert psi_shift > 0.5  # gross shift -> well past the 0.2 alarm
+    import pytest
+
+    with pytest.raises(ValueError, match="n_bins"):
+        psi_bins(same, "v", F.col("g") == 1, n_bins=1)
+
+
+def test_calibration_curve_perfectly_calibrated_scores(spark):
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.ml.metrics import calibration_curve
+
+    # score s in {0.05,...,0.95}; label ~ Bernoulli(s) realized exactly
+    # per 100-row block -> pos_rate equals the bin's mean score
+    rows = []
+    for b in range(10):
+        s = b / 10 + 0.05
+        pos = int(round(s * 100))
+        rows += [(s, 1)] * pos + [(s, 0)] * (100 - pos)
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r["bin"]: r for r in calibration_curve(df, "score", "label").collect()}
+    assert len(out) == 10
+    for b, r in out.items():
+        assert r["n"] == 100
+        assert abs(r["mean_score"] - r["pos_rate"]) < 1e-9
