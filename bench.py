@@ -115,6 +115,9 @@ HEADLINE = [
     "s14_incremental_view",   # CDC-fed materialized-view fold
     "w15_resample_ffill",     # regular-grid resample + gap fill
     "x16_curation_funnel",    # one-scan lang/quality/dedup/quota funnel
+    "n6_contrastive_pairs",   # shuffle-free pair construction
+    "m13_psi_drift",          # binned drift monitor, one shuffle
+    "e9_calibration",         # reliability diagram, one shuffle
 ]
 
 

@@ -654,6 +654,24 @@ class SnapshotTable:
         )
         return self._commit("zorder", self._stage(clustered), removes)
 
+    def restore(self, version: int) -> int:
+        """RESTORE the table to a historical ``version`` as a NEW commit
+        (the audit trail keeps both timelines — nothing is rewritten,
+        the old version's file set simply becomes live again). Fails
+        like any removing op if a concurrent writer commits first, and
+        raises VacuumedVersionError if vacuum() already dropped the
+        target's files."""
+        self._refresh()
+        target = self._state_at(version)
+        for p in target:
+            if not os.path.exists(os.path.join(self.root, p)):
+                raise VacuumedVersionError(
+                    f"restore: file {p} of version {version} was vacuumed"
+                )
+        removes = [p for p in self._live if p not in target]
+        adds = [a for p, a in target.items() if p not in self._live]
+        return self._commit("restore", adds, removes)
+
     def vacuum(
         self, retain_versions: int = 2, min_age_seconds: float = 3600.0
     ) -> int:

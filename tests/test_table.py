@@ -435,3 +435,19 @@ def test_txn_merge_idempotent(spark, troot):
     assert t.merge(upd, txn=("mv", 0)) == v
     assert t.version == v
     assert t.read().count() == 10
+
+
+def test_restore_rolls_back_as_new_commit(spark, troot):
+    t = SnapshotTable.create(spark, troot, SCHEMA)
+    t.append(_rows(spark, 0, 10))          # v1
+    t.overwrite(_rows(spark, 100, 103))    # v2
+    t.append(_rows(spark, 200, 205))       # v3
+    v = t.restore(1)
+    assert v == 4
+    assert {r["k"] for r in t.read().collect()} == set(range(10))
+    # both timelines remain addressable
+    assert t.read(version=3).count() == 8
+    assert [h["op"] for h in t.history()][-1] == "restore"
+    # restoring v0 (empty) empties the table
+    t.restore(0)
+    assert t.read().count() == 0
