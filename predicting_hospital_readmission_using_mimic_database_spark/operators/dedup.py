@@ -300,33 +300,38 @@ def simhash_col(tokens: Column, bits: int = _SIMHASH_BITS) -> Column:
     )
 
 
-def simhash_dup_pairs(
-    df: DataFrame,
+def hash_banded_pairs(
+    sig: DataFrame,
     id_col: str,
-    tokens_col: str,
+    sig_col: str,
     max_hamming: int = 3,
     n_bands: int = 4,
+    bits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash banding: split the 64-bit signature into
-    ``n_bands`` chunks; any pair within ``max_hamming <= n_bands - 1`` must
-    agree on at least one chunk (pigeonhole), so candidates come from
-    ``n_bands`` equi-joins on 16-bit keys — no pairwise scan. Exact Hamming
-    distance then filters candidates.
-    """
-    width = _SIMHASH_BITS // n_bands
-    # both sides of the band self-join (and any repeated action) would
-    # recompute the signatures from raw text; the (id, sig) frame is one
-    # long per row -- cache it
-    sig = df.select(F.col(id_col), simhash_col(F.col(tokens_col)).alias("__sig")).cache()
+    """Generic banded HAMMING pair join over any ``bits``-wide integer
+    signature column (SimHash, image aHash/pHash, audio fingerprints):
+    split the signature into ``n_bands`` chunks; any pair within
+    ``max_hamming <= n_bands - 1`` must agree on at least one chunk
+    (pigeonhole), so candidates come from ``n_bands`` equi-joins on
+    chunk keys — no pairwise scan. Exact bit_count Hamming then filters
+    candidates. Returns (a_id, b_id, hamming)."""
+    if bits % n_bands != 0:
+        raise ValueError(f"hash_banded_pairs: {bits} bits not divisible by {n_bands} bands")
+    if not 0 <= max_hamming <= n_bands - 1:
+        raise ValueError(
+            f"hash_banded_pairs: pigeonhole needs max_hamming <= n_bands - 1, "
+            f"got {max_hamming} with {n_bands} bands"
+        )
+    width = bits // n_bands
     bands = sig.select(
-        id_col,
-        "__sig",
+        F.col(id_col),
+        F.col(sig_col).alias("__sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("__sig"), b * width)
+                        F.shiftrightunsigned(F.col(sig_col), b * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("key"),
                     )
@@ -351,6 +356,24 @@ def simhash_dup_pairs(
     return cand.select(
         "a_id", "b_id", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding (see :func:`hash_banded_pairs` —
+    the shared pigeonhole band join; this wrapper builds the 64-bit text
+    signature and caches the one-long-per-row frame so the band
+    self-join doesn't recompute signatures from raw text)."""
+    sig = df.select(F.col(id_col), simhash_col(F.col(tokens_col)).alias("__sig")).cache()
+    return hash_banded_pairs(
+        sig, id_col, "__sig", max_hamming=max_hamming, n_bands=n_bands,
+        bits=_SIMHASH_BITS,
+    )
 
 
 # ---------------------------------------------------------------------------

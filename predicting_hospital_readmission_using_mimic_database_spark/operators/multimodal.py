@@ -983,3 +983,55 @@ def scene_cuts(df: DataFrame, threshold: float = 0.3) -> DataFrame:
             )
 
     return df.select("asset_id", "content").mapInPandas(gen, schema)
+
+
+def ahash_image(content: bytes, grid: int = 8) -> int | None:
+    """PERCEPTUAL average-hash (aHash) of a BMP/PPM image: luma plane
+    box-pooled to ``grid x grid`` cells, one bit per cell (above the
+    pooled mean), packed MSB-first into a SIGNED 64-bit int (Spark long).
+    Robust to small pixel noise/re-encodes; the image analogue of
+    SimHash for near-dup detection. None when undecodable."""
+    import numpy as np
+
+    parsed = _parse_bmp(content) or _parse_ppm(content)
+    if parsed is None:
+        return None
+    w, h, px = parsed
+    if w < grid or h < grid:
+        return None
+    a = np.asarray(px, dtype=np.float64).reshape(h, w, 3)
+    luma = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    ys = (np.arange(grid) * h) // grid
+    xs = (np.arange(grid) * w) // grid
+    cells = np.add.reduceat(np.add.reduceat(luma, ys, axis=0), xs, axis=1)
+    bits = (cells > cells.mean()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v  # two's-complement long
+
+
+def ahash_images(df: DataFrame, grid: int = 8) -> DataFrame:
+    """(asset_id, ahash) via mapInPandas — map-only; undecodable blobs
+    yield NULL. Feed :func:`~.dedup.hash_banded_pairs` for corpus-scale
+    image near-dup pairs (the shared pigeonhole band join)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("asset_id", LongType()), StructField("ahash", LongType())]
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = [
+                (
+                    aid,
+                    ahash_image(bytes(content), grid) if content is not None else None,
+                )
+                for aid, content in zip(pdf["asset_id"], pdf["content"])
+            ]
+            yield pd.DataFrame(out, columns=["asset_id", "ahash"])
+
+    return df.select("asset_id", "content").mapInPandas(gen, schema)

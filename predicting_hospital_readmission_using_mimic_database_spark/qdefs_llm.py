@@ -1623,3 +1623,58 @@ def q_mm7(spark, sf):
         cut_rows.append((i, bytearray(MM.encode_avi(4, 4, frames, fps=4))))
     blobs = spark.createDataFrame(cut_rows, "asset_id long, content binary")
     return MM.scene_cuts(blobs, threshold=0.3)
+
+
+@query(
+    "d11_image_dedup",
+    oracle="""
+    SELECT i AS a_id, i + 1000 AS b_id, CAST(0 AS BIGINT) AS hamming
+    FROM range(8) t(i)
+    """,
+)
+def q_d11(spark, sf):
+    """D11 — IMAGE near-dup detection: perceptual aHash (MM.ahash_images
+    — luma box-pool, one bit per cell) + the generic pigeonhole band
+    join (DD.hash_banded_pairs, 8x8-bit bands, Hamming <= 7). The
+    manifest is 40 md5-block-pattern bases (pairwise Hamming >= 20 —
+    asserted at build, so no natural pair can reach the threshold) plus
+    8 pixel-perturbed copies whose pooled cells survive the noise —
+    the ONLY pairs the join may emit are the planted (i, i+1000) at
+    Hamming 0, which DuckDB states in closed form. Map-only hashing,
+    band-keyed candidate shuffle — never |corpus|² on images."""
+    import hashlib
+
+    def base_px(i, w=16, h=16):
+        px = []
+        for y in range(h):
+            for x in range(w):
+                bit = hashlib.md5(f"{i}_{x // 2}_{y // 2}".encode()).digest()[0] & 1
+                v = 255 if bit else 0
+                px.append((v, v, v))
+        return px
+
+    rows = []
+    hashes = {}
+    for i in range(40):
+        px = base_px(i)
+        content = MM.encode_bmp(16, 16, px)
+        hashes[i] = MM.ahash_image(content)
+        rows.append((i, bytearray(content)))
+        if i < 8:  # noisy copy: 3 pixels to mid-gray, pooled bits unchanged
+            noisy = list(px)
+            for k in (5, 100, 200):
+                noisy[k] = (128, 128, 128)
+            rows.append((1000 + i, bytearray(MM.encode_bmp(16, 16, noisy))))
+    # build-time invariant: the pattern family must keep natural pairs
+    # far outside the Hamming threshold (deterministic, but asserted so
+    # a pattern edit can't silently break the closed-form oracle)
+    for i in range(40):
+        for j in range(i + 1, 40):
+            d = bin((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).count("1")
+            if d <= 7:
+                raise AssertionError(f"d11 base patterns {i},{j} collide (hamming {d})")
+    blobs = spark.createDataFrame(rows, "asset_id long, content binary")
+    sig = MM.ahash_images(blobs)
+    return DD.hash_banded_pairs(
+        sig, "asset_id", "ahash", max_hamming=7, n_bands=8
+    )

@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "mm6_channel_norm_fit",
     "d9_dup_clusters_star",
     "d10_semdedup",
+    "d11_image_dedup",
     "x16_curation_funnel",
     "n6_contrastive_pairs",
     "mm7_scene_cuts",
@@ -100,7 +101,6 @@ PRIORITY: tuple[str, ...] = (
     "d7_decontaminate",
     "n2_knn_lsh",
     "n4_knn_ivf_indexed",
-    "x2_language_id",
     "x6_lm_quality",
     "mm2_frame_sample",
     "st6_stream_session_windows",

@@ -1115,3 +1115,42 @@ def test_scene_cuts_planted_smooth_and_poison(spark):
     assert (rows[0]["n_cuts"], rows[0]["first_cut"]) == (1, 3)
     assert (rows[1]["n_cuts"], rows[1]["first_cut"]) == (0, None)
     assert rows[2]["n_frames"] is None
+
+
+def test_ahash_invariance_and_banded_pairs(spark):
+    """aHash ignores small pixel noise but separates different patterns;
+    hash_banded_pairs guards the pigeonhole precondition."""
+    import hashlib
+
+    import pytest
+
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import dedup as DD
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import multimodal as MM
+
+    def pat(i):
+        return [
+            (255, 255, 255)
+            if hashlib.md5(f"{i}_{x // 2}_{y // 2}".encode()).digest()[0] & 1
+            else (0, 0, 0)
+            for y in range(16)
+            for x in range(16)
+        ]
+
+    a = MM.encode_bmp(16, 16, pat(1))
+    noisy = list(pat(1))
+    noisy[7] = (120, 120, 120)
+    b = MM.encode_bmp(16, 16, noisy)
+    c = MM.encode_bmp(16, 16, pat(2))
+    ha, hb, hc = (MM.ahash_image(x) for x in (a, b, c))
+    assert ha == hb  # noise-invariant
+    assert bin((ha ^ hc) & ((1 << 64) - 1)).count("1") > 7  # separable
+    assert MM.ahash_image(b"junk") is None
+    sig = spark.createDataFrame(
+        [(0, ha), (1, hb), (2, hc)], "asset_id long, ahash long"
+    )
+    pairs = DD.hash_banded_pairs(sig, "asset_id", "ahash", max_hamming=7, n_bands=8)
+    assert [(r["a_id"], r["b_id"], r["hamming"]) for r in pairs.collect()] == [(0, 1, 0)]
+    with pytest.raises(ValueError, match="pigeonhole"):
+        DD.hash_banded_pairs(sig, "asset_id", "ahash", max_hamming=8, n_bands=8)
+    with pytest.raises(ValueError, match="divisible"):
+        DD.hash_banded_pairs(sig, "asset_id", "ahash", max_hamming=2, n_bands=7)
