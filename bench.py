@@ -118,6 +118,7 @@ HEADLINE = [
     "n6_contrastive_pairs",   # shuffle-free pair construction
     "m13_psi_drift",          # binned drift monitor, one shuffle
     "e9_calibration",         # reliability diagram, one shuffle
+    "d11_image_dedup",        # perceptual-hash banded image dedup
 ]
 
 
