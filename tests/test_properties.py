@@ -349,3 +349,12 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops, salt):
     for v, state in enumerate(history):
         got = {(r["k"], r["v"]) for r in t.read(version=v).collect()}
         assert got == set(state.items()), f"version {v}"
+    # CDC closure: the empty v0 plus the whole change feed reconstructs
+    # the final state exactly (multiset: inserts minus deletes)
+    from collections import Counter
+
+    feed = Counter()
+    for r in t.read_changes(0).collect():
+        feed[(r["k"], r["v"])] += 1 if r["_change_type"] == "insert" else -1
+    assert {kv for kv, c in feed.items() if c > 0} == set(model.items())
+    assert all(c in (0, 1) for c in feed.values())
