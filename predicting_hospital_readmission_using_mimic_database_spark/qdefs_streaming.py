@@ -543,3 +543,115 @@ def q_st9(spark, sf):
         return spark.createDataFrame(rows, got.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st10_stream_psi",
+    oracle="""
+    WITH r AS (SELECT min(value) AS lo, max(value) AS hi FROM events
+               WHERE value IS NOT NULL),
+    ref AS (
+      SELECT least(9, greatest(0,
+               CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS INT))) AS bin,
+             count(*) AS n_exp
+      FROM events, r WHERE value IS NOT NULL GROUP BY 1
+    ),
+    act AS (
+      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS win_sec,
+             least(9, greatest(0,
+               CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS INT))) AS bin,
+             count(*) AS n_act
+      FROM events, r WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT w.win_sec, b.b AS bin
+      FROM (SELECT DISTINCT win_sec FROM act) w, range(10) b(b)
+    ),
+    j AS (
+      SELECT g.win_sec, g.bin,
+             coalesce(ref.n_exp, 0) AS n_exp, coalesce(act.n_act, 0) AS n_act
+      FROM grid g
+      LEFT JOIN ref ON ref.bin = g.bin
+      LEFT JOIN act ON act.win_sec = g.win_sec AND act.bin = g.bin
+    ),
+    tot AS (SELECT sum(n_exp) AS te FROM ref),
+    wt AS (SELECT win_sec, sum(n_act) AS ta FROM j GROUP BY 1)
+    SELECT j.win_sec,
+           round(sum(((j.n_act + 0.5) / (wt.ta + 5.0)
+                      - (j.n_exp + 0.5) / (tot.te + 5.0))
+                     * ln(((j.n_act + 0.5) / (wt.ta + 5.0))
+                          / ((j.n_exp + 0.5) / (tot.te + 5.0)))), 8) AS psi
+    FROM j, tot, wt WHERE wt.win_sec = j.win_sec
+    GROUP BY j.win_sec
+    """,
+)
+def q_st10(spark, sf):
+    """ST10 — STREAMING drift monitor: the stream counts per-(1-day
+    event-time window, value-bin) occurrences incrementally (watermarked
+    state), and a bounded batch fold turns each window's bin histogram
+    into its PSI against the WHOLE-table reference distribution — the
+    serving-time alarm wired from streaming counts + the m13 arithmetic.
+    Every per-window PSI must hash-match DuckDB's batch recompute: a
+    drop, duplicate, or mis-binned row anywhere in the stream moves some
+    window's 8-decimal PSI."""
+    tmp = tempfile.mkdtemp(prefix="st10_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    qname = "st10_out"
+    try:
+        from .sources.io import read_table
+
+        e = read_table(spark, sf, "events").filter(F.col("value").isNotNull())
+        lo, hi = e.agg(F.min("value"), F.max("value")).collect()[0]
+        ref = (
+            e.select(
+                F.least(
+                    F.lit(9),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor((F.col("value") - F.lit(lo)) / F.lit((hi - lo) / 10.0)).cast("int"),
+                    ),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias("n_exp"))
+        )
+        q = (
+            ING.windowed_bin_counts(
+                ING.stream_events(spark, src), lo=lo, hi=hi, n_bins=10,
+                window="1 day", watermark="1 day",
+            )
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            _stage_event_chunks(spark, sf, src, n_chunks=3)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        act = spark.sql(f"SELECT win_sec, bin, n_act FROM {qname}")
+        act = spark.createDataFrame(act.collect(), act.schema)
+        # bounded fold: (windows x 10) rows — full bin grid so absent
+        # bins contribute their smoothed zero terms exactly like m13
+        grid = act.select("win_sec").distinct().crossJoin(
+            spark.range(10).select(F.col("id").cast("int").alias("bin"))
+        )
+        j = (
+            grid.join(act, ["win_sec", "bin"], "left")
+            .join(F.broadcast(ref), "bin", "left")
+            .fillna(0, subset=["n_act", "n_exp"])
+        )
+        te = float(ref.agg(F.sum("n_exp")).collect()[0][0])
+        wt = j.groupBy("win_sec").agg(F.sum("n_act").alias("__ta"))
+        s = F.lit(0.5)
+        p_act = (F.col("n_act") + s) / (F.col("__ta") + 5.0)
+        p_exp = (F.col("n_exp") + s) / F.lit(te + 5.0)
+        return (
+            j.join(wt, "win_sec")
+            .groupBy("win_sec")
+            .agg(F.round(F.sum((p_act - p_exp) * F.log(p_act / p_exp)), 8).alias("psi"))
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -60,6 +60,7 @@ PRIORITY: tuple[str, ...] = (
     "s13_table_changes",
     "s14_incremental_view",
     "st9_stream_snapshot_sink",
+    "st10_stream_psi",
     "w15_resample_ffill",
     "mm5_audio_spectrogram",
     "mm6_channel_norm_fit",
@@ -101,7 +102,6 @@ PRIORITY: tuple[str, ...] = (
     "d7_decontaminate",
     "n2_knn_lsh",
     "n4_knn_ivf_indexed",
-    "x6_lm_quality",
     "mm2_frame_sample",
     "st6_stream_session_windows",
 )

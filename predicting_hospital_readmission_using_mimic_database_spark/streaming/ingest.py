@@ -500,3 +500,38 @@ def snapshot_append_sink(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def windowed_bin_counts(
+    events: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    window: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming half of a WINDOWED DRIFT MONITOR: per event-time window,
+    per fixed-bin counts of ``value`` (equal-width bins over the
+    reference range [lo, hi], out-of-range clamped to the edge bins —
+    where serving drift shows up). Watermarked incremental counting; the
+    tiny PSI fold over (windows x bins) rows is a batch step
+    (:func:`~..ml.metrics.psi_bins` arithmetic) — the stream does the
+    unbounded work, the fold is bounded."""
+    if hi <= lo:
+        raise ValueError(f"windowed_bin_counts: need lo < hi, got [{lo}, {hi}]")
+    width = (hi - lo) / n_bins
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    return (
+        events.filter(F.col("value").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), bin_.alias("bin"))
+        .agg(F.count("*").cast("long").alias("n_act"))
+        .select(
+            F.unix_timestamp("win.start").cast("long").alias("win_sec"),
+            "bin",
+            "n_act",
+        )
+    )
