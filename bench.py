@@ -119,6 +119,7 @@ HEADLINE = [
     "m13_psi_drift",          # binned drift monitor, one shuffle
     "e9_calibration",         # reliability diagram, one shuffle
     "d11_image_dedup",        # perceptual-hash banded image dedup
+    "j15_bucketed_join",      # zero-exchange co-located SMB join
 ]
 
 

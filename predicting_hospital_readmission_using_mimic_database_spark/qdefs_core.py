@@ -2170,3 +2170,57 @@ def q_w15(spark, sf):
     return resample_ffill(
         e, "ts", "value", keys=["event_type"], step_sec=3600
     )
+
+
+@query(
+    "j15_bucketed_join",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l.l_extendedprice), 4) AS total,
+           TRUE AS join_shuffle_free
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_j15(spark, sf):
+    """J15 — ZERO-EXCHANGE co-located join via BUCKETED tables
+    (sources.io.write_bucketed): both facts land bucketed+sorted on the
+    join key with equal bucket counts, so the sort-merge join reads
+    matching buckets directly — the plan's JOIN SUBTREE contains no
+    Exchange at all (asserted into the hash via ``join_shuffle_free``;
+    the merge hint pins SMJ so a broadcast can't mask the property).
+    This is THE repeatedly-joined-fact-table strategy at 100 TB: the
+    shuffle is paid once at layout time, then every subsequent join of
+    these tables is scan+sort-free-merge. The aggregate surface
+    hash-matches the plain-join oracle, proving the bucketed path loses
+    and duplicates nothing."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.io import write_bucketed
+
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    l = read_table(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    tag = f"{os.getpid()}_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    troot = os.path.join(tempfile.gettempdir(), f"j15_{tag}")
+    to, tl = f"j15_orders_{tag}", f"j15_lineitem_{tag}"
+    if troot not in _SNAP_DIRS:
+        _SNAP_DIRS.add(troot)
+        atexit.register(shutil.rmtree, troot, ignore_errors=True)
+    write_bucketed(o, to, ["o_orderkey"], n_buckets=8,
+                   sort_cols=["o_orderkey"], path=os.path.join(troot, "o"))
+    write_bucketed(l, tl, ["l_orderkey"], n_buckets=8,
+                   sort_cols=["l_orderkey"], path=os.path.join(troot, "l"))
+    bo, bl = spark.table(to), spark.table(tl)
+    joined = bo.hint("merge").join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    shuffle_free = "Exchange" not in plan
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("l_extendedprice"), 4).alias("total"),
+        F.lit(bool(shuffle_free)).alias("join_shuffle_free"),
+    )

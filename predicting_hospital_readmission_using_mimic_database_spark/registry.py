@@ -62,6 +62,7 @@ PRIORITY: tuple[str, ...] = (
     "st9_stream_snapshot_sink",
     "st10_stream_psi",
     "w15_resample_ffill",
+    "j15_bucketed_join",
     "mm5_audio_spectrogram",
     "mm6_channel_norm_fit",
     "d9_dup_clusters_star",
@@ -85,7 +86,6 @@ PRIORITY: tuple[str, ...] = (
     "s1_scan_events",
     "s6_merge_upsert",
     "p2_filter_isnull",
-    "j1_join_inner",
     "j9_asof_join",
     "w5_last_per_group",
     "a8_pivot_count",
