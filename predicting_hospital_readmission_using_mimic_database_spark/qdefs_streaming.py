@@ -655,3 +655,66 @@ def q_st10(spark, sf):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st11_stream_merge_mv",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_st11(spark, sf):
+    """ST11 — exactly-once streaming MATERIALIZED VIEW via ACID MERGE
+    (streaming.ingest.snapshot_merge_sink): update-mode cumulative
+    counts merge into a BUCKETED SnapshotTable with the batch id as the
+    commit txn, then the stream is RE-RUN from a fresh checkpoint — the
+    worst-case replay — and the txn high-water mark must make every
+    re-delivered merge a no-op commit-protocol-side. The final table
+    must equal the batch GROUP BY, and the replay must add ZERO commits
+    (asserted into the history before the result is returned). This is
+    st8's materialized view upgraded from atomic-dir-swap idempotence to
+    versioned ACID commits a concurrent reader can time-travel."""
+    from .sources.table import SnapshotTable
+
+    tmp = tempfile.mkdtemp(prefix="st11_")
+    src = os.path.join(tmp, "src")
+    tbl = os.path.join(tmp, "tbl")
+    os.makedirs(src)
+    try:
+        SnapshotTable.create(
+            spark, tbl, "event_type string, n long",
+            bucket_key=["event_type"], num_buckets=4,
+        )
+
+        def run(ck):
+            counts = (
+                ING.stream_events(spark, src)
+                .filter(F.col("event_type").isNotNull())
+                .groupBy("event_type")
+                .agg(F.count("*").cast("long").alias("n"))
+            )
+            q = ING.snapshot_merge_sink(
+                counts, tbl, os.path.join(tmp, ck), app_id="st11"
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        _stage_event_chunks(spark, sf, src, n_chunks=3)
+        run("ck1")
+        t = SnapshotTable(spark, tbl)
+        v_before = t.version
+        run("ck2")  # full replay: every merge must dedupe inside the log
+        t2 = SnapshotTable(spark, tbl)
+        if t2.version != v_before:
+            raise AssertionError(
+                f"st11 replay committed {t2.version - v_before} new versions"
+            )
+        got = t2.read()
+        rows = got.collect()
+        return spark.createDataFrame(rows, got.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -61,6 +61,7 @@ PRIORITY: tuple[str, ...] = (
     "s14_incremental_view",
     "st9_stream_snapshot_sink",
     "st10_stream_psi",
+    "st11_stream_merge_mv",
     "w15_resample_ffill",
     "j15_bucketed_join",
     "mm5_audio_spectrogram",
@@ -93,7 +94,6 @@ PRIORITY: tuple[str, ...] = (
     "c10_json_extract",
     "u6_smote",
     "t12_drop_stopwords",
-    "t16_tfidf",
     "m3_rf_train_predict",
     "m7_grid_cv",
     "e2_auc",

@@ -535,3 +535,35 @@ def windowed_bin_counts(
             "n_act",
         )
     )
+
+
+def snapshot_merge_sink(
+    counts: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    app_id: str = "mv",
+    update_cols=None,
+):
+    """EXACTLY-ONCE streaming MATERIALIZED VIEW into a SnapshotTable:
+    update-mode aggregate rows MERGE into the bucketed table via
+    ``foreachBatch``, with the micro-batch id as the table txn — so a
+    replayed batch is skipped inside the commit protocol rather than
+    re-applied. Unlike :func:`upsert_counts_sink` (idempotent only
+    because its values are cumulative), the txn makes ANY merge payload
+    replay-safe, and every refresh is an atomic versioned commit a
+    concurrent reader can time-travel. The table must exist, bucketed
+    on the aggregate key."""
+    from ..sources.table import SnapshotTable
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t = SnapshotTable(batch_df.sparkSession, table_root)
+        t.merge(batch_df, update_cols=update_cols, txn=(app_id, int(batch_id)))
+
+    return (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
