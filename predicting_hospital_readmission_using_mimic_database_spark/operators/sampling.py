@@ -736,3 +736,50 @@ def weighted_priority_sample(
         )
         .drop("__pri")
     )
+
+
+def cluster_balanced_sample(
+    emb,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    per_cluster: int,
+    seed: int = 42,
+    salt: str = "cb",
+):
+    """DIVERSITY (cluster-balanced) sampling over an embedding column:
+    cap every semantic region at ``per_cluster`` examples instead of
+    letting dense regions dominate a uniform draw — the curation step
+    between SemDeDup (drop near-identical) and uniform sampling (ignores
+    density).
+
+    Substrate shared with semdedup/IVF: sample-fit centroids
+    (similarity._fit_centroids), distributed cell assignment, then the
+    engine's deterministic salted-md5-rank quota per CELL (the u9
+    machinery keyed on the cell id) — reproducible on any partitioning,
+    no counting pass. Returns (id_col, cell, kept). Work is one assign
+    pass + one cell-keyed window; nothing is quadratic.
+    """
+    from pyspark.sql import Window as W
+
+    from .similarity import _fit_centroids, assign_cells, l2_normalize
+
+    if per_cluster < 0:
+        raise ValueError(f"cluster_balanced_sample: per_cluster >= 0, got {per_cluster}")
+    norm = emb.select(
+        F.col(id_col), l2_normalize(F.col(vec_col)).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    # fit on an ID-ORDERED frame: _fit_centroids collects its (bounded)
+    # sample in iteration order, and an unordered collect varies with the
+    # input partitioning — ordering pins the centroids, making the kept
+    # set layout-independent (up to the fit-sample cap on huge corpora)
+    cents = _fit_centroids(norm.orderBy(id_col), "__v", n_clusters, seed)
+    assigned = assign_cells(norm, "__v", [list(map(float, c)) for c in cents], out="cell")
+    rank = F.row_number().over(
+        W.partitionBy("cell").orderBy(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), F.col(id_col)
+        )
+    )
+    return assigned.select(
+        id_col, "cell", (rank <= per_cluster).alias("kept")
+    )

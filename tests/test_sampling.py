@@ -370,3 +370,47 @@ def test_weighted_priority_sample_zero_weight_never_drawn(spark):
 
     out = [r["id"] for r in weighted_priority_sample(df, "id", "w", n=10).collect()]
     assert out == [3]
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    """Every cell keeps exactly min(per_cluster, |cell|); the kept set is
+    partitioning-independent (salted md5 rank) and identical vectors
+    co-cluster so a dense planted clump can't exceed its quota."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 8))
+    rows = [(i, [float(v) for v in base[i]]) for i in range(30)]
+    # dense clump: 20 copies of vector 0 — one semantic region
+    rows += [(100 + j, [float(v) for v in base[0]]) for j in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cluster_balanced_sample(
+        emb, "vec_id", "embedding", n_clusters=5, per_cluster=4
+    ).cache()
+    per_cell = (
+        out.groupBy("cell")
+        .agg(
+            F.count("*").alias("size"),
+            F.sum(F.col("kept").cast("int")).alias("kept"),
+        )
+        .collect()
+    )
+    for r in per_cell:
+        assert r["kept"] == min(4, r["size"])
+    # the clump (21 identical vectors incl. the original) shares a cell
+    clump = out.filter(F.col("vec_id").isin([0] + [100 + j for j in range(20)]))
+    assert clump.select("cell").distinct().count() == 1
+    assert clump.filter("kept").count() <= 4
+    # repartitioning must not change the kept set
+    kept1 = {r["vec_id"] for r in out.filter("kept").collect()}
+    out2 = cluster_balanced_sample(
+        emb.repartition(7), "vec_id", "embedding", n_clusters=5, per_cluster=4
+    )
+    kept2 = {r["vec_id"] for r in out2.filter("kept").collect()}
+    assert kept1 == kept2
+    out.unpersist()
