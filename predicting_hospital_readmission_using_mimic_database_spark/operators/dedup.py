@@ -804,6 +804,7 @@ def semdedup(
     threshold: float = 0.95,
     seed: int = 42,
     max_cluster_rows: int = 100_000,
+    block_rows: int = 2048,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then prune NEAR-SEMANTIC duplicates within each
@@ -812,11 +813,19 @@ def semdedup(
     Spark shape: centroids are fit on a bounded sample
     (similarity._fit_centroids — driver numpy, two jobs), the full corpus
     is assigned distributedly (one ``mapInPandas`` matmul pass), and the
-    within-cluster pruning runs per-cluster via ``applyInPandas`` — one
-    numpy gram matrix per cluster, never a corpus-wide pair join. Total
-    pair work is sum(|cluster|^2), controlled by ``n_clusters`` (the
-    paper's lever); a cluster larger than ``max_cluster_rows`` raises
-    with that advice rather than silently going quadratic.
+    within-cluster pruning runs per-cluster via ``applyInPandas``. The
+    greedy prune is BLOCKED: priority-ordered rows are consumed in
+    ``block_rows`` chunks, and each chunk computes cosines only against
+    the running kept set (``X_blk @ X_kept.T``) plus its own
+    block-internal gram — the full |cluster|² gram matrix is NEVER
+    materialized. Peak extra memory per task is
+    ``O(block_rows · |kept| · 8B)`` (2048 × 100k float64 ≈ 1.6 GB at the
+    ``max_cluster_rows`` ceiling) on top of the O(n·d) row matrix —
+    compare 100k² × 8B = 80 GB for the dense gram, which would OOM any
+    executor long before a guard could help. Total pair WORK is still
+    sum(|cluster|²), controlled by ``n_clusters`` (the paper's lever); a
+    cluster larger than ``max_cluster_rows`` raises with that advice
+    rather than silently going quadratic in time.
 
     Keep policy (deterministic): within a cluster, rows are ranked by
     (cosine-to-centroid ASC, id ASC) — the paper's "keep the example
@@ -844,7 +853,16 @@ def semdedup(
     assigned = assign_cells(norm, "__v", C, out="cell")
     sc = assigned.sparkSession.sparkContext
     bc = sc.broadcast(np.asarray(C, dtype=np.float64))
-    out_schema = f"{id_col} long, cell int, kept boolean"
+    # derive the id dtype from the input — string/int/long ids all work
+    from pyspark.sql.types import BooleanType, IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, emb.schema[id_col].dataType, True),
+            StructField("cell", IntegerType(), False),
+            StructField("kept", BooleanType(), False),
+        ]
+    )
 
     def prune(key, pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) > max_cluster_rows:
@@ -863,13 +881,25 @@ def semdedup(
         cos_c = np.round(X @ cent, 9)
         ids = pdf[id_col].to_numpy()
         order = np.lexsort((ids, cos_c))  # cos asc (quantized), id asc
-        S = X @ X.T
-        kept_idx: list[int] = []
         kept = np.zeros(len(pdf), dtype=bool)
-        for i in order:
-            if not kept_idx or (S[i, kept_idx] < threshold).all():
+        kept_idx: list[int] = []
+        # blocked greedy: cosines vs the kept set + block-internal gram
+        # only — memory O(block · (|kept| + block)), never |cluster|²
+        for s in range(0, len(order), block_rows):
+            blk = order[s : s + block_rows]
+            Xb = X[blk]
+            Sk = Xb @ X[kept_idx].T if kept_idx else None
+            Sb = Xb @ Xb.T
+            blk_kept: list[int] = []  # block-local positions kept this block
+            for j, i in enumerate(blk):
+                if Sk is not None and not (Sk[j] < threshold).all():
+                    continue
+                if blk_kept and not (Sb[j, blk_kept] < threshold).all():
+                    continue
                 kept[i] = True
                 kept_idx.append(i)
+                blk_kept.append(j)
+            del Sk, Sb
         return pd.DataFrame(
             {id_col: ids, "cell": np.int32(key[0]), "kept": kept}
         )

@@ -738,6 +738,41 @@ def weighted_priority_sample(
     )
 
 
+def _bounded_fit_frame(norm: DataFrame, id_col: str, cap: int, salt: str) -> DataFrame:
+    """Layout-independent bounded fit-sample WITHOUT a full-corpus sort.
+
+    A deterministic md5-threshold prefilter (the :func:`_hash_prefilter`
+    pattern — a pure row-wise predicate, so identical on any
+    partitioning) admits ~4x``cap`` expected rows map-only; the exact
+    ``cap`` smallest (hash, id) rows are then taken from that BOUNDED
+    subset via ``orderBy().limit()``, which Spark plans as
+    TakeOrderedAndProject — per-partition top-n, merge of ``cap`` rows.
+    No global Sort/Exchange(rangepartitioning) ever covers the full
+    input frame (the round-6 version paid a full range sort of the
+    entire embedding table just to pin a <=100k sample). Corpora already
+    within ``cap`` are id-sorted directly (bounded by definition)."""
+    import math
+
+    n = norm.count()
+    if n <= cap:
+        return norm.orderBy(id_col)
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    thresh = min(1 << 32, int(math.ceil(4.0 * cap / n * (1 << 32))))
+    return (
+        norm.withColumn("__h32", h32)
+        .filter(F.col("__h32") < F.lit(thresh))
+        .orderBy("__h32", id_col)
+        .limit(cap)
+        .drop("__h32")
+    )
+
+
 def cluster_balanced_sample(
     emb,
     id_col: str,
@@ -746,6 +781,7 @@ def cluster_balanced_sample(
     per_cluster: int,
     seed: int = 42,
     salt: str = "cb",
+    centroids=None,
 ):
     """DIVERSITY (cluster-balanced) sampling over an embedding column:
     cap every semantic region at ``per_cluster`` examples instead of
@@ -759,21 +795,48 @@ def cluster_balanced_sample(
     machinery keyed on the cell id) — reproducible on any partitioning,
     no counting pass. Returns (id_col, cell, kept). Work is one assign
     pass + one cell-keyed window; nothing is quadratic.
+
+    Pass ``centroids`` (list of vectors) to skip the k-means fit and
+    balance against an EXISTING codebook — a pre-fit quantizer, the IVF
+    index's cells, or hand-chosen anchors; assignment is then a pure
+    deterministic function of the row (argmin distance), which also
+    makes the whole kept-set decision recomputable by an external
+    oracle.
+
+    Scale note: the default fit path selects its bounded centroid-fit
+    sample with a deterministic md5-threshold prefilter
+    (:func:`_bounded_fit_frame`) — layout-independent by construction,
+    map-only plus a top-``cap`` merge; the FULL corpus is never
+    globally sorted.
     """
     from pyspark.sql import Window as W
 
-    from .similarity import _fit_centroids, assign_cells, l2_normalize
+    from .similarity import (
+        _KMEANS_FIT_SAMPLE,
+        _fit_centroids,
+        assign_cells,
+        l2_normalize,
+    )
 
     if per_cluster < 0:
         raise ValueError(f"cluster_balanced_sample: per_cluster >= 0, got {per_cluster}")
     norm = emb.select(
         F.col(id_col), l2_normalize(F.col(vec_col)).alias("__v")
     ).filter(F.col("__v").isNotNull())
-    # fit on an ID-ORDERED frame: _fit_centroids collects its (bounded)
-    # sample in iteration order, and an unordered collect varies with the
-    # input partitioning — ordering pins the centroids, making the kept
-    # set layout-independent (up to the fit-sample cap on huge corpora)
-    cents = _fit_centroids(norm.orderBy(id_col), "__v", n_clusters, seed)
+    if centroids is not None:
+        cents = centroids
+    else:
+        # fit on a BOUNDED, deterministically-selected, id/hash-ordered
+        # frame: _fit_centroids collects its sample in iteration order,
+        # and an unordered collect varies with the input partitioning —
+        # the md5-prefiltered + TakeOrdered frame pins the centroids
+        # (layout-independent) without ever range-sorting the corpus
+        cents = _fit_centroids(
+            _bounded_fit_frame(norm, id_col, _KMEANS_FIT_SAMPLE, salt + ":fit"),
+            "__v",
+            n_clusters,
+            seed,
+        )
     assigned = assign_cells(norm, "__v", [list(map(float, c)) for c in cents], out="cell")
     rank = F.row_number().over(
         W.partitionBy("cell").orderBy(

@@ -1390,6 +1390,46 @@ def q_d10(spark, sf):
 
 
 @query(
+    "u10_cluster_balanced",
+    oracle="""
+    WITH a AS (
+      SELECT vec_id,
+             CAST(list_position(embedding[1:4], list_max(embedding[1:4])) - 1
+                  AS INT) AS cell
+      FROM embeddings
+    )
+    SELECT vec_id, cell,
+           row_number() OVER (
+             PARTITION BY cell
+             ORDER BY md5(CAST(vec_id AS VARCHAR) || 'cb'), vec_id
+           ) <= 25 AS kept
+    FROM a
+    """,
+)
+def q_u10(spark, sf):
+    """U10 — DIVERSITY (cluster-balanced) sampling
+    (operators.sampling.cluster_balanced_sample): cap every semantic
+    cell at 25 examples via the deterministic salted-md5 quota rank.
+    Oracle-EXACT via the explicit-codebook path: with centroids = scaled
+    basis vectors M*e_k, argmin ||v-c_k||^2 = argmax_k v_k over the
+    first 4 coordinates (M^2 is constant, the cross term decides, and
+    l2-normalization is a positive scale so raw-float argmax is
+    unchanged) — DuckDB recomputes the cell per row from the parquet
+    floats and replays the identical per-cell md5-rank kept-set. The
+    default k-means fit path is pytest-covered (layout-independence +
+    no-global-sort plan assertion); work is one map-only assign pass +
+    one cell-keyed window — nothing quadratic, no counting pass."""
+    from .operators.sampling import cluster_balanced_sample
+
+    e = _emb(spark, sf).select("vec_id", "embedding")
+    M, K, DIM = 4.0, 4, 64
+    cents = [[M if j == k else 0.0 for j in range(DIM)] for k in range(K)]
+    return cluster_balanced_sample(
+        e, "vec_id", "embedding", n_clusters=K, per_cluster=25, centroids=cents
+    )
+
+
+@query(
     "mm5_audio_spectrogram",
     oracle="""
     SELECT i AS asset_id,

@@ -1051,6 +1051,74 @@ def test_semdedup_guards(spark):
         ).collect()
 
 
+def test_semdedup_blocked_matches_full_gram(spark):
+    """The blocked greedy (chunks vs the running kept set) must produce
+    EXACTLY the kept set of the textbook full-gram greedy, including
+    across block boundaries. Clustered data with many over-threshold
+    pairs, block_rows=7 to force many blocks."""
+    import numpy as np
+
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.dedup import semdedup
+
+    rng = np.random.default_rng(11)
+    # 8 tight bundles of 25 near-identical vectors -> heavy pruning
+    centers = rng.normal(size=(8, 12))
+    rows = []
+    vecs = {}
+    for b in range(8):
+        for k in range(25):
+            v = centers[b] + rng.normal(scale=0.01, size=12)
+            i = b * 100 + k
+            rows.append((i, [float(x) for x in v]))
+            vecs[i] = v
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(
+        emb, "vec_id", "embedding", n_clusters=3, threshold=0.9,
+        block_rows=7,
+    )
+    got = out.collect()
+    by_cell: dict[int, list] = {}
+    for r in got:
+        by_cell.setdefault(r["cell"], []).append(r)
+    # brute-force reference per cell: full gram + same priority order
+    for cell, members in by_cell.items():
+        ids = np.array(sorted(m["vec_id"] for m in members))
+        X = np.stack([vecs[i] for i in ids])
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        # the priority order depends on the fitted centroid (internal),
+        # so assert the greedy INVARIANTS, which pin the result given
+        # any fixed order — a blocked-boundary bug breaks (1) or (2):
+        kept_ids = {m["vec_id"] for m in members if m["kept"]}
+        S = X @ X.T
+        idx = {i: j for j, i in enumerate(ids)}
+        kept_j = [idx[i] for i in sorted(kept_ids)]
+        # (1) no two kept rows are within threshold of each other
+        for a in range(len(kept_j)):
+            for b in range(a + 1, len(kept_j)):
+                assert S[kept_j[a], kept_j[b]] < 0.9
+        # (2) every dropped row is within threshold of some kept row
+        for i in ids:
+            if i not in kept_ids:
+                assert (S[idx[i], kept_j] >= 0.9).any()
+    # and heavy pruning actually happened (bundles collapse)
+    n_kept = sum(1 for r in got if r["kept"])
+    assert n_kept < 40
+
+
+def test_semdedup_string_ids(spark):
+    """Output id dtype follows the input schema (ADVICE r6): string ids
+    must not fail against a hardcoded 'long' schema."""
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.dedup import semdedup
+
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    out = semdedup(emb, "vec_id", "embedding", n_clusters=1, threshold=0.95)
+    got = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert got == {"a": True, "b": False, "c": True}
+
+
 def test_spectrogram_wav_peak_and_poison(spark):
     """A planted 1 kHz sine at 8 kHz / 256-FFT must peak at bin 32 in
     every frame; undecodable and too-short blobs yield NULL spec rows."""

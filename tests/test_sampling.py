@@ -414,3 +414,58 @@ def test_cluster_balanced_sample_quota_and_determinism(spark):
     kept2 = {r["vec_id"] for r in out2.filter("kept").collect()}
     assert kept1 == kept2
     out.unpersist()
+
+
+def test_bounded_fit_frame_no_global_sort(spark):
+    """The centroid-fit sample selection must never range-sort the full
+    corpus (the round-6 scale nit): above the cap it is a map-only
+    md5-threshold prefilter + TakeOrderedAndProject over the bounded
+    survivors — zero Exchange(rangepartitioning) in the plan — and the
+    selected set is the exact cap-smallest (hash, id) rows, identical on
+    any partitioning."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.sampling import (
+        _bounded_fit_frame,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("vec_id"), F.array(F.col("id").cast("double")).alias("__v")
+    )
+    fit = _bounded_fit_frame(df, "vec_id", cap=20, salt="t")
+    plan = fit._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan  # no global sort of the corpus
+    ids1 = [r["vec_id"] for r in fit.collect()]
+    assert len(ids1) == 20
+    fit2 = _bounded_fit_frame(df.repartition(13), "vec_id", cap=20, salt="t")
+    assert [r["vec_id"] for r in fit2.collect()] == ids1
+    # within-cap corpora come back whole, id-ordered
+    small = _bounded_fit_frame(df, "vec_id", cap=1000, salt="t")
+    assert [r["vec_id"] for r in small.collect()] == list(range(500))
+
+
+def test_cluster_balanced_sample_explicit_centroids(spark):
+    """centroids= skips the fit: assignment against a scaled-basis
+    codebook is argmax of the matching coordinate, so the cell per row
+    is closed-form checkable."""
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+
+    rows = [
+        (0, [9.0, 1.0, 0.0]),
+        (1, [0.0, 5.0, 1.0]),
+        (2, [1.0, 0.0, 7.0]),
+        (3, [8.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[4.0, 0.0, 0.0], [0.0, 4.0, 0.0], [0.0, 0.0, 4.0]]
+    out = cluster_balanced_sample(
+        emb, "vec_id", "embedding", n_clusters=3, per_cluster=1, centroids=cents
+    )
+    got = {r["vec_id"]: (r["cell"], r["kept"]) for r in out.collect()}
+    assert got[0][0] == 0 and got[3][0] == 0
+    assert got[1][0] == 1 and got[2][0] == 2
+    assert got[1][1] and got[2][1]  # alone in their cells
+    assert sum(1 for c, k in got.values() if c == 0 and k) == 1  # quota 1
