@@ -923,11 +923,18 @@ def scene_cut_indices(
     ``threshold`` (luma in [0,1] — the classic pixel-difference detector;
     smooth motion stays far below a hard cut's jump). Returns the cut
     indices, or None for undecodable bytes."""
-    import numpy as np
-
     parsed = _parse_avi_frames(content)
     if parsed is None:
         return None
+    return _cuts_from_parsed(parsed, threshold)
+
+
+def _cuts_from_parsed(parsed: tuple, threshold: float) -> list[int]:
+    """Cut detection over an ALREADY-PARSED (w, h, fps, stride, frames)
+    tuple — lets :func:`scene_cuts` decode each blob exactly once
+    (container parse is the per-asset cost of the map-only pass)."""
+    import numpy as np
+
     w, h, _fps, stride, frames = parsed
     lumas = []
     for fb in frames:
@@ -974,7 +981,7 @@ def scene_cuts(df: DataFrame, threshold: float = 0.3) -> DataFrame:
                 if parsed is None:
                     out.append((aid, None, None, None))
                     continue
-                cuts = scene_cut_indices(bytes(content), threshold)
+                cuts = _cuts_from_parsed(parsed, threshold)
                 out.append(
                     (aid, len(parsed[4]), len(cuts), cuts[0] if cuts else None)
                 )

@@ -408,10 +408,16 @@ class SnapshotTable:
             except FileExistsError:
                 os.unlink(tmp)
                 self._refresh()
-                if removes or meta is not None:
+                if op != "append" or meta is not None:
                     # roll back this attempt: it read state (live files /
                     # current schema) that a concurrent commit replaced —
-                    # a schema-evolving append does NOT commute
+                    # a schema-evolving append does NOT commute. Keyed on
+                    # the OP INTENT, not on a non-empty remove list: an
+                    # overwrite of an empty table, or a merge whose
+                    # touched buckets held no files, still read a
+                    # snapshot and must not silently rebase past a
+                    # concurrent writer (it would leave both row sets
+                    # live / duplicate merged keys)
                     raise ConcurrentWriteError(
                         f"{op} at version {v} lost the race to a concurrent "
                         f"writer (now at {self.version}); re-run on the "
@@ -545,7 +551,15 @@ class SnapshotTable:
                 "(bucket pruning is keyed on it)"
             )
         key = list(self.bucket_key)
+        # Cast the bucket-key columns to the table's DECLARED types before
+        # hashing: files were bucketed by hashing the schema-cast output
+        # (_stage runs after _check_schema), and xxhash64 is type-sensitive
+        # (int32 vs int64 hash differently) — an updates frame with a
+        # narrower/wider key dtype would otherwise compute the wrong
+        # touched-bucket set and land merged rows beside stale base files.
         upd = updates
+        for c in key:
+            upd = upd.withColumn(c, F.col(c).cast(self.schema[c].dataType))
         touched = sorted(
             r["__b"]
             for r in upd.select(self._bucket_expr().alias("__b")).distinct().collect()
@@ -697,7 +711,12 @@ class SnapshotTable:
         deleted = 0
         cutoff = _time.time() - max(0.0, min_age_seconds)
         for dirpath, _dirs, files in os.walk(self.root):
-            if os.path.basename(dirpath) == LOG_DIR or LOG_DIR + os.sep in dirpath:
+            # skip the log subtree by PATH COMPONENT relative to the table
+            # root — a substring test on the absolute path would also match
+            # a table rooted under e.g. /data/my_log/tbl and silently
+            # vacuum nothing
+            rel_dir = os.path.relpath(dirpath, self.root)
+            if rel_dir == LOG_DIR or rel_dir.startswith(LOG_DIR + os.sep):
                 continue
             for name in files:
                 absp = os.path.join(dirpath, name)

@@ -227,6 +227,57 @@ def test_concurrent_remove_conflict_raises(spark, troot):
         t1._commit("merge", t1._stage(t1._check_schema(merged)), old_files)
 
 
+def test_merge_casts_bucket_key_dtype(spark, troot):
+    """ADVICE r6: an updates frame whose bucket-key dtype differs from the
+    declared schema (int vs bigint) must hash to the SAME touched-bucket
+    set as the stored files — otherwise matching base rows are never
+    removed and the table ends up with duplicate keys."""
+    t = SnapshotTable.create(spark, troot, SCHEMA, bucket_key=["k"], num_buckets=8)
+    t.append(_rows(spark, 0, 200))
+    # int32 key column: xxhash64(int) != xxhash64(bigint) for the same value
+    upd = spark.createDataFrame(
+        [(7, -7.0, "upd"), (10_000, 1.0, "new")], "k int, v double, tag string"
+    )
+    t.merge(upd)
+    df = t.read()
+    assert df.count() == 201  # 200 base + 1 insert, update replaced in place
+    assert df.filter("k = 7").count() == 1  # NOT duplicated
+    row = df.filter("k = 7").collect()[0]
+    assert row["v"] == -7.0 and row["tag"] == "upd"
+    assert df.filter("k = 10000").collect()[0]["tag"] == "new"
+
+
+def test_empty_remove_set_ops_still_conflict(spark, troot):
+    """ADVICE r6: overwrite/merge losing a commit race must raise EVEN
+    WHEN their remove list is empty (overwrite of an empty table, merge
+    whose touched buckets hold no files) — op intent, not remove-set
+    size, decides WriteSerializable conflicts."""
+    t1 = SnapshotTable.create(spark, troot, SCHEMA)
+    t2 = SnapshotTable(spark, troot)
+    # t1 stages an overwrite of the EMPTY table (removes == []); t2's
+    # append lands first; t1's commit must not silently degrade to append
+    staged = t1._stage(t1._check_schema(_rows(spark, 0, 5)))
+    t2.append(_rows(spark, 1000, 1010).coalesce(1))
+    with pytest.raises(ConcurrentWriteError):
+        t1._commit("overwrite", staged, [])
+    # the table still holds exactly t2's rows — nothing was clobbered
+    assert SnapshotTable(spark, troot).read().count() == 10
+
+
+def test_vacuum_table_rooted_under_log_like_path(spark, tmp_path):
+    """ADVICE r6: a table whose ROOT path contains '_log/' as a component
+    must still vacuum its dead data files — the log-subtree skip is
+    relative to the table root, not a substring of the absolute path."""
+    root = str(tmp_path / "_log" / "tbl")
+    t = SnapshotTable.create(spark, root, SCHEMA)
+    t.append(_rows(spark, 0, 10).coalesce(1))
+    t.overwrite(_rows(spark, 0, 5).coalesce(1))
+    deleted = t.vacuum(retain_versions=1, min_age_seconds=0)
+    assert deleted > 0  # the overwritten files are physically gone
+    assert t.read().count() == 5
+    assert t.version == 2  # commit log untouched
+
+
 def test_double_create_raises(spark, troot):
     SnapshotTable.create(spark, troot, SCHEMA)
     with pytest.raises(FileExistsError):
