@@ -468,11 +468,48 @@ def _hash_prefilter(
     that admits >= n rows, so the ranked result is IDENTICAL to the
     unfiltered version (up to the astronomically unlikely event that
     fewer than n of the ~4n expected survivors materialize — Chernoff
-    bound ~exp(-n)). One cheap count aggregate; map-only filter."""
+    bound ~exp(-n)). One cheap count aggregate; map-only filter.
+
+    Driver footprint: with a CONSTANT quota (:class:`_ConstQuota` — the
+    per-domain-cap-over-the-open-web shape, where group cardinality is
+    unbounded) the thresholds are computed ENTIRELY as a plan — a
+    payload-free count aggregate joined back broadcast, no ``collect()``
+    of a per-group dict (O(#groups) driver memory at 10^8 domains). The
+    joined threshold frame holds only groups ABOVE ``prefilter_above``,
+    so its size is bounded by |rows| / prefilter_above regardless of how
+    many groups exist. A dict ``quotas`` is bounded by definition
+    (caller-supplied weights) and keeps the collected fast path."""
     import math
 
     if prefilter_above is None:
         return df
+    if isinstance(quotas, _ConstQuota):
+        q = quotas.get(None)
+        h32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        counts = df.groupBy(F.col(group_col).alias("__g")).agg(
+            F.count("*").alias("__n")
+        )
+        big = counts.filter(
+            (F.col("__n") > F.lit(prefilter_above)) & (F.lit(q) < F.col("__n"))
+        ).select(
+            "__g",
+            F.least(
+                F.lit(1 << 32),
+                F.ceil(
+                    F.lit(oversample * q)
+                    / F.col("__n").cast("double")
+                    * F.lit(4294967296.0)
+                ),
+            )
+            .cast("long")
+            .alias("__t"),
+        )
+        joined = df.join(
+            F.broadcast(big), F.col(group_col).eqNullSafe(F.col("__g")), "left"
+        )
+        return joined.filter(F.col("__t").isNull() | (h32 < F.col("__t"))).drop(
+            "__g", "__t"
+        )
     counts = {
         r["__g"]: r["n"]
         for r in df.groupBy(F.col(group_col).alias("__g"))

@@ -416,6 +416,35 @@ def test_cluster_balanced_sample_quota_and_determinism(spark):
     out.unpersist()
 
 
+def test_quota_sample_prefilter_no_driver_collect(spark, monkeypatch):
+    """VERDICT r6 #4: with a constant per-group quota (the per-domain-cap
+    shape where group cardinality is unbounded) the prefilter thresholds
+    must be join-computed — ZERO driver collect of a per-group dict —
+    and the kept set must equal the unprefiltered rank exactly."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import DataFrame
+
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.sampling import quota_sample
+
+    df = spark.range(60_000).select(
+        (F.col("id") % 20_000).alias("g"), F.col("id").alias("key")
+    )
+
+    def boom(self):  # any driver materialization during planning = fail
+        raise AssertionError("quota_sample collected to the driver")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    out = quota_sample(df, "g", 2, "key", salt="z", prefilter_above=2)
+    monkeypatch.undo()
+    kept = {(r["g"], r["key"]) for r in out.collect()}
+    ref = {
+        (r["g"], r["key"])
+        for r in quota_sample(df, "g", 2, "key", salt="z", prefilter_above=None).collect()
+    }
+    assert kept == ref
+    assert len(kept) == 40_000  # 20k groups x quota 2 (groups of 3)
+
+
 def test_bounded_fit_frame_no_global_sort(spark):
     """The centroid-fit sample selection must never range-sort the full
     corpus (the round-6 scale nit): above the cap it is a map-only
