@@ -2124,6 +2124,127 @@ def q_s14(spark, sf):
 
 
 @query(
+    "s15_delta_read",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)
+                    + CASE WHEN c_mktsegment =
+                               (SELECT min(c_mktsegment) FROM customer)
+                           THEN 10000 ELSE 0 END) AS BIGINT) AS bal_c
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_s15(spark, sf):
+    """S15 — Delta Lake ``_delta_log`` INTEROP read (sources/delta.py):
+    a real lakehouse table is what a 100 TB user actually has, and this
+    entry builds one the way an external writer would — per-partition
+    parquet data files plus a hand-written JSON commit log (protocol /
+    metaData / add actions at v0, then a MERGE-shaped remove+add file
+    swap of the first segment's partition at v1) — and snapshot-reads it
+    through the log replay. Only LIVE files are handed to Spark (the
+    removed v0 file still exists on disk but must not be read), and the
+    partition column comes from the log's authoritative partitionValues,
+    not from path guessing. Integer-cents arithmetic keeps the aggregate
+    bit-exact: DuckDB recomputes the post-swap table from the base
+    customer rows, so a reader that replayed removes wrong, leaked a
+    dead file, or mis-cast a partition value breaks the hash."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+
+    from .sources.delta import read_delta
+
+    root = _table_root("s15", sf)
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        "c_mktsegment",
+    )
+    segs = sorted(
+        r["c_mktsegment"] for r in c.select("c_mktsegment").distinct().collect()
+    )
+
+    def put(df, rel):
+        stage = os.path.join(root, rel + ".stage")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(root, rel))
+        shutil.rmtree(stage)
+
+    def add(rel, seg, mtime):
+        return {
+            "add": {
+                "path": rel,
+                "partitionValues": {"c_mktsegment": seg},
+                "size": 1,
+                "modificationTime": mtime,
+                "dataChange": True,
+            }
+        }
+
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+
+    def commit(v, actions):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+
+    adds0 = []
+    for i, s in enumerate(segs):
+        rel = f"seg{i}.parquet"
+        put(c.filter(F.col("c_mktsegment") == s).select("c_custkey", "bal_c"), rel)
+        adds0.append(add(rel, s, 0))
+    commit(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "s15",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": c.schema.json(),
+                    "partitionColumns": ["c_mktsegment"],
+                    "configuration": {},
+                }
+            },
+        ]
+        + adds0,
+    )
+    target = segs[0]
+    put(
+        c.filter(F.col("c_mktsegment") == target).select(
+            "c_custkey", (F.col("bal_c") + 10000).alias("bal_c")
+        ),
+        "seg_swap.parquet",
+    )
+    commit(
+        1,
+        [
+            {"commitInfo": {"operation": "MERGE"}},
+            {
+                "remove": {
+                    "path": "seg0.parquet",
+                    "deletionTimestamp": 1,
+                    "dataChange": True,
+                }
+            },
+            add("seg_swap.parquet", target, 1),
+        ],
+    )
+    return (
+        read_delta(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("bal_c").cast("long").alias("bal_c"),
+        )
+    )
+
+
+@query(
     "w15_resample_ffill",
     oracle="""
     WITH obs AS (

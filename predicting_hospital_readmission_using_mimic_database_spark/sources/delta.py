@@ -1,0 +1,205 @@
+"""Delta Lake transaction-log INTEROP reader — ingest a real lakehouse
+table in place, no copy.
+
+The engine's own :class:`~.table.SnapshotTable` commit log is
+deliberately Delta-shaped; this module closes the loop by reading the
+ACTUAL ``_delta_log`` JSON protocol (public spec:
+https://github.com/delta-io/delta/blob/master/PROTOCOL.md) that
+delta-rs / Trino / Spark's delta-io writers produce. What a 100 TB user
+actually has is an existing Delta table; ``read_delta`` turns it into a
+plain DataFrame by replaying the log on the driver (KBs of metadata, the
+same posture as any Delta client) and handing Spark only the LIVE
+parquet files — dead files are never opened, and partition-column values
+come from the log's authoritative ``partitionValues``, not from path
+guessing.
+
+Scope (documented, checked, raising — never silently wrong):
+
+* JSON commit files ``_delta_log/<version 20d>.json``, one action per
+  line: ``add`` / ``remove`` / ``metaData`` / ``protocol`` /
+  ``commitInfo`` / ``txn``.
+* Protocol gate: ``minReaderVersion`` 1 is fully supported; 2 only
+  without column mapping (``delta.columnMapping.mode`` must be absent or
+  ``none``); 3+ only when every ``readerFeatures`` entry is in the
+  supported set (currently ``timestampNtz``) — deletion vectors or v2
+  checkpoints raise rather than returning wrong rows.
+* Parquet checkpoints are NOT replayed: a log whose version-0 JSON has
+  been checkpoint-compacted away raises ``NotImplementedError`` with
+  that diagnosis (retain JSON commits, or export, to interop).
+
+Reference parity: the reference reloads its whole mutable store to see
+writer changes (nb:2101 / nb:2140); a Delta reader sees a concurrent
+writer's committed snapshot atomically by replaying the log at read
+time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+DELTA_LOG_DIR = "_delta_log"
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+
+#: reader-version-3 table features this reader actually honors
+_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+
+
+class DeltaProtocolError(NotImplementedError):
+    """The table requires reader capabilities this interop layer does not
+    implement (deletion vectors, column mapping, parquet checkpoints)."""
+
+
+def _delta_commits(log_dir: str) -> list[tuple[int, str]]:
+    """(version, abs_path) of every JSON commit, ascending."""
+    out = []
+    for name in os.listdir(log_dir):
+        m = _COMMIT_RE.match(name)
+        if m:
+            out.append((int(m.group(1)), os.path.join(log_dir, name)))
+    out.sort()
+    return out
+
+
+def _check_protocol(action: dict) -> None:
+    mrv = action.get("minReaderVersion", 1)
+    if mrv <= 1:
+        return
+    feats = set(action.get("readerFeatures") or [])
+    if mrv >= 3:
+        unsupported = feats - _SUPPORTED_READER_FEATURES
+        if unsupported:
+            raise DeltaProtocolError(
+                f"delta table requires reader features {sorted(unsupported)} "
+                "(deletion vectors / v2 checkpoints / column mapping are not "
+                "supported by this interop reader)"
+            )
+
+
+def _replay_log(
+    root: str, version: int | None = None
+) -> tuple[dict, dict[str, dict], int]:
+    """Replay ``_delta_log`` JSON up to ``version`` (inclusive; None =
+    latest). Returns (metaData action, {data path: partitionValues},
+    last replayed version). Driver-side metadata only — no data file is
+    touched."""
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"not a delta table (no {DELTA_LOG_DIR}): {root}")
+    commits = _delta_commits(log_dir)
+    if not commits:
+        raise FileNotFoundError(f"empty {DELTA_LOG_DIR}: {root}")
+    if commits[0][0] != 0:
+        raise DeltaProtocolError(
+            f"log starts at version {commits[0][0]} — the earlier JSON "
+            "commits were compacted into a parquet checkpoint, which this "
+            "interop reader does not replay; retain JSON commits to interop"
+        )
+    expected = 0
+    meta: dict | None = None
+    live: dict[str, dict] = {}
+    last = -1
+    for v, path in commits:
+        if version is not None and v > version:
+            break
+        if v != expected:
+            raise DeltaProtocolError(
+                f"missing commit version {expected} (found {v}); cannot "
+                "reconstruct a consistent snapshot"
+            )
+        expected += 1
+        last = v
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    _check_protocol(action["protocol"])
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                    mode = (meta.get("configuration") or {}).get(
+                        "delta.columnMapping.mode", "none"
+                    )
+                    if mode != "none":
+                        raise DeltaProtocolError(
+                            f"delta.columnMapping.mode={mode} is not supported "
+                            "(physical column names differ from the schema)"
+                        )
+                elif "add" in action:
+                    a = action["add"]
+                    if a.get("deletionVector"):
+                        raise DeltaProtocolError(
+                            "file carries a deletion vector; row-level "
+                            "filtering is not supported by this reader"
+                        )
+                    live[unquote(a["path"])] = a.get("partitionValues") or {}
+                elif "remove" in action:
+                    live.pop(unquote(action["remove"]["path"]), None)
+                # commitInfo / txn / cdc: metadata-only, ignored
+    if version is not None and last != version:
+        raise ValueError(
+            f"requested version {version} but log ends at {last}"
+        )
+    if meta is None:
+        raise DeltaProtocolError(
+            "no metaData action found in the replayed log (checkpointed "
+            "away?); cannot determine the table schema"
+        )
+    return meta, live, last
+
+
+def delta_table_version(root: str) -> int:
+    """Latest committed version of the Delta table at ``root``."""
+    _meta, _live, last = _replay_log(root)
+    return last
+
+
+def read_delta(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot-read a Delta table: the live parquet files at ``version``
+    (None = latest), with partition columns materialized from the log's
+    ``partitionValues`` (cast from their string serialization to the
+    declared schema types — the spec's serialization for numbers/dates/
+    booleans round-trips through a string cast).
+
+    Scale shape: one ``spark.read.parquet`` per distinct partition-value
+    tuple over only that partition's LIVE files, unioned — dead files
+    are never listed or opened, and the explicit read schema means no
+    footer-sampling inference pass. Time travel is just replaying fewer
+    JSON lines.
+    """
+    meta, live, _last = _replay_log(root, version)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = StructType(data_fields)
+    if not live:
+        return spark.createDataFrame([], schema)
+    by_part: dict[tuple, list[str]] = {}
+    for rel, pv in live.items():
+        key = tuple(sorted((k, v) for k, v in pv.items()))
+        by_part.setdefault(key, []).append(os.path.join(root, rel))
+    parts = []
+    for key, paths in sorted(by_part.items()):
+        pv = dict(key)
+        df = spark.read.schema(data_schema).parquet(*sorted(paths))
+        for c in part_cols:
+            f_type = schema[c].dataType
+            raw = pv.get(c)
+            df = df.withColumn(
+                c, F.lit(raw).cast("string").cast(f_type)
+            )
+        parts.append(df.select(*[f.name for f in schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

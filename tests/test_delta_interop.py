@@ -1,0 +1,274 @@
+"""Delta `_delta_log` interop reader (sources/delta.py): replay real
+Delta JSON commit logs — adds/removes, partition values, time travel —
+and raise (never silently mis-read) on unsupported protocol features."""
+
+import json
+import os
+
+import pytest
+
+from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+    DeltaProtocolError,
+    delta_table_version,
+    read_delta,
+)
+
+
+def _schema_string(fields):
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": t, "nullable": True, "metadata": {}}
+                for n, t in fields
+            ],
+        }
+    )
+
+
+def _write_parquet(path, rows, names):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cols = list(zip(*rows)) if rows else [[] for _ in names]
+    pq.write_table(
+        pa.table({n: list(c) for n, c in zip(names, cols)}), path
+    )
+
+
+def _write_commit(root, version, actions):
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def _meta_action(fields, part_cols=(), configuration=None):
+    return {
+        "metaData": {
+            "id": "fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _schema_string(fields),
+            "partitionColumns": list(part_cols),
+            "configuration": configuration or {},
+        }
+    }
+
+
+@pytest.fixture
+def delta_root(tmp_path):
+    """Hand-written partitioned delta table:
+    v0: protocol+meta, add seg=A (ids 0,1) and seg=B (ids 10,11)
+    v1: remove seg=B file, add replacement (ids 10,11 with bal+100)
+    """
+    root = str(tmp_path / "dtbl")
+    _write_parquet(
+        os.path.join(root, "seg=A", "part-a0.parquet"),
+        [(0, 5.0), (1, 6.0)],
+        ["id", "bal"],
+    )
+    _write_parquet(
+        os.path.join(root, "seg=B", "part-b0.parquet"),
+        [(10, 7.0), (11, 8.0)],
+        ["id", "bal"],
+    )
+    _write_parquet(
+        os.path.join(root, "seg=B", "part-b1.parquet"),
+        [(10, 107.0), (11, 108.0)],
+        ["id", "bal"],
+    )
+    fields = [("id", "long"), ("bal", "double"), ("seg", "string")]
+    _write_commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta_action(fields, part_cols=["seg"]),
+            {
+                "add": {
+                    "path": "seg=A/part-a0.parquet",
+                    "partitionValues": {"seg": "A"},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+            {
+                "add": {
+                    "path": "seg=B/part-b0.parquet",
+                    "partitionValues": {"seg": "B"},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    _write_commit(
+        root,
+        1,
+        [
+            {"commitInfo": {"operation": "MERGE"}},
+            {
+                "remove": {
+                    "path": "seg=B/part-b0.parquet",
+                    "deletionTimestamp": 1,
+                    "dataChange": True,
+                }
+            },
+            {
+                "add": {
+                    "path": "seg=B/part-b1.parquet",
+                    "partitionValues": {"seg": "B"},
+                    "size": 1,
+                    "modificationTime": 1,
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    return root
+
+
+def test_read_latest_applies_removes(spark, delta_root):
+    df = read_delta(spark, delta_root)
+    assert df.columns == ["id", "bal", "seg"]  # schema order, part col last
+    got = {(r["id"], r["bal"], r["seg"]) for r in df.collect()}
+    assert got == {
+        (0, 5.0, "A"),
+        (1, 6.0, "A"),
+        (10, 107.0, "B"),
+        (11, 108.0, "B"),
+    }
+    assert delta_table_version(delta_root) == 1
+
+
+def test_time_travel_version_zero(spark, delta_root):
+    got = {(r["id"], r["bal"]) for r in read_delta(spark, delta_root, version=0).collect()}
+    assert got == {(0, 5.0), (1, 6.0), (10, 7.0), (11, 8.0)}
+    with pytest.raises(ValueError, match="ends at 1"):
+        read_delta(spark, delta_root, version=5)
+
+
+def test_partition_value_cast_and_encoded_path(spark, tmp_path):
+    """Non-string partition types come back cast from the spec's string
+    serialization; percent-encoded add paths are decoded."""
+    root = str(tmp_path / "enc")
+    _write_parquet(
+        os.path.join(root, "d 1", "f.parquet"), [(1,)], ["v"]
+    )
+    _write_commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta_action([("v", "long"), ("p", "integer")], part_cols=["p"]),
+            {
+                "add": {
+                    "path": "d%201/f.parquet",
+                    "partitionValues": {"p": "42"},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    rows = read_delta(spark, root).collect()
+    assert [(r["v"], r["p"]) for r in rows] == [(1, 42)]
+    assert rows[0].asDict()["p"] == 42
+
+
+def test_protocol_gates(spark, tmp_path):
+    fields = [("v", "long")]
+    # deletion vectors via readerFeatures
+    r1 = str(tmp_path / "dv")
+    _write_commit(
+        r1,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                }
+            },
+            _meta_action(fields),
+        ],
+    )
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        read_delta(spark, r1)
+    # column mapping
+    r2 = str(tmp_path / "cm")
+    _write_commit(
+        r2,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _meta_action(
+                fields, configuration={"delta.columnMapping.mode": "name"}
+            ),
+        ],
+    )
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+        read_delta(spark, r2)
+    # checkpointed-away version 0
+    r3 = str(tmp_path / "cp")
+    _write_commit(r3, 7, [_meta_action(fields)])
+    with pytest.raises(DeltaProtocolError, match="checkpoint"):
+        read_delta(spark, r3)
+    # per-file deletion vector
+    r4 = str(tmp_path / "fdv")
+    _write_commit(
+        r4,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta_action(fields),
+            {
+                "add": {
+                    "path": "f.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "deletionVector": {"storageType": "u"},
+                }
+            },
+        ],
+    )
+    with pytest.raises(DeltaProtocolError, match="deletion vector"):
+        read_delta(spark, r4)
+
+
+def test_empty_after_removes(spark, tmp_path):
+    root = str(tmp_path / "empty")
+    _write_parquet(os.path.join(root, "f.parquet"), [(1,)], ["v"])
+    _write_commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta_action([("v", "long")]),
+            {
+                "add": {
+                    "path": "f.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    _write_commit(
+        root,
+        1,
+        [{"remove": {"path": "f.parquet", "deletionTimestamp": 1, "dataChange": True}}],
+    )
+    df = read_delta(spark, root)
+    assert df.count() == 0
+    assert df.columns == ["v"]
