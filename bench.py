@@ -272,6 +272,7 @@ def main() -> None:
         try:
             spark.catalog.clearCache()
             docs = _rt(spark, sf_dir, "documents")
+            # default path: fit-small fast loop (what a user gets)
             t0 = time.perf_counter()
             merges, _vocab = _bpe.bpe_train(docs, "text", n_merges=200, min_count=2)
             dt = round(time.perf_counter() - t0, 3)
@@ -280,6 +281,21 @@ def main() -> None:
             print(
                 f"[bench] t20b_bpe_train: {dt}s "
                 f"({len(merges)} merges, {per}s/merge)",
+                file=sys.stderr,
+            )
+            # forced-distributed twin: the iterative-job regime tracked
+            # across rounds (batched merge loop, local_below=0)
+            t0 = time.perf_counter()
+            merges_d, _vd = _bpe.bpe_train(
+                docs, "text", n_merges=200, min_count=2, local_below=0
+            )
+            dt_d = round(time.perf_counter() - t0, 3)
+            assert merges_d == merges, "distributed/local merge sequences differ"
+            timings["t20b_dist_bpe_train"] = dt_d
+            per_d = round(dt_d / max(len(merges_d), 1), 3)
+            print(
+                f"[bench] t20b_dist_bpe_train: {dt_d}s "
+                f"({len(merges_d)} merges, {per_d}s/merge)",
                 file=sys.stderr,
             )
         except Exception as e:

@@ -103,6 +103,197 @@ def pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def pair_and_triple_counts(vocab: DataFrame) -> DataFrame:
+    """Corpus-weighted counts of adjacent PAIRS and adjacent TRIPLES of
+    the current symbolization in ONE shuffle: rows
+    ``(kind 'p'|'t', s1, s2, s3, cnt)`` with ``s3`` NULL for pairs.
+
+    Why triples: a merge (a, b) only creates NEW pairs that embed an
+    adjacent triple containing (a, b) — count(x, ab) <= count(triple
+    (x, a, b)), count(ab, y) <= count(triple (a, b, y)), and the
+    self-overlap case count(ab, ab) <= count(triple (a, b, a)). The
+    triple counts therefore UPPER-BOUND every pair a batched merge could
+    newly create, which is exactly the certificate
+    :func:`bpe_train`'s merge batching needs to stay sequence-exact
+    without a recount between batched merges."""
+    syms = F.col("syms")
+    tri_starts = F.when(
+        F.size(syms) >= 3, F.sequence(F.lit(1), F.size(syms) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    triples = F.transform(
+        tri_starts,
+        lambda i: F.struct(
+            F.element_at(syms, i).alias("s1"),
+            F.element_at(syms, i + 1).alias("s2"),
+            F.element_at(syms, i + 2).alias("s3"),
+        ),
+    )
+    pairs = F.transform(
+        adjacent_pairs(syms),
+        lambda p: F.struct(
+            p["a"].alias("s1"),
+            p["b"].alias("s2"),
+            F.lit(None).cast("string").alias("s3"),
+        ),
+    )
+    return (
+        vocab.select("n", F.explode(F.concat(pairs, triples)).alias("g"))
+        .groupBy(
+            F.col("g.s1").alias("s1"),
+            F.col("g.s2").alias("s2"),
+            F.col("g.s3").alias("s3"),
+        )
+        .agg(F.sum("n").cast("long").alias("cnt"))
+        .select(
+            F.when(F.col("s3").isNull(), F.lit("p")).otherwise(F.lit("t")).alias(
+                "kind"
+            ),
+            "s1",
+            "s2",
+            "s3",
+            "cnt",
+        )
+    )
+
+
+def _select_batch(
+    rows: list, min_count: int, max_batch: int, complete: bool = False
+) -> list[tuple[str, str, int]]:
+    """Driver-side batch selection from ONE collected top-window of
+    combined pair/triple counts. Returns the longest ranked PREFIX of
+    pairs that provably reproduces the sequential merge sequence:
+
+    * prefix, never skip: a higher-ranked pair passed over for overlap
+      could still outrank later picks in the true sequence;
+    * count-STABLE against every earlier accepted merge: symbol-disjoint
+      pairs are always stable (a merge (a, b) neither destroys nor
+      creates an adjacency of two other symbols); an OVERLAPPING pair
+      (c, d) is also stable — and accepted — when its interaction
+      triples are provably ZERO in a complete window: applying (a, b)
+      destroys a (c, d) occurrence only at a triple (a, b, d) site
+      (when c == b, the c consumed as the b of the merge) or a
+      (c, a, b) site (when d == a, the d consumed as the a), so absent
+      triples mean the count is EXACTLY unchanged. This is what lets a
+      batch keep growing past th/he-style chains whose bridging triple
+      does not occur;
+    * strictly above the new-pair bound: pairs created by earlier batch
+      merges are bounded by the adjacent-triple counts (see
+      :func:`pair_and_triple_counts`); a window row missing means its
+      count is <= the window cutoff, which is used as the conservative
+      bound.
+
+    Old non-batch pairs can only lose count, and snapshot rank already
+    encodes the (cnt DESC, a ASC, b ASC) tie-break, so nothing else can
+    beat an accepted pair at its turn. Anything unprovable ends the
+    batch — correctness never rides on the window size.
+
+    ``complete=True`` means the window holds EVERY pair/triple (the
+    aggregate had fewer rows than the window); a truncated window
+    additionally stops the prefix at the cutoff count, because a pair
+    TIED at the cutoff may have been cut by the limit yet outrank a
+    collected same-count pair lexicographically."""
+    if not rows:
+        return []
+    cutoff = min(r["cnt"] for r in rows)
+    pairs = sorted(
+        ((r["cnt"], r["s1"], r["s2"]) for r in rows if r["kind"] == "p"),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )
+    tri_bound: dict[tuple[str, str], int] = {}
+    tri_cnt: dict[tuple[str, str, str], int] = {}
+    for r in rows:
+        if r["kind"] != "t":
+            continue
+        tri_cnt[(r["s1"], r["s2"], r["s3"])] = r["cnt"]
+        for key in ((r["s1"], r["s2"]), (r["s2"], r["s3"])):
+            tri_bound[key] = max(tri_bound.get(key, 0), r["cnt"])
+
+    def stable(c: str, d: str, accepted) -> bool:
+        """(c, d)'s count provably unchanged by every accepted merge."""
+        for a, b, _cnt in accepted:
+            if c == b and (not complete or tri_cnt.get((a, b, d), 0) > 0):
+                return False
+            if d == a and (not complete or tri_cnt.get((c, a, b), 0) > 0):
+                return False
+        return True
+
+    batch: list[tuple[str, str, int]] = []
+    bound = 0  # max count any batch-created pair could have
+    for cnt, a, b in pairs:
+        if cnt < min_count:
+            break
+        if batch:
+            if (
+                len(batch) >= max_batch
+                or cnt <= bound
+                or not stable(a, b, batch)
+            ):
+                break
+            if not complete and cnt <= cutoff:
+                break  # a tied-at-cutoff pair may be missing from the window
+        batch.append((a, b, int(cnt)))
+        # triples adjacent to (a, b) absent from a COMPLETE window do
+        # not exist; absent from a truncated one they are <= the cutoff
+        bound = max(bound, tri_bound.get((a, b), 0 if complete else cutoff))
+    return batch
+
+
+def _greedy_apply(s: tuple, a: str, b: str) -> tuple:
+    """Greedy left-to-right non-overlapping (a, b) -> a+b on a symbol
+    tuple — driver twin of :func:`apply_merge` (same semantics)."""
+    out, i, ln = [], 0, len(s)
+    ab = a + b
+    while i < ln:
+        if i + 1 < ln and s[i] == a and s[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return tuple(out)
+
+
+def _local_merge_loop(
+    vocab: dict[str, tuple[int, tuple]], n_merges: int, min_count: int
+) -> list[tuple[int, str, str, int]]:
+    """Exact indexed Sennrich loop over a DRIVER-side (word -> (count,
+    symbols)) table: pair counts and a pair -> words occurrence index
+    are maintained incrementally (remove-then-readd per affected word),
+    so each merge costs O(affected words · word length) plus one argmax
+    — the classic fast single-node trainer. Mutates ``vocab`` in place;
+    identical merge sequence and tie-break (cnt DESC, pair lex ASC) to
+    the distributed loop (property-pinned in tests)."""
+    from collections import Counter, defaultdict
+
+    pc: Counter = Counter()
+    idx: defaultdict = defaultdict(set)
+    for w, (n, s) in vocab.items():
+        for p in zip(s, s[1:]):
+            pc[p] += n
+            idx[p].add(w)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((step, a, b, int(cnt)))
+        for w in list(idx.get((a, b), ())):
+            n, s = vocab[w]
+            for p in zip(s, s[1:]):
+                pc[p] -= n
+                if pc[p] == 0:
+                    del pc[p]
+                idx[p].discard(w)
+            s2 = _greedy_apply(s, a, b)
+            vocab[w] = (n, s2)
+            for p in zip(s2, s2[1:]):
+                pc[p] += n
+                idx[p].add(w)
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
@@ -110,6 +301,9 @@ def bpe_train(
     min_count: int = 2,
     end_marker: str = END_MARKER,
     checkpoint_every: int = 5,
+    batch_pairs: int = 64,
+    window: int = 512,
+    local_below: int = 100_000,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus.
 
@@ -119,18 +313,40 @@ def bpe_train(
     ``min_count``. The merge list IS the tokenizer artifact — applying
     it in order to new text reproduces the segmentation.
 
-    The only driver-side data movement is one (a, b, cnt) row per
-    iteration; vocab stays distributed throughout.
+    TWO-REGIME execution (both sequence-exact, property-pinned equal):
+
+    * FIT-SMALL fast path: the merge loop is a pure function of the
+      bounded (word, count) table, so when the distinct vocab fits under
+      ``local_below`` rows it is collected ONCE (a few MB at the
+      default 100k cap) and trained with the indexed single-node loop
+      (:func:`_local_merge_loop`) — the same fit-small/transform-wide
+      split the engine's kNN / centroid fitting uses, and what every
+      production tokenizer trainer (SentencePiece, HF) does after the
+      distributed count. Zero per-merge Spark jobs. Set
+      ``local_below=0`` to force the distributed loop.
+    * DISTRIBUTED loop with MERGE BATCHING for vocabularies that don't
+      fit: each Spark job collects one top-``window`` slice of combined
+      pair+triple counts (:func:`pair_and_triple_counts` — triples
+      upper-bound every pair a merge can create), and
+      :func:`_select_batch` accepts the longest ranked prefix of
+      count-stable pairs each strictly above the new-pair bound — every
+      accepted merge is PROVABLY the one the one-merge-per-job trainer
+      would pick next, so the merge list is byte-identical
+      (property-tested against the single-step trainer and the local
+      reference in tests/test_ml.py), while merges-per-job grows with
+      the batch size. ``batch_pairs=1`` recovers the single-merge
+      schedule. The only driver-side data movement is the bounded
+      top-window per iteration; vocab stays distributed throughout.
 
     Iteration cost model (measured at sf0.1, 107 merges): eagerly
     materializing EVERY step (cache+count) costs a second Spark job per
     merge — 0.342 s/merge; keeping steps LAZY between
     ``localCheckpoint`` truncations instead re-derives at most
-    ``checkpoint_every - 1`` fold expressions per pair-count pass (pure
-    column compute over the vocab frame, no extra shuffle) and runs at
-    0.175 s/merge — the per-iteration job overhead dominates the fold
-    recompute by far. That inverts only when the vocab frame is so
-    large that ``checkpoint_every`` re-folds rival a shuffle; lower
+    ``checkpoint_every - 1`` fold expressions per pass (pure column
+    compute over the vocab frame, no extra shuffle) — 0.175 s/merge;
+    batching then amortizes the per-JOB scheduler floor across every
+    merge certified from the same snapshot. That inverts only when the
+    vocab frame is so large that re-folds rival a shuffle; lower
     ``checkpoint_every`` toward 1 there (at 10M vocab rows the fold is
     still map-only, so the crossover is late).
     """
@@ -141,26 +357,65 @@ def bpe_train(
             f"bpe_train: checkpoint_every must be >= 1, got {checkpoint_every} "
             "(0 divides by zero; negatives would never truncate lineage)"
         )
+    if batch_pairs < 1:
+        raise ValueError(f"bpe_train: batch_pairs must be >= 1, got {batch_pairs}")
     vocab = vocab_table(df, text_col, end_marker).localCheckpoint(eager=True)
-    merges: list[tuple[int, str, str, int]] = []
-    for step in range(n_merges):
-        top = (
-            pair_counts(vocab)
-            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
+    if local_below and vocab.count() <= local_below:
+        local = {
+            r["w"]: (int(r["n"]), tuple(r["syms"])) for r in vocab.collect()
+        }
+        merges = _local_merge_loop(local, n_merges, min_count)
+        out_vocab = df.sparkSession.createDataFrame(
+            [(w, n, list(s)) for w, (n, s) in sorted(local.items())],
+            "w string, n long, syms array<string>",
         )
-        if not top or top[0]["cnt"] < min_count:
-            break
-        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
-        merges.append((step, a, b, cnt))
-        # LAZY between checkpoints: one Spark job per merge (the
-        # argmax collect), with <= checkpoint_every-1 map-only fold
-        # expressions re-derived on top of the last checkpoint — see
-        # the cost model in the docstring
-        vocab = vocab.withColumn("syms", apply_merge(F.col("syms"), a, b))
-        if (step + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint(eager=True)
+        return merges, out_vocab
+    merges = []
+    last_ckpt = 0
+    # Loop-scoped session tuning (restored on exit): every iteration is a
+    # FIXED-SHAPE micro-job — partial agg, one shuffle, TakeOrdered — so
+    # (a) AQE's per-stage re-planning only adds driver latency (there is
+    # nothing left to re-plan), and (b) shuffle partitions sized to the
+    # vocab frame's own partitioning beat the session default at both
+    # ends (1 reducer for a small vocab; the input's parallelism for a
+    # 10M-word vocab). Measured at sf0.1: ~2x per-iteration latency.
+    sess = df.sparkSession
+    _keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    saved = {k: sess.conf.get(k) for k in _keys}
+    try:
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        sess.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(1, vocab.rdd.getNumPartitions())),
+        )
+        while len(merges) < n_merges:
+            rows = (
+                pair_and_triple_counts(vocab)
+                .orderBy(F.desc("cnt"), F.asc("kind"), F.asc("s1"), F.asc("s2"))
+                .limit(window)
+                .collect()
+            )
+            batch = _select_batch(
+                rows,
+                min_count,
+                min(batch_pairs, n_merges - len(merges)),
+                complete=len(rows) < window,
+            )
+            if not batch:
+                break
+            for a, b, cnt in batch:
+                merges.append((len(merges), a, b, cnt))
+                # LAZY between checkpoints: the argmax collect is the
+                # only job; <= checkpoint_every-1 map-only fold
+                # expressions are re-derived on top of the last
+                # checkpoint — see the cost model in the docstring
+                vocab = vocab.withColumn("syms", apply_merge(F.col("syms"), a, b))
+            if len(merges) - last_ckpt >= checkpoint_every:
+                vocab = vocab.localCheckpoint(eager=True)
+                last_ckpt = len(merges)
+    finally:
+        for k, v in saved.items():
+            sess.conf.set(k, v)
     return merges, vocab
 
 

@@ -213,6 +213,105 @@ def test_bpe_train_matches_local_reference(spark):
     got_vocab.unpersist()
 
 
+def test_bpe_batched_sequence_exact_vs_reference(spark):
+    """Merge batching must be byte-identical to the sequential schedule
+    — verified, not assumed: randomized corpora heavy in OVERLAPPING
+    top pairs (ab/ba chains, aaa runs, count ties) where a naive batch
+    would reorder or over-merge. Checked against both batch_pairs=1 and
+    the local Sennrich reference."""
+    import random
+
+    from predicting_hospital_readmission_using_mimic_database_spark.ml.bpe import bpe_train
+
+    rng = random.Random(13)
+    alphabet = "abcde"
+    for trial in range(4):
+        words = []
+        for _ in range(40):
+            n = rng.randint(1, 8)
+            words.append("".join(rng.choice(alphabet) for _ in range(n)))
+        # adversarial shapes: self-overlap runs and alternations
+        words += ["aaaa", "aaa", "ababab", "bababa", "ababa"] * (trial + 1)
+        docs = [" ".join(words[i::4]) for i in range(4)]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], "id long, text string"
+        )
+        batched, v1 = bpe_train(df, "text", n_merges=12, window=16, local_below=0)
+        single, v2 = bpe_train(
+            df, "text", n_merges=12, batch_pairs=1, local_below=0
+        )
+        fast, _v3 = bpe_train(df, "text", n_merges=12)  # driver fast path
+        want, _ = _local_bpe(" ".join(docs).split(), 12)
+        assert batched == single == fast == want, (
+            trial, batched, single, fast, want
+        )
+        v1.unpersist(); v2.unpersist()
+
+
+def test_bpe_select_batch_bounds():
+    """Unit checks of the batch certificate: prefix-only, symbol
+    disjointness, triple new-pair bound, truncated-window cutoff."""
+    from predicting_hospital_readmission_using_mimic_database_spark.ml.bpe import _select_batch
+
+    def row(kind, s1, s2, s3, cnt):
+        return {"kind": kind, "s1": s1, "s2": s2, "s3": s3, "cnt": cnt}
+
+    # disjoint pairs, no threatening triples: both accepted
+    rows = [row("p", "a", "b", None, 10), row("p", "c", "d", None, 8)]
+    assert _select_batch(rows, 1, 64, complete=True) == [
+        ("a", "b", 10), ("c", "d", 8)
+    ]
+    # symbol overlap with a LIVE interaction triple ends the batch
+    # (never skips): merging (a,b) at an "a b c" site destroys (b,c)
+    rows = [
+        row("p", "a", "b", None, 10),
+        row("p", "b", "c", None, 9),
+        row("p", "d", "e", None, 8),
+        row("t", "a", "b", "c", 4),
+    ]
+    assert _select_batch(rows, 1, 64, complete=True) == [("a", "b", 10)]
+    # ...but overlap with provably ZERO interaction triples is stable
+    # and accepted (complete window, no (a,b,c) triple anywhere)
+    rows = [
+        row("p", "a", "b", None, 10),
+        row("p", "b", "c", None, 9),
+    ]
+    assert _select_batch(rows, 1, 64, complete=True) == [
+        ("a", "b", 10), ("b", "c", 9)
+    ]
+    # overlap in a TRUNCATED window can't be certified -> batch ends
+    assert _select_batch(rows, 1, 64, complete=False) == [("a", "b", 10)]
+    # the d == a interaction direction: merging (b,c) at a "d b c"...
+    # i.e. candidate (d,b) after accepted (b,c) needs triple (d,b,c)
+    rows = [
+        row("p", "b", "c", None, 10),
+        row("p", "d", "b", None, 9),
+        row("t", "d", "b", "c", 1),
+    ]
+    assert _select_batch(rows, 1, 64, complete=True) == [("b", "c", 10)]
+    # a triple adjacent to the first merge bounds the second: the new
+    # pair (x, ab) could have count 8 >= cnt(c,d)=8 -> stop
+    rows = [
+        row("p", "a", "b", None, 10),
+        row("p", "c", "d", None, 8),
+        row("t", "x", "a", "b", 8),
+    ]
+    assert _select_batch(rows, 1, 64, complete=True) == [("a", "b", 10)]
+    # strictly above the bound: accepted
+    rows[2] = row("t", "x", "a", "b", 7)
+    assert len(_select_batch(rows, 1, 64, complete=True)) == 2
+    # truncated window: second pair at the cutoff count may be shadowed
+    rows = [row("p", "a", "b", None, 10), row("p", "c", "d", None, 10)]
+    assert _select_batch(rows, 1, 64, complete=False) == [("a", "b", 10)]
+    assert len(_select_batch(rows, 1, 64, complete=True)) == 2
+    # min_count gates every member
+    rows = [row("p", "a", "b", None, 3), row("p", "c", "d", None, 1)]
+    assert _select_batch(rows, 2, 64, complete=True) == [("a", "b", 3)]
+    # max_batch cap
+    rows = [row("p", "a", "b", None, 10), row("p", "c", "d", None, 8)]
+    assert len(_select_batch(rows, 1, 1, complete=True)) == 1
+
+
 def test_bpe_apply_merge_greedy_nonoverlapping(spark):
     import pyspark.sql.functions as F
 
