@@ -1390,7 +1390,7 @@ def q_d10(spark, sf):
 
 
 @query(
-    "u10_cluster_balanced",
+    "u12_cluster_balanced",
     oracle="""
     WITH a AS (
       SELECT vec_id,
@@ -1406,8 +1406,8 @@ def q_d10(spark, sf):
     FROM a
     """,
 )
-def q_u10(spark, sf):
-    """U10 — DIVERSITY (cluster-balanced) sampling
+def q_u12(spark, sf):
+    """U12 — DIVERSITY (cluster-balanced) sampling
     (operators.sampling.cluster_balanced_sample): cap every semantic
     cell at 25 examples via the deterministic salted-md5 quota rank.
     Oracle-EXACT via the explicit-codebook path: with centroids = scaled

@@ -33,15 +33,14 @@ def test_first_50_entries_cover_every_family():
         "t", "m", "e",                                   # text / ML / metrics
         "d", "n", "x", "mm", "st",                       # LLM-pipeline + streaming
     } <= fams, fams
-    # round-6 rotation: every entry whose code/oracle changed this round
-    # leads the prefix (the union already covers all 159 prior entries)
-    for must in ("s9_table_merge", "s10_table_time_travel",
-                 "s11_table_skipping",
-                 "d9_dup_clusters_star", "g1_pagerank",
-                 "t13_clean_text_tokens", "t14_count_vectorize",
-                 "t15_vocabulary", "s8_json_roundtrip", "w14_ohlc_bars",
-                 "d6_dup_clusters", "t20_bpe_pair_counts",
-                 "flagship_readmit_30d"):
+    # round-7 rotation: every entry whose code/oracle changed this round
+    # leads the prefix (the union already covers all 180 prior entries)
+    for must in ("u12_cluster_balanced", "s15_delta_read", "d10_semdedup",
+                 "s9_table_merge", "s10_table_time_travel",
+                 "s11_table_skipping", "st9_stream_snapshot_sink",
+                 "st11_stream_merge_mv", "mm7_scene_cuts",
+                 "u9_quota_sample", "x7_mixture_sample",
+                 "t20_bpe_pair_counts", "flagship_readmit_30d"):
         assert must in names
 
 
