@@ -2245,6 +2245,49 @@ def q_s15(spark, sf):
 
 
 @query(
+    "s16_delta_export",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT)
+           + CASE WHEN c_custkey % 11 = 0 THEN 10000 ELSE 0 END AS bal_c
+    FROM customer
+    """,
+)
+def q_s16(spark, sf):
+    """S16 — zero-copy Delta EXPORT round trip (sources/delta.py
+    ``export_delta_log``): a bucketed SnapshotTable is published as a
+    real ``_delta_log`` (version 0 = full live set), then a bucket-pruned
+    MERGE rewrites a few buckets and the second export commits ONLY the
+    add/remove diff (delta-sized metadata, like the native log). The
+    returned frame reads through the EXPORTED log alone — what delta-rs
+    or Trino would see — so a missed remove, a leaked dead file, or a
+    wrong diff surfaces as a row-level hash mismatch against DuckDB's
+    direct recompute. Integer-cents keeps it bit-exact."""
+    from .sources.delta import export_delta_log, read_delta
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s16", sf),
+        "c_custkey bigint, bal_c bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=8,
+    )
+    t.append(c)
+    assert export_delta_log(t) == 0
+    upd = c.filter(F.col("c_custkey") % 11 == 0).select(
+        "c_custkey", (F.col("bal_c") + 10000).alias("bal_c")
+    )
+    t.merge(upd)
+    assert export_delta_log(t) == 1
+    return read_delta(spark, t.root)
+
+
+@query(
     "w15_resample_ffill",
     oracle="""
     WITH obs AS (

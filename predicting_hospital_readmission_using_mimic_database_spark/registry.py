@@ -55,6 +55,7 @@ PRIORITY: tuple[str, ...] = (
     # (a) changed or new in round 7
     "u12_cluster_balanced",
     "s15_delta_read",
+    "s16_delta_export",
     "d10_semdedup",
     "s9_table_merge",
     "s10_table_time_travel",
@@ -76,7 +77,6 @@ PRIORITY: tuple[str, ...] = (
     "j13_interval_join",
     "j14_fuzzy_join",
     "w7_sessionize",
-    "w8_rolling_avg",
     "w12_session_funnel",
     "a13_percentiles",
     "a14_corr_cov",

@@ -47,6 +47,13 @@ from pyspark.sql.types import StructType
 DELTA_LOG_DIR = "_delta_log"
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 
+__all__ = [
+    "DeltaProtocolError",
+    "delta_table_version",
+    "export_delta_log",
+    "read_delta",
+]
+
 #: reader-version-3 table features this reader actually honors
 _SUPPORTED_READER_FEATURES = {"timestampNtz"}
 
@@ -160,6 +167,91 @@ def delta_table_version(root: str) -> int:
     """Latest committed version of the Delta table at ``root``."""
     _meta, _live, last = _replay_log(root)
     return last
+
+
+def export_delta_log(table) -> int:
+    """Publish a :class:`~.table.SnapshotTable`'s CURRENT snapshot as a
+    real ``_delta_log`` under the table root, so any Delta client
+    (delta-rs, Trino, Spark delta-io — or :func:`read_delta`) can read
+    the table in place: zero data movement, the parquet files are shared
+    byte-for-byte.
+
+    Incremental: the first export writes version 0 (protocol + metaData
+    + every live file); later exports replay the existing exported log
+    and commit only the add/remove DIFF against the current snapshot —
+    the same delta-sized metadata posture as the native commit log. A
+    no-change export writes nothing. Returns the exported delta version.
+
+    Shape notes: SnapshotTable data files hold exactly the declared
+    schema (the hash-bucket id lives in the directory name, not the
+    rows), so the export declares no partition columns and empty
+    ``partitionValues`` — semantically correct for any reader; bucket
+    locality is an engine-side read optimization, not table state.
+    Driver-side metadata only (KBs per commit).
+    """
+    import uuid
+
+    root = table.root
+    table._refresh()
+    current = set(table._live)
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    schema_string = table.schema.json()
+    if os.path.isdir(log_dir) and _delta_commits(log_dir):
+        _meta, exported, last = _replay_log(root)
+        prev = set(exported)
+        adds = sorted(current - prev)
+        removes = sorted(prev - current)
+        if not adds and not removes:
+            return last
+        version = last + 1
+        actions = [{"commitInfo": {"operation": "WRITE", "engineInfo": "snapshot-export"}}]
+        if _meta.get("schemaString") != schema_string:
+            actions.append(_export_meta(schema_string))
+    else:
+        os.makedirs(log_dir, exist_ok=True)
+        version = 0
+        adds = sorted(current)
+        removes = []
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _export_meta(schema_string),
+        ]
+    for rel in removes:
+        actions.append(
+            {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": True}}
+        )
+    for rel in adds:
+        a = table._live[rel]
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(root, rel)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": a.rows}),
+                }
+            }
+        )
+    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        for action in actions:
+            f.write(json.dumps(action) + "\n")
+    os.replace(tmp, os.path.join(log_dir, f"{version:020d}.json"))
+    return version
+
+
+def _export_meta(schema_string: str) -> dict:
+    return {
+        "metaData": {
+            "id": "snapshot-export",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
 
 
 def read_delta(

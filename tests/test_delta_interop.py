@@ -244,6 +244,42 @@ def test_protocol_gates(spark, tmp_path):
         read_delta(spark, r4)
 
 
+def test_export_snapshot_table_roundtrip(spark, tmp_path):
+    """SnapshotTable -> _delta_log export: zero-copy publish readable by
+    any Delta client; incremental exports diff the live set, and the
+    exported log time-travels to each exported snapshot."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import export_delta_log
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import SnapshotTable
+
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, v double", bucket_key=["k"], num_buckets=4
+    )
+    t.append(
+        spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    )
+    assert export_delta_log(t) == 0
+    d0 = read_delta(spark, root)
+    assert d0.columns == ["k", "v"]
+    assert {(r["k"], r["v"]) for r in d0.collect()} == {
+        (i, float(i)) for i in range(100)
+    }
+    # no-change export is a no-op
+    assert export_delta_log(t) == 0
+    assert delta_table_version(root) == 0
+    # a bucket-pruned MERGE rewrites some files; the next export commits
+    # only the diff, and both delta versions stay readable
+    upd = spark.createDataFrame([(7, -7.0), (1000, 1.0)], "k bigint, v double")
+    t.merge(upd)
+    assert export_delta_log(t) == 1
+    got = {r["k"]: r["v"] for r in read_delta(spark, root).collect()}
+    assert got[7] == -7.0 and got[1000] == 1.0 and len(got) == 101
+    old = {r["k"]: r["v"] for r in read_delta(spark, root, version=0).collect()}
+    assert old[7] == 7.0 and 1000 not in old
+
+
 def test_empty_after_removes(spark, tmp_path):
     root = str(tmp_path / "empty")
     _write_parquet(os.path.join(root, "f.parquet"), [(1,)], ["v"])

@@ -35,7 +35,8 @@ def test_first_50_entries_cover_every_family():
     } <= fams, fams
     # round-7 rotation: every entry whose code/oracle changed this round
     # leads the prefix (the union already covers all 180 prior entries)
-    for must in ("u12_cluster_balanced", "s15_delta_read", "d10_semdedup",
+    for must in ("u12_cluster_balanced", "s15_delta_read", "s16_delta_export",
+                 "d10_semdedup",
                  "s9_table_merge", "s10_table_time_travel",
                  "s11_table_skipping", "st9_stream_snapshot_sink",
                  "st11_stream_merge_mv", "mm7_scene_cuts",

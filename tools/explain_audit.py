@@ -110,6 +110,9 @@ AUDIT = [
     "w15_resample_ffill", # grid-sized work after the one raw-row agg
     "x16_curation_funnel",  # 4 gates + 2 flag-partitioned windows, 1 scan
     "mm6_channel_norm_fit",  # integer partials -> single global fold
+    # round-7: delta interop + codebook-balanced sampling
+    "s15_delta_read",     # live-file-only read, explicit schema, no inference
+    "u12_cluster_balanced",  # map-only assign + one cell-keyed window
 ]
 
 
