@@ -18,14 +18,17 @@ Scope (documented, checked, raising — never silently wrong):
 * JSON commit files ``_delta_log/<version 20d>.json``, one action per
   line: ``add`` / ``remove`` / ``metaData`` / ``protocol`` /
   ``commitInfo`` / ``txn``.
+* Classic parquet CHECKPOINTS (single-file ``n.checkpoint.parquet`` and
+  multi-part ``n.checkpoint.i.of.parquet``) — the compaction every real
+  Delta writer performs every ~10 commits: replay starts from the
+  newest usable checkpoint at or below the target version and applies
+  the JSON commits after it; incomplete multi-part uploads are ignored,
+  never half-read.
 * Protocol gate: ``minReaderVersion`` 1 is fully supported; 2 only
   without column mapping (``delta.columnMapping.mode`` must be absent or
   ``none``); 3+ only when every ``readerFeatures`` entry is in the
   supported set (currently ``timestampNtz``) — deletion vectors or v2
   checkpoints raise rather than returning wrong rows.
-* Parquet checkpoints are NOT replayed: a log whose version-0 JSON has
-  been checkpoint-compacted away raises ``NotImplementedError`` with
-  that diagnosis (retain JSON commits, or export, to interop).
 
 Reference parity: the reference reloads its whole mutable store to see
 writer changes (nb:2101 / nb:2140); a Delta reader sees a concurrent
@@ -46,6 +49,10 @@ from pyspark.sql.types import StructType
 
 DELTA_LOG_DIR = "_delta_log"
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+#: classic checkpoints: n.checkpoint.parquet or n.checkpoint.<part>.<of>.parquet
+_CHECKPOINT_RE = re.compile(
+    r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$"
+)
 
 __all__ = [
     "DeltaProtocolError",
@@ -89,30 +96,142 @@ def _check_protocol(action: dict) -> None:
             )
 
 
+def _check_meta(meta: dict) -> dict:
+    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+    if mode != "none":
+        raise DeltaProtocolError(
+            f"delta.columnMapping.mode={mode} is not supported "
+            "(physical column names differ from the schema)"
+        )
+    return meta
+
+
+class _State:
+    __slots__ = ("meta", "live")
+
+    def __init__(self):
+        self.meta: dict | None = None
+        self.live: dict[str, dict] = {}
+
+    def add(self, a: dict) -> None:
+        if a.get("deletionVector"):
+            raise DeltaProtocolError(
+                "file carries a deletion vector; row-level filtering is "
+                "not supported by this reader"
+            )
+        self.live[unquote(a["path"])] = a.get("partitionValues") or {}
+
+    def remove(self, path: str) -> None:
+        self.live.pop(unquote(path), None)
+
+
+def _checkpoints(log_dir: str) -> dict[int, list[str]]:
+    """{checkpoint version: [part paths, ascending]} for classic
+    single-file and multi-part checkpoints."""
+    out: dict[int, list[tuple[int, str]]] = {}
+    for name in os.listdir(log_dir):
+        m = _CHECKPOINT_RE.match(name)
+        if m:
+            v = int(m.group(1))
+            part = int(m.group(2)) if m.group(2) else 1
+            out.setdefault(v, []).append((part, os.path.join(log_dir, name)))
+    done: dict[int, list[str]] = {}
+    for v, parts in out.items():
+        parts.sort()
+        declared = None
+        m = _CHECKPOINT_RE.match(os.path.basename(parts[0][1]))
+        if m.group(3):
+            declared = int(m.group(3))
+        if declared is not None and len(parts) != declared:
+            continue  # incomplete multi-part upload: not a usable snapshot
+        done[v] = [p for _i, p in parts]
+    return done
+
+
+def _load_checkpoint(paths: list[str], state: _State) -> None:
+    """Fold a classic parquet checkpoint (the full live-file set plus
+    metaData/protocol rows; remove rows are vacuum tombstones and carry
+    no live state) into ``state``. Driver-side pyarrow read of the
+    action columns only — stats/tags are skipped, data files untouched."""
+    import pyarrow.parquet as pq
+
+    def _plain(v):
+        # pyarrow map columns surface as list-of-(key, value) tuples
+        if isinstance(v, list) and all(
+            isinstance(t, tuple) and len(t) == 2 for t in v
+        ):
+            return dict(v)
+        return v
+
+    for path in paths:
+        pf = pq.ParquetFile(path)
+        cols = [
+            c for c in ("protocol", "metaData", "add")
+            if c in pf.schema_arrow.names
+        ]
+        table = pf.read(columns=cols)
+        for col in cols:
+            for row in table.column(col).to_pylist():
+                if row is None:
+                    continue
+                if col == "protocol":
+                    _check_protocol(row)
+                elif col == "metaData":
+                    row = dict(row)
+                    row["configuration"] = _plain(row.get("configuration")) or {}
+                    state.meta = _check_meta(row)
+                else:
+                    row = dict(row)
+                    row["partitionValues"] = _plain(row.get("partitionValues")) or {}
+                    state.add(row)
+
+
 def _replay_log(
     root: str, version: int | None = None
 ) -> tuple[dict, dict[str, dict], int]:
-    """Replay ``_delta_log`` JSON up to ``version`` (inclusive; None =
-    latest). Returns (metaData action, {data path: partitionValues},
-    last replayed version). Driver-side metadata only — no data file is
-    touched."""
+    """Replay ``_delta_log`` up to ``version`` (inclusive; None =
+    latest): start from the newest usable parquet CHECKPOINT at or
+    below the target (the state real Delta writers compact every ~10
+    commits), then apply the JSON commits after it. Returns (metaData
+    action, {data path: partitionValues}, last replayed version).
+    Driver-side metadata only — no data file is touched."""
     log_dir = os.path.join(root, DELTA_LOG_DIR)
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a delta table (no {DELTA_LOG_DIR}): {root}")
     commits = _delta_commits(log_dir)
-    if not commits:
+    cps = _checkpoints(log_dir)
+    if not commits and not cps:
+        if any(_CHECKPOINT_RE.match(n) for n in os.listdir(log_dir)):
+            raise DeltaProtocolError(
+                "only INCOMPLETE multi-part checkpoint files present "
+                f"(missing parts) in {log_dir}; cannot reconstruct a snapshot"
+            )
         raise FileNotFoundError(f"empty {DELTA_LOG_DIR}: {root}")
-    if commits[0][0] != 0:
+    state = _State()
+    start_cp = None
+    for v in sorted(cps, reverse=True):
+        if version is not None and v > version:
+            continue
+        # usable only if JSON commits cover every version after it up to
+        # the target (or the log tail)
+        start_cp = v
+        break
+    if start_cp is None and (not commits or commits[0][0] != 0):
         raise DeltaProtocolError(
-            f"log starts at version {commits[0][0]} — the earlier JSON "
-            "commits were compacted into a parquet checkpoint, which this "
-            "interop reader does not replay; retain JSON commits to interop"
+            f"log starts at version {commits[0][0] if commits else '?'} with "
+            "no usable parquet checkpoint at or below the requested version; "
+            "cannot reconstruct a consistent snapshot"
         )
-    expected = 0
-    meta: dict | None = None
-    live: dict[str, dict] = {}
-    last = -1
+    if start_cp is not None:
+        _load_checkpoint(cps[start_cp], state)
+        last = start_cp
+        expected = start_cp + 1
+    else:
+        last = -1
+        expected = 0
     for v, path in commits:
+        if v < expected:
+            continue
         if version is not None and v > version:
             break
         if v != expected:
@@ -131,36 +250,22 @@ def _replay_log(
                 if "protocol" in action:
                     _check_protocol(action["protocol"])
                 elif "metaData" in action:
-                    meta = action["metaData"]
-                    mode = (meta.get("configuration") or {}).get(
-                        "delta.columnMapping.mode", "none"
-                    )
-                    if mode != "none":
-                        raise DeltaProtocolError(
-                            f"delta.columnMapping.mode={mode} is not supported "
-                            "(physical column names differ from the schema)"
-                        )
+                    state.meta = _check_meta(action["metaData"])
                 elif "add" in action:
-                    a = action["add"]
-                    if a.get("deletionVector"):
-                        raise DeltaProtocolError(
-                            "file carries a deletion vector; row-level "
-                            "filtering is not supported by this reader"
-                        )
-                    live[unquote(a["path"])] = a.get("partitionValues") or {}
+                    state.add(action["add"])
                 elif "remove" in action:
-                    live.pop(unquote(action["remove"]["path"]), None)
+                    state.remove(action["remove"]["path"])
                 # commitInfo / txn / cdc: metadata-only, ignored
     if version is not None and last != version:
         raise ValueError(
             f"requested version {version} but log ends at {last}"
         )
-    if meta is None:
+    if state.meta is None:
         raise DeltaProtocolError(
-            "no metaData action found in the replayed log (checkpointed "
-            "away?); cannot determine the table schema"
+            "no metaData action found in the replayed log; cannot "
+            "determine the table schema"
         )
-    return meta, live, last
+    return state.meta, state.live, last
 
 
 def delta_table_version(root: str) -> int:

@@ -280,6 +280,118 @@ def test_export_snapshot_table_roundtrip(spark, tmp_path):
     assert old[7] == 7.0 and 1000 not in old
 
 
+def _write_checkpoint(root, version, rows, parts=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    table = pa.Table.from_pylist(rows)
+    if parts is None:
+        pq.write_table(table, os.path.join(log, f"{version:020d}.checkpoint.parquet"))
+    else:
+        n = len(parts)
+        for i, sl in enumerate(parts, start=1):
+            pq.write_table(
+                table.slice(*sl),
+                os.path.join(
+                    log, f"{version:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
+                ),
+            )
+
+
+def _cp_rows(fields, adds):
+    rows = [
+        {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "metaData": None,
+            "add": None,
+        },
+        {
+            "protocol": None,
+            "metaData": {
+                "id": "cp",
+                "schemaString": _schema_string(fields),
+                "partitionColumns": [],
+                "configuration": None,
+            },
+            "add": None,
+        },
+    ]
+    for path in adds:
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": path,
+                    "partitionValues": None,
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                },
+            }
+        )
+    return rows
+
+
+def test_checkpoint_parquet_replay(spark, tmp_path):
+    """A log whose early JSON commits were compacted into a classic
+    parquet checkpoint replays from the checkpoint + later JSON — the
+    shape every real (10+-commit) Delta table has."""
+    root = str(tmp_path / "cp")
+    for name, vals in [("f5.parquet", [(50,)]), ("f6.parquet", [(60,)])]:
+        _write_parquet(os.path.join(root, name), vals, ["v"])
+    # checkpoint at version 5 holds f5; JSON commit 6 adds f6
+    _write_checkpoint(root, 5, _cp_rows([("v", "long")], ["f5.parquet"]))
+    _write_commit(
+        root,
+        6,
+        [
+            {
+                "add": {
+                    "path": "f6.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        ],
+    )
+    assert {r["v"] for r in read_delta(spark, root).collect()} == {50, 60}
+    assert delta_table_version(root) == 6
+    # time travel to the checkpoint version itself
+    assert {r["v"] for r in read_delta(spark, root, version=5).collect()} == {50}
+    # a version before the checkpoint is unreachable -> loud error
+    with pytest.raises(DeltaProtocolError, match="checkpoint"):
+        read_delta(spark, root, version=3)
+
+
+def test_checkpoint_multipart_and_incomplete(spark, tmp_path):
+    root = str(tmp_path / "mp")
+    for name, vals in [("a.parquet", [(1,)]), ("b.parquet", [(2,)])]:
+        _write_parquet(os.path.join(root, name), vals, ["v"])
+    rows = _cp_rows([("v", "long")], ["a.parquet", "b.parquet"])
+    # two parts: rows [0:2] and [2:4]
+    _write_checkpoint(root, 4, rows, parts=[(0, 2), (2, 2)])
+    assert {r["v"] for r in read_delta(spark, root).collect()} == {1, 2}
+    # an INCOMPLETE multi-part checkpoint must be ignored, not half-read
+    root2 = str(tmp_path / "inc")
+    _write_parquet(os.path.join(root2, "a.parquet"), [(1,)], ["v"])
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log2 = os.path.join(root2, "_delta_log")
+    os.makedirs(log2, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pylist(rows[:2]),
+        os.path.join(log2, f"{4:020d}.checkpoint.{1:010d}.{3:010d}.parquet"),
+    )
+    with pytest.raises(DeltaProtocolError, match="checkpoint"):
+        read_delta(spark, root2)
+
+
 def test_empty_after_removes(spark, tmp_path):
     root = str(tmp_path / "empty")
     _write_parquet(os.path.join(root, "f.parquet"), [(1,)], ["v"])
