@@ -112,6 +112,7 @@ AUDIT = [
     "mm6_channel_norm_fit",  # integer partials -> single global fold
     # round-7: delta interop + codebook-balanced sampling
     "s15_delta_read",     # live-file-only read, explicit schema, no inference
+    "s16_delta_export",   # read THROUGH the exported log, same posture
     "u12_cluster_balanced",  # map-only assign + one cell-keyed window
 ]
 
