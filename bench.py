@@ -120,6 +120,10 @@ HEADLINE = [
     "e9_calibration",         # reliability diagram, one shuffle
     "d11_image_dedup",        # perceptual-hash banded image dedup
     "j15_bucketed_join",      # zero-exchange co-located SMB join
+    # round-7 additions
+    "s15_delta_read",         # _delta_log interop snapshot read
+    "s16_delta_export",       # zero-copy delta export + read-through
+    "u12_cluster_balanced",   # codebook-balanced diversity sampling
 ]
 
 
