@@ -2288,6 +2288,48 @@ def q_s16(spark, sf):
 
 
 @query(
+    "s17_pyds_snapshot_read",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT)
+           + CASE WHEN c_custkey % 13 = 0 THEN 5000 ELSE 0 END AS bal_c
+    FROM customer
+    """,
+)
+def q_s17(spark, sf):
+    """S17 — SnapshotTable through Spark's PYTHON DATA SOURCE API
+    (sources/pydatasource.py): ``spark.read.format("snapshot")`` plans
+    one input partition per live file — the executor-parallel scan shape
+    — with pyarrow batch reads on the workers and only the commit log
+    touched on the driver. The row-level hash against DuckDB's direct
+    recompute proves the post-MERGE live-file set (not the dead
+    pre-merge files still on disk) is what the source hands Spark. The
+    native JVM scan (`SnapshotTable.read`) stays the fast path; this is
+    the standard-surface interop (SQL users, readStream) route."""
+    from .sources.pydatasource import register_datasources
+    from .sources.table import SnapshotTable
+
+    register_datasources(spark)
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s17", sf),
+        "c_custkey bigint, bal_c bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=8,
+    )
+    t.append(c)
+    upd = c.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey", (F.col("bal_c") + 5000).alias("bal_c")
+    )
+    t.merge(upd)
+    return spark.read.format("snapshot").option("path", t.root).load()
+
+
+@query(
     "w15_resample_ffill",
     oracle="""
     WITH obs AS (

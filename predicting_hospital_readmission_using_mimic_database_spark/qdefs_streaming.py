@@ -718,3 +718,102 @@ def q_st11(spark, sf):
         return spark.createDataFrame(rows, got.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st12_stream_table_changes",
+    oracle="""
+    SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
+           c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+    FROM customer
+    UNION ALL
+    SELECT 'delete', 2, c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT)
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT 'insert', 2, c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) + 100
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT 'insert', 2, c_custkey + 10000000, CAST(0 AS BIGINT)
+    FROM customer WHERE c_custkey % 97 = 0
+    """,
+)
+def q_st12(spark, sf):
+    """ST12 — the SnapshotTable CDC feed as a STRUCTURED STREAMING
+    SOURCE (sources/pydatasource.py, PySpark 4 Python Data Source API):
+    ``spark.readStream.format("snapshot_changes")`` with the committed
+    table VERSION as the streaming offset — driver-side KBs — and each
+    micro-batch reading only the files its commits touched, split per
+    (commit, bucket) across executors. The entry drains the whole
+    history with availableNow/foreachBatch and hash-matches the exact
+    expected feed DuckDB recomputes from the base table: the v1 append
+    is a full insert feed, the v2 bucket-pruned MERGE contributes each
+    updated key's delete pre-image + insert post-image plus the new
+    keys, and the rewritten-but-unchanged bucket rows CANCEL (the
+    executor-side multiset diff). This is the 100 TB consumption story:
+    a downstream index subscribes to delta-sized changes through the
+    standard streaming surface and never rescans the table."""
+    from .sources.pydatasource import register_datasources
+    from .sources.table import SnapshotTable
+
+    register_datasources(spark)
+    tmp = tempfile.mkdtemp(prefix="st12_")
+    try:
+        tbl = os.path.join(tmp, "tbl")
+        c = read_table(spark, sf, "customer").select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        )
+        t = SnapshotTable.create(
+            spark,
+            tbl,
+            "c_custkey bigint, bal_c bigint",
+            bucket_key=["c_custkey"],
+            num_buckets=8,
+        )
+        t.append(c)  # v1
+        upd = (
+            c.filter(F.col("c_custkey") % 7 == 0)
+            .select("c_custkey", (F.col("bal_c") + 100).alias("bal_c"))
+            .unionByName(
+                c.filter(F.col("c_custkey") % 97 == 0).select(
+                    (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                    F.lit(0).cast("long").alias("bal_c"),
+                )
+            )
+        )
+        t.merge(upd)  # v2
+        got: list = []
+
+        def sink(df, _bid):
+            got.extend(tuple(r) for r in df.collect())
+
+        q = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", tbl)
+            .option("startingVersion", 0)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("c_custkey", LongType()),
+                StructField("bal_c", LongType()),
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+            ]
+        )
+        return spark.createDataFrame(got, schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -56,6 +56,8 @@ PRIORITY: tuple[str, ...] = (
     "u12_cluster_balanced",
     "s15_delta_read",
     "s16_delta_export",
+    "s17_pyds_snapshot_read",
+    "st12_stream_table_changes",
     "d10_semdedup",
     "s9_table_merge",
     "s10_table_time_travel",
@@ -75,7 +77,6 @@ PRIORITY: tuple[str, ...] = (
     "j5_positional_join",
     "j11_salted_join",
     "j13_interval_join",
-    "j14_fuzzy_join",
     "w7_sessionize",
     "w12_session_funnel",
     "a13_percentiles",
@@ -92,7 +93,6 @@ PRIORITY: tuple[str, ...] = (
     "m8_mutual_info",
     "m9_chi2",
     "e1_roc_curve",
-    "e3_pr_curve",
     "e8_strategy_comparison",
     "d3_dedup_simhash",
     "d8_line_dedup",
