@@ -817,3 +817,77 @@ def q_st12(spark, sf):
         return spark.createDataFrame(got, schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st13_stream_pyds_sink",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_c
+    FROM events GROUP BY event_type
+    """,
+)
+def q_st13(spark, sf):
+    """ST13 — EXACTLY-ONCE streaming WRITES through the standard sink
+    surface (sources/pydatasource.py SnapshotStreamWriter):
+    ``writeStream.format("snapshot")`` stages one parquet file per
+    partition on the executors and the driver-side commit() lands the
+    whole micro-batch as ONE atomic SnapshotTable commit carrying
+    txn=(app, batchId). The entry re-runs the whole stream from a FRESH
+    checkpoint — every batch re-delivered — and the commit-log txn
+    high-water mark dedupes all of it: zero new versions (asserted), and
+    the per-type (count, integer-cents sum) over the table hash-matches
+    DuckDB's batch aggregate over events.parquet. Same guarantee as st9,
+    now via Spark's own DataSourceStreamWriter protocol instead of
+    foreachBatch."""
+    from .sources.pydatasource import register_datasources
+    from .sources.table import SnapshotTable
+
+    register_datasources(spark)
+    tmp = tempfile.mkdtemp(prefix="st13_")
+    src = os.path.join(tmp, "src")
+    tbl = os.path.join(tmp, "tbl")
+    os.makedirs(src)
+    try:
+        SnapshotTable.create(
+            spark, tbl, "event_id long, event_type string, value_c long"
+        )
+
+        def run(ck):
+            s = ING.stream_events(spark, src).select(
+                "event_id",
+                "event_type",
+                F.floor(F.col("value") * 100).cast("long").alias("value_c"),
+            )
+            q = (
+                s.writeStream.format("snapshot")
+                .option("path", tbl)
+                .option("appid", "st13")
+                .option("checkpointLocation", os.path.join(tmp, ck))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        _stage_event_chunks(spark, sf, src, n_chunks=3)
+        run("ck1")
+        t = SnapshotTable(spark, tbl)
+        v_before = t.version
+        run("ck2")  # fresh-checkpoint full replay: must all dedupe
+        t2 = SnapshotTable(spark, tbl)
+        if t2.version != v_before:
+            raise AssertionError(
+                f"st13 replay committed {t2.version - v_before} new versions"
+            )
+        got = (
+            t2.read()
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("value_c").cast("long").alias("total_c"),
+            )
+        )
+        rows = got.collect()
+        return spark.createDataFrame(rows, got.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

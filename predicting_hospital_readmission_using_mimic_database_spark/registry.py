@@ -58,6 +58,7 @@ PRIORITY: tuple[str, ...] = (
     "s16_delta_export",
     "s17_pyds_snapshot_read",
     "st12_stream_table_changes",
+    "st13_stream_pyds_sink",
     "d10_semdedup",
     "s9_table_merge",
     "s10_table_time_travel",
@@ -91,7 +92,6 @@ PRIORITY: tuple[str, ...] = (
     "t18_lemmatize_verbs",
     "m5_rf_sweep",
     "m8_mutual_info",
-    "m9_chi2",
     "e1_roc_curve",
     "e8_strategy_comparison",
     "d3_dedup_simhash",

@@ -38,7 +38,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -103,9 +106,135 @@ class SnapshotBatchReader(DataSourceReader):
         yield from _iter_parquet_batches(partition.paths, partition.columns)
 
 
+def _arrow_schema(schema: StructType):
+    """pyarrow schema for the SUPPORTED write types — explicit so an
+    all-NULL partition still writes the declared column type."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    def conv(dt):
+        m = {
+            T.LongType: pa.int64(),
+            T.IntegerType: pa.int32(),
+            T.ShortType: pa.int16(),
+            T.ByteType: pa.int8(),
+            T.DoubleType: pa.float64(),
+            T.FloatType: pa.float32(),
+            T.StringType: pa.string(),
+            T.BooleanType: pa.bool_(),
+            T.DateType: pa.date32(),
+            T.TimestampType: pa.timestamp("us", tz="UTC"),
+            T.BinaryType: pa.binary(),
+        }
+        for k, v in m.items():
+            if isinstance(dt, k):
+                return v
+        if isinstance(dt, T.ArrayType):
+            return pa.list_(conv(dt.elementType))
+        if isinstance(dt, T.DecimalType):
+            return pa.decimal128(dt.precision, dt.scale)
+        raise ValueError(f"snapshot writer: unsupported column type {dt}")
+
+    return pa.schema([(f.name, conv(f.dataType)) for f in schema.fields])
+
+
+class _WroteFiles(WriterCommitMessage):
+    def __init__(self, entries: list[tuple[str, int]]):
+        self.entries = entries  # [(rel_path, rows)]
+
+
+class SnapshotWriterBase:
+    """Executor side shared by the batch and streaming writers: each
+    partition writes one parquet file (pyarrow, explicit arrow schema)
+    under a per-query staging dir; the driver-side commit turns the
+    staged files into ONE atomic SnapshotTable commit. Bucketed tables
+    are refused — bucket placement uses Spark's JVM xxhash64, which a
+    Python worker cannot reproduce, and a mis-bucketed file would break
+    MERGE pruning; use SnapshotTable.append / the foreachBatch sinks for
+    bucketed targets."""
+
+    def __init__(self, options: dict, schema: StructType):
+        import uuid
+
+        t = _open_table(options)
+        if t.bucket_key:
+            raise ValueError(
+                "format('snapshot') writes only to UNBUCKETED tables "
+                "(bucket hashing is JVM-side); use SnapshotTable.append "
+                "or streaming.ingest.snapshot_append_sink instead"
+            )
+        declared = [f.name for f in t.schema.fields]
+        if [f.name for f in schema.fields] != declared:
+            raise ValueError(
+                f"schema mismatch: writing {[f.name for f in schema.fields]} "
+                f"to table columns {declared}"
+            )
+        self._root = t.root
+        self._schema = t.schema
+        self._stage = f"data-pyds-{uuid.uuid4().hex[:12]}"
+        self._app = options.get("appid", options.get("appId", "pyds-stream"))
+
+    # -- executors ------------------------------------------------------
+    def write(self, iterator) -> _WroteFiles:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [r.asDict(recursive=True) for r in iterator]
+        if not rows:
+            return _WroteFiles([])
+        tbl = pa.Table.from_pylist(rows, schema=_arrow_schema(self._schema))
+        rel = os.path.join(self._stage, f"part-{uuid.uuid4().hex}.parquet")
+        absp = os.path.join(self._root, rel)
+        os.makedirs(os.path.dirname(absp), exist_ok=True)
+        pq.write_table(tbl, absp)
+        return _WroteFiles([(rel, len(rows))])
+
+    # -- driver ---------------------------------------------------------
+    def _commit_staged(self, messages, txn) -> None:
+        from .table import SnapshotTable, _AddAction, _harvest_stats
+
+        t = SnapshotTable(None, self._root)
+        stats_cols = t._meta.get("stats_cols", [])
+        adds = []
+        for m in messages:
+            for rel, _n in (m.entries if m else []):
+                rows, stats = _harvest_stats(
+                    os.path.join(self._root, rel), stats_cols
+                )
+                adds.append(_AddAction(rel, rows, None, stats))
+        t._commit("append", adds, [], txn=txn)
+
+    def abort(self, messages, *_args) -> None:
+        for m in messages:
+            for rel, _n in (m.entries if m else []):
+                try:
+                    os.unlink(os.path.join(self._root, rel))
+                except OSError:
+                    pass
+
+
+class SnapshotBatchWriter(SnapshotWriterBase, DataSourceWriter):
+    def commit(self, messages) -> None:
+        self._commit_staged(messages, txn=None)
+
+
+class SnapshotStreamWriter(SnapshotWriterBase, DataSourceStreamWriter):
+    """Exactly-once streaming sink: the micro-batch id is the txn
+    version inside the table's commit log, so a replayed batch (after a
+    crash between write and checkpoint) stages new files but commits
+    NOTHING — the same upgrade snapshot_append_sink provides, here
+    through the standard ``writeStream.format("snapshot")`` surface."""
+
+    def commit(self, messages, batchId: int) -> None:
+        self._commit_staged(messages, txn=(self._app, batchId))
+
+
 class SnapshotDataSource(DataSource):
     """``spark.read.format("snapshot").option("path", root)`` with
-    optional ``option("version", v)`` time travel."""
+    optional ``option("version", v)`` time travel; writes (batch append
+    and exactly-once streaming) target UNBUCKETED tables."""
 
     @classmethod
     def name(cls) -> str:
@@ -116,6 +245,17 @@ class SnapshotDataSource(DataSource):
 
     def reader(self, schema: StructType):
         return SnapshotBatchReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "format('snapshot') supports mode('append') only; use "
+                "SnapshotTable.overwrite for atomic replacement"
+            )
+        return SnapshotBatchWriter(self.options, schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return SnapshotStreamWriter(self.options, schema)
 
 
 class _ChangesPartition(InputPartition):

@@ -111,6 +111,89 @@ def test_changes_stream_incremental(spark, table, tmp_path):
     )
 
 
+def test_batch_write_append(spark, tmp_path):
+    register_datasources(spark)
+    root = str(tmp_path / "w")
+    t = SnapshotTable.create(spark, root, "k bigint, v double")
+    _rows(spark, 0, 20).select("k", "v").write.format("snapshot").option(
+        "path", root
+    ).mode("append").save()
+    t2 = SnapshotTable(spark, root)
+    assert t2.version == 1
+    assert _rowset(t2.read()) == sorted((i, float(i)) for i in range(20))
+    # second append accumulates
+    _rows(spark, 20, 25).select("k", "v").write.format("snapshot").option(
+        "path", root
+    ).mode("append").save()
+    assert SnapshotTable(spark, root).read().count() == 25
+    # overwrite mode is refused loudly
+    with pytest.raises(Exception, match="append"):
+        _rows(spark, 0, 5).select("k", "v").write.format("snapshot").option(
+            "path", root
+        ).mode("overwrite").save()
+
+
+def test_write_guards(spark, tmp_path):
+    register_datasources(spark)
+    bucketed = str(tmp_path / "b")
+    SnapshotTable.create(
+        spark, bucketed, "k bigint, v double", bucket_key=["k"], num_buckets=2
+    )
+    with pytest.raises(Exception, match="UNBUCKETED"):
+        _rows(spark, 0, 5).select("k", "v").write.format("snapshot").option(
+            "path", bucketed
+        ).mode("append").save()
+    plain = str(tmp_path / "p")
+    SnapshotTable.create(spark, plain, "k bigint, v double")
+    with pytest.raises(Exception, match="schema mismatch"):
+        _rows(spark, 0, 5).write.format("snapshot").option(
+            "path", plain
+        ).mode("append").save()
+
+
+def test_stream_write_exactly_once(spark, tmp_path):
+    """writeStream.format('snapshot'): batch ids become txn versions in
+    the commit log, so a FRESH-checkpoint full replay of the same stream
+    commits zero new versions — the st9 guarantee through the standard
+    sink surface."""
+    import json
+    import os
+
+    register_datasources(spark)
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "tbl")
+    os.makedirs(src)
+    t = SnapshotTable.create(spark, root, "k bigint, v double")
+    for chunk in range(3):
+        with open(os.path.join(src, f"c{chunk}.json"), "w") as f:
+            for i in range(chunk * 10, chunk * 10 + 10):
+                f.write(json.dumps({"k": i, "v": float(i)}) + "\n")
+
+    def run(ck):
+        q = (
+            spark.readStream.schema("k bigint, v double")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.format("snapshot")
+            .option("path", root)
+            .option("appid", "pyds-test")
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    t1 = SnapshotTable(spark, root)
+    assert _rowset(t1.read()) == sorted((i, float(i)) for i in range(30))
+    v_before = t1.version
+    run("ck2")  # full replay, fresh checkpoint: all batches must dedupe
+    t2 = SnapshotTable(spark, root)
+    assert t2.version == v_before
+    assert t2.read().count() == 30
+    assert t2.last_txn_version("pyds-test") >= 0
+
+
 def test_stream_default_start_is_current(spark, table):
     """Without startingVersion the stream begins at the CURRENT version:
     history is not replayed, only future commits arrive."""
