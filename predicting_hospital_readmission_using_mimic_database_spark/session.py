@@ -39,6 +39,14 @@ def tune_session(spark: SparkSession) -> SparkSession:
             # conf not settable at runtime in this deployment: keep going,
             # readers have per-read fallbacks
             pass
+    try:
+        # make the engine's Python data sources (format "snapshot" /
+        # "snapshot_changes") available on any session we touch
+        from .sources.pydatasource import register_datasources
+
+        register_datasources(spark)
+    except Exception:
+        pass  # pre-4.0 deployments without the Python DataSource API
     return spark
 
 
