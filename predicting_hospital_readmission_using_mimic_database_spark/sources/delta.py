@@ -360,13 +360,24 @@ def _export_meta(schema_string: str) -> dict:
 
 
 def read_delta(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    partitions: dict[str, object] | None = None,
 ) -> DataFrame:
     """Snapshot-read a Delta table: the live parquet files at ``version``
     (None = latest), with partition columns materialized from the log's
     ``partitionValues`` (cast from their string serialization to the
     declared schema types — the spec's serialization for numbers/dates/
     booleans round-trips through a string cast).
+
+    ``partitions`` prunes at the METADATA level: ``{"seg": "A"}`` (or a
+    list/set of admitted values per column) keeps only files whose
+    logged partitionValues match, before Spark ever lists or plans them
+    — at 100 TB the difference between scanning one day and scanning
+    the table. Values are compared against the spec's STRING
+    serialization (pass "42" or 42 interchangeably; None matches a null
+    partition value). Unknown partition columns raise.
 
     Scale shape: one ``spark.read.parquet`` per distinct partition-value
     tuple over only that partition's LIVE files, unioned — dead files
@@ -379,6 +390,27 @@ def read_delta(
     part_cols = list(meta.get("partitionColumns") or [])
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     data_schema = StructType(data_fields)
+    if partitions:
+        unknown = [c for c in partitions if c not in part_cols]
+        if unknown:
+            raise ValueError(
+                f"partitions filter names non-partition columns {unknown} "
+                f"(table partitionColumns: {part_cols})"
+            )
+
+        def _admits(want, got: str | None) -> bool:
+            vals = want if isinstance(want, (list, set, tuple)) else [want]
+            return any(
+                (v is None and got is None)
+                or (v is not None and got is not None and str(v) == got)
+                for v in vals
+            )
+
+        live = {
+            rel: pv
+            for rel, pv in live.items()
+            if all(_admits(want, pv.get(c)) for c, want in partitions.items())
+        }
     if not live:
         return spark.createDataFrame([], schema)
     by_part: dict[tuple, list[str]] = {}

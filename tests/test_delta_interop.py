@@ -181,6 +181,72 @@ def test_partition_value_cast_and_encoded_path(spark, tmp_path):
     assert rows[0].asDict()["p"] == 42
 
 
+def test_partition_pruning_filter(spark, delta_root):
+    """partitions= prunes at the metadata level: only matching files are
+    handed to Spark (scan count check via the plan's file listing)."""
+    a = read_delta(spark, delta_root, partitions={"seg": "A"})
+    assert {(r["id"], r["seg"]) for r in a.collect()} == {(0, "A"), (1, "A")}
+    both = read_delta(spark, delta_root, partitions={"seg": ["A", "B"]})
+    assert both.count() == 4
+    none = read_delta(spark, delta_root, partitions={"seg": "ZZZ"})
+    assert none.count() == 0 and none.columns == ["id", "bal", "seg"]
+    with pytest.raises(ValueError, match="non-partition"):
+        read_delta(spark, delta_root, partitions={"id": 1})
+    # int-typed partition values match through the string serialization
+    # (both 42 and "42" admit)
+    # fewer files in the pruned plan: the A read touches ONE file
+    assert len(a.inputFiles()) == 1
+
+
+def test_export_random_history_property(spark, tmp_path):
+    """Property: after EVERY commit in a random append/merge/delete/
+    overwrite history, an incremental export produces a delta version
+    whose read_delta equals the table snapshot — and every earlier
+    exported version still replays to its own snapshot."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import export_delta_log
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import SnapshotTable
+
+    rng = random.Random(7)
+    root = str(tmp_path / "hist")
+    t = SnapshotTable.create(spark, root, "k bigint, v double")
+    nxt = 0
+    snapshots = []  # (delta_version, expected rowset)
+
+    def rows(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+
+    for step in range(6):
+        op = rng.choice(["append", "merge", "delete", "overwrite"])
+        if op == "append":
+            t.append(rows(nxt, nxt + rng.randint(1, 5)))
+            nxt += 5
+        elif op == "merge":
+            t.merge(
+                rows(max(0, nxt - 3), nxt + 1).select(
+                    "k", (F.col("v") + 100).alias("v")
+                ),
+                key=["k"],
+            )
+        elif op == "delete":
+            t.delete(F.col("k") % 3 == 0)
+        else:
+            t.overwrite(rows(0, rng.randint(1, 4)))
+        dv = export_delta_log(t)
+        expect = sorted(tuple(r) for r in t.read().collect())
+        snapshots.append((dv, expect))
+    for dv, expect in snapshots:
+        got = sorted(
+            tuple(r) for r in read_delta(spark, root, version=dv).collect()
+        )
+        assert got == expect, (dv, len(got), len(expect))
+
+
 def test_protocol_gates(spark, tmp_path):
     fields = [("v", "long")]
     # deletion vectors via readerFeatures
