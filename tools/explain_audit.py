@@ -113,6 +113,7 @@ AUDIT = [
     # round-7: delta interop + codebook-balanced sampling
     "s15_delta_read",     # live-file-only read, explicit schema, no inference
     "s16_delta_export",   # read THROUGH the exported log, same posture
+    "s17_pyds_snapshot_read",  # python-datasource scan, partition/file
     "u12_cluster_balanced",  # map-only assign + one cell-keyed window
 ]
 
