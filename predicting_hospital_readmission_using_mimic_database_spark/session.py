@@ -23,6 +23,9 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # route catalyst filters into python data sources' pushFilters()
+    # (the snapshot source turns them into stats-based file skipping)
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

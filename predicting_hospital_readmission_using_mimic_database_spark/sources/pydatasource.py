@@ -93,17 +93,90 @@ class SnapshotBatchReader(DataSourceReader):
                 f"{len(missing)} data files of the requested snapshot were "
                 f"vacuumed (e.g. {missing[0]})"
             )
-        self._files = sorted(os.path.join(t.root, p) for p in live)
+        self._root = t.root
+        self._live = live  # rel path -> _AddAction (carries footer stats)
+        self._pruned: set[str] | None = None
+
+    def pushFilters(self, filters):
+        """DATA SKIPPING through Spark's filter pushdown: the commit
+        log's footer-harvested [min, max] stats decide which files can
+        possibly match, BEFORE any partition is planned — the python-
+        source twin of SnapshotTable.read(prune=...). Stats pruning is
+        conservative (a surviving file may still hold non-matching
+        rows), so every filter is returned as UNHANDLED and Spark
+        re-applies it after the scan; files without stats always
+        survive."""
+        keep: set[str] = set()
+        for rel, act in self._live.items():
+            stats = getattr(act, "stats", {}) or {}
+            if all(
+                _stats_admit(f, stats) for f in filters
+            ):
+                keep.add(rel)
+        self._pruned = keep
+        return filters  # conservative: Spark re-evaluates everything
 
     def partitions(self):
+        live = self._live if self._pruned is None else {
+            p: a for p, a in self._live.items() if p in self._pruned
+        }
+        files = sorted(os.path.join(self._root, p) for p in live)
         # one partition per file: parallelism == file count, each task
         # streams its file's row groups (never materializes the file)
-        return [_FilesPartition([p], self._columns) for p in self._files] or [
+        return [_FilesPartition([p], self._columns) for p in files] or [
             _FilesPartition([], self._columns)
         ]
 
     def read(self, partition: _FilesPartition):
         yield from _iter_parquet_batches(partition.paths, partition.columns)
+
+
+def _stats_admit(f, stats: dict) -> bool:
+    """True unless the file's [min, max] range PROVES no row matches
+    filter ``f``. Unknown filter shapes, multi-part column paths, and
+    columns without stats admit (conservative, never wrong)."""
+    import datetime
+
+    from pyspark.sql import datasource as ds
+
+    attr = getattr(f, "attribute", None)
+    if not attr or len(attr) != 1:
+        return True
+    rng = stats.get(attr[0])
+    if not rng or rng[0] is None or rng[1] is None:
+        return True
+    lo, hi = rng
+
+    def norm(v):
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()  # stats store ISO strings, same ordering
+        return v
+
+    def cmp_ok(a, b):
+        return isinstance(a, (int, float)) == isinstance(b, (int, float))
+
+    try:
+        if isinstance(f, ds.EqualTo) or isinstance(f, ds.EqualNullSafe):
+            v = norm(f.value)
+            return not cmp_ok(v, lo) or (lo <= v <= hi)
+        if isinstance(f, ds.GreaterThan):
+            v = norm(f.value)
+            return not cmp_ok(v, hi) or hi > v
+        if isinstance(f, ds.GreaterThanOrEqual):
+            v = norm(f.value)
+            return not cmp_ok(v, hi) or hi >= v
+        if isinstance(f, ds.LessThan):
+            v = norm(f.value)
+            return not cmp_ok(v, lo) or lo < v
+        if isinstance(f, ds.LessThanOrEqual):
+            v = norm(f.value)
+            return not cmp_ok(v, lo) or lo <= v
+        if isinstance(f, ds.In):
+            vals = [norm(v) for v in f.values]
+            return any(not cmp_ok(v, lo) or (lo <= v <= hi) for v in vals)
+    except TypeError:
+        return True  # incomparable types: admit
+    return True  # IsNull/IsNotNull/string matchers: no range information
 
 
 def _arrow_schema(schema: StructType):
@@ -438,6 +511,11 @@ class _ChangesBatchReader(DataSourceReader):
 
 
 def register_datasources(spark) -> None:
-    """Idempotently register both formats on the session."""
+    """Idempotently register both formats on the session. Also enables
+    ``spark.sql.python.filterPushdown.enabled``: a reader that
+    implements ``pushFilters`` refuses to initialize while the flag is
+    off, and the flag is what routes catalyst filters into the
+    stats-based file skipping."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotDataSource)
     spark.dataSource.register(SnapshotChangesDataSource)

@@ -111,6 +111,31 @@ def test_changes_stream_incremental(spark, table, tmp_path):
     )
 
 
+def test_filter_pushdown_skips_files(spark, tmp_path):
+    """Catalyst filters reach pushFilters and the commit log's footer
+    stats skip non-matching files BEFORE partition planning — while the
+    returned rows stay exact (filters are re-applied by Spark)."""
+    register_datasources(spark)
+    root = str(tmp_path / "sk")
+    t = SnapshotTable.create(spark, root, SCHEMA, stats_cols=["k"])
+    for lo in range(0, 100, 20):  # 5 disjoint-range single-file commits
+        t.append(_rows(spark, lo, lo + 20).coalesce(1))
+    base = spark.read.format("snapshot").option("path", root).load()
+    # one scan partition per live file (inputFiles() is opaque for
+    # python sources; partition count is the planning observable)
+    assert base.rdd.getNumPartitions() == 5
+    hit = base.filter("k >= 80")
+    assert _rowset(hit.select("k", "v", "tag")) == sorted(
+        (i, float(i), "a") for i in range(80, 100)
+    )
+    assert hit.rdd.getNumPartitions() == 1  # 4 of 5 files stats-skipped
+    eq = base.filter("k = 42")
+    assert eq.count() == 1 and eq.rdd.getNumPartitions() == 1
+    # un-stats'd column: no skipping, still correct
+    v = base.filter("v < 10.0")
+    assert v.count() == 10 and v.rdd.getNumPartitions() == 5
+
+
 def test_batch_write_append(spark, tmp_path):
     register_datasources(spark)
     root = str(tmp_path / "w")
