@@ -278,6 +278,74 @@ def test_vacuum_table_rooted_under_log_like_path(spark, tmp_path):
     assert t.version == 2  # commit log untouched
 
 
+def test_concurrent_mixed_ops_serializable(spark, troot):
+    """Stress the optimistic protocol with racing appends and merges
+    (retry-on-conflict): every worker's ops eventually land, appends
+    rebase, merges serialize, and the final state satisfies the
+    serializable invariants — unique keys, exact row accounting, and a
+    contiguous commit history."""
+    import random
+
+    t0 = SnapshotTable.create(
+        spark, troot, SCHEMA, bucket_key=["k"], num_buckets=4
+    )
+    t0.append(_rows(spark, 0, 100))
+    errs, done = [], []
+    lock = threading.Lock()
+
+    def worker(wid):
+        t = SnapshotTable(spark, troot)
+        rng = random.Random(wid)
+        for i in range(2):
+            lo = 1000 * (wid + 1) + i * 10
+            is_append = rng.random() < 0.5
+            for _attempt in range(20):
+                try:
+                    if is_append:
+                        t.append(_rows(spark, lo, lo + 5).coalesce(1))
+                    else:
+                        t.merge(
+                            spark.createDataFrame(
+                                [Row(k=wid * 2, v=-float(wid), tag=f"w{wid}.{i}")],
+                                schema=SCHEMA,
+                            )
+                        )
+                    with lock:
+                        done.append((wid, i, "append" if is_append else "merge", lo))
+                    break
+                except ConcurrentWriteError:
+                    continue
+            else:
+                errs.append((wid, i))
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    assert len(done) == 6
+    t = SnapshotTable(spark, troot)
+    df = t.read().cache()
+    # unique keys survive every interleaving (the bucketed upsert invariant)
+    assert df.count() == df.select("k").distinct().count()
+    # exact row accounting: base 100 + 5 per append (merges upsert existing)
+    n_appends = sum(1 for d in done if d[2] == "append")
+    assert df.count() == 100 + 5 * n_appends
+    for _wid, _i, op, lo in done:
+        if op == "append":
+            assert df.filter(f"k >= {lo} AND k < {lo + 5}").count() == 5
+    # each worker's LAST merge won its key (per-key last-writer-wins)
+    for wid in range(3):
+        merges = [d for d in done if d[2] == "merge" and d[0] == wid]
+        if merges:
+            last_tag = f"w{wid}.{max(d[1] for d in merges)}"
+            assert df.filter(f"k = {wid * 2}").collect()[0]["tag"] == last_tag
+    # contiguous committed history: create + seed + one commit per op
+    assert t.version == 1 + len(done)
+    df.unpersist()
+
+
 def test_double_create_raises(spark, troot):
     SnapshotTable.create(spark, troot, SCHEMA)
     with pytest.raises(FileExistsError):
