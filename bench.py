@@ -124,6 +124,7 @@ HEADLINE = [
     "s15_delta_read",         # _delta_log interop snapshot read
     "s16_delta_export",       # zero-copy delta export + read-through
     "s17_pyds_snapshot_read", # python-datasource snapshot scan
+    "s18_iceberg_roundtrip",  # iceberg export + manifest-replay read
     "st12_stream_table_changes",  # CDC as a streaming source
     "u12_cluster_balanced",   # codebook-balanced diversity sampling
 ]

@@ -2288,6 +2288,51 @@ def q_s16(spark, sf):
 
 
 @query(
+    "s18_iceberg_roundtrip",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT)
+           + CASE WHEN c_custkey % 17 = 0 THEN 7000 ELSE 0 END AS bal_c
+    FROM customer
+    """,
+)
+def q_s18(spark, sf):
+    """S18 — Apache ICEBERG interop round trip (sources/iceberg.py): the
+    engine's SnapshotTable is published as a real Iceberg v2 table —
+    metadata JSON + Avro manifest list + Avro manifest written by the
+    stdlib codec in sources/avro_ocf.py, zero data movement — after an
+    append and again after a bucket-pruned MERGE (two Iceberg
+    snapshots), then snapshot-read back THROUGH the Iceberg metadata
+    alone: manifest replay decides the live files, dead pre-merge
+    parquet stays on disk but must not be read. Row-level integer-cents
+    hash against DuckDB's direct recompute; with the Delta pair
+    (s15/s16) the engine now interops with BOTH major lakehouse formats
+    in BOTH directions."""
+    from .sources.iceberg import export_iceberg, read_iceberg
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s18", sf),
+        "c_custkey bigint, bal_c bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=8,
+    )
+    t.append(c)
+    assert export_iceberg(t) == 1
+    upd = c.filter(F.col("c_custkey") % 17 == 0).select(
+        "c_custkey", (F.col("bal_c") + 7000).alias("bal_c")
+    )
+    t.merge(upd)
+    assert export_iceberg(t) == 2
+    return read_iceberg(spark, t.root)
+
+
+@query(
     "s17_pyds_snapshot_read",
     oracle="""
     SELECT c_custkey,

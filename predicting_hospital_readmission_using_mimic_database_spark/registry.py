@@ -57,6 +57,7 @@ PRIORITY: tuple[str, ...] = (
     "s15_delta_read",
     "s16_delta_export",
     "s17_pyds_snapshot_read",
+    "s18_iceberg_roundtrip",
     "st12_stream_table_changes",
     "st13_stream_pyds_sink",
     "d10_semdedup",
@@ -81,7 +82,6 @@ PRIORITY: tuple[str, ...] = (
     "w7_sessionize",
     "w12_session_funnel",
     "a13_percentiles",
-    "a14_corr_cov",
     "a16_grouping_sets",
     "c4_parse_ts_coerce",
     "c6_years_floor",

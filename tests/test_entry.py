@@ -36,7 +36,8 @@ def test_first_50_entries_cover_every_family():
     # round-7 rotation: every entry whose code/oracle changed this round
     # leads the prefix (the union already covers all 180 prior entries)
     for must in ("u12_cluster_balanced", "s15_delta_read", "s16_delta_export",
-                 "s17_pyds_snapshot_read", "st12_stream_table_changes",
+                 "s17_pyds_snapshot_read", "s18_iceberg_roundtrip",
+                 "st12_stream_table_changes",
                  "st13_stream_pyds_sink", "d10_semdedup",
                  "s9_table_merge", "s10_table_time_travel",
                  "s11_table_skipping", "st9_stream_snapshot_sink",

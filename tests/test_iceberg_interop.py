@@ -1,0 +1,319 @@
+"""Iceberg read interop (sources/iceberg.py) over hand-built spec-shaped
+tables: avro manifest lists + manifests, snapshot time travel, identity-
+partition pruning, v1/v2 metadata, and the row-level-delete gates."""
+
+import json
+import os
+
+import pytest
+
+from predicting_hospital_readmission_using_mimic_database_spark.sources.avro_ocf import read_avro, write_avro
+from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+    IcebergProtocolError,
+    iceberg_snapshots,
+    read_iceberg,
+)
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {
+                        "name": "partition",
+                        "type": {
+                            "type": "record",
+                            "name": "r102",
+                            "fields": [
+                                {"name": "seg", "type": ["null", "string"]}
+                            ],
+                        },
+                    },
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+
+def _write_parquet(path, rows, names):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cols = list(zip(*rows)) if rows else [[] for _ in names]
+    pq.write_table(pa.table({n: list(c) for n, c in zip(names, cols)}), path)
+
+
+def _entry(path, seg, n, status=1, content=0, fmt="PARQUET"):
+    return {
+        "status": status,
+        "snapshot_id": 1,
+        "data_file": {
+            "content": content,
+            "file_path": path,
+            "file_format": fmt,
+            "partition": {"seg": seg},
+            "record_count": n,
+            "file_size_in_bytes": 1,
+        },
+    }
+
+
+def _manifest(root, name, entries):
+    p = os.path.join(root, "metadata", name)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    write_avro(p, MANIFEST_ENTRY_SCHEMA, entries)
+    return p
+
+
+def _manifest_list(root, name, manifest_paths, content=0):
+    p = os.path.join(root, "metadata", name)
+    write_avro(
+        p,
+        MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": mp,
+                "manifest_length": 1,
+                "partition_spec_id": 0,
+                "content": content,
+                "added_snapshot_id": 1,
+            }
+            for mp in manifest_paths
+        ],
+    )
+    return p
+
+
+def _metadata(root, snapshots, current, fields, version=2):
+    meta = {
+        "format-version": version,
+        "table-uuid": "fixture",
+        "location": root,
+        "current-snapshot-id": current,
+        "snapshots": snapshots,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+    }
+    schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": i + 1, "name": n, "required": False, "type": t}
+            for i, (n, t) in enumerate(fields)
+        ],
+    }
+    if version >= 2:
+        meta["schemas"] = [schema]
+        meta["current-schema-id"] = 0
+    else:
+        meta["schema"] = schema
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+
+
+@pytest.fixture
+def iceberg_root(tmp_path):
+    """Two snapshots: s1 adds files A (seg=x) and B (seg=y); s2 tombstones
+    B and adds C (seg=y, rewritten values)."""
+    root = str(tmp_path / "ice")
+    fa = os.path.join(root, "data", "a.parquet")
+    fb = os.path.join(root, "data", "b.parquet")
+    fc = os.path.join(root, "data", "c.parquet")
+    _write_parquet(fa, [(1, "x"), (2, "x")], ["k", "seg"])
+    _write_parquet(fb, [(10, "y")], ["k", "seg"])
+    _write_parquet(fc, [(11, "y"), (12, "y")], ["k", "seg"])
+    m1 = _manifest(
+        root, "m1.avro", [_entry(fa, "x", 2), _entry(fb, "y", 1)]
+    )
+    ml1 = _manifest_list(root, "ml1.avro", [m1])
+    m2 = _manifest(
+        root,
+        "m2.avro",
+        [
+            _entry(fa, "x", 2, status=0),
+            _entry(fb, "y", 1, status=2),  # deleted tombstone
+            _entry(fc, "y", 2, status=1),
+        ],
+    )
+    ml2 = _manifest_list(root, "ml2.avro", [m2])
+    _metadata(
+        root,
+        [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 1000,
+                "summary": {"operation": "append"},
+                "manifest-list": ml1,
+            },
+            {
+                "snapshot-id": 2,
+                "timestamp-ms": 2000,
+                "summary": {"operation": "overwrite"},
+                "manifest-list": ml2,
+            },
+        ],
+        current=2,
+        fields=[("k", "long"), ("seg", "string")],
+    )
+    return root
+
+
+def test_read_current_and_time_travel(spark, iceberg_root):
+    cur = read_iceberg(spark, iceberg_root)
+    assert cur.columns == ["k", "seg"]
+    assert {(r["k"], r["seg"]) for r in cur.collect()} == {
+        (1, "x"), (2, "x"), (11, "y"), (12, "y")
+    }
+    old = read_iceberg(spark, iceberg_root, snapshot_id=1)
+    assert {r["k"] for r in old.collect()} == {1, 2, 10}
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg(spark, iceberg_root, snapshot_id=99)
+    hist = iceberg_snapshots(iceberg_root)
+    assert [h["snapshot_id"] for h in hist] == [1, 2]
+    assert hist[1]["operation"] == "overwrite"
+
+
+def test_partition_pruning(spark, iceberg_root):
+    x = read_iceberg(spark, iceberg_root, partitions={"seg": "x"})
+    assert {r["k"] for r in x.collect()} == {1, 2}
+    assert len(x.inputFiles()) == 1
+    with pytest.raises(ValueError, match="unknown partition"):
+        read_iceberg(spark, iceberg_root, partitions={"k": 1})
+
+
+def test_delete_gates(spark, tmp_path):
+    root = str(tmp_path / "dv")
+    f = os.path.join(root, "data", "a.parquet")
+    _write_parquet(f, [(1, "x")], ["k", "seg"])
+    # (a) delete MANIFEST in the list
+    m = _manifest(root, "m.avro", [_entry(f, "x", 1)])
+    ml = _manifest_list(root, "ml.avro", [m], content=1)
+    _metadata(
+        root,
+        [{"snapshot-id": 1, "timestamp-ms": 0, "summary": {}, "manifest-list": ml}],
+        current=1,
+        fields=[("k", "long"), ("seg", "string")],
+    )
+    with pytest.raises(IcebergProtocolError, match="DELETE manifest"):
+        read_iceberg(spark, root)
+    # (b) delete data FILE inside a data manifest
+    root2 = str(tmp_path / "df")
+    f2 = os.path.join(root2, "data", "a.parquet")
+    _write_parquet(f2, [(1, "x")], ["k", "seg"])
+    m2 = _manifest(root2, "m.avro", [_entry(f2, "x", 1, content=1)])
+    ml2 = _manifest_list(root2, "ml.avro", [m2])
+    _metadata(
+        root2,
+        [{"snapshot-id": 1, "timestamp-ms": 0, "summary": {}, "manifest-list": ml2}],
+        current=1,
+        fields=[("k", "long"), ("seg", "string")],
+    )
+    with pytest.raises(IcebergProtocolError, match="delete file"):
+        read_iceberg(spark, root2)
+    # (c) future format versions
+    root3 = str(tmp_path / "v9")
+    _metadata(root3, [], current=None, fields=[("k", "long")], version=9)
+    with pytest.raises(IcebergProtocolError, match="format-version"):
+        read_iceberg(spark, root3)
+
+
+def test_v1_metadata_inline_manifests(spark, tmp_path):
+    root = str(tmp_path / "v1")
+    f = os.path.join(root, "data", "a.parquet")
+    _write_parquet(f, [(5, "z")], ["k", "seg"])
+    m = _manifest(root, "m.avro", [_entry(f, "z", 1)])
+    _metadata(
+        root,
+        [{"snapshot-id": 1, "timestamp-ms": 0, "summary": {}, "manifests": [m]}],
+        current=1,
+        fields=[("k", "long"), ("seg", "string")],
+        version=1,
+    )
+    got = read_iceberg(spark, root)
+    assert [(r["k"], r["seg"]) for r in got.collect()] == [(5, "z")]
+
+
+def test_export_snapshot_table_roundtrip(spark, tmp_path):
+    """SnapshotTable -> Iceberg export: zero-copy publish; incremental
+    exports append snapshots and earlier ones stay time-travelable."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import export_iceberg
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import SnapshotTable
+
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, v double", bucket_key=["k"], num_buckets=4
+    )
+    t.append(
+        spark.range(60).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    )
+    assert export_iceberg(t) == 1
+    assert export_iceberg(t) == 1  # no-change export is a no-op
+    got1 = read_iceberg(spark, root)
+    assert {(r["k"], r["v"]) for r in got1.collect()} == {
+        (i, float(i)) for i in range(60)
+    }
+    upd = spark.createDataFrame([(3, -3.0), (600, 1.0)], "k bigint, v double")
+    t.merge(upd)
+    assert export_iceberg(t) == 2
+    cur = {r["k"]: r["v"] for r in read_iceberg(spark, root).collect()}
+    assert cur[3] == -3.0 and cur[600] == 1.0 and len(cur) == 61
+    old = {r["k"]: r["v"] for r in read_iceberg(spark, root, snapshot_id=1).collect()}
+    assert old[3] == 3.0 and 600 not in old
+    ops = [h["operation"] for h in iceberg_snapshots(root)]
+    assert ops == ["append", "overwrite"]
+
+
+def test_empty_table_and_avro_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "empty")
+    _metadata(root, [], current=None, fields=[("k", "long")])
+    df = read_iceberg(spark, root)
+    assert df.count() == 0 and df.columns == ["k"]
+    # avro writer/reader round-trip including negative block ints + maps
+    p = str(tmp_path / "t.avro")
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "u", "type": ["null", "double"]},
+        ],
+    }
+    recs = [
+        {"a": -(2**40), "m": {"k": "v"}, "u": None},
+        {"a": 7, "m": {}, "u": 1.5},
+    ]
+    write_avro(p, schema, recs, codec="deflate")
+    s2, got = read_avro(p)
+    assert got == recs and s2 == schema
