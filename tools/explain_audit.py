@@ -114,6 +114,7 @@ AUDIT = [
     "s15_delta_read",     # live-file-only read, explicit schema, no inference
     "s16_delta_export",   # read THROUGH the exported log, same posture
     "s17_pyds_snapshot_read",  # python-datasource scan, partition/file
+    "s18_iceberg_roundtrip",  # manifest-replay read: live files only
     "u12_cluster_balanced",  # map-only assign + one cell-keyed window
 ]
 
