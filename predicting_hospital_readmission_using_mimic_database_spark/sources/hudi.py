@@ -1,0 +1,152 @@
+"""Apache Hudi COPY-ON-WRITE table READ interop — the third lakehouse
+format, implemented from the public spec (https://hudi.apache.org/docs/):
+timeline + file-group layout.
+
+How a Hudi COW snapshot read works (and what this reader does):
+
+1. ``.hoodie/hoodie.properties`` declares the table type — only
+   ``COPY_ON_WRITE`` is supported (MERGE_ON_READ requires log-file
+   merging; raises).
+2. The TIMELINE is the set of ``.hoodie/<instant>.commit`` files;
+   an instant is COMPLETED only when the bare ``.commit`` file exists
+   (``.requested`` / ``.inflight`` are pending and their data files
+   must be invisible — that is Hudi's snapshot isolation).
+   ``replacecommit`` instants (clustering / insert_overwrite) change
+   file-group membership in ways filename resolution cannot see, so
+   they raise rather than risk double-reads.
+3. Data files are ``<partition>/<fileId>_<writeToken>_<instant>.parquet``;
+   a FILE GROUP is all versions of one ``fileId``, and the snapshot is,
+   per group, the single base file with the latest completed instant
+   (<= ``as_of`` for time travel). Older versions stay on disk for
+   older readers — exactly the SnapshotTable/Delta dead-file story,
+   encoded in file names instead of a log.
+
+Hudi writes its five ``_hoodie_*`` meta columns into every parquet
+file; they are dropped by default (``keep_meta=True`` keeps them). The
+schema comes from the selected parquet files themselves (one explicit
+file list, no directory inference pass).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+HOODIE_DIR = ".hoodie"
+META_COLS = (
+    "_hoodie_commit_time",
+    "_hoodie_commit_seqno",
+    "_hoodie_record_key",
+    "_hoodie_partition_path",
+    "_hoodie_file_name",
+)
+
+_INSTANT_RE = re.compile(r"^(\d{10,20})\.(\w+)$")
+#: fileId can contain dashes/uuid; writeToken is d-d-d; instant is digits
+_BASEFILE_RE = re.compile(r"^(.+)_([0-9\-]+)_(\d{10,20})(?:\..*)?\.parquet$")
+
+
+class HudiProtocolError(NotImplementedError):
+    """The table needs read capabilities this interop layer does not
+    implement (merge-on-read log files, replacecommits)."""
+
+
+def _properties(root: str) -> dict:
+    p = os.path.join(root, HOODIE_DIR, "hoodie.properties")
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"not a hudi table (no {HOODIE_DIR}/hoodie.properties): {root}")
+    props: dict[str, str] = {}
+    with open(p) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith(("#", "!")):
+                continue
+            if "=" in line:
+                k, v = line.split("=", 1)
+                props[k.strip()] = v.strip()
+    return props
+
+
+def _completed_commits(root: str) -> set[str]:
+    """Instant times with a COMPLETED commit action on the timeline."""
+    tdir = os.path.join(root, HOODIE_DIR)
+    done: set[str] = set()
+    for name in os.listdir(tdir):
+        m = _INSTANT_RE.match(name)
+        if not m:
+            continue
+        instant, action = m.group(1), m.group(2)
+        if action in ("commit",):
+            done.add(instant)
+        elif action == "replacecommit":
+            raise HudiProtocolError(
+                f"timeline contains a replacecommit ({name}): clustering/"
+                "insert_overwrite changes file-group membership this "
+                "filename-based reader cannot resolve"
+            )
+        elif action == "deltacommit":
+            raise HudiProtocolError(
+                f"timeline contains a deltacommit ({name}): merge-on-read "
+                "tables are not supported"
+            )
+        # .clean / .rollback / .requested / .inflight: not completed data
+    return done
+
+
+def hudi_commits(root: str) -> list[str]:
+    """Completed commit instants, ascending — the timeline surface."""
+    return sorted(_completed_commits(root))
+
+
+def read_hudi(
+    spark: SparkSession,
+    root: str,
+    as_of: str | None = None,
+    keep_meta: bool = False,
+) -> DataFrame:
+    """Snapshot-read a Hudi COW table: the latest completed base file of
+    every file group (``as_of=<instant>`` time-travels to commits at or
+    before that instant). Pending/inflight writers' files and superseded
+    file versions are never handed to Spark."""
+    props = _properties(root)
+    ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    if ttype != "COPY_ON_WRITE":
+        raise HudiProtocolError(
+            f"hoodie.table.type={ttype}: only COPY_ON_WRITE is supported "
+            "(MERGE_ON_READ needs log-file merging)"
+        )
+    done = _completed_commits(root)
+    if as_of is not None:
+        done = {c for c in done if c <= str(as_of)}
+    # newest completed base file per (partition dir, fileId)
+    groups: dict[tuple[str, str], tuple[str, str]] = {}
+    for dirpath, dirs, files in os.walk(root):
+        if os.path.basename(dirpath) == HOODIE_DIR:
+            dirs[:] = []  # never descend into the timeline
+            continue
+        for name in files:
+            if name.endswith(".log") or ".log." in name:
+                raise HudiProtocolError(
+                    f"log file {name}: merge-on-read tables are not supported"
+                )
+            m = _BASEFILE_RE.match(name)
+            if not m:
+                continue
+            file_id, _token, instant = m.groups()
+            if instant not in done:
+                continue  # pending, time-traveled past, or rolled back
+            key = (os.path.relpath(dirpath, root), file_id)
+            if key not in groups or instant > groups[key][0]:
+                groups[key] = (instant, os.path.join(dirpath, name))
+    if not groups:
+        raise ValueError(
+            f"no completed base files visible at "
+            f"{'as_of=' + str(as_of) if as_of is not None else 'latest'}"
+        )
+    paths = sorted(p for _i, p in groups.values())
+    df = spark.read.parquet(*paths)
+    if not keep_meta:
+        df = df.drop(*[c for c in META_COLS if c in df.columns])
+    return df

@@ -1,0 +1,120 @@
+"""Hudi COW read interop (sources/hudi.py): timeline-gated file-slice
+resolution, time travel, pending-writer isolation, and the MOR gates."""
+
+import os
+
+import pytest
+
+from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+    HudiProtocolError,
+    hudi_commits,
+    read_hudi,
+)
+
+META = {
+    "_hoodie_commit_time": "1",
+    "_hoodie_commit_seqno": "1_0_1",
+    "_hoodie_record_key": "k",
+    "_hoodie_partition_path": "p",
+    "_hoodie_file_name": "f",
+}
+
+
+def _write_base(root, partition, file_id, instant, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(root, partition) if partition else root
+    os.makedirs(d, exist_ok=True)
+    names = ["k", "v"]
+    cols = list(zip(*rows)) if rows else [[], []]
+    data = {m: [str(mv)] * len(rows) for m, mv in META.items()}
+    data.update({n: list(c) for n, c in zip(names, cols)})
+    pq.write_table(
+        pa.table(data),
+        os.path.join(d, f"{file_id}_0-0-0_{instant}.parquet"),
+    )
+
+
+def _mk_table(root, ttype="COPY_ON_WRITE"):
+    h = os.path.join(root, ".hoodie")
+    os.makedirs(h, exist_ok=True)
+    with open(os.path.join(h, "hoodie.properties"), "w") as f:
+        f.write("#props\nhoodie.table.name=t\n")
+        f.write(f"hoodie.table.type={ttype}\n")
+
+
+def _commit(root, instant, state="commit"):
+    open(os.path.join(root, ".hoodie", f"{instant}.{state}"), "w").close()
+
+
+@pytest.fixture
+def hudi_root(tmp_path):
+    """Commit 1: file groups f1 (partition a) + f2 (partition b).
+    Commit 2: rewrites f1 (updated rows). Instant 3 is INFLIGHT with a
+    staged rewrite of f2 that must stay invisible."""
+    root = str(tmp_path / "hudi")
+    _mk_table(root)
+    _write_base(root, "a", "f1", "00000000000001", [(1, 1.0), (2, 2.0)])
+    _write_base(root, "b", "f2", "00000000000001", [(10, 10.0)])
+    _commit(root, "00000000000001")
+    _write_base(root, "a", "f1", "00000000000002", [(1, -1.0), (2, 2.0), (3, 3.0)])
+    _commit(root, "00000000000002")
+    _write_base(root, "b", "f2", "00000000000003", [(99, 99.0)])
+    _commit(root, "00000000000003", state="commit.inflight")
+    return root
+
+
+def test_snapshot_read_latest_slices(spark, hudi_root):
+    df = read_hudi(spark, hudi_root)
+    assert sorted(df.columns) == ["k", "v"]  # meta columns dropped
+    got = {(r["k"], r["v"]) for r in df.collect()}
+    # f1@2 (rewritten) + f2@1; the inflight f2@3 must be invisible
+    assert got == {(1, -1.0), (2, 2.0), (3, 3.0), (10, 10.0)}
+    meta = read_hudi(spark, hudi_root, keep_meta=True)
+    assert "_hoodie_commit_time" in meta.columns
+    assert hudi_commits(hudi_root) == ["00000000000001", "00000000000002"]
+
+
+def test_time_travel_as_of(spark, hudi_root):
+    old = read_hudi(spark, hudi_root, as_of="00000000000001")
+    assert {(r["k"], r["v"]) for r in old.collect()} == {
+        (1, 1.0), (2, 2.0), (10, 10.0)
+    }
+    with pytest.raises(ValueError, match="no completed base files"):
+        read_hudi(spark, hudi_root, as_of="00000000000000")
+
+
+def test_mor_and_replace_gates(spark, tmp_path):
+    r1 = str(tmp_path / "mor")
+    _mk_table(r1, ttype="MERGE_ON_READ")
+    with pytest.raises(HudiProtocolError, match="MERGE_ON_READ"):
+        read_hudi(spark, r1)
+    r2 = str(tmp_path / "rc")
+    _mk_table(r2)
+    _write_base(r2, "a", "f1", "00000000000001", [(1, 1.0)])
+    _commit(r2, "00000000000001")
+    _commit(r2, "00000000000002", state="replacecommit")
+    with pytest.raises(HudiProtocolError, match="replacecommit"):
+        read_hudi(spark, r2)
+    r3 = str(tmp_path / "log")
+    _mk_table(r3)
+    _write_base(r3, "a", "f1", "00000000000001", [(1, 1.0)])
+    _commit(r3, "00000000000001")
+    os.makedirs(os.path.join(r3, "a"), exist_ok=True)
+    open(os.path.join(r3, "a", ".f1_00000000000001.log.1_0-0-0"), "w").close()
+    with pytest.raises(HudiProtocolError, match="log file"):
+        read_hudi(spark, r3)
+
+
+def test_rolled_back_instant_invisible(spark, tmp_path):
+    """A data file whose instant never completed (crashed writer, or
+    rolled back) is excluded even though it sits in the partition dir."""
+    root = str(tmp_path / "rb")
+    _mk_table(root)
+    _write_base(root, "a", "f1", "00000000000001", [(1, 1.0)])
+    _commit(root, "00000000000001")
+    _write_base(root, "a", "f9", "00000000000005", [(5, 5.0)])  # orphan
+    _commit(root, "00000000000005", state="rollback")
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, root).collect()}
+    assert got == {(1, 1.0)}

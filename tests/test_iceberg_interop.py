@@ -262,6 +262,67 @@ def test_v1_metadata_inline_manifests(spark, tmp_path):
     assert [(r["k"], r["seg"]) for r in got.collect()] == [(5, "z")]
 
 
+def test_avro_codec_property_roundtrip(tmp_path):
+    """Hypothesis fuzz: random record schemas + matching values survive
+    an OCF write/read round trip bit-exactly under both codecs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    field_types = st.sampled_from(
+        ["long", "int", "string", "boolean", "double", "bytes"]
+    )
+
+    def value_for(t):
+        return {
+            "long": st.integers(min_value=-(2**62), max_value=2**62),
+            "int": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            "string": st.text(max_size=20),
+            "boolean": st.booleans(),
+            "double": st.floats(allow_nan=False, width=64),
+            "bytes": st.binary(max_size=16),
+        }[t]
+
+    @st.composite
+    def schema_and_records(draw):
+        n_fields = draw(st.integers(min_value=1, max_value=5))
+        kinds = [draw(field_types) for _ in range(n_fields)]
+        nullable = [draw(st.booleans()) for _ in range(n_fields)]
+        schema = {
+            "type": "record",
+            "name": "fuzz",
+            "fields": [
+                {
+                    "name": f"f{i}",
+                    "type": ["null", k] if nb else k,
+                }
+                for i, (k, nb) in enumerate(zip(kinds, nullable))
+            ],
+        }
+        n_recs = draw(st.integers(min_value=0, max_value=8))
+        recs = []
+        for _ in range(n_recs):
+            rec = {}
+            for i, (k, nb) in enumerate(zip(kinds, nullable)):
+                if nb and draw(st.booleans()):
+                    rec[f"f{i}"] = None
+                else:
+                    rec[f"f{i}"] = draw(value_for(k))
+            recs.append(rec)
+        return schema, recs
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(data=schema_and_records(), codec=st.sampled_from(["null", "deflate"]))
+    def check(data, codec):
+        schema, recs = data
+        p = str(tmp_path / "fuzz.avro")
+        write_avro(p, schema, recs, codec=codec)
+        s2, got = read_avro(p)
+        assert s2 == schema and got == recs
+
+    check()
+
+
 def test_export_snapshot_table_roundtrip(spark, tmp_path):
     """SnapshotTable -> Iceberg export: zero-copy publish; incremental
     exports append snapshots and earlier ones stay time-travelable."""
