@@ -2375,6 +2375,117 @@ def q_s17(spark, sf):
 
 
 @query(
+    "s19_hudi_read",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)
+                    + CASE WHEN c_mktsegment =
+                               (SELECT min(c_mktsegment) FROM customer)
+                           THEN 10000 ELSE 0 END) AS BIGINT) AS bal_c
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_s19(spark, sf):
+    """S19 — Apache HUDI copy-on-write INTEROP read (sources/hudi.py):
+    the table is built the way a Hudi writer lays it down — per-segment
+    partition dirs, base files named ``<fileId>_<writeToken>_<instant>
+    .parquet`` carrying the five ``_hoodie_*`` meta columns, and a
+    ``.hoodie`` timeline — then snapshot-read through the timeline
+    alone. Commit 1 writes every segment's file group; commit 2
+    REWRITES the first segment's group (+10000 cents — a new file
+    VERSION in the same group, the old version staying on disk for
+    older readers); instant 3 is a staged rewrite of the second
+    segment's group left ``.inflight`` — a concurrent writer whose file
+    must stay invisible (Hudi's snapshot isolation). DuckDB recomputes
+    the post-commit-2 table from the base customer rows, so a reader
+    that picked the wrong file-slice version, leaked the inflight file,
+    or missed the rewrite breaks the hash. In-entry asserts pin the
+    timeline surface and ``as_of`` time travel to commit 1."""
+    import glob
+    import os
+    import shutil
+
+    from .sources.hudi import hudi_commits, read_hudi
+
+    root = _table_root("s19", sf)
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        "c_mktsegment",
+    )
+    n_rows = c.count()
+    segs = sorted(
+        r["c_mktsegment"] for r in c.select("c_mktsegment").distinct().collect()
+    )
+
+    def put(df, part, file_id, instant, seqno):
+        """One Hudi base file: data + the five _hoodie_* meta columns,
+        named <fileId>_<writeToken>_<instant>.parquet in the partition
+        dir (write-to-stage then move, like a Hudi marker-file commit)."""
+        d = os.path.join(root, part)
+        os.makedirs(d, exist_ok=True)
+        meta = df.select(
+            F.lit(instant).alias("_hoodie_commit_time"),
+            F.concat_ws("_", F.lit(instant), F.lit(seqno)).alias(
+                "_hoodie_commit_seqno"
+            ),
+            F.col("c_custkey").cast("string").alias("_hoodie_record_key"),
+            F.lit(part).alias("_hoodie_partition_path"),
+            F.lit(f"{file_id}_1-0-1_{instant}.parquet").alias(
+                "_hoodie_file_name"
+            ),
+            "c_custkey",
+            "bal_c",
+            "c_mktsegment",
+        )
+        stage = os.path.join(root, f".stage_{file_id}_{instant}")
+        meta.coalesce(1).write.parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(src, os.path.join(d, f"{file_id}_1-0-1_{instant}.parquet"))
+        shutil.rmtree(stage)
+
+    hdir = os.path.join(root, ".hoodie")
+    os.makedirs(hdir, exist_ok=True)
+    with open(os.path.join(hdir, "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.name=s19\nhoodie.table.type=COPY_ON_WRITE\n")
+
+    def commit(instant, state="commit"):
+        open(os.path.join(hdir, f"{instant}.{state}"), "w").close()
+
+    t1, t2, t3 = "00000000000001", "00000000000002", "00000000000003"
+    for i, s in enumerate(segs):
+        put(c.filter(F.col("c_mktsegment") == s), s, f"fg{i}", t1, str(i))
+    commit(t1)
+    put(
+        c.filter(F.col("c_mktsegment") == segs[0]).withColumn(
+            "bal_c", F.col("bal_c") + 10000
+        ),
+        segs[0], "fg0", t2, "0",
+    )
+    commit(t2)
+    # concurrent writer: staged rewrite of segment 1's group, NOT committed
+    put(
+        c.filter(F.col("c_mktsegment") == segs[1]).withColumn(
+            "bal_c", F.col("bal_c") + 999999
+        ),
+        segs[1], "fg1", t3, "0",
+    )
+    commit(t3, state="commit.inflight")
+    assert hudi_commits(root) == [t1, t2]
+    # time travel: at commit 1 every row exists at its ORIGINAL balance
+    assert read_hudi(spark, root, as_of=t1).count() == n_rows
+    return (
+        read_hudi(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("bal_c").cast("long").alias("bal_c"),
+        )
+    )
+
+
+@query(
     "w15_resample_ffill",
     oracle="""
     WITH obs AS (

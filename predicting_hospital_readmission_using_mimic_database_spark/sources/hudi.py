@@ -23,8 +23,20 @@ How a Hudi COW snapshot read works (and what this reader does):
 
 Hudi writes its five ``_hoodie_*`` meta columns into every parquet
 file; they are dropped by default (``keep_meta=True`` keeps them). The
-schema comes from the selected parquet files themselves (one explicit
-file list, no directory inference pass).
+READ SCHEMA is explicit: the footer of the single NEWEST selected base
+file is read ONCE on the driver (pyarrow) and converted to a Spark
+schema — the latest completed writer's schema, with no footer-sampling
+inference pass over the file list.
+
+Listing bound (stated out loud): unlike the Delta/Iceberg readers,
+whose file lists come from KB-scale logs/manifests, Hudi's snapshot is
+encoded in DATA-FILE NAMES, so discovery here is a driver-side
+``os.walk`` of the table tree — O(files) driver time and one listing
+round-trip per directory. Real Hudi deployments avoid this with the
+metadata table (``.hoodie/metadata``, an internal MOR table this COW
+reader cannot parse); at 100 TB this reader is therefore bounded by
+listing throughput, not data size — fine for interop ingestion of
+small-to-mid tables, and the gate to quote when it is not.
 """
 
 from __future__ import annotations
@@ -145,8 +157,18 @@ def read_hudi(
             f"no completed base files visible at "
             f"{'as_of=' + str(as_of) if as_of is not None else 'latest'}"
         )
+    # explicit read schema from the NEWEST selected base file's footer —
+    # the latest completed writer's schema, read once on the driver; no
+    # footer-sampling inference pass over the whole file list
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    newest = max(groups.values())[1]
+    schema = from_arrow_schema(
+        pq.ParquetFile(newest).schema_arrow, prefer_timestamp_ntz=True
+    )
     paths = sorted(p for _i, p in groups.values())
-    df = spark.read.parquet(*paths)
+    df = spark.read.schema(schema).parquet(*paths)
     if not keep_meta:
         df = df.drop(*[c for c in META_COLS if c in df.columns])
     return df

@@ -107,6 +107,51 @@ def test_mor_and_replace_gates(spark, tmp_path):
         read_hudi(spark, r3)
 
 
+def test_s19_entry_fixture_time_travel_and_pending(spark):
+    """The s19 registry entry builds a writer-shaped table (meta columns,
+    file-group rewrite, an INFLIGHT staged rewrite); beyond its in-entry
+    asserts (timeline surface, as_of row count), verify through the SAME
+    fixture that time travel returns the pre-rewrite balances and the
+    pending +999999 rows never surface."""
+    from pyspark.sql import functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.qdefs_core import q_s19
+
+    sf = "/root/testdata/sf0.001"
+    cur = {r["c_mktsegment"]: r["bal_c"] for r in q_s19(spark, sf).collect()}
+    # the entry's pid-scoped root is deterministic; recompute it WITHOUT
+    # calling _table_root (which would rmtree-reset the table)
+    import hashlib
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"snap_s19_{os.getpid()}_{hashlib.md5(sf.encode()).hexdigest()[:12]}",
+    )
+    old = read_hudi(spark, root, as_of="00000000000001")
+    segs = sorted(cur)
+    base = (
+        old.groupBy("c_mktsegment")
+        .agg(F.sum("bal_c").cast("long").alias("bal_c"))
+        .collect()
+    )
+    base = {r["c_mktsegment"]: r["bal_c"] for r in base}
+    # rewrite touched ONLY the first segment (+10000 cents total shift =
+    # 10000 * its row count); every other segment identical at both versions
+    n0 = old.filter(F.col("c_mktsegment") == segs[0]).count()
+    assert cur[segs[0]] == base[segs[0]] + 10000 * n0
+    for s in segs[1:]:
+        assert cur[s] == base[s]
+    # the inflight writer staged +999999 per row on segment 1: invisible
+    latest = read_hudi(spark, root)
+    mx = (
+        latest.filter(F.col("c_mktsegment") == segs[1])
+        .agg(F.max("bal_c").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert mx < 999999
+
+
 def test_rolled_back_instant_invisible(spark, tmp_path):
     """A data file whose instant never completed (crashed writer, or
     rolled back) is excluded even though it sits in the partition dir."""
