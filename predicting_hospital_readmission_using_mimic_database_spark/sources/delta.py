@@ -379,11 +379,15 @@ def read_delta(
     serialization (pass "42" or 42 interchangeably; None matches a null
     partition value). Unknown partition columns raise.
 
-    Scale shape: one ``spark.read.parquet`` per distinct partition-value
-    tuple over only that partition's LIVE files, unioned — dead files
-    are never listed or opened, and the explicit read schema means no
-    footer-sampling inference pass. Time travel is just replaying fewer
-    JSON lines.
+    Scale shape: ONE ``spark.read.parquet`` scan over all LIVE files
+    regardless of partition cardinality — partition columns are attached
+    by broadcast-joining a (file path -> partitionValues) frame against
+    ``input_file_name()``, so a date-partitioned table with thousands of
+    partition values still plans a single scan node (a per-partition
+    union would grow the plan linearly in partition count and push
+    Catalyst analysis into minutes). Dead files are never listed or
+    opened, and the explicit read schema means no footer-sampling
+    inference pass. Time travel is just replaying fewer JSON lines.
     """
     meta, live, _last = _replay_log(root, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -413,22 +417,45 @@ def read_delta(
         }
     if not live:
         return spark.createDataFrame([], schema)
-    by_part: dict[tuple, list[str]] = {}
-    for rel, pv in live.items():
-        key = tuple(sorted((k, v) for k, v in pv.items()))
-        by_part.setdefault(key, []).append(os.path.join(root, rel))
-    parts = []
-    for key, paths in sorted(by_part.items()):
-        pv = dict(key)
-        df = spark.read.schema(data_schema).parquet(*sorted(paths))
-        for c in part_cols:
-            f_type = schema[c].dataType
-            raw = pv.get(c)
-            df = df.withColumn(
-                c, F.lit(raw).cast("string").cast(f_type)
-            )
-        parts.append(df.select(*[f.name for f in schema.fields]))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    out_cols = [f.name for f in schema.fields]
+    paths = sorted(os.path.abspath(os.path.join(root, rel)) for rel in live)
+    df = spark.read.schema(data_schema).parquet(*paths)
+    if not part_cols:
+        return df.select(*out_cols)
+    # ONE scan node for ANY partition cardinality: broadcast the
+    # (absolute file path -> partitionValues string serialization) frame
+    # — KBs of driver-built metadata — and join it on the scan's own
+    # input_file_name(); a union branch per partition tuple would grow
+    # the plan linearly and stall Catalyst at thousands of partitions.
+    from pyspark.sql.types import StringType, StructField
+
+    key = "__delta_input_file"
+    while key in data_schema.names or key in part_cols:
+        key = "_" + key
+    pv_schema = StructType(
+        [StructField(key, StringType(), False)]
+        + [StructField(c, StringType(), True) for c in part_cols]
+    )
+    pv_rows = [
+        tuple(
+            [os.path.abspath(os.path.join(root, rel))]
+            + [None if pv.get(c) is None else str(pv.get(c)) for c in part_cols]
+        )
+        for rel, pv in live.items()
+    ]
+    pv_df = spark.createDataFrame(pv_rows, pv_schema)
+    # input_file_name() is the URI Spark read ("file:///a/b%20c.parquet");
+    # decode the percent-escapes and strip the local scheme to match the
+    # driver-side absolute paths
+    decoded = F.url_decode(F.input_file_name())
+    keyed = df.withColumn(
+        key, F.regexp_replace(decoded, r"^file:/+", "/")
+    )
+    out = keyed.join(F.broadcast(pv_df), key, "left")
+    return out.select(
+        *[
+            F.col(c).cast(schema[c].dataType).alias(c) if c in part_cols
+            else F.col(c)
+            for c in out_cols
+        ]
+    )

@@ -486,3 +486,62 @@ def test_empty_after_removes(spark, tmp_path):
     df = read_delta(spark, root)
     assert df.count() == 0
     assert df.columns == ["v"]
+
+
+def test_high_partition_cardinality_single_scan(spark, tmp_path):
+    """A 1,000-partition-value table must plan ONE parquet scan node
+    (partition values attached via the broadcast path->values join), not
+    a union branch per partition tuple — the plan shape that stalls
+    Catalyst analysis for minutes on real date-partitioned tables."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "manyparts")
+    os.makedirs(root, exist_ok=True)
+    n = 1000
+    adds = []
+    for i in range(n):
+        rel = f"day={i}/f{i}.parquet"
+        os.makedirs(os.path.join(root, f"day={i}"), exist_ok=True)
+        pq.write_table(
+            pa.table({"v": [i]}),
+            os.path.join(root, rel),
+        )
+        adds.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {"day": str(i)},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+    _write_commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta_action([("v", "long"), ("day", "integer")], part_cols=["day"]),
+        ]
+        + adds,
+    )
+    t0 = time.perf_counter()
+    df = read_delta(spark, root)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan_secs = time.perf_counter() - t0
+    # exactly one parquet scan; the partition-value side is a local frame
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "Union" not in plan
+    # Catalyst analysis+planning stays interactive, not minutes
+    assert plan_secs < 20, f"plan took {plan_secs:.1f}s"
+    # values still correct end-to-end: every row joined to its partition
+    agg = df.selectExpr(
+        "count(*) AS n",
+        "count(DISTINCT day) AS d",
+        "sum(CASE WHEN v = day THEN 1 ELSE 0 END) AS ok",
+    ).collect()[0]
+    assert (agg["n"], agg["d"], agg["ok"]) == (n, n, n)
