@@ -2486,6 +2486,68 @@ def q_s19(spark, sf):
 
 
 @query(
+    "s20_iceberg_pos_delete",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+    FROM customer WHERE c_custkey % 13 <> 0
+    """,
+)
+def q_s20(spark, sf):
+    """S20 — Iceberg v2 POSITIONAL-DELETE read (sources/iceberg.py):
+    the table is exported as real Iceberg metadata (s18's path), then a
+    foreign-writer-shaped DELETE snapshot is appended — a parquet delete
+    file of (file_path, pos) rows sorted per spec plus a DELETE manifest
+    (content=1) and a new metadata version — targeting every row with
+    ``c_custkey % 13 == 0`` at its actual (data file, row ordinal)
+    coordinates taken from Spark's parquet ``_metadata``. The read
+    applies the deletes with a broadcast (file, pos) anti-join against
+    ``_metadata.row_index``; DuckDB recomputes the post-delete table
+    directly, so a reader that resurrected deleted rows, matched the
+    wrong file, or was off by one in the ordinal breaks the row-level
+    hash. In-entry asserts pin pre-delete time travel."""
+    from .sources.iceberg import (
+        append_position_deletes,
+        export_iceberg,
+        read_iceberg,
+    )
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s20", sf),
+        "c_custkey bigint, bal_c bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=8,
+    )
+    t.append(c)
+    assert export_iceberg(t) == 1
+    n_all = c.count()
+    # (data file, row ordinal) coordinates of the doomed rows, exactly
+    # as a MERGE/DELETE writer would record them
+    targets = [
+        (r["fp"], r["pos"])
+        for r in read_iceberg(spark, t.root)
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("pos"),
+            "c_custkey",
+        )
+        .filter(F.col("c_custkey") % 13 == 0)
+        .collect()
+    ]
+    assert targets
+    append_position_deletes(t.root, targets)
+    # pre-delete snapshot still sees every row (time travel)
+    assert read_iceberg(spark, t.root, snapshot_id=1).count() == n_all
+    return read_iceberg(spark, t.root)
+
+
+@query(
     "w15_resample_ffill",
     oracle="""
     WITH obs AS (

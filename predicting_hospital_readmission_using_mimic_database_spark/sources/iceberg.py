@@ -15,13 +15,24 @@ Read path (all driver-side metadata until the final Spark scan):
 3. hand Spark only those parquet files with the table schema converted
    from the Iceberg schema JSON (explicit read schema — no inference).
 
-Honest gates (raise, never silently wrong): format-version > 2, DELETE
-manifests / delete data files (v2 merge-on-read row-level deletes —
-reading the data files alone would resurrect deleted rows), non-parquet
-data files, and unsupported types. Column resolution is NAME-based (the
-parquet files carry the names Iceberg wrote); field-id remapping after
-a column RENAME is not implemented and the reader cannot detect it —
-documented limitation, same posture as the Delta reader's column-
+V2 POSITIONAL deletes (the most common row-level-delete shape in real
+Iceberg tables — every MERGE/DELETE from Spark/Flink/Trino writes them)
+are APPLIED, not gated: delete manifests (manifest-list ``content=1``)
+list parquet delete files of ``(file_path, pos)`` rows; the reader
+scans the data files with Spark's parquet ``_metadata.row_index``
+(the in-file row ordinal — exactly the spec's ``pos``) and LEFT
+ANTI-joins the normalized ``(file path, position)`` pairs, broadcast
+by default (delete files are a small fraction of table size; pass
+``broadcast_deletes=False`` for a shuffled anti-join when they are
+not). Dead rows never reach the caller, data files are read once.
+
+Honest gates (raise, never silently wrong): format-version > 2,
+EQUALITY delete files (``content=2`` — applying them needs
+sequence-number ordering this reader does not track), non-parquet data
+or delete files, and unsupported types. Column resolution is NAME-based
+(the parquet files carry the names Iceberg wrote); field-id remapping
+after a column RENAME is not implemented and the reader cannot detect
+it — documented limitation, same posture as the Delta reader's column-
 mapping gate.
 
 Identity-partitioned tables read transparently: Iceberg writes source
@@ -352,11 +363,15 @@ def iceberg_snapshots(root: str) -> list[dict]:
     ]
 
 
-def _live_files(meta: dict, root: str, snapshot_id) -> list[tuple[str, dict]]:
+def _live_files(
+    meta: dict, root: str, snapshot_id
+) -> tuple[list[tuple[str, dict]], list[str]]:
+    """(data files with partition values, POSITIONAL delete file paths)
+    live at the snapshot. Equality deletes (content=2) raise."""
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     if sid is None or sid == -1:
-        return []
+        return [], []
     if sid not in snaps:
         raise ValueError(
             f"snapshot {sid} not found (have {sorted(snaps)})"
@@ -364,36 +379,50 @@ def _live_files(meta: dict, root: str, snapshot_id) -> list[tuple[str, dict]]:
     snap = snaps[sid]
     if "manifest-list" in snap:
         _s, manifests = read_avro(_localize(snap["manifest-list"], root))
-        manifest_paths = []
-        for mrec in manifests:
-            if mrec.get("content", 0) == 1:
-                raise IcebergProtocolError(
-                    "snapshot carries a DELETE manifest (v2 row-level "
-                    "deletes); reading data files alone would resurrect "
-                    "deleted rows"
-                )
-            manifest_paths.append(mrec["manifest_path"])
+        manifest_paths = [
+            (mrec["manifest_path"], mrec.get("content", 0) == 1)
+            for mrec in manifests
+        ]
     else:
-        manifest_paths = list(snap.get("manifests", []))  # format v1 inline
-    out: list[tuple[str, dict]] = []
-    for mp in manifest_paths:
+        # format v1 inline manifest list: data manifests only
+        manifest_paths = [(p, False) for p in snap.get("manifests", [])]
+    data_out: list[tuple[str, dict]] = []
+    del_out: list[str] = []
+    for mp, is_delete in manifest_paths:
         _s, entries = read_avro(_localize(mp, root))
         for e in entries:
             if e.get("status", 0) == 2:
                 continue  # deleted tombstone
             df = e["data_file"]
-            if df.get("content", 0) != 0:
-                raise IcebergProtocolError(
-                    "manifest references a delete file (v2 merge-on-read); "
-                    "not supported by this reader"
-                )
+            content = df.get("content", 0)
             fmt = str(df.get("file_format", "PARQUET")).upper()
+            if content == 2:
+                raise IcebergProtocolError(
+                    "manifest references an EQUALITY delete file "
+                    "(content=2); applying equality deletes needs "
+                    "sequence-number ordering this reader does not track"
+                )
             if fmt != "PARQUET":
                 raise IcebergProtocolError(
-                    f"non-parquet data file format {fmt!r}"
+                    f"non-parquet {'delete' if content else 'data'} "
+                    f"file format {fmt!r}"
                 )
-            out.append((df["file_path"], df.get("partition") or {}))
-    return out
+            if content == 1:
+                if not is_delete:
+                    raise IcebergProtocolError(
+                        "data manifest references a delete file "
+                        "(content=1 outside a DELETE manifest); "
+                        "malformed metadata"
+                    )
+                del_out.append(df["file_path"])
+            elif is_delete:
+                raise IcebergProtocolError(
+                    "DELETE manifest entry carries content=0 (a data "
+                    "file); malformed metadata"
+                )
+            else:
+                data_out.append((df["file_path"], df.get("partition") or {}))
+    return data_out, del_out
 
 
 def read_iceberg(
@@ -401,12 +430,20 @@ def read_iceberg(
     root: str,
     snapshot_id: int | None = None,
     partitions: dict[str, object] | None = None,
+    broadcast_deletes: bool = True,
 ) -> DataFrame:
     """Snapshot-read an Iceberg table (``snapshot_id=`` time travel,
     default the current snapshot). ``partitions`` prunes files at the
     METADATA level against the manifests' identity-partition values
     (``{"seg": "A"}`` or per-column value lists) before Spark lists
-    anything — unknown partition field names raise."""
+    anything — unknown partition field names raise.
+
+    V2 POSITIONAL deletes are applied (see the module docstring): data
+    files are scanned once with ``_metadata.row_index`` and the delete
+    files' ``(file_path, pos)`` pairs are LEFT ANTI-joined — broadcast
+    by default (``broadcast_deletes=False`` switches to a shuffled
+    anti-join for delete sets too large to broadcast). Equality deletes
+    raise."""
     with open(_metadata_path(root)) as f:
         meta = json.load(f)
     if int(meta.get("format-version", 1)) > 2:
@@ -414,7 +451,7 @@ def read_iceberg(
             f"format-version {meta['format-version']} > 2 is not supported"
         )
     schema = _table_schema(meta)
-    files = _live_files(meta, root, snapshot_id)
+    files, delete_files = _live_files(meta, root, snapshot_id)
     if partitions:
         known = set()
         for _p, pv in files:
@@ -438,4 +475,138 @@ def read_iceberg(
     if not files:
         return spark.createDataFrame([], schema)
     paths = sorted(_localize(p, root) for p, _pv in files)
-    return spark.read.schema(schema).parquet(*paths)
+    df = spark.read.schema(schema).parquet(*paths)
+    if not delete_files:
+        return df
+    from pyspark.sql import functions as F
+
+    out_cols = [f.name for f in schema.fields]
+
+    def _norm(col):
+        # both sides to decoded local-path form: _metadata.file_path is
+        # the URI Spark read ("file:///a/b%20c.parquet"); delete-file
+        # rows carry the writer's URI serialization of the same path
+        return F.regexp_replace(F.url_decode(col), r"^file:/+", "/")
+
+    fp, pos = "__iceberg_file", "__iceberg_pos"
+    while fp in out_cols or pos in out_cols:
+        fp, pos = "_" + fp, "_" + pos
+    keyed = df.select(
+        "*",
+        _norm(F.col("_metadata.file_path")).alias(fp),
+        F.col("_metadata.row_index").alias(pos),
+    )
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    del_schema = T.StructType(
+        [
+            StructField("file_path", StringType(), True),
+            StructField("pos", LongType(), True),
+        ]
+    )
+    dels = (
+        spark.read.schema(del_schema)
+        .parquet(*sorted(_localize(p, root) for p in delete_files))
+        .select(_norm(F.col("file_path")).alias(fp), F.col("pos").alias(pos))
+    )
+    if broadcast_deletes:
+        dels = F.broadcast(dels)
+    return keyed.join(dels, [fp, pos], "left_anti").select(*out_cols)
+
+
+#: spec-shaped positional-delete file schema: (file_path, pos) sorted
+POS_DELETE_COLS = ("file_path", "pos")
+
+
+def append_position_deletes(
+    root: str, deletes: list[tuple[str, int]]
+) -> int:
+    """Append ONE v2 snapshot that positionally deletes ``(data file
+    path, row ordinal)`` pairs — the minimal foreign-writer surface
+    (what a Spark/Flink/Trino DELETE commits): a parquet delete file
+    sorted by (file_path, pos), a DELETE manifest (``content=1``), a
+    manifest list reusing the current snapshot's data manifests, and a
+    new ``vN.metadata.json`` + ``version-hint.text``. Returns the new
+    snapshot id. Used by the s20 fixture and tests; the engine's own
+    mutation path remains SnapshotTable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .avro_ocf import write_avro
+
+    with open(_metadata_path(root)) as f:
+        meta = json.load(f)
+    snaps = meta.get("snapshots", [])
+    cur = next(
+        s for s in snaps if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, manifests = read_avro(_localize(cur["manifest-list"], root))
+    sid = max(s["snapshot-id"] for s in snaps) + 1
+    mdir = os.path.join(root, "metadata")
+    rows = sorted((str(p), int(x)) for p, x in deletes)
+    del_path = os.path.join(mdir, f"pos-delete-{sid}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": [r[0] for r in rows],
+                "pos": pa.array([r[1] for r in rows], type=pa.int64()),
+            }
+        ),
+        del_path,
+    )
+    del_manifest = os.path.join(mdir, f"manifest-del-{sid}.avro")
+    write_avro(
+        del_manifest,
+        MANIFEST_ENTRY_SCHEMA,
+        [
+            {
+                "status": 1,
+                "snapshot_id": sid,
+                "data_file": {
+                    "content": 1,
+                    "file_path": del_path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": len(rows),
+                    "file_size_in_bytes": os.path.getsize(del_path),
+                },
+            }
+        ],
+    )
+    mlist = os.path.join(mdir, f"snap-{sid}.avro")
+    write_avro(
+        mlist,
+        MANIFEST_FILE_SCHEMA,
+        [dict(m) for m in manifests]
+        + [
+            {
+                "manifest_path": del_manifest,
+                "manifest_length": os.path.getsize(del_manifest),
+                "partition_spec_id": 0,
+                "content": 1,
+                "added_snapshot_id": sid,
+            }
+        ],
+    )
+    import time
+
+    version = int(meta.get("_export_version", len(snaps))) + 1
+    meta["snapshots"] = snaps + [
+        {
+            "snapshot-id": sid,
+            "timestamp-ms": int(time.time() * 1000),
+            "summary": {"operation": "delete"},
+            "manifest-list": mlist,
+            "schema-id": 0,
+        }
+    ]
+    meta["current-snapshot-id"] = sid
+    meta["last-sequence-number"] = sid
+    meta["_export_version"] = version
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    tmp = os.path.join(mdir, ".hint.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    return sid

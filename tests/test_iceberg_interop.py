@@ -214,7 +214,7 @@ def test_delete_gates(spark, tmp_path):
     root = str(tmp_path / "dv")
     f = os.path.join(root, "data", "a.parquet")
     _write_parquet(f, [(1, "x")], ["k", "seg"])
-    # (a) delete MANIFEST in the list
+    # (a) DATA file (content=0) inside a DELETE manifest: malformed
     m = _manifest(root, "m.avro", [_entry(f, "x", 1)])
     ml = _manifest_list(root, "ml.avro", [m], content=1)
     _metadata(
@@ -223,9 +223,9 @@ def test_delete_gates(spark, tmp_path):
         current=1,
         fields=[("k", "long"), ("seg", "string")],
     )
-    with pytest.raises(IcebergProtocolError, match="DELETE manifest"):
+    with pytest.raises(IcebergProtocolError, match="content=0"):
         read_iceberg(spark, root)
-    # (b) delete data FILE inside a data manifest
+    # (b) delete FILE (content=1) inside a data manifest: malformed
     root2 = str(tmp_path / "df")
     f2 = os.path.join(root2, "data", "a.parquet")
     _write_parquet(f2, [(1, "x")], ["k", "seg"])
@@ -239,6 +239,20 @@ def test_delete_gates(spark, tmp_path):
     )
     with pytest.raises(IcebergProtocolError, match="delete file"):
         read_iceberg(spark, root2)
+    # (b2) EQUALITY delete file (content=2) in a delete manifest: gated
+    root4 = str(tmp_path / "eq")
+    f4 = os.path.join(root4, "data", "a.parquet")
+    _write_parquet(f4, [(1, "x")], ["k", "seg"])
+    m4 = _manifest(root4, "m.avro", [_entry(f4, "x", 1, content=2)])
+    ml4 = _manifest_list(root4, "ml.avro", [m4], content=1)
+    _metadata(
+        root4,
+        [{"snapshot-id": 1, "timestamp-ms": 0, "summary": {}, "manifest-list": ml4}],
+        current=1,
+        fields=[("k", "long"), ("seg", "string")],
+    )
+    with pytest.raises(IcebergProtocolError, match="EQUALITY"):
+        read_iceberg(spark, root4)
     # (c) future format versions
     root3 = str(tmp_path / "v9")
     _metadata(root3, [], current=None, fields=[("k", "long")], version=9)
@@ -378,3 +392,30 @@ def test_empty_table_and_avro_roundtrip(spark, tmp_path):
     write_avro(p, schema, recs, codec="deflate")
     s2, got = read_avro(p)
     assert got == recs and s2 == schema
+
+
+def test_positional_deletes_applied(spark, iceberg_root):
+    """A v2 positional-delete snapshot (delete parquet + DELETE manifest
+    appended by the minimal writer surface) removes exactly the
+    (file, pos) rows; earlier snapshots stay fully readable; the
+    broadcast and shuffled anti-join paths agree."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        append_position_deletes,
+    )
+
+    fa = os.path.join(iceberg_root, "data", "a.parquet")
+    fc = os.path.join(iceberg_root, "data", "c.parquet")
+    # a.parquet rows: k=1 (pos 0), k=2 (pos 1); c.parquet: k=11, k=12
+    sid = append_position_deletes(iceberg_root, [(fa, 0), (fc, 1)])
+    assert sid == 3
+    cur = read_iceberg(spark, iceberg_root)
+    assert {(r["k"], r["seg"]) for r in cur.collect()} == {(2, "x"), (11, "y")}
+    shuffled = read_iceberg(spark, iceberg_root, broadcast_deletes=False)
+    assert {r["k"] for r in shuffled.collect()} == {2, 11}
+    # pre-delete snapshot unaffected (time travel replays fewer manifests)
+    old = read_iceberg(spark, iceberg_root, snapshot_id=2)
+    assert {r["k"] for r in old.collect()} == {1, 2, 11, 12}
+    assert [h["operation"] for h in iceberg_snapshots(iceberg_root)][-1] == "delete"
+    # a second delete snapshot stacks on the first
+    append_position_deletes(iceberg_root, [(fa, 1)])
+    assert {r["k"] for r in read_iceberg(spark, iceberg_root).collect()} == {11}
