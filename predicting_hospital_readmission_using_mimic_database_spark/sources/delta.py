@@ -274,7 +274,79 @@ def delta_table_version(root: str) -> int:
     return last
 
 
-def export_delta_log(table) -> int:
+def _write_checkpoint_file(
+    log_dir: str, version: int, meta: dict, adds: list[dict]
+) -> None:
+    """Write a classic SINGLE-FILE parquet checkpoint for ``version``
+    (one row per action: protocol, metaData, every live add) plus the
+    ``_last_checkpoint`` pointer — the compaction real Delta writers
+    perform so readers replay from the checkpoint instead of commit 0.
+    Atomic: parquet staged then renamed, pointer written last."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    protocol_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    n = 2 + len(adds)
+    proto_col = [{"minReaderVersion": 1, "minWriterVersion": 2}] + [None] * (n - 1)
+    meta_row = {
+        "id": meta["id"],
+        "format": {"provider": "parquet"},
+        "schemaString": meta["schemaString"],
+        "partitionColumns": list(meta.get("partitionColumns") or []),
+        "configuration": dict(meta.get("configuration") or {}),
+    }
+    meta_col = [None, meta_row] + [None] * len(adds)
+    add_col = [None, None] + [
+        {
+            "path": a["path"],
+            "partitionValues": dict(a.get("partitionValues") or {}),
+            "size": a.get("size", 0),
+            "modificationTime": a.get("modificationTime", 0),
+            "dataChange": False,  # checkpoint rows are state, not changes
+            "stats": a.get("stats"),
+        }
+        for a in adds
+    ]
+    table = pa.table(
+        {
+            "protocol": pa.array(proto_col, type=protocol_t),
+            "metaData": pa.array(meta_col, type=meta_t),
+            "add": pa.array(add_col, type=add_t),
+        }
+    )
+    final = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+    ptr = os.path.join(log_dir, "_last_checkpoint")
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "size": n}, f)
+    os.replace(tmp, ptr)
+
+
+def export_delta_log(table, checkpoint_interval: int = 10) -> int:
     """Publish a :class:`~.table.SnapshotTable`'s CURRENT snapshot as a
     real ``_delta_log`` under the table root, so any Delta client
     (delta-rs, Trino, Spark delta-io — or :func:`read_delta`) can read
@@ -286,6 +358,13 @@ def export_delta_log(table) -> int:
     and commit only the add/remove DIFF against the current snapshot —
     the same delta-sized metadata posture as the native commit log. A
     no-change export writes nothing. Returns the exported delta version.
+
+    Every ``checkpoint_interval`` versions (spec-conventional default
+    10) the export also writes a classic single-file parquet CHECKPOINT
+    of the full state plus ``_last_checkpoint``, so a foreign reader of
+    a long exported history replays from the checkpoint instead of
+    every JSON commit since 0 (and vacuumed early commits stay
+    readable). ``checkpoint_interval=0`` disables.
 
     Shape notes: SnapshotTable data files hold exactly the declared
     schema (the hash-bucket id lives in the directory name, not the
@@ -344,6 +423,22 @@ def export_delta_log(table) -> int:
         for action in actions:
             f.write(json.dumps(action) + "\n")
     os.replace(tmp, os.path.join(log_dir, f"{version:020d}.json"))
+    if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
+        _write_checkpoint_file(
+            log_dir,
+            version,
+            _export_meta(schema_string)["metaData"],
+            [
+                {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(root, rel)),
+                    "modificationTime": 0,
+                    "stats": json.dumps({"numRecords": table._live[rel].rows}),
+                }
+                for rel in sorted(current)
+            ],
+        )
     return version
 
 

@@ -545,3 +545,49 @@ def test_high_partition_cardinality_single_scan(spark, tmp_path):
         "sum(CASE WHEN v = day THEN 1 ELSE 0 END) AS ok",
     ).collect()[0]
     assert (agg["n"], agg["d"], agg["ok"]) == (n, n, n)
+
+
+def test_export_writes_checkpoint_and_replay_starts_there(spark, tmp_path):
+    """A long exported history (>10 versions) gets a classic parquet
+    checkpoint + _last_checkpoint at version 10; deleting commits 0-9
+    PROVES the replay starts at the checkpoint, and the post-checkpoint
+    JSON diffs still apply on top."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import export_delta_log
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import SnapshotTable
+
+    root = str(tmp_path / "cptbl")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, v double", bucket_key=["k"], num_buckets=4
+    )
+    t.append(
+        spark.range(20).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    )
+    assert export_delta_log(t) == 0
+    for i in range(1, 13):  # versions 1..12: one upserted row each
+        t.merge(spark.createDataFrame([(int(i), float(-i))], "k bigint, v double"))
+        assert export_delta_log(t) == i
+    log = os.path.join(root, "_delta_log")
+    cp = os.path.join(log, f"{10:020d}.checkpoint.parquet")
+    assert os.path.exists(cp)
+    with open(os.path.join(log, "_last_checkpoint")) as f:
+        ptr = json.load(f)
+    assert ptr["version"] == 10
+    expect = {i: float(-i) if 1 <= i <= 12 else float(i) for i in range(20)}
+    got = {r["k"]: r["v"] for r in read_delta(spark, root).collect()}
+    assert got == expect
+    # vacuum the pre-checkpoint JSON commits: replay MUST start at the
+    # checkpoint (a reader replaying from 0 would now fail)
+    for v in range(10):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    got2 = {r["k"]: r["v"] for r in read_delta(spark, root).collect()}
+    assert got2 == expect
+    # time travel to the checkpoint version itself and one past it
+    at10 = {r["k"]: r["v"] for r in read_delta(spark, root, version=10).collect()}
+    assert at10[10] == -10.0 and at10[11] == 11.0 and at10[12] == 12.0
+    at11 = {r["k"]: r["v"] for r in read_delta(spark, root, version=11).collect()}
+    assert at11[11] == -11.0 and at11[12] == 12.0
+    # pre-checkpoint versions are honestly unreconstructable now
+    with pytest.raises(DeltaProtocolError, match="checkpoint"):
+        read_delta(spark, root, version=5)
