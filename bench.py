@@ -292,9 +292,11 @@ def main() -> None:
             )
             # forced-distributed twin: the iterative-job regime tracked
             # across rounds (batched merge loop, local_below=0)
+            bpe_stats: dict = {}
             t0 = time.perf_counter()
             merges_d, _vd = _bpe.bpe_train(
-                docs, "text", n_merges=200, min_count=2, local_below=0
+                docs, "text", n_merges=200, min_count=2, local_below=0,
+                stats=bpe_stats,
             )
             dt_d = round(time.perf_counter() - t0, 3)
             assert merges_d == merges, "distributed/local merge sequences differ"
@@ -302,7 +304,10 @@ def main() -> None:
             per_d = round(dt_d / max(len(merges_d), 1), 3)
             print(
                 f"[bench] t20b_dist_bpe_train: {dt_d}s "
-                f"({len(merges_d)} merges, {per_d}s/merge)",
+                f"({len(merges_d)} merges, {per_d}s/merge, "
+                f"{bpe_stats.get('jobs')} jobs, "
+                f"mean batch {bpe_stats.get('mean_batch')}, "
+                f"window {bpe_stats.get('window_final')})",
                 file=sys.stderr,
             )
         except Exception as e:
@@ -323,6 +328,43 @@ def main() -> None:
         # timings recorded after an in-session retry (cache cleared, but
         # JVM/codegen warm) — flagged so they're distinguishable
         out["retried"] = sorted(set(retried))
+
+    # --- noise canary: wall-clocks on this shared box swing 1.5-2x with
+    # co-tenant load (BENCH_r07 was uniformly ~1.5x BENCH_r06 with zero
+    # code changes). Re-run three never-touched sentinel queries at the
+    # very END of the run and report the median ratio against their
+    # PINNED sf0.1 medians (measured 2026-08-14, BENCH_REPEAT=5, fresh
+    # warmed session) — a reader deflates the artifact by noise_factor
+    # before calling anything a regression. Only emitted at sf0.1 (the
+    # pins are sf-specific).
+    NOISE_SENTINELS = {
+        "p2_filter_isnull": 0.48,
+        "a1_value_counts": 0.22,
+        "w1_lead": 0.39,
+    }
+    if abs(sf - 0.1) < 1e-9:
+        ratios = {}
+        for name, pin in NOISE_SENTINELS.items():
+            if name not in registry:
+                continue
+            runs = []
+            for _ in range(3):
+                spark.catalog.clearCache()
+                try:
+                    runs.append(run_once(name))
+                except Exception as e:
+                    print(f"[bench] canary {name} FAILED: {e}", file=sys.stderr)
+            if runs:
+                runs.sort()
+                ratios[name] = round(runs[len(runs) // 2] / pin, 2)
+        if ratios:
+            vals = sorted(ratios.values())
+            out["noise_factor"] = vals[len(vals) // 2]
+            out["noise_sentinels"] = ratios
+            print(
+                f"[bench] noise_factor {out['noise_factor']} {ratios}",
+                file=sys.stderr,
+            )
     print(json.dumps(out))
 
 

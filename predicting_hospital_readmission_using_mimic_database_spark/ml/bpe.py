@@ -304,6 +304,7 @@ def bpe_train(
     batch_pairs: int = 64,
     window: int = 512,
     local_below: int = 100_000,
+    stats: dict | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus.
 
@@ -338,6 +339,18 @@ def bpe_train(
       schedule. The only driver-side data movement is the bounded
       top-window per iteration; vocab stays distributed throughout.
 
+    Observability: pass ``stats={}`` and the trainer fills it with the
+    regime taken, the number of per-iteration Spark jobs, the accepted
+    batch size per job, and the final window — the numbers that tell
+    you whether batching is actually amortizing the per-job floor on
+    YOUR corpus (bench prints them for t20b_dist). When a job's window
+    came back FULL (truncated aggregate) and the accepted batch was
+    smaller than allowed — i.e. the window, not provability, may be the
+    limiter — the next iteration doubles the window (cap 8192): tied or
+    chained pair distributions stop batching at small windows because
+    the cutoff bound kicks in, and a wider snapshot restores the proof
+    headroom at the cost of a bigger TakeOrdered.
+
     Iteration cost model (measured at sf0.1, 107 merges): eagerly
     materializing EVERY step (cache+count) costs a second Spark job per
     merge — 0.342 s/merge; keeping steps LAZY between
@@ -359,8 +372,13 @@ def bpe_train(
         )
     if batch_pairs < 1:
         raise ValueError(f"bpe_train: batch_pairs must be >= 1, got {batch_pairs}")
+    if stats is None:
+        stats = {}
+    stats.update(regime=None, jobs=0, batch_sizes=[], mean_batch=0.0,
+                 window_final=window)
     vocab = vocab_table(df, text_col, end_marker).localCheckpoint(eager=True)
     if local_below and vocab.count() <= local_below:
+        stats["regime"] = "local"
         local = {
             r["w"]: (int(r["n"]), tuple(r["syms"])) for r in vocab.collect()
         }
@@ -388,6 +406,7 @@ def bpe_train(
             "spark.sql.shuffle.partitions",
             str(max(1, vocab.rdd.getNumPartitions())),
         )
+        stats["regime"] = "distributed"
         while len(merges) < n_merges:
             rows = (
                 pair_and_triple_counts(vocab)
@@ -395,12 +414,17 @@ def bpe_train(
                 .limit(window)
                 .collect()
             )
+            allowed = min(batch_pairs, n_merges - len(merges))
             batch = _select_batch(
-                rows,
-                min_count,
-                min(batch_pairs, n_merges - len(merges)),
-                complete=len(rows) < window,
+                rows, min_count, allowed, complete=len(rows) < window
             )
+            stats["jobs"] += 1
+            stats["batch_sizes"].append(len(batch))
+            if len(rows) == window and len(batch) < allowed and window < 8192:
+                # the truncated window's cutoff bound may be what ended
+                # the batch — widen the snapshot for the next job
+                window = min(window * 2, 8192)
+                stats["window_final"] = window
             if not batch:
                 break
             for a, b, cnt in batch:
@@ -416,6 +440,8 @@ def bpe_train(
     finally:
         for k, v in saved.items():
             sess.conf.set(k, v)
+    sizes = [s for s in stats["batch_sizes"] if s]
+    stats["mean_batch"] = round(sum(sizes) / len(sizes), 2) if sizes else 0.0
     return merges, vocab
 
 

@@ -248,6 +248,49 @@ def test_bpe_batched_sequence_exact_vs_reference(spark):
         v1.unpersist(); v2.unpersist()
 
 
+def test_bpe_batching_amortizes_jobs_on_batchable_corpus(spark):
+    """On a corpus DESIGNED to allow batching (symbol-disjoint repeated
+    pairs with strictly separated counts) the distributed trainer must
+    actually batch: mean accepted batch > 1 and at least 2x fewer Spark
+    jobs than merges — the measured claim behind the batching machinery
+    — while staying sequence-identical to the single-step schedule. A
+    tie-heavy corpus is also checked: there the stats must HONESTLY
+    report ~1-sized batches and the adaptive window widening."""
+    from predicting_hospital_readmission_using_mimic_database_spark.ml.bpe import bpe_train
+
+    # word i = (A_i B_i)^3 with count 100-i over disjoint alphabets:
+    # pair (A_i, B_i) has count 3(100-i), every batch-created pair is
+    # bounded by 2(100-i) triples, so the top pairs accept in one prefix
+    rows = []
+    for i in range(30):
+        w = (chr(0x100 + 2 * i) + chr(0x101 + 2 * i)) * 3
+        rows.extend((len(rows) + j, w) for j in range(100 - i))
+    df = spark.createDataFrame(rows, "id long, text string")
+    stats: dict = {}
+    batched, _v = bpe_train(
+        df, "text", n_merges=12, local_below=0, stats=stats
+    )
+    single, _v2 = bpe_train(df, "text", n_merges=12, batch_pairs=1, local_below=0)
+    assert batched == single
+    assert len(batched) == 12
+    assert stats["regime"] == "distributed"
+    assert stats["mean_batch"] > 1, stats
+    assert stats["jobs"] * 2 <= len(batched), stats
+    # tie-heavy corpus: batches honestly collapse toward 1 and a FULL
+    # truncated window triggers the adaptive widening
+    tie = spark.createDataFrame(
+        [(i, "ababab bababa ababa aaaa") for i in range(20)],
+        "id long, text string",
+    )
+    s2: dict = {}
+    m2, _v3 = bpe_train(
+        tie, "text", n_merges=6, local_below=0, window=8, stats=s2
+    )
+    m2s, _v4 = bpe_train(tie, "text", n_merges=6, batch_pairs=1, local_below=0)
+    assert m2 == m2s
+    assert s2["window_final"] > 8, s2
+
+
 def test_bpe_select_batch_bounds():
     """Unit checks of the batch certificate: prefix-only, symbol
     disjointness, triple new-pair bound, truncated-window cutoff."""
