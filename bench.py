@@ -127,6 +127,9 @@ HEADLINE = [
     "s18_iceberg_roundtrip",  # iceberg export + manifest-replay read
     "st12_stream_table_changes",  # CDC as a streaming source
     "u12_cluster_balanced",   # codebook-balanced diversity sampling
+    # round-8 additions
+    "s19_hudi_read",          # hudi timeline snapshot read
+    "s20_iceberg_pos_delete", # iceberg v2 positional-delete read
 ]
 
 

@@ -2548,6 +2548,115 @@ def q_s20(spark, sf):
 
 
 @query(
+    "s21_delta_column_mapping",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_c
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_s21(spark, sf):
+    """S21 — Delta COLUMN MAPPING 'name' mode read (sources/delta.py
+    ``_physical_type`` + the physical->logical restore in
+    ``read_delta``): the table any real Delta writer produces after a
+    column rename — data files store ``col-<uuid>`` PHYSICAL names, the
+    logical schema lives only in the field metadata, and partitionValues
+    are keyed by physical name. The fixture writes per-segment parquet
+    under physical names and a name-mode log; the read must restore the
+    logical columns and segment values exactly or DuckDB's recompute
+    from the base customer rows breaks the hash."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+
+    from .sources.delta import read_delta
+
+    root = _table_root("s21", sf)
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        "c_mktsegment",
+    )
+    segs = sorted(
+        r["c_mktsegment"] for r in c.select("c_mktsegment").distinct().collect()
+    )
+
+    def put(df, rel):
+        stage = os.path.join(root, rel + ".stage")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(root, rel))
+        shutil.rmtree(stage)
+
+    def fld(name, typ, phys, cid):
+        return {
+            "name": name, "type": typ, "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": cid,
+                "delta.columnMapping.physicalName": phys,
+            },
+        }
+
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "s21",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            fld("c_custkey", "long", "col-k1", 1),
+                            fld("bal_c", "long", "col-b2", 2),
+                            fld("c_mktsegment", "string", "col-s3", 3),
+                        ],
+                    }
+                ),
+                "partitionColumns": ["c_mktsegment"],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        },
+    ]
+    for i, s in enumerate(segs):
+        rel = f"seg{i}.parquet"
+        put(
+            c.filter(F.col("c_mktsegment") == s).select(
+                F.col("c_custkey").alias("col-k1"),
+                F.col("bal_c").alias("col-b2"),
+            ),
+            rel,
+        )
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {"col-s3": s},  # physical key (spec)
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    return (
+        read_delta(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("bal_c").cast("long").alias("bal_c"),
+        )
+    )
+
+
+@query(
     "w15_resample_ffill",
     oracle="""
     WITH obs AS (

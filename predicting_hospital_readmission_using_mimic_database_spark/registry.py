@@ -38,72 +38,73 @@ _LOADED = False
 
 # The driver verifies the registry front-to-back with a capped budget
 # (every round so far checked exactly the first 50 entries). The
-# cross-round union closed at 180/180 in round 6 — every entry has
-# appeared hash-green in a shipped driver artifact. Round-7 window:
+# cross-round union covers all entries — every one has appeared
+# hash-green in a shipped driver artifact. Round-8 window:
 # (a) every entry whose code or oracle changed THIS round — the NEW
-# u12 cluster-balanced diversity sample and s15 Delta-log interop read,
-# the blocked SemDeDup prune behind d10, the SnapshotTable fixes
-# (merge bucket-key cast, op-aware commit conflicts, vacuum path test)
-# behind s9-s14 and the txn sinks st9/st11, the single-parse scene-cut
-# refactor behind mm7, the join-computed prefilter thresholds behind
-# u9/x7, and the batched+fast-path BPE trainer whose kernel t20
+# s19 Hudi timeline read, s20 Iceberg positional-delete read, and s21
+# Delta column-mapping (name mode) read; the single-scan +
+# broadcast-partition-join read_delta rewrite behind s15 (and s16's
+# read-through), the checkpoint-writing exporter behind s16, the
+# delete-aware Iceberg manifest replay behind s18, and the
+# instrumented/adaptive-window BPE trainer whose kernel t20
 # oracle-checks — then (b) stable representatives whose most recent
-# driver row is the OLDEST — freshness rotation, one sentinel per
-# family prefix
+# driver row is the OLDEST (the r1-r3 vintage plus families' earliest
+# entries; the entire r7 window is this round's freshest and rotates
+# out), one sentinel per family prefix
 # (tests/test_entry.py::test_first_50_entries_cover_every_family).
 PRIORITY: tuple[str, ...] = (
-    # (a) changed or new in round 7
-    "u12_cluster_balanced",
+    # (a) changed or new in round 8
+    "s19_hudi_read",
+    "s20_iceberg_pos_delete",
     "s15_delta_read",
     "s16_delta_export",
-    "s17_pyds_snapshot_read",
     "s18_iceberg_roundtrip",
-    "st12_stream_table_changes",
-    "st13_stream_pyds_sink",
-    "d10_semdedup",
-    "s9_table_merge",
-    "s10_table_time_travel",
-    "s11_table_skipping",
-    "s12_table_zorder",
-    "s13_table_changes",
-    "s14_incremental_view",
-    "st9_stream_snapshot_sink",
-    "st11_stream_merge_mv",
-    "mm7_scene_cuts",
-    "u9_quota_sample",
-    "x7_mixture_sample",
+    "s21_delta_column_mapping",
     "t20_bpe_pair_counts",
     # (b) oldest-vintage stable representatives, family-complete
     "flagship_readmit_30d",
-    "p8_split_counts",
-    "j5_positional_join",
-    "j11_salted_join",
-    "j13_interval_join",
-    "w7_sessionize",
-    "w12_session_funnel",
-    "a13_percentiles",
-    "a16_grouping_sets",
-    "c4_parse_ts_coerce",
-    "c6_years_floor",
-    "u5_oversample",
-    "u7_nearmiss",
-    "u11_stratified_hash_split",
-    "t16_tfidf",
-    "t18_lemmatize_verbs",
-    "m5_rf_sweep",
-    "m8_mutual_info",
-    "e1_roc_curve",
-    "e8_strategy_comparison",
-    "d3_dedup_simhash",
-    "d8_line_dedup",
-    "n1_knn_bruteforce",
-    "n3_knn_ivf",
-    "x11_gopher_flags",
-    "x14_weighted_sample",
-    "mm1_multimodal_decode",
-    "mm4_audio_resample",
-    "st4_stream_window_counts",
-    "st7_checkpoint_recovery",
+    "s1_scan_events",
+    "s3_scan_project",
+    "s6_merge_upsert",
+    "p1_project",
+    "p3_filter_neq",
+    "p4_filter_eq",
+    "p5_filter_numeric",
+    "p6_filter_not_rlike",
+    "p7_filter_not_isin",
+    "j1_join_inner",
+    "j3_join_outer",
+    "j4_join_left_composite",
+    "j7_anti_join",
+    "j8_semi_join",
+    "j9_asof_join",
+    "w1_lead",
+    "w4_backfill",
+    "w5_last_per_group",
+    "w6_sort",
+    "w8_rolling_avg",
+    "a1_value_counts",
+    "a2_count_distinct",
+    "a3_topk_by_freq",
+    "a4_null_counts",
+    "a5_conditional_counts",
+    "c1_case_label",
+    "c2_clamp",
+    "c3_range_recode",
+    "u1_union_all",
+    "u2_full_shuffle",
+    "t1_regex_recode",
+    "t10_tokenize",
+    "m1_assemble",
+    "m6_lr_l1",
+    "e3_pr_curve",
+    "d1_dedup_exact",
+    "d4_ngram_jaccard",
+    "n2_knn_lsh",
+    "x1_text_stats",
+    "mm2_frame_sample",
+    "st1_stream_labels_equivalence",
+    "g1_pagerank",
 )
 
 

@@ -24,10 +24,18 @@ Scope (documented, checked, raising — never silently wrong):
   newest usable checkpoint at or below the target version and applies
   the JSON commits after it; incomplete multi-part uploads are ignored,
   never half-read.
-* Protocol gate: ``minReaderVersion`` 1 is fully supported; 2 only
-  without column mapping (``delta.columnMapping.mode`` must be absent or
-  ``none``); 3+ only when every ``readerFeatures`` entry is in the
-  supported set (currently ``timestampNtz``) — deletion vectors or v2
+* COLUMN MAPPING in ``name`` mode (what Spark writes for any table
+  that ever renamed/dropped a column): data files carry PHYSICAL
+  column names (``col-<uuid>``) from each schema field's
+  ``delta.columnMapping.physicalName`` metadata, and partitionValues
+  are keyed by physical name too. The read scans with the physical
+  schema and restores logical names with one positional struct cast
+  per top-level column (nested fields rename through the cast).
+  ``id`` mode (parquet field-id resolution) still raises.
+* Protocol gate: ``minReaderVersion`` 1 is fully supported; 2 with
+  column mapping ``none``/``name``; 3+ only when every
+  ``readerFeatures`` entry is in the supported set (currently
+  ``timestampNtz``, ``columnMapping``) — deletion vectors or v2
   checkpoints raise rather than returning wrong rows.
 
 Reference parity: the reference reloads its whole mutable store to see
@@ -62,7 +70,7 @@ __all__ = [
 ]
 
 #: reader-version-3 table features this reader actually honors
-_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping"}
 
 
 class DeltaProtocolError(NotImplementedError):
@@ -98,12 +106,47 @@ def _check_protocol(action: dict) -> None:
 
 def _check_meta(meta: dict) -> dict:
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
-    if mode != "none":
+    if mode not in ("none", "name"):
         raise DeltaProtocolError(
             f"delta.columnMapping.mode={mode} is not supported "
-            "(physical column names differ from the schema)"
+            "(only 'none' and 'name'; 'id' needs parquet field-id "
+            "resolution)"
         )
     return meta
+
+
+_PHYS_KEY = "delta.columnMapping.physicalName"
+
+
+def _physical_type(dt):
+    """The PHYSICAL twin of a logical data type: every struct field
+    renamed to its ``delta.columnMapping.physicalName`` metadata,
+    recursively (arrays/maps of structs included) — the shape the
+    parquet files actually store under column mapping ``name`` mode."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        out = []
+        for f in dt.fields:
+            phys = (f.metadata or {}).get(_PHYS_KEY)
+            if not phys:
+                raise DeltaProtocolError(
+                    f"column mapping is 'name' but field {f.name!r} has "
+                    f"no {_PHYS_KEY} metadata"
+                )
+            out.append(
+                T.StructField(phys, _physical_type(f.dataType), f.nullable)
+            )
+        return T.StructType(out)
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_type(dt.keyType),
+            _physical_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
 
 
 class _State:
@@ -486,8 +529,33 @@ def read_delta(
     """
     meta, live, _last = _replay_log(root, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    part_cols = list(meta.get("partitionColumns") or [])
-    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+    if mode == "name":
+        phys_schema = _physical_type(schema)
+    else:
+        phys_schema = schema
+    #: logical top-level name -> physical (identity without mapping)
+    phys_of = {
+        f.name: pf.name for f, pf in zip(schema.fields, phys_schema.fields)
+    }
+    logical_of = {v: k for k, v in phys_of.items()}
+    # partitionColumns: writers serialize logical names; be lenient and
+    # admit the physical spelling too (both resolve to the same column)
+    part_cols = []
+    for c in meta.get("partitionColumns") or []:
+        if c in phys_of:
+            part_cols.append(c)
+        elif c in logical_of:
+            part_cols.append(logical_of[c])
+        else:
+            raise DeltaProtocolError(
+                f"partition column {c!r} not in the table schema "
+                f"(logical {sorted(phys_of)})"
+            )
+    data_fields = [
+        pf for f, pf in zip(schema.fields, phys_schema.fields)
+        if f.name not in part_cols
+    ]
     data_schema = StructType(data_fields)
     if partitions:
         unknown = [c for c in partitions if c not in part_cols]
@@ -508,15 +576,28 @@ def read_delta(
         live = {
             rel: pv
             for rel, pv in live.items()
-            if all(_admits(want, pv.get(c)) for c, want in partitions.items())
+            if all(
+                _admits(want, pv.get(phys_of[c], pv.get(c)))
+                for c, want in partitions.items()
+            )
         }
     if not live:
         return spark.createDataFrame([], schema)
-    out_cols = [f.name for f in schema.fields]
+
+    def _logical(out):
+        """Physical scan frame -> declared logical schema: one
+        positional cast per top-level column renames nested fields."""
+        return out.select(
+            *[
+                F.col(phys_of[f.name]).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
     paths = sorted(os.path.abspath(os.path.join(root, rel)) for rel in live)
     df = spark.read.schema(data_schema).parquet(*paths)
     if not part_cols:
-        return df.select(*out_cols)
+        return _logical(df)
     # ONE scan node for ANY partition cardinality: broadcast the
     # (absolute file path -> partitionValues string serialization) frame
     # — KBs of driver-built metadata — and join it on the scan's own
@@ -524,17 +605,25 @@ def read_delta(
     # the plan linearly and stall Catalyst at thousands of partitions.
     from pyspark.sql.types import StringType, StructField
 
+    phys_parts = [phys_of[c] for c in part_cols]
     key = "__delta_input_file"
-    while key in data_schema.names or key in part_cols:
+    while key in data_schema.names or key in phys_parts:
         key = "_" + key
     pv_schema = StructType(
         [StructField(key, StringType(), False)]
-        + [StructField(c, StringType(), True) for c in part_cols]
+        + [StructField(c, StringType(), True) for c in phys_parts]
     )
+
+    def _pv(pv: dict, c: str):
+        # add.partitionValues are keyed by PHYSICAL name under column
+        # mapping (spec); admit the logical spelling leniently
+        v = pv.get(phys_of[c], pv.get(c))
+        return None if v is None else str(v)
+
     pv_rows = [
         tuple(
             [os.path.abspath(os.path.join(root, rel))]
-            + [None if pv.get(c) is None else str(pv.get(c)) for c in part_cols]
+            + [_pv(pv, c) for c in part_cols]
         )
         for rel, pv in live.items()
     ]
@@ -547,10 +636,4 @@ def read_delta(
         key, F.regexp_replace(decoded, r"^file:/+", "/")
     )
     out = keyed.join(F.broadcast(pv_df), key, "left")
-    return out.select(
-        *[
-            F.col(c).cast(schema[c].dataType).alias(c) if c in part_cols
-            else F.col(c)
-            for c in out_cols
-        ]
-    )
+    return _logical(out)

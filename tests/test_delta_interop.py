@@ -267,10 +267,24 @@ def test_protocol_gates(spark, tmp_path):
     )
     with pytest.raises(DeltaProtocolError, match="deletionVectors"):
         read_delta(spark, r1)
-    # column mapping
+    # column mapping: 'id' mode (parquet field-id resolution) raises;
+    # 'name' mode without the physicalName metadata raises too
     r2 = str(tmp_path / "cm")
     _write_commit(
         r2,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _meta_action(
+                fields, configuration={"delta.columnMapping.mode": "id"}
+            ),
+        ],
+    )
+    with pytest.raises(DeltaProtocolError, match="columnMapping.mode=id"):
+        read_delta(spark, r2)
+    r2b = str(tmp_path / "cmn")
+    _write_commit(
+        r2b,
         0,
         [
             {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
@@ -279,8 +293,8 @@ def test_protocol_gates(spark, tmp_path):
             ),
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="columnMapping"):
-        read_delta(spark, r2)
+    with pytest.raises(DeltaProtocolError, match="physicalName"):
+        read_delta(spark, r2b)
     # checkpointed-away version 0
     r3 = str(tmp_path / "cp")
     _write_commit(r3, 7, [_meta_action(fields)])
@@ -591,3 +605,112 @@ def test_export_writes_checkpoint_and_replay_starts_there(spark, tmp_path):
     # pre-checkpoint versions are honestly unreconstructable now
     with pytest.raises(DeltaProtocolError, match="checkpoint"):
         read_delta(spark, root, version=5)
+
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    """Column mapping 'name' mode (what Spark writes after any column
+    rename): data files store physical col-<uuid> names — nested struct
+    fields included — and partitionValues are keyed by physical name;
+    the read restores the LOGICAL schema and values exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "cmname")
+    os.makedirs(root, exist_ok=True)
+    # physical parquet: col-aaa (id), col-bbb (struct{col-x, col-y})
+    inner = pa.struct([("col-x", pa.int64()), ("col-y", pa.string())])
+    pq.write_table(
+        pa.table(
+            {
+                "col-aaa": pa.array([1, 2], type=pa.int64()),
+                "col-bbb": pa.array(
+                    [{"col-x": 10, "col-y": "u"}, {"col-x": 20, "col-y": "v"}],
+                    type=inner,
+                ),
+            }
+        ),
+        os.path.join(root, "fA.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "col-aaa": pa.array([3], type=pa.int64()),
+                "col-bbb": pa.array([{"col-x": 30, "col-y": "w"}], type=inner),
+            }
+        ),
+        os.path.join(root, "fB.parquet"),
+    )
+
+    def fld(name, typ, phys, cid):
+        return {
+            "name": name, "type": typ, "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": cid,
+                "delta.columnMapping.physicalName": phys,
+            },
+        }
+
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                fld("id", "long", "col-aaa", 1),
+                fld(
+                    "info",
+                    {
+                        "type": "struct",
+                        "fields": [
+                            fld("x", "long", "col-x", 3),
+                            fld("y", "string", "col-y", 4),
+                        ],
+                    },
+                    "col-bbb",
+                    2,
+                ),
+                fld("seg", "string", "col-ccc", 5),
+            ],
+        }
+    )
+    _write_commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "cm",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_string,
+                    "partitionColumns": ["seg"],  # logical serialization
+                    "configuration": {"delta.columnMapping.mode": "name"},
+                }
+            },
+            {
+                "add": {
+                    "path": "fA.parquet",
+                    # spec: partitionValues keyed by PHYSICAL name
+                    "partitionValues": {"col-ccc": "A"},
+                    "size": 1, "modificationTime": 0, "dataChange": True,
+                }
+            },
+            {
+                "add": {
+                    "path": "fB.parquet",
+                    "partitionValues": {"col-ccc": "B"},
+                    "size": 1, "modificationTime": 0, "dataChange": True,
+                }
+            },
+        ],
+    )
+    df = read_delta(spark, root)
+    assert df.columns == ["id", "info", "seg"]
+    assert df.schema["info"].dataType.names == ["x", "y"]
+    got = {
+        (r["id"], r["info"]["x"], r["info"]["y"], r["seg"])
+        for r in df.collect()
+    }
+    assert got == {(1, 10, "u", "A"), (2, 20, "v", "A"), (3, 30, "w", "B")}
+    # metadata-level pruning by LOGICAL partition name still works
+    b = read_delta(spark, root, partitions={"seg": "B"})
+    assert [r["id"] for r in b.collect()] == [3]
+    assert len(b.inputFiles()) == 1

@@ -33,18 +33,15 @@ def test_first_50_entries_cover_every_family():
         "t", "m", "e",                                   # text / ML / metrics
         "d", "n", "x", "mm", "st",                       # LLM-pipeline + streaming
     } <= fams, fams
-    # round-7 rotation: every entry whose code/oracle changed this round
-    # leads the prefix (the union already covers all 180 prior entries)
-    for must in ("u12_cluster_balanced", "s15_delta_read", "s16_delta_export",
-                 "s17_pyds_snapshot_read", "s18_iceberg_roundtrip",
-                 "st12_stream_table_changes",
-                 "st13_stream_pyds_sink", "d10_semdedup",
-                 "s9_table_merge", "s10_table_time_travel",
-                 "s11_table_skipping", "st9_stream_snapshot_sink",
-                 "st11_stream_merge_mv", "mm7_scene_cuts",
-                 "u9_quota_sample", "x7_mixture_sample",
-                 "t20_bpe_pair_counts", "flagship_readmit_30d"):
+    # round-8 rotation: every entry whose code/oracle changed this round
+    # leads the prefix (the union already covers all prior entries)
+    for must in ("s19_hudi_read", "s20_iceberg_pos_delete",
+                 "s21_delta_column_mapping",
+                 "s15_delta_read", "s16_delta_export",
+                 "s18_iceberg_roundtrip", "t20_bpe_pair_counts",
+                 "flagship_readmit_30d"):
         assert must in names
+    assert len(names) == 50
 
 
 def test_queries_runnable_at_smoke_scale(spark):
