@@ -115,6 +115,9 @@ AUDIT = [
     "s16_delta_export",   # read THROUGH the exported log, same posture
     "s17_pyds_snapshot_read",  # python-datasource scan, partition/file
     "s18_iceberg_roundtrip",  # manifest-replay read: live files only
+    "s19_hudi_read",      # timeline-resolved file slices, footer schema
+    "s20_iceberg_pos_delete",  # delete anti-join on _metadata.row_index
+    "s21_delta_column_mapping",  # physical scan + logical restore cast
     "u12_cluster_balanced",  # map-only assign + one cell-keyed window
 ]
 
