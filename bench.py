@@ -130,6 +130,8 @@ HEADLINE = [
     # round-8 additions
     "s19_hudi_read",          # hudi timeline snapshot read
     "s20_iceberg_pos_delete", # iceberg v2 positional-delete read
+    "s21_delta_column_mapping",   # physical->logical name-mode read
+    "s22_delta_deletion_vectors", # roaring-bitmap row deletes applied
 ]
 
 

@@ -2657,6 +2657,129 @@ def q_s21(spark, sf):
 
 
 @query(
+    "s22_delta_deletion_vectors",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+    FROM customer WHERE c_custkey % 7 <> 0
+    """,
+)
+def q_s22(spark, sf):
+    """S22 — Delta DELETION-VECTOR read (sources/dv.py + read_delta):
+    the MERGE/DELETE shape every modern Delta writer produces — rows
+    die via a roaring-bitmap sidecar, the data file is untouched. The
+    fixture writes a partitioned table (v0), then commits v1 re-adding
+    each file WITH a deletion vector (spec framing: version byte, BE
+    size + bitmap + CRC-32) targeting every ``c_custkey % 7 == 0`` row
+    at its actual parquet row ordinal (taken from ``_metadata``). The
+    read decodes the bitmaps and anti-joins (file, row_index); DuckDB
+    recomputes the post-delete table directly, so an off-by-one
+    ordinal, a mis-decoded container, or a resurrected row breaks the
+    row-level hash. In-entry asserts pin pre-DV time travel."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+
+    from .sources.delta import read_delta
+    from .sources.dv import write_dv_file
+
+    root = _table_root("s22", sf)
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        "c_mktsegment",
+    )
+    n_all = c.count()
+    segs = sorted(
+        r["c_mktsegment"] for r in c.select("c_mktsegment").distinct().collect()
+    )
+
+    def put(df, rel):
+        stage = os.path.join(root, rel + ".stage")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(root, rel))
+        shutil.rmtree(stage)
+
+    def add(rel, seg, dv=None):
+        a = {
+            "path": rel,
+            "partitionValues": {"c_mktsegment": seg},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+        if dv:
+            a["deletionVector"] = dv
+        return {"add": a}
+
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+
+    def commit(v, actions):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+
+    rel_of = {}
+    adds0 = []
+    for i, s in enumerate(segs):
+        rel = f"seg{i}.parquet"
+        put(c.filter(F.col("c_mktsegment") == s).select("c_custkey", "bal_c"), rel)
+        rel_of[os.path.abspath(os.path.join(root, rel))] = (rel, s)
+        adds0.append(add(rel, s))
+    data_schema = "c_custkey bigint, bal_c bigint"
+    commit(
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                }
+            },
+            {
+                "metaData": {
+                    "id": "s22",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": spark.createDataFrame([], f"{data_schema}, c_mktsegment string").schema.json(),
+                    "partitionColumns": ["c_mktsegment"],
+                    "configuration": {},
+                }
+            },
+        ]
+        + adds0,
+    )
+    # the doomed rows' ACTUAL (file, row ordinal) coordinates
+    by_file: dict[str, list[int]] = {}
+    for r in (
+        spark.read.schema(data_schema).parquet(*sorted(rel_of))
+        .select(
+            F.regexp_replace(
+                F.url_decode(F.col("_metadata.file_path")), r"^file:/+", "/"
+            ).alias("fp"),
+            F.col("_metadata.row_index").alias("pos"),
+            "c_custkey",
+        )
+        .filter(F.col("c_custkey") % 7 == 0)
+        .collect()
+    ):
+        by_file.setdefault(r["fp"], []).append(int(r["pos"]))
+    assert by_file
+    adds1 = []
+    for i, (fp, poss) in enumerate(sorted(by_file.items())):
+        rel, seg = rel_of[fp]
+        desc = write_dv_file(os.path.join(root, f"dv{i}.bin"), poss)
+        adds1.append(add(rel, seg, dv=desc))
+    commit(1, [{"commitInfo": {"operation": "DELETE"}}] + adds1)
+    # pre-DV snapshot still sees every row (time travel)
+    assert read_delta(spark, root, version=0).count() == n_all
+    return read_delta(spark, root).select("c_custkey", "bal_c")
+
+
+@query(
     "w15_resample_ffill",
     oracle="""
     WITH obs AS (

@@ -41,8 +41,9 @@ _LOADED = False
 # cross-round union covers all entries — every one has appeared
 # hash-green in a shipped driver artifact. Round-8 window:
 # (a) every entry whose code or oracle changed THIS round — the NEW
-# s19 Hudi timeline read, s20 Iceberg positional-delete read, and s21
-# Delta column-mapping (name mode) read; the single-scan +
+# s19 Hudi timeline read, s20 Iceberg positional-delete read, s21
+# Delta column-mapping (name mode) read, and s22 Delta deletion-vector
+# read (from-spec roaring/Z85/CRC codec); the single-scan +
 # broadcast-partition-join read_delta rewrite behind s15 (and s16's
 # read-through), the checkpoint-writing exporter behind s16, the
 # delete-aware Iceberg manifest replay behind s18, and the
@@ -60,6 +61,7 @@ PRIORITY: tuple[str, ...] = (
     "s16_delta_export",
     "s18_iceberg_roundtrip",
     "s21_delta_column_mapping",
+    "s22_delta_deletion_vectors",
     "t20_bpe_pair_counts",
     # (b) oldest-vintage stable representatives, family-complete
     "flagship_readmit_30d",
@@ -87,7 +89,6 @@ PRIORITY: tuple[str, ...] = (
     "a2_count_distinct",
     "a3_topk_by_freq",
     "a4_null_counts",
-    "a5_conditional_counts",
     "c1_case_label",
     "c2_clamp",
     "c3_range_recode",

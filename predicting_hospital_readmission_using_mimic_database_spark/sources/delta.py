@@ -32,11 +32,16 @@ Scope (documented, checked, raising — never silently wrong):
   schema and restores logical names with one positional struct cast
   per top-level column (nested fields rename through the cast).
   ``id`` mode (parquet field-id resolution) still raises.
+* DELETION VECTORS: applied on read — descriptors (inline ``i``,
+  relative-uuid ``u``, absolute ``p``) resolve through the from-spec
+  roaring/Z85/CRC codec in :mod:`.dv`, and the deleted (file, row
+  index) pairs anti-join against the scan's ``_metadata.row_index``.
 * Protocol gate: ``minReaderVersion`` 1 is fully supported; 2 with
   column mapping ``none``/``name``; 3+ only when every
   ``readerFeatures`` entry is in the supported set (currently
-  ``timestampNtz``, ``columnMapping``) — deletion vectors or v2
-  checkpoints raise rather than returning wrong rows.
+  ``timestampNtz``, ``columnMapping``, ``deletionVectors``) —
+  v2 checkpoints and other unknown features raise rather than
+  returning wrong rows.
 
 Reference parity: the reference reloads its whole mutable store to see
 writer changes (nb:2101 / nb:2140); a Delta reader sees a concurrent
@@ -70,12 +75,13 @@ __all__ = [
 ]
 
 #: reader-version-3 table features this reader actually honors
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping"}
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping", "deletionVectors"}
 
 
 class DeltaProtocolError(NotImplementedError):
     """The table requires reader capabilities this interop layer does not
-    implement (deletion vectors, column mapping, parquet checkpoints)."""
+    implement (v2 checkpoints, id-mode column mapping, unknown reader
+    features)."""
 
 
 def _delta_commits(log_dir: str) -> list[tuple[int, str]]:
@@ -99,8 +105,9 @@ def _check_protocol(action: dict) -> None:
         if unsupported:
             raise DeltaProtocolError(
                 f"delta table requires reader features {sorted(unsupported)} "
-                "(deletion vectors / v2 checkpoints / column mapping are not "
-                "supported by this interop reader)"
+                "(v2 checkpoints and features beyond timestampNtz/"
+                "columnMapping/deletionVectors are not supported by this "
+                "interop reader)"
             )
 
 
@@ -150,22 +157,29 @@ def _physical_type(dt):
 
 
 class _State:
-    __slots__ = ("meta", "live")
+    __slots__ = ("meta", "live", "dvs")
 
     def __init__(self):
         self.meta: dict | None = None
         self.live: dict[str, dict] = {}
+        #: data path -> deletionVector descriptor (absent = no deletes)
+        self.dvs: dict[str, dict] = {}
 
     def add(self, a: dict) -> None:
-        if a.get("deletionVector"):
-            raise DeltaProtocolError(
-                "file carries a deletion vector; row-level filtering is "
-                "not supported by this reader"
-            )
-        self.live[unquote(a["path"])] = a.get("partitionValues") or {}
+        path = unquote(a["path"])
+        self.live[path] = a.get("partitionValues") or {}
+        dv = a.get("deletionVector")
+        if dv:
+            self.dvs[path] = dict(dv)
+        else:
+            # re-adding a file WITHOUT a DV (e.g. after compaction)
+            # clears any earlier vector
+            self.dvs.pop(path, None)
 
     def remove(self, path: str) -> None:
-        self.live.pop(unquote(path), None)
+        path = unquote(path)
+        self.live.pop(path, None)
+        self.dvs.pop(path, None)
 
 
 def _checkpoints(log_dir: str) -> dict[int, list[str]]:
@@ -236,8 +250,9 @@ def _replay_log(
     latest): start from the newest usable parquet CHECKPOINT at or
     below the target (the state real Delta writers compact every ~10
     commits), then apply the JSON commits after it. Returns (metaData
-    action, {data path: partitionValues}, last replayed version).
-    Driver-side metadata only — no data file is touched."""
+    action, {data path: partitionValues}, {data path: deletionVector
+    descriptor}, last replayed version). Driver-side metadata only — no
+    data file is touched."""
     log_dir = os.path.join(root, DELTA_LOG_DIR)
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a delta table (no {DELTA_LOG_DIR}): {root}")
@@ -308,12 +323,12 @@ def _replay_log(
             "no metaData action found in the replayed log; cannot "
             "determine the table schema"
         )
-    return state.meta, state.live, last
+    return state.meta, state.live, state.dvs, last
 
 
 def delta_table_version(root: str) -> int:
     """Latest committed version of the Delta table at ``root``."""
-    _meta, _live, last = _replay_log(root)
+    _meta, _live, _dvs, last = _replay_log(root)
     return last
 
 
@@ -424,7 +439,7 @@ def export_delta_log(table, checkpoint_interval: int = 10) -> int:
     log_dir = os.path.join(root, DELTA_LOG_DIR)
     schema_string = table.schema.json()
     if os.path.isdir(log_dir) and _delta_commits(log_dir):
-        _meta, exported, last = _replay_log(root)
+        _meta, exported, _dvs, last = _replay_log(root)
         prev = set(exported)
         adds = sorted(current - prev)
         removes = sorted(prev - current)
@@ -526,8 +541,17 @@ def read_delta(
     Catalyst analysis into minutes). Dead files are never listed or
     opened, and the explicit read schema means no footer-sampling
     inference pass. Time travel is just replaying fewer JSON lines.
+
+    DELETION VECTORS (the MERGE/DELETE shape every modern Delta writer
+    produces) are APPLIED: each descriptor's roaring bitmap is decoded
+    on the driver (sources/dv.py — Z85, DV-file framing, CRC) and the
+    (file path, row index) pairs are LEFT ANTI-joined against the
+    scan's parquet ``_metadata.row_index``, broadcast side = the
+    decoded positions. Driver memory is bounded by the TOTAL DV
+    cardinality — small by design (heavily-deleted files get compacted
+    and re-added without a vector, which this replay honors).
     """
-    meta, live, _last = _replay_log(root, version)
+    meta, live, dvs, _last = _replay_log(root, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
     if mode == "name":
@@ -594,21 +618,55 @@ def read_delta(
             ]
         )
 
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    phys_parts = [phys_of[c] for c in part_cols]
+    key, posk = "__delta_input_file", "__delta_row_pos"
+    while key in data_schema.names or key in phys_parts:
+        key = "_" + key
+    while posk in data_schema.names or posk in phys_parts:
+        posk = "_" + posk
+    dv_live = {rel: d for rel, d in dvs.items() if rel in live}
     paths = sorted(os.path.abspath(os.path.join(root, rel)) for rel in live)
     df = spark.read.schema(data_schema).parquet(*paths)
+    if not part_cols and not dv_live:
+        return _logical(df)
+    # scan-level bookkeeping columns, computed ONCE on the file source:
+    # the normalized file path keys both the DV anti-join and the
+    # partition-value attach; input_file_name() is the URI Spark read
+    # ("file:///a/b%20c.parquet") — decode the percent-escapes and strip
+    # the local scheme to match the driver-side absolute paths
+    decoded = F.url_decode(F.input_file_name())
+    scan_cols = [
+        F.col(f.name) for f in data_schema.fields
+    ] + [F.regexp_replace(decoded, r"^file:/+", "/").alias(key)]
+    if dv_live:
+        scan_cols.append(F.col("_metadata.row_index").alias(posk))
+    df = df.select(*scan_cols)
+    if dv_live:
+        from .dv import read_dv_descriptor
+
+        pairs = []
+        for rel, desc in sorted(dv_live.items()):
+            ap = os.path.abspath(os.path.join(root, rel))
+            pairs.extend(
+                (ap, int(p)) for p in read_dv_descriptor(desc, root)
+            )
+        del_schema = StructType(
+            [
+                StructField(key, StringType(), False),
+                StructField(posk, LongType(), False),
+            ]
+        )
+        dels = spark.createDataFrame(pairs, del_schema)
+        df = df.join(F.broadcast(dels), [key, posk], "left_anti").drop(posk)
     if not part_cols:
         return _logical(df)
     # ONE scan node for ANY partition cardinality: broadcast the
     # (absolute file path -> partitionValues string serialization) frame
-    # — KBs of driver-built metadata — and join it on the scan's own
-    # input_file_name(); a union branch per partition tuple would grow
-    # the plan linearly and stall Catalyst at thousands of partitions.
-    from pyspark.sql.types import StringType, StructField
-
-    phys_parts = [phys_of[c] for c in part_cols]
-    key = "__delta_input_file"
-    while key in data_schema.names or key in phys_parts:
-        key = "_" + key
+    # — KBs of driver-built metadata — and join it on the scan's file
+    # key; a union branch per partition tuple would grow the plan
+    # linearly and stall Catalyst at thousands of partitions.
     pv_schema = StructType(
         [StructField(key, StringType(), False)]
         + [StructField(c, StringType(), True) for c in phys_parts]
@@ -628,12 +686,5 @@ def read_delta(
         for rel, pv in live.items()
     ]
     pv_df = spark.createDataFrame(pv_rows, pv_schema)
-    # input_file_name() is the URI Spark read ("file:///a/b%20c.parquet");
-    # decode the percent-escapes and strip the local scheme to match the
-    # driver-side absolute paths
-    decoded = F.url_decode(F.input_file_name())
-    keyed = df.withColumn(
-        key, F.regexp_replace(decoded, r"^file:/+", "/")
-    )
-    out = keyed.join(F.broadcast(pv_df), key, "left")
+    out = df.join(F.broadcast(pv_df), key, "left")
     return _logical(out)

@@ -249,8 +249,9 @@ def test_export_random_history_property(spark, tmp_path):
 
 def test_protocol_gates(spark, tmp_path):
     fields = [("v", "long")]
-    # deletion vectors via readerFeatures
-    r1 = str(tmp_path / "dv")
+    # unknown reader features still gate (v2Checkpoint is unsupported;
+    # deletionVectors/columnMapping/timestampNtz are honored now)
+    r1 = str(tmp_path / "v2cp")
     _write_commit(
         r1,
         0,
@@ -259,13 +260,13 @@ def test_protocol_gates(spark, tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
+                    "readerFeatures": ["deletionVectors", "v2Checkpoint"],
                 }
             },
             _meta_action(fields),
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         read_delta(spark, r1)
     # column mapping: 'id' mode (parquet field-id resolution) raises;
     # 'name' mode without the physicalName metadata raises too
@@ -300,8 +301,9 @@ def test_protocol_gates(spark, tmp_path):
     _write_commit(r3, 7, [_meta_action(fields)])
     with pytest.raises(DeltaProtocolError, match="checkpoint"):
         read_delta(spark, r3)
-    # per-file deletion vector
+    # malformed deletion-vector descriptor: loud, never silently wrong
     r4 = str(tmp_path / "fdv")
+    _write_parquet(os.path.join(r4, "f.parquet"), [(1,)], ["v"])
     _write_commit(
         r4,
         0,
@@ -315,12 +317,14 @@ def test_protocol_gates(spark, tmp_path):
                     "size": 1,
                     "modificationTime": 0,
                     "dataChange": True,
-                    "deletionVector": {"storageType": "u"},
+                    "deletionVector": {
+                        "storageType": "z", "pathOrInlineDv": "?",
+                    },
                 }
             },
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="deletion vector"):
+    with pytest.raises(ValueError, match="storageType"):
         read_delta(spark, r4)
 
 
@@ -714,3 +718,139 @@ def test_column_mapping_name_mode(spark, tmp_path):
     b = read_delta(spark, root, partitions={"seg": "B"})
     assert [r["id"] for r in b.collect()] == [3]
     assert len(b.inputFiles()) == 1
+
+
+def test_dv_codec_roundtrip_and_containers():
+    """From-spec roaring/Z85 codec: array, bitset (>4096 values), and
+    multi-bitmap (>32-bit) positions round-trip; the run-container READ
+    path decodes a hand-packed run bitmap; CRC corruption raises."""
+    import struct
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.dv import (
+        MAGIC,
+        roaring64_read,
+        roaring64_write,
+        z85_decode,
+        z85_encode,
+    )
+
+    # Z85 reference vector from the ZeroMQ spec (rfc.zeromq.org/spec/32)
+    assert z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
+    assert z85_decode("HelloWorld") == bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    small = [0, 1, 7, 65536, 65537, 131071]
+    big = list(range(5000))                      # forces a bitset container
+    hi = [(1 << 32) + 5, (2 << 32) + 123456]     # multi-bitmap indices
+    for vals in (small, big, hi, small + big + hi):
+        assert roaring64_read(roaring64_write(vals)) == sorted(set(vals))
+    # run-container read: cookie 12347, 1 container, run flag set,
+    # runs [(10, len 2), (100, len 0)] -> {10, 11, 12, 100}
+    buf = struct.pack("<I", 12347 | (0 << 16))   # size-1=0 in upper bits
+    buf += bytes([1])                            # run flag bitset
+    buf += struct.pack("<HH", 0, 3)              # key 0, card-1
+    buf += struct.pack("<H", 2)                  # n_runs
+    buf += struct.pack("<HH", 10, 2) + struct.pack("<HH", 100, 0)
+    data = struct.pack("<Iq", MAGIC, 1) + buf
+    assert roaring64_read(data) == [10, 11, 12, 100]
+
+
+def test_deletion_vectors_applied(spark, tmp_path):
+    """DVs in all three storage flavors delete exactly their row
+    ordinals; a later re-add WITHOUT a vector resurrects the rows
+    (compaction semantics); corrupted CRC raises."""
+    import uuid as _uuid
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.dv import (
+        roaring64_write,
+        write_dv_file,
+        z85_encode,
+    )
+
+    root = str(tmp_path / "dvt")
+    _write_parquet(
+        os.path.join(root, "fa.parquet"),
+        [(i, float(i)) for i in range(10)],
+        ["id", "bal"],
+    )
+    _write_parquet(
+        os.path.join(root, "seg=B", "fb.parquet"),
+        [(100 + i, float(i)) for i in range(6)],
+        ["id", "bal"],
+    )
+    os.makedirs(os.path.join(root, "ab"), exist_ok=True)
+    # storageType "p": absolute path, rows 1,3,5 of fa
+    desc_p = write_dv_file(os.path.join(root, "dv_a.bin"), [1, 3, 5])
+    # storageType "i": inline bytes, rows 0 and 4 of fb
+    inline = roaring64_write([0, 4])
+    pad = (-len(inline)) % 4
+    desc_i = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(inline + b"\x00" * pad),
+        "sizeInBytes": len(inline) + pad,
+        # cardinality omitted on purpose: decode must not require it
+    }
+    fields = [("id", "long"), ("bal", "double"), ("seg", "string")]
+    _write_commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"]}},
+            _meta_action(fields, part_cols=["seg"]),
+            {"add": {"path": "fa.parquet", "partitionValues": {"seg": "A"},
+                     "size": 1, "modificationTime": 0, "dataChange": True,
+                     "deletionVector": desc_p}},
+            {"add": {"path": "seg=B/fb.parquet",
+                     "partitionValues": {"seg": "B"},
+                     "size": 1, "modificationTime": 0, "dataChange": True,
+                     "deletionVector": desc_i}},
+        ],
+    )
+    got = {(r["id"], r["seg"]) for r in read_delta(spark, root).collect()}
+    want_a = {(i, "A") for i in range(10) if i not in (1, 3, 5)}
+    want_b = {(100 + i, "B") for i in range(6) if i not in (0, 4)}
+    assert got == want_a | want_b
+    # storageType "u": uuid-named file under the random prefix dir
+    u = _uuid.uuid4()
+    write_dv_file(
+        os.path.join(root, "ab", f"deletion_vector_{u}.bin"), [2]
+    )
+    desc_u = {
+        "storageType": "u",
+        "pathOrInlineDv": "ab" + z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": 1,
+        "cardinality": 1,
+    }
+    _write_commit(
+        root,
+        1,
+        [
+            {"add": {"path": "fa.parquet", "partitionValues": {"seg": "A"},
+                     "size": 1, "modificationTime": 1, "dataChange": False,
+                     "deletionVector": desc_u}},
+        ],
+    )
+    # v1 REPLACES fa's vector: now only row 2 deleted in A
+    got1 = {r["id"] for r in read_delta(spark, root).collect() if r["seg"] == "A"}
+    assert got1 == {i for i in range(10) if i != 2}
+    # time travel to v0 re-applies the old vector
+    got0 = {r["id"] for r in read_delta(spark, root, version=0).collect()
+            if r["seg"] == "A"}
+    assert got0 == {i for i in range(10) if i not in (1, 3, 5)}
+    # v2 re-adds fa WITHOUT a vector -> all rows back (compaction shape)
+    _write_commit(
+        root,
+        2,
+        [
+            {"add": {"path": "fa.parquet", "partitionValues": {"seg": "A"},
+                     "size": 1, "modificationTime": 2, "dataChange": False}},
+        ],
+    )
+    assert read_delta(spark, root).count() == 10 + 4
+    # corrupt the CRC of the absolute-path DV and pin the loud failure
+    p = os.path.join(root, "dv_a.bin")
+    blob = bytearray(open(p, "rb").read())
+    blob[-1] ^= 0xFF
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="CRC"):
+        read_delta(spark, root, version=0).count()

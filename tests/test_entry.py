@@ -36,7 +36,7 @@ def test_first_50_entries_cover_every_family():
     # round-8 rotation: every entry whose code/oracle changed this round
     # leads the prefix (the union already covers all prior entries)
     for must in ("s19_hudi_read", "s20_iceberg_pos_delete",
-                 "s21_delta_column_mapping",
+                 "s21_delta_column_mapping", "s22_delta_deletion_vectors",
                  "s15_delta_read", "s16_delta_export",
                  "s18_iceberg_roundtrip", "t20_bpe_pair_counts",
                  "flagship_readmit_30d"):
