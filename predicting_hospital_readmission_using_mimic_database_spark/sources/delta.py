@@ -18,12 +18,14 @@ Scope (documented, checked, raising — never silently wrong):
 * JSON commit files ``_delta_log/<version 20d>.json``, one action per
   line: ``add`` / ``remove`` / ``metaData`` / ``protocol`` /
   ``commitInfo`` / ``txn``.
-* Classic parquet CHECKPOINTS (single-file ``n.checkpoint.parquet`` and
-  multi-part ``n.checkpoint.i.of.parquet``) — the compaction every real
-  Delta writer performs every ~10 commits: replay starts from the
-  newest usable checkpoint at or below the target version and applies
-  the JSON commits after it; incomplete multi-part uploads are ignored,
-  never half-read.
+* CHECKPOINTS, classic AND v2: classic single-file
+  ``n.checkpoint.parquet`` / multi-part ``n.checkpoint.i.of.parquet``,
+  and the V2 layout (``n.checkpoint.<uuid>.{json,parquet}`` manifest
+  whose ``sidecar`` actions point at add-row parquets under
+  ``_delta_log/_sidecars/``) — replay starts from the newest usable
+  checkpoint at or below the target version and applies the JSON
+  commits after it; incomplete multi-part uploads are ignored, never
+  half-read.
 * COLUMN MAPPING in ``name`` mode (what Spark writes for any table
   that ever renamed/dropped a column): data files carry PHYSICAL
   column names (``col-<uuid>``) from each schema field's
@@ -38,10 +40,9 @@ Scope (documented, checked, raising — never silently wrong):
   index) pairs anti-join against the scan's ``_metadata.row_index``.
 * Protocol gate: ``minReaderVersion`` 1 is fully supported; 2 with
   column mapping ``none``/``name``; 3+ only when every
-  ``readerFeatures`` entry is in the supported set (currently
-  ``timestampNtz``, ``columnMapping``, ``deletionVectors``) —
-  v2 checkpoints and other unknown features raise rather than
-  returning wrong rows.
+  ``readerFeatures`` entry is in the supported set (``timestampNtz``,
+  ``columnMapping``, ``deletionVectors``, ``v2Checkpoint``) — unknown
+  features raise rather than returning wrong rows.
 
 Reference parity: the reference reloads its whole mutable store to see
 writer changes (nb:2101 / nb:2140); a Delta reader sees a concurrent
@@ -66,6 +67,12 @@ _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(
     r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$"
 )
+#: V2 checkpoints: n.checkpoint.<uniqueStr>.{json,parquet} — uniqueStr is
+#: a uuid (has a non-digit), which disambiguates from multi-part classic
+_V2_CHECKPOINT_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(?=[0-9A-Za-z_-]*[A-Za-z_-])"
+    r"([0-9A-Za-z_-]+)\.(json|parquet)$"
+)
 
 __all__ = [
     "DeltaProtocolError",
@@ -75,7 +82,9 @@ __all__ = [
 ]
 
 #: reader-version-3 table features this reader actually honors
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping", "deletionVectors"}
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz", "columnMapping", "deletionVectors", "v2Checkpoint",
+}
 
 
 class DeltaProtocolError(NotImplementedError):
@@ -105,8 +114,8 @@ def _check_protocol(action: dict) -> None:
         if unsupported:
             raise DeltaProtocolError(
                 f"delta table requires reader features {sorted(unsupported)} "
-                "(v2 checkpoints and features beyond timestampNtz/"
-                "columnMapping/deletionVectors are not supported by this "
+                "(features beyond timestampNtz/columnMapping/"
+                "deletionVectors/v2Checkpoint are not supported by this "
                 "interop reader)"
             )
 
@@ -205,6 +214,86 @@ def _checkpoints(log_dir: str) -> dict[int, list[str]]:
     return done
 
 
+def _v2_checkpoints(log_dir: str) -> dict[int, tuple[str, str]]:
+    """{version: (format, manifest path)} for V2 checkpoints (the
+    checkpoint-manifest + sidecar layout newer writers produce). Every
+    uniqueStr manifest of a version is equivalent per spec; the
+    lexicographically first is chosen for determinism."""
+    out: dict[int, tuple[str, str]] = {}
+    for name in sorted(os.listdir(log_dir)):
+        m = _V2_CHECKPOINT_RE.match(name)
+        if m and int(m.group(1)) not in out:
+            out[int(m.group(1))] = (m.group(3), os.path.join(log_dir, name))
+    return out
+
+
+def _load_checkpoint_v2(fmt: str, path: str, log_dir: str, state: _State) -> None:
+    """Fold a V2 checkpoint into ``state``: the manifest's own actions
+    (protocol / metaData / inlined file actions) plus every SIDECAR
+    parquet's add rows (remove rows are vacuum tombstones, no live
+    state). Sidecar paths resolve against ``_delta_log/_sidecars/``."""
+    sidecars: list[str] = []
+
+    def act(kind: str, row: dict) -> None:
+        if kind == "protocol":
+            _check_protocol(row)
+        elif kind == "metaData":
+            state.meta = _check_meta(row)
+        elif kind == "add":
+            state.add(row)
+        elif kind == "sidecar":
+            sp = row["path"]
+            if not os.path.isabs(sp) and "://" not in sp:
+                sp = os.path.join(log_dir, "_sidecars", sp)
+            sidecars.append(sp)
+        # remove: tombstone; checkpointMetadata/txn: no live state
+
+    if fmt == "json":
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                for kind in ("protocol", "metaData", "add", "sidecar"):
+                    if kind in a:
+                        act(kind, a[kind])
+    else:
+        _read_action_parquet(path, ("protocol", "metaData", "add", "sidecar"), act)
+    for sp in sidecars:
+        _read_action_parquet(sp, ("add",), act)
+
+
+def _read_action_parquet(path: str, kinds: tuple[str, ...], act) -> None:
+    """Stream one action-columnar parquet file (checkpoint manifest or
+    sidecar) through ``act(kind, row)`` with pyarrow map columns
+    plainified — shared by the classic and V2 loaders."""
+    import pyarrow.parquet as pq
+
+    def _plain(v):
+        if isinstance(v, list) and all(
+            isinstance(t, tuple) and len(t) == 2 for t in v
+        ):
+            return dict(v)
+        return v
+
+    pf = pq.ParquetFile(path)
+    cols = [c for c in kinds if c in pf.schema_arrow.names]
+    table = pf.read(columns=cols)
+    for col in cols:
+        for row in table.column(col).to_pylist():
+            if row is None:
+                continue
+            row = dict(row)
+            if col == "metaData":
+                row["configuration"] = _plain(row.get("configuration")) or {}
+            elif col == "add":
+                row["partitionValues"] = _plain(row.get("partitionValues")) or {}
+                if row.get("deletionVector"):
+                    row["deletionVector"] = dict(row["deletionVector"])
+            act(col, row)
+
+
 def _load_checkpoint(paths: list[str], state: _State) -> None:
     """Fold a classic parquet checkpoint (the full live-file set plus
     metaData/protocol rows; remove rows are vacuum tombstones and carry
@@ -258,7 +347,8 @@ def _replay_log(
         raise FileNotFoundError(f"not a delta table (no {DELTA_LOG_DIR}): {root}")
     commits = _delta_commits(log_dir)
     cps = _checkpoints(log_dir)
-    if not commits and not cps:
+    v2cps = _v2_checkpoints(log_dir)
+    if not commits and not cps and not v2cps:
         if any(_CHECKPOINT_RE.match(n) for n in os.listdir(log_dir)):
             raise DeltaProtocolError(
                 "only INCOMPLETE multi-part checkpoint files present "
@@ -267,7 +357,7 @@ def _replay_log(
         raise FileNotFoundError(f"empty {DELTA_LOG_DIR}: {root}")
     state = _State()
     start_cp = None
-    for v in sorted(cps, reverse=True):
+    for v in sorted(set(cps) | set(v2cps), reverse=True):
         if version is not None and v > version:
             continue
         # usable only if JSON commits cover every version after it up to
@@ -281,7 +371,11 @@ def _replay_log(
             "cannot reconstruct a consistent snapshot"
         )
     if start_cp is not None:
-        _load_checkpoint(cps[start_cp], state)
+        if start_cp in cps:  # classic preferred when both exist
+            _load_checkpoint(cps[start_cp], state)
+        else:
+            fmt, mpath = v2cps[start_cp]
+            _load_checkpoint_v2(fmt, mpath, log_dir, state)
         last = start_cp
         expected = start_cp + 1
     else:

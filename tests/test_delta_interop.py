@@ -249,9 +249,9 @@ def test_export_random_history_property(spark, tmp_path):
 
 def test_protocol_gates(spark, tmp_path):
     fields = [("v", "long")]
-    # unknown reader features still gate (v2Checkpoint is unsupported;
-    # deletionVectors/columnMapping/timestampNtz are honored now)
-    r1 = str(tmp_path / "v2cp")
+    # unknown reader features still gate (deletionVectors/columnMapping/
+    # timestampNtz/v2Checkpoint are honored now)
+    r1 = str(tmp_path / "future")
     _write_commit(
         r1,
         0,
@@ -260,13 +260,13 @@ def test_protocol_gates(spark, tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                    "readerFeatures": ["deletionVectors", "someFutureFeature"],
                 }
             },
             _meta_action(fields),
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+    with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
         read_delta(spark, r1)
     # column mapping: 'id' mode (parquet field-id resolution) raises;
     # 'name' mode without the physicalName metadata raises too
@@ -854,3 +854,127 @@ def test_deletion_vectors_applied(spark, tmp_path):
     open(p, "wb").write(bytes(blob))
     with pytest.raises(ValueError, match="CRC"):
         read_delta(spark, root, version=0).count()
+
+
+def test_v2_checkpoint_replay(spark, tmp_path):
+    """V2 checkpoints (manifest + sidecars, what newer Delta writers
+    produce): the replay reconstructs the snapshot from the manifest's
+    inlined actions plus every sidecar's add rows, then applies the
+    post-checkpoint JSON commits; pre-checkpoint commits may be
+    vacuumed. Both manifest formats (json and parquet) are covered, and
+    a classic checkpoint at the same version wins (both are the same
+    state)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = [("v", "long")]
+
+    def build(root, manifest_fmt):
+        os.makedirs(os.path.join(root, "_delta_log", "_sidecars"), exist_ok=True)
+        for i in range(4):
+            _write_parquet(os.path.join(root, f"f{i}.parquet"), [(i,)], ["v"])
+        log = os.path.join(root, "_delta_log")
+        # two sidecars, two live adds each (f0 was removed pre-checkpoint
+        # so it appears in NO sidecar)
+        add_t = pa.struct(
+            [
+                ("path", pa.string()),
+                ("partitionValues", pa.map_(pa.string(), pa.string())),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()),
+            ]
+        )
+
+        def sidecar(name, paths):
+            pq.write_table(
+                pa.table(
+                    {
+                        "add": pa.array(
+                            [
+                                {
+                                    "path": p,
+                                    "partitionValues": {},
+                                    "size": 1,
+                                    "modificationTime": 0,
+                                    "dataChange": False,
+                                }
+                                for p in paths
+                            ],
+                            type=add_t,
+                        )
+                    }
+                ),
+                os.path.join(log, "_sidecars", name),
+            )
+
+        sidecar("sc-1.parquet", ["f1.parquet", "f2.parquet"])
+        sidecar("sc-2.parquet", ["f3.parquet"])
+        proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+                 "readerFeatures": ["v2Checkpoint"]}
+        meta = _meta_action(fields)["metaData"]
+        if manifest_fmt == "json":
+            with open(
+                os.path.join(log, f"{2:020d}.checkpoint.aa11-bb22.json"), "w"
+            ) as f:
+                for a in (
+                    {"checkpointMetadata": {"version": 2}},
+                    {"protocol": proto},
+                    {"metaData": meta},
+                    {"sidecar": {"path": "sc-1.parquet", "sizeInBytes": 1}},
+                    {"sidecar": {"path": "sc-2.parquet", "sizeInBytes": 1}},
+                ):
+                    f.write(json.dumps(a) + "\n")
+        else:
+            proto_t = pa.struct(
+                [("minReaderVersion", pa.int32()),
+                 ("minWriterVersion", pa.int32()),
+                 ("readerFeatures", pa.list_(pa.string()))]
+            )
+            meta_t = pa.struct(
+                [("id", pa.string()),
+                 ("format", pa.struct([("provider", pa.string())])),
+                 ("schemaString", pa.string()),
+                 ("partitionColumns", pa.list_(pa.string())),
+                 ("configuration", pa.map_(pa.string(), pa.string()))]
+            )
+            sc_t = pa.struct([("path", pa.string()), ("sizeInBytes", pa.int64())])
+            meta_row = {
+                "id": meta["id"],
+                "format": {"provider": "parquet"},
+                "schemaString": meta["schemaString"],
+                "partitionColumns": [],
+                "configuration": {},
+            }
+            pq.write_table(
+                pa.table(
+                    {
+                        "protocol": pa.array([proto, None, None, None], type=proto_t),
+                        "metaData": pa.array([None, meta_row, None, None], type=meta_t),
+                        "sidecar": pa.array(
+                            [None, None,
+                             {"path": "sc-1.parquet", "sizeInBytes": 1},
+                             {"path": "sc-2.parquet", "sizeInBytes": 1}],
+                            type=sc_t,
+                        ),
+                    }
+                ),
+                os.path.join(log, f"{2:020d}.checkpoint.cc33-dd44.parquet"),
+            )
+        # post-checkpoint JSON commit 3: remove f3, no new adds
+        _write_commit(
+            root, 3,
+            [{"remove": {"path": "f3.parquet", "deletionTimestamp": 0,
+                         "dataChange": True}}],
+        )
+        return root
+
+    for fmt in ("json", "parquet"):
+        root = build(str(tmp_path / fmt), fmt)
+        got = {r["v"] for r in read_delta(spark, root).collect()}
+        assert got == {1, 2}, (fmt, got)              # f0 never added, f3 removed
+        at2 = {r["v"] for r in read_delta(spark, root, version=2).collect()}
+        assert at2 == {1, 2, 3}, fmt                  # checkpoint state itself
+        assert delta_table_version(root) == 3, fmt
+        with pytest.raises(DeltaProtocolError, match="checkpoint"):
+            read_delta(spark, root, version=1)        # pre-checkpoint: vacuumed
