@@ -132,6 +132,7 @@ HEADLINE = [
     "s20_iceberg_pos_delete", # iceberg v2 positional-delete read
     "s21_delta_column_mapping",   # physical->logical name-mode read
     "s22_delta_deletion_vectors", # roaring-bitmap row deletes applied
+    "s23_iceberg_eq_delete",      # sequence-ordered equality deletes
 ]
 
 

@@ -2780,6 +2780,60 @@ def q_s22(spark, sf):
 
 
 @query(
+    "s23_iceberg_eq_delete",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+    FROM customer WHERE c_custkey % 23 <> 0
+    """,
+)
+def q_s23(spark, sf):
+    """S23 — Iceberg v2 EQUALITY-DELETE read (sources/iceberg.py): the
+    Flink-CDC upsert shape — rows die by VALUE match, ordered by the
+    spec's sequence numbers (a delete at sequence s removes only rows
+    of data files with sequence < s). The fixture exports a table
+    (sequence 1), appends an equality-delete snapshot (sequence 2)
+    listing every ``c_custkey % 23 == 0`` key, and reads back through
+    the metadata: per delete file one broadcast null-safe LEFT
+    ANTI-join. DuckDB recomputes the post-delete table directly; a
+    reader that matched the wrong column, ignored sequence ordering,
+    or resurrected a deleted key breaks the row-level hash. In-entry
+    asserts pin pre-delete time travel."""
+    from .sources.iceberg import (
+        append_equality_deletes,
+        export_iceberg,
+        read_iceberg,
+    )
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s23", sf),
+        "c_custkey bigint, bal_c bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=8,
+    )
+    t.append(c)
+    assert export_iceberg(t) == 1
+    n_all = c.count()
+    doomed = [
+        {"c_custkey": r["c_custkey"]}
+        for r in c.filter(F.col("c_custkey") % 23 == 0)
+        .select("c_custkey")
+        .collect()
+    ]
+    assert doomed
+    append_equality_deletes(t.root, doomed, ["c_custkey"])
+    # pre-delete snapshot still sees every row (time travel)
+    assert read_iceberg(spark, t.root, snapshot_id=1).count() == n_all
+    return read_iceberg(spark, t.root)
+
+
+@query(
     "w15_resample_ffill",
     oracle="""
     WITH obs AS (

@@ -43,7 +43,8 @@ _LOADED = False
 # (a) every entry whose code or oracle changed THIS round — the NEW
 # s19 Hudi timeline read, s20 Iceberg positional-delete read, s21
 # Delta column-mapping (name mode) read, and s22 Delta deletion-vector
-# read (from-spec roaring/Z85/CRC codec); the single-scan +
+# read (from-spec roaring/Z85/CRC codec), and s23 Iceberg
+# equality-delete read (sequence-number ordered); the single-scan +
 # broadcast-partition-join read_delta rewrite behind s15 (and s16's
 # read-through), the checkpoint-writing exporter behind s16, the
 # delete-aware Iceberg manifest replay behind s18, and the
@@ -62,6 +63,7 @@ PRIORITY: tuple[str, ...] = (
     "s18_iceberg_roundtrip",
     "s21_delta_column_mapping",
     "s22_delta_deletion_vectors",
+    "s23_iceberg_eq_delete",
     "t20_bpe_pair_counts",
     # (b) oldest-vintage stable representatives, family-complete
     "flagship_readmit_30d",
@@ -72,7 +74,6 @@ PRIORITY: tuple[str, ...] = (
     "p3_filter_neq",
     "p4_filter_eq",
     "p5_filter_numeric",
-    "p6_filter_not_rlike",
     "p7_filter_not_isin",
     "j1_join_inner",
     "j3_join_outer",

@@ -26,10 +26,13 @@ by default (delete files are a small fraction of table size; pass
 ``broadcast_deletes=False`` for a shuffled anti-join when they are
 not). Dead rows never reach the caller, data files are read once.
 
+V2 EQUALITY deletes (Flink CDC's upsert shape) are applied too, with
+the spec's sequence-number ordering — see :func:`read_iceberg`.
+
 Honest gates (raise, never silently wrong): format-version > 2,
-EQUALITY delete files (``content=2`` — applying them needs
-sequence-number ordering this reader does not track), non-parquet data
-or delete files, and unsupported types. Column resolution is NAME-based
+equality deletes whose metadata lacks sequence numbers or whose
+equality ids point at nested fields, non-parquet data or delete files,
+and unsupported types. Column resolution is NAME-based
 (the parquet files carry the names Iceberg wrote); field-id remapping
 after a column RENAME is not implemented and the reader cannot detect
 it — documented limitation, same posture as the Delta reader's column-
@@ -56,7 +59,8 @@ from .avro_ocf import read_avro
 
 class IcebergProtocolError(NotImplementedError):
     """The table requires read capabilities this interop layer does not
-    implement (row-level deletes, field-id remapping, v3+)."""
+    implement (field-id remapping, nested/unordered equality deletes,
+    v3+)."""
 
 
 #: spec-shaped manifest entry / manifest list schemas (unpartitioned
@@ -82,6 +86,10 @@ MANIFEST_ENTRY_SCHEMA = {
                     },
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                    },
                 ],
             },
         },
@@ -97,6 +105,7 @@ MANIFEST_FILE_SCHEMA = {
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
         {"name": "added_snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
     ],
 }
 
@@ -287,6 +296,7 @@ def export_iceberg(table) -> int:
                     "file_size_in_bytes": os.path.getsize(
                         os.path.join(root, rel)
                     ),
+                    "equality_ids": None,
                 },
             }
             for rel, act in live
@@ -303,6 +313,9 @@ def export_iceberg(table) -> int:
                 "partition_spec_id": 0,
                 "content": 0,
                 "added_snapshot_id": sid,
+                # v2 sequence number: entries inherit it, and equality-
+                # delete ordering (data_seq < delete_seq) depends on it
+                "sequence_number": sid,
             }
         ],
     )
@@ -365,13 +378,21 @@ def iceberg_snapshots(root: str) -> list[dict]:
 
 def _live_files(
     meta: dict, root: str, snapshot_id
-) -> tuple[list[tuple[str, dict]], list[str]]:
-    """(data files with partition values, POSITIONAL delete file paths)
-    live at the snapshot. Equality deletes (content=2) raise."""
+) -> tuple[
+    list[tuple[str, dict, int | None]],
+    list[str],
+    list[tuple[str, int | None, list[int]]],
+]:
+    """(data files as (path, partition values, sequence number),
+    POSITIONAL delete file paths, EQUALITY delete files as (path,
+    sequence number, equality field ids)) live at the snapshot.
+    Sequence numbers come from the entry when present, else inherit
+    from the manifest-list record (``None`` when the metadata carries
+    neither — fine unless equality deletes need the ordering)."""
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     if sid is None or sid == -1:
-        return [], []
+        return [], [], []
     if sid not in snaps:
         raise ValueError(
             f"snapshot {sid} not found (have {sorted(snaps)})"
@@ -380,15 +401,20 @@ def _live_files(
     if "manifest-list" in snap:
         _s, manifests = read_avro(_localize(snap["manifest-list"], root))
         manifest_paths = [
-            (mrec["manifest_path"], mrec.get("content", 0) == 1)
+            (
+                mrec["manifest_path"],
+                mrec.get("content", 0) == 1,
+                mrec.get("sequence_number"),
+            )
             for mrec in manifests
         ]
     else:
         # format v1 inline manifest list: data manifests only
-        manifest_paths = [(p, False) for p in snap.get("manifests", [])]
-    data_out: list[tuple[str, dict]] = []
-    del_out: list[str] = []
-    for mp, is_delete in manifest_paths:
+        manifest_paths = [(p, False, None) for p in snap.get("manifests", [])]
+    data_out: list[tuple[str, dict, int | None]] = []
+    pos_out: list[str] = []
+    eq_out: list[tuple[str, int | None, list[int]]] = []
+    for mp, is_delete, mseq in manifest_paths:
         _s, entries = read_avro(_localize(mp, root))
         for e in entries:
             if e.get("status", 0) == 2:
@@ -396,33 +422,38 @@ def _live_files(
             df = e["data_file"]
             content = df.get("content", 0)
             fmt = str(df.get("file_format", "PARQUET")).upper()
-            if content == 2:
-                raise IcebergProtocolError(
-                    "manifest references an EQUALITY delete file "
-                    "(content=2); applying equality deletes needs "
-                    "sequence-number ordering this reader does not track"
-                )
+            seq = e.get("sequence_number")
+            seq = mseq if seq is None else seq
             if fmt != "PARQUET":
                 raise IcebergProtocolError(
                     f"non-parquet {'delete' if content else 'data'} "
                     f"file format {fmt!r}"
                 )
-            if content == 1:
+            if content in (1, 2):
                 if not is_delete:
                     raise IcebergProtocolError(
                         "data manifest references a delete file "
-                        "(content=1 outside a DELETE manifest); "
+                        f"(content={content} outside a DELETE manifest); "
                         "malformed metadata"
                     )
-                del_out.append(df["file_path"])
+                if content == 1:
+                    pos_out.append(df["file_path"])
+                else:
+                    eq_ids = list(df.get("equality_ids") or [])
+                    if not eq_ids:
+                        raise IcebergProtocolError(
+                            "equality delete file without equality_ids; "
+                            "malformed metadata"
+                        )
+                    eq_out.append((df["file_path"], seq, eq_ids))
             elif is_delete:
                 raise IcebergProtocolError(
                     "DELETE manifest entry carries content=0 (a data "
                     "file); malformed metadata"
                 )
             else:
-                data_out.append((df["file_path"], df.get("partition") or {}))
-    return data_out, del_out
+                data_out.append((df["file_path"], df.get("partition") or {}, seq))
+    return data_out, pos_out, eq_out
 
 
 def read_iceberg(
@@ -442,8 +473,16 @@ def read_iceberg(
     files are scanned once with ``_metadata.row_index`` and the delete
     files' ``(file_path, pos)`` pairs are LEFT ANTI-joined — broadcast
     by default (``broadcast_deletes=False`` switches to a shuffled
-    anti-join for delete sets too large to broadcast). Equality deletes
-    raise."""
+    anti-join for delete sets too large to broadcast).
+
+    V2 EQUALITY deletes (what Flink CDC upserts write) are applied with
+    the spec's SEQUENCE-NUMBER ordering: a delete file at sequence s
+    removes a data row iff its data file's sequence number is < s and
+    the row's values in the delete's ``equality_ids`` columns null-
+    safely equal some delete row — one broadcast LEFT ANTI-join per
+    delete file. Metadata that carries equality deletes but no
+    sequence numbers raises (ordering would be a guess); equality ids
+    must resolve to top-level schema fields."""
     with open(_metadata_path(root)) as f:
         meta = json.load(f)
     if int(meta.get("format-version", 1)) > 2:
@@ -451,10 +490,10 @@ def read_iceberg(
             f"format-version {meta['format-version']} > 2 is not supported"
         )
     schema = _table_schema(meta)
-    files, delete_files = _live_files(meta, root, snapshot_id)
+    files, pos_dels, eq_dels = _live_files(meta, root, snapshot_id)
     if partitions:
         known = set()
-        for _p, pv in files:
+        for _p, pv, _s in files:
             known.update(pv)
         unknown = [c for c in partitions if files and c not in known]
         if unknown:
@@ -468,15 +507,15 @@ def read_iceberg(
             return any(v == got for v in vals)
 
         files = [
-            (p, pv)
-            for p, pv in files
+            (p, pv, s)
+            for p, pv, s in files
             if all(_admits(w, pv.get(c)) for c, w in partitions.items())
         ]
     if not files:
         return spark.createDataFrame([], schema)
-    paths = sorted(_localize(p, root) for p, _pv in files)
+    paths = sorted(_localize(p, root) for p, _pv, _s in files)
     df = spark.read.schema(schema).parquet(*paths)
-    if not delete_files:
+    if not pos_dels and not eq_dels:
         return df
     from pyspark.sql import functions as F
 
@@ -488,9 +527,9 @@ def read_iceberg(
         # rows carry the writer's URI serialization of the same path
         return F.regexp_replace(F.url_decode(col), r"^file:/+", "/")
 
-    fp, pos = "__iceberg_file", "__iceberg_pos"
-    while fp in out_cols or pos in out_cols:
-        fp, pos = "_" + fp, "_" + pos
+    fp, pos, seqc = "__iceberg_file", "__iceberg_pos", "__iceberg_seq"
+    while fp in out_cols or pos in out_cols or seqc in out_cols:
+        fp, pos, seqc = "_" + fp, "_" + pos, "_" + seqc
     keyed = df.select(
         "*",
         _norm(F.col("_metadata.file_path")).alias(fp),
@@ -498,24 +537,200 @@ def read_iceberg(
     )
     from pyspark.sql.types import LongType, StringType, StructField
 
-    del_schema = T.StructType(
-        [
-            StructField("file_path", StringType(), True),
-            StructField("pos", LongType(), True),
-        ]
-    )
-    dels = (
-        spark.read.schema(del_schema)
-        .parquet(*sorted(_localize(p, root) for p in delete_files))
-        .select(_norm(F.col("file_path")).alias(fp), F.col("pos").alias(pos))
-    )
-    if broadcast_deletes:
-        dels = F.broadcast(dels)
-    return keyed.join(dels, [fp, pos], "left_anti").select(*out_cols)
+    if pos_dels:
+        del_schema = T.StructType(
+            [
+                StructField("file_path", StringType(), True),
+                StructField("pos", LongType(), True),
+            ]
+        )
+        dels = (
+            spark.read.schema(del_schema)
+            .parquet(*sorted(_localize(p, root) for p in pos_dels))
+            .select(_norm(F.col("file_path")).alias(fp), F.col("pos").alias(pos))
+        )
+        if broadcast_deletes:
+            dels = F.broadcast(dels)
+        keyed = keyed.join(dels, [fp, pos], "left_anti")
+    if eq_dels:
+        if any(s is None for _p, _pv, s in files) or any(
+            s is None for _p, s, _ids in eq_dels
+        ):
+            raise IcebergProtocolError(
+                "equality deletes present but sequence numbers are "
+                "missing from the manifest metadata; the data-vs-delete "
+                "ordering cannot be established"
+            )
+        id2field = {}
+        for f_, raw in zip(schema.fields, _schema_json(meta)["fields"]):
+            id2field[raw["id"]] = f_
+        seq_df = spark.createDataFrame(
+            [
+                (os.path.abspath(_localize(p, root)), int(s))
+                for p, _pv, s in files
+            ],
+            T.StructType(
+                [
+                    StructField(fp, StringType(), False),
+                    StructField(seqc, LongType(), False),
+                ]
+            ),
+        )
+        keyed = keyed.join(F.broadcast(seq_df), fp, "left")
+        for dpath, dseq, eq_ids in sorted(eq_dels):
+            try:
+                eq_fields = [id2field[i] for i in eq_ids]
+            except KeyError as e:
+                raise IcebergProtocolError(
+                    f"equality_ids reference field id {e} which is not a "
+                    "top-level schema field (nested equality deletes are "
+                    "not supported)"
+                ) from None
+            eq_df = (
+                spark.read.schema(T.StructType(list(eq_fields)))
+                .parquet(_localize(dpath, root))
+                .dropDuplicates()
+            )
+            cond = F.col(seqc) < F.lit(int(dseq))
+            for f_ in eq_fields:
+                cond = cond & keyed[f_.name].eqNullSafe(eq_df[f_.name])
+            keyed = keyed.join(F.broadcast(eq_df), cond, "left_anti")
+    return keyed.select(*out_cols)
+
+
+def _schema_json(meta: dict) -> dict:
+    """The CURRENT Iceberg schema JSON (with field ids), v1 or v2."""
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        for s in meta["schemas"]:
+            if s.get("schema-id", 0) == sid:
+                return s
+        raise ValueError(f"current-schema-id {sid} not in schemas")
+    return meta["schema"]
 
 
 #: spec-shaped positional-delete file schema: (file_path, pos) sorted
 POS_DELETE_COLS = ("file_path", "pos")
+
+
+def append_equality_deletes(
+    root: str, rows: list[dict], eq_cols: list[str]
+) -> int:
+    """Append ONE v2 snapshot that EQUALITY-deletes every data row
+    whose ``eq_cols`` values null-safely match some row in ``rows`` —
+    the Flink-CDC-shaped foreign-writer surface: a parquet delete file
+    of the equality columns, a DELETE manifest (content=2,
+    equality_ids), and a manifest list whose sequence numbers order
+    the delete AFTER every current data file. Data manifests copied
+    from the current snapshot keep their sequence numbers (or inherit
+    the export convention); the new snapshot's sequence number is
+    max+1. Returns the new snapshot id."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .avro_ocf import write_avro
+
+    with open(_metadata_path(root)) as f:
+        meta = json.load(f)
+    snaps = meta.get("snapshots", [])
+    cur = next(
+        s for s in snaps if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, manifests = read_avro(_localize(cur["manifest-list"], root))
+    sid = max(s["snapshot-id"] for s in snaps) + 1
+    raw_fields = {f["name"]: f for f in _schema_json(meta)["fields"]}
+    try:
+        eq_ids = [raw_fields[c]["id"] for c in eq_cols]
+    except KeyError as e:
+        raise ValueError(f"equality column {e} not in the table schema") from None
+    spark_fields = {
+        f.name: f for f in _table_schema(meta).fields if f.name in eq_cols
+    }
+    mdir = os.path.join(root, "metadata")
+    del_path = os.path.join(mdir, f"eq-delete-{sid}.parquet")
+    import pyspark.sql.types as _T
+
+    def _pa_type(dt):
+        m = {
+            _T.LongType: pa.int64(), _T.IntegerType: pa.int32(),
+            _T.DoubleType: pa.float64(), _T.FloatType: pa.float32(),
+            _T.StringType: pa.string(), _T.BooleanType: pa.bool_(),
+        }
+        for k, v in m.items():
+            if isinstance(dt, k):
+                return v
+        raise ValueError(f"unsupported equality-delete column type {dt}")
+
+    pq.write_table(
+        pa.table(
+            {
+                c: pa.array(
+                    [r.get(c) for r in rows],
+                    type=_pa_type(spark_fields[c].dataType),
+                )
+                for c in eq_cols
+            }
+        ),
+        del_path,
+    )
+    del_manifest = os.path.join(mdir, f"manifest-eqdel-{sid}.avro")
+    write_avro(
+        del_manifest,
+        MANIFEST_ENTRY_SCHEMA,
+        [
+            {
+                "status": 1,
+                "snapshot_id": sid,
+                "data_file": {
+                    "content": 2,
+                    "file_path": del_path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": len(rows),
+                    "file_size_in_bytes": os.path.getsize(del_path),
+                    "equality_ids": eq_ids,
+                },
+            }
+        ],
+    )
+    mlist = os.path.join(mdir, f"snap-{sid}.avro")
+    write_avro(
+        mlist,
+        MANIFEST_FILE_SCHEMA,
+        [{"sequence_number": None, **m} for m in manifests]
+        + [
+            {
+                "manifest_path": del_manifest,
+                "manifest_length": os.path.getsize(del_manifest),
+                "partition_spec_id": 0,
+                "content": 1,
+                "added_snapshot_id": sid,
+                "sequence_number": sid,
+            }
+        ],
+    )
+    version = int(meta.get("_export_version", len(snaps))) + 1
+    meta["snapshots"] = snaps + [
+        {
+            "snapshot-id": sid,
+            "timestamp-ms": int(time.time() * 1000),
+            "summary": {"operation": "delete"},
+            "manifest-list": mlist,
+            "schema-id": 0,
+        }
+    ]
+    meta["current-snapshot-id"] = sid
+    meta["last-sequence-number"] = sid
+    meta["_export_version"] = version
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    tmp = os.path.join(mdir, ".hint.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    return sid
 
 
 def append_position_deletes(
@@ -569,6 +784,7 @@ def append_position_deletes(
                     "partition": {},
                     "record_count": len(rows),
                     "file_size_in_bytes": os.path.getsize(del_path),
+                    "equality_ids": None,
                 },
             }
         ],
@@ -577,7 +793,7 @@ def append_position_deletes(
     write_avro(
         mlist,
         MANIFEST_FILE_SCHEMA,
-        [dict(m) for m in manifests]
+        [{"sequence_number": None, **m} for m in manifests]
         + [
             {
                 "manifest_path": del_manifest,
@@ -585,6 +801,7 @@ def append_position_deletes(
                 "partition_spec_id": 0,
                 "content": 1,
                 "added_snapshot_id": sid,
+                "sequence_number": sid,
             }
         ],
     )

@@ -239,7 +239,7 @@ def test_delete_gates(spark, tmp_path):
     )
     with pytest.raises(IcebergProtocolError, match="delete file"):
         read_iceberg(spark, root2)
-    # (b2) EQUALITY delete file (content=2) in a delete manifest: gated
+    # (b2) equality delete file WITHOUT equality_ids: malformed
     root4 = str(tmp_path / "eq")
     f4 = os.path.join(root4, "data", "a.parquet")
     _write_parquet(f4, [(1, "x")], ["k", "seg"])
@@ -251,7 +251,7 @@ def test_delete_gates(spark, tmp_path):
         current=1,
         fields=[("k", "long"), ("seg", "string")],
     )
-    with pytest.raises(IcebergProtocolError, match="EQUALITY"):
+    with pytest.raises(IcebergProtocolError, match="equality_ids"):
         read_iceberg(spark, root4)
     # (c) future format versions
     root3 = str(tmp_path / "v9")
@@ -419,3 +419,142 @@ def test_positional_deletes_applied(spark, iceberg_root):
     # a second delete snapshot stacks on the first
     append_position_deletes(iceberg_root, [(fa, 1)])
     assert {r["k"] for r in read_iceberg(spark, iceberg_root).collect()} == {11}
+
+
+def test_equality_deletes_applied_with_sequence_ordering(spark, tmp_path):
+    """Equality deletes (Flink-CDC shape) remove matching rows from data
+    files with LOWER sequence numbers only: a matching row added AFTER
+    the delete survives; null equality-values match null-safely; a
+    table whose metadata lacks sequence numbers raises."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        MANIFEST_ENTRY_SCHEMA as PKG_ENTRY,
+        MANIFEST_FILE_SCHEMA as PKG_MF,
+        append_equality_deletes,
+        export_iceberg,
+        read_iceberg,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import SnapshotTable
+
+    root = str(tmp_path / "eqd")
+    t = SnapshotTable.create(spark, root, "k bigint, seg string")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a"), (4, None)], "k bigint, seg string"
+        )
+    )
+    assert export_iceberg(t) == 1
+    # delete every row with seg='a' OR seg IS NULL (null-safe equality)
+    sid = append_equality_deletes(root, [{"seg": "a"}, {"seg": None}], ["seg"])
+    assert sid == 2
+    got = {(r["k"], r["seg"]) for r in read_iceberg(spark, root).collect()}
+    assert got == {(2, "b")}
+    # pre-delete snapshot unaffected
+    assert read_iceberg(spark, root, snapshot_id=1).count() == 4
+    # snapshot 3: a NEW data file at HIGHER sequence number re-inserts
+    # seg='a' rows — the older equality delete must NOT touch them
+    import json as _json
+
+    meta_path = os.path.join(root, "metadata")
+    newf = os.path.join(root, "reinsert.parquet")
+    _write_parquet(newf, [(9, "a")], ["k", "seg"])
+    with open(os.path.join(meta_path, "version-hint.text")) as f:
+        hint = f.read().strip()
+    with open(os.path.join(meta_path, f"v{hint}.metadata.json")) as f:
+        meta = _json.load(f)
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, manifests = read_avro(cur["manifest-list"])
+    m3 = os.path.join(meta_path, "manifest-3.avro")
+    write_avro(
+        m3,
+        PKG_ENTRY,
+        [
+            {
+                "status": 1,
+                "snapshot_id": 3,
+                "data_file": {
+                    "content": 0,
+                    "file_path": newf,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 1,
+                    "file_size_in_bytes": 1,
+                    "equality_ids": None,
+                },
+            }
+        ],
+    )
+    ml3 = os.path.join(meta_path, "snap-3.avro")
+    write_avro(
+        ml3,
+        PKG_MF,
+        [{"sequence_number": None, **m} for m in manifests]
+        + [
+            {
+                "manifest_path": m3,
+                "manifest_length": 1,
+                "partition_spec_id": 0,
+                "content": 0,
+                "added_snapshot_id": 3,
+                "sequence_number": 3,
+            }
+        ],
+    )
+    meta["snapshots"].append(
+        {"snapshot-id": 3, "timestamp-ms": 0, "summary": {"operation": "append"},
+         "manifest-list": ml3, "schema-id": 0}
+    )
+    meta["current-snapshot-id"] = 3
+    v = int(hint) + 1
+    with open(os.path.join(meta_path, f"v{v}.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    with open(os.path.join(meta_path, "version-hint.text"), "w") as f:
+        f.write(str(v))
+    got3 = {(r["k"], r["seg"]) for r in read_iceberg(spark, root).collect()}
+    assert got3 == {(2, "b"), (9, "a")}  # reinserted 'a' row SURVIVES
+
+
+def test_equality_deletes_without_sequence_numbers_raise(spark, tmp_path):
+    """Metadata carrying equality deletes but no sequence numbers cannot
+    order data vs delete — the read must raise, not guess."""
+    root = str(tmp_path / "eqnoseq")
+    f = os.path.join(root, "data", "a.parquet")
+    _write_parquet(f, [(1, "x")], ["k", "seg"])
+    d = os.path.join(root, "data", "del.parquet")
+    _write_parquet(d, [("x",)], ["seg"])
+    entry_schema = json.loads(json.dumps(MANIFEST_ENTRY_SCHEMA))
+    entry_schema["fields"][2]["type"]["fields"].append(
+        {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int"}]}
+    )
+    m1 = os.path.join(root, "metadata", "m1.avro")
+    os.makedirs(os.path.dirname(m1), exist_ok=True)
+    e1 = _entry(f, "x", 1)
+    e1["data_file"]["equality_ids"] = None
+    write_avro(m1, entry_schema, [e1])
+    m2 = os.path.join(root, "metadata", "m2.avro")
+    e2 = _entry(d, "x", 1, content=2)
+    e2["data_file"]["equality_ids"] = [2]
+    write_avro(m2, entry_schema, [e2])
+    ml = os.path.join(root, "metadata", "ml.avro")
+    write_avro(
+        ml,
+        MANIFEST_FILE_SCHEMA,
+        [
+            {"manifest_path": m1, "manifest_length": 1, "partition_spec_id": 0,
+             "content": 0, "added_snapshot_id": 1},
+            {"manifest_path": m2, "manifest_length": 1, "partition_spec_id": 0,
+             "content": 1, "added_snapshot_id": 1},
+        ],
+    )
+    _metadata(
+        root,
+        [{"snapshot-id": 1, "timestamp-ms": 0, "summary": {}, "manifest-list": ml}],
+        current=1,
+        fields=[("k", "long"), ("seg", "string")],
+    )
+    with pytest.raises(IcebergProtocolError, match="sequence numbers"):
+        read_iceberg(spark, root)
