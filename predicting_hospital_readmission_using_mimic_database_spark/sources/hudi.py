@@ -37,6 +37,9 @@ metadata table (``.hoodie/metadata``, an internal MOR table this COW
 reader cannot parse); at 100 TB this reader is therefore bounded by
 listing throughput, not data size — fine for interop ingestion of
 small-to-mid tables, and the gate to quote when it is not.
+``partitions=`` cuts the bound to the admitted partition dirs (pruned
+descent), which is how real pipelines read date-partitioned tables
+anyway.
 """
 
 from __future__ import annotations
@@ -117,11 +120,20 @@ def read_hudi(
     root: str,
     as_of: str | None = None,
     keep_meta: bool = False,
+    partitions: list[str] | str | None = None,
 ) -> DataFrame:
     """Snapshot-read a Hudi COW table: the latest completed base file of
     every file group (``as_of=<instant>`` time-travels to commits at or
     before that instant). Pending/inflight writers' files and superseded
-    file versions are never handed to Spark."""
+    file versions are never handed to Spark.
+
+    ``partitions`` prunes at the LISTING level: a partition-path string
+    (or list of them, e.g. ``["2024/01/01", "2024/01/02"]``) restricts
+    the walk to those directories — the listing bound drops from
+    O(table files) to O(admitted-partition files), which at 100 TB is
+    the difference between walking one day and walking the table.
+    Unknown partition paths simply match nothing (Hudi partition paths
+    are opaque strings, not declared metadata)."""
     props = _properties(root)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
     if ttype != "COPY_ON_WRITE":
@@ -132,12 +144,36 @@ def read_hudi(
     done = _completed_commits(root)
     if as_of is not None:
         done = {c for c in done if c <= str(as_of)}
+    admit: set[str] | None = None
+    if partitions is not None:
+        admit = {
+            os.path.normpath(p)
+            for p in ([partitions] if isinstance(partitions, str) else partitions)
+        }
     # newest completed base file per (partition dir, fileId)
     groups: dict[tuple[str, str], tuple[str, str]] = {}
     for dirpath, dirs, files in os.walk(root):
         if os.path.basename(dirpath) == HOODIE_DIR:
             dirs[:] = []  # never descend into the timeline
             continue
+        rel = os.path.normpath(os.path.relpath(dirpath, root))
+        if admit is not None:
+            # prune the DESCENT: keep a subdir only if it stays on the
+            # path of (or inside) an admitted partition dir
+            prefix = "" if rel == "." else rel + os.sep
+            dirs[:] = [
+                d for d in dirs
+                if any(
+                    a == prefix + d
+                    or a.startswith(prefix + d + os.sep)
+                    or (prefix + d).startswith(a + os.sep)
+                    for a in admit
+                )
+            ]
+            if rel not in admit and not any(
+                rel.startswith(a + os.sep) for a in admit
+            ):
+                continue
         for name in files:
             if name.endswith(".log") or ".log." in name:
                 raise HudiProtocolError(

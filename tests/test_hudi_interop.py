@@ -163,3 +163,17 @@ def test_rolled_back_instant_invisible(spark, tmp_path):
     _commit(root, "00000000000005", state="rollback")
     got = {(r["k"], r["v"]) for r in read_hudi(spark, root).collect()}
     assert got == {(1, 1.0)}
+
+
+def test_partition_pruned_listing(spark, hudi_root):
+    """partitions= restricts BOTH the result and the walk: only admitted
+    partition dirs are listed (pruned descent), matching files only."""
+    a = read_hudi(spark, hudi_root, partitions="a")
+    assert {(r["k"], r["v"]) for r in a.collect()} == {
+        (1, -1.0), (2, 2.0), (3, 3.0)
+    }
+    assert len(a.inputFiles()) == 1
+    both = read_hudi(spark, hudi_root, partitions=["a", "b"])
+    assert both.count() == 4
+    with pytest.raises(ValueError, match="no completed base files"):
+        read_hudi(spark, hudi_root, partitions="zzz")
