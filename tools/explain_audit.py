@@ -118,6 +118,8 @@ AUDIT = [
     "s19_hudi_read",      # timeline-resolved file slices, footer schema
     "s20_iceberg_pos_delete",  # delete anti-join on _metadata.row_index
     "s21_delta_column_mapping",  # physical scan + logical restore cast
+    "s22_delta_deletion_vectors",  # DV decode + (file,pos) anti-join
+    "s23_iceberg_eq_delete",  # sequence-ordered equality anti-join
     "u12_cluster_balanced",  # map-only assign + one cell-keyed window
 ]
 
