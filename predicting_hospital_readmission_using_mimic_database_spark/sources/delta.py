@@ -26,14 +26,18 @@ Scope (documented, checked, raising — never silently wrong):
   checkpoint at or below the target version and applies the JSON
   commits after it; incomplete multi-part uploads are ignored, never
   half-read.
-* COLUMN MAPPING in ``name`` mode (what Spark writes for any table
-  that ever renamed/dropped a column): data files carry PHYSICAL
+* COLUMN MAPPING, both modes. ``name`` (what Spark writes for any
+  table that ever renamed/dropped a column): data files carry PHYSICAL
   column names (``col-<uuid>``) from each schema field's
   ``delta.columnMapping.physicalName`` metadata, and partitionValues
-  are keyed by physical name too. The read scans with the physical
+  are keyed by physical name too — the read scans with the physical
   schema and restores logical names with one positional struct cast
   per top-level column (nested fields rename through the cast).
-  ``id`` mode (parquet field-id resolution) still raises.
+  ``id`` mode: columns resolve by the PARQUET FIELD IDS the writer
+  stamped into the files (the logical read schema is annotated with
+  ``parquet.field.id`` metadata and Spark's field-id resolution is
+  enabled on the session) — immune to physical-name drift across
+  files, the post-rename shape name-based resolution cannot handle.
 * DELETION VECTORS: applied on read — descriptors (inline ``i``,
   relative-uuid ``u``, absolute ``p``) resolve through the from-spec
   roaring/Z85/CRC codec in :mod:`.dv`, and the deleted (file, row
@@ -89,8 +93,8 @@ _SUPPORTED_READER_FEATURES = {
 
 class DeltaProtocolError(NotImplementedError):
     """The table requires reader capabilities this interop layer does not
-    implement (v2 checkpoints, id-mode column mapping, unknown reader
-    features)."""
+    implement (unknown reader features, or column-mapping metadata
+    missing its required per-field annotations)."""
 
 
 def _delta_commits(log_dir: str) -> list[tuple[int, str]]:
@@ -122,16 +126,53 @@ def _check_protocol(action: dict) -> None:
 
 def _check_meta(meta: dict) -> dict:
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
-    if mode not in ("none", "name"):
+    if mode not in ("none", "name", "id"):
         raise DeltaProtocolError(
-            f"delta.columnMapping.mode={mode} is not supported "
-            "(only 'none' and 'name'; 'id' needs parquet field-id "
-            "resolution)"
+            f"delta.columnMapping.mode={mode} is not supported"
         )
     return meta
 
 
 _PHYS_KEY = "delta.columnMapping.physicalName"
+_ID_KEY = "delta.columnMapping.id"
+
+
+def _field_id_type(dt):
+    """The logical type annotated for parquet FIELD-ID resolution: every
+    struct field keeps its LOGICAL name but carries
+    ``{"parquet.field.id": <delta.columnMapping.id>}`` metadata,
+    recursively — with ``spark.sql.parquet.fieldId.read.enabled`` the
+    scan then matches columns by the ids Delta id-mode writers stamp
+    into the files, immune to physical-name drift."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        out = []
+        for f in dt.fields:
+            fid = (f.metadata or {}).get(_ID_KEY)
+            if fid is None:
+                raise DeltaProtocolError(
+                    f"column mapping is 'id' but field {f.name!r} has "
+                    f"no {_ID_KEY} metadata"
+                )
+            out.append(
+                T.StructField(
+                    f.name,
+                    _field_id_type(f.dataType),
+                    f.nullable,
+                    {"parquet.field.id": int(fid)},
+                )
+            )
+        return T.StructType(out)
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_field_id_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _field_id_type(dt.keyType),
+            _field_id_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
 
 
 def _physical_type(dt):
@@ -649,14 +690,34 @@ def read_delta(
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
     if mode == "name":
+        # files store physical names: scan physically, restore logically
         phys_schema = _physical_type(schema)
+    elif mode == "id":
+        # files store physical names AND parquet field ids: scan with the
+        # LOGICAL names annotated for field-id resolution (sticky session
+        # conf — only schemas carrying the metadata are affected)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        phys_schema = _field_id_type(schema)
     else:
         phys_schema = schema
-    #: logical top-level name -> physical (identity without mapping)
+    #: logical top-level name -> SCAN column name (physical under name
+    #: mode; logical otherwise)
     phys_of = {
         f.name: pf.name for f, pf in zip(schema.fields, phys_schema.fields)
     }
     logical_of = {v: k for k, v in phys_of.items()}
+    #: logical -> the key partitionValues are stored under (the spec says
+    #: PHYSICAL name under either mapping mode)
+    if mode in ("name", "id"):
+        pv_key_of = {
+            f.name: (f.metadata or {}).get(_PHYS_KEY, f.name)
+            for f in schema.fields
+        }
+    else:
+        pv_key_of = {f.name: f.name for f in schema.fields}
+    logical_of.update(
+        (v, k) for k, v in pv_key_of.items() if v not in logical_of
+    )
     # partitionColumns: writers serialize logical names; be lenient and
     # admit the physical spelling too (both resolve to the same column)
     part_cols = []
@@ -695,7 +756,7 @@ def read_delta(
             rel: pv
             for rel, pv in live.items()
             if all(
-                _admits(want, pv.get(phys_of[c], pv.get(c)))
+                _admits(want, pv.get(pv_key_of[c], pv.get(c)))
                 for c, want in partitions.items()
             )
         }
@@ -769,7 +830,7 @@ def read_delta(
     def _pv(pv: dict, c: str):
         # add.partitionValues are keyed by PHYSICAL name under column
         # mapping (spec); admit the logical spelling leniently
-        v = pv.get(phys_of[c], pv.get(c))
+        v = pv.get(pv_key_of[c], pv.get(c))
         return None if v is None else str(v)
 
     pv_rows = [

@@ -268,8 +268,8 @@ def test_protocol_gates(spark, tmp_path):
     )
     with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
         read_delta(spark, r1)
-    # column mapping: 'id' mode (parquet field-id resolution) raises;
-    # 'name' mode without the physicalName metadata raises too
+    # column mapping without the required field metadata raises loudly
+    # ('id' mode needs delta.columnMapping.id on every field)
     r2 = str(tmp_path / "cm")
     _write_commit(
         r2,
@@ -281,7 +281,7 @@ def test_protocol_gates(spark, tmp_path):
             ),
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="columnMapping.mode=id"):
+    with pytest.raises(DeltaProtocolError, match="columnMapping.id"):
         read_delta(spark, r2)
     r2b = str(tmp_path / "cmn")
     _write_commit(
@@ -978,3 +978,85 @@ def test_v2_checkpoint_replay(spark, tmp_path):
         assert delta_table_version(root) == 3, fmt
         with pytest.raises(DeltaProtocolError, match="checkpoint"):
             read_delta(spark, root, version=1)        # pre-checkpoint: vacuumed
+
+
+def test_column_mapping_id_mode(spark, tmp_path):
+    """Column mapping 'id' mode: columns resolve by the parquet FIELD
+    IDS the writer stamped into the files — immune to physical-name
+    drift across files (the post-rename shape name-based resolution
+    cannot handle). Two files carry DIFFERENT physical names for the
+    same field ids; the read must still line both up logically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "cmid")
+    os.makedirs(root, exist_ok=True)
+
+    def pfile(path, names, ids, rows):
+        sch = pa.schema(
+            [
+                pa.field(
+                    n,
+                    pa.int64() if i == 0 else pa.string(),
+                    metadata={b"PARQUET:field_id": str(fid).encode()},
+                )
+                for i, (n, fid) in enumerate(zip(names, ids))
+            ]
+        )
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table({n: list(c) for n, c in zip(names, cols)}, schema=sch),
+            os.path.join(root, path),
+        )
+
+    # old file: pre-rename physical names; new file: post-rename names
+    pfile("old.parquet", ["col-aa", "col-bb"], [1, 2], [(1, "u"), (2, "v")])
+    pfile("new.parquet", ["col-cc", "col-dd"], [1, 2], [(3, "w")])
+
+    def fld(name, typ, phys, cid):
+        return {
+            "name": name, "type": typ, "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": cid,
+                "delta.columnMapping.physicalName": phys,
+            },
+        }
+
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                fld("id", "long", "col-cc", 1),
+                fld("name", "string", "col-dd", 2),
+                fld("seg", "string", "col-ee", 3),
+            ],
+        }
+    )
+    _write_commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "cmid",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_string,
+                    "partitionColumns": ["seg"],
+                    "configuration": {"delta.columnMapping.mode": "id"},
+                }
+            },
+            {"add": {"path": "old.parquet",
+                     "partitionValues": {"col-ee": "X"},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+            {"add": {"path": "new.parquet",
+                     "partitionValues": {"col-ee": "Y"},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    df = read_delta(spark, root)
+    assert df.columns == ["id", "name", "seg"]
+    got = {(r["id"], r["name"], r["seg"]) for r in df.collect()}
+    assert got == {(1, "u", "X"), (2, "v", "X"), (3, "w", "Y")}
+    y = read_delta(spark, root, partitions={"seg": "Y"})
+    assert [r["id"] for r in y.collect()] == [3]
