@@ -83,6 +83,7 @@ __all__ = [
     "delta_table_version",
     "export_delta_log",
     "read_delta",
+    "version_at_timestamp",
 ]
 
 #: reader-version-3 table features this reader actually honors
@@ -467,6 +468,44 @@ def delta_table_version(root: str) -> int:
     return last
 
 
+def version_at_timestamp(root: str, ts_millis: int) -> int:
+    """The version a TIMESTAMP time travel resolves to: the LAST commit
+    whose timestamp is <= ``ts_millis`` (Delta's semantics). Per commit
+    the timestamp is the ``commitInfo.timestamp`` action field when the
+    writer recorded one, else the commit file's mtime — the same
+    fallback real Delta readers use. Raises if the table's first commit
+    is after the requested time. Only the JSON tail is consulted, so a
+    vacuumed-with-checkpoint log resolves timestamps only for the
+    commits it still has — older requests raise."""
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"not a delta table (no {DELTA_LOG_DIR}): {root}")
+    best = None
+    earliest = None
+    for v, path in _delta_commits(log_dir):
+        ts = None
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a and a["commitInfo"].get("timestamp"):
+                    ts = int(a["commitInfo"]["timestamp"])
+                    break
+        if ts is None:
+            ts = int(os.path.getmtime(path) * 1000)
+        earliest = ts if earliest is None else min(earliest, ts)
+        if ts <= ts_millis:
+            best = v if best is None else max(best, v)
+    if best is None:
+        raise ValueError(
+            f"no commit at or before timestamp {ts_millis} "
+            f"(earliest available commit timestamp: {earliest})"
+        )
+    return best
+
+
 def _write_checkpoint_file(
     log_dir: str, version: int, meta: dict, adds: list[dict]
 ) -> None:
@@ -652,6 +691,7 @@ def read_delta(
     root: str,
     version: int | None = None,
     partitions: dict[str, object] | None = None,
+    timestamp: int | None = None,
 ) -> DataFrame:
     """Snapshot-read a Delta table: the live parquet files at ``version``
     (None = latest), with partition columns materialized from the log's
@@ -686,6 +726,10 @@ def read_delta(
     cardinality — small by design (heavily-deleted files get compacted
     and re-added without a vector, which this replay honors).
     """
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass either version= or timestamp=, not both")
+        version = version_at_timestamp(root, timestamp)
     meta, live, dvs, _last = _replay_log(root, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")

@@ -456,12 +456,36 @@ def _live_files(
     return data_out, pos_out, eq_out
 
 
+def snapshot_at_timestamp(meta: dict, ts_millis: int) -> int:
+    """The snapshot a TIMESTAMP time travel resolves to: the LAST
+    snapshot whose ``timestamp-ms`` is <= the requested time (Iceberg's
+    ``FOR SYSTEM_TIME AS OF`` semantics). Raises when the table's first
+    snapshot is later."""
+    best, earliest = None, None
+    for s in meta.get("snapshots", []):
+        ts = s.get("timestamp-ms")
+        if ts is None:
+            continue
+        earliest = ts if earliest is None else min(earliest, ts)
+        if ts <= ts_millis and (
+            best is None or ts >= best[0]
+        ):
+            best = (ts, s["snapshot-id"])
+    if best is None:
+        raise ValueError(
+            f"no snapshot at or before timestamp {ts_millis} "
+            f"(earliest snapshot timestamp-ms: {earliest})"
+        )
+    return best[1]
+
+
 def read_iceberg(
     spark: SparkSession,
     root: str,
     snapshot_id: int | None = None,
     partitions: dict[str, object] | None = None,
     broadcast_deletes: bool = True,
+    timestamp: int | None = None,
 ) -> DataFrame:
     """Snapshot-read an Iceberg table (``snapshot_id=`` time travel,
     default the current snapshot). ``partitions`` prunes files at the
@@ -489,6 +513,12 @@ def read_iceberg(
         raise IcebergProtocolError(
             f"format-version {meta['format-version']} > 2 is not supported"
         )
+    if timestamp is not None:
+        if snapshot_id is not None:
+            raise ValueError(
+                "pass either snapshot_id= or timestamp=, not both"
+            )
+        snapshot_id = snapshot_at_timestamp(meta, timestamp)
     schema = _table_schema(meta)
     files, pos_dels, eq_dels = _live_files(meta, root, snapshot_id)
     if partitions:

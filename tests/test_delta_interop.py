@@ -1060,3 +1060,36 @@ def test_column_mapping_id_mode(spark, tmp_path):
     assert got == {(1, "u", "X"), (2, "v", "X"), (3, "w", "Y")}
     y = read_delta(spark, root, partitions={"seg": "Y"})
     assert [r["id"] for r in y.collect()] == [3]
+
+
+def test_timestamp_time_travel(spark, delta_root):
+    """timestamp= resolves to the LAST commit at or before the requested
+    time — commitInfo.timestamp when the writer recorded one, file
+    mtime otherwise — and composes with the normal replay."""
+    import time as _time
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import version_at_timestamp
+
+    log = os.path.join(delta_root, "_delta_log")
+    # pin explicit commit timestamps via file mtimes: v0 at t0, v1 at t0+100s
+    t0 = 1_600_000_000
+    os.utime(os.path.join(log, f"{0:020d}.json"), (t0, t0))
+    os.utime(os.path.join(log, f"{1:020d}.json"), (t0 + 100, t0 + 100))
+    assert version_at_timestamp(delta_root, (t0 + 50) * 1000) == 0
+    assert version_at_timestamp(delta_root, (t0 + 100) * 1000) == 1
+    old = {(r["id"], r["bal"]) for r in
+           read_delta(spark, delta_root, timestamp=(t0 + 50) * 1000).collect()}
+    assert old == {(0, 5.0), (1, 6.0), (10, 7.0), (11, 8.0)}
+    with pytest.raises(ValueError, match="no commit at or before"):
+        read_delta(spark, delta_root, timestamp=(t0 - 10) * 1000)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, delta_root, version=0, timestamp=t0 * 1000)
+    # commitInfo.timestamp takes precedence over mtime
+    with open(os.path.join(log, f"{1:020d}.json")) as f:
+        lines = f.read()
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": (t0 + 500) * 1000}}) + "\n")
+        f.write(lines)
+    os.utime(os.path.join(log, f"{1:020d}.json"), (t0 + 100, t0 + 100))
+    assert version_at_timestamp(delta_root, (t0 + 200) * 1000) == 0
+    assert version_at_timestamp(delta_root, (t0 + 500) * 1000) == 1

@@ -558,3 +558,16 @@ def test_equality_deletes_without_sequence_numbers_raise(spark, tmp_path):
     )
     with pytest.raises(IcebergProtocolError, match="sequence numbers"):
         read_iceberg(spark, root)
+
+
+def test_timestamp_time_travel(spark, iceberg_root):
+    """timestamp= picks the last snapshot with timestamp-ms <= the
+    requested time (fixture snapshots sit at 1000 and 2000)."""
+    old = read_iceberg(spark, iceberg_root, timestamp=1500)
+    assert {r["k"] for r in old.collect()} == {1, 2, 10}
+    cur = read_iceberg(spark, iceberg_root, timestamp=2000)
+    assert {r["k"] for r in cur.collect()} == {1, 2, 11, 12}
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        read_iceberg(spark, iceberg_root, timestamp=500)
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg(spark, iceberg_root, snapshot_id=1, timestamp=1500)
