@@ -133,6 +133,7 @@ HEADLINE = [
     "s21_delta_column_mapping",   # physical->logical name-mode read
     "s22_delta_deletion_vectors", # roaring-bitmap row deletes applied
     "s23_iceberg_eq_delete",      # sequence-ordered equality deletes
+    "s24_delta_v2_checkpoint",    # v2 manifest + sidecar replay
 ]
 
 

@@ -2834,6 +2834,149 @@ def q_s23(spark, sf):
 
 
 @query(
+    "s24_delta_v2_checkpoint",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)
+                    + CASE WHEN c_mktsegment =
+                               (SELECT min(c_mktsegment) FROM customer)
+                           THEN 10000 ELSE 0 END) AS BIGINT) AS bal_c
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_s24(spark, sf):
+    """S24 — Delta V2 CHECKPOINT replay (sources/delta.py
+    ``_load_checkpoint_v2``): the checkpoint layout newer writers
+    compact into — a ``00...0.checkpoint.<uuid>.json`` manifest whose
+    ``sidecar`` actions point at add-row parquets under
+    ``_delta_log/_sidecars/`` — with NO JSON commit 0 at all (vacuumed
+    away, the state real long-lived tables are in), plus a JSON commit
+    1 swapping the first segment's file (+10000 cents). The read must
+    reconstruct the snapshot from the manifest + BOTH sidecars and
+    apply the post-checkpoint diff; DuckDB recomputes the final table
+    from the base customer rows, so a dropped sidecar, a mis-parsed
+    partitionValues map, or a replay that still wanted commit 0 breaks
+    the hash."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .sources.delta import read_delta
+
+    root = _table_root("s24", sf)
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        "c_mktsegment",
+    )
+    segs = sorted(
+        r["c_mktsegment"] for r in c.select("c_mktsegment").distinct().collect()
+    )
+
+    def put(df, rel):
+        stage = os.path.join(root, rel + ".stage")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(root, rel))
+        shutil.rmtree(stage)
+
+    for i, s in enumerate(segs):
+        put(c.filter(F.col("c_mktsegment") == s).select("c_custkey", "bal_c"),
+            f"seg{i}.parquet")
+    log = os.path.join(root, "_delta_log")
+    sc_dir = os.path.join(log, "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+
+    def sidecar(name, pairs):
+        pq.write_table(
+            pa.table(
+                {
+                    "add": pa.array(
+                        [
+                            {
+                                "path": rel,
+                                "partitionValues": {"c_mktsegment": seg},
+                                "size": 1,
+                                "modificationTime": 0,
+                                "dataChange": False,
+                            }
+                            for rel, seg in pairs
+                        ],
+                        type=add_t,
+                    )
+                }
+            ),
+            os.path.join(sc_dir, name),
+        )
+
+    pairs = [(f"seg{i}.parquet", s) for i, s in enumerate(segs)]
+    half = max(1, len(pairs) // 2)
+    sidecar("sc-0.parquet", pairs[:half])
+    sidecar("sc-1.parquet", pairs[half:])
+    manifest = os.path.join(log, f"{0:020d}.checkpoint.s24-uuid.json")
+    with open(manifest, "w") as f:
+        for a in (
+            {"checkpointMetadata": {"version": 0}},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["v2Checkpoint"]}},
+            {
+                "metaData": {
+                    "id": "s24",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": c.schema.json(),
+                    "partitionColumns": ["c_mktsegment"],
+                    "configuration": {},
+                }
+            },
+            {"sidecar": {"path": "sc-0.parquet", "sizeInBytes": 1}},
+            {"sidecar": {"path": "sc-1.parquet", "sizeInBytes": 1}},
+        ):
+            f.write(_json.dumps(a) + "\n")
+    # NOTE: no 00000000000000.json — the replay MUST start at the
+    # v2 checkpoint (the vacuumed long-lived-table state)
+    target = segs[0]
+    put(
+        c.filter(F.col("c_mktsegment") == target).select(
+            "c_custkey", (F.col("bal_c") + 10000).alias("bal_c")
+        ),
+        "seg_swap.parquet",
+    )
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
+        f.write(_json.dumps({"commitInfo": {"operation": "MERGE"}}) + "\n")
+        f.write(_json.dumps({"remove": {"path": "seg0.parquet",
+                                        "deletionTimestamp": 1,
+                                        "dataChange": True}}) + "\n")
+        f.write(_json.dumps({"add": {"path": "seg_swap.parquet",
+                                     "partitionValues": {"c_mktsegment": target},
+                                     "size": 1, "modificationTime": 1,
+                                     "dataChange": True}}) + "\n")
+    # the checkpoint state itself also stays time-travelable
+    assert read_delta(spark, root, version=0).count() == c.count()
+    return (
+        read_delta(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("bal_c").cast("long").alias("bal_c"),
+        )
+    )
+
+
+@query(
     "w15_resample_ffill",
     oracle="""
     WITH obs AS (

@@ -43,8 +43,9 @@ _LOADED = False
 # (a) every entry whose code or oracle changed THIS round — the NEW
 # s19 Hudi timeline read, s20 Iceberg positional-delete read, s21
 # Delta column-mapping (name mode) read, and s22 Delta deletion-vector
-# read (from-spec roaring/Z85/CRC codec), and s23 Iceberg
-# equality-delete read (sequence-number ordered); the single-scan +
+# read (from-spec roaring/Z85/CRC codec), s23 Iceberg
+# equality-delete read (sequence-number ordered), and s24 Delta V2
+# checkpoint replay (manifest + sidecars); the single-scan +
 # broadcast-partition-join read_delta rewrite behind s15 (and s16's
 # read-through), the checkpoint-writing exporter behind s16, the
 # delete-aware Iceberg manifest replay behind s18, and the
@@ -64,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "s21_delta_column_mapping",
     "s22_delta_deletion_vectors",
     "s23_iceberg_eq_delete",
+    "s24_delta_v2_checkpoint",
     "t20_bpe_pair_counts",
     # (b) oldest-vintage stable representatives, family-complete
     "flagship_readmit_30d",
@@ -85,7 +87,6 @@ PRIORITY: tuple[str, ...] = (
     "w4_backfill",
     "w5_last_per_group",
     "w6_sort",
-    "w8_rolling_avg",
     "a1_value_counts",
     "a2_count_distinct",
     "a3_topk_by_freq",
