@@ -134,6 +134,7 @@ HEADLINE = [
     "s22_delta_deletion_vectors", # roaring-bitmap row deletes applied
     "s23_iceberg_eq_delete",      # sequence-ordered equality deletes
     "s24_delta_v2_checkpoint",    # v2 manifest + sidecar replay
+    "st14_stream_delta_tail",     # foreign-delta streaming source
 ]
 
 

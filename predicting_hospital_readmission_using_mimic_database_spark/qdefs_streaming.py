@@ -891,3 +891,162 @@ def q_st13(spark, sf):
         return spark.createDataFrame(rows, got.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st14_stream_delta_tail",
+    oracle="""
+    SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c,
+           c_mktsegment, CAST(0 AS BIGINT) AS _commit_version
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) + 5000,
+           c_mktsegment, 1
+    FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 10 <> 0
+    """,
+)
+def q_st14(spark, sf):
+    """ST14 — a FOREIGN Delta table as a STREAMING SOURCE
+    (sources/delta_stream.py): ``readStream.format("delta_stream")``
+    tails a hand-built ``_delta_log`` with committed delta VERSIONS as
+    offsets. The drained feed must be exactly v0's full insert set plus
+    v1's appended file — WITH v1's deletion vector applied row-by-row
+    while streaming (the ``c_custkey % 10 == 0`` ordinals never
+    surface) and partition values materialized from the log. DuckDB
+    recomputes the expected feed from the base customer rows; a wrong
+    offset window, a leaked DV row, or a mis-cast partition value
+    breaks the hash."""
+    import glob
+    import json as _json
+
+    from .sources.delta_stream import register_delta_stream
+    from .sources.dv import write_dv_file
+
+    register_delta_stream(spark)
+    tmp = tempfile.mkdtemp(prefix="st14_")
+    try:
+        root = os.path.join(tmp, "tbl")
+        os.makedirs(root, exist_ok=True)
+        c = read_table(spark, sf, "customer").select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+            "c_mktsegment",
+        )
+        segs = sorted(
+            r["c_mktsegment"]
+            for r in c.select("c_mktsegment").distinct().collect()
+        )
+
+        def put(df, rel):
+            stage = os.path.join(root, rel + ".stage")
+            df.coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(root, rel))
+            shutil.rmtree(stage)
+
+        def add(rel, seg, dv=None):
+            a = {
+                "path": rel,
+                "partitionValues": {"c_mktsegment": seg},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+            if dv:
+                a["deletionVector"] = dv
+            return {"add": a}
+
+        log = os.path.join(root, "_delta_log")
+        os.makedirs(log, exist_ok=True)
+
+        def commit(v, actions):
+            with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+                for a in actions:
+                    f.write(_json.dumps(a) + "\n")
+
+        adds0 = []
+        for i, s in enumerate(segs):
+            rel = f"seg{i}.parquet"
+            put(
+                c.filter(F.col("c_mktsegment") == s).select(
+                    "c_custkey", "bal_c"
+                ),
+                rel,
+            )
+            adds0.append(add(rel, s))
+        commit(
+            0,
+            [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {
+                    "metaData": {
+                        "id": "st14",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": c.schema.json(),
+                        "partitionColumns": ["c_mktsegment"],
+                        "configuration": {},
+                    }
+                },
+            ]
+            + adds0,
+        )
+        # v1: per segment, append a bonus file (that segment's %5 keys,
+        # +5000) under its TRUE partition value, each carrying a DV
+        # that kills the %10 ordinals while the partition streams
+        import pyarrow.parquet as pq
+
+        adds1 = []
+        for i, s in enumerate(segs):
+            rel = f"bonus{i}.parquet"
+            put(
+                c.filter(
+                    (F.col("c_mktsegment") == s)
+                    & (F.col("c_custkey") % 5 == 0)
+                ).select("c_custkey", (F.col("bal_c") + 5000).alias("bal_c")),
+                rel,
+            )
+            keys = (
+                pq.ParquetFile(os.path.join(root, rel))
+                .read(columns=["c_custkey"])
+                .column("c_custkey")
+                .to_pylist()
+            )
+            dead = [j for j, k in enumerate(keys) if k % 10 == 0]
+            desc = write_dv_file(os.path.join(root, f"dv_bonus{i}.bin"), dead)
+            adds1.append(add(rel, s, dv=desc))
+        commit(1, adds1)
+
+        got: list = []
+
+        def sink(df, _bid):
+            got.extend(tuple(r) for r in df.collect())
+
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", root)
+            .option("startingVersion", 0)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("c_custkey", LongType()),
+                StructField("bal_c", LongType()),
+                StructField("c_mktsegment", StringType()),
+                StructField("_commit_version", LongType()),
+            ]
+        )
+        return spark.createDataFrame(got, schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

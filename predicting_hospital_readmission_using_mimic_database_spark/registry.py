@@ -44,8 +44,9 @@ _LOADED = False
 # s19 Hudi timeline read, s20 Iceberg positional-delete read, s21
 # Delta column-mapping (name mode) read, and s22 Delta deletion-vector
 # read (from-spec roaring/Z85/CRC codec), s23 Iceberg
-# equality-delete read (sequence-number ordered), and s24 Delta V2
-# checkpoint replay (manifest + sidecars); the single-scan +
+# equality-delete read (sequence-number ordered), s24 Delta V2
+# checkpoint replay (manifest + sidecars), and st14 the foreign-Delta
+# STREAMING source (delta_stream, DV-aware, commit-version offsets); the single-scan +
 # broadcast-partition-join read_delta rewrite behind s15 (and s16's
 # read-through), the checkpoint-writing exporter behind s16, the
 # delete-aware Iceberg manifest replay behind s18, and the
@@ -66,6 +67,7 @@ PRIORITY: tuple[str, ...] = (
     "s22_delta_deletion_vectors",
     "s23_iceberg_eq_delete",
     "s24_delta_v2_checkpoint",
+    "st14_stream_delta_tail",
     "t20_bpe_pair_counts",
     # (b) oldest-vintage stable representatives, family-complete
     "flagship_readmit_30d",
@@ -86,7 +88,6 @@ PRIORITY: tuple[str, ...] = (
     "w1_lead",
     "w4_backfill",
     "w5_last_per_group",
-    "w6_sort",
     "a1_value_counts",
     "a2_count_distinct",
     "a3_topk_by_freq",

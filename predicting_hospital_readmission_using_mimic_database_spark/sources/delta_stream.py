@@ -1,0 +1,264 @@
+"""A FOREIGN Delta table as a Structured Streaming SOURCE —
+``spark.readStream.format("delta_stream").option("path", root)``.
+
+What Delta's own streaming source does (public semantics), rebuilt on
+the PySpark 4 Python Data Source API over :mod:`.delta`'s log replay:
+
+* OFFSETS are committed delta versions — durable, replayable: a
+  micro-batch (start, end] is exactly the ``add`` actions of those
+  JSON commits, one input partition per added file, so exactly-once
+  falls out of checkpointed offsets (the same posture as the engine's
+  ``snapshot_changes`` source).
+* ``startingVersion`` option: a version number to replay from, or
+  ``"latest"`` (the DEFAULT — only commits after stream start are
+  processed; pass ``0`` to ingest the whole history).
+* Data-changing ``remove`` actions (UPDATE/DELETE/MERGE rewrites)
+  RAISE by default — a pure append tail cannot represent them — unless
+  ``ignoreChanges=true``, which processes the commit's adds anyway
+  (may re-emit rewritten rows; Delta's own documented trade-off).
+* DELETION VECTORS on streamed adds are applied per file: the bitmap
+  is decoded driver-side (:mod:`.dv`) and dead row ordinals are
+  skipped while the partition streams the parquet rows.
+* Partition columns are materialized from the log's partitionValues
+  (string serialization cast to the declared type). Column mapping
+  modes other than ``none`` raise (stream the table through
+  ``read_delta`` + foreachBatch instead).
+
+Every emitted row carries ``_commit_version`` (long), so downstream
+exactly-once sinks can key idempotence on (version, row) like the
+engine's CDC feed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from urllib.parse import unquote
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from .delta import (
+    DELTA_LOG_DIR,
+    DeltaProtocolError,
+    _check_meta,
+    _check_protocol,
+    _delta_commits,
+    _replay_log,
+)
+
+__all__ = ["DeltaStreamDataSource", "register_delta_stream"]
+
+
+class _AddPartition(InputPartition):
+    def __init__(self, version, path, pv, dv, data_cols, part_casts):
+        self.version = version
+        self.path = path
+        self.pv = pv                  # {partition col -> string | None}
+        self.dv = dv                  # deletionVector descriptor | None
+        self.data_cols = data_cols    # column names stored IN the file
+        self.part_casts = part_casts  # [(col, type name)] in schema order
+
+
+def _cast_pv(raw: str | None, type_name: str):
+    """The spec's string partition-value serialization -> python value
+    (what the Python data source hands Spark for the declared type)."""
+    if raw is None:
+        return None
+    t = type_name.lower()
+    if t in ("byte", "short", "integer", "long"):
+        return int(raw)
+    if t in ("float", "double"):
+        return float(raw)
+    if t == "boolean":
+        return raw == "true"
+    if t == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(raw)
+    if t.startswith("decimal"):
+        import decimal
+
+        return decimal.Decimal(raw)
+    if t in ("timestamp", "timestamp_ntz"):
+        import datetime
+
+        return datetime.datetime.fromisoformat(raw)
+    if t == "string":
+        return raw
+    raise DeltaProtocolError(
+        f"unsupported partition column type {type_name!r} for the "
+        "delta_stream source"
+    )
+
+
+class DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self._root = options.get("path")
+        if not self._root:
+            raise ValueError("delta_stream requires .option('path', <table root>)")
+        meta, _live, _dvs, last = _replay_log(self._root)
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode != "none":
+            raise DeltaProtocolError(
+                f"delta_stream does not support column mapping ({mode}); "
+                "use read_delta + foreachBatch"
+            )
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        self._part_cols = list(meta.get("partitionColumns") or [])
+        self._data_cols = [
+            f.name for f in schema.fields if f.name not in self._part_cols
+        ]
+        self._schema_order = [f.name for f in schema.fields]
+        self._part_casts = {
+            f.name: f.dataType.typeName()
+            for f in schema.fields
+            if f.name in self._part_cols
+        }
+        self._ignore_changes = str(
+            options.get("ignorechanges", options.get("ignoreChanges", "false"))
+        ).lower() in ("true", "1")
+        start = options.get("startingversion", options.get("startingVersion"))
+        if start is None or str(start).lower() == "latest":
+            self._start = last
+        else:
+            # replay from `start` means batches begin at version start,
+            # i.e. the offset floor is start-1
+            self._start = int(start) - 1
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        _m, _l, _d, last = _replay_log(self._root)
+        return {"version": last}
+
+    def partitions(self, start: dict, end: dict):
+        log_dir = os.path.join(self._root, DELTA_LOG_DIR)
+        have = dict(_delta_commits(log_dir))
+        out: list[_AddPartition] = []
+        casts = [(c, self._part_casts[c]) for c in self._part_cols]
+        for v in range(start["version"] + 1, end["version"] + 1):
+            if v not in have:
+                raise DeltaProtocolError(
+                    f"commit version {v} is missing from {log_dir} "
+                    "(vacuumed past the stream's offset); restart with a "
+                    "newer startingVersion"
+                )
+            with open(have[v]) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    a = json.loads(line)
+                    if "protocol" in a:
+                        _check_protocol(a["protocol"])
+                    elif "metaData" in a:
+                        _check_meta(a["metaData"])
+                    elif "remove" in a:
+                        if a["remove"].get("dataChange", True) and not self._ignore_changes:
+                            raise DeltaProtocolError(
+                                f"commit {v} contains a data-changing remove "
+                                "(UPDATE/DELETE/MERGE); a streaming tail "
+                                "cannot represent it — set "
+                                "ignoreChanges=true to process the adds "
+                                "anyway (may re-emit rewritten rows)"
+                            )
+                    elif "add" in a:
+                        ad = a["add"]
+                        if not ad.get("dataChange", True):
+                            continue  # compaction rewrite: no new rows
+                        out.append(
+                            _AddPartition(
+                                v,
+                                os.path.join(self._root, unquote(ad["path"])),
+                                ad.get("partitionValues") or {},
+                                ad.get("deletionVector"),
+                                self._data_cols,
+                                casts,
+                            )
+                        )
+        return out or [_AddPartition(-1, None, {}, None, self._data_cols, casts)]
+
+    def read(self, partition: _AddPartition):
+        if partition.path is None:
+            return
+        import pyarrow.parquet as pq
+
+        dead: set[int] = set()
+        if partition.dv:
+            from .dv import read_dv_descriptor
+
+            dead = set(read_dv_descriptor(partition.dv, self._root))
+        table = pq.ParquetFile(partition.path).read(
+            columns=partition.data_cols
+        )
+        pv = {
+            c: _cast_pv(partition.pv.get(c), t) for c, t in partition.part_casts
+        }
+        data = {c: table.column(c).to_pylist() for c in partition.data_cols}
+        for i in range(table.num_rows):
+            if i in dead:
+                continue
+            yield (
+                *[
+                    pv[c] if c in pv else data[c][i]
+                    for c in self._schema_order
+                ],
+                partition.version,
+            )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable delta versions; nothing to release
+
+
+class _DeltaBatchTailReader(DataSourceReader):
+    """Batch view of the append tail since ``startingVersion``
+    (default 0 = the whole history) — the catch-up companion."""
+
+    def __init__(self, options: dict):
+        self._stream = DeltaStreamReader(
+            {
+                **options,
+                "startingversion": options.get(
+                    "startingversion", options.get("startingVersion", 0)
+                ),
+            }
+        )
+
+    def partitions(self):
+        return self._stream.partitions(
+            self._stream.initialOffset(), self._stream.latestOffset()
+        )
+
+    def read(self, partition):
+        yield from self._stream.read(partition)
+
+
+class DeltaStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "delta_stream"
+
+    def schema(self):
+        meta, _l, _d, _last = _replay_log(self.options.get("path"))
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        return StructType(list(schema.fields)).add("_commit_version", "long")
+
+    def streamReader(self, schema: StructType):
+        return DeltaStreamReader(self.options)
+
+    def reader(self, schema: StructType):
+        return _DeltaBatchTailReader(self.options)
+
+
+def register_delta_stream(spark) -> None:
+    """Idempotently register the format on the session."""
+    spark.dataSource.register(DeltaStreamDataSource)

@@ -1,0 +1,154 @@
+"""Foreign-Delta streaming source (sources/delta_stream.py): commit-
+version offsets, append tailing, checkpoint-resume exactly-once, DV
+row skipping, partition-value materialization, and the data-changing-
+remove gate."""
+
+import json
+import os
+
+import pytest
+
+from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import DeltaProtocolError
+from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_stream import (
+    register_delta_stream,
+)
+from tests.test_delta_interop import (
+    _meta_action,
+    _write_commit,
+    _write_parquet,
+)
+
+
+def _add(rel, pv=None, dv=None, data_change=True):
+    a = {
+        "path": rel,
+        "partitionValues": pv or {},
+        "size": 1,
+        "modificationTime": 0,
+        "dataChange": data_change,
+    }
+    if dv:
+        a["deletionVector"] = dv
+    return {"add": a}
+
+
+@pytest.fixture
+def stream_root(tmp_path):
+    """v0: meta + seg=A file (ids 0,1); v1: append seg=B file (id 10)."""
+    root = str(tmp_path / "dstream")
+    _write_parquet(os.path.join(root, "a0.parquet"), [(0,), (1,)], ["id"])
+    _write_parquet(os.path.join(root, "b0.parquet"), [(10,)], ["id"])
+    fields = [("id", "long"), ("seg", "string")]
+    _write_commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta_action(fields, part_cols=["seg"]),
+            _add("a0.parquet", {"seg": "A"}),
+        ],
+    )
+    _write_commit(root, 1, [_add("b0.parquet", {"seg": "B"})])
+    return root
+
+
+def _drain(spark, root, ckpt, **opts):
+    got = []
+
+    def sink(df, _bid):
+        got.extend(tuple(r) for r in df.collect())
+
+    reader = spark.readStream.format("delta_stream").option("path", root)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sorted(got)
+
+
+def test_stream_full_history_and_resume(spark, stream_root, tmp_path):
+    register_delta_stream(spark)
+    ckpt = str(tmp_path / "ck")
+    got = _drain(spark, stream_root, ckpt, startingVersion=0)
+    assert got == [(0, "A", 0), (1, "A", 0), (10, "B", 1)]
+    # no new commits: the same checkpoint drains nothing
+    assert _drain(spark, stream_root, ckpt, startingVersion=0) == []
+    # a new append commit: the resumed stream sees ONLY the delta
+    _write_parquet(
+        os.path.join(stream_root, "c0.parquet"), [(20,), (21,)], ["id"]
+    )
+    _write_commit(stream_root, 2, [_add("c0.parquet", {"seg": "C"})])
+    assert _drain(spark, stream_root, ckpt, startingVersion=0) == [
+        (20, "C", 2), (21, "C", 2)
+    ]
+
+
+def test_stream_batch_view_and_default_latest(spark, stream_root, tmp_path):
+    register_delta_stream(spark)
+    # batch view: whole tail in one frame
+    df = (
+        spark.read.format("delta_stream")
+        .option("path", stream_root)
+        .load()
+    )
+    assert sorted(tuple(r) for r in df.collect()) == [
+        (0, "A", 0), (1, "A", 0), (10, "B", 1)
+    ]
+    # default startingVersion=latest: a fresh stream sees nothing until
+    # a commit lands after stream start
+    assert _drain(spark, stream_root, str(tmp_path / "ck2")) == []
+
+
+def test_stream_applies_deletion_vectors(spark, stream_root, tmp_path):
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.dv import write_dv_file
+
+    register_delta_stream(spark)
+    _write_parquet(
+        os.path.join(stream_root, "d0.parquet"),
+        [(30,), (31,), (32,)],
+        ["id"],
+    )
+    desc = write_dv_file(os.path.join(stream_root, "dv_d0.bin"), [1])
+    _write_commit(stream_root, 2, [_add("d0.parquet", {"seg": "D"}, dv=desc)])
+    got = _drain(
+        spark, stream_root, str(tmp_path / "ck3"), startingVersion=2
+    )
+    assert got == [(30, "D", 2), (32, "D", 2)]  # ordinal 1 skipped
+
+
+def test_stream_gates_data_changing_removes(spark, stream_root, tmp_path):
+    register_delta_stream(spark)
+    _write_parquet(os.path.join(stream_root, "a1.parquet"), [(0,)], ["id"])
+    _write_commit(
+        stream_root,
+        2,
+        [
+            {"remove": {"path": "a0.parquet", "deletionTimestamp": 1,
+                        "dataChange": True}},
+            _add("a1.parquet", {"seg": "A"}),
+        ],
+    )
+    with pytest.raises(Exception) as ei:
+        _drain(spark, stream_root, str(tmp_path / "ck4"), startingVersion=2)
+    assert "ignoreChanges" in str(ei.value)
+    # ignoreChanges=true processes the adds of the rewriting commit
+    got = _drain(
+        spark, stream_root, str(tmp_path / "ck5"),
+        startingVersion=2, ignoreChanges="true",
+    )
+    assert got == [(0, "A", 2)]
+    # dataChange=false adds (pure compaction) emit nothing either way
+    _write_parquet(os.path.join(stream_root, "comp.parquet"), [(99,)], ["id"])
+    _write_commit(
+        stream_root, 3, [_add("comp.parquet", {"seg": "A"}, data_change=False)]
+    )
+    assert _drain(
+        spark, stream_root, str(tmp_path / "ck5"),
+        startingVersion=2, ignoreChanges="true",
+    ) == []
