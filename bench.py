@@ -135,6 +135,7 @@ HEADLINE = [
     "s23_iceberg_eq_delete",      # sequence-ordered equality deletes
     "s24_delta_v2_checkpoint",    # v2 manifest + sidecar replay
     "st14_stream_delta_tail",     # foreign-delta streaming source
+    "s25_hudi_incremental",       # hudi change-feed incremental read
 ]
 
 

@@ -2977,6 +2977,96 @@ def q_s24(spark, sf):
 
 
 @query(
+    "s25_hudi_incremental",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) + 10000 AS bal_c
+    FROM customer
+    WHERE c_mktsegment = (SELECT min(c_mktsegment) FROM customer)
+      AND c_custkey % 3 = 0
+    """,
+)
+def q_s25(spark, sf):
+    """S25 — Hudi INCREMENTAL QUERY (sources/hudi.py
+    ``read_hudi_incremental``): the change-feed consumption shape Hudi
+    exists for — a downstream job reads only the rows committed after
+    its last processed instant. Commit 2 rewrites the first segment's
+    file group the way a real COW upsert does: every ``%3`` key is
+    UPDATED (+10000, stamped instant 2) while the other rows are
+    CARRIED FORWARD under their ORIGINAL instant-1 commit time. The
+    incremental read over ``(t1, latest]`` must open ONLY the touched
+    file group (plan-asserted) and return exactly the updated rows —
+    a reader that trusted file granularity instead of per-row commit
+    times would leak every carried-forward row and break DuckDB's
+    row-level hash."""
+    import glob
+    import os
+    import shutil
+
+    from .sources.hudi import read_hudi, read_hudi_incremental
+
+    root = _table_root("s25", sf)
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        "c_mktsegment",
+    )
+    n_all = c.count()
+    segs = sorted(
+        r["c_mktsegment"] for r in c.select("c_mktsegment").distinct().collect()
+    )
+    t1, t2 = "00000000000001", "00000000000002"
+
+    def put(df, part, file_id, instant, commit_time_col):
+        d = os.path.join(root, part)
+        os.makedirs(d, exist_ok=True)
+        meta = df.select(
+            commit_time_col.alias("_hoodie_commit_time"),
+            F.lit(f"{instant}_0").alias("_hoodie_commit_seqno"),
+            F.col("c_custkey").cast("string").alias("_hoodie_record_key"),
+            F.lit(part).alias("_hoodie_partition_path"),
+            F.lit(f"{file_id}_1-0-1_{instant}.parquet").alias(
+                "_hoodie_file_name"
+            ),
+            "c_custkey",
+            "bal_c",
+        )
+        stage = os.path.join(root, f".stage_{file_id}_{instant}")
+        meta.coalesce(1).write.parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(src, os.path.join(d, f"{file_id}_1-0-1_{instant}.parquet"))
+        shutil.rmtree(stage)
+
+    hdir = os.path.join(root, ".hoodie")
+    os.makedirs(hdir, exist_ok=True)
+    with open(os.path.join(hdir, "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.name=s25\nhoodie.table.type=COPY_ON_WRITE\n")
+    for i, s in enumerate(segs):
+        put(
+            c.filter(F.col("c_mktsegment") == s),
+            s, f"fg{i}", t1, F.lit(t1),
+        )
+    open(os.path.join(hdir, f"{t1}.commit"), "w").close()
+    # the COW upsert rewrite: %3 keys updated (stamped t2), the rest
+    # carried forward under their ORIGINAL t1 commit time
+    upd = F.col("c_custkey") % 3 == 0
+    put(
+        c.filter(F.col("c_mktsegment") == segs[0]).withColumn(
+            "bal_c", F.col("bal_c") + F.when(upd, 10000).otherwise(0)
+        ),
+        segs[0], "fg0", t2,
+        F.when(upd, F.lit(t2)).otherwise(F.lit(t1)),
+    )
+    open(os.path.join(hdir, f"{t2}.commit"), "w").close()
+    # the rewrite preserved the snapshot row set
+    assert read_hudi(spark, root).count() == n_all
+    inc = read_hudi_incremental(spark, root, begin=t1)
+    # only the touched file group is opened
+    assert all("fg0" in os.path.basename(p) for p in inc.inputFiles())
+    return inc.select("c_custkey", "bal_c")
+
+
+@query(
     "w15_resample_ffill",
     oracle="""
     WITH obs AS (

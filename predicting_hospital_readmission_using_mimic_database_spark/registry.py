@@ -45,8 +45,9 @@ _LOADED = False
 # Delta column-mapping (name mode) read, and s22 Delta deletion-vector
 # read (from-spec roaring/Z85/CRC codec), s23 Iceberg
 # equality-delete read (sequence-number ordered), s24 Delta V2
-# checkpoint replay (manifest + sidecars), and st14 the foreign-Delta
-# STREAMING source (delta_stream, DV-aware, commit-version offsets); the single-scan +
+# checkpoint replay (manifest + sidecars), st14 the foreign-Delta
+# STREAMING source (delta_stream, DV-aware, commit-version offsets),
+# and s25 the Hudi incremental query (per-row commit-time filtering); the single-scan +
 # broadcast-partition-join read_delta rewrite behind s15 (and s16's
 # read-through), the checkpoint-writing exporter behind s16, the
 # delete-aware Iceberg manifest replay behind s18, and the
@@ -68,6 +69,7 @@ PRIORITY: tuple[str, ...] = (
     "s23_iceberg_eq_delete",
     "s24_delta_v2_checkpoint",
     "st14_stream_delta_tail",
+    "s25_hudi_incremental",
     "t20_bpe_pair_counts",
     # (b) oldest-vintage stable representatives, family-complete
     "flagship_readmit_30d",
@@ -78,7 +80,6 @@ PRIORITY: tuple[str, ...] = (
     "p3_filter_neq",
     "p4_filter_eq",
     "p5_filter_numeric",
-    "p7_filter_not_isin",
     "j1_join_inner",
     "j3_join_outer",
     "j4_join_left_composite",

@@ -115,32 +115,80 @@ def hudi_commits(root: str) -> list[str]:
     return sorted(_completed_commits(root))
 
 
-def read_hudi(
+def read_hudi_incremental(
     spark: SparkSession,
     root: str,
-    as_of: str | None = None,
+    begin: str,
+    end: str | None = None,
     keep_meta: bool = False,
     partitions: list[str] | str | None = None,
 ) -> DataFrame:
-    """Snapshot-read a Hudi COW table: the latest completed base file of
-    every file group (``as_of=<instant>`` time-travels to commits at or
-    before that instant). Pending/inflight writers' files and superseded
-    file versions are never handed to Spark.
+    """Hudi's INCREMENTAL QUERY — the rows committed in the instant
+    range ``(begin, end]`` (``end=None`` = latest), the feature that
+    makes Hudi tables consumable as change feeds: a downstream job
+    remembers the last instant it processed and reads only what landed
+    since.
 
-    ``partitions`` prunes at the LISTING level: a partition-path string
-    (or list of them, e.g. ``["2024/01/01", "2024/01/02"]``) restricts
-    the walk to those directories — the listing bound drops from
-    O(table files) to O(admitted-partition files), which at 100 TB is
-    the difference between walking one day and walking the table.
-    Unknown partition paths simply match nothing (Hudi partition paths
-    are opaque strings, not declared metadata)."""
+    COW semantics, same as Hudi's own incremental relation: select each
+    file group's LATEST completed base file at or before ``end``, keep
+    only groups whose file version landed AFTER ``begin`` (untouched
+    groups are never read), then filter rows by their own
+    ``_hoodie_commit_time`` — a rewritten file carries forward the old
+    rows of its group, and the per-row commit time is what separates
+    the new/updated rows from the carried-forward ones. Tables whose
+    files lack the ``_hoodie_commit_time`` meta column cannot answer
+    incremental queries and raise."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import from_arrow_schema
+
     props = _properties(root)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
     if ttype != "COPY_ON_WRITE":
         raise HudiProtocolError(
-            f"hoodie.table.type={ttype}: only COPY_ON_WRITE is supported "
-            "(MERGE_ON_READ needs log-file merging)"
+            f"hoodie.table.type={ttype}: only COPY_ON_WRITE is supported"
         )
+    groups = _latest_slices(root, end, partitions)
+    if not groups:
+        raise ValueError(
+            f"no completed base files visible at "
+            f"{'end=' + str(end) if end is not None else 'latest'}"
+        )
+    # schema from the snapshot's newest slice (stable even when the
+    # incremental window itself is empty)
+    newest = max(groups.values())[1]
+    schema = from_arrow_schema(
+        pq.ParquetFile(newest).schema_arrow, prefer_timestamp_ntz=True
+    )
+    if "_hoodie_commit_time" not in schema.names:
+        raise HudiProtocolError(
+            "table files lack the _hoodie_commit_time meta column; "
+            "incremental queries need per-row commit times"
+        )
+    # only TOUCHED file groups are read: a group whose latest slice
+    # predates `begin` contributes nothing and is never opened
+    touched = sorted(
+        p for instant, p in groups.values() if instant > str(begin)
+    )
+    if not touched:
+        out = spark.createDataFrame([], schema)
+    else:
+        out = spark.read.schema(schema).parquet(*touched).filter(
+            F.col("_hoodie_commit_time") > str(begin)
+        )
+    if not keep_meta:
+        out = out.drop(*[c for c in META_COLS if c in out.columns])
+    return out
+
+
+def _latest_slices(
+    root: str,
+    as_of: str | None,
+    partitions: list[str] | str | None,
+) -> dict[tuple[str, str], tuple[str, str]]:
+    """Newest completed base file per (partition dir, fileId) at or
+    before ``as_of`` — the snapshot's file slices. ``partitions``
+    prunes the walk's descent to the admitted partition dirs."""
     done = _completed_commits(root)
     if as_of is not None:
         done = {c for c in done if c <= str(as_of)}
@@ -150,7 +198,6 @@ def read_hudi(
             os.path.normpath(p)
             for p in ([partitions] if isinstance(partitions, str) else partitions)
         }
-    # newest completed base file per (partition dir, fileId)
     groups: dict[tuple[str, str], tuple[str, str]] = {}
     for dirpath, dirs, files in os.walk(root):
         if os.path.basename(dirpath) == HOODIE_DIR:
@@ -188,6 +235,36 @@ def read_hudi(
             key = (os.path.relpath(dirpath, root), file_id)
             if key not in groups or instant > groups[key][0]:
                 groups[key] = (instant, os.path.join(dirpath, name))
+    return groups
+
+
+def read_hudi(
+    spark: SparkSession,
+    root: str,
+    as_of: str | None = None,
+    keep_meta: bool = False,
+    partitions: list[str] | str | None = None,
+) -> DataFrame:
+    """Snapshot-read a Hudi COW table: the latest completed base file of
+    every file group (``as_of=<instant>`` time-travels to commits at or
+    before that instant). Pending/inflight writers' files and superseded
+    file versions are never handed to Spark.
+
+    ``partitions`` prunes at the LISTING level: a partition-path string
+    (or list of them, e.g. ``["2024/01/01", "2024/01/02"]``) restricts
+    the walk to those directories — the listing bound drops from
+    O(table files) to O(admitted-partition files), which at 100 TB is
+    the difference between walking one day and walking the table.
+    Unknown partition paths simply match nothing (Hudi partition paths
+    are opaque strings, not declared metadata)."""
+    props = _properties(root)
+    ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    if ttype != "COPY_ON_WRITE":
+        raise HudiProtocolError(
+            f"hoodie.table.type={ttype}: only COPY_ON_WRITE is supported "
+            "(MERGE_ON_READ needs log-file merging)"
+        )
+    groups = _latest_slices(root, as_of, partitions)
     if not groups:
         raise ValueError(
             f"no completed base files visible at "

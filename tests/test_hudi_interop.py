@@ -20,7 +20,10 @@ META = {
 }
 
 
-def _write_base(root, partition, file_id, instant, rows):
+def _write_base(root, partition, file_id, instant, rows, commit_times=None):
+    """One base file; rows are stamped with the writing instant (real
+    Hudi semantics) unless per-row commit_times are given — a rewrite
+    carries forward old rows under their ORIGINAL commit time."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -29,6 +32,7 @@ def _write_base(root, partition, file_id, instant, rows):
     names = ["k", "v"]
     cols = list(zip(*rows)) if rows else [[], []]
     data = {m: [str(mv)] * len(rows) for m, mv in META.items()}
+    data["_hoodie_commit_time"] = list(commit_times or [instant] * len(rows))
     data.update({n: list(c) for n, c in zip(names, cols)})
     pq.write_table(
         pa.table(data),
@@ -58,7 +62,13 @@ def hudi_root(tmp_path):
     _write_base(root, "a", "f1", "00000000000001", [(1, 1.0), (2, 2.0)])
     _write_base(root, "b", "f2", "00000000000001", [(10, 10.0)])
     _commit(root, "00000000000001")
-    _write_base(root, "a", "f1", "00000000000002", [(1, -1.0), (2, 2.0), (3, 3.0)])
+    # the rewrite UPDATES k=1, carries k=2 forward under its ORIGINAL
+    # commit time, and inserts k=3 (real COW rewrite row stamping)
+    _write_base(
+        root, "a", "f1", "00000000000002",
+        [(1, -1.0), (2, 2.0), (3, 3.0)],
+        commit_times=["00000000000002", "00000000000001", "00000000000002"],
+    )
     _commit(root, "00000000000002")
     _write_base(root, "b", "f2", "00000000000003", [(99, 99.0)])
     _commit(root, "00000000000003", state="commit.inflight")
@@ -177,3 +187,35 @@ def test_partition_pruned_listing(spark, hudi_root):
     assert both.count() == 4
     with pytest.raises(ValueError, match="no completed base files"):
         read_hudi(spark, hudi_root, partitions="zzz")
+
+
+def test_incremental_query(spark, hudi_root):
+    """Incremental (begin, end]: only rows whose own commit time lands
+    in the window — rewritten files' carried-forward rows are filtered
+    by _hoodie_commit_time, untouched groups never read."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi_incremental,
+    )
+
+    # commit 2 rewrote f1: the window's payload is ONLY the updated k=1
+    # and inserted k=3 — the carried-forward k=2 keeps its original
+    # commit time and must be filtered out
+    inc = read_hudi_incremental(spark, hudi_root, begin="00000000000001")
+    got = {(r["k"], r["v"]) for r in inc.collect()}
+    assert got == {(1, -1.0), (3, 3.0)}
+    # untouched group (f2) is not even opened
+    assert all("f2" not in p for p in inc.inputFiles())
+    # empty window
+    assert read_hudi_incremental(
+        spark, hudi_root, begin="00000000000002"
+    ).count() == 0
+    # full window == snapshot rowset
+    full = read_hudi_incremental(spark, hudi_root, begin="00000000000000")
+    assert full.count() == 4
+    # end-bounded window excludes the later rewrite
+    first = read_hudi_incremental(
+        spark, hudi_root, begin="00000000000000", end="00000000000001"
+    )
+    assert {(r["k"], r["v"]) for r in first.collect()} == {
+        (1, 1.0), (2, 2.0), (10, 10.0)
+    }
