@@ -120,6 +120,8 @@ AUDIT = [
     "s21_delta_column_mapping",  # physical scan + logical restore cast
     "s22_delta_deletion_vectors",  # DV decode + (file,pos) anti-join
     "s23_iceberg_eq_delete",  # sequence-ordered equality anti-join
+    "s24_delta_v2_checkpoint",  # manifest+sidecar replay read
+    "s25_hudi_incremental",   # touched-groups-only incremental read
     "u12_cluster_balanced",  # map-only assign + one cell-keyed window
 ]
 
