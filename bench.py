@@ -136,6 +136,7 @@ HEADLINE = [
     "s24_delta_v2_checkpoint",    # v2 manifest + sidecar replay
     "st14_stream_delta_tail",     # foreign-delta streaming source
     "s25_hudi_incremental",       # hudi change-feed incremental read
+    "st15_stream_hudi_tail",      # hudi streaming source
 ]
 
 

@@ -1050,3 +1050,129 @@ def q_st14(spark, sf):
         return spark.createDataFrame(got, schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st15_stream_hudi_tail",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT)
+           + CASE WHEN c_mktsegment =
+                      (SELECT min(c_mktsegment) FROM customer)
+                  AND c_custkey % 3 = 0
+                  THEN 10000 ELSE 0 END AS bal_c,
+           CASE WHEN c_mktsegment =
+                    (SELECT min(c_mktsegment) FROM customer)
+                AND c_custkey % 3 = 0
+                THEN '00000000000002' ELSE '00000000000001'
+           END AS _commit_instant
+    FROM customer
+    """,
+)
+def q_st15(spark, sf):
+    """ST15 — a FOREIGN Hudi COW table as a STREAMING SOURCE
+    (sources/hudi_stream.py): completed timeline INSTANTS are the
+    offsets, micro-batches open only the file groups whose latest
+    slice landed in the window, and per-row ``_hoodie_commit_time``
+    separates updates from carried-forward rows. The fixture is the
+    s25 upsert shape — commit 2 rewrites the first segment's group
+    with ``%3`` keys updated (stamped t2) and the rest carried forward
+    under t1 — drained from instant 0 with availableNow: net semantics
+    mean every customer surfaces ONCE at its final value with its own
+    commit instant, which DuckDB recomputes directly; a leaked
+    carried-forward duplicate or a wrong instant stamp breaks the
+    row-level hash."""
+    import glob
+
+    from .sources.hudi_stream import register_hudi_stream
+
+    register_hudi_stream(spark)
+    tmp = tempfile.mkdtemp(prefix="st15_")
+    try:
+        root = os.path.join(tmp, "tbl")
+        c = read_table(spark, sf, "customer").select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+            "c_mktsegment",
+        )
+        segs = sorted(
+            r["c_mktsegment"]
+            for r in c.select("c_mktsegment").distinct().collect()
+        )
+        t1, t2 = "00000000000001", "00000000000002"
+
+        def put(df, part, file_id, instant, ct_col):
+            d = os.path.join(root, part)
+            os.makedirs(d, exist_ok=True)
+            meta = df.select(
+                ct_col.alias("_hoodie_commit_time"),
+                F.lit(f"{instant}_0").alias("_hoodie_commit_seqno"),
+                F.col("c_custkey").cast("string").alias("_hoodie_record_key"),
+                F.lit(part).alias("_hoodie_partition_path"),
+                F.lit(f"{file_id}_1-0-1_{instant}.parquet").alias(
+                    "_hoodie_file_name"
+                ),
+                "c_custkey",
+                "bal_c",
+            )
+            stage = os.path.join(root, f".stage_{file_id}_{instant}")
+            meta.coalesce(1).write.parquet(stage)
+            src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            shutil.move(
+                src, os.path.join(d, f"{file_id}_1-0-1_{instant}.parquet")
+            )
+            shutil.rmtree(stage)
+
+        hdir = os.path.join(root, ".hoodie")
+        os.makedirs(hdir, exist_ok=True)
+        with open(os.path.join(hdir, "hoodie.properties"), "w") as f:
+            f.write(
+                "hoodie.table.name=st15\nhoodie.table.type=COPY_ON_WRITE\n"
+            )
+        for i, s in enumerate(segs):
+            put(c.filter(F.col("c_mktsegment") == s), s, f"fg{i}", t1,
+                F.lit(t1))
+        open(os.path.join(hdir, f"{t1}.commit"), "w").close()
+        upd = F.col("c_custkey") % 3 == 0
+        put(
+            c.filter(F.col("c_mktsegment") == segs[0]).withColumn(
+                "bal_c", F.col("bal_c") + F.when(upd, 10000).otherwise(0)
+            ),
+            segs[0], "fg0", t2,
+            F.when(upd, F.lit(t2)).otherwise(F.lit(t1)),
+        )
+        open(os.path.join(hdir, f"{t2}.commit"), "w").close()
+
+        got: list = []
+
+        def sink(df, _bid):
+            got.extend(tuple(r) for r in df.collect())
+
+        q = (
+            spark.readStream.format("hudi_stream")
+            .option("path", root)
+            .option("startingInstant", "0")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("c_custkey", LongType()),
+                StructField("bal_c", LongType()),
+                StructField("_commit_instant", StringType()),
+            ]
+        )
+        return spark.createDataFrame(got, schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

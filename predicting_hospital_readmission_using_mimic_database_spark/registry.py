@@ -47,7 +47,9 @@ _LOADED = False
 # equality-delete read (sequence-number ordered), s24 Delta V2
 # checkpoint replay (manifest + sidecars), st14 the foreign-Delta
 # STREAMING source (delta_stream, DV-aware, commit-version offsets),
-# and s25 the Hudi incremental query (per-row commit-time filtering); the single-scan +
+# s25 the Hudi incremental query (per-row commit-time filtering), and
+# st15 the Hudi streaming source (instant offsets over the same
+# incremental machinery); the single-scan +
 # broadcast-partition-join read_delta rewrite behind s15 (and s16's
 # read-through), the checkpoint-writing exporter behind s16, the
 # delete-aware Iceberg manifest replay behind s18, and the
@@ -70,6 +72,7 @@ PRIORITY: tuple[str, ...] = (
     "s24_delta_v2_checkpoint",
     "st14_stream_delta_tail",
     "s25_hudi_incremental",
+    "st15_stream_hudi_tail",
     "t20_bpe_pair_counts",
     # (b) oldest-vintage stable representatives, family-complete
     "flagship_readmit_30d",
@@ -104,7 +107,6 @@ PRIORITY: tuple[str, ...] = (
     "m6_lr_l1",
     "e3_pr_curve",
     "d1_dedup_exact",
-    "d4_ngram_jaccard",
     "n2_knn_lsh",
     "x1_text_stats",
     "mm2_frame_sample",
