@@ -137,6 +137,7 @@ HEADLINE = [
     "st14_stream_delta_tail",     # foreign-delta streaming source
     "s25_hudi_incremental",       # hudi change-feed incremental read
     "st15_stream_hudi_tail",      # hudi streaming source
+    "st16_stream_iceberg_tail",   # iceberg append-scan streaming source
 ]
 
 

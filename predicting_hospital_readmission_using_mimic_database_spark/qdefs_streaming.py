@@ -1176,3 +1176,141 @@ def q_st15(spark, sf):
         return spark.createDataFrame(got, schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st16_stream_iceberg_tail",
+    oracle="""
+    SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c,
+           CAST(1 AS BIGINT) AS _snapshot_id
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) + 7000, 2
+    FROM customer WHERE c_custkey % 9 = 0
+    """,
+)
+def q_st16(spark, sf):
+    """ST16 — a FOREIGN Iceberg table as a STREAMING SOURCE
+    (sources/iceberg_stream.py): the incremental APPEND scan with
+    snapshot-LINEAGE offsets (position + pinned snapshot id, so
+    expired/rewritten history is detected, never silently replayed).
+    Snapshot 1 is the exported base table; snapshot 2 is a
+    hand-appended manifest (the shape a real appender commits: only
+    the new file, operation 'append', entries stamped with the
+    snapshot id). The availableNow drain must emit every base row
+    stamped 1 and exactly the appended ``%9`` bonus rows stamped 2 —
+    DuckDB recomputes the expected feed, so a re-emitted base file or
+    a wrong snapshot stamp breaks the row-level hash."""
+    import glob
+
+    from .sources.avro_ocf import read_avro, write_avro
+    from .sources.iceberg import (
+        MANIFEST_ENTRY_SCHEMA,
+        MANIFEST_FILE_SCHEMA,
+        export_iceberg,
+    )
+    from .sources.iceberg_stream import register_iceberg_stream
+    from .sources.table import SnapshotTable
+
+    register_iceberg_stream(spark)
+    tmp = tempfile.mkdtemp(prefix="st16_")
+    try:
+        root = os.path.join(tmp, "tbl")
+        c = read_table(spark, sf, "customer").select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        )
+        t = SnapshotTable.create(spark, root, "c_custkey bigint, bal_c bigint")
+        t.append(c)
+        assert export_iceberg(t) == 1
+        # snapshot 2: a real APPEND — one new parquet file + a manifest
+        # of just that file, stacked on snapshot 1's manifests
+        bonus_rel = "bonus.parquet"
+        stage = os.path.join(root, bonus_rel + ".stage")
+        c.filter(F.col("c_custkey") % 9 == 0).select(
+            "c_custkey", (F.col("bal_c") + 7000).alias("bal_c")
+        ).coalesce(1).write.parquet(stage)
+        bonus = os.path.join(root, bonus_rel)
+        shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], bonus)
+        shutil.rmtree(stage)
+        mdir = os.path.join(root, "metadata")
+        with open(os.path.join(mdir, "version-hint.text")) as f:
+            hint = f.read().strip()
+        import json as _json
+
+        with open(os.path.join(mdir, f"v{hint}.metadata.json")) as f:
+            meta = _json.load(f)
+        cur = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _s, manifests = read_avro(cur["manifest-list"])
+        m2 = os.path.join(mdir, "manifest-append-2.avro")
+        write_avro(
+            m2,
+            MANIFEST_ENTRY_SCHEMA,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": 2,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": bonus,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": 1,
+                        "file_size_in_bytes": os.path.getsize(bonus),
+                        "equality_ids": None,
+                    },
+                }
+            ],
+        )
+        ml2 = os.path.join(mdir, "snap-append-2.avro")
+        write_avro(
+            ml2,
+            MANIFEST_FILE_SCHEMA,
+            [{"sequence_number": None, **m} for m in manifests]
+            + [
+                {
+                    "manifest_path": m2,
+                    "manifest_length": os.path.getsize(m2),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "added_snapshot_id": 2,
+                    "sequence_number": 2,
+                }
+            ],
+        )
+        meta["snapshots"].append(
+            {"snapshot-id": 2, "timestamp-ms": 2,
+             "summary": {"operation": "append"},
+             "manifest-list": ml2, "schema-id": 0}
+        )
+        meta["current-snapshot-id"] = 2
+        v = int(hint) + 1
+        with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as f:
+            _json.dump(meta, f)
+        with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+            f.write(str(v))
+
+        got: list = []
+
+        def sink(df, _bid):
+            got.extend(tuple(r) for r in df.collect())
+
+        q = (
+            spark.readStream.format("iceberg_stream")
+            .option("path", root)
+            .option("startingSnapshotCount", 0)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.createDataFrame(
+            got, "c_custkey long, bal_c long, _snapshot_id long"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

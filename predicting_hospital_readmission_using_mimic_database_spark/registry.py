@@ -48,8 +48,9 @@ _LOADED = False
 # checkpoint replay (manifest + sidecars), st14 the foreign-Delta
 # STREAMING source (delta_stream, DV-aware, commit-version offsets),
 # s25 the Hudi incremental query (per-row commit-time filtering), and
-# st15 the Hudi streaming source (instant offsets over the same
-# incremental machinery); the single-scan +
+# st15/st16 the Hudi and Iceberg streaming
+# sources (instant / snapshot-lineage offsets — all three lakehouse
+# formats now streamable); the single-scan +
 # broadcast-partition-join read_delta rewrite behind s15 (and s16's
 # read-through), the checkpoint-writing exporter behind s16, the
 # delete-aware Iceberg manifest replay behind s18, and the
@@ -73,6 +74,7 @@ PRIORITY: tuple[str, ...] = (
     "st14_stream_delta_tail",
     "s25_hudi_incremental",
     "st15_stream_hudi_tail",
+    "st16_stream_iceberg_tail",
     "t20_bpe_pair_counts",
     # (b) oldest-vintage stable representatives, family-complete
     "flagship_readmit_30d",
@@ -104,7 +106,6 @@ PRIORITY: tuple[str, ...] = (
     "t1_regex_recode",
     "t10_tokenize",
     "m1_assemble",
-    "m6_lr_l1",
     "e3_pr_curve",
     "d1_dedup_exact",
     "n2_knn_lsh",

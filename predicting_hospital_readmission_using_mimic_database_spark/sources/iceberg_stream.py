@@ -1,0 +1,216 @@
+"""A FOREIGN Iceberg table as a Structured Streaming SOURCE —
+``spark.readStream.format("iceberg_stream").option("path", root)``.
+
+Iceberg's incremental APPEND scan (the semantics of the official
+runtime's streaming read) on the PySpark 4 Python Data Source API,
+completing the streamable-lakehouse trio with ``delta_stream`` and
+``hudi_stream``:
+
+* OFFSETS are positions in the table's append-ordered snapshot
+  LINEAGE, pinned by snapshot id: the offset stores both the count of
+  processed snapshots and the id of the last one, so history rewritten
+  or expired underneath a checkpoint is DETECTED (raises) instead of
+  silently replaying wrong data.
+* A micro-batch (start, end] streams the files ADDED by each new
+  snapshot — manifest entries with status 1 stamped with that
+  snapshot's id — one input partition per added data file; every row
+  carries ``_snapshot_id`` (long).
+* Only ``append`` snapshots are streamable; ``overwrite`` / ``delete``
+  / ``replace`` snapshots RAISE unless ``ignoreChanges=true`` (then
+  their added DATA files are processed — may re-emit rewritten rows;
+  the official runtime's documented trade-off). Delete files are never
+  streamed.
+* ``startingSnapshotCount`` option: how many leading snapshots to skip
+  (``"latest"``, the DEFAULT, skips everything committed before stream
+  start; ``0`` ingests the whole retained history).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from .avro_ocf import read_avro
+from .iceberg import (
+    IcebergProtocolError,
+    _localize,
+    _metadata_path,
+    _table_schema,
+)
+
+__all__ = ["IcebergStreamDataSource", "register_iceberg_stream"]
+
+
+def _load_meta(root: str) -> dict:
+    with open(_metadata_path(root)) as f:
+        meta = json.load(f)
+    if int(meta.get("format-version", 1)) > 2:
+        raise IcebergProtocolError(
+            f"format-version {meta['format-version']} > 2 is not supported"
+        )
+    return meta
+
+
+class _AddedFilePartition(InputPartition):
+    def __init__(self, path, snapshot_id, cols):
+        self.path = path
+        self.snapshot_id = snapshot_id
+        self.cols = cols
+
+
+class IcebergStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self._root = options.get("path")
+        if not self._root:
+            raise ValueError(
+                "iceberg_stream requires .option('path', <table root>)"
+            )
+        meta = _load_meta(self._root)
+        self._cols = [f.name for f in _table_schema(meta).fields]
+        self._ignore_changes = str(
+            options.get("ignorechanges", options.get("ignoreChanges", "false"))
+        ).lower() in ("true", "1")
+        snaps = meta.get("snapshots", [])
+        start = options.get(
+            "startingsnapshotcount", options.get("startingSnapshotCount")
+        )
+        if start is None or str(start).lower() == "latest":
+            n = len(snaps)
+        else:
+            n = min(int(start), len(snaps))
+        self._start = self._offset_at(snaps, n)
+
+    @staticmethod
+    def _offset_at(snaps: list, n: int) -> dict:
+        return {
+            "n": n,
+            "sid": snaps[n - 1]["snapshot-id"] if n > 0 else None,
+        }
+
+    def initialOffset(self) -> dict:
+        return self._start
+
+    def latestOffset(self) -> dict:
+        snaps = _load_meta(self._root).get("snapshots", [])
+        return self._offset_at(snaps, len(snaps))
+
+    def partitions(self, start: dict, end: dict):
+        snaps = _load_meta(self._root).get("snapshots", [])
+        n0 = start["n"]
+        if n0 > len(snaps) or (
+            n0 > 0 and snaps[n0 - 1]["snapshot-id"] != start["sid"]
+        ):
+            raise IcebergProtocolError(
+                f"snapshot lineage changed under the checkpoint (offset "
+                f"pinned snapshot {start['sid']} at position {n0}); the "
+                "history was expired or rewritten — restart the stream"
+            )
+        out: list[_AddedFilePartition] = []
+        for snap in snaps[n0 : end["n"]]:
+            sid = snap["snapshot-id"]
+            op = (snap.get("summary") or {}).get("operation", "append")
+            if op != "append" and not self._ignore_changes:
+                raise IcebergProtocolError(
+                    f"snapshot {sid} is {op!r}; an incremental append "
+                    "scan cannot represent it — set ignoreChanges=true "
+                    "to process its added files anyway (may re-emit "
+                    "rewritten rows)"
+                )
+            if "manifest-list" in snap:
+                _s, manifests = read_avro(
+                    _localize(snap["manifest-list"], self._root)
+                )
+                mpaths = [
+                    (m["manifest_path"], m.get("content", 0) == 1)
+                    for m in manifests
+                ]
+            else:
+                mpaths = [(p, False) for p in snap.get("manifests", [])]
+            for mp, is_delete in mpaths:
+                if is_delete:
+                    continue  # delete files are never streamed
+                _s, entries = read_avro(_localize(mp, self._root))
+                for e in entries:
+                    if e.get("status", 0) != 1 or e.get("snapshot_id") != sid:
+                        continue  # only files ADDED by this snapshot
+                    df = e["data_file"]
+                    if df.get("content", 0) != 0:
+                        continue
+                    out.append(
+                        _AddedFilePartition(
+                            _localize(df["file_path"], self._root),
+                            sid,
+                            self._cols,
+                        )
+                    )
+        return out or [_AddedFilePartition(None, -1, self._cols)]
+
+    def read(self, partition: _AddedFilePartition):
+        if partition.path is None:
+            return
+        import pyarrow.parquet as pq
+
+        table = pq.ParquetFile(partition.path).read(columns=partition.cols)
+        data = {c: table.column(c).to_pylist() for c in partition.cols}
+        for i in range(table.num_rows):
+            yield (
+                *[data[c][i] for c in partition.cols],
+                partition.snapshot_id,
+            )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable snapshot positions
+
+
+class _IcebergBatchTailReader(DataSourceReader):
+    """Batch view of the append tail (default: whole retained history)."""
+
+    def __init__(self, options: dict):
+        self._stream = IcebergStreamReader(
+            {
+                **options,
+                "startingsnapshotcount": options.get(
+                    "startingsnapshotcount",
+                    options.get("startingSnapshotCount", 0),
+                ),
+            }
+        )
+
+    def partitions(self):
+        return self._stream.partitions(
+            self._stream.initialOffset(), self._stream.latestOffset()
+        )
+
+    def read(self, partition):
+        yield from self._stream.read(partition)
+
+
+class IcebergStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_stream"
+
+    def schema(self):
+        meta = _load_meta(self.options.get("path"))
+        return StructType(list(_table_schema(meta).fields)).add(
+            "_snapshot_id", "long"
+        )
+
+    def streamReader(self, schema: StructType):
+        return IcebergStreamReader(self.options)
+
+    def reader(self, schema: StructType):
+        return _IcebergBatchTailReader(self.options)
+
+
+def register_iceberg_stream(spark) -> None:
+    """Idempotently register the format on the session."""
+    spark.dataSource.register(IcebergStreamDataSource)

@@ -39,7 +39,7 @@ def test_first_50_entries_cover_every_family():
                  "s21_delta_column_mapping", "s22_delta_deletion_vectors",
                  "s23_iceberg_eq_delete", "s24_delta_v2_checkpoint",
                  "st14_stream_delta_tail", "s25_hudi_incremental",
-                 "st15_stream_hudi_tail",
+                 "st15_stream_hudi_tail", "st16_stream_iceberg_tail",
                  "s15_delta_read", "s16_delta_export",
                  "s18_iceberg_roundtrip", "t20_bpe_pair_counts",
                  "flagship_readmit_30d"):

@@ -1,0 +1,176 @@
+"""Iceberg streaming source (sources/iceberg_stream.py): snapshot-
+lineage offsets, append-only gating, checkpoint resume, lineage-drift
+detection."""
+
+import json
+import os
+
+import pytest
+
+from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+    IcebergProtocolError,
+    export_iceberg,
+)
+from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg_stream import (
+    register_iceberg_stream,
+)
+from predicting_hospital_readmission_using_mimic_database_spark.sources.table import SnapshotTable
+
+
+@pytest.fixture
+def ice_root(spark, tmp_path):
+    """Two exported append snapshots: s1 = k 0..4, s2 = k 100..102."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "icestream")
+    t = SnapshotTable.create(spark, root, "k bigint, v double")
+    t.append(
+        spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    )
+    assert export_iceberg(t) == 1
+    t.append(
+        spark.range(100, 103).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+    )
+    sid2 = export_iceberg(t)
+    # the second export re-manifests the FULL live set as one snapshot
+    # whose operation is 'overwrite' — rewrite it to the append shape a
+    # real appender commits: only the new file, operation 'append'
+    mdir = os.path.join(root, "metadata")
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        hint = f.read().strip()
+    with open(os.path.join(mdir, f"v{hint}.metadata.json")) as f:
+        meta = json.load(f)
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.avro_ocf import (
+        read_avro,
+        write_avro,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        MANIFEST_ENTRY_SCHEMA,
+        MANIFEST_FILE_SCHEMA,
+    )
+
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    _s, m1 = read_avro(snaps[1]["manifest-list"])
+    _s2, e1 = read_avro(m1[0]["manifest_path"])
+    s1_files = {e["data_file"]["file_path"] for e in e1}
+    _s3, m2 = read_avro(snaps[sid2]["manifest-list"])
+    _s4, e2 = read_avro(m2[0]["manifest_path"])
+    new_entries = [
+        {**e, "snapshot_id": sid2}
+        for e in e2
+        if e["data_file"]["file_path"] not in s1_files
+    ]
+    m_new = os.path.join(mdir, "manifest-append-2.avro")
+    write_avro(m_new, MANIFEST_ENTRY_SCHEMA, new_entries)
+    ml_new = os.path.join(mdir, "snap-append-2.avro")
+    write_avro(
+        ml_new,
+        MANIFEST_FILE_SCHEMA,
+        [{"sequence_number": None, **m} for m in m1]
+        + [
+            {
+                "manifest_path": m_new,
+                "manifest_length": os.path.getsize(m_new),
+                "partition_spec_id": 0,
+                "content": 0,
+                "added_snapshot_id": sid2,
+                "sequence_number": sid2,
+            }
+        ],
+    )
+    snaps[sid2]["manifest-list"] = ml_new
+    snaps[sid2]["summary"] = {"operation": "append"}
+    with open(os.path.join(mdir, f"v{hint}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    return root
+
+
+def _drain(spark, root, ckpt, **opts):
+    got = []
+
+    def sink(df, _bid):
+        got.extend(tuple(r) for r in df.collect())
+
+    reader = spark.readStream.format("iceberg_stream").option("path", root)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sorted(got)
+
+
+def test_append_history_and_resume(spark, ice_root, tmp_path):
+    register_iceberg_stream(spark)
+    ckpt = str(tmp_path / "ck")
+    got = _drain(spark, ice_root, ckpt, startingSnapshotCount=0)
+    ks = sorted(k for k, _v, _s in got)
+    assert ks == [0, 1, 2, 3, 4, 100, 101, 102]
+    # snapshot stamps: the appended keys carry snapshot 2
+    assert {s for k, _v, s in got if k >= 100} == {2}
+    assert {s for k, _v, s in got if k < 100} == {1}
+    # nothing new: same checkpoint drains nothing
+    assert _drain(spark, ice_root, ckpt, startingSnapshotCount=0) == []
+    # batch tail view agrees
+    df = spark.read.format("iceberg_stream").option("path", ice_root).load()
+    assert df.count() == 8
+
+
+def test_non_append_snapshots_gate(spark, ice_root, tmp_path):
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        append_position_deletes,
+    )
+
+    register_iceberg_stream(spark)
+    # a delete snapshot lands: the append scan must refuse...
+    data_file = None
+    import pyarrow.parquet as pq  # find a real (file, pos) target
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.avro_ocf import read_avro
+
+    mdir = os.path.join(ice_root, "metadata")
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        hint = f.read().strip()
+    with open(os.path.join(mdir, f"v{hint}.metadata.json")) as f:
+        meta = json.load(f)
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    _s, ml = read_avro(snaps[1]["manifest-list"])
+    _s2, entries = read_avro(ml[0]["manifest_path"])
+    data_file = entries[0]["data_file"]["file_path"]
+    append_position_deletes(ice_root, [(data_file, 0)])
+    with pytest.raises(Exception) as ei:
+        _drain(spark, ice_root, str(tmp_path / "ck2"), startingSnapshotCount=0)
+    assert "ignoreChanges" in str(ei.value)
+    # ...unless ignoreChanges=true (delete snapshot adds no data files)
+    got = _drain(
+        spark, ice_root, str(tmp_path / "ck3"),
+        startingSnapshotCount=0, ignoreChanges="true",
+    )
+    assert len(got) == 8
+
+
+def test_lineage_drift_detected(spark, ice_root, tmp_path):
+    register_iceberg_stream(spark)
+    ckpt = str(tmp_path / "ck4")
+    assert len(_drain(spark, ice_root, ckpt, startingSnapshotCount=0)) == 8
+    # rewrite history under the checkpoint: swap a snapshot id
+    mdir = os.path.join(ice_root, "metadata")
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        hint = f.read().strip()
+    mp = os.path.join(mdir, f"v{hint}.metadata.json")
+    with open(mp) as f:
+        meta = json.load(f)
+    meta["snapshots"][-1]["snapshot-id"] = 777
+    meta["current-snapshot-id"] = 777
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(Exception) as ei:
+        _drain(spark, ice_root, ckpt, startingSnapshotCount=0)
+    assert "lineage" in str(ei.value)
