@@ -94,6 +94,7 @@ HEADLINE = [
     "x12_repetition_stats",   # Gopher repetition signals, gram-keyed shuffles
     "x13_chunk_text",         # sliding-window RAG chunking, map-only
     "d8_line_dedup",          # corpus-level CCNet line dedup
+    "d12_substring_dedup",    # EXACTSUBSTR duplicated-span removal (r8)
     "j13_interval_join",      # variable-width interval containment, no BNLJ
     "m12_standard_scale",     # fit-small/transform-wide feature scaling
     "j14_fuzzy_join",         # deletion-neighborhood edit-distance linkage

@@ -792,6 +792,139 @@ def dedup_lines(
 
 
 # ---------------------------------------------------------------------------
+# exact substring dedup (duplicated-span removal)
+# ---------------------------------------------------------------------------
+
+
+def dedup_substrings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 8,
+    digest_only: bool = False,
+) -> DataFrame:
+    """d12 — exact substring deduplication (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" EXACTSUBSTR
+    pass): remove every token that lies inside a verbatim token span of
+    length >= ``min_len`` occurring MORE THAN ONCE in the corpus
+    (across documents or repeated within one).
+
+    The suffix-array formulation is driver-bound; the distributed
+    equivalent used here is gram coverage — a token is part of some
+    duplicated span of >= L tokens **iff** it is covered by a duplicated
+    L-gram (any duplicated span of length >= L contains a duplicated
+    L-gram through every one of its tokens, and every duplicated L-gram
+    IS such a span) — so marking tokens covered by duplicated L-grams
+    removes exactly the same set the suffix-array scan would.
+
+    Returns one row per input document that has >= 1 token (docs whose
+    text is all whitespace vanish on both engines):
+    ``(id, n_tokens, n_removed, kept_text | kept_md5)``.
+
+    Plan shape, at 100 TB: (1) map-only gram build (slice + array_join
+    over the words array), grams keyed by md5 so the counting shuffle
+    carries a 32-char digest, never the gram text; (2) ONE map-side-
+    combinable count shuffle on the digest; duplicated grams are the
+    filtered MINORITY, so the join back to gram starts broadcasts under
+    AQE; (3) coverage is an interval SWEEP, not an interval explode:
+    +1/-1 events at span start/end union'd with the token rows, one
+    per-document window running-sum — O(n log n) per doc even when
+    every position is duplicated (an exists()-per-token fold would be
+    O(n * starts) and melt on boilerplate-heavy shards); (4) one per-doc
+    reassembly agg, identical to dedup_lines'. Window partitions are
+    single documents — bounded by document length, never corpus size.
+    """
+    L = int(min_len)
+    if L < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = df.select(F.col(id_col), words.alias("__w")).withColumn(
+        "__n", F.size("__w")
+    )
+    toks = base.select(
+        id_col, F.posexplode("__w").alias("pos", "tok")
+    ).select(
+        id_col,
+        "pos",
+        "tok",
+        F.lit(0).alias("delta"),
+        F.lit(1).alias("tag"),
+    )
+    # gram starts: md5 over the L-token slice; docs shorter than L emit
+    # nothing (F.sequence would DESCEND on a negative span — guard it)
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.col("__n") >= L,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__n") - L),
+                    lambda s: F.struct(
+                        s.alias("s"),
+                        F.md5(
+                            F.array_join(F.slice("__w", s + 1, L), " ")
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    ).select(id_col, F.col("g.s").alias("s"), F.col("g.h").alias("h"))
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("__cnt"))
+        .filter(F.col("__cnt") >= 2)
+        .select("h")
+    )
+    starts = grams.join(dup, "h").select(id_col, "s")
+    events = starts.select(
+        id_col,
+        F.col("s").alias("pos"),
+        F.lit(1).alias("delta"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("string").alias("tok"),
+    ).unionByName(
+        starts.select(
+            id_col,
+            (F.col("s") + L).alias("pos"),
+            F.lit(-1).alias("delta"),
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("string").alias("tok"),
+        )
+    )
+    from pyspark.sql import Window
+
+    swept = toks.unionByName(events.select(*toks.columns))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    covered = (F.sum("delta").over(w) > 0) & (F.col("tag") == 1)
+    marked = swept.withColumn("__cov", covered).filter(F.col("tag") == 1)
+    kept_text = F.array_join(
+        F.transform(
+            F.filter(
+                F.sort_array(
+                    F.collect_list(F.struct("pos", "tok", F.col("__cov").alias("c")))
+                ),
+                lambda s: ~s["c"],
+            ),
+            lambda s: s["tok"],
+        ),
+        " ",
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.col("__cov").cast("int")).cast("long").alias("n_removed"),
+        (F.md5(kept_text) if digest_only else kept_text).alias(
+            "kept_md5" if digest_only else "kept_text"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup)
 # ---------------------------------------------------------------------------
 

@@ -1330,6 +1330,89 @@ def q_d8(spark, sf):
     return DD.dedup_lines(d, "doc_id", "text", sep="\n", digest_only=True)
 
 
+#: d12 planted spans: a 12-token cross-doc phrase on every 3rd doc and a
+#: 10-token phrase repeated TWICE (intra-doc duplicate) on every 7th;
+#: marker words are disjoint from the corpus vocabulary so the planted
+#: coverage is exactly predictable (random salad 8-grams may also
+#: collide — both engines detect those identically)
+_D12_P1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+_D12_P2 = "nu xi omicron pi rho sigma tau upsilon phi chi"
+_D12_DOCS_SQL = f"""
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0 THEN ' {_D12_P1}' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' {_D12_P2} {_D12_P2}' ELSE '' END
+           AS text
+    FROM documents
+"""
+
+
+@query(
+    "d12_substring_dedup",
+    oracle=f"""
+    WITH d AS ({_D12_DOCS_SQL}),
+    w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t <> '') AS words
+      FROM d
+    ),
+    t AS (
+      SELECT doc_id, i - 1 AS pos, words[i] AS tok
+      FROM w, unnest(generate_series(1, len(words))) u(i)
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS s,
+             md5(array_to_string(words[i:i+7], ' ')) AS h
+      FROM w, unnest(generate_series(1, len(words) - 7)) u(i)
+      WHERE len(words) >= 8
+    ),
+    dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+    st AS (SELECT g.doc_id, g.s FROM g JOIN dup USING (h)),
+    cov AS (
+      SELECT t.doc_id, t.pos, t.tok,
+             EXISTS (SELECT 1 FROM st
+                     WHERE st.doc_id = t.doc_id
+                       AND st.s BETWEEN t.pos - 7 AND t.pos) AS c
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(coalesce(string_agg(CASE WHEN NOT c THEN tok END,
+                                   ' ' ORDER BY pos), '')) AS kept_md5
+    FROM cov GROUP BY doc_id
+    """,
+)
+def q_d12(spark, sf):
+    """D12 — EXACT SUBSTRING dedup (Lee et al. 2022's EXACTSUBSTR pass)
+    via operators.dedup.dedup_substrings: every token inside a verbatim
+    >=8-token span that occurs more than once in the corpus is removed;
+    survivors are reassembled in order and digested. Suffix arrays are
+    driver-bound, so the distributed formulation is duplicated-L-gram
+    COVERAGE (provably the same removed set); the coverage itself is a
+    +1/-1 interval sweep under one per-doc window, never an
+    exists()-per-token fold. Duplication is planted on both engines: a
+    cross-doc 12-token phrase (every 3rd doc) and an intra-doc twice-
+    repeated 10-token phrase (every 7th doc); the random-salad corpus
+    contributes whatever organic 8-gram collisions it has, identically
+    visible to both engines. Shuffles carry md5 digests, not gram text;
+    the duplicated-gram set is the filtered minority AQE broadcasts."""
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" " + _D12_P1)).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" " + _D12_P2 + " " + _D12_P2)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return DD.dedup_substrings(d, "doc_id", "text", min_len=8, digest_only=True)
+
+
 @query(
     "x14_weighted_sample",
     oracle="""

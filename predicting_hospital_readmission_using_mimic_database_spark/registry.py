@@ -76,6 +76,7 @@ PRIORITY: tuple[str, ...] = (
     "st15_stream_hudi_tail",
     "st16_stream_iceberg_tail",
     "t20_bpe_pair_counts",
+    "d12_substring_dedup",
     # (b) oldest-vintage stable representatives, family-complete
     "flagship_readmit_30d",
     "s1_scan_events",
@@ -84,7 +85,6 @@ PRIORITY: tuple[str, ...] = (
     "p1_project",
     "p3_filter_neq",
     "p4_filter_eq",
-    "p5_filter_numeric",
     "j1_join_inner",
     "j3_join_outer",
     "j4_join_left_composite",

@@ -971,6 +971,101 @@ def test_dedup_lines_literal_separator_with_regex_metachars(spark):
     assert out[1]["kept_text"] == "keep me|mine"
 
 
+def _brute_substring_dedup(docs: dict, L: int):
+    """Reference EXACTSUBSTR: mark tokens lying in any >=L-token span
+    occurring more than once corpus-wide (equivalently: covered by a
+    duplicated L-gram), driver-side brute force."""
+    words = {i: t.split() for i, t in docs.items()}
+    from collections import Counter
+
+    cnt = Counter(
+        tuple(w[s : s + L])
+        for w in words.values()
+        for s in range(len(w) - L + 1)
+    )
+    out = {}
+    for i, w in words.items():
+        starts = [
+            s for s in range(len(w) - L + 1) if cnt[tuple(w[s : s + L])] >= 2
+        ]
+        cov = [False] * len(w)
+        for s in starts:
+            for p in range(s, s + L):
+                cov[p] = True
+        out[i] = (
+            len(w),
+            sum(cov),
+            " ".join(t for t, c in zip(w, cov) if not c),
+        )
+    return out
+
+
+def test_dedup_substrings_cross_doc_span(spark):
+    shared = "one two three four five six seven eight nine ten"  # 10 toks
+    df = spark.createDataFrame(
+        [
+            (1, f"aa bb {shared} cc dd"),
+            (2, f"ee ff gg {shared}"),
+            (3, "hh ii jj kk ll mm nn oo pp qq"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in DD.dedup_substrings(df, "id", "text", min_len=8).collect()}
+    exp = _brute_substring_dedup(
+        {1: f"aa bb {shared} cc dd", 2: f"ee ff gg {shared}", 3: "hh ii jj kk ll mm nn oo pp qq"},
+        8,
+    )
+    for i in (1, 2, 3):
+        assert (out[i]["n_tokens"], out[i]["n_removed"], out[i]["kept_text"]) == exp[i]
+    # only the shared 10 tokens vanish; doc 3 is untouched
+    assert out[1]["n_removed"] == 10 and out[1]["kept_text"] == "aa bb cc dd"
+    assert out[3]["n_removed"] == 0
+
+
+def test_dedup_substrings_intra_doc_repeat(spark):
+    p = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    df = spark.createDataFrame(
+        [(1, f"head {p} {p} tail")], "id long, text string"
+    )
+    r = DD.dedup_substrings(df, "id", "text", min_len=8).collect()[0]
+    # the whole 20-token repeated block is covered; head/tail survive
+    assert r["n_tokens"] == 22 and r["n_removed"] == 20
+    assert r["kept_text"] == "head tail"
+
+
+def test_dedup_substrings_matches_bruteforce_random(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{k}" for k in range(6)]  # tiny vocab -> organic dups
+    docs = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        for i in range(12)
+    }
+    docs[3] = docs[5]  # full-doc duplicate
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "id long, text string"
+    )
+    for L in (2, 4, 8):
+        got = {
+            r["id"]: (r["n_tokens"], r["n_removed"], r["kept_text"])
+            for r in DD.dedup_substrings(df, "id", "text", min_len=L).collect()
+        }
+        exp = _brute_substring_dedup(docs, L)
+        exp = {i: v for i, v in exp.items() if v[0] > 0}  # empty docs drop
+        assert got == exp, L
+
+
+def test_dedup_substrings_guards_and_digest(spark):
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    with pytest.raises(ValueError):
+        DD.dedup_substrings(df, "id", "text", min_len=1)
+    r = DD.dedup_substrings(df, "id", "text", min_len=2, digest_only=True).collect()[0]
+    import hashlib
+
+    assert r["kept_md5"] == hashlib.md5(b"a b c").hexdigest()
+
+
 def test_pagerank_matches_local_power_iteration(spark):
     from predicting_hospital_readmission_using_mimic_database_spark.operators.graph import pagerank
 
