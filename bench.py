@@ -103,6 +103,7 @@ HEADLINE = [
     "s8_json_roundtrip",      # JSON sink + schema-first source round-trip
     "t19_feature_hashing",    # fit-free hashing-trick features
     "t20_bpe_pair_counts",    # BPE training kernel over the vocab frame
+    "t21_bpe_encode",         # serving-side greedy BPE segmentation (r8)
     "g1_pagerank",            # 5 power iterations, per-iteration checkpoint
     "w14_ohlc_bars",          # single-shuffle OHLC time bars
     # round-6 additions

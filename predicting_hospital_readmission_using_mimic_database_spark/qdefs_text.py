@@ -411,3 +411,106 @@ def q_t20(spark, sf):
         .limit(20)
         .select("a", "b", F.col("cnt").cast("long").alias("cnt"))
     )
+
+
+#: t21 fixed merge list (rank = position). Deliberately includes a
+#: rank-INVERSION: rank 0 ("ta"+"ble</w>") only becomes applicable after
+#: the higher-rank merges 3/4/5/6 build its components, so sequential
+#: rank-order application would miss it — only the true greedy
+#: lowest-rank-first loop produces "table</w>" (and "s table</w>" for
+#: "stable"), which is exactly what the oracle must reproduce.
+_T21_MERGES: list[tuple[str, str]] = [
+    ("ta", "ble</w>"),
+    ("s", "c"),
+    ("sc", "a"),
+    ("t", "a"),
+    ("b", "le</w>"),
+    ("l", "e"),
+    ("le", "</w>"),
+    ("k", "e"),
+    ("ke", "y"),
+    ("key", "</w>"),
+    ("a", "</w>"),
+    ("t", "h"),
+    ("th", "e"),
+    ("the", "</w>"),
+]
+
+#: symbols never contain whitespace (words are split on it), so "a b" is
+#: an unambiguous pair key for the SQL-side rank map
+_T21_RANKMAP = (
+    "MAP {"
+    + ", ".join(f"'{a} {b}': {r}" for r, (a, b) in enumerate(_T21_MERGES))
+    + "}"
+)
+
+_T21_SQL = f"""
+    WITH RECURSIVE
+    wl AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t <> '') AS words
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i AS wpos, words[i] AS word
+      FROM wl, unnest(generate_series(1, len(words))) u(i)
+    ),
+    vw AS (SELECT DISTINCT word FROM w),
+    enc AS (
+      SELECT word, list_append(regexp_extract_all(word, '.'), '</w>') AS syms
+      FROM vw
+      UNION ALL
+      SELECT word,
+             syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms
+      FROM (
+        SELECT word, syms, list_min(rs) AS mr,
+               list_position(rs, list_min(rs)) AS bi
+        FROM (
+          SELECT word, syms,
+                 list_transform(generate_series(1, len(syms) - 1),
+                    i -> coalesce(({_T21_RANKMAP})[syms[i] || ' ' || syms[i+1]][1],
+                                  1000000)) AS rs
+          FROM enc
+        )
+      ) WHERE mr < 1000000
+    ),
+    fin AS (
+      SELECT word, syms FROM (
+        SELECT word, syms,
+               coalesce(list_min(list_transform(generate_series(1, len(syms) - 1),
+                  i -> coalesce(({_T21_RANKMAP})[syms[i] || ' ' || syms[i+1]][1],
+                                1000000))), 1000000) AS mr
+        FROM enc
+      ) WHERE mr >= 1000000
+    )
+    SELECT w.doc_id,
+           CAST(sum(len(f.syms)) AS BIGINT) AS n_tokens,
+           string_agg(array_to_string(f.syms, ' '), ' ' ORDER BY w.wpos) AS toks
+    FROM w JOIN fin f USING (word)
+    GROUP BY w.doc_id
+"""
+
+
+@query("t21_bpe_encode", oracle=_T21_SQL)
+def q_t21(spark, sf):
+    """T21 — the SERVING half of the tokenizer (ml.bpe.bpe_encode):
+    greedy lowest-rank-first merge segmentation with a fixed rank-ordered
+    merge list shipped in the Arrow-batch closure (fit-small/
+    transform-wide — the merge dict is O(vocab), the corpus never
+    collects). The merge list plants a rank INVERSION (rank 0 applies
+    only after ranks 3-6 build its components), so the entry separates
+    the true greedy loop from naive sequential rank application; the
+    DuckDB oracle replays the exact loop as a recursive CTE over DISTINCT
+    words (leftmost-minimal-rank merge per step) and reassembles per-doc
+    token streams. Map-only at any corpus size: zero shuffles besides the
+    per-doc output agg."""
+    from .ml.bpe import bpe_encode
+
+    d = read_table(spark, sf, "documents").select("doc_id", "text")
+    enc = bpe_encode(d, "doc_id", "text", _T21_MERGES)
+    return enc.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.array_join("tokens", " ").alias("toks"),
+    )

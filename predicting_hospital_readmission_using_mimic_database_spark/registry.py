@@ -77,6 +77,7 @@ PRIORITY: tuple[str, ...] = (
     "st16_stream_iceberg_tail",
     "t20_bpe_pair_counts",
     "d12_substring_dedup",
+    "t21_bpe_encode",
     # (b) oldest-vintage stable representatives, family-complete
     "flagship_readmit_30d",
     "s1_scan_events",
@@ -86,7 +87,6 @@ PRIORITY: tuple[str, ...] = (
     "p3_filter_neq",
     "p4_filter_eq",
     "j1_join_inner",
-    "j3_join_outer",
     "j4_join_left_composite",
     "j7_anti_join",
     "j8_semi_join",

@@ -42,7 +42,8 @@ def test_first_50_entries_cover_every_family():
                  "st15_stream_hudi_tail", "st16_stream_iceberg_tail",
                  "s15_delta_read", "s16_delta_export",
                  "s18_iceberg_roundtrip", "t20_bpe_pair_counts",
-                 "d12_substring_dedup", "flagship_readmit_30d"):
+                 "d12_substring_dedup", "t21_bpe_encode",
+                 "flagship_readmit_30d"):
         assert must in names
     assert len(names) == 50
 
