@@ -138,6 +138,7 @@ HEADLINE = [
     "s24_delta_v2_checkpoint",    # v2 manifest + sidecar replay
     "st14_stream_delta_tail",     # foreign-delta streaming source
     "s25_hudi_incremental",       # hudi change-feed incremental read
+    "s26_iceberg_transform_prune",  # year/truncate transform pruning (r8)
     "st15_stream_hudi_tail",      # hudi streaming source
     "st16_stream_iceberg_tail",   # iceberg append-scan streaming source
 ]

@@ -2333,6 +2333,228 @@ def q_s18(spark, sf):
 
 
 @query(
+    "s26_iceberg_transform_prune",
+    oracle="""
+    WITH base AS (
+      SELECT (year(o_orderdate) - 1970) AS yr,
+             (o_custkey // 600) * 600 AS tr,
+             o_orderkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST(yr AS BIGINT) AS yr, CAST(tr AS BIGINT) AS tr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS total_c,
+           CAST(min(o_orderkey) AS BIGINT) AS min_ok,
+           CAST(max(o_orderkey) AS BIGINT) AS max_ok
+    FROM base
+    WHERE yr IN (26, 29) AND tr IN (0, 1200)
+    GROUP BY yr, tr
+    """,
+)
+def q_s26(spark, sf):
+    """S26 — Iceberg PARTITION-TRANSFORM pruning (sources/iceberg.py
+    `transform_value` + the source-column path of `read_iceberg`'s
+    ``partitions=``): the fixture lays orders down the way a conforming
+    writer with spec ``[year(o_orderdate), truncate[600](o_custkey)]``
+    would — one data file per transformed tuple, manifests storing the
+    TRANSFORMED partition values (year ordinal since 1970, floored
+    custkey), spec JSON carrying transform + source-id. The read prunes
+    with SOURCE values (``{"o_orderdate": [two dates], "o_custkey":
+    [two keys]}``): the reader must apply the spec transforms and admit
+    exactly the 2x2 tuple cross product — a wrongly-admitted or
+    wrongly-dropped FILE shifts whole groups and breaks the hash. The
+    oracle recomputes the admitted row set from base parquet with the
+    same transform arithmetic in SQL. Pruning is metadata-only
+    (driver-side file-list cut before any Spark task); the bucket[N]
+    murmur3 twin is pinned end-to-end in tests/test_iceberg_interop.py
+    (its hash is not SQL-recomputable)."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .sources.avro_ocf import write_avro
+    from .sources.iceberg import (
+        MANIFEST_FILE_SCHEMA,
+        read_iceberg,
+    )
+
+    root = _table_root("s26", sf)
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+    tbl = pq.read_table(
+        os.path.join(sf, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    pdf = tbl.to_pandas()
+    pdf["o_orderdate"] = pdf["o_orderdate"].dt.date
+    yr = pdf["o_orderdate"].map(lambda d: d.year - 1970)
+    tr = (pdf["o_custkey"] // 600) * 600
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [
+                                    {"name": "od_year", "type": "long"},
+                                    {"name": "ck_trunc", "type": "long"},
+                                ],
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    entries = []
+    arrow_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.date32()),
+        ]
+    )
+    for (y, t), g in pdf.groupby([yr, tr], sort=True):
+        p = os.path.join(ddir, f"f-{y}-{t}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(g, schema=arrow_schema, preserve_index=False), p
+        )
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {"od_year": int(y), "ck_trunc": int(t)},
+                    "record_count": len(g),
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+        )
+    manifest = os.path.join(mdir, "manifest-1.avro")
+    write_avro(manifest, entry_schema, entries)
+    mlist = os.path.join(mdir, "snap-1.avro")
+    write_avro(
+        mlist,
+        MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": manifest,
+                "manifest_length": os.path.getsize(manifest),
+                "partition_spec_id": 0,
+                "content": 0,
+                "added_snapshot_id": 1,
+                "sequence_number": 1,
+            }
+        ],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "s26-fixture",
+        "location": root,
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 0,
+                "summary": {"operation": "append"},
+                "manifest-list": mlist,
+                "schema-id": 0,
+            }
+        ],
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+                    {"id": 2, "name": "o_custkey", "required": False, "type": "long"},
+                    {
+                        "id": 3,
+                        "name": "o_totalprice",
+                        "required": False,
+                        "type": "double",
+                    },
+                    {"id": 4, "name": "o_orderdate", "required": False, "type": "date"},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": "od_year",
+                        "transform": "year",
+                        "source-id": 4,
+                        "field-id": 1000,
+                    },
+                    {
+                        "name": "ck_trunc",
+                        "transform": "truncate[600]",
+                        "source-id": 2,
+                        "field-id": 1001,
+                    },
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")
+    df = read_iceberg(
+        spark,
+        root,
+        partitions={
+            "o_orderdate": ["1996-06-01", "1999-03-15"],
+            "o_custkey": [17, 1234],
+        },
+    )
+    return (
+        df.select(
+            (F.year("o_orderdate") - 1970).cast("long").alias("yr"),
+            (F.floor(F.col("o_custkey") / 600) * 600).cast("long").alias("tr"),
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("yr", "tr")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("total_c"),
+            F.min("o_orderkey").cast("long").alias("min_ok"),
+            F.max("o_orderkey").cast("long").alias("max_ok"),
+        )
+    )
+
+
+@query(
     "s17_pyds_snapshot_read",
     oracle="""
     SELECT c_custkey,

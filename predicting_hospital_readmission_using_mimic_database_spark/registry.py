@@ -78,13 +78,13 @@ PRIORITY: tuple[str, ...] = (
     "t20_bpe_pair_counts",
     "d12_substring_dedup",
     "t21_bpe_encode",
+    "s26_iceberg_transform_prune",
     # (b) oldest-vintage stable representatives, family-complete
     "flagship_readmit_30d",
     "s1_scan_events",
     "s3_scan_project",
     "s6_merge_upsert",
     "p1_project",
-    "p3_filter_neq",
     "p4_filter_eq",
     "j1_join_inner",
     "j4_join_left_composite",

@@ -43,6 +43,18 @@ columns INTO the data files (unlike Hive/Delta layouts), so no
 partition-value materialization step is needed; the manifests'
 partition summaries are still used for metadata-level pruning via
 ``partitions=``.
+
+PARTITION TRANSFORMS (spec §Partition Transforms) are evaluated for
+pruning: ``partitions=`` keys may name a SOURCE column of any
+``bucket[N]`` / ``truncate[W]`` / ``year`` / ``month`` / ``day`` /
+``hour`` / ``identity`` spec field — the reader applies the transform
+(bucket uses the spec's 32-bit Murmur3 x86 hash, Appendix B) to the
+wanted value(s) and admits only files whose stored partition tuple
+matches on EVERY spec field derived from that source. Direct partition-
+field-name keys keep working unchanged. Pruning through a transform is
+metadata-only: at 100 TB a ``{"ts": "2024-03-05"}`` filter on a
+day+bucket-partitioned table cuts the file list on the driver before
+Spark plans a single task.
 """
 
 from __future__ import annotations
@@ -147,6 +159,157 @@ def _localize(uri: str, root: str) -> str:
     if os.path.isabs(uri):
         return uri
     return os.path.join(root, uri)
+
+
+# ---------------------------------------------------------------------------
+# partition transforms (spec §Partition Transforms + Appendix B)
+# ---------------------------------------------------------------------------
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant, the spec's Appendix B bucket hash),
+    returned UNSIGNED. Spec test vectors pinned in
+    tests/test_iceberg_interop.py: hash(int 34) = 2017239379,
+    hash("iceberg") = 1210000089."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - (n % 4)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[rounded:]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _as_datetime(value):
+    from datetime import date, datetime
+
+    if isinstance(value, datetime):
+        return value
+    if isinstance(value, date):
+        return datetime(value.year, value.month, value.day)
+    if isinstance(value, str):
+        v = value.replace("T", " ")
+        for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+            try:
+                return datetime.strptime(v, fmt)
+            except ValueError:
+                continue
+    raise ValueError(f"cannot interpret {value!r} as a date/timestamp")
+
+
+def _bucket_hash(value) -> int:
+    """Appendix B serialization: int/long/date/time/timestamp hash as
+    the little-endian 8-byte long, strings as UTF-8 bytes."""
+    from datetime import date, datetime
+
+    if isinstance(value, bool):
+        raise IcebergProtocolError("bucket transform over boolean is not defined")
+    if isinstance(value, int):
+        return murmur3_32(value.to_bytes(8, "little", signed=True))
+    if isinstance(value, str):
+        return murmur3_32(value.encode("utf-8"))
+    if isinstance(value, (bytes, bytearray)):
+        return murmur3_32(bytes(value))
+    if isinstance(value, datetime):
+        epoch = datetime(1970, 1, 1)
+        us = round((value - epoch).total_seconds() * 1_000_000)
+        return murmur3_32(int(us).to_bytes(8, "little", signed=True))
+    if isinstance(value, date):
+        days = (value - date(1970, 1, 1)).days
+        return murmur3_32(days.to_bytes(8, "little", signed=True))
+    raise IcebergProtocolError(
+        f"bucket transform over {type(value).__name__} is not supported"
+    )
+
+
+def transform_value(transform: str, value):
+    """Apply an Iceberg partition transform to a SOURCE value, returning
+    the partition value a conforming writer would store. None propagates
+    (all transforms map null to null)."""
+    if value is None:
+        return None
+    t = str(transform).lower()
+    if t == "identity":
+        return value
+    if t == "void":
+        return None
+    m = re.fullmatch(r"bucket\[(\d+)\]", t)
+    if m:
+        return (_bucket_hash(value) & 0x7FFFFFFF) % int(m.group(1))
+    m = re.fullmatch(r"truncate\[(\d+)\]", t)
+    if m:
+        w = int(m.group(1))
+        if w <= 0:
+            raise ValueError(f"truncate width must be positive: {transform}")
+        if isinstance(value, bool):
+            raise IcebergProtocolError("truncate over boolean is not defined")
+        if isinstance(value, int):
+            return value - (value % w)  # Python % floors: spec semantics
+        if isinstance(value, str):
+            return value[:w]
+        if isinstance(value, (bytes, bytearray)):
+            return bytes(value)[:w]
+        raise IcebergProtocolError(
+            f"truncate over {type(value).__name__} is not supported"
+        )
+    if t in ("year", "month", "day", "hour"):
+        from datetime import date, datetime
+
+        dt = _as_datetime(value)
+        if t == "year":
+            return dt.year - 1970
+        if t == "month":
+            return (dt.year - 1970) * 12 + dt.month - 1
+        if t == "day":
+            return (dt.date() - date(1970, 1, 1)).days
+        epoch = datetime(1970, 1, 1)
+        return int((dt - epoch).total_seconds() // 3600)
+    raise IcebergProtocolError(f"unsupported partition transform {transform!r}")
+
+
+def _spec_source_map(meta: dict) -> dict:
+    """source column name -> [(partition field name, transform), ...]
+    across ALL partition specs in the metadata (a file is only pruned on
+    fields present in its own stored partition tuple, so a union over
+    specs is safe)."""
+    id2name = {}
+    for sch in meta.get("schemas", []):
+        for f in sch.get("fields", []):
+            id2name[f.get("id")] = f.get("name")
+    out: dict = {}
+    for spec in meta.get("partition-specs", []):
+        for f in spec.get("fields", []):
+            src = id2name.get(f.get("source-id"))
+            if src and f.get("name"):
+                ent = (f["name"], f.get("transform", "identity"))
+                out.setdefault(src, [])
+                if ent not in out[src]:
+                    out[src].append(ent)
+    return out
 
 
 def _spark_type(t) -> T.DataType:
@@ -489,9 +652,16 @@ def read_iceberg(
 ) -> DataFrame:
     """Snapshot-read an Iceberg table (``snapshot_id=`` time travel,
     default the current snapshot). ``partitions`` prunes files at the
-    METADATA level against the manifests' identity-partition values
-    (``{"seg": "A"}`` or per-column value lists) before Spark lists
-    anything — unknown partition field names raise.
+    METADATA level against the manifests' partition tuples before Spark
+    lists anything: keys may be stored partition FIELD names matched
+    directly (``{"seg": "A"}`` or value lists), or SOURCE column names
+    of transform-partitioned specs — ``bucket[N]`` / ``truncate[W]`` /
+    ``year`` / ``month`` / ``day`` / ``hour`` / ``identity`` are
+    evaluated per the spec (:func:`transform_value`; bucket uses the
+    Appendix-B 32-bit Murmur3) and a file is admitted iff some wanted
+    source value matches its tuple on every spec field derived from
+    that source. Files whose tuple lacks the field (mixed-spec history)
+    are conservatively kept. Unknown names raise.
 
     V2 POSITIONAL deletes are applied (see the module docstring): data
     files are scanned once with ``_metadata.row_index`` and the delete
@@ -525,21 +695,42 @@ def read_iceberg(
         known = set()
         for _p, pv, _s in files:
             known.update(pv)
-        unknown = [c for c in partitions if files and c not in known]
+        src_map = _spec_source_map(meta)
+        unknown = [
+            c for c in partitions if files and c not in known and c not in src_map
+        ]
         if unknown:
             raise ValueError(
                 f"partitions filter names unknown partition fields {unknown} "
-                f"(manifest partition fields: {sorted(known)})"
+                f"(manifest partition fields: {sorted(known)}; "
+                f"transform source columns: {sorted(src_map)})"
             )
 
-        def _admits(want, got) -> bool:
-            vals = want if isinstance(want, (list, set, tuple)) else [want]
-            return any(v == got for v in vals)
+        def _vals(want) -> list:
+            return list(want) if isinstance(want, (list, set, tuple)) else [want]
+
+        def _admits(pv: dict, key, want) -> bool:
+            if key in pv:  # direct partition-field match (stored value)
+                return any(v == pv[key] for v in _vals(want))
+            # source column: a row with source=v lands in a file whose
+            # tuple has field=transform(v) for EVERY spec field derived
+            # from this source; admit if any wanted v matches all fields
+            # the file's tuple actually carries (none present -> cannot
+            # prune on this key, keep the file)
+            flds = [
+                (fn, tr) for fn, tr in src_map.get(key, ()) if fn in pv
+            ]
+            if not flds:
+                return True
+            return any(
+                all(pv[fn] == transform_value(tr, v) for fn, tr in flds)
+                for v in _vals(want)
+            )
 
         files = [
             (p, pv, s)
             for p, pv, s in files
-            if all(_admits(w, pv.get(c)) for c, w in partitions.items())
+            if all(_admits(pv, c, w) for c, w in partitions.items())
         ]
     if not files:
         return spark.createDataFrame([], schema)

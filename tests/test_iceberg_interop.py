@@ -571,3 +571,181 @@ def test_timestamp_time_travel(spark, iceberg_root):
         read_iceberg(spark, iceberg_root, timestamp=500)
     with pytest.raises(ValueError, match="not both"):
         read_iceberg(spark, iceberg_root, snapshot_id=1, timestamp=1500)
+
+
+# ---------------------------------------------------------------------------
+# partition transforms
+# ---------------------------------------------------------------------------
+
+
+def test_murmur3_spec_vectors():
+    """Iceberg spec Appendix B published hash values."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        _bucket_hash,
+        transform_value,
+    )
+
+    def signed(x):
+        return x - (1 << 32) if x >= (1 << 31) else x
+
+    assert signed(_bucket_hash(34)) == 2017239379          # int/long 34
+    assert signed(_bucket_hash("iceberg")) == 1210000089   # utf-8 string
+    assert transform_value("bucket[16]", 34) == 3          # spec example
+
+
+def test_transform_value_semantics():
+    from datetime import date, datetime
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        IcebergProtocolError,
+        transform_value,
+    )
+
+    # truncate: floor semantics for ints (spec: truncate[10](-1) = -10)
+    assert transform_value("truncate[10]", -1) == -10
+    assert transform_value("truncate[10]", 17) == 10
+    assert transform_value("truncate[3]", "iceberg") == "ice"
+    # temporal ordinals (spec examples for 2017-11-16)
+    assert transform_value("day", "2017-11-16") == 17486
+    assert transform_value("day", date(2017, 11, 16)) == 17486
+    assert transform_value("month", "2017-11-16") == 574
+    assert transform_value("year", "2017-11-16") == 47
+    assert transform_value("hour", datetime(2017, 11, 16, 22, 31, 8)) == 419686
+    assert transform_value("identity", "z") == "z"
+    assert transform_value("void", 9) is None
+    assert transform_value("bucket[8]", None) is None  # null -> null
+    with pytest.raises(IcebergProtocolError, match="unsupported partition transform"):
+        transform_value("zorder[2]", 1)
+    with pytest.raises(IcebergProtocolError, match="not supported"):
+        transform_value("truncate[4]", 1.5)
+
+
+def _bucket_table(root, n_buckets=4, spec_fields=None, legacy_rows=None):
+    """A table of (k, v) rows 0..39 laid out one data file per
+    bucket[n](k), manifests storing the bucket number. ``legacy_rows``
+    adds a pre-spec file through a SECOND manifest whose partition
+    tuple has NO fields at all (mixed-spec history)."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        MANIFEST_ENTRY_SCHEMA as PKG_ENTRY_EMPTY,
+        MANIFEST_FILE_SCHEMA as PKG_MF,
+        transform_value,
+    )
+
+    entry_schema = json.loads(json.dumps(MANIFEST_ENTRY_SCHEMA))
+    entry_schema["fields"][2]["type"]["fields"][3]["type"]["fields"] = [
+        {"name": "kb", "type": ["null", "long"]}
+    ]
+    groups = {}
+    for k in range(40):
+        groups.setdefault(transform_value(f"bucket[{n_buckets}]", k), []).append(k)
+    entries = []
+    for b, ks in sorted(groups.items()):
+        p = os.path.join(root, "data", f"b{b}.parquet")
+        _write_parquet(p, [(k, f"v{k}") for k in ks], ["k", "v"])
+        e = _entry(p, None, len(ks))
+        e["data_file"]["partition"] = {"kb": b}
+        entries.append(e)
+    m = os.path.join(root, "metadata", "m1.avro")
+    os.makedirs(os.path.dirname(m), exist_ok=True)
+    write_avro(m, entry_schema, entries)
+    mrecs = [
+        {"manifest_path": m, "manifest_length": 1, "partition_spec_id": 0,
+         "content": 0, "added_snapshot_id": 1, "sequence_number": 1}
+    ]
+    if legacy_rows is not None:
+        lp = os.path.join(root, "data", "legacy.parquet")
+        _write_parquet(lp, legacy_rows, ["k", "v"])
+        m2 = os.path.join(root, "metadata", "m-legacy.avro")
+        write_avro(
+            m2,
+            PKG_ENTRY_EMPTY,
+            [{
+                "status": 1,
+                "snapshot_id": 1,
+                "data_file": {
+                    "content": 0, "file_path": lp, "file_format": "PARQUET",
+                    "partition": {}, "record_count": len(legacy_rows),
+                    "file_size_in_bytes": 1, "equality_ids": None,
+                },
+            }],
+        )
+        mrecs.append(
+            {"manifest_path": m2, "manifest_length": 1, "partition_spec_id": 1,
+             "content": 0, "added_snapshot_id": 1, "sequence_number": 1}
+        )
+    ml = os.path.join(root, "metadata", "ml1.avro")
+    write_avro(ml, PKG_MF, mrecs)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "bt",
+        "location": root,
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0, "summary": {},
+                       "manifest-list": ml}],
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "string"},
+        ]}],
+        "current-schema-id": 0,
+        "partition-specs": spec_fields if spec_fields is not None else [
+            {"spec-id": 0, "fields": [
+                {"name": "kb", "transform": f"bucket[{n_buckets}]",
+                 "source-id": 1, "field-id": 1000},
+            ]}
+        ],
+        "default-spec-id": 0,
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    return groups
+
+
+def test_bucket_transform_pruning_end_to_end(spark, tmp_path):
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        read_iceberg,
+        transform_value,
+    )
+
+    root = str(tmp_path / "bt")
+    groups = _bucket_table(root)
+    # single source value: only its bucket's file is read
+    df = read_iceberg(spark, root, partitions={"k": 7})
+    b7 = transform_value("bucket[4]", 7)
+    assert sorted(r["k"] for r in df.collect()) == groups[b7]
+    assert len(df.inputFiles()) == 1
+    # value list spanning two buckets: exactly those files
+    df2 = read_iceberg(spark, root, partitions={"k": [7, 8]})
+    want = sorted(set(groups[b7]) | set(groups[transform_value("bucket[4]", 8)]))
+    assert sorted(r["k"] for r in df2.collect()) == want
+    assert len(df2.inputFiles()) == len({b7, transform_value("bucket[4]", 8)})
+    # direct partition-FIELD name still works and wins over transforms
+    df3 = read_iceberg(spark, root, partitions={"kb": b7})
+    assert sorted(r["k"] for r in df3.collect()) == groups[b7]
+
+
+def test_transform_prune_mixed_spec_keeps_unpartitioned_file(spark, tmp_path):
+    """A file whose tuple lacks the spec field (older spec) must be
+    conservatively KEPT when pruning through the source column."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        read_iceberg,
+        transform_value,
+    )
+
+    root = str(tmp_path / "mx")
+    groups = _bucket_table(root, legacy_rows=[(100, "old")])
+    df = read_iceberg(spark, root, partitions={"k": 7})
+    got = sorted(r["k"] for r in df.collect())
+    assert got == sorted(groups[transform_value("bucket[4]", 7)] + [100])
+
+
+def test_transform_prune_unknown_source_raises(spark, tmp_path):
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        read_iceberg,
+    )
+
+    root = str(tmp_path / "uk")
+    _bucket_table(root)
+    with pytest.raises(ValueError, match="unknown partition"):
+        read_iceberg(spark, root, partitions={"v": "v7"})
