@@ -139,6 +139,7 @@ HEADLINE = [
     "st14_stream_delta_tail",     # foreign-delta streaming source
     "s25_hudi_incremental",       # hudi change-feed incremental read
     "s26_iceberg_transform_prune",  # year/truncate transform pruning (r8)
+    "s27_hudi_mor_read",          # hudi merge-on-read log merge (r8)
     "st15_stream_hudi_tail",      # hudi streaming source
     "st16_stream_iceberg_tail",   # iceberg append-scan streaming source
 ]

@@ -2708,6 +2708,170 @@ def q_s19(spark, sf):
 
 
 @query(
+    "s27_hudi_mor_read",
+    oracle="""
+    WITH m AS (
+      SELECT c_mktsegment,
+             CAST(floor(c_acctbal * 100) AS BIGINT)
+             + CASE WHEN c_mktsegment = (SELECT min(c_mktsegment) FROM customer)
+                     AND c_custkey % 19 = 0 THEN 5000 ELSE 0 END AS bal
+      FROM customer
+    ), ins AS (
+      SELECT (SELECT min(c_mktsegment) FROM customer) AS c_mktsegment,
+             CAST(123 AS BIGINT) AS bal
+      FROM customer WHERE c_custkey % 41 = 0
+    ), u AS (
+      SELECT c_mktsegment, bal FROM m
+      UNION ALL SELECT c_mktsegment, bal FROM ins
+    )
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(bal) AS BIGINT) AS bal_c
+    FROM u GROUP BY c_mktsegment
+    """,
+)
+def q_s27(spark, sf):
+    """S27 — Apache HUDI MERGE_ON_READ interop read (sources/hudi.py
+    `_read_mor` over the from-spec log-block codec in
+    sources/hudi_log.py): the table is laid down the way a MOR writer
+    would — deltacommit 1 writes per-segment base file groups (s19's
+    layout), deltacommit 2 APPENDS a log file to the first segment's
+    group with an AVRO upsert block (+5000 cents on every
+    ``c_custkey % 19 = 0`` key of that segment), deltacommit 3 appends
+    a second block INSERTING brand-new keys (``+2_000_000``, 123
+    cents), and a 4th block sits under an INFLIGHT deltacommit
+    (+999999) that must stay invisible. The snapshot read must merge
+    base + committed blocks last-writer-wins per record key — a reader
+    that missed the upsert, dropped the log-side inserts, double-
+    counted a superseded base row, or leaked the pending block breaks
+    the segment-level hash DuckDB recomputes from base customer rows.
+    Upsert record building collects only the touched minority
+    (|customer|/19 + |customer|/41 rows) to feed the fixture writer;
+    the READ path decodes blocks on executors after a driver header
+    scan."""
+    import os
+
+    from .sources import hudi_log as HL
+    from .sources.hudi import read_hudi
+
+    root = _table_root("s27", sf)
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        "c_mktsegment",
+    )
+    segs = sorted(
+        r["c_mktsegment"] for r in c.select("c_mktsegment").distinct().collect()
+    )
+    import glob
+    import shutil
+
+    def put(df, part, file_id, instant):
+        d = os.path.join(root, part)
+        os.makedirs(d, exist_ok=True)
+        meta = df.select(
+            F.lit(instant).alias("_hoodie_commit_time"),
+            F.concat_ws("_", F.lit(instant), F.lit("0")).alias(
+                "_hoodie_commit_seqno"
+            ),
+            F.col("c_custkey").cast("string").alias("_hoodie_record_key"),
+            F.lit(part).alias("_hoodie_partition_path"),
+            F.lit(f"{file_id}_1-0-1_{instant}.parquet").alias(
+                "_hoodie_file_name"
+            ),
+            "c_custkey",
+            "bal_c",
+            "c_mktsegment",
+        )
+        stage = os.path.join(root, f".stage_{file_id}_{instant}")
+        meta.coalesce(1).write.parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(src, os.path.join(d, f"{file_id}_1-0-1_{instant}.parquet"))
+        shutil.rmtree(stage)
+
+    hdir = os.path.join(root, ".hoodie")
+    os.makedirs(hdir, exist_ok=True)
+    with open(os.path.join(hdir, "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.name=s27\nhoodie.table.type=MERGE_ON_READ\n")
+
+    def commit(instant, state="deltacommit"):
+        open(os.path.join(hdir, f"{instant}.{state}"), "w").close()
+
+    avro_schema = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": n, "type": ["null", t]}
+            for n, t in (
+                ("_hoodie_commit_time", "string"),
+                ("_hoodie_commit_seqno", "string"),
+                ("_hoodie_record_key", "string"),
+                ("_hoodie_partition_path", "string"),
+                ("_hoodie_file_name", "string"),
+                ("c_custkey", "long"),
+                ("bal_c", "long"),
+                ("c_mktsegment", "string"),
+            )
+        ],
+    }
+
+    def rec(instant, part, ck, bal):
+        return {
+            "_hoodie_commit_time": instant,
+            "_hoodie_commit_seqno": f"{instant}_0",
+            "_hoodie_record_key": str(ck),
+            "_hoodie_partition_path": part,
+            "_hoodie_file_name": "log",
+            "c_custkey": int(ck),
+            "bal_c": int(bal),
+            "c_mktsegment": part,
+        }
+
+    t1, t2, t3, t4 = (
+        "00000000000001",
+        "00000000000002",
+        "00000000000003",
+        "00000000000004",
+    )
+    for i, s in enumerate(segs):
+        put(c.filter(F.col("c_mktsegment") == s), s, f"fg{i}", t1)
+    commit(t1)
+    lp = os.path.join(root, segs[0], HL.log_file_name("fg0", t1, 1))
+    upd = (
+        c.filter(
+            (F.col("c_mktsegment") == segs[0]) & (F.col("c_custkey") % 19 == 0)
+        )
+        .select("c_custkey", (F.col("bal_c") + 5000).alias("bal_c"))
+        .collect()
+    )
+    HL.append_avro_block(
+        lp, t2, avro_schema, [rec(t2, segs[0], r["c_custkey"], r["bal_c"]) for r in upd]
+    )
+    commit(t2)
+    ins = (
+        c.filter(F.col("c_custkey") % 41 == 0)
+        .select((F.col("c_custkey") + 2_000_000).alias("c_custkey"))
+        .collect()
+    )
+    HL.append_avro_block(
+        lp, t3, avro_schema, [rec(t3, segs[0], r["c_custkey"], 123) for r in ins]
+    )
+    commit(t3)
+    # concurrent writer: block appended, deltacommit only INFLIGHT
+    HL.append_avro_block(
+        lp, t4, avro_schema, [rec(t4, segs[0], 0, 999999)]
+    )
+    commit(t4, state="deltacommit.inflight")
+    return (
+        read_hudi(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("bal_c").cast("long").alias("bal_c"),
+        )
+    )
+
+
+@query(
     "s20_iceberg_pos_delete",
     oracle="""
     SELECT c_custkey,

@@ -79,6 +79,7 @@ PRIORITY: tuple[str, ...] = (
     "d12_substring_dedup",
     "t21_bpe_encode",
     "s26_iceberg_transform_prune",
+    "s27_hudi_mor_read",
     # (b) oldest-vintage stable representatives, family-complete
     "flagship_readmit_30d",
     "s1_scan_events",
@@ -96,7 +97,6 @@ PRIORITY: tuple[str, ...] = (
     "w5_last_per_group",
     "a1_value_counts",
     "a2_count_distinct",
-    "a3_topk_by_freq",
     "a4_null_counts",
     "c1_case_label",
     "c2_clamp",

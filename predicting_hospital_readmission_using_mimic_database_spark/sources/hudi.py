@@ -1,12 +1,16 @@
-"""Apache Hudi COPY-ON-WRITE table READ interop — the third lakehouse
-format, implemented from the public spec (https://hudi.apache.org/docs/):
-timeline + file-group layout.
+"""Apache Hudi table READ interop — the third lakehouse format,
+implemented from the public spec (https://hudi.apache.org/docs/ and
+https://hudi.apache.org/tech-specs/): timeline + file-group layout.
+COPY_ON_WRITE snapshots read base files; MERGE_ON_READ snapshots merge
+base files with log-file upsert blocks (codec in :mod:`.hudi_log`).
 
 How a Hudi COW snapshot read works (and what this reader does):
 
-1. ``.hoodie/hoodie.properties`` declares the table type — only
-   ``COPY_ON_WRITE`` is supported (MERGE_ON_READ requires log-file
-   merging; raises).
+1. ``.hoodie/hoodie.properties`` declares the table type —
+   ``COPY_ON_WRITE`` reads base files only; ``MERGE_ON_READ`` routes
+   to :func:`_read_mor` (deltacommit timeline, executor-side log
+   decode, per-key last-writer-wins merge; DELETE/rollback blocks
+   raise).
 2. The TIMELINE is the set of ``.hoodie/<instant>.commit`` files;
    an instant is COMPLETED only when the bare ``.commit`` file exists
    (``.requested`` / ``.inflight`` are pending and their data files
@@ -84,8 +88,11 @@ def _properties(root: str) -> dict:
     return props
 
 
-def _completed_commits(root: str) -> set[str]:
-    """Instant times with a COMPLETED commit action on the timeline."""
+def _completed_commits(root: str, allow_delta: bool = False) -> set[str]:
+    """Instant times with a COMPLETED commit action on the timeline.
+    ``allow_delta`` (the MERGE_ON_READ path) counts completed
+    ``.deltacommit`` instants too; on a COPY_ON_WRITE read they are
+    malformed and raise."""
     tdir = os.path.join(root, HOODIE_DIR)
     done: set[str] = set()
     for name in os.listdir(tdir):
@@ -102,10 +109,12 @@ def _completed_commits(root: str) -> set[str]:
                 "filename-based reader cannot resolve"
             )
         elif action == "deltacommit":
-            raise HudiProtocolError(
-                f"timeline contains a deltacommit ({name}): merge-on-read "
-                "tables are not supported"
-            )
+            if not allow_delta:
+                raise HudiProtocolError(
+                    f"timeline contains a deltacommit ({name}) on a "
+                    "COPY_ON_WRITE read path; malformed table"
+                )
+            done.add(instant)
         # .clean / .rollback / .requested / .inflight: not completed data
     return done
 
@@ -181,17 +190,27 @@ def read_hudi_incremental(
     return out
 
 
+#: hidden log files: .{fileId}_{baseInstant}.log.{version}_{writeToken}
+_LOGFILE_RE = re.compile(r"^\.(.+)_(\d{10,20})\.log\.(\d+)_(.+)$")
+
+
 def _latest_slices(
     root: str,
     as_of: str | None,
     partitions: list[str] | str | None,
-) -> dict[tuple[str, str], tuple[str, str]]:
+    collect_logs: bool = False,
+):
     """Newest completed base file per (partition dir, fileId) at or
     before ``as_of`` — the snapshot's file slices. ``partitions``
-    prunes the walk's descent to the admitted partition dirs."""
-    done = _completed_commits(root)
+    prunes the walk's descent to the admitted partition dirs.
+    ``collect_logs`` (the MERGE_ON_READ path) additionally gathers the
+    groups' log files as ``{(partition, fileId): [(base_instant,
+    version, path), ...]}`` and returns ``(groups, logs)``; without it
+    a log file on a COW read raises."""
+    done = _completed_commits(root, allow_delta=collect_logs)
     if as_of is not None:
         done = {c for c in done if c <= str(as_of)}
+    logs: dict[tuple[str, str], list[tuple[str, int, str]]] = {}
     admit: set[str] | None = None
     if partitions is not None:
         admit = {
@@ -223,9 +242,18 @@ def _latest_slices(
                 continue
         for name in files:
             if name.endswith(".log") or ".log." in name:
-                raise HudiProtocolError(
-                    f"log file {name}: merge-on-read tables are not supported"
-                )
+                if not collect_logs:
+                    raise HudiProtocolError(
+                        f"log file {name}: merge-on-read tables are not "
+                        "supported on the COPY_ON_WRITE read path"
+                    )
+                lm = _LOGFILE_RE.match(name)
+                if lm:
+                    fid, base_instant, ver, _tok = lm.groups()
+                    logs.setdefault(
+                        (os.path.relpath(dirpath, root), fid), []
+                    ).append((base_instant, int(ver), os.path.join(dirpath, name)))
+                continue
             m = _BASEFILE_RE.match(name)
             if not m:
                 continue
@@ -235,7 +263,222 @@ def _latest_slices(
             key = (os.path.relpath(dirpath, root), file_id)
             if key not in groups or instant > groups[key][0]:
                 groups[key] = (instant, os.path.join(dirpath, name))
+    if collect_logs:
+        return groups, logs
     return groups
+
+
+def _avro_spark_type(t):
+    """Avro log-schema type -> Spark type (flat MOR record schemas:
+    primitives + nullable unions; anything else raises honestly)."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, list):
+        nn = [x for x in t if x != "null"]
+        if len(nn) != 1:
+            raise HudiProtocolError(f"unsupported avro union {t!r} in log schema")
+        return _avro_spark_type(nn[0])
+    if isinstance(t, dict):
+        return _avro_spark_type(t.get("type"))
+    m = {
+        "string": T.StringType(),
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "boolean": T.BooleanType(),
+        "bytes": T.BinaryType(),
+    }
+    if t in m:
+        return m[t]
+    raise HudiProtocolError(f"unsupported avro type {t!r} in log schema")
+
+
+def _read_mor(
+    spark: SparkSession,
+    root: str,
+    as_of: str | None,
+    keep_meta: bool,
+    partitions: list[str] | str | None,
+) -> DataFrame:
+    """MERGE_ON_READ snapshot: per file group, the latest completed base
+    file MERGED with its attached log files' committed AVRO upsert
+    blocks — last writer wins per record key.
+
+    Plan shape: base files are ONE Spark parquet scan (explicit
+    schema); log records are decoded ON EXECUTORS (mapInPandas, one
+    input partition per log file) after a driver-side HEADER-ONLY scan
+    (`hudi_log.scan_block_headers` seeks over content) that gates block
+    types and filters uncommitted/time-traveled-past instants — the
+    driver never touches record payloads. The merge is one window over
+    ``(_hoodie_record_key [, _hoodie_partition_path])`` ordered by
+    (instant, log position) — the same per-key resolution a native
+    Hudi MOR reader performs, expressed as one key-partitioned shuffle.
+    DELETE blocks and rollback COMMAND blocks raise (their payloads are
+    writer-serialized formats this layer does not parse); pending
+    deltacommit blocks are invisible, exactly like pending COW files.
+    """
+    import json as _json
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from . import hudi_log as HL
+
+    groups, logs = _latest_slices(root, as_of, partitions, collect_logs=True)
+    done = _completed_commits(root, allow_delta=True)
+    if as_of is not None:
+        done = {c for c in done if c <= str(as_of)}
+    base_paths: list[str] = []
+    selected: list[tuple[str, int, str]] = []
+    for key in sorted(set(groups) | set(logs)):
+        base = groups.get(key)
+        lfs = sorted(logs.get(key, []))
+        if base is not None:
+            base_instant, bpath = base
+            base_paths.append(bpath)
+            lfs = [l for l in lfs if l[0] == base_instant]
+        selected.extend(lfs)
+    # driver header scan: gate block types, keep committed avro blocks
+    selected.sort()
+    valid: list[tuple[str, list[int]]] = []
+    first_schema_json: str | None = None
+    for _bi, _ver, p in selected:
+        idxs = []
+        for bi, h in enumerate(HL.scan_block_headers(p)):
+            if h["type"] == HL.DELETE_BLOCK:
+                raise HudiProtocolError(
+                    f"log file {os.path.basename(p)} contains a DELETE "
+                    "block: delete payloads are not parsed by this layer"
+                )
+            if h["type"] == HL.COMMAND_BLOCK:
+                raise HudiProtocolError(
+                    f"log file {os.path.basename(p)} contains a rollback "
+                    "COMMAND block: rollback resolution is not implemented"
+                )
+            if h["type"] != HL.AVRO_DATA_BLOCK:
+                raise HudiProtocolError(
+                    f"log file {os.path.basename(p)}: unsupported block "
+                    f"type {h['type']}"
+                )
+            inst = h["instant"]
+            if inst is None:
+                raise HL.HudiLogCorruptError(
+                    f"{p}: avro block without INSTANT_TIME header"
+                )
+            if inst not in done:
+                continue  # pending / rolled back / time-traveled past
+            if first_schema_json is None:
+                first_schema_json = h["header"].get(HL.H_SCHEMA)
+            idxs.append(bi)
+        if idxs:
+            valid.append((p, idxs))
+    if not base_paths and not valid:
+        raise ValueError(
+            f"no completed base files or log blocks visible at "
+            f"{'as_of=' + str(as_of) if as_of is not None else 'latest'}"
+        )
+    if base_paths:
+        newest = max(groups.values())[1]
+        schema = from_arrow_schema(
+            pq.ParquetFile(newest).schema_arrow, prefer_timestamp_ntz=True
+        )
+    else:  # log-only table: schema from the first committed block
+        avro = _json.loads(first_schema_json or "null")
+        if not isinstance(avro, dict) or avro.get("type") != "record":
+            raise HudiProtocolError("log block SCHEMA header is not a record")
+        schema = T.StructType(
+            [
+                T.StructField(f["name"], _avro_spark_type(f["type"]), True)
+                for f in avro["fields"]
+            ]
+        )
+    if "_hoodie_record_key" not in schema.names:
+        raise HudiProtocolError(
+            "merge-on-read needs the _hoodie_record_key meta column to "
+            "resolve upserts; this table's files lack it"
+        )
+    names = [f.name for f in schema.fields]
+    ord_fields = [
+        T.StructField("__instant", T.StringType(), True),
+        T.StructField("__fidx", T.LongType(), True),
+        T.StructField("__bi", T.LongType(), True),
+        T.StructField("__ri", T.LongType(), True),
+    ]
+    log_schema = T.StructType(list(schema.fields) + ord_fields)
+    if valid:
+        file_rows = [
+            (i, p, _json.dumps(idxs)) for i, (p, idxs) in enumerate(valid)
+        ]
+        fdf = spark.createDataFrame(
+            file_rows, "fidx long, path string, blocks string"
+        ).repartition(len(file_rows), "fidx")
+
+        def parse(iterator):
+            import pandas as pd
+
+            for pdf in iterator:
+                for fidx, path, bjson in zip(
+                    pdf["fidx"], pdf["path"], pdf["blocks"]
+                ):
+                    keep = set(_json.loads(bjson))
+                    cols: dict = {n: [] for n in names}
+                    insts: list = []
+                    bis: list = []
+                    ris: list = []
+                    for bi, blk in enumerate(HL.read_log_blocks(path)):
+                        if bi not in keep:
+                            continue
+                        for ri, rec in enumerate(blk["records"]):
+                            for n in names:
+                                cols[n].append(rec.get(n))
+                            insts.append(blk["instant"])
+                            bis.append(bi)
+                            ris.append(ri)
+                    if insts:
+                        out = pd.DataFrame(cols)
+                        out["__instant"] = insts
+                        out["__fidx"] = int(fidx)
+                        out["__bi"] = bis
+                        out["__ri"] = ris
+                        yield out
+
+        log_df = fdf.mapInPandas(parse, log_schema)
+    else:
+        log_df = spark.createDataFrame([], log_schema)
+    if base_paths:
+        base = spark.read.schema(schema).parquet(*sorted(base_paths))
+        binst = (
+            F.col("_hoodie_commit_time")
+            if "_hoodie_commit_time" in names
+            else F.lit("")
+        )
+        base = (
+            base.withColumn("__instant", binst)
+            .withColumn("__fidx", F.lit(-1).cast("long"))
+            .withColumn("__bi", F.lit(-1).cast("long"))
+            .withColumn("__ri", F.lit(-1).cast("long"))
+        )
+    else:
+        base = spark.createDataFrame([], log_schema)
+    keyc = ["_hoodie_record_key"]
+    if "_hoodie_partition_path" in names:
+        keyc.append("_hoodie_partition_path")
+    w = Window.partitionBy(*keyc).orderBy(
+        F.desc("__instant"), F.desc("__fidx"), F.desc("__bi"), F.desc("__ri")
+    )
+    out = (
+        base.unionByName(log_df)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__instant", "__fidx", "__bi", "__ri")
+    )
+    if not keep_meta:
+        out = out.drop(*[c for c in META_COLS if c in out.columns])
+    return out
 
 
 def read_hudi(
@@ -256,13 +499,18 @@ def read_hudi(
     O(table files) to O(admitted-partition files), which at 100 TB is
     the difference between walking one day and walking the table.
     Unknown partition paths simply match nothing (Hudi partition paths
-    are opaque strings, not declared metadata)."""
+    are opaque strings, not declared metadata).
+
+    MERGE_ON_READ tables route to the log-merging snapshot path (see
+    :func:`_read_mor`): base files + committed AVRO upsert blocks,
+    last writer wins per record key."""
     props = _properties(root)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    if ttype == "MERGE_ON_READ":
+        return _read_mor(spark, root, as_of, keep_meta, partitions)
     if ttype != "COPY_ON_WRITE":
         raise HudiProtocolError(
-            f"hoodie.table.type={ttype}: only COPY_ON_WRITE is supported "
-            "(MERGE_ON_READ needs log-file merging)"
+            f"hoodie.table.type={ttype}: unknown table type"
         )
     groups = _latest_slices(root, as_of, partitions)
     if not groups:

@@ -43,7 +43,8 @@ def test_first_50_entries_cover_every_family():
                  "s15_delta_read", "s16_delta_export",
                  "s18_iceberg_roundtrip", "t20_bpe_pair_counts",
                  "d12_substring_dedup", "t21_bpe_encode",
-                 "s26_iceberg_transform_prune", "flagship_readmit_30d"):
+                 "s26_iceberg_transform_prune", "s27_hudi_mor_read",
+                 "flagship_readmit_30d"):
         assert must in names
     assert len(names) == 50
 

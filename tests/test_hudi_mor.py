@@ -1,0 +1,215 @@
+"""Hudi MERGE_ON_READ read interop (sources/hudi.py `_read_mor` +
+sources/hudi_log.py): log-block codec round trips, base+log upsert
+merging, pending-block isolation, time travel, torn tails, and the
+DELETE/rollback gates."""
+
+import os
+
+import pytest
+
+from predicting_hospital_readmission_using_mimic_database_spark.sources import hudi_log as HL
+from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+    HudiProtocolError,
+    read_hudi,
+)
+from tests.test_hudi_interop import _commit, _mk_table
+
+SCHEMA = {
+    "type": "record",
+    "name": "rec",
+    "fields": [
+        {"name": "_hoodie_commit_time", "type": ["null", "string"]},
+        {"name": "_hoodie_record_key", "type": ["null", "string"]},
+        {"name": "_hoodie_partition_path", "type": ["null", "string"]},
+        {"name": "k", "type": ["null", "long"]},
+        {"name": "v", "type": ["null", "double"]},
+    ],
+}
+
+
+def _rec(instant, part, k, v):
+    return {
+        "_hoodie_commit_time": instant,
+        "_hoodie_record_key": str(k),
+        "_hoodie_partition_path": part,
+        "k": k,
+        "v": v,
+    }
+
+
+def _write_mor_base(root, partition, file_id, instant, rows):
+    """Base file with REAL per-row record keys (unlike the COW test
+    helper's constant key)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(root, partition) if partition else root
+    os.makedirs(d, exist_ok=True)
+    data = {
+        "_hoodie_commit_time": [instant] * len(rows),
+        "_hoodie_commit_seqno": [f"{instant}_0_{i}" for i in range(len(rows))],
+        "_hoodie_record_key": [str(k) for k, _v in rows],
+        "_hoodie_partition_path": [partition] * len(rows),
+        "_hoodie_file_name": [file_id] * len(rows),
+        "k": [k for k, _v in rows],
+        "v": [v for _k, v in rows],
+    }
+    pq.write_table(
+        pa.table(data), os.path.join(d, f"{file_id}_0-0-0_{instant}.parquet")
+    )
+
+
+def test_log_codec_round_trip(tmp_path):
+    p = str(tmp_path / ".f1_001.log.1_0-0-0")
+    recs1 = [_rec("2", "a", 1, 1.5), _rec("2", "a", 2, 2.5)]
+    recs2 = [_rec("3", "a", 1, -1.0)]
+    HL.append_avro_block(p, "2", SCHEMA, recs1)
+    HL.append_avro_block(p, "3", SCHEMA, recs2)
+    blocks = HL.read_log_blocks(p)
+    assert [b["instant"] for b in blocks] == ["2", "3"]
+    assert blocks[0]["records"] == recs1 and blocks[1]["records"] == recs2
+    # header-only scan sees the same structure without decoding records
+    hdrs = HL.scan_block_headers(p)
+    assert [(h["type"], h["instant"]) for h in hdrs] == [
+        (HL.AVRO_DATA_BLOCK, "2"),
+        (HL.AVRO_DATA_BLOCK, "3"),
+    ]
+    assert all("records" not in h for h in hdrs)
+
+
+def test_log_codec_torn_tail_and_corruption(tmp_path):
+    p = str(tmp_path / ".t_001.log.1_0")
+    HL.append_avro_block(p, "2", SCHEMA, [_rec("2", "a", 1, 1.0)])
+    size = os.path.getsize(p)
+    HL.append_avro_block(p, "3", SCHEMA, [_rec("3", "a", 2, 2.0)])
+    # torn write: truncate mid-second-block -> first block still reads
+    with open(p, "r+b") as f:
+        f.truncate(size + 25)
+    assert [b["instant"] for b in HL.read_log_blocks(p)] == ["2"]
+    assert [h["instant"] for h in HL.scan_block_headers(p)] == ["2"]
+    # mid-file garbage magic raises
+    bad = str(tmp_path / ".bad_001.log.1_0")
+    with open(bad, "wb") as f:
+        f.write(b"NOTHUDIMAGICxxxxxxxxxxxxxxxxxxxx")
+    with pytest.raises(HL.HudiLogCorruptError, match="bad magic"):
+        HL.read_log_blocks(bad)
+
+
+@pytest.fixture
+def mor_root(tmp_path):
+    """deltacommit 1: base files f1 (part a: k=1,2) and f2 (part b:
+    k=10). deltacommit 2: log upserts k=1 -> -1.0 and INSERT k=3.
+    deltacommit 3: second log file, upsert k=3 -> 33.0 and k=10 -> 0.5.
+    Instant 4 is PENDING (inflight): its block must stay invisible."""
+    root = str(tmp_path / "mor")
+    _mk_table(root, ttype="MERGE_ON_READ")
+    _write_mor_base(root, "a", "f1", "00000000000001", [(1, 1.0), (2, 2.0)])
+    _write_mor_base(root, "b", "f2", "00000000000001", [(10, 10.0)])
+    _commit(root, "00000000000001", state="deltacommit")
+    l1 = os.path.join(
+        root, "a", HL.log_file_name("f1", "00000000000001", 1)
+    )
+    HL.append_avro_block(
+        l1,
+        "00000000000002",
+        SCHEMA,
+        [_rec("00000000000002", "a", 1, -1.0), _rec("00000000000002", "a", 3, 3.0)],
+    )
+    _commit(root, "00000000000002", state="deltacommit")
+    l2 = os.path.join(
+        root, "a", HL.log_file_name("f1", "00000000000001", 2)
+    )
+    HL.append_avro_block(
+        l2, "00000000000003", SCHEMA, [_rec("00000000000003", "a", 3, 33.0)]
+    )
+    l3 = os.path.join(
+        root, "b", HL.log_file_name("f2", "00000000000001", 1)
+    )
+    HL.append_avro_block(
+        l3, "00000000000003", SCHEMA, [_rec("00000000000003", "b", 10, 0.5)]
+    )
+    _commit(root, "00000000000003", state="deltacommit")
+    # pending writer: block present, instant only inflight
+    HL.append_avro_block(
+        l2, "00000000000004", SCHEMA, [_rec("00000000000004", "a", 1, 999.0)]
+    )
+    _commit(root, "00000000000004", state="deltacommit.inflight")
+    return root
+
+
+def test_mor_snapshot_merges_logs(spark, mor_root):
+    df = read_hudi(spark, mor_root)
+    got = {(r["k"], r["v"]) for r in df.collect()}
+    assert got == {(1, -1.0), (2, 2.0), (3, 33.0), (10, 0.5)}
+    assert sorted(df.columns) == ["k", "v"]
+
+
+def test_mor_time_travel(spark, mor_root):
+    at2 = read_hudi(spark, mor_root, as_of="00000000000002")
+    got = {(r["k"], r["v"]) for r in at2.collect()}
+    assert got == {(1, -1.0), (2, 2.0), (3, 3.0), (10, 10.0)}
+    at1 = read_hudi(spark, mor_root, as_of="00000000000001")
+    assert {(r["k"], r["v"]) for r in at1.collect()} == {
+        (1, 1.0),
+        (2, 2.0),
+        (10, 10.0),
+    }
+
+
+def test_mor_partition_pruned_listing(spark, mor_root):
+    b = read_hudi(spark, mor_root, partitions="b")
+    assert {(r["k"], r["v"]) for r in b.collect()} == {(10, 0.5)}
+
+
+def test_mor_log_only_group_and_schema(spark, tmp_path):
+    """A table with NO base files: schema comes from the first committed
+    block's SCHEMA header; later instants win per key."""
+    root = str(tmp_path / "lo")
+    _mk_table(root, ttype="MERGE_ON_READ")
+    l1 = os.path.join(root, "a", HL.log_file_name("g1", "00000000000001", 1))
+    HL.append_avro_block(
+        l1,
+        "00000000000001",
+        SCHEMA,
+        [_rec("00000000000001", "a", 7, 7.0), _rec("00000000000001", "a", 8, 8.0)],
+    )
+    HL.append_avro_block(
+        l1, "00000000000002", SCHEMA, [_rec("00000000000002", "a", 7, 70.0)]
+    )
+    _commit(root, "00000000000001", state="deltacommit")
+    _commit(root, "00000000000002", state="deltacommit")
+    df = read_hudi(spark, root)
+    assert {(r["k"], r["v"]) for r in df.collect()} == {(7, 70.0), (8, 8.0)}
+
+
+def test_mor_delete_and_rollback_gates(spark, tmp_path):
+    root = str(tmp_path / "g")
+    _mk_table(root, ttype="MERGE_ON_READ")
+    _write_mor_base(root, "a", "f1", "00000000000001", [(1, 1.0)])
+    _commit(root, "00000000000001", state="deltacommit")
+    lp = os.path.join(root, "a", HL.log_file_name("f1", "00000000000001", 1))
+    HL.append_delete_block(lp, "00000000000002")
+    _commit(root, "00000000000002", state="deltacommit")
+    with pytest.raises(HudiProtocolError, match="DELETE"):
+        read_hudi(spark, root)
+    root2 = str(tmp_path / "g2")
+    _mk_table(root2, ttype="MERGE_ON_READ")
+    _write_mor_base(root2, "a", "f1", "00000000000001", [(1, 1.0)])
+    _commit(root2, "00000000000001", state="deltacommit")
+    lp2 = os.path.join(root2, "a", HL.log_file_name("f1", "00000000000001", 1))
+    HL.append_command_block(lp2, "00000000000002", "00000000000001")
+    _commit(root2, "00000000000002", state="deltacommit")
+    with pytest.raises(HudiProtocolError, match="COMMAND"):
+        read_hudi(spark, root2)
+
+
+def test_mor_compaction_supersedes_logs(spark, mor_root):
+    """A compaction (.commit) writes a new base at instant 5; logs
+    attached to the OLD base must stop contributing."""
+    _write_mor_base(
+        mor_root, "a", "f1", "00000000000005", [(1, -1.0), (2, 2.0), (3, 33.0)]
+    )
+    _commit(mor_root, "00000000000005", state="commit")
+    df = read_hudi(spark, mor_root)
+    got = {(r["k"], r["v"]) for r in df.collect()}
+    assert got == {(1, -1.0), (2, 2.0), (3, 33.0), (10, 0.5)}
