@@ -878,20 +878,26 @@ def dedup_substrings(
         .select("h")
     )
     starts = grams.join(dup, "h").select(id_col, "s")
+    # both sweep events of a span in ONE explode — a two-branch union
+    # would re-run the gram/count/join lineage (and its scan) twice
     events = starts.select(
         id_col,
-        F.col("s").alias("pos"),
-        F.lit(1).alias("delta"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("pos"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    (F.col("s") + L).alias("pos"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        id_col,
+        F.col("e.pos").alias("pos"),
+        F.col("e.delta").alias("delta"),
         F.lit(0).alias("tag"),
         F.lit(None).cast("string").alias("tok"),
-    ).unionByName(
-        starts.select(
-            id_col,
-            (F.col("s") + L).alias("pos"),
-            F.lit(-1).alias("delta"),
-            F.lit(0).alias("tag"),
-            F.lit(None).cast("string").alias("tok"),
-        )
     )
     from pyspark.sql import Window
 

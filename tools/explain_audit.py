@@ -123,6 +123,11 @@ AUDIT = [
     "s24_delta_v2_checkpoint",  # manifest+sidecar replay read
     "s25_hudi_incremental",   # touched-groups-only incremental read
     "u12_cluster_balanced",  # map-only assign + one cell-keyed window
+    # round-8: new dedup/tokenizer/lakehouse entries
+    "d12_substring_dedup",  # gram-digest count shuffle + per-doc sweep window
+    "t21_bpe_encode",     # map-only Arrow-batch encode, one output agg
+    "s26_iceberg_transform_prune",  # transform-pruned file list, one scan
+    "s27_hudi_mor_read",  # base scan + executor log decode + key merge window
 ]
 
 
