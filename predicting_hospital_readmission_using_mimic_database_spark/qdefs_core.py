@@ -2872,6 +2872,159 @@ def q_s27(spark, sf):
 
 
 @query(
+    "s28_delta_cdf",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer
+    ), ch AS (
+      SELECT 0 AS v, 'insert' AS ct, c_custkey, bal FROM base
+      UNION ALL
+      SELECT 1, 'update_preimage', c_custkey, bal
+      FROM base WHERE c_custkey % 44 = 0
+      UNION ALL
+      SELECT 1, 'update_postimage', c_custkey, bal + 700
+      FROM base WHERE c_custkey % 44 = 0
+      UNION ALL
+      SELECT 2, 'insert', c_custkey + 3000000, CAST(55 AS BIGINT)
+      FROM base WHERE c_custkey % 37 = 0
+    )
+    SELECT CAST(v AS BIGINT) AS _commit_version, ct AS _change_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(bal) AS BIGINT) AS bal_c,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum
+    FROM ch GROUP BY v, ct
+    """,
+)
+def q_s28(spark, sf):
+    """S28 — Delta CHANGE DATA FEED read (sources/delta.py
+    `read_delta_changes`): the fixture is a foreign CDF-enabled writer's
+    log — v0 bulk-inserts customer balances across 4 bucket files; v1
+    updates every ``c_custkey % 44 = 0`` key (+700 cents) the way a CDF
+    writer commits it: a ``_change_data/`` parquet carrying
+    update_preimage/update_postimage rows with their own
+    ``_change_type`` PLUS the rewritten data file's remove/add pair
+    that the CDF read must IGNORE in favor of the cdc file (44 = 4*11,
+    so the rewrite touches exactly bucket 0); v2 is an append-only
+    commit whose inserts must be DERIVED from the add action. The
+    grouped (version, change type) surface hash-matches DuckDB's
+    recompute — a reader that double-counted the superseded add, missed
+    the derived insert, or mis-stamped a version breaks it. Plan: one
+    scan per file class over the whole range, version/type attached by
+    a broadcast manifest join on input_file_name()."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .sources.delta import read_delta_changes
+
+    root = _table_root("s28", sf)
+    os.makedirs(root)
+    c = (
+        read_table(spark, sf, "customer")
+        .select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        )
+        .toPandas()
+        .sort_values("c_custkey")
+    )
+
+    def write(rel, pdf, extra=None):
+        p = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        cols = {
+            "c_custkey": pdf["c_custkey"].astype("int64"),
+            "bal_c": pdf["bal_c"].astype("int64"),
+        }
+        if extra is not None:
+            cols["_change_type"] = extra
+        pq.write_table(pa.table(cols), p)
+
+    def commit(version, actions):
+        log = os.path.join(root, "_delta_log")
+        os.makedirs(log, exist_ok=True)
+        with open(os.path.join(log, f"{version:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+
+    schema_string = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "c_custkey", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "bal_c", "type": "long", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+    acts0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "s28",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {"delta.enableChangeDataFeed": "true"},
+            }
+        },
+    ]
+    for b in range(4):
+        g = c[c["c_custkey"] % 4 == b]
+        write(f"b{b}.parquet", g)
+        acts0.append(
+            {"add": {"path": f"b{b}.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}}
+        )
+    commit(0, acts0)
+    upd = c[c["c_custkey"] % 44 == 0]
+    pre = upd.copy()
+    post = upd.copy()
+    post["bal_c"] = post["bal_c"] + 700
+    import pandas as pd
+
+    cdc = pd.concat([pre, post], ignore_index=True)
+    write(
+        "_change_data/cdc-1.parquet",
+        cdc,
+        ["update_preimage"] * len(pre) + ["update_postimage"] * len(post),
+    )
+    b0 = c[c["c_custkey"] % 4 == 0].copy()
+    b0.loc[b0["c_custkey"] % 44 == 0, "bal_c"] += 700
+    write("b0-1.parquet", b0)
+    commit(
+        1,
+        [
+            {"cdc": {"path": "_change_data/cdc-1.parquet",
+                     "partitionValues": {}, "size": 1, "dataChange": False}},
+            {"remove": {"path": "b0.parquet", "dataChange": True,
+                        "deletionTimestamp": 1}},
+            {"add": {"path": "b0-1.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 1, "dataChange": True}},
+        ],
+    )
+    ins = c[c["c_custkey"] % 37 == 0].copy()
+    ins["c_custkey"] = ins["c_custkey"] + 3_000_000
+    ins["bal_c"] = 55
+    write("ins.parquet", ins)
+    commit(
+        2,
+        [{"add": {"path": "ins.parquet", "partitionValues": {}, "size": 1,
+                  "modificationTime": 2, "dataChange": True}}],
+    )
+    ch = read_delta_changes(spark, root)
+    return ch.groupBy("_commit_version", "_change_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("bal_c").cast("long").alias("bal_c"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+    )
+
+
+@query(
     "s20_iceberg_pos_delete",
     oracle="""
     SELECT c_custkey,

@@ -80,6 +80,7 @@ PRIORITY: tuple[str, ...] = (
     "t21_bpe_encode",
     "s26_iceberg_transform_prune",
     "s27_hudi_mor_read",
+    "s28_delta_cdf",
     # (b) oldest-vintage stable representatives, family-complete
     "flagship_readmit_30d",
     "s1_scan_events",
@@ -93,7 +94,6 @@ PRIORITY: tuple[str, ...] = (
     "j8_semi_join",
     "j9_asof_join",
     "w1_lead",
-    "w4_backfill",
     "w5_last_per_group",
     "a1_value_counts",
     "a2_count_distinct",

@@ -887,3 +887,211 @@ def read_delta(
     pv_df = spark.createDataFrame(pv_rows, pv_schema)
     out = df.join(F.broadcast(pv_df), key, "left")
     return _logical(out)
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    root: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Delta CHANGE DATA FEED read (the protocol's "Change Data Files"
+    section): the row-level changes committed in versions
+    ``[starting_version, ending_version]`` (None = latest), each stamped
+    with ``_change_type`` and ``_commit_version`` — how a downstream
+    incrementally consumes a foreign Delta table without diffing
+    snapshots.
+
+    Per-version semantics, exactly the spec's:
+
+    - a commit that wrote ``cdc`` actions (writers with
+      ``delta.enableChangeDataFeed``) contributes ONLY its
+      ``_change_data/`` files — they carry their own ``_change_type``
+      (insert / delete / update_preimage / update_postimage);
+    - a commit without cdc actions derives changes from its data
+      actions: ``add`` files with dataChange are inserts, ``remove``
+      files with dataChange are deletes, rows read from the (still
+      on-disk) files themselves — a vacuumed change file raises with
+      the version that needs it.
+
+    Honest gates: schema evolution INSIDE the range raises (a CDF batch
+    must have one schema), column-mapping tables raise, and a
+    dataChange add/remove carrying a deletion vector without
+    accompanying cdc files raises (the row-level delta is not derivable
+    from whole files).
+
+    Scale shape: ONE parquet scan per file class (cdc files / plain
+    data files) over ALL versions in the range; version, change type,
+    and partition values attach via a broadcast (file -> manifest)
+    join on ``input_file_name()`` — the same single-scan-node posture
+    as :func:`read_delta`, so a 1000-commit range neither unions 1000
+    branches nor re-lists anything. A file added in one version and
+    removed in a later one is READ ONCE and fans out to both change
+    rows through the join.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"not a delta table (no {DELTA_LOG_DIR}): {root}")
+    commits = dict(_delta_commits(log_dir))
+    if not commits:
+        raise FileNotFoundError(f"no JSON commits in {log_dir}")
+    end = int(ending_version) if ending_version is not None else max(commits)
+    start = int(starting_version)
+    if start > end:
+        raise ValueError(f"starting_version {start} > ending_version {end}")
+    meta, _live, _dvs, _last = _replay_log(root, end)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+    if mode != "none":
+        raise DeltaProtocolError(
+            "change-data-feed read over column-mapping tables is not supported"
+        )
+    part_cols = list(meta.get("partitionColumns") or [])
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    out_schema = StructType(
+        list(schema.fields)
+        + [
+            StructField("_change_type", StringType(), True),
+            StructField("_commit_version", LongType(), True),
+        ]
+    )
+    manifest: list[tuple[str, int, str | None, dict]] = []
+    for v in range(start, end + 1):
+        cpath = commits.get(v)
+        if cpath is None:
+            raise DeltaProtocolError(
+                f"missing commit version {v} inside the requested CDF range "
+                f"[{start}, {end}]"
+            )
+        cdc: list[dict] = []
+        adds: list[dict] = []
+        removes: list[dict] = []
+        with open(cpath) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    _check_protocol(action["protocol"])
+                elif "metaData" in action:
+                    # every metaData inside the range must agree with the
+                    # end-of-range schema: a metaData that still differs
+                    # is an evolution somewhere in (v, end] — comparing
+                    # each against the END schema catches the change no
+                    # matter which version carries it
+                    m = _check_meta(action["metaData"])
+                    if m.get("schemaString") != meta["schemaString"]:
+                        raise DeltaProtocolError(
+                            f"schema changed inside the CDF range (version "
+                            f"{v} disagrees with version {end}); read the "
+                            "sub-ranges on either side of the evolution "
+                            "separately"
+                        )
+                elif "cdc" in action:
+                    cdc.append(action["cdc"])
+                elif "add" in action and action["add"].get("dataChange", True):
+                    adds.append(action["add"])
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    removes.append(action["remove"])
+        if cdc:
+            for a in cdc:
+                manifest.append(
+                    (unquote(a["path"]), v, None, a.get("partitionValues") or {})
+                )
+        else:
+            for a, ct in [(a, "insert") for a in adds] + [
+                (r, "delete") for r in removes
+            ]:
+                if a.get("deletionVector"):
+                    raise DeltaProtocolError(
+                        f"version {v} changes a file through a deletion "
+                        "vector without cdc files; the row-level change "
+                        "set is not derivable from whole files"
+                    )
+                manifest.append(
+                    (unquote(a["path"]), v, ct, a.get("partitionValues") or {})
+                )
+    if not manifest:
+        return spark.createDataFrame([], out_schema)
+    for rel, v, _ct, _pv in manifest:
+        if not os.path.exists(os.path.join(root, rel)):
+            raise FileNotFoundError(
+                f"change file {rel} needed by CDF version {v} is missing "
+                "(vacuumed?)"
+            )
+    key = "__delta_cdf_file"
+    while key in schema.names:
+        key = "_" + key
+    decoded = F.regexp_replace(
+        F.url_decode(F.input_file_name()), r"^file:/+", "/"
+    )
+    scans = []
+    cdc_paths = sorted(
+        {os.path.abspath(os.path.join(root, r)) for r, _v, ct, _p in manifest
+         if ct is None}
+    )
+    plain_paths = sorted(
+        {os.path.abspath(os.path.join(root, r)) for r, _v, ct, _p in manifest
+         if ct is not None}
+    )
+    if cdc_paths:
+        cdc_schema = StructType(
+            list(data_schema.fields)
+            + [StructField("_change_type", StringType(), True)]
+        )
+        scans.append(
+            spark.read.schema(cdc_schema)
+            .parquet(*cdc_paths)
+            .select("*", decoded.alias(key))
+        )
+    if plain_paths:
+        scans.append(
+            spark.read.schema(data_schema)
+            .parquet(*plain_paths)
+            .select(
+                "*",
+                F.lit(None).cast("string").alias("_change_type"),
+                decoded.alias(key),
+            )
+        )
+    df = scans[0]
+    for s in scans[1:]:
+        df = df.unionByName(s)
+    man_schema = StructType(
+        [
+            StructField(key, StringType(), False),
+            StructField("__cdf_version", LongType(), False),
+            StructField("__cdf_ct", StringType(), True),
+        ]
+        + [StructField("__cdf_pv_" + c, StringType(), True) for c in part_cols]
+    )
+    man_rows = [
+        tuple(
+            [os.path.abspath(os.path.join(root, rel)), v, ct]
+            + [None if pv.get(c) is None else str(pv.get(c)) for c in part_cols]
+        )
+        for rel, v, ct, pv in manifest
+    ]
+    man_df = spark.createDataFrame(man_rows, man_schema)
+    joined = df.join(F.broadcast(man_df), key)
+    out_cols = [
+        (
+            F.col("__cdf_pv_" + f.name).cast(f.dataType)
+            if f.name in part_cols
+            else F.col(f.name)
+        ).alias(f.name)
+        for f in schema.fields
+    ] + [
+        F.coalesce(F.col("_change_type"), F.col("__cdf_ct")).alias(
+            "_change_type"
+        ),
+        F.col("__cdf_version").cast("long").alias("_commit_version"),
+    ]
+    return joined.select(*out_cols)
