@@ -141,6 +141,7 @@ HEADLINE = [
     "s26_iceberg_transform_prune",  # year/truncate transform pruning (r8)
     "s27_hudi_mor_read",          # hudi merge-on-read log merge (r8)
     "s28_delta_cdf",              # delta change-data-feed read (r8)
+    "st17_stream_delta_cdf",      # delta CDF as a streaming source (r8)
     "st15_stream_hudi_tail",      # hudi streaming source
     "st16_stream_iceberg_tail",   # iceberg append-scan streaming source
 ]

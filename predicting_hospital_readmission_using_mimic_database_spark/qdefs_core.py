@@ -2912,16 +2912,30 @@ def q_s28(spark, sf):
     the derived insert, or mis-stamped a version breaks it. Plan: one
     scan per file class over the whole range, version/type attached by
     a broadcast manifest join on input_file_name()."""
+    from .sources.delta import read_delta_changes
+
+    root = _table_root("s28", sf)
+    build_cdf_delta_fixture(spark, sf, root)
+    ch = read_delta_changes(spark, root)
+    return ch.groupBy("_commit_version", "_change_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("bal_c").cast("long").alias("bal_c"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+    )
+
+
+def build_cdf_delta_fixture(spark, sf, root: str) -> None:
+    """The shared s28/st17 foreign-CDF-writer table: v0 bulk insert
+    (4 bucket files), v1 cdc update commit (+700 on %44 keys, cdc file
+    + superseded remove/add), v2 append-only insert (%37 keys shifted
+    +3,000,000 at 55 cents)."""
     import json as _json
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from .sources.delta import read_delta_changes
-
-    root = _table_root("s28", sf)
-    os.makedirs(root)
+    os.makedirs(root, exist_ok=True)
     c = (
         read_table(spark, sf, "customer")
         .select(
@@ -3015,12 +3029,6 @@ def q_s28(spark, sf):
         2,
         [{"add": {"path": "ins.parquet", "partitionValues": {}, "size": 1,
                   "modificationTime": 2, "dataChange": True}}],
-    )
-    ch = read_delta_changes(spark, root)
-    return ch.groupBy("_commit_version", "_change_type").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("bal_c").cast("long").alias("bal_c"),
-        F.sum("c_custkey").cast("long").alias("key_sum"),
     )
 
 

@@ -1053,6 +1053,82 @@ def q_st14(spark, sf):
 
 
 @query(
+    "st17_stream_delta_cdf",
+    oracle="""
+    SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c,
+           'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT),
+           'update_preimage', 1
+    FROM customer WHERE c_custkey % 44 = 0
+    UNION ALL
+    SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) + 700,
+           'update_postimage', 1
+    FROM customer WHERE c_custkey % 44 = 0
+    UNION ALL
+    SELECT c_custkey + 3000000, CAST(55 AS BIGINT), 'insert', 2
+    FROM customer WHERE c_custkey % 37 = 0
+    """,
+)
+def q_st17(spark, sf):
+    """ST17 — a foreign Delta table's CHANGE DATA FEED as a STREAMING
+    source (sources/delta_stream.py with ``readChangeFeed=true``):
+    micro-batch version windows stream row-level changes instead of the
+    append tail — v1's cdc file (update_preimage/update_postimage rows
+    carrying their own ``_change_type``) SUPERSEDES its remove/add
+    pair, which without CDF mode would have raised as a data-changing
+    remove; v2's append-only insert is DERIVED from the add action.
+    Drained from version 0 with availableNow into a collecting sink;
+    DuckDB recomputes the expected feed — a superseded add leaking, a
+    missed derived insert, or a mis-stamped version breaks the hash.
+    Same fixture as s28 (qdefs_core.build_cdf_delta_fixture)."""
+    from .qdefs_core import _table_root, build_cdf_delta_fixture
+    from .sources.delta_stream import register_delta_stream
+
+    register_delta_stream(spark)
+    root = _table_root("st17", sf)
+    build_cdf_delta_fixture(spark, sf, root)
+    tmp = tempfile.mkdtemp(prefix="st17_")
+    try:
+        got: list = []
+
+        def sink(df, _bid):
+            got.extend(tuple(r) for r in df.collect())
+
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", root)
+            .option("startingVersion", 0)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("c_custkey", LongType()),
+                StructField("bal_c", LongType()),
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+            ]
+        )
+        return spark.createDataFrame(got, schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "st15_stream_hudi_tail",
     oracle="""
     SELECT c_custkey,

@@ -81,6 +81,7 @@ PRIORITY: tuple[str, ...] = (
     "s26_iceberg_transform_prune",
     "s27_hudi_mor_read",
     "s28_delta_cdf",
+    "st17_stream_delta_cdf",
     # (b) oldest-vintage stable representatives, family-complete
     "flagship_readmit_30d",
     "s1_scan_events",
@@ -99,7 +100,6 @@ PRIORITY: tuple[str, ...] = (
     "a2_count_distinct",
     "a4_null_counts",
     "c1_case_label",
-    "c2_clamp",
     "c3_range_recode",
     "u1_union_all",
     "u2_full_shuffle",

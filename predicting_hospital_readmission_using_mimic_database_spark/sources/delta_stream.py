@@ -27,6 +27,16 @@ the PySpark 4 Python Data Source API over :mod:`.delta`'s log replay:
 Every emitted row carries ``_commit_version`` (long), so downstream
 exactly-once sinks can key idempotence on (version, row) like the
 engine's CDC feed.
+
+``readChangeFeed=true`` streams the table's CHANGE DATA FEED instead
+of the append tail (the semantics of :func:`.delta.read_delta_changes`,
+per micro-batch version window): a commit's ``cdc`` files — whose rows
+carry their own ``_change_type`` — supersede its add/remove pair;
+commits without cdc actions derive inserts from dataChange adds and
+deletes from dataChange removes (so UPDATE/DELETE/MERGE commits no
+longer raise — they stream as row-level changes); every row gains
+``_change_type``. Schema evolution mid-stream and DV-carrying changes
+without cdc files raise.
 """
 
 from __future__ import annotations
@@ -56,13 +66,18 @@ __all__ = ["DeltaStreamDataSource", "register_delta_stream"]
 
 
 class _AddPartition(InputPartition):
-    def __init__(self, version, path, pv, dv, data_cols, part_casts):
+    def __init__(
+        self, version, path, pv, dv, data_cols, part_casts,
+        ctype=None, own_ct=False,
+    ):
         self.version = version
         self.path = path
         self.pv = pv                  # {partition col -> string | None}
         self.dv = dv                  # deletionVector descriptor | None
         self.data_cols = data_cols    # column names stored IN the file
         self.part_casts = part_casts  # [(col, type name)] in schema order
+        self.ctype = ctype            # CDF: manifest change type (derived)
+        self.own_ct = own_ct          # CDF: file carries _change_type itself
 
 
 def _cast_pv(raw: str | None, type_name: str):
@@ -125,6 +140,14 @@ class DeltaStreamReader(DataSourceStreamReader):
         self._ignore_changes = str(
             options.get("ignorechanges", options.get("ignoreChanges", "false"))
         ).lower() in ("true", "1")
+        #: readChangeFeed=true -> stream the CHANGE DATA FEED instead of
+        #: the append tail: cdc files win over their commit's add/remove
+        #: pair, commits without cdc derive insert/delete from dataChange
+        #: add/remove; every row gains _change_type
+        self._cdf = str(
+            options.get("readchangefeed", options.get("readChangeFeed", "false"))
+        ).lower() in ("true", "1")
+        self._schema_string = meta["schemaString"]
         start = options.get("startingversion", options.get("startingVersion"))
         if start is None or str(start).lower() == "latest":
             self._start = last
@@ -152,6 +175,9 @@ class DeltaStreamReader(DataSourceStreamReader):
                     "(vacuumed past the stream's offset); restart with a "
                     "newer startingVersion"
                 )
+            cdc: list[dict] = []
+            adds: list[dict] = []
+            removes: list[dict] = []
             with open(have[v]) as f:
                 for line in f:
                     line = line.strip()
@@ -161,30 +187,78 @@ class DeltaStreamReader(DataSourceStreamReader):
                     if "protocol" in a:
                         _check_protocol(a["protocol"])
                     elif "metaData" in a:
-                        _check_meta(a["metaData"])
-                    elif "remove" in a:
-                        if a["remove"].get("dataChange", True) and not self._ignore_changes:
+                        m = _check_meta(a["metaData"])
+                        if self._cdf and m.get("schemaString") != self._schema_string:
+                            raise DeltaProtocolError(
+                                f"schema changed at version {v}; restart the "
+                                "change-feed stream to pick up the new schema"
+                            )
+                    elif "cdc" in a and self._cdf:
+                        cdc.append(a["cdc"])
+                    elif "remove" in a and a["remove"].get("dataChange", True):
+                        if self._cdf:
+                            removes.append(a["remove"])
+                        elif not self._ignore_changes:
                             raise DeltaProtocolError(
                                 f"commit {v} contains a data-changing remove "
                                 "(UPDATE/DELETE/MERGE); a streaming tail "
                                 "cannot represent it — set "
                                 "ignoreChanges=true to process the adds "
-                                "anyway (may re-emit rewritten rows)"
+                                "anyway (may re-emit rewritten rows), or "
+                                "readChangeFeed=true for the row-level feed"
                             )
                     elif "add" in a:
                         ad = a["add"]
                         if not ad.get("dataChange", True):
                             continue  # compaction rewrite: no new rows
-                        out.append(
-                            _AddPartition(
-                                v,
-                                os.path.join(self._root, unquote(ad["path"])),
-                                ad.get("partitionValues") or {},
-                                ad.get("deletionVector"),
-                                self._data_cols,
-                                casts,
-                            )
+                        adds.append(ad)
+            if self._cdf and cdc:
+                for cd in cdc:
+                    out.append(
+                        _AddPartition(
+                            v,
+                            os.path.join(self._root, unquote(cd["path"])),
+                            cd.get("partitionValues") or {},
+                            None,
+                            self._data_cols,
+                            casts,
+                            own_ct=True,
                         )
+                    )
+                continue  # cdc files supersede the commit's add/remove
+            if self._cdf:
+                for ad, ct in [(a, "insert") for a in adds] + [
+                    (r, "delete") for r in removes
+                ]:
+                    if ad.get("deletionVector"):
+                        raise DeltaProtocolError(
+                            f"version {v} changes a file through a deletion "
+                            "vector without cdc files; the row-level change "
+                            "set is not derivable from whole files"
+                        )
+                    out.append(
+                        _AddPartition(
+                            v,
+                            os.path.join(self._root, unquote(ad["path"])),
+                            ad.get("partitionValues") or {},
+                            None,
+                            self._data_cols,
+                            casts,
+                            ctype=ct,
+                        )
+                    )
+                continue
+            for ad in adds:
+                out.append(
+                    _AddPartition(
+                        v,
+                        os.path.join(self._root, unquote(ad["path"])),
+                        ad.get("partitionValues") or {},
+                        ad.get("deletionVector"),
+                        self._data_cols,
+                        casts,
+                    )
+                )
         return out or [_AddPartition(-1, None, {}, None, self._data_cols, casts)]
 
     def read(self, partition: _AddPartition):
@@ -197,23 +271,30 @@ class DeltaStreamReader(DataSourceStreamReader):
             from .dv import read_dv_descriptor
 
             dead = set(read_dv_descriptor(partition.dv, self._root))
-        table = pq.ParquetFile(partition.path).read(
-            columns=partition.data_cols
-        )
+        cols = list(partition.data_cols)
+        if partition.own_ct:
+            cols.append("_change_type")
+        table = pq.ParquetFile(partition.path).read(columns=cols)
         pv = {
             c: _cast_pv(partition.pv.get(c), t) for c, t in partition.part_casts
         }
-        data = {c: table.column(c).to_pylist() for c in partition.data_cols}
+        data = {c: table.column(c).to_pylist() for c in cols}
+        cdf = self._cdf
         for i in range(table.num_rows):
             if i in dead:
                 continue
-            yield (
-                *[
-                    pv[c] if c in pv else data[c][i]
-                    for c in self._schema_order
-                ],
-                partition.version,
-            )
+            base = [
+                pv[c] if c in pv else data[c][i] for c in self._schema_order
+            ]
+            if cdf:
+                ct = (
+                    data["_change_type"][i]
+                    if partition.own_ct
+                    else partition.ctype
+                )
+                yield (*base, ct, partition.version)
+            else:
+                yield (*base, partition.version)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable delta versions; nothing to release
@@ -249,8 +330,17 @@ class DeltaStreamDataSource(DataSource):
 
     def schema(self):
         meta, _l, _d, _last = _replay_log(self.options.get("path"))
-        schema = StructType.fromJson(json.loads(meta["schemaString"]))
-        return StructType(list(schema.fields)).add("_commit_version", "long")
+        schema = StructType(
+            list(StructType.fromJson(json.loads(meta["schemaString"])).fields)
+        )
+        cdf = str(
+            self.options.get(
+                "readchangefeed", self.options.get("readChangeFeed", "false")
+            )
+        ).lower() in ("true", "1")
+        if cdf:
+            schema = schema.add("_change_type", "string")
+        return schema.add("_commit_version", "long")
 
     def streamReader(self, schema: StructType):
         return DeltaStreamReader(self.options)

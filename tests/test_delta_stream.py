@@ -152,3 +152,47 @@ def test_stream_gates_data_changing_removes(spark, stream_root, tmp_path):
         spark, stream_root, str(tmp_path / "ck5"),
         startingVersion=2, ignoreChanges="true",
     ) == []
+
+
+def test_stream_change_feed_mode(spark, tmp_path):
+    """readChangeFeed=true: cdc files win over add/remove, removes stream
+    as derived deletes instead of raising, rows carry _change_type."""
+    root = str(tmp_path / "cdfstream")
+    _write_parquet(os.path.join(root, "f0.parquet"), [(1,), (2,)], ["id"])
+    _write_commit(
+        root, 0,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+         _meta_action([("id", "long")]),
+         _add("f0.parquet")],
+    )
+    # v1: cdc update commit — its remove/add pair must be superseded
+    _write_parquet(
+        os.path.join(root, "_change_data", "cdc-1.parquet"),
+        [(1, "update_preimage"), (1, "update_postimage")],
+        ["id", "_change_type"],
+    )
+    _write_parquet(os.path.join(root, "f1.parquet"), [(1,), (2,)], ["id"])
+    _write_commit(
+        root, 1,
+        [{"cdc": {"path": "_change_data/cdc-1.parquet", "partitionValues": {},
+                  "size": 1, "dataChange": False}},
+         {"remove": {"path": "f0.parquet", "dataChange": True}},
+         _add("f1.parquet")],
+    )
+    # v2: plain remove commit -> derived deletes (would raise in tail mode)
+    _write_commit(root, 2, [{"remove": {"path": "f1.parquet", "dataChange": True}}])
+    got = _drain(
+        spark, root, str(tmp_path / "ckcdf"),
+        startingVersion=0, readChangeFeed="true",
+    )
+    assert got == sorted(
+        [
+            (1, "insert", 0), (2, "insert", 0),
+            (1, "update_preimage", 1), (1, "update_postimage", 1),
+            (1, "delete", 2), (2, "delete", 2),
+        ]
+    )
+    # tail mode still raises on the same log
+    with pytest.raises(Exception) as ei:
+        _drain(spark, root, str(tmp_path / "cktail"), startingVersion=0)
+    assert "readChangeFeed" in str(ei.value)

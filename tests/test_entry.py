@@ -44,7 +44,8 @@ def test_first_50_entries_cover_every_family():
                  "s18_iceberg_roundtrip", "t20_bpe_pair_counts",
                  "d12_substring_dedup", "t21_bpe_encode",
                  "s26_iceberg_transform_prune", "s27_hudi_mor_read",
-                 "s28_delta_cdf", "flagship_readmit_30d"):
+                 "s28_delta_cdf", "st17_stream_delta_cdf",
+                 "flagship_readmit_30d"):
         assert must in names
     assert len(names) == 50
 
