@@ -615,8 +615,91 @@ def _live_files(
                     "file); malformed metadata"
                 )
             else:
-                data_out.append((df["file_path"], df.get("partition") or {}, seq))
+                data_out.append(
+                    (
+                        df["file_path"],
+                        df.get("partition") or {},
+                        seq,
+                        {
+                            "lower": _bounds_map(df.get("lower_bounds")),
+                            "upper": _bounds_map(df.get("upper_bounds")),
+                        },
+                    )
+                )
     return data_out, pos_out, eq_out
+
+
+def _bounds_map(raw) -> dict[int, bytes]:
+    """Manifest column bounds -> {field id: binary single-value}.
+    Real manifests store array<struct<key:int, value:binary>>; Avro-map
+    fixtures ({str(id): bytes}) are accepted too. Absent/None -> {}."""
+    if not raw:
+        return {}
+    out: dict[int, bytes] = {}
+    if isinstance(raw, dict):
+        for k, v in raw.items():
+            if v is not None:
+                out[int(k)] = bytes(v)
+    else:
+        for kv in raw:
+            v = kv.get("value")
+            if v is not None:
+                out[int(kv["key"])] = bytes(v)
+    return out
+
+
+def decode_bound(icetype, b: bytes):
+    """Spec Appendix D single-value binary serialization -> python value
+    (the subset bounds pruning needs; unsupported types return None =
+    cannot prune)."""
+    import struct as _struct
+
+    if not isinstance(icetype, str):
+        return None
+    t = icetype.lower()
+    try:
+        if t == "int" or t == "date":
+            return _struct.unpack("<i", b)[0]
+        if t in ("long", "time", "timestamp", "timestamptz"):
+            return _struct.unpack("<q", b)[0]
+        if t == "float":
+            return _struct.unpack("<f", b)[0]
+        if t == "double":
+            return _struct.unpack("<d", b)[0]
+        if t == "string":
+            return b.decode("utf-8")
+        if t == "boolean":
+            return b != b"\x00"
+    except (ValueError, _struct.error):
+        return None
+    return None
+
+
+_PRED_OPS = ("<", "<=", "=", "==", ">=", ">")
+
+
+def _file_may_match(
+    stats: dict, fid: int, icetype, op: str, value
+) -> bool:
+    """Conservative bounds test: False ONLY when the file's [lower,
+    upper] range for the column provably excludes every matching row.
+    Missing bounds -> True (cannot prune)."""
+    lo = decode_bound(icetype, stats["lower"][fid]) if fid in stats["lower"] else None
+    hi = decode_bound(icetype, stats["upper"][fid]) if fid in stats["upper"] else None
+    if op in (">", ">="):
+        if hi is None:
+            return True
+        return hi > value if op == ">" else hi >= value
+    if op in ("<", "<="):
+        if lo is None:
+            return True
+        return lo < value if op == "<" else lo <= value
+    # equality
+    if lo is not None and lo > value:
+        return False
+    if hi is not None and hi < value:
+        return False
+    return True
 
 
 def snapshot_at_timestamp(meta: dict, ts_millis: int) -> int:
@@ -649,6 +732,7 @@ def read_iceberg(
     partitions: dict[str, object] | None = None,
     broadcast_deletes: bool = True,
     timestamp: int | None = None,
+    predicates: list[tuple[str, str, object]] | None = None,
 ) -> DataFrame:
     """Snapshot-read an Iceberg table (``snapshot_id=`` time travel,
     default the current snapshot). ``partitions`` prunes files at the
@@ -691,9 +775,38 @@ def read_iceberg(
         snapshot_id = snapshot_at_timestamp(meta, timestamp)
     schema = _table_schema(meta)
     files, pos_dels, eq_dels = _live_files(meta, root, snapshot_id)
+    if predicates:
+        # metadata-level MIN/MAX skipping: the manifests' per-column
+        # lower/upper bounds (Appendix D binary single-values) prune
+        # files a conjunctive predicate provably cannot match; files
+        # without bounds for a column are conservatively kept
+        name_info: dict[str, tuple[int, object]] = {}
+        for sch in meta.get("schemas", []):
+            for f in sch.get("fields", []):
+                name_info[f.get("name")] = (f.get("id"), f.get("type"))
+        checked = []
+        for col, op, value in predicates:
+            if op not in _PRED_OPS:
+                raise ValueError(
+                    f"unsupported predicate op {op!r} (have {_PRED_OPS})"
+                )
+            if col not in name_info:
+                raise ValueError(
+                    f"predicate names unknown column {col!r} "
+                    f"(schema columns: {sorted(name_info)})"
+                )
+            checked.append((name_info[col][0], name_info[col][1], op, value))
+        files = [
+            rec
+            for rec in files
+            if all(
+                _file_may_match(rec[3], fid, it, op, v)
+                for fid, it, op, v in checked
+            )
+        ]
     if partitions:
         known = set()
-        for _p, pv, _s in files:
+        for _p, pv, _s, _st in files:
             known.update(pv)
         src_map = _spec_source_map(meta)
         unknown = [
@@ -728,13 +841,13 @@ def read_iceberg(
             )
 
         files = [
-            (p, pv, s)
-            for p, pv, s in files
-            if all(_admits(pv, c, w) for c, w in partitions.items())
+            rec
+            for rec in files
+            if all(_admits(rec[1], c, w) for c, w in partitions.items())
         ]
     if not files:
         return spark.createDataFrame([], schema)
-    paths = sorted(_localize(p, root) for p, _pv, _s in files)
+    paths = sorted(_localize(rec[0], root) for rec in files)
     df = spark.read.schema(schema).parquet(*paths)
     if not pos_dels and not eq_dels:
         return df
@@ -774,7 +887,7 @@ def read_iceberg(
             dels = F.broadcast(dels)
         keyed = keyed.join(dels, [fp, pos], "left_anti")
     if eq_dels:
-        if any(s is None for _p, _pv, s in files) or any(
+        if any(rec[2] is None for rec in files) or any(
             s is None for _p, s, _ids in eq_dels
         ):
             raise IcebergProtocolError(
@@ -787,8 +900,8 @@ def read_iceberg(
             id2field[raw["id"]] = f_
         seq_df = spark.createDataFrame(
             [
-                (os.path.abspath(_localize(p, root)), int(s))
-                for p, _pv, s in files
+                (os.path.abspath(_localize(rec[0], root)), int(rec[2]))
+                for rec in files
             ],
             T.StructType(
                 [
