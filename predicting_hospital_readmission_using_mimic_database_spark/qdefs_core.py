@@ -20,7 +20,7 @@ from .functions import text as TX
 from .operators import relational as R
 from .plans.readmission import readmit_events, readmit_labels
 from .registry import query
-from .sources.io import read_table
+from .sources.io import decoded_file_path, read_table
 
 
 def _events(spark, sf):
@@ -3304,9 +3304,7 @@ def q_s22(spark, sf):
     for r in (
         spark.read.schema(data_schema).parquet(*sorted(rel_of))
         .select(
-            F.regexp_replace(
-                F.url_decode(F.col("_metadata.file_path")), r"^file:/+", "/"
-            ).alias("fp"),
+            decoded_file_path(F.col("_metadata.file_path")).alias("fp"),
             F.col("_metadata.row_index").alias("pos"),
             "c_custkey",
         )

@@ -833,12 +833,14 @@ def read_delta(
     # scan-level bookkeeping columns, computed ONCE on the file source:
     # the normalized file path keys both the DV anti-join and the
     # partition-value attach; input_file_name() is the URI Spark read
-    # ("file:///a/b%20c.parquet") — decode the percent-escapes and strip
-    # the local scheme to match the driver-side absolute paths
-    decoded = F.url_decode(F.input_file_name())
+    # ("file:///a/b%20c.parquet") — decode ONLY the percent-escapes
+    # (literal '+' survives) and strip the local scheme to match the
+    # driver-side absolute paths
+    from .io import decoded_file_path
+
     scan_cols = [
         F.col(f.name) for f in data_schema.fields
-    ] + [F.regexp_replace(decoded, r"^file:/+", "/").alias(key)]
+    ] + [decoded_file_path(F.input_file_name()).alias(key)]
     if dv_live:
         scan_cols.append(F.col("_metadata.row_index").alias(posk))
     df = df.select(*scan_cols)
@@ -960,6 +962,22 @@ def read_delta_changes(
         ]
     )
     manifest: list[tuple[str, int, str | None, dict]] = []
+    # add-time partitionValues per live file: a remove written WITHOUT
+    # extendedFileMetadata carries no partitionValues, and on a
+    # partitioned table its derived 'delete' rows would silently get
+    # NULL partition columns — fall back to the values the file was
+    # ADDED with (log replay up to just before the range, then updated
+    # by the range's own adds), and raise if neither side has them.
+    pv_known: dict[str, dict] = {}
+    if part_cols and start > 0:
+        try:
+            _m0, live0, _dv0, _l0 = _replay_log(root, start - 1)
+        except DeltaProtocolError:
+            # pre-range log vacuumed past a checkpoint inside the range:
+            # seeding is best-effort — the per-remove raise below still
+            # fires if a remove actually needs the missing values
+            live0 = {}
+        pv_known.update(live0)
     for v in range(start, end + 1):
         cpath = commits.get(v)
         if cpath is None:
@@ -1000,6 +1018,9 @@ def read_delta_changes(
                     "dataChange", True
                 ):
                     removes.append(action["remove"])
+        if part_cols:
+            for a in adds:
+                pv_known[unquote(a["path"])] = a.get("partitionValues") or {}
         if cdc:
             for a in cdc:
                 manifest.append(
@@ -1015,9 +1036,19 @@ def read_delta_changes(
                         "vector without cdc files; the row-level change "
                         "set is not derivable from whole files"
                     )
-                manifest.append(
-                    (unquote(a["path"]), v, ct, a.get("partitionValues") or {})
-                )
+                rel = unquote(a["path"])
+                pv = a.get("partitionValues")
+                if pv is None and part_cols:
+                    pv = pv_known.get(rel)
+                    if pv is None:
+                        raise DeltaProtocolError(
+                            f"version {v} removes {rel} without "
+                            "partitionValues (no extendedFileMetadata) and "
+                            "the file's add-time partition values are not "
+                            "in the retained log; its delete rows' "
+                            "partition columns cannot be reconstructed"
+                        )
+                manifest.append((rel, v, ct, pv or {}))
     if not manifest:
         return spark.createDataFrame([], out_schema)
     for rel, v, _ct, _pv in manifest:
@@ -1029,9 +1060,9 @@ def read_delta_changes(
     key = "__delta_cdf_file"
     while key in schema.names:
         key = "_" + key
-    decoded = F.regexp_replace(
-        F.url_decode(F.input_file_name()), r"^file:/+", "/"
-    )
+    from .io import decoded_file_path
+
+    decoded = decoded_file_path(F.input_file_name())
     scans = []
     cdc_paths = sorted(
         {os.path.abspath(os.path.join(root, r)) for r, _v, ct, _p in manifest

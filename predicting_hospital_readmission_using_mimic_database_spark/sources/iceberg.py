@@ -542,13 +542,14 @@ def iceberg_snapshots(root: str) -> list[dict]:
 def _live_files(
     meta: dict, root: str, snapshot_id
 ) -> tuple[
-    list[tuple[str, dict, int | None]],
+    list[tuple[str, dict, int | None, dict]],
     list[str],
-    list[tuple[str, int | None, list[int]]],
+    list[tuple[str, int | None, list[int], dict]],
 ]:
-    """(data files as (path, partition values, sequence number),
+    """(data files as (path, partition values, sequence number, stats),
     POSITIONAL delete file paths, EQUALITY delete files as (path,
-    sequence number, equality field ids)) live at the snapshot.
+    sequence number, equality field ids, partition values)) live at the
+    snapshot.
     Sequence numbers come from the entry when present, else inherit
     from the manifest-list record (``None`` when the metadata carries
     neither — fine unless equality deletes need the ordering)."""
@@ -576,7 +577,7 @@ def _live_files(
         manifest_paths = [(p, False, None) for p in snap.get("manifests", [])]
     data_out: list[tuple[str, dict, int | None]] = []
     pos_out: list[str] = []
-    eq_out: list[tuple[str, int | None, list[int]]] = []
+    eq_out: list[tuple[str, int | None, list[int], dict]] = []
     for mp, is_delete, mseq in manifest_paths:
         _s, entries = read_avro(_localize(mp, root))
         for e in entries:
@@ -608,7 +609,9 @@ def _live_files(
                             "equality delete file without equality_ids; "
                             "malformed metadata"
                         )
-                    eq_out.append((df["file_path"], seq, eq_ids))
+                    eq_out.append(
+                        (df["file_path"], seq, eq_ids, df.get("partition") or {})
+                    )
             elif is_delete:
                 raise IcebergProtocolError(
                     "DELETE manifest entry carries content=0 (a data "
@@ -855,11 +858,13 @@ def read_iceberg(
 
     out_cols = [f.name for f in schema.fields]
 
-    def _norm(col):
-        # both sides to decoded local-path form: _metadata.file_path is
-        # the URI Spark read ("file:///a/b%20c.parquet"); delete-file
-        # rows carry the writer's URI serialization of the same path
-        return F.regexp_replace(F.url_decode(col), r"^file:/+", "/")
+    from .io import decoded_file_path as _norm
+
+    # both anti-join sides go to decoded local-path form:
+    # _metadata.file_path is the URI Spark read
+    # ("file:///a/b%20c.parquet"); delete-file rows carry the writer's
+    # URI serialization of the same path. The helper decodes ONLY %XX
+    # escapes (a literal '+' in a path survives) and strips file:.
 
     fp, pos, seqc = "__iceberg_file", "__iceberg_pos", "__iceberg_seq"
     while fp in out_cols or pos in out_cols or seqc in out_cols:
@@ -887,8 +892,10 @@ def read_iceberg(
             dels = F.broadcast(dels)
         keyed = keyed.join(dels, [fp, pos], "left_anti")
     if eq_dels:
+        from urllib.parse import unquote
+
         if any(rec[2] is None for rec in files) or any(
-            s is None for _p, s, _ids in eq_dels
+            d[1] is None for d in eq_dels
         ):
             raise IcebergProtocolError(
                 "equality deletes present but sequence numbers are "
@@ -898,9 +905,28 @@ def read_iceberg(
         id2field = {}
         for f_, raw in zip(schema.fields, _schema_json(meta)["fields"]):
             id2field[raw["id"]] = f_
+        dels_sorted = sorted(eq_dels, key=lambda d: (d[0], d[1]))
+
+        def _in_scope(data_pv: dict, del_pv: dict) -> bool:
+            # spec scoping: a PARTITIONED equality delete applies only
+            # to data files in the same partition (its tuple matched on
+            # every field it carries); an empty tuple = global delete.
+            # A data file whose tuple lacks a delete field is from a
+            # different spec and out of the delete's scope.
+            return all(
+                k in data_pv and data_pv[k] == v for k, v in del_pv.items()
+            )
+
+        # one broadcast frame keyed the same way the scan side is keyed
+        # (decoded %XX, '+' preserved, absolute): per data file its
+        # sequence number plus one applicability flag per delete file
+        adm_cols = [f"{seqc}_adm{i}" for i in range(len(dels_sorted))]
         seq_df = spark.createDataFrame(
             [
-                (os.path.abspath(_localize(rec[0], root)), int(rec[2]))
+                tuple(
+                    [os.path.abspath(unquote(_localize(rec[0], root))), int(rec[2])]
+                    + [_in_scope(rec[1], d[3]) for d in dels_sorted]
+                )
                 for rec in files
             ],
             T.StructType(
@@ -908,12 +934,13 @@ def read_iceberg(
                     StructField(fp, StringType(), False),
                     StructField(seqc, LongType(), False),
                 ]
+                + [StructField(c, T.BooleanType(), False) for c in adm_cols]
             ),
         )
         keyed = keyed.join(F.broadcast(seq_df), fp, "left")
-        for dpath, dseq, eq_ids in sorted(eq_dels):
+        for i, (dpath, dseq, eq_ids, _dpv) in enumerate(dels_sorted):
             try:
-                eq_fields = [id2field[i] for i in eq_ids]
+                eq_fields = [id2field[i_] for i_ in eq_ids]
             except KeyError as e:
                 raise IcebergProtocolError(
                     f"equality_ids reference field id {e} which is not a "
@@ -925,7 +952,7 @@ def read_iceberg(
                 .parquet(_localize(dpath, root))
                 .dropDuplicates()
             )
-            cond = F.col(seqc) < F.lit(int(dseq))
+            cond = F.col(adm_cols[i]) & (F.col(seqc) < F.lit(int(dseq)))
             for f_ in eq_fields:
                 cond = cond & keyed[f_.name].eqNullSafe(eq_df[f_.name])
             keyed = keyed.join(F.broadcast(eq_df), cond, "left_anti")

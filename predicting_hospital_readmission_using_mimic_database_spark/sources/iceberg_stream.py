@@ -129,17 +129,34 @@ class IcebergStreamReader(DataSourceStreamReader):
                     _localize(snap["manifest-list"], self._root)
                 )
                 mpaths = [
-                    (m["manifest_path"], m.get("content", 0) == 1)
+                    (
+                        m["manifest_path"],
+                        m.get("content", 0) == 1,
+                        m.get("added_snapshot_id"),
+                    )
                     for m in manifests
                 ]
             else:
-                mpaths = [(p, False) for p in snap.get("manifests", [])]
-            for mp, is_delete in mpaths:
+                mpaths = [(p, False, None) for p in snap.get("manifests", [])]
+            for mp, is_delete, added_sid in mpaths:
                 if is_delete:
                     continue  # delete files are never streamed
                 _s, entries = read_avro(_localize(mp, self._root))
                 for e in entries:
-                    if e.get("status", 0) != 1 or e.get("snapshot_id") != sid:
+                    # the spec makes entry snapshot_id OPTIONAL with
+                    # inheritance from the manifest-list record's
+                    # added_snapshot_id — a conforming writer that
+                    # relies on inheritance must not stream zero rows
+                    esid = e.get("snapshot_id")
+                    if esid is None:
+                        esid = added_sid
+                    if esid is None:
+                        raise IcebergProtocolError(
+                            f"manifest {mp}: entry carries no snapshot_id "
+                            "and the manifest-list record has no "
+                            "added_snapshot_id to inherit from"
+                        )
+                    if e.get("status", 0) != 1 or esid != sid:
                         continue  # only files ADDED by this snapshot
                     df = e["data_file"]
                     if df.get("content", 0) != 0:

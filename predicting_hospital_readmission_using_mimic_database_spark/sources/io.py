@@ -43,6 +43,23 @@ TABLES = (
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
+def decoded_file_path(col):
+    """Spark file-path column (``input_file_name()`` /
+    ``_metadata.file_path`` — a URI with %XX escapes, e.g.
+    ``file:///a/b%20c.parquet``) -> the on-disk absolute path.
+
+    ``F.url_decode`` alone uses FORM-urlencoded semantics and turns a
+    literal ``+`` in a file or partition-dir name into a space, so keys
+    built from it never match driver-side ``os.path`` keys; pre-escaping
+    ``+`` to ``%2B`` restricts the decode to the %XX escapes Spark
+    actually wrote. The local ``file:`` scheme prefix is stripped."""
+    return F.regexp_replace(
+        F.url_decode(F.regexp_replace(col, r"\+", "%2B")),
+        r"^file:/+",
+        "/",
+    )
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one harness table (S1-S4).
 

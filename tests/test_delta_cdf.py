@@ -168,3 +168,54 @@ def test_cdf_gates(spark, tmp_path, cdf_root):
     )
     with pytest.raises(DeltaProtocolError):
         read_delta_changes(spark, root3)
+
+
+def test_cdf_remove_without_partition_values_falls_back(spark, tmp_path):
+    """A remove written WITHOUT extendedFileMetadata carries no
+    partitionValues; on a partitioned table the derived delete rows must
+    take the values the file was ADDED with (pre-range log replay or an
+    in-range add), never silent NULLs — and raise when neither side has
+    them."""
+    root = str(tmp_path / "nopv")
+    _write_parquet(
+        os.path.join(root, "seg=a", "f0.parquet"), [(1, 10)], ["k", "v"]
+    )
+    _write_commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1}},
+            _meta_action(
+                [("k", "long"), ("v", "long"), ("seg", "string")],
+                part_cols=("seg",),
+            ),
+            {"add": {"path": "seg=a/f0.parquet",
+                     "partitionValues": {"seg": "a"}, "size": 1,
+                     "dataChange": True}},
+        ],
+    )
+    # bare remove: no partitionValues field at all
+    _write_commit(
+        root, 1, [{"remove": {"path": "seg=a/f0.parquet", "dataChange": True}}]
+    )
+    # in-range add (start=0) supplies the values
+    full = {
+        (r["k"], r["seg"], r["_change_type"], r["_commit_version"])
+        for r in read_delta_changes(spark, root).collect()
+    }
+    assert full == {(1, "a", "insert", 0), (1, "a", "delete", 1)}
+    # range starting AFTER the add: pre-range replay supplies them
+    tail = {
+        (r["k"], r["seg"], r["_change_type"], r["_commit_version"])
+        for r in read_delta_changes(spark, root, starting_version=1).collect()
+    }
+    assert tail == {(1, "a", "delete", 1)}
+    # a remove of a file never added in the retained log: honest raise
+    _write_parquet(
+        os.path.join(root, "seg=b", "fx.parquet"), [(2, 20)], ["k", "v"]
+    )
+    _write_commit(
+        root, 2, [{"remove": {"path": "seg=b/fx.parquet", "dataChange": True}}]
+    )
+    with pytest.raises(DeltaProtocolError, match="partition"):
+        read_delta_changes(spark, root, starting_version=2).collect()

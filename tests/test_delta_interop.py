@@ -1093,3 +1093,39 @@ def test_timestamp_time_travel(spark, delta_root):
     os.utime(os.path.join(log, f"{1:020d}.json"), (t0 + 100, t0 + 100))
     assert version_at_timestamp(delta_root, (t0 + 200) * 1000) == 0
     assert version_at_timestamp(delta_root, (t0 + 500) * 1000) == 1
+
+
+def test_plus_sign_in_path_dv_and_partition_attach(spark, tmp_path):
+    """A literal '+' in the table/file path must survive the scan-key
+    decode (bare F.url_decode is FORM-urlencoded and turns '+' into a
+    space, silently breaking both scan-key joins): the DV anti-join
+    still drops its rows and the partition broadcast join still
+    attaches values instead of NULLs."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.dv import (
+        write_dv_file,
+    )
+
+    root = str(tmp_path / "t+plus" / "dv+tbl")
+    _write_parquet(
+        os.path.join(root, "seg=a+b", "f0.parquet"),
+        [(i, float(i)) for i in range(6)],
+        ["id", "bal"],
+    )
+    desc = write_dv_file(os.path.join(root, "dv0.bin"), [1, 4])
+    fields = [("id", "long"), ("bal", "double"), ("seg", "string")]
+    _write_commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"]}},
+            _meta_action(fields, part_cols=["seg"]),
+            {"add": {"path": "seg=a+b/f0.parquet",
+                     "partitionValues": {"seg": "a+b"},
+                     "size": 1, "modificationTime": 0, "dataChange": True,
+                     "deletionVector": desc}},
+        ],
+    )
+    rows = read_delta(spark, root).collect()
+    assert {r["id"] for r in rows} == {0, 2, 3, 5}
+    assert {r["seg"] for r in rows} == {"a+b"}

@@ -749,3 +749,82 @@ def test_transform_prune_unknown_source_raises(spark, tmp_path):
     _bucket_table(root)
     with pytest.raises(ValueError, match="unknown partition"):
         read_iceberg(spark, root, partitions={"v": "v7"})
+
+
+def test_equality_delete_partition_scoped(spark, tmp_path):
+    """A PARTITIONED equality delete (its manifest entry carries a
+    partition tuple) applies only to data files sharing that tuple — a
+    matching key in another partition must survive; an empty tuple
+    stays a global delete."""
+    root = str(tmp_path / "eqscope")
+    fx = os.path.join(root, "data", "x.parquet")
+    fy = os.path.join(root, "data", "y.parquet")
+    _write_parquet(fx, [(1, "x"), (2, "x")], ["k", "seg"])
+    _write_parquet(fy, [(1, "y"), (3, "y")], ["k", "seg"])
+    dx = os.path.join(root, "data", "del-x.parquet")
+    _write_parquet(dx, [(1,)], ["k"])
+    entry_schema = json.loads(json.dumps(MANIFEST_ENTRY_SCHEMA))
+    entry_schema["fields"][2]["type"]["fields"].append(
+        {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int"}]}
+    )
+    mf_schema = json.loads(json.dumps(MANIFEST_FILE_SCHEMA))
+    mf_schema["fields"].append(
+        {"name": "sequence_number", "type": ["null", "long"]}
+    )
+    m_data = os.path.join(root, "metadata", "m-data.avro")
+    os.makedirs(os.path.dirname(m_data), exist_ok=True)
+    ex = _entry(fx, "x", 2)
+    ey = _entry(fy, "y", 2)
+    for e in (ex, ey):
+        e["data_file"]["equality_ids"] = None
+    write_avro(m_data, entry_schema, [ex, ey])
+    # delete k=1 SCOPED to partition seg=x, at a later sequence number
+    m_del = os.path.join(root, "metadata", "m-del.avro")
+    ed = _entry(dx, "x", 1, content=2)
+    ed["data_file"]["equality_ids"] = [1]  # field id of k
+    write_avro(m_del, entry_schema, [ed])
+    ml = os.path.join(root, "metadata", "ml.avro")
+    write_avro(
+        ml,
+        mf_schema,
+        [
+            {"manifest_path": m_data, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 0,
+             "added_snapshot_id": 1, "sequence_number": 1},
+            {"manifest_path": m_del, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 1,
+             "added_snapshot_id": 2, "sequence_number": 2},
+        ],
+    )
+    _metadata(
+        root,
+        [{"snapshot-id": 2, "timestamp-ms": 0, "summary": {},
+          "manifest-list": ml}],
+        current=2,
+        fields=[("k", "long"), ("seg", "string")],
+    )
+    got = {(r["k"], r["seg"]) for r in read_iceberg(spark, root).collect()}
+    # k=1 deleted ONLY in seg=x; the seg=y copy survives
+    assert got == {(2, "x"), (1, "y"), (3, "y")}
+    # the same delete under an UNPARTITIONED spec (empty partition
+    # record — what a global delete writer emits) applies everywhere
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        MANIFEST_ENTRY_SCHEMA as PKG_ENTRY,
+    )
+
+    ed2 = {
+        "status": 1,
+        "snapshot_id": 2,
+        "data_file": {
+            "content": 2,
+            "file_path": dx,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": 1,
+            "file_size_in_bytes": 1,
+            "equality_ids": [1],
+        },
+    }
+    write_avro(m_del, PKG_ENTRY, [ed2])
+    got2 = {(r["k"], r["seg"]) for r in read_iceberg(spark, root).collect()}
+    assert got2 == {(2, "x"), (3, "y")}

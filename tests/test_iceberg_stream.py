@@ -174,3 +174,39 @@ def test_lineage_drift_detected(spark, ice_root, tmp_path):
     with pytest.raises(Exception) as ei:
         _drain(spark, ice_root, ckpt, startingSnapshotCount=0)
     assert "lineage" in str(ei.value)
+
+
+def test_entry_snapshot_id_inherited_from_manifest_list(spark, ice_root, tmp_path):
+    """The spec makes entry snapshot_id OPTIONAL with inheritance from
+    the manifest-list record's added_snapshot_id: a conforming foreign
+    writer relying on inheritance must stream its appended rows, not
+    silently zero."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.avro_ocf import (
+        read_avro,
+        write_avro,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        MANIFEST_ENTRY_SCHEMA,
+    )
+
+    mdir = os.path.join(ice_root, "metadata")
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        hint = f.read().strip()
+    with open(os.path.join(mdir, f"v{hint}.metadata.json")) as f:
+        meta = json.load(f)
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    _s, ml2 = read_avro(snaps[2]["manifest-list"])
+    appended = next(m for m in ml2 if m["added_snapshot_id"] == 2)
+    _s2, entries = read_avro(appended["manifest_path"])
+    # rewrite snapshot 2's entries with a NULL snapshot_id (inherited)
+    write_avro(
+        appended["manifest_path"],
+        MANIFEST_ENTRY_SCHEMA,
+        [{**e, "snapshot_id": None} for e in entries],
+    )
+    register_iceberg_stream(spark)
+    got = _drain(spark, ice_root, str(tmp_path / "ckinh"),
+                 startingSnapshotCount=0)
+    ks = sorted(k for k, _v, _s in got)
+    assert ks == [0, 1, 2, 3, 4, 100, 101, 102]
+    assert {s for k, _v, s in got if k >= 100} == {2}
