@@ -2872,6 +2872,167 @@ def q_s27(spark, sf):
 
 
 @query(
+    "s29_hudi_mor_delete",
+    oracle="""
+    WITH m AS (
+      SELECT c_mktsegment, c_custkey,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer
+    ), seg0 AS (SELECT min(c_mktsegment) AS s FROM customer),
+    kept AS (
+      SELECT c_mktsegment, bal FROM m
+      WHERE NOT (c_mktsegment = (SELECT s FROM seg0)
+                 AND c_custkey % 23 = 0)
+    ), re AS (
+      SELECT c_mktsegment, CAST(777 AS BIGINT) AS bal FROM m
+      WHERE c_mktsegment = (SELECT s FROM seg0) AND c_custkey % 46 = 0
+    ), u AS (
+      SELECT * FROM kept UNION ALL SELECT * FROM re
+    )
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(bal) AS BIGINT) AS bal_c
+    FROM u GROUP BY c_mktsegment
+    """,
+)
+def q_s29(spark, sf):
+    """S29 — Hudi MERGE_ON_READ DELETE-block read (sources/hudi.py
+    `_read_mor` tombstone fold + sources/hudi_log.py delete codec): the
+    normal MOR upsert-with-delete write path. deltacommit 1 writes
+    per-segment base groups (s27's layout); deltacommit 2 appends a
+    DELETE block to the first segment's log — an Avro
+    ``HoodieDeleteRecordList`` of every ``c_custkey % 23 = 0`` key of
+    that segment; deltacommit 3 RE-INSERTS the ``% 46 = 0`` half of the
+    deleted keys at 777 cents (delete-then-reinsert: the newer writer
+    must win); a 4th DELETE block sits under an INFLIGHT deltacommit
+    (pending delete invisibility). The tombstones ride the same
+    last-writer-wins merge window as upserts — a reader that dropped
+    deletes, resurrected the reinserted keys' tombstones, applied the
+    pending delete, or leaked a tombstone row into the output breaks
+    the segment-level hash DuckDB recomputes from base customer rows."""
+    import os
+
+    from .sources import hudi_log as HL
+    from .sources.hudi import read_hudi
+
+    root = _table_root("s29", sf)
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        "c_mktsegment",
+    )
+    segs = sorted(
+        r["c_mktsegment"] for r in c.select("c_mktsegment").distinct().collect()
+    )
+    import glob
+    import shutil
+
+    def put(df, part, file_id, instant):
+        d = os.path.join(root, part)
+        os.makedirs(d, exist_ok=True)
+        meta = df.select(
+            F.lit(instant).alias("_hoodie_commit_time"),
+            F.concat_ws("_", F.lit(instant), F.lit("0")).alias(
+                "_hoodie_commit_seqno"
+            ),
+            F.col("c_custkey").cast("string").alias("_hoodie_record_key"),
+            F.lit(part).alias("_hoodie_partition_path"),
+            F.lit(f"{file_id}_1-0-1_{instant}.parquet").alias(
+                "_hoodie_file_name"
+            ),
+            "c_custkey",
+            "bal_c",
+            "c_mktsegment",
+        )
+        stage = os.path.join(root, f".stage_{file_id}_{instant}")
+        meta.coalesce(1).write.parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(src, os.path.join(d, f"{file_id}_1-0-1_{instant}.parquet"))
+        shutil.rmtree(stage)
+
+    hdir = os.path.join(root, ".hoodie")
+    os.makedirs(hdir, exist_ok=True)
+    with open(os.path.join(hdir, "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.name=s29\nhoodie.table.type=MERGE_ON_READ\n")
+
+    def commit(instant, state="deltacommit"):
+        open(os.path.join(hdir, f"{instant}.{state}"), "w").close()
+
+    avro_schema = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": n, "type": ["null", t]}
+            for n, t in (
+                ("_hoodie_commit_time", "string"),
+                ("_hoodie_commit_seqno", "string"),
+                ("_hoodie_record_key", "string"),
+                ("_hoodie_partition_path", "string"),
+                ("_hoodie_file_name", "string"),
+                ("c_custkey", "long"),
+                ("bal_c", "long"),
+                ("c_mktsegment", "string"),
+            )
+        ],
+    }
+    t1, t2, t3, t4 = (
+        "00000000000001",
+        "00000000000002",
+        "00000000000003",
+        "00000000000004",
+    )
+    for i, s in enumerate(segs):
+        put(c.filter(F.col("c_mktsegment") == s), s, f"fg{i}", t1)
+    commit(t1)
+    # the touched minority only reaches the driver (fixture writer)
+    doomed = sorted(
+        r["c_custkey"]
+        for r in c.filter(
+            (F.col("c_mktsegment") == segs[0]) & (F.col("c_custkey") % 23 == 0)
+        ).collect()
+    )
+    lp = os.path.join(root, segs[0], HL.log_file_name("fg0", t1, 1))
+    HL.append_delete_block(
+        lp,
+        t2,
+        [{"recordKey": str(k), "partitionPath": segs[0]} for k in doomed],
+    )
+    commit(t2)
+    HL.append_avro_block(
+        lp,
+        t3,
+        avro_schema,
+        [
+            {
+                "_hoodie_commit_time": t3,
+                "_hoodie_commit_seqno": f"{t3}_0",
+                "_hoodie_record_key": str(k),
+                "_hoodie_partition_path": segs[0],
+                "_hoodie_file_name": "log",
+                "c_custkey": int(k),
+                "bal_c": 777,
+                "c_mktsegment": segs[0],
+            }
+            for k in doomed
+            if k % 46 == 0
+        ],
+    )
+    commit(t3)
+    # concurrent deleting writer: block appended, deltacommit INFLIGHT
+    HL.append_delete_block(
+        lp, t4, [{"recordKey": str(doomed[0]), "partitionPath": segs[0]}]
+    )
+    commit(t4, state="deltacommit.inflight")
+    return (
+        read_hudi(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("bal_c").cast("long").alias("bal_c"),
+        )
+    )
+
+
+@query(
     "s28_delta_cdf",
     oracle="""
     WITH base AS (

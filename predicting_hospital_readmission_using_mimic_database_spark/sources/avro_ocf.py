@@ -137,18 +137,67 @@ def _decode(schema, buf: io.BytesIO, names: dict):
     raise ValueError(f"avro: unsupported schema type {t!r}")
 
 
+def _union_accepts(branch, value, names: dict, strict: bool) -> bool:
+    """Does a union branch's type accept this Python value? ``strict``
+    requires the natural type; lenient additionally lets int satisfy
+    float/double (Avro's numeric promotion)."""
+    bt = branch if isinstance(branch, str) else branch.get("type")
+    if isinstance(bt, str) and bt in names:
+        return _union_accepts(names[bt], value, names, strict)
+    if bt == "boolean":
+        return isinstance(value, bool)
+    if bt in ("int", "long"):
+        return isinstance(value, int) and not isinstance(value, bool)
+    if bt in ("float", "double"):
+        return isinstance(value, float) or (
+            not strict and isinstance(value, int) and not isinstance(value, bool)
+        )
+    if bt in ("string", "enum"):
+        return isinstance(value, str)
+    if bt in ("bytes", "fixed"):
+        return isinstance(value, (bytes, bytearray))
+    if bt in ("record", "map"):
+        return isinstance(value, dict)
+    if bt == "array":
+        return isinstance(value, (list, tuple))
+    return False
+
+
 def _encode(schema, value, out: bytearray, names: dict) -> None:
     if isinstance(schema, str):
         if schema in names:
             return _encode(names[schema], value, out, names)
         t = schema
-    elif isinstance(schema, list):  # union: first branch accepting value
-        for i, branch in enumerate(schema):
-            bt = branch if isinstance(branch, str) else branch.get("type")
-            if (value is None) == (bt == "null"):
-                _write_long(out, i)
-                return _encode(branch, value, out, names)
-        raise ValueError(f"avro: no union branch for {value!r} in {schema}")
+    elif isinstance(schema, list):  # union: branch matched by value type
+        def _bt(b):
+            return b if isinstance(b, str) else b.get("type")
+
+        if value is None:
+            for i, branch in enumerate(schema):
+                if _bt(branch) == "null":
+                    _write_long(out, i)
+                    return None
+            raise ValueError(f"avro: no null branch for None in {schema}")
+        matched = [
+            (i, b)
+            for i, b in enumerate(schema)
+            if _union_accepts(b, value, names, strict=True)
+        ] or [
+            (i, b)
+            for i, b in enumerate(schema)
+            if _union_accepts(b, value, names, strict=False)
+        ]
+        if not matched:
+            # fall back to the first non-null branch (multi-branch
+            # unions of named/nested types resolve structurally)
+            matched = [
+                (i, b) for i, b in enumerate(schema) if _bt(b) != "null"
+            ]
+        if not matched:
+            raise ValueError(f"avro: no union branch for {value!r} in {schema}")
+        i, branch = matched[0]
+        _write_long(out, i)
+        return _encode(branch, value, out, names)
     else:
         t = schema["type"]
     if t == "null":

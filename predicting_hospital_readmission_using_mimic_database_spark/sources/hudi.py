@@ -9,8 +9,8 @@ How a Hudi COW snapshot read works (and what this reader does):
 1. ``.hoodie/hoodie.properties`` declares the table type —
    ``COPY_ON_WRITE`` reads base files only; ``MERGE_ON_READ`` routes
    to :func:`_read_mor` (deltacommit timeline, executor-side log
-   decode, per-key last-writer-wins merge; DELETE/rollback blocks
-   raise).
+   decode, per-key last-writer-wins merge; DELETE blocks fold in as
+   tombstones, rollback COMMAND blocks raise).
 2. The TIMELINE is the set of ``.hoodie/<instant>.commit`` files;
    an instant is COMPLETED only when the bare ``.commit`` file exists
    (``.requested`` / ``.inflight`` are pending and their data files
@@ -303,7 +303,7 @@ def _read_mor(
 ) -> DataFrame:
     """MERGE_ON_READ snapshot: per file group, the latest completed base
     file MERGED with its attached log files' committed AVRO upsert
-    blocks — last writer wins per record key.
+    blocks and DELETE tombstones — last writer wins per record key.
 
     Plan shape: base files are ONE Spark parquet scan (explicit
     schema); log records are decoded ON EXECUTORS (mapInPandas, one
@@ -314,9 +314,20 @@ def _read_mor(
     ``(_hoodie_record_key [, _hoodie_partition_path])`` ordered by
     (instant, log position) — the same per-key resolution a native
     Hudi MOR reader performs, expressed as one key-partitioned shuffle.
-    DELETE blocks and rollback COMMAND blocks raise (their payloads are
-    writer-serialized formats this layer does not parse); pending
-    deltacommit blocks are invisible, exactly like pending COW files.
+
+    DELETE blocks (the normal upsert-with-delete write path) join the
+    same window as TOMBSTONE rows — key present, payload null — so a
+    key whose newest committed writer is a delete drops out, and a
+    later re-insert resurrects it; a delete record without a
+    partitionPath scopes to the log file's own partition dir. Delete
+    payloads in serializations this layer does not parse (legacy kryo)
+    raise `HudiLogUnsupportedError` on the executor rather than
+    silently dropping deletes. Rollback COMMAND blocks raise; pending
+    deltacommit blocks of ANY type are invisible, exactly like pending
+    COW files. Ordering is (instant, log position) — a delete record's
+    ``orderingVal`` precombine field is not consulted (documented
+    limitation; same posture as the upsert merge, which is positional
+    too).
     """
     import json as _json
 
@@ -349,29 +360,29 @@ def _read_mor(
     for _bi, _ver, p in selected:
         idxs = []
         for bi, h in enumerate(HL.scan_block_headers(p)):
-            if h["type"] == HL.DELETE_BLOCK:
-                raise HudiProtocolError(
-                    f"log file {os.path.basename(p)} contains a DELETE "
-                    "block: delete payloads are not parsed by this layer"
+            inst = h["instant"]
+            if inst is None:
+                raise HL.HudiLogCorruptError(
+                    f"{p}: log block without INSTANT_TIME header"
                 )
+            if inst not in done:
+                # pending / rolled back / time-traveled past: invisible
+                # whatever the block type (snapshot isolation)
+                continue
             if h["type"] == HL.COMMAND_BLOCK:
                 raise HudiProtocolError(
                     f"log file {os.path.basename(p)} contains a rollback "
                     "COMMAND block: rollback resolution is not implemented"
                 )
-            if h["type"] != HL.AVRO_DATA_BLOCK:
+            if h["type"] not in (HL.AVRO_DATA_BLOCK, HL.DELETE_BLOCK):
                 raise HudiProtocolError(
                     f"log file {os.path.basename(p)}: unsupported block "
                     f"type {h['type']}"
                 )
-            inst = h["instant"]
-            if inst is None:
-                raise HL.HudiLogCorruptError(
-                    f"{p}: avro block without INSTANT_TIME header"
-                )
-            if inst not in done:
-                continue  # pending / rolled back / time-traveled past
-            if first_schema_json is None:
+            if (
+                h["type"] == HL.AVRO_DATA_BLOCK
+                and first_schema_json is None
+            ):
                 first_schema_json = h["header"].get(HL.H_SCHEMA)
             idxs.append(bi)
         if idxs:
@@ -385,6 +396,12 @@ def _read_mor(
         newest = max(groups.values())[1]
         schema = from_arrow_schema(
             pq.ParquetFile(newest).schema_arrow, prefer_timestamp_ntz=True
+        )
+        # tombstone rows carry NULL payload columns through the merge
+        # window, so the working schema must be nullable even when the
+        # footer marks columns required
+        schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in schema.fields]
         )
     else:  # log-only table: schema from the first committed block
         avro = _json.loads(first_schema_json or "null")
@@ -407,30 +424,61 @@ def _read_mor(
         T.StructField("__fidx", T.LongType(), True),
         T.StructField("__bi", T.LongType(), True),
         T.StructField("__ri", T.LongType(), True),
+        T.StructField("__del", T.BooleanType(), True),
     ]
     log_schema = T.StructType(list(schema.fields) + ord_fields)
+    has_ppath = "_hoodie_partition_path" in names
     if valid:
         file_rows = [
-            (i, p, _json.dumps(idxs)) for i, (p, idxs) in enumerate(valid)
+            (
+                i,
+                p,
+                os.path.relpath(os.path.dirname(p), root),
+                _json.dumps(idxs),
+            )
+            for i, (p, idxs) in enumerate(valid)
         ]
         fdf = spark.createDataFrame(
-            file_rows, "fidx long, path string, blocks string"
+            file_rows, "fidx long, path string, part string, blocks string"
         ).repartition(len(file_rows), "fidx")
 
         def parse(iterator):
             import pandas as pd
 
             for pdf in iterator:
-                for fidx, path, bjson in zip(
-                    pdf["fidx"], pdf["path"], pdf["blocks"]
+                for fidx, path, part, bjson in zip(
+                    pdf["fidx"], pdf["path"], pdf["part"], pdf["blocks"]
                 ):
                     keep = set(_json.loads(bjson))
                     cols: dict = {n: [] for n in names}
                     insts: list = []
                     bis: list = []
                     ris: list = []
+                    dels: list = []
                     for bi, blk in enumerate(HL.read_log_blocks(path)):
                         if bi not in keep:
+                            continue
+                        if blk["type"] == HL.DELETE_BLOCK:
+                            # tombstones: key columns only, payload null
+                            for ri, d in enumerate(
+                                HL.decode_delete_records(
+                                    blk["delete_content"]
+                                )
+                            ):
+                                for n in names:
+                                    if n == "_hoodie_record_key":
+                                        cols[n].append(d.get("recordKey"))
+                                    elif n == "_hoodie_partition_path":
+                                        pp = d.get("partitionPath")
+                                        cols[n].append(
+                                            part if pp is None else pp
+                                        )
+                                    else:
+                                        cols[n].append(None)
+                                insts.append(blk["instant"])
+                                bis.append(bi)
+                                ris.append(ri)
+                                dels.append(True)
                             continue
                         for ri, rec in enumerate(blk["records"]):
                             for n in names:
@@ -438,12 +486,14 @@ def _read_mor(
                             insts.append(blk["instant"])
                             bis.append(bi)
                             ris.append(ri)
+                            dels.append(False)
                     if insts:
                         out = pd.DataFrame(cols)
                         out["__instant"] = insts
                         out["__fidx"] = int(fidx)
                         out["__bi"] = bis
                         out["__ri"] = ris
+                        out["__del"] = dels
                         yield out
 
         log_df = fdf.mapInPandas(parse, log_schema)
@@ -461,11 +511,12 @@ def _read_mor(
             .withColumn("__fidx", F.lit(-1).cast("long"))
             .withColumn("__bi", F.lit(-1).cast("long"))
             .withColumn("__ri", F.lit(-1).cast("long"))
+            .withColumn("__del", F.lit(False))
         )
     else:
         base = spark.createDataFrame([], log_schema)
     keyc = ["_hoodie_record_key"]
-    if "_hoodie_partition_path" in names:
+    if has_ppath:
         keyc.append("_hoodie_partition_path")
     w = Window.partitionBy(*keyc).orderBy(
         F.desc("__instant"), F.desc("__fidx"), F.desc("__bi"), F.desc("__ri")
@@ -473,8 +524,10 @@ def _read_mor(
     out = (
         base.unionByName(log_df)
         .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__instant", "__fidx", "__bi", "__ri")
+        # keep each key's newest committed writer — unless that writer
+        # was a DELETE tombstone, which drops the key entirely
+        .filter((F.col("__rn") == 1) & ~F.col("__del"))
+        .drop("__rn", "__instant", "__fidx", "__bi", "__ri", "__del")
     )
     if not keep_meta:
         out = out.drop(*[c for c in META_COLS if c in out.columns])

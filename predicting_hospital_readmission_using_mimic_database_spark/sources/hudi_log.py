@@ -28,10 +28,16 @@ entry. A torn final block (writer died mid-append) is detected by
 truncation and IGNORED — the standard log-recovery posture; a corrupt
 magic mid-file raises.
 
-Block types and header keys are the Hudi enum ordinals; only the ones
-this layer produces/consumes are named. DELETE and COMMAND (rollback)
-blocks are recognized and surfaced so the reader can gate honestly —
-their payload formats (kryo'd delete keys) are not parsed.
+DELETE block content (the normal MOR upsert-with-delete write path):
+4-byte content-format version, 4-byte payload length, then the Avro
+BINARY encoding of a ``HoodieDeleteRecordList`` record — an array of
+``{recordKey, partitionPath, orderingVal}`` (the shape newer Hudi
+writers serialize; see HoodieDeleteBlock in the ASF sources). Older
+writers' kryo-serialized key arrays are NOT parsed — decoding them
+raises so the reader can gate honestly instead of dropping deletes.
+
+COMMAND (rollback) blocks are recognized and surfaced so the reader
+can gate honestly; rollback resolution is not implemented.
 """
 
 from __future__ import annotations
@@ -61,6 +67,93 @@ H_COMMAND_BLOCK_TYPE = 3
 
 class HudiLogCorruptError(ValueError):
     """Mid-file structural corruption (bad magic / impossible sizes)."""
+
+
+class HudiLogUnsupportedError(NotImplementedError):
+    """A block payload in a serialization this layer does not parse
+    (e.g. a legacy kryo-serialized delete-key array)."""
+
+
+#: delete-block payload: Avro record list (what newer Hudi writers emit)
+DELETE_RECORD_LIST_SCHEMA = {
+    "type": "record",
+    "name": "HoodieDeleteRecordList",
+    "fields": [
+        {
+            "name": "deleteRecordList",
+            "type": {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": "HoodieDeleteRecord",
+                    "fields": [
+                        {"name": "recordKey", "type": ["null", "string"]},
+                        {"name": "partitionPath", "type": ["null", "string"]},
+                        {
+                            "name": "orderingVal",
+                            "type": ["null", "string", "long", "double"],
+                        },
+                    ],
+                },
+            },
+        }
+    ],
+}
+
+#: delete-block content-format version this layer writes/reads
+DELETE_CONTENT_VERSION = 3
+
+
+def encode_delete_records(records: list[dict]) -> bytes:
+    """Delete-block content bytes: 4-byte content version, 4-byte
+    payload length, Avro binary of ``HoodieDeleteRecordList``. Each
+    record needs ``recordKey`` (+ optional ``partitionPath`` /
+    ``orderingVal``)."""
+    body = bytearray()
+    _encode(
+        DELETE_RECORD_LIST_SCHEMA,
+        {
+            "deleteRecordList": [
+                {
+                    "recordKey": r.get("recordKey"),
+                    "partitionPath": r.get("partitionPath"),
+                    "orderingVal": r.get("orderingVal"),
+                }
+                for r in records
+            ]
+        },
+        body,
+        {},
+    )
+    return struct.pack(">i", DELETE_CONTENT_VERSION) + struct.pack(
+        ">i", len(body)
+    ) + bytes(body)
+
+
+def decode_delete_records(content: bytes) -> list[dict]:
+    """Inverse of :func:`encode_delete_records`. Payloads this layer
+    cannot parse (legacy kryo serialization, truncated bytes) raise
+    :class:`HudiLogUnsupportedError` — deletes must never be silently
+    dropped."""
+    try:
+        (ver,) = struct.unpack_from(">i", content, 0)
+        (ln,) = struct.unpack_from(">i", content, 4)
+        if ln != len(content) - 8:
+            raise ValueError(f"payload length {ln} != {len(content) - 8}")
+        rec = _decode(
+            DELETE_RECORD_LIST_SCHEMA, io.BytesIO(content[8:]), {}
+        )
+        out = rec["deleteRecordList"]
+        if any(r.get("recordKey") is None for r in out):
+            raise ValueError("delete record without recordKey")
+        return out
+    except HudiLogUnsupportedError:
+        raise
+    except Exception as e:
+        raise HudiLogUnsupportedError(
+            "DELETE block payload is not an Avro HoodieDeleteRecordList "
+            f"(legacy kryo-serialized delete keys are not parsed): {e}"
+        ) from None
 
 
 def _ser_map(meta: dict[int, str]) -> bytes:
@@ -106,9 +199,19 @@ def append_avro_block(
     _append_block(path, AVRO_DATA_BLOCK, header, bytes(content))
 
 
-def append_delete_block(path: str, instant: str, payload: bytes = b"") -> None:
-    """Append a DELETE block shell (payload opaque — exists so gate
-    tests can lay down what a real deleting writer would)."""
+def append_delete_block(
+    path: str,
+    instant: str,
+    records: list[dict] | None = None,
+    payload: bytes | None = None,
+) -> None:
+    """Append a DELETE block: ``records`` are
+    ``{recordKey, partitionPath[, orderingVal]}`` dicts encoded per
+    :func:`encode_delete_records` (the normal deleting-writer shape).
+    ``payload`` overrides with raw bytes — the gate-test surface for
+    laying down serializations this layer does not parse."""
+    if payload is None:
+        payload = encode_delete_records(records or [])
     _append_block(path, DELETE_BLOCK, _ser_map({H_INSTANT_TIME: instant}), payload)
 
 
@@ -144,8 +247,10 @@ def _append_block(path: str, btype: int, header: bytes, content: bytes) -> None:
 def read_log_blocks(path: str) -> list[dict]:
     """Decode every complete block:
     ``{"type": int, "instant": str|None, "header": {ordinal: str},
-    "records": list[dict] (avro blocks only)}``. A truncated final
-    block is dropped (torn write); corruption before that raises."""
+    "records": list[dict] (avro blocks), "delete_content": bytes
+    (delete blocks — decode with :func:`decode_delete_records`)}``.
+    A truncated final block is dropped (torn write); corruption before
+    that raises."""
     with open(path, "rb") as f:
         data = f.read()
     out: list[dict] = []
@@ -189,6 +294,11 @@ def read_log_blocks(path: str) -> list[dict]:
         }
         if btype == AVRO_DATA_BLOCK:
             blk["records"] = _decode_avro_content(header, content, path)
+        elif btype == DELETE_BLOCK:
+            # raw payload only: callers decode the blocks they actually
+            # keep (a PENDING delete block with an unparseable payload
+            # must stay invisible, not fail the read)
+            blk["delete_content"] = content
         out.append(blk)
         off = end
     return out

@@ -182,16 +182,21 @@ def test_mor_log_only_group_and_schema(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in df.collect()} == {(7, 70.0), (8, 8.0)}
 
 
-def test_mor_delete_and_rollback_gates(spark, tmp_path):
+def test_mor_unparseable_delete_payload_and_rollback_gates(spark, tmp_path):
+    """A DELETE block whose payload is NOT the Avro record-list shape
+    (a legacy kryo-serialized key array) must raise on read — deletes
+    are never silently dropped; rollback COMMAND blocks still raise."""
     root = str(tmp_path / "g")
     _mk_table(root, ttype="MERGE_ON_READ")
     _write_mor_base(root, "a", "f1", "00000000000001", [(1, 1.0)])
     _commit(root, "00000000000001", state="deltacommit")
     lp = os.path.join(root, "a", HL.log_file_name("f1", "00000000000001", 1))
-    HL.append_delete_block(lp, "00000000000002")
+    HL.append_delete_block(
+        lp, "00000000000002", payload=b"\x00kryo-ish opaque bytes"
+    )
     _commit(root, "00000000000002", state="deltacommit")
-    with pytest.raises(HudiProtocolError, match="DELETE"):
-        read_hudi(spark, root)
+    with pytest.raises(Exception, match="HoodieDeleteRecordList|kryo"):
+        read_hudi(spark, root).collect()
     root2 = str(tmp_path / "g2")
     _mk_table(root2, ttype="MERGE_ON_READ")
     _write_mor_base(root2, "a", "f1", "00000000000001", [(1, 1.0)])
@@ -213,3 +218,84 @@ def test_mor_compaction_supersedes_logs(spark, mor_root):
     df = read_hudi(spark, mor_root)
     got = {(r["k"], r["v"]) for r in df.collect()}
     assert got == {(1, -1.0), (2, 2.0), (3, 33.0), (10, 0.5)}
+
+
+def _del(key, part, ordering=None):
+    return {"recordKey": str(key), "partitionPath": part,
+            "orderingVal": ordering}
+
+
+def test_delete_codec_round_trip(tmp_path):
+    recs = [_del(1, "a"), _del(2, "a", 7), {"recordKey": "9"}]
+    blob = HL.encode_delete_records(recs)
+    got = HL.decode_delete_records(blob)
+    assert [r["recordKey"] for r in got] == ["1", "2", "9"]
+    assert got[1]["orderingVal"] == 7
+    assert got[2]["partitionPath"] is None
+    # written through a log file: raw content surfaced, decode matches
+    p = str(tmp_path / ".d_001.log.1_0")
+    HL.append_delete_block(p, "2", recs)
+    blocks = HL.read_log_blocks(p)
+    assert blocks[0]["type"] == HL.DELETE_BLOCK
+    assert HL.decode_delete_records(blocks[0]["delete_content"]) == got
+    with pytest.raises(HL.HudiLogUnsupportedError, match="kryo"):
+        HL.decode_delete_records(b"\x12garbage")
+
+
+def test_mor_delete_block_tombstones(spark, mor_root):
+    """deltacommit 5 DELETE-blocks k=2 (base row) and k=3 (log-inserted
+    row) in partition a; k=10 in partition b survives untouched."""
+    l2 = os.path.join(mor_root, "a", HL.log_file_name("f1", "00000000000001", 2))
+    HL.append_delete_block(
+        l2, "00000000000005", [_del(2, "a"), _del(3, "a")]
+    )
+    _commit(mor_root, "00000000000005", state="deltacommit")
+    df = read_hudi(spark, mor_root)
+    assert {(r["k"], r["v"]) for r in df.collect()} == {(1, -1.0), (10, 0.5)}
+    # time travel BEFORE the delete still sees the rows
+    at3 = read_hudi(spark, mor_root, as_of="00000000000003")
+    assert {r["k"] for r in at3.collect()} == {1, 2, 3, 10}
+
+
+def test_mor_delete_then_reinsert_ordering(spark, mor_root):
+    """Delete at instant 5, re-insert the same key at instant 6: the
+    newer writer wins and the key comes back; the other deleted key
+    stays gone. A PENDING delete (inflight instant 7) is invisible."""
+    l2 = os.path.join(mor_root, "a", HL.log_file_name("f1", "00000000000001", 2))
+    HL.append_delete_block(
+        l2, "00000000000005", [_del(1, "a"), _del(2, "a")]
+    )
+    _commit(mor_root, "00000000000005", state="deltacommit")
+    HL.append_avro_block(
+        l2, "00000000000006", SCHEMA, [_rec("00000000000006", "a", 1, 111.0)]
+    )
+    _commit(mor_root, "00000000000006", state="deltacommit")
+    # pending delete of k=10: must stay invisible (even its payload)
+    l3 = os.path.join(mor_root, "b", HL.log_file_name("f2", "00000000000001", 2))
+    HL.append_delete_block(l3, "00000000000007", [_del(10, "b")])
+    _commit(mor_root, "00000000000007", state="deltacommit.inflight")
+    df = read_hudi(spark, mor_root)
+    got = {(r["k"], r["v"]) for r in df.collect()}
+    assert got == {(1, 111.0), (3, 33.0), (10, 0.5)}
+
+
+def test_mor_delete_scoped_to_partition(spark, tmp_path):
+    """The same record key lives in partitions a and b; a delete record
+    carrying partitionPath=a must not touch b's row, and a delete
+    record WITHOUT a partitionPath scopes to the log file's own
+    partition dir."""
+    root = str(tmp_path / "scope")
+    _mk_table(root, ttype="MERGE_ON_READ")
+    _write_mor_base(root, "a", "f1", "00000000000001", [(1, 1.0), (2, 2.0)])
+    _write_mor_base(root, "b", "f2", "00000000000001", [(1, 10.0), (2, 20.0)])
+    _commit(root, "00000000000001", state="deltacommit")
+    la = os.path.join(root, "a", HL.log_file_name("f1", "00000000000001", 1))
+    HL.append_delete_block(
+        la,
+        "00000000000002",
+        [_del(1, "a"), {"recordKey": "2"}],  # second: no partitionPath
+    )
+    _commit(root, "00000000000002", state="deltacommit")
+    df = read_hudi(spark, root)
+    got = {(r["k"], r["v"]) for r in df.collect()}
+    assert got == {(1, 10.0), (2, 20.0)}
