@@ -15,9 +15,12 @@ How a Hudi COW snapshot read works (and what this reader does):
    an instant is COMPLETED only when the bare ``.commit`` file exists
    (``.requested`` / ``.inflight`` are pending and their data files
    must be invisible — that is Hudi's snapshot isolation).
-   ``replacecommit`` instants (clustering / insert_overwrite) change
-   file-group membership in ways filename resolution cannot see, so
-   they raise rather than risk double-reads.
+   ``replacecommit`` instants (clustering / insert_overwrite) commit
+   their NEW file groups like any commit, and their metadata's
+   ``partitionToReplaceFileIds`` map retires the groups they replace
+   (invisible at and after the instant, visible to earlier time
+   travel); unparseable replace metadata raises rather than risking
+   double-reads.
 3. Data files are ``<partition>/<fileId>_<writeToken>_<instant>.parquet``;
    a FILE GROUP is all versions of one ``fileId``, and the snapshot is,
    per group, the single base file with the latest completed instant
@@ -48,6 +51,7 @@ anyway.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 
@@ -69,7 +73,8 @@ _BASEFILE_RE = re.compile(r"^(.+)_([0-9\-]+)_(\d{10,20})(?:\..*)?\.parquet$")
 
 class HudiProtocolError(NotImplementedError):
     """The table needs read capabilities this interop layer does not
-    implement (merge-on-read log files, replacecommits)."""
+    implement (rollback resolution, legacy kryo delete payloads,
+    unparseable replacecommit metadata)."""
 
 
 def _properties(root: str) -> dict:
@@ -92,7 +97,10 @@ def _completed_commits(root: str, allow_delta: bool = False) -> set[str]:
     """Instant times with a COMPLETED commit action on the timeline.
     ``allow_delta`` (the MERGE_ON_READ path) counts completed
     ``.deltacommit`` instants too; on a COPY_ON_WRITE read they are
-    malformed and raise."""
+    malformed and raise. Completed ``.replacecommit`` instants
+    (clustering / insert_overwrite) count as committed data — the file
+    groups they RETIRE are resolved separately by
+    :func:`_replaced_groups`."""
     tdir = os.path.join(root, HOODIE_DIR)
     done: set[str] = set()
     for name in os.listdir(tdir):
@@ -100,14 +108,8 @@ def _completed_commits(root: str, allow_delta: bool = False) -> set[str]:
         if not m:
             continue
         instant, action = m.group(1), m.group(2)
-        if action in ("commit",):
+        if action in ("commit", "replacecommit"):
             done.add(instant)
-        elif action == "replacecommit":
-            raise HudiProtocolError(
-                f"timeline contains a replacecommit ({name}): clustering/"
-                "insert_overwrite changes file-group membership this "
-                "filename-based reader cannot resolve"
-            )
         elif action == "deltacommit":
             if not allow_delta:
                 raise HudiProtocolError(
@@ -117,6 +119,44 @@ def _completed_commits(root: str, allow_delta: bool = False) -> set[str]:
             done.add(instant)
         # .clean / .rollback / .requested / .inflight: not completed data
     return done
+
+
+def _replaced_groups(root: str, as_of: str | None) -> set[tuple[str, str]]:
+    """(partition path, fileId) of every file group RETIRED by a
+    completed replacecommit at or before ``as_of`` — the commit
+    metadata's ``partitionToReplaceFileIds`` map (the JSON
+    HoodieReplaceCommitMetadata real table services write). Replaced
+    groups become invisible AT the replacecommit and stay visible to
+    time travel before it. A completed replacecommit whose metadata
+    cannot be parsed raises — without the map the read would
+    double-count every clustered row."""
+    tdir = os.path.join(root, HOODIE_DIR)
+    out: set[tuple[str, str]] = set()
+    for name in os.listdir(tdir):
+        m = _INSTANT_RE.match(name)
+        if not m or m.group(2) != "replacecommit":
+            continue
+        instant = m.group(1)
+        if as_of is not None and instant > str(as_of):
+            continue
+        path = os.path.join(tdir, name)
+        try:
+            with open(path) as f:
+                meta = json.load(f)
+            p2f = meta["partitionToReplaceFileIds"]
+            items = [
+                (os.path.normpath(p) if p else ".", str(fid))
+                for p, fids in p2f.items()
+                for fid in fids
+            ]
+        except (ValueError, KeyError, TypeError, AttributeError) as e:
+            raise HudiProtocolError(
+                f"replacecommit {name} metadata is not parseable JSON "
+                f"with partitionToReplaceFileIds ({e}); the replaced "
+                "file groups cannot be resolved"
+            ) from None
+        out.update(items)
+    return out
 
 
 def hudi_commits(root: str) -> list[str]:
@@ -263,6 +303,13 @@ def _latest_slices(
             key = (os.path.relpath(dirpath, root), file_id)
             if key not in groups or instant > groups[key][0]:
                 groups[key] = (instant, os.path.join(dirpath, name))
+    replaced = _replaced_groups(root, as_of)
+    if replaced:
+        # clustering / insert_overwrite retired these groups: all their
+        # slices (and any attached logs) are invisible at and after the
+        # replacecommit; time travel before it never reaches here
+        groups = {k: v for k, v in groups.items() if k not in replaced}
+        logs = {k: v for k, v in logs.items() if k not in replaced}
     if collect_logs:
         return groups, logs
     return groups

@@ -221,3 +221,52 @@ def test_incremental_query(spark, hudi_root):
     assert {(r["k"], r["v"]) for r in first.collect()} == {
         (1, 1.0), (2, 2.0), (10, 10.0)
     }
+
+
+def test_replacecommit_clustering_and_insert_overwrite(spark, tmp_path):
+    """A completed replacecommit retires the file groups its metadata
+    lists (partitionToReplaceFileIds): the clustered rows live ONLY in
+    the new group at and after the instant (no double-read), time
+    travel before it still sees the old groups, and a PENDING
+    replacecommit changes nothing."""
+    import json as _json
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi_incremental,
+    )
+
+    root = str(tmp_path / "clust")
+    _mk_table(root)
+    _write_base(root, "a", "f1", "00000000000001", [(1, 1.0)])
+    _write_base(root, "a", "f2", "00000000000001", [(2, 2.0)])
+    _commit(root, "00000000000001")
+    # clustering staged: new group written, replacecommit only INFLIGHT
+    t2 = "00000000000002"
+    _write_base(root, "a", "fC", t2, [(1, 1.0), (2, 2.0)],
+                commit_times=["00000000000001"] * 2)
+    _commit(root, t2, state="replacecommit.inflight")
+    assert len(read_hudi(spark, root).inputFiles()) == 2  # unchanged
+    # completed: metadata lists the replaced groups
+    with open(os.path.join(root, ".hoodie", f"{t2}.replacecommit"), "w") as f:
+        _json.dump(
+            {"partitionToReplaceFileIds": {"a": ["f1", "f2"]}}, f
+        )
+    df = read_hudi(spark, root)
+    assert sorted((r["k"], r["v"]) for r in df.collect()) == [(1, 1.0), (2, 2.0)]
+    assert len(df.inputFiles()) == 1  # ONLY the clustered group
+    old = read_hudi(spark, root, as_of="00000000000001")
+    assert sorted(r["k"] for r in old.collect()) == [1, 2]
+    assert len(old.inputFiles()) == 2  # pre-replace groups still travelable
+    assert hudi_commits(root) == ["00000000000001", t2]
+    # clustering preserves per-row commit times: incremental since t1
+    # re-emits NOTHING
+    assert read_hudi_incremental(spark, root, begin="00000000000001").count() == 0
+    # insert_overwrite shape: replace fC with brand-new data
+    t3 = "00000000000003"
+    _write_base(root, "a", "fN", t3, [(7, 7.0)])
+    with open(os.path.join(root, ".hoodie", f"{t3}.replacecommit"), "w") as f:
+        _json.dump({"partitionToReplaceFileIds": {"a": ["fC"]}}, f)
+    assert {r["k"] for r in read_hudi(spark, root).collect()} == {7}
+    # incremental now sees only the overwrite's new rows
+    inc = read_hudi_incremental(spark, root, begin="00000000000001")
+    assert {r["k"] for r in inc.collect()} == {7}
