@@ -845,21 +845,7 @@ def read_delta(
         scan_cols.append(F.col("_metadata.row_index").alias(posk))
     df = df.select(*scan_cols)
     if dv_live:
-        from .dv import read_dv_descriptor
-
-        pairs = []
-        for rel, desc in sorted(dv_live.items()):
-            ap = os.path.abspath(os.path.join(root, rel))
-            pairs.extend(
-                (ap, int(p)) for p in read_dv_descriptor(desc, root)
-            )
-        del_schema = StructType(
-            [
-                StructField(key, StringType(), False),
-                StructField(posk, LongType(), False),
-            ]
-        )
-        dels = spark.createDataFrame(pairs, del_schema)
+        dels = _dv_positions_df(spark, root, dv_live, key, posk)
         df = df.join(F.broadcast(dels), [key, posk], "left_anti").drop(posk)
     if not part_cols:
         return _logical(df)
@@ -889,6 +875,68 @@ def read_delta(
     pv_df = spark.createDataFrame(pv_rows, pv_schema)
     out = df.join(F.broadcast(pv_df), key, "left")
     return _logical(out)
+
+
+def _dv_positions_df(
+    spark: SparkSession,
+    root: str,
+    dv_live: dict[str, dict],
+    key: str,
+    posk: str,
+) -> DataFrame:
+    """(file key, deleted row index) frame for the DV anti-join, with
+    the roaring decode ON EXECUTORS: the driver ships only the tiny
+    (file path, descriptor JSON) spec — one input partition per
+    descriptor — and mapInPandas fans each out to its deleted
+    positions. A multi-million-position vector never materializes as a
+    driver-side Python list (the broadcast build is Spark's own
+    machinery over the decoded frame, not a driver loop). The streaming
+    source (delta_stream.py) applies the same per-file decode inside
+    its partitions."""
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    # structural gate stays on the DRIVER (cheap, no position decode):
+    # an unknown storage flavor fails at read_delta() call time, not
+    # deep inside a task
+    for rel, desc in dv_live.items():
+        st = desc.get("storageType")
+        if st not in ("i", "u", "p"):
+            raise ValueError(
+                f"unknown deletionVector storageType {st!r} on {rel}"
+            )
+    rows = [
+        (os.path.abspath(os.path.join(root, rel)), json.dumps(desc))
+        for rel, desc in sorted(dv_live.items())
+    ]
+    spec = spark.createDataFrame(
+        rows, "__dv_key string, __dv_desc string"
+    ).repartition(len(rows), "__dv_key")
+    out_schema = StructType(
+        [
+            StructField(key, StringType(), False),
+            StructField(posk, LongType(), False),
+        ]
+    )
+    root_abs = os.path.abspath(root)
+
+    def decode(iterator):
+        import pandas as pd
+
+        # imported INSIDE the worker: the decode must run where the
+        # task runs, never via a driver-captured binding
+        from predicting_hospital_readmission_using_mimic_database_spark.sources.dv import (
+            read_dv_descriptor,
+        )
+
+        for pdf in iterator:
+            for k, dj in zip(pdf["__dv_key"], pdf["__dv_desc"]):
+                poss = read_dv_descriptor(json.loads(dj), root_abs)
+                if poss:
+                    yield pd.DataFrame(
+                        {key: k, posk: pd.array(poss, dtype="int64")}
+                    )
+
+    return spec.mapInPandas(decode, out_schema)
 
 
 def read_delta_changes(

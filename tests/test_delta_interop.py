@@ -852,7 +852,9 @@ def test_deletion_vectors_applied(spark, tmp_path):
     blob = bytearray(open(p, "rb").read())
     blob[-1] ^= 0xFF
     open(p, "wb").write(bytes(blob))
-    with pytest.raises(ValueError, match="CRC"):
+    # the decode now runs inside Spark tasks: the ValueError surfaces
+    # wrapped in the worker exception, message preserved
+    with pytest.raises(Exception, match="CRC"):
         read_delta(spark, root, version=0).count()
 
 
@@ -1129,3 +1131,56 @@ def test_plus_sign_in_path_dv_and_partition_attach(spark, tmp_path):
     rows = read_delta(spark, root).collect()
     assert {r["id"] for r in rows} == {0, 2, 3, 5}
     assert {r["seg"] for r in rows} == {"a+b"}
+
+
+def test_dv_decode_runs_on_executors_not_driver(spark, tmp_path, monkeypatch):
+    """A synthetic ~1.2M-position deletion vector: the roaring decode
+    must happen inside Spark tasks (python workers), never as a
+    driver-side position list — read_dv_descriptor is monkeypatched to
+    explode in the DRIVER process, and the read must still succeed
+    (separate worker interpreters import the real codec)."""
+    import predicting_hospital_readmission_using_mimic_database_spark.sources.dv as dvmod
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.dv import (
+        write_dv_file,
+    )
+
+    root = str(tmp_path / "bigdv")
+    _write_parquet(
+        os.path.join(root, "fa.parquet"),
+        [(i, float(i)) for i in range(10)],
+        ["id", "bal"],
+    )
+    _write_parquet(
+        os.path.join(root, "fb.parquet"),
+        [(100 + i, float(i)) for i in range(4)],
+        ["id", "bal"],
+    )
+    # dense 1.2M-position vector; only the file's 10 ordinals can match
+    desc = write_dv_file(
+        os.path.join(root, "dv_big.bin"), list(range(1_200_000))
+    )
+    fields = [("id", "long"), ("bal", "double")]
+    _write_commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"]}},
+            _meta_action(fields),
+            {"add": {"path": "fa.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True,
+                     "deletionVector": desc}},
+            {"add": {"path": "fb.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+
+    def _driver_decode_forbidden(*a, **k):
+        raise AssertionError(
+            "deletion vector decoded on the DRIVER (position list "
+            "materialized driver-side)"
+        )
+
+    monkeypatch.setattr(dvmod, "read_dv_descriptor", _driver_decode_forbidden)
+    got = {r["id"] for r in read_delta(spark, root).collect()}
+    assert got == {100, 101, 102, 103}  # fa fully deleted, fb untouched
