@@ -35,18 +35,18 @@ file is read ONCE on the driver (pyarrow) and converted to a Spark
 schema — the latest completed writer's schema, with no footer-sampling
 inference pass over the file list.
 
-Listing bound (stated out loud): unlike the Delta/Iceberg readers,
-whose file lists come from KB-scale logs/manifests, Hudi's snapshot is
-encoded in DATA-FILE NAMES, so discovery here is a driver-side
-``os.walk`` of the table tree — O(files) driver time and one listing
-round-trip per directory. Real Hudi deployments avoid this with the
-metadata table (``.hoodie/metadata``, an internal MOR table this COW
-reader cannot parse); at 100 TB this reader is therefore bounded by
-listing throughput, not data size — fine for interop ingestion of
-small-to-mid tables, and the gate to quote when it is not.
-``partitions=`` cuts the bound to the admitted partition dirs (pruned
-descent), which is how real pipelines read date-partitioned tables
-anyway.
+Listing bound: Hudi's snapshot is encoded in DATA-FILE NAMES, so
+discovery needs a file listing. When the table carries a METADATA
+TABLE (``.hoodie/metadata`` — the internal MOR table real deployments
+maintain exactly so readers never pay a storage listing), its
+``files`` partition is read driver-side (:func:`_metadata_table_
+listing` — KB–MB of log blocks for any table size) and NO ``os.walk``
+happens; without one, discovery falls back to a driver-side walk —
+O(files) driver time and one listing round-trip per directory, fine
+for interop ingestion of small-to-mid tables and the bound to quote
+when it is not. ``partitions=`` cuts either path to the admitted
+partition dirs (pruned descent / pruned record keys), which is how
+real pipelines read date-partitioned tables anyway.
 """
 
 from __future__ import annotations
@@ -233,6 +233,184 @@ def read_hudi_incremental(
 #: hidden log files: .{fileId}_{baseInstant}.log.{version}_{writeToken}
 _LOGFILE_RE = re.compile(r"^\.(.+)_(\d{10,20})\.log\.(\d+)_(.+)$")
 
+#: the files-partition record shape of the metadata table (the subset
+#: of HoodieMetadataRecord.avsc this layer reads/writes): key is a
+#: partition path ('' / '.' = table root; '__all_partitions__' is the
+#: partition-list record), filesystemMetadata maps file name -> info
+METADATA_RECORD_SCHEMA = {
+    "type": "record",
+    "name": "HoodieMetadataRecord",
+    "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "type", "type": "int"},
+        {
+            "name": "filesystemMetadata",
+            "type": [
+                "null",
+                {
+                    "type": "map",
+                    "values": {
+                        "type": "record",
+                        "name": "HoodieMetadataFileInfo",
+                        "fields": [
+                            {"name": "size", "type": "long"},
+                            {"name": "isDeleted", "type": "boolean"},
+                        ],
+                    },
+                },
+            ],
+        },
+    ],
+}
+
+ALL_PARTITIONS_KEY = "__all_partitions__"
+
+
+def _metadata_table_listing(root: str) -> dict[str, list[str]] | None:
+    """Read the METADATA TABLE's ``files`` partition
+    (``<root>/.hoodie/metadata`` — the internal MOR table real Hudi
+    writers maintain so readers never pay an O(files) storage listing)
+    and return ``{partition path: [live file names]}``; ``None`` when
+    the table has no metadata table (callers fall back to the walk).
+
+    Driver-side by design: the files partition is KB–MB of metadata
+    for any table size, and its content IS the listing the driver
+    needs. The partition's own file slices (one dir, a handful of file
+    groups) are resolved with the same filename rules as data files;
+    committed AVRO log blocks and base parquet rows fold in commit
+    order — per partition key, each record's ``filesystemMetadata``
+    updates file entries (latest wins, ``isDeleted`` removes), the
+    exact HoodieMetadataPayload combine. DELETE blocks in the metadata
+    table raise (never silently lose listing updates)."""
+    from . import hudi_log as HL
+
+    mdt = os.path.join(root, HOODIE_DIR, "metadata")
+    if not os.path.exists(os.path.join(mdt, HOODIE_DIR, "hoodie.properties")):
+        return None
+    files_dir = os.path.join(mdt, "files")
+    if not os.path.isdir(files_dir):
+        return None
+    done = _completed_commits(mdt, allow_delta=True)
+    groups: dict[str, tuple[str, str]] = {}
+    logsf: dict[str, list[tuple[str, int, str]]] = {}
+    for name in os.listdir(files_dir):
+        lm = _LOGFILE_RE.match(name)
+        if lm:
+            fid, base_instant, ver, _tok = lm.groups()
+            logsf.setdefault(fid, []).append(
+                (base_instant, int(ver), os.path.join(files_dir, name))
+            )
+            continue
+        m = _BASEFILE_RE.match(name)
+        if not m:
+            continue
+        fid, _tok, instant = m.groups()
+        if instant not in done:
+            continue
+        if fid not in groups or instant > groups[fid][0]:
+            groups[fid] = (instant, os.path.join(files_dir, name))
+    # events in commit order: (instant, source ordinal, block, record)
+    events: list[tuple[str, int, int, int, dict]] = []
+    for gi, fid in enumerate(sorted(set(groups) | set(logsf))):
+        base = groups.get(fid)
+        lfs = sorted(logsf.get(fid, []))
+        if base is not None:
+            base_instant, bpath = base
+            lfs = [l for l in lfs if l[0] == base_instant]
+            import pyarrow.parquet as pq
+
+            for ri, rec in enumerate(pq.read_table(bpath).to_pylist()):
+                events.append((base_instant, -1, -1, ri, rec))
+        for li, (_bi, _ver, lp) in enumerate(lfs):
+            for bi, blk in enumerate(HL.read_log_blocks(lp)):
+                inst = blk["instant"]
+                if inst is None or inst not in done:
+                    continue
+                if blk["type"] == HL.DELETE_BLOCK:
+                    raise HudiProtocolError(
+                        f"metadata table log {os.path.basename(lp)} "
+                        "contains a DELETE block; key-level metadata "
+                        "deletes are not supported by this listing reader"
+                    )
+                if blk["type"] != HL.AVRO_DATA_BLOCK:
+                    raise HudiProtocolError(
+                        f"metadata table log {os.path.basename(lp)}: "
+                        f"unsupported block type {blk['type']}"
+                    )
+                for ri, rec in enumerate(blk["records"]):
+                    events.append((inst, li, bi, ri, rec))
+    state: dict[str, dict[str, dict]] = {}
+    for _inst, _li, _bi, _ri, rec in sorted(
+        events, key=lambda e: (e[0], e[1], e[2], e[3])
+    ):
+        k = rec.get("key")
+        if k is None or k == ALL_PARTITIONS_KEY:
+            continue
+        part = "." if k in ("", ".") else k
+        slot = state.setdefault(part, {})
+        for fname, info in (rec.get("filesystemMetadata") or {}).items():
+            slot[fname] = info  # latest writer wins per file name
+    return {
+        part: sorted(f for f, info in slot.items() if not info.get("isDeleted"))
+        for part, slot in state.items()
+    }
+
+
+def write_metadata_table_files(root: str) -> str:
+    """Build/refresh the table's METADATA TABLE files partition the way
+    a Hudi writer maintains it: walk the data tree ONCE (the writer
+    already knows its files; this export is the fixture/bootstrap
+    surface), then append one AVRO log block of per-partition
+    ``filesystemMetadata`` records to a log-only file group under
+    ``.hoodie/metadata/files``, committed as a deltacommit stamped with
+    the data table's latest completed instant. Subsequent reads list
+    from it instead of walking. Returns the metadata table root."""
+    from . import hudi_log as HL
+
+    done = _completed_commits(root, allow_delta=True)
+    latest = max(done) if done else "00000000000000"
+    per_part: dict[str, dict[str, dict]] = {}
+    for dirpath, dirs, files in os.walk(root):
+        if os.path.basename(dirpath) == HOODIE_DIR:
+            dirs[:] = []
+            continue
+        rel = os.path.normpath(os.path.relpath(dirpath, root))
+        for name in files:
+            if _BASEFILE_RE.match(name) or _LOGFILE_RE.match(name):
+                per_part.setdefault(rel, {})[name] = {
+                    "size": os.path.getsize(os.path.join(dirpath, name)),
+                    "isDeleted": False,
+                }
+    mdt = os.path.join(root, HOODIE_DIR, "metadata")
+    hdir = os.path.join(mdt, HOODIE_DIR)
+    os.makedirs(hdir, exist_ok=True)
+    props = os.path.join(hdir, "hoodie.properties")
+    if not os.path.exists(props):
+        with open(props, "w") as f:
+            f.write(
+                "hoodie.table.name=metadata\n"
+                "hoodie.table.type=MERGE_ON_READ\n"
+            )
+    os.makedirs(os.path.join(mdt, "files"), exist_ok=True)
+    lp = os.path.join(
+        mdt, "files", HL.log_file_name("files-0000", "00000000000000", 1)
+    )
+    records = [
+        {
+            "key": ALL_PARTITIONS_KEY,
+            "type": 1,
+            "filesystemMetadata": {
+                p: {"size": 0, "isDeleted": False} for p in sorted(per_part)
+            },
+        }
+    ] + [
+        {"key": part, "type": 2, "filesystemMetadata": files}
+        for part, files in sorted(per_part.items())
+    ]
+    HL.append_avro_block(lp, latest, METADATA_RECORD_SCHEMA, records)
+    open(os.path.join(hdir, f"{latest}.deltacommit"), "w").close()
+    return mdt
+
 
 def _latest_slices(
     root: str,
@@ -242,11 +420,17 @@ def _latest_slices(
 ):
     """Newest completed base file per (partition dir, fileId) at or
     before ``as_of`` — the snapshot's file slices. ``partitions``
-    prunes the walk's descent to the admitted partition dirs.
-    ``collect_logs`` (the MERGE_ON_READ path) additionally gathers the
-    groups' log files as ``{(partition, fileId): [(base_instant,
-    version, path), ...]}`` and returns ``(groups, logs)``; without it
-    a log file on a COW read raises."""
+    prunes the listing to the admitted partition dirs. ``collect_logs``
+    (the MERGE_ON_READ path) additionally gathers the groups' log files
+    as ``{(partition, fileId): [(base_instant, version, path), ...]}``
+    and returns ``(groups, logs)``; without it a log file on a COW read
+    raises.
+
+    File discovery prefers the table's METADATA TABLE
+    (``.hoodie/metadata`` files partition, read driver-side by
+    :func:`_metadata_table_listing`) — O(metadata records) instead of
+    an O(files) ``os.walk`` with a listing round-trip per directory;
+    the walk remains the fallback for tables without one."""
     done = _completed_commits(root, allow_delta=collect_logs)
     if as_of is not None:
         done = {c for c in done if c <= str(as_of)}
@@ -258,29 +442,9 @@ def _latest_slices(
             for p in ([partitions] if isinstance(partitions, str) else partitions)
         }
     groups: dict[tuple[str, str], tuple[str, str]] = {}
-    for dirpath, dirs, files in os.walk(root):
-        if os.path.basename(dirpath) == HOODIE_DIR:
-            dirs[:] = []  # never descend into the timeline
-            continue
-        rel = os.path.normpath(os.path.relpath(dirpath, root))
-        if admit is not None:
-            # prune the DESCENT: keep a subdir only if it stays on the
-            # path of (or inside) an admitted partition dir
-            prefix = "" if rel == "." else rel + os.sep
-            dirs[:] = [
-                d for d in dirs
-                if any(
-                    a == prefix + d
-                    or a.startswith(prefix + d + os.sep)
-                    or (prefix + d).startswith(a + os.sep)
-                    for a in admit
-                )
-            ]
-            if rel not in admit and not any(
-                rel.startswith(a + os.sep) for a in admit
-            ):
-                continue
-        for name in files:
+
+    def classify(rel: str, dirpath: str, names) -> None:
+        for name in names:
             if name.endswith(".log") or ".log." in name:
                 if not collect_logs:
                     raise HudiProtocolError(
@@ -290,9 +454,9 @@ def _latest_slices(
                 lm = _LOGFILE_RE.match(name)
                 if lm:
                     fid, base_instant, ver, _tok = lm.groups()
-                    logs.setdefault(
-                        (os.path.relpath(dirpath, root), fid), []
-                    ).append((base_instant, int(ver), os.path.join(dirpath, name)))
+                    logs.setdefault((rel, fid), []).append(
+                        (base_instant, int(ver), os.path.join(dirpath, name))
+                    )
                 continue
             m = _BASEFILE_RE.match(name)
             if not m:
@@ -300,9 +464,44 @@ def _latest_slices(
             file_id, _token, instant = m.groups()
             if instant not in done:
                 continue  # pending, time-traveled past, or rolled back
-            key = (os.path.relpath(dirpath, root), file_id)
+            key = (rel, file_id)
             if key not in groups or instant > groups[key][0]:
                 groups[key] = (instant, os.path.join(dirpath, name))
+
+    listing = _metadata_table_listing(root)
+    if listing is not None:
+        for part in sorted(listing):
+            rel = os.path.normpath(part) if part not in ("", ".") else "."
+            if admit is not None and rel not in admit and not any(
+                rel.startswith(a + os.sep) for a in admit
+            ):
+                continue
+            dirpath = root if rel == "." else os.path.join(root, rel)
+            classify(rel, dirpath, listing[part])
+    else:
+        for dirpath, dirs, files in os.walk(root):
+            if os.path.basename(dirpath) == HOODIE_DIR:
+                dirs[:] = []  # never descend into the timeline
+                continue
+            rel = os.path.normpath(os.path.relpath(dirpath, root))
+            if admit is not None:
+                # prune the DESCENT: keep a subdir only if it stays on
+                # the path of (or inside) an admitted partition dir
+                prefix = "" if rel == "." else rel + os.sep
+                dirs[:] = [
+                    d for d in dirs
+                    if any(
+                        a == prefix + d
+                        or a.startswith(prefix + d + os.sep)
+                        or (prefix + d).startswith(a + os.sep)
+                        for a in admit
+                    )
+                ]
+                if rel not in admit and not any(
+                    rel.startswith(a + os.sep) for a in admit
+                ):
+                    continue
+            classify(rel, dirpath, files)
     replaced = _replaced_groups(root, as_of)
     if replaced:
         # clustering / insert_overwrite retired these groups: all their

@@ -270,3 +270,48 @@ def test_replacecommit_clustering_and_insert_overwrite(spark, tmp_path):
     # incremental now sees only the overwrite's new rows
     inc = read_hudi_incremental(spark, root, begin="00000000000001")
     assert {r["k"] for r in inc.collect()} == {7}
+
+
+def test_metadata_table_listing_replaces_walk(spark, hudi_root, monkeypatch):
+    """With a .hoodie/metadata files partition present, file discovery
+    reads the metadata table and NEVER walks the data tree; snapshot,
+    time travel, partition pruning, incremental refresh, and isDeleted
+    tombstones all resolve through the listing."""
+    import predicting_hospital_readmission_using_mimic_database_spark.sources.hudi as H
+    from predicting_hospital_readmission_using_mimic_database_spark.sources import (
+        hudi_log as HL,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        write_metadata_table_files,
+    )
+
+    want = {(r["k"], r["v"]) for r in read_hudi(spark, hudi_root).collect()}
+    mdt = write_metadata_table_files(hudi_root)
+    assert H._metadata_table_listing(hudi_root) is not None
+
+    def no_walk(*a, **k):
+        raise AssertionError("os.walk taken despite a metadata table")
+
+    monkeypatch.setattr(H.os, "walk", no_walk)
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, hudi_root).collect()}
+    assert got == want
+    # time travel + partition pruning resolve through the listing too
+    old = read_hudi(spark, hudi_root, as_of="00000000000001")
+    assert {r["k"] for r in old.collect()} == {1, 2, 10}
+    only_b = read_hudi(spark, hudi_root, partitions="b")
+    assert {r["k"] for r in only_b.collect()} == {10}
+    # a cleaner-shaped update: mark partition b's base file isDeleted
+    # in a later metadata block -> the group vanishes from the snapshot
+    lp = os.path.join(
+        mdt, "files", HL.log_file_name("files-0000", "00000000000000", 1)
+    )
+    fname = "f2_0-0-0_00000000000001.parquet"
+    HL.append_avro_block(
+        lp,
+        "00000000000002",
+        H.METADATA_RECORD_SCHEMA,
+        [{"key": "b", "type": 2,
+          "filesystemMetadata": {fname: {"size": 0, "isDeleted": True}}}],
+    )
+    got2 = {(r["k"], r["v"]) for r in read_hudi(spark, hudi_root).collect()}
+    assert {k for k, _v in got2} == {1, 2, 3}  # partition b gone
