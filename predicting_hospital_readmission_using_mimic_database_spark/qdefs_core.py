@@ -3033,6 +3033,224 @@ def q_s29(spark, sf):
 
 
 @query(
+    "s30_iceberg_files_meta",
+    oracle="""
+    WITH m AS (
+      SELECT c_mktsegment AS seg, c_custkey FROM customer
+    ), s0 AS (SELECT min(seg) AS s FROM m),
+    f AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS rc FROM m GROUP BY seg
+      UNION ALL
+      SELECT (SELECT s FROM s0) AS seg, CAST(count(*) AS BIGINT) AS rc
+      FROM m WHERE seg = (SELECT s FROM s0) AND c_custkey % 41 = 0
+    )
+    SELECT seg, CAST(count(*) AS BIGINT) AS files,
+           CAST(sum(rc) AS BIGINT) AS recs
+    FROM f GROUP BY seg
+    """,
+)
+def q_s30(spark, sf):
+    """S30 — Iceberg INSPECTION metadata tables (sources/iceberg.py
+    `iceberg_meta_table`): the ``SELECT * FROM t.files`` surface. The
+    fixture lays down a real two-snapshot Iceberg v2 table — snapshot 1
+    writes one identity-partitioned data file per segment (record_count
+    taken from the actual parquet FOOTERS, not recomputed), snapshot 2
+    appends a second seg-0 file with the ``% 41 = 0`` keys — and the
+    query aggregates the CURRENT snapshot's ``files`` view per
+    partition: file count + summed record_count, which DuckDB
+    recomputes from base customer rows. In-entry asserts pin the
+    snapshot-1 view (one file per segment), ``history``'s is_current
+    flag, an empty ``delete_files`` view, the ``manifests`` projection,
+    and the data round trip through read_iceberg."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .sources.avro_ocf import write_avro
+    from .sources.iceberg import (
+        MANIFEST_FILE_SCHEMA,
+        iceberg_meta_table,
+        read_iceberg,
+    )
+
+    root = _table_root("s30", sf)
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    segs = sorted(r["seg"] for r in c.select("seg").distinct().collect())
+    import glob
+    import shutil
+
+    def put(df, rel):
+        stage = os.path.join(root, ".stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(src, dst)
+        shutil.rmtree(stage)
+        return dst
+
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [
+                                    {"name": "seg", "type": ["null", "string"]}
+                                ],
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+
+    def entry(path, seg, sid):
+        return {
+            "status": 1,
+            "snapshot_id": sid,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {"seg": seg},
+                # record_count flows from the FILE, not a recompute
+                "record_count": pq.ParquetFile(path).metadata.num_rows,
+                "file_size_in_bytes": os.path.getsize(path),
+            },
+        }
+
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    e1 = [
+        entry(
+            put(c.filter(F.col("seg") == s), f"data/seg={s}/f1.parquet"),
+            s,
+            1,
+        )
+        for s in segs
+    ]
+    m1 = os.path.join(mdir, "m1.avro")
+    write_avro(m1, entry_schema, e1)
+
+    def mf(mp, sid):
+        return {
+            "manifest_path": mp,
+            "manifest_length": os.path.getsize(mp),
+            "partition_spec_id": 0,
+            "content": 0,
+            "added_snapshot_id": sid,
+            "sequence_number": sid,
+        }
+
+    ml1 = os.path.join(mdir, "ml1.avro")
+    write_avro(ml1, MANIFEST_FILE_SCHEMA, [mf(m1, 1)])
+    e2 = [
+        entry(
+            put(
+                c.filter(
+                    (F.col("seg") == segs[0]) & (F.col("c_custkey") % 41 == 0)
+                ),
+                f"data/seg={segs[0]}/f2.parquet",
+            ),
+            segs[0],
+            2,
+        )
+    ]
+    m2 = os.path.join(mdir, "m2.avro")
+    write_avro(m2, entry_schema, e2)
+    ml2 = os.path.join(mdir, "ml2.avro")
+    write_avro(ml2, MANIFEST_FILE_SCHEMA, [mf(m1, 1), mf(m2, 2)])
+    meta = {
+        "format-version": 2,
+        "table-uuid": "s30",
+        "location": root,
+        "last-sequence-number": 2,
+        "last-column-id": 3,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "c_custkey", "required": False,
+                     "type": "long"},
+                    {"id": 2, "name": "bal_c", "required": False,
+                     "type": "long"},
+                    {"id": 3, "name": "seg", "required": False,
+                     "type": "string"},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {"name": "seg", "transform": "identity",
+                     "source-id": 3, "field-id": 1000}
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1000,
+             "summary": {"operation": "append"}, "manifest-list": ml1},
+            {"snapshot-id": 2, "timestamp-ms": 2000,
+             "summary": {"operation": "append"}, "manifest-list": ml2},
+        ],
+        "current-snapshot-id": 2,
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")
+    # inspection surfaces beyond the hashed query
+    assert iceberg_meta_table(spark, root, "files", snapshot_id=1).count() \
+        == len(segs)
+    assert iceberg_meta_table(spark, root, "delete_files").count() == 0
+    assert iceberg_meta_table(spark, root, "manifests").count() == 2
+    hist = {
+        r["snapshot_id"]: r["is_current"]
+        for r in iceberg_meta_table(spark, root, "history").collect()
+    }
+    assert hist == {1: False, 2: True}
+    # data round trip still reads (partition pruning included)
+    assert read_iceberg(
+        spark, root, partitions={"seg": segs[-1]}
+    ).count() > 0
+    return (
+        iceberg_meta_table(spark, root, "files")
+        .groupBy(F.element_at("partition", F.lit("seg")).alias("seg"))
+        .agg(
+            F.count("*").cast("long").alias("files"),
+            F.sum("record_count").cast("long").alias("recs"),
+        )
+    )
+
+
+@query(
     "s28_delta_cdf",
     oracle="""
     WITH base AS (

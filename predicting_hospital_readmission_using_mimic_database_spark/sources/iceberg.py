@@ -539,6 +539,171 @@ def iceberg_snapshots(root: str) -> list[dict]:
     ]
 
 
+def iceberg_meta_table(
+    spark: SparkSession,
+    root: str,
+    kind: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Iceberg INSPECTION metadata tables — the ``SELECT * FROM
+    t.files`` / ``t.snapshots`` / ``t.history`` surface every Iceberg
+    operator leans on for ops. Pure projections of the same driver-side
+    metadata the read path replays (manifest list + manifests; no data
+    file is touched):
+
+    - ``snapshots``: one row per snapshot in the metadata
+      (snapshot_id, timestamp_ms, operation, manifest_list);
+    - ``history``: (timestamp_ms, snapshot_id, is_current);
+    - ``manifests``: the chosen snapshot's manifest-list records;
+    - ``files`` / ``delete_files``: live manifest entries of the chosen
+      snapshot (status != 2), data vs delete content, with the
+      partition tuple as a string map and inherited sequence numbers.
+
+    ``snapshot_id`` picks the snapshot for manifests/files views
+    (default current). At 100 TB these stay KB–MB driver frames —
+    that is the point of Iceberg's metadata tree."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        IntegerType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType as ST,
+    )
+
+    with open(_metadata_path(root)) as f:
+        meta = json.load(f)
+    if int(meta.get("format-version", 1)) > 2:
+        raise IcebergProtocolError(
+            f"format-version {meta['format-version']} > 2 is not supported"
+        )
+    snaps = meta.get("snapshots", [])
+    if kind == "snapshots":
+        schema = ST(
+            [
+                StructField("snapshot_id", LongType(), False),
+                StructField("timestamp_ms", LongType(), True),
+                StructField("operation", StringType(), True),
+                StructField("manifest_list", StringType(), True),
+            ]
+        )
+        rows = [
+            (
+                int(s["snapshot-id"]),
+                s.get("timestamp-ms"),
+                (s.get("summary") or {}).get("operation"),
+                s.get("manifest-list"),
+            )
+            for s in snaps
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind == "history":
+        cur = meta.get("current-snapshot-id")
+        schema = ST(
+            [
+                StructField("timestamp_ms", LongType(), True),
+                StructField("snapshot_id", LongType(), False),
+                StructField("is_current", BooleanType(), False),
+            ]
+        )
+        rows = [
+            (s.get("timestamp-ms"), int(s["snapshot-id"]),
+             s["snapshot-id"] == cur)
+            for s in snaps
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind not in ("manifests", "files", "delete_files"):
+        raise ValueError(
+            f"unknown metadata table {kind!r} (have snapshots, history, "
+            "manifests, files, delete_files)"
+        )
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    sid = snapshot_id if snapshot_id is not None else meta.get(
+        "current-snapshot-id"
+    )
+    if sid not in by_id:
+        raise ValueError(f"snapshot {sid} not found (have {sorted(by_id)})")
+    snap = by_id[sid]
+    if "manifest-list" in snap:
+        _s, manifests = read_avro(_localize(snap["manifest-list"], root))
+    else:  # format v1 inline list
+        manifests = [
+            {"manifest_path": p, "manifest_length": None,
+             "partition_spec_id": 0, "content": 0,
+             "added_snapshot_id": None, "sequence_number": None}
+            for p in snap.get("manifests", [])
+        ]
+    if kind == "manifests":
+        schema = ST(
+            [
+                StructField("path", StringType(), False),
+                StructField("length", LongType(), True),
+                StructField("partition_spec_id", IntegerType(), True),
+                StructField("content", IntegerType(), True),
+                StructField("added_snapshot_id", LongType(), True),
+                StructField("sequence_number", LongType(), True),
+            ]
+        )
+        rows = [
+            (
+                m["manifest_path"],
+                m.get("manifest_length"),
+                m.get("partition_spec_id", 0),
+                m.get("content", 0),
+                m.get("added_snapshot_id"),
+                m.get("sequence_number"),
+            )
+            for m in manifests
+        ]
+        return spark.createDataFrame(rows, schema)
+    want_delete = kind == "delete_files"
+    schema = ST(
+        [
+            StructField("content", IntegerType(), False),
+            StructField("file_path", StringType(), False),
+            StructField("file_format", StringType(), True),
+            StructField("partition", MapType(StringType(), StringType()), True),
+            StructField("record_count", LongType(), True),
+            StructField("file_size_in_bytes", LongType(), True),
+            StructField("sequence_number", LongType(), True),
+            StructField("equality_ids", ArrayType(IntegerType()), True),
+        ]
+    )
+    rows = []
+    for m in manifests:
+        mseq = m.get("sequence_number")
+        _s, entries = read_avro(_localize(m["manifest_path"], root))
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue  # deleted tombstone
+            df_ = e["data_file"]
+            content = df_.get("content", 0)
+            if (content != 0) != want_delete:
+                continue
+            seq = e.get("sequence_number")
+            seq = mseq if seq is None else seq
+            pv = {
+                str(k): (None if v is None else str(v))
+                for k, v in (df_.get("partition") or {}).items()
+            }
+            eq = df_.get("equality_ids")
+            rows.append(
+                (
+                    content,
+                    df_["file_path"],
+                    str(df_.get("file_format", "PARQUET")).upper(),
+                    pv,
+                    df_.get("record_count"),
+                    df_.get("file_size_in_bytes"),
+                    None if seq is None else int(seq),
+                    None if eq is None else [int(i) for i in eq],
+                )
+            )
+    return spark.createDataFrame(rows, schema)
+
+
 def _live_files(
     meta: dict, root: str, snapshot_id
 ) -> tuple[

@@ -828,3 +828,65 @@ def test_equality_delete_partition_scoped(spark, tmp_path):
     write_avro(m_del, PKG_ENTRY, [ed2])
     got2 = {(r["k"], r["seg"]) for r in read_iceberg(spark, root).collect()}
     assert got2 == {(2, "x"), (3, "y")}
+
+
+def test_inspection_metadata_tables(spark, iceberg_root):
+    """snapshots/history/manifests/files/delete_files projections of
+    the same manifest replay the read path uses."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        iceberg_meta_table,
+    )
+
+    snaps = iceberg_meta_table(spark, iceberg_root, "snapshots").collect()
+    assert [(r["snapshot_id"], r["operation"]) for r in snaps] == [
+        (1, "append"), (2, "overwrite")
+    ]
+    hist = {r["snapshot_id"]: r["is_current"]
+            for r in iceberg_meta_table(spark, iceberg_root, "history").collect()}
+    assert hist == {1: False, 2: True}
+    # current snapshot: files A (live, status 0) and C (added); B is a
+    # status-2 tombstone and must NOT appear
+    files = iceberg_meta_table(spark, iceberg_root, "files").collect()
+    got = sorted(
+        (os.path.basename(r["file_path"]), r["record_count"],
+         r["partition"]["seg"])
+        for r in files
+    )
+    assert got == [("a.parquet", 2, "x"), ("c.parquet", 2, "y")]
+    # snapshot 1 sees A and B
+    f1 = iceberg_meta_table(spark, iceberg_root, "files", snapshot_id=1)
+    assert sorted(os.path.basename(r["file_path"]) for r in f1.collect()) == [
+        "a.parquet", "b.parquet"
+    ]
+    assert iceberg_meta_table(spark, iceberg_root, "delete_files").count() == 0
+    assert iceberg_meta_table(spark, iceberg_root, "manifests").count() == 1
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        iceberg_meta_table(spark, iceberg_root, "partitions")
+    with pytest.raises(ValueError, match="not found"):
+        iceberg_meta_table(spark, iceberg_root, "files", snapshot_id=9)
+
+
+def test_inspection_delete_files_view(spark, tmp_path):
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        append_position_deletes,
+        export_iceberg,
+        iceberg_meta_table,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "dfm")
+    t = SnapshotTable.create(spark, root, "k bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"))
+    export_iceberg(t)
+    files = iceberg_meta_table(spark, root, "files").collect()
+    n_files = len(files)
+    data_path = files[0]["file_path"]
+    append_position_deletes(root, [(data_path, 0)])
+    dels = iceberg_meta_table(spark, root, "delete_files").collect()
+    assert len(dels) == 1 and dels[0]["content"] == 1
+    assert dels[0]["record_count"] == 1
+    assert dels[0]["sequence_number"] == 2
+    # data files view unchanged, sequence numbers inherited
+    assert iceberg_meta_table(spark, root, "files").count() == n_files
