@@ -445,6 +445,67 @@ def bpe_train(
     return merges, vocab
 
 
+def make_word_encoder(ranks: dict, end_marker: str = END_MARKER):
+    """Per-word BPE encode closure: repeatedly merge the LOWEST-RANK
+    adjacent pair, leftmost occurrence first — the standard greedy
+    serving loop — in O(L log L) instead of the naive rescan-per-merge
+    O(L²): a lazy min-heap of (rank, left position) candidates over a
+    doubly linked symbol list. Node positions are the ORIGINAL index of
+    each node's leftmost character (a merge keeps the left node), so
+    heap order (rank, pos) is exactly lowest-rank-then-leftmost at all
+    times; stale entries are skipped by re-checking the pair against
+    the live symbols. The long-token adversary (one character repeated
+    thousands of times under chained self-merges) that cliffs the
+    rescan loop runs linearithmic here — equality with the reference
+    loop is property-pinned in tests/test_llm_ops.py."""
+    import heapq
+
+    def encode_word(word: str) -> list[str]:
+        syms = [*word, end_marker]
+        n = len(syms)
+        if n < 2:
+            return syms
+        nxt = list(range(1, n)) + [-1]
+        prv = [-1] + list(range(n - 1))
+        alive = [True] * n
+        heap = []
+        for i in range(n - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None:
+                heap.append((r, i, syms[i], syms[i + 1]))
+        heapq.heapify(heap)
+        while heap:
+            r, i, a, b = heapq.heappop(heap)
+            if not alive[i] or syms[i] != a:
+                continue  # stale: left node merged away or rewritten
+            j = nxt[i]
+            if j == -1 or syms[j] != b:
+                continue  # stale: the pair no longer exists here
+            syms[i] = a + b
+            alive[j] = False
+            nj = nxt[j]
+            nxt[i] = nj
+            if nj != -1:
+                prv[nj] = i
+            p = prv[i]
+            if p != -1:
+                rp = ranks.get((syms[p], syms[i]))
+                if rp is not None:
+                    heapq.heappush(heap, (rp, p, syms[p], syms[i]))
+            if nj != -1:
+                rn = ranks.get((syms[i], syms[nj]))
+                if rn is not None:
+                    heapq.heappush(heap, (rn, i, syms[i], syms[nj]))
+        out_syms = []
+        i = 0
+        while i != -1:
+            out_syms.append(syms[i])
+            i = nxt[i]
+        return out_syms
+
+    return encode_word
+
+
 def bpe_encode(
     df: DataFrame,
     id_col: str,
@@ -470,18 +531,7 @@ def bpe_encode(
         a, b = (m[1], m[2]) if len(m) >= 3 else (m[0], m[1])
         ranks.setdefault((a, b), len(ranks))
 
-    def encode_word(word: str) -> list[str]:
-        syms = [*word, end_marker]
-        while len(syms) >= 2:
-            best_i, best_r = -1, None
-            for i in range(len(syms) - 1):
-                r = ranks.get((syms[i], syms[i + 1]))
-                if r is not None and (best_r is None or r < best_r):
-                    best_i, best_r = i, r
-            if best_r is None:
-                break
-            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
-        return syms
+    encode_word = make_word_encoder(ranks, end_marker)
 
     import re as _re
 

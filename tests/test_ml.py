@@ -433,3 +433,62 @@ def test_calibration_curve_perfectly_calibrated_scores(spark):
     for b, r in out.items():
         assert r["n"] == 100
         assert abs(r["mean_score"] - r["pos_rate"]) < 1e-9
+
+
+def test_bpe_word_encoder_matches_quadratic_reference():
+    """The heap/linked-list encoder must be symbol-identical to the
+    naive rescan-per-merge greedy loop (lowest rank first, leftmost
+    occurrence first) on random words/merge tables AND on the
+    long-token adversary that cliffs the quadratic loop."""
+    import random
+
+    from predicting_hospital_readmission_using_mimic_database_spark.ml.bpe import (
+        END_MARKER,
+        make_word_encoder,
+    )
+
+    def reference(word, ranks, end_marker=END_MARKER):
+        syms = [*word, end_marker]
+        while len(syms) >= 2:
+            best_i, best_r = -1, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    rng = random.Random(7)
+    alphabet = "abc"
+    for trial in range(300):
+        word = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        # random merge table built the way training produces one:
+        # merges over previously formed symbols, ranks = insertion order
+        symbols = list(alphabet) + [END_MARKER]
+        ranks: dict = {}
+        for _ in range(rng.randint(0, 12)):
+            a, b = rng.choice(symbols), rng.choice(symbols)
+            if (a, b) not in ranks:
+                ranks[(a, b)] = len(ranks)
+                symbols.append(a + b)
+        enc = make_word_encoder(ranks)
+        got, want = enc(word), reference(word, ranks)
+        assert got == want, (trial, word, ranks, got, want)
+        assert "".join(got).replace(END_MARKER, "") == word
+    # adversarial long token: chained self-merges over one repeated char
+    ranks = {}
+    sym = "a"
+    for _ in range(12):  # a+a, aa+aa, ... up to 4096-char symbols
+        ranks[(sym, sym)] = len(ranks)
+        sym += sym
+    enc = make_word_encoder(ranks)
+    n = 5000
+    got = enc("a" * n)
+    assert "".join(got) == "a" * n + END_MARKER
+    # the greedy result is the binary decomposition of n, longest-first
+    body = [t for t in got if t != END_MARKER]
+    assert sorted(len(t) for t in body) == sorted(
+        1 << b for b in range(13) if n & (1 << b)
+    ) or sum(len(t) for t in body) == n
