@@ -39,79 +39,75 @@ _LOADED = False
 # The driver verifies the registry front-to-back with a capped budget
 # (every round so far checked exactly the first 50 entries). The
 # cross-round union covers all entries — every one has appeared
-# hash-green in a shipped driver artifact. Round-8 window:
-# (a) every entry whose code or oracle changed THIS round — the NEW
-# s19 Hudi timeline read, s20 Iceberg positional-delete read, s21
-# Delta column-mapping (name mode) read, and s22 Delta deletion-vector
-# read (from-spec roaring/Z85/CRC codec), s23 Iceberg
-# equality-delete read (sequence-number ordered), s24 Delta V2
-# checkpoint replay (manifest + sidecars), st14 the foreign-Delta
-# STREAMING source (delta_stream, DV-aware, commit-version offsets),
-# s25 the Hudi incremental query (per-row commit-time filtering), and
-# st15/st16 the Hudi and Iceberg streaming
-# sources (instant / snapshot-lineage offsets — all three lakehouse
-# formats now streamable); the single-scan +
-# broadcast-partition-join read_delta rewrite behind s15 (and s16's
-# read-through), the checkpoint-writing exporter behind s16, the
-# delete-aware Iceberg manifest replay behind s18, and the
-# instrumented/adaptive-window BPE trainer whose kernel t20
-# oracle-checks — then (b) stable representatives whose most recent
-# driver row is the OLDEST (the r1-r3 vintage plus families' earliest
-# entries; the entire r7 window is this round's freshest and rotates
-# out), one sentinel per family prefix
-# (tests/test_entry.py::test_first_50_entries_cover_every_family).
+# hash-green in a shipped driver artifact. Round-9 window:
+# (a) every entry whose code changed THIS round — the NEW s29 Hudi MOR
+# DELETE-block read (tombstone merge over the Avro delete-record
+# codec) and s30 Iceberg inspection metadata tables (files view
+# aggregation); s22 re-verified after the executor-side DV decode;
+# t21 after the heap/linked-list linearithmic encoder (t20 shares the
+# module); every Hudi entry after the replacecommit + metadata-table
+# listing refactor of _latest_slices (s19/s25/s27/st15); every Delta
+# read-through after the '+'-safe scan-key decode and the CDF
+# partitionValues fallback (s15/s16/s21/s24/s28/st14/st17); every
+# Iceberg read-through after the partition-scoped equality deletes,
+# normalized sequence keys, and stream snapshot-id inheritance
+# (s18/s20/s23/s26/st16) — then (b) stable representatives whose most
+# recent driver row is the OLDEST, one sentinel per family prefix,
+# ROTATED off round 8's picks so sibling entries regain fresh driver
+# rows (tests/test_entry.py::test_first_50_entries_cover_every_family).
 PRIORITY: tuple[str, ...] = (
-    # (a) changed or new in round 8
-    "s19_hudi_read",
-    "s20_iceberg_pos_delete",
-    "s15_delta_read",
-    "s16_delta_export",
-    "s18_iceberg_roundtrip",
-    "s21_delta_column_mapping",
+    # (a) changed or new in round 9
+    "s29_hudi_mor_delete",
+    "s30_iceberg_files_meta",
     "s22_delta_deletion_vectors",
-    "s23_iceberg_eq_delete",
-    "s24_delta_v2_checkpoint",
-    "st14_stream_delta_tail",
-    "s25_hudi_incremental",
-    "st15_stream_hudi_tail",
-    "st16_stream_iceberg_tail",
-    "t20_bpe_pair_counts",
-    "d12_substring_dedup",
     "t21_bpe_encode",
-    "s26_iceberg_transform_prune",
+    "s19_hudi_read",
     "s27_hudi_mor_read",
+    "s25_hudi_incremental",
+    "s15_delta_read",
     "s28_delta_cdf",
     "st17_stream_delta_cdf",
-    # (b) oldest-vintage stable representatives, family-complete
+    "s18_iceberg_roundtrip",
+    "s20_iceberg_pos_delete",
+    "s23_iceberg_eq_delete",
+    "st16_stream_iceberg_tail",
+    "st15_stream_hudi_tail",
+    "st14_stream_delta_tail",
+    "s16_delta_export",
+    "s21_delta_column_mapping",
+    "s24_delta_v2_checkpoint",
+    "s26_iceberg_transform_prune",
+    "t20_bpe_pair_counts",
+    # (b) oldest-vintage stable representatives, family-complete,
+    # rotated off the round-8 sentinel picks
     "flagship_readmit_30d",
-    "s1_scan_events",
-    "s3_scan_project",
-    "s6_merge_upsert",
-    "p1_project",
-    "p4_filter_eq",
-    "j1_join_inner",
-    "j4_join_left_composite",
-    "j7_anti_join",
-    "j8_semi_join",
-    "j9_asof_join",
-    "w1_lead",
-    "w5_last_per_group",
-    "a1_value_counts",
-    "a2_count_distinct",
-    "a4_null_counts",
-    "c1_case_label",
-    "c3_range_recode",
-    "u1_union_all",
-    "u2_full_shuffle",
-    "t1_regex_recode",
-    "t10_tokenize",
-    "m1_assemble",
-    "e3_pr_curve",
-    "d1_dedup_exact",
-    "n2_knn_lsh",
-    "x1_text_stats",
-    "mm2_frame_sample",
-    "st1_stream_labels_equivalence",
+    "p3_filter_neq",
+    "p5_filter_numeric",
+    "j2_join_dims_broadcast",
+    "j3_join_outer",
+    "j5_positional_join",
+    "w4_backfill",
+    "w6_sort",
+    "a3_topk_by_freq",
+    "a6_group_min",
+    "a7_collect_list_sorted",
+    "c2_clamp",
+    "c5_gap_days_frac",
+    "u3_random_split",
+    "u4_balance_undersample",
+    "t2_multi_recode",
+    "t5_scrub_newlines",
+    "m2_get_dummies",
+    "m6_lr_l1",
+    "e1_roc_curve",
+    "e4_confusion",
+    "d2_dedup_minhash_lsh",
+    "d3_dedup_simhash",
+    "n1_knn_bruteforce",
+    "x2_language_id",
+    "x3_fingerprint",
+    "mm1_multimodal_decode",
+    "st2_stream_enrich_equivalence",
     "g1_pagerank",
 )
 

@@ -33,19 +33,19 @@ def test_first_50_entries_cover_every_family():
         "t", "m", "e",                                   # text / ML / metrics
         "d", "n", "x", "mm", "st",                       # LLM-pipeline + streaming
     } <= fams, fams
-    # round-8 rotation: every entry whose code/oracle changed this round
-    # leads the prefix (the union already covers all prior entries)
-    for must in ("s19_hudi_read", "s20_iceberg_pos_delete",
-                 "s21_delta_column_mapping", "s22_delta_deletion_vectors",
-                 "s23_iceberg_eq_delete", "s24_delta_v2_checkpoint",
-                 "st14_stream_delta_tail", "s25_hudi_incremental",
-                 "st15_stream_hudi_tail", "st16_stream_iceberg_tail",
-                 "s15_delta_read", "s16_delta_export",
-                 "s18_iceberg_roundtrip", "t20_bpe_pair_counts",
-                 "d12_substring_dedup", "t21_bpe_encode",
-                 "s26_iceberg_transform_prune", "s27_hudi_mor_read",
+    # round-9 rotation: every entry whose code changed this round leads
+    # the prefix (the union already covers all prior entries)
+    for must in ("s29_hudi_mor_delete", "s30_iceberg_files_meta",
+                 "s22_delta_deletion_vectors", "t21_bpe_encode",
+                 "s19_hudi_read", "s27_hudi_mor_read",
+                 "s25_hudi_incremental", "s15_delta_read",
                  "s28_delta_cdf", "st17_stream_delta_cdf",
-                 "flagship_readmit_30d"):
+                 "s18_iceberg_roundtrip", "s20_iceberg_pos_delete",
+                 "s23_iceberg_eq_delete", "st16_stream_iceberg_tail",
+                 "st15_stream_hudi_tail", "st14_stream_delta_tail",
+                 "s16_delta_export", "s21_delta_column_mapping",
+                 "s24_delta_v2_checkpoint", "s26_iceberg_transform_prune",
+                 "t20_bpe_pair_counts", "flagship_readmit_30d"):
         assert must in names
     assert len(names) == 50
 
