@@ -2748,12 +2748,33 @@ def q_s27(spark, sf):
     (|customer|/19 + |customer|/41 rows) to feed the fixture writer;
     the READ path decodes blocks on executors after a driver header
     scan."""
-    import os
-
-    from .sources import hudi_log as HL
     from .sources.hudi import read_hudi
 
-    root = _table_root("s27", sf)
+    root = _mor_customer_fixture(spark, sf, "s27")
+    return (
+        read_hudi(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("bal_c").cast("long").alias("bal_c"),
+        )
+    )
+
+
+def _mor_customer_fixture(spark, sf, entry: str) -> str:
+    """The writer-shaped MOR table s27/s31 share: deltacommit 1 writes
+    per-segment base file groups; deltacommit 2 appends an AVRO upsert
+    block (+5000 cents on seg-0's ``% 19 = 0`` keys); deltacommit 3
+    appends an INSERT block (``+2_000_000`` keys at 123 cents);
+    deltacommit 4 is INFLIGHT (+999999, must stay invisible). Returns
+    the table root."""
+    import glob
+    import os
+    import shutil
+
+    from .sources import hudi_log as HL
+
+    root = _table_root(entry, sf)
     c = read_table(spark, sf, "customer").select(
         "c_custkey",
         F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
@@ -2762,8 +2783,6 @@ def q_s27(spark, sf):
     segs = sorted(
         r["c_mktsegment"] for r in c.select("c_mktsegment").distinct().collect()
     )
-    import glob
-    import shutil
 
     def put(df, part, file_id, instant):
         d = os.path.join(root, part)
@@ -2791,7 +2810,7 @@ def q_s27(spark, sf):
     hdir = os.path.join(root, ".hoodie")
     os.makedirs(hdir, exist_ok=True)
     with open(os.path.join(hdir, "hoodie.properties"), "w") as f:
-        f.write("hoodie.table.name=s27\nhoodie.table.type=MERGE_ON_READ\n")
+        f.write(f"hoodie.table.name={entry}\nhoodie.table.type=MERGE_ON_READ\n")
 
     def commit(instant, state="deltacommit"):
         open(os.path.join(hdir, f"{instant}.{state}"), "w").close()
@@ -2861,13 +2880,54 @@ def q_s27(spark, sf):
         lp, t4, avro_schema, [rec(t4, segs[0], 0, 999999)]
     )
     commit(t4, state="deltacommit.inflight")
-    return (
-        read_hudi(spark, root)
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum("bal_c").cast("long").alias("bal_c"),
-        )
+    return root
+
+
+@query(
+    "s31_hudi_mor_incremental",
+    oracle="""
+    WITH m AS (
+      SELECT c_mktsegment, c_custkey,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer
+    ), s0 AS (SELECT min(c_mktsegment) AS s FROM m),
+    upd AS (
+      SELECT c_mktsegment, bal + 5000 AS bal FROM m
+      WHERE c_mktsegment = (SELECT s FROM s0) AND c_custkey % 19 = 0
+    ), ins AS (
+      SELECT (SELECT s FROM s0) AS c_mktsegment, CAST(123 AS BIGINT) AS bal
+      FROM m WHERE c_custkey % 41 = 0
+    ), u AS (
+      SELECT * FROM upd UNION ALL SELECT * FROM ins
+    )
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(bal) AS BIGINT) AS bal_c
+    FROM u GROUP BY c_mktsegment
+    """,
+)
+def q_s31(spark, sf):
+    """S31 — Hudi MERGE_ON_READ INCREMENTAL query (sources/hudi.py
+    `read_hudi_incremental` over `_read_mor(newer_than=)`): the
+    change-feed consumption shape on a log-structured table. Over the
+    s27 fixture (base groups at deltacommit 1, upsert block at 2,
+    insert block at 3, an INFLIGHT block at 4), the window
+    ``(1, latest]`` must return exactly the NET rows the log wrote —
+    the ``% 19`` upserts at their final +5000 values and the log-side
+    inserts — while untouched file groups (every other segment) are
+    pruned at the file-group level and never opened. A reader that
+    leaked carried-forward base rows, missed log inserts, emitted a
+    pending block, or re-emitted superseded row versions breaks the
+    hash DuckDB recomputes from base customer rows. In-entry assert
+    pins the pruning: only seg-0's base file appears in the plan."""
+    from .sources.hudi import read_hudi_incremental
+
+    root = _mor_customer_fixture(spark, sf, "s31")
+    inc = read_hudi_incremental(spark, root, begin="00000000000001")
+    # file-group pruning: only the touched (first) segment's base file
+    assert all("fg0" in f for f in inc.inputFiles()), inc.inputFiles()
+    return inc.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("bal_c").cast("long").alias("bal_c"),
     )
 
 

@@ -59,6 +59,7 @@ PRIORITY: tuple[str, ...] = (
     # (a) changed or new in round 9
     "s29_hudi_mor_delete",
     "s30_iceberg_files_meta",
+    "s31_hudi_mor_incremental",
     "s22_delta_deletion_vectors",
     "t21_bpe_encode",
     "s19_hudi_read",
@@ -82,7 +83,6 @@ PRIORITY: tuple[str, ...] = (
     # rotated off the round-8 sentinel picks
     "flagship_readmit_30d",
     "p3_filter_neq",
-    "p5_filter_numeric",
     "j2_join_dims_broadcast",
     "j3_join_outer",
     "j5_positional_join",

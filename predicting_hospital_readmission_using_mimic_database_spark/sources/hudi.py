@@ -186,16 +186,38 @@ def read_hudi_incremental(
     rows of its group, and the per-row commit time is what separates
     the new/updated rows from the carried-forward ones. Tables whose
     files lack the ``_hoodie_commit_time`` meta column cannot answer
-    incremental queries and raise."""
+    incremental queries and raise.
+
+    MERGE_ON_READ tables answer the same query through the snapshot
+    merge: untouched groups are pruned at the file-group level
+    (``_read_mor(newer_than=begin)``), touched groups merge base+logs
+    last-writer-wins, then the per-row commit-time filter keeps the
+    window's NET row versions (a key upserted twice in the window
+    surfaces once at its final value; a key whose newest writer is a
+    DELETE tombstone emits nothing — incremental reads carry no delete
+    markers, same as Hudi's)."""
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import from_arrow_schema
 
     props = _properties(root)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    if ttype == "MERGE_ON_READ":
+        out = _read_mor(
+            spark, root, end, True, partitions, newer_than=str(begin)
+        )
+        if "_hoodie_commit_time" not in out.columns:
+            raise HudiProtocolError(
+                "table files lack the _hoodie_commit_time meta column; "
+                "incremental queries need per-row commit times"
+            )
+        out = out.filter(F.col("_hoodie_commit_time") > str(begin))
+        if not keep_meta:
+            out = out.drop(*[c for c in META_COLS if c in out.columns])
+        return out
     if ttype != "COPY_ON_WRITE":
         raise HudiProtocolError(
-            f"hoodie.table.type={ttype}: only COPY_ON_WRITE is supported"
+            f"hoodie.table.type={ttype}: unknown table type"
         )
     groups = _latest_slices(root, end, partitions)
     if not groups:
@@ -546,6 +568,7 @@ def _read_mor(
     as_of: str | None,
     keep_meta: bool,
     partitions: list[str] | str | None,
+    newer_than: str | None = None,
 ) -> DataFrame:
     """MERGE_ON_READ snapshot: per file group, the latest completed base
     file MERGED with its attached log files' committed AVRO upsert
@@ -574,6 +597,13 @@ def _read_mor(
     ``orderingVal`` precombine field is not consulted (documented
     limitation; same posture as the upsert merge, which is positional
     too).
+
+    ``newer_than`` (the incremental-query path) prunes at the FILE
+    GROUP level: a group whose base file and every committed log block
+    predate the instant contributes nothing after the caller's per-row
+    commit-time filter, so it is never opened; touched groups still
+    merge their FULL base+log history (an upsert's net value needs the
+    older rows), and the row filter happens downstream.
     """
     import json as _json
 
@@ -589,19 +619,24 @@ def _read_mor(
     done = _completed_commits(root, allow_delta=True)
     if as_of is not None:
         done = {c for c in done if c <= str(as_of)}
-    base_paths: list[str] = []
+    key_of: dict[str, tuple] = {}
+    base_of: dict[tuple, tuple[str, str]] = {}
     selected: list[tuple[str, int, str]] = []
     for key in sorted(set(groups) | set(logs)):
         base = groups.get(key)
         lfs = sorted(logs.get(key, []))
         if base is not None:
-            base_instant, bpath = base
-            base_paths.append(bpath)
-            lfs = [l for l in lfs if l[0] == base_instant]
+            base_of[key] = base
+            lfs = [l for l in lfs if l[0] == base[0]]
+        for l in lfs:
+            key_of[l[2]] = key
         selected.extend(lfs)
     # driver header scan: gate block types, keep committed avro blocks
     selected.sort()
     valid: list[tuple[str, list[int]]] = []
+    max_inst_of: dict[tuple, str] = {
+        k: b[0] for k, b in base_of.items()
+    }
     first_schema_json: str | None = None
     for _bi, _ver, p in selected:
         idxs = []
@@ -612,14 +647,31 @@ def _read_mor(
                     f"{p}: log block without INSTANT_TIME header"
                 )
             if inst not in done:
-                # pending / rolled back / time-traveled past: invisible
-                # whatever the block type (snapshot isolation)
+                # pending / pruned-by-replay / time-traveled past:
+                # invisible whatever the block type (snapshot isolation)
                 continue
             if h["type"] == HL.COMMAND_BLOCK:
-                raise HudiProtocolError(
-                    f"log file {os.path.basename(p)} contains a rollback "
-                    "COMMAND block: rollback resolution is not implemented"
-                )
+                # ROLLBACK command: invalidates earlier blocks of the
+                # TARGET instant in this file. Under timeline gating a
+                # rolled-back instant is never completed, so its blocks
+                # are already invisible — the command carries no extra
+                # information and is skipped. A rollback whose target
+                # IS completed is inconsistent metadata and raises
+                # (processing it would hide committed data; ignoring it
+                # would contradict the writer).
+                if h["header"].get(HL.H_COMMAND_BLOCK_TYPE, "0") != "0":
+                    raise HudiProtocolError(
+                        f"log file {os.path.basename(p)}: unknown COMMAND "
+                        f"block type {h['header'].get(HL.H_COMMAND_BLOCK_TYPE)!r}"
+                    )
+                tgt = h["header"].get(HL.H_TARGET_INSTANT_TIME)
+                if tgt is not None and tgt in done:
+                    raise HudiProtocolError(
+                        f"log file {os.path.basename(p)}: rollback COMMAND "
+                        f"block targets COMPLETED instant {tgt}; "
+                        "inconsistent timeline"
+                    )
+                continue
             if h["type"] not in (HL.AVRO_DATA_BLOCK, HL.DELETE_BLOCK):
                 raise HudiProtocolError(
                     f"log file {os.path.basename(p)}: unsupported block "
@@ -631,14 +683,32 @@ def _read_mor(
             ):
                 first_schema_json = h["header"].get(HL.H_SCHEMA)
             idxs.append(bi)
+            k = key_of[p]
+            if k not in max_inst_of or inst > max_inst_of[k]:
+                max_inst_of[k] = inst
         if idxs:
             valid.append((p, idxs))
-    if not base_paths and not valid:
+    if newer_than is not None:
+        # incremental pruning: a group whose base AND every committed
+        # block predate the window start contributes nothing after the
+        # per-row commit-time filter — never open it
+        touched = {
+            k for k, mi in max_inst_of.items() if mi > str(newer_than)
+        }
+        base_paths = sorted(
+            b[1] for k, b in base_of.items() if k in touched
+        )
+        valid = [(p, idxs) for p, idxs in valid if key_of[p] in touched]
+    else:
+        base_paths = sorted(b[1] for b in base_of.values())
+    if (not base_paths and not valid and newer_than is None) or (
+        not groups and first_schema_json is None
+    ):
         raise ValueError(
             f"no completed base files or log blocks visible at "
             f"{'as_of=' + str(as_of) if as_of is not None else 'latest'}"
         )
-    if base_paths:
+    if groups:
         newest = max(groups.values())[1]
         schema = from_arrow_schema(
             pq.ParquetFile(newest).schema_arrow, prefer_timestamp_ntz=True

@@ -557,7 +557,9 @@ def iceberg_meta_table(
     - ``manifests``: the chosen snapshot's manifest-list records;
     - ``files`` / ``delete_files``: live manifest entries of the chosen
       snapshot (status != 2), data vs delete content, with the
-      partition tuple as a string map and inherited sequence numbers.
+      partition tuple as a string map and inherited sequence numbers;
+    - ``partitions``: per-partition rollup of the data files
+      (file_count, record_count, total_size_in_bytes).
 
     ``snapshot_id`` picks the snapshot for manifests/files views
     (default current). At 100 TB these stay KB–MB driver frames —
@@ -614,10 +616,10 @@ def iceberg_meta_table(
             for s in snaps
         ]
         return spark.createDataFrame(rows, schema)
-    if kind not in ("manifests", "files", "delete_files"):
+    if kind not in ("manifests", "files", "delete_files", "partitions"):
         raise ValueError(
             f"unknown metadata table {kind!r} (have snapshots, history, "
-            "manifests, files, delete_files)"
+            "manifests, files, delete_files, partitions)"
         )
     by_id = {s["snapshot-id"]: s for s in snaps}
     sid = snapshot_id if snapshot_id is not None else meta.get(
@@ -671,6 +673,42 @@ def iceberg_meta_table(
             StructField("equality_ids", ArrayType(IntegerType()), True),
         ]
     )
+    if kind == "partitions":
+        # per-partition rollup of the data-file entries — the ops view
+        # that answers "how big / how many files is each partition"
+        part_agg: dict[tuple, list[int]] = {}
+        for m in manifests:
+            _s, entries = read_avro(_localize(m["manifest_path"], root))
+            for e in entries:
+                if e.get("status", 0) == 2:
+                    continue
+                df_ = e["data_file"]
+                if df_.get("content", 0) != 0:
+                    continue
+                pv = tuple(
+                    sorted(
+                        (str(k), None if v is None else str(v))
+                        for k, v in (df_.get("partition") or {}).items()
+                    )
+                )
+                slot = part_agg.setdefault(pv, [0, 0, 0])
+                slot[0] += 1
+                slot[1] += int(df_.get("record_count") or 0)
+                slot[2] += int(df_.get("file_size_in_bytes") or 0)
+        pschema = ST(
+            [
+                StructField(
+                    "partition", MapType(StringType(), StringType()), True
+                ),
+                StructField("file_count", LongType(), False),
+                StructField("record_count", LongType(), False),
+                StructField("total_size_in_bytes", LongType(), False),
+            ]
+        )
+        return spark.createDataFrame(
+            [(dict(pv), n, rc, sz) for pv, (n, rc, sz) in sorted(part_agg.items())],
+            pschema,
+        )
     rows = []
     for m in manifests:
         mseq = m.get("sequence_number")

@@ -299,3 +299,80 @@ def test_mor_delete_scoped_to_partition(spark, tmp_path):
     df = read_hudi(spark, root)
     got = {(r["k"], r["v"]) for r in df.collect()}
     assert got == {(1, 10.0), (2, 20.0)}
+
+
+def test_mor_rollback_command_block_skipped(spark, tmp_path):
+    """A rollback COMMAND block whose target instant never completed is
+    the normal failed-writer cleanup shape: the read proceeds and the
+    rolled-back blocks stay invisible; a rollback targeting a COMPLETED
+    instant is inconsistent metadata and raises."""
+    root = str(tmp_path / "rb")
+    _mk_table(root, ttype="MERGE_ON_READ")
+    _write_mor_base(root, "a", "f1", "00000000000001", [(1, 1.0)])
+    _commit(root, "00000000000001", state="deltacommit")
+    lp = os.path.join(root, "a", HL.log_file_name("f1", "00000000000001", 1))
+    # failed writer: block at instant 2 (never completed), then the
+    # rollback command under instant 3 (completed)
+    HL.append_avro_block(
+        lp, "00000000000002", SCHEMA, [_rec("00000000000002", "a", 1, 666.0)]
+    )
+    HL.append_command_block(lp, "00000000000003", "00000000000002")
+    _commit(root, "00000000000003", state="deltacommit")
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, root).collect()}
+    assert got == {(1, 1.0)}  # rolled-back upsert invisible
+
+
+def test_mor_incremental_query(spark, mor_root):
+    """Incremental over MERGE_ON_READ: net row versions committed in
+    (begin, end], via the snapshot merge + per-row commit-time filter;
+    deletes in the window emit nothing (no delete markers)."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi_incremental,
+    )
+
+    inc = read_hudi_incremental(spark, mor_root, begin="00000000000002")
+    assert {(r["k"], r["v"]) for r in inc.collect()} == {(3, 33.0), (10, 0.5)}
+    # nothing after t3
+    assert read_hudi_incremental(
+        spark, mor_root, begin="00000000000003"
+    ).count() == 0
+    # full window = current snapshot
+    allw = read_hudi_incremental(spark, mor_root, begin="00000000000000")
+    assert {(r["k"], r["v"]) for r in allw.collect()} == {
+        (1, -1.0), (2, 2.0), (3, 33.0), (10, 0.5)
+    }
+    # end-bounded window (t1, t2]
+    w = read_hudi_incremental(
+        spark, mor_root, begin="00000000000001", end="00000000000002"
+    )
+    assert {(r["k"], r["v"]) for r in w.collect()} == {(1, -1.0), (3, 3.0)}
+    # a delete committed in the window: the key emits NOTHING
+    l2 = os.path.join(mor_root, "a", HL.log_file_name("f1", "00000000000001", 2))
+    HL.append_delete_block(l2, "00000000000005", [_del(1, "a")])
+    _commit(mor_root, "00000000000005", state="deltacommit")
+    inc5 = read_hudi_incremental(spark, mor_root, begin="00000000000004")
+    assert inc5.count() == 0
+
+
+def test_mor_incremental_prunes_untouched_groups(spark, tmp_path):
+    """A file group with no base rewrite and no committed log block
+    after `begin` is never opened."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi_incremental,
+    )
+
+    root = str(tmp_path / "morpune")
+    _mk_table(root, ttype="MERGE_ON_READ")
+    _write_mor_base(root, "a", "f1", "00000000000001", [(1, 1.0)])
+    _write_mor_base(root, "b", "f2", "00000000000001", [(2, 2.0)])
+    _commit(root, "00000000000001", state="deltacommit")
+    la = os.path.join(root, "a", HL.log_file_name("f1", "00000000000001", 1))
+    HL.append_avro_block(
+        la, "00000000000002", SCHEMA, [_rec("00000000000002", "a", 1, 11.0)]
+    )
+    _commit(root, "00000000000002", state="deltacommit")
+    inc = read_hudi_incremental(spark, root, begin="00000000000001")
+    assert {(r["k"], r["v"]) for r in inc.collect()} == {(1, 11.0)}
+    # only partition a's base file is in the plan; f2 never opened
+    assert all("f2" not in f for f in inc.inputFiles())
+    assert any("f1" in f for f in inc.inputFiles())

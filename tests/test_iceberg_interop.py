@@ -860,8 +860,13 @@ def test_inspection_metadata_tables(spark, iceberg_root):
     ]
     assert iceberg_meta_table(spark, iceberg_root, "delete_files").count() == 0
     assert iceberg_meta_table(spark, iceberg_root, "manifests").count() == 1
+    parts = {
+        r["partition"]["seg"]: (r["file_count"], r["record_count"])
+        for r in iceberg_meta_table(spark, iceberg_root, "partitions").collect()
+    }
+    assert parts == {"x": (1, 2), "y": (1, 2)}
     with pytest.raises(ValueError, match="unknown metadata table"):
-        iceberg_meta_table(spark, iceberg_root, "partitions")
+        iceberg_meta_table(spark, iceberg_root, "refs")
     with pytest.raises(ValueError, match="not found"):
         iceberg_meta_table(spark, iceberg_root, "files", snapshot_id=9)
 
