@@ -582,7 +582,13 @@ def _read_mor(
     driver never touches record payloads. The merge is one window over
     ``(_hoodie_record_key [, _hoodie_partition_path])`` ordered by
     (instant, log position) — the same per-key resolution a native
-    Hudi MOR reader performs, expressed as one key-partitioned shuffle.
+    Hudi MOR reader performs, expressed as one key-partitioned shuffle
+    — applied ONLY to file groups that actually carry committed log
+    blocks: log-free groups' base files union into the output without
+    touching the shuffle (per Hudi's model a record key lives in
+    exactly one file group per partition, so merges resolve within the
+    group), which at 100 TB means shuffling the logged minority, not
+    the table.
 
     DELETE blocks (the normal upsert-with-delete write path) join the
     same window as TOMBSTONE rows — key present, payload null — so a
@@ -692,18 +698,28 @@ def _read_mor(
         # incremental pruning: a group whose base AND every committed
         # block predate the window start contributes nothing after the
         # per-row commit-time filter — never open it
-        touched = {
-            k for k, mi in max_inst_of.items() if mi > str(newer_than)
-        }
-        base_paths = sorted(
-            b[1] for k, b in base_of.items() if k in touched
-        )
-        valid = [(p, idxs) for p, idxs in valid if key_of[p] in touched]
+        sel = {k for k, mi in max_inst_of.items() if mi > str(newer_than)}
+        valid = [(p, idxs) for p, idxs in valid if key_of[p] in sel]
     else:
-        base_paths = sorted(b[1] for b in base_of.values())
-    if (not base_paths and not valid and newer_than is None) or (
-        not groups and first_schema_json is None
-    ):
+        sel = set(base_of) | {key_of[p] for p, _i in valid}
+    # MERGE ONLY WHAT HAS LOGS: a file group with no committed log
+    # blocks needs no per-key resolution — its base file unions into
+    # the output directly, bypassing the record-key shuffle. At 100 TB
+    # with logs on a few % of groups this is the difference between
+    # shuffling the whole table and shuffling the logged minority.
+    # (Per Hudi's model a record key lives in exactly one file group
+    # per partition, so tombstones/upserts resolve within their group.)
+    logged_keys = {key_of[p] for p, _i in valid}
+    merged_bases = sorted(
+        b[1] for k, b in base_of.items() if k in sel and k in logged_keys
+    )
+    plain_bases = sorted(
+        b[1] for k, b in base_of.items() if k in sel and k not in logged_keys
+    )
+    if (
+        not merged_bases and not plain_bases and not valid
+        and newer_than is None
+    ) or (not groups and first_schema_json is None):
         raise ValueError(
             f"no completed base files or log blocks visible at "
             f"{'as_of=' + str(as_of) if as_of is not None else 'latest'}"
@@ -814,37 +830,46 @@ def _read_mor(
 
         log_df = fdf.mapInPandas(parse, log_schema)
     else:
-        log_df = spark.createDataFrame([], log_schema)
-    if base_paths:
-        base = spark.read.schema(schema).parquet(*sorted(base_paths))
-        binst = (
-            F.col("_hoodie_commit_time")
-            if "_hoodie_commit_time" in names
-            else F.lit("")
+        log_df = None
+    if log_df is not None:
+        if merged_bases:
+            base = spark.read.schema(schema).parquet(*merged_bases)
+            binst = (
+                F.col("_hoodie_commit_time")
+                if "_hoodie_commit_time" in names
+                else F.lit("")
+            )
+            base = (
+                base.withColumn("__instant", binst)
+                .withColumn("__fidx", F.lit(-1).cast("long"))
+                .withColumn("__bi", F.lit(-1).cast("long"))
+                .withColumn("__ri", F.lit(-1).cast("long"))
+                .withColumn("__del", F.lit(False))
+            )
+        else:
+            base = spark.createDataFrame([], log_schema)
+        keyc = ["_hoodie_record_key"]
+        if has_ppath:
+            keyc.append("_hoodie_partition_path")
+        w = Window.partitionBy(*keyc).orderBy(
+            F.desc("__instant"), F.desc("__fidx"), F.desc("__bi"),
+            F.desc("__ri"),
         )
-        base = (
-            base.withColumn("__instant", binst)
-            .withColumn("__fidx", F.lit(-1).cast("long"))
-            .withColumn("__bi", F.lit(-1).cast("long"))
-            .withColumn("__ri", F.lit(-1).cast("long"))
-            .withColumn("__del", F.lit(False))
+        out = (
+            base.unionByName(log_df)
+            .withColumn("__rn", F.row_number().over(w))
+            # keep each key's newest committed writer — unless that
+            # writer was a DELETE tombstone, which drops the key
+            .filter((F.col("__rn") == 1) & ~F.col("__del"))
+            .drop("__rn", "__instant", "__fidx", "__bi", "__ri", "__del")
         )
     else:
-        base = spark.createDataFrame([], log_schema)
-    keyc = ["_hoodie_record_key"]
-    if has_ppath:
-        keyc.append("_hoodie_partition_path")
-    w = Window.partitionBy(*keyc).orderBy(
-        F.desc("__instant"), F.desc("__fidx"), F.desc("__bi"), F.desc("__ri")
-    )
-    out = (
-        base.unionByName(log_df)
-        .withColumn("__rn", F.row_number().over(w))
-        # keep each key's newest committed writer — unless that writer
-        # was a DELETE tombstone, which drops the key entirely
-        .filter((F.col("__rn") == 1) & ~F.col("__del"))
-        .drop("__rn", "__instant", "__fidx", "__bi", "__ri", "__del")
-    )
+        out = None
+    if plain_bases:
+        plain = spark.read.schema(schema).parquet(*plain_bases)
+        out = plain if out is None else out.unionByName(plain)
+    if out is None:
+        out = spark.createDataFrame([], schema)
     if not keep_meta:
         out = out.drop(*[c for c in META_COLS if c in out.columns])
     return out

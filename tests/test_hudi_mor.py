@@ -376,3 +376,38 @@ def test_mor_incremental_prunes_untouched_groups(spark, tmp_path):
     # only partition a's base file is in the plan; f2 never opened
     assert all("f2" not in f for f in inc.inputFiles())
     assert any("f1" in f for f in inc.inputFiles())
+
+
+def test_mor_merge_window_only_over_logged_groups(spark, mor_root, tmp_path):
+    """Scale shape: only file groups WITH committed log blocks pass
+    through the record-key merge window; log-free groups' base files
+    bypass the shuffle entirely."""
+    # mor_root: both groups have logs -> results unchanged (covered by
+    # other tests). Build a table where partition b has NO logs:
+    root = str(tmp_path / "split")
+    _mk_table(root, ttype="MERGE_ON_READ")
+    _write_mor_base(root, "a", "f1", "00000000000001", [(1, 1.0)])
+    _write_mor_base(root, "b", "f2", "00000000000001", [(2, 2.0)])
+    _commit(root, "00000000000001", state="deltacommit")
+    la = os.path.join(root, "a", HL.log_file_name("f1", "00000000000001", 1))
+    HL.append_avro_block(
+        la, "00000000000002", SCHEMA, [_rec("00000000000002", "a", 1, 11.0)]
+    )
+    _commit(root, "00000000000002", state="deltacommit")
+    df = read_hudi(spark, root)
+    assert {(r["k"], r["v"]) for r in df.collect()} == {(1, 11.0), (2, 2.0)}
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one Window node (over the logged group; the extra
+    # WindowGroupLimit is Spark's rank-limit pushdown), and a union
+    # branch that scans f2's base without it
+    assert plan.count("Window [") == 1, plan
+    assert "Union" in plan, plan
+    # a MOR table with NO logs at all plans with NO window/shuffle
+    root2 = str(tmp_path / "nolog")
+    _mk_table(root2, ttype="MERGE_ON_READ")
+    _write_mor_base(root2, "a", "f1", "00000000000001", [(7, 7.0)])
+    _commit(root2, "00000000000001", state="deltacommit")
+    df2 = read_hudi(spark, root2)
+    assert {(r["k"], r["v"]) for r in df2.collect()} == {(7, 7.0)}
+    plan2 = df2._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan2, plan2

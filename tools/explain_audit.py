@@ -128,6 +128,10 @@ AUDIT = [
     "t21_bpe_encode",     # map-only Arrow-batch encode, one output agg
     "s26_iceberg_transform_prune",  # transform-pruned file list, one scan
     "s27_hudi_mor_read",  # base scan + executor log decode + key merge window
+    # round-9: MOR deletes/incremental + inspection tables
+    "s29_hudi_mor_delete",  # tombstones inside the logged-group merge window
+    "s30_iceberg_files_meta",  # driver metadata projection, no data scan
+    "s31_hudi_mor_incremental",  # group-pruned merge + commit-time filter
 ]
 
 
