@@ -3311,6 +3311,108 @@ def q_s30(spark, sf):
 
 
 @query(
+    "s32_delta_stats_skip",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE year(o_orderdate) >= 1996
+    GROUP BY year(o_orderdate)
+    """,
+)
+def q_s32(spark, sf):
+    """S32 — Delta DATA SKIPPING via add-action stats
+    (sources/delta.py `_stats_skip` behind ``read_delta(predicates=)``):
+    the minValues/maxValues bounds every real Delta writer records. The
+    fixture lays orders down as one file per order YEAR, each add
+    action carrying the year's exact stats JSON; the read with
+    ``yr >= 1996`` must prune every earlier file at the METADATA level
+    — the in-entry assert pins the plan to exactly the admitted files
+    (at 100 TB this is the scan-one-year-not-the-table lever). DuckDB
+    recomputes the admitted years' aggregate from base orders rows; a
+    reader that over-pruned loses rows, one that under-pruned still
+    hashes right but fails the inputFiles assert."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+
+    from .sources.delta import read_delta
+
+    root = _table_root("s32", sf)
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+    )
+    years = sorted(r["yr"] for r in o.select("yr").distinct().collect())
+
+    def put(df, rel):
+        stage = os.path.join(root, ".stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(src, dst)
+        shutil.rmtree(stage)
+
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "s32",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": o.schema.json(),
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        },
+    ]
+    for yr in years:
+        rel = f"yr-{yr}.parquet"
+        put(o.filter(F.col("yr") == yr), rel)
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(root, rel)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": _json.dumps(
+                        {
+                            "numRecords": None,
+                            "minValues": {"yr": int(yr)},
+                            "maxValues": {"yr": int(yr)},
+                        }
+                    ),
+                }
+            }
+        )
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    cut = 1996
+    df = read_delta(spark, root, predicates=[("yr", ">=", cut)])
+    # pruning proof: exactly the admitted years' files reach the plan
+    want = {f"yr-{y}.parquet" for y in years if y >= cut}
+    got = {os.path.basename(p) for p in df.inputFiles()}
+    assert got == want, (got, want)
+    return (
+        df.filter(F.col("yr") >= cut)
+        .groupBy("yr")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+
+
+@query(
     "s28_delta_cdf",
     oracle="""
     WITH base AS (

@@ -60,6 +60,7 @@ PRIORITY: tuple[str, ...] = (
     "s29_hudi_mor_delete",
     "s30_iceberg_files_meta",
     "s31_hudi_mor_incremental",
+    "s32_delta_stats_skip",
     "s22_delta_deletion_vectors",
     "t21_bpe_encode",
     "s19_hudi_read",
@@ -85,7 +86,6 @@ PRIORITY: tuple[str, ...] = (
     "p3_filter_neq",
     "j2_join_dims_broadcast",
     "j3_join_outer",
-    "j5_positional_join",
     "w4_backfill",
     "w6_sort",
     "a3_topk_by_freq",

@@ -208,17 +208,25 @@ def _physical_type(dt):
 
 
 class _State:
-    __slots__ = ("meta", "live", "dvs")
+    __slots__ = ("meta", "live", "dvs", "stats")
 
     def __init__(self):
         self.meta: dict | None = None
         self.live: dict[str, dict] = {}
         #: data path -> deletionVector descriptor (absent = no deletes)
         self.dvs: dict[str, dict] = {}
+        #: data path -> the add action's stats JSON string (absent/None
+        #: = the writer recorded none; skipping must keep the file)
+        self.stats: dict[str, str] = {}
 
     def add(self, a: dict) -> None:
         path = unquote(a["path"])
         self.live[path] = a.get("partitionValues") or {}
+        st = a.get("stats")
+        if st:
+            self.stats[path] = st
+        else:
+            self.stats.pop(path, None)
         dv = a.get("deletionVector")
         if dv:
             self.dvs[path] = dict(dv)
@@ -231,6 +239,7 @@ class _State:
         path = unquote(path)
         self.live.pop(path, None)
         self.dvs.pop(path, None)
+        self.stats.pop(path, None)
 
 
 def _checkpoints(log_dir: str) -> dict[int, list[str]]:
@@ -375,15 +384,17 @@ def _load_checkpoint(paths: list[str], state: _State) -> None:
 
 
 def _replay_log(
-    root: str, version: int | None = None
+    root: str, version: int | None = None, stats_out: dict | None = None
 ) -> tuple[dict, dict[str, dict], int]:
     """Replay ``_delta_log`` up to ``version`` (inclusive; None =
     latest): start from the newest usable parquet CHECKPOINT at or
     below the target (the state real Delta writers compact every ~10
     commits), then apply the JSON commits after it. Returns (metaData
     action, {data path: partitionValues}, {data path: deletionVector
-    descriptor}, last replayed version). Driver-side metadata only — no
-    data file is touched."""
+    descriptor}, last replayed version); ``stats_out`` (when given) is
+    filled with {data path: add-action stats JSON} for live files whose
+    writer recorded stats. Driver-side metadata only — no data file is
+    touched."""
     log_dir = os.path.join(root, DELTA_LOG_DIR)
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a delta table (no {DELTA_LOG_DIR}): {root}")
@@ -459,6 +470,8 @@ def _replay_log(
             "no metaData action found in the replayed log; cannot "
             "determine the table schema"
         )
+    if stats_out is not None:
+        stats_out.update(state.stats)
     return state.meta, state.live, state.dvs, last
 
 
@@ -692,6 +705,7 @@ def read_delta(
     version: int | None = None,
     partitions: dict[str, object] | None = None,
     timestamp: int | None = None,
+    predicates: list[tuple[str, str, object]] | None = None,
 ) -> DataFrame:
     """Snapshot-read a Delta table: the live parquet files at ``version``
     (None = latest), with partition columns materialized from the log's
@@ -719,18 +733,27 @@ def read_delta(
 
     DELETION VECTORS (the MERGE/DELETE shape every modern Delta writer
     produces) are APPLIED: each descriptor's roaring bitmap is decoded
-    on the driver (sources/dv.py — Z85, DV-file framing, CRC) and the
-    (file path, row index) pairs are LEFT ANTI-joined against the
-    scan's parquet ``_metadata.row_index``, broadcast side = the
-    decoded positions. Driver memory is bounded by the TOTAL DV
-    cardinality — small by design (heavily-deleted files get compacted
-    and re-added without a vector, which this replay honors).
+    on EXECUTORS (sources/dv.py — Z85, DV-file framing, CRC; one task
+    per descriptor) and the (file path, row index) pairs are LEFT
+    ANTI-joined against the scan's parquet ``_metadata.row_index``,
+    broadcast side = the decoded positions.
+
+    ``predicates`` — conjunctive ``[(column, op, value), ...]`` with op
+    in ``< <= = == >= >`` — DATA-SKIPS at the metadata level using the
+    add actions' stats JSON (``minValues`` / ``maxValues``, the numbers
+    every real Delta writer records): a file whose logged bounds
+    provably exclude every matching row is never listed or planned,
+    Delta's own data-skipping semantics. Files without stats (or with
+    bounds the value type cannot compare against) are conservatively
+    kept, so the result is always correct — pruning only shrinks the
+    file list. Unknown columns / ops raise.
     """
     if timestamp is not None:
         if version is not None:
             raise ValueError("pass either version= or timestamp=, not both")
         version = version_at_timestamp(root, timestamp)
-    meta, live, dvs, _last = _replay_log(root, version)
+    stats_of: dict[str, str] = {}
+    meta, live, dvs, _last = _replay_log(root, version, stats_out=stats_of)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
     if mode == "name":
@@ -804,6 +827,8 @@ def read_delta(
                 for c, want in partitions.items()
             )
         }
+    if predicates:
+        live = _stats_skip(live, stats_of, predicates, schema, pv_key_of)
     if not live:
         return spark.createDataFrame([], schema)
 
@@ -875,6 +900,80 @@ def read_delta(
     pv_df = spark.createDataFrame(pv_rows, pv_schema)
     out = df.join(F.broadcast(pv_df), key, "left")
     return _logical(out)
+
+
+_SKIP_OPS = ("<", "<=", "=", "==", ">=", ">")
+
+
+def _stats_skip(
+    live: dict[str, dict],
+    stats_of: dict[str, str],
+    predicates: list[tuple[str, str, object]],
+    schema: StructType,
+    pv_key_of: dict[str, str],
+) -> dict[str, dict]:
+    """Delta data skipping: drop live files whose add-action stats
+    bounds (minValues/maxValues JSON) provably exclude every row
+    matching the conjunctive predicates. Conservative by construction —
+    missing stats, absent per-column bounds, or incomparable value
+    types keep the file. Stats keys are PHYSICAL column names under
+    column mapping (the spec's stats schema follows the files), so the
+    logical predicate column resolves through the same mapping as
+    partitionValues."""
+    checked = []
+    names = {f.name for f in schema.fields}
+    for col, op, value in predicates:
+        if op not in _SKIP_OPS:
+            raise ValueError(
+                f"unsupported predicate op {op!r} (have {_SKIP_OPS})"
+            )
+        if col not in names:
+            raise ValueError(
+                f"predicate names unknown column {col!r} "
+                f"(schema columns: {sorted(names)})"
+            )
+        checked.append((pv_key_of.get(col, col), op, value))
+
+    def _cmp(a, b):
+        try:
+            if a < b:
+                return -1
+            if a > b:
+                return 1
+            return 0
+        except TypeError:
+            return None  # incomparable -> cannot prune
+
+    def may_match(rel: str) -> bool:
+        raw = stats_of.get(rel)
+        if not raw:
+            return True
+        try:
+            st = json.loads(raw)
+        except ValueError:
+            return True
+        mins = st.get("minValues") or {}
+        maxs = st.get("maxValues") or {}
+        for col, op, value in checked:
+            lo, hi = mins.get(col), maxs.get(col)
+            if op in (">", ">="):
+                c = None if hi is None else _cmp(hi, value)
+                if c is not None and (c < 0 or (c == 0 and op == ">")):
+                    return False
+            elif op in ("<", "<="):
+                c = None if lo is None else _cmp(lo, value)
+                if c is not None and (c > 0 or (c == 0 and op == "<")):
+                    return False
+            else:  # equality
+                c = None if lo is None else _cmp(lo, value)
+                if c is not None and c > 0:
+                    return False
+                c = None if hi is None else _cmp(hi, value)
+                if c is not None and c < 0:
+                    return False
+        return True
+
+    return {rel: pv for rel, pv in live.items() if may_match(rel)}
 
 
 def _dv_positions_df(

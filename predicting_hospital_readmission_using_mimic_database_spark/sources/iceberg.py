@@ -616,10 +616,23 @@ def iceberg_meta_table(
             for s in snaps
         ]
         return spark.createDataFrame(rows, schema)
+    if kind == "refs":
+        schema = ST(
+            [
+                StructField("name", StringType(), False),
+                StructField("type", StringType(), True),
+                StructField("snapshot_id", LongType(), True),
+            ]
+        )
+        rows = [
+            (name, r.get("type"), r.get("snapshot-id"))
+            for name, r in sorted((meta.get("refs") or {}).items())
+        ]
+        return spark.createDataFrame(rows, schema)
     if kind not in ("manifests", "files", "delete_files", "partitions"):
         raise ValueError(
             f"unknown metadata table {kind!r} (have snapshots, history, "
-            "manifests, files, delete_files, partitions)"
+            "manifests, files, delete_files, partitions, refs)"
         )
     by_id = {s["snapshot-id"]: s for s in snaps}
     sid = snapshot_id if snapshot_id is not None else meta.get(
@@ -939,6 +952,7 @@ def read_iceberg(
     broadcast_deletes: bool = True,
     timestamp: int | None = None,
     predicates: list[tuple[str, str, object]] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Snapshot-read an Iceberg table (``snapshot_id=`` time travel,
     default the current snapshot). ``partitions`` prunes files at the
@@ -973,12 +987,21 @@ def read_iceberg(
         raise IcebergProtocolError(
             f"format-version {meta['format-version']} > 2 is not supported"
         )
+    if sum(x is not None for x in (snapshot_id, timestamp, ref)) > 1:
+        raise ValueError(
+            "pass at most one of snapshot_id= / timestamp= / ref="
+        )
     if timestamp is not None:
-        if snapshot_id is not None:
-            raise ValueError(
-                "pass either snapshot_id= or timestamp=, not both"
-            )
         snapshot_id = snapshot_at_timestamp(meta, timestamp)
+    if ref is not None:
+        # named refs (spec §Table Metadata `refs`): branches and tags
+        # pin snapshot ids — the `VERSION AS OF 'name'` surface
+        refs = meta.get("refs") or {}
+        if ref not in refs:
+            raise ValueError(
+                f"ref {ref!r} not found (have {sorted(refs)})"
+            )
+        snapshot_id = int(refs[ref]["snapshot-id"])
     schema = _table_schema(meta)
     files, pos_dels, eq_dels = _live_files(meta, root, snapshot_id)
     if predicates:

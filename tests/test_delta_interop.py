@@ -1184,3 +1184,64 @@ def test_dv_decode_runs_on_executors_not_driver(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(dvmod, "read_dv_descriptor", _driver_decode_forbidden)
     got = {r["id"] for r in read_delta(spark, root).collect()}
     assert got == {100, 101, 102, 103}  # fa fully deleted, fb untouched
+
+
+def test_stats_data_skipping(spark, tmp_path):
+    """predicates= prunes files via the add actions' stats bounds
+    (Delta data skipping): excluded files never reach the plan, files
+    without stats are conservatively kept, incomparable types never
+    prune, unknown columns/ops raise."""
+    root = str(tmp_path / "skip")
+    for i, lo in enumerate((0, 10, 20)):
+        _write_parquet(
+            os.path.join(root, f"f{i}.parquet"),
+            [(k, float(k)) for k in range(lo, lo + 10)],
+            ["id", "bal"],
+        )
+    _write_parquet(
+        os.path.join(root, "nostats.parquet"), [(99, 9.0)], ["id", "bal"]
+    )
+    fields = [("id", "long"), ("bal", "double")]
+
+    def add(path, lo, hi):
+        return {"add": {"path": path, "partitionValues": {}, "size": 1,
+                        "dataChange": True,
+                        "stats": json.dumps({
+                            "numRecords": 10,
+                            "minValues": {"id": lo, "bal": float(lo)},
+                            "maxValues": {"id": hi, "bal": float(hi)},
+                        })}}
+
+    _write_commit(
+        root, 0,
+        [{"protocol": {"minReaderVersion": 1}}, _meta_action(fields),
+         add("f0.parquet", 0, 9), add("f1.parquet", 10, 19),
+         add("f2.parquet", 20, 29),
+         {"add": {"path": "nostats.parquet", "partitionValues": {},
+                  "size": 1, "dataChange": True}}],
+    )
+    df = read_delta(spark, root, predicates=[("id", ">=", 20)])
+    files = {os.path.basename(f) for f in df.inputFiles()}
+    # f0/f1 provably excluded; the stats-less file must stay
+    assert files == {"f2.parquet", "nostats.parquet"}, files
+    assert {r["id"] for r in df.filter("id >= 20").collect()} == set(
+        range(20, 30)
+    ) | {99}
+    eq = read_delta(spark, root, predicates=[("id", "=", 12)])
+    assert {os.path.basename(f) for f in eq.inputFiles()} == {
+        "f1.parquet", "nostats.parquet"
+    }
+    # conjunctive: empty intersection prunes every stats-carrying file
+    none = read_delta(
+        spark, root, predicates=[("id", ">", 9), ("id", "<", 10)]
+    )
+    assert {os.path.basename(f) for f in none.inputFiles()} == {
+        "nostats.parquet"
+    }
+    # incomparable type: conservative keep, result still correct
+    oddball = read_delta(spark, root, predicates=[("id", ">=", "20")])
+    assert len(oddball.inputFiles()) == 4
+    with pytest.raises(ValueError, match="unknown column"):
+        read_delta(spark, root, predicates=[("nope", "=", 1)])
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        read_delta(spark, root, predicates=[("id", "!=", 1)])

@@ -569,7 +569,7 @@ def test_timestamp_time_travel(spark, iceberg_root):
     assert {r["k"] for r in cur.collect()} == {1, 2, 11, 12}
     with pytest.raises(ValueError, match="no snapshot at or before"):
         read_iceberg(spark, iceberg_root, timestamp=500)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         read_iceberg(spark, iceberg_root, snapshot_id=1, timestamp=1500)
 
 
@@ -866,7 +866,7 @@ def test_inspection_metadata_tables(spark, iceberg_root):
     }
     assert parts == {"x": (1, 2), "y": (1, 2)}
     with pytest.raises(ValueError, match="unknown metadata table"):
-        iceberg_meta_table(spark, iceberg_root, "refs")
+        iceberg_meta_table(spark, iceberg_root, "entries")
     with pytest.raises(ValueError, match="not found"):
         iceberg_meta_table(spark, iceberg_root, "files", snapshot_id=9)
 
@@ -895,3 +895,40 @@ def test_inspection_delete_files_view(spark, tmp_path):
     assert dels[0]["sequence_number"] == 2
     # data files view unchanged, sequence numbers inherited
     assert iceberg_meta_table(spark, root, "files").count() == n_files
+
+
+def test_named_refs_branches_and_tags(spark, iceberg_root):
+    """Spec `refs`: branches/tags pin snapshot ids — read_iceberg(ref=)
+    is the VERSION AS OF 'name' surface; the refs metadata table lists
+    them."""
+    import json as _json
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        iceberg_meta_table,
+        read_iceberg,
+    )
+
+    mdir = os.path.join(iceberg_root, "metadata")
+    with open(os.path.join(mdir, "v1.metadata.json")) as f:
+        meta = _json.load(f)
+    meta["refs"] = {
+        "main": {"snapshot-id": 2, "type": "branch"},
+        "v1.0": {"snapshot-id": 1, "type": "tag"},
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    assert {r["k"] for r in read_iceberg(spark, iceberg_root, ref="v1.0").collect()} == {
+        1, 2, 10
+    }
+    assert {r["k"] for r in read_iceberg(spark, iceberg_root, ref="main").collect()} == {
+        1, 2, 11, 12
+    }
+    refs = {
+        r["name"]: (r["type"], r["snapshot_id"])
+        for r in iceberg_meta_table(spark, iceberg_root, "refs").collect()
+    }
+    assert refs == {"main": ("branch", 2), "v1.0": ("tag", 1)}
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg(spark, iceberg_root, ref="nope")
+    with pytest.raises(ValueError, match="at most one"):
+        read_iceberg(spark, iceberg_root, ref="main", snapshot_id=1)
