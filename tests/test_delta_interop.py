@@ -1245,3 +1245,57 @@ def test_stats_data_skipping(spark, tmp_path):
         read_delta(spark, root, predicates=[("nope", "=", 1)])
     with pytest.raises(ValueError, match="unsupported predicate op"):
         read_delta(spark, root, predicates=[("id", "!=", 1)])
+
+
+def test_stats_skip_never_over_prunes_property():
+    """Property: a file whose rows were generated INSIDE its logged
+    bounds is pruned only when none of its rows can match the
+    predicates — brute-force row check as the oracle."""
+    import json as _json
+    import random
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        _stats_skip,
+    )
+
+    schema = StructType([StructField("x", LongType(), True)])
+    pv_key_of = {"x": "x"}
+    rng = random.Random(11)
+    ops = ("<", "<=", "=", "==", ">=", ">")
+
+    def matches(v, op, w):
+        return {
+            "<": v < w, "<=": v <= w, "=": v == w, "==": v == w,
+            ">=": v >= w, ">": v > w,
+        }[op]
+
+    for _trial in range(400):
+        live, stats_of, rows_of = {}, {}, {}
+        for i in range(rng.randint(1, 6)):
+            rel = f"f{i}"
+            lo = rng.randint(-10, 10)
+            hi = lo + rng.randint(0, 8)
+            rows = [rng.randint(lo, hi) for _ in range(rng.randint(1, 5))]
+            # logged bounds may be WIDER than the rows (writers round)
+            live[rel] = {}
+            rows_of[rel] = rows
+            if rng.random() < 0.15:
+                pass  # no stats recorded
+            else:
+                stats_of[rel] = _json.dumps(
+                    {"minValues": {"x": lo - rng.randint(0, 2)},
+                     "maxValues": {"x": hi + rng.randint(0, 2)}}
+                )
+        preds = [
+            ("x", rng.choice(ops), rng.randint(-12, 12))
+            for _ in range(rng.randint(1, 3))
+        ]
+        kept = _stats_skip(live, stats_of, preds, schema, pv_key_of)
+        for rel, rows in rows_of.items():
+            has_match = any(
+                all(matches(v, op, w) for _c, op, w in preds) for v in rows
+            )
+            if has_match:
+                assert rel in kept, (rel, rows, preds, stats_of.get(rel))
