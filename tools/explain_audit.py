@@ -132,6 +132,7 @@ AUDIT = [
     "s29_hudi_mor_delete",  # tombstones inside the logged-group merge window
     "s30_iceberg_files_meta",  # driver metadata projection, no data scan
     "s31_hudi_mor_incremental",  # group-pruned merge + commit-time filter
+    "s32_delta_stats_skip",  # stats-bounds file pruning, admitted-files scan
 ]
 
 
