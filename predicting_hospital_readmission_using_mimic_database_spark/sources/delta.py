@@ -699,6 +699,64 @@ def _export_meta(schema_string: str) -> dict:
     }
 
 
+def _mapping_info(spark: SparkSession, meta: dict, schema: StructType):
+    """Column-mapping resolution shared by read_delta and the CDF read:
+    returns (logical schema, SCAN schema, {logical -> scan column name},
+    {logical -> partitionValues key}, logical partition columns).
+
+    ``name`` mode scans the files' physical ``col-<uuid>`` schema and
+    the caller restores logical names; ``id`` mode scans LOGICAL names
+    annotated with parquet field ids (field-id resolution enabled on
+    the session); partitionValues are keyed by PHYSICAL name under
+    either mode (spec), and partitionColumns admit either spelling."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode == "name":
+        # files store physical names: scan physically, restore logically
+        phys_schema = _physical_type(schema)
+    elif mode == "id":
+        # files store physical names AND parquet field ids: scan with the
+        # LOGICAL names annotated for field-id resolution (sticky session
+        # conf — only schemas carrying the metadata are affected)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        phys_schema = _field_id_type(schema)
+    else:
+        phys_schema = schema
+    #: logical top-level name -> SCAN column name (physical under name
+    #: mode; logical otherwise)
+    phys_of = {
+        f.name: pf.name for f, pf in zip(schema.fields, phys_schema.fields)
+    }
+    logical_of = {v: k for k, v in phys_of.items()}
+    #: logical -> the key partitionValues are stored under (the spec says
+    #: PHYSICAL name under either mapping mode)
+    if mode in ("name", "id"):
+        pv_key_of = {
+            f.name: (f.metadata or {}).get(_PHYS_KEY, f.name)
+            for f in schema.fields
+        }
+    else:
+        pv_key_of = {f.name: f.name for f in schema.fields}
+    logical_of.update(
+        (v, k) for k, v in pv_key_of.items() if v not in logical_of
+    )
+    # partitionColumns: writers serialize logical names; be lenient and
+    # admit the physical spelling too (both resolve to the same column)
+    part_cols = []
+    for c in meta.get("partitionColumns") or []:
+        if c in phys_of:
+            part_cols.append(c)
+        elif c in logical_of:
+            part_cols.append(logical_of[c])
+        else:
+            raise DeltaProtocolError(
+                f"partition column {c!r} not in the table schema "
+                f"(logical {sorted(phys_of)})"
+            )
+    return schema, phys_schema, phys_of, pv_key_of, part_cols
+
+
 def read_delta(
     spark: SparkSession,
     root: str,
@@ -755,49 +813,9 @@ def read_delta(
     stats_of: dict[str, str] = {}
     meta, live, dvs, _last = _replay_log(root, version, stats_out=stats_of)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
-    if mode == "name":
-        # files store physical names: scan physically, restore logically
-        phys_schema = _physical_type(schema)
-    elif mode == "id":
-        # files store physical names AND parquet field ids: scan with the
-        # LOGICAL names annotated for field-id resolution (sticky session
-        # conf — only schemas carrying the metadata are affected)
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        phys_schema = _field_id_type(schema)
-    else:
-        phys_schema = schema
-    #: logical top-level name -> SCAN column name (physical under name
-    #: mode; logical otherwise)
-    phys_of = {
-        f.name: pf.name for f, pf in zip(schema.fields, phys_schema.fields)
-    }
-    logical_of = {v: k for k, v in phys_of.items()}
-    #: logical -> the key partitionValues are stored under (the spec says
-    #: PHYSICAL name under either mapping mode)
-    if mode in ("name", "id"):
-        pv_key_of = {
-            f.name: (f.metadata or {}).get(_PHYS_KEY, f.name)
-            for f in schema.fields
-        }
-    else:
-        pv_key_of = {f.name: f.name for f in schema.fields}
-    logical_of.update(
-        (v, k) for k, v in pv_key_of.items() if v not in logical_of
+    schema, phys_schema, phys_of, pv_key_of, part_cols = _mapping_info(
+        spark, meta, schema
     )
-    # partitionColumns: writers serialize logical names; be lenient and
-    # admit the physical spelling too (both resolve to the same column)
-    part_cols = []
-    for c in meta.get("partitionColumns") or []:
-        if c in phys_of:
-            part_cols.append(c)
-        elif c in logical_of:
-            part_cols.append(logical_of[c])
-        else:
-            raise DeltaProtocolError(
-                f"partition column {c!r} not in the table schema "
-                f"(logical {sorted(phys_of)})"
-            )
     data_fields = [
         pf for f, pf in zip(schema.fields, phys_schema.fields)
         if f.name not in part_cols
@@ -1063,11 +1081,15 @@ def read_delta_changes(
       on-disk) files themselves — a vacuumed change file raises with
       the version that needs it.
 
-    Honest gates: schema evolution INSIDE the range raises (a CDF batch
-    must have one schema), column-mapping tables raise, and a
-    dataChange add/remove carrying a deletion vector without
-    accompanying cdc files raises (the row-level delta is not derivable
-    from whole files).
+    COLUMN MAPPING (name and id modes) is supported the same way
+    read_delta supports it: the scan uses the files' physical schema
+    (or field-id-annotated logical schema) and the output projection
+    restores logical names; partitionValues resolve through their
+    physical keys. Honest gates: schema evolution INSIDE the range
+    raises (a CDF batch must have one schema), and a dataChange
+    add/remove carrying a deletion vector without accompanying cdc
+    files raises (the row-level delta is not derivable from whole
+    files).
 
     Scale shape: ONE parquet scan per file class (cdc files / plain
     data files) over ALL versions in the range; version, change type,
@@ -1092,14 +1114,17 @@ def read_delta_changes(
         raise ValueError(f"starting_version {start} > ending_version {end}")
     meta, _live, _dvs, _last = _replay_log(root, end)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
-    if mode != "none":
-        raise DeltaProtocolError(
-            "change-data-feed read over column-mapping tables is not supported"
-        )
-    part_cols = list(meta.get("partitionColumns") or [])
+    # column mapping supported the same way read_delta supports it:
+    # scan the files' physical schema (or field-id-annotated logical
+    # under id mode), restore logical names in the output projection
+    schema, phys_schema, phys_of, pv_key_of, part_cols = _mapping_info(
+        spark, meta, schema
+    )
     data_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+        [
+            pf for f, pf in zip(schema.fields, phys_schema.fields)
+            if f.name not in part_cols
+        ]
     )
     out_schema = StructType(
         list(schema.fields)
@@ -1250,10 +1275,15 @@ def read_delta_changes(
         ]
         + [StructField("__cdf_pv_" + c, StringType(), True) for c in part_cols]
     )
+    def _pv_val(pv, c):
+        # partitionValues are keyed by PHYSICAL name under mapping
+        v = pv.get(pv_key_of[c], pv.get(c))
+        return None if v is None else str(v)
+
     man_rows = [
         tuple(
             [os.path.abspath(os.path.join(root, rel)), v, ct]
-            + [None if pv.get(c) is None else str(pv.get(c)) for c in part_cols]
+            + [_pv_val(pv, c) for c in part_cols]
         )
         for rel, v, ct, pv in manifest
     ]
@@ -1263,7 +1293,7 @@ def read_delta_changes(
         (
             F.col("__cdf_pv_" + f.name).cast(f.dataType)
             if f.name in part_cols
-            else F.col(f.name)
+            else F.col(phys_of[f.name]).cast(f.dataType)
         ).alias(f.name)
         for f in schema.fields
     ] + [

@@ -219,3 +219,54 @@ def test_cdf_remove_without_partition_values_falls_back(spark, tmp_path):
     )
     with pytest.raises(DeltaProtocolError, match="partition"):
         read_delta_changes(spark, root, starting_version=2).collect()
+
+
+def test_cdf_column_mapping_name_mode(spark, tmp_path):
+    """CDF over a column-mapping NAME-mode table: files carry physical
+    col-uuid names and partitionValues use physical keys; the change
+    rows come back under LOGICAL names with partition values attached."""
+    root = str(tmp_path / "cmcdf")
+    # physical file columns
+    _write_parquet(
+        os.path.join(root, "f0.parquet"), [(1, 10), (2, 20)],
+        ["col-aaa", "col-bbb"],
+    )
+    fields = []
+    for name, typ, phys, cid in (
+        ("k", "long", "col-aaa", 1),
+        ("v", "long", "col-bbb", 2),
+        ("seg", "string", "col-ccc", 3),
+    ):
+        fields.append(
+            {"name": name, "type": typ, "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": phys,
+                          "delta.columnMapping.id": cid}}
+        )
+    meta = {
+        "metaData": {
+            "id": "cmcdf",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": ["seg"],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }
+    }
+    _write_commit(
+        root, 0,
+        [{"protocol": {"minReaderVersion": 2}}, meta,
+         {"add": {"path": "f0.parquet",
+                  "partitionValues": {"col-ccc": "a"},  # PHYSICAL key
+                  "size": 1, "dataChange": True}}],
+    )
+    _write_commit(
+        root, 1, [{"remove": {"path": "f0.parquet", "dataChange": True,
+                              "partitionValues": {"col-ccc": "a"}}}],
+    )
+    got = {
+        (r["k"], r["v"], r["seg"], r["_change_type"], r["_commit_version"])
+        for r in read_delta_changes(spark, root).collect()
+    }
+    assert got == {
+        (1, 10, "a", "insert", 0), (2, 20, "a", "insert", 0),
+        (1, 10, "a", "delete", 1), (2, 20, "a", "delete", 1),
+    }
