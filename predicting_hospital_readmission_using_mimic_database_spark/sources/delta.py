@@ -659,7 +659,7 @@ def export_delta_log(table, checkpoint_interval: int = 10) -> int:
                     "size": os.path.getsize(os.path.join(root, rel)),
                     "modificationTime": 0,
                     "dataChange": True,
-                    "stats": json.dumps({"numRecords": a.rows}),
+                    "stats": _export_stats(a),
                 }
             }
         )
@@ -679,12 +679,26 @@ def export_delta_log(table, checkpoint_interval: int = 10) -> int:
                     "partitionValues": {},
                     "size": os.path.getsize(os.path.join(root, rel)),
                     "modificationTime": 0,
-                    "stats": json.dumps({"numRecords": table._live[rel].rows}),
+                    "stats": _export_stats(table._live[rel]),
                 }
                 for rel in sorted(current)
             ],
         )
     return version
+
+
+def _export_stats(act) -> str:
+    """The add action's Delta stats JSON for an exported file: the
+    numRecords every reader expects plus minValues/maxValues from the
+    footer stats SnapshotTable already harvested (``stats_cols``) — so
+    a foreign Delta reader (or read_delta(predicates=)) can DATA-SKIP
+    the exported table. Files without harvested stats export counts
+    only (readers keep them, conservative)."""
+    st: dict = {"numRecords": act.rows}
+    if getattr(act, "stats", None):
+        st["minValues"] = {c: mm[0] for c, mm in act.stats.items()}
+        st["maxValues"] = {c: mm[1] for c, mm in act.stats.items()}
+    return json.dumps(st)
 
 
 def _export_meta(schema_string: str) -> dict:

@@ -1299,3 +1299,36 @@ def test_stats_skip_never_over_prunes_property():
             )
             if has_match:
                 assert rel in kept, (rel, rows, preds, stats_of.get(rel))
+
+
+def test_export_emits_skippable_stats(spark, tmp_path):
+    """export_delta_log carries SnapshotTable's harvested footer stats
+    into the add actions' minValues/maxValues, so the exported table
+    data-skips through read_delta(predicates=) — the full interop
+    round trip of the skipping surface."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        export_delta_log,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "expstats")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, v double", stats_cols=["k"]
+    )
+    # three appends with disjoint k ranges -> three stats-carrying files
+    for lo in (0, 100, 200):
+        t.append(
+            spark.range(lo, lo + 10).select(
+                F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+            ).coalesce(1)
+        )
+    export_delta_log(t)
+    df = read_delta(spark, root, predicates=[("k", ">=", 200)])
+    assert len(df.inputFiles()) == 1
+    assert {r["k"] for r in df.collect()} == set(range(200, 210))
+    # equality inside the middle range
+    mid = read_delta(spark, root, predicates=[("k", "=", 105)])
+    assert len(mid.inputFiles()) == 1
