@@ -396,16 +396,21 @@ def export_iceberg(table) -> int:
     (parquet files shared byte-for-byte), so pyiceberg/Trino/Spark's
     iceberg runtime (or :func:`read_iceberg`) can read it in place.
 
-    Each export appends ONE Iceberg snapshot: a fresh manifest listing
-    every live file (the simple full-manifest exporter posture — valid
-    per spec, metadata cost O(snapshots x files); the native commit log
-    remains the engine's own incremental format), a manifest list, a new
-    ``vN.metadata.json`` carrying the whole snapshot lineage, and an
-    updated ``version-hint.text``. A no-change export writes nothing.
-    Earlier exported snapshots stay time-travelable. Returns the
-    exported snapshot id. Unpartitioned spec (bucket locality is an
-    engine-side read optimization, not table state — same posture as
-    the Delta export)."""
+    Each export appends ONE Iceberg snapshot INCREMENTALLY: a new
+    manifest listing only the files ADDED since the previous export,
+    manifests containing REMOVED files rewritten with status-2
+    tombstones (live entries carried as status 0), and every untouched
+    manifest REUSED by path in the new manifest list — per-export
+    metadata cost is O(changed files + touched manifests), not
+    O(snapshots x files). A manifest list, a new ``vN.metadata.json``
+    carrying the whole snapshot lineage, and an updated
+    ``version-hint.text`` complete the commit; a no-change export
+    writes nothing. Earlier exported snapshots stay time-travelable
+    (their lists still reference the OLD manifest files, which are
+    never mutated in place). Returns the exported snapshot id.
+    Unpartitioned spec (bucket locality is an engine-side read
+    optimization, not table state — same posture as the Delta
+    export)."""
     import time
 
     from .avro_ocf import write_avro
@@ -413,6 +418,7 @@ def export_iceberg(table) -> int:
     root = table.root
     table._refresh()
     live = sorted(table._live.items())
+    live_paths = {os.path.join(root, rel) for rel, _a in live}
     mdir = os.path.join(root, "metadata")
     os.makedirs(mdir, exist_ok=True)
     prev_meta = None
@@ -422,6 +428,8 @@ def export_iceberg(table) -> int:
     except FileNotFoundError:
         pass
     snapshots = list(prev_meta.get("snapshots", [])) if prev_meta else []
+    carried: list[dict] = []
+    prev_files: set[str] = set()
     if snapshots:
         last_id = max(s["snapshot-id"] for s in snapshots)
         cur = next(
@@ -429,47 +437,87 @@ def export_iceberg(table) -> int:
             if s["snapshot-id"] == prev_meta["current-snapshot-id"]
         )
         _s, prev_manifests = read_avro(_localize(cur["manifest-list"], root))
-        prev_files = set()
+        per_manifest: list[tuple[dict, list | None]] = []
         for mrec in prev_manifests:
+            if mrec.get("content", 0) == 1:
+                # DELETE manifests (position/equality delete files) are
+                # not data: carry them as-is, never tombstone them
+                per_manifest.append((mrec, None))
+                continue
             _s2, entries = read_avro(_localize(mrec["manifest_path"], root))
+            live_entries = [e for e in entries if e.get("status", 0) != 2]
+            per_manifest.append((mrec, live_entries))
             prev_files.update(
-                e["data_file"]["file_path"] for e in entries
-                if e.get("status", 0) != 2
+                e["data_file"]["file_path"] for e in live_entries
             )
-        if prev_files == {os.path.join(root, rel) for rel, _a in live}:
+        if prev_files == live_paths:
             return last_id  # no change since the last export
         sid = last_id + 1
         version = int(prev_meta.get("_export_version", len(snapshots))) + 1
+        for mi, (mrec, live_entries) in enumerate(per_manifest):
+            if live_entries is None:
+                carried.append(dict(mrec))  # delete manifest: as-is
+                continue
+            dead = [
+                e for e in live_entries
+                if e["data_file"]["file_path"] not in live_paths
+            ]
+            if not dead:
+                carried.append(dict(mrec))  # untouched: reuse by path
+                continue
+            # rewrite ONLY this manifest: survivors as status-0
+            # existing entries (their original snapshot), removed files
+            # as status-2 tombstones stamped with the new snapshot
+            rewritten = os.path.join(mdir, f"manifest-{sid}-rw{mi}.avro")
+            write_avro(
+                rewritten,
+                MANIFEST_ENTRY_SCHEMA,
+                [
+                    {**e, "status": 0}
+                    for e in live_entries
+                    if e["data_file"]["file_path"] in live_paths
+                ]
+                + [{**e, "status": 2, "snapshot_id": sid} for e in dead],
+            )
+            carried.append(
+                {
+                    **mrec,
+                    "manifest_path": rewritten,
+                    "manifest_length": os.path.getsize(rewritten),
+                }
+            )
     else:
         sid, version = 1, 1
-    manifest = os.path.join(mdir, f"manifest-{sid}.avro")
-    write_avro(
-        manifest,
-        MANIFEST_ENTRY_SCHEMA,
-        [
-            {
-                "status": 1,
-                "snapshot_id": sid,
-                "data_file": {
-                    "content": 0,
-                    "file_path": os.path.join(root, rel),
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": act.rows,
-                    "file_size_in_bytes": os.path.getsize(
-                        os.path.join(root, rel)
-                    ),
-                    "equality_ids": None,
-                },
-            }
-            for rel, act in live
-        ],
-    )
-    mlist = os.path.join(mdir, f"snap-{sid}.avro")
-    write_avro(
-        mlist,
-        MANIFEST_FILE_SCHEMA,
-        [
+    added = [
+        (rel, act) for rel, act in live
+        if os.path.join(root, rel) not in prev_files
+    ]
+    mf_records = list(carried)
+    if added:
+        manifest = os.path.join(mdir, f"manifest-{sid}.avro")
+        write_avro(
+            manifest,
+            MANIFEST_ENTRY_SCHEMA,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": os.path.join(root, rel),
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": act.rows,
+                        "file_size_in_bytes": os.path.getsize(
+                            os.path.join(root, rel)
+                        ),
+                        "equality_ids": None,
+                    },
+                }
+                for rel, act in added
+            ],
+        )
+        mf_records.append(
             {
                 "manifest_path": manifest,
                 "manifest_length": os.path.getsize(manifest),
@@ -480,13 +528,23 @@ def export_iceberg(table) -> int:
                 # delete ordering (data_seq < delete_seq) depends on it
                 "sequence_number": sid,
             }
-        ],
+        )
+    mlist = os.path.join(mdir, f"snap-{sid}.avro")
+    write_avro(
+        mlist,
+        MANIFEST_FILE_SCHEMA,
+        [{"sequence_number": None, **m} for m in mf_records],
     )
     snapshots.append(
         {
             "snapshot-id": sid,
             "timestamp-ms": int(time.time() * 1000),
-            "summary": {"operation": "overwrite" if sid > 1 else "append"},
+            # append-only changes are real APPEND snapshots (the shape
+            # the incremental/streaming scan consumes); anything that
+            # removed files is an overwrite
+            "summary": {
+                "operation": "append" if prev_files <= live_paths else "overwrite"
+            },
             "manifest-list": mlist,
             "schema-id": 0,
         }

@@ -932,3 +932,78 @@ def test_named_refs_branches_and_tags(spark, iceberg_root):
         read_iceberg(spark, iceberg_root, ref="nope")
     with pytest.raises(ValueError, match="at most one"):
         read_iceberg(spark, iceberg_root, ref="main", snapshot_id=1)
+
+
+def test_export_incremental_manifests(spark, tmp_path):
+    """export_iceberg is INCREMENTAL: an append reuses every previous
+    manifest BY PATH and adds one manifest with only the new files; a
+    merge rewrites only the manifests containing replaced files (with
+    status-2 tombstones) — and every earlier snapshot stays readable."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        export_iceberg,
+        read_iceberg,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "incexp")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, v double", bucket_key=["k"], num_buckets=2
+    )
+    t.append(
+        spark.range(4).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    )
+    assert export_iceberg(t) == 1
+
+    def mlist(sid):
+        with open(os.path.join(root, "metadata", "version-hint.text")) as f:
+            hint = f.read().strip()
+        with open(os.path.join(root, "metadata", f"v{hint}.metadata.json")) as f:
+            meta = json.load(f)
+        snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+        _s, recs = read_avro(snap["manifest-list"])
+        return recs
+
+    m1_paths = [m["manifest_path"] for m in mlist(1)]
+    t.append(
+        spark.range(100, 102).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+    )
+    assert export_iceberg(t) == 2
+    m2 = mlist(2)
+    # append: every snapshot-1 manifest reused BY PATH + exactly one new
+    assert [m["manifest_path"] for m in m2][: len(m1_paths)] == m1_paths
+    assert len(m2) == len(m1_paths) + 1
+    assert m2[-1]["added_snapshot_id"] == 2
+    # merge rewrites one bucket's file: only touched manifests change
+    t.merge(spark.createDataFrame([(0, -99.0)], "k bigint, v double"))
+    assert export_iceberg(t) == 3
+    m3 = mlist(3)
+    # the merge rewrote the k=0 bucket's file in BOTH appends' manifests
+    # here, so reuse is not observable in this shape — the append case
+    # above already pins carry-by-path; what the merge must show is
+    # tombstoned rewrites, not full re-manifesting: snapshot 1/2 lists
+    # still reference their ORIGINAL manifest files (never mutated)
+    assert [m["manifest_path"] for m in mlist(2)] == [
+        m["manifest_path"] for m in m2
+    ]
+    # rewritten manifests carry status-2 tombstones for replaced files
+    tomb = 0
+    for m in m3:
+        _s, entries = read_avro(m["manifest_path"])
+        tomb += sum(1 for e in entries if e.get("status") == 2)
+    assert tomb >= 1
+    # correctness across the lineage
+    assert {r["k"] for r in read_iceberg(spark, root).collect()} == set(
+        range(4)
+    ) | {100, 101}
+    assert (
+        read_iceberg(spark, root)
+        .filter("k = 0").collect()[0]["v"] == -99.0
+    )
+    assert read_iceberg(spark, root, snapshot_id=1).count() == 4
+    assert read_iceberg(spark, root, snapshot_id=2).count() == 6

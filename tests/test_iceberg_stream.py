@@ -19,7 +19,10 @@ from predicting_hospital_readmission_using_mimic_database_spark.sources.table im
 
 @pytest.fixture
 def ice_root(spark, tmp_path):
-    """Two exported append snapshots: s1 = k 0..4, s2 = k 100..102."""
+    """Two exported snapshots: s1 = k 0..4, s2 = k 100..102. The
+    incremental exporter commits the second as a REAL append snapshot
+    (one added-files manifest stamped with sid 2, snapshot-1 manifest
+    carried by path, operation 'append') — no fixture surgery needed."""
     import pyspark.sql.functions as F
 
     root = str(tmp_path / "icestream")
@@ -33,57 +36,15 @@ def ice_root(spark, tmp_path):
             F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
         )
     )
-    sid2 = export_iceberg(t)
-    # the second export re-manifests the FULL live set as one snapshot
-    # whose operation is 'overwrite' — rewrite it to the append shape a
-    # real appender commits: only the new file, operation 'append'
+    assert export_iceberg(t) == 2
+    # sanity: the exporter committed an append-shaped snapshot
     mdir = os.path.join(root, "metadata")
     with open(os.path.join(mdir, "version-hint.text")) as f:
         hint = f.read().strip()
     with open(os.path.join(mdir, f"v{hint}.metadata.json")) as f:
         meta = json.load(f)
-    from predicting_hospital_readmission_using_mimic_database_spark.sources.avro_ocf import (
-        read_avro,
-        write_avro,
-    )
-    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
-        MANIFEST_ENTRY_SCHEMA,
-        MANIFEST_FILE_SCHEMA,
-    )
-
-    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
-    _s, m1 = read_avro(snaps[1]["manifest-list"])
-    _s2, e1 = read_avro(m1[0]["manifest_path"])
-    s1_files = {e["data_file"]["file_path"] for e in e1}
-    _s3, m2 = read_avro(snaps[sid2]["manifest-list"])
-    _s4, e2 = read_avro(m2[0]["manifest_path"])
-    new_entries = [
-        {**e, "snapshot_id": sid2}
-        for e in e2
-        if e["data_file"]["file_path"] not in s1_files
-    ]
-    m_new = os.path.join(mdir, "manifest-append-2.avro")
-    write_avro(m_new, MANIFEST_ENTRY_SCHEMA, new_entries)
-    ml_new = os.path.join(mdir, "snap-append-2.avro")
-    write_avro(
-        ml_new,
-        MANIFEST_FILE_SCHEMA,
-        [{"sequence_number": None, **m} for m in m1]
-        + [
-            {
-                "manifest_path": m_new,
-                "manifest_length": os.path.getsize(m_new),
-                "partition_spec_id": 0,
-                "content": 0,
-                "added_snapshot_id": sid2,
-                "sequence_number": sid2,
-            }
-        ],
-    )
-    snaps[sid2]["manifest-list"] = ml_new
-    snaps[sid2]["summary"] = {"operation": "append"}
-    with open(os.path.join(mdir, f"v{hint}.metadata.json"), "w") as f:
-        json.dump(meta, f)
+    snaps = {s_["snapshot-id"]: s_ for s_ in meta["snapshots"]}
+    assert snaps[2]["summary"]["operation"] == "append"
     return root
 
 
