@@ -3413,6 +3413,64 @@ def q_s32(spark, sf):
 
 
 @query(
+    "s33_iceberg_incremental",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT) + 55) AS BIGINT)
+             AS bal_c,
+           CAST(min(c_custkey + 3000000) AS BIGINT) AS min_k
+    FROM customer WHERE c_custkey % 29 = 0
+    """,
+)
+def q_s33(spark, sf):
+    """S33 — Iceberg INCREMENTAL APPEND scan as a batch read
+    (sources/iceberg.py `read_iceberg_changes`): the CDC-consumption
+    surface on snapshot lineage. Export 1 publishes the customer base;
+    a second SnapshotTable append (``% 29`` keys shifted +3M at +55
+    cents) exports as a REAL append snapshot (the incremental exporter
+    writes ONE added-files manifest and carries snapshot 1's manifests
+    by path). The window ``(1, 2]`` must return exactly the appended
+    rows stamped ``_snapshot_id = 2`` — a reader that re-emitted base
+    rows, missed inheritance, or read snapshot 1's files breaks the
+    aggregate DuckDB recomputes from base customer rows. In-entry
+    asserts pin the snapshot-2 stamp and that base files never enter
+    the plan."""
+    from .sources.iceberg import export_iceberg, read_iceberg_changes
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s33", sf),
+        "c_custkey bigint, bal_c bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    t.append(c)
+    assert export_iceberg(t) == 1
+    extra = c.filter(F.col("c_custkey") % 29 == 0).select(
+        (F.col("c_custkey") + 3_000_000).alias("c_custkey"),
+        (F.col("bal_c") + 55).alias("bal_c"),
+    )
+    t.append(extra)
+    assert export_iceberg(t) == 2
+    inc = read_iceberg_changes(spark, t.root, from_snapshot_id=1)
+    assert {r["_snapshot_id"] for r in inc.select("_snapshot_id").distinct().collect()} <= {2}
+    # base files never enter the plan: the window scans only what
+    # snapshot 2 added (a strict subset of the live set)
+    from .sources.iceberg import read_iceberg as _ri
+    assert set(inc.inputFiles()) < set(_ri(spark, t.root).inputFiles())
+    return inc.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("bal_c").cast("long").alias("bal_c"),
+        F.min("c_custkey").cast("long").alias("min_k"),
+    )
+
+
+@query(
     "s28_delta_cdf",
     oracle="""
     WITH base AS (

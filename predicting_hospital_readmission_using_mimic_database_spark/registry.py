@@ -61,6 +61,7 @@ PRIORITY: tuple[str, ...] = (
     "s30_iceberg_files_meta",
     "s31_hudi_mor_incremental",
     "s32_delta_stats_skip",
+    "s33_iceberg_incremental",
     "s22_delta_deletion_vectors",
     "t21_bpe_encode",
     "s19_hudi_read",
@@ -89,7 +90,6 @@ PRIORITY: tuple[str, ...] = (
     "w4_backfill",
     "w6_sort",
     "a3_topk_by_freq",
-    "a6_group_min",
     "a7_collect_list_sorted",
     "c2_clamp",
     "c5_gap_days_frac",

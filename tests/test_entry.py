@@ -36,7 +36,7 @@ def test_first_50_entries_cover_every_family():
     # round-9 rotation: every entry whose code changed this round leads
     # the prefix (the union already covers all prior entries)
     for must in ("s29_hudi_mor_delete", "s30_iceberg_files_meta",
-                 "s31_hudi_mor_incremental", "s32_delta_stats_skip",
+                 "s31_hudi_mor_incremental", "s32_delta_stats_skip", "s33_iceberg_incremental",
                  "s22_delta_deletion_vectors", "t21_bpe_encode",
                  "s19_hudi_read", "s27_hudi_mor_read",
                  "s25_hudi_incremental", "s15_delta_read",

@@ -171,3 +171,37 @@ def test_entry_snapshot_id_inherited_from_manifest_list(spark, ice_root, tmp_pat
     ks = sorted(k for k, _v, _s in got)
     assert ks == [0, 1, 2, 3, 4, 100, 101, 102]
     assert {s for k, _v, s in got if k >= 100} == {2}
+
+
+def test_batch_incremental_changes(spark, ice_root):
+    """read_iceberg_changes: bounded (from, to] append windows with
+    _snapshot_id stamps; non-append snapshots gate unless
+    ignore_changes; unknown bounds raise."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        IcebergProtocolError,
+        append_position_deletes,
+        iceberg_meta_table,
+        read_iceberg_changes,
+    )
+
+    allw = read_iceberg_changes(spark, ice_root)
+    assert sorted((r["k"], r["_snapshot_id"]) for r in allw.collect()) == [
+        (0, 1), (1, 1), (2, 1), (3, 1), (4, 1), (100, 2), (101, 2), (102, 2)
+    ]
+    tail = read_iceberg_changes(spark, ice_root, from_snapshot_id=1)
+    assert sorted(r["k"] for r in tail.collect()) == [100, 101, 102]
+    assert read_iceberg_changes(
+        spark, ice_root, from_snapshot_id=2
+    ).count() == 0
+    head = read_iceberg_changes(spark, ice_root, to_snapshot_id=1)
+    assert sorted(r["k"] for r in head.collect()) == [0, 1, 2, 3, 4]
+    with pytest.raises(ValueError, match="not in the retained"):
+        read_iceberg_changes(spark, ice_root, from_snapshot_id=9)
+    # a delete snapshot in the window gates, ignore_changes passes
+    f = iceberg_meta_table(spark, ice_root, "files").collect()[0]["file_path"]
+    append_position_deletes(ice_root, [(f, 0)])
+    with pytest.raises(IcebergProtocolError, match="ignore_changes"):
+        read_iceberg_changes(spark, ice_root, from_snapshot_id=2)
+    assert read_iceberg_changes(
+        spark, ice_root, from_snapshot_id=2, ignore_changes=True
+    ).count() == 0  # the delete snapshot added no data files
