@@ -144,6 +144,11 @@ HEADLINE = [
     "st17_stream_delta_cdf",      # delta CDF as a streaming source (r8)
     "st15_stream_hudi_tail",      # hudi streaming source
     "st16_stream_iceberg_tail",   # iceberg append-scan streaming source
+    "s29_hudi_mor_delete",        # MOR delete-block tombstone merge (r9)
+    "s30_iceberg_files_meta",     # inspection metadata tables (r9)
+    "s31_hudi_mor_incremental",   # MOR incremental, group-pruned (r9)
+    "s32_delta_stats_skip",       # stats-bounds data skipping (r9)
+    "s33_iceberg_incremental",    # snapshot-window append scan (r9)
 ]
 
 
