@@ -21,8 +21,11 @@ the PySpark 4 Python Data Source API over :mod:`.delta`'s log replay:
   skipped while the partition streams the parquet rows.
 * Partition columns are materialized from the log's partitionValues
   (string serialization cast to the declared type). Column mapping
-  modes other than ``none`` raise (stream the table through
-  ``read_delta`` + foreachBatch instead).
+  NAME mode is supported (files read by their physical col-uuid
+  names, rows emitted under the logical schema, partitionValues
+  resolved through physical keys); ``id`` mode raises — field-id
+  resolution needs the JVM scan, stream through ``read_delta`` +
+  foreachBatch instead.
 
 Every emitted row carries ``_commit_version`` (long), so downstream
 exactly-once sinks can key idempotence on (version, row) like the
@@ -121,15 +124,30 @@ class DeltaStreamReader(DataSourceStreamReader):
         mode = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
-        if mode != "none":
+        if mode == "id":
+            # id mode resolves columns by parquet FIELD IDS, which the
+            # per-file pyarrow name reads here cannot honor
             raise DeltaProtocolError(
-                f"delta_stream does not support column mapping ({mode}); "
+                "delta_stream does not support column mapping id mode; "
                 "use read_delta + foreachBatch"
             )
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
-        self._part_cols = list(meta.get("partitionColumns") or [])
+        # NAME mode: files store physical col-uuid names and
+        # partitionValues use physical keys — read physical, emit rows
+        # under the logical schema (spark=None is safe: only the id
+        # branch, gated above, touches the session)
+        from .delta import _mapping_info
+
+        schema, _phys, phys_of, pv_key_of, part_cols = _mapping_info(
+            None, meta, schema
+        )
+        self._part_cols = part_cols
+        self._pv_key_of = pv_key_of
+        self._file_col_of = phys_of
         self._data_cols = [
-            f.name for f in schema.fields if f.name not in self._part_cols
+            phys_of[f.name]
+            for f in schema.fields
+            if f.name not in self._part_cols
         ]
         self._schema_order = [f.name for f in schema.fields]
         self._part_casts = {
@@ -162,6 +180,15 @@ class DeltaStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         _m, _l, _d, last = _replay_log(self._root)
         return {"version": last}
+
+    def _pv_logical(self, raw: dict | None) -> dict:
+        """partitionValues (physical keys under column mapping) -> a
+        logical-keyed dict for the declared partition columns."""
+        raw = raw or {}
+        return {
+            c: raw.get(self._pv_key_of[c], raw.get(c))
+            for c in self._part_cols
+        }
 
     def partitions(self, start: dict, end: dict):
         log_dir = os.path.join(self._root, DELTA_LOG_DIR)
@@ -218,7 +245,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                         _AddPartition(
                             v,
                             os.path.join(self._root, unquote(cd["path"])),
-                            cd.get("partitionValues") or {},
+                            self._pv_logical(cd.get("partitionValues")),
                             None,
                             self._data_cols,
                             casts,
@@ -240,7 +267,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                         _AddPartition(
                             v,
                             os.path.join(self._root, unquote(ad["path"])),
-                            ad.get("partitionValues") or {},
+                            self._pv_logical(ad.get("partitionValues")),
                             None,
                             self._data_cols,
                             casts,
@@ -253,7 +280,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                     _AddPartition(
                         v,
                         os.path.join(self._root, unquote(ad["path"])),
-                        ad.get("partitionValues") or {},
+                        self._pv_logical(ad.get("partitionValues")),
                         ad.get("deletionVector"),
                         self._data_cols,
                         casts,
@@ -284,7 +311,8 @@ class DeltaStreamReader(DataSourceStreamReader):
             if i in dead:
                 continue
             base = [
-                pv[c] if c in pv else data[c][i] for c in self._schema_order
+                pv[c] if c in pv else data[self._file_col_of[c]][i]
+                for c in self._schema_order
             ]
             if cdf:
                 ct = (

@@ -196,3 +196,50 @@ def test_stream_change_feed_mode(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         _drain(spark, root, str(tmp_path / "cktail"), startingVersion=0)
     assert "readChangeFeed" in str(ei.value)
+
+
+def test_stream_column_mapping_name_mode(spark, tmp_path):
+    """delta_stream over a NAME-mode column-mapping table: physical
+    col-uuid file columns and physical partitionValues keys stream out
+    under the LOGICAL schema with partition values attached."""
+    import json as _json
+
+    from tests.test_delta_interop import _write_parquet
+
+    root = str(tmp_path / "cmstream")
+    _write_parquet(
+        os.path.join(root, "f0.parquet"), [(1, 10), (2, 20)],
+        ["col-aaa", "col-bbb"],
+    )
+    fields = []
+    for name, typ, phys, cid in (
+        ("k", "long", "col-aaa", 1),
+        ("v", "long", "col-bbb", 2),
+        ("seg", "string", "col-ccc", 3),
+    ):
+        fields.append(
+            {"name": name, "type": typ, "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": phys,
+                          "delta.columnMapping.id": cid}}
+        )
+    _write_commit(
+        root, 0,
+        [{"protocol": {"minReaderVersion": 2}},
+         {"metaData": {
+             "id": "cmstream",
+             "format": {"provider": "parquet", "options": {}},
+             "schemaString": _json.dumps({"type": "struct", "fields": fields}),
+             "partitionColumns": ["seg"],
+             "configuration": {"delta.columnMapping.mode": "name"},
+         }},
+         {"add": {"path": "f0.parquet",
+                  "partitionValues": {"col-ccc": "a"},
+                  "size": 1, "dataChange": True}}],
+    )
+    register_delta_stream(spark)
+    got = _drain(spark, root, str(tmp_path / "ck"), startingVersion=0)
+    assert sorted(got) == [(1, 10, "a", 0), (2, 20, "a", 0)]
+    # batch tail view agrees, logical column names on the surface
+    df = spark.read.format("delta_stream").option("path", root).load()
+    assert df.columns == ["k", "v", "seg", "_commit_version"]
+    assert df.count() == 2
