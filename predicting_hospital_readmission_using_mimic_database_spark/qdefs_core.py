@@ -3093,6 +3093,182 @@ def q_s29(spark, sf):
 
 
 @query(
+    "s34_hudi_event_time_merge",
+    oracle="""
+    WITH m AS (
+      SELECT c_mktsegment, c_custkey,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer
+    ), s0 AS (SELECT min(c_mktsegment) AS s FROM customer),
+    fin AS (
+      SELECT c_mktsegment,
+             CASE WHEN c_mktsegment = (SELECT s FROM s0)
+                   AND c_custkey % 7 = 0
+                  THEN bal + 1000 ELSE bal END AS bal
+      FROM m
+      WHERE NOT (c_mktsegment = (SELECT s FROM s0)
+                 AND c_custkey % 7 <> 0 AND c_custkey % 13 = 0)
+    )
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(bal) AS BIGINT) AS bal_c
+    FROM fin GROUP BY c_mktsegment
+    """,
+)
+def q_s34(spark, sf):
+    """S34 — Hudi EVENT-TIME merge ordering (sources/hudi.py
+    `_merge_ordering` + the precombine-led merge window in `_read_mor`):
+    the ``DefaultHoodieRecordPayload`` / ``EVENT_TIME_ORDERING``
+    semantics real upsert pipelines declare so late-arriving STALE
+    events never clobber newer state. The table declares
+    ``hoodie.table.precombine.field=ev_ts``; base groups at
+    deltacommit 1 carry ev_ts=100. Deltacommit 2's log block upserts
+    seg-0's ``% 7 = 0`` keys at ev_ts=200/+1000 cents (newer event:
+    wins) AND its ``% 11 = 0`` non-%7 keys at ev_ts=50 with a poison
+    +500000 value (stale event that arrived LATER in commit order: a
+    positional merge would apply it; the event-time merge must not).
+    Deltacommit 3 DELETE-blocks the ``% 13 = 0`` keys at
+    orderingVal=150 — the tombstone beats ev_ts=100 base rows but
+    LOSES to the ``% 7`` keys' ev_ts=200 upserts, so %7∩%13 keys
+    survive at their upserted value. DuckDB recomputes the surviving
+    per-segment sums from base customer rows; an applied stale upsert,
+    a dropped delete, or a delete that over-killed the newer rows all
+    break the hash."""
+    import os
+
+    from .sources import hudi_log as HL
+    from .sources.hudi import read_hudi
+
+    root = _table_root("s34", sf)
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        "c_mktsegment",
+    )
+    segs = sorted(
+        r["c_mktsegment"] for r in c.select("c_mktsegment").distinct().collect()
+    )
+    import glob
+    import shutil
+
+    def put(df, part, file_id, instant):
+        d = os.path.join(root, part)
+        os.makedirs(d, exist_ok=True)
+        meta = df.select(
+            F.lit(instant).alias("_hoodie_commit_time"),
+            F.concat_ws("_", F.lit(instant), F.lit("0")).alias(
+                "_hoodie_commit_seqno"
+            ),
+            F.col("c_custkey").cast("string").alias("_hoodie_record_key"),
+            F.lit(part).alias("_hoodie_partition_path"),
+            F.lit(f"{file_id}_1-0-1_{instant}.parquet").alias(
+                "_hoodie_file_name"
+            ),
+            "c_custkey",
+            "bal_c",
+            F.lit(100).cast("long").alias("ev_ts"),
+            "c_mktsegment",
+        )
+        stage = os.path.join(root, f".stage_{file_id}_{instant}")
+        meta.coalesce(1).write.parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(src, os.path.join(d, f"{file_id}_1-0-1_{instant}.parquet"))
+        shutil.rmtree(stage)
+
+    hdir = os.path.join(root, ".hoodie")
+    os.makedirs(hdir, exist_ok=True)
+    with open(os.path.join(hdir, "hoodie.properties"), "w") as f:
+        f.write(
+            "hoodie.table.name=s34\nhoodie.table.type=MERGE_ON_READ\n"
+            "hoodie.table.precombine.field=ev_ts\n"
+            "hoodie.table.payload.class="
+            "org.apache.hudi.common.model.DefaultHoodieRecordPayload\n"
+        )
+
+    def commit(instant, state="deltacommit"):
+        open(os.path.join(hdir, f"{instant}.{state}"), "w").close()
+
+    avro_schema = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": n, "type": ["null", t]}
+            for n, t in (
+                ("_hoodie_commit_time", "string"),
+                ("_hoodie_commit_seqno", "string"),
+                ("_hoodie_record_key", "string"),
+                ("_hoodie_partition_path", "string"),
+                ("_hoodie_file_name", "string"),
+                ("c_custkey", "long"),
+                ("bal_c", "long"),
+                ("ev_ts", "long"),
+                ("c_mktsegment", "string"),
+            )
+        ],
+    }
+
+    def rec(instant, part, ck, bal, ev):
+        return {
+            "_hoodie_commit_time": instant,
+            "_hoodie_commit_seqno": f"{instant}_0",
+            "_hoodie_record_key": str(ck),
+            "_hoodie_partition_path": part,
+            "_hoodie_file_name": "log",
+            "c_custkey": int(ck),
+            "bal_c": int(bal),
+            "ev_ts": int(ev),
+            "c_mktsegment": part,
+        }
+
+    t1, t2, t3 = "00000000000001", "00000000000002", "00000000000003"
+    for i, s in enumerate(segs):
+        put(c.filter(F.col("c_mktsegment") == s), s, f"fg{i}", t1)
+    commit(t1)
+    seg0 = c.filter(F.col("c_mktsegment") == segs[0])
+    fresh = (
+        seg0.filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", (F.col("bal_c") + 1000).alias("bal_c"))
+        .collect()
+    )
+    stale = (
+        seg0.filter(
+            (F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0)
+        )
+        .select("c_custkey")
+        .collect()
+    )
+    lp = os.path.join(root, segs[0], HL.log_file_name("fg0", t1, 1))
+    HL.append_avro_block(
+        lp,
+        t2,
+        avro_schema,
+        [rec(t2, segs[0], r["c_custkey"], r["bal_c"], 200) for r in fresh]
+        + [rec(t2, segs[0], r["c_custkey"], 500000, 50) for r in stale],
+    )
+    commit(t2)
+    doomed = sorted(
+        r["c_custkey"]
+        for r in seg0.filter(F.col("c_custkey") % 13 == 0).collect()
+    )
+    HL.append_delete_block(
+        lp,
+        t3,
+        [
+            {"recordKey": str(k), "partitionPath": segs[0], "orderingVal": 150}
+            for k in doomed
+        ],
+    )
+    commit(t3)
+    return (
+        read_hudi(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("bal_c").cast("long").alias("bal_c"),
+        )
+    )
+
+
+@query(
     "s30_iceberg_files_meta",
     oracle="""
     WITH m AS (

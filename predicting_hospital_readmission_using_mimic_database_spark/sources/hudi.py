@@ -536,6 +536,78 @@ def _latest_slices(
     return groups
 
 
+#: payload classes whose merge is LATEST-WRITE-WINS (positional) — the
+#: Hudi default; unqualified class-name match
+_COMMIT_TIME_PAYLOADS = {
+    "OverwriteWithLatestAvroPayload",
+    "HoodieAvroPayload",
+}
+#: payload classes whose merge is EVENT-TIME ordered on the table's
+#: precombine field (DefaultHoodieRecordPayload semantics)
+_EVENT_TIME_PAYLOADS = {
+    "DefaultHoodieRecordPayload",
+    "EventTimeAvroPayload",
+}
+
+
+def _merge_ordering(props: dict) -> str | None:
+    """Resolve the table's MERGE SEMANTICS from ``hoodie.properties``:
+    returns the PRECOMBINE FIELD name when records compare on their
+    event-time ordering value (Hudi 1.0's ``EVENT_TIME_ORDERING`` merge
+    mode / the ``DefaultHoodieRecordPayload`` family), or ``None`` for
+    the default commit-time (latest-writer-wins, positional) merge.
+    Payload classes / merge modes whose semantics this layer does not
+    implement (partial-update payloads, CUSTOM merge strategies) raise
+    — merging them positionally would silently produce wrong rows."""
+    mode = props.get(
+        "hoodie.record.merge.mode",
+        props.get("hoodie.table.record.merge.mode"),
+    )
+    precombine = props.get(
+        "hoodie.table.precombine.field",
+        props.get("hoodie.datasource.write.precombine.field"),
+    )
+    if mode is not None:
+        m = mode.strip().upper()
+        if m == "COMMIT_TIME_ORDERING":
+            return None
+        if m == "EVENT_TIME_ORDERING":
+            if not precombine:
+                raise HudiProtocolError(
+                    "hoodie.record.merge.mode=EVENT_TIME_ORDERING without "
+                    "a hoodie.table.precombine.field; the ordering value "
+                    "is undefined"
+                )
+            return precombine
+        raise HudiProtocolError(
+            f"hoodie.record.merge.mode={mode}: CUSTOM/unknown merge "
+            "strategies are not implemented"
+        )
+    payload = props.get(
+        "hoodie.table.payload.class",
+        props.get(
+            "hoodie.compaction.payload.class",
+            props.get("hoodie.datasource.write.payload.class"),
+        ),
+    )
+    if payload is None:
+        return None  # Hudi default: OverwriteWithLatestAvroPayload
+    short = payload.rsplit(".", 1)[-1]
+    if short in _COMMIT_TIME_PAYLOADS:
+        return None
+    if short in _EVENT_TIME_PAYLOADS:
+        if not precombine:
+            raise HudiProtocolError(
+                f"payload class {short} orders on the precombine field, "
+                "but hoodie.table.precombine.field is not set"
+            )
+        return precombine
+    raise HudiProtocolError(
+        f"payload class {payload}: merge semantics unknown to this "
+        "reader (partial-update and custom payloads are not implemented)"
+    )
+
+
 def _avro_spark_type(t):
     """Avro log-schema type -> Spark type (flat MOR record schemas:
     primitives + nullable unions; anything else raises honestly)."""
@@ -599,10 +671,24 @@ def _read_mor(
     raise `HudiLogUnsupportedError` on the executor rather than
     silently dropping deletes. Rollback COMMAND blocks raise; pending
     deltacommit blocks of ANY type are invisible, exactly like pending
-    COW files. Ordering is (instant, log position) — a delete record's
-    ``orderingVal`` precombine field is not consulted (documented
-    limitation; same posture as the upsert merge, which is positional
-    too).
+    COW files.
+
+    MERGE ORDERING follows the table's declared semantics
+    (:func:`_merge_ordering`): the default is COMMIT-TIME ordering —
+    (instant, log position), latest writer wins. When
+    ``hoodie.properties`` declares EVENT-TIME ordering (merge mode
+    ``EVENT_TIME_ORDERING`` or a ``DefaultHoodieRecordPayload``-family
+    payload class with ``hoodie.table.precombine.field``), the window
+    leads with the PRECOMBINE value descending — a stale upsert with a
+    lower event time never clobbers a newer row, whatever order the
+    writers landed in; (instant, position) breaks ties, which matches
+    Hudi's ``>=``-incoming-wins comparison. Delete records then compete
+    on their own ``orderingVal``; a delete record WITHOUT one cannot be
+    ordered against event times and raises (legacy delete payloads are
+    only mergeable under commit-time semantics). Rows whose precombine
+    value is NULL sort below every valued row (positional among
+    themselves). Payload classes with partial-update or custom
+    semantics raise honestly.
 
     ``newer_than`` (the incremental-query path) prunes at the FILE
     GROUP level: a group whose base file and every committed log block
@@ -621,6 +707,7 @@ def _read_mor(
 
     from . import hudi_log as HL
 
+    precombine = _merge_ordering(_properties(root))
     groups, logs = _latest_slices(root, as_of, partitions, collect_logs=True)
     done = _completed_commits(root, allow_delta=True)
     if as_of is not None:
@@ -751,6 +838,11 @@ def _read_mor(
             "resolve upserts; this table's files lack it"
         )
     names = [f.name for f in schema.fields]
+    if precombine is not None and precombine not in names:
+        raise HudiProtocolError(
+            f"precombine field {precombine!r} (event-time merge ordering) "
+            f"is not in the table schema {names}"
+        )
     ord_fields = [
         T.StructField("__instant", T.StringType(), True),
         T.StructField("__fidx", T.LongType(), True),
@@ -758,6 +850,12 @@ def _read_mor(
         T.StructField("__ri", T.LongType(), True),
         T.StructField("__del", T.BooleanType(), True),
     ]
+    if precombine is not None:
+        ord_fields.append(
+            T.StructField(
+                "__ord", schema[precombine].dataType, True
+            )
+        )
     log_schema = T.StructType(list(schema.fields) + ord_fields)
     has_ppath = "_hoodie_partition_path" in names
     if valid:
@@ -787,6 +885,7 @@ def _read_mor(
                     bis: list = []
                     ris: list = []
                     dels: list = []
+                    ords: list = []
                     for bi, blk in enumerate(HL.read_log_blocks(path)):
                         if bi not in keep:
                             continue
@@ -807,6 +906,18 @@ def _read_mor(
                                         )
                                     else:
                                         cols[n].append(None)
+                                if precombine is not None:
+                                    ov = d.get("orderingVal")
+                                    if ov is None:
+                                        raise HL.HudiLogUnsupportedError(
+                                            f"{os.path.basename(path)}: "
+                                            "delete record without an "
+                                            "orderingVal under event-time "
+                                            "merge ordering — it cannot be "
+                                            "ordered against precombine "
+                                            "values"
+                                        )
+                                    ords.append(ov)
                                 insts.append(blk["instant"])
                                 bis.append(bi)
                                 ris.append(ri)
@@ -815,6 +926,8 @@ def _read_mor(
                         for ri, rec in enumerate(blk["records"]):
                             for n in names:
                                 cols[n].append(rec.get(n))
+                            if precombine is not None:
+                                ords.append(rec.get(precombine))
                             insts.append(blk["instant"])
                             bis.append(bi)
                             ris.append(ri)
@@ -826,6 +939,8 @@ def _read_mor(
                         out["__bi"] = bis
                         out["__ri"] = ris
                         out["__del"] = dels
+                        if precombine is not None:
+                            out["__ord"] = ords
                         yield out
 
         log_df = fdf.mapInPandas(parse, log_schema)
@@ -846,22 +961,32 @@ def _read_mor(
                 .withColumn("__ri", F.lit(-1).cast("long"))
                 .withColumn("__del", F.lit(False))
             )
+            if precombine is not None:
+                base = base.withColumn("__ord", F.col(precombine))
         else:
             base = spark.createDataFrame([], log_schema)
         keyc = ["_hoodie_record_key"]
         if has_ppath:
             keyc.append("_hoodie_partition_path")
-        w = Window.partitionBy(*keyc).orderBy(
+        # event-time ordering leads with the precombine value when the
+        # table declares it; (instant, position) breaks ties — matching
+        # Hudi's >=-incoming-wins pairwise comparison as a total order
+        sort_keys = [
             F.desc("__instant"), F.desc("__fidx"), F.desc("__bi"),
             F.desc("__ri"),
-        )
+        ]
+        drop_cols = ["__rn", "__instant", "__fidx", "__bi", "__ri", "__del"]
+        if precombine is not None:
+            sort_keys.insert(0, F.desc_nulls_last("__ord"))
+            drop_cols.append("__ord")
+        w = Window.partitionBy(*keyc).orderBy(*sort_keys)
         out = (
             base.unionByName(log_df)
             .withColumn("__rn", F.row_number().over(w))
-            # keep each key's newest committed writer — unless that
+            # keep each key's winning committed writer — unless that
             # writer was a DELETE tombstone, which drops the key
             .filter((F.col("__rn") == 1) & ~F.col("__del"))
-            .drop("__rn", "__instant", "__fidx", "__bi", "__ri", "__del")
+            .drop(*drop_cols)
         )
     else:
         out = None

@@ -40,12 +40,14 @@ def _write_base(root, partition, file_id, instant, rows, commit_times=None):
     )
 
 
-def _mk_table(root, ttype="COPY_ON_WRITE"):
+def _mk_table(root, ttype="COPY_ON_WRITE", extra=""):
     h = os.path.join(root, ".hoodie")
     os.makedirs(h, exist_ok=True)
     with open(os.path.join(h, "hoodie.properties"), "w") as f:
         f.write("#props\nhoodie.table.name=t\n")
         f.write(f"hoodie.table.type={ttype}\n")
+        if extra:
+            f.write(extra)
 
 
 def _commit(root, instant, state="commit"):

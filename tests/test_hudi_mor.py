@@ -411,3 +411,170 @@ def test_mor_merge_window_only_over_logged_groups(spark, mor_root, tmp_path):
     assert {(r["k"], r["v"]) for r in df2.collect()} == {(7, 7.0)}
     plan2 = df2._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan2, plan2
+
+
+# ---------------------------------------------------------------- event-time
+# ordering (hoodie.table.precombine.field / DefaultHoodieRecordPayload)
+
+PSCHEMA = {
+    "type": "record",
+    "name": "prec",
+    "fields": [
+        {"name": "_hoodie_commit_time", "type": ["null", "string"]},
+        {"name": "_hoodie_record_key", "type": ["null", "string"]},
+        {"name": "_hoodie_partition_path", "type": ["null", "string"]},
+        {"name": "k", "type": ["null", "long"]},
+        {"name": "v", "type": ["null", "double"]},
+        {"name": "ts", "type": ["null", "long"]},
+    ],
+}
+
+EVENT_TIME_PROPS = (
+    "hoodie.table.precombine.field=ts\n"
+    "hoodie.table.payload.class="
+    "org.apache.hudi.common.model.DefaultHoodieRecordPayload\n"
+)
+
+
+def _prec(instant, part, k, v, ts):
+    return {
+        "_hoodie_commit_time": instant,
+        "_hoodie_record_key": str(k),
+        "_hoodie_partition_path": part,
+        "k": k,
+        "v": v,
+        "ts": ts,
+    }
+
+
+def _write_prec_base(root, partition, file_id, instant, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(root, partition)
+    os.makedirs(d, exist_ok=True)
+    data = {
+        "_hoodie_commit_time": [instant] * len(rows),
+        "_hoodie_commit_seqno": [f"{instant}_0_{i}" for i in range(len(rows))],
+        "_hoodie_record_key": [str(k) for k, _v, _t in rows],
+        "_hoodie_partition_path": [partition] * len(rows),
+        "_hoodie_file_name": [file_id] * len(rows),
+        "k": [k for k, _v, _t in rows],
+        "v": [v for _k, v, _t in rows],
+        "ts": [t for _k, _v, t in rows],
+    }
+    pq.write_table(
+        pa.table(data), os.path.join(d, f"{file_id}_0-0-0_{instant}.parquet")
+    )
+
+
+@pytest.fixture
+def prec_root(tmp_path):
+    """Event-time-ordered MOR table. Base at t1: k=1,2,3 all ts=100.
+    Log t2 upserts k=1 at ts=200 (newer event: wins) and k=2 at ts=50
+    (STALE event that arrived later: must NOT clobber). Log t3
+    delete-blocks k=1 and k=3 at orderingVal=150 — loses to k=1's
+    ts=200 row, beats k=3's ts=100 base row."""
+    root = str(tmp_path / "prec")
+    _mk_table(root, ttype="MERGE_ON_READ", extra=EVENT_TIME_PROPS)
+    _write_prec_base(
+        root, "a", "f1", "00000000000001",
+        [(1, 1.0, 100), (2, 2.0, 100), (3, 3.0, 100)],
+    )
+    _commit(root, "00000000000001", state="deltacommit")
+    lp = os.path.join(root, "a", HL.log_file_name("f1", "00000000000001", 1))
+    HL.append_avro_block(
+        lp, "00000000000002", PSCHEMA,
+        [
+            _prec("00000000000002", "a", 1, 10.0, 200),
+            _prec("00000000000002", "a", 2, 666.0, 50),
+        ],
+    )
+    _commit(root, "00000000000002", state="deltacommit")
+    HL.append_delete_block(
+        lp, "00000000000003",
+        [_del(1, "a", ordering=150), _del(3, "a", ordering=150)],
+    )
+    _commit(root, "00000000000003", state="deltacommit")
+    return root
+
+
+def test_event_time_ordering_merge(spark, prec_root):
+    """Stale upserts lose; a delete competes on its own orderingVal —
+    beats older rows, loses to newer ones."""
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, prec_root).collect()}
+    assert got == {(1, 10.0), (2, 2.0)}
+
+
+def test_commit_time_mode_overrides_payload(spark, prec_root):
+    """hoodie.record.merge.mode=COMMIT_TIME_ORDERING forces positional
+    merging even with an event-time payload class declared: the stale
+    upsert now APPLIES and the t3 delete kills both targeted keys."""
+    with open(
+        os.path.join(prec_root, ".hoodie", "hoodie.properties"), "a"
+    ) as f:
+        f.write("hoodie.record.merge.mode=COMMIT_TIME_ORDERING\n")
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, prec_root).collect()}
+    assert got == {(2, 666.0)}
+
+
+def test_event_time_null_ord_sorts_last(spark, prec_root):
+    """A committed record with a NULL precombine value loses to any
+    valued row of the same key."""
+    lp = os.path.join(prec_root, "a", HL.log_file_name("f1", "00000000000001", 1))
+    HL.append_avro_block(
+        lp, "00000000000004", PSCHEMA,
+        [_prec("00000000000004", "a", 2, -5.0, None)],
+    )
+    _commit(prec_root, "00000000000004", state="deltacommit")
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, prec_root).collect()}
+    assert got == {(1, 10.0), (2, 2.0)}
+
+
+def test_event_time_delete_without_orderingval_raises(spark, prec_root):
+    lp = os.path.join(prec_root, "a", HL.log_file_name("f1", "00000000000001", 1))
+    HL.append_delete_block(lp, "00000000000004", [_del(2, "a")])
+    _commit(prec_root, "00000000000004", state="deltacommit")
+    with pytest.raises(Exception, match="orderingVal"):
+        read_hudi(spark, prec_root).collect()
+
+
+def test_merge_ordering_property_gates(tmp_path, spark):
+    """Unknown payload classes / CUSTOM merge modes / EVENT_TIME without
+    a precombine field raise; the default (no declaration) is positional."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import _merge_ordering
+
+    assert _merge_ordering({}) is None
+    assert _merge_ordering(
+        {"hoodie.compaction.payload.class":
+         "org.apache.hudi.common.model.OverwriteWithLatestAvroPayload"}
+    ) is None
+    assert _merge_ordering(
+        {"hoodie.table.precombine.field": "ts",
+         "hoodie.table.payload.class":
+         "org.apache.hudi.common.model.DefaultHoodieRecordPayload"}
+    ) == "ts"
+    assert _merge_ordering(
+        {"hoodie.record.merge.mode": "EVENT_TIME_ORDERING",
+         "hoodie.table.precombine.field": "ts"}
+    ) == "ts"
+    with pytest.raises(HudiProtocolError, match="precombine"):
+        _merge_ordering({"hoodie.record.merge.mode": "EVENT_TIME_ORDERING"})
+    with pytest.raises(HudiProtocolError, match="CUSTOM"):
+        _merge_ordering({"hoodie.record.merge.mode": "CUSTOM"})
+    with pytest.raises(HudiProtocolError, match="payload"):
+        _merge_ordering(
+            {"hoodie.table.payload.class":
+             "org.apache.hudi.common.model.PartialUpdateAvroPayload"}
+        )
+    # precombine field missing from the SCHEMA raises at read time
+    root = str(tmp_path / "missing")
+    _mk_table(
+        root, ttype="MERGE_ON_READ",
+        extra="hoodie.table.precombine.field=nope\n"
+        "hoodie.record.merge.mode=EVENT_TIME_ORDERING\n",
+    )
+    _write_mor_base(root, "a", "f1", "00000000000001", [(1, 1.0)])
+    _commit(root, "00000000000001", state="deltacommit")
+    with pytest.raises(HudiProtocolError, match="nope"):
+        read_hudi(spark, root)
