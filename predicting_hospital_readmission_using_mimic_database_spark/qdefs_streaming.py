@@ -1390,3 +1390,74 @@ def q_st16(spark, sf):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st18_stream_hudi_mor",
+    oracle="""
+    WITH s0 AS (SELECT min(c_mktsegment) AS s FROM customer)
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT)
+           + CASE WHEN c_mktsegment = (SELECT s FROM s0)
+                   AND c_custkey % 19 = 0
+                  THEN 5000 ELSE 0 END AS bal_c,
+           CASE WHEN c_mktsegment = (SELECT s FROM s0)
+                 AND c_custkey % 19 = 0
+                THEN '00000000000002' ELSE '00000000000001'
+           END AS _commit_instant
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 2000000 AS c_custkey, CAST(123 AS BIGINT) AS bal_c,
+           '00000000000003' AS _commit_instant
+    FROM customer WHERE c_custkey % 41 = 0
+    """,
+)
+def q_st18(spark, sf):
+    """ST18 — a FOREIGN Hudi MERGE_ON_READ table as a STREAMING SOURCE
+    (sources/hudi_stream.py `_mor_partitions` / `_read_mor_group`):
+    offsets count completed deltacommits, a micro-batch opens one input
+    partition per TOUCHED file group, and the reader folds base rows +
+    committed log upserts per record key GROUP-LOCALLY (no shuffle),
+    emitting each key's net row stamped with its own commit instant.
+    Over the s27-shaped fixture (qdefs_core._mor_customer_fixture:
+    per-segment base groups at deltacommit 1, a ``% 19`` upsert block
+    at 2, a log-side INSERT block at 3, an INFLIGHT block at 4) drained
+    from instant 0 with availableNow: every customer surfaces once at
+    its final value — upserted keys at +5000/t2, log inserts at
+    123 cents/t3, everything else at its base value/t1, the pending
+    block invisible. DuckDB recomputes the full row set; a leaked
+    superseded base row, a dropped log insert, or a wrong instant
+    stamp breaks the row-level hash."""
+    from .qdefs_core import _mor_customer_fixture
+    from .sources.hudi_stream import register_hudi_stream
+
+    register_hudi_stream(spark)
+    root = _mor_customer_fixture(spark, sf, "st18")
+    tmp = tempfile.mkdtemp(prefix="st18_")
+    try:
+        got: list = []
+
+        def sink(df, _bid):
+            got.extend(
+                tuple(r)
+                for r in df.select(
+                    "c_custkey", "bal_c", "_commit_instant"
+                ).collect()
+            )
+
+        q = (
+            spark.readStream.format("hudi_stream")
+            .option("path", root)
+            .option("startingInstant", "0")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.createDataFrame(
+            got, "c_custkey long, bal_c long, _commit_instant string"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -84,3 +84,102 @@ def test_batch_tail_and_default_latest(spark, hroot, tmp_path):
     _write_base(hroot, "b", "f2", "00000000000009", [(99, 99.0)])
     _commit(hroot, "00000000000009", state="commit.inflight")
     assert _drain(spark, hroot, str(tmp_path / "ck2")) == []
+
+
+# ------------------------------------------------------------- MERGE_ON_READ
+
+from predicting_hospital_readmission_using_mimic_database_spark.sources import hudi_log as HL
+from tests.test_hudi_mor import (  # noqa: F401  (fixtures)
+    EVENT_TIME_PROPS,
+    PSCHEMA,
+    SCHEMA,
+    _del,
+    _prec,
+    _rec,
+    _write_mor_base,
+    mor_root,
+    prec_root,
+)
+
+T = [f"{i:014d}" for i in range(10)]
+
+
+def test_mor_stream_full_history(spark, mor_root, tmp_path):
+    """Net semantics over base+logs: each key once, at its final value,
+    stamped with its own commit instant; the inflight t4 block is
+    invisible."""
+    register_hudi_stream(spark)
+    got = _drain(spark, mor_root, str(tmp_path / "ck"), startingInstant="0")
+    assert got == [
+        (1, -1.0, T[2]),
+        (2, 2.0, T[1]),
+        (3, 33.0, T[3]),
+        (10, 0.5, T[3]),
+    ]
+
+
+def test_mor_stream_resume_delete_and_upsert(spark, mor_root, tmp_path):
+    """Resume windows: a key deleted in the window emits NOTHING (no
+    delete markers); a later upsert re-surfaces it."""
+    register_hudi_stream(spark)
+    ckpt = str(tmp_path / "ck")
+    _drain(spark, mor_root, ckpt, startingInstant="0")
+    l2 = os.path.join(
+        mor_root, "a", HL.log_file_name("f1", T[1], 2)
+    )
+    HL.append_delete_block(l2, T[5], [_del(2, "a")])
+    _commit(mor_root, T[5], state="deltacommit")
+    assert _drain(spark, mor_root, ckpt, startingInstant="0") == []
+    HL.append_avro_block(l2, T[6], SCHEMA, [_rec(T[6], "a", 2, 22.0)])
+    _commit(mor_root, T[6], state="deltacommit")
+    assert _drain(spark, mor_root, ckpt, startingInstant="0") == [
+        (2, 22.0, T[6])
+    ]
+
+
+def test_mor_stream_untouched_groups_never_opened(spark, mor_root):
+    """A file group whose base and committed blocks predate the window
+    start gets NO input partition."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_stream import (
+        HudiStreamReader,
+        _MorGroupPartition,
+    )
+
+    r = HudiStreamReader({"path": mor_root, "startinginstant": "0"})
+    # window (t2, t3]: only upserts at t3 — BOTH groups touched (f1 via
+    # l2's t3 block, f2 via l3's t3 block)
+    parts = r.partitions({"instant": T[2]}, {"instant": T[3]})
+    assert all(isinstance(p, _MorGroupPartition) for p in parts)
+    assert len(parts) == 2
+    # append an f1-only commit at t5: window (t3, t5] touches ONLY f1
+    l2 = os.path.join(mor_root, "a", HL.log_file_name("f1", T[1], 2))
+    HL.append_avro_block(l2, T[5], SCHEMA, [_rec(T[5], "a", 1, 5.0)])
+    _commit(mor_root, T[5], state="deltacommit")
+    parts = r.partitions({"instant": T[3]}, {"instant": T[5]})
+    assert len(parts) == 1 and "f1" in parts[0].base
+
+
+def test_mor_stream_event_time_ordering(spark, prec_root, tmp_path):
+    """The stream fold honors event-time merge ordering: the stale t2
+    upsert of k=2 never surfaces (its base row, outside any window
+    emitted at t1, wins), the delete beats k=3 but loses to k=1's
+    newer upsert."""
+    register_hudi_stream(spark)
+    got = _drain(spark, prec_root, str(tmp_path / "ck"), startingInstant="0")
+    assert got == [
+        (1, 10.0, 200, T[2]),
+        (2, 2.0, 100, T[1]),
+    ]
+
+
+def test_mor_batch_tail(spark, mor_root):
+    register_hudi_stream(spark)
+    df = spark.read.format("hudi_stream").option("path", mor_root).load()
+    assert df.columns == ["k", "v", "_commit_instant"]
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [
+        (1, -1.0, T[2]),
+        (2, 2.0, T[1]),
+        (3, 33.0, T[3]),
+        (10, 0.5, T[3]),
+    ]
