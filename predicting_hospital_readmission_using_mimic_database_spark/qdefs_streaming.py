@@ -1461,3 +1461,127 @@ def q_st18(spark, sf):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st19_stream_delta_idmap",
+    oracle="""
+    SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c,
+           CAST(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS _commit_version
+    FROM customer
+    """,
+)
+def q_st19(spark, sf):
+    """ST19 — delta_stream over a column-mapping ID-mode table
+    (sources/delta_stream.py per-file ``PARQUET:field_id`` resolution):
+    the post-rename shape name-based resolution cannot handle. Commit 0
+    adds a file holding the ``% 3 != 0`` customers under physical
+    names ``col-aa``/``col-bb``; commit 1 adds the ``% 3 = 0``
+    customers under DIFFERENT physical names ``col-cc``/``col-dd`` —
+    the same field ids after a logical rename. Draining from version 0
+    must align both files to the logical schema by field id and stamp
+    each row's commit version; resolving by name (or emitting nulls
+    for the 'missing' physical column) breaks the row-level hash
+    DuckDB recomputes from base customer rows."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .sources.delta_stream import register_delta_stream
+
+    register_delta_stream(spark)
+    tmp = tempfile.mkdtemp(prefix="st19_")
+    try:
+        root = os.path.join(tmp, "tbl")
+        os.makedirs(root, exist_ok=True)
+        c = (
+            read_table(spark, sf, "customer")
+            .select(
+                "c_custkey",
+                F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+            )
+            .collect()
+        )
+
+        def pfile(path, names, rows):
+            sch = pa.schema(
+                [
+                    pa.field(
+                        n, pa.int64(),
+                        metadata={b"PARQUET:field_id": str(fid).encode()},
+                    )
+                    for n, fid in zip(names, (1, 2))
+                ]
+            )
+            pq.write_table(
+                pa.table(
+                    {
+                        names[0]: [r["c_custkey"] for r in rows],
+                        names[1]: [r["bal_c"] for r in rows],
+                    },
+                    schema=sch,
+                ),
+                os.path.join(root, path),
+            )
+
+        pfile("f0.parquet", ["col-aa", "col-bb"],
+              [r for r in c if r["c_custkey"] % 3 != 0])
+        pfile("f1.parquet", ["col-cc", "col-dd"],
+              [r for r in c if r["c_custkey"] % 3 == 0])
+        fields = [
+            {"name": "c_custkey", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-cc",
+                          "delta.columnMapping.id": 1}},
+            {"name": "bal_c", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-dd",
+                          "delta.columnMapping.id": 2}},
+        ]
+        log = os.path.join(root, "_delta_log")
+        os.makedirs(log, exist_ok=True)
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+            for a in [
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                {"metaData": {
+                    "id": "st19",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _json.dumps(
+                        {"type": "struct", "fields": fields}
+                    ),
+                    "partitionColumns": [],
+                    "configuration": {"delta.columnMapping.mode": "id"},
+                }},
+                {"add": {"path": "f0.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": True}},
+            ]:
+                f.write(_json.dumps(a) + "\n")
+        with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
+            f.write(_json.dumps(
+                {"add": {"path": "f1.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": True}}
+            ) + "\n")
+
+        got: list = []
+
+        def sink(df, _bid):
+            got.extend(tuple(r) for r in df.collect())
+
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", root)
+            .option("startingVersion", "0")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.createDataFrame(
+            got, "c_custkey long, bal_c long, _commit_version long"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -732,8 +732,11 @@ def _mapping_info(spark: SparkSession, meta: dict, schema: StructType):
     elif mode == "id":
         # files store physical names AND parquet field ids: scan with the
         # LOGICAL names annotated for field-id resolution (sticky session
-        # conf — only schemas carrying the metadata are affected)
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        # conf — only schemas carrying the metadata are affected).
+        # spark=None (the delta_stream source) skips the conf: its
+        # per-file pyarrow reads resolve field ids themselves.
+        if spark is not None:
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         phys_schema = _field_id_type(schema)
     else:
         phys_schema = schema

@@ -20,12 +20,13 @@ the PySpark 4 Python Data Source API over :mod:`.delta`'s log replay:
   is decoded driver-side (:mod:`.dv`) and dead row ordinals are
   skipped while the partition streams the parquet rows.
 * Partition columns are materialized from the log's partitionValues
-  (string serialization cast to the declared type). Column mapping
-  NAME mode is supported (files read by their physical col-uuid
-  names, rows emitted under the logical schema, partitionValues
-  resolved through physical keys); ``id`` mode raises — field-id
-  resolution needs the JVM scan, stream through ``read_delta`` +
-  foreachBatch instead.
+  (string serialization cast to the declared type). Column mapping is
+  supported in BOTH modes: ``name`` reads files by their physical
+  col-uuid names and emits rows under the logical schema; ``id``
+  resolves each declared ``delta.columnMapping.id`` against the
+  ``PARQUET:field_id`` metadata of EACH file's own schema — immune to
+  physical-name drift across files (the spec's reason for id mode).
+  partitionValues are keyed by physical name under either mode.
 
 Every emitted row carries ``_commit_version`` (long), so downstream
 exactly-once sinks can key idempotence on (version, row) like the
@@ -124,23 +125,30 @@ class DeltaStreamReader(DataSourceStreamReader):
         mode = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
-        if mode == "id":
-            # id mode resolves columns by parquet FIELD IDS, which the
-            # per-file pyarrow name reads here cannot honor
-            raise DeltaProtocolError(
-                "delta_stream does not support column mapping id mode; "
-                "use read_delta + foreachBatch"
-            )
+        self._mode = mode
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         # NAME mode: files store physical col-uuid names and
         # partitionValues use physical keys — read physical, emit rows
-        # under the logical schema (spark=None is safe: only the id
-        # branch, gated above, touches the session)
-        from .delta import _mapping_info
+        # under the logical schema. ID mode: files resolve by parquet
+        # FIELD IDS — the per-file read maps each declared field id to
+        # whatever physical name that file stores it under (immune to
+        # physical-name drift across files, the spec's reason for id
+        # mode). spark=None: the stream never scans through the session.
+        from .delta import _ID_KEY, _mapping_info
 
         schema, _phys, phys_of, pv_key_of, part_cols = _mapping_info(
             None, meta, schema
         )
+        if mode == "id":
+            self._fid_of = {}
+            for f in schema.fields:
+                fid = (f.metadata or {}).get(_ID_KEY)
+                if fid is None:
+                    raise DeltaProtocolError(
+                        f"column mapping id mode: field {f.name!r} has "
+                        f"no {_ID_KEY} metadata"
+                    )
+                self._fid_of[f.name] = int(fid)
         self._part_cols = part_cols
         self._pv_key_of = pv_key_of
         self._file_col_of = phys_of
@@ -298,28 +306,53 @@ class DeltaStreamReader(DataSourceStreamReader):
             from .dv import read_dv_descriptor
 
             dead = set(read_dv_descriptor(partition.dv, self._root))
-        cols = list(partition.data_cols)
+        pf = pq.ParquetFile(partition.path)
+        #: logical column -> the column name THIS FILE stores it under
+        if self._mode == "id":
+            id2name: dict[int, str] = {}
+            for f in pf.schema_arrow:
+                raw = (f.metadata or {}).get(b"PARQUET:field_id")
+                if raw is not None:
+                    id2name[int(raw)] = f.name
+            col_of = {}
+            for lc in self._schema_order:
+                if lc in self._part_cols:
+                    continue
+                fid = self._fid_of[lc]
+                if fid not in id2name:
+                    raise DeltaProtocolError(
+                        f"{partition.path}: no parquet column carries "
+                        f"field id {fid} (declared for column {lc!r})"
+                    )
+                col_of[lc] = id2name[fid]
+        else:
+            col_of = {
+                lc: self._file_col_of[lc]
+                for lc in self._schema_order
+                if lc not in self._part_cols
+            }
+        cols = list(col_of.values())
         if partition.own_ct:
             cols.append("_change_type")
-        table = pq.ParquetFile(partition.path).read(columns=cols)
+        table = pf.read(columns=cols)
         pv = {
             c: _cast_pv(partition.pv.get(c), t) for c, t in partition.part_casts
         }
-        data = {c: table.column(c).to_pylist() for c in cols}
+        data = {lc: table.column(fc).to_pylist() for lc, fc in col_of.items()}
+        cts = (
+            table.column("_change_type").to_pylist()
+            if partition.own_ct
+            else None
+        )
         cdf = self._cdf
         for i in range(table.num_rows):
             if i in dead:
                 continue
             base = [
-                pv[c] if c in pv else data[self._file_col_of[c]][i]
-                for c in self._schema_order
+                pv[c] if c in pv else data[c][i] for c in self._schema_order
             ]
             if cdf:
-                ct = (
-                    data["_change_type"][i]
-                    if partition.own_ct
-                    else partition.ctype
-                )
+                ct = cts[i] if partition.own_ct else partition.ctype
                 yield (*base, ct, partition.version)
             else:
                 yield (*base, partition.version)

@@ -243,3 +243,88 @@ def test_stream_column_mapping_name_mode(spark, tmp_path):
     df = spark.read.format("delta_stream").option("path", root).load()
     assert df.columns == ["k", "v", "seg", "_commit_version"]
     assert df.count() == 2
+
+
+def test_stream_column_mapping_id_mode(spark, tmp_path):
+    """delta_stream over an ID-mode column-mapping table: each file's
+    columns resolve by PARQUET:field_id against the declared
+    delta.columnMapping.id — two files carrying DIFFERENT physical
+    names for the same field ids stream out aligned logically. A file
+    missing a declared field id raises."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "cmid_stream")
+    os.makedirs(root, exist_ok=True)
+
+    def pfile(path, names, ids, rows):
+        sch = pa.schema(
+            [
+                pa.field(
+                    n,
+                    pa.int64(),
+                    metadata={b"PARQUET:field_id": str(fid).encode()},
+                )
+                for n, fid in zip(names, ids)
+            ]
+        )
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table({n: list(c) for n, c in zip(names, cols)}, schema=sch),
+            os.path.join(root, path),
+        )
+
+    # v0 file: pre-rename physical names; v1 file: post-rename names
+    pfile("old.parquet", ["col-aa", "col-bb"], [1, 2], [(1, 10), (2, 20)])
+    pfile("new.parquet", ["col-cc", "col-dd"], [1, 2], [(3, 30)])
+    fields = []
+    for name, phys, cid in (
+        ("k", "col-cc", 1), ("v", "col-dd", 2), ("seg", "col-ee", 3),
+    ):
+        fields.append(
+            {"name": name, "type": "long" if name != "seg" else "string",
+             "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": phys,
+                          "delta.columnMapping.id": cid}}
+        )
+    _write_commit(
+        root, 0,
+        [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+         {"metaData": {
+             "id": "cmid_stream",
+             "format": {"provider": "parquet", "options": {}},
+             "schemaString": _json.dumps({"type": "struct", "fields": fields}),
+             "partitionColumns": ["seg"],
+             "configuration": {"delta.columnMapping.mode": "id"},
+         }},
+         {"add": {"path": "old.parquet",
+                  "partitionValues": {"col-ee": "X"},
+                  "size": 1, "dataChange": True}}],
+    )
+    _write_commit(
+        root, 1,
+        [{"add": {"path": "new.parquet",
+                  "partitionValues": {"col-ee": "Y"},
+                  "size": 1, "dataChange": True}}],
+    )
+    register_delta_stream(spark)
+    got = _drain(spark, root, str(tmp_path / "ck"), startingVersion=0)
+    assert sorted(got) == [
+        (1, 10, "X", 0), (2, 20, "X", 0), (3, 30, "Y", 1)
+    ]
+    # batch tail agrees, logical names on the surface
+    df = spark.read.format("delta_stream").option("path", root).load()
+    assert df.columns == ["k", "v", "seg", "_commit_version"]
+    assert df.count() == 3
+    # a file that lacks a declared field id raises (no silent nulls)
+    pfile("bad.parquet", ["col-xx"], [1], [(9,)])
+    _write_commit(
+        root, 2,
+        [{"add": {"path": "bad.parquet",
+                  "partitionValues": {"col-ee": "Z"},
+                  "size": 1, "dataChange": True}}],
+    )
+    with pytest.raises(Exception, match="field id 2"):
+        _drain(spark, root, str(tmp_path / "ck2"), startingVersion=0)
