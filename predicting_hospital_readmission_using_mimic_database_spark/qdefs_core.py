@@ -4487,3 +4487,103 @@ def q_j15(spark, sf):
         F.round(F.sum("l_extendedprice"), 4).alias("total"),
         F.lit(bool(shuffle_free)).alias("join_shuffle_free"),
     )
+
+
+@query(
+    "s35_hudi_col_stats_skip",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE year(o_orderdate) >= 1995
+    GROUP BY year(o_orderdate)
+    """,
+)
+def q_s35(spark, sf):
+    """S35 — Hudi DATA SKIPPING via the metadata table's COLUMN_STATS
+    partition (sources/hudi.py `_col_stats_prune` behind
+    ``read_hudi(predicates=)``): the per-file min/max bounds every
+    stats-indexing Hudi writer maintains as type-3
+    ``HoodieMetadataColumnStats`` records (public
+    HoodieMetadataRecord.avsc). The fixture lays orders down as one
+    COW file group per order YEAR, then builds the metadata table the
+    way a writer would — files partition + column_stats harvested from
+    the real parquet footers into an AVRO log block (min/max in the
+    spec's wrapper-record union). The read with ``yr >= 1995`` must
+    prune every earlier year's file at the METADATA level — KBs of
+    driver-side stats instead of a footer open per file; the in-entry
+    assert pins the plan to exactly the admitted files. A predicate on
+    an UN-indexed column must prune nothing (conservative contract).
+    DuckDB recomputes the admitted years' aggregate from base orders
+    rows, so over-pruning loses rows and breaks the hash;
+    under-pruning fails the inputFiles assert."""
+    import glob
+    import os
+    import shutil
+
+    from .sources.hudi import (
+        read_hudi,
+        write_metadata_table_column_stats,
+        write_metadata_table_files,
+    )
+
+    root = _table_root("s35", sf)
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+    )
+    years = sorted(r["yr"] for r in o.select("yr").distinct().collect())
+    t1 = "00000000000001"
+
+    def put(df, part, file_id):
+        d = os.path.join(root, part)
+        os.makedirs(d, exist_ok=True)
+        fname = f"{file_id}_1-0-1_{t1}.parquet"
+        meta = df.select(
+            F.lit(t1).alias("_hoodie_commit_time"),
+            F.concat_ws("_", F.lit(t1), F.lit(file_id)).alias(
+                "_hoodie_commit_seqno"
+            ),
+            F.col("o_orderkey").cast("string").alias("_hoodie_record_key"),
+            F.lit(part).alias("_hoodie_partition_path"),
+            F.lit(fname).alias("_hoodie_file_name"),
+            "o_orderkey",
+            "cents",
+            "yr",
+        )
+        stage = os.path.join(root, f".stage_{file_id}")
+        meta.coalesce(1).write.parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(src, os.path.join(d, fname))
+        shutil.rmtree(stage)
+
+    hdir = os.path.join(root, ".hoodie")
+    os.makedirs(hdir, exist_ok=True)
+    with open(os.path.join(hdir, "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.name=s35\nhoodie.table.type=COPY_ON_WRITE\n")
+    for yr in years:
+        put(o.filter(F.col("yr") == yr), str(yr), f"fg{yr}")
+    open(os.path.join(hdir, f"{t1}.commit"), "w").close()
+    write_metadata_table_files(root)
+    write_metadata_table_column_stats(root, columns=["yr"])
+    cut = 1995
+    df = read_hudi(spark, root, predicates=[("yr", ">=", cut)])
+    # pruning proof: exactly the admitted years' file groups reach the plan
+    want = {f"fg{y}_1-0-1_{t1}.parquet" for y in years if y >= cut}
+    got = {os.path.basename(p) for p in df.inputFiles()}
+    assert got == want, (got, want)
+    # conservative contract: an UN-indexed column's predicate keeps all
+    assert len(
+        read_hudi(spark, root, predicates=[("cents", ">", 0)]).inputFiles()
+    ) == len(years)
+    return (
+        df.filter(F.col("yr") >= cut)
+        .groupBy("yr")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )

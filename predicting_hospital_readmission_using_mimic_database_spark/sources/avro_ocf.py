@@ -172,6 +172,25 @@ def _encode(schema, value, out: bytearray, names: dict) -> None:
         def _bt(b):
             return b if isinstance(b, str) else b.get("type")
 
+        # Avro JSON-encoding style TAGGED union value: {"Name": inner}
+        # selects the named branch explicitly. Needed when several
+        # record branches are structurally identical (e.g. Hudi's
+        # IntWrapper/LongWrapper/DoubleWrapper min/max wrappers, all
+        # single-field {value} records) — structural matching cannot
+        # tell them apart. Only fires when the tag names an actual
+        # record/enum/fixed branch, so plain map values fall through.
+        if isinstance(value, dict) and len(value) == 1:
+            (tag, inner), = value.items()
+            for i, b in enumerate(schema):
+                bname = b.get("name") if isinstance(b, dict) else (
+                    b if isinstance(b, str) and b in names else None
+                )
+                if bname is None:
+                    continue
+                ns = b.get("namespace") if isinstance(b, dict) else None
+                if tag == bname or (ns and tag == f"{ns}.{bname}"):
+                    _write_long(out, i)
+                    return _encode(b, inner, out, names)
         if value is None:
             for i, branch in enumerate(schema):
                 if _bt(branch) == "null":
@@ -260,6 +279,31 @@ def _register(schema: dict, names: dict) -> None:
             names[f"{ns}.{schema['name']}"] = schema
 
 
+def register_all(schema, names: dict) -> None:
+    """Walk a schema and register EVERY named type up front, so by-name
+    references resolve even when they precede the defining occurrence
+    in encode/decode order (e.g. a union branch list of names, or a
+    tagged-union value selecting a branch that has never been encoded
+    yet). Entry points call this once per file."""
+    if isinstance(schema, list):
+        for b in schema:
+            register_all(b, names)
+        return
+    if not isinstance(schema, dict):
+        return
+    _register(schema, names)
+    t = schema.get("type")
+    if t == "record":
+        for f in schema.get("fields", []):
+            register_all(f.get("type"), names)
+    elif t == "array":
+        register_all(schema.get("items"), names)
+    elif t == "map":
+        register_all(schema.get("values"), names)
+    elif isinstance(t, (dict, list)):
+        register_all(t, names)
+
+
 # ---------------------------------------------------------------------------
 # container file
 # ---------------------------------------------------------------------------
@@ -281,6 +325,7 @@ def read_avro(path: str) -> tuple[dict, list[dict]]:
     sync = buf.read(16)
     records: list = []
     names: dict = {}
+    register_all(schema, names)
     while buf.tell() < len(data):
         n = _read_long(buf)
         size = _read_long(buf)
@@ -302,6 +347,7 @@ def write_avro(
     if codec not in ("null", "deflate"):
         raise ValueError(f"avro: unsupported codec {codec!r}")
     names: dict = {}
+    register_all(schema, names)
     body = bytearray()
     for rec in records:
         _encode(schema, rec, body, names)

@@ -969,15 +969,7 @@ def _stats_skip(
             )
         checked.append((pv_key_of.get(col, col), op, value))
 
-    def _cmp(a, b):
-        try:
-            if a < b:
-                return -1
-            if a > b:
-                return 1
-            return 0
-        except TypeError:
-            return None  # incomparable -> cannot prune
+    from .io import bounds_may_match
 
     def may_match(rel: str) -> bool:
         raw = stats_of.get(rel)
@@ -989,24 +981,10 @@ def _stats_skip(
             return True
         mins = st.get("minValues") or {}
         maxs = st.get("maxValues") or {}
-        for col, op, value in checked:
-            lo, hi = mins.get(col), maxs.get(col)
-            if op in (">", ">="):
-                c = None if hi is None else _cmp(hi, value)
-                if c is not None and (c < 0 or (c == 0 and op == ">")):
-                    return False
-            elif op in ("<", "<="):
-                c = None if lo is None else _cmp(lo, value)
-                if c is not None and (c > 0 or (c == 0 and op == "<")):
-                    return False
-            else:  # equality
-                c = None if lo is None else _cmp(lo, value)
-                if c is not None and c > 0:
-                    return False
-                c = None if hi is None else _cmp(hi, value)
-                if c is not None and c < 0:
-                    return False
-        return True
+        return all(
+            bounds_may_match(mins.get(col), maxs.get(col), op, value)
+            for col, op, value in checked
+        )
 
     return {rel: pv for rel, pv in live.items() if may_match(rel)}
 

@@ -434,6 +434,360 @@ def write_metadata_table_files(root: str) -> str:
     return mdt
 
 
+def _wrapper(name: str, typ: str) -> dict:
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [{"name": "value", "type": typ}],
+    }
+
+
+#: the COLUMN_STATS partition record shape (the subset of the public
+#: HoodieMetadataRecord.avsc this layer reads/writes): type 3 records
+#: whose ColumnStatsMetadata payload carries per-(file, column) bounds.
+#: min/max are the spec's single-field wrapper-record union (a plain
+#: primitive union could not distinguish Date from Int, or Long from
+#: TimestampMicros); maxValue references the minValue union's named
+#: types per Avro rules. Divergence, stated: real Hudi keys these
+#: records with base64-encoded column/partition/file hash IDs — this
+#: layer writes the readable "partition,column,fileName" triple (the
+#: key only matters for record-level point lookups, which this reader
+#: does not do; the payload is what skipping consumes).
+_STAT_WRAPPERS = [
+    _wrapper("BooleanWrapper", "boolean"),
+    _wrapper("IntWrapper", "int"),
+    _wrapper("LongWrapper", "long"),
+    _wrapper("FloatWrapper", "float"),
+    _wrapper("DoubleWrapper", "double"),
+    _wrapper("BytesWrapper", "bytes"),
+    _wrapper("StringWrapper", "string"),
+    _wrapper("DateWrapper", "int"),  # days since epoch
+    _wrapper("TimestampMicrosWrapper", "long"),
+]
+_STAT_WRAPPER_NAMES = [w["name"] for w in _STAT_WRAPPERS]
+COLUMN_STATS_RECORD_SCHEMA = {
+    "type": "record",
+    "name": "HoodieMetadataRecord",
+    "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "type", "type": "int"},
+        {
+            "name": "ColumnStatsMetadata",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "HoodieMetadataColumnStats",
+                    "fields": [
+                        {"name": "fileName", "type": "string"},
+                        {"name": "columnName", "type": "string"},
+                        {
+                            "name": "minValue",
+                            "type": ["null"] + _STAT_WRAPPERS,
+                        },
+                        {
+                            "name": "maxValue",
+                            "type": ["null"] + _STAT_WRAPPER_NAMES,
+                        },
+                        {"name": "valueCount", "type": ["null", "long"]},
+                        {"name": "nullCount", "type": ["null", "long"]},
+                        {"name": "totalSize", "type": ["null", "long"]},
+                        {"name": "isDeleted", "type": "boolean"},
+                    ],
+                },
+            ],
+        },
+    ],
+}
+
+#: metadata-table record `type` codes (public MetadataPartitionType):
+#: 1 = partition list, 2 = file list, 3 = column stats, 4 = bloom filter
+COLUMN_STATS_TYPE = 3
+
+
+def _wrap_stat(v, arrow_type):
+    """A parquet-footer min/max value -> the spec's tagged wrapper-union
+    value (``{"LongWrapper": {"value": 5}}``), or None when the column's
+    type has no wrapper here (the column then simply publishes no
+    bounds — conservative)."""
+    import datetime
+
+    import pyarrow as pa
+
+    if isinstance(v, bool):
+        return {"BooleanWrapper": {"value": v}}
+    if isinstance(v, int):
+        small = arrow_type is not None and pa.types.is_integer(arrow_type) \
+            and arrow_type.bit_width <= 32
+        return {("IntWrapper" if small else "LongWrapper"): {"value": v}}
+    if isinstance(v, float):
+        is32 = arrow_type is not None and pa.types.is_float32(arrow_type)
+        return {("FloatWrapper" if is32 else "DoubleWrapper"): {"value": v}}
+    if isinstance(v, str):
+        return {"StringWrapper": {"value": v}}
+    if isinstance(v, (bytes, bytearray)):
+        return {"BytesWrapper": {"value": bytes(v)}}
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        micros = int(
+            (v - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
+        return {"TimestampMicrosWrapper": {"value": micros}}
+    if isinstance(v, datetime.date):
+        return {"DateWrapper": {"value": (v - datetime.date(1970, 1, 1)).days}}
+    return None
+
+
+def _harvest_parquet_col_stats(
+    path: str, columns: set | None = None
+) -> dict[str, dict]:
+    """Per-column footer bounds of ONE parquet base file:
+    ``{column: {"min": wrapped, "max": wrapped, "nulls": n, "values": n}}``.
+    Row-group chunk stats fold with min-of-mins / max-of-maxes; a single
+    row group without bounds for a column voids that column's bounds
+    (conservative — absent bounds never prune). Nested columns and
+    wrapper-less types are skipped. Footer-only: no data pages read."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    arrow = {f.name: f.type for f in pf.schema_arrow}
+    agg: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            chunk = g.column(ci)
+            name = chunk.path_in_schema
+            if "." in name or name not in arrow:
+                continue  # nested leaf: no top-level bounds
+            if columns is not None and name not in columns:
+                continue
+            if name in META_COLS:
+                continue
+            slot = agg.setdefault(
+                name,
+                {"min": None, "max": None, "nulls": 0, "values": 0,
+                 "bounded": True},
+            )
+            st = chunk.statistics
+            slot["values"] += chunk.num_values
+            if st is not None and st.has_null_count:
+                slot["nulls"] += st.null_count
+            if st is None or not st.has_min_max:
+                slot["bounded"] = False
+                continue
+            for side, pick in (("min", min), ("max", max)):
+                cur, new = slot[side], getattr(st, side)
+                slot[side] = new if cur is None else pick(cur, new)
+    out = {}
+    for name, slot in agg.items():
+        lo = _wrap_stat(slot["min"], arrow.get(name)) if slot["bounded"] else None
+        hi = _wrap_stat(slot["max"], arrow.get(name)) if slot["bounded"] else None
+        out[name] = {
+            "min": lo,
+            "max": hi,
+            "nulls": slot["nulls"],
+            "values": slot["values"],
+        }
+    return out
+
+
+def write_metadata_table_column_stats(
+    root: str, columns: list[str] | None = None
+) -> str:
+    """Build/refresh the metadata table's COLUMN_STATS partition the way
+    a Hudi writer maintains it: harvest each completed base file's
+    parquet FOOTER bounds (min/max/nullCount per column — the writer
+    already has these in its write statuses; this export is the
+    fixture/bootstrap surface) and append them as type-3
+    ``HoodieMetadataColumnStats`` records in one AVRO log block under
+    ``.hoodie/metadata/column_stats``, committed as a deltacommit
+    stamped with the data table's latest completed instant.
+    ``read_hudi(predicates=...)`` then DATA-SKIPS files from these
+    bounds without opening any footer. ``columns`` limits the indexed
+    set (real deployments index the filter columns, not all of them).
+    Returns the metadata table root."""
+    from . import hudi_log as HL
+
+    done = _completed_commits(root, allow_delta=True)
+    latest = max(done) if done else "00000000000000"
+    want = set(columns) if columns is not None else None
+    records: list[dict] = []
+    for dirpath, dirs, files in os.walk(root):
+        if os.path.basename(dirpath) == HOODIE_DIR:
+            dirs[:] = []
+            continue
+        rel = os.path.normpath(os.path.relpath(dirpath, root))
+        for name in sorted(files):
+            m = _BASEFILE_RE.match(name)
+            if not m or m.group(3) not in done:
+                continue
+            for col, st in sorted(
+                _harvest_parquet_col_stats(
+                    os.path.join(dirpath, name), want
+                ).items()
+            ):
+                records.append(
+                    {
+                        "key": f"{rel},{col},{name}",
+                        "type": COLUMN_STATS_TYPE,
+                        "ColumnStatsMetadata": {
+                            "fileName": name,
+                            "columnName": col,
+                            "minValue": st["min"],
+                            "maxValue": st["max"],
+                            "valueCount": st["values"],
+                            "nullCount": st["nulls"],
+                            "totalSize": None,
+                            "isDeleted": False,
+                        },
+                    }
+                )
+    mdt = os.path.join(root, HOODIE_DIR, "metadata")
+    hdir = os.path.join(mdt, HOODIE_DIR)
+    os.makedirs(hdir, exist_ok=True)
+    props = os.path.join(hdir, "hoodie.properties")
+    if not os.path.exists(props):
+        with open(props, "w") as f:
+            f.write(
+                "hoodie.table.name=metadata\n"
+                "hoodie.table.type=MERGE_ON_READ\n"
+            )
+    os.makedirs(os.path.join(mdt, "column_stats"), exist_ok=True)
+    lp = os.path.join(
+        mdt,
+        "column_stats",
+        HL.log_file_name("col-stats-0000", "00000000000000", 1),
+    )
+    HL.append_avro_block(lp, latest, COLUMN_STATS_RECORD_SCHEMA, records)
+    open(os.path.join(hdir, f"{latest}.deltacommit"), "w").close()
+    return mdt
+
+
+def _metadata_column_stats(root: str) -> dict[str, dict[str, dict]] | None:
+    """Read the metadata table's COLUMN_STATS partition back:
+    ``{base file name: {column: {"min": v, "max": v, "nulls": n}}}``
+    with wrapper values UNWRAPPED to plain comparables, or None when
+    the table publishes no column stats (skipping then keeps every
+    file). Same driver-side log-fold as the files partition — KB–MB of
+    metadata whatever the table size — with latest-writer-wins per
+    (file, column) key and ``isDeleted`` retiring an entry. A column
+    whose record carries no bounds stays entry-less (conservative)."""
+    from . import hudi_log as HL
+
+    mdt = os.path.join(root, HOODIE_DIR, "metadata")
+    cs_dir = os.path.join(mdt, "column_stats")
+    if not os.path.isdir(cs_dir) or not os.path.exists(
+        os.path.join(mdt, HOODIE_DIR, "hoodie.properties")
+    ):
+        return None
+    done = _completed_commits(mdt, allow_delta=True)
+    events: list[tuple[str, str, int, int, dict]] = []
+    for name in sorted(os.listdir(cs_dir)):
+        lm = _LOGFILE_RE.match(name)
+        if not lm:
+            continue
+        lp = os.path.join(cs_dir, name)
+        for bi, blk in enumerate(HL.read_log_blocks(lp)):
+            inst = blk["instant"]
+            if inst is None or inst not in done:
+                continue
+            if blk["type"] != HL.AVRO_DATA_BLOCK:
+                raise HudiProtocolError(
+                    f"metadata table log {name}: unsupported block type "
+                    f"{blk['type']} in column_stats"
+                )
+            for ri, rec in enumerate(blk["records"]):
+                events.append((inst, name, bi, ri, rec))
+    state: dict[str, dict[str, dict]] = {}
+    for _inst, _n, _bi, _ri, rec in sorted(
+        events, key=lambda e: (e[0], e[1], e[2], e[3])
+    ):
+        cs = rec.get("ColumnStatsMetadata")
+        if not cs:
+            continue
+        per_file = state.setdefault(cs["fileName"], {})
+        if cs.get("isDeleted"):
+            per_file.pop(cs["columnName"], None)
+            continue
+        mn, mx = cs.get("minValue"), cs.get("maxValue")
+        per_file[cs["columnName"]] = {
+            "min": None if mn is None else mn["value"],
+            "max": None if mx is None else mx["value"],
+            "nulls": cs.get("nullCount"),
+        }
+    return state or None
+
+
+def _col_stats_prune(
+    root: str,
+    predicates: list[tuple[str, str, object]],
+    candidates: dict,
+    name_of,
+    schema_file: str,
+) -> dict:
+    """Drop candidate file groups whose metadata-table column bounds
+    provably exclude every row matching the conjunctive ``predicates``
+    (``[(column, op, value), ...]``, op in SKIP_OPS) — Hudi
+    column-stats data skipping, decided entirely from KBs of metadata.
+    ``name_of(entry)`` maps a candidate value to its base file name.
+    CONSERVATIVE throughout: no column_stats partition, a file without
+    records, a column without bounds, or an incomparable value type all
+    keep the file. Date/timestamp bounds are stored as epoch days/micros
+    (the wrapper encoding); the user's date/datetime predicate values
+    are converted to the same representation using the read schema
+    (one footer, already loaded for the scan schema)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+    from .io import SKIP_OPS, bounds_may_match
+
+    arrow = {f.name: f.type for f in pq.ParquetFile(schema_file).schema_arrow}
+    checked = []
+    for col, op, value in predicates:
+        if op not in SKIP_OPS:
+            raise ValueError(
+                f"unsupported predicate op {op!r} (have {SKIP_OPS})"
+            )
+        if col not in arrow:
+            raise ValueError(
+                f"predicate names unknown column {col!r} "
+                f"(schema columns: {sorted(c for c in arrow if c not in META_COLS)})"
+            )
+        if isinstance(value, datetime.datetime):
+            if value.tzinfo is not None:
+                value = value.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            value = int(
+                (value - datetime.datetime(1970, 1, 1)).total_seconds()
+                * 1_000_000
+            )
+        elif isinstance(value, datetime.date):
+            value = (value - datetime.date(1970, 1, 1)).days
+        checked.append((col, op, value))
+    stats = _metadata_column_stats(root)
+    if stats is None:
+        return candidates
+
+    def may_match(entry) -> bool:
+        per_file = stats.get(name_of(entry))
+        if per_file is None:
+            return True
+        return all(
+            bounds_may_match(
+                per_file.get(col, {}).get("min"),
+                per_file.get(col, {}).get("max"),
+                op,
+                value,
+            )
+            for col, op, value in checked
+        )
+
+    return {k: v for k, v in candidates.items() if may_match(v)}
+
+
 def _latest_slices(
     root: str,
     as_of: str | None,
@@ -641,6 +995,7 @@ def _read_mor(
     keep_meta: bool,
     partitions: list[str] | str | None,
     newer_than: str | None = None,
+    predicates: list[tuple[str, str, object]] | None = None,
 ) -> DataFrame:
     """MERGE_ON_READ snapshot: per file group, the latest completed base
     file MERGED with its attached log files' committed AVRO upsert
@@ -709,6 +1064,35 @@ def _read_mor(
 
     precombine = _merge_ordering(_properties(root))
     groups, logs = _latest_slices(root, as_of, partitions, collect_logs=True)
+    if predicates and groups:
+        # column-stats skipping on MOR: only LOG-FREE groups are
+        # prunable from base-file bounds — a committed log block may
+        # add rows the base file's bounds exclude, so logged groups
+        # always stay. Conservative, like every skipping path here.
+        newest_file = max(groups.values())[1]
+        logfree = {
+            k: b
+            for k, b in groups.items()
+            if not [l for l in logs.get(k, []) if l[0] == b[0]]
+        }
+        kept = _col_stats_prune(
+            root,
+            predicates,
+            logfree,
+            lambda b: os.path.basename(b[1]),
+            newest_file,
+        )
+        for k in set(logfree) - set(kept):
+            groups.pop(k)
+        if not groups and not logs:
+            schema = from_arrow_schema(
+                pq.ParquetFile(newest_file).schema_arrow,
+                prefer_timestamp_ntz=True,
+            )
+            out = spark.createDataFrame([], schema)
+            if not keep_meta:
+                out = out.drop(*[c for c in META_COLS if c in out.columns])
+            return out
     done = _completed_commits(root, allow_delta=True)
     if as_of is not None:
         done = {c for c in done if c <= str(as_of)}
@@ -1006,11 +1390,26 @@ def read_hudi(
     as_of: str | None = None,
     keep_meta: bool = False,
     partitions: list[str] | str | None = None,
+    predicates: list[tuple[str, str, object]] | None = None,
 ) -> DataFrame:
     """Snapshot-read a Hudi COW table: the latest completed base file of
     every file group (``as_of=<instant>`` time-travels to commits at or
     before that instant). Pending/inflight writers' files and superseded
     file versions are never handed to Spark.
+
+    ``predicates`` — conjunctive ``[(column, op, value), ...]`` with op
+    in ``< <= = == >= >`` — DATA-SKIPS at the metadata level using the
+    metadata table's COLUMN_STATS partition (the per-file min/max
+    bounds every stats-indexing Hudi writer maintains): a file whose
+    published bounds provably exclude every matching row is never
+    listed or planned, decided from KBs of driver-side metadata
+    instead of a footer open per file. Conservative — files without
+    stats records, columns without bounds, or incomparable value types
+    are kept, so pruning only shrinks the file list, never the result
+    (same contract as ``read_delta(predicates=)``). On MERGE_ON_READ
+    tables only log-free file groups are prunable (a committed log
+    block may add rows outside the base file's bounds). Unknown
+    columns / ops raise.
 
     ``partitions`` prunes at the LISTING level: a partition-path string
     (or list of them, e.g. ``["2024/01/01", "2024/01/02"]``) restricts
@@ -1026,7 +1425,9 @@ def read_hudi(
     props = _properties(root)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
     if ttype == "MERGE_ON_READ":
-        return _read_mor(spark, root, as_of, keep_meta, partitions)
+        return _read_mor(
+            spark, root, as_of, keep_meta, partitions, predicates=predicates
+        )
     if ttype != "COPY_ON_WRITE":
         raise HudiProtocolError(
             f"hoodie.table.type={ttype}: unknown table type"
@@ -1039,7 +1440,9 @@ def read_hudi(
         )
     # explicit read schema from the NEWEST selected base file's footer —
     # the latest completed writer's schema, read once on the driver; no
-    # footer-sampling inference pass over the whole file list
+    # footer-sampling inference pass over the whole file list. Schema
+    # resolves BEFORE stats pruning so a pruned-to-empty read still
+    # returns the right shape.
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -1047,6 +1450,15 @@ def read_hudi(
     schema = from_arrow_schema(
         pq.ParquetFile(newest).schema_arrow, prefer_timestamp_ntz=True
     )
+    if predicates:
+        groups = _col_stats_prune(
+            root, predicates, groups, lambda v: os.path.basename(v[1]), newest
+        )
+        if not groups:
+            out = spark.createDataFrame([], schema)
+            if not keep_meta:
+                out = out.drop(*[c for c in META_COLS if c in out.columns])
+            return out
     paths = sorted(p for _i, p in groups.values())
     df = spark.read.schema(schema).parquet(*paths)
     if not keep_meta:

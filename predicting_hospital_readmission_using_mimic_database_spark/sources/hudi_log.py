@@ -47,7 +47,7 @@ import json
 import os
 import struct
 
-from .avro_ocf import _decode, _encode
+from .avro_ocf import _decode, _encode, register_all
 
 MAGIC = b"#HUDI#"
 LOG_FORMAT_VERSION = 1
@@ -191,6 +191,7 @@ def append_avro_block(
     content = bytearray(struct.pack(">i", 2))  # data-block content version
     content += struct.pack(">i", len(records))
     names: dict = {}
+    register_all(schema, names)
     for r in records:
         rb = bytearray()
         _encode(schema, r, rb, names)
@@ -357,6 +358,7 @@ def _decode_avro_content(header: dict, content: bytes, path: str) -> list[dict]:
     (_cver,) = struct.unpack(">i", buf.read(4))
     (cnt,) = struct.unpack(">i", buf.read(4))
     names: dict = {}
+    register_all(schema, names)
     recs = []
     for _ in range(cnt):
         (ln,) = struct.unpack(">i", buf.read(4))

@@ -60,6 +60,43 @@ def decoded_file_path(col):
     )
 
 
+#: predicate ops understood by file-level data skipping (Delta stats
+#: JSON in sources/delta.py, Hudi metadata-table column_stats in
+#: sources/hudi.py — both prune through :func:`bounds_may_match`)
+SKIP_OPS = ("<", "<=", "=", "==", ">=", ">")
+
+
+def bounds_may_match(lo, hi, op, value) -> bool:
+    """May a file whose column spans ``[lo, hi]`` contain a row
+    satisfying ``col op value``? The shared file-level data-skipping
+    bound test: CONSERVATIVE by construction — a missing bound (None)
+    or an incomparable value type answers True (keep the file), so
+    pruning only ever shrinks the candidate list, never the result."""
+
+    def _cmp(a, b):
+        try:
+            if a < b:
+                return -1
+            if a > b:
+                return 1
+            return 0
+        except TypeError:
+            return None  # incomparable -> cannot prune
+
+    if op in (">", ">="):
+        c = None if hi is None else _cmp(hi, value)
+        return not (c is not None and (c < 0 or (c == 0 and op == ">")))
+    if op in ("<", "<="):
+        c = None if lo is None else _cmp(lo, value)
+        return not (c is not None and (c > 0 or (c == 0 and op == "<")))
+    # equality: value must fall inside [lo, hi]
+    c = None if lo is None else _cmp(lo, value)
+    if c is not None and c > 0:
+        return False
+    c = None if hi is None else _cmp(hi, value)
+    return not (c is not None and c < 0)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one harness table (S1-S4).
 
