@@ -4587,3 +4587,87 @@ def q_s35(spark, sf):
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+@query(
+    "s36_hudi_bloom_lookup",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(min(c_custkey) AS BIGINT) AS lo,
+           CAST(max(c_custkey) AS BIGINT) AS hi
+    FROM customer
+    WHERE c_custkey % 64 = 9
+    """,
+)
+def q_s36(spark, sf):
+    """S36 — Hudi BLOOM-INDEX point lookup via the metadata table's
+    BLOOM_FILTERS partition (sources/bloom.py Hadoop-Writable SIMPLE
+    filter + sources/hudi.py behind ``read_hudi(record_keys=)``): the
+    fixture hashes customers into 8 COW file groups by
+    ``c_custkey % 8``, builds per-file bloom filters over
+    ``_hoodie_record_key`` the way a stats-indexing writer does, then
+    fetches the keys ``c_custkey % 64 == 9`` — all living in ONE file
+    group. The read must plan exactly that group's file (the
+    fetch-five-records-without-a-table-scan lever; bloom false
+    positives could only ADD files, never lose rows — and the in-entry
+    assert pins that none occurred). DuckDB recomputes the same key
+    set's aggregate from base customer rows."""
+    import glob
+    import os
+    import shutil
+
+    from .sources.hudi import read_hudi, write_metadata_table_bloom_filters
+
+    root = _table_root("s36", sf)
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t1 = "00000000000001"
+
+    def put(df, part, file_id):
+        d = os.path.join(root, part)
+        os.makedirs(d, exist_ok=True)
+        fname = f"{file_id}_1-0-1_{t1}.parquet"
+        meta = df.select(
+            F.lit(t1).alias("_hoodie_commit_time"),
+            F.concat_ws("_", F.lit(t1), F.lit(file_id)).alias(
+                "_hoodie_commit_seqno"
+            ),
+            F.col("c_custkey").cast("string").alias("_hoodie_record_key"),
+            F.lit(part).alias("_hoodie_partition_path"),
+            F.lit(fname).alias("_hoodie_file_name"),
+            "c_custkey",
+            "cents",
+        )
+        stage = os.path.join(root, f".stage_{file_id}")
+        meta.coalesce(1).write.parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(src, os.path.join(d, fname))
+        shutil.rmtree(stage)
+
+    hdir = os.path.join(root, ".hoodie")
+    os.makedirs(hdir, exist_ok=True)
+    with open(os.path.join(hdir, "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.name=s36\nhoodie.table.type=COPY_ON_WRITE\n")
+    for g in range(8):
+        put(c.filter(F.col("c_custkey") % 8 == g), f"g{g}", f"fg{g}")
+    open(os.path.join(hdir, f"{t1}.commit"), "w").close()
+    write_metadata_table_bloom_filters(root)
+    keys = sorted(
+        r["c_custkey"]
+        for r in c.filter(F.col("c_custkey") % 64 == 9).collect()
+    )
+    df = read_hudi(spark, root, record_keys=keys)
+    # pruning proof: the sought keys all live in group 9 % 8 == 1, and
+    # the bloom prune planned exactly that one file (no false positives)
+    got = {os.path.basename(p) for p in df.inputFiles()}
+    assert got == {f"fg1_1-0-1_{t1}.parquet"}, got
+    return df.filter(F.col("c_custkey").isin(keys)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.min("c_custkey").cast("long").alias("lo"),
+        F.max("c_custkey").cast("long").alias("hi"),
+    )

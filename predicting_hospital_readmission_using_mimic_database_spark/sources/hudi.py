@@ -665,6 +665,194 @@ def write_metadata_table_column_stats(
     return mdt
 
 
+#: the BLOOM_FILTER partition record shape (the subset of the public
+#: HoodieMetadataRecord.avsc this layer reads/writes): type-4 records
+#: whose HoodieMetadataBloomFilter payload carries the serialized
+#: Hadoop-Writable bloom filter of the file's record keys. Same key
+#: divergence as column_stats: readable "partition,fileName" instead
+#: of real Hudi's base64 hash IDs (payload semantics are what the
+#: point-lookup consumes).
+BLOOM_FILTER_RECORD_SCHEMA = {
+    "type": "record",
+    "name": "HoodieMetadataRecord",
+    "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "type", "type": "int"},
+        {
+            "name": "BloomFilterMetadata",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "HoodieMetadataBloomFilter",
+                    "fields": [
+                        {"name": "type", "type": "string"},
+                        {"name": "timestamp", "type": "string"},
+                        {"name": "bloomFilter", "type": "bytes"},
+                        {"name": "isDeleted", "type": "boolean"},
+                    ],
+                },
+            ],
+        },
+    ],
+}
+
+BLOOM_FILTER_TYPE = 4  # MetadataPartitionType.BLOOM_FILTERS record code
+
+
+def write_metadata_table_bloom_filters(
+    root: str, fpp: float = 1e-9
+) -> str:
+    """Build/refresh the metadata table's BLOOM_FILTERS partition the
+    way a Hudi writer maintains it: one Hadoop-Writable SIMPLE bloom
+    filter (sources/bloom.py) over each completed base file's
+    ``_hoodie_record_key`` column, appended as type-4
+    ``HoodieMetadataBloomFilter`` records in one AVRO log block under
+    ``.hoodie/metadata/bloom_filters``. A real writer builds the
+    filter from the keys it just wrote; this export reads each file's
+    KEY COLUMN ONLY (columnar single-column read, the
+    fixture/bootstrap surface). ``read_hudi(record_keys=...)`` then
+    prunes file groups whose filter definitively excludes every
+    sought key — Hudi's bloom-index point-lookup path. Returns the
+    metadata table root."""
+    import pyarrow.parquet as pq
+
+    from . import hudi_log as HL
+    from .bloom import HadoopBloomFilter
+
+    done = _completed_commits(root, allow_delta=True)
+    latest = max(done) if done else "00000000000000"
+    records: list[dict] = []
+    for dirpath, dirs, files in os.walk(root):
+        if os.path.basename(dirpath) == HOODIE_DIR:
+            dirs[:] = []
+            continue
+        rel = os.path.normpath(os.path.relpath(dirpath, root))
+        for name in sorted(files):
+            m = _BASEFILE_RE.match(name)
+            if not m or m.group(3) not in done:
+                continue
+            path = os.path.join(dirpath, name)
+            try:
+                keys = (
+                    pq.read_table(path, columns=["_hoodie_record_key"])
+                    .column(0)
+                    .to_pylist()
+                )
+            except Exception:
+                continue  # no key column: nothing to index
+            bf = HadoopBloomFilter.optimal(len(keys), fpp)
+            for k in keys:
+                if k is not None:
+                    bf.add(str(k).encode("utf-8"))
+            records.append(
+                {
+                    "key": f"{rel},{name}",
+                    "type": BLOOM_FILTER_TYPE,
+                    "BloomFilterMetadata": {
+                        "type": "SIMPLE",
+                        "timestamp": m.group(3),
+                        "bloomFilter": bf.serialize(),
+                        "isDeleted": False,
+                    },
+                }
+            )
+    mdt = os.path.join(root, HOODIE_DIR, "metadata")
+    hdir = os.path.join(mdt, HOODIE_DIR)
+    os.makedirs(hdir, exist_ok=True)
+    props = os.path.join(hdir, "hoodie.properties")
+    if not os.path.exists(props):
+        with open(props, "w") as f:
+            f.write(
+                "hoodie.table.name=metadata\n"
+                "hoodie.table.type=MERGE_ON_READ\n"
+            )
+    os.makedirs(os.path.join(mdt, "bloom_filters"), exist_ok=True)
+    lp = os.path.join(
+        mdt,
+        "bloom_filters",
+        HL.log_file_name("bloom-0000", "00000000000000", 1),
+    )
+    HL.append_avro_block(lp, latest, BLOOM_FILTER_RECORD_SCHEMA, records)
+    open(os.path.join(hdir, f"{latest}.deltacommit"), "w").close()
+    return mdt
+
+
+def _metadata_bloom_filters(root: str) -> dict[str, object] | None:
+    """Read the metadata table's BLOOM_FILTERS partition back:
+    ``{base file name: HadoopBloomFilter}``, or None when the table
+    publishes no bloom filters (point lookups then keep every file).
+    Same driver-side log-fold as the other partitions, latest writer
+    wins per file, ``isDeleted`` retires an entry. Filters in a type
+    this layer cannot parse raise (never silently treat a filter as
+    match-all — callers would mistake that for a verified keep)."""
+    from . import hudi_log as HL
+    from .bloom import HadoopBloomFilter
+
+    mdt = os.path.join(root, HOODIE_DIR, "metadata")
+    bf_dir = os.path.join(mdt, "bloom_filters")
+    if not os.path.isdir(bf_dir) or not os.path.exists(
+        os.path.join(mdt, HOODIE_DIR, "hoodie.properties")
+    ):
+        return None
+    done = _completed_commits(mdt, allow_delta=True)
+    events: list[tuple[str, str, int, int, dict]] = []
+    for name in sorted(os.listdir(bf_dir)):
+        if not _LOGFILE_RE.match(name):
+            continue
+        lp = os.path.join(bf_dir, name)
+        for bi, blk in enumerate(HL.read_log_blocks(lp)):
+            inst = blk["instant"]
+            if inst is None or inst not in done:
+                continue
+            if blk["type"] != HL.AVRO_DATA_BLOCK:
+                raise HudiProtocolError(
+                    f"metadata table log {name}: unsupported block type "
+                    f"{blk['type']} in bloom_filters"
+                )
+            for ri, rec in enumerate(blk["records"]):
+                events.append((inst, name, bi, ri, rec))
+    state: dict[str, object] = {}
+    for _inst, _n, _bi, _ri, rec in sorted(
+        events, key=lambda e: (e[0], e[1], e[2], e[3])
+    ):
+        bm = rec.get("BloomFilterMetadata")
+        if not bm:
+            continue
+        fname = rec["key"].rsplit(",", 1)[-1]
+        if bm.get("isDeleted"):
+            state.pop(fname, None)
+            continue
+        if bm.get("type") != "SIMPLE":
+            raise HudiProtocolError(
+                f"bloom filter type {bm.get('type')!r}: only SIMPLE "
+                "(Hadoop Writable) is supported"
+            )
+        state[fname] = HadoopBloomFilter.deserialize(bm["bloomFilter"])
+    return state or None
+
+
+def _bloom_prune(root: str, record_keys, candidates: dict, name_of) -> dict:
+    """Drop candidate file groups whose bloom filter definitively
+    excludes EVERY sought record key — the bloom-index point-lookup
+    prune, decided from KBs of driver-side metadata. Conservative: no
+    bloom_filters partition or a file without a filter keeps the
+    file; bloom false positives only ever keep extra files (never
+    lose a row)."""
+    blooms = _metadata_bloom_filters(root)
+    if blooms is None:
+        return candidates
+    key_bytes = [str(k).encode("utf-8") for k in record_keys]
+
+    def may_contain(entry) -> bool:
+        bf = blooms.get(name_of(entry))
+        if bf is None:
+            return True
+        return any(bf.might_contain(kb) for kb in key_bytes)
+
+    return {k: v for k, v in candidates.items() if may_contain(v)}
+
+
 def _metadata_column_stats(root: str) -> dict[str, dict[str, dict]] | None:
     """Read the metadata table's COLUMN_STATS partition back:
     ``{base file name: {column: {"min": v, "max": v, "nulls": n}}}``
@@ -996,6 +1184,7 @@ def _read_mor(
     partitions: list[str] | str | None,
     newer_than: str | None = None,
     predicates: list[tuple[str, str, object]] | None = None,
+    record_keys: list | None = None,
 ) -> DataFrame:
     """MERGE_ON_READ snapshot: per file group, the latest completed base
     file MERGED with its attached log files' committed AVRO upsert
@@ -1064,10 +1253,10 @@ def _read_mor(
 
     precombine = _merge_ordering(_properties(root))
     groups, logs = _latest_slices(root, as_of, partitions, collect_logs=True)
-    if predicates and groups:
-        # column-stats skipping on MOR: only LOG-FREE groups are
-        # prunable from base-file bounds — a committed log block may
-        # add rows the base file's bounds exclude, so logged groups
+    if (predicates or record_keys) and groups:
+        # metadata skipping on MOR: only LOG-FREE groups are prunable
+        # from base-file stats/blooms — a committed log block may add
+        # rows (or keys) the base file excludes, so logged groups
         # always stay. Conservative, like every skipping path here.
         newest_file = max(groups.values())[1]
         logfree = {
@@ -1075,13 +1264,19 @@ def _read_mor(
             for k, b in groups.items()
             if not [l for l in logs.get(k, []) if l[0] == b[0]]
         }
-        kept = _col_stats_prune(
-            root,
-            predicates,
-            logfree,
-            lambda b: os.path.basename(b[1]),
-            newest_file,
-        )
+        kept = logfree
+        if predicates:
+            kept = _col_stats_prune(
+                root,
+                predicates,
+                kept,
+                lambda b: os.path.basename(b[1]),
+                newest_file,
+            )
+        if record_keys:
+            kept = _bloom_prune(
+                root, record_keys, kept, lambda b: os.path.basename(b[1])
+            )
         for k in set(logfree) - set(kept):
             groups.pop(k)
         if not groups and not logs:
@@ -1391,6 +1586,7 @@ def read_hudi(
     keep_meta: bool = False,
     partitions: list[str] | str | None = None,
     predicates: list[tuple[str, str, object]] | None = None,
+    record_keys: list | None = None,
 ) -> DataFrame:
     """Snapshot-read a Hudi COW table: the latest completed base file of
     every file group (``as_of=<instant>`` time-travels to commits at or
@@ -1411,6 +1607,15 @@ def read_hudi(
     block may add rows outside the base file's bounds). Unknown
     columns / ops raise.
 
+    ``record_keys`` — a list of ``_hoodie_record_key`` values — prunes
+    through the metadata table's BLOOM_FILTERS partition (Hudi's bloom
+    index): a file group whose filter definitively excludes every
+    sought key is never planned, the point-lookup shape that turns
+    "fetch these 5 records" from a table scan into opening a handful
+    of files. Bloom false positives only keep extra files; missing
+    filters keep the file; the same MOR log-free restriction applies.
+    Composable with ``predicates`` (both prunes apply).
+
     ``partitions`` prunes at the LISTING level: a partition-path string
     (or list of them, e.g. ``["2024/01/01", "2024/01/02"]``) restricts
     the walk to those directories — the listing bound drops from
@@ -1426,7 +1631,8 @@ def read_hudi(
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
     if ttype == "MERGE_ON_READ":
         return _read_mor(
-            spark, root, as_of, keep_meta, partitions, predicates=predicates
+            spark, root, as_of, keep_meta, partitions,
+            predicates=predicates, record_keys=record_keys,
         )
     if ttype != "COPY_ON_WRITE":
         raise HudiProtocolError(
@@ -1454,11 +1660,15 @@ def read_hudi(
         groups = _col_stats_prune(
             root, predicates, groups, lambda v: os.path.basename(v[1]), newest
         )
-        if not groups:
-            out = spark.createDataFrame([], schema)
-            if not keep_meta:
-                out = out.drop(*[c for c in META_COLS if c in out.columns])
-            return out
+    if record_keys:
+        groups = _bloom_prune(
+            root, record_keys, groups, lambda v: os.path.basename(v[1])
+        )
+    if not groups:
+        out = spark.createDataFrame([], schema)
+        if not keep_meta:
+            out = out.drop(*[c for c in META_COLS if c in out.columns])
+        return out
     paths = sorted(p for _i, p in groups.values())
     df = spark.read.schema(schema).parquet(*paths)
     if not keep_meta:
