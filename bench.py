@@ -149,6 +149,12 @@ HEADLINE = [
     "s31_hudi_mor_incremental",   # MOR incremental, group-pruned (r9)
     "s32_delta_stats_skip",       # stats-bounds data skipping (r9)
     "s33_iceberg_incremental",    # snapshot-window append scan (r9)
+    "s34_hudi_event_time_merge",  # precombine merge ordering (r9)
+    "s35_hudi_col_stats_skip",    # metadata-table col-stats pruning (r9)
+    "s36_hudi_bloom_lookup",      # bloom-index point lookup (r9)
+    "s37_iceberg_v3_dv",          # iceberg v3 deletion vectors (r9)
+    "st18_stream_hudi_mor",       # MOR streaming source (r9)
+    "st19_stream_delta_idmap",    # id-mode mapping stream (r9)
 ]
 
 

@@ -4671,3 +4671,75 @@ def q_s36(spark, sf):
         F.min("c_custkey").cast("long").alias("lo"),
         F.max("c_custkey").cast("long").alias("hi"),
     )
+
+
+@query(
+    "s37_iceberg_v3_dv",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+    FROM customer WHERE c_custkey % 11 <> 3
+    """,
+)
+def q_s37(spark, sf):
+    """S37 — Iceberg FORMAT-V3 DELETION-VECTOR read (sources/iceberg.py
+    + sources/puffin.py): the table is exported as real Iceberg
+    metadata (s18's path), then a v3-writer-shaped DELETE snapshot is
+    appended — ONE Puffin file holding a ``deletion-vector-v1`` blob
+    (64-bit roaring PORTABLE serialization, magic + CRC-32 framed) per
+    touched data file, a DELETE manifest whose PUFFIN entries carry the
+    spec's ``referenced_data_file``/``content_offset``/
+    ``content_size_in_bytes`` fields, and a ``format-version: 3``
+    metadata version — targeting every row with ``c_custkey % 11 == 3``
+    at its actual (data file, row ordinal) coordinates. The read routes
+    each blob to an EXECUTOR-side decode (mapInPandas over the tiny
+    blob-coordinate spec; the positions never materialize driver-side)
+    and anti-joins against ``_metadata.row_index`` exactly like v2
+    positional parquet. DuckDB recomputes the post-delete table, so a
+    reader that mis-decoded the roaring vector, matched the wrong
+    referenced file, or dropped the v2→v3 delete path breaks the
+    row-level hash. In-entry asserts pin pre-delete time travel and
+    that multiple file groups got vectors."""
+    from collections import defaultdict
+
+    from .sources.iceberg import (
+        append_deletion_vectors,
+        export_iceberg,
+        read_iceberg,
+    )
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s37", sf),
+        "c_custkey bigint, bal_c bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=8,
+    )
+    t.append(c)
+    assert export_iceberg(t) == 1
+    n_all = c.count()
+    # (data file -> row ordinals) exactly as a v3 DELETE writer records
+    # them, from Spark's parquet _metadata
+    by_file: dict[str, list[int]] = defaultdict(list)
+    for r in (
+        read_iceberg(spark, t.root)
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("pos"),
+            "c_custkey",
+        )
+        .filter(F.col("c_custkey") % 11 == 3)
+        .collect()
+    ):
+        by_file[r["fp"]].append(r["pos"])
+    assert len(by_file) > 1, "DV fixture should span multiple file groups"
+    append_deletion_vectors(t.root, dict(by_file))
+    # pre-delete snapshot still sees every row (time travel across the
+    # v2 -> v3 format bump)
+    assert read_iceberg(spark, t.root, snapshot_id=1).count() == n_all
+    return read_iceberg(spark, t.root)

@@ -42,8 +42,11 @@ _LOADED = False
 # hash-green in a shipped driver artifact. Round-9 window:
 # (a) every entry whose code changed THIS round — the NEW s29 Hudi MOR
 # DELETE-block read (tombstone merge over the Avro delete-record
-# codec) and s30 Iceberg inspection metadata tables (files view
-# aggregation); s22 re-verified after the executor-side DV decode;
+# codec), s30 Iceberg inspection metadata tables (files view
+# aggregation), s34 Hudi event-time (precombine) merge ordering,
+# s35/s36 Hudi metadata-table COLUMN_STATS / BLOOM_FILTERS pruning,
+# and s37 Iceberg format-v3 deletion vectors (Puffin blobs decoded
+# executor-side); s22 re-verified after the executor-side DV decode;
 # t21 after the heap/linked-list linearithmic encoder (t20 shares the
 # module); every Hudi entry after the replacecommit + metadata-table
 # listing refactor of _latest_slices (s19/s25/s27/st15); every Delta
@@ -57,6 +60,10 @@ _LOADED = False
 # rows (tests/test_entry.py::test_first_50_entries_cover_every_family).
 PRIORITY: tuple[str, ...] = (
     # (a) changed or new in round 9
+    "s37_iceberg_v3_dv",
+    "s34_hudi_event_time_merge",
+    "s35_hudi_col_stats_skip",
+    "s36_hudi_bloom_lookup",
     "s29_hudi_mor_delete",
     "s30_iceberg_files_meta",
     "s31_hudi_mor_incremental",
@@ -76,6 +83,8 @@ PRIORITY: tuple[str, ...] = (
     "st16_stream_iceberg_tail",
     "st15_stream_hudi_tail",
     "st14_stream_delta_tail",
+    "st18_stream_hudi_mor",
+    "st19_stream_delta_idmap",
     "s16_delta_export",
     "s21_delta_column_mapping",
     "s24_delta_v2_checkpoint",
@@ -86,17 +95,11 @@ PRIORITY: tuple[str, ...] = (
     "flagship_readmit_30d",
     "p3_filter_neq",
     "j2_join_dims_broadcast",
-    "j3_join_outer",
     "w4_backfill",
-    "w6_sort",
     "a3_topk_by_freq",
-    "a7_collect_list_sorted",
     "c2_clamp",
-    "c5_gap_days_frac",
     "u3_random_split",
     "u4_balance_undersample",
-    "t2_multi_recode",
-    "t5_scrub_newlines",
     "m2_get_dummies",
     "m6_lr_l1",
     "e1_roc_curve",

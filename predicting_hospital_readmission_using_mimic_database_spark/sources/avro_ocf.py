@@ -250,7 +250,16 @@ def _encode(schema, value, out: bytearray, names: dict) -> None:
     if t == "record":
         _register(schema, names)
         for f in schema["fields"]:
-            _encode(f["type"], value[f["name"]], out, names)
+            if f["name"] in value:
+                fv = value[f["name"]]
+            elif "default" in f:
+                fv = f["default"]  # Avro field default per spec
+            else:
+                raise ValueError(
+                    f"avro: record value missing field {f['name']!r} "
+                    f"(no default declared)"
+                )
+            _encode(f["type"], fv, out, names)
         return None
     if t == "array":
         if value:

@@ -179,6 +179,36 @@ def roaring64_write(values: list[int]) -> bytes:
     return bytes(out)
 
 
+def roaring64_portable_read(data: bytes) -> list[int]:
+    """Deserialize the official 64-bit roaring PORTABLE format (what
+    Iceberg v3 deletion vectors store): u64 LE bitmap count, then per
+    bitmap a u32 LE high key + the 32-bit portable serialization.
+    Differs from the Delta RoaringBitmapArray above (magic header,
+    DENSE keyless indexing)."""
+    (n,) = struct.unpack_from("<Q", data, 0)
+    pos = 8
+    out: list[int] = []
+    for _ in range(n):
+        (hi,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        vals, pos = _read_roaring32(data, pos)
+        out.extend((hi << 32) | v for v in vals)
+    return out
+
+
+def roaring64_portable_write(values: list[int]) -> bytes:
+    """Serialize 64-bit values in the official roaring PORTABLE format
+    (sparse keyed bitmaps, only non-empty high words emitted)."""
+    by_hi: dict[int, list[int]] = {}
+    for v in sorted(set(values)):
+        by_hi.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+    out = bytearray(struct.pack("<Q", len(by_hi)))
+    for hi in sorted(by_hi):
+        out += struct.pack("<I", hi)
+        out += _write_roaring32(by_hi[hi])
+    return bytes(out)
+
+
 def read_dv_descriptor(descriptor: dict, table_root: str) -> list[int]:
     """Resolve a deletionVector descriptor to its sorted deleted row
     indices: inline z85 decode, or DV-file read (version byte checked,

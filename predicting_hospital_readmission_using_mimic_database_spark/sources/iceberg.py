@@ -102,6 +102,22 @@ MANIFEST_ENTRY_SCHEMA = {
                         "name": "equality_ids",
                         "type": ["null", {"type": "array", "items": "int"}],
                     },
+                    # format-v3 deletion-vector fields (spec ids 143-145)
+                    {
+                        "name": "referenced_data_file",
+                        "type": ["null", "string"],
+                        "default": None,
+                    },
+                    {
+                        "name": "content_offset",
+                        "type": ["null", "long"],
+                        "default": None,
+                    },
+                    {
+                        "name": "content_size_in_bytes",
+                        "type": ["null", "long"],
+                        "default": None,
+                    },
                 ],
             },
         },
@@ -635,9 +651,9 @@ def iceberg_meta_table(
 
     with open(_metadata_path(root)) as f:
         meta = json.load(f)
-    if int(meta.get("format-version", 1)) > 2:
+    if int(meta.get("format-version", 1)) > 3:
         raise IcebergProtocolError(
-            f"format-version {meta['format-version']} > 2 is not supported"
+            f"format-version {meta['format-version']} > 3 is not supported"
         )
     snaps = meta.get("snapshots", [])
     if kind == "snapshots":
@@ -819,18 +835,28 @@ def _live_files(
     list[tuple[str, dict, int | None, dict]],
     list[str],
     list[tuple[str, int | None, list[int], dict]],
+    list[dict],
 ]:
     """(data files as (path, partition values, sequence number, stats),
     POSITIONAL delete file paths, EQUALITY delete files as (path,
-    sequence number, equality field ids, partition values)) live at the
-    snapshot.
+    sequence number, equality field ids, partition values), format-v3
+    DELETION VECTORS as ``{path, offset, length, referenced, cardinality}``
+    dicts) live at the snapshot.
     Sequence numbers come from the entry when present, else inherit
     from the manifest-list record (``None`` when the metadata carries
-    neither — fine unless equality deletes need the ordering)."""
+    neither — fine unless equality deletes need the ordering).
+
+    V3 DVs are content=1 entries whose file_format is PUFFIN: the
+    entry's ``referenced_data_file`` / ``content_offset`` /
+    ``content_size_in_bytes`` fields locate one ``deletion-vector-v1``
+    blob scoped to exactly one data file (the v3 spec's replacement
+    for positional-delete parquet; v2-era positional parquet in an
+    upgraded table still reads through ``pos_out``). A PUFFIN delete
+    entry without those fields is malformed and raises."""
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     if sid is None or sid == -1:
-        return [], [], []
+        return [], [], [], []
     if sid not in snaps:
         raise ValueError(
             f"snapshot {sid} not found (have {sorted(snaps)})"
@@ -852,6 +878,7 @@ def _live_files(
     data_out: list[tuple[str, dict, int | None]] = []
     pos_out: list[str] = []
     eq_out: list[tuple[str, int | None, list[int], dict]] = []
+    dv_out: list[dict] = []
     for mp, is_delete, mseq in manifest_paths:
         _s, entries = read_avro(_localize(mp, root))
         for e in entries:
@@ -862,6 +889,32 @@ def _live_files(
             fmt = str(df.get("file_format", "PARQUET")).upper()
             seq = e.get("sequence_number")
             seq = mseq if seq is None else seq
+            if fmt == "PUFFIN" and content == 1:
+                # format-v3 deletion vector: one blob, one data file
+                if not is_delete:
+                    raise IcebergProtocolError(
+                        "data manifest references a deletion vector; "
+                        "malformed metadata"
+                    )
+                ref = df.get("referenced_data_file")
+                off = df.get("content_offset")
+                ln = df.get("content_size_in_bytes")
+                if ref is None or off is None or ln is None:
+                    raise IcebergProtocolError(
+                        "PUFFIN delete entry without referenced_data_file/"
+                        "content_offset/content_size_in_bytes; malformed "
+                        "v3 metadata"
+                    )
+                dv_out.append(
+                    {
+                        "path": df["file_path"],
+                        "offset": int(off),
+                        "length": int(ln),
+                        "referenced": ref,
+                        "cardinality": df.get("record_count"),
+                    }
+                )
+                continue
             if fmt != "PARQUET":
                 raise IcebergProtocolError(
                     f"non-parquet {'delete' if content else 'data'} "
@@ -903,7 +956,70 @@ def _live_files(
                         },
                     )
                 )
-    return data_out, pos_out, eq_out
+    return data_out, pos_out, eq_out, dv_out
+
+
+def _dv_deletes_df(spark, root: str, dv_dels: list[dict], fp: str, pos: str):
+    """(file key, deleted row index) frame for format-v3 DELETION
+    VECTORS with the roaring decode ON EXECUTORS: the driver ships
+    only the tiny (puffin path, offset, length, referenced file) spec
+    — one input partition per blob — and mapInPandas fans each out to
+    its deleted positions (sources/puffin.py verifies blob magic +
+    CRC per the v3 spec). A multi-million-position vector never
+    materializes as a driver-side list — the same scale posture as
+    the Delta DV path (delta.py `_dv_positions_df`). Cardinality from
+    the manifest entry's record_count is checked against the decode."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    spec_schema = T.StructType(
+        [
+            StructField("puffin", StringType(), False),
+            StructField("off", LongType(), False),
+            StructField("len", LongType(), False),
+            StructField("ref", StringType(), False),
+            StructField("card", LongType(), True),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            StructField(fp, StringType(), False),
+            StructField(pos, LongType(), False),
+        ]
+    )
+    from urllib.parse import unquote
+
+    # the referenced key must match the scan side's decoded_file_path
+    # form: %XX escapes decoded (unquote, NOT unquote_plus — a literal
+    # '+' in a path survives), file: scheme stripped by _localize
+    rows = [
+        (
+            _localize(d["path"], root),
+            d["offset"],
+            d["length"],
+            os.path.abspath(unquote(_localize(d["referenced"], root))),
+            None if d.get("cardinality") is None else int(d["cardinality"]),
+        )
+        for d in dv_dels
+    ]
+
+    def decode(batches):
+        import pandas as pd
+
+        from .puffin import dv_blob_decode, read_blob
+
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                vals = dv_blob_decode(read_blob(r.puffin, r.off, r.len))
+                if r.card is not None and int(r.card) != len(vals):
+                    raise IcebergProtocolError(
+                        f"deletion vector cardinality {r.card} != decoded "
+                        f"{len(vals)} in {r.puffin}"
+                    )
+                yield pd.DataFrame({fp: [r.ref] * len(vals), pos: vals})
+
+    sdf = spark.createDataFrame(rows, spec_schema)
+    return sdf.repartition(max(1, len(rows))).mapInPandas(decode, out_schema)
 
 
 def _bounds_map(raw) -> dict[int, bytes]:
@@ -1041,9 +1157,9 @@ def read_iceberg(
     must resolve to top-level schema fields."""
     with open(_metadata_path(root)) as f:
         meta = json.load(f)
-    if int(meta.get("format-version", 1)) > 2:
+    if int(meta.get("format-version", 1)) > 3:
         raise IcebergProtocolError(
-            f"format-version {meta['format-version']} > 2 is not supported"
+            f"format-version {meta['format-version']} > 3 is not supported"
         )
     if sum(x is not None for x in (snapshot_id, timestamp, ref)) > 1:
         raise ValueError(
@@ -1061,7 +1177,7 @@ def read_iceberg(
             )
         snapshot_id = int(refs[ref]["snapshot-id"])
     schema = _table_schema(meta)
-    files, pos_dels, eq_dels = _live_files(meta, root, snapshot_id)
+    files, pos_dels, eq_dels, dv_dels = _live_files(meta, root, snapshot_id)
     if predicates:
         # metadata-level MIN/MAX skipping: the manifests' per-column
         # lower/upper bounds (Appendix D binary single-values) prune
@@ -1136,7 +1252,7 @@ def read_iceberg(
         return spark.createDataFrame([], schema)
     paths = sorted(_localize(rec[0], root) for rec in files)
     df = spark.read.schema(schema).parquet(*paths)
-    if not pos_dels and not eq_dels:
+    if not pos_dels and not eq_dels and not dv_dels:
         return df
     from pyspark.sql import functions as F
 
@@ -1160,18 +1276,28 @@ def read_iceberg(
     )
     from pyspark.sql.types import LongType, StringType, StructField
 
-    if pos_dels:
-        del_schema = T.StructType(
-            [
-                StructField("file_path", StringType(), True),
-                StructField("pos", LongType(), True),
-            ]
-        )
-        dels = (
-            spark.read.schema(del_schema)
-            .parquet(*sorted(_localize(p, root) for p in pos_dels))
-            .select(_norm(F.col("file_path")).alias(fp), F.col("pos").alias(pos))
-        )
+    if pos_dels or dv_dels:
+        frames = []
+        if pos_dels:
+            del_schema = T.StructType(
+                [
+                    StructField("file_path", StringType(), True),
+                    StructField("pos", LongType(), True),
+                ]
+            )
+            frames.append(
+                spark.read.schema(del_schema)
+                .parquet(*sorted(_localize(p, root) for p in pos_dels))
+                .select(
+                    _norm(F.col("file_path")).alias(fp),
+                    F.col("pos").alias(pos),
+                )
+            )
+        if dv_dels:
+            frames.append(_dv_deletes_df(spark, root, dv_dels, fp, pos))
+        dels = frames[0]
+        for extra in frames[1:]:
+            dels = dels.unionByName(extra)
         if broadcast_deletes:
             dels = F.broadcast(dels)
         keyed = keyed.join(dels, [fp, pos], "left_anti")
@@ -1275,9 +1401,9 @@ def read_iceberg_changes(
 
     with open(_metadata_path(root)) as f:
         meta = json.load(f)
-    if int(meta.get("format-version", 1)) > 2:
+    if int(meta.get("format-version", 1)) > 3:
         raise IcebergProtocolError(
-            f"format-version {meta['format-version']} > 2 is not supported"
+            f"format-version {meta['format-version']} > 3 is not supported"
         )
     schema = _table_schema(meta)
     snaps = meta.get("snapshots", [])
@@ -1472,6 +1598,115 @@ def append_equality_deletes(
         ],
     )
     version = int(meta.get("_export_version", len(snaps))) + 1
+    meta["snapshots"] = snaps + [
+        {
+            "snapshot-id": sid,
+            "timestamp-ms": int(time.time() * 1000),
+            "summary": {"operation": "delete"},
+            "manifest-list": mlist,
+            "schema-id": 0,
+        }
+    ]
+    meta["current-snapshot-id"] = sid
+    meta["last-sequence-number"] = sid
+    meta["_export_version"] = version
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    tmp = os.path.join(mdir, ".hint.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    return sid
+
+
+def append_deletion_vectors(
+    root: str, deletes: dict[str, list[int]]
+) -> int:
+    """Append ONE format-v3 snapshot that deletes rows via DELETION
+    VECTORS — the v3 foreign-writer surface (what a v3 Spark/Trino
+    DELETE commits): one Puffin file holding a ``deletion-vector-v1``
+    blob per data file (sources/puffin.py), a DELETE manifest whose
+    PUFFIN entries carry ``referenced_data_file`` / ``content_offset``
+    / ``content_size_in_bytes`` (spec fields 143–145), a manifest list
+    reusing the current snapshot's data manifests, and a new
+    ``vN.metadata.json`` stamped ``format-version: 3``. ``deletes``
+    maps data file path -> deleted row ordinals. Returns the new
+    snapshot id. Fixture/test surface; the engine's own mutation path
+    remains SnapshotTable."""
+    import time
+
+    from .avro_ocf import write_avro
+    from .puffin import dv_blob_encode, write_puffin
+
+    with open(_metadata_path(root)) as f:
+        meta = json.load(f)
+    snaps = meta.get("snapshots", [])
+    cur = next(
+        s for s in snaps if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, manifests = read_avro(_localize(cur["manifest-list"], root))
+    sid = max(s["snapshot-id"] for s in snaps) + 1
+    mdir = os.path.join(root, "metadata")
+    puffin_path = os.path.join(mdir, f"dv-{sid}.puffin")
+    ordered = sorted(deletes.items())
+    descs = write_puffin(
+        puffin_path,
+        [
+            {
+                "type": "deletion-vector-v1",
+                "data": dv_blob_encode(list(posns)),
+                "snapshot-id": sid,
+                "sequence-number": sid,
+                "properties": {
+                    "referenced-data-file": path,
+                    "cardinality": str(len(set(posns))),
+                },
+            }
+            for path, posns in ordered
+        ],
+    )
+    del_manifest = os.path.join(mdir, f"manifest-dv-{sid}.avro")
+    write_avro(
+        del_manifest,
+        MANIFEST_ENTRY_SCHEMA,
+        [
+            {
+                "status": 1,
+                "snapshot_id": sid,
+                "data_file": {
+                    "content": 1,
+                    "file_path": puffin_path,
+                    "file_format": "PUFFIN",
+                    "partition": {},
+                    "record_count": len(set(posns)),
+                    "file_size_in_bytes": os.path.getsize(puffin_path),
+                    "equality_ids": None,
+                    "referenced_data_file": path,
+                    "content_offset": d["offset"],
+                    "content_size_in_bytes": d["length"],
+                },
+            }
+            for (path, posns), d in zip(ordered, descs)
+        ],
+    )
+    mlist = os.path.join(mdir, f"snap-{sid}.avro")
+    write_avro(
+        mlist,
+        MANIFEST_FILE_SCHEMA,
+        [{"sequence_number": None, **m} for m in manifests]
+        + [
+            {
+                "manifest_path": del_manifest,
+                "manifest_length": os.path.getsize(del_manifest),
+                "partition_spec_id": 0,
+                "content": 1,
+                "added_snapshot_id": sid,
+                "sequence_number": sid,
+            }
+        ],
+    )
+    version = int(meta.get("_export_version", len(snaps))) + 1
+    meta["format-version"] = 3
     meta["snapshots"] = snaps + [
         {
             "snapshot-id": sid,

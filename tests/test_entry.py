@@ -35,7 +35,9 @@ def test_first_50_entries_cover_every_family():
     } <= fams, fams
     # round-9 rotation: every entry whose code changed this round leads
     # the prefix (the union already covers all prior entries)
-    for must in ("s29_hudi_mor_delete", "s30_iceberg_files_meta",
+    for must in ("s37_iceberg_v3_dv", "s34_hudi_event_time_merge",
+                 "s35_hudi_col_stats_skip", "s36_hudi_bloom_lookup",
+                 "s29_hudi_mor_delete", "s30_iceberg_files_meta",
                  "s31_hudi_mor_incremental", "s32_delta_stats_skip", "s33_iceberg_incremental",
                  "s22_delta_deletion_vectors", "t21_bpe_encode",
                  "s19_hudi_read", "s27_hudi_mor_read",
@@ -44,6 +46,7 @@ def test_first_50_entries_cover_every_family():
                  "s18_iceberg_roundtrip", "s20_iceberg_pos_delete",
                  "s23_iceberg_eq_delete", "st16_stream_iceberg_tail",
                  "st15_stream_hudi_tail", "st14_stream_delta_tail",
+                 "st18_stream_hudi_mor", "st19_stream_delta_idmap",
                  "s16_delta_export", "s21_delta_column_mapping",
                  "s24_delta_v2_checkpoint", "s26_iceberg_transform_prune",
                  "t20_bpe_pair_counts", "flagship_readmit_30d"):
