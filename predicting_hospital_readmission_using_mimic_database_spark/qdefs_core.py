@@ -4743,3 +4743,95 @@ def q_s37(spark, sf):
     # v2 -> v3 format bump)
     assert read_iceberg(spark, t.root, snapshot_id=1).count() == n_all
     return read_iceberg(spark, t.root)
+
+
+@query(
+    "s38_iceberg_schema_evolution",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS balance_cents,
+           CAST(NULL AS VARCHAR) AS seg
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 5000000,
+           CAST(floor(c_acctbal * 100) AS BIGINT),
+           'NEW'
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def q_s38(spark, sf):
+    """S38 — Iceberg SCHEMA EVOLUTION read (sources/iceberg.py
+    ``_vintage_groups`` / ``_vintage_scan``): the spec resolves data-
+    file columns by FIELD ID, so after an ``ALTER TABLE`` rename a
+    name-based scan silently returns NULL for every pre-rename file.
+    The fixture exports the table (schema 0: ``c_custkey long,
+    bal_c int``), then commits a foreign-writer-shaped evolution
+    (schema 1: id 2 RENAMED bal_c -> balance_cents and PROMOTED
+    int -> long, new id 3 ``seg string``) plus an append snapshot of
+    files written under the new names. The read groups files by their
+    adding snapshot's schema-id — metadata only, no parquet footers —
+    scans each vintage under its write-time names/types, restores
+    current names by field id, casts the spec-legal promotion exactly,
+    NULL-fills the added column, and unions. DuckDB recomputes both
+    vintages from base customer rows, so a reader that nulled the
+    renamed column, mis-cast the promotion, or leaked write-time names
+    breaks the row-level hash. In-entry asserts pin that time travel
+    to the pre-evolution snapshot ALSO serves the current schema (spec
+    read semantics) with no NULL balance_cents."""
+    import glob
+    import os
+    import shutil
+
+    from .sources.iceberg import (
+        commit_schema_evolution,
+        export_iceberg,
+        read_iceberg,
+    )
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("int").alias("bal_c"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s38", sf),
+        "c_custkey bigint, bal_c int",
+        bucket_key=["c_custkey"],
+        num_buckets=8,
+    )
+    t.append(c)
+    assert export_iceberg(t) == 1
+    n_all = c.count()
+    # files a post-evolution writer appends: NEW names, promoted type
+    new = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            (F.col("c_custkey") + 5_000_000).alias("c_custkey"),
+            F.col("bal_c").cast("long").alias("balance_cents"),
+            F.lit("NEW").alias("seg"),
+        )
+    )
+    n_new = new.count()
+    stage = os.path.join(t.root, "evo.stage")
+    new.coalesce(1).write.parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    evo_file = os.path.join(t.root, "data-evo-0.parquet")
+    shutil.move(part, evo_file)
+    shutil.rmtree(stage)
+    commit_schema_evolution(
+        t.root,
+        [
+            {"id": 1, "name": "c_custkey", "type": "long"},
+            {"id": 2, "name": "balance_cents", "type": "long"},
+            {"id": 3, "name": "seg", "type": "string"},
+        ],
+        added_files=[(evo_file, n_new)],
+    )
+    # spec read semantics: old snapshots are read under the CURRENT
+    # schema too — renamed column resolves by id, never NULL
+    old = read_iceberg(spark, t.root, snapshot_id=1)
+    assert old.columns == ["c_custkey", "balance_cents", "seg"]
+    assert old.filter(F.col("balance_cents").isNull()).count() == 0
+    assert old.count() == n_all
+    return read_iceberg(spark, t.root)

@@ -61,6 +61,7 @@ _LOADED = False
 PRIORITY: tuple[str, ...] = (
     # (a) changed or new in round 9
     "s37_iceberg_v3_dv",
+    "s38_iceberg_schema_evolution",
     "s34_hudi_event_time_merge",
     "s35_hudi_col_stats_skip",
     "s36_hudi_bloom_lookup",
@@ -99,7 +100,6 @@ PRIORITY: tuple[str, ...] = (
     "a3_topk_by_freq",
     "c2_clamp",
     "u3_random_split",
-    "u4_balance_undersample",
     "m2_get_dummies",
     "m6_lr_l1",
     "e1_roc_curve",

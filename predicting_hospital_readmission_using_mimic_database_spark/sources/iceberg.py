@@ -832,12 +832,13 @@ def iceberg_meta_table(
 def _live_files(
     meta: dict, root: str, snapshot_id
 ) -> tuple[
-    list[tuple[str, dict, int | None, dict]],
+    list[tuple[str, dict, int | None, dict, int | None]],
     list[str],
     list[tuple[str, int | None, list[int], dict]],
     list[dict],
 ]:
-    """(data files as (path, partition values, sequence number, stats),
+    """(data files as (path, partition values, sequence number, stats,
+    adding snapshot id),
     POSITIONAL delete file paths, EQUALITY delete files as (path,
     sequence number, equality field ids, partition values), format-v3
     DELETION VECTORS as ``{path, offset, length, referenced, cardinality}``
@@ -869,17 +870,20 @@ def _live_files(
                 mrec["manifest_path"],
                 mrec.get("content", 0) == 1,
                 mrec.get("sequence_number"),
+                mrec.get("added_snapshot_id"),
             )
             for mrec in manifests
         ]
     else:
         # format v1 inline manifest list: data manifests only
-        manifest_paths = [(p, False, None) for p in snap.get("manifests", [])]
+        manifest_paths = [
+            (p, False, None, None) for p in snap.get("manifests", [])
+        ]
     data_out: list[tuple[str, dict, int | None]] = []
     pos_out: list[str] = []
     eq_out: list[tuple[str, int | None, list[int], dict]] = []
     dv_out: list[dict] = []
-    for mp, is_delete, mseq in manifest_paths:
+    for mp, is_delete, mseq, madd in manifest_paths:
         _s, entries = read_avro(_localize(mp, root))
         for e in entries:
             if e.get("status", 0) == 2:
@@ -889,6 +893,11 @@ def _live_files(
             fmt = str(df.get("file_format", "PARQUET")).upper()
             seq = e.get("sequence_number")
             seq = mseq if seq is None else seq
+            # the snapshot that ADDED the file (spec: explicit on the
+            # entry, inherited from the manifest list for added
+            # entries) — resolves the file's WRITE-TIME schema vintage
+            added_sid = e.get("snapshot_id")
+            added_sid = madd if added_sid is None else added_sid
             if fmt == "PUFFIN" and content == 1:
                 # format-v3 deletion vector: one blob, one data file
                 if not is_delete:
@@ -954,6 +963,7 @@ def _live_files(
                             "lower": _bounds_map(df.get("lower_bounds")),
                             "upper": _bounds_map(df.get("upper_bounds")),
                         },
+                        added_sid,
                     )
                 )
     return data_out, pos_out, eq_out, dv_out
@@ -1020,6 +1030,131 @@ def _dv_deletes_df(spark, root: str, dv_dels: list[dict], fp: str, pos: str):
 
     sdf = spark.createDataFrame(rows, spec_schema)
     return sdf.repartition(max(1, len(rows))).mapInPandas(decode, out_schema)
+
+
+def _promotion_ok(vt, ct) -> bool:
+    """Is reading write-time type ``vt`` as current type ``ct`` a
+    spec-legal primitive promotion (v2 table spec: int->long,
+    float->double, decimal(P,S)->decimal(P'>=P,S))?"""
+    if vt == ct:
+        return True
+    if (vt, ct) in {("int", "long"), ("float", "double")}:
+        return True
+    mv = re.match(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$", str(vt))
+    mc = re.match(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$", str(ct))
+    return bool(
+        mv
+        and mc
+        and int(mv.group(2)) == int(mc.group(2))
+        and int(mv.group(1)) <= int(mc.group(1))
+    )
+
+
+def _vintage_groups(meta: dict, files: list) -> list | None:
+    """Group live data files by WRITE-TIME schema vintage so renamed /
+    promoted columns resolve by FIELD ID, the way the Iceberg spec
+    requires ("columns in data files are resolved by field id").
+
+    A file added by snapshot S was written under S's ``schema-id``; a
+    name-based scan of such a file after a column rename silently
+    returns NULL for the renamed column. Metadata-only: the vintage
+    comes from the entry's adding snapshot — no parquet footers are
+    read. Returns ``None`` when every file's vintage agrees with the
+    CURRENT schema on (id, name, type) for all shared fields and no
+    current name is claimed by a different id — the common case, which
+    keeps the single-scan plan byte-identical to before. Otherwise an
+    ordered list of ``(vintage_schema_json_or_None, [file records])``
+    groups (``None`` = read with the current schema). Files whose
+    adding snapshot has been expired from the metadata fall back to
+    the current-schema group (their vintage is unknowable without
+    footers; same behavior as before this feature)."""
+    schemas = meta.get("schemas")
+    if not schemas or len(schemas) < 2:
+        return None
+    cur = _schema_json(meta)
+    cur_id = meta.get("current-schema-id", 0)
+    by_id = {s.get("schema-id", 0): s for s in schemas}
+    snap2schema = {
+        s["snapshot-id"]: s.get("schema-id")
+        for s in meta.get("snapshots", [])
+    }
+
+    def _needs_projection(sj: dict) -> bool:
+        vin_by_id = {f["id"]: f for f in sj["fields"]}
+        vin_names = {f["name"]: f["id"] for f in sj["fields"]}
+        for cf in cur["fields"]:
+            vf = vin_by_id.get(cf["id"])
+            if vf is not None and (
+                vf["name"] != cf["name"] or vf["type"] != cf["type"]
+            ):
+                return True
+            if vf is None and cf["name"] in vin_names:
+                # a dropped field's name was reused by a new field id:
+                # a name-based read would resurrect the dead column
+                return True
+        return False
+
+    needs = {
+        vid: _needs_projection(sj)
+        for vid, sj in by_id.items()
+        if vid != cur_id
+    }
+    groups: dict[int | None, list] = {}
+    for rec in files:
+        vid = snap2schema.get(rec[4])
+        key = vid if vid in needs and needs[vid] else None
+        groups.setdefault(key, []).append(rec)
+    if set(groups) == {None}:
+        return None
+    return [
+        (None if k is None else by_id[k], recs)
+        for k, recs in sorted(
+            groups.items(), key=lambda kv: (kv[0] is not None, kv[0] or 0)
+        )
+    ]
+
+
+def _vintage_scan(
+    spark, schema: T.StructType, cur_json: dict, vin_json: dict,
+    paths: list[str], key_exprs: list,
+):
+    """Scan ONE schema vintage's files and project to the CURRENT
+    schema: shared field ids are read under their write-time names and
+    types then restored by id (rename handling), spec-legal primitive
+    promotions are cast exactly (int->long, float->double, decimal
+    widening), and fields added after the vintage fill NULL. A shared
+    field whose type changed structurally (struct/list/map layout) is
+    nested evolution — unsupported, honest raise."""
+    from pyspark.sql import functions as F
+
+    vin_by_id = {f["id"]: f for f in vin_json["fields"]}
+    read_fields: list[T.StructField] = []
+    projection = []
+    for cf, sf_ in zip(cur_json["fields"], schema.fields):
+        vf = vin_by_id.get(cf["id"])
+        if vf is None:
+            projection.append(F.lit(None).cast(sf_.dataType).alias(sf_.name))
+            continue
+        if vf["type"] != cf["type"]:
+            if isinstance(vf["type"], dict) or isinstance(cf["type"], dict):
+                raise IcebergProtocolError(
+                    f"field id {cf['id']} ({cf['name']!r}) changed its "
+                    "nested/complex type across schema versions; nested "
+                    "schema evolution is not supported"
+                )
+            if not _promotion_ok(vf["type"], cf["type"]):
+                raise IcebergProtocolError(
+                    f"field id {cf['id']} type changed "
+                    f"{vf['type']!r} -> {cf['type']!r}, which is not a "
+                    "spec-legal promotion (int->long, float->double, "
+                    "decimal widening)"
+                )
+        read_fields.append(
+            T.StructField(vf["name"], _spark_type(vf["type"]), True)
+        )
+        projection.append(F.col(vf["name"]).cast(sf_.dataType).alias(sf_.name))
+    d = spark.read.schema(T.StructType(read_fields)).parquet(*paths)
+    return d.select(*projection, *key_exprs)
 
 
 def _bounds_map(raw) -> dict[int, bytes]:
@@ -1209,7 +1344,7 @@ def read_iceberg(
         ]
     if partitions:
         known = set()
-        for _p, pv, _s, _st in files:
+        for _p, pv, _s, _st, _sid in files:
             known.update(pv)
         src_map = _spec_source_map(meta)
         unknown = [
@@ -1250,15 +1385,12 @@ def read_iceberg(
         ]
     if not files:
         return spark.createDataFrame([], schema)
-    paths = sorted(_localize(rec[0], root) for rec in files)
-    df = spark.read.schema(schema).parquet(*paths)
-    if not pos_dels and not eq_dels and not dv_dels:
-        return df
     from pyspark.sql import functions as F
 
-    out_cols = [f.name for f in schema.fields]
-
     from .io import decoded_file_path as _norm
+
+    out_cols = [f.name for f in schema.fields]
+    need_keys = bool(pos_dels or eq_dels or dv_dels)
 
     # both anti-join sides go to decoded local-path form:
     # _metadata.file_path is the URI Spark read
@@ -1269,11 +1401,47 @@ def read_iceberg(
     fp, pos, seqc = "__iceberg_file", "__iceberg_pos", "__iceberg_seq"
     while fp in out_cols or pos in out_cols or seqc in out_cols:
         fp, pos, seqc = "_" + fp, "_" + pos, "_" + seqc
-    keyed = df.select(
-        "*",
-        _norm(F.col("_metadata.file_path")).alias(fp),
-        F.col("_metadata.row_index").alias(pos),
-    )
+
+    def _key_exprs():
+        return [
+            _norm(F.col("_metadata.file_path")).alias(fp),
+            F.col("_metadata.row_index").alias(pos),
+        ]
+
+    groups = _vintage_groups(meta, files)
+    if groups is None:
+        # single schema vintage: one scan node over the whole file
+        # list, exactly as before
+        paths = sorted(_localize(rec[0], root) for rec in files)
+        df = spark.read.schema(schema).parquet(*paths)
+        if not need_keys:
+            return df
+        keyed = df.select("*", *_key_exprs())
+    else:
+        # schema evolution with renames/promotions: one scan per
+        # WRITE-TIME vintage (almost always 2), each projected to the
+        # current schema by FIELD ID, then unioned — the delete keys
+        # must attach per scan (the _metadata column is scan-scoped)
+        cur_json = _schema_json(meta)
+        frames = []
+        for vin, recs in groups:
+            vpaths = sorted(_localize(rec[0], root) for rec in recs)
+            if vin is None:
+                d = spark.read.schema(schema).parquet(*vpaths)
+                d = d.select(
+                    *out_cols, *(_key_exprs() if need_keys else [])
+                )
+            else:
+                d = _vintage_scan(
+                    spark, schema, cur_json, vin, vpaths,
+                    _key_exprs() if need_keys else [],
+                )
+            frames.append(d)
+        keyed = frames[0]
+        for x in frames[1:]:
+            keyed = keyed.unionByName(x)
+        if not need_keys:
+            return keyed
     from pyspark.sql.types import LongType, StringType, StructField
 
     if pos_dels or dv_dels:
@@ -1814,6 +1982,112 @@ def append_position_deletes(
     ]
     meta["current-snapshot-id"] = sid
     meta["last-sequence-number"] = sid
+    meta["_export_version"] = version
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    tmp = os.path.join(mdir, ".hint.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    return sid
+
+def commit_schema_evolution(
+    root: str,
+    new_fields: list[dict],
+    added_files: list[tuple[str, int]] | None = None,
+) -> int:
+    """Commit a NEW CURRENT SCHEMA (the foreign-writer shape of
+    ``ALTER TABLE`` rename/add/drop/promote: the new schema is
+    appended to ``schemas`` under a fresh schema-id, field ids are the
+    identity thread) and, when ``added_files`` is given, ONE append
+    snapshot of files WRITTEN UNDER the new schema (data manifest +
+    manifest list reusing the current snapshot's manifests; the
+    snapshot's ``schema-id`` stamps the vintage readers resolve by).
+    ``new_fields`` is the full top-level field list
+    (``{"id", "name", "type", "required"?}``); ``added_files`` is
+    ``[(file_path, record_count), ...]``. Returns the new snapshot id
+    (the current one when no files were added). Fixture/test surface;
+    the engine's own mutation path remains SnapshotTable."""
+    import time
+
+    from .avro_ocf import write_avro
+
+    with open(_metadata_path(root)) as f:
+        meta = json.load(f)
+    snaps = meta.get("snapshots", [])
+    new_schema_id = (
+        max(s.get("schema-id", 0) for s in meta.get("schemas", [{}])) + 1
+    )
+    schema_json = {
+        "type": "struct",
+        "schema-id": new_schema_id,
+        "fields": [dict(f) for f in new_fields],
+    }
+    meta.setdefault("schemas", []).append(schema_json)
+    meta["current-schema-id"] = new_schema_id
+    meta["last-column-id"] = max(
+        [int(f["id"]) for f in new_fields]
+        + [int(meta.get("last-column-id", 0))]
+    )
+    mdir = os.path.join(root, "metadata")
+    sid = meta.get("current-snapshot-id")
+    if added_files:
+        cur = next(
+            s for s in snaps if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _s, manifests = read_avro(_localize(cur["manifest-list"], root))
+        sid = max(s["snapshot-id"] for s in snaps) + 1
+        manifest = os.path.join(mdir, f"manifest-evo-{sid}.avro")
+        write_avro(
+            manifest,
+            MANIFEST_ENTRY_SCHEMA,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": p,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": int(n),
+                        "file_size_in_bytes": os.path.getsize(
+                            _localize(p, root)
+                        ),
+                        "equality_ids": None,
+                    },
+                }
+                for p, n in added_files
+            ],
+        )
+        mlist = os.path.join(mdir, f"snap-{sid}.avro")
+        write_avro(
+            mlist,
+            MANIFEST_FILE_SCHEMA,
+            [{"sequence_number": None, **m} for m in manifests]
+            + [
+                {
+                    "manifest_path": manifest,
+                    "manifest_length": os.path.getsize(manifest),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "added_snapshot_id": sid,
+                    "sequence_number": sid,
+                }
+            ],
+        )
+        meta["snapshots"] = snaps + [
+            {
+                "snapshot-id": sid,
+                "timestamp-ms": int(time.time() * 1000),
+                "summary": {"operation": "append"},
+                "manifest-list": mlist,
+                "schema-id": new_schema_id,
+            }
+        ]
+        meta["current-snapshot-id"] = sid
+        meta["last-sequence-number"] = sid
+    version = int(meta.get("_export_version", len(snaps))) + 1
     meta["_export_version"] = version
     with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)

@@ -1197,3 +1197,242 @@ def test_puffin_delete_entry_missing_fields_raises(spark, tmp_path):
     )
     with pytest.raises(IcebergProtocolError, match="referenced_data_file"):
         read_iceberg(spark, root)
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (field-id resolution across schema vintages)
+# ---------------------------------------------------------------------------
+
+
+def _write_parquet_typed(path, cols: dict):
+    """Columns as {name: (pyarrow type, values)} — exact physical types
+    (int32 vs int64 matters: the vintage scan reads write-time types)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.table({n: pa.array(v, type=t) for n, (t, v) in cols.items()}), path
+    )
+
+
+def _evo_root(tmp_path, name="evo", bal_type="int", extra_fields=()):
+    """One-snapshot table (schema 0: k long, bal <bal_type>), snapshots
+    stamped with schema-id the way every real v2 writer does."""
+    import pyarrow as pa
+
+    root = str(tmp_path / name)
+    f = os.path.join(root, "data", "a.parquet")
+    pa_t = pa.int32() if bal_type == "int" else pa.int64()
+    _write_parquet_typed(
+        f, {"k": (pa.int64(), [1, 2, 3]), "bal": (pa_t, [10, 20, 30])}
+    )
+    m = _manifest(root, "m1.avro", [_entry(f, None, 3)])
+    ml = _manifest_list(root, "ml1.avro", [m])
+    meta = {
+        "format-version": 2,
+        "table-uuid": "evo-fixture",
+        "location": root,
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1000,
+             "summary": {"operation": "append"},
+             "manifest-list": ml, "schema-id": 0}
+        ],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "schemas": [
+            {"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "bal", "required": False,
+                 "type": bal_type},
+            ] + list(extra_fields)}
+        ],
+        "current-schema-id": 0,
+        "last-column-id": 2 + len(extra_fields),
+    }
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return root, f
+
+
+def test_schema_evolution_rename_promote_add(spark, tmp_path):
+    """After rename bal->amount + int->long promotion + added column,
+    pre-evolution files resolve by FIELD ID (write-time name read,
+    current name restored, promotion cast) instead of silently going
+    NULL; post-evolution files read directly; time travel to the old
+    snapshot also serves the CURRENT schema (spec read semantics)."""
+    import pyarrow as pa
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        commit_schema_evolution,
+    )
+
+    root, _f = _evo_root(tmp_path)
+    nf = os.path.join(root, "data", "b.parquet")
+    _write_parquet_typed(
+        nf,
+        {"k": (pa.int64(), [4]), "amount": (pa.int64(), [40]),
+         "tag": (pa.string(), ["new"])},
+    )
+    sid = commit_schema_evolution(
+        root,
+        [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "amount", "type": "long"},
+            {"id": 3, "name": "tag", "type": "string"},
+        ],
+        added_files=[(nf, 1)],
+    )
+    assert sid == 2
+    cur = read_iceberg(spark, root)
+    assert cur.columns == ["k", "amount", "tag"]
+    assert {(r["k"], r["amount"], r["tag"]) for r in cur.collect()} == {
+        (1, 10, None), (2, 20, None), (3, 30, None), (4, 40, "new")
+    }
+    assert [f.dataType.simpleString() for f in cur.schema.fields] == [
+        "bigint", "bigint", "string"
+    ]
+    old = read_iceberg(spark, root, snapshot_id=1)
+    assert old.columns == ["k", "amount", "tag"]
+    assert {(r["k"], r["amount"]) for r in old.collect()} == {
+        (1, 10), (2, 20), (3, 30)
+    }
+
+
+def test_schema_evolution_with_row_deletes(spark, tmp_path):
+    """Row-level deletes over an evolved table: the (file, pos) keys
+    attach PER VINTAGE SCAN before the union, so positional deletes
+    and v3 deletion vectors both land on the right rows in old-name
+    and new-name files alike."""
+    import pyarrow as pa
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        append_deletion_vectors,
+        append_position_deletes,
+        commit_schema_evolution,
+    )
+
+    root, f_old = _evo_root(tmp_path, "evod")
+    nf = os.path.join(root, "data", "b.parquet")
+    _write_parquet_typed(
+        nf,
+        {"k": (pa.int64(), [4, 5]), "amount": (pa.int64(), [40, 50]),
+         "tag": (pa.string(), ["new", "new"])},
+    )
+    commit_schema_evolution(
+        root,
+        [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "amount", "type": "long"},
+            {"id": 3, "name": "tag", "type": "string"},
+        ],
+        added_files=[(nf, 2)],
+    )
+    append_position_deletes(root, [(f_old, 1)])  # k=2
+    append_deletion_vectors(root, {nf: [0]})     # k=4
+    got = {(r["k"], r["amount"]) for r in read_iceberg(spark, root).collect()}
+    assert got == {(1, 10), (3, 30), (5, 50)}
+
+
+def test_schema_evolution_dropped_name_reuse(spark, tmp_path):
+    """A dropped field's NAME reused by a new field id: old files
+    carry a physical column with the current name, but id resolution
+    must NULL it (the old column is a different, dead field)."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        commit_schema_evolution,
+    )
+
+    root, _f = _evo_root(tmp_path, "evor", bal_type="long")
+    commit_schema_evolution(
+        root,
+        [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 9, "name": "bal", "type": "long"},  # reused name, new id
+        ],
+    )
+    got = {(r["k"], r["bal"]) for r in read_iceberg(spark, root).collect()}
+    assert got == {(1, None), (2, None), (3, None)}
+
+
+def test_schema_evolution_illegal_promotion_raises(spark, tmp_path):
+    """long -> int narrowing is not a spec promotion: honest raise,
+    not a lossy cast."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        commit_schema_evolution,
+    )
+
+    root, _f = _evo_root(tmp_path, "evon", bal_type="long")
+    commit_schema_evolution(
+        root,
+        [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "bal", "type": "int"},
+        ],
+    )
+    with pytest.raises(IcebergProtocolError, match="promotion"):
+        read_iceberg(spark, root)
+
+
+def test_schema_evolution_nested_change_raises(spark, tmp_path):
+    """A struct field whose inner layout changed across versions is
+    nested evolution — unsupported, honest raise."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        commit_schema_evolution,
+    )
+
+    nested_old = {
+        "id": 3, "name": "s", "required": False,
+        "type": {"type": "struct", "fields": [
+            {"id": 4, "name": "a", "required": False, "type": "long"}]},
+    }
+    root, _f = _evo_root(tmp_path, "evs", extra_fields=(nested_old,))
+    commit_schema_evolution(
+        root,
+        [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "bal", "type": "int"},
+            {"id": 3, "name": "s", "type": {"type": "struct", "fields": [
+                {"id": 5, "name": "b", "required": False, "type": "long"}]}},
+        ],
+    )
+    with pytest.raises(IcebergProtocolError, match="nested"):
+        read_iceberg(spark, root)
+
+
+def test_schema_evolution_addonly_keeps_single_scan(spark, tmp_path):
+    """An added column alone (no rename, no promotion) needs no vintage
+    projection: the plan keeps ONE parquet scan node over all files and
+    old files NULL-fill the new column natively."""
+    import pyarrow as pa
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        commit_schema_evolution,
+    )
+
+    root, _f = _evo_root(tmp_path, "evadd")
+    nf = os.path.join(root, "data", "b.parquet")
+    _write_parquet_typed(
+        nf,
+        {"k": (pa.int64(), [4]), "bal": (pa.int32(), [40]),
+         "tag": (pa.string(), ["new"])},
+    )
+    commit_schema_evolution(
+        root,
+        [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "bal", "type": "int"},
+            {"id": 3, "name": "tag", "type": "string"},
+        ],
+        added_files=[(nf, 1)],
+    )
+    df = read_iceberg(spark, root)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:1500]
+    assert "Union" not in plan
+    assert {(r["k"], r["bal"], r["tag"]) for r in df.collect()} == {
+        (1, 10, None), (2, 20, None), (3, 30, None), (4, 40, "new")
+    }

@@ -133,6 +133,10 @@ AUDIT = [
     "s30_iceberg_files_meta",  # driver metadata projection, no data scan
     "s31_hudi_mor_incremental",  # group-pruned merge + commit-time filter
     "s32_delta_stats_skip",  # stats-bounds file pruning, admitted-files scan
+    "s34_hudi_event_time_merge",  # precombine-ordered merge window
+    "s35_hudi_col_stats_skip",  # metadata-table col-stats pruned scan
+    "s36_hudi_bloom_lookup",  # bloom point-lookup single-file plan
+    "s37_iceberg_v3_dv",  # puffin DV executor decode + (file,pos) anti-join
 ]
 
 
