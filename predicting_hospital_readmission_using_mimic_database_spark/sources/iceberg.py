@@ -1114,6 +1114,58 @@ def _vintage_groups(meta: dict, files: list) -> list | None:
     ]
 
 
+def vintage_column_map(
+    meta: dict, adding_snapshot_id, out_json: dict
+) -> list[str | None]:
+    """Per top-level field of ``out_json`` (the schema a reader emits),
+    the column NAME to read from a data file added by
+    ``adding_snapshot_id`` — resolved by FIELD ID per the spec, so a
+    renamed column maps to its write-time name instead of NULLing out;
+    ``None`` = the field didn't exist in that vintage (NULL fill,
+    including a dropped field's name reused by a new id). Spec-illegal
+    promotions and nested/complex type changes raise. Falls back to
+    the output names when the vintage is unknowable (expired adding
+    snapshot, no schemas list, or no schema-id stamp) — the pre-feature
+    behavior. Used by the incremental/streaming readers, which consume
+    one file (= one vintage) per partition."""
+    out_names = [f["name"] for f in out_json["fields"]]
+    schemas = meta.get("schemas")
+    if not schemas or adding_snapshot_id is None:
+        return out_names
+    snap2schema = {
+        s["snapshot-id"]: s.get("schema-id")
+        for s in meta.get("snapshots", [])
+    }
+    vid = snap2schema.get(adding_snapshot_id)
+    by_id = {s.get("schema-id", 0): s for s in schemas}
+    sj = by_id.get(vid)
+    if vid is None or sj is None or sj == out_json:
+        return out_names
+    vin_by_id = {f["id"]: f for f in sj["fields"]}
+    out: list[str | None] = []
+    for cf in out_json["fields"]:
+        vf = vin_by_id.get(cf["id"])
+        if vf is None:
+            out.append(None)
+            continue
+        if vf["type"] != cf["type"]:
+            if isinstance(vf["type"], dict) or isinstance(cf["type"], dict):
+                raise IcebergProtocolError(
+                    f"field id {cf['id']} ({cf['name']!r}) changed its "
+                    "nested/complex type across schema versions; nested "
+                    "schema evolution is not supported"
+                )
+            if not _promotion_ok(vf["type"], cf["type"]):
+                raise IcebergProtocolError(
+                    f"field id {cf['id']} type changed "
+                    f"{vf['type']!r} -> {cf['type']!r}, which is not a "
+                    "spec-legal promotion (int->long, float->double, "
+                    "decimal widening)"
+                )
+        out.append(vf["name"])
+    return out
+
+
 def _vintage_scan(
     spark, schema: T.StructType, cur_json: dict, vin_json: dict,
     paths: list[str], key_exprs: list,
@@ -1635,11 +1687,34 @@ def read_iceberg_changes(
     fp = "__iceberg_chg_file"
     while fp in schema.names:
         fp = "_" + fp
-    scan = spark.read.schema(schema).parquet(
-        *sorted({p for p, _s2 in file_sid})
-    ).select(
-        "*", decoded_file_path(F.col("_metadata.file_path")).alias(fp)
+    key_exprs = [decoded_file_path(F.col("_metadata.file_path")).alias(fp)]
+    groups = _vintage_groups(
+        meta, [(p, {}, None, {}, s_) for p, s_ in file_sid]
     )
+    if groups is None:
+        scan = spark.read.schema(schema).parquet(
+            *sorted({p for p, _s2 in file_sid})
+        ).select("*", *key_exprs)
+    else:
+        # schema evolution with renames/promotions inside the window:
+        # one scan per write-time vintage projected to the current
+        # schema by field id (see _vintage_scan), then unioned
+        cur_json = _schema_json(meta)
+        frames = []
+        for vin, recs in groups:
+            vpaths = sorted({rec[0] for rec in recs})
+            if vin is None:
+                d = spark.read.schema(schema).parquet(*vpaths).select(
+                    *schema.names, *key_exprs
+                )
+            else:
+                d = _vintage_scan(
+                    spark, schema, cur_json, vin, vpaths, key_exprs
+                )
+            frames.append(d)
+        scan = frames[0]
+        for x in frames[1:]:
+            scan = scan.unionByName(x)
     map_df = spark.createDataFrame(
         [(os.path.abspath(p), int(s_)) for p, s_ in file_sid],
         T.StructType(

@@ -43,7 +43,9 @@ from .iceberg import (
     IcebergProtocolError,
     _localize,
     _metadata_path,
+    _schema_json,
     _table_schema,
+    vintage_column_map,
 )
 
 __all__ = ["IcebergStreamDataSource", "register_iceberg_stream"]
@@ -52,18 +54,21 @@ __all__ = ["IcebergStreamDataSource", "register_iceberg_stream"]
 def _load_meta(root: str) -> dict:
     with open(_metadata_path(root)) as f:
         meta = json.load(f)
-    if int(meta.get("format-version", 1)) > 2:
+    if int(meta.get("format-version", 1)) > 3:
         raise IcebergProtocolError(
-            f"format-version {meta['format-version']} > 2 is not supported"
+            f"format-version {meta['format-version']} > 3 is not supported"
         )
     return meta
 
 
 class _AddedFilePartition(InputPartition):
-    def __init__(self, path, snapshot_id, cols):
+    def __init__(self, path, snapshot_id, srcs):
         self.path = path
         self.snapshot_id = snapshot_id
-        self.cols = cols
+        # per OUTPUT field, the column name in THIS file's write-time
+        # schema vintage (None = field didn't exist -> NULL fill) —
+        # field-id resolution done on the driver in partitions()
+        self.srcs = srcs
 
 
 class IcebergStreamReader(DataSourceStreamReader):
@@ -75,6 +80,10 @@ class IcebergStreamReader(DataSourceStreamReader):
             )
         meta = _load_meta(self._root)
         self._cols = [f.name for f in _table_schema(meta).fields]
+        # the stream's OUTPUT schema is fixed at stream start; files
+        # of any other vintage (before OR after a mid-stream schema
+        # commit) map to it by field id
+        self._out_json = _schema_json(meta)
         self._ignore_changes = str(
             options.get("ignorechanges", options.get("ignoreChanges", "false"))
         ).lower() in ("true", "1")
@@ -103,7 +112,8 @@ class IcebergStreamReader(DataSourceStreamReader):
         return self._offset_at(snaps, len(snaps))
 
     def partitions(self, start: dict, end: dict):
-        snaps = _load_meta(self._root).get("snapshots", [])
+        meta = _load_meta(self._root)
+        snaps = meta.get("snapshots", [])
         n0 = start["n"]
         if n0 > len(snaps) or (
             n0 > 0 and snaps[n0 - 1]["snapshot-id"] != start["sid"]
@@ -116,6 +126,7 @@ class IcebergStreamReader(DataSourceStreamReader):
         out: list[_AddedFilePartition] = []
         for snap in snaps[n0 : end["n"]]:
             sid = snap["snapshot-id"]
+            srcs = vintage_column_map(meta, sid, self._out_json)
             op = (snap.get("summary") or {}).get("operation", "append")
             if op != "append" and not self._ignore_changes:
                 raise IcebergProtocolError(
@@ -165,7 +176,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                         _AddedFilePartition(
                             _localize(df["file_path"], self._root),
                             sid,
-                            self._cols,
+                            srcs,
                         )
                     )
         return out or [_AddedFilePartition(None, -1, self._cols)]
@@ -175,11 +186,20 @@ class IcebergStreamReader(DataSourceStreamReader):
             return
         import pyarrow.parquet as pq
 
-        table = pq.ParquetFile(partition.path).read(columns=partition.cols)
-        data = {c: table.column(c).to_pylist() for c in partition.cols}
-        for i in range(table.num_rows):
+        pf = pq.ParquetFile(partition.path)
+        want = sorted({s for s in partition.srcs if s is not None})
+        if want:
+            table = pf.read(columns=want)
+            data = {c: table.column(c).to_pylist() for c in want}
+            nrows = table.num_rows
+        else:
+            data, nrows = {}, pf.metadata.num_rows
+        for i in range(nrows):
             yield (
-                *[data[c][i] for c in partition.cols],
+                *[
+                    (data[s][i] if s is not None else None)
+                    for s in partition.srcs
+                ],
                 partition.snapshot_id,
             )
 

@@ -205,3 +205,57 @@ def test_batch_incremental_changes(spark, ice_root):
     assert read_iceberg_changes(
         spark, ice_root, from_snapshot_id=2, ignore_changes=True
     ).count() == 0  # the delete snapshot added no data files
+
+
+def test_schema_evolution_across_stream_and_incremental(spark, ice_root, tmp_path):
+    """After a rename + added column, PRE-EVOLUTION files stream and
+    incrementally read under the CURRENT schema — the write-time
+    column resolves by field id on the driver (vintage_column_map) and
+    per-file in the incremental scan's vintage union; a name-based
+    read would NULL the renamed column or crash on the missing name."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        commit_schema_evolution,
+        read_iceberg_changes,
+    )
+
+    nf = os.path.join(ice_root, "data-evo.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([200], type=pa.int64()),
+                "val": pa.array([2.5], type=pa.float64()),
+                "tag": pa.array(["new"], type=pa.string()),
+            }
+        ),
+        nf,
+    )
+    sid = commit_schema_evolution(
+        ice_root,
+        [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "val", "type": "double"},  # renamed from v
+            {"id": 3, "name": "tag", "type": "string"},
+        ],
+        added_files=[(nf, 1)],
+    )
+    assert sid == 3
+    # batch incremental scan across both vintages
+    allw = read_iceberg_changes(spark, ice_root)
+    assert allw.columns == ["k", "val", "tag", "_snapshot_id"]
+    rows = {(r["k"], r["val"], r["tag"], r["_snapshot_id"])
+            for r in allw.collect()}
+    assert (200, 2.5, "new", 3) in rows
+    assert (0, 0.0, None, 1) in rows and (102, 102.0, None, 2) in rows
+    assert len(rows) == 9
+    # stream drain from 0: old-vintage files emit under current names
+    register_iceberg_stream(spark)
+    got = _drain(spark, ice_root, str(tmp_path / "ck_evo"),
+                 startingSnapshotCount=0)
+    assert sorted(got) == sorted(
+        [(k, float(k), None, 1) for k in range(5)]
+        + [(k, float(k), None, 2) for k in (100, 101, 102)]
+        + [(200, 2.5, "new", 3)]
+    )
