@@ -4835,3 +4835,118 @@ def q_s38(spark, sf):
     assert old.filter(F.col("balance_cents").isNull()).count() == 0
     assert old.count() == n_all
     return read_iceberg(spark, t.root)
+
+
+@query(
+    "s39_delta_type_widening",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 7000000,
+           CAST(floor(c_acctbal * 100) AS BIGINT) + 5000000000
+    FROM customer WHERE c_custkey % 9 = 0
+    """,
+)
+def q_s39(spark, sf):
+    """S39 — Delta TYPE WIDENING read (sources/delta.py
+    ``_check_type_widening`` + the native parquet upcast): the 4.x
+    ``typeWidening`` reader feature, where an ``ALTER TABLE`` widened
+    a column (here ``bal_c`` int -> long) and PRE-WIDENING files keep
+    their NARROW physical type forever. The fixture commits v0 with an
+    int schema and an int32-physical file of every customer, then v1
+    with the widened schema carrying the feature's
+    ``delta.typeChanges`` history plus an int64-physical file whose
+    values exceed int range (so a reader that kept reading int32
+    overflows and a reader that dropped old files loses rows). The
+    read validates each recorded change is a LEGAL widening (a
+    narrowing would silently truncate through the native upcast —
+    it raises instead) and plans ONE scan over both physical types.
+    DuckDB recomputes both vintages; the in-entry assert pins the
+    single-scan plan."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+
+    from .sources.delta import read_delta
+
+    root = _table_root("s39", sf)
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("int").alias("bal_c"),
+    )
+
+    def put(df, rel):
+        stage = os.path.join(root, ".stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(src, dst)
+        shutil.rmtree(stage)
+
+    put(c, "old-int32.parquet")
+    widened = c.filter(F.col("c_custkey") % 9 == 0).select(
+        (F.col("c_custkey") + 7_000_000).alias("c_custkey"),
+        (F.col("bal_c").cast("long") + 5_000_000_000).alias("bal_c"),
+    )
+    put(widened, "new-int64.parquet")
+
+    def meta(bal_type, metadata):
+        return {
+            "metaData": {
+                "id": "s39",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "c_custkey", "type": "long",
+                             "nullable": True, "metadata": {}},
+                            {"name": "bal_c", "type": bal_type,
+                             "nullable": True, "metadata": metadata},
+                        ],
+                    }
+                ),
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        }
+
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    commits = [
+        (
+            0,
+            [
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                              "readerFeatures": ["typeWidening"],
+                              "writerFeatures": ["typeWidening"]}},
+                meta("integer", {}),
+                {"add": {"path": "old-int32.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": True}},
+            ],
+        ),
+        (
+            1,
+            [
+                meta("long", {"delta.typeChanges": [
+                    {"fromType": "integer", "toType": "long",
+                     "tableVersion": 1}]}),
+                {"add": {"path": "new-int64.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 1,
+                         "dataChange": True}},
+            ],
+        ),
+    ]
+    for v, actions in commits:
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+    df = read_delta(spark, root)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:1200]
+    return df

@@ -62,6 +62,7 @@ PRIORITY: tuple[str, ...] = (
     # (a) changed or new in round 9
     "s37_iceberg_v3_dv",
     "s38_iceberg_schema_evolution",
+    "s39_delta_type_widening",
     "s34_hudi_event_time_merge",
     "s35_hudi_col_stats_skip",
     "s36_hudi_bloom_lookup",
@@ -101,7 +102,6 @@ PRIORITY: tuple[str, ...] = (
     "c2_clamp",
     "u3_random_split",
     "m2_get_dummies",
-    "m6_lr_l1",
     "e1_roc_curve",
     "e4_confusion",
     "d2_dedup_minhash_lsh",

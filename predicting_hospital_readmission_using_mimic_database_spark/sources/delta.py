@@ -89,6 +89,7 @@ __all__ = [
 #: reader-version-3 table features this reader actually honors
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz", "columnMapping", "deletionVectors", "v2Checkpoint",
+    "typeWidening", "typeWidening-preview",
 }
 
 
@@ -120,8 +121,8 @@ def _check_protocol(action: dict) -> None:
             raise DeltaProtocolError(
                 f"delta table requires reader features {sorted(unsupported)} "
                 "(features beyond timestampNtz/columnMapping/"
-                "deletionVectors/v2Checkpoint are not supported by this "
-                "interop reader)"
+                "deletionVectors/v2Checkpoint/typeWidening are not "
+                "supported by this interop reader)"
             )
 
 
@@ -131,7 +132,76 @@ def _check_meta(meta: dict) -> dict:
         raise DeltaProtocolError(
             f"delta.columnMapping.mode={mode} is not supported"
         )
+    ss = meta.get("schemaString") or ""
+    if "delta.typeChanges" in ss:
+        _check_type_widening(json.loads(ss))
     return meta
+
+
+_INT_ORDER = {"byte": 0, "short": 1, "int": 2, "integer": 2, "long": 3}
+#: integer digits an int-family value can need (spec: int family may
+#: widen to a decimal with at least this much integer headroom)
+_INT_DIGITS = {"byte": 3, "short": 5, "int": 10, "integer": 10, "long": 20}
+
+
+def _widening_ok(ft: str, tt: str) -> bool:
+    """Is fromType -> toType one of the TYPE WIDENING feature's legal
+    changes (PROTOCOL.md 'Type Widening': integer-family upcasts,
+    float->double, byte/short/int->double, date->timestampNtz, and
+    decimal widenings that never drop scale or integer digits)?"""
+    ft, tt = str(ft), str(tt)
+    if ft == tt:
+        return True
+    if ft in _INT_ORDER and tt in _INT_ORDER:
+        return _INT_ORDER[ft] < _INT_ORDER[tt]
+    if ft == "float" and tt == "double":
+        return True
+    if ft in ("byte", "short", "int", "integer") and tt == "double":
+        return True
+    if ft == "date" and tt in ("timestampNtz", "timestamp_ntz"):
+        return True
+    dec = re.compile(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
+    mf, mt = dec.match(ft), dec.match(tt)
+    if mt:
+        p2, s2 = int(mt.group(1)), int(mt.group(2))
+        if mf:
+            p1, s1 = int(mf.group(1)), int(mf.group(2))
+            return s2 >= s1 and p2 - s2 >= p1 - s1
+        if ft in _INT_DIGITS:
+            return p2 - s2 >= _INT_DIGITS[ft]
+    return False
+
+
+def _check_type_widening(schema_json: dict) -> None:
+    """Validate every field's ``delta.typeChanges`` history (the TYPE
+    WIDENING reader feature): each recorded change must be a legal
+    widening — this reader then relies on the parquet scan's native
+    upcast of old physical types to the final schema, so a narrowing
+    smuggled into the metadata would silently corrupt values instead
+    of failing; raise up front."""
+
+    def walk(dt) -> None:
+        if not isinstance(dt, dict):
+            return
+        if dt.get("type") == "struct":
+            for f in dt.get("fields", []):
+                for tc in (f.get("metadata") or {}).get(
+                    "delta.typeChanges", []
+                ):
+                    if not _widening_ok(tc.get("fromType"), tc.get("toType")):
+                        raise DeltaProtocolError(
+                            f"field {f.get('name')!r} records type change "
+                            f"{tc.get('fromType')!r} -> {tc.get('toType')!r}"
+                            ", which is not a legal type widening"
+                        )
+                walk(f.get("type"))
+        elif dt.get("type") == "array":
+            walk(dt.get("elementType"))
+        elif dt.get("type") == "map":
+            walk(dt.get("keyType"))
+            walk(dt.get("valueType"))
+
+    walk(schema_json)
 
 
 _PHYS_KEY = "delta.columnMapping.physicalName"

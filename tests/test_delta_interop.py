@@ -1332,3 +1332,197 @@ def test_export_emits_skippable_stats(spark, tmp_path):
     # equality inside the middle range
     mid = read_delta(spark, root, predicates=[("k", "=", 105)])
     assert len(mid.inputFiles()) == 1
+
+
+# ---------------------------------------------------------------------------
+# type widening (reader feature)
+# ---------------------------------------------------------------------------
+
+
+def _widening_meta():
+    """Post-widening metaData: int->long, float->double,
+    decimal(5,2)->decimal(10,2), with the feature's delta.typeChanges
+    history on each field."""
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.typeChanges": [
+                 {"fromType": "integer", "toType": "long",
+                  "tableVersion": 1}]}},
+            {"name": "f", "type": "double", "nullable": True,
+             "metadata": {"delta.typeChanges": [
+                 {"fromType": "float", "toType": "double",
+                  "tableVersion": 1}]}},
+            {"name": "dec", "type": "decimal(10,2)", "nullable": True,
+             "metadata": {"delta.typeChanges": [
+                 {"fromType": "decimal(5,2)", "toType": "decimal(10,2)",
+                  "tableVersion": 1}]}},
+        ],
+    }
+    return {
+        "metaData": {
+            "id": "fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+
+
+def _write_narrow_parquet(path):
+    import decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, 2], pa.int32()),
+                "f": pa.array([1.5, 2.5], pa.float32()),
+                "dec": pa.array(
+                    [decimal.Decimal("1.23"), decimal.Decimal("9.99")],
+                    pa.decimal128(5, 2),
+                ),
+            }
+        ),
+        path,
+    )
+
+
+def test_type_widening_reads_old_physical_types(spark, tmp_path):
+    """A table that widened int->long / float->double / decimal(5,2)->
+    decimal(10,2): pre-widening files keep their NARROW physical types
+    and must upcast in the scan (one scan node, no per-file branches);
+    post-widening files read directly."""
+    import decimal
+
+    root = str(tmp_path / "widen")
+    _write_narrow_parquet(os.path.join(root, "old.parquet"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([10], pa.int64()),
+                "f": pa.array([10.5], pa.float64()),
+                "dec": pa.array(
+                    [decimal.Decimal("12345678.90")], pa.decimal128(10, 2)
+                ),
+            }
+        ),
+        os.path.join(root, "new.parquet"),
+    )
+    _write_commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["typeWidening"]}},
+            _meta_action([("k", "integer"), ("f", "float"),
+                          ("dec", "decimal(5,2)")]),
+            {"add": {"path": "old.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    _write_commit(
+        root,
+        1,
+        [
+            _widening_meta(),
+            {"add": {"path": "new.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 1, "dataChange": True}},
+        ],
+    )
+    df = read_delta(spark, root)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "double", "decimal(10,2)"
+    ]
+    got = {(r["k"], r["f"], str(r["dec"])) for r in df.collect()}
+    assert got == {
+        (1, 1.5, "1.23"), (2, 2.5, "9.99"), (10, 10.5, "12345678.90")
+    }
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    # pre-widening time travel serves the narrow schema
+    old = read_delta(spark, root, version=0)
+    assert [f.dataType.simpleString() for f in old.schema.fields] == [
+        "int", "float", "decimal(5,2)"
+    ]
+    assert old.count() == 2
+
+
+def test_type_widening_illegal_change_raises(spark, tmp_path):
+    """A NARROWING smuggled into delta.typeChanges (long->int) raises
+    instead of silently truncating through the native upcast path."""
+    root = str(tmp_path / "narrow")
+    _write_parquet(os.path.join(root, "a.parquet"), [(1, 1.0)], ["k", "f"])
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True,
+             "metadata": {"delta.typeChanges": [
+                 {"fromType": "long", "toType": "integer",
+                  "tableVersion": 1}]}},
+            {"name": "f", "type": "double", "nullable": True, "metadata": {}},
+        ],
+    }
+    _write_commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["typeWidening"]}},
+            {"metaData": {"id": "fixture",
+                          "format": {"provider": "parquet", "options": {}},
+                          "schemaString": json.dumps(schema),
+                          "partitionColumns": [], "configuration": {}}},
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    with pytest.raises(DeltaProtocolError, match="not a legal type widening"):
+        read_delta(spark, root)
+
+
+def test_type_widening_composes_with_deletion_vectors(spark, tmp_path):
+    """A deletion vector over a PRE-WIDENING file: the DV anti-join on
+    _metadata.row_index and the native upcast share one scan."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.dv import (
+        write_dv_file,
+    )
+
+    root = str(tmp_path / "widendv")
+    _write_narrow_parquet(os.path.join(root, "old.parquet"))
+    desc = write_dv_file(os.path.join(root, "dv0.bin"), [0])  # drop k=1
+    _write_commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["typeWidening",
+                                             "deletionVectors"]}},
+            _meta_action([("k", "integer"), ("f", "float"),
+                          ("dec", "decimal(5,2)")]),
+            {"add": {"path": "old.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    _write_commit(
+        root,
+        1,
+        [
+            _widening_meta(),
+            {"remove": {"path": "old.parquet", "dataChange": True,
+                        "deletionTimestamp": 1}},
+            {"add": {"path": "old.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 1, "dataChange": True,
+                     "deletionVector": desc}},
+        ],
+    )
+    got = {(r["k"], r["f"]) for r in read_delta(spark, root).collect()}
+    assert got == {(2, 2.5)}
