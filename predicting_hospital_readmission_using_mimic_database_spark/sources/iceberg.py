@@ -633,7 +633,10 @@ def iceberg_meta_table(
       snapshot (status != 2), data vs delete content, with the
       partition tuple as a string map and inherited sequence numbers;
     - ``partitions``: per-partition rollup of the data files
-      (file_count, record_count, total_size_in_bytes).
+      (file_count, record_count, total_size_in_bytes);
+    - ``refs``: named branches/tags;
+    - ``statistics``: the spec's table-statistics files (Puffin blob
+      metadata per snapshot; blob decode not offered).
 
     ``snapshot_id`` picks the snapshot for manifests/files views
     (default current). At 100 TB these stay KB–MB driver frames —
@@ -703,10 +706,38 @@ def iceberg_meta_table(
             for name, r in sorted((meta.get("refs") or {}).items())
         ]
         return spark.createDataFrame(rows, schema)
+    if kind == "statistics":
+        # the spec's table-statistics list: Puffin files of per-snapshot
+        # blob metadata (NDV theta sketches etc.) — surfaced as-is; blob
+        # DECODE is not offered (datasketches formats aren't vendored)
+        schema = ST(
+            [
+                StructField("snapshot_id", LongType(), True),
+                StructField("statistics_path", StringType(), False),
+                StructField("file_size_in_bytes", LongType(), True),
+                StructField(
+                    "blob_types", ArrayType(StringType()), True
+                ),
+            ]
+        )
+        rows = [
+            (
+                st.get("snapshot-id"),
+                st["statistics-path"],
+                st.get("file-size-in-bytes"),
+                [
+                    b.get("type")
+                    for b in (st.get("blob-metadata") or [])
+                ],
+            )
+            for st in (meta.get("statistics") or [])
+        ]
+        return spark.createDataFrame(rows, schema)
     if kind not in ("manifests", "files", "delete_files", "partitions"):
         raise ValueError(
             f"unknown metadata table {kind!r} (have snapshots, history, "
-            "manifests, files, delete_files, partitions, refs)"
+            "manifests, files, delete_files, partitions, refs, "
+            "statistics)"
         )
     by_id = {s["snapshot-id"]: s for s in snaps}
     sid = snapshot_id if snapshot_id is not None else meta.get(

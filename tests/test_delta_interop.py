@@ -1526,3 +1526,30 @@ def test_type_widening_composes_with_deletion_vectors(spark, tmp_path):
     )
     got = {(r["k"], r["f"]) for r in read_delta(spark, root).collect()}
     assert got == {(2, 2.5)}
+
+
+def test_liquid_clustering_shaped_log_reads(spark, tmp_path):
+    """Liquid clustering is writer-side: a clustered table's log
+    carries domainMetadata actions and clusteredTable/domainMetadata
+    WRITER features — none of which may trip the reader (unknown
+    non-reader actions are ignored, writerFeatures never gate)."""
+    root = str(tmp_path / "liquid")
+    _write_parquet(os.path.join(root, "a.parquet"), [(1, 1.0), (2, 2.0)],
+                   ["k", "bal"])
+    _write_commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                          "writerFeatures": ["clusteredTable",
+                                             "domainMetadata"]}},
+            {"domainMetadata": {"domain": "delta.clustering",
+                                "configuration": json.dumps(
+                                    {"clusteringColumns": [["k"]]}),
+                                "removed": False}},
+            _meta_action([("k", "long"), ("bal", "double")]),
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    assert {r["k"] for r in read_delta(spark, root).collect()} == {1, 2}

@@ -1436,3 +1436,38 @@ def test_schema_evolution_addonly_keeps_single_scan(spark, tmp_path):
     assert {(r["k"], r["bal"], r["tag"]) for r in df.collect()} == {
         (1, 10, None), (2, 20, None), (3, 30, None), (4, 40, "new")
     }
+
+
+def test_statistics_metadata_table(spark, iceberg_root):
+    """The `statistics` view surfaces the spec's table-statistics list
+    (Puffin stats files with blob metadata) verbatim; empty when the
+    table has none."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        iceberg_meta_table,
+    )
+
+    assert iceberg_meta_table(spark, iceberg_root, "statistics").count() == 0
+    mdir = os.path.join(iceberg_root, "metadata")
+    with open(os.path.join(mdir, "v1.metadata.json")) as f:
+        meta = json.load(f)
+    meta["statistics"] = [
+        {
+            "snapshot-id": 2,
+            "statistics-path": os.path.join(mdir, "stats-2.puffin"),
+            "file-size-in-bytes": 123,
+            "blob-metadata": [
+                {"type": "apache-datasketches-theta-v1", "fields": [1]},
+                {"type": "deletion-vector-v1"},
+            ],
+        }
+    ]
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    rows = iceberg_meta_table(spark, iceberg_root, "statistics").collect()
+    assert len(rows) == 1
+    assert rows[0]["snapshot_id"] == 2
+    assert rows[0]["blob_types"] == [
+        "apache-datasketches-theta-v1", "deletion-vector-v1"
+    ]
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        iceberg_meta_table(spark, iceberg_root, "nope")
