@@ -1007,7 +1007,7 @@ def read_delta(
     return _logical(out)
 
 
-_SKIP_OPS = ("<", "<=", "=", "==", ">=", ">")
+from .io import SKIP_OPS as _SKIP_OPS  # shared with Hudi column_stats
 
 
 def _stats_skip(
@@ -1275,7 +1275,11 @@ def read_delta_changes(
                     )
                 rel = unquote(a["path"])
                 pv = a.get("partitionValues")
-                if pv is None and part_cols:
+                # an explicit EMPTY dict on a partitioned table is the
+                # same no-extendedFileMetadata shape as a missing field
+                # (some serializers always emit the map) — both take
+                # the add-time fallback instead of NULL partitions
+                if not pv and part_cols:
                     pv = pv_known.get(rel)
                     if pv is None:
                         raise DeltaProtocolError(

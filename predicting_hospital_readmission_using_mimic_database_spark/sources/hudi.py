@@ -931,13 +931,21 @@ def _col_stats_prune(
     import pyarrow.parquet as pq
     from .io import SKIP_OPS, bounds_may_match
 
-    arrow = {f.name: f.type for f in pq.ParquetFile(schema_file).schema_arrow}
-    checked = []
     for col, op, value in predicates:
         if op not in SKIP_OPS:
             raise ValueError(
                 f"unsupported predicate op {op!r} (have {SKIP_OPS})"
             )
+    # no column_stats partition -> nothing prunable: return before the
+    # footer open so the common no-index path pays zero extra I/O
+    # (column-NAME validation below needs the footer and therefore
+    # only runs when a stats index exists to prune with)
+    stats = _metadata_column_stats(root)
+    if stats is None:
+        return candidates
+    arrow = {f.name: f.type for f in pq.ParquetFile(schema_file).schema_arrow}
+    checked = []
+    for col, op, value in predicates:
         if col not in arrow:
             raise ValueError(
                 f"predicate names unknown column {col!r} "
@@ -955,9 +963,6 @@ def _col_stats_prune(
         elif isinstance(value, datetime.date):
             value = (value - datetime.date(1970, 1, 1)).days
         checked.append((col, op, value))
-    stats = _metadata_column_stats(root)
-    if stats is None:
-        return candidates
 
     def may_match(entry) -> bool:
         per_file = stats.get(name_of(entry))
@@ -1279,6 +1284,11 @@ def _read_mor(
             )
         for k in set(logfree) - set(kept):
             groups.pop(k)
+            # drop the group's log files too: stale logs from a
+            # pre-compaction slice (base_instant != current base) would
+            # otherwise re-enter the merge as a base-less "log-only"
+            # group and emit rows the compacted base already folded in
+            logs.pop(k, None)
         if not groups and not logs:
             schema = from_arrow_schema(
                 pq.ParquetFile(newest_file).schema_arrow,

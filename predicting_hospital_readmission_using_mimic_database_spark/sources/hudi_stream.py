@@ -129,7 +129,11 @@ class _MorGroupPartition(InputPartition):
 
 
 #: sorts None ordering values below every real value (batch window's
-#: desc_nulls_last), then positionally
+#: desc_nulls_last), then positionally. Precombine values are compared
+#: as the writer serialized them — a table whose writers mix orderingVal
+#: types (e.g. long vs string for the same precombine field) is
+#: corrupt metadata and fails LOUDLY (TypeError in the task / arrow
+#: cast in the batch merge), never silently mis-ordered.
 def _sort_key(ord_val, inst, fidx, bi, ri):
     return (ord_val is not None, ord_val, inst, fidx, bi, ri)
 
@@ -203,6 +207,15 @@ class HudiStreamReader(DataSourceStreamReader):
                     if inst not in done:
                         continue
                     if h["type"] == HL.COMMAND_BLOCK:
+                        # same gate as the batch _read_mor: a COMMAND
+                        # type other than ROLLBACK has semantics this
+                        # reader must not guess at
+                        if h["header"].get(HL.H_COMMAND_BLOCK_TYPE, "0") != "0":
+                            raise HudiProtocolError(
+                                f"log file {os.path.basename(lp)}: unknown "
+                                "COMMAND block type "
+                                f"{h['header'].get(HL.H_COMMAND_BLOCK_TYPE)!r}"
+                            )
                         tgt = h["header"].get(HL.H_TARGET_INSTANT_TIME)
                         if tgt is not None and tgt in done:
                             raise HudiProtocolError(
@@ -361,9 +374,16 @@ class _HudiBatchTailReader(DataSourceReader):
         )
 
     def partitions(self):
-        return self._stream.partitions(
-            self._stream.initialOffset(), self._stream.latestOffset()
-        )
+        try:
+            return self._stream.partitions(
+                self._stream.initialOffset(), self._stream.latestOffset()
+            )
+        except NotImplementedError as e:
+            # the *ProtocolError gates subclass NotImplementedError, and
+            # PySpark treats NotImplementedError from a batch reader's
+            # partitions() as "no partitioning support" — silently
+            # degrading a protocol gate into read(None). Surface it.
+            raise RuntimeError(str(e)) from e
 
     def read(self, partition):
         yield from self._stream.read(partition)

@@ -62,6 +62,7 @@ from __future__ import annotations
 import json
 import os
 import re
+from urllib.parse import unquote as _unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -1145,6 +1146,29 @@ def _vintage_groups(meta: dict, files: list) -> list | None:
     ]
 
 
+def _validate_vintage_field(cf: dict, vf: dict) -> None:
+    """Shared legality check for reading a write-time field ``vf`` as
+    the output field ``cf`` (same field id): identical types pass,
+    spec-legal primitive promotions pass, nested/complex layout changes
+    and anything else raise. One definition so the batch scan and the
+    incremental/streaming readers can never drift on what they accept."""
+    if vf["type"] == cf["type"]:
+        return
+    if isinstance(vf["type"], dict) or isinstance(cf["type"], dict):
+        raise IcebergProtocolError(
+            f"field id {cf['id']} ({cf['name']!r}) changed its "
+            "nested/complex type across schema versions; nested "
+            "schema evolution is not supported"
+        )
+    if not _promotion_ok(vf["type"], cf["type"]):
+        raise IcebergProtocolError(
+            f"field id {cf['id']} type changed "
+            f"{vf['type']!r} -> {cf['type']!r}, which is not a "
+            "spec-legal promotion (int->long, float->double, "
+            "decimal widening)"
+        )
+
+
 def vintage_column_map(
     meta: dict, adding_snapshot_id, out_json: dict
 ) -> list[str | None]:
@@ -1179,20 +1203,7 @@ def vintage_column_map(
         if vf is None:
             out.append(None)
             continue
-        if vf["type"] != cf["type"]:
-            if isinstance(vf["type"], dict) or isinstance(cf["type"], dict):
-                raise IcebergProtocolError(
-                    f"field id {cf['id']} ({cf['name']!r}) changed its "
-                    "nested/complex type across schema versions; nested "
-                    "schema evolution is not supported"
-                )
-            if not _promotion_ok(vf["type"], cf["type"]):
-                raise IcebergProtocolError(
-                    f"field id {cf['id']} type changed "
-                    f"{vf['type']!r} -> {cf['type']!r}, which is not a "
-                    "spec-legal promotion (int->long, float->double, "
-                    "decimal widening)"
-                )
+        _validate_vintage_field(cf, vf)
         out.append(vf["name"])
     return out
 
@@ -1218,20 +1229,7 @@ def _vintage_scan(
         if vf is None:
             projection.append(F.lit(None).cast(sf_.dataType).alias(sf_.name))
             continue
-        if vf["type"] != cf["type"]:
-            if isinstance(vf["type"], dict) or isinstance(cf["type"], dict):
-                raise IcebergProtocolError(
-                    f"field id {cf['id']} ({cf['name']!r}) changed its "
-                    "nested/complex type across schema versions; nested "
-                    "schema evolution is not supported"
-                )
-            if not _promotion_ok(vf["type"], cf["type"]):
-                raise IcebergProtocolError(
-                    f"field id {cf['id']} type changed "
-                    f"{vf['type']!r} -> {cf['type']!r}, which is not a "
-                    "spec-legal promotion (int->long, float->double, "
-                    "decimal widening)"
-                )
+        _validate_vintage_field(cf, vf)
         read_fields.append(
             T.StructField(vf["name"], _spark_type(vf["type"]), True)
         )
@@ -1401,10 +1399,13 @@ def read_iceberg(
         # lower/upper bounds (Appendix D binary single-values) prune
         # files a conjunctive predicate provably cannot match; files
         # without bounds for a column are conservatively kept
+        # resolve names against the CURRENT schema only: with schema
+        # evolution in the metadata, a historical schema could bind a
+        # reused name to a DEAD field id and over-prune (bounds maps
+        # are keyed by field id, which is rename-stable)
         name_info: dict[str, tuple[int, object]] = {}
-        for sch in meta.get("schemas", []):
-            for f in sch.get("fields", []):
-                name_info[f.get("name")] = (f.get("id"), f.get("type"))
+        for f in _schema_json(meta).get("fields", []):
+            name_info[f.get("name")] = (f.get("id"), f.get("type"))
         checked = []
         for col, op, value in predicates:
             if op not in _PRED_OPS:
@@ -1747,7 +1748,14 @@ def read_iceberg_changes(
         for x in frames[1:]:
             scan = scan.unionByName(x)
     map_df = spark.createDataFrame(
-        [(os.path.abspath(p), int(s_)) for p, s_ in file_sid],
+        # same normalization as the scan side's decoded_file_path (%XX
+        # decoded, '+' preserved): a percent-escaped data-file path
+        # would otherwise miss the INNER stamp join and silently drop
+        # the whole file from the incremental batch
+        [
+            (os.path.abspath(_unquote(p)), int(s_))
+            for p, s_ in file_sid
+        ],
         T.StructType(
             [
                 StructField(fp, StringType(), False),

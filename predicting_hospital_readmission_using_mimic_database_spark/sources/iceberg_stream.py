@@ -222,9 +222,16 @@ class _IcebergBatchTailReader(DataSourceReader):
         )
 
     def partitions(self):
-        return self._stream.partitions(
-            self._stream.initialOffset(), self._stream.latestOffset()
-        )
+        try:
+            return self._stream.partitions(
+                self._stream.initialOffset(), self._stream.latestOffset()
+            )
+        except NotImplementedError as e:
+            # the *ProtocolError gates subclass NotImplementedError, and
+            # PySpark treats NotImplementedError from a batch reader's
+            # partitions() as "no partitioning support" — silently
+            # degrading a protocol gate into read(None). Surface it.
+            raise RuntimeError(str(e)) from e
 
     def read(self, partition):
         yield from self._stream.read(partition)

@@ -270,3 +270,40 @@ def test_cdf_column_mapping_name_mode(spark, tmp_path):
         (1, 10, "a", "insert", 0), (2, 20, "a", "insert", 0),
         (1, 10, "a", "delete", 1), (2, 20, "a", "delete", 1),
     }
+
+
+def test_cdf_remove_with_empty_partition_values_falls_back(spark, tmp_path):
+    """A remove carrying an explicit EMPTY partitionValues dict (a
+    serializer that always emits the map, still no
+    extendedFileMetadata) is the same shape as a missing field: the
+    derived delete rows must take the add-time values, never NULL
+    partitions."""
+    root = str(tmp_path / "emptypv")
+    _write_parquet(
+        os.path.join(root, "seg=a", "f0.parquet"), [(1, 10)], ["k", "v"]
+    )
+    _write_commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1}},
+            _meta_action(
+                [("k", "long"), ("v", "long"), ("seg", "string")],
+                part_cols=("seg",),
+            ),
+            {"add": {"path": "seg=a/f0.parquet",
+                     "partitionValues": {"seg": "a"}, "size": 1,
+                     "dataChange": True}},
+        ],
+    )
+    _write_commit(
+        root,
+        1,
+        [{"remove": {"path": "seg=a/f0.parquet", "partitionValues": {},
+                     "dataChange": True}}],
+    )
+    got = {
+        (r["k"], r["seg"], r["_change_type"], r["_commit_version"])
+        for r in read_delta_changes(spark, root, starting_version=1).collect()
+    }
+    assert got == {(1, "a", "delete", 1)}

@@ -578,3 +578,37 @@ def test_merge_ordering_property_gates(tmp_path, spark):
     _commit(root, "00000000000001", state="deltacommit")
     with pytest.raises(HudiProtocolError, match="nope"):
         read_hudi(spark, root)
+
+
+def test_pruned_group_drops_stale_logs(spark, tmp_path):
+    """Col-stats pruning of a log-free (compacted) group must drop the
+    group's STALE pre-compaction log files too: they would otherwise
+    re-enter the merge as a base-less 'log-only' group and emit rows
+    the compacted base already folded in."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        write_metadata_table_column_stats,
+        write_metadata_table_files,
+    )
+
+    root = str(tmp_path / "stale")
+    _mk_table(root, ttype="MERGE_ON_READ")
+    _write_mor_base(root, "a", "f1", "00000000000001", [(1, 1.0), (2, 2.0)])
+    _commit(root, "00000000000001", state="deltacommit")
+    l1 = os.path.join(root, "a", HL.log_file_name("f1", "00000000000001", 1))
+    HL.append_avro_block(
+        l1, "00000000000003", SCHEMA, [_rec("00000000000003", "a", 1, -1.0)]
+    )
+    _commit(root, "00000000000003", state="deltacommit")
+    # compaction: new base slice at instant 5 folds the log in; the old
+    # log file (attached to the t1 base) is not yet cleaned
+    _write_mor_base(
+        root, "a", "f1", "00000000000005", [(1, -1.0), (2, 2.0)]
+    )
+    _commit(root, "00000000000005", state="commit")
+    write_metadata_table_files(root)
+    write_metadata_table_column_stats(root)
+    df = read_hudi(spark, root, predicates=[("k", ">", 100)])
+    # the only group's bounds (k in [1,2]) exclude the predicate: the
+    # group AND its stale logs vanish — zero rows, zero input files
+    assert df.count() == 0
+    assert df.inputFiles() == []

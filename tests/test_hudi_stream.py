@@ -183,3 +183,33 @@ def test_mor_batch_tail(spark, mor_root):
         (3, 33.0, T[3]),
         (10, 0.5, T[3]),
     ]
+
+
+def test_mor_stream_unknown_command_block_raises(spark, mor_root, tmp_path):
+    """A COMMAND block of a type other than ROLLBACK must raise in the
+    stream exactly as in the batch reader — its semantics cannot be
+    guessed (the batch/stream gates must never drift)."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources import hudi_log as HL
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_log import (
+        _append_block,
+        _ser_map,
+    )
+
+    lp = os.path.join(
+        mor_root, "a", HL.log_file_name("f1", "00000000000001", 7)
+    )
+    _append_block(
+        lp,
+        HL.COMMAND_BLOCK,
+        _ser_map({HL.H_INSTANT_TIME: "00000000000006",
+                  HL.H_COMMAND_BLOCK_TYPE: "1"}),
+        b"",
+    )
+    from tests.test_hudi_interop import _commit
+
+    _commit(mor_root, "00000000000006", state="deltacommit")
+    register_hudi_stream(spark)
+    with pytest.raises(Exception, match="unknown COMMAND block type"):
+        spark.read.format("hudi_stream").option("path", mor_root).option(
+            "startingInstant", "0"
+        ).load().collect()

@@ -1471,3 +1471,29 @@ def test_statistics_metadata_table(spark, iceberg_root):
     ]
     with pytest.raises(ValueError, match="unknown metadata table"):
         iceberg_meta_table(spark, iceberg_root, "nope")
+
+
+def test_predicates_resolve_against_current_schema(spark, iceberg_root, tmp_path):
+    """Predicate name binding uses the CURRENT schema only (field ids
+    are the bounds keys; a historical schema could bind a reused name
+    to a dead id and over-prune). Also: v1 metadata (bare `schema`
+    key) resolves — previously the schemas-list loop saw nothing."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        commit_schema_evolution,
+    )
+
+    # v2 with an evolution in history: predicates on the current name
+    # keep working (no bounds in the fixture manifests -> all kept)
+    commit_schema_evolution(
+        iceberg_root,
+        [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 9, "name": "seg", "type": "string"},  # reused name, new id
+        ],
+    )
+    got = read_iceberg(
+        spark, iceberg_root, predicates=[("seg", "=", "x")]
+    )
+    assert got.count() == 4  # conservative keep, never over-pruned
+    with pytest.raises(ValueError, match="unknown column"):
+        read_iceberg(spark, iceberg_root, predicates=[("nope", "=", 1)])

@@ -259,3 +259,66 @@ def test_schema_evolution_across_stream_and_incremental(spark, ice_root, tmp_pat
         + [(k, float(k), None, 2) for k in (100, 101, 102)]
         + [(200, 2.5, "new", 3)]
     )
+
+
+def test_incremental_changes_space_in_path(spark, tmp_path):
+    """A data-file path containing a SPACE (stored raw, the way real
+    writers record locations): Spark URI-encodes it in
+    _metadata.file_path, so the incremental scan's file->snapshot
+    stamp join must decode the scan key back to the raw form — a key
+    mismatch silently drops the whole file through the inner join."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        read_iceberg_changes,
+    )
+    from tests.test_iceberg_interop import (
+        MANIFEST_ENTRY_SCHEMA as ENTRY_SCHEMA,
+        MANIFEST_FILE_SCHEMA as MF_SCHEMA,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.avro_ocf import write_avro
+
+    root = str(tmp_path / "esc")
+    d = os.path.join(root, "data", "part a")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"k": pa.array([7], pa.int64())}),
+        os.path.join(d, "f.parquet"),
+    )
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(mdir)
+    m = os.path.join(mdir, "m1.avro")
+    write_avro(m, ENTRY_SCHEMA, [{
+        "status": 1, "snapshot_id": 1,
+        "data_file": {
+            "content": 0,
+            "file_path": os.path.join(root, "data", "part a", "f.parquet"),
+            "file_format": "PARQUET", "partition": {"seg": None},
+            "record_count": 1, "file_size_in_bytes": 1,
+        },
+    }])
+    ml = os.path.join(mdir, "ml1.avro")
+    write_avro(ml, MF_SCHEMA, [{
+        "manifest_path": m, "manifest_length": 1, "partition_spec_id": 0,
+        "content": 0, "added_snapshot_id": 1,
+    }])
+    meta = {
+        "format-version": 2, "table-uuid": "esc", "location": root,
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+                       "summary": {"operation": "append"},
+                       "manifest-list": ml, "schema-id": 0}],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"}]}],
+        "current-schema-id": 0,
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")
+    got = [(r["k"], r["_snapshot_id"])
+           for r in read_iceberg_changes(spark, root).collect()]
+    assert got == [(7, 1)]

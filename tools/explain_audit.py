@@ -137,6 +137,8 @@ AUDIT = [
     "s35_hudi_col_stats_skip",  # metadata-table col-stats pruned scan
     "s36_hudi_bloom_lookup",  # bloom point-lookup single-file plan
     "s37_iceberg_v3_dv",  # puffin DV executor decode + (file,pos) anti-join
+    "s38_iceberg_schema_evolution",  # per-vintage scans unioned by field id
+    "s39_delta_type_widening",  # single scan, native narrow-type upcast
 ]
 
 
