@@ -387,7 +387,6 @@ def write_metadata_table_files(root: str) -> str:
     ``.hoodie/metadata/files``, committed as a deltacommit stamped with
     the data table's latest completed instant. Subsequent reads list
     from it instead of walking. Returns the metadata table root."""
-    from . import hudi_log as HL
 
     done = _completed_commits(root, allow_delta=True)
     latest = max(done) if done else "00000000000000"
@@ -403,20 +402,6 @@ def write_metadata_table_files(root: str) -> str:
                     "size": os.path.getsize(os.path.join(dirpath, name)),
                     "isDeleted": False,
                 }
-    mdt = os.path.join(root, HOODIE_DIR, "metadata")
-    hdir = os.path.join(mdt, HOODIE_DIR)
-    os.makedirs(hdir, exist_ok=True)
-    props = os.path.join(hdir, "hoodie.properties")
-    if not os.path.exists(props):
-        with open(props, "w") as f:
-            f.write(
-                "hoodie.table.name=metadata\n"
-                "hoodie.table.type=MERGE_ON_READ\n"
-            )
-    os.makedirs(os.path.join(mdt, "files"), exist_ok=True)
-    lp = os.path.join(
-        mdt, "files", HL.log_file_name("files-0000", "00000000000000", 1)
-    )
     records = [
         {
             "key": ALL_PARTITIONS_KEY,
@@ -429,9 +414,9 @@ def write_metadata_table_files(root: str) -> str:
         {"key": part, "type": 2, "filesystemMetadata": files}
         for part, files in sorted(per_part.items())
     ]
-    HL.append_avro_block(lp, latest, METADATA_RECORD_SCHEMA, records)
-    open(os.path.join(hdir, f"{latest}.deltacommit"), "w").close()
-    return mdt
+    return _mdt_append_partition(
+        root, "files", "files-0000", METADATA_RECORD_SCHEMA, records, latest
+    )
 
 
 def _wrapper(name: str, typ: str) -> dict:
@@ -608,8 +593,6 @@ def write_metadata_table_column_stats(
     bounds without opening any footer. ``columns`` limits the indexed
     set (real deployments index the filter columns, not all of them).
     Returns the metadata table root."""
-    from . import hudi_log as HL
-
     done = _completed_commits(root, allow_delta=True)
     latest = max(done) if done else "00000000000000"
     want = set(columns) if columns is not None else None
@@ -644,25 +627,10 @@ def write_metadata_table_column_stats(
                         },
                     }
                 )
-    mdt = os.path.join(root, HOODIE_DIR, "metadata")
-    hdir = os.path.join(mdt, HOODIE_DIR)
-    os.makedirs(hdir, exist_ok=True)
-    props = os.path.join(hdir, "hoodie.properties")
-    if not os.path.exists(props):
-        with open(props, "w") as f:
-            f.write(
-                "hoodie.table.name=metadata\n"
-                "hoodie.table.type=MERGE_ON_READ\n"
-            )
-    os.makedirs(os.path.join(mdt, "column_stats"), exist_ok=True)
-    lp = os.path.join(
-        mdt,
-        "column_stats",
-        HL.log_file_name("col-stats-0000", "00000000000000", 1),
+    return _mdt_append_partition(
+        root, "column_stats", "col-stats-0000",
+        COLUMN_STATS_RECORD_SCHEMA, records, latest,
     )
-    HL.append_avro_block(lp, latest, COLUMN_STATS_RECORD_SCHEMA, records)
-    open(os.path.join(hdir, f"{latest}.deltacommit"), "w").close()
-    return mdt
 
 
 #: the BLOOM_FILTER partition record shape (the subset of the public
@@ -717,7 +685,6 @@ def write_metadata_table_bloom_filters(
     metadata table root."""
     import pyarrow.parquet as pq
 
-    from . import hudi_log as HL
     from .bloom import HadoopBloomFilter
 
     done = _completed_commits(root, allow_delta=True)
@@ -757,6 +724,28 @@ def write_metadata_table_bloom_filters(
                     },
                 }
             )
+    return _mdt_append_partition(
+        root, "bloom_filters", "bloom-0000",
+        BLOOM_FILTER_RECORD_SCHEMA, records, latest,
+    )
+
+
+def _mdt_append_partition(
+    root: str,
+    partition: str,
+    file_group: str,
+    schema: dict,
+    records: list[dict],
+    instant: str,
+) -> str:
+    """Bootstrap ``.hoodie/metadata`` if needed and append ONE
+    committed AVRO log block of ``records`` to a log-only file group
+    under the given metadata partition — the shared writer tail of the
+    three ``write_metadata_table_*`` surfaces (one definition so the
+    layout and deltacommit stamping can never drift between
+    partitions). Returns the metadata table root."""
+    from . import hudi_log as HL
+
     mdt = os.path.join(root, HOODIE_DIR, "metadata")
     hdir = os.path.join(mdt, HOODIE_DIR)
     os.makedirs(hdir, exist_ok=True)
@@ -767,15 +756,55 @@ def write_metadata_table_bloom_filters(
                 "hoodie.table.name=metadata\n"
                 "hoodie.table.type=MERGE_ON_READ\n"
             )
-    os.makedirs(os.path.join(mdt, "bloom_filters"), exist_ok=True)
+    os.makedirs(os.path.join(mdt, partition), exist_ok=True)
     lp = os.path.join(
-        mdt,
-        "bloom_filters",
-        HL.log_file_name("bloom-0000", "00000000000000", 1),
+        mdt, partition, HL.log_file_name(file_group, "00000000000000", 1)
     )
-    HL.append_avro_block(lp, latest, BLOOM_FILTER_RECORD_SCHEMA, records)
-    open(os.path.join(hdir, f"{latest}.deltacommit"), "w").close()
+    HL.append_avro_block(lp, instant, schema, records)
+    open(os.path.join(hdir, f"{instant}.deltacommit"), "w").close()
     return mdt
+
+
+def _fold_metadata_partition(root: str, partition: str) -> list[dict] | None:
+    """Commit-ordered records of one LOG-ONLY metadata-table partition
+    (the shared driver-side fold of ``column_stats`` /
+    ``bloom_filters``): ``None`` when the metadata table or the
+    partition doesn't exist; committed AVRO blocks only; DELETE and
+    unknown block types raise (one gate definition, so the partitions
+    can never drift). Callers apply their payload-specific
+    latest-writer-wins fold over the returned record order."""
+    from . import hudi_log as HL
+
+    mdt = os.path.join(root, HOODIE_DIR, "metadata")
+    pdir = os.path.join(mdt, partition)
+    if not os.path.isdir(pdir) or not os.path.exists(
+        os.path.join(mdt, HOODIE_DIR, "hoodie.properties")
+    ):
+        return None
+    done = _completed_commits(mdt, allow_delta=True)
+    events: list[tuple[str, str, int, int, dict]] = []
+    for name in sorted(os.listdir(pdir)):
+        if not _LOGFILE_RE.match(name):
+            continue
+        lp = os.path.join(pdir, name)
+        for bi, blk in enumerate(HL.read_log_blocks(lp)):
+            inst = blk["instant"]
+            if inst is None or inst not in done:
+                continue
+            if blk["type"] == HL.DELETE_BLOCK:
+                raise HudiProtocolError(
+                    f"metadata table log {name}: key-level metadata "
+                    f"DELETE blocks are not supported in {partition}"
+                )
+            if blk["type"] != HL.AVRO_DATA_BLOCK:
+                raise HudiProtocolError(
+                    f"metadata table log {name}: unsupported block type "
+                    f"{blk['type']} in {partition}"
+                )
+            for ri, rec in enumerate(blk["records"]):
+                events.append((inst, name, bi, ri, rec))
+    events.sort(key=lambda e: (e[0], e[1], e[2], e[3]))
+    return [e[4] for e in events]
 
 
 def _metadata_bloom_filters(root: str) -> dict[str, object] | None:
@@ -786,36 +815,13 @@ def _metadata_bloom_filters(root: str) -> dict[str, object] | None:
     wins per file, ``isDeleted`` retires an entry. Filters in a type
     this layer cannot parse raise (never silently treat a filter as
     match-all — callers would mistake that for a verified keep)."""
-    from . import hudi_log as HL
     from .bloom import HadoopBloomFilter
 
-    mdt = os.path.join(root, HOODIE_DIR, "metadata")
-    bf_dir = os.path.join(mdt, "bloom_filters")
-    if not os.path.isdir(bf_dir) or not os.path.exists(
-        os.path.join(mdt, HOODIE_DIR, "hoodie.properties")
-    ):
+    records = _fold_metadata_partition(root, "bloom_filters")
+    if records is None:
         return None
-    done = _completed_commits(mdt, allow_delta=True)
-    events: list[tuple[str, str, int, int, dict]] = []
-    for name in sorted(os.listdir(bf_dir)):
-        if not _LOGFILE_RE.match(name):
-            continue
-        lp = os.path.join(bf_dir, name)
-        for bi, blk in enumerate(HL.read_log_blocks(lp)):
-            inst = blk["instant"]
-            if inst is None or inst not in done:
-                continue
-            if blk["type"] != HL.AVRO_DATA_BLOCK:
-                raise HudiProtocolError(
-                    f"metadata table log {name}: unsupported block type "
-                    f"{blk['type']} in bloom_filters"
-                )
-            for ri, rec in enumerate(blk["records"]):
-                events.append((inst, name, bi, ri, rec))
     state: dict[str, object] = {}
-    for _inst, _n, _bi, _ri, rec in sorted(
-        events, key=lambda e: (e[0], e[1], e[2], e[3])
-    ):
+    for rec in records:
         bm = rec.get("BloomFilterMetadata")
         if not bm:
             continue
@@ -862,36 +868,11 @@ def _metadata_column_stats(root: str) -> dict[str, dict[str, dict]] | None:
     metadata whatever the table size — with latest-writer-wins per
     (file, column) key and ``isDeleted`` retiring an entry. A column
     whose record carries no bounds stays entry-less (conservative)."""
-    from . import hudi_log as HL
-
-    mdt = os.path.join(root, HOODIE_DIR, "metadata")
-    cs_dir = os.path.join(mdt, "column_stats")
-    if not os.path.isdir(cs_dir) or not os.path.exists(
-        os.path.join(mdt, HOODIE_DIR, "hoodie.properties")
-    ):
+    records = _fold_metadata_partition(root, "column_stats")
+    if records is None:
         return None
-    done = _completed_commits(mdt, allow_delta=True)
-    events: list[tuple[str, str, int, int, dict]] = []
-    for name in sorted(os.listdir(cs_dir)):
-        lm = _LOGFILE_RE.match(name)
-        if not lm:
-            continue
-        lp = os.path.join(cs_dir, name)
-        for bi, blk in enumerate(HL.read_log_blocks(lp)):
-            inst = blk["instant"]
-            if inst is None or inst not in done:
-                continue
-            if blk["type"] != HL.AVRO_DATA_BLOCK:
-                raise HudiProtocolError(
-                    f"metadata table log {name}: unsupported block type "
-                    f"{blk['type']} in column_stats"
-                )
-            for ri, rec in enumerate(blk["records"]):
-                events.append((inst, name, bi, ri, rec))
     state: dict[str, dict[str, dict]] = {}
-    for _inst, _n, _bi, _ri, rec in sorted(
-        events, key=lambda e: (e[0], e[1], e[2], e[3])
-    ):
+    for rec in records:
         cs = rec.get("ColumnStatsMetadata")
         if not cs:
             continue
