@@ -135,6 +135,40 @@ MANIFEST_FILE_SCHEMA = {
         {"name": "content", "type": "int"},
         {"name": "added_snapshot_id", "type": ["null", "long"]},
         {"name": "sequence_number", "type": ["null", "long"]},
+        # spec field id 507: per-partition-field summaries, the
+        # manifest-level pruning tier (see manifest_summary_filter)
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "field_summary",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean"},
+                            {
+                                "name": "contains_nan",
+                                "type": ["null", "boolean"],
+                                "default": None,
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                            },
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+        },
     ],
 }
 
@@ -862,7 +896,7 @@ def iceberg_meta_table(
 
 
 def _live_files(
-    meta: dict, root: str, snapshot_id
+    meta: dict, root: str, snapshot_id, manifest_filter=None
 ) -> tuple[
     list[tuple[str, dict, int | None, dict, int | None]],
     list[str],
@@ -905,6 +939,11 @@ def _live_files(
                 mrec.get("added_snapshot_id"),
             )
             for mrec in manifests
+            # field-summary pruning cuts DATA manifests before they are
+            # ever fetched/parsed; delete manifests are always read
+            if manifest_filter is None
+            or mrec.get("content", 0) == 1
+            or manifest_filter(mrec)
         ]
     else:
         # format v1 inline manifest list: data manifests only
@@ -1062,6 +1101,100 @@ def _dv_deletes_df(spark, root: str, dv_dels: list[dict], fp: str, pos: str):
 
     sdf = spark.createDataFrame(rows, spec_schema)
     return sdf.repartition(max(1, len(rows))).mapInPandas(decode, out_schema)
+
+
+def _transform_result_type(transform: str, src_type) -> str | None:
+    """The Iceberg type a partition transform RESULT is serialized as
+    (what a manifest-list field summary's bounds decode under); None =
+    unknown/un-prunable."""
+    t = str(transform).lower()
+    if t == "identity" or re.fullmatch(r"truncate\[\d+\]", t):
+        return src_type if isinstance(src_type, str) else None
+    if t.startswith("bucket[") or t in ("year", "month", "day", "hour"):
+        return "int"
+    return None
+
+
+def manifest_summary_filter(meta: dict, partitions: dict):
+    """``callable(manifest-list record) -> bool`` for the spec's
+    manifest-list FIELD SUMMARIES (``partitions``, field id 507):
+    False ONLY when a data manifest's per-partition-field
+    [lower_bound, upper_bound] ranges provably exclude every wanted
+    value — the metadata tier ABOVE per-file partition tuples. On a
+    10,000-manifest table a one-partition read then PARSES only the
+    matching manifests instead of all of them (each manifest parse is
+    a storage round-trip + Avro decode on the driver). Conservative on
+    every missing piece: no summaries, unknown spec id, un-orderable
+    transform or type, decode-width mismatch, nulls, or a filter key
+    no spec field serves — all keep the manifest. ``partitions`` uses
+    :func:`read_iceberg`'s semantics (keys are partition FIELD names
+    holding stored values, or SOURCE column names holding source
+    values to transform)."""
+    specs = {s.get("spec-id", 0): s for s in meta.get("partition-specs", [])}
+    id2type: dict[int, object] = {}
+    schemas = meta.get("schemas") or (
+        [meta["schema"]] if "schema" in meta else []
+    )
+    for sch in schemas:
+        for f in sch.get("fields", []):
+            id2type[f.get("id")] = f.get("type")
+    id2name: dict[int, str] = {}
+    for sch in schemas:
+        for f in sch.get("fields", []):
+            id2name[f.get("id")] = f.get("name")
+
+    def _vals(want) -> list:
+        return list(want) if isinstance(want, (list, set, tuple)) else [want]
+
+    def may_match(mrec: dict) -> bool:
+        summaries = mrec.get("partitions")
+        spec = specs.get(mrec.get("partition_spec_id", 0))
+        if not summaries or spec is None:
+            return True
+        for i, fld in enumerate(spec.get("fields", [])):
+            if i >= len(summaries) or summaries[i] is None:
+                continue
+            tr = fld.get("transform", "identity")
+            src_name = id2name.get(fld.get("source-id"))
+            # stored-value filter (partition field name) beats
+            # source-value filter; identity makes them coincide
+            if fld.get("name") in partitions:
+                wanted = [
+                    (v, False) for v in _vals(partitions[fld["name"]])
+                ]
+            elif src_name in partitions:
+                wanted = [
+                    (v, True) for v in _vals(partitions[src_name])
+                ]
+            else:
+                continue
+            rt = _transform_result_type(tr, id2type.get(fld.get("source-id")))
+            if rt is None:
+                continue
+            s = summaries[i]
+            lo_b, hi_b = s.get("lower_bound"), s.get("upper_bound")
+            lo = decode_bound(rt, bytes(lo_b)) if lo_b is not None else None
+            hi = decode_bound(rt, bytes(hi_b)) if hi_b is not None else None
+            admitted = False
+            for v, needs_transform in wanted:
+                pv = transform_value(tr, v) if needs_transform else v
+                if pv is None:
+                    if s.get("contains_null"):
+                        admitted = True
+                        break
+                    continue
+                try:
+                    if (lo is None or pv >= lo) and (hi is None or pv <= hi):
+                        admitted = True
+                        break
+                except TypeError:
+                    admitted = True  # incomparable: cannot prune
+                    break
+            if not admitted:
+                return False
+        return True
+
+    return may_match
 
 
 def _promotion_ok(vt, ct) -> bool:
@@ -1393,7 +1526,14 @@ def read_iceberg(
             )
         snapshot_id = int(refs[ref]["snapshot-id"])
     schema = _table_schema(meta)
-    files, pos_dels, eq_dels, dv_dels = _live_files(meta, root, snapshot_id)
+    files, pos_dels, eq_dels, dv_dels = _live_files(
+        meta,
+        root,
+        snapshot_id,
+        manifest_filter=(
+            manifest_summary_filter(meta, partitions) if partitions else None
+        ),
+    )
     if predicates:
         # metadata-level MIN/MAX skipping: the manifests' per-column
         # lower/upper bounds (Appendix D binary single-values) prune

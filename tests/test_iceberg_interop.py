@@ -1497,3 +1497,123 @@ def test_predicates_resolve_against_current_schema(spark, iceberg_root, tmp_path
     assert got.count() == 4  # conservative keep, never over-pruned
     with pytest.raises(ValueError, match="unknown column"):
         read_iceberg(spark, iceberg_root, predicates=[("nope", "=", 1)])
+
+
+def test_manifest_summary_pruning(spark, tmp_path, monkeypatch):
+    """Manifest-list FIELD SUMMARIES (spec field 507) cut data
+    manifests before they are ever parsed: a one-partition read of a
+    two-manifest table fetches ONE manifest (read_avro call-counted),
+    and a bucket-transform summary prunes by the TRANSFORMED source
+    value. Conservative: a summary-less record and a wanted NULL with
+    contains_null both keep the manifest."""
+    import predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg as ICE
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.avro_ocf import write_avro
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        MANIFEST_FILE_SCHEMA as MOD_MF_SCHEMA,
+    )
+
+    root = str(tmp_path / "msum")
+    fa = os.path.join(root, "data", "a.parquet")
+    fb = os.path.join(root, "data", "b.parquet")
+    _write_parquet(fa, [(1, "x")], ["k", "seg"])
+    _write_parquet(fb, [(2, "y")], ["k", "seg"])
+    ma = _manifest(root, "ma.avro", [_entry(fa, "x", 1)])
+    mb = _manifest(root, "mb.avro", [_entry(fb, "y", 1)])
+
+    def summary(lo, hi, contains_null=False):
+        return [{"contains_null": contains_null, "contains_nan": None,
+                 "lower_bound": lo.encode(), "upper_bound": hi.encode()}]
+
+    ml = os.path.join(root, "metadata", "ml.avro")
+    write_avro(
+        ml,
+        MOD_MF_SCHEMA,
+        [
+            {"manifest_path": ma, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 0, "added_snapshot_id": 1,
+             "sequence_number": 1, "partitions": summary("x", "x")},
+            {"manifest_path": mb, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 0, "added_snapshot_id": 1,
+             "sequence_number": 1, "partitions": summary("y", "y")},
+        ],
+    )
+    meta = {
+        "format-version": 2, "table-uuid": "msum", "location": root,
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+                       "summary": {"operation": "append"},
+                       "manifest-list": ml, "schema-id": 0}],
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "seg", "transform": "identity", "source-id": 2,
+             "field-id": 1000}]}],
+        "default-spec-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "seg", "required": False, "type": "string"},
+        ]}],
+        "current-schema-id": 0,
+    }
+    mdir = os.path.join(root, "metadata")
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")
+
+    seen: list[str] = []
+    real = ICE.read_avro
+
+    def counting(path, *a, **k):
+        seen.append(os.path.basename(path))
+        return real(path, *a, **k)
+
+    monkeypatch.setattr(ICE, "read_avro", counting)
+    got = read_iceberg(spark, root, partitions={"seg": "y"})
+    assert {r["k"] for r in got.collect()} == {2}
+    assert "mb.avro" in seen and "ma.avro" not in seen
+    # unfiltered read parses both
+    seen.clear()
+    assert read_iceberg(spark, root).count() == 2
+    assert "ma.avro" in seen and "mb.avro" in seen
+    # filter on a non-partition column's name: no spec field serves it
+    # at the summary tier -> nothing pruned there (per-file _admits
+    # then raises for unknown keys as before)
+    with pytest.raises(ValueError, match="unknown partition"):
+        read_iceberg(spark, root, partitions={"k": 1})
+
+    # bucket-transform summaries prune by TRANSFORMED source values
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        manifest_summary_filter,
+        transform_value,
+    )
+    import struct
+
+    bmeta = {
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "k_bucket", "transform": "bucket[4]", "source-id": 1,
+             "field-id": 1000}]}],
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"}]}],
+        "current-schema-id": 0,
+    }
+    b = transform_value("bucket[4]", 34)  # spec vector: bucket 3
+
+    def brec(lo, hi):
+        return {"partition_spec_id": 0, "content": 0, "partitions": [
+            {"contains_null": False, "contains_nan": None,
+             "lower_bound": struct.pack("<i", lo),
+             "upper_bound": struct.pack("<i", hi)}]}
+
+    flt = manifest_summary_filter(bmeta, {"k": 34})
+    assert flt(brec(b, b)) is True
+    assert flt(brec((b + 1) % 4, (b + 1) % 4)) is False
+    # stored-value key (partition field name) compares untransformed
+    flt2 = manifest_summary_filter(bmeta, {"k_bucket": b})
+    assert flt2(brec(b, b)) is True and flt2(brec(b + 1, b + 1)) is False
+    # wanted NULL: only contains_null admits
+    flt3 = manifest_summary_filter(bmeta, {"k": None})
+    assert flt3(brec(0, 3)) is False
+    rec_null = brec(0, 3)
+    rec_null["partitions"][0]["contains_null"] = True
+    assert flt3(rec_null) is True
+    # summary-less record: conservative keep
+    assert flt({"partition_spec_id": 0, "content": 0}) is True
