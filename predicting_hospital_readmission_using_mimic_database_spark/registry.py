@@ -45,8 +45,10 @@ _LOADED = False
 # codec), s30 Iceberg inspection metadata tables (files view
 # aggregation), s34 Hudi event-time (precombine) merge ordering,
 # s35/s36 Hudi metadata-table COLUMN_STATS / BLOOM_FILTERS pruning,
-# and s37 Iceberg format-v3 deletion vectors (Puffin blobs decoded
-# executor-side); s22 re-verified after the executor-side DV decode;
+# s37 Iceberg format-v3 deletion vectors (Puffin blobs decoded
+# executor-side), s38 Iceberg schema evolution (field-id vintage
+# resolution), and s39 Delta type widening; s22 re-verified after the
+# executor-side DV decode;
 # t21 after the heap/linked-list linearithmic encoder (t20 shares the
 # module); every Hudi entry after the replacecommit + metadata-table
 # listing refactor of _latest_slices (s19/s25/s27/st15); every Delta
