@@ -155,6 +155,7 @@ HEADLINE = [
     "s37_iceberg_v3_dv",          # iceberg v3 deletion vectors (r9)
     "s38_iceberg_schema_evolution",  # field-id vintage resolution (r9)
     "s39_delta_type_widening",    # native upcast over narrow files (r9)
+    "s40_hudi_export",            # COW publish + carry-forward (r9)
     "st18_stream_hudi_mor",       # MOR streaming source (r9)
     "st19_stream_delta_idmap",    # id-mode mapping stream (r9)
 ]

@@ -4950,3 +4950,67 @@ def q_s39(spark, sf):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan[:1200]
     return df
+
+
+@query(
+    "s40_hudi_export",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT)
+             + CASE WHEN c_custkey % 17 = 0 THEN 1000 ELSE 0 END AS bal_c
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 8000000, 77
+    FROM customer WHERE c_custkey % 31 = 0
+    """,
+)
+def q_s40(spark, sf):
+    """S40 — Hudi EXPORT roundtrip (sources/hudi_export.py
+    ``export_hudi``): a SnapshotTable published as a real COPY_ON_WRITE
+    Hudi table — meta columns written INTO the data files, one file
+    group per bucket, writer-shaped names and completed-instant
+    markers — then MERGED (updates + inserts) and re-exported
+    INCREMENTALLY: only touched buckets rewrite, and carried-forward
+    rows keep their ORIGINAL per-row ``_hoodie_commit_time`` (what a
+    real COW upsert produces), so the in-entry asserts pin that
+    ``read_hudi_incremental`` after the second export emits EXACTLY
+    the merge's net rows — a full-table re-stamp or a lost carry
+    breaks them, and DuckDB's recompute of the final merged state
+    breaks the row-level hash on any snapshot error."""
+    from .sources.hudi import read_hudi, read_hudi_incremental
+    from .sources.hudi_export import export_hudi
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s40", sf),
+        "c_custkey bigint, bal_c bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=8,
+    )
+    t.append(c)
+    dest = _table_root("s40_hudi", sf)
+    i1 = export_hudi(t, dest)
+    upd = c.filter(F.col("c_custkey") % 17 == 0).select(
+        "c_custkey", (F.col("bal_c") + 1000).alias("bal_c")
+    )
+    ins = c.filter(F.col("c_custkey") % 31 == 0).select(
+        (F.col("c_custkey") + 8_000_000).alias("c_custkey"),
+        F.lit(77).cast("long").alias("bal_c"),
+    )
+    t.merge(upd.unionByName(ins))
+    i2 = export_hudi(t, dest)
+    assert i2 > i1
+    # true net changes only: the incremental query returns exactly the
+    # merge's rows (carried rows kept their first-export instant)
+    inc = read_hudi_incremental(spark, dest, begin=i1)
+    expected = upd.unionByName(ins)
+    assert inc.exceptAll(expected).count() == 0
+    assert expected.exceptAll(inc).count() == 0
+    # pre-merge time travel sees the original state
+    assert read_hudi(spark, dest, as_of=i1).count() == c.count()
+    return read_hudi(spark, dest)

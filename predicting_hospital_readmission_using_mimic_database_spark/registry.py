@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "s37_iceberg_v3_dv",
     "s38_iceberg_schema_evolution",
     "s39_delta_type_widening",
+    "s40_hudi_export",
     "s34_hudi_event_time_merge",
     "s35_hudi_col_stats_skip",
     "s36_hudi_bloom_lookup",
@@ -105,7 +106,6 @@ PRIORITY: tuple[str, ...] = (
     "u3_random_split",
     "m2_get_dummies",
     "e1_roc_curve",
-    "e4_confusion",
     "d2_dedup_minhash_lsh",
     "d3_dedup_simhash",
     "n1_knn_bruteforce",

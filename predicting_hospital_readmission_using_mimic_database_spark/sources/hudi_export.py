@@ -1,0 +1,177 @@
+"""Publish a :class:`~.table.SnapshotTable` as a real COPY_ON_WRITE
+Apache Hudi table — the EXPORT direction of the Hudi interop,
+completing the read/export/stream matrix next to ``export_delta_log``
+and ``export_iceberg``.
+
+Unlike those two, a Hudi publish can never be zero-copy: the format
+requires the five ``_hoodie_*`` meta columns INSIDE every data file
+and ``{fileId}_{writeToken}_{instant}.parquet`` file names, so each
+export REWRITES the changed buckets' rows (one write per touched file
+group — the same unit a real COW writer rewrites). Layout written:
+
+* one FILE GROUP per table bucket (``b0000`` …), non-partitioned
+  (partition path ``""``, files at the table root);
+* per-row ``_hoodie_commit_time`` preserved across rewrites: a row
+  byte-identical to the previous export keeps its original instant, a
+  changed/new row is stamped with the new one — exactly what a real
+  COW upsert produces, so ``read_hudi_incremental`` /
+  ``hudi_stream`` emit true net changes, never a full-table re-stamp;
+* untouched buckets keep their existing base files (incremental
+  queries prune them at the file-group level);
+* a ``.hoodie/{instant}.commit`` completed-instant marker with
+  write-stats JSON, ``hoodie.properties`` with the record-key fields,
+  and superseded slices left in place (time travel reads them).
+
+The record key is the table's ``bucket_key`` (colon-joined) — Hudi
+has no keyless tables, so an unbucketed SnapshotTable refuses with
+guidance. Export state (last published table version) lives in
+``.hoodie/.export-state.json``, a writer-private dotfile every reader
+ignores.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from .hudi import HOODIE_DIR
+
+__all__ = ["export_hudi"]
+
+_STATE_FILE = ".export-state.json"
+
+
+def _instant(version: int) -> str:
+    return f"{version:014d}"
+
+
+def export_hudi(table, dest: str) -> str:
+    """Export ``table``'s current snapshot to ``dest`` as a COW Hudi
+    table (see module docstring). Incremental: buckets unchanged since
+    the last export are not rewritten; a no-change export is a no-op.
+    Returns the commit instant of the published (or already-current)
+    state."""
+    if not table.bucket_key:
+        raise ValueError(
+            "export_hudi needs a bucketed SnapshotTable: the bucket key "
+            "becomes the Hudi record key (Hudi has no keyless tables) "
+            "and the bucket is the rewrite unit"
+        )
+    spark = table.spark
+    table._refresh()
+    version = table.version
+    inst = _instant(version)
+    hdir = os.path.join(dest, HOODIE_DIR)
+    state_path = os.path.join(hdir, _STATE_FILE)
+    prev_version = None
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            st = json.load(f)
+        prev_version = int(st["table_version"])
+        if prev_version == version:
+            return _instant(prev_version)  # nothing new to publish
+    os.makedirs(hdir, exist_ok=True)
+    props = os.path.join(hdir, "hoodie.properties")
+    if not os.path.exists(props):
+        with open(props, "w") as f:
+            f.write(
+                f"hoodie.table.name={os.path.basename(dest.rstrip(os.sep))}\n"
+                "hoodie.table.type=COPY_ON_WRITE\n"
+                "hoodie.table.recordkey.fields="
+                + ",".join(table.bucket_key) + "\n"
+            )
+
+    # buckets to rewrite: all on first export, else the buckets of
+    # files the table added or removed since the published version
+    if prev_version is None:
+        touched = set(range(table.num_buckets))
+    else:
+        old_live = table._state_at(prev_version)
+        new_live = table._live
+        touched = {
+            a.bucket
+            for p in set(old_live) ^ set(new_live)
+            for a in (old_live.get(p) or new_live.get(p),)
+            if a is not None and a.bucket is not None
+        }
+        if not touched:
+            # version moved without row changes (compact/zorder):
+            # publish nothing new, just advance the marker
+            with open(state_path, "w") as f:
+                json.dump({"table_version": version, "instant": inst}, f)
+            return inst
+
+    data_cols = [f.name for f in table.schema.fields]
+    key_expr = F.concat_ws(
+        ":", *[F.col(c).cast("string") for c in table.bucket_key]
+    )
+    hash_expr = F.md5(F.to_json(F.struct(*data_cols)))
+    cur = table.read().withColumn("__b", table._bucket_expr())
+
+    # previous export's per-row commit times, for carry-forward
+    prev_ct = None
+    if prev_version is not None:
+        from .hudi import read_hudi
+
+        prev_ct = (
+            read_hudi(spark, dest, keep_meta=True)
+            .select(
+                F.col("_hoodie_record_key").alias("__k"),
+                F.col("_hoodie_commit_time").alias("__old_ct"),
+                F.md5(F.to_json(F.struct(*data_cols))).alias("__h"),
+            )
+            # one entry per (key, content): exact-duplicate rows
+            # collapse, so the carry-forward join can never fan out
+            .groupBy("__k", "__h")
+            .agg(F.min("__old_ct").alias("__old_ct"))
+        )
+
+    for b in sorted(touched):
+        fid = f"b{b:04d}"
+        fname = f"{fid}_0-1-0_{inst}.parquet"
+        rows = (
+            cur.filter(F.col("__b") == b)
+            .drop("__b")
+            .withColumn("__k", key_expr)
+            .withColumn("__h", hash_expr)
+        )
+        if prev_ct is not None:
+            rows = rows.join(prev_ct, ["__k", "__h"], "left").withColumn(
+                "__ct", F.coalesce(F.col("__old_ct"), F.lit(inst))
+            )
+        else:
+            rows = rows.withColumn("__ct", F.lit(inst))
+        out = rows.select(
+            F.col("__ct").alias("_hoodie_commit_time"),
+            F.concat_ws(
+                "_", F.col("__ct"), F.lit(str(b)),
+                F.col("__k"),
+            ).alias("_hoodie_commit_seqno"),
+            F.col("__k").alias("_hoodie_record_key"),
+            F.lit("").alias("_hoodie_partition_path"),
+            F.lit(fname).alias("_hoodie_file_name"),
+            *data_cols,
+        )
+        stage = os.path.join(dest, f".stage-{fid}-{inst}")
+        out.coalesce(1).write.parquet(stage, mode="overwrite")
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(dest, fname))
+        shutil.rmtree(stage)
+
+    # completed-instant marker with write stats (readers gate on the
+    # file's presence; the stats body is the writer-shaped content)
+    stats = [
+        {"fileId": f"b{b:04d}", "path": f"b{b:04d}_0-1-0_{inst}.parquet"}
+        for b in sorted(touched)
+    ]
+    tmp = os.path.join(hdir, f".{inst}.commit.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"partitionToWriteStats": {"": stats}}, f)
+    os.replace(tmp, os.path.join(hdir, f"{inst}.commit"))
+    with open(state_path, "w") as f:
+        json.dump({"table_version": version, "instant": inst}, f)
+    return inst

@@ -36,7 +36,7 @@ def test_first_50_entries_cover_every_family():
     # round-9 rotation: every entry whose code changed this round leads
     # the prefix (the union already covers all prior entries)
     for must in ("s37_iceberg_v3_dv", "s38_iceberg_schema_evolution",
-                 "s39_delta_type_widening",
+                 "s39_delta_type_widening", "s40_hudi_export",
                  "s34_hudi_event_time_merge",
                  "s35_hudi_col_stats_skip", "s36_hudi_bloom_lookup",
                  "s29_hudi_mor_delete", "s30_iceberg_files_meta",

@@ -1,0 +1,135 @@
+"""export_hudi (sources/hudi_export.py): SnapshotTable -> real COW
+Hudi table — roundtrip, per-row commit-time carry-forward across
+incremental exports, bucket-level rewrite granularity, deletes, the
+no-op fast path, and the streaming/incremental consumers."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+    hudi_commits,
+    read_hudi,
+    read_hudi_incremental,
+)
+from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import export_hudi
+from predicting_hospital_readmission_using_mimic_database_spark.sources.table import SnapshotTable
+
+
+@pytest.fixture
+def exported(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    dest = str(tmp_path / "hudi")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, v double", bucket_key=["k"], num_buckets=4
+    )
+    t.append(
+        spark.range(40).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+    )
+    inst1 = export_hudi(t, dest)
+    return t, dest, inst1
+
+
+def test_roundtrip_and_layout(spark, exported):
+    t, dest, inst1 = exported
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert got == {(i, float(i)) for i in range(40)}
+    # one file group per bucket, named per the Hudi convention
+    files = sorted(
+        f for f in os.listdir(dest) if f.endswith(".parquet")
+    )
+    assert files == [f"b{b:04d}_0-1-0_{inst1}.parquet" for b in range(4)]
+    assert hudi_commits(dest) == [inst1]
+    with open(os.path.join(dest, ".hoodie", "hoodie.properties")) as f:
+        props = f.read()
+    assert "hoodie.table.type=COPY_ON_WRITE" in props
+    assert "hoodie.table.recordkey.fields=k" in props
+    # record keys and partition path are writer-shaped
+    meta = read_hudi(spark, dest, keep_meta=True)
+    r = meta.filter(F.col("k") == 7).collect()[0]
+    assert r["_hoodie_record_key"] == "7"
+    assert r["_hoodie_partition_path"] == ""
+    assert r["_hoodie_commit_time"] == inst1
+    # re-export with no table change: no-op, same instant
+    assert export_hudi(t, dest) == inst1
+    assert hudi_commits(dest) == [inst1]
+
+
+def test_incremental_export_carries_commit_times(spark, exported):
+    t, dest, inst1 = exported
+    upd = spark.createDataFrame([(3, -3.0), (600, 1.0)], "k bigint, v double")
+    t.merge(upd)
+    inst2 = export_hudi(t, dest)
+    assert inst2 > inst1
+    # snapshot correct
+    cur = {r["k"]: r["v"] for r in read_hudi(spark, dest).collect()}
+    assert cur[3] == -3.0 and cur[600] == 1.0 and len(cur) == 41
+    # true net changes only: carried-forward rows keep inst1, so the
+    # incremental query emits exactly the merge's rows
+    inc = {
+        (r["k"], r["v"])
+        for r in read_hudi_incremental(spark, dest, begin=inst1).collect()
+    }
+    assert inc == {(3, -3.0), (600, 1.0)}
+    # untouched buckets were not rewritten
+    rewritten = {
+        f for f in os.listdir(dest) if f.endswith(f"_{inst2}.parquet")
+    }
+    untouched = {
+        f for f in os.listdir(dest) if f.endswith(f"_{inst1}.parquet")
+    }
+    assert rewritten and untouched
+    touched_groups = {f.split("_")[0] for f in rewritten}
+    assert touched_groups < {f"b{b:04d}" for b in range(4)}
+    # time travel to the first export still sees the original state
+    old = {r["k"]: r["v"] for r in read_hudi(spark, dest, as_of=inst1).collect()}
+    assert old[3] == 3.0 and 600 not in old
+
+
+def test_delete_disappears_without_markers(spark, exported):
+    t, dest, inst1 = exported
+    t.delete(F.col("k") == 5)
+    inst2 = export_hudi(t, dest)
+    assert 5 not in {r["k"] for r in read_hudi(spark, dest).collect()}
+    # COW incremental carries no delete markers; the deleted row's
+    # bucket was rewritten but its surviving rows kept inst1
+    inc = read_hudi_incremental(spark, dest, begin=inst1)
+    assert inc.count() == 0
+    assert read_hudi(spark, dest).count() == 39
+    assert inst2 in hudi_commits(dest)
+
+
+def test_stream_consumes_exported_table(spark, exported, tmp_path):
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_stream import (
+        register_hudi_stream,
+    )
+
+    t, dest, inst1 = exported
+    t.merge(spark.createDataFrame([(700, 7.0)], "k bigint, v double"))
+    export_hudi(t, dest)
+    register_hudi_stream(spark)
+    got = []
+
+    def sink(df, _bid):
+        got.extend((r["k"], r["v"], r["_commit_instant"]) for r in df.collect())
+
+    q = (
+        spark.readStream.format("hudi_stream").option("path", dest)
+        .option("startingInstant", inst1).load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert [(k, v) for k, v, _ in got] == [(700, 7.0)]
+
+
+def test_unbucketed_table_refuses(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "nb"), "k bigint, v double")
+    t.append(spark.range(3).select(F.col("id").alias("k"),
+                                   (F.col("id") * 1.0).alias("v")))
+    with pytest.raises(ValueError, match="record key"):
+        export_hudi(t, str(tmp_path / "out"))

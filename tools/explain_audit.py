@@ -139,6 +139,7 @@ AUDIT = [
     "s37_iceberg_v3_dv",  # puffin DV executor decode + (file,pos) anti-join
     "s38_iceberg_schema_evolution",  # per-vintage scans unioned by field id
     "s39_delta_type_widening",  # single scan, native narrow-type upcast
+    "s40_hudi_export",  # export roundtrip read: one scan over file groups
 ]
 
 
