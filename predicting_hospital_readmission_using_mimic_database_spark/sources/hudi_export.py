@@ -15,7 +15,10 @@ group — the same unit a real COW writer rewrites). Layout written:
   byte-identical to the previous export keeps its original instant, a
   changed/new row is stamped with the new one — exactly what a real
   COW upsert produces, so ``read_hudi_incremental`` /
-  ``hudi_stream`` emit true net changes, never a full-table re-stamp;
+  ``hudi_stream`` emit true net changes, never a full-table re-stamp
+  (the carry-forward join reads ONLY each touched group's previous
+  base file, so incremental cost scales with the touched buckets'
+  rows, never the table);
 * untouched buckets keep their existing base files (incremental
   queries prune them at the file-group level);
 * a ``.hoodie/{instant}.commit`` completed-instant marker with
@@ -109,26 +112,34 @@ def export_hudi(table, dest: str) -> str:
     key_expr = F.concat_ws(
         ":", *[F.col(c).cast("string") for c in table.bucket_key]
     )
-    hash_expr = F.md5(F.to_json(F.struct(*data_cols)))
+
+    def _row_hash(df):
+        # null-fill columns the frame lacks (a merge_schema append adds
+        # columns; older export slices don't carry them — to_json omits
+        # null fields, so a null-filled old row hashes equal to a new
+        # row whose added column is null, and restamps otherwise)
+        have = set(df.columns)
+        parts = [
+            (
+                F.col(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in table.schema.fields
+        ]
+        return F.md5(F.to_json(F.struct(*parts)))
+
     cur = table.read().withColumn("__b", table._bucket_expr())
 
-    # previous export's per-row commit times, for carry-forward
-    prev_ct = None
+    # previous export's file slices, for per-row commit-time
+    # carry-forward: each touched group reads ONLY its own previous
+    # base file — never a scan of the whole prior export (at scale the
+    # incremental cost is the touched buckets' rows, not the table)
+    prev_slices = None
     if prev_version is not None:
-        from .hudi import read_hudi
+        from .hudi import _latest_slices
 
-        prev_ct = (
-            read_hudi(spark, dest, keep_meta=True)
-            .select(
-                F.col("_hoodie_record_key").alias("__k"),
-                F.col("_hoodie_commit_time").alias("__old_ct"),
-                F.md5(F.to_json(F.struct(*data_cols))).alias("__h"),
-            )
-            # one entry per (key, content): exact-duplicate rows
-            # collapse, so the carry-forward join can never fan out
-            .groupBy("__k", "__h")
-            .agg(F.min("__old_ct").alias("__old_ct"))
-        )
+        prev_slices = _latest_slices(dest, None, None)
 
     for b in sorted(touched):
         fid = f"b{b:04d}"
@@ -137,8 +148,26 @@ def export_hudi(table, dest: str) -> str:
             cur.filter(F.col("__b") == b)
             .drop("__b")
             .withColumn("__k", key_expr)
-            .withColumn("__h", hash_expr)
         )
+        rows = rows.withColumn("__h", _row_hash(rows))
+        prev_ct = None
+        if prev_slices is not None:
+            paths = [
+                p for (_part, g), (_i, p) in prev_slices.items() if g == fid
+            ]
+            if paths:
+                old = spark.read.parquet(*paths)
+                prev_ct = (
+                    old.select(
+                        F.col("_hoodie_record_key").alias("__k"),
+                        F.col("_hoodie_commit_time").alias("__old_ct"),
+                        _row_hash(old).alias("__h"),
+                    )
+                    # one entry per (key, content): exact-duplicate
+                    # rows collapse, so the join can never fan out
+                    .groupBy("__k", "__h")
+                    .agg(F.min("__old_ct").alias("__old_ct"))
+                )
         if prev_ct is not None:
             rows = rows.join(prev_ct, ["__k", "__h"], "left").withColumn(
                 "__ct", F.coalesce(F.col("__old_ct"), F.lit(inst))

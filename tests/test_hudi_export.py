@@ -133,3 +133,27 @@ def test_unbucketed_table_refuses(spark, tmp_path):
                                    (F.col("id") * 1.0).alias("v")))
     with pytest.raises(ValueError, match="record key"):
         export_hudi(t, str(tmp_path / "out"))
+
+
+def test_schema_evolution_export_roundtrip(spark, exported):
+    """A merge_schema append adds a column: the next export rewrites
+    touched buckets under the WIDENED schema, untouched buckets keep
+    their old-schema files, and the read null-fills them — with
+    carry-forward still exact (old rows hash equal to new rows whose
+    added column is null, so only the appended rows are restamped)."""
+    t, dest, inst1 = exported
+    t.append(
+        spark.createDataFrame([(900, 9.0, "tagged")],
+                              "k bigint, v double, tag string"),
+        merge_schema=True,
+    )
+    inst2 = export_hudi(t, dest)
+    cur = read_hudi(spark, dest)
+    assert cur.columns == ["k", "v", "tag"]
+    rows = {(r["k"], r["v"], r["tag"]) for r in cur.collect()}
+    assert (900, 9.0, "tagged") in rows
+    assert (0, 0.0, None) in rows and len(rows) == 41
+    # only the appended row landed in the incremental window
+    inc = read_hudi_incremental(spark, dest, begin=inst1).collect()
+    assert [(r["k"], r["v"], r["tag"]) for r in inc] == [(900, 9.0, "tagged")]
+    assert inst2 in hudi_commits(dest)
