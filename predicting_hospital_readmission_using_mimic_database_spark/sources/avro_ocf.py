@@ -206,11 +206,15 @@ def _encode(schema, value, out: bytearray, names: dict) -> None:
             for i, b in enumerate(schema)
             if _union_accepts(b, value, names, strict=False)
         ]
-        if not matched:
-            # fall back to the first non-null branch (multi-branch
-            # unions of named/nested types resolve structurally)
+        if not matched and isinstance(value, (dict, list, tuple)):
+            # structural fallback ONLY for container values aimed at a
+            # record/map/array branch (named nested types that the type
+            # check could not resolve); a SCALAR no branch accepts is a
+            # caller bug — serializing it under an arbitrary branch tag
+            # would be latent corruption, so it raises below instead
+            want = ("record", "map") if isinstance(value, dict) else ("array",)
             matched = [
-                (i, b) for i, b in enumerate(schema) if _bt(b) != "null"
+                (i, b) for i, b in enumerate(schema) if _bt(b) in want
             ]
         if not matched:
             raise ValueError(f"avro: no union branch for {value!r} in {schema}")

@@ -302,8 +302,22 @@ def _metadata_table_listing(root: str) -> dict[str, list[str]] | None:
     committed AVRO log blocks and base parquet rows fold in commit
     order — per partition key, each record's ``filesystemMetadata``
     updates file entries (latest wins, ``isDeleted`` removes), the
-    exact HoodieMetadataPayload combine. DELETE blocks in the metadata
-    table raise (never silently lose listing updates)."""
+    exact HoodieMetadataPayload combine.
+
+    The listing is trusted ONLY when it can answer correctly;
+    otherwise ``None`` sends the caller to the authoritative walk:
+
+    - STALENESS: the metadata table's newest completed instant must be
+      at or after the data timeline's newest completed instant (a
+      writer syncs the MDT with every commit; this layer's
+      :func:`write_metadata_table_files` stamps the data table's
+      latest instant). Data commits newer than the last sync would be
+      invisible to the listing — fall back rather than drop them.
+    - CONTENT this reader cannot fold: HFile base files / log blocks
+      (real Hudi's default MDT file format since 0.11), key-level
+      DELETE blocks, or a files partition that folds to zero entries.
+      The walk reads such tables fine; the MDT is an optimization, so
+      degrade to correct-but-slower instead of raising."""
     from . import hudi_log as HL
 
     mdt = os.path.join(root, HOODIE_DIR, "metadata")
@@ -313,6 +327,9 @@ def _metadata_table_listing(root: str) -> dict[str, list[str]] | None:
     if not os.path.isdir(files_dir):
         return None
     done = _completed_commits(mdt, allow_delta=True)
+    data_done = _completed_commits(root, allow_delta=True)
+    if data_done and (not done or max(done) < max(data_done)):
+        return None  # MDT not synced past the newest data commit: stale
     groups: dict[str, tuple[str, str]] = {}
     logsf: dict[str, list[tuple[str, int, str]]] = {}
     for name in os.listdir(files_dir):
@@ -331,6 +348,8 @@ def _metadata_table_listing(root: str) -> dict[str, list[str]] | None:
             continue
         if fid not in groups or instant > groups[fid][0]:
             groups[fid] = (instant, os.path.join(files_dir, name))
+    if not groups and not logsf:
+        return None  # files partition holds no readable slices: walk
     # events in commit order: (instant, source ordinal, block, record)
     events: list[tuple[str, int, int, int, dict]] = []
     for gi, fid in enumerate(sorted(set(groups) | set(logsf))):
@@ -339,26 +358,25 @@ def _metadata_table_listing(root: str) -> dict[str, list[str]] | None:
         if base is not None:
             base_instant, bpath = base
             lfs = [l for l in lfs if l[0] == base_instant]
+            if not bpath.endswith(".parquet"):
+                return None  # HFile/ORC base file: this reader can't fold it
             import pyarrow.parquet as pq
 
             for ri, rec in enumerate(pq.read_table(bpath).to_pylist()):
                 events.append((base_instant, -1, -1, ri, rec))
         for li, (_bi, _ver, lp) in enumerate(lfs):
-            for bi, blk in enumerate(HL.read_log_blocks(lp)):
+            try:
+                blocks = list(HL.read_log_blocks(lp))
+            except Exception:
+                return None  # unreadable log (HFile blocks, corruption)
+            for bi, blk in enumerate(blocks):
                 inst = blk["instant"]
                 if inst is None or inst not in done:
                     continue
-                if blk["type"] == HL.DELETE_BLOCK:
-                    raise HudiProtocolError(
-                        f"metadata table log {os.path.basename(lp)} "
-                        "contains a DELETE block; key-level metadata "
-                        "deletes are not supported by this listing reader"
-                    )
                 if blk["type"] != HL.AVRO_DATA_BLOCK:
-                    raise HudiProtocolError(
-                        f"metadata table log {os.path.basename(lp)}: "
-                        f"unsupported block type {blk['type']}"
-                    )
+                    # DELETE (key-level metadata deletes) or HFile data
+                    # blocks: not foldable here — the walk still is
+                    return None
                 for ri, rec in enumerate(blk["records"]):
                     events.append((inst, li, bi, ri, rec))
     state: dict[str, dict[str, dict]] = {}
@@ -375,7 +393,7 @@ def _metadata_table_listing(root: str) -> dict[str, list[str]] | None:
     return {
         part: sorted(f for f, info in slot.items() if not info.get("isDeleted"))
         for part, slot in state.items()
-    }
+    } or None
 
 
 def write_metadata_table_files(root: str) -> str:
@@ -820,31 +838,48 @@ def _metadata_bloom_filters(root: str) -> dict[str, object] | None:
     records = _fold_metadata_partition(root, "bloom_filters")
     if records is None:
         return None
-    state: dict[str, object] = {}
+    state: dict[tuple[str, str], object] = {}
     for rec in records:
         bm = rec.get("BloomFilterMetadata")
         if not bm:
             continue
-        fname = rec["key"].rsplit(",", 1)[-1]
+        # key = "partition,fileName": fold per (partition, file) — two
+        # partitions can hold the same fileId+instant base file name,
+        # and colliding them would consult the wrong filter
+        part, _, fname = rec["key"].rpartition(",")
+        slot = (os.path.normpath(part) if part else ".", fname)
         if bm.get("isDeleted"):
-            state.pop(fname, None)
+            state.pop(slot, None)
             continue
         if bm.get("type") != "SIMPLE":
             raise HudiProtocolError(
                 f"bloom filter type {bm.get('type')!r}: only SIMPLE "
                 "(Hadoop Writable) is supported"
             )
-        state[fname] = HadoopBloomFilter.deserialize(bm["bloomFilter"])
+        state[slot] = HadoopBloomFilter.deserialize(bm["bloomFilter"])
     return state or None
+
+
+def _part_and_name(root: str, path: str) -> tuple[str, str]:
+    """A base file path -> its ``(partition dir, file name)`` pair, the
+    key both metadata-index folds use (root-partition files key as
+    ``"."``, matching the writers' normpath convention)."""
+    return (
+        os.path.normpath(os.path.relpath(os.path.dirname(path), root)),
+        os.path.basename(path),
+    )
 
 
 def _bloom_prune(root: str, record_keys, candidates: dict, name_of) -> dict:
     """Drop candidate file groups whose bloom filter definitively
     excludes EVERY sought record key — the bloom-index point-lookup
-    prune, decided from KBs of driver-side metadata. Conservative: no
-    bloom_filters partition or a file without a filter keeps the
-    file; bloom false positives only ever keep extra files (never
-    lose a row)."""
+    prune, decided from KBs of driver-side metadata.
+    ``name_of(entry)`` maps a candidate value to its
+    ``(partition, base file name)`` pair — the fold key, so same-named
+    files in different partitions never consult each other's filter.
+    Conservative: no bloom_filters partition or a file without a
+    filter keeps the file; bloom false positives only ever keep extra
+    files (never lose a row)."""
     blooms = _metadata_bloom_filters(root)
     if blooms is None:
         return candidates
@@ -859,9 +894,12 @@ def _bloom_prune(root: str, record_keys, candidates: dict, name_of) -> dict:
     return {k: v for k, v in candidates.items() if may_contain(v)}
 
 
-def _metadata_column_stats(root: str) -> dict[str, dict[str, dict]] | None:
+def _metadata_column_stats(
+    root: str,
+) -> dict[tuple[str, str], dict[str, dict]] | None:
     """Read the metadata table's COLUMN_STATS partition back:
-    ``{base file name: {column: {"min": v, "max": v, "nulls": n}}}``
+    ``{(partition, base file name):
+    {column: {"min": v, "max": v, "nulls": n}}}``
     with wrapper values UNWRAPPED to plain comparables, or None when
     the table publishes no column stats (skipping then keeps every
     file). Same driver-side log-fold as the files partition — KB–MB of
@@ -871,12 +909,18 @@ def _metadata_column_stats(root: str) -> dict[str, dict[str, dict]] | None:
     records = _fold_metadata_partition(root, "column_stats")
     if records is None:
         return None
-    state: dict[str, dict[str, dict]] = {}
+    state: dict[tuple[str, str], dict[str, dict]] = {}
     for rec in records:
         cs = rec.get("ColumnStatsMetadata")
         if not cs:
             continue
-        per_file = state.setdefault(cs["fileName"], {})
+        # key = "partition,column,fileName": fold per (partition, file)
+        # — the payload's fileName alone is not unique across
+        # partitions, and colliding would prune from the wrong bounds
+        part = rec["key"].rsplit(",", 2)[0] if rec["key"].count(",") >= 2 else ""
+        per_file = state.setdefault(
+            (os.path.normpath(part) if part else ".", cs["fileName"]), {}
+        )
         if cs.get("isDeleted"):
             per_file.pop(cs["columnName"], None)
             continue
@@ -900,7 +944,9 @@ def _col_stats_prune(
     provably exclude every row matching the conjunctive ``predicates``
     (``[(column, op, value), ...]``, op in SKIP_OPS) — Hudi
     column-stats data skipping, decided entirely from KBs of metadata.
-    ``name_of(entry)`` maps a candidate value to its base file name.
+    ``name_of(entry)`` maps a candidate value to its
+    ``(partition, base file name)`` pair (the fold key; the name alone
+    is not unique across partitions).
     CONSERVATIVE throughout: no column_stats partition, a file without
     records, a column without bounds, or an incomparable value type all
     keep the file. Date/timestamp bounds are stored as epoch days/micros
@@ -1256,12 +1302,12 @@ def _read_mor(
                 root,
                 predicates,
                 kept,
-                lambda b: os.path.basename(b[1]),
+                lambda b: _part_and_name(root, b[1]),
                 newest_file,
             )
         if record_keys:
             kept = _bloom_prune(
-                root, record_keys, kept, lambda b: os.path.basename(b[1])
+                root, record_keys, kept, lambda b: _part_and_name(root, b[1])
             )
         for k in set(logfree) - set(kept):
             groups.pop(k)
@@ -1279,7 +1325,8 @@ def _read_mor(
             if not keep_meta:
                 out = out.drop(*[c for c in META_COLS if c in out.columns])
             return out
-    done = _completed_commits(root, allow_delta=True)
+    done_all = _completed_commits(root, allow_delta=True)
+    done = done_all
     if as_of is not None:
         done = {c for c in done if c <= str(as_of)}
     key_of: dict[str, tuple] = {}
@@ -1301,6 +1348,11 @@ def _read_mor(
         k: b[0] for k, b in base_of.items()
     }
     first_schema_json: str | None = None
+    # schema of ANY committed avro block on the full timeline (not the
+    # as_of window) — lets an incremental query over a log-only table
+    # whose blocks all fall outside the window answer with an EMPTY
+    # frame of the right shape instead of raising
+    fallback_schema_json: str | None = None
     for _bi, _ver, p in selected:
         idxs = []
         for bi, h in enumerate(HL.scan_block_headers(p)):
@@ -1309,6 +1361,12 @@ def _read_mor(
                 raise HL.HudiLogCorruptError(
                     f"{p}: log block without INSTANT_TIME header"
                 )
+            if (
+                fallback_schema_json is None
+                and inst in done_all
+                and h["type"] == HL.AVRO_DATA_BLOCK
+            ):
+                fallback_schema_json = h["header"].get(HL.H_SCHEMA)
             if inst not in done:
                 # pending / pruned-by-replay / time-traveled past:
                 # invisible whatever the block type (snapshot isolation)
@@ -1373,6 +1431,11 @@ def _read_mor(
     plain_bases = sorted(
         b[1] for k, b in base_of.items() if k in sel and k not in logged_keys
     )
+    if newer_than is not None and not groups and first_schema_json is None:
+        # incremental window selected nothing on a log-only table: an
+        # empty result, not an error — shape the frame from any
+        # committed block's schema (captured above, outside the window)
+        first_schema_json = fallback_schema_json
     if (
         not merged_bases and not plain_bases and not valid
         and newer_than is None
@@ -1649,11 +1712,12 @@ def read_hudi(
     )
     if predicates:
         groups = _col_stats_prune(
-            root, predicates, groups, lambda v: os.path.basename(v[1]), newest
+            root, predicates, groups,
+            lambda v: _part_and_name(root, v[1]), newest,
         )
     if record_keys:
         groups = _bloom_prune(
-            root, record_keys, groups, lambda v: os.path.basename(v[1])
+            root, record_keys, groups, lambda v: _part_and_name(root, v[1])
         )
     if not groups:
         out = spark.createDataFrame([], schema)

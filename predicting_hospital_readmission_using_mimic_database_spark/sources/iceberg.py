@@ -84,6 +84,16 @@ MANIFEST_ENTRY_SCHEMA = {
     "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"]},
+        # spec fields 3/4: null = inherit from the manifest-list record,
+        # which the v2 spec grants only to ADDED (status-1) entries —
+        # EXISTING/DELETED entries carried into a rewritten manifest
+        # must stamp their original data sequence explicitly
+        {"name": "sequence_number", "type": ["null", "long"], "default": None},
+        {
+            "name": "file_sequence_number",
+            "type": ["null", "long"],
+            "default": None,
+        },
         {
             "name": "data_file",
             "type": {
@@ -518,17 +528,35 @@ def export_iceberg(table) -> int:
                 continue
             # rewrite ONLY this manifest: survivors as status-0
             # existing entries (their original snapshot), removed files
-            # as status-2 tombstones stamped with the new snapshot
+            # as status-2 tombstones stamped with the new snapshot.
+            # Both carry an EXPLICIT sequence number — the entry's own
+            # when present, else the carried manifest's — because
+            # manifest-list inheritance only applies to ADDED entries
+            # (v2 spec), and a foreign reader of a bare status-0 entry
+            # would otherwise see no data sequence at all.
+            mseq = mrec.get("sequence_number")
+
+            def _stamped(e: dict, **over) -> dict:
+                seq = e.get("sequence_number")
+                seq = mseq if seq is None else seq
+                fseq = e.get("file_sequence_number")
+                return {
+                    **e,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq if fseq is None else fseq,
+                    **over,
+                }
+
             rewritten = os.path.join(mdir, f"manifest-{sid}-rw{mi}.avro")
             write_avro(
                 rewritten,
                 MANIFEST_ENTRY_SCHEMA,
                 [
-                    {**e, "status": 0}
+                    _stamped(e, status=0)
                     for e in live_entries
                     if e["data_file"]["file_path"] in live_paths
                 ]
-                + [{**e, "status": 2, "snapshot_id": sid} for e in dead],
+                + [_stamped(e, status=2, snapshot_id=sid) for e in dead],
             )
             carried.append(
                 {

@@ -128,14 +128,40 @@ def test_no_bloom_partition_is_conservative(spark, tmp_path):
     assert len(df.inputFiles()) == 1  # no filters -> keep everything
 
 
+def test_same_file_name_across_partitions_no_collision(spark, tmp_path):
+    """Two partitions holding the SAME base file name keep separate
+    bloom filters — a name-keyed fold would consult the wrong filter
+    and prune a file that contains the sought key."""
+    root = str(tmp_path / "dup")
+    _mk_table(root)
+    _write_base(root, "a", "f1", range(10))
+    _write_base(root, "b", "f1", range(1000, 1010))
+    open(os.path.join(root, ".hoodie", "00000000000001.commit"), "w").close()
+    write_metadata_table_bloom_filters(root)
+    fname = "f1_0-0-0_00000000000001.parquet"
+    blooms = _metadata_bloom_filters(root)
+    assert ("a", fname) in blooms and ("b", fname) in blooms
+    # whichever fold order, each partition's keys stay findable
+    # (file-level prune: the kept file returns all its rows)
+    assert 1005 in {
+        r["k"] for r in read_hudi(spark, root, record_keys=[1005]).collect()
+    }
+    assert 5 in {
+        r["k"] for r in read_hudi(spark, root, record_keys=[5]).collect()
+    }
+
+
 def test_metadata_fold_latest_wins(cow_root):
+    # state keys are (partition, file name) pairs — the record key's
+    # partition component is preserved, not discarded
     blooms = _metadata_bloom_filters(cow_root)
-    assert set(b.split("_")[0] for b in blooms) == {"f1", "f2", "f3"}
+    assert set(n.split("_")[0] for _p, n in blooms) == {"f1", "f2", "f3"}
+    assert set(p for p, _n in blooms) == {"a", "b"}
     # rewrite refreshes the filters; the new log block's records win
     _write_base(cow_root, "a", "f1", range(200, 230))
     write_metadata_table_bloom_filters(cow_root)
     blooms2 = _metadata_bloom_filters(cow_root)
-    f1 = [b for b in blooms2 if b.startswith("f1_")]
+    f1 = [key for key in blooms2 if key[1].startswith("f1_")]
     assert len(f1) == 1
     assert blooms2[f1[0]].might_contain(b"210")
 

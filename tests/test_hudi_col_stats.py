@@ -70,11 +70,37 @@ def _files(df):
 
 def test_stats_harvest_roundtrip(cow_root):
     st = _metadata_column_stats(cow_root)
-    f1 = st["f1_0-0-0_00000000000001.parquet"]
+    # keys are (partition, file name) pairs
+    f1 = st[("a", "f1_0-0-0_00000000000001.parquet")]
     assert f1["k"] == {"min": 1, "max": 3, "nulls": 0}
     assert f1["v"] == {"min": 1.0, "max": 3.0, "nulls": 0}
     # meta columns are never indexed
     assert "_hoodie_record_key" not in f1
+
+
+def test_same_file_name_across_partitions_no_collision(spark, tmp_path):
+    """Two partitions holding the SAME base file name (same fileId +
+    instant) keep separate stats entries — a name-keyed fold would
+    consult one partition's bounds for the other and silently drop
+    rows (over-prune)."""
+    root = str(tmp_path / "dup")
+    _mk_table(root)
+    t1 = "00000000000001"
+    _write_base(root, "a", "f1", t1, {"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]})
+    _write_base(
+        root, "b", "f1", t1, {"k": [100, 200], "v": [5.0, 6.0]}
+    )
+    _commit(root, t1)
+    write_metadata_table_column_stats(root)
+    st = _metadata_column_stats(root)
+    fname = f"f1_0-0-0_{t1}.parquet"
+    assert st[("a", fname)]["k"]["max"] == 3
+    assert st[("b", fname)]["k"]["min"] == 100
+    # whichever fold order, both predicates keep their matching file
+    hi = read_hudi(spark, root, predicates=[("k", ">", 50)])
+    assert {r["k"] for r in hi.collect()} == {100, 200}
+    lo = read_hudi(spark, root, predicates=[("k", "<", 50)])
+    assert {r["k"] for r in lo.collect()} == {1, 2, 3}
 
 
 def test_predicate_prunes_files(spark, cow_root):

@@ -317,3 +317,56 @@ def test_metadata_table_listing_replaces_walk(spark, hudi_root, monkeypatch):
     )
     got2 = {(r["k"], r["v"]) for r in read_hudi(spark, hudi_root).collect()}
     assert {k for k, _v in got2} == {1, 2, 3}  # partition b gone
+
+
+def test_metadata_table_stale_falls_back_to_walk(spark, hudi_root):
+    """A data commit landing AFTER the metadata table's last sync must
+    not be invisible: the listing reports stale (None) and file
+    discovery walks — no silently dropped rows."""
+    import predicting_hospital_readmission_using_mimic_database_spark.sources.hudi as H
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        write_metadata_table_files,
+    )
+
+    write_metadata_table_files(hudi_root)
+    assert H._metadata_table_listing(hudi_root) is not None
+    _write_base(hudi_root, "c", "f9", "00000000000004", [(50, 5.0)])
+    _commit(hudi_root, "00000000000004")
+    assert H._metadata_table_listing(hudi_root) is None  # stale
+    got = {r["k"] for r in read_hudi(spark, hudi_root).collect()}
+    assert 50 in got
+    # re-sync restores the listing path, with the new file visible
+    write_metadata_table_files(hudi_root)
+    listing = H._metadata_table_listing(hudi_root)
+    assert listing is not None and "c" in listing
+
+
+def test_metadata_table_unfoldable_falls_back_to_walk(spark, hudi_root):
+    """A files partition this reader cannot fold (no parseable slices;
+    key-level DELETE blocks) degrades to the walk instead of raising or
+    trusting an empty listing."""
+    import predicting_hospital_readmission_using_mimic_database_spark.sources.hudi as H
+    from predicting_hospital_readmission_using_mimic_database_spark.sources import (
+        hudi_log as HL,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        write_metadata_table_files,
+    )
+
+    want = {r["k"] for r in read_hudi(spark, hudi_root).collect()}
+    mdt = write_metadata_table_files(hudi_root)
+    # no parseable slices: only an unrecognized file name in files/
+    lp = os.path.join(
+        mdt, "files", HL.log_file_name("files-0000", "00000000000000", 1)
+    )
+    unrec = os.path.join(mdt, "files", "not-a-slice.hfile")
+    os.rename(lp, unrec)
+    assert H._metadata_table_listing(hudi_root) is None
+    assert {r["k"] for r in read_hudi(spark, hudi_root).collect()} == want
+    os.rename(unrec, lp)
+    # a key-level DELETE block is not foldable here -> walk, not raise
+    HL.append_delete_block(
+        lp, "00000000000002", [{"recordKey": "x", "partitionPath": "a"}]
+    )
+    assert H._metadata_table_listing(hudi_root) is None
+    assert {r["k"] for r in read_hudi(spark, hudi_root).collect()} == want

@@ -182,6 +182,32 @@ def test_mor_log_only_group_and_schema(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in df.collect()} == {(7, 70.0), (8, 8.0)}
 
 
+def test_log_only_incremental_empty_window(spark, tmp_path):
+    """An incremental query over a LOG-ONLY table whose committed
+    blocks all fall outside the window answers with an EMPTY frame of
+    the right shape — no changes is a result, not an error."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi_incremental,
+    )
+
+    root = str(tmp_path / "loi")
+    _mk_table(root, ttype="MERGE_ON_READ")
+    l1 = os.path.join(root, "a", HL.log_file_name("g1", "00000000000005", 1))
+    HL.append_avro_block(
+        l1, "00000000000005", SCHEMA, [_rec("00000000000005", "a", 7, 7.0)]
+    )
+    _commit(root, "00000000000005", state="deltacommit")
+    # window entirely BEFORE the table's history
+    inc = read_hudi_incremental(
+        spark, root, begin="00000000000001", end="00000000000002"
+    )
+    assert inc.count() == 0
+    assert sorted(inc.columns) == ["k", "v"]
+    # window entirely AFTER the table's history
+    inc2 = read_hudi_incremental(spark, root, begin="00000000000009")
+    assert inc2.count() == 0 and sorted(inc2.columns) == ["k", "v"]
+
+
 def test_mor_unparseable_delete_payload_and_rollback_gates(spark, tmp_path):
     """A DELETE block whose payload is NOT the Avro record-list shape
     (a legacy kryo-serialized key array) must raise on read — deletes

@@ -1007,6 +1007,37 @@ def test_export_incremental_manifests(spark, tmp_path):
     )
     assert read_iceberg(spark, root, snapshot_id=1).count() == 4
     assert read_iceberg(spark, root, snapshot_id=2).count() == 6
+    # rewritten EXISTING/DELETED entries stamp their original data
+    # sequence EXPLICITLY — the v2 spec grants manifest-list sequence
+    # inheritance only to ADDED entries, so a foreign reader of a bare
+    # status-0 entry would otherwise see no sequence at all
+    saw_rewritten = 0
+    for m in m3:
+        _s, entries = read_avro(m["manifest_path"])
+        for e in entries:
+            if e.get("status") in (0, 2):
+                saw_rewritten += 1
+                assert e.get("sequence_number") is not None
+                assert e["sequence_number"] <= m["sequence_number"]
+    assert saw_rewritten >= 2
+
+
+def test_avro_union_scalar_without_branch_raises(tmp_path):
+    """A scalar value no union branch accepts must RAISE, not serialize
+    under an arbitrary branch tag (which would silently coerce, e.g.
+    the string "5" written as long 5)."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": ["null", "long"]}],
+    }
+    p = str(tmp_path / "u.avro")
+    with pytest.raises(ValueError, match="no union branch"):
+        write_avro(p, schema, [{"x": "5"}])
+    # well-typed values still round-trip
+    write_avro(p, schema, [{"x": 5}, {"x": None}])
+    _s, recs = read_avro(p)
+    assert recs == [{"x": 5}, {"x": None}]
 
 
 # ---------------------------------------------------------------------------
