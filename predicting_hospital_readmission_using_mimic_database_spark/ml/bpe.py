@@ -390,22 +390,38 @@ def bpe_train(
         return merges, out_vocab
     merges = []
     last_ckpt = 0
-    # Loop-scoped session tuning (restored on exit): every iteration is a
-    # FIXED-SHAPE micro-job — partial agg, one shuffle, TakeOrdered — so
-    # (a) AQE's per-stage re-planning only adds driver latency (there is
-    # nothing left to re-plan), and (b) shuffle partitions sized to the
-    # vocab frame's own partitioning beat the session default at both
-    # ends (1 reducer for a small vocab; the input's parallelism for a
-    # 10M-word vocab). Measured at sf0.1: ~2x per-iteration latency.
-    sess = df.sparkSession
-    _keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
-    saved = {k: sess.conf.get(k) for k in _keys}
+    # Loop-scoped session tuning in a CLONED session — newSession()
+    # shares the SparkContext, block manager, and global temp views
+    # but owns its SQLConf, so the overrides below are invisible to
+    # the caller's session (no set/restore window for concurrent
+    # queries on a shared session to observe). Why the overrides:
+    # every iteration is a FIXED-SHAPE micro-job — partial agg, one
+    # shuffle, TakeOrdered — so (a) AQE's per-stage re-planning only
+    # adds driver latency (there is nothing left to re-plan), and
+    # (b) shuffle partitions sized to the vocab frame's own
+    # partitioning beat the session default at both ends (1 reducer
+    # for a small vocab; the input's parallelism for a 10M-word
+    # vocab). Measured at sf0.1: ~2x per-iteration latency. The
+    # vocab frame crosses sessions via a global temp view (plan
+    # handoff, no data movement) and the result is handed back the
+    # same way, so callers only ever see their own session's frames.
+    import uuid
+
+    base_sess = df.sparkSession
+    sess = base_sess.newSession()
+    sess.conf.set(
+        "spark.sql.session.timeZone",
+        base_sess.conf.get("spark.sql.session.timeZone"),
+    )
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(1, vocab.rdd.getNumPartitions())),
+    )
+    handoff = f"bpe_vocab_{uuid.uuid4().hex}"
+    vocab.createOrReplaceGlobalTempView(handoff)
     try:
-        sess.conf.set("spark.sql.adaptive.enabled", "false")
-        sess.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(1, vocab.rdd.getNumPartitions())),
-        )
+        vocab = sess.table(f"global_temp.{handoff}")
         stats["regime"] = "distributed"
         while len(merges) < n_merges:
             rows = (
@@ -437,9 +453,17 @@ def bpe_train(
             if len(merges) - last_ckpt >= checkpoint_every:
                 vocab = vocab.localCheckpoint(eager=True)
                 last_ckpt = len(merges)
+        # hand the final vocab back to the CALLER's session: truncate
+        # lineage in the clone, publish through the same view, and
+        # eagerly checkpoint base-side so the returned frame no longer
+        # references the view (safe to drop) or the cloned session
+        vocab = vocab.localCheckpoint(eager=True)
+        vocab.createOrReplaceGlobalTempView(handoff)
+        vocab = base_sess.table(
+            f"global_temp.{handoff}"
+        ).localCheckpoint(eager=True)
     finally:
-        for k, v in saved.items():
-            sess.conf.set(k, v)
+        base_sess.catalog.dropGlobalTempView(handoff)
     sizes = [s for s in stats["batch_sizes"] if s]
     stats["mean_batch"] = round(sum(sizes) / len(sizes), 2) if sizes else 0.0
     return merges, vocab

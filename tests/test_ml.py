@@ -213,6 +213,48 @@ def test_bpe_train_matches_local_reference(spark):
     got_vocab.unpersist()
 
 
+def test_bpe_train_conf_scoped_to_cloned_session(spark):
+    """The distributed trainer's AQE / shuffle-partition overrides live
+    in a CLONED session: the caller's session conf is never written
+    (not even set-then-restored — concurrent queries on a shared
+    session must never observe the overrides), no global temp view
+    leaks, and the returned vocab belongs to the caller's session."""
+    from predicting_hospital_readmission_using_mimic_database_spark.ml.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "low lower lowest low"), (1, "new newer newest new")],
+        "id long, text string",
+    )
+    keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    before = {k: spark.conf.get(k) for k in keys}
+    orig_set = spark.conf.set
+    touched = []
+
+    def guard(key, value):
+        if key in keys:
+            touched.append(key)
+        return orig_set(key, value)
+
+    spark.conf.set = guard
+    try:
+        stats = {}
+        merges, vocab = bpe_train(
+            df, "text", n_merges=4, local_below=0, stats=stats
+        )
+    finally:
+        spark.conf.set = orig_set
+    assert stats["regime"] == "distributed" and len(merges) == 4
+    assert touched == []  # caller session conf never written
+    assert {k: spark.conf.get(k) for k in keys} == before
+    assert vocab.sparkSession is spark  # handed back to the caller
+    leftovers = [
+        t.name for t in spark.catalog.listTables("global_temp")
+        if t.name.startswith("bpe_vocab_")
+    ]
+    assert leftovers == []
+    vocab.unpersist()
+
+
 def test_bpe_batched_sequence_exact_vs_reference(spark):
     """Merge batching must be byte-identical to the sequential schedule
     — verified, not assumed: randomized corpora heavy in OVERLAPPING
