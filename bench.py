@@ -158,6 +158,7 @@ HEADLINE = [
     "s40_hudi_export",            # COW publish + carry-forward (r9)
     "st18_stream_hudi_mor",       # MOR streaming source (r9)
     "st19_stream_delta_idmap",    # id-mode mapping stream (r9)
+    "s41_iceberg_nested_evolution",  # struct-internal vintage scan (r10)
 ]
 
 

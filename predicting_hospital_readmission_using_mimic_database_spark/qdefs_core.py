@@ -4838,6 +4838,122 @@ def q_s38(spark, sf):
 
 
 @query(
+    "s41_iceberg_nested_evolution",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS balance_cents,
+           CAST(c_nationkey AS BIGINT) AS nation,
+           CAST(NULL AS VARCHAR) AS tier
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 6000000,
+           CAST(floor(c_acctbal * 100) AS BIGINT),
+           CAST(c_nationkey AS BIGINT),
+           'T1'
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def q_s41(spark, sf):
+    """S41 — Iceberg NESTED schema evolution read (sources/iceberg.py
+    ``_vintage_expr`` / ``_vintage_read_type``): the spec resolves
+    columns by field id at EVERY nesting level, so after struct-
+    internal evolution a name-based scan silently NULLs renamed
+    members. The fixture exports a table whose ``profile`` column is a
+    STRUCT (schema 0: ``profile struct<bal_c:int, nation:long>``,
+    nested ids 3/4), then commits a foreign-writer evolution INSIDE
+    the struct (schema 1: id 3 RENAMED bal_c -> balance_cents and
+    PROMOTED int -> long, id 4 kept, new id 5 ``tier string`` ADDED)
+    plus an append of files written under the new inner layout. The
+    read scans each vintage under its write-time NESTED names/types,
+    rebuilds the current struct member-by-member by id (rename
+    restored, promotion cast exactly, added member NULL-filled — all
+    JVM column expressions inside the scan's codegen span, no UDF),
+    and unions. The returned frame FLATTENS the struct so DuckDB can
+    recompute both vintages from base customer rows — a reader that
+    nulled the renamed inner member, mis-cast the inner promotion, or
+    resurrected the write-time member name breaks the row-level hash.
+    In-entry asserts pin that time travel to the pre-evolution
+    snapshot also serves the current NESTED schema with no NULL
+    balance_cents."""
+    import glob
+    import os
+    import shutil
+
+    from .sources.iceberg import (
+        commit_schema_evolution,
+        export_iceberg,
+        read_iceberg,
+    )
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.struct(
+            F.floor(F.col("c_acctbal") * 100).cast("int").alias("bal_c"),
+            F.col("c_nationkey").cast("long").alias("nation"),
+        ).alias("profile"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s41", sf),
+        "c_custkey bigint, profile struct<bal_c:int,nation:bigint>",
+        bucket_key=["c_custkey"],
+        num_buckets=8,
+    )
+    t.append(c)
+    assert export_iceberg(t) == 1
+    n_all = c.count()
+    # files a post-evolution writer appends: the NEW inner layout
+    new = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 6_000_000).alias("c_custkey"),
+        F.struct(
+            F.col("profile.bal_c").cast("long").alias("balance_cents"),
+            F.col("profile.nation").alias("nation"),
+            F.lit("T1").alias("tier"),
+        ).alias("profile"),
+    )
+    n_new = new.count()
+    stage = os.path.join(t.root, "evo.stage")
+    new.coalesce(1).write.parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    evo_file = os.path.join(t.root, "data-evo-0.parquet")
+    shutil.move(part, evo_file)
+    shutil.rmtree(stage)
+    commit_schema_evolution(
+        t.root,
+        [
+            {"id": 1, "name": "c_custkey", "type": "long"},
+            {"id": 2, "name": "profile", "type": {
+                "type": "struct",
+                "fields": [
+                    {"id": 3, "name": "balance_cents", "required": False,
+                     "type": "long"},
+                    {"id": 4, "name": "nation", "required": False,
+                     "type": "long"},
+                    {"id": 5, "name": "tier", "required": False,
+                     "type": "string"},
+                ],
+            }},
+        ],
+        added_files=[(evo_file, n_new)],
+    )
+    # spec read semantics: the pre-evolution snapshot serves the
+    # CURRENT nested schema — inner rename resolves by id, never NULL
+    old = read_iceberg(spark, t.root, snapshot_id=1)
+    assert old.schema["profile"].dataType.simpleString() == (
+        "struct<balance_cents:bigint,nation:bigint,tier:string>"
+    )
+    assert old.filter(F.col("profile.balance_cents").isNull()).count() == 0
+    assert old.count() == n_all
+    return read_iceberg(spark, t.root).select(
+        "c_custkey",
+        F.col("profile.balance_cents").alias("balance_cents"),
+        F.col("profile.nation").alias("nation"),
+        F.col("profile.tier").alias("tier"),
+    )
+
+
+@query(
     "s39_delta_type_widening",
     oracle="""
     SELECT c_custkey,

@@ -61,7 +61,9 @@ _LOADED = False
 # ROTATED off round 8's picks so sibling entries regain fresh driver
 # rows (tests/test_entry.py::test_first_50_entries_cover_every_family).
 PRIORITY: tuple[str, ...] = (
-    # (a) changed or new in round 9
+    # (a) changed or new in round 10
+    "s41_iceberg_nested_evolution",
+    # (a') changed or new in round 9
     "s37_iceberg_v3_dv",
     "s38_iceberg_schema_evolution",
     "s39_delta_type_widening",
@@ -94,7 +96,6 @@ PRIORITY: tuple[str, ...] = (
     "s21_delta_column_mapping",
     "s24_delta_v2_checkpoint",
     "s26_iceberg_transform_prune",
-    "t20_bpe_pair_counts",
     # (b) oldest-vintage stable representatives, family-complete,
     # rotated off the round-8 sentinel picks
     "flagship_readmit_30d",

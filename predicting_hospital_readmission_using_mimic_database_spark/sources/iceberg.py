@@ -451,6 +451,91 @@ def _iceberg_type(dt: T.DataType) -> object:
     raise IcebergProtocolError(f"export: unsupported spark type {dt}")
 
 
+def _max_field_id(fields: list[dict]) -> int:
+    """Largest field id anywhere in an Iceberg field list, including
+    ids carried INSIDE nested struct/list/map types — what
+    ``last-column-id`` must cover after an evolution commit."""
+    best = 0
+
+    def walk_type(t) -> None:
+        nonlocal best
+        if not isinstance(t, dict):
+            return
+        kind = t.get("type")
+        if kind == "struct":
+            for f in t.get("fields", []):
+                best = max(best, int(f["id"]))
+                walk_type(f["type"])
+        elif kind == "list":
+            best = max(best, int(t.get("element-id", 0)))
+            walk_type(t.get("element"))
+        elif kind == "map":
+            best = max(best, int(t.get("key-id", 0)), int(t.get("value-id", 0)))
+            walk_type(t.get("key"))
+            walk_type(t.get("value"))
+
+    for f in fields:
+        best = max(best, int(f["id"]))
+        walk_type(f["type"])
+    return best
+
+
+def _iceberg_struct_fields(
+    st: T.StructType, next_id: list[int]
+) -> list[dict]:
+    """Iceberg field list for a Spark struct with DETERMINISTIC id
+    assignment, the shape real writers produce: a struct's DIRECT
+    fields are numbered first in declaration order, then each field's
+    nested types are visited in turn (so a flat schema keeps the
+    historical 1..n ids existing fixtures thread identity through,
+    and nested ids are predictable for evolution commits).
+    ``next_id`` is a one-slot mutable counter."""
+    ids = []
+    for _f in st.fields:
+        ids.append(next_id[0])
+        next_id[0] += 1
+    out = []
+    for f, fid in zip(st.fields, ids):
+        out.append(
+            {
+                "id": fid,
+                "name": f.name,
+                "required": False,
+                "type": _iceberg_type_ids(f.dataType, next_id),
+            }
+        )
+    return out
+
+
+def _iceberg_type_ids(dt: T.DataType, next_id: list[int]):
+    """Iceberg type JSON for a Spark type, allocating element/key/value
+    and struct-member ids from the shared counter (nested types carry
+    their own field ids in the spec)."""
+    if isinstance(dt, T.StructType):
+        return {"type": "struct", "fields": _iceberg_struct_fields(dt, next_id)}
+    if isinstance(dt, T.ArrayType):
+        eid = next_id[0]
+        next_id[0] += 1
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type_ids(dt.elementType, next_id),
+            "element-required": False,
+        }
+    if isinstance(dt, T.MapType):
+        kid, vid = next_id[0], next_id[0] + 1
+        next_id[0] += 2
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _iceberg_type_ids(dt.keyType, next_id),
+            "value-id": vid,
+            "value": _iceberg_type_ids(dt.valueType, next_id),
+            "value-required": False,
+        }
+    return _iceberg_type(dt)
+
+
 def export_iceberg(table) -> int:
     """Publish a :class:`~.table.SnapshotTable`'s CURRENT snapshot as a
     real Iceberg v2 table under the table root — zero data movement
@@ -628,22 +713,16 @@ def export_iceberg(table) -> int:
             "schema-id": 0,
         }
     )
-    fields = [
-        {
-            "id": i + 1,
-            "name": f.name,
-            "required": False,
-            "type": _iceberg_type(f.dataType),
-        }
-        for i, f in enumerate(table.schema.fields)
-    ]
+    _next = [1]
+    fields = _iceberg_struct_fields(table.schema, _next)
+    last_col_id = _next[0] - 1
     meta = {
         "format-version": 2,
         "table-uuid": "snapshot-export",
         "location": root,
         "last-sequence-number": sid,
         "last-updated-ms": int(time.time() * 1000),
-        "last-column-id": len(fields),
+        "last-column-id": last_col_id,
         "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
         "current-schema-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": []}],
@@ -1308,18 +1387,22 @@ def _vintage_groups(meta: dict, files: list) -> list | None:
 
 
 def _validate_vintage_field(cf: dict, vf: dict) -> None:
-    """Shared legality check for reading a write-time field ``vf`` as
-    the output field ``cf`` (same field id): identical types pass,
-    spec-legal primitive promotions pass, nested/complex layout changes
-    and anything else raise. One definition so the batch scan and the
-    incremental/streaming readers can never drift on what they accept."""
+    """Legality check for reading a write-time field ``vf`` as the
+    output field ``cf`` (same field id) through a NAME MAP: identical
+    types pass, spec-legal primitive promotions pass. Nested/complex
+    layout changes raise HERE because a name map cannot express the
+    inner projection — the batch scan resolves those through
+    :func:`_vintage_expr` instead; this gate covers the
+    incremental/streaming readers, which rename one file's columns."""
     if vf["type"] == cf["type"]:
         return
     if isinstance(vf["type"], dict) or isinstance(cf["type"], dict):
         raise IcebergProtocolError(
             f"field id {cf['id']} ({cf['name']!r}) changed its "
             "nested/complex type across schema versions; nested "
-            "schema evolution is not supported"
+            "schema evolution is supported on the batch read path "
+            "only (the incremental/streaming name-map readers cannot "
+            "express the inner projection)"
         )
     if not _promotion_ok(vf["type"], cf["type"]):
         raise IcebergProtocolError(
@@ -1328,6 +1411,138 @@ def _validate_vintage_field(cf: dict, vf: dict) -> None:
             "spec-legal promotion (int->long, float->double, "
             "decimal widening)"
         )
+
+
+def _tname(t) -> str:
+    return t.get("type", "?") if isinstance(t, dict) else str(t)
+
+
+def _vintage_expr(col, vt, ct, out_dt):
+    """Projection from a value read under WRITE-TIME Iceberg type
+    ``vt`` to the CURRENT type ``ct`` (Spark type ``out_dt``),
+    resolving NESTED evolution by field id the way the spec requires
+    ("columns in data files are resolved by field id" — at every
+    nesting level, not just the top):
+
+    - identical types pass through;
+    - primitive promotions cast exactly (int->long, float->double,
+      decimal widening); anything else raises (never a lossy cast);
+    - STRUCTS rebuild field by field: shared inner ids recurse (an
+      inner rename reads the write-time name, an inner promotion
+      casts), inner fields added after the vintage NULL-fill, inner
+      fields dropped from the current schema vanish, and a NULL
+      struct value stays NULL (``F.struct`` of NULL members is not);
+    - LISTS recurse on the element (``F.transform``), MAPS on key and
+      value (``F.transform_keys`` / ``F.transform_values``) — both
+      are NULL-safe by construction;
+    - a shape change (struct<->primitive, list<->map, ...) has no
+      id-preserving projection and raises.
+
+    Everything stays a JVM column expression — no UDFs, and the whole
+    projection folds into the scan's single whole-stage-codegen span."""
+    from pyspark.sql import functions as F
+
+    if vt == ct:
+        return col
+    v_nested, c_nested = isinstance(vt, dict), isinstance(ct, dict)
+    if not v_nested and not c_nested:
+        if not _promotion_ok(vt, ct):
+            raise IcebergProtocolError(
+                f"type changed {vt!r} -> {ct!r}, which is not a "
+                "spec-legal promotion (int->long, float->double, "
+                "decimal widening)"
+            )
+        return col.cast(out_dt)
+    vk = vt.get("type") if v_nested else None
+    ck = ct.get("type") if c_nested else None
+    if vk == "struct" and ck == "struct":
+        vin_by_id = {f["id"]: f for f in vt["fields"]}
+        inner = []
+        for cf, sf_ in zip(ct["fields"], out_dt.fields):
+            vf = vin_by_id.get(cf["id"])
+            if vf is None:
+                inner.append(F.lit(None).cast(sf_.dataType).alias(sf_.name))
+            else:
+                inner.append(
+                    _vintage_expr(
+                        col.getField(vf["name"]),
+                        vf["type"],
+                        cf["type"],
+                        sf_.dataType,
+                    ).alias(sf_.name)
+                )
+        return F.when(col.isNotNull(), F.struct(*inner)).otherwise(
+            F.lit(None).cast(out_dt)
+        )
+    if vk == "list" and ck == "list":
+        return F.transform(
+            col,
+            lambda x: _vintage_expr(
+                x, vt["element"], ct["element"], out_dt.elementType
+            ),
+        )
+    if vk == "map" and ck == "map":
+        out = col
+        if vt["key"] != ct["key"]:
+            out = F.transform_keys(
+                out,
+                lambda k, _v: _vintage_expr(
+                    k, vt["key"], ct["key"], out_dt.keyType
+                ),
+            )
+        if vt["value"] != ct["value"]:
+            out = F.transform_values(
+                out,
+                lambda _k, v: _vintage_expr(
+                    v, vt["value"], ct["value"], out_dt.valueType
+                ),
+            )
+        return out
+    raise IcebergProtocolError(
+        f"type changed shape across schema versions "
+        f"({_tname(vt)} -> {_tname(ct)}); no id-preserving projection "
+        "exists for a shape change"
+    )
+
+
+def _vintage_read_type(vt, ct) -> T.DataType:
+    """The Spark type to READ a write-time value under, PRUNED to what
+    the projection to current type ``ct`` will touch: struct members
+    dropped from the current schema never reach the parquet reader
+    (nested column pruning — at scale the dropped member may be the
+    wide one). Falls back to the full write-time layout when pruning
+    would leave an empty struct or the shapes differ (the projection
+    then raises with the full picture)."""
+    if not isinstance(vt, dict):
+        return _spark_type(vt)
+    vk = vt.get("type")
+    ck = ct.get("type") if isinstance(ct, dict) else None
+    if vk == "struct" and ck == "struct":
+        cur = {f["id"]: f for f in ct["fields"]}
+        kept = [f for f in vt["fields"] if f["id"] in cur]
+        if not kept:
+            return _spark_type(vt)
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"],
+                    _vintage_read_type(f["type"], cur[f["id"]]["type"]),
+                    True,
+                )
+                for f in kept
+            ]
+        )
+    if vk == "list" and ck == "list":
+        return T.ArrayType(
+            _vintage_read_type(vt["element"], ct["element"]), True
+        )
+    if vk == "map" and ck == "map":
+        return T.MapType(
+            _vintage_read_type(vt["key"], ct["key"]),
+            _vintage_read_type(vt["value"], ct["value"]),
+            True,
+        )
+    return _spark_type(vt)
 
 
 def vintage_column_map(
@@ -1377,9 +1592,12 @@ def _vintage_scan(
     schema: shared field ids are read under their write-time names and
     types then restored by id (rename handling), spec-legal primitive
     promotions are cast exactly (int->long, float->double, decimal
-    widening), and fields added after the vintage fill NULL. A shared
-    field whose type changed structurally (struct/list/map layout) is
-    nested evolution — unsupported, honest raise."""
+    widening), and fields added after the vintage fill NULL — at EVERY
+    nesting level: struct members renamed/promoted/added/dropped
+    across versions resolve by id through :func:`_vintage_expr`, and
+    the read schema is pruned to the members the projection touches
+    (:func:`_vintage_read_type`). A shape change (struct<->primitive,
+    list<->map) has no id-preserving projection and raises."""
     from pyspark.sql import functions as F
 
     vin_by_id = {f["id"]: f for f in vin_json["fields"]}
@@ -1390,11 +1608,16 @@ def _vintage_scan(
         if vf is None:
             projection.append(F.lit(None).cast(sf_.dataType).alias(sf_.name))
             continue
-        _validate_vintage_field(cf, vf)
         read_fields.append(
-            T.StructField(vf["name"], _spark_type(vf["type"]), True)
+            T.StructField(
+                vf["name"], _vintage_read_type(vf["type"], cf["type"]), True
+            )
         )
-        projection.append(F.col(vf["name"]).cast(sf_.dataType).alias(sf_.name))
+        projection.append(
+            _vintage_expr(
+                F.col(vf["name"]), vf["type"], cf["type"], sf_.dataType
+            ).alias(sf_.name)
+        )
     d = spark.read.schema(T.StructType(read_fields)).parquet(*paths)
     return d.select(*projection, *key_exprs)
 
@@ -2308,8 +2531,7 @@ def commit_schema_evolution(
     meta.setdefault("schemas", []).append(schema_json)
     meta["current-schema-id"] = new_schema_id
     meta["last-column-id"] = max(
-        [int(f["id"]) for f in new_fields]
-        + [int(meta.get("last-column-id", 0))]
+        [_max_field_id(new_fields)] + [int(meta.get("last-column-id", 0))]
     )
     mdir = os.path.join(root, "metadata")
     sid = meta.get("current-snapshot-id")

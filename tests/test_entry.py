@@ -33,9 +33,10 @@ def test_first_50_entries_cover_every_family():
         "t", "m", "e",                                   # text / ML / metrics
         "d", "n", "x", "mm", "st",                       # LLM-pipeline + streaming
     } <= fams, fams
-    # round-9 rotation: every entry whose code changed this round leads
-    # the prefix (the union already covers all prior entries)
-    for must in ("s37_iceberg_v3_dv", "s38_iceberg_schema_evolution",
+    # round-10 rotation: entries whose code changed lead the prefix
+    # (s41 + the interop entries its machinery touches)
+    for must in ("s41_iceberg_nested_evolution",
+                 "s37_iceberg_v3_dv", "s38_iceberg_schema_evolution",
                  "s39_delta_type_widening", "s40_hudi_export",
                  "s34_hudi_event_time_merge",
                  "s35_hudi_col_stats_skip", "s36_hudi_bloom_lookup",
@@ -51,7 +52,7 @@ def test_first_50_entries_cover_every_family():
                  "st18_stream_hudi_mor", "st19_stream_delta_idmap",
                  "s16_delta_export", "s21_delta_column_mapping",
                  "s24_delta_v2_checkpoint", "s26_iceberg_transform_prune",
-                 "t20_bpe_pair_counts", "flagship_readmit_30d"):
+                 "flagship_readmit_30d"):
         assert must in names
     assert len(names) == 50
 

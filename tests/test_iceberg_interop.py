@@ -1408,9 +1408,10 @@ def test_schema_evolution_illegal_promotion_raises(spark, tmp_path):
         read_iceberg(spark, root)
 
 
-def test_schema_evolution_nested_change_raises(spark, tmp_path):
-    """A struct field whose inner layout changed across versions is
-    nested evolution — unsupported, honest raise."""
+def test_schema_evolution_nested_drop_add_resolves(spark, tmp_path):
+    """A struct whose only inner field was dropped and a NEW inner id
+    added resolves by id: old files' struct reads with the new member
+    NULL-filled (the dead member never resurrects under its name)."""
     from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
         commit_schema_evolution,
     )
@@ -1430,8 +1431,169 @@ def test_schema_evolution_nested_change_raises(spark, tmp_path):
                 {"id": 5, "name": "b", "required": False, "type": "long"}]}},
         ],
     )
-    with pytest.raises(IcebergProtocolError, match="nested"):
+    got = read_iceberg(spark, root)
+    assert got.schema["s"].dataType.simpleString() == "struct<b:bigint>"
+    assert {(r["k"], r["s"]) for r in got.collect()} == {
+        (1, None), (2, None), (3, None)  # file lacks s: NULL struct
+    }
+
+
+def test_schema_evolution_nested_shape_change_raises(spark, tmp_path):
+    """A field whose type changed SHAPE (struct -> primitive) has no
+    id-preserving projection — honest raise, not a silent NULL."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        commit_schema_evolution,
+    )
+
+    nested_old = {
+        "id": 3, "name": "s", "required": False,
+        "type": {"type": "struct", "fields": [
+            {"id": 4, "name": "a", "required": False, "type": "long"}]},
+    }
+    root, _f = _evo_root(tmp_path, "evshape", extra_fields=(nested_old,))
+    commit_schema_evolution(
+        root,
+        [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "bal", "type": "int"},
+            {"id": 3, "name": "s", "type": "long"},
+        ],
+    )
+    with pytest.raises(IcebergProtocolError, match="shape"):
         read_iceberg(spark, root)
+
+
+def test_schema_evolution_nested_rename_promote_add(spark, tmp_path):
+    """STRUCT-INTERNAL evolution resolves by field id exactly like the
+    top level: an inner rename reads the write-time member name, an
+    inner int->long promotion casts, an inner added member NULL-fills,
+    a dropped member vanishes — and a NULL struct VALUE stays NULL
+    (rebuilding via F.struct must not manufacture a non-null struct of
+    NULL members). New-vintage files read directly; the union serves
+    one current schema."""
+    import pyarrow as pa
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        commit_schema_evolution,
+    )
+
+    nested_old = {
+        "id": 3, "name": "prof", "required": False,
+        "type": {"type": "struct", "fields": [
+            {"id": 4, "name": "cents", "required": False, "type": "int"},
+            {"id": 5, "name": "seg", "required": False, "type": "string"},
+            {"id": 6, "name": "legacy", "required": False, "type": "long"},
+        ]},
+    }
+    root, _f = _evo_root(tmp_path, "evnest", extra_fields=(nested_old,))
+    # overwrite the fixture data file with one that HAS the struct
+    # column (row k=3 carries a NULL struct)
+    prof_t = pa.struct(
+        [("cents", pa.int32()), ("seg", pa.string()), ("legacy", pa.int64())]
+    )
+    _write_parquet_typed(
+        _f,
+        {
+            "k": (pa.int64(), [1, 2, 3]),
+            "bal": (pa.int32(), [10, 20, 30]),
+            "prof": (
+                prof_t,
+                [
+                    {"cents": 100, "seg": "A", "legacy": 7},
+                    {"cents": 200, "seg": "B", "legacy": 8},
+                    None,
+                ],
+            ),
+        },
+    )
+    # evolution INSIDE prof: cents renamed->amount_cents + promoted
+    # int->long (id 4), seg kept (id 5), legacy DROPPED (id 6),
+    # tier ADDED (id 7)
+    new_prof = {"type": "struct", "fields": [
+        {"id": 4, "name": "amount_cents", "required": False, "type": "long"},
+        {"id": 5, "name": "seg", "required": False, "type": "string"},
+        {"id": 7, "name": "tier", "required": False, "type": "string"},
+    ]}
+    nf = os.path.join(root, "data", "b.parquet")
+    new_prof_t = pa.struct(
+        [("amount_cents", pa.int64()), ("seg", pa.string()),
+         ("tier", pa.string())]
+    )
+    _write_parquet_typed(
+        nf,
+        {
+            "k": (pa.int64(), [4]),
+            "bal": (pa.int32(), [40]),
+            "prof": (new_prof_t,
+                     [{"amount_cents": 400, "seg": "D", "tier": "T1"}]),
+        },
+    )
+    commit_schema_evolution(
+        root,
+        [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "bal", "type": "int"},
+            {"id": 3, "name": "prof", "type": new_prof},
+        ],
+        added_files=[(nf, 1)],
+    )
+    got = read_iceberg(spark, root)
+    assert got.schema["prof"].dataType.simpleString() == (
+        "struct<amount_cents:bigint,seg:string,tier:string>"
+    )
+    rows = {r["k"]: r["prof"] for r in got.collect()}
+    assert rows[1] == (100, "A", None)   # renamed + promoted + NULL-fill
+    assert rows[2] == (200, "B", None)
+    assert rows[3] is None               # NULL struct stays NULL
+    assert rows[4] == (400, "D", "T1")   # new vintage reads directly
+    # time travel to the pre-evolution snapshot serves the CURRENT
+    # nested schema too (spec read semantics)
+    old = read_iceberg(spark, root, snapshot_id=1)
+    assert {r["k"]: r["prof"] for r in old.collect()}[1] == (100, "A", None)
+
+
+def test_schema_evolution_list_of_struct_element(spark, tmp_path):
+    """Evolution inside a LIST's struct ELEMENT resolves per element
+    via F.transform: inner rename + promotion apply to every element,
+    NULL lists stay NULL."""
+    import pyarrow as pa
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        commit_schema_evolution,
+    )
+
+    elem_old = {"type": "struct", "fields": [
+        {"id": 5, "name": "qty", "required": False, "type": "int"}]}
+    nested_old = {
+        "id": 3, "name": "items", "required": False,
+        "type": {"type": "list", "element-id": 4, "element": elem_old,
+                 "element-required": False},
+    }
+    root, _f = _evo_root(tmp_path, "evlist", extra_fields=(nested_old,))
+    el_t = pa.struct([("qty", pa.int32())])
+    _write_parquet_typed(
+        _f,
+        {
+            "k": (pa.int64(), [1, 2]),
+            "bal": (pa.int32(), [10, 20]),
+            "items": (pa.list_(el_t), [[{"qty": 1}, {"qty": 2}], None]),
+        },
+    )
+    elem_new = {"type": "struct", "fields": [
+        {"id": 5, "name": "quantity", "required": False, "type": "long"}]}
+    commit_schema_evolution(
+        root,
+        [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "bal", "type": "int"},
+            {"id": 3, "name": "items",
+             "type": {"type": "list", "element-id": 4, "element": elem_new,
+                      "element-required": False}},
+        ],
+    )
+    got = {r["k"]: r["items"] for r in read_iceberg(spark, root).collect()}
+    assert got[1] == [(1,), (2,)] and got[1][0].quantity == 1
+    assert got[2] is None
 
 
 def test_schema_evolution_addonly_keeps_single_scan(spark, tmp_path):
