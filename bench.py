@@ -159,6 +159,7 @@ HEADLINE = [
     "st18_stream_hudi_mor",       # MOR streaming source (r9)
     "st19_stream_delta_idmap",    # id-mode mapping stream (r9)
     "s41_iceberg_nested_evolution",  # struct-internal vintage scan (r10)
+    "s42_hudi_cdc_infer",         # CDC images by slice inference (r10)
 ]
 
 

@@ -4954,6 +4954,118 @@ def q_s41(spark, sf):
 
 
 @query(
+    "s42_hudi_cdc_infer",
+    oracle="""
+    WITH g2 AS (
+      SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer WHERE c_custkey % 4 = 2
+    )
+    SELECT 'd' AS op, c_custkey,
+           cents AS before_cents, CAST(NULL AS BIGINT) AS after_cents
+    FROM g2 WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT 'u', c_custkey, cents, cents + 777
+    FROM g2 WHERE c_custkey % 5 IN (1, 2)
+    UNION ALL
+    SELECT 'i', c_custkey + 9000000, CAST(NULL AS BIGINT), cents
+    FROM g2 WHERE c_custkey % 20 = 2
+    """,
+)
+def q_s42(spark, sf):
+    """S42 — Hudi CDC query (sources/hudi.py ``read_hudi_changes``,
+    RFC-51 semantics by slice INFERENCE — the cdc-on-the-fly path real
+    Hudi readers take when supplemental cdc logging is absent or
+    ``op_key_only``): per commit in the window, each TOUCHED file
+    group's state is diffed against its previous slice keyed by
+    ``_hoodie_record_key``, emitting op i/u/d with before/after
+    images. The fixture hashes customers into 4 COW file groups
+    (``c_custkey % 4``), then commit 2 rewrites ONLY group 2:
+    ``%5 == 0`` keys deleted (absent from the rewrite), ``%5 in
+    (1,2)`` updated (+777 cents, stamped t2), ``%5 in (3,4)`` carried
+    forward unchanged under their ORIGINAL commit time, and
+    ``%20 == 2`` spawns brand-new keys (+9M). DuckDB recomputes the
+    expected image feed per op, so a reader that missed deletes
+    (net-rows incremental semantics), emitted carried-forward rows, or
+    swapped before/after breaks the hash. The in-entry assert pins the
+    scale posture: only the touched group's two slices are opened —
+    the three untouched groups are never read."""
+    import glob
+    import os
+    import shutil
+
+    from .sources.hudi import read_hudi_changes
+
+    root = _table_root("s42", sf)
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t1, t2 = "00000000000001", "00000000000002"
+
+    def put(df, part, file_id, instant):
+        d = os.path.join(root, part)
+        os.makedirs(d, exist_ok=True)
+        fname = f"{file_id}_1-0-1_{instant}.parquet"
+        meta = df.select(
+            F.col("ct").alias("_hoodie_commit_time"),
+            F.concat_ws("_", F.col("ct"), F.lit(file_id)).alias(
+                "_hoodie_commit_seqno"
+            ),
+            F.col("c_custkey").cast("string").alias("_hoodie_record_key"),
+            F.lit(part).alias("_hoodie_partition_path"),
+            F.lit(fname).alias("_hoodie_file_name"),
+            "c_custkey",
+            "cents",
+        )
+        stage = os.path.join(root, f".stage_{file_id}_{instant}")
+        meta.coalesce(1).write.parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(src, os.path.join(d, fname))
+        shutil.rmtree(stage)
+
+    hdir = os.path.join(root, ".hoodie")
+    os.makedirs(hdir, exist_ok=True)
+    with open(os.path.join(hdir, "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.name=s42\nhoodie.table.type=COPY_ON_WRITE\n")
+    for g in range(4):
+        put(
+            c.filter(F.col("c_custkey") % 4 == g).withColumn("ct", F.lit(t1)),
+            f"g{g}", f"fg{g}", t1,
+        )
+    open(os.path.join(hdir, f"{t1}.commit"), "w").close()
+    g2 = c.filter(F.col("c_custkey") % 4 == 2)
+    m5 = F.col("c_custkey") % 5
+    carried = g2.filter(m5.isin(3, 4)).withColumn("ct", F.lit(t1))
+    updated = (
+        g2.filter(m5.isin(1, 2))
+        .withColumn("cents", F.col("cents") + 777)
+        .withColumn("ct", F.lit(t2))
+    )
+    inserted = (
+        g2.filter(F.col("c_custkey") % 20 == 2)
+        .select((F.col("c_custkey") + 9_000_000).alias("c_custkey"), "cents")
+        .withColumn("ct", F.lit(t2))
+    )
+    put(
+        carried.unionByName(updated).unionByName(inserted), "g2", "fg2", t2
+    )
+    open(os.path.join(hdir, f"{t2}.commit"), "w").close()
+    ch = read_hudi_changes(spark, root, begin=t1)
+    opened = {os.path.basename(p) for p in ch.inputFiles()}
+    assert opened == {
+        f"fg2_1-0-1_{t1}.parquet", f"fg2_1-0-1_{t2}.parquet"
+    }, opened
+    return ch.select(
+        "op",
+        F.coalesce(
+            F.col("after.c_custkey"), F.col("before.c_custkey")
+        ).alias("c_custkey"),
+        F.col("before.cents").alias("before_cents"),
+        F.col("after.cents").alias("after_cents"),
+    )
+
+
+@query(
     "s39_delta_type_widening",
     oracle="""
     SELECT c_custkey,

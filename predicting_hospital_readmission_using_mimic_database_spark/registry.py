@@ -63,6 +63,7 @@ _LOADED = False
 PRIORITY: tuple[str, ...] = (
     # (a) changed or new in round 10
     "s41_iceberg_nested_evolution",
+    "s42_hudi_cdc_infer",
     # (a') changed or new in round 9
     "s37_iceberg_v3_dv",
     "s38_iceberg_schema_evolution",
@@ -94,7 +95,6 @@ PRIORITY: tuple[str, ...] = (
     "st19_stream_delta_idmap",
     "s16_delta_export",
     "s21_delta_column_mapping",
-    "s24_delta_v2_checkpoint",
     "s26_iceberg_transform_prune",
     # (b) oldest-vintage stable representatives, family-complete,
     # rotated off the round-8 sentinel picks

@@ -319,6 +319,96 @@ def test_metadata_table_listing_replaces_walk(spark, hudi_root, monkeypatch):
     assert {k for k, _v in got2} == {1, 2, 3}  # partition b gone
 
 
+def _write_keyed_base(root, partition, file_id, instant, rows, times=None):
+    """Base file whose ``_hoodie_record_key`` IS the row key (real Hudi
+    record keying, which the CDC diff joins on)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(root, partition) if partition else root
+    os.makedirs(d, exist_ok=True)
+    ks = [k for k, _v in rows]
+    pq.write_table(
+        pa.table(
+            {
+                "_hoodie_commit_time": list(times or [instant] * len(rows)),
+                "_hoodie_record_key": [str(k) for k in ks],
+                "_hoodie_partition_path": [partition] * len(rows),
+                "k": ks,
+                "v": [v for _k, v in rows],
+            }
+        ),
+        os.path.join(d, f"{file_id}_0-0-0_{instant}.parquet"),
+    )
+
+
+def test_cdc_changes_cow(spark, tmp_path):
+    """read_hudi_changes on COW: per-commit change images inferred by
+    diffing each touched group's slices — inserts, updates with
+    before/after, carried-forward rows cancelled, untouched groups
+    never read."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi_changes,
+    )
+
+    root = str(tmp_path / "cdc")
+    _mk_table(root)
+    t1, t2 = "00000000000001", "00000000000002"
+    _write_keyed_base(root, "a", "f1", t1, [(1, 1.0), (2, 2.0)])
+    _write_keyed_base(root, "b", "f2", t1, [(10, 10.0)])
+    _commit(root, t1)
+    # rewrite f1: k=1 updated, k=2 carried unchanged, k=3 inserted
+    _write_keyed_base(
+        root, "a", "f1", t2, [(1, -1.0), (2, 2.0), (3, 3.0)],
+        times=[t2, t1, t2],
+    )
+    _commit(root, t2)
+    ch = read_hudi_changes(spark, root, begin=t1)
+    rows = {(r["op"], r["before"], r["after"]) for r in ch.collect()}
+    assert rows == {
+        ("u", (1, 1.0), (1, -1.0)),
+        ("i", None, (3, 3.0)),
+    }
+    # posture: only the touched group's two slices are opened
+    opened = {os.path.basename(p) for p in ch.inputFiles()}
+    assert opened == {
+        f"f1_0-0-0_{t1}.parquet",
+        f"f1_0-0-0_{t2}.parquet",
+    }, opened
+    # full history: commit 1 = pure inserts of both groups, then the
+    # commit-2 images — one row per changed key PER COMMIT
+    all_ch = read_hudi_changes(spark, root, begin="00000000000000")
+    assert all_ch.filter(f"ts_ms = '{t1}'").count() == 3
+    assert {
+        r["op"] for r in all_ch.filter(f"ts_ms = '{t1}'").collect()
+    } == {"i"}
+    assert all_ch.filter(f"ts_ms = '{t2}'").count() == 2
+
+
+def test_cdc_changes_cow_delete_and_empty_window(spark, tmp_path):
+    """A key absent from a group's rewritten base file is a DELETE —
+    it surfaces with its before image and a NULL after. An empty
+    window is an empty feed with the cdc shape, not an error."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi_changes,
+    )
+
+    root = str(tmp_path / "cdcdel")
+    _mk_table(root)
+    t1, t2 = "00000000000001", "00000000000002"
+    _write_keyed_base(root, "a", "f1", t1, [(1, 1.0), (2, 2.0)])
+    _commit(root, t1)
+    # rewrite drops k=2 (delete) and carries k=1 unchanged
+    _write_keyed_base(root, "a", "f1", t2, [(1, 1.0)], times=[t1])
+    _commit(root, t2)
+    ch = read_hudi_changes(spark, root, begin=t1)
+    rows = [(r["op"], r["ts_ms"], r["before"], r["after"]) for r in ch.collect()]
+    assert rows == [("d", t2, (2, 2.0), None)]
+    empty = read_hudi_changes(spark, root, begin=t2)
+    assert empty.count() == 0
+    assert empty.columns[:2] == ["op", "ts_ms"]
+
+
 def test_metadata_table_stale_falls_back_to_walk(spark, hudi_root):
     """A data commit landing AFTER the metadata table's last sync must
     not be invisible: the listing reports stale (None) and file

@@ -182,6 +182,49 @@ def test_mor_log_only_group_and_schema(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in df.collect()} == {(7, 70.0), (8, 8.0)}
 
 
+def test_cdc_changes_mor(spark, mor_root):
+    """read_hudi_changes on MERGE_ON_READ: per-commit images come from
+    diffing each touched group's base+log MERGE at consecutive
+    instants — an upsert shows before/after, an insert shows after
+    only, and a key touched in two commits emits one row per commit."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi_changes,
+    )
+
+    # commit 2: k=1 -> -1.0 (update), k=3 inserted (group f1)
+    # commit 3: k=3 -> 33.0 (f1), k=10 -> 0.5 (f2)
+    ch = read_hudi_changes(spark, mor_root, begin="00000000000001")
+    rows = {
+        (r["ts_ms"], r["op"], tuple(r["before"] or ()), tuple(r["after"] or ()))
+        for r in ch.collect()
+    }
+    assert rows == {
+        ("00000000000002", "u", (1, 1.0), (1, -1.0)),
+        ("00000000000002", "i", (), (3, 3.0)),
+        ("00000000000003", "u", (3, 3.0), (3, 33.0)),
+        ("00000000000003", "u", (10, 10.0), (10, 0.5)),
+    }
+
+
+def test_cdc_changes_mor_delete_block(spark, mor_root):
+    """A DELETE tombstone in a log block surfaces as op='d' with the
+    key's before image."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi_changes,
+    )
+
+    l2 = os.path.join(
+        mor_root, "a", HL.log_file_name("f1", "00000000000001", 2)
+    )
+    HL.append_delete_block(
+        l2, "00000000000005", [{"recordKey": "2", "partitionPath": "a"}]
+    )
+    _commit(mor_root, "00000000000005", state="deltacommit")
+    ch = read_hudi_changes(spark, mor_root, begin="00000000000003")
+    rows = [(r["op"], r["before"], r["after"]) for r in ch.collect()]
+    assert rows == [("d", (2, 2.0), None)]
+
+
 def test_log_only_incremental_empty_window(spark, tmp_path):
     """An incremental query over a LOG-ONLY table whose committed
     blocks all fall outside the window answers with an EMPTY frame of
