@@ -160,6 +160,7 @@ HEADLINE = [
     "st19_stream_delta_idmap",    # id-mode mapping stream (r9)
     "s41_iceberg_nested_evolution",  # struct-internal vintage scan (r10)
     "s42_hudi_cdc_infer",         # CDC images by slice inference (r10)
+    "s43_hudi_partitioned_export",  # hive-style partitioned publish (r10)
 ]
 
 

@@ -5066,6 +5066,74 @@ def q_s42(spark, sf):
 
 
 @query(
+    "s43_hudi_partitioned_export",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment AS seg,
+           CAST(floor(c_acctbal * 100) AS BIGINT)
+             + CASE WHEN c_custkey % 7 = 0 THEN 111 ELSE 0 END AS cents
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q_s43(spark, sf):
+    """S43 — PARTITIONED Hudi export + pruned read-back
+    (sources/hudi_export.py ``export_hudi(partition_by=)``): the
+    SnapshotTable publishes as a hive-style-partitioned COW table
+    (``seg=<mktsegment>/`` dirs, one file group per (partition,
+    bucket), partition columns kept inside the data files, per-row
+    ``_hoodie_partition_path``), a merge bumps ``c_custkey % 7 == 0``
+    rows by 111 cents, and the INCREMENTAL re-export rewrites only the
+    touched buckets with per-row commit-time carry-forward intact
+    across the partition dirs. The read then asks for ONE partition
+    (``partitions="seg=BUILDING"``) — the in-entry assert pins that
+    every planned file lives under that dir (listing-level pruning:
+    O(one partition), not O(table)) — and DuckDB recomputes that
+    partition's post-merge rows, so a reader that missed the
+    partition-path keying, re-stamped carried rows, or leaked other
+    partitions' files breaks the hash. A second assert pins the
+    incremental feed at exactly the merged rows (carry-forward proof
+    on the partitioned layout)."""
+    import os
+
+    from .sources.hudi import read_hudi, read_hudi_incremental
+    from .sources.hudi_export import export_hudi
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s43", sf),
+        "c_custkey bigint, seg string, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    t.append(c)
+    dest = os.path.join(t.root, "hudi_export")
+    inst1 = export_hudi(t, dest, partition_by=["seg"])
+    upd = c.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "cents", F.col("cents") + 111
+    )
+    n_upd = upd.count()
+    t.merge(upd)
+    inst2 = export_hudi(t, dest, partition_by=["seg"])
+    assert inst2 > inst1
+    # carry-forward proof: the change feed is exactly the merged rows
+    inc = read_hudi_incremental(spark, dest, begin=inst1)
+    assert inc.count() == n_upd
+    df = read_hudi(spark, dest, partitions="seg=BUILDING")
+    dirs = {
+        os.path.basename(os.path.dirname(p)) for p in df.inputFiles()
+    }
+    assert dirs == {"seg=BUILDING"}, dirs
+    return df
+
+
+@query(
     "s39_delta_type_widening",
     oracle="""
     SELECT c_custkey,

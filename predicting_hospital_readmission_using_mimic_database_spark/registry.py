@@ -64,6 +64,7 @@ PRIORITY: tuple[str, ...] = (
     # (a) changed or new in round 10
     "s41_iceberg_nested_evolution",
     "s42_hudi_cdc_infer",
+    "s43_hudi_partitioned_export",
     # (a') changed or new in round 9
     "s37_iceberg_v3_dv",
     "s38_iceberg_schema_evolution",
@@ -94,7 +95,6 @@ PRIORITY: tuple[str, ...] = (
     "st18_stream_hudi_mor",
     "st19_stream_delta_idmap",
     "s16_delta_export",
-    "s21_delta_column_mapping",
     "s26_iceberg_transform_prune",
     # (b) oldest-vintage stable representatives, family-complete,
     # rotated off the round-8 sentinel picks

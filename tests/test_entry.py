@@ -36,6 +36,7 @@ def test_first_50_entries_cover_every_family():
     # round-10 rotation: entries whose code changed lead the prefix
     # (s41 + the interop entries its machinery touches)
     for must in ("s41_iceberg_nested_evolution", "s42_hudi_cdc_infer",
+                 "s43_hudi_partitioned_export",
                  "s37_iceberg_v3_dv", "s38_iceberg_schema_evolution",
                  "s39_delta_type_widening", "s40_hudi_export",
                  "s34_hudi_event_time_merge",
@@ -50,7 +51,7 @@ def test_first_50_entries_cover_every_family():
                  "s23_iceberg_eq_delete", "st16_stream_iceberg_tail",
                  "st15_stream_hudi_tail", "st14_stream_delta_tail",
                  "st18_stream_hudi_mor", "st19_stream_delta_idmap",
-                 "s16_delta_export", "s21_delta_column_mapping",
+                 "s16_delta_export",
                  "s26_iceberg_transform_prune",
                  "flagship_readmit_30d"):
         assert must in names

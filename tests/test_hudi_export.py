@@ -127,6 +127,129 @@ def test_stream_consumes_exported_table(spark, exported, tmp_path):
     assert [(k, v) for k, v, _ in got] == [(700, 7.0)]
 
 
+@pytest.fixture
+def part_exported(spark, tmp_path):
+    """Partitioned export: seg in {A, B}, 4 buckets, 40 rows."""
+    root = str(tmp_path / "ptbl")
+    dest = str(tmp_path / "phudi")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, seg string, v double",
+        bucket_key=["k"], num_buckets=4,
+    )
+    t.append(
+        spark.range(40).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("seg"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+    )
+    inst1 = export_hudi(t, dest, partition_by=["seg"])
+    return t, dest, inst1
+
+
+def test_partitioned_export_layout_and_pruning(spark, part_exported):
+    t, dest, inst1 = part_exported
+    got = {(r["k"], r["seg"]) for r in read_hudi(spark, dest).collect()}
+    assert got == {(i, "AB"[i % 2]) for i in range(40)}
+    # hive-style dirs, one file group per (partition, bucket), the
+    # SAME fileId across partitions, partition columns in the data
+    for seg in ("A", "B"):
+        files = sorted(os.listdir(os.path.join(dest, f"seg={seg}")))
+        assert files == [f"b{b:04d}_0-1-0_{inst1}.parquet" for b in range(4)]
+    with open(os.path.join(dest, ".hoodie", "hoodie.properties")) as f:
+        assert "hoodie.table.partition.fields=seg" in f.read()
+    meta = read_hudi(spark, dest, keep_meta=True)
+    r = meta.filter(F.col("k") == 7).collect()[0]
+    assert r["_hoodie_partition_path"] == "seg=B"
+    # listing-level pruning: only the asked partition's files planned
+    only_a = read_hudi(spark, dest, partitions="seg=A")
+    assert {os.path.dirname(p).rsplit(os.sep, 1)[-1]
+            for p in only_a.inputFiles()} == {"seg=A"}
+    assert {r["k"] for r in only_a.collect()} == set(range(0, 40, 2))
+
+
+def test_partitioned_export_incremental_carry_and_vanish(spark, part_exported):
+    t, dest, inst1 = part_exported
+    # merge: k=2 changes value (stays seg=A); k=3 MOVES partition
+    # (seg B -> A via value change); k=1 deleted
+    t.merge(
+        spark.createDataFrame(
+            [(2, "A", -2.0), (3, "A", 3.0)], "k bigint, seg string, v double"
+        )
+    )
+    t.delete(F.col("k") == 1)
+    inst2 = export_hudi(t, dest, partition_by=["seg"])
+    assert inst2 > inst1
+    got = {(r["k"], r["seg"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert (2, "A", -2.0) in got and (3, "A", 3.0) in got
+    assert not any(k == 1 for k, _s, _v in got)
+    assert len(got) == 39
+    # carry-forward: unchanged rows keep inst1 per-row; changed rows
+    # stamp inst2 — so the incremental feed is the true net change
+    inc = read_hudi_incremental(spark, dest, begin=inst1)
+    assert {(r["k"], r["seg"], r["v"]) for r in inc.collect()} == {
+        (2, "A", -2.0), (3, "A", 3.0)
+    }
+    # time travel still serves the pre-merge state
+    assert read_hudi(spark, dest, as_of=inst1).count() == 40
+
+
+def test_partitioned_export_mismatch_and_null_refuse(spark, tmp_path):
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t2"), "k bigint, seg string, v double",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "A", 1.0), (2, None, 2.0)], "k bigint, seg string, v double"
+        )
+    )
+    dest = str(tmp_path / "h2")
+    with pytest.raises(ValueError, match="NULL"):
+        export_hudi(t, dest, partition_by=["seg"])
+    with pytest.raises(ValueError, match="unknown columns"):
+        export_hudi(t, dest, partition_by=["nope"])
+    # layout consistency across exports is enforced
+    t2 = SnapshotTable.create(
+        spark, str(tmp_path / "t3"), "k bigint, seg string, v double",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t2.append(spark.createDataFrame([(1, "A", 1.0)],
+                                    "k bigint, seg string, v double"))
+    dest2 = str(tmp_path / "h3")
+    export_hudi(t2, dest2, partition_by=["seg"])
+    t2.merge(spark.createDataFrame([(1, "A", -1.0)],
+                                   "k bigint, seg string, v double"))
+    with pytest.raises(ValueError, match="mix layouts"):
+        export_hudi(t2, dest2)
+
+
+def test_stream_consumes_partitioned_export(spark, part_exported, tmp_path):
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_stream import (
+        register_hudi_stream,
+    )
+
+    t, dest, inst1 = part_exported
+    t.merge(spark.createDataFrame([(700, "A", 7.0)],
+                                  "k bigint, seg string, v double"))
+    export_hudi(t, dest, partition_by=["seg"])
+    register_hudi_stream(spark)
+    got = []
+
+    def sink(df, _bid):
+        got.extend((r["k"], r["seg"], r["v"]) for r in df.collect())
+
+    q = (
+        spark.readStream.format("hudi_stream").option("path", dest)
+        .option("startingInstant", inst1).load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "pck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert got == [(700, "A", 7.0)]
+
+
 def test_unbucketed_table_refuses(spark, tmp_path):
     t = SnapshotTable.create(spark, str(tmp_path / "nb"), "k bigint, v double")
     t.append(spark.range(3).select(F.col("id").alias("k"),
