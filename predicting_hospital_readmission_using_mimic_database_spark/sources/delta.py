@@ -554,17 +554,33 @@ def delta_table_version(root: str) -> int:
 def version_at_timestamp(root: str, ts_millis: int) -> int:
     """The version a TIMESTAMP time travel resolves to: the LAST commit
     whose timestamp is <= ``ts_millis`` (Delta's semantics). Per commit
-    the timestamp is the ``commitInfo.timestamp`` action field when the
-    writer recorded one, else the commit file's mtime — the same
-    fallback real Delta readers use. Raises if the table's first commit
-    is after the requested time. Only the JSON tail is consulted, so a
-    vacuumed-with-checkpoint log resolves timestamps only for the
-    commits it still has — older requests raise."""
+    the timestamp is resolved in the protocol's precedence order:
+
+    1. ``commitInfo.inCommitTimestamp`` — the ``inCommitTimestamp``
+       writer feature (Delta 4.x): when
+       ``delta.enableInCommitTimestamps`` is on, every commit MUST
+       record its timestamp here and readers MUST use it (file
+       mtimes shift on copy/restore/migration; ICT is the one stamp
+       the writer actually committed). Commits BEFORE the feature's
+       enablement version carry no ICT and keep the old resolution —
+       per-commit presence is exactly the enablement boundary. The
+       spec requires ICTs to be strictly increasing; a regression is
+       malformed metadata and raises rather than silently
+       mis-resolving travel.
+    2. ``commitInfo.timestamp`` when the writer recorded one,
+    3. the commit file's mtime — the same fallback real Delta readers
+       use.
+
+    Raises if the table's first commit is after the requested time.
+    Only the JSON tail is consulted, so a vacuumed-with-checkpoint log
+    resolves timestamps only for the commits it still has — older
+    requests raise."""
     log_dir = os.path.join(root, DELTA_LOG_DIR)
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a delta table (no {DELTA_LOG_DIR}): {root}")
     best = None
     earliest = None
+    last_ict = None
     for v, path in _delta_commits(log_dir):
         ts = None
         with open(path) as f:
@@ -573,9 +589,23 @@ def version_at_timestamp(root: str, ts_millis: int) -> int:
                 if not line:
                     continue
                 a = json.loads(line)
-                if "commitInfo" in a and a["commitInfo"].get("timestamp"):
-                    ts = int(a["commitInfo"]["timestamp"])
-                    break
+                ci = a.get("commitInfo")
+                if ci is None:
+                    continue
+                ict = ci.get("inCommitTimestamp")
+                if ict is not None:
+                    ts = int(ict)
+                    if last_ict is not None and ts <= last_ict:
+                        raise DeltaProtocolError(
+                            f"inCommitTimestamp regressed at version {v} "
+                            f"({ts} after {last_ict}); the spec requires "
+                            "strictly increasing ICTs — timestamp travel "
+                            "cannot be resolved on this log"
+                        )
+                    last_ict = ts
+                elif ci.get("timestamp"):
+                    ts = int(ci["timestamp"])
+                break
         if ts is None:
             ts = int(os.path.getmtime(path) * 1000)
         earliest = ts if earliest is None else min(earliest, ts)

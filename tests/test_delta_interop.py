@@ -1097,6 +1097,76 @@ def test_timestamp_time_travel(spark, delta_root):
     assert version_at_timestamp(delta_root, (t0 + 500) * 1000) == 1
 
 
+def test_in_commit_timestamp_travel(spark, tmp_path):
+    """The inCommitTimestamp writer feature: when commitInfo carries
+    ``inCommitTimestamp``, timestamp travel MUST use it — file mtimes
+    shift on copy/restore, the ICT is what the writer committed. Pinned
+    against mtime-based resolution ON THE SAME LOG: the mtimes say
+    'now', the ICTs say 2020, and travel follows the ICTs. Commits
+    before the feature's enablement keep the mtime/commitInfo.timestamp
+    path; an ICT regression raises."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        version_at_timestamp,
+    )
+
+    root = str(tmp_path / "ict")
+    t0 = 1_577_836_800_000  # 2020-01-01 in millis; file mtimes are ~now
+    _write_parquet(os.path.join(root, "a.parquet"), [(1, 1.0)], ["id", "bal"])
+    _write_parquet(os.path.join(root, "b.parquet"), [(2, 2.0)], ["id", "bal"])
+    meta = _meta_action(
+        [("id", "long"), ("bal", "double")],
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    _write_commit(root, 0, [
+        {"commitInfo": {"inCommitTimestamp": t0}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["inCommitTimestamp"]}},
+        meta,
+        {"add": {"path": "a.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    _write_commit(root, 1, [
+        {"commitInfo": {"inCommitTimestamp": t0 + 100_000}},
+        {"add": {"path": "b.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    # mtime-based resolution would see both commits at ~now and raise
+    # for any 2020 timestamp; ICT-based resolution answers from 2020
+    assert version_at_timestamp(root, t0 + 50_000) == 0
+    assert version_at_timestamp(root, t0 + 100_000) == 1
+    old = {r["id"] for r in
+           read_delta(spark, root, timestamp=t0 + 50_000).collect()}
+    assert old == {1}
+    with pytest.raises(ValueError, match="no commit at or before"):
+        version_at_timestamp(root, t0 - 1)
+    # mixed enablement: a PRE-feature commit without ICT resolves via
+    # mtime, later ICT commits via their ICTs — on the same log
+    root2 = str(tmp_path / "ict2")
+    _write_parquet(os.path.join(root2, "a.parquet"), [(1, 1.0)], ["id", "bal"])
+    _write_commit(root2, 0, [
+        _meta_action([("id", "long"), ("bal", "double")]),
+        {"add": {"path": "a.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    tm = 1_500_000_000  # seconds
+    os.utime(os.path.join(root2, "_delta_log", f"{0:020d}.json"), (tm, tm))
+    _write_commit(root2, 1, [
+        {"commitInfo": {"inCommitTimestamp": (tm + 500) * 1000}},
+        {"add": {"path": "a.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": False}},
+    ])
+    assert version_at_timestamp(root2, (tm + 100) * 1000) == 0
+    assert version_at_timestamp(root2, (tm + 500) * 1000) == 1
+    # a regressing ICT is malformed metadata: raise, never mis-resolve
+    _write_commit(root2, 2, [
+        {"commitInfo": {"inCommitTimestamp": (tm + 100) * 1000}},
+        {"add": {"path": "a.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": False}},
+    ])
+    with pytest.raises(DeltaProtocolError, match="regressed"):
+        version_at_timestamp(root2, (tm + 600) * 1000)
+
+
 def test_plus_sign_in_path_dv_and_partition_attach(spark, tmp_path):
     """A literal '+' in the table/file path must survive the scan-key
     decode (bare F.url_decode is FORM-urlencoded and turns '+' into a
