@@ -161,6 +161,7 @@ HEADLINE = [
     "s41_iceberg_nested_evolution",  # struct-internal vintage scan (r10)
     "s42_hudi_cdc_infer",         # CDC images by slice inference (r10)
     "s43_hudi_partitioned_export",  # hive-style partitioned publish (r10)
+    "s44_iceberg_v3_defaults",    # v3 initial-default fill + row lineage (r10)
 ]
 
 

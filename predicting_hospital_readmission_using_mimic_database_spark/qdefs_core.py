@@ -5134,6 +5134,103 @@ def q_s43(spark, sf):
 
 
 @query(
+    "s44_iceberg_v3_defaults",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c,
+           'STD' AS tier
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 4000000,
+           CAST(floor(c_acctbal * 100) AS BIGINT),
+           'NEW'
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def q_s44(spark, sf):
+    """S44 — Iceberg v3 DEFAULT VALUES read (sources/iceberg.py
+    ``_absent_field_expr``): a column added with ``initial-default``
+    must read as THE DEFAULT for every row written before the column
+    existed — NULL-filling a declared default is wrong the moment the
+    default exists. The fixture exports the table (schema 0:
+    ``c_custkey, bal_c``), then commits a v3-writer-shaped evolution
+    adding ``tier string`` with ``initial-default: "STD"`` /
+    ``write-default: "NEW"`` plus an append of files carrying explicit
+    tier values, bumps the metadata to ``format-version: 3``, and
+    stamps the ROW-LINEAGE metadata fields v3 writers emit
+    (``next-row-id`` on the table, ``first-row-id`` on snapshots) —
+    which this reader must TOLERATE, not trip on. Pre-addition files
+    route through the vintage scan (the single-scan plan cannot apply
+    defaults) and fill 'STD'; post-addition files read their real
+    values. DuckDB recomputes both vintages with the default, so a
+    reader that NULL-filled, applied write-default on read, or
+    rejected the lineage fields breaks the hash."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+
+    from .sources.iceberg import (
+        _metadata_path,
+        commit_schema_evolution,
+        export_iceberg,
+        read_iceberg,
+    )
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s44", sf),
+        "c_custkey bigint, bal_c bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=8,
+    )
+    t.append(c)
+    assert export_iceberg(t) == 1
+    new = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 4_000_000).alias("c_custkey"),
+        "bal_c",
+        F.lit("NEW").alias("tier"),  # the writer applied write-default
+    )
+    n_new = new.count()
+    stage = os.path.join(t.root, "evo.stage")
+    new.coalesce(1).write.parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    evo_file = os.path.join(t.root, "data-evo-0.parquet")
+    shutil.move(part, evo_file)
+    shutil.rmtree(stage)
+    commit_schema_evolution(
+        t.root,
+        [
+            {"id": 1, "name": "c_custkey", "type": "long"},
+            {"id": 2, "name": "bal_c", "type": "long"},
+            {"id": 3, "name": "tier", "type": "string",
+             "initial-default": "STD", "write-default": "NEW"},
+        ],
+        added_files=[(evo_file, n_new)],
+    )
+    # v3-writer shape: format version 3 + the row-lineage fields this
+    # reader must tolerate
+    mp = _metadata_path(t.root)
+    with open(mp) as f:
+        meta = _json.load(f)
+    meta["format-version"] = 3
+    meta["next-row-id"] = 10_000
+    for i, s in enumerate(meta.get("snapshots", [])):
+        s["first-row-id"] = i * 5_000
+    with open(mp, "w") as f:
+        _json.dump(meta, f)
+    out = read_iceberg(spark, t.root)
+    # declared default, never NULL — and write-default never read-applied
+    assert out.filter(F.col("tier").isNull()).count() == 0
+    return out
+
+
+@query(
     "s39_delta_type_widening",
     oracle="""
     SELECT c_custkey,

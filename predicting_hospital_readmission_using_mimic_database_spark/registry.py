@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "s41_iceberg_nested_evolution",
     "s42_hudi_cdc_infer",
     "s43_hudi_partitioned_export",
+    "s44_iceberg_v3_defaults",
     # (a') changed or new in round 9
     "s37_iceberg_v3_dv",
     "s38_iceberg_schema_evolution",
@@ -78,7 +79,6 @@ PRIORITY: tuple[str, ...] = (
     "s31_hudi_mor_incremental",
     "s32_delta_stats_skip",
     "s33_iceberg_incremental",
-    "s22_delta_deletion_vectors",
     "t21_bpe_encode",
     "s19_hudi_read",
     "s27_hudi_mor_read",

@@ -1364,6 +1364,10 @@ def _vintage_groups(meta: dict, files: list) -> list | None:
                 # a dropped field's name was reused by a new field id:
                 # a name-based read would resurrect the dead column
                 return True
+            if vf is None and cf.get("initial-default") is not None:
+                # v3 initial-default: pre-addition files must fill the
+                # DEFAULT, not NULL — the single-scan plan cannot
+                return True
         return False
 
     needs = {
@@ -1417,6 +1421,40 @@ def _tname(t) -> str:
     return t.get("type", "?") if isinstance(t, dict) else str(t)
 
 
+def _absent_field_expr(cf: dict, dt: T.DataType):
+    """The value of field ``cf`` for rows in files written BEFORE the
+    field existed: the v3 ``initial-default`` when the schema declares
+    one (JSON single-value serialization — numbers for numerics, the
+    ISO string forms for date/timestamp, plain strings otherwise),
+    else NULL. ``write-default`` is writer-side only and never applied
+    on read. Unsupported default types raise rather than silently
+    NULL-filling a declared default."""
+    from pyspark.sql import functions as F
+
+    raw = cf.get("initial-default")
+    if raw is None:
+        return F.lit(None).cast(dt)
+    t = cf.get("type")
+    if isinstance(t, dict):
+        raise IcebergProtocolError(
+            f"field {cf.get('name')!r}: initial-default on nested type "
+            f"{_tname(t)} is not supported by this reader"
+        )
+    tl = str(t).lower()
+    if (
+        tl in ("boolean", "int", "long", "float", "double", "string",
+               "date", "timestamp", "timestamptz", "uuid")
+        or tl.startswith("decimal")
+    ):
+        # JSON forms cast exactly: numerics are numbers, date is
+        # 'YYYY-MM-DD', timestamps the ISO string, decimal a string
+        return F.lit(raw).cast(dt)
+    raise IcebergProtocolError(
+        f"field {cf.get('name')!r}: initial-default for type {t!r} "
+        "is not supported by this reader"
+    )
+
+
 def _vintage_expr(col, vt, ct, out_dt):
     """Projection from a value read under WRITE-TIME Iceberg type
     ``vt`` to the CURRENT type ``ct`` (Spark type ``out_dt``),
@@ -1461,7 +1499,9 @@ def _vintage_expr(col, vt, ct, out_dt):
         for cf, sf_ in zip(ct["fields"], out_dt.fields):
             vf = vin_by_id.get(cf["id"])
             if vf is None:
-                inner.append(F.lit(None).cast(sf_.dataType).alias(sf_.name))
+                inner.append(
+                    _absent_field_expr(cf, sf_.dataType).alias(sf_.name)
+                )
             else:
                 inner.append(
                     _vintage_expr(
@@ -1577,6 +1617,12 @@ def vintage_column_map(
     for cf in out_json["fields"]:
         vf = vin_by_id.get(cf["id"])
         if vf is None:
+            if cf.get("initial-default") is not None:
+                raise IcebergProtocolError(
+                    f"field {cf['name']!r} carries an initial-default; "
+                    "the incremental/streaming name-map readers cannot "
+                    "apply defaults (batch reads can)"
+                )
             out.append(None)
             continue
         _validate_vintage_field(cf, vf)
@@ -1606,7 +1652,11 @@ def _vintage_scan(
     for cf, sf_ in zip(cur_json["fields"], schema.fields):
         vf = vin_by_id.get(cf["id"])
         if vf is None:
-            projection.append(F.lit(None).cast(sf_.dataType).alias(sf_.name))
+            # fields added after this vintage: the v3 initial-default
+            # when declared, NULL otherwise
+            projection.append(
+                _absent_field_expr(cf, sf_.dataType).alias(sf_.name)
+            )
             continue
         read_fields.append(
             T.StructField(

@@ -1552,6 +1552,102 @@ def test_schema_evolution_nested_rename_promote_add(spark, tmp_path):
     assert {r["k"]: r["prof"] for r in old.collect()}[1] == (100, "A", None)
 
 
+def test_v3_initial_default_fills_and_write_default_ignored(spark, tmp_path):
+    """A column added with initial-default reads as THE DEFAULT for
+    pre-addition files (never NULL); write-default is writer-side only
+    and never applied on read; defaults inside a struct member fill the
+    same way; the incremental name-map reader raises instead of
+    NULL-filling a declared default."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        commit_schema_evolution,
+        vintage_column_map,
+    )
+
+    root, _f = _evo_root(tmp_path, "evdef", bal_type="long")
+    commit_schema_evolution(
+        root,
+        [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "bal", "type": "long"},
+            {"id": 3, "name": "tier", "type": "string",
+             "initial-default": "STD", "write-default": "NEW"},
+            {"id": 4, "name": "score", "type": "int", "initial-default": 7},
+        ],
+    )
+    got = {(r["k"], r["tier"], r["score"])
+           for r in read_iceberg(spark, root).collect()}
+    assert got == {(1, "STD", 7), (2, "STD", 7), (3, "STD", 7)}
+    # the name-map path (incremental/streaming) cannot apply defaults
+    with open(os.path.join(root, "metadata", "v2.metadata.json")) as fh:
+        meta = json.load(fh)
+    out_json = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    with pytest.raises(IcebergProtocolError, match="initial-default"):
+        vintage_column_map(meta, 1, out_json)
+
+
+def test_v3_initial_default_inside_struct(spark, tmp_path):
+    """initial-default on a member ADDED inside a struct fills through
+    the nested rebuild; a NULL struct value still stays NULL (the
+    default is per-member, not a struct resurrection)."""
+    import pyarrow as pa
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        commit_schema_evolution,
+    )
+
+    nested_old = {
+        "id": 3, "name": "prof", "required": False,
+        "type": {"type": "struct", "fields": [
+            {"id": 4, "name": "cents", "required": False, "type": "long"}]},
+    }
+    root, _f = _evo_root(tmp_path, "evdefn", extra_fields=(nested_old,))
+    prof_t = pa.struct([("cents", pa.int64())])
+    _write_parquet_typed(
+        _f,
+        {
+            "k": (pa.int64(), [1, 2]),
+            "bal": (pa.int32(), [10, 20]),
+            "prof": (prof_t, [{"cents": 100}, None]),
+        },
+    )
+    commit_schema_evolution(
+        root,
+        [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "bal", "type": "int"},
+            {"id": 3, "name": "prof", "type": {"type": "struct", "fields": [
+                {"id": 4, "name": "cents", "required": False, "type": "long"},
+                {"id": 5, "name": "seg", "required": False, "type": "string",
+                 "initial-default": "A"},
+            ]}},
+        ],
+    )
+    rows = {r["k"]: r["prof"] for r in read_iceberg(spark, root).collect()}
+    assert rows[1] == (100, "A")
+    assert rows[2] is None  # NULL struct stays NULL
+
+
+def test_v3_row_lineage_fields_tolerated(spark, tmp_path):
+    """next-row-id / first-row-id (v3 row lineage) are writer bookkeeping
+    this reader must tolerate — same rows, same travel."""
+    root, _f = _evo_root(tmp_path, "evlin")
+    mp = os.path.join(root, "metadata", "v1.metadata.json")
+    with open(mp) as fh:
+        meta = json.load(fh)
+    meta["format-version"] = 3
+    meta["next-row-id"] = 99
+    meta["row-lineage"] = True
+    for s in meta["snapshots"]:
+        s["first-row-id"] = 0
+    with open(mp, "w") as fh:
+        json.dump(meta, fh)
+    got = {(r["k"], r["bal"]) for r in read_iceberg(spark, root).collect()}
+    assert got == {(1, 10), (2, 20), (3, 30)}
+
+
 def test_schema_evolution_list_of_struct_element(spark, tmp_path):
     """Evolution inside a LIST's struct ELEMENT resolves per element
     via F.transform: inner rename + promotion apply to every element,
