@@ -93,6 +93,36 @@ def _properties(root: str) -> dict:
     return props
 
 
+def _gate_bootstrap(root: str, props: dict) -> None:
+    """Refuse BOOTSTRAPPED tables honestly. A metadata-only bootstrap
+    leaves the original parquet at ``hoodie.bootstrap.base.path`` and
+    writes SKELETON base files carrying only the ``_hoodie_*`` meta
+    columns; the skeleton->source mapping lives in an HFile bootstrap
+    index under ``.hoodie/.aux/.bootstrap``. Reading skeletons as full
+    rows would silently return meta-only rows (data columns gone), so
+    detection raises. The skeleton-join itself (positional zip of
+    skeleton meta columns with source-file data columns via
+    ``_metadata.row_index``) is expressible here, but the index that
+    names each skeleton's source file is HBase-HFile-formatted — a
+    byte layout this from-spec layer does not parse; without it the
+    mapping is unknowable."""
+    base = props.get(
+        "hoodie.bootstrap.base.path",
+        props.get("hoodie.bootstrap.base_path"),
+    )
+    idx = os.path.join(root, HOODIE_DIR, ".aux", ".bootstrap")
+    if base or os.path.isdir(idx):
+        raise HudiProtocolError(
+            "bootstrapped Hudi table (hoodie.bootstrap.base.path / "
+            ".hoodie/.aux/.bootstrap present): metadata-only bootstrap "
+            "needs the HFile bootstrap index to pair skeleton files "
+            "with their source parquet, which this reader does not "
+            "parse — reading skeletons directly would silently drop "
+            "every data column. Use the original source parquet, or a "
+            "full-record re-write of the table"
+        )
+
+
 def _completed_commits(root: str, allow_delta: bool = False) -> set[str]:
     """Instant times with a COMPLETED commit action on the timeline.
     ``allow_delta`` (the MERGE_ON_READ path) counts completed
@@ -201,6 +231,7 @@ def read_hudi_incremental(
     from pyspark.sql.pandas.types import from_arrow_schema
 
     props = _properties(root)
+    _gate_bootstrap(root, props)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
     if ttype == "MERGE_ON_READ":
         out = _read_mor(
@@ -297,6 +328,7 @@ def read_hudi_changes(
     from . import hudi_log as HL
 
     props = _properties(root)
+    _gate_bootstrap(root, props)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
     mor = ttype == "MERGE_ON_READ"
     if not mor and ttype != "COPY_ON_WRITE":
@@ -1851,6 +1883,7 @@ def read_hudi(
     :func:`_read_mor`): base files + committed AVRO upsert blocks,
     last writer wins per record key."""
     props = _properties(root)
+    _gate_bootstrap(root, props)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
     if ttype == "MERGE_ON_READ":
         return _read_mor(

@@ -409,6 +409,40 @@ def test_cdc_changes_cow_delete_and_empty_window(spark, tmp_path):
     assert empty.columns[:2] == ["op", "ts_ms"]
 
 
+def test_bootstrap_table_refuses(spark, tmp_path):
+    """A metadata-only BOOTSTRAPPED table's base files are skeletons
+    (meta columns only); without the HFile bootstrap index the
+    skeleton->source pairing is unknowable, so every read surface
+    raises instead of silently returning meta-only rows."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi_changes,
+        read_hudi_incremental,
+    )
+
+    root = str(tmp_path / "boot")
+    _mk_table(
+        root,
+        extra="hoodie.bootstrap.base.path=/some/source/table\n",
+    )
+    _write_base(root, "a", "f1", "00000000000001", [(1, 1.0)])
+    _commit(root, "00000000000001")
+    for fn in (
+        lambda: read_hudi(spark, root),
+        lambda: read_hudi_incremental(spark, root, begin="0"),
+        lambda: read_hudi_changes(spark, root, begin="0"),
+    ):
+        with pytest.raises(HudiProtocolError, match="bootstrap"):
+            fn()
+    # the index dir alone (no property) also gates
+    root2 = str(tmp_path / "boot2")
+    _mk_table(root2)
+    _write_base(root2, "a", "f1", "00000000000001", [(1, 1.0)])
+    _commit(root2, "00000000000001")
+    os.makedirs(os.path.join(root2, ".hoodie", ".aux", ".bootstrap"))
+    with pytest.raises(HudiProtocolError, match="bootstrap"):
+        read_hudi(spark, root2)
+
+
 def test_metadata_table_stale_falls_back_to_walk(spark, hudi_root):
     """A data commit landing AFTER the metadata table's last sync must
     not be invisible: the listing reports stale (None) and file
