@@ -140,6 +140,11 @@ AUDIT = [
     "s38_iceberg_schema_evolution",  # per-vintage scans unioned by field id
     "s39_delta_type_widening",  # single scan, native narrow-type upcast
     "s40_hudi_export",  # export roundtrip read: one scan over file groups
+    # round-10 operators
+    "s41_iceberg_nested_evolution",  # struct rebuild inside the vintage scan
+    "s42_hudi_cdc_infer",  # touched-groups-only diff join
+    "s43_hudi_partitioned_export",  # pruned single-partition read-back
+    "s44_iceberg_v3_defaults",  # default fill is a literal in the scan
 ]
 
 
