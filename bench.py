@@ -162,6 +162,7 @@ HEADLINE = [
     "s42_hudi_cdc_infer",         # CDC images by slice inference (r10)
     "s43_hudi_partitioned_export",  # hive-style partitioned publish (r10)
     "s44_iceberg_v3_defaults",    # v3 initial-default fill + row lineage (r10)
+    "st20_stream_hudi_cdc",       # per-commit CDC images, group-local diff (r10)
 ]
 
 

@@ -1585,3 +1585,134 @@ def q_st19(spark, sf):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st20_stream_hudi_cdc",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    g2 AS (SELECT * FROM base WHERE c_custkey % 4 = 2)
+    SELECT c_custkey, cents,
+           'insert' AS _change_type,
+           '00000000000001' AS _commit_instant
+    FROM base
+    UNION ALL
+    SELECT c_custkey, cents, 'delete', '00000000000002'
+    FROM g2 WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT c_custkey, cents, 'update_preimage', '00000000000002'
+    FROM g2 WHERE c_custkey % 5 IN (1, 2)
+    UNION ALL
+    SELECT c_custkey, cents + 777, 'update_postimage', '00000000000002'
+    FROM g2 WHERE c_custkey % 5 IN (1, 2)
+    UNION ALL
+    SELECT c_custkey + 9000000, cents, 'insert', '00000000000002'
+    FROM g2 WHERE c_custkey % 20 = 2
+    """,
+)
+def q_st20(spark, sf):
+    """ST20 — Hudi CDC as a STREAMING source (sources/hudi_stream.py
+    with ``incrementalFormat=cdc``, Hudi's
+    ``hoodie.datasource.query.incremental.format=cdc`` / RFC-51):
+    micro-batches emit PER-COMMIT change images in the Delta-CDF row
+    shape instead of net rows, inferred from file slices with the diff
+    computed GROUP-LOCALLY on executors — one input partition per
+    (commit, group whose slice spec changed), zero shuffle, untouched
+    groups never shipped. Same fixture shape as s42 (4 COW file
+    groups; commit 2 rewrites ONLY group 2 with deletes + updates +
+    carried rows + inserts), drained from instant 0 with availableNow:
+    the feed must contain commit 1's full insert images AND commit 2's
+    delete (with before image) / update_preimage / update_postimage /
+    insert rows — nothing for carried-forward rows or untouched
+    groups. DuckDB recomputes the entire expected image feed; a leaked
+    carried row, a missed delete, or swapped pre/post images breaks
+    the hash."""
+    import glob
+
+    from .qdefs_core import _table_root
+    from .sources.hudi_stream import register_hudi_stream
+
+    register_hudi_stream(spark)
+    root = _table_root("st20", sf)
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t1, t2 = "00000000000001", "00000000000002"
+
+    def put(df, part, file_id, instant):
+        d = os.path.join(root, part)
+        os.makedirs(d, exist_ok=True)
+        fname = f"{file_id}_1-0-1_{instant}.parquet"
+        meta = df.select(
+            F.col("ct").alias("_hoodie_commit_time"),
+            F.concat_ws("_", F.col("ct"), F.lit(file_id)).alias(
+                "_hoodie_commit_seqno"
+            ),
+            F.col("c_custkey").cast("string").alias("_hoodie_record_key"),
+            F.lit(part).alias("_hoodie_partition_path"),
+            F.lit(fname).alias("_hoodie_file_name"),
+            "c_custkey",
+            "cents",
+        )
+        stage = os.path.join(root, f".stage_{file_id}_{instant}")
+        meta.coalesce(1).write.parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(src, os.path.join(d, fname))
+        shutil.rmtree(stage)
+
+    hdir = os.path.join(root, ".hoodie")
+    os.makedirs(hdir, exist_ok=True)
+    with open(os.path.join(hdir, "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.name=st20\nhoodie.table.type=COPY_ON_WRITE\n")
+    for g in range(4):
+        put(
+            c.filter(F.col("c_custkey") % 4 == g).withColumn("ct", F.lit(t1)),
+            f"g{g}", f"fg{g}", t1,
+        )
+    open(os.path.join(hdir, f"{t1}.commit"), "w").close()
+    g2 = c.filter(F.col("c_custkey") % 4 == 2)
+    m5 = F.col("c_custkey") % 5
+    carried = g2.filter(m5.isin(3, 4)).withColumn("ct", F.lit(t1))
+    updated = (
+        g2.filter(m5.isin(1, 2))
+        .withColumn("cents", F.col("cents") + 777)
+        .withColumn("ct", F.lit(t2))
+    )
+    inserted = (
+        g2.filter(F.col("c_custkey") % 20 == 2)
+        .select((F.col("c_custkey") + 9_000_000).alias("c_custkey"), "cents")
+        .withColumn("ct", F.lit(t2))
+    )
+    put(carried.unionByName(updated).unionByName(inserted), "g2", "fg2", t2)
+    open(os.path.join(hdir, f"{t2}.commit"), "w").close()
+
+    tmp = tempfile.mkdtemp(prefix="st20_")
+    try:
+        got: list = []
+
+        def sink(df, _bid):
+            got.extend(tuple(r) for r in df.collect())
+
+        q = (
+            spark.readStream.format("hudi_stream")
+            .option("path", root)
+            .option("startingInstant", "0")
+            .option("incrementalFormat", "cdc")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.createDataFrame(
+            got,
+            "c_custkey long, cents long, _change_type string, "
+            "_commit_instant string",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

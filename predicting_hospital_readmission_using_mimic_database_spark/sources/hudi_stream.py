@@ -39,6 +39,25 @@ and the engine's own ``snapshot_changes``:
 
 Every emitted row carries ``_commit_instant`` (string), the row's own
 commit time.
+
+CDC MODE — ``.option("incrementalFormat", "cdc")`` (Hudi's
+``hoodie.datasource.query.incremental.format=cdc``, RFC-51): instead
+of net rows, micro-batches emit PER-COMMIT CHANGE IMAGES in the Delta-
+CDF row shape — payload columns + ``_change_type`` (``insert`` /
+``update_preimage`` / ``update_postimage`` / ``delete``) +
+``_commit_instant``. Images are INFERRED from file slices (the
+cdc-on-the-fly path; supplemental ``-cdc`` log files are not parsed —
+same gate as the batch :func:`hudi.read_hudi_changes`): the driver
+builds each file group's slice SPEC (base path + gated log-block list)
+at consecutive commit cutoffs, ships one input partition per (commit,
+group-whose-spec-changed), and the partition reader folds the group's
+state at both cutoffs and diffs per record key — GROUP-LOCAL, so the
+whole feed is computed with ZERO shuffle (a record key lives in
+exactly one file group per partition). Untouched groups never ship a
+partition. A key upserted in two commits of one micro-batch emits one
+image pair PER commit. Caveat: a replacecommit (clustering /
+insert_overwrite) re-homes rows across file groups, so its images
+surface as delete+insert pairs rather than updates.
 """
 
 from __future__ import annotations
@@ -75,8 +94,10 @@ def _table_type(root: str) -> str:
     return ttype
 
 
-def _data_schema(root: str, mor: bool) -> StructType:
-    """Declared row schema: the newest slice's footer minus meta cols."""
+def _data_schema(root: str, mor: bool, need_key: bool = False) -> StructType:
+    """Declared row schema: the newest slice's footer minus meta cols.
+    ``need_key`` additionally requires ``_hoodie_record_key`` (the CDC
+    diff is key-based on COW too)."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -94,7 +115,9 @@ def _data_schema(root: str, mor: bool) -> StructType:
     full = from_arrow_schema(
         pq.ParquetFile(newest).schema_arrow, prefer_timestamp_ntz=True
     )
-    need = ["_hoodie_commit_time"] + (["_hoodie_record_key"] if mor else [])
+    need = ["_hoodie_commit_time"] + (
+        ["_hoodie_record_key"] if (mor or need_key) else []
+    )
     for col in need:
         if col not in full.names:
             raise HudiProtocolError(
@@ -128,6 +151,20 @@ class _MorGroupPartition(InputPartition):
         self.precombine = precombine
 
 
+class _CdcPartition(InputPartition):
+    """CDC: one file group at one commit — its slice spec at the commit
+    and at the previous instant; the reader folds both states and
+    diffs per record key (group-local: zero shuffle)."""
+
+    def __init__(self, before, after, part, commit, cols, precombine):
+        self.before = before      # (base|None, [(lp, idx json)]) | None
+        self.after = after        # same shape | None (group replaced)
+        self.part = part
+        self.commit = commit
+        self.cols = cols
+        self.precombine = precombine
+
+
 #: sorts None ordering values below every real value (batch window's
 #: desc_nulls_last), then positionally. Precombine values are compared
 #: as the writer serialized them — a table whose writers mix orderingVal
@@ -138,19 +175,148 @@ def _sort_key(ord_val, inst, fidx, bi, ri):
     return (ord_val is not None, ord_val, inst, fidx, bi, ri)
 
 
+def _fold_group_state(base, logs, part, cols, prec):
+    """Fold ONE file group's base rows + committed log events per
+    record key in the batch merge's total order (sequentially, on the
+    executor): ``{record key: (commit time, row tuple | None)}`` —
+    ``None`` = the key's winning writer was a DELETE tombstone. Shared
+    by the incremental stream (window filter on top) and the CDC
+    stream (two folds diffed)."""
+    from . import hudi_log as HL
+
+    best: dict = {}
+
+    def offer(key, sk, ct, row):
+        cur = best.get(key)
+        if cur is None or sk > cur[0]:
+            best[key] = (sk, ct, row)
+
+    if base is not None:
+        import pyarrow.parquet as pq
+
+        need = list(
+            dict.fromkeys(
+                [*cols, "_hoodie_commit_time", "_hoodie_record_key"]
+            )
+        )
+        t = pq.ParquetFile(base).read(columns=need)
+        data = {c: t.column(c).to_pylist() for c in need}
+        for i in range(t.num_rows):
+            ct = data["_hoodie_commit_time"][i]
+            row = tuple(data[c][i] for c in cols)
+            ov = data[prec][i] if prec is not None else None
+            offer(
+                data["_hoodie_record_key"][i],
+                _sort_key(ov, ct, -1, -1, i),
+                ct,
+                row,
+            )
+    for fidx, (lp, bjson) in enumerate(logs):
+        keep = set(json.loads(bjson))
+        for bi, blk in enumerate(HL.read_log_blocks(lp)):
+            if bi not in keep:
+                continue
+            inst = blk["instant"]
+            if blk["type"] == HL.DELETE_BLOCK:
+                for ri, d in enumerate(
+                    HL.decode_delete_records(blk["delete_content"])
+                ):
+                    pp = d.get("partitionPath")
+                    if pp is not None and os.path.normpath(pp) != part:
+                        continue  # scoped to another partition dir
+                    ov = d.get("orderingVal")
+                    if prec is not None and ov is None:
+                        raise HL.HudiLogUnsupportedError(
+                            f"{os.path.basename(lp)}: delete record "
+                            "without an orderingVal under event-time "
+                            "merge ordering"
+                        )
+                    offer(
+                        d.get("recordKey"),
+                        _sort_key(
+                            ov if prec is not None else None,
+                            inst, fidx, bi, ri,
+                        ),
+                        inst,
+                        None,
+                    )
+                continue
+            for ri, rec in enumerate(blk["records"]):
+                ov = rec.get(prec) if prec is not None else None
+                offer(
+                    rec.get("_hoodie_record_key"),
+                    _sort_key(ov, inst, fidx, bi, ri),
+                    inst,
+                    tuple(rec.get(c) for c in cols),
+                )
+    return {k: (ct, row) for k, (_sk, ct, row) in best.items()}
+
+
+def _gate_log_blocks(lp: str, done: set) -> tuple[list[int], str]:
+    """Header-only gate of one log file's blocks against the committed
+    set: kept block indexes + the newest committed instant seen. Same
+    gates as the batch `_read_mor` — rollback COMMANDs of completed
+    instants and unknown block types raise; payloads never touch the
+    driver."""
+    from . import hudi_log as HL
+
+    idxs: list[int] = []
+    max_inst = ""
+    for bi, h in enumerate(HL.scan_block_headers(lp)):
+        inst = h["instant"]
+        if inst is None:
+            raise HL.HudiLogCorruptError(
+                f"{lp}: log block without INSTANT_TIME header"
+            )
+        if inst not in done:
+            continue
+        if h["type"] == HL.COMMAND_BLOCK:
+            if h["header"].get(HL.H_COMMAND_BLOCK_TYPE, "0") != "0":
+                raise HudiProtocolError(
+                    f"log file {os.path.basename(lp)}: unknown COMMAND "
+                    f"block type {h['header'].get(HL.H_COMMAND_BLOCK_TYPE)!r}"
+                )
+            tgt = h["header"].get(HL.H_TARGET_INSTANT_TIME)
+            if tgt is not None and tgt in done:
+                raise HudiProtocolError(
+                    f"log file {os.path.basename(lp)}: rollback COMMAND "
+                    f"block targets COMPLETED instant {tgt}; "
+                    "inconsistent timeline"
+                )
+            continue
+        if h["type"] not in (HL.AVRO_DATA_BLOCK, HL.DELETE_BLOCK):
+            raise HudiProtocolError(
+                f"log file {os.path.basename(lp)}: unsupported "
+                f"block type {h['type']}"
+            )
+        idxs.append(bi)
+        if inst > max_inst:
+            max_inst = inst
+    return idxs, max_inst
+
+
 class HudiStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self._root = options.get("path")
         if not self._root:
             raise ValueError("hudi_stream requires .option('path', <table root>)")
         self._mor = _table_type(self._root) == "MERGE_ON_READ"
+        self._cdc = str(
+            options.get(
+                "incrementalformat", options.get("incrementalFormat", "")
+            )
+        ).lower() == "cdc"
         # merge semantics only matter where merging happens (MOR); a COW
-        # table's payload class never affects its snapshot read
+        # table's payload class never affects its snapshot read — except
+        # in CDC mode, whose state folds are key-ordered on both types
         self._precombine = (
             _merge_ordering(_properties(self._root)) if self._mor else None
         )
         self._cols = [
-            f.name for f in _data_schema(self._root, self._mor).fields
+            f.name
+            for f in _data_schema(
+                self._root, self._mor, need_key=self._cdc
+            ).fields
         ]
         p = options.get("partitions")
         self._partitions = p.split(",") if p else None
@@ -181,8 +347,6 @@ class HudiStreamReader(DataSourceStreamReader):
         driver-side header scan gates block types and filters
         uncommitted / time-traveled-past instants — identical gating to
         the batch `_read_mor`, record payloads never reach the driver."""
-        from . import hudi_log as HL
-
         groups, logs = _latest_slices(
             self._root, upto, self._partitions, collect_logs=True
         )
@@ -195,45 +359,13 @@ class HudiStreamReader(DataSourceStreamReader):
             if base is not None:
                 lfs = [l for l in lfs if l[0] == base[0]]
             max_inst = base[0] if base is not None else ""
-            kept: list[tuple[str, list[int]]] = []
+            kept: list[tuple[str, str]] = []
             for _bi, _ver, lp in lfs:
-                idxs = []
-                for bi, h in enumerate(HL.scan_block_headers(lp)):
-                    inst = h["instant"]
-                    if inst is None:
-                        raise HL.HudiLogCorruptError(
-                            f"{lp}: log block without INSTANT_TIME header"
-                        )
-                    if inst not in done:
-                        continue
-                    if h["type"] == HL.COMMAND_BLOCK:
-                        # same gate as the batch _read_mor: a COMMAND
-                        # type other than ROLLBACK has semantics this
-                        # reader must not guess at
-                        if h["header"].get(HL.H_COMMAND_BLOCK_TYPE, "0") != "0":
-                            raise HudiProtocolError(
-                                f"log file {os.path.basename(lp)}: unknown "
-                                "COMMAND block type "
-                                f"{h['header'].get(HL.H_COMMAND_BLOCK_TYPE)!r}"
-                            )
-                        tgt = h["header"].get(HL.H_TARGET_INSTANT_TIME)
-                        if tgt is not None and tgt in done:
-                            raise HudiProtocolError(
-                                f"log file {os.path.basename(lp)}: rollback "
-                                f"COMMAND block targets COMPLETED instant "
-                                f"{tgt}; inconsistent timeline"
-                            )
-                        continue
-                    if h["type"] not in (HL.AVRO_DATA_BLOCK, HL.DELETE_BLOCK):
-                        raise HudiProtocolError(
-                            f"log file {os.path.basename(lp)}: unsupported "
-                            f"block type {h['type']}"
-                        )
-                    idxs.append(bi)
-                    if inst > max_inst:
-                        max_inst = inst
+                idxs, mi = _gate_log_blocks(lp, done)
                 if idxs:
                     kept.append((lp, json.dumps(idxs)))
+                if mi > max_inst:
+                    max_inst = mi
             if max_inst <= begin:
                 continue  # untouched group: never opened
             out.append(
@@ -249,18 +381,85 @@ class HudiStreamReader(DataSourceStreamReader):
             )
         return out
 
+    def _group_specs(self, as_of: str | None) -> dict:
+        """Driver-side SLICE SPEC of every file group at cutoff
+        ``as_of``: ``{(part, fileId): (base path | None, [(log path,
+        kept-block-idx json)])}`` — the complete recipe an executor
+        needs to fold the group's state at that instant. Two specs
+        differing at consecutive cutoffs IS the touched-group test
+        (a new base file or a newly committed block changes the spec;
+        a replaced group vanishes)."""
+        if as_of is None:
+            return {}
+        if not self._mor:
+            groups = _latest_slices(self._root, as_of, self._partitions)
+            return {k: (p, []) for k, (_i, p) in groups.items()}
+        groups, logs = _latest_slices(
+            self._root, as_of, self._partitions, collect_logs=True
+        )
+        done = _completed_commits(self._root, allow_delta=True)
+        done = {c for c in done if c <= as_of}
+        out: dict = {}
+        for key in sorted(set(groups) | set(logs)):
+            base = groups.get(key)
+            lfs = sorted(logs.get(key, []))
+            if base is not None:
+                lfs = [l for l in lfs if l[0] == base[0]]
+            kept = []
+            for _bi, _ver, lp in lfs:
+                idxs, _mi = _gate_log_blocks(lp, done)
+                if idxs:
+                    kept.append((lp, json.dumps(idxs)))
+            if base is not None or kept:
+                out[key] = (base[1] if base is not None else None, kept)
+        return out
+
+    def _cdc_partitions(self, begin, upto):
+        """One partition per (commit in the window, group whose slice
+        spec changed at that commit) — per-commit image granularity,
+        untouched groups never ship."""
+        done_all = sorted(
+            _completed_commits(self._root, allow_delta=self._mor)
+        )
+        window = [c for c in done_all if begin < c <= upto]
+        out: list[_CdcPartition] = []
+        prev_cutoff = max((d for d in done_all if d <= begin), default=None)
+        spec_prev = self._group_specs(prev_cutoff)
+        for c in window:
+            spec_c = self._group_specs(c)
+            for key in sorted(set(spec_prev) | set(spec_c)):
+                if spec_prev.get(key) != spec_c.get(key):
+                    out.append(
+                        _CdcPartition(
+                            spec_prev.get(key),
+                            spec_c.get(key),
+                            key[0],
+                            c,
+                            self._cols,
+                            self._precombine,
+                        )
+                    )
+            spec_prev = spec_c
+        return out
+
     def partitions(self, start: dict, end: dict):
         begin, upto = start["instant"], end["instant"]
         out = []
         if upto > begin:
-            out = (
-                self._mor_partitions(begin, upto)
-                if self._mor
-                else self._cow_partitions(begin, upto)
-            )
+            if self._cdc:
+                out = self._cdc_partitions(begin, upto)
+            else:
+                out = (
+                    self._mor_partitions(begin, upto)
+                    if self._mor
+                    else self._cow_partitions(begin, upto)
+                )
         return out or [_SlicePartition(None, begin, upto, self._cols)]
 
     def read(self, partition):
+        if isinstance(partition, _CdcPartition):
+            yield from self._read_cdc(partition)
+            return
         if isinstance(partition, _MorGroupPartition):
             yield from self._read_mor_group(partition)
             return
@@ -281,79 +480,38 @@ class HudiStreamReader(DataSourceStreamReader):
         """Fold one file group's base + committed log events per record
         key (the batch merge's total order, sequentially) and emit each
         key's net row iff it landed in the window and survived."""
-        from . import hudi_log as HL
-
-        cols = p.cols
-        prec = p.precombine
-        #: record key -> (sort key, commit time, row values | None=del)
-        best: dict[tuple, tuple] = {}
-
-        def offer(key, sk, ct, row):
-            cur = best.get(key)
-            if cur is None or sk > cur[0]:
-                best[key] = (sk, ct, row)
-
-        if p.base is not None:
-            import pyarrow.parquet as pq
-
-            need = list(
-                dict.fromkeys(
-                    [*cols, "_hoodie_commit_time", "_hoodie_record_key"]
-                )
-            )
-            t = pq.ParquetFile(p.base).read(columns=need)
-            data = {c: t.column(c).to_pylist() for c in need}
-            for i in range(t.num_rows):
-                ct = data["_hoodie_commit_time"][i]
-                row = tuple(data[c][i] for c in cols)
-                ov = data[prec][i] if prec is not None else None
-                offer(
-                    data["_hoodie_record_key"][i],
-                    _sort_key(ov, ct, -1, -1, i),
-                    ct,
-                    row,
-                )
-        for fidx, (lp, bjson) in enumerate(p.logs):
-            keep = set(json.loads(bjson))
-            for bi, blk in enumerate(HL.read_log_blocks(lp)):
-                if bi not in keep:
-                    continue
-                inst = blk["instant"]
-                if blk["type"] == HL.DELETE_BLOCK:
-                    for ri, d in enumerate(
-                        HL.decode_delete_records(blk["delete_content"])
-                    ):
-                        pp = d.get("partitionPath")
-                        if pp is not None and os.path.normpath(pp) != p.part:
-                            continue  # scoped to another partition dir
-                        ov = d.get("orderingVal")
-                        if prec is not None and ov is None:
-                            raise HL.HudiLogUnsupportedError(
-                                f"{os.path.basename(lp)}: delete record "
-                                "without an orderingVal under event-time "
-                                "merge ordering"
-                            )
-                        offer(
-                            d.get("recordKey"),
-                            _sort_key(
-                                ov if prec is not None else None,
-                                inst, fidx, bi, ri,
-                            ),
-                            inst,
-                            None,
-                        )
-                    continue
-                for ri, rec in enumerate(blk["records"]):
-                    ov = rec.get(prec) if prec is not None else None
-                    offer(
-                        rec.get("_hoodie_record_key"),
-                        _sort_key(ov, inst, fidx, bi, ri),
-                        inst,
-                        tuple(rec.get(c) for c in cols),
-                    )
-        for _sk, ct, row in best.values():
+        state = _fold_group_state(
+            p.base, p.logs, p.part, p.cols, p.precombine
+        )
+        for ct, row in state.values():
             if row is not None and p.begin < ct <= p.end:
                 yield (*row, ct)
+
+    def _read_cdc(self, p: _CdcPartition):
+        """Diff one group's folded state at (prev instant, commit):
+        Delta-CDF-shaped image rows, computed group-locally."""
+        def state(spec):
+            if spec is None:
+                return {}
+            base, logs = spec
+            return _fold_group_state(
+                base, logs, p.part, p.cols, p.precombine
+            )
+
+        before = state(p.before)
+        after = state(p.after)
+        for k in sorted(set(before) | set(after), key=str):
+            brow = before.get(k, (None, None))[1]
+            arow = after.get(k, (None, None))[1]
+            if brow is None and arow is None:
+                continue  # never existed / tombstone on both sides
+            if brow is None:
+                yield (*arow, "insert", p.commit)
+            elif arow is None:
+                yield (*brow, "delete", p.commit)
+            elif brow != arow:
+                yield (*brow, "update_preimage", p.commit)
+                yield (*arow, "update_postimage", p.commit)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable timeline instants
@@ -397,9 +555,17 @@ class HudiStreamDataSource(DataSource):
     def schema(self):
         root = self.options.get("path")
         mor = _table_type(root) == "MERGE_ON_READ"
-        return StructType(
-            list(_data_schema(root, mor).fields)
-        ).add("_commit_instant", StringType())
+        cdc = str(
+            self.options.get(
+                "incrementalformat", self.options.get("incrementalFormat", "")
+            )
+        ).lower() == "cdc"
+        base = StructType(
+            list(_data_schema(root, mor, need_key=cdc).fields)
+        )
+        if cdc:
+            base = base.add("_change_type", StringType())
+        return base.add("_commit_instant", StringType())
 
     def streamReader(self, schema: StructType):
         return HudiStreamReader(self.options)

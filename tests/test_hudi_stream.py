@@ -213,3 +213,108 @@ def test_mor_stream_unknown_command_block_raises(spark, mor_root, tmp_path):
         spark.read.format("hudi_stream").option("path", mor_root).option(
             "startingInstant", "0"
         ).load().collect()
+
+
+# --------------------------------------------------------------- CDC mode
+
+def test_cdc_stream_cow(spark, tmp_path):
+    """incrementalFormat=cdc on COW: per-COMMIT change images in the
+    Delta-CDF row shape, inferred group-locally (zero shuffle) — one
+    image pair per commit even inside a single micro-batch; resume
+    emits only the new commit's images; deletes carry before images."""
+    from tests.test_hudi_interop import _write_keyed_base
+
+    register_hudi_stream(spark)
+    root = str(tmp_path / "cdc")
+    _mk_table(root)
+    t1, t2, t3 = "00000000000001", "00000000000002", "00000000000003"
+    _write_keyed_base(root, "a", "f1", t1, [(1, 1.0), (2, 2.0)])
+    _write_keyed_base(root, "b", "f2", t1, [(10, 10.0)])
+    _commit(root, t1)
+    # rewrite f1: k=1 updated, k=2 carried unchanged, k=3 inserted
+    _write_keyed_base(
+        root, "a", "f1", t2, [(1, -1.0), (2, 2.0), (3, 3.0)],
+        times=[t2, t1, t2],
+    )
+    _commit(root, t2)
+    ckpt = str(tmp_path / "ck")
+    got = _drain(
+        spark, root, ckpt, startingInstant="0", incrementalFormat="cdc"
+    )
+    assert got == sorted([
+        (1, 1.0, "insert", t1),
+        (2, 2.0, "insert", t1),
+        (10, 10.0, "insert", t1),
+        (1, 1.0, "update_preimage", t2),
+        (1, -1.0, "update_postimage", t2),
+        (3, 3.0, "insert", t2),
+    ])
+    # resume: commit 3 rewrites f1 dropping k=2 -> one delete image
+    _write_keyed_base(root, "a", "f1", t3, [(1, -1.0), (3, 3.0)],
+                      times=[t2, t2])
+    _commit(root, t3)
+    assert _drain(
+        spark, root, ckpt, startingInstant="0", incrementalFormat="cdc"
+    ) == [(2, 2.0, "delete", t3)]
+
+
+def test_cdc_stream_mor(spark, mor_root, tmp_path):
+    """incrementalFormat=cdc on MERGE_ON_READ: images come from folding
+    each touched group's base+log state at consecutive instants — a key
+    upserted in two commits emits one image pair PER commit; a DELETE
+    tombstone surfaces with its before image; untouched groups ship no
+    partition."""
+    register_hudi_stream(spark)
+    ckpt = str(tmp_path / "mck")
+    got = _drain(
+        spark, mor_root, ckpt, startingInstant="0", incrementalFormat="cdc"
+    )
+    t1, t2, t3 = "00000000000001", "00000000000002", "00000000000003"
+    assert got == sorted([
+        (1, 1.0, "insert", t1),
+        (2, 2.0, "insert", t1),
+        (10, 10.0, "insert", t1),
+        (1, 1.0, "update_preimage", t2),
+        (1, -1.0, "update_postimage", t2),
+        (3, 3.0, "insert", t2),
+        (3, 3.0, "update_preimage", t3),
+        (3, 33.0, "update_postimage", t3),
+        (10, 10.0, "update_preimage", t3),
+        (10, 0.5, "update_postimage", t3),
+    ])
+    # a DELETE tombstone in a later deltacommit: before image, op=delete
+    l2 = os.path.join(
+        mor_root, "a", HL.log_file_name("f1", "00000000000001", 2)
+    )
+    HL.append_delete_block(
+        l2, "00000000000005", [{"recordKey": "2", "partitionPath": "a"}]
+    )
+    _commit(mor_root, "00000000000005", state="deltacommit")
+    assert _drain(
+        spark, mor_root, ckpt, startingInstant="0", incrementalFormat="cdc"
+    ) == [(2, 2.0, "delete", "00000000000005")]
+
+
+def test_cdc_batch_tail(spark, tmp_path):
+    """The batch view composes with cdc mode: the full image history
+    since startingInstant in one read."""
+    from tests.test_hudi_interop import _write_keyed_base
+
+    register_hudi_stream(spark)
+    root = str(tmp_path / "cdcb")
+    _mk_table(root)
+    t1, t2 = "00000000000001", "00000000000002"
+    _write_keyed_base(root, "a", "f1", t1, [(1, 1.0)])
+    _commit(root, t1)
+    _write_keyed_base(root, "a", "f1", t2, [(1, 5.0)], times=[t2])
+    _commit(root, t2)
+    df = (
+        spark.read.format("hudi_stream").option("path", root)
+        .option("incrementalFormat", "cdc").load()
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == sorted([
+        (1, 1.0, "insert", t1),
+        (1, 1.0, "update_preimage", t2),
+        (1, 5.0, "update_postimage", t2),
+    ])
