@@ -5231,6 +5231,163 @@ def q_s44(spark, sf):
 
 
 @query(
+    "s45_iceberg_row_lineage",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+           CAST(100
+                + CASE WHEN c_custkey % 2 = 0 THEN 0
+                  ELSE (SELECT count(*) FROM customer WHERE c_custkey % 2 = 0)
+                  END
+                + row_number() OVER (PARTITION BY c_custkey % 2
+                                     ORDER BY c_custkey) - 1
+                AS BIGINT) AS _row_id,
+           CAST(1 AS BIGINT) AS _last_updated_sequence_number
+    FROM customer
+    """,
+)
+def q_s45(spark, sf):
+    """S45 — Iceberg v3 ROW LINEAGE surfaced (sources/iceberg.py
+    ``read_iceberg(row_lineage=True)``): every row gets ``_row_id``
+    and ``_last_updated_sequence_number`` per the v3 spec —
+    ``_row_id`` = the data file's ``first_row_id`` + the row's
+    position, where the file's ``first_row_id`` is INHERITED (null on
+    the ADDED entry, assigned from the manifest-list record's
+    ``first_row_id`` plus the record counts of the previously-read
+    null-frid files — the spec's assignment, exercised here, not just
+    the explicit-value path); ``_last_updated_sequence_number`` = the
+    file's data sequence. The fixture is a hand-built v3 table (the
+    foreign-writer shape): two data files each written SORTED by
+    ``c_custkey`` (one per ``c_custkey % 2`` class), one manifest
+    whose list record carries ``first_row_id: 100``, snapshot
+    ``first-row-id`` + table ``next-row-id`` stamped. DuckDB recomputes
+    every row id from the sort order and class counts — an off-by-one
+    in the inheritance accumulation, a swapped file order, or a
+    mis-keyed per-file join breaks the row-level hash."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import time
+
+    from .sources.avro_ocf import write_avro
+    from .sources.iceberg import (
+        MANIFEST_ENTRY_SCHEMA,
+        MANIFEST_FILE_SCHEMA,
+        read_iceberg,
+    )
+
+    root = _table_root("s45", sf)
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+
+    def put(df, rel):
+        stage = os.path.join(root, ".stage")
+        (
+            df.coalesce(1)
+            .sortWithinPartitions("c_custkey")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(root, rel)
+        shutil.move(src, dst)
+        shutil.rmtree(stage)
+        return dst
+
+    counts = {}
+    paths = {}
+    for g in (0, 1):
+        part = c.filter(F.col("c_custkey") % 2 == g)
+        counts[g] = part.count()
+        paths[g] = put(part, f"data-{g}.parquet")
+    manifest = os.path.join(mdir, "manifest-1.avro")
+    write_avro(
+        manifest,
+        MANIFEST_ENTRY_SCHEMA,
+        [
+            {
+                "status": 1,
+                "snapshot_id": 1,
+                # first_row_id left NULL: the reader must ASSIGN it by
+                # inheritance (manifest frid + preceding record counts)
+                "data_file": {
+                    "content": 0,
+                    "file_path": paths[g],
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": counts[g],
+                    "file_size_in_bytes": os.path.getsize(paths[g]),
+                    "equality_ids": None,
+                },
+            }
+            for g in (0, 1)
+        ],
+    )
+    mlist = os.path.join(mdir, "snap-1.avro")
+    write_avro(
+        mlist,
+        MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": manifest,
+                "manifest_length": os.path.getsize(manifest),
+                "partition_spec_id": 0,
+                "content": 0,
+                "added_snapshot_id": 1,
+                "sequence_number": 1,
+                "first_row_id": 100,
+            }
+        ],
+    )
+    meta = {
+        "format-version": 3,
+        "table-uuid": "s45-row-lineage",
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": 2,
+        "next-row-id": 100 + counts[0] + counts[1],
+        "row-lineage": True,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "c_custkey", "required": False,
+                     "type": "long"},
+                    {"id": 2, "name": "cents", "required": False,
+                     "type": "long"},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 1000,
+                "summary": {"operation": "append"},
+                "manifest-list": mlist,
+                "schema-id": 0,
+                "first-row-id": 100,
+            }
+        ],
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")
+    return read_iceberg(spark, root, row_lineage=True)
+
+
+@query(
     "s39_delta_type_widening",
     oracle="""
     SELECT c_custkey,

@@ -67,6 +67,7 @@ PRIORITY: tuple[str, ...] = (
     "s43_hudi_partitioned_export",
     "s44_iceberg_v3_defaults",
     "st20_stream_hudi_cdc",
+    "s45_iceberg_row_lineage",
     # (a') changed or new in round 9
     "s37_iceberg_v3_dv",
     "s38_iceberg_schema_evolution",
@@ -90,7 +91,6 @@ PRIORITY: tuple[str, ...] = (
     "s18_iceberg_roundtrip",
     "s20_iceberg_pos_delete",
     "s23_iceberg_eq_delete",
-    "st16_stream_iceberg_tail",
     "st14_stream_delta_tail",
     "st18_stream_hudi_mor",
     "st19_stream_delta_idmap",

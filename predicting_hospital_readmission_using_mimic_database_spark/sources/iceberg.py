@@ -113,6 +113,15 @@ MANIFEST_ENTRY_SCHEMA = {
                         "name": "equality_ids",
                         "type": ["null", {"type": "array", "items": "int"}],
                     },
+                    # format-v3 row-lineage field (spec id 142): the
+                    # row id of the file's FIRST row; null on ADDED
+                    # entries = inherit from the manifest's first_row_id
+                    # plus preceding record counts
+                    {
+                        "name": "first_row_id",
+                        "type": ["null", "long"],
+                        "default": None,
+                    },
                     # format-v3 deletion-vector fields (spec ids 143-145)
                     {
                         "name": "referenced_data_file",
@@ -145,6 +154,9 @@ MANIFEST_FILE_SCHEMA = {
         {"name": "content", "type": "int"},
         {"name": "added_snapshot_id", "type": ["null", "long"]},
         {"name": "sequence_number", "type": ["null", "long"]},
+        # v3 row lineage (spec id 520): first row id assigned to this
+        # manifest's added data files
+        {"name": "first_row_id", "type": ["null", "long"], "default": None},
         # spec field id 507: per-partition-field summaries, the
         # manifest-level pruning tier (see manifest_summary_filter)
         {
@@ -1005,13 +1017,15 @@ def iceberg_meta_table(
 def _live_files(
     meta: dict, root: str, snapshot_id, manifest_filter=None
 ) -> tuple[
-    list[tuple[str, dict, int | None, dict, int | None]],
+    list[tuple[str, dict, int | None, dict, int | None, int | None]],
     list[str],
     list[tuple[str, int | None, list[int], dict]],
     list[dict],
 ]:
     """(data files as (path, partition values, sequence number, stats,
-    adding snapshot id),
+    adding snapshot id, v3 first_row_id — explicit, or inherited for
+    ADDED entries from the manifest's first_row_id plus preceding
+    record counts, else None),
     POSITIONAL delete file paths, EQUALITY delete files as (path,
     sequence number, equality field ids, partition values), format-v3
     DELETION VECTORS as ``{path, offset, length, referenced, cardinality}``
@@ -1044,6 +1058,7 @@ def _live_files(
                 mrec.get("content", 0) == 1,
                 mrec.get("sequence_number"),
                 mrec.get("added_snapshot_id"),
+                mrec.get("first_row_id"),
             )
             for mrec in manifests
             # field-summary pruning cuts DATA manifests before they are
@@ -1055,14 +1070,18 @@ def _live_files(
     else:
         # format v1 inline manifest list: data manifests only
         manifest_paths = [
-            (p, False, None, None) for p in snap.get("manifests", [])
+            (p, False, None, None, None) for p in snap.get("manifests", [])
         ]
     data_out: list[tuple[str, dict, int | None]] = []
     pos_out: list[str] = []
     eq_out: list[tuple[str, int | None, list[int], dict]] = []
     dv_out: list[dict] = []
-    for mp, is_delete, mseq, madd in manifest_paths:
+    for mp, is_delete, mseq, madd, mfrid in manifest_paths:
         _s, entries = read_avro(_localize(mp, root))
+        # v3 row-lineage inheritance: a null first_row_id on an ADDED
+        # data file is assigned from the manifest's first_row_id plus
+        # the record counts of the previously-read null-frid data files
+        frid_running = 0
         for e in entries:
             if e.get("status", 0) == 2:
                 continue  # deleted tombstone
@@ -1132,6 +1151,10 @@ def _live_files(
                     "file); malformed metadata"
                 )
             else:
+                frid = df.get("first_row_id")
+                if frid is None and mfrid is not None and e.get("status", 0) == 1:
+                    frid = int(mfrid) + frid_running
+                    frid_running += int(df.get("record_count") or 0)
                 data_out.append(
                     (
                         df["file_path"],
@@ -1142,6 +1165,7 @@ def _live_files(
                             "upper": _bounds_map(df.get("upper_bounds")),
                         },
                         added_sid,
+                        None if frid is None else int(frid),
                     )
                 )
     return data_out, pos_out, eq_out, dv_out
@@ -1777,6 +1801,7 @@ def read_iceberg(
     timestamp: int | None = None,
     predicates: list[tuple[str, str, object]] | None = None,
     ref: str | None = None,
+    row_lineage: bool = False,
 ) -> DataFrame:
     """Snapshot-read an Iceberg table (``snapshot_id=`` time travel,
     default the current snapshot). ``partitions`` prunes files at the
@@ -1869,8 +1894,8 @@ def read_iceberg(
         ]
     if partitions:
         known = set()
-        for _p, pv, _s, _st, _sid in files:
-            known.update(pv)
+        for rec in files:
+            known.update(rec[1])
         src_map = _spec_source_map(meta)
         unknown = [
             c for c in partitions if files and c not in known and c not in src_map
@@ -1908,14 +1933,38 @@ def read_iceberg(
             for rec in files
             if all(_admits(rec[1], c, w) for c, w in partitions.items())
         ]
+    if row_lineage:
+        # v3 ROW LINEAGE surfaced as _row_id / _last_updated_sequence_
+        # number: _row_id = the file's first_row_id + the row's
+        # position (for rows without materialized lineage columns),
+        # _last_updated_sequence_number = the file's data sequence.
+        # Requires v3 metadata with resolvable lineage on every file.
+        if int(meta.get("format-version", 1)) < 3:
+            raise IcebergProtocolError(
+                "row_lineage=True needs format-version 3 metadata "
+                f"(table is v{meta.get('format-version', 1)})"
+            )
+        bad = [rec[0] for rec in files if rec[5] is None or rec[2] is None]
+        if bad:
+            raise IcebergProtocolError(
+                "row_lineage=True but these data files carry no "
+                f"resolvable first_row_id / sequence number: {bad[:3]}"
+            )
+    lineage_fields = [
+        T.StructField("_row_id", T.LongType(), True),
+        T.StructField("_last_updated_sequence_number", T.LongType(), True),
+    ]
     if not files:
-        return spark.createDataFrame([], schema)
+        out_schema = schema
+        if row_lineage:
+            out_schema = T.StructType(list(schema.fields) + lineage_fields)
+        return spark.createDataFrame([], out_schema)
     from pyspark.sql import functions as F
 
     from .io import decoded_file_path as _norm
 
     out_cols = [f.name for f in schema.fields]
-    need_keys = bool(pos_dels or eq_dels or dv_dels)
+    need_keys = bool(pos_dels or eq_dels or dv_dels) or row_lineage
 
     # both anti-join sides go to decoded local-path form:
     # _metadata.file_path is the URI Spark read
@@ -2059,6 +2108,35 @@ def read_iceberg(
             for f_ in eq_fields:
                 cond = cond & keyed[f_.name].eqNullSafe(eq_df[f_.name])
             keyed = keyed.join(F.broadcast(eq_df), cond, "left_anti")
+    if row_lineage:
+        from urllib.parse import unquote
+
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        frid_c, lseq_c = fp + "_frid", fp + "_lseq"
+        lin_df = spark.createDataFrame(
+            [
+                (
+                    os.path.abspath(unquote(_localize(rec[0], root))),
+                    int(rec[5]),
+                    int(rec[2]),
+                )
+                for rec in files
+            ],
+            T.StructType(
+                [
+                    StructField(fp, StringType(), False),
+                    StructField(frid_c, LongType(), False),
+                    StructField(lseq_c, LongType(), False),
+                ]
+            ),
+        )
+        keyed = (
+            keyed.join(F.broadcast(lin_df), fp, "left")
+            .withColumn("_row_id", F.col(frid_c) + F.col(pos))
+            .withColumn("_last_updated_sequence_number", F.col(lseq_c))
+        )
+        out_cols = out_cols + [f.name for f in lineage_fields]
     return keyed.select(*out_cols)
 
 

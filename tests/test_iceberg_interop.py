@@ -41,6 +41,9 @@ MANIFEST_ENTRY_SCHEMA = {
                     },
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    # v3 row lineage (optional in this foreign shape)
+                    {"name": "first_row_id", "type": ["null", "long"],
+                     "default": None},
                 ],
             },
         },
@@ -56,6 +59,10 @@ MANIFEST_FILE_SCHEMA = {
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
         {"name": "added_snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None},
+        {"name": "first_row_id", "type": ["null", "long"],
+         "default": None},
     ],
 }
 
@@ -91,7 +98,8 @@ def _manifest(root, name, entries):
     return p
 
 
-def _manifest_list(root, name, manifest_paths, content=0):
+def _manifest_list(root, name, manifest_paths, content=0,
+                   first_row_id=None, sequence_number=None):
     p = os.path.join(root, "metadata", name)
     write_avro(
         p,
@@ -103,6 +111,8 @@ def _manifest_list(root, name, manifest_paths, content=0):
                 "partition_spec_id": 0,
                 "content": content,
                 "added_snapshot_id": 1,
+                "sequence_number": sequence_number,
+                "first_row_id": first_row_id,
             }
             for mp in manifest_paths
         ],
@@ -1628,6 +1638,92 @@ def test_v3_initial_default_inside_struct(spark, tmp_path):
     rows = {r["k"]: r["prof"] for r in read_iceberg(spark, root).collect()}
     assert rows[1] == (100, "A")
     assert rows[2] is None  # NULL struct stays NULL
+
+
+def _lineage_root(tmp_path, name, entry_frid=None, mfrid=100,
+                  snap_extra=None, fmt=3):
+    """One-file v3 table (k 1..3) with configurable lineage stamps."""
+    import pyarrow as pa
+
+    root = str(tmp_path / name)
+    f = os.path.join(root, "data", "a.parquet")
+    _write_parquet_typed(
+        f, {"k": (pa.int64(), [1, 2, 3]), "bal": (pa.int64(), [10, 20, 30])}
+    )
+    e = _entry(f, None, 3)
+    if entry_frid is not None:
+        e["data_file"]["first_row_id"] = entry_frid
+    m = _manifest(root, "m1.avro", [e])
+    ml = _manifest_list(
+        root, "ml1.avro", [m], first_row_id=mfrid, sequence_number=1
+    )
+    snap = {"snapshot-id": 1, "timestamp-ms": 1000,
+            "summary": {"operation": "append"},
+            "manifest-list": ml, "schema-id": 0, "first-row-id": mfrid}
+    if snap_extra:
+        snap.update(snap_extra)
+    meta = {
+        "format-version": fmt,
+        "table-uuid": "lin",
+        "location": root,
+        "current-snapshot-id": 1,
+        "snapshots": [snap],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "bal", "required": False, "type": "long"},
+        ]}],
+        "current-schema-id": 0,
+        "last-column-id": 2,
+        "next-row-id": (mfrid or 0) + 3,
+    }
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return root, f
+
+
+def test_row_lineage_explicit_beats_inherited(spark, tmp_path):
+    """An entry's EXPLICIT first_row_id wins over inheritance; the
+    sequence number lands in _last_updated_sequence_number."""
+    root, _f = _lineage_root(tmp_path, "linx", entry_frid=500, mfrid=100)
+    got = {
+        r["k"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in read_iceberg(spark, root, row_lineage=True).collect()
+    }
+    assert got == {1: (500, 1), 2: (501, 1), 3: (502, 1)}
+    # without the flag the columns don't appear
+    assert "_row_id" not in read_iceberg(spark, root).columns
+
+
+def test_row_lineage_composes_with_deletes(spark, tmp_path):
+    """Row ids are PHYSICAL positions in the file — a positional delete
+    removes its row but never renumbers the survivors."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        append_position_deletes,
+    )
+
+    root, f = _lineage_root(tmp_path, "lind", mfrid=100)
+    append_position_deletes(root, [(f, 1)])  # k=2 at position 1
+    got = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg(spark, root, row_lineage=True).collect()
+    }
+    assert got == {1: 100, 3: 102}  # survivor ids unchanged
+
+
+def test_row_lineage_gates(spark, tmp_path):
+    """Lineage on a v2 table raises; v3 metadata whose files carry no
+    resolvable first_row_id raises (never a silent NULL id)."""
+    root, _f = _lineage_root(tmp_path, "linv2", fmt=2)
+    with pytest.raises(IcebergProtocolError, match="format-version 3"):
+        read_iceberg(spark, root, row_lineage=True)
+    root2, _f2 = _lineage_root(tmp_path, "linmiss", mfrid=None)
+    with pytest.raises(IcebergProtocolError, match="first_row_id"):
+        read_iceberg(spark, root2, row_lineage=True)
 
 
 def test_v3_row_lineage_fields_tolerated(spark, tmp_path):
