@@ -164,6 +164,7 @@ HEADLINE = [
     "s44_iceberg_v3_defaults",    # v3 initial-default fill + row lineage (r10)
     "st20_stream_hudi_cdc",       # per-commit CDC images, group-local diff (r10)
     "s45_iceberg_row_lineage",    # v3 _row_id inheritance surfaced (r10)
+    "s46_delta_row_tracking",     # rowTracking baseRowId lineage (r10)
 ]
 
 

@@ -5388,6 +5388,122 @@ def q_s45(spark, sf):
 
 
 @query(
+    "s46_delta_row_tracking",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+           CAST(100
+                + CASE WHEN c_custkey % 2 = 0 THEN 0
+                  ELSE (SELECT count(*) FROM customer WHERE c_custkey % 2 = 0)
+                  END
+                + row_number() OVER (PARTITION BY c_custkey % 2
+                                     ORDER BY c_custkey) - 1
+                AS BIGINT) AS _row_id,
+           CAST(CASE WHEN c_custkey % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
+             AS _row_commit_version
+    FROM customer
+    """,
+)
+def q_s46(spark, sf):
+    """S46 — Delta ROW TRACKING surfaced (sources/delta.py
+    ``read_delta(row_tracking=True)``, the ``rowTracking`` writer
+    feature): every row gets ``_row_id`` = the add action's
+    ``baseRowId`` + the row's position and ``_row_commit_version`` =
+    ``defaultRowCommitVersion`` — Delta's row lineage, the
+    cross-format twin of Iceberg v3's (s45). The fixture is a
+    foreign-writer-shaped log: commit v0 declares the feature
+    (``delta.enableRowTracking=true`` + materialized column names) and
+    adds the ``c_custkey % 2 == 0`` file (baseRowId 100, version 0)
+    written SORTED by key; v1 adds the odd-key file at the next row-id
+    range (version 1). DuckDB recomputes every row id from sort order
+    and class counts and every commit version from the class — a
+    mis-keyed per-file stamp join, an off-by-one position, or a
+    swapped file order breaks the row-level hash. (Materialized-column
+    precedence — stored ids surviving a rewrite — is pinned by
+    pytest.)"""
+    import glob
+    import json as _json
+    import os
+    import shutil
+
+    from .sources.delta import read_delta
+
+    root = _table_root("s46", sf)
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+
+    def put(df, rel):
+        stage = os.path.join(root, ".stage")
+        (
+            df.coalesce(1)
+            .sortWithinPartitions("c_custkey")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(src, dst)
+        shutil.rmtree(stage)
+
+    counts = {}
+    for g in (0, 1):
+        part = c.filter(F.col("c_custkey") % 2 == g)
+        counts[g] = part.count()
+        put(part, f"data-{g}.parquet")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    meta_action = {
+        "metaData": {
+            "id": "s46",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "c_custkey", "type": "long",
+                         "nullable": True, "metadata": {}},
+                        {"name": "cents", "type": "long",
+                         "nullable": True, "metadata": {}},
+                    ],
+                }
+            ),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.enableRowTracking": "true",
+                "delta.rowTracking.materializedRowIdColumnName":
+                    "_row_id_mat_s46",
+                "delta.rowTracking.materializedRowCommitVersionColumnName":
+                    "_row_ver_mat_s46",
+            },
+        }
+    }
+    commits = [
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                          "writerFeatures": ["rowTracking", "domainMetadata"]}},
+            meta_action,
+            {"add": {"path": "data-0.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True,
+                     "baseRowId": 100, "defaultRowCommitVersion": 0}},
+        ],
+        [
+            {"add": {"path": "data-1.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True,
+                     "baseRowId": 100 + counts[0],
+                     "defaultRowCommitVersion": 1}},
+        ],
+    ]
+    for v, actions in enumerate(commits):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+    return read_delta(spark, root, row_tracking=True)
+
+
+@query(
     "s39_delta_type_widening",
     oracle="""
     SELECT c_custkey,

@@ -68,6 +68,7 @@ PRIORITY: tuple[str, ...] = (
     "s44_iceberg_v3_defaults",
     "st20_stream_hudi_cdc",
     "s45_iceberg_row_lineage",
+    "s46_delta_row_tracking",
     # (a') changed or new in round 9
     "s37_iceberg_v3_dv",
     "s38_iceberg_schema_evolution",
@@ -83,7 +84,6 @@ PRIORITY: tuple[str, ...] = (
     "s33_iceberg_incremental",
     "t21_bpe_encode",
     "s19_hudi_read",
-    "s27_hudi_mor_read",
     "s25_hudi_incremental",
     "s15_delta_read",
     "s28_delta_cdf",

@@ -278,7 +278,7 @@ def _physical_type(dt):
 
 
 class _State:
-    __slots__ = ("meta", "live", "dvs", "stats")
+    __slots__ = ("meta", "live", "dvs", "stats", "rowids")
 
     def __init__(self):
         self.meta: dict | None = None
@@ -288,6 +288,9 @@ class _State:
         #: data path -> the add action's stats JSON string (absent/None
         #: = the writer recorded none; skipping must keep the file)
         self.stats: dict[str, str] = {}
+        #: data path -> (baseRowId, defaultRowCommitVersion) — the
+        #: rowTracking writer feature's per-file lineage stamps
+        self.rowids: dict[str, tuple] = {}
 
     def add(self, a: dict) -> None:
         path = unquote(a["path"])
@@ -297,6 +300,11 @@ class _State:
             self.stats[path] = st
         else:
             self.stats.pop(path, None)
+        bri, drv = a.get("baseRowId"), a.get("defaultRowCommitVersion")
+        if bri is not None or drv is not None:
+            self.rowids[path] = (bri, drv)
+        else:
+            self.rowids.pop(path, None)
         dv = a.get("deletionVector")
         if dv:
             self.dvs[path] = dict(dv)
@@ -310,6 +318,7 @@ class _State:
         self.live.pop(path, None)
         self.dvs.pop(path, None)
         self.stats.pop(path, None)
+        self.rowids.pop(path, None)
 
 
 def _checkpoints(log_dir: str) -> dict[int, list[str]]:
@@ -454,7 +463,8 @@ def _load_checkpoint(paths: list[str], state: _State) -> None:
 
 
 def _replay_log(
-    root: str, version: int | None = None, stats_out: dict | None = None
+    root: str, version: int | None = None, stats_out: dict | None = None,
+    rowids_out: dict | None = None,
 ) -> tuple[dict, dict[str, dict], int]:
     """Replay ``_delta_log`` up to ``version`` (inclusive; None =
     latest): start from the newest usable parquet CHECKPOINT at or
@@ -542,6 +552,8 @@ def _replay_log(
         )
     if stats_out is not None:
         stats_out.update(state.stats)
+    if rowids_out is not None:
+        rowids_out.update(state.rowids)
     return state.meta, state.live, state.dvs, last
 
 
@@ -881,6 +893,7 @@ def read_delta(
     partitions: dict[str, object] | None = None,
     timestamp: int | None = None,
     predicates: list[tuple[str, str, object]] | None = None,
+    row_tracking: bool = False,
 ) -> DataFrame:
     """Snapshot-read a Delta table: the live parquet files at ``version``
     (None = latest), with partition columns materialized from the log's
@@ -922,13 +935,50 @@ def read_delta(
     bounds the value type cannot compare against) are conservatively
     kept, so the result is always correct — pruning only shrinks the
     file list. Unknown columns / ops raise.
+
+    ``row_tracking=True`` surfaces the ``rowTracking`` writer feature's
+    ROW LINEAGE as ``_row_id`` / ``_row_commit_version``: fresh values
+    are ``add.baseRowId + row position`` and
+    ``add.defaultRowCommitVersion``; when the table declares
+    MATERIALIZED lineage columns
+    (``delta.rowTracking.materializedRow*ColumnName`` — written for
+    rows carried across rewrites so their identity survives), the
+    stored value wins and fresh computation is the per-row fallback —
+    the spec's coalesce. Requires ``delta.enableRowTracking=true`` and
+    resolvable stamps on every live file (else raise). DV-deleted rows
+    vanish without renumbering survivors (positions are physical).
     """
     if timestamp is not None:
         if version is not None:
             raise ValueError("pass either version= or timestamp=, not both")
         version = version_at_timestamp(root, timestamp)
     stats_of: dict[str, str] = {}
-    meta, live, dvs, _last = _replay_log(root, version, stats_out=stats_of)
+    rowids: dict[str, tuple] = {}
+    meta, live, dvs, _last = _replay_log(
+        root, version, stats_out=stats_of, rowids_out=rowids
+    )
+    mat_id = mat_ver = None
+    if row_tracking:
+        conf = meta.get("configuration") or {}
+        if str(conf.get("delta.enableRowTracking", "")).lower() != "true":
+            raise DeltaProtocolError(
+                "row_tracking=True but the table does not declare "
+                "delta.enableRowTracking=true; no row lineage exists"
+            )
+        bad = [
+            rel for rel in live
+            if rowids.get(rel, (None, None))[0] is None
+            or rowids.get(rel, (None, None))[1] is None
+        ]
+        if bad:
+            raise DeltaProtocolError(
+                "row_tracking=True but these live files carry no "
+                f"baseRowId / defaultRowCommitVersion: {sorted(bad)[:3]}"
+            )
+        mat_id = conf.get("delta.rowTracking.materializedRowIdColumnName")
+        mat_ver = conf.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        )
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     schema, phys_schema, phys_of, pv_key_of, part_cols = _mapping_info(
         spark, meta, schema
@@ -964,17 +1014,32 @@ def read_delta(
         }
     if predicates:
         live = _stats_skip(live, stats_of, predicates, schema, pv_key_of)
+    lineage_fields = [
+        ("_row_id", "long"),
+        ("_row_commit_version", "long"),
+    ]
     if not live:
-        return spark.createDataFrame([], schema)
+        out_schema = schema
+        if row_tracking:
+            from pyspark.sql.types import LongType as _LT
+            from pyspark.sql.types import StructField as _SF
 
-    def _logical(out):
+            out_schema = StructType(
+                list(schema.fields)
+                + [_SF(n, _LT(), True) for n, _t in lineage_fields]
+            )
+        return spark.createDataFrame([], out_schema)
+
+    def _logical(out, extras=()):
         """Physical scan frame -> declared logical schema: one
-        positional cast per top-level column renames nested fields."""
+        positional cast per top-level column renames nested fields.
+        ``extras`` append already-aliased computed columns (lineage)."""
         return out.select(
             *[
                 F.col(phys_of[f.name]).cast(f.dataType).alias(f.name)
                 for f in schema.fields
-            ]
+            ],
+            *extras,
         )
 
     from pyspark.sql.types import LongType, StringType, StructField
@@ -985,30 +1050,79 @@ def read_delta(
         key = "_" + key
     while posk in data_schema.names or posk in phys_parts:
         posk = "_" + posk
+    read_schema = data_schema
+    if row_tracking:
+        # materialized lineage columns are HIDDEN physical columns:
+        # absent from the logical schema, present in files whose rows
+        # were carried across a rewrite; files without them read NULL
+        # and the fresh computation fills in (the spec's coalesce)
+        for mc in (mat_id, mat_ver):
+            if mc and mc not in read_schema.names:
+                read_schema = read_schema.add(
+                    StructField(mc, LongType(), True)
+                )
     dv_live = {rel: d for rel, d in dvs.items() if rel in live}
     paths = sorted(os.path.abspath(os.path.join(root, rel)) for rel in live)
-    df = spark.read.schema(data_schema).parquet(*paths)
-    if not part_cols and not dv_live:
+    df = spark.read.schema(read_schema).parquet(*paths)
+    if not part_cols and not dv_live and not row_tracking:
         return _logical(df)
     # scan-level bookkeeping columns, computed ONCE on the file source:
-    # the normalized file path keys both the DV anti-join and the
-    # partition-value attach; input_file_name() is the URI Spark read
-    # ("file:///a/b%20c.parquet") — decode ONLY the percent-escapes
-    # (literal '+' survives) and strip the local scheme to match the
-    # driver-side absolute paths
+    # the normalized file path keys the DV anti-join, the partition-
+    # value attach, and the row-lineage stamp join; input_file_name()
+    # is the URI Spark read ("file:///a/b%20c.parquet") — decode ONLY
+    # the percent-escapes (literal '+' survives) and strip the local
+    # scheme to match the driver-side absolute paths
     from .io import decoded_file_path
 
     scan_cols = [
-        F.col(f.name) for f in data_schema.fields
+        F.col(f.name) for f in read_schema.fields
     ] + [decoded_file_path(F.input_file_name()).alias(key)]
-    if dv_live:
+    if dv_live or row_tracking:
         scan_cols.append(F.col("_metadata.row_index").alias(posk))
     df = df.select(*scan_cols)
     if dv_live:
         dels = _dv_positions_df(spark, root, dv_live, key, posk)
-        df = df.join(F.broadcast(dels), [key, posk], "left_anti").drop(posk)
+        df = df.join(F.broadcast(dels), [key, posk], "left_anti")
+        if not row_tracking:
+            df = df.drop(posk)
+    rt_extras = ()
+    if row_tracking:
+        base_c, ver_c = key + "_rtbase", key + "_rtver"
+        rt_df = spark.createDataFrame(
+            [
+                (
+                    os.path.abspath(os.path.join(root, rel)),
+                    int(rowids[rel][0]),
+                    int(rowids[rel][1]),
+                )
+                for rel in live
+            ],
+            StructType(
+                [
+                    StructField(key, StringType(), False),
+                    StructField(base_c, LongType(), False),
+                    StructField(ver_c, LongType(), False),
+                ]
+            ),
+        )
+        df = df.join(F.broadcast(rt_df), key, "left")
+        fresh_id = F.col(base_c) + F.col(posk)
+        id_expr = (
+            F.coalesce(F.col(mat_id).cast("long"), fresh_id)
+            if mat_id
+            else fresh_id
+        )
+        ver_expr = (
+            F.coalesce(F.col(mat_ver).cast("long"), F.col(ver_c))
+            if mat_ver
+            else F.col(ver_c)
+        )
+        rt_extras = (
+            id_expr.alias("_row_id"),
+            ver_expr.alias("_row_commit_version"),
+        )
     if not part_cols:
-        return _logical(df)
+        return _logical(df, rt_extras)
     # ONE scan node for ANY partition cardinality: broadcast the
     # (absolute file path -> partitionValues string serialization) frame
     # — KBs of driver-built metadata — and join it on the scan's file
@@ -1034,7 +1148,7 @@ def read_delta(
     ]
     pv_df = spark.createDataFrame(pv_rows, pv_schema)
     out = df.join(F.broadcast(pv_df), key, "left")
-    return _logical(out)
+    return _logical(out, rt_extras)
 
 
 from .io import SKIP_OPS as _SKIP_OPS  # shared with Hudi column_stats

@@ -1097,6 +1097,138 @@ def test_timestamp_time_travel(spark, delta_root):
     assert version_at_timestamp(delta_root, (t0 + 500) * 1000) == 1
 
 
+def _rt_meta(mat=True):
+    conf = {"delta.enableRowTracking": "true"}
+    if mat:
+        conf["delta.rowTracking.materializedRowIdColumnName"] = "_rid_mat"
+        conf["delta.rowTracking.materializedRowCommitVersionColumnName"] = (
+            "_rver_mat"
+        )
+    return _meta_action(
+        [("k", "long"), ("bal", "long")], configuration=conf
+    )
+
+
+def test_row_tracking_fresh_and_materialized(spark, tmp_path):
+    """rowTracking: fresh _row_id = baseRowId + position; a file whose
+    rows carry MATERIALIZED lineage columns (rewritten rows keeping
+    their identity) serves the STORED values, with fresh as the
+    per-row fallback (the spec's coalesce)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "rt")
+    _write_parquet(
+        os.path.join(root, "a.parquet"), [(1, 10), (2, 20)], ["k", "bal"]
+    )
+    # rewritten file: k=2's row keeps its ORIGINAL id 101 / version 0
+    # via materialized columns; k=3 is new (NULL mat -> fresh values)
+    os.makedirs(root, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([2, 3], type=pa.int64()),
+                "bal": pa.array([20, 30], type=pa.int64()),
+                "_rid_mat": pa.array([101, None], type=pa.int64()),
+                "_rver_mat": pa.array([0, None], type=pa.int64()),
+            }
+        ),
+        os.path.join(root, "b.parquet"),
+    )
+    _write_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["rowTracking"]}},
+        _rt_meta(),
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 100, "defaultRowCommitVersion": 0}},
+    ])
+    _write_commit(root, 1, [
+        {"remove": {"path": "a.parquet", "dataChange": True}},
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 200, "defaultRowCommitVersion": 1}},
+    ])
+    got = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, row_tracking=True).collect()
+    }
+    # k=2 kept its ORIGINAL identity through the rewrite; k=3 is fresh
+    assert got == {2: (101, 0), 3: (201, 1)}
+    # time travel to v0 serves the fresh ids of the original file
+    got0 = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(
+            spark, root, version=0, row_tracking=True
+        ).collect()
+    }
+    assert got0 == {1: (100, 0), 2: (101, 0)}
+    # without the flag the columns don't appear
+    assert "_row_id" not in read_delta(spark, root).columns
+
+
+def test_row_tracking_composes_with_dv(spark, tmp_path):
+    """A deletion vector removes its row without renumbering survivors
+    (fresh ids are physical positions)."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.dv import (
+        roaring64_write,
+        z85_encode,
+    )
+
+    def _dv_inline_descriptor(positions):
+        inline = roaring64_write(positions)
+        pad = (-len(inline)) % 4
+        return {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(inline + b"\x00" * pad),
+            "sizeInBytes": len(inline) + pad,
+        }
+
+    root = str(tmp_path / "rtdv")
+    _write_parquet(
+        os.path.join(root, "a.parquet"),
+        [(1, 10), (2, 20), (3, 30)], ["k", "bal"],
+    )
+    _write_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["rowTracking", "deletionVectors"]}},
+        _rt_meta(mat=False),
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 50, "defaultRowCommitVersion": 0,
+                 "deletionVector": _dv_inline_descriptor([1])}},
+    ])
+    got = {
+        r["k"]: r["_row_id"]
+        for r in read_delta(spark, root, row_tracking=True).collect()
+    }
+    assert got == {1: 50, 3: 52}  # k=2 gone, survivors unrenumbered
+
+
+def test_row_tracking_gates(spark, tmp_path):
+    """row_tracking without the table property raises; enabled tables
+    whose live files lack the stamps raise (never silent NULL ids)."""
+    root = str(tmp_path / "rtg")
+    _write_parquet(os.path.join(root, "a.parquet"), [(1, 10)], ["k", "bal"])
+    _write_commit(root, 0, [
+        _meta_action([("k", "long"), ("bal", "long")]),
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    with pytest.raises(DeltaProtocolError, match="enableRowTracking"):
+        read_delta(spark, root, row_tracking=True)
+    root2 = str(tmp_path / "rtg2")
+    _write_parquet(os.path.join(root2, "a.parquet"), [(1, 10)], ["k", "bal"])
+    _write_commit(root2, 0, [
+        _rt_meta(mat=False),
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    with pytest.raises(DeltaProtocolError, match="baseRowId"):
+        read_delta(spark, root2, row_tracking=True)
+
+
 def test_in_commit_timestamp_travel(spark, tmp_path):
     """The inCommitTimestamp writer feature: when commitInfo carries
     ``inCommitTimestamp``, timestamp travel MUST use it — file mtimes
