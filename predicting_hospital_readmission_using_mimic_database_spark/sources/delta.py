@@ -730,7 +730,36 @@ def export_delta_log(table, checkpoint_interval: int = 10) -> int:
     locality is an engine-side read optimization, not table state.
     Driver-side metadata only (KBs per commit).
     """
+    import time as _time
     import uuid
+
+    def _ict_commit_info(log_dir: str, version: int) -> dict:
+        # in-commit timestamp (the 4.x writer feature the export
+        # declares from v0): wall clock, forced STRICTLY past the
+        # previous commit's ICT per spec
+        ict = int(_time.time() * 1000)
+        if version > 0:
+            prev_path = os.path.join(log_dir, f"{version - 1:020d}.json")
+            try:
+                with open(prev_path) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        a = json.loads(line)
+                        ci = a.get("commitInfo")
+                        if ci and ci.get("inCommitTimestamp") is not None:
+                            ict = max(ict, int(ci["inCommitTimestamp"]) + 1)
+                        break
+            except FileNotFoundError:
+                pass  # vacuumed predecessor: wall clock stands
+        return {
+            "commitInfo": {
+                "operation": "WRITE",
+                "engineInfo": "snapshot-export",
+                "inCommitTimestamp": ict,
+            }
+        }
 
     root = table.root
     table._refresh()
@@ -745,16 +774,32 @@ def export_delta_log(table, checkpoint_interval: int = 10) -> int:
         if not adds and not removes:
             return last
         version = last + 1
-        actions = [{"commitInfo": {"operation": "WRITE", "engineInfo": "snapshot-export"}}]
+        # stamp ICTs only on logs that DECLARE the feature (a log
+        # exported before ICT support keeps its old shape — enabling
+        # mid-log would need the enablement-version properties)
+        ict_on = str(
+            (_meta.get("configuration") or {}).get(
+                "delta.enableInCommitTimestamps", ""
+            )
+        ).lower() == "true"
+        actions = [
+            _ict_commit_info(log_dir, version)
+            if ict_on
+            else {"commitInfo": {"operation": "WRITE",
+                                 "engineInfo": "snapshot-export"}}
+        ]
         if _meta.get("schemaString") != schema_string:
-            actions.append(_export_meta(schema_string))
+            actions.append(_export_meta(schema_string, ict=ict_on))
     else:
         os.makedirs(log_dir, exist_ok=True)
         version = 0
         adds = sorted(current)
         removes = []
+        ict_on = True
         actions = [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _ict_commit_info(log_dir, 0),
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                          "writerFeatures": ["inCommitTimestamp"]}},
             _export_meta(schema_string),
         ]
     for rel in removes:
@@ -784,7 +829,7 @@ def export_delta_log(table, checkpoint_interval: int = 10) -> int:
         _write_checkpoint_file(
             log_dir,
             version,
-            _export_meta(schema_string)["metaData"],
+            _export_meta(schema_string, ict=ict_on)["metaData"],
             [
                 {
                     "path": rel,
@@ -813,14 +858,16 @@ def _export_stats(act) -> str:
     return json.dumps(st)
 
 
-def _export_meta(schema_string: str) -> dict:
+def _export_meta(schema_string: str, ict: bool = True) -> dict:
     return {
         "metaData": {
             "id": "snapshot-export",
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_string,
             "partitionColumns": [],
-            "configuration": {},
+            "configuration": (
+                {"delta.enableInCommitTimestamps": "true"} if ict else {}
+            ),
         }
     }
 

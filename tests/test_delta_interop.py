@@ -1755,3 +1755,48 @@ def test_liquid_clustering_shaped_log_reads(spark, tmp_path):
         ],
     )
     assert {r["k"] for r in read_delta(spark, root).collect()} == {1, 2}
+
+
+def test_export_stamps_in_commit_timestamps(spark, tmp_path):
+    """export_delta_log declares the inCommitTimestamp feature from v0
+    and stamps every commit with a strictly increasing ICT — so
+    timestamp travel on exported logs survives file copies (mtime
+    shifts) by construction."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        export_delta_log,
+        version_at_timestamp,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "ict_exp")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, v double", bucket_key=["k"], num_buckets=2
+    )
+    t.append(spark.range(4).select(F.col("id").alias("k"),
+                                   (F.col("id") * 1.0).alias("v")))
+    assert export_delta_log(t) == 0
+    t.merge(spark.createDataFrame([(0, -9.0)], "k bigint, v double"))
+    assert export_delta_log(t) == 1
+    log = os.path.join(root, "_delta_log")
+    icts = []
+    for v in (0, 1):
+        with open(os.path.join(log, f"{v:020d}.json")) as f:
+            a = json.loads(f.readline())
+        assert "commitInfo" in a and a["commitInfo"]["inCommitTimestamp"]
+        icts.append(int(a["commitInfo"]["inCommitTimestamp"]))
+    assert icts[1] > icts[0]
+    with open(os.path.join(log, f"{0:020d}.json")) as f:
+        lines = [json.loads(l) for l in f if l.strip()]
+    proto = next(a["protocol"] for a in lines if "protocol" in a)
+    assert "inCommitTimestamp" in proto.get("writerFeatures", [])
+    # travel by ICT, with mtimes shoved far into the future
+    for v in (0, 1):
+        p = os.path.join(log, f"{v:020d}.json")
+        os.utime(p, (4_000_000_000, 4_000_000_000))
+    assert version_at_timestamp(root, icts[0]) == 0
+    assert version_at_timestamp(root, icts[1]) == 1
+    assert read_delta(spark, root, timestamp=icts[0]).count() == 4
