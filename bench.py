@@ -165,6 +165,7 @@ HEADLINE = [
     "st20_stream_hudi_cdc",       # per-commit CDC images, group-local diff (r10)
     "s45_iceberg_row_lineage",    # v3 _row_id inheritance surfaced (r10)
     "s46_delta_row_tracking",     # rowTracking baseRowId lineage (r10)
+    "s47_iceberg_changelog",      # file-diff insert/delete feed (r10)
 ]
 
 

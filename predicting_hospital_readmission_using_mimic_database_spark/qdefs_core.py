@@ -5504,6 +5504,171 @@ def q_s46(spark, sf):
 
 
 @query(
+    "s47_iceberg_changelog",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+           'insert' AS _change_type,
+           CAST(0 AS BIGINT) AS _change_ordinal,
+           CAST(1 AS BIGINT) AS _commit_snapshot_id
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT),
+           'delete', 1, 2
+    FROM customer WHERE c_custkey % 2 = 1
+    UNION ALL
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT)
+             + CASE WHEN c_custkey % 10 = 1 THEN 555 ELSE 0 END,
+           'insert', 1, 2
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+)
+def q_s47(spark, sf):
+    """S47 — Iceberg CHANGELOG scan (sources/iceberg.py
+    ``read_iceberg_changelog``): row-level inserts AND deletes — the
+    official ``table_changes`` shape that, unlike the incremental
+    APPEND scan (s33), also represents OVERWRITE snapshots. The
+    fixture is a hand-built two-snapshot table: snapshot 1 appends the
+    even-key and odd-key files; snapshot 2 is a copy-on-write
+    OVERWRITE replacing the odd-key file with a rewrite (+555 cents
+    for ``%10 == 1`` keys, the rest carried). The changelog must emit
+    snapshot 1's rows as ordinal-0 inserts, then the REPLACED file's
+    rows as ordinal-1 deletes plus the rewrite's rows as ordinal-1
+    inserts — carried rows appear as delete+insert pairs, exactly the
+    official changelog's file-diff semantics. DuckDB recomputes the
+    whole feed; a leaked unchanged file, a missed delete, or a
+    mis-stamped ordinal breaks the hash. Plan posture: one scan over
+    the window's files, stamps attached by ONE broadcast join (the
+    replaced file fans out to its delete rows from the same scan)."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import time
+
+    from .sources.avro_ocf import write_avro
+    from .sources.iceberg import (
+        MANIFEST_ENTRY_SCHEMA,
+        MANIFEST_FILE_SCHEMA,
+        read_iceberg_changelog,
+    )
+
+    root = _table_root("s47", sf)
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+
+    def put(df, rel):
+        stage = os.path.join(root, ".stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(root, rel)
+        shutil.move(src, dst)
+        shutil.rmtree(stage)
+        return dst
+
+    even = c.filter(F.col("c_custkey") % 2 == 0)
+    odd = c.filter(F.col("c_custkey") % 2 == 1)
+    rewrite = odd.withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("c_custkey") % 10 == 1, 555).otherwise(0),
+    )
+    fa = put(even, "data-a.parquet")
+    fb = put(odd, "data-b.parquet")
+    fb2 = put(rewrite, "data-b2.parquet")
+    counts = {p: n for p, n in (
+        (fa, even.count()), (fb, odd.count()), (fb2, odd.count()),
+    )}
+
+    def entry(path, status, sid):
+        return {
+            "status": status,
+            "snapshot_id": sid,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": counts[path],
+                "file_size_in_bytes": os.path.getsize(path),
+                "equality_ids": None,
+            },
+        }
+
+    m1 = os.path.join(mdir, "manifest-1.avro")
+    write_avro(
+        m1, MANIFEST_ENTRY_SCHEMA,
+        [entry(fa, 1, 1), entry(fb, 1, 1)],
+    )
+    # snapshot 2: copy-on-write overwrite — fa carried (EXISTING),
+    # fb tombstoned, fb2 added
+    m2 = os.path.join(mdir, "manifest-2.avro")
+    write_avro(
+        m2, MANIFEST_ENTRY_SCHEMA,
+        [entry(fa, 0, 1), entry(fb, 2, 2), entry(fb2, 1, 2)],
+    )
+
+    def mlist(name, manifests, sid):
+        p = os.path.join(mdir, name)
+        write_avro(
+            p, MANIFEST_FILE_SCHEMA,
+            [
+                {
+                    "manifest_path": mp,
+                    "manifest_length": os.path.getsize(mp),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "added_snapshot_id": sid,
+                    "sequence_number": sid,
+                }
+                for mp in manifests
+            ],
+        )
+        return p
+
+    ml1 = mlist("snap-1.avro", [m1], 1)
+    ml2 = mlist("snap-2.avro", [m2], 2)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "s47-changelog",
+        "location": root,
+        "last-sequence-number": 2,
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": 2,
+        "schemas": [
+            {"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "c_custkey", "required": False,
+                 "type": "long"},
+                {"id": 2, "name": "cents", "required": False,
+                 "type": "long"},
+            ]}
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1000,
+             "summary": {"operation": "append"},
+             "manifest-list": ml1, "schema-id": 0},
+            {"snapshot-id": 2, "timestamp-ms": 2000,
+             "summary": {"operation": "overwrite"},
+             "manifest-list": ml2, "schema-id": 0},
+        ],
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")
+    return read_iceberg_changelog(spark, root)
+
+
+@query(
     "s39_delta_type_widening",
     oracle="""
     SELECT c_custkey,

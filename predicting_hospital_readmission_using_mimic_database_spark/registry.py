@@ -69,6 +69,7 @@ PRIORITY: tuple[str, ...] = (
     "st20_stream_hudi_cdc",
     "s45_iceberg_row_lineage",
     "s46_delta_row_tracking",
+    "s47_iceberg_changelog",
     # (a') changed or new in round 9
     "s37_iceberg_v3_dv",
     "s38_iceberg_schema_evolution",
@@ -84,7 +85,6 @@ PRIORITY: tuple[str, ...] = (
     "s33_iceberg_incremental",
     "t21_bpe_encode",
     "s19_hudi_read",
-    "s25_hudi_incremental",
     "s15_delta_read",
     "s28_delta_cdf",
     "st17_stream_delta_cdf",

@@ -38,6 +38,7 @@ def test_first_50_entries_cover_every_family():
     for must in ("s41_iceberg_nested_evolution", "s42_hudi_cdc_infer",
                  "s43_hudi_partitioned_export", "s44_iceberg_v3_defaults",
                  "st20_stream_hudi_cdc", "s45_iceberg_row_lineage", "s46_delta_row_tracking",
+                 "s47_iceberg_changelog",
                  "s37_iceberg_v3_dv", "s38_iceberg_schema_evolution",
                  "s39_delta_type_widening", "s40_hudi_export",
                  "s34_hudi_event_time_merge",
@@ -46,7 +47,7 @@ def test_first_50_entries_cover_every_family():
                  "s31_hudi_mor_incremental", "s32_delta_stats_skip", "s33_iceberg_incremental",
                  "t21_bpe_encode",
                  "s19_hudi_read",
-                 "s25_hudi_incremental", "s15_delta_read",
+                 "s15_delta_read",
                  "s28_delta_cdf", "st17_stream_delta_cdf",
                  "s18_iceberg_roundtrip", "s20_iceberg_pos_delete",
                  "s23_iceberg_eq_delete",

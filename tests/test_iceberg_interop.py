@@ -2002,3 +2002,78 @@ def test_manifest_summary_pruning(spark, tmp_path, monkeypatch):
     assert flt3(rec_null) is True
     # summary-less record: conservative keep
     assert flt({"partition_spec_id": 0, "content": 0}) is True
+
+
+def test_changelog_scan(spark, tmp_path):
+    """read_iceberg_changelog: per-snapshot file diffs become
+    insert/delete rows; a file added AND removed inside the window
+    fans out to both change rows from one scan; windows bound the
+    feed; snapshots adding row-level delete files raise."""
+    import pyarrow as pa
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        read_iceberg_changelog,
+    )
+
+    root = str(tmp_path / "clog")
+    fa = os.path.join(root, "data", "a.parquet")
+    fb = os.path.join(root, "data", "b.parquet")
+    _write_parquet_typed(
+        fa, {"k": (pa.int64(), [1, 2]), "bal": (pa.int64(), [10, 20])}
+    )
+    _write_parquet_typed(
+        fb, {"k": (pa.int64(), [3]), "bal": (pa.int64(), [30])}
+    )
+    m1 = _manifest(root, "m1.avro", [_entry(fa, "A", 2)])
+    ml1 = _manifest_list(root, "ml1.avro", [m1])
+    # snapshot 2 adds fb; snapshot 3 removes fb again (add+remove in
+    # one window -> both rows) and keeps fa
+    m2 = _manifest(root, "m2.avro",
+                   [_entry(fa, "A", 2, status=0), _entry(fb, "A", 1)])
+    ml2 = _manifest_list(root, "ml2.avro", [m2])
+    e_rm = _entry(fb, "A", 1, status=2)
+    m3 = _manifest(root, "m3.avro",
+                   [_entry(fa, "A", 2, status=0), e_rm])
+    ml3 = _manifest_list(root, "ml3.avro", [m3])
+    snaps = [
+        {"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml1,
+         "summary": {"operation": "append"}, "schema-id": 0},
+        {"snapshot-id": 2, "timestamp-ms": 2, "manifest-list": ml2,
+         "summary": {"operation": "append"}, "schema-id": 0},
+        {"snapshot-id": 3, "timestamp-ms": 3, "manifest-list": ml3,
+         "summary": {"operation": "delete"}, "schema-id": 0},
+    ]
+    _metadata(root, snaps, 3, [("k", "long"), ("bal", "long")])
+    full = read_iceberg_changelog(spark, root)
+    got = sorted(
+        (r["k"], r["_change_type"], r["_change_ordinal"],
+         r["_commit_snapshot_id"])
+        for r in full.collect()
+    )
+    assert got == [
+        (1, "insert", 0, 1), (2, "insert", 0, 1),
+        (3, "delete", 2, 3), (3, "insert", 1, 2),
+    ]
+    # bounded window: only snapshot 3's delete
+    win = read_iceberg_changelog(spark, root, from_snapshot_id=2)
+    assert [(r["k"], r["_change_type"], r["_change_ordinal"])
+            for r in win.collect()] == [(3, "delete", 0)]
+    # empty window keeps the changelog shape
+    empty = read_iceberg_changelog(
+        spark, root, from_snapshot_id=3, to_snapshot_id=3
+    )
+    assert empty.count() == 0 and "_change_type" in empty.columns
+
+
+def test_changelog_delete_files_gate(spark, tmp_path):
+    """A snapshot that adds positional deletes cannot be represented as
+    file-level changes — honest raise (the official scan's gate)."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        append_position_deletes,
+        read_iceberg_changelog,
+    )
+
+    root, f = _evo_root(tmp_path, "clogd", bal_type="long")
+    append_position_deletes(root, [(f, 0)])
+    with pytest.raises(IcebergProtocolError, match="delete files"):
+        read_iceberg_changelog(spark, root)
