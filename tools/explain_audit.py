@@ -145,6 +145,9 @@ AUDIT = [
     "s42_hudi_cdc_infer",  # touched-groups-only diff join
     "s43_hudi_partitioned_export",  # pruned single-partition read-back
     "s44_iceberg_v3_defaults",  # default fill is a literal in the scan
+    "s45_iceberg_row_lineage",  # per-file broadcast stamp + row arithmetic
+    "s46_delta_row_tracking",  # same shape on the Delta side
+    "s47_iceberg_changelog",  # one scan, stamps fan out via broadcast
 ]
 
 
