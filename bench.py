@@ -166,6 +166,7 @@ HEADLINE = [
     "s45_iceberg_row_lineage",    # v3 _row_id inheritance surfaced (r10)
     "s46_delta_row_tracking",     # rowTracking baseRowId lineage (r10)
     "s47_iceberg_changelog",      # file-diff insert/delete feed (r10)
+    "st21_stream_iceberg_changelog",  # changelog as a stream (r10)
 ]
 
 

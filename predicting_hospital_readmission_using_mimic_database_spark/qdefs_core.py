@@ -5541,6 +5541,18 @@ def q_s47(spark, sf):
     mis-stamped ordinal breaks the hash. Plan posture: one scan over
     the window's files, stamps attached by ONE broadcast join (the
     replaced file fans out to its delete rows from the same scan)."""
+    from .sources.iceberg import read_iceberg_changelog
+
+    root = _table_root("s47", sf)
+    build_changelog_iceberg_fixture(spark, sf, root)
+    return read_iceberg_changelog(spark, root)
+
+
+def build_changelog_iceberg_fixture(spark, sf: str, root: str) -> None:
+    """Two-snapshot Iceberg table for the changelog readers (s47 +
+    st21): snapshot 1 appends the even-key and odd-key customer files;
+    snapshot 2 is a copy-on-write OVERWRITE replacing the odd-key file
+    with a rewrite (+555 cents for %10 == 1 keys, the rest carried)."""
     import glob
     import json as _json
     import os
@@ -5551,10 +5563,8 @@ def q_s47(spark, sf):
     from .sources.iceberg import (
         MANIFEST_ENTRY_SCHEMA,
         MANIFEST_FILE_SCHEMA,
-        read_iceberg_changelog,
     )
 
-    root = _table_root("s47", sf)
     mdir = os.path.join(root, "metadata")
     os.makedirs(mdir, exist_ok=True)
     c = read_table(spark, sf, "customer").select(
@@ -5665,7 +5675,6 @@ def q_s47(spark, sf):
         _json.dump(meta, f)
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write("1")
-    return read_iceberg_changelog(spark, root)
 
 
 @query(

@@ -1716,3 +1716,70 @@ def q_st20(spark, sf):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st21_stream_iceberg_changelog",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+           'insert' AS _change_type,
+           CAST(1 AS BIGINT) AS _snapshot_id
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT),
+           'delete', 2
+    FROM customer WHERE c_custkey % 2 = 1
+    UNION ALL
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT)
+             + CASE WHEN c_custkey % 10 = 1 THEN 555 ELSE 0 END,
+           'insert', 2
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+)
+def q_st21(spark, sf):
+    """ST21 — the Iceberg CHANGELOG as a STREAMING source
+    (sources/iceberg_stream.py with ``changelog=true``): micro-batches
+    emit row-level inserts AND deletes — overwrite snapshots become
+    REPRESENTABLE (the append-tail mode raises on them), with each
+    snapshot's file-set diff computed driver-side and one input
+    partition per changed file; removed files ship their rows back as
+    deletes, so a copy-on-write rewrite surfaces delete+insert pairs.
+    Same fixture as s47 (snapshot 1 appends two files, snapshot 2
+    overwrites the odd-key file), drained from snapshot count 0 with
+    availableNow; DuckDB recomputes the entire expected feed — a
+    missed delete, a leaked carried file, or a mis-stamped snapshot id
+    breaks the hash."""
+    from .qdefs_core import _table_root, build_changelog_iceberg_fixture
+    from .sources.iceberg_stream import register_iceberg_stream
+
+    register_iceberg_stream(spark)
+    root = _table_root("st21", sf)
+    build_changelog_iceberg_fixture(spark, sf, root)
+    tmp = tempfile.mkdtemp(prefix="st21_")
+    try:
+        got: list = []
+
+        def sink(df, _bid):
+            got.extend(tuple(r) for r in df.collect())
+
+        q = (
+            spark.readStream.format("iceberg_stream")
+            .option("path", root)
+            .option("startingSnapshotCount", 0)
+            .option("changelog", "true")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.createDataFrame(
+            got,
+            "c_custkey long, cents long, _change_type string, "
+            "_snapshot_id long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

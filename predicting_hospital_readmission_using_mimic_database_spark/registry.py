@@ -70,6 +70,7 @@ PRIORITY: tuple[str, ...] = (
     "s45_iceberg_row_lineage",
     "s46_delta_row_tracking",
     "s47_iceberg_changelog",
+    "st21_stream_iceberg_changelog",
     # (a') changed or new in round 9
     "s37_iceberg_v3_dv",
     "s38_iceberg_schema_evolution",
@@ -91,7 +92,6 @@ PRIORITY: tuple[str, ...] = (
     "s18_iceberg_roundtrip",
     "s20_iceberg_pos_delete",
     "s23_iceberg_eq_delete",
-    "st14_stream_delta_tail",
     "st18_stream_hudi_mor",
     "st19_stream_delta_idmap",
     "s16_delta_export",

@@ -23,6 +23,18 @@ completing the streamable-lakehouse trio with ``delta_stream`` and
 * ``startingSnapshotCount`` option: how many leading snapshots to skip
   (``"latest"``, the DEFAULT, skips everything committed before stream
   start; ``0`` ingests the whole retained history).
+
+CHANGELOG MODE — ``.option("changelog", "true")``: micro-batches emit
+row-level INSERTS and DELETES instead of the append tail (the
+streaming twin of :func:`iceberg.read_iceberg_changelog`): per
+snapshot the driver diffs live data-file sets, ADDED files ship as
+insert partitions and REMOVED files as delete partitions (their rows
+read back as they were — copy-on-write overwrites emit delete+insert
+pairs for carried rows), every row stamped ``_change_type`` +
+``_snapshot_id``. Overwrite/replace/delete snapshots are therefore
+REPRESENTABLE (no ``ignoreChanges`` needed); snapshots that add
+row-level delete files (positional/equality/DV) raise — the same
+gate as the batch changelog and the official runtime.
 """
 
 from __future__ import annotations
@@ -62,13 +74,15 @@ def _load_meta(root: str) -> dict:
 
 
 class _AddedFilePartition(InputPartition):
-    def __init__(self, path, snapshot_id, srcs):
+    def __init__(self, path, snapshot_id, srcs, ctype=None):
         self.path = path
         self.snapshot_id = snapshot_id
         # per OUTPUT field, the column name in THIS file's write-time
         # schema vintage (None = field didn't exist -> NULL fill) —
         # field-id resolution done on the driver in partitions()
         self.srcs = srcs
+        #: changelog mode: "insert" | "delete"; None = append tail
+        self.ctype = ctype
 
 
 class IcebergStreamReader(DataSourceStreamReader):
@@ -86,6 +100,9 @@ class IcebergStreamReader(DataSourceStreamReader):
         self._out_json = _schema_json(meta)
         self._ignore_changes = str(
             options.get("ignorechanges", options.get("ignoreChanges", "false"))
+        ).lower() in ("true", "1")
+        self._changelog = str(
+            options.get("changelog", "false")
         ).lower() in ("true", "1")
         snaps = meta.get("snapshots", [])
         start = options.get(
@@ -111,6 +128,61 @@ class IcebergStreamReader(DataSourceStreamReader):
         snaps = _load_meta(self._root).get("snapshots", [])
         return self._offset_at(snaps, len(snaps))
 
+    def _changelog_partitions(self, meta, snaps, n0, n1):
+        """Per snapshot in [n0, n1): diff live data-file sets — added
+        files become insert partitions, removed files delete
+        partitions; each file's columns resolve by ITS adding
+        snapshot's vintage. Driver-side metadata only."""
+        from .iceberg import _live_files
+
+        def state(idx):
+            if idx < 0:
+                return {}, set()
+            sid = snaps[idx]["snapshot-id"]
+            files, pos, eq, dv = _live_files(meta, self._root, sid)
+            dels = (
+                {("p", p) for p in pos}
+                | {("e", p) for p, _s2, _i, _pv in eq}
+                | {("v", d["path"], int(d.get("offset") or 0)) for d in dv}
+            )
+            return {rec[0]: rec for rec in files}, dels
+
+        out: list[_AddedFilePartition] = []
+        prev_files, prev_dels = state(n0 - 1)
+        for idx in range(n0, n1):
+            sid = snaps[idx]["snapshot-id"]
+            cur_files, cur_dels = state(idx)
+            if cur_dels - prev_dels:
+                raise IcebergProtocolError(
+                    f"snapshot {sid} adds row-level delete files; the "
+                    "changelog stream cannot represent struck rows "
+                    "(same gate as the batch changelog scan)"
+                )
+            for p in sorted(set(cur_files) - set(prev_files)):
+                out.append(
+                    _AddedFilePartition(
+                        _localize(p, self._root),
+                        sid,
+                        vintage_column_map(
+                            meta, cur_files[p][4], self._out_json
+                        ),
+                        "insert",
+                    )
+                )
+            for p in sorted(set(prev_files) - set(cur_files)):
+                out.append(
+                    _AddedFilePartition(
+                        _localize(p, self._root),
+                        sid,
+                        vintage_column_map(
+                            meta, prev_files[p][4], self._out_json
+                        ),
+                        "delete",
+                    )
+                )
+            prev_files, prev_dels = cur_files, cur_dels
+        return out
+
     def partitions(self, start: dict, end: dict):
         meta = _load_meta(self._root)
         snaps = meta.get("snapshots", [])
@@ -123,6 +195,9 @@ class IcebergStreamReader(DataSourceStreamReader):
                 f"pinned snapshot {start['sid']} at position {n0}); the "
                 "history was expired or rewritten — restart the stream"
             )
+        if self._changelog:
+            out = self._changelog_partitions(meta, snaps, n0, end["n"])
+            return out or [_AddedFilePartition(None, -1, self._cols)]
         out: list[_AddedFilePartition] = []
         for snap in snaps[n0 : end["n"]]:
             sid = snap["snapshot-id"]
@@ -195,13 +270,14 @@ class IcebergStreamReader(DataSourceStreamReader):
         else:
             data, nrows = {}, pf.metadata.num_rows
         for i in range(nrows):
-            yield (
-                *[
-                    (data[s][i] if s is not None else None)
-                    for s in partition.srcs
-                ],
-                partition.snapshot_id,
-            )
+            vals = [
+                (data[s][i] if s is not None else None)
+                for s in partition.srcs
+            ]
+            if partition.ctype is not None:
+                yield (*vals, partition.ctype, partition.snapshot_id)
+            else:
+                yield (*vals, partition.snapshot_id)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable snapshot positions
@@ -244,9 +320,12 @@ class IcebergStreamDataSource(DataSource):
 
     def schema(self):
         meta = _load_meta(self.options.get("path"))
-        return StructType(list(_table_schema(meta).fields)).add(
-            "_snapshot_id", "long"
-        )
+        base = StructType(list(_table_schema(meta).fields))
+        if str(self.options.get("changelog", "false")).lower() in (
+            "true", "1",
+        ):
+            base = base.add("_change_type", "string")
+        return base.add("_snapshot_id", "long")
 
     def streamReader(self, schema: StructType):
         return IcebergStreamReader(self.options)

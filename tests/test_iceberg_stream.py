@@ -322,3 +322,60 @@ def test_incremental_changes_space_in_path(spark, tmp_path):
     got = [(r["k"], r["_snapshot_id"])
            for r in read_iceberg_changes(spark, root).collect()]
     assert got == [(7, 1)]
+
+
+def test_changelog_stream_overwrite_and_resume(spark, tmp_path):
+    """changelog=true: a REAL exporter overwrite (merge) streams as
+    delete+insert pairs for the rewritten file's rows — no
+    ignoreChanges needed; checkpoint resume sees only the new
+    snapshot's images; the delete-file gate raises."""
+    import pyspark.sql.functions as F
+
+    register_iceberg_stream(spark)
+    root = str(tmp_path / "clogstream")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, v double", bucket_key=["k"], num_buckets=2
+    )
+    t.append(spark.range(5).select(F.col("id").alias("k"),
+                                   (F.col("id") * 1.0).alias("v")))
+    assert export_iceberg(t) == 1
+    ckpt = str(tmp_path / "ck")
+    got = _drain(spark, root, ckpt, startingSnapshotCount=0,
+                 changelog="true")
+    assert sorted(got) == sorted(
+        (k, float(k), "insert", 1) for k in range(5)
+    )
+    # merge k=0 -> -99.0: the exporter commits an OVERWRITE snapshot
+    t.merge(spark.createDataFrame([(0, -99.0)], "k bigint, v double"))
+    assert export_iceberg(t) == 2
+    got2 = _drain(spark, root, ckpt, startingSnapshotCount=0,
+                  changelog="true")
+    dels = {(k, v) for k, v, c, s_ in got2 if c == "delete"}
+    ins = {(k, v) for k, v, c, s_ in got2 if c == "insert"}
+    assert all(s_ == 2 for _k, _v, _c, s_ in got2)
+    # the rewritten file's rows appear on both sides; only k=0 differs
+    assert ins - dels == {(0, -99.0)}
+    assert dels - ins == {(0, 0.0)}
+    # delete files cannot be represented: honest raise
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        append_position_deletes,
+    )
+
+    files = read_iceberg_files(root)
+    append_position_deletes(root, [(files[0], 0)])
+    with pytest.raises(Exception, match="delete files"):
+        _drain(spark, root, str(tmp_path / "ck2"),
+               startingSnapshotCount=0, changelog="true")
+
+
+def read_iceberg_files(root):
+    """Live data-file paths of the current snapshot (test helper)."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        _live_files,
+        _metadata_path,
+    )
+
+    with open(_metadata_path(root)) as f:
+        meta = json.load(f)
+    files, _p, _e, _d = _live_files(meta, root, None)
+    return [rec[0] for rec in files]
