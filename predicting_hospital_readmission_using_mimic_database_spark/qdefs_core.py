@@ -4989,13 +4989,38 @@ def q_s42(spark, sf):
     swapped before/after breaks the hash. The in-entry assert pins the
     scale posture: only the touched group's two slices are opened —
     the three untouched groups are never read."""
-    import glob
     import os
-    import shutil
 
     from .sources.hudi import read_hudi_changes
 
     root = _table_root("s42", sf)
+    t1 = build_cdc_hudi_fixture(spark, sf, root)[0]
+    ch = read_hudi_changes(spark, root, begin=t1)
+    opened = {os.path.basename(p) for p in ch.inputFiles()}
+    assert opened == {
+        f"fg2_1-0-1_{t1}.parquet",
+        f"fg2_1-0-1_00000000000002.parquet",
+    }, opened
+    return ch.select(
+        "op",
+        F.coalesce(
+            F.col("after.c_custkey"), F.col("before.c_custkey")
+        ).alias("c_custkey"),
+        F.col("before.cents").alias("before_cents"),
+        F.col("after.cents").alias("after_cents"),
+    )
+
+
+def build_cdc_hudi_fixture(spark, sf: str, root: str) -> tuple[str, str]:
+    """4-group COW customer table for the CDC readers (s42 + st20):
+    commit 1 inserts every group; commit 2 rewrites ONLY group 2 —
+    ``%5 == 0`` keys deleted, ``%5 in (1,2)`` updated (+777 cents),
+    ``%5 in (3,4)`` carried under their original commit time, and
+    ``%20 == 2`` spawning brand-new keys (+9M). Returns (t1, t2)."""
+    import glob
+    import os
+    import shutil
+
     c = read_table(spark, sf, "customer").select(
         "c_custkey",
         F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
@@ -5026,7 +5051,10 @@ def q_s42(spark, sf):
     hdir = os.path.join(root, ".hoodie")
     os.makedirs(hdir, exist_ok=True)
     with open(os.path.join(hdir, "hoodie.properties"), "w") as f:
-        f.write("hoodie.table.name=s42\nhoodie.table.type=COPY_ON_WRITE\n")
+        f.write(
+            "hoodie.table.name=cdc_fixture\n"
+            "hoodie.table.type=COPY_ON_WRITE\n"
+        )
     for g in range(4):
         put(
             c.filter(F.col("c_custkey") % 4 == g).withColumn("ct", F.lit(t1)),
@@ -5050,19 +5078,7 @@ def q_s42(spark, sf):
         carried.unionByName(updated).unionByName(inserted), "g2", "fg2", t2
     )
     open(os.path.join(hdir, f"{t2}.commit"), "w").close()
-    ch = read_hudi_changes(spark, root, begin=t1)
-    opened = {os.path.basename(p) for p in ch.inputFiles()}
-    assert opened == {
-        f"fg2_1-0-1_{t1}.parquet", f"fg2_1-0-1_{t2}.parquet"
-    }, opened
-    return ch.select(
-        "op",
-        F.coalesce(
-            F.col("after.c_custkey"), F.col("before.c_custkey")
-        ).alias("c_custkey"),
-        F.col("before.cents").alias("before_cents"),
-        F.col("after.cents").alias("after_cents"),
-    )
+    return t1, t2
 
 
 @query(

@@ -1630,66 +1630,12 @@ def q_st20(spark, sf):
     groups. DuckDB recomputes the entire expected image feed; a leaked
     carried row, a missed delete, or swapped pre/post images breaks
     the hash."""
-    import glob
-
-    from .qdefs_core import _table_root
+    from .qdefs_core import _table_root, build_cdc_hudi_fixture
     from .sources.hudi_stream import register_hudi_stream
 
     register_hudi_stream(spark)
     root = _table_root("st20", sf)
-    c = read_table(spark, sf, "customer").select(
-        "c_custkey",
-        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
-    )
-    t1, t2 = "00000000000001", "00000000000002"
-
-    def put(df, part, file_id, instant):
-        d = os.path.join(root, part)
-        os.makedirs(d, exist_ok=True)
-        fname = f"{file_id}_1-0-1_{instant}.parquet"
-        meta = df.select(
-            F.col("ct").alias("_hoodie_commit_time"),
-            F.concat_ws("_", F.col("ct"), F.lit(file_id)).alias(
-                "_hoodie_commit_seqno"
-            ),
-            F.col("c_custkey").cast("string").alias("_hoodie_record_key"),
-            F.lit(part).alias("_hoodie_partition_path"),
-            F.lit(fname).alias("_hoodie_file_name"),
-            "c_custkey",
-            "cents",
-        )
-        stage = os.path.join(root, f".stage_{file_id}_{instant}")
-        meta.coalesce(1).write.parquet(stage)
-        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        shutil.move(src, os.path.join(d, fname))
-        shutil.rmtree(stage)
-
-    hdir = os.path.join(root, ".hoodie")
-    os.makedirs(hdir, exist_ok=True)
-    with open(os.path.join(hdir, "hoodie.properties"), "w") as f:
-        f.write("hoodie.table.name=st20\nhoodie.table.type=COPY_ON_WRITE\n")
-    for g in range(4):
-        put(
-            c.filter(F.col("c_custkey") % 4 == g).withColumn("ct", F.lit(t1)),
-            f"g{g}", f"fg{g}", t1,
-        )
-    open(os.path.join(hdir, f"{t1}.commit"), "w").close()
-    g2 = c.filter(F.col("c_custkey") % 4 == 2)
-    m5 = F.col("c_custkey") % 5
-    carried = g2.filter(m5.isin(3, 4)).withColumn("ct", F.lit(t1))
-    updated = (
-        g2.filter(m5.isin(1, 2))
-        .withColumn("cents", F.col("cents") + 777)
-        .withColumn("ct", F.lit(t2))
-    )
-    inserted = (
-        g2.filter(F.col("c_custkey") % 20 == 2)
-        .select((F.col("c_custkey") + 9_000_000).alias("c_custkey"), "cents")
-        .withColumn("ct", F.lit(t2))
-    )
-    put(carried.unionByName(updated).unionByName(inserted), "g2", "fg2", t2)
-    open(os.path.join(hdir, f"{t2}.commit"), "w").close()
-
+    build_cdc_hudi_fixture(spark, sf, root)
     tmp = tempfile.mkdtemp(prefix="st20_")
     try:
         got: list = []

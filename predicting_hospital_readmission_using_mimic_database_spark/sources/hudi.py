@@ -90,6 +90,11 @@ def _properties(root: str) -> dict:
             if "=" in line:
                 k, v = line.split("=", 1)
                 props[k.strip()] = v.strip()
+    # one chokepoint for the bootstrap gate: every read surface (batch
+    # snapshot/incremental/CDC, the streaming source, MOR merge) loads
+    # properties before touching files, and the writer surfaces create
+    # their own non-bootstrap properties
+    _gate_bootstrap(root, props)
     return props
 
 
@@ -231,7 +236,6 @@ def read_hudi_incremental(
     from pyspark.sql.pandas.types import from_arrow_schema
 
     props = _properties(root)
-    _gate_bootstrap(root, props)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
     if ttype == "MERGE_ON_READ":
         out = _read_mor(
@@ -283,6 +287,88 @@ def read_hudi_incremental(
     return out
 
 
+def _gate_log_blocks(lp: str, done: set) -> tuple[list[int], str]:
+    """Header-only gate of one log file's blocks against the committed
+    set: kept block indexes + the newest committed instant seen. Same
+    gates as the batch `_read_mor` — rollback COMMANDs of completed
+    instants and unknown block types raise; payloads never touch the
+    driver. Shared by the streaming source and the CDC readers."""
+    from . import hudi_log as HL
+
+    idxs: list[int] = []
+    max_inst = ""
+    for bi, h in enumerate(HL.scan_block_headers(lp)):
+        inst = h["instant"]
+        if inst is None:
+            raise HL.HudiLogCorruptError(
+                f"{lp}: log block without INSTANT_TIME header"
+            )
+        if inst not in done:
+            continue
+        if h["type"] == HL.COMMAND_BLOCK:
+            if h["header"].get(HL.H_COMMAND_BLOCK_TYPE, "0") != "0":
+                raise HudiProtocolError(
+                    f"log file {os.path.basename(lp)}: unknown COMMAND "
+                    f"block type {h['header'].get(HL.H_COMMAND_BLOCK_TYPE)!r}"
+                )
+            tgt = h["header"].get(HL.H_TARGET_INSTANT_TIME)
+            if tgt is not None and tgt in done:
+                raise HudiProtocolError(
+                    f"log file {os.path.basename(lp)}: rollback COMMAND "
+                    f"block targets COMPLETED instant {tgt}; "
+                    "inconsistent timeline"
+                )
+            continue
+        if h["type"] not in (HL.AVRO_DATA_BLOCK, HL.DELETE_BLOCK):
+            raise HudiProtocolError(
+                f"log file {os.path.basename(lp)}: unsupported "
+                f"block type {h['type']}"
+            )
+        idxs.append(bi)
+        if inst > max_inst:
+            max_inst = inst
+    return idxs, max_inst
+
+
+def _slice_specs(
+    root: str,
+    as_of: str | None,
+    partitions,
+    mor: bool,
+) -> dict:
+    """Driver-side SLICE SPEC of every file group at cutoff ``as_of``:
+    ``{(part, fileId): (base path | None, ((log path, kept-idx json),
+    ...))}`` — the complete recipe for folding the group's state at
+    that instant. Two specs differing at consecutive cutoffs IS the
+    touched-group test (a new base file, a newly committed block, or a
+    replacecommit retirement changes the spec). COW specs are just the
+    base paths."""
+    import json as _json
+
+    if as_of is None:
+        return {}
+    if not mor:
+        groups = _latest_slices(root, as_of, partitions)
+        return {k: (p, ()) for k, (_i, p) in groups.items()}
+    groups, logs = _latest_slices(root, as_of, partitions, collect_logs=True)
+    done = _completed_commits(root, allow_delta=True)
+    done = {c for c in done if c <= as_of}
+    out: dict = {}
+    for key in sorted(set(groups) | set(logs)):
+        base = groups.get(key)
+        lfs = sorted(logs.get(key, []))
+        if base is not None:
+            lfs = [l for l in lfs if l[0] == base[0]]
+        kept = []
+        for _bi, _ver, lp in lfs:
+            idxs, _mi = _gate_log_blocks(lp, done)
+            if idxs:
+                kept.append((lp, _json.dumps(idxs)))
+        if base is not None or kept:
+            out[key] = (base[1] if base is not None else None, tuple(kept))
+    return out
+
+
 def read_hudi_changes(
     spark: SparkSession,
     root: str,
@@ -318,17 +404,20 @@ def read_hudi_changes(
     previous slices are opened (the untouched majority is never read
     — per Hudi's model a record key lives in exactly one file group
     per partition, so changes cannot hide elsewhere); the diff join
-    shuffles just those rows on the record key. Identical
-    carried-forward rows cancel via a null-safe payload-struct
-    comparison, never reaching the output."""
-    import pyarrow.parquet as pq
+    shuffles just those rows on the record key. Touched groups are
+    found by diffing driver-side SLICE SPECS at consecutive cutoffs —
+    ONE listing per commit, carried forward — which also makes
+    REPLACECOMMIT retirements (clustering / insert_overwrite) emit
+    their rows' change images instead of vanishing silently.
+    Identical carried-forward rows cancel via a null-safe
+    payload-struct comparison, never reaching the output. Every
+    commit's images share one payload shape (the END state's columns;
+    earlier vintages NULL-fill), so windows spanning a schema change
+    union cleanly."""
     from pyspark.sql import functions as F
-    from pyspark.sql.pandas.types import from_arrow_schema
-
-    from . import hudi_log as HL
+    from pyspark.sql import types as T
 
     props = _properties(root)
-    _gate_bootstrap(root, props)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
     mor = ttype == "MERGE_ON_READ"
     if not mor and ttype != "COPY_ON_WRITE":
@@ -341,73 +430,93 @@ def read_hudi_changes(
         if c > str(begin) and (end is None or c <= str(end))
     ]
 
-    def snapshot(as_of: str, keys: set) -> DataFrame | None:
+    def snapshot(as_of: str, spec: dict, keys: set) -> DataFrame | None:
         """State of the given file groups at ``as_of`` (meta kept)."""
+        sel = keys & set(spec)
+        if not sel:
+            return None
         if mor:
-            g, l = _latest_slices(root, as_of, partitions, collect_logs=True)
-            sel = keys & (set(g) | set(l))
-            if not sel:
-                return None
             return _read_mor(
                 spark, root, as_of, True, partitions, only_groups=sel
             )
-        slices = _latest_slices(root, as_of, partitions)
-        paths = sorted(p for k, (_i, p) in slices.items() if k in keys)
-        if not paths:
-            return None
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        paths = sorted(spec[k][0] for k in sel)
         schema = from_arrow_schema(
             pq.ParquetFile(max(paths)).schema_arrow, prefer_timestamp_ntz=True
         )
         return spark.read.schema(schema).parquet(*paths)
 
-    def touched_groups(c: str) -> set:
-        """File groups whose state CHANGED at commit ``c``."""
-        if not mor:
-            slices = _latest_slices(root, c, partitions)
-            return {k for k, (inst, _p) in slices.items() if inst == c}
-        groups, logs = _latest_slices(root, c, partitions, collect_logs=True)
-        out = {k for k, (inst, _p) in groups.items() if inst == c}
-        for k, lfs in logs.items():
-            base = groups.get(k)
-            for base_inst, _ver, lp in lfs:
-                if base is not None and base_inst != base[0]:
-                    continue  # pre-compaction slice: superseded
-                if any(
-                    h["instant"] == c for h in HL.scan_block_headers(lp)
-                ):
-                    out.add(k)
-                    break
-        return out
+    # one payload shape for EVERY commit's images: the window-end
+    # state's columns/types; per-commit frames align to it (earlier
+    # vintages NULL-fill, narrower physical types cast) so the
+    # cross-commit union never breaks on a mid-window schema change
+    pay_fields: list | None = None
+
+    def _image(df, keyc):
+        cols = []
+        have = set(df.columns)
+        for f_ in pay_fields:
+            cols.append(
+                (
+                    F.col(f_.name).cast(f_.dataType)
+                    if f_.name in have
+                    else F.lit(None).cast(f_.dataType)
+                ).alias(f_.name)
+            )
+        return F.struct(*cols)
 
     frames: list[DataFrame] = []
-    out_schema_src: DataFrame | None = None
+    prev_inst = max((d for d in done if d <= str(begin)), default=None)
+    prev_spec = _slice_specs(root, prev_inst, partitions, mor)
     for c in window:
-        keys = touched_groups(c)
+        cur_spec = _slice_specs(root, c, partitions, mor)
+        keys = {
+            k
+            for k in set(prev_spec) | set(cur_spec)
+            if prev_spec.get(k) != cur_spec.get(k)
+        }
         if not keys:
+            prev_inst, prev_spec = c, cur_spec
             continue
-        after = snapshot(c, keys)
-        if after is None:
+        after = snapshot(c, cur_spec, keys)
+        before = (
+            snapshot(prev_inst, prev_spec, keys)
+            if prev_inst is not None
+            else None
+        )
+        prev_inst, prev_spec = c, cur_spec
+        anchor = after if after is not None else before
+        if anchor is None:
             continue
-        prev = max((d for d in done if d < c), default=None)
-        before = snapshot(prev, keys) if prev is not None else None
-        keyc = ["_hoodie_record_key"]
-        if "_hoodie_partition_path" in after.columns:
-            keyc.append("_hoodie_partition_path")
-        pay = [col for col in after.columns if col not in META_COLS]
-        a = after.select(*keyc, F.struct(*pay).alias("__a"))
-        if before is None:
-            j = a.withColumn(
-                "__b", F.lit(None).cast(a.schema["__a"].dataType)
+        if pay_fields is None:
+            end_state = read_hudi(
+                spark, root,
+                as_of=(end if end is not None else window[-1]),
+                keep_meta=True, partitions=partitions,
             )
+            pay_fields = [
+                f_ for f_ in end_state.schema.fields
+                if f_.name not in META_COLS
+            ]
+        keyc = ["_hoodie_record_key"]
+        if "_hoodie_partition_path" in anchor.columns:
+            keyc.append("_hoodie_partition_path")
+        img_t = T.StructType(
+            [T.StructField(f_.name, f_.dataType, True) for f_ in pay_fields]
+        )
+        if after is None:
+            # every touched group retired (replacecommit with no
+            # replacement in these groups): all rows are deletes
+            b = before.select(*keyc, _image(before, keyc).alias("__b"))
+            j = b.withColumn("__a", F.lit(None).cast(img_t))
+        elif before is None:
+            a = after.select(*keyc, _image(after, keyc).alias("__a"))
+            j = a.withColumn("__b", F.lit(None).cast(img_t))
         else:
-            # a column added between the two commits NULL-fills in the
-            # before image (same shape on both sides of the diff)
-            for col in pay:
-                if col not in before.columns:
-                    before = before.withColumn(
-                        col, F.lit(None).cast(dict(after.dtypes)[col])
-                    )
-            b = before.select(*keyc, F.struct(*pay).alias("__b"))
+            a = after.select(*keyc, _image(after, keyc).alias("__a"))
+            b = before.select(*keyc, _image(before, keyc).alias("__b"))
             j = a.join(b, keyc, "full_outer")
         diff = (
             j.filter(~F.col("__b").eqNullSafe(F.col("__a")))
@@ -423,7 +532,6 @@ def read_hudi_changes(
             )
         )
         frames.append(diff)
-        out_schema_src = diff
     if not frames:
         # shape the empty feed from the current snapshot's payload
         cur = read_hudi(spark, root, as_of=end, keep_meta=True,
@@ -1883,7 +1991,6 @@ def read_hudi(
     :func:`_read_mor`): base files + committed AVRO upsert blocks,
     last writer wins per record key."""
     props = _properties(root)
-    _gate_bootstrap(root, props)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
     if ttype == "MERGE_ON_READ":
         return _read_mor(

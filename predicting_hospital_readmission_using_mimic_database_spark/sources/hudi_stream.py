@@ -77,9 +77,11 @@ from .hudi import (
     META_COLS,
     HudiProtocolError,
     _completed_commits,
+    _gate_log_blocks,
     _latest_slices,
     _merge_ordering,
     _properties,
+    _slice_specs,
 )
 
 __all__ = ["HudiStreamDataSource", "register_hudi_stream"]
@@ -252,49 +254,6 @@ def _fold_group_state(base, logs, part, cols, prec):
     return {k: (ct, row) for k, (_sk, ct, row) in best.items()}
 
 
-def _gate_log_blocks(lp: str, done: set) -> tuple[list[int], str]:
-    """Header-only gate of one log file's blocks against the committed
-    set: kept block indexes + the newest committed instant seen. Same
-    gates as the batch `_read_mor` — rollback COMMANDs of completed
-    instants and unknown block types raise; payloads never touch the
-    driver."""
-    from . import hudi_log as HL
-
-    idxs: list[int] = []
-    max_inst = ""
-    for bi, h in enumerate(HL.scan_block_headers(lp)):
-        inst = h["instant"]
-        if inst is None:
-            raise HL.HudiLogCorruptError(
-                f"{lp}: log block without INSTANT_TIME header"
-            )
-        if inst not in done:
-            continue
-        if h["type"] == HL.COMMAND_BLOCK:
-            if h["header"].get(HL.H_COMMAND_BLOCK_TYPE, "0") != "0":
-                raise HudiProtocolError(
-                    f"log file {os.path.basename(lp)}: unknown COMMAND "
-                    f"block type {h['header'].get(HL.H_COMMAND_BLOCK_TYPE)!r}"
-                )
-            tgt = h["header"].get(HL.H_TARGET_INSTANT_TIME)
-            if tgt is not None and tgt in done:
-                raise HudiProtocolError(
-                    f"log file {os.path.basename(lp)}: rollback COMMAND "
-                    f"block targets COMPLETED instant {tgt}; "
-                    "inconsistent timeline"
-                )
-            continue
-        if h["type"] not in (HL.AVRO_DATA_BLOCK, HL.DELETE_BLOCK):
-            raise HudiProtocolError(
-                f"log file {os.path.basename(lp)}: unsupported "
-                f"block type {h['type']}"
-            )
-        idxs.append(bi)
-        if inst > max_inst:
-            max_inst = inst
-    return idxs, max_inst
-
-
 class HudiStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self._root = options.get("path")
@@ -382,37 +341,9 @@ class HudiStreamReader(DataSourceStreamReader):
         return out
 
     def _group_specs(self, as_of: str | None) -> dict:
-        """Driver-side SLICE SPEC of every file group at cutoff
-        ``as_of``: ``{(part, fileId): (base path | None, [(log path,
-        kept-block-idx json)])}`` — the complete recipe an executor
-        needs to fold the group's state at that instant. Two specs
-        differing at consecutive cutoffs IS the touched-group test
-        (a new base file or a newly committed block changes the spec;
-        a replaced group vanishes)."""
-        if as_of is None:
-            return {}
-        if not self._mor:
-            groups = _latest_slices(self._root, as_of, self._partitions)
-            return {k: (p, []) for k, (_i, p) in groups.items()}
-        groups, logs = _latest_slices(
-            self._root, as_of, self._partitions, collect_logs=True
-        )
-        done = _completed_commits(self._root, allow_delta=True)
-        done = {c for c in done if c <= as_of}
-        out: dict = {}
-        for key in sorted(set(groups) | set(logs)):
-            base = groups.get(key)
-            lfs = sorted(logs.get(key, []))
-            if base is not None:
-                lfs = [l for l in lfs if l[0] == base[0]]
-            kept = []
-            for _bi, _ver, lp in lfs:
-                idxs, _mi = _gate_log_blocks(lp, done)
-                if idxs:
-                    kept.append((lp, json.dumps(idxs)))
-            if base is not None or kept:
-                out[key] = (base[1] if base is not None else None, kept)
-        return out
+        """Shared slice-spec recipe (see hudi._slice_specs): two specs
+        differing at consecutive cutoffs IS the touched-group test."""
+        return _slice_specs(self._root, as_of, self._partitions, self._mor)
 
     def _cdc_partitions(self, begin, upto):
         """One partition per (commit in the window, group whose slice

@@ -1656,7 +1656,7 @@ def vintage_column_map(
 
 def _vintage_scan(
     spark, schema: T.StructType, cur_json: dict, vin_json: dict,
-    paths: list[str], key_exprs: list,
+    paths: list[str], key_exprs: list, extra: tuple = (),
 ):
     """Scan ONE schema vintage's files and project to the CURRENT
     schema: shared field ids are read under their write-time names and
@@ -1692,6 +1692,11 @@ def _vintage_scan(
                 F.col(vf["name"]), vf["type"], cf["type"], sf_.dataType
             ).alias(sf_.name)
         )
+    for xf, alias in extra:
+        # passthrough physical columns with RESERVED names (the v3
+        # materialized lineage columns) — same names in every vintage
+        read_fields.append(xf)
+        projection.append(F.col(xf.name).alias(alias))
     d = spark.read.schema(T.StructType(read_fields)).parquet(*paths)
     return d.select(*projection, *key_exprs)
 
@@ -1982,33 +1987,63 @@ def read_iceberg(
             F.col("_metadata.row_index").alias(pos),
         ]
 
+    # v3 MATERIALIZED lineage columns: rewritten files persist each
+    # row's original _row_id / _last_updated_sequence_number as real
+    # parquet columns (reserved names) so identity survives
+    # compaction; the stored value WINS over the fresh computation.
+    # Files without them read NULL and fresh fills in.
+    mat_rid, mat_seq = fp + "_matrid", fp + "_matseq"
+    lineage_read = (
+        [
+            T.StructField("_row_id", T.LongType(), True),
+            T.StructField(
+                "_last_updated_sequence_number", T.LongType(), True
+            ),
+        ]
+        if row_lineage
+        else []
+    )
+    lineage_aliases = [mat_rid, mat_seq]
+
+    def _lineage_exprs():
+        return [
+            F.col(xf.name).alias(a)
+            for xf, a in zip(lineage_read, lineage_aliases)
+        ]
+
     groups = _vintage_groups(meta, files)
     if groups is None:
         # single schema vintage: one scan node over the whole file
         # list, exactly as before
         paths = sorted(_localize(rec[0], root) for rec in files)
-        df = spark.read.schema(schema).parquet(*paths)
+        df = spark.read.schema(
+            T.StructType(list(schema.fields) + lineage_read)
+        ).parquet(*paths)
         if not need_keys:
             return df
-        keyed = df.select("*", *_key_exprs())
+        keyed = df.select(*out_cols, *_lineage_exprs(), *_key_exprs())
     else:
         # schema evolution with renames/promotions: one scan per
         # WRITE-TIME vintage (almost always 2), each projected to the
         # current schema by FIELD ID, then unioned — the delete keys
         # must attach per scan (the _metadata column is scan-scoped)
         cur_json = _schema_json(meta)
+        extra = tuple(zip(lineage_read, lineage_aliases))
         frames = []
         for vin, recs in groups:
             vpaths = sorted(_localize(rec[0], root) for rec in recs)
             if vin is None:
-                d = spark.read.schema(schema).parquet(*vpaths)
+                d = spark.read.schema(
+                    T.StructType(list(schema.fields) + lineage_read)
+                ).parquet(*vpaths)
                 d = d.select(
-                    *out_cols, *(_key_exprs() if need_keys else [])
+                    *out_cols, *_lineage_exprs(),
+                    *(_key_exprs() if need_keys else []),
                 )
             else:
                 d = _vintage_scan(
                     spark, schema, cur_json, vin, vpaths,
-                    _key_exprs() if need_keys else [],
+                    _key_exprs() if need_keys else [], extra,
                 )
             frames.append(d)
         keyed = frames[0]
@@ -2133,8 +2168,14 @@ def read_iceberg(
         )
         keyed = (
             keyed.join(F.broadcast(lin_df), fp, "left")
-            .withColumn("_row_id", F.col(frid_c) + F.col(pos))
-            .withColumn("_last_updated_sequence_number", F.col(lseq_c))
+            .withColumn(
+                "_row_id",
+                F.coalesce(F.col(mat_rid), F.col(frid_c) + F.col(pos)),
+            )
+            .withColumn(
+                "_last_updated_sequence_number",
+                F.coalesce(F.col(mat_seq), F.col(lseq_c)),
+            )
         )
         out_cols = out_cols + [f.name for f in lineage_fields]
     return keyed.select(*out_cols)
@@ -2164,6 +2205,23 @@ def _snapshot_window(meta: dict, from_snapshot_id, to_snapshot_id):
     if hi < lo:
         raise ValueError("to_snapshot_id precedes from_snapshot_id")
     return snaps, lo, hi
+
+
+def _changelog_state(meta: dict, root: str, snaps: list, idx: int):
+    """Live (data-files map keyed by path, delete-file key set) at
+    snapshot index ``idx`` (-1 = before the retained history) — the
+    per-boundary state both the batch changelog scan and the changelog
+    STREAM diff (one definition so their semantics can never drift)."""
+    if idx < 0:
+        return {}, set()
+    sid = snaps[idx]["snapshot-id"]
+    files, pos, eq, dv = _live_files(meta, root, sid)
+    dels = (
+        {("p", p) for p in pos}
+        | {("e", p) for p, _s2, _i, _pv in eq}
+        | {("v", d["path"], int(d.get("offset") or 0)) for d in dv}
+    )
+    return {rec[0]: rec for rec in files}, dels
 
 
 def read_iceberg_changelog(
@@ -2211,17 +2269,7 @@ def read_iceberg_changelog(
     snaps, lo, hi = _snapshot_window(meta, from_snapshot_id, to_snapshot_id)
 
     def state(idx):
-        """Live (data paths map, delete-file key set) at snapshot idx."""
-        if idx < 0:
-            return {}, set()
-        sid = snaps[idx]["snapshot-id"]
-        files, pos, eq, dv = _live_files(meta, root, sid)
-        dels = (
-            {("p", p) for p in pos}
-            | {("e", p) for p, _s2, _i, _pv in eq}
-            | {("v", d["path"], int(d.get("offset") or 0)) for d in dv}
-        )
-        return {rec[0]: rec for rec in files}, dels
+        return _changelog_state(meta, root, snaps, idx)
     # stamps: (decoded abs path, change type, ordinal, snapshot id);
     # recs for vintage grouping carry each file's ADDING snapshot
     stamps: list[tuple] = []
@@ -2230,11 +2278,15 @@ def read_iceberg_changelog(
     for i in range(lo, hi):
         sid = snaps[i]["snapshot-id"]
         cur_files, cur_dels = state(i)
-        new_dels = cur_dels - prev_dels
-        if new_dels:
+        if prev_dels or cur_dels:
+            # ANY live delete file poisons the file-level diff: a
+            # removed data file is read back RAW, so rows struck by a
+            # PRE-window delete would resurrect as spurious deletes —
+            # not just deletes added inside the window. Same gate as
+            # the official runtime's changelog scan.
             raise IcebergProtocolError(
-                f"snapshot {sid} adds row-level delete files; the "
-                "changelog scan cannot represent struck rows "
+                f"row-level delete files are live around snapshot {sid}; "
+                "the changelog scan cannot represent struck rows "
                 "(same gate as the official runtime)"
             )
         for p in sorted(set(cur_files) - set(prev_files)):
@@ -2334,26 +2386,7 @@ def read_iceberg_changes(
             f"format-version {meta['format-version']} > 3 is not supported"
         )
     schema = _table_schema(meta)
-    snaps = meta.get("snapshots", [])
-    ids = [s["snapshot-id"] for s in snaps]
-    lo = 0
-    if from_snapshot_id is not None:
-        if from_snapshot_id not in ids:
-            raise ValueError(
-                f"from_snapshot_id {from_snapshot_id} not in the retained "
-                f"lineage (have {ids})"
-            )
-        lo = ids.index(from_snapshot_id) + 1
-    hi = len(snaps)
-    if to_snapshot_id is not None:
-        if to_snapshot_id not in ids:
-            raise ValueError(
-                f"to_snapshot_id {to_snapshot_id} not in the retained "
-                f"lineage (have {ids})"
-            )
-        hi = ids.index(to_snapshot_id) + 1
-    if hi < lo:
-        raise ValueError("to_snapshot_id precedes from_snapshot_id")
+    snaps, lo, hi = _snapshot_window(meta, from_snapshot_id, to_snapshot_id)
     file_sid: list[tuple[str, int]] = []
     for snap in snaps[lo:hi]:
         sid = snap["snapshot-id"]

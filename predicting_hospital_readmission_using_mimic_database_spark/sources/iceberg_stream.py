@@ -133,30 +133,24 @@ class IcebergStreamReader(DataSourceStreamReader):
         files become insert partitions, removed files delete
         partitions; each file's columns resolve by ITS adding
         snapshot's vintage. Driver-side metadata only."""
-        from .iceberg import _live_files
+        from .iceberg import _changelog_state
 
         def state(idx):
-            if idx < 0:
-                return {}, set()
-            sid = snaps[idx]["snapshot-id"]
-            files, pos, eq, dv = _live_files(meta, self._root, sid)
-            dels = (
-                {("p", p) for p in pos}
-                | {("e", p) for p, _s2, _i, _pv in eq}
-                | {("v", d["path"], int(d.get("offset") or 0)) for d in dv}
-            )
-            return {rec[0]: rec for rec in files}, dels
+            return _changelog_state(meta, self._root, snaps, idx)
 
         out: list[_AddedFilePartition] = []
         prev_files, prev_dels = state(n0 - 1)
         for idx in range(n0, n1):
             sid = snaps[idx]["snapshot-id"]
             cur_files, cur_dels = state(idx)
-            if cur_dels - prev_dels:
+            if prev_dels or cur_dels:
+                # any live delete file poisons the file-level diff —
+                # removed files read back raw would resurrect struck
+                # rows (same gate as the batch changelog scan)
                 raise IcebergProtocolError(
-                    f"snapshot {sid} adds row-level delete files; the "
-                    "changelog stream cannot represent struck rows "
-                    "(same gate as the batch changelog scan)"
+                    f"row-level delete files are live around snapshot "
+                    f"{sid}; the changelog stream cannot represent "
+                    "struck rows (same gate as the batch changelog scan)"
                 )
             for p in sorted(set(cur_files) - set(prev_files)):
                 out.append(

@@ -433,6 +433,18 @@ def test_bootstrap_table_refuses(spark, tmp_path):
     ):
         with pytest.raises(HudiProtocolError, match="bootstrap"):
             fn()
+    # the gate lives in the _properties chokepoint: the STREAMING
+    # source refuses too (its schema probe loads properties)
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_stream import (
+        register_hudi_stream,
+    )
+
+    register_hudi_stream(spark)
+    with pytest.raises(Exception, match="bootstrap"):
+        (
+            spark.read.format("hudi_stream").option("path", root)
+            .load().collect()
+        )
     # the index dir alone (no property) also gates
     root2 = str(tmp_path / "boot2")
     _mk_table(root2)
@@ -441,6 +453,81 @@ def test_bootstrap_table_refuses(spark, tmp_path):
     os.makedirs(os.path.join(root2, ".hoodie", ".aux", ".bootstrap"))
     with pytest.raises(HudiProtocolError, match="bootstrap"):
         read_hudi(spark, root2)
+
+
+def test_cdc_changes_replacecommit_retirement(spark, tmp_path):
+    """A replacecommit (insert_overwrite) RETIRES a file group: the CDC
+    feed must emit delete images for the retired group's rows and
+    insert images for the replacement — retired groups vanish from
+    _latest_slices, so the spec diff (not latest-instant filtering)
+    is what catches them."""
+    import json as _json
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi_changes,
+    )
+
+    root = str(tmp_path / "cdcrep")
+    _mk_table(root)
+    t1, t2 = "00000000000001", "00000000000002"
+    _write_keyed_base(root, "a", "fA", t1, [(1, 1.0), (2, 2.0)])
+    _commit(root, t1)
+    # insert_overwrite: new group fB, fA retired via replacecommit
+    _write_keyed_base(root, "a", "fB", t2, [(7, 7.0)])
+    with open(os.path.join(root, ".hoodie", f"{t2}.replacecommit"), "w") as f:
+        _json.dump({"partitionToReplaceFileIds": {"a": ["fA"]}}, f)
+    ch = read_hudi_changes(spark, root, begin=t1)
+    rows = {(r["op"], r["before"], r["after"]) for r in ch.collect()}
+    assert rows == {
+        ("d", (1, 1.0), None),
+        ("d", (2, 2.0), None),
+        ("i", None, (7, 7.0)),
+    }
+
+
+def test_cdc_changes_schema_change_across_commits(spark, tmp_path):
+    """A window spanning a schema change unions cleanly: every commit's
+    images carry the END state's payload shape, with pre-change
+    vintages NULL-filling the added column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi_changes,
+    )
+
+    root = str(tmp_path / "cdcschema")
+    _mk_table(root)
+    t1, t2 = "00000000000001", "00000000000002"
+    _write_keyed_base(root, "a", "f1", t1, [(1, 1.0)])
+    _commit(root, t1)
+    # rewrite under a WIDER schema: adds column w
+    d = os.path.join(root, "a")
+    pq.write_table(
+        pa.table(
+            {
+                "_hoodie_commit_time": [t1, t2],
+                "_hoodie_record_key": ["1", "2"],
+                "_hoodie_partition_path": ["a", "a"],
+                "k": [1, 2],
+                "v": [1.0, 2.0],
+                "w": ["x", "y"],
+            }
+        ),
+        os.path.join(d, f"f1_0-0-0_{t2}.parquet"),
+    )
+    _commit(root, t2)
+    ch = read_hudi_changes(spark, root, begin="00000000000000")
+    rows = {(r["ts_ms"], r["op"], r["before"], r["after"])
+            for r in ch.collect()}
+    assert rows == {
+        # t1's insert image NULL-fills the not-yet-existing column w
+        (t1, "i", None, (1, 1.0, None)),
+        # t2: k=1's payload changed (w gained a value) -> update pair;
+        # k=2 is a new insert
+        (t2, "u", (1, 1.0, None), (1, 1.0, "x")),
+        (t2, "i", None, (2, 2.0, "y")),
+    }
 
 
 def test_metadata_table_stale_falls_back_to_walk(spark, hudi_root):

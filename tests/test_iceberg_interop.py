@@ -1699,6 +1699,62 @@ def test_row_lineage_explicit_beats_inherited(spark, tmp_path):
     assert "_row_id" not in read_iceberg(spark, root).columns
 
 
+def test_row_lineage_materialized_beats_fresh(spark, tmp_path):
+    """A rewritten file persisting the reserved materialized lineage
+    columns serves the STORED identities; rows with NULL stored values
+    (new rows in the same file) fall back to fresh computation — the
+    same coalesce precedence as the Delta twin."""
+    import pyarrow as pa
+
+    root = str(tmp_path / "linmat")
+    f = os.path.join(root, "data", "a.parquet")
+    _write_parquet_typed(
+        f,
+        {
+            "k": (pa.int64(), [1, 2, 3]),
+            "bal": (pa.int64(), [10, 20, 30]),
+            # k=1,2 carried across a rewrite keep ids 500/501 @ seq 1;
+            # k=3 is new (NULL stored -> fresh 102 @ manifest seq)
+            "_row_id": (pa.int64(), [500, 501, None]),
+            "_last_updated_sequence_number": (pa.int64(), [1, 1, None]),
+        },
+    )
+    e = _entry(f, None, 3)
+    m = _manifest(root, "m1.avro", [e])
+    ml = _manifest_list(
+        root, "ml1.avro", [m], first_row_id=100, sequence_number=7
+    )
+    meta = {
+        "format-version": 3,
+        "table-uuid": "linmat",
+        "location": root,
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1000,
+                       "summary": {"operation": "append"},
+                       "manifest-list": ml, "schema-id": 0,
+                       "first-row-id": 100}],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "bal", "required": False, "type": "long"},
+        ]}],
+        "current-schema-id": 0,
+        "last-column-id": 2,
+        "next-row-id": 103,
+    }
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+    got = {
+        r["k"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in read_iceberg(spark, root, row_lineage=True).collect()
+    }
+    assert got == {1: (500, 1), 2: (501, 1), 3: (102, 7)}
+
+
 def test_row_lineage_composes_with_deletes(spark, tmp_path):
     """Row ids are PHYSICAL positions in the file — a positional delete
     removes its row but never renumbers the survivors."""
@@ -2066,14 +2122,62 @@ def test_changelog_scan(spark, tmp_path):
 
 
 def test_changelog_delete_files_gate(spark, tmp_path):
-    """A snapshot that adds positional deletes cannot be represented as
-    file-level changes — honest raise (the official scan's gate)."""
+    """Row-level delete files anywhere AROUND the window gate the
+    changelog — including deletes committed BEFORE the window start:
+    a removed file is read back raw, so rows struck pre-window would
+    resurrect as spurious deletes (the official scan's gate)."""
+    import pyarrow as pa
+
     from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
         append_position_deletes,
         read_iceberg_changelog,
     )
 
     root, f = _evo_root(tmp_path, "clogd", bal_type="long")
-    append_position_deletes(root, [(f, 0)])
+    append_position_deletes(root, [(f, 0)])  # snapshot 2: delete file
     with pytest.raises(IcebergProtocolError, match="delete files"):
         read_iceberg_changelog(spark, root)
+    # snapshot 3 adds a plain data file — the WINDOW (2, 3] adds no
+    # delete files, but the pre-window delete still poisons the diff
+    nf = os.path.join(root, "data", "c.parquet")
+    _write_parquet_typed(
+        nf, {"k": (pa.int64(), [9]), "bal": (pa.int64(), [90])}
+    )
+    with open(os.path.join(root, "metadata", "version-hint.text")) as fh:
+        hint = fh.read().strip()
+    mp = os.path.join(root, "metadata", f"v{hint}.metadata.json")
+    with open(mp) as fh:
+        meta = json.load(fh)
+    m3 = _manifest(root, "m3c.avro", [_entry(nf, None, 1)])
+    prev = next(
+        s_ for s_ in meta["snapshots"]
+        if s_["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.avro_ocf import (
+        read_avro as _ra,
+    )
+
+    _s, prev_ml = _ra(prev["manifest-list"])
+    ml3 = os.path.join(root, "metadata", "ml3c.avro")
+    write_avro(
+        ml3,
+        MANIFEST_FILE_SCHEMA,
+        list(prev_ml) + [{
+            "manifest_path": m3, "manifest_length": 1,
+            "partition_spec_id": 0, "content": 0,
+            "added_snapshot_id": 3, "sequence_number": 3,
+            "first_row_id": None,
+        }],
+    )
+    sid3 = {"snapshot-id": 3, "timestamp-ms": 3000,
+            "summary": {"operation": "append"},
+            "manifest-list": ml3, "schema-id": 0}
+    meta["snapshots"].append(sid3)
+    meta["current-snapshot-id"] = 3
+    with open(mp, "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(IcebergProtocolError, match="delete files"):
+        read_iceberg_changelog(
+            spark, root,
+            from_snapshot_id=meta["snapshots"][-2]["snapshot-id"],
+        )
