@@ -1771,6 +1771,71 @@ def test_row_lineage_composes_with_deletes(spark, tmp_path):
     assert got == {1: 100, 3: 102}  # survivor ids unchanged
 
 
+def test_row_lineage_composes_with_schema_evolution(spark, tmp_path):
+    """row_lineage over a table whose files span SCHEMA VINTAGES: the
+    lineage stamps thread through the per-vintage scans (extras ride
+    _vintage_scan), so renamed columns resolve AND every row still
+    carries its id."""
+    import pyarrow as pa
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.avro_ocf import (
+        read_avro as _ra,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        commit_schema_evolution,
+    )
+
+    root, _f = _lineage_root(tmp_path, "linevo", mfrid=100)
+    # evolution: bal renamed -> amount; new file under the new name
+    nf = os.path.join(root, "data", "b.parquet")
+    _write_parquet_typed(
+        nf, {"k": (pa.int64(), [4]), "amount": (pa.int64(), [40])}
+    )
+    commit_schema_evolution(
+        root,
+        [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "amount", "type": "long"},
+        ],
+        added_files=[(nf, 1)],
+    )
+    # the evolution commit's manifest list must carry lineage stamps
+    # too (commit_schema_evolution is a plain fixture writer): stamp
+    # sequence + first_row_id on the new snapshot's manifest records
+    with open(os.path.join(root, "metadata", "version-hint.text")) as fh:
+        hint = fh.read().strip()
+    with open(os.path.join(root, "metadata", f"v{hint}.metadata.json")) as fh:
+        meta = json.load(fh)
+    snap2 = next(
+        s_ for s_ in meta["snapshots"]
+        if s_["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    snap2["first-row-id"] = 200
+    _s, ml = _ra(snap2["manifest-list"])
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        MANIFEST_FILE_SCHEMA as MOD_MF,
+    )
+
+    stamped = []
+    for m in ml:
+        m = dict(m)
+        if m.get("sequence_number") is None:
+            m["sequence_number"] = 1 if m.get("added_snapshot_id") == 1 else 2
+        if m.get("first_row_id") is None:
+            m["first_row_id"] = 100 if m["sequence_number"] == 1 else 200
+        stamped.append(m)
+    write_avro(snap2["manifest-list"], MOD_MF, stamped)
+    with open(os.path.join(root, "metadata", f"v{hint}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    got = {
+        r["k"]: (r["amount"], r["_row_id"])
+        for r in read_iceberg(spark, root, row_lineage=True).collect()
+    }
+    # old-vintage files: renamed column resolves AND ids inherit from
+    # the old manifest; the new file starts at the new range
+    assert got == {1: (10, 100), 2: (20, 101), 3: (30, 102), 4: (40, 200)}
+
+
 def test_row_lineage_gates(spark, tmp_path):
     """Lineage on a v2 table raises; v3 metadata whose files carry no
     resolvable first_row_id raises (never a silent NULL id)."""
