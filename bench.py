@@ -167,6 +167,7 @@ HEADLINE = [
     "s46_delta_row_tracking",     # rowTracking baseRowId lineage (r10)
     "s47_iceberg_changelog",      # file-diff insert/delete feed (r10)
     "st21_stream_iceberg_changelog",  # changelog as a stream (r10)
+    "s48_csv_roundtrip",          # CSV sink+source, quoting/NULL exact (r10)
 ]
 
 

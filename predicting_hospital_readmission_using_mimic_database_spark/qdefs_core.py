@@ -5694,6 +5694,70 @@ def build_changelog_iceberg_fixture(spark, sf: str, root: str) -> None:
 
 
 @query(
+    "s48_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment AS seg,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(sum(CASE WHEN c_custkey % 50 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_notes,
+           CAST(sum(CASE WHEN c_custkey % 50 <> 0
+                    THEN length(c_name || ', "' || c_mktsegment || '"')
+                    ELSE 0 END) AS BIGINT) AS note_len
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_s48(spark, sf):
+    """S48 — the CSV SINK + schema-on-read SOURCE round trip
+    (sources/io.py ``write_csv``/``read_csv``, the S5 parity surface —
+    previously the one component without a hash-gated oracle entry):
+    customers write to a distributed headered CSV (a synthesized note
+    column embeds commas AND double quotes, exercising the
+    quote-and-escape path; a planted NULL per 50 keys exercises
+    empty-field round-tripping), read back
+    with an EXPLICIT DDL schema (no inference pass), and aggregate per
+    segment with a null-count column. DuckDB recomputes from the base
+    parquet, so a quoting bug, a type mis-read, or a NULL that came
+    back as an empty string breaks the hash."""
+    import os
+
+    from .sources.io import read_csv, write_csv
+
+    root = _table_root("s48", sf)
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        # NULLs must survive the sink (empty field, not the string '');
+        # the note embeds commas + quotes to exercise CSV escaping
+        F.when(F.col("c_custkey") % 50 == 0, F.lit(None)).otherwise(
+            F.concat(
+                F.col("c_name"), F.lit(', "'),
+                F.col("c_mktsegment"), F.lit('"'),
+            )
+        ).alias("note"),
+    )
+    dest = os.path.join(root, "csv_out")
+    write_csv(c, dest)
+    back = read_csv(
+        spark, dest,
+        schema="c_custkey bigint, seg string, cents bigint, note string",
+    )
+    return back.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.sum(
+            F.when(F.col("note").isNull(), 1).otherwise(0)
+        ).cast("long").alias("null_notes"),
+        F.sum(
+            F.coalesce(F.length("note"), F.lit(0))
+        ).cast("long").alias("note_len"),
+    )
+
+
+@query(
     "s39_delta_type_widening",
     oracle="""
     SELECT c_custkey,

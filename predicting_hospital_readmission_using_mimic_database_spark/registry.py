@@ -71,6 +71,7 @@ PRIORITY: tuple[str, ...] = (
     "s46_delta_row_tracking",
     "s47_iceberg_changelog",
     "st21_stream_iceberg_changelog",
+    "s48_csv_roundtrip",
     # (a') changed or new in round 9
     "s37_iceberg_v3_dv",
     "s38_iceberg_schema_evolution",
@@ -88,7 +89,6 @@ PRIORITY: tuple[str, ...] = (
     "s19_hudi_read",
     "s15_delta_read",
     "s28_delta_cdf",
-    "st17_stream_delta_cdf",
     "s18_iceberg_roundtrip",
     "s20_iceberg_pos_delete",
     "s23_iceberg_eq_delete",

@@ -38,7 +38,7 @@ def test_first_50_entries_cover_every_family():
     for must in ("s41_iceberg_nested_evolution", "s42_hudi_cdc_infer",
                  "s43_hudi_partitioned_export", "s44_iceberg_v3_defaults",
                  "st20_stream_hudi_cdc", "s45_iceberg_row_lineage", "s46_delta_row_tracking",
-                 "s47_iceberg_changelog", "st21_stream_iceberg_changelog",
+                 "s47_iceberg_changelog", "st21_stream_iceberg_changelog", "s48_csv_roundtrip",
                  "s37_iceberg_v3_dv", "s38_iceberg_schema_evolution",
                  "s39_delta_type_widening", "s40_hudi_export",
                  "s34_hudi_event_time_merge",
@@ -48,7 +48,7 @@ def test_first_50_entries_cover_every_family():
                  "t21_bpe_encode",
                  "s19_hudi_read",
                  "s15_delta_read",
-                 "s28_delta_cdf", "st17_stream_delta_cdf",
+                 "s28_delta_cdf",
                  "s18_iceberg_roundtrip", "s20_iceberg_pos_delete",
                  "s23_iceberg_eq_delete",
                  "st18_stream_hudi_mor", "st19_stream_delta_idmap",
