@@ -4875,14 +4875,49 @@ def q_s41(spark, sf):
     In-entry asserts pin that time travel to the pre-evolution
     snapshot also serves the current NESTED schema with no NULL
     balance_cents."""
+    from .sources.iceberg import read_iceberg
+
+    root = _table_root("s41", sf)
+    n_all, _n_new = build_nested_evolution_iceberg_fixture(spark, sf, root)
+    # spec read semantics: the pre-evolution snapshot serves the
+    # CURRENT nested schema — inner rename resolves by id, never NULL
+    old = read_iceberg(spark, root, snapshot_id=1)
+    assert old.schema["profile"].dataType.simpleString() == (
+        "struct<balance_cents:bigint,nation:bigint,tier:string>"
+    )
+    assert old.filter(F.col("profile.balance_cents").isNull()).count() == 0
+    assert old.count() == n_all
+    return read_iceberg(spark, root).select(
+        "c_custkey",
+        F.col("profile.balance_cents").alias("balance_cents"),
+        F.col("profile.nation").alias("nation"),
+        F.col("profile.tier").alias("tier"),
+    )
+
+
+def build_nested_evolution_iceberg_fixture(
+    spark, sf: str, root: str, with_default: bool = False
+) -> tuple[int, int]:
+    """Iceberg table with NESTED schema evolution for s41 + st22:
+    snapshot 1 appends every customer under schema 0 (``profile
+    struct<bal_c:int, nation:long>``, nested ids 3/4); a foreign-writer
+    evolution commits schema 1 (id 3 RENAMED bal_c -> balance_cents and
+    PROMOTED int -> long, id 4 kept, new id 5 ``tier string`` added
+    INSIDE the struct) plus an append (snapshot 2) of ``%10 == 0``
+    customers (+6M keys) written under the new inner layout. With
+    ``with_default=True`` the evolution also adds a TOP-LEVEL id 6
+    ``grade string`` with ``initial-default: "STD"`` (the appended file
+    carries explicit ``grade='NEW'``) and stamps ``format-version: 3``
+    — the v3-writer shape. Returns (n_base_rows, n_appended_rows)."""
     import glob
+    import json as _json
     import os
     import shutil
 
     from .sources.iceberg import (
+        _metadata_path,
         commit_schema_evolution,
         export_iceberg,
-        read_iceberg,
     )
     from .sources.table import SnapshotTable
 
@@ -4895,7 +4930,7 @@ def q_s41(spark, sf):
     )
     t = SnapshotTable.create(
         spark,
-        _table_root("s41", sf),
+        root,
         "c_custkey bigint, profile struct<bal_c:int,nation:bigint>",
         bucket_key=["c_custkey"],
         num_buckets=8,
@@ -4911,6 +4946,8 @@ def q_s41(spark, sf):
             F.col("profile.nation").alias("nation"),
             F.lit("T1").alias("tier"),
         ).alias("profile"),
+        # the post-addition writer applied write-time values
+        *([F.lit("NEW").alias("grade")] if with_default else []),
     )
     n_new = new.count()
     stage = os.path.join(t.root, "evo.stage")
@@ -4934,23 +4971,24 @@ def q_s41(spark, sf):
                      "type": "string"},
                 ],
             }},
-        ],
+        ]
+        + (
+            [{"id": 6, "name": "grade", "type": "string",
+              "initial-default": "STD", "write-default": "NEW"}]
+            if with_default else []
+        ),
         added_files=[(evo_file, n_new)],
     )
-    # spec read semantics: the pre-evolution snapshot serves the
-    # CURRENT nested schema — inner rename resolves by id, never NULL
-    old = read_iceberg(spark, t.root, snapshot_id=1)
-    assert old.schema["profile"].dataType.simpleString() == (
-        "struct<balance_cents:bigint,nation:bigint,tier:string>"
-    )
-    assert old.filter(F.col("profile.balance_cents").isNull()).count() == 0
-    assert old.count() == n_all
-    return read_iceberg(spark, t.root).select(
-        "c_custkey",
-        F.col("profile.balance_cents").alias("balance_cents"),
-        F.col("profile.nation").alias("nation"),
-        F.col("profile.tier").alias("tier"),
-    )
+    if with_default:
+        # initial-default is a v3 feature: stamp the version a real
+        # v3 writer would
+        mp = _metadata_path(t.root)
+        with open(mp) as f:
+            meta = _json.load(f)
+        meta["format-version"] = 3
+        with open(mp, "w") as f:
+            _json.dump(meta, f)
+    return n_all, n_new
 
 
 @query(

@@ -1729,3 +1729,85 @@ def q_st21(spark, sf):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st22_stream_nested_evolution",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS balance_cents,
+           CAST(c_nationkey AS BIGINT) AS nation,
+           CAST(NULL AS VARCHAR) AS tier,
+           'STD' AS grade,
+           CAST(1 AS BIGINT) AS _snapshot_id
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 6000000,
+           CAST(floor(c_acctbal * 100) AS BIGINT),
+           CAST(c_nationkey AS BIGINT),
+           'T1', 'NEW', 2
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def q_st22(spark, sf):
+    """ST22 — a stream draining ACROSS a nested-evolution +
+    default-adding commit (sources/iceberg.py ``vintage_projection`` /
+    ``compile_vintage_conv``, the streaming twin of the batch
+    ``_vintage_scan``): each input partition is one file = one schema
+    VINTAGE, and the pre-evolution files project to the CURRENT schema
+    inside the Python worker — the struct member renamed AND promoted
+    by field id (``bal_c int -> balance_cents long``), the member
+    added after the vintage NULL-filled, and the new TOP-LEVEL
+    ``grade`` column filled with its v3 ``initial-default`` ('STD');
+    post-evolution files pass through identity with their explicit
+    values ('NEW'). The old name-map reader RAISED on both shapes — a
+    table evolved mid-stream is a common real shape, and a name-based
+    read would NULL the renamed inner member instead. Same fixture as
+    s41 plus the defaulted column (shared builder); DuckDB recomputes
+    both vintages from base customer rows, so a NULLed default, a
+    mis-cast inner promotion, or a resurrected write-time member name
+    breaks the row-level hash."""
+    from .qdefs_core import (
+        _table_root,
+        build_nested_evolution_iceberg_fixture,
+    )
+    from .sources.iceberg_stream import register_iceberg_stream
+
+    register_iceberg_stream(spark)
+    root = _table_root("st22", sf)
+    build_nested_evolution_iceberg_fixture(spark, sf, root, with_default=True)
+    tmp = tempfile.mkdtemp(prefix="st22_")
+    try:
+        got: list = []
+
+        def sink(df, _bid):
+            got.extend(
+                tuple(r)
+                for r in df.select(
+                    "c_custkey",
+                    F.col("profile.balance_cents").alias("balance_cents"),
+                    F.col("profile.nation").alias("nation"),
+                    F.col("profile.tier").alias("tier"),
+                    "grade",
+                    "_snapshot_id",
+                ).collect()
+            )
+
+        q = (
+            spark.readStream.format("iceberg_stream")
+            .option("path", root)
+            .option("startingSnapshotCount", 0)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.createDataFrame(
+            got,
+            "c_custkey long, balance_cents long, nation long, "
+            "tier string, grade string, _snapshot_id long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1414,31 +1414,165 @@ def _vintage_groups(meta: dict, files: list) -> list | None:
     ]
 
 
-def _validate_vintage_field(cf: dict, vf: dict) -> None:
-    """Legality check for reading a write-time field ``vf`` as the
-    output field ``cf`` (same field id) through a NAME MAP: identical
-    types pass, spec-legal primitive promotions pass. Nested/complex
-    layout changes raise HERE because a name map cannot express the
-    inner projection — the batch scan resolves those through
-    :func:`_vintage_expr` instead; this gate covers the
-    incremental/streaming readers, which rename one file's columns."""
-    if vf["type"] == cf["type"]:
-        return
-    if isinstance(vf["type"], dict) or isinstance(cf["type"], dict):
+def _default_py_value(cf: dict):
+    """Python value of field ``cf`` for rows in files written BEFORE
+    the field existed — the v3 ``initial-default`` parsed from its
+    JSON single-value serialization, else ``None``. The Python-worker
+    twin of :func:`_absent_field_expr` (used by the streaming readers,
+    which materialize rows outside the JVM); ``write-default`` is
+    writer-side only and never applied on read. Unsupported default
+    types raise rather than silently NULL-filling a declared
+    default."""
+    raw = cf.get("initial-default")
+    if raw is None:
+        return None
+    t = cf.get("type")
+    if isinstance(t, dict):
         raise IcebergProtocolError(
-            f"field id {cf['id']} ({cf['name']!r}) changed its "
-            "nested/complex type across schema versions; nested "
-            "schema evolution is supported on the batch read path "
-            "only (the incremental/streaming name-map readers cannot "
-            "express the inner projection)"
+            f"field {cf.get('name')!r}: initial-default on nested type "
+            f"{_tname(t)} is not supported by this reader"
         )
-    if not _promotion_ok(vf["type"], cf["type"]):
-        raise IcebergProtocolError(
-            f"field id {cf['id']} type changed "
-            f"{vf['type']!r} -> {cf['type']!r}, which is not a "
-            "spec-legal promotion (int->long, float->double, "
-            "decimal widening)"
+    tl = str(t).lower()
+    if tl == "boolean":
+        return bool(raw)
+    if tl in ("int", "long"):
+        return int(raw)
+    if tl in ("float", "double"):
+        return float(raw)
+    if tl in ("string", "uuid"):
+        return str(raw)
+    if tl == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(str(raw))
+    if tl in ("timestamp", "timestamptz"):
+        import datetime
+
+        return datetime.datetime.fromisoformat(
+            str(raw).replace("Z", "+00:00")
         )
+    if tl.startswith("decimal"):
+        from decimal import Decimal
+
+        return Decimal(str(raw))
+    raise IcebergProtocolError(
+        f"field {cf.get('name')!r}: initial-default for type {t!r} "
+        "is not supported by this reader"
+    )
+
+
+def _py_vintage_conv(vt, ct):
+    """Picklable conversion SPEC from a value read under write-time
+    Iceberg type ``vt`` to current type ``ct`` — the Python-side twin
+    of :func:`_vintage_expr` for readers that materialize rows in a
+    Python worker (the streaming sources, one file = one vintage per
+    input partition). ``None`` means identity: every spec-legal
+    primitive promotion is value-preserving over Python natives
+    (int->long, float->double, decimal widening), so only NESTED
+    evolution needs real work. Nested specs are tuples:
+
+    - ``("struct", [(out_name, src_name|None, sub|None, fill), ...])``
+      — rebuild member by member by field id: renamed members read the
+      write-time name, members added after the vintage fill the v3
+      initial-default (else None), dropped members vanish;
+    - ``("list", element_sub)``;
+    - ``("map", key_sub|None, value_sub|None)``.
+
+    Spec-illegal promotions and shape changes raise, exactly like the
+    batch path — never a lossy or name-based read."""
+    if vt == ct:
+        return None
+    v_nested, c_nested = isinstance(vt, dict), isinstance(ct, dict)
+    if not v_nested and not c_nested:
+        if not _promotion_ok(vt, ct):
+            raise IcebergProtocolError(
+                f"type changed {vt!r} -> {ct!r}, which is not a "
+                "spec-legal promotion (int->long, float->double, "
+                "decimal widening)"
+            )
+        return None
+    vk = vt.get("type") if v_nested else None
+    ck = ct.get("type") if c_nested else None
+    if vk == "struct" and ck == "struct":
+        vin_by_id = {f["id"]: f for f in vt["fields"]}
+        members = []
+        for cf in ct["fields"]:
+            vf = vin_by_id.get(cf["id"])
+            if vf is None:
+                members.append(
+                    (cf["name"], None, None, _default_py_value(cf))
+                )
+            else:
+                members.append(
+                    (
+                        cf["name"],
+                        vf["name"],
+                        _py_vintage_conv(vf["type"], cf["type"]),
+                        None,
+                    )
+                )
+        return ("struct", members)
+    if vk == "list" and ck == "list":
+        sub = _py_vintage_conv(vt["element"], ct["element"])
+        return None if sub is None else ("list", sub)
+    if vk == "map" and ck == "map":
+        ks = _py_vintage_conv(vt["key"], ct["key"])
+        vs = _py_vintage_conv(vt["value"], ct["value"])
+        return None if ks is None and vs is None else ("map", ks, vs)
+    raise IcebergProtocolError(
+        f"type changed shape across schema versions "
+        f"({_tname(vt)} -> {_tname(ct)}); no id-preserving projection "
+        "exists for a shape change"
+    )
+
+
+def compile_vintage_conv(conv):
+    """Compile a :func:`_py_vintage_conv` spec into a value converter.
+    Runs in the Python worker over ``pyarrow`` ``to_pylist`` values:
+    struct values arrive as dicts keyed by WRITE-TIME member names,
+    lists as lists, maps as lists of ``(key, value)`` pairs; converted
+    structs/maps are emitted as dicts keyed by the CURRENT names (the
+    shape PySpark's local-data conversion accepts)."""
+    if conv is None:
+        return lambda v: v
+    kind = conv[0]
+    if kind == "struct":
+        members = [
+            (
+                name,
+                src,
+                None if sub is None else compile_vintage_conv(sub),
+                fill,
+            )
+            for name, src, sub, fill in conv[1]
+        ]
+
+        def conv_struct(v, _m=members):
+            if v is None:
+                return None
+            out = {}
+            for name, src, sub, fill in _m:
+                if src is None:
+                    out[name] = fill
+                else:
+                    x = v.get(src)
+                    out[name] = x if sub is None else sub(x)
+            return out
+
+        return conv_struct
+    if kind == "list":
+        sub = compile_vintage_conv(conv[1])
+        return lambda v, _s=sub: None if v is None else [_s(x) for x in v]
+    ks = compile_vintage_conv(conv[1])
+    vs = compile_vintage_conv(conv[2])
+
+    def conv_map(v, _k=ks, _v=vs):
+        if v is None:
+            return None
+        items = v.items() if isinstance(v, dict) else v
+        return {_k(k): _v(x) for k, x in items}
+
+    return conv_map
 
 
 def _tname(t) -> str:
@@ -1609,24 +1743,30 @@ def _vintage_read_type(vt, ct) -> T.DataType:
     return _spark_type(vt)
 
 
-def vintage_column_map(
+def vintage_projection(
     meta: dict, adding_snapshot_id, out_json: dict
-) -> list[str | None]:
-    """Per top-level field of ``out_json`` (the schema a reader emits),
-    the column NAME to read from a data file added by
-    ``adding_snapshot_id`` — resolved by FIELD ID per the spec, so a
-    renamed column maps to its write-time name instead of NULLing out;
-    ``None`` = the field didn't exist in that vintage (NULL fill,
-    including a dropped field's name reused by a new id). Spec-illegal
-    promotions and nested/complex type changes raise. Falls back to
-    the output names when the vintage is unknowable (expired adding
-    snapshot, no schemas list, or no schema-id stamp) — the pre-feature
-    behavior. Used by the incremental/streaming readers, which consume
-    one file (= one vintage) per partition."""
-    out_names = [f["name"] for f in out_json["fields"]]
+) -> list[tuple]:
+    """Per top-level field of ``out_json`` (the schema a reader
+    emits), how a Python-worker reader produces the value from a data
+    file added by ``adding_snapshot_id``: a ``(source_column_name |
+    None, conversion_spec | None, fill_value)`` triple, resolved by
+    FIELD ID per the spec at EVERY nesting level — the streaming twin
+    of the batch :func:`_vintage_scan`. A renamed column maps to its
+    write-time name instead of NULLing out; nested members rebuild by
+    id through :func:`_py_vintage_conv` (inner rename / promotion /
+    add / drop); a field that didn't exist in the vintage fills its
+    v3 ``initial-default`` when declared, else None — including a
+    dropped field's name reused by a new id. Spec-illegal promotions
+    and shape changes raise. Falls back to identity over the output
+    names when the vintage is unknowable (expired adding snapshot, no
+    schemas list, or no schema-id stamp) — same fallback as the batch
+    path. Compile the specs with :func:`compile_vintage_conv`; used by
+    the streaming readers, which consume one file (= one vintage) per
+    input partition."""
+    ident = [(f["name"], None, None) for f in out_json["fields"]]
     schemas = meta.get("schemas")
     if not schemas or adding_snapshot_id is None:
-        return out_names
+        return ident
     snap2schema = {
         s["snapshot-id"]: s.get("schema-id")
         for s in meta.get("snapshots", [])
@@ -1635,22 +1775,17 @@ def vintage_column_map(
     by_id = {s.get("schema-id", 0): s for s in schemas}
     sj = by_id.get(vid)
     if vid is None or sj is None or sj == out_json:
-        return out_names
+        return ident
     vin_by_id = {f["id"]: f for f in sj["fields"]}
-    out: list[str | None] = []
+    out: list[tuple] = []
     for cf in out_json["fields"]:
         vf = vin_by_id.get(cf["id"])
         if vf is None:
-            if cf.get("initial-default") is not None:
-                raise IcebergProtocolError(
-                    f"field {cf['name']!r} carries an initial-default; "
-                    "the incremental/streaming name-map readers cannot "
-                    "apply defaults (batch reads can)"
-                )
-            out.append(None)
-            continue
-        _validate_vintage_field(cf, vf)
-        out.append(vf["name"])
+            out.append((None, None, _default_py_value(cf)))
+        else:
+            out.append(
+                (vf["name"], _py_vintage_conv(vf["type"], cf["type"]), None)
+            )
     return out
 
 

@@ -57,7 +57,8 @@ from .iceberg import (
     _metadata_path,
     _schema_json,
     _table_schema,
-    vintage_column_map,
+    compile_vintage_conv,
+    vintage_projection,
 )
 
 __all__ = ["IcebergStreamDataSource", "register_iceberg_stream"]
@@ -74,13 +75,15 @@ def _load_meta(root: str) -> dict:
 
 
 class _AddedFilePartition(InputPartition):
-    def __init__(self, path, snapshot_id, srcs, ctype=None):
+    def __init__(self, path, snapshot_id, proj, ctype=None):
         self.path = path
         self.snapshot_id = snapshot_id
-        # per OUTPUT field, the column name in THIS file's write-time
-        # schema vintage (None = field didn't exist -> NULL fill) —
-        # field-id resolution done on the driver in partitions()
-        self.srcs = srcs
+        # per OUTPUT field, a (write-time column name | None,
+        # conversion spec | None, fill value) triple from
+        # iceberg.vintage_projection — field-id resolution (incl.
+        # NESTED evolution and v3 initial-defaults) done on the
+        # driver in partitions(); specs compile in read()
+        self.proj = proj
         #: changelog mode: "insert" | "delete"; None = append tail
         self.ctype = ctype
 
@@ -93,7 +96,10 @@ class IcebergStreamReader(DataSourceStreamReader):
                 "iceberg_stream requires .option('path', <table root>)"
             )
         meta = _load_meta(self._root)
-        self._cols = [f.name for f in _table_schema(meta).fields]
+        # identity projection for the empty-batch sentinel partition
+        self._ident = [
+            (f.name, None, None) for f in _table_schema(meta).fields
+        ]
         # the stream's OUTPUT schema is fixed at stream start; files
         # of any other vintage (before OR after a mid-stream schema
         # commit) map to it by field id
@@ -157,7 +163,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                     _AddedFilePartition(
                         _localize(p, self._root),
                         sid,
-                        vintage_column_map(
+                        vintage_projection(
                             meta, cur_files[p][4], self._out_json
                         ),
                         "insert",
@@ -168,7 +174,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                     _AddedFilePartition(
                         _localize(p, self._root),
                         sid,
-                        vintage_column_map(
+                        vintage_projection(
                             meta, prev_files[p][4], self._out_json
                         ),
                         "delete",
@@ -191,11 +197,11 @@ class IcebergStreamReader(DataSourceStreamReader):
             )
         if self._changelog:
             out = self._changelog_partitions(meta, snaps, n0, end["n"])
-            return out or [_AddedFilePartition(None, -1, self._cols)]
+            return out or [_AddedFilePartition(None, -1, self._ident)]
         out: list[_AddedFilePartition] = []
         for snap in snaps[n0 : end["n"]]:
             sid = snap["snapshot-id"]
-            srcs = vintage_column_map(meta, sid, self._out_json)
+            proj = vintage_projection(meta, sid, self._out_json)
             op = (snap.get("summary") or {}).get("operation", "append")
             if op != "append" and not self._ignore_changes:
                 raise IcebergProtocolError(
@@ -245,10 +251,10 @@ class IcebergStreamReader(DataSourceStreamReader):
                         _AddedFilePartition(
                             _localize(df["file_path"], self._root),
                             sid,
-                            srcs,
+                            proj,
                         )
                     )
-        return out or [_AddedFilePartition(None, -1, self._cols)]
+        return out or [_AddedFilePartition(None, -1, self._ident)]
 
     def read(self, partition: _AddedFilePartition):
         if partition.path is None:
@@ -256,17 +262,24 @@ class IcebergStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(partition.path)
-        want = sorted({s for s in partition.srcs if s is not None})
+        want = sorted({src for src, _c, _f in partition.proj if src is not None})
         if want:
             table = pf.read(columns=want)
             data = {c: table.column(c).to_pylist() for c in want}
             nrows = table.num_rows
         else:
             data, nrows = {}, pf.metadata.num_rows
+        # compile the driver-built vintage specs once per partition:
+        # nested rename/promotion/add/drop resolve by field id, fields
+        # absent from this file's vintage fill their initial-default
+        fields = [
+            (src, compile_vintage_conv(conv), fill)
+            for src, conv, fill in partition.proj
+        ]
         for i in range(nrows):
             vals = [
-                (data[s][i] if s is not None else None)
-                for s in partition.srcs
+                (fill if src is None else conv(data[src][i]))
+                for src, conv, fill in fields
             ]
             if partition.ctype is not None:
                 yield (*vals, partition.ctype, partition.snapshot_id)

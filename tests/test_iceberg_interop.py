@@ -1566,11 +1566,11 @@ def test_v3_initial_default_fills_and_write_default_ignored(spark, tmp_path):
     """A column added with initial-default reads as THE DEFAULT for
     pre-addition files (never NULL); write-default is writer-side only
     and never applied on read; defaults inside a struct member fill the
-    same way; the incremental name-map reader raises instead of
-    NULL-filling a declared default."""
+    same way; the STREAMING projection fills the same defaults per
+    field id (the old name-map path used to raise here)."""
     from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
         commit_schema_evolution,
-        vintage_column_map,
+        vintage_projection,
     )
 
     root, _f = _evo_root(tmp_path, "evdef", bal_type="long")
@@ -1587,15 +1587,18 @@ def test_v3_initial_default_fills_and_write_default_ignored(spark, tmp_path):
     got = {(r["k"], r["tier"], r["score"])
            for r in read_iceberg(spark, root).collect()}
     assert got == {(1, "STD", 7), (2, "STD", 7), (3, "STD", 7)}
-    # the name-map path (incremental/streaming) cannot apply defaults
+    # the streaming projection (one file = one vintage per input
+    # partition) fills the SAME defaults — real read, no gate
     with open(os.path.join(root, "metadata", "v2.metadata.json")) as fh:
         meta = json.load(fh)
     out_json = next(
         s for s in meta["schemas"]
         if s["schema-id"] == meta["current-schema-id"]
     )
-    with pytest.raises(IcebergProtocolError, match="initial-default"):
-        vintage_column_map(meta, 1, out_json)
+    proj = vintage_projection(meta, 1, out_json)
+    assert [(src, fill) for src, _conv, fill in proj] == [
+        ("k", None), ("bal", None), (None, "STD"), (None, 7)
+    ]
 
 
 def test_v3_initial_default_inside_struct(spark, tmp_path):

@@ -379,3 +379,81 @@ def read_iceberg_files(root):
         meta = json.load(f)
     files, _p, _e, _d = _live_files(meta, root, None)
     return [rec[0] for rec in files]
+
+
+def test_stream_nested_evolution_and_defaults(spark, tmp_path):
+    """Draining a stream ACROSS a nested-evolution + default-adding
+    commit: pre-evolution files project to the CURRENT schema inside
+    the Python worker, per input partition (one file = one vintage) —
+    the struct member renamed AND promoted by field id (bal_c int ->
+    balance_cents long), the member added after the vintage
+    NULL-filled, a NULL struct staying NULL, and the new TOP-LEVEL
+    column filled with its v3 initial-default. The old name-map path
+    raised on both shapes; this is the real read that replaced it.
+    Post-evolution files pass through identity."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        commit_schema_evolution,
+    )
+
+    root = str(tmp_path / "icevolve")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, prof struct<bal_c:int,nation:bigint>"
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, (100, 7)), (2, (200, 8)), (3, None)],
+            "k bigint, prof struct<bal_c:int,nation:bigint>",
+        )
+    )
+    assert export_iceberg(t) == 1
+    nf = os.path.join(root, "data-evo.parquet")
+    prof_t = pa.struct(
+        [
+            ("balance_cents", pa.int64()),
+            ("nation", pa.int64()),
+            ("tier", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([4], type=pa.int64()),
+                "prof": pa.array(
+                    [{"balance_cents": 400, "nation": 9, "tier": "T1"}],
+                    type=prof_t,
+                ),
+                "grade": pa.array(["NEW"], type=pa.string()),
+            }
+        ),
+        nf,
+    )
+    commit_schema_evolution(
+        root,
+        [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "prof", "type": {"type": "struct", "fields": [
+                {"id": 3, "name": "balance_cents", "required": False,
+                 "type": "long"},
+                {"id": 4, "name": "nation", "required": False,
+                 "type": "long"},
+                {"id": 5, "name": "tier", "required": False,
+                 "type": "string"},
+            ]}},
+            {"id": 6, "name": "grade", "type": "string",
+             "initial-default": "STD"},
+        ],
+        added_files=[(nf, 1)],
+    )
+    register_iceberg_stream(spark)
+    got = _drain(
+        spark, root, str(tmp_path / "ck_nested"), startingSnapshotCount=0
+    )
+    rows = {k: (prof, grade, sid) for k, prof, grade, sid in got}
+    assert rows[1] == ((100, 7, None), "STD", 1)
+    assert rows[2] == ((200, 8, None), "STD", 1)
+    assert rows[3] == (None, "STD", 1)
+    assert rows[4] == ((400, 9, "T1"), "NEW", 2)
