@@ -5972,3 +5972,177 @@ def q_s40(spark, sf):
     # pre-merge time travel sees the original state
     assert read_hudi(spark, dest, as_of=i1).count() == c.count()
     return read_hudi(spark, dest)
+
+
+@query(
+    "s49_iceberg_changelog_dv_replay",
+    oracle="""
+    WITH odd AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer WHERE c_custkey % 2 = 1
+    ),
+    even AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer WHERE c_custkey % 2 = 0
+    ),
+    b2 AS (
+      SELECT k,
+             cents + CASE WHEN k % 10 = 1 THEN 555 ELSE 0 END AS cents
+      FROM odd
+    )
+    SELECT k AS c_custkey, cents, 'insert' AS _change_type,
+           CAST(0 AS BIGINT) AS _change_ordinal,
+           CAST(1 AS BIGINT) AS _commit_snapshot_id
+    FROM even
+    UNION ALL SELECT k, cents, 'insert', 0, 1 FROM odd
+    UNION ALL SELECT k, cents, 'delete', 1, 2 FROM odd
+    UNION ALL SELECT k, cents, 'insert', 1, 2 FROM b2
+    UNION ALL SELECT k, cents, 'delete', 2, 3 FROM b2 WHERE k % 10 = 7
+    UNION ALL SELECT k, cents, 'delete', 3, 4 FROM b2 WHERE k % 10 <> 7
+    UNION ALL
+    SELECT k, cents + CASE WHEN k % 10 = 3 THEN 1000 ELSE 0 END,
+           'insert', 3, 4
+    FROM b2 WHERE k % 10 <> 7
+    """,
+)
+def q_s49(spark, sf):
+    """S49 — Iceberg changelog with ROW-LEVEL DELETE REPLAY
+    (sources/iceberg.py ``read_iceberg_changelog``), past the official
+    runtime's gate (it refuses any window with live delete files; this
+    reader already decodes all three kinds, so it replays them): on
+    top of the s47 fixture (snapshot 1 appends even+odd, snapshot 2
+    copy-on-write OVERWRITES the odd file), snapshot 3 commits a v3
+    DELETION VECTOR striking the rewrite's ``%10 == 7`` rows and
+    snapshot 4 overwrites the DV-carrying file with a compaction
+    (struck rows dropped, ``%10 == 3`` bumped +1000). The feed must
+    emit the struck rows as ordinal-2 deletes, then ordinal-3's
+    delete+insert pairs for the LIVE rows only — a reader without
+    replay would resurrect the ``%10 == 7`` rows as spurious deletes
+    at ordinal 3. Windows that open after the strike stay silent about
+    it (in-entry assert). DuckDB recomputes the whole five-way feed.
+    Plan posture: one scan over the window's files, liveness per
+    boundary as boolean algebra over a broadcast live-flag array + ONE
+    broadcast (file, pos) strike join (DV decoded on executors), the
+    change rows from a single array_compact + explode — no shuffle."""
+    from .sources.iceberg import read_iceberg_changelog
+
+    root = _table_root("s49", sf)
+    build_dv_changelog_iceberg_fixture(spark, sf, root)
+    # a window opened AFTER the strike never resurrects struck rows
+    tail = read_iceberg_changelog(spark, root, from_snapshot_id=3)
+    assert tail.filter(
+        (F.col("c_custkey") % 10 == 7) & (F.col("c_custkey") % 2 == 1)
+    ).count() == 0
+    return read_iceberg_changelog(spark, root)
+
+
+def build_dv_changelog_iceberg_fixture(spark, sf: str, root: str) -> None:
+    """s47's two-snapshot changelog fixture extended with delete
+    replay shapes: snapshot 3 = a v3 DELETION VECTOR striking the
+    rewrite file's ``%10 == 7`` rows (positions computed from the
+    file's actual row order); snapshot 4 = a copy-on-write compaction
+    replacing the DV-carrying file with its live rows only
+    (``%10 == 3`` bumped +1000), dropping the vector with the file."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import time
+
+    import pyarrow.parquet as _pq
+
+    from .sources.avro_ocf import write_avro
+    from .sources.iceberg import (
+        MANIFEST_ENTRY_SCHEMA,
+        MANIFEST_FILE_SCHEMA,
+        _metadata_path,
+        append_deletion_vectors,
+    )
+
+    build_changelog_iceberg_fixture(spark, sf, root)
+    fb2 = os.path.join(root, "data-b2.parquet")
+    keys = _pq.read_table(fb2, columns=["c_custkey"]).column(
+        "c_custkey"
+    ).to_pylist()
+    struck = [i for i, k in enumerate(keys) if k % 10 == 7]
+    assert append_deletion_vectors(root, {fb2: struck}) == 3
+    # snapshot 4: compaction overwrite — fb2 (and its vector) replaced
+    # by the live rows, %10 == 3 bumped
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    b3 = c.filter(
+        (F.col("c_custkey") % 2 == 1) & (F.col("c_custkey") % 10 != 7)
+    ).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("c_custkey") % 10 == 1, 555).otherwise(0)
+        + F.when(F.col("c_custkey") % 10 == 3, 1000).otherwise(0),
+    )
+    n_b3 = b3.count()
+    stage = os.path.join(root, ".stage_b3")
+    b3.coalesce(1).write.parquet(stage)
+    fb3 = os.path.join(root, "data-b3.parquet")
+    shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], fb3)
+    shutil.rmtree(stage)
+    mdir = os.path.join(root, "metadata")
+    fa = os.path.join(root, "data-a.parquet")
+
+    def entry(path, status, sid, n):
+        return {
+            "status": status,
+            "snapshot_id": sid,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(path),
+                "equality_ids": None,
+            },
+        }
+
+    n_fa = _pq.read_metadata(fa).num_rows
+    m4 = os.path.join(mdir, "manifest-4.avro")
+    write_avro(
+        m4, MANIFEST_ENTRY_SCHEMA,
+        [
+            entry(fa, 0, 1, n_fa),
+            entry(fb2, 2, 4, len(keys)),
+            entry(fb3, 1, 4, n_b3),
+        ],
+    )
+    ml4 = os.path.join(mdir, "snap-4.avro")
+    write_avro(
+        ml4, MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": m4,
+                "manifest_length": os.path.getsize(m4),
+                "partition_spec_id": 0,
+                "content": 0,
+                "added_snapshot_id": 4,
+                "sequence_number": 4,
+            }
+        ],
+    )
+    mp = _metadata_path(root)
+    with open(mp) as f:
+        meta = _json.load(f)
+    meta["snapshots"].append(
+        {"snapshot-id": 4, "timestamp-ms": int(time.time() * 1000),
+         "summary": {"operation": "overwrite"},
+         "manifest-list": ml4, "schema-id": 0}
+    )
+    meta["current-snapshot-id"] = 4
+    meta["last-sequence-number"] = 4
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        hint = int(f.read().strip())
+    with open(os.path.join(mdir, f"v{hint + 1}.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(hint + 1))

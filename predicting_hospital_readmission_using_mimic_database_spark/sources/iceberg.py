@@ -1171,7 +1171,10 @@ def _live_files(
     return data_out, pos_out, eq_out, dv_out
 
 
-def _dv_deletes_df(spark, root: str, dv_dels: list[dict], fp: str, pos: str):
+def _dv_deletes_df(
+    spark, root: str, dv_dels: list[dict], fp: str, pos: str,
+    src: str | None = None,
+):
     """(file key, deleted row index) frame for format-v3 DELETION
     VECTORS with the roaring decode ON EXECUTORS: the driver ships
     only the tiny (puffin path, offset, length, referenced file) spec
@@ -1180,7 +1183,9 @@ def _dv_deletes_df(spark, root: str, dv_dels: list[dict], fp: str, pos: str):
     CRC per the v3 spec). A multi-million-position vector never
     materializes as a driver-side list — the same scale posture as
     the Delta DV path (delta.py `_dv_positions_df`). Cardinality from
-    the manifest entry's record_count is checked against the decode."""
+    the manifest entry's record_count is checked against the decode.
+    With ``src``, each dict's ``_src`` id is carried through as an
+    extra long column (the changelog replay's strike-source stamp)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, StringType, StructField
 
@@ -1191,6 +1196,7 @@ def _dv_deletes_df(spark, root: str, dv_dels: list[dict], fp: str, pos: str):
             StructField("len", LongType(), False),
             StructField("ref", StringType(), False),
             StructField("card", LongType(), True),
+            StructField("srcid", LongType(), True),
         ]
     )
     out_schema = T.StructType(
@@ -1198,6 +1204,7 @@ def _dv_deletes_df(spark, root: str, dv_dels: list[dict], fp: str, pos: str):
             StructField(fp, StringType(), False),
             StructField(pos, LongType(), False),
         ]
+        + ([StructField(src, LongType(), False)] if src else [])
     )
     from urllib.parse import unquote
 
@@ -1211,6 +1218,7 @@ def _dv_deletes_df(spark, root: str, dv_dels: list[dict], fp: str, pos: str):
             d["length"],
             os.path.abspath(unquote(_localize(d["referenced"], root))),
             None if d.get("cardinality") is None else int(d["cardinality"]),
+            int(d.get("_src", -1)),
         )
         for d in dv_dels
     ]
@@ -1228,7 +1236,10 @@ def _dv_deletes_df(spark, root: str, dv_dels: list[dict], fp: str, pos: str):
                         f"deletion vector cardinality {r.card} != decoded "
                         f"{len(vals)} in {r.puffin}"
                     )
-                yield pd.DataFrame({fp: [r.ref] * len(vals), pos: vals})
+                out = {fp: [r.ref] * len(vals), pos: vals}
+                if src:
+                    out[src] = [int(r.srcid)] * len(vals)
+                yield pd.DataFrame(out)
 
     sdf = spark.createDataFrame(rows, spec_schema)
     return sdf.repartition(max(1, len(rows))).mapInPandas(decode, out_schema)
@@ -2342,21 +2353,30 @@ def _snapshot_window(meta: dict, from_snapshot_id, to_snapshot_id):
     return snaps, lo, hi
 
 
-def _changelog_state(meta: dict, root: str, snaps: list, idx: int):
-    """Live (data-files map keyed by path, delete-file key set) at
-    snapshot index ``idx`` (-1 = before the retained history) — the
-    per-boundary state both the batch changelog scan and the changelog
-    STREAM diff (one definition so their semantics can never drift)."""
+def _changelog_full_state(meta: dict, root: str, snaps: list, idx: int):
+    """(data-files map keyed by path, positional delete paths, equality
+    delete files, deletion vectors) live at snapshot index ``idx``
+    (-1 = before the retained history) — the per-boundary state both
+    the batch changelog scan and the changelog STREAM diff (one
+    definition so their semantics can never drift)."""
     if idx < 0:
-        return {}, set()
+        return {}, [], [], []
     sid = snaps[idx]["snapshot-id"]
     files, pos, eq, dv = _live_files(meta, root, sid)
+    return {rec[0]: rec for rec in files}, pos, eq, dv
+
+
+def _changelog_state(meta: dict, root: str, snaps: list, idx: int):
+    """Live (data-files map keyed by path, delete-source key set) at
+    snapshot index ``idx`` — the keyed view of
+    :func:`_changelog_full_state`."""
+    files, pos, eq, dv = _changelog_full_state(meta, root, snaps, idx)
     dels = (
         {("p", p) for p in pos}
         | {("e", p) for p, _s2, _i, _pv in eq}
         | {("v", d["path"], int(d.get("offset") or 0)) for d in dv}
     )
-    return {rec[0]: rec for rec in files}, dels
+    return files, dels
 
 
 def read_iceberg_changelog(
@@ -2373,23 +2393,41 @@ def read_iceberg_changelog(
     incremental APPEND scan (:func:`read_iceberg_changes`) also
     represents overwrite/replace/delete snapshots.
 
-    Semantics are the spec's FILE-LEVEL diff per snapshot: data files
-    ADDED by a snapshot contribute their rows as inserts, data files
-    REMOVED contribute their rows (still on storage until vacuum) as
-    deletes — so a copy-on-write overwrite emits delete+insert pairs
-    for carried rows, exactly like the official changelog. Snapshots
-    that add ROW-LEVEL delete files (positional / equality / deletion
-    vectors) raise — representing those would need the struck-row
-    replay the official changelog scan also refuses today.
+    Semantics are the spec's FILE-LEVEL diff per snapshot with
+    ROW-LEVEL delete REPLAY on top: data files ADDED by a snapshot
+    contribute their live rows as inserts, data files REMOVED
+    contribute their rows live at the previous boundary as deletes —
+    so a copy-on-write overwrite emits delete+insert pairs for carried
+    rows, exactly like the official changelog. Unlike the official
+    runtime (which refuses any window with live positional / equality
+    / deletion-vector files), row-level deletes are REPLAYED: a
+    snapshot that strikes rows of a continuing file emits those rows
+    as deletes, a file removed while carrying strikes never
+    resurrects its struck rows, and rows struck BEFORE the window stay
+    invisible throughout.
 
-    Scale shape: the per-snapshot diff is driver-side metadata; ALL
-    window files then go through ONE scan (per schema vintage), and
-    the three stamps attach via a broadcast (file -> stamps) join on
-    the decoded ``_metadata.file_path`` — a file both added and later
-    removed inside the window simply carries TWO stamp rows and fans
-    out to both change rows in the same scan."""
+    Scale shape: the per-snapshot diff is driver-side metadata; the
+    window's files go through ONE scan (per schema vintage). With no
+    live delete files the three stamps attach via a broadcast (file ->
+    stamps) join on the decoded ``_metadata.file_path`` — a file both
+    added and later removed inside the window simply carries TWO stamp
+    rows and fans out to both change rows in the same scan. With
+    deletes, each row's LIVENESS at every boundary state is a boolean
+    expression over (a) a broadcast per-file live-flag array, (b) ONE
+    broadcast (file, pos) -> strike-source-set join covering every
+    positional/DV source (vectors decode on executors), and (c) one
+    broadcast value-match flag join per distinct equality-delete file
+    (sequence ordering + partition scope folded driver-side); the
+    per-transition change rows then come out of a single
+    ``array_compact`` + ``explode`` — still one scan, no shuffle."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StringType, StructField
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+    )
 
     from .io import decoded_file_path
     from urllib.parse import unquote
@@ -2402,35 +2440,11 @@ def read_iceberg_changelog(
         )
     schema = _table_schema(meta)
     snaps, lo, hi = _snapshot_window(meta, from_snapshot_id, to_snapshot_id)
-
-    def state(idx):
-        return _changelog_state(meta, root, snaps, idx)
-    # stamps: (decoded abs path, change type, ordinal, snapshot id);
-    # recs for vintage grouping carry each file's ADDING snapshot
-    stamps: list[tuple] = []
-    recs: dict[str, tuple] = {}
-    prev_files, prev_dels = state(lo - 1)
-    for i in range(lo, hi):
-        sid = snaps[i]["snapshot-id"]
-        cur_files, cur_dels = state(i)
-        if prev_dels or cur_dels:
-            # ANY live delete file poisons the file-level diff: a
-            # removed data file is read back RAW, so rows struck by a
-            # PRE-window delete would resurrect as spurious deletes —
-            # not just deletes added inside the window. Same gate as
-            # the official runtime's changelog scan.
-            raise IcebergProtocolError(
-                f"row-level delete files are live around snapshot {sid}; "
-                "the changelog scan cannot represent struck rows "
-                "(same gate as the official runtime)"
-            )
-        for p in sorted(set(cur_files) - set(prev_files)):
-            stamps.append((p, "insert", i - lo, sid))
-            recs.setdefault(p, cur_files[p])
-        for p in sorted(set(prev_files) - set(cur_files)):
-            stamps.append((p, "delete", i - lo, sid))
-            recs.setdefault(p, prev_files[p])
-        prev_files, prev_dels = cur_files, cur_dels
+    nb = hi - lo + 1  # boundary states lo-1 .. hi-1
+    bounds = [
+        _changelog_full_state(meta, root, snaps, lo - 1 + b)
+        for b in range(nb)
+    ]
     out_schema = T.StructType(
         list(schema.fields)
         + [
@@ -2439,18 +2453,20 @@ def read_iceberg_changelog(
             StructField("_commit_snapshot_id", LongType(), True),
         ]
     )
-    if not stamps:
-        return spark.createDataFrame([], out_schema)
     fp = "__iceberg_clog_file"
     while fp in schema.names:
         fp = "_" + fp
-    key_exprs = [decoded_file_path(F.col("_metadata.file_path")).alias(fp)]
-    groups = _vintage_groups(meta, list(recs.values()))
-    if groups is None:
-        scan = spark.read.schema(schema).parquet(
-            *sorted(_localize(p, root) for p in recs)
-        ).select("*", *key_exprs)
-    else:
+
+    def _norm_path(p: str) -> str:
+        return os.path.abspath(unquote(_localize(p, root)))
+
+    def _scan_over(recs_map: dict, key_exprs: list):
+        """ONE scan over the given files (per schema vintage)."""
+        groups = _vintage_groups(meta, list(recs_map.values()))
+        if groups is None:
+            return spark.read.schema(schema).parquet(
+                *sorted(_localize(p, root) for p in recs_map)
+            ).select("*", *key_exprs)
         cur_json = _schema_json(meta)
         frames = []
         for vin, vrecs in groups:
@@ -2467,21 +2483,296 @@ def read_iceberg_changelog(
         scan = frames[0]
         for x in frames[1:]:
             scan = scan.unionByName(x)
-    stamp_df = spark.createDataFrame(
+        return scan
+
+    if not any(p or e or d for _f, p, e, d in bounds):
+        # fast path (no row-level deletes anywhere around the window):
+        # pure file-level diff, stamps via one broadcast join
+        stamps: list[tuple] = []
+        recs: dict[str, tuple] = {}
+        for i in range(lo, hi):
+            sid = snaps[i]["snapshot-id"]
+            prev_files, cur_files = bounds[i - lo][0], bounds[i - lo + 1][0]
+            for p in sorted(set(cur_files) - set(prev_files)):
+                stamps.append((p, "insert", i - lo, sid))
+                recs.setdefault(p, cur_files[p])
+            for p in sorted(set(prev_files) - set(cur_files)):
+                stamps.append((p, "delete", i - lo, sid))
+                recs.setdefault(p, prev_files[p])
+        if not stamps:
+            return spark.createDataFrame([], out_schema)
+        key_exprs = [
+            decoded_file_path(F.col("_metadata.file_path")).alias(fp)
+        ]
+        scan = _scan_over(recs, key_exprs)
+        stamp_df = spark.createDataFrame(
+            [(_norm_path(p), ct, o, s_) for p, ct, o, s_ in stamps],
+            T.StructType(
+                [
+                    StructField(fp, StringType(), False),
+                    StructField("_change_type", StringType(), False),
+                    StructField("_change_ordinal", LongType(), False),
+                    StructField("_commit_snapshot_id", LongType(), False),
+                ]
+            ),
+        )
+        return scan.join(F.broadcast(stamp_df), fp).drop(fp)
+
+    # ------------------------------------------------------- replay
+    if nb < 2:
+        return spark.createDataFrame([], out_schema)
+    # catalog the window's strike sources (delete files are immutable,
+    # so identity is by path/offset) and each boundary's live set
+    src_spec: list[tuple] = []       # i -> ("p", path) | ("v", dv dict)
+    src_ids: dict[tuple, int] = {}
+    eq_spec: list[tuple] = []        # i -> (path, seq, eq field ids, pv)
+    eq_ids_: dict[str, int] = {}
+    b_srcs: list[list[int]] = []     # per boundary, live source ids
+    b_eqs: list[list[int]] = []      # per boundary, live eq-file ids
+    for _f, pos_b, eq_b, dv_b in bounds:
+        cur: list[int] = []
+        for p in pos_b:
+            k = ("p", p)
+            if k not in src_ids:
+                src_ids[k] = len(src_spec)
+                src_spec.append(("p", p))
+            cur.append(src_ids[k])
+        for d in dv_b:
+            k = ("v", d["path"], int(d.get("offset") or 0))
+            if k not in src_ids:
+                src_ids[k] = len(src_spec)
+                src_spec.append(("v", d))
+            cur.append(src_ids[k])
+        b_srcs.append(sorted(set(cur)))
+        cureq: list[int] = []
+        for d in eq_b:
+            if d[1] is None:
+                raise IcebergProtocolError(
+                    "equality deletes present but sequence numbers are "
+                    "missing from the manifest metadata; the "
+                    "data-vs-delete ordering cannot be established"
+                )
+            if d[0] not in eq_ids_:
+                eq_ids_[d[0]] = len(eq_spec)
+                eq_spec.append(d)
+            cureq.append(eq_ids_[d[0]])
+        b_eqs.append(sorted(set(cureq)))
+
+    # which data files each positional source strikes: DVs name their
+    # referenced file in metadata; positional parquet needs its
+    # (dictionary-encoded) file_path column — a delete-scale read
+    src_targets: list[set[str]] = []
+    for kind, d in src_spec:
+        if kind == "p":
+            import pyarrow.parquet as _pq
+
+            tbl = _pq.read_table(_localize(d, root), columns=["file_path"])
+            src_targets.append(
+                {_norm_path(v) for v in set(tbl.column("file_path").to_pylist())}
+            )
+        else:
+            src_targets.append({_norm_path(d["referenced"])})
+
+    fmaps = [b[0] for b in bounds]
+    recs = {}
+    for m in fmaps:
+        for p, rec in m.items():
+            recs.setdefault(p, rec)
+    if eq_spec and any(rec[2] is None for rec in recs.values()):
+        raise IcebergProtocolError(
+            "equality deletes present but sequence numbers are missing "
+            "from the manifest metadata; the data-vs-delete ordering "
+            "cannot be established"
+        )
+
+    def _eq_admits(rec, i: int) -> bool:
+        # spec scoping + ordering: delete file i strikes data file
+        # `rec` iff the data sequence predates the delete's and the
+        # delete's partition tuple matches on every field it carries
+        _dp, dseq, _ids, dpv = eq_spec[i]
+        return rec[2] is not None and rec[2] < dseq and all(
+            k in rec[1] and rec[1][k] == v for k, v in (dpv or {}).items()
+        )
+
+    # scan only files whose LIVENESS can change inside the window:
+    # membership varies, a positional strike source appears/vanishes
+    # for it, or an applicable equality delete appears/vanishes
+    scan_set: set[str] = set()
+    for p, rec in recs.items():
+        lv = [p in m for m in fmaps]
+        if any(v != lv[0] for v in lv):
+            scan_set.add(p)
+            continue
+        key = _norm_path(p)
+        sv = [
+            frozenset(i for i in b_srcs[b] if key in src_targets[i])
+            for b in range(nb)
+        ]
+        if any(s != sv[0] for s in sv):
+            scan_set.add(p)
+            continue
+        ev = [
+            frozenset(i for i in b_eqs[b] if _eq_admits(rec, i))
+            for b in range(nb)
+        ]
+        if any(e != ev[0] for e in ev):
+            scan_set.add(p)
+    if not scan_set:
+        return spark.createDataFrame([], out_schema)
+    scan_recs = {p: recs[p] for p in scan_set}
+
+    pos_c = fp + "_pos"
+    key_exprs = [
+        decoded_file_path(F.col("_metadata.file_path")).alias(fp),
+        F.col("_metadata.row_index").alias(pos_c),
+    ]
+    keyed = _scan_over(scan_recs, key_exprs)
+
+    # broadcast per-file facts: live flags per boundary + equality
+    # admissibility per delete file (ordering/scope folded here)
+    live_c, adm_c = fp + "_live", fp + "_adm"
+    lfr = spark.createDataFrame(
         [
-            (os.path.abspath(unquote(_localize(p, root))), ct, o, s_)
-            for p, ct, o, s_ in stamps
+            (
+                _norm_path(p),
+                [p in m for m in fmaps],
+                [_eq_admits(rec, i) for i in range(len(eq_spec))],
+            )
+            for p, rec in sorted(scan_recs.items())
         ],
         T.StructType(
             [
                 StructField(fp, StringType(), False),
-                StructField("_change_type", StringType(), False),
-                StructField("_change_ordinal", LongType(), False),
-                StructField("_commit_snapshot_id", LongType(), False),
+                StructField(live_c, ArrayType(BooleanType(), False), False),
+                StructField(adm_c, ArrayType(BooleanType(), False), False),
             ]
         ),
     )
-    return scan.join(F.broadcast(stamp_df), fp).drop(fp)
+    keyed = keyed.join(F.broadcast(lfr), fp)
+
+    # ONE broadcast (file, pos) -> strike-source-set join for every
+    # positional parquet / deletion-vector source in the window
+    srcs_c = fp + "_srcs"
+    if src_spec:
+        pos_schema = T.StructType(
+            [
+                StructField("file_path", StringType(), True),
+                StructField("pos", LongType(), True),
+            ]
+        )
+        frames = []
+        pos_sources = [
+            (i, d) for i, (kind, d) in enumerate(src_spec) if kind == "p"
+        ]
+        for i, p in pos_sources:
+            frames.append(
+                spark.read.schema(pos_schema)
+                .parquet(_localize(p, root))
+                .select(
+                    decoded_file_path(F.col("file_path")).alias(fp),
+                    F.col("pos").alias(pos_c),
+                    F.lit(i).cast("long").alias("__src"),
+                )
+            )
+        dv_sources = [
+            {**d, "_src": i}
+            for i, (kind, d) in enumerate(src_spec)
+            if kind == "v"
+        ]
+        if dv_sources:
+            frames.append(
+                _dv_deletes_df(
+                    spark, root, dv_sources, fp, pos_c, src="__src"
+                )
+            )
+        dels = frames[0]
+        for x in frames[1:]:
+            dels = dels.unionByName(x)
+        strikes = dels.groupBy(fp, pos_c).agg(
+            F.collect_set("__src").alias(srcs_c)
+        )
+        keyed = keyed.join(F.broadcast(strikes), [fp, pos_c], "left")
+
+    # one broadcast value-match flag join per distinct equality file
+    eq_match_cols: list[str] = []
+    if eq_spec:
+        id2field = {}
+        for f_, raw in zip(schema.fields, _schema_json(meta)["fields"]):
+            id2field[raw["id"]] = f_
+        for i, (dpath, _dseq, eq_idsv, _dpv) in enumerate(eq_spec):
+            try:
+                eq_fields = [id2field[x] for x in eq_idsv]
+            except KeyError as e:
+                raise IcebergProtocolError(
+                    f"equality_ids reference field id {e} which is not a "
+                    "top-level schema field (nested equality deletes are "
+                    "not supported)"
+                ) from None
+            mcol = f"{fp}_eqm{i}"
+            tmp = {f_.name: f"{fp}_eq{i}_{f_.name}" for f_ in eq_fields}
+            eq_df = (
+                spark.read.schema(T.StructType(list(eq_fields)))
+                .parquet(_localize(dpath, root))
+                .dropDuplicates()
+                .select(
+                    *[F.col(n).alias(a) for n, a in tmp.items()],
+                    F.lit(True).alias(mcol),
+                )
+            )
+            cond = F.lit(True)
+            for f_ in eq_fields:
+                cond = cond & keyed[f_.name].eqNullSafe(eq_df[tmp[f_.name]])
+            keyed = keyed.join(F.broadcast(eq_df), cond, "left").drop(
+                *tmp.values()
+            )
+            eq_match_cols.append(mcol)
+
+    def _struck(b: int):
+        e = F.lit(False)
+        if src_spec and b_srcs[b]:
+            e = e | F.coalesce(
+                F.arrays_overlap(
+                    F.col(srcs_c),
+                    F.array(
+                        *[F.lit(i).cast("long") for i in b_srcs[b]]
+                    ),
+                ),
+                F.lit(False),
+            )
+        for i in b_eqs[b]:
+            e = e | (
+                F.coalesce(F.col(eq_match_cols[i]), F.lit(False))
+                & F.col(adm_c)[i]
+            )
+        return e
+
+    live = [F.col(live_c)[b] & ~_struck(b) for b in range(nb)]
+    chgs = []
+    for t in range(nb - 1):
+        sid = int(snaps[lo + t]["snapshot-id"])
+        chgs.append(
+            F.when(
+                live[t + 1] & ~live[t],
+                F.struct(
+                    F.lit("insert").alias("_change_type"),
+                    F.lit(t).cast("long").alias("_change_ordinal"),
+                    F.lit(sid).cast("long").alias("_commit_snapshot_id"),
+                ),
+            ).when(
+                live[t] & ~live[t + 1],
+                F.struct(
+                    F.lit("delete").alias("_change_type"),
+                    F.lit(t).cast("long").alias("_change_ordinal"),
+                    F.lit(sid).cast("long").alias("_commit_snapshot_id"),
+                ),
+            )
+        )
+    out_cols = [f.name for f in schema.fields]
+    chg = fp + "_chg"
+    return keyed.select(
+        *out_cols,
+        F.explode(F.array_compact(F.array(*chgs))).alias(chg),
+    ).select(*out_cols, f"{chg}.*")
 
 
 def read_iceberg_changes(

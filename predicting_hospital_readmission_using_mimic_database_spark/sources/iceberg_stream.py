@@ -32,9 +32,15 @@ insert partitions and REMOVED files as delete partitions (their rows
 read back as they were — copy-on-write overwrites emit delete+insert
 pairs for carried rows), every row stamped ``_change_type`` +
 ``_snapshot_id``. Overwrite/replace/delete snapshots are therefore
-REPRESENTABLE (no ``ignoreChanges`` needed); snapshots that add
-row-level delete files (positional/equality/DV) raise — the same
-gate as the batch changelog and the official runtime.
+REPRESENTABLE (no ``ignoreChanges`` needed). POSITIONAL and
+DELETION-VECTOR strikes are REPLAYED (past the official runtime's
+gate): a snapshot that strikes rows of a continuing file ships ONE
+diff partition whose reader decodes the before/after strike sets and
+emits only the newly-struck rows as deletes; added/removed files skip
+their struck positions, so pre-window strikes never resurrect.
+Equality deletes still gate (their value predicates belong on the
+batch :func:`iceberg.read_iceberg_changelog`, which replays all three
+kinds).
 """
 
 from __future__ import annotations
@@ -75,7 +81,7 @@ def _load_meta(root: str) -> dict:
 
 
 class _AddedFilePartition(InputPartition):
-    def __init__(self, path, snapshot_id, proj, ctype=None):
+    def __init__(self, path, snapshot_id, proj, ctype=None, strike=None):
         self.path = path
         self.snapshot_id = snapshot_id
         # per OUTPUT field, a (write-time column name | None,
@@ -86,6 +92,14 @@ class _AddedFilePartition(InputPartition):
         self.proj = proj
         #: changelog mode: "insert" | "delete"; None = append tail
         self.ctype = ctype
+        #: positional/DV strike replay, decoded in read():
+        #: ("skip", specs) drops the struck positions from a
+        #: whole-file emission; ("diff", a, b) emits ONLY positions
+        #: struck by sources `a` but not `b` (newly-struck deletes /
+        #: un-struck inserts). Spec forms:
+        #: ("pos", delete_parquet_path, this_file_key) |
+        #: ("dv", puffin_path, offset, length)
+        self.strike = strike
 
 
 class IcebergStreamReader(DataSourceStreamReader):
@@ -138,49 +152,152 @@ class IcebergStreamReader(DataSourceStreamReader):
         """Per snapshot in [n0, n1): diff live data-file sets — added
         files become insert partitions, removed files delete
         partitions; each file's columns resolve by ITS adding
-        snapshot's vintage. Driver-side metadata only."""
-        from .iceberg import _changelog_state
+        snapshot's vintage. POSITIONAL/DV strikes replay: per file the
+        driver diffs the strike-SOURCE sets between boundaries (delete
+        files are immutable, so source identity suffices) and ships
+        the specs — vectors decode in the worker, never on the driver.
+        Driver-side work is metadata plus one file_path-column read
+        per positional delete parquet (delete-scale)."""
+        import os as _os
+        from urllib.parse import unquote
+
+        from .iceberg import _changelog_full_state
+
+        root = self._root
 
         def state(idx):
-            return _changelog_state(meta, self._root, snaps, idx)
+            return _changelog_full_state(meta, root, snaps, idx)
+
+        def _norm(p):
+            return _os.path.abspath(unquote(_localize(p, root)))
+
+        targets_cache: dict[str, set] = {}
+
+        def srcs_for(pos_b, dv_b):
+            """file key -> sorted strike-source spec tuple at a boundary."""
+            out: dict[str, list] = {}
+            for p in sorted(pos_b):
+                lp = _localize(p, root)
+                if lp not in targets_cache:
+                    import pyarrow.parquet as pq
+
+                    tbl = pq.read_table(lp, columns=["file_path"])
+                    targets_cache[lp] = {
+                        _norm(v)
+                        for v in set(tbl.column("file_path").to_pylist())
+                    }
+                for key in targets_cache[lp]:
+                    out.setdefault(key, []).append(("pos", lp, key))
+            for d in sorted(
+                dv_b, key=lambda d: (d["path"], d.get("offset") or 0)
+            ):
+                out.setdefault(_norm(d["referenced"]), []).append(
+                    (
+                        "dv",
+                        _localize(d["path"], root),
+                        int(d.get("offset") or 0),
+                        int(d["length"]),
+                    )
+                )
+            return {k: tuple(v) for k, v in out.items()}
 
         out: list[_AddedFilePartition] = []
-        prev_files, prev_dels = state(n0 - 1)
+        prev_files, prev_pos, prev_eq, prev_dv = state(n0 - 1)
+        prev_srcs = srcs_for(prev_pos, prev_dv)
         for idx in range(n0, n1):
             sid = snaps[idx]["snapshot-id"]
-            cur_files, cur_dels = state(idx)
-            if prev_dels or cur_dels:
-                # any live delete file poisons the file-level diff —
-                # removed files read back raw would resurrect struck
-                # rows (same gate as the batch changelog scan)
+            cur_files, cur_pos, cur_eq, cur_dv = state(idx)
+            if prev_eq or cur_eq:
                 raise IcebergProtocolError(
-                    f"row-level delete files are live around snapshot "
-                    f"{sid}; the changelog stream cannot represent "
-                    "struck rows (same gate as the batch changelog scan)"
+                    f"equality delete files are live around snapshot "
+                    f"{sid}; the changelog stream replays positional/DV "
+                    "strikes but cannot evaluate equality predicates — "
+                    "use the batch read_iceberg_changelog, which replays "
+                    "all three delete kinds"
                 )
+            cur_srcs = srcs_for(cur_pos, cur_dv)
             for p in sorted(set(cur_files) - set(prev_files)):
+                s = cur_srcs.get(_norm(p))
                 out.append(
                     _AddedFilePartition(
-                        _localize(p, self._root),
+                        _localize(p, root),
                         sid,
                         vintage_projection(
                             meta, cur_files[p][4], self._out_json
                         ),
                         "insert",
+                        strike=("skip", s) if s else None,
                     )
                 )
             for p in sorted(set(prev_files) - set(cur_files)):
+                s = prev_srcs.get(_norm(p))
                 out.append(
                     _AddedFilePartition(
-                        _localize(p, self._root),
+                        _localize(p, root),
                         sid,
                         vintage_projection(
                             meta, prev_files[p][4], self._out_json
                         ),
                         "delete",
+                        strike=("skip", s) if s else None,
                     )
                 )
-            prev_files, prev_dels = cur_files, cur_dels
+            for p in sorted(set(cur_files) & set(prev_files)):
+                key = _norm(p)
+                a = cur_srcs.get(key, ())
+                b = prev_srcs.get(key, ())
+                if set(a) == set(b):
+                    continue
+                proj = vintage_projection(
+                    meta, cur_files[p][4], self._out_json
+                )
+                lp = _localize(p, root)
+                if not set(a) <= set(b):
+                    # sources grew: newly-struck rows emit as deletes
+                    out.append(
+                        _AddedFilePartition(
+                            lp, sid, proj, "delete", strike=("diff", a, b)
+                        )
+                    )
+                if not set(b) <= set(a):
+                    # sources shrank (vector replaced/compacted away):
+                    # un-struck rows re-emit as inserts
+                    out.append(
+                        _AddedFilePartition(
+                            lp, sid, proj, "insert", strike=("diff", b, a)
+                        )
+                    )
+            prev_files, prev_srcs = cur_files, cur_srcs
+        return out
+
+    def _decode_strikes(self, specs) -> set:
+        """Union of struck positions for this partition's file —
+        runs in the Python worker (DV roaring decode + positional
+        parquet filtered to the file key)."""
+        import os as _os
+        from urllib.parse import unquote
+
+        out: set[int] = set()
+        for s in specs or ():
+            if s[0] == "pos":
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(s[1], columns=["file_path", "pos"])
+                for fpv, x in zip(
+                    t.column("file_path").to_pylist(),
+                    t.column("pos").to_pylist(),
+                ):
+                    if (
+                        _os.path.abspath(
+                            unquote(_localize(fpv, self._root))
+                        )
+                        == s[2]
+                    ):
+                        out.add(int(x))
+            else:
+                from .puffin import dv_blob_decode, read_blob
+
+                out.update(dv_blob_decode(read_blob(s[1], s[2], s[3])))
         return out
 
     def partitions(self, start: dict, end: dict):
@@ -276,7 +393,18 @@ class IcebergStreamReader(DataSourceStreamReader):
             (src, compile_vintage_conv(conv), fill)
             for src, conv, fill in partition.proj
         ]
-        for i in range(nrows):
+        strike = getattr(partition, "strike", None)
+        if strike is None:
+            emit = range(nrows)
+        elif strike[0] == "skip":
+            drop = self._decode_strikes(strike[1])
+            emit = (i for i in range(nrows) if i not in drop)
+        else:
+            only = self._decode_strikes(strike[1]) - self._decode_strikes(
+                strike[2]
+            )
+            emit = (i for i in range(nrows) if i in only)
+        for i in emit:
             vals = [
                 (fill if src is None else conv(data[src][i]))
                 for src, conv, fill in fields

@@ -2132,7 +2132,7 @@ def test_changelog_scan(spark, tmp_path):
     """read_iceberg_changelog: per-snapshot file diffs become
     insert/delete rows; a file added AND removed inside the window
     fans out to both change rows from one scan; windows bound the
-    feed; snapshots adding row-level delete files raise."""
+    feed (row-level delete replay is pinned separately)."""
     import pyarrow as pa
 
     from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
@@ -2189,11 +2189,12 @@ def test_changelog_scan(spark, tmp_path):
     assert empty.count() == 0 and "_change_type" in empty.columns
 
 
-def test_changelog_delete_files_gate(spark, tmp_path):
-    """Row-level delete files anywhere AROUND the window gate the
-    changelog — including deletes committed BEFORE the window start:
-    a removed file is read back raw, so rows struck pre-window would
-    resurrect as spurious deletes (the official scan's gate)."""
+def test_changelog_position_delete_replay(spark, tmp_path):
+    """Row-level delete REPLAY (past the official runtime's gate): a
+    positional delete inside the window emits the struck row as a
+    DELETE change; rows struck BEFORE a window never resurrect — not
+    as spurious deletes when their file is removed, and not in
+    windows that start after the strike."""
     import pyarrow as pa
 
     from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
@@ -2202,11 +2203,19 @@ def test_changelog_delete_files_gate(spark, tmp_path):
     )
 
     root, f = _evo_root(tmp_path, "clogd", bal_type="long")
-    append_position_deletes(root, [(f, 0)])  # snapshot 2: delete file
-    with pytest.raises(IcebergProtocolError, match="delete files"):
-        read_iceberg_changelog(spark, root)
-    # snapshot 3 adds a plain data file — the WINDOW (2, 3] adds no
-    # delete files, but the pre-window delete still poisons the diff
+    append_position_deletes(root, [(f, 0)])  # snapshot 2 strikes k=1
+    full = read_iceberg_changelog(spark, root)
+    got = sorted(
+        (r["k"], r["_change_type"], r["_change_ordinal"],
+         r["_commit_snapshot_id"])
+        for r in full.collect()
+    )
+    assert got == [
+        (1, "delete", 1, 2), (1, "insert", 0, 1),
+        (2, "insert", 0, 1), (3, "insert", 0, 1),
+    ]
+    # snapshot 3 adds a plain data file — the WINDOW (2, 3] carries a
+    # PRE-window strike: k=1 must stay invisible, only k=9 inserts
     nf = os.path.join(root, "data", "c.parquet")
     _write_parquet_typed(
         nf, {"k": (pa.int64(), [9]), "bal": (pa.int64(), [90])}
@@ -2244,8 +2253,89 @@ def test_changelog_delete_files_gate(spark, tmp_path):
     meta["current-snapshot-id"] = 3
     with open(mp, "w") as fh:
         json.dump(meta, fh)
-    with pytest.raises(IcebergProtocolError, match="delete files"):
-        read_iceberg_changelog(
-            spark, root,
-            from_snapshot_id=meta["snapshots"][-2]["snapshot-id"],
+    win = read_iceberg_changelog(
+        spark, root,
+        from_snapshot_id=meta["snapshots"][-2]["snapshot-id"],
+    )
+    assert [
+        (r["k"], r["_change_type"], r["_commit_snapshot_id"])
+        for r in win.collect()
+    ] == [(9, "insert", 3)]
+
+
+def test_changelog_dv_replay(spark, iceberg_root):
+    """Deletion-vector REPLAY in the changelog (past the official
+    runtime's gate): the DV commit emits exactly its struck rows as
+    DELETE changes — the overwrite history before it still reads as
+    file-level delete+insert pairs — and a window opened after the
+    strike is empty instead of resurrecting anything."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        append_deletion_vectors,
+        read_iceberg_changelog,
+    )
+
+    fa = os.path.join(iceberg_root, "data", "a.parquet")
+    fc = os.path.join(iceberg_root, "data", "c.parquet")
+    assert append_deletion_vectors(iceberg_root, {fa: [0], fc: [1]}) == 3
+    full = read_iceberg_changelog(spark, iceberg_root)
+    got = sorted(
+        (r["k"], r["_change_type"], r["_change_ordinal"],
+         r["_commit_snapshot_id"])
+        for r in full.collect()
+    )
+    assert got == [
+        (1, "delete", 2, 3), (1, "insert", 0, 1),
+        (2, "insert", 0, 1),
+        (10, "delete", 1, 2), (10, "insert", 0, 1),
+        (11, "insert", 1, 2),
+        (12, "delete", 2, 3), (12, "insert", 1, 2),
+    ]
+    win = read_iceberg_changelog(spark, iceberg_root, from_snapshot_id=2)
+    assert sorted(
+        (r["k"], r["_change_type"], r["_change_ordinal"])
+        for r in win.collect()
+    ) == [(1, "delete", 0), (12, "delete", 0)]
+    after = read_iceberg_changelog(spark, iceberg_root, from_snapshot_id=3)
+    assert after.count() == 0 and "_change_type" in after.columns
+
+
+def test_changelog_equality_replay(spark, tmp_path):
+    """Equality-delete REPLAY in the changelog: the Flink-CDC-shaped
+    delete commit emits the matching rows (null-safe, sequence-ordered)
+    as DELETE changes; a matching row re-inserted AFTER the delete at a
+    higher sequence number surfaces as a plain insert, untouched."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        append_equality_deletes,
+        export_iceberg,
+        read_iceberg_changelog,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "eqclog")
+    t = SnapshotTable.create(spark, root, "k bigint, seg string")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a"), (4, None)], "k bigint, seg string"
         )
+    )
+    assert export_iceberg(t) == 1
+    sid = append_equality_deletes(
+        root, [{"seg": "a"}, {"seg": None}], ["seg"]
+    )
+    assert sid == 2
+    full = read_iceberg_changelog(spark, root)
+    got = sorted(
+        (r["k"], r["_change_type"], r["_change_ordinal"],
+         r["_commit_snapshot_id"])
+        for r in full.collect()
+    )
+    assert got == [
+        (1, "delete", 1, 2), (1, "insert", 0, 1),
+        (2, "insert", 0, 1),
+        (3, "delete", 1, 2), (3, "insert", 0, 1),
+        (4, "delete", 1, 2), (4, "insert", 0, 1),
+    ]
+    # window after the strike: nothing resurrects
+    assert read_iceberg_changelog(spark, root, from_snapshot_id=2).count() == 0

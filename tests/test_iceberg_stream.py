@@ -328,7 +328,8 @@ def test_changelog_stream_overwrite_and_resume(spark, tmp_path):
     """changelog=true: a REAL exporter overwrite (merge) streams as
     delete+insert pairs for the rewritten file's rows — no
     ignoreChanges needed; checkpoint resume sees only the new
-    snapshot's images; the delete-file gate raises."""
+    snapshot's images; a positional strike REPLAYS as a delete row
+    (the old gate); equality deletes still gate honestly."""
     import pyspark.sql.functions as F
 
     register_iceberg_stream(spark)
@@ -356,15 +357,30 @@ def test_changelog_stream_overwrite_and_resume(spark, tmp_path):
     # the rewritten file's rows appear on both sides; only k=0 differs
     assert ins - dels == {(0, -99.0)}
     assert dels - ins == {(0, 0.0)}
-    # delete files cannot be represented: honest raise
+    # a positional strike REPLAYS: the struck row streams as a delete
+    # on the strike snapshot (the checkpointed stream picks up ONLY it)
+    import pyarrow.parquet as pq
+
     from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        append_equality_deletes,
         append_position_deletes,
     )
 
     files = read_iceberg_files(root)
+    struck_k = pq.read_table(files[0], columns=["k"]).column("k")[0].as_py()
     append_position_deletes(root, [(files[0], 0)])
-    with pytest.raises(Exception, match="delete files"):
-        _drain(spark, root, str(tmp_path / "ck2"),
+    got3 = _drain(spark, root, ckpt, startingSnapshotCount=0,
+                  changelog="true")
+    assert got3 == [(struck_k, float(struck_k) if struck_k else -99.0,
+                     "delete", 3)]
+    # and it never resurrects in a fresh full drain
+    full = _drain(spark, root, str(tmp_path / "ck2"),
+                  startingSnapshotCount=0, changelog="true")
+    assert (struck_k, "delete", 3) in {(k, c, s_) for k, _v, c, s_ in full}
+    # equality deletes still gate (batch changelog replays them)
+    append_equality_deletes(root, [{"k": 3}], ["k"])
+    with pytest.raises(Exception, match="equality delete"):
+        _drain(spark, root, str(tmp_path / "ck3"),
                startingSnapshotCount=0, changelog="true")
 
 
