@@ -6146,3 +6146,83 @@ def build_dv_changelog_iceberg_fixture(spark, sf: str, root: str) -> None:
         _json.dump(meta, f)
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write(str(hint + 1))
+
+
+@query(
+    "s50_delta_export_cdf",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey, cents, 'delete' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM base WHERE k % 13 = 0
+    UNION ALL
+    SELECT k, cents, 'update_preimage', 1
+    FROM base WHERE k % 11 = 0 AND k % 13 <> 0
+    UNION ALL
+    SELECT k, cents + 10000, 'update_postimage', 1
+    FROM base WHERE k % 11 = 0 AND k % 13 <> 0
+    UNION ALL
+    SELECT k + 7000000, cents, 'insert', 1
+    FROM base WHERE k % 50 = 0 AND (k + 7000000) % 13 <> 0
+    """,
+)
+def q_s50(spark, sf):
+    """S50 — CDF-CORRECT Delta export (sources/delta.py
+    ``_export_change_data``): a MERGE-shaped export commit (adds AND
+    removes) now writes real ``_change_data/`` files + ``cdc`` actions
+    with EXACT images — previously a foreign CDF reader of an exported
+    merge saw derived delete+insert pairs for every row of every
+    rewritten file, inventing changes for carried rows. The fixture
+    exports v0, then merges (+10000 cents for ``%11`` keys, brand-new
+    ``+7M`` keys for ``%50``) and deletes (``%13`` keys) before the
+    second export; the exporter full-outer-joins the touched buckets'
+    old vs new rows on the bucket key, so the commit's change files
+    hold update_preimage/update_postimage pairs, inserts, and deletes
+    — and CARRIED ROWS CANCEL (the old derivation's failure mode).
+    The returned frame reads the feed back through
+    ``read_delta_changes`` exactly as delta-spark's table_changes
+    would; DuckDB recomputes the expected net images per key class, so
+    a leaked carried row, a swapped pre/post image, or a lost delete
+    breaks the row-level hash. In-entry asserts pin the foreign shape:
+    the commit carries ``cdc`` actions and declares
+    ``delta.enableChangeDataFeed`` from v0."""
+    import json as _json
+    import os
+
+    from .sources.delta import export_delta_log, read_delta_changes
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s50", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=8,
+    )
+    t.append(c)
+    assert export_delta_log(t) == 0
+    upd = c.filter(F.col("c_custkey") % 11 == 0).withColumn(
+        "cents", F.col("cents") + 10000
+    )
+    ins = c.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") + 7_000_000).alias("c_custkey"), "cents"
+    )
+    t.merge(upd.unionByName(ins))
+    t.delete(F.col("c_custkey") % 13 == 0)
+    assert export_delta_log(t) == 1
+    with open(os.path.join(t.root, "_delta_log", f"{1:020d}.json")) as f:
+        acts = [_json.loads(ln) for ln in f if ln.strip()]
+    assert any("cdc" in a for a in acts), "merge commit must carry cdc"
+    with open(os.path.join(t.root, "_delta_log", f"{0:020d}.json")) as f:
+        v0 = [_json.loads(ln) for ln in f if ln.strip()]
+    conf = next(a for a in v0 if "metaData" in a)["metaData"]["configuration"]
+    assert conf.get("delta.enableChangeDataFeed") == "true"
+    return read_delta_changes(spark, t.root, starting_version=1)

@@ -782,6 +782,11 @@ def export_delta_log(table, checkpoint_interval: int = 10) -> int:
                 "delta.enableInCommitTimestamps", ""
             )
         ).lower() == "true"
+        cdf_on = str(
+            (_meta.get("configuration") or {}).get(
+                "delta.enableChangeDataFeed", ""
+            )
+        ).lower() == "true"
         actions = [
             _ict_commit_info(log_dir, version)
             if ict_on
@@ -795,13 +800,21 @@ def export_delta_log(table, checkpoint_interval: int = 10) -> int:
         version = 0
         adds = sorted(current)
         removes = []
-        ict_on = True
+        ict_on = cdf_on = True
         actions = [
             _ict_commit_info(log_dir, 0),
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
-                          "writerFeatures": ["inCommitTimestamp"]}},
+                          "writerFeatures": ["inCommitTimestamp",
+                                             "changeDataFeed"]}},
             _export_meta(schema_string),
         ]
+    if adds and removes and cdf_on:
+        # a MERGE-shaped rewrite: the spec requires exact change files
+        # — derived whole-file pairs would invent changes for every
+        # carried row (see _export_change_data)
+        actions.extend(
+            _export_change_data(table, root, version, adds, removes)
+        )
     for rel in removes:
         actions.append(
             {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": True}}
@@ -859,6 +872,9 @@ def _export_stats(act) -> str:
 
 
 def _export_meta(schema_string: str, ict: bool = True) -> dict:
+    # ict=True is the modern-export shape (in-commit timestamps + CDF
+    # declared from v0); False preserves the config of logs exported
+    # before either feature existed
     return {
         "metaData": {
             "id": "snapshot-export",
@@ -866,10 +882,130 @@ def _export_meta(schema_string: str, ict: bool = True) -> dict:
             "schemaString": schema_string,
             "partitionColumns": [],
             "configuration": (
-                {"delta.enableInCommitTimestamps": "true"} if ict else {}
+                {
+                    "delta.enableInCommitTimestamps": "true",
+                    "delta.enableChangeDataFeed": "true",
+                }
+                if ict
+                else {}
             ),
         }
     }
+
+
+def _export_change_data(table, root: str, version: int, adds, removes):
+    """CHANGE DATA FILES for a rewrite commit (Delta spec "Change Data
+    Files" / "Writer Requirements for Change Data Files"): a commit
+    that both adds and removes data files is a MERGE-shaped rewrite,
+    and deriving its CDF from whole files would surface every carried
+    row as a spurious delete+insert pair. The exporter computes the
+    EXACT images instead: the removed vs added rows full-outer-join on
+    the table's ``bucket_key`` (changed rows emit update_preimage /
+    update_postimage, new keys insert, gone keys delete, carried rows
+    CANCEL), or a value-multiset diff (``exceptAll`` both ways ->
+    insert/delete) for keyless tables. One Spark job over only the
+    commit's touched files — delta-scale, never table-scale. Images
+    land under ``_change_data/`` and the commit carries one ``cdc``
+    action per part file (``dataChange: false``, the spec's shape), so
+    any CDF reader — :func:`read_delta_changes` or a foreign engine —
+    replays the merge exactly."""
+    import glob as _glob
+    import shutil as _shutil
+    import uuid as _uuid
+
+    spark = table.spark
+    schema = table.schema
+    cols = [f.name for f in schema.fields]
+    old = spark.read.schema(schema).parquet(
+        *[os.path.join(root, r) for r in removes]
+    )
+    new = spark.read.schema(schema).parquet(
+        *[os.path.join(root, r) for r in adds]
+    )
+    keys = table.bucket_key
+    if keys:
+        o = old.withColumn("__o", F.lit(True)).alias("o")
+        n = new.withColumn("__n", F.lit(True)).alias("n")
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        j = o.join(n, cond, "full_outer")
+        img_o = F.struct(*[F.col(f"o.{c}").alias(c) for c in cols])
+        img_n = F.struct(*[F.col(f"n.{c}").alias(c) for c in cols])
+        same = F.lit(True)
+        for c in cols:
+            if c not in keys:
+                same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        elem_t = f"struct<t:string,img:{schema.simpleString()}>"
+        chg = (
+            F.when(
+                F.col("o.__o").isNull(),
+                F.array(
+                    F.struct(F.lit("insert").alias("t"), img_n.alias("img"))
+                ),
+            )
+            .when(
+                F.col("n.__n").isNull(),
+                F.array(
+                    F.struct(F.lit("delete").alias("t"), img_o.alias("img"))
+                ),
+            )
+            .when(
+                ~same,
+                F.array(
+                    F.struct(
+                        F.lit("update_preimage").alias("t"),
+                        img_o.alias("img"),
+                    ),
+                    F.struct(
+                        F.lit("update_postimage").alias("t"),
+                        img_n.alias("img"),
+                    ),
+                ),
+            )
+            .otherwise(F.array().cast(f"array<{elem_t}>"))
+        )
+        cdf = j.select(F.explode(chg).alias("c")).select(
+            *[F.col(f"c.img.{c}").alias(c) for c in cols],
+            F.col("c.t").alias("_change_type"),
+        )
+    else:
+        cdf = new.exceptAll(old).select(
+            "*", F.lit("insert").alias("_change_type")
+        ).unionByName(
+            old.exceptAll(new).select(
+                "*", F.lit("delete").alias("_change_type")
+            )
+        )
+    cdir = os.path.join(root, "_change_data")
+    os.makedirs(cdir, exist_ok=True)
+    stage = os.path.join(root, f".cdc-stage-{_uuid.uuid4().hex}")
+    cdf.write.parquet(stage)
+    parts = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))
+    if not parts:
+        # zero-row rewrite (pure compaction): an EMPTY change file must
+        # still exist — a cdc-carrying commit means "these ARE the
+        # changes", which here is none, instead of derived pairs
+        spark.createDataFrame([], cdf.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        parts = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))
+    actions = []
+    for i, part in enumerate(parts):
+        rel = f"_change_data/cdc-{version:020d}-{i:05d}.parquet"
+        _shutil.move(part, os.path.join(root, rel))
+        actions.append(
+            {
+                "cdc": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(root, rel)),
+                    "dataChange": False,
+                }
+            }
+        )
+    _shutil.rmtree(stage)
+    return actions
 
 
 def _mapping_info(spark: SparkSession, meta: dict, schema: StructType):

@@ -1800,3 +1800,56 @@ def test_export_stamps_in_commit_timestamps(spark, tmp_path):
     assert version_at_timestamp(root, icts[0]) == 0
     assert version_at_timestamp(root, icts[1]) == 1
     assert read_delta(spark, root, timestamp=icts[0]).count() == 4
+
+
+def test_export_cdf_keyless_and_compaction(spark, tmp_path):
+    """Export-side CDF without a bucket key falls back to the value-
+    multiset diff (exceptAll both ways): overwriting with one row
+    changed emits exactly one delete+insert pair, carried rows cancel.
+    A pure compaction (same rows, fewer files) emits a cdc-carrying
+    commit with ZERO change rows — not derived pairs for every row."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        export_delta_log,
+        read_delta_changes,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "cdfless")
+    t = SnapshotTable.create(spark, root, "k bigint, v string")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+        )
+    )
+    assert export_delta_log(t) == 0
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "B"), (3, "c")], "k bigint, v string"
+        )
+    )
+    assert export_delta_log(t) == 1
+    ch = read_delta_changes(spark, root, starting_version=1)
+    got = sorted((r["k"], r["v"], r["_change_type"]) for r in ch.collect())
+    assert got == [(2, "B", "insert"), (2, "b", "delete")]
+    # keyed table, pure compaction: rows identical -> zero change rows
+    root2 = str(tmp_path / "cdfcompact")
+    t2 = SnapshotTable.create(
+        spark, root2, "k bigint, v string", bucket_key=["k"], num_buckets=2
+    )
+    for i in range(3):
+        t2.append(
+            spark.createDataFrame([(10 + i, "x")], "k bigint, v string")
+        )
+    assert export_delta_log(t2) == 0
+    t2.compact()
+    assert export_delta_log(t2) == 1
+    ch2 = read_delta_changes(spark, root2, starting_version=1)
+    assert ch2.count() == 0
+    # and the commit really is cdc-gated (not just change-free)
+    import json as _json
+
+    with open(os.path.join(root2, "_delta_log", f"{1:020d}.json")) as f:
+        acts = [_json.loads(ln) for ln in f if ln.strip()]
+    assert any("cdc" in a for a in acts)
