@@ -5318,6 +5318,19 @@ def q_s45(spark, sf):
     every row id from the sort order and class counts — an off-by-one
     in the inheritance accumulation, a swapped file order, or a
     mis-keyed per-file join breaks the row-level hash."""
+    from .sources.iceberg import read_iceberg
+
+    root = _table_root("s45", sf)
+    build_row_lineage_iceberg_fixture(spark, sf, root)
+    return read_iceberg(spark, root, row_lineage=True)
+
+
+def build_row_lineage_iceberg_fixture(spark, sf: str, root: str) -> None:
+    """Hand-built v3 row-lineage table for s45 + st23: one snapshot,
+    two data files (one per ``c_custkey % 2`` class) each written
+    SORTED by key, ``first_row_id`` left NULL on the entries so the
+    reader must ASSIGN it by inheritance (manifest-list record
+    ``first_row_id: 100`` + preceding record counts)."""
     import glob
     import json as _json
     import os
@@ -5328,10 +5341,8 @@ def q_s45(spark, sf):
     from .sources.iceberg import (
         MANIFEST_ENTRY_SCHEMA,
         MANIFEST_FILE_SCHEMA,
-        read_iceberg,
     )
 
-    root = _table_root("s45", sf)
     mdir = os.path.join(root, "metadata")
     os.makedirs(mdir, exist_ok=True)
     c = read_table(spark, sf, "customer").select(
@@ -5438,7 +5449,6 @@ def q_s45(spark, sf):
         _json.dump(meta, f)
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write("1")
-    return read_iceberg(spark, root, row_lineage=True)
 
 
 @query(
@@ -5475,14 +5485,24 @@ def q_s46(spark, sf):
     swapped file order breaks the row-level hash. (Materialized-column
     precedence — stored ids surviving a rewrite — is pinned by
     pytest.)"""
+    from .sources.delta import read_delta
+
+    root = _table_root("s46", sf)
+    build_row_tracking_delta_fixture(spark, sf, root)
+    return read_delta(spark, root, row_tracking=True)
+
+
+def build_row_tracking_delta_fixture(spark, sf: str, root: str) -> None:
+    """Foreign-writer-shaped Delta row-tracking log for s46 + st24:
+    commit v0 declares ``delta.enableRowTracking`` + materialized
+    column names and adds the even-key file (baseRowId 100, version
+    0), v1 adds the odd-key file at the next row-id range (version 1);
+    both files written SORTED by key."""
     import glob
     import json as _json
     import os
     import shutil
 
-    from .sources.delta import read_delta
-
-    root = _table_root("s46", sf)
     c = read_table(spark, sf, "customer").select(
         "c_custkey",
         F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
@@ -5554,7 +5574,6 @@ def q_s46(spark, sf):
         with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
             for a in actions:
                 f.write(_json.dumps(a) + "\n")
-    return read_delta(spark, root, row_tracking=True)
 
 
 @query(

@@ -1811,3 +1811,141 @@ def q_st22(spark, sf):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st23_stream_iceberg_row_lineage",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+           CAST(100
+                + CASE WHEN c_custkey % 2 = 0 THEN 0
+                  ELSE (SELECT count(*) FROM customer WHERE c_custkey % 2 = 0)
+                  END
+                + row_number() OVER (PARTITION BY c_custkey % 2
+                                     ORDER BY c_custkey) - 1
+                AS BIGINT) AS _row_id,
+           CAST(1 AS BIGINT) AS _last_updated_sequence_number,
+           CAST(1 AS BIGINT) AS _snapshot_id
+    FROM customer
+    """,
+)
+def q_st23(spark, sf):
+    """ST23 — Iceberg v3 ROW LINEAGE through the STREAM
+    (sources/iceberg_stream.py ``rowLineage=true``, the streaming twin
+    of s45's batch read): every streamed row carries ``_row_id`` /
+    ``_last_updated_sequence_number``, with the fresh id computed as
+    the file's ``first_row_id`` + the row's position — and the
+    ``first_row_id`` here must be ASSIGNED BY INHERITANCE (null on the
+    manifest entries; manifest-list record ``first_row_id: 100`` plus
+    preceding record counts), exercising the spec's assignment rule in
+    the driver's partition planning, not just the batch reader. Same
+    fixture as s45 (shared builder); DuckDB recomputes every row id
+    from sort order and class counts, so an off-by-one in the
+    accumulation, a swapped file order, or a position drift from the
+    worker's row loop breaks the row-level hash."""
+    from .qdefs_core import (
+        _table_root,
+        build_row_lineage_iceberg_fixture,
+    )
+    from .sources.iceberg_stream import register_iceberg_stream
+
+    register_iceberg_stream(spark)
+    root = _table_root("st23", sf)
+    build_row_lineage_iceberg_fixture(spark, sf, root)
+    tmp = tempfile.mkdtemp(prefix="st23_")
+    try:
+        got: list = []
+
+        def sink(df, _bid):
+            got.extend(tuple(r) for r in df.collect())
+
+        q = (
+            spark.readStream.format("iceberg_stream")
+            .option("path", root)
+            .option("startingSnapshotCount", 0)
+            .option("rowLineage", "true")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.createDataFrame(
+            got,
+            "c_custkey long, cents long, _row_id long, "
+            "_last_updated_sequence_number long, _snapshot_id long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st24_stream_delta_row_tracking",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+           CAST(100
+                + CASE WHEN c_custkey % 2 = 0 THEN 0
+                  ELSE (SELECT count(*) FROM customer WHERE c_custkey % 2 = 0)
+                  END
+                + row_number() OVER (PARTITION BY c_custkey % 2
+                                     ORDER BY c_custkey) - 1
+                AS BIGINT) AS _row_id,
+           CAST(CASE WHEN c_custkey % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
+             AS _row_commit_version,
+           CAST(CASE WHEN c_custkey % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
+             AS _commit_version
+    FROM customer
+    """,
+)
+def q_st24(spark, sf):
+    """ST24 — Delta ROW TRACKING through the STREAM
+    (sources/delta_stream.py ``rowTracking=true``, the streaming twin
+    of s46's batch read): every streamed row carries ``_row_id`` =
+    the add action's ``baseRowId`` + the row's position and
+    ``_row_commit_version`` = ``defaultRowCommitVersion``, alongside
+    the stream's own ``_commit_version`` stamp. Same foreign-writer
+    fixture as s46 (shared builder: v0 declares the feature + adds the
+    even-key file at baseRowId 100, v1 adds the odd-key file at the
+    next range); DuckDB recomputes ids from sort order and class
+    counts and both version stamps from the key class — a mis-ranged
+    baseRowId, an off-by-one position, or a version drift breaks the
+    row-level hash. (Materialized-column precedence on a rewrite is
+    pinned by pytest.)"""
+    from .qdefs_core import (
+        _table_root,
+        build_row_tracking_delta_fixture,
+    )
+    from .sources.delta_stream import register_delta_stream
+
+    register_delta_stream(spark)
+    root = _table_root("st24", sf)
+    build_row_tracking_delta_fixture(spark, sf, root)
+    tmp = tempfile.mkdtemp(prefix="st24_")
+    try:
+        got: list = []
+
+        def sink(df, _bid):
+            got.extend(tuple(r) for r in df.collect())
+
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", root)
+            .option("startingVersion", 0)
+            .option("rowTracking", "true")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.createDataFrame(
+            got,
+            "c_custkey long, cents long, _row_id long, "
+            "_row_commit_version long, _commit_version long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

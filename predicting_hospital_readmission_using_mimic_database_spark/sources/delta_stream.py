@@ -32,6 +32,12 @@ Every emitted row carries ``_commit_version`` (long), so downstream
 exactly-once sinks can key idempotence on (version, row) like the
 engine's CDC feed.
 
+``rowTracking=true`` (tables declaring ``delta.enableRowTracking``):
+every row also carries ``_row_id`` (``add.baseRowId`` + position,
+stored materialized columns winning per row) and
+``_row_commit_version`` (``defaultRowCommitVersion``) — the streaming
+twin of :func:`.delta.read_delta`'s ``row_tracking=True``.
+
 ``readChangeFeed=true`` streams the table's CHANGE DATA FEED instead
 of the append tail (the semantics of :func:`.delta.read_delta_changes`,
 per micro-batch version window): a commit's ``cdc`` files — whose rows
@@ -72,7 +78,7 @@ __all__ = ["DeltaStreamDataSource", "register_delta_stream"]
 class _AddPartition(InputPartition):
     def __init__(
         self, version, path, pv, dv, data_cols, part_casts,
-        ctype=None, own_ct=False,
+        ctype=None, own_ct=False, rt=None,
     ):
         self.version = version
         self.path = path
@@ -82,6 +88,10 @@ class _AddPartition(InputPartition):
         self.part_casts = part_casts  # [(col, type name)] in schema order
         self.ctype = ctype            # CDF: manifest change type (derived)
         self.own_ct = own_ct          # CDF: file carries _change_type itself
+        #: row tracking: (baseRowId, defaultRowCommitVersion) — fresh
+        #: _row_id = baseRowId + position; stored materialized columns
+        #: win per row (read() checks the file's schema)
+        self.rt = rt
 
 
 def _cast_pv(raw: str | None, type_name: str):
@@ -173,6 +183,32 @@ class DeltaStreamReader(DataSourceStreamReader):
         self._cdf = str(
             options.get("readchangefeed", options.get("readChangeFeed", "false"))
         ).lower() in ("true", "1")
+        #: rowTracking=true -> every row gains _row_id (baseRowId +
+        #: position, stored materialized column winning) and
+        #: _row_commit_version (defaultRowCommitVersion) — the
+        #: streaming twin of read_delta(row_tracking=True)
+        self._rt = str(
+            options.get("rowtracking", options.get("rowTracking", "false"))
+        ).lower() in ("true", "1")
+        self._mat_id = self._mat_ver = None
+        if self._rt:
+            if self._cdf:
+                raise DeltaProtocolError(
+                    "rowTracking and readChangeFeed cannot combine; the "
+                    "change feed's delete rows have no fresh-id semantics"
+                )
+            conf = meta.get("configuration") or {}
+            if str(conf.get("delta.enableRowTracking", "")).lower() != "true":
+                raise DeltaProtocolError(
+                    "rowTracking=true but the table does not declare "
+                    "delta.enableRowTracking=true; no row lineage exists"
+                )
+            self._mat_id = conf.get(
+                "delta.rowTracking.materializedRowIdColumnName"
+            )
+            self._mat_ver = conf.get(
+                "delta.rowTracking.materializedRowCommitVersionColumnName"
+            )
         self._schema_string = meta["schemaString"]
         start = options.get("startingversion", options.get("startingVersion"))
         if start is None or str(start).lower() == "latest":
@@ -284,6 +320,17 @@ class DeltaStreamReader(DataSourceStreamReader):
                     )
                 continue
             for ad in adds:
+                rt = None
+                if self._rt:
+                    bri = ad.get("baseRowId")
+                    drv = ad.get("defaultRowCommitVersion")
+                    if bri is None or drv is None:
+                        raise DeltaProtocolError(
+                            f"rowTracking=true but the add at version {v} "
+                            f"({ad.get('path')}) carries no baseRowId / "
+                            "defaultRowCommitVersion"
+                        )
+                    rt = (int(bri), int(drv))
                 out.append(
                     _AddPartition(
                         v,
@@ -292,6 +339,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                         ad.get("deletionVector"),
                         self._data_cols,
                         casts,
+                        rt=rt,
                     )
                 )
         return out or [_AddPartition(-1, None, {}, None, self._data_cols, casts)]
@@ -334,7 +382,24 @@ class DeltaStreamReader(DataSourceStreamReader):
         cols = list(col_of.values())
         if partition.own_ct:
             cols.append("_change_type")
+        rt = getattr(partition, "rt", None)
+        rid_s = ver_s = None
+        if rt is not None:
+            # materialized lineage columns are HIDDEN physical columns
+            # present only in files whose rows were carried across a
+            # rewrite; the stored value WINS over the fresh computation
+            names = {f.name for f in pf.schema_arrow}
+            mats = [
+                m for m in (self._mat_id, self._mat_ver)
+                if m and m in names
+            ]
+            cols += mats
         table = pf.read(columns=cols)
+        if rt is not None:
+            if self._mat_id and self._mat_id in table.column_names:
+                rid_s = table.column(self._mat_id).to_pylist()
+            if self._mat_ver and self._mat_ver in table.column_names:
+                ver_s = table.column(self._mat_ver).to_pylist()
         pv = {
             c: _cast_pv(partition.pv.get(c), t) for c, t in partition.part_casts
         }
@@ -351,7 +416,19 @@ class DeltaStreamReader(DataSourceStreamReader):
             base = [
                 pv[c] if c in pv else data[c][i] for c in self._schema_order
             ]
-            if cdf:
+            if rt is not None:
+                rid = (
+                    rid_s[i]
+                    if rid_s is not None and rid_s[i] is not None
+                    else rt[0] + i
+                )
+                rcv = (
+                    ver_s[i]
+                    if ver_s is not None and ver_s[i] is not None
+                    else rt[1]
+                )
+                yield (*base, rid, rcv, partition.version)
+            elif cdf:
                 ct = cts[i] if partition.own_ct else partition.ctype
                 yield (*base, ct, partition.version)
             else:
@@ -408,6 +485,14 @@ class DeltaStreamDataSource(DataSource):
         ).lower() in ("true", "1")
         if cdf:
             schema = schema.add("_change_type", "string")
+        if str(
+            self.options.get(
+                "rowtracking", self.options.get("rowTracking", "false")
+            )
+        ).lower() in ("true", "1"):
+            schema = schema.add("_row_id", "long").add(
+                "_row_commit_version", "long"
+            )
         return schema.add("_commit_version", "long")
 
     def streamReader(self, schema: StructType):

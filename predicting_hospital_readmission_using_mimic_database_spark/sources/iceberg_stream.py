@@ -23,6 +23,11 @@ completing the streamable-lakehouse trio with ``delta_stream`` and
 * ``startingSnapshotCount`` option: how many leading snapshots to skip
   (``"latest"``, the DEFAULT, skips everything committed before stream
   start; ``0`` ingests the whole retained history).
+* ``rowLineage=true`` (v3 tables): every row also carries ``_row_id``
+  / ``_last_updated_sequence_number`` — fresh ids are the file's
+  (possibly manifest-inherited) ``first_row_id`` + position, files
+  carrying the MATERIALIZED reserved columns win per row; the
+  streaming twin of ``read_iceberg(row_lineage=True)``.
 
 CHANGELOG MODE — ``.option("changelog", "true")``: micro-batches emit
 row-level INSERTS and DELETES instead of the append tail (the
@@ -100,6 +105,10 @@ class _AddedFilePartition(InputPartition):
         #: ("pos", delete_parquet_path, this_file_key) |
         #: ("dv", puffin_path, offset, length)
         self.strike = strike
+        #: v3 row lineage: (first_row_id, data sequence number) —
+        #: fresh _row_id = first_row_id + position; files carrying the
+        #: MATERIALIZED reserved columns win per row (read() checks)
+        self.lineage = None
 
 
 class IcebergStreamReader(DataSourceStreamReader):
@@ -124,6 +133,20 @@ class IcebergStreamReader(DataSourceStreamReader):
         self._changelog = str(
             options.get("changelog", "false")
         ).lower() in ("true", "1")
+        self._row_lineage = str(
+            options.get("rowlineage", options.get("rowLineage", "false"))
+        ).lower() in ("true", "1")
+        if self._row_lineage:
+            if self._changelog:
+                raise IcebergProtocolError(
+                    "rowLineage and changelog modes cannot combine; the "
+                    "changelog's delete rows have no fresh-id semantics"
+                )
+            if int(meta.get("format-version", 1)) < 3:
+                raise IcebergProtocolError(
+                    "rowLineage=true needs format-version 3 metadata "
+                    f"(table is v{meta.get('format-version', 1)})"
+                )
         snaps = meta.get("snapshots", [])
         start = options.get(
             "startingsnapshotcount", options.get("startingSnapshotCount")
@@ -336,16 +359,37 @@ class IcebergStreamReader(DataSourceStreamReader):
                         m["manifest_path"],
                         m.get("content", 0) == 1,
                         m.get("added_snapshot_id"),
+                        m.get("sequence_number"),
+                        m.get("first_row_id"),
                     )
                     for m in manifests
                 ]
             else:
-                mpaths = [(p, False, None) for p in snap.get("manifests", [])]
-            for mp, is_delete, added_sid in mpaths:
+                mpaths = [
+                    (p, False, None, None, None)
+                    for p in snap.get("manifests", [])
+                ]
+            for mp, is_delete, added_sid, mseq, mfrid in mpaths:
                 if is_delete:
                     continue  # delete files are never streamed
                 _s, entries = read_avro(_localize(mp, self._root))
+                # v3 row-lineage inheritance: a null first_row_id on an
+                # ADDED data file is assigned from the manifest's
+                # first_row_id plus the record counts of the
+                # previously-read null-frid files (same accumulation as
+                # the batch _live_files)
+                frid_running = 0
                 for e in entries:
+                    df = e["data_file"]
+                    status = e.get("status", 0)
+                    is_data = df.get("content", 0) == 0
+                    frid = df.get("first_row_id")
+                    if (
+                        is_data and status == 1 and frid is None
+                        and mfrid is not None
+                    ):
+                        frid = int(mfrid) + frid_running
+                        frid_running += int(df.get("record_count") or 0)
                     # the spec makes entry snapshot_id OPTIONAL with
                     # inheritance from the manifest-list record's
                     # added_snapshot_id — a conforming writer that
@@ -359,18 +403,26 @@ class IcebergStreamReader(DataSourceStreamReader):
                             "and the manifest-list record has no "
                             "added_snapshot_id to inherit from"
                         )
-                    if e.get("status", 0) != 1 or esid != sid:
+                    if status != 1 or esid != sid:
                         continue  # only files ADDED by this snapshot
-                    df = e["data_file"]
-                    if df.get("content", 0) != 0:
+                    if not is_data:
                         continue
-                    out.append(
-                        _AddedFilePartition(
-                            _localize(df["file_path"], self._root),
-                            sid,
-                            proj,
-                        )
+                    part = _AddedFilePartition(
+                        _localize(df["file_path"], self._root),
+                        sid,
+                        proj,
                     )
+                    if self._row_lineage:
+                        seq = e.get("sequence_number")
+                        seq = mseq if seq is None else seq
+                        if frid is None or seq is None:
+                            raise IcebergProtocolError(
+                                "rowLineage=true but data file "
+                                f"{df['file_path']} carries no resolvable "
+                                "first_row_id / sequence number"
+                            )
+                        part.lineage = (int(frid), int(seq))
+                    out.append(part)
         return out or [_AddedFilePartition(None, -1, self._ident)]
 
     def read(self, partition: _AddedFilePartition):
@@ -380,12 +432,33 @@ class IcebergStreamReader(DataSourceStreamReader):
 
         pf = pq.ParquetFile(partition.path)
         want = sorted({src for src, _c, _f in partition.proj if src is not None})
-        if want:
-            table = pf.read(columns=want)
-            data = {c: table.column(c).to_pylist() for c in want}
+        lineage = getattr(partition, "lineage", None)
+        mat_cols: list[str] = []
+        if lineage is not None:
+            # v3 MATERIALIZED lineage columns (reserved names) persist
+            # each row's identity across rewrites; the stored value
+            # WINS over the fresh first_row_id + position computation
+            names = {f_.name for f_ in pf.schema_arrow}
+            mat_cols = [
+                c
+                for c in ("_row_id", "_last_updated_sequence_number")
+                if c in names
+            ]
+        if want or mat_cols:
+            table = pf.read(columns=sorted(set(want) | set(mat_cols)))
+            data = {
+                c: table.column(c).to_pylist()
+                for c in set(want) | set(mat_cols)
+            }
             nrows = table.num_rows
         else:
             data, nrows = {}, pf.metadata.num_rows
+        rid_s = data.get("_row_id") if lineage is not None else None
+        lus_s = (
+            data.get("_last_updated_sequence_number")
+            if lineage is not None
+            else None
+        )
         # compile the driver-built vintage specs once per partition:
         # nested rename/promotion/add/drop resolve by field id, fields
         # absent from this file's vintage fill their initial-default
@@ -409,7 +482,19 @@ class IcebergStreamReader(DataSourceStreamReader):
                 (fill if src is None else conv(data[src][i]))
                 for src, conv, fill in fields
             ]
-            if partition.ctype is not None:
+            if lineage is not None:
+                rid = (
+                    rid_s[i]
+                    if rid_s is not None and rid_s[i] is not None
+                    else lineage[0] + i
+                )
+                lus = (
+                    lus_s[i]
+                    if lus_s is not None and lus_s[i] is not None
+                    else lineage[1]
+                )
+                yield (*vals, rid, lus, partition.snapshot_id)
+            elif partition.ctype is not None:
                 yield (*vals, partition.ctype, partition.snapshot_id)
             else:
                 yield (*vals, partition.snapshot_id)
@@ -460,6 +545,14 @@ class IcebergStreamDataSource(DataSource):
             "true", "1",
         ):
             base = base.add("_change_type", "string")
+        if str(
+            self.options.get(
+                "rowlineage", self.options.get("rowLineage", "false")
+            )
+        ).lower() in ("true", "1"):
+            base = base.add("_row_id", "long").add(
+                "_last_updated_sequence_number", "long"
+            )
         return base.add("_snapshot_id", "long")
 
     def streamReader(self, schema: StructType):

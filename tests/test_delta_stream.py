@@ -328,3 +328,65 @@ def test_stream_column_mapping_id_mode(spark, tmp_path):
     )
     with pytest.raises(Exception, match="field id 2"):
         _drain(spark, root, str(tmp_path / "ck2"), startingVersion=0)
+
+
+def test_stream_row_tracking(spark, stream_root, tmp_path):
+    """rowTracking=true on the stream: fresh _row_id = the add's
+    baseRowId + position, a rewritten file's MATERIALIZED columns win
+    per row; tables without the feature raise; combining with
+    readChangeFeed is gated."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.test_delta_interop import (
+        _rt_meta,
+        _write_commit,
+        _write_parquet,
+    )
+
+    root = str(tmp_path / "srt")
+    _write_parquet(
+        os.path.join(root, "a.parquet"), [(1, 10), (2, 20)], ["k", "bal"]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([2, 3], type=pa.int64()),
+                "bal": pa.array([20, 30], type=pa.int64()),
+                "_rid_mat": pa.array([101, None], type=pa.int64()),
+                "_rver_mat": pa.array([0, None], type=pa.int64()),
+            }
+        ),
+        os.path.join(root, "b.parquet"),
+    )
+    _write_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["rowTracking"]}},
+        _rt_meta(),
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 100, "defaultRowCommitVersion": 0}},
+    ])
+    _write_commit(root, 1, [
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 200, "defaultRowCommitVersion": 1}},
+    ])
+    register_delta_stream(spark)
+    got = _drain(spark, root, str(tmp_path / "ck"),
+                 startingVersion=0, rowTracking="true")
+    assert sorted(got) == [
+        (1, 10, 100, 0, 0),   # fresh: baseRowId + pos @ version 0
+        (2, 20, 101, 0, 0),
+        (2, 20, 101, 0, 1),   # carried row kept its STORED identity
+        (3, 30, 201, 1, 1),   # new row in the rewritten file: fresh
+    ]
+    # a table without the feature raises
+    with pytest.raises(Exception, match="enableRowTracking"):
+        _drain(spark, stream_root, str(tmp_path / "ck2"),
+               startingVersion=0, rowTracking="true")
+    # change feed + row tracking cannot combine
+    with pytest.raises(Exception, match="cannot combine"):
+        _drain(spark, root, str(tmp_path / "ck3"),
+               startingVersion=0, rowTracking="true",
+               readChangeFeed="true")

@@ -473,3 +473,80 @@ def test_stream_nested_evolution_and_defaults(spark, tmp_path):
     assert rows[2] == ((200, 8, None), "STD", 1)
     assert rows[3] == (None, "STD", 1)
     assert rows[4] == ((400, 9, "T1"), "NEW", 2)
+
+
+def test_stream_row_lineage_and_materialized_precedence(spark, tmp_path):
+    """rowLineage=true on the stream: fresh ids are the file's
+    manifest-INHERITED first_row_id + position, STORED materialized
+    reserved columns win per row, v2 tables raise, and combining with
+    changelog mode is gated."""
+    import pyarrow as pa
+
+    from tests.test_iceberg_interop import (
+        _entry,
+        _manifest,
+        _manifest_list,
+        _write_parquet_typed,
+    )
+
+    root = str(tmp_path / "slinmat")
+    f = os.path.join(root, "data", "a.parquet")
+    _write_parquet_typed(
+        f,
+        {
+            "k": (pa.int64(), [1, 2, 3]),
+            "bal": (pa.int64(), [10, 20, 30]),
+            # k=1,2 carried across a rewrite keep ids 500/501 @ seq 1;
+            # k=3 is new (NULL stored -> fresh 102 @ manifest seq 7)
+            "_row_id": (pa.int64(), [500, 501, None]),
+            "_last_updated_sequence_number": (pa.int64(), [1, 1, None]),
+        },
+    )
+    m = _manifest(root, "m1.avro", [_entry(f, None, 3)])
+    ml = _manifest_list(
+        root, "ml1.avro", [m], first_row_id=100, sequence_number=7
+    )
+    meta = {
+        "format-version": 3,
+        "table-uuid": "slinmat",
+        "location": root,
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1000,
+                       "summary": {"operation": "append"},
+                       "manifest-list": ml, "schema-id": 0,
+                       "first-row-id": 100}],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "bal", "required": False, "type": "long"},
+        ]}],
+        "current-schema-id": 0,
+        "last-column-id": 2,
+        "next-row-id": 103,
+    }
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+    register_iceberg_stream(spark)
+    got = _drain(spark, root, str(tmp_path / "ck"),
+                 startingSnapshotCount=0, rowLineage="true")
+    rows = {k: (rid, lus, sid) for k, _bal, rid, lus, sid in got}
+    assert rows == {1: (500, 1, 1), 2: (501, 1, 1), 3: (102, 7, 1)}
+    # v2 table: honest raise
+    meta["format-version"] = 2
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(Exception, match="format-version 3"):
+        _drain(spark, root, str(tmp_path / "ck2"),
+               startingSnapshotCount=0, rowLineage="true")
+    meta["format-version"] = 3
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    # changelog + lineage cannot combine
+    with pytest.raises(Exception, match="cannot combine"):
+        _drain(spark, root, str(tmp_path / "ck3"),
+               startingSnapshotCount=0, rowLineage="true",
+               changelog="true")
