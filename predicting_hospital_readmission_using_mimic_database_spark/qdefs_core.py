@@ -6245,3 +6245,83 @@ def q_s50(spark, sf):
     conf = next(a for a in v0 if "metaData" in a)["metaData"]["configuration"]
     assert conf.get("delta.enableChangeDataFeed") == "true"
     return read_delta_changes(spark, t.root, starting_version=1)
+
+
+@query(
+    "s51_hudi_mor_export",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey,
+           cents + CASE WHEN k % 9 = 0 THEN 333 ELSE 0 END AS cents
+    FROM base WHERE k % 23 <> 0
+    UNION ALL
+    SELECT k + 8000000, cents
+    FROM base WHERE k % 40 = 0 AND (k + 8000000) % 23 <> 0
+    """,
+)
+def q_s51(spark, sf):
+    """S51 — MERGE_ON_READ Hudi export (sources/hudi_export.py
+    ``export_hudi(table_type="MERGE_ON_READ")``): incremental
+    publishes append LOG FILES instead of rewriting buckets — the
+    first export writes base files under a ``deltacommit``, and the
+    second computes each touched group's per-key diff against the
+    published state (read through the same ``_read_mor`` fold every
+    reader uses) and appends ONE log file per group via the
+    sources/hudi_log.py codec: an AVRO upsert block for new/changed
+    keys (merge +333 cents on ``%9``, brand-new ``+8M`` keys on
+    ``%40``) and a DELETE block for gone keys (``%23`` deleted). Write
+    amplification is the CHANGE SIZE: the in-entry asserts pin that
+    the delta export created ZERO new base parquet files (log appends
+    only) and that the incremental feed is exactly the net changed
+    rows. The returned frame snapshot-reads the published table back
+    through the MOR base+log merge; DuckDB recomputes the final state,
+    so a dropped delete tombstone, a stale upsert, or a leaked
+    superseded row breaks the row-level hash."""
+    import glob
+    import os
+
+    from .sources.hudi import read_hudi, read_hudi_incremental
+    from .sources.hudi_export import export_hudi
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s51", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    t.append(c)
+    dest = os.path.join(t.root, "hudi_mor")
+    i1 = export_hudi(t, dest, table_type="MERGE_ON_READ")
+    n_base = len(glob.glob(os.path.join(dest, "*.parquet")))
+    upd = c.filter(F.col("c_custkey") % 9 == 0).withColumn(
+        "cents", F.col("cents") + 333
+    )
+    ins = c.filter(F.col("c_custkey") % 40 == 0).select(
+        (F.col("c_custkey") + 8_000_000).alias("c_custkey"), "cents"
+    )
+    t.merge(upd.unionByName(ins))
+    t.delete(F.col("c_custkey") % 23 == 0)
+    i2 = export_hudi(t, dest, table_type="MERGE_ON_READ")
+    assert i2 > i1
+    # delta-sized write amplification: ZERO new base files, logs only
+    assert len(glob.glob(os.path.join(dest, "*.parquet"))) == n_base
+    assert [f for f in os.listdir(dest) if ".log." in f]
+    # the incremental feed is exactly the net upserts (new + changed)
+    n_changed = (
+        upd.filter(F.col("c_custkey") % 23 != 0)
+        .unionByName(ins.filter(F.col("c_custkey") % 23 != 0))
+        .count()
+    )
+    inc = read_hudi_incremental(spark, dest, begin=i1)
+    assert inc.count() == n_changed, (inc.count(), n_changed)
+    return read_hudi(spark, dest)

@@ -61,21 +61,50 @@ def _instant(version: int) -> str:
 
 
 def export_hudi(
-    table, dest: str, partition_by: list[str] | None = None
+    table, dest: str, partition_by: list[str] | None = None,
+    table_type: str = "COPY_ON_WRITE",
 ) -> str:
-    """Export ``table``'s current snapshot to ``dest`` as a COW Hudi
-    table (see module docstring). Incremental: buckets unchanged since
+    """Export ``table``'s current snapshot to ``dest`` as a Hudi table
+    (see module docstring). Incremental: buckets unchanged since
     the last export are not rewritten; a no-change export is a no-op.
     ``partition_by`` publishes hive-style ``col=value`` partition dirs
     (must name schema columns with no NULL values — Hudi partition
     paths are strings, not a NULL encoding — and must match the
     table's previous exports). Returns the commit instant of the
-    published (or already-current) state."""
+    published (or already-current) state.
+
+    ``table_type="MERGE_ON_READ"`` publishes incrementally as LOG
+    APPENDS instead of bucket rewrites: the first export writes base
+    files (a ``deltacommit``), and every later export computes each
+    touched bucket's per-key diff against the published group state
+    and appends ONE log file per group — AVRO upsert blocks for
+    new/changed keys, a DELETE block for gone keys
+    (:mod:`.hudi_log`) — so write amplification is the CHANGE SIZE,
+    not the bucket size (a 1-row upsert appends ~1 row, never a
+    rewrite of the group's base file). Log files are written ON
+    EXECUTORS (one applyInPandas task per touched group); the diff
+    reads only the touched groups' published state through the same
+    ``_read_mor`` fold every reader uses. Not combinable with
+    ``partition_by`` (an upsert may MOVE a row across partitions;
+    cross-partition key migration in log form is not modeled)."""
     if not table.bucket_key:
         raise ValueError(
             "export_hudi needs a bucketed SnapshotTable: the bucket key "
             "becomes the Hudi record key (Hudi has no keyless tables) "
             "and the bucket is the rewrite unit"
+        )
+    if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise ValueError(
+            f"table_type {table_type!r} must be COPY_ON_WRITE or "
+            "MERGE_ON_READ"
+        )
+    mor = table_type == "MERGE_ON_READ"
+    if mor and partition_by:
+        raise ValueError(
+            "export_hudi: MERGE_ON_READ + partition_by is not supported "
+            "— an upsert may move a row across partitions, and "
+            "cross-partition key migration has no log-append form here; "
+            "publish partitioned tables as COPY_ON_WRITE"
         )
     schema_names = [f.name for f in table.schema.fields]
     partition_by = list(partition_by or [])
@@ -103,6 +132,12 @@ def export_hudi(
                 f"partition_by={prev_parts}; re-exporting with "
                 f"{partition_by} would mix layouts in one table"
             )
+        prev_type = st.get("table_type", "COPY_ON_WRITE")
+        if prev_type != table_type:
+            raise ValueError(
+                f"export_hudi: this table was published as {prev_type}; "
+                f"re-exporting as {table_type} would mix table types"
+            )
         if prev_version == version:
             return _instant(prev_version)  # nothing new to publish
     os.makedirs(hdir, exist_ok=True)
@@ -111,7 +146,7 @@ def export_hudi(
         with open(props, "w") as f:
             f.write(
                 f"hoodie.table.name={os.path.basename(dest.rstrip(os.sep))}\n"
-                "hoodie.table.type=COPY_ON_WRITE\n"
+                f"hoodie.table.type={table_type}\n"
                 "hoodie.table.recordkey.fields="
                 + ",".join(table.bucket_key) + "\n"
             )
@@ -201,7 +236,32 @@ def export_hudi(
     if prev_version is not None:
         from .hudi import _latest_slices
 
-        prev_slices = _latest_slices(dest, None, None)
+        if mor:
+            prev_slices, _prev_logs = _latest_slices(
+                dest, None, None, collect_logs=True
+            )
+        else:
+            prev_slices = _latest_slices(dest, None, None)
+
+    if mor and prev_version is not None:
+        # MERGE_ON_READ incremental publish: per touched group, ONE
+        # appended log file holding the per-key diff — delta-sized
+        # write amplification, never a bucket rewrite
+        written = _export_mor_delta(
+            table, dest, inst, sorted(touched), cur, key_expr, _row_hash,
+            prev_slices,
+        )
+        tmp = os.path.join(hdir, f".{inst}.deltacommit.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"partitionToWriteStats": written}, f)
+        os.replace(tmp, os.path.join(hdir, f"{inst}.deltacommit"))
+        with open(state_path, "w") as f:
+            json.dump(
+                {"table_version": version, "instant": inst,
+                 "partition_by": partition_by, "table_type": table_type},
+                f,
+            )
+        return inst
 
     written: dict[str, list[dict]] = {}
     for b in sorted(touched):
@@ -306,14 +366,193 @@ def export_hudi(
         shutil.rmtree(stage)
 
     # completed-instant marker with write stats (readers gate on the
-    # file's presence; the stats body is the writer-shaped content)
-    tmp = os.path.join(hdir, f".{inst}.commit.tmp")
+    # file's presence; the stats body is the writer-shaped content).
+    # MOR base-file writes commit as a deltacommit, like real MOR
+    # writers' insert path; COW commits stay .commit
+    suffix = "deltacommit" if mor else "commit"
+    tmp = os.path.join(hdir, f".{inst}.{suffix}.tmp")
     with open(tmp, "w") as f:
         json.dump({"partitionToWriteStats": written}, f)
-    os.replace(tmp, os.path.join(hdir, f"{inst}.commit"))
+    os.replace(tmp, os.path.join(hdir, f"{inst}.{suffix}"))
     with open(state_path, "w") as f:
         json.dump(
             {"table_version": version, "instant": inst,
-             "partition_by": partition_by}, f,
+             "partition_by": partition_by, "table_type": table_type}, f,
         )
     return inst
+
+
+def _avro_log_schema(schema) -> dict:
+    """Avro record schema for MOR log upsert records: the five
+    ``_hoodie_*`` meta strings + the table's data columns (primitive
+    types only — the honest gate for log-append publishing)."""
+    import pyspark.sql.types as T
+
+    m = [
+        (T.LongType, "long"), (T.IntegerType, "int"),
+        (T.DoubleType, "double"), (T.FloatType, "float"),
+        (T.StringType, "string"), (T.BooleanType, "boolean"),
+    ]
+    fields = [
+        {"name": n, "type": ["null", "string"]}
+        for n in (
+            "_hoodie_commit_time", "_hoodie_commit_seqno",
+            "_hoodie_record_key", "_hoodie_partition_path",
+            "_hoodie_file_name",
+        )
+    ]
+    for f in schema.fields:
+        for cls, at in m:
+            if isinstance(f.dataType, cls):
+                fields.append({"name": f.name, "type": ["null", at]})
+                break
+        else:
+            raise ValueError(
+                f"export_hudi MERGE_ON_READ: column {f.name!r} has type "
+                f"{f.dataType.simpleString()}, which this log-append "
+                "publisher does not encode (primitive columns only)"
+            )
+    return {"type": "record", "name": "rec", "fields": fields}
+
+
+def _export_mor_delta(
+    table, dest: str, inst: str, buckets: list, cur, key_expr, row_hash,
+    prev_slices: dict,
+) -> dict:
+    """The MOR incremental publish: each touched bucket's per-key diff
+    against the PUBLISHED group state (read through the same
+    ``_read_mor`` fold every reader uses, restricted to the touched
+    groups) becomes ONE appended log file — an AVRO upsert block for
+    new/changed keys and a DELETE block for gone keys. The diff is a
+    full-outer join on the record key over only the touched groups'
+    rows; log files are written ON EXECUTORS, one applyInPandas task
+    per group (groups write distinct files, so tasks never contend).
+    Returns the commit marker's ``partitionToWriteStats``."""
+    from pyspark.sql import functions as F
+
+    from . import hudi_log as HL
+    from .hudi import _read_mor
+
+    spark = table.spark
+    fids = {b: f"b{b:04d}" for b in buckets}
+    want_fids = set(fids.values())
+    only = {k for k in prev_slices if k[1] in want_fids}
+    if not only:
+        raise ValueError(
+            "export_hudi MERGE_ON_READ: touched buckets "
+            f"{sorted(want_fids)} have no published file groups"
+        )
+    # one log file per group, versioned after the existing appends of
+    # the group's CURRENT base slice
+    logpath: dict[str, str] = {}
+    for part, fid in sorted(only):
+        base_inst, base_path = prev_slices[(part, fid)]
+        d = os.path.dirname(base_path)
+        n_logs = len(glob.glob(os.path.join(d, f".{fid}_{base_inst}.log.*")))
+        logpath[fid] = os.path.join(
+            d, HL.log_file_name(fid, base_inst, n_logs + 1)
+        )
+    data_cols = [f.name for f in table.schema.fields]
+    avro_schema = _avro_log_schema(table.schema)
+    avro_types = {
+        f["name"]: f["type"][1] for f in avro_schema["fields"]
+    }
+    old_raw = _read_mor(spark, dest, None, True, None, only_groups=only)
+    old = old_raw.select(
+        F.col("_hoodie_record_key").alias("__k"),
+        row_hash(old_raw).alias("__ho"),
+        table._bucket_expr().cast("int").alias("__bo"),
+    )
+    new = cur.filter(F.col("__b").isin([int(b) for b in buckets])).withColumn(
+        "__k", key_expr
+    )
+    new = new.withColumn("__hn", row_hash(new)).withColumn(
+        "__n", F.lit(True)
+    )
+    j = old.join(new, "__k", "full_outer")
+    ups = j.filter(
+        F.col("__n").isNotNull()
+        & (F.col("__ho").isNull() | (F.col("__ho") != F.col("__hn")))
+    ).select(
+        F.lit("u").alias("__op"),
+        F.col("__k"),
+        F.col("__b").cast("int").alias("__bk"),
+        *[F.col(c) for c in data_cols],
+    )
+    dels = j.filter(F.col("__n").isNull()).select(
+        F.lit("d").alias("__op"),
+        F.col("__k"),
+        F.col("__bo").alias("__bk"),
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in table.schema.fields
+        ],
+    )
+    lp_df = spark.createDataFrame(
+        [(int(b), logpath[fids[b]]) for b in buckets if fids[b] in logpath],
+        "__bk int, __lp string",
+    )
+    changes = ups.unionByName(dels).join(F.broadcast(lp_df), "__bk")
+
+    def write_group(pdf):
+        import pandas as pd
+
+        path = pdf["__lp"].iloc[0]
+        fid = os.path.basename(path).lstrip(".").split("_")[0]
+
+        def conv(name, v):
+            if v is None or (not isinstance(v, (str, list, dict))
+                             and pd.isna(v)):
+                return None
+            at = avro_types[name]
+            if at in ("long", "int"):
+                return int(v)
+            if at in ("double", "float"):
+                return float(v)
+            if at == "boolean":
+                return bool(v)
+            return str(v)
+
+        ups_p = pdf[pdf["__op"] == "u"]
+        if len(ups_p):
+            recs = []
+            for row in ups_p.to_dict("records"):
+                r = {
+                    "_hoodie_commit_time": inst,
+                    "_hoodie_commit_seqno": f"{inst}_{fid}",
+                    "_hoodie_record_key": row["__k"],
+                    "_hoodie_partition_path": "",
+                    "_hoodie_file_name": os.path.basename(path),
+                }
+                for c in data_cols:
+                    r[c] = conv(c, row[c])
+                recs.append(r)
+            HL.append_avro_block(path, inst, avro_schema, recs)
+        dels_p = pdf[pdf["__op"] == "d"]
+        if len(dels_p):
+            HL.append_delete_block(
+                path,
+                inst,
+                [
+                    {"recordKey": k, "partitionPath": "",
+                     "orderingVal": None}
+                    for k in dels_p["__k"].tolist()
+                ],
+            )
+        return pd.DataFrame(
+            {"path": [path], "upserts": [len(ups_p)],
+             "deletes": [len(dels_p)]}
+        )
+
+    summary = changes.groupBy("__lp").applyInPandas(
+        write_group, "path string, upserts long, deletes long"
+    ).collect()
+    written: dict[str, list[dict]] = {}
+    for r in summary:
+        rel = os.path.relpath(r["path"], dest)
+        fid = os.path.basename(r["path"]).lstrip(".").split("_")[0]
+        written.setdefault(os.path.dirname(rel), []).append(
+            {"fileId": fid, "path": rel, "upserts": r["upserts"],
+             "deletes": r["deletes"]}
+        )
+    return written

@@ -280,3 +280,90 @@ def test_schema_evolution_export_roundtrip(spark, exported):
     inc = read_hudi_incremental(spark, dest, begin=inst1).collect()
     assert [(r["k"], r["v"], r["tag"]) for r in inc] == [(900, 9.0, "tagged")]
     assert inst2 in hudi_commits(dest)
+
+
+def test_mor_export_log_appends(spark, tmp_path):
+    """MERGE_ON_READ export: the first export writes base files under
+    a deltacommit; later exports append ONE log file per touched group
+    (AVRO upserts + DELETE tombstones) with ZERO base rewrites; a
+    second delta bumps the log version on the same slice; snapshot,
+    incremental, and streaming reads all fold the appends; the
+    COW/MOR and partition_by gates hold."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi,
+        read_hudi_incremental,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        export_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v string",
+        bucket_key=["k"], num_buckets=4,
+    )
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k bigint, v string"
+    ))
+    dest = str(tmp_path / "mor")
+    with pytest.raises(ValueError, match="partition_by"):
+        export_hudi(t, dest, partition_by=["v"],
+                    table_type="MERGE_ON_READ")
+    i1 = export_hudi(t, dest, table_type="MERGE_ON_READ")
+    assert os.path.exists(os.path.join(dest, ".hoodie", f"{i1}.deltacommit"))
+    with open(os.path.join(dest, ".hoodie", "hoodie.properties")) as f:
+        assert "hoodie.table.type=MERGE_ON_READ" in f.read()
+    # mixing table types on re-export refuses
+    t.merge(spark.createDataFrame([(3, "V3"), (100, "v100")],
+                                  "k bigint, v string"))
+    t.delete(F.col("k") == 7)
+    with pytest.raises(ValueError, match="mix table types"):
+        export_hudi(t, dest)
+    n_base = len(glob.glob(os.path.join(dest, "*.parquet")))
+    i2 = export_hudi(t, dest, table_type="MERGE_ON_READ")
+    assert i2 > i1
+    assert len(glob.glob(os.path.join(dest, "*.parquet"))) == n_base
+    logs = [f for f in os.listdir(dest) if ".log." in f]
+    assert logs and all(f.startswith(".b") for f in logs)
+    exp2 = {(i, f"v{i}") for i in range(20) if i not in (3, 7)} | {
+        (3, "V3"), (100, "v100")
+    }
+    assert {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()} == exp2
+    assert {
+        (r["k"], r["v"])
+        for r in read_hudi_incremental(spark, dest, begin=i1).collect()
+    } == {(3, "V3"), (100, "v100")}
+    # second delta on the same group: log VERSION bumps, same slice
+    t.merge(spark.createDataFrame([(3, "W3")], "k bigint, v string"))
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    vers = sorted(
+        f.split(".log.")[1] for f in os.listdir(dest)
+        if f.startswith(".b0003_")
+    )
+    assert [v.split("_")[0] for v in vers] == ["1", "2"]
+    exp3 = (exp2 - {(3, "V3")}) | {(3, "W3")}
+    assert {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()} == exp3
+    # the stream folds base + both log generations
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_stream import (
+        register_hudi_stream,
+    )
+
+    register_hudi_stream(spark)
+    got: list = []
+    q = (
+        spark.readStream.format("hudi_stream").option("path", dest)
+        .option("startingInstant", "0").load()
+        .writeStream.foreachBatch(
+            lambda df, _b: got.extend((r["k"], r["v"]) for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert set(got) == exp3 and len(got) == len(exp3)
