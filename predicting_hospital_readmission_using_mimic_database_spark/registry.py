@@ -39,81 +39,78 @@ _LOADED = False
 # The driver verifies the registry front-to-back with a capped budget
 # (every round so far checked exactly the first 50 entries). The
 # cross-round union covers all entries — every one has appeared
-# hash-green in a shipped driver artifact. Round-9 window:
-# (a) every entry whose code changed THIS round — the NEW s29 Hudi MOR
-# DELETE-block read (tombstone merge over the Avro delete-record
-# codec), s30 Iceberg inspection metadata tables (files view
-# aggregation), s34 Hudi event-time (precombine) merge ordering,
-# s35/s36 Hudi metadata-table COLUMN_STATS / BLOOM_FILTERS pruning,
-# s37 Iceberg format-v3 deletion vectors (Puffin blobs decoded
-# executor-side), s38 Iceberg schema evolution (field-id vintage
-# resolution), and s39 Delta type widening; s22 re-verified after the
-# executor-side DV decode;
-# t21 after the heap/linked-list linearithmic encoder (t20 shares the
-# module); every Hudi entry after the replacecommit + metadata-table
-# listing refactor of _latest_slices (s19/s25/s27/st15); every Delta
-# read-through after the '+'-safe scan-key decode and the CDF
-# partitionValues fallback (s15/s16/s21/s24/s28/st14/st17); every
-# Iceberg read-through after the partition-scoped equality deletes,
-# normalized sequence keys, and stream snapshot-id inheritance
-# (s18/s20/s23/s26/st16) — then (b) stable representatives whose most
-# recent driver row is the OLDEST, one sentinel per family prefix,
-# ROTATED off round 8's picks so sibling entries regain fresh driver
-# rows (tests/test_entry.py::test_first_50_entries_cover_every_family).
+# hash-green in a shipped driver artifact. Round-11 window:
+# (a) every entry new or code-changed THIS round — the six new round-11
+# entries (st22 stream nested evolution + v3 defaults, s49 changelog
+# delete replay, s50 CDF-correct Delta export, st23/st24 stream row
+# lineage, s51 MOR Hudi export); s47/st21 after the changelog replay
+# rewrite; st16/st19 after the stream read-loop changes (vintage
+# projection + lineage branches); s41/s44/s45/s46 after their fixture
+# builders were shared with the new stream entries; s16/s40/s43 after
+# export_delta_log grew cdc actions and export_hudi grew table_type —
+# then (a') recent lakehouse representatives adjacent to this round's
+# machinery (CDF readers next to the CDF-writing export, DV/eq-delete
+# reads next to the replay, MOR reads next to the MOR export), then
+# (b) stable representatives whose most recent driver row is the
+# OLDEST, one sentinel per family prefix, ROTATED off round 10's picks
+# so sibling entries regain fresh driver rows
+# (tests/test_entry.py::test_first_50_entries_cover_every_family).
 PRIORITY: tuple[str, ...] = (
-    # (a) changed or new in round 10
-    "s41_iceberg_nested_evolution",
-    "s42_hudi_cdc_infer",
-    "s43_hudi_partitioned_export",
-    "s44_iceberg_v3_defaults",
-    "st20_stream_hudi_cdc",
-    "s45_iceberg_row_lineage",
-    "s46_delta_row_tracking",
+    # (a) new in round 11
+    "st22_stream_nested_evolution",
+    "s49_iceberg_changelog_dv_replay",
+    "s50_delta_export_cdf",
+    "st23_stream_iceberg_row_lineage",
+    "st24_stream_delta_row_tracking",
+    "s51_hudi_mor_export",
+    # (a) code-changed in round 11
     "s47_iceberg_changelog",
     "st21_stream_iceberg_changelog",
+    "st16_stream_iceberg_tail",
+    "st19_stream_delta_idmap",
+    "s41_iceberg_nested_evolution",
+    "s44_iceberg_v3_defaults",
+    "s45_iceberg_row_lineage",
+    "s46_delta_row_tracking",
+    "s16_delta_export",
+    "s40_hudi_export",
+    "s43_hudi_partitioned_export",
+    # (a') recent lakehouse representatives adjacent to the round-11
+    # machinery
+    "s42_hudi_cdc_infer",
+    "st20_stream_hudi_cdc",
     "s48_csv_roundtrip",
-    # (a') changed or new in round 9
     "s37_iceberg_v3_dv",
     "s38_iceberg_schema_evolution",
     "s39_delta_type_widening",
-    "s40_hudi_export",
-    "s34_hudi_event_time_merge",
-    "s35_hudi_col_stats_skip",
-    "s36_hudi_bloom_lookup",
-    "s29_hudi_mor_delete",
-    "s30_iceberg_files_meta",
-    "s31_hudi_mor_incremental",
-    "s32_delta_stats_skip",
     "s33_iceberg_incremental",
-    "t21_bpe_encode",
-    "s19_hudi_read",
-    "s15_delta_read",
     "s28_delta_cdf",
-    "s18_iceberg_roundtrip",
+    "st17_stream_delta_cdf",
     "s20_iceberg_pos_delete",
     "s23_iceberg_eq_delete",
+    "s22_delta_deletion_vectors",
     "st18_stream_hudi_mor",
-    "st19_stream_delta_idmap",
-    "s16_delta_export",
-    "s26_iceberg_transform_prune",
+    "s27_hudi_mor_read",
     # (b) oldest-vintage stable representatives, family-complete,
-    # rotated off the round-8 sentinel picks
+    # rotated off the round-10 sentinel picks
     "flagship_readmit_30d",
-    "p3_filter_neq",
-    "j2_join_dims_broadcast",
-    "w4_backfill",
-    "a3_topk_by_freq",
-    "c2_clamp",
-    "u3_random_split",
-    "m2_get_dummies",
-    "e1_roc_curve",
-    "d2_dedup_minhash_lsh",
-    "d3_dedup_simhash",
-    "n1_knn_bruteforce",
-    "x2_language_id",
-    "x3_fingerprint",
-    "mm1_multimodal_decode",
-    "st2_stream_enrich_equivalence",
+    "p5_filter_numeric",
+    "j3_join_outer",
+    "j9_asof_join",
+    "w5_last_per_group",
+    "a5_conditional_counts",
+    "c4_parse_ts_coerce",
+    "u5_oversample",
+    "t16_tfidf",
+    "m7_grid_cv",
+    "e3_pr_curve",
+    "d4_ngram_jaccard",
+    "d8_line_dedup",
+    "n2_knn_lsh",
+    "x6_lm_quality",
+    "x16_curation_funnel",
+    "mm3_image_resize",
+    "st3_stream_dedup",
     "g1_pagerank",
 )
 

@@ -37,15 +37,15 @@ insert partitions and REMOVED files as delete partitions (their rows
 read back as they were — copy-on-write overwrites emit delete+insert
 pairs for carried rows), every row stamped ``_change_type`` +
 ``_snapshot_id``. Overwrite/replace/delete snapshots are therefore
-REPRESENTABLE (no ``ignoreChanges`` needed). POSITIONAL and
-DELETION-VECTOR strikes are REPLAYED (past the official runtime's
-gate): a snapshot that strikes rows of a continuing file ships ONE
-diff partition whose reader decodes the before/after strike sets and
-emits only the newly-struck rows as deletes; added/removed files skip
-their struck positions, so pre-window strikes never resurrect.
-Equality deletes still gate (their value predicates belong on the
-batch :func:`iceberg.read_iceberg_changelog`, which replays all three
-kinds).
+REPRESENTABLE (no ``ignoreChanges`` needed). ROW-LEVEL deletes of all
+three kinds are REPLAYED (past the official runtime's gate, matching
+the batch :func:`iceberg.read_iceberg_changelog`): a snapshot that
+strikes rows of a continuing file ships ONE diff partition whose
+reader evaluates the before/after strike state — positional parquet
+and DV sources as position sets, EQUALITY sources as value predicates
+(sequence ordering + partition scope folded per file on the driver) —
+and emits only the newly-struck rows as deletes; added/removed files
+skip their struck rows, so pre-window strikes never resurrect.
 """
 
 from __future__ import annotations
@@ -97,13 +97,14 @@ class _AddedFilePartition(InputPartition):
         self.proj = proj
         #: changelog mode: "insert" | "delete"; None = append tail
         self.ctype = ctype
-        #: positional/DV strike replay, decoded in read():
-        #: ("skip", specs) drops the struck positions from a
-        #: whole-file emission; ("diff", a, b) emits ONLY positions
-        #: struck by sources `a` but not `b` (newly-struck deletes /
-        #: un-struck inserts). Spec forms:
-        #: ("pos", delete_parquet_path, this_file_key) |
-        #: ("dv", puffin_path, offset, length)
+        #: row-level strike replay, evaluated in read():
+        #: ("skip", specs) drops the struck rows from a whole-file
+        #: emission; ("diff", a, b) emits ONLY rows struck by sources
+        #: `a` but not `b` (newly-struck deletes / un-struck inserts).
+        #: Spec forms: ("pos", delete_parquet_path, this_file_key) |
+        #: ("dv", puffin_path, offset, length) |
+        #: ("eq", delete_parquet_path, (column names,)) — equality
+        #: applicability (seq ordering + scope) folded on the driver
         self.strike = strike
         #: v3 row lineage: (first_row_id, data sequence number) —
         #: fresh _row_id = first_row_id + position; files carrying the
@@ -175,16 +176,19 @@ class IcebergStreamReader(DataSourceStreamReader):
         """Per snapshot in [n0, n1): diff live data-file sets — added
         files become insert partitions, removed files delete
         partitions; each file's columns resolve by ITS adding
-        snapshot's vintage. POSITIONAL/DV strikes replay: per file the
+        snapshot's vintage. ROW-LEVEL strikes replay: per file the
         driver diffs the strike-SOURCE sets between boundaries (delete
-        files are immutable, so source identity suffices) and ships
-        the specs — vectors decode in the worker, never on the driver.
-        Driver-side work is metadata plus one file_path-column read
-        per positional delete parquet (delete-scale)."""
+        files are immutable, so source identity suffices — equality
+        sources fold their sequence-ordering + partition-scope
+        applicability per file HERE) and ships the specs — DV decode,
+        positional parquet reads, and equality value matching all run
+        in the worker, never on the driver. Driver-side work is
+        metadata plus one file_path-column read per positional delete
+        parquet (delete-scale)."""
         import os as _os
         from urllib.parse import unquote
 
-        from .iceberg import _changelog_full_state
+        from .iceberg import _changelog_full_state, _schema_json
 
         root = self._root
 
@@ -195,9 +199,12 @@ class IcebergStreamReader(DataSourceStreamReader):
             return _os.path.abspath(unquote(_localize(p, root)))
 
         targets_cache: dict[str, set] = {}
+        id2name = {
+            f["id"]: f["name"] for f in _schema_json(meta)["fields"]
+        }
 
-        def srcs_for(pos_b, dv_b):
-            """file key -> sorted strike-source spec tuple at a boundary."""
+        def srcs_for(files, pos_b, eq_b, dv_b):
+            """file key -> strike-source spec tuple at a boundary."""
             out: dict[str, list] = {}
             for p in sorted(pos_b):
                 lp = _localize(p, root)
@@ -222,23 +229,50 @@ class IcebergStreamReader(DataSourceStreamReader):
                         int(d["length"]),
                     )
                 )
+            for dpath, dseq, eq_ids, dpv in sorted(
+                eq_b, key=lambda d: d[0]
+            ):
+                if dseq is None:
+                    raise IcebergProtocolError(
+                        "equality deletes present but sequence numbers "
+                        "are missing from the manifest metadata; the "
+                        "data-vs-delete ordering cannot be established"
+                    )
+                try:
+                    cols = tuple(id2name[i] for i in eq_ids)
+                except KeyError as e:
+                    raise IcebergProtocolError(
+                        f"equality_ids reference field id {e} which is "
+                        "not a top-level schema field (nested equality "
+                        "deletes are not supported)"
+                    ) from None
+                spec = ("eq", _localize(dpath, root), cols)
+                for p, rec in files.items():
+                    # spec ordering + scoping folded per file: a delete
+                    # at sequence s strikes data files with seq < s
+                    # whose partition tuple matches on every field the
+                    # delete carries
+                    if rec[2] is None:
+                        raise IcebergProtocolError(
+                            "equality deletes present but sequence "
+                            "numbers are missing from the manifest "
+                            "metadata; the data-vs-delete ordering "
+                            "cannot be established"
+                        )
+                    if rec[2] < dseq and all(
+                        k in rec[1] and rec[1][k] == v
+                        for k, v in (dpv or {}).items()
+                    ):
+                        out.setdefault(_norm(p), []).append(spec)
             return {k: tuple(v) for k, v in out.items()}
 
         out: list[_AddedFilePartition] = []
         prev_files, prev_pos, prev_eq, prev_dv = state(n0 - 1)
-        prev_srcs = srcs_for(prev_pos, prev_dv)
+        prev_srcs = srcs_for(prev_files, prev_pos, prev_eq, prev_dv)
         for idx in range(n0, n1):
             sid = snaps[idx]["snapshot-id"]
             cur_files, cur_pos, cur_eq, cur_dv = state(idx)
-            if prev_eq or cur_eq:
-                raise IcebergProtocolError(
-                    f"equality delete files are live around snapshot "
-                    f"{sid}; the changelog stream replays positional/DV "
-                    "strikes but cannot evaluate equality predicates — "
-                    "use the batch read_iceberg_changelog, which replays "
-                    "all three delete kinds"
-                )
-            cur_srcs = srcs_for(cur_pos, cur_dv)
+            cur_srcs = srcs_for(cur_files, cur_pos, cur_eq, cur_dv)
             for p in sorted(set(cur_files) - set(prev_files)):
                 s = cur_srcs.get(_norm(p))
                 out.append(
@@ -322,6 +356,28 @@ class IcebergStreamReader(DataSourceStreamReader):
 
                 out.update(dv_blob_decode(read_blob(s[1], s[2], s[3])))
         return out
+
+    def _strikers(self, specs):
+        """(struck position set, equality matchers) for a spec list —
+        the worker-side halves of the strike test: positions from
+        pos/DV sources, per-row value predicates from equality
+        sources (``(value-tuple indices into the output row, set of
+        deleted value tuples)`` — null-safe by Python tuple
+        equality)."""
+        import pyarrow.parquet as pq
+
+        pos = self._decode_strikes([s for s in specs or () if s[0] != "eq"])
+        out_idx = {
+            f["name"]: i for i, f in enumerate(self._out_json["fields"])
+        }
+        eqm = []
+        for _tag, path, cols in (
+            s for s in specs or () if s[0] == "eq"
+        ):
+            t = pq.read_table(path, columns=list(cols))
+            vals = set(zip(*[t.column(c).to_pylist() for c in cols]))
+            eqm.append(([out_idx[c] for c in cols], vals))
+        return pos, eqm
 
     def partitions(self, start: dict, end: dict):
         meta = _load_meta(self._root)
@@ -468,20 +524,32 @@ class IcebergStreamReader(DataSourceStreamReader):
         ]
         strike = getattr(partition, "strike", None)
         if strike is None:
-            emit = range(nrows)
+            test = None
         elif strike[0] == "skip":
-            drop = self._decode_strikes(strike[1])
-            emit = (i for i in range(nrows) if i not in drop)
+            test = ("skip", *self._strikers(strike[1]))
         else:
-            only = self._decode_strikes(strike[1]) - self._decode_strikes(
-                strike[2]
+            test = ("diff", *self._strikers(strike[1]),
+                    *self._strikers(strike[2]))
+
+        def _eq_hit(eqm, vals):
+            return any(
+                tuple(vals[i] for i in idxs) in vs for idxs, vs in eqm
             )
-            emit = (i for i in range(nrows) if i in only)
-        for i in emit:
+
+        for i in range(nrows):
             vals = [
                 (fill if src is None else conv(data[src][i]))
                 for src, conv, fill in fields
             ]
+            if test is not None:
+                if test[0] == "skip":
+                    if i in test[1] or _eq_hit(test[2], vals):
+                        continue
+                else:
+                    struck_a = i in test[1] or _eq_hit(test[2], vals)
+                    struck_b = i in test[3] or _eq_hit(test[4], vals)
+                    if not struck_a or struck_b:
+                        continue
             if lineage is not None:
                 rid = (
                     rid_s[i]

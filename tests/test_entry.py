@@ -33,27 +33,29 @@ def test_first_50_entries_cover_every_family():
         "t", "m", "e",                                   # text / ML / metrics
         "d", "n", "x", "mm", "st",                       # LLM-pipeline + streaming
     } <= fams, fams
-    # round-10 rotation: entries whose code changed lead the prefix
-    # (s41 + the interop entries its machinery touches)
-    for must in ("s41_iceberg_nested_evolution", "s42_hudi_cdc_infer",
-                 "s43_hudi_partitioned_export", "s44_iceberg_v3_defaults",
-                 "st20_stream_hudi_cdc", "s45_iceberg_row_lineage", "s46_delta_row_tracking",
-                 "s47_iceberg_changelog", "st21_stream_iceberg_changelog", "s48_csv_roundtrip",
+    # round-11 rotation: entries new or code-changed this round lead
+    # the prefix (stream vintage projection, changelog delete replay,
+    # CDF-correct export, stream row lineage, MOR export)
+    for must in ("st22_stream_nested_evolution",
+                 "s49_iceberg_changelog_dv_replay",
+                 "s50_delta_export_cdf",
+                 "st23_stream_iceberg_row_lineage",
+                 "st24_stream_delta_row_tracking",
+                 "s51_hudi_mor_export",
+                 "s47_iceberg_changelog", "st21_stream_iceberg_changelog",
+                 "st16_stream_iceberg_tail", "st19_stream_delta_idmap",
+                 "s41_iceberg_nested_evolution", "s44_iceberg_v3_defaults",
+                 "s45_iceberg_row_lineage", "s46_delta_row_tracking",
+                 "s16_delta_export", "s40_hudi_export",
+                 "s43_hudi_partitioned_export",
+                 "s42_hudi_cdc_infer", "st20_stream_hudi_cdc",
+                 "s48_csv_roundtrip",
                  "s37_iceberg_v3_dv", "s38_iceberg_schema_evolution",
-                 "s39_delta_type_widening", "s40_hudi_export",
-                 "s34_hudi_event_time_merge",
-                 "s35_hudi_col_stats_skip", "s36_hudi_bloom_lookup",
-                 "s29_hudi_mor_delete", "s30_iceberg_files_meta",
-                 "s31_hudi_mor_incremental", "s32_delta_stats_skip", "s33_iceberg_incremental",
-                 "t21_bpe_encode",
-                 "s19_hudi_read",
-                 "s15_delta_read",
-                 "s28_delta_cdf",
-                 "s18_iceberg_roundtrip", "s20_iceberg_pos_delete",
-                 "s23_iceberg_eq_delete",
-                 "st18_stream_hudi_mor", "st19_stream_delta_idmap",
-                 "s16_delta_export",
-                 "s26_iceberg_transform_prune",
+                 "s39_delta_type_widening", "s33_iceberg_incremental",
+                 "s28_delta_cdf", "st17_stream_delta_cdf",
+                 "s20_iceberg_pos_delete", "s23_iceberg_eq_delete",
+                 "s22_delta_deletion_vectors",
+                 "st18_stream_hudi_mor", "s27_hudi_mor_read",
                  "flagship_readmit_30d"):
         assert must in names
     assert len(names) == 50

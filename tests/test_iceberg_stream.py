@@ -328,8 +328,9 @@ def test_changelog_stream_overwrite_and_resume(spark, tmp_path):
     """changelog=true: a REAL exporter overwrite (merge) streams as
     delete+insert pairs for the rewritten file's rows — no
     ignoreChanges needed; checkpoint resume sees only the new
-    snapshot's images; a positional strike REPLAYS as a delete row
-    (the old gate); equality deletes still gate honestly."""
+    snapshot's images; positional AND equality strikes REPLAY as
+    delete rows (the old gate — the official runtime still refuses
+    these windows)."""
     import pyspark.sql.functions as F
 
     register_iceberg_stream(spark)
@@ -377,11 +378,19 @@ def test_changelog_stream_overwrite_and_resume(spark, tmp_path):
     full = _drain(spark, root, str(tmp_path / "ck2"),
                   startingSnapshotCount=0, changelog="true")
     assert (struck_k, "delete", 3) in {(k, c, s_) for k, _v, c, s_ in full}
-    # equality deletes still gate (batch changelog replays them)
-    append_equality_deletes(root, [{"k": 3}], ["k"])
-    with pytest.raises(Exception, match="equality delete"):
-        _drain(spark, root, str(tmp_path / "ck3"),
-               startingSnapshotCount=0, changelog="true")
+    # an EQUALITY strike replays too (value predicate evaluated in
+    # the worker; pre-struck rows never double-delete)
+    eq_k = 3 if struck_k != 3 else 4
+    append_equality_deletes(root, [{"k": eq_k}], ["k"])
+    got4 = _drain(spark, root, ckpt, startingSnapshotCount=0,
+                  changelog="true")
+    assert got4 == [(eq_k, -99.0 if eq_k == 0 else float(eq_k),
+                     "delete", 4)]
+    # a fresh full drain agrees and still shows each strike once
+    full2 = _drain(spark, root, str(tmp_path / "ck3"),
+                   startingSnapshotCount=0, changelog="true")
+    dels2 = [(k, s_) for k, _v, c, s_ in full2 if c == "delete"]
+    assert dels2.count((eq_k, 4)) == 1 and dels2.count((struck_k, 3)) == 1
 
 
 def read_iceberg_files(root):

@@ -148,6 +148,11 @@ AUDIT = [
     "s45_iceberg_row_lineage",  # per-file broadcast stamp + row arithmetic
     "s46_delta_row_tracking",  # same shape on the Delta side
     "s47_iceberg_changelog",  # one scan, stamps fan out via broadcast
+    # round-11 operators
+    "s49_iceberg_changelog_dv_replay",  # liveness algebra: one scan,
+    # broadcast live/strike joins, array_compact+explode, no shuffle
+    "s50_delta_export_cdf",  # cdc-file scan + broadcast manifest join
+    "s51_hudi_mor_export",  # MOR fold over base + appended log blocks
 ]
 
 
