@@ -6325,3 +6325,84 @@ def q_s51(spark, sf):
     inc = read_hudi_incremental(spark, dest, begin=i1)
     assert inc.count() == n_changed, (inc.count(), n_changed)
     return read_hudi(spark, dest)
+
+
+@query(
+    "s52_hudi_mor_compaction",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey,
+           cents + CASE WHEN k % 9 = 0 THEN 333 ELSE 0 END
+                 + CASE WHEN k % 31 = 1 THEN 777 ELSE 0 END AS cents
+    FROM base WHERE k % 23 <> 0
+    UNION ALL
+    SELECT k + 8000000, cents
+    FROM base WHERE k % 40 = 0 AND (k + 8000000) % 23 <> 0
+    """,
+)
+def q_s52(spark, sf):
+    """S52 — Hudi MOR COMPACTION (sources/hudi_export.py
+    ``compact_hudi``): the maintenance action that bounds a MOR
+    table's read amplification — every LOGGED file group's base+log
+    fold (the same ``_read_mor`` merge every reader performs) is
+    rewritten as a NEW base file at the next instant, committed as a
+    ``.commit`` (Hudi's compaction action), making the old slice's
+    log files stale by the slice rules while per-row
+    ``_hoodie_commit_time`` is PRESERVED — so incremental/streaming
+    consumers see ZERO phantom changes from a compaction (in-entry
+    assert: the feed from the compaction instant holds exactly the
+    post-compaction merge's rows, nothing the compaction rewrote).
+    Full lifecycle exercised: export MOR -> merge+delete as LOG
+    APPENDS -> compact -> another merge appending logs to the
+    COMPACTED slice; the returned frame snapshot-reads the final
+    state, which DuckDB recomputes — a fold that dropped a tombstone
+    at compaction, re-stamped a carried row, or let a stale log
+    re-apply over the new base breaks the row-level hash."""
+    import glob
+    import os
+
+    from .sources.hudi import read_hudi, read_hudi_incremental
+    from .sources.hudi_export import compact_hudi, export_hudi
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s52", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    t.append(c)
+    dest = os.path.join(t.root, "hudi_mor")
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    upd = c.filter(F.col("c_custkey") % 9 == 0).withColumn(
+        "cents", F.col("cents") + 333
+    )
+    ins = c.filter(F.col("c_custkey") % 40 == 0).select(
+        (F.col("c_custkey") + 8_000_000).alias("c_custkey"), "cents"
+    )
+    t.merge(upd.unionByName(ins))
+    t.delete(F.col("c_custkey") % 23 == 0)
+    i2 = export_hudi(t, dest, table_type="MERGE_ON_READ")
+    ci = compact_hudi(spark, dest)
+    assert ci is not None and ci > i2
+    assert glob.glob(os.path.join(dest, f"*_{ci}.parquet"))
+    # post-compaction merge: logs append to the COMPACTED slice
+    upd2 = t.read().filter(
+        (F.col("c_custkey") % 31 == 1) & (F.col("c_custkey") < 8_000_000)
+    ).withColumn("cents", F.col("cents") + 777)
+    n2 = upd2.count()
+    t.merge(upd2)
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    # compaction emitted ZERO phantom changes: the feed from its
+    # instant is exactly the later merge's rows
+    assert read_hudi_incremental(spark, dest, begin=ci).count() == n2
+    return read_hudi(spark, dest)

@@ -63,6 +63,7 @@ PRIORITY: tuple[str, ...] = (
     "st23_stream_iceberg_row_lineage",
     "st24_stream_delta_row_tracking",
     "s51_hudi_mor_export",
+    "s52_hudi_mor_compaction",
     # (a) code-changed in round 11
     "s47_iceberg_changelog",
     "st21_stream_iceberg_changelog",
@@ -96,7 +97,6 @@ PRIORITY: tuple[str, ...] = (
     "flagship_readmit_30d",
     "p5_filter_numeric",
     "j3_join_outer",
-    "j9_asof_join",
     "w5_last_per_group",
     "a5_conditional_counts",
     "c4_parse_ts_coerce",

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from .hudi import HOODIE_DIR
 
-__all__ = ["export_hudi"]
+__all__ = ["compact_hudi", "export_hudi"]
 
 _STATE_FILE = ".export-state.json"
 
@@ -139,8 +139,22 @@ def export_hudi(
                 f"re-exporting as {table_type} would mix table types"
             )
         if prev_version == version:
-            return _instant(prev_version)  # nothing new to publish
+            # nothing new to publish
+            return st.get("instant", _instant(prev_version))
     os.makedirs(hdir, exist_ok=True)
+    if os.path.isdir(hdir):
+        # instants later than the version-derived one may exist on the
+        # timeline from actions the export did not write (compaction);
+        # a new commit must sort strictly after EVERYTHING completed
+        from .hudi import _INSTANT_RE
+
+        taken = [
+            m.group(1)
+            for m in (_INSTANT_RE.match(n) for n in os.listdir(hdir))
+            if m
+        ]
+        if taken and max(taken) >= inst:
+            inst = f"{int(max(taken)) + 1:014d}"
     props = os.path.join(hdir, "hoodie.properties")
     if not os.path.exists(props):
         with open(props, "w") as f:
@@ -556,3 +570,67 @@ def _export_mor_delta(
              "deletes": r["deletes"]}
         )
     return written
+
+
+def compact_hudi(spark, dest: str) -> str | None:
+    """COMPACT a MERGE_ON_READ table's LOGGED file groups — the
+    maintenance action real Hudi schedules so read amplification stays
+    bounded: each group whose current slice carries committed log
+    blocks (or that exists only as logs) has its base+log FOLD — the
+    same ``_read_mor`` merge every reader performs — rewritten as a
+    NEW base file at the next instant, committed as a ``.commit``
+    (Hudi's compaction action on a MOR timeline). The old slice's log
+    files become STALE by the slice rules (logs attach to their
+    ``base_instant``; the newest base wins) — no deletion needed, time
+    travel still reads the old slice. Per-row ``_hoodie_commit_time``
+    is PRESERVED by the fold, so incremental and streaming consumers
+    see ZERO phantom changes from a compaction. Log-free groups are
+    untouched; a table with no logged groups is a no-op (returns
+    None, else the compaction instant). One job per logged group —
+    compaction cost tracks the logged minority, never the table."""
+    from pyspark.sql import functions as F
+
+    from .hudi import _completed_commits, _latest_slices, _properties
+
+    props = _properties(dest)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise ValueError(
+            "compact_hudi targets MERGE_ON_READ tables (COPY_ON_WRITE "
+            "has no log files to compact)"
+        )
+    groups, logs = _latest_slices(dest, None, None, collect_logs=True)
+    logged = {
+        k
+        for k, b in groups.items()
+        if [l for l in logs.get(k, []) if l[0] == b[0]]
+    } | {k for k, ls in logs.items() if ls and k not in groups}
+    if not logged:
+        return None
+    done = _completed_commits(dest, allow_delta=True)
+    inst = f"{int(max(done)) + 1:014d}"
+    hdir = os.path.join(dest, HOODIE_DIR)
+    written: dict[str, list[dict]] = {}
+    from .hudi import _read_mor
+
+    for part, fid in sorted(logged):
+        rows = _read_mor(
+            spark, dest, None, True, None, only_groups={(part, fid)}
+        )
+        fname = f"{fid}_0-1-0_{inst}.parquet"
+        out = rows.withColumn("_hoodie_file_name", F.lit(fname))
+        stage = os.path.join(dest, f".compact-{fid}-{inst}")
+        out.coalesce(1).write.parquet(stage, mode="overwrite")
+        parts = glob.glob(os.path.join(stage, "part-*.parquet"))
+        pdir = dest if part in (".", "") else os.path.join(dest, part)
+        os.makedirs(pdir, exist_ok=True)
+        shutil.move(parts[0], os.path.join(pdir, fname))
+        shutil.rmtree(stage)
+        rel = fname if part in (".", "") else f"{part}/{fname}"
+        written.setdefault("" if part in (".", "") else part, []).append(
+            {"fileId": fid, "path": rel}
+        )
+    tmp = os.path.join(hdir, f".{inst}.commit.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"partitionToWriteStats": written}, f)
+    os.replace(tmp, os.path.join(hdir, f"{inst}.commit"))
+    return inst

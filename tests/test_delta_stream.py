@@ -390,3 +390,38 @@ def test_stream_row_tracking(spark, stream_root, tmp_path):
         _drain(spark, root, str(tmp_path / "ck3"),
                startingVersion=0, rowTracking="true",
                readChangeFeed="true")
+
+
+def test_stream_change_feed_over_exported_merge(spark, tmp_path):
+    """COMPOSITION: delta_stream's readChangeFeed over a log OUR OWN
+    exporter wrote — the merge commit's cdc files supersede its
+    add/remove pair, so the stream emits exact update images and
+    carried rows never surface as derived delete+insert pairs."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        export_delta_log,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "xcdf")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, v long", bucket_key=["k"], num_buckets=2
+    )
+    t.append(spark.createDataFrame(
+        [(i, 10 * i) for i in range(8)], "k bigint, v long"
+    ))
+    assert export_delta_log(t) == 0
+    t.merge(spark.createDataFrame([(3, 999)], "k bigint, v long"))
+    t.delete(F.col("k") == 5)
+    assert export_delta_log(t) == 1
+    register_delta_stream(spark)
+    got = _drain(spark, root, str(tmp_path / "ck"),
+                 startingVersion=1, readChangeFeed="true")
+    assert sorted(got) == [
+        (3, 30, "update_preimage", 1),
+        (3, 999, "update_postimage", 1),
+        (5, 50, "delete", 1),
+    ]

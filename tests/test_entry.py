@@ -41,7 +41,7 @@ def test_first_50_entries_cover_every_family():
                  "s50_delta_export_cdf",
                  "st23_stream_iceberg_row_lineage",
                  "st24_stream_delta_row_tracking",
-                 "s51_hudi_mor_export",
+                 "s51_hudi_mor_export", "s52_hudi_mor_compaction",
                  "s47_iceberg_changelog", "st21_stream_iceberg_changelog",
                  "st16_stream_iceberg_tail", "st19_stream_delta_idmap",
                  "s41_iceberg_nested_evolution", "s44_iceberg_v3_defaults",

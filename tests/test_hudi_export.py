@@ -367,3 +367,70 @@ def test_mor_export_log_appends(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert set(got) == exp3 and len(got) == len(exp3)
+
+
+def test_mor_compaction(spark, tmp_path):
+    """compact_hudi: logged groups' base+log folds rewrite as new base
+    files at the next instant (.commit), stale logs stop applying,
+    per-row commit times survive (zero phantom incremental rows), a
+    log-free table is a no-op, later exports append logs to the
+    COMPACTED slice, and COW tables refuse."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi,
+        read_hudi_incremental,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        compact_hudi,
+        export_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v string",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k bigint, v string"
+    ))
+    dest = str(tmp_path / "mor")
+    i1 = export_hudi(t, dest, table_type="MERGE_ON_READ")
+    t.merge(spark.createDataFrame([(1, "V1"), (50, "v50")],
+                                  "k bigint, v string"))
+    t.delete(F.col("k") == 4)
+    i2 = export_hudi(t, dest, table_type="MERGE_ON_READ")
+    exp = {(i, f"v{i}") for i in range(10) if i not in (1, 4)} | {
+        (1, "V1"), (50, "v50")
+    }
+    ci = compact_hudi(spark, dest)
+    assert ci is not None and ci > i2
+    assert {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()} == exp
+    # commit times preserved through the rewrite
+    assert {
+        (r["k"], r["v"])
+        for r in read_hudi_incremental(spark, dest, begin=i1).collect()
+    } == {(1, "V1"), (50, "v50")}
+    assert read_hudi_incremental(spark, dest, begin=ci).count() == 0
+    # log-free now: compaction is a no-op
+    assert compact_hudi(spark, dest) is None
+    # the NEXT export appends its log to the compacted slice (its
+    # instant sorting past the compaction commit)
+    t.merge(spark.createDataFrame([(2, "W2")], "k bigint, v string"))
+    i3 = export_hudi(t, dest, table_type="MERGE_ON_READ")
+    assert i3 > ci
+    assert [f for f in os.listdir(dest) if f"_{ci}.log" in f]
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert got == (exp - {(2, "v2")}) | {(2, "W2")}
+    # COW tables refuse
+    t2 = SnapshotTable.create(
+        spark, str(tmp_path / "t2"), "k bigint", bucket_key=["k"],
+        num_buckets=1,
+    )
+    t2.append(spark.range(3).select(F.col("id").alias("k")))
+    dest2 = str(tmp_path / "cow")
+    export_hudi(t2, dest2)
+    with pytest.raises(ValueError, match="MERGE_ON_READ"):
+        compact_hudi(spark, dest2)

@@ -153,6 +153,7 @@ AUDIT = [
     # broadcast live/strike joins, array_compact+explode, no shuffle
     "s50_delta_export_cdf",  # cdc-file scan + broadcast manifest join
     "s51_hudi_mor_export",  # MOR fold over base + appended log blocks
+    "s52_hudi_mor_compaction",  # post-compaction slice + fresh log fold
 ]
 
 
