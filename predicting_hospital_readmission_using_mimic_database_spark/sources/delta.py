@@ -794,7 +794,9 @@ def export_delta_log(table, checkpoint_interval: int = 10) -> int:
                                  "engineInfo": "snapshot-export"}}
         ]
         if _meta.get("schemaString") != schema_string:
-            actions.append(_export_meta(schema_string, ict=ict_on))
+            actions.append(
+                _export_meta(schema_string, ict=ict_on, cdf=cdf_on)
+            )
     else:
         os.makedirs(log_dir, exist_ok=True)
         version = 0
@@ -842,7 +844,7 @@ def export_delta_log(table, checkpoint_interval: int = 10) -> int:
         _write_checkpoint_file(
             log_dir,
             version,
-            _export_meta(schema_string, ict=ict_on)["metaData"],
+            _export_meta(schema_string, ict=ict_on, cdf=cdf_on)["metaData"],
             [
                 {
                     "path": rel,
@@ -871,24 +873,24 @@ def _export_stats(act) -> str:
     return json.dumps(st)
 
 
-def _export_meta(schema_string: str, ict: bool = True) -> dict:
-    # ict=True is the modern-export shape (in-commit timestamps + CDF
-    # declared from v0); False preserves the config of logs exported
-    # before either feature existed
+def _export_meta(schema_string: str, ict: bool = True, cdf: bool = True) -> dict:
+    # per-feature flags so a metaData REWRITE (schema change,
+    # checkpoint) reproduces exactly what the log declares — a legacy
+    # log exported before either feature keeps {}, an ICT-only log
+    # must not gain CDF through a checkpoint (checkpoint metaData has
+    # to match the log's), and fresh exports declare both from v0
+    conf = {}
+    if ict:
+        conf["delta.enableInCommitTimestamps"] = "true"
+    if cdf:
+        conf["delta.enableChangeDataFeed"] = "true"
     return {
         "metaData": {
             "id": "snapshot-export",
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_string,
             "partitionColumns": [],
-            "configuration": (
-                {
-                    "delta.enableInCommitTimestamps": "true",
-                    "delta.enableChangeDataFeed": "true",
-                }
-                if ict
-                else {}
-            ),
+            "configuration": conf,
         }
     }
 
@@ -923,6 +925,20 @@ def _export_change_data(table, root: str, version: int, adds, removes):
         *[os.path.join(root, r) for r in adds]
     )
     keys = table.bucket_key
+    if keys:
+        # the keyed pairing assumes one row per key; SnapshotTable
+        # append() doesn't enforce uniqueness, and a duplicate key
+        # would fan the full-outer join out into invented images —
+        # fall back to the multiset diff (exact, insert/delete only)
+        dups = (
+            old.groupBy(*keys).count()
+            .unionByName(new.groupBy(*keys).count())
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dups:
+            keys = None
     if keys:
         o = old.withColumn("__o", F.lit(True)).alias("o")
         n = new.withColumn("__n", F.lit(True)).alias("n")

@@ -185,11 +185,14 @@ def export_hudi(
         }
         if not touched:
             # version moved without row changes (compact/zorder):
-            # publish nothing new, just advance the marker
+            # publish nothing new, just advance the marker (the full
+            # state shape — dropping table_type here would break the
+            # COW/MOR mixing gate on the NEXT export)
             with open(state_path, "w") as f:
                 json.dump(
                     {"table_version": version, "instant": inst,
-                     "partition_by": partition_by}, f,
+                     "partition_by": partition_by,
+                     "table_type": table_type}, f,
                 )
             return inst
 

@@ -2366,19 +2366,6 @@ def _changelog_full_state(meta: dict, root: str, snaps: list, idx: int):
     return {rec[0]: rec for rec in files}, pos, eq, dv
 
 
-def _changelog_state(meta: dict, root: str, snaps: list, idx: int):
-    """Live (data-files map keyed by path, delete-source key set) at
-    snapshot index ``idx`` — the keyed view of
-    :func:`_changelog_full_state`."""
-    files, pos, eq, dv = _changelog_full_state(meta, root, snaps, idx)
-    dels = (
-        {("p", p) for p in pos}
-        | {("e", p) for p, _s2, _i, _pv in eq}
-        | {("v", d["path"], int(d.get("offset") or 0)) for d in dv}
-    )
-    return files, dels
-
-
 def read_iceberg_changelog(
     spark: SparkSession,
     root: str,

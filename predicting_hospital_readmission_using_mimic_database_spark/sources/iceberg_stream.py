@@ -327,56 +327,53 @@ class IcebergStreamReader(DataSourceStreamReader):
             prev_files, prev_srcs = cur_files, cur_srcs
         return out
 
-    def _decode_strikes(self, specs) -> set:
-        """Union of struck positions for this partition's file —
-        runs in the Python worker (DV roaring decode + positional
-        parquet filtered to the file key)."""
+    def _decode_one(self, s):
+        """One strike source -> its worker-side form: pos/DV sources a
+        struck-position set; equality sources a ``(output-row value
+        indices, deleted value-tuple set)`` matcher (null-safe by
+        Python tuple equality)."""
         import os as _os
         from urllib.parse import unquote
 
-        out: set[int] = set()
-        for s in specs or ():
-            if s[0] == "pos":
-                import pyarrow.parquet as pq
+        import pyarrow.parquet as pq
 
-                t = pq.read_table(s[1], columns=["file_path", "pos"])
+        if s[0] == "pos":
+            t = pq.read_table(s[1], columns=["file_path", "pos"])
+            return {
+                int(x)
                 for fpv, x in zip(
                     t.column("file_path").to_pylist(),
                     t.column("pos").to_pylist(),
-                ):
-                    if (
-                        _os.path.abspath(
-                            unquote(_localize(fpv, self._root))
-                        )
-                        == s[2]
-                    ):
-                        out.add(int(x))
-            else:
-                from .puffin import dv_blob_decode, read_blob
+                )
+                if _os.path.abspath(unquote(_localize(fpv, self._root)))
+                == s[2]
+            }
+        if s[0] == "dv":
+            from .puffin import dv_blob_decode, read_blob
 
-                out.update(dv_blob_decode(read_blob(s[1], s[2], s[3])))
-        return out
-
-    def _strikers(self, specs):
-        """(struck position set, equality matchers) for a spec list —
-        the worker-side halves of the strike test: positions from
-        pos/DV sources, per-row value predicates from equality
-        sources (``(value-tuple indices into the output row, set of
-        deleted value tuples)`` — null-safe by Python tuple
-        equality)."""
-        import pyarrow.parquet as pq
-
-        pos = self._decode_strikes([s for s in specs or () if s[0] != "eq"])
+            return set(dv_blob_decode(read_blob(s[1], s[2], s[3])))
+        _tag, path, cols = s
         out_idx = {
             f["name"]: i for i, f in enumerate(self._out_json["fields"])
         }
+        t = pq.read_table(path, columns=list(cols))
+        vals = set(zip(*[t.column(c).to_pylist() for c in cols]))
+        return ([out_idx[c] for c in cols], vals)
+
+    def _strikers(self, specs, cache: dict):
+        """(struck position set, equality matchers) for a spec list —
+        each unique source decodes ONCE per partition via ``cache``
+        (a diff partition's before/after sides usually share most
+        sources)."""
+        pos: set[int] = set()
         eqm = []
-        for _tag, path, cols in (
-            s for s in specs or () if s[0] == "eq"
-        ):
-            t = pq.read_table(path, columns=list(cols))
-            vals = set(zip(*[t.column(c).to_pylist() for c in cols]))
-            eqm.append(([out_idx[c] for c in cols], vals))
+        for s in specs or ():
+            if s not in cache:
+                cache[s] = self._decode_one(s)
+            if s[0] == "eq":
+                eqm.append(cache[s])
+            else:
+                pos |= cache[s]
         return pos, eqm
 
     def partitions(self, start: dict, end: dict):
@@ -523,13 +520,14 @@ class IcebergStreamReader(DataSourceStreamReader):
             for src, conv, fill in partition.proj
         ]
         strike = getattr(partition, "strike", None)
+        cache: dict = {}
         if strike is None:
             test = None
         elif strike[0] == "skip":
-            test = ("skip", *self._strikers(strike[1]))
+            test = ("skip", *self._strikers(strike[1], cache))
         else:
-            test = ("diff", *self._strikers(strike[1]),
-                    *self._strikers(strike[2]))
+            test = ("diff", *self._strikers(strike[1], cache),
+                    *self._strikers(strike[2], cache))
 
         def _eq_hit(eqm, vals):
             return any(

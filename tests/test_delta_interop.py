@@ -1853,3 +1853,100 @@ def test_export_cdf_keyless_and_compaction(spark, tmp_path):
     with open(os.path.join(root2, "_delta_log", f"{1:020d}.json")) as f:
         acts = [_json.loads(ln) for ln in f if ln.strip()]
     assert any("cdc" in a for a in acts)
+
+
+def test_export_cdf_respects_legacy_logs(spark, tmp_path):
+    """A log exported before CDF support (ICT-only metaData, the
+    round-10 shape) must STAY CDF-free: later merge exports write no
+    cdc actions, and the 10-version checkpoint reproduces the log's
+    actual configuration instead of flipping the feature on (Delta
+    requires checkpoint metaData to match the log). Duplicate keys
+    disable the keyed image pairing (multiset diff instead of a
+    fanned-out join)."""
+    import pyarrow.parquet as pq
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        export_delta_log,
+        read_delta,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "legacy")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, v long", bucket_key=["k"], num_buckets=2
+    )
+    t.append(spark.createDataFrame(
+        [(i, 10 * i) for i in range(6)], "k bigint, v long"
+    ))
+    assert export_delta_log(t) == 0
+    log = os.path.join(root, "_delta_log")
+    v0 = os.path.join(log, f"{0:020d}.json")
+    acts = [json.loads(ln) for ln in open(v0) if ln.strip()]
+    for a in acts:  # doctor v0 into the pre-CDF (ICT-only) shape
+        if "metaData" in a:
+            a["metaData"]["configuration"].pop(
+                "delta.enableChangeDataFeed"
+            )
+        if "protocol" in a:
+            a["protocol"]["writerFeatures"] = ["inCommitTimestamp"]
+    with open(v0, "w") as f:
+        f.writelines(json.dumps(a) + "\n" for a in acts)
+    # merge exports on the legacy log write NO cdc actions
+    import pyspark.sql.functions as F
+
+    t.merge(spark.createDataFrame([(1, 999)], "k bigint, v long"))
+    assert export_delta_log(t) == 1
+    acts1 = [json.loads(ln)
+             for ln in open(os.path.join(log, f"{1:020d}.json"))
+             if ln.strip()]
+    assert not any("cdc" in a for a in acts1)
+    assert not os.path.isdir(os.path.join(root, "_change_data"))
+    # drive to the version-10 checkpoint: its metaData must reproduce
+    # the legacy configuration (ICT only)
+    for i in range(9):
+        t.merge(spark.createDataFrame([(2, 100 + i)], "k bigint, v long"))
+        export_delta_log(t)
+    cp = os.path.join(log, f"{10:020d}.checkpoint.parquet")
+    assert os.path.exists(cp)
+    metas = [
+        m for m in pq.read_table(cp).to_pylist() if m.get("metaData")
+    ]
+    conf = dict(metas[0]["metaData"]["configuration"] or {})
+    assert conf.get("delta.enableInCommitTimestamps") == "true"
+    assert "delta.enableChangeDataFeed" not in conf
+    assert read_delta(spark, root).count() == 6
+
+
+def test_export_cdf_duplicate_keys_fall_back_to_multiset(spark, tmp_path):
+    """Duplicate bucket keys would fan the keyed full-outer image join
+    out into invented update pairs; the exporter detects them and
+    falls back to the exact multiset diff (insert/delete images)."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        export_delta_log,
+        read_delta_changes,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "dupk")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, v long", bucket_key=["k"], num_buckets=1
+    )
+    # appends don't enforce key uniqueness: k=7 lands twice
+    t.append(spark.createDataFrame(
+        [(7, 1), (7, 2), (8, 80)], "k bigint, v long"
+    ))
+    assert export_delta_log(t) == 0
+    t.overwrite(spark.createDataFrame(
+        [(7, 1), (7, 3), (8, 80)], "k bigint, v long"
+    ))
+    assert export_delta_log(t) == 1
+    ch = read_delta_changes(spark, root, starting_version=1)
+    got = sorted((r["k"], r["v"], r["_change_type"]) for r in ch.collect())
+    # exact multiset semantics: (7,1) and (8,80) carried and CANCEL
+    assert got == [(7, 2, "delete"), (7, 3, "insert")]

@@ -367,6 +367,13 @@ def test_mor_export_log_appends(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert set(got) == exp3 and len(got) == len(exp3)
+    # a version bump with ZERO file changes (stats-pruned no-match
+    # delete) advances the marker through the not-touched branch —
+    # which must KEEP table_type or the mixing gate breaks next time
+    t.delete(F.col("k") == 424242, prune=[("k", 424242, 424242)])
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    with pytest.raises(ValueError, match="mix table types"):
+        export_hudi(t, dest)
 
 
 def test_mor_compaction(spark, tmp_path):
