@@ -168,6 +168,13 @@ HEADLINE = [
     "s47_iceberg_changelog",      # file-diff insert/delete feed (r10)
     "st21_stream_iceberg_changelog",  # changelog as a stream (r10)
     "s48_csv_roundtrip",          # CSV sink+source, quoting/NULL exact (r10)
+    "st22_stream_nested_evolution",  # mid-stream vintage projection (r11)
+    "s49_iceberg_changelog_dv_replay",  # delete replay liveness algebra (r11)
+    "s50_delta_export_cdf",       # exact change files on merge export (r11)
+    "st23_stream_iceberg_row_lineage",  # v3 lineage through the stream (r11)
+    "st24_stream_delta_row_tracking",   # rowTracking through the stream (r11)
+    "s51_hudi_mor_export",        # log-append MOR publish (r11)
+    "s52_hudi_mor_compaction",    # logged-group compaction lifecycle (r11)
 ]
 
 

@@ -355,7 +355,11 @@ class DeltaStreamReader(DataSourceStreamReader):
 
             dead = set(read_dv_descriptor(partition.dv, self._root))
         pf = pq.ParquetFile(partition.path)
-        #: logical column -> the column name THIS FILE stores it under
+        #: logical column -> the column name THIS FILE stores it under;
+        #: a column the file predates (added by a later metaData) is
+        #: ABSENT and NULL-fills — Delta's read semantics for both
+        #: name resolution and field-id resolution
+        names_in_file = {f.name for f in pf.schema_arrow}
         if self._mode == "id":
             id2name: dict[int, str] = {}
             for f in pf.schema_arrow:
@@ -367,17 +371,14 @@ class DeltaStreamReader(DataSourceStreamReader):
                 if lc in self._part_cols:
                     continue
                 fid = self._fid_of[lc]
-                if fid not in id2name:
-                    raise DeltaProtocolError(
-                        f"{partition.path}: no parquet column carries "
-                        f"field id {fid} (declared for column {lc!r})"
-                    )
-                col_of[lc] = id2name[fid]
+                if fid in id2name:
+                    col_of[lc] = id2name[fid]
         else:
             col_of = {
                 lc: self._file_col_of[lc]
                 for lc in self._schema_order
                 if lc not in self._part_cols
+                and self._file_col_of[lc] in names_in_file
             }
         cols = list(col_of.values())
         if partition.own_ct:
@@ -404,6 +405,9 @@ class DeltaStreamReader(DataSourceStreamReader):
             c: _cast_pv(partition.pv.get(c), t) for c, t in partition.part_casts
         }
         data = {lc: table.column(fc).to_pylist() for lc, fc in col_of.items()}
+        for lc in self._schema_order:  # columns this file predates
+            if lc not in self._part_cols and lc not in data:
+                data[lc] = None
         cts = (
             table.column("_change_type").to_pylist()
             if partition.own_ct
@@ -414,7 +418,10 @@ class DeltaStreamReader(DataSourceStreamReader):
             if i in dead:
                 continue
             base = [
-                pv[c] if c in pv else data[c][i] for c in self._schema_order
+                pv[c]
+                if c in pv
+                else (None if data[c] is None else data[c][i])
+                for c in self._schema_order
             ]
             if rt is not None:
                 rid = (

@@ -590,7 +590,10 @@ def compact_hudi(spark, dest: str) -> str | None:
     see ZERO phantom changes from a compaction. Log-free groups are
     untouched; a table with no logged groups is a no-op (returns
     None, else the compaction instant). One job per logged group —
-    compaction cost tracks the logged minority, never the table."""
+    compaction cost tracks the logged minority, never the table
+    (each group's ``_read_mor`` call re-resolves the timeline, a
+    metadata-scale listing per group; a real deployment would batch
+    groups per compaction plan the way Hudi's scheduler does)."""
     from pyspark.sql import functions as F
 
     from .hudi import _completed_commits, _latest_slices, _properties

@@ -250,7 +250,7 @@ def test_stream_column_mapping_id_mode(spark, tmp_path):
     columns resolve by PARQUET:field_id against the declared
     delta.columnMapping.id — two files carrying DIFFERENT physical
     names for the same field ids stream out aligned logically. A file
-    missing a declared field id raises."""
+    missing a declared field id NULL-fills (ADD COLUMN shape)."""
     import json as _json
 
     import pyarrow as pa
@@ -318,16 +318,19 @@ def test_stream_column_mapping_id_mode(spark, tmp_path):
     df = spark.read.format("delta_stream").option("path", root).load()
     assert df.columns == ["k", "v", "seg", "_commit_version"]
     assert df.count() == 3
-    # a file that lacks a declared field id raises (no silent nulls)
-    pfile("bad.parquet", ["col-xx"], [1], [(9,)])
+    # a file that lacks a declared field id NULL-FILLS that column —
+    # the same resolution delta-spark applies, because a file written
+    # before ADD COLUMN is indistinguishable from this shape and must
+    # read as null, not fail the stream
+    pfile("late.parquet", ["col-xx"], [1], [(9,)])
     _write_commit(
         root, 2,
-        [{"add": {"path": "bad.parquet",
+        [{"add": {"path": "late.parquet",
                   "partitionValues": {"col-ee": "Z"},
                   "size": 1, "dataChange": True}}],
     )
-    with pytest.raises(Exception, match="field id 2"):
-        _drain(spark, root, str(tmp_path / "ck2"), startingVersion=0)
+    got2 = _drain(spark, root, str(tmp_path / "ck2"), startingVersion=0)
+    assert (9, None, "Z", 2) in set(got2)
 
 
 def test_stream_row_tracking(spark, stream_root, tmp_path):
@@ -425,3 +428,46 @@ def test_stream_change_feed_over_exported_merge(spark, tmp_path):
         (3, 999, "update_postimage", 1),
         (5, 50, "delete", 1),
     ]
+
+
+def test_stream_null_fills_columns_the_file_predates(spark, tmp_path):
+    """A file written BEFORE a column was added (mid-history metaData
+    evolution) streams with that column NULL-filled — Delta's read
+    semantics — instead of failing the parquet read; files written
+    after carry their real values. Same under field-id resolution:
+    a missing id NULL-fills rather than raising."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.test_delta_interop import _meta_action, _write_parquet
+
+    root = str(tmp_path / "addcol")
+    os.makedirs(root, exist_ok=True)
+    _write_parquet(os.path.join(root, "a.parquet"), [(1, 10)], ["k", "v"])
+    _write_parquet(
+        os.path.join(root, "b.parquet"), [(2, 20, 200)], ["k", "v", "w"]
+    )
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(_json.dumps(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        ) + "\n")
+        f.write(_json.dumps(_meta_action([("k", "long"), ("v", "long")])) + "\n")
+        f.write(_json.dumps(
+            {"add": {"path": "a.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}}
+        ) + "\n")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
+        f.write(_json.dumps(_meta_action(
+            [("k", "long"), ("v", "long"), ("w", "long")]
+        )) + "\n")
+        f.write(_json.dumps(
+            {"add": {"path": "b.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}}
+        ) + "\n")
+    register_delta_stream(spark)
+    got = _drain(spark, root, str(tmp_path / "ck"), startingVersion=0)
+    assert sorted(got) == [(1, 10, None, 0), (2, 20, 200, 1)]
