@@ -471,3 +471,39 @@ def test_stream_null_fills_columns_the_file_predates(spark, tmp_path):
     register_delta_stream(spark)
     got = _drain(spark, root, str(tmp_path / "ck"), startingVersion=0)
     assert sorted(got) == [(1, 10, None, 0), (2, 20, 200, 1)]
+
+
+def test_stream_row_tracking_composes_with_dv(spark, tmp_path):
+    """rowTracking + a deletion vector on the same add: the dead row
+    is skipped WITHOUT renumbering survivors (fresh ids are physical
+    positions)."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.dv import (
+        write_dv_file,
+    )
+    from tests.test_delta_interop import (
+        _rt_meta,
+        _write_commit,
+        _write_parquet,
+    )
+
+    root = str(tmp_path / "rtdvs")
+    _write_parquet(
+        os.path.join(root, "a.parquet"),
+        [(1, 10), (2, 20), (3, 30)], ["k", "bal"],
+    )
+    desc = write_dv_file(os.path.join(root, "dv_a.bin"), [1])  # kills k=2
+    _write_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["rowTracking", "deletionVectors"]}},
+        _rt_meta(mat=False),
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 100, "defaultRowCommitVersion": 0,
+                 "deletionVector": desc}},
+    ])
+    register_delta_stream(spark)
+    got = _drain(spark, root, str(tmp_path / "ck"),
+                 startingVersion=0, rowTracking="true")
+    # k=3 keeps _row_id 102: position-based, not survivor-renumbered
+    assert got == [(1, 10, 100, 0, 0), (3, 30, 102, 0, 0)]

@@ -2339,3 +2339,43 @@ def test_changelog_equality_replay(spark, tmp_path):
     ]
     # window after the strike: nothing resurrects
     assert read_iceberg_changelog(spark, root, from_snapshot_id=2).count() == 0
+
+
+def test_changelog_replay_composes_with_schema_evolution(spark, tmp_path):
+    """Delete replay over a window whose files span SCHEMA VINTAGES:
+    the liveness-keyed scan threads the (file, pos) keys through the
+    per-vintage projection, so a renamed column resolves AND the
+    struck row still emits exactly one delete under the CURRENT
+    name."""
+    import pyarrow as pa
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        append_position_deletes,
+        commit_schema_evolution,
+        read_iceberg_changelog,
+    )
+
+    root, f = _evo_root(tmp_path, "clogevo", bal_type="long")
+    nf = os.path.join(root, "data", "b.parquet")
+    _write_parquet_typed(
+        nf, {"k": (pa.int64(), [9]), "amount": (pa.int64(), [90])}
+    )
+    commit_schema_evolution(
+        root,
+        [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "amount", "type": "long"},  # renamed
+        ],
+        added_files=[(nf, 1)],
+    )
+    append_position_deletes(root, [(f, 1)])  # strikes k=2 (old vintage)
+    got = sorted(
+        (r["k"], r["amount"], r["_change_type"], r["_change_ordinal"])
+        for r in read_iceberg_changelog(spark, root).collect()
+    )
+    assert got == [
+        (1, 10, "insert", 0),
+        (2, 20, "delete", 2), (2, 20, "insert", 0),
+        (3, 30, "insert", 0),
+        (9, 90, "insert", 1),
+    ]
