@@ -6406,3 +6406,175 @@ def q_s52(spark, sf):
     # instant is exactly the later merge's rows
     assert read_hudi_incremental(spark, dest, begin=ci).count() == n2
     return read_hudi(spark, dest)
+
+@query(
+    "s53_hudi_mor_partitioned",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey,
+           CASE WHEN k % 9 = 0 THEN 'MOVED' ELSE seg END AS seg,
+           cents + CASE WHEN k % 9 = 0 THEN 333
+                        WHEN k % 31 = 1 THEN 777
+                        ELSE 0 END AS cents
+    FROM base WHERE k % 23 <> 0
+    """,
+)
+def q_s53(spark, sf):
+    """S53 — PARTITIONED MERGE_ON_READ Hudi export
+    (sources/hudi_export.py ``export_hudi(partition_by=...,
+    table_type="MERGE_ON_READ")``): group identity is (partition,
+    fileId), and the incremental publish stays a LOG APPEND per
+    touched group — an in-place update logs an upsert in its own
+    partition, a key whose partition value CHANGED (``%9`` keys move
+    to the brand-new ``seg=MOVED`` partition) logs a DELETE tombstone
+    in its old group plus an upsert in the new one (the two records a
+    real global-index MOR writer emits for a partition-path change),
+    the new partition starts as a LOG-ONLY file group (no base file
+    until compaction), and deleted keys (``%23``) log tombstones. The
+    in-entry asserts pin ZERO new base parquet files after the delta
+    export and that partition pruning serves the moved keys from
+    ``seg=MOVED`` alone. The returned frame snapshot-reads the
+    published table back through the group-local base+log merge;
+    DuckDB recomputes the final state, so a stale row surviving in
+    the old partition, a lost move, or a tombstone applied in the
+    wrong group breaks the row-level hash."""
+    import glob
+    import os
+
+    from .sources.hudi import read_hudi
+    from .sources.hudi_export import export_hudi
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s53", sf),
+        "c_custkey bigint, seg string, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    t.append(c)
+    dest = os.path.join(t.root, "hudi_mor_part")
+    i1 = export_hudi(t, dest, partition_by=["seg"],
+                     table_type="MERGE_ON_READ")
+    n_base = len(glob.glob(os.path.join(dest, "**", "*.parquet"),
+                           recursive=True))
+    # %9 keys MOVE to the new seg=MOVED partition (+333); %31==1 keys
+    # update in place (+777); %9 wins where both apply — the same
+    # precedence the oracle CASE encodes
+    k = F.col("c_custkey")
+    upd = c.filter((k % 9 == 0) | (k % 31 == 1)).select(
+        "c_custkey",
+        F.when(k % 9 == 0, F.lit("MOVED")).otherwise(F.col("seg")).alias("seg"),
+        (F.col("cents") + F.when(k % 9 == 0, 333).otherwise(777)).alias("cents"),
+    )
+    t.merge(upd)
+    t.delete(k % 23 == 0)
+    i2 = export_hudi(t, dest, partition_by=["seg"],
+                     table_type="MERGE_ON_READ")
+    assert i2 > i1
+    # delta-sized write amplification: ZERO new base files, logs only
+    assert len(glob.glob(os.path.join(dest, "**", "*.parquet"),
+                         recursive=True)) == n_base
+    moved_files = os.listdir(os.path.join(dest, "seg=MOVED"))
+    assert moved_files and all(".log." in f for f in moved_files)
+    # partition pruning serves the moved keys from their new group
+    n_moved = read_hudi(spark, dest, partitions="seg=MOVED").count()
+    assert n_moved == c.filter((k % 9 == 0) & (k % 23 != 0)).count()
+    return read_hudi(spark, dest)
+
+@query(
+    "s54_iceberg_nested_eq_delete",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey, seg, cents
+    FROM base
+    WHERE seg <> 'BUILDING' AND k % 31 <> 0
+    """,
+)
+def q_s54(spark, sf):
+    """S54 — NESTED equality deletes (sources/iceberg.py
+    ``_eq_field_paths`` / ``_eq_read_schema``): the spec allows
+    equality ids on any primitive field not under a repeated or map
+    type — including fields INSIDE structs — and this read resolves
+    ids to dotted paths through struct nesting and compares at the
+    leaf (the official Java runtime reads these; many engines gate
+    them). The fixture exports ``profile struct<seg, cents>``, then
+    appends TWO foreign equality-delete snapshots: one keyed on the
+    nested ``profile.seg`` alone (kills the whole BUILDING segment),
+    one keyed on a MIXED (top-level ``c_custkey``, nested
+    ``profile.cents``) id pair (kills exact ``%31`` key+cents pairs —
+    a matching key with different cents must survive). Both delete
+    files are REAL nested parquet (struct shells pinned in-entry by
+    footer schema), applied as one broadcast null-safe LEFT ANTI-join
+    each. DuckDB recomputes the survivors; matching the wrong leaf,
+    flattening by name instead of field id, or dropping the
+    struct-shell read breaks the row-level hash."""
+    import pyarrow.parquet as _pq
+
+    from .sources.iceberg import (
+        append_equality_deletes,
+        export_iceberg,
+        read_iceberg,
+    )
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.struct(
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        ).alias("profile"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s54", sf),
+        "c_custkey bigint, profile struct<seg:string,cents:bigint>",
+        bucket_key=["c_custkey"],
+        num_buckets=8,
+    )
+    t.append(c)
+    assert export_iceberg(t) == 1
+    append_equality_deletes(
+        t.root, [{"profile.seg": "BUILDING"}], ["profile.seg"]
+    )
+    doomed = [
+        {"c_custkey": r["c_custkey"], "profile.cents": r["cents"]}
+        for r in c.filter(F.col("c_custkey") % 31 == 0)
+        .select("c_custkey", F.col("profile.cents").alias("cents"))
+        .collect()
+    ]
+    assert doomed
+    append_equality_deletes(
+        t.root, doomed, ["c_custkey", "profile.cents"]
+    )
+    # the delete files are REAL nested parquet: struct shells in the
+    # footer, not name-mangled flat columns
+    import glob as _glob
+    import os as _os
+
+    dfiles = sorted(
+        _glob.glob(_os.path.join(t.root, "metadata", "eq-delete-*.parquet"))
+    )
+    assert len(dfiles) == 2
+    sch = _pq.ParquetFile(dfiles[0]).schema_arrow
+    assert sch.field("profile").type.num_fields == 1
+    # pre-delete time travel unaffected
+    assert read_iceberg(spark, t.root, snapshot_id=1).count() == c.count()
+    return read_iceberg(spark, t.root).select(
+        "c_custkey",
+        F.col("profile.seg").alias("seg"),
+        F.col("profile.cents").alias("cents"),
+    )

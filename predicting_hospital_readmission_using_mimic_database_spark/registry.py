@@ -64,6 +64,8 @@ PRIORITY: tuple[str, ...] = (
     "st24_stream_delta_row_tracking",
     "s51_hudi_mor_export",
     "s52_hudi_mor_compaction",
+    "s53_hudi_mor_partitioned",
+    "s54_iceberg_nested_eq_delete",
     # (a) code-changed in round 11
     "s47_iceberg_changelog",
     "st21_stream_iceberg_changelog",
@@ -105,10 +107,8 @@ PRIORITY: tuple[str, ...] = (
     "m7_grid_cv",
     "e3_pr_curve",
     "d4_ngram_jaccard",
-    "d8_line_dedup",
     "n2_knn_lsh",
     "x6_lm_quality",
-    "x16_curation_funnel",
     "mm3_image_resize",
     "st3_stream_dedup",
     "g1_pagerank",

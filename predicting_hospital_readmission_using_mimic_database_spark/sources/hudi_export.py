@@ -84,9 +84,15 @@ def export_hudi(
     rewrite of the group's base file). Log files are written ON
     EXECUTORS (one applyInPandas task per touched group); the diff
     reads only the touched groups' published state through the same
-    ``_read_mor`` fold every reader uses. Not combinable with
-    ``partition_by`` (an upsert may MOVE a row across partitions;
-    cross-partition key migration in log form is not modeled)."""
+    ``_read_mor`` fold every reader uses. Combinable with
+    ``partition_by``: group identity is (partition, fileId), so a key
+    that MOVES partitions becomes a DELETE tombstone in its old
+    partition's group log plus an upsert in the new one — the same
+    two records a real global-index MOR writer emits for a
+    partition-path change — and a first-ever row in a partition whose
+    (partition, fileId) group has no base file starts a LOG-ONLY file
+    group there (readers fold it; compaction later writes its first
+    base)."""
     if not table.bucket_key:
         raise ValueError(
             "export_hudi needs a bucketed SnapshotTable: the bucket key "
@@ -99,13 +105,6 @@ def export_hudi(
             "MERGE_ON_READ"
         )
     mor = table_type == "MERGE_ON_READ"
-    if mor and partition_by:
-        raise ValueError(
-            "export_hudi: MERGE_ON_READ + partition_by is not supported "
-            "— an upsert may move a row across partitions, and "
-            "cross-partition key migration has no log-append form here; "
-            "publish partitioned tables as COPY_ON_WRITE"
-        )
     schema_names = [f.name for f in table.schema.fields]
     partition_by = list(partition_by or [])
     unknown = [c for c in partition_by if c not in schema_names]
@@ -250,11 +249,12 @@ def export_hudi(
     # base file — never a scan of the whole prior export (at scale the
     # incremental cost is the touched buckets' rows, not the table)
     prev_slices = None
+    prev_logs: dict = {}
     if prev_version is not None:
         from .hudi import _latest_slices
 
         if mor:
-            prev_slices, _prev_logs = _latest_slices(
+            prev_slices, prev_logs = _latest_slices(
                 dest, None, None, collect_logs=True
             )
         else:
@@ -266,7 +266,7 @@ def export_hudi(
         # write amplification, never a bucket rewrite
         written = _export_mor_delta(
             table, dest, inst, sorted(touched), cur, key_expr, _row_hash,
-            prev_slices,
+            prev_slices, prev_logs, pp_expr,
         )
         tmp = os.path.join(hdir, f".{inst}.deltacommit.tmp")
         with open(tmp, "w") as f:
@@ -434,57 +434,64 @@ def _avro_log_schema(schema) -> dict:
 
 def _export_mor_delta(
     table, dest: str, inst: str, buckets: list, cur, key_expr, row_hash,
-    prev_slices: dict,
+    prev_slices: dict, prev_logs: dict, pp_expr,
 ) -> dict:
     """The MOR incremental publish: each touched bucket's per-key diff
     against the PUBLISHED group state (read through the same
     ``_read_mor`` fold every reader uses, restricted to the touched
-    groups) becomes ONE appended log file — an AVRO upsert block for
-    new/changed keys and a DELETE block for gone keys. The diff is a
-    full-outer join on the record key over only the touched groups'
-    rows; log files are written ON EXECUTORS, one applyInPandas task
-    per group (groups write distinct files, so tasks never contend).
-    Returns the commit marker's ``partitionToWriteStats``."""
+    groups) becomes ONE appended log file per (partition, fileId)
+    group — an AVRO upsert block for new/changed keys and a DELETE
+    block for gone keys. A key whose partition path CHANGED emits
+    both: a tombstone in its old group's log and an upsert in the new
+    one (the merge window keys on ``(_hoodie_record_key,
+    _hoodie_partition_path)``, so each group resolves locally — the
+    same pair of records a real global-index writer produces). A
+    group with no published base file (first rows in a new partition)
+    starts as a LOG-ONLY file group. The diff is a full-outer join on
+    the record key over only the touched groups' rows; log files are
+    written ON EXECUTORS, one applyInPandas task per group (groups
+    write distinct files, so tasks never contend). Returns the commit
+    marker's ``partitionToWriteStats``."""
     from pyspark.sql import functions as F
 
     from . import hudi_log as HL
     from .hudi import _read_mor
 
     spark = table.spark
-    fids = {b: f"b{b:04d}" for b in buckets}
-    want_fids = set(fids.values())
-    only = {k for k in prev_slices if k[1] in want_fids}
-    if not only:
-        raise ValueError(
-            "export_hudi MERGE_ON_READ: touched buckets "
-            f"{sorted(want_fids)} have no published file groups"
-        )
-    # one log file per group, versioned after the existing appends of
-    # the group's CURRENT base slice
-    logpath: dict[str, str] = {}
-    for part, fid in sorted(only):
-        base_inst, base_path = prev_slices[(part, fid)]
-        d = os.path.dirname(base_path)
-        n_logs = len(glob.glob(os.path.join(d, f".{fid}_{base_inst}.log.*")))
-        logpath[fid] = os.path.join(
-            d, HL.log_file_name(fid, base_inst, n_logs + 1)
-        )
+    want_fids = {f"b{b:04d}" for b in buckets}
+    only = {
+        k for k in set(prev_slices) | set(prev_logs) if k[1] in want_fids
+    }
     data_cols = [f.name for f in table.schema.fields]
     avro_schema = _avro_log_schema(table.schema)
     avro_types = {
         f["name"]: f["type"][1] for f in avro_schema["fields"]
     }
-    old_raw = _read_mor(spark, dest, None, True, None, only_groups=only)
-    old = old_raw.select(
-        F.col("_hoodie_record_key").alias("__k"),
-        row_hash(old_raw).alias("__ho"),
-        table._bucket_expr().cast("int").alias("__bo"),
+    old_schema = (
+        "__k string, __ppo string, __ho string, __bo int, __o boolean"
     )
+    if only:
+        old_raw = _read_mor(spark, dest, None, True, None, only_groups=only)
+        old = old_raw.select(
+            F.col("_hoodie_record_key").alias("__k"),
+            F.col("_hoodie_partition_path").alias("__ppo"),
+            row_hash(old_raw).alias("__ho"),
+            table._bucket_expr().cast("int").alias("__bo"),
+            F.lit(True).alias("__o"),
+        )
+    else:
+        # touched buckets had no published groups (they were empty at
+        # every prior export — a partitioned layout writes no file for
+        # a bucket with zero rows in a partition): the old state is
+        # simply empty, every new row is an insert
+        old = spark.createDataFrame([], old_schema)
     new = cur.filter(F.col("__b").isin([int(b) for b in buckets])).withColumn(
         "__k", key_expr
     )
-    new = new.withColumn("__hn", row_hash(new)).withColumn(
-        "__n", F.lit(True)
+    new = (
+        new.withColumn("__hn", row_hash(new))
+        .withColumn("__ppn", pp_expr)
+        .withColumn("__n", F.lit(True))
     )
     j = old.join(new, "__k", "full_outer")
     ups = j.filter(
@@ -494,76 +501,133 @@ def _export_mor_delta(
         F.lit("u").alias("__op"),
         F.col("__k"),
         F.col("__b").cast("int").alias("__bk"),
+        F.col("__ppn").alias("__pp"),
         *[F.col(c) for c in data_cols],
     )
-    dels = j.filter(F.col("__n").isNull()).select(
+    null_cols = [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in table.schema.fields
+    ]
+    dels_gone = j.filter(F.col("__n").isNull()).select(
         F.lit("d").alias("__op"),
         F.col("__k"),
         F.col("__bo").alias("__bk"),
-        *[
-            F.lit(None).cast(f.dataType).alias(f.name)
-            for f in table.schema.fields
-        ],
+        F.col("__ppo").alias("__pp"),
+        *null_cols,
     )
-    lp_df = spark.createDataFrame(
-        [(int(b), logpath[fids[b]]) for b in buckets if fids[b] in logpath],
-        "__bk int, __lp string",
+    # a partition MOVE: the upsert above lands in the NEW group; the
+    # OLD group needs a tombstone or its stale row would survive the
+    # group-local merge
+    dels_moved = j.filter(
+        F.col("__n").isNotNull()
+        & F.col("__o").isNotNull()
+        & (F.col("__ppo") != F.col("__ppn"))
+    ).select(
+        F.lit("d").alias("__op"),
+        F.col("__k"),
+        F.col("__bo").alias("__bk"),
+        F.col("__ppo").alias("__pp"),
+        *null_cols,
     )
-    changes = ups.unionByName(dels).join(F.broadcast(lp_df), "__bk")
-
-    def write_group(pdf):
-        import pandas as pd
-
-        path = pdf["__lp"].iloc[0]
-        fid = os.path.basename(path).lstrip(".").split("_")[0]
-
-        def conv(name, v):
-            if v is None or (not isinstance(v, (str, list, dict))
-                             and pd.isna(v)):
-                return None
-            at = avro_types[name]
-            if at in ("long", "int"):
-                return int(v)
-            if at in ("double", "float"):
-                return float(v)
-            if at == "boolean":
-                return bool(v)
-            return str(v)
-
-        ups_p = pdf[pdf["__op"] == "u"]
-        if len(ups_p):
-            recs = []
-            for row in ups_p.to_dict("records"):
-                r = {
-                    "_hoodie_commit_time": inst,
-                    "_hoodie_commit_seqno": f"{inst}_{fid}",
-                    "_hoodie_record_key": row["__k"],
-                    "_hoodie_partition_path": "",
-                    "_hoodie_file_name": os.path.basename(path),
-                }
-                for c in data_cols:
-                    r[c] = conv(c, row[c])
-                recs.append(r)
-            HL.append_avro_block(path, inst, avro_schema, recs)
-        dels_p = pdf[pdf["__op"] == "d"]
-        if len(dels_p):
-            HL.append_delete_block(
-                path,
-                inst,
-                [
-                    {"recordKey": k, "partitionPath": "",
-                     "orderingVal": None}
-                    for k in dels_p["__k"].tolist()
-                ],
+    changes = ups.unionByName(dels_gone).unionByName(dels_moved)
+    changes.persist()
+    try:
+        targets = [
+            (r["__pp"], int(r["__bk"]))
+            for r in changes.select("__pp", "__bk").distinct().collect()
+        ]
+        # one log file per TARGET group, versioned after the existing
+        # appends of the group's current slice (log-only groups keep
+        # extending their own chain; a brand-new group starts one at
+        # this instant)
+        logpath: dict[tuple[str, int], str] = {}
+        for pp, bk in sorted(targets):
+            fid = f"b{bk:04d}"
+            part = os.path.normpath(pp) if pp else "."
+            if (part, fid) in prev_slices:
+                base_inst, base_path = prev_slices[(part, fid)]
+                d = os.path.dirname(base_path)
+                n_logs = len(
+                    glob.glob(os.path.join(d, f".{fid}_{base_inst}.log.*"))
+                )
+                logpath[(pp, bk)] = os.path.join(
+                    d, HL.log_file_name(fid, base_inst, n_logs + 1)
+                )
+                continue
+            lgs = prev_logs.get((part, fid))
+            if lgs:
+                bi, ver, p = max(lgs)
+                logpath[(pp, bk)] = os.path.join(
+                    os.path.dirname(p), HL.log_file_name(fid, bi, ver + 1)
+                )
+                continue
+            d = dest if part == "." else os.path.join(dest, pp)
+            logpath[(pp, bk)] = os.path.join(
+                d, HL.log_file_name(fid, inst, 1)
             )
-        return pd.DataFrame(
-            {"path": [path], "upserts": [len(ups_p)],
-             "deletes": [len(dels_p)]}
+        lp_df = spark.createDataFrame(
+            [(pp, bk, lp) for (pp, bk), lp in logpath.items()],
+            "__pp string, __bk int, __lp string",
         )
+        routed = changes.join(F.broadcast(lp_df), ["__pp", "__bk"])
 
-    summary = changes.groupBy("__lp").applyInPandas(
-        write_group, "path string, upserts long, deletes long"
-    ).collect()
+        def write_group(pdf):
+            import pandas as pd
+
+            path = pdf["__lp"].iloc[0]
+            pp = pdf["__pp"].iloc[0]
+            fid = os.path.basename(path).lstrip(".").split("_")[0]
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+
+            def conv(name, v):
+                if v is None or (not isinstance(v, (str, list, dict))
+                                 and pd.isna(v)):
+                    return None
+                at = avro_types[name]
+                if at in ("long", "int"):
+                    return int(v)
+                if at in ("double", "float"):
+                    return float(v)
+                if at == "boolean":
+                    return bool(v)
+                return str(v)
+
+            ups_p = pdf[pdf["__op"] == "u"]
+            if len(ups_p):
+                recs = []
+                for row in ups_p.to_dict("records"):
+                    r = {
+                        "_hoodie_commit_time": inst,
+                        "_hoodie_commit_seqno": f"{inst}_{fid}",
+                        "_hoodie_record_key": row["__k"],
+                        "_hoodie_partition_path": pp,
+                        "_hoodie_file_name": os.path.basename(path),
+                    }
+                    for c in data_cols:
+                        r[c] = conv(c, row[c])
+                    recs.append(r)
+                HL.append_avro_block(path, inst, avro_schema, recs)
+            dels_p = pdf[pdf["__op"] == "d"]
+            if len(dels_p):
+                HL.append_delete_block(
+                    path,
+                    inst,
+                    [
+                        {"recordKey": k, "partitionPath": pp,
+                         "orderingVal": None}
+                        for k in dels_p["__k"].tolist()
+                    ],
+                )
+            return pd.DataFrame(
+                {"path": [path], "upserts": [len(ups_p)],
+                 "deletes": [len(dels_p)]}
+            )
+
+        summary = routed.groupBy("__lp").applyInPandas(
+            write_group, "path string, upserts long, deletes long"
+        ).collect()
+    finally:
+        changes.unpersist()
     written: dict[str, list[dict]] = {}
     for r in summary:
         rel = os.path.relpath(r["path"], dest)
@@ -589,14 +653,29 @@ def compact_hudi(spark, dest: str) -> str | None:
     is PRESERVED by the fold, so incremental and streaming consumers
     see ZERO phantom changes from a compaction. Log-free groups are
     untouched; a table with no logged groups is a no-op (returns
-    None, else the compaction instant). One job per logged group —
-    compaction cost tracks the logged minority, never the table
-    (each group's ``_read_mor`` call re-resolves the timeline, a
-    metadata-scale listing per group; a real deployment would batch
-    groups per compaction plan the way Hudi's scheduler does)."""
+    None, else the compaction instant).
+
+    Scale shape: ONE timeline resolution and ONE Spark job for the
+    whole plan — every logged group folds in the same ``_read_mor``
+    call, rows route back to their group by a broadcast
+    ``(partition path, file name) -> fileId`` map built from the
+    already-listed slices (every surviving row's ``_hoodie_file_name``
+    names its base or log file), and the staged write repartitions by
+    group so each (partition, fileId) emits exactly one new base file.
+    A group whose fold is EMPTY (every key tombstoned) still gets an
+    empty base file — otherwise its stale logs would stay current and
+    the next compaction would re-plan it forever."""
+    from urllib.parse import unquote
+
     from pyspark.sql import functions as F
 
-    from .hudi import _completed_commits, _latest_slices, _properties
+    from .hudi import (
+        HudiProtocolError,
+        _completed_commits,
+        _latest_slices,
+        _properties,
+        _read_mor,
+    )
 
     props = _properties(dest)
     if props.get("hoodie.table.type") != "MERGE_ON_READ":
@@ -615,26 +694,112 @@ def compact_hudi(spark, dest: str) -> str | None:
     done = _completed_commits(dest, allow_delta=True)
     inst = f"{int(max(done)) + 1:014d}"
     hdir = os.path.join(dest, HOODIE_DIR)
-    written: dict[str, list[dict]] = {}
-    from .hudi import _read_mor
-
+    rows = _read_mor(spark, dest, None, True, None, only_groups=logged)
+    have = set(rows.columns)
+    if "_hoodie_file_name" not in have or "_hoodie_partition_path" not in have:
+        # rows cannot be routed back to their group without the meta
+        # columns; a single-group plan needs no routing
+        if len(logged) > 1:
+            raise HudiProtocolError(
+                "compact_hudi: the table's files lack "
+                "_hoodie_file_name/_hoodie_partition_path, so merged "
+                "rows cannot be routed back to their file groups"
+            )
+        if "_hoodie_partition_path" not in have:
+            rows = rows.withColumn("_hoodie_partition_path", F.lit(""))
+        if "_hoodie_file_name" not in have:
+            (part0, fid0) = next(iter(logged))
+            b0 = groups.get((part0, fid0))
+            name0 = (
+                os.path.basename(b0[1])
+                if b0 is not None
+                else os.path.basename(logs[(part0, fid0)][0][2])
+            )
+            rows = rows.withColumn("_hoodie_file_name", F.lit(name0))
+    # (partition path as rows carry it, file name) -> fileId, exact
+    # from the listing — no filename re-parsing; "" and "." both map
+    # (explicit writers stamp "", the decode fallback uses the dir)
+    fmap: list[tuple[str, str, str]] = []
     for part, fid in sorted(logged):
-        rows = _read_mor(
-            spark, dest, None, True, None, only_groups={(part, fid)}
+        pps = ("", ".") if part in (".", "") else (part,)
+        names = []
+        b = groups.get((part, fid))
+        if b is not None:
+            names.append(os.path.basename(b[1]))
+        names.extend(os.path.basename(p) for _bi, _v, p in logs.get((part, fid), []))
+        for pp in pps:
+            for n in names:
+                fmap.append((pp, n, fid))
+    fdf = F.broadcast(
+        spark.createDataFrame(fmap, "__pp string, __fn string, __fid string")
+    )
+    joined = rows.join(
+        fdf,
+        (F.coalesce(rows["_hoodie_partition_path"], F.lit("")) == fdf["__pp"])
+        & (rows["_hoodie_file_name"] == fdf["__fn"]),
+        "left",
+    )
+    joined.persist()
+    try:
+        lost = joined.filter(F.col("__fid").isNull()).limit(1).collect()
+        if lost:
+            raise HudiProtocolError(
+                "compact_hudi: a merged row's (_hoodie_partition_path, "
+                "_hoodie_file_name) names no listed slice file "
+                f"({lost[0]['_hoodie_partition_path']!r}, "
+                f"{lost[0]['_hoodie_file_name']!r}); the meta columns "
+                "are inconsistent with the timeline"
+            )
+        out = joined.withColumn(
+            "_hoodie_file_name",
+            F.concat(F.col("__fid"), F.lit(f"_0-1-0_{inst}.parquet")),
+        ).withColumn(
+            # non-empty dir token: partitionBy maps "" to the hive
+            # default-partition name, which would not round-trip
+            "__pd", F.concat(F.lit("r"), F.col("__pp")),
+        ).drop("__pp", "__fn")
+        stage = os.path.join(dest, f".compact-{inst}")
+        (
+            out.repartition(max(len(logged), 1), "__pd", "__fid")
+            .write.partitionBy("__pd", "__fid")
+            .parquet(stage, mode="overwrite")
         )
+    finally:
+        joined.unpersist()
+    written: dict[str, list[dict]] = {}
+    emitted: set[tuple[str, str]] = set()
+    for d in sorted(glob.glob(os.path.join(stage, "__pd=*", "__fid=*"))):
+        pp = unquote(os.path.basename(os.path.dirname(d))[len("__pd=r"):])
+        fid = unquote(os.path.basename(d)[len("__fid="):])
+        part = os.path.normpath(pp) if pp else "."
         fname = f"{fid}_0-1-0_{inst}.parquet"
-        out = rows.withColumn("_hoodie_file_name", F.lit(fname))
-        stage = os.path.join(dest, f".compact-{fid}-{inst}")
-        out.coalesce(1).write.parquet(stage, mode="overwrite")
-        parts = glob.glob(os.path.join(stage, "part-*.parquet"))
-        pdir = dest if part in (".", "") else os.path.join(dest, part)
+        parts = glob.glob(os.path.join(d, "part-*.parquet"))
+        pdir = dest if part == "." else os.path.join(dest, part)
         os.makedirs(pdir, exist_ok=True)
         shutil.move(parts[0], os.path.join(pdir, fname))
-        shutil.rmtree(stage)
-        rel = fname if part in (".", "") else f"{part}/{fname}"
-        written.setdefault("" if part in (".", "") else part, []).append(
+        rel = fname if part == "." else f"{part}/{fname}"
+        written.setdefault("" if part == "." else part, []).append(
             {"fileId": fid, "path": rel}
         )
+        emitted.add((part, fid))
+    empty_groups = sorted(set(logged) - emitted)
+    if empty_groups:
+        # fully-tombstoned groups: materialize the empty fold as a
+        # real base file so the stale logs stop applying
+        stage2 = os.path.join(dest, f".compact-{inst}-empty")
+        rows.limit(0).coalesce(1).write.parquet(stage2, mode="overwrite")
+        src = glob.glob(os.path.join(stage2, "part-*.parquet"))[0]
+        for part, fid in empty_groups:
+            fname = f"{fid}_0-1-0_{inst}.parquet"
+            pdir = dest if part in (".", "") else os.path.join(dest, part)
+            os.makedirs(pdir, exist_ok=True)
+            shutil.copy(src, os.path.join(pdir, fname))
+            rel = fname if part in (".", "") else f"{part}/{fname}"
+            written.setdefault("" if part in (".", "") else part, []).append(
+                {"fileId": fid, "path": rel}
+            )
+        shutil.rmtree(stage2)
+    shutil.rmtree(stage)
     tmp = os.path.join(hdir, f".{inst}.commit.tmp")
     with open(tmp, "w") as f:
         json.dump({"partitionToWriteStats": written}, f)

@@ -28,10 +28,15 @@ not). Dead rows never reach the caller, data files are read once.
 
 V2 EQUALITY deletes (Flink CDC's upsert shape) are applied too, with
 the spec's sequence-number ordering — see :func:`read_iceberg`.
+Equality ids may reference NESTED struct fields (the spec allows any
+primitive field not under a repeated or map type): ids resolve to
+dotted paths through struct nesting and the comparison happens at the
+leaf, identically in the batch read, the changelog, and the stream.
 
 Honest gates (raise, never silently wrong): format-version > 2,
 equality deletes whose metadata lacks sequence numbers or whose
-equality ids point at nested fields, non-parquet data or delete files,
+equality ids point under list/map types or at non-primitive fields,
+non-parquet data or delete files,
 and unsupported types. Column resolution is NAME-based
 (the parquet files carry the names Iceberg wrote); field-id remapping
 after a column RENAME is not implemented and the reader cannot detect
@@ -72,7 +77,7 @@ from .avro_ocf import read_avro
 
 class IcebergProtocolError(NotImplementedError):
     """The table requires read capabilities this interop layer does not
-    implement (field-id remapping, nested/unordered equality deletes,
+    implement (field-id remapping, unordered equality deletes,
     v3+)."""
 
 
@@ -1943,6 +1948,82 @@ def snapshot_at_timestamp(meta: dict, ts_millis: int) -> int:
     return best[1]
 
 
+def _eq_schema_index(schema_json: dict) -> dict[int, tuple[str, object]]:
+    """``field id -> (dotted path, type JSON)`` for every field
+    reachable from the top level through STRUCT nesting only. Fields
+    under list/map types are deliberately not indexed: the spec
+    forbids equality ids on repeated or map-nested fields, so an id
+    that lands there resolves as unknown and the caller's gate
+    fires."""
+    out: dict[int, tuple[str, object]] = {}
+
+    def walk(fields: list, prefix: str) -> None:
+        for f in fields:
+            path = prefix + f["name"]
+            out[f["id"]] = (path, f["type"])
+            t = f["type"]
+            if isinstance(t, dict) and t.get("type") == "struct":
+                walk(t["fields"], path + ".")
+
+    walk(schema_json["fields"], "")
+    return out
+
+
+def _eq_field_paths(
+    schema_json: dict, eq_ids: list[int]
+) -> list[tuple[str, object]]:
+    """Resolve an equality delete file's ``equality_ids`` to
+    ``(dotted path, primitive type JSON)`` pairs against the CURRENT
+    schema — nested struct fields resolve to their full path (the
+    spec allows equality ids on any primitive field not under a
+    repeated or map type). Unknown ids (including ids buried under
+    list/map) and non-primitive targets raise."""
+    idx = _eq_schema_index(schema_json)
+    pairs = []
+    for i in eq_ids:
+        if i not in idx:
+            raise IcebergProtocolError(
+                f"equality_ids reference field id {i} which is not a "
+                "schema field reachable through struct nesting "
+                "(unknown id, or a field under a list/map type — the "
+                "spec forbids equality ids there)"
+            )
+        path, tj = idx[i]
+        if isinstance(tj, dict):
+            raise IcebergProtocolError(
+                f"equality_ids reference field id {i} ({path}), which "
+                f"is a non-primitive {tj.get('type')} — equality "
+                "deletes compare primitive values"
+            )
+        pairs.append((path, tj))
+    return pairs
+
+
+def _eq_read_schema(pairs: list[tuple[str, object]]) -> T.StructType:
+    """Spark read schema for an equality delete file covering exactly
+    the resolved ``(dotted path, type JSON)`` pairs — leaf fields
+    wrapped back into their struct shells so the nested parquet the
+    writer produced reads by name."""
+    tree: dict = {}
+    for path, tj in pairs:
+        parts = path.split(".")
+        d = tree
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = ("leaf", tj)
+
+    def build(node: dict) -> T.StructType:
+        fields = []
+        for name, v in node.items():
+            if isinstance(v, tuple) and v[0] == "leaf":
+                fields.append(T.StructField(name, _spark_type(v[1]), True))
+            else:
+                fields.append(T.StructField(name, build(v), True))
+        return T.StructType(fields)
+
+    return build(tree)
+
+
 def read_iceberg(
     spark: SparkSession,
     root: str,
@@ -2235,9 +2316,7 @@ def read_iceberg(
                 "missing from the manifest metadata; the data-vs-delete "
                 "ordering cannot be established"
             )
-        id2field = {}
-        for f_, raw in zip(schema.fields, _schema_json(meta)["fields"]):
-            id2field[raw["id"]] = f_
+        cur_json = _schema_json(meta)
         dels_sorted = sorted(eq_dels, key=lambda d: (d[0], d[1]))
 
         def _in_scope(data_pv: dict, del_pv: dict) -> bool:
@@ -2272,23 +2351,31 @@ def read_iceberg(
         )
         keyed = keyed.join(F.broadcast(seq_df), fp, "left")
         for i, (dpath, dseq, eq_ids, _dpv) in enumerate(dels_sorted):
-            try:
-                eq_fields = [id2field[i_] for i_ in eq_ids]
-            except KeyError as e:
-                raise IcebergProtocolError(
-                    f"equality_ids reference field id {e} which is not a "
-                    "top-level schema field (nested equality deletes are "
-                    "not supported)"
-                ) from None
+            # ids resolve to DOTTED PATHS through struct nesting; the
+            # comparison is at the leaf, flattened to unambiguous
+            # aliases on both sides of the anti-join
+            pairs = _eq_field_paths(cur_json, eq_ids)
+            d_alias = [f"{fp}_eqd{i}_{j}" for j in range(len(pairs))]
+            k_alias = [f"{fp}_eqk{i}_{j}" for j in range(len(pairs))]
             eq_df = (
-                spark.read.schema(T.StructType(list(eq_fields)))
+                spark.read.schema(_eq_read_schema(pairs))
                 .parquet(_localize(dpath, root))
+                .select(
+                    *[
+                        F.col(p).alias(a)
+                        for (p, _t), a in zip(pairs, d_alias)
+                    ]
+                )
                 .dropDuplicates()
             )
+            for (p, _t), a in zip(pairs, k_alias):
+                keyed = keyed.withColumn(a, F.col(p))
             cond = F.col(adm_cols[i]) & (F.col(seqc) < F.lit(int(dseq)))
-            for f_ in eq_fields:
-                cond = cond & keyed[f_.name].eqNullSafe(eq_df[f_.name])
-            keyed = keyed.join(F.broadcast(eq_df), cond, "left_anti")
+            for ka, da in zip(k_alias, d_alias):
+                cond = cond & keyed[ka].eqNullSafe(eq_df[da])
+            keyed = keyed.join(F.broadcast(eq_df), cond, "left_anti").drop(
+                *k_alias
+            )
     if row_lineage:
         from urllib.parse import unquote
 
@@ -2683,34 +2770,33 @@ def read_iceberg_changelog(
     # one broadcast value-match flag join per distinct equality file
     eq_match_cols: list[str] = []
     if eq_spec:
-        id2field = {}
-        for f_, raw in zip(schema.fields, _schema_json(meta)["fields"]):
-            id2field[raw["id"]] = f_
+        cur_json = _schema_json(meta)
         for i, (dpath, _dseq, eq_idsv, _dpv) in enumerate(eq_spec):
-            try:
-                eq_fields = [id2field[x] for x in eq_idsv]
-            except KeyError as e:
-                raise IcebergProtocolError(
-                    f"equality_ids reference field id {e} which is not a "
-                    "top-level schema field (nested equality deletes are "
-                    "not supported)"
-                ) from None
+            # ids resolve to DOTTED PATHS through struct nesting (same
+            # resolution as the batch read); leaves flatten to aliases
+            pairs = _eq_field_paths(cur_json, eq_idsv)
             mcol = f"{fp}_eqm{i}"
-            tmp = {f_.name: f"{fp}_eq{i}_{f_.name}" for f_ in eq_fields}
+            d_alias = [f"{fp}_eq{i}_d{j}" for j in range(len(pairs))]
+            k_alias = [f"{fp}_eq{i}_k{j}" for j in range(len(pairs))]
             eq_df = (
-                spark.read.schema(T.StructType(list(eq_fields)))
+                spark.read.schema(_eq_read_schema(pairs))
                 .parquet(_localize(dpath, root))
-                .dropDuplicates()
                 .select(
-                    *[F.col(n).alias(a) for n, a in tmp.items()],
-                    F.lit(True).alias(mcol),
+                    *[
+                        F.col(p).alias(a)
+                        for (p, _t), a in zip(pairs, d_alias)
+                    ]
                 )
+                .dropDuplicates()
+                .withColumn(mcol, F.lit(True))
             )
+            for (p, _t), a in zip(pairs, k_alias):
+                keyed = keyed.withColumn(a, F.col(p))
             cond = F.lit(True)
-            for f_ in eq_fields:
-                cond = cond & keyed[f_.name].eqNullSafe(eq_df[tmp[f_.name]])
+            for ka, da in zip(k_alias, d_alias):
+                cond = cond & keyed[ka].eqNullSafe(eq_df[da])
             keyed = keyed.join(F.broadcast(eq_df), cond, "left").drop(
-                *tmp.values()
+                *d_alias, *k_alias
             )
             eq_match_cols.append(mcol)
 
@@ -2911,7 +2997,10 @@ def append_equality_deletes(
     the Flink-CDC-shaped foreign-writer surface: a parquet delete file
     of the equality columns, a DELETE manifest (content=2,
     equality_ids), and a manifest list whose sequence numbers order
-    the delete AFTER every current data file. Data manifests copied
+    the delete AFTER every current data file. ``eq_cols`` (and the
+    ``rows`` dict keys) may be DOTTED PATHS into struct nesting
+    (``"profile.seg"``): the delete file is then written with the real
+    nested struct shells, exactly like a nested-equality writer. Data manifests copied
     from the current snapshot keep their sequence numbers (or inherit
     the export convention); the new snapshot's sequence number is
     max+1. Returns the new snapshot id."""
@@ -2930,14 +3019,16 @@ def append_equality_deletes(
     )
     _s, manifests = read_avro(_localize(cur["manifest-list"], root))
     sid = max(s["snapshot-id"] for s in snaps) + 1
-    raw_fields = {f["name"]: f for f in _schema_json(meta)["fields"]}
+    # columns may be DOTTED PATHS into struct nesting (the spec allows
+    # equality ids on any primitive field not under a list/map)
+    path2id = {
+        p: i for i, (p, _t) in _eq_schema_index(_schema_json(meta)).items()
+    }
     try:
-        eq_ids = [raw_fields[c]["id"] for c in eq_cols]
+        eq_ids = [path2id[c] for c in eq_cols]
     except KeyError as e:
         raise ValueError(f"equality column {e} not in the table schema") from None
-    spark_fields = {
-        f.name: f for f in _table_schema(meta).fields if f.name in eq_cols
-    }
+    pairs = _eq_field_paths(_schema_json(meta), eq_ids)
     mdir = os.path.join(root, "metadata")
     del_path = os.path.join(mdir, f"eq-delete-{sid}.parquet")
     import pyspark.sql.types as _T
@@ -2953,16 +3044,29 @@ def append_equality_deletes(
                 return v
         raise ValueError(f"unsupported equality-delete column type {dt}")
 
+    # nested paths wrap back into their struct shells — the same
+    # nested parquet shape a real equality-deleting writer produces
+    tree: dict = {}
+    for c, (_p, tj) in zip(eq_cols, pairs):
+        parts = c.split(".")
+        d = tree
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = ("leaf", c, tj)
+
+    def _arr(node):
+        if isinstance(node, tuple) and node[0] == "leaf":
+            _tag, c, tj = node
+            return pa.array(
+                [r.get(c) for r in rows], type=_pa_type(_spark_type(tj))
+            )
+        names = list(node)
+        return pa.StructArray.from_arrays(
+            [_arr(node[n]) for n in names], names
+        )
+
     pq.write_table(
-        pa.table(
-            {
-                c: pa.array(
-                    [r.get(c) for r in rows],
-                    type=_pa_type(spark_fields[c].dataType),
-                )
-                for c in eq_cols
-            }
-        ),
+        pa.table({n: _arr(tree[n]) for n in tree}),
         del_path,
     )
     del_manifest = os.path.join(mdir, f"manifest-eqdel-{sid}.avro")

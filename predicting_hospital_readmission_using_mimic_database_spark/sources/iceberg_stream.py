@@ -75,6 +75,17 @@ from .iceberg import (
 __all__ = ["IcebergStreamDataSource", "register_iceberg_stream"]
 
 
+def _dig(v, rest):
+    """Follow nested struct member names through the dicts a row (or a
+    pyarrow ``to_pylist`` value) carries; a null struct anywhere on
+    the path yields None — the leaf value of a null-struct row."""
+    for r in rest:
+        if v is None:
+            return None
+        v = v.get(r)
+    return v
+
+
 def _load_meta(root: str) -> dict:
     with open(_metadata_path(root)) as f:
         meta = json.load(f)
@@ -103,7 +114,7 @@ class _AddedFilePartition(InputPartition):
         #: `a` but not `b` (newly-struck deletes / un-struck inserts).
         #: Spec forms: ("pos", delete_parquet_path, this_file_key) |
         #: ("dv", puffin_path, offset, length) |
-        #: ("eq", delete_parquet_path, (column names,)) — equality
+        #: ("eq", delete_parquet_path, (dotted paths,)) — equality
         #: applicability (seq ordering + scope) folded on the driver
         self.strike = strike
         #: v3 row lineage: (first_row_id, data sequence number) —
@@ -199,9 +210,7 @@ class IcebergStreamReader(DataSourceStreamReader):
             return _os.path.abspath(unquote(_localize(p, root)))
 
         targets_cache: dict[str, set] = {}
-        id2name = {
-            f["id"]: f["name"] for f in _schema_json(meta)["fields"]
-        }
+        cur_json = _schema_json(meta)
 
         def srcs_for(files, pos_b, eq_b, dv_b):
             """file key -> strike-source spec tuple at a boundary."""
@@ -238,14 +247,13 @@ class IcebergStreamReader(DataSourceStreamReader):
                         "are missing from the manifest metadata; the "
                         "data-vs-delete ordering cannot be established"
                     )
-                try:
-                    cols = tuple(id2name[i] for i in eq_ids)
-                except KeyError as e:
-                    raise IcebergProtocolError(
-                        f"equality_ids reference field id {e} which is "
-                        "not a top-level schema field (nested equality "
-                        "deletes are not supported)"
-                    ) from None
+                # ids resolve to DOTTED PATHS through struct nesting —
+                # same resolution (and gates) as the batch read
+                from .iceberg import _eq_field_paths
+
+                cols = tuple(
+                    p for p, _t in _eq_field_paths(cur_json, eq_ids)
+                )
                 spec = ("eq", _localize(dpath, root), cols)
                 for p, rec in files.items():
                     # spec ordering + scoping folded per file: a delete
@@ -329,9 +337,11 @@ class IcebergStreamReader(DataSourceStreamReader):
 
     def _decode_one(self, s):
         """One strike source -> its worker-side form: pos/DV sources a
-        struck-position set; equality sources a ``(output-row value
-        indices, deleted value-tuple set)`` matcher (null-safe by
-        Python tuple equality)."""
+        struck-position set; equality sources a ``(accessors, deleted
+        value-tuple set)`` matcher — each accessor is ``(output-row
+        index, nested member names)`` so DOTTED equality paths dig
+        into the struct dicts the row carries (null-safe by Python
+        tuple equality, None propagating through null structs)."""
         import os as _os
         from urllib.parse import unquote
 
@@ -356,9 +366,15 @@ class IcebergStreamReader(DataSourceStreamReader):
         out_idx = {
             f["name"]: i for i, f in enumerate(self._out_json["fields"])
         }
-        t = pq.read_table(path, columns=list(cols))
-        vals = set(zip(*[t.column(c).to_pylist() for c in cols]))
-        return ([out_idx[c] for c in cols], vals)
+        parts = [c.split(".") for c in cols]
+        roots = sorted({p[0] for p in parts})
+        t = pq.read_table(path, columns=roots)
+        root_vals = {r: t.column(r).to_pylist() for r in roots}
+        col_vals = [
+            [_dig(v, p[1:]) for v in root_vals[p[0]]] for p in parts
+        ]
+        vals = set(zip(*col_vals))
+        return ([(out_idx[p[0]], tuple(p[1:])) for p in parts], vals)
 
     def _strikers(self, specs, cache: dict):
         """(struck position set, equality matchers) for a spec list —
@@ -531,7 +547,8 @@ class IcebergStreamReader(DataSourceStreamReader):
 
         def _eq_hit(eqm, vals):
             return any(
-                tuple(vals[i] for i in idxs) in vs for idxs, vs in eqm
+                tuple(_dig(vals[i], rest) for i, rest in accs) in vs
+                for accs, vs in eqm
             )
 
         for i in range(nrows):

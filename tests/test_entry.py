@@ -42,6 +42,8 @@ def test_first_50_entries_cover_every_family():
                  "st23_stream_iceberg_row_lineage",
                  "st24_stream_delta_row_tracking",
                  "s51_hudi_mor_export", "s52_hudi_mor_compaction",
+                 "s53_hudi_mor_partitioned",
+                 "s54_iceberg_nested_eq_delete",
                  "s47_iceberg_changelog", "st21_stream_iceberg_changelog",
                  "st16_stream_iceberg_tail", "st19_stream_delta_idmap",
                  "s41_iceberg_nested_evolution", "s44_iceberg_v3_defaults",

@@ -312,9 +312,6 @@ def test_mor_export_log_appends(spark, tmp_path):
         [(i, f"v{i}") for i in range(20)], "k bigint, v string"
     ))
     dest = str(tmp_path / "mor")
-    with pytest.raises(ValueError, match="partition_by"):
-        export_hudi(t, dest, partition_by=["v"],
-                    table_type="MERGE_ON_READ")
     i1 = export_hudi(t, dest, table_type="MERGE_ON_READ")
     assert os.path.exists(os.path.join(dest, ".hoodie", f"{i1}.deltacommit"))
     with open(os.path.join(dest, ".hoodie", "hoodie.properties")) as f:
@@ -441,3 +438,145 @@ def test_mor_compaction(spark, tmp_path):
     export_hudi(t2, dest2)
     with pytest.raises(ValueError, match="MERGE_ON_READ"):
         compact_hudi(spark, dest2)
+
+def test_mor_partitioned_export_moves_and_log_only_groups(spark, tmp_path):
+    """MERGE_ON_READ + partition_by: incremental publishes stay log
+    appends per (partition, fileId) group — an in-place update logs an
+    upsert in its partition, a key that MOVES partitions logs a DELETE
+    tombstone in the old group plus an upsert in the new one, a first
+    row in a brand-new partition starts a LOG-ONLY file group, and a
+    gone key logs a tombstone — with ZERO base-file rewrites."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi,
+        read_hudi_incremental,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        compact_hudi,
+        export_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, seg string, v double",
+        bucket_key=["k"], num_buckets=4,
+    )
+    t.append(
+        spark.range(40).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("seg"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+    )
+    dest = str(tmp_path / "mor")
+    i1 = export_hudi(t, dest, partition_by=["seg"],
+                     table_type="MERGE_ON_READ")
+    assert os.path.exists(os.path.join(dest, ".hoodie", f"{i1}.deltacommit"))
+    for seg in ("A", "B"):
+        files = sorted(os.listdir(os.path.join(dest, f"seg={seg}")))
+        assert files == [f"b{b:04d}_0-1-0_{i1}.parquet" for b in range(4)]
+    n_base = len(glob.glob(os.path.join(dest, "**", "*.parquet"),
+                           recursive=True))
+    # k=2 updates in place (stays A); k=3 MOVES B->A; k=100 lands in a
+    # brand-new partition C; k=1 is deleted
+    t.merge(
+        spark.createDataFrame(
+            [(2, "A", -2.0), (3, "A", 3.0), (100, "C", 100.0)],
+            "k bigint, seg string, v double",
+        )
+    )
+    t.delete(F.col("k") == 1)
+    i2 = export_hudi(t, dest, partition_by=["seg"],
+                     table_type="MERGE_ON_READ")
+    assert i2 > i1
+    # zero base rewrites: the delta is log appends only
+    assert len(glob.glob(os.path.join(dest, "**", "*.parquet"),
+                         recursive=True)) == n_base
+    assert glob.glob(os.path.join(dest, "seg=A", ".b*.log.*"))
+    assert glob.glob(os.path.join(dest, "seg=B", ".b*.log.*"))
+    # the new partition exists as a LOG-ONLY file group
+    c_files = os.listdir(os.path.join(dest, "seg=C"))
+    assert c_files and all(".log." in f for f in c_files)
+    exp = {(i, "AB"[i % 2], float(i)) for i in range(40) if i not in (1, 2, 3)}
+    exp |= {(2, "A", -2.0), (3, "A", 3.0), (100, "C", 100.0)}
+    got = {(r["k"], r["seg"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert got == exp
+    # the moved key resolved: exactly one k=3 row, in seg=A
+    metas = read_hudi(spark, dest, keep_meta=True).filter(
+        F.col("k") == 3
+    ).collect()
+    assert len(metas) == 1
+    assert metas[0]["_hoodie_partition_path"] == "seg=A"
+    # incremental feed = the net upserts only (tombstones invisible)
+    inc = {
+        (r["k"], r["seg"], r["v"])
+        for r in read_hudi_incremental(spark, dest, begin=i1).collect()
+    }
+    assert inc == {(2, "A", -2.0), (3, "A", 3.0), (100, "C", 100.0)}
+    # partition pruning reads only the asked dir's groups
+    only_c = read_hudi(spark, dest, partitions="seg=C")
+    assert {(r["k"], r["v"]) for r in only_c.collect()} == {(100, 100.0)}
+    # time travel to the first export still serves the old state
+    assert read_hudi(spark, dest, as_of=i1).count() == 40
+    # compaction folds every logged group (the log-only one gets its
+    # first base file) with zero phantom incremental rows
+    ci = compact_hudi(spark, dest)
+    assert ci is not None and ci > i2
+    got2 = {(r["k"], r["seg"], r["v"])
+            for r in read_hudi(spark, dest).collect()}
+    assert got2 == exp
+    assert glob.glob(os.path.join(dest, "seg=C", "*.parquet"))
+    assert read_hudi_incremental(spark, dest, begin=ci).count() == 0
+    # a later export appends to the compacted slices
+    t.merge(spark.createDataFrame([(100, "C", -100.0)],
+                                  "k bigint, seg string, v double"))
+    i3 = export_hudi(t, dest, partition_by=["seg"],
+                     table_type="MERGE_ON_READ")
+    assert i3 > ci
+    assert {(r["k"], r["v"])
+            for r in read_hudi(spark, dest, partitions="seg=C").collect()
+            } == {(100, -100.0)}
+
+def test_compaction_of_fully_tombstoned_group(spark, tmp_path):
+    """A group whose fold is EMPTY (every key tombstoned in the logs)
+    still compacts to a real — empty — base file: the stale logs stop
+    applying and the next compaction is a no-op instead of re-planning
+    the group forever."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        compact_hudi,
+        export_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v double",
+        bucket_key=["k"], num_buckets=1,
+    )
+    t.append(spark.range(3).select(F.col("id").alias("k"),
+                                   (F.col("id") * 1.0).alias("v")))
+    dest = str(tmp_path / "mor")
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    t.delete(F.col("k") >= 0)
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    assert read_hudi(spark, dest).count() == 0
+    ci = compact_hudi(spark, dest)
+    assert ci is not None
+    # the empty fold materialized as a new base file at the instant
+    assert glob.glob(os.path.join(dest, f"*_{ci}.parquet"))
+    assert read_hudi(spark, dest).count() == 0
+    # stale logs no longer apply: nothing left to compact
+    assert compact_hudi(spark, dest) is None

@@ -2379,3 +2379,97 @@ def test_changelog_replay_composes_with_schema_evolution(spark, tmp_path):
         (3, 30, "insert", 0),
         (9, 90, "insert", 1),
     ]
+
+
+def test_nested_equality_deletes_batch_and_changelog(spark, tmp_path):
+    """Equality ids on STRUCT-NESTED fields resolve to dotted paths and
+    compare at the leaf — in the batch read AND the changelog replay.
+    Null leaves match null-safely (a null struct row dies to a
+    null-value delete); a MIXED (top-level, nested) id pair matches
+    exact pairs only."""
+    import pyarrow.parquet as pq
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        append_equality_deletes,
+        export_iceberg,
+        read_iceberg,
+        read_iceberg_changelog,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "neq")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, p struct<seg:string,c:bigint>"
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, ("a", 10)), (2, ("b", 20)), (3, ("a", 30)), (4, (None, 40))],
+            "k bigint, p struct<seg:string,c:bigint>",
+        )
+    )
+    assert export_iceberg(t) == 1
+    # nested single-path delete: seg='a' and seg IS NULL both die
+    append_equality_deletes(
+        root, [{"p.seg": "a"}, {"p.seg": None}], ["p.seg"]
+    )
+    # mixed (top-level, nested) pair: no row has (k=2, c=99) -> no-op
+    append_equality_deletes(root, [{"k": 2, "p.c": 99}], ["k", "p.c"])
+    got = {
+        (r["k"], r["p"]["seg"], r["p"]["c"])
+        for r in read_iceberg(spark, root).collect()
+    }
+    assert got == {(2, "b", 20)}
+    # the delete file is REAL nested parquet (struct shell in footer)
+    dfile = os.path.join(root, "metadata", "eq-delete-2.parquet")
+    assert pq.ParquetFile(dfile).schema_arrow.field("p").type.num_fields == 1
+    # pre-delete time travel unaffected
+    assert read_iceberg(spark, root, snapshot_id=1).count() == 4
+    # changelog replays the nested strikes as delete rows at the eq
+    # snapshot's ordinal; the no-op pair delete emits nothing
+    chg = sorted(
+        (r["k"], r["p"]["seg"], r["_change_type"], r["_change_ordinal"])
+        for r in read_iceberg_changelog(spark, root).collect()
+    )
+    assert chg == [
+        (1, "a", "delete", 1), (1, "a", "insert", 0),
+        (2, "b", "insert", 0),
+        (3, "a", "delete", 1), (3, "a", "insert", 0),
+        (4, None, "delete", 1), (4, None, "insert", 0),
+    ]
+
+
+def test_eq_field_path_resolution_gates():
+    """_eq_field_paths: ids resolve through struct nesting only —
+    unknown ids, ids under list/map, and non-primitive targets raise."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        IcebergProtocolError,
+        _eq_field_paths,
+    )
+
+    schema_json = {
+        "fields": [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "p", "type": {
+                "type": "struct",
+                "fields": [{"id": 3, "name": "s", "type": "string"}],
+            }},
+            {"id": 4, "name": "arr", "type": {
+                "type": "list", "element-id": 5,
+                "element": {
+                    "type": "struct",
+                    "fields": [{"id": 6, "name": "x", "type": "long"}],
+                },
+            }},
+        ]
+    }
+    assert _eq_field_paths(schema_json, [3, 1]) == [
+        ("p.s", "string"), ("k", "long")
+    ]
+    with pytest.raises(IcebergProtocolError, match="list/map"):
+        _eq_field_paths(schema_json, [6])  # under a repeated type
+    with pytest.raises(IcebergProtocolError, match="non-primitive"):
+        _eq_field_paths(schema_json, [2])  # a struct itself
+    with pytest.raises(IcebergProtocolError, match="list/map"):
+        _eq_field_paths(schema_json, [99])  # unknown id

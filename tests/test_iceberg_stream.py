@@ -559,3 +559,39 @@ def test_stream_row_lineage_and_materialized_precedence(spark, tmp_path):
         _drain(spark, root, str(tmp_path / "ck3"),
                startingSnapshotCount=0, rowLineage="true",
                changelog="true")
+
+
+def test_changelog_stream_replays_nested_equality(spark, tmp_path):
+    """changelog=true replays equality deletes keyed on NESTED struct
+    fields: the worker-side matcher digs the dotted path through the
+    row's struct dicts, so struck rows emit as delete rows while
+    untouched rows stay silent."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        append_equality_deletes,
+    )
+
+    root = str(tmp_path / "neqs")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, p struct<seg:string,c:bigint>"
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, ("a", 10)), (2, ("b", 20)), (3, ("a", 30))],
+            "k bigint, p struct<seg:string,c:bigint>",
+        )
+    )
+    assert export_iceberg(t) == 1
+    append_equality_deletes(root, [{"p.seg": "a"}], ["p.seg"])
+    register_iceberg_stream(spark)
+    got = _drain(
+        spark, root, str(tmp_path / "ck"),
+        startingSnapshotCount=0, changelog="true",
+    )
+    rows = sorted((k, p["seg"], ct) for k, p, ct, _sid in got)
+    assert rows == [
+        (1, "a", "delete"), (1, "a", "insert"),
+        (2, "b", "insert"),
+        (3, "a", "delete"), (3, "a", "insert"),
+    ]
