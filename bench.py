@@ -175,6 +175,9 @@ HEADLINE = [
     "st24_stream_delta_row_tracking",   # rowTracking through the stream (r11)
     "s51_hudi_mor_export",        # log-append MOR publish (r11)
     "s52_hudi_mor_compaction",    # logged-group compaction lifecycle (r11)
+    "s53_hudi_mor_partitioned",   # partitioned MOR, cross-partition moves (r11)
+    "s54_iceberg_nested_eq_delete",  # dotted-path equality deletes (r11)
+    "s55_iceberg_export_bounds",  # Appendix-D bounds on export (r11)
 ]
 
 

@@ -6578,3 +6578,64 @@ def q_s54(spark, sf):
         F.col("profile.seg").alias("seg"),
         F.col("profile.cents").alias("cents"),
     )
+
+@query(
+    "s55_iceberg_export_bounds",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer
+    WHERE c_custkey > CAST(3 * (SELECT count(*) FROM customer) / 4 AS BIGINT)
+    """,
+)
+def q_s55(spark, sf):
+    """S55 — COLUMN BOUNDS on Iceberg export (sources/iceberg.py
+    ``export_iceberg`` + ``encode_bound``): tables created with
+    ``stats_cols`` publish per-file ``lower_bounds``/``upper_bounds``
+    (spec Appendix D single-value binaries keyed by FIELD ID) in every
+    added manifest entry, at zero extra I/O — the ranges already live
+    in the SnapshotTable commit log's harvested footer stats. That
+    makes the exported table DATA-SKIPPABLE: ``read_iceberg(
+    predicates=)`` (and any real Iceberg engine) prunes files whose
+    published range provably excludes every matching row, decided from
+    driver-side manifest metadata before Spark plans a task. The
+    fixture appends customers in FOUR key-range slices (8 files across
+    2 buckets), exports, and reads back with ``c_custkey > 3N/4`` —
+    the in-entry assert pins that EXACTLY the top slice's 2 files are
+    planned (6 of 8 pruned). DuckDB recomputes the predicate directly;
+    an encoder whose byte order or epoch math disagreed with the
+    Appendix D decode would either over-prune (hash break: missing
+    rows) or never prune (assert break)."""
+    import os
+
+    from .sources.iceberg import export_iceberg, read_iceberg
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    n = c.count()
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s55", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=2,
+        stats_cols=["c_custkey"],
+    )
+    # four key-range slices: each append's files carry disjoint
+    # c_custkey bounds, so a range predicate prunes whole appends
+    bounds = [0, n // 4, n // 2, 3 * n // 4, n]
+    for lo, hi in zip(bounds, bounds[1:]):
+        t.append(
+            c.filter((F.col("c_custkey") > lo) & (F.col("c_custkey") <= hi))
+        )
+    assert export_iceberg(t) == 1
+    cut = 3 * n // 4
+    df = read_iceberg(spark, t.root, predicates=[("c_custkey", ">", cut)])
+    planned = df.inputFiles()
+    assert len(planned) == 2, (len(planned), planned)
+    total = read_iceberg(spark, t.root).inputFiles()
+    assert len(total) == 8, len(total)
+    return df.filter(F.col("c_custkey") > cut)

@@ -66,6 +66,7 @@ PRIORITY: tuple[str, ...] = (
     "s52_hudi_mor_compaction",
     "s53_hudi_mor_partitioned",
     "s54_iceberg_nested_eq_delete",
+    "s55_iceberg_export_bounds",
     # (a) code-changed in round 11
     "s47_iceberg_changelog",
     "st21_stream_iceberg_changelog",
@@ -110,7 +111,6 @@ PRIORITY: tuple[str, ...] = (
     "n2_knn_lsh",
     "x6_lm_quality",
     "mm3_image_resize",
-    "st3_stream_dedup",
     "g1_pagerank",
 )
 

@@ -118,6 +118,46 @@ MANIFEST_ENTRY_SCHEMA = {
                         "name": "equality_ids",
                         "type": ["null", {"type": "array", "items": "int"}],
                     },
+                    # spec fields 125/126/127/128: column bounds as
+                    # array<struct<key:int, value:binary>> (Appendix D
+                    # single-value serialization) — the per-file
+                    # data-skipping tier read_iceberg(predicates=) uses
+                    {
+                        "name": "lower_bounds",
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k126_v127",
+                                    "fields": [
+                                        {"name": "key", "type": "int"},
+                                        {"name": "value", "type": "bytes"},
+                                    ],
+                                },
+                            },
+                        ],
+                        "default": None,
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k129_v130",
+                                    "fields": [
+                                        {"name": "key", "type": "int"},
+                                        {"name": "value", "type": "bytes"},
+                                    ],
+                                },
+                            },
+                        ],
+                        "default": None,
+                    },
                     # format-v3 row-lineage field (spec id 142): the
                     # row id of the file's FIRST row; null on ADDED
                     # entries = inherit from the manifest's first_row_id
@@ -573,7 +613,14 @@ def export_iceberg(table) -> int:
     never mutated in place). Returns the exported snapshot id.
     Unpartitioned spec (bucket locality is an engine-side read
     optimization, not table state — same posture as the Delta
-    export)."""
+    export).
+
+    Tables created with ``stats_cols`` publish per-file COLUMN BOUNDS
+    (``lower_bounds``/``upper_bounds``, Appendix D single-value
+    binaries keyed by field id) in every added manifest entry — the
+    data-skipping tier ``read_iceberg(predicates=)`` and real Iceberg
+    engines prune on — at zero extra I/O (the ranges already live in
+    the commit log's harvested footer stats)."""
     import time
 
     from .avro_ocf import write_avro
@@ -674,12 +721,36 @@ def export_iceberg(table) -> int:
         if os.path.join(root, rel) not in prev_files
     ]
     mf_records = list(carried)
+    _next = [1]
+    fields = _iceberg_struct_fields(table.schema, _next)
     if added:
+        # per-file column bounds (spec Appendix D) from the table's
+        # harvested footer stats: the data-skipping tier
+        # read_iceberg(predicates=) — and any real Iceberg engine —
+        # prunes on, written at zero extra I/O (the stats already live
+        # in the commit log). Columns without stats carry no bound.
+        top_info = {f["name"]: (f["id"], f["type"]) for f in fields}
+
+        def _entry_bounds(stats: dict):
+            lo, hi = [], []
+            for col, rng in (stats or {}).items():
+                info = top_info.get(col)
+                if info is None or not rng:
+                    continue
+                fid, itype = info
+                b_lo = encode_bound(itype, rng[0])
+                b_hi = encode_bound(itype, rng[1])
+                if b_lo is None or b_hi is None:
+                    continue
+                lo.append({"key": fid, "value": b_lo})
+                hi.append({"key": fid, "value": b_hi})
+            return (lo or None, hi or None)
+
         manifest = os.path.join(mdir, f"manifest-{sid}.avro")
-        write_avro(
-            manifest,
-            MANIFEST_ENTRY_SCHEMA,
-            [
+        entries = []
+        for rel, act in added:
+            b_lo, b_hi = _entry_bounds(getattr(act, "stats", None))
+            entries.append(
                 {
                     "status": 1,
                     "snapshot_id": sid,
@@ -693,11 +764,12 @@ def export_iceberg(table) -> int:
                             os.path.join(root, rel)
                         ),
                         "equality_ids": None,
+                        "lower_bounds": b_lo,
+                        "upper_bounds": b_hi,
                     },
                 }
-                for rel, act in added
-            ],
-        )
+            )
+        write_avro(manifest, MANIFEST_ENTRY_SCHEMA, entries)
         mf_records.append(
             {
                 "manifest_path": manifest,
@@ -730,8 +802,6 @@ def export_iceberg(table) -> int:
             "schema-id": 0,
         }
     )
-    _next = [1]
-    fields = _iceberg_struct_fields(table.schema, _next)
     last_col_id = _next[0] - 1
     meta = {
         "format-version": 2,
@@ -1894,6 +1964,61 @@ def decode_bound(icetype, b: bytes):
         if t == "boolean":
             return b != b"\x00"
     except (ValueError, _struct.error):
+        return None
+    return None
+
+
+def encode_bound(icetype, value) -> bytes | None:
+    """Python value -> spec Appendix D single-value binary serialization
+    (the exact inverse of :func:`decode_bound` for the types the export
+    harvests). Date/timestamp values may arrive as ISO-8601 strings —
+    the JSON-storable form SnapshotTable footer stats keep — and encode
+    to days / microseconds since epoch. Unsupported types or values
+    return None (the entry simply carries no bound for the column —
+    conservative, never wrong)."""
+    import datetime
+    import struct as _struct
+
+    if not isinstance(icetype, str) or value is None:
+        return None
+    t = icetype.lower()
+    try:
+        if t == "date":
+            if isinstance(value, str):
+                value = datetime.date.fromisoformat(value)
+            if isinstance(value, datetime.datetime):
+                value = value.date()
+            if isinstance(value, datetime.date):
+                value = (value - datetime.date(1970, 1, 1)).days
+            return _struct.pack("<i", int(value))
+        if t in ("timestamp", "timestamptz"):
+            if isinstance(value, str):
+                value = datetime.datetime.fromisoformat(value)
+            if isinstance(value, datetime.datetime):
+                if value.tzinfo is not None:
+                    secs = value.timestamp()
+                    value = int(round(secs * 1_000_000))
+                else:
+                    delta = value - datetime.datetime(1970, 1, 1)
+                    value = (
+                        delta.days * 86_400_000_000
+                        + delta.seconds * 1_000_000
+                        + delta.microseconds
+                    )
+            return _struct.pack("<q", int(value))
+        if t == "int":
+            return _struct.pack("<i", int(value))
+        if t in ("long", "time"):
+            return _struct.pack("<q", int(value))
+        if t == "float":
+            return _struct.pack("<f", float(value))
+        if t == "double":
+            return _struct.pack("<d", float(value))
+        if t == "string":
+            return str(value).encode("utf-8")
+        if t == "boolean":
+            return b"\x01" if value else b"\x00"
+    except (ValueError, OverflowError, _struct.error):
         return None
     return None
 

@@ -44,6 +44,7 @@ def test_first_50_entries_cover_every_family():
                  "s51_hudi_mor_export", "s52_hudi_mor_compaction",
                  "s53_hudi_mor_partitioned",
                  "s54_iceberg_nested_eq_delete",
+                 "s55_iceberg_export_bounds",
                  "s47_iceberg_changelog", "st21_stream_iceberg_changelog",
                  "st16_stream_iceberg_tail", "st19_stream_delta_idmap",
                  "s41_iceberg_nested_evolution", "s44_iceberg_v3_defaults",

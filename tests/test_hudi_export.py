@@ -580,3 +580,75 @@ def test_compaction_of_fully_tombstoned_group(spark, tmp_path):
     assert read_hudi(spark, dest).count() == 0
     # stale logs no longer apply: nothing left to compact
     assert compact_hudi(spark, dest) is None
+
+def test_cdc_and_stream_over_partitioned_mor_move(spark, tmp_path):
+    """read_hudi_changes and hudi_stream over a PARTITIONED MOR export
+    whose delta moved a key across partitions: CDC emits the move as a
+    delete (old partition, before image) + insert (new partition,
+    after image) — the two images a real global-index writer's feed
+    carries — and the plain stream emits the moved key ONCE, in its
+    new partition."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi_changes,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        export_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_stream import (
+        register_hudi_stream,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, seg string, v double",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "A", 1.0), (2, "B", 2.0), (3, "B", 3.0)],
+            "k bigint, seg string, v double",
+        )
+    )
+    dest = str(tmp_path / "mor")
+    i1 = export_hudi(t, dest, partition_by=["seg"],
+                     table_type="MERGE_ON_READ")
+    # k=2 moves B -> A (value change rides along); k=3 updates in place
+    t.merge(
+        spark.createDataFrame(
+            [(2, "A", -2.0), (3, "B", 33.0)], "k bigint, seg string, v double"
+        )
+    )
+    i2 = export_hudi(t, dest, partition_by=["seg"],
+                     table_type="MERGE_ON_READ")
+    ch = read_hudi_changes(spark, dest, begin=i1)
+    got = {
+        (r["op"], tuple(r["before"]) if r["before"] else None,
+         tuple(r["after"]) if r["after"] else None)
+        for r in ch.collect()
+    }
+    assert got == {
+        ("d", (2, "B", 2.0), None),
+        ("i", None, (2, "A", -2.0)),
+        ("u", (3, "B", 3.0), (3, "B", 33.0)),
+    }, got
+    assert {r["ts_ms"] for r in ch.collect()} == {i2}
+    # the plain stream emits the moved key ONCE, in its new partition
+    register_hudi_stream(spark)
+    got_s = []
+    q = (
+        spark.readStream.format("hudi_stream").option("path", dest)
+        .option("startingInstant", i1).load()
+        .writeStream.foreachBatch(
+            lambda df, _b: got_s.extend(
+                (r["k"], r["seg"], r["v"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got_s) == [(2, "A", -2.0), (3, "B", 33.0)]

@@ -2473,3 +2473,168 @@ def test_eq_field_path_resolution_gates():
         _eq_field_paths(schema_json, [2])  # a struct itself
     with pytest.raises(IcebergProtocolError, match="list/map"):
         _eq_field_paths(schema_json, [99])  # unknown id
+
+
+def test_nested_eq_delete_composes_with_nested_evolution(spark, tmp_path):
+    """A nested equality delete resolved against the CURRENT schema
+    strikes matching rows in files of EVERY vintage: old-vintage files
+    (inner member under its write-time name and narrower type) project
+    through the vintage scan before the leaf comparison, so the same
+    dotted path kills the value in both layouts."""
+    import glob
+    import shutil
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        append_equality_deletes,
+        commit_schema_evolution,
+        export_iceberg,
+        read_iceberg,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "neqevo")
+    t = SnapshotTable.create(spark, root, "k bigint, p struct<b:int,s:string>")
+    t.append(
+        spark.createDataFrame(
+            [(1, (10, "a")), (2, (20, "b")), (3, (30, "a"))],
+            "k bigint, p struct<b:int,s:string>",
+        )
+    )
+    assert export_iceberg(t) == 1
+    # foreign evolution: inner id 3 RENAMED b -> bal, promoted
+    # int -> long; one file appended under the NEW inner layout
+    new = spark.createDataFrame(
+        [(9, (20, "c"))], "k bigint, p struct<bal:bigint,s:string>"
+    )
+    stage = os.path.join(root, "evo.stage")
+    new.coalesce(1).write.parquet(stage)
+    nf = os.path.join(root, "data-evo.parquet")
+    shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], nf)
+    shutil.rmtree(stage)
+    commit_schema_evolution(
+        root,
+        [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "p", "type": {
+                "type": "struct",
+                "fields": [
+                    {"id": 3, "name": "bal", "required": False,
+                     "type": "long"},
+                    {"id": 4, "name": "s", "required": False,
+                     "type": "string"},
+                ],
+            }},
+        ],
+        added_files=[(nf, 1)],
+    )
+    # current-path delete p.bal=20: strikes k=2 (old vintage, written
+    # as int member 'b') AND k=9 (new vintage) in one delete file
+    append_equality_deletes(root, [{"p.bal": 20}], ["p.bal"])
+    got = {
+        (r["k"], r["p"]["bal"], r["p"]["s"])
+        for r in read_iceberg(spark, root).collect()
+    }
+    assert got == {(1, 10, "a"), (3, 30, "a")}
+
+
+def test_encode_bound_roundtrips_through_decode():
+    """encode_bound is the exact inverse of decode_bound for every
+    type the export harvests — including date/timestamp values in the
+    ISO-string form the SnapshotTable commit log keeps."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        decode_bound,
+        encode_bound,
+    )
+
+    cases = [
+        ("int", 42, 42),
+        ("int", -7, -7),
+        ("long", 1 << 40, 1 << 40),
+        ("double", 3.25, 3.25),
+        ("float", 1.5, 1.5),
+        ("string", "abc", "abc"),
+        ("boolean", True, True),
+        ("boolean", False, False),
+        # ISO date -> days since epoch
+        ("date", "1970-01-11", 10),
+        # ISO timestamp -> microseconds since epoch
+        ("timestamp", "1970-01-01T00:00:01.500000", 1_500_000),
+        ("timestamptz", "1970-01-01T00:00:02+00:00", 2_000_000),
+    ]
+    for itype, val, want in cases:
+        b = encode_bound(itype, val)
+        assert b is not None, (itype, val)
+        assert decode_bound(itype, b) == want, (itype, val)
+    # unsupported / null values refuse quietly (no bound, never wrong)
+    assert encode_bound("decimal(9,2)", 1) is None
+    assert encode_bound("long", None) is None
+
+
+def test_export_bounds_prune_and_survive_rewrites(spark, tmp_path):
+    """export_iceberg publishes Appendix-D column bounds from the
+    table's stats_cols; read_iceberg(predicates=) prunes on them; a
+    later export that rewrites a manifest (delete) CARRIES the
+    surviving entries' bounds; tables without stats_cols stay
+    boundless (conservative full scans, results still exact)."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.avro_ocf import (
+        read_avro,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        export_iceberg,
+        read_iceberg,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "bnd")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, v bigint", bucket_key=["k"],
+        num_buckets=2, stats_cols=["k", "v"],
+    )
+    # two range-disjoint appends -> 4 files with disjoint k-bounds
+    t.append(spark.range(1, 51).coalesce(1).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")))
+    t.append(spark.range(51, 101).coalesce(1).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")))
+    assert export_iceberg(t) == 1
+    # the manifest entries carry kv-array bounds (the foreign shape)
+    import glob as _glob
+
+    m = sorted(_glob.glob(os.path.join(root, "metadata", "manifest-1*.avro")))
+    _s, entries = read_avro(m[0])
+    df0 = entries[0]["data_file"]
+    assert df0["lower_bounds"] and df0["upper_bounds"]
+    assert {kv["key"] for kv in df0["lower_bounds"]} == {1, 2}
+    assert all(isinstance(kv["value"], (bytes, bytearray))
+               for kv in df0["lower_bounds"])
+    got = read_iceberg(spark, root, predicates=[("k", ">", 50)])
+    assert len(got.inputFiles()) == 2
+    assert len(read_iceberg(spark, root).inputFiles()) == 4
+    assert got.filter(F.col("k") > 50).count() == 50
+    # equality predicate prunes to the one covering range
+    one = read_iceberg(spark, root, predicates=[("v", "=", 100)])
+    assert len(one.inputFiles()) <= 2
+    assert {r["k"] for r in one.filter(F.col("v") == 100).collect()} == {10}
+    # a delete rewrites the touched manifest: carried entries keep
+    # their bounds, so pruning still works on the second snapshot
+    t.delete(F.col("k") == 1)
+    assert export_iceberg(t) == 2
+    got2 = read_iceberg(spark, root, predicates=[("k", ">", 50)])
+    assert len(got2.inputFiles()) == 2
+    assert got2.filter(F.col("k") > 50).count() == 50
+    # no stats_cols -> no bounds -> full (conservative) file list
+    t2 = SnapshotTable.create(
+        spark, str(tmp_path / "nostats"), "k bigint", bucket_key=["k"],
+        num_buckets=2,
+    )
+    t2.append(spark.range(10).coalesce(1).select(F.col("id").alias("k")))
+    export_iceberg(t2)
+    all_files = read_iceberg(
+        spark, str(tmp_path / "nostats"), predicates=[("k", ">", 5)]
+    )
+    assert len(all_files.inputFiles()) == 2

@@ -154,6 +154,9 @@ AUDIT = [
     "s50_delta_export_cdf",  # cdc-file scan + broadcast manifest join
     "s51_hudi_mor_export",  # MOR fold over base + appended log blocks
     "s52_hudi_mor_compaction",  # post-compaction slice + fresh log fold
+    "s53_hudi_mor_partitioned",  # group-local merges across partitions
+    "s54_iceberg_nested_eq_delete",  # dotted-path eq anti-joins
+    "s55_iceberg_export_bounds",  # bounds-pruned scan over an export
 ]
 
 
