@@ -178,6 +178,10 @@ HEADLINE = [
     "s53_hudi_mor_partitioned",   # partitioned MOR, cross-partition moves (r11)
     "s54_iceberg_nested_eq_delete",  # dotted-path equality deletes (r11)
     "s55_iceberg_export_bounds",  # Appendix-D bounds on export (r11)
+    "s56_hudi_mdt_synced_export",  # incremental MDT sync on export (r11)
+    "s57_iceberg_expire_snapshots",  # retention expiry + orphan GC (r11)
+    "s58_hudi_clean",  # KEEP_LATEST_COMMITS slice cleaning (r11)
+    "s59_delta_log_truncate",  # checkpoint-bounded log retention (r11)
 ]
 
 

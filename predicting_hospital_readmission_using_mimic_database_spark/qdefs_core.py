@@ -6639,3 +6639,306 @@ def q_s55(spark, sf):
     total = read_iceberg(spark, t.root).inputFiles()
     assert len(total) == 8, len(total)
     return df.filter(F.col("c_custkey") > cut)
+
+@query(
+    "s56_hudi_mdt_synced_export",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey,
+           cents + CASE WHEN k % 7 = 0 THEN 111 ELSE 0 END AS cents
+    FROM base
+    """,
+)
+def q_s56(spark, sf):
+    """S56 — METADATA-TABLE-synced Hudi export (sources/hudi_export.py
+    ``_mdt_sync_files``): once ``.hoodie/metadata`` exists, every
+    export/compaction commit APPENDS its new file entries to the MDT
+    files partition (one AVRO log block, O(files written by the
+    commit)) — the incremental maintenance a real Hudi writer performs
+    — so ``_metadata_table_listing`` stays FRESH at every commit and
+    readers list from KBs of metadata instead of the O(files) walk.
+    The fixture exports a MOR table, bootstraps the MDT, then runs a
+    log-append merge export AND a compaction; the in-entry asserts pin
+    that the listing is non-None (not stale) after BOTH commits —
+    without the sync, the staleness gate (MDT instant < data instant)
+    would silently fall back to the walk. The returned frame
+    snapshot-reads the final state through the MDT-resolved listing;
+    DuckDB recomputes it, so a listing that missed a log file or a
+    compacted base breaks the row-level hash."""
+    import os
+
+    from .sources import hudi as H
+    from .sources.hudi import read_hudi, write_metadata_table_files
+    from .sources.hudi_export import compact_hudi, export_hudi
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s56", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    t.append(c)
+    dest = os.path.join(t.root, "hudi_mdt")
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    write_metadata_table_files(dest)
+    t.merge(
+        c.filter(F.col("c_custkey") % 7 == 0).withColumn(
+            "cents", F.col("cents") + 111
+        )
+    )
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    # the log-append export kept the listing fresh (staleness gate
+    # would return None had the sync been skipped)
+    assert H._metadata_table_listing(dest) is not None
+    ci = compact_hudi(spark, dest)
+    assert ci is not None
+    assert H._metadata_table_listing(dest) is not None
+    return read_hudi(spark, dest)
+
+@query(
+    "s57_iceberg_expire_snapshots",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey,
+           cents + CASE WHEN k % 11 = 0 THEN 555 ELSE 0 END AS cents
+    FROM base WHERE k % 19 <> 0
+    """,
+)
+def q_s57(spark, sf):
+    """S57 — SNAPSHOT EXPIRY (sources/iceberg.py
+    ``expire_iceberg_snapshots``): the retention maintenance every
+    long-lived table needs — metadata otherwise grows one manifest
+    list per commit forever. Snapshots beyond ``keep_last`` /
+    ``older_than_ms`` leave the lineage; manifests + manifest lists
+    referenced ONLY by them are garbage-collected (orphaned DATA
+    files only with ``delete_data_files=True`` — a zero-copy export
+    shares the host table's parquet); the CURRENT snapshot and every
+    ref-pinned snapshot are protected, matching the official
+    ``expireSnapshots``. The fixture exports three snapshots
+    (append, +555 merge on ``%11``, ``%19`` delete), expires
+    ``keep_last=1``, and snapshot-reads the survivor; in-entry
+    asserts pin the expired ids, the .avro GC, the expired-read
+    raise, and the untouched shared data files. DuckDB recomputes
+    the final state — an expiry that dropped a still-referenced
+    manifest or GC'd a live file breaks the read itself."""
+    import glob
+    import os
+
+    from .sources.iceberg import (
+        expire_iceberg_snapshots,
+        export_iceberg,
+        read_iceberg,
+    )
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s57", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    t.append(c)
+    assert export_iceberg(t) == 1
+    t.merge(
+        c.filter(F.col("c_custkey") % 11 == 0).withColumn(
+            "cents", F.col("cents") + 555
+        )
+    )
+    assert export_iceberg(t) == 2
+    t.delete(F.col("c_custkey") % 19 == 0)
+    assert export_iceberg(t) == 3
+    n_avro = len(glob.glob(os.path.join(t.root, "metadata", "*.avro")))
+    n_data = len(glob.glob(os.path.join(t.root, "data*", "**", "*.parquet"),
+                           recursive=True))
+    expired = expire_iceberg_snapshots(t.root, keep_last=1)
+    assert expired == [1, 2]
+    # orphaned manifest metadata GC'd; shared data files untouched
+    assert len(glob.glob(os.path.join(t.root, "metadata", "*.avro"))) < n_avro
+    assert len(glob.glob(os.path.join(t.root, "data*", "**", "*.parquet"),
+                         recursive=True)) == n_data
+    try:
+        read_iceberg(spark, t.root, snapshot_id=1)
+        raise AssertionError("expired snapshot must not read")
+    except ValueError:
+        pass
+    return read_iceberg(spark, t.root)
+
+@query(
+    "s58_hudi_clean",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey,
+           cents + CASE WHEN k % 13 = 0 THEN 444 ELSE 0 END
+                 + CASE WHEN k % 17 = 0 THEN 222 ELSE 0 END AS cents
+    FROM base
+    """,
+)
+def q_s58(spark, sf):
+    """S58 — Hudi CLEANING (sources/hudi_export.py ``clean_hudi``,
+    the ``KEEP_LATEST_COMMITS`` policy): the retention maintenance
+    that stops a long-lived table's storage growing one superseded
+    slice per rewrite forever. With ``retain_commits=2``, time travel
+    back to the 2nd-newest commit (the HORIZON) stays servable; every
+    file group's slices superseded before it are physically deleted; a
+    completed ``.clean`` action records ``earliestCommitToRetain`` and
+    readers GATE on it — ``as_of`` or a CDC ``begin`` before the
+    horizon raises instead of silently returning newer data (the
+    in-entry asserts pin the raise, the surviving horizon read, and
+    the physical file-count drop). The fixture runs three COW
+    merge-exports (+444 on ``%13``, then +222 on ``%17``), cleans,
+    and snapshot-reads the survivor, which DuckDB recomputes — a clean
+    that removed a live slice breaks the read itself; one that removed
+    nothing breaks the count assert."""
+    import glob
+    import os
+
+    from .sources.hudi import HudiProtocolError, read_hudi
+    from .sources.hudi_export import clean_hudi, export_hudi
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s58", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    t.append(c)
+    dest = os.path.join(t.root, "hudi_clean")
+    i1 = export_hudi(t, dest)
+    t.merge(
+        c.filter(F.col("c_custkey") % 13 == 0).withColumn(
+            "cents", F.col("cents") + 444
+        )
+    )
+    i2 = export_hudi(t, dest)
+    t.merge(
+        t.read().filter(F.col("c_custkey") % 17 == 0).withColumn(
+            "cents", F.col("cents") + 222
+        )
+    )
+    i3 = export_hudi(t, dest)
+    n_before = len(glob.glob(os.path.join(dest, "*.parquet")))
+    ci = clean_hudi(dest, retain_commits=2)
+    assert ci is not None and ci > i3
+    assert len(glob.glob(os.path.join(dest, "*.parquet"))) < n_before
+    # the horizon (i2) still serves; before it raises honestly
+    assert read_hudi(spark, dest, as_of=i2).count() == c.count()
+    try:
+        read_hudi(spark, dest, as_of=i1)
+        raise AssertionError("pre-horizon time travel must raise")
+    except HudiProtocolError:
+        pass
+    return read_hudi(spark, dest)
+
+@query(
+    "s59_delta_log_truncate",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey,
+           cents + CASE WHEN k % 3 = 0 THEN 30 ELSE 0 END
+                 + CASE WHEN k % 5 = 0 THEN 50 ELSE 0 END
+                 + CASE WHEN k % 7 = 0 THEN 70 ELSE 0 END AS cents
+    FROM base
+    """,
+)
+def q_s59(spark, sf):
+    """S59 — Delta LOG TRUNCATION (sources/delta.py
+    ``truncate_delta_log``): the ``logRetentionDuration`` cleanup that
+    keeps a long-lived ``_delta_log`` at O(checkpoint + recent tail)
+    instead of one JSON per commit forever — completing the RETENTION
+    TRIPLE next to ``expire_iceberg_snapshots`` and ``clean_hudi``.
+    JSON commits (and older checkpoints) below the newest checkpoint
+    serving ``keep_versions`` are deleted; the cut lands on a
+    checkpoint boundary so no retained version is orphaned. Readers
+    gate honestly with ZERO new read paths: time travel below the cut
+    raises the existing no-usable-checkpoint error, a CDF range
+    reaching below it raises the existing missing-commit error (both
+    pinned in-entry). The fixture exports three merge commits with a
+    checkpoint cadence of 2, truncates to the last 2 versions, and
+    snapshot-reads the survivor, which DuckDB recomputes — a truncate
+    that cut past the covering checkpoint would break the read
+    itself."""
+    import glob
+    import os
+
+    from .sources.delta import (
+        DeltaProtocolError,
+        export_delta_log,
+        read_delta,
+        read_delta_changes,
+        truncate_delta_log,
+    )
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s59", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    t.append(c)
+    assert export_delta_log(t, checkpoint_interval=2) == 0
+    for mod, add in ((3, 30), (5, 50), (7, 70)):
+        t.merge(
+            t.read().filter(F.col("c_custkey") % mod == 0).withColumn(
+                "cents", F.col("cents") + add
+            )
+        )
+        export_delta_log(t, checkpoint_interval=2)
+    log = os.path.join(t.root, "_delta_log")
+    n_json = len(glob.glob(os.path.join(log, "*.json")))
+    deleted = truncate_delta_log(t, keep_versions=2)
+    assert deleted == [0, 1], deleted  # cut at the version-2 checkpoint
+    assert len(glob.glob(os.path.join(log, "*.json"))) == n_json - 2
+    # below the cut: the existing honest gates fire
+    try:
+        read_delta(spark, t.root, version=1)
+        raise AssertionError("pre-cut time travel must raise")
+    except DeltaProtocolError:
+        pass
+    try:
+        read_delta_changes(spark, t.root, starting_version=0).collect()
+        raise AssertionError("pre-cut CDF must raise")
+    except DeltaProtocolError:
+        pass
+    # the retained tail still serves both reads
+    assert read_delta(spark, t.root, version=2).count() == c.count()
+    assert read_delta_changes(spark, t.root, starting_version=3).count() > 0
+    return read_delta(spark, t.root)

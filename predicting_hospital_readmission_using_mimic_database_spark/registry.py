@@ -40,14 +40,17 @@ _LOADED = False
 # (every round so far checked exactly the first 50 entries). The
 # cross-round union covers all entries — every one has appeared
 # hash-green in a shipped driver artifact. Round-11 window:
-# (a) every entry new or code-changed THIS round — the six new round-11
-# entries (st22 stream nested evolution + v3 defaults, s49 changelog
-# delete replay, s50 CDF-correct Delta export, st23/st24 stream row
-# lineage, s51 MOR Hudi export); s47/st21 after the changelog replay
-# rewrite; st16/st19 after the stream read-loop changes (vintage
-# projection + lineage branches); s41/s44/s45/s46 after their fixture
-# builders were shared with the new stream entries; s16/s40/s43 after
-# export_delta_log grew cdc actions and export_hudi grew table_type —
+# (a) every entry new or code-changed THIS round — the fourteen new
+# round-11 entries (st22 stream nested evolution + v3 defaults, s49
+# changelog delete replay, s50 CDF-correct Delta export, st23/st24
+# stream row lineage, s51/s52/s53 MOR export + compaction +
+# partitioning, s54 nested equality deletes, s55 export column
+# bounds, s56 metadata-table sync, and the retention triple
+# s57 expire / s58 clean / s59 log truncate); s47/st21 after the
+# changelog replay rewrite; st16/st19 after the stream read-loop
+# changes; s41/s44/s45/s46 after their fixture builders were shared
+# with the new stream entries; s16/s40/s43 after export_delta_log
+# grew cdc actions and export_hudi grew table_type + partitioned MOR —
 # then (a') recent lakehouse representatives adjacent to this round's
 # machinery (CDF readers next to the CDF-writing export, DV/eq-delete
 # reads next to the replay, MOR reads next to the MOR export), then
@@ -67,6 +70,10 @@ PRIORITY: tuple[str, ...] = (
     "s53_hudi_mor_partitioned",
     "s54_iceberg_nested_eq_delete",
     "s55_iceberg_export_bounds",
+    "s56_hudi_mdt_synced_export",
+    "s57_iceberg_expire_snapshots",
+    "s58_hudi_clean",
+    "s59_delta_log_truncate",
     # (a) code-changed in round 11
     "s47_iceberg_changelog",
     "st21_stream_iceberg_changelog",
@@ -87,14 +94,10 @@ PRIORITY: tuple[str, ...] = (
     "s37_iceberg_v3_dv",
     "s38_iceberg_schema_evolution",
     "s39_delta_type_widening",
-    "s33_iceberg_incremental",
     "s28_delta_cdf",
     "st17_stream_delta_cdf",
-    "s20_iceberg_pos_delete",
-    "s23_iceberg_eq_delete",
     "s22_delta_deletion_vectors",
     "st18_stream_hudi_mor",
-    "s27_hudi_mor_read",
     # (b) oldest-vintage stable representatives, family-complete,
     # rotated off the round-10 sentinel picks
     "flagship_readmit_30d",

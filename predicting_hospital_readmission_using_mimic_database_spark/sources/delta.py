@@ -1715,3 +1715,57 @@ def read_delta_changes(
         F.col("__cdf_version").cast("long").alias("_commit_version"),
     ]
     return joined.select(*out_cols)
+
+
+def truncate_delta_log(table_or_root, keep_versions: int = 10) -> list[int]:
+    """TRUNCATE the log tail a checkpoint already covers — Delta's
+    ``logRetentionDuration`` cleanup expressed in versions: JSON
+    commits (and older checkpoints) BELOW the newest checkpoint that
+    still serves the retention window are deleted, so a long-lived
+    table's ``_delta_log`` stays O(checkpoint + recent tail) instead
+    of one JSON per commit forever. ``keep_versions=N`` keeps time
+    travel to the last N versions working; the actual cut lands on a
+    CHECKPOINT boundary at or below that horizon (never beyond it —
+    a version without a covering checkpoint is never orphaned).
+    Returns the deleted JSON versions (empty when no checkpoint old
+    enough exists — e.g. a log with no checkpoints at all).
+
+    Readers gate honestly after the cut, with no new code paths:
+    time travel below the cut raises the existing ``no usable parquet
+    checkpoint at or below the requested version``; a CDF range
+    reaching below it raises the existing ``missing commit version``;
+    ``version_at_timestamp`` keeps resolving over the retained JSON
+    tail (documented vacuumed-with-checkpoint behavior). The live
+    snapshot and every retained version replay exactly as before —
+    the checkpoint IS their state."""
+    root = getattr(table_or_root, "root", table_or_root)
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"not a delta table (no {DELTA_LOG_DIR}): {root}")
+    commits = _delta_commits(log_dir)
+    if not commits:
+        return []
+    latest = commits[-1][0]
+    horizon = max(latest - keep_versions + 1, 0)
+    cps = _checkpoints(log_dir)
+    v2cps = _v2_checkpoints(log_dir)
+    usable = [v for v in set(cps) | set(v2cps) if v <= horizon]
+    if not usable:
+        return []  # nothing below the horizon is checkpoint-covered
+    cut = max(usable)
+    deleted: list[int] = []
+    for v, path in commits:
+        if v < cut:
+            os.remove(path)
+            deleted.append(v)
+    # older checkpoints below the cut serve nothing anymore
+    for v, parts in cps.items():
+        if v < cut:
+            for p in parts:
+                os.remove(p)
+    for v, (_fmt, manifest) in v2cps.items():
+        if v < cut:
+            os.remove(manifest)
+    return deleted

@@ -156,6 +156,31 @@ def _completed_commits(root: str, allow_delta: bool = False) -> set[str]:
     return done
 
 
+def _clean_horizon(root: str) -> str | None:
+    """The newest ``earliestCommitToRetain`` across completed CLEAN
+    actions on the timeline — time travel / CDC windows before it
+    cannot be served (the superseded slices were physically removed)
+    and must raise instead of silently returning newer data. ``None``
+    when the table was never cleaned."""
+    tdir = os.path.join(root, HOODIE_DIR)
+    horizon: str | None = None
+    for name in os.listdir(tdir):
+        m = _INSTANT_RE.match(name)
+        if not m or m.group(2) != "clean":
+            continue
+        try:
+            with open(os.path.join(tdir, name)) as f:
+                body = json.load(f)
+        except (OSError, ValueError) as e:
+            raise HudiProtocolError(
+                f"unreadable clean metadata {name}: {e}"
+            ) from None
+        e0 = body.get("earliestCommitToRetain")
+        if e0 and (horizon is None or str(e0) > horizon):
+            horizon = str(e0)
+    return horizon
+
+
 def _replaced_groups(root: str, as_of: str | None) -> set[tuple[str, str]]:
     """(partition path, fileId) of every file group RETIRED by a
     completed replacecommit at or before ``as_of`` — the commit
@@ -425,6 +450,13 @@ def read_hudi_changes(
             f"hoodie.table.type={ttype}: unknown table type"
         )
     done = sorted(_completed_commits(root, allow_delta=mor))
+    h = _clean_horizon(root)
+    if h is not None and str(begin) < h:
+        raise HudiProtocolError(
+            f"read_hudi_changes begin={begin} predates the cleaner "
+            f"horizon {h}: the superseded slices needed to diff those "
+            "commits were removed by a clean"
+        )
     window = [
         c for c in done
         if c > str(begin) and (end is None or c <= str(end))
@@ -1331,6 +1363,13 @@ def _latest_slices(
     the walk remains the fallback for tables without one."""
     done = _completed_commits(root, allow_delta=collect_logs)
     if as_of is not None:
+        h = _clean_horizon(root)
+        if h is not None and str(as_of) < h:
+            raise HudiProtocolError(
+                f"as_of {as_of} predates the cleaner horizon {h}: the "
+                "file slices serving that instant were removed by a "
+                "clean — the read would silently return newer data"
+            )
         done = {c for c in done if c <= str(as_of)}
     logs: dict[tuple[str, str], list[tuple[str, int, str]]] = {}
     admit: set[str] | None = None

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from .hudi import HOODIE_DIR
 
-__all__ = ["compact_hudi", "export_hudi"]
+__all__ = ["clean_hudi", "compact_hudi", "export_hudi"]
 
 _STATE_FILE = ".export-state.json"
 
@@ -272,6 +272,7 @@ def export_hudi(
         with open(tmp, "w") as f:
             json.dump({"partitionToWriteStats": written}, f)
         os.replace(tmp, os.path.join(hdir, f"{inst}.deltacommit"))
+        _mdt_sync_files(dest, written, inst)
         with open(state_path, "w") as f:
             json.dump(
                 {"table_version": version, "instant": inst,
@@ -391,12 +392,74 @@ def export_hudi(
     with open(tmp, "w") as f:
         json.dump({"partitionToWriteStats": written}, f)
     os.replace(tmp, os.path.join(hdir, f"{inst}.{suffix}"))
+    _mdt_sync_files(dest, written, inst)
     with open(state_path, "w") as f:
         json.dump(
             {"table_version": version, "instant": inst,
              "partition_by": partition_by, "table_type": table_type}, f,
         )
     return inst
+
+
+def _mdt_sync_files(
+    dest: str, written: dict, inst: str,
+    deleted: dict[str, list[str]] | None = None,
+) -> None:
+    """Keep the metadata table's ``files`` partition IN SYNC with a
+    commit this module just wrote — the incremental append a real Hudi
+    writer performs on every commit once the MDT exists: one AVRO log
+    block holding ONLY the commit's new file entries (plus
+    ``isDeleted`` records for files a CLEAN removed, via ``deleted=``
+    ``{partition: [file names]}``), stamped with the commit instant,
+    so ``_metadata_table_listing`` stays fresh at every commit and
+    readers keep listing from KBs of metadata instead of falling back
+    to the O(files) walk. No-op when the table has no metadata table
+    (bootstrap once with :func:`~.hudi.write_metadata_table_files`);
+    cost is O(files touched by THIS commit)."""
+    from .hudi import (
+        ALL_PARTITIONS_KEY,
+        METADATA_RECORD_SCHEMA,
+        _mdt_append_partition,
+    )
+
+    mdt = os.path.join(dest, HOODIE_DIR, "metadata")
+    if not os.path.exists(
+        os.path.join(mdt, HOODIE_DIR, "hoodie.properties")
+    ) or not os.path.isdir(os.path.join(mdt, "files")):
+        return
+    per_part: dict[str, dict[str, dict]] = {}
+    for part, stats in written.items():
+        key = "." if part in ("", ".") else os.path.normpath(part)
+        for st in stats:
+            fname = os.path.basename(st["path"])
+            per_part.setdefault(key, {})[fname] = {
+                "size": os.path.getsize(os.path.join(dest, st["path"])),
+                "isDeleted": False,
+            }
+    for part, names in (deleted or {}).items():
+        key = "." if part in ("", ".") else os.path.normpath(part)
+        for fname in names:
+            per_part.setdefault(key, {})[fname] = {
+                "size": 0,
+                "isDeleted": True,
+            }
+    if not per_part:
+        return
+    records = [
+        {
+            "key": ALL_PARTITIONS_KEY,
+            "type": 1,
+            "filesystemMetadata": {
+                p: {"size": 0, "isDeleted": False} for p in sorted(per_part)
+            },
+        }
+    ] + [
+        {"key": part, "type": 2, "filesystemMetadata": files}
+        for part, files in sorted(per_part.items())
+    ]
+    _mdt_append_partition(
+        dest, "files", "files-0000", METADATA_RECORD_SCHEMA, records, inst
+    )
 
 
 def _avro_log_schema(schema) -> dict:
@@ -804,4 +867,110 @@ def compact_hudi(spark, dest: str) -> str | None:
     with open(tmp, "w") as f:
         json.dump({"partitionToWriteStats": written}, f)
     os.replace(tmp, os.path.join(hdir, f"{inst}.commit"))
+    _mdt_sync_files(dest, written, inst)
+    return inst
+
+
+def clean_hudi(dest: str, retain_commits: int = 10) -> str | None:
+    """CLEAN superseded file slices — Hudi's ``KEEP_LATEST_COMMITS``
+    retention policy, the maintenance that stops a long-lived table's
+    storage growing one superseded slice per rewrite forever: with
+    ``retain_commits=N``, time travel back to the N-th newest
+    completed commit (the HORIZON) stays servable, and every file
+    group's slices SUPERSEDED before the horizon — base files older
+    than the group's newest base at-or-before it, plus their attached
+    log files — are physically deleted. A completed ``.clean`` action
+    recording ``earliestCommitToRetain`` lands on the timeline;
+    readers gate honestly on it (``as_of`` / CDC ``begin`` before the
+    horizon raise instead of silently returning newer data). When a
+    metadata table exists, the clean appends ``isDeleted`` records so
+    the listing stops serving the removed names. Returns the clean
+    instant, or None when nothing qualified (fewer than N commits, or
+    no superseded slices below the horizon).
+
+    Driver-only and metadata-scale: one tree walk to inventory slices
+    (the same cost a single uncached read pays), deletions tracked per
+    group — the data files themselves are never opened. Replaced
+    groups (clustering/insert_overwrite retirees) are NOT cleaned here
+    — their retirement is replay metadata, not slice supersession
+    (documented divergence; real Hudi's cleaner handles them via the
+    replacecommit plan)."""
+    from .hudi import (
+        _BASEFILE_RE,
+        _LOGFILE_RE,
+        _clean_horizon,
+        _completed_commits,
+        _properties,
+    )
+
+    if retain_commits < 1:
+        raise ValueError("retain_commits must be >= 1")
+    _properties(dest)  # raises early on a non-Hudi dir
+    mor = _properties(dest).get("hoodie.table.type") == "MERGE_ON_READ"
+    done = sorted(_completed_commits(dest, allow_delta=mor))
+    if len(done) <= retain_commits:
+        return None
+    horizon = done[-retain_commits]
+    bases: dict[tuple[str, str], list[tuple[str, str]]] = {}
+    logsf: dict[tuple[str, str, str], list[str]] = {}
+    for dirpath, dirs, files in os.walk(dest):
+        if os.path.basename(dirpath) == HOODIE_DIR:
+            dirs[:] = []
+            continue
+        rel = os.path.normpath(os.path.relpath(dirpath, dest))
+        for name in files:
+            lm = _LOGFILE_RE.match(name)
+            if lm:
+                fid, base_instant, _v, _tok = lm.groups()
+                logsf.setdefault((rel, fid, base_instant), []).append(
+                    os.path.join(dirpath, name)
+                )
+                continue
+            m = _BASEFILE_RE.match(name)
+            if m:
+                fid, _tok, instant = m.groups()
+                bases.setdefault((rel, fid), []).append(
+                    (instant, os.path.join(dirpath, name))
+                )
+    deleted: dict[str, list[str]] = {}
+    n_removed = 0
+    for (rel, fid), blist in bases.items():
+        keep_min = max(
+            (i for i, _p in blist if i in set(done) and i <= horizon),
+            default=None,
+        )
+        if keep_min is None:
+            continue  # group born after the horizon: nothing below it
+        for i, p in sorted(blist):
+            # only COMPLETED superseded slices: a pending writer's file
+            # is not a slice, and the newest completed base <= horizon
+            # must survive to serve as_of == horizon
+            if i >= keep_min or i not in set(done):
+                continue
+            victims = [p] + logsf.get((rel, fid, i), [])
+            for v in victims:
+                os.remove(v)
+                deleted.setdefault(rel, []).append(os.path.basename(v))
+                n_removed += 1
+    if n_removed == 0:
+        return None
+    from .hudi import _INSTANT_RE
+
+    hdir = os.path.join(dest, HOODIE_DIR)
+    taken = [
+        m.group(1)
+        for m in (_INSTANT_RE.match(n) for n in os.listdir(hdir))
+        if m
+    ]
+    inst = f"{int(max(taken)) + 1:014d}"
+    prev_h = _clean_horizon(dest)
+    body = {
+        "earliestCommitToRetain": max(horizon, prev_h or ""),
+        "deleted": n_removed,
+    }
+    tmp = os.path.join(hdir, f".{inst}.clean.tmp")
+    with open(tmp, "w") as f:
+        json.dump(body, f)
+    os.replace(tmp, os.path.join(hdir, f"{inst}.clean"))
+    _mdt_sync_files(dest, {}, inst, deleted=deleted)
     return inst

@@ -3560,3 +3560,128 @@ def commit_schema_evolution(
         f.write(str(version))
     os.replace(tmp, os.path.join(mdir, "version-hint.text"))
     return sid
+
+
+def expire_iceberg_snapshots(
+    root: str,
+    keep_last: int | None = None,
+    older_than_ms: int | None = None,
+    delete_data_files: bool = False,
+) -> list[int]:
+    """EXPIRE old snapshots — the retention maintenance every long-lived
+    Iceberg table needs (metadata grows one manifest list per commit
+    forever otherwise): snapshots selected by ``keep_last=N`` (all but
+    the newest N) and/or ``older_than_ms`` (timestamp cutoff; both
+    given = AND, matching the official ``expireSnapshots`` surface) are
+    removed from the metadata's ``snapshots`` list, and files
+    referenced ONLY by expired snapshots are garbage-collected.
+    Returns the expired snapshot ids (empty when nothing qualifies).
+
+    PROTECTED snapshots are never expired whatever the criteria: the
+    current snapshot and every snapshot pinned by a named ref
+    (branches/tags) — the same guarantee the official runtime makes.
+
+    GC scope: orphaned manifest lists / manifests / metadata-dir files
+    (equality-delete parquet, Puffin vectors under ``metadata/``) are
+    always deleted — the export owns them. Orphaned DATA files are
+    deleted only with ``delete_data_files=True``: a zero-copy
+    ``export_iceberg`` SHARES the host SnapshotTable's parquet files,
+    and deleting them would corrupt the host table's own time travel —
+    pass True only for self-contained tables.
+
+    Interplay, by design: time travel / incremental / changelog reads
+    naming an expired snapshot raise (``not in the retained lineage``);
+    a STREAM checkpointed across the expiry detects the lineage change
+    and demands a restart (its offset pins ``(position, snapshot id)``).
+    At 100 TB this is the difference between a manifest-list listing
+    that stays KB-scale and one that grows without bound."""
+    with open(_metadata_path(root)) as f:
+        meta = json.load(f)
+    snaps = meta.get("snapshots", [])
+    if keep_last is None and older_than_ms is None:
+        raise ValueError(
+            "pass keep_last= and/or older_than_ms= (expiring everything "
+            "is never what a retention policy means)"
+        )
+    if keep_last is not None and keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    protected = {int(meta["current-snapshot-id"])}
+    for r in (meta.get("refs") or {}).values():
+        protected.add(int(r["snapshot-id"]))
+    keep_tail = (
+        {s["snapshot-id"] for s in snaps[-keep_last:]}
+        if keep_last is not None
+        else set()
+    )
+    expired: list[int] = []
+    for s in snaps:
+        sid = s["snapshot-id"]
+        if sid in protected or sid in keep_tail:
+            continue
+        if (
+            older_than_ms is not None
+            and int(s.get("timestamp-ms") or 0) >= older_than_ms
+        ):
+            continue
+        expired.append(sid)
+    if not expired:
+        return []
+    exp_set = set(expired)
+    retained = [s for s in snaps if s["snapshot-id"] not in exp_set]
+
+    def _referenced(snap: dict, live_only: bool) -> set[str]:
+        # live_only (the KEEP side): a retained manifest's status-2
+        # DELETED entry is a tombstone, not a reference — no retained
+        # read ever opens that file, so it must not pin the bytes
+        out = set()
+        ml = os.path.abspath(_localize(snap["manifest-list"], root))
+        out.add(ml)
+        _s, manifests = read_avro(ml)
+        for m in manifests:
+            mp = os.path.abspath(_localize(m["manifest_path"], root))
+            out.add(mp)
+            _s2, entries = read_avro(mp)
+            for e in entries:
+                if live_only and e.get("status", 0) == 2:
+                    continue
+                out.add(
+                    os.path.abspath(
+                        _unquote(_localize(e["data_file"]["file_path"], root))
+                    )
+                )
+        return out
+
+    keep_files: set[str] = set()
+    for s in retained:
+        keep_files |= _referenced(s, live_only=True)
+    drop_files: set[str] = set()
+    for s in snaps:
+        if s["snapshot-id"] in exp_set:
+            drop_files |= _referenced(s, live_only=False)
+    mdir = os.path.abspath(os.path.dirname(_metadata_path(root)))
+    removed = 0
+    for p in sorted(drop_files - keep_files):
+        under_meta = p.startswith(mdir + os.sep)
+        if not under_meta and not delete_data_files:
+            continue  # shared zero-copy data file: the host table's
+        try:
+            os.remove(p)
+            removed += 1
+        except FileNotFoundError:
+            pass
+    version = int(meta.get("_export_version", len(snaps))) + 1
+    meta["snapshots"] = retained
+    if "snapshot-log" in meta:
+        meta["snapshot-log"] = [
+            e
+            for e in meta["snapshot-log"]
+            if e.get("snapshot-id") not in exp_set
+        ]
+    meta["_export_version"] = version
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    tmp = os.path.join(mdir, ".hint.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    return expired

@@ -1950,3 +1950,67 @@ def test_export_cdf_duplicate_keys_fall_back_to_multiset(spark, tmp_path):
     got = sorted((r["k"], r["v"], r["_change_type"]) for r in ch.collect())
     # exact multiset semantics: (7,1) and (8,80) carried and CANCEL
     assert got == [(7, 2, "delete"), (7, 3, "insert")]
+
+
+def test_truncate_delta_log_retention(spark, tmp_path):
+    """truncate_delta_log: JSON commits (and older checkpoints) below
+    the newest checkpoint serving the retention window are deleted;
+    retained time travel and the live read replay unchanged; reads
+    below the cut raise the EXISTING honest gates (no-checkpoint for
+    time travel, missing-commit for CDF); a checkpointless log is a
+    no-op."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        export_delta_log,
+        read_delta_changes,
+        truncate_delta_log,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "trunc")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, v double", bucket_key=["k"], num_buckets=2
+    )
+    t.append(spark.range(10).select(F.col("id").alias("k"),
+                                    (F.col("id") * 1.0).alias("v")))
+    assert export_delta_log(t, checkpoint_interval=4) == 0
+    for i in range(1, 10):  # versions 1..9; checkpoints at 4 and 8
+        t.merge(spark.createDataFrame([(int(i), float(-i))],
+                                      "k bigint, v double"))
+        export_delta_log(t, checkpoint_interval=4)
+    log = os.path.join(root, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{4:020d}.checkpoint.parquet"))
+    assert os.path.exists(os.path.join(log, f"{8:020d}.checkpoint.parquet"))
+    # keep the last 3 versions (7..9): the cut lands on checkpoint 4
+    # (newest checkpoint <= horizon 7), versions 0-3 go
+    deleted = truncate_delta_log(t, keep_versions=3)
+    assert deleted == [0, 1, 2, 3]
+    expect = {i: float(-i) if 1 <= i <= 9 else float(i) for i in range(10)}
+    assert {r["k"]: r["v"] for r in read_delta(spark, root).collect()} == expect
+    # retained time travel replays from the kept checkpoint
+    at5 = {r["k"]: r["v"] for r in read_delta(spark, root, version=5).collect()}
+    assert at5[5] == -5.0 and at5[6] == 6.0
+    at4 = read_delta(spark, root, version=4)
+    assert at4.count() == 10
+    # below the cut: the existing honest gates fire
+    with pytest.raises(DeltaProtocolError, match="checkpoint"):
+        read_delta(spark, root, version=3)
+    with pytest.raises(DeltaProtocolError, match="missing commit"):
+        read_delta_changes(spark, root, starting_version=1,
+                           ending_version=5).collect()
+    # CDF over the retained tail still serves
+    assert read_delta_changes(spark, root, starting_version=8).count() > 0
+    # nothing left below the horizon's checkpoint: no-op
+    assert truncate_delta_log(t, keep_versions=3) == []
+    # a checkpointless log never truncates
+    root2 = str(tmp_path / "nocp")
+    t2 = SnapshotTable.create(spark, root2, "k bigint",
+                              bucket_key=["k"], num_buckets=1)
+    t2.append(spark.range(3).coalesce(1).select(F.col("id").alias("k")))
+    export_delta_log(t2, checkpoint_interval=100)
+    assert truncate_delta_log(t2, keep_versions=1) == []
+    with pytest.raises(ValueError, match="keep_versions"):
+        truncate_delta_log(t2, keep_versions=0)

@@ -45,6 +45,9 @@ def test_first_50_entries_cover_every_family():
                  "s53_hudi_mor_partitioned",
                  "s54_iceberg_nested_eq_delete",
                  "s55_iceberg_export_bounds",
+                 "s56_hudi_mdt_synced_export",
+                 "s57_iceberg_expire_snapshots", "s58_hudi_clean",
+                 "s59_delta_log_truncate",
                  "s47_iceberg_changelog", "st21_stream_iceberg_changelog",
                  "st16_stream_iceberg_tail", "st19_stream_delta_idmap",
                  "s41_iceberg_nested_evolution", "s44_iceberg_v3_defaults",
@@ -54,11 +57,10 @@ def test_first_50_entries_cover_every_family():
                  "s42_hudi_cdc_infer", "st20_stream_hudi_cdc",
                  "s48_csv_roundtrip",
                  "s37_iceberg_v3_dv", "s38_iceberg_schema_evolution",
-                 "s39_delta_type_widening", "s33_iceberg_incremental",
+                 "s39_delta_type_widening",
                  "s28_delta_cdf", "st17_stream_delta_cdf",
-                 "s20_iceberg_pos_delete", "s23_iceberg_eq_delete",
                  "s22_delta_deletion_vectors",
-                 "st18_stream_hudi_mor", "s27_hudi_mor_read",
+                 "st18_stream_hudi_mor",
                  "flagship_readmit_30d"):
         assert must in names
     assert len(names) == 50

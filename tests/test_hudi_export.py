@@ -652,3 +652,189 @@ def test_cdc_and_stream_over_partitioned_mor_move(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(got_s) == [(2, "A", -2.0), (3, "B", 33.0)]
+
+def test_exports_keep_metadata_table_in_sync(spark, tmp_path, monkeypatch):
+    """Once the metadata table exists, every export/compaction commit
+    appends its new file entries incrementally — the listing never
+    goes stale, so readers keep resolving from the MDT (walk blocked)
+    across COW rewrites, MOR log appends, and compaction."""
+    import predicting_hospital_readmission_using_mimic_database_spark.sources.hudi as H
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi,
+        write_metadata_table_files,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        compact_hudi,
+        export_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    # --- COW: rewrite commits stay listed
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v double",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(spark.range(8).select(F.col("id").alias("k"),
+                                   (F.col("id") * 1.0).alias("v")))
+    dest = str(tmp_path / "cow")
+    export_hudi(t, dest)
+    write_metadata_table_files(dest)
+    assert H._metadata_table_listing(dest) is not None
+    t.merge(spark.createDataFrame([(3, -3.0), (100, 1.0)],
+                                  "k bigint, v double"))
+    export_hudi(t, dest)
+    # the sync kept the listing FRESH: no walk fallback
+    assert H._metadata_table_listing(dest) is not None
+
+    def no_walk(*a, **k):
+        raise AssertionError("os.walk taken despite a synced MDT")
+
+    monkeypatch.setattr(H.os, "walk", no_walk)
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert got == {(i, float(i)) for i in range(8) if i != 3} | {
+        (3, -3.0), (100, 1.0)
+    }
+    monkeypatch.undo()
+
+    # --- MOR: log-append commits and the compaction stay listed
+    t2 = SnapshotTable.create(
+        spark, str(tmp_path / "t2"), "k bigint, v string",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t2.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "k bigint, v string"))
+    dest2 = str(tmp_path / "mor")
+    export_hudi(t2, dest2, table_type="MERGE_ON_READ")
+    write_metadata_table_files(dest2)
+    t2.merge(spark.createDataFrame([(1, "V1"), (50, "v50")],
+                                   "k bigint, v string"))
+    export_hudi(t2, dest2, table_type="MERGE_ON_READ")
+    assert H._metadata_table_listing(dest2) is not None
+    ci = compact_hudi(spark, dest2)
+    assert ci is not None
+    assert H._metadata_table_listing(dest2) is not None
+    monkeypatch.setattr(H.os, "walk", no_walk)
+    exp = {(i, f"v{i}") for i in range(6) if i != 1} | {(1, "V1"), (50, "v50")}
+    assert {(r["k"], r["v"]) for r in read_hudi(spark, dest2).collect()} == exp
+    # a table with NO metadata table is untouched by the sync (no-op)
+    assert not os.path.isdir(
+        os.path.join(str(tmp_path / "cow2"), ".hoodie", "metadata")
+    )
+
+def test_clean_retains_horizon_and_gates_time_travel(spark, tmp_path,
+                                                     monkeypatch):
+    """clean_hudi (KEEP_LATEST_COMMITS): superseded slices below the
+    horizon are physically removed, time travel at/after the horizon
+    keeps working, time travel and CDC windows BEFORE it raise
+    honestly, a .clean action lands on the timeline without counting
+    as a data commit, the MDT learns the deletions, and a second clean
+    with nothing to do is a no-op."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    import predicting_hospital_readmission_using_mimic_database_spark.sources.hudi as H
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        HudiProtocolError,
+        read_hudi,
+        read_hudi_changes,
+        write_metadata_table_files,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        clean_hudi,
+        export_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v double",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(spark.range(6).select(F.col("id").alias("k"),
+                                   (F.col("id") * 1.0).alias("v")))
+    dest = str(tmp_path / "cow")
+    insts = [export_hudi(t, dest)]
+    for i in range(3):
+        t.merge(spark.createDataFrame([(i, float(100 + i))],
+                                      "k bigint, v double"))
+        insts.append(export_hudi(t, dest))
+    write_metadata_table_files(dest)
+    n_files = len(glob.glob(os.path.join(dest, "*.parquet")))
+    # retain the last 2 commits: the horizon is insts[-2]
+    ci = clean_hudi(dest, retain_commits=2)
+    assert ci is not None
+    assert os.path.exists(os.path.join(dest, ".hoodie", f"{ci}.clean"))
+    assert len(glob.glob(os.path.join(dest, "*.parquet"))) < n_files
+    # current + horizon reads fine; pre-horizon raises
+    cur = {r["k"]: r["v"] for r in read_hudi(spark, dest).collect()}
+    assert cur[0] == 100.0 and cur[2] == 102.0
+    assert read_hudi(spark, dest, as_of=insts[-2]).count() == 6
+    with pytest.raises(HudiProtocolError, match="cleaner horizon"):
+        read_hudi(spark, dest, as_of=insts[0])
+    with pytest.raises(HudiProtocolError, match="cleaner horizon"):
+        read_hudi_changes(spark, dest, begin=insts[0])
+    # a window at/after the horizon still serves CDC
+    assert read_hudi_changes(spark, dest, begin=insts[-2]).count() > 0
+    # the MDT learned the deletions: listing fresh, walk never taken
+    assert H._metadata_table_listing(dest) is not None
+
+    def no_walk(*a, **k):
+        raise AssertionError("os.walk taken despite a synced MDT")
+
+    monkeypatch.setattr(H.os, "walk", no_walk)
+    assert {r["k"] for r in read_hudi(spark, dest).collect()} == set(range(6))
+    monkeypatch.undo()
+    # nothing left below the horizon: no-op
+    assert clean_hudi(dest, retain_commits=2) is None
+    # validation
+    with pytest.raises(ValueError, match="retain_commits"):
+        clean_hudi(dest, retain_commits=0)
+
+
+def test_clean_mor_drops_superseded_logs(spark, tmp_path):
+    """On MERGE_ON_READ, cleaning a superseded slice removes its base
+    AND its attached log files; the compacted current slice keeps
+    serving, and the stale logs can no longer resurrect."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        clean_hudi,
+        compact_hudi,
+        export_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v string",
+        bucket_key=["k"], num_buckets=1,
+    )
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "k bigint, v string"))
+    dest = str(tmp_path / "mor")
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    t.merge(spark.createDataFrame([(1, "V1")], "k bigint, v string"))
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    ci = compact_hudi(spark, dest)
+    assert ci is not None
+    assert glob.glob(os.path.join(dest, ".b*.log.*"))
+    # retain only the compaction commit: the pre-compaction slice
+    # (old base + its logs) goes away
+    cleaned = clean_hudi(dest, retain_commits=1)
+    assert cleaned is not None
+    assert not glob.glob(os.path.join(dest, ".b*.log.*"))
+    assert len(glob.glob(os.path.join(dest, "*.parquet"))) == 1
+    exp = {(i, f"v{i}") for i in range(5) if i != 1} | {(1, "V1")}
+    assert {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()} == exp

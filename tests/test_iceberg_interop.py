@@ -2638,3 +2638,142 @@ def test_export_bounds_prune_and_survive_rewrites(spark, tmp_path):
         spark, str(tmp_path / "nostats"), predicates=[("k", ">", 5)]
     )
     assert len(all_files.inputFiles()) == 2
+
+
+def test_expire_snapshots_gc_and_gates(spark, tmp_path):
+    """expire_iceberg_snapshots: old snapshots leave the lineage, their
+    orphaned manifests GC, protected snapshots (current + refs)
+    survive, expired time travel raises, data files stay unless
+    delete_data_files=True, and a stream checkpointed across the
+    expiry detects the lineage change."""
+    import glob
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        _metadata_path,
+        expire_iceberg_snapshots,
+        export_iceberg,
+        read_iceberg,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "exp")
+    t = SnapshotTable.create(spark, root, "k bigint, v bigint")
+    for i in range(4):
+        t.append(
+            spark.range(i * 10, i * 10 + 5).coalesce(1).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            )
+        )
+        assert export_iceberg(t) == i + 1
+    # tag snapshot 2 with a ref: it must survive keep_last=1
+    mp = _metadata_path(root)
+    with open(mp) as f:
+        meta = _json.load(f)
+    meta["refs"] = {"keepme": {"snapshot-id": 2, "type": "tag"}}
+    with open(mp, "w") as f:
+        _json.dump(meta, f)
+    n_avro_before = len(glob.glob(os.path.join(root, "metadata", "*.avro")))
+    n_parquet_before = len(
+        glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+    )
+    expired = expire_iceberg_snapshots(root, keep_last=1)
+    assert expired == [1, 3]  # 2 is ref-protected, 4 is current+tail
+    # orphaned manifest lists GC'd; shared data files untouched
+    assert len(glob.glob(os.path.join(root, "metadata", "*.avro"))) < n_avro_before
+    assert len(
+        glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+    ) == n_parquet_before
+    # current + ref'd snapshots still read
+    assert read_iceberg(spark, root).count() == 20
+    assert read_iceberg(spark, root, snapshot_id=2).count() == 10
+    assert read_iceberg(spark, root, ref="keepme").count() == 10
+    # expired time travel raises with the retained lineage
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg(spark, root, snapshot_id=1)
+    # criteria validation
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_iceberg_snapshots(root)
+
+
+def test_expire_snapshots_stream_detects_lineage_change(spark, tmp_path):
+    """A stream whose checkpoint pins a snapshot POSITION that expiry
+    shifted must refuse to resume (the offset's (n, sid) pair no
+    longer matches) rather than silently replay the wrong window."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        expire_iceberg_snapshots,
+        export_iceberg,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg_stream import (
+        register_iceberg_stream,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+    from tests.test_iceberg_stream import _drain
+
+    root = str(tmp_path / "expstream")
+    t = SnapshotTable.create(spark, root, "k bigint")
+    for i in range(3):
+        t.append(spark.range(i * 10, i * 10 + 3).coalesce(1).select(
+            F.col("id").alias("k")))
+        export_iceberg(t)
+    register_iceberg_stream(spark)
+    ck = str(tmp_path / "ck")
+    got = _drain(spark, root, ck, startingSnapshotCount=0)
+    assert len(got) == 9
+    expire_iceberg_snapshots(root, keep_last=1)
+    t.append(spark.range(100, 103).coalesce(1).select(F.col("id").alias("k")))
+    export_iceberg(t)
+    with pytest.raises(Exception) as ei:
+        _drain(spark, root, ck, startingSnapshotCount=0)
+    assert "lineage changed" in str(ei.value)
+
+
+def test_expire_snapshots_deletes_data_files_when_asked(spark, tmp_path):
+    """delete_data_files=True GC's data files referenced only by the
+    expired snapshots — the self-contained-table mode (NEVER the
+    default: a zero-copy export shares the host table's files)."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        expire_iceberg_snapshots,
+        export_iceberg,
+        read_iceberg,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "gc")
+    t = SnapshotTable.create(
+        spark, root, "k bigint", bucket_key=["k"], num_buckets=1
+    )
+    t.append(spark.range(5).coalesce(1).select(F.col("id").alias("k")))
+    export_iceberg(t)
+    # a MERGE rewrites the bucket: the old bucket file is referenced
+    # only by snapshot 1 after the rewrite
+    t.merge(spark.createDataFrame([(100,)], "k bigint"))
+    export_iceberg(t)
+    n_before = len(
+        glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+    )
+    expired = expire_iceberg_snapshots(
+        root, keep_last=1, delete_data_files=True
+    )
+    assert expired == [1]
+    n_after = len(
+        glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+    )
+    assert n_after < n_before
+    assert {r["k"] for r in read_iceberg(spark, root).collect()} == set(
+        range(5)
+    ) | {100}

@@ -157,6 +157,10 @@ AUDIT = [
     "s53_hudi_mor_partitioned",  # group-local merges across partitions
     "s54_iceberg_nested_eq_delete",  # dotted-path eq anti-joins
     "s55_iceberg_export_bounds",  # bounds-pruned scan over an export
+    "s56_hudi_mdt_synced_export",  # MDT-listed MOR snapshot read
+    "s57_iceberg_expire_snapshots",  # post-expiry snapshot read
+    "s58_hudi_clean",  # post-clean snapshot read
+    "s59_delta_log_truncate",  # checkpoint-replay read after the cut
 ]
 
 
