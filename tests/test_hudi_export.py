@@ -838,3 +838,59 @@ def test_clean_mor_drops_superseded_logs(spark, tmp_path):
     assert len(glob.glob(os.path.join(dest, "*.parquet"))) == 1
     exp = {(i, f"v{i}") for i in range(5) if i != 1} | {(1, "V1")}
     assert {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()} == exp
+
+def test_clean_gates_cdc_stream_but_not_net_stream(spark, tmp_path):
+    """After a clean, a CDC stream whose start predates the horizon
+    raises (its per-commit spec diffs need the removed slices); the
+    PLAIN stream keeps serving from the same start — net semantics
+    read only current slices, whose per-row commit times survived the
+    clean."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        clean_hudi,
+        export_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_stream import (
+        register_hudi_stream,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v double",
+        bucket_key=["k"], num_buckets=1,
+    )
+    t.append(spark.range(4).select(F.col("id").alias("k"),
+                                   (F.col("id") * 1.0).alias("v")))
+    dest = str(tmp_path / "cow")
+    i1 = export_hudi(t, dest)
+    t.merge(spark.createDataFrame([(1, -1.0)], "k bigint, v double"))
+    export_hudi(t, dest)
+    t.merge(spark.createDataFrame([(2, -2.0)], "k bigint, v double"))
+    export_hudi(t, dest)
+    assert clean_hudi(dest, retain_commits=2) is not None
+    register_hudi_stream(spark)
+
+    def drain(ck, **opts):
+        got = []
+        reader = (spark.readStream.format("hudi_stream")
+                  .option("path", dest).option("startingInstant", i1))
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (reader.load().writeStream
+             .foreachBatch(lambda df, _b: got.extend(
+                 tuple(r) for r in df.collect()))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return got
+
+    # plain stream: net rows since i1 off the CURRENT slices
+    got = drain(str(tmp_path / "ck1"))
+    assert sorted((k, v) for k, v, _i in got) == [(1, -1.0), (2, -2.0)]
+    # CDC stream from below the horizon: honest refusal
+    with pytest.raises(Exception) as ei:
+        drain(str(tmp_path / "ck2"), incrementalFormat="cdc")
+    assert "cleaner horizon" in str(ei.value)
