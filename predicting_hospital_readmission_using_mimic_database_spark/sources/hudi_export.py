@@ -460,6 +460,104 @@ def _mdt_sync_files(
     _mdt_append_partition(
         dest, "files", "files-0000", METADATA_RECORD_SCHEMA, records, inst
     )
+    _mdt_index_new_bases(dest, written, inst)
+
+
+def _mdt_index_new_bases(dest: str, written: dict, inst: str) -> None:
+    """Index the commit's NEW BASE FILES in the metadata table's
+    ``column_stats`` / ``bloom_filters`` partitions — when those
+    partitions exist (bootstrap via
+    ``write_metadata_table_column_stats`` / ``_bloom_filters``): the
+    incremental upkeep a real stats/bloom-indexing Hudi writer
+    performs from its write statuses, here one footer read (+ one
+    key-column read for the bloom) per file the commit wrote — so
+    ``read_hudi(predicates=/record_keys=)`` keeps DATA-SKIPPING files
+    written after the bootstrap. Log files are skipped (logged groups
+    are never prunable — a committed block may add rows outside the
+    base's bounds); files a CLEAN removed need no tombstone here
+    (pruning looks stats up by current file name; stale entries are
+    never consulted). Costs track the commit, never the table."""
+    import pyarrow.parquet as pq
+
+    from .bloom import HadoopBloomFilter
+    from .hudi import (
+        BLOOM_FILTER_RECORD_SCHEMA,
+        BLOOM_FILTER_TYPE,
+        COLUMN_STATS_RECORD_SCHEMA,
+        COLUMN_STATS_TYPE,
+        _harvest_parquet_col_stats,
+        _mdt_append_partition,
+    )
+
+    mdt = os.path.join(dest, HOODIE_DIR, "metadata")
+    want_stats = os.path.isdir(os.path.join(mdt, "column_stats"))
+    want_bloom = os.path.isdir(os.path.join(mdt, "bloom_filters"))
+    if not want_stats and not want_bloom:
+        return
+    stat_recs: list[dict] = []
+    bloom_recs: list[dict] = []
+    for part, stats in written.items():
+        rel = "." if part in ("", ".") else os.path.normpath(part)
+        for st in stats:
+            name = os.path.basename(st["path"])
+            if not name.endswith(".parquet"):
+                continue  # log file: logged groups are never prunable
+            path = os.path.join(dest, st["path"])
+            if want_stats:
+                for col, cs in sorted(
+                    _harvest_parquet_col_stats(path, None).items()
+                ):
+                    stat_recs.append(
+                        {
+                            "key": f"{rel},{col},{name}",
+                            "type": COLUMN_STATS_TYPE,
+                            "ColumnStatsMetadata": {
+                                "fileName": name,
+                                "columnName": col,
+                                "minValue": cs["min"],
+                                "maxValue": cs["max"],
+                                "valueCount": cs["values"],
+                                "nullCount": cs["nulls"],
+                                "totalSize": None,
+                                "isDeleted": False,
+                            },
+                        }
+                    )
+            if want_bloom:
+                try:
+                    keys = (
+                        pq.read_table(path, columns=["_hoodie_record_key"])
+                        .column(0)
+                        .to_pylist()
+                    )
+                except Exception:
+                    continue  # no key column: nothing to index
+                bf = HadoopBloomFilter.optimal(max(len(keys), 1), 1e-9)
+                for k in keys:
+                    if k is not None:
+                        bf.add(str(k).encode("utf-8"))
+                bloom_recs.append(
+                    {
+                        "key": f"{rel},{name}",
+                        "type": BLOOM_FILTER_TYPE,
+                        "BloomFilterMetadata": {
+                            "type": "SIMPLE",
+                            "timestamp": inst,
+                            "bloomFilter": bf.serialize(),
+                            "isDeleted": False,
+                        },
+                    }
+                )
+    if stat_recs:
+        _mdt_append_partition(
+            dest, "column_stats", "col-stats-0000",
+            COLUMN_STATS_RECORD_SCHEMA, stat_recs, inst,
+        )
+    if bloom_recs:
+        _mdt_append_partition(
+            dest, "bloom_filters", "bloom-0000",
+            BLOOM_FILTER_RECORD_SCHEMA, bloom_recs, inst,
+        )
 
 
 def _avro_log_schema(schema) -> dict:

@@ -894,3 +894,52 @@ def test_clean_gates_cdc_stream_but_not_net_stream(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         drain(str(tmp_path / "ck2"), incrementalFormat="cdc")
     assert "cleaner horizon" in str(ei.value)
+
+def test_export_indexes_new_bases_in_stats_and_bloom(spark, tmp_path):
+    """Once column_stats / bloom_filters MDT partitions exist, every
+    export commit indexes its NEW base files incrementally — predicate
+    and record-key pruning keep working on post-bootstrap files."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi,
+        write_metadata_table_bloom_filters,
+        write_metadata_table_column_stats,
+        write_metadata_table_files,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        export_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v bigint",
+        bucket_key=["k"], num_buckets=4,
+    )
+    t.append(spark.range(40).select(F.col("id").alias("k"),
+                                    (F.col("id") * 10).alias("v")))
+    dest = str(tmp_path / "cow")
+    export_hudi(t, dest)
+    write_metadata_table_files(dest)
+    write_metadata_table_column_stats(dest)
+    write_metadata_table_bloom_filters(dest)
+    # a merge rewrites ONE bucket; the new base file must get indexed
+    t.merge(spark.createDataFrame([(3, 99999)], "k bigint, v bigint"))
+    i2 = export_hudi(t, dest)
+    # stats: the rewritten file's v-bounds now include 99999, so a
+    # v>=99999 predicate plans EXACTLY the rewritten group's file
+    hot = read_hudi(spark, dest, predicates=[("v", ">=", 99999)])
+    planned = hot.inputFiles()
+    assert len(planned) == 1 and f"_{i2}.parquet" in planned[0]
+    assert {r["k"] for r in hot.filter(F.col("v") >= 99999).collect()} == {3}
+    # bloom: a key living only in the NEW file still point-looks-up
+    by_key = read_hudi(spark, dest, record_keys=["3"])
+    assert len(by_key.inputFiles()) == 1
+    assert {r["v"] for r in by_key.filter(F.col("k") == 3).collect()} == {
+        99999
+    }
+    # a key that exists nowhere prunes everything
+    none = read_hudi(spark, dest, record_keys=["424242"])
+    assert len(none.inputFiles()) == 0 or none.count() == 0
