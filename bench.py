@@ -182,6 +182,7 @@ HEADLINE = [
     "s57_iceberg_expire_snapshots",  # retention expiry + orphan GC (r11)
     "s58_hudi_clean",  # KEEP_LATEST_COMMITS slice cleaning (r11)
     "s59_delta_log_truncate",  # checkpoint-bounded log retention (r11)
+    "s60_hudi_clustering",  # replacecommit sort clustering (r11)
 ]
 
 

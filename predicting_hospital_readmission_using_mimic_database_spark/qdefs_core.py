@@ -6942,3 +6942,73 @@ def q_s59(spark, sf):
     assert read_delta(spark, t.root, version=2).count() == c.count()
     assert read_delta_changes(spark, t.root, starting_version=3).count() > 0
     return read_delta(spark, t.root)
+
+@query(
+    "s60_hudi_clustering",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer
+    """,
+)
+def q_s60(spark, sf):
+    """S60 — Hudi CLUSTERING (sources/hudi_export.py ``cluster_hudi``,
+    the SORT strategy): the table service that fixes DATA LAYOUT —
+    every current file group's rows rewrite as RANGE-DISJOINT new file
+    groups sorted by the clustering key, committed as a
+    ``replacecommit`` whose ``partitionToReplaceFileIds`` retires the
+    old groups (the metadata the read path already replays). Content
+    never changes and per-row commit times survive (in-entry assert:
+    ZERO incremental rows from the clustering instant); what changes
+    is PRUNABILITY — the fixture's hash-bucketed export spreads every
+    cents range across all 4 groups (a range predicate plans 4 files,
+    asserted), and after clustering by cents the same predicate plans
+    EXACTLY 1 (asserted) via the metadata table's column stats, which
+    the clustering commit indexed incrementally. Pre-cluster time
+    travel still serves the old layout; a later export refuses
+    honestly (bucket->fileId mapping retired). DuckDB recomputes the
+    full table — a clustering that dropped, duplicated, or re-stamped
+    a row breaks the row-level hash."""
+    import os
+
+    from .sources.hudi import (
+        read_hudi,
+        read_hudi_incremental,
+        write_metadata_table_column_stats,
+        write_metadata_table_files,
+    )
+    from .sources.hudi_export import cluster_hudi, export_hudi
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s60", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    t.append(c)
+    dest = os.path.join(t.root, "hudi_cluster")
+    i1 = export_hudi(t, dest)
+    write_metadata_table_files(dest)
+    write_metadata_table_column_stats(dest)
+    # hash-bucketed: a cents range predicate cannot prune anything
+    hi = int(
+        c.agg(F.expr("percentile_approx(cents, 0.9)")).collect()[0][0]
+    )
+    assert len(read_hudi(
+        spark, dest, predicates=[("cents", ">=", hi)]
+    ).inputFiles()) == 4
+    ci = cluster_hudi(spark, dest, sort_by=["cents"], target_file_groups=4)
+    assert ci is not None and ci > i1
+    # range-disjoint layout: the same predicate plans ONE group
+    hot = read_hudi(spark, dest, predicates=[("cents", ">=", hi)])
+    assert len(hot.inputFiles()) == 1, hot.inputFiles()
+    # content identical, commit times preserved: zero phantom rows
+    assert read_hudi_incremental(spark, dest, begin=i1).count() == 0
+    assert read_hudi(spark, dest, as_of=i1).count() == c.count()
+    return read_hudi(spark, dest)

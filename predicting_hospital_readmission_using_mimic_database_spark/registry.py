@@ -40,13 +40,14 @@ _LOADED = False
 # (every round so far checked exactly the first 50 entries). The
 # cross-round union covers all entries — every one has appeared
 # hash-green in a shipped driver artifact. Round-11 window:
-# (a) every entry new or code-changed THIS round — the fourteen new
+# (a) every entry new or code-changed THIS round — the fifteen new
 # round-11 entries (st22 stream nested evolution + v3 defaults, s49
 # changelog delete replay, s50 CDF-correct Delta export, st23/st24
 # stream row lineage, s51/s52/s53 MOR export + compaction +
 # partitioning, s54 nested equality deletes, s55 export column
-# bounds, s56 metadata-table sync, and the retention triple
-# s57 expire / s58 clean / s59 log truncate); s47/st21 after the
+# bounds, s56 metadata-table sync, the retention triple
+# s57 expire / s58 clean / s59 log truncate, and s60 sort
+# clustering); s47/st21 after the
 # changelog replay rewrite; st16/st19 after the stream read-loop
 # changes; s41/s44/s45/s46 after their fixture builders were shared
 # with the new stream entries; s16/s40/s43 after export_delta_log
@@ -74,6 +75,7 @@ PRIORITY: tuple[str, ...] = (
     "s57_iceberg_expire_snapshots",
     "s58_hudi_clean",
     "s59_delta_log_truncate",
+    "s60_hudi_clustering",
     # (a) code-changed in round 11
     "s47_iceberg_changelog",
     "st21_stream_iceberg_changelog",
@@ -92,7 +94,6 @@ PRIORITY: tuple[str, ...] = (
     "st20_stream_hudi_cdc",
     "s48_csv_roundtrip",
     "s37_iceberg_v3_dv",
-    "s38_iceberg_schema_evolution",
     "s39_delta_type_widening",
     "s28_delta_cdf",
     "st17_stream_delta_cdf",

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from .hudi import HOODIE_DIR
 
-__all__ = ["clean_hudi", "compact_hudi", "export_hudi"]
+__all__ = ["clean_hudi", "cluster_hudi", "compact_hudi", "export_hudi"]
 
 _STATE_FILE = ".export-state.json"
 
@@ -140,6 +140,15 @@ def export_hudi(
         if prev_version == version:
             # nothing new to publish
             return st.get("instant", _instant(prev_version))
+        from .hudi import _replaced_groups
+
+        if _replaced_groups(dest, None):
+            raise ValueError(
+                "export_hudi: this table has replacecommit-retired file "
+                "groups (cluster_hudi / insert_overwrite rewrote the "
+                "layout); the exporter's bucket->fileId mapping no "
+                "longer holds — publish further changes to a fresh dest"
+            )
     os.makedirs(hdir, exist_ok=True)
     if os.path.isdir(hdir):
         # instants later than the version-derived one may exist on the
@@ -1071,4 +1080,111 @@ def clean_hudi(dest: str, retain_commits: int = 10) -> str | None:
         json.dump(body, f)
     os.replace(tmp, os.path.join(hdir, f"{inst}.clean"))
     _mdt_sync_files(dest, {}, inst, deleted=deleted)
+    return inst
+
+
+def cluster_hudi(
+    spark, dest: str, sort_by: list[str], target_file_groups: int = 1,
+) -> str | None:
+    """CLUSTER a Hudi table — the table service real Hudi schedules to
+    fix data layout (its SORT strategy): per partition, every current
+    file group's rows are SORTED by ``sort_by`` and rewritten as
+    ``target_file_groups`` RANGE-DISJOINT new file groups under a
+    completed ``replacecommit`` whose ``partitionToReplaceFileIds``
+    retires the old groups (the exact metadata the read path already
+    replays; time travel before the instant still sees them). Per-row
+    ``_hoodie_commit_time`` is PRESERVED, so incremental/streaming
+    consumers see ZERO phantom rows — clustering changes layout, never
+    content. Because each new group covers a CONTIGUOUS sort-key
+    range, column-stats pruning over the clustered key turns a range
+    predicate from a full-partition scan into opening the covering
+    group(s) — the point of clustering at 100 TB; with a metadata
+    table present the new groups' file/stats/bloom entries append
+    incrementally like every other commit here.
+
+    Plan shape: one ``repartitionByRange(target_file_groups)`` +
+    in-partition sort per table partition — the same shuffle a real
+    SORT-strategy clustering job runs; new fileIds derive from the
+    range-partition id IN-PLAN, so ``_hoodie_file_name`` is correct
+    inside every rewritten file (compaction's row-routing depends on
+    it). MOR groups fold base+logs through ``_read_mor`` first —
+    clustering subsumes compaction for the groups it touches. Returns
+    the replacecommit instant (None on a group-less table)."""
+    from pyspark.sql import functions as F
+
+    from .hudi import (
+        _INSTANT_RE,
+        _latest_slices,
+        _properties,
+        _read_mor,
+    )
+
+    if not sort_by:
+        raise ValueError("cluster_hudi needs at least one sort_by column")
+    if target_file_groups < 1:
+        raise ValueError("target_file_groups must be >= 1")
+    _properties(dest)
+    groups, _logs = _latest_slices(dest, None, None, collect_logs=True)
+    if not groups:
+        return None
+    hdir = os.path.join(dest, HOODIE_DIR)
+    taken = [
+        m.group(1)
+        for m in (_INSTANT_RE.match(n) for n in os.listdir(hdir))
+        if m
+    ]
+    inst = f"{int(max(taken)) + 1:014d}"
+    parts: dict[str, set] = {}
+    for part, fid in groups:
+        parts.setdefault(part, set()).add((part, fid))
+    written: dict[str, list[dict]] = {}
+    p2f: dict[str, list[str]] = {}
+    for part in sorted(parts):
+        keys = parts[part]
+        rows = _read_mor(spark, dest, None, True, None, only_groups=keys)
+        missing = [c for c in sort_by if c not in rows.columns]
+        if missing:
+            raise ValueError(
+                f"sort_by names unknown columns {missing} "
+                f"(have {rows.columns})"
+            )
+        n = int(target_file_groups)
+        fname_expr = F.concat(
+            F.lit("c"),
+            F.lpad(F.col("__pid").cast("string"), 4, "0"),
+            F.lit(f"-{inst}_0-1-0_{inst}.parquet"),
+        )
+        out = (
+            rows.repartitionByRange(n, *[F.col(c) for c in sort_by])
+            .sortWithinPartitions(*sort_by)
+            .withColumn("__pid", F.spark_partition_id())
+            .withColumn("_hoodie_file_name", fname_expr)
+        )
+        stage = os.path.join(dest, f".cluster-{inst}")
+        out.write.partitionBy("__pid").parquet(stage, mode="overwrite")
+        pdir = dest if part in (".", "") else os.path.join(dest, part)
+        os.makedirs(pdir, exist_ok=True)
+        for d in sorted(glob.glob(os.path.join(stage, "__pid=*"))):
+            pid = int(os.path.basename(d)[len("__pid="):])
+            fid = f"c{pid:04d}-{inst}"
+            fname = f"{fid}_0-1-0_{inst}.parquet"
+            pf = glob.glob(os.path.join(d, "part-*.parquet"))
+            shutil.move(pf[0], os.path.join(pdir, fname))
+            rel = fname if part in (".", "") else f"{part}/{fname}"
+            written.setdefault("" if part in (".", "") else part, []).append(
+                {"fileId": fid, "path": rel}
+            )
+        shutil.rmtree(stage)
+        p2f["" if part in (".", "") else part] = sorted(
+            fid for _p, fid in keys
+        )
+    tmp = os.path.join(hdir, f".{inst}.replacecommit.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"partitionToWriteStats": written,
+             "partitionToReplaceFileIds": p2f},
+            f,
+        )
+    os.replace(tmp, os.path.join(hdir, f"{inst}.replacecommit"))
+    _mdt_sync_files(dest, written, inst)
     return inst

@@ -47,7 +47,7 @@ def test_first_50_entries_cover_every_family():
                  "s55_iceberg_export_bounds",
                  "s56_hudi_mdt_synced_export",
                  "s57_iceberg_expire_snapshots", "s58_hudi_clean",
-                 "s59_delta_log_truncate",
+                 "s59_delta_log_truncate", "s60_hudi_clustering",
                  "s47_iceberg_changelog", "st21_stream_iceberg_changelog",
                  "st16_stream_iceberg_tail", "st19_stream_delta_idmap",
                  "s41_iceberg_nested_evolution", "s44_iceberg_v3_defaults",
@@ -56,7 +56,7 @@ def test_first_50_entries_cover_every_family():
                  "s43_hudi_partitioned_export",
                  "s42_hudi_cdc_infer", "st20_stream_hudi_cdc",
                  "s48_csv_roundtrip",
-                 "s37_iceberg_v3_dv", "s38_iceberg_schema_evolution",
+                 "s37_iceberg_v3_dv",
                  "s39_delta_type_widening",
                  "s28_delta_cdf", "st17_stream_delta_cdf",
                  "s22_delta_deletion_vectors",

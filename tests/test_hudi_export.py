@@ -943,3 +943,140 @@ def test_export_indexes_new_bases_in_stats_and_bloom(spark, tmp_path):
     # a key that exists nowhere prunes everything
     none = read_hudi(spark, dest, record_keys=["424242"])
     assert len(none.inputFiles()) == 0 or none.count() == 0
+
+def test_cluster_sorts_ranges_and_preserves_times(spark, tmp_path):
+    """cluster_hudi: the SORT clustering strategy — current groups
+    rewrite as range-disjoint new file groups under a replacecommit;
+    per-row commit times survive (zero phantom incrementals); with a
+    metadata table + column stats, a range predicate on the clustered
+    key plans ONLY the covering group; time travel before the instant
+    still sees the old layout; a later export refuses (the bucket ->
+    fileId mapping is gone); compaction routes rows of clustered
+    groups by their rewritten _hoodie_file_name."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi,
+        read_hudi_incremental,
+        write_metadata_table_column_stats,
+        write_metadata_table_files,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        cluster_hudi,
+        export_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v bigint",
+        bucket_key=["k"], num_buckets=4,
+    )
+    t.append(spark.range(40).select(F.col("id").alias("k"),
+                                    (F.col("id") * 10).alias("v")))
+    dest = str(tmp_path / "cow")
+    i1 = export_hudi(t, dest)
+    write_metadata_table_files(dest)
+    write_metadata_table_column_stats(dest)
+    # hash-bucketed layout: every group spans the full v range, so a
+    # v-predicate cannot prune anything
+    assert len(read_hudi(
+        spark, dest, predicates=[("v", ">=", 300)]
+    ).inputFiles()) == 4
+    ci = cluster_hudi(spark, dest, sort_by=["v"], target_file_groups=4)
+    assert ci is not None and ci > i1
+    assert os.path.exists(
+        os.path.join(dest, ".hoodie", f"{ci}.replacecommit"))
+    # content identical, layout range-disjoint: the same predicate now
+    # plans exactly the covering group(s)
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert got == {(i, i * 10) for i in range(40)}
+    hot = read_hudi(spark, dest, predicates=[("v", ">=", 300)])
+    assert len(hot.inputFiles()) == 1
+    assert {r["k"] for r in hot.filter(F.col("v") >= 300).collect()} == set(
+        range(30, 40))
+    # zero phantom incrementals: commit times carried through
+    assert read_hudi_incremental(spark, dest, begin=i1).count() == 0
+    # pre-cluster time travel sees the old groups
+    assert read_hudi(spark, dest, as_of=i1).count() == 40
+    assert {os.path.basename(p)[0]
+            for p in read_hudi(spark, dest, as_of=i1).inputFiles()} == {"b"}
+    # export after clustering refuses honestly
+    t.merge(spark.createDataFrame([(1, -1)], "k bigint, v bigint"))
+    with pytest.raises(ValueError, match="replacecommit-retired"):
+        export_hudi(t, dest)
+    # validation
+    with pytest.raises(ValueError, match="sort_by"):
+        cluster_hudi(spark, dest, sort_by=[])
+    with pytest.raises(ValueError, match="unknown columns"):
+        cluster_hudi(spark, dest, sort_by=["nope"])
+
+
+def test_cluster_mor_folds_logs_then_compact_routes(spark, tmp_path):
+    """Clustering a MOR table folds base+logs first (it subsumes
+    compaction for the groups it touches); a LATER log append onto a
+    clustered group compacts correctly — row routing reads the
+    rewritten _hoodie_file_name."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources import (
+        hudi_log as HL,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        cluster_hudi,
+        compact_hudi,
+        export_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v string",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(8)], "k bigint, v string"))
+    dest = str(tmp_path / "mor")
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    t.merge(spark.createDataFrame([(1, "V1")], "k bigint, v string"))
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    ci = cluster_hudi(spark, dest, sort_by=["k"], target_file_groups=2)
+    assert ci is not None
+    exp = {(i, f"v{i}") for i in range(8) if i != 1} | {(1, "V1")}
+    assert {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()} == exp
+    # append a log to a CLUSTERED group by hand (the foreign-writer
+    # shape) and compact: routing must resolve the c-prefixed fileId
+    import glob
+
+    base = sorted(glob.glob(os.path.join(dest, f"c0000-{ci}_*.parquet")))[0]
+    fid = os.path.basename(base).split("_0-1-0_")[0]
+    nxt = f"{int(ci) + 1:014d}"
+    lp = os.path.join(dest, HL.log_file_name(fid, ci, 1))
+    HL.append_avro_block(
+        lp, nxt,
+        {"type": "record", "name": "rec", "fields": [
+            {"name": "_hoodie_commit_time", "type": ["null", "string"]},
+            {"name": "_hoodie_commit_seqno", "type": ["null", "string"]},
+            {"name": "_hoodie_record_key", "type": ["null", "string"]},
+            {"name": "_hoodie_partition_path", "type": ["null", "string"]},
+            {"name": "_hoodie_file_name", "type": ["null", "string"]},
+            {"name": "k", "type": ["null", "long"]},
+            {"name": "v", "type": ["null", "string"]},
+        ]},
+        [{"_hoodie_commit_time": nxt, "_hoodie_commit_seqno": nxt,
+          "_hoodie_record_key": "0", "_hoodie_partition_path": "",
+          "_hoodie_file_name": os.path.basename(lp),
+          "k": 0, "v": "W0"}],
+    )
+    open(os.path.join(dest, ".hoodie", f"{nxt}.deltacommit"), "w").close()
+    ci2 = compact_hudi(spark, dest)
+    assert ci2 is not None
+    exp2 = (exp - {(0, "v0")}) | {(0, "W0")}
+    assert {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()} == exp2

@@ -161,6 +161,7 @@ AUDIT = [
     "s57_iceberg_expire_snapshots",  # post-expiry snapshot read
     "s58_hudi_clean",  # post-clean snapshot read
     "s59_delta_log_truncate",  # checkpoint-replay read after the cut
+    "s60_hudi_clustering",  # stats-pruned read over clustered groups
 ]
 
 
