@@ -6585,7 +6585,8 @@ def q_s54(spark, sf):
     SELECT c_custkey,
            CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
     FROM customer
-    WHERE c_custkey > CAST(3 * (SELECT count(*) FROM customer) / 4 AS BIGINT)
+    WHERE c_custkey >
+          CAST(floor(3 * (SELECT count(*) FROM customer) / 4.0) AS BIGINT)
     """,
 )
 def q_s55(spark, sf):

@@ -1765,7 +1765,56 @@ def truncate_delta_log(table_or_root, keep_versions: int = 10) -> list[int]:
         if v < cut:
             for p in parts:
                 os.remove(p)
-    for v, (_fmt, manifest) in v2cps.items():
-        if v < cut:
-            os.remove(manifest)
+    # V2 checkpoints: EVERY uniqueStr manifest of a dropped version is
+    # deleted (not just the deterministic pick), and sidecar parquets
+    # referenced ONLY by dropped manifests go too — the spec allows
+    # sidecar sharing across checkpoints, so retained manifests' refs
+    # pin theirs
+    def _sidecars(fmt: str, path: str) -> set[str]:
+        out: set[str] = set()
+
+        def act(kind: str, row: dict) -> None:
+            if kind != "sidecar":
+                return
+            sp = row["path"]
+            if not os.path.isabs(sp) and "://" not in sp:
+                sp = os.path.join(log_dir, "_sidecars", sp)
+            out.add(os.path.abspath(sp))
+
+        if fmt == "json":
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        a = json.loads(line)
+                        if "sidecar" in a:
+                            act("sidecar", a["sidecar"])
+        else:
+            _read_action_parquet(path, ("sidecar",), act)
+        return out
+
+    v2_all: dict[int, list[tuple[str, str]]] = {}
+    for name in sorted(os.listdir(log_dir)):
+        m = _V2_CHECKPOINT_RE.match(name)
+        if m:
+            v2_all.setdefault(int(m.group(1)), []).append(
+                (m.group(3), os.path.join(log_dir, name))
+            )
+    keep_sidecars: set[str] = set()
+    for v, manifests in v2_all.items():
+        if v >= cut:
+            for fmt, p in manifests:
+                keep_sidecars |= _sidecars(fmt, p)
+    for v, manifests in v2_all.items():
+        if v >= cut:
+            continue
+        drop: set[str] = set()
+        for fmt, p in manifests:
+            drop |= _sidecars(fmt, p)
+            os.remove(p)
+        for sp in sorted(drop - keep_sidecars):
+            try:
+                os.remove(sp)
+            except FileNotFoundError:
+                pass
     return deleted

@@ -930,6 +930,70 @@ def _harvest_parquet_col_stats(
     return out
 
 
+def _col_stats_records(
+    rel: str, name: str, path: str, want: set | None
+) -> list[dict]:
+    """Type-3 ``HoodieMetadataColumnStats`` records for ONE base file —
+    the single definition of the record shape and the
+    ``"{partition},{column},{fileName}"`` key that BOTH the bootstrap
+    writer and the incremental per-commit indexer emit (pruning looks
+    records up by these exact keys; two copies would drift)."""
+    return [
+        {
+            "key": f"{rel},{col},{name}",
+            "type": COLUMN_STATS_TYPE,
+            "ColumnStatsMetadata": {
+                "fileName": name,
+                "columnName": col,
+                "minValue": st["min"],
+                "maxValue": st["max"],
+                "valueCount": st["values"],
+                "nullCount": st["nulls"],
+                "totalSize": None,
+                "isDeleted": False,
+            },
+        }
+        for col, st in sorted(
+            _harvest_parquet_col_stats(path, want).items()
+        )
+    ]
+
+
+def _bloom_record(
+    rel: str, name: str, path: str, ts: str, fpp: float = 1e-9
+) -> dict | None:
+    """Type-4 ``HoodieMetadataBloomFilter`` record for ONE base file
+    (record-key column read columnar; None when the file has no key
+    column) — shared by the bootstrap writer and the incremental
+    indexer for the same no-drift reason as :func:`_col_stats_records`."""
+    import pyarrow.parquet as pq
+
+    from .bloom import HadoopBloomFilter
+
+    try:
+        keys = (
+            pq.read_table(path, columns=["_hoodie_record_key"])
+            .column(0)
+            .to_pylist()
+        )
+    except Exception:
+        return None  # no key column: nothing to index
+    bf = HadoopBloomFilter.optimal(max(len(keys), 1), fpp)
+    for k in keys:
+        if k is not None:
+            bf.add(str(k).encode("utf-8"))
+    return {
+        "key": f"{rel},{name}",
+        "type": BLOOM_FILTER_TYPE,
+        "BloomFilterMetadata": {
+            "type": "SIMPLE",
+            "timestamp": ts,
+            "bloomFilter": bf.serialize(),
+            "isDeleted": False,
+        },
+    }
+
+
 def write_metadata_table_column_stats(
     root: str, columns: list[str] | None = None
 ) -> str:
@@ -958,27 +1022,11 @@ def write_metadata_table_column_stats(
             m = _BASEFILE_RE.match(name)
             if not m or m.group(3) not in done:
                 continue
-            for col, st in sorted(
-                _harvest_parquet_col_stats(
-                    os.path.join(dirpath, name), want
-                ).items()
-            ):
-                records.append(
-                    {
-                        "key": f"{rel},{col},{name}",
-                        "type": COLUMN_STATS_TYPE,
-                        "ColumnStatsMetadata": {
-                            "fileName": name,
-                            "columnName": col,
-                            "minValue": st["min"],
-                            "maxValue": st["max"],
-                            "valueCount": st["values"],
-                            "nullCount": st["nulls"],
-                            "totalSize": None,
-                            "isDeleted": False,
-                        },
-                    }
+            records.extend(
+                _col_stats_records(
+                    rel, name, os.path.join(dirpath, name), want
                 )
+            )
     return _mdt_append_partition(
         root, "column_stats", "col-stats-0000",
         COLUMN_STATS_RECORD_SCHEMA, records, latest,
@@ -1035,10 +1083,6 @@ def write_metadata_table_bloom_filters(
     prunes file groups whose filter definitively excludes every
     sought key — Hudi's bloom-index point-lookup path. Returns the
     metadata table root."""
-    import pyarrow.parquet as pq
-
-    from .bloom import HadoopBloomFilter
-
     done = _completed_commits(root, allow_delta=True)
     latest = max(done) if done else "00000000000000"
     records: list[dict] = []
@@ -1051,31 +1095,11 @@ def write_metadata_table_bloom_filters(
             m = _BASEFILE_RE.match(name)
             if not m or m.group(3) not in done:
                 continue
-            path = os.path.join(dirpath, name)
-            try:
-                keys = (
-                    pq.read_table(path, columns=["_hoodie_record_key"])
-                    .column(0)
-                    .to_pylist()
-                )
-            except Exception:
-                continue  # no key column: nothing to index
-            bf = HadoopBloomFilter.optimal(len(keys), fpp)
-            for k in keys:
-                if k is not None:
-                    bf.add(str(k).encode("utf-8"))
-            records.append(
-                {
-                    "key": f"{rel},{name}",
-                    "type": BLOOM_FILTER_TYPE,
-                    "BloomFilterMetadata": {
-                        "type": "SIMPLE",
-                        "timestamp": m.group(3),
-                        "bloomFilter": bf.serialize(),
-                        "isDeleted": False,
-                    },
-                }
+            rec = _bloom_record(
+                rel, name, os.path.join(dirpath, name), m.group(3), fpp
             )
+            if rec is not None:
+                records.append(rec)
     return _mdt_append_partition(
         root, "bloom_filters", "bloom-0000",
         BLOOM_FILTER_RECORD_SCHEMA, records, latest,

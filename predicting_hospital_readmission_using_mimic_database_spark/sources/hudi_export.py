@@ -486,15 +486,11 @@ def _mdt_index_new_bases(dest: str, written: dict, inst: str) -> None:
     base's bounds); files a CLEAN removed need no tombstone here
     (pruning looks stats up by current file name; stale entries are
     never consulted). Costs track the commit, never the table."""
-    import pyarrow.parquet as pq
-
-    from .bloom import HadoopBloomFilter
     from .hudi import (
         BLOOM_FILTER_RECORD_SCHEMA,
-        BLOOM_FILTER_TYPE,
         COLUMN_STATS_RECORD_SCHEMA,
-        COLUMN_STATS_TYPE,
-        _harvest_parquet_col_stats,
+        _bloom_record,
+        _col_stats_records,
         _mdt_append_partition,
     )
 
@@ -513,50 +509,11 @@ def _mdt_index_new_bases(dest: str, written: dict, inst: str) -> None:
                 continue  # log file: logged groups are never prunable
             path = os.path.join(dest, st["path"])
             if want_stats:
-                for col, cs in sorted(
-                    _harvest_parquet_col_stats(path, None).items()
-                ):
-                    stat_recs.append(
-                        {
-                            "key": f"{rel},{col},{name}",
-                            "type": COLUMN_STATS_TYPE,
-                            "ColumnStatsMetadata": {
-                                "fileName": name,
-                                "columnName": col,
-                                "minValue": cs["min"],
-                                "maxValue": cs["max"],
-                                "valueCount": cs["values"],
-                                "nullCount": cs["nulls"],
-                                "totalSize": None,
-                                "isDeleted": False,
-                            },
-                        }
-                    )
+                stat_recs.extend(_col_stats_records(rel, name, path, None))
             if want_bloom:
-                try:
-                    keys = (
-                        pq.read_table(path, columns=["_hoodie_record_key"])
-                        .column(0)
-                        .to_pylist()
-                    )
-                except Exception:
-                    continue  # no key column: nothing to index
-                bf = HadoopBloomFilter.optimal(max(len(keys), 1), 1e-9)
-                for k in keys:
-                    if k is not None:
-                        bf.add(str(k).encode("utf-8"))
-                bloom_recs.append(
-                    {
-                        "key": f"{rel},{name}",
-                        "type": BLOOM_FILTER_TYPE,
-                        "BloomFilterMetadata": {
-                            "type": "SIMPLE",
-                            "timestamp": inst,
-                            "bloomFilter": bf.serialize(),
-                            "isDeleted": False,
-                        },
-                    }
-                )
+                rec = _bloom_record(rel, name, path, inst)
+                if rec is not None:
+                    bloom_recs.append(rec)
     if stat_recs:
         _mdt_append_partition(
             dest, "column_stats", "col-stats-0000",
@@ -1012,9 +969,9 @@ def clean_hudi(dest: str, retain_commits: int = 10) -> str | None:
 
     if retain_commits < 1:
         raise ValueError("retain_commits must be >= 1")
-    _properties(dest)  # raises early on a non-Hudi dir
     mor = _properties(dest).get("hoodie.table.type") == "MERGE_ON_READ"
     done = sorted(_completed_commits(dest, allow_delta=mor))
+    done_set = set(done)
     if len(done) <= retain_commits:
         return None
     horizon = done[-retain_commits]
@@ -1041,24 +998,36 @@ def clean_hudi(dest: str, retain_commits: int = 10) -> str | None:
                 )
     deleted: dict[str, list[str]] = {}
     n_removed = 0
+    keep_min_of: dict[tuple[str, str], str] = {}
     for (rel, fid), blist in bases.items():
         keep_min = max(
-            (i for i, _p in blist if i in set(done) and i <= horizon),
+            (i for i, _p in blist if i in done_set and i <= horizon),
             default=None,
         )
         if keep_min is None:
             continue  # group born after the horizon: nothing below it
+        keep_min_of[(rel, fid)] = keep_min
         for i, p in sorted(blist):
             # only COMPLETED superseded slices: a pending writer's file
             # is not a slice, and the newest completed base <= horizon
             # must survive to serve as_of == horizon
-            if i >= keep_min or i not in set(done):
+            if i >= keep_min or i not in done_set:
                 continue
-            victims = [p] + logsf.get((rel, fid, i), [])
-            for v in victims:
-                os.remove(v)
-                deleted.setdefault(rel, []).append(os.path.basename(v))
-                n_removed += 1
+            os.remove(p)
+            deleted.setdefault(rel, []).append(os.path.basename(p))
+            n_removed += 1
+    # log chains below the group's kept base are superseded whatever
+    # they attach to — a base the loop above deleted, OR no base at
+    # all (a LOG-ONLY slice later compacted away): a newer completed
+    # base exists at keep_min, so the chain can never serve again
+    for (rel, fid, bi), paths in logsf.items():
+        keep_min = keep_min_of.get((rel, fid))
+        if keep_min is None or bi >= keep_min:
+            continue
+        for v in paths:
+            os.remove(v)
+            deleted.setdefault(rel, []).append(os.path.basename(v))
+            n_removed += 1
     if n_removed == 0:
         return None
     from .hudi import _INSTANT_RE

@@ -1996,15 +1996,18 @@ def encode_bound(icetype, value) -> bytes | None:
                 value = datetime.datetime.fromisoformat(value)
             if isinstance(value, datetime.datetime):
                 if value.tzinfo is not None:
-                    secs = value.timestamp()
-                    value = int(round(secs * 1_000_000))
-                else:
-                    delta = value - datetime.datetime(1970, 1, 1)
-                    value = (
-                        delta.days * 86_400_000_000
-                        + delta.seconds * 1_000_000
-                        + delta.microseconds
-                    )
+                    # exact integer micros: float .timestamp() loses
+                    # sub-us precision past 2^53 us (~year 2255), and a
+                    # bound off by 1us can over-prune
+                    value = value.astimezone(
+                        datetime.timezone.utc
+                    ).replace(tzinfo=None)
+                delta = value - datetime.datetime(1970, 1, 1)
+                value = (
+                    delta.days * 86_400_000_000
+                    + delta.seconds * 1_000_000
+                    + delta.microseconds
+                )
             return _struct.pack("<q", int(value))
         if t == "int":
             return _struct.pack("<i", int(value))
@@ -3629,6 +3632,16 @@ def expire_iceberg_snapshots(
     exp_set = set(expired)
     retained = [s for s in snaps if s["snapshot-id"] not in exp_set]
 
+    # memoize avro reads: snapshots share most manifests (the export
+    # carries untouched manifests by path), so without a cache an
+    # expiry over N snapshots re-parses each shared manifest N times
+    _avro_cache: dict[str, list] = {}
+
+    def _read(path: str) -> list:
+        if path not in _avro_cache:
+            _avro_cache[path] = read_avro(path)[1]
+        return _avro_cache[path]
+
     def _referenced(snap: dict, live_only: bool) -> set[str]:
         # live_only (the KEEP side): a retained manifest's status-2
         # DELETED entry is a tombstone, not a reference — no retained
@@ -3636,12 +3649,10 @@ def expire_iceberg_snapshots(
         out = set()
         ml = os.path.abspath(_localize(snap["manifest-list"], root))
         out.add(ml)
-        _s, manifests = read_avro(ml)
-        for m in manifests:
+        for m in _read(ml):
             mp = os.path.abspath(_localize(m["manifest_path"], root))
             out.add(mp)
-            _s2, entries = read_avro(mp)
-            for e in entries:
+            for e in _read(mp):
                 if live_only and e.get("status", 0) == 2:
                     continue
                 out.add(

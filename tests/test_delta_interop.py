@@ -2014,3 +2014,93 @@ def test_truncate_delta_log_retention(spark, tmp_path):
     assert truncate_delta_log(t2, keep_versions=1) == []
     with pytest.raises(ValueError, match="keep_versions"):
         truncate_delta_log(t2, keep_versions=0)
+
+
+def test_truncate_deletes_v2_manifests_and_unshared_sidecars(spark, tmp_path):
+    """truncate_delta_log on V2 checkpoints: every manifest of a
+    dropped version goes, sidecars referenced ONLY by dropped
+    manifests go, and sidecars SHARED with a retained checkpoint
+    survive (the spec allows cross-checkpoint sharing)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        truncate_delta_log,
+    )
+
+    root = str(tmp_path / "v2t")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(os.path.join(log, "_sidecars"))
+    for i in range(1, 6):
+        _write_parquet(os.path.join(root, f"f{i}.parquet"), [(i,)], ["v"])
+    add_t = pa.struct(
+        [("path", pa.string()),
+         ("partitionValues", pa.map_(pa.string(), pa.string())),
+         ("size", pa.int64()), ("modificationTime", pa.int64()),
+         ("dataChange", pa.bool_())]
+    )
+
+    def sidecar(name, paths):
+        pq.write_table(
+            pa.table({"add": pa.array(
+                [{"path": p, "partitionValues": {}, "size": 1,
+                  "modificationTime": 0, "dataChange": False}
+                 for p in paths], type=add_t)}),
+            os.path.join(log, "_sidecars", name),
+        )
+
+    sidecar("sc-1.parquet", ["f1.parquet"])
+    sidecar("sc-2.parquet", ["f2.parquet"])
+    sidecar("sc-3.parquet", ["f3.parquet", "f4.parquet"])
+    proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+             "readerFeatures": ["v2Checkpoint"]}
+    meta = _meta_action([("v", "long")])["metaData"]
+
+    def v2cp(version, uniq, sidecars):
+        with open(
+            os.path.join(log, f"{version:020d}.checkpoint.{uniq}.json"), "w"
+        ) as f:
+            for a in (
+                {"checkpointMetadata": {"version": version}},
+                {"protocol": proto},
+                {"metaData": meta},
+                *({"sidecar": {"path": s, "sizeInBytes": 1}}
+                  for s in sidecars),
+            ):
+                f.write(json.dumps(a) + "\n")
+
+    # checkpoint at 2 references sc-1 + sc-2; checkpoint at 4
+    # references sc-2 (SHARED) + sc-3
+    v2cp(2, "aa11", ["sc-1.parquet", "sc-2.parquet"])
+    v2cp(4, "bb22", ["sc-2.parquet", "sc-3.parquet"])
+
+    def _adda(p):
+        return {"add": {"path": p, "partitionValues": {}, "size": 1,
+                        "modificationTime": 0, "dataChange": True}}
+
+    _write_commit(root, 0, [{"protocol": proto}, {"metaData": meta},
+                            _adda("f1.parquet")])
+    _write_commit(root, 1, [_adda("f2.parquet")])
+    _write_commit(root, 2, [{"remove": {"path": "f1.parquet",
+                                        "dataChange": True,
+                                        "deletionTimestamp": 0}}])
+    _write_commit(root, 3, [_adda("f3.parquet")])
+    _write_commit(root, 4, [_adda("f4.parquet")])
+    _write_commit(root, 5, [_adda("f5.parquet")])
+    assert {r["v"] for r in read_delta(spark, root).collect()} == {2, 3, 4, 5}
+    deleted = truncate_delta_log(root, keep_versions=2)
+    assert deleted == [0, 1, 2, 3]
+    # the dropped version-2 manifest is gone, the retained one stays
+    names = set(os.listdir(log))
+    assert f"{2:020d}.checkpoint.aa11.json" not in names
+    assert f"{4:020d}.checkpoint.bb22.json" in names
+    # sc-1 was referenced only by the dropped manifest; sc-2 is shared
+    sc = set(os.listdir(os.path.join(log, "_sidecars")))
+    assert sc == {"sc-2.parquet", "sc-3.parquet"}
+    # replay from the retained checkpoint still serves
+    assert {r["v"] for r in read_delta(spark, root).collect()} == {2, 3, 4, 5}
+    assert {r["v"] for r in read_delta(spark, root, version=4).collect()} == {
+        2, 3, 4
+    }
+    with pytest.raises(DeltaProtocolError, match="checkpoint"):
+        read_delta(spark, root, version=3)

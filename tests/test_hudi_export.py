@@ -1080,3 +1080,46 @@ def test_cluster_mor_folds_logs_then_compact_routes(spark, tmp_path):
     assert ci2 is not None
     exp2 = (exp - {(0, "v0")}) | {(0, "W0")}
     assert {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()} == exp2
+
+def test_clean_removes_superseded_log_only_chains(spark, tmp_path):
+    """A LOG-ONLY slice later compacted away (its chain's base_instant
+    matches no surviving base file) is still reclaimed by the cleaner:
+    any chain below the group's kept base is superseded whatever it
+    attached to."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        clean_hudi,
+        compact_hudi,
+        export_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, seg string, v double",
+        bucket_key=["k"], num_buckets=1,
+    )
+    t.append(spark.createDataFrame([(1, "A", 1.0)],
+                                   "k bigint, seg string, v double"))
+    dest = str(tmp_path / "mor")
+    export_hudi(t, dest, partition_by=["seg"], table_type="MERGE_ON_READ")
+    # k=2 lands in a brand-new partition: a LOG-ONLY file group
+    t.merge(spark.createDataFrame([(2, "B", 2.0)],
+                                  "k bigint, seg string, v double"))
+    export_hudi(t, dest, partition_by=["seg"], table_type="MERGE_ON_READ")
+    assert glob.glob(os.path.join(dest, "seg=B", ".b*.log.*"))
+    assert not glob.glob(os.path.join(dest, "seg=B", "*.parquet"))
+    # compaction writes the group's first base; the old chain is now a
+    # superseded slice whose base_instant matches NO base file
+    assert compact_hudi(spark, dest) is not None
+    assert clean_hudi(dest, retain_commits=1) is not None
+    assert not glob.glob(os.path.join(dest, "seg=B", ".b*.log.*"))
+    got = {(r["k"], r["seg"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert got == {(1, "A", 1.0), (2, "B", 2.0)}
