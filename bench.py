@@ -183,6 +183,7 @@ HEADLINE = [
     "s58_hudi_clean",  # KEEP_LATEST_COMMITS slice cleaning (r11)
     "s59_delta_log_truncate",  # checkpoint-bounded log retention (r11)
     "s60_hudi_clustering",  # replacecommit sort clustering (r11)
+    "s61_iceberg_rewrite_manifests",  # manifest compaction (r11)
 ]
 
 

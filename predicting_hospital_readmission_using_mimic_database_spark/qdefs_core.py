@@ -7013,3 +7013,92 @@ def q_s60(spark, sf):
     assert read_hudi_incremental(spark, dest, begin=i1).count() == 0
     assert read_hudi(spark, dest, as_of=i1).count() == c.count()
     return read_hudi(spark, dest)
+
+@query(
+    "s61_iceberg_rewrite_manifests",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey,
+           cents + CASE WHEN k % 11 = 0 THEN 555 ELSE 0 END AS cents
+    FROM base WHERE k % 29 <> 0
+    """,
+)
+def q_s61(spark, sf):
+    """S61 — MANIFEST COMPACTION (sources/iceberg.py
+    ``rewrite_iceberg_manifests``): the rewriteManifests maintenance
+    completing Iceberg's metadata story next to s57's expiry —
+    incremental exports append one manifest per commit and every read
+    parses all of them, so manifest COUNT becomes the planning cost.
+    All data-manifest entries carry into ONE new manifest as status-0
+    EXISTING rows with EXPLICIT sequence numbers (v2 inheritance is
+    ADDED-only — an implicit carry would break equality-delete
+    ordering), delete manifests ride as-is, and a ``replace`` snapshot
+    commits with the data-file set UNCHANGED. The fixture builds three
+    append snapshots + a merge + an equality delete (whose ordering
+    DEPENDS on the carried sequence numbers), rewrites, and pins
+    in-entry: exactly ONE data manifest after, the changelog emitting
+    ZERO rows for the replace snapshot, and pre-rewrite time travel
+    intact. DuckDB recomputes the final state — a lost entry, a
+    resurrection through mis-ordered equality deletes, or a dropped
+    delete manifest breaks the row-level hash."""
+    import json as _json
+
+    from .sources.avro_ocf import read_avro
+    from .sources.iceberg import (
+        _localize,
+        _metadata_path,
+        append_equality_deletes,
+        export_iceberg,
+        read_iceberg,
+        read_iceberg_changelog,
+        rewrite_iceberg_manifests,
+    )
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s61", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    t.append(c)
+    assert export_iceberg(t) == 1
+    t.merge(
+        c.filter(F.col("c_custkey") % 11 == 0).withColumn(
+            "cents", F.col("cents") + 555
+        )
+    )
+    assert export_iceberg(t) == 2
+    doomed = [
+        {"c_custkey": r["c_custkey"]}
+        for r in c.filter(F.col("c_custkey") % 29 == 0)
+        .select("c_custkey")
+        .collect()
+    ]
+    assert doomed
+    eq_sid = append_equality_deletes(t.root, doomed, ["c_custkey"])
+    sid = rewrite_iceberg_manifests(t.root)
+    assert sid is not None and sid > eq_sid
+    with open(_metadata_path(t.root)) as f:
+        meta = _json.load(f)
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, manifests = read_avro(_localize(cur["manifest-list"], t.root))
+    assert len([m for m in manifests if m.get("content", 0) == 0]) == 1
+    # the replace snapshot changes NO rows: the changelog is silent
+    assert read_iceberg_changelog(
+        spark, t.root, from_snapshot_id=eq_sid
+    ).count() == 0
+    assert read_iceberg(spark, t.root, snapshot_id=1).count() == c.count()
+    return read_iceberg(spark, t.root)

@@ -3696,3 +3696,105 @@ def expire_iceberg_snapshots(
         f.write(str(version))
     os.replace(tmp, os.path.join(mdir, "version-hint.text"))
     return expired
+
+
+def rewrite_iceberg_manifests(root: str) -> int | None:
+    """COMPACT the current snapshot's DATA manifests into ONE — the
+    ``rewriteManifests`` maintenance action every long-lived Iceberg
+    table needs next to :func:`expire_iceberg_snapshots`: incremental
+    exports append one manifest per commit, and every read parses all
+    of them, so manifest COUNT (not size) becomes the planning cost.
+    All data-manifest entries are carried into a single new manifest
+    as status-0 EXISTING rows with EXPLICIT sequence numbers (the v2
+    spec grants manifest-list inheritance only to ADDED entries — the
+    same stamping the export's tombstone rewrite performs), so
+    equality-delete ordering and v3 row lineage survive byte-exactly;
+    DELETE manifests are carried as-is (their content is ordering
+    metadata, not data). A new snapshot commits with operation
+    ``replace`` — data-file set UNCHANGED, so the changelog emits
+    ZERO rows for it and time travel to earlier snapshots still reads
+    the old manifests (never mutated). The append STREAM gates on the
+    non-append snapshot exactly like real Iceberg streaming's default
+    (set ``ignoreChanges=true`` to pass it; it contributes zero added
+    files either way). Returns the new snapshot id (None when the
+    current snapshot already has <= 1 data manifest)."""
+    import time
+
+    from .avro_ocf import write_avro
+
+    with open(_metadata_path(root)) as f:
+        meta = json.load(f)
+    snaps = meta.get("snapshots", [])
+    if not snaps:
+        return None
+    cur = next(
+        s for s in snaps if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, manifests = read_avro(_localize(cur["manifest-list"], root))
+    data_m = [m for m in manifests if m.get("content", 0) == 0]
+    delete_m = [m for m in manifests if m.get("content", 0) == 1]
+    if len(data_m) <= 1:
+        return None
+    sid = max(s["snapshot-id"] for s in snaps) + 1
+    entries_out: list[dict] = []
+    for mrec in data_m:
+        mseq = mrec.get("sequence_number")
+        _s2, entries = read_avro(_localize(mrec["manifest_path"], root))
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue  # tombstones carry no live state forward
+            seq = e.get("sequence_number")
+            seq = mseq if seq is None else seq
+            fseq = e.get("file_sequence_number")
+            entries_out.append(
+                {
+                    **e,
+                    "status": 0,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq if fseq is None else fseq,
+                }
+            )
+    mdir = os.path.join(root, "metadata")
+    merged = os.path.join(mdir, f"manifest-rw-{sid}.avro")
+    write_avro(merged, MANIFEST_ENTRY_SCHEMA, entries_out)
+    mlist = os.path.join(mdir, f"snap-{sid}.avro")
+    write_avro(
+        mlist,
+        MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": merged,
+                "manifest_length": os.path.getsize(merged),
+                "partition_spec_id": 0,
+                "content": 0,
+                "added_snapshot_id": sid,
+                # the merged manifest's own sequence number must NOT be
+                # inherited by its EXISTING entries (each carries its
+                # explicit original); list-level it records the commit
+                "sequence_number": sid,
+            }
+        ]
+        + [{"sequence_number": None, **m} for m in delete_m],
+    )
+    version = int(meta.get("_export_version", len(snaps))) + 1
+    meta["snapshots"] = snaps + [
+        {
+            "snapshot-id": sid,
+            "timestamp-ms": int(time.time() * 1000),
+            "summary": {"operation": "replace"},
+            "manifest-list": mlist,
+            "schema-id": cur.get("schema-id", 0),
+        }
+    ]
+    meta["current-snapshot-id"] = sid
+    meta["last-sequence-number"] = max(
+        int(meta.get("last-sequence-number", 0)), sid
+    )
+    meta["_export_version"] = version
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    tmp = os.path.join(mdir, ".hint.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    return sid

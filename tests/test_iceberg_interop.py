@@ -2777,3 +2777,70 @@ def test_expire_snapshots_deletes_data_files_when_asked(spark, tmp_path):
     assert {r["k"] for r in read_iceberg(spark, root).collect()} == set(
         range(5)
     ) | {100}
+
+
+def test_rewrite_manifests_compacts_metadata(spark, tmp_path):
+    """rewrite_iceberg_manifests: N data manifests -> 1 with entries
+    carried as EXISTING + explicit sequence numbers; reads identical,
+    equality-delete ordering preserved, changelog emits NOTHING for
+    the replace snapshot, pre-rewrite time travel intact, expire can
+    then GC the old manifests, no-op on single-manifest tables."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.avro_ocf import (
+        read_avro,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        _localize,
+        _metadata_path,
+        append_equality_deletes,
+        expire_iceberg_snapshots,
+        export_iceberg,
+        read_iceberg,
+        read_iceberg_changelog,
+        rewrite_iceberg_manifests,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+    import json as _json
+
+    root = str(tmp_path / "rwm")
+    t = SnapshotTable.create(spark, root, "k bigint, v bigint")
+    for i in range(3):
+        t.append(spark.range(i * 10, i * 10 + 4).coalesce(1).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
+        assert export_iceberg(t) == i + 1
+    # an equality delete whose ordering depends on data sequence nums
+    append_equality_deletes(root, [{"k": 1}], ["k"])
+    before = {(r["k"], r["v"]) for r in read_iceberg(spark, root).collect()}
+    assert (1, 2) not in before and len(before) == 11
+    sid = rewrite_iceberg_manifests(root)
+    assert sid == 5
+    with open(_metadata_path(root)) as f:
+        meta = _json.load(f)
+    cur = next(s for s in meta["snapshots"]
+               if s["snapshot-id"] == meta["current-snapshot-id"])
+    assert cur["summary"]["operation"] == "replace"
+    _s, manifests = read_avro(_localize(cur["manifest-list"], root))
+    assert len([m for m in manifests if m.get("content", 0) == 0]) == 1
+    assert len([m for m in manifests if m.get("content", 0) == 1]) == 1
+    # byte-identical reads: the eq delete still orders via the carried
+    # explicit sequence numbers
+    after = {(r["k"], r["v"]) for r in read_iceberg(spark, root).collect()}
+    assert after == before
+    # the changelog emits NOTHING for the replace snapshot (file set
+    # unchanged -> liveness unchanged at that boundary)
+    assert read_iceberg_changelog(spark, root, from_snapshot_id=4).count() == 0
+    # pre-rewrite time travel unaffected
+    assert read_iceberg(spark, root, snapshot_id=3).count() == 12
+    # expiry after the rewrite GC's the old manifests
+    n_avro = len(glob.glob(os.path.join(root, "metadata", "*.avro")))
+    assert expire_iceberg_snapshots(root, keep_last=1) == [1, 2, 3, 4]
+    assert len(glob.glob(os.path.join(root, "metadata", "*.avro"))) < n_avro
+    assert {(r["k"], r["v"])
+            for r in read_iceberg(spark, root).collect()} == before
+    # single-manifest table: no-op
+    assert rewrite_iceberg_manifests(root) is None

@@ -162,6 +162,7 @@ AUDIT = [
     "s58_hudi_clean",  # post-clean snapshot read
     "s59_delta_log_truncate",  # checkpoint-replay read after the cut
     "s60_hudi_clustering",  # stats-pruned read over clustered groups
+    "s61_iceberg_rewrite_manifests",  # read over the merged manifest
 ]
 
 
