@@ -7102,3 +7102,84 @@ def q_s61(spark, sf):
     ).count() == 0
     assert read_iceberg(spark, t.root, snapshot_id=1).count() == c.count()
     return read_iceberg(spark, t.root)
+
+@query(
+    "s62_delta_optimize",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer
+    """,
+)
+def q_s62(spark, sf):
+    """S62 — Delta OPTIMIZE + Z-ORDER at the LOG level
+    (sources/delta_optimize.py ``optimize_delta``): the table service
+    for a PUBLISHED ``_delta_log`` (exported or foreign), completing
+    the compaction story across formats next to Hudi clustering (s60)
+    and Iceberg manifest rewrite (s61). Three bucketed appends export
+    as 12 small files; bin-packing combines them per the row target
+    with ``dataChange: false`` on BOTH sides, so the re-layout is
+    INVISIBLE to CDF (in-entry: zero change rows from the OPTIMIZE
+    versions) while pre-optimize time travel still serves the old
+    layout (asserted). The Z-ORDER pass rewrites along the Morton
+    curve over (c_custkey, cents) — the hash-bucketed layout spreads
+    BOTH ranges across every file, so a two-dim predicate plans most
+    of them (asserted >= half); after z-ordering the same predicate
+    plans at most half (asserted) via the refreshed footer-harvested
+    per-file bounds. DuckDB recomputes the full table — a rewrite that
+    dropped, duplicated, or mutated any row breaks the row-level
+    hash."""
+    from .sources.delta import (
+        export_delta_log,
+        read_delta,
+        read_delta_changes,
+    )
+    from .sources.delta_optimize import optimize_delta
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s62", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    for m in (0, 1, 2):
+        t.append(c.filter(F.col("c_custkey") % 3 == m))
+        export_delta_log(t)
+    n_rows = c.count()
+    n_before = len(read_delta(spark, t.root).inputFiles())
+    assert n_before == 12, n_before  # 3 appends x 4 buckets
+    v1 = optimize_delta(
+        spark, t.root, target_file_rows=max(1, n_rows // 4)
+    )
+    assert v1 is not None
+    packed = read_delta(spark, t.root)
+    assert len(packed.inputFiles()) < n_before
+    # hash-bucketed layout: a two-dim range predicate plans MOST files
+    k_hi = int(c.agg(F.expr("percentile_approx(c_custkey, 0.9)")).collect()[0][0])
+    c_hi = int(c.agg(F.expr("percentile_approx(cents, 0.9)")).collect()[0][0])
+    preds = [("c_custkey", ">=", k_hi), ("cents", ">=", c_hi)]
+    planned_before = len(
+        read_delta(spark, t.root, predicates=preds).inputFiles()
+    )
+    assert planned_before >= len(packed.inputFiles()) / 2
+    v2 = optimize_delta(
+        spark,
+        t.root,
+        zorder_by=["c_custkey", "cents"],
+        target_file_rows=max(1, n_rows // 8),
+    )
+    assert v2 == v1 + 1
+    after = read_delta(spark, t.root)
+    planned = len(read_delta(spark, t.root, predicates=preds).inputFiles())
+    assert planned <= max(1, len(after.inputFiles()) // 2), (
+        planned, len(after.inputFiles()))
+    # both re-layouts are invisible to CDF; old versions still serve
+    assert read_delta_changes(spark, t.root, starting_version=v1).count() == 0
+    assert read_delta(spark, t.root, version=v1 - 1).count() == n_rows
+    return read_delta(spark, t.root)

@@ -77,6 +77,7 @@ PRIORITY: tuple[str, ...] = (
     "s59_delta_log_truncate",
     "s60_hudi_clustering",
     "s61_iceberg_rewrite_manifests",
+    "s62_delta_optimize",
     # (a) code-changed in round 11
     "s47_iceberg_changelog",
     "st21_stream_iceberg_changelog",
@@ -115,7 +116,6 @@ PRIORITY: tuple[str, ...] = (
     "n2_knn_lsh",
     "x6_lm_quality",
     "mm3_image_resize",
-    "g1_pagerank",
 )
 
 

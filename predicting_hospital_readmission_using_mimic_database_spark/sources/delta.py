@@ -703,6 +703,40 @@ def _write_checkpoint_file(
     os.replace(tmp, ptr)
 
 
+def _ict_commit_info(
+    log_dir: str, version: int, operation: str = "WRITE"
+) -> dict:
+    """commitInfo action with an IN-COMMIT TIMESTAMP (the 4.x writer
+    feature exported logs declare from v0): wall clock, forced STRICTLY
+    past the previous commit's ICT per spec. Shared by the export and
+    the log-level OPTIMIZE (delta_optimize.py)."""
+    import time as _time
+
+    ict = int(_time.time() * 1000)
+    if version > 0:
+        prev_path = os.path.join(log_dir, f"{version - 1:020d}.json")
+        try:
+            with open(prev_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    a = json.loads(line)
+                    ci = a.get("commitInfo")
+                    if ci and ci.get("inCommitTimestamp") is not None:
+                        ict = max(ict, int(ci["inCommitTimestamp"]) + 1)
+                    break
+        except FileNotFoundError:
+            pass  # vacuumed predecessor: wall clock stands
+    return {
+        "commitInfo": {
+            "operation": operation,
+            "engineInfo": "snapshot-export",
+            "inCommitTimestamp": ict,
+        }
+    }
+
+
 def export_delta_log(table, checkpoint_interval: int = 10) -> int:
     """Publish a :class:`~.table.SnapshotTable`'s CURRENT snapshot as a
     real ``_delta_log`` under the table root, so any Delta client
@@ -730,36 +764,7 @@ def export_delta_log(table, checkpoint_interval: int = 10) -> int:
     locality is an engine-side read optimization, not table state.
     Driver-side metadata only (KBs per commit).
     """
-    import time as _time
     import uuid
-
-    def _ict_commit_info(log_dir: str, version: int) -> dict:
-        # in-commit timestamp (the 4.x writer feature the export
-        # declares from v0): wall clock, forced STRICTLY past the
-        # previous commit's ICT per spec
-        ict = int(_time.time() * 1000)
-        if version > 0:
-            prev_path = os.path.join(log_dir, f"{version - 1:020d}.json")
-            try:
-                with open(prev_path) as f:
-                    for line in f:
-                        line = line.strip()
-                        if not line:
-                            continue
-                        a = json.loads(line)
-                        ci = a.get("commitInfo")
-                        if ci and ci.get("inCommitTimestamp") is not None:
-                            ict = max(ict, int(ci["inCommitTimestamp"]) + 1)
-                        break
-            except FileNotFoundError:
-                pass  # vacuumed predecessor: wall clock stands
-        return {
-            "commitInfo": {
-                "operation": "WRITE",
-                "engineInfo": "snapshot-export",
-                "inCommitTimestamp": ict,
-            }
-        }
 
     root = table.root
     table._refresh()

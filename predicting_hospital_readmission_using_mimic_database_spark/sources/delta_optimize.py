@@ -1,0 +1,396 @@
+"""Log-level OPTIMIZE (bin-packing + Z-ORDER) for REAL Delta tables.
+
+``SnapshotTable.compact`` / ``optimize_zorder`` re-layout the
+engine-native commit log; this module is the same table service for a
+real ``_delta_log`` — an EXPORTED table (sources/delta.py
+``export_delta_log``) or a foreign one another writer produced — so a
+long-lived published table does not have to round-trip back through a
+SnapshotTable (whose re-export would commit the re-layout as
+``dataChange: true``, polluting every downstream CDF/incremental
+consumer).
+
+Semantics follow the Delta spec + the reference OPTIMIZE behavior:
+
+- rewritten files are REMOVED and replacements ADDED in one commit with
+  ``dataChange: false`` on both sides — CDF (`read_delta_changes`),
+  streams, and any spec-following incremental reader see ZERO changes
+  from the re-layout, while time travel below the OPTIMIZE version
+  still serves the old files (never deleted here; retention is
+  ``truncate_delta_log`` / vacuum's job);
+- live DELETION VECTORS on rewritten files are APPLIED and PURGED
+  (struck rows are physically dropped; replacement adds carry no
+  ``deletionVector``), exactly what real OPTIMIZE does so the
+  soft-delete debt does not accumulate forever;
+- files only ever combine WITHIN one partition (``partitionValues`` is
+  per-file table state; replacements inherit their group's values);
+- replacement adds carry refreshed footer-harvested stats
+  (numRecords + truncation-safe minValues/maxValues), so data skipping
+  (`read_delta(predicates=)` and foreign readers) works on the new
+  layout — the entire point of ZORDER;
+- ROW TRACKING survives: when the table declares
+  ``delta.enableRowTracking``, every rewritten row's ``_row_id`` /
+  ``_row_commit_version`` is written into the replacement files as the
+  spec's MATERIALIZED lineage columns (config-named; the config keys
+  are added in this commit when absent), so identity is stable across
+  the rewrite for any spec-following reader.
+
+Scale shape: the plan per partition group is ONE scan of that group's
+rewritten files (+ the broadcast DV anti-join when vectors are live)
+into ``ceil(rows / target_file_rows)`` outputs — ``coalesce`` (no
+shuffle) for bin-packing, one range shuffle for ZORDER. Driver-side
+work is log metadata + per-output-file footer reads, KBs per file; no
+row ever passes through the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import uuid
+from typing import Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from .delta import (
+    DELTA_LOG_DIR,
+    DeltaProtocolError,
+    _dv_positions_df,
+    _ict_commit_info,
+    _replay_log,
+)
+from .io import decoded_file_path, zorder_value
+from .table import _harvest_stats
+
+#: column types OPTIMIZE ZORDER can quantize (castable to double with
+#: order preserved); strings/binary are refused — their parquet footer
+#: stats may be truncated, so a z-curve over them could not be
+#: validated by the very skipping it exists to serve
+_ZORDERABLE = (
+    "byte", "short", "int", "integer", "long", "bigint",
+    "float", "double", "date", "timestamp", "timestamp_ntz",
+)
+
+
+def optimize_delta(
+    spark: SparkSession,
+    root: str,
+    zorder_by: Sequence[str] | None = None,
+    target_file_rows: int = 1_000_000,
+    bits: int = 12,
+) -> int | None:
+    """OPTIMIZE the Delta table at ``root``: bin-pack small live files
+    (and purge any live deletion vectors) into ``ceil(rows /
+    target_file_rows)`` replacement files per partition; with
+    ``zorder_by`` every live file rewrites clustered along the Morton
+    curve over those columns (:func:`~.io.zorder_value`), making
+    file-level stats selective on EVERY listed column at once.
+
+    Returns the committed version, or None when nothing qualified
+    (every group already a single well-formed file / above the
+    small-file bar with no vectors to purge).
+
+    Honest gates: column mapping (rewritten files would need
+    physical-name columns this writer does not produce) and — when row
+    tracking is on — a live file with missing lineage stamps or
+    missing numRecords stats (identity could not be preserved /
+    sized). Row tracking otherwise survives via materialized lineage
+    columns; config keys naming them are added in this commit when the
+    table has not declared them yet.
+    """
+    if target_file_rows < 1:
+        raise ValueError("target_file_rows must be >= 1")
+    stats_of: dict[str, str] = {}
+    rowids: dict[str, tuple] = {}
+    meta, live, dvs, last = _replay_log(
+        root, stats_out=stats_of, rowids_out=rowids
+    )
+    conf = dict(meta.get("configuration") or {})
+    mapping = str(conf.get("delta.columnMapping.mode", "none")).lower()
+    if mapping not in ("", "none"):
+        raise DeltaProtocolError(
+            f"optimize_delta does not rewrite column-mapped tables "
+            f"(delta.columnMapping.mode={mapping!r}): replacement files "
+            "would need physical-name columns"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = StructType(data_fields)
+
+    if zorder_by:
+        zorder_by = list(zorder_by)
+        by_name = {f.name: f for f in data_fields}
+        for c in zorder_by:
+            if c in part_cols:
+                raise ValueError(
+                    f"zorder_by column {c!r} is a partition column — "
+                    "partition values are constant per file already"
+                )
+            f = by_name.get(c)
+            if f is None:
+                raise ValueError(f"zorder_by names unknown column {c!r}")
+            if f.dataType.typeName() not in _ZORDERABLE:
+                raise ValueError(
+                    f"zorder_by column {c!r} has type "
+                    f"{f.dataType.simpleString()}; z-ordering needs an "
+                    f"order-preserving numeric cast ({_ZORDERABLE})"
+                )
+
+    row_tracking = (
+        str(conf.get("delta.enableRowTracking", "")).lower() == "true"
+    )
+    mat_id = mat_ver = None
+    add_mat_conf = False
+    if row_tracking:
+        mat_id = conf.get("delta.rowTracking.materializedRowIdColumnName")
+        mat_ver = conf.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        )
+        if not mat_id or not mat_ver:
+            # first rewrite of this table: declare the materialized
+            # lineage columns (the writer-side half of the feature);
+            # files never rewritten read NULL there and the reader's
+            # fresh fallback (baseRowId + position) still serves them
+            mat_id = mat_id or "_row_id_materialized"
+            mat_ver = mat_ver or "_row_commit_version_materialized"
+            add_mat_conf = True
+        for mc in (mat_id, mat_ver):
+            if mc in data_schema.names:
+                raise DeltaProtocolError(
+                    f"materialized lineage column {mc!r} collides with a "
+                    "data column"
+                )
+        bad = [
+            rel for rel in live
+            if rowids.get(rel, (None, None))[0] is None
+            or rowids.get(rel, (None, None))[1] is None
+        ]
+        if bad:
+            raise DeltaProtocolError(
+                "row tracking is enabled but these live files carry no "
+                f"baseRowId / defaultRowCommitVersion: {sorted(bad)[:3]}"
+            )
+
+    def _rows_of(rel: str) -> int | None:
+        raw = stats_of.get(rel)
+        if not raw:
+            return None
+        try:
+            n = json.loads(raw).get("numRecords")
+        except ValueError:
+            return None
+        return int(n) if n is not None else None
+
+    # ---- plan: per-partition candidate groups ------------------------
+    groups: dict[tuple, list[str]] = {}
+    for rel, pv in live.items():
+        groups.setdefault(tuple(sorted((pv or {}).items())), []).append(rel)
+    jobs: list[tuple[dict, list[str]]] = []  # (partitionValues, rewrites)
+    for key in sorted(groups):
+        rels = sorted(groups[key])
+        if zorder_by:
+            cands = rels  # layout change: the whole group re-clusters
+        else:
+            cands = [
+                rel for rel in rels
+                if (_rows_of(rel) or 0) < target_file_rows or rel in dvs
+            ]
+        if not cands:
+            continue
+        if len(cands) < 2 and not any(rel in dvs for rel in cands):
+            # one vector-free file: bin-packing is a no-op, and a
+            # z-order that cannot SPLIT it only reshuffles rows inside
+            # one file's stats envelope — skip unless the file is big
+            # enough that the rewrite yields multiple (prunable) files
+            n = _rows_of(cands[0])
+            if not (zorder_by and (n is None or n > target_file_rows)):
+                continue
+        jobs.append((dict(key), cands))
+    if not jobs:
+        return None
+
+    version = last + 1
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    ict_on = str(
+        conf.get("delta.enableInCommitTimestamps", "")
+    ).lower() == "true"
+
+    # fresh per-file stamps for replacement adds: past the highest
+    # (baseRowId + numRecords) any LIVE file occupies. Carried rows
+    # keep their identity through the materialized columns (every
+    # rewritten row gets one), so these stamps are only the reader's
+    # required per-file metadata, never an observable id.
+    next_base = 0
+    if row_tracking:
+        for rel in live:
+            n = _rows_of(rel)
+            if n is None:
+                raise DeltaProtocolError(
+                    f"row tracking is enabled but live file {rel!r} has "
+                    "no numRecords stats; cannot place fresh row-id "
+                    "stamps past the occupied range"
+                )
+            next_base = max(next_base, int(rowids[rel][0]) + n)
+
+    stats_cols = [f.name for f in data_fields]
+    removes: list[dict] = []
+    adds: list[dict] = []
+    stage_root = os.path.join(root, f".optimize-stage-{uuid.uuid4().hex}")
+    key_c, pos_c = "__opt_input_file", "__opt_row_pos"
+    seq = 0
+    try:
+        for pv, cands in jobs:
+            group_dvs = {rel: dvs[rel] for rel in cands if rel in dvs}
+            read_schema = data_schema
+            if row_tracking:
+                for mc in (mat_id, mat_ver):
+                    if mc not in read_schema.names:
+                        read_schema = read_schema.add(
+                            StructField(mc, LongType(), True)
+                        )
+            paths = sorted(
+                os.path.abspath(os.path.join(root, rel)) for rel in cands
+            )
+            df = spark.read.schema(read_schema).parquet(*paths)
+            if group_dvs or row_tracking:
+                scan_cols = [F.col(f.name) for f in read_schema.fields] + [
+                    decoded_file_path(F.input_file_name()).alias(key_c),
+                    F.col("_metadata.row_index").alias(pos_c),
+                ]
+                df = df.select(*scan_cols)
+            if group_dvs:
+                dels = _dv_positions_df(spark, root, group_dvs, key_c, pos_c)
+                df = df.join(F.broadcast(dels), [key_c, pos_c], "left_anti")
+            if row_tracking:
+                rt_df = spark.createDataFrame(
+                    [
+                        (
+                            os.path.abspath(os.path.join(root, rel)),
+                            int(rowids[rel][0]),
+                            int(rowids[rel][1]),
+                        )
+                        for rel in cands
+                    ],
+                    StructType(
+                        [
+                            StructField(key_c, StringType(), False),
+                            StructField("__opt_rtbase", LongType(), False),
+                            StructField("__opt_rtver", LongType(), False),
+                        ]
+                    ),
+                )
+                df = df.join(F.broadcast(rt_df), key_c, "left")
+                fresh_id = F.col("__opt_rtbase") + F.col(pos_c)
+                df = (
+                    df.withColumn(
+                        mat_id,
+                        F.coalesce(F.col(mat_id).cast("long"), fresh_id),
+                    )
+                    .withColumn(
+                        mat_ver,
+                        F.coalesce(
+                            F.col(mat_ver).cast("long"),
+                            F.col("__opt_rtver"),
+                        ),
+                    )
+                    .drop("__opt_rtbase", "__opt_rtver")
+                )
+            if group_dvs or row_tracking:
+                df = df.drop(key_c, pos_c)
+
+            rows_after = 0
+            for rel in cands:
+                n = _rows_of(rel)
+                if n is None:
+                    rows_after = None
+                    break
+                rows_after += n
+            if rows_after is not None:
+                for rel, d in group_dvs.items():
+                    card = d.get("cardinality")
+                    if card is None:
+                        rows_after = None
+                        break
+                    rows_after -= int(card)
+            if rows_after is None:
+                rows_after = df.count()  # foreign files without stats
+            n_out = max(1, math.ceil(rows_after / target_file_rows))
+            if zorder_by:
+                z = zorder_value(df, zorder_by, bits)
+                df = (
+                    df.withColumn("__z", z)
+                    .repartitionByRange(n_out, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            else:
+                df = df.coalesce(n_out)
+            stage = os.path.join(stage_root, f"g{seq}")
+            df.write.parquet(stage)
+            parts = sorted(
+                p for p in os.listdir(stage)
+                if p.startswith("part-") and p.endswith(".parquet")
+            )
+            for part in parts:
+                rel = f"optimize-{version:020d}-{seq:05d}-{uuid.uuid4().hex[:8]}.parquet"
+                abs_new = os.path.join(root, rel)
+                shutil.move(os.path.join(stage, part), abs_new)
+                n_rows, mm = _harvest_stats(abs_new, stats_cols)
+                st: dict = {"numRecords": n_rows}
+                if mm:
+                    st["minValues"] = {c: v[0] for c, v in mm.items()}
+                    st["maxValues"] = {c: v[1] for c, v in mm.items()}
+                add = {
+                    "path": rel,
+                    "partitionValues": dict(pv),
+                    "size": os.path.getsize(abs_new),
+                    "modificationTime": 0,
+                    "dataChange": False,
+                    "stats": json.dumps(st),
+                }
+                if row_tracking:
+                    add["baseRowId"] = next_base
+                    add["defaultRowCommitVersion"] = version
+                    next_base += n_rows
+                adds.append({"add": add})
+                seq += 1
+            for rel in cands:
+                rm = {
+                    "path": rel,
+                    "deletionTimestamp": 0,
+                    "dataChange": False,
+                    "partitionValues": dict(pv),
+                }
+                if rel in dvs:
+                    rm["deletionVector"] = dict(dvs[rel])
+                removes.append({"remove": rm})
+    finally:
+        shutil.rmtree(stage_root, ignore_errors=True)
+
+    actions = [
+        _ict_commit_info(log_dir, version, operation="OPTIMIZE")
+        if ict_on
+        else {"commitInfo": {"operation": "OPTIMIZE",
+                             "engineInfo": "snapshot-export"}}
+    ]
+    if add_mat_conf:
+        new_meta = dict(meta)
+        new_conf = dict(conf)
+        new_conf["delta.rowTracking.materializedRowIdColumnName"] = mat_id
+        new_conf[
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        ] = mat_ver
+        new_meta["configuration"] = new_conf
+        actions.append({"metaData": new_meta})
+    actions.extend(removes)
+    actions.extend(adds)
+    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        for action in actions:
+            f.write(json.dumps(action) + "\n")
+    os.replace(tmp, os.path.join(log_dir, f"{version:020d}.json"))
+    return version

@@ -97,6 +97,56 @@ def bounds_may_match(lo, hi, op, value) -> bool:
     return not (c is not None and c < 0)
 
 
+def zorder_value(df: DataFrame, cols, bits: int = 12):
+    """Morton (Z-order) curve value over ``cols`` as a Spark Column —
+    the shared clustering expression behind ``SnapshotTable.
+    optimize_zorder`` and the Delta-log OPTIMIZE ZORDER
+    (sources/delta_optimize.py).
+
+    Each column is quantized to ``2**bits`` uniform buckets over its
+    [min, max] (ONE agg job for the bounds, collected driver-side as
+    2*len(cols) scalars), and the z-value interleaves the bucket bits
+    as a shiftleft/or expression tree — pure JVM whole-stage-codegen
+    arithmetic, no UDF, no second pass over the data. Uniform buckets
+    trade skew-optimality for the fixed two-job plan; skew only
+    dilutes downstream file skipping, never correctness (stats pruning
+    stays conservative). NULLs land in bucket 0."""
+    if not cols or not (1 <= bits <= 20):
+        raise ValueError("zorder_value: need >=1 column and 1<=bits<=20")
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    nb = 1 << bits
+    zparts = []
+    for ci, c in enumerate(cols):
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        if mn is None or mx is None or mx <= mn:
+            bucket = F.lit(0)
+        else:
+            # uniform bucket in [0, nb-1]; NULLs to bucket 0
+            bucket = F.least(
+                F.lit(nb - 1),
+                F.floor(
+                    (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
+                    / F.lit((mx - mn) / nb)
+                ).cast("long"),
+            )
+        # interleave: bit b of this column lands at position
+        # b * n_cols + ci of the z-value
+        for b in range(bits):
+            zparts.append(
+                F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                    b * len(cols) + ci,
+                )
+            )
+    z = zparts[0]
+    for p in zparts[1:]:
+        z = z.bitwiseOR(p)
+    return z
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one harness table (S1-S4).
 

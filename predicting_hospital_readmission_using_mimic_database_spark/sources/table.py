@@ -628,38 +628,10 @@ class SnapshotTable:
         removes = list(self._live)
         if not removes:
             return self._commit("zorder", [], [])
+        from .io import zorder_value
+
         df = self._read_files(removes)
-        bounds = df.agg(
-            *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
-            *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
-        ).collect()[0]
-        nb = 1 << bits
-        zparts = []
-        for ci, c in enumerate(cols):
-            mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
-            if mn is None or mx is None or mx <= mn:
-                bucket = F.lit(0)
-            else:
-                # uniform bucket in [0, nb-1]; NULLs to bucket 0
-                bucket = F.least(
-                    F.lit(nb - 1),
-                    F.floor(
-                        (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
-                        / F.lit((mx - mn) / nb)
-                    ).cast("long"),
-                )
-            # interleave: bit b of this column lands at position
-            # b * n_cols + ci of the z-value
-            for b in range(bits):
-                zparts.append(
-                    F.shiftleft(
-                        F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
-                        b * len(cols) + ci,
-                    )
-                )
-        z = zparts[0]
-        for p in zparts[1:]:
-            z = z.bitwiseOR(p)
+        z = zorder_value(df, cols, bits)
         clustered = (
             df.withColumn("__z", z)
             .repartitionByRange(max(1, n_files), "__z")

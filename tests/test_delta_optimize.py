@@ -1,0 +1,293 @@
+"""Log-level OPTIMIZE for real Delta tables
+(sources/delta_optimize.py): bin-packing, Z-ORDER, DV purge, CDF
+invisibility, and row-tracking identity preservation."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+    DeltaProtocolError,
+    _replay_log,
+    export_delta_log,
+    read_delta,
+    read_delta_changes,
+)
+from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_optimize import (
+    optimize_delta,
+)
+from predicting_hospital_readmission_using_mimic_database_spark.sources.dv import (
+    write_dv_file,
+)
+from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+    SnapshotTable,
+)
+
+
+def _commit(root: str, v: int, actions: list) -> None:
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def _schema_string(fields):
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": t, "nullable": True, "metadata": {}}
+                for n, t in fields
+            ],
+        }
+    )
+
+
+def _meta(fields, configuration=None, partition_cols=()):
+    return {
+        "metaData": {
+            "id": "t",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _schema_string(fields),
+            "partitionColumns": list(partition_cols),
+            "configuration": dict(configuration or {}),
+        }
+    }
+
+
+def _exported(spark, tmp_path, rows=20000, buckets=8):
+    df = spark.range(0, rows).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("a"),
+        (F.col("id") * 7 % 89).alias("b"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        str(tmp_path / "t"),
+        "k bigint, a bigint, b bigint",
+        bucket_key=["k"],
+        num_buckets=buckets,
+    )
+    t.append(df)
+    export_delta_log(t)
+    return t.root, df
+
+
+def test_binpack_combines_small_files(spark, tmp_path):
+    root, df = _exported(spark, tmp_path)
+    before = read_delta(spark, root)
+    n_before = len(before.inputFiles())
+    assert n_before > 1
+    v = optimize_delta(spark, root, target_file_rows=10**6)
+    assert v == 1
+    after = read_delta(spark, root)
+    assert len(after.inputFiles()) == 1
+    # row set unchanged
+    assert after.exceptAll(before).count() == 0
+    assert before.exceptAll(after).count() == 0
+    # the re-layout is INVISIBLE to CDF (dataChange=false both sides)
+    assert read_delta_changes(spark, root, starting_version=v).count() == 0
+    # time travel below the OPTIMIZE still serves the old layout
+    assert len(read_delta(spark, root, version=0).inputFiles()) == n_before
+    # replacement adds carry refreshed skippable stats
+    stats: dict = {}
+    _replay_log(root, stats_out=stats)
+    st = json.loads(next(iter(stats.values())))
+    assert st["numRecords"] == 20000
+    assert st["minValues"]["k"] == 0 and st["maxValues"]["k"] == 19999
+
+
+def test_binpack_noop_when_already_packed(spark, tmp_path):
+    root, _ = _exported(spark, tmp_path)
+    assert optimize_delta(spark, root, target_file_rows=10**6) == 1
+    # nothing small remains and no DVs: a second pass commits nothing
+    assert optimize_delta(spark, root, target_file_rows=10**6) is None
+    # files already at/above the bar are not candidates
+    assert optimize_delta(spark, root, target_file_rows=1) is None
+
+
+def test_zorder_layout_prunes_both_dims(spark, tmp_path):
+    root, df = _exported(spark, tmp_path)
+    v = optimize_delta(
+        spark, root, zorder_by=["a", "b"], target_file_rows=2500
+    )
+    assert v == 1
+    got = read_delta(spark, root)
+    n_files = len(got.inputFiles())
+    assert n_files >= 6  # 20k rows / 2.5k target
+    # point-range predicate on BOTH dims prunes most files
+    pruned = read_delta(
+        spark, root, predicates=[("a", "<", 10), ("b", "<", 10)]
+    )
+    assert len(pruned.inputFiles()) < n_files / 2
+    # skipping is conservative: filtered content is exact
+    exp = df.filter((F.col("a") < 10) & (F.col("b") < 10))
+    act = pruned.filter((F.col("a") < 10) & (F.col("b") < 10))
+    assert act.exceptAll(exp).count() == 0
+    assert exp.exceptAll(act).count() == 0
+    # a lone vector-free file at/below the target does not re-churn
+    assert optimize_delta(
+        spark, root, zorder_by=["a", "b"], target_file_rows=10**6
+    ) == 2  # first re-cluster combines the 8 z-files into 1...
+    assert optimize_delta(
+        spark, root, zorder_by=["a", "b"], target_file_rows=10**6
+    ) is None  # ...then it is a fixed point
+
+
+def test_zorder_validation(spark, tmp_path):
+    root, _ = _exported(spark, tmp_path)
+    with pytest.raises(ValueError, match="unknown column"):
+        optimize_delta(spark, root, zorder_by=["nope"])
+    pq.write_table(
+        pa.table({"s": pa.array(["x"], type=pa.string())}),
+        str(tmp_path / "s.parquet"),
+    )
+    sroot = str(tmp_path / "sroot")
+    os.makedirs(sroot)
+    os.rename(str(tmp_path / "s.parquet"), os.path.join(sroot, "s.parquet"))
+    _commit(sroot, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta([("s", "string")]),
+        {"add": {"path": "s.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    with pytest.raises(ValueError, match="order-preserving"):
+        optimize_delta(spark, sroot, zorder_by=["s"])
+
+
+def test_partitions_never_combine(spark, tmp_path):
+    root = str(tmp_path / "p")
+    os.makedirs(root)
+    for i, seg in enumerate(("A", "A", "B")):
+        pq.write_table(
+            pa.table({"k": pa.array([i * 10, i * 10 + 1], type=pa.int64())}),
+            os.path.join(root, f"f{i}.parquet"),
+        )
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta([("k", "long"), ("seg", "string")], partition_cols=["seg"]),
+    ] + [
+        {"add": {"path": f"f{i}.parquet", "partitionValues": {"seg": seg},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 2})}}
+        for i, seg in enumerate(("A", "A", "B"))
+    ])
+    v = optimize_delta(spark, root, target_file_rows=10**6)
+    assert v == 1
+    _, live, _, _ = _replay_log(root)
+    # A's two files combined; B's lone file untouched
+    assert sorted(live.values(), key=str) == [
+        {"seg": "A"}, {"seg": "B"}]
+    assert "f2.parquet" in live
+    got = read_delta(spark, root)
+    assert got.count() == 6
+    assert {r["seg"] for r in got.collect()} == {"A", "B"}
+    # partition filter still prunes on the new layout
+    assert len(read_delta(spark, root, partitions={"seg": "B"})
+               .inputFiles()) == 1
+
+
+def test_dv_purge(spark, tmp_path):
+    root = str(tmp_path / "dv")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({"k": pa.array(range(100), type=pa.int64())}),
+        os.path.join(root, "a.parquet"),
+    )
+    desc = write_dv_file(os.path.join(root, "dv1.bin"), [0, 5, 7])
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta([("k", "long")]),
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": desc,
+                 "stats": json.dumps({"numRecords": 100})}},
+    ])
+    assert read_delta(spark, root).count() == 97
+    # a SINGLE file with a vector still qualifies: purge is the point
+    v = optimize_delta(spark, root, target_file_rows=10**6)
+    assert v == 1
+    _, live, dvs, _ = _replay_log(root)
+    assert not dvs
+    got = read_delta(spark, root)
+    assert got.count() == 97
+    ks = {r["k"] for r in got.collect()}
+    assert ks.isdisjoint({0, 5, 7})
+    # refreshed numRecords reflects the purge
+    stats: dict = {}
+    _replay_log(root, stats_out=stats)
+    assert json.loads(next(iter(stats.values())))["numRecords"] == 97
+
+
+def test_row_tracking_identity_preserved(spark, tmp_path):
+    root = str(tmp_path / "rt")
+    os.makedirs(root)
+    for name, lo in (("a", 0), ("b", 100)):
+        pq.write_table(
+            pa.table({"k": pa.array(range(lo, lo + 100), type=pa.int64()),
+                      "bal": pa.array([i * 2 for i in range(100)],
+                                      type=pa.int64())}),
+            os.path.join(root, f"{name}.parquet"),
+        )
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["rowTracking"]}},
+        _meta([("k", "long"), ("bal", "long")],
+              configuration={"delta.enableRowTracking": "true"}),
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 1000, "defaultRowCommitVersion": 0,
+                 "stats": json.dumps({"numRecords": 100})}},
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 2000, "defaultRowCommitVersion": 0,
+                 "stats": json.dumps({"numRecords": 100})}},
+    ])
+    before = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, row_tracking=True).collect()
+    }
+    v = optimize_delta(spark, root, target_file_rows=10**6)
+    assert v == 1
+    # one combined file, every row keeping its pre-rewrite identity
+    assert len(read_delta(spark, root).inputFiles()) == 1
+    after = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, row_tracking=True).collect()
+    }
+    assert after == before
+    # the commit DECLARED the materialized lineage columns it wrote
+    meta, live, _, _ = _replay_log(root)
+    conf = meta["configuration"]
+    assert conf["delta.rowTracking.materializedRowIdColumnName"]
+    assert conf["delta.rowTracking.materializedRowCommitVersionColumnName"]
+    # and stamped the replacement file past the occupied id range
+    rowids: dict = {}
+    _replay_log(root, rowids_out=rowids)
+    (base, ver), = rowids.values()
+    assert base >= 2100 and ver == v
+
+
+def test_column_mapping_gate(spark, tmp_path):
+    root = str(tmp_path / "cm")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({"k": pa.array([1], type=pa.int64())}),
+        os.path.join(root, "a.parquet"),
+    )
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _meta([("k", "long")],
+              configuration={"delta.columnMapping.mode": "name"}),
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    with pytest.raises(DeltaProtocolError, match="column-mapped"):
+        optimize_delta(spark, root)

@@ -48,7 +48,7 @@ def test_first_50_entries_cover_every_family():
                  "s56_hudi_mdt_synced_export",
                  "s57_iceberg_expire_snapshots", "s58_hudi_clean",
                  "s59_delta_log_truncate", "s60_hudi_clustering",
-                 "s61_iceberg_rewrite_manifests",
+                 "s61_iceberg_rewrite_manifests", "s62_delta_optimize",
                  "s47_iceberg_changelog", "st21_stream_iceberg_changelog",
                  "st16_stream_iceberg_tail", "st19_stream_delta_idmap",
                  "s41_iceberg_nested_evolution", "s44_iceberg_v3_defaults",
