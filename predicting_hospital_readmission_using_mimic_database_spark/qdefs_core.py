@@ -7183,3 +7183,98 @@ def q_s62(spark, sf):
     assert read_delta_changes(spark, t.root, starting_version=v1).count() == 0
     assert read_delta(spark, t.root, version=v1 - 1).count() == n_rows
     return read_delta(spark, t.root)
+
+@query(
+    "s63_iceberg_rewrite_datafiles",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer
+    WHERE c_custkey % 29 <> 0
+    """,
+)
+def q_s63(spark, sf):
+    """S63 — Iceberg rewriteDataFiles (sources/iceberg_rewrite.py):
+    the DATA-FILE compaction completing the maintenance triad next to
+    snapshot expiry (s57) and manifest compaction (s61) — and the
+    Iceberg twin of s62's Delta OPTIMIZE. Three incremental exports
+    leave 12 small files; an EQUALITY DELETE then soft-deletes every
+    29th key. The rewrite bin-packs per the row target, APPLIES and
+    CONSUMES the delete (in-entry: zero delete files live after,
+    struck keys physically gone), clusters by ``sort_by=cents`` so a
+    range predicate prunes files via the refreshed Appendix-D bounds
+    (asserted), and commits a ``replace`` snapshot the CHANGELOG skips
+    (in-entry: the window [delete, replace] emits exactly the eq-
+    delete rows, nothing for the rewrite — the official scan's own
+    REPLACE skip) while pre-rewrite time travel still serves the old
+    layout (asserted). DuckDB recomputes the surviving table — a lost
+    row, a resurrected struck key, or a duplicated carry breaks the
+    row-level hash."""
+    from .sources.iceberg import (
+        append_equality_deletes,
+        export_iceberg,
+        read_iceberg,
+        read_iceberg_changelog,
+    )
+    from .sources.iceberg_rewrite import rewrite_iceberg_data_files
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s63", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    for m in (0, 1, 2):
+        t.append(c.filter(F.col("c_custkey") % 3 == m))
+        export_iceberg(t)
+    n_rows = c.count()
+    n_before = len(read_iceberg(spark, t.root).inputFiles())
+    assert n_before == 12, n_before  # 3 exports x 4 buckets
+    doomed = [
+        {"c_custkey": r["c_custkey"]}
+        for r in c.filter(F.col("c_custkey") % 29 == 0)
+        .select("c_custkey").collect()
+    ]
+    assert doomed
+    eq_sid = append_equality_deletes(t.root, doomed, ["c_custkey"])
+    survivors = n_rows - len(doomed)
+    sid = rewrite_iceberg_data_files(
+        spark,
+        t.root,
+        sort_by=["cents"],
+        target_file_rows=max(1, survivors // 4),
+    )
+    assert sid is not None and sid > eq_sid
+    got = read_iceberg(spark, t.root)
+    assert got.count() == survivors
+    # the delete files are CONSUMED by the rewrite
+    import json as _json
+
+    from .sources.iceberg import _live_files, _metadata_path
+
+    with open(_metadata_path(t.root)) as f:
+        meta = _json.load(f)
+    _fl, pos_d, eq_d, dv_d = _live_files(meta, t.root, None)
+    assert not (pos_d or eq_d or dv_d)
+    # cents-sorted layout: a range predicate prunes files
+    hi = int(c.agg(F.expr("percentile_approx(cents, 0.9)")).collect()[0][0])
+    planned = len(
+        read_iceberg(
+            spark, t.root, predicates=[("cents", ">=", hi)]
+        ).inputFiles()
+    )
+    assert planned < len(got.inputFiles()), (planned, len(got.inputFiles()))
+    # the replace is INVISIBLE to the changelog; the delete is not
+    cl = read_iceberg_changelog(spark, t.root, from_snapshot_id=3)
+    assert cl.count() == len(doomed)
+    assert {r["_change_type"] for r in cl.select("_change_type")
+            .distinct().collect()} == {"delete"}
+    # pre-rewrite time travel intact (deletes still applied there)
+    assert read_iceberg(spark, t.root, snapshot_id=eq_sid).count() == survivors
+    return read_iceberg(spark, t.root)

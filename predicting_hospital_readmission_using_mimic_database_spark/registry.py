@@ -78,6 +78,7 @@ PRIORITY: tuple[str, ...] = (
     "s60_hudi_clustering",
     "s61_iceberg_rewrite_manifests",
     "s62_delta_optimize",
+    "s63_iceberg_rewrite_datafiles",
     # (a) code-changed in round 11
     "s47_iceberg_changelog",
     "st21_stream_iceberg_changelog",
@@ -99,7 +100,6 @@ PRIORITY: tuple[str, ...] = (
     "s39_delta_type_widening",
     "s28_delta_cdf",
     "st17_stream_delta_cdf",
-    "s22_delta_deletion_vectors",
     # (b) oldest-vintage stable representatives, family-complete,
     # rotated off the round-10 sentinel picks
     "flagship_readmit_30d",

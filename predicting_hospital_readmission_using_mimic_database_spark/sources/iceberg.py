@@ -2687,19 +2687,36 @@ def read_iceberg_changelog(
             scan = scan.unionByName(x)
         return scan
 
+    # REPLACE snapshots (rewrite_iceberg_manifests / rewrite_iceberg_
+    # data_files) re-layout metadata or files without changing table
+    # content — the official changelog scan skips them entirely, so a
+    # compaction never surfaces as phantom delete+insert churn.
+    # Ordinals renumber over the EMITTED snapshots (the official
+    # "index in the changelog"), not the raw window positions.
+    def _is_replace(snap: dict) -> bool:
+        return (snap.get("summary") or {}).get("operation") == "replace"
+
+    ordinal_of: dict[int, int] = {}
+    for t in range(hi - lo):
+        if not _is_replace(snaps[lo + t]):
+            ordinal_of[t] = len(ordinal_of)
+
     if not any(p or e or d for _f, p, e, d in bounds):
         # fast path (no row-level deletes anywhere around the window):
         # pure file-level diff, stamps via one broadcast join
         stamps: list[tuple] = []
         recs: dict[str, tuple] = {}
         for i in range(lo, hi):
+            if i - lo not in ordinal_of:
+                continue  # replace snapshot: data-neutral
             sid = snaps[i]["snapshot-id"]
+            ordn = ordinal_of[i - lo]
             prev_files, cur_files = bounds[i - lo][0], bounds[i - lo + 1][0]
             for p in sorted(set(cur_files) - set(prev_files)):
-                stamps.append((p, "insert", i - lo, sid))
+                stamps.append((p, "insert", ordn, sid))
                 recs.setdefault(p, cur_files[p])
             for p in sorted(set(prev_files) - set(cur_files)):
-                stamps.append((p, "delete", i - lo, sid))
+                stamps.append((p, "delete", ordn, sid))
                 recs.setdefault(p, prev_files[p])
         if not stamps:
             return spark.createDataFrame([], out_schema)
@@ -2950,24 +2967,29 @@ def read_iceberg_changelog(
     live = [F.col(live_c)[b] & ~_struck(b) for b in range(nb)]
     chgs = []
     for t in range(nb - 1):
+        if t not in ordinal_of:
+            continue  # replace snapshot: data-neutral, never emitted
         sid = int(snaps[lo + t]["snapshot-id"])
+        ordn = ordinal_of[t]
         chgs.append(
             F.when(
                 live[t + 1] & ~live[t],
                 F.struct(
                     F.lit("insert").alias("_change_type"),
-                    F.lit(t).cast("long").alias("_change_ordinal"),
+                    F.lit(ordn).cast("long").alias("_change_ordinal"),
                     F.lit(sid).cast("long").alias("_commit_snapshot_id"),
                 ),
             ).when(
                 live[t] & ~live[t + 1],
                 F.struct(
                     F.lit("delete").alias("_change_type"),
-                    F.lit(t).cast("long").alias("_change_ordinal"),
+                    F.lit(ordn).cast("long").alias("_change_ordinal"),
                     F.lit(sid).cast("long").alias("_commit_snapshot_id"),
                 ),
             )
         )
+    if not chgs:
+        return spark.createDataFrame([], out_schema)
     out_cols = [f.name for f in schema.fields]
     chg = fp + "_chg"
     return keyed.select(

@@ -1,0 +1,412 @@
+"""Iceberg ``rewriteDataFiles`` — the DATA-FILE compaction completing
+the maintenance triad next to snapshot expiry
+(:func:`~.iceberg.expire_iceberg_snapshots`) and manifest compaction
+(:func:`~.iceberg.rewrite_iceberg_manifests`): many small files (the
+shape incremental exports and streaming appends accumulate) rewrite
+into few right-sized ones, optionally re-CLUSTERED (``sort_by`` /
+``zorder_by``) so per-file column bounds become selective.
+
+Semantics follow the official RewriteDataFiles action:
+
+- the commit is a ``replace`` snapshot — content identical, so the
+  changelog (:func:`~.iceberg.read_iceberg_changelog`) emits ZERO rows
+  for it (the official scan's own REPLACE skip) and earlier snapshots
+  stay time-travelable (old manifests are never mutated);
+- live row-level deletes (positional parquet, equality deletes,
+  format-v3 deletion vectors) are APPLIED and CONSUMED: struck rows
+  are physically dropped, and the delete files leave the new
+  snapshot's manifest list — the soft-delete debt is paid down,
+  exactly what ``delete-file-threshold`` rewrites exist for;
+- schema evolution is MATERIALIZED: files of older write-time
+  vintages re-project to the current schema by field id (the batch
+  ``_vintage_scan`` machinery), so the rewritten table is
+  single-vintage again;
+- format-v3 ROW LINEAGE survives: when every live file carries a
+  resolvable ``first_row_id``/sequence, rewritten rows persist their
+  ``_row_id`` / ``_last_updated_sequence_number`` as MATERIALIZED
+  parquet columns (the v3 spec's carry mechanism, which
+  ``read_iceberg(row_lineage=True)`` already coalesces ahead of the
+  fresh computation), and new entries get explicit ``first_row_id``
+  stamps past the table's ``next-row-id``;
+- rewritten entries publish refreshed Appendix-D column bounds
+  harvested from the new parquet footers, so
+  ``read_iceberg(predicates=)`` — and any real engine — data-skips
+  the new layout.
+
+Scale shape: ONE scan of the rewritten files (per schema vintage) into
+``ceil(rows / target_file_rows)`` outputs — ``coalesce`` (no shuffle)
+for bin-packing, one range shuffle for sort/z-order. All metadata work
+(manifest diff, bounds harvest, snapshot commit) is driver-side KBs.
+
+Unpartitioned specs only — the same posture as ``export_iceberg``
+(bucket locality is an engine-side read optimization, not table
+state); a partitioned foreign table gates honestly.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+import uuid
+from typing import Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .avro_ocf import read_avro, write_avro
+from .iceberg import (
+    MANIFEST_ENTRY_SCHEMA,
+    MANIFEST_FILE_SCHEMA,
+    IcebergProtocolError,
+    _live_files,
+    _localize,
+    _metadata_path,
+    _table_schema,
+    _vintage_groups,
+    encode_bound,
+    read_iceberg,
+)
+from .io import zorder_value
+from .table import _harvest_stats
+
+
+def rewrite_iceberg_data_files(
+    spark: SparkSession,
+    root: str,
+    target_file_rows: int = 1_000_000,
+    sort_by: Sequence[str] | None = None,
+    zorder_by: Sequence[str] | None = None,
+    bits: int = 12,
+) -> int | None:
+    """Compact/re-cluster the CURRENT snapshot's data files. Plain call
+    = bin-pack (files under ``target_file_rows`` combine; a full
+    rewrite happens instead whenever live deletes must be applied or
+    older schema vintages re-projected). ``sort_by`` / ``zorder_by``
+    force the full rewrite with that clustering. Returns the new
+    snapshot id, or None when nothing qualifies."""
+    if target_file_rows < 1:
+        raise ValueError("target_file_rows must be >= 1")
+    if sort_by and zorder_by:
+        raise ValueError("pass sort_by or zorder_by, not both")
+    with open(_metadata_path(root)) as f:
+        meta = json.load(f)
+    fv = int(meta.get("format-version", 1))
+    if fv > 3:
+        raise IcebergProtocolError(
+            f"format-version {fv} > 3 is not supported"
+        )
+    for spec in meta.get("partition-specs", []):
+        if spec.get("fields"):
+            raise IcebergProtocolError(
+                "rewrite_iceberg_data_files supports unpartitioned "
+                f"specs only (spec {spec.get('spec-id')} has partition "
+                "fields); rewritten entries would need partition tuples"
+            )
+    files, pos_dels, eq_dels, dv_dels = _live_files(meta, root, None)
+    if not files:
+        return None
+    schema = _table_schema(meta)
+    csid = meta.get("current-schema-id", 0)
+    cur_fields = next(
+        s for s in meta.get("schemas", []) if s.get("schema-id") == csid
+    )["fields"]
+    names = {f.name for f in schema.fields}
+    for c in list(sort_by or []) + list(zorder_by or []):
+        if c not in names:
+            raise ValueError(f"clustering names unknown column {c!r}")
+
+    deletes = bool(pos_dels or eq_dels or dv_dels)
+    vintages = _vintage_groups(meta, files)
+    lineage = fv >= 3 and all(
+        rec[5] is not None and rec[2] is not None for rec in files
+    )
+    full = deletes or bool(sort_by) or bool(zorder_by) or vintages is not None
+
+    import pyarrow.parquet as pq
+
+    def _fcount(rec) -> int:
+        return pq.ParquetFile(_localize(rec[0], root)).metadata.num_rows
+
+    if full:
+        cands = list(files)
+    else:
+        cands = [rec for rec in files if _fcount(rec) < target_file_rows]
+        if len(cands) < 2:
+            return None
+
+    lineage_cols = ["_row_id", "_last_updated_sequence_number"]
+
+    # ---- content of the rewritten files ------------------------------
+    if full:
+        df = read_iceberg(spark, root, row_lineage=lineage)
+        rows_after = None
+        if not (pos_dels or eq_dels):
+            rows_after = sum(_fcount(rec) for rec in cands)
+            for d in dv_dels:
+                card = d.get("cardinality")
+                if card is None:
+                    rows_after = None
+                    break
+                rows_after -= int(card)
+        if rows_after is None:
+            rows_after = df.count()
+    else:
+        paths = sorted(_localize(rec[0], root) for rec in cands)
+        read_schema = schema
+        if lineage:
+            read_schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField(c, T.LongType(), True) for c in lineage_cols]
+            )
+        df = spark.read.schema(read_schema).parquet(*paths)
+        if lineage:
+            # materialized-beats-fresh, the same coalesce the reader
+            # applies: a never-rewritten file's identity IS
+            # first_row_id + position
+            from urllib.parse import unquote
+
+            from .io import decoded_file_path
+
+            fpc, posc = "__rw_file", "__rw_pos"
+            lin = spark.createDataFrame(
+                [
+                    (
+                        os.path.abspath(unquote(_localize(rec[0], root))),
+                        int(rec[5]),
+                        int(rec[2]),
+                    )
+                    for rec in cands
+                ],
+                T.StructType(
+                    [
+                        T.StructField(fpc, T.StringType(), False),
+                        T.StructField("__rw_frid", T.LongType(), False),
+                        T.StructField("__rw_seq", T.LongType(), False),
+                    ]
+                ),
+            )
+            df = (
+                df.select(
+                    "*",
+                    decoded_file_path(F.col("_metadata.file_path")).alias(fpc),
+                    F.col("_metadata.row_index").alias(posc),
+                )
+                .join(F.broadcast(lin), fpc, "left")
+                .withColumn(
+                    "_row_id",
+                    F.coalesce(
+                        F.col("_row_id"), F.col("__rw_frid") + F.col(posc)
+                    ),
+                )
+                .withColumn(
+                    "_last_updated_sequence_number",
+                    F.coalesce(
+                        F.col("_last_updated_sequence_number"),
+                        F.col("__rw_seq"),
+                    ),
+                )
+                .drop(fpc, posc, "__rw_frid", "__rw_seq")
+            )
+        rows_after = sum(_fcount(rec) for rec in cands)
+
+    n_out = max(1, math.ceil(rows_after / target_file_rows))
+    if zorder_by:
+        z = zorder_value(df, list(zorder_by), bits)
+        df = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif sort_by:
+        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        df = df.coalesce(n_out)
+
+    # ---- write + harvest ----------------------------------------------
+    snaps = meta.get("snapshots", [])
+    sid = max((s["snapshot-id"] for s in snaps), default=0) + 1
+    seq_new = max(int(meta.get("last-sequence-number", 0)), sid)
+    ddir = os.path.join(root, "data")
+    os.makedirs(ddir, exist_ok=True)
+    stage = os.path.join(root, f".rewrite-stage-{uuid.uuid4().hex}")
+    try:
+        df.write.parquet(stage)
+        parts = sorted(
+            p for p in os.listdir(stage)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        new_files: list[tuple[str, int, dict]] = []
+        for i, part in enumerate(parts):
+            dst = os.path.join(ddir, f"rw-{sid}-{i:05d}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            n_rows, mm = _harvest_stats(
+                dst, [f.name for f in schema.fields]
+            )
+            new_files.append((dst, n_rows, mm))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    top_info = {f["name"]: (f["id"], f["type"]) for f in cur_fields}
+
+    def _entry_bounds(mm: dict):
+        lo, hi = [], []
+        for col, rng in (mm or {}).items():
+            info = top_info.get(col)
+            if info is None or not rng:
+                continue
+            fid, itype = info
+            b_lo = encode_bound(itype, rng[0])
+            b_hi = encode_bound(itype, rng[1])
+            if b_lo is None or b_hi is None:
+                continue
+            lo.append({"key": fid, "value": b_lo})
+            hi.append({"key": fid, "value": b_hi})
+        return (lo or None, hi or None)
+
+    next_row = None
+    if fv >= 3:
+        next_row = int(
+            meta.get(
+                "next-row-id",
+                max(int(rec[5] or 0) + _fcount(rec) for rec in files),
+            )
+        )
+    first_row_start = next_row
+
+    entries = []
+    for dst, n_rows, mm in new_files:
+        b_lo, b_hi = _entry_bounds(mm)
+        entry = {
+            "status": 1,
+            "snapshot_id": sid,
+            "data_file": {
+                "content": 0,
+                "file_path": dst,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n_rows,
+                "file_size_in_bytes": os.path.getsize(dst),
+                "equality_ids": None,
+                "lower_bounds": b_lo,
+                "upper_bounds": b_hi,
+            },
+        }
+        if fv >= 3:
+            entry["data_file"]["first_row_id"] = next_row
+            next_row += n_rows
+        entries.append(entry)
+
+    mdir = os.path.join(root, "metadata")
+    added_m = os.path.join(mdir, f"manifest-rwdata-{sid}.avro")
+    write_avro(added_m, MANIFEST_ENTRY_SCHEMA, entries)
+    mf_records = [
+        {
+            "manifest_path": added_m,
+            "manifest_length": os.path.getsize(added_m),
+            "partition_spec_id": 0,
+            "content": 0,
+            "added_snapshot_id": sid,
+            "sequence_number": seq_new,
+            "first_row_id": first_row_start,
+        }
+    ]
+
+    rewritten_paths = {rec[0] for rec in cands}
+    cur = next(s for s in snaps if s["snapshot-id"] == meta["current-snapshot-id"])
+    _s, manifests = read_avro(_localize(cur["manifest-list"], root))
+    tombstones: list[dict] = []
+    for mrec in manifests:
+        if mrec.get("content", 0) == 1:
+            # delete manifest: CONSUMED by a full rewrite (its effect is
+            # applied in the new files); bin-pack mode never runs with
+            # live deletes, so dropping is always correct here
+            continue
+        mseq = mrec.get("sequence_number")
+        _s2, m_entries = read_avro(_localize(mrec["manifest_path"], root))
+        survivors: list[dict] = []
+        dead: list[dict] = []
+        for e in m_entries:
+            if e.get("status", 0) == 2:
+                continue
+            seq = e.get("sequence_number")
+            seq = mseq if seq is None else seq
+            fseq = e.get("file_sequence_number")
+            stamped = {
+                **e,
+                "sequence_number": seq,
+                "file_sequence_number": seq if fseq is None else fseq,
+            }
+            if e["data_file"]["file_path"] in rewritten_paths:
+                dead.append({**stamped, "status": 2, "snapshot_id": sid})
+            else:
+                survivors.append({**stamped, "status": 0})
+        if not dead:
+            mf_records.append(dict(mrec))  # untouched: reuse by path
+            continue
+        tombstones.extend(dead)
+        if survivors:
+            surv_m = os.path.join(
+                mdir, f"manifest-rwdata-{sid}-keep{len(mf_records)}.avro"
+            )
+            write_avro(surv_m, MANIFEST_ENTRY_SCHEMA, survivors)
+            mf_records.append(
+                {
+                    **mrec,
+                    "manifest_path": surv_m,
+                    "manifest_length": os.path.getsize(surv_m),
+                }
+            )
+    if tombstones:
+        # spec shape: the snapshot that removes files records them as
+        # status-2 DELETED entries (planning skips them; the history is
+        # what expire_iceberg_snapshots later reaps)
+        dead_m = os.path.join(mdir, f"manifest-rwdata-{sid}-dead.avro")
+        write_avro(dead_m, MANIFEST_ENTRY_SCHEMA, tombstones)
+        mf_records.append(
+            {
+                "manifest_path": dead_m,
+                "manifest_length": os.path.getsize(dead_m),
+                "partition_spec_id": 0,
+                "content": 0,
+                "added_snapshot_id": sid,
+                "sequence_number": seq_new,
+            }
+        )
+
+    mlist = os.path.join(mdir, f"snap-{sid}.avro")
+    write_avro(
+        mlist,
+        MANIFEST_FILE_SCHEMA,
+        [{"sequence_number": None, "first_row_id": None, **m} for m in mf_records],
+    )
+    version = int(meta.get("_export_version", len(snaps))) + 1
+    snap = {
+        "snapshot-id": sid,
+        "timestamp-ms": int(time.time() * 1000),
+        "summary": {"operation": "replace"},
+        "manifest-list": mlist,
+        "schema-id": csid,
+    }
+    if fv >= 3 and first_row_start is not None:
+        snap["first-row-id"] = first_row_start
+    meta["snapshots"] = snaps + [snap]
+    meta["current-snapshot-id"] = sid
+    meta["last-sequence-number"] = seq_new
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    if fv >= 3 and next_row is not None:
+        meta["next-row-id"] = next_row
+    meta["_export_version"] = version
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    tmp = os.path.join(mdir, ".hint.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    return sid

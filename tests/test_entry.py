@@ -49,6 +49,7 @@ def test_first_50_entries_cover_every_family():
                  "s57_iceberg_expire_snapshots", "s58_hudi_clean",
                  "s59_delta_log_truncate", "s60_hudi_clustering",
                  "s61_iceberg_rewrite_manifests", "s62_delta_optimize",
+                 "s63_iceberg_rewrite_datafiles",
                  "s47_iceberg_changelog", "st21_stream_iceberg_changelog",
                  "st16_stream_iceberg_tail", "st19_stream_delta_idmap",
                  "s41_iceberg_nested_evolution", "s44_iceberg_v3_defaults",
@@ -60,7 +61,6 @@ def test_first_50_entries_cover_every_family():
                  "s37_iceberg_v3_dv",
                  "s39_delta_type_widening",
                  "s28_delta_cdf", "st17_stream_delta_cdf",
-                 "s22_delta_deletion_vectors",
                  "flagship_readmit_30d"):
         assert must in names
     assert len(names) == 50
