@@ -7278,3 +7278,85 @@ def q_s63(spark, sf):
     # pre-rewrite time travel intact (deletes still applied there)
     assert read_iceberg(spark, t.root, snapshot_id=eq_sid).count() == survivors
     return read_iceberg(spark, t.root)
+
+@query(
+    "s64_iceberg_partition_evolution",
+    oracle="""
+    SELECT event_id, ts, user_id, value FROM events
+    """,
+)
+def q_s64(spark, sf):
+    """S64 — PARTITIONED Iceberg export + partition-spec EVOLUTION
+    (sources/iceberg_partitioned.py): the physical publish that makes
+    partition tuples real Iceberg table STATE (the Iceberg twin of
+    s43's partitioned Hudi export), plus the spec's metadata-only
+    partition evolution every long-lived table eventually does. Half
+    the events export under ``day(ts)`` — partition-pure files, typed
+    tuples in the manifests, per-field summaries in the manifest list,
+    Appendix-D column bounds per file; a probe timestamp filter plans
+    EXACTLY ONE file (asserted: day tuples are disjoint). The spec then
+    evolves to ``month(ts)`` (new spec-id, fresh partition-field-ids,
+    no data movement) and the other half appends INCREMENTALLY under
+    the new spec. The same probe filter now plans exactly TWO files —
+    one per vintage, each pruned against its OWN spec via the
+    source-column transform map (asserted); a post-evolution MERGE in
+    the source gates the append-only export honestly (asserted).
+    DuckDB recomputes the full event set — a row lost or duplicated
+    across the two vintages breaks the row-level hash."""
+    import os
+
+    from .sources.iceberg import IcebergProtocolError, read_iceberg
+    from .sources.iceberg_partitioned import (
+        evolve_iceberg_partition_spec,
+        export_iceberg_partitioned,
+    )
+    from .sources.table import SnapshotTable
+
+    e = read_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s64", sf),
+        "event_id bigint, ts timestamp, user_id bigint, value double",
+        bucket_key=["event_id"],
+        num_buckets=2,
+    )
+    even = e.filter(F.col("event_id") % 2 == 0)
+    t.append(even)
+    dest = os.path.join(t.root, "ice_part")
+    sid1 = export_iceberg_partitioned(
+        spark, t, dest, partition_by=[("ts", "day")]
+    )
+    assert sid1 == 1
+    probe = even.orderBy("event_id").first()["ts"]
+    n_v1 = len(read_iceberg(spark, dest).inputFiles())
+    assert n_v1 > 1
+    pruned1 = read_iceberg(spark, dest, partitions={"ts": probe})
+    assert len(pruned1.inputFiles()) == 1, pruned1.inputFiles()
+    # metadata-only evolution: day -> month, then the odd half appends
+    # under the NEW spec
+    new_spec = evolve_iceberg_partition_spec(dest, [("ts", "month")])
+    assert new_spec == 1
+    t.append(e.filter(F.col("event_id") % 2 == 1))
+    sid2 = export_iceberg_partitioned(spark, t, dest)
+    assert sid2 == sid1 + 1
+    got = read_iceberg(spark, dest)
+    assert got.count() == e.count()
+    # per-vintage pruning: the probe admits ONE day file (old spec) +
+    # ONE month file (new spec) — each file judged against its OWN
+    # stored tuple
+    pruned2 = read_iceberg(spark, dest, partitions={"ts": probe})
+    assert len(pruned2.inputFiles()) == 2, pruned2.inputFiles()
+    # time travel to the pre-evolution snapshot still serves vintage 1
+    assert read_iceberg(spark, dest, snapshot_id=sid1).count() == even.count()
+    # append-only posture gates honestly on a rewriting source history
+    t.merge(
+        even.limit(1).withColumn("value", F.col("value") + 1.0)
+    )
+    try:
+        export_iceberg_partitioned(spark, t, dest)
+        raise AssertionError("merge-shaped history must gate the export")
+    except IcebergProtocolError:
+        pass
+    return read_iceberg(spark, dest)

@@ -79,6 +79,7 @@ PRIORITY: tuple[str, ...] = (
     "s61_iceberg_rewrite_manifests",
     "s62_delta_optimize",
     "s63_iceberg_rewrite_datafiles",
+    "s64_iceberg_partition_evolution",
     # (a) code-changed in round 11
     "s47_iceberg_changelog",
     "st21_stream_iceberg_changelog",
@@ -97,7 +98,6 @@ PRIORITY: tuple[str, ...] = (
     "st20_stream_hudi_cdc",
     "s48_csv_roundtrip",
     "s37_iceberg_v3_dv",
-    "s39_delta_type_widening",
     "s28_delta_cdf",
     "st17_stream_delta_cdf",
     # (b) oldest-vintage stable representatives, family-complete,

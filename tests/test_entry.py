@@ -50,6 +50,7 @@ def test_first_50_entries_cover_every_family():
                  "s59_delta_log_truncate", "s60_hudi_clustering",
                  "s61_iceberg_rewrite_manifests", "s62_delta_optimize",
                  "s63_iceberg_rewrite_datafiles",
+                 "s64_iceberg_partition_evolution",
                  "s47_iceberg_changelog", "st21_stream_iceberg_changelog",
                  "st16_stream_iceberg_tail", "st19_stream_delta_idmap",
                  "s41_iceberg_nested_evolution", "s44_iceberg_v3_defaults",
@@ -59,7 +60,6 @@ def test_first_50_entries_cover_every_family():
                  "s42_hudi_cdc_infer", "st20_stream_hudi_cdc",
                  "s48_csv_roundtrip",
                  "s37_iceberg_v3_dv",
-                 "s39_delta_type_widening",
                  "s28_delta_cdf", "st17_stream_delta_cdf",
                  "flagship_readmit_30d"):
         assert must in names
