@@ -81,6 +81,7 @@ def optimize_delta(
     zorder_by: Sequence[str] | None = None,
     target_file_rows: int = 1_000_000,
     bits: int = 12,
+    partitions: dict | None = None,
 ) -> int | None:
     """OPTIMIZE the Delta table at ``root``: bin-pack small live files
     (and purge any live deletion vectors) into ``ceil(rows /
@@ -88,6 +89,14 @@ def optimize_delta(
     ``zorder_by`` every live file rewrites clustered along the Morton
     curve over those columns (:func:`~.io.zorder_value`), making
     file-level stats selective on EVERY listed column at once.
+
+    ``partitions`` scopes the rewrite the way OPTIMIZE's WHERE clause
+    does (partition predicates only, per the reference behavior):
+    ``{"day": "2026-01-02"}`` (or a list of admitted values per
+    column) touches ONLY matching partition groups — at 100 TB you
+    optimize yesterday's partition, never the table. Values compare
+    against the spec's string serialization, like
+    ``read_delta(partitions=)``. Unknown partition columns raise.
 
     Returns the committed version, or None when nothing qualified
     (every group already a single well-formed file / above the
@@ -186,8 +195,32 @@ def optimize_delta(
         return int(n) if n is not None else None
 
     # ---- plan: per-partition candidate groups ------------------------
+    if partitions:
+        unknown = [c for c in partitions if c not in part_cols]
+        if unknown:
+            raise ValueError(
+                f"partitions filter names non-partition columns {unknown} "
+                f"(table partitionColumns: {part_cols})"
+            )
+
+    def _admits_group(pv: dict) -> bool:
+        if not partitions:
+            return True
+        for c, want in partitions.items():
+            vals = want if isinstance(want, (list, set, tuple)) else [want]
+            got = pv.get(c)
+            if not any(
+                (v is None and got is None)
+                or (v is not None and got is not None and str(v) == str(got))
+                for v in vals
+            ):
+                return False
+        return True
+
     groups: dict[tuple, list[str]] = {}
     for rel, pv in live.items():
+        if not _admits_group(pv or {}):
+            continue
         groups.setdefault(tuple(sorted((pv or {}).items())), []).append(rel)
     jobs: list[tuple[dict, list[str]]] = []  # (partitionValues, rewrites)
     for key in sorted(groups):

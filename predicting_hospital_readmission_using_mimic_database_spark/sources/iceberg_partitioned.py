@@ -185,6 +185,31 @@ def _entry_schema(spec_fields: list[dict]) -> dict:
     return schema
 
 
+def partition_summaries(
+    spec_fields: list[dict], tuples: list[dict]
+) -> list[dict]:
+    """Manifest-list ``partitions`` field summaries for one manifest's
+    entry tuples — the manifest-level pruning tier
+    ``manifest_summary_filter`` consumes. ``spec_fields`` need
+    ``source-type`` resolved (see callers)."""
+    out = []
+    for f in spec_fields:
+        vals = [pv.get(f["name"]) for pv in tuples]
+        non_null = [v for v in vals if v is not None]
+        rt = _result_type(f["transform"], f["source-type"])
+        out.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": False,
+                "lower_bound": encode_bound(rt, min(non_null))
+                if non_null else None,
+                "upper_bound": encode_bound(rt, max(non_null))
+                if non_null else None,
+            }
+        )
+    return out
+
+
 def export_iceberg_partitioned(
     spark: SparkSession,
     table,
@@ -384,19 +409,13 @@ def export_iceberg_partitioned(
     ), entries)
 
     # per-field summaries: the manifest-level pruning tier
-    summaries = []
-    for f in spec_fields:
-        vals = [pv[f["name"]] for _d, pv, _n, _m in new_files]
-        non_null = [v for v in vals if v is not None]
-        rt = result_types[f["name"]]
-        summaries.append(
-            {
-                "contains_null": any(v is None for v in vals),
-                "contains_nan": False,
-                "lower_bound": encode_bound(rt, min(non_null)) if non_null else None,
-                "upper_bound": encode_bound(rt, max(non_null)) if non_null else None,
-            }
-        )
+    summaries = partition_summaries(
+        [
+            {**f, "source-type": id2field[f["source-id"]]["type"]}
+            for f in spec_fields
+        ],
+        [pv for _d, pv, _n, _m in new_files],
+    )
 
     cur = None
     carried = []

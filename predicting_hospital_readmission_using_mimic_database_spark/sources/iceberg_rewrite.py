@@ -38,9 +38,14 @@ Scale shape: ONE scan of the rewritten files (per schema vintage) into
 for bin-packing, one range shuffle for sort/z-order. All metadata work
 (manifest diff, bounds harvest, snapshot commit) is driver-side KBs.
 
-Unpartitioned specs only — the same posture as ``export_iceberg``
-(bucket locality is an engine-side read optimization, not table
-state); a partitioned foreign table gates honestly.
+Partitioned tables (e.g. an ``export_iceberg_partitioned`` publish)
+BIN-PACK per partition tuple: files only ever combine within one
+tuple, replacement entries carry the tuple under its own spec's
+manifest schema (evolved tables bin-pack each vintage under its own
+spec), and manifest-list summaries refresh. Full rewrites
+(sort/z-order, delete application, vintage materialization) stay
+unpartitioned-only — re-clustering a partitioned table would need
+partition-pure re-writes per tuple — and gate honestly.
 """
 
 from __future__ import annotations
@@ -99,13 +104,9 @@ def rewrite_iceberg_data_files(
         raise IcebergProtocolError(
             f"format-version {fv} > 3 is not supported"
         )
-    for spec in meta.get("partition-specs", []):
-        if spec.get("fields"):
-            raise IcebergProtocolError(
-                "rewrite_iceberg_data_files supports unpartitioned "
-                f"specs only (spec {spec.get('spec-id')} has partition "
-                "fields); rewritten entries would need partition tuples"
-            )
+    partitioned = any(
+        spec.get("fields") for spec in meta.get("partition-specs", [])
+    )
     files, pos_dels, eq_dels, dv_dels = _live_files(meta, root, None)
     if not files:
         return None
@@ -125,36 +126,56 @@ def rewrite_iceberg_data_files(
         rec[5] is not None and rec[2] is not None for rec in files
     )
     full = deletes or bool(sort_by) or bool(zorder_by) or vintages is not None
+    if full and partitioned:
+        raise IcebergProtocolError(
+            "full rewrites (sort/z-order, delete application, vintage "
+            "materialization) are unpartitioned-only: re-clustering a "
+            "partitioned table would need partition-pure re-writes per "
+            "tuple; per-partition BIN-PACK works on partitioned tables"
+        )
 
     import pyarrow.parquet as pq
 
     def _fcount(rec) -> int:
         return pq.ParquetFile(_localize(rec[0], root)).metadata.num_rows
 
+    # ---- plan: (partition tuple, candidate files) jobs ----------------
     if full:
-        cands = list(files)
+        jobs = [({}, list(files))]
     else:
-        cands = [rec for rec in files if _fcount(rec) < target_file_rows]
-        if len(cands) < 2:
+        groups: dict[tuple, list] = {}
+        for rec in files:
+            groups.setdefault(
+                tuple(sorted((rec[1] or {}).items())), []
+            ).append(rec)
+        jobs = []
+        for key in sorted(groups):
+            cands = [
+                r for r in sorted(groups[key], key=lambda r: r[0])
+                if _fcount(r) < target_file_rows
+            ]
+            if len(cands) >= 2:
+                jobs.append((dict(key), cands))
+        if not jobs:
             return None
+
+    specs = meta.get("partition-specs", [])
+
+    def _spec_for(pv: dict) -> dict:
+        want = set(pv)
+        for s in specs:
+            if {f["name"] for f in s.get("fields", [])} == want:
+                return s
+        raise IcebergProtocolError(
+            f"no partition spec matches tuple fields {sorted(want)}"
+        )
 
     lineage_cols = ["_row_id", "_last_updated_sequence_number"]
 
-    # ---- content of the rewritten files ------------------------------
-    if full:
-        df = read_iceberg(spark, root, row_lineage=lineage)
-        rows_after = None
-        if not (pos_dels or eq_dels):
-            rows_after = sum(_fcount(rec) for rec in cands)
-            for d in dv_dels:
-                card = d.get("cardinality")
-                if card is None:
-                    rows_after = None
-                    break
-                rows_after -= int(card)
-        if rows_after is None:
-            rows_after = df.count()
-    else:
+    def _scan(cands):
+        """Candidate files -> DataFrame with lineage carried (the same
+        materialized-beats-fresh coalesce the reader applies: a
+        never-rewritten file's identity IS first_row_id + position)."""
         paths = sorted(_localize(rec[0], root) for rec in cands)
         read_schema = schema
         if lineage:
@@ -162,96 +183,113 @@ def rewrite_iceberg_data_files(
                 list(schema.fields)
                 + [T.StructField(c, T.LongType(), True) for c in lineage_cols]
             )
-        df = spark.read.schema(read_schema).parquet(*paths)
-        if lineage:
-            # materialized-beats-fresh, the same coalesce the reader
-            # applies: a never-rewritten file's identity IS
-            # first_row_id + position
-            from urllib.parse import unquote
+        d = spark.read.schema(read_schema).parquet(*paths)
+        if not lineage:
+            return d
+        from urllib.parse import unquote
 
-            from .io import decoded_file_path
+        from .io import decoded_file_path
 
-            fpc, posc = "__rw_file", "__rw_pos"
-            lin = spark.createDataFrame(
+        fpc, posc = "__rw_file", "__rw_pos"
+        lin = spark.createDataFrame(
+            [
+                (
+                    os.path.abspath(unquote(_localize(rec[0], root))),
+                    int(rec[5]),
+                    int(rec[2]),
+                )
+                for rec in cands
+            ],
+            T.StructType(
                 [
-                    (
-                        os.path.abspath(unquote(_localize(rec[0], root))),
-                        int(rec[5]),
-                        int(rec[2]),
-                    )
-                    for rec in cands
-                ],
-                T.StructType(
-                    [
-                        T.StructField(fpc, T.StringType(), False),
-                        T.StructField("__rw_frid", T.LongType(), False),
-                        T.StructField("__rw_seq", T.LongType(), False),
-                    ]
+                    T.StructField(fpc, T.StringType(), False),
+                    T.StructField("__rw_frid", T.LongType(), False),
+                    T.StructField("__rw_seq", T.LongType(), False),
+                ]
+            ),
+        )
+        return (
+            d.select(
+                "*",
+                decoded_file_path(F.col("_metadata.file_path")).alias(fpc),
+                F.col("_metadata.row_index").alias(posc),
+            )
+            .join(F.broadcast(lin), fpc, "left")
+            .withColumn(
+                "_row_id",
+                F.coalesce(
+                    F.col("_row_id"), F.col("__rw_frid") + F.col(posc)
                 ),
             )
-            df = (
-                df.select(
-                    "*",
-                    decoded_file_path(F.col("_metadata.file_path")).alias(fpc),
-                    F.col("_metadata.row_index").alias(posc),
-                )
-                .join(F.broadcast(lin), fpc, "left")
-                .withColumn(
-                    "_row_id",
-                    F.coalesce(
-                        F.col("_row_id"), F.col("__rw_frid") + F.col(posc)
-                    ),
-                )
-                .withColumn(
-                    "_last_updated_sequence_number",
-                    F.coalesce(
-                        F.col("_last_updated_sequence_number"),
-                        F.col("__rw_seq"),
-                    ),
-                )
-                .drop(fpc, posc, "__rw_frid", "__rw_seq")
+            .withColumn(
+                "_last_updated_sequence_number",
+                F.coalesce(
+                    F.col("_last_updated_sequence_number"),
+                    F.col("__rw_seq"),
+                ),
             )
-        rows_after = sum(_fcount(rec) for rec in cands)
-
-    n_out = max(1, math.ceil(rows_after / target_file_rows))
-    if zorder_by:
-        z = zorder_value(df, list(zorder_by), bits)
-        df = (
-            df.withColumn("__z", z)
-            .repartitionByRange(n_out, "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
+            .drop(fpc, posc, "__rw_frid", "__rw_seq")
         )
-    elif sort_by:
-        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(
-            *sort_by
-        )
-    else:
-        df = df.coalesce(n_out)
 
-    # ---- write + harvest ----------------------------------------------
+    # ---- per-job content + write + harvest -----------------------------
     snaps = meta.get("snapshots", [])
     sid = max((s["snapshot-id"] for s in snaps), default=0) + 1
     seq_new = max(int(meta.get("last-sequence-number", 0)), sid)
     ddir = os.path.join(root, "data")
     os.makedirs(ddir, exist_ok=True)
-    stage = os.path.join(root, f".rewrite-stage-{uuid.uuid4().hex}")
+    stage_root = os.path.join(root, f".rewrite-stage-{uuid.uuid4().hex}")
+    new_files: list[tuple[str, dict, int, dict]] = []
+    seq_file = 0
     try:
-        df.write.parquet(stage)
-        parts = sorted(
-            p for p in os.listdir(stage)
-            if p.startswith("part-") and p.endswith(".parquet")
-        )
-        new_files: list[tuple[str, int, dict]] = []
-        for i, part in enumerate(parts):
-            dst = os.path.join(ddir, f"rw-{sid}-{i:05d}.parquet")
-            shutil.move(os.path.join(stage, part), dst)
-            n_rows, mm = _harvest_stats(
-                dst, [f.name for f in schema.fields]
+        for gi, (pv, cands) in enumerate(jobs):
+            if full:
+                df = read_iceberg(spark, root, row_lineage=lineage)
+                rows_after = None
+                if not (pos_dels or eq_dels):
+                    rows_after = sum(_fcount(rec) for rec in cands)
+                    for d in dv_dels:
+                        card = d.get("cardinality")
+                        if card is None:
+                            rows_after = None
+                            break
+                        rows_after -= int(card)
+                if rows_after is None:
+                    rows_after = df.count()
+            else:
+                df = _scan(cands)
+                rows_after = sum(_fcount(rec) for rec in cands)
+
+            n_out = max(1, math.ceil(rows_after / target_file_rows))
+            if zorder_by:
+                z = zorder_value(df, list(zorder_by), bits)
+                df = (
+                    df.withColumn("__z", z)
+                    .repartitionByRange(n_out, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            elif sort_by:
+                df = df.repartitionByRange(
+                    n_out, *sort_by
+                ).sortWithinPartitions(*sort_by)
+            else:
+                df = df.coalesce(n_out)
+            stage = os.path.join(stage_root, f"g{gi}")
+            df.write.parquet(stage)
+            parts = sorted(
+                p for p in os.listdir(stage)
+                if p.startswith("part-") and p.endswith(".parquet")
             )
-            new_files.append((dst, n_rows, mm))
+            for part in parts:
+                dst = os.path.join(ddir, f"rw-{sid}-{seq_file:05d}.parquet")
+                seq_file += 1
+                shutil.move(os.path.join(stage, part), dst)
+                n_rows, mm = _harvest_stats(
+                    dst, [f.name for f in schema.fields]
+                )
+                new_files.append((dst, pv, n_rows, mm))
     finally:
-        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(stage_root, ignore_errors=True)
 
     top_info = {f["name"]: (f["id"], f["type"]) for f in cur_fields}
 
@@ -280,48 +318,76 @@ def rewrite_iceberg_data_files(
         )
     first_row_start = next_row
 
-    entries = []
-    for dst, n_rows, mm in new_files:
-        b_lo, b_hi = _entry_bounds(mm)
-        entry = {
-            "status": 1,
-            "snapshot_id": sid,
-            "data_file": {
-                "content": 0,
-                "file_path": dst,
-                "file_format": "PARQUET",
-                "partition": {},
-                "record_count": n_rows,
-                "file_size_in_bytes": os.path.getsize(dst),
-                "equality_ids": None,
-                "lower_bounds": b_lo,
-                "upper_bounds": b_hi,
-            },
-        }
-        if fv >= 3:
-            entry["data_file"]["first_row_id"] = next_row
-            next_row += n_rows
-        entries.append(entry)
+    id2field = {f["id"]: f for f in cur_fields}
+
+    def _sourced(spec: dict) -> list[dict]:
+        return [
+            {**f, "source-type": id2field[f["source-id"]]["type"]}
+            for f in spec.get("fields", [])
+        ]
+
+    def _schema_of(spec: dict) -> dict:
+        if not spec.get("fields"):
+            return MANIFEST_ENTRY_SCHEMA
+        from .iceberg_partitioned import _entry_schema
+
+        return _entry_schema(_sourced(spec))
 
     mdir = os.path.join(root, "metadata")
-    added_m = os.path.join(mdir, f"manifest-rwdata-{sid}.avro")
-    write_avro(added_m, MANIFEST_ENTRY_SCHEMA, entries)
-    mf_records = [
-        {
+    mf_records = []
+    # one ADDED manifest per spec used by the replacement files (a
+    # manifest's entries share one partition spec)
+    by_spec: dict[int, list] = {}
+    for dst, pv, n_rows, mm in new_files:
+        spec = _spec_for(pv)
+        by_spec.setdefault(spec["spec-id"], []).append((dst, pv, n_rows, mm))
+    for spec_id in sorted(by_spec):
+        spec = next(s for s in specs if s["spec-id"] == spec_id)
+        entries = []
+        for dst, pv, n_rows, mm in by_spec[spec_id]:
+            b_lo, b_hi = _entry_bounds(mm)
+            entry = {
+                "status": 1,
+                "snapshot_id": sid,
+                "data_file": {
+                    "content": 0,
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "partition": dict(pv),
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "equality_ids": None,
+                    "lower_bounds": b_lo,
+                    "upper_bounds": b_hi,
+                },
+            }
+            if fv >= 3:
+                entry["data_file"]["first_row_id"] = next_row
+                next_row += n_rows
+            entries.append(entry)
+        added_m = os.path.join(mdir, f"manifest-rwdata-{sid}-s{spec_id}.avro")
+        write_avro(added_m, _schema_of(spec), entries)
+        rec_m = {
             "manifest_path": added_m,
             "manifest_length": os.path.getsize(added_m),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec_id,
             "content": 0,
             "added_snapshot_id": sid,
             "sequence_number": seq_new,
             "first_row_id": first_row_start,
         }
-    ]
+        if spec.get("fields"):
+            from .iceberg_partitioned import partition_summaries
 
-    rewritten_paths = {rec[0] for rec in cands}
+            rec_m["partitions"] = partition_summaries(
+                _sourced(spec), [pv for _d, pv, _n, _m in by_spec[spec_id]]
+            )
+        mf_records.append(rec_m)
+
+    rewritten_paths = {rec[0] for _pv, cs in jobs for rec in cs}
     cur = next(s for s in snaps if s["snapshot-id"] == meta["current-snapshot-id"])
     _s, manifests = read_avro(_localize(cur["manifest-list"], root))
-    tombstones: list[dict] = []
+    specs_by_id = {s["spec-id"]: s for s in specs}
     for mrec in manifests:
         if mrec.get("content", 0) == 1:
             # delete manifest: CONSUMED by a full rewrite (its effect is
@@ -330,8 +396,8 @@ def rewrite_iceberg_data_files(
             continue
         mseq = mrec.get("sequence_number")
         _s2, m_entries = read_avro(_localize(mrec["manifest_path"], root))
-        survivors: list[dict] = []
-        dead: list[dict] = []
+        out_entries: list[dict] = []
+        dead_n = 0
         for e in m_entries:
             if e.get("status", 0) == 2:
                 continue
@@ -344,39 +410,31 @@ def rewrite_iceberg_data_files(
                 "file_sequence_number": seq if fseq is None else fseq,
             }
             if e["data_file"]["file_path"] in rewritten_paths:
-                dead.append({**stamped, "status": 2, "snapshot_id": sid})
+                # spec shape: the snapshot that removes files records
+                # them as status-2 DELETED entries in the SAME
+                # rewritten manifest (its spec rides along), which
+                # planning skips and expire_iceberg_snapshots later
+                # reaps
+                out_entries.append(
+                    {**stamped, "status": 2, "snapshot_id": sid}
+                )
+                dead_n += 1
             else:
-                survivors.append({**stamped, "status": 0})
-        if not dead:
+                out_entries.append({**stamped, "status": 0})
+        if not dead_n:
             mf_records.append(dict(mrec))  # untouched: reuse by path
             continue
-        tombstones.extend(dead)
-        if survivors:
-            surv_m = os.path.join(
-                mdir, f"manifest-rwdata-{sid}-keep{len(mf_records)}.avro"
-            )
-            write_avro(surv_m, MANIFEST_ENTRY_SCHEMA, survivors)
-            mf_records.append(
-                {
-                    **mrec,
-                    "manifest_path": surv_m,
-                    "manifest_length": os.path.getsize(surv_m),
-                }
-            )
-    if tombstones:
-        # spec shape: the snapshot that removes files records them as
-        # status-2 DELETED entries (planning skips them; the history is
-        # what expire_iceberg_snapshots later reaps)
-        dead_m = os.path.join(mdir, f"manifest-rwdata-{sid}-dead.avro")
-        write_avro(dead_m, MANIFEST_ENTRY_SCHEMA, tombstones)
+        rw_m = os.path.join(
+            mdir, f"manifest-rwdata-{sid}-keep{len(mf_records)}.avro"
+        )
+        mspec = specs_by_id.get(mrec.get("partition_spec_id", 0),
+                                {"spec-id": 0, "fields": []})
+        write_avro(rw_m, _schema_of(mspec), out_entries)
         mf_records.append(
             {
-                "manifest_path": dead_m,
-                "manifest_length": os.path.getsize(dead_m),
-                "partition_spec_id": 0,
-                "content": 0,
-                "added_snapshot_id": sid,
-                "sequence_number": seq_new,
+                **mrec,
+                "manifest_path": rw_m,
+                "manifest_length": os.path.getsize(rw_m),
             }
         )
 

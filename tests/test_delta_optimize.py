@@ -192,6 +192,45 @@ def test_partitions_never_combine(spark, tmp_path):
                .inputFiles()) == 1
 
 
+def test_partition_scoped_optimize(spark, tmp_path):
+    """OPTIMIZE WHERE: `partitions=` touches only matching groups."""
+    root = str(tmp_path / "pw")
+    os.makedirs(root)
+    for i, seg in enumerate(("A", "A", "B", "B")):
+        pq.write_table(
+            pa.table({"k": pa.array([i * 10, i * 10 + 1], type=pa.int64())}),
+            os.path.join(root, f"f{i}.parquet"),
+        )
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta([("k", "long"), ("seg", "string")], partition_cols=["seg"]),
+    ] + [
+        {"add": {"path": f"f{i}.parquet", "partitionValues": {"seg": seg},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 2})}}
+        for i, seg in enumerate(("A", "A", "B", "B"))
+    ])
+    v = optimize_delta(
+        spark, root, target_file_rows=10**6, partitions={"seg": "A"}
+    )
+    assert v == 1
+    _, live, _, _ = _replay_log(root)
+    # A combined into one file; B's two files untouched
+    assert "f2.parquet" in live and "f3.parquet" in live
+    assert len(live) == 3
+    assert read_delta(spark, root).count() == 8
+    # unknown partition column raises
+    with pytest.raises(ValueError, match="non-partition"):
+        optimize_delta(spark, root, partitions={"nope": 1})
+    # the out-of-scope group is still optimizable later
+    v2 = optimize_delta(
+        spark, root, target_file_rows=10**6, partitions={"seg": ["B"]}
+    )
+    assert v2 == 2
+    _, live2, _, _ = _replay_log(root)
+    assert len(live2) == 2
+
+
 def test_dv_purge(spark, tmp_path):
     root = str(tmp_path / "dv")
     os.makedirs(root)

@@ -212,7 +212,7 @@ def test_v3_row_lineage_survives_rewrite(spark, tmp_path):
     assert rec[5] == 2100  # the replacement file's explicit first_row_id
 
 
-def test_partitioned_spec_gate(spark, tmp_path):
+def test_partitioned_spec_gates(spark, tmp_path):
     root = _v3_lineage_table(tmp_path)
     with open(_metadata_path(root)) as f:
         meta = json.load(f)
@@ -223,7 +223,12 @@ def test_partitioned_spec_gate(spark, tmp_path):
         json.dump(meta, f)
     with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
         f.write("2")
-    with pytest.raises(IcebergProtocolError, match="unpartitioned"):
+    # FULL rewrites stay unpartitioned-only
+    with pytest.raises(IcebergProtocolError, match="unpartitioned-only"):
+        rewrite_iceberg_data_files(spark, root, sort_by=["k"])
+    # bin-pack runs on partitioned tables, but a live file whose tuple
+    # matches no declared spec is malformed metadata
+    with pytest.raises(IcebergProtocolError, match="no partition spec"):
         rewrite_iceberg_data_files(spark, root)
 
 
@@ -245,3 +250,59 @@ def test_changelog_ordinals_renumber_over_replace(spark, tmp_path):
     # nothing; the eq-delete is ordinal 1, not 2
     assert got == {("insert", 0, 3, 1000),
                    ("delete", 1, eq_sid, 30)}, got
+
+
+def test_binpack_partitioned_table_per_tuple(spark, tmp_path):
+    """Composition with the partitioned export + spec evolution: files
+    bin-pack WITHIN each partition tuple, each vintage under its own
+    spec; cross-spec pruning still works on the packed layout."""
+    import datetime
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg_partitioned import (
+        evolve_iceberg_partition_spec,
+        export_iceberg_partitioned,
+    )
+
+    df = spark.range(0, 600).select(
+        F.col("id").alias("k"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(hours=F.col("id") % 96)
+        ).alias("ts"),
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "src"), "k bigint, ts timestamp",
+        bucket_key=["k"], num_buckets=2,
+    )
+    dest = str(tmp_path / "ice")
+    # two exports under day(ts) -> 2 files per day
+    t.append(df.filter(F.col("k") % 2 == 0))
+    export_iceberg_partitioned(spark, t, dest, partition_by=[("ts", "day")])
+    t.append(df.filter(F.col("k") % 2 == 1))
+    export_iceberg_partitioned(spark, t, dest)
+    # evolve to hour(ts), two more exports -> 2 files per hour
+    evolve_iceberg_partition_spec(dest, [("ts", "hour")])
+    for lo in (1000, 2000):
+        t.append(df.select((F.col("k") + lo).alias("k"), "ts"))
+        export_iceberg_partitioned(spark, t, dest)
+    before = read_iceberg(spark, dest)
+    n_before = len(before.inputFiles())
+    assert n_before == 4 * 2 + 96 * 2  # 2/day + 2/hour
+    sid = rewrite_iceberg_data_files(spark, dest, target_file_rows=10**6)
+    assert sid is not None
+    after = read_iceberg(spark, dest)
+    assert len(after.inputFiles()) == 4 + 96  # 1 per tuple per spec
+    assert after.count() == 1800  # 300 + 300 + 600 + 600
+    assert after.exceptAll(before).count() == 0
+    assert before.exceptAll(after).count() == 0
+    # cross-spec pruning on the packed layout: 1 day file + 1 hour file
+    probe = datetime.datetime(2026, 1, 2, 5)
+    pr = read_iceberg(spark, dest, partitions={"ts": probe})
+    assert len(pr.inputFiles()) == 2, pr.inputFiles()
+    # the replace is changelog-silent here too
+    assert read_iceberg_changelog(
+        spark, dest, from_snapshot_id=4
+    ).count() == 0
+    # full rewrites gate on partitioned tables
+    with pytest.raises(IcebergProtocolError, match="unpartitioned-only"):
+        rewrite_iceberg_data_files(spark, dest, sort_by=["k"])
