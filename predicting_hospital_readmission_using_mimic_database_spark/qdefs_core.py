@@ -7360,3 +7360,73 @@ def q_s64(spark, sf):
     except IcebergProtocolError:
         pass
     return read_iceberg(spark, dest)
+
+@query(
+    "s65_iceberg_orphan_files",
+    oracle="""
+    SELECT event_id, ts, user_id, value FROM events
+    """,
+)
+def q_s65(spark, sf):
+    """S65 — Iceberg removeOrphanFiles (sources/iceberg_rewrite.py
+    ``remove_orphan_iceberg_files``): the maintenance leg the official
+    runtime pairs with snapshot expiry — files under ``data/`` that NO
+    snapshot references (crashed writes, commits that never completed)
+    are deleted, while everything ANY snapshot still reaches survives,
+    including files only named by status-2 tombstones (time travel
+    never breaks). The fixture publishes events day-partitioned, then
+    plants two crashed-write strays (one at the data root, one inside
+    a partition dir) plus a hidden staging file; a DRY RUN lists
+    exactly the two visible strays (asserted), a young-file horizon
+    protects them like the official action's default (asserted: zero
+    deletions), and the real pass removes exactly them (asserted) —
+    the hidden staging file and every referenced file untouched.
+    DuckDB recomputes the full event set: an over-eager scan that
+    deleted a referenced file would break the read itself; an
+    under-eager one breaks the in-entry orphan-list asserts."""
+    import os
+    import re as _re
+    import shutil as _shutil
+    import time as _time
+    from urllib.parse import unquote as _unq
+
+    from .sources.iceberg import read_iceberg
+    from .sources.iceberg_partitioned import export_iceberg_partitioned
+    from .sources.iceberg_rewrite import remove_orphan_iceberg_files
+    from .sources.table import SnapshotTable
+
+    e = read_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s65", sf),
+        "event_id bigint, ts timestamp, user_id bigint, value double",
+        bucket_key=["event_id"],
+        num_buckets=2,
+    )
+    t.append(e)
+    dest = os.path.join(t.root, "ice_orphans")
+    export_iceberg_partitioned(spark, t, dest, partition_by=[("ts", "day")])
+    before = read_iceberg(spark, dest)
+    n_files = len(before.inputFiles())
+    real = _unq(_re.sub(r"^file:/+", "/", before.inputFiles()[0]))
+    stray1 = os.path.join(dest, "data", "crashed-0001.parquet")
+    stray2 = os.path.join(os.path.dirname(real), "crashed-0002.parquet")
+    hidden = os.path.join(dest, "data", ".staged.parquet")
+    for p in (stray1, stray2, hidden):
+        _shutil.copyfile(real, p)
+    assert remove_orphan_iceberg_files(dest, dry_run=True) == sorted(
+        [stray1, stray2]
+    )
+    assert os.path.exists(stray1)  # dry run touches nothing
+    # the official default posture: young files are in-flight, not orphans
+    assert remove_orphan_iceberg_files(
+        dest, older_than_ms=int(_time.time() * 1000) - 3_600_000
+    ) == []
+    gone = remove_orphan_iceberg_files(dest)
+    assert gone == sorted([stray1, stray2])
+    assert os.path.exists(hidden)  # staging files are never scanned
+    got = read_iceberg(spark, dest)
+    assert len(got.inputFiles()) == n_files
+    return got

@@ -468,3 +468,76 @@ def rewrite_iceberg_data_files(
         f.write(str(version))
     os.replace(tmp, os.path.join(mdir, "version-hint.text"))
     return sid
+
+
+def remove_orphan_iceberg_files(
+    root: str, older_than_ms: int | None = None, dry_run: bool = False
+) -> list[str]:
+    """removeOrphanFiles — the third maintenance leg next to snapshot
+    expiry and the rewrites: delete files under the table's ``data/``
+    directory that NO snapshot references (crashed writes, files staged
+    by commits that never completed). The reference set is every
+    ``data_file.file_path`` (data AND delete content) reachable from
+    every snapshot's manifest list — a tombstoned entry's file stays
+    protected as long as any snapshot's manifests still name it, so
+    time travel never breaks; history GC is ``expire_iceberg_
+    snapshots``'s job, not this one's.
+
+    Scope is deliberately ``data/`` only (the directory this engine's
+    physical writers use): a ZERO-COPY ``export_iceberg`` shares the
+    host SnapshotTable's bucket files at the table root, and scanning
+    those would misread the host's unexported state as orphans — the
+    same shared-file caution as ``expire_iceberg_snapshots``'s
+    ``delete_data_files`` default.
+
+    ``older_than_ms`` (epoch millis) protects young files the way the
+    official action's default does — an in-flight writer's staged file
+    is not an orphan yet. Returns the deleted (or, with ``dry_run``,
+    would-be-deleted) absolute paths; empty directories left behind are
+    pruned. Driver-side metadata + one directory walk — no Spark job.
+    """
+    from urllib.parse import unquote
+
+    with open(_metadata_path(root)) as f:
+        meta = json.load(f)
+    referenced: set[str] = set()
+    seen_manifests: set[str] = set()
+    for snap in meta.get("snapshots", []):
+        if "manifest-list" not in snap:
+            for mp in snap.get("manifests", []):  # v1 inline lists
+                seen_manifests.add(_localize(mp, root))
+            continue
+        _s, mrecs = read_avro(_localize(snap["manifest-list"], root))
+        for m in mrecs:
+            seen_manifests.add(_localize(m["manifest_path"], root))
+    for mp in seen_manifests:
+        _s2, entries = read_avro(mp)
+        for e in entries:
+            referenced.add(
+                os.path.abspath(
+                    unquote(_localize(e["data_file"]["file_path"], root))
+                )
+            )
+    ddir = os.path.join(root, "data")
+    orphans: list[str] = []
+    for dirpath, dirs, fnames in os.walk(ddir):
+        dirs[:] = [d for d in dirs if not d.startswith(".")]
+        for name in fnames:
+            if name.startswith("."):
+                continue
+            p = os.path.abspath(os.path.join(dirpath, name))
+            if p in referenced:
+                continue
+            if older_than_ms is not None:
+                if os.path.getmtime(p) * 1000 >= older_than_ms:
+                    continue
+            orphans.append(p)
+    orphans.sort()
+    if not dry_run:
+        for p in orphans:
+            os.remove(p)
+        # prune now-empty partition directories bottom-up
+        for dirpath, dirs, fnames in os.walk(ddir, topdown=False):
+            if dirpath != ddir and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+    return orphans

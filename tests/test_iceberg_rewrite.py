@@ -306,3 +306,70 @@ def test_binpack_partitioned_table_per_tuple(spark, tmp_path):
     # full rewrites gate on partitioned tables
     with pytest.raises(IcebergProtocolError, match="unpartitioned-only"):
         rewrite_iceberg_data_files(spark, dest, sort_by=["k"])
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """removeOrphanFiles: unreferenced data/ files (crashed writes) GC;
+    everything any snapshot still references — including files only
+    named by status-2 tombstones — survives."""
+    import shutil as _sh
+    import time as _time
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg_partitioned import (
+        export_iceberg_partitioned,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg_rewrite import (
+        remove_orphan_iceberg_files,
+    )
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(hours=(F.col("id") % 96))
+        ).alias("ts"),
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "src"), "k bigint, ts timestamp",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(df)
+    dest = str(tmp_path / "ice")
+    export_iceberg_partitioned(spark, t, dest, partition_by=[("ts", "day")])
+    before = read_iceberg(spark, dest)
+    n_files = len(before.inputFiles())
+    # plant crashed-write leavings: one at data/ root, one inside a
+    # partition dir, one hidden staging file (never touched)
+    import re as _re
+    from urllib.parse import unquote as _unq
+
+    real = _unq(_re.sub(r"^file:/+", "/", before.inputFiles()[0]))
+    stray1 = os.path.join(dest, "data", "crashed-0001.parquet")
+    pdir = os.path.dirname(real)
+    stray2 = os.path.join(pdir, "crashed-0002.parquet")
+    hidden = os.path.join(dest, "data", ".staged.parquet")
+    for p in (stray1, stray2, hidden):
+        _sh.copyfile(real, p)
+    # dry run lists exactly the two visible strays
+    listed = remove_orphan_iceberg_files(dest, dry_run=True)
+    assert listed == sorted([stray1, stray2])
+    assert os.path.exists(stray1)
+    # a young-file horizon protects in-flight writes
+    assert remove_orphan_iceberg_files(
+        dest, older_than_ms=int(_time.time() * 1000) - 60_000
+    ) == []
+    # the real pass deletes them and nothing else
+    gone = remove_orphan_iceberg_files(dest)
+    assert gone == sorted([stray1, stray2])
+    assert not os.path.exists(stray1) and not os.path.exists(stray2)
+    after = read_iceberg(spark, dest)
+    assert len(after.inputFiles()) == n_files
+    assert after.exceptAll(before).count() == 0
+    assert before.exceptAll(after).count() == 0
+    # files a rewrite tombstoned stay protected (still reachable)
+    t.append(df.select((F.col("k") + 1000).alias("k"), "ts"))
+    export_iceberg_partitioned(spark, t, dest)
+    sid = rewrite_iceberg_data_files(spark, dest, target_file_rows=10**6)
+    assert sid is not None
+    assert remove_orphan_iceberg_files(dest) == []
+    assert read_iceberg(spark, dest, snapshot_id=1).count() == 400

@@ -163,6 +163,10 @@ AUDIT = [
     "s59_delta_log_truncate",  # checkpoint-replay read after the cut
     "s60_hudi_clustering",  # stats-pruned read over clustered groups
     "s61_iceberg_rewrite_manifests",  # read over the merged manifest
+    "s62_delta_optimize",  # post-OPTIMIZE z-ordered read
+    "s63_iceberg_rewrite_datafiles",  # post-rewrite sorted read
+    "s64_iceberg_partition_evolution",  # cross-spec partitioned read
+    "s65_iceberg_orphan_files",  # post-GC partitioned read
 ]
 
 
