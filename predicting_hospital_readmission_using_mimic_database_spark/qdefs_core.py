@@ -7012,6 +7012,22 @@ def q_s60(spark, sf):
     # content identical, commit times preserved: zero phantom rows
     assert read_hudi_incremental(spark, dest, begin=i1).count() == 0
     assert read_hudi(spark, dest, as_of=i1).count() == c.count()
+    # the Z-ORDER strategy re-clusters the same groups along the
+    # Morton curve over BOTH columns: a two-dim point range now plans
+    # a minority of groups (a linear sort only helps its leading key)
+    k_hi = int(
+        c.agg(F.expr("percentile_approx(c_custkey, 0.9)")).collect()[0][0]
+    )
+    zi = cluster_hudi(
+        spark, dest, zorder_by=["c_custkey", "cents"], target_file_groups=4
+    )
+    assert zi is not None and zi > ci
+    zhot = read_hudi(
+        spark, dest,
+        predicates=[("c_custkey", ">=", k_hi), ("cents", ">=", hi)],
+    )
+    assert len(zhot.inputFiles()) <= 2, zhot.inputFiles()
+    assert read_hudi_incremental(spark, dest, begin=ci).count() == 0
     return read_hudi(spark, dest)
 
 @query(

@@ -1053,7 +1053,9 @@ def clean_hudi(dest: str, retain_commits: int = 10) -> str | None:
 
 
 def cluster_hudi(
-    spark, dest: str, sort_by: list[str], target_file_groups: int = 1,
+    spark, dest: str, sort_by: list[str] | None = None,
+    target_file_groups: int = 1, zorder_by: list[str] | None = None,
+    bits: int = 12,
 ) -> str | None:
     """CLUSTER a Hudi table — the table service real Hudi schedules to
     fix data layout (its SORT strategy): per partition, every current
@@ -1078,7 +1080,14 @@ def cluster_hudi(
     inside every rewritten file (compaction's row-routing depends on
     it). MOR groups fold base+logs through ``_read_mor`` first —
     clustering subsumes compaction for the groups it touches. Returns
-    the replacecommit instant (None on a group-less table)."""
+    the replacecommit instant (None on a group-less table).
+
+    ``zorder_by`` is the Z-ORDER strategy (real Hudi's
+    ``spatial curve`` layout optimization): rows cluster along the
+    Morton curve over the listed columns (:func:`~.io.zorder_value` —
+    the same expression behind the Delta and SnapshotTable z-orders),
+    so column-stats pruning becomes selective on EVERY listed column
+    at once instead of only the leading sort key."""
     from pyspark.sql import functions as F
 
     from .hudi import (
@@ -1088,8 +1097,10 @@ def cluster_hudi(
         _read_mor,
     )
 
-    if not sort_by:
-        raise ValueError("cluster_hudi needs at least one sort_by column")
+    if bool(sort_by) == bool(zorder_by):
+        raise ValueError(
+            "cluster_hudi needs exactly one of sort_by / zorder_by"
+        )
     if target_file_groups < 1:
         raise ValueError("target_file_groups must be >= 1")
     _properties(dest)
@@ -1111,24 +1122,36 @@ def cluster_hudi(
     for part in sorted(parts):
         keys = parts[part]
         rows = _read_mor(spark, dest, None, True, None, only_groups=keys)
-        missing = [c for c in sort_by if c not in rows.columns]
+        cols = list(sort_by or zorder_by)
+        missing = [c for c in cols if c not in rows.columns]
         if missing:
             raise ValueError(
-                f"sort_by names unknown columns {missing} "
+                f"clustering names unknown columns {missing} "
                 f"(have {rows.columns})"
             )
         n = int(target_file_groups)
+        if zorder_by:
+            from .io import zorder_value
+
+            rows = rows.withColumn(
+                "__zv", zorder_value(rows, cols, bits)
+            )
+            ckeys = [F.col("__zv")]
+        else:
+            ckeys = [F.col(c) for c in cols]
         fname_expr = F.concat(
             F.lit("c"),
             F.lpad(F.col("__pid").cast("string"), 4, "0"),
             F.lit(f"-{inst}_0-1-0_{inst}.parquet"),
         )
         out = (
-            rows.repartitionByRange(n, *[F.col(c) for c in sort_by])
-            .sortWithinPartitions(*sort_by)
+            rows.repartitionByRange(n, *ckeys)
+            .sortWithinPartitions(*ckeys)
             .withColumn("__pid", F.spark_partition_id())
             .withColumn("_hoodie_file_name", fname_expr)
         )
+        if zorder_by:
+            out = out.drop("__zv")
         stage = os.path.join(dest, f".cluster-{inst}")
         out.write.partitionBy("__pid").parquet(stage, mode="overwrite")
         pdir = dest if part in (".", "") else os.path.join(dest, part)

@@ -1015,6 +1015,60 @@ def test_cluster_sorts_ranges_and_preserves_times(spark, tmp_path):
         cluster_hudi(spark, dest, sort_by=["nope"])
 
 
+def test_cluster_zorder_prunes_both_dims(spark, tmp_path):
+    """cluster_hudi(zorder_by=): the Z-ORDER strategy — Morton-curve
+    layout makes column stats selective on BOTH listed columns at
+    once, where a linear sort only helps its leading key."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi,
+        read_hudi_incremental,
+        write_metadata_table_column_stats,
+        write_metadata_table_files,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        cluster_hudi,
+        export_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, a bigint, b bigint",
+        bucket_key=["k"], num_buckets=4,
+    )
+    t.append(spark.range(8000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("a"),
+        (F.col("id") * 7 % 89).alias("b"),
+    ))
+    dest = str(tmp_path / "cow")
+    i1 = export_hudi(t, dest)
+    write_metadata_table_files(dest)
+    write_metadata_table_column_stats(dest)
+    ci = cluster_hudi(spark, dest, zorder_by=["a", "b"],
+                      target_file_groups=8)
+    assert ci is not None and ci > i1
+    got = read_hudi(spark, dest)
+    n_files = len(got.inputFiles())
+    assert n_files == 8
+    # both-dims point range plans a minority of the groups
+    hot = read_hudi(
+        spark, dest, predicates=[("a", "<", 10), ("b", "<", 10)]
+    )
+    assert len(hot.inputFiles()) < n_files / 2
+    # content identical + zero phantom incrementals
+    assert got.count() == 8000
+    assert read_hudi_incremental(spark, dest, begin=i1).count() == 0
+    # exactly one of sort_by / zorder_by
+    with pytest.raises(ValueError, match="exactly one"):
+        cluster_hudi(spark, dest, sort_by=["a"], zorder_by=["b"])
+    with pytest.raises(ValueError, match="exactly one"):
+        cluster_hudi(spark, dest)
+
+
 def test_cluster_mor_folds_logs_then_compact_routes(spark, tmp_path):
     """Clustering a MOR table folds base+logs first (it subsumes
     compaction for the groups it touches); a LATER log append onto a
