@@ -102,13 +102,19 @@ def optimize_delta(
     (every group already a single well-formed file / above the
     small-file bar with no vectors to purge).
 
-    Honest gates: column mapping (rewritten files would need
-    physical-name columns this writer does not produce) and — when row
-    tracking is on — a live file with missing lineage stamps or
-    missing numRecords stats (identity could not be preserved /
-    sized). Row tracking otherwise survives via materialized lineage
-    columns; config keys naming them are added in this commit when the
-    table has not declared them yet.
+    COLUMN MAPPING survives the rewrite: under ``name`` mode the
+    replacement files keep the physical ``col-<uuid>`` column names
+    end-to-end (scan physical, write physical — logical names never
+    touch the files); under ``id`` mode they carry parquet FIELD IDS
+    (the mode's resolution contract) via the field-id-annotated scan
+    schema + the writer conf. Stats keys stay the spec's physical
+    names in both modes, so data skipping keeps working.
+
+    Honest gate: when row tracking is on, a live file with missing
+    lineage stamps or missing numRecords stats raises (identity could
+    not be preserved / sized). Row tracking otherwise survives via
+    materialized lineage columns; config keys naming them are added in
+    this commit when the table has not declared them yet.
     """
     if target_file_rows < 1:
         raise ValueError("target_file_rows must be >= 1")
@@ -119,20 +125,33 @@ def optimize_delta(
     )
     conf = dict(meta.get("configuration") or {})
     mapping = str(conf.get("delta.columnMapping.mode", "none")).lower()
-    if mapping not in ("", "none"):
-        raise DeltaProtocolError(
-            f"optimize_delta does not rewrite column-mapped tables "
-            f"(delta.columnMapping.mode={mapping!r}): replacement files "
-            "would need physical-name columns"
-        )
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    part_cols = list(meta.get("partitionColumns") or [])
-    data_fields = [f for f in schema.fields if f.name not in part_cols]
-    data_schema = StructType(data_fields)
+    from .delta import _mapping_info
 
+    schema, phys_schema, phys_of, pv_key_of, part_cols = _mapping_info(
+        spark, meta, schema
+    )
+    if mapping == "id":
+        # replacement files must carry parquet FIELD IDS (the id-mode
+        # resolution contract); the scan schema's metadata provides
+        # them and this conf makes the writer persist them
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    data_pairs = [
+        (f, pf) for f, pf in zip(schema.fields, phys_schema.fields)
+        if f.name not in part_cols
+    ]
+    data_schema = StructType([pf for _f, pf in data_pairs])
+    #: SCAN column name -> the key the stats JSON must use (the spec's
+    #: PHYSICAL name — equal to the scan name except under id mapping)
+    stats_key_of = {
+        phys_of[f.name]: pv_key_of.get(f.name, f.name)
+        for f in schema.fields
+    }
+
+    zorder_phys: list[str] = []
     if zorder_by:
         zorder_by = list(zorder_by)
-        by_name = {f.name: f for f in data_fields}
+        by_name = {f.name: f for f, _pf in data_pairs}
         for c in zorder_by:
             if c in part_cols:
                 raise ValueError(
@@ -148,6 +167,7 @@ def optimize_delta(
                     f"{f.dataType.simpleString()}; z-ordering needs an "
                     f"order-preserving numeric cast ({_ZORDERABLE})"
                 )
+            zorder_phys.append(phys_of[c])
 
     row_tracking = (
         str(conf.get("delta.enableRowTracking", "")).lower() == "true"
@@ -208,7 +228,9 @@ def optimize_delta(
             return True
         for c, want in partitions.items():
             vals = want if isinstance(want, (list, set, tuple)) else [want]
-            got = pv.get(c)
+            # partitionValues are keyed by PHYSICAL name (spec); admit
+            # the logical spelling leniently, like read_delta
+            got = pv.get(pv_key_of.get(c, c), pv.get(c))
             if not any(
                 (v is None and got is None)
                 or (v is not None and got is not None and str(v) == str(got))
@@ -269,7 +291,7 @@ def optimize_delta(
                 )
             next_base = max(next_base, int(rowids[rel][0]) + n)
 
-    stats_cols = [f.name for f in data_fields]
+    stats_cols = [pf.name for _f, pf in data_pairs]
     removes: list[dict] = []
     adds: list[dict] = []
     stage_root = os.path.join(root, f".optimize-stage-{uuid.uuid4().hex}")
@@ -353,7 +375,7 @@ def optimize_delta(
                 rows_after = df.count()  # foreign files without stats
             n_out = max(1, math.ceil(rows_after / target_file_rows))
             if zorder_by:
-                z = zorder_value(df, zorder_by, bits)
+                z = zorder_value(df, zorder_phys, bits)
                 df = (
                     df.withColumn("__z", z)
                     .repartitionByRange(n_out, "__z")
@@ -375,8 +397,14 @@ def optimize_delta(
                 n_rows, mm = _harvest_stats(abs_new, stats_cols)
                 st: dict = {"numRecords": n_rows}
                 if mm:
-                    st["minValues"] = {c: v[0] for c, v in mm.items()}
-                    st["maxValues"] = {c: v[1] for c, v in mm.items()}
+                    # stats keys are the spec's PHYSICAL names (equal to
+                    # the scan names except under id mapping)
+                    st["minValues"] = {
+                        stats_key_of.get(c, c): v[0] for c, v in mm.items()
+                    }
+                    st["maxValues"] = {
+                        stats_key_of.get(c, c): v[1] for c, v in mm.items()
+                    }
                 add = {
                     "path": rel,
                     "partitionValues": dict(pv),

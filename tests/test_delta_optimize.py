@@ -11,7 +11,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
-    DeltaProtocolError,
     _replay_log,
     export_delta_log,
     read_delta,
@@ -314,19 +313,121 @@ def test_row_tracking_identity_preserved(spark, tmp_path):
     assert base >= 2100 and ver == v
 
 
-def test_column_mapping_gate(spark, tmp_path):
-    root = str(tmp_path / "cm")
+def _cm_fld(name, typ, phys, cid):
+    return {
+        "name": name, "type": typ, "nullable": True,
+        "metadata": {
+            "delta.columnMapping.id": cid,
+            "delta.columnMapping.physicalName": phys,
+        },
+    }
+
+
+def test_column_mapping_name_mode_optimize(spark, tmp_path):
+    """OPTIMIZE on a name-mapped table: replacement files keep the
+    physical col-<uuid> names end-to-end, stats stay physically keyed,
+    and the logical read is unchanged."""
+    root = str(tmp_path / "cmname")
     os.makedirs(root)
-    pq.write_table(
-        pa.table({"k": pa.array([1], type=pa.int64())}),
-        os.path.join(root, "a.parquet"),
-    )
+    for i, ks in enumerate(([1, 2], [3, 4])):
+        pq.write_table(
+            pa.table({"col-aaa": pa.array(ks, type=pa.int64()),
+                      "col-bbb": pa.array([k * 10 for k in ks],
+                                          type=pa.int64())}),
+            os.path.join(root, f"f{i}.parquet"),
+        )
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [_cm_fld("id", "long", "col-aaa", 1),
+                   _cm_fld("bal", "long", "col-bbb", 2)],
+    })
     _commit(root, 0, [
         {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
-        _meta([("k", "long")],
-              configuration={"delta.columnMapping.mode": "name"}),
-        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
-                 "modificationTime": 0, "dataChange": True}},
+        {"metaData": {
+            "id": "t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }},
+    ] + [
+        {"add": {"path": f"f{i}.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 2})}}
+        for i in (0, 1)
     ])
-    with pytest.raises(DeltaProtocolError, match="column-mapped"):
-        optimize_delta(spark, root)
+    before = {(r["id"], r["bal"])
+              for r in read_delta(spark, root).collect()}
+    v = optimize_delta(spark, root, target_file_rows=10**6)
+    assert v == 1
+    assert len(read_delta(spark, root).inputFiles()) == 1
+    after = {(r["id"], r["bal"])
+             for r in read_delta(spark, root).collect()}
+    assert after == before == {(1, 10), (2, 20), (3, 30), (4, 40)}
+    # stats keyed by PHYSICAL name, usable by logical predicates
+    stats: dict = {}
+    _replay_log(root, stats_out=stats)
+    st = json.loads(next(iter(stats.values())))
+    assert st["minValues"]["col-aaa"] == 1
+    assert st["maxValues"]["col-bbb"] == 40
+    assert len(read_delta(spark, root, predicates=[("id", ">", 100)])
+               .inputFiles()) == 0
+
+
+def test_column_mapping_id_mode_optimize(spark, tmp_path):
+    """OPTIMIZE on an id-mapped table whose files carry DIFFERENT
+    physical names for the same field ids: the replacement file's
+    parquet FIELD IDS keep id-resolution working."""
+    root = str(tmp_path / "cmid")
+    os.makedirs(root)
+
+    def pfile(path, names, ks):
+        sch = pa.schema([
+            pa.field(n, pa.int64(),
+                     metadata={b"PARQUET:field_id": str(fid).encode()})
+            for n, fid in zip(names, (1, 2))
+        ])
+        pq.write_table(
+            pa.table({names[0]: pa.array(ks, type=pa.int64()),
+                      names[1]: pa.array([k * 10 for k in ks],
+                                         type=pa.int64())}, schema=sch),
+            os.path.join(root, path),
+        )
+
+    pfile("old.parquet", ["col-aa", "col-bb"], [1, 2])
+    pfile("new.parquet", ["col-cc", "col-dd"], [3, 4])
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [_cm_fld("id", "long", "col-zz1", 1),
+                   _cm_fld("bal", "long", "col-zz2", 2)],
+    })
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+        }},
+        {"add": {"path": "old.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 2})}},
+        {"add": {"path": "new.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 2})}},
+    ])
+    before = {(r["id"], r["bal"])
+              for r in read_delta(spark, root).collect()}
+    v = optimize_delta(spark, root, target_file_rows=10**6)
+    assert v == 1
+    assert len(read_delta(spark, root).inputFiles()) == 1
+    after = {(r["id"], r["bal"])
+             for r in read_delta(spark, root).collect()}
+    assert after == before == {(1, 10), (2, 20), (3, 30), (4, 40)}
+    # the replacement file carries the field ids (id-mode contract)
+    rel = next(iter(_replay_log(root)[1]))
+    sch = pq.ParquetFile(os.path.join(root, rel)).schema_arrow
+    got_ids = {f.metadata.get(b"PARQUET:field_id") for f in sch}
+    assert got_ids == {b"1", b"2"}
+    # stats keyed by the DECLARED physical names
+    stats: dict = {}
+    _replay_log(root, stats_out=stats)
+    st = json.loads(next(iter(stats.values())))
+    assert st["minValues"]["col-zz1"] == 1 and st["maxValues"]["col-zz2"] == 40
