@@ -9,10 +9,10 @@ tuples become real Iceberg table state any engine prunes on:
 
 - ``export_iceberg_partitioned(spark, table, dest, partition_by)``
   writes files grouped by the spec's transform values
-  (identity / truncate[W] / year / month / day / hour — all
-  JVM-expression transforms; ``bucket[N]`` gates honestly: its
-  Appendix-B murmur3 is not a built-in Spark expression and a
-  row-at-a-time UDF is not an acceptable write path), manifests whose
+  (identity / truncate[W] / year / month / day / hour as pure JVM
+  expressions; ``bucket[N]`` through ONE Arrow-batched pandas UDF
+  whose murmur3 is numpy-vectorized over the Appendix-B 8-byte
+  serialization — never a Spark-row round trip), manifests whose
   entries carry TYPED partition tuples, manifest-list records with
   per-field summaries (the manifest-level pruning tier
   ``manifest_summary_filter`` consumes), and per-file Appendix-D
@@ -50,6 +50,7 @@ import uuid
 from typing import Sequence
 from urllib.parse import unquote
 
+import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -71,10 +72,96 @@ from .table import _harvest_stats
 _TIME_TRANSFORMS = ("year", "month", "day", "hour")
 
 
+def _murmur3_32_from_long(v):
+    """Vectorized Appendix-B murmur3 over the little-endian 8-byte
+    serialization of int64 values — element-for-element equal to
+    ``murmur3_32(v.to_bytes(8, 'little', signed=True))``. Pure uint32
+    numpy arithmetic (two block rounds, no tail at length 8, standard
+    finalization), so a billion-row bucket column is a few array ops
+    per Arrow batch, never a Python loop."""
+    import numpy as np
+
+    u = v.astype(np.int64).astype(np.uint64)
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    h = np.zeros(len(u), dtype=np.uint32)
+    for k in (
+        (u & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        (u >> np.uint64(32)).astype(np.uint32),
+    ):
+        k = k * c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * c2
+        h = h ^ k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h = h ^ np.uint32(8)  # length
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> np.uint32(16))
+    return h
+
+
+def _bucket_expr(col: str, n: int, spark_type: str):
+    """bucket[N] as an Arrow-batched pandas UDF: long-serialized types
+    go through the fully VECTORIZED murmur3 (numpy uint32 lanes);
+    strings hash their UTF-8 bytes per distinct-ish value inside the
+    batch (the variable-length case — still Arrow-batched, never a
+    Spark-row round trip). NULL -> NULL, the transform's null rule."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .iceberg import murmur3_32
+
+    if spark_type in ("integer", "int", "long", "bigint", "short", "byte"):
+        def _to_long(s):
+            return s
+    elif spark_type == "date":
+        def _to_long(s):
+            return (s.astype("datetime64[ns]")
+                    - pd.Timestamp("1970-01-01")).dt.days
+    elif spark_type in ("timestamp", "timestamp_ntz"):
+        def _to_long(s):
+            return s.astype("datetime64[us]").astype("int64")
+    elif spark_type == "string":
+        _to_long = None
+    else:
+        raise IcebergProtocolError(
+            f"bucket transform over {spark_type} is not supported"
+        )
+
+    @pandas_udf("int")
+    def bucket(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mask = s.isna()
+        out = pd.Series([None] * len(s), dtype="Int32")
+        if mask.all():
+            return out
+        if _to_long is None:
+            vals = s[~mask].map(
+                lambda x: (murmur3_32(x.encode("utf-8")) & 0x7FFFFFFF) % n
+            )
+            out[~mask] = vals.astype("int32")
+            return out
+        longs = pd.Series(_to_long(s[~mask])).astype("int64").to_numpy()
+        h = _murmur3_32_from_long(longs)
+        out[~mask] = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(
+            "int32"
+        )
+        return out
+
+    return bucket(F.col(col))
+
+
 def _transform_expr(col: str, transform: str, spark_type: str):
     """Spark Column computing the Iceberg partition transform — must
     agree exactly with :func:`~.iceberg.transform_value`, which the
-    read path uses to admit files for a source-column filter."""
+    read path uses to admit files for a source-column filter.
+    identity/truncate/time transforms are pure JVM expressions;
+    bucket[N] is the one Arrow-batched vectorized UDF
+    (:func:`_bucket_expr` — the Appendix-B murmur3 has no Spark
+    built-in)."""
     t = transform.lower()
     c = F.col(col)
     if t == "identity":
@@ -99,13 +186,9 @@ def _transform_expr(col: str, transform: str, spark_type: str):
         return F.datediff(F.to_date(c), F.to_date(F.lit("1970-01-01")))
     if t == "hour":
         return F.floor(F.unix_timestamp(c) / F.lit(3600)).cast("int")
-    if re.fullmatch(r"bucket\[\d+\]", t):
-        raise IcebergProtocolError(
-            "bucket[N] is not supported on the partitioned-export WRITE "
-            "path (the Appendix-B murmur3 is not a built-in Spark "
-            "expression); read-side pruning of foreign bucket specs "
-            "works via transform_value"
-        )
+    m = re.fullmatch(r"bucket\[(\d+)\]", t)
+    if m:
+        return _bucket_expr(col, int(m.group(1)), spark_type)
     raise IcebergProtocolError(f"unsupported partition transform {transform!r}")
 
 
@@ -113,7 +196,7 @@ def _result_type(transform: str, source_icetype) -> str:
     """Iceberg type of the transform RESULT (what partition tuples and
     field summaries serialize as)."""
     t = transform.lower()
-    if t in _TIME_TRANSFORMS:
+    if t in _TIME_TRANSFORMS or t.startswith("bucket"):
         return "int"
     return source_icetype  # identity / truncate keep the source type
 

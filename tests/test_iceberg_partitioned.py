@@ -140,10 +140,6 @@ def test_gates(spark, tmp_path):
         export_iceberg_partitioned(
             spark, t, dest, partition_by=[("nope", "day")]
         )
-    with pytest.raises(IcebergProtocolError, match="bucket"):
-        export_iceberg_partitioned(
-            spark, t, dest, partition_by=[("k", "bucket[4]")]
-        )
     sid = export_iceberg_partitioned(
         spark, t, dest, partition_by=[("ts", "day")]
     )
@@ -165,3 +161,64 @@ def test_evolution_name_collision_gate(spark, tmp_path):
         evolve_iceberg_partition_spec(dest, [("grp", "truncate[5]")])
     # re-declaring the SAME (source, transform) is fine
     assert evolve_iceberg_partition_spec(dest, [("grp", "truncate[2]")]) == 1
+
+
+def test_vectorized_bucket_matches_appendix_b():
+    """The numpy murmur3 lane must equal the driver-side reference
+    (murmur3_32 over the little-endian 8-byte serialization) element
+    for element — spec vectors, negatives, and extremes included."""
+    import numpy as np
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        murmur3_32,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg_partitioned import (
+        _murmur3_32_from_long,
+    )
+
+    vals = [34, 0, 1, -1, -34, 2**62, -(2**62), 123456789, -987654321]
+    got = _murmur3_32_from_long(np.array(vals, dtype=np.int64))
+    exp = [murmur3_32(v.to_bytes(8, "little", signed=True)) for v in
+           [int(x) for x in vals]]
+    assert list(got) == exp
+    assert exp[0] == 2017239379  # the spec's hash(int 34) vector
+
+
+def test_bucket_partitioned_export(spark, tmp_path):
+    """bucket[N] on the WRITE path: files are bucket-pure per the
+    Appendix-B hash, so a key filter plans exactly one file — and the
+    read path's transform_value pruning agrees with the writer."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        transform_value,
+    )
+
+    t, df = _src(spark, tmp_path)
+    dest = str(tmp_path / "ice")
+    export_iceberg_partitioned(
+        spark, t, dest, partition_by=[("k", "bucket[4]")]
+    )
+    got = read_iceberg(spark, dest)
+    assert len(got.inputFiles()) == 4
+    assert got.count() == 600
+    assert got.exceptAll(df).count() == 0
+    # source-column pruning: transform_value(k=137) names one bucket
+    pr = read_iceberg(spark, dest, partitions={"k": 137})
+    assert len(pr.inputFiles()) == 1
+    assert 137 in {r["k"] for r in pr.collect()}
+    # bucket purity: every row in the pruned file shares k's bucket
+    want = transform_value("bucket[4]", 137)
+    ks = [r["k"] for r in pr.collect()]
+    assert {transform_value("bucket[4]", k) for k in ks} == {want}
+    # strings bucket too (per-value hash inside the Arrow batch)
+    dest2 = str(tmp_path / "ice2")
+    export_iceberg_partitioned(
+        spark, t, dest2, partition_by=[("tag", "bucket[3]")]
+    )
+    got2 = read_iceberg(spark, dest2)
+    assert got2.count() == 600
+    pr2 = read_iceberg(spark, dest2, partitions={"tag": "u2"})
+    assert len(pr2.inputFiles()) < len(got2.inputFiles())
+    tags = {r["tag"] for r in pr2.collect()}
+    assert "u2" in tags
+    assert {transform_value("bucket[3]", x) for x in tags} == {
+        transform_value("bucket[3]", "u2")}
