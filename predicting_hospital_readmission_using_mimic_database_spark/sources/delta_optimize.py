@@ -447,6 +447,22 @@ def optimize_delta(
         ] = mat_ver
         new_meta["configuration"] = new_conf
         actions.append({"metaData": new_meta})
+    if row_tracking:
+        # advance the spec's row-id HIGH WATERMARK so a foreign writer
+        # appending after this OPTIMIZE allocates fresh ids past our
+        # replacement-file stamps (readers that don't track domain
+        # metadata — including this one — are unaffected)
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": next_base - 1}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
     actions.extend(removes)
     actions.extend(adds)
     tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")

@@ -221,9 +221,28 @@ def _parse_dir_value(raw: str, icetype: str):
     return v
 
 
+#: source Iceberg types each WRITE-path transform round-trips exactly
+#: through hive-style partition directory names (the tuple store).
+#: date/timestamp sources take the TIME transforms (int results);
+#: float/double identity would round-trip lossily through the dir name
+#: and could then WRONGLY prune — gated, like the official writers'
+#: recommendation to never identity-partition on continuous values.
+_WRITABLE_SOURCES = {
+    "identity": ("int", "long", "string", "boolean"),
+    "truncate": ("int", "long", "string"),
+    "bucket": ("int", "long", "string", "date", "timestamp", "timestamptz"),
+    "year": ("date", "timestamp", "timestamptz"),
+    "month": ("date", "timestamp", "timestamptz"),
+    "day": ("date", "timestamp", "timestamptz"),
+    "hour": ("timestamp", "timestamptz"),
+}
+
+
 def _norm_spec(partition_by, fields_by_name: dict) -> list[dict]:
     """[(source col, transform)] -> spec field dicts (names derived as
-    <col> for identity else <col>_<base>), validated against schema."""
+    <col> for identity else <col>_<base>), with the transform string
+    and the source type validated HERE — at declaration time — so an
+    evolve with a bogus transform cannot poison later exports."""
     out = []
     for src, transform in partition_by:
         info = fields_by_name.get(src)
@@ -231,6 +250,21 @@ def _norm_spec(partition_by, fields_by_name: dict) -> list[dict]:
             raise ValueError(f"partition_by names unknown column {src!r}")
         t = transform.lower()
         base = t.split("[", 1)[0]
+        if base not in _WRITABLE_SOURCES or (
+            base in ("truncate", "bucket")
+            and not re.fullmatch(rf"{base}\[\d+\]", t)
+        ) or (base not in ("truncate", "bucket") and t != base):
+            raise IcebergProtocolError(
+                f"unsupported partition transform {transform!r}"
+            )
+        stype = info["type"] if isinstance(info["type"], str) else "nested"
+        if stype not in _WRITABLE_SOURCES[base]:
+            raise IcebergProtocolError(
+                f"partition transform {t!r} over source type {stype!r} is "
+                "not supported on the WRITE path (the partition-dir tuple "
+                "store round-trips int/long/string/boolean exactly; use a "
+                "time transform for date/timestamp sources)"
+            )
         name = src if t == "identity" else f"{src}_{base}"
         out.append(
             {

@@ -281,6 +281,16 @@ class IcebergStreamReader(DataSourceStreamReader):
             sid = snaps[idx]["snapshot-id"]
             cur_files, cur_pos, cur_eq, cur_dv = state(idx)
             cur_srcs = srcs_for(cur_files, cur_pos, cur_eq, cur_dv)
+            if (snaps[idx].get("summary") or {}).get(
+                "operation"
+            ) == "replace":
+                # rewrite_iceberg_data_files / rewrite_iceberg_manifests
+                # re-layout without changing content — the official
+                # changelog's REPLACE skip (the batch scan does the
+                # same); the boundary state still advances so the NEXT
+                # snapshot diffs against the post-rewrite layout
+                prev_files, prev_srcs = cur_files, cur_srcs
+                continue
             for p in sorted(set(cur_files) - set(prev_files)):
                 s = cur_srcs.get(_norm(p))
                 out.append(

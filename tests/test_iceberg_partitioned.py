@@ -222,3 +222,29 @@ def test_bucket_partitioned_export(spark, tmp_path):
     assert "u2" in tags
     assert {transform_value("bucket[3]", x) for x in tags} == {
         transform_value("bucket[3]", "u2")}
+
+
+def test_write_path_source_type_gates(spark, tmp_path):
+    """Transforms whose tuples would not round-trip through the
+    partition-dir store gate at DECLARATION time — identity over
+    timestamp/float, and bogus transform strings (an evolve must not
+    poison later exports)."""
+    t, df = _src(spark, tmp_path)
+    dest = str(tmp_path / "ice")
+    with pytest.raises(IcebergProtocolError, match="WRITE path"):
+        export_iceberg_partitioned(
+            spark, t, dest, partition_by=[("ts", "identity")]
+        )
+    with pytest.raises(IcebergProtocolError, match="unsupported"):
+        export_iceberg_partitioned(
+            spark, t, dest, partition_by=[("ts", "day[2]")]
+        )
+    with pytest.raises(IcebergProtocolError, match="unsupported"):
+        export_iceberg_partitioned(
+            spark, t, dest, partition_by=[("k", "mod[4]")]
+        )
+    export_iceberg_partitioned(spark, t, dest, partition_by=[("ts", "day")])
+    with pytest.raises(IcebergProtocolError, match="WRITE path"):
+        evolve_iceberg_partition_spec(dest, [("ts", "identity")])
+    with pytest.raises(IcebergProtocolError, match="unsupported"):
+        evolve_iceberg_partition_spec(dest, [("k", "bucket[x]")])

@@ -595,3 +595,52 @@ def test_changelog_stream_replays_nested_equality(spark, tmp_path):
         (2, "b", "insert"),
         (3, "a", "delete"), (3, "a", "insert"),
     ]
+
+
+def test_changelog_stream_skips_replace_snapshots(spark, tmp_path):
+    """A rewrite (replace snapshot) mid-stream swaps every data file
+    without changing content: the changelog stream must emit NOTHING
+    for it — and the next real change must diff against the
+    POST-rewrite layout."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        append_equality_deletes,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg_rewrite import (
+        rewrite_iceberg_data_files,
+    )
+
+    register_iceberg_stream(spark)
+    root = str(tmp_path / "clogrw")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, v double", bucket_key=["k"], num_buckets=2
+    )
+    for lo in (0, 5):
+        t.append(spark.range(lo, lo + 5).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")))
+        export_iceberg(t)
+    ckpt = str(tmp_path / "ck")
+    got = _drain(spark, root, ckpt, startingSnapshotCount=0,
+                 changelog="true")
+    assert len(got) == 10
+    # bin-pack everything into one file: a replace snapshot
+    sid = rewrite_iceberg_data_files(spark, root, target_file_rows=10**6)
+    assert sid is not None
+    got2 = _drain(spark, root, ckpt, startingSnapshotCount=0,
+                  changelog="true")
+    assert got2 == []
+    # the next REAL change diffs against the post-rewrite layout:
+    # exactly the struck rows, stamped with the delete snapshot
+    eq_sid = append_equality_deletes(root, [{"k": 3}, {"k": 7}], ["k"])
+    got3 = _drain(spark, root, ckpt, startingSnapshotCount=0,
+                  changelog="true")
+    assert sorted(got3) == [(3, 3.0, "delete", eq_sid),
+                            (7, 7.0, "delete", eq_sid)]
+    # a fresh full drain agrees end to end (no phantom churn anywhere)
+    full = _drain(spark, root, str(tmp_path / "ck2"),
+                  startingSnapshotCount=0, changelog="true")
+    ins = {(k, v) for k, v, c, s_ in full if c == "insert"}
+    dels = {(k, v) for k, v, c, s_ in full if c == "delete"}
+    assert ins == {(k, float(k)) for k in range(10)}
+    assert dels == {(3, 3.0), (7, 7.0)}
