@@ -7446,3 +7446,118 @@ def q_s65(spark, sf):
     got = read_iceberg(spark, dest)
     assert len(got.inputFiles()) == n_files
     return got
+
+@query(
+    "s66_delta_vacuum",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey,
+           cents + CASE WHEN k % 2 = 0 THEN 77 ELSE 0 END AS cents
+    FROM base
+    """,
+)
+def q_s66(spark, sf):
+    """S66 — Delta VACUUM (sources/delta_optimize.py ``vacuum_delta``):
+    the data-byte half of Delta's GC next to s59's log truncation —
+    files the table REMOVED longer than the retention horizon ago are
+    physically deleted, reclaiming the bytes a copy-on-write history
+    accrues. The fixture is a STANDALONE ``_delta_log`` (vacuum
+    refuses zero-copy export roots — the host SnapshotTable's history
+    still references removed exported files, asserted): v0 adds an
+    even-keys and an odd-keys file, v1 rewrites the even file with
+    cents+77 (a merge-shaped remove+add stamped with a wall-clock
+    deletionTimestamp). In-entry asserts pin the spec's retention
+    semantics: a 1-hour horizon collects NOTHING (the just-removed
+    file stays time-travelable), a dry run lists exactly the removed
+    file without touching it, the real pass deletes exactly it, and
+    v0 time travel now fails at scan while the live read — which
+    DuckDB recomputes — is untouched. An over-eager vacuum (a live or
+    in-retention file deleted) breaks the read or the asserts; an
+    under-eager one breaks the exact deletion list."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil as _shutil
+    import time as _time
+
+    from .sources.delta import read_delta
+    from .sources.delta_optimize import vacuum_delta
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    root = _table_root("s66", sf)
+    os.makedirs(os.path.join(root, "_delta_log"), exist_ok=True)
+
+    def _write_one(df, name):
+        stage = os.path.join(root, f".stage-{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        _shutil.move(part, os.path.join(root, name))
+        _shutil.rmtree(stage)
+
+    _write_one(c.filter(F.col("c_custkey") % 2 == 0), "even.parquet")
+    _write_one(c.filter(F.col("c_custkey") % 2 == 1), "odd.parquet")
+    _write_one(
+        c.filter(F.col("c_custkey") % 2 == 0).withColumn(
+            "cents", F.col("cents") + 77
+        ),
+        "even2.parquet",
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "c_custkey", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "cents", "type": "long", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+
+    def _commit(v, actions):
+        with open(os.path.join(root, "_delta_log", f"{v:020d}.json"),
+                  "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+
+    def _add(name):
+        return {"add": {"path": name, "partitionValues": {}, "size": 1,
+                        "modificationTime": 0, "dataChange": True}}
+
+    _commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "s66", "format": {"provider": "parquet",
+                                              "options": {}},
+                      "schemaString": _json.dumps(schema),
+                      "partitionColumns": [], "configuration": {}}},
+        _add("even.parquet"), _add("odd.parquet"),
+    ])
+    _commit(1, [
+        {"remove": {"path": "even.parquet", "dataChange": True,
+                    "deletionTimestamp": int(_time.time() * 1000) - 10_000}},
+        _add("even2.parquet"),
+    ])
+    n = c.count()
+    assert read_delta(spark, root).count() == n
+    # inside the retention window NOTHING collects; v0 still serves
+    assert vacuum_delta(root, retention_hours=1.0) == []
+    assert read_delta(spark, root, version=0).count() == n
+    # dry run lists exactly the removed file, touches nothing
+    assert vacuum_delta(root, retention_hours=0.0, dry_run=True) == [
+        "even.parquet"]
+    assert os.path.exists(os.path.join(root, "even.parquet"))
+    assert vacuum_delta(root, retention_hours=0.0) == ["even.parquet"]
+    assert not os.path.exists(os.path.join(root, "even.parquet"))
+    # past-horizon time travel fails at scan; the live read is intact
+    v0_failed = False
+    try:
+        read_delta(spark, root, version=0).collect()
+    except Exception:
+        v0_failed = True
+    assert v0_failed, "vacuumed time travel must fail at scan"
+    return read_delta(spark, root)

@@ -703,6 +703,12 @@ def _write_checkpoint_file(
     os.replace(tmp, ptr)
 
 
+def _now_ms() -> int:
+    import time as _time
+
+    return int(_time.time() * 1000)
+
+
 def _ict_commit_info(
     log_dir: str, version: int, operation: str = "WRITE"
 ) -> dict:
@@ -824,7 +830,16 @@ def export_delta_log(table, checkpoint_interval: int = 10) -> int:
         )
     for rel in removes:
         actions.append(
-            {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": True}}
+            {
+                "remove": {
+                    "path": rel,
+                    # wall clock: vacuum_delta's retention horizon keys
+                    # on this — a 0 stamp would make a just-removed
+                    # file instantly collectable
+                    "deletionTimestamp": int(_now_ms()),
+                    "dataChange": True,
+                }
+            }
         )
     for rel in adds:
         a = table._live[rel]

@@ -48,6 +48,7 @@ import json
 import math
 import os
 import shutil
+import time
 import uuid
 from typing import Sequence
 
@@ -422,7 +423,8 @@ def optimize_delta(
             for rel in cands:
                 rm = {
                     "path": rel,
-                    "deletionTimestamp": 0,
+                    # wall clock: vacuum_delta's retention keys on this
+                    "deletionTimestamp": int(time.time() * 1000),
                     "dataChange": False,
                     "partitionValues": dict(pv),
                 }
@@ -471,3 +473,121 @@ def optimize_delta(
             f.write(json.dumps(action) + "\n")
     os.replace(tmp, os.path.join(log_dir, f"{version:020d}.json"))
     return version
+
+
+def vacuum_delta(
+    root: str,
+    retention_hours: float = 168.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """VACUUM — physically delete data files the table REMOVED longer
+    than ``retention_hours`` ago (the spec's default 7 days), the other
+    half of Delta's GC next to ``truncate_delta_log``: log truncation
+    bounds the METADATA, vacuum reclaims the DATA bytes a copy-on-write
+    history keeps accruing.
+
+    Collectable = a file whose LAST action in the replayable log is a
+    ``remove`` with ``deletionTimestamp`` at or below the horizon and
+    that is not live at the head (a re-added file is live and
+    protected). Deletion-vector files referenced ONLY by collectable
+    adds go with them; a DV still referenced by any live add survives.
+    Time travel to versions that referenced a vacuumed file
+    subsequently fails at scan time — the spec's own
+    retention/time-travel trade, which is why the horizon defaults to
+    a week. UNTRACKED files are deliberately NOT collected (unlike the
+    reference implementation): this reader's tables are often
+    ZERO-COPY exports whose roots hold the host SnapshotTable's other
+    files — and on such a root (a ``_log`` commit log next to the
+    ``_delta_log``) vacuum REFUSES outright, because removed exported
+    files are usually still referenced by the host's own history; use
+    ``SnapshotTable.vacuum`` there instead.
+
+    Returns the deleted (or with ``dry_run`` the would-be-deleted)
+    relative paths. Driver-side log replay only — no Spark job.
+    """
+    import time as _time
+
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"not a delta table (no {DELTA_LOG_DIR}): {root}")
+    if os.path.isdir(os.path.join(root, "_log")):
+        raise DeltaProtocolError(
+            "this root is a zero-copy export (a SnapshotTable _log "
+            "commit log shares it): vacuuming the _delta_log's removed "
+            "files would delete files the host table's own history "
+            "still references — vacuum the SnapshotTable instead"
+        )
+    from .delta import _delta_commits
+
+    horizon = _time.time() * 1000 - retention_hours * 3600 * 1000
+    #: path -> ("add"|"remove", deletionTimestamp) — LAST action wins
+    last: dict[str, tuple] = {}
+    live_dv_paths: set[str] = set()
+    removed_dv: dict[str, str] = {}  # data path -> its remove-time DV file
+
+    def _dv_path(desc: dict) -> str | None:
+        st = desc.get("storageType")
+        p = desc.get("pathOrInlineDv")
+        if st == "p":
+            return p if os.path.isabs(p) else os.path.join(root, p)
+        return None  # inline ('i') has no file; 'u' derives (kept out)
+
+    for _v, cpath in _delta_commits(log_dir):
+        with open(cpath) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    from urllib.parse import unquote
+
+                    p = unquote(a["add"]["path"])
+                    last[p] = ("add", None)
+                    dv = a["add"].get("deletionVector")
+                    dvp = _dv_path(dv) if dv else None
+                    if dvp:
+                        live_dv_paths.add(dvp)
+                        removed_dv.pop(p, None)
+                elif "remove" in a:
+                    from urllib.parse import unquote
+
+                    p = unquote(a["remove"]["path"])
+                    ts = a["remove"].get("deletionTimestamp") or 0
+                    last[p] = ("remove", int(ts))
+                    dv = a["remove"].get("deletionVector")
+                    dvp = _dv_path(dv) if dv else None
+                    if dvp:
+                        removed_dv[p] = dvp
+    # DVs referenced by the LIVE head stay, whatever history says
+    meta, live, dvs, _last_v = _replay_log(root)
+    head_dvs = {
+        _dv_path(d) for d in dvs.values() if _dv_path(d) is not None
+    }
+    doomed: list[str] = []
+    dv_doomed: set[str] = set()
+    for p, (kind, ts) in sorted(last.items()):
+        if kind != "remove" or p in live:
+            continue
+        abs_p = p if os.path.isabs(p) else os.path.join(root, p)
+        if not os.path.exists(abs_p):
+            continue
+        if not ts:
+            # legacy remove without a stamp: the reference falls back
+            # to the file's modification time
+            ts = os.path.getmtime(abs_p) * 1000
+        if ts > horizon:
+            continue  # inside the retention window
+        doomed.append(p)
+        dvp = removed_dv.get(p)
+        if dvp and dvp not in head_dvs and os.path.exists(dvp):
+            dv_doomed.add(dvp)
+    if not dry_run:
+        for p in doomed:
+            os.remove(p if os.path.isabs(p) else os.path.join(root, p))
+        for dvp in sorted(dv_doomed):
+            os.remove(dvp)
+    return doomed + sorted(
+        os.path.relpath(d, root) if d.startswith(root) else d
+        for d in dv_doomed
+    )

@@ -431,3 +431,112 @@ def test_column_mapping_id_mode_optimize(spark, tmp_path):
     _replay_log(root, stats_out=stats)
     st = json.loads(next(iter(stats.values())))
     assert st["minValues"]["col-zz1"] == 1 and st["maxValues"]["col-zz2"] == 40
+
+
+def test_vacuum_delta(spark, tmp_path):
+    """VACUUM: removed files past the retention horizon GC (with their
+    no-longer-referenced DV files); live / recently-removed / re-added
+    files survive; zero-copy export roots refuse."""
+    import time
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        DeltaProtocolError,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_optimize import (
+        vacuum_delta,
+    )
+
+    root = str(tmp_path / "vac")
+    os.makedirs(root)
+
+    def pfile(name, ks):
+        pq.write_table(
+            pa.table({"k": pa.array(ks, type=pa.int64())}),
+            os.path.join(root, name),
+        )
+
+    pfile("a.parquet", [1, 2])
+    pfile("b.parquet", [3, 4])
+    now = int(time.time() * 1000)
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta([("k", "long")]),
+    ] + [
+        {"add": {"path": p, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 2})}}
+        for p in ("a.parquet", "b.parquet")
+    ])
+    # v1 strikes a row of a via a DV; v2 rewrites a (removing the DV)
+    desc = write_dv_file(os.path.join(root, "dv1.bin"), [0])
+    _commit(root, 1, [
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": desc,
+                 "stats": json.dumps({"numRecords": 2})}},
+    ])
+    pfile("c.parquet", [2])
+    _commit(root, 2, [
+        {"remove": {"path": "a.parquet", "dataChange": True,
+                    "deletionTimestamp": now - 10_000,
+                    "deletionVector": desc}},
+        {"add": {"path": "c.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 1})}},
+    ])
+    assert read_delta(spark, root).count() == 3
+    # inside retention: nothing moves
+    assert vacuum_delta(root, retention_hours=1.0) == []
+    # dry run lists the removed file + its orphaned DV, deletes nothing
+    listed = vacuum_delta(root, retention_hours=0.0, dry_run=True)
+    assert listed == ["a.parquet", "dv1.bin"]
+    assert os.path.exists(os.path.join(root, "a.parquet"))
+    gone = vacuum_delta(root, retention_hours=0.0)
+    assert gone == ["a.parquet", "dv1.bin"]
+    assert not os.path.exists(os.path.join(root, "a.parquet"))
+    assert not os.path.exists(os.path.join(root, "dv1.bin"))
+    # the live snapshot is untouched
+    assert read_delta(spark, root).count() == 3
+    # re-run: nothing left
+    assert vacuum_delta(root, retention_hours=0.0) == []
+    # a zero-copy export root refuses (the host's files share it)
+    os.makedirs(os.path.join(root, "_log"))
+    with pytest.raises(DeltaProtocolError, match="zero-copy"):
+        vacuum_delta(root)
+
+
+def test_vacuum_protects_optimize_window(spark, tmp_path):
+    """OPTIMIZE stamps wall-clock deletionTimestamps, so the files it
+    retires stay time-travelable within the retention window and GC
+    after it."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_optimize import (
+        vacuum_delta,
+    )
+
+    root = str(tmp_path / "ov")
+    os.makedirs(root)
+    for i in (0, 1):
+        pq.write_table(
+            pa.table({"k": pa.array([i * 10, i * 10 + 1], type=pa.int64())}),
+            os.path.join(root, f"f{i}.parquet"),
+        )
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta([("k", "long")]),
+    ] + [
+        {"add": {"path": f"f{i}.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 2})}}
+        for i in (0, 1)
+    ])
+    v = optimize_delta(spark, root, target_file_rows=10**6)
+    assert v == 1
+    # within retention the pre-optimize layout stays time-travelable
+    assert vacuum_delta(root, retention_hours=1.0) == []
+    assert read_delta(spark, root, version=0).count() == 4
+    # past the horizon the retired files GC
+    gone = vacuum_delta(root, retention_hours=0.0)
+    assert sorted(gone) == ["f0.parquet", "f1.parquet"]
+    assert read_delta(spark, root).count() == 4

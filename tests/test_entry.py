@@ -52,6 +52,7 @@ def test_first_50_entries_cover_every_family():
                  "s63_iceberg_rewrite_datafiles",
                  "s64_iceberg_partition_evolution",
                  "s65_iceberg_orphan_files",
+                 "s66_delta_vacuum",
                  "s47_iceberg_changelog", "st21_stream_iceberg_changelog",
                  "st16_stream_iceberg_tail", "st19_stream_delta_idmap",
                  "s41_iceberg_nested_evolution", "s44_iceberg_v3_defaults",
@@ -59,7 +60,6 @@ def test_first_50_entries_cover_every_family():
                  "s16_delta_export", "s40_hudi_export",
                  "s43_hudi_partitioned_export",
                  "s42_hudi_cdc_infer", "st20_stream_hudi_cdc",
-                 "s37_iceberg_v3_dv",
                  "s28_delta_cdf", "st17_stream_delta_cdf",
                  "flagship_readmit_30d"):
         assert must in names

@@ -167,6 +167,7 @@ AUDIT = [
     "s63_iceberg_rewrite_datafiles",  # post-rewrite sorted read
     "s64_iceberg_partition_evolution",  # cross-spec partitioned read
     "s65_iceberg_orphan_files",  # post-GC partitioned read
+    "s66_delta_vacuum",  # post-vacuum live read
 ]
 
 
