@@ -182,8 +182,13 @@ HEADLINE = [
     "s57_iceberg_expire_snapshots",  # retention expiry + orphan GC (r11)
     "s58_hudi_clean",  # KEEP_LATEST_COMMITS slice cleaning (r11)
     "s59_delta_log_truncate",  # checkpoint-bounded log retention (r11)
-    "s60_hudi_clustering",  # replacecommit sort clustering (r11)
+    "s60_hudi_clustering",  # replacecommit sort+zorder clustering (r11)
     "s61_iceberg_rewrite_manifests",  # manifest compaction (r11)
+    "s62_delta_optimize",  # log-level OPTIMIZE + ZORDER (r11)
+    "s63_iceberg_rewrite_datafiles",  # rewriteDataFiles + delete consumption (r11)
+    "s64_iceberg_partition_evolution",  # partitioned export + spec evolution (r11)
+    "s65_iceberg_orphan_files",  # removeOrphanFiles GC (r11)
+    "s66_delta_vacuum",  # retention-horizon data GC (r11)
 ]
 
 
