@@ -39,13 +39,15 @@ for bin-packing, one range shuffle for sort/z-order. All metadata work
 (manifest diff, bounds harvest, snapshot commit) is driver-side KBs.
 
 Partitioned tables (e.g. an ``export_iceberg_partitioned`` publish)
-BIN-PACK per partition tuple: files only ever combine within one
-tuple, replacement entries carry the tuple under its own spec's
-manifest schema (evolved tables bin-pack each vintage under its own
-spec), and manifest-list summaries refresh. Full rewrites
-(sort/z-order, delete application, vintage materialization) stay
-unpartitioned-only — re-clustering a partitioned table would need
-partition-pure re-writes per tuple — and gate honestly.
+rewrite PER PARTITION TUPLE: bin-packing combines files only within
+one tuple, and ``sort_by`` / ``zorder_by`` re-cluster each tuple's
+rows in place (partition purity preserved by construction — the
+cluster shuffle is sized by one tuple, the 100 TB shape); replacement
+entries carry their tuple under the owning spec's manifest schema
+(evolved tables rewrite each vintage under its own spec) and
+manifest-list summaries refresh. Only delete application and vintage
+materialization stay unpartitioned-only (their global read loses the
+tuple grouping) and gate honestly.
 """
 
 from __future__ import annotations
@@ -125,14 +127,19 @@ def rewrite_iceberg_data_files(
     lineage = fv >= 3 and all(
         rec[5] is not None and rec[2] is not None for rec in files
     )
-    full = deletes or bool(sort_by) or bool(zorder_by) or vintages is not None
-    if full and partitioned:
+    recluster = bool(sort_by) or bool(zorder_by)
+    # delete application / vintage materialization need the GLOBAL read
+    # (read_iceberg applies strikes and field-id projection across the
+    # whole table), which loses per-tuple grouping
+    needs_global = deletes or vintages is not None
+    if needs_global and partitioned:
         raise IcebergProtocolError(
-            "full rewrites (sort/z-order, delete application, vintage "
-            "materialization) are unpartitioned-only: re-clustering a "
-            "partitioned table would need partition-pure re-writes per "
-            "tuple; per-partition BIN-PACK works on partitioned tables"
+            "delete application / vintage materialization rewrites are "
+            "unpartitioned-only (the global read loses partition-tuple "
+            "grouping); per-tuple BIN-PACK and per-tuple sort/z-order "
+            "re-clustering work on partitioned tables"
         )
+    full = needs_global or (recluster and not partitioned)
 
     import pyarrow.parquet as pq
 
@@ -150,12 +157,20 @@ def rewrite_iceberg_data_files(
             ).append(rec)
         jobs = []
         for key in sorted(groups):
-            cands = [
-                r for r in sorted(groups[key], key=lambda r: r[0])
-                if _fcount(r) < target_file_rows
-            ]
-            if len(cands) >= 2:
-                jobs.append((dict(key), cands))
+            recs = sorted(groups[key], key=lambda r: r[0])
+            if recluster:
+                # layout change: the whole TUPLE re-clusters, unless it
+                # is a lone file the target cannot split
+                cands = recs
+                if len(cands) < 2 and _fcount(cands[0]) <= target_file_rows:
+                    continue
+            else:
+                cands = [
+                    r for r in recs if _fcount(r) < target_file_rows
+                ]
+                if len(cands) < 2:
+                    continue
+            jobs.append((dict(key), cands))
         if not jobs:
             return None
 

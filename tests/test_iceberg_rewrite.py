@@ -223,13 +223,14 @@ def test_partitioned_spec_gates(spark, tmp_path):
         json.dump(meta, f)
     with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
         f.write("2")
-    # FULL rewrites stay unpartitioned-only
-    with pytest.raises(IcebergProtocolError, match="unpartitioned-only"):
-        rewrite_iceberg_data_files(spark, root, sort_by=["k"])
-    # bin-pack runs on partitioned tables, but a live file whose tuple
-    # matches no declared spec is malformed metadata
+    # bin-pack AND per-tuple re-clustering run on partitioned tables,
+    # but a live file whose tuple matches no declared spec is
+    # malformed metadata
     with pytest.raises(IcebergProtocolError, match="no partition spec"):
         rewrite_iceberg_data_files(spark, root)
+    with pytest.raises(IcebergProtocolError, match="no partition spec"):
+        rewrite_iceberg_data_files(spark, root, sort_by=["k"],
+                                   target_file_rows=10)
 
 
 def test_changelog_ordinals_renumber_over_replace(spark, tmp_path):
@@ -303,9 +304,24 @@ def test_binpack_partitioned_table_per_tuple(spark, tmp_path):
     assert read_iceberg_changelog(
         spark, dest, from_snapshot_id=4
     ).count() == 0
-    # full rewrites gate on partitioned tables
+    # per-tuple re-clustering: sort each DAY tuple's rows by k and
+    # split it (150 rows > the 100-row target -> 2 k-ranged files per
+    # day); lone hour files at/below the target stay put — content
+    # identical, partition purity preserved
+    sid2 = rewrite_iceberg_data_files(
+        spark, dest, sort_by=["k"], target_file_rows=100
+    )
+    assert sid2 == sid + 1
+    sorted_read = read_iceberg(spark, dest)
+    assert sorted_read.count() == 1800
+    assert sorted_read.exceptAll(before).count() == 0
+    # probe day now spans 2 sorted files + its lone hour file
+    pr2 = read_iceberg(spark, dest, partitions={"ts": probe})
+    assert len(pr2.inputFiles()) == 3, pr2.inputFiles()
+    # delete application still gates on partitioned tables
+    append_equality_deletes(dest, [{"k": 1}], ["k"])
     with pytest.raises(IcebergProtocolError, match="unpartitioned-only"):
-        rewrite_iceberg_data_files(spark, dest, sort_by=["k"])
+        rewrite_iceberg_data_files(spark, dest)
 
 
 def test_remove_orphan_files(spark, tmp_path):
