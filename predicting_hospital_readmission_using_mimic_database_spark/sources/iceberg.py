@@ -818,6 +818,11 @@ def export_iceberg(table) -> int:
         "current-snapshot-id": sid,
         "_export_version": version,
     }
+    if prev_meta and prev_meta.get("refs"):
+        # named refs (tags/branches) are table state the export must
+        # CARRY — a tag set between exports pins its snapshot through
+        # expiry, and dropping it silently would unpin history
+        meta["refs"] = prev_meta["refs"]
     with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)
     tmp = os.path.join(mdir, ".hint.tmp")
@@ -3820,3 +3825,63 @@ def rewrite_iceberg_manifests(root: str) -> int | None:
         f.write(str(version))
     os.replace(tmp, os.path.join(mdir, "version-hint.text"))
     return sid
+
+
+def set_iceberg_ref(
+    root: str,
+    name: str,
+    snapshot_id: int | None = None,
+    type: str = "tag",
+) -> int:
+    """Create or move a NAMED REF (spec §Table Metadata ``refs``): a
+    ``tag`` pins a snapshot forever (releases, audits), a ``branch``
+    is a movable head. The write surface completing the read path's
+    ``read_iceberg(ref=)`` and :func:`expire_iceberg_snapshots`'s
+    ref protection — a tagged snapshot survives any expiry until the
+    ref is dropped. ``snapshot_id`` defaults to the current snapshot.
+    Metadata-only (a new ``vN.metadata.json`` + hint); returns the
+    pinned snapshot id."""
+    if type not in ("tag", "branch"):
+        raise ValueError(f"ref type must be 'tag' or 'branch', got {type!r}")
+    with open(_metadata_path(root)) as f:
+        meta = json.load(f)
+    snaps = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    sid = snapshot_id if snapshot_id is not None else meta.get(
+        "current-snapshot-id"
+    )
+    if sid not in snaps:
+        raise ValueError(f"snapshot {sid} not found (have {sorted(snaps)})")
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": int(sid), "type": type}
+    meta["refs"] = refs
+    version = int(meta.get("_export_version", len(meta.get("snapshots", [])))) + 1
+    meta["_export_version"] = version
+    mdir = os.path.join(root, "metadata")
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    tmp = os.path.join(mdir, ".hint.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    return int(sid)
+
+
+def drop_iceberg_ref(root: str, name: str) -> None:
+    """Remove a named ref; the snapshot it pinned becomes expirable by
+    the next :func:`expire_iceberg_snapshots`. Unknown names raise."""
+    with open(_metadata_path(root)) as f:
+        meta = json.load(f)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"ref {name!r} not found (have {sorted(refs)})")
+    del refs[name]
+    meta["refs"] = refs
+    version = int(meta.get("_export_version", len(meta.get("snapshots", [])))) + 1
+    meta["_export_version"] = version
+    mdir = os.path.join(root, "metadata")
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    tmp = os.path.join(mdir, ".hint.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(mdir, "version-hint.text"))

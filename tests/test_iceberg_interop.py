@@ -2844,3 +2844,48 @@ def test_rewrite_manifests_compacts_metadata(spark, tmp_path):
             for r in read_iceberg(spark, root).collect()} == before
     # single-manifest table: no-op
     assert rewrite_iceberg_manifests(root) is None
+
+
+def test_ref_write_surface(spark, tmp_path):
+    """set_iceberg_ref / drop_iceberg_ref: tags pin snapshots through
+    expiry until dropped; read_iceberg(ref=) serves them; branches
+    move."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        drop_iceberg_ref,
+        expire_iceberg_snapshots,
+        export_iceberg,
+        set_iceberg_ref,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "refs")
+    t = SnapshotTable.create(
+        spark, root, "k bigint", bucket_key=["k"], num_buckets=2
+    )
+    t.append(spark.range(5).select(F.col("id").alias("k")))
+    assert export_iceberg(t) == 1
+    assert set_iceberg_ref(root, "v1.0") == 1  # defaults to current, tag
+    t.append(spark.range(5, 9).select(F.col("id").alias("k")))
+    assert export_iceberg(t) == 2
+    set_iceberg_ref(root, "main", type="branch")  # branch at 2
+    assert read_iceberg(spark, root, ref="v1.0").count() == 5
+    assert read_iceberg(spark, root, ref="main").count() == 9
+    # expiry: the tag protects snapshot 1
+    assert expire_iceberg_snapshots(root, keep_last=1) == []
+    assert read_iceberg(spark, root, ref="v1.0").count() == 5
+    # drop the tag: snapshot 1 becomes expirable
+    drop_iceberg_ref(root, "v1.0")
+    assert expire_iceberg_snapshots(root, keep_last=1) == [1]
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg(spark, root, ref="v1.0")
+    # validation
+    with pytest.raises(ValueError, match="tag"):
+        set_iceberg_ref(root, "x", type="head")
+    with pytest.raises(ValueError, match="not found"):
+        set_iceberg_ref(root, "x", snapshot_id=99)
+    with pytest.raises(ValueError, match="not found"):
+        drop_iceberg_ref(root, "nope")
