@@ -149,6 +149,14 @@ def optimize_delta(
         for f in schema.fields
     }
 
+    if not zorder_by:
+        # LIQUID-CLUSTERED table: a plain OPTIMIZE re-clusters along
+        # the declared columns (the reference engine's behavior for
+        # OPTIMIZE on a CLUSTER BY table) instead of bin-packing
+        declared = clustering_columns(root)
+        if declared:
+            zorder_by = declared
+
     zorder_phys: list[str] = []
     if zorder_by:
         zorder_by = list(zorder_by)
@@ -591,3 +599,108 @@ def vacuum_delta(
         os.path.relpath(d, root) if d.startswith(root) else d
         for d in dv_doomed
     )
+
+
+def clustering_columns(root: str) -> list[str]:
+    """The table's LIQUID-CLUSTERING declaration: the newest
+    ``delta.clustering`` domainMetadata's ``clusteringColumns`` in the
+    replayable JSON log (``removed: true`` clears it; absent = []).
+    Nested column paths gate — this engine clusters on top-level
+    columns. Spec shape: a list of name PATHS (``[["k"], ["ts"]]``)."""
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"not a delta table (no {DELTA_LOG_DIR}): {root}")
+    from .delta import _delta_commits
+
+    cols: list[str] = []
+    for _v, cpath in _delta_commits(log_dir):
+        with open(cpath) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                dm = a.get("domainMetadata")
+                if not dm or dm.get("domain") != "delta.clustering":
+                    continue
+                if dm.get("removed"):
+                    cols = []
+                    continue
+                try:
+                    paths = json.loads(dm.get("configuration") or "{}").get(
+                        "clusteringColumns", []
+                    )
+                except ValueError:
+                    continue
+                out = []
+                for p in paths:
+                    parts = p if isinstance(p, list) else [p]
+                    if len(parts) != 1:
+                        raise DeltaProtocolError(
+                            f"nested clustering column path {parts} is "
+                            "not supported (top-level columns only)"
+                        )
+                    out.append(parts[0])
+                cols = out
+    return cols
+
+
+def set_delta_clustering_columns(
+    root: str, columns: Sequence[str]
+) -> int:
+    """Declare (or with ``columns=[]`` clear) the table's clustering
+    columns — the writer-side half of liquid clustering: a
+    ``delta.clustering`` domainMetadata commit in the spec's shape,
+    after which a plain :func:`optimize_delta` (no ``zorder_by``)
+    RE-CLUSTERS along them instead of bin-packing, the reference
+    engine's OPTIMIZE-on-a-clustered-table behavior. Columns are
+    validated against the schema and the z-orderable types up front.
+    Returns the committed version."""
+    import uuid as _uuid
+
+    stats_of: dict[str, str] = {}
+    meta, _live, _dvs, last = _replay_log(root, stats_out=stats_of)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    by_name = {f.name: f for f in schema.fields}
+    for c in columns:
+        f = by_name.get(c)
+        if f is None:
+            raise ValueError(f"clustering names unknown column {c!r}")
+        if c in part_cols:
+            raise ValueError(
+                f"clustering column {c!r} is a partition column"
+            )
+        if f.dataType.typeName() not in _ZORDERABLE:
+            raise ValueError(
+                f"clustering column {c!r} has type "
+                f"{f.dataType.simpleString()}; clustering needs an "
+                f"order-preserving numeric cast ({_ZORDERABLE})"
+            )
+    version = last + 1
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    conf = dict(meta.get("configuration") or {})
+    ict_on = str(
+        conf.get("delta.enableInCommitTimestamps", "")
+    ).lower() == "true"
+    actions = [
+        _ict_commit_info(log_dir, version, operation="CLUSTER BY")
+        if ict_on
+        else {"commitInfo": {"operation": "CLUSTER BY",
+                             "engineInfo": "snapshot-export"}},
+        {
+            "domainMetadata": {
+                "domain": "delta.clustering",
+                "configuration": json.dumps(
+                    {"clusteringColumns": [[c] for c in columns]}
+                ),
+                "removed": False,
+            }
+        },
+    ]
+    tmp = os.path.join(log_dir, f".tmp-{_uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        for action in actions:
+            f.write(json.dumps(action) + "\n")
+    os.replace(tmp, os.path.join(log_dir, f"{version:020d}.json"))
+    return version

@@ -540,3 +540,55 @@ def test_vacuum_protects_optimize_window(spark, tmp_path):
     gone = vacuum_delta(root, retention_hours=0.0)
     assert sorted(gone) == ["f0.parquet", "f1.parquet"]
     assert read_delta(spark, root).count() == 4
+
+
+def test_liquid_clustering_declaration_drives_optimize(spark, tmp_path):
+    """set_delta_clustering_columns declares the spec's
+    delta.clustering domain; a PLAIN optimize_delta then re-clusters
+    along it (the reference's OPTIMIZE-on-a-clustered-table), and the
+    declaration round-trips the foreign shape."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_optimize import (
+        clustering_columns,
+        set_delta_clustering_columns,
+    )
+
+    root, df = _exported(spark, tmp_path)
+    assert clustering_columns(root) == []
+    with pytest.raises(ValueError, match="unknown column"):
+        set_delta_clustering_columns(root, ["nope"])
+    v = set_delta_clustering_columns(root, ["a", "b"])
+    assert v == 1
+    assert clustering_columns(root) == ["a", "b"]
+    # plain OPTIMIZE now z-orders by the declared columns
+    v2 = optimize_delta(spark, root, target_file_rows=2500)
+    assert v2 == 2
+    got = read_delta(spark, root)
+    n_files = len(got.inputFiles())
+    assert n_files >= 6
+    pruned = read_delta(
+        spark, root, predicates=[("a", "<", 10), ("b", "<", 10)]
+    )
+    assert len(pruned.inputFiles()) < n_files / 2
+    # content identical + CDF-invisible
+    assert got.exceptAll(df).count() == 0
+    assert df.exceptAll(got).count() == 0
+    assert read_delta_changes(spark, root, starting_version=v2).count() == 0
+    # clearing the declaration restores plain bin-packing
+    set_delta_clustering_columns(root, [])
+    assert clustering_columns(root) == []
+    v3 = optimize_delta(spark, root, target_file_rows=10**6)
+    assert v3 is not None
+    assert len(read_delta(spark, root).inputFiles()) == 1
+    # the FOREIGN shape reads too: nested paths gate honestly
+    _commit(root, v3 + 1, [
+        {"domainMetadata": {"domain": "delta.clustering",
+                            "configuration": json.dumps(
+                                {"clusteringColumns": [["a", "x"]]}),
+                            "removed": False}},
+    ])
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        DeltaProtocolError,
+    )
+
+    with pytest.raises(DeltaProtocolError, match="nested"):
+        clustering_columns(root)
