@@ -395,7 +395,9 @@ class DeltaStreamReader(DataSourceStreamReader):
                 if m and m in names
             ]
             cols += mats
-        table = pf.read(columns=cols)
+        from .io import localize_naive_timestamps
+
+        table = localize_naive_timestamps(pf.read(columns=cols))
         if rt is not None:
             if self._mat_id and self._mat_id in table.column_names:
                 rid_s = table.column(self._mat_id).to_pylist()

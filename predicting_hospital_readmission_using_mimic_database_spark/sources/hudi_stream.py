@@ -201,7 +201,9 @@ def _fold_group_state(base, logs, part, cols, prec):
                 [*cols, "_hoodie_commit_time", "_hoodie_record_key"]
             )
         )
-        t = pq.ParquetFile(base).read(columns=need)
+        from .io import localize_naive_timestamps
+
+        t = localize_naive_timestamps(pq.ParquetFile(base).read(columns=need))
         data = {c: t.column(c).to_pylist() for c in need}
         for i in range(t.num_rows):
             ct = data["_hoodie_commit_time"][i]
@@ -398,8 +400,12 @@ class HudiStreamReader(DataSourceStreamReader):
             return
         import pyarrow.parquet as pq
 
-        table = pq.ParquetFile(partition.path).read(
-            columns=[*partition.cols, "_hoodie_commit_time"]
+        from .io import localize_naive_timestamps
+
+        table = localize_naive_timestamps(
+            pq.ParquetFile(partition.path).read(
+                columns=[*partition.cols, "_hoodie_commit_time"]
+            )
         )
         cts = table.column("_hoodie_commit_time").to_pylist()
         data = {c: table.column(c).to_pylist() for c in partition.cols}

@@ -524,7 +524,11 @@ class IcebergStreamReader(DataSourceStreamReader):
                 if c in names
             ]
         if want or mat_cols:
-            table = pf.read(columns=sorted(set(want) | set(mat_cols)))
+            from .io import localize_naive_timestamps
+
+            table = localize_naive_timestamps(
+                pf.read(columns=sorted(set(want) | set(mat_cols)))
+            )
             data = {
                 c: table.column(c).to_pylist()
                 for c in set(want) | set(mat_cols)

@@ -337,3 +337,27 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink (interchange with non-columnar consumers);
     distributed writers, one file per partition."""
     df.write.mode(mode).json(path)
+
+
+def localize_naive_timestamps(table):
+    """pyarrow Table/batch with tz-NAIVE timestamp columns -> the same
+    data localized to UTC. Spark writes parquet timestamps naive
+    (INT96 / UTC session); the Python Data Source serializer calls
+    ``tz_convert`` on every timestamp value it ships, which RAISES on
+    naive ones — so every stream/datasource ``read()`` that hands
+    pyarrow values to Spark goes through this first. Nested types are
+    untouched (the engine's stream tables carry top-level
+    timestamps)."""
+    import pyarrow as pa
+
+    fields = []
+    changed = False
+    for f in table.schema:
+        if pa.types.is_timestamp(f.type) and f.type.tz is None:
+            fields.append(pa.field(f.name, pa.timestamp(f.type.unit, "UTC")))
+            changed = True
+        else:
+            fields.append(f)
+    if not changed:
+        return table
+    return table.cast(pa.schema(fields))

@@ -412,7 +412,11 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
 
         def _rows(paths):
             for p in paths:
-                for rec in _batches_to_table(p, cols).to_pylist():
+                from .io import localize_naive_timestamps
+
+                for rec in localize_naive_timestamps(
+                    _batches_to_table(p, cols)
+                ).to_pylist():
                     yield tuple(_freeze(rec[c]) for c in cols)
 
         if partition.op == "append":

@@ -507,3 +507,53 @@ def test_stream_row_tracking_composes_with_dv(spark, tmp_path):
                  startingVersion=0, rowTracking="true")
     # k=3 keeps _row_id 102: position-based, not survivor-renumbered
     assert got == [(1, 10, 100, 0, 0), (3, 30, 102, 0, 0)]
+
+
+def test_stream_serves_timestamp_columns(spark, tmp_path):
+    """Spark writes parquet timestamps tz-naive; the Python DS
+    serializer needs them tz-aware — the shared localize helper must
+    cover every stream source (a table with a ts column previously
+    crashed the worker)."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        export_delta_log,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "ts")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, ts timestamp", bucket_key=["k"],
+        num_buckets=2,
+    )
+    t.append(
+        spark.range(6).select(
+            F.col("id").alias("k"),
+            (
+                F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                + F.make_interval(hours=F.col("id"))
+            ).alias("ts"),
+        )
+    )
+    export_delta_log(t)
+    register_delta_stream(spark)
+    got = []
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", root).option("startingVersion", 0)
+        .load()
+        .writeStream.foreachBatch(
+            lambda d, _b: got.extend(
+                (r["k"], r["ts"]) for r in d.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(got) == 6
+    import datetime
+
+    by_k = dict(got)
+    assert by_k[3] == datetime.datetime(2026, 1, 1, 3)

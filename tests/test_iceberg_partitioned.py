@@ -248,3 +248,57 @@ def test_write_path_source_type_gates(spark, tmp_path):
         evolve_iceberg_partition_spec(dest, [("ts", "identity")])
     with pytest.raises(IcebergProtocolError, match="unsupported"):
         evolve_iceberg_partition_spec(dest, [("k", "bucket[x]")])
+
+
+def test_partitioned_export_streams_and_summary_prunes(spark, tmp_path):
+    """Composition: the partitioned export's manifests stream through
+    iceberg_stream (appends only, per-file partitions), and its
+    manifest-list field summaries drive the manifest-level pruning
+    tier (non-matching manifests never parsed)."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        manifest_summary_filter,
+        transform_value,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg_stream import (
+        register_iceberg_stream,
+    )
+
+    t, df = _src(spark, tmp_path)
+    dest = str(tmp_path / "ice")
+    export_iceberg_partitioned(spark, t, dest, partition_by=[("ts", "day")])
+    # second export = second manifest with its own day-range summary
+    t.append(df.select(
+        (F.col("k") + 10_000).alias("k"),
+        (F.col("ts") + F.make_interval(days=F.lit(30))).alias("ts"),
+        "grp", "tag",
+    ))
+    export_iceberg_partitioned(spark, t, dest)
+    # stream drain sees every row across both snapshots
+    register_iceberg_stream(spark)
+    got = []
+    q = (
+        spark.readStream.format("iceberg_stream")
+        .option("path", dest).option("startingSnapshotCount", 0)
+        .load()
+        .writeStream.foreachBatch(
+            lambda d, _b: got.extend(
+                (r["k"],) for r in d.select("k").collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(got) == 1200
+    # manifest-level pruning: a day filter admits only the covering
+    # manifest's record (the other export's summary excludes it)
+    with open(_metadata_path(dest)) as f:
+        meta = json.load(f)
+    snap = meta["snapshots"][-1]
+    _s, mrecs = read_avro(_localize(snap["manifest-list"], dest))
+    assert len(mrecs) == 2
+    probe = datetime.datetime(2026, 1, 2, 5)
+    keep = manifest_summary_filter(
+        meta, {"ts_day": transform_value("day", probe)}
+    )
+    kept = [m for m in mrecs if keep(m)]
+    assert len(kept) == 1, [m["manifest_path"] for m in mrecs]
