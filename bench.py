@@ -189,6 +189,7 @@ HEADLINE = [
     "s64_iceberg_partition_evolution",  # partitioned export + spec evolution (r11)
     "s65_iceberg_orphan_files",  # removeOrphanFiles GC (r11)
     "s66_delta_vacuum",  # retention-horizon data GC (r11)
+    "s67_delta_liquid_clustering",  # declaration-driven OPTIMIZE (r11)
 ]
 
 

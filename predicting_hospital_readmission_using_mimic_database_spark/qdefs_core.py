@@ -7561,3 +7561,78 @@ def q_s66(spark, sf):
         v0_failed = True
     assert v0_failed, "vacuumed time travel must fail at scan"
     return read_delta(spark, root)
+
+@query(
+    "s67_delta_liquid_clustering",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer
+    """,
+)
+def q_s67(spark, sf):
+    """S67 — LIQUID CLUSTERING surface (sources/delta_optimize.py
+    ``set_delta_clustering_columns`` / ``clustering_columns``): the
+    declaration is table STATE (the spec's ``delta.clustering``
+    domainMetadata, clusteringColumns as name paths), and a PLAIN
+    ``optimize_delta`` on a declared table RE-CLUSTERS along it
+    instead of bin-packing — the reference engine's OPTIMIZE-on-a-
+    CLUSTER-BY-table behavior. The fixture exports 12 small files,
+    declares CLUSTER BY (c_custkey, cents), and runs optimize with NO
+    zorder_by: the two-dim predicate plans at most half the files
+    (asserted — bin-packing alone could not make both dims selective),
+    the re-layout is invisible to CDF (asserted zero rows), and
+    clearing the declaration restores plain bin-packing (asserted: one
+    file). DuckDB recomputes the full table — a clustering that
+    dropped or duplicated a row breaks the row-level hash."""
+    from .sources.delta import (
+        export_delta_log,
+        read_delta,
+        read_delta_changes,
+    )
+    from .sources.delta_optimize import (
+        clustering_columns,
+        optimize_delta,
+        set_delta_clustering_columns,
+    )
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s67", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    for m in (0, 1, 2):
+        t.append(c.filter(F.col("c_custkey") % 3 == m))
+        export_delta_log(t)
+    n_rows = c.count()
+    v = set_delta_clustering_columns(t.root, ["c_custkey", "cents"])
+    assert clustering_columns(t.root) == ["c_custkey", "cents"]
+    v2 = optimize_delta(
+        spark, t.root, target_file_rows=max(1, n_rows // 8)
+    )
+    assert v2 == v + 1
+    got = read_delta(spark, t.root)
+    n_files = len(got.inputFiles())
+    k_hi = int(c.agg(F.expr("percentile_approx(c_custkey, 0.9)")).collect()[0][0])
+    c_hi = int(c.agg(F.expr("percentile_approx(cents, 0.9)")).collect()[0][0])
+    planned = len(
+        read_delta(
+            spark, t.root,
+            predicates=[("c_custkey", ">=", k_hi), ("cents", ">=", c_hi)],
+        ).inputFiles()
+    )
+    assert planned <= max(1, n_files // 2), (planned, n_files)
+    assert read_delta_changes(spark, t.root, starting_version=v2).count() == 0
+    # clearing the declaration restores plain bin-packing
+    set_delta_clustering_columns(t.root, [])
+    v3 = optimize_delta(spark, t.root, target_file_rows=10**9)
+    assert v3 is not None
+    assert len(read_delta(spark, t.root).inputFiles()) == 1
+    return read_delta(spark, t.root)

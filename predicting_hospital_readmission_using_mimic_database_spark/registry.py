@@ -40,7 +40,7 @@ _LOADED = False
 # (every round so far checked exactly the first 50 entries). The
 # cross-round union covers all entries — every one has appeared
 # hash-green in a shipped driver artifact. Round-11 window:
-# (a) every entry new or code-changed THIS round — the 21 new
+# (a) every entry new or code-changed THIS round — the 22 new
 # round-11 entries (st22 stream nested evolution + v3 defaults, s49
 # changelog delete replay, s50 CDF-correct Delta export, st23/st24
 # stream row lineage, s51/s52/s53 MOR export + compaction +
@@ -49,7 +49,8 @@ _LOADED = False
 # s57 expire / s58 clean / s59 log truncate, s60 sort clustering,
 # s61 manifest compaction, s62 log-level Delta OPTIMIZE+ZORDER,
 # s63 Iceberg rewriteDataFiles, s64 partitioned export + spec
-# evolution, s65 removeOrphanFiles, and s66 Delta VACUUM); s47/st21 after the
+# evolution, s65 removeOrphanFiles, s66 Delta VACUUM, and s67
+# liquid clustering); s47/st21 after the
 # changelog replay rewrite; st16/st19 after the stream read-loop
 # changes; s41/s44/s45/s46 after their fixture builders were shared
 # with the new stream entries; s16/s40/s43 after export_delta_log
@@ -84,6 +85,7 @@ PRIORITY: tuple[str, ...] = (
     "s64_iceberg_partition_evolution",
     "s65_iceberg_orphan_files",
     "s66_delta_vacuum",
+    "s67_delta_liquid_clustering",
     # (a) code-changed in round 11
     "s47_iceberg_changelog",
     "st21_stream_iceberg_changelog",
@@ -98,7 +100,6 @@ PRIORITY: tuple[str, ...] = (
     "s43_hudi_partitioned_export",
     # (a') recent lakehouse representatives adjacent to the round-11
     # machinery
-    "s42_hudi_cdc_infer",
     "st20_stream_hudi_cdc",
     "s28_delta_cdf",
     "st17_stream_delta_cdf",

@@ -53,13 +53,14 @@ def test_first_50_entries_cover_every_family():
                  "s64_iceberg_partition_evolution",
                  "s65_iceberg_orphan_files",
                  "s66_delta_vacuum",
+                 "s67_delta_liquid_clustering",
                  "s47_iceberg_changelog", "st21_stream_iceberg_changelog",
                  "st16_stream_iceberg_tail", "st19_stream_delta_idmap",
                  "s41_iceberg_nested_evolution", "s44_iceberg_v3_defaults",
                  "s45_iceberg_row_lineage", "s46_delta_row_tracking",
                  "s16_delta_export", "s40_hudi_export",
                  "s43_hudi_partitioned_export",
-                 "s42_hudi_cdc_infer", "st20_stream_hudi_cdc",
+                 "st20_stream_hudi_cdc",
                  "s28_delta_cdf", "st17_stream_delta_cdf",
                  "flagship_readmit_30d"):
         assert must in names

@@ -168,6 +168,7 @@ AUDIT = [
     "s64_iceberg_partition_evolution",  # cross-spec partitioned read
     "s65_iceberg_orphan_files",  # post-GC partitioned read
     "s66_delta_vacuum",  # post-vacuum live read
+    "s67_delta_liquid_clustering",  # declaration-clustered read
 ]
 
 
