@@ -410,10 +410,10 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             return
         cols = partition.columns
 
+        from .io import localize_naive_timestamps
+
         def _rows(paths):
             for p in paths:
-                from .io import localize_naive_timestamps
-
                 for rec in localize_naive_timestamps(
                     _batches_to_table(p, cols)
                 ).to_pylist():
