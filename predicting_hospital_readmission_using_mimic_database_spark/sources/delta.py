@@ -632,7 +632,8 @@ def version_at_timestamp(root: str, ts_millis: int) -> int:
 
 
 def _write_checkpoint_file(
-    log_dir: str, version: int, meta: dict, adds: list[dict]
+    log_dir: str, version: int, meta: dict, adds: list[dict],
+    protocol: dict | None = None,
 ) -> None:
     """Write a classic SINGLE-FILE parquet checkpoint for ``version``
     (one row per action: protocol, metaData, every live add) plus the
@@ -643,7 +644,14 @@ def _write_checkpoint_file(
     import pyarrow.parquet as pq
 
     protocol_t = pa.struct(
-        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            # feature-versioned tables (DVs, row tracking) must keep
+            # their declarations through a checkpoint replay
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
     )
     meta_t = pa.struct(
         [
@@ -662,10 +670,32 @@ def _write_checkpoint_file(
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            # row-tracking stamps + deletion-vector descriptors are
+            # LIVE-FILE STATE: a checkpoint that dropped them would
+            # corrupt any replay that starts from it (the loader
+            # restores whatever the add struct carries) — all-null on
+            # tables without the features, per the spec's checkpoint
+            # schema
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
+            (
+                "deletionVector",
+                pa.struct(
+                    [
+                        ("storageType", pa.string()),
+                        ("pathOrInlineDv", pa.string()),
+                        ("offset", pa.int32()),
+                        ("sizeInBytes", pa.int32()),
+                        ("cardinality", pa.int64()),
+                    ]
+                ),
+            ),
         ]
     )
     n = 2 + len(adds)
-    proto_col = [{"minReaderVersion": 1, "minWriterVersion": 2}] + [None] * (n - 1)
+    proto_col = [
+        protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    ] + [None] * (n - 1)
     meta_row = {
         "id": meta["id"],
         "format": {"provider": "parquet"},
@@ -682,6 +712,19 @@ def _write_checkpoint_file(
             "modificationTime": a.get("modificationTime", 0),
             "dataChange": False,  # checkpoint rows are state, not changes
             "stats": a.get("stats"),
+            "baseRowId": a.get("baseRowId"),
+            "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
+            "deletionVector": (
+                {
+                    "storageType": dv.get("storageType"),
+                    "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                    "offset": dv.get("offset"),
+                    "sizeInBytes": dv.get("sizeInBytes"),
+                    "cardinality": dv.get("cardinality"),
+                }
+                if (dv := a.get("deletionVector"))
+                else None
+            ),
         }
         for a in adds
     ]

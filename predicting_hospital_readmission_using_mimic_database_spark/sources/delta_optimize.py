@@ -83,6 +83,7 @@ def optimize_delta(
     target_file_rows: int = 1_000_000,
     bits: int = 12,
     partitions: dict | None = None,
+    checkpoint_interval: int = 10,
 ) -> int | None:
     """OPTIMIZE the Delta table at ``root``: bin-pack small live files
     (and purge any live deletion vectors) into ``ceil(rows /
@@ -116,6 +117,13 @@ def optimize_delta(
     not be preserved / sized). Row tracking otherwise survives via
     materialized lineage columns; config keys naming them are added in
     this commit when the table has not declared them yet.
+
+    Every ``checkpoint_interval`` versions (same cadence as the
+    export; 0 disables) the commit also writes a classic parquet
+    CHECKPOINT of the post-commit state — carrying stats, row-tracking
+    stamps, deletion vectors, and the table's DECLARED protocol, so a
+    replay (or ``truncate_delta_log``) from it loses nothing an
+    optimize-heavy history accumulated.
     """
     if target_file_rows < 1:
         raise ValueError("target_file_rows must be >= 1")
@@ -480,6 +488,8 @@ def optimize_delta(
         for action in actions:
             f.write(json.dumps(action) + "\n")
     os.replace(tmp, os.path.join(log_dir, f"{version:020d}.json"))
+    if checkpoint_interval and version % checkpoint_interval == 0:
+        _write_optimize_checkpoint(root, log_dir, version)
     return version
 
 
@@ -704,3 +714,70 @@ def set_delta_clustering_columns(
             f.write(json.dumps(action) + "\n")
     os.replace(tmp, os.path.join(log_dir, f"{version:020d}.json"))
     return version
+
+
+def _declared_protocol(log_dir: str) -> dict | None:
+    """The table's newest protocol action: JSON commits first (last
+    wins), else the newest classic checkpoint's protocol row — a
+    checkpoint written with the legacy default must not UNDERSTATE a
+    feature-versioned table's declaration."""
+    from .delta import _checkpoints, _delta_commits
+
+    proto = None
+    for _v, cpath in _delta_commits(log_dir):
+        with open(cpath) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "protocol" in a:
+                    proto = dict(a["protocol"])
+    if proto is not None:
+        return proto
+    cps = _checkpoints(log_dir)
+    if not cps:
+        return None
+    import pyarrow.parquet as pq
+
+    for part in cps[max(cps)]:
+        pf = pq.ParquetFile(part)
+        if "protocol" not in pf.schema_arrow.names:
+            continue
+        for row in pf.read(columns=["protocol"]).column("protocol").to_pylist():
+            if row is not None:
+                return {k: v for k, v in dict(row).items() if v is not None}
+    return None
+
+
+def _write_optimize_checkpoint(root: str, log_dir: str, version: int) -> None:
+    """Classic checkpoint of the post-commit state: live adds with
+    stats, row-tracking stamps, and deletion vectors, plus the
+    DECLARED protocol — replayed fresh so the checkpoint is exactly
+    what a reader at this version reconstructs."""
+    from .delta import _write_checkpoint_file
+
+    st: dict[str, str] = {}
+    ri: dict[str, tuple] = {}
+    meta2, live2, dvs2, _last = _replay_log(
+        root, version, stats_out=st, rowids_out=ri
+    )
+    adds = []
+    for rel in sorted(live2):
+        a = {
+            "path": rel,
+            "partitionValues": dict(live2[rel] or {}),
+            "size": os.path.getsize(os.path.join(root, rel))
+            if os.path.exists(os.path.join(root, rel)) else 0,
+            "modificationTime": 0,
+            "stats": st.get(rel),
+        }
+        if rel in ri:
+            a["baseRowId"], a["defaultRowCommitVersion"] = ri[rel]
+        if rel in dvs2:
+            a["deletionVector"] = dict(dvs2[rel])
+        adds.append(a)
+    _write_checkpoint_file(
+        log_dir, version, meta2, adds,
+        protocol=_declared_protocol(log_dir),
+    )

@@ -277,8 +277,9 @@ def test_row_tracking_identity_preserved(spark, tmp_path):
     _commit(root, 0, [
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
                       "writerFeatures": ["rowTracking"]}},
-        _meta([("k", "long"), ("bal", "long")],
-              configuration={"delta.enableRowTracking": "true"}),
+        _meta([("k", "long"), ("bal", "long"), ("seg", "string")],
+              configuration={"delta.enableRowTracking": "true"},
+              partition_cols=["seg"]),
         {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
                  "modificationTime": 0, "dataChange": True,
                  "baseRowId": 1000, "defaultRowCommitVersion": 0,
@@ -592,3 +593,78 @@ def test_liquid_clustering_declaration_drives_optimize(spark, tmp_path):
 
     with pytest.raises(DeltaProtocolError, match="nested"):
         clustering_columns(root)
+
+
+def test_optimize_checkpoint_preserves_feature_state(spark, tmp_path):
+    """OPTIMIZE's checkpoint carries row-tracking stamps, DV
+    descriptors, stats, and the DECLARED protocol — so a replay that
+    starts from it (truncate_delta_log) loses nothing."""
+    import glob
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        truncate_delta_log,
+    )
+
+    root = str(tmp_path / "ckrt")
+    os.makedirs(root)
+    for name, lo, base in (("a", 0, 1000), ("b", 100, 2000),
+                           ("a2", 200, 3000)):
+        pq.write_table(
+            pa.table({"k": pa.array(range(lo, lo + 100), type=pa.int64()),
+                      "bal": pa.array([i * 2 for i in range(100)],
+                                      type=pa.int64())}),
+            os.path.join(root, f"{name}.parquet"),
+        )
+    desc = write_dv_file(os.path.join(root, "dv1.bin"), [0, 5])
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors",
+                                         "rowTracking"]}},
+        _meta([("k", "long"), ("bal", "long"), ("seg", "string")],
+              configuration={"delta.enableRowTracking": "true"},
+              partition_cols=["seg"]),
+        {"add": {"path": "a.parquet", "partitionValues": {"seg": "A"},
+                 "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 1000, "defaultRowCommitVersion": 0,
+                 "stats": json.dumps({"numRecords": 100})}},
+        {"add": {"path": "b.parquet", "partitionValues": {"seg": "B"},
+                 "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 2000, "defaultRowCommitVersion": 0,
+                 "deletionVector": desc,
+                 "stats": json.dumps({"numRecords": 100})}},
+        {"add": {"path": "a2.parquet", "partitionValues": {"seg": "A"},
+                 "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 3000, "defaultRowCommitVersion": 0,
+                 "stats": json.dumps({"numRecords": 100})}},
+    ])
+    before = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, row_tracking=True).collect()
+    }
+    assert len(before) == 298  # 2 rows struck by the DV
+    # optimize ONLY partition A (leave b's DV live so the checkpoint
+    # must carry a descriptor); a lone small file still rewrites when
+    # its partition is explicitly scoped? no — pair it with a split
+    v = optimize_delta(
+        spark, root, target_file_rows=10**6, checkpoint_interval=1,
+        partitions={"seg": "A"},
+    )
+    assert v == 1
+    cp = glob.glob(os.path.join(root, "_delta_log", "*.checkpoint.parquet"))
+    assert len(cp) == 1
+    # truncate everything below the checkpoint: replay now STARTS there
+    deleted = truncate_delta_log(root, keep_versions=1)
+    assert deleted == [0]
+    # protocol, DV, stamps, and stats all survive the checkpoint replay
+    after = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, row_tracking=True).collect()
+    }
+    assert after == before
+    _, live, dvs, _ = _replay_log(root)
+    assert len(dvs) == 1  # b's vector still applies
+    assert read_delta(spark, root).count() == 298
