@@ -7432,15 +7432,16 @@ def q_s65(spark, sf):
     hidden = os.path.join(dest, "data", ".staged.parquet")
     for p in (stray1, stray2, hidden):
         _shutil.copyfile(real, p)
-    assert remove_orphan_iceberg_files(dest, dry_run=True) == sorted(
-        [stray1, stray2]
-    )
-    assert os.path.exists(stray1)  # dry run touches nothing
-    # the official default posture: young files are in-flight, not orphans
+    cutoff = int(_time.time() * 1000) + 60_000  # strays are "old" vs this
     assert remove_orphan_iceberg_files(
-        dest, older_than_ms=int(_time.time() * 1000) - 3_600_000
-    ) == []
-    gone = remove_orphan_iceberg_files(dest)
+        dest, older_than_ms=cutoff, dry_run=True
+    ) == sorted([stray1, stray2])
+    assert os.path.exists(stray1)  # dry run touches nothing
+    # the official DEFAULT posture (now - 3 days): a just-staged file is
+    # an in-flight write, not an orphan — the default deletes nothing
+    assert remove_orphan_iceberg_files(dest) == []
+    assert os.path.exists(stray1)
+    gone = remove_orphan_iceberg_files(dest, older_than_ms=cutoff)
     assert gone == sorted([stray1, stray2])
     assert os.path.exists(hidden)  # staging files are never scanned
     got = read_iceberg(spark, dest)

@@ -278,7 +278,7 @@ def _physical_type(dt):
 
 
 class _State:
-    __slots__ = ("meta", "live", "dvs", "stats", "rowids")
+    __slots__ = ("meta", "live", "dvs", "stats", "rowids", "domains")
 
     def __init__(self):
         self.meta: dict | None = None
@@ -291,6 +291,20 @@ class _State:
         #: data path -> (baseRowId, defaultRowCommitVersion) — the
         #: rowTracking writer feature's per-file lineage stamps
         self.rowids: dict[str, tuple] = {}
+        #: domain name -> configuration JSON string for LIVE
+        #: domainMetadata (removed:true tombstones the domain). Spec:
+        #: checkpoints MUST carry these, so truncating the log below a
+        #: checkpoint cannot lose clustering / row-id-watermark state.
+        self.domains: dict[str, str] = {}
+
+    def domain(self, dm: dict) -> None:
+        name = dm.get("domain")
+        if not name:
+            return
+        if dm.get("removed"):
+            self.domains.pop(name, None)
+        else:
+            self.domains[name] = dm.get("configuration") or "{}"
 
     def add(self, a: dict) -> None:
         path = unquote(a["path"])
@@ -371,6 +385,8 @@ def _load_checkpoint_v2(fmt: str, path: str, log_dir: str, state: _State) -> Non
             state.meta = _check_meta(row)
         elif kind == "add":
             state.add(row)
+        elif kind == "domainMetadata":
+            state.domain(row)
         elif kind == "sidecar":
             sp = row["path"]
             if not os.path.isabs(sp) and "://" not in sp:
@@ -378,6 +394,7 @@ def _load_checkpoint_v2(fmt: str, path: str, log_dir: str, state: _State) -> Non
             sidecars.append(sp)
         # remove: tombstone; checkpointMetadata/txn: no live state
 
+    kinds = ("protocol", "metaData", "add", "domainMetadata", "sidecar")
     if fmt == "json":
         with open(path) as f:
             for line in f:
@@ -385,13 +402,13 @@ def _load_checkpoint_v2(fmt: str, path: str, log_dir: str, state: _State) -> Non
                 if not line:
                     continue
                 a = json.loads(line)
-                for kind in ("protocol", "metaData", "add", "sidecar"):
+                for kind in kinds:
                     if kind in a:
                         act(kind, a[kind])
     else:
-        _read_action_parquet(path, ("protocol", "metaData", "add", "sidecar"), act)
+        _read_action_parquet(path, kinds, act)
     for sp in sidecars:
-        _read_action_parquet(sp, ("add",), act)
+        _read_action_parquet(sp, ("add", "domainMetadata"), act)
 
 
 def _read_action_parquet(path: str, kinds: tuple[str, ...], act) -> None:
@@ -442,7 +459,7 @@ def _load_checkpoint(paths: list[str], state: _State) -> None:
     for path in paths:
         pf = pq.ParquetFile(path)
         cols = [
-            c for c in ("protocol", "metaData", "add")
+            c for c in ("protocol", "metaData", "add", "domainMetadata")
             if c in pf.schema_arrow.names
         ]
         table = pf.read(columns=cols)
@@ -456,6 +473,8 @@ def _load_checkpoint(paths: list[str], state: _State) -> None:
                     row = dict(row)
                     row["configuration"] = _plain(row.get("configuration")) or {}
                     state.meta = _check_meta(row)
+                elif col == "domainMetadata":
+                    state.domain(dict(row))
                 else:
                     row = dict(row)
                     row["partitionValues"] = _plain(row.get("partitionValues")) or {}
@@ -464,7 +483,7 @@ def _load_checkpoint(paths: list[str], state: _State) -> None:
 
 def _replay_log(
     root: str, version: int | None = None, stats_out: dict | None = None,
-    rowids_out: dict | None = None,
+    rowids_out: dict | None = None, domains_out: dict | None = None,
 ) -> tuple[dict, dict[str, dict], int]:
     """Replay ``_delta_log`` up to ``version`` (inclusive; None =
     latest): start from the newest usable parquet CHECKPOINT at or
@@ -540,6 +559,8 @@ def _replay_log(
                     state.add(action["add"])
                 elif "remove" in action:
                     state.remove(action["remove"]["path"])
+                elif "domainMetadata" in action:
+                    state.domain(action["domainMetadata"])
                 # commitInfo / txn / cdc: metadata-only, ignored
     if version is not None and last != version:
         raise ValueError(
@@ -554,6 +575,8 @@ def _replay_log(
         stats_out.update(state.stats)
     if rowids_out is not None:
         rowids_out.update(state.rowids)
+    if domains_out is not None:
+        domains_out.update(state.domains)
     return state.meta, state.live, state.dvs, last
 
 
@@ -633,13 +656,18 @@ def version_at_timestamp(root: str, ts_millis: int) -> int:
 
 def _write_checkpoint_file(
     log_dir: str, version: int, meta: dict, adds: list[dict],
-    protocol: dict | None = None,
+    protocol: dict | None = None, domains: dict[str, str] | None = None,
 ) -> None:
     """Write a classic SINGLE-FILE parquet checkpoint for ``version``
-    (one row per action: protocol, metaData, every live add) plus the
-    ``_last_checkpoint`` pointer — the compaction real Delta writers
-    perform so readers replay from the checkpoint instead of commit 0.
-    Atomic: parquet staged then renamed, pointer written last."""
+    (one row per action: protocol, metaData, every live add, every LIVE
+    domainMetadata) plus the ``_last_checkpoint`` pointer — the
+    compaction real Delta writers perform so readers replay from the
+    checkpoint instead of commit 0. The spec requires checkpoints to
+    carry live domainMetadata: without it, truncating the log below the
+    checkpoint would silently lose the liquid-clustering declaration
+    (``delta.clustering``) and the row-id high watermark
+    (``delta.rowTracking``). Atomic: parquet staged then renamed,
+    pointer written last."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -692,7 +720,18 @@ def _write_checkpoint_file(
             ),
         ]
     )
-    n = 2 + len(adds)
+    domain_t = pa.struct(
+        [
+            ("domain", pa.string()),
+            ("configuration", pa.string()),
+            ("removed", pa.bool_()),
+        ]
+    )
+    dom_rows = [
+        {"domain": d, "configuration": cfg, "removed": False}
+        for d, cfg in sorted((domains or {}).items())
+    ]
+    n = 2 + len(adds) + len(dom_rows)
     proto_col = [
         protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
     ] + [None] * (n - 1)
@@ -703,7 +742,8 @@ def _write_checkpoint_file(
         "partitionColumns": list(meta.get("partitionColumns") or []),
         "configuration": dict(meta.get("configuration") or {}),
     }
-    meta_col = [None, meta_row] + [None] * len(adds)
+    meta_col = [None, meta_row] + [None] * (len(adds) + len(dom_rows))
+    dom_col = [None, None] + [None] * len(adds) + dom_rows
     add_col = [None, None] + [
         {
             "path": a["path"],
@@ -728,13 +768,15 @@ def _write_checkpoint_file(
         }
         for a in adds
     ]
-    table = pa.table(
-        {
-            "protocol": pa.array(proto_col, type=protocol_t),
-            "metaData": pa.array(meta_col, type=meta_t),
-            "add": pa.array(add_col, type=add_t),
-        }
-    )
+    add_col = add_col + [None] * len(dom_rows)
+    cols = {
+        "protocol": pa.array(proto_col, type=protocol_t),
+        "metaData": pa.array(meta_col, type=meta_t),
+        "add": pa.array(add_col, type=add_t),
+    }
+    if dom_rows:
+        cols["domainMetadata"] = pa.array(dom_col, type=domain_t)
+    table = pa.table(cols)
     final = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
     tmp = final + ".tmp"
     pq.write_table(table, tmp)
@@ -744,6 +786,43 @@ def _write_checkpoint_file(
     with open(tmp, "w") as f:
         json.dump({"version": version, "size": n}, f)
     os.replace(tmp, ptr)
+
+
+def _declared_protocol(log_dir: str) -> dict | None:
+    """The table's newest protocol action: JSON commits first (last
+    wins), else the newest classic checkpoint's protocol row — a
+    checkpoint written with the legacy default must not UNDERSTATE a
+    feature-versioned table's declaration (e.g. an exported log whose
+    v0 declares minWriterVersion 7 with writerFeatures
+    [inCommitTimestamp, changeDataFeed] must keep that through every
+    checkpoint, or truncating v0 away makes the true protocol
+    unrecoverable and a foreign writer could legally commit without
+    ICT/CDF obligations)."""
+    proto = None
+    for _v, cpath in _delta_commits(log_dir):
+        with open(cpath) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "protocol" in a:
+                    proto = dict(a["protocol"])
+    if proto is not None:
+        return proto
+    cps = _checkpoints(log_dir)
+    if not cps:
+        return None
+    import pyarrow.parquet as pq
+
+    for part in cps[max(cps)]:
+        pf = pq.ParquetFile(part)
+        if "protocol" not in pf.schema_arrow.names:
+            continue
+        for row in pf.read(columns=["protocol"]).column("protocol").to_pylist():
+            if row is not None:
+                return {k: v for k, v in dict(row).items() if v is not None}
+    return None
 
 
 def _now_ms() -> int:
@@ -904,6 +983,11 @@ def export_delta_log(table, checkpoint_interval: int = 10) -> int:
             f.write(json.dumps(action) + "\n")
     os.replace(tmp, os.path.join(log_dir, f"{version:020d}.json"))
     if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
+        # carry the log's DECLARED protocol and live domainMetadata —
+        # the legacy default {1, 2} would understate the export's
+        # feature declaration once truncation removes v0
+        dom: dict[str, str] = {}
+        _replay_log(root, domains_out=dom)
         _write_checkpoint_file(
             log_dir,
             version,
@@ -918,6 +1002,8 @@ def export_delta_log(table, checkpoint_interval: int = 10) -> int:
                 }
                 for rel in sorted(current)
             ],
+            protocol=_declared_protocol(log_dir),
+            domains=dom,
         )
     return version
 

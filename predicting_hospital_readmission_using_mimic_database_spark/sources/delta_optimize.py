@@ -59,6 +59,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from .delta import (
     DELTA_LOG_DIR,
     DeltaProtocolError,
+    _declared_protocol,
     _dv_positions_df,
     _ict_commit_info,
     _replay_log,
@@ -129,8 +130,9 @@ def optimize_delta(
         raise ValueError("target_file_rows must be >= 1")
     stats_of: dict[str, str] = {}
     rowids: dict[str, tuple] = {}
+    domains: dict[str, str] = {}
     meta, live, dvs, last = _replay_log(
-        root, stats_out=stats_of, rowids_out=rowids
+        root, stats_out=stats_of, rowids_out=rowids, domains_out=domains
     )
     conf = dict(meta.get("configuration") or {})
     mapping = str(conf.get("delta.columnMapping.mode", "none")).lower()
@@ -307,6 +309,18 @@ def optimize_delta(
                     "stamps past the occupied range"
                 )
             next_base = max(next_base, int(rowids[rel][0]) + n)
+        # the spec's high watermark is MONOTONIC: removed files may
+        # have occupied higher ranges than any live file, and the
+        # declared delta.rowTracking domain records every id ever
+        # issued — allocate past it, never below it
+        try:
+            existing_wm = json.loads(
+                domains.get("delta.rowTracking") or "{}"
+            ).get("rowIdHighWaterMark")
+        except ValueError:
+            existing_wm = None
+        if existing_wm is not None:
+            next_base = max(next_base, int(existing_wm) + 1)
 
     stats_cols = [pf.name for _f, pf in data_pairs]
     removes: list[dict] = []
@@ -540,8 +554,12 @@ def vacuum_delta(
     horizon = _time.time() * 1000 - retention_hours * 3600 * 1000
     #: path -> ("add"|"remove", deletionTimestamp) — LAST action wins
     last: dict[str, tuple] = {}
-    live_dv_paths: set[str] = set()
-    removed_dv: dict[str, str] = {}  # data path -> its remove-time DV file
+    #: DV container file -> every data path that EVER referenced it
+    #: (add or remove actions): one container can be shared by many
+    #: files at distinct offsets, so it is only collectable when ALL of
+    #: its referencing data files are — a sharer still inside the
+    #: retention window keeps the container alive for time travel
+    dv_refs: dict[str, set[str]] = {}
 
     def _dv_path(desc: dict) -> str | None:
         st = desc.get("storageType")
@@ -565,8 +583,7 @@ def vacuum_delta(
                     dv = a["add"].get("deletionVector")
                     dvp = _dv_path(dv) if dv else None
                     if dvp:
-                        live_dv_paths.add(dvp)
-                        removed_dv.pop(p, None)
+                        dv_refs.setdefault(dvp, set()).add(p)
                 elif "remove" in a:
                     from urllib.parse import unquote
 
@@ -576,30 +593,42 @@ def vacuum_delta(
                     dv = a["remove"].get("deletionVector")
                     dvp = _dv_path(dv) if dv else None
                     if dvp:
-                        removed_dv[p] = dvp
+                        dv_refs.setdefault(dvp, set()).add(p)
     # DVs referenced by the LIVE head stay, whatever history says
     meta, live, dvs, _last_v = _replay_log(root)
     head_dvs = {
         _dv_path(d) for d in dvs.values() if _dv_path(d) is not None
     }
+    #: every data path past the horizon, INCLUDING already-deleted ones
+    #: — a sharer vacuumed in an earlier pass must not pin its
+    #: container forever
+    collectable: set[str] = set()
     doomed: list[str] = []
-    dv_doomed: set[str] = set()
     for p, (kind, ts) in sorted(last.items()):
         if kind != "remove" or p in live:
             continue
         abs_p = p if os.path.isabs(p) else os.path.join(root, p)
-        if not os.path.exists(abs_p):
-            continue
+        on_disk = os.path.exists(abs_p)
         if not ts:
+            if not on_disk:
+                continue  # unstamped and gone: cannot date it — skip
             # legacy remove without a stamp: the reference falls back
             # to the file's modification time
             ts = os.path.getmtime(abs_p) * 1000
         if ts > horizon:
             continue  # inside the retention window
-        doomed.append(p)
-        dvp = removed_dv.get(p)
-        if dvp and dvp not in head_dvs and os.path.exists(dvp):
-            dv_doomed.add(dvp)
+        collectable.add(p)
+        if on_disk:
+            doomed.append(p)
+    doomed_set = set(doomed)
+    dv_doomed = {
+        dvp
+        for dvp, refs in dv_refs.items()
+        if dvp not in head_dvs
+        and refs & doomed_set  # this pass collects at least one sharer
+        and refs <= collectable  # and NO sharer is live or in-window
+        and os.path.exists(dvp)
+    }
     if not dry_run:
         for p in doomed:
             os.remove(p if os.path.isabs(p) else os.path.join(root, p))
@@ -612,47 +641,33 @@ def vacuum_delta(
 
 
 def clustering_columns(root: str) -> list[str]:
-    """The table's LIQUID-CLUSTERING declaration: the newest
-    ``delta.clustering`` domainMetadata's ``clusteringColumns`` in the
-    replayable JSON log (``removed: true`` clears it; absent = []).
-    Nested column paths gate — this engine clusters on top-level
-    columns. Spec shape: a list of name PATHS (``[["k"], ["ts"]]``)."""
-    log_dir = os.path.join(root, DELTA_LOG_DIR)
-    if not os.path.isdir(log_dir):
-        raise FileNotFoundError(f"not a delta table (no {DELTA_LOG_DIR}): {root}")
-    from .delta import _delta_commits
-
-    cols: list[str] = []
-    for _v, cpath in _delta_commits(log_dir):
-        with open(cpath) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                a = json.loads(line)
-                dm = a.get("domainMetadata")
-                if not dm or dm.get("domain") != "delta.clustering":
-                    continue
-                if dm.get("removed"):
-                    cols = []
-                    continue
-                try:
-                    paths = json.loads(dm.get("configuration") or "{}").get(
-                        "clusteringColumns", []
-                    )
-                except ValueError:
-                    continue
-                out = []
-                for p in paths:
-                    parts = p if isinstance(p, list) else [p]
-                    if len(parts) != 1:
-                        raise DeltaProtocolError(
-                            f"nested clustering column path {parts} is "
-                            "not supported (top-level columns only)"
-                        )
-                    out.append(parts[0])
-                cols = out
-    return cols
+    """The table's LIQUID-CLUSTERING declaration: the live
+    ``delta.clustering`` domainMetadata's ``clusteringColumns`` at the
+    replayed head (``removed: true`` clears it; absent = []). The
+    replay starts from the newest usable parquet CHECKPOINT — which
+    carries live domainMetadata per spec — so the declaration survives
+    ``truncate_delta_log`` deleting the commit that made it. Nested
+    column paths gate — this engine clusters on top-level columns.
+    Spec shape: a list of name PATHS (``[["k"], ["ts"]]``)."""
+    dom: dict[str, str] = {}
+    _replay_log(root, domains_out=dom)
+    raw = dom.get("delta.clustering")
+    if not raw:
+        return []
+    try:
+        paths = json.loads(raw).get("clusteringColumns", [])
+    except ValueError:
+        return []
+    out = []
+    for p in paths:
+        parts = p if isinstance(p, list) else [p]
+        if len(parts) != 1:
+            raise DeltaProtocolError(
+                f"nested clustering column path {parts} is "
+                "not supported (top-level columns only)"
+            )
+        out.append(parts[0])
+    return out
 
 
 def set_delta_clustering_columns(
@@ -716,51 +731,19 @@ def set_delta_clustering_columns(
     return version
 
 
-def _declared_protocol(log_dir: str) -> dict | None:
-    """The table's newest protocol action: JSON commits first (last
-    wins), else the newest classic checkpoint's protocol row — a
-    checkpoint written with the legacy default must not UNDERSTATE a
-    feature-versioned table's declaration."""
-    from .delta import _checkpoints, _delta_commits
-
-    proto = None
-    for _v, cpath in _delta_commits(log_dir):
-        with open(cpath) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                a = json.loads(line)
-                if "protocol" in a:
-                    proto = dict(a["protocol"])
-    if proto is not None:
-        return proto
-    cps = _checkpoints(log_dir)
-    if not cps:
-        return None
-    import pyarrow.parquet as pq
-
-    for part in cps[max(cps)]:
-        pf = pq.ParquetFile(part)
-        if "protocol" not in pf.schema_arrow.names:
-            continue
-        for row in pf.read(columns=["protocol"]).column("protocol").to_pylist():
-            if row is not None:
-                return {k: v for k, v in dict(row).items() if v is not None}
-    return None
-
-
 def _write_optimize_checkpoint(root: str, log_dir: str, version: int) -> None:
     """Classic checkpoint of the post-commit state: live adds with
     stats, row-tracking stamps, and deletion vectors, plus the
-    DECLARED protocol — replayed fresh so the checkpoint is exactly
+    DECLARED protocol and live domainMetadata (clustering declaration,
+    row-id watermark) — replayed fresh so the checkpoint is exactly
     what a reader at this version reconstructs."""
     from .delta import _write_checkpoint_file
 
     st: dict[str, str] = {}
     ri: dict[str, tuple] = {}
+    dom: dict[str, str] = {}
     meta2, live2, dvs2, _last = _replay_log(
-        root, version, stats_out=st, rowids_out=ri
+        root, version, stats_out=st, rowids_out=ri, domains_out=dom
     )
     adds = []
     for rel in sorted(live2):
@@ -780,4 +763,5 @@ def _write_optimize_checkpoint(root: str, log_dir: str, version: int) -> None:
     _write_checkpoint_file(
         log_dir, version, meta2, adds,
         protocol=_declared_protocol(log_dir),
+        domains=dom,
     )

@@ -488,6 +488,32 @@ def rewrite_iceberg_data_files(
 def remove_orphan_iceberg_files(
     root: str, older_than_ms: int | None = None, dry_run: bool = False
 ) -> list[str]:
+    """See module docstring continuation below — ``older_than_ms``
+    defaults to NOW MINUS 3 DAYS (the official action's young-file
+    protection), so an in-flight writer's just-staged file under
+    ``data/`` is never destroyed by a default invocation. Pass an
+    explicit epoch-millis cutoff to widen/narrow, or
+    ``older_than_ms=0`` never matches anything younger than epoch —
+    use ``remove_orphan_iceberg_files(root, older_than_ms=_NO_AGE_
+    PROTECTION)`` to disable protection entirely (tests/controlled
+    cleanup only)."""
+    if older_than_ms is None:
+        older_than_ms = int(time.time() * 1000) - 3 * 24 * 3600 * 1000
+    elif older_than_ms is _NO_AGE_PROTECTION:
+        older_than_ms = None
+    return _remove_orphan_iceberg_files(root, older_than_ms, dry_run)
+
+
+#: explicit opt-out sentinel for remove_orphan_iceberg_files's
+#: young-file protection — a dedicated object so a caller can never
+#: disable it by accident with a falsy value
+_NO_AGE_PROTECTION = object()
+NO_AGE_PROTECTION = _NO_AGE_PROTECTION
+
+
+def _remove_orphan_iceberg_files(
+    root: str, older_than_ms: int | None, dry_run: bool = False
+) -> list[str]:
     """removeOrphanFiles — the third maintenance leg next to snapshot
     expiry and the rewrites: delete files under the table's ``data/``
     directory that NO snapshot references (crashed writes, files staged

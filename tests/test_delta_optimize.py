@@ -668,3 +668,197 @@ def test_optimize_checkpoint_preserves_feature_state(spark, tmp_path):
     _, live, dvs, _ = _replay_log(root)
     assert len(dvs) == 1  # b's vector still applies
     assert read_delta(spark, root).count() == 298
+
+
+def test_vacuum_shared_dv_container_protected(spark, tmp_path):
+    """One DV container shared by two removed files: it survives while
+    ANY sharer is inside the retention window (deleting it would break
+    the time travel the horizon promises), and collects only when every
+    sharer — including ones already vacuumed off disk — is past it."""
+    import time
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_optimize import (
+        vacuum_delta,
+    )
+
+    root = str(tmp_path / "sdv")
+    os.makedirs(root)
+    for name in ("a", "b", "live"):
+        pq.write_table(
+            pa.table({"k": pa.array([1, 2], type=pa.int64())}),
+            os.path.join(root, f"{name}.parquet"),
+        )
+    desc = write_dv_file(os.path.join(root, "shared.bin"), [0])
+    now = int(time.time() * 1000)
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta([("k", "long")]),
+        {"add": {"path": "live.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 2})}},
+    ] + [
+        {"add": {"path": f"{n}.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": desc,
+                 "stats": json.dumps({"numRecords": 2})}}
+        for n in ("a", "b")
+    ])
+    # a removed 2h ago, b removed just now — both referencing shared.bin
+    _commit(root, 1, [
+        {"remove": {"path": "a.parquet", "dataChange": True,
+                    "deletionTimestamp": now - 7_200_000,
+                    "deletionVector": desc}},
+    ])
+    _commit(root, 2, [
+        {"remove": {"path": "b.parquet", "dataChange": True,
+                    "deletionTimestamp": now,
+                    "deletionVector": desc}},
+    ])
+    # 1h retention: a collects, but b still pins the shared container
+    gone = vacuum_delta(root, retention_hours=1.0)
+    assert gone == ["a.parquet"]
+    assert os.path.exists(os.path.join(root, "shared.bin"))
+    # b still inside the window itself
+    assert os.path.exists(os.path.join(root, "b.parquet"))
+    # horizon at now: every sharer (a already off disk) is collectable
+    gone2 = vacuum_delta(root, retention_hours=0.0)
+    assert gone2 == ["b.parquet", "shared.bin"]
+    assert not os.path.exists(os.path.join(root, "shared.bin"))
+    assert read_delta(spark, root).count() == 2  # live.parquet untouched
+
+
+def test_checkpoint_carries_clustering_domain(spark, tmp_path):
+    """The liquid-clustering declaration (delta.clustering
+    domainMetadata) survives a checkpoint + log truncation: a later
+    PLAIN optimize still re-clusters instead of bin-packing, per the
+    spec's requirement that checkpoints carry live domainMetadata."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        truncate_delta_log,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_optimize import (
+        _declared_protocol,
+        clustering_columns,
+        set_delta_clustering_columns,
+    )
+
+    root, df = _exported(spark, tmp_path)
+    assert set_delta_clustering_columns(root, ["a", "b"]) == 1
+    v = optimize_delta(spark, root, target_file_rows=10**6,
+                       checkpoint_interval=1)
+    assert v == 2
+    deleted = truncate_delta_log(root, keep_versions=1)
+    assert deleted == [0, 1]  # the declaring commit is GONE
+    # ...yet the declaration survives via the checkpoint's domain rows
+    assert clustering_columns(root) == ["a", "b"]
+    # and a plain OPTIMIZE still re-clusters along it
+    v2 = optimize_delta(spark, root, target_file_rows=2500)
+    assert v2 == 3
+    got = read_delta(spark, root)
+    n_files = len(got.inputFiles())
+    assert n_files >= 6
+    pruned = read_delta(
+        spark, root, predicates=[("a", "<", 10), ("b", "<", 10)]
+    )
+    assert len(pruned.inputFiles()) < n_files / 2
+    assert got.exceptAll(df).count() == 0
+    assert df.exceptAll(got).count() == 0
+    # the export's declared protocol also survived v0's deletion
+    proto = _declared_protocol(os.path.join(root, "_delta_log"))
+    assert proto["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+
+
+def test_export_checkpoint_declares_protocol(spark, tmp_path):
+    """export_delta_log's periodic checkpoint carries the log's real
+    protocol (minWriterVersion 7 + inCommitTimestamp/changeDataFeed),
+    not the legacy {1,2} default — so truncating v0 away cannot let a
+    foreign writer replay a weaker obligation set."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        truncate_delta_log,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_optimize import (
+        _declared_protocol,
+    )
+
+    df = spark.range(0, 200).select(F.col("id").alias("k"))
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(df)
+    assert export_delta_log(t, checkpoint_interval=1) == 0
+    t.append(df.select((F.col("k") + 1000).alias("k")))
+    assert export_delta_log(t, checkpoint_interval=1) == 1
+    deleted = truncate_delta_log(t.root, keep_versions=1)
+    assert deleted == [0]
+    proto = _declared_protocol(os.path.join(t.root, "_delta_log"))
+    assert proto["minWriterVersion"] == 7
+    assert set(proto["writerFeatures"]) == {"inCommitTimestamp",
+                                            "changeDataFeed"}
+    assert read_delta(spark, t.root).count() == 400
+
+
+def test_rowid_watermark_monotonic(spark, tmp_path):
+    """optimize_delta never DECREASES the delta.rowTracking high
+    watermark: removed files may have occupied higher id ranges than
+    any live file, and the domain records every id ever issued —
+    replacement stamps allocate PAST it, and the emitted watermark is
+    the max. The domain also survives a checkpoint + truncation."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        truncate_delta_log,
+    )
+
+    root = str(tmp_path / "wm")
+    os.makedirs(root)
+    for name, lo in (("a", 0), ("b", 100)):
+        pq.write_table(
+            pa.table({"k": pa.array(range(lo, lo + 100), type=pa.int64())}),
+            os.path.join(root, f"{name}.parquet"),
+        )
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["rowTracking", "domainMetadata"]}},
+        _meta([("k", "long")],
+              configuration={"delta.enableRowTracking": "true"}),
+        # removed history (not replayed here) issued ids up to 4999
+        {"domainMetadata": {"domain": "delta.rowTracking",
+                            "configuration": json.dumps(
+                                {"rowIdHighWaterMark": 4999}),
+                            "removed": False}},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 1000, "defaultRowCommitVersion": 0,
+                 "stats": json.dumps({"numRecords": 100})}},
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 2000, "defaultRowCommitVersion": 0,
+                 "stats": json.dumps({"numRecords": 100})}},
+    ])
+    before = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, row_tracking=True).collect()
+    }
+    v = optimize_delta(spark, root, target_file_rows=10**6,
+                       checkpoint_interval=1)
+    assert v == 1
+    rowids: dict = {}
+    domains: dict = {}
+    _replay_log(root, rowids_out=rowids, domains_out=domains)
+    (base, _ver), = rowids.values()
+    assert base == 5000  # past the DECLARED watermark, not just live files
+    wm = json.loads(domains["delta.rowTracking"])["rowIdHighWaterMark"]
+    assert wm == 5199  # 5000 + 200 rewritten rows - 1; never below 4999
+    # identity preserved through the rewrite
+    after = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, row_tracking=True).collect()
+    }
+    assert after == before
+    # the domain survives a checkpoint-rooted replay
+    assert truncate_delta_log(root, keep_versions=1) == [0]
+    domains2: dict = {}
+    _replay_log(root, domains_out=domains2)
+    assert json.loads(domains2["delta.rowTracking"])[
+        "rowIdHighWaterMark"] == 5199

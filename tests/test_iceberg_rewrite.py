@@ -366,16 +366,21 @@ def test_remove_orphan_files(spark, tmp_path):
     hidden = os.path.join(dest, "data", ".staged.parquet")
     for p in (stray1, stray2, hidden):
         _sh.copyfile(real, p)
+    cutoff = int(_time.time() * 1000) + 60_000
     # dry run lists exactly the two visible strays
-    listed = remove_orphan_iceberg_files(dest, dry_run=True)
+    listed = remove_orphan_iceberg_files(dest, older_than_ms=cutoff, dry_run=True)
     assert listed == sorted([stray1, stray2])
     assert os.path.exists(stray1)
-    # a young-file horizon protects in-flight writes
+    # an explicit young-file horizon protects in-flight writes...
     assert remove_orphan_iceberg_files(
         dest, older_than_ms=int(_time.time() * 1000) - 60_000
     ) == []
+    # ...and so does the DEFAULT (now - 3 days, the official posture):
+    # a just-staged file is never destroyed by a bare invocation
+    assert remove_orphan_iceberg_files(dest) == []
+    assert os.path.exists(stray1)
     # the real pass deletes them and nothing else
-    gone = remove_orphan_iceberg_files(dest)
+    gone = remove_orphan_iceberg_files(dest, older_than_ms=cutoff)
     assert gone == sorted([stray1, stray2])
     assert not os.path.exists(stray1) and not os.path.exists(stray2)
     after = read_iceberg(spark, dest)
@@ -387,5 +392,7 @@ def test_remove_orphan_files(spark, tmp_path):
     export_iceberg_partitioned(spark, t, dest)
     sid = rewrite_iceberg_data_files(spark, dest, target_file_rows=10**6)
     assert sid is not None
-    assert remove_orphan_iceberg_files(dest) == []
+    assert remove_orphan_iceberg_files(
+        dest, older_than_ms=int(_time.time() * 1000) + 60_000
+    ) == []
     assert read_iceberg(spark, dest, snapshot_id=1).count() == 400
