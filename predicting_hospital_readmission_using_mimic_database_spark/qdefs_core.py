@@ -7637,3 +7637,101 @@ def q_s67(spark, sf):
     assert v3 is not None
     assert len(read_delta(spark, t.root).inputFiles()) == 1
     return read_delta(spark, t.root)
+
+
+@query(
+    "s68_hudi_async_compaction",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey,
+           cents + CASE WHEN k % 7 = 0 THEN 555 ELSE 0 END
+                 + CASE WHEN k % 31 = 1 THEN 777 ELSE 0 END AS cents
+    FROM base WHERE k % 23 <> 0
+    """,
+)
+def q_s68(spark, sf):
+    """S68 — ASYNC COMPACTION timeline states (sources/hudi_export.py
+    ``schedule_compaction`` + plan-completing ``compact_hudi``;
+    sources/hudi.py ``_pending_compactions``): Hudi's
+    requested/inflight protocol — ``schedule_compaction`` writes a
+    ``{instant}.compaction.requested`` PLAN naming every logged
+    group's base+log files, taking the timeline slot without touching
+    data. While pending: readers keep folding the planned groups'
+    logs onto the OLD base, and a mid-pending merge's log appends
+    attach to the REQUESTED instant (the real log-writer rule), so
+    writes never block on the compactor. ``compact_hudi`` then
+    COMPLETES the plan AT its instant — marks ``compaction.inflight``,
+    folds exactly the planned slices (post-schedule rows are NOT
+    baked into the new bases; in-entry assert on the base files'
+    ``_hoodie_commit_time``), and lands the completing ``.commit``.
+    Lifecycle exercised: export MOR -> merge+delete as logs ->
+    SCHEDULE -> another merge lands MID-PENDING (asserted: zero new
+    base files, its log attaches to the plan instant, and the
+    mid-pending incremental feed is exactly that merge's rows) ->
+    COMPLETE (asserted: instant == the plan's, zero phantom rows
+    after it). DuckDB recomputes the final snapshot — a completion
+    that baked mid-pending rows into the base, dropped a tombstone,
+    or detached the pending chain breaks the row-level hash."""
+    import glob
+    import os
+
+    from .sources.hudi import read_hudi, read_hudi_incremental
+    from .sources.hudi_export import (
+        compact_hudi,
+        export_hudi,
+        schedule_compaction,
+    )
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s68", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    t.append(c)
+    dest = os.path.join(t.root, "hudi_mor")
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    k = F.col("c_custkey")
+    t.merge(c.filter(k % 7 == 0).withColumn(
+        "cents", F.col("cents") + 555
+    ))
+    t.delete(k % 23 == 0)
+    i2 = export_hudi(t, dest, table_type="MERGE_ON_READ")
+    # schedule: the plan takes the slot, nothing is rewritten
+    ci = schedule_compaction(dest)
+    assert ci is not None and ci > i2
+    assert os.path.exists(
+        os.path.join(dest, ".hoodie", f"{ci}.compaction.requested")
+    )
+    n_base = len(glob.glob(os.path.join(dest, "*.parquet")))
+    # mid-pending merge: logs route to the REQUESTED instant
+    upd2 = t.read().filter(k % 31 == 1).withColumn(
+        "cents", F.col("cents") + 777
+    )
+    n2 = upd2.count()
+    t.merge(upd2)
+    i3 = export_hudi(t, dest, table_type="MERGE_ON_READ")
+    assert i3 > ci
+    assert [f for f in os.listdir(dest) if f"_{ci}.log" in f]
+    assert len(glob.glob(os.path.join(dest, "*.parquet"))) == n_base
+    # mid-pending readers fold the pending chain onto the OLD base
+    assert read_hudi_incremental(spark, dest, begin=i2).count() == n2
+    # complete the plan AT its instant; post-schedule rows stay logs
+    assert compact_hudi(spark, dest) == ci
+    new_bases = glob.glob(os.path.join(dest, f"*_{ci}.parquet"))
+    assert new_bases
+    baked = spark.read.parquet(*new_bases)
+    assert baked.filter(F.col("_hoodie_commit_time") > ci).count() == 0
+    # compaction emitted ZERO phantom changes
+    assert read_hudi_incremental(spark, dest, begin=i3).count() == 0
+    return read_hudi(spark, dest)

@@ -66,7 +66,10 @@ META_COLS = (
     "_hoodie_file_name",
 )
 
-_INSTANT_RE = re.compile(r"^(\d{10,20})\.(\w+)$")
+#: action may be dotted (compaction.requested / compaction.inflight) —
+#: pending states occupy their timeline slot, so instant allocation in
+#: every writer (export/compact/clean/cluster) sorts strictly past them
+_INSTANT_RE = re.compile(r"^(\d{10,20})\.([\w.]+)$")
 #: fileId can contain dashes/uuid; writeToken is d-d-d; instant is digits
 _BASEFILE_RE = re.compile(r"^(.+)_([0-9\-]+)_(\d{10,20})(?:\..*)?\.parquet$")
 
@@ -179,6 +182,60 @@ def _clean_horizon(root: str) -> str | None:
         if e0 and (horizon is None or str(e0) > horizon):
             horizon = str(e0)
     return horizon
+
+
+def _pending_compactions(root: str) -> dict[str, dict]:
+    """ASYNC-COMPACTION timeline states: ``{instant: plan}`` for every
+    ``{instant}.compaction.requested`` (the schedule's compaction plan)
+    whose instant has NOT completed yet (no ``{instant}.commit``) — the
+    spec's requested/inflight states. Hudi keeps all three state files
+    on the active timeline, so pending = requested present AND
+    completed absent; the ``.inflight`` marker adds no information for
+    readers (a crashed compactor's plan stays completable). A
+    requested file whose plan JSON cannot be parsed raises — readers
+    must know which groups are under compaction to route their logs."""
+    tdir = os.path.join(root, HOODIE_DIR)
+    requested: dict[str, str] = {}
+    completed: set[str] = set()
+    for name in os.listdir(tdir):
+        m = _INSTANT_RE.match(name)
+        if not m:
+            continue
+        instant, action = m.group(1), m.group(2)
+        if action == "compaction.requested":
+            requested[instant] = os.path.join(tdir, name)
+        elif action in ("commit", "deltacommit", "replacecommit"):
+            completed.add(instant)
+    out: dict[str, dict] = {}
+    for instant in sorted(set(requested) - completed):
+        try:
+            with open(requested[instant]) as f:
+                plan = json.load(f)
+            plan["operations"]
+        except (OSError, ValueError, KeyError) as e:
+            raise HudiProtocolError(
+                f"unreadable compaction plan {instant}.compaction."
+                f"requested ({e}); pending file groups cannot be resolved"
+            ) from None
+        out[instant] = plan
+    return out
+
+
+def _pending_compaction_groups(root: str) -> dict[tuple[str, str], str]:
+    """``{(partition, fileId): compaction instant}`` for every file
+    group covered by a pending compaction plan. While pending, the
+    group's CURRENT slice is its old base + old logs + any log chain
+    attached to the compaction instant (mid-pending appends target the
+    requested instant, per Hudi's log-writer rule), and writers must
+    route new appends there."""
+    out: dict[tuple[str, str], str] = {}
+    for instant, plan in _pending_compactions(root).items():
+        for op in plan.get("operations", []):
+            p = op.get("partitionPath") or ""
+            key = (os.path.normpath(p) if p else ".", str(op["fileId"]))
+            if key not in out:  # earliest pending plan owns the group
+                out[key] = instant
+    return out
 
 
 def _replaced_groups(root: str, as_of: str | None) -> set[tuple[str, str]]:
@@ -378,12 +435,17 @@ def _slice_specs(
     groups, logs = _latest_slices(root, as_of, partitions, collect_logs=True)
     done = _completed_commits(root, allow_delta=True)
     done = {c for c in done if c <= as_of}
+    pending = _pending_compaction_groups(root)
     out: dict = {}
     for key in sorted(set(groups) | set(logs)):
         base = groups.get(key)
         lfs = sorted(logs.get(key, []))
         if base is not None:
-            lfs = [l for l in lfs if l[0] == base[0]]
+            # a pending compaction's log chain (attached to the
+            # requested instant, no base there yet) folds onto the OLD
+            # base until the plan completes
+            pi = pending.get(key)
+            lfs = [l for l in lfs if l[0] == base[0] or l[0] == pi]
         kept = []
         for _bi, _ver, lp in lfs:
             idxs, _mi = _gate_log_blocks(lp, done)
@@ -1657,16 +1719,22 @@ def _read_mor(
         # partition, so the untouched majority cannot carry changes)
         groups = {k: v for k, v in groups.items() if k in only_groups}
         logs = {k: v for k, v in logs.items() if k in only_groups}
+    pending = _pending_compaction_groups(root)
     if (predicates or record_keys) and groups:
         # metadata skipping on MOR: only LOG-FREE groups are prunable
         # from base-file stats/blooms — a committed log block may add
         # rows (or keys) the base file excludes, so logged groups
-        # always stay. Conservative, like every skipping path here.
+        # always stay. Conservative, like every skipping path here. A
+        # group whose only logs are a PENDING-compaction chain is
+        # logged too — those blocks fold onto this base.
         newest_file = max(groups.values())[1]
         logfree = {
             k: b
             for k, b in groups.items()
-            if not [l for l in logs.get(k, []) if l[0] == b[0]]
+            if not [
+                l for l in logs.get(k, [])
+                if l[0] == b[0] or l[0] == pending.get(k)
+            ]
         }
         kept = logfree
         if predicates:
@@ -1709,7 +1777,11 @@ def _read_mor(
         lfs = sorted(logs.get(key, []))
         if base is not None:
             base_of[key] = base
-            lfs = [l for l in lfs if l[0] == base[0]]
+            # mid-pending-compaction appends attach to the REQUESTED
+            # instant; until the plan completes they fold onto the old
+            # base (afterwards the new base at that instant owns them)
+            pi = pending.get(key)
+            lfs = [l for l in lfs if l[0] == base[0] or l[0] == pi]
         for l in lfs:
             key_of[l[2]] = key
         selected.extend(lfs)

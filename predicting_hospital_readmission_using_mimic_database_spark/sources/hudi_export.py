@@ -51,7 +51,10 @@ from pyspark.sql import functions as F
 
 from .hudi import HOODIE_DIR
 
-__all__ = ["clean_hudi", "cluster_hudi", "compact_hudi", "export_hudi"]
+__all__ = [
+    "clean_hudi", "cluster_hudi", "compact_hudi", "export_hudi",
+    "schedule_compaction",
+]
 
 _STATE_FILE = ".export-state.json"
 
@@ -666,11 +669,40 @@ def _export_mor_delta(
         # one log file per TARGET group, versioned after the existing
         # appends of the group's current slice (log-only groups keep
         # extending their own chain; a brand-new group starts one at
-        # this instant)
+        # this instant). A group under a PENDING COMPACTION routes its
+        # appends to a chain attached to the REQUESTED instant instead
+        # (Hudi's log-writer rule): readers fold that chain onto the
+        # old base while the plan is pending, and onto the compacted
+        # base once it completes — either way no write blocks on the
+        # compactor.
+        from .hudi import _pending_compaction_groups
+
+        pending = _pending_compaction_groups(dest)
         logpath: dict[tuple[str, int], str] = {}
         for pp, bk in sorted(targets):
             fid = f"b{bk:04d}"
             part = os.path.normpath(pp) if pp else "."
+            pi = pending.get((part, fid))
+            if pi is not None:
+                chain = [
+                    l for l in prev_logs.get((part, fid), []) if l[0] == pi
+                ]
+                if chain:
+                    _bi, ver, p = max(chain)
+                    d = os.path.dirname(p)
+                    nxt = ver + 1
+                else:
+                    if (part, fid) in prev_slices:
+                        d = os.path.dirname(prev_slices[(part, fid)][1])
+                    elif prev_logs.get((part, fid)):
+                        d = os.path.dirname(prev_logs[(part, fid)][0][2])
+                    else:
+                        d = dest if part == "." else os.path.join(dest, pp)
+                    nxt = 1
+                logpath[(pp, bk)] = os.path.join(
+                    d, HL.log_file_name(fid, pi, nxt)
+                )
+                continue
             if (part, fid) in prev_slices:
                 base_inst, base_path = prev_slices[(part, fid)]
                 d = os.path.dirname(base_path)
@@ -766,6 +798,98 @@ def _export_mor_delta(
     return written
 
 
+def _logged_groups(groups: dict, logs: dict) -> set[tuple[str, str]]:
+    """(partition, fileId) groups whose CURRENT slice carries log
+    files (chain attached to the base's instant) or that exist only as
+    logs — the candidates every compaction (inline or scheduled)
+    plans. Shared by :func:`schedule_compaction` / :func:`compact_hudi`."""
+    return {
+        k
+        for k, b in groups.items()
+        if [l for l in logs.get(k, []) if l[0] == b[0]]
+    } | {k for k, ls in logs.items() if ls and k not in groups}
+
+
+def schedule_compaction(dest: str) -> str | None:
+    """SCHEDULE an async compaction — the requested half of Hudi's
+    async-compaction protocol: allocate the next timeline instant and
+    write a ``{instant}.compaction.requested`` COMPACTION PLAN naming
+    every logged file group's base file and log chain AT SCHEDULE TIME
+    (groups already under a pending plan are excluded — one plan owns a
+    group). From this moment the timeline slot is taken: later
+    deltacommits allocate PAST it, new log appends for a planned group
+    attach to THIS instant (``_export_mor_delta``'s routing), readers
+    keep folding the old base + old logs + the new chain
+    (``hudi._pending_compaction_groups``), and :func:`compact_hudi`
+    COMPLETES the plan at this instant. Returns the scheduled instant,
+    or None when no group carries logs.
+
+    Plan shape divergence (documented): real Hudi serializes
+    HoodieCompactionPlan as avro inside the requested file; this
+    exporter's timeline metadata is JSON throughout, and the reader
+    (:func:`hudi._pending_compactions`) parses the same JSON shape —
+    ``{"operations": [{"partitionPath", "fileId", "baseInstantTime",
+    "baseFilePath", "deltaFilePaths"}], "version": 2}``.
+
+    Driver-side metadata only — one slice listing, no Spark job."""
+    from .hudi import (
+        _INSTANT_RE,
+        _latest_slices,
+        _pending_compactions,
+        _properties,
+    )
+
+    props = _properties(dest)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise ValueError(
+            "schedule_compaction targets MERGE_ON_READ tables "
+            "(COPY_ON_WRITE has no log files to compact)"
+        )
+    already: set[tuple[str, str]] = set()
+    for plan in _pending_compactions(dest).values():
+        for op in plan.get("operations", []):
+            p = op.get("partitionPath") or ""
+            already.add(
+                (os.path.normpath(p) if p else ".", str(op["fileId"]))
+            )
+    groups, logs = _latest_slices(dest, None, None, collect_logs=True)
+    logged = sorted(_logged_groups(groups, logs) - already)
+    if not logged:
+        return None
+    hdir = os.path.join(dest, HOODIE_DIR)
+    taken = [
+        m.group(1)
+        for m in (_INSTANT_RE.match(n) for n in os.listdir(hdir))
+        if m
+    ]
+    inst = f"{int(max(taken)) + 1:014d}"
+    ops = []
+    for part, fid in logged:
+        base = groups.get((part, fid))
+        chain = sorted(logs.get((part, fid), []))
+        if base is not None:
+            chain = [l for l in chain if l[0] == base[0]]
+        ops.append(
+            {
+                "partitionPath": "" if part == "." else part,
+                "fileId": fid,
+                "baseInstantTime": base[0] if base is not None else None,
+                "baseFilePath": (
+                    os.path.relpath(base[1], dest)
+                    if base is not None else None
+                ),
+                "deltaFilePaths": [
+                    os.path.relpath(p, dest) for _bi, _v, p in chain
+                ],
+            }
+        )
+    tmp = os.path.join(hdir, f".{inst}.compaction.requested.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"operations": ops, "version": 2}, f)
+    os.replace(tmp, os.path.join(hdir, f"{inst}.compaction.requested"))
+    return inst
+
+
 def compact_hudi(spark, dest: str) -> str | None:
     """COMPACT a MERGE_ON_READ table's LOGGED file groups — the
     maintenance action real Hudi schedules so read amplification stays
@@ -791,15 +915,29 @@ def compact_hudi(spark, dest: str) -> str | None:
     group so each (partition, fileId) emits exactly one new base file.
     A group whose fold is EMPTY (every key tombstoned) still gets an
     empty base file — otherwise its stale logs would stay current and
-    the next compaction would re-plan it forever."""
+    the next compaction would re-plan it forever.
+
+    ASYNC MODE: when the timeline carries a pending
+    ``{instant}.compaction.requested`` plan (:func:`schedule_
+    compaction`), this call COMPLETES the earliest one instead of
+    planning fresh — it marks the instant ``compaction.inflight``,
+    folds exactly the PLANNED slices (the fold runs at
+    ``as_of=instant``, so deltacommits that landed AFTER the schedule
+    — whose log appends attach to this very instant — are NOT baked
+    into the new base; they stay as the chain the new base now owns),
+    writes the new base files AT the plan's instant, and lands the
+    completing ``{instant}.commit``. All three state files remain on
+    the active timeline, the spec's shape. A crashed completion
+    (inflight but no commit) is simply re-runnable."""
     from urllib.parse import unquote
 
     from pyspark.sql import functions as F
 
     from .hudi import (
         HudiProtocolError,
-        _completed_commits,
+        _INSTANT_RE,
         _latest_slices,
+        _pending_compactions,
         _properties,
         _read_mor,
     )
@@ -810,18 +948,39 @@ def compact_hudi(spark, dest: str) -> str | None:
             "compact_hudi targets MERGE_ON_READ tables (COPY_ON_WRITE "
             "has no log files to compact)"
         )
-    groups, logs = _latest_slices(dest, None, None, collect_logs=True)
-    logged = {
-        k
-        for k, b in groups.items()
-        if [l for l in logs.get(k, []) if l[0] == b[0]]
-    } | {k for k, ls in logs.items() if ls and k not in groups}
-    if not logged:
-        return None
-    done = _completed_commits(dest, allow_delta=True)
-    inst = f"{int(max(done)) + 1:014d}"
     hdir = os.path.join(dest, HOODIE_DIR)
-    rows = _read_mor(spark, dest, None, True, None, only_groups=logged)
+    pending = _pending_compactions(dest)
+    if pending:
+        # complete the EARLIEST pending plan at ITS instant: the plan
+        # is the contract — the group set was fixed at schedule time
+        inst = min(pending)
+        as_of = inst
+        logged = set()
+        for op in pending[inst].get("operations", []):
+            p = op.get("partitionPath") or ""
+            logged.add(
+                (os.path.normpath(p) if p else ".", str(op["fileId"]))
+            )
+        # requested -> inflight transition marker (kept on the
+        # timeline alongside requested + the completing commit)
+        inflight = os.path.join(hdir, f"{inst}.compaction.inflight")
+        if not os.path.exists(inflight):
+            with open(inflight, "w"):
+                pass
+        groups, logs = _latest_slices(dest, as_of, None, collect_logs=True)
+    else:
+        as_of = None
+        groups, logs = _latest_slices(dest, None, None, collect_logs=True)
+        logged = _logged_groups(groups, logs)
+        if not logged:
+            return None
+        taken = [
+            m.group(1)
+            for m in (_INSTANT_RE.match(n) for n in os.listdir(hdir))
+            if m
+        ]
+        inst = f"{int(max(taken)) + 1:014d}"
+    rows = _read_mor(spark, dest, as_of, True, None, only_groups=logged)
     have = set(rows.columns)
     if "_hoodie_file_name" not in have or "_hoodie_partition_path" not in have:
         # rows cannot be routed back to their group without the meta
@@ -964,12 +1123,17 @@ def clean_hudi(dest: str, retain_commits: int = 10) -> str | None:
         _LOGFILE_RE,
         _clean_horizon,
         _completed_commits,
+        _pending_compaction_groups,
         _properties,
     )
 
     if retain_commits < 1:
         raise ValueError("retain_commits must be >= 1")
     mor = _properties(dest).get("hoodie.table.type") == "MERGE_ON_READ"
+    # file groups under a PENDING compaction are untouchable (real
+    # Hudi's cleaner skips them): their plan names the exact base/log
+    # files it will fold, and cleaning any would break the completion
+    pend = set(_pending_compaction_groups(dest))
     done = sorted(_completed_commits(dest, allow_delta=mor))
     done_set = set(done)
     if len(done) <= retain_commits:
@@ -1000,6 +1164,8 @@ def clean_hudi(dest: str, retain_commits: int = 10) -> str | None:
     n_removed = 0
     keep_min_of: dict[tuple[str, str], str] = {}
     for (rel, fid), blist in bases.items():
+        if (rel, fid) in pend:
+            continue
         keep_min = max(
             (i for i, _p in blist if i in done_set and i <= horizon),
             default=None,
@@ -1021,6 +1187,8 @@ def clean_hudi(dest: str, retain_commits: int = 10) -> str | None:
     # all (a LOG-ONLY slice later compacted away): a newer completed
     # base exists at keep_min, so the chain can never serve again
     for (rel, fid, bi), paths in logsf.items():
+        if (rel, fid) in pend:
+            continue
         keep_min = keep_min_of.get((rel, fid))
         if keep_min is None or bi >= keep_min:
             continue
@@ -1092,7 +1260,9 @@ def cluster_hudi(
 
     from .hudi import (
         _INSTANT_RE,
+        HudiProtocolError,
         _latest_slices,
+        _pending_compactions,
         _properties,
         _read_mor,
     )
@@ -1104,6 +1274,14 @@ def cluster_hudi(
     if target_file_groups < 1:
         raise ValueError("target_file_groups must be >= 1")
     _properties(dest)
+    if _pending_compactions(dest):
+        # clustering retires file groups wholesale; retiring one a
+        # pending compaction plan names would orphan the plan (real
+        # Hudi refuses to cluster groups under pending compaction)
+        raise HudiProtocolError(
+            "cluster_hudi: the timeline carries a pending compaction "
+            "plan; complete it (compact_hudi) before clustering"
+        )
     groups, _logs = _latest_slices(dest, None, None, collect_logs=True)
     if not groups:
         return None

@@ -308,17 +308,24 @@ class HudiStreamReader(DataSourceStreamReader):
         driver-side header scan gates block types and filters
         uncommitted / time-traveled-past instants — identical gating to
         the batch `_read_mor`, record payloads never reach the driver."""
+        from .hudi import _pending_compaction_groups
+
         groups, logs = _latest_slices(
             self._root, upto, self._partitions, collect_logs=True
         )
         done = _completed_commits(self._root, allow_delta=True)
         done = {c for c in done if c <= upto}
+        pending = _pending_compaction_groups(self._root)
         out: list[_MorGroupPartition] = []
         for key in sorted(set(groups) | set(logs)):
             base = groups.get(key)
             lfs = sorted(logs.get(key, []))
             if base is not None:
-                lfs = [l for l in lfs if l[0] == base[0]]
+                # a pending compaction's log chain folds onto the old
+                # base until the plan completes (same rule as the batch
+                # _read_mor)
+                pi = pending.get(key)
+                lfs = [l for l in lfs if l[0] == base[0] or l[0] == pi]
             max_inst = base[0] if base is not None else ""
             kept: list[tuple[str, str]] = []
             for _bi, _ver, lp in lfs:

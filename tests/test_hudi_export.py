@@ -1177,3 +1177,135 @@ def test_clean_removes_superseded_log_only_chains(spark, tmp_path):
     assert not glob.glob(os.path.join(dest, "seg=B", ".b*.log.*"))
     got = {(r["k"], r["seg"], r["v"]) for r in read_hudi(spark, dest).collect()}
     assert got == {(1, "A", 1.0), (2, "B", 2.0)}
+
+
+def test_async_compaction_states(spark, tmp_path):
+    """Async compaction (schedule_compaction + plan-completing
+    compact_hudi): the requested plan takes a timeline slot, readers
+    keep folding the pending groups' logs onto the OLD base, a
+    mid-pending merge's log appends attach to the REQUESTED instant,
+    completion writes the new bases AT the plan's instant without
+    baking in post-schedule rows, and every consumer (snapshot,
+    incremental, stream, time travel) stays exact throughout."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        HudiProtocolError,
+        _completed_commits,
+        read_hudi,
+        read_hudi_incremental,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        cluster_hudi,
+        compact_hudi,
+        export_hudi,
+        schedule_compaction,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v string",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k bigint, v string"
+    ))
+    dest = str(tmp_path / "mor")
+    i1 = export_hudi(t, dest, table_type="MERGE_ON_READ")
+    t.merge(spark.createDataFrame([(1, "V1"), (50, "v50")],
+                                  "k bigint, v string"))
+    t.delete(F.col("k") == 4)
+    i2 = export_hudi(t, dest, table_type="MERGE_ON_READ")
+    exp2 = {(i, f"v{i}") for i in range(10) if i not in (1, 4)} | {
+        (1, "V1"), (50, "v50")
+    }
+    hdir = os.path.join(dest, ".hoodie")
+
+    # ---- schedule: plan on the timeline, nothing rewritten ----------
+    ci = schedule_compaction(dest)
+    assert ci is not None and ci > i2
+    assert os.path.exists(os.path.join(hdir, f"{ci}.compaction.requested"))
+    assert ci not in _completed_commits(dest, allow_delta=True)  # pending
+    n_base = len(glob.glob(os.path.join(dest, "*.parquet")))
+    snap = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert snap == exp2
+    # every logged group is already planned: re-scheduling is a no-op
+    assert schedule_compaction(dest) is None
+
+    # ---- mid-pending write: appends target the requested instant ----
+    t.merge(spark.createDataFrame([(2, "W2"), (60, "v60")],
+                                  "k bigint, v string"))
+    i3 = export_hudi(t, dest, table_type="MERGE_ON_READ")
+    assert i3 > ci  # the pending slot was taken
+    assert [f for f in os.listdir(dest) if f"_{ci}.log" in f]
+    assert len(glob.glob(os.path.join(dest, "*.parquet"))) == n_base
+    exp3 = (exp2 - {(2, "v2")}) | {(2, "W2"), (60, "v60")}
+    # readers fold old base + old logs + the pending chain
+    snap = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert snap == exp3
+    assert {
+        (r["k"], r["v"])
+        for r in read_hudi_incremental(spark, dest, begin=i2).collect()
+    } == {(2, "W2"), (60, "v60")}
+    # clustering refuses while a plan is pending
+    with pytest.raises(HudiProtocolError, match="pending compaction"):
+        cluster_hudi(spark, dest, sort_by=["k"])
+
+    # ---- complete: new bases AT the plan's instant ------------------
+    done_inst = compact_hudi(spark, dest)
+    assert done_inst == ci
+    assert os.path.exists(os.path.join(hdir, f"{ci}.compaction.inflight"))
+    assert os.path.exists(os.path.join(hdir, f"{ci}.commit"))
+    new_bases = glob.glob(os.path.join(dest, f"*_{ci}.parquet"))
+    assert new_bases
+    # post-schedule rows are NOT baked into the compacted bases: the
+    # fold ran at the plan's instant
+    baked = spark.read.parquet(*new_bases)
+    assert baked.filter(F.col("_hoodie_commit_time") > ci).count() == 0
+    assert {(r["k"], r["v"]) for r in baked.select("k", "v").collect()} == exp2
+    # ...while the snapshot folds the ci-attached chain on top
+    snap = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert snap == exp3
+    # zero phantom rows across the whole history
+    assert {
+        (r["k"], r["v"])
+        for r in read_hudi_incremental(spark, dest, begin=i1).collect()
+    } == {(1, "V1"), (50, "v50"), (2, "W2"), (60, "v60")}
+    assert read_hudi_incremental(spark, dest, begin=i3).count() == 0
+    # time travel below the schedule still serves the old fold
+    assert {
+        (r["k"], r["v"])
+        for r in read_hudi(spark, dest, as_of=i2).collect()
+    } == exp2
+
+    # ---- the stream over the finished timeline ----------------------
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_stream import (
+        register_hudi_stream,
+    )
+
+    register_hudi_stream(spark)
+    got: list = []
+    q = (
+        spark.readStream.format("hudi_stream").option("path", dest)
+        .option("startingInstant", "0").load()
+        .writeStream.foreachBatch(
+            lambda df, _b: got.extend((r["k"], r["v"]) for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert set(got) == exp3 and len(got) == len(exp3)
+
+    # ---- a second cycle folds the ci chain into fresh bases ---------
+    ci2 = schedule_compaction(dest)
+    assert ci2 is not None and ci2 > i3
+    assert compact_hudi(spark, dest) == ci2
+    snap = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert snap == exp3
+    # a log-free table schedules nothing
+    assert schedule_compaction(dest) is None
