@@ -7735,3 +7735,104 @@ def q_s68(spark, sf):
     # compaction emitted ZERO phantom changes
     assert read_hudi_incremental(spark, dest, begin=i3).count() == 0
     return read_hudi(spark, dest)
+
+
+@query(
+    "s69_hudi_timeline_archival",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey,
+           cents + CASE WHEN k % 97 BETWEEN 1 AND 8
+                        THEN 1000 + (k % 97) ELSE 0 END AS cents
+    FROM base
+    """,
+)
+def q_s69(spark, sf):
+    """S69 — TIMELINE ARCHIVAL (sources/hudi_export.py
+    ``archive_hudi_timeline``; sources/hudi.py ``_CommittedSet`` /
+    ``_archive_boundary``): Hudi's bound on active-timeline size — a
+    long-lived table accrues one instant file per commit forever, so
+    completed instants below a retention count move into
+    ``.hoodie/archived/`` and readers apply the boundary rule: any
+    instant at or below the newest archived one is COMMITTED (only
+    completed instants archive, never past a pending one), so no read
+    ever loads the archive. Lifecycle: 9 commits (append + 8 disjoint
+    merges), archive keeping 3 — in-entry asserts pin the bound (the
+    active timeline holds exactly the 3 newest instants), archived
+    count, SNAPSHOT exactness (DuckDB recomputes), time travel to an
+    ARCHIVED instant (base files' instants are data, not timeline),
+    incremental queries whose ``begin`` predates the boundary (per-row
+    commit times answer them exactly), and the honest CDC gate
+    (per-commit windows cannot enumerate archived instants — raises).
+    An archival that moved a pending instant, dropped a completed one
+    from membership, or mis-stated the boundary breaks a read or an
+    assert."""
+    import os
+
+    from .sources.hudi import (
+        HudiProtocolError,
+        read_hudi,
+        read_hudi_changes,
+        read_hudi_incremental,
+    )
+    from .sources.hudi_export import archive_hudi_timeline, export_hudi
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s69", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=2,
+    )
+    t.append(c)
+    dest = os.path.join(t.root, "hudi_cow")
+    k = F.col("c_custkey")
+    instants = [export_hudi(t, dest)]
+    for j in range(1, 9):  # 8 disjoint merge commits -> 9-instant history
+        t.merge(
+            c.filter(k % 97 == j).withColumn(
+                "cents", F.col("cents") + (1000 + j)
+            )
+        )
+        instants.append(export_hudi(t, dest))
+    hdir = os.path.join(dest, ".hoodie")
+    gone = archive_hudi_timeline(dest, keep_instants=3)
+    assert gone == instants[:6], (gone, instants)
+    # the active timeline is BOUNDED: exactly the 3 newest instants
+    from .sources.hudi import _INSTANT_RE
+
+    active = sorted(
+        m.group(1)
+        for m in (_INSTANT_RE.match(n) for n in os.listdir(hdir))
+        if m
+    )
+    assert active == instants[6:], (active, instants)
+    # time travel to an ARCHIVED instant still serves (boundary rule)
+    n = c.count()
+    assert read_hudi(spark, dest, as_of=instants[3]).count() == n
+    # incremental across the boundary: per-row commit times are data —
+    # begin at the ARCHIVED first instant sees all 8 merge classes
+    n_merged = c.filter((k % 97 >= 1) & (k % 97 <= 8)).count()
+    assert read_hudi_incremental(
+        spark, dest, begin=instants[0]
+    ).count() == n_merged
+    # ...and a window fully inside the active tail stays exact
+    assert read_hudi_incremental(
+        spark, dest, begin=instants[7]
+    ).count() == c.filter(k % 97 == 8).count()
+    # per-commit CDC windows cannot enumerate archived instants: gate
+    try:
+        read_hudi_changes(spark, dest, begin=instants[0])
+        raise AssertionError("cdc below the archive boundary must raise")
+    except HudiProtocolError:
+        pass
+    return read_hudi(spark, dest)

@@ -1949,3 +1949,158 @@ def q_st24(spark, sf):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st25_stream_across_maintenance",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey, cents,
+           CAST(k % 3 AS BIGINT) AS _commit_version
+    FROM base
+    UNION ALL
+    SELECT k + 8000000, cents, CAST(3 AS BIGINT) FROM base WHERE k % 40 = 0
+    UNION ALL
+    SELECT k + 9000000, cents, CAST(5 AS BIGINT) FROM base WHERE k % 50 = 0
+    """,
+)
+def q_st25(spark, sf):
+    """ST25 — a Delta STREAM surviving table MAINTENANCE mid-drain
+    (sources/delta_stream.py + delta_optimize.py ``optimize_delta`` /
+    ``vacuum_delta``): the stream drains three appends, then an
+    OPTIMIZE (remove+add with ``dataChange: false`` on both sides) and
+    a retention-0 VACUUM land — physically deleting every pre-optimize
+    file the stream has ALREADY consumed — then a further append lands
+    and the stream drains to the end over the SAME checkpoint.
+    Contract pinned: the re-layout emits ZERO rows (in-entry assert:
+    no ``_commit_version`` at the OPTIMIZE version and no re-emission
+    of consumed rows), and the stream never plans a vacuumed file —
+    its offsets had passed the rewritten data, and later batches plan
+    only the post-maintenance commits (the reason real vacuums respect
+    a retention window covering active streams). DuckDB recomputes
+    all three drained generations by key class; a phantom row from the
+    re-layout, a lost append, or a dead-file read breaks the entry."""
+    import glob as _glob
+    import json as _json
+
+    from .qdefs_core import _table_root
+    from .sources.delta_optimize import optimize_delta, vacuum_delta
+    from .sources.delta_stream import register_delta_stream
+    from .sources.io import read_table as _rt
+
+    register_delta_stream(spark)
+    c = _rt(spark, sf, "customer").select(
+        F.col("c_custkey"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    root = _table_root("st25", sf)
+    os.makedirs(os.path.join(root, "_delta_log"), exist_ok=True)
+
+    def _write_one(df, name):
+        stage = os.path.join(root, f".stage-{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        shutil.move(part, os.path.join(root, name))
+        shutil.rmtree(stage)
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "c_custkey", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "cents", "type": "long", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+
+    def _commit(v, actions):
+        with open(os.path.join(root, "_delta_log", f"{v:020d}.json"),
+                  "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+
+    def _add(name):
+        return {"add": {"path": name, "partitionValues": {}, "size": 1,
+                        "modificationTime": 0, "dataChange": True}}
+
+    k = F.col("c_custkey")
+    _write_one(c.filter(k % 3 == 0), "slice0.parquet")
+    _commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "st25", "format": {"provider": "parquet",
+                                               "options": {}},
+                      "schemaString": _json.dumps(schema),
+                      "partitionColumns": [], "configuration": {}}},
+        _add("slice0.parquet"),
+    ])
+    _write_one(c.filter(k % 3 == 1), "slice1.parquet")
+    _commit(1, [_add("slice1.parquet")])
+    _write_one(c.filter(k % 3 == 2), "slice2.parquet")
+    _commit(2, [_add("slice2.parquet")])
+
+    tmp = tempfile.mkdtemp(prefix="st25_")
+    try:
+        ck = os.path.join(tmp, "ck")
+
+        def drain():
+            got: list = []
+
+            def sink(df, _bid):
+                got.extend(tuple(r) for r in df.collect())
+
+            q = (
+                spark.readStream.format("delta_stream")
+                .option("path", root)
+                .option("startingVersion", 0)
+                .load()
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            return got
+
+        got1 = drain()
+        n = c.count()
+        assert len(got1) == n
+        assert {r[2] for r in got1} == {0, 1, 2}
+        # a late append, drained before maintenance lands
+        late = c.filter(k % 40 == 0).select(
+            (k + 8_000_000).alias("c_custkey"), "cents"
+        )
+        _write_one(late, "late.parquet")
+        _commit(3, [_add("late.parquet")])
+        got2 = drain()
+        assert len(got2) == late.count()
+        assert {r[2] for r in got2} == {3}
+        # maintenance mid-stream: OPTIMIZE re-layouts everything the
+        # stream already consumed, VACUUM deletes the old bytes
+        v_opt = optimize_delta(spark, root, target_file_rows=10**9)
+        assert v_opt == 4
+        gone = vacuum_delta(root, retention_hours=0.0)
+        assert sorted(gone) == [
+            "late.parquet", "slice0.parquet", "slice1.parquet",
+            "slice2.parquet",
+        ]
+        # ...and the drain continues over the same checkpoint
+        late2 = c.filter(k % 50 == 0).select(
+            (k + 9_000_000).alias("c_custkey"), "cents"
+        )
+        _write_one(late2, "late2.parquet")
+        _commit(5, [_add("late2.parquet")])
+        got3 = drain()
+        # the re-layout emitted NOTHING (dataChange:false skip) and no
+        # vacuumed file was planned: only the new append surfaces
+        assert {r[2] for r in got3} == {5}, sorted({r[2] for r in got3})
+        assert len(got3) == late2.count()
+        return spark.createDataFrame(
+            got1 + got2 + got3,
+            "c_custkey long, cents long, _commit_version long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

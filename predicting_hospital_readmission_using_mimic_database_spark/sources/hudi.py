@@ -131,16 +131,70 @@ def _gate_bootstrap(root: str, props: dict) -> None:
         )
 
 
-def _completed_commits(root: str, allow_delta: bool = False) -> set[str]:
+class _CommittedSet(set):
+    """The ACTIVE timeline's completed instants, plus the ARCHIVED
+    boundary rule: membership also admits any instant at or below
+    ``boundary`` (the newest archived instant) — Hudi readers never
+    load the archived timeline for data reads; an instant older than
+    everything active is committed by construction (the archiver only
+    moves completed instants, never past a pending one). Iteration /
+    ``max`` / ``sorted`` stay ACTIVE-only, which is what instant
+    allocation and timeline surfaces want."""
+
+    boundary: str | None = None
+
+    def __contains__(self, item) -> bool:  # type: ignore[override]
+        if set.__contains__(self, item):
+            return True
+        b = self.boundary
+        return b is not None and isinstance(item, str) and item <= b
+
+
+def _filter_done(done, cutoff) -> "_CommittedSet":
+    """``{c for c in done if c <= cutoff}`` that PRESERVES the archived
+    boundary (capped at the cutoff) — every as_of / window filter over
+    a committed set must go through this, or archived instants silently
+    stop counting as committed."""
+    out = _CommittedSet(c for c in done if c <= str(cutoff))
+    b = getattr(done, "boundary", None)
+    if b is not None:
+        out.boundary = min(b, str(cutoff))
+    return out
+
+
+def _archive_boundary(root: str) -> tuple[str | None, str | None]:
+    """(newest archived instant, archived clean horizon) from the
+    archived timeline's boundary record
+    (``.hoodie/archived/.boundary.json``, written by
+    ``archive_hudi_timeline``) — O(1) per read, the whole point of
+    archival. (None, None) when the table was never archived."""
+    p = os.path.join(root, HOODIE_DIR, "archived", ".boundary.json")
+    if not os.path.exists(p):
+        return None, None
+    try:
+        with open(p) as f:
+            b = json.load(f)
+    except (OSError, ValueError) as e:
+        raise HudiProtocolError(
+            f"unreadable archived-timeline boundary {p}: {e}"
+        ) from None
+    la = b.get("lastArchivedInstant")
+    ch = b.get("cleanHorizon")
+    return (str(la) if la else None, str(ch) if ch else None)
+
+
+def _completed_commits(root: str, allow_delta: bool = False) -> "_CommittedSet":
     """Instant times with a COMPLETED commit action on the timeline.
     ``allow_delta`` (the MERGE_ON_READ path) counts completed
     ``.deltacommit`` instants too; on a COPY_ON_WRITE read they are
     malformed and raise. Completed ``.replacecommit`` instants
     (clustering / insert_overwrite) count as committed data — the file
     groups they RETIRE are resolved separately by
-    :func:`_replaced_groups`."""
+    :func:`_replaced_groups`. The returned set carries the ARCHIVED
+    boundary: membership admits instants the archiver moved off the
+    active timeline (see :class:`_CommittedSet`)."""
     tdir = os.path.join(root, HOODIE_DIR)
-    done: set[str] = set()
+    done = _CommittedSet()
     for name in os.listdir(tdir):
         m = _INSTANT_RE.match(name)
         if not m:
@@ -156,6 +210,7 @@ def _completed_commits(root: str, allow_delta: bool = False) -> set[str]:
                 )
             done.add(instant)
         # .clean / .rollback / .requested / .inflight: not completed data
+    done.boundary, _ch = _archive_boundary(root)
     return done
 
 
@@ -164,9 +219,12 @@ def _clean_horizon(root: str) -> str | None:
     actions on the timeline — time travel / CDC windows before it
     cannot be served (the superseded slices were physically removed)
     and must raise instead of silently returning newer data. ``None``
-    when the table was never cleaned."""
+    when the table was never cleaned. ARCHIVED clean actions keep
+    gating: the archiver folds their horizon into the boundary record,
+    consulted here — moving a clean off the active timeline must never
+    silently un-gate the reads it constrained."""
     tdir = os.path.join(root, HOODIE_DIR)
-    horizon: str | None = None
+    _la, horizon = _archive_boundary(root)
     for name in os.listdir(tdir):
         m = _INSTANT_RE.match(name)
         if not m or m.group(2) != "clean":
@@ -433,8 +491,7 @@ def _slice_specs(
         groups = _latest_slices(root, as_of, partitions)
         return {k: (p, ()) for k, (_i, p) in groups.items()}
     groups, logs = _latest_slices(root, as_of, partitions, collect_logs=True)
-    done = _completed_commits(root, allow_delta=True)
-    done = {c for c in done if c <= as_of}
+    done = _filter_done(_completed_commits(root, allow_delta=True), as_of)
     pending = _pending_compaction_groups(root)
     out: dict = {}
     for key in sorted(set(groups) | set(logs)):
@@ -518,6 +575,14 @@ def read_hudi_changes(
             f"read_hudi_changes begin={begin} predates the cleaner "
             f"horizon {h}: the superseded slices needed to diff those "
             "commits were removed by a clean"
+        )
+    la, _ch = _archive_boundary(root)
+    if la is not None and str(begin) < la:
+        raise HudiProtocolError(
+            f"read_hudi_changes begin={begin} predates the archived-"
+            f"timeline boundary {la}: per-commit change windows need "
+            "the active timeline's instant list — archived commits "
+            "cannot be enumerated (start at or after the boundary)"
         )
     window = [
         c for c in done
@@ -1456,7 +1521,7 @@ def _latest_slices(
                 "file slices serving that instant were removed by a "
                 "clean — the read would silently return newer data"
             )
-        done = {c for c in done if c <= str(as_of)}
+        done = _filter_done(done, as_of)
     logs: dict[tuple[str, str], list[tuple[str, int, str]]] = {}
     admit: set[str] | None = None
     if partitions is not None:
@@ -1768,7 +1833,7 @@ def _read_mor(
     done_all = _completed_commits(root, allow_delta=True)
     done = done_all
     if as_of is not None:
-        done = {c for c in done if c <= str(as_of)}
+        done = _filter_done(done, as_of)
     key_of: dict[str, tuple] = {}
     base_of: dict[tuple, tuple[str, str]] = {}
     selected: list[tuple[str, int, str]] = []

@@ -52,8 +52,8 @@ from pyspark.sql import functions as F
 from .hudi import HOODIE_DIR
 
 __all__ = [
-    "clean_hudi", "cluster_hudi", "compact_hudi", "export_hudi",
-    "schedule_compaction",
+    "archive_hudi_timeline", "clean_hudi", "cluster_hudi", "compact_hudi",
+    "export_hudi", "schedule_compaction",
 ]
 
 _STATE_FILE = ".export-state.json"
@@ -1092,6 +1092,121 @@ def compact_hudi(spark, dest: str) -> str | None:
     os.replace(tmp, os.path.join(hdir, f"{inst}.commit"))
     _mdt_sync_files(dest, written, inst)
     return inst
+
+
+def archive_hudi_timeline(dest: str, keep_instants: int = 10) -> list[str]:
+    """ARCHIVE the active timeline — Hudi's bound on timeline size: a
+    long-lived table accrues one instant file per commit forever, and
+    every reader lists the whole ``.hoodie`` dir, so real deployments
+    move completed instants below a retention count into the ARCHIVED
+    timeline (``.hoodie/archived/``). This is that service: every
+    timeline file whose instant sorts below BOTH the ``keep_instants``-th
+    newest completed instant AND the earliest pending instant moves
+    into an append-only archive batch file, and a BOUNDARY record
+    (``.hoodie/archived/.boundary.json``) keeps two facts readers need
+    in O(1):
+
+    * ``lastArchivedInstant`` — readers treat any instant at or below
+      it as COMMITTED (:class:`~.hudi._CommittedSet`): Hudi's readers
+      never load the archived timeline for data reads; an instant older
+      than everything active is committed by construction (only
+      completed instants archive, never past a pending one). Snapshot,
+      time travel, and incremental reads over archived history stay
+      EXACT — per-row commit times and base-file instants are data, not
+      timeline.
+    * ``cleanHorizon`` — the max ``earliestCommitToRetain`` across
+      archived CLEAN actions, folded into :func:`~.hudi._clean_horizon`
+      so archiving a clean never silently un-gates the time-travel /
+      CDC windows it constrained.
+
+    Per-commit windows that must ENUMERATE instants (CDC) refuse below
+    the boundary — archived commits cannot be listed (the honest gate,
+    asserted by readers). Shape divergence (documented): real Hudi
+    archives HoodieLogFormat avro under ``.hoodie/archived/``; this
+    exporter's timeline metadata is JSON throughout, so the archive
+    batches are JSONL (``{seq}.archive.jsonl`` with one
+    ``{"instant", "action", "body"}`` record per moved file).
+
+    Returns the archived instants (empty when nothing qualifies).
+    Driver-side metadata only; crash-safe (archive batch + boundary
+    land before any active file is removed; a re-run after a crash
+    re-archives idempotently)."""
+    from .hudi import (
+        _INSTANT_RE,
+        _archive_boundary,
+        _pending_compactions,
+        _properties,
+    )
+
+    if keep_instants < 1:
+        raise ValueError("keep_instants must be >= 1")
+    _properties(dest)
+    hdir = os.path.join(dest, HOODIE_DIR)
+    files: list[tuple[str, str, str]] = []  # (instant, action, path)
+    completed: list[str] = []
+    for name in sorted(os.listdir(hdir)):
+        m = _INSTANT_RE.match(name)
+        if not m:
+            continue
+        instant, action = m.group(1), m.group(2)
+        files.append((instant, action, os.path.join(hdir, name)))
+        if action in ("commit", "deltacommit", "replacecommit"):
+            completed.append(instant)
+    completed.sort()
+    if len(completed) <= keep_instants:
+        return []
+    bound = completed[-keep_instants]
+    pend = _pending_compactions(dest)
+    if pend:
+        bound = min(bound, min(pend))
+    doomed = [(i, a, p) for i, a, p in files if i < bound]
+    if not doomed:
+        return []
+    adir = os.path.join(hdir, "archived")
+    os.makedirs(adir, exist_ok=True)
+    records = []
+    clean_h: str | None = None
+    for instant, action, path in doomed:
+        try:
+            with open(path) as f:
+                raw = f.read()
+        except OSError:
+            raw = ""
+        try:
+            body = json.loads(raw) if raw.strip() else None
+        except ValueError:
+            body = raw
+        if action == "clean" and isinstance(body, dict):
+            e0 = body.get("earliestCommitToRetain")
+            if e0 and (clean_h is None or str(e0) > clean_h):
+                clean_h = str(e0)
+        records.append(
+            {"instant": instant, "action": action, "body": body}
+        )
+    seq = len(
+        [n for n in os.listdir(adir) if n.endswith(".archive.jsonl")]
+    )
+    batch = os.path.join(adir, f"{seq:010d}.archive.jsonl")
+    tmp = batch + ".tmp"
+    with open(tmp, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    os.replace(tmp, batch)
+    prev_la, prev_ch = _archive_boundary(dest)
+    new_la = max(i for i, _a, _p in doomed)
+    boundary = {
+        "lastArchivedInstant": max(new_la, prev_la or ""),
+        "cleanHorizon": max(
+            (h for h in (clean_h, prev_ch) if h is not None), default=None
+        ),
+    }
+    tmp = os.path.join(adir, ".boundary.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(boundary, f)
+    os.replace(tmp, os.path.join(adir, ".boundary.json"))
+    for _i, _a, path in doomed:
+        os.remove(path)
+    return sorted({i for i, _a, _p in doomed})
 
 
 def clean_hudi(dest: str, retain_commits: int = 10) -> str | None:

@@ -308,13 +308,14 @@ class HudiStreamReader(DataSourceStreamReader):
         driver-side header scan gates block types and filters
         uncommitted / time-traveled-past instants — identical gating to
         the batch `_read_mor`, record payloads never reach the driver."""
-        from .hudi import _pending_compaction_groups
+        from .hudi import _filter_done, _pending_compaction_groups
 
         groups, logs = _latest_slices(
             self._root, upto, self._partitions, collect_logs=True
         )
-        done = _completed_commits(self._root, allow_delta=True)
-        done = {c for c in done if c <= upto}
+        done = _filter_done(
+            _completed_commits(self._root, allow_delta=True), upto
+        )
         pending = _pending_compaction_groups(self._root)
         out: list[_MorGroupPartition] = []
         for key in sorted(set(groups) | set(logs)):
@@ -358,6 +359,16 @@ class HudiStreamReader(DataSourceStreamReader):
         """One partition per (commit in the window, group whose slice
         spec changed at that commit) — per-commit image granularity,
         untouched groups never ship."""
+        from .hudi import HudiProtocolError, _archive_boundary
+
+        la, _ch = _archive_boundary(self._root)
+        if la is not None and str(begin) < la:
+            raise HudiProtocolError(
+                f"cdc stream offset {begin} predates the archived-"
+                f"timeline boundary {la}: per-commit change windows "
+                "cannot enumerate archived instants — restart the "
+                "stream at or after the boundary"
+            )
         done_all = sorted(
             _completed_commits(self._root, allow_delta=self._mor)
         )

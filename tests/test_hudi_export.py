@@ -1309,3 +1309,91 @@ def test_async_compaction_states(spark, tmp_path):
     assert snap == exp3
     # a log-free table schedules nothing
     assert schedule_compaction(dest) is None
+
+
+def test_timeline_archival_mor_bounds_and_gates(spark, tmp_path):
+    """archive_hudi_timeline on MERGE_ON_READ: archival never crosses
+    the earliest PENDING compaction instant, archived deltacommits keep
+    counting as committed (log blocks still fold), an archived CLEAN's
+    horizon keeps gating time travel, and repeated archivals keep the
+    boundary monotonic."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        HudiProtocolError,
+        _archive_boundary,
+        _clean_horizon,
+        read_hudi,
+        read_hudi_incremental,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        archive_hudi_timeline,
+        clean_hudi,
+        compact_hudi,
+        export_hudi,
+        schedule_compaction,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v string",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k bigint, v string"
+    ))
+    dest = str(tmp_path / "mor")
+    instants = [export_hudi(t, dest, table_type="MERGE_ON_READ")]
+    for j in range(1, 6):  # 5 log-append deltacommits
+        t.merge(spark.createDataFrame([(j, f"w{j}")], "k bigint, v string"))
+        instants.append(export_hudi(t, dest, table_type="MERGE_ON_READ"))
+    exp = {(i, f"v{i}") for i in range(10) if i > 5} | {
+        (0, "v0")} | {(j, f"w{j}") for j in range(1, 6)}
+
+    # fewer completed than keep_instants: no-op
+    assert archive_hudi_timeline(dest, keep_instants=10) == []
+
+    # a pending compaction CAPS the archival bound below it
+    ci = schedule_compaction(dest)
+    assert ci is not None
+    # keep_instants=1 would otherwise archive everything below the
+    # newest completed instant — but the pending plan holds the line
+    gone = archive_hudi_timeline(dest, keep_instants=1)
+    assert gone == instants[:-1]  # everything below ci EXCEPT the newest? no:
+    # bound = min(newest completed, ci) = newest completed (ci is newer)
+    la, _ch = _archive_boundary(dest)
+    assert la == instants[-2]
+    # archived deltacommits still fold: snapshot exact
+    assert {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()} == exp
+    # incremental from an archived instant stays exact
+    assert {
+        (r["k"], r["v"])
+        for r in read_hudi_incremental(spark, dest, begin=instants[0]).collect()
+    } == {(j, f"w{j}") for j in range(1, 6)}
+    # complete the compaction; reads unchanged
+    assert compact_hudi(spark, dest) == ci
+    assert {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()} == exp
+
+    # a clean's horizon survives its own archival
+    t.merge(spark.createDataFrame([(2, "x2")], "k bigint, v string"))
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    cl = clean_hudi(dest, retain_commits=1)
+    assert cl is not None
+    h = _clean_horizon(dest)
+    assert h is not None
+    # the clean is the newest instant, so it archives only once a newer
+    # commit passes it (the bound is the newest kept COMPLETED instant)
+    t.merge(spark.createDataFrame([(3, "x3")], "k bigint, v string"))
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    gone2 = archive_hudi_timeline(dest, keep_instants=1)
+    assert cl in gone2  # the clean action itself archived
+    assert _clean_horizon(dest) == h  # ...but its gate survives
+    with pytest.raises(HudiProtocolError, match="cleaner horizon"):
+        read_hudi(spark, dest, as_of=instants[0]).collect()
+    # boundary is monotonic across runs
+    la2, ch2 = _archive_boundary(dest)
+    assert la2 >= la and ch2 == h
+    exp2 = (exp - {(2, "w2"), (3, "w3")}) | {(2, "x2"), (3, "x3")}
+    assert {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()} == exp2
