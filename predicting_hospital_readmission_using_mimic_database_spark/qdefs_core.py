@@ -7836,3 +7836,82 @@ def q_s69(spark, sf):
     except HudiProtocolError:
         pass
     return read_hudi(spark, dest)
+
+
+@query(
+    "s70_delta_v2_checkpoint",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey,
+           cents + CASE WHEN k % 3 = 0 THEN 0
+                        WHEN k % 3 = 1 THEN 11 ELSE 22 END AS cents
+    FROM base
+    """,
+)
+def q_s70(spark, sf):
+    """S70 — V2 CHECKPOINT writing (sources/delta.py
+    ``_write_checkpoint_v2``, selected by ``_write_checkpoint_file``
+    above ``checkpoint_v2_threshold`` actions): the MANIFEST + SIDECAR
+    layout real writers switch to at scale — file actions shard into
+    parquet sidecars under ``_delta_log/_sidecars/``, the
+    ``{v}.checkpoint.{uniqueStr}.parquet`` manifest holds
+    checkpointMetadata / protocol / metaData / domainMetadata /
+    sidecar refs, and the manifest's protocol is UPGRADED to declare
+    the ``v2Checkpoint`` reader+writer feature (the spec's obligation
+    for tables whose checkpoints use V2; in-entry assert). The
+    fixture exports three incremental versions with
+    ``checkpoint_v2_threshold=1`` forcing V2, asserts the layout (a
+    uuid manifest + sidecars, NO classic single file), TRUNCATES the
+    JSON tail below the checkpoint, and reads back through the V2
+    replay alone (``_load_checkpoint_v2``: manifest actions + sidecar
+    add rows) — DuckDB recomputes all three generations, so a sidecar
+    dropped from the replay, a stale manifest picked, or an add row
+    lost in sharding breaks the row-level hash."""
+    import glob
+    import os
+
+    from .sources.delta import (
+        _declared_protocol,
+        export_delta_log,
+        read_delta,
+        truncate_delta_log,
+    )
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s70", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    k = F.col("c_custkey")
+    for m, bump in ((0, 0), (1, 11), (2, 22)):
+        t.append(
+            c.filter(k % 3 == m).withColumn(
+                "cents", F.col("cents") + bump
+            )
+        )
+        v = export_delta_log(t, checkpoint_interval=1,
+                             checkpoint_v2_threshold=1)
+        assert v == m
+    log_dir = os.path.join(t.root, "_delta_log")
+    # V2 layout: uuid manifests + sidecars, no classic single file
+    assert not glob.glob(os.path.join(log_dir, "*.checkpoint.parquet"))
+    assert glob.glob(os.path.join(log_dir, "_sidecars", "*.parquet"))
+    deleted = truncate_delta_log(t.root, keep_versions=1)
+    assert deleted == [0, 1]
+    # the manifest's protocol declares the v2Checkpoint obligation and
+    # keeps the export's writer features
+    proto = _declared_protocol(log_dir)
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+    return read_delta(spark, t.root)

@@ -654,23 +654,9 @@ def version_at_timestamp(root: str, ts_millis: int) -> int:
     return best
 
 
-def _write_checkpoint_file(
-    log_dir: str, version: int, meta: dict, adds: list[dict],
-    protocol: dict | None = None, domains: dict[str, str] | None = None,
-) -> None:
-    """Write a classic SINGLE-FILE parquet checkpoint for ``version``
-    (one row per action: protocol, metaData, every live add, every LIVE
-    domainMetadata) plus the ``_last_checkpoint`` pointer — the
-    compaction real Delta writers perform so readers replay from the
-    checkpoint instead of commit 0. The spec requires checkpoints to
-    carry live domainMetadata: without it, truncating the log below the
-    checkpoint would silently lose the liquid-clustering declaration
-    (``delta.clustering``) and the row-id high watermark
-    (``delta.rowTracking``). Atomic: parquet staged then renamed,
-    pointer written last."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+def _ckpt_types(pa):
+    """The checkpoint action-column Arrow types, shared by the classic
+    and V2 writers."""
     protocol_t = pa.struct(
         [
             ("minReaderVersion", pa.int32()),
@@ -727,48 +713,91 @@ def _write_checkpoint_file(
             ("removed", pa.bool_()),
         ]
     )
-    dom_rows = [
-        {"domain": d, "configuration": cfg, "removed": False}
-        for d, cfg in sorted((domains or {}).items())
-    ]
-    n = 2 + len(adds) + len(dom_rows)
-    proto_col = [
-        protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
-    ] + [None] * (n - 1)
-    meta_row = {
+    return protocol_t, meta_t, add_t, domain_t
+
+
+def _ckpt_add_row(a: dict) -> dict:
+    return {
+        "path": a["path"],
+        "partitionValues": dict(a.get("partitionValues") or {}),
+        "size": a.get("size", 0),
+        "modificationTime": a.get("modificationTime", 0),
+        "dataChange": False,  # checkpoint rows are state, not changes
+        "stats": a.get("stats"),
+        "baseRowId": a.get("baseRowId"),
+        "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
+        "deletionVector": (
+            {
+                "storageType": dv.get("storageType"),
+                "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                "offset": dv.get("offset"),
+                "sizeInBytes": dv.get("sizeInBytes"),
+                "cardinality": dv.get("cardinality"),
+            }
+            if (dv := a.get("deletionVector"))
+            else None
+        ),
+    }
+
+
+def _ckpt_meta_row(meta: dict) -> dict:
+    return {
         "id": meta["id"],
         "format": {"provider": "parquet"},
         "schemaString": meta["schemaString"],
         "partitionColumns": list(meta.get("partitionColumns") or []),
         "configuration": dict(meta.get("configuration") or {}),
     }
-    meta_col = [None, meta_row] + [None] * (len(adds) + len(dom_rows))
-    dom_col = [None, None] + [None] * len(adds) + dom_rows
-    add_col = [None, None] + [
-        {
-            "path": a["path"],
-            "partitionValues": dict(a.get("partitionValues") or {}),
-            "size": a.get("size", 0),
-            "modificationTime": a.get("modificationTime", 0),
-            "dataChange": False,  # checkpoint rows are state, not changes
-            "stats": a.get("stats"),
-            "baseRowId": a.get("baseRowId"),
-            "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
-            "deletionVector": (
-                {
-                    "storageType": dv.get("storageType"),
-                    "pathOrInlineDv": dv.get("pathOrInlineDv"),
-                    "offset": dv.get("offset"),
-                    "sizeInBytes": dv.get("sizeInBytes"),
-                    "cardinality": dv.get("cardinality"),
-                }
-                if (dv := a.get("deletionVector"))
-                else None
-            ),
-        }
-        for a in adds
+
+
+def _write_checkpoint_file(
+    log_dir: str, version: int, meta: dict, adds: list[dict],
+    protocol: dict | None = None, domains: dict[str, str] | None = None,
+    v2_threshold: int | None = None, sidecar_rows: int = 100_000,
+) -> None:
+    """Write a parquet checkpoint for ``version`` (protocol, metaData,
+    every live add, every LIVE domainMetadata) plus the
+    ``_last_checkpoint`` pointer — the compaction real Delta writers
+    perform so readers replay from the checkpoint instead of commit 0.
+    The spec requires checkpoints to carry live domainMetadata: without
+    it, truncating the log below the checkpoint would silently lose the
+    liquid-clustering declaration (``delta.clustering``) and the row-id
+    high watermark (``delta.rowTracking``).
+
+    Layout selection: classic SINGLE-FILE by default; when
+    ``v2_threshold`` is set and the action count exceeds it, the V2
+    MANIFEST + SIDECAR layout is written instead
+    (:func:`_write_checkpoint_v2`) — at 100 TB a classic checkpoint is
+    one driver-side parquet of MILLIONS of add rows, while V2 shards
+    the file actions into ``sidecar_rows``-sized sidecars the manifest
+    references, the layout real writers switch to at scale. Atomic:
+    parquet staged then renamed, pointer written last."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dom_rows = [
+        {"domain": d, "configuration": cfg, "removed": False}
+        for d, cfg in sorted((domains or {}).items())
     ]
-    add_col = add_col + [None] * len(dom_rows)
+    n = 2 + len(adds) + len(dom_rows)
+    if v2_threshold is not None and n > v2_threshold:
+        _write_checkpoint_v2(
+            log_dir, version, meta, adds, protocol, dom_rows, sidecar_rows
+        )
+        return
+    protocol_t, meta_t, add_t, domain_t = _ckpt_types(pa)
+    proto_col = [
+        protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    ] + [None] * (n - 1)
+    meta_col = [None, _ckpt_meta_row(meta)] + [None] * (
+        len(adds) + len(dom_rows)
+    )
+    dom_col = [None, None] + [None] * len(adds) + dom_rows
+    add_col = (
+        [None, None]
+        + [_ckpt_add_row(a) for a in adds]
+        + [None] * len(dom_rows)
+    )
     cols = {
         "protocol": pa.array(proto_col, type=protocol_t),
         "metaData": pa.array(meta_col, type=meta_t),
@@ -785,6 +814,116 @@ def _write_checkpoint_file(
     tmp = ptr + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"version": version, "size": n}, f)
+    os.replace(tmp, ptr)
+
+
+def _write_checkpoint_v2(
+    log_dir: str, version: int, meta: dict, adds: list[dict],
+    protocol: dict | None, dom_rows: list[dict], sidecar_rows: int,
+) -> None:
+    """The V2 MANIFEST + SIDECAR checkpoint layout: file actions shard
+    into ``sidecar_rows``-sized parquet SIDECARS under
+    ``_delta_log/_sidecars/``; the manifest
+    (``{version}.checkpoint.{uniqueStr}.parquet``) holds
+    checkpointMetadata, protocol, metaData, live domainMetadata, and
+    one ``sidecar`` row per shard. Spec obligation: a table whose
+    checkpoints use V2 must DECLARE the ``v2Checkpoint`` reader+writer
+    feature — the manifest's protocol row is upgraded to carry it
+    (minReaderVersion 3 / minWriterVersion 7) when the declared
+    protocol doesn't yet, so a spec-following foreign reader replaying
+    from the checkpoint sees the obligation. Sidecars are written
+    before the manifest, the manifest before the pointer — a crash
+    leaves at worst unreferenced sidecars (cleaned by
+    ``truncate_delta_log``'s ref-counting), never a manifest naming
+    missing shards."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    protocol_t, meta_t, add_t, domain_t = _ckpt_types(pa)
+    proto = dict(
+        protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    rf = set(proto.get("readerFeatures") or [])
+    wf = set(proto.get("writerFeatures") or [])
+    if "v2Checkpoint" not in rf:
+        rf.add("v2Checkpoint")
+        wf.add("v2Checkpoint")
+        proto = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rf),
+            "writerFeatures": sorted(wf),
+        }
+    sdir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sdir, exist_ok=True)
+    sidecar_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()),
+        ]
+    )
+    sc_rows: list[dict] = []
+    for lo in range(0, max(len(adds), 1), sidecar_rows):
+        chunk = adds[lo : lo + sidecar_rows]
+        name = f"{uuid.uuid4()}.parquet"
+        sp = os.path.join(sdir, name)
+        tmp = sp + ".tmp"
+        pq.write_table(
+            pa.table(
+                {
+                    "add": pa.array(
+                        [_ckpt_add_row(a) for a in chunk], type=add_t
+                    )
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, sp)
+        sc_rows.append(
+            {
+                "path": name,
+                "sizeInBytes": os.path.getsize(sp),
+                "modificationTime": 0,
+            }
+        )
+    ckm_t = pa.struct([("version", pa.int64())])
+    n = 3 + len(dom_rows) + len(sc_rows)
+    rows: dict[str, list] = {
+        "checkpointMetadata": [None] * n,
+        "protocol": [None] * n,
+        "metaData": [None] * n,
+        "domainMetadata": [None] * n,
+        "sidecar": [None] * n,
+    }
+    rows["checkpointMetadata"][0] = {"version": version}
+    rows["protocol"][1] = proto
+    rows["metaData"][2] = _ckpt_meta_row(meta)
+    for i, d in enumerate(dom_rows):
+        rows["domainMetadata"][3 + i] = d
+    for i, s in enumerate(sc_rows):
+        rows["sidecar"][3 + len(dom_rows) + i] = s
+    cols = {
+        "checkpointMetadata": pa.array(rows["checkpointMetadata"], type=ckm_t),
+        "protocol": pa.array(rows["protocol"], type=protocol_t),
+        "metaData": pa.array(rows["metaData"], type=meta_t),
+        "sidecar": pa.array(rows["sidecar"], type=sidecar_t),
+    }
+    if dom_rows:
+        cols["domainMetadata"] = pa.array(rows["domainMetadata"], type=domain_t)
+    unique = uuid.uuid4().hex
+    final = os.path.join(
+        log_dir, f"{version:020d}.checkpoint.{unique}.parquet"
+    )
+    tmp = final + ".tmp"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, final)
+    ptr = os.path.join(log_dir, "_last_checkpoint")
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "size": n, "v2Checkpoint": True}, f)
     os.replace(tmp, ptr)
 
 
@@ -810,19 +949,42 @@ def _declared_protocol(log_dir: str) -> dict | None:
                     proto = dict(a["protocol"])
     if proto is not None:
         return proto
-    cps = _checkpoints(log_dir)
-    if not cps:
-        return None
     import pyarrow.parquet as pq
 
-    for part in cps[max(cps)]:
-        pf = pq.ParquetFile(part)
-        if "protocol" not in pf.schema_arrow.names:
-            continue
-        for row in pf.read(columns=["protocol"]).column("protocol").to_pylist():
-            if row is not None:
-                return {k: v for k, v in dict(row).items() if v is not None}
-    return None
+    cps = _checkpoints(log_dir)
+    if cps:
+        for part in cps[max(cps)]:
+            pf = pq.ParquetFile(part)
+            if "protocol" not in pf.schema_arrow.names:
+                continue
+            for row in (
+                pf.read(columns=["protocol"]).column("protocol").to_pylist()
+            ):
+                if row is not None:
+                    return {
+                        k: v for k, v in dict(row).items() if v is not None
+                    }
+    v2cps = _v2_checkpoints(log_dir)
+    if not v2cps:
+        return None
+    fmt, mpath = v2cps[max(v2cps)]
+    found: list[dict] = []
+
+    def act(kind: str, row: dict) -> None:
+        if kind == "protocol" and row is not None:
+            found.append({k: v for k, v in dict(row).items() if v is not None})
+
+    if fmt == "json":
+        with open(mpath) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    a = json.loads(line)
+                    if "protocol" in a:
+                        act("protocol", a["protocol"])
+    else:
+        _read_action_parquet(mpath, ("protocol",), act)
+    return found[0] if found else None
 
 
 def _now_ms() -> int:
@@ -865,7 +1027,10 @@ def _ict_commit_info(
     }
 
 
-def export_delta_log(table, checkpoint_interval: int = 10) -> int:
+def export_delta_log(
+    table, checkpoint_interval: int = 10,
+    checkpoint_v2_threshold: int = 10_000,
+) -> int:
     """Publish a :class:`~.table.SnapshotTable`'s CURRENT snapshot as a
     real ``_delta_log`` under the table root, so any Delta client
     (delta-rs, Trino, Spark delta-io — or :func:`read_delta`) can read
@@ -879,11 +1044,15 @@ def export_delta_log(table, checkpoint_interval: int = 10) -> int:
     no-change export writes nothing. Returns the exported delta version.
 
     Every ``checkpoint_interval`` versions (spec-conventional default
-    10) the export also writes a classic single-file parquet CHECKPOINT
-    of the full state plus ``_last_checkpoint``, so a foreign reader of
-    a long exported history replays from the checkpoint instead of
-    every JSON commit since 0 (and vacuumed early commits stay
-    readable). ``checkpoint_interval=0`` disables.
+    10) the export also writes a parquet CHECKPOINT of the full state
+    plus ``_last_checkpoint``, so a foreign reader of a long exported
+    history replays from the checkpoint instead of every JSON commit
+    since 0 (and vacuumed early commits stay readable).
+    ``checkpoint_interval=0`` disables. Checkpoints with more than
+    ``checkpoint_v2_threshold`` actions write the V2 MANIFEST +
+    SIDECAR layout instead of the classic single file
+    (:func:`_write_checkpoint_v2` — the at-scale layout; the manifest
+    protocol gains the ``v2Checkpoint`` feature declaration).
 
     Shape notes: SnapshotTable data files hold exactly the declared
     schema (the hash-bucket id lives in the directory name, not the
@@ -1004,6 +1173,7 @@ def export_delta_log(table, checkpoint_interval: int = 10) -> int:
             ],
             protocol=_declared_protocol(log_dir),
             domains=dom,
+            v2_threshold=checkpoint_v2_threshold,
         )
     return version
 

@@ -85,6 +85,7 @@ def optimize_delta(
     bits: int = 12,
     partitions: dict | None = None,
     checkpoint_interval: int = 10,
+    checkpoint_v2_threshold: int = 10_000,
 ) -> int | None:
     """OPTIMIZE the Delta table at ``root``: bin-pack small live files
     (and purge any live deletion vectors) into ``ceil(rows /
@@ -503,7 +504,9 @@ def optimize_delta(
             f.write(json.dumps(action) + "\n")
     os.replace(tmp, os.path.join(log_dir, f"{version:020d}.json"))
     if checkpoint_interval and version % checkpoint_interval == 0:
-        _write_optimize_checkpoint(root, log_dir, version)
+        _write_optimize_checkpoint(
+            root, log_dir, version, v2_threshold=checkpoint_v2_threshold
+        )
     return version
 
 
@@ -731,7 +734,10 @@ def set_delta_clustering_columns(
     return version
 
 
-def _write_optimize_checkpoint(root: str, log_dir: str, version: int) -> None:
+def _write_optimize_checkpoint(
+    root: str, log_dir: str, version: int,
+    v2_threshold: int | None = None,
+) -> None:
     """Classic checkpoint of the post-commit state: live adds with
     stats, row-tracking stamps, and deletion vectors, plus the
     DECLARED protocol and live domainMetadata (clustering declaration,
@@ -764,4 +770,5 @@ def _write_optimize_checkpoint(root: str, log_dir: str, version: int) -> None:
         log_dir, version, meta2, adds,
         protocol=_declared_protocol(log_dir),
         domains=dom,
+        v2_threshold=v2_threshold,
     )

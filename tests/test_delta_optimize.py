@@ -862,3 +862,139 @@ def test_rowid_watermark_monotonic(spark, tmp_path):
     _replay_log(root, domains_out=domains2)
     assert json.loads(domains2["delta.rowTracking"])[
         "rowIdHighWaterMark"] == 5199
+
+
+def test_v2_checkpoint_written_and_survives_truncation(spark, tmp_path):
+    """The V2 MANIFEST + SIDECAR checkpoint (written above the action
+    threshold) carries everything the classic one does — stats,
+    row-tracking stamps, DV descriptors, domainMetadata, and a
+    protocol UPGRADED to declare v2Checkpoint — and a truncated log
+    replays from it with full feature state."""
+    import glob
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        _declared_protocol,
+        truncate_delta_log,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_optimize import (
+        set_delta_clustering_columns,
+    )
+
+    root = str(tmp_path / "v2rt")
+    os.makedirs(root)
+    for name, lo in (("a", 0), ("b", 100), ("a2", 200)):
+        pq.write_table(
+            pa.table({"k": pa.array(range(lo, lo + 100), type=pa.int64()),
+                      "bal": pa.array([i * 2 for i in range(100)],
+                                      type=pa.int64())}),
+            os.path.join(root, f"{name}.parquet"),
+        )
+    desc = write_dv_file(os.path.join(root, "dv1.bin"), [0, 5])
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors",
+                                         "rowTracking"]}},
+        _meta([("k", "long"), ("bal", "long"), ("seg", "string")],
+              configuration={"delta.enableRowTracking": "true"},
+              partition_cols=["seg"]),
+        {"add": {"path": "a.parquet", "partitionValues": {"seg": "A"},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 1000, "defaultRowCommitVersion": 0,
+                 "stats": json.dumps({"numRecords": 100})}},
+        {"add": {"path": "b.parquet", "partitionValues": {"seg": "B"},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 2000, "defaultRowCommitVersion": 0,
+                 "deletionVector": desc,
+                 "stats": json.dumps({"numRecords": 100})}},
+        {"add": {"path": "a2.parquet", "partitionValues": {"seg": "A"},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 3000, "defaultRowCommitVersion": 0,
+                 "stats": json.dumps({"numRecords": 100})}},
+    ])
+    set_delta_clustering_columns(root, ["k"])
+    before = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, row_tracking=True).collect()
+    }
+    assert len(before) == 298
+    v = optimize_delta(
+        spark, root, target_file_rows=10**6, checkpoint_interval=1,
+        checkpoint_v2_threshold=1, partitions={"seg": "A"},
+    )
+    assert v == 2
+    log_dir = os.path.join(root, "_delta_log")
+    # V2 layout on disk: a uuid manifest + sidecars, NO classic file
+    assert not glob.glob(os.path.join(log_dir, "*.checkpoint.parquet"))
+    manifests = [
+        n for n in os.listdir(log_dir)
+        if ".checkpoint." in n and n.endswith(".parquet")
+    ]
+    assert len(manifests) == 1
+    assert glob.glob(os.path.join(log_dir, "_sidecars", "*.parquet"))
+    # the manifest's protocol declares the v2Checkpoint obligation
+    proto = _declared_protocol(log_dir)  # JSON v0 still present: from log
+    deleted = truncate_delta_log(root, keep_versions=1)
+    assert deleted == [0, 1]
+    proto2 = _declared_protocol(log_dir)  # now only the V2 manifest has it
+    assert proto2["minReaderVersion"] == 3
+    assert "v2Checkpoint" in proto2["readerFeatures"]
+    assert "deletionVectors" in proto2["readerFeatures"]
+    assert "rowTracking" in proto2["writerFeatures"]
+    assert proto["readerFeatures"] == ["deletionVectors"]  # pre-truncate
+    # full feature state replays from the V2 checkpoint alone
+    after = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, row_tracking=True).collect()
+    }
+    assert after == before
+    _, live, dvs, _ = _replay_log(root)
+    assert len(dvs) == 1  # b's vector still applies
+    # ...including domainMetadata (the clustering declaration)
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_optimize import (
+        clustering_columns,
+    )
+
+    assert clustering_columns(root) == ["k"]
+    assert read_delta(spark, root).count() == 298
+
+
+def test_v2_checkpoint_export_path_and_sidecar_sharding(spark, tmp_path):
+    """export_delta_log writes V2 above the threshold; sidecars shard
+    at sidecar_rows; replay + truncation stay exact through them."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        _write_checkpoint_file,
+        truncate_delta_log,
+    )
+
+    df = spark.range(0, 200).select(F.col("id").alias("k"))
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint",
+        bucket_key=["k"], num_buckets=4,
+    )
+    t.append(df)
+    assert export_delta_log(t, checkpoint_interval=1,
+                            checkpoint_v2_threshold=1) == 0
+    t.append(df.select((F.col("k") + 1000).alias("k")))
+    assert export_delta_log(t, checkpoint_interval=1,
+                            checkpoint_v2_threshold=1) == 1
+    log_dir = os.path.join(t.root, "_delta_log")
+    assert truncate_delta_log(t.root, keep_versions=1) == [0]
+    assert read_delta(spark, t.root).count() == 400
+    # sharding: force tiny sidecars and count them
+    meta, live, _dvs, last = _replay_log(t.root)
+    adds = [
+        {"path": rel, "partitionValues": {}, "size": 1,
+         "modificationTime": 0}
+        for rel in sorted(live)
+    ]
+    _write_checkpoint_file(
+        log_dir, last, meta, adds, v2_threshold=1, sidecar_rows=3,
+    )
+    import glob
+    import math
+
+    # newest checkpoint wins the replay; state unchanged
+    assert read_delta(spark, t.root).count() == 400
+    n_sc = len(glob.glob(os.path.join(log_dir, "_sidecars", "*.parquet")))
+    assert n_sc >= math.ceil(len(adds) / 3)
