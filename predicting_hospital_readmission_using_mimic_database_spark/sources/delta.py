@@ -987,6 +987,42 @@ def _declared_protocol(log_dir: str) -> dict | None:
     return found[0] if found else None
 
 
+def _publish_commit(log_dir: str, version: int, actions: list[dict]) -> bool:
+    """ATOMICALLY claim ``{version}.json`` — Delta's commit rule is
+    put-if-absent on the version file (the spec's optimistic
+    concurrency): stage the actions to a temp file, then hard-link it
+    to the final name, which fails atomically when a FOREIGN writer
+    already took the version. Returns False on that loss (the caller
+    rebases and retries); a plain ``os.replace`` here would silently
+    CLOBBER the foreign commit."""
+    import uuid
+
+    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        for action in actions:
+            f.write(json.dumps(action) + "\n")
+    final = os.path.join(log_dir, f"{version:020d}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+    return True
+
+
+def _commit_actions(log_dir: str, version: int) -> list[dict]:
+    """The JSON actions of one commit — the conflict-inspection surface
+    a loser of the optimistic race reads to decide rebase vs raise."""
+    out = []
+    with open(os.path.join(log_dir, f"{version:020d}.json")) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
 def _now_ms() -> int:
     import time as _time
 
@@ -1030,6 +1066,7 @@ def _ict_commit_info(
 def export_delta_log(
     table, checkpoint_interval: int = 10,
     checkpoint_v2_threshold: int = 10_000,
+    _retries: int = 10,
 ) -> int:
     """Publish a :class:`~.table.SnapshotTable`'s CURRENT snapshot as a
     real ``_delta_log`` under the table root, so any Delta client
@@ -1146,11 +1183,24 @@ def export_delta_log(
                 }
             }
         )
-    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        for action in actions:
-            f.write(json.dumps(action) + "\n")
-    os.replace(tmp, os.path.join(log_dir, f"{version:020d}.json"))
+    if not _publish_commit(log_dir, version, actions):
+        # a FOREIGN writer claimed this version (exported logs are real
+        # Delta tables — other engines may commit to them): rebase by
+        # re-running the whole export, which re-replays the log
+        # INCLUDING the foreign commit and re-diffs against the current
+        # snapshot — an export is always a diff-to-current, so it
+        # rebases cleanly over any foreign action (Delta's optimistic
+        # concurrency loop). Bounded so a livelock surfaces honestly.
+        if _retries <= 0:
+            raise DeltaProtocolError(
+                f"export_delta_log lost the commit race at version "
+                f"{version} ten times in a row; a foreign writer is "
+                "committing faster than the export can rebase"
+            )
+        return export_delta_log(
+            table, checkpoint_interval, checkpoint_v2_threshold,
+            _retries=_retries - 1,
+        )
     if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
         # carry the log's DECLARED protocol and live domainMetadata —
         # the legacy default {1, 2} would understate the export's

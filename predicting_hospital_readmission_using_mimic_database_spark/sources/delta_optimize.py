@@ -465,44 +465,77 @@ def optimize_delta(
     finally:
         shutil.rmtree(stage_root, ignore_errors=True)
 
-    actions = [
-        _ict_commit_info(log_dir, version, operation="OPTIMIZE")
-        if ict_on
-        else {"commitInfo": {"operation": "OPTIMIZE",
-                             "engineInfo": "snapshot-export"}}
-    ]
-    if add_mat_conf:
-        new_meta = dict(meta)
-        new_conf = dict(conf)
-        new_conf["delta.rowTracking.materializedRowIdColumnName"] = mat_id
-        new_conf[
-            "delta.rowTracking.materializedRowCommitVersionColumnName"
-        ] = mat_ver
-        new_meta["configuration"] = new_conf
-        actions.append({"metaData": new_meta})
-    if row_tracking:
-        # advance the spec's row-id HIGH WATERMARK so a foreign writer
-        # appending after this OPTIMIZE allocates fresh ids past our
-        # replacement-file stamps (readers that don't track domain
-        # metadata — including this one — are unaffected)
-        actions.append(
-            {
-                "domainMetadata": {
-                    "domain": "delta.rowTracking",
-                    "configuration": json.dumps(
-                        {"rowIdHighWaterMark": next_base - 1}
-                    ),
-                    "removed": False,
+    from .delta import _commit_actions, _publish_commit
+
+    our_inputs = {r["remove"]["path"] for r in removes}
+
+    def _build_actions(v: int) -> list[dict]:
+        acts = [
+            _ict_commit_info(log_dir, v, operation="OPTIMIZE")
+            if ict_on
+            else {"commitInfo": {"operation": "OPTIMIZE",
+                                 "engineInfo": "snapshot-export"}}
+        ]
+        if add_mat_conf:
+            new_meta = dict(meta)
+            new_conf = dict(conf)
+            new_conf["delta.rowTracking.materializedRowIdColumnName"] = mat_id
+            new_conf[
+                "delta.rowTracking.materializedRowCommitVersionColumnName"
+            ] = mat_ver
+            new_meta["configuration"] = new_conf
+            acts.append({"metaData": new_meta})
+        if row_tracking:
+            # advance the spec's row-id HIGH WATERMARK so a foreign
+            # writer appending after this OPTIMIZE allocates fresh ids
+            # past our replacement-file stamps (readers that don't
+            # track domain metadata — including this one — are
+            # unaffected)
+            acts.append(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.rowTracking",
+                        "configuration": json.dumps(
+                            {"rowIdHighWaterMark": next_base - 1}
+                        ),
+                        "removed": False,
+                    }
                 }
-            }
+            )
+        acts.extend(removes)
+        if row_tracking:
+            # fresh stamps record their allocating COMMIT version
+            for a in adds:
+                a["add"]["defaultRowCommitVersion"] = v
+        acts.extend(adds)
+        return acts
+
+    for _attempt in range(10):
+        if _publish_commit(log_dir, version, _build_actions(version)):
+            break
+        # a FOREIGN writer claimed the version. Delta's conflict rules
+        # for a re-layout: it COMMUTES with blind appends (disjoint
+        # files) and rebase is just re-committing at the next version;
+        # anything that removed one of our input files, re-removed our
+        # replacements, or changed the metadata invalidates the plan —
+        # raise rather than resurrect deleted rows.
+        foreign = _commit_actions(log_dir, version)
+        f_removed = {
+            a["remove"]["path"] for a in foreign if "remove" in a
+        }
+        if f_removed & our_inputs or any("metaData" in a for a in foreign):
+            raise DeltaProtocolError(
+                f"optimize_delta lost the commit race at version "
+                f"{version} to a conflicting writer (it removed "
+                f"{sorted(f_removed & our_inputs)[:3]} / changed "
+                "metadata); the rewrite plan is stale — re-run"
+            )
+        version += 1
+    else:
+        raise DeltaProtocolError(
+            "optimize_delta lost the commit race ten times in a row; "
+            "a foreign writer is committing faster than the rebase"
         )
-    actions.extend(removes)
-    actions.extend(adds)
-    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        for action in actions:
-            f.write(json.dumps(action) + "\n")
-    os.replace(tmp, os.path.join(log_dir, f"{version:020d}.json"))
     if checkpoint_interval and version % checkpoint_interval == 0:
         _write_optimize_checkpoint(
             root, log_dir, version, v2_threshold=checkpoint_v2_threshold
@@ -684,8 +717,6 @@ def set_delta_clustering_columns(
     engine's OPTIMIZE-on-a-clustered-table behavior. Columns are
     validated against the schema and the z-orderable types up front.
     Returns the committed version."""
-    import uuid as _uuid
-
     stats_of: dict[str, str] = {}
     meta, _live, _dvs, last = _replay_log(root, stats_out=stats_of)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -711,27 +742,33 @@ def set_delta_clustering_columns(
     ict_on = str(
         conf.get("delta.enableInCommitTimestamps", "")
     ).lower() == "true"
-    actions = [
-        _ict_commit_info(log_dir, version, operation="CLUSTER BY")
-        if ict_on
-        else {"commitInfo": {"operation": "CLUSTER BY",
-                             "engineInfo": "snapshot-export"}},
-        {
-            "domainMetadata": {
-                "domain": "delta.clustering",
-                "configuration": json.dumps(
-                    {"clusteringColumns": [[c] for c in columns]}
-                ),
-                "removed": False,
-            }
-        },
-    ]
-    tmp = os.path.join(log_dir, f".tmp-{_uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        for action in actions:
-            f.write(json.dumps(action) + "\n")
-    os.replace(tmp, os.path.join(log_dir, f"{version:020d}.json"))
-    return version
+    from .delta import _publish_commit
+
+    for _attempt in range(10):
+        actions = [
+            _ict_commit_info(log_dir, version, operation="CLUSTER BY")
+            if ict_on
+            else {"commitInfo": {"operation": "CLUSTER BY",
+                                 "engineInfo": "snapshot-export"}},
+            {
+                "domainMetadata": {
+                    "domain": "delta.clustering",
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [[c] for c in columns]}
+                    ),
+                    "removed": False,
+                }
+            },
+        ]
+        # a domain-only declaration commutes with any foreign commit:
+        # losing the race just means re-claiming the next version
+        if _publish_commit(log_dir, version, actions):
+            return version
+        version += 1
+    raise DeltaProtocolError(
+        "set_delta_clustering_columns lost the commit race ten times "
+        "in a row; a foreign writer is committing continuously"
+    )
 
 
 def _write_optimize_checkpoint(

@@ -63,6 +63,35 @@ def _instant(version: int) -> str:
     return f"{version:014d}"
 
 
+def _publish_instant(hdir: str, name: str, body: dict) -> None:
+    """ATOMICALLY claim a timeline instant file (put-if-absent via hard
+    link). Hudi's multi-writer story is a LOCK PROVIDER — without one,
+    two writers allocating the same instant is a detected error, not a
+    retry: the loser's data files already embed the instant in their
+    names and ``_hoodie_commit_time`` stamps, so rebasing would mean
+    rewriting them. Raises ``HudiProtocolError`` on the collision (the
+    orphaned files are never visible — no marker means no commit — and
+    a later clean can collect them)."""
+    from .hudi import HudiProtocolError
+
+    tmp = os.path.join(hdir, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(body, f)
+    final = os.path.join(hdir, name)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise HudiProtocolError(
+            f"concurrent Hudi writer detected: timeline instant "
+            f"{name} already exists — Hudi multi-writer needs a lock "
+            "provider; this writer's files for the instant stay "
+            "invisible (no completed marker) and re-running re-exports "
+            "at a fresh instant"
+        ) from None
+    finally:
+        os.remove(tmp)
+
+
 def export_hudi(
     table, dest: str, partition_by: list[str] | None = None,
     table_type: str = "COPY_ON_WRITE",
@@ -280,10 +309,9 @@ def export_hudi(
             table, dest, inst, sorted(touched), cur, key_expr, _row_hash,
             prev_slices, prev_logs, pp_expr,
         )
-        tmp = os.path.join(hdir, f".{inst}.deltacommit.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"partitionToWriteStats": written}, f)
-        os.replace(tmp, os.path.join(hdir, f"{inst}.deltacommit"))
+        _publish_instant(
+            hdir, f"{inst}.deltacommit", {"partitionToWriteStats": written}
+        )
         _mdt_sync_files(dest, written, inst)
         with open(state_path, "w") as f:
             json.dump(
@@ -400,10 +428,9 @@ def export_hudi(
     # MOR base-file writes commit as a deltacommit, like real MOR
     # writers' insert path; COW commits stay .commit
     suffix = "deltacommit" if mor else "commit"
-    tmp = os.path.join(hdir, f".{inst}.{suffix}.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"partitionToWriteStats": written}, f)
-    os.replace(tmp, os.path.join(hdir, f"{inst}.{suffix}"))
+    _publish_instant(
+        hdir, f"{inst}.{suffix}", {"partitionToWriteStats": written}
+    )
     _mdt_sync_files(dest, written, inst)
     with open(state_path, "w") as f:
         json.dump(
@@ -883,10 +910,10 @@ def schedule_compaction(dest: str) -> str | None:
                 ],
             }
         )
-    tmp = os.path.join(hdir, f".{inst}.compaction.requested.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"operations": ops, "version": 2}, f)
-    os.replace(tmp, os.path.join(hdir, f"{inst}.compaction.requested"))
+    _publish_instant(
+        hdir, f"{inst}.compaction.requested",
+        {"operations": ops, "version": 2},
+    )
     return inst
 
 
@@ -1086,10 +1113,9 @@ def compact_hudi(spark, dest: str) -> str | None:
             )
         shutil.rmtree(stage2)
     shutil.rmtree(stage)
-    tmp = os.path.join(hdir, f".{inst}.commit.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"partitionToWriteStats": written}, f)
-    os.replace(tmp, os.path.join(hdir, f"{inst}.commit"))
+    _publish_instant(
+        hdir, f"{inst}.commit", {"partitionToWriteStats": written}
+    )
     _mdt_sync_files(dest, written, inst)
     return inst
 
@@ -1327,10 +1353,7 @@ def clean_hudi(dest: str, retain_commits: int = 10) -> str | None:
         "earliestCommitToRetain": max(horizon, prev_h or ""),
         "deleted": n_removed,
     }
-    tmp = os.path.join(hdir, f".{inst}.clean.tmp")
-    with open(tmp, "w") as f:
-        json.dump(body, f)
-    os.replace(tmp, os.path.join(hdir, f"{inst}.clean"))
+    _publish_instant(hdir, f"{inst}.clean", body)
     _mdt_sync_files(dest, {}, inst, deleted=deleted)
     return inst
 
@@ -1463,13 +1486,10 @@ def cluster_hudi(
         p2f["" if part in (".", "") else part] = sorted(
             fid for _p, fid in keys
         )
-    tmp = os.path.join(hdir, f".{inst}.replacecommit.tmp")
-    with open(tmp, "w") as f:
-        json.dump(
-            {"partitionToWriteStats": written,
-             "partitionToReplaceFileIds": p2f},
-            f,
-        )
-    os.replace(tmp, os.path.join(hdir, f"{inst}.replacecommit"))
+    _publish_instant(
+        hdir, f"{inst}.replacecommit",
+        {"partitionToWriteStats": written,
+         "partitionToReplaceFileIds": p2f},
+    )
     _mdt_sync_files(dest, written, inst)
     return inst

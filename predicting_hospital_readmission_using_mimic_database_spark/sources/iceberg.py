@@ -265,6 +265,26 @@ def _metadata_path(root: str) -> str:
     return best[1]
 
 
+def _latest_metadata_path(root: str) -> str | None:
+    """The HIGHEST-numbered ``v*.metadata.json`` — the refresh a
+    COMMITTER must perform before attempting its CAS (the
+    ``version-hint.text`` is a reader convenience that may lag a
+    just-landed foreign commit; basing a commit on it would retry
+    against a stale version forever). ``None`` when the table has no
+    metadata yet."""
+    mdir = os.path.join(root, "metadata")
+    if not os.path.isdir(mdir):
+        return None
+    best: tuple[int, str] | None = None
+    for name in os.listdir(mdir):
+        m = re.match(r"^v?(\d+)\.metadata\.json$", name)
+        if m:
+            seq = int(m.group(1))
+            if best is None or seq > best[0]:
+                best = (seq, os.path.join(mdir, name))
+    return best[1] if best else None
+
+
 def _localize(uri: str, root: str) -> str:
     """Manifest/data paths are URIs; map file: URIs to local paths and
     resolve relative ones against the table root."""
@@ -593,7 +613,7 @@ def _iceberg_type_ids(dt: T.DataType, next_id: list[int]):
     return _iceberg_type(dt)
 
 
-def export_iceberg(table) -> int:
+def export_iceberg(table, _retries: int = 10) -> int:
     """Publish a :class:`~.table.SnapshotTable`'s CURRENT snapshot as a
     real Iceberg v2 table under the table root — zero data movement
     (parquet files shared byte-for-byte), so pyiceberg/Trino/Spark's
@@ -622,9 +642,16 @@ def export_iceberg(table) -> int:
     engines prune on — at zero extra I/O (the ranges already live in
     the commit log's harvested footer stats)."""
     import time
+    import uuid as _uuid
 
     from .avro_ocf import write_avro
 
+    # ATTEMPT-unique manifest names (real Iceberg's
+    # snap-{sid}-{attempt}-{uuid} convention): two committers racing on
+    # the same next snapshot id must never overwrite each other's
+    # manifest files — only the metadata CAS decides the winner, and
+    # the loser's files are unreferenced orphans
+    attempt = _uuid.uuid4().hex[:12]
     root = table.root
     table._refresh()
     live = sorted(table._live.items())
@@ -632,11 +659,13 @@ def export_iceberg(table) -> int:
     mdir = os.path.join(root, "metadata")
     os.makedirs(mdir, exist_ok=True)
     prev_meta = None
-    try:
-        with open(_metadata_path(root)) as f:
+    # committer refresh: the LATEST metadata by version number, never
+    # the reader hint — a stale hint after a foreign commit would make
+    # every CAS retry re-attempt the same taken version
+    latest = _latest_metadata_path(root)
+    if latest is not None:
+        with open(latest) as f:
             prev_meta = json.load(f)
-    except FileNotFoundError:
-        pass
     snapshots = list(prev_meta.get("snapshots", [])) if prev_meta else []
     carried: list[dict] = []
     prev_files: set[str] = set()
@@ -663,7 +692,15 @@ def export_iceberg(table) -> int:
         if prev_files == live_paths:
             return last_id  # no change since the last export
         sid = last_id + 1
-        version = int(prev_meta.get("_export_version", len(snapshots))) + 1
+        # next version: past BOTH the recorded export version and the
+        # latest metadata FILE's number (a foreign commit's metadata
+        # carries no _export_version; basing the CAS below its number
+        # would collide forever)
+        m = re.match(r"^v?(\d+)\.metadata\.json$", os.path.basename(latest))
+        file_v = int(m.group(1)) if m else 0
+        version = max(
+            int(prev_meta.get("_export_version", len(snapshots))), file_v
+        ) + 1
         for mi, (mrec, live_entries) in enumerate(per_manifest):
             if live_entries is None:
                 carried.append(dict(mrec))  # delete manifest: as-is
@@ -696,7 +733,9 @@ def export_iceberg(table) -> int:
                     **over,
                 }
 
-            rewritten = os.path.join(mdir, f"manifest-{sid}-rw{mi}.avro")
+            rewritten = os.path.join(
+                mdir, f"manifest-{sid}-rw{mi}-{attempt}.avro"
+            )
             write_avro(
                 rewritten,
                 MANIFEST_ENTRY_SCHEMA,
@@ -746,7 +785,7 @@ def export_iceberg(table) -> int:
                 hi.append({"key": fid, "value": b_hi})
             return (lo or None, hi or None)
 
-        manifest = os.path.join(mdir, f"manifest-{sid}.avro")
+        manifest = os.path.join(mdir, f"manifest-{sid}-{attempt}.avro")
         entries = []
         for rel, act in added:
             b_lo, b_hi = _entry_bounds(getattr(act, "stats", None))
@@ -782,7 +821,7 @@ def export_iceberg(table) -> int:
                 "sequence_number": sid,
             }
         )
-    mlist = os.path.join(mdir, f"snap-{sid}.avro")
+    mlist = os.path.join(mdir, f"snap-{sid}-{attempt}.avro")
     write_avro(
         mlist,
         MANIFEST_FILE_SCHEMA,
@@ -823,8 +862,27 @@ def export_iceberg(table) -> int:
         # CARRY — a tag set between exports pins its snapshot through
         # expiry, and dropping it silently would unpin history
         meta["refs"] = prev_meta["refs"]
-    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
-        json.dump(meta, f)
+    try:
+        # Iceberg's commit IS a compare-and-swap on the metadata
+        # pointer: claiming vN.metadata.json must be put-if-absent, or
+        # a concurrent committer's snapshot would be silently clobbered
+        with open(
+            os.path.join(mdir, f"v{version}.metadata.json"), "x"
+        ) as f:
+            json.dump(meta, f)
+    except FileExistsError:
+        # a FOREIGN writer took this version: the format's rule is
+        # refresh-and-reattempt — re-run the export, which re-reads the
+        # current metadata (now including the foreign snapshot) and
+        # re-diffs against the table's live set. Bounded so a livelock
+        # surfaces honestly.
+        if _retries <= 0:
+            raise IcebergProtocolError(
+                f"export_iceberg lost the metadata CAS at version "
+                f"{version} ten times in a row; a foreign writer is "
+                "committing faster than the export can refresh"
+            ) from None
+        return export_iceberg(table, _retries=_retries - 1)
     tmp = os.path.join(mdir, ".hint.tmp")
     with open(tmp, "w") as f:
         f.write(str(version))

@@ -998,3 +998,133 @@ def test_v2_checkpoint_export_path_and_sidecar_sharding(spark, tmp_path):
     assert read_delta(spark, t.root).count() == 400
     n_sc = len(glob.glob(os.path.join(log_dir, "_sidecars", "*.parquet")))
     assert n_sc >= math.ceil(len(adds) / 3)
+
+
+def test_concurrent_exporters_rebase(spark, tmp_path):
+    """Two exporters interleaving on one _delta_log: the commit is
+    put-if-absent on the version file, so the LOSER detects the foreign
+    commit and rebases (re-replays + re-diffs) instead of clobbering.
+    When the winner was a second exporter of the SAME table, the rebase
+    converges to a no-op; a foreign DATA commit survives at its version
+    (never clobbered) and the final log replays exact."""
+    import json as _json
+
+    import predicting_hospital_readmission_using_mimic_database_spark.sources.delta as D
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(df)
+    assert export_delta_log(t) == 0
+    root = t.root
+    log_dir = os.path.join(root, "_delta_log")
+
+    t.append(df.select((F.col("k") + 1000).alias("k")))
+    # exporter B (a second handle on the same table) wins version 1
+    # exactly when exporter A is about to publish it
+    t2 = SnapshotTable(spark, root)
+    orig = D._publish_commit
+    state = {"raced": False}
+
+    def racing(log_dir_, version, actions):
+        if not state["raced"]:
+            state["raced"] = True
+            D._publish_commit = orig
+            assert D.export_delta_log(t2) == 1  # B commits first
+            D._publish_commit = racing
+        return orig(log_dir_, version, actions)
+
+    D._publish_commit = racing
+    try:
+        v = D.export_delta_log(t)
+    finally:
+        D._publish_commit = orig
+    # A lost version 1, rebased, found B had published the same diff,
+    # and converged to B's version instead of double-committing
+    assert v == 1
+    assert not os.path.exists(os.path.join(log_dir, f"{2:020d}.json"))
+    got = {r["k"] for r in read_delta(spark, root).collect()}
+    assert got == set(range(100)) | {k + 1000 for k in range(100)}
+
+    # optimize loses its version to a DISJOINT foreign append landing
+    # mid-flight: it rebases to the next version, the foreign rows
+    # survive, and nothing is clobbered
+    pq.write_table(
+        pa.table({"k": pa.array([9003], type=pa.int64())}),
+        os.path.join(root, "foreign2.parquet"),
+    )
+    state2 = {"raced": False}
+
+    def racing2(log_dir_, version, actions):
+        if not state2["raced"]:
+            state2["raced"] = True
+            with open(os.path.join(log_dir, f"{version:020d}.json"),
+                      "w") as f:
+                f.write(_json.dumps({"commitInfo": {
+                    "operation": "WRITE", "engineInfo": "foreign",
+                    "inCommitTimestamp": 99999999999999}}) + "\n")
+                f.write(_json.dumps({"add": {
+                    "path": "foreign2.parquet", "partitionValues": {},
+                    "size": 1, "modificationTime": 0, "dataChange": True,
+                    "stats": _json.dumps({"numRecords": 1})}}) + "\n")
+        return orig(log_dir_, version, actions)
+
+    D._publish_commit = racing2
+    try:
+        v2 = optimize_delta(spark, root, target_file_rows=10**6)
+    finally:
+        D._publish_commit = orig
+    assert v2 == 3  # wanted 2, rebased to 3
+    got2 = {r["k"] for r in read_delta(spark, root).collect()}
+    assert got2 == got | {9003}
+
+
+def test_optimize_conflicting_foreign_remove_raises(spark, tmp_path):
+    """A foreign commit that REMOVED one of the optimize plan's input
+    files invalidates the plan: the loser raises instead of
+    resurrecting deleted rows."""
+    import json as _json
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        DeltaProtocolError,
+    )
+
+    root = str(tmp_path / "c")
+    os.makedirs(root)
+    for i in (0, 1):
+        pq.write_table(
+            pa.table({"k": pa.array([i * 10, i * 10 + 1], type=pa.int64())}),
+            os.path.join(root, f"f{i}.parquet"),
+        )
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta([("k", "long")]),
+    ] + [
+        {"add": {"path": f"f{i}.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": _json.dumps({"numRecords": 2})}}
+        for i in (0, 1)
+    ])
+    import predicting_hospital_readmission_using_mimic_database_spark.sources.delta as D
+
+    orig = D._publish_commit
+    state = {"n": 0}
+
+    def racing_publish(log_dir, version, actions):
+        if state["n"] == 0:
+            state["n"] = 1
+            # foreign DELETE of f0 sneaks in and wins the version
+            _commit(root, version, [
+                {"remove": {"path": "f0.parquet", "dataChange": True,
+                            "deletionTimestamp": 1}},
+            ])
+        return orig(log_dir, version, actions)
+
+    D._publish_commit = racing_publish
+    try:
+        with pytest.raises(DeltaProtocolError, match="conflicting writer"):
+            optimize_delta(spark, root, target_file_rows=10**6)
+    finally:
+        D._publish_commit = orig

@@ -1397,3 +1397,59 @@ def test_timeline_archival_mor_bounds_and_gates(spark, tmp_path):
     assert la2 >= la and ch2 == h
     exp2 = (exp - {(2, "w2"), (3, "w3")}) | {(2, "x2"), (3, "x3")}
     assert {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()} == exp2
+
+
+def test_concurrent_hudi_writer_detected(spark, tmp_path):
+    """Hudi instant markers publish put-if-absent: a foreign writer
+    claiming the same instant is DETECTED (HudiProtocolError — Hudi's
+    multi-writer story is a lock provider, and the loser's files are
+    instant-stamped so rebase would mean rewriting them), never
+    clobbered; a re-run lands at a fresh instant and the snapshot is
+    exact."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    import predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export as HE
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        HudiProtocolError,
+        read_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v string",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k bigint, v string"
+    ))
+    dest = str(tmp_path / "hudi")
+    HE.export_hudi(t, dest)
+    t.merge(spark.createDataFrame([(1, "V1")], "k bigint, v string"))
+
+    orig = HE._publish_instant
+    state = {"raced": False}
+
+    def racing(hdir, name, body):
+        if not state["raced"]:
+            state["raced"] = True
+            with open(os.path.join(hdir, name), "w") as f:
+                _json.dump({"partitionToWriteStats": {},
+                            "engineInfo": "foreign"}, f)
+        return orig(hdir, name, body)
+
+    HE._publish_instant = racing
+    try:
+        with pytest.raises(HudiProtocolError, match="concurrent Hudi"):
+            HE.export_hudi(t, dest)
+    finally:
+        HE._publish_instant = orig
+    # the foreign marker was never clobbered
+    # ...and a re-run publishes at a FRESH instant, snapshot exact
+    i2 = HE.export_hudi(t, dest)
+    assert i2 is not None
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert got == {(i, f"v{i}") for i in range(10) if i != 1} | {(1, "V1")}

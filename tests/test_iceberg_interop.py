@@ -2889,3 +2889,69 @@ def test_ref_write_surface(spark, tmp_path):
         set_iceberg_ref(root, "x", snapshot_id=99)
     with pytest.raises(ValueError, match="not found"):
         drop_iceberg_ref(root, "nope")
+
+
+def test_concurrent_iceberg_exporters_cas(spark, tmp_path):
+    """export_iceberg's commit is a CAS on vN.metadata.json: a loser
+    whose refresh was stale detects the taken version, refreshes to the
+    LATEST metadata (by file number, never the reader hint), and
+    converges — the final table replays exact with no clobbered
+    snapshot."""
+    import pyspark.sql.functions as F
+
+    import predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg as I
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        export_iceberg,
+        read_iceberg,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(df)
+    assert export_iceberg(t) == 1
+    t.append(df.select((F.col("k") + 1000).alias("k")))
+
+    # exporter B (second handle) commits v2 while A's refresh is stale:
+    # force A's first refresh to see v1 only, so its CAS on v2 loses
+    t2 = SnapshotTable(spark, t.root)
+    assert export_iceberg(t2) == 2  # B wins version 2
+    mdir = os.path.join(t.root, "metadata")
+    orig = I._latest_metadata_path
+    state = {"stale": True}
+
+    def stale_once(root):
+        if state["stale"]:
+            state["stale"] = False
+            return os.path.join(mdir, "v1.metadata.json")
+        return orig(root)
+
+    I._latest_metadata_path = stale_once
+    try:
+        sid = export_iceberg(t)
+    finally:
+        I._latest_metadata_path = orig
+    # A lost the CAS at v2, refreshed to B's metadata, found the diff
+    # empty, and converged to B's snapshot — no v3 double-commit
+    assert sid == 2
+    assert not os.path.exists(os.path.join(mdir, "v3.metadata.json"))
+    got = {r["k"] for r in read_iceberg(spark, t.root).collect()}
+    assert got == set(range(100)) | {k + 1000 for k in range(100)}
+
+    # with genuinely NEW data, the rebased retry lands at v3
+    t.append(df.select((F.col("k") + 2000).alias("k")))
+    state["stale"] = True
+    I._latest_metadata_path = stale_once
+    try:
+        sid2 = export_iceberg(t)
+    finally:
+        I._latest_metadata_path = orig
+    assert sid2 == 3
+    assert os.path.exists(os.path.join(mdir, "v3.metadata.json"))
+    got2 = {r["k"] for r in read_iceberg(spark, t.root).collect()}
+    assert got2 == got | {k + 2000 for k in range(100)}
