@@ -190,6 +190,12 @@ HEADLINE = [
     "s65_iceberg_orphan_files",  # removeOrphanFiles GC (r11)
     "s66_delta_vacuum",  # retention-horizon data GC (r11)
     "s67_delta_liquid_clustering",  # declaration-driven OPTIMIZE (r11)
+    # round-12: async compaction states, archival, V2 checkpoints,
+    # stream-across-maintenance
+    "s68_hudi_async_compaction",
+    "s69_hudi_timeline_archival",
+    "s70_delta_v2_checkpoint",
+    "st25_stream_across_maintenance",
 ]
 
 

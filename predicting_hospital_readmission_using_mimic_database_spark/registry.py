@@ -39,86 +39,77 @@ _LOADED = False
 # The driver verifies the registry front-to-back with a capped budget
 # (every round so far checked exactly the first 50 entries). The
 # cross-round union covers all entries — every one has appeared
-# hash-green in a shipped driver artifact. Round-11 window:
-# (a) every entry new or code-changed THIS round — the 22 new
-# round-11 entries (st22 stream nested evolution + v3 defaults, s49
-# changelog delete replay, s50 CDF-correct Delta export, st23/st24
-# stream row lineage, s51/s52/s53 MOR export + compaction +
-# partitioning, s54 nested equality deletes, s55 export column
-# bounds, s56 metadata-table sync, the retention triple
-# s57 expire / s58 clean / s59 log truncate, s60 sort clustering,
-# s61 manifest compaction, s62 log-level Delta OPTIMIZE+ZORDER,
-# s63 Iceberg rewriteDataFiles, s64 partitioned export + spec
-# evolution, s65 removeOrphanFiles, s66 Delta VACUUM, and s67
-# liquid clustering); s47/st21 after the
-# changelog replay rewrite; st16/st19 after the stream read-loop
-# changes; s41/s44/s45/s46 after their fixture builders were shared
-# with the new stream entries; s16/s40/s43 after export_delta_log
-# grew cdc actions and export_hudi grew table_type + partitioned MOR —
-# then (a') recent lakehouse representatives adjacent to this round's
-# machinery (CDF readers next to the CDF-writing export, DV/eq-delete
-# reads next to the replay, MOR reads next to the MOR export), then
-# (b) stable representatives whose most recent driver row is the
-# OLDEST, one sentinel per family prefix, ROTATED off round 10's picks
-# so sibling entries regain fresh driver rows
+# hash-green in a shipped driver artifact. Round-12 window:
+# (a) the 4 entries NEW this round — s68 Hudi async compaction
+# (requested/inflight states), s69 timeline archival, s70 Delta V2
+# checkpoints, st25 stream-across-maintenance — then every entry whose
+# MACHINERY changed this round: the Delta group (checkpoints now carry
+# domainMetadata + declared protocol, commits are put-if-absent with
+# rebase, V2 layout selection, watermark monotonicity, shared-DV-aware
+# vacuum), the Hudi group (the pending-compaction slice rules +
+# archival boundary touched every reader; exports publish instants
+# exclusively), and the Iceberg group (export CAS + attempt-unique
+# manifests + orphan-file age protection) — then (b) one stable
+# sentinel per family prefix, ROTATED off round 11's picks so sibling
+# entries regain fresh driver rows
 # (tests/test_entry.py::test_first_50_entries_cover_every_family).
 PRIORITY: tuple[str, ...] = (
-    # (a) new in round 11
-    "st22_stream_nested_evolution",
-    "s49_iceberg_changelog_dv_replay",
+    # (a) new in round 12
+    "s68_hudi_async_compaction",
+    "s69_hudi_timeline_archival",
+    "s70_delta_v2_checkpoint",
+    "st25_stream_across_maintenance",
+    # (a) Delta machinery changed in round 12
+    "s59_delta_log_truncate",
+    "s62_delta_optimize",
+    "s66_delta_vacuum",
+    "s67_delta_liquid_clustering",
+    "s16_delta_export",
     "s50_delta_export_cdf",
-    "st23_stream_iceberg_row_lineage",
+    "s46_delta_row_tracking",
+    "s28_delta_cdf",
+    "st17_stream_delta_cdf",
+    "st19_stream_delta_idmap",
     "st24_stream_delta_row_tracking",
+    # (a) Hudi machinery changed in round 12
+    "s40_hudi_export",
+    "s43_hudi_partitioned_export",
     "s51_hudi_mor_export",
     "s52_hudi_mor_compaction",
     "s53_hudi_mor_partitioned",
-    "s54_iceberg_nested_eq_delete",
-    "s55_iceberg_export_bounds",
     "s56_hudi_mdt_synced_export",
-    "s57_iceberg_expire_snapshots",
     "s58_hudi_clean",
-    "s59_delta_log_truncate",
     "s60_hudi_clustering",
+    "s42_hudi_cdc_infer",
+    "s27_hudi_mor_read",
+    "s31_hudi_mor_incremental",
+    "st15_stream_hudi_tail",
+    "st18_stream_hudi_mor",
+    "st20_stream_hudi_cdc",
+    # (a) Iceberg machinery changed in round 12
+    "s55_iceberg_export_bounds",
+    "s57_iceberg_expire_snapshots",
     "s61_iceberg_rewrite_manifests",
-    "s62_delta_optimize",
     "s63_iceberg_rewrite_datafiles",
     "s64_iceberg_partition_evolution",
     "s65_iceberg_orphan_files",
-    "s66_delta_vacuum",
-    "s67_delta_liquid_clustering",
-    # (a) code-changed in round 11
-    "s47_iceberg_changelog",
-    "st21_stream_iceberg_changelog",
-    "st16_stream_iceberg_tail",
-    "st19_stream_delta_idmap",
-    "s41_iceberg_nested_evolution",
-    "s44_iceberg_v3_defaults",
-    "s45_iceberg_row_lineage",
-    "s46_delta_row_tracking",
-    "s16_delta_export",
-    "s40_hudi_export",
-    "s43_hudi_partitioned_export",
-    # (a') recent lakehouse representatives adjacent to the round-11
-    # machinery
-    "st20_stream_hudi_cdc",
-    "s28_delta_cdf",
-    "st17_stream_delta_cdf",
-    # (b) oldest-vintage stable representatives, family-complete,
-    # rotated off the round-10 sentinel picks
+    "s49_iceberg_changelog_dv_replay",
+    # (b) stable sentinels, family-complete, rotated off the round-11
+    # picks
     "flagship_readmit_30d",
-    "p5_filter_numeric",
-    "j3_join_outer",
-    "w5_last_per_group",
-    "a5_conditional_counts",
-    "c4_parse_ts_coerce",
-    "u5_oversample",
-    "t16_tfidf",
-    "m7_grid_cv",
-    "e3_pr_curve",
-    "d4_ngram_jaccard",
-    "n2_knn_lsh",
-    "x6_lm_quality",
-    "mm3_image_resize",
+    "p2_filter_isnull",
+    "j7_anti_join",
+    "w1_lead",
+    "a1_value_counts",
+    "c7_cast_int",
+    "u3_random_split",
+    "t10_tokenize",
+    "m3_rf_train_predict",
+    "e2_auc",
+    "d2_dedup_minhash_lsh",
+    "n1_knn_bruteforce",
+    "x2_language_id",
+    "mm1_multimodal_decode",
 )
 
 

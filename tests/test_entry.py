@@ -33,35 +33,35 @@ def test_first_50_entries_cover_every_family():
         "t", "m", "e",                                   # text / ML / metrics
         "d", "n", "x", "mm", "st",                       # LLM-pipeline + streaming
     } <= fams, fams
-    # round-11 rotation: entries new or code-changed this round lead
-    # the prefix (stream vintage projection, changelog delete replay,
-    # CDF-correct export, stream row lineage, MOR export)
-    for must in ("st22_stream_nested_evolution",
-                 "s49_iceberg_changelog_dv_replay",
-                 "s50_delta_export_cdf",
-                 "st23_stream_iceberg_row_lineage",
+    # round-12 rotation: the 4 new entries (async compaction, timeline
+    # archival, V2 checkpoints, stream-across-maintenance) lead, then
+    # every entry whose machinery changed this round (Delta checkpoint/
+    # commit, Hudi pending/boundary, Iceberg export CAS)
+    for must in ("s68_hudi_async_compaction",
+                 "s69_hudi_timeline_archival",
+                 "s70_delta_v2_checkpoint",
+                 "st25_stream_across_maintenance",
+                 "s59_delta_log_truncate", "s62_delta_optimize",
+                 "s66_delta_vacuum", "s67_delta_liquid_clustering",
+                 "s16_delta_export", "s50_delta_export_cdf",
+                 "s46_delta_row_tracking", "s28_delta_cdf",
+                 "st17_stream_delta_cdf", "st19_stream_delta_idmap",
                  "st24_stream_delta_row_tracking",
+                 "s40_hudi_export", "s43_hudi_partitioned_export",
                  "s51_hudi_mor_export", "s52_hudi_mor_compaction",
                  "s53_hudi_mor_partitioned",
-                 "s54_iceberg_nested_eq_delete",
+                 "s56_hudi_mdt_synced_export", "s58_hudi_clean",
+                 "s60_hudi_clustering", "s42_hudi_cdc_infer",
+                 "s27_hudi_mor_read", "s31_hudi_mor_incremental",
+                 "st15_stream_hudi_tail", "st18_stream_hudi_mor",
+                 "st20_stream_hudi_cdc",
                  "s55_iceberg_export_bounds",
-                 "s56_hudi_mdt_synced_export",
-                 "s57_iceberg_expire_snapshots", "s58_hudi_clean",
-                 "s59_delta_log_truncate", "s60_hudi_clustering",
-                 "s61_iceberg_rewrite_manifests", "s62_delta_optimize",
+                 "s57_iceberg_expire_snapshots",
+                 "s61_iceberg_rewrite_manifests",
                  "s63_iceberg_rewrite_datafiles",
                  "s64_iceberg_partition_evolution",
                  "s65_iceberg_orphan_files",
-                 "s66_delta_vacuum",
-                 "s67_delta_liquid_clustering",
-                 "s47_iceberg_changelog", "st21_stream_iceberg_changelog",
-                 "st16_stream_iceberg_tail", "st19_stream_delta_idmap",
-                 "s41_iceberg_nested_evolution", "s44_iceberg_v3_defaults",
-                 "s45_iceberg_row_lineage", "s46_delta_row_tracking",
-                 "s16_delta_export", "s40_hudi_export",
-                 "s43_hudi_partitioned_export",
-                 "st20_stream_hudi_cdc",
-                 "s28_delta_cdf", "st17_stream_delta_cdf",
+                 "s49_iceberg_changelog_dv_replay",
                  "flagship_readmit_30d"):
         assert must in names
     assert len(names) == 50

@@ -169,6 +169,11 @@ AUDIT = [
     "s65_iceberg_orphan_files",  # post-GC partitioned read
     "s66_delta_vacuum",  # post-vacuum live read
     "s67_delta_liquid_clustering",  # declaration-clustered read
+    # round-12 operators
+    "s68_hudi_async_compaction",  # pending-chain fold + plan-instant bases
+    "s69_hudi_timeline_archival",  # boundary-rule read over archived history
+    "s70_delta_v2_checkpoint",  # manifest+sidecar replay read after truncate
+    "st25_stream_across_maintenance",  # stream tail across OPTIMIZE+VACUUM
 ]
 
 
