@@ -196,6 +196,8 @@ HEADLINE = [
     "s69_hudi_timeline_archival",
     "s70_delta_v2_checkpoint",
     "st25_stream_across_maintenance",
+    "s71_delta_restore",
+    "s72_hudi_savepoint_restore",
 ]
 
 

@@ -7915,3 +7915,179 @@ def q_s70(spark, sf):
     assert "v2Checkpoint" in proto["readerFeatures"]
     assert "inCommitTimestamp" in proto["writerFeatures"]
     return read_delta(spark, t.root)
+
+
+@query(
+    "s71_delta_restore",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey,
+           cents + CASE WHEN k % 9 = 0 THEN 333 ELSE 0 END AS cents
+    FROM base
+    """,
+)
+def q_s71(spark, sf):
+    """S71 — Delta RESTORE (sources/delta_optimize.py
+    ``restore_delta``): ``RESTORE TABLE t TO VERSION AS OF v`` as ONE
+    log-level commit — re-adds every file live at the target but not
+    at the head (carrying the target's stats / DVs / row-tracking
+    stamps) and retires every head file the target lacked, both sides
+    ``dataChange: true`` (incremental consumers see the restoration,
+    the official behavior), data only (the current metadata stays).
+    History is PRESERVED: the rolled-back commits remain
+    time-travelable above the restore (in-entry assert), the restore
+    itself surfaces in CDF as file-level changes (asserted non-empty),
+    restoring the current version / a no-op state raises, and a
+    vacuumed-away target raises rather than committing dead file refs
+    (pinned by pytest). Lifecycle: append (v0) -> merge +333 on %9
+    (v1) -> delete %23 (v2) -> RESTORE to v1 (v3) — DuckDB recomputes
+    v1's exact state, so a missed re-add, a leaked delete, or a
+    dropped DV breaks the row-level hash."""
+    import os
+
+    from .sources.delta import (
+        export_delta_log,
+        read_delta,
+        read_delta_changes,
+    )
+    from .sources.delta_optimize import restore_delta
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s71", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    k = F.col("c_custkey")
+    t.append(c)
+    assert export_delta_log(t) == 0
+    t.merge(c.filter(k % 9 == 0).withColumn(
+        "cents", F.col("cents") + 333
+    ))
+    assert export_delta_log(t) == 1
+    n_v1 = read_delta(spark, t.root).count()
+    t.delete(k % 23 == 0)
+    assert export_delta_log(t) == 2
+    assert read_delta(spark, t.root).count() < n_v1
+    try:
+        restore_delta(t.root, 2)
+        raise AssertionError("restoring the current version must raise")
+    except ValueError:
+        pass
+    v = restore_delta(t.root, 1)
+    assert v == 3
+    got = read_delta(spark, t.root)
+    assert got.count() == n_v1
+    # the rolled-back state is still time-travelable above the restore
+    assert read_delta(spark, t.root, version=2).count() < n_v1
+    # the restore surfaces in CDF (dataChange:true both sides)
+    assert read_delta_changes(spark, t.root, starting_version=v).count() > 0
+    return got
+
+
+@query(
+    "s72_hudi_savepoint_restore",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey,
+           cents + CASE WHEN k % 9 = 0 THEN 333 ELSE 0 END AS cents
+    FROM base
+    """,
+)
+def q_s72(spark, sf):
+    """S72 — Hudi SAVEPOINT + RESTORE (sources/hudi_export.py
+    ``savepoint_hudi`` / ``restore_hudi``): the format's own rollback
+    pair. A savepoint pins an instant's file slices against the
+    cleaner FOREVER (per group, the newest base at or before it plus
+    its log chain survive any retention horizon) and keeps the
+    instant READABLE below the clean horizon (in-entry assert: as_of
+    the savepoint serves exactly after an aggressive clean, while an
+    un-savepointed below-horizon instant still gates); archival never
+    crosses it. RESTORE is then Hudi's DESTRUCTIVE rollback (unlike
+    Delta's restore commit): every newer timeline action and the
+    files its write stats name are deleted, so the table IS the
+    savepointed state — asserted: the timeline's newest instant is
+    the savepoint and a re-run restore is an idempotent no-op.
+    Lifecycle: append (i0) -> merge +333 on %9 (i1, SAVEPOINTED) ->
+    merge +777 on %31==1 (i2) -> delete %23 (i3) -> clean retain 1 ->
+    RESTORE to i1. DuckDB recomputes i1's exact state; a slice the
+    cleaner wrongly collected, a restore that left a newer file, or a
+    lost savepoint protection breaks the read or an assert."""
+    import os
+
+    from .sources.hudi import (
+        HudiProtocolError,
+        _INSTANT_RE,
+        read_hudi,
+    )
+    from .sources.hudi_export import (
+        clean_hudi,
+        export_hudi,
+        restore_hudi,
+        savepoint_hudi,
+    )
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s72", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    k = F.col("c_custkey")
+    t.append(c)
+    export_hudi(t, dest := os.path.join(t.root, "hudi_cow"))
+    t.merge(c.filter(k % 9 == 0).withColumn(
+        "cents", F.col("cents") + 333
+    ))
+    i1 = export_hudi(t, dest)
+    assert savepoint_hudi(dest, i1) == i1
+    n_i1 = read_hudi(spark, dest).count()
+    t.merge(t.read().filter(k % 31 == 1).withColumn(
+        "cents", F.col("cents") + 777
+    ))
+    i2 = export_hudi(t, dest)
+    t.delete(k % 23 == 0)
+    i3 = export_hudi(t, dest)
+    assert i3 > i2 > i1
+    # aggressive clean: the savepointed slices survive and i1 stays
+    # readable below the horizon; un-savepointed i2 gates honestly
+    assert clean_hudi(dest, retain_commits=1) is not None
+    assert read_hudi(spark, dest, as_of=i1).count() == n_i1
+    try:
+        read_hudi(spark, dest, as_of=i2).collect()
+        raise AssertionError("below-horizon read must gate")
+    except HudiProtocolError:
+        pass
+    # destructive rollback to the savepoint
+    gone = restore_hudi(dest, i1)
+    assert gone
+    assert restore_hudi(dest, i1) == []  # idempotent no-op
+    hdir = os.path.join(dest, ".hoodie")
+    assert max(
+        m.group(1)
+        for m in (_INSTANT_RE.match(n) for n in os.listdir(hdir))
+        if m
+    ) == i1
+    got = read_hudi(spark, dest)
+    assert got.count() == n_i1
+    return got

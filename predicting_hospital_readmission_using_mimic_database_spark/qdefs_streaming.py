@@ -2104,3 +2104,115 @@ def q_st25(spark, sf):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st26_stream_iceberg_maintenance",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey, cents,
+           CAST(k % 3 + 1 AS BIGINT) AS _snapshot_id
+    FROM base
+    UNION ALL
+    SELECT k + 8000000, cents, CAST(4 AS BIGINT) FROM base WHERE k % 40 = 0
+    """,
+)
+def q_st26(spark, sf):
+    """ST26 — an Iceberg STREAM surviving table MAINTENANCE mid-drain
+    (sources/iceberg_stream.py + iceberg_rewrite.py
+    ``rewrite_iceberg_data_files`` / iceberg.py
+    ``expire_iceberg_snapshots``): the Iceberg twin of st25. The
+    stream drains three append snapshots, then a fourth append lands
+    followed by a REPLACE snapshot (rewriteDataFiles compacting
+    everything) and a snapshot EXPIRY removing the two oldest
+    (already-consumed) snapshots — and the drain continues over the
+    SAME checkpoint. Two behaviors pinned: (1) the offset RE-ANCHORS
+    by its pinned snapshot id, so expiry's position shift doesn't kill
+    the stream (it raises only when the pinned snapshot itself is
+    gone); (2) REPLACE snapshots contribute ZERO partitions — the
+    official IncrementalAppendScan skips re-layouts (Delta's
+    dataChange:false twin), so compaction never re-emits consumed
+    rows. DuckDB recomputes both drained generations with their
+    snapshot stamps; a phantom from the replace, a lost append, or a
+    mis-anchored offset breaks the row-level hash."""
+    import json as _json
+
+    from .qdefs_core import _table_root
+    from .sources.iceberg import expire_iceberg_snapshots, export_iceberg
+    from .sources.iceberg_rewrite import rewrite_iceberg_data_files
+    from .sources.iceberg_stream import register_iceberg_stream
+    from .sources.table import SnapshotTable
+
+    register_iceberg_stream(spark)
+    c = read_table(spark, sf, "customer").select(
+        F.col("c_custkey"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    root = _table_root("st26", sf)
+    t = SnapshotTable.create(
+        spark, root, "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"], num_buckets=2,
+    )
+    k = F.col("c_custkey")
+    for m in (0, 1, 2):
+        t.append(c.filter(k % 3 == m))
+        assert export_iceberg(t) == m + 1
+    tmp = tempfile.mkdtemp(prefix="st26_")
+    try:
+        ck = os.path.join(tmp, "ck")
+
+        def drain():
+            got: list = []
+
+            def sink(df, _bid):
+                got.extend(tuple(r) for r in df.collect())
+
+            q = (
+                spark.readStream.format("iceberg_stream")
+                .option("path", root)
+                .option("startingSnapshotCount", 0)
+                .load()
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            return got
+
+        got1 = drain()
+        n = c.count()
+        assert len(got1) == n
+        assert {r[2] for r in got1} == {1, 2, 3}
+        # a fourth append, then maintenance: compaction (REPLACE) and
+        # expiry of the two oldest (consumed) snapshots
+        late = c.filter(k % 40 == 0).select(
+            (k + 8_000_000).alias("c_custkey"), "cents"
+        )
+        t.append(late)
+        assert export_iceberg(t) == 4
+        sid_r = rewrite_iceberg_data_files(spark, root, target_file_rows=10**9)
+        assert sid_r == 5
+        gone = expire_iceberg_snapshots(root, keep_last=3)
+        assert gone == [1, 2]
+        mdir = os.path.join(root, "metadata")
+        with open(os.path.join(mdir, "version-hint.text")) as f:
+            hint = f.read().strip()
+        with open(os.path.join(mdir, f"v{hint}.metadata.json")) as f:
+            snaps = _json.load(f)["snapshots"]
+        assert [s["snapshot-id"] for s in snaps] == [3, 4, 5]
+        # the drain continues: offset re-anchors on snapshot 3, the
+        # append streams, the replace contributes NOTHING
+        got2 = drain()
+        assert {r[2] for r in got2} == {4}, sorted({r[2] for r in got2})
+        assert len(got2) == late.count()
+        return spark.createDataFrame(
+            got1 + got2,
+            "c_custkey long, cents long, _snapshot_id long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

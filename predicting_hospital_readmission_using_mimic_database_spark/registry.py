@@ -59,6 +59,9 @@ PRIORITY: tuple[str, ...] = (
     "s69_hudi_timeline_archival",
     "s70_delta_v2_checkpoint",
     "st25_stream_across_maintenance",
+    "st26_stream_iceberg_maintenance",
+    "s71_delta_restore",
+    "s72_hudi_savepoint_restore",
     # (a) Delta machinery changed in round 12
     "s59_delta_log_truncate",
     "s62_delta_optimize",
@@ -80,9 +83,7 @@ PRIORITY: tuple[str, ...] = (
     "s56_hudi_mdt_synced_export",
     "s58_hudi_clean",
     "s60_hudi_clustering",
-    "s42_hudi_cdc_infer",
     "s27_hudi_mor_read",
-    "s31_hudi_mor_incremental",
     "st15_stream_hudi_tail",
     "st18_stream_hudi_mor",
     "st20_stream_hudi_cdc",
@@ -93,7 +94,6 @@ PRIORITY: tuple[str, ...] = (
     "s63_iceberg_rewrite_datafiles",
     "s64_iceberg_partition_evolution",
     "s65_iceberg_orphan_files",
-    "s49_iceberg_changelog_dv_replay",
     # (b) stable sentinels, family-complete, rotated off the round-11
     # picks
     "flagship_readmit_30d",

@@ -676,6 +676,109 @@ def vacuum_delta(
     )
 
 
+def restore_delta(root: str, version: int) -> int:
+    """RESTORE the table to an earlier ``version`` — Delta's
+    ``RESTORE TABLE t TO VERSION AS OF v``: ONE new commit whose adds
+    re-instate every file live at ``version`` but not at the head
+    (carrying that version's stats, deletion vectors, and row-tracking
+    stamps, so the restored state is bit-identical to time travel) and
+    whose removes retire every head file the target didn't have. Data
+    only, like the real command: the CURRENT metadata (schema,
+    configuration) stays — a restore is a data rollback, not a schema
+    rollback. Both sides are ``dataChange: true`` (downstream
+    incremental consumers must see the restoration as changes — the
+    official behavior). History is preserved: the rolled-back commits
+    stay replayable above the restore, and time travel between
+    ``version`` and the restore still serves.
+
+    Honest gates: raises when a file the target version needs is
+    GONE from disk (vacuumed past the restore point — the official
+    command's failure mode without ignoreMissingFiles), and on a lost
+    commit race (a restore targets an exact observed state; rebasing
+    over a foreign commit would restore over unseen data).
+
+    Driver-side log metadata only — no Spark job, no data movement;
+    at 100 TB the cost is two log replays and one commit."""
+    from .delta import _commit_actions  # noqa: F401 (conflict surface)
+    from .delta import _publish_commit
+
+    stats_v: dict[str, str] = {}
+    rowids_v: dict[str, tuple] = {}
+    meta_v, live_v, dvs_v, _ = _replay_log(
+        root, version, stats_out=stats_v, rowids_out=rowids_v
+    )
+    meta_h, live_h, dvs_h, last = _replay_log(root)
+    if version == last:
+        raise ValueError(f"table is already at version {version}")
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    conf = dict(meta_h.get("configuration") or {})
+    ict_on = str(
+        conf.get("delta.enableInCommitTimestamps", "")
+    ).lower() == "true"
+    new_version = last + 1
+    actions: list[dict] = [
+        _ict_commit_info(log_dir, new_version, operation="RESTORE")
+        if ict_on
+        else {"commitInfo": {"operation": "RESTORE",
+                             "engineInfo": "snapshot-export",
+                             "restoredVersion": version}}
+    ]
+    #: a file live at BOTH versions but with a DIFFERENT deletion
+    #: vector (or vector presence) must be re-added too — the DV is
+    #: part of the file's logical content
+    readds = sorted(
+        rel for rel in live_v
+        if rel not in live_h or dvs_v.get(rel) != dvs_h.get(rel)
+    )
+    removes = sorted(rel for rel in live_h if rel not in live_v)
+    if not readds and not removes:
+        raise ValueError(
+            f"restore to version {version} is a no-op: the head already "
+            "holds exactly that state"
+        )
+    missing = [
+        rel for rel in readds
+        if not os.path.exists(os.path.join(root, rel))
+    ]
+    if missing:
+        raise DeltaProtocolError(
+            f"restore to version {version} needs files no longer on "
+            f"disk (vacuumed): {missing[:3]}{'...' if len(missing) > 3 else ''}"
+        )
+    for rel in removes:
+        rm = {
+            "path": rel,
+            "deletionTimestamp": int(time.time() * 1000),
+            "dataChange": True,
+        }
+        if rel in dvs_h:
+            rm["deletionVector"] = dict(dvs_h[rel])
+        actions.append({"remove": rm})
+    for rel in readds:
+        add = {
+            "path": rel,
+            "partitionValues": dict(live_v[rel] or {}),
+            "size": os.path.getsize(os.path.join(root, rel)),
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+        if rel in stats_v:
+            add["stats"] = stats_v[rel]
+        if rel in rowids_v:
+            add["baseRowId"], add["defaultRowCommitVersion"] = rowids_v[rel]
+        if rel in dvs_v:
+            add["deletionVector"] = dict(dvs_v[rel])
+        actions.append({"add": add})
+    if not _publish_commit(log_dir, new_version, actions):
+        raise DeltaProtocolError(
+            f"restore lost the commit race at version {new_version}: a "
+            "foreign writer committed concurrently — the restore "
+            "targeted the state observed at planning time; re-run "
+            "against the new head"
+        )
+    return new_version
+
+
 def clustering_columns(root: str) -> list[str]:
     """The table's LIQUID-CLUSTERING declaration: the live
     ``delta.clustering`` domainMetadata's ``clusteringColumns`` at the

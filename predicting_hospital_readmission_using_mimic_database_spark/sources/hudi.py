@@ -1515,7 +1515,11 @@ def _latest_slices(
     done = _completed_commits(root, allow_delta=collect_logs)
     if as_of is not None:
         h = _clean_horizon(root)
-        if h is not None and str(as_of) < h:
+        if h is not None and str(as_of) < h and not os.path.exists(
+            os.path.join(root, HOODIE_DIR, f"{as_of}.savepoint")
+        ):
+            # a SAVEPOINTED instant stays readable below the horizon:
+            # the cleaner pinned the slices serving it
             raise HudiProtocolError(
                 f"as_of {as_of} predates the cleaner horizon {h}: the "
                 "file slices serving that instant were removed by a "

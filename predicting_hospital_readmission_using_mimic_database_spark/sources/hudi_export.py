@@ -53,7 +53,7 @@ from .hudi import HOODIE_DIR
 
 __all__ = [
     "archive_hudi_timeline", "clean_hudi", "cluster_hudi", "compact_hudi",
-    "export_hudi", "schedule_compaction",
+    "export_hudi", "restore_hudi", "savepoint_hudi", "schedule_compaction",
 ]
 
 _STATE_FILE = ".export-state.json"
@@ -1120,6 +1120,127 @@ def compact_hudi(spark, dest: str) -> str | None:
     return inst
 
 
+def savepoint_hudi(dest: str, instant: str) -> str:
+    """SAVEPOINT a completed instant — Hudi's pin against retention: a
+    ``{instant}.savepoint`` marker on the timeline, after which
+    :func:`clean_hudi` never collects the file slices needed to serve
+    that instant (per group, its newest completed base at or before
+    the savepoint plus the attached log chain), however far the
+    retention horizon moves past it. The savepoint is also the anchor
+    :func:`restore_hudi` rolls back to. Raises when the instant is not
+    a completed commit on the active timeline. Driver-side metadata
+    only."""
+    from .hudi import HudiProtocolError, _completed_commits
+
+    instant = str(instant)
+    done = _completed_commits(dest, allow_delta=True)
+    if not set.__contains__(done, instant):  # active-timeline members only
+        raise HudiProtocolError(
+            f"savepoint target {instant} is not a completed instant on "
+            "the ACTIVE timeline (pending, archived, or unknown)"
+        )
+    hdir = os.path.join(dest, HOODIE_DIR)
+    name = f"{instant}.savepoint"
+    if os.path.exists(os.path.join(hdir, name)):
+        return instant
+    import time as _time
+
+    _publish_instant(
+        hdir, name, {"savepointedAt": int(_time.time() * 1000)}
+    )
+    return instant
+
+
+def _savepointed_instants(hdir: str) -> list[str]:
+    from .hudi import _INSTANT_RE
+
+    return sorted(
+        m.group(1)
+        for m in (_INSTANT_RE.match(n) for n in os.listdir(hdir))
+        if m and m.group(2) == "savepoint"
+    )
+
+
+def restore_hudi(dest: str, instant: str) -> list[str]:
+    """RESTORE the table to a SAVEPOINTED instant — Hudi's restore is
+    DESTRUCTIVE (unlike Delta's RESTORE commit): every timeline action
+    AFTER the savepoint is deleted together with the data/log files it
+    wrote (resolved from the commit metadata's
+    ``partitionToWriteStats`` — never a directory diff), so the table
+    IS the savepointed state afterwards; there is no history above it
+    to travel to. Requires the target to be savepointed (the guarantee
+    that cleaning never collected the files the restored state needs)
+    and refuses when instants after the target were ARCHIVED (they can
+    no longer be removed from the active timeline — the same boundary
+    real restores respect). Any pending compaction scheduled after the
+    target is cancelled with its states. A metadata table, if present,
+    is DROPPED (its listing would keep serving the rolled-back files;
+    readers fall back to the storage walk, and the next commit may
+    rebuild it). The exporter's private state file is reset, so the
+    next ``export_hudi`` re-publishes the full snapshot against the
+    restored state. Returns the deleted file paths (relative).
+    Driver-side metadata + unlinks only."""
+    import shutil as _shutil
+
+    from .hudi import HudiProtocolError, _archive_boundary
+
+    instant = str(instant)
+    hdir = os.path.join(dest, HOODIE_DIR)
+    if not os.path.exists(os.path.join(hdir, f"{instant}.savepoint")):
+        raise HudiProtocolError(
+            f"restore target {instant} is not savepointed; only a "
+            "savepoint guarantees the cleaner kept the slices the "
+            "restored state needs"
+        )
+    la, _ch = _archive_boundary(dest)
+    if la is not None and instant < la:
+        raise HudiProtocolError(
+            f"restore target {instant} predates the archived-timeline "
+            f"boundary {la}: instants after it were archived and can "
+            "no longer be removed from the active timeline"
+        )
+    from .hudi import _INSTANT_RE
+
+    deleted: list[str] = []
+    doomed_actions: list[str] = []
+    for name in sorted(os.listdir(hdir)):
+        m = _INSTANT_RE.match(name)
+        if not m or m.group(1) <= instant:
+            continue
+        doomed_actions.append(name)
+        path = os.path.join(hdir, name)
+        body = None
+        try:
+            with open(path) as f:
+                body = json.load(f)
+        except (OSError, ValueError):
+            body = None
+        for stats in (body or {}).get("partitionToWriteStats", {}).values():
+            for st in stats:
+                rel = st.get("path")
+                if not rel:
+                    continue
+                abs_p = os.path.join(dest, rel)
+                if os.path.exists(abs_p):
+                    os.remove(abs_p)
+                    deleted.append(rel)
+    # log files APPENDED after the target by mid-pending-compaction
+    # routing carry no own commit marker body — their deltacommit's
+    # write stats named them, which the loop above already resolved;
+    # nothing else writes data without a marker. Remove the rolled-back
+    # timeline actions LAST (a crash mid-restore leaves extra markers
+    # whose files are gone — re-running the restore converges).
+    for name in doomed_actions:
+        os.remove(os.path.join(hdir, name))
+    mdt = os.path.join(hdir, "metadata")
+    if os.path.isdir(mdt):
+        _shutil.rmtree(mdt)
+    state = os.path.join(hdir, _STATE_FILE)
+    if os.path.exists(state):
+        os.remove(state)
+    return sorted(deleted)
+
+
 def archive_hudi_timeline(dest: str, keep_instants: int = 10) -> list[str]:
     """ARCHIVE the active timeline — Hudi's bound on timeline size: a
     long-lived table accrues one instant file per commit forever, and
@@ -1185,6 +1306,12 @@ def archive_hudi_timeline(dest: str, keep_instants: int = 10) -> list[str]:
     pend = _pending_compactions(dest)
     if pend:
         bound = min(bound, min(pend))
+    sps = _savepointed_instants(hdir)
+    if sps:
+        # savepointed commits never archive (they anchor clean
+        # protection and restore); the timeline stays active from the
+        # earliest savepoint on, the official archiver's stop rule
+        bound = min(bound, min(sps))
     doomed = [(i, a, p) for i, a, p in files if i < bound]
     if not doomed:
         return []
@@ -1275,6 +1402,10 @@ def clean_hudi(dest: str, retain_commits: int = 10) -> str | None:
     # Hudi's cleaner skips them): their plan names the exact base/log
     # files it will fold, and cleaning any would break the completion
     pend = set(_pending_compaction_groups(dest))
+    #: SAVEPOINTED instants pin the slices serving them forever: per
+    #: group, the newest completed base at or before each savepoint
+    #: (plus its log chain) survives whatever the horizon says
+    sps = _savepointed_instants(os.path.join(dest, HOODIE_DIR))
     done = sorted(_completed_commits(dest, allow_delta=mor))
     done_set = set(done)
     if len(done) <= retain_commits:
@@ -1304,6 +1435,7 @@ def clean_hudi(dest: str, retain_commits: int = 10) -> str | None:
     deleted: dict[str, list[str]] = {}
     n_removed = 0
     keep_min_of: dict[tuple[str, str], str] = {}
+    savepointed_of: dict[tuple[str, str], set[str]] = {}
     for (rel, fid), blist in bases.items():
         if (rel, fid) in pend:
             continue
@@ -1314,11 +1446,24 @@ def clean_hudi(dest: str, retain_commits: int = 10) -> str | None:
         if keep_min is None:
             continue  # group born after the horizon: nothing below it
         keep_min_of[(rel, fid)] = keep_min
+        protected = {
+            kept
+            for sp in sps
+            if (
+                kept := max(
+                    (i for i, _p in blist if i in done_set and i <= sp),
+                    default=None,
+                )
+            )
+            is not None
+        }
+        savepointed_of[(rel, fid)] = protected
         for i, p in sorted(blist):
             # only COMPLETED superseded slices: a pending writer's file
             # is not a slice, and the newest completed base <= horizon
-            # must survive to serve as_of == horizon
-            if i >= keep_min or i not in done_set:
+            # must survive to serve as_of == horizon; savepointed
+            # slices survive regardless
+            if i >= keep_min or i not in done_set or i in protected:
                 continue
             os.remove(p)
             deleted.setdefault(rel, []).append(os.path.basename(p))
@@ -1330,6 +1475,8 @@ def clean_hudi(dest: str, retain_commits: int = 10) -> str | None:
     for (rel, fid, bi), paths in logsf.items():
         if (rel, fid) in pend:
             continue
+        if bi in savepointed_of.get((rel, fid), ()):
+            continue  # the savepointed slice's chain serves it
         keep_min = keep_min_of.get((rel, fid))
         if keep_min is None or bi >= keep_min:
             continue

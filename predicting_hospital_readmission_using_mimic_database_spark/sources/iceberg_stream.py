@@ -406,22 +406,62 @@ class IcebergStreamReader(DataSourceStreamReader):
         meta = _load_meta(self._root)
         snaps = meta.get("snapshots", [])
         n0 = start["n"]
-        if n0 > len(snaps) or (
-            n0 > 0 and snaps[n0 - 1]["snapshot-id"] != start["sid"]
-        ):
-            raise IcebergProtocolError(
-                f"snapshot lineage changed under the checkpoint (offset "
-                f"pinned snapshot {start['sid']} at position {n0}); the "
-                "history was expired or rewritten — restart the stream"
+        sid0 = start.get("sid")
+        if sid0 is not None:
+            # RE-ANCHOR the positional offset by snapshot id: snapshot
+            # EXPIRY removes older entries and shifts every position,
+            # but the consumed head's identity is stable — a stream
+            # survives maintenance as long as its pinned snapshot is
+            # retained (which any sane expiry policy guarantees for the
+            # recent suffix an active stream sits on)
+            idx = next(
+                (
+                    i for i, s in enumerate(snaps)
+                    if s["snapshot-id"] == sid0
+                ),
+                None,
             )
+            if idx is None:
+                raise IcebergProtocolError(
+                    f"snapshot lineage changed under the checkpoint "
+                    f"(offset-pinned snapshot {sid0} is gone); the "
+                    "history was expired past the stream's position — "
+                    "restart the stream"
+                )
+            n0 = idx + 1
+        elif n0 > len(snaps):
+            raise IcebergProtocolError(
+                f"offset position {n0} exceeds the {len(snaps)}-snapshot "
+                "history; the history was rewritten — restart the stream"
+            )
+        n1 = end["n"]
+        sid1 = end.get("sid")
+        if sid1 is not None:
+            idx1 = next(
+                (
+                    i for i, s in enumerate(snaps)
+                    if s["snapshot-id"] == sid1
+                ),
+                None,
+            )
+            if idx1 is not None:
+                n1 = idx1 + 1
+        n1 = min(n1, len(snaps))
         if self._changelog:
-            out = self._changelog_partitions(meta, snaps, n0, end["n"])
+            out = self._changelog_partitions(meta, snaps, n0, n1)
             return out or [_AddedFilePartition(None, -1, self._ident)]
         out: list[_AddedFilePartition] = []
-        for snap in snaps[n0 : end["n"]]:
+        for snap in snaps[n0 : n1]:
             sid = snap["snapshot-id"]
             proj = vintage_projection(meta, sid, self._out_json)
             op = (snap.get("summary") or {}).get("operation", "append")
+            if op == "replace":
+                # rewriteDataFiles / rewriteManifests: a re-layout adds
+                # files but changes NO table content — the official
+                # IncrementalAppendScan skips replace snapshots
+                # entirely (the Delta twin of dataChange:false), so
+                # compaction never re-emits rewritten rows
+                continue
             if op != "append" and not self._ignore_changes:
                 raise IcebergProtocolError(
                     f"snapshot {sid} is {op!r}; an incremental append "

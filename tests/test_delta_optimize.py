@@ -1128,3 +1128,79 @@ def test_optimize_conflicting_foreign_remove_raises(spark, tmp_path):
             optimize_delta(spark, root, target_file_rows=10**6)
     finally:
         D._publish_commit = orig
+
+
+def test_restore_delta_dv_and_vacuum_gates(spark, tmp_path):
+    """restore_delta edge rules: a file live at both versions but with
+    a DIFFERENT deletion vector re-adds (the DV is logical content), a
+    vacuumed-away target raises instead of committing dead refs, and
+    row-tracking stamps restore with their files."""
+    import time
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        DeltaProtocolError,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_optimize import (
+        restore_delta,
+        vacuum_delta,
+    )
+
+    root = str(tmp_path / "rst")
+    os.makedirs(root)
+    for name, lo in (("a", 0), ("b", 100)):
+        pq.write_table(
+            pa.table({"k": pa.array(range(lo, lo + 10), type=pa.int64())}),
+            os.path.join(root, f"{name}.parquet"),
+        )
+    desc = write_dv_file(os.path.join(root, "dv1.bin"), [0, 1])
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors",
+                                         "rowTracking"]}},
+        _meta([("k", "long")],
+              configuration={"delta.enableRowTracking": "true"}),
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 100, "defaultRowCommitVersion": 0,
+                 "stats": json.dumps({"numRecords": 10})}},
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 200, "defaultRowCommitVersion": 0,
+                 "stats": json.dumps({"numRecords": 10})}},
+    ])
+    # v1 strikes two rows of a via a DV (same file path, new content)
+    _commit(root, 1, [
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 100, "defaultRowCommitVersion": 0,
+                 "deletionVector": desc,
+                 "stats": json.dumps({"numRecords": 10})}},
+    ])
+    assert read_delta(spark, root).count() == 18
+    # restore to v0: a.parquet re-adds WITHOUT the vector
+    v = restore_delta(root, 0)
+    assert v == 2
+    assert read_delta(spark, root).count() == 20
+    _, _, dvs, _ = _replay_log(root)
+    assert not dvs
+    # row-tracking stamps restored with the file
+    rowids: dict = {}
+    _replay_log(root, rowids_out=rowids)
+    assert rowids["a.parquet"] == (100, 0)
+    # restore BACK to v1 re-instates the vector
+    v2 = restore_delta(root, 1)
+    assert v2 == 3
+    assert read_delta(spark, root).count() == 18
+    # a no-op restore raises
+    with pytest.raises(ValueError, match="no-op"):
+        restore_delta(root, 1)
+    # vacuumed-away target: retire b.parquet at v4, vacuum it, then
+    # try restoring to a version that needs it
+    _commit(root, 4, [
+        {"remove": {"path": "b.parquet", "dataChange": True,
+                    "deletionTimestamp": int(time.time() * 1000) - 10}},
+    ])
+    assert vacuum_delta(root, retention_hours=0.0) == ["b.parquet"]
+    with pytest.raises(DeltaProtocolError, match="vacuumed"):
+        restore_delta(root, 1)

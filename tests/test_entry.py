@@ -41,6 +41,9 @@ def test_first_50_entries_cover_every_family():
                  "s69_hudi_timeline_archival",
                  "s70_delta_v2_checkpoint",
                  "st25_stream_across_maintenance",
+                 "st26_stream_iceberg_maintenance",
+                 "s71_delta_restore",
+                 "s72_hudi_savepoint_restore",
                  "s59_delta_log_truncate", "s62_delta_optimize",
                  "s66_delta_vacuum", "s67_delta_liquid_clustering",
                  "s16_delta_export", "s50_delta_export_cdf",
@@ -51,8 +54,8 @@ def test_first_50_entries_cover_every_family():
                  "s51_hudi_mor_export", "s52_hudi_mor_compaction",
                  "s53_hudi_mor_partitioned",
                  "s56_hudi_mdt_synced_export", "s58_hudi_clean",
-                 "s60_hudi_clustering", "s42_hudi_cdc_infer",
-                 "s27_hudi_mor_read", "s31_hudi_mor_incremental",
+                 "s60_hudi_clustering",
+                 "s27_hudi_mor_read",
                  "st15_stream_hudi_tail", "st18_stream_hudi_mor",
                  "st20_stream_hudi_cdc",
                  "s55_iceberg_export_bounds",
@@ -61,7 +64,6 @@ def test_first_50_entries_cover_every_family():
                  "s63_iceberg_rewrite_datafiles",
                  "s64_iceberg_partition_evolution",
                  "s65_iceberg_orphan_files",
-                 "s49_iceberg_changelog_dv_replay",
                  "flagship_readmit_30d"):
         assert must in names
     assert len(names) == 50

@@ -1453,3 +1453,95 @@ def test_concurrent_hudi_writer_detected(spark, tmp_path):
     assert i2 is not None
     got = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
     assert got == {(i, f"v{i}") for i in range(10) if i != 1} | {(1, "V1")}
+
+
+def test_savepoint_and_restore(spark, tmp_path):
+    """savepoint_hudi pins an instant's slices against cleaning (and
+    keeps it readable below the clean horizon); restore_hudi rolls the
+    table back to the savepoint DESTRUCTIVELY (Hudi's semantics):
+    newer timeline actions and the files they wrote are deleted, the
+    MDT is dropped, and the exporter republishes cleanly after."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        HudiProtocolError,
+        read_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        archive_hudi_timeline,
+        clean_hudi,
+        export_hudi,
+        restore_hudi,
+        savepoint_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v string",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k bigint, v string"
+    ))
+    dest = str(tmp_path / "hudi")
+    i0 = export_hudi(t, dest)
+    t.merge(spark.createDataFrame([(1, "V1")], "k bigint, v string"))
+    i1 = export_hudi(t, dest)
+    exp_i1 = {(i, f"v{i}") for i in range(10) if i != 1} | {(1, "V1")}
+
+    # restore without a savepoint refuses
+    with pytest.raises(HudiProtocolError, match="not savepointed"):
+        restore_hudi(dest, i1)
+    assert savepoint_hudi(dest, i1) == i1
+    savepoint_hudi(dest, i1)  # idempotent
+    with pytest.raises(HudiProtocolError, match="not a completed"):
+        savepoint_hudi(dest, "99999999999999")
+
+    t.merge(spark.createDataFrame([(2, "W2")], "k bigint, v string"))
+    i2 = export_hudi(t, dest)
+    t.merge(spark.createDataFrame([(3, "X3")], "k bigint, v string"))
+    i3 = export_hudi(t, dest)
+    assert i3 > i2 > i1 > i0
+
+    # clean with retain 1: i1's slices are PROTECTED by the savepoint
+    cl = clean_hudi(dest, retain_commits=1)
+    assert cl is not None
+    # ...and the savepointed instant stays READABLE below the horizon
+    assert {
+        (r["k"], r["v"]) for r in read_hudi(spark, dest, as_of=i1).collect()
+    } == exp_i1
+    # an un-savepointed below-horizon instant still gates
+    with pytest.raises(HudiProtocolError, match="cleaner horizon"):
+        read_hudi(spark, dest, as_of=i2).collect()
+
+    # archival never crosses the savepoint: with keep_instants=1 it
+    # would otherwise archive everything below i3 — only i0 (below the
+    # savepoint) may move
+    assert archive_hudi_timeline(dest, keep_instants=1) == [i0]
+
+    # RESTORE to the savepoint: newer instants + their files are gone
+    gone = restore_hudi(dest, i1)
+    assert gone  # i2/i3 wrote per-bucket rewrites
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert got == exp_i1
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import _INSTANT_RE
+
+    hdir = os.path.join(dest, ".hoodie")
+    remaining = sorted(
+        m.group(1)
+        for m in (_INSTANT_RE.match(n) for n in os.listdir(hdir))
+        if m
+    )
+    assert max(remaining) == i1
+    # re-running the restore converges (idempotent no-op)
+    assert restore_hudi(dest, i1) == []
+    # the exporter republishes cleanly against the restored state
+    t.merge(spark.createDataFrame([(4, "Y4")], "k bigint, v string"))
+    i4 = export_hudi(t, dest)
+    assert i4 > i1
+    got2 = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert got2 == {
+        (i, f"v{i}") for i in range(10) if i not in (1, 2, 3, 4)
+    } | {(1, "V1"), (2, "W2"), (3, "X3"), (4, "Y4")}

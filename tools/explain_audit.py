@@ -174,6 +174,9 @@ AUDIT = [
     "s69_hudi_timeline_archival",  # boundary-rule read over archived history
     "s70_delta_v2_checkpoint",  # manifest+sidecar replay read after truncate
     "st25_stream_across_maintenance",  # stream tail across OPTIMIZE+VACUUM
+    "st26_stream_iceberg_maintenance",  # offset re-anchor + replace skip
+    "s71_delta_restore",  # restored-state read: time-travel-exact files
+    "s72_hudi_savepoint_restore",  # savepoint-pinned slice read post-restore
 ]
 
 
