@@ -40,9 +40,10 @@ _LOADED = False
 # (every round so far checked exactly the first 50 entries). The
 # cross-round union covers all entries — every one has appeared
 # hash-green in a shipped driver artifact. Round-12 window:
-# (a) the 4 entries NEW this round — s68 Hudi async compaction
+# (a) the 7 entries NEW this round — s68 Hudi async compaction
 # (requested/inflight states), s69 timeline archival, s70 Delta V2
-# checkpoints, st25 stream-across-maintenance — then every entry whose
+# checkpoints, st25/st26 stream-across-maintenance (Delta + Iceberg),
+# s71 Delta RESTORE, s72 Hudi savepoint+restore — then every entry whose
 # MACHINERY changed this round: the Delta group (checkpoints now carry
 # domainMetadata + declared protocol, commits are put-if-absent with
 # rebase, V2 layout selection, watermark monotonicity, shared-DV-aware

@@ -1105,8 +1105,9 @@ def export_delta_log(
     current = set(table._live)
     log_dir = os.path.join(root, DELTA_LOG_DIR)
     schema_string = table.schema.json()
+    dom: dict[str, str] = {}
     if os.path.isdir(log_dir) and _delta_commits(log_dir):
-        _meta, exported, _dvs, last = _replay_log(root)
+        _meta, exported, _dvs, last = _replay_log(root, domains_out=dom)
         prev = set(exported)
         adds = sorted(current - prev)
         removes = sorted(prev - current)
@@ -1202,11 +1203,11 @@ def export_delta_log(
             _retries=_retries - 1,
         )
     if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
-        # carry the log's DECLARED protocol and live domainMetadata —
+        # carry the log's DECLARED protocol and live domainMetadata
+        # (harvested in the diff replay above — export commits never
+        # write domains, so pre-commit state == post-commit state);
         # the legacy default {1, 2} would understate the export's
         # feature declaration once truncation removes v0
-        dom: dict[str, str] = {}
-        _replay_log(root, domains_out=dom)
         _write_checkpoint_file(
             log_dir,
             version,

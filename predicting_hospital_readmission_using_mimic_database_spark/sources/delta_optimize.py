@@ -326,6 +326,7 @@ def optimize_delta(
     stats_cols = [pf.name for _f, pf in data_pairs]
     removes: list[dict] = []
     adds: list[dict] = []
+    add_rows: list[int] = []  # per-add row counts (rebase re-stamping)
     stage_root = os.path.join(root, f".optimize-stage-{uuid.uuid4().hex}")
     key_c, pos_c = "__opt_input_file", "__opt_row_pos"
     seq = 0
@@ -450,6 +451,7 @@ def optimize_delta(
                     add["defaultRowCommitVersion"] = version
                     next_base += n_rows
                 adds.append({"add": add})
+                add_rows.append(n_rows)
                 seq += 1
             for rel in cands:
                 rm = {
@@ -468,6 +470,12 @@ def optimize_delta(
     from .delta import _commit_actions, _publish_commit
 
     our_inputs = {r["remove"]["path"] for r in removes}
+    #: rebase state: the first fresh row id this attempt allocates —
+    #: advanced past any foreign allocation the loser observes, so a
+    #: rebased commit never re-issues ids or regresses the watermark
+    rt_state = {
+        "base": (next_base - sum(add_rows)) if row_tracking else 0
+    }
 
     def _build_actions(v: int) -> list[dict]:
         acts = [
@@ -486,6 +494,15 @@ def optimize_delta(
             new_meta["configuration"] = new_conf
             acts.append({"metaData": new_meta})
         if row_tracking:
+            # re-stamp every replacement add from the CURRENT rebase
+            # base (the per-file stamps are never observable here —
+            # every rewritten row carries a materialized id — but the
+            # spec requires them disjoint from other files' ranges)
+            nb = rt_state["base"]
+            for a, nr in zip(adds, add_rows):
+                a["add"]["baseRowId"] = nb
+                a["add"]["defaultRowCommitVersion"] = v
+                nb += nr
             # advance the spec's row-id HIGH WATERMARK so a foreign
             # writer appending after this OPTIMIZE allocates fresh ids
             # past our replacement-file stamps (readers that don't
@@ -496,17 +513,13 @@ def optimize_delta(
                     "domainMetadata": {
                         "domain": "delta.rowTracking",
                         "configuration": json.dumps(
-                            {"rowIdHighWaterMark": next_base - 1}
+                            {"rowIdHighWaterMark": nb - 1}
                         ),
                         "removed": False,
                     }
                 }
             )
         acts.extend(removes)
-        if row_tracking:
-            # fresh stamps record their allocating COMMIT version
-            for a in adds:
-                a["add"]["defaultRowCommitVersion"] = v
         acts.extend(adds)
         return acts
 
@@ -530,6 +543,44 @@ def optimize_delta(
                 f"{sorted(f_removed & our_inputs)[:3]} / changed "
                 "metadata); the rewrite plan is stale — re-run"
             )
+        if row_tracking:
+            # the foreign commit may have ALLOCATED row ids (adds with
+            # baseRowId) or advanced the watermark: rebase past both,
+            # or the re-committed stamps would collide and the
+            # re-emitted watermark would regress
+            fbase = rt_state["base"]
+            for a in foreign:
+                ad = a.get("add")
+                if ad and ad.get("baseRowId") is not None:
+                    try:
+                        nrec = json.loads(ad.get("stats") or "{}").get(
+                            "numRecords"
+                        )
+                    except ValueError:
+                        nrec = None
+                    if nrec is None:
+                        raise DeltaProtocolError(
+                            "optimize_delta rebase: a foreign add "
+                            f"({ad.get('path')}) allocated row ids but "
+                            "carries no numRecords stats; the occupied "
+                            "range is unknowable — re-run"
+                        )
+                    fbase = max(fbase, int(ad["baseRowId"]) + int(nrec))
+                dm = a.get("domainMetadata")
+                if (
+                    dm
+                    and dm.get("domain") == "delta.rowTracking"
+                    and not dm.get("removed")
+                ):
+                    try:
+                        wm = json.loads(
+                            dm.get("configuration") or "{}"
+                        ).get("rowIdHighWaterMark")
+                    except ValueError:
+                        wm = None
+                    if wm is not None:
+                        fbase = max(fbase, int(wm) + 1)
+            rt_state["base"] = fbase
         version += 1
     else:
         raise DeltaProtocolError(

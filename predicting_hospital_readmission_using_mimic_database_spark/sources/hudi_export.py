@@ -63,6 +63,20 @@ def _instant(version: int) -> str:
     return f"{version:014d}"
 
 
+def _write_token() -> str:
+    """Per-invocation WRITE TOKEN for base/log file names
+    (``{fileId}_{writeToken}_{instant}``): real Hudi stamps each write
+    attempt's own token into the name, so two writers racing on one
+    instant can never overwrite each other's bytes — the completed
+    marker alone decides whose files are table state, and the loser's
+    distinctly-named files stay invisible (never listed as a completed
+    slice) until a clean collects them. Digits-and-dashes only, per the
+    reader's ``_BASEFILE_RE``."""
+    import uuid as _uuid
+
+    return f"0-{os.getpid()}-{int(_uuid.uuid4()) % 100000}"
+
+
 def _publish_instant(hdir: str, name: str, body: dict) -> None:
     """ATOMICALLY claim a timeline instant file (put-if-absent via hard
     link). Hudi's multi-writer story is a LOCK PROVIDER — without one,
@@ -322,9 +336,10 @@ def export_hudi(
         return inst
 
     written: dict[str, list[dict]] = {}
+    tok = _write_token()
     for b in sorted(touched):
         fid = f"b{b:04d}"
-        fname = f"{fid}_0-1-0_{inst}.parquet"
+        fname = f"{fid}_{tok}_{inst}.parquet"
         rows = (
             cur.filter(F.col("__b") == b)
             .drop("__b")
@@ -705,6 +720,7 @@ def _export_mor_delta(
         from .hudi import _pending_compaction_groups
 
         pending = _pending_compaction_groups(dest)
+        tok = _write_token()
         logpath: dict[tuple[str, int], str] = {}
         for pp, bk in sorted(targets):
             fid = f"b{bk:04d}"
@@ -727,7 +743,7 @@ def _export_mor_delta(
                         d = dest if part == "." else os.path.join(dest, pp)
                     nxt = 1
                 logpath[(pp, bk)] = os.path.join(
-                    d, HL.log_file_name(fid, pi, nxt)
+                    d, HL.log_file_name(fid, pi, nxt, tok)
                 )
                 continue
             if (part, fid) in prev_slices:
@@ -737,19 +753,19 @@ def _export_mor_delta(
                     glob.glob(os.path.join(d, f".{fid}_{base_inst}.log.*"))
                 )
                 logpath[(pp, bk)] = os.path.join(
-                    d, HL.log_file_name(fid, base_inst, n_logs + 1)
+                    d, HL.log_file_name(fid, base_inst, n_logs + 1, tok)
                 )
                 continue
             lgs = prev_logs.get((part, fid))
             if lgs:
                 bi, ver, p = max(lgs)
                 logpath[(pp, bk)] = os.path.join(
-                    os.path.dirname(p), HL.log_file_name(fid, bi, ver + 1)
+                    os.path.dirname(p), HL.log_file_name(fid, bi, ver + 1, tok)
                 )
                 continue
             d = dest if part == "." else os.path.join(dest, pp)
             logpath[(pp, bk)] = os.path.join(
-                d, HL.log_file_name(fid, inst, 1)
+                d, HL.log_file_name(fid, inst, 1, tok)
             )
         lp_df = spark.createDataFrame(
             [(pp, bk, lp) for (pp, bk), lp in logpath.items()],
@@ -825,6 +841,17 @@ def _export_mor_delta(
     return written
 
 
+def _plan_groups(plan: dict) -> set[tuple[str, str]]:
+    """A compaction plan's (partition, fileId) group set, normalized
+    exactly like ``hudi._pending_compaction_groups`` — scheduler,
+    completer, and readers must agree on group identity."""
+    out: set[tuple[str, str]] = set()
+    for op in plan.get("operations", []):
+        p = op.get("partitionPath") or ""
+        out.add((os.path.normpath(p) if p else ".", str(op["fileId"])))
+    return out
+
+
 def _logged_groups(groups: dict, logs: dict) -> set[tuple[str, str]]:
     """(partition, fileId) groups whose CURRENT slice carries log
     files (chain attached to the base's instant) or that exist only as
@@ -862,7 +889,6 @@ def schedule_compaction(dest: str) -> str | None:
     from .hudi import (
         _INSTANT_RE,
         _latest_slices,
-        _pending_compactions,
         _properties,
     )
 
@@ -872,13 +898,9 @@ def schedule_compaction(dest: str) -> str | None:
             "schedule_compaction targets MERGE_ON_READ tables "
             "(COPY_ON_WRITE has no log files to compact)"
         )
-    already: set[tuple[str, str]] = set()
-    for plan in _pending_compactions(dest).values():
-        for op in plan.get("operations", []):
-            p = op.get("partitionPath") or ""
-            already.add(
-                (os.path.normpath(p) if p else ".", str(op["fileId"]))
-            )
+    from .hudi import _pending_compaction_groups
+
+    already = set(_pending_compaction_groups(dest))
     groups, logs = _latest_slices(dest, None, None, collect_logs=True)
     logged = sorted(_logged_groups(groups, logs) - already)
     if not logged:
@@ -982,12 +1004,7 @@ def compact_hudi(spark, dest: str) -> str | None:
         # is the contract — the group set was fixed at schedule time
         inst = min(pending)
         as_of = inst
-        logged = set()
-        for op in pending[inst].get("operations", []):
-            p = op.get("partitionPath") or ""
-            logged.add(
-                (os.path.normpath(p) if p else ".", str(op["fileId"]))
-            )
+        logged = _plan_groups(pending[inst])
         # requested -> inflight transition marker (kept on the
         # timeline alongside requested + the completing commit)
         inflight = os.path.join(hdir, f"{inst}.compaction.inflight")
@@ -1007,6 +1024,7 @@ def compact_hudi(spark, dest: str) -> str | None:
             if m
         ]
         inst = f"{int(max(taken)) + 1:014d}"
+    tok = _write_token()
     rows = _read_mor(spark, dest, as_of, True, None, only_groups=logged)
     have = set(rows.columns)
     if "_hoodie_file_name" not in have or "_hoodie_partition_path" not in have:
@@ -1065,7 +1083,7 @@ def compact_hudi(spark, dest: str) -> str | None:
             )
         out = joined.withColumn(
             "_hoodie_file_name",
-            F.concat(F.col("__fid"), F.lit(f"_0-1-0_{inst}.parquet")),
+            F.concat(F.col("__fid"), F.lit(f"_{tok}_{inst}.parquet")),
         ).withColumn(
             # non-empty dir token: partitionBy maps "" to the hive
             # default-partition name, which would not round-trip
@@ -1085,7 +1103,7 @@ def compact_hudi(spark, dest: str) -> str | None:
         pp = unquote(os.path.basename(os.path.dirname(d))[len("__pd=r"):])
         fid = unquote(os.path.basename(d)[len("__fid="):])
         part = os.path.normpath(pp) if pp else "."
-        fname = f"{fid}_0-1-0_{inst}.parquet"
+        fname = f"{fid}_{tok}_{inst}.parquet"
         parts = glob.glob(os.path.join(d, "part-*.parquet"))
         pdir = dest if part == "." else os.path.join(dest, part)
         os.makedirs(pdir, exist_ok=True)
@@ -1103,7 +1121,7 @@ def compact_hudi(spark, dest: str) -> str | None:
         rows.limit(0).coalesce(1).write.parquet(stage2, mode="overwrite")
         src = glob.glob(os.path.join(stage2, "part-*.parquet"))[0]
         for part, fid in empty_groups:
-            fname = f"{fid}_0-1-0_{inst}.parquet"
+            fname = f"{fid}_{tok}_{inst}.parquet"
             pdir = dest if part in (".", "") else os.path.join(dest, part)
             os.makedirs(pdir, exist_ok=True)
             shutil.copy(src, os.path.join(pdir, fname))
@@ -1406,11 +1424,24 @@ def clean_hudi(dest: str, retain_commits: int = 10) -> str | None:
     #: group, the newest completed base at or before each savepoint
     #: (plus its log chain) survives whatever the horizon says
     sps = _savepointed_instants(os.path.join(dest, HOODIE_DIR))
-    done = sorted(_completed_commits(dest, allow_delta=mor))
-    done_set = set(done)
+    # membership stays BOUNDARY-AWARE (archived instants count as
+    # completed — a superseded slice whose commit was archived must
+    # still be collectable); the sorted view is active-only, which is
+    # what the horizon arithmetic wants
+    done_set = _completed_commits(dest, allow_delta=mor)
+    done = sorted(done_set)
     if len(done) <= retain_commits:
         return None
     horizon = done[-retain_commits]
+    # the horizon never crosses a PENDING compaction instant: the
+    # completion folds at as_of=plan-instant, and a recorded
+    # earliestCommitToRetain past it would gate that fold forever
+    # (real Hudi caps the cleaner at the earliest inflight compaction)
+    from .hudi import _pending_compactions
+
+    pending_insts = _pending_compactions(dest)
+    if pending_insts:
+        horizon = min(horizon, min(pending_insts))
     bases: dict[tuple[str, str], list[tuple[str, str]]] = {}
     logsf: dict[tuple[str, str, str], list[str]] = {}
     for dirpath, dirs, files in os.walk(dest):
@@ -1577,6 +1608,7 @@ def cluster_hudi(
         if m
     ]
     inst = f"{int(max(taken)) + 1:014d}"
+    tok = _write_token()
     parts: dict[str, set] = {}
     for part, fid in groups:
         parts.setdefault(part, set()).add((part, fid))
@@ -1605,7 +1637,7 @@ def cluster_hudi(
         fname_expr = F.concat(
             F.lit("c"),
             F.lpad(F.col("__pid").cast("string"), 4, "0"),
-            F.lit(f"-{inst}_0-1-0_{inst}.parquet"),
+            F.lit(f"-{inst}_{tok}_{inst}.parquet"),
         )
         out = (
             rows.repartitionByRange(n, *ckeys)
@@ -1622,7 +1654,7 @@ def cluster_hudi(
         for d in sorted(glob.glob(os.path.join(stage, "__pid=*"))):
             pid = int(os.path.basename(d)[len("__pid="):])
             fid = f"c{pid:04d}-{inst}"
-            fname = f"{fid}_0-1-0_{inst}.parquet"
+            fname = f"{fid}_{tok}_{inst}.parquet"
             pf = glob.glob(os.path.join(d, "part-*.parquet"))
             shutil.move(pf[0], os.path.join(pdir, fname))
             rel = fname if part in (".", "") else f"{part}/{fname}"

@@ -41,7 +41,11 @@ def test_roundtrip_and_layout(spark, exported):
     files = sorted(
         f for f in os.listdir(dest) if f.endswith(".parquet")
     )
-    assert files == [f"b{b:04d}_0-1-0_{inst1}.parquet" for b in range(4)]
+    import re as _re
+
+    assert [
+        _re.sub(r"_[0-9\-]+_", "_TOK_", f) for f in files
+    ] == [f"b{b:04d}_TOK_{inst1}.parquet" for b in range(4)]
     assert hudi_commits(dest) == [inst1]
     with open(os.path.join(dest, ".hoodie", "hoodie.properties")) as f:
         props = f.read()
@@ -153,9 +157,13 @@ def test_partitioned_export_layout_and_pruning(spark, part_exported):
     assert got == {(i, "AB"[i % 2]) for i in range(40)}
     # hive-style dirs, one file group per (partition, bucket), the
     # SAME fileId across partitions, partition columns in the data
+    import re as _re
+
     for seg in ("A", "B"):
         files = sorted(os.listdir(os.path.join(dest, f"seg={seg}")))
-        assert files == [f"b{b:04d}_0-1-0_{inst1}.parquet" for b in range(4)]
+        assert [
+            _re.sub(r"_[0-9\-]+_", "_TOK_", f) for f in files
+        ] == [f"b{b:04d}_TOK_{inst1}.parquet" for b in range(4)]
     with open(os.path.join(dest, ".hoodie", "hoodie.properties")) as f:
         assert "hoodie.table.partition.fields=seg" in f.read()
     meta = read_hudi(spark, dest, keep_meta=True)
@@ -477,9 +485,13 @@ def test_mor_partitioned_export_moves_and_log_only_groups(spark, tmp_path):
     i1 = export_hudi(t, dest, partition_by=["seg"],
                      table_type="MERGE_ON_READ")
     assert os.path.exists(os.path.join(dest, ".hoodie", f"{i1}.deltacommit"))
+    import re as _re
+
     for seg in ("A", "B"):
         files = sorted(os.listdir(os.path.join(dest, f"seg={seg}")))
-        assert files == [f"b{b:04d}_0-1-0_{i1}.parquet" for b in range(4)]
+        assert [
+            _re.sub(r"_[0-9\-]+_", "_TOK_", f) for f in files
+        ] == [f"b{b:04d}_TOK_{i1}.parquet" for b in range(4)]
     n_base = len(glob.glob(os.path.join(dest, "**", "*.parquet"),
                            recursive=True))
     # k=2 updates in place (stays A); k=3 MOVES B->A; k=100 lands in a
@@ -1110,7 +1122,10 @@ def test_cluster_mor_folds_logs_then_compact_routes(spark, tmp_path):
     import glob
 
     base = sorted(glob.glob(os.path.join(dest, f"c0000-{ci}_*.parquet")))[0]
-    fid = os.path.basename(base).split("_0-1-0_")[0]
+    import re as _re
+
+    fid = _re.match(r"^(.+)_[0-9\-]+_\d+\.parquet$",
+                    os.path.basename(base)).group(1)
     nxt = f"{int(ci) + 1:014d}"
     lp = os.path.join(dest, HL.log_file_name(fid, ci, 1))
     HL.append_avro_block(
@@ -1545,3 +1560,48 @@ def test_savepoint_and_restore(spark, tmp_path):
     assert got2 == {
         (i, f"v{i}") for i in range(10) if i not in (1, 2, 3, 4)
     } | {(1, "V1"), (2, "W2"), (3, "X3"), (4, "Y4")}
+
+
+def test_clean_never_wedges_pending_compaction(spark, tmp_path):
+    """A clean landing between schedule and completion caps its
+    horizon at the pending instant (real Hudi's rule): the plan stays
+    completable — an uncapped earliestCommitToRetain would make the
+    completion's as_of fold gate forever."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        read_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        clean_hudi,
+        compact_hudi,
+        export_hudi,
+        schedule_compaction,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v string",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k bigint, v string"
+    ))
+    dest = str(tmp_path / "mor")
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    t.merge(spark.createDataFrame([(1, "V1")], "k bigint, v string"))
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    ci = schedule_compaction(dest)
+    assert ci is not None
+    # more commits land, then an aggressive clean
+    for j in (2, 3):
+        t.merge(spark.createDataFrame([(j, f"w{j}")], "k bigint, v string"))
+        export_hudi(t, dest, table_type="MERGE_ON_READ")
+    clean_hudi(dest, retain_commits=1)  # horizon would pass ci uncapped
+    # the plan still completes at its instant, snapshot exact
+    assert compact_hudi(spark, dest) == ci
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert got == {(i, f"v{i}") for i in range(10) if i not in (1, 2, 3)} | {
+        (1, "V1"), (2, "w2"), (3, "w3")}

@@ -2701,9 +2701,11 @@ def test_expire_snapshots_gc_and_gates(spark, tmp_path):
 
 
 def test_expire_snapshots_stream_detects_lineage_change(spark, tmp_path):
-    """A stream whose checkpoint pins a snapshot POSITION that expiry
-    shifted must refuse to resume (the offset's (n, sid) pair no
-    longer matches) rather than silently replay the wrong window."""
+    """Offsets RE-ANCHOR by snapshot id: expiry of OLDER snapshots
+    shifts positions but the stream resumes from its pinned snapshot
+    (emitting only the genuinely-new commits); only when the pinned
+    snapshot ITSELF was expired does the stream refuse to resume —
+    silently replaying the wrong window is never an option."""
     import pyspark.sql.functions as F
 
     from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
@@ -2728,12 +2730,20 @@ def test_expire_snapshots_stream_detects_lineage_change(spark, tmp_path):
     ck = str(tmp_path / "ck")
     got = _drain(spark, root, ck, startingSnapshotCount=0)
     assert len(got) == 9
+    # expiry keeps the pinned snapshot (3): the stream SURVIVES and
+    # emits only the new append
     expire_iceberg_snapshots(root, keep_last=1)
     t.append(spark.range(100, 103).coalesce(1).select(F.col("id").alias("k")))
     export_iceberg(t)
+    got2 = _drain(spark, root, ck, startingSnapshotCount=0)
+    assert sorted(r[0] for r in got2) == [100, 101, 102]
+    # ...but expiry of the PINNED snapshot itself refuses to resume
+    t.append(spark.range(200, 202).coalesce(1).select(F.col("id").alias("k")))
+    export_iceberg(t)
+    expire_iceberg_snapshots(root, keep_last=1)  # drops the pinned snap 4
     with pytest.raises(Exception) as ei:
         _drain(spark, root, ck, startingSnapshotCount=0)
-    assert "lineage changed" in str(ei.value)
+    assert "expired past the stream's position" in str(ei.value)
 
 
 def test_expire_snapshots_deletes_data_files_when_asked(spark, tmp_path):
