@@ -203,6 +203,7 @@ HEADLINE = [
     "st25_stream_across_maintenance",
     "s71_delta_restore",
     "s72_hudi_savepoint_restore",
+    "s73_delta_shallow_clone",
 ]
 
 

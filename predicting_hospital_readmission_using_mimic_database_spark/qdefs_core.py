@@ -8091,3 +8091,97 @@ def q_s72(spark, sf):
     got = read_hudi(spark, dest)
     assert got.count() == n_i1
     return got
+
+
+@query(
+    "s73_delta_shallow_clone",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey,
+           cents + CASE WHEN k % 9 = 0 THEN 333 ELSE 0 END AS cents
+    FROM base
+    UNION ALL
+    SELECT k + 8000000, cents FROM base WHERE k % 40 = 0
+    """,
+)
+def q_s73(spark, sf):
+    """S73 — Delta SHALLOW CLONE (sources/delta.py ``clone_delta``):
+    a new table whose v0 references the source's CURRENT files by
+    ABSOLUTE path — zero bytes copied, the clone-then-diverge workflow
+    real shallow clones serve (experiments over a 100 TB table at
+    metadata cost). Carried: schema/configuration, the source's
+    DECLARED protocol, live domainMetadata, per-file stats (in-entry
+    assert: predicates data-skip on the clone), row-tracking stamps,
+    and deletion vectors (relative refs absolutized; pinned by
+    pytest). INDEPENDENCE both ways asserted: a commit to the clone
+    (an appended file) never surfaces in the source, and a later
+    SOURCE export never surfaces in the clone. The returned frame
+    reads the DIVERGED clone; DuckDB recomputes source-at-clone-time
+    plus the clone-only append — a clone that missed a live file,
+    leaked the source's later commit, or dropped carried stats breaks
+    the hash or the skip assert."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil as _shutil
+
+    from .sources.delta import clone_delta, export_delta_log, read_delta
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    root = _table_root("s73", sf)
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(root, "src"),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+        stats_cols=["c_custkey", "cents"],
+    )
+    k = F.col("c_custkey")
+    t.append(c)
+    export_delta_log(t)
+    t.merge(c.filter(k % 9 == 0).withColumn(
+        "cents", F.col("cents") + 333
+    ))
+    export_delta_log(t)
+    dst = os.path.join(root, "clone")
+    assert clone_delta(t.root, dst) == 0
+    n_src = read_delta(spark, t.root).count()
+    assert read_delta(spark, dst).count() == n_src
+    # carried stats drive data skipping on the CLONE
+    k_hi = int(c.agg(F.max("c_custkey")).collect()[0][0])
+    pruned = read_delta(
+        spark, dst, predicates=[("c_custkey", ">", k_hi)]
+    )
+    assert len(pruned.inputFiles()) == 0
+    # the clone DIVERGES: an append lands in the clone's own log...
+    late = c.filter(k % 40 == 0).select(
+        (k + 8_000_000).alias("c_custkey"), "cents"
+    )
+    stage = os.path.join(dst, ".stage-late")
+    late.coalesce(1).write.parquet(stage)
+    (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+    _shutil.move(part, os.path.join(dst, "late.parquet"))
+    _shutil.rmtree(stage)
+    with open(os.path.join(dst, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(_json.dumps({"add": {
+            "path": "late.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    # ...the source never sees it, and a later SOURCE export never
+    # surfaces in the clone
+    assert read_delta(spark, t.root).count() == n_src
+    t.merge(c.filter(k % 7 == 0).withColumn(
+        "cents", F.col("cents") + 999
+    ))
+    export_delta_log(t)
+    got = read_delta(spark, dst)
+    assert got.count() == n_src + late.count()
+    return got

@@ -40,10 +40,11 @@ _LOADED = False
 # (every round so far checked exactly the first 50 entries). The
 # cross-round union covers all entries — every one has appeared
 # hash-green in a shipped driver artifact. Round-12 window:
-# (a) the 7 entries NEW this round — s68 Hudi async compaction
+# (a) the 8 entries NEW this round — s68 Hudi async compaction
 # (requested/inflight states), s69 timeline archival, s70 Delta V2
 # checkpoints, st25/st26 stream-across-maintenance (Delta + Iceberg),
-# s71 Delta RESTORE, s72 Hudi savepoint+restore — then every entry whose
+# s71 Delta RESTORE, s72 Hudi savepoint+restore, s73 Delta shallow
+# clone — then every entry whose
 # MACHINERY changed this round: the Delta group (checkpoints now carry
 # domainMetadata + declared protocol, commits are put-if-absent with
 # rebase, V2 layout selection, watermark monotonicity, shared-DV-aware
@@ -63,6 +64,7 @@ PRIORITY: tuple[str, ...] = (
     "st26_stream_iceberg_maintenance",
     "s71_delta_restore",
     "s72_hudi_savepoint_restore",
+    "s73_delta_shallow_clone",
     # (a) Delta machinery changed in round 12
     "s59_delta_log_truncate",
     "s62_delta_optimize",
@@ -84,7 +86,6 @@ PRIORITY: tuple[str, ...] = (
     "s56_hudi_mdt_synced_export",
     "s58_hudi_clean",
     "s60_hudi_clustering",
-    "s27_hudi_mor_read",
     "st15_stream_hudi_tail",
     "st18_stream_hudi_mor",
     "st20_stream_hudi_cdc",

@@ -1229,6 +1229,110 @@ def export_delta_log(
     return version
 
 
+def clone_delta(src_root: str, dst_root: str) -> int:
+    """SHALLOW CLONE — a new Delta table at ``dst_root`` whose v0
+    references the SOURCE's current data files by ABSOLUTE path (the
+    spec allows absolute ``add.path``; zero bytes copied): the clone
+    reads as the source's snapshot and then evolves independently —
+    commits to the clone's own ``_delta_log`` never touch the source,
+    and later source commits never surface in the clone (the
+    CLONE-then-diverge workflow real shallow clones serve: experiments
+    and migrations over a 100 TB table at metadata cost).
+
+    Carried state: the source's schema + configuration, its DECLARED
+    protocol, live domainMetadata (clustering declaration, row-id
+    watermark), and per-file stats / row-tracking stamps / deletion
+    vectors. Relative DV references are ABSOLUTIZED ('u'-derived and
+    'p'-relative descriptors become 'p'-absolute) — resolved against
+    the clone root they would silently point at nothing. Refuses a
+    ``dst_root`` that already holds a Delta log. Returns 0 (the
+    clone's first version). Driver-side metadata only.
+
+    Operational note (the same trade real shallow clones carry): the
+    SOURCE's VACUUM does not know about the clone's references —
+    vacuuming the source past the clone's creation breaks the clone's
+    scans of the collected files."""
+    src_root = os.path.abspath(src_root)
+    stats: dict[str, str] = {}
+    rowids: dict[str, tuple] = {}
+    dom: dict[str, str] = {}
+    meta, live, dvs, src_version = _replay_log(
+        src_root, stats_out=stats, rowids_out=rowids, domains_out=dom
+    )
+    dst_log = os.path.join(dst_root, DELTA_LOG_DIR)
+    if os.path.isdir(dst_log) and _delta_commits(dst_log):
+        raise DeltaProtocolError(
+            f"clone destination {dst_root} already holds a Delta log"
+        )
+    os.makedirs(dst_log, exist_ok=True)
+
+    def _abs_dv(desc: dict) -> dict:
+        st = desc.get("storageType")
+        if st == "i":
+            return dict(desc)  # inline: no file to resolve
+        if st == "p":
+            p = desc["pathOrInlineDv"]
+            if os.path.isabs(p) or "://" in p:
+                return dict(desc)
+            return {**desc, "pathOrInlineDv": os.path.join(src_root, p)}
+        if st == "u":
+            import uuid as _uuid
+
+            from .dv import z85_decode
+
+            loc = desc["pathOrInlineDv"]
+            prefix, enc = loc[:-20], loc[-20:]
+            u = _uuid.UUID(bytes=z85_decode(enc))
+            return {
+                **desc,
+                "storageType": "p",
+                "pathOrInlineDv": os.path.join(
+                    src_root, prefix, f"deletion_vector_{u}.bin"
+                ),
+            }
+        raise DeltaProtocolError(
+            f"unknown deletionVector storageType {st!r} in clone source"
+        )
+
+    proto = _declared_protocol(os.path.join(src_root, DELTA_LOG_DIR)) or {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "CLONE",
+                        "engineInfo": "snapshot-export",
+                        "source": src_root,
+                        "sourceVersion": src_version}},
+        {"protocol": proto},
+        {"metaData": {**meta, "id": f"clone-{os.path.basename(dst_root)}"}},
+    ]
+    for d, cfg in sorted(dom.items()):
+        actions.append(
+            {"domainMetadata": {"domain": d, "configuration": cfg,
+                                "removed": False}}
+        )
+    for rel in sorted(live):
+        abs_p = rel if os.path.isabs(rel) else os.path.join(src_root, rel)
+        add = {
+            "path": abs_p,
+            "partitionValues": dict(live[rel] or {}),
+            "size": os.path.getsize(abs_p) if os.path.exists(abs_p) else 0,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+        if rel in stats:
+            add["stats"] = stats[rel]
+        if rel in rowids:
+            add["baseRowId"], add["defaultRowCommitVersion"] = rowids[rel]
+        if rel in dvs:
+            add["deletionVector"] = _abs_dv(dvs[rel])
+        actions.append({"add": add})
+    if not _publish_commit(dst_log, 0, actions):
+        raise DeltaProtocolError(
+            f"clone destination {dst_root} gained a commit concurrently"
+        )
+    return 0
+
+
 def _export_stats(act) -> str:
     """The add action's Delta stats JSON for an exported file: the
     numRecords every reader expects plus minValues/maxValues from the

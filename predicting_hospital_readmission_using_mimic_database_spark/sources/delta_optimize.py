@@ -691,10 +691,18 @@ def vacuum_delta(
     #: container forever
     collectable: set[str] = set()
     doomed: list[str] = []
+    root_abs = os.path.abspath(root)
     for p, (kind, ts) in sorted(last.items()):
         if kind != "remove" or p in live:
             continue
         abs_p = p if os.path.isabs(p) else os.path.join(root, p)
+        if os.path.isabs(p) and not os.path.abspath(p).startswith(
+            root_abs + os.sep
+        ):
+            # an absolute reference OUTSIDE the table root is a SHALLOW
+            # CLONE's pointer into its source: vacuuming the clone must
+            # never delete the source's files (the official clone rule)
+            continue
         on_disk = os.path.exists(abs_p)
         if not ts:
             if not on_disk:
@@ -715,6 +723,8 @@ def vacuum_delta(
         and refs & doomed_set  # this pass collects at least one sharer
         and refs <= collectable  # and NO sharer is live or in-window
         and os.path.exists(dvp)
+        # a DV container outside the root belongs to a clone's SOURCE
+        and os.path.abspath(dvp).startswith(root_abs + os.sep)
     }
     if not dry_run:
         for p in doomed:

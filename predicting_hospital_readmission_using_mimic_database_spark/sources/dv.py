@@ -229,6 +229,11 @@ def read_dv_descriptor(descriptor: dict, table_root: str) -> list[int]:
             path = loc[len("file:"):].lstrip("/") if loc.startswith("file:") else loc
             if loc.startswith("file:"):
                 path = "/" + path
+            elif not os.path.isabs(path) and "://" not in path:
+                # the spec resolves relative DV paths against the
+                # TABLE ROOT (a bare relative open would be
+                # cwd-dependent and fail on executors)
+                path = os.path.join(table_root, path)
         else:
             raise ValueError(f"unknown deletionVector storageType {st!r}")
         with open(path, "rb") as f:

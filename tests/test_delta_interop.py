@@ -2104,3 +2104,94 @@ def test_truncate_deletes_v2_manifests_and_unshared_sidecars(spark, tmp_path):
     }
     with pytest.raises(DeltaProtocolError, match="checkpoint"):
         read_delta(spark, root, version=3)
+
+
+def test_shallow_clone_dvs_and_vacuum_safety(spark, tmp_path):
+    """clone_delta absolutizes relative deletion-vector references
+    (resolved against the clone root they would point at nothing),
+    carries row-tracking stamps and domainMetadata, and the CLONE's
+    vacuum never deletes files outside its own root (the source's)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        DeltaProtocolError,
+        _replay_log,
+        clone_delta,
+        read_delta,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_optimize import (
+        clustering_columns,
+        vacuum_delta,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.dv import (
+        write_dv_file,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({"k": pa.array(range(100), type=pa.int64())}),
+        os.path.join(src, "a.parquet"),
+    )
+    desc = write_dv_file(os.path.join(src, "dv1.bin"), [0, 5, 7])
+    desc["pathOrInlineDv"] = "dv1.bin"  # RELATIVE reference
+    log = os.path.join(src, "_delta_log")
+    os.makedirs(log)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        for a in [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors",
+                                             "rowTracking"]}},
+            {"metaData": {
+                "id": "src", "format": {"provider": "parquet",
+                                        "options": {}},
+                "schemaString": json.dumps({
+                    "type": "struct",
+                    "fields": [{"name": "k", "type": "long",
+                                "nullable": True, "metadata": {}}]}),
+                "partitionColumns": [],
+                "configuration": {"delta.enableRowTracking": "true"},
+            }},
+            {"domainMetadata": {"domain": "delta.clustering",
+                                "configuration": json.dumps(
+                                    {"clusteringColumns": [["k"]]}),
+                                "removed": False}},
+            {"add": {"path": "a.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True,
+                     "baseRowId": 500, "defaultRowCommitVersion": 0,
+                     "deletionVector": desc,
+                     "stats": json.dumps({"numRecords": 100})}},
+        ]:
+            f.write(json.dumps(a) + "\n")
+    assert read_delta(spark, src).count() == 97
+    dst = str(tmp_path / "cl")
+    assert clone_delta(src, dst) == 0
+    # refuses to clobber an existing log
+    with pytest.raises(DeltaProtocolError, match="already holds"):
+        clone_delta(src, dst)
+    # the DV applies through the ABSOLUTIZED reference
+    got = read_delta(spark, dst)
+    assert got.count() == 97
+    assert {r["k"] for r in got.collect()}.isdisjoint({0, 5, 7})
+    _, _, dvs, _ = _replay_log(dst)
+    (d,) = dvs.values()
+    assert d["storageType"] == "p" and os.path.isabs(d["pathOrInlineDv"])
+    # row tracking + domains carried
+    rowids: dict = {}
+    _replay_log(dst, rowids_out=rowids)
+    (base, _v), = rowids.values()
+    assert base == 500
+    assert clustering_columns(dst) == ["k"]
+    # the clone retires the source file; its vacuum must NOT delete it
+    with open(os.path.join(dst, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"remove": {
+            "path": os.path.join(src, "a.parquet"), "dataChange": True,
+            "deletionTimestamp": 1}}) + "\n")
+    assert vacuum_delta(dst, retention_hours=0.0) == []
+    assert os.path.exists(os.path.join(src, "a.parquet"))
+    assert os.path.exists(os.path.join(src, "dv1.bin"))
+    assert read_delta(spark, src).count() == 97  # source intact

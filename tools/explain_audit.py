@@ -177,6 +177,7 @@ AUDIT = [
     "st26_stream_iceberg_maintenance",  # offset re-anchor + replace skip
     "s71_delta_restore",  # restored-state read: time-travel-exact files
     "s72_hudi_savepoint_restore",  # savepoint-pinned slice read post-restore
+    "s73_delta_shallow_clone",  # absolute-path zero-copy read + carried skip
 ]
 
 
