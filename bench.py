@@ -204,6 +204,7 @@ HEADLINE = [
     "s71_delta_restore",
     "s72_hudi_savepoint_restore",
     "s73_delta_shallow_clone",
+    "s74_hudi_rollback",
 ]
 
 

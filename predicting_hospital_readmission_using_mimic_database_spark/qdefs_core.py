@@ -8185,3 +8185,92 @@ def q_s73(spark, sf):
     got = read_delta(spark, dst)
     assert got.count() == n_src + late.count()
     return got
+
+
+@query(
+    "s74_hudi_rollback",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey,
+           cents + CASE WHEN k % 9 = 0 THEN 333 ELSE 0 END AS cents
+    FROM base
+    """,
+)
+def q_s74(spark, sf):
+    """S74 — Hudi ROLLBACK (sources/hudi_export.py ``rollback_hudi``):
+    crash cleanup for an UNCOMMITTED instant. A writer that died after
+    staging files but before its completed marker leaves debris every
+    reader already ignores (snapshot isolation gates on the marker —
+    in-entry assert: the snapshot is exact BEFORE the rollback too);
+    rollback reclaims it: instant-stamped marker-less base files and
+    all-target log files are deleted, a log file MIXING committed and
+    target blocks gains the spec's appended ROLLBACK COMMAND block
+    (surgery is impossible in an append-only log; this reader's gating
+    hides the blocks, the command serves spec-following foreign
+    readers), the instant's requested/inflight state files cancel, and
+    a completed ``.rollback`` action lands. A COMPLETED target refuses
+    (that is restore's job). DuckDB recomputes the final snapshot; a
+    rollback that deleted a committed file or let debris surface
+    breaks the hash. Idempotent re-run pinned by pytest."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+
+    from .sources import hudi_log as HL
+    from .sources.hudi import read_hudi
+    from .sources.hudi_export import export_hudi, rollback_hudi
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s74", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    k = F.col("c_custkey")
+    t.append(c)
+    dest = os.path.join(t.root, "hudi_mor")
+    i1 = export_hudi(t, dest, table_type="MERGE_ON_READ")
+    t.merge(c.filter(k % 9 == 0).withColumn(
+        "cents", F.col("cents") + 333
+    ))
+    i2 = export_hudi(t, dest, table_type="MERGE_ON_READ")
+    n = read_hudi(spark, dest).count()
+    # a CRASHED writer's debris: marker-less base copy, an all-debris
+    # log file, and debris blocks appended to a committed chain
+    fail = f"{int(i2) + 7:014d}"
+    a_base = sorted(_glob.glob(os.path.join(dest, "b0000_*.parquet")))[0]
+    debris_base = os.path.join(dest, f"b0000_9-9-9_{fail}.parquet")
+    _shutil.copyfile(a_base, debris_base)
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "c_custkey", "type": ["null", "long"]},
+        {"name": "cents", "type": ["null", "long"]},
+    ]}
+    debris_log = os.path.join(dest, HL.log_file_name("b0001", i1, 9, "9-9-9"))
+    HL.append_avro_block(debris_log, fail, schema,
+                         [{"c_custkey": 99_000_001, "cents": 1}])
+    mixed = sorted(f for f in os.listdir(dest) if ".log." in f
+                   and "9-9-9" not in f)[0]
+    HL.append_avro_block(os.path.join(dest, mixed), fail, schema,
+                         [{"c_custkey": 99_000_002, "cents": 2}])
+    # invisible debris: the snapshot is exact even before the rollback
+    assert read_hudi(spark, dest).count() == n
+    out = rollback_hudi(dest, fail)
+    assert not os.path.exists(debris_base)
+    assert not os.path.exists(debris_log)
+    assert out["commands"], out
+    assert os.path.exists(
+        os.path.join(dest, ".hoodie", f"{out['instant']}.rollback")
+    )
+    got = read_hudi(spark, dest)
+    assert got.count() == n
+    return got

@@ -40,11 +40,11 @@ _LOADED = False
 # (every round so far checked exactly the first 50 entries). The
 # cross-round union covers all entries — every one has appeared
 # hash-green in a shipped driver artifact. Round-12 window:
-# (a) the 8 entries NEW this round — s68 Hudi async compaction
+# (a) the 9 entries NEW this round — s68 Hudi async compaction
 # (requested/inflight states), s69 timeline archival, s70 Delta V2
 # checkpoints, st25/st26 stream-across-maintenance (Delta + Iceberg),
 # s71 Delta RESTORE, s72 Hudi savepoint+restore, s73 Delta shallow
-# clone — then every entry whose
+# clone, s74 Hudi rollback — then every entry whose
 # MACHINERY changed this round: the Delta group (checkpoints now carry
 # domainMetadata + declared protocol, commits are put-if-absent with
 # rebase, V2 layout selection, watermark monotonicity, shared-DV-aware
@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "s71_delta_restore",
     "s72_hudi_savepoint_restore",
     "s73_delta_shallow_clone",
+    "s74_hudi_rollback",
     # (a) Delta machinery changed in round 12
     "s59_delta_log_truncate",
     "s62_delta_optimize",
@@ -86,7 +87,6 @@ PRIORITY: tuple[str, ...] = (
     "s56_hudi_mdt_synced_export",
     "s58_hudi_clean",
     "s60_hudi_clustering",
-    "st15_stream_hudi_tail",
     "st18_stream_hudi_mor",
     "st20_stream_hudi_cdc",
     # (a) Iceberg machinery changed in round 12

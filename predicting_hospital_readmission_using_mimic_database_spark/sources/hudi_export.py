@@ -53,7 +53,8 @@ from .hudi import HOODIE_DIR
 
 __all__ = [
     "archive_hudi_timeline", "clean_hudi", "cluster_hudi", "compact_hudi",
-    "export_hudi", "restore_hudi", "savepoint_hudi", "schedule_compaction",
+    "export_hudi", "restore_hudi", "rollback_hudi", "savepoint_hudi",
+    "schedule_compaction",
 ]
 
 _STATE_FILE = ".export-state.json"
@@ -1136,6 +1137,103 @@ def compact_hudi(spark, dest: str) -> str | None:
     )
     _mdt_sync_files(dest, written, inst)
     return inst
+
+
+def rollback_hudi(dest: str, instant: str) -> dict:
+    """ROLLBACK an UNCOMMITTED instant — Hudi's crash cleanup: a
+    writer that died after staging files but before its completed
+    marker leaves debris that is INVISIBLE to every reader (snapshot
+    isolation gates on the marker) but occupies storage forever.
+    Rollback reclaims it and records the action:
+
+    * base files whose embedded instant is the target are deleted
+      (they were never a completed slice);
+    * log files whose blocks ALL carry the target instant are deleted
+      whole; a file MIXING committed and target blocks instead gains
+      an appended ROLLBACK COMMAND block targeting the instant (the
+      spec's shape — block surgery is impossible in an append-only
+      log; this reader's gating already hides uncommitted blocks, and
+      a spec-following foreign reader honors the command);
+    * any ``requested``/``inflight`` state files of the instant are
+      removed (a scheduled-but-never-completed compaction cancels);
+    * a completed ``{next}.rollback`` action lands on the timeline.
+
+    Refuses a COMPLETED target (undoing committed data is
+    :func:`restore_hudi`'s job, anchored on a savepoint). Returns
+    ``{"instant": rollback instant, "deleted": [...], "commands":
+    [...]}``. Driver-side: one tree walk + header-only log scans."""
+    from . import hudi_log as HL
+    from .hudi import (
+        _BASEFILE_RE,
+        _INSTANT_RE,
+        _LOGFILE_RE,
+        HudiProtocolError,
+        _completed_commits,
+        _properties,
+    )
+
+    _properties(dest)
+    instant = str(instant)
+    hdir = os.path.join(dest, HOODIE_DIR)
+    if instant in _completed_commits(dest, allow_delta=True):
+        raise HudiProtocolError(
+            f"rollback target {instant} is a COMPLETED instant; undoing "
+            "committed data is restore_hudi's job (savepoint-anchored), "
+            "not rollback's"
+        )
+    deleted: list[str] = []
+    commands: list[str] = []
+    for dirpath, dirs, files in os.walk(dest):
+        if os.path.basename(dirpath) == HOODIE_DIR:
+            dirs[:] = []
+            continue
+        for name in files:
+            m = _BASEFILE_RE.match(name)
+            if m and m.group(3) == instant:
+                os.remove(os.path.join(dirpath, name))
+                deleted.append(
+                    os.path.relpath(os.path.join(dirpath, name), dest)
+                )
+                continue
+            lm = _LOGFILE_RE.match(name)
+            if not lm:
+                continue
+            lp = os.path.join(dirpath, name)
+            headers = HL.scan_block_headers(lp)
+            insts = {h["instant"] for h in headers}
+            if instant not in insts:
+                continue
+            already_rolled = any(
+                h["type"] == HL.COMMAND_BLOCK
+                and h["header"].get(HL.H_TARGET_INSTANT_TIME) == instant
+                for h in headers
+            )
+            if insts == {instant}:
+                os.remove(lp)
+                deleted.append(os.path.relpath(lp, dest))
+            elif not already_rolled:  # idempotent re-run appends nothing
+                HL.append_command_block(lp, instant, instant)
+                commands.append(os.path.relpath(lp, dest))
+    for name in list(os.listdir(hdir)):
+        m = _INSTANT_RE.match(name)
+        if m and m.group(1) == instant:
+            os.remove(os.path.join(hdir, name))  # requested/inflight
+    taken = [
+        m.group(1)
+        for m in (_INSTANT_RE.match(n) for n in os.listdir(hdir))
+        if m
+    ]
+    rb_inst = f"{int(max(taken)) + 1:014d}" if taken else "00000000000001"
+    _publish_instant(
+        hdir, f"{rb_inst}.rollback",
+        {"rollbackInstant": instant, "deleted": sorted(deleted),
+         "commands": sorted(commands)},
+    )
+    return {
+        "instant": rb_inst,
+        "deleted": sorted(deleted),
+        "commands": sorted(commands),
+    }
 
 
 def savepoint_hudi(dest: str, instant: str) -> str:

@@ -45,6 +45,7 @@ def test_first_50_entries_cover_every_family():
                  "s71_delta_restore",
                  "s72_hudi_savepoint_restore",
                  "s73_delta_shallow_clone",
+                 "s74_hudi_rollback",
                  "s59_delta_log_truncate", "s62_delta_optimize",
                  "s66_delta_vacuum", "s67_delta_liquid_clustering",
                  "s16_delta_export", "s50_delta_export_cdf",
@@ -56,7 +57,7 @@ def test_first_50_entries_cover_every_family():
                  "s53_hudi_mor_partitioned",
                  "s56_hudi_mdt_synced_export", "s58_hudi_clean",
                  "s60_hudi_clustering",
-                 "st15_stream_hudi_tail", "st18_stream_hudi_mor",
+                 "st18_stream_hudi_mor",
                  "st20_stream_hudi_cdc",
                  "s55_iceberg_export_bounds",
                  "s57_iceberg_expire_snapshots",

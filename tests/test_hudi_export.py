@@ -1605,3 +1605,80 @@ def test_clean_never_wedges_pending_compaction(spark, tmp_path):
     got = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
     assert got == {(i, f"v{i}") for i in range(10) if i not in (1, 2, 3)} | {
         (1, "V1"), (2, "w2"), (3, "w3")}
+
+
+def test_rollback_reclaims_crashed_writer_debris(spark, tmp_path):
+    """rollback_hudi: a crashed writer's marker-less files are
+    invisible but occupy storage — rollback deletes instant-stamped
+    base files and all-target log files, appends the spec's ROLLBACK
+    COMMAND to mixed log files, cancels the instant's state files, and
+    lands a .rollback action; a COMPLETED target refuses."""
+    import shutil as _sh
+
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources import (
+        hudi_log as HL,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        HudiProtocolError,
+        read_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        export_hudi,
+        rollback_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v string",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k bigint, v string"
+    ))
+    dest = str(tmp_path / "mor")
+    i1 = export_hudi(t, dest, table_type="MERGE_ON_READ")
+    t.merge(spark.createDataFrame([(1, "V1")], "k bigint, v string"))
+    i2 = export_hudi(t, dest, table_type="MERGE_ON_READ")
+    exp = {(i, f"v{i}") for i in range(10) if i != 1} | {(1, "V1")}
+
+    # simulate a CRASHED writer at the next instant: a marker-less base
+    # file, an all-debris log file, and debris blocks appended to a
+    # COMMITTED chain file
+    fail = f"{int(i2) + 7:014d}"
+    import glob as _glob
+
+    a_base = sorted(_glob.glob(os.path.join(dest, "b0000_*.parquet")))[0]
+    debris_base = os.path.join(dest, f"b0000_9-9-9_{fail}.parquet")
+    _sh.copyfile(a_base, debris_base)
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": ["null", "long"]},
+        {"name": "v", "type": ["null", "string"]},
+    ]}
+    debris_log = os.path.join(dest, HL.log_file_name("b0001", i1, 9, "9-9-9"))
+    HL.append_avro_block(debris_log, fail, schema, [{"k": 999, "v": "X"}])
+    mixed = sorted(f for f in os.listdir(dest) if ".log." in f
+                   and "9-9-9" not in f)[0]
+    HL.append_avro_block(os.path.join(dest, mixed), fail, schema,
+                         [{"k": 998, "v": "Y"}])
+    # debris is invisible either way (snapshot isolation)
+    assert {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()} == exp
+
+    with pytest.raises(HudiProtocolError, match="COMPLETED"):
+        rollback_hudi(dest, i2)
+    out = rollback_hudi(dest, fail)
+    assert not os.path.exists(debris_base)
+    assert not os.path.exists(debris_log)
+    assert mixed in "".join(out["commands"])  # command appended, file kept
+    assert os.path.exists(os.path.join(dest, mixed))
+    assert os.path.exists(
+        os.path.join(dest, ".hoodie", f"{out['instant']}.rollback")
+    )
+    # reads unchanged; the command block is honored silently
+    assert {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()} == exp
+    # rollback is idempotent on a clean table
+    out2 = rollback_hudi(dest, fail)
+    assert out2["deleted"] == [] and out2["commands"] == []

@@ -178,6 +178,7 @@ AUDIT = [
     "s71_delta_restore",  # restored-state read: time-travel-exact files
     "s72_hudi_savepoint_restore",  # savepoint-pinned slice read post-restore
     "s73_delta_shallow_clone",  # absolute-path zero-copy read + carried skip
+    "s74_hudi_rollback",  # post-rollback snapshot read, debris reclaimed
 ]
 
 
