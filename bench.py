@@ -205,6 +205,7 @@ HEADLINE = [
     "s72_hudi_savepoint_restore",
     "s73_delta_shallow_clone",
     "s74_hudi_rollback",
+    "s75_delta_schema_evolution_write",
 ]
 
 

@@ -8274,3 +8274,133 @@ def q_s74(spark, sf):
     got = read_hudi(spark, dest)
     assert got.count() == n
     return got
+
+
+@query(
+    "s75_delta_schema_evolution_write",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS cust_id, cents FROM base
+    UNION ALL
+    SELECT k + 8000000, cents + 4000000000 FROM base WHERE k % 40 = 0
+    """,
+)
+def q_s75(spark, sf):
+    """S75 — Delta SCHEMA-EVOLUTION WRITERS (sources/delta.py
+    ``rename_delta_column`` / ``widen_delta_column``): the write side
+    of the column-mapping (s21) and type-widening (s39) read paths. A
+    RENAME under mapping is a metadata-only commit — the physical
+    ``col-<uuid>`` names in the files never change, zero bytes move at
+    any table size (and WITHOUT mapping it refuses: logical names ARE
+    the storage names there, the spec's rule — asserted). WIDENING
+    ``integer -> long`` records the change in the field's
+    ``delta.typeChanges`` (existing INT32 files upcast natively at
+    scan; the appended post-widen file stores real longs OVERFLOWING
+    int32 — the +4e9 bonus — so a reader that ignored the widening
+    breaks loudly), upgrades the protocol to declare ``typeWidening``
+    (asserted), and an ILLEGAL narrowing raises before any byte moves
+    (asserted). DuckDB recomputes the final frame under the RENAMED
+    column name — a rename that leaked the old name, a lost physical
+    mapping, or a mis-widened value breaks the hash."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil as _shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .sources.delta import (
+        DeltaProtocolError,
+        _declared_protocol,
+        read_delta,
+        rename_delta_column,
+        widen_delta_column,
+    )
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("int").alias("cents"),
+    )
+    root = _table_root("s75", sf)
+    os.makedirs(os.path.join(root, "_delta_log"), exist_ok=True)
+
+    def _cm_field(name, typ, phys, cid):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.id": cid,
+                             "delta.columnMapping.physicalName": phys}}
+
+    def _write_phys(df, name, cents_type):
+        pdf = df.toPandas()
+        tbl = pa.table({
+            "col-k": pa.array(pdf["c_custkey"], type=pa.int64()),
+            "col-c": pa.array(pdf["cents"], type=cents_type),
+        })
+        pq.write_table(tbl, os.path.join(root, name))
+
+    _write_phys(c.filter(F.col("c_custkey") % 2 == 0), "even.parquet",
+                pa.int32())
+    _write_phys(c.filter(F.col("c_custkey") % 2 == 1), "odd.parquet",
+                pa.int32())
+    schema0 = {"type": "struct", "fields": [
+        _cm_field("c_custkey", "long", "col-k", 1),
+        _cm_field("cents", "integer", "col-c", 2),
+    ]}
+
+    def _commit(v, actions):
+        with open(os.path.join(root, "_delta_log", f"{v:020d}.json"),
+                  "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+
+    _commit(0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "s75", "format": {"provider": "parquet",
+                                              "options": {}},
+                      "schemaString": _json.dumps(schema0),
+                      "partitionColumns": [],
+                      "configuration": {
+                          "delta.columnMapping.mode": "name"}}},
+        {"add": {"path": "even.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "odd.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    n = c.count()
+    assert read_delta(spark, root).count() == n
+    # illegal narrowing refuses before any byte moves
+    try:
+        widen_delta_column(root, "c_custkey", "integer")
+        raise AssertionError("narrowing must refuse")
+    except DeltaProtocolError:
+        pass
+    # widen integer -> long: metadata-only, protocol gains the feature
+    v1 = widen_delta_column(root, "cents", "long")
+    assert v1 == 1
+    proto = _declared_protocol(os.path.join(root, "_delta_log"))
+    assert "typeWidening" in proto["readerFeatures"]
+    # rename under mapping: metadata-only
+    v2 = rename_delta_column(root, "c_custkey", "cust_id")
+    assert v2 == 2
+    # a later writer appends REAL longs overflowing int32
+    bonus = c.filter(F.col("c_custkey") % 40 == 0).select(
+        (F.col("c_custkey") + 8_000_000).alias("c_custkey"),
+        (F.col("cents").cast("long") + 4_000_000_000).alias("cents"),
+    )
+    pdf = bonus.toPandas()
+    pq.write_table(
+        pa.table({"col-k": pa.array(pdf["c_custkey"], type=pa.int64()),
+                  "col-c": pa.array(pdf["cents"], type=pa.int64())}),
+        os.path.join(root, "bonus.parquet"),
+    )
+    _commit(3, [
+        {"add": {"path": "bonus.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    got = read_delta(spark, root)
+    assert got.columns == ["cust_id", "cents"]
+    return got

@@ -40,11 +40,12 @@ _LOADED = False
 # (every round so far checked exactly the first 50 entries). The
 # cross-round union covers all entries — every one has appeared
 # hash-green in a shipped driver artifact. Round-12 window:
-# (a) the 9 entries NEW this round — s68 Hudi async compaction
+# (a) the 10 entries NEW this round — s68 Hudi async compaction
 # (requested/inflight states), s69 timeline archival, s70 Delta V2
 # checkpoints, st25/st26 stream-across-maintenance (Delta + Iceberg),
 # s71 Delta RESTORE, s72 Hudi savepoint+restore, s73 Delta shallow
-# clone, s74 Hudi rollback — then every entry whose
+# clone, s74 Hudi rollback, s75 schema-evolution writers — then every
+# entry whose
 # MACHINERY changed this round: the Delta group (checkpoints now carry
 # domainMetadata + declared protocol, commits are put-if-absent with
 # rebase, V2 layout selection, watermark monotonicity, shared-DV-aware
@@ -66,6 +67,7 @@ PRIORITY: tuple[str, ...] = (
     "s72_hudi_savepoint_restore",
     "s73_delta_shallow_clone",
     "s74_hudi_rollback",
+    "s75_delta_schema_evolution_write",
     # (a) Delta machinery changed in round 12
     "s59_delta_log_truncate",
     "s62_delta_optimize",
@@ -74,7 +76,6 @@ PRIORITY: tuple[str, ...] = (
     "s16_delta_export",
     "s50_delta_export_cdf",
     "s46_delta_row_tracking",
-    "s28_delta_cdf",
     "st17_stream_delta_cdf",
     "st19_stream_delta_idmap",
     "st24_stream_delta_row_tracking",

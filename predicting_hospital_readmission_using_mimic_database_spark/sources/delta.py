@@ -1229,6 +1229,143 @@ def export_delta_log(
     return version
 
 
+def rename_delta_column(root: str, old: str, new: str) -> int:
+    """RENAME a column — the operation COLUMN MAPPING exists for: a
+    metadata-only commit changing the LOGICAL field name while the
+    physical name (and field id) the data files store stays untouched,
+    so zero bytes move at any table size. Requires the table to
+    declare ``delta.columnMapping.mode`` ``name`` or ``id`` (without
+    mapping, logical names ARE the storage names and a rename would
+    need a full rewrite — refused with that guidance, the spec's own
+    rule). Validates the old name exists and the new one doesn't.
+    Returns the committed version. Driver-side metadata only."""
+    meta, _live, _dvs, last = _replay_log(root)
+    conf = dict(meta.get("configuration") or {})
+    mode = str(conf.get("delta.columnMapping.mode", "none")).lower()
+    if mode not in ("name", "id"):
+        raise DeltaProtocolError(
+            "rename_delta_column needs column mapping (mode 'name' or "
+            "'id'): without it logical names ARE the parquet storage "
+            "names, and a rename would require rewriting every file"
+        )
+    sj = json.loads(meta["schemaString"])
+    names = [f["name"] for f in sj["fields"]]
+    if old not in names:
+        raise ValueError(f"rename: unknown column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"rename: column {new!r} already exists")
+    for f in sj["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    new_meta = {**meta, "schemaString": json.dumps(sj)}
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    ict_on = str(
+        conf.get("delta.enableInCommitTimestamps", "")
+    ).lower() == "true"
+    version = last + 1
+    for _attempt in range(10):
+        actions = [
+            _ict_commit_info(log_dir, version, operation="RENAME COLUMN")
+            if ict_on
+            else {"commitInfo": {"operation": "RENAME COLUMN",
+                                 "engineInfo": "snapshot-export"}},
+            {"metaData": new_meta},
+        ]
+        if _publish_commit(log_dir, version, actions):
+            return version
+        # metadata-only: rebase over any foreign commit EXCEPT a
+        # conflicting metadata change
+        if any("metaData" in a for a in _commit_actions(log_dir, version)):
+            raise DeltaProtocolError(
+                f"rename lost the commit race at version {version} to a "
+                "concurrent METADATA change; re-run against the new schema"
+            )
+        version += 1
+    raise DeltaProtocolError(
+        "rename_delta_column lost the commit race ten times in a row"
+    )
+
+
+def widen_delta_column(root: str, column: str, to_type: str) -> int:
+    """TYPE WIDENING (write side of the reader feature s39 exercises):
+    a metadata-only commit that widens ``column`` to ``to_type`` and
+    records the change in the field's ``delta.typeChanges`` metadata —
+    existing files keep their narrow physical type (readers upcast
+    natively; zero bytes move), later writers append the wide type.
+    Only the spec's LEGAL widenings are accepted (integer-family
+    upcasts, float->double, date->timestampNtz, scale-preserving
+    decimal growth — :func:`_widening_ok`); anything else raises
+    before a byte is written. The commit also upgrades the protocol to
+    declare the ``typeWidening`` reader+writer feature when the table
+    hasn't yet (spec obligation). Returns the committed version."""
+    meta, _live, _dvs, last = _replay_log(root)
+    sj = json.loads(meta["schemaString"])
+    fld = next((f for f in sj["fields"] if f["name"] == column), None)
+    if fld is None:
+        raise ValueError(
+            f"widen: unknown column {column!r} "
+            f"(have {[f['name'] for f in sj['fields']]})"
+        )
+    from_type = fld["type"]
+    if not isinstance(from_type, str):
+        raise DeltaProtocolError(
+            f"widen: column {column!r} has a nested type; type widening "
+            "applies to primitive fields"
+        )
+    if not _widening_ok(from_type, to_type):
+        raise DeltaProtocolError(
+            f"{from_type!r} -> {to_type!r} is not a legal type widening "
+            "(the reader would silently corrupt values; refused)"
+        )
+    md = dict(fld.get("metadata") or {})
+    changes = list(md.get("delta.typeChanges") or [])
+    changes.append({"fromType": from_type, "toType": to_type})
+    md["delta.typeChanges"] = changes
+    fld["metadata"] = md
+    fld["type"] = to_type
+    new_meta = {**meta, "schemaString": json.dumps(sj)}
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    proto = _declared_protocol(log_dir) or {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
+    rf = set(proto.get("readerFeatures") or [])
+    wf = set(proto.get("writerFeatures") or [])
+    actions_proto = []
+    if "typeWidening" not in rf:
+        rf.add("typeWidening")
+        wf.add("typeWidening")
+        actions_proto.append(
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": sorted(rf),
+                          "writerFeatures": sorted(wf)}}
+        )
+    conf = dict(meta.get("configuration") or {})
+    ict_on = str(
+        conf.get("delta.enableInCommitTimestamps", "")
+    ).lower() == "true"
+    version = last + 1
+    for _attempt in range(10):
+        actions = [
+            _ict_commit_info(log_dir, version, operation="CHANGE COLUMN")
+            if ict_on
+            else {"commitInfo": {"operation": "CHANGE COLUMN",
+                                 "engineInfo": "snapshot-export"}},
+            *actions_proto,
+            {"metaData": new_meta},
+        ]
+        if _publish_commit(log_dir, version, actions):
+            return version
+        if any("metaData" in a for a in _commit_actions(log_dir, version)):
+            raise DeltaProtocolError(
+                f"widen lost the commit race at version {version} to a "
+                "concurrent METADATA change; re-run against the new schema"
+            )
+        version += 1
+    raise DeltaProtocolError(
+        "widen_delta_column lost the commit race ten times in a row"
+    )
+
+
 def clone_delta(src_root: str, dst_root: str) -> int:
     """SHALLOW CLONE — a new Delta table at ``dst_root`` whose v0
     references the SOURCE's current data files by ABSOLUTE path (the

@@ -2195,3 +2195,57 @@ def test_shallow_clone_dvs_and_vacuum_safety(spark, tmp_path):
     assert os.path.exists(os.path.join(src, "a.parquet"))
     assert os.path.exists(os.path.join(src, "dv1.bin"))
     assert read_delta(spark, src).count() == 97  # source intact
+
+
+def test_schema_evolution_writer_gates(spark, tmp_path):
+    """rename_delta_column / widen_delta_column gates: rename refuses
+    without column mapping (storage names would need a rewrite) and on
+    unknown/colliding names; widening accepts only the spec's legal
+    changes (decimal growth must preserve scale and integer digits)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        DeltaProtocolError,
+        read_delta,
+        rename_delta_column,
+        widen_delta_column,
+    )
+
+    root = str(tmp_path / "nomap")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], type=pa.int32()),
+                  "f": pa.array([1.5, 2.5], type=pa.float32())}),
+        os.path.join(root, "a.parquet"),
+    )
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                                "options": {}},
+                          "schemaString": json.dumps({
+                              "type": "struct", "fields": [
+                                  {"name": "k", "type": "integer",
+                                   "nullable": True, "metadata": {}},
+                                  {"name": "f", "type": "float",
+                                   "nullable": True, "metadata": {}}]}),
+                          "partitionColumns": [], "configuration": {}}},
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ]:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(DeltaProtocolError, match="column mapping"):
+        rename_delta_column(root, "k", "key")
+    # widening works WITHOUT mapping (it never touches storage names)
+    assert widen_delta_column(root, "f", "double") == 1
+    got = {(r["k"], r["f"]) for r in read_delta(spark, root).collect()}
+    assert got == {(1, 1.5), (2, 2.5)}
+    with pytest.raises(ValueError, match="unknown column"):
+        widen_delta_column(root, "nope", "long")
+    # decimal rule: scale/integer-digit preservation
+    with pytest.raises(DeltaProtocolError, match="not a legal"):
+        widen_delta_column(root, "k", "decimal(5,2)")  # 3 int digits < 10
+    assert widen_delta_column(root, "k", "decimal(12,2)") == 2

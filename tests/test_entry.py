@@ -46,10 +46,11 @@ def test_first_50_entries_cover_every_family():
                  "s72_hudi_savepoint_restore",
                  "s73_delta_shallow_clone",
                  "s74_hudi_rollback",
+                 "s75_delta_schema_evolution_write",
                  "s59_delta_log_truncate", "s62_delta_optimize",
                  "s66_delta_vacuum", "s67_delta_liquid_clustering",
                  "s16_delta_export", "s50_delta_export_cdf",
-                 "s46_delta_row_tracking", "s28_delta_cdf",
+                 "s46_delta_row_tracking",
                  "st17_stream_delta_cdf", "st19_stream_delta_idmap",
                  "st24_stream_delta_row_tracking",
                  "s40_hudi_export", "s43_hudi_partitioned_export",

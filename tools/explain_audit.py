@@ -179,6 +179,7 @@ AUDIT = [
     "s72_hudi_savepoint_restore",  # savepoint-pinned slice read post-restore
     "s73_delta_shallow_clone",  # absolute-path zero-copy read + carried skip
     "s74_hudi_rollback",  # post-rollback snapshot read, debris reclaimed
+    "s75_delta_schema_evolution_write",  # renamed + widened mapped read
 ]
 
 
