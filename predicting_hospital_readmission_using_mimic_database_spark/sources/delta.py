@@ -951,9 +951,18 @@ def _declared_protocol(log_dir: str) -> dict | None:
         return proto
     import pyarrow.parquet as pq
 
+    # Pick the NEWEST checkpoint across BOTH layouts: a table whose
+    # writer upgraded the protocol and then crossed to V2 checkpoints
+    # (classic at v10 still on disk, V2 manifest at v20 carrying the
+    # upgraded declaration) must report the V2 protocol — preferring
+    # classic unconditionally would understate the declaration once
+    # the JSON commits holding the protocol are truncated.
     cps = _checkpoints(log_dir)
-    if cps:
-        for part in cps[max(cps)]:
+    v2cps = _v2_checkpoints(log_dir)
+    classic_v = max(cps) if cps else None
+    v2_v = max(v2cps) if v2cps else None
+    if classic_v is not None and (v2_v is None or classic_v >= v2_v):
+        for part in cps[classic_v]:
             pf = pq.ParquetFile(part)
             if "protocol" not in pf.schema_arrow.names:
                 continue
@@ -964,10 +973,9 @@ def _declared_protocol(log_dir: str) -> dict | None:
                     return {
                         k: v for k, v in dict(row).items() if v is not None
                     }
-    v2cps = _v2_checkpoints(log_dir)
-    if not v2cps:
+    if v2_v is None:
         return None
-    fmt, mpath = v2cps[max(v2cps)]
+    fmt, mpath = v2cps[v2_v]
     found: list[dict] = []
 
     def act(kind: str, row: dict) -> None:

@@ -87,9 +87,17 @@ def _publish_instant(hdir: str, name: str, body: dict) -> None:
     rewriting them. Raises ``HudiProtocolError`` on the collision (the
     orphaned files are never visible — no marker means no commit — and
     a later clean can collect them)."""
+    import contextlib
+    import uuid as _uuid
+
     from .hudi import HudiProtocolError
 
-    tmp = os.path.join(hdir, f".{name}.tmp")
+    # Per-invocation unique temp name: a FIXED tmp path would let two
+    # writers racing on the same instant clobber each other's staged
+    # bytes before the os.link decides the race (the loser could then
+    # publish the winner's body, or hit FileNotFoundError instead of
+    # the intended HudiProtocolError).
+    tmp = os.path.join(hdir, f".{name}.{_uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
         json.dump(body, f)
     final = os.path.join(hdir, name)
@@ -104,7 +112,8 @@ def _publish_instant(hdir: str, name: str, body: dict) -> None:
             "at a fresh instant"
         ) from None
     finally:
-        os.remove(tmp)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(tmp)
 
 
 def export_hudi(
@@ -1319,6 +1328,7 @@ def restore_hudi(dest: str, instant: str) -> list[str]:
 
     deleted: list[str] = []
     doomed_actions: list[str] = []
+    doomed_clean_horizon: str | None = None
     for name in sorted(os.listdir(hdir)):
         m = _INSTANT_RE.match(name)
         if not m or m.group(1) <= instant:
@@ -1331,6 +1341,16 @@ def restore_hudi(dest: str, instant: str) -> list[str]:
                 body = json.load(f)
         except (OSError, ValueError):
             body = None
+        if m.group(2) == "clean":
+            # A clean ABOVE the savepoint physically removed slices the
+            # restore cannot resurrect — its earliestCommitToRetain gate
+            # must survive the restore (folded back below), or
+            # as_of reads before the horizon silently serve a snapshot
+            # missing the cleaned slices instead of raising.
+            e0 = (body or {}).get("earliestCommitToRetain")
+            if e0 and (doomed_clean_horizon is None
+                       or str(e0) > doomed_clean_horizon):
+                doomed_clean_horizon = str(e0)
         for stats in (body or {}).get("partitionToWriteStats", {}).values():
             for st in stats:
                 rel = st.get("path")
@@ -1348,6 +1368,33 @@ def restore_hudi(dest: str, instant: str) -> list[str]:
     # whose files are gone — re-running the restore converges).
     for name in doomed_actions:
         os.remove(os.path.join(hdir, name))
+    if doomed_clean_horizon is not None:
+        from .hudi import _clean_horizon
+
+        surviving = _clean_horizon(dest)
+        if surviving is None or doomed_clean_horizon > surviving:
+            # Re-emit the gate AT the savepoint instant (the marker's
+            # own instant must sort <= the target so a later restore to
+            # the same savepoint keeps it). Merge with a same-named
+            # clean if one exists (e.g. a prior restore's marker).
+            marker = os.path.join(hdir, f"{instant}.clean")
+            mbody: dict = {}
+            if os.path.exists(marker):
+                try:
+                    with open(marker) as f:
+                        mbody = json.load(f)
+                except (OSError, ValueError):
+                    mbody = {}
+            prev = str(mbody.get("earliestCommitToRetain") or "")
+            mbody["earliestCommitToRetain"] = max(
+                doomed_clean_horizon, prev
+            )
+            mbody.setdefault("restoredFrom", []).append(
+                {"restoreTarget": instant,
+                 "foldedHorizon": doomed_clean_horizon}
+            )
+            with open(marker, "w") as f:
+                json.dump(mbody, f)
     mdt = os.path.join(hdir, "metadata")
     if os.path.isdir(mdt):
         _shutil.rmtree(mdt)

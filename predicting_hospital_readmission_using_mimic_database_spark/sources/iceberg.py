@@ -64,6 +64,7 @@ Spark plans a single task.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
@@ -875,7 +876,16 @@ def export_iceberg(table, _retries: int = 10) -> int:
         # refresh-and-reattempt — re-run the export, which re-reads the
         # current metadata (now including the foreign snapshot) and
         # re-diffs against the table's live set. Bounded so a livelock
-        # surfaces honestly.
+        # surfaces honestly. This attempt's manifest/manifest-list
+        # files (all named ``*-{attempt}.avro``) are unreferenced by
+        # any committed metadata — delete them now; orphan GC only
+        # scans data/, so leaving them would leak one avro set per
+        # lost CAS forever.
+        import glob as _glob
+
+        for stale in _glob.glob(os.path.join(mdir, f"*-{attempt}.avro")):
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(stale)
         if _retries <= 0:
             raise IcebergProtocolError(
                 f"export_iceberg lost the metadata CAS at version "
@@ -883,11 +893,30 @@ def export_iceberg(table, _retries: int = 10) -> int:
                 "committing faster than the export can refresh"
             ) from None
         return export_iceberg(table, _retries=_retries - 1)
-    tmp = os.path.join(mdir, ".hint.tmp")
+    _advance_version_hint(mdir, version)
+    return sid
+
+
+def _advance_version_hint(mdir: str, version: int) -> None:
+    """Write ``version-hint.text`` MONOTONICALLY (read-compare-replace):
+    two near-simultaneous CAS winners can reach the hint write out of
+    order, and an unconditional replace would regress the hint to the
+    older version — readers trusting the hint first would then serve a
+    stale snapshot. Never authoritative (readers fall back to file
+    enumeration), so the remaining read-write race window only costs a
+    re-scan, never a wrong answer."""
+    hint = os.path.join(mdir, "version-hint.text")
+    try:
+        with open(hint) as f:
+            recorded = int(f.read().strip())
+    except (OSError, ValueError):
+        recorded = -1
+    if version <= recorded:
+        return
+    tmp = os.path.join(mdir, f".hint.{os.getpid()}.{version}.tmp")
     with open(tmp, "w") as f:
         f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
-    return sid
+    os.replace(tmp, hint)
 
 
 def iceberg_snapshots(root: str) -> list[dict]:
@@ -3333,10 +3362,7 @@ def append_equality_deletes(
     meta["_export_version"] = version
     with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)
-    tmp = os.path.join(mdir, ".hint.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    _advance_version_hint(mdir, version)
     return sid
 
 
@@ -3442,10 +3468,7 @@ def append_deletion_vectors(
     meta["_export_version"] = version
     with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)
-    tmp = os.path.join(mdir, ".hint.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    _advance_version_hint(mdir, version)
     return sid
 
 
@@ -3538,10 +3561,7 @@ def append_position_deletes(
     meta["_export_version"] = version
     with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)
-    tmp = os.path.join(mdir, ".hint.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    _advance_version_hint(mdir, version)
     return sid
 
 def commit_schema_evolution(
@@ -3643,10 +3663,7 @@ def commit_schema_evolution(
     meta["_export_version"] = version
     with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)
-    tmp = os.path.join(mdir, ".hint.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    _advance_version_hint(mdir, version)
     return sid
 
 
@@ -3776,10 +3793,7 @@ def expire_iceberg_snapshots(
     meta["_export_version"] = version
     with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)
-    tmp = os.path.join(mdir, ".hint.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    _advance_version_hint(mdir, version)
     return expired
 
 
@@ -3878,10 +3892,7 @@ def rewrite_iceberg_manifests(root: str) -> int | None:
     meta["_export_version"] = version
     with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)
-    tmp = os.path.join(mdir, ".hint.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    _advance_version_hint(mdir, version)
     return sid
 
 
@@ -3917,10 +3928,7 @@ def set_iceberg_ref(
     mdir = os.path.join(root, "metadata")
     with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)
-    tmp = os.path.join(mdir, ".hint.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    _advance_version_hint(mdir, version)
     return int(sid)
 
 
@@ -3939,7 +3947,4 @@ def drop_iceberg_ref(root: str, name: str) -> None:
     mdir = os.path.join(root, "metadata")
     with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)
-    tmp = os.path.join(mdir, ".hint.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    _advance_version_hint(mdir, version)

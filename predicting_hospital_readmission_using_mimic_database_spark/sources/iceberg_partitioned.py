@@ -59,6 +59,7 @@ from .iceberg import (
     MANIFEST_ENTRY_SCHEMA,
     MANIFEST_FILE_SCHEMA,
     IcebergProtocolError,
+    _advance_version_hint,
     _iceberg_struct_fields,
     _localize,
     _metadata_path,
@@ -580,10 +581,7 @@ def export_iceberg_partitioned(
     meta["_export_source_version"] = since
     with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)
-    tmp = os.path.join(mdir, ".hint.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    _advance_version_hint(mdir, version)
     return sid
 
 
@@ -644,8 +642,5 @@ def evolve_iceberg_partition_spec(
     mdir = os.path.join(dest, "metadata")
     with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)
-    tmp = os.path.join(mdir, ".hint.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    _advance_version_hint(mdir, version)
     return new_id

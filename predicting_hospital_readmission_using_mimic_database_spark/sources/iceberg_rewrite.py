@@ -69,6 +69,7 @@ from .iceberg import (
     MANIFEST_ENTRY_SCHEMA,
     MANIFEST_FILE_SCHEMA,
     IcebergProtocolError,
+    _advance_version_hint,
     _live_files,
     _localize,
     _metadata_path,
@@ -478,10 +479,7 @@ def rewrite_iceberg_data_files(
     meta["_export_version"] = version
     with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)
-    tmp = os.path.join(mdir, ".hint.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    _advance_version_hint(mdir, version)
     return sid
 
 

@@ -1204,3 +1204,42 @@ def test_restore_delta_dv_and_vacuum_gates(spark, tmp_path):
     assert vacuum_delta(root, retention_hours=0.0) == ["b.parquet"]
     with pytest.raises(DeltaProtocolError, match="vacuumed"):
         restore_delta(root, 1)
+
+
+def test_declared_protocol_prefers_newest_checkpoint(tmp_path):
+    """_declared_protocol picks the checkpoint with the HIGHEST version
+    across both layouts: a table that upgraded its protocol and then
+    crossed the V2 threshold (stale classic checkpoint at v1 still on
+    disk, V2 manifest at v2 carrying the upgraded declaration) must
+    report the V2 protocol once the JSON commits are truncated — and
+    symmetrically, a newer classic checkpoint beats an older V2."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        _declared_protocol,
+        _export_meta,
+        _write_checkpoint_file,
+    )
+
+    log_dir = str(tmp_path / "_delta_log")
+    os.makedirs(log_dir)
+    meta = _export_meta(
+        '{"type":"struct","fields":[{"name":"k","type":"long",'
+        '"nullable":true,"metadata":{}}]}'
+    )["metaData"]
+    old = {"minReaderVersion": 1, "minWriterVersion": 2}
+    new = {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint", "typeWidening"],
+    }
+    # classic at v1 (stale protocol), V2 manifest at v2 (upgraded)
+    _write_checkpoint_file(log_dir, 1, meta, [], protocol=old)
+    _write_checkpoint_file(log_dir, 2, meta, [], protocol=new,
+                           v2_threshold=0)
+    got = _declared_protocol(log_dir)
+    assert got["minWriterVersion"] == 7
+    assert "typeWidening" in got["writerFeatures"]
+
+    # reverse: classic checkpoint newer than the V2 manifest wins
+    newest = {"minReaderVersion": 2, "minWriterVersion": 5}
+    _write_checkpoint_file(log_dir, 3, meta, [], protocol=newest)
+    assert _declared_protocol(log_dir) == newest

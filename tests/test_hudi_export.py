@@ -1682,3 +1682,87 @@ def test_rollback_reclaims_crashed_writer_debris(spark, tmp_path):
     # rollback is idempotent on a clean table
     out2 = rollback_hudi(dest, fail)
     assert out2["deleted"] == [] and out2["commands"] == []
+
+
+def test_publish_instant_unique_tmp(tmp_path):
+    """_publish_instant stages to a per-invocation UNIQUE temp name:
+    two writers racing on one instant can never clobber each other's
+    staged bytes — the loser raises HudiProtocolError (never a
+    FileNotFoundError from a shared tmp), the winner's published body
+    is intact, and no tmp debris remains."""
+    import json as _json
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        HudiProtocolError,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        _publish_instant,
+    )
+
+    hdir = str(tmp_path / ".hoodie")
+    os.makedirs(hdir)
+    name = "00000000000001.commit"
+    _publish_instant(hdir, name, {"writer": "A"})
+    with pytest.raises(HudiProtocolError, match="concurrent Hudi"):
+        _publish_instant(hdir, name, {"writer": "B"})
+    with open(os.path.join(hdir, name)) as f:
+        assert _json.load(f) == {"writer": "A"}  # winner's body intact
+    assert [n for n in os.listdir(hdir) if n.endswith(".tmp")] == []
+
+
+def test_restore_preserves_clean_horizon(spark, tmp_path):
+    """restore_hudi deletes timeline actions above the savepoint —
+    including completed CLEANs whose physically-removed files cannot be
+    resurrected. Their earliestCommitToRetain gate must SURVIVE the
+    restore (re-emitted at the savepoint instant), or as_of reads
+    before the horizon silently serve a snapshot missing the cleaned
+    slices instead of raising."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        HudiProtocolError,
+        _clean_horizon,
+        read_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        clean_hudi,
+        export_hudi,
+        restore_hudi,
+        savepoint_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v string",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k bigint, v string"
+    ))
+    dest = str(tmp_path / "hudi")
+    i0 = export_hudi(t, dest)
+    t.merge(spark.createDataFrame([(1, "V1")], "k bigint, v string"))
+    i1 = export_hudi(t, dest)
+    savepoint_hudi(dest, i1)
+    t.merge(spark.createDataFrame([(2, "W2")], "k bigint, v string"))
+    export_hudi(t, dest)
+    t.merge(spark.createDataFrame([(3, "X3")], "k bigint, v string"))
+    export_hudi(t, dest)
+
+    # clean above the savepoint: i0's superseded slices are REMOVED
+    assert clean_hudi(dest, retain_commits=1) is not None
+    h_before = _clean_horizon(dest)
+    assert h_before is not None and h_before > i1
+
+    restore_hudi(dest, i1)
+    # the gate survived the destructive restore
+    assert _clean_horizon(dest) == h_before
+    with pytest.raises(HudiProtocolError, match="cleaner horizon"):
+        read_hudi(spark, dest, as_of=i0).collect()
+    # the savepointed snapshot itself stays exact
+    exp_i1 = {(i, f"v{i}") for i in range(10) if i != 1} | {(1, "V1")}
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert got == exp_i1
+    # re-running the restore keeps converging (marker merge, no growth)
+    assert restore_hudi(dest, i1) == []
+    assert _clean_horizon(dest) == h_before

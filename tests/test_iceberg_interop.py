@@ -2965,3 +2965,93 @@ def test_concurrent_iceberg_exporters_cas(spark, tmp_path):
     assert os.path.exists(os.path.join(mdir, "v3.metadata.json"))
     got2 = {r["k"] for r in read_iceberg(spark, t.root).collect()}
     assert got2 == got | {k + 2000 for k in range(100)}
+
+
+def test_cas_loser_cleans_attempt_files(spark, tmp_path):
+    """A CAS loser's attempt-unique manifest / manifest-list avro files
+    are deleted before the retry: they were written into metadata/
+    before the put-if-absent failed, no committed metadata references
+    them, and orphan GC only scans data/ — without the cleanup every
+    lost CAS leaks one avro set forever."""
+    import pyspark.sql.functions as F
+
+    import predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg as I
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        export_iceberg,
+        read_iceberg,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(df)
+    assert export_iceberg(t) == 1
+    mdir = os.path.join(t.root, "metadata")
+
+    # foreign writer B takes v2 while A's refresh is stale
+    t2 = SnapshotTable(spark, t.root)
+    t.append(df.select((F.col("k") + 100).alias("k")))
+    assert export_iceberg(t2) == 2
+    orig = I._latest_metadata_path
+    state = {"stale": True}
+
+    def stale_once(root):
+        if state["stale"]:
+            state["stale"] = False
+            return os.path.join(mdir, "v1.metadata.json")
+        return orig(root)
+
+    I._latest_metadata_path = stale_once
+    try:
+        sid = export_iceberg(t)
+    finally:
+        I._latest_metadata_path = orig
+    assert sid == 2  # converged to B's snapshot (same diff)
+
+    # every avro in metadata/ is referenced by some committed metadata
+    referenced: set[str] = set()
+    for name in os.listdir(mdir):
+        if not name.endswith(".metadata.json"):
+            continue
+        with open(os.path.join(mdir, name)) as f:
+            meta = json.load(f)
+        for s in meta.get("snapshots", []):
+            ml = s["manifest-list"]
+            referenced.add(os.path.basename(ml))
+            ml_abs = ml if os.path.isabs(ml) else os.path.join(t.root, ml)
+            _s, recs = read_avro(ml_abs)
+            for rec in recs:
+                referenced.add(os.path.basename(rec["manifest_path"]))
+    on_disk = {n for n in os.listdir(mdir) if n.endswith(".avro")}
+    assert on_disk == referenced  # the loser's attempt files are gone
+    got = {r["k"] for r in read_iceberg(spark, t.root).collect()}
+    assert got == set(range(50)) | {k + 100 for k in range(50)}
+
+
+def test_version_hint_is_monotonic(tmp_path):
+    """version-hint.text never regresses: a slower CAS winner reaching
+    the hint write after a faster one must not roll the hint back to
+    its older version (readers trust the hint first)."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        _advance_version_hint,
+    )
+
+    mdir = str(tmp_path / "metadata")
+    os.makedirs(mdir)
+    hint = os.path.join(mdir, "version-hint.text")
+    _advance_version_hint(mdir, 5)
+    assert open(hint).read().strip() == "5"
+    _advance_version_hint(mdir, 3)  # late out-of-order writer
+    assert open(hint).read().strip() == "5"
+    _advance_version_hint(mdir, 7)
+    assert open(hint).read().strip() == "7"
+    # corrupt hint self-heals forward
+    with open(hint, "w") as f:
+        f.write("garbage")
+    _advance_version_hint(mdir, 2)
+    assert open(hint).read().strip() == "2"
