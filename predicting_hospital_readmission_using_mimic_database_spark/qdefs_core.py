@@ -8404,3 +8404,140 @@ def q_s75(spark, sf):
     got = read_delta(spark, root)
     assert got.columns == ["cust_id", "cents"]
     return got
+
+
+@query(
+    "s76_iceberg_wap",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    merged AS (
+      SELECT k, cents + CASE WHEN k % 9 = 0 THEN 333 ELSE 0 END AS cents
+      FROM base
+    )
+    SELECT k AS c_custkey, cents FROM merged
+    WHERE k <> (SELECT min(k) FROM merged)
+    UNION ALL
+    SELECT k + 8000000 AS c_custkey, cents FROM base WHERE k % 40 = 0
+    """,
+)
+def q_s76(spark, sf):
+    """S76 — Iceberg WRITE-AUDIT-PUBLISH (sources/iceberg.py
+    ``export_iceberg(branch=)`` + ``publish_iceberg_wap``): the
+    audit-gated ingestion pattern. A commit STAGES on a named branch
+    (main's pointer never moves — asserted after every stage), the
+    audit reads ``ref=branch``, and publish lands it two ways, both
+    exercised: FAST-FORWARD when main never advanced (the staged
+    overwrite becomes main's head, zero new files), and CHERRY-PICK
+    when main advanced concurrently (a positional DELETE of the
+    min-key row lands between stage and publish; the staged APPEND's
+    manifests replay on TOP of main's state, re-sequenced — main's
+    delete stays honored). A REJECTED audit (poison rows staged on a
+    third branch, then ``drop_iceberg_ref``) never leaks to main —
+    asserted before the final read. DuckDB recomputes the end state
+    (merged base minus the deleted min-key row, plus the published
+    late rows, no poison); a stage that advanced main early, a publish
+    that dropped main's concurrent delete, or a leaked rejected row
+    breaks the hash. All stage/publish steps are metadata-only —
+    at 100 TB a publish moves a pointer (fast-forward) or writes one
+    manifest-list avro (cherry-pick). Publish-conflict refusals
+    (multi-commit / non-append cherry-pick) pinned by pytest."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from .sources.iceberg import (
+        append_position_deletes,
+        drop_iceberg_ref,
+        export_iceberg,
+        iceberg_meta_table,
+        publish_iceberg_wap,
+        read_iceberg,
+    )
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("c_custkey")
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s76", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    t.append(c)
+    sid1 = export_iceberg(t)
+    n = c.count()
+
+    def main_agg():
+        row = read_iceberg(spark, t.root).agg(
+            F.count("*").alias("n"), F.sum("cents").alias("s")
+        ).collect()[0]
+        return row["n"], row["s"]
+
+    base_agg = main_agg()
+    assert base_agg[0] == n
+
+    # STAGE an overwrite on the audit branch: main must not move
+    t.merge(c.filter(k % 9 == 0).withColumn(
+        "cents", F.col("cents") + 333
+    ))
+    sid2 = export_iceberg(t, branch="audit")
+    assert sid2 > sid1 and main_agg() == base_agg
+    n9 = c.filter(k % 9 == 0).count()
+    staged_sum = read_iceberg(spark, t.root, ref="audit").agg(
+        F.sum("cents")
+    ).collect()[0][0]
+    assert staged_sum == base_agg[1] + 333 * n9
+    # PUBLISH: main never advanced -> fast-forward, main serves staged
+    out = publish_iceberg_wap(t.root, "audit")
+    assert out == {"snapshot_id": sid2, "mode": "fast-forward"}
+    assert main_agg() == (n, staged_sum)
+
+    # STAGE an append; main advances CONCURRENTLY -> cherry-pick
+    late = c.filter(k % 40 == 0).select(
+        (k + 8_000_000).alias("c_custkey"), "cents"
+    )
+    n_late = late.count()
+    t.append(late)
+    export_iceberg(t, branch="audit2")
+    assert main_agg()[0] == n  # staged rows invisible on main
+    # concurrent writer: positional DELETE of the min-key row
+    k_min = int(c.agg(F.min("c_custkey")).collect()[0][0])
+    victim = None
+    for r in iceberg_meta_table(spark, t.root, "files").collect():
+        path = r["file_path"]
+        col = _pq.read_table(path, columns=["c_custkey"]).column(0)
+        for pos, v in enumerate(col.to_pylist()):
+            if v == k_min:
+                victim = (path, pos)
+                break
+        if victim:
+            break
+    assert victim is not None
+    append_position_deletes(t.root, [victim])
+    assert main_agg()[0] == n - 1
+    out2 = publish_iceberg_wap(t.root, "audit2")
+    assert out2["mode"] == "cherry-pick"
+    assert main_agg()[0] == n - 1 + n_late  # delete honored + staged in
+
+    # REJECTED audit: staged poison never reaches main
+    poison = c.filter(k % 100 == 0).select(
+        (k + 9_000_000).alias("c_custkey"), "cents"
+    )
+    t.append(poison)
+    export_iceberg(t, branch="bad-audit")
+    assert read_iceberg(spark, t.root, ref="bad-audit").filter(
+        k >= 9_000_000
+    ).count() == poison.count()
+    drop_iceberg_ref(t.root, "bad-audit")
+    got = read_iceberg(spark, t.root)
+    assert got.filter(k >= 9_000_000).count() == 0
+    assert got.count() == n - 1 + n_late
+    return got

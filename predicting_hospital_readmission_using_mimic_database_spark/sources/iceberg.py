@@ -614,7 +614,7 @@ def _iceberg_type_ids(dt: T.DataType, next_id: list[int]):
     return _iceberg_type(dt)
 
 
-def export_iceberg(table, _retries: int = 10) -> int:
+def export_iceberg(table, _retries: int = 10, branch: str | None = None) -> int:
     """Publish a :class:`~.table.SnapshotTable`'s CURRENT snapshot as a
     real Iceberg v2 table under the table root — zero data movement
     (parquet files shared byte-for-byte), so pyiceberg/Trino/Spark's
@@ -641,7 +641,19 @@ def export_iceberg(table, _retries: int = 10) -> int:
     binaries keyed by field id) in every added manifest entry — the
     data-skipping tier ``read_iceberg(predicates=)`` and real Iceberg
     engines prune on — at zero extra I/O (the ranges already live in
-    the commit log's harvested footer stats)."""
+    the commit log's harvested footer stats).
+
+    ``branch`` STAGES the commit on a named branch ref instead of
+    advancing main — the write half of WRITE-AUDIT-PUBLISH (Iceberg's
+    ``spark.wap.branch``): the new snapshot lands in the metadata's
+    snapshot list and the branch ref moves to it, but
+    ``current-snapshot-id`` (what every plain read serves) stays put.
+    Audit via ``read_iceberg(ref=branch)``; publish via
+    :func:`publish_iceberg_wap`; reject via :func:`drop_iceberg_ref`
+    (the staged snapshot becomes unreferenced and expirable). The diff
+    base is the BRANCH head when the branch exists (consecutive staged
+    commits chain), else current main. Staging on a never-exported
+    table raises — WAP audits changes AGAINST a published table."""
     import time
     import uuid as _uuid
 
@@ -668,13 +680,30 @@ def export_iceberg(table, _retries: int = 10) -> int:
         with open(latest) as f:
             prev_meta = json.load(f)
     snapshots = list(prev_meta.get("snapshots", [])) if prev_meta else []
+    if branch is not None and not snapshots:
+        raise IcebergProtocolError(
+            f"cannot stage on branch {branch!r}: the table was never "
+            "exported — WAP audits changes against a published table "
+            "(export to main first)"
+        )
     carried: list[dict] = []
     prev_files: set[str] = set()
+    base_sid = None
     if snapshots:
         last_id = max(s["snapshot-id"] for s in snapshots)
+        prev_refs = dict(prev_meta.get("refs") or {})
+        base_sid = int(prev_meta["current-snapshot-id"])
+        if branch is not None and branch in prev_refs:
+            if prev_refs[branch].get("type") != "branch":
+                raise IcebergProtocolError(
+                    f"ref {branch!r} is a tag, not a branch — tags pin "
+                    "snapshots forever and cannot receive staged commits"
+                )
+            # consecutive staged commits CHAIN on the branch head
+            base_sid = int(prev_refs[branch]["snapshot-id"])
         cur = next(
             s for s in snapshots
-            if s["snapshot-id"] == prev_meta["current-snapshot-id"]
+            if s["snapshot-id"] == base_sid
         )
         _s, prev_manifests = read_avro(_localize(cur["manifest-list"], root))
         per_manifest: list[tuple[dict, list | None]] = []
@@ -691,7 +720,7 @@ def export_iceberg(table, _retries: int = 10) -> int:
                 e["data_file"]["file_path"] for e in live_entries
             )
         if prev_files == live_paths:
-            return last_id  # no change since the last export
+            return base_sid  # no change since the base snapshot
         sid = last_id + 1
         # next version: past BOTH the recorded export version and the
         # latest metadata FILE's number (a foreign commit's metadata
@@ -828,20 +857,23 @@ def export_iceberg(table, _retries: int = 10) -> int:
         MANIFEST_FILE_SCHEMA,
         [{"sequence_number": None, **m} for m in mf_records],
     )
-    snapshots.append(
-        {
-            "snapshot-id": sid,
-            "timestamp-ms": int(time.time() * 1000),
-            # append-only changes are real APPEND snapshots (the shape
-            # the incremental/streaming scan consumes); anything that
-            # removed files is an overwrite
-            "summary": {
-                "operation": "append" if prev_files <= live_paths else "overwrite"
-            },
-            "manifest-list": mlist,
-            "schema-id": 0,
-        }
-    )
+    snap_rec = {
+        "snapshot-id": sid,
+        "timestamp-ms": int(time.time() * 1000),
+        # append-only changes are real APPEND snapshots (the shape
+        # the incremental/streaming scan consumes); anything that
+        # removed files is an overwrite
+        "summary": {
+            "operation": "append" if prev_files <= live_paths else "overwrite"
+        },
+        "manifest-list": mlist,
+        "schema-id": 0,
+    }
+    if base_sid is not None:
+        # ancestry: publish_iceberg_wap's fast-forward validation walks
+        # this chain; real Iceberg records it on every snapshot
+        snap_rec["parent-snapshot-id"] = base_sid
+    snapshots.append(snap_rec)
     last_col_id = _next[0] - 1
     meta = {
         "format-version": 2,
@@ -855,14 +887,21 @@ def export_iceberg(table, _retries: int = 10) -> int:
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "default-spec-id": 0,
         "snapshots": snapshots,
-        "current-snapshot-id": sid,
+        "current-snapshot-id": (
+            prev_meta["current-snapshot-id"] if branch is not None
+            else sid
+        ),
         "_export_version": version,
     }
     if prev_meta and prev_meta.get("refs"):
         # named refs (tags/branches) are table state the export must
         # CARRY — a tag set between exports pins its snapshot through
         # expiry, and dropping it silently would unpin history
-        meta["refs"] = prev_meta["refs"]
+        meta["refs"] = dict(prev_meta["refs"])
+    if branch is not None:
+        refs = dict(meta.get("refs") or {})
+        refs[branch] = {"snapshot-id": sid, "type": "branch"}
+        meta["refs"] = refs
     try:
         # Iceberg's commit IS a compare-and-swap on the metadata
         # pointer: claiming vN.metadata.json must be put-if-absent, or
@@ -892,7 +931,7 @@ def export_iceberg(table, _retries: int = 10) -> int:
                 f"{version} ten times in a row; a foreign writer is "
                 "committing faster than the export can refresh"
             ) from None
-        return export_iceberg(table, _retries=_retries - 1)
+        return export_iceberg(table, _retries=_retries - 1, branch=branch)
     _advance_version_hint(mdir, version)
     return sid
 
@@ -3351,6 +3390,7 @@ def append_equality_deletes(
     meta["snapshots"] = snaps + [
         {
             "snapshot-id": sid,
+            "parent-snapshot-id": meta.get("current-snapshot-id"),
             "timestamp-ms": int(time.time() * 1000),
             "summary": {"operation": "delete"},
             "manifest-list": mlist,
@@ -3457,6 +3497,7 @@ def append_deletion_vectors(
     meta["snapshots"] = snaps + [
         {
             "snapshot-id": sid,
+            "parent-snapshot-id": meta.get("current-snapshot-id"),
             "timestamp-ms": int(time.time() * 1000),
             "summary": {"operation": "delete"},
             "manifest-list": mlist,
@@ -3550,6 +3591,7 @@ def append_position_deletes(
     meta["snapshots"] = snaps + [
         {
             "snapshot-id": sid,
+            "parent-snapshot-id": meta.get("current-snapshot-id"),
             "timestamp-ms": int(time.time() * 1000),
             "summary": {"operation": "delete"},
             "manifest-list": mlist,
@@ -3651,6 +3693,7 @@ def commit_schema_evolution(
         meta["snapshots"] = snaps + [
             {
                 "snapshot-id": sid,
+                "parent-snapshot-id": meta.get("current-snapshot-id"),
                 "timestamp-ms": int(time.time() * 1000),
                 "summary": {"operation": "append"},
                 "manifest-list": mlist,
@@ -3879,6 +3922,7 @@ def rewrite_iceberg_manifests(root: str) -> int | None:
     meta["snapshots"] = snaps + [
         {
             "snapshot-id": sid,
+            "parent-snapshot-id": meta.get("current-snapshot-id"),
             "timestamp-ms": int(time.time() * 1000),
             "summary": {"operation": "replace"},
             "manifest-list": mlist,
@@ -3948,3 +3992,192 @@ def drop_iceberg_ref(root: str, name: str) -> None:
     with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)
     _advance_version_hint(mdir, version)
+
+
+def publish_iceberg_wap(
+    root: str, branch: str, retain_branch: bool = False,
+    _retries: int = 10,
+) -> dict:
+    """PUBLISH a staged audit branch to main — the publish half of
+    WRITE-AUDIT-PUBLISH (``export_iceberg(branch=)`` stages, the audit
+    reads ``ref=branch``, this lands it). Two modes, validated:
+
+    * **fast-forward** — main's current snapshot is an ANCESTOR of the
+      branch head (nothing landed on main since staging): main's
+      pointer moves to the staged head, zero new files. The common
+      case; any chain length.
+    * **cherry-pick** — main ADVANCED since staging. Valid only for a
+      SINGLE staged APPEND snapshot forked from main's ancestry: a new
+      snapshot is committed whose manifest list is main's CURRENT
+      manifests plus the staged snapshot's ADDED manifests (shared by
+      path, re-sequenced to the new snapshot — the staged files take a
+      data sequence AFTER everything on main, exactly real Iceberg's
+      ``cherrypick_snapshot``). An overwrite/delete staged snapshot
+      (its tombstones were computed against a stale base), a
+      multi-commit divergent chain, or a branch with no common
+      ancestor REFUSES with :class:`IcebergProtocolError` — publish
+      fails cleanly rather than silently dropping main's commits.
+
+    A rejected audit never needs this function: :func:`drop_iceberg_ref`
+    un-pins the staged snapshot and the next expiry collects it — the
+    staged rows were never reachable from main. On success the audit
+    branch is dropped (its job is done) unless ``retain_branch``.
+
+    The commit is the same metadata CAS every writer uses
+    (put-if-absent on ``vN.metadata.json``, refresh-and-retry on loss).
+    Metadata-only: at 100 TB a publish moves a pointer and (cherry-pick)
+    writes one manifest-list avro; no data I/O. Returns
+    ``{"snapshot_id", "mode"}``."""
+    import time
+    import uuid as _uuid
+
+    from .avro_ocf import read_avro as _read, write_avro as _write
+
+    mdir = os.path.join(root, "metadata")
+    latest = _latest_metadata_path(root)
+    if latest is None:
+        raise IcebergProtocolError(f"no Iceberg metadata under {root}")
+    with open(latest) as f:
+        meta = json.load(f)
+    refs = dict(meta.get("refs") or {})
+    if branch not in refs:
+        raise IcebergProtocolError(
+            f"audit branch {branch!r} not found (have {sorted(refs)})"
+        )
+    if refs[branch].get("type") != "branch":
+        raise IcebergProtocolError(
+            f"ref {branch!r} is a tag, not a branch"
+        )
+    staged = int(refs[branch]["snapshot-id"])
+    main = int(meta["current-snapshot-id"])
+    snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
+    if staged not in snaps:
+        raise IcebergProtocolError(
+            f"branch {branch!r} points at unknown snapshot {staged}"
+        )
+
+    def ancestry(sid: int) -> list[int]:
+        chain, seen = [], set()
+        cur: int | None = sid
+        while cur is not None and cur in snaps and cur not in seen:
+            chain.append(cur)
+            seen.add(cur)
+            p = snaps[cur].get("parent-snapshot-id")
+            cur = int(p) if p is not None else None
+        return chain
+
+    staged_chain = ancestry(staged)
+    main_ancestry = set(ancestry(main))
+
+    if staged == main:
+        mode, new_sid, new_snap = "noop", main, None
+    elif main in staged_chain:
+        # FAST-FORWARD: main never advanced past the staging base
+        mode, new_sid, new_snap = "fast-forward", staged, None
+    else:
+        # main advanced — cherry-pick path, strictly validated
+        fork = next((s for s in staged_chain if s in main_ancestry), None)
+        if fork is None:
+            raise IcebergProtocolError(
+                f"cannot publish branch {branch!r}: no common ancestor "
+                f"with main ({main}) — divergent history cannot be "
+                "replayed safely"
+            )
+        above = staged_chain[: staged_chain.index(fork)]
+        if len(above) != 1:
+            raise IcebergProtocolError(
+                f"cannot publish branch {branch!r}: main advanced past "
+                f"the staging base and the branch holds {len(above)} "
+                "commits — cherry-pick replays exactly one; re-stage "
+                "against current main"
+            )
+        srec = snaps[staged]
+        op = (srec.get("summary") or {}).get("operation")
+        if op != "append":
+            raise IcebergProtocolError(
+                f"cannot publish branch {branch!r}: main advanced past "
+                f"the staging base and the staged snapshot is "
+                f"{op or 'unknown'!r} — its removed-file tombstones "
+                "were computed against a stale base; only APPEND "
+                "snapshots cherry-pick (re-stage against current main)"
+            )
+        mode = "cherry-pick"
+        new_sid = max(snaps) + 1
+        _s, staged_ml = _read(_localize(srec["manifest-list"], root))
+        added = [
+            dict(r) for r in staged_ml
+            if r.get("added_snapshot_id") == staged
+            and r.get("content", 0) == 0
+        ]
+        _s, main_ml = _read(
+            _localize(snaps[main]["manifest-list"], root)
+        )
+        for r in added:
+            # the replayed files take a data sequence AFTER everything
+            # on main (entries inherit from the manifest-list record)
+            r["sequence_number"] = new_sid
+            r["added_snapshot_id"] = new_sid
+        attempt = _uuid.uuid4().hex[:12]
+        mlist = os.path.join(mdir, f"snap-{new_sid}-{attempt}.avro")
+        _write(mlist, MANIFEST_FILE_SCHEMA,
+               [dict(r) for r in main_ml] + added)
+        new_snap = {
+            "snapshot-id": new_sid,
+            "parent-snapshot-id": main,
+            "timestamp-ms": int(time.time() * 1000),
+            "summary": {
+                "operation": "append",
+                "wap.published-from": str(staged),
+            },
+            "manifest-list": mlist,
+            "schema-id": snaps[main].get("schema-id", 0),
+        }
+
+    if mode == "noop" and not retain_branch:
+        drop_iceberg_ref(root, branch)
+        return {"snapshot_id": main, "mode": mode}
+    if mode == "noop":
+        return {"snapshot_id": main, "mode": mode}
+
+    new_meta = dict(meta)
+    if new_snap is not None:
+        new_meta["snapshots"] = list(meta.get("snapshots", [])) + [new_snap]
+        new_meta["last-sequence-number"] = max(
+            int(meta.get("last-sequence-number", 0)), new_sid
+        )
+    new_meta["current-snapshot-id"] = new_sid
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    refs = dict(new_meta.get("refs") or {})
+    if retain_branch:
+        refs[branch] = {"snapshot-id": new_sid, "type": "branch"}
+    else:
+        refs.pop(branch, None)
+    if "main" in refs and refs["main"].get("type") == "branch":
+        refs["main"] = {"snapshot-id": new_sid, "type": "branch"}
+    new_meta["refs"] = refs
+    m = re.match(r"^v?(\d+)\.metadata\.json$", os.path.basename(latest))
+    file_v = int(m.group(1)) if m else 0
+    version = max(
+        int(meta.get("_export_version", len(snaps))), file_v
+    ) + 1
+    new_meta["_export_version"] = version
+    try:
+        with open(
+            os.path.join(mdir, f"v{version}.metadata.json"), "x"
+        ) as f:
+            json.dump(new_meta, f)
+    except FileExistsError:
+        if new_snap is not None:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(new_snap["manifest-list"])
+        if _retries <= 0:
+            raise IcebergProtocolError(
+                f"publish_iceberg_wap lost the metadata CAS at version "
+                f"{version} ten times in a row"
+            ) from None
+        return publish_iceberg_wap(
+            root, branch, retain_branch=retain_branch,
+            _retries=_retries - 1,
+        )
+    _advance_version_hint(mdir, version)
+    return {"snapshot_id": new_sid, "mode": mode}

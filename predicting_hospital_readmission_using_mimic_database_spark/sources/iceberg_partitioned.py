@@ -566,6 +566,7 @@ def export_iceberg_partitioned(
     meta["snapshots"] = meta["snapshots"] + [
         {
             "snapshot-id": sid,
+            "parent-snapshot-id": meta.get("current-snapshot-id"),
             "timestamp-ms": int(time.time() * 1000),
             "summary": {"operation": "append"},
             "manifest-list": mlist,

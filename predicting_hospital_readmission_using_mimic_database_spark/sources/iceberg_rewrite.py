@@ -463,6 +463,7 @@ def rewrite_iceberg_data_files(
     version = int(meta.get("_export_version", len(snaps))) + 1
     snap = {
         "snapshot-id": sid,
+        "parent-snapshot-id": meta.get("current-snapshot-id"),
         "timestamp-ms": int(time.time() * 1000),
         "summary": {"operation": "replace"},
         "manifest-list": mlist,

@@ -3055,3 +3055,106 @@ def test_version_hint_is_monotonic(tmp_path):
         f.write("garbage")
     _advance_version_hint(mdir, 2)
     assert open(hint).read().strip() == "2"
+
+
+def test_write_audit_publish_lifecycle(spark, tmp_path):
+    """WAP: export_iceberg(branch=) stages a snapshot WITHOUT advancing
+    main; the audit reads the branch ref; publish_iceberg_wap
+    fast-forwards when main never moved, cherry-picks a single staged
+    APPEND when main advanced, and REFUSES multi-commit or non-append
+    divergent branches; a rejected audit (drop_iceberg_ref) never
+    leaks rows to main."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        IcebergProtocolError,
+        append_position_deletes,
+        drop_iceberg_ref,
+        export_iceberg,
+        publish_iceberg_wap,
+        read_iceberg,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint",
+        bucket_key=["k"], num_buckets=2,
+    )
+    # staging on a never-exported table refuses
+    t.append(df)
+    with pytest.raises(IcebergProtocolError, match="never exported"):
+        export_iceberg(t, branch="audit")
+    sid1 = export_iceberg(t)
+
+    def main_keys():
+        return {r["k"] for r in read_iceberg(spark, t.root).collect()}
+
+    base = set(range(100))
+    assert main_keys() == base
+
+    # STAGE: main stays put, the branch serves the staged snapshot
+    t.append(df.select((F.col("k") + 1000).alias("k")))
+    sid2 = export_iceberg(t, branch="audit")
+    assert sid2 > sid1
+    assert main_keys() == base
+    staged = {r["k"] for r in
+              read_iceberg(spark, t.root, ref="audit").collect()}
+    assert staged == base | {k + 1000 for k in range(100)}
+    # consecutive staged commits CHAIN on the branch
+    t.append(df.select((F.col("k") + 2000).alias("k")))
+    sid3 = export_iceberg(t, branch="audit")
+    assert sid3 > sid2 and main_keys() == base
+
+    # PUBLISH (fast-forward: main never advanced); chain length 2 is ok
+    out = publish_iceberg_wap(t.root, "audit")
+    assert out == {"snapshot_id": sid3, "mode": "fast-forward"}
+    want = base | {k + 1000 for k in range(100)} | {
+        k + 2000 for k in range(100)}
+    assert main_keys() == want
+    # the audit branch was dropped on publish
+    with pytest.raises(IcebergProtocolError, match="not found"):
+        publish_iceberg_wap(t.root, "audit")
+
+    # REJECTED audit: drop the ref — main never sees the staged rows
+    t.append(df.select((F.col("k") + 3000).alias("k")))
+    export_iceberg(t, branch="bad-audit")
+    assert main_keys() == want
+    drop_iceberg_ref(t.root, "bad-audit")
+    assert main_keys() == want
+
+    # CHERRY-PICK: stage an append, then main advances independently
+    # (a concurrent positional DELETE lands); publish replays the
+    # staged files on TOP of main's state
+    t2 = SnapshotTable(spark, t.root)
+    t2._refresh()
+    sid_stage = export_iceberg(t2, branch="audit2")
+    # (the branch head is the same staged snapshot as bad-audit's data;
+    # main now deletes one row of the published base)
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        iceberg_meta_table,
+    )
+
+    victim_file = sorted(
+        r["file_path"]
+        for r in iceberg_meta_table(spark, t.root, "files").collect()
+    )[0]
+    append_position_deletes(t.root, [(victim_file, 0)])
+    n_main = read_iceberg(spark, t.root).count()
+    assert n_main == len(want) - 1
+    out2 = publish_iceberg_wap(t.root, "audit2")
+    assert out2["mode"] == "cherry-pick"
+    got = main_keys()
+    assert {k + 3000 for k in range(100)} <= got
+    assert len(got) >= n_main  # main's delete still honored
+    assert read_iceberg(spark, t.root).count() == n_main + 100
+
+    # a staged OVERWRITE cannot cherry-pick once main advanced
+    t.delete(F.col("k") < 10)
+    sid_ow = export_iceberg(t, branch="audit3")
+    append_position_deletes(t.root, [(victim_file, 1)])
+    with pytest.raises(IcebergProtocolError, match="APPEND"):
+        publish_iceberg_wap(t.root, "audit3")
+    drop_iceberg_ref(t.root, "audit3")
