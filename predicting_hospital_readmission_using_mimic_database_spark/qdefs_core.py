@@ -8541,3 +8541,117 @@ def q_s76(spark, sf):
     assert got.filter(k >= 9_000_000).count() == 0
     assert got.count() == n - 1 + n_late
     return got
+
+
+@query(
+    "s77_delta_constraints",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+           c_custkey % 7 AS cust_bucket
+    FROM customer
+    """,
+)
+def q_s77(spark, sf):
+    """S77 — Delta WRITER CONSTRAINTS (sources/delta_constraints.py):
+    CHECK constraints (``delta.constraints.*``), NOT NULL column
+    invariants, and GENERATED columns enforced on the append path. The
+    fixture v0 declares all three (protocol writerFeatures
+    checkConstraints/generatedColumns/invariants — a foreign log shape
+    this writer must honor, not gate); two passing batches land (one
+    computes the generated column, one provides it correctly), then
+    every violation class is proven to RAISE NAMING THE RULE and
+    commit nothing: a negative-cents CHECK breach, a NULL key, a wrong
+    generated value — after each, the table count is asserted
+    unchanged and no staging debris remains. ADD CONSTRAINT validates
+    existing data first (a constraint current rows violate refuses —
+    asserted), then gates the next bad append. Validation is ONE JVM
+    aggregate pass per batch (no Python UDFs, map-side combinable —
+    the same plan shape at 100 TB); DuckDB recomputes the surviving
+    rows, so a leaked violating row or a mis-computed generated column
+    breaks the hash. Unknown-writer-feature gating (rowTracking)
+    pinned by pytest."""
+    import json as _json
+    import os
+
+    from .sources.delta import DeltaProtocolError, read_delta
+    from .sources.delta_constraints import (
+        append_delta,
+        set_delta_check_constraint,
+    )
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("c_custkey")
+    root = _table_root("s77", sf)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    fields = [
+        {"name": "c_custkey", "type": "long", "nullable": False,
+         "metadata": {}},
+        {"name": "cents", "type": "long", "nullable": True,
+         "metadata": {}},
+        {"name": "cust_bucket", "type": "long", "nullable": True,
+         "metadata": {"delta.generationExpression": "c_custkey % 7"}},
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["checkConstraints", "generatedColumns",
+                               "invariants"]}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": "s77", "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.constraints.cents_floor": "cents >= -100000"},
+        }}) + "\n")
+
+    # passing batch 1: generated column COMPUTED by the writer
+    append_delta(spark, root, c.filter(k % 2 == 0))
+    # passing batch 2: generated column PROVIDED correctly
+    append_delta(spark, root, c.filter(k % 2 == 1).withColumn(
+        "cust_bucket", k % 7
+    ))
+    n = c.count()
+    assert read_delta(spark, root).count() == n
+
+    def _must_raise(df, fragment):
+        try:
+            append_delta(spark, root, df)
+            raise AssertionError(f"append must refuse ({fragment})")
+        except DeltaProtocolError as e:
+            assert fragment in str(e)
+        assert read_delta(spark, root).count() == n  # nothing leaked
+        assert not [
+            x for x in os.listdir(root) if x.startswith(".stage")
+        ]
+
+    one = c.limit(1).select(
+        F.lit(8_000_001).alias("c_custkey"), "cents"
+    )
+    # CHECK breach names the constraint
+    _must_raise(one.withColumn("cents", F.lit(-9_999_999)),
+                "cents_floor")
+    # NOT NULL breach names the column
+    _must_raise(one.withColumn("c_custkey",
+                               F.lit(None).cast("long")), "NOT NULL")
+    # wrong generated value refuses
+    _must_raise(one.withColumn("cust_bucket", F.lit(999)),
+                "generated column")
+    # ADD CONSTRAINT validates existing data first...
+    try:
+        set_delta_check_constraint(spark, root, "huge_keys",
+                                   "c_custkey > 1000000")
+        raise AssertionError("violated-by-existing-data must refuse")
+    except DeltaProtocolError as e:
+        assert "existing row" in str(e)
+    # ...a satisfiable one lands and gates the next bad append
+    set_delta_check_constraint(spark, root, "key_nonneg",
+                               "c_custkey >= 0")
+    _must_raise(one.withColumn("c_custkey", F.lit(-5).cast("long")),
+                "key_nonneg")
+    return read_delta(spark, root)

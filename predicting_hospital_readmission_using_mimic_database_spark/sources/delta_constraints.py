@@ -1,0 +1,444 @@
+"""Delta WRITER CONSTRAINTS — CHECK constraints, NOT NULL column
+invariants, and GENERATED columns, enforced on an append write path
+(PROTOCOL.md "CHECK Constraints", "Column Invariants", "Generated
+Columns"). The reference notebook has no write path at all; this is
+the engine-side surface a real ingestion pipeline needs: a table owner
+declares row-level rules once, and every writer — batch or streaming —
+either satisfies them or fails LOUDLY naming the rule, instead of
+poisoning 100 TB silently.
+
+Spark-first posture: every rule is evaluated as a JVM column
+expression over the incoming DataFrame (``F.expr`` on the declared
+SQL string) and all rules are checked in ONE aggregate pass — a single
+map-side-combinable job over the batch, no Python UDFs, no driver
+loop. The commit is the same put-if-absent CAS every writer in this
+repo uses.
+
+Semantics (matching delta-io):
+
+* **CHECK** (``delta.constraints.<name>`` table configuration): a row
+  VIOLATES when the expression evaluates to FALSE; NULL passes (SQL
+  three-valued logic, the spec's rule). Adding a constraint validates
+  the EXISTING table first.
+* **NOT NULL** (schema field ``nullable: false``): any NULL in the
+  column (top-level or nested, dotted path) rejects the batch.
+* **Legacy invariants** (field metadata ``delta.invariants``, the
+  ``{"expression": {"expression": <sql>}}`` JSON): enforced like
+  CHECK.
+* **GENERATED** (field metadata ``delta.generationExpression``): a
+  missing column is COMPUTED from the expression; a provided column
+  must EQUAL it (null-safe) row-for-row — the spec's writer
+  obligation.
+
+``append_delta`` also gates the protocol honestly: a foreign log
+declaring writer features this writer does not implement (e.g.
+``rowTracking``'s stamp obligations) refuses up front instead of
+committing a non-conforming file.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import glob as _glob
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .delta import (
+    DELTA_LOG_DIR,
+    DeltaProtocolError,
+    _commit_actions,
+    _declared_protocol,
+    _ict_commit_info,
+    _publish_commit,
+    _replay_log,
+    read_delta,
+)
+
+__all__ = [
+    "append_delta",
+    "delta_table_constraints",
+    "drop_delta_check_constraint",
+    "set_delta_check_constraint",
+]
+
+#: writer features whose obligations this append path implements. An
+#: append never rewrites or removes files, so deletionVectors /
+#: v2Checkpoint / domainMetadata / typeWidening carry no append-time
+#: obligation; rowTracking DOES (baseRowId stamps) and is gated.
+_SUPPORTED_WRITER_FEATURES = frozenset({
+    "appendOnly",
+    "invariants",
+    "checkConstraints",
+    "generatedColumns",
+    "changeDataFeed",
+    "inCommitTimestamp",
+    "columnMapping",
+    "typeWidening",
+    "timestampNtz",
+    "v2Checkpoint",
+    "domainMetadata",
+    "deletionVectors",
+})
+
+_CHECK_PREFIX = "delta.constraints."
+
+
+def delta_table_constraints(root: str) -> dict:
+    """The table's declared row-level rules, parsed from the latest
+    metaData: ``{"checks": {name: sql}, "not_null": [dotted paths],
+    "invariants": {column: sql}, "generated": {column: sql}}``.
+    Driver-side metadata only."""
+    meta, _live, _dvs, _last = _replay_log(root)
+    checks = {
+        k[len(_CHECK_PREFIX):]: v
+        for k, v in (meta.get("configuration") or {}).items()
+        if k.startswith(_CHECK_PREFIX)
+    }
+    schema = json.loads(meta["schemaString"])
+    not_null: list[str] = []
+    invariants: dict[str, str] = {}
+    generated: dict[str, str] = {}
+
+    def walk(fields: list, prefix: str) -> None:
+        for f in fields:
+            path = prefix + f["name"]
+            if f.get("nullable") is False:
+                not_null.append(path)
+            md = f.get("metadata") or {}
+            if "delta.invariants" in md:
+                inv = md["delta.invariants"]
+                if isinstance(inv, str):
+                    inv = json.loads(inv)
+                expr = (inv.get("expression") or {}).get("expression")
+                if not expr:
+                    raise DeltaProtocolError(
+                        f"field {path!r} carries a delta.invariants "
+                        "annotation without an expression — malformed "
+                        "invariant cannot be enforced, refusing to write"
+                    )
+                invariants[path] = expr
+            if "delta.generationExpression" in md:
+                generated[path] = md["delta.generationExpression"]
+            t = f.get("type")
+            if isinstance(t, dict) and t.get("type") == "struct":
+                walk(t.get("fields", []), path + ".")
+
+    walk(schema.get("fields", []), "")
+    return {
+        "checks": checks,
+        "not_null": not_null,
+        "invariants": invariants,
+        "generated": generated,
+    }
+
+
+def _commit_with_cas(
+    log_dir: str, start_version: int, build_actions, *,
+    metadata_change: bool, operation: str, ict_on: bool,
+) -> int:
+    """Publish ``build_actions(version)`` at the first free version at
+    or after ``start_version`` (put-if-absent CAS; Delta's optimistic
+    concurrency). A raced commit that changed metaData or protocol
+    raises — the rules this writer validated against may have changed,
+    so the caller must re-validate, never silently retry."""
+    version = start_version
+    for _attempt in range(10):
+        actions = [
+            _ict_commit_info(log_dir, version, operation=operation)
+            if ict_on
+            else {"commitInfo": {"operation": operation,
+                                 "engineInfo": "snapshot-export"}},
+            *build_actions(version),
+        ]
+        if _publish_commit(log_dir, version, actions):
+            return version
+        raced = _commit_actions(log_dir, version)
+        if any("metaData" in a or "protocol" in a for a in raced):
+            raise DeltaProtocolError(
+                f"lost the commit race at version {version} to a "
+                "concurrent METADATA/protocol change; re-validate "
+                "against the new rules and re-run"
+            )
+        if metadata_change:
+            raise DeltaProtocolError(
+                f"lost the commit race at version {version} while "
+                "changing table metadata; re-run against the new state"
+            )
+        version += 1
+    raise DeltaProtocolError(
+        f"lost the commit race ten times in a row starting at version "
+        f"{start_version}"
+    )
+
+
+def set_delta_check_constraint(
+    spark: SparkSession, root: str, name: str, expr: str,
+) -> int:
+    """ADD CONSTRAINT ``name`` CHECK (``expr``): validates the
+    EXISTING data first (one Spark aggregate over the table — the
+    spec's rule: a constraint may only be added when current rows
+    satisfy it), then commits the ``delta.constraints.<name>``
+    configuration plus a protocol upgrade declaring the
+    ``checkConstraints`` writer feature. Returns the commit version."""
+    if not name or not name.replace("_", "").isalnum():
+        raise ValueError(f"constraint name {name!r} must be identifier-like")
+    meta, _live, _dvs, last = _replay_log(root)
+    conf = dict(meta.get("configuration") or {})
+    key = _CHECK_PREFIX + name
+    if key in conf:
+        raise DeltaProtocolError(
+            f"constraint {name!r} already exists: {conf[key]!r}"
+        )
+    bad = read_delta(spark, root).filter(F.expr(expr) == F.lit(False))
+    n_bad = bad.count()
+    if n_bad:
+        raise DeltaProtocolError(
+            f"cannot add CHECK constraint {name!r} ({expr}): {n_bad} "
+            "existing row(s) violate it"
+        )
+    conf[key] = expr
+    new_meta = {**meta, "configuration": conf}
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    proto = _declared_protocol(log_dir) or {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
+    wf = set(proto.get("writerFeatures") or [])
+    actions_proto = []
+    if int(proto.get("minWriterVersion", 1)) < 7 or "checkConstraints" not in wf:
+        wf.add("checkConstraints")
+        actions_proto.append({"protocol": {
+            "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+            "minWriterVersion": 7,
+            **({"readerFeatures": proto["readerFeatures"]}
+               if proto.get("readerFeatures") else {}),
+            "writerFeatures": sorted(wf),
+        }})
+    ict_on = str(conf.get("delta.enableInCommitTimestamps", "")
+                 ).lower() == "true"
+    return _commit_with_cas(
+        log_dir, last + 1,
+        lambda v: [*actions_proto, {"metaData": new_meta}],
+        metadata_change=True, operation="ADD CONSTRAINT", ict_on=ict_on,
+    )
+
+
+def drop_delta_check_constraint(root: str, name: str) -> int:
+    """DROP CONSTRAINT: removes ``delta.constraints.<name>`` (unknown
+    names raise). The feature declaration stays — other constraints
+    may exist, and feature removal is a separate protocol operation."""
+    meta, _live, _dvs, last = _replay_log(root)
+    conf = dict(meta.get("configuration") or {})
+    key = _CHECK_PREFIX + name
+    if key not in conf:
+        raise DeltaProtocolError(f"constraint {name!r} not found")
+    del conf[key]
+    new_meta = {**meta, "configuration": conf}
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    ict_on = str(conf.get("delta.enableInCommitTimestamps", "")
+                 ).lower() == "true"
+    return _commit_with_cas(
+        log_dir, last + 1, lambda v: [{"metaData": new_meta}],
+        metadata_change=True, operation="DROP CONSTRAINT", ict_on=ict_on,
+    )
+
+
+def _physical_names(meta: dict) -> dict[str, str] | None:
+    """{logical: physical} for top-level fields under column mapping
+    (``None`` when the table doesn't map). Nested structs under
+    mapping are gated — this writer only renames top-level columns."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode == "none":
+        return None
+    out: dict[str, str] = {}
+    for f in json.loads(meta["schemaString"]).get("fields", []):
+        md = f.get("metadata") or {}
+        phys = md.get("delta.columnMapping.physicalName")
+        if not phys:
+            raise DeltaProtocolError(
+                f"column mapping mode {mode!r} but field "
+                f"{f['name']!r} lacks a physicalName annotation"
+            )
+        if isinstance(f.get("type"), dict):
+            raise DeltaProtocolError(
+                f"writing NESTED field {f['name']!r} under column "
+                "mapping is not supported by this append path"
+            )
+        out[f["name"]] = phys
+    return out
+
+
+def _file_stats(path: str) -> str:
+    """Delta ``add.stats`` JSON from the written file's parquet footer
+    (numRecords + min/max/nullCount for simple-typed columns) — the
+    data-skipping tier ``read_delta(predicates=)`` prunes on, at zero
+    extra I/O."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested: skip (top-level skipping only)
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + int(st.null_count)
+            if not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str, bool)):
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return json.dumps({
+        "numRecords": md.num_rows,
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": nulls,
+    })
+
+
+def append_delta(
+    spark: SparkSession, root: str, df: DataFrame,
+    operation: str = "WRITE",
+) -> int:
+    """APPEND ``df`` to the Delta table at ``root``, enforcing every
+    declared writer constraint (module docstring) in ONE aggregate
+    pass; a violating batch raises :class:`DeltaProtocolError` NAMING
+    the rule and commits NOTHING (the staged files are cleaned up).
+    Schema-enforced: the batch must provide exactly the table's
+    non-generated columns (missing generated columns are computed).
+    Returns the committed version.
+
+    Scale: validation is a single JVM aggregate (map-side combinable)
+    over the batch; the write is the caller's partitioning (repartition
+    upstream for file sizing); the commit is O(files) metadata."""
+    meta, _live, _dvs, last = _replay_log(root)
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    proto = _declared_protocol(log_dir) or {}
+    if int(proto.get("minWriterVersion", 1)) >= 7:
+        unsupported = set(
+            proto.get("writerFeatures") or []
+        ) - _SUPPORTED_WRITER_FEATURES
+        if unsupported:
+            raise DeltaProtocolError(
+                f"table declares writer features {sorted(unsupported)} "
+                "whose write obligations this append path does not "
+                "implement; refusing to commit a non-conforming file"
+            )
+    rules = delta_table_constraints(root)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    table_cols = [f.name for f in schema.fields]
+
+    extra = [c for c in df.columns if c not in table_cols]
+    if extra:
+        raise DeltaProtocolError(
+            f"batch carries columns {extra} not in the table schema "
+            "(schema enforcement; evolve the table first)"
+        )
+    for col, gexpr in rules["generated"].items():
+        if "." in col:
+            continue  # nested generated: validated below, never filled
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(gexpr))
+    missing = [c for c in table_cols if c not in df.columns]
+    if missing:
+        raise DeltaProtocolError(
+            f"batch is missing table columns {missing}"
+        )
+    df = df.select([
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ])
+
+    # ONE aggregate pass over the batch counts every rule's violations
+    aggs = []
+    labels: list[tuple[str, str]] = []
+    for name, expr in sorted(rules["checks"].items()):
+        # SQL three-valued logic: only FALSE violates; NULL passes
+        aggs.append(F.count_if(F.expr(expr) == F.lit(False)))
+        labels.append(("CHECK constraint", f"{name} ({expr})"))
+    for col, expr in sorted(rules["invariants"].items()):
+        aggs.append(F.count_if(F.expr(expr) == F.lit(False)))
+        labels.append(("column invariant", f"{col} ({expr})"))
+    for col in rules["not_null"]:
+        aggs.append(F.count_if(F.col(col).isNull()))
+        labels.append(("NOT NULL constraint", col))
+    for col, gexpr in sorted(rules["generated"].items()):
+        aggs.append(F.count_if(
+            ~F.col(col).eqNullSafe(F.expr(gexpr))
+        ))
+        labels.append(("generated column", f"{col} = {gexpr}"))
+    if aggs:
+        counts = df.agg(*[a.alias(f"v{i}") for i, a in enumerate(aggs)]
+                        ).collect()[0]
+        for i, (kind, what) in enumerate(labels):
+            if counts[i]:
+                raise DeltaProtocolError(
+                    f"append violates {kind} {what}: {counts[i]} "
+                    "row(s) in the batch fail it; nothing was committed"
+                )
+
+    phys = _physical_names(meta)
+    out = df
+    if phys:
+        out = df.select([
+            F.col(c).alias(phys[c]) for c in df.columns
+        ])
+    stage = os.path.join(root, f".stage-append-{uuid.uuid4().hex}")
+    out.write.parquet(stage)
+    rels: list[str] = []
+    try:
+        for part in sorted(_glob.glob(os.path.join(stage, "part-*.parquet"))):
+            rel = f"append-{uuid.uuid4().hex}.parquet"
+            shutil.move(part, os.path.join(root, rel))
+            rels.append(rel)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    conf = meta.get("configuration") or {}
+    ict_on = str(conf.get("delta.enableInCommitTimestamps", "")
+                 ).lower() == "true"
+
+    def build(v: int) -> list[dict]:
+        return [
+            {"add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(root, rel)),
+                "modificationTime": 0,
+                "dataChange": True,
+                "stats": _file_stats(os.path.join(root, rel)),
+            }}
+            for rel in rels
+        ]
+
+    try:
+        return _commit_with_cas(
+            log_dir, last + 1, build,
+            metadata_change=False, operation=operation, ict_on=ict_on,
+        )
+    except DeltaProtocolError:
+        for rel in rels:  # nothing committed: reclaim the staged files
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(root, rel))
+        raise

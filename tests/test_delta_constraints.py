@@ -1,0 +1,172 @@
+import json
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+    DeltaProtocolError,
+    read_delta,
+)
+from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_constraints import (
+    append_delta,
+    delta_table_constraints,
+    drop_delta_check_constraint,
+    set_delta_check_constraint,
+)
+
+
+def _mk_table(tmp_path, fields, configuration=None, protocol=None):
+    root = str(tmp_path / "t")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    actions = [
+        {"protocol": protocol or {"minReaderVersion": 1,
+                                  "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": configuration or {},
+        }},
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    return root
+
+
+def _f(name, typ, nullable=True, metadata=None):
+    return {"name": name, "type": typ, "nullable": nullable,
+            "metadata": metadata or {}}
+
+
+def test_check_constraint_enforced(spark, tmp_path):
+    root = _mk_table(
+        tmp_path,
+        [_f("k", "long"), _f("cents", "long")],
+        configuration={"delta.constraints.positive_cents": "cents >= 0"},
+        protocol={"minReaderVersion": 1, "minWriterVersion": 7,
+                  "writerFeatures": ["checkConstraints"]},
+    )
+    ok = spark.createDataFrame([(1, 10), (2, 0), (3, None)],
+                               "k bigint, cents bigint")
+    assert append_delta(spark, root, ok) == 1  # NULL passes (SQL 3VL)
+    bad = spark.createDataFrame([(4, -5)], "k bigint, cents bigint")
+    with pytest.raises(DeltaProtocolError, match="positive_cents"):
+        append_delta(spark, root, bad)
+    got = {(r["k"], r["cents"]) for r in read_delta(spark, root).collect()}
+    assert got == {(1, 10), (2, 0), (3, None)}  # nothing leaked
+    # no orphan staging debris
+    assert not [n for n in os.listdir(root) if n.startswith(".stage")]
+
+
+def test_not_null_invariant_enforced(spark, tmp_path):
+    root = _mk_table(
+        tmp_path, [_f("k", "long", nullable=False), _f("v", "string")],
+    )
+    ok = spark.createDataFrame([(1, None)], "k bigint, v string")
+    assert append_delta(spark, root, ok) == 1
+    bad = spark.createDataFrame([(None, "x")], "k bigint, v string")
+    with pytest.raises(DeltaProtocolError, match="NOT NULL.*k"):
+        append_delta(spark, root, bad)
+
+
+def test_legacy_invariants_enforced(spark, tmp_path):
+    inv = json.dumps({"expression": {"expression": "k < 100"}})
+    root = _mk_table(
+        tmp_path,
+        [_f("k", "long", metadata={"delta.invariants": inv})],
+        protocol={"minReaderVersion": 1, "minWriterVersion": 7,
+                  "writerFeatures": ["invariants"]},
+    )
+    assert append_delta(
+        spark, root, spark.createDataFrame([(5,)], "k bigint")) == 1
+    with pytest.raises(DeltaProtocolError, match="invariant.*k < 100"):
+        append_delta(
+            spark, root, spark.createDataFrame([(200,)], "k bigint"))
+
+
+def test_generated_column(spark, tmp_path):
+    root = _mk_table(
+        tmp_path,
+        [_f("k", "long"),
+         _f("k2", "long",
+            metadata={"delta.generationExpression": "k * 2"})],
+        protocol={"minReaderVersion": 1, "minWriterVersion": 7,
+                  "writerFeatures": ["generatedColumns"]},
+    )
+    # missing generated column is COMPUTED
+    assert append_delta(
+        spark, root, spark.createDataFrame([(3,)], "k bigint")) == 1
+    got = {(r["k"], r["k2"]) for r in read_delta(spark, root).collect()}
+    assert got == {(3, 6)}
+    # provided-but-wrong value REFUSES
+    bad = spark.createDataFrame([(4, 9)], "k bigint, k2 bigint")
+    with pytest.raises(DeltaProtocolError, match="generated column"):
+        append_delta(spark, root, bad)
+    # provided-and-right value passes
+    assert append_delta(
+        spark, root,
+        spark.createDataFrame([(5, 10)], "k bigint, k2 bigint")) == 2
+
+
+def test_add_drop_constraint_ddl(spark, tmp_path):
+    root = _mk_table(tmp_path, [_f("k", "long")])
+    append_delta(spark, root, spark.createDataFrame([(1,)], "k bigint"))
+    # adding a constraint existing data violates refuses
+    with pytest.raises(DeltaProtocolError, match="existing row"):
+        set_delta_check_constraint(spark, root, "big_k", "k > 100")
+    v = set_delta_check_constraint(spark, root, "pos_k", "k > 0")
+    assert v == 2
+    rules = delta_table_constraints(root)
+    assert rules["checks"] == {"pos_k": "k > 0"}
+    # duplicate add refuses
+    with pytest.raises(DeltaProtocolError, match="already exists"):
+        set_delta_check_constraint(spark, root, "pos_k", "k > 0")
+    with pytest.raises(DeltaProtocolError, match="pos_k"):
+        append_delta(spark, root,
+                     spark.createDataFrame([(-1,)], "k bigint"))
+    # the protocol now declares the feature
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import _declared_protocol
+    proto = _declared_protocol(os.path.join(root, "_delta_log"))
+    assert "checkConstraints" in proto["writerFeatures"]
+    drop_delta_check_constraint(root, "pos_k")
+    assert append_delta(
+        spark, root, spark.createDataFrame([(-1,)], "k bigint")) == 4
+    with pytest.raises(DeltaProtocolError, match="not found"):
+        drop_delta_check_constraint(root, "pos_k")
+
+
+def test_unknown_writer_feature_gates(spark, tmp_path):
+    root = _mk_table(
+        tmp_path, [_f("k", "long")],
+        protocol={"minReaderVersion": 1, "minWriterVersion": 7,
+                  "writerFeatures": ["rowTracking"]},
+    )
+    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+        append_delta(spark, root,
+                     spark.createDataFrame([(1,)], "k bigint"))
+
+
+def test_schema_enforcement(spark, tmp_path):
+    root = _mk_table(tmp_path, [_f("k", "long"), _f("v", "string")])
+    with pytest.raises(DeltaProtocolError, match="extra"):
+        append_delta(spark, root, spark.createDataFrame(
+            [(1, "a", 2)], "k bigint, v string, extra bigint"))
+    with pytest.raises(DeltaProtocolError, match="missing"):
+        append_delta(spark, root,
+                     spark.createDataFrame([(1,)], "k bigint"))
+
+
+def test_append_stats_drive_skipping(spark, tmp_path):
+    root = _mk_table(tmp_path, [_f("k", "long")])
+    append_delta(spark, root, spark.range(0, 100).select(
+        F.col("id").alias("k")))
+    append_delta(spark, root, spark.range(1000, 1100).select(
+        F.col("id").alias("k")))
+    all_files = read_delta(spark, root).inputFiles()
+    pruned = read_delta(spark, root, predicates=[("k", ">", 500)])
+    assert len(pruned.inputFiles()) < len(all_files)
+    assert pruned.count() == 100
