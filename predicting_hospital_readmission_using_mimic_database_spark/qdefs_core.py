@@ -8655,3 +8655,120 @@ def q_s77(spark, sf):
     _must_raise(one.withColumn("c_custkey", F.lit(-5).cast("long")),
                 "key_nonneg")
     return read_delta(spark, root)
+
+
+@query(
+    "s78_hudi_pending_clustering",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT)
+             + CASE WHEN c_custkey % 9 = 0 THEN 333 ELSE 0 END
+             + CASE WHEN c_custkey % 31 = 1 THEN 777 ELSE 0 END AS cents
+    FROM customer
+    """,
+)
+def q_s78(spark, sf):
+    """S78 — Hudi PENDING-CLUSTERING replacecommit states
+    (sources/hudi_export.py ``schedule_clustering`` /
+    ``complete_clustering``; mirror of s68's async-compaction
+    lifecycle). A MERGE_ON_READ table with live log chains schedules a
+    clustering plan (``replacecommit.requested`` naming every file
+    group + the sort strategy); from that moment the spec's
+    UPDATE-CONFLICT rule applies to the named groups, both strategies
+    exercised in-entry: the default REJECT refuses a mid-pending merge
+    naming the plan (asserted: the table still serves the pre-merge
+    rows), and ALLOW lands the merge — after which the COMPLETION
+    detects the conflicting deltacommit and ABORTS naming it
+    (asserted), because the concurrent writer wins. The aborted plan
+    cancels via rollback_hudi (requested/inflight removed), a fresh
+    schedule completes cleanly: the replacecommit retires every
+    planned group into sort-ordered range-disjoint new groups, with
+    per-row commit times preserved (time travel to the pre-clustering
+    instant asserted identical — layout changed, content never).
+    DuckDB recomputes the final snapshot (base + both merges); a
+    leaked rejected write, a lost log record through the clustering
+    fold, or a phantom row breaks the hash. Scale: the plan is
+    driver-side metadata; the completion is one repartitionByRange
+    job over the planned groups (the same shuffle a real SORT-strategy
+    clustering runs)."""
+    import os
+
+    from .sources.hudi import (
+        HudiProtocolError,
+        _pending_clusterings,
+        read_hudi,
+    )
+    from .sources.hudi_export import (
+        complete_clustering,
+        export_hudi,
+        rollback_hudi,
+        schedule_clustering,
+    )
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("c_custkey")
+    t = SnapshotTable.create(
+        spark,
+        _table_root("s78", sf),
+        "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"],
+        num_buckets=4,
+    )
+    t.append(c)
+    dest = os.path.join(t.root, "hudi_mor")
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    t.merge(t.read().filter(k % 9 == 0).withColumn(
+        "cents", F.col("cents") + 333
+    ))
+    export_hudi(t, dest, table_type="MERGE_ON_READ")  # log appends
+    sum_before = read_hudi(spark, dest).agg(
+        F.sum("cents")
+    ).collect()[0][0]
+
+    plan = schedule_clustering(dest, sort_by=["c_custkey"],
+                               target_file_groups=3)
+    assert plan is not None and list(_pending_clusterings(dest)) == [plan]
+
+    # REJECT: the mid-pending merge refuses naming the plan...
+    t.merge(t.read().filter(k % 31 == 1).withColumn(
+        "cents", F.col("cents") + 777
+    ))
+    try:
+        export_hudi(t, dest, table_type="MERGE_ON_READ")
+        raise AssertionError("mid-pending write must refuse")
+    except HudiProtocolError as e:
+        assert "pending clustering" in str(e)
+    # ...and nothing leaked
+    assert read_hudi(spark, dest).agg(
+        F.sum("cents")
+    ).collect()[0][0] == sum_before
+
+    # ALLOW: the merge lands; the completion detects it and aborts
+    wi = export_hudi(t, dest, table_type="MERGE_ON_READ",
+                     clustering_updates="allow")
+    try:
+        complete_clustering(spark, dest)
+        raise AssertionError("conflicting completion must abort")
+    except HudiProtocolError as e:
+        assert wi in str(e)
+    rollback_hudi(dest, plan)  # cancel the aborted plan
+    assert _pending_clusterings(dest) == {}
+
+    # clean schedule + completion: planned groups retire into
+    # sort-ordered new groups, content identical
+    plan2 = schedule_clustering(dest, sort_by=["c_custkey"],
+                                target_file_groups=3)
+    assert complete_clustering(spark, dest) == plan2
+    got = read_hudi(spark, dest)
+    files = {os.path.basename(p) for p in got.inputFiles()}
+    assert files and all(f.startswith("c0") for f in files)
+    # content survived the layout change: pre-clustering time travel
+    # serves the same rows the clustered snapshot does
+    before = read_hudi(spark, dest, as_of=wi)
+    assert before.exceptAll(got).count() == 0
+    assert got.exceptAll(before).count() == 0
+    return got

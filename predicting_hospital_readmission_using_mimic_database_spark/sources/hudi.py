@@ -296,6 +296,61 @@ def _pending_compaction_groups(root: str) -> dict[tuple[str, str], str]:
     return out
 
 
+def _pending_clusterings(root: str) -> dict[str, dict]:
+    """PENDING-CLUSTERING timeline states: ``{instant: plan}`` for
+    every ``{instant}.replacecommit.requested`` (the schedule's
+    clustering plan, ``hudi_export.schedule_clustering``) whose
+    replacecommit has NOT completed — the spec's requested/inflight
+    replacecommit states. Same three-state shape as async compaction
+    (:func:`_pending_compactions`): pending = requested present AND
+    completed absent; the ``.inflight`` marker adds no information.
+    A requested file whose plan JSON cannot be parsed raises — writers
+    must know which groups are under a pending plan to apply the
+    update-conflict rule."""
+    tdir = os.path.join(root, HOODIE_DIR)
+    requested: dict[str, str] = {}
+    completed: set[str] = set()
+    for name in os.listdir(tdir):
+        m = _INSTANT_RE.match(name)
+        if not m:
+            continue
+        instant, action = m.group(1), m.group(2)
+        if action == "replacecommit.requested":
+            requested[instant] = os.path.join(tdir, name)
+        elif action == "replacecommit":
+            completed.add(instant)
+    out: dict[str, dict] = {}
+    for instant in sorted(set(requested) - completed):
+        try:
+            with open(requested[instant]) as f:
+                plan = json.load(f)
+            plan["operations"]
+        except (OSError, ValueError, KeyError) as e:
+            raise HudiProtocolError(
+                f"unreadable clustering plan {instant}.replacecommit."
+                f"requested ({e}); pending file groups cannot be resolved"
+            ) from None
+        out[instant] = plan
+    return out
+
+
+def _pending_clustering_groups(root: str) -> dict[tuple[str, str], str]:
+    """``{(partition, fileId): clustering instant}`` for every file
+    group named by a pending clustering plan. Writers touching such a
+    group apply the spec's UPDATE-CONFLICT rule
+    (``hoodie.clustering.updates.strategy``): reject by default, or
+    allow — in which case the clustering COMPLETION detects the
+    conflicting later write and aborts (real Hudi's behavior)."""
+    out: dict[tuple[str, str], str] = {}
+    for instant, plan in _pending_clusterings(root).items():
+        for op in plan.get("operations", []):
+            p = op.get("partitionPath") or ""
+            key = (os.path.normpath(p) if p else ".", str(op["fileId"]))
+            if key not in out:
+                out[key] = instant
+    return out
+
+
 def _replaced_groups(root: str, as_of: str | None) -> set[tuple[str, str]]:
     """(partition path, fileId) of every file group RETIRED by a
     completed replacecommit at or before ``as_of`` — the commit

