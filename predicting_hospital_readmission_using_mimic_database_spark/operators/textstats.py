@@ -440,3 +440,100 @@ def chunk_sliding(df, id_col: str, text_col: str, size: int = 32, stride: int = 
             F.array_join(chunk_words, " ").alias("chunk_text"),
         )
     )
+
+
+def bm25_topk(
+    docs,
+    queries: dict[str, list[str]],
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+):
+    """BM25 top-``k`` retrieval over a tokenized corpus — the ranking
+    tier a training-data pipeline puts on the t16 TF-IDF substrate
+    (decontamination probes, eval-set retrieval, quality-by-query
+    mining). ``queries`` is the driver-side ``{query_id: [terms]}``
+    map user queries naturally are (a handful of short strings — never
+    corpus-scale data).
+
+    Standard Okapi/Lucene formula per (query, doc):
+    ``sum over query terms t of
+    ln(1 + (N - df + 0.5) / (df + 0.5))          -- robust idf
+    * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` .
+
+    Plan shape (the 100 TB story):
+
+    * corpus stats once: per-(doc, token) ``tf`` and per-doc length
+      ``dl`` are two hash aggregations over one explode; ``N`` and
+      ``avgdl`` fold to literals (two scalars).
+    * the QUERY-TERM frame broadcasts (a few rows), so candidate
+      selection — docs containing at least one query term — is a
+      BROADCAST semi-shape hash join on ``token``, never a shuffle of
+      the corpus against the queries.
+    * ``df`` is computed AFTER that cut (per-token doc counts are
+      unchanged by filtering to those very tokens) and broadcasts
+      back — per-term partial scores need no corpus-wide join.
+    * per-query top-k is one ``orderBy().limit(k)`` per query id,
+      UNIONED lazily — each compiles to TakeOrderedAndProject (per-
+      partition heap of k + driver merge). NO corpus-scale window:
+      a ``row_number() OVER (PARTITION BY query_id)`` would sort
+      every candidate row inside single per-query tasks.
+
+    Returns (query_id, doc_id, score, rank), rank 1..k, ties broken by
+    doc id ascending."""
+    from functools import reduce
+
+    spark = docs.sparkSession
+    tok = docs.select(F.col(id_col), F.explode(tokens_col).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
+    n_docs, avgdl = docs.agg(
+        F.count("*"), F.avg(F.size(tokens_col))
+    ).collect()[0]
+    qdf = F.broadcast(spark.createDataFrame(
+        sorted(
+            (qid, t) for qid, terms in queries.items() for t in set(terms)
+        ),
+        "query_id string, token string",
+    ))
+    tf_q = tf.join(qdf.select("token").distinct(), "token")
+    df_q = F.broadcast(
+        tf_q.groupBy("token").agg(F.count("*").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+    )
+    scored = (
+        tf_q.join(qdf, "token")
+        .join(df_q, "token")
+        .join(dl, id_col)
+        .groupBy("query_id", id_col)
+        .agg(F.sum(idf * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("score"))
+    )
+    per_query = [
+        scored.filter(F.col("query_id") == qid)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        for qid in sorted(queries)
+    ]
+    from pyspark.sql import Window
+
+    ranked = reduce(lambda a, b_: a.unionAll(b_), per_query).withColumn(
+        "rank",
+        F.row_number().over(
+            # bounded post-limit window: its input is at most
+            # len(queries) * k rows by construction, never the corpus
+            Window.partitionBy("query_id").orderBy(
+                F.col("score").desc(), F.col(id_col).asc()
+            )
+        ).cast("int"),
+    )
+    return ranked.select("query_id", id_col, "score", "rank")

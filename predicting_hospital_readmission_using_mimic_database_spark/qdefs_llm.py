@@ -1801,3 +1801,91 @@ def q_d11(spark, sf):
     return DD.hash_banded_pairs(
         sig, "asset_id", "ahash", max_hamming=7, n_bands=8
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (x17)
+# ---------------------------------------------------------------------------
+
+#: driver-side query fixture — the shape user queries naturally are.
+#: Two terms per query ON PURPOSE: IEEE addition is commutative, so
+#: per-doc 2-term score sums are bit-identical whatever the aggregation
+#: order, making within-engine ties EXACT (tie-break: doc_id asc) —
+#: 3+ term sums would expose associativity noise to the rank.
+_BM25_QUERIES = {
+    "q1": ["spark", "join"],
+    "q2": ["fast", "scan"],
+    "q3": ["window", "merge"],
+}
+
+
+def _bm25_oracle() -> str:
+    from .qdefs_text import clean_tokens_sql
+
+    qvals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid in sorted(_BM25_QUERIES)
+        for t in sorted(set(_BM25_QUERIES[qid]))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {clean_tokens_sql("text")} AS t FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(CAST(len(t) AS DOUBLE)) AS avgdl
+      FROM toks
+    ),
+    q(query_id, token) AS (VALUES {qvals}),
+    dfq AS (
+      SELECT token, count(*) AS df FROM tf
+      WHERE token IN (SELECT token FROM q) GROUP BY 1
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - dfq.df + 0.5)
+                        / (dfq.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                 + 0.75 * dl.dl / s.avgdl))
+             ) AS score
+      FROM q
+      JOIN tf ON tf.token = q.token
+      JOIN dfq ON dfq.token = q.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, round(score, 6) AS score, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@query("x17_bm25_topk", oracle=_bm25_oracle())
+def q_x17(spark, sf):
+    """X17 — BM25 top-k retrieval (operators/textstats.py
+    ``bm25_topk``) on the t16 clean-token substrate: standard
+    Okapi/Lucene scoring (robust idf ``ln(1+(N-df+0.5)/(df+0.5))``,
+    saturation k1=1.2, length norm b=0.75), top-10 per query, ties by
+    doc id. Plan: tf/dl are two hash aggregations over one explode;
+    the query-term frame and the post-cut per-term doc frequencies
+    BROADCAST; per-query top-k is orderBy+limit per query id —
+    TakeOrderedAndProject, NO corpus-scale window (the only window
+    ranks the <= queries*k union result). DuckDB recomputes the whole
+    formula; a wrong idf, a lost length norm, or a mis-ranked doc
+    breaks the hash."""
+    from .ml import features as FE
+    from .operators.textstats import bm25_topk
+
+    d = FE.tokens_df(_docs(spark, sf))
+    out = bm25_topk(d, _BM25_QUERIES, k=10)
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
