@@ -2216,3 +2216,151 @@ def q_st26(spark, sf):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st27_stream_into_constrained",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey, cents, k % 7 AS cust_bucket FROM base
+    UNION ALL
+    SELECT k + 9000000, cents, (k + 9000000) % 7
+    FROM base WHERE k % 50 = 0
+    UNION ALL
+    SELECT k + 8000000, cents, (k + 8000000) % 7
+    FROM base WHERE k % 40 = 0
+    """,
+)
+def q_st27(spark, sf):
+    """ST27 — a STREAM draining into a CHECK-CONSTRAINED Delta table
+    (sources/delta_constraints.py ``append_delta`` as the foreachBatch
+    sink, ``txn``-deduped): proves the round's write rules hold under
+    streaming. The sink table declares a CHECK constraint
+    (``cents_floor``), a NOT NULL key, and a GENERATED column the sink
+    COMPUTES per micro-batch. A file-source availableNow drain lands
+    the clean slices; then a POISONED batch (negative cents) arrives —
+    the sink RAISES naming the constraint, the streaming query fails,
+    and the COMMITTED PREFIX stays exact (asserted: count unchanged,
+    no staging debris, no partial files). The upstream fix REWRITES the
+    poisoned file in place and the SAME checkpoint resumes: the failed
+    micro-batch replays with the corrected bytes (file-source offsets
+    pin paths, not content) and every batch commits EXACTLY ONCE — the
+    sink records the spec's setTransaction (txn) action per micro-batch
+    id, so a replayed batch skips instead of double-appending (pinned
+    by pytest). DuckDB recomputes the final table (base + corrected +
+    late rows); a leaked poison row, a dropped batch, or a double
+    commit breaks the hash."""
+    import glob as _glob
+    import json as _json
+
+    from .qdefs_core import _table_root
+    from .sources.delta import DeltaProtocolError, read_delta
+    from .sources.delta_constraints import append_delta
+    from .sources.io import read_table as _rt
+
+    c = _rt(spark, sf, "customer").select(
+        F.col("c_custkey"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("c_custkey")
+    n = c.count()
+    root = _table_root("st27", sf)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    fields = [
+        {"name": "c_custkey", "type": "long", "nullable": False,
+         "metadata": {}},
+        {"name": "cents", "type": "long", "nullable": True,
+         "metadata": {}},
+        {"name": "cust_bucket", "type": "long", "nullable": True,
+         "metadata": {"delta.generationExpression": "c_custkey % 7"}},
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["checkConstraints", "generatedColumns",
+                               "invariants"]}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": "st27", "format": {"provider": "parquet",
+                                     "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.constraints.cents_floor": "cents >= -100000"},
+        }}) + "\n")
+
+    tmp = tempfile.mkdtemp(prefix="st27_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        ck = os.path.join(tmp, "ck")
+
+        def _stage(df, name):
+            stage = os.path.join(tmp, f".stage-{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+            shutil.move(part, os.path.join(src, name))
+            shutil.rmtree(stage)
+
+        def sink(df, bid):
+            append_delta(spark, root, df, operation="STREAMING UPDATE",
+                         txn=("st27", int(bid)))
+
+        def drain():
+            q = (
+                spark.readStream.schema("c_custkey long, cents long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        for i in range(3):
+            _stage(c.filter(k % 3 == i), f"slice{i}.parquet")
+        drain()
+        assert read_delta(spark, root).count() == n
+        # generated column was COMPUTED by the sink
+        assert read_delta(spark, root).filter(
+            F.col("cust_bucket") != k % 7
+        ).count() == 0
+
+        # a POISONED batch: the sink raises naming the constraint, the
+        # committed prefix stays exact
+        poison = c.filter(k % 50 == 0).select(
+            (k + 9_000_000).alias("c_custkey"),
+            F.lit(-9_999_999).cast("long").alias("cents"),
+        )
+        _stage(poison, "batch3.parquet")
+        try:
+            drain()
+            raise AssertionError("poisoned drain must fail")
+        except Exception as e:  # StreamingQueryException wraps the gate
+            assert "cents_floor" in str(e)
+        assert read_delta(spark, root).count() == n  # prefix exact
+        assert not [x for x in os.listdir(root) if x.startswith(".stage")]
+
+        # upstream FIX: rewrite the poisoned file in place (same path —
+        # the file-source offset pins the path); a further late batch
+        # queues behind it; the same checkpoint resumes exactly once
+        fixed = c.filter(k % 50 == 0).select(
+            (k + 9_000_000).alias("c_custkey"), "cents"
+        )
+        _stage(fixed, "batch3.parquet")
+        late = c.filter(k % 40 == 0).select(
+            (k + 8_000_000).alias("c_custkey"), "cents"
+        )
+        _stage(late, "batch4.parquet")
+        drain()
+        got = read_delta(spark, root)
+        assert got.count() == n + fixed.count() + late.count()
+        return got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -318,9 +318,35 @@ def _file_stats(path: str) -> str:
     })
 
 
+def _last_txn_version(log_dir: str, app_id: str) -> int | None:
+    """The newest ``txn`` action version recorded for ``app_id`` across
+    the JSON commits — Delta's streaming-sink dedup (the spec's
+    ``setTransaction``): a replayed micro-batch whose (appId, version)
+    is already recorded must SKIP, or a sink retry after a
+    commit-then-crash would double-append. Caveat (same as real
+    Delta's setTransaction retention): truncating the commits holding
+    the txn action shrinks the dedup window."""
+    from .delta import _delta_commits
+
+    newest: int | None = None
+    for _v, cpath in _delta_commits(log_dir):
+        with open(cpath) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                t = a.get("txn")
+                if t and t.get("appId") == app_id:
+                    v = int(t.get("version", -1))
+                    if newest is None or v > newest:
+                        newest = v
+    return newest
+
+
 def append_delta(
     spark: SparkSession, root: str, df: DataFrame,
-    operation: str = "WRITE",
+    operation: str = "WRITE", txn: tuple[str, int] | None = None,
 ) -> int:
     """APPEND ``df`` to the Delta table at ``root``, enforcing every
     declared writer constraint (module docstring) in ONE aggregate
@@ -330,11 +356,22 @@ def append_delta(
     non-generated columns (missing generated columns are computed).
     Returns the committed version.
 
+    ``txn=(app_id, version)`` records the spec's ``setTransaction``
+    action and makes the append IDEMPOTENT per (app_id, version) — the
+    streaming-sink contract: a foreachBatch replay of an
+    already-committed micro-batch returns the table version without
+    writing (exactly-once under sink retries).
+
     Scale: validation is a single JVM aggregate (map-side combinable)
     over the batch; the write is the caller's partitioning (repartition
     upstream for file sizing); the commit is O(files) metadata."""
     meta, _live, _dvs, last = _replay_log(root)
     log_dir = os.path.join(root, DELTA_LOG_DIR)
+    if txn is not None:
+        app_id, batch_v = str(txn[0]), int(txn[1])
+        seen = _last_txn_version(log_dir, app_id)
+        if seen is not None and batch_v <= seen:
+            return last  # replayed micro-batch: already committed
     proto = _declared_protocol(log_dir) or {}
     if int(proto.get("minWriterVersion", 1)) >= 7:
         unsupported = set(
@@ -420,7 +457,12 @@ def append_delta(
                  ).lower() == "true"
 
     def build(v: int) -> list[dict]:
-        return [
+        actions: list[dict] = []
+        if txn is not None:
+            actions.append(
+                {"txn": {"appId": str(txn[0]), "version": int(txn[1])}}
+            )
+        actions.extend(
             {"add": {
                 "path": rel,
                 "partitionValues": {},
@@ -430,7 +472,8 @@ def append_delta(
                 "stats": _file_stats(os.path.join(root, rel)),
             }}
             for rel in rels
-        ]
+        )
+        return actions
 
     try:
         return _commit_with_cas(

@@ -170,3 +170,29 @@ def test_append_stats_drive_skipping(spark, tmp_path):
     pruned = read_delta(spark, root, predicates=[("k", ">", 500)])
     assert len(pruned.inputFiles()) < len(all_files)
     assert pruned.count() == 100
+
+
+def test_txn_idempotent_append(spark, tmp_path):
+    """txn=(appId, version) makes append_delta idempotent per
+    micro-batch — the setTransaction streaming-sink contract: a
+    replayed batch returns without writing; a NEWER batch version
+    writes; a second app's versions are independent."""
+    root = _mk_table(tmp_path, [_f("k", "long")])
+    df1 = spark.createDataFrame([(1,)], "k bigint")
+    v1 = append_delta(spark, root, df1, txn=("app", 0))
+    assert v1 == 1
+    # replay of batch 0: skipped, no new version, no duplicate rows
+    assert append_delta(spark, root, df1, txn=("app", 0)) == 1
+    assert read_delta(spark, root).count() == 1
+    # batch 1 commits
+    assert append_delta(
+        spark, root, spark.createDataFrame([(2,)], "k bigint"),
+        txn=("app", 1)) == 2
+    # an older batch id replays as a skip too
+    assert append_delta(spark, root, df1, txn=("app", 0)) == 2
+    assert read_delta(spark, root).count() == 2
+    # a different app id is an independent sequence
+    assert append_delta(
+        spark, root, spark.createDataFrame([(3,)], "k bigint"),
+        txn=("other", 0)) == 3
+    assert read_delta(spark, root).count() == 3
