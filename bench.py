@@ -206,6 +206,13 @@ HEADLINE = [
     "s73_delta_shallow_clone",
     "s74_hudi_rollback",
     "s75_delta_schema_evolution_write",
+    # round-13: WAP, writer constraints, pending clustering, BM25,
+    # constrained-sink stream
+    "s76_iceberg_wap",
+    "s77_delta_constraints",
+    "s78_hudi_pending_clustering",
+    "x17_bm25_topk",
+    "st27_stream_into_constrained",
 ]
 
 

@@ -518,6 +518,12 @@ def bm25_topk(
         .groupBy("query_id", id_col)
         .agg(F.sum(idf * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("score"))
     )
+    # the per-query TakeOrdered branches share one lineage: materialize
+    # the candidate-score frame ONCE (it is the post-broadcast-cut
+    # (query, candidate-doc) set, not the corpus) instead of recomputing
+    # tf/dl per branch; Spark's ContextCleaner reclaims the cache with
+    # the plan
+    scored = scored.persist()
     per_query = [
         scored.filter(F.col("query_id") == qid)
         .orderBy(F.col("score").desc(), F.col(id_col).asc())

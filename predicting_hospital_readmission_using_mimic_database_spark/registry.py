@@ -53,66 +53,73 @@ _LOADED = False
 # archival boundary touched every reader; exports publish instants
 # exclusively), and the Iceberg group (export CAS + attempt-unique
 # manifests + orphan-file age protection) — then (b) one stable
-# sentinel per family prefix, ROTATED off round 11's picks so sibling
+# sentinel per family prefix, ROTATED off round 12's picks so sibling
 # entries regain fresh driver rows
 # (tests/test_entry.py::test_first_50_entries_cover_every_family).
 PRIORITY: tuple[str, ...] = (
-    # (a) new in round 12
-    "s68_hudi_async_compaction",
-    "s69_hudi_timeline_archival",
-    "s70_delta_v2_checkpoint",
-    "st25_stream_across_maintenance",
-    "st26_stream_iceberg_maintenance",
-    "s71_delta_restore",
-    "s72_hudi_savepoint_restore",
-    "s73_delta_shallow_clone",
-    "s74_hudi_rollback",
-    "s75_delta_schema_evolution_write",
-    # (a) Delta machinery changed in round 12
-    "s59_delta_log_truncate",
-    "s62_delta_optimize",
-    "s66_delta_vacuum",
-    "s67_delta_liquid_clustering",
-    "s16_delta_export",
-    "s50_delta_export_cdf",
-    "s46_delta_row_tracking",
-    "st17_stream_delta_cdf",
-    "st19_stream_delta_idmap",
-    "st24_stream_delta_row_tracking",
-    # (a) Hudi machinery changed in round 12
+    # (a) new in round 13
+    "s76_iceberg_wap",
+    "s77_delta_constraints",
+    "s78_hudi_pending_clustering",
+    "x17_bm25_topk",
+    "st27_stream_into_constrained",
+    # (a) Hudi machinery changed in round 13 (writer tmp-race fix,
+    # restore clean-horizon fold, pending-clustering gates in
+    # export/clean/archive/compaction)
     "s40_hudi_export",
-    "s43_hudi_partitioned_export",
-    "s51_hudi_mor_export",
-    "s52_hudi_mor_compaction",
-    "s53_hudi_mor_partitioned",
-    "s56_hudi_mdt_synced_export",
+    "s72_hudi_savepoint_restore",
     "s58_hudi_clean",
+    "s69_hudi_timeline_archival",
+    "s68_hudi_async_compaction",
     "s60_hudi_clustering",
+    "s52_hudi_mor_compaction",
+    "s51_hudi_mor_export",
     "st18_stream_hudi_mor",
-    "st20_stream_hudi_cdc",
-    # (a) Iceberg machinery changed in round 12
+    "s19_hudi_read",
+    "s25_hudi_incremental",
+    "s42_hudi_cdc_infer",
+    "st15_stream_hudi_tail",
+    # (a) Iceberg machinery changed in round 13 (monotonic version
+    # hint, parent-snapshot-id lineage, CAS-loser manifest cleanup,
+    # WAP ref handling)
+    "s18_iceberg_roundtrip",
     "s55_iceberg_export_bounds",
     "s57_iceberg_expire_snapshots",
     "s61_iceberg_rewrite_manifests",
     "s63_iceberg_rewrite_datafiles",
     "s64_iceberg_partition_evolution",
     "s65_iceberg_orphan_files",
-    # (b) stable sentinels, family-complete, rotated off the round-11
+    "st26_stream_iceberg_maintenance",
+    "s30_iceberg_files_meta",
+    "s47_iceberg_changelog",
+    "st16_stream_iceberg_tail",
+    # (a) Delta machinery changed in round 13 (_declared_protocol
+    # newest-checkpoint pick across classic/V2 layouts)
+    "s70_delta_v2_checkpoint",
+    "s59_delta_log_truncate",
+    "s62_delta_optimize",
+    "s73_delta_shallow_clone",
+    "s75_delta_schema_evolution_write",
+    "s24_delta_v2_checkpoint",
+    "s16_delta_export",
+    # (b) stable sentinels, family-complete, rotated off the round-12
     # picks
     "flagship_readmit_30d",
-    "p2_filter_isnull",
-    "j7_anti_join",
-    "w1_lead",
-    "a1_value_counts",
-    "c7_cast_int",
-    "u3_random_split",
-    "t10_tokenize",
-    "m3_rf_train_predict",
-    "e2_auc",
-    "d2_dedup_minhash_lsh",
-    "n1_knn_bruteforce",
-    "x2_language_id",
-    "mm1_multimodal_decode",
+    "p8_split_counts",
+    "j9_asof_join",
+    "w5_last_per_group",
+    "a8_pivot_count",
+    "c3_range_recode",
+    "u6_smote",
+    "t14_count_vectorize",
+    "m7_grid_cv",
+    "e4_confusion",
+    "d3_dedup_simhash",
+    "n3_knn_ivf",
+    "mm4_audio_resample",
+    # x sentinel beyond the new x17: the post-limit window whose
+    # PLANS.md classification the round-13 detector fix corrected
+    "x14_weighted_sample",
 )
 
 

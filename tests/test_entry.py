@@ -33,39 +33,40 @@ def test_first_50_entries_cover_every_family():
         "t", "m", "e",                                   # text / ML / metrics
         "d", "n", "x", "mm", "st",                       # LLM-pipeline + streaming
     } <= fams, fams
-    # round-12 rotation: the 4 new entries (async compaction, timeline
-    # archival, V2 checkpoints, stream-across-maintenance) lead, then
-    # every entry whose machinery changed this round (Delta checkpoint/
-    # commit, Hudi pending/boundary, Iceberg export CAS)
-    for must in ("s68_hudi_async_compaction",
-                 "s69_hudi_timeline_archival",
-                 "s70_delta_v2_checkpoint",
-                 "st25_stream_across_maintenance",
-                 "st26_stream_iceberg_maintenance",
-                 "s71_delta_restore",
+    # round-13 rotation: the 5 new entries (WAP, Delta constraints,
+    # pending clustering, BM25, constrained-sink stream) lead, then
+    # every entry whose machinery changed this round (Hudi writer
+    # tmp-race/restore-horizon/clustering gates, Iceberg hint/lineage/
+    # CAS cleanup, Delta protocol-from-checkpoint pick)
+    for must in ("s76_iceberg_wap",
+                 "s77_delta_constraints",
+                 "s78_hudi_pending_clustering",
+                 "x17_bm25_topk",
+                 "st27_stream_into_constrained",
+                 "s40_hudi_export",
                  "s72_hudi_savepoint_restore",
-                 "s73_delta_shallow_clone",
-                 "s74_hudi_rollback",
-                 "s75_delta_schema_evolution_write",
-                 "s59_delta_log_truncate", "s62_delta_optimize",
-                 "s66_delta_vacuum", "s67_delta_liquid_clustering",
-                 "s16_delta_export", "s50_delta_export_cdf",
-                 "s46_delta_row_tracking",
-                 "st17_stream_delta_cdf", "st19_stream_delta_idmap",
-                 "st24_stream_delta_row_tracking",
-                 "s40_hudi_export", "s43_hudi_partitioned_export",
-                 "s51_hudi_mor_export", "s52_hudi_mor_compaction",
-                 "s53_hudi_mor_partitioned",
-                 "s56_hudi_mdt_synced_export", "s58_hudi_clean",
+                 "s58_hudi_clean",
+                 "s69_hudi_timeline_archival",
+                 "s68_hudi_async_compaction",
                  "s60_hudi_clustering",
-                 "st18_stream_hudi_mor",
-                 "st20_stream_hudi_cdc",
+                 "s52_hudi_mor_compaction", "s51_hudi_mor_export",
+                 "st18_stream_hudi_mor", "s19_hudi_read",
+                 "s25_hudi_incremental", "s42_hudi_cdc_infer",
+                 "st15_stream_hudi_tail",
+                 "s18_iceberg_roundtrip",
                  "s55_iceberg_export_bounds",
                  "s57_iceberg_expire_snapshots",
                  "s61_iceberg_rewrite_manifests",
                  "s63_iceberg_rewrite_datafiles",
                  "s64_iceberg_partition_evolution",
                  "s65_iceberg_orphan_files",
+                 "st26_stream_iceberg_maintenance",
+                 "s30_iceberg_files_meta", "s47_iceberg_changelog",
+                 "st16_stream_iceberg_tail",
+                 "s70_delta_v2_checkpoint", "s59_delta_log_truncate",
+                 "s62_delta_optimize", "s73_delta_shallow_clone",
+                 "s75_delta_schema_evolution_write",
+                 "s24_delta_v2_checkpoint", "s16_delta_export",
                  "flagship_readmit_30d"):
         assert must in names
     assert len(names) == 50

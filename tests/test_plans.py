@@ -60,13 +60,25 @@ def test_unpartitioned_window_detector(spark):
     part_w = df.withColumn(
         "r", F.row_number().over(Window.partitionBy("g").orderBy("id"))
     )
-    assert count_unpartitioned_windows(_plan(global_w)) == (1, 0)
-    assert count_unpartitioned_windows(_plan(part_w)) == (0, 0)
+    assert count_unpartitioned_windows(_plan(global_w)) == (1, 0, 0)
+    assert count_unpartitioned_windows(_plan(part_w)) == (0, 0, 0)
 
     # the two-pass offsets window (__pid order, one row per partition) is
     # classified bounded, not a single-task sink
     from predicting_hospital_readmission_using_mimic_database_spark.operators.relational import global_index
 
     gi = global_index(df, ["id"])
-    unbounded, bounded = count_unpartitioned_windows(_plan(gi))
+    unbounded, bounded, _pl = count_unpartitioned_windows(_plan(gi))
     assert unbounded == 0 and bounded >= 1
+
+    # a global window whose input is capped by a preceding limit (the
+    # x14 shape: row_number over a TakeOrderedAndProject top-n) is
+    # classified post-limit bounded, not a single-task sink
+    capped = (
+        df.orderBy(F.col("id").desc())
+        .limit(10)
+        .withColumn(
+            "r", F.row_number().over(Window.partitionBy().orderBy("id"))
+        )
+    )
+    assert count_unpartitioned_windows(_plan(capped)) == (0, 0, 1)

@@ -17,7 +17,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
-def count_unpartitioned_windows(plan: str) -> tuple[int, int]:
+def _node_depth(ln: str) -> int:
+    return len(ln) - len(ln.lstrip(" +-:*"))
+
+
+def _subtree_has_limit(lines: list[str], i: int) -> bool:
+    """True when the plan subtree UNDER line ``i`` contains a limit
+    operator (``TakeOrderedAndProject`` / ``GlobalLimit`` /
+    ``CollectLimit``) — the window's input cardinality is then bounded
+    by the limit, not the data, so an empty partition spec is not a
+    single-task trap. The subtree is the following lines printed at a
+    strictly greater indent depth (Spark's toString tree layout)."""
+    d0 = _node_depth(lines[i])
+    for ln in lines[i + 1:]:
+        if not ln.strip():
+            break
+        if _node_depth(ln) <= d0:
+            break
+        node = ln.lstrip(" +-:*")
+        if node.startswith(
+            ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+        ):
+            return True
+    return False
+
+
+def count_unpartitioned_windows(plan: str) -> tuple[int, int, int]:
     """Count Window nodes with an empty partition spec (single-task sink).
 
     A physical ``Window`` node prints as ``Window [exprs], [partSpec],
@@ -27,15 +52,21 @@ def count_unpartitioned_windows(plan: str) -> tuple[int, int]:
     flag 2-group nodes whose second group is an order spec (contains a sort
     direction — a partition-only spec would not).
 
-    Returns ``(unbounded, bounded_offsets)``: windows ordering on the
-    engine's ``__pid`` column are the two-pass-numbering offsets windows
-    (``global_index`` / ``partitioned_cumsum``) whose input is ONE ROW PER
-    SHUFFLE PARTITION by construction — global, but with cardinality bound
-    by the partition count, not the data. Anything else is a real
-    single-task sink.
+    Returns ``(unbounded, offsets, post_limit)``:
+
+    * windows ordering on the engine's ``__pid`` column are the
+      two-pass-numbering OFFSETS windows (``global_index`` /
+      ``partitioned_cumsum``) whose input is ONE ROW PER SHUFFLE
+      PARTITION by construction — global, but with cardinality bound by
+      the partition count, not the data;
+    * windows whose input subtree carries a LIMIT operator
+      (:func:`_subtree_has_limit`) are POST-LIMIT bounded — e.g. the
+      ``row_number`` ranking a ``TakeOrderedAndProject`` top-n result;
+    * anything else is a real single-task sink.
     """
-    unbounded = bounded = 0
-    for ln in plan.splitlines():
+    unbounded = offsets = post_limit = 0
+    lines = plan.splitlines()
+    for idx, ln in enumerate(lines):
         node = ln.lstrip(" +-:*")
         if not node.startswith("Window "):
             continue
@@ -53,10 +84,12 @@ def count_unpartitioned_windows(plan: str) -> tuple[int, int]:
                     groups.append(node[start:i])
         if len(groups) == 2 and ("ASC" in groups[1] or "DESC" in groups[1]):
             if "__pid" in groups[1]:
-                bounded += 1
+                offsets += 1
+            elif _subtree_has_limit(lines, idx):
+                post_limit += 1
             else:
                 unbounded += 1
-    return unbounded, bounded
+    return unbounded, offsets, post_limit
 
 AUDIT = [
     "flagship_readmit_30d", "p5_filter_numeric", "j1_join_inner",
@@ -180,6 +213,12 @@ AUDIT = [
     "s73_delta_shallow_clone",  # absolute-path zero-copy read + carried skip
     "s74_hudi_rollback",  # post-rollback snapshot read, debris reclaimed
     "s75_delta_schema_evolution_write",  # renamed + widened mapped read
+    # round-13 operators
+    "s76_iceberg_wap",  # branch-staged read + published pointer read
+    "s77_delta_constraints",  # one-aggregate-pass validated appends read
+    "s78_hudi_pending_clustering",  # post-replacecommit clustered read
+    "x17_bm25_topk",  # broadcast query terms, per-query TakeOrdered top-k
+    "st27_stream_into_constrained",  # constrained-sink drained table read
 ]
 
 
@@ -248,17 +287,26 @@ def main() -> None:
         n_exch = plan.count("Exchange")
         n_bcast = plan.count("BroadcastExchange")
         # a window spec with an empty partition list = single-task sink
-        unpart_windows, offset_windows = count_unpartitioned_windows(plan)
+        unpart_windows, offset_windows, postlimit_windows = (
+            count_unpartitioned_windows(plan)
+        )
         lines.append(f"## {name}")
         lines.append("")
         lines.append(f"- exchanges: {n_exch} (broadcast: {n_bcast})")
+        annotations = []
+        if offset_windows:
+            annotations.append(
+                f"+{offset_windows} bounded offsets windows, one row "
+                "per shuffle partition"
+            )
+        if postlimit_windows:
+            annotations.append(
+                f"+{postlimit_windows} post-limit bounded windows, "
+                "input capped by a preceding limit"
+            )
         lines.append(
             f"- unpartitioned windows: {unpart_windows}"
-            + (
-                f" (+{offset_windows} bounded offsets windows, one row per shuffle partition)"
-                if offset_windows
-                else ""
-            )
+            + (f" ({'; '.join(annotations)})" if annotations else "")
         )
         for s in scans:
             lines.append(f"- scan: `{s[s.find('ReadSchema'):][:140]}`")
