@@ -450,6 +450,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     k: int = 10,
+    materialize: bool = True,
 ):
     """BM25 top-``k`` retrieval over a tokenized corpus — the ranking
     tier a training-data pipeline puts on the t16 TF-IDF substrate
@@ -518,11 +519,10 @@ def bm25_topk(
         .groupBy("query_id", id_col)
         .agg(F.sum(idf * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("score"))
     )
-    # the per-query TakeOrdered branches share one lineage: materialize
-    # the candidate-score frame ONCE (it is the post-broadcast-cut
+    # the per-query TakeOrdered branches share one lineage: persist the
+    # candidate-score frame ONCE (it is the post-broadcast-cut
     # (query, candidate-doc) set, not the corpus) instead of recomputing
-    # tf/dl per branch; Spark's ContextCleaner reclaims the cache with
-    # the plan
+    # tf/dl per branch
     scored = scored.persist()
     per_query = [
         scored.filter(F.col("query_id") == qid)
@@ -541,5 +541,15 @@ def bm25_topk(
                 F.col("score").desc(), F.col(id_col).asc()
             )
         ).cast("int"),
-    )
-    return ranked.select("query_id", id_col, "score", "rank")
+    ).select("query_id", id_col, "score", "rank")
+    if not materialize:
+        # caller audits/extends the lazy plan and owns the persisted
+        # frame's lifetime (ContextCleaner reclaims it with the plan)
+        return ranked
+    # the ranked result is <= len(queries) * k rows BY CONSTRUCTION:
+    # materialize it now so the persisted candidate frame unpersists
+    # deterministically (the codebase convention) instead of pinning
+    # executor memory until plan GC
+    rows = ranked.collect()
+    scored.unpersist()
+    return spark.createDataFrame(rows, ranked.schema)

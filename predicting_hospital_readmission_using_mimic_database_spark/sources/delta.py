@@ -278,7 +278,8 @@ def _physical_type(dt):
 
 
 class _State:
-    __slots__ = ("meta", "live", "dvs", "stats", "rowids", "domains")
+    __slots__ = ("meta", "live", "dvs", "stats", "rowids", "domains",
+                 "txns")
 
     def __init__(self):
         self.meta: dict | None = None
@@ -296,6 +297,19 @@ class _State:
         #: checkpoints MUST carry these, so truncating the log below a
         #: checkpoint cannot lose clustering / row-id-watermark state.
         self.domains: dict[str, str] = {}
+        #: appId -> newest setTransaction version — the streaming-sink
+        #: dedup state. Spec: checkpoints MUST carry txn actions, or
+        #: truncating the log would collapse the exactly-once window
+        #: and a replayed micro-batch could double-append.
+        self.txns: dict[str, int] = {}
+
+    def txn(self, t: dict) -> None:
+        app = t.get("appId")
+        if not app:
+            return
+        v = int(t.get("version", -1))
+        if v > self.txns.get(app, -1):
+            self.txns[app] = v
 
     def domain(self, dm: dict) -> None:
         name = dm.get("domain")
@@ -387,14 +401,17 @@ def _load_checkpoint_v2(fmt: str, path: str, log_dir: str, state: _State) -> Non
             state.add(row)
         elif kind == "domainMetadata":
             state.domain(row)
+        elif kind == "txn":
+            state.txn(row)
         elif kind == "sidecar":
             sp = row["path"]
             if not os.path.isabs(sp) and "://" not in sp:
                 sp = os.path.join(log_dir, "_sidecars", sp)
             sidecars.append(sp)
-        # remove: tombstone; checkpointMetadata/txn: no live state
+        # remove: tombstone; checkpointMetadata: no live state
 
-    kinds = ("protocol", "metaData", "add", "domainMetadata", "sidecar")
+    kinds = ("protocol", "metaData", "add", "domainMetadata", "sidecar",
+             "txn")
     if fmt == "json":
         with open(path) as f:
             for line in f:
@@ -459,7 +476,8 @@ def _load_checkpoint(paths: list[str], state: _State) -> None:
     for path in paths:
         pf = pq.ParquetFile(path)
         cols = [
-            c for c in ("protocol", "metaData", "add", "domainMetadata")
+            c for c in ("protocol", "metaData", "add", "domainMetadata",
+                        "txn")
             if c in pf.schema_arrow.names
         ]
         table = pf.read(columns=cols)
@@ -469,6 +487,8 @@ def _load_checkpoint(paths: list[str], state: _State) -> None:
                     continue
                 if col == "protocol":
                     _check_protocol(row)
+                elif col == "txn":
+                    state.txn(dict(row))
                 elif col == "metaData":
                     row = dict(row)
                     row["configuration"] = _plain(row.get("configuration")) or {}
@@ -484,6 +504,7 @@ def _load_checkpoint(paths: list[str], state: _State) -> None:
 def _replay_log(
     root: str, version: int | None = None, stats_out: dict | None = None,
     rowids_out: dict | None = None, domains_out: dict | None = None,
+    txns_out: dict | None = None,
 ) -> tuple[dict, dict[str, dict], int]:
     """Replay ``_delta_log`` up to ``version`` (inclusive; None =
     latest): start from the newest usable parquet CHECKPOINT at or
@@ -561,7 +582,9 @@ def _replay_log(
                     state.remove(action["remove"]["path"])
                 elif "domainMetadata" in action:
                     state.domain(action["domainMetadata"])
-                # commitInfo / txn / cdc: metadata-only, ignored
+                elif "txn" in action:
+                    state.txn(action["txn"])
+                # commitInfo / cdc: metadata-only, ignored
     if version is not None and last != version:
         raise ValueError(
             f"requested version {version} but log ends at {last}"
@@ -577,6 +600,8 @@ def _replay_log(
         rowids_out.update(state.rowids)
     if domains_out is not None:
         domains_out.update(state.domains)
+    if txns_out is not None:
+        txns_out.update(state.txns)
     return state.meta, state.live, state.dvs, last
 
 
@@ -713,7 +738,15 @@ def _ckpt_types(pa):
             ("removed", pa.bool_()),
         ]
     )
-    return protocol_t, meta_t, add_t, domain_t
+    # setTransaction state: spec checkpoint schema — dropping it would
+    # collapse the streaming-sink exactly-once window on truncation
+    txn_t = pa.struct(
+        [
+            ("appId", pa.string()),
+            ("version", pa.int64()),
+        ]
+    )
+    return protocol_t, meta_t, add_t, domain_t, txn_t
 
 
 def _ckpt_add_row(a: dict) -> dict:
@@ -754,6 +787,7 @@ def _write_checkpoint_file(
     log_dir: str, version: int, meta: dict, adds: list[dict],
     protocol: dict | None = None, domains: dict[str, str] | None = None,
     v2_threshold: int | None = None, sidecar_rows: int = 100_000,
+    txns: dict[str, int] | None = None,
 ) -> None:
     """Write a parquet checkpoint for ``version`` (protocol, metaData,
     every live add, every LIVE domainMetadata) plus the
@@ -779,24 +813,35 @@ def _write_checkpoint_file(
         {"domain": d, "configuration": cfg, "removed": False}
         for d, cfg in sorted((domains or {}).items())
     ]
-    n = 2 + len(adds) + len(dom_rows)
+    txn_rows = [
+        {"appId": a, "version": int(v)}
+        for a, v in sorted((txns or {}).items())
+    ]
+    n = 2 + len(adds) + len(dom_rows) + len(txn_rows)
     if v2_threshold is not None and n > v2_threshold:
         _write_checkpoint_v2(
-            log_dir, version, meta, adds, protocol, dom_rows, sidecar_rows
+            log_dir, version, meta, adds, protocol, dom_rows,
+            sidecar_rows, txn_rows,
         )
         return
-    protocol_t, meta_t, add_t, domain_t = _ckpt_types(pa)
+    protocol_t, meta_t, add_t, domain_t, txn_t = _ckpt_types(pa)
     proto_col = [
         protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
     ] + [None] * (n - 1)
     meta_col = [None, _ckpt_meta_row(meta)] + [None] * (
-        len(adds) + len(dom_rows)
+        len(adds) + len(dom_rows) + len(txn_rows)
     )
-    dom_col = [None, None] + [None] * len(adds) + dom_rows
+    dom_col = (
+        [None, None] + [None] * len(adds) + dom_rows
+        + [None] * len(txn_rows)
+    )
+    txn_col = (
+        [None, None] + [None] * (len(adds) + len(dom_rows)) + txn_rows
+    )
     add_col = (
         [None, None]
         + [_ckpt_add_row(a) for a in adds]
-        + [None] * len(dom_rows)
+        + [None] * (len(dom_rows) + len(txn_rows))
     )
     cols = {
         "protocol": pa.array(proto_col, type=protocol_t),
@@ -805,6 +850,8 @@ def _write_checkpoint_file(
     }
     if dom_rows:
         cols["domainMetadata"] = pa.array(dom_col, type=domain_t)
+    if txn_rows:
+        cols["txn"] = pa.array(txn_col, type=txn_t)
     table = pa.table(cols)
     final = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
     tmp = final + ".tmp"
@@ -820,6 +867,7 @@ def _write_checkpoint_file(
 def _write_checkpoint_v2(
     log_dir: str, version: int, meta: dict, adds: list[dict],
     protocol: dict | None, dom_rows: list[dict], sidecar_rows: int,
+    txn_rows: list[dict] | None = None,
 ) -> None:
     """The V2 MANIFEST + SIDECAR checkpoint layout: file actions shard
     into ``sidecar_rows``-sized parquet SIDECARS under
@@ -841,7 +889,8 @@ def _write_checkpoint_v2(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    protocol_t, meta_t, add_t, domain_t = _ckpt_types(pa)
+    protocol_t, meta_t, add_t, domain_t, txn_t = _ckpt_types(pa)
+    txn_rows = txn_rows or []
     proto = dict(
         protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
     )
@@ -890,12 +939,13 @@ def _write_checkpoint_v2(
             }
         )
     ckm_t = pa.struct([("version", pa.int64())])
-    n = 3 + len(dom_rows) + len(sc_rows)
+    n = 3 + len(dom_rows) + len(txn_rows) + len(sc_rows)
     rows: dict[str, list] = {
         "checkpointMetadata": [None] * n,
         "protocol": [None] * n,
         "metaData": [None] * n,
         "domainMetadata": [None] * n,
+        "txn": [None] * n,
         "sidecar": [None] * n,
     }
     rows["checkpointMetadata"][0] = {"version": version}
@@ -903,8 +953,10 @@ def _write_checkpoint_v2(
     rows["metaData"][2] = _ckpt_meta_row(meta)
     for i, d in enumerate(dom_rows):
         rows["domainMetadata"][3 + i] = d
+    for i, t in enumerate(txn_rows):
+        rows["txn"][3 + len(dom_rows) + i] = t
     for i, s in enumerate(sc_rows):
-        rows["sidecar"][3 + len(dom_rows) + i] = s
+        rows["sidecar"][3 + len(dom_rows) + len(txn_rows) + i] = s
     cols = {
         "checkpointMetadata": pa.array(rows["checkpointMetadata"], type=ckm_t),
         "protocol": pa.array(rows["protocol"], type=protocol_t),
@@ -913,6 +965,8 @@ def _write_checkpoint_v2(
     }
     if dom_rows:
         cols["domainMetadata"] = pa.array(rows["domainMetadata"], type=domain_t)
+    if txn_rows:
+        cols["txn"] = pa.array(rows["txn"], type=txn_t)
     unique = uuid.uuid4().hex
     final = os.path.join(
         log_dir, f"{version:020d}.checkpoint.{unique}.parquet"
@@ -1114,8 +1168,11 @@ def export_delta_log(
     log_dir = os.path.join(root, DELTA_LOG_DIR)
     schema_string = table.schema.json()
     dom: dict[str, str] = {}
+    txns: dict[str, int] = {}
     if os.path.isdir(log_dir) and _delta_commits(log_dir):
-        _meta, exported, _dvs, last = _replay_log(root, domains_out=dom)
+        _meta, exported, _dvs, last = _replay_log(
+            root, domains_out=dom, txns_out=txns
+        )
         prev = set(exported)
         adds = sorted(current - prev)
         removes = sorted(prev - current)
@@ -1233,6 +1290,7 @@ def export_delta_log(
             protocol=_declared_protocol(log_dir),
             domains=dom,
             v2_threshold=checkpoint_v2_threshold,
+            txns=txns,
         )
     return version
 

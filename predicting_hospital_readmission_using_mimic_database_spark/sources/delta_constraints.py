@@ -89,12 +89,33 @@ _SUPPORTED_WRITER_FEATURES = frozenset({
 _CHECK_PREFIX = "delta.constraints."
 
 
-def delta_table_constraints(root: str) -> dict:
+def _legacy_writer_features(min_writer_version: int) -> set[str]:
+    """The writer features a LEGACY minWriterVersion implies (PROTOCOL.md
+    table-features upgrade rule: converting to minWriterVersion 7 must
+    enumerate them, or foreign writers legally drop the obligations)."""
+    implied: set[str] = set()
+    if min_writer_version >= 2:
+        implied |= {"appendOnly", "invariants"}
+    if min_writer_version >= 3:
+        implied |= {"checkConstraints"}
+    if min_writer_version >= 4:
+        implied |= {"changeDataFeed", "generatedColumns"}
+    if min_writer_version >= 5:
+        implied |= {"columnMapping"}
+    if min_writer_version >= 6:
+        implied |= {"identityColumns"}
+    return implied
+
+
+def delta_table_constraints(root: str, meta: dict | None = None) -> dict:
     """The table's declared row-level rules, parsed from the latest
     metaData: ``{"checks": {name: sql}, "not_null": [dotted paths],
     "invariants": {column: sql}, "generated": {column: sql}}``.
-    Driver-side metadata only."""
-    meta, _live, _dvs, _last = _replay_log(root)
+    Driver-side metadata only. ``meta`` skips the log replay when the
+    caller already holds the replayed metaData action (the hot append
+    path replays exactly once)."""
+    if meta is None:
+        meta, _live, _dvs, _last = _replay_log(root)
     checks = {
         k[len(_CHECK_PREFIX):]: v
         for k, v in (meta.get("configuration") or {}).items()
@@ -138,15 +159,29 @@ def delta_table_constraints(root: str) -> dict:
     }
 
 
+class _TxnAlreadyCommitted(Exception):
+    """A raced foreign commit carries our (appId, version) txn — a
+    ZOMBIE twin of this sink already committed the micro-batch."""
+
+    def __init__(self, version: int):
+        self.version = version
+
+
 def _commit_with_cas(
     log_dir: str, start_version: int, build_actions, *,
     metadata_change: bool, operation: str, ict_on: bool,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Publish ``build_actions(version)`` at the first free version at
     or after ``start_version`` (put-if-absent CAS; Delta's optimistic
     concurrency). A raced commit that changed metaData or protocol
     raises — the rules this writer validated against may have changed,
-    so the caller must re-validate, never silently retry."""
+    so the caller must re-validate, never silently retry. With ``txn``
+    set, a raced commit carrying the SAME (appId, >= version) txn
+    raises :class:`_TxnAlreadyCommitted` instead of retrying — the
+    zombie-writer race real Delta's conflict resolution re-checks:
+    two instances of one streaming query both pass the dedup pre-check,
+    and without this the loser would double-append the batch."""
     version = start_version
     for _attempt in range(10):
         actions = [
@@ -159,6 +194,12 @@ def _commit_with_cas(
         if _publish_commit(log_dir, version, actions):
             return version
         raced = _commit_actions(log_dir, version)
+        if txn is not None:
+            for a in raced:
+                t = a.get("txn")
+                if (t and t.get("appId") == str(txn[0])
+                        and int(t.get("version", -1)) >= int(txn[1])):
+                    raise _TxnAlreadyCommitted(version)
         if any("metaData" in a or "protocol" in a for a in raced):
             raise DeltaProtocolError(
                 f"lost the commit race at version {version} to a "
@@ -209,8 +250,15 @@ def set_delta_check_constraint(
         "minReaderVersion": 1, "minWriterVersion": 2,
     }
     wf = set(proto.get("writerFeatures") or [])
+    mwv = int(proto.get("minWriterVersion", 1))
     actions_proto = []
-    if int(proto.get("minWriterVersion", 1)) < 7 or "checkConstraints" not in wf:
+    if mwv < 7 or "checkConstraints" not in wf:
+        # upgrading a legacy protocol to table features must ENUMERATE
+        # every feature the old minWriterVersion implied (spec rule) —
+        # declaring only checkConstraints would let a spec-conforming
+        # foreign writer legally skip the invariants / generation
+        # expressions the legacy version obligated
+        wf |= _legacy_writer_features(mwv)
         wf.add("checkConstraints")
         actions_proto.append({"protocol": {
             "minReaderVersion": int(proto.get("minReaderVersion", 1)),
@@ -277,15 +325,36 @@ def _physical_names(meta: dict) -> dict[str, str] | None:
 
 def _file_stats(path: str) -> str:
     """Delta ``add.stats`` JSON from the written file's parquet footer
-    (numRecords + min/max/nullCount for simple-typed columns) — the
-    data-skipping tier ``read_delta(predicates=)`` prunes on, at zero
-    extra I/O."""
+    (numRecords + min/max/nullCount) — the data-skipping tier
+    ``read_delta(predicates=)`` prunes on, at zero extra I/O.
+
+    Same safety rules as the SnapshotTable harvester
+    (``table.py _harvest_stats``): string/binary/decimal bounds are
+    DISCARDED (parquet writers may truncate them — a truncated max can
+    sort below the true max, and pruning on it would silently drop
+    matching files), and a column whose stats are absent in ANY row
+    group publishes no bounds at all (partial bounds would understate
+    the file's true range — same silent-drop failure). Missing stats
+    read as "file may match": conservative, never wrong."""
+    import datetime
+
     import pyarrow.parquet as pq
+
+    def _norm(v):
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, (int, float)):
+            return v
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        return None  # strings/bytes/decimal: truncation-unsafe, skip
 
     md = pq.read_metadata(path)
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
+    bad_bounds: set[str] = set()
+    bad_nulls: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -295,21 +364,25 @@ def _file_stats(path: str) -> str:
                 continue
             st = col.statistics
             if st is None:
+                bad_bounds.add(name)
+                bad_nulls.add(name)
                 continue
-            if st.null_count is not None:
+            if st.null_count is None:
+                bad_nulls.add(name)
+            else:
                 nulls[name] = nulls.get(name, 0) + int(st.null_count)
-            if not st.has_min_max:
-                continue
-            lo, hi = st.min, st.max
-            if isinstance(lo, bytes):
-                try:
-                    lo, hi = lo.decode(), hi.decode()
-                except UnicodeDecodeError:
-                    continue
-            if not isinstance(lo, (int, float, str, bool)):
+            lo = _norm(st.min) if st.has_min_max else None
+            hi = _norm(st.max) if st.has_min_max else None
+            if lo is None or hi is None:
+                bad_bounds.add(name)
                 continue
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    for name in bad_bounds:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+    for name in bad_nulls:
+        nulls.pop(name, None)
     return json.dumps({
         "numRecords": md.num_rows,
         "minValues": mins,
@@ -319,29 +392,16 @@ def _file_stats(path: str) -> str:
 
 
 def _last_txn_version(log_dir: str, app_id: str) -> int | None:
-    """The newest ``txn`` action version recorded for ``app_id`` across
-    the JSON commits — Delta's streaming-sink dedup (the spec's
-    ``setTransaction``): a replayed micro-batch whose (appId, version)
-    is already recorded must SKIP, or a sink retry after a
-    commit-then-crash would double-append. Caveat (same as real
-    Delta's setTransaction retention): truncating the commits holding
-    the txn action shrinks the dedup window."""
-    from .delta import _delta_commits
-
-    newest: int | None = None
-    for _v, cpath in _delta_commits(log_dir):
-        with open(cpath) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                a = json.loads(line)
-                t = a.get("txn")
-                if t and t.get("appId") == app_id:
-                    v = int(t.get("version", -1))
-                    if newest is None or v > newest:
-                        newest = v
-    return newest
+    """The newest ``txn`` action version recorded for ``app_id`` — the
+    spec's ``setTransaction`` streaming-sink dedup: a replayed
+    micro-batch whose (appId, version) is already recorded must SKIP,
+    or a sink retry after a commit-then-crash would double-append.
+    Resolved through the full log REPLAY (checkpoint + commits):
+    checkpoints carry txn actions per spec, so log truncation never
+    collapses the dedup window."""
+    txns: dict[str, int] = {}
+    _replay_log(os.path.dirname(log_dir), txns_out=txns)
+    return txns.get(app_id)
 
 
 def append_delta(
@@ -365,12 +425,12 @@ def append_delta(
     Scale: validation is a single JVM aggregate (map-side combinable)
     over the batch; the write is the caller's partitioning (repartition
     upstream for file sizing); the commit is O(files) metadata."""
-    meta, _live, _dvs, last = _replay_log(root)
+    txns: dict[str, int] = {}
+    meta, _live, _dvs, last = _replay_log(root, txns_out=txns)
     log_dir = os.path.join(root, DELTA_LOG_DIR)
     if txn is not None:
-        app_id, batch_v = str(txn[0]), int(txn[1])
-        seen = _last_txn_version(log_dir, app_id)
-        if seen is not None and batch_v <= seen:
+        seen = txns.get(str(txn[0]))
+        if seen is not None and int(txn[1]) <= seen:
             return last  # replayed micro-batch: already committed
     proto = _declared_protocol(log_dir) or {}
     if int(proto.get("minWriterVersion", 1)) >= 7:
@@ -383,7 +443,7 @@ def append_delta(
                 "whose write obligations this append path does not "
                 "implement; refusing to commit a non-conforming file"
             )
-    rules = delta_table_constraints(root)
+    rules = delta_table_constraints(root, meta=meta)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     table_cols = [f.name for f in schema.fields]
 
@@ -479,7 +539,15 @@ def append_delta(
         return _commit_with_cas(
             log_dir, last + 1, build,
             metadata_change=False, operation=operation, ict_on=ict_on,
+            txn=txn,
         )
+    except _TxnAlreadyCommitted as done:
+        # a zombie twin of this sink won the race with the same batch:
+        # our staged files must not leak (nothing references them)
+        for rel in rels:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(root, rel))
+        return done.version
     except DeltaProtocolError:
         for rel in rels:  # nothing committed: reclaim the staged files
             with contextlib.suppress(FileNotFoundError):

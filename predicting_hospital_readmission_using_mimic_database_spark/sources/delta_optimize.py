@@ -949,8 +949,10 @@ def _write_optimize_checkpoint(
     st: dict[str, str] = {}
     ri: dict[str, tuple] = {}
     dom: dict[str, str] = {}
+    txns: dict[str, int] = {}
     meta2, live2, dvs2, _last = _replay_log(
-        root, version, stats_out=st, rowids_out=ri, domains_out=dom
+        root, version, stats_out=st, rowids_out=ri, domains_out=dom,
+        txns_out=txns,
     )
     adds = []
     for rel in sorted(live2):
@@ -972,4 +974,5 @@ def _write_optimize_checkpoint(
         protocol=_declared_protocol(log_dir),
         domains=dom,
         v2_threshold=v2_threshold,
+        txns=txns,
     )

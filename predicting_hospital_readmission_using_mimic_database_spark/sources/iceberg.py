@@ -720,7 +720,15 @@ def export_iceberg(table, _retries: int = 10, branch: str | None = None) -> int:
                 e["data_file"]["file_path"] for e in live_entries
             )
         if prev_files == live_paths:
-            return base_sid  # no change since the base snapshot
+            # no change since the base snapshot. A BRANCH stage must
+            # still materialize the ref (an idempotent re-stage of a
+            # no-op upstream run must leave the audit->publish pipeline
+            # runnable, auditing/publishing the base snapshot) — a
+            # plain export just returns.
+            if branch is not None and branch not in prev_refs:
+                set_iceberg_ref(root, branch, snapshot_id=base_sid,
+                                type="branch")
+            return base_sid
         sid = last_id + 1
         # next version: past BOTH the recorded export version and the
         # latest metadata FILE's number (a foreign commit's metadata

@@ -196,3 +196,117 @@ def test_txn_idempotent_append(spark, tmp_path):
         spark, root, spark.createDataFrame([(3,)], "k bigint"),
         txn=("other", 0)) == 3
     assert read_delta(spark, root).count() == 3
+
+
+def test_txn_survives_checkpoint_and_truncation(spark, tmp_path):
+    """The exactly-once dedup window must survive maintenance: txn
+    actions are carried by checkpoints (spec checkpoint schema), so a
+    checkpoint + log truncation cannot collapse the window and let a
+    replayed micro-batch double-append."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        truncate_delta_log,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_optimize import (
+        optimize_delta,
+    )
+
+    root = _mk_table(tmp_path, [_f("k", "long")])
+    df = spark.createDataFrame([(1,)], "k bigint")
+    append_delta(spark, root, df, txn=("app", 7))
+    # maintenance: checkpoint lands, JSON commits truncated away
+    v = optimize_delta(spark, root, target_file_rows=10**9,
+                       checkpoint_interval=1)
+    deleted = truncate_delta_log(root, keep_versions=1)
+    assert deleted  # the commit holding the txn action is GONE
+    # ...yet the replayed batch still skips (checkpoint carried it)
+    assert append_delta(spark, root, df, txn=("app", 7)) == v
+    assert read_delta(spark, root).count() == 1
+
+
+def test_txn_zombie_race_detected(spark, tmp_path):
+    """Two instances of one streaming query racing the same micro-batch
+    (zombie driver + restart): the CAS loser must detect the winner's
+    txn action for the same (appId, version) and SKIP, never
+    double-append."""
+    import json as _json
+
+    import predicting_hospital_readmission_using_mimic_database_spark.sources.delta_constraints as DC
+
+    root = _mk_table(tmp_path, [_f("k", "long")])
+    df = spark.createDataFrame([(1,)], "k bigint")
+    # simulate the zombie winning version 1 AFTER our pre-check passed:
+    # intercept _publish_commit to inject the foreign commit first
+    orig = DC._publish_commit
+    state = {"raced": False}
+
+    def racing(log_dir, version, actions):
+        if not state["raced"]:
+            state["raced"] = True
+            with open(os.path.join(log_dir, f"{version:020d}.json"),
+                      "w") as f:
+                f.write(_json.dumps(
+                    {"txn": {"appId": "app", "version": 3}}) + "\n")
+                f.write(_json.dumps(
+                    {"add": {"path": "zombie.parquet",
+                             "partitionValues": {}, "size": 1,
+                             "modificationTime": 0,
+                             "dataChange": True}}) + "\n")
+        return orig(log_dir, version, actions)
+
+    DC._publish_commit = racing
+    try:
+        got = append_delta(spark, root, df, txn=("app", 3))
+    finally:
+        DC._publish_commit = orig
+    assert got == 1  # the zombie's version; our batch was NOT re-added
+    # our staged file was reclaimed: only the zombie's add is live
+    log = os.path.join(root, "_delta_log")
+    assert len([n for n in os.listdir(log) if n.endswith(".json")]) == 2
+    assert not [n for n in os.listdir(root)
+                if n.startswith("append-") and n.endswith(".parquet")]
+
+
+def test_constraint_upgrade_enumerates_legacy_features(spark, tmp_path):
+    """Upgrading a legacy protocol to table features (ADD CONSTRAINT on
+    a minWriterVersion-4 table) must enumerate every implied legacy
+    feature — a protocol declaring only checkConstraints would let a
+    foreign writer legally skip invariants/generation enforcement."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        _declared_protocol,
+    )
+
+    root = _mk_table(
+        tmp_path, [_f("k", "long")],
+        protocol={"minReaderVersion": 1, "minWriterVersion": 4},
+    )
+    append_delta(spark, root, spark.createDataFrame([(1,)], "k bigint"))
+    set_delta_check_constraint(spark, root, "pos_k", "k > 0")
+    proto = _declared_protocol(os.path.join(root, "_delta_log"))
+    assert proto["minWriterVersion"] == 7
+    assert {"appendOnly", "invariants", "checkConstraints",
+            "changeDataFeed", "generatedColumns"} <= set(
+        proto["writerFeatures"])
+
+
+def test_file_stats_drop_string_bounds(spark, tmp_path):
+    """_file_stats follows the harvester safety rules: string bounds
+    are truncation-unsafe and never published; numeric bounds are."""
+    import json as _json
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_constraints import (
+        _file_stats,
+    )
+
+    root = _mk_table(tmp_path, [_f("k", "long"), _f("v", "string")])
+    append_delta(spark, root, spark.createDataFrame(
+        [(1, "aaa"), (2, "zzz")], "k bigint, v string").coalesce(1))
+    log = os.path.join(root, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json")) as f:
+        adds = [
+            _json.loads(ln)["add"] for ln in f
+            if ln.strip() and "add" in _json.loads(ln)
+        ]
+    st = _json.loads(adds[0]["stats"])
+    assert "k" in st["minValues"] and "k" in st["maxValues"]
+    assert "v" not in st["minValues"] and "v" not in st["maxValues"]
+    assert st["numRecords"] == 2

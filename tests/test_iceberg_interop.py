@@ -3158,3 +3158,43 @@ def test_write_audit_publish_lifecycle(spark, tmp_path):
     with pytest.raises(IcebergProtocolError, match="APPEND"):
         publish_iceberg_wap(t.root, "audit3")
     drop_iceberg_ref(t.root, "audit3")
+
+
+def test_wap_noop_stage_creates_branch(spark, tmp_path):
+    """An idempotent re-stage with NO upstream changes must still leave
+    the WAP pipeline runnable: the branch ref materializes pointing at
+    the base snapshot, the audit reads it, and publish is a no-op."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        export_iceberg,
+        publish_iceberg_wap,
+        read_iceberg,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    df = spark.range(0, 20).select(F.col("id").alias("k"))
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(df)
+    sid = export_iceberg(t)
+    # no-change stage: the ref lands on the base snapshot
+    assert export_iceberg(t, branch="audit") == sid
+    got = {r["k"] for r in
+           read_iceberg(spark, t.root, ref="audit").collect()}
+    assert got == set(range(20))
+    out = publish_iceberg_wap(t.root, "audit")
+    assert out == {"snapshot_id": sid, "mode": "noop"}
+    # the branch was dropped on the no-op publish too
+    import pytest as _pytest
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        IcebergProtocolError,
+    )
+
+    with _pytest.raises(IcebergProtocolError, match="not found"):
+        publish_iceberg_wap(t.root, "audit")

@@ -22,23 +22,36 @@ def _node_depth(ln: str) -> int:
 
 
 def _subtree_has_limit(lines: list[str], i: int) -> bool:
-    """True when the plan subtree UNDER line ``i`` contains a limit
-    operator (``TakeOrderedAndProject`` / ``GlobalLimit`` /
-    ``CollectLimit``) — the window's input cardinality is then bounded
-    by the limit, not the data, so an empty partition spec is not a
-    single-task trap. The subtree is the following lines printed at a
-    strictly greater indent depth (Spark's toString tree layout)."""
+    """True when the window's INPUT CHAIN contains a limit operator
+    (``TakeOrderedAndProject`` / ``GlobalLimit`` / ``CollectLimit``) —
+    its input cardinality is then bounded by the limit, not the data,
+    so an empty partition spec is not a single-task trap.
+
+    Only the direct single-child SPINE counts: the walk follows lines
+    whose indent depth strictly increases (a sibling branch — a limit
+    on the small side of a join — prints at a repeated depth and ends
+    the spine), and any node that can RE-EXPAND cardinality between
+    the window and the limit (join/union/generate/expand) disqualifies
+    — ``limit(10).crossJoin(huge)`` under a global window is still a
+    genuine single-task sink."""
     d0 = _node_depth(lines[i])
+    prev = d0
     for ln in lines[i + 1:]:
         if not ln.strip():
             break
-        if _node_depth(ln) <= d0:
-            break
+        d = _node_depth(ln)
+        if d <= prev:
+            break  # sibling/branch point: the single-child spine ends
         node = ln.lstrip(" +-:*")
         if node.startswith(
             ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
         ):
             return True
+        head = node.split(" ", 1)[0].split("(", 1)[0]
+        if any(tok in head for tok in
+               ("Join", "Union", "Generate", "Expand", "CartesianProduct")):
+            return False  # cardinality can re-expand above any limit
+        prev = d
     return False
 
 
@@ -217,7 +230,6 @@ AUDIT = [
     "s76_iceberg_wap",  # branch-staged read + published pointer read
     "s77_delta_constraints",  # one-aggregate-pass validated appends read
     "s78_hudi_pending_clustering",  # post-replacecommit clustered read
-    "x17_bm25_topk",  # broadcast query terms, per-query TakeOrdered top-k
     "st27_stream_into_constrained",  # constrained-sink drained table read
 ]
 
@@ -238,10 +250,24 @@ def _smote_plan(spark):
     )
 
 
+def _bm25_plan(spark):
+    """The x17 operator's LAZY plan (the registry entry materializes
+    the <= queries*k result to unpersist its cache deterministically,
+    leaving a driver-built frame with no plan to audit)."""
+    from predicting_hospital_readmission_using_mimic_database_spark.ml import features as FE
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.textstats import bm25_topk
+    from predicting_hospital_readmission_using_mimic_database_spark.qdefs_llm import _BM25_QUERIES
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.io import read_table
+
+    d = FE.tokens_df(read_table(spark, SF_DIR, "documents"))
+    return bm25_topk(d, _BM25_QUERIES, k=10, materialize=False)
+
+
 #: operator-level plans audited directly (their registry entries emit
 #: driver-built invariant rows)
 AUDIT_BUILDERS = {
     "u6_smote (operator frame)": _smote_plan,
+    "x17_bm25_topk (operator frame)": _bm25_plan,
 }
 
 
