@@ -1003,7 +1003,7 @@ def semdedup(
         ]
     )
 
-    def prune(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def prune(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) > max_cluster_rows:
             raise ValueError(
                 f"semdedup: cluster {key[0]} has {len(pdf)} rows > "
