@@ -213,6 +213,7 @@ HEADLINE = [
     "s78_hudi_pending_clustering",
     "x17_bm25_topk",
     "st27_stream_into_constrained",
+    "s79_delta_identity",
 ]
 
 

@@ -8772,3 +8772,100 @@ def q_s78(spark, sf):
     assert before.exceptAll(got).count() == 0
     assert got.exceptAll(before).count() == 0
     return got
+
+
+@query(
+    "s79_delta_identity",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    evens AS (
+      SELECT k, cents, row_number() OVER (ORDER BY k) AS rn
+      FROM base WHERE k % 2 = 0
+    ),
+    n AS (SELECT count(*) AS c FROM base WHERE k % 2 = 0),
+    odds AS (
+      SELECT k, cents, row_number() OVER (ORDER BY k) AS rn
+      FROM base WHERE k % 2 = 1
+    )
+    SELECT CAST(1 + 3 * (rn - 1) AS BIGINT) AS id,
+           k AS c_custkey, cents
+    FROM evens
+    UNION ALL
+    SELECT CAST(1 + 3 * (n.c + rn - 1) AS BIGINT), k, cents
+    FROM odds CROSS JOIN n
+    """,
+)
+def q_s79(spark, sf):
+    """S79 — Delta IDENTITY COLUMNS (sources/delta_constraints.py,
+    the ``identityColumns`` writer feature): a GENERATED ALWAYS id
+    (``delta.identity.start/step`` field metadata) is ASSIGNED by the
+    writer when the batch omits it — distributed two-pass numbering
+    (range-partition + per-partition row_number + broadcast offsets,
+    ``operators/relational.py global_index``; no single-task window)
+    beyond the recorded high watermark, which commits ATOMICALLY with
+    the rows (a crash between them could otherwise hand out duplicate
+    ids). Two batches prove the watermark persists across commits
+    (the second continues the arithmetic sequence exactly where the
+    first stopped — start=1, step=3); an EXPLICIT id insert refuses
+    (GENERATED ALWAYS — asserted, count unchanged). DuckDB recomputes
+    every assigned id from the declared ordering; a watermark lost
+    between batches, an id collision, or a step mis-applied breaks
+    the hash. BY-DEFAULT mode and negative steps pinned by pytest."""
+    import json as _json
+    import os
+
+    from .sources.delta import DeltaProtocolError, read_delta
+    from .sources.delta_constraints import append_delta
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("c_custkey")
+    root = _table_root("s79", sf)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.identity.start": 1,
+                      "delta.identity.step": 3,
+                      "delta.identity.allowExplicitInsert": False}},
+        {"name": "c_custkey", "type": "long", "nullable": False,
+         "metadata": {}},
+        {"name": "cents", "type": "long", "nullable": True,
+         "metadata": {}},
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["identityColumns", "invariants"]}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": "s79", "format": {"provider": "parquet",
+                                    "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": [], "configuration": {},
+        }}) + "\n")
+
+    append_delta(spark, root, c.filter(k % 2 == 0),
+                 identity_order=["c_custkey"])
+    # the watermark persisted: batch 2 continues the exact sequence
+    append_delta(spark, root, c.filter(k % 2 == 1),
+                 identity_order=["c_custkey"])
+    n = c.count()
+    assert read_delta(spark, root).count() == n
+    # GENERATED ALWAYS refuses an explicit id; nothing leaks
+    try:
+        append_delta(spark, root, c.limit(1).select(
+            F.lit(999_999).alias("id"),
+            (k + 8_000_000).alias("c_custkey"), "cents",
+        ))
+        raise AssertionError("explicit id must refuse")
+    except DeltaProtocolError as e:
+        assert "GENERATED ALWAYS" in str(e)
+    assert read_delta(spark, root).count() == n
+    return read_delta(spark, root)

@@ -102,6 +102,7 @@ PRIORITY: tuple[str, ...] = (
     "s75_delta_schema_evolution_write",
     "s24_delta_v2_checkpoint",
     "s16_delta_export",
+    "s79_delta_identity",
     # (b) stable sentinels, family-complete, rotated off the round-12
     # picks
     "flagship_readmit_30d",
@@ -117,9 +118,6 @@ PRIORITY: tuple[str, ...] = (
     "d3_dedup_simhash",
     "n3_knn_ivf",
     "mm4_audio_resample",
-    # x sentinel beyond the new x17: the post-limit window whose
-    # PLANS.md classification the round-13 detector fix corrected
-    "x14_weighted_sample",
 )
 
 

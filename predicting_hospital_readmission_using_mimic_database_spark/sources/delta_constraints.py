@@ -84,6 +84,7 @@ _SUPPORTED_WRITER_FEATURES = frozenset({
     "v2Checkpoint",
     "domainMetadata",
     "deletionVectors",
+    "identityColumns",
 })
 
 _CHECK_PREFIX = "delta.constraints."
@@ -110,7 +111,8 @@ def _legacy_writer_features(min_writer_version: int) -> set[str]:
 def delta_table_constraints(root: str, meta: dict | None = None) -> dict:
     """The table's declared row-level rules, parsed from the latest
     metaData: ``{"checks": {name: sql}, "not_null": [dotted paths],
-    "invariants": {column: sql}, "generated": {column: sql}}``.
+    "invariants": {column: sql}, "generated": {column: sql},
+    "identity": {column: {start, step, allowExplicit, highWaterMark}}}``.
     Driver-side metadata only. ``meta`` skips the log replay when the
     caller already holds the replayed metaData action (the hot append
     path replays exactly once)."""
@@ -125,6 +127,7 @@ def delta_table_constraints(root: str, meta: dict | None = None) -> dict:
     not_null: list[str] = []
     invariants: dict[str, str] = {}
     generated: dict[str, str] = {}
+    identity: dict[str, dict] = {}
 
     def walk(fields: list, prefix: str) -> None:
         for f in fields:
@@ -132,6 +135,26 @@ def delta_table_constraints(root: str, meta: dict | None = None) -> dict:
             if f.get("nullable") is False:
                 not_null.append(path)
             md = f.get("metadata") or {}
+            if "delta.identity.start" in md:
+                if prefix:
+                    raise DeltaProtocolError(
+                        f"identity column {path!r} is nested — the spec "
+                        "allows identity on top-level columns only"
+                    )
+                step = int(md.get("delta.identity.step", 1))
+                if step == 0:
+                    raise DeltaProtocolError(
+                        f"identity column {path!r} declares step 0"
+                    )
+                hwm = md.get("delta.identity.highWaterMark")
+                identity[path] = {
+                    "start": int(md["delta.identity.start"]),
+                    "step": step,
+                    "allowExplicit": bool(
+                        md.get("delta.identity.allowExplicitInsert", False)
+                    ),
+                    "highWaterMark": int(hwm) if hwm is not None else None,
+                }
             if "delta.invariants" in md:
                 inv = md["delta.invariants"]
                 if isinstance(inv, str):
@@ -156,6 +179,7 @@ def delta_table_constraints(root: str, meta: dict | None = None) -> dict:
         "not_null": not_null,
         "invariants": invariants,
         "generated": generated,
+        "identity": identity,
     }
 
 
@@ -407,6 +431,7 @@ def _last_txn_version(log_dir: str, app_id: str) -> int | None:
 def append_delta(
     spark: SparkSession, root: str, df: DataFrame,
     operation: str = "WRITE", txn: tuple[str, int] | None = None,
+    identity_order: list[str] | None = None,
 ) -> int:
     """APPEND ``df`` to the Delta table at ``root``, enforcing every
     declared writer constraint (module docstring) in ONE aggregate
@@ -421,6 +446,14 @@ def append_delta(
     streaming-sink contract: a foreachBatch replay of an
     already-committed micro-batch returns the table version without
     writing (exactly-once under sink retries).
+
+    IDENTITY columns (``delta.identity.*`` field metadata) are
+    assigned when the batch omits them — distributed two-pass
+    numbering beyond the recorded high watermark, ordered by
+    ``identity_order`` (default: the other table columns) — and the
+    new watermark commits ATOMICALLY with the rows. GENERATED ALWAYS
+    refuses provided values; BY DEFAULT accepts them and advances the
+    watermark past the provided extreme.
 
     Scale: validation is a single JVM aggregate (map-side combinable)
     over the batch; the write is the caller's partitioning (repartition
@@ -458,6 +491,46 @@ def append_delta(
             continue  # nested generated: validated below, never filled
         if col not in df.columns:
             df = df.withColumn(col, F.expr(gexpr))
+
+    # IDENTITY columns (writer feature identityColumns): a missing
+    # column is ASSIGNED values strictly beyond the recorded high
+    # watermark along the step direction — a distributed two-pass
+    # numbering (operators.relational.global_index: range-partition +
+    # per-partition row_number + broadcast offsets; no single-task
+    # window), ordered by ``identity_order`` (default: every other
+    # table column — deterministic for deterministic input). GENERATED
+    # ALWAYS (allowExplicitInsert=false) refuses a provided column; BY
+    # DEFAULT accepts it and the watermark advances past the provided
+    # extreme. The committed metaData records the new watermark.
+    identity_hwm_updates: dict[str, int] = {}
+    identity_assigned: dict[str, tuple[int, int]] = {}  # col -> (base, step)
+    provided_identity_aggs: list[tuple[str, object]] = []
+    for col, ident in sorted(rules["identity"].items()):
+        step, hwm = ident["step"], ident["highWaterMark"]
+        if col in df.columns:
+            if not ident["allowExplicit"]:
+                raise DeltaProtocolError(
+                    f"identity column {col} is GENERATED ALWAYS "
+                    "(allowExplicitInsert=false): the batch must not "
+                    "provide it"
+                )
+            provided_identity_aggs.append(
+                (col, F.max(col) if step > 0 else F.min(col))
+            )
+        else:
+            from ..operators.relational import global_index
+
+            order = identity_order or [
+                c for c in df.columns if c not in rules["identity"]
+            ]
+            base = (hwm + step) if hwm is not None else ident["start"]
+            tmp = f"__identity_{col}"
+            df = global_index(df, order, out=tmp).withColumn(
+                col,
+                (F.lit(base) + F.lit(step) * (F.col(tmp) - 1)
+                 ).cast("long"),
+            ).drop(tmp)
+            identity_assigned[col] = (base, step)
     missing = [c for c in table_cols if c not in df.columns]
     if missing:
         raise DeltaProtocolError(
@@ -469,6 +542,7 @@ def append_delta(
     ])
 
     # ONE aggregate pass over the batch counts every rule's violations
+    # (plus the provided-identity extremes for the watermark)
     aggs = []
     labels: list[tuple[str, str]] = []
     for name, expr in sorted(rules["checks"].items()):
@@ -486,6 +560,8 @@ def append_delta(
             ~F.col(col).eqNullSafe(F.expr(gexpr))
         ))
         labels.append(("generated column", f"{col} = {gexpr}"))
+    n_rules = len(aggs)
+    aggs.extend(a for _c, a in provided_identity_aggs)
     if aggs:
         counts = df.agg(*[a.alias(f"v{i}") for i, a in enumerate(aggs)]
                         ).collect()[0]
@@ -495,6 +571,15 @@ def append_delta(
                     f"append violates {kind} {what}: {counts[i]} "
                     "row(s) in the batch fail it; nothing was committed"
                 )
+        for j, (col, _a) in enumerate(provided_identity_aggs):
+            extreme = counts[n_rules + j]
+            if extreme is None:
+                continue
+            ident = rules["identity"][col]
+            hwm, step = ident["highWaterMark"], ident["step"]
+            if hwm is None or (step > 0 and extreme > hwm) or (
+                    step < 0 and extreme < hwm):
+                identity_hwm_updates[col] = int(extreme)
 
     phys = _physical_names(meta)
     out = df
@@ -515,6 +600,29 @@ def append_delta(
     conf = meta.get("configuration") or {}
     ict_on = str(conf.get("delta.enableInCommitTimestamps", "")
                  ).lower() == "true"
+    if identity_assigned:
+        # batch size from the written footers (no extra Spark job):
+        # the assigned ids were base, base+step, ..., base+step*(n-1)
+        import pyarrow.parquet as _pq
+
+        n_rows = sum(
+            _pq.read_metadata(os.path.join(root, rel)).num_rows
+            for rel in rels
+        )
+        if n_rows:
+            for col, (base, step) in identity_assigned.items():
+                identity_hwm_updates[col] = base + step * (n_rows - 1)
+    meta_action = None
+    if identity_hwm_updates:
+        sj = json.loads(meta["schemaString"])
+        for f in sj.get("fields", []):
+            if f["name"] in identity_hwm_updates:
+                md = dict(f.get("metadata") or {})
+                md["delta.identity.highWaterMark"] = (
+                    identity_hwm_updates[f["name"]]
+                )
+                f["metadata"] = md
+        meta_action = {**meta, "schemaString": json.dumps(sj)}
 
     def build(v: int) -> list[dict]:
         actions: list[dict] = []
@@ -522,6 +630,11 @@ def append_delta(
             actions.append(
                 {"txn": {"appId": str(txn[0]), "version": int(txn[1])}}
             )
+        if meta_action is not None:
+            # the new identity high watermark rides the SAME commit as
+            # the rows it covers (real Delta's shape): a crash between
+            # them can never hand out duplicate ids
+            actions.append({"metaData": meta_action})
         actions.extend(
             {"add": {
                 "path": rel,

@@ -310,3 +310,83 @@ def test_file_stats_drop_string_bounds(spark, tmp_path):
     assert "k" in st["minValues"] and "k" in st["maxValues"]
     assert "v" not in st["minValues"] and "v" not in st["maxValues"]
     assert st["numRecords"] == 2
+
+
+def _identity_field(name, start=1, step=1, allow=False, hwm=None):
+    md = {"delta.identity.start": start, "delta.identity.step": step,
+          "delta.identity.allowExplicitInsert": allow}
+    if hwm is not None:
+        md["delta.identity.highWaterMark"] = hwm
+    return _f(name, "long", metadata=md)
+
+
+def test_identity_generated_always(spark, tmp_path):
+    """GENERATED ALWAYS identity: missing column is assigned beyond
+    the watermark (start/step honored, deterministic under
+    identity_order), the new watermark commits with the rows, a
+    provided value refuses, and the next batch continues the
+    sequence."""
+    root = _mk_table(
+        tmp_path,
+        [_identity_field("id", start=1000, step=2), _f("k", "long")],
+        protocol={"minReaderVersion": 1, "minWriterVersion": 7,
+                  "writerFeatures": ["identityColumns"]},
+    )
+    append_delta(spark, root,
+                 spark.createDataFrame([(30,), (10,), (20,)], "k bigint"),
+                 identity_order=["k"])
+    got = {(r["k"], r["id"]) for r in read_delta(spark, root).collect()}
+    assert got == {(10, 1000), (20, 1002), (30, 1004)}
+    # the watermark persisted: the next batch continues past it
+    append_delta(spark, root,
+                 spark.createDataFrame([(50,), (40,)], "k bigint"),
+                 identity_order=["k"])
+    got = {(r["k"], r["id"]) for r in read_delta(spark, root).collect()}
+    assert got == {(10, 1000), (20, 1002), (30, 1004),
+                   (40, 1006), (50, 1008)}
+    # GENERATED ALWAYS refuses a provided value
+    with pytest.raises(DeltaProtocolError, match="GENERATED ALWAYS"):
+        append_delta(spark, root, spark.createDataFrame(
+            [(99, 60)], "id bigint, k bigint"))
+    # ...and nothing leaked
+    assert read_delta(spark, root).count() == 5
+
+
+def test_identity_by_default_and_negative_step(spark, tmp_path):
+    """GENERATED BY DEFAULT accepts explicit values and advances the
+    watermark past the provided extreme; a negative step counts
+    down."""
+    root = _mk_table(
+        tmp_path,
+        [_identity_field("id", start=0, step=-5, allow=True),
+         _f("k", "long")],
+    )
+    append_delta(spark, root,
+                 spark.createDataFrame([(1,), (2,)], "k bigint"),
+                 identity_order=["k"])
+    got = {(r["k"], r["id"]) for r in read_delta(spark, root).collect()}
+    assert got == {(1, 0), (2, -5)}
+    # explicit insert below the watermark direction advances it
+    append_delta(spark, root, spark.createDataFrame(
+        [(-100, 3)], "id bigint, k bigint"))
+    # next assigned value continues past -100
+    append_delta(spark, root,
+                 spark.createDataFrame([(4,)], "k bigint"))
+    ids = {r["id"] for r in read_delta(spark, root).collect()}
+    assert ids == {0, -5, -100, -105}
+
+
+def test_identity_feature_no_longer_gated(spark, tmp_path):
+    """identityColumns is now an implemented writer feature: a table
+    declaring it appends instead of gating (the rowTracking gate stays
+    as the unknown-feature sentinel)."""
+    root = _mk_table(
+        tmp_path,
+        [_identity_field("id", start=1), _f("k", "long")],
+        protocol={"minReaderVersion": 1, "minWriterVersion": 7,
+                  "writerFeatures": ["identityColumns", "invariants"]},
+    )
+    assert append_delta(
+        spark, root, spark.createDataFrame([(7,)], "k bigint")) == 1
+    got = {(r["k"], r["id"]) for r in read_delta(spark, root).collect()}
+    assert got == {(7, 1)}

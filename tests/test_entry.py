@@ -67,6 +67,7 @@ def test_first_50_entries_cover_every_family():
                  "s62_delta_optimize", "s73_delta_shallow_clone",
                  "s75_delta_schema_evolution_write",
                  "s24_delta_v2_checkpoint", "s16_delta_export",
+                 "s79_delta_identity",
                  "flagship_readmit_30d"):
         assert must in names
     assert len(names) == 50

@@ -231,6 +231,7 @@ AUDIT = [
     "s77_delta_constraints",  # one-aggregate-pass validated appends read
     "s78_hudi_pending_clustering",  # post-replacecommit clustered read
     "st27_stream_into_constrained",  # constrained-sink drained table read
+    "s79_delta_identity",  # identity-assigned appends read (offsets windows)
 ]
 
 
