@@ -1905,7 +1905,7 @@ def _cluster_groups(
 def schedule_clustering(
     dest: str, sort_by: list[str] | None = None,
     target_file_groups: int = 1, zorder_by: list[str] | None = None,
-    bits: int = 12,
+    bits: int = 12, max_group_bytes: int | None = None,
 ) -> str | None:
     """SCHEDULE an async clustering — the requested half of Hudi's
     replacecommit lifecycle (mirror of :func:`schedule_compaction`):
@@ -1923,6 +1923,15 @@ def schedule_clustering(
     scheduled instant, or None on a group-less table. One pending
     clustering at a time (a second schedule refuses — plans here cover
     every group). Driver-side metadata only.
+
+    ``max_group_bytes`` is the SMALL-FILE strategy (real Hudi's
+    size-based clustering plan selection): only file groups whose
+    current slice (base + logs) totals at or below the threshold are
+    planned — big groups stay OUT of the plan and remain freely
+    writable while it is pending, which is what makes the ALLOW
+    update strategy useful in practice (a write to an unplanned group
+    never conflicts with the completion). Default None plans every
+    group.
 
     Plan shape divergence (documented): real Hudi serializes
     HoodieClusteringPlan avro inside the requested file; this
@@ -1959,9 +1968,26 @@ def schedule_clustering(
             "(rollback_hudi) first"
         )
     if mor:
-        groups, _logs = _latest_slices(dest, None, None, collect_logs=True)
+        groups, logs = _latest_slices(dest, None, None, collect_logs=True)
     else:
         groups = _latest_slices(dest, None, None)
+        logs = {}
+    if max_group_bytes is not None:
+        # small-file strategy: a group's current slice size is its base
+        # file plus the log chain attached to it
+        def _slice_bytes(key) -> int:
+            total = 0
+            b = groups.get(key)
+            if b is not None:
+                total += os.path.getsize(b[1])
+            for _bi, _v, p in logs.get(key, []):
+                total += os.path.getsize(p)
+            return total
+
+        groups = {
+            k: v for k, v in groups.items()
+            if _slice_bytes(k) <= max_group_bytes
+        }
     if not groups:
         return None
     hdir = os.path.join(dest, HOODIE_DIR)

@@ -1862,3 +1862,97 @@ def test_async_clustering_lifecycle(spark, tmp_path):
     assert complete_clustering(spark, dest) == inst2
     got = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
     assert got == exp_upd
+
+
+def test_small_file_clustering_strategy(spark, tmp_path):
+    """schedule_clustering(max_group_bytes=) plans only file groups at
+    or below the size threshold (real Hudi's small-file strategy):
+    unplanned groups stay freely writable while the plan is pending
+    (no reject, no completion conflict), planned groups keep the
+    update-conflict rule, and the completion retires ONLY the planned
+    groups."""
+    import glob as _glob
+
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        HudiProtocolError,
+        _pending_clusterings,
+        read_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        complete_clustering,
+        export_hudi,
+        schedule_clustering,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v string",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(spark.createDataFrame(
+        [(i, "s") for i in range(40)], "k bigint, v string"
+    ))
+    dest = str(tmp_path / "hudi")
+    export_hudi(t, dest)
+
+    # learn the bucket of each key from the exported base files
+    def keys_of(fid_prefix):
+        out = set()
+        for p in _glob.glob(os.path.join(dest, f"{fid_prefix}_*.parquet")):
+            out |= {r["k"] for r in spark.read.parquet(p).collect()}
+        return out
+
+    k0, k1 = keys_of("b0000"), keys_of("b0001")
+    assert k0 and k1 and not (k0 & k1)
+    # inflate bucket 1: its keys get long values -> big group
+    t.merge(spark.createDataFrame(
+        [(i, "x" * 5000) for i in sorted(k1)], "k bigint, v string"
+    ))
+    export_hudi(t, dest)
+    # the plan sizes the CURRENT slice (newest base), not all vintages
+    sizes = {
+        fid: max(os.path.getsize(p) for p in
+                 _glob.glob(os.path.join(dest, f"{fid}_*.parquet")))
+        for fid in ("b0000", "b0001")
+    }
+    assert sizes["b0001"] > sizes["b0000"]
+    threshold = (sizes["b0000"] + sizes["b0001"]) // 2
+
+    inst = schedule_clustering(dest, sort_by=["k"],
+                               target_file_groups=1,
+                               max_group_bytes=threshold)
+    plan = _pending_clusterings(dest)[inst]
+    assert [op["fileId"] for op in plan["operations"]] == ["b0000"]
+
+    # a mid-pending write to the UNPLANNED big group proceeds even
+    # under the default reject strategy...
+    some_k1 = sorted(k1)[0]
+    t.merge(spark.createDataFrame([(some_k1, "updated")],
+                                  "k bigint, v string"))
+    export_hudi(t, dest)
+    # ...while the planned group keeps the conflict rule
+    some_k0 = sorted(k0)[0]
+    t.merge(spark.createDataFrame([(some_k0, "blocked")],
+                                  "k bigint, v string"))
+    with pytest.raises(HudiProtocolError, match="pending clustering"):
+        export_hudi(t, dest)
+
+    # the completion succeeds: the landed write touched no planned group
+    assert complete_clustering(spark, dest) == inst
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    exp = (
+        {(i, "s") for i in sorted(k0)}
+        | {(i, "x" * 5000) for i in sorted(k1) if i != some_k1}
+        | {(some_k1, "updated")}
+    )
+    assert got == exp
+    # only the planned group was retired into a clustered fileId
+    live = {os.path.basename(p) for p in
+            read_hudi(spark, dest).inputFiles()}
+    assert any(f.startswith("c0") for f in live)
+    assert any(f.startswith("b0001_") for f in live)
+    assert not any(f.startswith("b0000_") for f in live)
