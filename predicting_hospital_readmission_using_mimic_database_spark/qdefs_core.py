@@ -8537,6 +8537,13 @@ def q_s76(spark, sf):
         k >= 9_000_000
     ).count() == poison.count()
     drop_iceberg_ref(t.root, "bad-audit")
+    # the wap.id flavor rejects the same way: a ref-less staged
+    # snapshot (summary wap.id) audits by snapshot id and, never
+    # published, never reaches main (it is simply unreferenced)
+    wap_sid = export_iceberg(t, wap_id="s76-poison")
+    assert read_iceberg(spark, t.root, snapshot_id=wap_sid).filter(
+        k >= 9_000_000
+    ).count() == poison.count()
     got = read_iceberg(spark, t.root)
     assert got.filter(k >= 9_000_000).count() == 0
     assert got.count() == n - 1 + n_late

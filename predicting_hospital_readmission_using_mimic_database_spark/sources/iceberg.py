@@ -614,7 +614,10 @@ def _iceberg_type_ids(dt: T.DataType, next_id: list[int]):
     return _iceberg_type(dt)
 
 
-def export_iceberg(table, _retries: int = 10, branch: str | None = None) -> int:
+def export_iceberg(
+    table, _retries: int = 10, branch: str | None = None,
+    wap_id: str | None = None,
+) -> int:
     """Publish a :class:`~.table.SnapshotTable`'s CURRENT snapshot as a
     real Iceberg v2 table under the table root — zero data movement
     (parquet files shared byte-for-byte), so pyiceberg/Trino/Spark's
@@ -653,7 +656,18 @@ def export_iceberg(table, _retries: int = 10, branch: str | None = None) -> int:
     (the staged snapshot becomes unreferenced and expirable). The diff
     base is the BRANCH head when the branch exists (consecutive staged
     commits chain), else current main. Staging on a never-exported
-    table raises — WAP audits changes AGAINST a published table."""
+    table raises — WAP audits changes AGAINST a published table.
+
+    ``wap_id`` is the OTHER WAP flavor (Iceberg's ``spark.wap.id`` /
+    ``write.wap.enabled``): the snapshot lands in the metadata with
+    ``"wap.id"`` in its summary and NO ref — main never moves, the
+    audit reads ``snapshot_id=<returned id>``, and
+    :func:`publish_iceberg_wap(root, wap_id=...)` cherry-picks it by
+    id (refusing a double publish). Unreferenced staged snapshots are
+    expirable, exactly real Iceberg's behavior; a NO-CHANGE wap stage
+    returns the base with nothing to publish (use the branch flavor
+    for no-op-tolerant pipelines). Mutually exclusive with
+    ``branch``."""
     import time
     import uuid as _uuid
 
@@ -665,6 +679,8 @@ def export_iceberg(table, _retries: int = 10, branch: str | None = None) -> int:
     # manifest files — only the metadata CAS decides the winner, and
     # the loser's files are unreferenced orphans
     attempt = _uuid.uuid4().hex[:12]
+    if branch is not None and wap_id is not None:
+        raise ValueError("branch and wap_id are mutually exclusive")
     root = table.root
     table._refresh()
     live = sorted(table._live.items())
@@ -680,11 +696,11 @@ def export_iceberg(table, _retries: int = 10, branch: str | None = None) -> int:
         with open(latest) as f:
             prev_meta = json.load(f)
     snapshots = list(prev_meta.get("snapshots", [])) if prev_meta else []
-    if branch is not None and not snapshots:
+    if (branch is not None or wap_id is not None) and not snapshots:
         raise IcebergProtocolError(
-            f"cannot stage on branch {branch!r}: the table was never "
-            "exported — WAP audits changes against a published table "
-            "(export to main first)"
+            f"cannot stage {('on branch ' + repr(branch)) if branch else ('wap.id ' + repr(wap_id))}: "
+            "the table was never exported — WAP audits changes against "
+            "a published table (export to main first)"
         )
     carried: list[dict] = []
     prev_files: set[str] = set()
@@ -881,6 +897,9 @@ def export_iceberg(table, _retries: int = 10, branch: str | None = None) -> int:
         # ancestry: publish_iceberg_wap's fast-forward validation walks
         # this chain; real Iceberg records it on every snapshot
         snap_rec["parent-snapshot-id"] = base_sid
+    if wap_id is not None:
+        # the stage marker publish_iceberg_wap(wap_id=) resolves by
+        snap_rec["summary"]["wap.id"] = str(wap_id)
     snapshots.append(snap_rec)
     last_col_id = _next[0] - 1
     meta = {
@@ -896,7 +915,8 @@ def export_iceberg(table, _retries: int = 10, branch: str | None = None) -> int:
         "default-spec-id": 0,
         "snapshots": snapshots,
         "current-snapshot-id": (
-            prev_meta["current-snapshot-id"] if branch is not None
+            prev_meta["current-snapshot-id"]
+            if (branch is not None or wap_id is not None)
             else sid
         ),
         "_export_version": version,
@@ -939,7 +959,9 @@ def export_iceberg(table, _retries: int = 10, branch: str | None = None) -> int:
                 f"{version} ten times in a row; a foreign writer is "
                 "committing faster than the export can refresh"
             ) from None
-        return export_iceberg(table, _retries=_retries - 1, branch=branch)
+        return export_iceberg(
+            table, _retries=_retries - 1, branch=branch, wap_id=wap_id
+        )
     _advance_version_hint(mdir, version)
     return sid
 
@@ -4003,8 +4025,8 @@ def drop_iceberg_ref(root: str, name: str) -> None:
 
 
 def publish_iceberg_wap(
-    root: str, branch: str, retain_branch: bool = False,
-    _retries: int = 10,
+    root: str, branch: str | None = None, retain_branch: bool = False,
+    _retries: int = 10, wap_id: str | None = None,
 ) -> dict:
     """PUBLISH a staged audit branch to main — the publish half of
     WRITE-AUDIT-PUBLISH (``export_iceberg(branch=)`` stages, the audit
@@ -4026,8 +4048,17 @@ def publish_iceberg_wap(
       ancestor REFUSES with :class:`IcebergProtocolError` — publish
       fails cleanly rather than silently dropping main's commits.
 
+    ``wap_id`` publishes the OTHER staging flavor
+    (``export_iceberg(wap_id=)``: a ref-less snapshot whose summary
+    carries ``wap.id``): the staged snapshot resolves by id, the same
+    fast-forward/cherry-pick rules apply, the published snapshot
+    records ``published-wap-id``, and a DOUBLE publish of the same id
+    refuses (the spec's cherrypick duplicate check). Exactly one of
+    ``branch`` / ``wap_id`` is required.
+
     A rejected audit never needs this function: :func:`drop_iceberg_ref`
-    un-pins the staged snapshot and the next expiry collects it — the
+    un-pins the staged branch snapshot (a rejected wap snapshot is
+    simply left unreferenced) and the next expiry collects it — the
     staged rows were never reachable from main. On success the audit
     branch is dropped (its job is done) unless ``retain_branch``.
 
@@ -4041,6 +4072,10 @@ def publish_iceberg_wap(
 
     from .avro_ocf import read_avro as _read, write_avro as _write
 
+    if (branch is None) == (wap_id is None):
+        raise ValueError(
+            "publish_iceberg_wap needs exactly one of branch / wap_id"
+        )
     mdir = os.path.join(root, "metadata")
     latest = _latest_metadata_path(root)
     if latest is None:
@@ -4048,21 +4083,22 @@ def publish_iceberg_wap(
     with open(latest) as f:
         meta = json.load(f)
     refs = dict(meta.get("refs") or {})
-    if branch not in refs:
-        raise IcebergProtocolError(
-            f"audit branch {branch!r} not found (have {sorted(refs)})"
-        )
-    if refs[branch].get("type") != "branch":
-        raise IcebergProtocolError(
-            f"ref {branch!r} is a tag, not a branch"
-        )
-    staged = int(refs[branch]["snapshot-id"])
     main = int(meta["current-snapshot-id"])
     snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
-    if staged not in snaps:
-        raise IcebergProtocolError(
-            f"branch {branch!r} points at unknown snapshot {staged}"
-        )
+    if branch is not None:
+        if branch not in refs:
+            raise IcebergProtocolError(
+                f"audit branch {branch!r} not found (have {sorted(refs)})"
+            )
+        if refs[branch].get("type") != "branch":
+            raise IcebergProtocolError(
+                f"ref {branch!r} is a tag, not a branch"
+            )
+        staged = int(refs[branch]["snapshot-id"])
+        if staged not in snaps:
+            raise IcebergProtocolError(
+                f"branch {branch!r} points at unknown snapshot {staged}"
+            )
 
     def ancestry(sid: int) -> list[int]:
         chain, seen = [], set()
@@ -4074,8 +4110,34 @@ def publish_iceberg_wap(
             cur = int(p) if p is not None else None
         return chain
 
-    staged_chain = ancestry(staged)
     main_ancestry = set(ancestry(main))
+    if wap_id is not None:
+        # duplicate-publish check FIRST: a main-reachable snapshot that
+        # staged or published this id means the work already landed
+        for a in main_ancestry:
+            summ = snaps[a].get("summary") or {}
+            if str(wap_id) in (summ.get("wap.id"),
+                               summ.get("published-wap-id")):
+                raise IcebergProtocolError(
+                    f"wap.id {wap_id!r} was already published "
+                    f"(snapshot {a} on main)"
+                )
+        cands = sorted(
+            s for s, rec in snaps.items()
+            if (rec.get("summary") or {}).get("wap.id") == str(wap_id)
+            and s not in main_ancestry
+        )
+        if not cands:
+            raise IcebergProtocolError(
+                f"no staged snapshot carries wap.id {wap_id!r}"
+            )
+        if len(cands) > 1:
+            raise IcebergProtocolError(
+                f"wap.id {wap_id!r} is ambiguous: staged snapshots "
+                f"{cands} all carry it — stage with unique ids"
+            )
+        staged = cands[0]
+    staged_chain = ancestry(staged)
 
     if staged == main:
         mode, new_sid, new_snap = "noop", main, None
@@ -4136,15 +4198,16 @@ def publish_iceberg_wap(
             "summary": {
                 "operation": "append",
                 "wap.published-from": str(staged),
+                **({"published-wap-id": str(wap_id)}
+                   if wap_id is not None else {}),
             },
             "manifest-list": mlist,
             "schema-id": snaps[main].get("schema-id", 0),
         }
 
-    if mode == "noop" and not retain_branch:
-        drop_iceberg_ref(root, branch)
-        return {"snapshot_id": main, "mode": mode}
     if mode == "noop":
+        if branch is not None and not retain_branch:
+            drop_iceberg_ref(root, branch)
         return {"snapshot_id": main, "mode": mode}
 
     new_meta = dict(meta)
@@ -4156,10 +4219,11 @@ def publish_iceberg_wap(
     new_meta["current-snapshot-id"] = new_sid
     new_meta["last-updated-ms"] = int(time.time() * 1000)
     refs = dict(new_meta.get("refs") or {})
-    if retain_branch:
-        refs[branch] = {"snapshot-id": new_sid, "type": "branch"}
-    else:
-        refs.pop(branch, None)
+    if branch is not None:
+        if retain_branch:
+            refs[branch] = {"snapshot-id": new_sid, "type": "branch"}
+        else:
+            refs.pop(branch, None)
     if "main" in refs and refs["main"].get("type") == "branch":
         refs["main"] = {"snapshot-id": new_sid, "type": "branch"}
     new_meta["refs"] = refs
@@ -4185,7 +4249,7 @@ def publish_iceberg_wap(
             ) from None
         return publish_iceberg_wap(
             root, branch, retain_branch=retain_branch,
-            _retries=_retries - 1,
+            _retries=_retries - 1, wap_id=wap_id,
         )
     _advance_version_hint(mdir, version)
     return {"snapshot_id": new_sid, "mode": mode}

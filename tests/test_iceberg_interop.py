@@ -3198,3 +3198,78 @@ def test_wap_noop_stage_creates_branch(spark, tmp_path):
 
     with _pytest.raises(IcebergProtocolError, match="not found"):
         publish_iceberg_wap(t.root, "audit")
+
+
+def test_wap_id_staged_publish(spark, tmp_path):
+    """The spark.wap.id staging flavor: export_iceberg(wap_id=) lands a
+    ref-less snapshot whose summary carries wap.id, main never moves;
+    publish_iceberg_wap(wap_id=) cherry-picks/fast-forwards it by id,
+    records published-wap-id, and REFUSES a double publish; a rejected
+    staged snapshot is simply unreferenced (never reaches main)."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        IcebergProtocolError,
+        export_iceberg,
+        publish_iceberg_wap,
+        read_iceberg,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(df)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        export_iceberg(t, branch="b", wap_id="w")
+    sid1 = export_iceberg(t)
+
+    def main_keys():
+        return {r["k"] for r in read_iceberg(spark, t.root).collect()}
+
+    base = set(range(50))
+    # STAGE by wap id: main stays put; audit reads the snapshot id
+    t.append(df.select((F.col("k") + 100).alias("k")))
+    staged = export_iceberg(t, wap_id="etl-42")
+    assert staged > sid1 and main_keys() == base
+    audit = {r["k"] for r in read_iceberg(
+        spark, t.root, snapshot_id=staged).collect()}
+    assert audit == base | {k + 100 for k in range(50)}
+
+    with pytest.raises(ValueError, match="exactly one"):
+        publish_iceberg_wap(t.root)
+    with pytest.raises(IcebergProtocolError, match="no staged"):
+        publish_iceberg_wap(t.root, wap_id="wrong-id")
+
+    out = publish_iceberg_wap(t.root, wap_id="etl-42")
+    assert out == {"snapshot_id": staged, "mode": "fast-forward"}
+    assert main_keys() == audit
+    # double publish refuses
+    with pytest.raises(IcebergProtocolError, match="already published"):
+        publish_iceberg_wap(t.root, wap_id="etl-42")
+
+    # cherry-pick leg: stage, main advances, publish replays on top
+    t2 = SnapshotTable(spark, t.root)
+    t2._refresh()
+    t2.append(df.select((F.col("k") + 200).alias("k")))
+    staged2 = export_iceberg(t2, wap_id="etl-43")
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        append_position_deletes,
+        iceberg_meta_table,
+    )
+
+    victim = sorted(
+        r["file_path"]
+        for r in iceberg_meta_table(spark, t.root, "files").collect()
+    )[0]
+    append_position_deletes(t.root, [(victim, 0)])
+    n_main = read_iceberg(spark, t.root).count()
+    out2 = publish_iceberg_wap(t.root, wap_id="etl-43")
+    assert out2["mode"] == "cherry-pick"
+    assert read_iceberg(spark, t.root).count() == n_main + 50
+    with pytest.raises(IcebergProtocolError, match="already published"):
+        publish_iceberg_wap(t.root, wap_id="etl-43")
