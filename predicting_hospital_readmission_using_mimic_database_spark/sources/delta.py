@@ -1178,6 +1178,21 @@ def export_delta_log(
         removes = sorted(prev - current)
         if not adds and not removes:
             return last
+        if removes and str(
+            (_meta.get("configuration") or {}).get("delta.appendOnly", "")
+        ).lower() == "true":
+            # the appendOnly writer feature's one obligation: a table
+            # declaring delta.appendOnly=true forbids remove actions —
+            # exporting a snapshot that dropped files would break the
+            # table's contract with every downstream consumer built on
+            # the append-only guarantee
+            raise DeltaProtocolError(
+                f"table declares delta.appendOnly=true but the export "
+                f"diff removes {len(removes)} file(s) "
+                f"({removes[:3]}{'...' if len(removes) > 3 else ''}); "
+                "append-only tables refuse removes — export the "
+                "mutated snapshot to a fresh root or drop the property"
+            )
         version = last + 1
         # stamp ICTs only on logs that DECLARE the feature (a log
         # exported before ICT support keeps its old shape — enabling

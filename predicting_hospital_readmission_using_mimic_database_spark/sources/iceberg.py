@@ -3783,9 +3783,51 @@ def expire_iceberg_snapshots(
         )
     if keep_last is not None and keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    import time as _time
+
+    now_ms = int(_time.time() * 1000)
+    snaps_by_id = {int(s["snapshot-id"]): s for s in snaps}
+
+    def _ts(sid: int) -> int:
+        return int(snaps_by_id.get(sid, {}).get("timestamp-ms") or 0)
+
+    # spec ref retention (§Snapshot References): a ref declaring
+    # max-ref-age-ms EXPIRES with this pass once its snapshot is older
+    # (main never expires); surviving refs protect their snapshot,
+    # and BRANCHES additionally protect their ancestor history per
+    # min-snapshots-to-keep / max-snapshot-age-ms
+    refs = dict(meta.get("refs") or {})
+    for nm in sorted(refs):
+        if nm == "main":
+            continue
+        mra = refs[nm].get("max-ref-age-ms")
+        if mra is not None and now_ms - _ts(
+            int(refs[nm]["snapshot-id"])
+        ) > int(mra):
+            del refs[nm]
+    meta["refs"] = refs
     protected = {int(meta["current-snapshot-id"])}
-    for r in (meta.get("refs") or {}).values():
-        protected.add(int(r["snapshot-id"]))
+    for r in refs.values():
+        head = int(r["snapshot-id"])
+        protected.add(head)
+        if r.get("type") != "branch":
+            continue
+        keep_n = int(r.get("min-snapshots-to-keep") or 1)
+        msa = r.get("max-snapshot-age-ms")
+        chain: list[int] = []
+        cur_sid: int | None = head
+        seen: set[int] = set()
+        while cur_sid is not None and cur_sid in snaps_by_id \
+                and cur_sid not in seen:
+            chain.append(cur_sid)
+            seen.add(cur_sid)
+            p = snaps_by_id[cur_sid].get("parent-snapshot-id")
+            cur_sid = int(p) if p is not None else None
+        for i, sid in enumerate(chain):
+            if i < keep_n or (
+                msa is not None and now_ms - _ts(sid) <= int(msa)
+            ):
+                protected.add(sid)
     keep_tail = (
         {s["snapshot-id"] for s in snaps[-keep_last:]}
         if keep_last is not None
@@ -3975,6 +4017,9 @@ def set_iceberg_ref(
     name: str,
     snapshot_id: int | None = None,
     type: str = "tag",
+    max_ref_age_ms: int | None = None,
+    max_snapshot_age_ms: int | None = None,
+    min_snapshots_to_keep: int | None = None,
 ) -> int:
     """Create or move a NAMED REF (spec §Table Metadata ``refs``): a
     ``tag`` pins a snapshot forever (releases, audits), a ``branch``
@@ -3983,9 +4028,24 @@ def set_iceberg_ref(
     ref protection — a tagged snapshot survives any expiry until the
     ref is dropped. ``snapshot_id`` defaults to the current snapshot.
     Metadata-only (a new ``vN.metadata.json`` + hint); returns the
-    pinned snapshot id."""
+    pinned snapshot id.
+
+    RETENTION fields (spec §Snapshot References, consumed by
+    :func:`expire_iceberg_snapshots`): ``max_ref_age_ms`` expires the
+    REF itself once the referenced snapshot is older (never the main
+    branch); for branches, ``min_snapshots_to_keep`` /
+    ``max_snapshot_age_ms`` protect the branch's ANCESTOR history —
+    at least N newest ancestors, plus every ancestor younger than the
+    age cutoff. Branch-only fields on a tag raise."""
     if type not in ("tag", "branch"):
         raise ValueError(f"ref type must be 'tag' or 'branch', got {type!r}")
+    if type == "tag" and (
+        max_snapshot_age_ms is not None or min_snapshots_to_keep is not None
+    ):
+        raise ValueError(
+            "max_snapshot_age_ms / min_snapshots_to_keep are branch-only "
+            "retention fields (a tag pins exactly one snapshot)"
+        )
     with open(_metadata_path(root)) as f:
         meta = json.load(f)
     snaps = {s["snapshot-id"] for s in meta.get("snapshots", [])}
@@ -3995,7 +4055,14 @@ def set_iceberg_ref(
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not found (have {sorted(snaps)})")
     refs = dict(meta.get("refs") or {})
-    refs[name] = {"snapshot-id": int(sid), "type": type}
+    rec: dict = {"snapshot-id": int(sid), "type": type}
+    if max_ref_age_ms is not None:
+        rec["max-ref-age-ms"] = int(max_ref_age_ms)
+    if max_snapshot_age_ms is not None:
+        rec["max-snapshot-age-ms"] = int(max_snapshot_age_ms)
+    if min_snapshots_to_keep is not None:
+        rec["min-snapshots-to-keep"] = int(min_snapshots_to_keep)
+    refs[name] = rec
     meta["refs"] = refs
     version = int(meta.get("_export_version", len(meta.get("snapshots", [])))) + 1
     meta["_export_version"] = version

@@ -390,3 +390,54 @@ def test_identity_feature_no_longer_gated(spark, tmp_path):
         spark, root, spark.createDataFrame([(7,)], "k bigint")) == 1
     got = {(r["k"], r["id"]) for r in read_delta(spark, root).collect()}
     assert got == {(7, 1)}
+
+
+def test_append_only_table_refuses_removes(spark, tmp_path):
+    """delta.appendOnly=true (the appendOnly writer feature's
+    obligation): append commits pass, a snapshot diff that would emit
+    remove actions refuses naming the property."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        export_delta_log,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(df)
+    assert export_delta_log(t) == 0
+    # flip the property on via a direct metaData commit
+    import json as _json
+
+    log = os.path.join(t.root, "_delta_log")
+    with open(os.path.join(log, f"{0:020d}.json")) as f:
+        meta = next(
+            _json.loads(ln)["metaData"] for ln in f
+            if ln.strip() and "metaData" in _json.loads(ln)
+        )
+    meta = {**meta, "configuration": {
+        **(meta.get("configuration") or {}), "delta.appendOnly": "true"}}
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
+        f.write(_json.dumps({"metaData": meta}) + "\n")
+    # appends still export fine...
+    t.append(df.select((F.col("k") + 100).alias("k")))
+    assert export_delta_log(t) == 2
+    # ...but a merge (bucket rewrite -> removes) refuses
+    t.merge(spark.createDataFrame([(1,)], "k bigint"))
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        export_delta_log(t)
+    # the constrained append path honors the same declared feature
+    root2 = _mk_table(
+        tmp_path / "t2", [_f("k", "long")],
+        configuration={"delta.appendOnly": "true"},
+        protocol={"minReaderVersion": 1, "minWriterVersion": 7,
+                  "writerFeatures": ["appendOnly"]},
+    )
+    assert append_delta(
+        spark, root2, spark.createDataFrame([(1,)], "k bigint")) == 1

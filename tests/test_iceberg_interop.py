@@ -3273,3 +3273,69 @@ def test_wap_id_staged_publish(spark, tmp_path):
     assert read_iceberg(spark, t.root).count() == n_main + 50
     with pytest.raises(IcebergProtocolError, match="already published"):
         publish_iceberg_wap(t.root, wap_id="etl-43")
+
+
+def test_ref_retention_policies(spark, tmp_path):
+    """Spec ref-retention fields drive expiry: max-ref-age-ms expires
+    the REF itself (its snapshot becomes collectable), a branch's
+    min-snapshots-to-keep protects that many newest ANCESTORS, and
+    branch-only fields on a tag refuse at declaration."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        _metadata_path,
+        expire_iceberg_snapshots,
+        export_iceberg,
+        publish_iceberg_wap,
+        read_iceberg,
+        set_iceberg_ref,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    df = spark.range(0, 30).select(F.col("id").alias("k"))
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(df)
+    s1 = export_iceberg(t)
+    t.append(df.select((F.col("k") + 100).alias("k")))
+    s2 = export_iceberg(t)
+    t.append(df.select((F.col("k") + 200).alias("k")))
+    s3 = export_iceberg(t)
+    t.append(df.select((F.col("k") + 300).alias("k")))
+    s4 = export_iceberg(t)
+
+    with pytest.raises(ValueError, match="branch-only"):
+        set_iceberg_ref(t.root, "bad", type="tag",
+                        min_snapshots_to_keep=2)
+
+    # an AGED-OUT tag stops protecting: declare max-ref-age-ms 1ms on
+    # an old snapshot; a fresh tag with no age field protects forever
+    set_iceberg_ref(t.root, "aged", snapshot_id=s1, type="tag",
+                    max_ref_age_ms=1)
+    set_iceberg_ref(t.root, "pinned", snapshot_id=s2, type="tag")
+    # a branch keeping its 2 newest ancestors
+    set_iceberg_ref(t.root, "dev", snapshot_id=s4, type="branch",
+                    min_snapshots_to_keep=2)
+    import time as _t
+
+    _t.sleep(0.01)  # let the aged ref pass its 1ms window
+    expired = expire_iceberg_snapshots(t.root, keep_last=1)
+    # s1: its only protector aged out -> expired. s2: tag-pinned.
+    # s3: protected as the dev branch's 2nd-newest ancestor. s4: head.
+    assert expired == [s1]
+    with open(_metadata_path(t.root)) as f:
+        meta = _json.load(f)
+    assert "aged" not in (meta.get("refs") or {})
+    assert {s["snapshot-id"] for s in meta["snapshots"]} == {s2, s3, s4}
+    # the protected history still reads
+    assert read_iceberg(spark, t.root, snapshot_id=s3).count() == 90
+    assert read_iceberg(spark, t.root, ref="pinned").count() == 60
+    # the surviving branch fast-forward-publishes cleanly afterwards
+    out = publish_iceberg_wap(t.root, "dev")
+    assert out["mode"] == "noop"  # dev head == main already
