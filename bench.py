@@ -214,6 +214,7 @@ HEADLINE = [
     "x17_bm25_topk",
     "st27_stream_into_constrained",
     "s79_delta_identity",
+    "st28_stream_identity_sink",
 ]
 
 

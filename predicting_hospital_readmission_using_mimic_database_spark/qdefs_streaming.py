@@ -2364,3 +2364,164 @@ def q_st27(spark, sf):
         return got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st28_stream_identity_sink",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    c0 AS (SELECT k, cents, row_number() OVER (ORDER BY k) AS rn
+           FROM base WHERE k % 3 = 0),
+    c1 AS (SELECT k, cents, row_number() OVER (ORDER BY k) AS rn
+           FROM base WHERE k % 3 = 1),
+    c2 AS (SELECT k, cents, row_number() OVER (ORDER BY k) AS rn
+           FROM base WHERE k % 3 = 2),
+    n0 AS (SELECT count(*) AS c FROM base WHERE k % 3 = 0),
+    n1 AS (SELECT count(*) AS c FROM base WHERE k % 3 = 1),
+    n2 AS (SELECT count(*) AS c FROM base WHERE k % 3 = 2),
+    fx AS (SELECT k + 9000000 AS k, cents,
+                  row_number() OVER (ORDER BY k) AS rn
+           FROM base WHERE k % 50 = 0)
+    SELECT CAST(rn AS BIGINT) AS id, k AS c_custkey, cents FROM c0
+    UNION ALL
+    SELECT CAST(n0.c + rn AS BIGINT), k, cents FROM c1 CROSS JOIN n0
+    UNION ALL
+    SELECT CAST(n0.c + n1.c + rn AS BIGINT), k, cents
+    FROM c2 CROSS JOIN n0 CROSS JOIN n1
+    UNION ALL
+    SELECT CAST(n0.c + n1.c + n2.c + rn AS BIGINT), k, cents
+    FROM fx CROSS JOIN n0 CROSS JOIN n1 CROSS JOIN n2
+    """,
+)
+def q_st28(spark, sf):
+    """ST28 — a STREAM draining into an IDENTITY-keyed Delta table
+    (sources/delta_constraints.py: identityColumns + setTransaction
+    composed under streaming): every micro-batch gets surrogate ids
+    assigned beyond the persisted watermark, and EXACTLY-ONCE
+    semantics protect the SEQUENCE itself — a replayed batch (zombie
+    sink retry, simulated in-entry by re-invoking the sink with an
+    already-committed batch id) skips via its txn action, so ids
+    neither duplicate nor gap (asserted: watermark and count unchanged
+    after the replay). A POISONED batch (NULL key) fails the query
+    naming the NOT NULL constraint with the committed prefix exact;
+    the upstream fix rewrites the file in place and the same
+    checkpoint resumes, ids continuing precisely where the last
+    committed batch stopped. DuckDB recomputes every assigned id from
+    the per-batch ordering; a duplicated replay, a gapped sequence, or
+    a leaked poison row breaks the hash."""
+    import glob as _glob
+    import json as _json
+
+    from .qdefs_core import _table_root
+    from .sources.delta import read_delta
+    from .sources.delta_constraints import append_delta
+    from .sources.io import read_table as _rt
+
+    c = _rt(spark, sf, "customer").select(
+        F.col("c_custkey"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("c_custkey")
+    n = c.count()
+    root = _table_root("st28", sf)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.identity.start": 1,
+                      "delta.identity.step": 1,
+                      "delta.identity.allowExplicitInsert": False}},
+        {"name": "c_custkey", "type": "long", "nullable": False,
+         "metadata": {}},
+        {"name": "cents", "type": "long", "nullable": True,
+         "metadata": {}},
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["identityColumns", "invariants"]}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": "st28", "format": {"provider": "parquet",
+                                     "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": [], "configuration": {},
+        }}) + "\n")
+
+    tmp = tempfile.mkdtemp(prefix="st28_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        ck = os.path.join(tmp, "ck")
+        seen_bids: list[int] = []
+
+        def _stage(df, name):
+            stage = os.path.join(tmp, f".stage-{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+            shutil.move(part, os.path.join(src, name))
+            shutil.rmtree(stage)
+
+        def sink(df, bid):
+            seen_bids.append(int(bid))
+            append_delta(spark, root, df, operation="STREAMING UPDATE",
+                         txn=("st28", int(bid)),
+                         identity_order=["c_custkey"])
+
+        def drain():
+            q = (
+                spark.readStream.schema("c_custkey long, cents long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        # three sequenced drains pin the batch order (ids encode it)
+        for i in range(3):
+            _stage(c.filter(k % 3 == i), f"slice{i}.parquet")
+            drain()
+        assert read_delta(spark, root).count() == n
+        ids = read_delta(spark, root)
+        assert ids.agg(F.max("id")).collect()[0][0] == n  # gapless
+
+        # ZOMBIE REPLAY of an already-committed batch: the txn action
+        # skips it — count AND watermark untouched (no id burn)
+        last_bid = seen_bids[-1]
+        sink(c.filter(k % 3 == 2), last_bid)
+        assert read_delta(spark, root).count() == n
+        assert read_delta(spark, root).agg(
+            F.max("id")
+        ).collect()[0][0] == n
+
+        # POISON: a NULL key fails the drain naming NOT NULL; the
+        # committed prefix (and the id sequence) stays exact
+        poison = c.filter(k % 50 == 0).select(
+            F.lit(None).cast("long").alias("c_custkey"), "cents",
+        )
+        _stage(poison, "batch3.parquet")
+        try:
+            drain()
+            raise AssertionError("poisoned drain must fail")
+        except Exception as e:
+            assert "NOT NULL" in str(e)
+        assert read_delta(spark, root).count() == n
+        # fix in place; the same checkpoint resumes, ids continue
+        fixed = c.filter(k % 50 == 0).select(
+            (k + 9_000_000).alias("c_custkey"), "cents",
+        )
+        _stage(fixed, "batch3.parquet")
+        drain()
+        got = read_delta(spark, root)
+        assert got.count() == n + fixed.count()
+        assert got.agg(F.max("id")).collect()[0][0] == n + fixed.count()
+        return got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -441,3 +441,33 @@ def test_append_only_table_refuses_removes(spark, tmp_path):
     )
     assert append_delta(
         spark, root2, spark.createDataFrame([(1,)], "k bigint")) == 1
+
+
+def test_cdf_over_constrained_appends(spark, tmp_path):
+    """append_delta commits compose with the change-data-feed read:
+    each batch surfaces as inserts at its own commit version (appends
+    need no change files per spec), and a refused batch contributes
+    no change rows."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        read_delta_changes,
+    )
+
+    root = _mk_table(
+        tmp_path, [_f("k", "long")],
+        configuration={"delta.constraints.pos": "k > 0",
+                       "delta.enableChangeDataFeed": "true"},
+        protocol={"minReaderVersion": 1, "minWriterVersion": 7,
+                  "writerFeatures": ["checkConstraints",
+                                     "changeDataFeed"]},
+    )
+    append_delta(spark, root, spark.createDataFrame([(1,), (2,)],
+                                                    "k bigint"))
+    with pytest.raises(DeltaProtocolError, match="pos"):
+        append_delta(spark, root,
+                     spark.createDataFrame([(-1,)], "k bigint"))
+    append_delta(spark, root, spark.createDataFrame([(3,)], "k bigint"))
+    rows = read_delta_changes(spark, root, starting_version=1).collect()
+    got = {(r["k"], r["_change_type"], r["_commit_version"])
+           for r in rows}
+    assert got == {(1, "insert", 1), (2, "insert", 1),
+                   (3, "insert", 2)}

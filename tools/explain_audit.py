@@ -232,6 +232,7 @@ AUDIT = [
     "s78_hudi_pending_clustering",  # post-replacecommit clustered read
     "st27_stream_into_constrained",  # constrained-sink drained table read
     "s79_delta_identity",  # identity-assigned appends read (offsets windows)
+    "st28_stream_identity_sink",  # identity-sink drained table read
 ]
 
 
