@@ -215,6 +215,7 @@ HEADLINE = [
     "st27_stream_into_constrained",
     "s79_delta_identity",
     "st28_stream_identity_sink",
+    "x18_hybrid_rerank",
 ]
 
 

@@ -746,3 +746,80 @@ def contrastive_pairs(
         F.lit(1).cast("int").alias("label"),
     )
     return pos.unionByName(neg)
+
+
+def rerank_candidates(
+    emb: DataFrame,
+    candidates: DataFrame,
+    seeds: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """RETRIEVE-THEN-RERANK second stage: re-score a first-stage
+    candidate set (BM25, ANN, whatever produced it) by embedding
+    cosine against a per-query SEED vector — the pseudo-relevance /
+    query-by-example rerank every hybrid retrieval pipeline runs.
+
+    ``candidates`` is the first stage's output — a SMALL
+    (query_id, cand_id) frame, <= queries x first-stage-k rows by
+    construction — and ``seeds`` maps each query to its seed id (e.g.
+    the first stage's top hit). Plan: the candidate and seed frames
+    BROADCAST onto the embedding table (one scan, hash-join filtered;
+    never a shuffle of the corpus), cosine is ``zip_with`` +
+    ``aggregate`` (JVM-side, no UDF), and per-query top-k is
+    orderBy+limit per query — TakeOrderedAndProject over the already-
+    candidate-bounded rows. The <= queries*k result materializes
+    (driver frame), mirroring ``bm25_topk``.
+
+    Returns (query_id, cand_id, cosine, rank); cosine rounded to 6 for
+    cross-engine hashing, rank computed on the unrounded value with
+    ties by candidate id."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    cand = F.broadcast(
+        candidates.select("query_id", F.col("cand_id").cast("long"))
+    )
+    seed_df = F.broadcast(spark.createDataFrame(
+        sorted((q, int(d)) for q, d in seeds.items()),
+        "query_id string, __seed_id long",
+    ))
+    seed_emb = F.broadcast(
+        emb.join(seed_df, emb[id_col] == F.col("__seed_id"))
+        .select("query_id", F.col(vec_col).alias("__seed_vec"))
+    )
+    scored = (
+        emb.join(cand, emb[id_col] == cand["cand_id"])
+        .join(seed_emb, "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(
+                F.col(vec_col).cast("array<double>"),
+                F.col("__seed_vec").cast("array<double>"),
+            ).alias("__cos"),
+        )
+    )
+    per_query = [
+        scored.filter(F.col("query_id") == qid)
+        .orderBy(F.col("__cos").desc(), F.col("cand_id").asc())
+        .limit(k)
+        for qid in sorted(seeds)
+    ]
+    ranked = reduce(lambda a, b: a.unionAll(b), per_query).withColumn(
+        "rank",
+        F.row_number().over(
+            # bounded: input <= len(seeds) * k rows by construction
+            Window.partitionBy("query_id").orderBy(
+                F.col("__cos").desc(), F.col("cand_id").asc()
+            )
+        ).cast("int"),
+    ).select(
+        "query_id", "cand_id",
+        F.round("__cos", 6).alias("cosine"), "rank",
+    )
+    rows = ranked.collect()
+    return spark.createDataFrame(rows, ranked.schema)

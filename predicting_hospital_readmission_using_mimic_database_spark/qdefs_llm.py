@@ -1889,3 +1889,100 @@ def q_x17(spark, sf):
     return out.select(
         "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
     )
+
+
+def _x18_oracle() -> str:
+    from .qdefs_text import clean_tokens_sql
+
+    qvals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid in sorted(_BM25_QUERIES)
+        for t in sorted(set(_BM25_QUERIES[qid]))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {clean_tokens_sql("text")} AS t FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(CAST(len(t) AS DOUBLE)) AS avgdl
+      FROM toks
+    ),
+    q(query_id, token) AS (VALUES {qvals}),
+    dfq AS (
+      SELECT token, count(*) AS df FROM tf
+      WHERE token IN (SELECT token FROM q) GROUP BY 1
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - dfq.df + 0.5)
+                        / (dfq.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                 + 0.75 * dl.dl / s.avgdl))
+             ) AS score
+      FROM q
+      JOIN tf ON tf.token = q.token
+      JOIN dfq ON dfq.token = q.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS brank
+      FROM scored
+    ),
+    cand AS (SELECT query_id, doc_id FROM ranked WHERE brank <= 20),
+    seed AS (SELECT query_id, doc_id AS seed_id FROM ranked
+             WHERE brank = 1),
+    emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    rr AS (
+      SELECT c.query_id, c.doc_id,
+             list_cosine_similarity(ce.e, se.e) AS cos_raw
+      FROM cand c
+      JOIN seed s ON s.query_id = c.query_id
+      JOIN emb ce ON ce.vec_id = c.doc_id
+      JOIN emb se ON se.vec_id = s.seed_id
+    )
+    SELECT query_id, doc_id AS cand_id,
+           round(CAST(cos_raw AS DOUBLE), 6) AS cosine, rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_raw DESC, doc_id ASC) AS INT) AS rank
+      FROM rr
+    ) WHERE rank <= 10
+    """
+
+
+@query("x18_hybrid_rerank", oracle=_x18_oracle())
+def q_x18(spark, sf):
+    """X18 — HYBRID retrieve-then-rerank (operators/similarity.py
+    ``rerank_candidates`` over the x17 BM25 substrate): the two-stage
+    retrieval every production pipeline runs — lexical BM25 recalls a
+    top-20 candidate set per query, then an embedding-cosine rerank
+    against the top hit's vector (pseudo-relevance / query-by-example)
+    reorders it to a final top-10. Stage one is x17's plan; stage two
+    BROADCASTS the bounded candidate + seed frames onto the embedding
+    table (one scan, hash-join filtered — the corpus never shuffles),
+    cosine is zip_with + aggregate (JVM-side, no UDF), and per-query
+    top-k is TakeOrderedAndProject over candidate-bounded rows. DuckDB
+    recomputes BOTH stages end to end (BM25, candidate cut, seed pick,
+    list_cosine_similarity, rerank); a wrong candidate set, a
+    mis-seeded query, or a rank flip breaks the hash."""
+    from .ml import features as FE
+    from .operators.textstats import bm25_topk
+
+    d = FE.tokens_df(_docs(spark, sf))
+    cands = bm25_topk(d, _BM25_QUERIES, k=20)
+    rows = cands.collect()  # <= queries*20, materialized by stage one
+    seeds = {r["query_id"]: r["doc_id"] for r in rows if r["rank"] == 1}
+    cand_df = cands.select("query_id", F.col("doc_id").alias("cand_id"))
+    return SI.rerank_candidates(_emb(spark, sf), cand_df, seeds, k=10)
