@@ -1367,6 +1367,126 @@ def rename_delta_column(root: str, old: str, new: str) -> int:
     )
 
 
+def _ddl_commit(
+    log_dir: str, last: int, new_meta: dict, operation: str,
+    ict_on: bool,
+) -> int:
+    """Shared metadata-only DDL commit loop (rename/drop/add): CAS at
+    the next version, rebasing over foreign DATA commits but refusing
+    a raced METADATA change."""
+    version = last + 1
+    for _attempt in range(10):
+        actions = [
+            _ict_commit_info(log_dir, version, operation=operation)
+            if ict_on
+            else {"commitInfo": {"operation": operation,
+                                 "engineInfo": "snapshot-export"}},
+            {"metaData": new_meta},
+        ]
+        if _publish_commit(log_dir, version, actions):
+            return version
+        if any("metaData" in a for a in _commit_actions(log_dir, version)):
+            raise DeltaProtocolError(
+                f"{operation} lost the commit race at version {version} "
+                "to a concurrent METADATA change; re-run against the "
+                "new schema"
+            )
+        version += 1
+    raise DeltaProtocolError(
+        f"{operation} lost the commit race ten times in a row"
+    )
+
+
+def _max_column_id(conf: dict, fields: list) -> int:
+    """The highest column-mapping id EVER ISSUED: the declared
+    ``delta.columnMapping.maxColumnId`` when present, else the max over
+    current fields — a DROPPED field's id must never be reused (the
+    spec's rule; reuse would resurrect the dropped column's bytes
+    under the re-added column)."""
+    declared = int(conf.get("delta.columnMapping.maxColumnId", 0) or 0)
+    in_schema = max(
+        (
+            int((f.get("metadata") or {}).get(_ID_KEY, 0) or 0)
+            for f in fields
+        ),
+        default=0,
+    )
+    return max(declared, in_schema)
+
+
+def drop_delta_column(root: str, column: str) -> int:
+    """DROP a column — metadata-only under COLUMN MAPPING (the data
+    files keep their physical column; readers simply stop projecting
+    it, zero bytes move at any table size). Refused without mapping
+    (logical names ARE the storage names there — a drop would need a
+    rewrite, the same rule as rename). The table's
+    ``delta.columnMapping.maxColumnId`` is advanced past every issued
+    id so a later :func:`add_delta_column` with the SAME NAME gets a
+    FRESH id and physical name — the dropped column's bytes are NEVER
+    resurrected (the spec's re-add rule; pinned by pytest). Returns
+    the committed version."""
+    meta, _live, _dvs, last = _replay_log(root)
+    conf = dict(meta.get("configuration") or {})
+    mode = str(conf.get("delta.columnMapping.mode", "none")).lower()
+    if mode not in ("name", "id"):
+        raise DeltaProtocolError(
+            "drop_delta_column needs column mapping (mode 'name' or "
+            "'id'): without it logical names ARE the parquet storage "
+            "names, and a drop would require rewriting every file"
+        )
+    sj = json.loads(meta["schemaString"])
+    names = [f["name"] for f in sj["fields"]]
+    if column not in names:
+        raise ValueError(f"drop: unknown column {column!r} (have {names})")
+    if len(names) == 1:
+        raise ValueError("drop: cannot remove the table's only column")
+    conf["delta.columnMapping.maxColumnId"] = str(
+        _max_column_id(conf, sj["fields"])
+    )
+    sj["fields"] = [f for f in sj["fields"] if f["name"] != column]
+    new_meta = {**meta, "schemaString": json.dumps(sj),
+                "configuration": conf}
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    ict_on = str(conf.get("delta.enableInCommitTimestamps", "")
+                 ).lower() == "true"
+    return _ddl_commit(log_dir, last, new_meta, "DROP COLUMN", ict_on)
+
+
+def add_delta_column(root: str, name: str, dtype: str) -> int:
+    """ADD a nullable column at the end of the schema — metadata-only:
+    files written before the commit simply lack it and read as NULL
+    (Delta's add-column semantics need no mapping). Under COLUMN
+    MAPPING the new field is issued a FRESH id (past
+    ``delta.columnMapping.maxColumnId`` — never a dropped field's) and
+    a fresh physical name, so re-adding a previously dropped name can
+    never resurrect the old bytes. Returns the committed version."""
+    import uuid as _uuid
+
+    meta, _live, _dvs, last = _replay_log(root)
+    conf = dict(meta.get("configuration") or {})
+    mode = str(conf.get("delta.columnMapping.mode", "none")).lower()
+    sj = json.loads(meta["schemaString"])
+    names = [f["name"] for f in sj["fields"]]
+    if name in names:
+        raise ValueError(f"add: column {name!r} already exists")
+    fld: dict = {"name": name, "type": dtype, "nullable": True,
+                 "metadata": {}}
+    if mode in ("name", "id"):
+        new_id = _max_column_id(conf, sj["fields"]) + 1
+        fld["metadata"] = {
+            _ID_KEY: new_id,
+            _PHYS_KEY: f"col-{_uuid.uuid4().hex[:12]}",
+        }
+        conf["delta.columnMapping.maxColumnId"] = str(new_id)
+    sj["fields"].append(fld)
+    new_meta = {**meta, "schemaString": json.dumps(sj),
+                "configuration": conf}
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    ict_on = str(conf.get("delta.enableInCommitTimestamps", "")
+                 ).lower() == "true"
+    return _ddl_commit(log_dir, last, new_meta, "ADD COLUMN", ict_on)
+
+
 def widen_delta_column(root: str, column: str, to_type: str) -> int:
     """TYPE WIDENING (write side of the reader feature s39 exercises):
     a metadata-only commit that widens ``column`` to ``to_type`` and

@@ -2249,3 +2249,93 @@ def test_schema_evolution_writer_gates(spark, tmp_path):
     with pytest.raises(DeltaProtocolError, match="not a legal"):
         widen_delta_column(root, "k", "decimal(5,2)")  # 3 int digits < 10
     assert widen_delta_column(root, "k", "decimal(12,2)") == 2
+
+
+def test_drop_and_readd_column_never_resurrects(spark, tmp_path):
+    """DROP COLUMN under column mapping is metadata-only, and a later
+    re-add of the SAME NAME gets a fresh id + physical name — the
+    dropped column's bytes stay dead (the spec's re-add rule). Without
+    mapping, drop refuses; plain add works mapping-free."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        DeltaProtocolError,
+        add_delta_column,
+        drop_delta_column,
+        read_delta,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+
+    def _cm(name, typ, phys, cid):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.id": cid,
+                             "delta.columnMapping.physicalName": phys}}
+
+    pq.write_table(
+        pa.table({"col-k": pa.array([1, 2], type=pa.int64()),
+                  "col-v": pa.array(["secret-a", "secret-b"])}),
+        os.path.join(root, "d.parquet"),
+    )
+    schema = {"type": "struct", "fields": [
+        _cm("k", "long", "col-k", 1), _cm("v", "string", "col-v", 2)]}
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"),
+              "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": "t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }}) + "\n")
+        f.write(_json.dumps({"add": {
+            "path": "d.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+
+    assert set(read_delta(spark, root).columns) == {"k", "v"}
+    with pytest.raises(ValueError, match="unknown column"):
+        drop_delta_column(root, "zzz")
+    assert drop_delta_column(root, "v") == 1
+    assert read_delta(spark, root).columns == ["k"]
+    # re-adding the SAME name: fresh id + physical name -> old bytes
+    # stay dead; existing rows read NULL, never "secret-*"
+    assert add_delta_column(root, "v", "string") == 2
+    got = {(r["k"], r["v"]) for r in read_delta(spark, root).collect()}
+    assert got == {(1, None), (2, None)}
+    # the fresh id is past the dropped one (maxColumnId advanced)
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import _replay_log
+
+    meta, _l, _d, _v = _replay_log(root)
+    fld = next(f for f in _json.loads(meta["schemaString"])["fields"]
+               if f["name"] == "v")
+    assert int(fld["metadata"]["delta.columnMapping.id"]) >= 3
+    assert fld["metadata"]["delta.columnMapping.physicalName"] != "col-v"
+    # the only-column guard
+    drop_delta_column(root, "v")
+    with pytest.raises(ValueError, match="only column"):
+        drop_delta_column(root, "k")
+
+    # WITHOUT mapping: drop refuses, plain add works
+    root2 = str(tmp_path / "plain")
+    os.makedirs(os.path.join(root2, "_delta_log"))
+    with open(os.path.join(root2, "_delta_log", f"{0:020d}.json"),
+              "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": "p", "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps({"type": "struct", "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [], "configuration": {},
+        }}) + "\n")
+    with pytest.raises(DeltaProtocolError, match="column mapping"):
+        drop_delta_column(root2, "k")
+    assert add_delta_column(root2, "extra", "long") == 1
+    assert read_delta(spark, root2).columns == ["k", "extra"]
