@@ -1343,28 +1343,7 @@ def rename_delta_column(root: str, old: str, new: str) -> int:
     ict_on = str(
         conf.get("delta.enableInCommitTimestamps", "")
     ).lower() == "true"
-    version = last + 1
-    for _attempt in range(10):
-        actions = [
-            _ict_commit_info(log_dir, version, operation="RENAME COLUMN")
-            if ict_on
-            else {"commitInfo": {"operation": "RENAME COLUMN",
-                                 "engineInfo": "snapshot-export"}},
-            {"metaData": new_meta},
-        ]
-        if _publish_commit(log_dir, version, actions):
-            return version
-        # metadata-only: rebase over any foreign commit EXCEPT a
-        # conflicting metadata change
-        if any("metaData" in a for a in _commit_actions(log_dir, version)):
-            raise DeltaProtocolError(
-                f"rename lost the commit race at version {version} to a "
-                "concurrent METADATA change; re-run against the new schema"
-            )
-        version += 1
-    raise DeltaProtocolError(
-        "rename_delta_column lost the commit race ten times in a row"
-    )
+    return _ddl_commit(log_dir, last, new_meta, "RENAME COLUMN", ict_on)
 
 
 def _ddl_commit(
