@@ -778,8 +778,37 @@ def rerank_candidates(
     from functools import reduce
 
     from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
     spark = emb.sparkSession
+    out_schema = StructType([
+        StructField("query_id", StringType(), True),
+        StructField("cand_id", LongType(), True),
+        StructField("cosine", DoubleType(), True),
+        StructField("rank", IntegerType(), True),
+    ])
+    if not seeds:
+        # an empty first stage reranks to an empty result, not a crash
+        return spark.createDataFrame([], out_schema)
+    missing = sorted(
+        {r["query_id"] for r in
+         candidates.select("query_id").distinct().collect()}
+        - set(seeds)
+    )
+    if missing:
+        # a candidate set whose query has no seed would be SILENTLY
+        # dropped by the seed join — refuse instead
+        raise ValueError(
+            f"rerank_candidates: queries {missing} have candidates but "
+            "no seed vector; every retrieved query needs a seed"
+        )
     cand = F.broadcast(
         candidates.select("query_id", F.col("cand_id").cast("long"))
     )
@@ -803,6 +832,11 @@ def rerank_candidates(
             ).alias("__cos"),
         )
     )
+    # the per-query TakeOrdered branches share one lineage: persist the
+    # scored frame once (bounded by the candidate set) so the embedding
+    # scan + joins run a single time, not once per query — the
+    # bm25_topk pattern
+    scored = scored.persist()
     per_query = [
         scored.filter(F.col("query_id") == qid)
         .orderBy(F.col("__cos").desc(), F.col("cand_id").asc())
@@ -822,4 +856,5 @@ def rerank_candidates(
         F.round("__cos", 6).alias("cosine"), "rank",
     )
     rows = ranked.collect()
-    return spark.createDataFrame(rows, ranked.schema)
+    scored.unpersist()
+    return spark.createDataFrame(rows, out_schema)

@@ -1419,6 +1419,41 @@ def drop_delta_column(root: str, column: str) -> int:
         raise ValueError(f"drop: unknown column {column!r} (have {names})")
     if len(names) == 1:
         raise ValueError("drop: cannot remove the table's only column")
+    # refuse while anything still REFERENCES the column (real Delta's
+    # rule, and this repo's honest-gate posture: a metadata-only drop
+    # that leaves a CHECK constraint / generation expression /
+    # partition column dangling would brick every later write with a
+    # raw unresolved-column error instead of failing here, named)
+    ident = re.compile(rf"\b{re.escape(column)}\b")
+    for key, expr in conf.items():
+        if key.startswith("delta.constraints.") and ident.search(expr):
+            raise DeltaProtocolError(
+                f"cannot drop {column!r}: CHECK constraint "
+                f"{key[len('delta.constraints.'):]!r} references it "
+                f"({expr}); drop the constraint first"
+            )
+    for f in sj["fields"]:
+        if f["name"] == column:
+            continue
+        md = f.get("metadata") or {}
+        gexpr = md.get("delta.generationExpression")
+        if gexpr and ident.search(gexpr):
+            raise DeltaProtocolError(
+                f"cannot drop {column!r}: generated column "
+                f"{f['name']!r} derives from it ({gexpr})"
+            )
+        inv = md.get("delta.invariants")
+        if inv and ident.search(
+            inv if isinstance(inv, str) else json.dumps(inv)
+        ):
+            raise DeltaProtocolError(
+                f"cannot drop {column!r}: column {f['name']!r} declares "
+                "an invariant referencing it"
+            )
+    if column in (meta.get("partitionColumns") or []):
+        raise DeltaProtocolError(
+            f"cannot drop {column!r}: it is a partition column"
+        )
     conf["delta.columnMapping.maxColumnId"] = str(
         _max_column_id(conf, sj["fields"])
     )

@@ -147,12 +147,16 @@ def delta_table_constraints(root: str, meta: dict | None = None) -> dict:
                         f"identity column {path!r} declares step 0"
                     )
                 hwm = md.get("delta.identity.highWaterMark")
+                allow = md.get("delta.identity.allowExplicitInsert", False)
+                if isinstance(allow, str):
+                    # foreign logs serialize booleans as strings —
+                    # bool("false") is True, which would silently flip
+                    # GENERATED ALWAYS to BY DEFAULT
+                    allow = allow.strip().lower() == "true"
                 identity[path] = {
                     "start": int(md["delta.identity.start"]),
                     "step": step,
-                    "allowExplicit": bool(
-                        md.get("delta.identity.allowExplicitInsert", False)
-                    ),
+                    "allowExplicit": bool(allow),
                     "highWaterMark": int(hwm) if hwm is not None else None,
                 }
             if "delta.invariants" in md:

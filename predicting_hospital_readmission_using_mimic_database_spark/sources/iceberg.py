@@ -3797,6 +3797,7 @@ def expire_iceberg_snapshots(
     # and BRANCHES additionally protect their ancestor history per
     # min-snapshots-to-keep / max-snapshot-age-ms
     refs = dict(meta.get("refs") or {})
+    refs_dropped = False
     for nm in sorted(refs):
         if nm == "main":
             continue
@@ -3805,6 +3806,7 @@ def expire_iceberg_snapshots(
             int(refs[nm]["snapshot-id"])
         ) > int(mra):
             del refs[nm]
+            refs_dropped = True
     meta["refs"] = refs
     protected = {int(meta["current-snapshot-id"])}
     for r in refs.values():
@@ -3845,6 +3847,23 @@ def expire_iceberg_snapshots(
             continue
         expired.append(sid)
     if not expired:
+        if refs_dropped:
+            # no snapshot qualified, but aged-out refs must still be
+            # REMOVED DURABLY — returning without the metadata write
+            # would resurrect them on the next read, contradicting the
+            # max-ref-age-ms contract
+            mdir0 = os.path.abspath(
+                os.path.dirname(_metadata_path(root))
+            )
+            version = int(
+                meta.get("_export_version", len(snaps))
+            ) + 1
+            meta["_export_version"] = version
+            with open(
+                os.path.join(mdir0, f"v{version}.metadata.json"), "w"
+            ) as f:
+                json.dump(meta, f)
+            _advance_version_hint(mdir0, version)
         return []
     exp_set = set(expired)
     retained = [s for s in snaps if s["snapshot-id"] not in exp_set]

@@ -471,3 +471,29 @@ def test_cdf_over_constrained_appends(spark, tmp_path):
            for r in rows}
     assert got == {(1, "insert", 1), (2, "insert", 1),
                    (3, "insert", 2)}
+
+
+def test_identity_string_boolean_parse(spark, tmp_path):
+    """A foreign log serializing allowExplicitInsert as the STRING
+    \"false\" must still mean GENERATED ALWAYS (bool(\"false\") is
+    True — the naive parse would silently accept explicit ids)."""
+    root = _mk_table(
+        tmp_path,
+        [_f("id", "long", metadata={
+            "delta.identity.start": 1, "delta.identity.step": 1,
+            "delta.identity.allowExplicitInsert": "false"}),
+         _f("k", "long")],
+    )
+    with pytest.raises(DeltaProtocolError, match="GENERATED ALWAYS"):
+        append_delta(spark, root, spark.createDataFrame(
+            [(5, 1)], "id bigint, k bigint"))
+    # the string "true" enables BY DEFAULT
+    root2 = _mk_table(
+        tmp_path / "t2",
+        [_f("id", "long", metadata={
+            "delta.identity.start": 1, "delta.identity.step": 1,
+            "delta.identity.allowExplicitInsert": "true"}),
+         _f("k", "long")],
+    )
+    assert append_delta(spark, root2, spark.createDataFrame(
+        [(5, 1)], "id bigint, k bigint")) == 1

@@ -2339,3 +2339,53 @@ def test_drop_and_readd_column_never_resurrects(spark, tmp_path):
         drop_delta_column(root2, "k")
     assert add_delta_column(root2, "extra", "long") == 1
     assert read_delta(spark, root2).columns == ["k", "extra"]
+
+
+def test_drop_column_refuses_referenced(spark, tmp_path):
+    """drop_delta_column refuses while a CHECK constraint, another
+    column's generation expression, or partitionColumns still
+    reference the column — the honest gate at DDL time instead of a
+    bricked append path."""
+    import json as _json
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta import (
+        DeltaProtocolError,
+        drop_delta_column,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+
+    def _cm(name, typ, phys, cid, metadata=None):
+        md = {"delta.columnMapping.id": cid,
+              "delta.columnMapping.physicalName": phys}
+        md.update(metadata or {})
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": md}
+
+    schema = {"type": "struct", "fields": [
+        _cm("k", "long", "col-k", 1),
+        _cm("v", "long", "col-v", 2),
+        _cm("v2", "long", "col-v2", 3,
+            {"delta.generationExpression": "v * 2"}),
+    ]}
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"),
+              "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 7,
+            "writerFeatures": ["columnMapping", "checkConstraints",
+                               "generatedColumns"]}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": "t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.constraints.pos_k": "k > 0"},
+        }}) + "\n")
+    with pytest.raises(DeltaProtocolError, match="pos_k"):
+        drop_delta_column(root, "k")
+    with pytest.raises(DeltaProtocolError, match="derives from"):
+        drop_delta_column(root, "v")
+    # the generated column itself (referenced by nothing) drops fine
+    assert drop_delta_column(root, "v2") == 1

@@ -3339,3 +3339,44 @@ def test_ref_retention_policies(spark, tmp_path):
     # the surviving branch fast-forward-publishes cleanly afterwards
     out = publish_iceberg_wap(t.root, "dev")
     assert out["mode"] == "noop"  # dev head == main already
+
+
+def test_ref_expiry_persists_without_snapshot_removal(spark, tmp_path):
+    """An aged-out ref is removed DURABLY even when no snapshot
+    qualifies for expiry — the max-ref-age-ms contract must not depend
+    on something else being collectable in the same pass."""
+    import json as _json
+    import time as _t
+
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        IcebergProtocolError,
+        _metadata_path,
+        expire_iceberg_snapshots,
+        export_iceberg,
+        read_iceberg,
+        set_iceberg_ref,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(df)
+    s1 = export_iceberg(t)
+    set_iceberg_ref(t.root, "aged", snapshot_id=s1, type="tag",
+                    max_ref_age_ms=1)
+    _t.sleep(0.01)
+    # keep_last covers everything: zero snapshots expire...
+    assert expire_iceberg_snapshots(t.root, keep_last=5) == []
+    # ...yet the aged ref is gone from the COMMITTED metadata
+    with open(_metadata_path(t.root)) as f:
+        meta = _json.load(f)
+    assert "aged" not in (meta.get("refs") or {})
+    with pytest.raises(Exception):
+        read_iceberg(spark, t.root, ref="aged").collect()

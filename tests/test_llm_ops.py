@@ -1317,3 +1317,29 @@ def test_ahash_invariance_and_banded_pairs(spark):
         DD.hash_banded_pairs(sig, "asset_id", "ahash", max_hamming=8, n_bands=8)
     with pytest.raises(ValueError, match="divisible"):
         DD.hash_banded_pairs(sig, "asset_id", "ahash", max_hamming=2, n_bands=7)
+
+
+def test_rerank_candidates_edge_cases(spark):
+    """rerank_candidates returns an empty typed frame for an empty
+    first stage and refuses candidates whose query has no seed
+    (instead of silently dropping them)."""
+    import pytest as _pytest
+
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.similarity import (
+        rerank_candidates,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    empty_cands = spark.createDataFrame([],
+                                        "query_id string, cand_id long")
+    out = rerank_candidates(emb, empty_cands, {})
+    assert out.count() == 0
+    assert out.columns == ["query_id", "cand_id", "cosine", "rank"]
+
+    cands = spark.createDataFrame([("q1", 0), ("q2", 1)],
+                                  "query_id string, cand_id long")
+    with _pytest.raises(ValueError, match="q2"):
+        rerank_candidates(emb, cands, {"q1": 0})
