@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.text import tokenize
 
@@ -493,6 +494,24 @@ def bm25_topk(
     n_docs, avgdl = docs.agg(
         F.count("*"), F.avg(F.size(tokens_col))
     ).collect()[0]
+    if not n_docs:
+        # empty corpus: avg(size) is NULL — return the typed empty
+        # result instead of a float(None) TypeError downstream
+        # (mirrors rerank_candidates' empty-seeds posture)
+        empty = spark.createDataFrame(
+            [],
+            T.StructType([
+                T.StructField("query_id", T.StringType(), True),
+                T.StructField(
+                    id_col,
+                    docs.schema[id_col].dataType,
+                    True,
+                ),
+                T.StructField("score", T.DoubleType(), True),
+                T.StructField("rank", T.IntegerType(), True),
+            ]),
+        )
+        return empty
     qdf = F.broadcast(spark.createDataFrame(
         sorted(
             (qid, t) for qid, terms in queries.items() for t in set(terms)

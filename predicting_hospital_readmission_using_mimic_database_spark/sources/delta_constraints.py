@@ -595,6 +595,38 @@ def append_delta(
     out.write.parquet(stage)
     rels: list[str] = []
     try:
+        return _place_and_commit(
+            root, log_dir, stage, rels, meta, last, operation,
+            txn, identity_assigned, identity_hwm_updates,
+        )
+    except _TxnAlreadyCommitted as done:
+        # a zombie twin of this sink won the race with the same batch:
+        # our staged files must not leak (nothing references them)
+        for rel in rels:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(root, rel))
+        return done.version
+    except BaseException:
+        # NOTHING committed (protocol refusal, raced commit, or a
+        # mid-move I/O error): every already-placed append-*.parquet
+        # is unreferenced — reclaim them all, not just the
+        # DeltaProtocolError path
+        for rel in rels:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(root, rel))
+        raise
+
+
+def _place_and_commit(
+    root, log_dir, stage, rels, meta, last, operation,
+    txn, identity_assigned, identity_hwm_updates,
+):
+    """Move staged parts into the table root (appending each placed
+    name to the CALLER-OWNED ``rels`` so the caller can reclaim them on
+    ANY failure) and run the CAS commit. Split out of
+    :func:`append_delta` so one exception boundary covers the whole
+    place-then-commit span."""
+    try:
         for part in sorted(_glob.glob(os.path.join(stage, "part-*.parquet"))):
             rel = f"append-{uuid.uuid4().hex}.parquet"
             shutil.move(part, os.path.join(root, rel))
@@ -652,21 +684,8 @@ def append_delta(
         )
         return actions
 
-    try:
-        return _commit_with_cas(
-            log_dir, last + 1, build,
-            metadata_change=False, operation=operation, ict_on=ict_on,
-            txn=txn,
-        )
-    except _TxnAlreadyCommitted as done:
-        # a zombie twin of this sink won the race with the same batch:
-        # our staged files must not leak (nothing references them)
-        for rel in rels:
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(os.path.join(root, rel))
-        return done.version
-    except DeltaProtocolError:
-        for rel in rels:  # nothing committed: reclaim the staged files
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(os.path.join(root, rel))
-        raise
+    return _commit_with_cas(
+        log_dir, last + 1, build,
+        metadata_change=False, operation=operation, ict_on=ict_on,
+        txn=txn,
+    )

@@ -274,25 +274,6 @@ def export_hudi(
         )
     from .hudi import HudiProtocolError, _pending_clustering_groups
 
-    pcg = _pending_clustering_groups(dest)
-    if pcg and clustering_updates == "reject":
-        touched_fids = {f"b{b:04d}" for b in touched}
-        hit = sorted(
-            (p, fid, pi) for (p, fid), pi in pcg.items()
-            if fid in touched_fids
-        )
-        if hit:
-            raise HudiProtocolError(
-                f"export_hudi: file group(s) "
-                f"{[(p, fid) for p, fid, _ in hit]} are under pending "
-                f"clustering plan {hit[0][2]} and "
-                "hoodie.clustering.updates.strategy is reject — "
-                "complete the plan (complete_clustering), cancel it "
-                "(rollback_hudi), or export with "
-                "clustering_updates='allow' (the completion will then "
-                "abort on the conflict)"
-            )
-
     data_cols = [f.name for f in table.schema.fields]
     key_expr = F.concat_ws(
         ":", *[F.col(c).cast("string") for c in table.bucket_key]
@@ -310,6 +291,63 @@ def export_hudi(
         )
     else:
         pp_expr = F.lit("")
+
+    pcg = _pending_clustering_groups(dest)
+    cl_cand: dict[tuple[str, str], str] = {}
+    if pcg and clustering_updates == "reject":
+        touched_fids = {f"b{b:04d}" for b in touched}
+        cl_cand = {
+            (p, fid): pi for (p, fid), pi in pcg.items()
+            if fid in touched_fids
+        }
+        cand = cl_cand
+        if cand and not (mor and prev_version is not None):
+            # group identity is (partition, fileId): bucket fileIds
+            # repeat across partitions, so only reject when THIS
+            # write's (partition, fid) keys intersect the plan's.
+            # Touched partitions for a candidate bucket = partitions
+            # holding its rows now (the probe — one tiny distinct over
+            # just the candidate buckets) ∪ partitions the group
+            # already has slices in (a rewrite replaces those too,
+            # including now-empty ones)
+            cand_fids = {fid for (_p, fid) in cand}
+            probe_buckets = [int(fid[1:]) for fid in sorted(cand_fids)]
+            probe = (
+                table.read()
+                .withColumn("__b", table._bucket_expr())
+                .filter(F.col("__b").isin(probe_buckets))
+                .select(F.col("__b"), pp_expr.alias("__pp"))
+                .distinct()
+                .collect()
+            )
+            touched_keys = {
+                (os.path.normpath(r["__pp"]) if r["__pp"] else ".",
+                 f"b{r['__b']:04d}")
+                for r in probe
+            }
+            if prev_version is not None:
+                from .hudi import _latest_slices as _probe_slices
+
+                touched_keys |= {
+                    (p, g)
+                    for (p, g) in _probe_slices(dest, None, None)
+                    if g in cand_fids
+                }
+            hit = sorted(
+                (p, fid, pi) for (p, fid), pi in cand.items()
+                if (p, fid) in touched_keys
+            )
+            if hit:
+                raise HudiProtocolError(
+                    f"export_hudi: file group(s) "
+                    f"{[(p, fid) for p, fid, _ in hit]} are under pending "
+                    f"clustering plan {hit[0][2]} and "
+                    "hoodie.clustering.updates.strategy is reject — "
+                    "complete the plan (complete_clustering), cancel it "
+                    "(rollback_hudi), or export with "
+                    "clustering_updates='allow' (the completion will then "
+                    "abort on the conflict)"
+                )
 
     def _row_hash(df):
         # null-fill columns the frame lacks (a merge_schema append adds
@@ -362,9 +400,14 @@ def export_hudi(
         # MERGE_ON_READ incremental publish: per touched group, ONE
         # appended log file holding the per-key diff — delta-sized
         # write amplification, never a bucket rewrite
+        # MOR appends logs only to groups with a non-empty diff, so
+        # the update-conflict rule gates on the ACTUAL diff targets
+        # (computed inside, before any log write), not a bucket-wide
+        # partition probe
         written = _export_mor_delta(
             table, dest, inst, sorted(touched), cur, key_expr, _row_hash,
             prev_slices, prev_logs, pp_expr,
+            reject_clustering_groups=cl_cand,
         )
         _publish_instant(
             hdir, f"{inst}.deltacommit", {"partitionToWriteStats": written}
@@ -650,6 +693,7 @@ def _avro_log_schema(schema) -> dict:
 def _export_mor_delta(
     table, dest: str, inst: str, buckets: list, cur, key_expr, row_hash,
     prev_slices: dict, prev_logs: dict, pp_expr,
+    reject_clustering_groups: dict | None = None,
 ) -> dict:
     """The MOR incremental publish: each touched bucket's per-key diff
     against the PUBLISHED group state (read through the same
@@ -751,6 +795,32 @@ def _export_mor_delta(
             (r["__pp"], int(r["__bk"]))
             for r in changes.select("__pp", "__bk").distinct().collect()
         ]
+        if reject_clustering_groups:
+            # update-conflict rule under REJECT, exact for MOR: only a
+            # group actually RECEIVING a log append conflicts — group
+            # identity is (partition, fileId), so a diff confined to
+            # partition B never blocks a plan naming the same fid in A
+            from .hudi import HudiProtocolError
+
+            hit = sorted(
+                (part, fid)
+                for pp, bk in targets
+                for part, fid in (
+                    (os.path.normpath(pp) if pp else ".", f"b{bk:04d}"),
+                )
+                if (part, fid) in reject_clustering_groups
+            )
+            if hit:
+                pi = reject_clustering_groups[hit[0]]
+                raise HudiProtocolError(
+                    f"export_hudi: file group(s) {hit} are under pending "
+                    f"clustering plan {pi} and "
+                    "hoodie.clustering.updates.strategy is reject — "
+                    "complete the plan (complete_clustering), cancel it "
+                    "(rollback_hudi), or export with "
+                    "clustering_updates='allow' (the completion will then "
+                    "abort on the conflict)"
+                )
         # one log file per TARGET group, versioned after the existing
         # appends of the group's current slice (log-only groups keep
         # extending their own chain; a brand-new group starts one at
@@ -2053,7 +2123,6 @@ def complete_clustering(spark, dest: str) -> str | None:
          if op.get("partitionPath") else ".", str(op["fileId"]))
         for op in plan.get("operations", [])
     }
-    planned_fids = {fid for _p, fid in planned}
     # update-conflict validation: any COMPLETED write after the plan
     # instant that touched a planned file group aborts the clustering
     for name in sorted(os.listdir(hdir)):
@@ -2068,15 +2137,20 @@ def complete_clustering(spark, dest: str) -> str | None:
                 body = json.load(f)
         except (OSError, ValueError):
             continue
-        for stats in (body.get("partitionToWriteStats") or {}).values():
+        for part, stats in (body.get("partitionToWriteStats") or {}).items():
+            # group identity is (partition, fileId): bucket fileIds
+            # repeat across partitions, so a write to b0001 in
+            # partition A must not abort a plan covering b0001 in B
+            pkey = os.path.normpath(part) if part not in ("", ".") else "."
             hit = sorted(
                 st.get("fileId") for st in stats
-                if st.get("fileId") in planned_fids
+                if (pkey, st.get("fileId")) in planned
             )
             if hit:
                 raise HudiProtocolError(
                     f"clustering plan {inst} conflicts with completed "
-                    f"write {wi}: file group(s) {hit} were updated "
+                    f"write {wi}: file group(s) "
+                    f"{[(pkey, f) for f in hit]} were updated "
                     "after the schedule — the concurrent writer wins; "
                     f"cancel the plan (rollback_hudi(dest, {inst!r})) "
                     "and re-schedule against the new state"

@@ -975,17 +975,31 @@ def _advance_version_hint(mdir: str, version: int) -> None:
     enumeration), so the remaining read-write race window only costs a
     re-scan, never a wrong answer."""
     hint = os.path.join(mdir, "version-hint.text")
-    try:
-        with open(hint) as f:
-            recorded = int(f.read().strip())
-    except (OSError, ValueError):
-        recorded = -1
-    if version <= recorded:
-        return
-    tmp = os.path.join(mdir, f".hint.{os.getpid()}.{version}.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, hint)
+
+    def _recorded() -> int:
+        try:
+            with open(hint) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    # bounded retry closes most of the read-compare-replace window:
+    # after os.replace, re-read — if the hint changed underneath to a
+    # HIGHER value than ours while we were writing, a slower writer
+    # regressing it is impossible (we only ever re-write our own
+    # value when the observed hint is lower). The residual window
+    # (two writers replacing back-to-back between each other's
+    # re-reads) stays documented-acceptable: readers fall back to
+    # enumeration.
+    for _ in range(4):
+        if version <= _recorded():
+            return
+        tmp = os.path.join(mdir, f".hint.{os.getpid()}.{version}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, hint)
+        if _recorded() >= version:
+            return
 
 
 def iceberg_snapshots(root: str) -> list[dict]:
@@ -4232,18 +4246,22 @@ def publish_iceberg_wap(
         mode, new_sid, new_snap = "fast-forward", staged, None
     else:
         # main advanced — cherry-pick path, strictly validated
+        label = (
+            f"branch {branch!r}" if branch is not None
+            else f"wap.id {wap_id!r}"
+        )
         fork = next((s for s in staged_chain if s in main_ancestry), None)
         if fork is None:
             raise IcebergProtocolError(
-                f"cannot publish branch {branch!r}: no common ancestor "
+                f"cannot publish {label}: no common ancestor "
                 f"with main ({main}) — divergent history cannot be "
                 "replayed safely"
             )
         above = staged_chain[: staged_chain.index(fork)]
         if len(above) != 1:
             raise IcebergProtocolError(
-                f"cannot publish branch {branch!r}: main advanced past "
-                f"the staging base and the branch holds {len(above)} "
+                f"cannot publish {label}: main advanced past "
+                f"the staging base and the staged line holds {len(above)} "
                 "commits — cherry-pick replays exactly one; re-stage "
                 "against current main"
             )
@@ -4251,7 +4269,7 @@ def publish_iceberg_wap(
         op = (srec.get("summary") or {}).get("operation")
         if op != "append":
             raise IcebergProtocolError(
-                f"cannot publish branch {branch!r}: main advanced past "
+                f"cannot publish {label}: main advanced past "
                 f"the staging base and the staged snapshot is "
                 f"{op or 'unknown'!r} — its removed-file tombstones "
                 "were computed against a stale base; only APPEND "

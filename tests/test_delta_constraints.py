@@ -497,3 +497,47 @@ def test_identity_string_boolean_parse(spark, tmp_path):
     )
     assert append_delta(spark, root2, spark.createDataFrame(
         [(5, 1)], "id bigint, k bigint")) == 1
+
+
+def test_midmove_io_error_reclaims_placed_files(spark, tmp_path,
+                                                monkeypatch):
+    """A non-protocol failure BETWEEN placing staged parts and the
+    commit must reclaim every already-placed append-*.parquet — an
+    I/O error mid-move would otherwise strand uncommitted orphans in
+    the table root (only the stage dir used to be cleaned)."""
+    import shutil as _sh
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources import (
+        delta_constraints as DC,
+    )
+
+    root = _mk_table(tmp_path, [_f("k", "long")])
+    append_delta(spark, root, spark.createDataFrame([(1,)], "k bigint"))
+    before = sorted(n for n in os.listdir(root)
+                    if n.endswith(".parquet"))
+
+    calls = {"n": 0}
+    real_move = _sh.move
+
+    def flaky_move(src, dst, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise OSError("disk full")
+        return real_move(src, dst, *a, **kw)
+
+    monkeypatch.setattr(DC.shutil, "move", flaky_move)
+    bad = spark.createDataFrame(
+        [(10,), (11,), (12,), (13,)], "k bigint"
+    ).repartition(3)
+    with pytest.raises(OSError, match="disk full"):
+        append_delta(spark, root, bad)
+    monkeypatch.undo()
+    # no orphans: root holds exactly the committed files, no stage dirs
+    after = sorted(n for n in os.listdir(root) if n.endswith(".parquet"))
+    assert after == before
+    assert not [n for n in os.listdir(root) if n.startswith(".stage")]
+    got = {r["k"] for r in read_delta(spark, root).collect()}
+    assert got == {1}
+    # the table still appends normally afterwards
+    assert append_delta(
+        spark, root, spark.createDataFrame([(2,)], "k bigint")) == 2

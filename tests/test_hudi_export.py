@@ -1956,3 +1956,109 @@ def test_small_file_clustering_strategy(spark, tmp_path):
     assert any(f.startswith("c0") for f in live)
     assert any(f.startswith("b0001_") for f in live)
     assert not any(f.startswith("b0000_") for f in live)
+
+
+def _next_instant(dest):
+    import re as _re
+
+    hdir = os.path.join(dest, ".hoodie")
+    taken = [m.group(1) for m in
+             (_re.match(r"^(\d{14})\.", n) for n in os.listdir(hdir))
+             if m]
+    return f"{int(max(taken)) + 1:014d}"
+
+
+def test_clustering_update_conflict_is_partition_aware(spark, tmp_path):
+    """Group identity is (partition, fileId): bucket fileIds repeat
+    across partitions, so a pending plan naming b0001 in seg=A must
+    NOT reject a MOR write whose diff only logs b0001 in seg=B — and
+    the completion must NOT abort on a completed write whose stats
+    only touched seg=B. A diff actually landing in seg=A still
+    rejects/aborts."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import (
+        HudiProtocolError,
+        _pending_clusterings,
+        read_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        complete_clustering,
+        export_hudi,
+        rollback_hudi,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    # bucket per key, so we can pick bucket-1 keys in each partition
+    buckets = {
+        r["k"]: r["b"]
+        for r in spark.range(40).select(
+            F.col("id").alias("k"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(2))
+            .cast("int").alias("b"),
+        ).collect()
+    }
+    b1 = sorted(k for k, b in buckets.items() if b == 1)
+    assert len(b1) >= 4
+    # bucket-1 keys alternate partitions; everything else goes to A
+    seg = {k: ("A" if i % 2 == 0 else "B") for i, k in enumerate(b1)}
+    rows = [(k, seg.get(k, "A"), float(k)) for k in range(40)]
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint, seg string, v double",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(spark.createDataFrame(rows, "k bigint, seg string, v double"))
+    dest = str(tmp_path / "hudi")
+    export_hudi(t, dest, partition_by=["seg"],
+                table_type="MERGE_ON_READ")
+
+    # pending plan naming ONLY (seg=A, b0001)
+    inst = _next_instant(dest)
+    plan = {
+        "operations": [{"partitionPath": "seg=A", "fileId": "b0001"}],
+        "strategy": {"sortColumns": ["k"], "targetFileGroups": 1},
+        "version": 1,
+    }
+    with open(os.path.join(dest, ".hoodie",
+                           f"{inst}.replacecommit.requested"), "w") as f:
+        _json.dump(plan, f)
+    assert list(_pending_clusterings(dest)) == [inst]
+
+    # phase 1 — a diff actually IN seg=A still rejects; under ALLOW it
+    # lands and the completion aborts naming the write
+    ka = next(k for k in b1 if seg[k] == "A")
+    assert buckets[ka] == 1
+    t.merge(spark.createDataFrame([(ka, "A", -2.0)],
+                                  "k bigint, seg string, v double"))
+    with pytest.raises(HudiProtocolError, match="pending clustering"):
+        export_hudi(t, dest, partition_by=["seg"],
+                    table_type="MERGE_ON_READ")
+    wi2 = export_hudi(t, dest, partition_by=["seg"],
+                      table_type="MERGE_ON_READ",
+                      clustering_updates="allow")
+    with pytest.raises(HudiProtocolError, match=wi2):
+        complete_clustering(spark, dest)
+    rollback_hudi(dest, inst)
+
+    # phase 2 — fresh plan on (seg=A, b0001); a bucket-1 update
+    # confined to seg=B logs only (B, b0001): no reject, and the
+    # completion proceeds (its conflict scan is partition-scoped)
+    inst2 = _next_instant(dest)
+    with open(os.path.join(dest, ".hoodie",
+                           f"{inst2}.replacecommit.requested"), "w") as f:
+        _json.dump(plan, f)
+    kb = next(k for k in b1 if seg[k] == "B")
+    t.merge(spark.createDataFrame([(kb, "B", -1.0)],
+                                  "k bigint, seg string, v double"))
+    export_hudi(t, dest, partition_by=["seg"],
+                table_type="MERGE_ON_READ")  # must NOT reject
+    got = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert (kb, -1.0) in got and (ka, -2.0) in got
+    assert complete_clustering(spark, dest) == inst2
+    assert _pending_clusterings(dest) == {}
+    got2 = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
+    assert got2 == got

@@ -3380,3 +3380,45 @@ def test_ref_expiry_persists_without_snapshot_removal(spark, tmp_path):
     assert "aged" not in (meta.get("refs") or {})
     with pytest.raises(Exception):
         read_iceberg(spark, t.root, ref="aged").collect()
+
+
+def test_wap_id_refusals_name_the_wap_id(spark, tmp_path):
+    """Cherry-pick refusal messages in wap_id mode must name the wap id
+    the caller passed — not 'branch None' (branch is unset in that
+    staging flavor)."""
+    import pyspark.sql.functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg import (
+        IcebergProtocolError,
+        append_position_deletes,
+        export_iceberg,
+        iceberg_meta_table,
+        publish_iceberg_wap,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.table import (
+        SnapshotTable,
+    )
+
+    df = spark.range(0, 20).select(F.col("id").alias("k"))
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), "k bigint",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t.append(df)
+    export_iceberg(t)
+    # stage an OVERWRITE by wap id, then advance main: the only-APPEND
+    # cherry-pick refusal fires and must name the wap id
+    t.delete(F.col("k") < 5)
+    export_iceberg(t, wap_id="etl-b")
+    victim = sorted(
+        r["file_path"]
+        for r in iceberg_meta_table(spark, t.root, "files").collect()
+    )[0]
+    append_position_deletes(t.root, [(victim, 0)])
+    with pytest.raises(IcebergProtocolError, match="wap.id 'etl-b'"):
+        publish_iceberg_wap(t.root, wap_id="etl-b")
+    try:
+        publish_iceberg_wap(t.root, wap_id="etl-b")
+    except IcebergProtocolError as e:
+        assert "branch None" not in str(e)
+        assert "APPEND" in str(e)

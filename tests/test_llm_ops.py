@@ -1343,3 +1343,22 @@ def test_rerank_candidates_edge_cases(spark):
                                   "query_id string, cand_id long")
     with _pytest.raises(ValueError, match="q2"):
         rerank_candidates(emb, cands, {"q1": 0})
+
+
+def test_bm25_empty_corpus_returns_typed_empty(spark):
+    """bm25_topk over an EMPTY corpus: avg doc length is NULL — the
+    operator must return the typed empty result, not crash on
+    float(None)."""
+    from predicting_hospital_readmission_using_mimic_database_spark.operators.textstats import (
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [], "doc_id bigint, tokens array<string>"
+    )
+    out = bm25_topk(docs, {"q1": ["alpha", "beta"]}, k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "doc_id", "score", "rank"
+    ]
+    assert out.schema["doc_id"].dataType.simpleString() == "bigint"
