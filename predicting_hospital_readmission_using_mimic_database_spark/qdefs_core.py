@@ -8876,3 +8876,258 @@ def q_s79(spark, sf):
         assert "GENERATED ALWAYS" in str(e)
     assert read_delta(spark, root).count() == n
     return read_delta(spark, root)
+
+
+@query(
+    "s80_delta_delete_dv",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer
+    WHERE NOT (c_custkey % 7 = 0)
+      AND NOT (c_custkey % 11 = 3)
+      AND NOT (c_custkey % 4 = 2)
+    """,
+)
+def q_s80(spark, sf):
+    """S80 — Delta DELETE via DELETION VECTORS
+    (sources/delta_dml.py ``delete_from_delta``): the user-facing
+    writer half of the engine's long-standing DV read path. The
+    fixture lands a four-file table (one file per ``c_custkey % 4``
+    bucket — plain minWriterVersion-2 log, no DV feature declared);
+    delete #1 (``%7``) must UPGRADE the protocol (deletionVectors
+    reader+writer feature, legacy-implied features enumerated) and set
+    ``delta.enableDeletionVectors`` in the SAME commit while writing
+    one roaring sidecar per touched file; delete #2 (``%11``) MERGES
+    bitmaps on the same files (old ∪ new — asserted via descriptor
+    cardinalities, and the overlap rows are never double-counted);
+    delete #3 (``%4 = 2``) kills bucket-2's file ENTIRELY — removed
+    outright, its fresh sidecar reclaimed. In-entry asserts pin that
+    no data file was rewritten (mtimes), time travel at v0 still
+    serves every row and at v1 exactly the post-first-delete state,
+    and a no-op predicate commits nothing. DuckDB recomputes the
+    surviving rows; a resurrected row, an off-by-one ordinal, or a
+    lost bitmap container breaks the hash.
+
+    Scale shape: finding doomed rows is ONE scan with the predicate
+    pushed to parquet; DV serialization is per-touched-file on
+    EXECUTORS (applyInPandas — the driver sees one summary row per
+    file, never positions); the commit is O(touched files) metadata
+    under the put-if-absent CAS with file-level conflict rules."""
+    import json as _json
+    import os
+
+    from .sources.delta import _replay_log, read_delta
+    from .sources.delta_dml import delete_from_delta
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("c_custkey")
+    root = _table_root("s80", sf)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+
+    import glob as _glob
+    import shutil as _shutil
+
+    rels = []
+    for b in range(4):
+        stage = os.path.join(root, f".s{b}")
+        c.filter(k % 4 == b).coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        rel = f"bucket{b}.parquet"
+        _shutil.move(part, os.path.join(root, rel))
+        _shutil.rmtree(stage)
+        rels.append(rel)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": "s80", "format": {"provider": "parquet",
+                                    "options": {}},
+            "schemaString": spark.createDataFrame(
+                [], "c_custkey bigint, cents bigint"
+            ).schema.json(),
+            "partitionColumns": [], "configuration": {},
+        }}) + "\n")
+        for rel in rels:
+            f.write(_json.dumps({"add": {
+                "path": rel, "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+
+    n = c.count()
+    mtimes = {
+        rel: os.path.getmtime(os.path.join(root, rel)) for rel in rels
+    }
+    out1 = delete_from_delta(spark, root, "c_custkey % 7 = 0")
+    assert out1["version"] == 1 and out1["num_deleted"] > 0
+    # the upgrade rode the same commit
+    with open(os.path.join(log, f"{1:020d}.json")) as f:
+        acts = [_json.loads(line) for line in f if line.strip()]
+    protos = [a["protocol"] for a in acts if "protocol" in a]
+    assert protos and "deletionVectors" in protos[0]["readerFeatures"]
+    metas = [a["metaData"] for a in acts if "metaData" in a]
+    assert metas[0]["configuration"][
+        "delta.enableDeletionVectors"] == "true"
+
+    out2 = delete_from_delta(spark, root, "c_custkey % 11 = 3")
+    # bitmaps MERGED: total descriptor cardinality = all dead rows
+    _m, _live, dvs, _last = _replay_log(root)
+    n_dead = c.filter((k % 7 == 0) | (k % 11 == 3)).count()
+    assert sum(d["cardinality"] for d in dvs.values()) == n_dead
+    assert out1["num_deleted"] + out2["num_deleted"] == n_dead
+
+    # whole-bucket predicate removes bucket-2's file outright
+    out3 = delete_from_delta(spark, root, "c_custkey % 4 = 2")
+    assert out3["files_removed"] == 1
+    # no data file was ever rewritten
+    for rel in rels[:2] + rels[3:]:
+        assert os.path.getmtime(os.path.join(root, rel)) == mtimes[rel]
+    # time travel: v0 full, v1 exactly post-first-delete
+    assert read_delta(spark, root, version=0).count() == n
+    assert read_delta(spark, root, version=1).count() == \
+        n - c.filter(k % 7 == 0).count()
+    # no-op delete commits nothing
+    v = out3["version"]
+    out4 = delete_from_delta(spark, root, "c_custkey < 0")
+    assert out4 == {"version": v, "num_deleted": 0,
+                    "files_with_dvs": 0, "files_removed": 0}
+    return read_delta(spark, root)
+
+
+@query(
+    "s81_delta_merge_cdf",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+           'update_preimage' AS change_type
+    FROM customer WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) + 1000 AS cents,
+           'update_postimage' AS change_type
+    FROM customer WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT c_custkey + 10000000 AS c_custkey,
+           CAST(-1 AS BIGINT) AS cents,
+           'insert' AS change_type
+    FROM customer WHERE c_custkey % 97 = 0
+    """,
+)
+def q_s81(spark, sf):
+    """S81 — Delta-native MERGE INTO emitting the CHANGE DATA FEED
+    (sources/delta_dml.py ``merge_delta``), replacing the parquet-era
+    full-rewrite ``merge_upsert`` (s6) with the row-delta shape:
+    matched rows die via deletion vectors on their files, updates +
+    inserts land as new files, and — because the fixture enables
+    ``delta.enableChangeDataFeed`` — the commit stages EXACT row
+    images under ``_change_data/`` (update_preimage /
+    update_postimage / insert), never deriving spurious pairs from
+    carried rows. The QUERY RESULT is the change feed of the merge
+    version read back through the s28 reader
+    (``read_delta_changes``); DuckDB recomputes the same diff from
+    the base table directly, so a carried row leaking into the feed,
+    a lost pre-image, or a wrong post-image value breaks the hash.
+    In-entry asserts pin the post-merge SNAPSHOT too (updates applied,
+    inserts present, carried rows untouched, time travel intact) and
+    the duplicate-source-key refusal (ANSI MERGE rule). The racing
+    conflict rules (disjoint append rebases / overlapping file
+    raises) are pinned in tests/test_delta_dml.py.
+
+    Scale shape: ONE source-sized join against the target scan
+    (persisted — every downstream frame projects from it), DV sidecars
+    per touched file on executors, O(changed rows) new data — never a
+    table rewrite."""
+    import json as _json
+    import os
+
+    from .sources.delta import (
+        DeltaProtocolError,
+        read_delta,
+        read_delta_changes,
+    )
+    from .sources.delta_dml import merge_delta
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("c_custkey")
+    root = _table_root("s81", sf)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+
+    import glob as _glob
+    import shutil as _shutil
+
+    rels = []
+    for b in range(3):
+        stage = os.path.join(root, f".s{b}")
+        c.filter(k % 3 == b).coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        rel = f"bucket{b}.parquet"
+        _shutil.move(part, os.path.join(root, rel))
+        _shutil.rmtree(stage)
+        rels.append(rel)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": "s81", "format": {"provider": "parquet",
+                                    "options": {}},
+            "schemaString": spark.createDataFrame(
+                [], "c_custkey bigint, cents bigint"
+            ).schema.json(),
+            "partitionColumns": [],
+            "configuration": {"delta.enableChangeDataFeed": "true"},
+        }}) + "\n")
+        for rel in rels:
+            f.write(_json.dumps({"add": {
+                "path": rel, "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+
+    n = c.count()
+    src = (
+        c.filter(k % 5 == 0)
+        .select("c_custkey", (F.col("cents") + 1000).alias("cents"))
+        .unionByName(
+            c.filter(k % 97 == 0).select(
+                (k + 10_000_000).alias("c_custkey"),
+                F.lit(-1).cast("long").alias("cents"),
+            )
+        )
+    )
+    out = merge_delta(spark, root, src, on=["c_custkey"])
+    n_upd = c.filter(k % 5 == 0).count()
+    n_ins = c.filter(k % 97 == 0).count()
+    assert out["num_updated"] == n_upd and out["num_inserted"] == n_ins
+    # post-merge SNAPSHOT: updates applied, inserts present, carried
+    # rows untouched, history intact
+    snap = read_delta(spark, root)
+    assert snap.count() == n + n_ins
+    assert snap.filter(
+        (k % 5 == 0) & (k < 10_000_000)
+    ).agg(F.sum("cents")).collect()[0][0] == (
+        c.filter(k % 5 == 0).agg(F.sum("cents")).collect()[0][0]
+        + 1000 * n_upd
+    )
+    assert snap.filter(k >= 10_000_000).count() == n_ins
+    assert read_delta(spark, root, version=0).count() == n
+    # duplicate source keys refuse (ANSI MERGE)
+    try:
+        merge_delta(
+            spark, root,
+            src.limit(1).unionByName(src.limit(1)), on=["c_custkey"],
+        )
+        raise AssertionError("duplicate-key merge must refuse")
+    except DeltaProtocolError as e:
+        assert "duplicate key" in str(e)
+    # the RESULT is the replayed change feed of the merge commit
+    return read_delta_changes(
+        spark, root, out["version"], out["version"]
+    ).select(
+        "c_custkey", "cents",
+        F.col("_change_type").alias("change_type"),
+    )

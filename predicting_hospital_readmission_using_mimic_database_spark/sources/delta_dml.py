@@ -1,0 +1,909 @@
+"""Delta ROW-LEVEL DML — DELETE via deletion vectors and MERGE INTO
+emitting the change data feed (PROTOCOL.md "Deletion Vectors",
+"Add File and Remove File", "Change Data Files", "Writer Requirements
+for Deletion Vectors"). The reference notebook mutates pandas frames
+in place (e.g. dropping rows / reassigning labels, py:150-166); a
+lakehouse user's equivalent is DELETE / MERGE against a Delta table —
+the most common write operation this engine's read side
+(DV-aware scans, CDF reader, checkpoints carrying DVs) already
+understands. This module adds the WRITER half.
+
+Spark-first shape, built for the 100 TB case:
+
+* Finding doomed rows is ONE DataFrame scan over the live files with
+  ``_metadata.row_index`` bookkeeping — predicate evaluation is
+  JVM-side (``F.expr``), existing DVs are anti-joined so an already
+  deleted row is never re-counted, and Catalyst pushes the predicate
+  into the parquet scan where it is sargable.
+* DV serialization happens ON EXECUTORS: hit positions group by file
+  (``applyInPandas``, one task per touched file) and each task writes
+  its roaring bitmap sidecar (:mod:`.dv`); the driver only ever sees
+  one summary row per touched file — never a position list.
+* The commit is the same put-if-absent CAS every writer in this repo
+  uses; a lost race against a commit touching DISJOINT files rebases
+  to the next version (blind appends and unrelated deletes don't
+  conflict — Delta's WriteSerializable rule), while a raced commit
+  touching any of OUR files, or any metaData/protocol change, raises.
+* Time travel is untouched by construction (the log is append-only);
+  a second DELETE hitting a file that already carries a DV MERGES the
+  bitmaps (old positions ∪ new hits) — the spec's requirement that an
+  add's DV always describes ALL deleted rows of the file.
+
+Delta tables written by this engine (``export_delta_log``) don't
+declare the feature up front, so ``delete_from_delta`` declares
+``deletionVectors`` (reader 3 / writer 7, legacy-implied writer
+features enumerated — the same upgrade rule as
+``set_delta_check_constraint``) and sets
+``delta.enableDeletionVectors`` in the SAME commit when missing: the
+combined ALTER + DELETE the protocol permits, atomic either way.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import uuid
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .delta import (
+    DELTA_LOG_DIR,
+    DeltaProtocolError,
+    _commit_actions,
+    _declared_protocol,
+    _dv_positions_df,
+    _ict_commit_info,
+    _mapping_info,
+    _now_ms,
+    _publish_commit,
+    _replay_log,
+)
+from .delta_constraints import (
+    _SUPPORTED_WRITER_FEATURES,
+    _legacy_writer_features,
+)
+
+__all__ = ["delete_from_delta", "merge_delta"]
+
+#: writer features whose ROW-DELETE obligations this path implements:
+#: everything the append path supports, plus rowTracking (the re-added
+#: file carries its original baseRowId/defaultRowCommitVersion stamps,
+#: so row lineage survives — deleted positions simply vanish without
+#: renumbering, which is exactly the feature's rule for DVs).
+_DML_SUPPORTED_WRITER_FEATURES = _SUPPORTED_WRITER_FEATURES | {
+    "rowTracking",
+}
+
+
+def _gate_writer_features(log_dir: str, supported: frozenset | set) -> dict:
+    """Refuse to write into a table declaring writer features whose
+    obligations we don't implement; returns the declared protocol."""
+    proto = _declared_protocol(log_dir) or {}
+    if int(proto.get("minWriterVersion", 1)) >= 7:
+        unsupported = set(proto.get("writerFeatures") or []) - set(supported)
+        if unsupported:
+            raise DeltaProtocolError(
+                f"table declares writer features {sorted(unsupported)} "
+                "whose write obligations this DML path does not "
+                "implement; refusing to commit a non-conforming change"
+            )
+    return proto
+
+
+def _dv_feature_actions(proto: dict, meta: dict) -> tuple[list, dict | None]:
+    """Protocol / metaData actions needed before this table may carry
+    deletion vectors: declare the ``deletionVectors`` reader+writer
+    feature (enumerating legacy-implied writer features, the spec's
+    upgrade rule) and set ``delta.enableDeletionVectors``. Empty when
+    already declared."""
+    actions: list[dict] = []
+    mrv = int(proto.get("minReaderVersion", 1))
+    mwv = int(proto.get("minWriterVersion", 1))
+    rf = set(proto.get("readerFeatures") or [])
+    wf = set(proto.get("writerFeatures") or [])
+    if mrv < 3 or mwv < 7 or "deletionVectors" not in rf \
+            or "deletionVectors" not in wf:
+        wf |= _legacy_writer_features(mwv)
+        wf.add("deletionVectors")
+        rf.add("deletionVectors")
+        actions.append({"protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rf),
+            "writerFeatures": sorted(wf),
+        }})
+    conf = dict(meta.get("configuration") or {})
+    meta_action = None
+    if str(conf.get("delta.enableDeletionVectors", "")).lower() != "true":
+        conf["delta.enableDeletionVectors"] = "true"
+        meta_action = {**meta, "configuration": conf}
+    return actions, meta_action
+
+
+def _scan_with_positions(
+    spark: SparkSession, root: str, meta: dict, live: dict, dvs: dict,
+    key: str, posk: str,
+):
+    """ONE DataFrame over the live files carrying every LOGICAL column
+    plus (decoded file path, parquet row ordinal) bookkeeping, with
+    existing deletion vectors already anti-joined — the snapshot a
+    row-level DML evaluates its predicate against. Mirrors
+    ``read_delta``'s scan shape (single scan node, partition values
+    attached via a broadcast manifest join, column mapping resolved);
+    returns (frame, logical schema)."""
+    from .io import decoded_file_path
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    schema, phys_schema, phys_of, pv_key_of, part_cols = _mapping_info(
+        spark, meta, schema
+    )
+    data_schema = StructType([
+        pf for f, pf in zip(schema.fields, phys_schema.fields)
+        if f.name not in part_cols
+    ])
+    paths = sorted(
+        os.path.abspath(os.path.join(root, rel)) for rel in live
+    )
+    df = spark.read.schema(data_schema).parquet(*paths).select(
+        *[F.col(f.name) for f in data_schema.fields],
+        decoded_file_path(F.input_file_name()).alias(key),
+        F.col("_metadata.row_index").alias(posk),
+    )
+    dv_live = {rel: d for rel, d in dvs.items() if rel in live}
+    if dv_live:
+        dels = _dv_positions_df(spark, root, dv_live, key, posk)
+        df = df.join(F.broadcast(dels), [key, posk], "left_anti")
+    if part_cols:
+        phys_parts = [phys_of[c] for c in part_cols]
+        pv_schema = StructType(
+            [StructField(key, StringType(), False)]
+            + [StructField(c, StringType(), True) for c in phys_parts]
+        )
+        pv_rows = [
+            tuple(
+                [os.path.abspath(os.path.join(root, rel))]
+                + [
+                    (None if pv.get(pv_key_of[c], pv.get(c)) is None
+                     else str(pv.get(pv_key_of[c], pv.get(c))))
+                    for c in part_cols
+                ]
+            )
+            for rel, pv in live.items()
+        ]
+        pv_df = spark.createDataFrame(pv_rows, pv_schema)
+        df = df.join(F.broadcast(pv_df), key, "left")
+    out = df.select(
+        *[
+            F.col(phys_of[f.name]).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ],
+        F.col(key),
+        F.col(posk),
+    )
+    return out, schema
+
+
+def _write_dvs_for_hits(
+    hits: DataFrame, root: str, live: dict, dvs: dict, key: str, posk: str,
+) -> list[dict]:
+    """Serialize one MERGED deletion vector per touched file, on
+    executors (one ``applyInPandas`` task per file): new hit positions
+    ∪ the file's existing DV positions. Returns one driver-side summary
+    dict per touched file — never a position list."""
+    root_abs = os.path.abspath(root)
+    #: abs data path -> (rel path, existing descriptor JSON | None);
+    #: driver-built metadata captured by the task closure (O(files),
+    #: KBs per thousand files — the same scale as the log itself)
+    desc_of = {
+        os.path.abspath(os.path.join(root, rel)): (
+            rel, json.dumps(dvs[rel]) if rel in dvs else None
+        )
+        for rel in live
+    }
+    out_schema = StructType([
+        StructField("file", StringType(), False),
+        StructField("dv_rel", StringType(), False),
+        StructField("size_bytes", LongType(), False),
+        StructField("cardinality", LongType(), False),
+        StructField("new_deletes", LongType(), False),
+    ])
+
+    def write_group(pdf):
+        import uuid as _uuid
+
+        import pandas as pd
+
+        from predicting_hospital_readmission_using_mimic_database_spark.sources.dv import (
+            read_dv_descriptor,
+            write_dv_file,
+        )
+
+        fp = pdf[key].iloc[0]
+        _rel, old_json = desc_of[fp]
+        old = (
+            read_dv_descriptor(json.loads(old_json), root_abs)
+            if old_json else []
+        )
+        merged = sorted(set(old) | {int(p) for p in pdf[posk]})
+        # attempt-unique name: a retried task writes a fresh sidecar
+        # and the loser's bytes stay unreferenced (vacuum collects)
+        dv_rel = f"deletion_vector_{_uuid.uuid4().hex}.bin"
+        desc = write_dv_file(os.path.join(root_abs, dv_rel), merged)
+        return pd.DataFrame([{
+            "file": fp,
+            "dv_rel": dv_rel,
+            "size_bytes": int(desc["sizeInBytes"]),
+            "cardinality": int(desc["cardinality"]),
+            "new_deletes": int(len(merged) - len(old)),
+        }])
+
+    return [
+        r.asDict()
+        for r in hits.groupBy(key).applyInPandas(
+            write_group, out_schema
+        ).collect()
+    ]
+
+
+def _stage_cdc_files(
+    spark: SparkSession, root: str, cdf: DataFrame,
+) -> tuple[list[dict], list[str]]:
+    """Write ``cdf`` (logical columns + ``_change_type``) under
+    ``_change_data/`` and return (cdc actions, written rel paths).
+    An empty frame still lands one empty change file — a cdc-carrying
+    commit means "these ARE the changes" (spec)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    cdir = os.path.join(root, "_change_data")
+    os.makedirs(cdir, exist_ok=True)
+    stage = os.path.join(root, f".cdc-stage-{uuid.uuid4().hex}")
+    cdf.write.parquet(stage)
+    parts = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))
+    if not parts:
+        spark.createDataFrame([], cdf.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        parts = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))
+    actions, rels = [], []
+    for i, part in enumerate(parts):
+        rel = f"_change_data/cdc-{uuid.uuid4().hex}-{i:05d}.parquet"
+        _shutil.move(part, os.path.join(root, rel))
+        actions.append({"cdc": {
+            "path": rel,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(root, rel)),
+            "dataChange": False,
+        }})
+        rels.append(rel)
+    _shutil.rmtree(stage)
+    return actions, rels
+
+
+def _loose_stats(raw: str | None) -> str | None:
+    """An add re-published with a deletion vector keeps its stats but
+    marks them ``tightBounds: false`` (spec: min/max still bound the
+    PHYSICAL rows, some of which are now dead — data skipping stays
+    correct, exact-count shortcuts don't)."""
+    if not raw:
+        return None
+    try:
+        st = json.loads(raw)
+    except ValueError:
+        return None
+    st["tightBounds"] = False
+    return json.dumps(st)
+
+
+def _commit_file_level_cas(
+    log_dir: str, root: str, start_version: int, build_actions,
+    our_paths: set, exclusive: bool, cleanup_rels: list[str],
+) -> int:
+    """Put-if-absent CAS with Delta's file-level conflict rule: a lost
+    race rebases to the next version when the raced commit touched
+    only DISJOINT files (blind appends / unrelated row deletes don't
+    conflict under WriteSerializable); any raced metaData/protocol
+    change, any overlap with ``our_paths``, or ``exclusive`` (this
+    commit itself changes metadata/protocol) raises. On raise, every
+    path in ``cleanup_rels`` (our staged DV / cdc files — referenced
+    by nothing) is removed."""
+
+    def _fail(msg: str):
+        for rel in cleanup_rels:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(root, rel))
+        raise DeltaProtocolError(msg)
+
+    version = start_version
+    for _attempt in range(10):
+        if _publish_commit(log_dir, version, build_actions(version)):
+            return version
+        raced = _commit_actions(log_dir, version)
+        if any("metaData" in a or "protocol" in a for a in raced):
+            _fail(
+                f"lost the commit race at version {version} to a "
+                "concurrent metaData/protocol change; re-validate "
+                "against the new rules and re-run"
+            )
+        if exclusive:
+            _fail(
+                f"lost the commit race at version {version} while "
+                "upgrading the table protocol/metadata for deletion "
+                "vectors; re-run against the new state"
+            )
+        raced_paths = set()
+        for a in raced:
+            if "add" in a:
+                raced_paths.add(unquote(a["add"]["path"]))
+            elif "remove" in a:
+                raced_paths.add(unquote(a["remove"]["path"]))
+        overlap = sorted(raced_paths & our_paths)
+        if overlap:
+            _fail(
+                f"concurrent commit {version} modified file(s) "
+                f"{overlap[:3]} this DML also rewrites; re-run against "
+                "the new snapshot"
+            )
+        version += 1
+    _fail(
+        f"lost the commit race ten times in a row starting at version "
+        f"{start_version}"
+    )
+    raise AssertionError("unreachable")
+
+
+def delete_from_delta(
+    spark: SparkSession, root: str, predicate: str,
+) -> dict:
+    """``DELETE FROM <table at root> WHERE <predicate>`` via deletion
+    vectors: no data file is rewritten — each touched file is
+    re-added with a roaring-bitmap sidecar marking its doomed row
+    ordinals, committed atomically as remove/add pairs (module
+    docstring for the full shape). A file whose EVERY live row matches
+    is removed outright (no DV). When the table declares
+    ``delta.enableChangeDataFeed``, the commit also stages the deleted
+    row images under ``_change_data/`` (spec writer requirement), so
+    :func:`~.delta.read_delta_changes` replays the DELETE exactly.
+
+    Returns ``{"version", "num_deleted", "files_with_dvs",
+    "files_removed"}``; a predicate matching nothing commits NOTHING
+    and returns the current version with ``num_deleted`` 0.
+
+    Survivor rows are NOT re-validated against CHECK constraints —
+    deleting rows cannot create a violation (the spec imposes no
+    delete-time scan), so a DELETE costs one predicate scan + O(hit
+    files) sidecar writes no matter what the table declares.
+    """
+    stats_of: dict[str, str] = {}
+    rowids: dict[str, tuple] = {}
+    meta, live, dvs, last = _replay_log(
+        root, stats_out=stats_of, rowids_out=rowids
+    )
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    conf = meta.get("configuration") or {}
+    if str(conf.get("delta.appendOnly", "")).lower() == "true":
+        raise DeltaProtocolError(
+            "table declares delta.appendOnly=true; DELETE writes "
+            "remove actions, which append-only tables forbid"
+        )
+    proto = _gate_writer_features(log_dir, _DML_SUPPORTED_WRITER_FEATURES)
+
+    noop = {
+        "version": last, "num_deleted": 0,
+        "files_with_dvs": 0, "files_removed": 0,
+    }
+    if not live:
+        return noop
+
+    key, posk = "__dml_file", "__dml_pos"
+    scan, schema = _scan_with_positions(
+        spark, root, meta, live, dvs, key, posk
+    )
+    pred = F.expr(predicate)
+    hits = scan.filter(pred)
+    cdf_on = str(conf.get("delta.enableChangeDataFeed", "")
+                 ).lower() == "true"
+    cdc_actions: list[dict] = []
+    cdc_rels: list[str] = []
+    if cdf_on:
+        # one extra pass over only the HIT rows: their pre-images are
+        # the commit's change data (spec: DELETE emits 'delete' rows)
+        images = hits.select(
+            *[F.col(f.name) for f in schema.fields],
+            F.lit("delete").alias("_change_type"),
+        )
+        cdc_actions, cdc_rels = _stage_cdc_files(spark, root, images)
+
+    results = _write_dvs_for_hits(
+        hits.select(key, posk), root, live, dvs, key, posk
+    )
+    if not results:
+        for rel in cdc_rels:  # empty delete: nothing to commit
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(root, rel))
+        return noop
+
+    import pyarrow.parquet as pq
+
+    abs_to_rel = {
+        os.path.abspath(os.path.join(root, rel)): rel for rel in live
+    }
+    # rowTracking SUPPORTED but not ENABLED imposes nothing (files may
+    # legally lack stamps); enabled lineage must survive the re-add
+    rt_declared = (
+        "rowTracking" in set(proto.get("writerFeatures") or [])
+        and str(conf.get("delta.enableRowTracking", "")).lower() == "true"
+    )
+    now = _now_ms()
+    removes: list[dict] = []
+    adds: list[dict] = []
+    dv_rels: list[str] = []
+    n_deleted = 0
+    n_dv = n_gone = 0
+    for r in sorted(results, key=lambda r: r["file"]):
+        rel = abs_to_rel[r["file"]]
+        n_phys = pq.read_metadata(
+            os.path.join(root, rel)
+        ).num_rows
+        if r["cardinality"] > n_phys:
+            raise DeltaProtocolError(
+                f"deletion vector for {rel} marks {r['cardinality']} "
+                f"rows but the file holds {n_phys}; refusing to commit "
+                "a corrupt descriptor"
+            )
+        n_deleted += int(r["new_deletes"])
+        pv = dict(live[rel])
+        rm = {
+            "path": rel,
+            "deletionTimestamp": now,
+            "dataChange": True,
+            "partitionValues": pv,
+        }
+        if rel in dvs:
+            rm["deletionVector"] = dict(dvs[rel])
+        removes.append({"remove": rm})
+        if r["cardinality"] == n_phys:
+            # every physical row is now dead: drop the file entirely —
+            # and the just-written sidecar, which nothing references
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(root, r["dv_rel"]))
+            n_gone += 1
+            continue
+        n_dv += 1
+        dv_rels.append(r["dv_rel"])
+        add = {
+            "path": rel,
+            "partitionValues": pv,
+            "size": os.path.getsize(os.path.join(root, rel)),
+            "modificationTime": 0,
+            "dataChange": True,
+            "deletionVector": {
+                "storageType": "p",
+                "pathOrInlineDv": r["dv_rel"],
+                "offset": 1,
+                "sizeInBytes": int(r["size_bytes"]),
+                "cardinality": int(r["cardinality"]),
+            },
+        }
+        st = _loose_stats(stats_of.get(rel))
+        if st:
+            add["stats"] = st
+        if rel in rowids:
+            add["baseRowId"], add["defaultRowCommitVersion"] = rowids[rel]
+        elif rt_declared:
+            raise DeltaProtocolError(
+                f"table declares rowTracking but live file {rel} "
+                "carries no baseRowId stamp; cannot re-add it without "
+                "breaking row lineage"
+            )
+        adds.append({"add": add})
+
+    proto_actions, meta_action = _dv_feature_actions(proto, meta)
+    if n_dv == 0:
+        # only whole-file removes: no DV lands, no upgrade needed
+        proto_actions, meta_action = [], None
+    ict_on = str(conf.get("delta.enableInCommitTimestamps", "")
+                 ).lower() == "true"
+
+    def build(v: int) -> list[dict]:
+        return [
+            _ict_commit_info(log_dir, v, operation="DELETE")
+            if ict_on
+            else {"commitInfo": {"operation": "DELETE",
+                                 "engineInfo": "snapshot-export"}},
+            *proto_actions,
+            *([{"metaData": meta_action}] if meta_action else []),
+            *cdc_actions,
+            *removes,
+            *adds,
+        ]
+
+    version = _commit_file_level_cas(
+        log_dir, root, last + 1, build,
+        our_paths={a["remove"]["path"] for a in removes},
+        exclusive=bool(proto_actions or meta_action),
+        cleanup_rels=dv_rels + cdc_rels,
+    )
+    return {
+        "version": version,
+        "num_deleted": n_deleted,
+        "files_with_dvs": n_dv,
+        "files_removed": n_gone,
+    }
+
+
+def _validate_row_rules(df: DataFrame, rules: dict, what: str) -> None:
+    """ONE aggregate pass over the rows a MERGE is about to land,
+    counting violations of every declared CHECK / invariant / NOT NULL
+    / generated-column rule — the same single-job shape as
+    ``append_delta``'s batch validation (identity columns are gated
+    before this runs). Raises naming the first violated rule."""
+    aggs, labels = [], []
+    for name, expr in sorted(rules["checks"].items()):
+        aggs.append(F.count_if(F.expr(expr) == F.lit(False)))
+        labels.append(("CHECK constraint", f"{name} ({expr})"))
+    for col, expr in sorted(rules["invariants"].items()):
+        aggs.append(F.count_if(F.expr(expr) == F.lit(False)))
+        labels.append(("column invariant", f"{col} ({expr})"))
+    for col in rules["not_null"]:
+        aggs.append(F.count_if(F.col(col).isNull()))
+        labels.append(("NOT NULL constraint", col))
+    for col, gexpr in sorted(rules["generated"].items()):
+        aggs.append(F.count_if(~F.col(col).eqNullSafe(F.expr(gexpr))))
+        labels.append(("generated column", f"{col} = {gexpr}"))
+    if not aggs:
+        return
+    counts = df.agg(
+        *[a.alias(f"v{i}") for i, a in enumerate(aggs)]
+    ).collect()[0]
+    for i, (kind, rule) in enumerate(labels):
+        if counts[i]:
+            raise DeltaProtocolError(
+                f"{what} violates {kind} {rule}: {counts[i]} row(s) "
+                "fail it; nothing was committed"
+            )
+
+
+def merge_delta(
+    spark: SparkSession, root: str, source: DataFrame, on: list[str],
+    when_matched: str = "update", insert: bool = True,
+) -> dict:
+    """Delta-native ``MERGE INTO <table at root> t USING <source> s ON
+    <equi-keys>`` — the row-delta shape: matched target rows die via
+    DELETION VECTORS on their files (never a whole-file rewrite of
+    carried rows), their replacement values plus the not-matched
+    inserts land as NEW parquet files, and everything commits as ONE
+    version. The parquet-era ``merge_upsert`` (s6,
+    reference ``py:150-166``'s whole-frame reassignment) rewrites the
+    full table; this writes O(changed rows) data + O(touched files)
+    sidecars.
+
+    ``when_matched``: ``"update"`` (matched rows take the source's
+    values — classic upsert) or ``"delete"`` (matched rows are
+    removed). ``insert=False`` drops not-matched source rows instead
+    of inserting them. Source must carry exactly the table's columns,
+    with UNIQUE key tuples under ``on`` (a duplicate key would make
+    the merge non-deterministic — refused, the ANSI MERGE rule).
+
+    When the table declares ``delta.enableChangeDataFeed``, the commit
+    stages exact row images under ``_change_data/`` —
+    update_preimage / update_postimage / delete / insert — so
+    :func:`~.delta.read_delta_changes` replays the merge exactly
+    (never deriving spurious pairs from carried rows).
+
+    Declared CHECK / NOT NULL / invariant / generated rules are
+    enforced on the LANDING rows (updates + inserts) in one aggregate
+    pass; a violation commits nothing. Identity-column tables refuse
+    (assignment under merge is not implemented). Conflicts follow the
+    same file-level CAS as :func:`delete_from_delta`: disjoint raced
+    commits rebase, overlapping ones raise.
+
+    Returns ``{"version", "num_updated", "num_deleted",
+    "num_inserted", "files_with_dvs", "files_removed"}``.
+    """
+    import glob as _glob
+    import shutil as _shutil
+
+    from .delta_constraints import (
+        _file_stats,
+        _physical_names,
+        delta_table_constraints,
+    )
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError(
+            f"when_matched must be 'update' or 'delete', "
+            f"got {when_matched!r}"
+        )
+    stats_of: dict[str, str] = {}
+    rowids: dict[str, tuple] = {}
+    meta, live, dvs, last = _replay_log(
+        root, stats_out=stats_of, rowids_out=rowids
+    )
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    conf = meta.get("configuration") or {}
+    if str(conf.get("delta.appendOnly", "")).lower() == "true":
+        raise DeltaProtocolError(
+            "table declares delta.appendOnly=true; MERGE writes "
+            "remove actions, which append-only tables forbid"
+        )
+    proto = _gate_writer_features(log_dir, _DML_SUPPORTED_WRITER_FEATURES)
+    if (
+        "rowTracking" in set(proto.get("writerFeatures") or [])
+        and str(conf.get("delta.enableRowTracking", "")).lower() == "true"
+    ):
+        raise DeltaProtocolError(
+            "table enables rowTracking; MERGE would need fresh "
+            "baseRowId allocation for its new files — not implemented, "
+            "refusing to break row lineage"
+        )
+    rules = delta_table_constraints(root, meta=meta)
+    if rules["identity"]:
+        raise DeltaProtocolError(
+            f"table declares identity column(s) "
+            f"{sorted(rules['identity'])}; MERGE-time identity "
+            "assignment is not implemented — use append_delta for "
+            "inserts or drop the identity declaration"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    table_cols = [f.name for f in schema.fields]
+    bad_on = [c for c in on if c not in table_cols]
+    if not on or bad_on:
+        raise ValueError(
+            f"merge keys {on} must be non-empty table columns "
+            f"(schema: {table_cols})"
+        )
+    extra = [c for c in source.columns if c not in table_cols]
+    missing = [c for c in table_cols if c not in source.columns]
+    if extra or missing:
+        raise DeltaProtocolError(
+            f"source must carry exactly the table's columns; "
+            f"extra={extra} missing={missing}"
+        )
+    src = source.select([
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ])
+
+    key, posk = "__dml_file", "__dml_pos"
+    noop = {
+        "version": last, "num_updated": 0, "num_deleted": 0,
+        "num_inserted": 0, "files_with_dvs": 0, "files_removed": 0,
+    }
+    if live:
+        tgt, _schema = _scan_with_positions(
+            spark, root, meta, live, dvs, key, posk
+        )
+    else:
+        tgt = None
+
+    # duplicate-key gate + the one join the merge needs: source LEFT
+    # JOIN target — matched rows carry (file, pos) for the DV side and
+    # the target's values for preimages; unmatched rows are inserts.
+    # Persisted: every downstream frame is a projection of it, and its
+    # size is |source| — delta-sized, never table-sized.
+    dups = (
+        src.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dups:
+        raise DeltaProtocolError(
+            f"source has duplicate key tuples under {on}; MERGE "
+            "requires at most one source row per target row"
+        )
+    s = src.alias("s")
+    if tgt is not None:
+        t = tgt.alias("t")
+        cond = F.lit(True)
+        for k in on:
+            cond = cond & F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
+        j = s.join(t, cond, "left").persist()
+    else:
+        j = s.select(
+            "*",
+            F.lit(None).cast("string").alias(key),
+            F.lit(None).cast("long").alias(posk),
+        ).persist()
+    try:
+        matched = j.filter(F.col(key).isNotNull())
+        unmatched = j.filter(F.col(key).isNull())
+        s_cols = [F.col(f"s.{c}").alias(c) for c in table_cols] \
+            if tgt is not None else [F.col(c) for c in table_cols]
+        t_cols = [F.col(f"t.{c}").alias(c) for c in table_cols]
+
+        new_rows = unmatched.select(*s_cols) if insert else None
+        if when_matched == "update":
+            upd = matched.select(*s_cols)
+            new_rows = (
+                upd if new_rows is None else new_rows.unionByName(upd)
+            )
+        if new_rows is not None:
+            _validate_row_rules(
+                new_rows, rules,
+                "MERGE update" if when_matched == "update" else "MERGE insert",
+            )
+
+        cdf_on = str(conf.get("delta.enableChangeDataFeed", "")
+                     ).lower() == "true"
+        cdc_actions: list[dict] = []
+        cdc_rels: list[str] = []
+        if cdf_on:
+            ct = F.lit
+            pieces = []
+            # t_cols resolve only against a real target scan; with no
+            # live files there are no matched rows to image anyway
+            if tgt is not None:
+                if when_matched == "update":
+                    pieces.append(matched.select(
+                        *t_cols,
+                        ct("update_preimage").alias("_change_type")))
+                    pieces.append(matched.select(
+                        *s_cols,
+                        ct("update_postimage").alias("_change_type")))
+                else:
+                    pieces.append(matched.select(
+                        *t_cols, ct("delete").alias("_change_type")))
+            if insert:
+                pieces.append(unmatched.select(
+                    *s_cols, ct("insert").alias("_change_type")))
+            if pieces:
+                images = pieces[0]
+                for p in pieces[1:]:
+                    images = images.unionByName(p)
+                cdc_actions, cdc_rels = _stage_cdc_files(
+                    spark, root, images
+                )
+
+        # DV side: matched target positions per file
+        results = (
+            _write_dvs_for_hits(
+                matched.select(F.col(key), F.col(posk)),
+                root, live, dvs, key, posk,
+            )
+            if tgt is not None else []
+        )
+        n_matched = sum(int(r["new_deletes"]) for r in results)
+
+        # new-file side: updates + inserts staged then placed
+        new_rels: list[str] = []
+        n_new = 0
+        if new_rows is not None:
+            phys = _physical_names(meta)
+            out = new_rows
+            if phys:
+                out = new_rows.select([
+                    F.col(c).alias(phys[c]) for c in new_rows.columns
+                ])
+            stage = os.path.join(root, f".stage-merge-{uuid.uuid4().hex}")
+            out.write.parquet(stage)
+            try:
+                for part in sorted(
+                    _glob.glob(os.path.join(stage, "part-*.parquet"))
+                ):
+                    rel = f"merge-{uuid.uuid4().hex}.parquet"
+                    _shutil.move(part, os.path.join(root, rel))
+                    new_rels.append(rel)
+            finally:
+                _shutil.rmtree(stage, ignore_errors=True)
+
+        if not results and not new_rels:
+            for rel in cdc_rels:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(os.path.join(root, rel))
+            return noop
+
+        import pyarrow.parquet as pq
+
+        abs_to_rel = {
+            os.path.abspath(os.path.join(root, rel)): rel for rel in live
+        }
+        now = _now_ms()
+        removes: list[dict] = []
+        dv_adds: list[dict] = []
+        dv_rels: list[str] = []
+        n_dv = n_gone = 0
+        for r in sorted(results, key=lambda r: r["file"]):
+            rel = abs_to_rel[r["file"]]
+            n_phys = pq.read_metadata(os.path.join(root, rel)).num_rows
+            if r["cardinality"] > n_phys:
+                raise DeltaProtocolError(
+                    f"deletion vector for {rel} marks "
+                    f"{r['cardinality']} rows but the file holds "
+                    f"{n_phys}; refusing to commit a corrupt descriptor"
+                )
+            pv = dict(live[rel])
+            rm = {
+                "path": rel,
+                "deletionTimestamp": now,
+                "dataChange": True,
+                "partitionValues": pv,
+            }
+            if rel in dvs:
+                rm["deletionVector"] = dict(dvs[rel])
+            removes.append({"remove": rm})
+            if r["cardinality"] == n_phys:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(os.path.join(root, r["dv_rel"]))
+                n_gone += 1
+                continue
+            n_dv += 1
+            dv_rels.append(r["dv_rel"])
+            add = {
+                "path": rel,
+                "partitionValues": pv,
+                "size": os.path.getsize(os.path.join(root, rel)),
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": {
+                    "storageType": "p",
+                    "pathOrInlineDv": r["dv_rel"],
+                    "offset": 1,
+                    "sizeInBytes": int(r["size_bytes"]),
+                    "cardinality": int(r["cardinality"]),
+                },
+            }
+            st = _loose_stats(stats_of.get(rel))
+            if st:
+                add["stats"] = st
+            if rel in rowids:
+                add["baseRowId"], add["defaultRowCommitVersion"] = \
+                    rowids[rel]
+            dv_adds.append({"add": add})
+
+        new_adds = []
+        for rel in new_rels:
+            n_new += pq.read_metadata(os.path.join(root, rel)).num_rows
+            new_adds.append({"add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(root, rel)),
+                "modificationTime": 0,
+                "dataChange": True,
+                "stats": _file_stats(os.path.join(root, rel)),
+            }})
+
+        proto_actions, meta_action = (
+            _dv_feature_actions(proto, meta) if n_dv else ([], None)
+        )
+        ict_on = str(conf.get("delta.enableInCommitTimestamps", "")
+                     ).lower() == "true"
+
+        def build(v: int) -> list[dict]:
+            return [
+                _ict_commit_info(log_dir, v, operation="MERGE")
+                if ict_on
+                else {"commitInfo": {"operation": "MERGE",
+                                     "engineInfo": "snapshot-export"}},
+                *proto_actions,
+                *([{"metaData": meta_action}] if meta_action else []),
+                *cdc_actions,
+                *removes,
+                *new_adds,
+                *dv_adds,
+            ]
+
+        version = _commit_file_level_cas(
+            log_dir, root, last + 1, build,
+            our_paths={a["remove"]["path"] for a in removes},
+            exclusive=bool(proto_actions or meta_action),
+            cleanup_rels=dv_rels + cdc_rels + new_rels,
+        )
+        n_ins = n_new - (n_matched if when_matched == "update" else 0)
+        return {
+            "version": version,
+            "num_updated": n_matched if when_matched == "update" else 0,
+            "num_deleted": n_matched if when_matched == "delete" else 0,
+            "num_inserted": n_ins if insert else 0,
+            "files_with_dvs": n_dv,
+            "files_removed": n_gone,
+        }
+    finally:
+        j.unpersist()
