@@ -9131,3 +9131,141 @@ def q_s81(spark, sf):
         "c_custkey", "cents",
         F.col("_change_type").alias("change_type"),
     )
+
+
+@query(
+    "s82_iceberg_merge",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT)
+             + CASE WHEN c_custkey % 6 = 0 THEN 500 ELSE 0 END AS cents,
+           'state' AS tag
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 20000000 AS c_custkey,
+           CAST(-7 AS BIGINT) AS cents, 'state' AS tag
+    FROM customer WHERE c_custkey % 89 = 0
+    UNION ALL
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+           'delete' AS tag
+    FROM customer WHERE c_custkey % 6 = 0
+    UNION ALL
+    SELECT c_custkey,
+           CAST(floor(c_acctbal * 100) AS BIGINT) + 500 AS cents,
+           'insert' AS tag
+    FROM customer WHERE c_custkey % 6 = 0
+    UNION ALL
+    SELECT c_custkey + 20000000 AS c_custkey,
+           CAST(-7 AS BIGINT) AS cents, 'insert' AS tag
+    FROM customer WHERE c_custkey % 89 = 0
+    """,
+)
+def q_s82(spark, sf):
+    """S82 — Iceberg MERGE as one ROW-DELTA snapshot
+    (sources/iceberg_dml.py ``merge_iceberg``): matched rows become a
+    POSITION-DELETE file (spec-sorted by (file_path, pos)), their
+    replacement values plus the not-matched inserts become new data
+    files, and both land in ONE v2 snapshot — the delete manifest
+    (content=1) and the data manifest (content=0) both stamped with
+    the NEW snapshot's sequence number, so the pos-deletes (which
+    target (path, ordinal) pairs of the OLD files) can never shadow
+    the same snapshot's fresh appends. The result hashes BOTH
+    verification surfaces at once: the NET STATE rows (tag 'state',
+    read through the ordinary delete-applying scan) UNION the s47
+    CHANGELOG REPLAY of the merge snapshot (tags 'delete'/'insert' —
+    ``read_iceberg_changelog`` replays the struck rows of continuing
+    files as deletes and the new files' rows as inserts). DuckDB
+    recomputes both from the base table; a shadowed append, a carried
+    row leaking into the changelog, or a resurrected struck row breaks
+    the hash. In-entry asserts pin time travel to the base snapshot,
+    the one-snapshot sequence-number shape, and the duplicate-key
+    refusal; CAS refresh-retry and equality-delete interplay are
+    pinned in tests/test_iceberg_dml.py.
+
+    Scale: ONE source-sized join against the snapshot scan (existing
+    pos/eq/DV deletes already applied by ``read_iceberg``'s
+    machinery); the delete parquet is |matched| rows; the commit is
+    the format's metadata CAS."""
+    import json as _json
+    import os
+
+    from .sources.iceberg import (
+        IcebergProtocolError,
+        _latest_metadata_path,
+        _localize,
+        export_iceberg,
+        read_avro,
+        read_iceberg,
+        read_iceberg_changelog,
+    )
+    from .sources.iceberg_dml import merge_iceberg
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("c_custkey")
+    root = _table_root("s82", sf)
+    t = SnapshotTable.create(
+        spark, root, "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"], num_buckets=4,
+    )
+    t.append(c)
+    sid0 = export_iceberg(t)
+    n = c.count()
+
+    src = (
+        c.filter(k % 6 == 0)
+        .select("c_custkey", (F.col("cents") + 500).alias("cents"))
+        .unionByName(
+            c.filter(k % 89 == 0).select(
+                (k + 20_000_000).alias("c_custkey"),
+                F.lit(-7).cast("long").alias("cents"),
+            )
+        )
+    )
+    out = merge_iceberg(spark, root, src, on=["c_custkey"])
+    n_upd = c.filter(k % 6 == 0).count()
+    n_ins = c.filter(k % 89 == 0).count()
+    assert out["num_updated"] == n_upd and out["num_inserted"] == n_ins
+
+    # ONE snapshot: delete + data manifests share ITS sequence number
+    with open(_latest_metadata_path(root)) as f:
+        meta = _json.load(f)
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == out["snapshot_id"]
+    )
+    assert snap["parent-snapshot-id"] == sid0
+    assert snap["summary"]["operation"] == "overwrite"
+    _s, mfs = read_avro(_localize(snap["manifest-list"], root))
+    new_mfs = [
+        m for m in mfs
+        if m.get("added_snapshot_id") == out["snapshot_id"]
+    ]
+    assert sorted(m["content"] for m in new_mfs) == [0, 1]
+    assert all(
+        m["sequence_number"] == out["snapshot_id"] for m in new_mfs
+    )
+    # time travel to the pre-merge snapshot is intact
+    assert read_iceberg(spark, root, snapshot_id=sid0).count() == n
+    # duplicate source keys refuse (ANSI MERGE)
+    try:
+        merge_iceberg(
+            spark, root, src.limit(1).unionByName(src.limit(1)),
+            on=["c_custkey"],
+        )
+        raise AssertionError("duplicate-key merge must refuse")
+    except IcebergProtocolError as e:
+        assert "duplicate key" in str(e)
+
+    state = read_iceberg(spark, root).select(
+        "c_custkey", "cents", F.lit("state").alias("tag")
+    )
+    changelog = read_iceberg_changelog(
+        spark, root, from_snapshot_id=sid0,
+        to_snapshot_id=out["snapshot_id"],
+    ).select("c_custkey", "cents", F.col("_change_type").alias("tag"))
+    return state.unionByName(changelog)

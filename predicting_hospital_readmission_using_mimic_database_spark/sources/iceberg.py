@@ -2337,6 +2337,7 @@ def read_iceberg(
     predicates: list[tuple[str, str, object]] | None = None,
     ref: str | None = None,
     row_lineage: bool = False,
+    _keep_keys: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Snapshot-read an Iceberg table (``snapshot_id=`` time travel,
     default the current snapshot). ``partitions`` prunes files at the
@@ -2493,13 +2494,29 @@ def read_iceberg(
         out_schema = schema
         if row_lineage:
             out_schema = T.StructType(list(schema.fields) + lineage_fields)
+        if _keep_keys is not None:
+            out_schema = T.StructType(
+                list(out_schema.fields)
+                + [
+                    T.StructField(_keep_keys[0], T.StringType(), True),
+                    T.StructField(_keep_keys[1], T.LongType(), True),
+                ]
+            )
         return spark.createDataFrame([], out_schema)
     from pyspark.sql import functions as F
 
     from .io import decoded_file_path as _norm
 
     out_cols = [f.name for f in schema.fields]
-    need_keys = bool(pos_dels or eq_dels or dv_dels) or row_lineage
+    # _keep_keys=(file_col, pos_col): internal hook for the row-level
+    # DML writers (iceberg_dml.merge_iceberg) — the snapshot scan also
+    # surfaces each row's (decoded data-file path, parquet ordinal), so
+    # a MERGE can target position deletes without re-implementing the
+    # delete-application machinery above
+    need_keys = (
+        bool(pos_dels or eq_dels or dv_dels) or row_lineage
+        or _keep_keys is not None
+    )
 
     # both anti-join sides go to decoded local-path form:
     # _metadata.file_path is the URI Spark read
@@ -2714,6 +2731,12 @@ def read_iceberg(
             )
         )
         out_cols = out_cols + [f.name for f in lineage_fields]
+    if _keep_keys is not None:
+        return keyed.select(
+            *out_cols,
+            F.col(fp).alias(_keep_keys[0]),
+            F.col(pos).alias(_keep_keys[1]),
+        )
     return keyed.select(*out_cols)
 
 

@@ -1,0 +1,361 @@
+"""Iceberg ROW-LEVEL MERGE — matched target rows become POSITION
+DELETES, their replacement values plus the not-matched inserts become
+new data files, and both land in ONE v2 snapshot (the spec's
+row-delta commit: "Row-level deletes... delete files are added to the
+table in a new snapshot alongside new data files"). Composes the
+writer pieces the engine already has — the pos-delete file/manifest
+shape of :func:`~.iceberg.append_position_deletes`, the incremental
+manifest-list carry and metadata CAS of
+:func:`~.iceberg.export_iceberg` — and the read side needs nothing
+new: :func:`~.iceberg.read_iceberg` applies the deletes, and
+:func:`~.iceberg.read_iceberg_changelog` replays the snapshot as the
+exact delete+insert row diff (s47's machinery).
+
+The reference notebook's row mutation is a pandas in-place
+reassignment (py:150-166); this is the lakehouse-native equivalent a
+real pipeline commits.
+
+Scale shape:
+
+* finding matched rows is ONE source-sized join against the snapshot
+  scan (``read_iceberg(_keep_keys=...)`` reuses the full
+  delete-application machinery — existing positional / equality / DV
+  deletes are already applied, so a dead row can never re-match);
+* the pos-delete parquet is written by Spark sorted by
+  ``(file_path, pos)`` (the spec's required ordering) — its size is
+  the MATCHED row count, never the table;
+* sequence-number ordering is explicit: the new delete manifest and
+  the new data manifest both carry the NEW snapshot's sequence
+  number, and position deletes target (path, ordinal) pairs — they
+  can never strike the same snapshot's fresh appends (pinned in
+  tests/test_iceberg_dml.py);
+* the commit is the format's compare-and-swap on
+  ``vN.metadata.json``; a lost CAS deletes this attempt's files
+  (all ``*-{attempt}*`` named) and re-runs the merge against the
+  refreshed metadata, bounded like ``export_iceberg``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .iceberg import (
+    MANIFEST_ENTRY_SCHEMA,
+    MANIFEST_FILE_SCHEMA,
+    IcebergProtocolError,
+    _advance_version_hint,
+    _latest_metadata_path,
+    _localize,
+    _table_schema,
+    read_avro,
+    read_iceberg,
+)
+
+__all__ = ["merge_iceberg"]
+
+
+def merge_iceberg(
+    spark: SparkSession, root: str, source: DataFrame, on: list[str],
+    when_matched: str = "update", insert: bool = True,
+    _retries: int = 10,
+) -> dict:
+    """``MERGE INTO <iceberg table at root> t USING <source> s ON
+    <equi-keys>`` as one row-delta snapshot (module docstring).
+
+    ``when_matched``: ``"update"`` (matched rows take the source's
+    values) or ``"delete"``; ``insert=False`` drops not-matched source
+    rows. Source must carry exactly the table's columns with UNIQUE
+    key tuples under ``on`` (ANSI MERGE rule — refused otherwise).
+    Returns ``{"snapshot_id", "num_updated", "num_deleted",
+    "num_inserted"}``; a no-change merge commits nothing and returns
+    the current snapshot id.
+    """
+    import time
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    from .avro_ocf import write_avro
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError(
+            f"when_matched must be 'update' or 'delete', "
+            f"got {when_matched!r}"
+        )
+    latest = _latest_metadata_path(root)
+    if latest is None:
+        raise IcebergProtocolError(
+            f"no Iceberg metadata under {root}; export the table first"
+        )
+    with open(latest) as f:
+        meta = json.load(f)
+    if int(meta.get("format-version", 2)) != 2:
+        raise IcebergProtocolError(
+            f"merge_iceberg supports format-version 2 tables only "
+            f"(got {meta.get('format-version')}); v3 row-lineage "
+            "assignment for rewritten rows is not implemented"
+        )
+    snaps = meta.get("snapshots", [])
+    if not snaps or meta.get("current-snapshot-id") is None:
+        raise IcebergProtocolError(
+            "table has no current snapshot; merge needs a published "
+            "base (export first, even if empty)"
+        )
+    cur_sid = int(meta["current-snapshot-id"])
+    cur = next(s for s in snaps if s["snapshot-id"] == cur_sid)
+
+    schema = _table_schema(meta)
+    table_cols = [f.name for f in schema.fields]
+    bad_on = [c for c in on if c not in table_cols]
+    if not on or bad_on:
+        raise ValueError(
+            f"merge keys {on} must be non-empty table columns "
+            f"(schema: {table_cols})"
+        )
+    extra = [c for c in source.columns if c not in table_cols]
+    missing = [c for c in table_cols if c not in source.columns]
+    if extra or missing:
+        raise IcebergProtocolError(
+            f"source must carry exactly the table's columns; "
+            f"extra={extra} missing={missing}"
+        )
+    src = source.select([
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ])
+    dups = (
+        src.groupBy(*on).count().filter(F.col("count") > 1)
+        .limit(1).count()
+    )
+    if dups:
+        raise IcebergProtocolError(
+            f"source has duplicate key tuples under {on}; MERGE "
+            "requires at most one source row per target row"
+        )
+
+    fpk, posk = "__ice_dml_file", "__ice_dml_pos"
+    tgt = read_iceberg(
+        spark, root, snapshot_id=cur_sid, _keep_keys=(fpk, posk)
+    )
+    s = src.alias("s")
+    t = tgt.alias("t")
+    cond = F.lit(True)
+    for k in on:
+        cond = cond & F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
+    # ONE source-sized join; every downstream frame projects from it
+    j = s.join(t, cond, "left").persist()
+    attempt = _uuid.uuid4().hex[:12]
+    mdir = os.path.join(root, "metadata")
+    ddir = os.path.join(root, "data")
+    written: list[str] = []
+
+    def _cleanup():
+        for p in written:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(p)
+
+    try:
+        matched = j.filter(F.col(fpk).isNotNull())
+        unmatched = j.filter(F.col(fpk).isNull())
+        s_cols = [F.col(f"s.{c}").alias(c) for c in table_cols]
+
+        new_rows = unmatched.select(*s_cols) if insert else None
+        if when_matched == "update":
+            upd = matched.select(*s_cols)
+            new_rows = (
+                upd if new_rows is None else new_rows.unionByName(upd)
+            )
+
+        # the spec's pos-delete file: (file_path, pos) sorted rows
+        import glob as _glob
+        import shutil as _shutil
+
+        sid = max(x["snapshot-id"] for x in snaps) + 1
+        stage = os.path.join(root, f".merge-stage-{attempt}")
+        (
+            matched.select(
+                F.col(fpk).alias("file_path"),
+                F.col(posk).cast("long").alias("pos"),
+            )
+            .orderBy("file_path", "pos")
+            .coalesce(1)
+            .write.parquet(stage)
+        )
+        parts = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))
+        del_path = os.path.join(
+            mdir, f"pos-delete-{sid}-{attempt}.parquet"
+        )
+        _shutil.move(parts[0], del_path)
+        _shutil.rmtree(stage)
+        written.append(del_path)
+        n_matched = pq.read_metadata(del_path).num_rows
+
+        new_files: list[tuple[str, int]] = []
+        if new_rows is not None:
+            os.makedirs(ddir, exist_ok=True)
+            stage2 = os.path.join(root, f".merge-stage2-{attempt}")
+            new_rows.write.parquet(stage2)
+            for i, part in enumerate(sorted(
+                _glob.glob(os.path.join(stage2, "part-*.parquet"))
+            )):
+                path = os.path.join(
+                    ddir, f"merge-{sid}-{attempt}-{i:05d}.parquet"
+                )
+                _shutil.move(part, path)
+                written.append(path)
+                n = pq.read_metadata(path).num_rows
+                if n:
+                    new_files.append((path, n))
+                else:
+                    written.remove(path)
+                    os.remove(path)
+            _shutil.rmtree(stage2)
+        n_new = sum(n for _p, n in new_files)
+
+        if not n_matched and not n_new:
+            _cleanup()
+            return {
+                "snapshot_id": cur_sid, "num_updated": 0,
+                "num_deleted": 0, "num_inserted": 0,
+            }
+
+        _s, manifests = read_avro(_localize(cur["manifest-list"], root))
+        mf_records = [{"sequence_number": None, **m} for m in manifests]
+        if n_matched:
+            del_manifest = os.path.join(
+                mdir, f"manifest-del-{sid}-{attempt}.avro"
+            )
+            write_avro(
+                del_manifest,
+                MANIFEST_ENTRY_SCHEMA,
+                [{
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": del_path,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": n_matched,
+                        "file_size_in_bytes": os.path.getsize(del_path),
+                        "equality_ids": None,
+                    },
+                }],
+            )
+            written.append(del_manifest)
+            mf_records.append({
+                "manifest_path": del_manifest,
+                "manifest_length": os.path.getsize(del_manifest),
+                "partition_spec_id": 0,
+                "content": 1,
+                "added_snapshot_id": sid,
+                # the NEW snapshot's sequence number: position deletes
+                # apply by (path, ordinal), so the same snapshot's
+                # fresh data files (below, same sequence) are out of
+                # reach by construction — the spec's row-delta commit
+                "sequence_number": sid,
+            })
+        else:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(del_path)
+            written.remove(del_path)
+        if new_files:
+            add_manifest = os.path.join(
+                mdir, f"manifest-merge-{sid}-{attempt}.avro"
+            )
+            write_avro(
+                add_manifest,
+                MANIFEST_ENTRY_SCHEMA,
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": sid,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": p,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": n,
+                            "file_size_in_bytes": os.path.getsize(p),
+                            "equality_ids": None,
+                        },
+                    }
+                    for p, n in new_files
+                ],
+            )
+            written.append(add_manifest)
+            mf_records.append({
+                "manifest_path": add_manifest,
+                "manifest_length": os.path.getsize(add_manifest),
+                "partition_spec_id": 0,
+                "content": 0,
+                "added_snapshot_id": sid,
+                "sequence_number": sid,
+            })
+
+        mlist = os.path.join(mdir, f"snap-{sid}-{attempt}.avro")
+        write_avro(mlist, MANIFEST_FILE_SCHEMA, mf_records)
+        written.append(mlist)
+
+        version = int(meta.get("_export_version", len(snaps))) + 1
+        new_meta = dict(meta)
+        new_meta["snapshots"] = snaps + [{
+            "snapshot-id": sid,
+            "parent-snapshot-id": cur_sid,
+            "timestamp-ms": int(time.time() * 1000),
+            "summary": {
+                "operation": "overwrite",
+                "merged-rows": str(n_matched),
+                "added-rows": str(n_new),
+            },
+            "manifest-list": mlist,
+            "schema-id": meta.get("current-schema-id", 0),
+        }]
+        new_meta["current-snapshot-id"] = sid
+        new_meta["last-sequence-number"] = sid
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        new_meta["_export_version"] = version
+        try:
+            # the format's commit: compare-and-swap on the metadata
+            # pointer (put-if-absent claim of the next version)
+            with open(
+                os.path.join(mdir, f"v{version}.metadata.json"), "x"
+            ) as f:
+                json.dump(new_meta, f)
+        except FileExistsError:
+            _cleanup()
+            if _retries <= 0:
+                raise IcebergProtocolError(
+                    f"merge_iceberg lost the metadata CAS at version "
+                    f"{version} ten times in a row; a foreign writer "
+                    "is committing faster than the merge can refresh"
+                ) from None
+            # refresh-and-reattempt against the new current snapshot:
+            # the matched set may have changed, so the whole merge
+            # re-runs (the source frame is unchanged)
+            j.unpersist()
+            return merge_iceberg(
+                spark, root, source, on,
+                when_matched=when_matched, insert=insert,
+                _retries=_retries - 1,
+            )
+        _advance_version_hint(mdir, version)
+        return {
+            "snapshot_id": sid,
+            "num_updated": n_matched if when_matched == "update" else 0,
+            "num_deleted": n_matched if when_matched == "delete" else 0,
+            "num_inserted": (
+                n_new - (n_matched if when_matched == "update" else 0)
+                if insert else 0
+            ),
+        }
+    except Exception:
+        _cleanup()
+        raise
+    finally:
+        j.unpersist()
