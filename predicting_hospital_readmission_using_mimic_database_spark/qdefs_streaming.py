@@ -2525,3 +2525,153 @@ def q_st28(spark, sf):
         return got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st29_stream_iceberg_wap",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT k AS c_custkey, cents FROM base
+    UNION ALL
+    SELECT k + 9000000, cents FROM base WHERE k % 50 = 0
+    """,
+)
+def q_st29(spark, sf):
+    """ST29 — streaming WRITE-AUDIT-PUBLISH into Iceberg
+    (sources/iceberg.py WAP machinery under a stream; the st27 shape
+    transposed from Delta constraints to the Iceberg audit branch).
+    A file-source stream drains micro-batches through a foreachBatch
+    sink that appends to the staging SnapshotTable and STAGES each
+    batch on an Iceberg AUDIT BRANCH (``export_iceberg(branch=)`` —
+    consecutive staged commits chain on the branch head; main's
+    ``current-snapshot-id`` never moves). The audit reads the branch
+    ref; a PASSING audit fast-forwards main
+    (``publish_iceberg_wap``), asserted exact. Then a POISONED batch
+    drains onto a fresh audit branch: the audit gate finds the
+    violating rows and REJECTS (``drop_iceberg_ref``) — main is
+    asserted byte-identical to the published state, the staged poison
+    merely unreferenced. The upstream fix deletes the poison from the
+    staging table, appends corrected rows, re-stages on the SAME
+    branch name (reusable after the drop), the audit passes, and the
+    second publish fast-forwards. DuckDB recomputes the final main
+    (base + corrected rows); a leaked poison row, a lost staged
+    batch, or a publish that rewrote instead of fast-forwarding
+    breaks the hash.
+
+    Scale: staging is the incremental export (O(changed files)
+    metadata per micro-batch); the audit is one filtered count over
+    the branch read; publish is a driver-side metadata CAS."""
+    import glob as _glob
+
+    from .qdefs_core import _table_root
+    from .sources.iceberg import (
+        drop_iceberg_ref,
+        export_iceberg,
+        publish_iceberg_wap,
+        read_iceberg,
+    )
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("c_custkey")
+    n = c.count()
+    root = _table_root("st29", sf)
+    t = SnapshotTable.create(
+        spark, root, "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"], num_buckets=4,
+    )
+    t.append(c.filter(k % 3 == 0))
+    export_iceberg(t)  # published main = the k%3==0 base
+    n_base = c.filter(k % 3 == 0).count()
+
+    tmp = tempfile.mkdtemp(prefix="st29_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        ck = os.path.join(tmp, "ck")
+        phase = {"branch": "audit"}
+
+        def _stage(df, name):
+            stage = os.path.join(tmp, f".stage-{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+            shutil.move(part, os.path.join(src, name))
+            shutil.rmtree(stage)
+
+        def sink(df, _bid):
+            # stage each micro-batch on the AUDIT branch: the staging
+            # table advances, main's current snapshot never moves
+            t.append(df)
+            export_iceberg(t, branch=phase["branch"])
+
+        def drain():
+            q = (
+                spark.readStream
+                .schema("c_custkey long, cents long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        # phase 1: two clean micro-batches chain on the audit branch
+        _stage(c.filter(k % 3 == 1), "slice1.parquet")
+        drain()
+        _stage(c.filter(k % 3 == 2), "slice2.parquet")
+        drain()
+        # main untouched; the branch serves everything staged
+        assert read_iceberg(spark, root).count() == n_base
+        audit = read_iceberg(spark, root, ref="audit")
+        assert audit.count() == n
+        # audit gate passes -> fast-forward publish
+        assert audit.filter(F.col("cents") < -100000).count() == 0
+        out = publish_iceberg_wap(root, "audit")
+        assert out["mode"] == "fast-forward"
+        assert read_iceberg(spark, root).count() == n
+
+        # phase 2: a POISONED batch stages on a fresh branch; the
+        # audit REJECTS and main stays exactly the published state
+        phase["branch"] = "audit2"
+        poison = c.filter(k % 50 == 0).select(
+            (k + 9_000_000).alias("c_custkey"),
+            F.lit(-9_999_999).cast("long").alias("cents"),
+        )
+        _stage(poison, "batch3.parquet")
+        drain()
+        staged = read_iceberg(spark, root, ref="audit2")
+        n_bad = staged.filter(F.col("cents") < -100000).count()
+        assert n_bad == poison.count()  # the gate caught every row
+        drop_iceberg_ref(root, "audit2")
+        main = read_iceberg(spark, root)
+        assert main.count() == n
+        assert main.filter(k >= 9_000_000).count() == 0
+
+        # phase 3: upstream fix — poison deleted from the staging
+        # table, corrected rows appended, SAME branch name re-staged
+        t.delete(F.col("cents") < -100000)
+        fixed = c.filter(k % 50 == 0).select(
+            (k + 9_000_000).alias("c_custkey"), "cents"
+        )
+        _stage(fixed, "batch4.parquet")
+        drain()
+        audit2 = read_iceberg(spark, root, ref="audit2")
+        assert audit2.filter(F.col("cents") < -100000).count() == 0
+        assert audit2.count() == n + fixed.count()
+        out2 = publish_iceberg_wap(root, "audit2")
+        assert out2["mode"] in ("fast-forward", "cherry-pick")
+        got = read_iceberg(spark, root)
+        assert got.count() == n + fixed.count()
+        assert got.filter(F.col("cents") < -100000).count() == 0
+        return got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
