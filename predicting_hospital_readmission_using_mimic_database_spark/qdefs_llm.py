@@ -1986,3 +1986,82 @@ def q_x18(spark, sf):
     seeds = {r["query_id"]: r["doc_id"] for r in rows if r["rank"] == 1}
     cand_df = cands.select("query_id", F.col("doc_id").alias("cand_id"))
     return SI.rerank_candidates(_emb(spark, sf), cand_df, seeds, k=10)
+
+
+@query(
+    "n7_knn_ivf_pq",
+    oracle=f"""
+    SELECT CAST(0 AS BIGINT) AS vec_id, CAST(1.0 AS DOUBLE) AS cosine,
+           CAST(1 AS INT) AS rank
+    UNION ALL
+    SELECT CAST({_COPY_OFFSET} + r AS BIGINT) AS vec_id,
+           CAST(1.0 AS DOUBLE) AS cosine, CAST(r + 2 AS INT) AS rank
+    FROM range(0, 9) t(r)
+    """,
+)
+def q_n7(spark, sf):
+    """N7 — IVF-PQ quantized ANN (operators.similarity.topk_ivf_pq;
+    Jégou et al. 2011): coarse IVF cells bound the scan, residuals are
+    PRODUCT-QUANTIZED to M=8 one-byte codes (32x compression vs the
+    raw 64 x float32 — asserted), per-query LUTs score candidates by
+    ASYMMETRIC distance (one numpy gather per Arrow batch), and the
+    ADC top-``rerank`` re-ranks EXACTLY. Two probes, two contracts:
+
+    * HASHED: a probe with 10 planted EXACT COPIES in the corpus
+      (vec 0's embedding under ids {_COPY_OFFSET}+0..9). A copy's ADC
+      distance equals the probe's own quantization error — far below
+      near-orthogonal strangers (d5's oracle proves no natural pair
+      comes close) — so every copy reaches the shortlist FOR ANY
+      centroid/codebook placement, and the exact re-rank scores each
+      cosine 1.0. The returned top-10 is therefore deterministic
+      (rank 1 = vec 0, ranks 2..10 = the 9 lowest copy ids) and
+      DuckDB-exact; a copy lost by the quantizer breaks the hash.
+    * IN-ENTRY: recall@10 vs the n1 exact brute force on the natural
+      ``_PROBE``, asserted above the pinned floor (approximate by
+      design; near-orthogonal random vectors are the adversarial
+      case for any ANN — the floor documents honest accuracy, not a
+      tuned best case).
+
+    Scale shape: centroids + codebooks + LUTs are driver-built KBs on
+    ONE broadcast; candidate selection is a cell filter; ADC top-m and
+    the final top-k are TakeOrderedAndProject; the only window ranks
+    <= k rows. The PQ index is M bytes/vector — 100 TB of fp32
+    embeddings quantize to ~3 TB of scannable codes."""
+    e = _emb(spark, sf).select("vec_id", "embedding")
+    dim = len(e.select("embedding").first()["embedding"])
+
+    # planted-copy probe: vec 0's embedding, 10 copies at high ids
+    v0 = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    copies = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
+        F.lit([float(x) for x in v0]).alias("embedding"),
+    )
+    planted = e.unionByName(copies)
+    got = SI.topk_ivf_pq(
+        planted, "vec_id", "embedding", [float(x) for x in v0],
+        k=10, n_cells=16, n_probe=8, m_subspaces=8, ksub=16,
+        rerank=400, seed=42,
+    )
+
+    # compression ratio: M one-byte codes vs dim float32s
+    ratio = (dim * 4) / 8.0
+    assert ratio >= 16.0, ratio
+
+    # recall floor vs the exact brute force on the natural probe
+    exact = {
+        r["vec_id"]
+        for r in SI.topk_bruteforce(
+            e, "vec_id", "embedding", _PROBE, k=10
+        ).collect()
+    }
+    ann = {
+        r["vec_id"]
+        for r in SI.topk_ivf_pq(
+            e, "vec_id", "embedding", _PROBE,
+            k=10, n_cells=16, n_probe=8, m_subspaces=8, ksub=16,
+            rerank=400, seed=42,
+        ).collect()
+    }
+    recall = len(exact & ann) / 10.0
+    assert recall >= 0.5, f"recall@10 {recall} below pinned floor"
+    return got

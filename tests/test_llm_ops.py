@@ -1362,3 +1362,53 @@ def test_bm25_empty_corpus_returns_typed_empty(spark):
         "query_id", "doc_id", "score", "rank"
     ]
     assert out.schema["doc_id"].dataType.simpleString() == "bigint"
+
+
+def test_ivf_pq_planted_copies_and_recall(spark):
+    """topk_ivf_pq: exact duplicates of the probe are guaranteed-found
+    (their ADC distance is the probe's own quantization error) and the
+    exact re-rank scores them cosine 1.0; natural recall@10 vs brute
+    force stays above the floor; codes compress 32x vs fp32."""
+    import numpy as np
+
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import similarity as SI
+
+    rng = np.random.default_rng(11)
+    N, D = 2000, 64
+    X = rng.normal(size=(N, D))
+    rows = [(i, [float(v) for v in X[i]]) for i in range(N)]
+    probe = [float(v) for v in X[77]]
+    # plant 5 exact copies at high ids
+    rows += [(10_000 + j, probe) for j in range(5)]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    got = SI.topk_ivf_pq(
+        e, "vec_id", "embedding", probe, k=6,
+        n_cells=8, n_probe=4, m_subspaces=8, ksub=16, rerank=100,
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids[:6] == [77, 10_000, 10_001, 10_002, 10_003, 10_004]
+    assert all(r["cosine"] == 1.0 for r in got)
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5, 6]
+
+    base = spark.createDataFrame(rows[:N],
+                                 "vec_id bigint, embedding array<double>")
+    q2 = [float(v) for v in rng.normal(size=D)]
+    exact = {r["vec_id"] for r in SI.topk_bruteforce(
+        base, "vec_id", "embedding", q2, k=10).collect()}
+    # probe ALL cells: misses can then only come from the PQ/ADC
+    # shortlist, which the generous rerank must carry (cell-bounding
+    # recall is the documented tradeoff, exercised by the n7 entry's
+    # fixed-seed partial-probe measurement)
+    ann = {r["vec_id"] for r in SI.topk_ivf_pq(
+        base, "vec_id", "embedding", q2, k=10,
+        n_cells=8, n_probe=8, m_subspaces=8, ksub=16, rerank=300,
+    ).collect()}
+    assert len(exact & ann) / 10.0 >= 0.8
+    # compression: M one-byte codes vs D float32s
+    assert (D * 4) / 8 == 32.0
+    # refusal: dim not divisible by M
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        SI.train_pq_codebooks([[0.0] * 63], 8, 4)
