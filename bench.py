@@ -216,6 +216,13 @@ HEADLINE = [
     "s79_delta_identity",
     "st28_stream_identity_sink",
     "x18_hybrid_rerank",
+    # round-14: row-level DML (Delta DVs + MERGE/CDF, Iceberg
+    # row-delta MERGE), streaming WAP, IVF-PQ ANN
+    "s80_delta_delete_dv",
+    "s81_delta_merge_cdf",
+    "s82_iceberg_merge",
+    "st29_stream_iceberg_wap",
+    "n7_knn_ivf_pq",
 ]
 
 

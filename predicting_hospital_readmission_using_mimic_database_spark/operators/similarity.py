@@ -957,6 +957,7 @@ def topk_ivf_pq(
     ksub: int = 16,
     rerank: int = 100,
     seed: int = 42,
+    materialize: bool = True,
 ):
     """IVF-PQ top-k — the ANN shape that actually fits 100 TB of
     embeddings in memory-bounded state: coarse IVF cells bound the
@@ -1090,7 +1091,13 @@ def topk_ivf_pq(
                 Window.orderBy(F.desc("cosine"), F.col(id_col))
             ).cast("int"),
         )
+        if not materialize:
+            # caller audits/extends the lazy plan and owns the
+            # persisted encoded frame's lifetime (ContextCleaner
+            # reclaims it with the plan) — the bm25_topk convention
+            return ranked
         rows_out = ranked.collect()
         return df.sparkSession.createDataFrame(rows_out, ranked.schema)
     finally:
-        encoded.unpersist()
+        if materialize:
+            encoded.unpersist()

@@ -39,85 +39,84 @@ _LOADED = False
 # The driver verifies the registry front-to-back with a capped budget
 # (every round so far checked exactly the first 50 entries). The
 # cross-round union covers all entries — every one has appeared
-# hash-green in a shipped driver artifact. Round-12 window:
-# (a) the 10 entries NEW this round — s68 Hudi async compaction
-# (requested/inflight states), s69 timeline archival, s70 Delta V2
-# checkpoints, st25/st26 stream-across-maintenance (Delta + Iceberg),
-# s71 Delta RESTORE, s72 Hudi savepoint+restore, s73 Delta shallow
-# clone, s74 Hudi rollback, s75 schema-evolution writers — then every
-# entry whose
-# MACHINERY changed this round: the Delta group (checkpoints now carry
-# domainMetadata + declared protocol, commits are put-if-absent with
-# rebase, V2 layout selection, watermark monotonicity, shared-DV-aware
-# vacuum), the Hudi group (the pending-compaction slice rules +
-# archival boundary touched every reader; exports publish instants
-# exclusively), and the Iceberg group (export CAS + attempt-unique
-# manifests + orphan-file age protection) — then (b) one stable
-# sentinel per family prefix, ROTATED off round 12's picks so sibling
-# entries regain fresh driver rows
+# hash-green in a shipped driver artifact. Round-14 window:
+# (a) the 5 entries NEW this round — s80 Delta DELETE via deletion
+# vectors, s81 Delta-native MERGE emitting the change data feed,
+# s82 Iceberg row-delta MERGE (pos-deletes + appends in one
+# snapshot), st29 streaming write-audit-publish into an Iceberg
+# audit branch, n7 IVF-PQ quantized ANN — then every entry whose
+# MACHINERY changed this round: the Delta group (append_delta's
+# place-and-commit exception boundary; the DV read path / CDF reader
+# now consume user-written DML commits; log truncation + restore over
+# checkpoints that carry DVs), the Iceberg group (read_iceberg grew
+# the _keep_keys DML hook on its scan spine, the version hint
+# retries its read-compare-replace, WAP cherry-pick labels), the
+# Hudi group (the clustering update-conflict rule is now
+# (partition, fileId)-scoped: exact diff-target gating for MOR,
+# row+slice partition probe for COW, partition-scoped completion
+# scan), and the retrieval/ANN modules (bm25 empty-corpus short-
+# circuit; similarity.py grew the PQ substrate) — then (b) one
+# stable sentinel per family prefix, ROTATED off round 13's picks
 # (tests/test_entry.py::test_first_50_entries_cover_every_family).
 PRIORITY: tuple[str, ...] = (
-    # (a) new in round 13
-    "s76_iceberg_wap",
+    # (a) new in round 14
+    "s80_delta_delete_dv",
+    "s81_delta_merge_cdf",
+    "s82_iceberg_merge",
+    "st29_stream_iceberg_wap",
+    "n7_knn_ivf_pq",
+    # (a) Delta machinery changed in round 14
     "s77_delta_constraints",
-    "s78_hudi_pending_clustering",
-    "x17_bm25_topk",
+    "s79_delta_identity",
     "st27_stream_into_constrained",
-    # (a) Hudi machinery changed in round 13 (writer tmp-race fix,
-    # restore clean-horizon fold, pending-clustering gates in
-    # export/clean/archive/compaction)
-    "s40_hudi_export",
-    "s72_hudi_savepoint_restore",
-    "s58_hudi_clean",
-    "s69_hudi_timeline_archival",
-    "s68_hudi_async_compaction",
-    "s60_hudi_clustering",
-    "s52_hudi_mor_compaction",
-    "s51_hudi_mor_export",
-    "st18_stream_hudi_mor",
-    "s19_hudi_read",
-    "s25_hudi_incremental",
-    "s42_hudi_cdc_infer",
-    "st15_stream_hudi_tail",
-    # (a) Iceberg machinery changed in round 13 (monotonic version
-    # hint, parent-snapshot-id lineage, CAS-loser manifest cleanup,
-    # WAP ref handling)
+    "st28_stream_identity_sink",
+    "s22_delta_deletion_vectors",
+    "s28_delta_cdf",
+    "s59_delta_log_truncate",
+    "s71_delta_restore",
+    # (a) Iceberg machinery changed in round 14
+    "s76_iceberg_wap",
     "s18_iceberg_roundtrip",
-    "s55_iceberg_export_bounds",
+    "s20_iceberg_pos_delete",
+    "s23_iceberg_eq_delete",
+    "s47_iceberg_changelog",
+    "s49_iceberg_changelog_dv_replay",
+    "s37_iceberg_v3_dv",
+    "s45_iceberg_row_lineage",
+    "st16_stream_iceberg_tail",
     "s57_iceberg_expire_snapshots",
     "s61_iceberg_rewrite_manifests",
-    "s63_iceberg_rewrite_datafiles",
+    "s33_iceberg_incremental",
+    "s55_iceberg_export_bounds",
     "s64_iceberg_partition_evolution",
-    "s65_iceberg_orphan_files",
-    "st26_stream_iceberg_maintenance",
-    "s30_iceberg_files_meta",
-    "s47_iceberg_changelog",
-    "st16_stream_iceberg_tail",
-    # (a) Delta machinery changed in round 13 (_declared_protocol
-    # newest-checkpoint pick across classic/V2 layouts)
-    "s70_delta_v2_checkpoint",
-    "s59_delta_log_truncate",
-    "s62_delta_optimize",
-    "s73_delta_shallow_clone",
-    "s75_delta_schema_evolution_write",
-    "s24_delta_v2_checkpoint",
-    "s16_delta_export",
-    "s79_delta_identity",
-    # (b) stable sentinels, family-complete, rotated off the round-12
+    # (a) Hudi machinery changed in round 14 (partition-aware
+    # clustering update-conflict rule)
+    "s78_hudi_pending_clustering",
+    "s40_hudi_export",
+    "s51_hudi_mor_export",
+    "s60_hudi_clustering",
+    "s52_hudi_mor_compaction",
+    "s68_hudi_async_compaction",
+    "s58_hudi_clean",
+    "s19_hudi_read",
+    # (a) retrieval / ANN modules changed in round 14
+    "x17_bm25_topk",
+    "x18_hybrid_rerank",
+    "n4_knn_ivf_indexed",
+    # (b) stable sentinels, family-complete, rotated off the round-13
     # picks
     "flagship_readmit_30d",
-    "p8_split_counts",
-    "j9_asof_join",
-    "w5_last_per_group",
-    "a8_pivot_count",
-    "c3_range_recode",
-    "u6_smote",
-    "t14_count_vectorize",
-    "m7_grid_cv",
-    "e4_confusion",
-    "d3_dedup_simhash",
-    "n3_knn_ivf",
-    "mm4_audio_resample",
+    "p2_filter_isnull",
+    "j12_supplier_region_rollup",
+    "w8_rolling_avg",
+    "a13_percentiles",
+    "c10_json_extract",
+    "u11_stratified_hash_split",
+    "t16_tfidf",
+    "m8_mutual_info",
+    "e9_calibration",
+    "d2_dedup_minhash_lsh",
+    "mm5_audio_spectrogram",
 )
 
 

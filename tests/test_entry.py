@@ -33,41 +33,41 @@ def test_first_50_entries_cover_every_family():
         "t", "m", "e",                                   # text / ML / metrics
         "d", "n", "x", "mm", "st",                       # LLM-pipeline + streaming
     } <= fams, fams
-    # round-13 rotation: the 5 new entries (WAP, Delta constraints,
-    # pending clustering, BM25, constrained-sink stream) lead, then
-    # every entry whose machinery changed this round (Hudi writer
-    # tmp-race/restore-horizon/clustering gates, Iceberg hint/lineage/
-    # CAS cleanup, Delta protocol-from-checkpoint pick)
-    for must in ("s76_iceberg_wap",
-                 "s77_delta_constraints",
-                 "s78_hudi_pending_clustering",
-                 "x17_bm25_topk",
+    # round-14 rotation: the 5 new entries (Delta DELETE via DVs,
+    # Delta-native MERGE+CDF, Iceberg row-delta MERGE, streaming WAP,
+    # IVF-PQ ANN) lead, then every entry whose machinery changed this
+    # round (Delta append/DML commit paths + DV/CDF consumers, the
+    # read_iceberg scan spine + version hint + WAP labels, the
+    # partition-aware Hudi clustering conflict rule, the retrieval/ANN
+    # modules)
+    for must in ("s80_delta_delete_dv",
+                 "s81_delta_merge_cdf",
+                 "s82_iceberg_merge",
+                 "st29_stream_iceberg_wap",
+                 "n7_knn_ivf_pq",
+                 "s77_delta_constraints", "s79_delta_identity",
                  "st27_stream_into_constrained",
-                 "s40_hudi_export",
-                 "s72_hudi_savepoint_restore",
-                 "s58_hudi_clean",
-                 "s69_hudi_timeline_archival",
-                 "s68_hudi_async_compaction",
-                 "s60_hudi_clustering",
-                 "s52_hudi_mor_compaction", "s51_hudi_mor_export",
-                 "st18_stream_hudi_mor", "s19_hudi_read",
-                 "s25_hudi_incremental", "s42_hudi_cdc_infer",
-                 "st15_stream_hudi_tail",
-                 "s18_iceberg_roundtrip",
-                 "s55_iceberg_export_bounds",
+                 "st28_stream_identity_sink",
+                 "s22_delta_deletion_vectors", "s28_delta_cdf",
+                 "s59_delta_log_truncate", "s71_delta_restore",
+                 "s76_iceberg_wap", "s18_iceberg_roundtrip",
+                 "s20_iceberg_pos_delete", "s23_iceberg_eq_delete",
+                 "s47_iceberg_changelog",
+                 "s49_iceberg_changelog_dv_replay",
+                 "s37_iceberg_v3_dv", "s45_iceberg_row_lineage",
+                 "st16_stream_iceberg_tail",
                  "s57_iceberg_expire_snapshots",
                  "s61_iceberg_rewrite_manifests",
-                 "s63_iceberg_rewrite_datafiles",
+                 "s33_iceberg_incremental",
+                 "s55_iceberg_export_bounds",
                  "s64_iceberg_partition_evolution",
-                 "s65_iceberg_orphan_files",
-                 "st26_stream_iceberg_maintenance",
-                 "s30_iceberg_files_meta", "s47_iceberg_changelog",
-                 "st16_stream_iceberg_tail",
-                 "s70_delta_v2_checkpoint", "s59_delta_log_truncate",
-                 "s62_delta_optimize", "s73_delta_shallow_clone",
-                 "s75_delta_schema_evolution_write",
-                 "s24_delta_v2_checkpoint", "s16_delta_export",
-                 "s79_delta_identity",
+                 "s78_hudi_pending_clustering", "s40_hudi_export",
+                 "s51_hudi_mor_export", "s60_hudi_clustering",
+                 "s52_hudi_mor_compaction",
+                 "s68_hudi_async_compaction", "s58_hudi_clean",
+                 "s19_hudi_read",
+                 "x17_bm25_topk", "x18_hybrid_rerank",
+                 "n4_knn_ivf_indexed",
                  "flagship_readmit_30d"):
         assert must in names
     assert len(names) == 50

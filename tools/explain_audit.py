@@ -233,6 +233,11 @@ AUDIT = [
     "st27_stream_into_constrained",  # constrained-sink drained table read
     "s79_delta_identity",  # identity-assigned appends read (offsets windows)
     "st28_stream_identity_sink",  # identity-sink drained table read
+    # round-14 operators
+    "s80_delta_delete_dv",  # DV-sidecar-applied post-delete read
+    "s81_delta_merge_cdf",  # exact change-feed read of the merge commit
+    "s82_iceberg_merge",  # row-delta snapshot + changelog union read
+    "st29_stream_iceberg_wap",  # published main read after streaming WAP
 ]
 
 
@@ -265,11 +270,32 @@ def _bm25_plan(spark):
     return bm25_topk(d, _BM25_QUERIES, k=10, materialize=False)
 
 
+def _ivf_pq_plan(spark):
+    """The n7 operator's LAZY plan (the registry entry materializes
+    the <= k-row result to unpersist its encoded frame, leaving a
+    driver-built frame with no plan to audit)."""
+    from pyspark.sql import functions as F
+
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import similarity as SI
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.io import read_table
+
+    e = read_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dim = len(e.select("embedding").first()["embedding"])
+    probe = [1.0] + [0.0] * (dim - 1)
+    return SI.topk_ivf_pq(
+        e, "vec_id", "embedding", probe, k=10, n_cells=16, n_probe=8,
+        m_subspaces=8, ksub=16, rerank=400, seed=42, materialize=False,
+    )
+
+
 #: operator-level plans audited directly (their registry entries emit
 #: driver-built invariant rows)
 AUDIT_BUILDERS = {
     "u6_smote (operator frame)": _smote_plan,
     "x17_bm25_topk (operator frame)": _bm25_plan,
+    "n7_knn_ivf_pq (operator frame)": _ivf_pq_plan,
 }
 
 
