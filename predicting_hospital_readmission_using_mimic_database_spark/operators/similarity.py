@@ -989,7 +989,10 @@ def topk_ivf_pq(
         F.col(id_col),
         F.col(array_col).alias("__orig"),
         l2_normalize(F.col(array_col)).cast("array<double>").alias("__arr"),
-    ).filter(F.col("__arr").isNotNull())
+    ).filter(F.col("__arr").isNotNull()).persist()
+    # persisted: the coarse fit (count + sample collect), the PQ
+    # sample collect, and the encode pass all read this one
+    # normalization instead of recomputing it per consumer
     centers = _fit_centroids(norm, "__arr", n_cells, seed)
     assigned = assign_cells(norm, "__arr", centers)
 
@@ -1101,3 +1104,9 @@ def topk_ivf_pq(
     finally:
         if materialize:
             encoded.unpersist()
+            norm.unpersist()
+        else:
+            # the lazy plan reads through `encoded`, which no longer
+            # needs the upstream normalization once materialized by
+            # the caller — norm's cache is reclaimed with the plan
+            norm.unpersist()

@@ -494,9 +494,10 @@ def bm25_topk(
     n_docs, avgdl = docs.agg(
         F.count("*"), F.avg(F.size(tokens_col))
     ).collect()[0]
-    if not n_docs:
-        # empty corpus: avg(size) is NULL — return the typed empty
-        # result instead of a float(None) TypeError downstream
+    if not n_docs or not queries:
+        # empty corpus (avg(size) is NULL -> float(None) TypeError
+        # downstream) or empty query map (reduce() over zero per-query
+        # branches): return the typed empty result instead
         # (mirrors rerank_candidates' empty-seeds posture)
         empty = spark.createDataFrame(
             [],

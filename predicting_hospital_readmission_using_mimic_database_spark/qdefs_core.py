@@ -9115,12 +9115,13 @@ def q_s81(spark, sf):
     )
     assert snap.filter(k >= 10_000_000).count() == n_ins
     assert read_delta(spark, root, version=0).count() == n
-    # duplicate source keys refuse (ANSI MERGE)
+    # duplicate source keys refuse (ANSI MERGE) — explicit literal
+    # rows: limit(1) twice could pick two DIFFERENT rows and slip past
+    dup = spark.createDataFrame(
+        [(1, 1), (1, 2)], "c_custkey bigint, cents bigint"
+    )
     try:
-        merge_delta(
-            spark, root,
-            src.limit(1).unionByName(src.limit(1)), on=["c_custkey"],
-        )
+        merge_delta(spark, root, dup, on=["c_custkey"])
         raise AssertionError("duplicate-key merge must refuse")
     except DeltaProtocolError as e:
         assert "duplicate key" in str(e)
@@ -9251,12 +9252,13 @@ def q_s82(spark, sf):
     )
     # time travel to the pre-merge snapshot is intact
     assert read_iceberg(spark, root, snapshot_id=sid0).count() == n
-    # duplicate source keys refuse (ANSI MERGE)
+    # duplicate source keys refuse (ANSI MERGE) — explicit literal
+    # rows: limit(1) twice could pick two DIFFERENT rows and slip past
+    dup = spark.createDataFrame(
+        [(1, 1), (1, 2)], "c_custkey bigint, cents bigint"
+    )
     try:
-        merge_iceberg(
-            spark, root, src.limit(1).unionByName(src.limit(1)),
-            on=["c_custkey"],
-        )
+        merge_iceberg(spark, root, dup, on=["c_custkey"])
         raise AssertionError("duplicate-key merge must refuse")
     except IcebergProtocolError as e:
         assert "duplicate key" in str(e)

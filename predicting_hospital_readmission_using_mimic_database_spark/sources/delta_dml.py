@@ -14,7 +14,10 @@ Spark-first shape, built for the 100 TB case:
   ``_metadata.row_index`` bookkeeping — predicate evaluation is
   JVM-side (``F.expr``), existing DVs are anti-joined so an already
   deleted row is never re-counted, and Catalyst pushes the predicate
-  into the parquet scan where it is sargable.
+  into the parquet scan where it is sargable. The hit set is
+  PERSISTED so the CDF images and the DV positions come from ONE
+  evaluation (a nondeterministic predicate can never commit images
+  that disagree with the vectors).
 * DV serialization happens ON EXECUTORS: hit positions group by file
   (``applyInPandas``, one task per touched file) and each task writes
   its roaring bitmap sidecar (:mod:`.dv`); the driver only ever sees
@@ -28,14 +31,20 @@ Spark-first shape, built for the 100 TB case:
   a second DELETE hitting a file that already carries a DV MERGES the
   bitmaps (old positions ∪ new hits) — the spec's requirement that an
   add's DV always describes ALL deleted rows of the file.
+* PARTITIONED tables and COLUMN MAPPING follow the read path's
+  contract exactly: data and cdc files are written with PHYSICAL
+  column names EXCLUDING partition columns, one file set per
+  partition tuple, with the tuple recorded in each action's
+  ``partitionValues`` (keyed by physical name) — the manifest-join
+  read shape of ``read_delta`` / ``read_delta_changes``.
 
 Delta tables written by this engine (``export_delta_log``) don't
 declare the feature up front, so ``delete_from_delta`` declares
-``deletionVectors`` (reader 3 / writer 7, legacy-implied writer
-features enumerated — the same upgrade rule as
-``set_delta_check_constraint``) and sets
-``delta.enableDeletionVectors`` in the SAME commit when missing: the
-combined ALTER + DELETE the protocol permits, atomic either way.
+``deletionVectors`` (reader 3 / writer 7, legacy-implied reader AND
+writer features enumerated — the spec's table-features upgrade rule)
+and sets ``delta.enableDeletionVectors`` in the SAME commit when
+missing: the combined ALTER + DELETE the protocol permits, atomic
+either way.
 """
 
 from __future__ import annotations
@@ -83,6 +92,24 @@ _DML_SUPPORTED_WRITER_FEATURES = _SUPPORTED_WRITER_FEATURES | {
     "rowTracking",
 }
 
+#: hive's null-partition sentinel, what write.partitionBy emits for a
+#: NULL partition value; Delta serializes null as a null map value
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+class _TableInfo:
+    """The per-call resolution of one Delta table's metadata the DML
+    paths thread around: logical schema, column-mapping maps, and
+    partition columns (``_mapping_info``'s tuple, named)."""
+
+    __slots__ = ("meta", "schema", "phys_of", "pv_key_of", "part_cols")
+
+    def __init__(self, spark, meta):
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        (self.schema, _phys_schema, self.phys_of, self.pv_key_of,
+         self.part_cols) = _mapping_info(spark, meta, schema)
+        self.meta = meta
+
 
 def _gate_writer_features(log_dir: str, supported: frozenset | set) -> dict:
     """Refuse to write into a table declaring writer features whose
@@ -99,12 +126,24 @@ def _gate_writer_features(log_dir: str, supported: frozenset | set) -> dict:
     return proto
 
 
+def _legacy_reader_features(min_reader_version: int) -> set[str]:
+    """The reader features a LEGACY minReaderVersion implies (the
+    reader half of PROTOCOL.md's table-features upgrade rule — a v2
+    reader's columnMapping obligation must be enumerated when moving
+    to reader version 3, or a conforming v3 reader legally ignores
+    the mapping and reads physical names as logical)."""
+    implied: set[str] = set()
+    if min_reader_version >= 2:
+        implied |= {"columnMapping"}
+    return implied
+
+
 def _dv_feature_actions(proto: dict, meta: dict) -> tuple[list, dict | None]:
     """Protocol / metaData actions needed before this table may carry
     deletion vectors: declare the ``deletionVectors`` reader+writer
-    feature (enumerating legacy-implied writer features, the spec's
-    upgrade rule) and set ``delta.enableDeletionVectors``. Empty when
-    already declared."""
+    feature (enumerating legacy-implied reader AND writer features,
+    the spec's upgrade rule) and set ``delta.enableDeletionVectors``.
+    Empty when already declared."""
     actions: list[dict] = []
     mrv = int(proto.get("minReaderVersion", 1))
     mwv = int(proto.get("minWriterVersion", 1))
@@ -113,6 +152,7 @@ def _dv_feature_actions(proto: dict, meta: dict) -> tuple[list, dict | None]:
     if mrv < 3 or mwv < 7 or "deletionVectors" not in rf \
             or "deletionVectors" not in wf:
         wf |= _legacy_writer_features(mwv)
+        rf |= _legacy_reader_features(mrv)
         wf.add("deletionVectors")
         rf.add("deletionVectors")
         actions.append({"protocol": {
@@ -130,26 +170,41 @@ def _dv_feature_actions(proto: dict, meta: dict) -> tuple[list, dict | None]:
 
 
 def _scan_with_positions(
-    spark: SparkSession, root: str, meta: dict, live: dict, dvs: dict,
-    key: str, posk: str,
-):
+    spark: SparkSession, root: str, info: _TableInfo, live: dict,
+    dvs: dict, key: str, posk: str,
+) -> DataFrame:
     """ONE DataFrame over the live files carrying every LOGICAL column
     plus (decoded file path, parquet row ordinal) bookkeeping, with
     existing deletion vectors already anti-joined — the snapshot a
     row-level DML evaluates its predicate against. Mirrors
     ``read_delta``'s scan shape (single scan node, partition values
-    attached via a broadcast manifest join, column mapping resolved);
-    returns (frame, logical schema)."""
+    attached via a broadcast manifest join, column mapping
+    resolved)."""
     from .io import decoded_file_path
 
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    schema, phys_schema, phys_of, pv_key_of, part_cols = _mapping_info(
-        spark, meta, schema
+    schema, phys_of, pv_key_of, part_cols = (
+        info.schema, info.phys_of, info.pv_key_of, info.part_cols
     )
-    data_schema = StructType([
-        pf for f, pf in zip(schema.fields, phys_schema.fields)
+    phys_schema_fields = []
+    # data files store only non-partition columns, under physical names
+    from .delta import _physical_type
+
+    mode = (info.meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode == "name":
+        full_phys = _physical_type(schema)
+    elif mode == "id":
+        from .delta import _field_id_type
+
+        full_phys = _field_id_type(schema)
+    else:
+        full_phys = schema
+    phys_schema_fields = [
+        pf for f, pf in zip(schema.fields, full_phys.fields)
         if f.name not in part_cols
-    ])
+    ]
+    data_schema = StructType(phys_schema_fields)
     paths = sorted(
         os.path.abspath(os.path.join(root, rel)) for rel in live
     )
@@ -181,7 +236,7 @@ def _scan_with_positions(
         ]
         pv_df = spark.createDataFrame(pv_rows, pv_schema)
         df = df.join(F.broadcast(pv_df), key, "left")
-    out = df.select(
+    return df.select(
         *[
             F.col(phys_of[f.name]).cast(f.dataType).alias(f.name)
             for f in schema.fields
@@ -189,7 +244,6 @@ def _scan_with_positions(
         F.col(key),
         F.col(posk),
     )
-    return out, schema
 
 
 def _write_dvs_for_hits(
@@ -254,38 +308,125 @@ def _write_dvs_for_hits(
     ]
 
 
-def _stage_cdc_files(
-    spark: SparkSession, root: str, cdf: DataFrame,
-) -> tuple[list[dict], list[str]]:
-    """Write ``cdf`` (logical columns + ``_change_type``) under
-    ``_change_data/`` and return (cdc actions, written rel paths).
-    An empty frame still lands one empty change file — a cdc-carrying
-    commit means "these ARE the changes" (spec)."""
+def _place_files(
+    spark: SparkSession, root: str, df: DataFrame, info: _TableInfo,
+    subdir: str, prefix: str, extra_cols: tuple = (),
+) -> list[tuple[str, dict]]:
+    """Write ``df`` (logical columns [+ ``extra_cols`` passthroughs
+    like ``_change_type``]) the way the READ PATH expects table files:
+    PHYSICAL column names, partition columns EXCLUDED from the file
+    bytes, one file set per partition tuple. Returns the placed
+    ``[(rel path, partitionValues map keyed by physical name)]``.
+    ``subdir`` prefixes the placement (e.g. ``_change_data``; empty
+    for data files)."""
     import glob as _glob
     import shutil as _shutil
 
-    cdir = os.path.join(root, "_change_data")
-    os.makedirs(cdir, exist_ok=True)
-    stage = os.path.join(root, f".cdc-stage-{uuid.uuid4().hex}")
-    cdf.write.parquet(stage)
-    parts = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))
-    if not parts:
-        spark.createDataFrame([], cdf.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        parts = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))
-    actions, rels = [], []
-    for i, part in enumerate(parts):
-        rel = f"_change_data/cdc-{uuid.uuid4().hex}-{i:05d}.parquet"
+    schema, phys_of, pv_key_of, part_cols = (
+        info.schema, info.phys_of, info.pv_key_of, info.part_cols
+    )
+    data_cols = [
+        F.col(f.name).alias(phys_of[f.name])
+        for f in schema.fields if f.name not in part_cols
+    ] + [F.col(c) for c in extra_cols]
+    stage = os.path.join(root, f".stage-{prefix}-{uuid.uuid4().hex}")
+    placed: list[tuple[str, dict]] = []
+    try:
+        if not part_cols:
+            df.select(*data_cols).write.parquet(stage)
+            parts = sorted(
+                _glob.glob(os.path.join(stage, "part-*.parquet"))
+            )
+            for part in parts:
+                rel = os.path.join(
+                    subdir, f"{prefix}-{uuid.uuid4().hex}.parquet"
+                ) if subdir else f"{prefix}-{uuid.uuid4().hex}.parquet"
+                os.makedirs(
+                    os.path.dirname(os.path.join(root, rel)) or root,
+                    exist_ok=True,
+                )
+                _shutil.move(part, os.path.join(root, rel))
+                placed.append((rel, {}))
+            return placed
+        # partitioned: stage with partitionBy on the PARTITION VALUE
+        # serialization (one string column per partition col), then
+        # place each tuple's files under hive-style dirs — the
+        # spec's string round-trip, same shape read_delta casts back
+        pv_cols = [
+            F.col(c).cast("string").alias("__pv_" + pv_key_of[c])
+            for c in part_cols
+        ]
+        (
+            df.select(*data_cols, *pv_cols)
+            .write.partitionBy([f"__pv_{pv_key_of[c]}" for c in part_cols])
+            .parquet(stage)
+        )
+        for part in sorted(_glob.glob(
+            os.path.join(stage, *(["*"] * len(part_cols)), "part-*.parquet")
+        )):
+            reld = os.path.relpath(os.path.dirname(part), stage)
+            pv: dict = {}
+            dirs = []
+            for comp in reld.split(os.sep):
+                k, _, v = comp.partition("=")
+                k = k[len("__pv_"):]
+                v = unquote(v)
+                pv[k] = None if v == _HIVE_NULL else v
+                dirs.append(f"{k}={v}")
+            rel = os.path.join(
+                *( [subdir] if subdir else [] ), *dirs,
+                f"{prefix}-{uuid.uuid4().hex}.parquet",
+            )
+            os.makedirs(os.path.dirname(os.path.join(root, rel)),
+                        exist_ok=True)
+            _shutil.move(part, os.path.join(root, rel))
+            placed.append((rel, pv))
+        return placed
+    finally:
+        _shutil.rmtree(stage, ignore_errors=True)
+
+
+def _stage_cdc_files(
+    spark: SparkSession, root: str, cdf: DataFrame, info: _TableInfo,
+) -> tuple[list[dict], list[str]]:
+    """Write ``cdf`` (logical columns + ``_change_type``) under
+    ``_change_data/`` in the READER's shape — physical names, no
+    partition columns in-file, per-partition files with the tuple in
+    each cdc action's ``partitionValues`` — and return (cdc actions,
+    written rel paths). An empty frame still lands one empty change
+    file — a cdc-carrying commit means "these ARE the changes"
+    (spec)."""
+    placed = _place_files(
+        spark, root, cdf, info, "_change_data", "cdc",
+        extra_cols=("_change_type",),
+    )
+    if not placed:
+        empty = cdf.limit(0)
+        data_cols = [
+            F.col(f.name).alias(info.phys_of[f.name])
+            for f in info.schema.fields
+            if f.name not in info.part_cols
+        ] + [F.col("_change_type")]
+        import glob as _glob
+        import shutil as _shutil
+
+        stage = os.path.join(root, f".stage-cdc0-{uuid.uuid4().hex}")
+        empty.select(*data_cols).coalesce(1).write.parquet(stage)
+        (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        rel = f"_change_data/cdc-{uuid.uuid4().hex}.parquet"
+        os.makedirs(os.path.join(root, "_change_data"), exist_ok=True)
         _shutil.move(part, os.path.join(root, rel))
+        _shutil.rmtree(stage)
+        placed = [(rel, {})]
+    actions, rels = [], []
+    for rel, pv in placed:
         actions.append({"cdc": {
             "path": rel,
-            "partitionValues": {},
+            "partitionValues": pv,
             "size": os.path.getsize(os.path.join(root, rel)),
             "dataChange": False,
         }})
         rels.append(rel)
-    _shutil.rmtree(stage)
     return actions, rels
 
 
@@ -304,156 +445,31 @@ def _loose_stats(raw: str | None) -> str | None:
     return json.dumps(st)
 
 
-def _commit_file_level_cas(
-    log_dir: str, root: str, start_version: int, build_actions,
-    our_paths: set, exclusive: bool, cleanup_rels: list[str],
-) -> int:
-    """Put-if-absent CAS with Delta's file-level conflict rule: a lost
-    race rebases to the next version when the raced commit touched
-    only DISJOINT files (blind appends / unrelated row deletes don't
-    conflict under WriteSerializable); any raced metaData/protocol
-    change, any overlap with ``our_paths``, or ``exclusive`` (this
-    commit itself changes metadata/protocol) raises. On raise, every
-    path in ``cleanup_rels`` (our staged DV / cdc files — referenced
-    by nothing) is removed."""
-
-    def _fail(msg: str):
-        for rel in cleanup_rels:
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(os.path.join(root, rel))
-        raise DeltaProtocolError(msg)
-
-    version = start_version
-    for _attempt in range(10):
-        if _publish_commit(log_dir, version, build_actions(version)):
-            return version
-        raced = _commit_actions(log_dir, version)
-        if any("metaData" in a or "protocol" in a for a in raced):
-            _fail(
-                f"lost the commit race at version {version} to a "
-                "concurrent metaData/protocol change; re-validate "
-                "against the new rules and re-run"
-            )
-        if exclusive:
-            _fail(
-                f"lost the commit race at version {version} while "
-                "upgrading the table protocol/metadata for deletion "
-                "vectors; re-run against the new state"
-            )
-        raced_paths = set()
-        for a in raced:
-            if "add" in a:
-                raced_paths.add(unquote(a["add"]["path"]))
-            elif "remove" in a:
-                raced_paths.add(unquote(a["remove"]["path"]))
-        overlap = sorted(raced_paths & our_paths)
-        if overlap:
-            _fail(
-                f"concurrent commit {version} modified file(s) "
-                f"{overlap[:3]} this DML also rewrites; re-run against "
-                "the new snapshot"
-            )
-        version += 1
-    _fail(
-        f"lost the commit race ten times in a row starting at version "
-        f"{start_version}"
-    )
-    raise AssertionError("unreachable")
-
-
-def delete_from_delta(
-    spark: SparkSession, root: str, predicate: str,
-) -> dict:
-    """``DELETE FROM <table at root> WHERE <predicate>`` via deletion
-    vectors: no data file is rewritten — each touched file is
-    re-added with a roaring-bitmap sidecar marking its doomed row
-    ordinals, committed atomically as remove/add pairs (module
-    docstring for the full shape). A file whose EVERY live row matches
-    is removed outright (no DV). When the table declares
-    ``delta.enableChangeDataFeed``, the commit also stages the deleted
-    row images under ``_change_data/`` (spec writer requirement), so
-    :func:`~.delta.read_delta_changes` replays the DELETE exactly.
-
-    Returns ``{"version", "num_deleted", "files_with_dvs",
-    "files_removed"}``; a predicate matching nothing commits NOTHING
-    and returns the current version with ``num_deleted`` 0.
-
-    Survivor rows are NOT re-validated against CHECK constraints —
-    deleting rows cannot create a violation (the spec imposes no
-    delete-time scan), so a DELETE costs one predicate scan + O(hit
-    files) sidecar writes no matter what the table declares.
-    """
-    stats_of: dict[str, str] = {}
-    rowids: dict[str, tuple] = {}
-    meta, live, dvs, last = _replay_log(
-        root, stats_out=stats_of, rowids_out=rowids
-    )
-    log_dir = os.path.join(root, DELTA_LOG_DIR)
-    conf = meta.get("configuration") or {}
-    if str(conf.get("delta.appendOnly", "")).lower() == "true":
-        raise DeltaProtocolError(
-            "table declares delta.appendOnly=true; DELETE writes "
-            "remove actions, which append-only tables forbid"
-        )
-    proto = _gate_writer_features(log_dir, _DML_SUPPORTED_WRITER_FEATURES)
-
-    noop = {
-        "version": last, "num_deleted": 0,
-        "files_with_dvs": 0, "files_removed": 0,
-    }
-    if not live:
-        return noop
-
-    key, posk = "__dml_file", "__dml_pos"
-    scan, schema = _scan_with_positions(
-        spark, root, meta, live, dvs, key, posk
-    )
-    pred = F.expr(predicate)
-    hits = scan.filter(pred)
-    cdf_on = str(conf.get("delta.enableChangeDataFeed", "")
-                 ).lower() == "true"
-    cdc_actions: list[dict] = []
-    cdc_rels: list[str] = []
-    if cdf_on:
-        # one extra pass over only the HIT rows: their pre-images are
-        # the commit's change data (spec: DELETE emits 'delete' rows)
-        images = hits.select(
-            *[F.col(f.name) for f in schema.fields],
-            F.lit("delete").alias("_change_type"),
-        )
-        cdc_actions, cdc_rels = _stage_cdc_files(spark, root, images)
-
-    results = _write_dvs_for_hits(
-        hits.select(key, posk), root, live, dvs, key, posk
-    )
-    if not results:
-        for rel in cdc_rels:  # empty delete: nothing to commit
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(os.path.join(root, rel))
-        return noop
-
+def _dv_remove_add_actions(
+    root: str, results: list[dict], live: dict, dvs: dict,
+    stats_of: dict, rowids: dict, rt_enforced: bool,
+) -> tuple[list[dict], list[dict], list[str], int, int, int]:
+    """Per touched file, the spec's remove/re-add pair: remove the old
+    add (carrying its prior DV, if any), re-add the SAME data file
+    with the merged DV descriptor (stats loosened, rowTracking stamps
+    carried) — or, when the merged cardinality equals the file's
+    physical row count, remove the file outright and reclaim the
+    fresh sidecar. Returns (removes, dv_adds, kept sidecar rels,
+    n_new_deletes, n_files_with_dvs, n_files_removed). Shared by
+    DELETE and MERGE — the spec obligations live in one place."""
     import pyarrow.parquet as pq
 
     abs_to_rel = {
         os.path.abspath(os.path.join(root, rel)): rel for rel in live
     }
-    # rowTracking SUPPORTED but not ENABLED imposes nothing (files may
-    # legally lack stamps); enabled lineage must survive the re-add
-    rt_declared = (
-        "rowTracking" in set(proto.get("writerFeatures") or [])
-        and str(conf.get("delta.enableRowTracking", "")).lower() == "true"
-    )
     now = _now_ms()
     removes: list[dict] = []
-    adds: list[dict] = []
+    dv_adds: list[dict] = []
     dv_rels: list[str] = []
-    n_deleted = 0
-    n_dv = n_gone = 0
+    n_deleted = n_dv = n_gone = 0
     for r in sorted(results, key=lambda r: r["file"]):
         rel = abs_to_rel[r["file"]]
-        n_phys = pq.read_metadata(
-            os.path.join(root, rel)
-        ).num_rows
+        n_phys = pq.read_metadata(os.path.join(root, rel)).num_rows
         if r["cardinality"] > n_phys:
             raise DeltaProtocolError(
                 f"deletion vector for {rel} marks {r['cardinality']} "
@@ -499,14 +515,165 @@ def delete_from_delta(
             add["stats"] = st
         if rel in rowids:
             add["baseRowId"], add["defaultRowCommitVersion"] = rowids[rel]
-        elif rt_declared:
+        elif rt_enforced:
             raise DeltaProtocolError(
-                f"table declares rowTracking but live file {rel} "
+                f"table enables rowTracking but live file {rel} "
                 "carries no baseRowId stamp; cannot re-add it without "
                 "breaking row lineage"
             )
-        adds.append({"add": add})
+        dv_adds.append({"add": add})
+    return removes, dv_adds, dv_rels, n_deleted, n_dv, n_gone
 
+
+def _commit_file_level_cas(
+    log_dir: str, root: str, start_version: int, build_actions,
+    our_paths: set, exclusive: bool, cleanup_rels: list[str],
+) -> int:
+    """Put-if-absent CAS with Delta's file-level conflict rule: a lost
+    race rebases to the next version when the raced commit touched
+    only DISJOINT files (blind appends / unrelated row deletes don't
+    conflict under WriteSerializable); any raced metaData/protocol
+    change, any overlap with ``our_paths``, or ``exclusive`` (this
+    commit itself changes metadata/protocol) raises. On raise, every
+    path in ``cleanup_rels`` (our staged DV / cdc / data files —
+    referenced by nothing) is removed."""
+
+    def _fail(msg: str):
+        for rel in cleanup_rels:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(root, rel))
+        raise DeltaProtocolError(msg)
+
+    version = start_version
+    for _attempt in range(10):
+        if _publish_commit(log_dir, version, build_actions(version)):
+            return version
+        raced = _commit_actions(log_dir, version)
+        if any("metaData" in a or "protocol" in a for a in raced):
+            _fail(
+                f"lost the commit race at version {version} to a "
+                "concurrent metaData/protocol change; re-validate "
+                "against the new rules and re-run"
+            )
+        if exclusive:
+            _fail(
+                f"lost the commit race at version {version} while "
+                "upgrading the table protocol/metadata for deletion "
+                "vectors; re-run against the new state"
+            )
+        raced_paths = set()
+        for a in raced:
+            if "add" in a:
+                raced_paths.add(unquote(a["add"]["path"]))
+            elif "remove" in a:
+                raced_paths.add(unquote(a["remove"]["path"]))
+        overlap = sorted(raced_paths & our_paths)
+        if overlap:
+            _fail(
+                f"concurrent commit {version} modified file(s) "
+                f"{overlap[:3]} this DML also rewrites; re-run against "
+                "the new snapshot"
+            )
+        version += 1
+    _fail(
+        f"lost the commit race ten times in a row starting at version "
+        f"{start_version}"
+    )
+    raise AssertionError("unreachable")
+
+
+def _rt_enforced(proto: dict, conf: dict) -> bool:
+    """rowTracking SUPPORTED but not ENABLED imposes nothing (files
+    may legally lack stamps); enabled lineage must survive a
+    re-add."""
+    return (
+        "rowTracking" in set(proto.get("writerFeatures") or [])
+        and str(conf.get("delta.enableRowTracking", "")).lower() == "true"
+    )
+
+
+def delete_from_delta(
+    spark: SparkSession, root: str, predicate: str,
+) -> dict:
+    """``DELETE FROM <table at root> WHERE <predicate>`` via deletion
+    vectors: no data file is rewritten — each touched file is
+    re-added with a roaring-bitmap sidecar marking its doomed row
+    ordinals, committed atomically as remove/add pairs (module
+    docstring for the full shape). A file whose EVERY live row matches
+    is removed outright (no DV). When the table declares
+    ``delta.enableChangeDataFeed``, the commit also stages the deleted
+    row images under ``_change_data/`` (spec writer requirement), so
+    :func:`~.delta.read_delta_changes` replays the DELETE exactly.
+
+    Returns ``{"version", "num_deleted", "files_with_dvs",
+    "files_removed"}``; a predicate matching nothing commits NOTHING
+    and returns the current version with ``num_deleted`` 0.
+
+    Survivor rows are NOT re-validated against CHECK constraints —
+    deleting rows cannot create a violation (the spec imposes no
+    delete-time scan), so a DELETE costs one predicate scan + O(hit
+    files) sidecar writes no matter what the table declares.
+    """
+    stats_of: dict[str, str] = {}
+    rowids: dict[str, tuple] = {}
+    meta, live, dvs, last = _replay_log(
+        root, stats_out=stats_of, rowids_out=rowids
+    )
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    conf = meta.get("configuration") or {}
+    if str(conf.get("delta.appendOnly", "")).lower() == "true":
+        raise DeltaProtocolError(
+            "table declares delta.appendOnly=true; DELETE writes "
+            "remove actions, which append-only tables forbid"
+        )
+    proto = _gate_writer_features(log_dir, _DML_SUPPORTED_WRITER_FEATURES)
+
+    noop = {
+        "version": last, "num_deleted": 0,
+        "files_with_dvs": 0, "files_removed": 0,
+    }
+    if not live:
+        return noop
+
+    info = _TableInfo(spark, meta)
+    key, posk = "__dml_file", "__dml_pos"
+    scan = _scan_with_positions(spark, root, info, live, dvs, key, posk)
+    # ONE evaluation of the predicate serves both the CDF images and
+    # the DV positions (persisted): a nondeterministic predicate can
+    # never commit images that disagree with the vectors, and the
+    # doomed-row scan runs once, not per consumer
+    hits = scan.filter(F.expr(predicate)).persist()
+    try:
+        cdf_on = str(conf.get("delta.enableChangeDataFeed", "")
+                     ).lower() == "true"
+        cdc_actions: list[dict] = []
+        cdc_rels: list[str] = []
+        if cdf_on:
+            images = hits.select(
+                *[F.col(f.name) for f in info.schema.fields],
+                F.lit("delete").alias("_change_type"),
+            )
+            cdc_actions, cdc_rels = _stage_cdc_files(
+                spark, root, images, info
+            )
+
+        results = _write_dvs_for_hits(
+            hits.select(key, posk), root, live, dvs, key, posk
+        )
+    finally:
+        hits.unpersist()
+    if not results:
+        for rel in cdc_rels:  # empty delete: nothing to commit
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(root, rel))
+        return noop
+
+    removes, dv_adds, dv_rels, n_deleted, n_dv, n_gone = (
+        _dv_remove_add_actions(
+            root, results, live, dvs, stats_of, rowids,
+            _rt_enforced(proto, conf),
+        )
+    )
     proto_actions, meta_action = _dv_feature_actions(proto, meta)
     if n_dv == 0:
         # only whole-file removes: no DV lands, no upgrade needed
@@ -524,7 +691,7 @@ def delete_from_delta(
             *([{"metaData": meta_action}] if meta_action else []),
             *cdc_actions,
             *removes,
-            *adds,
+            *dv_adds,
         ]
 
     version = _commit_file_level_cas(
@@ -593,6 +760,8 @@ def merge_delta(
     of inserting them. Source must carry exactly the table's columns,
     with UNIQUE key tuples under ``on`` (a duplicate key would make
     the merge non-deterministic — refused, the ANSI MERGE rule).
+    Partitioned tables and column mapping follow the read path's
+    file contract (module docstring).
 
     When the table declares ``delta.enableChangeDataFeed``, the commit
     stages exact row images under ``_change_data/`` —
@@ -610,12 +779,8 @@ def merge_delta(
     Returns ``{"version", "num_updated", "num_deleted",
     "num_inserted", "files_with_dvs", "files_removed"}``.
     """
-    import glob as _glob
-    import shutil as _shutil
-
     from .delta_constraints import (
         _file_stats,
-        _physical_names,
         delta_table_constraints,
     )
 
@@ -637,10 +802,7 @@ def merge_delta(
             "remove actions, which append-only tables forbid"
         )
     proto = _gate_writer_features(log_dir, _DML_SUPPORTED_WRITER_FEATURES)
-    if (
-        "rowTracking" in set(proto.get("writerFeatures") or [])
-        and str(conf.get("delta.enableRowTracking", "")).lower() == "true"
-    ):
+    if _rt_enforced(proto, conf):
         raise DeltaProtocolError(
             "table enables rowTracking; MERGE would need fresh "
             "baseRowId allocation for its new files — not implemented, "
@@ -654,7 +816,8 @@ def merge_delta(
             "assignment is not implemented — use append_delta for "
             "inserts or drop the identity declaration"
         )
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    info = _TableInfo(spark, meta)
+    schema = info.schema
     table_cols = [f.name for f in schema.fields]
     bad_on = [c for c in on if c not in table_cols]
     if not on or bad_on:
@@ -679,12 +842,10 @@ def merge_delta(
         "version": last, "num_updated": 0, "num_deleted": 0,
         "num_inserted": 0, "files_with_dvs": 0, "files_removed": 0,
     }
-    if live:
-        tgt, _schema = _scan_with_positions(
-            spark, root, meta, live, dvs, key, posk
-        )
-    else:
-        tgt = None
+    tgt = (
+        _scan_with_positions(spark, root, info, live, dvs, key, posk)
+        if live else None
+    )
 
     # duplicate-key gate + the one join the merge needs: source LEFT
     # JOIN target — matched rows carry (file, pos) for the DV side and
@@ -759,7 +920,7 @@ def merge_delta(
                 for p in pieces[1:]:
                     images = images.unionByName(p)
                 cdc_actions, cdc_rels = _stage_cdc_files(
-                    spark, root, images
+                    spark, root, images, info
                 )
 
         # DV side: matched target positions per file
@@ -772,29 +933,16 @@ def merge_delta(
         )
         n_matched = sum(int(r["new_deletes"]) for r in results)
 
-        # new-file side: updates + inserts staged then placed
-        new_rels: list[str] = []
+        # new-file side: updates + inserts, placed in the read path's
+        # file contract (physical names, partition split)
+        placed: list[tuple[str, dict]] = []
         n_new = 0
         if new_rows is not None:
-            phys = _physical_names(meta)
-            out = new_rows
-            if phys:
-                out = new_rows.select([
-                    F.col(c).alias(phys[c]) for c in new_rows.columns
-                ])
-            stage = os.path.join(root, f".stage-merge-{uuid.uuid4().hex}")
-            out.write.parquet(stage)
-            try:
-                for part in sorted(
-                    _glob.glob(os.path.join(stage, "part-*.parquet"))
-                ):
-                    rel = f"merge-{uuid.uuid4().hex}.parquet"
-                    _shutil.move(part, os.path.join(root, rel))
-                    new_rels.append(rel)
-            finally:
-                _shutil.rmtree(stage, ignore_errors=True)
+            placed = _place_files(
+                spark, root, new_rows, info, "", "merge"
+            )
 
-        if not results and not new_rels:
+        if not results and not placed:
             for rel in cdc_rels:
                 with contextlib.suppress(FileNotFoundError):
                     os.remove(os.path.join(root, rel))
@@ -802,68 +950,24 @@ def merge_delta(
 
         import pyarrow.parquet as pq
 
-        abs_to_rel = {
-            os.path.abspath(os.path.join(root, rel)): rel for rel in live
-        }
-        now = _now_ms()
-        removes: list[dict] = []
-        dv_adds: list[dict] = []
-        dv_rels: list[str] = []
-        n_dv = n_gone = 0
-        for r in sorted(results, key=lambda r: r["file"]):
-            rel = abs_to_rel[r["file"]]
-            n_phys = pq.read_metadata(os.path.join(root, rel)).num_rows
-            if r["cardinality"] > n_phys:
-                raise DeltaProtocolError(
-                    f"deletion vector for {rel} marks "
-                    f"{r['cardinality']} rows but the file holds "
-                    f"{n_phys}; refusing to commit a corrupt descriptor"
-                )
-            pv = dict(live[rel])
-            rm = {
-                "path": rel,
-                "deletionTimestamp": now,
-                "dataChange": True,
-                "partitionValues": pv,
-            }
-            if rel in dvs:
-                rm["deletionVector"] = dict(dvs[rel])
-            removes.append({"remove": rm})
-            if r["cardinality"] == n_phys:
-                with contextlib.suppress(FileNotFoundError):
-                    os.remove(os.path.join(root, r["dv_rel"]))
-                n_gone += 1
-                continue
-            n_dv += 1
-            dv_rels.append(r["dv_rel"])
-            add = {
-                "path": rel,
-                "partitionValues": pv,
-                "size": os.path.getsize(os.path.join(root, rel)),
-                "modificationTime": 0,
-                "dataChange": True,
-                "deletionVector": {
-                    "storageType": "p",
-                    "pathOrInlineDv": r["dv_rel"],
-                    "offset": 1,
-                    "sizeInBytes": int(r["size_bytes"]),
-                    "cardinality": int(r["cardinality"]),
-                },
-            }
-            st = _loose_stats(stats_of.get(rel))
-            if st:
-                add["stats"] = st
-            if rel in rowids:
-                add["baseRowId"], add["defaultRowCommitVersion"] = \
-                    rowids[rel]
-            dv_adds.append({"add": add})
-
+        removes, dv_adds, dv_rels, _n_del, n_dv, n_gone = (
+            _dv_remove_add_actions(
+                root, results, live, dvs, stats_of, rowids,
+                rt_enforced=False,
+            )
+        )
         new_adds = []
-        for rel in new_rels:
-            n_new += pq.read_metadata(os.path.join(root, rel)).num_rows
+        new_rels = []
+        for rel, pv in placed:
+            n = pq.read_metadata(os.path.join(root, rel)).num_rows
+            if not n:
+                os.remove(os.path.join(root, rel))
+                continue
+            n_new += n
+            new_rels.append(rel)
             new_adds.append({"add": {
                 "path": rel,
-                "partitionValues": {},
+                "partitionValues": pv,
                 "size": os.path.getsize(os.path.join(root, rel)),
                 "modificationTime": 0,
                 "dataChange": True,

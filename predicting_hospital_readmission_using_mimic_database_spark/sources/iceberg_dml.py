@@ -51,7 +51,9 @@ from .iceberg import (
     _advance_version_hint,
     _latest_metadata_path,
     _localize,
+    _schema_json,
     _table_schema,
+    encode_bound,
     read_avro,
     read_iceberg,
 )
@@ -265,29 +267,54 @@ def merge_iceberg(
                 os.remove(del_path)
             written.remove(del_path)
         if new_files:
+            # per-file column bounds (spec Appendix D) from the fresh
+            # parquet footers — the export convention: bounds-aware
+            # readers keep pruning the table's hottest (just-merged)
+            # files. Same harvester safety rules as SnapshotTable
+            # (string/decimal bounds discarded; partial stats omit
+            # the column).
+            from .table import _harvest_stats
+
+            fields = _schema_json(meta)["fields"]
+            top_info = {
+                f["name"]: (f["id"], f["type"]) for f in fields
+            }
+
+            def _entry_bounds(path: str):
+                _n, stats = _harvest_stats(path, list(top_info))
+                lo, hi = [], []
+                for col, rng in (stats or {}).items():
+                    fid, itype = top_info[col]
+                    b_lo = encode_bound(itype, rng[0])
+                    b_hi = encode_bound(itype, rng[1])
+                    if b_lo is None or b_hi is None:
+                        continue
+                    lo.append({"key": fid, "value": b_lo})
+                    hi.append({"key": fid, "value": b_hi})
+                return (lo or None, hi or None)
+
             add_manifest = os.path.join(
                 mdir, f"manifest-merge-{sid}-{attempt}.avro"
             )
-            write_avro(
-                add_manifest,
-                MANIFEST_ENTRY_SCHEMA,
-                [
-                    {
-                        "status": 1,
-                        "snapshot_id": sid,
-                        "data_file": {
-                            "content": 0,
-                            "file_path": p,
-                            "file_format": "PARQUET",
-                            "partition": {},
-                            "record_count": n,
-                            "file_size_in_bytes": os.path.getsize(p),
-                            "equality_ids": None,
-                        },
-                    }
-                    for p, n in new_files
-                ],
-            )
+            entries = []
+            for p, n in new_files:
+                b_lo, b_hi = _entry_bounds(p)
+                entries.append({
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": p,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": n,
+                        "file_size_in_bytes": os.path.getsize(p),
+                        "equality_ids": None,
+                        "lower_bounds": b_lo,
+                        "upper_bounds": b_hi,
+                    },
+                })
+            write_avro(add_manifest, MANIFEST_ENTRY_SCHEMA, entries)
             written.append(add_manifest)
             mf_records.append({
                 "manifest_path": add_manifest,
@@ -302,7 +329,19 @@ def merge_iceberg(
         write_avro(mlist, MANIFEST_FILE_SCHEMA, mf_records)
         written.append(mlist)
 
-        version = int(meta.get("_export_version", len(snaps))) + 1
+        # next version: past BOTH the recorded export version and the
+        # latest metadata FILE's number (a foreign commit's metadata
+        # carries no _export_version; basing the CAS below its number
+        # would collide forever — the export_iceberg guard)
+        import re as _re
+
+        m = _re.match(
+            r"^v?(\d+)\.metadata\.json$", os.path.basename(latest)
+        )
+        file_v = int(m.group(1)) if m else 0
+        version = max(
+            int(meta.get("_export_version", len(snaps))), file_v
+        ) + 1
         new_meta = dict(meta)
         new_meta["snapshots"] = snaps + [{
             "snapshot-id": sid,

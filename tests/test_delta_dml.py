@@ -371,3 +371,155 @@ def test_delete_then_checkpoint_then_read(spark, tmp_path):
     removed = truncate_delta_log(root, keep_versions=1)
     assert removed  # version 0 gone; state now served by checkpoint
     assert _keys(spark, root) == {k for k in range(100) if k % 10 != 3}
+
+
+def _mk_partitioned(spark, tmp_path, configuration=None):
+    """Partitioned table: seg in {A,B} partition column, k/v data."""
+    root = str(tmp_path / "pt")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"),
+        F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("seg"),
+    )
+    rels = []
+    for segv in ("A", "B"):
+        part = df.filter(F.col("seg") == segv).drop("seg")
+        stage = os.path.join(root, f".s{segv}")
+        part.coalesce(1).write.parquet(stage)
+        p = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        rel = f"seg={segv}/f0.parquet"
+        os.makedirs(os.path.join(root, f"seg={segv}"), exist_ok=True)
+        shutil.move(p, os.path.join(root, rel))
+        shutil.rmtree(stage)
+        rels.append((rel, segv))
+    schema_json = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {}},
+        {"name": "seg", "type": "string", "nullable": True,
+         "metadata": {}},
+    ]})
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "pt", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json,
+            "partitionColumns": ["seg"],
+            "configuration": configuration or {}}}) + "\n")
+        for rel, segv in rels:
+            f.write(json.dumps({"add": {
+                "path": rel, "partitionValues": {"seg": segv},
+                "size": 1, "modificationTime": 0,
+                "dataChange": True}}) + "\n")
+    return root
+
+
+def test_merge_partitioned_table(spark, tmp_path):
+    """MERGE on a partitioned table: new files land under partition
+    dirs with partitionValues recorded, so read_delta serves the
+    partition column (not NULL) and partition pruning keeps the
+    merged rows."""
+    root = _mk_partitioned(
+        spark, tmp_path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    src = spark.createDataFrame(
+        [(2, -1.0, "A"), (100, 9.0, "B")],
+        "k bigint, v double, seg string",
+    )
+    out = merge_delta(spark, root, src, on=["k"])
+    assert out["num_updated"] == 1 and out["num_inserted"] == 1
+    got = {(r["k"], r["v"], r["seg"])
+           for r in read_delta(spark, root).collect()}
+    assert (2, -1.0, "A") in got and (100, 9.0, "B") in got
+    assert not any(seg is None for _k, _v, seg in got)
+    # partition pruning keeps the merged rows
+    only_b = {(r["k"], r["v"]) for r in read_delta(
+        spark, root, partitions={"seg": "B"}).collect()}
+    assert (100, 9.0) in only_b
+    assert all(k % 2 == 1 or k == 100 for k, _v in only_b)
+    # the change feed carries partition columns too
+    cdf = read_delta_changes(spark, root, out["version"], out["version"])
+    rows = {(r["k"], r["seg"], r["_change_type"]) for r in cdf.collect()}
+    assert rows == {
+        (2, "A", "update_preimage"), (2, "A", "update_postimage"),
+        (100, "B", "insert"),
+    }
+
+
+def test_delete_partitioned_cdf_has_partition_values(spark, tmp_path):
+    root = _mk_partitioned(
+        spark, tmp_path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    out = delete_from_delta(spark, root, "k < 4")
+    cdf = read_delta_changes(spark, root, out["version"], out["version"])
+    rows = {(r["k"], r["seg"], r["_change_type"]) for r in cdf.collect()}
+    assert rows == {(0, "A", "delete"), (1, "B", "delete"),
+                    (2, "A", "delete"), (3, "B", "delete")}
+    # snapshot excludes exactly those rows, partition column intact
+    got = {(r["k"], r["seg"]) for r in read_delta(spark, root).collect()}
+    assert got == {(k, "A" if k % 2 == 0 else "B")
+                   for k in range(4, 40)}
+
+
+def test_merge_column_mapped_cdf(spark, tmp_path):
+    """CDF files on a column-mapped table must use PHYSICAL names —
+    read_delta_changes reads them with the physical schema."""
+    root = str(tmp_path / "cm")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    df = spark.range(10).select(
+        F.col("id").alias("col-k"), (F.col("id") * 1.0).alias("col-v")
+    )
+    stage = os.path.join(root, ".s")
+    df.coalesce(1).write.parquet(stage)
+    p = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    shutil.move(p, os.path.join(root, "f0.parquet"))
+    shutil.rmtree(stage)
+    schema_json = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {
+            "delta.columnMapping.physicalName": "col-k",
+            "delta.columnMapping.id": 1}},
+        {"name": "v", "type": "double", "nullable": True, "metadata": {
+            "delta.columnMapping.physicalName": "col-v",
+            "delta.columnMapping.id": 2}},
+    ]})
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "cm", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json, "partitionColumns": [],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.enableChangeDataFeed": "true",
+            }}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "f0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+
+    src = spark.createDataFrame([(3, -3.0), (50, 5.0)],
+                                "k bigint, v double")
+    out = merge_delta(spark, root, src, on=["k"])
+    got = {(r["k"], r["v"]) for r in read_delta(spark, root).collect()}
+    assert (3, -3.0) in got and (50, 5.0) in got
+    cdf = read_delta_changes(spark, root, out["version"], out["version"])
+    rows = {(r["k"], r["v"], r["_change_type"]) for r in cdf.collect()}
+    assert rows == {
+        (3, 3.0, "update_preimage"), (3, -3.0, "update_postimage"),
+        (50, 5.0, "insert"),
+    }
+    # the protocol upgrade enumerated the legacy reader feature
+    with open(os.path.join(log, f"{out['version']:020d}.json")) as f:
+        acts = [json.loads(line) for line in f if line.strip()]
+    protos = [a["protocol"] for a in acts if "protocol" in a]
+    assert protos, "DV commit on a reader-2 table must upgrade"
+    assert "columnMapping" in protos[0]["readerFeatures"]
+    assert "deletionVectors" in protos[0]["readerFeatures"]
+    # delete on the same mapped table keeps working (mapped scan + DV)
+    out2 = delete_from_delta(spark, root, "k = 50")
+    got2 = {r["k"] for r in read_delta(spark, root).collect()}
+    assert 50 not in got2 and 3 in got2
