@@ -992,29 +992,33 @@ def topk_ivf_pq(
     ).filter(F.col("__arr").isNotNull()).persist()
     # persisted: the coarse fit (count + sample collect), the PQ
     # sample collect, and the encode pass all read this one
-    # normalization instead of recomputing it per consumer
-    centers = _fit_centroids(norm, "__arr", n_cells, seed)
-    assigned = assign_cells(norm, "__arr", centers)
-
-    # PQ training sample: residuals of the same bounded sample the
-    # coarse fit used (two tiny driver collects total)
-    n = norm.count()
-    src = assigned.select("__arr", "__cell")
-    if n > _KMEANS_FIT_SAMPLE:
-        src = src.sample(
-            fraction=_KMEANS_FIT_SAMPLE / n, seed=seed
-        ).limit(_KMEANS_FIT_SAMPLE)
-    rows = src.collect()
-    C = np.asarray(centers, dtype=np.float64)
-    sample_res = [
-        (np.asarray(r["__arr"]) - C[r["__cell"]]).tolist() for r in rows
-    ]
-    books = train_pq_codebooks(sample_res, m_subspaces, ksub, seed)
-
-    encoded = pq_encode(
-        assigned, "__arr", "__cell", centers, books
-    ).persist()
+    # normalization instead of recomputing it per consumer; the try
+    # starts HERE so a raise anywhere (e.g. train_pq_codebooks on a
+    # dim not divisible by m_subspaces) still releases the caches
+    encoded = None
     try:
+        centers = _fit_centroids(norm, "__arr", n_cells, seed)
+        assigned = assign_cells(norm, "__arr", centers)
+
+        # PQ training sample: residuals of the same bounded sample the
+        # coarse fit used (two tiny driver collects total)
+        n = norm.count()
+        src = assigned.select("__arr", "__cell")
+        if n > _KMEANS_FIT_SAMPLE:
+            src = src.sample(
+                fraction=_KMEANS_FIT_SAMPLE / n, seed=seed
+            ).limit(_KMEANS_FIT_SAMPLE)
+        rows = src.collect()
+        C = np.asarray(centers, dtype=np.float64)
+        sample_res = [
+            (np.asarray(r["__arr"]) - C[r["__cell"]]).tolist()
+            for r in rows
+        ]
+        books = train_pq_codebooks(sample_res, m_subspaces, ksub, seed)
+
+        encoded = pq_encode(
+            assigned, "__arr", "__cell", centers, books
+        ).persist()
         # probe cells: nearest coarse centroids to the (unit) query
         q = np.asarray([float(v) for v in query], dtype=np.float64)
         qn = q / np.linalg.norm(q)
@@ -1101,12 +1105,15 @@ def topk_ivf_pq(
             return ranked
         rows_out = ranked.collect()
         return df.sparkSession.createDataFrame(rows_out, ranked.schema)
-    finally:
-        if materialize:
+    except BaseException:
+        if encoded is not None and not materialize:
+            # raised before the lazy plan was handed over: nothing
+            # will ever own the encoded cache — release it here
             encoded.unpersist()
-            norm.unpersist()
-        else:
-            # the lazy plan reads through `encoded`, which no longer
-            # needs the upstream normalization once materialized by
-            # the caller — norm's cache is reclaimed with the plan
-            norm.unpersist()
+        raise
+    finally:
+        # the lazy plan reads through `encoded`, which no longer needs
+        # the upstream normalization — norm's cache is always released
+        norm.unpersist()
+        if materialize and encoded is not None:
+            encoded.unpersist()

@@ -93,8 +93,13 @@ _CHECK_PREFIX = "delta.constraints."
 def _legacy_writer_features(min_writer_version: int) -> set[str]:
     """The writer features a LEGACY minWriterVersion implies (PROTOCOL.md
     table-features upgrade rule: converting to minWriterVersion 7 must
-    enumerate them, or foreign writers legally drop the obligations)."""
+    enumerate them, or foreign writers legally drop the obligations).
+    Version 7 IS table-features mode — its obligations already live in
+    ``writerFeatures``, so it implies nothing (re-deriving the legacy
+    set for a v7 table would declare features it never used)."""
     implied: set[str] = set()
+    if min_writer_version >= 7:
+        return implied
     if min_writer_version >= 2:
         implied |= {"appendOnly", "invariants"}
     if min_writer_version >= 3:
@@ -324,6 +329,34 @@ def drop_delta_check_constraint(root: str, name: str) -> int:
     )
 
 
+def rule_violation_aggs(
+    rules: dict,
+) -> tuple[list, list[tuple[str, str]]]:
+    """One aggregate column per declared CHECK / invariant / NOT NULL /
+    generated rule, counting its violating rows — the single-pass
+    validation every row-landing write path (append, MERGE) runs over
+    its batch. Returns ``(agg columns, (kind, label) pairs)`` in
+    matching order. SQL three-valued logic: only FALSE violates a
+    boolean rule; NULL passes."""
+    aggs = []
+    labels: list[tuple[str, str]] = []
+    for name, expr in sorted(rules["checks"].items()):
+        aggs.append(F.count_if(F.expr(expr) == F.lit(False)))
+        labels.append(("CHECK constraint", f"{name} ({expr})"))
+    for col, expr in sorted(rules["invariants"].items()):
+        aggs.append(F.count_if(F.expr(expr) == F.lit(False)))
+        labels.append(("column invariant", f"{col} ({expr})"))
+    for col in rules["not_null"]:
+        aggs.append(F.count_if(F.col(col).isNull()))
+        labels.append(("NOT NULL constraint", col))
+    for col, gexpr in sorted(rules["generated"].items()):
+        aggs.append(F.count_if(
+            ~F.col(col).eqNullSafe(F.expr(gexpr))
+        ))
+        labels.append(("generated column", f"{col} = {gexpr}"))
+    return aggs, labels
+
+
 def _physical_names(meta: dict) -> dict[str, str] | None:
     """{logical: physical} for top-level fields under column mapping
     (``None`` when the table doesn't map). Nested structs under
@@ -547,23 +580,7 @@ def append_delta(
 
     # ONE aggregate pass over the batch counts every rule's violations
     # (plus the provided-identity extremes for the watermark)
-    aggs = []
-    labels: list[tuple[str, str]] = []
-    for name, expr in sorted(rules["checks"].items()):
-        # SQL three-valued logic: only FALSE violates; NULL passes
-        aggs.append(F.count_if(F.expr(expr) == F.lit(False)))
-        labels.append(("CHECK constraint", f"{name} ({expr})"))
-    for col, expr in sorted(rules["invariants"].items()):
-        aggs.append(F.count_if(F.expr(expr) == F.lit(False)))
-        labels.append(("column invariant", f"{col} ({expr})"))
-    for col in rules["not_null"]:
-        aggs.append(F.count_if(F.col(col).isNull()))
-        labels.append(("NOT NULL constraint", col))
-    for col, gexpr in sorted(rules["generated"].items()):
-        aggs.append(F.count_if(
-            ~F.col(col).eqNullSafe(F.expr(gexpr))
-        ))
-        labels.append(("generated column", f"{col} = {gexpr}"))
+    aggs, labels = rule_violation_aggs(rules)
     n_rules = len(aggs)
     aggs.extend(a for _c, a in provided_identity_aggs)
     if aggs:
@@ -588,8 +605,34 @@ def append_delta(
     phys = _physical_names(meta)
     out = df
     if phys:
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        id_of: dict[str, int] = {}
+        if mode == "id":
+            # id-resolution readers refuse id-less files: stamp each
+            # column's parquet field id via alias metadata with the
+            # session's field-id writer enabled (nested structs are
+            # gated in _physical_names)
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
+            for f in json.loads(meta["schemaString"]).get("fields", []):
+                fid = (f.get("metadata") or {}).get(
+                    "delta.columnMapping.id"
+                )
+                if fid is None:
+                    raise DeltaProtocolError(
+                        f"column mapping mode 'id' but field "
+                        f"{f['name']!r} lacks a delta.columnMapping.id"
+                    )
+                id_of[f["name"]] = int(fid)
         out = df.select([
-            F.col(c).alias(phys[c]) for c in df.columns
+            F.col(c).alias(
+                phys[c], metadata={"parquet.field.id": id_of[c]}
+            )
+            if mode == "id" else F.col(c).alias(phys[c])
+            for c in df.columns
         ])
     stage = os.path.join(root, f".stage-append-{uuid.uuid4().hex}")
     out.write.parquet(stage)

@@ -99,15 +99,23 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 class _TableInfo:
     """The per-call resolution of one Delta table's metadata the DML
-    paths thread around: logical schema, column-mapping maps, and
-    partition columns (``_mapping_info``'s tuple, named)."""
+    paths thread around: logical schema, SCAN schema (physical names
+    under name mapping; logical names annotated with parquet field ids
+    under id mapping), column-mapping maps, mapping mode, and partition
+    columns (``_mapping_info``'s tuple, named)."""
 
-    __slots__ = ("meta", "schema", "phys_of", "pv_key_of", "part_cols")
+    __slots__ = (
+        "meta", "schema", "phys_schema", "phys_of", "pv_key_of",
+        "part_cols", "mode",
+    )
 
     def __init__(self, spark, meta):
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
-        (self.schema, _phys_schema, self.phys_of, self.pv_key_of,
+        (self.schema, self.phys_schema, self.phys_of, self.pv_key_of,
          self.part_cols) = _mapping_info(spark, meta, schema)
+        self.mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
         self.meta = meta
 
 
@@ -131,9 +139,13 @@ def _legacy_reader_features(min_reader_version: int) -> set[str]:
     reader half of PROTOCOL.md's table-features upgrade rule — a v2
     reader's columnMapping obligation must be enumerated when moving
     to reader version 3, or a conforming v3 reader legally ignores
-    the mapping and reads physical names as logical)."""
+    the mapping and reads physical names as logical). Version 3 IS
+    table-features mode: its obligations are already enumerated in
+    ``readerFeatures``, so it implies nothing — adding columnMapping
+    to a v3 table that never mapped would force conforming foreign
+    readers to refuse it."""
     implied: set[str] = set()
-    if min_reader_version >= 2:
+    if min_reader_version == 2:
         implied |= {"columnMapping"}
     return implied
 
@@ -185,26 +197,12 @@ def _scan_with_positions(
     schema, phys_of, pv_key_of, part_cols = (
         info.schema, info.phys_of, info.pv_key_of, info.part_cols
     )
-    phys_schema_fields = []
-    # data files store only non-partition columns, under physical names
-    from .delta import _physical_type
-
-    mode = (info.meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none"
-    )
-    if mode == "name":
-        full_phys = _physical_type(schema)
-    elif mode == "id":
-        from .delta import _field_id_type
-
-        full_phys = _field_id_type(schema)
-    else:
-        full_phys = schema
-    phys_schema_fields = [
-        pf for f, pf in zip(schema.fields, full_phys.fields)
+    # data files store only non-partition columns, under the SCAN
+    # schema's names (the _mapping_info resolution _TableInfo holds)
+    data_schema = StructType([
+        pf for f, pf in zip(schema.fields, info.phys_schema.fields)
         if f.name not in part_cols
-    ]
-    data_schema = StructType(phys_schema_fields)
+    ])
     paths = sorted(
         os.path.abspath(os.path.join(root, rel)) for rel in live
     )
@@ -308,27 +306,77 @@ def _write_dvs_for_hits(
     ]
 
 
+def _needs_nested_ids(dt) -> bool:
+    """True when an id-mapped write of this type would need parquet
+    field ids BELOW the top level (struct fields anywhere inside) —
+    the alias-metadata stamping in :func:`_data_write_cols` covers
+    only top-level columns."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _needs_nested_ids(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _needs_nested_ids(dt.keyType) or _needs_nested_ids(
+            dt.valueType
+        )
+    return False
+
+
+def _data_write_cols(
+    spark: SparkSession, info: _TableInfo, extra_cols: tuple = (),
+) -> list:
+    """The SELECT list that lands table files in the READ PATH's
+    contract: scan-schema column names, partition columns excluded,
+    and — under ``id`` column mapping — each column's
+    ``parquet.field.id`` re-attached via alias metadata with the
+    session's field-id WRITER enabled, so the table's own
+    field-id-resolving readers accept the new files (transformed
+    frames lose the scan schema's metadata; a plain alias would write
+    id-less files the id-mode read path refuses)."""
+    if info.mode == "id":
+        for f in info.schema.fields:
+            if _needs_nested_ids(f.dataType):
+                raise DeltaProtocolError(
+                    f"column mapping is 'id' and column {f.name!r} "
+                    "contains nested struct fields; stamping NESTED "
+                    "parquet field ids on DML-written files is not "
+                    "implemented — the files would be unreadable by "
+                    "id resolution, refusing to write them"
+                )
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
+    cols = []
+    for f, pf in zip(info.schema.fields, info.phys_schema.fields):
+        if f.name in info.part_cols:
+            continue
+        cols.append(
+            F.col(f.name).alias(pf.name, metadata=dict(pf.metadata))
+            if pf.metadata
+            else F.col(f.name).alias(pf.name)
+        )
+    return cols + [F.col(c) for c in extra_cols]
+
+
 def _place_files(
     spark: SparkSession, root: str, df: DataFrame, info: _TableInfo,
     subdir: str, prefix: str, extra_cols: tuple = (),
 ) -> list[tuple[str, dict]]:
     """Write ``df`` (logical columns [+ ``extra_cols`` passthroughs
     like ``_change_type``]) the way the READ PATH expects table files:
-    PHYSICAL column names, partition columns EXCLUDED from the file
-    bytes, one file set per partition tuple. Returns the placed
+    PHYSICAL column names (field ids stamped under id mapping),
+    partition columns EXCLUDED from the file bytes, one file set per
+    partition tuple. Returns the placed
     ``[(rel path, partitionValues map keyed by physical name)]``.
     ``subdir`` prefixes the placement (e.g. ``_change_data``; empty
     for data files)."""
     import glob as _glob
     import shutil as _shutil
 
-    schema, phys_of, pv_key_of, part_cols = (
-        info.schema, info.phys_of, info.pv_key_of, info.part_cols
-    )
-    data_cols = [
-        F.col(f.name).alias(phys_of[f.name])
-        for f in schema.fields if f.name not in part_cols
-    ] + [F.col(c) for c in extra_cols]
+    part_cols, pv_key_of = info.part_cols, info.pv_key_of
+    data_cols = _data_write_cols(spark, info, extra_cols)
     stage = os.path.join(root, f".stage-{prefix}-{uuid.uuid4().hex}")
     placed: list[tuple[str, dict]] = []
     try:
@@ -402,11 +450,9 @@ def _stage_cdc_files(
     )
     if not placed:
         empty = cdf.limit(0)
-        data_cols = [
-            F.col(f.name).alias(info.phys_of[f.name])
-            for f in info.schema.fields
-            if f.name not in info.part_cols
-        ] + [F.col("_change_type")]
+        data_cols = _data_write_cols(
+            spark, info, extra_cols=("_change_type",)
+        )
         import glob as _glob
         import shutil as _shutil
 
@@ -714,19 +760,9 @@ def _validate_row_rules(df: DataFrame, rules: dict, what: str) -> None:
     / generated-column rule — the same single-job shape as
     ``append_delta``'s batch validation (identity columns are gated
     before this runs). Raises naming the first violated rule."""
-    aggs, labels = [], []
-    for name, expr in sorted(rules["checks"].items()):
-        aggs.append(F.count_if(F.expr(expr) == F.lit(False)))
-        labels.append(("CHECK constraint", f"{name} ({expr})"))
-    for col, expr in sorted(rules["invariants"].items()):
-        aggs.append(F.count_if(F.expr(expr) == F.lit(False)))
-        labels.append(("column invariant", f"{col} ({expr})"))
-    for col in rules["not_null"]:
-        aggs.append(F.count_if(F.col(col).isNull()))
-        labels.append(("NOT NULL constraint", col))
-    for col, gexpr in sorted(rules["generated"].items()):
-        aggs.append(F.count_if(~F.col(col).eqNullSafe(F.expr(gexpr))))
-        labels.append(("generated column", f"{col} = {gexpr}"))
+    from .delta_constraints import rule_violation_aggs
+
+    aggs, labels = rule_violation_aggs(rules)
     if not aggs:
         return
     counts = df.agg(
@@ -777,7 +813,10 @@ def merge_delta(
     commits rebase, overlapping ones raise.
 
     Returns ``{"version", "num_updated", "num_deleted",
-    "num_inserted", "files_with_dvs", "files_removed"}``.
+    "num_inserted", "files_with_dvs", "files_removed"}``; a merge that
+    changes nothing (no matched rows, nothing to insert) commits
+    NOTHING and returns the current version with zero counts — the
+    same rule as :func:`delete_from_delta`.
     """
     from .delta_constraints import (
         _file_stats,
@@ -942,20 +981,12 @@ def merge_delta(
                 spark, root, new_rows, info, "", "merge"
             )
 
-        if not results and not placed:
-            for rel in cdc_rels:
-                with contextlib.suppress(FileNotFoundError):
-                    os.remove(os.path.join(root, rel))
-            return noop
-
         import pyarrow.parquet as pq
 
-        removes, dv_adds, dv_rels, _n_del, n_dv, n_gone = (
-            _dv_remove_add_actions(
-                root, results, live, dvs, stats_of, rowids,
-                rt_enforced=False,
-            )
-        )
+        # prune zero-row placed parts BEFORE the no-op check: an
+        # empty-source (or no-match + insert=False) merge still stages
+        # one zero-row part file, and committing on its existence
+        # would land a junk version holding only commitInfo
         new_adds = []
         new_rels = []
         for rel, pv in placed:
@@ -973,6 +1004,19 @@ def merge_delta(
                 "dataChange": True,
                 "stats": _file_stats(os.path.join(root, rel)),
             }})
+
+        if not results and not new_adds:
+            for rel in cdc_rels:  # no-change merge: commit NOTHING
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(os.path.join(root, rel))
+            return noop
+
+        removes, dv_adds, dv_rels, _n_del, n_dv, n_gone = (
+            _dv_remove_add_actions(
+                root, results, live, dvs, stats_of, rowids,
+                rt_enforced=False,
+            )
+        )
 
         proto_actions, meta_action = (
             _dv_feature_actions(proto, meta) if n_dv else ([], None)

@@ -155,11 +155,18 @@ def merge_iceberg(
     mdir = os.path.join(root, "metadata")
     ddir = os.path.join(root, "data")
     written: list[str] = []
+    stages: list[str] = []
 
     def _cleanup():
+        import shutil as _shutil
+
         for p in written:
             with contextlib.suppress(FileNotFoundError):
                 os.remove(p)
+        # a Spark write that dies mid-job leaves its partial stage dir
+        # in the table root; the success path rmtree'd it already
+        for d in stages:
+            _shutil.rmtree(d, ignore_errors=True)
 
     try:
         matched = j.filter(F.col(fpk).isNotNull())
@@ -179,6 +186,7 @@ def merge_iceberg(
 
         sid = max(x["snapshot-id"] for x in snaps) + 1
         stage = os.path.join(root, f".merge-stage-{attempt}")
+        stages.append(stage)
         (
             matched.select(
                 F.col(fpk).alias("file_path"),
@@ -201,6 +209,7 @@ def merge_iceberg(
         if new_rows is not None:
             os.makedirs(ddir, exist_ok=True)
             stage2 = os.path.join(root, f".merge-stage2-{attempt}")
+            stages.append(stage2)
             new_rows.write.parquet(stage2)
             for i, part in enumerate(sorted(
                 _glob.glob(os.path.join(stage2, "part-*.parquet"))

@@ -541,3 +541,38 @@ def test_midmove_io_error_reclaims_placed_files(spark, tmp_path,
     # the table still appends normally afterwards
     assert append_delta(
         spark, root, spark.createDataFrame([(2,)], "k bigint")) == 2
+
+
+def test_append_id_mapped_files_carry_field_ids(spark, tmp_path):
+    """append_delta on an id-mapped table must stamp parquet field ids
+    into the staged files — id-resolution readers refuse id-less
+    files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    root = _mk_table(
+        tmp_path,
+        [
+            _f("k", "long", metadata={
+                "delta.columnMapping.physicalName": "col-1",
+                "delta.columnMapping.id": 1}),
+            _f("v", "double", metadata={
+                "delta.columnMapping.physicalName": "col-2",
+                "delta.columnMapping.id": 2}),
+        ],
+        configuration={"delta.columnMapping.mode": "id"},
+        protocol={"minReaderVersion": 2, "minWriterVersion": 5},
+    )
+    v = append_delta(
+        spark, root,
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"),
+    )
+    assert v == 1
+    files = [p for p in glob.glob(os.path.join(root, "*.parquet"))]
+    assert files
+    for p in files:
+        sch = str(pq.ParquetFile(p).schema)
+        assert "field_id=1" in sch and "field_id=2" in sch
+    got = {(r["k"], r["v"]) for r in read_delta(spark, root).collect()}
+    assert got == {(1, 1.0), (2, 2.0)}

@@ -523,3 +523,132 @@ def test_merge_column_mapped_cdf(spark, tmp_path):
     out2 = delete_from_delta(spark, root, "k = 50")
     got2 = {r["k"] for r in read_delta(spark, root).collect()}
     assert 50 not in got2 and 3 in got2
+
+
+def test_merge_no_change_commits_nothing(spark, tmp_path):
+    """A merge that changes nothing must NOT land a junk version: the
+    zero-row staged part is pruned BEFORE the no-op check (same rule
+    as delete's 'matches nothing commits NOTHING')."""
+    root, _rels = _mk_table(spark, tmp_path)
+    src = spark.createDataFrame([(500, 1.0)], "k bigint, v double")
+    # no match + insert=False
+    out = merge_delta(spark, root, src, on=["k"], insert=False)
+    assert out["version"] == 0
+    assert all(out[k] == 0 for k in out if k != "version")
+    # empty source
+    out2 = merge_delta(spark, root, src.limit(0), on=["k"])
+    assert out2["version"] == 0
+    log = os.path.join(root, "_delta_log")
+    assert sorted(os.listdir(log)) == [f"{0:020d}.json"]
+    # no orphan staged data or cdc files either
+    assert not glob.glob(os.path.join(root, "merge-*.parquet"))
+    assert not glob.glob(os.path.join(root, "_change_data", "*"))
+
+
+def test_table_features_protocol_implies_no_legacy(spark, tmp_path):
+    """A table ALREADY at (3, 7) has its obligations enumerated —
+    the DV upgrade must not bolt on spurious legacy-implied features
+    (columnMapping on a table that never mapped would make conforming
+    foreign readers refuse it)."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_constraints import (
+        _legacy_writer_features,
+    )
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_dml import (
+        _legacy_reader_features,
+    )
+
+    assert _legacy_reader_features(1) == set()
+    assert _legacy_reader_features(2) == {"columnMapping"}
+    assert _legacy_reader_features(3) == set()
+    assert "columnMapping" in _legacy_writer_features(5)
+    assert _legacy_writer_features(7) == set()
+
+    root, _rels = _mk_table(spark, tmp_path, protocol={
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint", "invariants"],
+    })
+    out = delete_from_delta(spark, root, "k < 3")
+    assert out["num_deleted"] == 3
+    with open(os.path.join(
+            root, "_delta_log", f"{out['version']:020d}.json")) as f:
+        acts = [json.loads(line) for line in f if line.strip()]
+    protos = [a["protocol"] for a in acts if "protocol" in a]
+    assert protos, "DV commit on a DV-less table must upgrade"
+    assert protos[0]["readerFeatures"] == [
+        "deletionVectors", "v2Checkpoint"]
+    assert protos[0]["writerFeatures"] == [
+        "deletionVectors", "invariants", "v2Checkpoint"]
+    assert {k for k in range(100) if k >= 3} == _keys(spark, root)
+
+
+def test_merge_id_mapped_files_carry_field_ids(spark, tmp_path):
+    """id-mode column mapping resolves by parquet FIELD ID: the files
+    a MERGE/DELETE lands (data + _change_data) must physically carry
+    the ids, or the table's own id-resolving readers refuse them."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "idm")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    # the fixture file carries ids, like any real id-mode writer's
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    df = spark.range(10).select(
+        F.col("id").alias("col-1", metadata={"parquet.field.id": 1}),
+        (F.col("id") * 1.0).alias(
+            "col-2", metadata={"parquet.field.id": 2}),
+    )
+    stage = os.path.join(root, ".s")
+    df.coalesce(1).write.parquet(stage)
+    p = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    shutil.move(p, os.path.join(root, "f0.parquet"))
+    shutil.rmtree(stage)
+    schema_json = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {
+            "delta.columnMapping.physicalName": "col-1",
+            "delta.columnMapping.id": 1}},
+        {"name": "v", "type": "double", "nullable": True, "metadata": {
+            "delta.columnMapping.physicalName": "col-2",
+            "delta.columnMapping.id": 2}},
+    ]})
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "idm",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json, "partitionColumns": [],
+            "configuration": {
+                "delta.columnMapping.mode": "id",
+                "delta.enableChangeDataFeed": "true",
+            }}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "f0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+
+    src = spark.createDataFrame([(3, -3.0), (50, 5.0)],
+                                "k bigint, v double")
+    out = merge_delta(spark, root, src, on=["k"])
+    got = {(r["k"], r["v"]) for r in read_delta(spark, root).collect()}
+    assert (3, -3.0) in got and (50, 5.0) in got and (0, 0.0) in got
+    # the new data files PHYSICALLY carry the ids
+    merged = glob.glob(os.path.join(root, "merge-*.parquet"))
+    assert merged
+    for path in merged:
+        sch = str(pq.ParquetFile(path).schema)
+        assert "field_id=1" in sch and "field_id=2" in sch
+    # ...and the change feed reads back through id resolution
+    cdf = read_delta_changes(spark, root, out["version"], out["version"])
+    rows = {(r["k"], r["v"], r["_change_type"]) for r in cdf.collect()}
+    assert rows == {
+        (3, 3.0, "update_preimage"), (3, -3.0, "update_postimage"),
+        (50, 5.0, "insert"),
+    }
+    # DELETE on the id-mapped table: DV applied, CDC readable
+    out2 = delete_from_delta(spark, root, "k = 50")
+    assert out2["num_deleted"] == 1
+    assert 50 not in {r["k"] for r in read_delta(spark, root).collect()}
+    cdf2 = read_delta_changes(
+        spark, root, out2["version"], out2["version"])
+    assert {(r["k"], r["_change_type"]) for r in cdf2.collect()} == {
+        (50, "delete")}

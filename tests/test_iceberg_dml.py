@@ -206,3 +206,23 @@ def test_merge_cas_retry_on_foreign_commit(spark, tmp_path):
                 f"manifest-merge-{sid}-*.avro",
                 f"snap-{sid}-*.avro"):
         assert len(glob.glob(os.path.join(mdir, pat))) == 1, pat
+
+
+def test_merge_failure_leaves_no_stage_dirs(spark, tmp_path):
+    """A Spark job failing mid-write must not strand partial
+    .merge-stage-* dirs in the table root, and no snapshot lands."""
+    import glob
+
+    root, sid0 = _mk(spark, tmp_path, n=10)
+    poison = spark.range(1).select(
+        F.lit(3).cast("bigint").alias("k"),
+        F.assert_true(F.col("id") > 100).cast("double").alias("v"),
+    )
+    with pytest.raises(Exception):
+        merge_iceberg(spark, root, poison, on=["k"])
+    assert not glob.glob(os.path.join(root, ".merge-stage*"))
+    # nothing committed: current snapshot unchanged, no orphan files
+    assert {r["k"] for r in read_iceberg(spark, root).collect()} == set(
+        range(10))
+    assert not glob.glob(os.path.join(root, "data", "merge-*"))
+    assert not glob.glob(os.path.join(root, "metadata", "pos-delete-*"))

@@ -1412,3 +1412,31 @@ def test_ivf_pq_planted_copies_and_recall(spark):
 
     with _pytest.raises(ValueError, match="not divisible"):
         SI.train_pq_codebooks([[0.0] * 63], 8, 4)
+
+
+def test_ivf_pq_releases_caches_on_refusal(spark):
+    """A raise inside topk_ivf_pq (dim not divisible by M) must not
+    strand the persisted normalization/encode frames in executor
+    memory for the rest of the session."""
+    import time
+
+    import pytest as _pytest
+
+    from predicting_hospital_readmission_using_mimic_database_spark.operators import similarity as SI
+
+    sc = spark.sparkContext
+    before = {r.id for r in sc._jsc.sc().getRDDStorageInfo()}
+    rows = [(i, [float(i)] * 63) for i in range(50)]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with _pytest.raises(ValueError, match="not divisible"):
+        SI.topk_ivf_pq(
+            e, "vec_id", "embedding", [1.0] * 63, k=3,
+            n_cells=2, n_probe=2, m_subspaces=8, ksub=4,
+        )
+    # unpersist is async: allow the cleaner a moment
+    for _ in range(40):
+        leaked = {r.id for r in sc._jsc.sc().getRDDStorageInfo()} - before
+        if not leaked:
+            break
+        time.sleep(0.25)
+    assert not leaked
