@@ -216,12 +216,16 @@ HEADLINE = [
     "s79_delta_identity",
     "st28_stream_identity_sink",
     "x18_hybrid_rerank",
-    # round-14: row-level DML (Delta DVs + MERGE/CDF, Iceberg
-    # row-delta MERGE), streaming WAP, IVF-PQ ANN
+    # round-14: row-level DML (Delta DVs + UPDATE + MERGE/CDF,
+    # Iceberg row-delta MERGE/DELETE), streaming WAP, streaming
+    # CDC-apply, IVF-PQ ANN
     "s80_delta_delete_dv",
     "s81_delta_merge_cdf",
     "s82_iceberg_merge",
+    "s83_delta_update_dv",
+    "s84_iceberg_delete",
     "st29_stream_iceberg_wap",
+    "st30_stream_cdc_apply",
     "n7_knn_ivf_pq",
 ]
 

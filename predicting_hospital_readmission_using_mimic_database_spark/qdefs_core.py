@@ -9271,3 +9271,215 @@ def q_s82(spark, sf):
         to_snapshot_id=out["snapshot_id"],
     ).select("c_custkey", "cents", F.col("_change_type").alias("tag"))
     return state.unionByName(changelog)
+
+
+@query(
+    "s83_delta_update_dv",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ), u1 AS (
+        SELECT c_custkey,
+               cents + CASE WHEN c_custkey % 5 = 0
+                            THEN 1000 ELSE 0 END AS cents
+        FROM base
+    )
+    SELECT c_custkey,
+           CASE WHEN cents < 0 THEN CAST(0 AS BIGINT)
+                ELSE cents END AS cents
+    FROM u1
+    """,
+)
+def q_s83(spark, sf):
+    """S83 — Delta UPDATE via DELETION VECTORS + CDF
+    (sources/delta_dml.py ``update_delta``): the third leg of the
+    row-level DML triple (s80 DELETE / s81 MERGE). SET expressions
+    evaluate against the PRE-update row, matched rows die via DV
+    sidecars on their files (never a rewrite of carried rows), and
+    the updated values land as new files in the SAME commit. The
+    entry runs TWO stacked updates — a keyed raise (``%5``) then a
+    predicate clamp over the post-update state (``cents < 0 → 0``,
+    the reference notebook's clip/reassign shape, py:150-166) — so
+    the second update's DVs MERGE onto files the first already
+    touched and its predicate provably reads update #1's output.
+    DuckDB recomputes the two-step fold; in-entry asserts pin that no
+    data file was rewritten (mtimes), time travel at v0 serves the
+    original rows, both updates' CDF images are exact
+    (update_preimage/update_postimage per row), and a no-op
+    predicate commits nothing.
+
+    Scale: ONE persisted hit-scan per update serves the DV positions
+    AND both CDF image sets; DV serialization is per-touched-file on
+    executors; the commit is O(touched files) metadata under the
+    file-level CAS."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil as _shutil
+
+    from .sources.delta import read_delta, read_delta_changes
+    from .sources.delta_dml import update_delta
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("c_custkey")
+    root = _table_root("s83", sf)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    rels = []
+    for b in range(4):
+        stage = os.path.join(root, f".s{b}")
+        c.filter(k % 4 == b).coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        rel = f"bucket{b}.parquet"
+        _shutil.move(part, os.path.join(root, rel))
+        _shutil.rmtree(stage)
+        rels.append(rel)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": "s83", "format": {"provider": "parquet",
+                                    "options": {}},
+            "schemaString": spark.createDataFrame(
+                [], "c_custkey bigint, cents bigint"
+            ).schema.json(),
+            "partitionColumns": [],
+            "configuration": {"delta.enableChangeDataFeed": "true"},
+        }}) + "\n")
+        for rel in rels:
+            f.write(_json.dumps({"add": {
+                "path": rel, "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+
+    n = c.count()
+    mtimes = {
+        rel: os.path.getmtime(os.path.join(root, rel)) for rel in rels
+    }
+    out1 = update_delta(
+        spark, root, "c_custkey % 5 = 0", {"cents": "cents + 1000"}
+    )
+    n_u1 = c.filter(k % 5 == 0).count()
+    assert out1["version"] == 1 and out1["num_updated"] == n_u1
+    cdf1 = read_delta_changes(spark, root, 1, 1)
+    from collections import Counter as _Counter
+
+    ct1 = _Counter(
+        r["_change_type"] for r in cdf1.select("_change_type").collect()
+    )
+    assert ct1 == {"update_preimage": n_u1, "update_postimage": n_u1}
+
+    # update #2 reads update #1's OUTPUT: clamp the post-raise state
+    n_u2 = (
+        read_delta(spark, root).filter(F.col("cents") < 0).count()
+    )
+    out2 = update_delta(spark, root, "cents < 0", {"cents": "0"})
+    assert out2["num_updated"] == n_u2
+    ct2 = _Counter(
+        r["_change_type"]
+        for r in read_delta_changes(
+            spark, root, out2["version"], out2["version"]
+        ).select("_change_type").collect()
+    )
+    assert ct2 == {"update_preimage": n_u2, "update_postimage": n_u2}
+
+    # no data file was ever rewritten; time travel intact
+    for rel in rels:
+        assert os.path.getmtime(os.path.join(root, rel)) == mtimes[rel]
+    assert read_delta(spark, root, version=0).count() == n
+    # a predicate matching nothing commits nothing
+    out3 = update_delta(spark, root, "c_custkey < 0", {"cents": "1"})
+    assert out3 == {"version": out2["version"], "num_updated": 0,
+                    "files_with_dvs": 0, "files_removed": 0}
+    return read_delta(spark, root).select("c_custkey", "cents")
+
+
+@query(
+    "s84_iceberg_delete",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    )
+    SELECT c_custkey, cents, 'state' AS tag FROM base
+    WHERE NOT (c_custkey % 7 = 0) AND NOT (cents < 0)
+    UNION ALL
+    SELECT c_custkey, cents, 'delete1' AS tag FROM base
+    WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey, cents, 'delete2' AS tag FROM base
+    WHERE cents < 0 AND NOT (c_custkey % 7 = 0)
+    """,
+)
+def q_s84(spark, sf):
+    """S84 — Iceberg DELETE as a ROW-DELTA snapshot
+    (sources/iceberg_dml.py ``delete_from_iceberg``): the doomed
+    rows' (file, ordinal) pairs land as ONE position-delete file
+    whose manifest carries the new snapshot's sequence number — no
+    data file rewritten, prior snapshots untouched. The entry stacks
+    TWO deletes (``%7`` then ``cents < 0``) and hashes the NET STATE
+    plus BOTH changelog replays tagged separately ('delete1' /
+    'delete2') — proving the second delete's scan saw the first's
+    deletes already applied (a dead row re-deleted would duplicate
+    into 'delete2' and break the hash; DuckDB's tag-2 set explicitly
+    excludes tag-1 rows). In-entry asserts pin time travel to the
+    base snapshot and the no-op rule; CAS retry and the shared
+    stage-cleanup path are pinned in tests/test_iceberg_dml.py.
+
+    Scale: each delete is ONE predicate scan over the current
+    snapshot (existing deletes applied by ``read_iceberg``'s
+    machinery, predicate pushed to parquet); the pos-delete parquet
+    is |matched| rows; the commit is the format's metadata CAS."""
+    from .sources.iceberg import (
+        export_iceberg,
+        read_iceberg,
+        read_iceberg_changelog,
+    )
+    from .sources.iceberg_dml import delete_from_iceberg
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("c_custkey")
+    root = _table_root("s84", sf)
+    t = SnapshotTable.create(
+        spark, root, "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"], num_buckets=4,
+    )
+    t.append(c)
+    sid0 = export_iceberg(t)
+    n = c.count()
+
+    out1 = delete_from_iceberg(spark, root, "c_custkey % 7 = 0")
+    assert out1["num_deleted"] == c.filter(k % 7 == 0).count()
+    sid1 = out1["snapshot_id"]
+    out2 = delete_from_iceberg(spark, root, "cents < 0")
+    # the second delete never re-deletes the first's dead rows
+    assert out2["num_deleted"] == c.filter(
+        (F.col("cents") < 0) & ~(k % 7 == 0)
+    ).count()
+    # time travel: the base snapshot still serves every row
+    assert read_iceberg(spark, root, snapshot_id=sid0).count() == n
+    # no-op commits nothing
+    out3 = delete_from_iceberg(spark, root, "c_custkey < 0")
+    assert out3 == {"snapshot_id": out2["snapshot_id"],
+                    "num_deleted": 0}
+
+    state = read_iceberg(spark, root).select(
+        "c_custkey", "cents", F.lit("state").alias("tag")
+    )
+    cl1 = read_iceberg_changelog(
+        spark, root, from_snapshot_id=sid0, to_snapshot_id=sid1
+    ).select("c_custkey", "cents", F.lit("delete1").alias("tag"))
+    cl2 = read_iceberg_changelog(
+        spark, root, from_snapshot_id=sid1,
+        to_snapshot_id=out2["snapshot_id"],
+    ).select("c_custkey", "cents", F.lit("delete2").alias("tag"))
+    return state.unionByName(cl1).unionByName(cl2)

@@ -2675,3 +2675,197 @@ def q_st29(spark, sf):
         return got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "st30_stream_cdc_apply",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    s1 AS (
+      SELECT k, cents + CASE WHEN k % 6 = 0 THEN 100 ELSE 0 END
+               AS cents
+      FROM base
+      UNION ALL
+      SELECT k + 5000000 AS k, CAST(-1 AS BIGINT) AS cents
+      FROM base WHERE k % 70 = 0
+    ),
+    s2 AS (
+      SELECT k, cents FROM s1
+      WHERE NOT (k < 5000000 AND k % 15 = 0)
+        AND NOT (k >= 5000000 AND (k - 5000000) % 140 = 0)
+    ),
+    s3 AS (
+      SELECT k, CASE WHEN k < 5000000 AND k % 9 = 0 AND k % 15 <> 0
+                     THEN CAST(-5 AS BIGINT) ELSE cents END AS cents
+      FROM s2
+      UNION ALL
+      SELECT k, CAST(7 AS BIGINT) AS cents
+      FROM base WHERE k % 45 = 0
+    )
+    SELECT k AS c_custkey, cents FROM s3
+    """,
+)
+def q_st30(spark, sf):
+    """ST30 — a CDC STREAM applied to a Delta target by MERGE
+    (sources/delta_dml.py ``merge_delta`` / row-delta DVs as the
+    foreachBatch sink): the canonical "apply the change feed to a
+    replica" pipeline. Each micro-batch carries op-tagged change rows
+    (I/U/D); the sink splits by op and applies deletes via
+    ``merge_delta(when_matched='delete', insert=False)`` and upserts
+    via ``merge_delta(when_matched='update')`` — every batch lands as
+    row-delta commits (DVs on touched files + delta-sized new files),
+    never a table rewrite. Batch order is driven by SEQUENTIAL drains
+    (one staged file per drain — the repo's rule, since file-source
+    order across files isn't pinned). Three CDC waves fold: a
+    keyed raise + fresh inserts, then deletes striking BOTH original
+    and first-wave-inserted keys, then updates of survivors plus
+    re-inserts of deleted keys (a matched-again key proves a DV'd row
+    can re-enter as a fresh insert). DuckDB recomputes the three-step
+    fold; a dropped change, a resurrected deleted row, or a re-applied
+    batch breaks the hash. In-entry asserts pin per-wave counts and
+    that an idle re-drain of the SAME checkpoint applies nothing (no
+    new version). Exactly-once here is the CDC-apply form: replayed
+    upsert/delete batches are IDEMPOTENT by construction (same keys,
+    same values), unlike the append sink's txn dedup (st27).
+
+    Scale: the sink's work per batch is one batch-sized broadcast-able
+    join against the target scan plus O(touched files) DV sidecars —
+    the target is never rewritten; the fold's cost tracks the CHANGE
+    volume, not the table."""
+    import glob as _glob
+    import json as _json
+
+    from .qdefs_core import _table_root
+    from .sources.delta import read_delta
+    from .sources.delta_dml import merge_delta
+    from .sources.io import read_table as _rt
+
+    c = _rt(spark, sf, "customer").select(
+        F.col("c_custkey"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("c_custkey")
+    n = c.count()
+    root = _table_root("st30", sf)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    rels = []
+    tmp = tempfile.mkdtemp(prefix="st30_")
+    try:
+        for b in range(4):
+            stage = os.path.join(tmp, f".s{b}")
+            c.filter(k % 4 == b).coalesce(1).write.parquet(stage)
+            (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+            rel = f"bucket{b}.parquet"
+            shutil.move(part, os.path.join(root, rel))
+            shutil.rmtree(stage)
+            rels.append(rel)
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+            f.write(_json.dumps({"metaData": {
+                "id": "st30", "format": {"provider": "parquet",
+                                         "options": {}},
+                "schemaString": spark.createDataFrame(
+                    [], "c_custkey bigint, cents bigint"
+                ).schema.json(),
+                "partitionColumns": [], "configuration": {},
+            }}) + "\n")
+            for rel in rels:
+                f.write(_json.dumps({"add": {
+                    "path": rel, "partitionValues": {}, "size": 1,
+                    "modificationTime": 0, "dataChange": True}}) + "\n")
+
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        ck = os.path.join(tmp, "ck")
+
+        def _stage(df, name):
+            stage = os.path.join(tmp, f".stage-{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+            shutil.move(part, os.path.join(src, name))
+            shutil.rmtree(stage)
+
+        def sink(df, _bid):
+            dels = df.filter(F.col("op") == "D").drop("op")
+            ups = df.filter(F.col("op").isin("I", "U")).drop("op")
+            if dels.take(1):
+                merge_delta(spark, root, dels, on=["c_custkey"],
+                            when_matched="delete", insert=False)
+            if ups.take(1):
+                merge_delta(spark, root, ups, on=["c_custkey"],
+                            when_matched="update")
+
+        def drain():
+            q = (
+                spark.readStream
+                .schema("c_custkey long, cents long, op string")
+                .parquet(src)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        # wave 1: keyed raise + fresh inserts
+        w1 = c.filter(k % 6 == 0).select(
+            "c_custkey", (F.col("cents") + 100).alias("cents"),
+            F.lit("U").alias("op"),
+        ).unionByName(c.filter(k % 70 == 0).select(
+            (k + 5_000_000).alias("c_custkey"),
+            F.lit(-1).cast("long").alias("cents"),
+            F.lit("I").alias("op"),
+        ))
+        _stage(w1, "cdc1.parquet")
+        drain()
+        n_ins1 = c.filter(k % 70 == 0).count()
+        assert read_delta(spark, root).count() == n + n_ins1
+
+        # wave 2: deletes strike original AND wave-1-inserted keys
+        w2 = c.filter(k % 15 == 0).select(
+            "c_custkey", F.lit(None).cast("long").alias("cents"),
+            F.lit("D").alias("op"),
+        ).unionByName(c.filter(k % 140 == 0).select(
+            (k + 5_000_000).alias("c_custkey"),
+            F.lit(None).cast("long").alias("cents"),
+            F.lit("D").alias("op"),
+        ))
+        _stage(w2, "cdc2.parquet")
+        drain()
+        n_del = c.filter(k % 15 == 0).count() + \
+            c.filter(k % 140 == 0).count()
+        assert read_delta(spark, root).count() == n + n_ins1 - n_del
+
+        # wave 3: survivor updates + re-inserts of deleted keys
+        w3 = c.filter((k % 9 == 0) & (k % 15 != 0)).select(
+            "c_custkey", F.lit(-5).cast("long").alias("cents"),
+            F.lit("U").alias("op"),
+        ).unionByName(c.filter(k % 45 == 0).select(
+            "c_custkey", F.lit(7).cast("long").alias("cents"),
+            F.lit("I").alias("op"),
+        ))
+        _stage(w3, "cdc3.parquet")
+        drain()
+        got = read_delta(spark, root)
+        n_reins = c.filter(k % 45 == 0).count()
+        assert got.count() == n + n_ins1 - n_del + n_reins
+        # a re-inserted (previously DV-deleted) key is ALIVE with the
+        # new value
+        assert got.filter((k % 45 == 0) & (F.col("cents") == 7)
+                          ).count() == n_reins
+
+        # an idle re-drain of the same checkpoint applies NOTHING
+        from .sources.delta import _replay_log
+        _m, _l, _d, v_before = _replay_log(root)
+        drain()
+        _m, _l, _d, v_after = _replay_log(root)
+        assert v_after == v_before
+        return got.select("c_custkey", "cents")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -63,7 +63,10 @@ PRIORITY: tuple[str, ...] = (
     "s80_delta_delete_dv",
     "s81_delta_merge_cdf",
     "s82_iceberg_merge",
+    "s83_delta_update_dv",
+    "s84_iceberg_delete",
     "st29_stream_iceberg_wap",
+    "st30_stream_cdc_apply",
     "n7_knn_ivf_pq",
     # (a) Delta machinery changed in round 14
     "s77_delta_constraints",
@@ -86,7 +89,6 @@ PRIORITY: tuple[str, ...] = (
     "st16_stream_iceberg_tail",
     "s57_iceberg_expire_snapshots",
     "s61_iceberg_rewrite_manifests",
-    "s33_iceberg_incremental",
     "s55_iceberg_export_bounds",
     "s64_iceberg_partition_evolution",
     # (a) Hudi machinery changed in round 14 (partition-aware
@@ -97,8 +99,6 @@ PRIORITY: tuple[str, ...] = (
     "s60_hudi_clustering",
     "s52_hudi_mor_compaction",
     "s68_hudi_async_compaction",
-    "s58_hudi_clean",
-    "s19_hudi_read",
     # (a) retrieval / ANN modules changed in round 14
     "x17_bm25_topk",
     "x18_hybrid_rerank",

@@ -81,7 +81,7 @@ from .delta_constraints import (
     _legacy_writer_features,
 )
 
-__all__ = ["delete_from_delta", "merge_delta"]
+__all__ = ["delete_from_delta", "merge_delta", "update_delta"]
 
 #: writer features whose ROW-DELETE obligations this path implements:
 #: everything the append path supports, plus rowTracking (the re-added
@@ -749,6 +749,203 @@ def delete_from_delta(
     return {
         "version": version,
         "num_deleted": n_deleted,
+        "files_with_dvs": n_dv,
+        "files_removed": n_gone,
+    }
+
+
+def update_delta(
+    spark: SparkSession, root: str, predicate: str,
+    assignments: dict[str, str],
+) -> dict:
+    """``UPDATE <table at root> SET <col = expr, ...> WHERE
+    <predicate>`` — the row-delta shape: matched rows die via DELETION
+    VECTORS on their files, their updated values land as NEW parquet
+    files, one commit. Every SET expression is evaluated against the
+    PRE-update row (standard UPDATE semantics — ``SET a = b, b = a``
+    swaps), generated columns are RECOMPUTED from their declared
+    expressions (assigning one directly refuses, as does assigning an
+    identity column), and the updated rows are validated against the
+    table's CHECK / invariant / NOT NULL rules in one aggregate pass —
+    a violation commits nothing. Updating a PARTITION column moves the
+    row: the new file lands under the new partition tuple while the DV
+    kills the old row in place.
+
+    When the table declares ``delta.enableChangeDataFeed``, the commit
+    stages exact update_preimage / update_postimage rows under
+    ``_change_data/`` from the SAME persisted hit evaluation that
+    produced the vectors. Conflicts follow the file-level CAS rules of
+    :func:`delete_from_delta`.
+
+    Returns ``{"version", "num_updated", "files_with_dvs",
+    "files_removed"}``; a predicate matching nothing commits NOTHING.
+    """
+    from .delta_constraints import (
+        _file_stats,
+        delta_table_constraints,
+    )
+
+    stats_of: dict[str, str] = {}
+    rowids: dict[str, tuple] = {}
+    meta, live, dvs, last = _replay_log(
+        root, stats_out=stats_of, rowids_out=rowids
+    )
+    log_dir = os.path.join(root, DELTA_LOG_DIR)
+    conf = meta.get("configuration") or {}
+    if str(conf.get("delta.appendOnly", "")).lower() == "true":
+        raise DeltaProtocolError(
+            "table declares delta.appendOnly=true; UPDATE writes "
+            "remove actions, which append-only tables forbid"
+        )
+    proto = _gate_writer_features(log_dir, _DML_SUPPORTED_WRITER_FEATURES)
+    if _rt_enforced(proto, conf):
+        raise DeltaProtocolError(
+            "table enables rowTracking; UPDATE would need fresh "
+            "baseRowId allocation for its rewritten rows — not "
+            "implemented, refusing to break row lineage"
+        )
+    rules = delta_table_constraints(root, meta=meta)
+    info = _TableInfo(spark, meta)
+    table_cols = [f.name for f in info.schema.fields]
+    if not assignments:
+        raise ValueError("UPDATE needs at least one SET assignment")
+    bad = [c for c in assignments if c not in table_cols]
+    if bad:
+        raise ValueError(
+            f"SET columns {bad} not in the table schema "
+            f"(columns: {table_cols})"
+        )
+    for c in assignments:
+        if c in rules["generated"]:
+            raise DeltaProtocolError(
+                f"column {c!r} is GENERATED ALWAYS AS "
+                f"({rules['generated'][c]}); it is recomputed, not "
+                "assigned — drop it from SET"
+            )
+        if c in rules["identity"]:
+            raise DeltaProtocolError(
+                f"column {c!r} is an IDENTITY column; UPDATE-time "
+                "identity assignment is not implemented"
+            )
+
+    noop = {
+        "version": last, "num_updated": 0,
+        "files_with_dvs": 0, "files_removed": 0,
+    }
+    if not live:
+        return noop
+
+    key, posk = "__dml_file", "__dml_pos"
+    scan = _scan_with_positions(spark, root, info, live, dvs, key, posk)
+    # ONE persisted evaluation serves the DV positions AND both CDF
+    # image sets (delete_from_delta's rule)
+    hits = scan.filter(F.expr(predicate)).persist()
+    try:
+        # SET expressions all see the PRE-update row (one projection);
+        # generated columns recompute over the POST-set row after it
+        updated = hits.select(
+            *[
+                (F.expr(assignments[f.name]).cast(f.dataType)
+                 if f.name in assignments else F.col(f.name)
+                 ).alias(f.name)
+                for f in info.schema.fields
+            ],
+            F.col(key), F.col(posk),
+        )
+        for gcol, gexpr in sorted(rules["generated"].items()):
+            gtype = info.schema[gcol].dataType
+            updated = updated.withColumn(
+                gcol, F.expr(gexpr).cast(gtype)
+            )
+        _validate_row_rules(
+            updated.select(*table_cols), rules, "UPDATE"
+        )
+
+        cdf_on = str(conf.get("delta.enableChangeDataFeed", "")
+                     ).lower() == "true"
+        cdc_actions: list[dict] = []
+        cdc_rels: list[str] = []
+        if cdf_on:
+            images = hits.select(
+                *[F.col(c) for c in table_cols],
+                F.lit("update_preimage").alias("_change_type"),
+            ).unionByName(updated.select(
+                *[F.col(c) for c in table_cols],
+                F.lit("update_postimage").alias("_change_type"),
+            ))
+            cdc_actions, cdc_rels = _stage_cdc_files(
+                spark, root, images, info
+            )
+
+        results = _write_dvs_for_hits(
+            hits.select(key, posk), root, live, dvs, key, posk
+        )
+        placed = (
+            _place_files(
+                spark, root, updated.select(*table_cols), info,
+                "", "update",
+            )
+            if results else []
+        )
+    finally:
+        hits.unpersist()
+    if not results:
+        for rel in cdc_rels:  # empty update: nothing to commit
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(root, rel))
+        return noop
+
+    import pyarrow.parquet as pq
+
+    removes, dv_adds, dv_rels, n_updated, n_dv, n_gone = (
+        _dv_remove_add_actions(
+            root, results, live, dvs, stats_of, rowids,
+            _rt_enforced(proto, conf),
+        )
+    )
+    new_adds, new_rels = [], []
+    for rel, pv in placed:
+        if not pq.read_metadata(os.path.join(root, rel)).num_rows:
+            os.remove(os.path.join(root, rel))
+            continue
+        new_rels.append(rel)
+        new_adds.append({"add": {
+            "path": rel,
+            "partitionValues": pv,
+            "size": os.path.getsize(os.path.join(root, rel)),
+            "modificationTime": 0,
+            "dataChange": True,
+            "stats": _file_stats(os.path.join(root, rel)),
+        }})
+    proto_actions, meta_action = (
+        _dv_feature_actions(proto, meta) if n_dv else ([], None)
+    )
+    ict_on = str(conf.get("delta.enableInCommitTimestamps", "")
+                 ).lower() == "true"
+
+    def build(v: int) -> list[dict]:
+        return [
+            _ict_commit_info(log_dir, v, operation="UPDATE")
+            if ict_on
+            else {"commitInfo": {"operation": "UPDATE",
+                                 "engineInfo": "snapshot-export"}},
+            *proto_actions,
+            *([{"metaData": meta_action}] if meta_action else []),
+            *cdc_actions,
+            *removes,
+            *new_adds,
+            *dv_adds,
+        ]
+
+    version = _commit_file_level_cas(
+        log_dir, root, last + 1, build,
+        our_paths={a["remove"]["path"] for a in removes},
+        exclusive=bool(proto_actions or meta_action),
+        cleanup_rels=dv_rels + cdc_rels + new_rels,
+    )
+    return {
+        "version": version,
+        "num_updated": n_updated,
         "files_with_dvs": n_dv,
         "files_removed": n_gone,
     }

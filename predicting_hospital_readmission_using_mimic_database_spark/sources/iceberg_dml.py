@@ -1,26 +1,28 @@
-"""Iceberg ROW-LEVEL MERGE — matched target rows become POSITION
-DELETES, their replacement values plus the not-matched inserts become
-new data files, and both land in ONE v2 snapshot (the spec's
-row-delta commit: "Row-level deletes... delete files are added to the
-table in a new snapshot alongside new data files"). Composes the
-writer pieces the engine already has — the pos-delete file/manifest
-shape of :func:`~.iceberg.append_position_deletes`, the incremental
+"""Iceberg ROW-LEVEL DML — MERGE and DELETE as row-delta snapshots.
+Matched/doomed target rows become POSITION DELETES, replacement values
+plus not-matched inserts become new data files, and everything lands
+in ONE v2 snapshot (the spec's row-delta commit: "Row-level deletes...
+delete files are added to the table in a new snapshot alongside new
+data files"). Composes the writer pieces the engine already has — the
+pos-delete file/manifest shape of
+:func:`~.iceberg.append_position_deletes`, the incremental
 manifest-list carry and metadata CAS of
 :func:`~.iceberg.export_iceberg` — and the read side needs nothing
 new: :func:`~.iceberg.read_iceberg` applies the deletes, and
-:func:`~.iceberg.read_iceberg_changelog` replays the snapshot as the
+:func:`~.iceberg.read_iceberg_changelog` replays each snapshot as the
 exact delete+insert row diff (s47's machinery).
 
 The reference notebook's row mutation is a pandas in-place
-reassignment (py:150-166); this is the lakehouse-native equivalent a
-real pipeline commits.
+reassignment / drop (py:150-166); these are the lakehouse-native
+equivalents a real pipeline commits.
 
 Scale shape:
 
-* finding matched rows is ONE source-sized join against the snapshot
-  scan (``read_iceberg(_keep_keys=...)`` reuses the full
-  delete-application machinery — existing positional / equality / DV
-  deletes are already applied, so a dead row can never re-match);
+* finding matched rows is ONE source-sized join (MERGE) or one
+  predicate scan (DELETE) against the snapshot scan
+  (``read_iceberg(_keep_keys=...)`` reuses the full delete-application
+  machinery — existing positional / equality / DV deletes are already
+  applied, so a dead row can never re-match);
 * the pos-delete parquet is written by Spark sorted by
   ``(file_path, pos)`` (the spec's required ordering) — its size is
   the MATCHED row count, never the table;
@@ -31,7 +33,7 @@ Scale shape:
   tests/test_iceberg_dml.py);
 * the commit is the format's compare-and-swap on
   ``vN.metadata.json``; a lost CAS deletes this attempt's files
-  (all ``*-{attempt}*`` named) and re-runs the merge against the
+  (all ``*-{attempt}*`` named) and re-runs the op against the
   refreshed metadata, bounded like ``export_iceberg``.
 """
 
@@ -58,37 +60,13 @@ from .iceberg import (
     read_iceberg,
 )
 
-__all__ = ["merge_iceberg"]
+__all__ = ["delete_from_iceberg", "merge_iceberg"]
 
 
-def merge_iceberg(
-    spark: SparkSession, root: str, source: DataFrame, on: list[str],
-    when_matched: str = "update", insert: bool = True,
-    _retries: int = 10,
-) -> dict:
-    """``MERGE INTO <iceberg table at root> t USING <source> s ON
-    <equi-keys>`` as one row-delta snapshot (module docstring).
-
-    ``when_matched``: ``"update"`` (matched rows take the source's
-    values) or ``"delete"``; ``insert=False`` drops not-matched source
-    rows. Source must carry exactly the table's columns with UNIQUE
-    key tuples under ``on`` (ANSI MERGE rule — refused otherwise).
-    Returns ``{"snapshot_id", "num_updated", "num_deleted",
-    "num_inserted"}``; a no-change merge commits nothing and returns
-    the current snapshot id.
-    """
-    import time
-    import uuid as _uuid
-
-    import pyarrow.parquet as pq
-
-    from .avro_ocf import write_avro
-
-    if when_matched not in ("update", "delete"):
-        raise ValueError(
-            f"when_matched must be 'update' or 'delete', "
-            f"got {when_matched!r}"
-        )
+def _load_v2_table(root: str, what: str) -> tuple[str, dict, list, int]:
+    """(latest metadata path, metadata, snapshots, current snapshot
+    id) of a format-v2 table with a published snapshot — the base
+    every row-delta op needs; raises naming ``what`` otherwise."""
     latest = _latest_metadata_path(root)
     if latest is None:
         raise IcebergProtocolError(
@@ -98,68 +76,53 @@ def merge_iceberg(
         meta = json.load(f)
     if int(meta.get("format-version", 2)) != 2:
         raise IcebergProtocolError(
-            f"merge_iceberg supports format-version 2 tables only "
+            f"{what} supports format-version 2 tables only "
             f"(got {meta.get('format-version')}); v3 row-lineage "
             "assignment for rewritten rows is not implemented"
         )
     snaps = meta.get("snapshots", [])
     if not snaps or meta.get("current-snapshot-id") is None:
         raise IcebergProtocolError(
-            "table has no current snapshot; merge needs a published "
+            f"table has no current snapshot; {what} needs a published "
             "base (export first, even if empty)"
         )
-    cur_sid = int(meta["current-snapshot-id"])
-    cur = next(s for s in snaps if s["snapshot-id"] == cur_sid)
+    return latest, meta, snaps, int(meta["current-snapshot-id"])
 
-    schema = _table_schema(meta)
-    table_cols = [f.name for f in schema.fields]
-    bad_on = [c for c in on if c not in table_cols]
-    if not on or bad_on:
-        raise ValueError(
-            f"merge keys {on} must be non-empty table columns "
-            f"(schema: {table_cols})"
-        )
-    extra = [c for c in source.columns if c not in table_cols]
-    missing = [c for c in table_cols if c not in source.columns]
-    if extra or missing:
-        raise IcebergProtocolError(
-            f"source must carry exactly the table's columns; "
-            f"extra={extra} missing={missing}"
-        )
-    src = source.select([
-        F.col(f.name).cast(f.dataType).alias(f.name)
-        for f in schema.fields
-    ])
-    dups = (
-        src.groupBy(*on).count().filter(F.col("count") > 1)
-        .limit(1).count()
-    )
-    if dups:
-        raise IcebergProtocolError(
-            f"source has duplicate key tuples under {on}; MERGE "
-            "requires at most one source row per target row"
-        )
 
-    fpk, posk = "__ice_dml_file", "__ice_dml_pos"
-    tgt = read_iceberg(
-        spark, root, snapshot_id=cur_sid, _keep_keys=(fpk, posk)
-    )
-    s = src.alias("s")
-    t = tgt.alias("t")
-    cond = F.lit(True)
-    for k in on:
-        cond = cond & F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
-    # ONE source-sized join; every downstream frame projects from it
-    j = s.join(t, cond, "left").persist()
-    attempt = _uuid.uuid4().hex[:12]
+def _stage_and_commit(
+    spark: SparkSession, root: str, latest: str, meta: dict,
+    snaps: list, cur_sid: int, attempt: str,
+    matched: DataFrame, new_rows: DataFrame | None,
+    tag: str, summary_of,
+) -> tuple[int, int, int] | None:
+    """The mechanical half every row-delta op shares: stage the
+    pos-delete parquet (``matched`` = (file_path, pos) rows) and the
+    new data files, write the delete/data manifests at the NEW
+    snapshot's sequence number onto the carried manifest list, and CAS
+    the next ``vN.metadata.json``.
+
+    Returns ``(snapshot_id, n_matched, n_new)`` — with the CURRENT
+    snapshot id when the op turned out to be a no-change (nothing
+    committed) — or ``None`` on a lost CAS (this attempt's files are
+    already cleaned up; the caller refreshes and re-runs). Any other
+    failure cleans up this attempt's files and re-raises.
+    ``summary_of(n_matched, n_new)`` builds the snapshot summary;
+    ``tag`` names this op's data files/manifests."""
+    import glob as _glob
+    import shutil as _shutil
+    import time
+
+    import pyarrow.parquet as pq
+
+    from .avro_ocf import write_avro
+
     mdir = os.path.join(root, "metadata")
     ddir = os.path.join(root, "data")
+    cur = next(s for s in snaps if s["snapshot-id"] == cur_sid)
     written: list[str] = []
     stages: list[str] = []
 
     def _cleanup():
-        import shutil as _shutil
-
         for p in written:
             with contextlib.suppress(FileNotFoundError):
                 os.remove(p)
@@ -169,28 +132,13 @@ def merge_iceberg(
             _shutil.rmtree(d, ignore_errors=True)
 
     try:
-        matched = j.filter(F.col(fpk).isNotNull())
-        unmatched = j.filter(F.col(fpk).isNull())
-        s_cols = [F.col(f"s.{c}").alias(c) for c in table_cols]
-
-        new_rows = unmatched.select(*s_cols) if insert else None
-        if when_matched == "update":
-            upd = matched.select(*s_cols)
-            new_rows = (
-                upd if new_rows is None else new_rows.unionByName(upd)
-            )
-
-        # the spec's pos-delete file: (file_path, pos) sorted rows
-        import glob as _glob
-        import shutil as _shutil
-
         sid = max(x["snapshot-id"] for x in snaps) + 1
-        stage = os.path.join(root, f".merge-stage-{attempt}")
+        # the spec's pos-delete file: (file_path, pos) sorted rows
+        stage = os.path.join(root, f".{tag}-stage-{attempt}")
         stages.append(stage)
         (
             matched.select(
-                F.col(fpk).alias("file_path"),
-                F.col(posk).cast("long").alias("pos"),
+                F.col("file_path"), F.col("pos").cast("long")
             )
             .orderBy("file_path", "pos")
             .coalesce(1)
@@ -208,14 +156,14 @@ def merge_iceberg(
         new_files: list[tuple[str, int]] = []
         if new_rows is not None:
             os.makedirs(ddir, exist_ok=True)
-            stage2 = os.path.join(root, f".merge-stage2-{attempt}")
+            stage2 = os.path.join(root, f".{tag}-stage2-{attempt}")
             stages.append(stage2)
             new_rows.write.parquet(stage2)
             for i, part in enumerate(sorted(
                 _glob.glob(os.path.join(stage2, "part-*.parquet"))
             )):
                 path = os.path.join(
-                    ddir, f"merge-{sid}-{attempt}-{i:05d}.parquet"
+                    ddir, f"{tag}-{sid}-{attempt}-{i:05d}.parquet"
                 )
                 _shutil.move(part, path)
                 written.append(path)
@@ -230,10 +178,7 @@ def merge_iceberg(
 
         if not n_matched and not n_new:
             _cleanup()
-            return {
-                "snapshot_id": cur_sid, "num_updated": 0,
-                "num_deleted": 0, "num_inserted": 0,
-            }
+            return cur_sid, 0, 0
 
         _s, manifests = read_avro(_localize(cur["manifest-list"], root))
         mf_records = [{"sequence_number": None, **m} for m in manifests]
@@ -278,7 +223,7 @@ def merge_iceberg(
         if new_files:
             # per-file column bounds (spec Appendix D) from the fresh
             # parquet footers — the export convention: bounds-aware
-            # readers keep pruning the table's hottest (just-merged)
+            # readers keep pruning the table's hottest (just-written)
             # files. Same harvester safety rules as SnapshotTable
             # (string/decimal bounds discarded; partial stats omit
             # the column).
@@ -303,7 +248,7 @@ def merge_iceberg(
                 return (lo or None, hi or None)
 
             add_manifest = os.path.join(
-                mdir, f"manifest-merge-{sid}-{attempt}.avro"
+                mdir, f"manifest-{tag}-{sid}-{attempt}.avro"
             )
             entries = []
             for p, n in new_files:
@@ -356,11 +301,7 @@ def merge_iceberg(
             "snapshot-id": sid,
             "parent-snapshot-id": cur_sid,
             "timestamp-ms": int(time.time() * 1000),
-            "summary": {
-                "operation": "overwrite",
-                "merged-rows": str(n_matched),
-                "added-rows": str(n_new),
-            },
+            "summary": summary_of(n_matched, n_new),
             "manifest-list": mlist,
             "schema-id": meta.get("current-schema-id", 0),
         }]
@@ -377,33 +318,181 @@ def merge_iceberg(
                 json.dump(new_meta, f)
         except FileExistsError:
             _cleanup()
-            if _retries <= 0:
-                raise IcebergProtocolError(
-                    f"merge_iceberg lost the metadata CAS at version "
-                    f"{version} ten times in a row; a foreign writer "
-                    "is committing faster than the merge can refresh"
-                ) from None
-            # refresh-and-reattempt against the new current snapshot:
-            # the matched set may have changed, so the whole merge
-            # re-runs (the source frame is unchanged)
-            j.unpersist()
-            return merge_iceberg(
-                spark, root, source, on,
-                when_matched=when_matched, insert=insert,
-                _retries=_retries - 1,
-            )
+            return None
         _advance_version_hint(mdir, version)
-        return {
-            "snapshot_id": sid,
-            "num_updated": n_matched if when_matched == "update" else 0,
-            "num_deleted": n_matched if when_matched == "delete" else 0,
-            "num_inserted": (
-                n_new - (n_matched if when_matched == "update" else 0)
-                if insert else 0
-            ),
-        }
+        return sid, n_matched, n_new
     except Exception:
         _cleanup()
         raise
+
+
+def merge_iceberg(
+    spark: SparkSession, root: str, source: DataFrame, on: list[str],
+    when_matched: str = "update", insert: bool = True,
+    _retries: int = 10,
+) -> dict:
+    """``MERGE INTO <iceberg table at root> t USING <source> s ON
+    <equi-keys>`` as one row-delta snapshot (module docstring).
+
+    ``when_matched``: ``"update"`` (matched rows take the source's
+    values) or ``"delete"``; ``insert=False`` drops not-matched source
+    rows. Source must carry exactly the table's columns with UNIQUE
+    key tuples under ``on`` (ANSI MERGE rule — refused otherwise).
+    Returns ``{"snapshot_id", "num_updated", "num_deleted",
+    "num_inserted"}``; a no-change merge commits nothing and returns
+    the current snapshot id.
+    """
+    import uuid as _uuid
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError(
+            f"when_matched must be 'update' or 'delete', "
+            f"got {when_matched!r}"
+        )
+    latest, meta, snaps, cur_sid = _load_v2_table(root, "merge_iceberg")
+
+    schema = _table_schema(meta)
+    table_cols = [f.name for f in schema.fields]
+    bad_on = [c for c in on if c not in table_cols]
+    if not on or bad_on:
+        raise ValueError(
+            f"merge keys {on} must be non-empty table columns "
+            f"(schema: {table_cols})"
+        )
+    extra = [c for c in source.columns if c not in table_cols]
+    missing = [c for c in table_cols if c not in source.columns]
+    if extra or missing:
+        raise IcebergProtocolError(
+            f"source must carry exactly the table's columns; "
+            f"extra={extra} missing={missing}"
+        )
+    src = source.select([
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ])
+    dups = (
+        src.groupBy(*on).count().filter(F.col("count") > 1)
+        .limit(1).count()
+    )
+    if dups:
+        raise IcebergProtocolError(
+            f"source has duplicate key tuples under {on}; MERGE "
+            "requires at most one source row per target row"
+        )
+
+    fpk, posk = "__ice_dml_file", "__ice_dml_pos"
+    tgt = read_iceberg(
+        spark, root, snapshot_id=cur_sid, _keep_keys=(fpk, posk)
+    )
+    s = src.alias("s")
+    t = tgt.alias("t")
+    cond = F.lit(True)
+    for k in on:
+        cond = cond & F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
+    # ONE source-sized join; every downstream frame projects from it
+    j = s.join(t, cond, "left").persist()
+    try:
+        matched = j.filter(F.col(fpk).isNotNull())
+        unmatched = j.filter(F.col(fpk).isNull())
+        s_cols = [F.col(f"s.{c}").alias(c) for c in table_cols]
+
+        new_rows = unmatched.select(*s_cols) if insert else None
+        if when_matched == "update":
+            upd = matched.select(*s_cols)
+            new_rows = (
+                upd if new_rows is None else new_rows.unionByName(upd)
+            )
+
+        res = _stage_and_commit(
+            spark, root, latest, meta, snaps, cur_sid,
+            _uuid.uuid4().hex[:12],
+            matched.select(
+                F.col(fpk).alias("file_path"),
+                F.col(posk).alias("pos"),
+            ),
+            new_rows, "merge",
+            lambda n_m, n_n: {
+                "operation": "overwrite",
+                "merged-rows": str(n_m),
+                "added-rows": str(n_n),
+            },
+        )
     finally:
         j.unpersist()
+    if res is None:
+        if _retries <= 0:
+            raise IcebergProtocolError(
+                "merge_iceberg lost the metadata CAS ten times in a "
+                "row; a foreign writer is committing faster than the "
+                "merge can refresh"
+            )
+        # refresh-and-reattempt against the new current snapshot:
+        # the matched set may have changed, so the whole merge
+        # re-runs (the source frame is unchanged)
+        return merge_iceberg(
+            spark, root, source, on,
+            when_matched=when_matched, insert=insert,
+            _retries=_retries - 1,
+        )
+    sid, n_matched, n_new = res
+    return {
+        "snapshot_id": sid,
+        "num_updated": n_matched if when_matched == "update" else 0,
+        "num_deleted": n_matched if when_matched == "delete" else 0,
+        "num_inserted": (
+            n_new - (n_matched if when_matched == "update" else 0)
+            if insert else 0
+        ),
+    }
+
+
+def delete_from_iceberg(
+    spark: SparkSession, root: str, predicate: str,
+    _retries: int = 10,
+) -> dict:
+    """``DELETE FROM <iceberg table at root> WHERE <predicate>`` as
+    one row-delta snapshot: the doomed rows' (file, ordinal) pairs
+    land as a POSITION-DELETE file whose manifest carries the new
+    snapshot's sequence number — no data file is rewritten, time
+    travel to prior snapshots is untouched, and
+    :func:`~.iceberg.read_iceberg_changelog` replays the snapshot as
+    exact deleted rows. The predicate scan is ONE pass over the
+    current snapshot with existing deletes already applied (a dead row
+    can never be re-deleted, so changelog replay stays exact).
+
+    Returns ``{"snapshot_id", "num_deleted"}``; a predicate matching
+    nothing commits NOTHING and returns the current snapshot id.
+    Conflicts follow the same metadata CAS as :func:`merge_iceberg`
+    (lost races refresh and re-run, bounded)."""
+    import uuid as _uuid
+
+    latest, meta, snaps, cur_sid = _load_v2_table(
+        root, "delete_from_iceberg"
+    )
+    fpk, posk = "__ice_dml_file", "__ice_dml_pos"
+    tgt = read_iceberg(
+        spark, root, snapshot_id=cur_sid, _keep_keys=(fpk, posk)
+    )
+    matched = tgt.filter(F.expr(predicate)).select(
+        F.col(fpk).alias("file_path"), F.col(posk).alias("pos")
+    )
+    res = _stage_and_commit(
+        spark, root, latest, meta, snaps, cur_sid,
+        _uuid.uuid4().hex[:12], matched, None, "delete",
+        lambda n_m, _n_n: {
+            "operation": "delete",
+            "deleted-rows": str(n_m),
+        },
+    )
+    if res is None:
+        if _retries <= 0:
+            raise IcebergProtocolError(
+                "delete_from_iceberg lost the metadata CAS ten times "
+                "in a row; a foreign writer is committing faster than "
+                "the delete can refresh"
+            )
+        return delete_from_iceberg(
+            spark, root, predicate, _retries=_retries - 1
+        )
+    sid, n_matched, _n_new = res
+    return {"snapshot_id": sid, "num_deleted": n_matched}

@@ -652,3 +652,112 @@ def test_merge_id_mapped_files_carry_field_ids(spark, tmp_path):
         spark, root, out2["version"], out2["version"])
     assert {(r["k"], r["_change_type"]) for r in cdf2.collect()} == {
         (50, "delete")}
+
+
+# ---------------------------------------------------------------- UPDATE
+
+
+def test_update_pre_row_semantics_and_dv(spark, tmp_path):
+    """UPDATE: SET expressions all evaluate against the PRE-update row
+    (a = b, b = a swaps); rows die via DVs (no file rewrite) and the
+    updated values land as new files."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_dml import update_delta
+
+    root, rels = _mk_table(spark, tmp_path)
+    mtimes = {rel: os.path.getmtime(os.path.join(root, rel))
+              for rel in rels}
+    out = update_delta(
+        spark, root, "k = 7",
+        {"k": "CAST(v AS BIGINT)", "v": "CAST(k AS DOUBLE)"},
+    )
+    assert out["num_updated"] == 1 and out["files_with_dvs"] == 1
+    got = {(r["k"], r["v"]) for r in read_delta(spark, root).collect()}
+    assert (14, 7.0) in got and not any(k == 7 for k, _v in got)
+    for rel in rels:
+        assert os.path.getmtime(os.path.join(root, rel)) == mtimes[rel]
+    # time travel serves the pre-update table
+    assert (7, 14.0) in {
+        (r["k"], r["v"])
+        for r in read_delta(spark, root, version=0).collect()}
+    # second update on the same file MERGES the DV
+    out2 = update_delta(spark, root, "k < 2", {"v": "v + 0.5"})
+    assert out2["num_updated"] == 2
+    got2 = {(r["k"], r["v"]) for r in read_delta(spark, root).collect()}
+    assert (0, 0.5) in got2 and (1, 2.5) in got2
+    # no-op predicate commits nothing
+    out3 = update_delta(spark, root, "k < 0", {"v": "v + 1"})
+    assert out3 == {"version": out2["version"], "num_updated": 0,
+                    "files_with_dvs": 0, "files_removed": 0}
+
+
+def test_update_cdf_and_partition_move(spark, tmp_path):
+    """Updating a PARTITION column moves the row to its new partition
+    dir; the CDF carries exact pre/post images."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_dml import update_delta
+
+    root = _mk_partitioned(
+        spark, tmp_path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    out = update_delta(spark, root, "k = 2", {"seg": "'B'"})
+    assert out["num_updated"] == 1
+    cdf = read_delta_changes(spark, root, out["version"], out["version"])
+    rows = {(r["k"], r["seg"], r["_change_type"]) for r in cdf.collect()}
+    assert rows == {(2, "A", "update_preimage"),
+                    (2, "B", "update_postimage")}
+    only_b = {r["k"] for r in read_delta(
+        spark, root, partitions={"seg": "B"}).collect()}
+    assert 2 in only_b
+    only_a = {r["k"] for r in read_delta(
+        spark, root, partitions={"seg": "A"}).collect()}
+    assert 2 not in only_a
+
+
+def test_update_constraints_generated_identity(spark, tmp_path):
+    """UPDATE under writer rules: CHECK violations refuse and commit
+    nothing; generated columns RECOMPUTE (direct SET refuses);
+    identity columns refuse SET."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.delta_dml import update_delta
+
+    root, _rels = _mk_table(spark, tmp_path, configuration={
+        "delta.constraints.vmax": "v < 1000",
+    }, protocol={"minReaderVersion": 1, "minWriterVersion": 3})
+    with pytest.raises(DeltaProtocolError, match="CHECK constraint"):
+        update_delta(spark, root, "k < 5", {"v": "v + 100000"})
+    assert sorted(os.listdir(os.path.join(root, "_delta_log"))) == [
+        f"{0:020d}.json"]
+    # generated column: recomputed on update of its dependency
+    root2 = str(tmp_path / "gen")
+    log = os.path.join(root2, "_delta_log")
+    os.makedirs(log)
+    import glob as _glob
+    import shutil as _shutil
+    df = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("twice"))
+    stage = os.path.join(root2, ".s")
+    df.coalesce(1).write.parquet(stage)
+    p = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    _shutil.move(p, os.path.join(root2, "f0.parquet"))
+    _shutil.rmtree(stage)
+    schema_json = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "twice", "type": "long", "nullable": True, "metadata": {
+            "delta.generationExpression": "k * 2"}},
+    ]})
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 4}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "gen", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json, "partitionColumns": [],
+            "configuration": {}}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "f0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    with pytest.raises(DeltaProtocolError, match="GENERATED ALWAYS"):
+        update_delta(spark, root2, "k = 1", {"twice": "5"})
+    out = update_delta(spark, root2, "k = 1", {"k": "k + 10"})
+    assert out["num_updated"] == 1
+    got = {(r["k"], r["twice"])
+           for r in read_delta(spark, root2).collect()}
+    assert (11, 22) in got and not any(k == 1 for k, _t in got)

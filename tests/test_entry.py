@@ -33,17 +33,20 @@ def test_first_50_entries_cover_every_family():
         "t", "m", "e",                                   # text / ML / metrics
         "d", "n", "x", "mm", "st",                       # LLM-pipeline + streaming
     } <= fams, fams
-    # round-14 rotation: the 5 new entries (Delta DELETE via DVs,
-    # Delta-native MERGE+CDF, Iceberg row-delta MERGE, streaming WAP,
-    # IVF-PQ ANN) lead, then every entry whose machinery changed this
-    # round (Delta append/DML commit paths + DV/CDF consumers, the
-    # read_iceberg scan spine + version hint + WAP labels, the
-    # partition-aware Hudi clustering conflict rule, the retrieval/ANN
-    # modules)
+    # round-14 rotation: the 8 new entries (Delta DELETE via DVs,
+    # Delta-native MERGE+CDF, Delta UPDATE, Iceberg row-delta
+    # MERGE/DELETE, streaming WAP, streaming CDC-apply, IVF-PQ ANN)
+    # lead, then every entry whose machinery changed this round (Delta
+    # append/DML commit paths + DV/CDF consumers, the read_iceberg
+    # scan spine + version hint + WAP labels, the partition-aware Hudi
+    # clustering conflict rule, the retrieval/ANN modules)
     for must in ("s80_delta_delete_dv",
                  "s81_delta_merge_cdf",
                  "s82_iceberg_merge",
+                 "s83_delta_update_dv",
+                 "s84_iceberg_delete",
                  "st29_stream_iceberg_wap",
+                 "st30_stream_cdc_apply",
                  "n7_knn_ivf_pq",
                  "s77_delta_constraints", "s79_delta_identity",
                  "st27_stream_into_constrained",
@@ -58,14 +61,12 @@ def test_first_50_entries_cover_every_family():
                  "st16_stream_iceberg_tail",
                  "s57_iceberg_expire_snapshots",
                  "s61_iceberg_rewrite_manifests",
-                 "s33_iceberg_incremental",
                  "s55_iceberg_export_bounds",
                  "s64_iceberg_partition_evolution",
                  "s78_hudi_pending_clustering", "s40_hudi_export",
                  "s51_hudi_mor_export", "s60_hudi_clustering",
                  "s52_hudi_mor_compaction",
-                 "s68_hudi_async_compaction", "s58_hudi_clean",
-                 "s19_hudi_read",
+                 "s68_hudi_async_compaction",
                  "x17_bm25_topk", "x18_hybrid_rerank",
                  "n4_knn_ivf_indexed",
                  "flagship_readmit_30d"):

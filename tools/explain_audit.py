@@ -237,7 +237,10 @@ AUDIT = [
     "s80_delta_delete_dv",  # DV-sidecar-applied post-delete read
     "s81_delta_merge_cdf",  # exact change-feed read of the merge commit
     "s82_iceberg_merge",  # row-delta snapshot + changelog union read
+    "s83_delta_update_dv",  # stacked-UPDATE folded state read
+    "s84_iceberg_delete",  # stacked pos-delete state + changelog read
     "st29_stream_iceberg_wap",  # published main read after streaming WAP
+    "st30_stream_cdc_apply",  # CDC-applied (MERGE-sink) replica read
 ]
 
 
