@@ -1834,6 +1834,51 @@ def _table_root(entry: str, sf: str) -> str:
     return root
 
 
+def _mk_bucketed_delta(
+    spark, df, root: str, table_id: str, key: str = "c_custkey",
+    n_buckets: int = 4, configuration: dict | None = None,
+) -> list:
+    """Shared row-level-DML fixture (s80/s81/s83/st30): land ``df`` as
+    one parquet file per ``key % n_buckets`` bucket plus a
+    hand-written v0 ``_delta_log`` — plain minReaderVersion-1 /
+    minWriterVersion-2 protocol, so the DML op under test must
+    perform any feature upgrade ITSELF. Returns the bucket rel
+    paths."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil as _shutil
+
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    rels = []
+    for b in range(n_buckets):
+        stage = os.path.join(root, f".s{b}")
+        df.filter(
+            F.col(key) % n_buckets == b
+        ).coalesce(1).write.parquet(stage)
+        (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        rel = f"bucket{b}.parquet"
+        _shutil.move(part, os.path.join(root, rel))
+        _shutil.rmtree(stage)
+        rels.append(rel)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": table_id,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": [],
+            "configuration": configuration or {},
+        }}) + "\n")
+        for rel in rels:
+            f.write(_json.dumps({"add": {
+                "path": rel, "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+    return rels
+
+
 @query(
     "s9_table_merge",
     oracle="""
@@ -8927,35 +8972,7 @@ def q_s80(spark, sf):
     k = F.col("c_custkey")
     root = _table_root("s80", sf)
     log = os.path.join(root, "_delta_log")
-    os.makedirs(log)
-
-    import glob as _glob
-    import shutil as _shutil
-
-    rels = []
-    for b in range(4):
-        stage = os.path.join(root, f".s{b}")
-        c.filter(k % 4 == b).coalesce(1).write.parquet(stage)
-        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        rel = f"bucket{b}.parquet"
-        _shutil.move(part, os.path.join(root, rel))
-        _shutil.rmtree(stage)
-        rels.append(rel)
-    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
-        f.write(_json.dumps({"protocol": {
-            "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
-        f.write(_json.dumps({"metaData": {
-            "id": "s80", "format": {"provider": "parquet",
-                                    "options": {}},
-            "schemaString": spark.createDataFrame(
-                [], "c_custkey bigint, cents bigint"
-            ).schema.json(),
-            "partitionColumns": [], "configuration": {},
-        }}) + "\n")
-        for rel in rels:
-            f.write(_json.dumps({"add": {
-                "path": rel, "partitionValues": {}, "size": 1,
-                "modificationTime": 0, "dataChange": True}}) + "\n")
+    rels = _mk_bucketed_delta(spark, c, root, "s80")
 
     n = c.count()
     mtimes = {
@@ -9040,7 +9057,6 @@ def q_s81(spark, sf):
     (persisted — every downstream frame projects from it), DV sidecars
     per touched file on executors, O(changed rows) new data — never a
     table rewrite."""
-    import json as _json
     import os
 
     from .sources.delta import (
@@ -9056,37 +9072,10 @@ def q_s81(spark, sf):
     )
     k = F.col("c_custkey")
     root = _table_root("s81", sf)
-    log = os.path.join(root, "_delta_log")
-    os.makedirs(log)
-
-    import glob as _glob
-    import shutil as _shutil
-
-    rels = []
-    for b in range(3):
-        stage = os.path.join(root, f".s{b}")
-        c.filter(k % 3 == b).coalesce(1).write.parquet(stage)
-        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        rel = f"bucket{b}.parquet"
-        _shutil.move(part, os.path.join(root, rel))
-        _shutil.rmtree(stage)
-        rels.append(rel)
-    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
-        f.write(_json.dumps({"protocol": {
-            "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
-        f.write(_json.dumps({"metaData": {
-            "id": "s81", "format": {"provider": "parquet",
-                                    "options": {}},
-            "schemaString": spark.createDataFrame(
-                [], "c_custkey bigint, cents bigint"
-            ).schema.json(),
-            "partitionColumns": [],
-            "configuration": {"delta.enableChangeDataFeed": "true"},
-        }}) + "\n")
-        for rel in rels:
-            f.write(_json.dumps({"add": {
-                "path": rel, "partitionValues": {}, "size": 1,
-                "modificationTime": 0, "dataChange": True}}) + "\n")
+    rels = _mk_bucketed_delta(
+        spark, c, root, "s81", n_buckets=3,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
 
     n = c.count()
     src = (
@@ -9314,10 +9303,7 @@ def q_s83(spark, sf):
     AND both CDF image sets; DV serialization is per-touched-file on
     executors; the commit is O(touched files) metadata under the
     file-level CAS."""
-    import glob as _glob
-    import json as _json
     import os
-    import shutil as _shutil
 
     from .sources.delta import read_delta, read_delta_changes
     from .sources.delta_dml import update_delta
@@ -9328,33 +9314,10 @@ def q_s83(spark, sf):
     )
     k = F.col("c_custkey")
     root = _table_root("s83", sf)
-    log = os.path.join(root, "_delta_log")
-    os.makedirs(log)
-    rels = []
-    for b in range(4):
-        stage = os.path.join(root, f".s{b}")
-        c.filter(k % 4 == b).coalesce(1).write.parquet(stage)
-        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        rel = f"bucket{b}.parquet"
-        _shutil.move(part, os.path.join(root, rel))
-        _shutil.rmtree(stage)
-        rels.append(rel)
-    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
-        f.write(_json.dumps({"protocol": {
-            "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
-        f.write(_json.dumps({"metaData": {
-            "id": "s83", "format": {"provider": "parquet",
-                                    "options": {}},
-            "schemaString": spark.createDataFrame(
-                [], "c_custkey bigint, cents bigint"
-            ).schema.json(),
-            "partitionColumns": [],
-            "configuration": {"delta.enableChangeDataFeed": "true"},
-        }}) + "\n")
-        for rel in rels:
-            f.write(_json.dumps({"add": {
-                "path": rel, "partitionValues": {}, "size": 1,
-                "modificationTime": 0, "dataChange": True}}) + "\n")
+    rels = _mk_bucketed_delta(
+        spark, c, root, "s83",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
 
     n = c.count()
     mtimes = {

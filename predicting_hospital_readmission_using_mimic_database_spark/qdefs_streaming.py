@@ -2737,9 +2737,8 @@ def q_st30(spark, sf):
     the target is never rewritten; the fold's cost tracks the CHANGE
     volume, not the table."""
     import glob as _glob
-    import json as _json
 
-    from .qdefs_core import _table_root
+    from .qdefs_core import _mk_bucketed_delta, _table_root
     from .sources.delta import read_delta
     from .sources.delta_dml import merge_delta
     from .sources.io import read_table as _rt
@@ -2751,34 +2750,9 @@ def q_st30(spark, sf):
     k = F.col("c_custkey")
     n = c.count()
     root = _table_root("st30", sf)
-    log = os.path.join(root, "_delta_log")
-    os.makedirs(log)
-    rels = []
     tmp = tempfile.mkdtemp(prefix="st30_")
     try:
-        for b in range(4):
-            stage = os.path.join(tmp, f".s{b}")
-            c.filter(k % 4 == b).coalesce(1).write.parquet(stage)
-            (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
-            rel = f"bucket{b}.parquet"
-            shutil.move(part, os.path.join(root, rel))
-            shutil.rmtree(stage)
-            rels.append(rel)
-        with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
-            f.write(_json.dumps({"protocol": {
-                "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
-            f.write(_json.dumps({"metaData": {
-                "id": "st30", "format": {"provider": "parquet",
-                                         "options": {}},
-                "schemaString": spark.createDataFrame(
-                    [], "c_custkey bigint, cents bigint"
-                ).schema.json(),
-                "partitionColumns": [], "configuration": {},
-            }}) + "\n")
-            for rel in rels:
-                f.write(_json.dumps({"add": {
-                    "path": rel, "partitionValues": {}, "size": 1,
-                    "modificationTime": 0, "dataChange": True}}) + "\n")
+        _mk_bucketed_delta(spark, c, root, "st30")
 
         src = os.path.join(tmp, "src")
         os.makedirs(src)

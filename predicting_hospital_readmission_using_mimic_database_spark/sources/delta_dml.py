@@ -638,6 +638,119 @@ def _rt_enforced(proto: dict, conf: dict) -> bool:
     )
 
 
+class _DmlBase:
+    """The per-call state every row-level DML op resolves the same
+    way: one log replay (with stats/rowid harvest) plus the
+    appendOnly and writer-feature gates. One prologue to audit, not
+    three."""
+
+    __slots__ = (
+        "meta", "live", "dvs", "last", "log_dir", "conf", "proto",
+        "stats_of", "rowids",
+    )
+
+    def __init__(self, root: str, op: str):
+        self.stats_of = {}
+        self.rowids = {}
+        self.meta, self.live, self.dvs, self.last = _replay_log(
+            root, stats_out=self.stats_of, rowids_out=self.rowids
+        )
+        self.log_dir = os.path.join(root, DELTA_LOG_DIR)
+        self.conf = self.meta.get("configuration") or {}
+        if str(self.conf.get("delta.appendOnly", "")).lower() == "true":
+            raise DeltaProtocolError(
+                f"table declares delta.appendOnly=true; {op} writes "
+                "remove actions, which append-only tables forbid"
+            )
+        self.proto = _gate_writer_features(
+            self.log_dir, _DML_SUPPORTED_WRITER_FEATURES
+        )
+
+    def cdf_on(self) -> bool:
+        return str(self.conf.get("delta.enableChangeDataFeed", "")
+                   ).lower() == "true"
+
+
+def _commit_row_delta(
+    root: str, base: _DmlBase, operation: str,
+    results: list[dict], placed: list[tuple[str, dict]],
+    cdc_actions: list[dict], cdc_rels: list[str],
+    rt_enforced: bool,
+) -> tuple[int, int, int, int, int] | None:
+    """The commit half every row-level DML op shares: prune zero-row
+    placed files BEFORE deciding anything (a no-change op must commit
+    NOTHING, not a junk commitInfo-only version), assemble the
+    remove/re-add DV pairs and new adds, ride the protocol/property
+    upgrade only when a DV actually lands, and publish under the
+    file-level CAS. Returns ``(version, n_deleted, n_dv, n_gone,
+    n_new)`` — or ``None`` for the no-change case, with the staged cdc
+    files already reclaimed (the caller returns its own noop dict)."""
+    from .delta_constraints import _file_stats
+
+    import pyarrow.parquet as pq
+
+    new_adds: list[dict] = []
+    new_rels: list[str] = []
+    n_new = 0
+    for rel, pv in placed:
+        n = pq.read_metadata(os.path.join(root, rel)).num_rows
+        if not n:
+            os.remove(os.path.join(root, rel))
+            continue
+        n_new += n
+        new_rels.append(rel)
+        new_adds.append({"add": {
+            "path": rel,
+            "partitionValues": pv,
+            "size": os.path.getsize(os.path.join(root, rel)),
+            "modificationTime": 0,
+            "dataChange": True,
+            "stats": _file_stats(os.path.join(root, rel)),
+        }})
+
+    if not results and not new_adds:
+        for rel in cdc_rels:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(root, rel))
+        return None
+
+    removes, dv_adds, dv_rels, n_deleted, n_dv, n_gone = (
+        _dv_remove_add_actions(
+            root, results, base.live, base.dvs, base.stats_of,
+            base.rowids, rt_enforced,
+        )
+    )
+    # only whole-file removes / pure inserts: no DV lands, no upgrade
+    proto_actions, meta_action = (
+        _dv_feature_actions(base.proto, base.meta)
+        if n_dv else ([], None)
+    )
+    ict_on = str(base.conf.get("delta.enableInCommitTimestamps", "")
+                 ).lower() == "true"
+
+    def build(v: int) -> list[dict]:
+        return [
+            _ict_commit_info(base.log_dir, v, operation=operation)
+            if ict_on
+            else {"commitInfo": {"operation": operation,
+                                 "engineInfo": "snapshot-export"}},
+            *proto_actions,
+            *([{"metaData": meta_action}] if meta_action else []),
+            *cdc_actions,
+            *removes,
+            *new_adds,
+            *dv_adds,
+        ]
+
+    version = _commit_file_level_cas(
+        base.log_dir, root, base.last + 1, build,
+        our_paths={a["remove"]["path"] for a in removes},
+        exclusive=bool(proto_actions or meta_action),
+        cleanup_rels=dv_rels + cdc_rels + new_rels,
+    )
+    return version, n_deleted, n_dv, n_gone, n_new
+
+
 def delete_from_delta(
     spark: SparkSession, root: str, predicate: str,
 ) -> dict:
@@ -660,41 +773,28 @@ def delete_from_delta(
     delete-time scan), so a DELETE costs one predicate scan + O(hit
     files) sidecar writes no matter what the table declares.
     """
-    stats_of: dict[str, str] = {}
-    rowids: dict[str, tuple] = {}
-    meta, live, dvs, last = _replay_log(
-        root, stats_out=stats_of, rowids_out=rowids
-    )
-    log_dir = os.path.join(root, DELTA_LOG_DIR)
-    conf = meta.get("configuration") or {}
-    if str(conf.get("delta.appendOnly", "")).lower() == "true":
-        raise DeltaProtocolError(
-            "table declares delta.appendOnly=true; DELETE writes "
-            "remove actions, which append-only tables forbid"
-        )
-    proto = _gate_writer_features(log_dir, _DML_SUPPORTED_WRITER_FEATURES)
-
+    base = _DmlBase(root, "DELETE")
     noop = {
-        "version": last, "num_deleted": 0,
+        "version": base.last, "num_deleted": 0,
         "files_with_dvs": 0, "files_removed": 0,
     }
-    if not live:
+    if not base.live:
         return noop
 
-    info = _TableInfo(spark, meta)
+    info = _TableInfo(spark, base.meta)
     key, posk = "__dml_file", "__dml_pos"
-    scan = _scan_with_positions(spark, root, info, live, dvs, key, posk)
+    scan = _scan_with_positions(
+        spark, root, info, base.live, base.dvs, key, posk
+    )
     # ONE evaluation of the predicate serves both the CDF images and
     # the DV positions (persisted): a nondeterministic predicate can
     # never commit images that disagree with the vectors, and the
     # doomed-row scan runs once, not per consumer
     hits = scan.filter(F.expr(predicate)).persist()
     try:
-        cdf_on = str(conf.get("delta.enableChangeDataFeed", "")
-                     ).lower() == "true"
         cdc_actions: list[dict] = []
         cdc_rels: list[str] = []
-        if cdf_on:
+        if base.cdf_on():
             images = hits.select(
                 *[F.col(f.name) for f in info.schema.fields],
                 F.lit("delete").alias("_change_type"),
@@ -704,48 +804,18 @@ def delete_from_delta(
             )
 
         results = _write_dvs_for_hits(
-            hits.select(key, posk), root, live, dvs, key, posk
+            hits.select(key, posk), root, base.live, base.dvs, key, posk
         )
     finally:
         hits.unpersist()
-    if not results:
-        for rel in cdc_rels:  # empty delete: nothing to commit
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(os.path.join(root, rel))
+
+    out = _commit_row_delta(
+        root, base, "DELETE", results, [], cdc_actions, cdc_rels,
+        _rt_enforced(base.proto, base.conf),
+    )
+    if out is None:
         return noop
-
-    removes, dv_adds, dv_rels, n_deleted, n_dv, n_gone = (
-        _dv_remove_add_actions(
-            root, results, live, dvs, stats_of, rowids,
-            _rt_enforced(proto, conf),
-        )
-    )
-    proto_actions, meta_action = _dv_feature_actions(proto, meta)
-    if n_dv == 0:
-        # only whole-file removes: no DV lands, no upgrade needed
-        proto_actions, meta_action = [], None
-    ict_on = str(conf.get("delta.enableInCommitTimestamps", "")
-                 ).lower() == "true"
-
-    def build(v: int) -> list[dict]:
-        return [
-            _ict_commit_info(log_dir, v, operation="DELETE")
-            if ict_on
-            else {"commitInfo": {"operation": "DELETE",
-                                 "engineInfo": "snapshot-export"}},
-            *proto_actions,
-            *([{"metaData": meta_action}] if meta_action else []),
-            *cdc_actions,
-            *removes,
-            *dv_adds,
-        ]
-
-    version = _commit_file_level_cas(
-        log_dir, root, last + 1, build,
-        our_paths={a["remove"]["path"] for a in removes},
-        exclusive=bool(proto_actions or meta_action),
-        cleanup_rels=dv_rels + cdc_rels,
-    )
+    version, n_deleted, n_dv, n_gone, _n_new = out
     return {
         "version": version,
         "num_deleted": n_deleted,
@@ -780,32 +850,17 @@ def update_delta(
     Returns ``{"version", "num_updated", "files_with_dvs",
     "files_removed"}``; a predicate matching nothing commits NOTHING.
     """
-    from .delta_constraints import (
-        _file_stats,
-        delta_table_constraints,
-    )
+    from .delta_constraints import delta_table_constraints
 
-    stats_of: dict[str, str] = {}
-    rowids: dict[str, tuple] = {}
-    meta, live, dvs, last = _replay_log(
-        root, stats_out=stats_of, rowids_out=rowids
-    )
-    log_dir = os.path.join(root, DELTA_LOG_DIR)
-    conf = meta.get("configuration") or {}
-    if str(conf.get("delta.appendOnly", "")).lower() == "true":
-        raise DeltaProtocolError(
-            "table declares delta.appendOnly=true; UPDATE writes "
-            "remove actions, which append-only tables forbid"
-        )
-    proto = _gate_writer_features(log_dir, _DML_SUPPORTED_WRITER_FEATURES)
-    if _rt_enforced(proto, conf):
+    base = _DmlBase(root, "UPDATE")
+    if _rt_enforced(base.proto, base.conf):
         raise DeltaProtocolError(
             "table enables rowTracking; UPDATE would need fresh "
             "baseRowId allocation for its rewritten rows — not "
             "implemented, refusing to break row lineage"
         )
-    rules = delta_table_constraints(root, meta=meta)
-    info = _TableInfo(spark, meta)
+    rules = delta_table_constraints(root, meta=base.meta)
+    info = _TableInfo(spark, base.meta)
     table_cols = [f.name for f in info.schema.fields]
     if not assignments:
         raise ValueError("UPDATE needs at least one SET assignment")
@@ -829,14 +884,16 @@ def update_delta(
             )
 
     noop = {
-        "version": last, "num_updated": 0,
+        "version": base.last, "num_updated": 0,
         "files_with_dvs": 0, "files_removed": 0,
     }
-    if not live:
+    if not base.live:
         return noop
 
     key, posk = "__dml_file", "__dml_pos"
-    scan = _scan_with_positions(spark, root, info, live, dvs, key, posk)
+    scan = _scan_with_positions(
+        spark, root, info, base.live, base.dvs, key, posk
+    )
     # ONE persisted evaluation serves the DV positions AND both CDF
     # image sets (delete_from_delta's rule)
     hits = scan.filter(F.expr(predicate)).persist()
@@ -861,11 +918,9 @@ def update_delta(
             updated.select(*table_cols), rules, "UPDATE"
         )
 
-        cdf_on = str(conf.get("delta.enableChangeDataFeed", "")
-                     ).lower() == "true"
         cdc_actions: list[dict] = []
         cdc_rels: list[str] = []
-        if cdf_on:
+        if base.cdf_on():
             images = hits.select(
                 *[F.col(c) for c in table_cols],
                 F.lit("update_preimage").alias("_change_type"),
@@ -878,7 +933,7 @@ def update_delta(
             )
 
         results = _write_dvs_for_hits(
-            hits.select(key, posk), root, live, dvs, key, posk
+            hits.select(key, posk), root, base.live, base.dvs, key, posk
         )
         placed = (
             _place_files(
@@ -889,60 +944,14 @@ def update_delta(
         )
     finally:
         hits.unpersist()
-    if not results:
-        for rel in cdc_rels:  # empty update: nothing to commit
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(os.path.join(root, rel))
+
+    out = _commit_row_delta(
+        root, base, "UPDATE", results, placed, cdc_actions, cdc_rels,
+        _rt_enforced(base.proto, base.conf),
+    )
+    if out is None:
         return noop
-
-    import pyarrow.parquet as pq
-
-    removes, dv_adds, dv_rels, n_updated, n_dv, n_gone = (
-        _dv_remove_add_actions(
-            root, results, live, dvs, stats_of, rowids,
-            _rt_enforced(proto, conf),
-        )
-    )
-    new_adds, new_rels = [], []
-    for rel, pv in placed:
-        if not pq.read_metadata(os.path.join(root, rel)).num_rows:
-            os.remove(os.path.join(root, rel))
-            continue
-        new_rels.append(rel)
-        new_adds.append({"add": {
-            "path": rel,
-            "partitionValues": pv,
-            "size": os.path.getsize(os.path.join(root, rel)),
-            "modificationTime": 0,
-            "dataChange": True,
-            "stats": _file_stats(os.path.join(root, rel)),
-        }})
-    proto_actions, meta_action = (
-        _dv_feature_actions(proto, meta) if n_dv else ([], None)
-    )
-    ict_on = str(conf.get("delta.enableInCommitTimestamps", "")
-                 ).lower() == "true"
-
-    def build(v: int) -> list[dict]:
-        return [
-            _ict_commit_info(log_dir, v, operation="UPDATE")
-            if ict_on
-            else {"commitInfo": {"operation": "UPDATE",
-                                 "engineInfo": "snapshot-export"}},
-            *proto_actions,
-            *([{"metaData": meta_action}] if meta_action else []),
-            *cdc_actions,
-            *removes,
-            *new_adds,
-            *dv_adds,
-        ]
-
-    version = _commit_file_level_cas(
-        log_dir, root, last + 1, build,
-        our_paths={a["remove"]["path"] for a in removes},
-        exclusive=bool(proto_actions or meta_action),
-        cleanup_rels=dv_rels + cdc_rels + new_rels,
-    )
+    version, n_updated, n_dv, n_gone, _n_new = out
     return {
         "version": version,
         "num_updated": n_updated,
@@ -1015,36 +1024,21 @@ def merge_delta(
     NOTHING and returns the current version with zero counts — the
     same rule as :func:`delete_from_delta`.
     """
-    from .delta_constraints import (
-        _file_stats,
-        delta_table_constraints,
-    )
+    from .delta_constraints import delta_table_constraints
 
     if when_matched not in ("update", "delete"):
         raise ValueError(
             f"when_matched must be 'update' or 'delete', "
             f"got {when_matched!r}"
         )
-    stats_of: dict[str, str] = {}
-    rowids: dict[str, tuple] = {}
-    meta, live, dvs, last = _replay_log(
-        root, stats_out=stats_of, rowids_out=rowids
-    )
-    log_dir = os.path.join(root, DELTA_LOG_DIR)
-    conf = meta.get("configuration") or {}
-    if str(conf.get("delta.appendOnly", "")).lower() == "true":
-        raise DeltaProtocolError(
-            "table declares delta.appendOnly=true; MERGE writes "
-            "remove actions, which append-only tables forbid"
-        )
-    proto = _gate_writer_features(log_dir, _DML_SUPPORTED_WRITER_FEATURES)
-    if _rt_enforced(proto, conf):
+    base = _DmlBase(root, "MERGE")
+    if _rt_enforced(base.proto, base.conf):
         raise DeltaProtocolError(
             "table enables rowTracking; MERGE would need fresh "
             "baseRowId allocation for its new files — not implemented, "
             "refusing to break row lineage"
         )
-    rules = delta_table_constraints(root, meta=meta)
+    rules = delta_table_constraints(root, meta=base.meta)
     if rules["identity"]:
         raise DeltaProtocolError(
             f"table declares identity column(s) "
@@ -1052,7 +1046,7 @@ def merge_delta(
             "assignment is not implemented — use append_delta for "
             "inserts or drop the identity declaration"
         )
-    info = _TableInfo(spark, meta)
+    info = _TableInfo(spark, base.meta)
     schema = info.schema
     table_cols = [f.name for f in schema.fields]
     bad_on = [c for c in on if c not in table_cols]
@@ -1075,12 +1069,14 @@ def merge_delta(
 
     key, posk = "__dml_file", "__dml_pos"
     noop = {
-        "version": last, "num_updated": 0, "num_deleted": 0,
+        "version": base.last, "num_updated": 0, "num_deleted": 0,
         "num_inserted": 0, "files_with_dvs": 0, "files_removed": 0,
     }
     tgt = (
-        _scan_with_positions(spark, root, info, live, dvs, key, posk)
-        if live else None
+        _scan_with_positions(
+            spark, root, info, base.live, base.dvs, key, posk
+        )
+        if base.live else None
     )
 
     # duplicate-key gate + the one join the merge needs: source LEFT
@@ -1128,11 +1124,9 @@ def merge_delta(
                 "MERGE update" if when_matched == "update" else "MERGE insert",
             )
 
-        cdf_on = str(conf.get("delta.enableChangeDataFeed", "")
-                     ).lower() == "true"
         cdc_actions: list[dict] = []
         cdc_rels: list[str] = []
-        if cdf_on:
+        if base.cdf_on():
             ct = F.lit
             pieces = []
             # t_cols resolve only against a real target scan; with no
@@ -1163,7 +1157,7 @@ def merge_delta(
         results = (
             _write_dvs_for_hits(
                 matched.select(F.col(key), F.col(posk)),
-                root, live, dvs, key, posk,
+                root, base.live, base.dvs, key, posk,
             )
             if tgt is not None else []
         )
@@ -1172,83 +1166,28 @@ def merge_delta(
         # new-file side: updates + inserts, placed in the read path's
         # file contract (physical names, partition split)
         placed: list[tuple[str, dict]] = []
-        n_new = 0
         if new_rows is not None:
             placed = _place_files(
                 spark, root, new_rows, info, "", "merge"
             )
-
-        import pyarrow.parquet as pq
-
-        # prune zero-row placed parts BEFORE the no-op check: an
-        # empty-source (or no-match + insert=False) merge still stages
-        # one zero-row part file, and committing on its existence
-        # would land a junk version holding only commitInfo
-        new_adds = []
-        new_rels = []
-        for rel, pv in placed:
-            n = pq.read_metadata(os.path.join(root, rel)).num_rows
-            if not n:
-                os.remove(os.path.join(root, rel))
-                continue
-            n_new += n
-            new_rels.append(rel)
-            new_adds.append({"add": {
-                "path": rel,
-                "partitionValues": pv,
-                "size": os.path.getsize(os.path.join(root, rel)),
-                "modificationTime": 0,
-                "dataChange": True,
-                "stats": _file_stats(os.path.join(root, rel)),
-            }})
-
-        if not results and not new_adds:
-            for rel in cdc_rels:  # no-change merge: commit NOTHING
-                with contextlib.suppress(FileNotFoundError):
-                    os.remove(os.path.join(root, rel))
-            return noop
-
-        removes, dv_adds, dv_rels, _n_del, n_dv, n_gone = (
-            _dv_remove_add_actions(
-                root, results, live, dvs, stats_of, rowids,
-                rt_enforced=False,
-            )
-        )
-
-        proto_actions, meta_action = (
-            _dv_feature_actions(proto, meta) if n_dv else ([], None)
-        )
-        ict_on = str(conf.get("delta.enableInCommitTimestamps", "")
-                     ).lower() == "true"
-
-        def build(v: int) -> list[dict]:
-            return [
-                _ict_commit_info(log_dir, v, operation="MERGE")
-                if ict_on
-                else {"commitInfo": {"operation": "MERGE",
-                                     "engineInfo": "snapshot-export"}},
-                *proto_actions,
-                *([{"metaData": meta_action}] if meta_action else []),
-                *cdc_actions,
-                *removes,
-                *new_adds,
-                *dv_adds,
-            ]
-
-        version = _commit_file_level_cas(
-            log_dir, root, last + 1, build,
-            our_paths={a["remove"]["path"] for a in removes},
-            exclusive=bool(proto_actions or meta_action),
-            cleanup_rels=dv_rels + cdc_rels + new_rels,
-        )
-        n_ins = n_new - (n_matched if when_matched == "update" else 0)
-        return {
-            "version": version,
-            "num_updated": n_matched if when_matched == "update" else 0,
-            "num_deleted": n_matched if when_matched == "delete" else 0,
-            "num_inserted": n_ins if insert else 0,
-            "files_with_dvs": n_dv,
-            "files_removed": n_gone,
-        }
     finally:
         j.unpersist()
+
+    # MERGE refused rt-enforced tables above, so the re-adds carry no
+    # lineage obligation (rt_enforced=False)
+    out = _commit_row_delta(
+        root, base, "MERGE", results, placed, cdc_actions, cdc_rels,
+        rt_enforced=False,
+    )
+    if out is None:
+        return noop
+    version, _n_del, n_dv, n_gone, n_new = out
+    n_ins = n_new - (n_matched if when_matched == "update" else 0)
+    return {
+        "version": version,
+        "num_updated": n_matched if when_matched == "update" else 0,
+        "num_deleted": n_matched if when_matched == "delete" else 0,
+        "num_inserted": n_ins if insert else 0,
+        "files_with_dvs": n_dv,
+        "files_removed": n_gone,
+    }

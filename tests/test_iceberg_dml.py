@@ -257,21 +257,36 @@ def test_delete_from_iceberg_basic(spark, tmp_path):
 
 
 def test_delete_from_iceberg_lost_cas_retries(spark, tmp_path):
-    """A foreign commit racing the delete: the lost CAS refreshes and
-    re-runs against the new snapshot (same rule as merge)."""
+    """A foreign commit racing the delete: the version file the delete
+    targets is GENUINELY pre-claimed mid-flight, so the real
+    FileExistsError -> cleanup -> None path runs, then the retry
+    refreshes and lands on the next version."""
+    import glob
+    import re
+    import shutil as _shutil
+
     from predicting_hospital_readmission_using_mimic_database_spark.sources import iceberg_dml as M
 
     root, sid0 = _mk(spark, tmp_path, n=20)
+    mdir = os.path.join(root, "metadata")
     real = M._stage_and_commit
     calls = {"n": 0}
 
     def racing(*a, **kw):
         calls["n"] += 1
         if calls["n"] == 1:
-            # simulate a foreign writer claiming the version first:
-            # run the REAL commit once under a different attempt so
-            # the version file exists, then replay the caller's
-            return None
+            # a foreign writer claims the NEXT metadata version while
+            # the delete is staging: copy the current metadata file
+            # forward — the inner real() then hits the actual
+            # FileExistsError CAS branch and must clean up + refresh
+            latest = a[2]
+            vs = [int(re.match(r"v(\d+)\.metadata\.json",
+                               os.path.basename(p)).group(1))
+                  for p in glob.glob(
+                      os.path.join(mdir, "v*.metadata.json"))]
+            _shutil.copy(
+                latest, os.path.join(
+                    mdir, f"v{max(vs) + 1}.metadata.json"))
         return real(*a, **kw)
 
     M._stage_and_commit = racing
@@ -281,3 +296,7 @@ def test_delete_from_iceberg_lost_cas_retries(spark, tmp_path):
         M._stage_and_commit = real
     assert out["num_deleted"] == 1 and calls["n"] == 2
     assert {k for k, _v in _vals(spark, root)} == set(range(20)) - {3}
+    # the losing attempt's files were reclaimed: exactly ONE
+    # pos-delete parquet (the winner's) exists
+    assert len(glob.glob(
+        os.path.join(mdir, "pos-delete-*.parquet"))) == 1
