@@ -224,6 +224,7 @@ HEADLINE = [
     "s82_iceberg_merge",
     "s83_delta_update_dv",
     "s84_iceberg_delete",
+    "s85_iceberg_update",
     "st29_stream_iceberg_wap",
     "st30_stream_cdc_apply",
     "n7_knn_ivf_pq",

@@ -9446,3 +9446,84 @@ def q_s84(spark, sf):
         to_snapshot_id=out2["snapshot_id"],
     ).select("c_custkey", "cents", F.lit("delete2").alias("tag"))
     return state.unionByName(cl1).unionByName(cl2)
+
+
+@query(
+    "s85_iceberg_update",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    )
+    SELECT c_custkey,
+           cents + CASE WHEN c_custkey % 6 = 0
+                        THEN 250 ELSE 0 END AS cents,
+           'state' AS tag
+    FROM base
+    UNION ALL
+    SELECT c_custkey, cents, 'delete' AS tag
+    FROM base WHERE c_custkey % 6 = 0
+    UNION ALL
+    SELECT c_custkey, cents + 250 AS cents, 'insert' AS tag
+    FROM base WHERE c_custkey % 6 = 0
+    """,
+)
+def q_s85(spark, sf):
+    """S85 — Iceberg UPDATE as a ROW-DELTA snapshot
+    (sources/iceberg_dml.py ``update_iceberg``): completes the
+    UPDATE/DELETE/MERGE x Delta/Iceberg matrix. Matched rows' (file,
+    ordinal) pairs become a position-delete file and their SET-applied
+    values (evaluated against the PRE-update row) land as new data
+    files — one snapshot, both manifests at its sequence number,
+    shared ``_stage_and_commit`` engine with s82/s84. The oracle
+    hashes the NET STATE plus the changelog replay of the update
+    snapshot (struck old rows as 'delete', rewritten rows as
+    'insert'); a shadowed rewrite, a resurrected old row, or a
+    double-applied SET breaks the hash. In-entry asserts pin
+    num_updated, time travel to the base snapshot, and the no-op
+    rule; swap semantics and stacking are pinned in
+    tests/test_iceberg_dml.py.
+
+    Scale: one predicate scan (pushed to parquet, existing deletes
+    applied) + O(updated rows) new data + a |matched|-row pos-delete
+    parquet; commit is the metadata CAS."""
+    from .sources.iceberg import (
+        export_iceberg,
+        read_iceberg,
+        read_iceberg_changelog,
+    )
+    from .sources.iceberg_dml import update_iceberg
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("c_custkey")
+    root = _table_root("s85", sf)
+    t = SnapshotTable.create(
+        spark, root, "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"], num_buckets=4,
+    )
+    t.append(c)
+    sid0 = export_iceberg(t)
+    n = c.count()
+
+    out = update_iceberg(
+        spark, root, "c_custkey % 6 = 0", {"cents": "cents + 250"}
+    )
+    assert out["num_updated"] == c.filter(k % 6 == 0).count()
+    assert read_iceberg(spark, root, snapshot_id=sid0).count() == n
+    out2 = update_iceberg(spark, root, "c_custkey < 0", {"cents": "1"})
+    assert out2 == {"snapshot_id": out["snapshot_id"],
+                    "num_updated": 0}
+
+    state = read_iceberg(spark, root).select(
+        "c_custkey", "cents", F.lit("state").alias("tag")
+    )
+    changelog = read_iceberg_changelog(
+        spark, root, from_snapshot_id=sid0,
+        to_snapshot_id=out["snapshot_id"],
+    ).select("c_custkey", "cents", F.col("_change_type").alias("tag"))
+    return state.unionByName(changelog)

@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "s82_iceberg_merge",
     "s83_delta_update_dv",
     "s84_iceberg_delete",
+    "s85_iceberg_update",
     "st29_stream_iceberg_wap",
     "st30_stream_cdc_apply",
     "n7_knn_ivf_pq",
@@ -88,7 +89,6 @@ PRIORITY: tuple[str, ...] = (
     "s45_iceberg_row_lineage",
     "st16_stream_iceberg_tail",
     "s57_iceberg_expire_snapshots",
-    "s61_iceberg_rewrite_manifests",
     "s55_iceberg_export_bounds",
     "s64_iceberg_partition_evolution",
     # (a) Hudi machinery changed in round 14 (partition-aware

@@ -60,7 +60,7 @@ from .iceberg import (
     read_iceberg,
 )
 
-__all__ = ["delete_from_iceberg", "merge_iceberg"]
+__all__ = ["delete_from_iceberg", "merge_iceberg", "update_iceberg"]
 
 
 def _load_v2_table(root: str, what: str) -> tuple[str, dict, list, int]:
@@ -444,6 +444,74 @@ def merge_iceberg(
             if insert else 0
         ),
     }
+
+
+def update_iceberg(
+    spark: SparkSession, root: str, predicate: str,
+    assignments: dict[str, str], _retries: int = 10,
+) -> dict:
+    """``UPDATE <iceberg table at root> SET <col = expr, ...> WHERE
+    <predicate>`` as one row-delta snapshot: matched rows' (file,
+    ordinal) pairs become a POSITION-DELETE file and their updated
+    values land as new data files, both at the new snapshot's
+    sequence number. Every SET expression evaluates against the
+    PRE-update row (``SET a = b, b = a`` swaps); the predicate scan is
+    ONE pass over the current snapshot with existing deletes applied.
+
+    Returns ``{"snapshot_id", "num_updated"}``; a predicate matching
+    nothing commits NOTHING. Conflicts follow the same metadata CAS
+    as :func:`merge_iceberg`."""
+    import uuid as _uuid
+
+    latest, meta, snaps, cur_sid = _load_v2_table(
+        root, "update_iceberg"
+    )
+    schema = _table_schema(meta)
+    table_cols = [f.name for f in schema.fields]
+    if not assignments:
+        raise ValueError("UPDATE needs at least one SET assignment")
+    bad = [c for c in assignments if c not in table_cols]
+    if bad:
+        raise ValueError(
+            f"SET columns {bad} not in the table schema "
+            f"(columns: {table_cols})"
+        )
+    fpk, posk = "__ice_dml_file", "__ice_dml_pos"
+    tgt = read_iceberg(
+        spark, root, snapshot_id=cur_sid, _keep_keys=(fpk, posk)
+    )
+    matched = tgt.filter(F.expr(predicate))
+    # all SET expressions see the PRE-update row: one projection
+    new_rows = matched.select(*[
+        (F.expr(assignments[f.name]).cast(f.dataType)
+         if f.name in assignments else F.col(f.name)).alias(f.name)
+        for f in schema.fields
+    ])
+    res = _stage_and_commit(
+        spark, root, latest, meta, snaps, cur_sid,
+        _uuid.uuid4().hex[:12],
+        matched.select(
+            F.col(fpk).alias("file_path"), F.col(posk).alias("pos")
+        ),
+        new_rows, "update",
+        lambda n_m, _n_n: {
+            "operation": "overwrite",
+            "updated-rows": str(n_m),
+        },
+    )
+    if res is None:
+        if _retries <= 0:
+            raise IcebergProtocolError(
+                "update_iceberg lost the metadata CAS ten times in a "
+                "row; a foreign writer is committing faster than the "
+                "update can refresh"
+            )
+        return update_iceberg(
+            spark, root, predicate, assignments,
+            _retries=_retries - 1,
+        )
+    sid, n_matched, _n_new = res
+    return {"snapshot_id": sid, "num_updated": n_matched}
 
 
 def delete_from_iceberg(

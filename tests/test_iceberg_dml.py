@@ -300,3 +300,34 @@ def test_delete_from_iceberg_lost_cas_retries(spark, tmp_path):
     # pos-delete parquet (the winner's) exists
     assert len(glob.glob(
         os.path.join(mdir, "pos-delete-*.parquet"))) == 1
+
+
+def test_update_iceberg_pre_row_swap_and_stacking(spark, tmp_path):
+    """UPDATE: SET expressions see the PRE-update row (swap works);
+    stacked updates read each other's output; bad SET columns and
+    empty assignments refuse; no-op commits nothing."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.iceberg_dml import update_iceberg
+
+    root, sid0 = _mk(spark, tmp_path, n=30)
+    out = update_iceberg(
+        spark, root, "k = 4",
+        {"k": "CAST(v AS BIGINT)", "v": "CAST(k AS DOUBLE)"},
+    )
+    assert out["num_updated"] == 1
+    vals = _vals(spark, root)
+    assert (8, 4.0) in vals and not any(k == 4 for k, _v in vals)
+    # second update reads the first's output
+    out2 = update_iceberg(spark, root, "k = 8 AND v = 4.0",
+                          {"v": "v + 0.25"})
+    assert out2["num_updated"] == 1
+    assert (8, 4.25) in _vals(spark, root)
+    # time travel to the base snapshot
+    assert (4, 8.0) in _vals(spark, root, snapshot_id=sid0)
+    # refusals + no-op
+    with pytest.raises(ValueError, match="not in the table schema"):
+        update_iceberg(spark, root, "k = 1", {"nope": "1"})
+    with pytest.raises(ValueError, match="at least one"):
+        update_iceberg(spark, root, "k = 1", {})
+    out3 = update_iceberg(spark, root, "k < 0", {"v": "v"})
+    assert out3 == {"snapshot_id": out2["snapshot_id"],
+                    "num_updated": 0}

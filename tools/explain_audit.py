@@ -239,6 +239,7 @@ AUDIT = [
     "s82_iceberg_merge",  # row-delta snapshot + changelog union read
     "s83_delta_update_dv",  # stacked-UPDATE folded state read
     "s84_iceberg_delete",  # stacked pos-delete state + changelog read
+    "s85_iceberg_update",  # rewritten-rows state + changelog read
     "st29_stream_iceberg_wap",  # published main read after streaming WAP
     "st30_stream_cdc_apply",  # CDC-applied (MERGE-sink) replica read
 ]
