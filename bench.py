@@ -225,6 +225,7 @@ HEADLINE = [
     "s83_delta_update_dv",
     "s84_iceberg_delete",
     "s85_iceberg_update",
+    "s86_hudi_delete",
     "st29_stream_iceberg_wap",
     "st30_stream_cdc_apply",
     "n7_knn_ivf_pq",

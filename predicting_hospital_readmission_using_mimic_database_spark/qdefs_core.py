@@ -9527,3 +9527,99 @@ def q_s85(spark, sf):
         to_snapshot_id=out["snapshot_id"],
     ).select("c_custkey", "cents", F.col("_change_type").alias("tag"))
     return state.unionByName(changelog)
+
+
+@query(
+    "s86_hudi_delete",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    )
+    SELECT c_custkey, cents, 'state' AS tag FROM base
+    WHERE NOT (c_custkey % 7 = 0) AND NOT (cents < 0)
+    UNION ALL
+    SELECT c_custkey, cents, 'delete1' AS tag
+    FROM base WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey, cents, 'delete2' AS tag
+    FROM base WHERE cents < 0 AND NOT (c_custkey % 7 = 0)
+    """,
+)
+def q_s86(spark, sf):
+    """S86 — Hudi row-level DELETE via TOMBSTONE BLOCKS
+    (sources/hudi_export.py ``delete_from_hudi``): extends the DML
+    matrix to the log-structured format. Each doomed record key lands
+    in a DELETE block appended to its file group's log chain (the
+    shared ``_group_log_path`` routing — pending-compaction chains
+    included) under one deltacommit whose lifecycle is requested ->
+    blocks -> inflight -> completed (the requested marker is the
+    put-if-absent claim). The entry stacks TWO deletes (``%7`` then
+    ``cents < 0``) and hashes the NET STATE plus BOTH deletes'
+    RFC-51 CDC before-images tagged separately ('delete1'/'delete2')
+    — the second delete's scan reads through the same MOR fold every
+    reader uses, so a dead row can never re-tombstone (it would
+    duplicate into 'delete2' and break the hash). In-entry asserts
+    pin time travel to the pre-delete instant, that no base file was
+    rewritten, and the no-op rule; event-time orderingVal stamping,
+    COW refusal, compaction-chain routing, and the requested-claim
+    race are pinned in tests/test_hudi_export.py.
+
+    Scale: one predicate-filtered MOR fold, tombstone bytes are
+    O(deleted keys) written per-group on EXECUTORS, commit is three
+    timeline markers."""
+    import os
+
+    from .sources.hudi import read_hudi, read_hudi_changes
+    from .sources.hudi_export import delete_from_hudi, export_hudi
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("c_custkey")
+    root = _table_root("s86", sf)
+    dest = _table_root("s86h", sf)
+    t = SnapshotTable.create(
+        spark, root, "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"], num_buckets=4,
+    )
+    t.append(c)
+    inst0 = export_hudi(t, dest, table_type="MERGE_ON_READ")
+    n = c.count()
+    bases = sorted(
+        f for f in os.listdir(dest) if f.endswith(".parquet")
+    )
+
+    out1 = delete_from_hudi(spark, dest, "c_custkey % 7 = 0")
+    assert out1["num_deleted"] == c.filter(k % 7 == 0).count()
+    out2 = delete_from_hudi(spark, dest, "cents < 0")
+    assert out2["num_deleted"] == c.filter(
+        (F.col("cents") < 0) & ~(k % 7 == 0)
+    ).count()
+    # no base file rewritten; time travel intact; no-op commits nothing
+    assert sorted(
+        f for f in os.listdir(dest) if f.endswith(".parquet")
+    ) == bases
+    assert read_hudi(spark, dest, as_of=inst0).count() == n
+    out3 = delete_from_hudi(spark, dest, "c_custkey < 0")
+    assert out3 == {"instant": None, "num_deleted": 0, "groups": 0}
+
+    state = read_hudi(spark, dest).select(
+        "c_custkey", "cents", F.lit("state").alias("tag")
+    )
+
+    def images(begin, end, tag):
+        return read_hudi_changes(
+            spark, dest, begin=begin, end=end
+        ).filter(F.col("op") == "d").select(
+            F.col("before.c_custkey").alias("c_custkey"),
+            F.col("before.cents").alias("cents"),
+            F.lit(tag).alias("tag"),
+        )
+
+    return state.unionByName(
+        images(inst0, out1["instant"], "delete1")
+    ).unionByName(images(out1["instant"], out2["instant"], "delete2"))

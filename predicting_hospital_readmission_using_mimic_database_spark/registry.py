@@ -66,6 +66,7 @@ PRIORITY: tuple[str, ...] = (
     "s83_delta_update_dv",
     "s84_iceberg_delete",
     "s85_iceberg_update",
+    "s86_hudi_delete",
     "st29_stream_iceberg_wap",
     "st30_stream_cdc_apply",
     "n7_knn_ivf_pq",
@@ -90,7 +91,6 @@ PRIORITY: tuple[str, ...] = (
     "st16_stream_iceberg_tail",
     "s57_iceberg_expire_snapshots",
     "s55_iceberg_export_bounds",
-    "s64_iceberg_partition_evolution",
     # (a) Hudi machinery changed in round 14 (partition-aware
     # clustering update-conflict rule)
     "s78_hudi_pending_clustering",

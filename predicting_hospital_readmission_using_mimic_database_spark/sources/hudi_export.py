@@ -690,6 +690,57 @@ def _avro_log_schema(schema) -> dict:
     return {"type": "record", "name": "rec", "fields": fields}
 
 
+def _group_log_path(
+    dest: str, part: str, fid: str, inst: str, tok: str,
+    prev_slices: dict, prev_logs: dict, pending: dict,
+) -> str:
+    """The log file THIS instant's append to group ``(part, fid)``
+    must land in (Hudi's log-writer rule): a group under a PENDING
+    COMPACTION routes to a chain attached to the REQUESTED instant
+    (readers fold that chain onto the old base while the plan is
+    pending, onto the compacted base after — no write blocks on the
+    compactor); otherwise the group's current base-instant chain
+    extends; a log-only group extends its own chain; a brand-new
+    group starts a chain at this instant. ``part`` is the normalized
+    partition dir (``"."`` for unpartitioned)."""
+    from . import hudi_log as HL
+
+    pi = pending.get((part, fid))
+    if pi is not None:
+        chain = [
+            l for l in prev_logs.get((part, fid), []) if l[0] == pi
+        ]
+        if chain:
+            _bi, ver, p = max(chain)
+            return os.path.join(
+                os.path.dirname(p), HL.log_file_name(fid, pi, ver + 1, tok)
+            )
+        if (part, fid) in prev_slices:
+            d = os.path.dirname(prev_slices[(part, fid)][1])
+        elif prev_logs.get((part, fid)):
+            d = os.path.dirname(prev_logs[(part, fid)][0][2])
+        else:
+            d = dest if part == "." else os.path.join(dest, part)
+        return os.path.join(d, HL.log_file_name(fid, pi, 1, tok))
+    if (part, fid) in prev_slices:
+        base_inst, base_path = prev_slices[(part, fid)]
+        d = os.path.dirname(base_path)
+        n_logs = len(
+            glob.glob(os.path.join(d, f".{fid}_{base_inst}.log.*"))
+        )
+        return os.path.join(
+            d, HL.log_file_name(fid, base_inst, n_logs + 1, tok)
+        )
+    lgs = prev_logs.get((part, fid))
+    if lgs:
+        bi, ver, p = max(lgs)
+        return os.path.join(
+            os.path.dirname(p), HL.log_file_name(fid, bi, ver + 1, tok)
+        )
+    d = dest if part == "." else os.path.join(dest, part)
+    return os.path.join(d, HL.log_file_name(fid, inst, 1, tok))
+
+
 def _export_mor_delta(
     table, dest: str, inst: str, buckets: list, cur, key_expr, row_hash,
     prev_slices: dict, prev_logs: dict, pp_expr,
@@ -821,15 +872,9 @@ def _export_mor_delta(
                     "clustering_updates='allow' (the completion will then "
                     "abort on the conflict)"
                 )
-        # one log file per TARGET group, versioned after the existing
-        # appends of the group's current slice (log-only groups keep
-        # extending their own chain; a brand-new group starts one at
-        # this instant). A group under a PENDING COMPACTION routes its
-        # appends to a chain attached to the REQUESTED instant instead
-        # (Hudi's log-writer rule): readers fold that chain onto the
-        # old base while the plan is pending, and onto the compacted
-        # base once it completes — either way no write blocks on the
-        # compactor.
+        # one log file per TARGET group, routed by the shared
+        # log-writer rule (_group_log_path): pending-compaction chains,
+        # current-slice chains, log-only chains, or a fresh chain
         from .hudi import _pending_compaction_groups
 
         pending = _pending_compaction_groups(dest)
@@ -838,47 +883,9 @@ def _export_mor_delta(
         for pp, bk in sorted(targets):
             fid = f"b{bk:04d}"
             part = os.path.normpath(pp) if pp else "."
-            pi = pending.get((part, fid))
-            if pi is not None:
-                chain = [
-                    l for l in prev_logs.get((part, fid), []) if l[0] == pi
-                ]
-                if chain:
-                    _bi, ver, p = max(chain)
-                    d = os.path.dirname(p)
-                    nxt = ver + 1
-                else:
-                    if (part, fid) in prev_slices:
-                        d = os.path.dirname(prev_slices[(part, fid)][1])
-                    elif prev_logs.get((part, fid)):
-                        d = os.path.dirname(prev_logs[(part, fid)][0][2])
-                    else:
-                        d = dest if part == "." else os.path.join(dest, pp)
-                    nxt = 1
-                logpath[(pp, bk)] = os.path.join(
-                    d, HL.log_file_name(fid, pi, nxt, tok)
-                )
-                continue
-            if (part, fid) in prev_slices:
-                base_inst, base_path = prev_slices[(part, fid)]
-                d = os.path.dirname(base_path)
-                n_logs = len(
-                    glob.glob(os.path.join(d, f".{fid}_{base_inst}.log.*"))
-                )
-                logpath[(pp, bk)] = os.path.join(
-                    d, HL.log_file_name(fid, base_inst, n_logs + 1, tok)
-                )
-                continue
-            lgs = prev_logs.get((part, fid))
-            if lgs:
-                bi, ver, p = max(lgs)
-                logpath[(pp, bk)] = os.path.join(
-                    os.path.dirname(p), HL.log_file_name(fid, bi, ver + 1, tok)
-                )
-                continue
-            d = dest if part == "." else os.path.join(dest, pp)
-            logpath[(pp, bk)] = os.path.join(
-                d, HL.log_file_name(fid, inst, 1, tok)
+            logpath[(pp, bk)] = _group_log_path(
+                dest, part, fid, inst, tok, prev_slices, prev_logs,
+                pending,
             )
         lp_df = spark.createDataFrame(
             [(pp, bk, lp) for (pp, bk), lp in logpath.items()],
@@ -2170,3 +2177,196 @@ def complete_clustering(spark, dest: str) -> str | None:
     )
     _mdt_sync_files(dest, written, inst)
     return inst
+
+
+def delete_from_hudi(spark, dest: str, predicate: str) -> dict:
+    """Row-level ``DELETE FROM <published MOR Hudi table> WHERE
+    <predicate>``: each doomed record key becomes a tombstone in ONE
+    DELETE block appended to its file group's log chain (the shared
+    ``_group_log_path`` routing — pending-compaction chains included),
+    all under one new deltacommit. No base file is rewritten; time
+    travel to earlier instants is untouched; the MOR fold drops the
+    keys at read. The reference notebook's row drop (py:150-166), as
+    the log-structured table's native delete.
+
+    Semantics honored:
+
+    * the doomed-row scan is the SAME ``_read_mor`` fold every reader
+      uses — rows already dead under earlier tombstones never re-count;
+    * EVENT_TIME ordering tables stamp each tombstone's
+      ``orderingVal`` with the doomed row's own precombine value, so
+      the delete wins its merge against the row it targets (Hudi's
+      ``>=``-incoming-wins rule) without clobbering a later-event-time
+      re-insert; commit-time tables carry ``None``;
+    * COPY_ON_WRITE tables refuse — their readers never fold logs, so
+      a tombstone block would silently resurrect on a native reader;
+      route COW deletes through the staging table + ``export_hudi``;
+    * groups under a PENDING CLUSTERING plan refuse (the
+      update-conflict rule ``export_hudi`` enforces);
+    * the timeline lifecycle is requested -> blocks -> inflight ->
+      completed: the REQUESTED marker is the put-if-absent claim, so a
+      racing foreign writer is detected BEFORE any block lands.
+
+    Returns ``{"instant", "num_deleted", "groups"}``; a predicate
+    matching nothing claims no instant and commits NOTHING.
+
+    Scale: one predicate-filtered read over the fold, tombstone bytes
+    are O(deleted keys), block appends run per-group on EXECUTORS
+    (``applyInPandas`` — the driver never sees a key list), and the
+    commit is three timeline markers."""
+    from . import hudi_log as HL
+    from .hudi import (
+        HudiProtocolError,
+        _completed_commits,
+        _latest_slices,
+        _merge_ordering,
+        _pending_clustering_groups,
+        _pending_compaction_groups,
+        _properties,
+        _read_mor,
+    )
+
+    props = _properties(dest)
+    ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    if ttype != "MERGE_ON_READ":
+        raise HudiProtocolError(
+            f"hoodie.table.type={ttype}: delete_from_hudi appends "
+            "DELETE log blocks, which only MERGE_ON_READ readers fold "
+            "— a COW delete must rewrite file slices (stage the table "
+            "and export_hudi the filtered state)"
+        )
+    precombine = _merge_ordering(props)
+    hdir = os.path.join(dest, HOODIE_DIR)
+
+    done = _completed_commits(dest, allow_delta=True)
+    if not done:
+        raise HudiProtocolError(
+            "table has no completed commits; nothing to delete from"
+        )
+
+    scan = _read_mor(spark, dest, None, True, None)
+    fid_expr = F.regexp_extract(
+        F.regexp_replace(F.col("_hoodie_file_name"), r"^\.", ""),
+        r"^([^_]+)_", 1,
+    )
+    hits = scan.filter(F.expr(predicate)).select(
+        F.col("_hoodie_record_key").alias("__k"),
+        F.col("_hoodie_partition_path").alias("__pp"),
+        fid_expr.alias("__fid"),
+        *(
+            [F.col(precombine).alias("__ord")]
+            if precombine else [F.lit(None).alias("__ord")]
+        ),
+    ).persist()
+    try:
+        targets = [
+            (r["__pp"], r["__fid"])
+            for r in hits.select("__pp", "__fid").distinct().collect()
+        ]
+        if not targets:
+            return {"instant": None, "num_deleted": 0, "groups": 0}
+
+        # update-conflict rule: a pending clustering plan naming a
+        # group this delete tombstones refuses (same as export_hudi)
+        cl = _pending_clustering_groups(dest)
+        hit_cl = sorted(
+            (part, fid)
+            for pp, fid in targets
+            for part in ((os.path.normpath(pp) if pp else "."),)
+            if (part, fid) in cl
+        )
+        if hit_cl:
+            raise HudiProtocolError(
+                f"delete_from_hudi: file group(s) {hit_cl} are under "
+                f"pending clustering plan {cl[hit_cl[0]]}; complete it "
+                "(complete_clustering) or cancel it (rollback_hudi) "
+                "before deleting from those groups"
+            )
+
+        # next instant: past EVERY timeline instant (pending included —
+        # a delete landing "before" a requested compaction would be
+        # silently folded under its plan)
+        import re as _re
+
+        all_inst = [
+            int(m.group(1))
+            for name in os.listdir(hdir)
+            for m in (_re.match(r"^(\d{10,20})\.", name),)
+            if m
+        ]
+        width = max(14, max(len(str(i)) for i in all_inst))
+        inst = str(max(all_inst) + 1).zfill(width)
+
+        # the put-if-absent CLAIM: a foreign writer racing this
+        # instant is detected before any block lands
+        _publish_instant(
+            hdir, f"{inst}.deltacommit.requested", {"action": "delete"}
+        )
+
+        prev_slices, prev_logs = _latest_slices(
+            dest, None, None, collect_logs=True
+        )
+        pending = _pending_compaction_groups(dest)
+        tok = _write_token()
+        logpath = {}
+        for pp, fid in sorted(targets):
+            part = os.path.normpath(pp) if pp else "."
+            logpath[(pp, fid)] = _group_log_path(
+                dest, part, fid, inst, tok, prev_slices, prev_logs,
+                pending,
+            )
+        lp_df = spark.createDataFrame(
+            [(pp, fid, lp) for (pp, fid), lp in logpath.items()],
+            "__pp string, __fid string, __lp string",
+        )
+        routed = hits.join(F.broadcast(lp_df), ["__pp", "__fid"])
+
+        def write_group(pdf):
+            import pandas as pd
+
+            path = pdf["__lp"].iloc[0]
+            pp = pdf["__pp"].iloc[0]
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pdf = pdf.sort_values("__k")
+            HL.append_delete_block(
+                path,
+                inst,
+                [
+                    {
+                        "recordKey": k,
+                        "partitionPath": pp,
+                        "orderingVal": (
+                            None if o is None or pd.isna(o) else o
+                        ),
+                    }
+                    for k, o in zip(pdf["__k"], pdf["__ord"])
+                ],
+            )
+            return pd.DataFrame({"path": [path], "deletes": [len(pdf)]})
+
+        summary = routed.groupBy("__lp").applyInPandas(
+            write_group, "path string, deletes long"
+        ).collect()
+    finally:
+        hits.unpersist()
+
+    written: dict[str, list[dict]] = {}
+    n_deleted = 0
+    for r in summary:
+        rel = os.path.relpath(r["path"], dest)
+        fid = os.path.basename(r["path"]).lstrip(".").split("_")[0]
+        n_deleted += int(r["deletes"])
+        written.setdefault(os.path.dirname(rel), []).append(
+            {"fileId": fid, "path": rel, "upserts": 0,
+             "deletes": int(r["deletes"])}
+        )
+    _publish_instant(hdir, f"{inst}.deltacommit.inflight", {})
+    _publish_instant(
+        hdir, f"{inst}.deltacommit", {"partitionToWriteStats": written}
+    )
+    _mdt_sync_files(dest, written, inst)
+    return {
+        "instant": inst,
+        "num_deleted": n_deleted,
+        "groups": len(summary),
+    }

@@ -2062,3 +2062,195 @@ def test_clustering_update_conflict_is_partition_aware(spark, tmp_path):
     assert _pending_clusterings(dest) == {}
     got2 = {(r["k"], r["v"]) for r in read_hudi(spark, dest).collect()}
     assert got2 == got
+
+
+# ------------------------------------------------- delete_from_hudi
+
+
+def _mk_mor(spark, tmp_path, n=40, **export_kw):
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import export_hudi as _ex
+
+    root = str(tmp_path / "dtbl")
+    dest = str(tmp_path / "dhudi")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, v double", bucket_key=["k"],
+        num_buckets=2,
+    )
+    t.append(spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ))
+    inst1 = _ex(t, dest, table_type="MERGE_ON_READ", **export_kw)
+    return t, dest, inst1
+
+
+def test_delete_from_hudi_basic_and_stacked(spark, tmp_path):
+    """Tombstone DELETE: snapshot drops the keys, time travel intact,
+    a stacked delete never re-counts dead rows, no-op claims no
+    instant, and no base file is touched."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import delete_from_hudi
+
+    t, dest, inst1 = _mk_mor(spark, tmp_path)
+    bases = sorted(f for f in os.listdir(dest) if f.endswith(".parquet"))
+    out = delete_from_hudi(spark, dest, "k % 4 = 0")
+    assert out["num_deleted"] == 10 and out["groups"] == 2
+    got = {r["k"] for r in read_hudi(spark, dest).collect()}
+    assert got == {k for k in range(40) if k % 4}
+    assert read_hudi(spark, dest, as_of=inst1).count() == 40
+    out2 = delete_from_hudi(spark, dest, "k % 8 = 0 OR k = 1")
+    assert out2["num_deleted"] == 1  # %8 rows were already dead
+    out3 = delete_from_hudi(spark, dest, "k > 999")
+    assert out3 == {"instant": None, "num_deleted": 0, "groups": 0}
+    assert sorted(
+        f for f in os.listdir(dest) if f.endswith(".parquet")
+    ) == bases
+    # the commit lifecycle markers all landed
+    hdir = os.path.join(dest, ".hoodie")
+    for suffix in ("deltacommit.requested", "deltacommit.inflight",
+                   "deltacommit"):
+        assert os.path.exists(
+            os.path.join(hdir, f"{out['instant']}.{suffix}"))
+
+
+def test_delete_from_hudi_cow_refuses(spark, tmp_path):
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import HudiProtocolError
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import delete_from_hudi
+
+    root = str(tmp_path / "ctbl")
+    dest = str(tmp_path / "chudi")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, v double", bucket_key=["k"],
+        num_buckets=2,
+    )
+    t.append(spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")))
+    export_hudi(t, dest)  # COW
+    with pytest.raises(HudiProtocolError, match="COW|COPY_ON_WRITE"):
+        delete_from_hudi(spark, dest, "k = 1")
+
+
+def test_delete_from_hudi_event_time_ordering(spark, tmp_path):
+    """EVENT_TIME tables: each tombstone carries the doomed row's OWN
+    precombine value as its orderingVal — the record shape the MOR
+    event-time merge can order (a delete without one raises at read;
+    the resurrect/stay-dead semantics of valued tombstones are pinned
+    in test_hudi_mor.py)."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources import hudi_log as HL
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import delete_from_hudi
+
+    root = str(tmp_path / "etbl")
+    dest = str(tmp_path / "ehudi")
+    t = SnapshotTable.create(
+        spark, root, "k bigint, ts bigint, v double", bucket_key=["k"],
+        num_buckets=2,
+    )
+    t.append(spark.range(10).select(
+        F.col("id").alias("k"), (F.lit(100) + F.col("id")).alias("ts"),
+        (F.col("id") * 1.0).alias("v")
+    ))
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    # declare event-time ordering like a foreign writer's table
+    with open(os.path.join(dest, ".hoodie", "hoodie.properties"),
+              "a") as f:
+        f.write("hoodie.table.precombine.field=ts\n"
+                "hoodie.table.payload.class=org.apache.hudi.common."
+                "model.DefaultHoodieRecordPayload\n")
+    out = delete_from_hudi(spark, dest, "k IN (3, 4)")
+    assert out["num_deleted"] == 2
+    assert {r["k"] for r in read_hudi(spark, dest).collect()} == \
+        set(range(10)) - {3, 4}
+    # the tombstones carry the doomed rows' ts values (103, 104)
+    ordering = {}
+    for fn in os.listdir(dest):
+        if ".log." not in fn:
+            continue
+        for blk in HL.read_log_blocks(os.path.join(dest, fn)):
+            if blk.get("delete_content"):
+                for r in HL.decode_delete_records(
+                        blk["delete_content"]):
+                    ordering[r["recordKey"]] = r.get("orderingVal")
+    assert ordering == {"3": 103, "4": 104}
+
+
+def test_delete_from_hudi_conflicts(spark, tmp_path):
+    """A foreign writer's PENDING instant on the timeline: the delete
+    allocates PAST it (never folds under a stranger's claim); a true
+    same-instant race refuses via the put-if-absent claim BEFORE any
+    block lands; a pending clustering plan covering a touched group
+    refuses."""
+    import json
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources import hudi_export as HE
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import HudiProtocolError
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import delete_from_hudi
+
+    t, dest, _inst1 = _mk_mor(spark, tmp_path)
+    hdir = os.path.join(dest, ".hoodie")
+    all_inst = sorted(
+        int(n.split(".")[0]) for n in os.listdir(hdir)
+        if n.split(".")[0].isdigit()
+    )
+    nxt = str(all_inst[-1] + 1).zfill(14)
+    with open(os.path.join(hdir, f"{nxt}.deltacommit.requested"),
+              "w") as f:
+        json.dump({}, f)
+    out = delete_from_hudi(spark, dest, "k = 1")
+    assert out["num_deleted"] == 1 and int(out["instant"]) > int(nxt)
+    os.remove(os.path.join(hdir, f"{nxt}.deltacommit.requested"))
+
+    # a TRUE same-instant race: the requested-claim collision refuses
+    # before any tombstone lands
+    logs_before = sorted(f for f in os.listdir(dest) if ".log." in f)
+    real = HE._publish_instant
+    claimed = {}
+
+    def claim_first(hdir_, name, body):
+        if name.endswith(".requested") and not claimed:
+            claimed[name] = True
+            real(hdir_, name, {"foreign": True})  # the rival wins
+        return real(hdir_, name, body)
+
+    HE._publish_instant = claim_first
+    try:
+        with pytest.raises(HudiProtocolError, match="concurrent"):
+            delete_from_hudi(spark, dest, "k = 2")
+    finally:
+        HE._publish_instant = real
+    assert sorted(f for f in os.listdir(dest) if ".log." in f) \
+        == logs_before
+
+    # a pending clustering plan covering the touched groups refuses
+    pi = HE.schedule_clustering(dest, sort_by=["k"])
+    assert pi is not None
+    with pytest.raises(HudiProtocolError, match="pending clustering"):
+        delete_from_hudi(spark, dest, "k = 3")
+
+
+def test_delete_from_hudi_routes_into_pending_compaction(spark, tmp_path):
+    """A delete landing while a compaction plan is PENDING routes its
+    tombstones to the plan-attached log chain — after completion the
+    deleted keys stay gone."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        compact_hudi,
+        delete_from_hudi,
+        schedule_compaction,
+    )
+
+    t, dest, _inst1 = _mk_mor(spark, tmp_path)
+    # land a log so the groups have something to compact
+    t.merge(spark.createDataFrame([(1, -1.0)], "k bigint, v double"))
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    pi = schedule_compaction(dest)
+    assert pi is not None
+    # k=1 lives in the group the plan covers (its merge log is what
+    # made the group compactable)
+    out = delete_from_hudi(spark, dest, "k = 1")
+    assert out["num_deleted"] == 1
+    # the tombstone chain is attached to the PLAN instant (the
+    # log-writer routing rule), not the group's base instant
+    assert any(f"_{pi}.log." in f for f in os.listdir(dest)
+               if f.startswith(".b")), sorted(os.listdir(dest))
+    assert {r["k"] for r in read_hudi(spark, dest).collect()} == \
+        set(range(40)) - {1}
+    compact_hudi(spark, dest)
+    assert {r["k"] for r in read_hudi(spark, dest).collect()} == \
+        set(range(40)) - {1}
