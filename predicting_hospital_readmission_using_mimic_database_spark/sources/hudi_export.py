@@ -53,8 +53,8 @@ from .hudi import HOODIE_DIR
 
 __all__ = [
     "archive_hudi_timeline", "clean_hudi", "cluster_hudi",
-    "compact_hudi", "complete_clustering", "export_hudi",
-    "restore_hudi", "rollback_hudi", "savepoint_hudi",
+    "compact_hudi", "complete_clustering", "delete_from_hudi",
+    "export_hudi", "restore_hudi", "rollback_hudi", "savepoint_hudi",
     "schedule_clustering", "schedule_compaction",
 ]
 
@@ -690,6 +690,25 @@ def _avro_log_schema(schema) -> dict:
     return {"type": "record", "name": "rec", "fields": fields}
 
 
+def _log_write_stats(summary, dest: str) -> dict[str, list[dict]]:
+    """``partitionToWriteStats`` entries for per-group LOG writes: one
+    ``{fileId, path, upserts, deletes}`` per written log file, grouped
+    by partition dir — the commit-marker shape ``rollback_hudi`` and
+    ``_mdt_sync_files`` consume. Shared by the MOR export delta and
+    ``delete_from_hudi`` so the two log writers' commit metadata can
+    never diverge."""
+    written: dict[str, list[dict]] = {}
+    for r in summary:
+        rel = os.path.relpath(r["path"], dest)
+        fid = os.path.basename(r["path"]).lstrip(".").split("_")[0]
+        written.setdefault(os.path.dirname(rel), []).append({
+            "fileId": fid, "path": rel,
+            "upserts": int(r["upserts"]) if "upserts" in r else 0,
+            "deletes": int(r["deletes"]),
+        })
+    return written
+
+
 def _group_log_path(
     dest: str, part: str, fid: str, inst: str, tok: str,
     prev_slices: dict, prev_logs: dict, pending: dict,
@@ -950,15 +969,7 @@ def _export_mor_delta(
         ).collect()
     finally:
         changes.unpersist()
-    written: dict[str, list[dict]] = {}
-    for r in summary:
-        rel = os.path.relpath(r["path"], dest)
-        fid = os.path.basename(r["path"]).lstrip(".").split("_")[0]
-        written.setdefault(os.path.dirname(rel), []).append(
-            {"fileId": fid, "path": rel, "upserts": r["upserts"],
-             "deletes": r["deletes"]}
-        )
-    return written
+    return _log_write_stats(summary, dest)
 
 
 def _plan_groups(plan: dict) -> set[tuple[str, str]]:
@@ -2266,6 +2277,22 @@ def delete_from_hudi(spark, dest: str, predicate: str) -> dict:
         if not targets:
             return {"instant": None, "num_deleted": 0, "groups": 0}
 
+        if precombine:
+            # a NULL precombine value cannot become an orderingVal:
+            # the event-time merge has nothing to order the tombstone
+            # against, and committing it would poison EVERY later read
+            # of the group (the reader raises on unordered deletes) —
+            # refuse BEFORE any marker or block lands
+            if hits.filter(F.col("__ord").isNull()).take(1):
+                raise HudiProtocolError(
+                    "delete_from_hudi: the table orders merges by "
+                    f"event time ({precombine}) but a matched row has "
+                    "a NULL precombine value — its tombstone would "
+                    "have no orderingVal and every later read of the "
+                    "group would raise; repair the row's precombine "
+                    "value first"
+                )
+
         # update-conflict rule: a pending clustering plan naming a
         # group this delete tombstones refuses (same as export_hudi)
         cl = _pending_clustering_groups(dest)
@@ -2294,8 +2321,7 @@ def delete_from_hudi(spark, dest: str, predicate: str) -> dict:
             for m in (_re.match(r"^(\d{10,20})\.", name),)
             if m
         ]
-        width = max(14, max(len(str(i)) for i in all_inst))
-        inst = str(max(all_inst) + 1).zfill(width)
+        inst = f"{max(all_inst) + 1:014d}"
 
         # the put-if-absent CLAIM: a foreign writer racing this
         # instant is detected before any block lands
@@ -2350,16 +2376,8 @@ def delete_from_hudi(spark, dest: str, predicate: str) -> dict:
     finally:
         hits.unpersist()
 
-    written: dict[str, list[dict]] = {}
-    n_deleted = 0
-    for r in summary:
-        rel = os.path.relpath(r["path"], dest)
-        fid = os.path.basename(r["path"]).lstrip(".").split("_")[0]
-        n_deleted += int(r["deletes"])
-        written.setdefault(os.path.dirname(rel), []).append(
-            {"fileId": fid, "path": rel, "upserts": 0,
-             "deletes": int(r["deletes"])}
-        )
+    written = _log_write_stats(summary, dest)
+    n_deleted = sum(int(r["deletes"]) for r in summary)
     _publish_instant(hdir, f"{inst}.deltacommit.inflight", {})
     _publish_instant(
         hdir, f"{inst}.deltacommit", {"partitionToWriteStats": written}

@@ -480,25 +480,32 @@ def update_iceberg(
     tgt = read_iceberg(
         spark, root, snapshot_id=cur_sid, _keep_keys=(fpk, posk)
     )
-    matched = tgt.filter(F.expr(predicate))
-    # all SET expressions see the PRE-update row: one projection
-    new_rows = matched.select(*[
-        (F.expr(assignments[f.name]).cast(f.dataType)
-         if f.name in assignments else F.col(f.name)).alias(f.name)
-        for f in schema.fields
-    ])
-    res = _stage_and_commit(
-        spark, root, latest, meta, snaps, cur_sid,
-        _uuid.uuid4().hex[:12],
-        matched.select(
-            F.col(fpk).alias("file_path"), F.col(posk).alias("pos")
-        ),
-        new_rows, "update",
-        lambda n_m, _n_n: {
-            "operation": "overwrite",
-            "updated-rows": str(n_m),
-        },
-    )
+    # PERSISTED: the pos-delete write and the new-rows write both read
+    # this one evaluation — a nondeterministic predicate can never
+    # strike one row set and rewrite a different one, and the
+    # snapshot scans once, not per consumer (merge_iceberg's rule)
+    matched = tgt.filter(F.expr(predicate)).persist()
+    try:
+        # all SET expressions see the PRE-update row: one projection
+        new_rows = matched.select(*[
+            (F.expr(assignments[f.name]).cast(f.dataType)
+             if f.name in assignments else F.col(f.name)).alias(f.name)
+            for f in schema.fields
+        ])
+        res = _stage_and_commit(
+            spark, root, latest, meta, snaps, cur_sid,
+            _uuid.uuid4().hex[:12],
+            matched.select(
+                F.col(fpk).alias("file_path"), F.col(posk).alias("pos")
+            ),
+            new_rows, "update",
+            lambda n_m, _n_n: {
+                "operation": "overwrite",
+                "updated-rows": str(n_m),
+            },
+        )
+    finally:
+        matched.unpersist()
     if res is None:
         if _retries <= 0:
             raise IcebergProtocolError(

@@ -2169,6 +2169,22 @@ def test_delete_from_hudi_event_time_ordering(spark, tmp_path):
                         blk["delete_content"]):
                     ordering[r["recordKey"]] = r.get("orderingVal")
     assert ordering == {"3": 103, "4": 104}
+    # a matched row with a NULL precombine value refuses BEFORE any
+    # marker or block lands (its tombstone would be unorderable and
+    # poison every later read of the group)
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import HudiProtocolError
+
+    t.merge(spark.createDataFrame(
+        [(77, None, -7.0)], "k bigint, ts bigint, v double"))
+    export_hudi(t, dest, table_type="MERGE_ON_READ")
+    hdir = os.path.join(dest, ".hoodie")
+    timeline_before = sorted(os.listdir(hdir))
+    logs_before = sorted(f for f in os.listdir(dest) if ".log." in f)
+    with pytest.raises(HudiProtocolError, match="NULL precombine"):
+        delete_from_hudi(spark, dest, "k = 77")
+    assert sorted(os.listdir(hdir)) == timeline_before
+    assert sorted(
+        f for f in os.listdir(dest) if ".log." in f) == logs_before
 
 
 def test_delete_from_hudi_conflicts(spark, tmp_path):
