@@ -1425,7 +1425,7 @@ def test_ivf_pq_releases_caches_on_refusal(spark):
     from predicting_hospital_readmission_using_mimic_database_spark.operators import similarity as SI
 
     sc = spark.sparkContext
-    before = {r.id for r in sc._jsc.sc().getRDDStorageInfo()}
+    before = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
     rows = [(i, [float(i)] * 63) for i in range(50)]
     e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     with _pytest.raises(ValueError, match="not divisible"):
@@ -1435,7 +1435,7 @@ def test_ivf_pq_releases_caches_on_refusal(spark):
         )
     # unpersist is async: allow the cleaner a moment
     for _ in range(40):
-        leaked = {r.id for r in sc._jsc.sc().getRDDStorageInfo()} - before
+        leaked = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()} - before
         if not leaked:
             break
         time.sleep(0.25)
