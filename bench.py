@@ -226,6 +226,7 @@ HEADLINE = [
     "s84_iceberg_delete",
     "s85_iceberg_update",
     "s86_hudi_delete",
+    "s87_hudi_update",
     "st29_stream_iceberg_wap",
     "st30_stream_cdc_apply",
     "n7_knn_ivf_pq",

@@ -9623,3 +9623,107 @@ def q_s86(spark, sf):
     return state.unionByName(
         images(inst0, out1["instant"], "delete1")
     ).unionByName(images(out1["instant"], out2["instant"], "delete2"))
+
+
+@query(
+    "s87_hudi_update",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ), u1 AS (
+        SELECT c_custkey,
+               cents + CASE WHEN c_custkey % 6 = 0
+                            THEN 300 ELSE 0 END AS cents
+        FROM base
+    )
+    SELECT c_custkey,
+           CASE WHEN cents < 0 THEN CAST(0 AS BIGINT)
+                ELSE cents END AS cents,
+           'state' AS tag
+    FROM u1
+    UNION ALL
+    SELECT c_custkey, cents + 300 AS cents, 'u1' AS tag
+    FROM base WHERE c_custkey % 6 = 0
+    UNION ALL
+    SELECT c_custkey, CAST(0 AS BIGINT) AS cents, 'u2' AS tag
+    FROM u1 WHERE cents < 0
+    """,
+)
+def q_s87(spark, sf):
+    """S87 — Hudi row-level UPDATE via UPSERT BLOCKS
+    (sources/hudi_export.py ``update_hudi``): completes the DML
+    matrix's Hudi column (s86 DELETE / s87 UPDATE). Each matched
+    row's SET-applied values (pre-update-row evaluation) land as one
+    avro upsert block appended to the row's OWN file group's log
+    chain — the group is known from the scan, no index lookup — via
+    the shared ``_commit_log_dml`` lifecycle (requested claim,
+    clustering gate, compaction-chain routing). TWO stacked updates
+    fold (a keyed raise then a clamp over the post-update state —
+    update #2's scan provably reads update #1's upsert blocks), and
+    the oracle hashes the NET STATE plus BOTH updates' RFC-51 CDC
+    AFTER-images tagged separately. In-entry asserts pin
+    num_updated, time travel to the base instant, no base-file
+    rewrite, and the no-op rule; record-key/partition/event-time
+    refusals and compaction survival are pinned in
+    tests/test_hudi_export.py.
+
+    Scale: one predicate-filtered MOR fold per update + O(updated
+    rows) avro bytes per-group on executors; commit is three timeline
+    markers."""
+    import os
+
+    from .sources.hudi import read_hudi, read_hudi_changes
+    from .sources.hudi_export import export_hudi, update_hudi
+    from .sources.table import SnapshotTable
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("c_custkey")
+    root = _table_root("s87", sf)
+    dest = _table_root("s87h", sf)
+    t = SnapshotTable.create(
+        spark, root, "c_custkey bigint, cents bigint",
+        bucket_key=["c_custkey"], num_buckets=4,
+    )
+    t.append(c)
+    inst0 = export_hudi(t, dest, table_type="MERGE_ON_READ")
+    n = c.count()
+    bases = sorted(
+        f for f in os.listdir(dest) if f.endswith(".parquet")
+    )
+
+    out1 = update_hudi(
+        spark, dest, "c_custkey % 6 = 0", {"cents": "cents + 300"}
+    )
+    assert out1["num_updated"] == c.filter(k % 6 == 0).count()
+    n_u2 = read_hudi(spark, dest).filter(F.col("cents") < 0).count()
+    out2 = update_hudi(spark, dest, "cents < 0", {"cents": "0"})
+    assert out2["num_updated"] == n_u2
+    # no base rewrite, time travel, no-op
+    assert sorted(
+        f for f in os.listdir(dest) if f.endswith(".parquet")
+    ) == bases
+    assert read_hudi(spark, dest, as_of=inst0).count() == n
+    out3 = update_hudi(spark, dest, "c_custkey < 0", {"cents": "1"})
+    assert out3 == {"instant": None, "num_updated": 0, "groups": 0}
+
+    state = read_hudi(spark, dest).select(
+        "c_custkey", "cents", F.lit("state").alias("tag")
+    )
+
+    def images(begin, end, tag):
+        return read_hudi_changes(
+            spark, dest, begin=begin, end=end
+        ).filter(F.col("op") == "u").select(
+            F.col("after.c_custkey").alias("c_custkey"),
+            F.col("after.cents").alias("cents"),
+            F.lit(tag).alias("tag"),
+        )
+
+    return state.unionByName(
+        images(inst0, out1["instant"], "u1")
+    ).unionByName(images(out1["instant"], out2["instant"], "u2"))

@@ -67,6 +67,7 @@ PRIORITY: tuple[str, ...] = (
     "s84_iceberg_delete",
     "s85_iceberg_update",
     "s86_hudi_delete",
+    "s87_hudi_update",
     "st29_stream_iceberg_wap",
     "st30_stream_cdc_apply",
     "n7_knn_ivf_pq",
@@ -90,7 +91,6 @@ PRIORITY: tuple[str, ...] = (
     "s45_iceberg_row_lineage",
     "st16_stream_iceberg_tail",
     "s57_iceberg_expire_snapshots",
-    "s55_iceberg_export_bounds",
     # (a) Hudi machinery changed in round 14 (partition-aware
     # clustering update-conflict rule)
     "s78_hudi_pending_clustering",

@@ -985,6 +985,7 @@ def _validate_row_rules(df: DataFrame, rules: dict, what: str) -> None:
 def merge_delta(
     spark: SparkSession, root: str, source: DataFrame, on: list[str],
     when_matched: str = "update", insert: bool = True,
+    not_matched_by_source: str | None = None,
 ) -> dict:
     """Delta-native ``MERGE INTO <table at root> t USING <source> s ON
     <equi-keys>`` — the row-delta shape: matched target rows die via
@@ -999,11 +1000,16 @@ def merge_delta(
     ``when_matched``: ``"update"`` (matched rows take the source's
     values — classic upsert) or ``"delete"`` (matched rows are
     removed). ``insert=False`` drops not-matched source rows instead
-    of inserting them. Source must carry exactly the table's columns,
-    with UNIQUE key tuples under ``on`` (a duplicate key would make
-    the merge non-deterministic — refused, the ANSI MERGE rule).
-    Partitioned tables and column mapping follow the read path's
-    file contract (module docstring).
+    of inserting them. ``not_matched_by_source="delete"`` adds the
+    FULL-SYNC clause (``WHEN NOT MATCHED BY SOURCE THEN DELETE``):
+    target rows absent from the source die too — after the merge the
+    table holds exactly the source's key set. The join widens to a
+    full outer for it (the clause inherently reads the whole target;
+    without it the join stays source-sized). Source must carry exactly
+    the table's columns, with UNIQUE key tuples under ``on`` (a
+    duplicate key would make the merge non-deterministic — refused,
+    the ANSI MERGE rule). Partitioned tables and column mapping follow
+    the read path's file contract (module docstring).
 
     When the table declares ``delta.enableChangeDataFeed``, the commit
     stages exact row images under ``_change_data/`` —
@@ -1030,6 +1036,11 @@ def merge_delta(
         raise ValueError(
             f"when_matched must be 'update' or 'delete', "
             f"got {when_matched!r}"
+        )
+    if not_matched_by_source not in (None, "delete"):
+        raise ValueError(
+            f"not_matched_by_source must be None or 'delete', "
+            f"got {not_matched_by_source!r}"
         )
     base = _DmlBase(root, "MERGE")
     if _rt_enforced(base.proto, base.conf):
@@ -1092,13 +1103,16 @@ def merge_delta(
             f"source has duplicate key tuples under {on}; MERGE "
             "requires at most one source row per target row"
         )
-    s = src.alias("s")
+    s = src.withColumn("__s", F.lit(True)).alias("s")
     if tgt is not None:
         t = tgt.alias("t")
         cond = F.lit(True)
         for k in on:
             cond = cond & F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
-        j = s.join(t, cond, "left").persist()
+        # the full-sync clause must SEE unmatched target rows: full
+        # outer; otherwise the join stays source-sized (left)
+        jtype = "full_outer" if not_matched_by_source else "left"
+        j = s.join(t, cond, jtype).persist()
     else:
         j = s.select(
             "*",
@@ -1106,8 +1120,15 @@ def merge_delta(
             F.lit(None).cast("long").alias(posk),
         ).persist()
     try:
-        matched = j.filter(F.col(key).isNotNull())
-        unmatched = j.filter(F.col(key).isNull())
+        present = F.col("__s").isNotNull() if tgt is not None \
+            else F.lit(True)
+        matched = j.filter(present & F.col(key).isNotNull())
+        unmatched = j.filter(present & F.col(key).isNull())
+        # target rows with NO source match (full-outer only)
+        by_source = (
+            j.filter(F.col("__s").isNull())
+            if tgt is not None and not_matched_by_source else None
+        )
         s_cols = [F.col(f"s.{c}").alias(c) for c in table_cols] \
             if tgt is not None else [F.col(c) for c in table_cols]
         t_cols = [F.col(f"t.{c}").alias(c) for c in table_cols]
@@ -1142,6 +1163,9 @@ def merge_delta(
                 else:
                     pieces.append(matched.select(
                         *t_cols, ct("delete").alias("_change_type")))
+                if by_source is not None:
+                    pieces.append(by_source.select(
+                        *t_cols, ct("delete").alias("_change_type")))
             if insert:
                 pieces.append(unmatched.select(
                     *s_cols, ct("insert").alias("_change_type")))
@@ -1153,15 +1177,24 @@ def merge_delta(
                     spark, root, images, info
                 )
 
-        # DV side: matched target positions per file
+        # DV side: matched target positions per file, plus — under the
+        # full-sync clause — the source-less target rows
+        doomed = matched.select(F.col(key), F.col(posk))
+        n_by_source = 0
+        if by_source is not None:
+            n_by_source = by_source.count()
+            doomed = doomed.unionByName(
+                by_source.select(F.col(key), F.col(posk))
+            )
         results = (
             _write_dvs_for_hits(
-                matched.select(F.col(key), F.col(posk)),
-                root, base.live, base.dvs, key, posk,
+                doomed, root, base.live, base.dvs, key, posk,
             )
             if tgt is not None else []
         )
-        n_matched = sum(int(r["new_deletes"]) for r in results)
+        n_matched = sum(
+            int(r["new_deletes"]) for r in results
+        ) - n_by_source
 
         # new-file side: updates + inserts, placed in the read path's
         # file contract (physical names, partition split)
@@ -1186,7 +1219,9 @@ def merge_delta(
     return {
         "version": version,
         "num_updated": n_matched if when_matched == "update" else 0,
-        "num_deleted": n_matched if when_matched == "delete" else 0,
+        "num_deleted": (
+            (n_matched if when_matched == "delete" else 0) + n_by_source
+        ),
         "num_inserted": n_ins if insert else 0,
         "files_with_dvs": n_dv,
         "files_removed": n_gone,

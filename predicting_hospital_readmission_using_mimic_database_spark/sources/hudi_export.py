@@ -55,7 +55,7 @@ __all__ = [
     "archive_hudi_timeline", "clean_hudi", "cluster_hudi",
     "compact_hudi", "complete_clustering", "delete_from_hudi",
     "export_hudi", "restore_hudi", "rollback_hudi", "savepoint_hudi",
-    "schedule_clustering", "schedule_compaction",
+    "schedule_clustering", "schedule_compaction", "update_hudi",
 ]
 
 _STATE_FILE = ".export-state.json"
@@ -690,6 +690,25 @@ def _avro_log_schema(schema) -> dict:
     return {"type": "record", "name": "rec", "fields": fields}
 
 
+def _conv_avro_value(avro_types: dict, name: str, v):
+    """Coerce one pandas cell to its declared avro union branch type
+    (``None`` for NA; int/float/bool/str per the field's type) —
+    shared by every log writer that encodes upsert records."""
+    import pandas as pd
+
+    if v is None or (not isinstance(v, (str, list, dict))
+                     and pd.isna(v)):
+        return None
+    at = avro_types[name]
+    if at in ("long", "int"):
+        return int(v)
+    if at in ("double", "float"):
+        return float(v)
+    if at == "boolean":
+        return bool(v)
+    return str(v)
+
+
 def _log_write_stats(summary, dest: str) -> dict[str, list[dict]]:
     """``partitionToWriteStats`` entries for per-group LOG writes: one
     ``{fileId, path, upserts, deletes}`` per written log file, grouped
@@ -921,17 +940,7 @@ def _export_mor_delta(
             os.makedirs(os.path.dirname(path), exist_ok=True)
 
             def conv(name, v):
-                if v is None or (not isinstance(v, (str, list, dict))
-                                 and pd.isna(v)):
-                    return None
-                at = avro_types[name]
-                if at in ("long", "int"):
-                    return int(v)
-                if at in ("double", "float"):
-                    return float(v)
-                if at == "boolean":
-                    return bool(v)
-                return str(v)
+                return _conv_avro_value(avro_types, name, v)
 
             ups_p = pdf[pdf["__op"] == "u"]
             if len(ups_p):
@@ -2293,66 +2302,9 @@ def delete_from_hudi(spark, dest: str, predicate: str) -> dict:
                     "value first"
                 )
 
-        # update-conflict rule: a pending clustering plan naming a
-        # group this delete tombstones refuses (same as export_hudi)
-        cl = _pending_clustering_groups(dest)
-        hit_cl = sorted(
-            (part, fid)
-            for pp, fid in targets
-            for part in ((os.path.normpath(pp) if pp else "."),)
-            if (part, fid) in cl
-        )
-        if hit_cl:
-            raise HudiProtocolError(
-                f"delete_from_hudi: file group(s) {hit_cl} are under "
-                f"pending clustering plan {cl[hit_cl[0]]}; complete it "
-                "(complete_clustering) or cancel it (rollback_hudi) "
-                "before deleting from those groups"
-            )
-
-        # next instant: past EVERY timeline instant (pending included —
-        # a delete landing "before" a requested compaction would be
-        # silently folded under its plan)
-        import re as _re
-
-        all_inst = [
-            int(m.group(1))
-            for name in os.listdir(hdir)
-            for m in (_re.match(r"^(\d{10,20})\.", name),)
-            if m
-        ]
-        inst = f"{max(all_inst) + 1:014d}"
-
-        # the put-if-absent CLAIM: a foreign writer racing this
-        # instant is detected before any block lands
-        _publish_instant(
-            hdir, f"{inst}.deltacommit.requested", {"action": "delete"}
-        )
-
-        prev_slices, prev_logs = _latest_slices(
-            dest, None, None, collect_logs=True
-        )
-        pending = _pending_compaction_groups(dest)
-        tok = _write_token()
-        logpath = {}
-        for pp, fid in sorted(targets):
-            part = os.path.normpath(pp) if pp else "."
-            logpath[(pp, fid)] = _group_log_path(
-                dest, part, fid, inst, tok, prev_slices, prev_logs,
-                pending,
-            )
-        lp_df = spark.createDataFrame(
-            [(pp, fid, lp) for (pp, fid), lp in logpath.items()],
-            "__pp string, __fid string, __lp string",
-        )
-        routed = hits.join(F.broadcast(lp_df), ["__pp", "__fid"])
-
-        def write_group(pdf):
+        def write_block(pdf, path, pp, inst):
             import pandas as pd
 
-            path = pdf["__lp"].iloc[0]
-            pp = pdf["__pp"].iloc[0]
-            os.makedirs(os.path.dirname(path), exist_ok=True)
             pdf = pdf.sort_values("__k")
             HL.append_delete_block(
                 path,
@@ -2368,23 +2320,287 @@ def delete_from_hudi(spark, dest: str, predicate: str) -> dict:
                     for k, o in zip(pdf["__k"], pdf["__ord"])
                 ],
             )
-            return pd.DataFrame({"path": [path], "deletes": [len(pdf)]})
+            return 0, len(pdf)
 
-        summary = routed.groupBy("__lp").applyInPandas(
-            write_group, "path string, deletes long"
-        ).collect()
+        inst, summary = _commit_log_dml(
+            spark, dest, hdir, hits, targets, "delete",
+            "delete_from_hudi", write_block,
+        )
     finally:
         hits.unpersist()
+    return {
+        "instant": inst,
+        "num_deleted": sum(int(r["deletes"]) for r in summary),
+        "groups": len(summary),
+    }
+
+
+def _commit_log_dml(
+    spark, dest: str, hdir: str, hits, targets: list, op: str,
+    what: str, write_block,
+) -> tuple[str, list]:
+    """The commit half every log-appending DML op shares: the
+    pending-clustering update-conflict gate over the touched groups,
+    the put-if-absent REQUESTED claim at an instant past EVERY
+    timeline entry (pending included — a write landing "before" a
+    requested compaction would be silently folded under its plan),
+    the ``_group_log_path`` routing, one ``write_block(pdf, path, pp,
+    inst) -> (n_upserts, n_deletes)`` executor task per touched
+    group, then inflight -> completed markers with the shared
+    ``_log_write_stats`` body and the MDT sync. ``hits`` must carry
+    ``__pp``/``__fid`` (+ whatever ``write_block`` reads) and is the
+    caller's to persist/unpersist. Returns ``(instant, summary
+    rows)``."""
+    import re as _re
+
+    from .hudi import (
+        HudiProtocolError,
+        _latest_slices,
+        _pending_clustering_groups,
+        _pending_compaction_groups,
+    )
+
+    cl = _pending_clustering_groups(dest)
+    hit_cl = sorted(
+        (part, fid)
+        for pp, fid in targets
+        for part in ((os.path.normpath(pp) if pp else "."),)
+        if (part, fid) in cl
+    )
+    if hit_cl:
+        raise HudiProtocolError(
+            f"{what}: file group(s) {hit_cl} are under "
+            f"pending clustering plan {cl[hit_cl[0]]}; complete it "
+            "(complete_clustering) or cancel it (rollback_hudi) "
+            "before writing to those groups"
+        )
+
+    all_inst = [
+        int(m.group(1))
+        for name in os.listdir(hdir)
+        for m in (_re.match(r"^(\d{10,20})\.", name),)
+        if m
+    ]
+    inst = f"{max(all_inst) + 1:014d}"
+
+    # the put-if-absent CLAIM: a foreign writer racing this instant is
+    # detected before any block lands
+    _publish_instant(
+        hdir, f"{inst}.deltacommit.requested", {"action": op}
+    )
+
+    prev_slices, prev_logs = _latest_slices(
+        dest, None, None, collect_logs=True
+    )
+    pending = _pending_compaction_groups(dest)
+    tok = _write_token()
+    logpath = {}
+    for pp, fid in sorted(targets):
+        part = os.path.normpath(pp) if pp else "."
+        logpath[(pp, fid)] = _group_log_path(
+            dest, part, fid, inst, tok, prev_slices, prev_logs,
+            pending,
+        )
+    lp_df = spark.createDataFrame(
+        [(pp, fid, lp) for (pp, fid), lp in logpath.items()],
+        "__pp string, __fid string, __lp string",
+    )
+    routed = hits.join(F.broadcast(lp_df), ["__pp", "__fid"])
+
+    def write_group(pdf):
+        import pandas as pd
+
+        path = pdf["__lp"].iloc[0]
+        pp = pdf["__pp"].iloc[0]
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        ups, dels = write_block(pdf, path, pp, inst)
+        return pd.DataFrame(
+            {"path": [path], "upserts": [ups], "deletes": [dels]}
+        )
+
+    summary = routed.groupBy("__lp").applyInPandas(
+        write_group, "path string, upserts long, deletes long"
+    ).collect()
 
     written = _log_write_stats(summary, dest)
-    n_deleted = sum(int(r["deletes"]) for r in summary)
     _publish_instant(hdir, f"{inst}.deltacommit.inflight", {})
     _publish_instant(
         hdir, f"{inst}.deltacommit", {"partitionToWriteStats": written}
     )
     _mdt_sync_files(dest, written, inst)
+    return inst, summary
+
+
+def update_hudi(
+    spark, dest: str, predicate: str, assignments: dict[str, str],
+) -> dict:
+    """Row-level ``UPDATE <published MOR Hudi table> SET <col = expr,
+    ...> WHERE <predicate>``: each matched row's SET-applied values
+    (every expression evaluated against the PRE-update row) land as
+    ONE avro UPSERT block appended to the row's OWN file group's log
+    chain — the group is known from the scan, so no index lookup is
+    ever needed — under one deltacommit via the shared
+    :func:`_commit_log_dml` lifecycle (clustering gate, requested
+    claim, compaction-chain routing, markers, MDT sync). The MOR fold
+    then serves the new values: same key, same group, newer instant.
+
+    Semantics honored:
+
+    * record-key and partition-path columns refuse SET (changing a
+      key is an insert+delete; changing a partition is a row move —
+      neither is an in-place upsert);
+    * EVENT_TIME tables: the upsert's merge position is its precombine
+      value, so an update that LOWERS it below the current row's
+      would lose its own merge and be silently invisible — refused,
+      as is a NULL post-update precombine (unorderable);
+    * COPY_ON_WRITE refuses (same rule as :func:`delete_from_hudi`).
+
+    Returns ``{"instant", "num_updated", "groups"}``; a predicate
+    matching nothing claims no instant and commits NOTHING.
+
+    Scale: one predicate-filtered MOR fold + O(updated rows) avro
+    bytes written per-group on executors; commit is three timeline
+    markers."""
+    from pyspark.sql.types import StructType
+
+    from . import hudi_log as HL
+    from .hudi import (
+        META_COLS,
+        HudiProtocolError,
+        _completed_commits,
+        _merge_ordering,
+        _properties,
+        _read_mor,
+    )
+
+    props = _properties(dest)
+    ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    if ttype != "MERGE_ON_READ":
+        raise HudiProtocolError(
+            f"hoodie.table.type={ttype}: update_hudi appends UPSERT "
+            "log blocks, which only MERGE_ON_READ readers fold — a "
+            "COW update must rewrite file slices (stage the table and "
+            "export_hudi the updated state)"
+        )
+    precombine = _merge_ordering(props)
+    hdir = os.path.join(dest, HOODIE_DIR)
+    if not _completed_commits(dest, allow_delta=True):
+        raise HudiProtocolError(
+            "table has no completed commits; nothing to update"
+        )
+    key_fields = [
+        c for c in props.get(
+            "hoodie.table.recordkey.fields", ""
+        ).split(",") if c
+    ]
+    part_fields = [
+        c for c in props.get(
+            "hoodie.table.partition.fields", ""
+        ).split(",") if c
+    ]
+    if not assignments:
+        raise ValueError("UPDATE needs at least one SET assignment")
+    for c in assignments:
+        if c in key_fields:
+            raise HudiProtocolError(
+                f"column {c!r} is a record-key field; changing a key "
+                "is an insert+delete, not an in-place UPDATE"
+            )
+        if c in part_fields:
+            raise HudiProtocolError(
+                f"column {c!r} is a partition field; a partition move "
+                "is tombstone+insert across groups, not an in-place "
+                "UPDATE"
+            )
+
+    scan = _read_mor(spark, dest, None, True, None)
+    data_fields = [
+        f for f in scan.schema.fields if f.name not in META_COLS
+    ]
+    data_cols = [f.name for f in data_fields]
+    bad = [c for c in assignments if c not in data_cols]
+    if bad:
+        raise ValueError(
+            f"SET columns {bad} not in the table schema "
+            f"(columns: {data_cols})"
+        )
+    avro_schema = _avro_log_schema(StructType(data_fields))
+    avro_types = {
+        f["name"]: f["type"][1] for f in avro_schema["fields"]
+    }
+
+    fid_expr = F.regexp_extract(
+        F.regexp_replace(F.col("_hoodie_file_name"), r"^\.", ""),
+        r"^([^_]+)_", 1,
+    )
+    # SET expressions all see the PRE-update row: one projection
+    hits = scan.filter(F.expr(predicate)).select(
+        F.col("_hoodie_record_key").alias("__k"),
+        F.col("_hoodie_partition_path").alias("__pp"),
+        fid_expr.alias("__fid"),
+        *(
+            [F.col(precombine).alias("__ord_old")]
+            if precombine else []
+        ),
+        *[
+            (F.expr(assignments[f.name]).cast(f.dataType)
+             if f.name in assignments else F.col(f.name)
+             ).alias(f.name)
+            for f in data_fields
+        ],
+    ).persist()
+    try:
+        targets = [
+            (r["__pp"], r["__fid"])
+            for r in hits.select("__pp", "__fid").distinct().collect()
+        ]
+        if not targets:
+            return {"instant": None, "num_updated": 0, "groups": 0}
+
+        if precombine:
+            # the upsert competes at its NEW precombine value: a NULL
+            # one is unorderable, and one BELOW the current row's
+            # loses its own merge — either way the update would be
+            # silently invisible or poison reads; refuse first
+            bad_ord = hits.filter(
+                F.col(precombine).isNull()
+                | (F.col(precombine) < F.col("__ord_old"))
+            ).take(1)
+            if bad_ord:
+                raise HudiProtocolError(
+                    "update_hudi: the table orders merges by event "
+                    f"time ({precombine}) and an updated row's new "
+                    "precombine value is NULL or below its current "
+                    "one — the upsert would lose its own merge; SET "
+                    "the precombine at or above the current value"
+                )
+
+        def write_block(pdf, path, pp, inst):
+            pdf = pdf.sort_values("__k")
+            fid = os.path.basename(path).lstrip(".").split("_")[0]
+            recs = []
+            for row in pdf.to_dict("records"):
+                r = {
+                    "_hoodie_commit_time": inst,
+                    "_hoodie_commit_seqno": f"{inst}_{fid}",
+                    "_hoodie_record_key": row["__k"],
+                    "_hoodie_partition_path": pp,
+                    "_hoodie_file_name": os.path.basename(path),
+                }
+                for c in data_cols:
+                    r[c] = _conv_avro_value(avro_types, c, row[c])
+                recs.append(r)
+            HL.append_avro_block(path, inst, avro_schema, recs)
+            return len(pdf), 0
+
+        inst, summary = _commit_log_dml(
+            spark, dest, hdir, hits, targets, "update",
+            "update_hudi", write_block,
+        )
+    finally:
+        hits.unpersist()
     return {
         "instant": inst,
-        "num_deleted": n_deleted,
+        "num_updated": sum(int(r["upserts"]) for r in summary),
         "groups": len(summary),
     }

@@ -761,3 +761,63 @@ def test_update_constraints_generated_identity(spark, tmp_path):
     got = {(r["k"], r["twice"])
            for r in read_delta(spark, root2).collect()}
     assert (11, 22) in got and not any(k == 1 for k, _t in got)
+
+
+def test_merge_not_matched_by_source_delete(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE (full sync): after the
+    merge the table holds exactly the source's key set — updates
+    applied, inserts added, source-less rows dead via DVs; the CDF
+    carries their delete images."""
+    root, rels = _mk_table(
+        spark, tmp_path, n=20,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    mtimes = {rel: os.path.getmtime(os.path.join(root, rel))
+              for rel in rels}
+    # source: keys 0..9 (5 changed) plus a new key 100
+    src = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 5, F.col("id") * 2.0)
+        .otherwise(-1.0).alias("v"),
+    ).unionByName(spark.createDataFrame([(100, 9.0)],
+                                        "k bigint, v double"))
+    out = merge_delta(spark, root, src, on=["k"],
+                      not_matched_by_source="delete")
+    assert out["num_updated"] == 10 and out["num_inserted"] == 1
+    assert out["num_deleted"] == 10  # keys 10..19 died by source
+    got = {(r["k"], r["v"]) for r in read_delta(spark, root).collect()}
+    assert {k for k, _v in got} == set(range(10)) | {100}
+    assert (7, -1.0) in got and (3, 6.0) in got
+    for rel in rels:  # no rewrite — DVs only
+        assert os.path.getmtime(os.path.join(root, rel)) == mtimes[rel]
+    cdf = read_delta_changes(spark, root, out["version"], out["version"])
+    dels = {r["k"] for r in cdf.filter(
+        F.col("_change_type") == "delete").collect()}
+    assert dels == set(range(10, 20))
+    # invalid clause value refuses
+    with pytest.raises(ValueError, match="not_matched_by_source"):
+        merge_delta(spark, root, src, on=["k"],
+                    not_matched_by_source="update")
+
+
+def test_merge_full_sync_idempotent_and_empty_source(spark, tmp_path):
+    """Re-running the same full-sync merge is a no-op commit-wise for
+    the delete side (all doomed rows already dead); an empty source
+    under the clause empties the table."""
+    root, _rels = _mk_table(spark, tmp_path, n=10)
+    src = spark.range(4).select(
+        F.col("k").alias("k") if False else F.col("id").alias("k"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    out = merge_delta(spark, root, src, on=["k"],
+                      not_matched_by_source="delete")
+    assert out["num_deleted"] == 6
+    assert _keys(spark, root) == {0, 1, 2, 3}
+    # empty source + full sync: the table empties (files removed
+    # outright when every row dies)
+    out2 = merge_delta(
+        spark, root, src.limit(0), on=["k"],
+        not_matched_by_source="delete",
+    )
+    assert out2["num_deleted"] == 4
+    assert _keys(spark, root) == set()

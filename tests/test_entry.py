@@ -33,10 +33,10 @@ def test_first_50_entries_cover_every_family():
         "t", "m", "e",                                   # text / ML / metrics
         "d", "n", "x", "mm", "st",                       # LLM-pipeline + streaming
     } <= fams, fams
-    # round-14 rotation: the 10 new entries (Delta DELETE via DVs,
+    # round-14 rotation: the 11 new entries (Delta DELETE via DVs,
     # Delta-native MERGE+CDF, Delta UPDATE, Iceberg row-delta
-    # MERGE/DELETE/UPDATE, Hudi tombstone DELETE, streaming WAP,
-    # streaming CDC-apply, IVF-PQ ANN)
+    # MERGE/DELETE/UPDATE, Hudi tombstone DELETE + upsert-block
+    # UPDATE, streaming WAP, streaming CDC-apply, IVF-PQ ANN)
     # lead, then every entry whose machinery changed this round (Delta
     # append/DML commit paths + DV/CDF consumers, the read_iceberg
     # scan spine + version hint + WAP labels, the partition-aware Hudi
@@ -48,6 +48,7 @@ def test_first_50_entries_cover_every_family():
                  "s84_iceberg_delete",
                  "s85_iceberg_update",
                  "s86_hudi_delete",
+                 "s87_hudi_update",
                  "st29_stream_iceberg_wap",
                  "st30_stream_cdc_apply",
                  "n7_knn_ivf_pq",
@@ -63,7 +64,6 @@ def test_first_50_entries_cover_every_family():
                  "s37_iceberg_v3_dv", "s45_iceberg_row_lineage",
                  "st16_stream_iceberg_tail",
                  "s57_iceberg_expire_snapshots",
-                 "s55_iceberg_export_bounds",
                  "s78_hudi_pending_clustering", "s40_hudi_export",
                  "s51_hudi_mor_export", "s60_hudi_clustering",
                  "s52_hudi_mor_compaction",

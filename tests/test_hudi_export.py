@@ -2270,3 +2270,91 @@ def test_delete_from_hudi_routes_into_pending_compaction(spark, tmp_path):
     compact_hudi(spark, dest)
     assert {r["k"] for r in read_hudi(spark, dest).collect()} == \
         set(range(40)) - {1}
+
+
+def test_update_hudi_basic_and_stacked(spark, tmp_path):
+    """UPSERT-block UPDATE: SET sees the pre-update row, stacked
+    updates read each other's output, time travel intact, no base
+    file rewritten, no-op claims no instant."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import update_hudi
+
+    t, dest, inst1 = _mk_mor(spark, tmp_path)
+    bases = sorted(f for f in os.listdir(dest) if f.endswith(".parquet"))
+    out = update_hudi(spark, dest, "k < 4", {"v": "v + 100"})
+    assert out["num_updated"] == 4
+    got = {r["k"]: r["v"] for r in read_hudi(spark, dest).collect()}
+    assert got[0] == 100.0 and got[3] == 103.0 and got[10] == 10.0
+    out2 = update_hudi(spark, dest, "v >= 100", {"v": "-1"})
+    assert out2["num_updated"] == 4
+    got2 = {r["k"]: r["v"] for r in read_hudi(spark, dest).collect()}
+    assert got2[0] == -1.0 and got2[10] == 10.0
+    assert read_hudi(spark, dest, as_of=inst1).count() == 40
+    assert sorted(
+        f for f in os.listdir(dest) if f.endswith(".parquet")) == bases
+    out3 = update_hudi(spark, dest, "k > 999", {"v": "0"})
+    assert out3 == {"instant": None, "num_updated": 0, "groups": 0}
+
+
+def test_update_hudi_refusals(spark, tmp_path):
+    """Record-key / partition-field SET refuses; COW refuses; an
+    event-time update lowering (or nulling) the precombine refuses
+    before any marker lands."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi import HudiProtocolError
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import update_hudi
+
+    t, dest, _inst1 = _mk_mor(spark, tmp_path, n=10)
+    with pytest.raises(HudiProtocolError, match="record-key"):
+        update_hudi(spark, dest, "k = 1", {"k": "k + 1"})
+    with pytest.raises(ValueError, match="not in the table schema"):
+        update_hudi(spark, dest, "k = 1", {"nope": "1"})
+    with pytest.raises(ValueError, match="at least one"):
+        update_hudi(spark, dest, "k = 1", {})
+
+    # event-time: lowering the precombine refuses, raising it works
+    root2 = str(tmp_path / "etbl")
+    dest2 = str(tmp_path / "ehudi")
+    t2 = SnapshotTable.create(
+        spark, root2, "k bigint, ts bigint, v double",
+        bucket_key=["k"], num_buckets=2,
+    )
+    t2.append(spark.range(10).select(
+        F.col("id").alias("k"), (F.lit(100) + F.col("id")).alias("ts"),
+        (F.col("id") * 1.0).alias("v")
+    ))
+    export_hudi(t2, dest2, table_type="MERGE_ON_READ")
+    with open(os.path.join(dest2, ".hoodie", "hoodie.properties"),
+              "a") as f:
+        f.write("hoodie.table.precombine.field=ts\n"
+                "hoodie.table.payload.class=org.apache.hudi.common."
+                "model.DefaultHoodieRecordPayload\n")
+    hdir = os.path.join(dest2, ".hoodie")
+    timeline_before = sorted(os.listdir(hdir))
+    with pytest.raises(HudiProtocolError, match="lose its own merge"):
+        update_hudi(spark, dest2, "k = 3", {"ts": "ts - 50"})
+    with pytest.raises(HudiProtocolError, match="lose its own merge"):
+        update_hudi(spark, dest2, "k = 3",
+                    {"ts": "CAST(NULL AS BIGINT)"})
+    assert sorted(os.listdir(hdir)) == timeline_before
+    out = update_hudi(spark, dest2, "k = 3",
+                      {"ts": "ts + 10", "v": "-3"})
+    assert out["num_updated"] == 1
+    got = {r["k"]: (r["ts"], r["v"])
+           for r in read_hudi(spark, dest2).collect()}
+    assert got[3] == (113, -3.0)
+
+
+def test_update_then_compact_preserves_values(spark, tmp_path):
+    """Updated values survive compaction (the upsert block folds into
+    the new base)."""
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.hudi_export import (
+        compact_hudi,
+        schedule_compaction,
+        update_hudi,
+    )
+
+    t, dest, _inst1 = _mk_mor(spark, tmp_path, n=20)
+    update_hudi(spark, dest, "k % 2 = 0", {"v": "v + 1000"})
+    assert schedule_compaction(dest) is not None
+    compact_hudi(spark, dest)
+    got = {r["k"]: r["v"] for r in read_hudi(spark, dest).collect()}
+    assert got[0] == 1000.0 and got[2] == 1002.0 and got[1] == 1.0

@@ -241,6 +241,7 @@ AUDIT = [
     "s84_iceberg_delete",  # stacked pos-delete state + changelog read
     "s85_iceberg_update",  # rewritten-rows state + changelog read
     "s86_hudi_delete",  # tombstone-folded state + CDC images read
+    "s87_hudi_update",  # upsert-block-folded state + CDC images read
     "st29_stream_iceberg_wap",  # published main read after streaming WAP
     "st30_stream_cdc_apply",  # CDC-applied (MERGE-sink) replica read
 ]
