@@ -1079,6 +1079,13 @@ def merge_delta(
     ])
 
     key, posk = "__dml_file", "__dml_pos"
+    reserved = {"__s", key, posk} & set(table_cols)
+    if reserved:
+        raise DeltaProtocolError(
+            f"table column name(s) {sorted(reserved)} are reserved by "
+            "the MERGE implementation's bookkeeping; rename the "
+            "column(s)"
+        )
     noop = {
         "version": base.last, "num_updated": 0, "num_deleted": 0,
         "num_inserted": 0, "files_with_dvs": 0, "files_removed": 0,
@@ -1093,8 +1100,10 @@ def merge_delta(
     # duplicate-key gate + the one join the merge needs: source LEFT
     # JOIN target — matched rows carry (file, pos) for the DV side and
     # the target's values for preimages; unmatched rows are inserts.
-    # Persisted: every downstream frame is a projection of it, and its
-    # size is |source| — delta-sized, never table-sized.
+    # Persisted: every downstream frame is a projection of it. Its
+    # size is |source| (delta-sized, never table-sized) — EXCEPT under
+    # the full-sync clause, whose full outer join inherently carries
+    # the whole target.
     dups = (
         src.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
     )

@@ -657,10 +657,11 @@ def _mdt_index_new_bases(dest: str, written: dict, inst: str) -> None:
         )
 
 
-def _avro_log_schema(schema) -> dict:
+def _avro_log_schema(schema, what: str = "export_hudi MERGE_ON_READ") -> dict:
     """Avro record schema for MOR log upsert records: the five
     ``_hoodie_*`` meta strings + the table's data columns (primitive
-    types only — the honest gate for log-append publishing)."""
+    types only — the honest gate for log-append publishing). ``what``
+    names the refusing operation in the gate's message."""
     import pyspark.sql.types as T
 
     m = [
@@ -683,7 +684,7 @@ def _avro_log_schema(schema) -> dict:
                 break
         else:
             raise ValueError(
-                f"export_hudi MERGE_ON_READ: column {f.name!r} has type "
+                f"{what}: column {f.name!r} has type "
                 f"{f.dataType.simpleString()}, which this log-append "
                 "publisher does not encode (primitive columns only)"
             )
@@ -2235,39 +2236,10 @@ def delete_from_hudi(spark, dest: str, predicate: str) -> dict:
     (``applyInPandas`` — the driver never sees a key list), and the
     commit is three timeline markers."""
     from . import hudi_log as HL
-    from .hudi import (
-        HudiProtocolError,
-        _completed_commits,
-        _latest_slices,
-        _merge_ordering,
-        _pending_clustering_groups,
-        _pending_compaction_groups,
-        _properties,
-        _read_mor,
-    )
+    from .hudi import HudiProtocolError
 
-    props = _properties(dest)
-    ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
-    if ttype != "MERGE_ON_READ":
-        raise HudiProtocolError(
-            f"hoodie.table.type={ttype}: delete_from_hudi appends "
-            "DELETE log blocks, which only MERGE_ON_READ readers fold "
-            "— a COW delete must rewrite file slices (stage the table "
-            "and export_hudi the filtered state)"
-        )
-    precombine = _merge_ordering(props)
-    hdir = os.path.join(dest, HOODIE_DIR)
-
-    done = _completed_commits(dest, allow_delta=True)
-    if not done:
-        raise HudiProtocolError(
-            "table has no completed commits; nothing to delete from"
-        )
-
-    scan = _read_mor(spark, dest, None, True, None)
-    fid_expr = F.regexp_extract(
-        F.regexp_replace(F.col("_hoodie_file_name"), r"^\.", ""),
-        r"^([^_]+)_", 1,
+    props, precombine, hdir, scan, fid_expr = _mor_dml_scan(
+        spark, dest, "delete_from_hudi", "DELETE"
     )
     hits = scan.filter(F.expr(predicate)).select(
         F.col("_hoodie_record_key").alias("__k"),
@@ -2333,6 +2305,47 @@ def delete_from_hudi(spark, dest: str, predicate: str) -> dict:
         "num_deleted": sum(int(r["deletes"]) for r in summary),
         "groups": len(summary),
     }
+
+
+def _mor_dml_scan(spark, dest: str, what: str, verb: str):
+    """Shared prologue of every log-appending DML op: the
+    MERGE_ON_READ gate (COW readers never fold logs — an appended
+    block would silently resurrect/vanish on a native reader), the
+    completed-commits gate, the keep-meta ``_read_mor`` fold scan
+    (existing tombstones already applied), and the fileId extraction
+    from ``_hoodie_file_name`` (base ``{fid}_{tok}_{inst}.parquet``
+    and log ``.{fid}_{bi}.log...`` shapes both yield the segment
+    before the first underscore). Returns
+    ``(props, precombine field | None, hdir, scan, fid column)``."""
+    from .hudi import (
+        HudiProtocolError,
+        _completed_commits,
+        _merge_ordering,
+        _properties,
+        _read_mor,
+    )
+
+    props = _properties(dest)
+    ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    if ttype != "MERGE_ON_READ":
+        raise HudiProtocolError(
+            f"hoodie.table.type={ttype}: {what} appends log blocks, "
+            "which only MERGE_ON_READ readers fold — a COW "
+            f"{verb} must rewrite file slices (stage the table and "
+            "export_hudi the new state)"
+        )
+    precombine = _merge_ordering(props)
+    hdir = os.path.join(dest, HOODIE_DIR)
+    if not _completed_commits(dest, allow_delta=True):
+        raise HudiProtocolError(
+            f"table has no completed commits; nothing to {verb}"
+        )
+    scan = _read_mor(spark, dest, None, True, None)
+    fid_expr = F.regexp_extract(
+        F.regexp_replace(F.col("_hoodie_file_name"), r"^\.", ""),
+        r"^([^_]+)_", 1,
+    )
+    return props, precombine, hdir, scan, fid_expr
 
 
 def _commit_log_dml(
@@ -2464,30 +2477,11 @@ def update_hudi(
     from pyspark.sql.types import StructType
 
     from . import hudi_log as HL
-    from .hudi import (
-        META_COLS,
-        HudiProtocolError,
-        _completed_commits,
-        _merge_ordering,
-        _properties,
-        _read_mor,
-    )
+    from .hudi import META_COLS, HudiProtocolError
 
-    props = _properties(dest)
-    ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
-    if ttype != "MERGE_ON_READ":
-        raise HudiProtocolError(
-            f"hoodie.table.type={ttype}: update_hudi appends UPSERT "
-            "log blocks, which only MERGE_ON_READ readers fold — a "
-            "COW update must rewrite file slices (stage the table and "
-            "export_hudi the updated state)"
-        )
-    precombine = _merge_ordering(props)
-    hdir = os.path.join(dest, HOODIE_DIR)
-    if not _completed_commits(dest, allow_delta=True):
-        raise HudiProtocolError(
-            "table has no completed commits; nothing to update"
-        )
+    props, precombine, hdir, scan, fid_expr = _mor_dml_scan(
+        spark, dest, "update_hudi", "update"
+    )
     key_fields = [
         c for c in props.get(
             "hoodie.table.recordkey.fields", ""
@@ -2513,7 +2507,6 @@ def update_hudi(
                 "UPDATE"
             )
 
-    scan = _read_mor(spark, dest, None, True, None)
     data_fields = [
         f for f in scan.schema.fields if f.name not in META_COLS
     ]
@@ -2524,15 +2517,13 @@ def update_hudi(
             f"SET columns {bad} not in the table schema "
             f"(columns: {data_cols})"
         )
-    avro_schema = _avro_log_schema(StructType(data_fields))
+    avro_schema = _avro_log_schema(
+        StructType(data_fields), what="update_hudi"
+    )
     avro_types = {
         f["name"]: f["type"][1] for f in avro_schema["fields"]
     }
 
-    fid_expr = F.regexp_extract(
-        F.regexp_replace(F.col("_hoodie_file_name"), r"^\.", ""),
-        r"^([^_]+)_", 1,
-    )
     # SET expressions all see the PRE-update row: one projection
     hits = scan.filter(F.expr(predicate)).select(
         F.col("_hoodie_record_key").alias("__k"),

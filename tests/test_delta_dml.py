@@ -806,12 +806,18 @@ def test_merge_full_sync_idempotent_and_empty_source(spark, tmp_path):
     under the clause empties the table."""
     root, _rels = _mk_table(spark, tmp_path, n=10)
     src = spark.range(4).select(
-        F.col("k").alias("k") if False else F.col("id").alias("k"),
-        (F.col("id") * 2.0).alias("v"),
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"),
     )
     out = merge_delta(spark, root, src, on=["k"],
                       not_matched_by_source="delete")
     assert out["num_deleted"] == 6
+    assert _keys(spark, root) == {0, 1, 2, 3}
+    # re-running the SAME full-sync merge: the delete side is
+    # idempotent (all doomed rows already dead -> num_deleted 0);
+    # the update side re-applies by ANSI MERGE semantics
+    out_re = merge_delta(spark, root, src, on=["k"],
+                         not_matched_by_source="delete")
+    assert out_re["num_deleted"] == 0 and out_re["num_updated"] == 4
     assert _keys(spark, root) == {0, 1, 2, 3}
     # empty source + full sync: the table empties (files removed
     # outright when every row dies)
