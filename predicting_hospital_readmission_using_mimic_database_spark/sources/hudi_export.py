@@ -421,108 +421,181 @@ def export_hudi(
             )
         return inst
 
+    # COW publish: ALL touched buckets in ONE staged Spark write
+    # (repartitioned so each (fileId[, partition]) group lands in one
+    # task and emits exactly one file), with the previous bases — when
+    # carry-forward applies — read in ONE mergeSchema scan keyed back
+    # to their fileId by basename. The per-bucket loop this replaces
+    # scheduled one write job (plus one read+join) per bucket
+    # sequentially; at N buckets that is O(N) driver round-trips for
+    # work that is one pass over the touched rows (optimization guide
+    # §1.2/§2.6 — measured 58 jobs -> ~30 on the s40 entry).
     written: dict[str, list[dict]] = {}
     tok = _write_token()
-    for b in sorted(touched):
-        fid = f"b{b:04d}"
-        fname = f"{fid}_{tok}_{inst}.parquet"
-        rows = (
-            cur.filter(F.col("__b") == b)
-            .drop("__b")
-            .withColumn("__k", key_expr)
+    touched_list = sorted(int(b) for b in touched)
+    rows = cur.filter(F.col("__b").isin(touched_list)).withColumn(
+        "__k", key_expr
+    )
+    rows = rows.withColumn("__h", _row_hash(rows)).withColumn(
+        "__fid", F.format_string("b%04d", F.col("__b").cast("int"))
+    )
+    want_fids = {f"b{b:04d}" for b in touched_list}
+    prev_paths: list[str] = []
+    if prev_slices is not None:
+        prev_paths = sorted(
+            p for (_part, g), (_i, p) in prev_slices.items() if g in want_fids
         )
-        rows = rows.withColumn("__h", _row_hash(rows))
-        prev_ct = None
-        if prev_slices is not None:
-            paths = [
-                p for (_part, g), (_i, p) in prev_slices.items() if g == fid
-            ]
-            if paths:
-                old = spark.read.parquet(*paths)
-                prev_ct = (
-                    old.select(
-                        F.col("_hoodie_record_key").alias("__k"),
-                        F.col("_hoodie_commit_time").alias("__old_ct"),
-                        _row_hash(old).alias("__h"),
-                    )
-                    # one entry per (key, content): exact-duplicate
-                    # rows collapse, so the join can never fan out
-                    .groupBy("__k", "__h")
-                    .agg(F.min("__old_ct").alias("__old_ct"))
-                )
-        if prev_ct is not None:
-            rows = rows.join(prev_ct, ["__k", "__h"], "left").withColumn(
-                "__ct", F.coalesce(F.col("__old_ct"), F.lit(inst))
-            )
-        else:
-            rows = rows.withColumn("__ct", F.lit(inst))
-        out = rows.select(
-            F.col("__ct").alias("_hoodie_commit_time"),
-            F.concat_ws(
-                "_", F.col("__ct"), F.lit(str(b)),
-                F.col("__k"),
-            ).alias("_hoodie_commit_seqno"),
-            F.col("__k").alias("_hoodie_record_key"),
-            pp_expr.alias("_hoodie_partition_path"),
-            F.lit(fname).alias("_hoodie_file_name"),
-            *data_cols,
-        )
-        stage = os.path.join(dest, f".stage-{fid}-{inst}")
-        if partition_by:
-            # ONE job per bucket whatever the partition count: stage
-            # with partitionBy on a DUPLICATE of the partition path
-            # (partitionBy strips its column; the real partition
-            # columns and _hoodie_partition_path stay in the data,
-            # where Hudi readers resolve them), then place each
-            # partition's file under its col=value dir
-            (
-                out.withColumn("__pp", F.col("_hoodie_partition_path"))
-                .coalesce(1)
-                .write.partitionBy("__pp")
-                .parquet(stage, mode="overwrite")
-            )
-            from urllib.parse import unquote
+    if prev_paths:
+        # basename -> fileId from the listing itself (no name parsing
+        # beyond what the listing already resolved); schemas may
+        # differ across slices after merge_schema appends — the read
+        # schema is EXPLICIT (meta columns + the table's current
+        # schema), so columns an old slice lacks read as null with no
+        # footer-merging inference job, and _row_hash's null-fill
+        # keeps the hash stable (to_json omits null fields either way)
+        from pyspark.sql.types import StringType, StructField, StructType
 
-            placed: set[str] = set()
-            for d in sorted(glob.glob(os.path.join(stage, "__pp=*"))):
+        name_to_fid = sorted(
+            {
+                (os.path.basename(p), g)
+                for (_part, g), (_i, p) in prev_slices.items()
+                if g in want_fids
+            }
+        )
+        ndf = F.broadcast(
+            spark.createDataFrame(name_to_fid, "__fn string, __fid string")
+        )
+        read_schema = StructType(
+            [
+                StructField("_hoodie_commit_time", StringType()),
+                StructField("_hoodie_record_key", StringType()),
+            ]
+            + list(table.schema.fields)
+        )
+        old = spark.read.schema(read_schema).parquet(*prev_paths)
+        old = old.withColumn(
+            "__fn", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        prev_ct = (
+            old.join(ndf, "__fn")
+            .select(
+                F.col("__fid"),
+                F.col("_hoodie_record_key").alias("__k"),
+                F.col("_hoodie_commit_time").alias("__old_ct"),
+                _row_hash(old).alias("__h"),
+            )
+            # one entry per (group, key, content): exact-duplicate
+            # rows collapse, so the join can never fan out
+            .groupBy("__fid", "__k", "__h")
+            .agg(F.min("__old_ct").alias("__old_ct"))
+        )
+        rows = rows.join(prev_ct, ["__fid", "__k", "__h"], "left").withColumn(
+            "__ct", F.coalesce(F.col("__old_ct"), F.lit(inst))
+        )
+    else:
+        rows = rows.withColumn("__ct", F.lit(inst))
+    out = rows.select(
+        F.col("__ct").alias("_hoodie_commit_time"),
+        F.concat_ws(
+            "_", F.col("__ct"), F.col("__b").cast("string"),
+            F.col("__k"),
+        ).alias("_hoodie_commit_seqno"),
+        F.col("__k").alias("_hoodie_record_key"),
+        pp_expr.alias("_hoodie_partition_path"),
+        F.concat(
+            F.col("__fid"), F.lit(f"_{tok}_{inst}.parquet")
+        ).alias("_hoodie_file_name"),
+        *data_cols,
+        F.col("__fid"),
+    )
+    # partitionBy strips the routing columns; the real partition
+    # columns and _hoodie_partition_path stay in the data, where Hudi
+    # readers resolve them
+    if partition_by:
+        staged = out.withColumn("__pp", F.col("_hoodie_partition_path"))
+        part_cols = ["__fid", "__pp"]
+    else:
+        staged = out
+        part_cols = ["__fid"]
+    stage = os.path.join(dest, f".stage-{inst}")
+    (
+        staged.repartition(max(len(touched_list), 1), *part_cols)
+        .write.partitionBy(*part_cols)
+        .parquet(stage, mode="overwrite")
+    )
+    from urllib.parse import unquote
+
+    placed: dict[str, list[str]] = {}  # fid -> hive-order placed rels
+    for fdir in sorted(glob.glob(os.path.join(stage, "__fid=*"))):
+        fid = unquote(os.path.basename(fdir)[len("__fid="):])
+        fname = f"{fid}_{tok}_{inst}.parquet"
+        if partition_by:
+            for d in sorted(glob.glob(os.path.join(fdir, "__pp=*"))):
                 rel = unquote(os.path.basename(d)[len("__pp="):])
                 part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
                 pdir = os.path.join(dest, rel)
                 os.makedirs(pdir, exist_ok=True)
                 shutil.move(part, os.path.join(pdir, fname))
+                placed.setdefault(fid, []).append(rel)
+        else:
+            part = glob.glob(os.path.join(fdir, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(dest, fname))
+            placed.setdefault(fid, [])
+    # empty slices, written once and copied: (a) an unpartitioned
+    # touched bucket with zero surviving rows still rewrites (group
+    # identity is (partition, fileId) — without the rewrite the stale
+    # slice would keep serving the deleted rows); (b) a partition a
+    # bucket previously had rows in but no longer does gets a new
+    # empty slice for the same reason
+    need_empty: list[tuple[str, str]] = []  # (fid, rel-or-"")
+    for b in touched_list:
+        fid = f"b{b:04d}"
+        if not partition_by:
+            if fid not in placed:
+                need_empty.append((fid, ""))
+        elif prev_slices is not None:
+            got = {os.path.normpath(r) for r in placed.get(fid, [])}
+            need_empty.extend(
+                (fid, p)
+                for p in sorted(
+                    p
+                    for (p, g) in prev_slices
+                    if g == fid and p not in got and p != "."
+                )
+            )
+    empty_src = None
+    if need_empty:
+        stage2 = os.path.join(dest, f".stage-{inst}-empty")
+        out.drop("__fid").limit(0).coalesce(1).write.parquet(
+            stage2, mode="overwrite"
+        )
+        empty_src = glob.glob(os.path.join(stage2, "part-*.parquet"))[0]
+    empties: dict[str, list[str]] = {}
+    for fid, rel in need_empty:
+        fname = f"{fid}_{tok}_{inst}.parquet"
+        pdir = dest if not rel else os.path.join(dest, rel)
+        os.makedirs(pdir, exist_ok=True)
+        shutil.copy(empty_src, os.path.join(pdir, fname))
+        empties.setdefault(fid, []).append(rel)
+    if empty_src is not None:
+        shutil.rmtree(os.path.dirname(empty_src))
+    shutil.rmtree(stage)
+    # commit-marker stats in the same bucket-major order the
+    # per-bucket writer produced (placed partitions, then empties)
+    for b in touched_list:
+        fid = f"b{b:04d}"
+        fname = f"{fid}_{tok}_{inst}.parquet"
+        if fid in placed and not partition_by:
+            written.setdefault("", []).append({"fileId": fid, "path": fname})
+        else:
+            for rel in placed.get(fid, []):
                 written.setdefault(rel, []).append(
                     {"fileId": fid, "path": f"{rel}/{fname}"}
                 )
-                placed.add(os.path.normpath(rel))
-            # a partition this bucket previously had rows in but no
-            # longer does must still get a NEW (empty) slice: group
-            # identity is (partition, fileId), so without the rewrite
-            # the stale slice would keep serving the deleted rows
-            if prev_slices is not None:
-                gone = sorted(
-                    p
-                    for (p, g) in prev_slices
-                    if g == fid and p not in placed and p != "."
-                )
-                if gone:
-                    empty = out.limit(0)
-                    stage2 = os.path.join(dest, f".stage-{fid}-{inst}-empty")
-                    empty.coalesce(1).write.parquet(stage2, mode="overwrite")
-                    src = glob.glob(os.path.join(stage2, "part-*.parquet"))[0]
-                    for rel in gone:
-                        pdir = os.path.join(dest, rel)
-                        os.makedirs(pdir, exist_ok=True)
-                        shutil.copy(src, os.path.join(pdir, fname))
-                        written.setdefault(rel, []).append(
-                            {"fileId": fid, "path": f"{rel}/{fname}"}
-                        )
-                    shutil.rmtree(stage2)
-        else:
-            out.coalesce(1).write.parquet(stage, mode="overwrite")
-            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            shutil.move(part, os.path.join(dest, fname))
-            written.setdefault("", []).append({"fileId": fid, "path": fname})
-        shutil.rmtree(stage)
+        for rel in empties.get(fid, []):
+            written.setdefault(rel, []).append(
+                {"fileId": fid, "path": fname if not rel else f"{rel}/{fname}"}
+            )
 
     # completed-instant marker with write stats (readers gate on the
     # file's presence; the stats body is the writer-shaped content).
