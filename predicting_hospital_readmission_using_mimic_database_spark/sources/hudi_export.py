@@ -424,8 +424,8 @@ def export_hudi(
     # COW publish: ALL touched buckets in ONE staged Spark write
     # (repartitioned so each (fileId[, partition]) group lands in one
     # task and emits exactly one file), with the previous bases — when
-    # carry-forward applies — read in ONE mergeSchema scan keyed back
-    # to their fileId by basename. The per-bucket loop this replaces
+    # carry-forward applies — read in ONE explicit-schema scan keyed
+    # back to their fileId by basename. The per-bucket loop this replaces
     # scheduled one write job (plus one read+join) per bucket
     # sequentially; at N buckets that is O(N) driver round-trips for
     # work that is one pass over the touched rows (optimization guide
