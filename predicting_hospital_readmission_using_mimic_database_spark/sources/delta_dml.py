@@ -986,6 +986,7 @@ def merge_delta(
     spark: SparkSession, root: str, source: DataFrame, on: list[str],
     when_matched: str = "update", insert: bool = True,
     not_matched_by_source: str | None = None,
+    broadcast_source_rows: int = 1_000_000,
 ) -> dict:
     """Delta-native ``MERGE INTO <table at root> t USING <source> s ON
     <equi-keys>`` — the row-delta shape: matched target rows die via
@@ -1016,6 +1017,15 @@ def merge_delta(
     update_preimage / update_postimage / delete / insert — so
     :func:`~.delta.read_delta_changes` replays the merge exactly
     (never deriving spurious pairs from carried rows).
+
+    Join strategy is size-adaptive: a source at or under
+    ``broadcast_source_rows`` (the normal CDC/upsert case) takes the
+    LOW-SHUFFLE path — the target scan is pre-filtered to matched rows
+    by a broadcast semi-join on the source keys (map-only, the target
+    is never shuffled) and the ≤|source| survivors broadcast back for
+    the left join; a table-sized source falls back to the shuffled
+    join. The full-sync clause always joins full outer (it inherently
+    reads the whole target).
 
     Declared CHECK / NOT NULL / invariant / generated rules are
     enforced on the LANDING rows (updates + inserts) in one aggregate
@@ -1103,15 +1113,19 @@ def merge_delta(
     # Persisted: every downstream frame is a projection of it. Its
     # size is |source| (delta-sized, never table-sized) — EXCEPT under
     # the full-sync clause, whose full outer join inherently carries
-    # the whole target.
-    dups = (
-        src.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
-    )
-    if dups:
+    # the whole target. The gate is ONE aggregate (count vs distinct
+    # null-safe key structs) whose row count also drives the join
+    # strategy below.
+    row = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.struct(*[F.col(c) for c in on])).alias("nd"),
+    ).collect()[0]
+    if int(row["nd"]) != int(row["n"]):
         raise DeltaProtocolError(
             f"source has duplicate key tuples under {on}; MERGE "
             "requires at most one source row per target row"
         )
+    n_src = int(row["n"])
     s = src.withColumn("__s", F.lit(True)).alias("s")
     if tgt is not None:
         t = tgt.alias("t")
@@ -1120,8 +1134,23 @@ def merge_delta(
             cond = cond & F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
         # the full-sync clause must SEE unmatched target rows: full
         # outer; otherwise the join stays source-sized (left)
-        jtype = "full_outer" if not_matched_by_source else "left"
-        j = s.join(t, cond, jtype).persist()
+        if not_matched_by_source:
+            j = s.join(t, cond, "full_outer").persist()
+        elif n_src <= broadcast_source_rows:
+            # low-shuffle merge (optimization guide §3.2): the target
+            # is never shuffled — its scan is pre-filtered to the
+            # matched rows by a broadcast SEMI join on the source's
+            # key tuples (map-only pass over the live files), and the
+            # ≤|source| surviving target rows broadcast back onto the
+            # source for the left join. Zero exchanges end to end vs
+            # two table-sized ones in the sort-merge shape below.
+            keys = src.select(*on).alias("s")
+            t_hits = t.join(F.broadcast(keys), cond, "left_semi").alias("t")
+            j = s.join(F.broadcast(t_hits), cond, "left").persist()
+        else:
+            # table-sized source: fall back to the shuffled join —
+            # broadcasting it would OOM the executors
+            j = s.join(t, cond, "left").persist()
     else:
         j = s.select(
             "*",
