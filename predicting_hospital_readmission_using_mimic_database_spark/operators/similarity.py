@@ -457,7 +457,8 @@ _KMEANS_FIT_SAMPLE = 100_000
 
 
 def _fit_centroids(
-    norm: DataFrame, array_col: str, n_cells: int, seed: int, max_iter: int = 10
+    norm: DataFrame, array_col: str, n_cells: int, seed: int,
+    max_iter: int = 10, n: int | None = None,
 ) -> list[list[float]]:
     """Lloyd's k-means on a bounded uniform sample, DRIVER-side numpy.
 
@@ -471,7 +472,8 @@ def _fit_centroids(
     (the radius bound proves exact top-k)."""
     import numpy as np
 
-    n = norm.count()
+    if n is None:
+        n = norm.count()
     src = norm.select(F.col(array_col).alias("__a"))
     if n > _KMEANS_FIT_SAMPLE:
         src = src.sample(fraction=_KMEANS_FIT_SAMPLE / n, seed=seed).limit(
@@ -506,27 +508,37 @@ def assign_cells(
     df: DataFrame, array_col: str, centroids, out: str = "__cell"
 ) -> DataFrame:
     """Distributed IVF cell assignment: nearest centroid per row via one
-    numpy matmul per Arrow batch (``mapInPandas``, centroids broadcast).
-    All input columns pass through; adds ``out`` (int cell id)."""
+    numpy matmul per Arrow batch (vectorized ``pandas_udf``, centroids
+    broadcast). All input columns pass through — and, unlike the
+    mapInPandas shape this replaces, only ``array_col`` crosses the
+    Python boundary (guide §4.1: an opaque whole-frame function ships
+    every column; a pandas_udf ships exactly its inputs — the raw
+    ``__orig`` vectors riding these frames stay JVM-side). Adds ``out``
+    (int cell id)."""
     import numpy as np
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)
     c2 = (C * C).sum(axis=1)
     bc = df.sparkSession.sparkContext.broadcast((C, c2))
-    schema = StructType(list(df.schema.fields) + [StructField(out, IntegerType())])
 
-    def gen(batches):
+    def _nearest(arrs):
         C, c2 = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.asarray(list(pdf[array_col]), dtype=np.float64)
-            # ||v||^2 is constant per row — argmin needs only the cross term
-            pdf[out] = (c2[None, :] - 2.0 * (X @ C.T)).argmin(axis=1).astype("int32")
-            yield pdf
+        if len(arrs) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.asarray(list(arrs), dtype=np.float64)
+        # ||v||^2 is constant per row — argmin needs only the cross term
+        return pd.Series(
+            (c2[None, :] - 2.0 * (X @ C.T)).argmin(axis=1).astype("int32")
+        )
 
-    return df.mapInPandas(gen, schema)
+    # eager annotations: the module's `from __future__ import
+    # annotations` stringifies inline hints, which pandas_udf's
+    # type-hint inference cannot resolve against a locally-imported pd
+    _nearest.__annotations__ = {"arrs": pd.Series, "return": pd.Series}
+    nearest_cell = pandas_udf(_nearest, "int")
+    return df.withColumn(out, nearest_cell(F.col(array_col)))
 
 
 def topk_ivf(
@@ -914,35 +926,38 @@ def pq_encode(
     per vector vs ``4*dim`` for the raw floats (the compression ratio
     the n7 entry asserts)."""
     import numpy as np
-    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(coarse_centroids, dtype=np.float64)
     B = [np.asarray(b, dtype=np.float64) for b in codebooks]
     M = len(B)
     dsub = B[0].shape[1]
     bc = assigned.sparkSession.sparkContext.broadcast((C, B))
-    schema = StructType(
-        list(assigned.schema.fields)
-        + [StructField(out, ArrayType(IntegerType()), True)]
-    )
 
-    def gen(batches):
+    # vectorized pandas_udf rather than mapInPandas: only the vector
+    # and cell columns cross the Python boundary (guide §4.1) — the id
+    # and any raw-float columns riding the frame stay JVM-side
+    def _encode(arrs, cells):
         C, B = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.asarray(list(pdf[array_col]), dtype=np.float64)
-            R = X - C[pdf[cell_col].to_numpy()]
-            codes = np.empty((len(R), M), dtype=np.int64)
-            for m in range(M):
-                S = R[:, m * dsub:(m + 1) * dsub]
-                cb = B[m]
-                c2 = (cb * cb).sum(axis=1)
-                codes[:, m] = (c2[None, :] - 2.0 * (S @ cb.T)).argmin(axis=1)
-            pdf[out] = list(codes)
-            yield pdf
+        if len(arrs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray(list(arrs), dtype=np.float64)
+        R = X - C[cells.to_numpy()]
+        codes = np.empty((len(R), M), dtype=np.int64)
+        for m in range(M):
+            S = R[:, m * dsub:(m + 1) * dsub]
+            cb = B[m]
+            c2 = (cb * cb).sum(axis=1)
+            codes[:, m] = (c2[None, :] - 2.0 * (S @ cb.T)).argmin(axis=1)
+        return pd.Series(list(codes))
 
-    return assigned.mapInPandas(gen, schema)
+    # eager annotations: see assign_cells (future-annotations module)
+    _encode.__annotations__ = {
+        "arrs": pd.Series, "cells": pd.Series, "return": pd.Series,
+    }
+    encode = pandas_udf(_encode, "array<int>")
+    return assigned.withColumn(out, encode(F.col(array_col), F.col(cell_col)))
 
 
 def topk_ivf_pq(
@@ -997,12 +1012,14 @@ def topk_ivf_pq(
     # dim not divisible by m_subspaces) still releases the caches
     encoded = None
     try:
-        centers = _fit_centroids(norm, "__arr", n_cells, seed)
+        # ONE count serves the coarse fit's sample sizing and the PQ
+        # sample below (the fit used to re-count internally)
+        n = norm.count()
+        centers = _fit_centroids(norm, "__arr", n_cells, seed, n=n)
         assigned = assign_cells(norm, "__arr", centers)
 
         # PQ training sample: residuals of the same bounded sample the
         # coarse fit used (two tiny driver collects total)
-        n = norm.count()
         src = assigned.select("__arr", "__cell")
         if n > _KMEANS_FIT_SAMPLE:
             src = src.sample(
@@ -1016,9 +1033,12 @@ def topk_ivf_pq(
         ]
         books = train_pq_codebooks(sample_res, m_subspaces, ksub, seed)
 
+        # the normalized vectors are spent once the codes exist: drop
+        # them before persisting so the cached index holds (id, orig,
+        # cell, M-byte code) — not a second full float vector per row
         encoded = pq_encode(
             assigned, "__arr", "__cell", centers, books
-        ).persist()
+        ).drop("__arr").persist()
         # probe cells: nearest coarse centroids to the (unit) query
         q = np.asarray([float(v) for v in query], dtype=np.float64)
         qn = q / np.linalg.norm(q)
@@ -1044,7 +1064,12 @@ def topk_ivf_pq(
             StructType,
         )
 
-        cand = encoded.filter(F.col("__cell").isin(probe))
+        # prune BEFORE the opaque python pass: mapInPandas ships every
+        # input column to the worker (guide §4.1) — the ADC ranking
+        # needs only (id, cell, code), never the raw __orig floats
+        cand = encoded.filter(F.col("__cell").isin(probe)).select(
+            id_col, "__cell", "__pq_code"
+        )
         adc_schema = StructType([
             cand.schema[id_col],
             StructField("__adc", DoubleType(), True),
