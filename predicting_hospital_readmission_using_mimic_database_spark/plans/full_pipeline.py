@@ -234,8 +234,13 @@ def run_pipeline(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
     scored = MO.predict_proba(model, test)
 
     m = ME.auc_with_battery(scored, "p1", "y", 0.5).collect()[0]
-    n_users = table.count()
-    prevalence = table.agg(F.round(F.avg("label"), 4)).collect()[0][0]
+    # one aggregate job per frame: n_users+prevalence fuse over the
+    # cached per-user table, and the balanced-train total is the sum of
+    # the per-class counts already collected for the balance check
+    trow = table.agg(
+        F.count("*").alias("n"), F.round(F.avg("label"), 4).alias("prev")
+    ).collect()[0]
+    n_users, prevalence = trow["n"], trow["prev"]
     cls = [r["n"] for r in train_bal.groupBy("y").agg(F.count("*").alias("n")).collect()]
 
     return spark.createDataFrame(
@@ -243,7 +248,7 @@ def run_pipeline(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
             (
                 n_users,
                 float(prevalence),
-                train_bal.count(),
+                sum(cls),
                 bool(len(cls) > 1 and max(cls) == min(cls)),
                 scored.count(),
                 m["roc_auc"],
