@@ -370,15 +370,18 @@ def merge_iceberg(
         F.col(f.name).cast(f.dataType).alias(f.name)
         for f in schema.fields
     ])
-    dups = (
-        src.groupBy(*on).count().filter(F.col("count") > 1)
-        .limit(1).count()
-    )
-    if dups:
+    # duplicate-key gate in ONE aggregate (count vs distinct null-safe
+    # key structs) whose row count also drives the join strategy below
+    row = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.struct(*[F.col(c) for c in on])).alias("nd"),
+    ).collect()[0]
+    if int(row["nd"]) != int(row["n"]):
         raise IcebergProtocolError(
             f"source has duplicate key tuples under {on}; MERGE "
             "requires at most one source row per target row"
         )
+    n_src = int(row["n"])
 
     fpk, posk = "__ice_dml_file", "__ice_dml_pos"
     tgt = read_iceberg(
@@ -389,8 +392,18 @@ def merge_iceberg(
     cond = F.lit(True)
     for k in on:
         cond = cond & F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
-    # ONE source-sized join; every downstream frame projects from it
-    j = s.join(t, cond, "left").persist()
+    # ONE source-sized join; every downstream frame projects from it.
+    # Delta-sized sources (the normal case) take the low-shuffle shape
+    # (optimization guide §3.2): a broadcast semi join on the source
+    # keys pre-filters the target scan to matched rows — the target is
+    # never shuffled — and the <=|source| survivors broadcast back for
+    # the left join; table-sized sources keep the shuffled fallback.
+    if n_src <= 1_000_000:
+        keys = src.select(*on).alias("s")
+        t_hits = t.join(F.broadcast(keys), cond, "left_semi").alias("t")
+        j = s.join(F.broadcast(t_hits), cond, "left").persist()
+    else:
+        j = s.join(t, cond, "left").persist()
     try:
         matched = j.filter(F.col(fpk).isNotNull())
         unmatched = j.filter(F.col(fpk).isNull())
