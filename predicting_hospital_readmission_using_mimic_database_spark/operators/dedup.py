@@ -669,10 +669,8 @@ def connected_components_star(
                 # exact confirmation — checksum equality is necessary
                 # but not sufficient; this runs ONCE at the candidate
                 # fixpoint
-                if (
-                    e2.exceptAll(e).limit(1).count() == 0
-                    and e.exceptAll(e2).limit(1).count() == 0
-                ):
+                # symmetric multiset equality in ONE job
+                if e2.exceptAll(e).unionAll(e.exceptAll(e2)).isEmpty():
                     converged = True
                     e = e2
                     break

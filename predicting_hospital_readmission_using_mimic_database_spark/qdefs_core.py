@@ -6031,8 +6031,11 @@ def q_s40(spark, sf):
     # merge's rows (carried rows kept their first-export instant)
     inc = read_hudi_incremental(spark, dest, begin=i1)
     expected = upd.unionByName(ins)
-    assert inc.exceptAll(expected).count() == 0
-    assert expected.exceptAll(inc).count() == 0
+    # symmetric multiset equality in ONE job (two exceptAll counts
+    # would schedule two)
+    assert inc.exceptAll(expected).unionAll(
+        expected.exceptAll(inc)
+    ).isEmpty()
     # pre-merge time travel sees the original state
     assert read_hudi(spark, dest, as_of=i1).count() == c.count()
     return read_hudi(spark, dest)
@@ -8821,8 +8824,10 @@ def q_s78(spark, sf):
     # content survived the layout change: pre-clustering time travel
     # serves the same rows the clustered snapshot does
     before = read_hudi(spark, dest, as_of=wi)
-    assert before.exceptAll(got).count() == 0
-    assert got.exceptAll(before).count() == 0
+    # symmetric multiset equality in ONE job
+    assert before.exceptAll(got).unionAll(
+        got.exceptAll(before)
+    ).isEmpty()
     return got
 
 
