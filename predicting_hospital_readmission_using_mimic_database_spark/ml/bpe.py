@@ -408,7 +408,13 @@ def bpe_train(
     import uuid
 
     base_sess = df.sparkSession
-    sess = base_sess.newSession()
+    # tune_session first: newSession() starts from builder-time confs
+    # only, so the engine's runtime confs (nanos-as-long parquet,
+    # python-source filter pushdown, data-source registration) would
+    # otherwise be lost under the clone (see session.loop_session)
+    from ..session import tune_session as _tune
+
+    sess = _tune(base_sess.newSession())
     sess.conf.set(
         "spark.sql.session.timeZone",
         base_sess.conf.get("spark.sql.session.timeZone"),

@@ -487,6 +487,18 @@ def cosine_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _loop_key_skewed(max_deg: int, n_rows: int, n_parts: int) -> bool:
+    """Should an iterative join loop keep AQE's runtime skew splitting?
+
+    True when ONE key's rows exceed 4x an average partition AND the
+    hot key is big in absolute terms (1M rows ~ tens of MB even at
+    wide-row estimates — below that a 'skewed' task is still far under
+    AQE's own 256 MB skewedPartitionThresholdInBytes and splitting
+    buys nothing). Guide §2.5: AQE skew handling only applies to
+    joins, which is exactly what the CC loops run per round."""
+    return max_deg > 1_000_000 and max_deg * n_parts > 4 * n_rows
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a_id",
@@ -515,20 +527,56 @@ def connected_components(
 
     base_sess = pairs.sparkSession
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # ONE materialization of the (possibly expensive) upstream pair
+    # plan — the old shape ran it twice: once when the
+    # ``edges.rdd.getNumPartitions()`` pin forced physical planning
+    # (under AQE that materializes the plan's stages as real jobs)
+    # against the cold cache, and again when the loop's first action
+    # filled it. (The cache also pinned the frame at the SESSION
+    # shuffle-partition count: AQE cannot re-coalesce a cached plan.)
     edges = (
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
+    # probe the loop's join key over the checkpointed rows (cheap):
+    # the in-loop equi-join is keyed on dst, so a power-law hub key
+    # means one straggler task per iteration unless the loop keeps
+    # skew splitting; the row count also sizes the loop's shuffles
+    deg = edges.groupBy("dst").count().agg(
+        F.coalesce(F.max("count"), F.lit(0)).alias("mx"),
+        F.coalesce(F.sum("count"), F.lit(0)).alias("n"),
+    ).first()
+    # scale-adaptive pin: ~4M (src,dst) rows (~100-150 MB shuffled,
+    # guide §2.2's partition-size band) per partition, derived from
+    # the probed edge count — never a constant tuned to either local
+    # mode or one cluster size
+    pin = max(1, min(int(deg["n"]) // 4_000_000 + 1, 1 << 20))
+    skewed = _loop_key_skewed(int(deg["mx"]), int(deg["n"]), pin)
+    if not skewed:
+        # pre-partition (and pre-sort) the edge list by the loop's
+        # join key ONCE: every iteration's edges-join-labels then
+        # needs NO exchange and NO sort on the edge side — the loop
+        # shuffles only the node-sized labels (guide §2.4). Skipped
+        # under skew: a pre-partitioned side is not a shuffle stage,
+        # so AQE could not split its hub partition.
+        edges = (
+            edges.repartition(pin, "dst")
+            .sortWithinPartitions("dst")
+            .localCheckpoint(eager=True)
+        )
     n_changed = 0
     # fixed-shape rounds (one equi-join + one min agg) run under the
     # loop-scoped cloned session: AQE off (nothing to re-plan, one
-    # fewer driver job per exchange per round), shuffle partitions
-    # pinned to the edge frame's own partitioning (input-derived)
+    # fewer driver job per exchange per round) UNLESS the probe found
+    # a hot key, shuffle partitions pinned to match the edge frame's
+    # own partitioning
     with loop_session(
-        edges, shuffle_partitions=edges.rdd.getNumPartitions()
+        edges,
+        shuffle_partitions=pin,
+        skew_join=skewed,
     ) as (_sess, (edges_l,)):
         labels = (
             edges_l.select(F.col("src").alias("id"))
@@ -560,7 +608,6 @@ def connected_components(
             if n_changed == 0:
                 break
         labels = adopt_frame(base_sess, labels)
-    edges.unpersist()
     if n_changed > 0:
         # a >max_iter-hop chain: partially-propagated labels are WRONG
         # answers (silently splitting one component in two) — refuse
@@ -630,23 +677,57 @@ def connected_components_star(
 
     base_sess = pairs.sparkSession
     e0 = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    if e0.filter(F.col("u").isNull() | F.col("v").isNull()).limit(1).count():
+    # ONE materialization of the (possibly expensive) upstream pair
+    # plan: dedupe base-side (AQE coalescing right-sizes the shuffle
+    # from the data) and pin the result with an eager localCheckpoint.
+    # NULL endpoints ride through the filter so the null gate below
+    # reads the checkpoint instead of re-running the upstream plan —
+    # the old shape ran it three times (null gate, the
+    # ``e0.rdd.getNumPartitions()`` pin whose physical planning
+    # materialized the plan's stages under AQE, and the in-loop
+    # distinct).
+    e = (
+        e0.filter(
+            (F.col("u") != F.col("v"))
+            | F.col("u").isNull()
+            | F.col("v").isNull()
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if e.filter(F.col("u").isNull() | F.col("v").isNull()).limit(1).count():
         raise ValueError("connected_components_star: NULL pair endpoints")
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # skew probe on the phase join's key (the symmetrized endpoint): a
+    # power-law hub would straggle every round with skew splitting off
+    deg = (
+        e.select("u")
+        .unionByName(e.select(F.col("v").alias("u")))
+        .groupBy("u")
+        .count()
+        .agg(
+            F.coalesce(F.max("count"), F.lit(0)).alias("mx"),
+            F.coalesce(F.sum("count"), F.lit(0)).alias("n"),
+        )
+        .first()
+    )
+    pin = max(1, e.rdd.getNumPartitions())  # checkpointed: no planning jobs
     # the alternating star phases are fixed-shape rounds (symmetrize +
     # min agg + join, O(|E|) shuffles): run them under the loop-scoped
-    # cloned session — AQE off, shuffle partitions pinned to the input
-    # pair frame's own partitioning (input-derived, not a constant)
+    # cloned session — AQE off unless the probe found a hub, shuffle
+    # partitions pinned to the deduped pair frame's own partitioning
+    # (input-derived, not a constant)
     with loop_session(
-        e0, shuffle_partitions=e0.rdd.getNumPartitions()
+        e,
+        shuffle_partitions=pin,
+        skew_join=_loop_key_skewed(int(deg["mx"]), int(deg["n"]), pin),
     ) as (_sess, (e_l,)):
-        e = e_l.filter(F.col("u") != F.col("v")).distinct()
-        nodes = (
-            e.select(F.col("u").alias("id"))
-            .unionByName(e.select(F.col("v").alias("id")))
-            .distinct()
-            .localCheckpoint()
-        )
-        e = e.localCheckpoint()
+        e = e_l
 
         def _checksum(df: DataFrame):
             # bit_xor: order-independent and overflow-free (ANSI mode
@@ -682,18 +763,19 @@ def connected_components_star(
                 "rounds — raise max_rounds (bounded by O(log^2 n), so this "
                 "indicates either a tiny max_rounds or a bug, not a deep graph)"
             )
-        # fixpoint is a union of disjoint stars (v -> component min);
-        # label centers (and any node never re-attached) with themselves
-        out = (
-            nodes.join(
-                e.select(F.col("u").alias("id"), F.col("v").alias("__c")),
-                "id",
-                "left",
-            )
-            .groupBy("id")
-            .agg(F.min(F.coalesce(F.col("__c"), F.col("id"))).alias("comp"))
+        fix = adopt_frame(base_sess, e)
+    # fixpoint is a union of disjoint stars (v -> component min);
+    # label centers (and any node never re-attached) with themselves —
+    # base-side single-shot query, AQE on
+    return (
+        nodes.join(
+            fix.select(F.col("u").alias("id"), F.col("v").alias("__c")),
+            "id",
+            "left",
         )
-        return adopt_frame(base_sess, out)
+        .groupBy("id")
+        .agg(F.min(F.coalesce(F.col("__c"), F.col("id"))).alias("comp"))
+    )
 
 
 def dedup_clusters(

@@ -88,19 +88,42 @@ from contextlib import contextmanager  # noqa: E402
 
 
 @contextmanager
-def loop_session(*frames, shuffle_partitions: int | None = None):
+def loop_session(
+    *frames,
+    shuffle_partitions: int | None = None,
+    skew_join: bool = False,
+):
     """Clone the session for a FIXED-SHAPE iteration loop and hand
     ``frames`` across (the ml/bpe.py idiom, shared): ``newSession()``
     keeps the SparkContext, block manager, and cache manager — so
     cached/checkpointed inputs stay served — but owns its SQLConf, so
-    the loop-scoped overrides below are invisible to the caller:
+    the loop-scoped overrides below are invisible to the caller.
 
-    * ``spark.sql.adaptive.enabled=false`` — each iteration is a
-      fixed-shape micro-job (one partial-aggregated shuffle, joins
-      co-partitioned); AQE's per-exchange stage materialization adds a
-      driver job per shuffle with nothing left to re-plan. Measured
-      ~2x per-iteration latency on the BPE trainer and the PageRank /
-      connected-components loops.
+    The clone is first brought to the engine's baseline with
+    :func:`tune_session` (``newSession()`` starts from builder-time
+    confs only, so runtime confs like nanos-as-long parquet reading,
+    python-source filter pushdown, and the Python data-source
+    registration would otherwise be LOST — a loop frame whose first
+    action scans a nanos-timestamp parquet under the clone would
+    throw). The caller's current time zone is then re-applied, and on
+    top of that the loop overrides:
+
+    * ``skew_join=False`` (default): ``spark.sql.adaptive.enabled=
+      false`` — each iteration is a fixed-shape micro-job (one
+      partial-aggregated shuffle, joins co-partitioned); AQE's
+      per-exchange stage materialization adds a driver job per shuffle
+      with nothing left to re-plan. Measured ~2x per-iteration latency
+      on the BPE trainer and the PageRank / connected-components
+      loops. ONLY safe when the caller has established the loop's
+      join keys are not skewed (AQE's runtime skew splitting is off
+      with AQE off).
+    * ``skew_join=True``: AQE stays ON for its runtime skew-join
+      splitting (the caller probed the loop key and found a hot key —
+      one straggler task per iteration otherwise), but partition
+      COALESCING is disabled so the ``shuffle_partitions`` pin is
+      still exact. The per-exchange driver latency returns; that is
+      the deliberate price of the skew guard, paid only on skewed
+      inputs.
     * ``spark.sql.shuffle.partitions`` pinned to ``shuffle_partitions``
       when given — derive it from the loop frame's OWN partitioning
       (input-sized, never a constant), so the loop's shuffles match
@@ -114,12 +137,23 @@ def loop_session(*frames, shuffle_partitions: int | None = None):
     import uuid
 
     base = frames[0].sparkSession
-    sess = base.newSession()
+    sess = tune_session(base.newSession())
     sess.conf.set(
         "spark.sql.session.timeZone",
         base.conf.get("spark.sql.session.timeZone"),
     )
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    if skew_join:
+        # keep AQE (skew-join splitting needs it) but pin partitions
+        # exactly: coalescing would undo the input-derived pin
+        sess.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
+        # split skewed partitions even when that adds an extra shuffle
+        sess.conf.set(
+            "spark.sql.adaptive.forceOptimizeSkewedJoin", "true"
+        )
+    else:
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
     if shuffle_partitions:
         sess.conf.set(
             "spark.sql.shuffle.partitions",
