@@ -987,6 +987,7 @@ def merge_delta(
     when_matched: str = "update", insert: bool = True,
     not_matched_by_source: str | None = None,
     broadcast_source_rows: int = 1_000_000,
+    broadcast_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
     """Delta-native ``MERGE INTO <table at root> t USING <source> s ON
     <equi-keys>`` — the row-delta shape: matched target rows die via
@@ -1018,14 +1019,20 @@ def merge_delta(
     :func:`~.delta.read_delta_changes` replays the merge exactly
     (never deriving spurious pairs from carried rows).
 
-    Join strategy is size-adaptive: a source at or under
-    ``broadcast_source_rows`` (the normal CDC/upsert case) takes the
+    Join strategy is size-adaptive, gated on estimated BYTES as well
+    as rows (guide §3.1 — a row cap alone lets 1M wide rows build a
+    multi-GB broadcast): a source whose KEY tuples fit under
+    ``broadcast_bytes`` (and ``broadcast_source_rows``) takes the
     LOW-SHUFFLE path — the target scan is pre-filtered to matched rows
     by a broadcast semi-join on the source keys (map-only, the target
-    is never shuffled) and the ≤|source| survivors broadcast back for
-    the left join; a table-sized source falls back to the shuffled
-    join. The full-sync clause always joins full outer (it inherently
-    reads the whole target).
+    is never shuffled). The ≤|source| surviving target rows broadcast
+    back for the left join only when their estimated bytes
+    (rows x observed live-file width, inflated; see
+    ``io.est_broadcast_bytes``) also fit — wider survivors keep the
+    semi pre-filter and join unhinted, shuffling only the delta-sized
+    frames. A source too big even for the key broadcast falls back to
+    the fully shuffled join. The full-sync clause always joins full
+    outer (it inherently reads the whole target).
 
     Declared CHECK / NOT NULL / invariant / generated rules are
     enforced on the LANDING rows (updates + inserts) in one aggregate
@@ -1132,21 +1139,60 @@ def merge_delta(
         cond = F.lit(True)
         for k in on:
             cond = cond & F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
+        # byte gates (guide §3.1): keys are schema-width small; the
+        # broadcast-BACK carries full target rows, so its estimate
+        # combines the live files' observed disk width (inflated) with
+        # the schema floor — a wide table stops the broadcast even
+        # under the row cap
+        from .io import est_broadcast_bytes, schema_row_bytes
+
+        key_schema = StructType(
+            [f for f in schema.fields if f.name in on]
+        )
+        tot_bytes = tot_rows = 0
+        for rel in base.live:
+            try:
+                tot_bytes += os.path.getsize(
+                    os.path.join(root, rel)
+                )
+            except OSError:
+                pass
+            st = base.stats_of.get(rel)
+            nr = None
+            if st:
+                try:
+                    nr = json.loads(st).get("numRecords")
+                except (ValueError, TypeError):
+                    nr = None
+            if nr is None:
+                tot_rows = 0  # any file without stats: row total unknown
+                break
+            tot_rows += int(nr)
+        can_semi = (
+            n_src <= broadcast_source_rows
+            and n_src * schema_row_bytes(key_schema) <= broadcast_bytes
+        )
+        can_back = can_semi and est_broadcast_bytes(
+            n_src, schema_row_bytes(schema), tot_bytes, tot_rows
+        ) <= broadcast_bytes
         # the full-sync clause must SEE unmatched target rows: full
         # outer; otherwise the join stays source-sized (left)
         if not_matched_by_source:
             j = s.join(t, cond, "full_outer").persist()
-        elif n_src <= broadcast_source_rows:
+        elif can_semi:
             # low-shuffle merge (optimization guide §3.2): the target
             # is never shuffled — its scan is pre-filtered to the
             # matched rows by a broadcast SEMI join on the source's
-            # key tuples (map-only pass over the live files), and the
+            # key tuples (map-only pass over the live files); the
             # ≤|source| surviving target rows broadcast back onto the
-            # source for the left join. Zero exchanges end to end vs
-            # two table-sized ones in the sort-merge shape below.
+            # source for the left join when they fit (zero exchanges
+            # end to end), else that one join stays unhinted — the
+            # planner shuffles only the two delta-sized frames, never
+            # the table
             keys = src.select(*on).alias("s")
             t_hits = t.join(F.broadcast(keys), cond, "left_semi").alias("t")
-            j = s.join(F.broadcast(t_hits), cond, "left").persist()
+            rhs = F.broadcast(t_hits) if can_back else t_hits
+            j = s.join(rhs, cond, "left").persist()
         else:
             # table-sized source: fall back to the shuffled join —
             # broadcasting it would OOM the executors

@@ -1413,6 +1413,12 @@ def _live_files(
                         {
                             "lower": _bounds_map(df.get("lower_bounds")),
                             "upper": _bounds_map(df.get("upper_bounds")),
+                            # sizing metadata for broadcast gates
+                            # (bytes-based join strategy, guide §3.1)
+                            "record_count": df.get("record_count"),
+                            "file_size_in_bytes": df.get(
+                                "file_size_in_bytes"
+                            ),
                         },
                         added_sid,
                         None if frid is None else int(frid),

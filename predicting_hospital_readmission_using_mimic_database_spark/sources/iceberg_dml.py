@@ -52,6 +52,7 @@ from .iceberg import (
     IcebergProtocolError,
     _advance_version_hint,
     _latest_metadata_path,
+    _live_files,
     _localize,
     _schema_json,
     _table_schema,
@@ -329,6 +330,8 @@ def _stage_and_commit(
 def merge_iceberg(
     spark: SparkSession, root: str, source: DataFrame, on: list[str],
     when_matched: str = "update", insert: bool = True,
+    broadcast_source_rows: int = 1_000_000,
+    broadcast_bytes: int = 128 * 1024 * 1024,
     _retries: int = 10,
 ) -> dict:
     """``MERGE INTO <iceberg table at root> t USING <source> s ON
@@ -338,6 +341,13 @@ def merge_iceberg(
     values) or ``"delete"``; ``insert=False`` drops not-matched source
     rows. Source must carry exactly the table's columns with UNIQUE
     key tuples under ``on`` (ANSI MERGE rule — refused otherwise).
+    Join strategy is size-adaptive under the same gates as
+    :func:`~.delta_dml.merge_delta` (shared defaults): the broadcast
+    semi pre-filter of the target needs the source KEYS under
+    ``broadcast_bytes`` / ``broadcast_source_rows``; the survivors
+    broadcast back only when their estimated bytes (manifest
+    record_count/file_size widths, inflated) also fit, else that join
+    stays unhinted over the two delta-sized frames.
     Returns ``{"snapshot_id", "num_updated", "num_deleted",
     "num_inserted"}``; a no-change merge commits nothing and returns
     the current snapshot id.
@@ -398,10 +408,36 @@ def merge_iceberg(
     # keys pre-filters the target scan to matched rows — the target is
     # never shuffled — and the <=|source| survivors broadcast back for
     # the left join; table-sized sources keep the shuffled fallback.
-    if n_src <= 1_000_000:
+    # Both broadcasts are gated on estimated BYTES as well as rows
+    # (guide §3.1): the manifests' record_count/file_size_in_bytes
+    # give the observed row width, so a wide table stops the
+    # broadcast-back even under the row cap (the semi pre-filter stays
+    # — keys are schema-width small).
+    from .io import est_broadcast_bytes, schema_row_bytes
+    from pyspark.sql.types import StructType as _ST
+
+    key_schema = _ST([f for f in schema.fields if f.name in on])
+    tot_bytes = tot_rows = 0
+    data_files, _p, _e, _d = _live_files(meta, root, cur_sid)
+    for _path, _pv, _seq, st, _sid, _frid in data_files:
+        tot_bytes += int(st.get("file_size_in_bytes") or 0)
+        nr = st.get("record_count")
+        if nr is None:
+            tot_rows = 0  # any file without a count: row total unknown
+            break
+        tot_rows += int(nr)
+    can_semi = (
+        n_src <= broadcast_source_rows
+        and n_src * schema_row_bytes(key_schema) <= broadcast_bytes
+    )
+    can_back = can_semi and est_broadcast_bytes(
+        n_src, schema_row_bytes(schema), tot_bytes, tot_rows
+    ) <= broadcast_bytes
+    if can_semi:
         keys = src.select(*on).alias("s")
         t_hits = t.join(F.broadcast(keys), cond, "left_semi").alias("t")
-        j = s.join(F.broadcast(t_hits), cond, "left").persist()
+        rhs = F.broadcast(t_hits) if can_back else t_hits
+        j = s.join(rhs, cond, "left").persist()
     else:
         j = s.join(t, cond, "left").persist()
     try:
@@ -445,6 +481,8 @@ def merge_iceberg(
         return merge_iceberg(
             spark, root, source, on,
             when_matched=when_matched, insert=insert,
+            broadcast_source_rows=broadcast_source_rows,
+            broadcast_bytes=broadcast_bytes,
             _retries=_retries - 1,
         )
     sid, n_matched, n_new = res

@@ -361,3 +361,70 @@ def localize_naive_timestamps(table):
     if not changed:
         return table
     return table.cast(pa.schema(fields))
+
+
+# ---------------------------------------------------------------------------
+# broadcast sizing (optimization guide §3.1: gate broadcasts on BYTES,
+# not rows — 1M rows of a wide table is a multi-GB relation)
+# ---------------------------------------------------------------------------
+
+#: parquet->JVM inflation for broadcast estimates: on-disk bytes are
+#: column-encoded and compressed; the built hash relation holds decoded
+#: rows plus the hash table. 4x is the conservative middle of the
+#: commonly observed 2-8x range.
+BROADCAST_INFLATION = 4
+
+
+def schema_row_bytes(schema) -> int:
+    """Static per-row width estimate for ``schema`` mirroring Spark's
+    own ``DataType.defaultSize`` (what the planner uses when no stats
+    exist): primitives by width, strings 20, binary 100, containers
+    recursive. A floor, not a truth — long strings blow past it, which
+    is why callers combine it with observed disk bytes/row."""
+    from pyspark.sql import types as T
+
+    def sz(dt) -> int:
+        if isinstance(dt, (T.ByteType, T.BooleanType, T.NullType)):
+            return 1
+        if isinstance(dt, T.ShortType):
+            return 2
+        if isinstance(dt, (T.IntegerType, T.FloatType, T.DateType)):
+            return 4
+        if isinstance(dt, T.DecimalType):
+            return 8 if dt.precision <= 18 else 16
+        if isinstance(dt, T.StringType):
+            return 20
+        if isinstance(dt, T.BinaryType):
+            return 100
+        if isinstance(dt, T.ArrayType):
+            return sz(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return sz(dt.keyType) + sz(dt.valueType)
+        if isinstance(dt, T.StructType):
+            return sum(sz(f.dataType) for f in dt.fields)
+        return 8  # long/double/timestamp/ymd-dt intervals and the rest
+
+    return max(1, sum(sz(f.dataType) for f in schema.fields))
+
+
+def est_broadcast_bytes(
+    n_rows: int, schema_est: int, total_disk_bytes: int, total_rows: int
+) -> int:
+    """Estimated in-memory bytes of broadcasting ``n_rows`` rows of a
+    table whose live files hold ``total_disk_bytes`` over
+    ``total_rows`` rows (either may be 0 = unknown). Deliberately
+    conservative: the observed disk width (inflated) wins over the
+    schema floor, and with no row count at all the whole table's
+    inflated bytes bound the estimate — OVER-estimating falls back to
+    a delta-sized shuffled join (mild), UNDER-estimating is a driver/
+    executor OOM."""
+    if total_rows > 0:
+        width = max(
+            schema_est, BROADCAST_INFLATION * total_disk_bytes // total_rows
+        )
+        return min(n_rows, total_rows) * width
+    if total_disk_bytes > 0:
+        return max(
+            n_rows * schema_est, BROADCAST_INFLATION * total_disk_bytes
+        )
+    return n_rows * schema_est

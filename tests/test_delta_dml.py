@@ -827,3 +827,60 @@ def test_merge_full_sync_idempotent_and_empty_source(spark, tmp_path):
     )
     assert out2["num_deleted"] == 4
     assert _keys(spark, root) == set()
+
+
+def test_merge_broadcast_byte_gate_regimes(spark, tmp_path):
+    """The low-shuffle MERGE's broadcasts are gated on estimated BYTES
+    as well as rows (guide §3.1): with a budget too small for the
+    survivors' width the semi pre-filter is kept but the broadcast-back
+    is dropped (unhinted join), and with a budget too small even for
+    the keys the fully shuffled fallback runs — all three regimes must
+    commit the identical result."""
+    exp = None
+    for i, kw in enumerate((
+        {},                                  # broadcast both (default)
+        {"broadcast_bytes": 2_000},          # keys fit, survivors don't
+        {"broadcast_source_rows": 0},        # not even the keys
+    )):
+        root, _rels = _mk_table(spark, tmp_path, name=f"bg{i}")
+        src = spark.createDataFrame(
+            [(10, -1.0), (55, -2.0), (200, 9.0)], "k bigint, v double"
+        )
+        out = merge_delta(spark, root, src, on=["k"], **kw)
+        assert out["num_updated"] == 2 and out["num_inserted"] == 1, kw
+        got = {(r["k"], r["v"]) for r in read_delta(spark, root).collect()}
+        if exp is None:
+            exp = got
+        assert got == exp, kw
+
+
+def test_broadcast_size_estimator():
+    """schema_row_bytes mirrors Spark's defaultSize shape;
+    est_broadcast_bytes prefers the observed (inflated) disk width and
+    stays conservative when the row count is unknown."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from predicting_hospital_readmission_using_mimic_database_spark.sources.io import (
+        est_broadcast_bytes,
+        schema_row_bytes,
+    )
+
+    sch = StructType([
+        StructField("k", LongType()),
+        StructField("s", StringType()),
+        StructField("a", ArrayType(DoubleType())),
+    ])
+    assert schema_row_bytes(sch) == 8 + 20 + 8
+    # observed width wins over the schema floor: 1000 rows over 1 MB on
+    # disk -> 4x inflation -> ~4 KB/row, so 100 rows estimate ~400 KB
+    est = est_broadcast_bytes(100, schema_row_bytes(sch), 1_000_000, 1000)
+    assert est == 100 * 4 * 1000
+    # n_rows capped by the table's own row count
+    assert est_broadcast_bytes(10**9, 36, 1_000_000, 1000) == 1000 * 4000
+    # unknown rows: bounded below by the whole table's inflated bytes
+    assert est_broadcast_bytes(5, 36, 1_000_000, 0) == 4_000_000
+    # nothing known: schema floor
+    assert est_broadcast_bytes(5, 36, 0, 0) == 180
