@@ -535,7 +535,20 @@ def main() -> None:
             print(f"[bench] full dict -> {path}", file=sys.stderr)
         except OSError as e:
             print(f"[bench] full-dict write failed: {e}", file=sys.stderr)
-    print(json.dumps(out))
+    # The stdout line must survive the driver's bounded tail capture
+    # (rounds 9-13 each lost the round-over-round comparison to a
+    # truncated capture): compact separators and 2-decimal per-query
+    # times cut ~15% of the line; 10 ms precision is far inside this
+    # box's run-to-run noise (same-code driver runs swing 0.5-2x per
+    # query). Full 1 ms precision persists in BENCH_full_r{N}.json
+    # above. No query entry is dropped or renamed — the driver
+    # contract keeps every name.
+    slim = dict(out)
+    slim["queries"] = {
+        k: (round(v, 2) if v >= 0 else v) for k, v in timings.items()
+    }
+    slim["value"] = round(sum(v for v in slim["queries"].values() if v >= 0), 2)
+    print(json.dumps(slim, separators=(",", ":")))
 
 
 if __name__ == "__main__":
