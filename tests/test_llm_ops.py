@@ -125,6 +125,28 @@ def test_connected_components_star_matches_hashmin_on_random_graphs(spark):
         assert got == ref, f"seed {seed}"
 
 
+def test_connected_components_skewed_hub(spark, monkeypatch):
+    """The hot-key probe routes a hub-dominated pair graph through the
+    skew loop (AQE skew splitting kept ON inside the cloned session)
+    and the labels stay exact. The probe threshold itself is pinned
+    separately: one key must both dominate an average partition 4x AND
+    be large in absolute terms."""
+    # decision helper thresholds
+    assert not DD._loop_key_skewed(999_999, 1_000_000, 8)  # abs floor
+    assert not DD._loop_key_skewed(2_000_000, 64_000_000, 8)  # 4x rule
+    assert DD._loop_key_skewed(2_000_000, 3_000_000, 8)
+    # force the skew path on a small star graph (hub node 0) and check
+    # the result is identical to the unskewed run
+    hub = spark.createDataFrame(
+        [(0, i) for i in range(1, 40)] + [(40, 41)], "a_id long, b_id long"
+    )
+    ref = {r["id"]: r["comp"] for r in DD.connected_components(hub).collect()}
+    monkeypatch.setattr(DD, "_loop_key_skewed", lambda mx, n, p: True)
+    got = {r["id"]: r["comp"] for r in DD.connected_components(hub).collect()}
+    assert got == ref
+    assert got[39] == 0 and got[41] == 40
+
+
 def test_connected_components_star_guards(spark):
     pairs = spark.createDataFrame([(1, None)], "a_id long, b_id long")
     with pytest.raises(ValueError, match="NULL"):
