@@ -26,6 +26,12 @@ _RUNTIME_CONFS = {
     # route catalyst filters into python data sources' pushFilters()
     # (the snapshot source turns them into stats-based file skipping)
     "spark.sql.python.filterPushdown.enabled": "true",
+    # id-mapped delta tables annotate their scan schemas with parquet
+    # field ids; resolution is opt-in per session and only affects
+    # schemas carrying the annotation — part of the baseline so SESSION
+    # CLONES (loop_session / small_plan_*) read id-mapped files exactly
+    # like the base session (the read path also sets it defensively)
+    "spark.sql.parquet.fieldId.read.enabled": "true",
 }
 
 
@@ -172,6 +178,73 @@ def loop_session(
     finally:
         for nm in names:
             base.catalog.dropGlobalTempView(nm)
+
+
+# ----------------------------------------------------------------------
+# byte-gated session for provably-small fixed-shape DML/publish plans
+# ----------------------------------------------------------------------
+#: plans whose estimated input+output bytes fit under this run WITHOUT
+#: AQE (its per-exchange stage materialization is one driver job per
+#: shuffle — pure latency when the whole plan is a few MB and its shape
+#: is fixed) and with shuffle partitions pinned from the BYTE estimate
+#: (guide §2.2's 100 MB-1 GB band), not the session default. Bigger
+#: plans — the at-scale regime — keep the caller's session untouched:
+#: runtime coalescing and skew splitting earn their latency there. The
+#: gate is BYTES (scale-adaptive), never the core count.
+_SMALL_PLAN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SMALL_PLAN_BYTES", str(256 * 1024 * 1024))
+)
+_PLAN_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def _plan_pin(est_bytes: int) -> int:
+    """Shuffle-partition pin for a plan of ``est_bytes``: one partition
+    per 128 MB, floor 1 — derived from the input, never a constant."""
+    return max(
+        1, (int(est_bytes) + _PLAN_PARTITION_BYTES - 1) // _PLAN_PARTITION_BYTES
+    )
+
+
+@contextmanager
+def small_plan_session(*frames, est_bytes: int | None):
+    """Like :func:`loop_session`, but BYTE-GATED: when the caller's
+    driver-side estimate proves the plan small (file sizes from a
+    table's own log/listing plus row-count × schema width — both known
+    without running a job), yield an AQE-off clone with an
+    input-derived partition pin and ``frames`` re-bound to it; when the
+    estimate is missing or exceeds ``$SPARK_GRAFT_SMALL_PLAN_BYTES``
+    (default 256 MB), yield the frames' own session unchanged so big
+    plans keep AQE's runtime re-planning. Yields ``(sess, clones)``
+    either way."""
+    if est_bytes is None or est_bytes > _SMALL_PLAN_BYTES:
+        yield frames[0].sparkSession, list(frames)
+        return
+    with loop_session(
+        *frames, shuffle_partitions=_plan_pin(est_bytes)
+    ) as (sess, clones):
+        yield sess, clones
+
+
+def small_plan_spark(
+    spark: SparkSession, est_bytes: int | None
+) -> SparkSession:
+    """Frame-less :func:`small_plan_session` for ops that build every
+    frame internally from ``spark`` and only return driver-side data
+    (collected summaries, written files): returns a tuned AQE-off
+    pinned clone under the byte gate, else ``spark`` unchanged. The
+    clone shares the SparkContext and cache manager, so persists made
+    and dropped inside the op behave exactly as before; no cleanup is
+    needed (the clone is garbage once the op returns)."""
+    if est_bytes is None or est_bytes > _SMALL_PLAN_BYTES:
+        return spark
+    sess = tune_session(spark.newSession())
+    sess.conf.set(
+        "spark.sql.session.timeZone",
+        spark.conf.get("spark.sql.session.timeZone"),
+    )
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.shuffle.partitions", str(_plan_pin(est_bytes)))
+    return sess
 
 
 def adopt_frame(base: SparkSession, df):

@@ -57,6 +57,24 @@ from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..session import small_plan_session, small_plan_spark
+
+
+def _live_bytes_est(root: str, live: dict) -> int:
+    """Driver-side byte bound for a DML op over the table's LIVE files
+    (disk sizes inflated to in-memory width) — feeds the small-plan
+    byte gate: provably-small tables run the op's fixed-shape plan
+    AQE-off with an input-derived partition pin; big tables (the
+    at-scale regime) keep the caller's session and AQE untouched."""
+    from .io import BROADCAST_INFLATION
+
+    return BROADCAST_INFLATION * sum(
+        os.path.getsize(ap)
+        for rel in live
+        for ap in (os.path.join(root, rel),)
+        if os.path.exists(ap)
+    )
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -781,6 +799,11 @@ def delete_from_delta(
     if not base.live:
         return noop
 
+    # every frame below is built from `spark` and consumed inside this
+    # op: byte-gate the whole computation (see _live_bytes_est)
+    spark = small_plan_spark(
+        spark, est_bytes=_live_bytes_est(root, base.live)
+    )
     info = _TableInfo(spark, base.meta)
     key, posk = "__dml_file", "__dml_pos"
     scan = _scan_with_positions(
@@ -890,6 +913,10 @@ def update_delta(
     if not base.live:
         return noop
 
+    # byte-gate the whole op (delete_from_delta's rule)
+    spark = small_plan_spark(
+        spark, est_bytes=_live_bytes_est(root, base.live)
+    )
     key, posk = "__dml_file", "__dml_pos"
     scan = _scan_with_positions(
         spark, root, info, base.live, base.dvs, key, posk
@@ -1107,13 +1134,6 @@ def merge_delta(
         "version": base.last, "num_updated": 0, "num_deleted": 0,
         "num_inserted": 0, "files_with_dvs": 0, "files_removed": 0,
     }
-    tgt = (
-        _scan_with_positions(
-            spark, root, info, base.live, base.dvs, key, posk
-        )
-        if base.live else None
-    )
-
     # duplicate-key gate + the one join the merge needs: source LEFT
     # JOIN target — matched rows carry (file, pos) for the DV side and
     # the target's values for preimages; unmatched rows are inserts.
@@ -1133,180 +1153,198 @@ def merge_delta(
             "requires at most one source row per target row"
         )
     n_src = int(row["n"])
-    s = src.withColumn("__s", F.lit(True)).alias("s")
-    if tgt is not None:
-        t = tgt.alias("t")
-        cond = F.lit(True)
-        for k in on:
-            cond = cond & F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
-        # byte gates (guide §3.1): keys are schema-width small; the
-        # broadcast-BACK carries full target rows, so its estimate
-        # combines the live files' observed disk width (inflated) with
-        # the schema floor — a wide table stops the broadcast even
-        # under the row cap
-        from .io import est_broadcast_bytes, schema_row_bytes
+    # byte-gate the rest of the merge (delete_from_delta's rule): the
+    # plan's inputs are the live files plus the source delta, both
+    # bounded driver-side; `spark` and `src` are re-bound to the
+    # AQE-off pinned clone when small, unchanged otherwise
+    from .io import schema_row_bytes as _srb
 
-        key_schema = StructType(
-            [f for f in schema.fields if f.name in on]
-        )
-        tot_bytes = tot_rows = 0
-        for rel in base.live:
-            try:
-                tot_bytes += os.path.getsize(
-                    os.path.join(root, rel)
-                )
-            except OSError:
-                pass
-            st = base.stats_of.get(rel)
-            nr = None
-            if st:
-                try:
-                    nr = json.loads(st).get("numRecords")
-                except (ValueError, TypeError):
-                    nr = None
-            if nr is None:
-                tot_rows = 0  # any file without stats: row total unknown
-                break
-            tot_rows += int(nr)
-        can_semi = (
-            n_src <= broadcast_source_rows
-            and n_src * schema_row_bytes(key_schema) <= broadcast_bytes
-        )
-        can_back = can_semi and est_broadcast_bytes(
-            n_src, schema_row_bytes(schema), tot_bytes, tot_rows
-        ) <= broadcast_bytes
-        # the full-sync clause must SEE unmatched target rows: full
-        # outer; otherwise the join stays source-sized (left)
-        if not_matched_by_source:
-            j = s.join(t, cond, "full_outer").persist()
-        elif can_semi:
-            # low-shuffle merge (optimization guide §3.2): the target
-            # is never shuffled — its scan is pre-filtered to the
-            # matched rows by a broadcast SEMI join on the source's
-            # key tuples (map-only pass over the live files); the
-            # ≤|source| surviving target rows broadcast back onto the
-            # source for the left join when they fit (zero exchanges
-            # end to end), else that one join stays unhinted — the
-            # planner shuffles only the two delta-sized frames, never
-            # the table
-            keys = src.select(*on).alias("s")
-            t_hits = t.join(F.broadcast(keys), cond, "left_semi").alias("t")
-            rhs = F.broadcast(t_hits) if can_back else t_hits
-            j = s.join(rhs, cond, "left").persist()
-        else:
-            # table-sized source: fall back to the shuffled join —
-            # broadcasting it would OOM the executors
-            j = s.join(t, cond, "left").persist()
-    else:
-        j = s.select(
-            "*",
-            F.lit(None).cast("string").alias(key),
-            F.lit(None).cast("long").alias(posk),
-        ).persist()
+    est_plan = _live_bytes_est(root, base.live) + n_src * _srb(schema)
+    ctx = small_plan_session(src, est_bytes=est_plan)
+    spark, (src,) = ctx.__enter__()
     try:
-        present = F.col("__s").isNotNull() if tgt is not None \
-            else F.lit(True)
-        matched = j.filter(present & F.col(key).isNotNull())
-        unmatched = j.filter(present & F.col(key).isNull())
-        # target rows with NO source match (full-outer only)
-        by_source = (
-            j.filter(F.col("__s").isNull())
-            if tgt is not None and not_matched_by_source else None
+        tgt = (
+            _scan_with_positions(
+                spark, root, info, base.live, base.dvs, key, posk
+            )
+            if base.live else None
         )
-        s_cols = [F.col(f"s.{c}").alias(c) for c in table_cols] \
-            if tgt is not None else [F.col(c) for c in table_cols]
-        t_cols = [F.col(f"t.{c}").alias(c) for c in table_cols]
+        s = src.withColumn("__s", F.lit(True)).alias("s")
+        if tgt is not None:
+            t = tgt.alias("t")
+            cond = F.lit(True)
+            for k in on:
+                cond = cond & F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
+            # byte gates (guide §3.1): keys are schema-width small; the
+            # broadcast-BACK carries full target rows, so its estimate
+            # combines the live files' observed disk width (inflated) with
+            # the schema floor — a wide table stops the broadcast even
+            # under the row cap
+            from .io import est_broadcast_bytes, schema_row_bytes
 
-        new_rows = unmatched.select(*s_cols) if insert else None
-        if when_matched == "update":
-            upd = matched.select(*s_cols)
-            new_rows = (
-                upd if new_rows is None else new_rows.unionByName(upd)
+            key_schema = StructType(
+                [f for f in schema.fields if f.name in on]
             )
-        if new_rows is not None:
-            _validate_row_rules(
-                new_rows, rules,
-                "MERGE update" if when_matched == "update" else "MERGE insert",
+            tot_bytes = tot_rows = 0
+            for rel in base.live:
+                try:
+                    tot_bytes += os.path.getsize(
+                        os.path.join(root, rel)
+                    )
+                except OSError:
+                    pass
+                st = base.stats_of.get(rel)
+                nr = None
+                if st:
+                    try:
+                        nr = json.loads(st).get("numRecords")
+                    except (ValueError, TypeError):
+                        nr = None
+                if nr is None:
+                    tot_rows = 0  # any file without stats: row total unknown
+                    break
+                tot_rows += int(nr)
+            can_semi = (
+                n_src <= broadcast_source_rows
+                and n_src * schema_row_bytes(key_schema) <= broadcast_bytes
             )
+            can_back = can_semi and est_broadcast_bytes(
+                n_src, schema_row_bytes(schema), tot_bytes, tot_rows
+            ) <= broadcast_bytes
+            # the full-sync clause must SEE unmatched target rows: full
+            # outer; otherwise the join stays source-sized (left)
+            if not_matched_by_source:
+                j = s.join(t, cond, "full_outer").persist()
+            elif can_semi:
+                # low-shuffle merge (optimization guide §3.2): the target
+                # is never shuffled — its scan is pre-filtered to the
+                # matched rows by a broadcast SEMI join on the source's
+                # key tuples (map-only pass over the live files); the
+                # ≤|source| surviving target rows broadcast back onto the
+                # source for the left join when they fit (zero exchanges
+                # end to end), else that one join stays unhinted — the
+                # planner shuffles only the two delta-sized frames, never
+                # the table
+                keys = src.select(*on).alias("s")
+                t_hits = t.join(F.broadcast(keys), cond, "left_semi").alias("t")
+                rhs = F.broadcast(t_hits) if can_back else t_hits
+                j = s.join(rhs, cond, "left").persist()
+            else:
+                # table-sized source: fall back to the shuffled join —
+                # broadcasting it would OOM the executors
+                j = s.join(t, cond, "left").persist()
+        else:
+            j = s.select(
+                "*",
+                F.lit(None).cast("string").alias(key),
+                F.lit(None).cast("long").alias(posk),
+            ).persist()
+        try:
+            present = F.col("__s").isNotNull() if tgt is not None \
+                else F.lit(True)
+            matched = j.filter(present & F.col(key).isNotNull())
+            unmatched = j.filter(present & F.col(key).isNull())
+            # target rows with NO source match (full-outer only)
+            by_source = (
+                j.filter(F.col("__s").isNull())
+                if tgt is not None and not_matched_by_source else None
+            )
+            s_cols = [F.col(f"s.{c}").alias(c) for c in table_cols] \
+                if tgt is not None else [F.col(c) for c in table_cols]
+            t_cols = [F.col(f"t.{c}").alias(c) for c in table_cols]
 
-        cdc_actions: list[dict] = []
-        cdc_rels: list[str] = []
-        if base.cdf_on():
-            ct = F.lit
-            pieces = []
-            # t_cols resolve only against a real target scan; with no
-            # live files there are no matched rows to image anyway
-            if tgt is not None:
-                if when_matched == "update":
-                    pieces.append(matched.select(
-                        *t_cols,
-                        ct("update_preimage").alias("_change_type")))
-                    pieces.append(matched.select(
-                        *s_cols,
-                        ct("update_postimage").alias("_change_type")))
-                else:
-                    pieces.append(matched.select(
-                        *t_cols, ct("delete").alias("_change_type")))
-                if by_source is not None:
-                    pieces.append(by_source.select(
-                        *t_cols, ct("delete").alias("_change_type")))
-            if insert:
-                pieces.append(unmatched.select(
-                    *s_cols, ct("insert").alias("_change_type")))
-            if pieces:
-                images = pieces[0]
-                for p in pieces[1:]:
-                    images = images.unionByName(p)
-                cdc_actions, cdc_rels = _stage_cdc_files(
-                    spark, root, images, info
+            new_rows = unmatched.select(*s_cols) if insert else None
+            if when_matched == "update":
+                upd = matched.select(*s_cols)
+                new_rows = (
+                    upd if new_rows is None else new_rows.unionByName(upd)
+                )
+            if new_rows is not None:
+                _validate_row_rules(
+                    new_rows, rules,
+                    "MERGE update" if when_matched == "update" else "MERGE insert",
                 )
 
-        # DV side: matched target positions per file, plus — under the
-        # full-sync clause — the source-less target rows
-        doomed = matched.select(F.col(key), F.col(posk))
-        n_by_source = 0
-        if by_source is not None:
-            n_by_source = by_source.count()
-            doomed = doomed.unionByName(
-                by_source.select(F.col(key), F.col(posk))
+            cdc_actions: list[dict] = []
+            cdc_rels: list[str] = []
+            if base.cdf_on():
+                ct = F.lit
+                pieces = []
+                # t_cols resolve only against a real target scan; with no
+                # live files there are no matched rows to image anyway
+                if tgt is not None:
+                    if when_matched == "update":
+                        pieces.append(matched.select(
+                            *t_cols,
+                            ct("update_preimage").alias("_change_type")))
+                        pieces.append(matched.select(
+                            *s_cols,
+                            ct("update_postimage").alias("_change_type")))
+                    else:
+                        pieces.append(matched.select(
+                            *t_cols, ct("delete").alias("_change_type")))
+                    if by_source is not None:
+                        pieces.append(by_source.select(
+                            *t_cols, ct("delete").alias("_change_type")))
+                if insert:
+                    pieces.append(unmatched.select(
+                        *s_cols, ct("insert").alias("_change_type")))
+                if pieces:
+                    images = pieces[0]
+                    for p in pieces[1:]:
+                        images = images.unionByName(p)
+                    cdc_actions, cdc_rels = _stage_cdc_files(
+                        spark, root, images, info
+                    )
+
+            # DV side: matched target positions per file, plus — under the
+            # full-sync clause — the source-less target rows
+            doomed = matched.select(F.col(key), F.col(posk))
+            n_by_source = 0
+            if by_source is not None:
+                n_by_source = by_source.count()
+                doomed = doomed.unionByName(
+                    by_source.select(F.col(key), F.col(posk))
+                )
+            results = (
+                _write_dvs_for_hits(
+                    doomed, root, base.live, base.dvs, key, posk,
+                )
+                if tgt is not None else []
             )
-        results = (
-            _write_dvs_for_hits(
-                doomed, root, base.live, base.dvs, key, posk,
-            )
-            if tgt is not None else []
+            n_matched = sum(
+                int(r["new_deletes"]) for r in results
+            ) - n_by_source
+
+            # new-file side: updates + inserts, placed in the read path's
+            # file contract (physical names, partition split)
+            placed: list[tuple[str, dict]] = []
+            if new_rows is not None:
+                placed = _place_files(
+                    spark, root, new_rows, info, "", "merge"
+                )
+        finally:
+            j.unpersist()
+
+        # MERGE refused rt-enforced tables above, so the re-adds carry no
+        # lineage obligation (rt_enforced=False)
+        out = _commit_row_delta(
+            root, base, "MERGE", results, placed, cdc_actions, cdc_rels,
+            rt_enforced=False,
         )
-        n_matched = sum(
-            int(r["new_deletes"]) for r in results
-        ) - n_by_source
-
-        # new-file side: updates + inserts, placed in the read path's
-        # file contract (physical names, partition split)
-        placed: list[tuple[str, dict]] = []
-        if new_rows is not None:
-            placed = _place_files(
-                spark, root, new_rows, info, "", "merge"
-            )
+        if out is None:
+            return noop
+        version, _n_del, n_dv, n_gone, n_new = out
+        n_ins = n_new - (n_matched if when_matched == "update" else 0)
+        return {
+            "version": version,
+            "num_updated": n_matched if when_matched == "update" else 0,
+            "num_deleted": (
+                (n_matched if when_matched == "delete" else 0) + n_by_source
+            ),
+            "num_inserted": n_ins if insert else 0,
+            "files_with_dvs": n_dv,
+            "files_removed": n_gone,
+        }
     finally:
-        j.unpersist()
-
-    # MERGE refused rt-enforced tables above, so the re-adds carry no
-    # lineage obligation (rt_enforced=False)
-    out = _commit_row_delta(
-        root, base, "MERGE", results, placed, cdc_actions, cdc_rels,
-        rt_enforced=False,
-    )
-    if out is None:
-        return noop
-    version, _n_del, n_dv, n_gone, n_new = out
-    n_ins = n_new - (n_matched if when_matched == "update" else 0)
-    return {
-        "version": version,
-        "num_updated": n_matched if when_matched == "update" else 0,
-        "num_deleted": (
-            (n_matched if when_matched == "delete" else 0) + n_by_source
-        ),
-        "num_inserted": n_ins if insert else 0,
-        "files_with_dvs": n_dv,
-        "files_removed": n_gone,
-    }
+        ctx.__exit__(None, None, None)

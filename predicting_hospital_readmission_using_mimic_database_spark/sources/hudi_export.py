@@ -49,7 +49,49 @@ import shutil
 
 from pyspark.sql import functions as F
 
+from ..session import small_plan_session, small_plan_spark
 from .hudi import HOODIE_DIR
+
+
+def _publish_bytes_est(table, touched, prev_files) -> int:
+    """Driver-side byte bound for an incremental publish over the
+    ``touched`` buckets: the previous slices'/logs' DISK sizes
+    (inflated to their in-memory width) plus the table's current
+    touched rows at the schema's static width — row counts come from
+    the table's own add actions, so no job runs. Feeds the
+    small-plan byte gate (:func:`~..session.small_plan_session`):
+    under it, the publish's fixed-shape diff/stage plan runs AQE-off
+    with an input-derived partition pin; over it (the at-scale
+    regime) the caller's session and AQE stay untouched."""
+    from .io import BROADCAST_INFLATION, schema_row_bytes
+
+    touched = set(touched)
+    disk = sum(
+        os.path.getsize(p) for p in prev_files if os.path.exists(p)
+    )
+    rows = sum(
+        a.rows or 0
+        for a in table._live.values()
+        if a.bucket in touched
+    )
+    return BROADCAST_INFLATION * disk + rows * schema_row_bytes(
+        table.schema
+    )
+
+
+def _dest_bytes_est(dest: str) -> int:
+    """Driver-side byte bound for a DML op over a PUBLISHED Hudi table
+    at ``dest``: every data/log byte under it (the op's scan folds base
+    + logs), inflated to in-memory width. Metadata dirs are skipped."""
+    from .io import BROADCAST_INFLATION
+
+    total = 0
+    for dirpath, dirs, files in os.walk(dest):
+        dirs[:] = [d for d in dirs if d != HOODIE_DIR]
+        for name in files:
+            if name.endswith(".parquet") or ".log" in name:
+                total += os.path.getsize(os.path.join(dirpath, name))
+    return BROADCAST_INFLATION * total
 
 __all__ = [
     "archive_hudi_timeline", "clean_hudi", "cluster_hudi",
@@ -404,11 +446,24 @@ def export_hudi(
         # the update-conflict rule gates on the ACTUAL diff targets
         # (computed inside, before any log write), not a bucket-wide
         # partition probe
-        written = _export_mor_delta(
-            table, dest, inst, sorted(touched), cur, key_expr, _row_hash,
-            prev_slices, prev_logs, pp_expr,
-            reject_clustering_groups=cl_cand,
-        )
+        want = {f"b{b:04d}" for b in touched}
+        prev_files = [
+            p
+            for (_pt, g), (_i, p) in prev_slices.items()
+            if g in want
+        ] + [
+            entry[2]
+            for (_pt, g), ls in prev_logs.items()
+            if g in want
+            for entry in ls
+        ]
+        est = _publish_bytes_est(table, touched, prev_files)
+        with small_plan_session(cur, est_bytes=est) as (_s, (cur2,)):
+            written = _export_mor_delta(
+                table, dest, inst, sorted(touched), cur2, key_expr,
+                _row_hash, prev_slices, prev_logs, pp_expr,
+                reject_clustering_groups=cl_cand,
+            )
         _publish_instant(
             hdir, f"{inst}.deltacommit", {"partitionToWriteStats": written}
         )
@@ -518,11 +573,13 @@ def export_hudi(
         staged = out
         part_cols = ["__fid"]
     stage = os.path.join(dest, f".stage-{inst}")
-    (
-        staged.repartition(max(len(touched_list), 1), *part_cols)
-        .write.partitionBy(*part_cols)
-        .parquet(stage, mode="overwrite")
-    )
+    est = _publish_bytes_est(table, touched_list, prev_paths)
+    with small_plan_session(staged, est_bytes=est) as (_s, (staged2,)):
+        (
+            staged2.repartition(max(len(touched_list), 1), *part_cols)
+            .write.partitionBy(*part_cols)
+            .parquet(stage, mode="overwrite")
+        )
     from urllib.parse import unquote
 
     placed: dict[str, list[str]] = {}  # fid -> hive-order placed rels
@@ -879,7 +936,10 @@ def _export_mor_delta(
     from . import hudi_log as HL
     from .hudi import _read_mor
 
-    spark = table.spark
+    # run on CUR's session: the caller hands cur through the byte-gated
+    # small-plan clone, so the whole diff/append computation inherits
+    # its AQE posture (off + pinned when provably small)
+    spark = cur.sparkSession
     want_fids = {f"b{b:04d}" for b in buckets}
     only = {
         k for k in set(prev_slices) | set(prev_logs) if k[1] in want_fids
@@ -1216,6 +1276,10 @@ def compact_hudi(spark, dest: str) -> str | None:
             "compact_hudi targets MERGE_ON_READ tables (COPY_ON_WRITE "
             "has no log files to compact)"
         )
+    # byte-gate the whole op (delete_from_hudi's rule): the fold +
+    # staged rewrite is fixed-shape and its inputs are the published
+    # files, whose sizes the driver already knows
+    spark = small_plan_spark(spark, est_bytes=_dest_bytes_est(dest))
     hdir = os.path.join(dest, HOODIE_DIR)
     pending = _pending_compactions(dest)
     if pending:
@@ -2013,6 +2077,9 @@ def _cluster_groups(
 
     from .hudi import _read_mor
 
+    # byte-gate the rewrite (delete_from_hudi's rule); one gate here
+    # covers both the inline path and the async completion
+    spark = small_plan_spark(spark, est_bytes=_dest_bytes_est(dest))
     tok = _write_token()
     parts: dict[str, set] = {}
     for part, fid in keys:
@@ -2311,6 +2378,11 @@ def delete_from_hudi(spark, dest: str, predicate: str) -> dict:
     from . import hudi_log as HL
     from .hudi import HudiProtocolError
 
+    # every frame below is built from `spark` and consumed inside this
+    # op (collected summaries, appended blocks): byte-gate the whole
+    # computation — provably-small published tables run it AQE-off
+    # with an input-derived pin, big ones keep the caller's session
+    spark = small_plan_spark(spark, est_bytes=_dest_bytes_est(dest))
     props, precombine, hdir, scan, fid_expr = _mor_dml_scan(
         spark, dest, "delete_from_hudi", "DELETE"
     )
@@ -2552,6 +2624,9 @@ def update_hudi(
     from . import hudi_log as HL
     from .hudi import META_COLS, HudiProtocolError
 
+    # byte-gate the whole op (delete_from_hudi's rule): small published
+    # tables run AQE-off with an input-derived pin, big ones untouched
+    spark = small_plan_spark(spark, est_bytes=_dest_bytes_est(dest))
     props, precombine, hdir, scan, fid_expr = _mor_dml_scan(
         spark, dest, "update_hudi", "update"
     )

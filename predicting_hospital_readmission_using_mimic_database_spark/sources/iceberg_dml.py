@@ -46,7 +46,26 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .iceberg import (
+from ..session import small_plan_session, small_plan_spark
+
+
+def _table_bytes_est(meta, root, sid) -> int:
+    """Driver-side byte bound for a DML op over the snapshot's LIVE
+    data files (manifest ``file_size_in_bytes``, inflated to in-memory
+    width) — feeds the small-plan byte gate: provably-small tables run
+    the op's fixed-shape plan AQE-off with an input-derived partition
+    pin; big tables keep the caller's session and AQE untouched."""
+    from .iceberg import _live_files
+    from .io import BROADCAST_INFLATION
+
+    data_files, _p, _e, _d = _live_files(meta, root, sid)
+    return BROADCAST_INFLATION * sum(
+        int(st.get("file_size_in_bytes") or 0)
+        for _path, _pv, _seq, st, _s, _f in data_files
+    )
+
+
+from .iceberg import (  # noqa: E402
     MANIFEST_ENTRY_SCHEMA,
     MANIFEST_FILE_SCHEMA,
     IcebergProtocolError,
@@ -394,80 +413,97 @@ def merge_iceberg(
     n_src = int(row["n"])
 
     fpk, posk = "__ice_dml_file", "__ice_dml_pos"
-    tgt = read_iceberg(
-        spark, root, snapshot_id=cur_sid, _keep_keys=(fpk, posk)
-    )
-    s = src.alias("s")
-    t = tgt.alias("t")
-    cond = F.lit(True)
-    for k in on:
-        cond = cond & F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
-    # ONE source-sized join; every downstream frame projects from it.
-    # Delta-sized sources (the normal case) take the low-shuffle shape
-    # (optimization guide §3.2): a broadcast semi join on the source
-    # keys pre-filters the target scan to matched rows — the target is
-    # never shuffled — and the <=|source| survivors broadcast back for
-    # the left join; table-sized sources keep the shuffled fallback.
-    # Both broadcasts are gated on estimated BYTES as well as rows
-    # (guide §3.1): the manifests' record_count/file_size_in_bytes
-    # give the observed row width, so a wide table stops the
-    # broadcast-back even under the row cap (the semi pre-filter stays
-    # — keys are schema-width small).
-    from .io import est_broadcast_bytes, schema_row_bytes
-    from pyspark.sql.types import StructType as _ST
+    # byte-gate the rest of the merge (merge_delta's rule): inputs are
+    # the snapshot's live files plus the source delta, both bounded
+    # driver-side; `spark` and `src` are re-bound to the AQE-off
+    # pinned clone when small, unchanged otherwise (spark0 keeps the
+    # caller's session for the CAS-retry recursion)
+    from .io import schema_row_bytes as _srb
 
-    key_schema = _ST([f for f in schema.fields if f.name in on])
-    tot_bytes = tot_rows = 0
-    data_files, _p, _e, _d = _live_files(meta, root, cur_sid)
-    for _path, _pv, _seq, st, _sid, _frid in data_files:
-        tot_bytes += int(st.get("file_size_in_bytes") or 0)
-        nr = st.get("record_count")
-        if nr is None:
-            tot_rows = 0  # any file without a count: row total unknown
-            break
-        tot_rows += int(nr)
-    can_semi = (
-        n_src <= broadcast_source_rows
-        and n_src * schema_row_bytes(key_schema) <= broadcast_bytes
+    spark0 = spark
+    ctx = small_plan_session(
+        src,
+        est_bytes=_table_bytes_est(meta, root, cur_sid)
+        + n_src * _srb(schema),
     )
-    can_back = can_semi and est_broadcast_bytes(
-        n_src, schema_row_bytes(schema), tot_bytes, tot_rows
-    ) <= broadcast_bytes
-    if can_semi:
-        keys = src.select(*on).alias("s")
-        t_hits = t.join(F.broadcast(keys), cond, "left_semi").alias("t")
-        rhs = F.broadcast(t_hits) if can_back else t_hits
-        j = s.join(rhs, cond, "left").persist()
-    else:
-        j = s.join(t, cond, "left").persist()
+    spark, (src,) = ctx.__enter__()
     try:
-        matched = j.filter(F.col(fpk).isNotNull())
-        unmatched = j.filter(F.col(fpk).isNull())
-        s_cols = [F.col(f"s.{c}").alias(c) for c in table_cols]
-
-        new_rows = unmatched.select(*s_cols) if insert else None
-        if when_matched == "update":
-            upd = matched.select(*s_cols)
-            new_rows = (
-                upd if new_rows is None else new_rows.unionByName(upd)
-            )
-
-        res = _stage_and_commit(
-            spark, root, latest, meta, snaps, cur_sid,
-            _uuid.uuid4().hex[:12],
-            matched.select(
-                F.col(fpk).alias("file_path"),
-                F.col(posk).alias("pos"),
-            ),
-            new_rows, "merge",
-            lambda n_m, n_n: {
-                "operation": "overwrite",
-                "merged-rows": str(n_m),
-                "added-rows": str(n_n),
-            },
+        tgt = read_iceberg(
+            spark, root, snapshot_id=cur_sid, _keep_keys=(fpk, posk)
         )
+        s = src.alias("s")
+        t = tgt.alias("t")
+        cond = F.lit(True)
+        for k in on:
+            cond = cond & F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
+        # ONE source-sized join; every downstream frame projects from it.
+        # Delta-sized sources (the normal case) take the low-shuffle shape
+        # (optimization guide §3.2): a broadcast semi join on the source
+        # keys pre-filters the target scan to matched rows — the target is
+        # never shuffled — and the <=|source| survivors broadcast back for
+        # the left join; table-sized sources keep the shuffled fallback.
+        # Both broadcasts are gated on estimated BYTES as well as rows
+        # (guide §3.1): the manifests' record_count/file_size_in_bytes
+        # give the observed row width, so a wide table stops the
+        # broadcast-back even under the row cap (the semi pre-filter stays
+        # — keys are schema-width small).
+        from .io import est_broadcast_bytes, schema_row_bytes
+        from pyspark.sql.types import StructType as _ST
+
+        key_schema = _ST([f for f in schema.fields if f.name in on])
+        tot_bytes = tot_rows = 0
+        data_files, _p, _e, _d = _live_files(meta, root, cur_sid)
+        for _path, _pv, _seq, st, _sid, _frid in data_files:
+            tot_bytes += int(st.get("file_size_in_bytes") or 0)
+            nr = st.get("record_count")
+            if nr is None:
+                tot_rows = 0  # any file without a count: row total unknown
+                break
+            tot_rows += int(nr)
+        can_semi = (
+            n_src <= broadcast_source_rows
+            and n_src * schema_row_bytes(key_schema) <= broadcast_bytes
+        )
+        can_back = can_semi and est_broadcast_bytes(
+            n_src, schema_row_bytes(schema), tot_bytes, tot_rows
+        ) <= broadcast_bytes
+        if can_semi:
+            keys = src.select(*on).alias("s")
+            t_hits = t.join(F.broadcast(keys), cond, "left_semi").alias("t")
+            rhs = F.broadcast(t_hits) if can_back else t_hits
+            j = s.join(rhs, cond, "left").persist()
+        else:
+            j = s.join(t, cond, "left").persist()
+        try:
+            matched = j.filter(F.col(fpk).isNotNull())
+            unmatched = j.filter(F.col(fpk).isNull())
+            s_cols = [F.col(f"s.{c}").alias(c) for c in table_cols]
+
+            new_rows = unmatched.select(*s_cols) if insert else None
+            if when_matched == "update":
+                upd = matched.select(*s_cols)
+                new_rows = (
+                    upd if new_rows is None else new_rows.unionByName(upd)
+                )
+
+            res = _stage_and_commit(
+                spark, root, latest, meta, snaps, cur_sid,
+                _uuid.uuid4().hex[:12],
+                matched.select(
+                    F.col(fpk).alias("file_path"),
+                    F.col(posk).alias("pos"),
+                ),
+                new_rows, "merge",
+                lambda n_m, n_n: {
+                    "operation": "overwrite",
+                    "merged-rows": str(n_m),
+                    "added-rows": str(n_n),
+                },
+            )
+        finally:
+            j.unpersist()
     finally:
-        j.unpersist()
+        ctx.__exit__(None, None, None)
     if res is None:
         if _retries <= 0:
             raise IcebergProtocolError(
@@ -479,7 +515,7 @@ def merge_iceberg(
         # the matched set may have changed, so the whole merge
         # re-runs (the source frame is unchanged)
         return merge_iceberg(
-            spark, root, source, on,
+            spark0, root, source, on,
             when_matched=when_matched, insert=insert,
             broadcast_source_rows=broadcast_source_rows,
             broadcast_bytes=broadcast_bytes,
@@ -528,6 +564,11 @@ def update_iceberg(
             f"(columns: {table_cols})"
         )
     fpk, posk = "__ice_dml_file", "__ice_dml_pos"
+    # byte-gate the whole op (merge_iceberg's rule): every frame below
+    # is built from `spark` and consumed inside this op
+    spark = small_plan_spark(
+        spark, est_bytes=_table_bytes_est(meta, root, cur_sid)
+    )
     tgt = read_iceberg(
         spark, root, snapshot_id=cur_sid, _keep_keys=(fpk, posk)
     )
@@ -596,6 +637,10 @@ def delete_from_iceberg(
         root, "delete_from_iceberg"
     )
     fpk, posk = "__ice_dml_file", "__ice_dml_pos"
+    # byte-gate the whole op (merge_iceberg's rule)
+    spark = small_plan_spark(
+        spark, est_bytes=_table_bytes_est(meta, root, cur_sid)
+    )
     tgt = read_iceberg(
         spark, root, snapshot_id=cur_sid, _keep_keys=(fpk, posk)
     )

@@ -323,7 +323,9 @@ class SnapshotTable:
     # ------------------------------------------------------------------
     # data-file staging
     # ------------------------------------------------------------------
-    def _stage(self, df: DataFrame) -> list[_AddAction]:
+    def _stage(
+        self, df: DataFrame, est_bytes: int | None = None
+    ) -> list[_AddAction]:
         """Write df's rows as new parquet files under a fresh commit dir and
         return their add actions (rows + stats harvested from footers).
 
@@ -331,17 +333,28 @@ class SnapshotTable:
         to exactly one bucket (recorded in the action — MERGE's pruning
         unit). Stats harvesting is footer-only, parallelized on driver
         threads; per-commit file counts are bounded (one Spark write job).
+
+        ``est_bytes`` (when the caller can bound the plan's bytes from
+        its own log — MERGE knows the touched files' sizes and the
+        update row count) routes the write through
+        :func:`~..session.small_plan_session`: a provably-small
+        fixed-shape plan runs AQE-off with an input-derived partition
+        pin (one job instead of one per exchange); big plans keep the
+        caller's session and AQE untouched.
         """
+        from ..session import small_plan_session
+
         rel_dir = f"data-{uuid.uuid4().hex[:12]}"
         abs_dir = os.path.join(self.root, rel_dir)
         if self.bucket_key:
-            (
-                df.withColumn(_BUCKET_COL, self._bucket_expr())
-                .write.partitionBy(_BUCKET_COL)
-                .parquet(abs_dir, mode="errorifexists")
-            )
+            out = df.withColumn(_BUCKET_COL, self._bucket_expr())
+            with small_plan_session(out, est_bytes=est_bytes) as (_s, (o2,)):
+                o2.write.partitionBy(_BUCKET_COL).parquet(
+                    abs_dir, mode="errorifexists"
+                )
         else:
-            df.write.parquet(abs_dir, mode="errorifexists")
+            with small_plan_session(df, est_bytes=est_bytes) as (_s, (d2,)):
+                d2.write.parquet(abs_dir, mode="errorifexists")
         actions = []
         paths = []
         for dirpath, _dirs, files in os.walk(abs_dir):
@@ -560,18 +573,48 @@ class SnapshotTable:
         upd = updates
         for c in key:
             upd = upd.withColumn(c, F.col(c).cast(self.schema[c].dataType))
-        touched = sorted(
-            r["__b"]
-            for r in upd.select(self._bucket_expr().alias("__b")).distinct().collect()
-        )
+        # one probe job: touched bucket ids AND the update row count
+        # (the count feeds the byte estimate below at no extra job).
+        # The probe runs AQE-off regardless of scale: it is a fixed
+        # partial-aggregated groupBy with <= num_buckets output groups
+        # (no join, no skewable key, nothing to coalesce), so AQE's
+        # per-exchange stage materialization buys nothing; the pin is
+        # the table's own bucket count
+        from ..session import loop_session
+
+        with loop_session(
+            upd, shuffle_partitions=self.num_buckets or 1
+        ) as (_s, (u2,)):
+            probe = (
+                u2.groupBy(self._bucket_expr().alias("__b"))
+                .count()
+                .collect()
+            )
+        touched = sorted(r["__b"] for r in probe)
+        n_upd = sum(int(r["count"]) for r in probe)
         touched_set = set(touched)
         old_files = [
             p for p, a in self._live.items() if a.bucket in touched_set
         ]
         base = self._read_files(old_files)
         merged = merge_upsert(base, upd, key=key, update_cols=update_cols)
+        # plan bytes, bounded driver-side: touched files' DISK sizes
+        # (inflated 4x for their in-memory width) + update rows at the
+        # schema's static width — both inputs and the merged output are
+        # within a small factor of this sum
+        from .io import BROADCAST_INFLATION, schema_row_bytes
+
+        est = BROADCAST_INFLATION * sum(
+            os.path.getsize(ap)
+            for p in old_files
+            for ap in (os.path.join(self.root, p),)
+            if os.path.exists(ap)
+        ) + n_upd * schema_row_bytes(self.schema)
         return self._commit(
-            "merge", self._stage(self._check_schema(merged)), old_files, txn=txn
+            "merge",
+            self._stage(self._check_schema(merged), est_bytes=est),
+            old_files,
+            txn=txn,
         )
 
     def delete(self, cond: Column, prune: Sequence[tuple] | None = None) -> int:
