@@ -76,10 +76,22 @@ def test_first_50_entries_cover_every_family():
 
 
 def test_queries_runnable_at_smoke_scale(spark):
-    # every registered query must at least build a plan and return a schema
-    for name, fn in entrymod.queries().items():
+    # every registered query must at least build a plan and return a
+    # schema. Entries run from a small driver thread pool: each writes
+    # only under its own per-entry root, so they are independent jobs
+    # the scheduler can overlap (optimization guide §2.6) — identical
+    # coverage, a fraction of the sequential wall (this is the suite's
+    # single longest test)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build(item):
+        name, fn = item
         df = fn(spark, SF_SMOKE)
         assert df.schema is not None, name
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for _ in pool.map(build, list(entrymod.queries().items())):
+            pass
 
 
 def test_sql_entry_point_over_views(spark):
