@@ -1851,17 +1851,39 @@ def _mk_bucketed_delta(
 
     log = os.path.join(root, "_delta_log")
     os.makedirs(log)
+    # ONE staged write for all buckets (each bucket lands in exactly
+    # one task/file via repartition+partitionBy — the same batched
+    # shape as export_hudi's COW publish), replacing a per-bucket
+    # filter+write loop that scheduled O(n_buckets) sequential jobs
+    stage = os.path.join(root, ".stage")
+    (
+        df.withColumn("__b", F.col(key) % n_buckets)
+        .repartition(n_buckets, "__b")
+        .write.partitionBy("__b")
+        .parquet(stage)
+    )
     rels = []
+    empty_src = None
     for b in range(n_buckets):
-        stage = os.path.join(root, f".s{b}")
-        df.filter(
-            F.col(key) % n_buckets == b
-        ).coalesce(1).write.parquet(stage)
-        (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
         rel = f"bucket{b}.parquet"
-        _shutil.move(part, os.path.join(root, rel))
-        _shutil.rmtree(stage)
+        parts = _glob.glob(os.path.join(stage, f"__b={b}", "part-*.parquet"))
+        if parts:
+            (part,) = parts
+            _shutil.move(part, os.path.join(root, rel))
+        else:
+            # a bucket with zero rows still lands a (0-row) file, as
+            # the per-bucket loop did
+            if empty_src is None:
+                estage = os.path.join(root, ".stage-empty")
+                df.limit(0).coalesce(1).write.parquet(estage)
+                (empty_src,) = _glob.glob(
+                    os.path.join(estage, "part-*.parquet")
+                )
+            _shutil.copy(empty_src, os.path.join(root, rel))
         rels.append(rel)
+    if empty_src is not None:
+        _shutil.rmtree(os.path.dirname(empty_src))
+    _shutil.rmtree(stage)
     with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
         f.write(_json.dumps({"protocol": {
             "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
