@@ -39,27 +39,27 @@ _LOADED = False
 # The driver verifies the registry front-to-back with a capped budget
 # (every round so far checked exactly the first 50 entries). The
 # cross-round union covers all entries — every one has appeared
-# hash-green in a shipped driver artifact. Round-14 window:
-# (a) the 5 entries NEW this round — s80 Delta DELETE via deletion
-# vectors, s81 Delta-native MERGE emitting the change data feed,
-# s82 Iceberg row-delta MERGE (pos-deletes + appends in one
-# snapshot), st29 streaming write-audit-publish into an Iceberg
-# audit branch, n7 IVF-PQ quantized ANN — then every entry whose
-# MACHINERY changed this round: the Delta group (append_delta's
-# place-and-commit exception boundary; the DV read path / CDF reader
-# now consume user-written DML commits; log truncation + restore over
-# checkpoints that carry DVs), the Iceberg group (read_iceberg grew
-# the _keep_keys DML hook on its scan spine, the version hint
-# retries its read-compare-replace, WAP cherry-pick labels), the
-# Hudi group (the clustering update-conflict rule is now
-# (partition, fileId)-scoped: exact diff-target gating for MOR,
-# row+slice partition probe for COW, partition-scoped completion
-# scan), and the retrieval/ANN modules (bm25 empty-corpus short-
-# circuit; similarity.py grew the PQ substrate) — then (b) one
-# stable sentinel per family prefix, ROTATED off round 13's picks
+# hash-green in a shipped driver artifact. Round-15 window (an
+# OPTIMIZATION round: no new entries, so the window front-loads every
+# entry whose MACHINERY changed): (a) the row-level DML group — the
+# delta/iceberg/hudi DELETE/UPDATE/MERGE ops now run under the
+# byte-gated small-plan session clone (sources/*_dml.py,
+# hudi_export.py; session.small_plan_session), merge_delta/iceberg
+# keep their r14 low-shuffle join behind the same gate, and the
+# bucketed-delta fixture batched its per-bucket writes — then the
+# Hudi publish/maintenance group (export_hudi COW staging + MOR delta
+# publish, compact/cluster/clean/archive/savepoint/rollback and every
+# incremental/CDC/stream consumer of those gated publishes), the
+# SnapshotTable MERGE probe+stage (s9/s59 and every staged fixture),
+# the column-mapping read path (fieldId.read joined the session
+# baseline so clones resolve id-mapped files), the DV/CDF consumers
+# of the gated DML, and the CC/pagerank loops (loop_session now
+# inherits the engine baseline and gains the probed skew mode) —
+# then (b) one stable sentinel per family prefix, ROTATED off round
+# 14's picks
 # (tests/test_entry.py::test_first_50_entries_cover_every_family).
 PRIORITY: tuple[str, ...] = (
-    # (a) new in round 14
+    # (a) row-level DML under the small-plan gate (+ batched fixture)
     "s80_delta_delete_dv",
     "s81_delta_merge_cdf",
     "s82_iceberg_merge",
@@ -68,55 +68,56 @@ PRIORITY: tuple[str, ...] = (
     "s85_iceberg_update",
     "s86_hudi_delete",
     "s87_hudi_update",
-    "st29_stream_iceberg_wap",
     "st30_stream_cdc_apply",
-    "n7_knn_ivf_pq",
-    # (a) Delta machinery changed in round 14
-    "s77_delta_constraints",
-    "s79_delta_identity",
-    "st27_stream_into_constrained",
-    "st28_stream_identity_sink",
+    # (a) Hudi publish/maintenance over the gated staging cycle
+    "s40_hudi_export",
+    "s43_hudi_partitioned_export",
+    "s51_hudi_mor_export",
+    "s52_hudi_mor_compaction",
+    "s53_hudi_mor_partitioned",
+    "s56_hudi_mdt_synced_export",
+    "s58_hudi_clean",
+    "s60_hudi_clustering",
+    "s68_hudi_async_compaction",
+    "s69_hudi_timeline_archival",
+    "s72_hudi_savepoint_restore",
+    "s74_hudi_rollback",
+    "s78_hudi_pending_clustering",
+    # (a) incremental / CDC / stream consumers of the gated publishes
+    "s25_hudi_incremental",
+    "s31_hudi_mor_incremental",
+    "s42_hudi_cdc_infer",
+    "st15_stream_hudi_tail",
+    "st18_stream_hudi_mor",
+    "st20_stream_hudi_cdc",
+    # (a) SnapshotTable MERGE probe+stage under the gate
+    "s9_table_merge",
+    "s59_delta_log_truncate",
+    # (a) id-mapped reads: fieldId.read joined the session baseline
+    "s21_delta_column_mapping",
+    # (a) DV/CDF consumers of the gated delta DML
     "s22_delta_deletion_vectors",
     "s28_delta_cdf",
-    "s59_delta_log_truncate",
-    "s71_delta_restore",
-    # (a) Iceberg machinery changed in round 14
-    "s76_iceberg_wap",
-    "s18_iceberg_roundtrip",
-    "s20_iceberg_pos_delete",
-    "s23_iceberg_eq_delete",
-    "s47_iceberg_changelog",
-    "s49_iceberg_changelog_dv_replay",
-    "s37_iceberg_v3_dv",
-    "s45_iceberg_row_lineage",
-    "st16_stream_iceberg_tail",
-    "s57_iceberg_expire_snapshots",
-    # (a) Hudi machinery changed in round 14 (partition-aware
-    # clustering update-conflict rule)
-    "s78_hudi_pending_clustering",
-    "s40_hudi_export",
-    "s51_hudi_mor_export",
-    "s60_hudi_clustering",
-    "s52_hudi_mor_compaction",
-    "s68_hudi_async_compaction",
-    # (a) retrieval / ANN modules changed in round 14
-    "x17_bm25_topk",
-    "x18_hybrid_rerank",
-    "n4_knn_ivf_indexed",
-    # (b) stable sentinels, family-complete, rotated off the round-13
+    "st17_stream_delta_cdf",
+    # (a) CC/pagerank loop-session changes (baseline confs, skew mode)
+    "d6_dup_clusters",
+    "d9_dup_clusters_star",
+    "g1_pagerank",
+    # (b) stable sentinels, family-complete, rotated off the round-14
     # picks
     "flagship_readmit_30d",
-    "p2_filter_isnull",
-    "j12_supplier_region_rollup",
-    "w8_rolling_avg",
-    "a13_percentiles",
-    "c10_json_extract",
-    "u11_stratified_hash_split",
-    "t16_tfidf",
-    "m8_mutual_info",
-    "e9_calibration",
-    "d2_dedup_minhash_lsh",
-    "mm5_audio_spectrogram",
+    "p8_split_counts",
+    "j9_asof_join",
+    "w5_last_per_group",
+    "a8_pivot_count",
+    "c3_range_recode",
+    "u6_smote",
+    "t14_count_vectorize",
+    "m7_grid_cv",
+    "e4_confusion",
+    "n3_knn_ivf",
+    "x7_mixture_sample",
+    "mm4_audio_resample",
 )
 
 

@@ -33,14 +33,15 @@ def test_first_50_entries_cover_every_family():
         "t", "m", "e",                                   # text / ML / metrics
         "d", "n", "x", "mm", "st",                       # LLM-pipeline + streaming
     } <= fams, fams
-    # round-14 rotation: the 11 new entries (Delta DELETE via DVs,
-    # Delta-native MERGE+CDF, Delta UPDATE, Iceberg row-delta
-    # MERGE/DELETE/UPDATE, Hudi tombstone DELETE + upsert-block
-    # UPDATE, streaming WAP, streaming CDC-apply, IVF-PQ ANN)
-    # lead, then every entry whose machinery changed this round (Delta
-    # append/DML commit paths + DV/CDF consumers, the read_iceberg
-    # scan spine + version hint + WAP labels, the partition-aware Hudi
-    # clustering conflict rule, the retrieval/ANN modules)
+    # round-15 rotation (optimization round — no new entries): every
+    # entry whose MACHINERY changed leads — the row-level DML group
+    # (delta/iceberg/hudi DELETE/UPDATE/MERGE under the byte-gated
+    # small-plan clone, batched bucketed-delta fixture), the Hudi
+    # publish/maintenance group and its incremental/CDC/stream
+    # consumers (export_hudi COW/MOR staging under the gate), the
+    # SnapshotTable MERGE probe+stage, id-mapped reads (fieldId.read
+    # joined the session baseline), DV/CDF consumers, and the
+    # CC/pagerank loops (loop_session baseline + skew mode)
     for must in ("s80_delta_delete_dv",
                  "s81_delta_merge_cdf",
                  "s82_iceberg_merge",
@@ -49,27 +50,25 @@ def test_first_50_entries_cover_every_family():
                  "s85_iceberg_update",
                  "s86_hudi_delete",
                  "s87_hudi_update",
-                 "st29_stream_iceberg_wap",
                  "st30_stream_cdc_apply",
-                 "n7_knn_ivf_pq",
-                 "s77_delta_constraints", "s79_delta_identity",
-                 "st27_stream_into_constrained",
-                 "st28_stream_identity_sink",
+                 "s40_hudi_export", "s43_hudi_partitioned_export",
+                 "s51_hudi_mor_export", "s52_hudi_mor_compaction",
+                 "s53_hudi_mor_partitioned",
+                 "s56_hudi_mdt_synced_export", "s58_hudi_clean",
+                 "s60_hudi_clustering", "s68_hudi_async_compaction",
+                 "s69_hudi_timeline_archival",
+                 "s72_hudi_savepoint_restore", "s74_hudi_rollback",
+                 "s78_hudi_pending_clustering",
+                 "s25_hudi_incremental", "s31_hudi_mor_incremental",
+                 "s42_hudi_cdc_infer",
+                 "st15_stream_hudi_tail", "st18_stream_hudi_mor",
+                 "st20_stream_hudi_cdc",
+                 "s9_table_merge", "s59_delta_log_truncate",
+                 "s21_delta_column_mapping",
                  "s22_delta_deletion_vectors", "s28_delta_cdf",
-                 "s59_delta_log_truncate", "s71_delta_restore",
-                 "s76_iceberg_wap", "s18_iceberg_roundtrip",
-                 "s20_iceberg_pos_delete", "s23_iceberg_eq_delete",
-                 "s47_iceberg_changelog",
-                 "s49_iceberg_changelog_dv_replay",
-                 "s37_iceberg_v3_dv", "s45_iceberg_row_lineage",
-                 "st16_stream_iceberg_tail",
-                 "s57_iceberg_expire_snapshots",
-                 "s78_hudi_pending_clustering", "s40_hudi_export",
-                 "s51_hudi_mor_export", "s60_hudi_clustering",
-                 "s52_hudi_mor_compaction",
-                 "s68_hudi_async_compaction",
-                 "x17_bm25_topk", "x18_hybrid_rerank",
-                 "n4_knn_ivf_indexed",
+                 "st17_stream_delta_cdf",
+                 "d6_dup_clusters", "d9_dup_clusters_star",
+                 "g1_pagerank",
                  "flagship_readmit_30d"):
         assert must in names
     assert len(names) == 50
