@@ -160,8 +160,12 @@ def _stage_and_commit(
             matched.select(
                 F.col("file_path"), F.col("pos").cast("long")
             )
-            .orderBy("file_path", "pos")
-            .coalesce(1)
+            # one sorted output file: repartition(1)+local sort is the
+            # same global order as orderBy().coalesce(1) but skips the
+            # range-partitioner's separate sampling pass (the spec only
+            # needs the FILE sorted, and the write is single-file)
+            .repartition(1)
+            .sortWithinPartitions("file_path", "pos")
             .write.parquet(stage)
         )
         parts = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))
