@@ -135,6 +135,16 @@ def optimize_delta(
     meta, live, dvs, last = _replay_log(
         root, stats_out=stats_of, rowids_out=rowids, domains_out=domains
     )
+    # byte-gate the whole op (delta_dml's rule): every frame below is
+    # built from `spark` and consumed inside this op — provably-small
+    # tables run the fixed-shape rewrite AQE-off with an input-derived
+    # pin, big ones keep the caller's session and AQE untouched
+    from ..session import small_plan_spark
+    from .delta_dml import _live_bytes_est
+
+    spark = small_plan_spark(
+        spark, est_bytes=_live_bytes_est(root, live)
+    )
     conf = dict(meta.get("configuration") or {})
     mapping = str(conf.get("delta.columnMapping.mode", "none")).lower()
     schema = StructType.fromJson(json.loads(meta["schemaString"]))

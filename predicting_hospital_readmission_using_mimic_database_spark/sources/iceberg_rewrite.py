@@ -113,6 +113,20 @@ def rewrite_iceberg_data_files(
     files, pos_dels, eq_dels, dv_dels = _live_files(meta, root, None)
     if not files:
         return None
+    # byte-gate the whole op (iceberg_dml's rule): frames below are
+    # built from `spark` and consumed inside this op; the manifests
+    # already carry every live file's size
+    from ..session import small_plan_spark
+    from .io import BROADCAST_INFLATION
+
+    spark = small_plan_spark(
+        spark,
+        est_bytes=BROADCAST_INFLATION
+        * sum(
+            int((rec[3] or {}).get("file_size_in_bytes") or 0)
+            for rec in files
+        ),
+    )
     schema = _table_schema(meta)
     csid = meta.get("current-schema-id", 0)
     cur_fields = next(
