@@ -68,6 +68,27 @@ def main() -> int:
 
     for t in ("events", "lineitem", "documents", "embeddings"):
         read_table(spark, sf_dir, t).limit(1).count()
+    # ...and the Structured Streaming machinery (bench.py's warmup
+    # rule): the first streaming entry profiled would otherwise absorb
+    # ~4.5 s of one-time microbatch-engine init into its wall
+    import shutil
+    import tempfile
+
+    ck = tempfile.mkdtemp(prefix="profile_warm_ck_")
+    try:
+        q = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "1")
+            .option("numPartitions", "1")
+            .load()
+            .writeStream.foreachBatch(lambda df, _bid: df.count())
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
 
     tracker = sc.statusTracker()
     for name in names:
