@@ -267,24 +267,11 @@ def main() -> None:
     # one-time per-session init that the FIRST streaming entry would
     # otherwise absorb into its timing (guide §1 — pay startup outside
     # the timed region, same rationale as the worker-pool priming above)
-    import shutil as _sh
-    import tempfile as _tf
+    from predicting_hospital_readmission_using_mimic_database_spark.session import (
+        warm_streaming,
+    )
 
-    _ck = _tf.mkdtemp(prefix="bench_warm_ck_")
-    try:
-        _q = (
-            spark.readStream.format("rate")
-            .option("rowsPerSecond", "1")
-            .option("numPartitions", "1")
-            .load()
-            .writeStream.foreachBatch(lambda df, _bid: df.count())
-            .option("checkpointLocation", _ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _q.awaitTermination(60)
-    finally:
-        _sh.rmtree(_ck, ignore_errors=True)
+    warm_streaming(spark)
     print(f"[bench] warmup: {time.perf_counter()-t_warm:.1f}s", file=sys.stderr)
 
     names_env = os.environ.get("BENCH_QUERIES")

@@ -534,18 +534,16 @@ def connected_components(
     # against the cold cache, and again when the loop's first action
     # filled it. (The cache also pinned the frame at the SESSION
     # shuffle-partition count: AQE cannot re-coalesce a cached plan.)
-    edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # probe the loop's join key over the checkpointed rows (cheap):
-    # the in-loop equi-join is keyed on dst, so a power-law hub key
-    # means one straggler task per iteration unless the loop keeps
-    # skew splitting; the row count also sizes the loop's shuffles
-    deg = edges.groupBy("dst").count().agg(
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().cache()
+    # probe the loop's join key (the probe's action also fills the
+    # cache — ONE materialization of the possibly-expensive upstream
+    # pair plan): the in-loop equi-join is keyed on dst, so a
+    # power-law hub key means one straggler task per iteration unless
+    # the loop keeps skew splitting; the row count also sizes the
+    # loop's shuffles
+    deg = sym.groupBy("dst").count().agg(
         F.coalesce(F.max("count"), F.lit(0)).alias("mx"),
         F.coalesce(F.sum("count"), F.lit(0)).alias("n"),
     ).first()
@@ -563,10 +561,16 @@ def connected_components(
         # under skew: a pre-partitioned side is not a shuffle stage,
         # so AQE could not split its hub partition.
         edges = (
-            edges.repartition(pin, "dst")
+            sym.repartition(pin, "dst")
             .sortWithinPartitions("dst")
             .localCheckpoint(eager=True)
         )
+    else:
+        edges = sym.localCheckpoint(eager=True)
+    # the loop reads only the checkpoint; the symmetrized cache is a
+    # superseded copy of the full edge list — free it now instead of
+    # holding ~|E| extra blocks for the application's lifetime
+    sym.unpersist()
     n_changed = 0
     # fixed-shape rounds (one equi-join + one min agg) run under the
     # loop-scoped cloned session: AQE off (nothing to re-plan, one

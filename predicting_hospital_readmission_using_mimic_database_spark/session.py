@@ -180,6 +180,35 @@ def loop_session(
             base.catalog.dropGlobalTempView(nm)
 
 
+def warm_streaming(spark: SparkSession, timeout_s: int = 60) -> None:
+    """Pay Structured Streaming's one-time per-session init (microbatch
+    engine, checkpoint WAL, foreachBatch callback path — measured
+    ~4.5 s) outside any timed region: a 1-row rate-source availableNow
+    drain into a no-op sink. Shared by bench.py's warmup phase and
+    tools/profile_entry.py so the first streaming entry measured never
+    absorbs it. A drain that outlives ``timeout_s`` is stopped before
+    its checkpoint dir is removed."""
+    import shutil
+    import tempfile
+
+    ck = tempfile.mkdtemp(prefix="warm_stream_ck_")
+    try:
+        q = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "1")
+            .option("numPartitions", "1")
+            .load()
+            .writeStream.foreachBatch(lambda df, _bid: df.count())
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+
+
 # ----------------------------------------------------------------------
 # byte-gated session for provably-small fixed-shape DML/publish plans
 # ----------------------------------------------------------------------

@@ -1157,9 +1157,18 @@ def merge_delta(
     # plan's inputs are the live files plus the source delta, both
     # bounded driver-side; `spark` and `src` are re-bound to the
     # AQE-off pinned clone when small, unchanged otherwise
+    from .io import BROADCAST_INFLATION
     from .io import schema_row_bytes as _srb
 
-    est_plan = _live_bytes_est(root, base.live) + n_src * _srb(schema)
+    # ONE getsize pass over the live files serves BOTH byte gates (the
+    # session gate here and the broadcast-back gate below)
+    tot_bytes = 0
+    for rel in base.live:
+        try:
+            tot_bytes += os.path.getsize(os.path.join(root, rel))
+        except OSError:
+            pass
+    est_plan = BROADCAST_INFLATION * tot_bytes + n_src * _srb(schema)
     ctx = small_plan_session(src, est_bytes=est_plan)
     spark, (src,) = ctx.__enter__()
     try:
@@ -1185,14 +1194,14 @@ def merge_delta(
             key_schema = StructType(
                 [f for f in schema.fields if f.name in on]
             )
-            tot_bytes = tot_rows = 0
+            # tot_bytes was accumulated over ALL live files above — a
+            # stats-less file may make the ROW total unknown, but must
+            # never truncate the byte total (est_broadcast_bytes'
+            # unknown-rows fallback bounds by the WHOLE table's
+            # inflated bytes; a partial sum would re-open the
+            # oversized-broadcast hole the byte gate exists to close)
+            tot_rows = 0
             for rel in base.live:
-                try:
-                    tot_bytes += os.path.getsize(
-                        os.path.join(root, rel)
-                    )
-                except OSError:
-                    pass
                 st = base.stats_of.get(rel)
                 nr = None
                 if st:

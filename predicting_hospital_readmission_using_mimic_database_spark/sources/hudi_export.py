@@ -81,16 +81,27 @@ def _publish_bytes_est(table, touched, prev_files) -> int:
 
 def _dest_bytes_est(dest: str) -> int:
     """Driver-side byte bound for a DML op over a PUBLISHED Hudi table
-    at ``dest``: every data/log byte under it (the op's scan folds base
-    + logs), inflated to in-memory width. Metadata dirs are skipped."""
+    at ``dest``: the LIVE slices' base+log bytes (what the op's
+    ``_read_mor`` fold actually opens — superseded base files from
+    earlier instants must not inflate the gate and push a small table
+    off the small-plan path), inflated to in-memory width. Uses the
+    same ``_latest_slices`` listing every reader resolves (metadata
+    table when present), not an O(all files) walk."""
+    from .hudi import _latest_slices
     from .io import BROADCAST_INFLATION
 
-    total = 0
-    for dirpath, dirs, files in os.walk(dest):
-        dirs[:] = [d for d in dirs if d != HOODIE_DIR]
-        for name in files:
-            if name.endswith(".parquet") or ".log" in name:
-                total += os.path.getsize(os.path.join(dirpath, name))
+    slices, logs = _latest_slices(dest, None, None, collect_logs=True)
+    total = sum(
+        os.path.getsize(p)
+        for (_i, p) in slices.values()
+        if p and os.path.exists(p)
+    )
+    total += sum(
+        os.path.getsize(entry[2])
+        for ls in logs.values()
+        for entry in ls
+        if os.path.exists(entry[2])
+    )
     return BROADCAST_INFLATION * total
 
 __all__ = [

@@ -422,13 +422,29 @@ def merge_iceberg(
     # driver-side; `spark` and `src` are re-bound to the AQE-off
     # pinned clone when small, unchanged otherwise (spark0 keeps the
     # caller's session for the CAS-retry recursion)
+    from .io import BROADCAST_INFLATION
     from .io import schema_row_bytes as _srb
+
+    # ONE manifest resolution serves the session gate here AND the
+    # broadcast gates below (tot_bytes/tot_rows). A file without a
+    # record_count makes the ROW total unknown but must never truncate
+    # the BYTE total (est_broadcast_bytes' unknown-rows fallback bounds
+    # by the whole table's inflated bytes).
+    tot_bytes = tot_rows = 0
+    data_files, _p, _e, _d = _live_files(meta, root, cur_sid)
+    for _path, _pv, _seq, st, _sid, _frid in data_files:
+        tot_bytes += int(st.get("file_size_in_bytes") or 0)
+        nr = st.get("record_count")
+        if nr is None or tot_rows < 0:
+            tot_rows = -1  # any file without a count: row total unknown
+        else:
+            tot_rows += int(nr)
+    tot_rows = max(tot_rows, 0)
 
     spark0 = spark
     ctx = small_plan_session(
         src,
-        est_bytes=_table_bytes_est(meta, root, cur_sid)
-        + n_src * _srb(schema),
+        est_bytes=BROADCAST_INFLATION * tot_bytes + n_src * _srb(schema),
     )
     spark, (src,) = ctx.__enter__()
     try:
@@ -455,15 +471,7 @@ def merge_iceberg(
         from pyspark.sql.types import StructType as _ST
 
         key_schema = _ST([f for f in schema.fields if f.name in on])
-        tot_bytes = tot_rows = 0
-        data_files, _p, _e, _d = _live_files(meta, root, cur_sid)
-        for _path, _pv, _seq, st, _sid, _frid in data_files:
-            tot_bytes += int(st.get("file_size_in_bytes") or 0)
-            nr = st.get("record_count")
-            if nr is None:
-                tot_rows = 0  # any file without a count: row total unknown
-                break
-            tot_rows += int(nr)
+        # tot_bytes/tot_rows computed once above, before the gate
         can_semi = (
             n_src <= broadcast_source_rows
             and n_src * schema_row_bytes(key_schema) <= broadcast_bytes

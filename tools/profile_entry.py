@@ -71,24 +71,11 @@ def main() -> int:
     # ...and the Structured Streaming machinery (bench.py's warmup
     # rule): the first streaming entry profiled would otherwise absorb
     # ~4.5 s of one-time microbatch-engine init into its wall
-    import shutil
-    import tempfile
+    from predicting_hospital_readmission_using_mimic_database_spark.session import (
+        warm_streaming,
+    )
 
-    ck = tempfile.mkdtemp(prefix="profile_warm_ck_")
-    try:
-        q = (
-            spark.readStream.format("rate")
-            .option("rowsPerSecond", "1")
-            .option("numPartitions", "1")
-            .load()
-            .writeStream.foreachBatch(lambda df, _bid: df.count())
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(60)
-    finally:
-        shutil.rmtree(ck, ignore_errors=True)
+    warm_streaming(spark)
 
     tracker = sc.statusTracker()
     for name in names:
